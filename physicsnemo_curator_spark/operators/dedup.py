@@ -1,0 +1,236 @@
+"""Deduplication operators for training-data curation (north star).
+
+Exact, fingerprint, MinHash+LSH, SimHash, and n-gram-Jaccard dedup over
+a ``documents(doc_id, text)`` table.  Design for 100 TB:
+
+- Exact / fingerprint dedup is one hash-aggregate shuffle keyed on the
+  (hashed) content — shuffled bytes ~ O(distinct groups).
+- MinHash+LSH never compares all pairs: shingles -> K minhashes ->
+  B bands -> groupBy(band, band-signature) buckets -> candidate pairs
+  only within buckets -> exact-Jaccard verify.  Bucket join keys are
+  (band, signature) so the pair-generation shuffle is bounded by
+  bucket sizes, not n².
+- SimHash packs a 64-bit signature per doc; near-dup = identical
+  signature on any of several rotated band keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_text(text: Column) -> Column:
+    return F.regexp_replace(F.lower(F.trim(text)), "\\s+", " ")
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group exact duplicates by normalized content hash.
+
+    Returns (doc_id, canonical_id, group_size): canonical = min id per
+    content group.  Keeping rows where doc_id == canonical_id performs
+    the dedup; the rest is the duplicate report.
+    """
+    keyed = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(normalize_text(F.col(text_col))).alias("_k"),
+    )
+    groups = keyed.groupBy("_k").agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.count(F.lit(1)).alias("group_size"),
+    )
+    return keyed.join(groups, "_k").select("doc_id", "canonical_id", "group_size")
+
+
+def dedup_exact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per exact content group."""
+    dups = exact_duplicates(docs, text_col, id_col)
+    keep = dups.filter(F.col("doc_id") == F.col("canonical_id")).select("doc_id")
+    return docs.join(keep, docs[id_col] == keep["doc_id"], "left_semi")
+
+
+def char_shingles(text: Column, k: int = 5) -> Column:
+    """Distinct k-character shingles of the normalized text."""
+    norm = normalize_text(text)
+    n = F.length(norm)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: norm.substr(i, F.lit(k))))
+
+
+def word_ngrams(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams of the normalized text (n=1 → token set)."""
+    toks = F.split(normalize_text(text), " ")
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(cnt - (n - 1), F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+
+
+def shingle_table(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    *,
+    unit: str = "char",
+) -> DataFrame:
+    """Long (doc_id, shingle) table — the input to MinHash and Jaccard.
+
+    unit='char' → k-character shingles; unit='word' → k-word n-grams.
+    """
+    shingles = (
+        char_shingles(F.col(text_col), k)
+        if unit == "char"
+        else word_ngrams(F.col(text_col), k)
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles).alias("shingle"),
+    ).distinct()
+
+
+def minhash_signatures(
+    shingles: DataFrame, num_hashes: int = 32, seed: int = 42
+) -> DataFrame:
+    """K minhashes per doc: h_i = min over shingles of xxhash64(shingle, seed+i).
+
+    One groupBy(doc_id) with K min-aggregates — partial aggregation
+    makes the shuffle O(docs × K), independent of shingle count.
+    """
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(seed + i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return shingles.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, num_hashes: int = 32, bands: int = 8
+) -> DataFrame:
+    """Band the signature; docs sharing any full band become candidates.
+
+    Bucket key = (band_index, hash of the band's rows) so the
+    self-join runs bucket-local.  Returns distinct (a, b) with a < b.
+    """
+    rows_per_band = num_hashes // bands
+    banded = signatures.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = left.join(
+        right,
+        (F.col("l.band") == F.col("r.band"))
+        & (F.col("l.bucket") == F.col("r.bucket"))
+        & (F.col("l.doc_id") < F.col("r.doc_id")),
+    ).select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+    return pairs.distinct()
+
+
+def jaccard_pairs(shingles: DataFrame, candidates: DataFrame | None = None) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs (or all co-shingled
+    pairs when candidates is None — only sane at test scale).
+
+    |A∩B| from a shingle-keyed self-join; |A| and |B| from per-doc
+    counts; J = inter / (|A| + |B| - inter).
+    """
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    s1 = shingles.alias("s1")
+    s2 = shingles.alias("s2")
+    inter = (
+        s1.join(s2, (F.col("s1.shingle") == F.col("s2.shingle")) & (F.col("s1.doc_id") < F.col("s2.doc_id")))
+        .groupBy(F.col("s1.doc_id").alias("a"), F.col("s2.doc_id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["a", "b"], "left_semi")
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sz_a"), "a")
+        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "sz_b"), "b")
+        .select(
+            "a",
+            "b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return out
+
+
+def minhash_near_duplicates(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    shingle_unit: str = "word",
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: shingle → sign → band →
+    candidates → exact-Jaccard verify ≥ threshold.  Returns (a, b,
+    jaccard) pairs.  LSH bounds the verify join; the verify step makes
+    the output hash-independent (deterministic given the data)."""
+    sh = shingle_table(docs, text_col, id_col, shingle_k, unit=shingle_unit)
+    sigs = minhash_signatures(sh, num_hashes, seed)
+    cand = lsh_candidate_pairs(sigs, num_hashes, bands)
+    return jaccard_pairs(sh, cand).filter(F.col("jaccard") >= F.lit(threshold))
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+    """64-bit SimHash per doc: sign of the per-bit sum of token-hash bits.
+
+    Tokens are whitespace words of the normalized text; each token
+    contributes +1/-1 per bit from xxhash64(token).  Implemented as one
+    explode + one groupBy with ``bits`` sum-aggregates (all JVM-side).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
+    ).withColumn("th", F.xxhash64("tok"))
+    bit_sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(bits)
+        ]
+    )
+    sig = bit_sums.select(
+        "doc_id",
+        sum(
+            (F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0)) * F.lit(1 << i).cast("long")
+             for i in range(bits - 1)),  # top bit left 0 to stay in signed range
+            start=F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+    return sig
+
+
+def simhash_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Docs whose full SimHash collides (hamming distance 0) — grouped
+    like exact_duplicates.  Banded hamming<k variants build on the same
+    signature table."""
+    sig = simhash(docs, text_col, id_col)
+    groups = sig.groupBy("simhash").agg(
+        F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("group_size")
+    )
+    return sig.join(groups, "simhash").select("doc_id", "canonical_id", "group_size")

@@ -1,0 +1,273 @@
+"""Mesh-topology operators on the normalized long-table encoding.
+
+Tables (SURVEY.md §1.2a):
+    points(mesh_id, point_id, x, y, z)
+    cells(mesh_id, cell_id, vs ARRAY<BIGINT>)          -- connectivity
+    point_data(mesh_id, point_id, field, value)
+    cell_data(mesh_id, cell_id, field, value)
+
+The reference does all of this with per-mesh numpy index math inside
+one worker; here every operator is a join/agg keyed on
+``(mesh_id, ...)`` so a single mesh can itself be billions of rows
+spread over many tasks.  Joins between points and cells of the same
+mesh co-locate when both sides are hash-partitioned on mesh_id
+(bucketing at write time makes them shuffle-free).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def explode_cells(cells: DataFrame, vs_col: str = "vs") -> DataFrame:
+    """cells(mesh_id, cell_id, vs) -> one row per (cell, slot, point_id)."""
+    return cells.select(
+        "mesh_id",
+        "cell_id",
+        F.posexplode(vs_col).alias("slot", "point_id"),
+    )
+
+
+def point_data_to_cell_data(
+    cells: DataFrame,
+    point_data: DataFrame,
+    vs_col: str = "vs",
+) -> DataFrame:
+    """Average vertex fields onto cells.
+
+    PointDataToCellDataFilter semantics (reference
+    ``domains/mesh/filters/point_data_to_cell.py:39-226``): cell value =
+    mean of its vertices' values, per field.  One join + one groupBy;
+    both shuffles key on (mesh_id, point_id)/(mesh_id, cell_id).
+    """
+    incidence = explode_cells(cells, vs_col)
+    joined = incidence.join(point_data, ["mesh_id", "point_id"])
+    return joined.groupBy("mesh_id", "cell_id", "field").agg(
+        F.avg("value").alias("value")
+    )
+
+
+def cell_centroids(cells: DataFrame, points: DataFrame, vs_col: str = "vs") -> DataFrame:
+    """Per-cell centroid = avg of vertex coords (reference
+    ``domains/mesh/sources/_vtk_convert.py:176-227``)."""
+    incidence = explode_cells(cells, vs_col)
+    joined = incidence.join(points, ["mesh_id", "point_id"])
+    return joined.groupBy("mesh_id", "cell_id").agg(
+        F.avg("x").alias("cx"), F.avg("y").alias("cy"), F.avg("z").alias("cz")
+    )
+
+
+def scatter_mean(
+    cells_with_value: DataFrame,
+    vs_col: str = "vs",
+    value_col: str = "value",
+) -> DataFrame:
+    """Scatter a per-cell value to nodes, averaging over incidence.
+
+    Node-thickness semantics (reference ``domains/mesh/sources/
+    d3plot.py:230-280``, Rust ``d3plot/thickness.rs``): each node gets
+    the mean of the values of cells touching it.
+    """
+    exploded = cells_with_value.select(
+        "mesh_id", F.explode(vs_col).alias("point_id"), F.col(value_col)
+    )
+    return exploded.groupBy("mesh_id", "point_id").agg(
+        F.avg(value_col).alias(value_col)
+    )
+
+
+def unique_edges(cells: DataFrame, vs_col: str = "vs") -> DataFrame:
+    """Derive the unique undirected edge list from connectivity.
+
+    EdgeComputeFilter semantics (reference ``domains/mesh/filters/
+    edge_compute.py:40-136``): explode consecutive vertex pairs (a ring
+    per cell), normalize (least, greatest), distinct.  The distinct is
+    the only shuffle; it keys on (mesh_id, a, b).
+    """
+    n = F.size(vs_col)
+    pairs = cells.select(
+        "mesh_id",
+        F.explode(F.sequence(F.lit(0), n - 1)).alias("i"),
+        F.col(vs_col).alias("_vs"),
+    ).select(
+        "mesh_id",
+        F.col("_vs").getItem(F.col("i")).alias("u"),
+        F.col("_vs").getItem((F.col("i") + 1) % F.size("_vs")).alias("w"),
+    )
+    return (
+        pairs.filter(F.col("u") != F.col("w"))
+        .select(
+            "mesh_id",
+            F.least("u", "w").alias("a"),
+            F.greatest("u", "w").alias("b"),
+        )
+        .distinct()
+    )
+
+
+def drop_unused_points(points: DataFrame, cells: DataFrame, vs_col: str = "vs") -> DataFrame:
+    """Remove points referenced by no cell — left-semi join
+    (CleanFilter, reference ``domains/mesh/filters/clean.py:39-187``)."""
+    used = cells.select("mesh_id", F.explode(vs_col).alias("point_id")).distinct()
+    return points.join(used, ["mesh_id", "point_id"], "left_semi")
+
+
+def dedup_cells(cells: DataFrame, vs_col: str = "vs") -> DataFrame:
+    """Remove duplicate cells (identical vertex sets regardless of
+    order) — dropDuplicates on the sorted vertex array (CleanFilter)."""
+    with_key = cells.withColumn("_sorted_vs", F.array_sort(F.col(vs_col)))
+    return with_key.dropDuplicates(["mesh_id", "_sorted_vs"]).drop("_sorted_vs")
+
+
+def merge_duplicate_points(
+    points: DataFrame,
+    tol: float,
+    coord_cols: tuple[str, str, str] = ("x", "y", "z"),
+) -> tuple[DataFrame, DataFrame]:
+    """Merge points within an L2-ish tolerance (CleanFilter).
+
+    Grid-snap approach: quantize coords to a tol-sized grid, keep the
+    min-id representative per occupied voxel, and return
+    ``(kept_points, remap)`` where remap(mesh_id, point_id ->
+    new_point_id) rewrites connectivity.  Approximation of the
+    reference's pairwise L2 merge that stays a pure hash-aggregate
+    (exact pairwise at 100 TB would be a quadratic cross join).
+    """
+    x, y, z = (F.col(c) for c in coord_cols)
+    q = [
+        F.round(x / F.lit(tol)).alias("_qx"),
+        F.round(y / F.lit(tol)).alias("_qy"),
+        F.round(z / F.lit(tol)).alias("_qz"),
+    ]
+    keyed = points.select("*", *q)
+    rep = keyed.groupBy("mesh_id", "_qx", "_qy", "_qz").agg(
+        F.min("point_id").alias("new_point_id")
+    )
+    remap = keyed.join(rep, ["mesh_id", "_qx", "_qy", "_qz"]).select(
+        "mesh_id", "point_id", "new_point_id"
+    )
+    kept = points.join(
+        remap.filter(F.col("point_id") == F.col("new_point_id")).select(
+            "mesh_id", "point_id"
+        ),
+        ["mesh_id", "point_id"],
+        "left_semi",
+    )
+    return kept, remap
+
+
+def remap_connectivity(cells: DataFrame, remap: DataFrame, vs_col: str = "vs") -> DataFrame:
+    """Rewrite cell connectivity through an (old -> new) point-id map,
+    dropping cells that reference any unmapped (deleted) point.
+
+    WallNodeFilter connectivity remap (reference ``domains/mesh/
+    filters/wall_node.py:103-154``): explode → join node map (inner:
+    cells touching a dropped node lose rows) → keep only cells whose
+    full arity survived (the anti-join of cells touching dropped
+    nodes) → re-assemble the array in slot order.
+    """
+    arity = cells.select("mesh_id", "cell_id", F.size(vs_col).alias("_arity"))
+    exploded = explode_cells(cells, vs_col)
+    mapped = exploded.join(remap, ["mesh_id", "point_id"])
+    rebuilt = mapped.groupBy("mesh_id", "cell_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("slot"), F.col("new_point_id")))
+            ),
+            lambda s: s.getField("new_point_id"),
+        ).alias(vs_col),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    survived = rebuilt.join(arity, ["mesh_id", "cell_id"]).filter(
+        F.col("_n") == F.col("_arity")
+    )
+    return survived.select("mesh_id", "cell_id", vs_col)
+
+
+def wall_node_mask(
+    displacements: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """Classify nodes as wall (max |displacement - displacement_t0|
+    over time < threshold).
+
+    WallNodeFilter classification (reference ``wall_node.py:93-99``):
+    input is long-format displacements(mesh_id, point_id, t, dx, dy,
+    dz); delta vs the t0 sample uses a first_value window, then a
+    per-node max — exactly the Q-W3 lag/first_value pattern.
+    Returns (mesh_id, point_id, is_wall).
+    """
+    w = Window.partitionBy("mesh_id", "point_id").orderBy("t")
+    delta = displacements.select(
+        "mesh_id",
+        "point_id",
+        F.greatest(
+            F.abs(F.col("dx") - F.first("dx").over(w)),
+            F.abs(F.col("dy") - F.first("dy").over(w)),
+            F.abs(F.col("dz") - F.first("dz").over(w)),
+        ).alias("_dev"),
+    )
+    return delta.groupBy("mesh_id", "point_id").agg(
+        (F.max("_dev") < F.lit(threshold)).alias("is_wall")
+    )
+
+
+def drop_wall_nodes(
+    points: DataFrame,
+    cells: DataFrame,
+    mask: DataFrame,
+    vs_col: str = "vs",
+) -> tuple[DataFrame, DataFrame]:
+    """Drop wall nodes, renumber survivors densely, remap connectivity.
+
+    Dense renumbering = row_number over kept nodes ordered by old id
+    (reference ``wall_node.py:137-138`` builds the same index map with
+    ``np.cumsum``).  Returns (new_points, new_cells).
+    """
+    kept = points.join(
+        mask.filter(~F.col("is_wall")).select("mesh_id", "point_id"),
+        ["mesh_id", "point_id"],
+        "left_semi",
+    )
+    w = Window.partitionBy("mesh_id").orderBy("point_id")
+    remap = kept.select(
+        "mesh_id", "point_id", (F.row_number().over(w) - 1).alias("new_point_id")
+    )
+    new_points = (
+        kept.join(remap, ["mesh_id", "point_id"])
+        .drop("point_id")
+        .withColumnRenamed("new_point_id", "point_id")
+    )
+    new_cells = remap_connectivity(cells, remap, vs_col)
+    return new_points, new_cells
+
+
+def random_permutation(
+    points: DataFrame,
+    cells: DataFrame,
+    seed: int,
+    vs_col: str = "vs",
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic seeded shuffle of point order + consistent
+    connectivity remap.
+
+    RandomPermutationFilter semantics (reference ``domains/mesh/
+    filters/random_permutation.py:141-275``).  Determinism under
+    partitioning: the permutation keys on ``xxhash64(point_id, seed)``
+    — a pure function of stable row identity, never partition-local
+    ``rand()`` (SURVEY.md §7 "what's hard").
+    """
+    w = Window.partitionBy("mesh_id").orderBy(
+        F.xxhash64(F.col("point_id"), F.lit(seed)), F.col("point_id")
+    )
+    remap = points.select(
+        "mesh_id", "point_id", (F.row_number().over(w) - 1).alias("new_point_id")
+    )
+    new_points = (
+        points.join(remap, ["mesh_id", "point_id"])
+        .drop("point_id")
+        .withColumnRenamed("new_point_id", "point_id")
+    )
+    new_cells = remap_connectivity(cells, remap, vs_col)
+    return new_points, new_cells

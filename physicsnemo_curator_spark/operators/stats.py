@@ -1,0 +1,177 @@
+"""Distributed statistics operators.
+
+Re-expresses the reference's Welford/Chan partial+merge statistics
+machinery (reference ``domains/mesh/filters/stats.py:232-498,675-837``,
+``domains/da/filters/stats.py:485-819``, ``domains/mesh/filters/mean.py``)
+as Catalyst aggregates.  Spark's ``avg/var_pop/stddev_pop/skewness/
+kurtosis`` already run as partial (map-side) + final (merge) aggregates
+— the exact contract the reference hand-builds with Chan's parallel
+moment formulas — so every stat here is a single shuffle on the group
+keys with map-side combine, no custom UDAF needed.
+
+Scale notes (100 TB posture):
+- One hash-aggregate shuffle keyed on the group columns; partial
+  aggregation means shuffled bytes ~ O(groups), not O(rows).
+- ``percentile_approx`` (KLL-style sketch) replaces exact median: the
+  reference itself declares median non-mergeable and emits NaN after
+  its distributed merge (``stats.py:825-827``); we return an
+  approximate value instead of NaN and document the tolerance.
+- Population (not sample) variance, excess kurtosis, skew/kurt
+  semantics follow the reference (``stats.py:182,199-202``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def moment_stats(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    *,
+    abs_center: float = 0.0,
+    include_median: bool = False,
+) -> DataFrame:
+    """Per-group moment statistics (MeshStatsFilter semantics).
+
+    Emits count, mean, min, max, stddev_pop, var_pop, skewness,
+    excess kurtosis, abs_mean (mean of |x - abs_center|), abs_max.
+    Column names are stable so downstream code and the differential
+    oracle can address them.
+    """
+    v = F.col(value_col)
+    aggs: list[Column] = [
+        F.count(F.lit(1)).alias("n"),
+        F.avg(v).alias("mean"),
+        F.min(v).alias("min_v"),
+        F.max(v).alias("max_v"),
+        F.stddev_pop(v).alias("stddev_pop_v"),
+        F.var_pop(v).alias("var_pop_v"),
+        F.skewness(v).alias("skew_v"),
+        F.kurtosis(v).alias("kurt_v"),
+        F.avg(F.abs(v - F.lit(abs_center))).alias("abs_mean"),
+        F.max(F.abs(v - F.lit(abs_center))).alias("abs_max"),
+    ]
+    if include_median:
+        aggs.append(F.percentile_approx(v, 0.5).alias("median_approx"))
+    grouped = df.groupBy(*group_cols) if group_cols else df.groupBy()
+    return grouped.agg(*aggs)
+
+
+def elementwise_stats(
+    df: DataFrame,
+    cell_cols: Sequence[str],
+    value_col: str,
+) -> DataFrame:
+    """Element-wise (per grid cell) stats reduced over the remaining dims.
+
+    DataArrayStatsFilter semantics (reference ``domains/da/filters/
+    stats.py:47-483``): the reference runs an online Welford update per
+    time sample and Chan-merges worker shards; here the reduce-over-time
+    is simply a groupBy over the *kept* dims, one shuffle.
+    """
+    v = F.col(value_col)
+    return df.groupBy(*cell_cols).agg(
+        F.avg(v).alias("mean"),
+        F.var_pop(v).alias("var_pop_v"),
+        F.min(v).alias("min_v"),
+        F.max(v).alias("max_v"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def welford_state(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+) -> DataFrame:
+    """Mergeable moment state as power sums (resumable-stats parity).
+
+    The reference persists per-worker Welford state (n, mean, M2, M3,
+    M4 — ``stats.py:96-102``) so runs can resume.  Power sums
+    (Σv, Σv², Σv³, Σv⁴) are the algebraically mergeable, SQL-native
+    equivalent: states from different runs merge by plain addition.
+    """
+    v = F.col(value_col)
+    return df.groupBy(*group_cols).agg(
+        F.count(v).alias("n"),
+        F.sum(v).alias("s1"),
+        F.sum(v * v).alias("s2"),
+        F.sum(v * v * v).alias("s3"),
+        F.sum(v * v * v * v).alias("s4"),
+    )
+
+
+def merge_welford_state(a: DataFrame, b: DataFrame, group_cols: Sequence[str]) -> DataFrame:
+    """Merge two power-sum state tables (Chan-merge equivalent,
+    reference ``stats.py:729-836``) — a union + re-aggregate, no
+    special-case pairwise formulas needed."""
+    cols = [F.sum(c).alias(c) for c in ("n", "s1", "s2", "s3", "s4")]
+    return a.unionByName(b).groupBy(*group_cols).agg(*cols)
+
+
+def finalize_welford_state(state: DataFrame, group_cols: Sequence[str]) -> DataFrame:
+    """Derive mean/var/skew/kurt from power-sum state.
+
+    Follows the reference's finalize semantics: population variance,
+    excess kurtosis, and skew/kurt forced to 0 where variance is 0
+    (``stats.py:182,199-202``).
+    """
+    n = F.col("n").cast("double")
+    mean = F.col("s1") / n
+    m2 = F.col("s2") / n - mean * mean
+    m3 = F.col("s3") / n - 3 * mean * F.col("s2") / n + 2 * mean * mean * mean
+    m4 = (
+        F.col("s4") / n
+        - 4 * mean * F.col("s3") / n
+        + 6 * mean * mean * F.col("s2") / n
+        - 3 * mean * mean * mean * mean
+    )
+    zero_var = m2 <= F.lit(0.0)
+    return state.select(
+        *group_cols,
+        F.col("n"),
+        mean.alias("mean"),
+        F.greatest(m2, F.lit(0.0)).alias("var_pop_v"),
+        F.when(zero_var, F.lit(0.0)).otherwise(m3 / F.pow(m2, 1.5)).alias("skew_v"),
+        F.when(zero_var, F.lit(0.0)).otherwise(m4 / (m2 * m2) - 3.0).alias("kurt_v"),
+    )
+
+
+def spatial_mean(
+    df: DataFrame,
+    id_col: str,
+    field_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-item spatial mean of every field, pivoted wide.
+
+    MeanFilter semantics (reference ``domains/mesh/filters/mean.py:
+    42-246``): dynamic columns = union of field keys across items,
+    NULL-filled — exactly Spark's ``pivot`` contract.
+    """
+    return (
+        df.groupBy(id_col)
+        .pivot(field_col)
+        .agg(F.avg(value_col))
+    )
+
+
+def conditional_counts(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    conditions: dict[str, Column],
+    extra_aggs: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Per-group conditional counts (MeshQualityFilter report rows,
+    reference ``domains/mesh/filters/quality.py:434-836``): each
+    condition becomes a ``count_if``; NaN/Inf tallies, degenerate-cell
+    counts, inverted-Jacobian counts are all this shape."""
+    aggs = [F.count_if(cond).alias(name) for name, cond in conditions.items()]
+    for name, agg in (extra_aggs or {}).items():
+        aggs.append(agg.alias(name))
+    return df.groupBy(*group_cols).agg(*aggs)

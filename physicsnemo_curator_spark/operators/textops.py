@@ -1,0 +1,109 @@
+"""Text-analysis operators for training-data curation.
+
+Beyond the reference's own surface (per the north star): language ID,
+quality scoring, token counting, document fingerprinting — all as
+JVM-side column expressions over a ``documents(doc_id, text, ...)``
+table, so they run inside the scan stage at 100 TB with no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword anchors for the n-gram/stopword heuristic.
+# (A real deployment swaps in fastText; the heuristic keeps this
+# JVM-side and dependency-free.)
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "for", "with", "it"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "für", "auf"),
+    "fr": ("le", "la", "les", "et", "de", "un", "une", "est", "pour", "que"),
+    "es": ("el", "la", "los", "las", "es", "un", "una", "por", "para", "que"),
+}
+
+# BPE-ish token pattern: letter runs, digit runs, or single non-space
+# symbols — deliberately simple so Java regex (Spark) and RE2 (DuckDB)
+# agree for the differential oracle.
+TOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def ws_tokens(text: Column) -> Column:
+    """Whitespace tokenization; trims so ''.split never yields ['']."""
+    return F.split(F.trim(text), "\\s+")
+
+
+def ws_token_count(text: Column) -> Column:
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
+        F.size(ws_tokens(text))
+    )
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Count of BPE-ish tokens (letter runs / digit runs / symbols)."""
+    return F.regexp_count(text, F.lit(TOKEN_PATTERN))
+
+
+def punct_ratio(text: Column) -> Column:
+    """Punctuation chars / total chars (0 for empty text)."""
+    total = F.length(text)
+    punct = F.regexp_count(text, F.lit("[^A-Za-z0-9\\s]"))
+    return F.when(total == 0, F.lit(0.0)).otherwise(
+        punct.cast("double") / total.cast("double")
+    )
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    """Fraction of whitespace tokens that are stopwords of ``lang``."""
+    toks = F.transform(ws_tokens(F.lower(text)), lambda t: t)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS[lang])))
+    n = ws_token_count(text)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        hits.cast("double") / n.cast("double")
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic quality in [0,1]: rewards mid-length docs with prose-like
+    punctuation and English stopword density.  Shape follows common
+    LLM-curation filters (length / symbol-ratio / stopword gates)."""
+    n_tok = ws_token_count(text).cast("double")
+    length_term = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punct_ratio(text) * 4.0, F.lit(1.0))
+    stop_term = F.least(stopword_ratio(text) * 5.0, F.lit(1.0))
+    return (length_term + punct_term + stop_term) / F.lit(3.0)
+
+
+def lang_id(text: Column) -> Column:
+    """Pick the language whose stopword ratio is highest; 'unknown' when
+    every ratio is 0.  Deterministic tie-break by language code order."""
+    best_lang = F.lit("unknown")
+    best_score = F.lit(0.0)
+    for code in sorted(STOPWORDS):
+        score = stopword_ratio(text, code)
+        is_better = score > best_score
+        best_lang = F.when(is_better, F.lit(code)).otherwise(best_lang)
+        best_score = F.when(is_better, score).otherwise(best_score)
+    return best_lang
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the whitespace- and
+    case-normalized text.  Stable across engines (the oracle computes
+    the identical digest in DuckDB)."""
+    normalized = F.regexp_replace(F.lower(F.trim(text)), "\\s+", " ")
+    return F.md5(normalized)
+
+
+def with_text_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full feature set as columns — one projection, no shuffle."""
+    t = F.col(text_col)
+    return docs.select(
+        "*",
+        ws_token_count(t).alias("n_tokens_ws"),
+        bpe_ish_token_count(t).alias("n_tokens_bpe"),
+        punct_ratio(t).alias("punct_ratio"),
+        stopword_ratio(t).alias("stopword_ratio_en"),
+        quality_score(t).alias("quality"),
+        lang_id(t).alias("lang_pred"),
+        fingerprint(t).alias("fingerprint"),
+    )

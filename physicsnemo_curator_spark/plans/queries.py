@@ -1,0 +1,992 @@
+"""Declared correctness queries (SURVEY.md §2.9) + DuckDB oracles.
+
+Every entry exercises one operator family from the inventory in
+SURVEY.md §2, implemented through the operator library and checked
+against an equivalent DuckDB SQL oracle (same column names, floats
+rounded identically on both sides so the driver's order-insensitive
+value hash is stable).
+
+Numeric policy for oracle-matched outputs:
+- counts / min / max: exact, no rounding (no FP arithmetic involved);
+- means / ratios / moments on O(1..100) values: ROUND(x, 6);
+- large-magnitude sums: ROUND(x, 2) (engines sum doubles in different
+  orders; the residual is << 0.005 for these group sizes);
+- Spark's population skew/kurtosis reproduced in DuckDB via two-pass
+  central moments (DuckDB's built-ins are sample-corrected).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from physicsnemo_curator_spark.functions import math as M
+from physicsnemo_curator_spark.operators import dedup, similarity, stats, textops
+from physicsnemo_curator_spark.sources.tables import load_table
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    spark: SparkQuery
+    oracle: str | None  # None → driver records rows-only check
+    doc: str = ""
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _r6(c, name):
+    return F.round(c, 6).alias(name)
+
+
+# --------------------------------------------------------------------------
+# Aggregations (SURVEY §2.5 — MeshStats/DataArrayStats/Mean/Quality filters)
+# --------------------------------------------------------------------------
+
+
+def q_a1_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MeshStatsFilter semantics (reference domains/mesh/filters/stats.py:
+    232-498): per-group count/mean/min/max/stddev_pop/var_pop/skew/
+    excess-kurtosis/abs_mean/abs_max, single partial+final aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = stats.moment_stats(li, ["l_returnflag"], "l_quantity")
+    return s.select(
+        "l_returnflag",
+        "n",
+        _r6(F.col("mean"), "mean"),
+        F.col("min_v"),
+        F.col("max_v"),
+        _r6(F.col("stddev_pop_v"), "stddev_pop_v"),
+        _r6(F.col("var_pop_v"), "var_pop_v"),
+        _r6(F.col("skew_v"), "skew_v"),
+        _r6(F.col("kurt_v"), "kurt_v"),
+        _r6(F.col("abs_mean"), "abs_mean"),
+        F.col("abs_max"),
+    ).orderBy("l_returnflag")
+
+
+ORACLE_A1 = """
+WITH m AS (SELECT l_returnflag g, AVG(l_quantity) mu FROM lineitem GROUP BY 1),
+a AS (
+  SELECT l.l_returnflag,
+         CAST(COUNT(*) AS BIGINT) n,
+         AVG(l.l_quantity) mean,
+         MIN(l.l_quantity) min_v,
+         MAX(l.l_quantity) max_v,
+         AVG((l.l_quantity - mu) * (l.l_quantity - mu)) m2,
+         AVG(POW(l.l_quantity - mu, 3)) m3,
+         AVG(POW(l.l_quantity - mu, 4)) m4,
+         AVG(ABS(l.l_quantity)) abs_mean,
+         MAX(ABS(l.l_quantity)) abs_max
+  FROM lineitem l JOIN m ON l.l_returnflag = m.g GROUP BY 1)
+SELECT l_returnflag, n, ROUND(mean, 6) mean, min_v, max_v,
+       ROUND(SQRT(m2), 6) stddev_pop_v, ROUND(m2, 6) var_pop_v,
+       ROUND(m3 / POW(m2, 1.5), 6) skew_v,
+       ROUND(m4 / (m2 * m2) - 3, 6) kurt_v,
+       ROUND(abs_mean, 6) abs_mean, abs_max
+FROM a ORDER BY l_returnflag
+"""
+
+
+def q_a2_elementwise_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataArrayStatsFilter semantics (reference domains/da/filters/
+    stats.py:47-483): per-cell stats reduced over the remaining dims."""
+    li = _t(spark, sf_dir, "lineitem").withColumn("cell", F.col("l_partkey") % 1000)
+    s = stats.elementwise_stats(li, ["cell"], "l_quantity")
+    return s.select(
+        "cell",
+        _r6(F.col("mean"), "mean"),
+        _r6(F.col("var_pop_v"), "var_pop_v"),
+        F.col("min_v"),
+        F.col("max_v"),
+        "n",
+    ).orderBy("cell")
+
+
+ORACLE_A2 = """
+SELECT l_partkey % 1000 AS cell,
+       ROUND(AVG(l_quantity), 6) mean,
+       ROUND(VAR_POP(l_quantity), 6) var_pop_v,
+       MIN(l_quantity) min_v, MAX(l_quantity) max_v,
+       CAST(COUNT(*) AS BIGINT) n
+FROM lineitem GROUP BY cell ORDER BY cell
+"""
+
+
+def q_a3_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MeanFilter dynamic-column semantics (reference domains/mesh/
+    filters/mean.py:123-135): pivot to a wide, NULL-filled table."""
+    orders = _t(spark, sf_dir, "orders")
+    wide = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0)
+    )
+    return wide.select(
+        "o_orderpriority",
+        F.col("F").alias("f_cnt"),
+        F.col("O").alias("o_cnt"),
+        F.col("P").alias("p_cnt"),
+    ).orderBy("o_orderpriority")
+
+
+ORACLE_A3 = """
+SELECT o_orderpriority,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) f_cnt,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) o_cnt,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) p_cnt
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q_a4_conditional_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MeshQualityFilter report semantics (reference domains/mesh/filters/
+    quality.py:434-836): per-group count_if + companion aggregates."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = stats.conditional_counts(
+        li,
+        ["l_linestatus"],
+        {"high_tax_cnt": F.col("l_tax") > 0.05},
+        {
+            "sum_qty": F.round(F.sum("l_quantity"), 4),
+            "avg_disc": F.round(F.avg("l_discount"), 6),
+        },
+    )
+    return out.orderBy("l_linestatus")
+
+
+ORACLE_A4 = """
+SELECT l_linestatus,
+       CAST(COUNT_IF(l_tax > 0.05) AS BIGINT) high_tax_cnt,
+       ROUND(SUM(l_quantity), 4) sum_qty,
+       ROUND(AVG(l_discount), 6) avg_disc
+FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
+"""
+
+
+def q_a5_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (north-star dedup accounting)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+    )
+
+
+ORACLE_A5 = """
+SELECT CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) n_supp,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) n_part
+FROM lineitem
+"""
+
+
+def q_a6_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets / rollup over a 3-table join (free in Catalyst;
+    absent in the reference — SURVEY §2.5 'missing vs standard')."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    j = orders.join(
+        customer, orders.o_custkey == customer.c_custkey
+    ).join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+    return (
+        j.rollup("n_name", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.asc_nulls_first("n_name"), F.asc_nulls_first("o_orderpriority"))
+    )
+
+
+ORACLE_A6 = """
+SELECT n_name, o_orderpriority, CAST(COUNT(*) AS BIGINT) cnt
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP(n_name, o_orderpriority)
+ORDER BY n_name NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+
+def q_a7_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact fallback for approx_count_distinct (the approximate path is
+    validated with an rsd bound in tests, not hash-matched)."""
+    return _t(spark, sf_dir, "orders").agg(
+        F.countDistinct("o_custkey").alias("n_cust")
+    )
+
+
+ORACLE_A7 = "SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) n_cust FROM orders"
+
+
+def q_a8_welford_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resumable mergeable moment state finalized to stats (reference
+    persists Welford state n/mean/M2/M3/M4, stats.py:96-102; we persist
+    power sums and finalize — SURVEY §7 'what's hard')."""
+    li = _t(spark, sf_dir, "lineitem")
+    state = stats.welford_state(li, ["l_returnflag"], "l_quantity")
+    out = stats.finalize_welford_state(state, ["l_returnflag"])
+    return out.select(
+        "l_returnflag",
+        "n",
+        _r6(F.col("mean"), "mean"),
+        _r6(F.col("var_pop_v"), "var_pop_v"),
+        _r6(F.col("skew_v"), "skew_v"),
+        _r6(F.col("kurt_v"), "kurt_v"),
+    ).orderBy("l_returnflag")
+
+
+ORACLE_A8 = """
+WITH s AS (
+  SELECT l_returnflag, CAST(COUNT(l_quantity) AS BIGINT) n,
+         SUM(l_quantity) s1, SUM(l_quantity*l_quantity) s2,
+         SUM(POW(l_quantity,3)) s3, SUM(POW(l_quantity,4)) s4
+  FROM lineitem GROUP BY 1),
+f AS (
+  SELECT l_returnflag, n, s1/n mean,
+         s2/n - (s1/n)*(s1/n) m2,
+         s3/n - 3*(s1/n)*s2/n + 2*POW(s1/n,3) m3,
+         s4/n - 4*(s1/n)*s3/n + 6*POW(s1/n,2)*s2/n - 3*POW(s1/n,4) m4
+  FROM s)
+SELECT l_returnflag, n, ROUND(mean,6) mean,
+       ROUND(GREATEST(m2, 0), 6) var_pop_v,
+       ROUND(CASE WHEN m2 <= 0 THEN 0 ELSE m3/POW(m2,1.5) END, 6) skew_v,
+       ROUND(CASE WHEN m2 <= 0 THEN 0 ELSE m4/(m2*m2)-3 END, 6) kurt_v
+FROM f ORDER BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
+# Joins (SURVEY §2.3/§2.6 — structural ops are joins in disguise)
+# --------------------------------------------------------------------------
+
+
+def q_j1_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-geometry/metadata broadcast join (reference ns_cylinder.py:
+    70-297, ahmedml.py:65-70): small dims broadcast, no fact shuffle."""
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    j = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return (
+        j.groupBy("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+        .orderBy("r_name", "n_name")
+    )
+
+
+ORACLE_J1 = """
+SELECT r_name, n_name, CAST(COUNT(*) AS BIGINT) n_cust
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name ORDER BY r_name, n_name
+"""
+
+
+def q_j2_point_to_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PointDataToCellData join+group shape (reference point_data_to_cell
+    .py:39-226): child rows averaged onto the parent key."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    j = orders.join(li, orders.o_orderkey == li.l_orderkey)
+    return (
+        j.groupBy("o_orderkey")
+        .agg(_r6(F.avg(F.col("l_extendedprice") * (1 - F.col("l_discount"))), "avg_rev"))
+        .orderBy("o_orderkey")
+        .limit(100)
+    )
+
+
+ORACLE_J2 = """
+SELECT o_orderkey, ROUND(AVG(l_extendedprice * (1 - l_discount)), 6) avg_rev
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderkey ORDER BY o_orderkey LIMIT 100
+"""
+
+
+def q_j3_scatter_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Node-thickness scatter-average shape (reference d3plot.py:230-280):
+    explode element values to nodes, mean over incidence."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(_r6(F.avg("l_quantity"), "avg_qty"))
+        .orderBy("l_suppkey")
+    )
+
+
+ORACLE_J3 = """
+SELECT l_suppkey, ROUND(AVG(l_quantity), 6) avg_qty
+FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey
+"""
+
+
+def q_j4_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/theta join (declared for coverage — reference has none)."""
+    customer = _t(spark, sf_dir, "customer")
+    events = _t(spark, sf_dir, "events")
+    j = customer.join(
+        events,
+        (events.user_id == customer.c_custkey)
+        & (events.value >= customer.c_acctbal * 0.1)
+        & (events.value <= customer.c_acctbal),
+    )
+    return (
+        j.groupBy("c_custkey")
+        .agg(F.count("event_id").alias("n_events"))
+        .orderBy("c_custkey")
+        .limit(100)
+    )
+
+
+ORACLE_J4 = """
+SELECT c_custkey, CAST(COUNT(e.event_id) AS BIGINT) n_events
+FROM customer c JOIN events e
+  ON e.user_id = c.c_custkey AND e.value BETWEEN c.c_acctbal * 0.1 AND c.c_acctbal
+GROUP BY c_custkey ORDER BY c_custkey LIMIT 100
+"""
+
+
+def q_j5_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join — unused-point retention (reference clean.py:39-187)."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    kept = part.join(li, part.p_partkey == li.l_partkey, "left_semi")
+    return kept.agg(F.count(F.lit(1)).alias("n_used"))
+
+
+ORACLE_J5 = """
+SELECT CAST(COUNT(*) AS BIGINT) n_used FROM part
+WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
+"""
+
+
+def q_j6_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join — cells touching dropped nodes (reference wall_node.py:
+    103-154)."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    dropped = part.join(li, part.p_partkey == li.l_partkey, "left_anti")
+    return dropped.agg(F.count(F.lit(1)).alias("n_unused"))
+
+
+ORACLE_J6 = """
+SELECT CAST(COUNT(*) AS BIGINT) n_unused FROM part
+WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_partkey IS NOT NULL)
+"""
+
+
+# --------------------------------------------------------------------------
+# Set operations (boundary merge / dedup — SURVEY §2.6)
+# --------------------------------------------------------------------------
+
+
+def q_s2_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    customer = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    return orders.intersect(customer).orderBy("k").limit(100)
+
+
+ORACLE_S2 = """
+SELECT o_custkey k FROM orders INTERSECT SELECT c_custkey FROM customer
+ORDER BY k LIMIT 100
+"""
+
+
+def q_s3_edge_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unique-undirected-edge derivation (reference edge_compute.py:40-136):
+    normalize (least, greatest), distinct."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            F.least("l_partkey", "l_suppkey").alias("a"),
+            F.greatest("l_partkey", "l_suppkey").alias("b"),
+        )
+        .distinct()
+        .orderBy("a", "b")
+        .limit(100)
+    )
+
+
+ORACLE_S3 = """
+SELECT DISTINCT LEAST(l_partkey, l_suppkey) a, GREATEST(l_partkey, l_suppkey) b
+FROM lineitem ORDER BY a, b LIMIT 100
+"""
+
+
+def q_s4_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL with a region tag (reference DomainMesh boundary merge,
+    boundaries/inject.py:40-75)."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("k"), F.lit("customer").alias("src")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("k"), F.lit("supplier").alias("src")
+    )
+    return c.unionByName(s).groupBy("k").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.countDistinct("src").alias("n_src"),
+    ).orderBy("k")
+
+
+ORACLE_S4 = """
+SELECT k, CAST(COUNT(*) AS BIGINT) cnt, CAST(COUNT(DISTINCT src) AS BIGINT) n_src
+FROM (SELECT c_nationkey k, 'customer' src FROM customer
+      UNION ALL SELECT s_nationkey, 'supplier' FROM supplier)
+GROUP BY k ORDER BY k
+"""
+
+
+def q_s5_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    return s.subtract(c).orderBy("k")
+
+
+ORACLE_S5 = """
+SELECT s_nationkey k FROM supplier EXCEPT SELECT c_nationkey FROM customer
+ORDER BY k
+"""
+
+
+# --------------------------------------------------------------------------
+# Window functions (remap / permutation / prefix-sum — SURVEY §2.6)
+# --------------------------------------------------------------------------
+
+
+def q_w1_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense renumbering (reference wall_node.py:137-138 index map)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.select("o_orderkey", F.row_number().over(w).alias("rn"))
+        .orderBy("o_orderkey")
+        .limit(100)
+    )
+
+
+ORACLE_W1 = """
+SELECT o_orderkey,
+       CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INT) rn
+FROM orders ORDER BY o_orderkey LIMIT 100
+"""
+
+
+def q_w2_prefix_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-sum offsets (reference AtomicData Zarr pre-allocation,
+    atm/sinks/zarr_writer.py:209+)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_orderkey").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        orders.select(
+            "o_orderkey", F.round(F.sum("o_totalprice").over(w), 2).alias("cum_total")
+        )
+        .orderBy("o_orderkey")
+        .limit(100)
+    )
+
+
+ORACLE_W2 = """
+SELECT o_orderkey,
+       ROUND(SUM(o_totalprice) OVER
+         (ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) cum_total
+FROM orders ORDER BY o_orderkey LIMIT 100
+"""
+
+
+def q_w3_delta_vs_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Displacement delta vs t0 (reference wall_node.py:93-99 uses the
+    first-timestep sample as the baseline)."""
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.select(
+            "user_id",
+            "event_id",
+            _r6(F.col("value") - F.first("value").over(w), "delta"),
+        )
+        .orderBy("user_id", "event_id")
+        .limit(100)
+    )
+
+
+ORACLE_W3 = """
+SELECT user_id, event_id,
+       ROUND(value - FIRST_VALUE(value) OVER
+         (PARTITION BY user_id ORDER BY ts, event_id), 6) delta
+FROM events ORDER BY user_id, event_id LIMIT 100
+"""
+
+
+# --------------------------------------------------------------------------
+# Sort / top-k
+# --------------------------------------------------------------------------
+
+
+def q_t1_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("rev"))
+        .orderBy(F.desc("rev"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+ORACLE_T1 = """
+SELECT l_orderkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) rev
+FROM lineitem GROUP BY l_orderkey ORDER BY rev DESC, l_orderkey LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# Scalar / date / string / array / json kernels (SURVEY §2.4)
+# --------------------------------------------------------------------------
+
+
+def q_m1_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Von Mises kernel shape (reference openradioss.py:64-84) as a pure
+    column expression over proxy columns."""
+    li = _t(spark, sf_dir, "lineitem")
+    zero = F.lit(0.0)
+    vm = M.von_mises(
+        F.col("l_tax"), F.col("l_discount"), zero, F.col("l_discount"), zero, zero
+    )
+    return (
+        li.select("l_orderkey", "l_linenumber", _r6(vm, "vm"))
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
+ORACLE_M1 = """
+SELECT l_orderkey, l_linenumber,
+       ROUND(SQRT(0.5 * ((l_tax - l_discount) * (l_tax - l_discount)
+                         + l_discount * l_discount + l_tax * l_tax)
+                  + 3.0 * l_discount * l_discount), 6) vm
+FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100
+"""
+
+
+def q_m2_validity_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NaN/Inf/validity tallies (reference quality.py:692-738) as count_if."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count_if(F.col("l_discount") > F.col("l_tax")).alias("disc_gt_tax"),
+        F.count_if(F.col("l_quantity") >= 25).alias("qty_ge_25"),
+        F.count_if(F.isnan(F.col("l_quantity"))).alias("nan_qty"),
+    )
+
+
+ORACLE_M2 = """
+SELECT CAST(COUNT_IF(l_discount > l_tax) AS BIGINT) disc_gt_tax,
+       CAST(COUNT_IF(l_quantity >= 25) AS BIGINT) qty_ge_25,
+       CAST(COUNT_IF(isnan(l_quantity)) AS BIGINT) nan_qty
+FROM lineitem
+"""
+
+
+def q_d1_year_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year split key (reference netcdf_writer.py:54-71 year-based file
+    splitting) — also the partitionBy expression for the NetCDF sink."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.year("o_orderdate").cast("int").alias("y"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("y")
+    )
+
+
+ORACLE_D1 = """
+SELECT CAST(YEAR(o_orderdate) AS INT) y, CAST(COUNT(*) AS BIGINT) cnt
+FROM orders GROUP BY y ORDER BY y
+"""
+
+
+def q_str1_string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    return (
+        customer.select(
+            "c_custkey",
+            F.upper(F.substring("c_name", 1, 8)).alias("name8"),
+            F.length("c_name").alias("name_len"),
+            F.concat_ws("_", "c_mktsegment", "c_name").alias("seg_name"),
+        )
+        .orderBy("c_custkey")
+        .limit(100)
+    )
+
+
+ORACLE_STR1 = """
+SELECT c_custkey, UPPER(SUBSTRING(c_name, 1, 8)) name8,
+       CAST(LENGTH(c_name) AS INT) name_len,
+       CONCAT(c_mktsegment, '_', c_name) seg_name
+FROM customer ORDER BY c_custkey LIMIT 100
+"""
+
+
+def q_arr1_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-field assembly: collect + sort per parent (reference stacks
+    per-timestep fields into arrays, e.g. openradioss.py displacement_t*)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_list("l_linenumber")).alias("linenumbers"))
+        .orderBy("l_orderkey")
+        .limit(100)
+    )
+
+
+ORACLE_ARR1 = """
+SELECT l_orderkey, list_sort(list(l_linenumber)) linenumbers
+FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey LIMIT 100
+"""
+
+
+def q_json1_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON detail blobs (reference quality.py nan_field_details JSON)."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+        )
+        .orderBy("event_id")
+        .limit(100)
+    )
+
+
+ORACLE_JSON1 = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) k_val
+FROM events ORDER BY event_id LIMIT 100
+"""
+
+
+def q_scan_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FieldSelect + reader-level key filters (reference field_select.py:
+    61-227, _key_filter.py:45-166): projection + predicate pushed into
+    the parquet scan (verify with .explain → PushedFilters/ReadSchema)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_quantity") >= 45)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
+ORACLE_SCAN = """
+SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+WHERE l_quantity >= 45 ORDER BY l_orderkey, l_linenumber LIMIT 100
+"""
+
+
+def q_precision_downcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PrecisionFilter fp64→fp32 (reference precision.py:94-289): cast is
+    the whole operator; Spark/Parquet own the storage format."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_extendedprice").cast("float").cast("double").alias("price_f32"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
+ORACLE_PRECISION = """
+SELECT l_orderkey, l_linenumber,
+       CAST(CAST(l_extendedprice AS REAL) AS DOUBLE) price_f32
+FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100
+"""
+
+
+def q_global_inject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GlobalDataFilter (reference global_data.py:51-160): inject constant
+    freestream values; overwrite=False keeps existing via coalesce."""
+    supplier = _t(spark, sf_dir, "supplier")
+    return (
+        supplier.select(
+            "s_suppkey",
+            F.lit(1.225).alias("rho_inf"),
+            F.lit(38.89).alias("u_inf"),
+            F.coalesce(F.col("s_acctbal"), F.lit(0.0)).alias("acctbal_filled"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+ORACLE_GLOBAL = """
+SELECT s_suppkey, CAST(1.225 AS DOUBLE) rho_inf, CAST(38.89 AS DOUBLE) u_inf,
+       CAST(COALESCE(s_acctbal, 0.0) AS DOUBLE) acctbal_filled
+FROM supplier ORDER BY s_suppkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Streaming semantics validated in batch (SURVEY §2.8)
+# --------------------------------------------------------------------------
+
+
+def q_st1_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window agg — batch twin of the streaming rollup
+    (streaming variant in physicsnemo_curator_spark.streaming)."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour").start.alias("ws"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"), _r6(F.avg("value"), "avg_value"))
+        .orderBy("ws", "event_type")
+    )
+
+
+ORACLE_ST1 = """
+SELECT date_trunc('hour', ts) ws, event_type,
+       CAST(COUNT(*) AS BIGINT) cnt, ROUND(AVG(value), 6) avg_value
+FROM events GROUP BY 1, 2 ORDER BY ws, event_type
+"""
+
+
+def q_st2_sliding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding running stats over event time (DataArrayStats online-update
+    semantics, reference da/stats.py:541-574, as a range window)."""
+    events = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return (
+        events.select(
+            "user_id", "event_id", _r6(F.avg("value").over(w), "run_avg")
+        )
+        .orderBy("user_id", "event_id")
+        .limit(100)
+    )
+
+
+ORACLE_ST2 = """
+SELECT user_id, event_id,
+       ROUND(AVG(value) OVER (PARTITION BY user_id
+             ORDER BY CAST(floor(extract(epoch FROM ts)) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 6) run_avg
+FROM events ORDER BY user_id, event_id LIMIT 100
+"""
+
+
+# --------------------------------------------------------------------------
+# North star: dedup / text analysis / similarity search
+# --------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups by normalized-content hash (north star)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_duplicates(docs).orderBy("doc_id")
+
+
+ORACLE_DEDUP_EXACT = """
+WITH k AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) _k
+           FROM documents)
+SELECT doc_id,
+       MIN(doc_id) OVER (PARTITION BY _k) canonical_id,
+       CAST(COUNT(*) OVER (PARTITION BY _k) AS BIGINT) group_size
+FROM k ORDER BY doc_id
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-trigram Jaccard near-dup pairs ≥ 0.8 (north star).
+    This is also the verify stage of the MinHash-LSH pipeline, so the
+    LSH path's output is a subset of this oracle-checked set."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = dedup.shingle_table(docs, k=3, unit="word")
+    pairs = dedup.jaccard_pairs(sh)
+    return (
+        pairs.filter(F.col("jaccard") >= 0.8)
+        .select("a", "b", _r6(F.col("jaccard"), "jaccard"))
+        .orderBy("a", "b")
+    )
+
+
+ORACLE_NGRAM_JACCARD = """
+WITH norm AS (SELECT doc_id,
+                     string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') toks
+              FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') shingle
+       FROM (SELECT doc_id, toks, unnest(range(1, greatest(len(toks) - 2, 0) + 1)) i
+             FROM norm)),
+sz AS (SELECT doc_id, COUNT(*) sz FROM sh GROUP BY 1),
+inter AS (SELECT s1.doc_id a, s2.doc_id b, COUNT(*) i
+          FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+          GROUP BY 1, 2)
+SELECT a, b, ROUND(i * 1.0 / (x.sz + y.sz - i), 6) jaccard
+FROM inter JOIN sz x ON inter.a = x.doc_id JOIN sz y ON inter.b = y.doc_id
+WHERE i * 1.0 / (x.sz + y.sz - i) >= 0.8
+ORDER BY a, b
+"""
+
+
+def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting / punct ratio / fingerprint (north-star text ops)."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return (
+        docs.select(
+            "doc_id",
+            textops.ws_token_count(t).alias("n_tokens_ws"),
+            textops.bpe_ish_token_count(t).alias("n_tokens_bpe"),
+            _r6(textops.punct_ratio(t), "punct_ratio"),
+            textops.fingerprint(t).alias("fingerprint"),
+        )
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
+ORACLE_TEXT_FEATURES = """
+SELECT doc_id,
+       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(string_split_regex(trim(text), '\\s+')) END AS INT) n_tokens_ws,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) n_tokens_bpe,
+       ROUND(CASE WHEN length(text) = 0 THEN 0.0
+            ELSE len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0 / length(text) END, 6) punct_ratio,
+       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) fingerprint
+FROM documents ORDER BY doc_id LIMIT 200
+"""
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-k (north-star similarity baseline);
+    the LSH-bucketed scale path is validated against this in tests."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.cosine_topk(emb, qs, k=5)
+    return out.select(
+        "query_id", "vec_id", _r6(F.col("cosine"), "cosine"), "rank"
+    ).orderBy("query_id", "rank")
+
+
+ORACLE_ANN = """
+WITH q AS (SELECT vec_id query_id, embedding qe FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         (SELECT SUM(CAST(a AS DOUBLE) * CAST(b AS DOUBLE))
+          FROM (SELECT unnest(q.qe) a, unnest(c.embedding) b)) /
+         (SQRT((SELECT SUM(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) FROM (SELECT unnest(q.qe) a))) *
+          SQRT((SELECT SUM(CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) FROM (SELECT unnest(c.embedding) b)))) cosine
+  FROM q, embeddings c),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) rank
+  FROM scored)
+SELECT query_id, vec_id, ROUND(cosine, 6) cosine, rank
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact variant for the oracle;
+    the LSH-bucketed variant covers the 100 TB path)."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    pairs = similarity.pairwise_near_duplicates(emb, threshold=0.4, exact=True)
+    return pairs.select("a", "b", _r6(F.col("cosine"), "cosine")).orderBy("a", "b")
+
+
+ORACLE_EMB_NEAR_DUP = """
+WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+pairs AS (
+  SELECT l.vec_id a, r.vec_id b,
+         (SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+          FROM (SELECT unnest(l.embedding) x, unnest(r.embedding) y)) /
+         (SQRT((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM (SELECT unnest(l.embedding) x))) *
+          SQRT((SELECT SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest(r.embedding) y)))) cosine
+  FROM e l, e r WHERE l.vec_id < r.vec_id)
+SELECT a, b, ROUND(cosine, 6) cosine FROM pairs WHERE cosine >= 0.4 ORDER BY a, b
+"""
+
+
+def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup (scale path; hash-seeded candidate recall →
+    rows-only check; exact twin is q_dedup_ngram_jaccard)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup.minhash_near_duplicates(docs, threshold=0.8)
+    return out.select("a", "b", _r6(F.col("jaccard"), "jaccard")).orderBy("a", "b")
+
+
+def q_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signature dedup groups (rows-only: signatures are
+    xxhash64-seeded, not reproducible in ANSI SQL)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_duplicates(docs).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, QuerySpec] = {
+    "q_a1_moment_stats": QuerySpec(q_a1_moment_stats, ORACLE_A1),
+    "q_a2_elementwise_stats": QuerySpec(q_a2_elementwise_stats, ORACLE_A2),
+    "q_a3_pivot_counts": QuerySpec(q_a3_pivot_counts, ORACLE_A3),
+    "q_a4_conditional_counts": QuerySpec(q_a4_conditional_counts, ORACLE_A4),
+    "q_a5_distinct_agg": QuerySpec(q_a5_distinct_agg, ORACLE_A5),
+    "q_a6_rollup": QuerySpec(q_a6_rollup, ORACLE_A6),
+    "q_a7_distinct_exact": QuerySpec(q_a7_distinct_exact, ORACLE_A7),
+    "q_a8_welford_state": QuerySpec(q_a8_welford_state, ORACLE_A8),
+    "q_j1_broadcast_join": QuerySpec(q_j1_broadcast_join, ORACLE_J1),
+    "q_j2_point_to_cell": QuerySpec(q_j2_point_to_cell, ORACLE_J2),
+    "q_j3_scatter_mean": QuerySpec(q_j3_scatter_mean, ORACLE_J3),
+    "q_j4_range_join": QuerySpec(q_j4_range_join, ORACLE_J4),
+    "q_j5_semi_join": QuerySpec(q_j5_semi_join, ORACLE_J5),
+    "q_j6_anti_join": QuerySpec(q_j6_anti_join, ORACLE_J6),
+    "q_s2_intersect": QuerySpec(q_s2_intersect, ORACLE_S2),
+    "q_s3_edge_dedup": QuerySpec(q_s3_edge_dedup, ORACLE_S3),
+    "q_s4_union_all": QuerySpec(q_s4_union_all, ORACLE_S4),
+    "q_s5_except": QuerySpec(q_s5_except, ORACLE_S5),
+    "q_w1_row_number": QuerySpec(q_w1_row_number, ORACLE_W1),
+    "q_w2_prefix_sum": QuerySpec(q_w2_prefix_sum, ORACLE_W2),
+    "q_w3_delta_vs_first": QuerySpec(q_w3_delta_vs_first, ORACLE_W3),
+    "q_t1_topk": QuerySpec(q_t1_topk, ORACLE_T1),
+    "q_m1_von_mises": QuerySpec(q_m1_von_mises, ORACLE_M1),
+    "q_m2_validity_counts": QuerySpec(q_m2_validity_counts, ORACLE_M2),
+    "q_d1_year_split": QuerySpec(q_d1_year_split, ORACLE_D1),
+    "q_str1_string_fns": QuerySpec(q_str1_string_fns, ORACLE_STR1),
+    "q_arr1_array_agg": QuerySpec(q_arr1_array_agg, ORACLE_ARR1),
+    "q_json1_extract": QuerySpec(q_json1_extract, ORACLE_JSON1),
+    "q_scan_pushdown": QuerySpec(q_scan_pushdown, ORACLE_SCAN),
+    "q_precision_downcast": QuerySpec(q_precision_downcast, ORACLE_PRECISION),
+    "q_global_inject": QuerySpec(q_global_inject, ORACLE_GLOBAL),
+    "q_st1_tumbling_window": QuerySpec(q_st1_tumbling_window, ORACLE_ST1),
+    "q_st2_sliding_stats": QuerySpec(q_st2_sliding_stats, ORACLE_ST2),
+    "q_dedup_exact": QuerySpec(q_dedup_exact, ORACLE_DEDUP_EXACT),
+    "q_dedup_ngram_jaccard": QuerySpec(q_dedup_ngram_jaccard, ORACLE_NGRAM_JACCARD),
+    "q_text_features": QuerySpec(q_text_features, ORACLE_TEXT_FEATURES),
+    "q_ann_cosine_topk": QuerySpec(q_ann_cosine_topk, ORACLE_ANN),
+    "q_embedding_near_dup": QuerySpec(q_embedding_near_dup, ORACLE_EMB_NEAR_DUP),
+    "q_minhash_near_dup": QuerySpec(q_minhash_near_dup, None),
+    "q_simhash_groups": QuerySpec(q_simhash_groups, None),
+}
+
+
+def queries() -> dict[str, SparkQuery]:
+    return {name: spec.spark for name, spec in QUERIES.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in QUERIES.items() if spec.oracle}
+
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,0 +1,5 @@
+"""Readers: table catalog, file formats, synthetic generators, multimodal."""
+
+from physicsnemo_curator_spark.sources.tables import TABLE_NAMES, load_table, load_tables, register_views
+
+__all__ = ["TABLE_NAMES", "load_table", "load_tables", "register_views"]

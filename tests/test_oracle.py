@@ -1,0 +1,94 @@
+"""Differential oracle harness: every declared query vs DuckDB.
+
+Mirrors the driver's t2 check (row-count + column names + order-
+insensitive values) so a failure here predicts a CORRECTNESS_r{N}
+failure.  The reference's analogous pattern is its Rust-vs-Python
+parser equivalence suite (reference test/domains/mesh/test_vtk_rust.py)
+— two independent implementations must agree exactly.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from physicsnemo_curator_spark.plans.queries import QUERIES
+from physicsnemo_curator_spark.sources.tables import TABLE_NAMES
+
+ORACLE_NAMES = [n for n, s in QUERIES.items() if s.oracle]
+ROWS_ONLY_NAMES = [n for n, s in QUERIES.items() if not s.oracle]
+
+
+def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def _normalize(rows, colnames):
+    """Sort columns by name, canonicalize values, sort rows — the same
+    shape an order-insensitive value hash would consume."""
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+
+    def canon(v):
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "NaN"
+            # near-bitwise: queries round on both sides, so rounded
+            # decimals should convert to identical doubles
+            return f"{v:.15g}"
+        if isinstance(v, (list, tuple)):
+            return tuple(canon(x) for x in v)
+        return v
+
+    return sorted(tuple(canon(r[i]) for i in order) for r in rows)
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_query_matches_oracle(spark, sf_correctness_dir, name):
+    spec = QUERIES[name]
+    sdf = spec.spark(spark, sf_correctness_dir)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    spark_cols = sdf.columns
+
+    con = _duck(sf_correctness_dir)
+    res = con.execute(spec.oracle)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} != oracle {len(duck_rows)}"
+    )
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: columns {sorted(spark_cols)} != oracle {sorted(duck_cols)}"
+    )
+    s_n = _normalize(spark_rows, spark_cols)
+    d_n = _normalize(duck_rows, duck_cols)
+    mism = [
+        (i, a, b) for i, (a, b) in enumerate(zip(s_n, d_n)) if a != b
+    ][:5]
+    assert s_n == d_n, f"{name}: first value mismatches: {mism}"
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
+def test_rows_only_queries_run(spark, sf_correctness_dir, name):
+    df = QUERIES[name].spark(spark, sf_correctness_dir)
+    assert df.count() >= 0
+
+
+def test_entry_smoke(spark):
+    import importlib.util
+    import pathlib
+
+    path = pathlib.Path(__file__).resolve().parents[1] / "__spark_entry__.py"
+    mod_spec = importlib.util.spec_from_file_location("__spark_entry__", path)
+    mod = importlib.util.module_from_spec(mod_spec)
+    mod_spec.loader.exec_module(mod)
+    df = mod.entry(spark)
+    assert df.count() > 0
+    assert set(mod.oracle_sql()) <= set(mod.queries())

@@ -1,0 +1,66 @@
+"""Operator-library registrations: expose the operator packs as named
+pipeline transforms (reference registers its filters the same way,
+``core/registry.py:101-150``).  Importing this module populates the
+registry; ``physicsnemo_curator_spark.core`` imports it lazily via
+``ensure_registered()``.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+from physicsnemo_curator_spark.core.registry import register_transform
+from physicsnemo_curator_spark.operators import dedup, similarity, stats, textops
+
+_REGISTERED = True  # import side effect is the registration
+
+
+def ensure_registered() -> None:  # idempotent hook for explicit callers
+    return None
+
+
+@register_transform("moment_stats")
+def _moment_stats(df: DataFrame, *, group_cols: list[str], value_col: str, **kw: Any) -> DataFrame:
+    return stats.moment_stats(df, group_cols, value_col, **kw)
+
+
+@register_transform("elementwise_stats")
+def _elementwise_stats(df: DataFrame, *, cell_cols: list[str], value_col: str) -> DataFrame:
+    return stats.elementwise_stats(df, cell_cols, value_col)
+
+
+@register_transform("welford_state")
+def _welford_state(df: DataFrame, *, group_cols: list[str], value_col: str) -> DataFrame:
+    return stats.welford_state(df, group_cols, value_col)
+
+
+@register_transform("spatial_mean")
+def _spatial_mean(df: DataFrame, *, id_col: str, field_col: str, value_col: str) -> DataFrame:
+    return stats.spatial_mean(df, id_col, field_col, value_col)
+
+
+@register_transform("dedup_exact")
+def _dedup_exact(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    return dedup.dedup_exact(df, text_col, id_col)
+
+
+@register_transform("minhash_near_dup")
+def _minhash_near_dup(df: DataFrame, **kw: Any) -> DataFrame:
+    return dedup.minhash_near_duplicates(df, **kw)
+
+
+@register_transform("simhash")
+def _simhash(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    return dedup.simhash(df, text_col, id_col)
+
+
+@register_transform("text_features")
+def _text_features(df: DataFrame, *, text_col: str = "text") -> DataFrame:
+    return textops.with_text_features(df, text_col)
+
+
+@register_transform("lsh_buckets")
+def _lsh_buckets(df: DataFrame, *, dim: int, **kw: Any) -> DataFrame:
+    return similarity.lsh_buckets(df, dim, **kw)

@@ -1,0 +1,50 @@
+"""Resume manifest: which partitions of a pipeline run are complete.
+
+Replaces the reference's SQLite checkpoint store (reference
+``core/pipeline_store.py:493-516,1035-1059``): a tiny JSON-lines ledger
+keyed by the pipeline's spec-hash.  Semantics mirrored from
+``test/core/test_checkpoint.py``: completed partitions are skipped on
+re-run; anything not marked (failed / interrupted) re-runs; a different
+spec-hash is a different pipeline and shares nothing.
+
+At cluster scale this would be a Delta/Iceberg table; a JSON ledger on
+shared storage keeps the same append-only, idempotent contract without
+extra dependencies (each mark is one atomic append; duplicate marks are
+harmless because completion is a set union).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+
+class Manifest:
+    def __init__(self, manifest_dir: str, spec_hash: str) -> None:
+        os.makedirs(manifest_dir, exist_ok=True)
+        self.path = os.path.join(manifest_dir, f"{spec_hash}.manifest.jsonl")
+        self.spec_hash = spec_hash
+
+    def completed(self) -> set[Any]:
+        done: set[Any] = set()
+        if not os.path.exists(self.path):
+            return done
+        with open(self.path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                rec = json.loads(line)
+                done.update(rec.get("partitions", []))
+        return done
+
+    def mark_completed(self, partitions: list[Any]) -> None:
+        if not partitions:
+            return
+        with open(self.path, "a") as f:
+            f.write(json.dumps({"partitions": list(partitions)}) + "\n")
+
+    def reset(self) -> None:
+        if os.path.exists(self.path):
+            os.remove(self.path)

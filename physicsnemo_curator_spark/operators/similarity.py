@@ -91,12 +91,41 @@ def lsh_buckets(
     n_bits: int = 8,
     seed: int = 42,
 ) -> DataFrame:
-    """Attach a random-hyperplane LSH bucket id (n_bits signs packed)."""
+    """Attach a single random-hyperplane LSH bucket id (n_bits signs
+    packed) — the partition key for coarse clustering / block writes."""
     planes = random_hyperplanes(dim, n_bits, seed)
     bucket = F.lit(0)
     for b, plane in enumerate(planes):
         bucket = bucket + signed_projection_bucket(F.col(vec_col), plane) * F.lit(1 << b)
     return df.withColumn("bucket", bucket)
+
+
+def lsh_banded(
+    df: DataFrame,
+    dim: int,
+    *,
+    vec_col: str = "embedding",
+    n_bands: int = 8,
+    bits_per_band: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Multi-band hyperplane LSH: one (band, bucket) row per band.
+
+    Candidate recall is 1-(1-p^b)^L for per-bit agreement p — the same
+    amplification trick as MinHash banding, which single-bucket
+    hyperplane LSH lacks.  The candidate join keys on (band, bucket),
+    so shuffle volume is rows × n_bands, never pairs.
+    """
+    entries = []
+    for band in range(n_bands):
+        planes = random_hyperplanes(dim, bits_per_band, seed + 1000 * band)
+        bucket = F.lit(0)
+        for b, plane in enumerate(planes):
+            bucket = bucket + signed_projection_bucket(F.col(vec_col), plane) * F.lit(1 << b)
+        entries.append(F.struct(F.lit(band).alias("band"), bucket.alias("bucket")))
+    return df.select(
+        "*", F.explode(F.array(*entries)).alias("_bb")
+    ).select(*df.columns, F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket"))
 
 
 def lsh_topk(
@@ -108,24 +137,31 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
-    n_bits: int = 8,
+    n_bands: int = 8,
+    bits_per_band: int = 4,
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: equi-join on the LSH bucket, exact cosine
-    re-rank inside the bucket.  Recall < 1 by construction; raise by
-    lowering n_bits or probing neighboring buckets."""
-    c = lsh_buckets(corpus, dim, vec_col=vec_col, n_bits=n_bits, seed=seed)
-    q = lsh_buckets(
+    """Approximate top-k: candidates from any shared (band, bucket),
+    exact cosine re-rank over the deduped candidate set.  Raise recall
+    with more bands; shrink candidate sets with more bits per band."""
+    c = lsh_banded(
+        corpus, dim, vec_col=vec_col, n_bands=n_bands, bits_per_band=bits_per_band, seed=seed
+    )
+    q = lsh_banded(
         queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qvec")),
         dim,
         vec_col="_qvec",
-        n_bits=n_bits,
+        n_bands=n_bands,
+        bits_per_band=bits_per_band,
         seed=seed,
     )
-    scored = c.join(F.broadcast(q), "bucket").select(
-        "query_id",
-        F.col(id_col).alias("vec_id"),
-        cosine(F.col(vec_col), F.col("_qvec")).alias("cosine"),
+    cand = (
+        c.join(F.broadcast(q), ["band", "bucket"])
+        .select("query_id", F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cvec"), "_qvec")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    scored = cand.select(
+        "query_id", "vec_id", cosine(F.col("_cvec"), F.col("_qvec")).alias("cosine")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
@@ -141,25 +177,48 @@ def pairwise_near_duplicates(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_bits: int = 6,
+    n_bands: int = 8,
+    bits_per_band: int = 4,
     seed: int = 42,
     exact: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (a < b, cosine ≥ threshold).
 
     exact=True does the full self-join (test scale / oracle); the
-    default buckets with LSH first so the self-join is bucket-local.
+    default generates candidates from shared (band, bucket) keys so the
+    self-join is band-local (multi-band recall amplification).
     """
     e = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
     if not exact:
         dim_row = e.select(F.size("vec").alias("d")).first()
-        e = lsh_buckets(e, dim_row["d"], vec_col="vec", n_bits=n_bits, seed=seed)
-        join_cond = (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.vec_id") < F.col("r.vec_id"))
+        eb = lsh_banded(e, dim_row["d"], vec_col="vec", seed=seed,
+                        n_bands=n_bands, bits_per_band=bits_per_band)
+        pairs = (
+            eb.alias("l")
+            .join(
+                eb.alias("r"),
+                (F.col("l.band") == F.col("r.band"))
+                & (F.col("l.bucket") == F.col("r.bucket"))
+                & (F.col("l.vec_id") < F.col("r.vec_id")),
+            )
+            .select(
+                F.col("l.vec_id").alias("a"),
+                F.col("r.vec_id").alias("b"),
+                F.col("l.vec").alias("_va"),
+                F.col("r.vec").alias("_vb"),
+            )
+            .dropDuplicates(["a", "b"])
+        )
     else:
-        join_cond = F.col("l.vec_id") < F.col("r.vec_id")
-    pairs = e.alias("l").join(e.alias("r"), join_cond).select(
-        F.col("l.vec_id").alias("a"),
-        F.col("r.vec_id").alias("b"),
-        cosine(F.col("l.vec"), F.col("r.vec")).alias("cosine"),
-    )
-    return pairs.filter(F.col("cosine") >= F.lit(threshold))
+        pairs = (
+            e.alias("l")
+            .join(e.alias("r"), F.col("l.vec_id") < F.col("r.vec_id"))
+            .select(
+                F.col("l.vec_id").alias("a"),
+                F.col("r.vec_id").alias("b"),
+                F.col("l.vec").alias("_va"),
+                F.col("r.vec").alias("_vb"),
+            )
+        )
+    scored = pairs.select("a", "b", cosine(F.col("_va"), F.col("_vb")).alias("cosine"))
+    return scored.filter(F.col("cosine") >= F.lit(threshold))

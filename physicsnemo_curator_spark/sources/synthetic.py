@@ -1,0 +1,135 @@
+"""Seeded synthetic sources (test fixtures).
+
+Parity with the reference's random sources (``domains/mesh/sources/
+random.py:39-160``, ``domains/da/sources/random.py``, ``domains/atm/
+sources/random.py``): deterministic given a seed, sized by params.
+Determinism under partitioning: every random value is a pure function
+of stable row ids via ``xxhash64(id, seed)`` — never partition-local
+``rand()`` (SURVEY §7 "what's hard").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _u(col, seed: int, salt: int):
+    """Uniform [0,1) from a stable id — hash-based, partition-invariant."""
+    h = F.xxhash64(col, F.lit(seed), F.lit(salt))
+    return (F.abs(h) % F.lit(1_000_000_007)).cast("double") / 1_000_000_007.0
+
+
+def random_mesh(
+    spark: SparkSession,
+    *,
+    n_meshes: int = 2,
+    n_points: int = 100,
+    n_cells: int = 150,
+    n_timesteps: int = 0,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Synthetic tet-ish meshes → (points, cells, displacements).
+
+    points(mesh_id, point_id, x, y, z); cells(mesh_id, cell_id, vs);
+    displacements(mesh_id, point_id, t, dx, dy, dz) when n_timesteps>0.
+    """
+    base = spark.range(n_meshes * n_points).select(
+        (F.col("id") / n_points).cast("long").alias("mesh_id"),
+        (F.col("id") % n_points).alias("point_id"),
+        F.col("id").alias("_gid"),
+    )
+    points = base.select(
+        "mesh_id",
+        "point_id",
+        _u(F.col("_gid"), seed, 1).alias("x"),
+        _u(F.col("_gid"), seed, 2).alias("y"),
+        _u(F.col("_gid"), seed, 3).alias("z"),
+    )
+
+    cbase = spark.range(n_meshes * n_cells).select(
+        (F.col("id") / n_cells).cast("long").alias("mesh_id"),
+        (F.col("id") % n_cells).alias("cell_id"),
+        F.col("id").alias("_gid"),
+    )
+    vs = F.array(
+        *[
+            (F.abs(F.xxhash64(F.col("_gid"), F.lit(seed), F.lit(10 + k))) % n_points)
+            for k in range(4)
+        ]
+    )
+    cells = cbase.select("mesh_id", "cell_id", vs.alias("vs"))
+
+    if n_timesteps <= 0:
+        return points, cells, None
+
+    disp = (
+        base.crossJoin(spark.range(n_timesteps).select(F.col("id").alias("t")))
+        .select(
+            "mesh_id",
+            "point_id",
+            "t",
+            (_u(F.concat(F.col("_gid"), F.col("t")), seed, 21) * F.col("t")).alias("dx"),
+            (_u(F.concat(F.col("_gid"), F.col("t")), seed, 22) * F.col("t")).alias("dy"),
+            (_u(F.concat(F.col("_gid"), F.col("t")), seed, 23) * F.col("t")).alias("dz"),
+        )
+    )
+    return points, cells, disp
+
+
+def random_grid(
+    spark: SparkSession,
+    *,
+    n_times: int = 4,
+    n_lat: int = 10,
+    n_lon: int = 20,
+    variables: tuple[str, ...] = ("t2m", "u10"),
+    seed: int = 42,
+) -> DataFrame:
+    """Synthetic gridded table grid(time_idx, variable, lat, lon, value)
+    — the long-table encoding of an (time, variable, lat, lon) DataArray
+    (SURVEY §1.2b)."""
+    cells = (
+        spark.range(n_times)
+        .select(F.col("id").alias("time_idx"))
+        .crossJoin(spark.range(n_lat).select(F.col("id").alias("lat")))
+        .crossJoin(spark.range(n_lon).select(F.col("id").alias("lon")))
+        .crossJoin(
+            spark.createDataFrame([(v,) for v in variables], ["variable"])
+        )
+    )
+    gid = F.concat_ws(":", "time_idx", "variable", "lat", "lon")
+    return cells.select(
+        "time_idx", "variable", "lat", "lon", _u(gid, seed, 1).alias("value")
+    )
+
+
+def random_atomic(
+    spark: SparkSession,
+    *,
+    n_systems: int = 5,
+    max_atoms: int = 20,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """Synthetic molecular systems → (systems, atoms) vertex tables
+    (SURVEY §1.2c encoding)."""
+    systems = spark.range(n_systems).select(
+        F.col("id").alias("system_id"),
+        (F.abs(F.xxhash64("id", F.lit(seed), F.lit(1))) % (max_atoms - 1) + 2).alias(
+            "natoms"
+        ),
+        (_u(F.col("id"), seed, 2) * -100.0).alias("energy"),
+    )
+    atoms = systems.select(
+        "system_id", F.explode(F.sequence(F.lit(0), F.col("natoms") - 1)).alias("atom_id")
+    )
+    gid = F.concat_ws(":", "system_id", "atom_id")
+    atoms = atoms.select(
+        "system_id",
+        "atom_id",
+        (F.abs(F.xxhash64(gid, F.lit(seed), F.lit(3))) % 90 + 1).cast("int").alias("z"),
+        F.array(
+            _u(gid, seed, 4), _u(gid, seed, 5), _u(gid, seed, 6)
+        ).alias("pos"),
+    )
+    return systems, atoms

@@ -1,0 +1,82 @@
+"""Dedup & similarity: LSH recall vs exact oracle, approx-distinct rsd,
+partition invariance of merged stats (reference n_jobs-invariance)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from physicsnemo_curator_spark.operators import dedup, similarity, stats
+from physicsnemo_curator_spark.sources.tables import load_table
+
+
+def test_minhash_lsh_recall_vs_exact(spark, sf_correctness_dir):
+    docs = load_table(spark, sf_correctness_dir, "documents")
+    sh = dedup.shingle_table(docs, k=3, unit="word")
+    exact = {
+        (r["a"], r["b"])
+        for r in dedup.jaccard_pairs(sh).filter(F.col("jaccard") >= 0.8).collect()
+    }
+    lsh = {
+        (r["a"], r["b"])
+        for r in dedup.minhash_near_duplicates(docs, threshold=0.8).collect()
+    }
+    assert lsh <= exact  # verify step guarantees no false positives
+    assert len(exact) > 0
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.9, f"LSH recall {recall:.2f} below 0.9 ({len(lsh)}/{len(exact)})"
+
+
+def test_lsh_topk_overlaps_exact(spark, sf_correctness_dir):
+    emb = load_table(spark, sf_correctness_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.cosine_topk(emb, qs, k=10)
+    approx = similarity.lsh_topk(emb, qs, dim=64, k=10)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    # every query must at least find itself (identical vectors share all
+    # bands), and multi-band amplification must recover a majority of
+    # the true top-10 even on near-orthogonal random embeddings
+    assert all((q, q) in a for q in range(5))
+    assert len(a & e) / len(e) >= 0.5
+
+
+def test_approx_count_distinct_rsd(spark, sf_correctness_dir):
+    orders = load_table(spark, sf_correctness_dir, "orders")
+    exact = orders.select(F.countDistinct("o_custkey")).collect()[0][0]
+    approx = orders.select(
+        F.approx_count_distinct("o_custkey", rsd=0.02)
+    ).collect()[0][0]
+    assert abs(approx - exact) / exact < 0.06  # 3x the configured rsd
+
+
+def test_stats_partition_invariance(spark, sf_correctness_dir):
+    """Merged moments must not depend on partitioning (reference
+    n_jobs-invariance of Welford merge, SURVEY §5)."""
+    li = load_table(spark, sf_correctness_dir, "lineitem")
+
+    def run(df):
+        row = stats.moment_stats(df, ["l_returnflag"], "l_quantity").orderBy(
+            "l_returnflag"
+        ).collect()
+        return [
+            (r["l_returnflag"], r["n"], round(r["mean"], 9), round(r["skew_v"], 9))
+            for r in row
+        ]
+
+    assert run(li.repartition(1)) == run(li.repartition(37))
+
+
+def test_simhash_hamming_similarity(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "the quick brown fox jumps over the lazy dog"),  # exact dup
+            (2, "completely different words entirely unrelated content"),
+        ],
+        ["doc_id", "text"],
+    )
+    groups = {r["doc_id"]: r["canonical_id"] for r in dedup.simhash_duplicates(docs).collect()}
+    assert groups[0] == groups[1] == 0
+    assert groups[2] == 2

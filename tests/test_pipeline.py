@@ -1,0 +1,104 @@
+"""Pipeline builder / serialization / resume semantics.
+
+Mirrors the reference's test strategy (SURVEY §5): serialization
+round-trip (reference test_serialization.py), checkpoint/resume
+(test_checkpoint.py: completed skipped, failed retried, fresh run by
+default).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from physicsnemo_curator_spark.core import components  # noqa: F401  (registers ops)
+from physicsnemo_curator_spark.core.manifest import Manifest
+from physicsnemo_curator_spark.core.pipeline import Pipeline
+from physicsnemo_curator_spark.core.registry import UnknownComponentError, registered
+
+
+def _lineitem_pipeline(sf_dir: str, out: str) -> Pipeline:
+    return (
+        Pipeline.read("parquet", path=os.path.join(sf_dir, "lineitem.parquet"))
+        .transform("filter", condition="l_quantity > 10")
+        .transform(
+            "moment_stats", group_cols=["l_returnflag"], value_col="l_quantity"
+        )
+        .write("parquet", path=out)
+    )
+
+
+def test_builder_is_immutable(sf_dir, tmp_path):
+    p1 = Pipeline.read("parquet", path="x")
+    p2 = p1.transform("filter", condition="a > 1")
+    p3 = p2.write("parquet", path="y")
+    assert p1.transforms == () and p1.sink is None
+    assert len(p2.transforms) == 1 and p2.sink is None
+    assert p3.sink is not None
+    assert p1.spec_hash != p2.spec_hash != p3.spec_hash
+
+
+def test_run_end_to_end(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "stats_out")
+    res = _lineitem_pipeline(sf_dir, out).run(spark)
+    assert res.rows == 3  # returnflags A/N/R
+    assert res.written == [out]
+    back = spark.read.parquet(out)
+    assert back.count() == 3
+    assert "mean" in back.columns
+
+
+def test_yaml_round_trip(sf_dir, tmp_path):
+    p = _lineitem_pipeline(sf_dir, str(tmp_path / "o"))
+    spec_path = str(tmp_path / "pipe.yaml")
+    p.save(spec_path)
+    loaded = Pipeline.load(spec_path)
+    assert loaded == p
+    assert loaded.spec_hash == p.spec_hash
+
+
+def test_unknown_component_raises(spark):
+    with pytest.raises(UnknownComponentError):
+        Pipeline.read("no_such_format", path="x").build(spark)
+    assert "parquet" in registered()["sources"]
+
+
+def test_resume_skips_completed_partitions(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "by_flag")
+    mdir = str(tmp_path / "manifests")
+    p = (
+        Pipeline.read("parquet", path=os.path.join(sf_dir, "lineitem.parquet"))
+        .transform("select", columns=["l_returnflag", "l_quantity"])
+        .write("parquet", path=out, mode="append", partition_by=["l_returnflag"])
+    )
+    r1 = p.run(spark, resume=True, partition_col="l_returnflag", manifest_dir=mdir)
+    assert r1.rows > 0 and r1.skipped_partitions == []
+
+    # second run: everything already recorded → nothing written
+    r2 = p.run(spark, resume=True, partition_col="l_returnflag", manifest_dir=mdir)
+    assert r2.rows == 0
+    assert sorted(r2.skipped_partitions) == ["A", "N", "R"]
+
+    # failed/unrecorded partition retries: drop one mark, rerun
+    m = Manifest(mdir, p.spec_hash)
+    m.reset()
+    m.mark_completed(["A", "N"])
+    r3 = p.run(spark, resume=True, partition_col="l_returnflag", manifest_dir=mdir)
+    assert sorted(r3.skipped_partitions) == ["A", "N"]
+    assert r3.rows > 0  # the R partition re-ran
+
+    # resume=False is a fresh run (reference default), no skipping
+    r4 = p.run(spark)
+    assert r4.skipped_partitions == []
+
+
+def test_different_spec_hash_isolated_manifests(spark, sf_dir, tmp_path):
+    mdir = str(tmp_path / "m")
+    p1 = _lineitem_pipeline(sf_dir, str(tmp_path / "o1"))
+    p2 = p1.transform("filter", condition="l_quantity < 40").write(
+        "parquet", path=str(tmp_path / "o2")
+    )
+    assert p1.spec_hash != p2.spec_hash
+    Manifest(mdir, p1.spec_hash).mark_completed(["A"])
+    assert Manifest(mdir, p2.spec_hash).completed() == set()

@@ -57,14 +57,24 @@ def char_shingles(text: Column, k: int = 5) -> Column:
     return F.array_distinct(F.transform(idx, lambda i: norm.substr(i, F.lit(k))))
 
 
-def word_ngrams(text: Column, n: int = 3) -> Column:
-    """Distinct word n-grams of the normalized text (n=1 → token set)."""
-    toks = F.split(normalize_text(text), " ")
-    cnt = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(cnt - (n - 1), F.lit(0)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+def word_ngrams(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-grams from a token array (n=1 → token set).
+
+    Builds each n-gram with n O(1) ``element_at`` lookups rather than
+    ``slice`` (which copies a sub-array per shingle — quadratic per doc).
+    Docs shorter than n tokens yield an empty array — guarded
+    explicitly because ``sequence(1, 0)`` is *descending* in Spark and
+    ``element_at`` is strict under ANSI mode.
+    """
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    grams = F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+        )
     )
+    empty = F.array().cast("array<string>")
+    return F.when(F.size(toks) >= n, grams).otherwise(empty)
 
 
 def shingle_table(
@@ -78,15 +88,20 @@ def shingle_table(
     """Long (doc_id, shingle) table — the input to MinHash and Jaccard.
 
     unit='char' → k-character shingles; unit='word' → k-word n-grams.
+    Tokens materialize once per row (a projection step) so the n-gram
+    transform doesn't re-split the text per element.
     """
-    shingles = (
-        char_shingles(F.col(text_col), k)
-        if unit == "char"
-        else word_ngrams(F.col(text_col), k)
-    )
-    return docs.select(
+    if unit == "char":
+        return docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(char_shingles(F.col(text_col), k)).alias("shingle"),
+        ).distinct()
+    toked = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(shingles).alias("shingle"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("_toks"),
+    )
+    return toked.select(
+        "doc_id", F.explode(word_ngrams(F.col("_toks"), k)).alias("shingle")
     ).distinct()
 
 
@@ -146,11 +161,20 @@ def jaccard_pairs(shingles: DataFrame, candidates: DataFrame | None = None) -> D
     pairs when candidates is None — only sane at test scale).
 
     |A∩B| from a shingle-keyed self-join; |A| and |B| from per-doc
-    counts; J = inter / (|A| + |B| - inter).
+    counts; J = inter / (|A| + |B| - inter).  With candidates given,
+    the self-join runs only over docs that appear in some candidate
+    pair (semi-join pre-filter) — at LSH selectivity that shrinks the
+    verify join from corpus-wide to a sliver.
     """
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    s1 = shingles.alias("s1")
-    s2 = shingles.alias("s2")
+    verify_shingles = shingles
+    if candidates is not None:
+        cand_docs = candidates.select(
+            F.explode(F.array("a", "b")).alias("doc_id")
+        ).distinct()
+        verify_shingles = shingles.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    s1 = verify_shingles.alias("s1")
+    s2 = verify_shingles.alias("s2")
     inter = (
         s1.join(s2, (F.col("s1.shingle") == F.col("s2.shingle")) & (F.col("s1.doc_id") < F.col("s2.doc_id")))
         .groupBy(F.col("s1.doc_id").alias("a"), F.col("s2.doc_id").alias("b"))
@@ -190,8 +214,13 @@ def minhash_near_duplicates(
     jaccard) pairs.  LSH bounds the verify join; the verify step makes
     the output hash-independent (deterministic given the data)."""
     sh = shingle_table(docs, text_col, id_col, shingle_k, unit=shingle_unit)
+    # the shingle subtree feeds both signing and verification, and the
+    # candidate set feeds both the doc prefilter and the pair semi-join
+    # — persist both so neither expensive subtree recomputes (at cluster
+    # scale these default to MEMORY_AND_DISK and spill, not recompute)
+    sh = sh.persist()
     sigs = minhash_signatures(sh, num_hashes, seed)
-    cand = lsh_candidate_pairs(sigs, num_hashes, bands)
+    cand = lsh_candidate_pairs(sigs, num_hashes, bands).persist()
     return jaccard_pairs(sh, cand).filter(F.col("jaccard") >= F.lit(threshold))
 
 
@@ -199,17 +228,24 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bit
     """64-bit SimHash per doc: sign of the per-bit sum of token-hash bits.
 
     Tokens are whitespace words of the normalized text; each token
-    contributes +1/-1 per bit from xxhash64(token).  Implemented as one
-    explode + one groupBy with ``bits`` sum-aggregates (all JVM-side).
+    contributes ±(its occurrence count) per bit from xxhash64(token).
+    Occurrences pre-aggregate to (doc, token, weight) first — identical
+    signatures, and the 64 sum-aggregates then run over vocab-sized
+    groups instead of raw token streams.
     """
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
-    ).withColumn("th", F.xxhash64("tok"))
+    toks = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .withColumn("th", F.xxhash64("tok"))
+    )
     bit_sums = toks.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                (F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) * 2 - 1) * F.col("w")
             ).alias(f"b{i}")
             for i in range(bits)
         ]

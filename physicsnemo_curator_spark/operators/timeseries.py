@@ -1,0 +1,99 @@
+"""Time-series operators Spark lacks natively: as-of join, sessionize.
+
+Declared in SURVEY §2.6 (interval/as-of joins absent from the reference
+but required for events-style data).  Both are compositions of existing
+DataFrame ops — no UDFs — so they stay JVM-side and scale with the
+shuffle, not the pair count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: list[str],
+    left_time: str,
+    right_time: str,
+    right_cols: list[str],
+    strict: bool = False,
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    right_time <= left_time (or < when strict), per join key.
+
+    Union-and-window implementation: tag both sides, union on the key +
+    time axis, and carry the last right values forward with a window
+    running ``last(..., ignorenulls=True)`` — one shuffle on
+    (keys, time), no range-join explosion.  The standard alternative
+    (bucketize + equi-join + filter) shuffles the same data but can't
+    avoid bucket skew; this form is skew-bound only by the key.
+    """
+    lt = F.col(left_time)
+    l_tag = left.select(
+        *on,
+        lt.alias("_t"),
+        F.lit(1).alias("_is_left"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}") for c in right_cols],
+    )
+    r_tag = right.select(
+        *on,
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_is_left"),
+        F.lit(None).cast(l_tag.schema["_lrow"].dataType).alias("_lrow"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+    )
+    u = l_tag.unionByName(r_tag)
+    # right rows sort before left rows at equal time unless strict —
+    # an as-of match at exactly t counts (<=) or not (<)
+    order = [F.col("_t"), F.col("_is_left") if not strict else (1 - F.col("_is_left"))]
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1 if strict else 0)
+    )
+    filled = u.select(
+        "*",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_asof_{c}")
+            for c in right_cols
+        ],
+    ).filter(F.col("_is_left") == 1)
+    out_cols = [F.col("_lrow").getField(c).alias(c) for c in left.columns]
+    out_cols += [F.col(f"_asof_{c}").alias(f"asof_{c}") for c in right_cols]
+    return filled.select(*out_cols)
+
+
+def sessionize(
+    events: DataFrame,
+    *,
+    key: str = "user_id",
+    time_col: str = "ts",
+    gap_seconds: int = 1800,
+    order_tiebreak: str | None = "event_id",
+) -> DataFrame:
+    """Assign batch session ids: a new session starts when the gap to
+    the previous event of the same key exceeds ``gap_seconds``.
+
+    lag + cumulative-sum-of-boundaries — the batch twin of
+    ``session_window`` in streaming (physicsnemo_curator_spark.streaming).
+    """
+    order = [F.col(time_col)] + ([F.col(order_tiebreak)] if order_tiebreak else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    epoch = F.col(time_col).cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    # two projection steps: window functions can't nest in one select
+    with_boundary = events.select(
+        "*",
+        F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0).alias("_boundary"),
+    )
+    return with_boundary.select(
+        *events.columns,
+        F.sum("_boundary")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_id"),
+    )

@@ -25,7 +25,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from physicsnemo_curator_spark.functions import math as M
-from physicsnemo_curator_spark.operators import dedup, similarity, stats, textops
+from physicsnemo_curator_spark.operators import (
+    dedup,
+    similarity,
+    stats,
+    textops,
+    timeseries,
+)
 from physicsnemo_curator_spark.sources.tables import load_table
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
@@ -784,6 +790,128 @@ FROM events ORDER BY user_id, event_id LIMIT 100
 """
 
 
+def q_ts_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join — custom operator Spark lacks natively (SURVEY §2.6):
+    attach the latest prior purchase to each click, per user, via the
+    union-and-window composition (one shuffle, no range explosion)."""
+    events = _t(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click")
+    purchases = events.filter(F.col("event_type") == "purchase")
+    out = timeseries.as_of_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_time="ts",
+        right_time="ts",
+        right_cols=["value"],
+    )
+    return (
+        out.select("event_id", "user_id", F.col("asof_value"))
+        .orderBy("event_id")
+        .limit(200)
+    )
+
+
+ORACLE_ASOF = """
+WITH clicks AS (SELECT * FROM events WHERE event_type = 'click'),
+purch AS (SELECT * FROM events WHERE event_type = 'purchase')
+SELECT c.event_id, c.user_id, p.value AS asof_value
+FROM clicks c ASOF LEFT JOIN purch p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+ORDER BY c.event_id LIMIT 200
+"""
+
+
+def q_w4_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (lag + cumsum gap>threshold) — the batch
+    twin of streaming session_window."""
+    events = _t(spark, sf_dir, "events")
+    out = timeseries.sessionize(events, gap_seconds=1800)
+    return out.select("event_id", "session_id").orderBy("event_id").limit(200)
+
+
+ORACLE_SESSIONIZE = """
+WITH o AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN lag(CAST(floor(epoch(ts)) AS BIGINT))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                OR CAST(floor(epoch(ts)) AS BIGINT)
+                   - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              THEN 1 ELSE 0 END b
+  FROM events)
+SELECT event_id,
+       CAST(SUM(b) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) session_id
+FROM o ORDER BY event_id LIMIT 200
+"""
+
+
+def q_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed percentiles — the reference punts on merged
+    median (NaN after merge, stats.py:825-827); Spark's `percentile`
+    does the full-shuffle exact computation when requested, while
+    percentile_approx is the sketch-based scale path."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            _r6(F.percentile("l_quantity", 0.25), "p25"),
+            _r6(F.percentile("l_quantity", 0.5), "median"),
+            _r6(F.percentile("l_quantity", 0.75), "p75"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_MEDIAN = """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_quantity, 0.25), 6) p25,
+       ROUND(quantile_cont(l_quantity, 0.5), 6) median,
+       ROUND(quantile_cont(l_quantity, 0.75), 6) p75
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q_sql_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-API surface parity: the TPC-H Q1 pricing summary expressed
+    through spark.sql over registered views — same Catalyst plan as the
+    DataFrame form."""
+    from physicsnemo_curator_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 4) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               ROUND(AVG(l_quantity), 6) AS avg_qty,
+               ROUND(AVG(l_discount), 6) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= DATE '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+        """
+    )
+
+
+ORACLE_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 4) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(AVG(l_quantity), 6) AS avg_qty,
+       ROUND(AVG(l_discount), 6) AS avg_disc,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
 # --------------------------------------------------------------------------
 # North star: dedup / text analysis / similarity search
 # --------------------------------------------------------------------------
@@ -971,6 +1099,10 @@ QUERIES: dict[str, QuerySpec] = {
     "q_global_inject": QuerySpec(q_global_inject, ORACLE_GLOBAL),
     "q_st1_tumbling_window": QuerySpec(q_st1_tumbling_window, ORACLE_ST1),
     "q_st2_sliding_stats": QuerySpec(q_st2_sliding_stats, ORACLE_ST2),
+    "q_ts_asof_join": QuerySpec(q_ts_asof_join, ORACLE_ASOF),
+    "q_w4_sessionize": QuerySpec(q_w4_sessionize, ORACLE_SESSIONIZE),
+    "q_median_exact": QuerySpec(q_median_exact, ORACLE_MEDIAN),
+    "q_sql_pricing_summary": QuerySpec(q_sql_pricing_summary, ORACLE_PRICING),
     "q_dedup_exact": QuerySpec(q_dedup_exact, ORACLE_DEDUP_EXACT),
     "q_dedup_ngram_jaccard": QuerySpec(q_dedup_ngram_jaccard, ORACLE_NGRAM_JACCARD),
     "q_text_features": QuerySpec(q_text_features, ORACLE_TEXT_FEATURES),

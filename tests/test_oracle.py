@@ -36,6 +36,9 @@ def _normalize(rows, colnames):
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
 
     def canon(v):
+        # stringify everything so mixed None/int/str columns still sort
+        if v is None:
+            return "\x00null"
         if isinstance(v, float):
             if math.isnan(v):
                 return "NaN"
@@ -43,8 +46,8 @@ def _normalize(rows, colnames):
             # decimals should convert to identical doubles
             return f"{v:.15g}"
         if isinstance(v, (list, tuple)):
-            return tuple(canon(x) for x in v)
-        return v
+            return "[" + ",".join(canon(x) for x in v) + "]"
+        return str(v)
 
     return sorted(tuple(canon(r[i]) for i in order) for r in rows)
 

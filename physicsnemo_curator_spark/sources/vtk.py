@@ -1,0 +1,190 @@
+"""VTK legacy-ASCII mesh source → normalized long tables.
+
+Parity with ``VTKSource`` (reference ``domains/mesh/sources/vtk.py:
+74-444`` and the Rust XML parser): glob-discover mesh files, parse each
+into points/cells/point-data, with reader-level field include/exclude
+pushdown (reference key_filters, ``_key_filter.py:45-166``).
+
+Spark-first layout: ``binaryFile`` scans the files (one task per file —
+the same per-file parallelism the reference gets from Rayon), an
+Arrow-batched ``mapInPandas`` parses, and the result is the engine's
+normalized mesh schema (SURVEY §1.2a), ready for the mesh operator
+pack.  The parser handles the public legacy VTK ASCII format
+(``# vtk DataFile Version``, POINTS / CELLS|POLYGONS / CELL_TYPES /
+POINT_DATA SCALARS): enough to round-trip the engine's own writer and
+to demonstrate the custom-format scan path end-to-end without any
+native dependency.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+POINTS_SCHEMA = "mesh_id string, point_id long, x double, y double, z double"
+CELLS_SCHEMA = "mesh_id string, cell_id long, vs array<long>"
+POINT_DATA_SCHEMA = "mesh_id string, point_id long, field string, value double"
+
+
+def _parse_legacy_vtk(text: str) -> tuple[list, list, dict[str, list[float]]]:
+    """Parse one legacy ASCII VTK polydata/unstructured-grid document.
+
+    Returns (points [(x,y,z)], cells [[v...]], point_data {name: values}).
+    """
+    lines = text.splitlines()
+    i = 0
+    points: list[tuple[float, float, float]] = []
+    cells: list[list[int]] = []
+    point_data: dict[str, list[float]] = {}
+
+    def tokens_until(count: int, start: int) -> tuple[list[str], int]:
+        toks: list[str] = []
+        j = start
+        while len(toks) < count and j < len(lines):
+            toks.extend(lines[j].split())
+            j += 1
+        return toks, j
+
+    while i < len(lines):
+        parts = lines[i].split()
+        if not parts:
+            i += 1
+            continue
+        kw = parts[0].upper()
+        if kw == "POINTS":
+            n = int(parts[1])
+            toks, i = tokens_until(3 * n, i + 1)
+            vals = [float(t) for t in toks[: 3 * n]]
+            points = [tuple(vals[k : k + 3]) for k in range(0, 3 * n, 3)]
+        elif kw in ("CELLS", "POLYGONS", "LINES"):
+            n = int(parts[1])
+            total = int(parts[2])
+            toks, i = tokens_until(total, i + 1)
+            pos = 0
+            for _ in range(n):
+                arity = int(toks[pos])
+                cells.append([int(t) for t in toks[pos + 1 : pos + 1 + arity]])
+                pos += 1 + arity
+        elif kw == "SCALARS":
+            name = parts[1]
+            # optional LOOKUP_TABLE line follows
+            j = i + 1
+            if j < len(lines) and lines[j].split() and lines[j].split()[0].upper() == "LOOKUP_TABLE":
+                j += 1
+            toks, i = tokens_until(len(points), j)
+            point_data[name] = [float(t) for t in toks[: len(points)]]
+        else:
+            i += 1
+    return points, cells, point_data
+
+
+def read_vtk(
+    spark: SparkSession,
+    path: str,
+    *,
+    glob: str = "*.vtk",
+    include_fields: list[str] | None = None,
+    exclude_fields: list[str] | None = None,
+) -> dict[str, DataFrame]:
+    """Read a directory of legacy VTK files into mesh tables.
+
+    ``include_fields`` XOR ``exclude_fields`` mirrors the reference's
+    reader-level key filters (include whitelist XOR exclude blacklist,
+    validation at ``field_select.py:140-142``): unwanted fields are
+    dropped inside the parser — before they ever reach a shuffle.
+    mesh_id is the file stem, so every downstream per-mesh operator
+    partitions naturally by source file.
+    """
+    if include_fields and exclude_fields:
+        raise ValueError("include_fields and exclude_fields are mutually exclusive")
+
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select("path", "content")
+    )
+
+    def keep(name: str) -> bool:
+        if include_fields is not None:
+            return name in include_fields
+        if exclude_fields is not None:
+            return name not in exclude_fields
+        return True
+
+    def parse_or_raise(path: str, content: bytes):
+        try:
+            return _parse_legacy_vtk(bytes(content).decode())
+        except Exception as e:  # surface the offending file, not a raw UDF trace
+            raise ValueError(f"failed to parse legacy VTK file {path}: {e}") from e
+
+    def parse_points(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                mesh_id = p.rsplit("/", 1)[-1].rsplit(".", 1)[0]
+                pts, _, _ = parse_or_raise(p, content)
+                for pid, (x, y, z) in enumerate(pts):
+                    out.append((mesh_id, pid, x, y, z))
+            yield pd.DataFrame(out, columns=["mesh_id", "point_id", "x", "y", "z"])
+
+    def parse_cells(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                mesh_id = p.rsplit("/", 1)[-1].rsplit(".", 1)[0]
+                _, cs, _ = parse_or_raise(p, content)
+                for cid, vs in enumerate(cs):
+                    out.append((mesh_id, cid, vs))
+            yield pd.DataFrame(out, columns=["mesh_id", "cell_id", "vs"])
+
+    def parse_point_data(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                mesh_id = p.rsplit("/", 1)[-1].rsplit(".", 1)[0]
+                _, _, pdata = parse_or_raise(p, content)
+                for name, values in pdata.items():
+                    if not keep(name):
+                        continue
+                    for pid, v in enumerate(values):
+                        out.append((mesh_id, pid, name, v))
+            yield pd.DataFrame(
+                out, columns=["mesh_id", "point_id", "field", "value"]
+            )
+
+    return {
+        "points": raw.mapInPandas(parse_points, POINTS_SCHEMA),
+        "cells": raw.mapInPandas(parse_cells, CELLS_SCHEMA),
+        "point_data": raw.mapInPandas(parse_point_data, POINT_DATA_SCHEMA),
+    }
+
+
+def write_vtk(
+    points_rows: list[tuple[float, float, float]],
+    cells_rows: list[list[int]],
+    point_data: dict[str, list[float]] | None,
+    path: str,
+) -> None:
+    """Emit one legacy ASCII VTK file (test fixture / MeshVTUSink-style
+    writer kernel; the distributed form routes through
+    sinks.scientific.write_per_group_files with this as the encoder)."""
+    with open(path, "w") as f:
+        f.write("# vtk DataFile Version 3.0\nphysicsnemo_curator_spark\nASCII\n")
+        f.write("DATASET POLYDATA\n")
+        f.write(f"POINTS {len(points_rows)} double\n")
+        for x, y, z in points_rows:
+            f.write(f"{x} {y} {z}\n")
+        total = sum(len(c) + 1 for c in cells_rows)
+        f.write(f"POLYGONS {len(cells_rows)} {total}\n")
+        for c in cells_rows:
+            f.write(" ".join(str(v) for v in [len(c), *c]) + "\n")
+        if point_data:
+            f.write(f"POINT_DATA {len(points_rows)}\n")
+            for name, values in point_data.items():
+                f.write(f"SCALARS {name} double 1\nLOOKUP_TABLE default\n")
+                for v in values:
+                    f.write(f"{v}\n")

@@ -1,0 +1,74 @@
+"""Grid operators, salted join equivalence, metrics ledger."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from physicsnemo_curator_spark.core.metrics import MetricsStore
+from physicsnemo_curator_spark.core.pipeline import Pipeline
+from physicsnemo_curator_spark.operators import grid, joins
+from physicsnemo_curator_spark.sources.synthetic import random_grid
+from physicsnemo_curator_spark.sources.tables import load_table
+
+
+def test_grid_stats_and_anomaly(spark):
+    g = random_grid(spark, n_times=4, n_lat=6, n_lon=6)
+    st = grid.grid_stats_over_time(g)
+    assert st.count() == 2 * 6 * 6  # per (variable, lat, lon)
+    assert st.filter("n != 4").count() == 0
+
+    an = grid.anomaly(g)
+    # per-cell anomalies sum to ~0 by construction
+    resid = an.groupBy("variable", "lat", "lon").agg(
+        F.abs(F.sum("anomaly")).alias("r")
+    )
+    assert resid.filter("r > 1e-9").count() == 0
+
+
+def test_coarsen_counts(spark):
+    g = random_grid(spark, n_times=1, n_lat=8, n_lon=8, variables=("t2m",))
+    c = grid.coarsen(g, 4)
+    assert c.count() == 4  # 2x2 coarse grid
+    assert c.filter("n_fine != 16").count() == 0
+
+
+def test_align_check_and_merge(spark):
+    a = random_grid(spark, n_times=1, n_lat=4, n_lon=4, variables=("t2m",))
+    b = random_grid(spark, n_times=1, n_lat=4, n_lon=4, variables=("u10",))
+    assert grid.align_check(a, b)
+    m = grid.merge_variable_groups([a, b])
+    assert m.count() == a.count() + b.count()
+    shifted = b.withColumn("lat", F.col("lat") + 100)
+    assert not grid.align_check(a, shifted)
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").withColumnRenamed(
+        "s_suppkey", "l_suppkey"
+    )
+    plain = (
+        li.join(supp, "l_suppkey")
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    salted = (
+        joins.salted_join(li, supp, "l_suppkey", salt=4)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_metrics_ledger(spark, sf_dir, tmp_path):
+    store = MetricsStore(str(tmp_path))
+    p = (
+        Pipeline.read("parquet", path=f"{sf_dir}/lineitem.parquet")
+        .transform("filter", condition="l_quantity > 10")
+        .write("parquet", path=str(tmp_path / "out"))
+    )
+    for _ in range(2):
+        store.record(spark, p.run(spark))
+    s = store.summary(spark).collect()
+    assert len(s) == 1
+    assert s[0]["n_runs"] == 2 and s[0]["total_rows"] > 0

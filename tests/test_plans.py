@@ -1,0 +1,64 @@
+"""Physical-plan audits: the plan shape IS the 100 TB story.
+
+Each assertion pins a scale property: predicate/projection pushdown
+reaching the parquet scan, broadcast joins for small dims, partial
+(map-side) aggregation before the shuffle, and no Python in the hot
+path of JVM-only operators.
+"""
+
+from __future__ import annotations
+
+from physicsnemo_curator_spark.plans.queries import QUERIES
+
+
+def plan_of(spark, name, sf_dir):
+    df = QUERIES[name].spark(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scan_pushdown_reaches_parquet(spark, sf_dir):
+    plan = plan_of(spark, "q_scan_pushdown", sf_dir)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThanOrEqual(l_quantity,45.0)" in plan
+    assert "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>" in plan
+
+
+def test_small_dims_broadcast(spark, sf_dir):
+    plan = plan_of(spark, "q_j1_broadcast_join", sf_dir)
+    assert plan.count("BroadcastHashJoin") == 2  # nation and region
+    assert "SortMergeJoin" not in plan
+
+
+def test_rollup_join_broadcasts(spark, sf_dir):
+    # nation is hinted broadcast; customer side under the threshold also
+    # broadcasts — there must be no shuffle-side sort-merge join at all
+    plan = plan_of(spark, "q_a6_rollup", sf_dir)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_partial_aggregation_before_shuffle(spark, sf_dir):
+    plan = plan_of(spark, "q_a1_moment_stats", sf_dir)
+    # HashAggregate(partial) -> Exchange -> HashAggregate(final/merge)
+    assert "partial_avg" in plan or "partial_count" in plan
+    assert "Exchange hashpartitioning(l_returnflag" in plan
+
+
+def test_semi_and_anti_join_strategies(spark, sf_dir):
+    semi = plan_of(spark, "q_j5_semi_join", sf_dir)
+    anti = plan_of(spark, "q_j6_anti_join", sf_dir)
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
+
+
+def test_jvm_only_operators_have_no_python(spark, sf_dir):
+    # text features / stats / joins are pure Catalyst — no Python UDF
+    # evaluation may appear in their plans
+    for name in ["q_text_features", "q_a1_moment_stats", "q_j2_point_to_cell"]:
+        plan = plan_of(spark, name, sf_dir)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_topk_uses_takeordered(spark, sf_dir):
+    # ORDER BY + LIMIT must compile to TakeOrderedAndProject, not a
+    # global sort of the whole aggregate output
+    plan = plan_of(spark, "q_t1_topk", sf_dir)
+    assert "TakeOrderedAndProject" in plan

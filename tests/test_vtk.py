@@ -1,0 +1,57 @@
+"""VTK source: write→read round-trip, field pushdown, operator handoff."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from physicsnemo_curator_spark.operators import quality, stats
+from physicsnemo_curator_spark.sources import vtk
+
+
+@pytest.fixture()
+def vtk_dir(tmp_path):
+    # two files → two meshes, one task each
+    for m in range(2):
+        pts = [(0.0, 0.0, 0.0), (1.0 + m, 0.0, 0.0), (0.5, math.sqrt(3) / 2, 0.0)]
+        cells = [[0, 1, 2]]
+        pdata = {"temp": [1.0, 2.0, 3.0 + m], "junk": [9.0, 9.0, 9.0]}
+        vtk.write_vtk(pts, cells, pdata, str(tmp_path / f"mesh{m}.vtk"))
+    return str(tmp_path)
+
+
+def test_round_trip(spark, vtk_dir):
+    tables = vtk.read_vtk(spark, vtk_dir)
+    pts = tables["points"]
+    assert pts.count() == 6
+    assert {r["mesh_id"] for r in pts.select("mesh_id").distinct().collect()} == {
+        "mesh0",
+        "mesh1",
+    }
+    cells = tables["cells"].collect()
+    assert all(r["vs"] == [0, 1, 2] for r in cells)
+    pd_rows = tables["point_data"]
+    assert pd_rows.filter("field = 'temp'").count() == 6
+
+
+def test_field_pushdown_include_exclude(spark, vtk_dir):
+    inc = vtk.read_vtk(spark, vtk_dir, include_fields=["temp"])["point_data"]
+    assert {r["field"] for r in inc.select("field").distinct().collect()} == {"temp"}
+    exc = vtk.read_vtk(spark, vtk_dir, exclude_fields=["junk"])["point_data"]
+    assert {r["field"] for r in exc.select("field").distinct().collect()} == {"temp"}
+    with pytest.raises(ValueError):
+        vtk.read_vtk(spark, vtk_dir, include_fields=["a"], exclude_fields=["b"])
+
+
+def test_vtk_feeds_operator_pack(spark, vtk_dir):
+    tables = vtk.read_vtk(spark, vtk_dir)
+    # quality over parsed geometry: equilateral-ish triangles
+    rep = quality.mesh_quality_report(tables["points"], tables["cells"]).collect()
+    assert len(rep) == 2 and all(r["n_degenerate"] == 0 for r in rep)
+    # stats over parsed point data (the reference's Source→Stats pipeline)
+    st = stats.moment_stats(
+        tables["point_data"].filter("field = 'temp'"), ["mesh_id"], "value"
+    ).collect()
+    means = {r["mesh_id"]: r["mean"] for r in st}
+    assert abs(means["mesh0"] - 2.0) < 1e-12 and abs(means["mesh1"] - 7 / 3) < 1e-12

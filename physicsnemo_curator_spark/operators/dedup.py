@@ -224,24 +224,38 @@ def minhash_near_duplicates(
     return jaccard_pairs(sh, cand).filter(F.col("jaccard") >= F.lit(threshold))
 
 
-def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
-    """64-bit SimHash per doc: sign of the per-bit sum of token-hash bits.
+def simhash(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    ngram: int = 2,
+) -> DataFrame:
+    """64-bit SimHash per doc: sign of the per-bit sum of feature-hash bits.
 
-    Tokens are whitespace words of the normalized text; each token
-    contributes ±(its occurrence count) per bit from xxhash64(token).
-    Occurrences pre-aggregate to (doc, token, weight) first — identical
-    signatures, and the 64 sum-aggregates then run over vocab-sized
-    groups instead of raw token streams.
+    Features are word n-grams of the normalized text (``ngram=1`` →
+    unigrams weighted by occurrence count; ``ngram>=2`` → the distinct
+    shingle set, which keeps word *order* — unigram token distributions
+    are indistinguishable on small vocabularies).  Each feature
+    contributes ±weight per bit from xxhash64(feature); the whole
+    signature is one explode + one 64-aggregate groupBy, all JVM-side.
     """
-    toks = (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
+    if ngram <= 1:
+        toks = (
+            docs.select(
+                F.col(id_col).alias("doc_id"),
+                F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
+            )
+            .groupBy("doc_id", "tok")
+            .agg(F.count(F.lit(1)).alias("w"))
+            .withColumn("th", F.xxhash64("tok"))
         )
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("w"))
-        .withColumn("th", F.xxhash64("tok"))
-    )
+    else:
+        toks = shingle_table(docs, text_col, id_col, ngram, unit="word").select(
+            "doc_id",
+            F.lit(1).alias("w"),
+            F.xxhash64("shingle").alias("th"),
+        )
     bit_sums = toks.groupBy("doc_id").agg(
         *[
             F.sum(
@@ -270,3 +284,65 @@ def simhash_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "d
         F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("group_size")
     )
     return sig.join(groups, "simhash").select("doc_id", "canonical_id", "group_size")
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Popcount of a XOR b via bit_count (JVM-side)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_duplicates(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs with hamming distance ≤ max_hamming.
+
+    Pigeonhole banding: split the 64-bit signature into ``n_bands``
+    16-bit blocks; any pair within hamming ≤ n_bands-1 must agree on at
+    least one whole block, so candidates come from block-equality
+    equi-joins (shuffle keyed on (band, block)), then exact hamming
+    verifies.  Never enumerates all pairs.
+    """
+    sig = simhash(docs, text_col, id_col).persist()
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    banded = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("block"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("_bb"),
+    ).select("doc_id", "simhash", F.col("_bb.band").alias("band"), F.col("_bb.block").alias("block"))
+    pairs = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.block") == F.col("r.block"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("a"),
+            F.col("r.doc_id").alias("b"),
+            F.col("l.simhash").alias("_sa"),
+            F.col("r.simhash").alias("_sb"),
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    return pairs.select(
+        "a", "b", hamming64(F.col("_sa"), F.col("_sb")).alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

@@ -994,6 +994,65 @@ FROM documents ORDER BY doc_id LIMIT 200
 """
 
 
+def q_text_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic + quality score (north-star text analysis):
+    stopword-ratio argmax over 4 languages and the 3-term quality gate,
+    all as JVM column expressions; the oracle replays the identical
+    arithmetic in DuckDB."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return (
+        docs.select(
+            "doc_id",
+            textops.lang_id(t).alias("lang_pred"),
+            _r6(textops.stopword_ratio(t, "en"), "stop_en"),
+            _r6(textops.quality_score(t), "quality"),
+        )
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
+def _sw_list(code: str) -> str:
+    words = ", ".join(f"'{w}'" for w in textops.STOPWORDS[code])
+    return f"[{words}]"
+
+
+ORACLE_TEXT_LANG = f"""
+WITH feats AS (
+  SELECT doc_id,
+         string_split_regex(lower(trim(text)), '\\s+') toks_l,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END n_tok,
+         CASE WHEN length(text) = 0 THEN 0.0
+              ELSE len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0
+                   / length(text) END punct
+  FROM documents),
+ratios AS (
+  SELECT doc_id, n_tok, punct,
+         CASE WHEN n_tok = 0 THEN 0.0 ELSE
+           len(list_filter(toks_l, x -> list_contains({_sw_list("de")}, x))) * 1.0 / n_tok END r_de,
+         CASE WHEN n_tok = 0 THEN 0.0 ELSE
+           len(list_filter(toks_l, x -> list_contains({_sw_list("en")}, x))) * 1.0 / n_tok END r_en,
+         CASE WHEN n_tok = 0 THEN 0.0 ELSE
+           len(list_filter(toks_l, x -> list_contains({_sw_list("es")}, x))) * 1.0 / n_tok END r_es,
+         CASE WHEN n_tok = 0 THEN 0.0 ELSE
+           len(list_filter(toks_l, x -> list_contains({_sw_list("fr")}, x))) * 1.0 / n_tok END r_fr
+  FROM feats)
+SELECT doc_id,
+       CASE WHEN GREATEST(r_de, r_en, r_es, r_fr) <= 0 THEN 'unknown'
+            WHEN r_de = GREATEST(r_de, r_en, r_es, r_fr) THEN 'de'
+            WHEN r_en = GREATEST(r_de, r_en, r_es, r_fr) THEN 'en'
+            WHEN r_es = GREATEST(r_de, r_en, r_es, r_fr) THEN 'es'
+            ELSE 'fr' END lang_pred,
+       ROUND(r_en, 6) stop_en,
+       ROUND((LEAST(n_tok / 50.0, 1.0)
+              + (1.0 - LEAST(punct * 4.0, 1.0))
+              + LEAST(r_en * 5.0, 1.0)) / 3.0, 6) quality
+FROM ratios ORDER BY doc_id LIMIT 200
+"""
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact cosine top-k (north-star similarity baseline);
     the LSH-bucketed scale path is validated against this in tests."""
@@ -1061,6 +1120,13 @@ def q_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_duplicates(docs).orderBy("doc_id")
 
 
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded SimHash near-dup pairs, hamming ≤ 8 (rows-only; the
+    precision/recall contract vs exact Jaccard is pinned in tests)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_near_duplicates(docs, max_hamming=8).orderBy("a", "b")
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1106,10 +1172,12 @@ QUERIES: dict[str, QuerySpec] = {
     "q_dedup_exact": QuerySpec(q_dedup_exact, ORACLE_DEDUP_EXACT),
     "q_dedup_ngram_jaccard": QuerySpec(q_dedup_ngram_jaccard, ORACLE_NGRAM_JACCARD),
     "q_text_features": QuerySpec(q_text_features, ORACLE_TEXT_FEATURES),
+    "q_text_lang_quality": QuerySpec(q_text_lang_quality, ORACLE_TEXT_LANG),
     "q_ann_cosine_topk": QuerySpec(q_ann_cosine_topk, ORACLE_ANN),
     "q_embedding_near_dup": QuerySpec(q_embedding_near_dup, ORACLE_EMB_NEAR_DUP),
     "q_minhash_near_dup": QuerySpec(q_minhash_near_dup, None),
     "q_simhash_groups": QuerySpec(q_simhash_groups, None),
+    "q_simhash_near_dup": QuerySpec(q_simhash_near_dup, None),
 }
 
 

@@ -1,0 +1,89 @@
+"""Custom stateful streaming operator: per-key running moment stats.
+
+The true streaming form of the reference's online Welford update
+(reference ``domains/da/filters/stats.py:541-574``: one update per
+arriving sample, state = (n, mean, M2)).  Implemented with
+``applyInPandasWithState``: state per group key holds the power sums
+(n, s1, s2) — the same algebraically mergeable representation the batch
+``welford_state`` operator persists — and each micro-batch folds its
+rows in vectorized numpy.
+
+State size: O(1) per key, no watermark needed (running totals, not
+windows).  For windowed variants use streaming.windows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+OUTPUT_SCHEMA = "key string, n long, mean double, var_pop double"
+STATE_SCHEMA = "n long, s1 double, s2 double"
+
+
+def _update_running_stats(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state,
+) -> Iterator[pd.DataFrame]:
+    """GroupState update function: fold batch rows into power sums."""
+    if state.exists:
+        n, s1, s2 = state.get
+    else:
+        n, s1, s2 = 0, 0.0, 0.0
+    for pdf in pdfs:
+        v = pdf["value"].astype("float64")
+        n += int(v.size)
+        s1 += float(v.sum())
+        s2 += float((v * v).sum())
+    state.update((n, s1, s2))
+    mean = s1 / n if n else 0.0
+    var = max(s2 / n - mean * mean, 0.0) if n else 0.0
+    yield pd.DataFrame(
+        {"key": [key[0]], "n": [n], "mean": [mean], "var_pop": [var]}
+    )
+
+
+def running_stats_stream(events, *, key_col: str = "event_type", value_col: str = "value"):
+    """Attach the stateful running-stats operator to a (streaming or
+    batch-test) events frame keyed on ``key_col``."""
+    from pyspark.sql import functions as F
+
+    keyed = events.select(F.col(key_col).alias("key"), F.col(value_col).alias("value"))
+    return keyed.groupBy("key").applyInPandasWithState(
+        _update_running_stats,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
+def run_running_stats(spark, source_dir: str, schema, *, key_col="event_type", value_col="value"):
+    """Drive the stateful operator over a parquet-directory stream into
+    a memory sink; returns the final per-key stats DataFrame."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    out = running_stats_stream(stream, key_col=key_col, value_col=value_col)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("running_stats")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # update mode appends one row per key per batch; keep the last
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    raw = spark.sql("SELECT *, monotonically_increasing_id() AS _ord FROM running_stats")
+    w = Window.partitionBy("key").orderBy(F.desc("_ord"))
+    return (
+        raw.withColumn("_rn", F.row_number().over(w))
+        .filter("_rn = 1")
+        .drop("_ord", "_rn")
+    )

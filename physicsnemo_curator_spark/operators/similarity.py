@@ -17,6 +17,8 @@ from __future__ import annotations
 import math
 import random
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -146,17 +148,32 @@ def lsh_banded(
     amplification trick as MinHash banding, which single-bucket
     hyperplane LSH lacks.  The candidate join keys on (band, bucket),
     so shuffle volume is rows × n_bands, never pairs.
+
+    All n_bands × bits_per_band projections happen in one Arrow-batched
+    pandas UDF as a single numpy matmul per batch — building them as
+    Catalyst column expressions (thousands of literal terms) stalls
+    plan analysis and falls out of codegen.
     """
-    entries = []
+    from pyspark.sql.functions import pandas_udf
+
+    planes = []
     for band in range(n_bands):
-        planes = random_hyperplanes(dim, bits_per_band, seed + 1000 * band)
-        bucket = F.lit(0)
-        for b, plane in enumerate(planes):
-            bucket = bucket + signed_projection_bucket(F.col(vec_col), plane) * F.lit(1 << b)
-        entries.append(F.struct(F.lit(band).alias("band"), bucket.alias("bucket")))
-    return df.select(
-        "*", F.explode(F.array(*entries)).alias("_bb")
-    ).select(*df.columns, F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket"))
+        planes.extend(random_hyperplanes(dim, bits_per_band, seed + 1000 * band))
+    p_matrix = np.asarray(planes, dtype=np.float64)  # (n_bands*bits, dim)
+    weights = (1 << np.arange(bits_per_band, dtype=np.int64))
+
+    @pandas_udf("array<int>")
+    def bucket_all_bands(vecs: pd.Series) -> pd.Series:
+        x = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        signs = (x @ p_matrix.T >= 0).astype(np.int64)  # (rows, bands*bits)
+        signs = signs.reshape(len(x), n_bands, bits_per_band)
+        buckets = (signs * weights).sum(axis=2).astype("int32")  # (rows, bands)
+        return pd.Series(list(buckets))
+
+    banded = df.withColumn("_buckets", bucket_all_bands(F.col(vec_col)))
+    return banded.select(
+        *df.columns, F.posexplode("_buckets").alias("band", "bucket")
+    )
 
 
 def lsh_topk(

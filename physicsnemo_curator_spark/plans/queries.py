@@ -1084,6 +1084,20 @@ FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
 """
 
 
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-band LSH ANN — the scale path for q_ann_cosine_topk
+    (candidates from shared (band, bucket), exact re-rank; rows-only:
+    recall < 1 by construction, pinned ≥ 0.5 vs exact in tests)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.lsh_topk(emb, qs, dim=64, k=5)
+    return out.select(
+        "query_id", "vec_id", _r6(F.col("cosine"), "cosine"), "rank"
+    ).orderBy("query_id", "rank")
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (exact variant for the oracle;
     the LSH-bucketed variant covers the 100 TB path)."""
@@ -1174,6 +1188,7 @@ QUERIES: dict[str, QuerySpec] = {
     "q_text_features": QuerySpec(q_text_features, ORACLE_TEXT_FEATURES),
     "q_text_lang_quality": QuerySpec(q_text_lang_quality, ORACLE_TEXT_LANG),
     "q_ann_cosine_topk": QuerySpec(q_ann_cosine_topk, ORACLE_ANN),
+    "q_ann_lsh_topk": QuerySpec(q_ann_lsh_topk, None),
     "q_embedding_near_dup": QuerySpec(q_embedding_near_dup, ORACLE_EMB_NEAR_DUP),
     "q_minhash_near_dup": QuerySpec(q_minhash_near_dup, None),
     "q_simhash_groups": QuerySpec(q_simhash_groups, None),

@@ -243,6 +243,132 @@ def drop_wall_nodes(
     return new_points, new_cells
 
 
+def mesh_info(
+    points: DataFrame,
+    cells: DataFrame,
+    point_data: DataFrame | None = None,
+    vs_col: str = "vs",
+) -> DataFrame:
+    """Per-mesh metadata record (MeshInfoFilter, reference
+    ``domains/mesh/filters/mesh_info.py:94-382``): counts, field
+    inventory, approximate byte sizes — one row per mesh, three
+    hash-aggregates joined on mesh_id."""
+    p = points.groupBy("mesh_id").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        (F.count(F.lit(1)) * 3 * 8).alias("points_nbytes"),
+    )
+    c = cells.groupBy("mesh_id").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum(F.size(vs_col)).alias("n_corners"),
+        F.min(F.size(vs_col)).alias("arity_min"),
+        F.max(F.size(vs_col)).alias("arity_max"),
+    )
+    out = p.join(c, "mesh_id", "full")
+    if point_data is not None:
+        f = point_data.groupBy("mesh_id").agg(
+            F.array_sort(F.collect_set("field")).alias("fields"),
+            F.countDistinct("field").alias("n_fields"),
+            (F.count(F.lit(1)) * 8).alias("point_data_nbytes"),
+        )
+        out = out.join(f, "mesh_id", "left")
+    return out
+
+
+def stack_timesteps(
+    displacements: DataFrame,
+    value_cols: tuple[str, str, str] = ("dx", "dy", "dz"),
+) -> DataFrame:
+    """Stack per-timestep displacement rows into one ordered trajectory
+    array per point — the MeshZarrSink ``mesh_pos (T,N,3)``
+    reconstruction (reference ``domains/mesh/sinks/mesh_zarr.py:
+    105-381``) in long→array form.  Order is guaranteed by sorting the
+    collected (t, vec) structs, not by input row order (which a shuffle
+    may permute)."""
+    dx, dy, dz = (F.col(c) for c in value_cols)
+    return displacements.groupBy("mesh_id", "point_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("t"), F.array(dx, dy, dz).alias("v")))
+            ),
+            lambda s: s.getField("v"),
+        ).alias("trajectory"),
+        F.count(F.lit(1)).alias("n_timesteps"),
+    )
+
+
+def inject_box_boundary(
+    points: DataFrame,
+    cells: DataFrame,
+    *,
+    margin: float = 0.0,
+    vs_col: str = "vs",
+) -> tuple[DataFrame, DataFrame]:
+    """Synthesize a box-tunnel outer boundary around each mesh and merge
+    it in with a ``region`` tag.
+
+    BoundaryInjectionFilter semantics (reference ``domains/mesh/
+    filters/boundary_injection.py:44-163``, box generator at
+    ``boundaries/generators.py:44-188``): per-mesh bounding box → 8
+    corner points + 6 quad faces, appended by unionByName with
+    region='boundary.box' while interior rows get region='interior'
+    (the reference's own field-key prefixes, ``stats.py:474-496``).
+    The bbox is one aggregate; the generated geometry is 8 rows per
+    mesh — driver math never touches the big tables.
+    """
+    bbox = points.groupBy("mesh_id").agg(
+        (F.min("x") - margin).alias("x0"),
+        (F.max("x") + margin).alias("x1"),
+        (F.min("y") - margin).alias("y0"),
+        (F.max("y") + margin).alias("y1"),
+        (F.min("z") - margin).alias("z0"),
+        (F.max("z") + margin).alias("z1"),
+        (F.max("point_id") + 1).alias("_base"),
+    )
+    # 8 corners: point_id = base + corner index (bit pattern zyx)
+    corner = F.explode(F.sequence(F.lit(0), F.lit(7))).alias("k")
+    corners = bbox.select("mesh_id", "x0", "x1", "y0", "y1", "z0", "z1", "_base", corner)
+    k = F.col("k")
+    boundary_points = corners.select(
+        "mesh_id",
+        (F.col("_base") + k).alias("point_id"),
+        F.when(k.bitwiseAND(1) == 0, F.col("x0")).otherwise(F.col("x1")).alias("x"),
+        F.when(k.bitwiseAND(2) == 0, F.col("y0")).otherwise(F.col("y1")).alias("y"),
+        F.when(k.bitwiseAND(4) == 0, F.col("z0")).otherwise(F.col("z1")).alias("z"),
+        F.lit("boundary.box").alias("region"),
+    )
+    # 6 quad faces in corner-index space (zyx bit pattern)
+    faces = [
+        [0, 2, 6, 4],  # x = x0
+        [1, 3, 7, 5],  # x = x1
+        [0, 1, 5, 4],  # y = y0
+        [2, 3, 7, 6],  # y = y1
+        [0, 1, 3, 2],  # z = z0
+        [4, 5, 7, 6],  # z = z1
+    ]
+    base_cells = cells.groupBy("mesh_id").agg((F.max("cell_id") + 1).alias("_cbase"))
+    face_arrays = F.array(*[F.array(*[F.lit(v) for v in face]) for face in faces])
+    boundary_cells = (
+        bbox.select("mesh_id", "_base")
+        .join(base_cells, "mesh_id")
+        .select(
+            "mesh_id", "_base", "_cbase", F.posexplode(face_arrays).alias("_fidx", "face")
+        )
+        .select(
+            "mesh_id",
+            (F.col("_cbase") + F.col("_fidx")).alias("cell_id"),
+            F.transform(F.col("face"), lambda v: v + F.col("_base")).alias(vs_col),
+            F.lit("boundary.box").alias("region"),
+        )
+    )
+    all_points = points.withColumn("region", F.lit("interior")).unionByName(
+        boundary_points
+    )
+    all_cells = cells.withColumn("region", F.lit("interior")).unionByName(
+        boundary_cells
+    )
+    return all_points, all_cells
+
+
 def random_permutation(
     points: DataFrame,
     cells: DataFrame,

@@ -1,0 +1,54 @@
+"""mesh_info, timestep stacking, boundary injection."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from physicsnemo_curator_spark.operators import mesh
+from physicsnemo_curator_spark.sources.synthetic import random_mesh
+
+
+def test_mesh_info_record(spark):
+    points, cells, _ = random_mesh(spark, n_meshes=2, n_points=50, n_cells=70)
+    pdata = points.select(
+        "mesh_id", "point_id", F.lit("temp").alias("field"), F.col("x").alias("value")
+    )
+    info = {r["mesh_id"]: r for r in mesh.mesh_info(points, cells, pdata).collect()}
+    assert info[0]["n_points"] == 50 and info[0]["n_cells"] == 70
+    assert info[0]["n_corners"] == 70 * 4
+    assert info[0]["fields"] == ["temp"] and info[0]["n_fields"] == 1
+    assert info[0]["points_nbytes"] == 50 * 24
+
+
+def test_stack_timesteps_ordered(spark):
+    rows = []
+    for t in (2, 0, 1):  # deliberately out of order
+        rows.append((0, 0, t, float(t), 0.0, 0.0))
+    disp = spark.createDataFrame(rows, ["mesh_id", "point_id", "t", "dx", "dy", "dz"])
+    out = mesh.stack_timesteps(disp).collect()[0]
+    assert out["n_timesteps"] == 3
+    assert [v[0] for v in out["trajectory"]] == [0.0, 1.0, 2.0]  # sorted by t
+
+
+def test_inject_box_boundary(spark):
+    points = spark.createDataFrame(
+        [(0, 0, 0.0, 0.0, 0.0), (0, 1, 2.0, 1.0, 1.0), (0, 2, 1.0, 0.5, 0.5)],
+        ["mesh_id", "point_id", "x", "y", "z"],
+    )
+    cells = spark.createDataFrame([(0, 0, [0, 1, 2])], ["mesh_id", "cell_id", "vs"])
+    ap, ac = mesh.inject_box_boundary(points, cells, margin=0.5)
+    assert ap.count() == 3 + 8
+    assert ac.count() == 1 + 6
+    regions = {r["region"] for r in ap.select("region").distinct().collect()}
+    assert regions == {"interior", "boundary.box"}
+    # corners span the margin-extended bbox
+    bp = ap.filter("region = 'boundary.box'")
+    ext = bp.agg(
+        F.min("x"), F.max("x"), F.min("y"), F.max("y")
+    ).collect()[0]
+    assert list(ext) == [-0.5, 2.5, -0.5, 1.5]
+    # boundary cells reference only boundary points, ids are fresh
+    bcell_vs = {v for r in ac.filter("region = 'boundary.box'").collect() for v in r["vs"]}
+    assert bcell_vs == {3, 4, 5, 6, 7, 8, 9, 10}
+    # every face is a quad
+    assert all(len(r["vs"]) == 4 for r in ac.filter("region='boundary.box'").collect())

@@ -64,3 +64,29 @@ def _text_features(df: DataFrame, *, text_col: str = "text") -> DataFrame:
 @register_transform("lsh_buckets")
 def _lsh_buckets(df: DataFrame, *, dim: int, **kw: Any) -> DataFrame:
     return similarity.lsh_buckets(df, dim, **kw)
+
+
+@register_transform("sessionize")
+def _sessionize(df: DataFrame, **kw: Any) -> DataFrame:
+    from physicsnemo_curator_spark.operators import timeseries
+
+    return timeseries.sessionize(df, **kw)
+
+
+@register_transform("coarsen_grid")
+def _coarsen_grid(df: DataFrame, *, factor: int) -> DataFrame:
+    from physicsnemo_curator_spark.operators import grid
+
+    return grid.coarsen(df, factor)
+
+
+@register_transform("grid_anomaly")
+def _grid_anomaly(df: DataFrame) -> DataFrame:
+    from physicsnemo_curator_spark.operators import grid
+
+    return grid.anomaly(df)
+
+
+@register_transform("simhash_near_dup")
+def _simhash_near_dup(df: DataFrame, **kw: Any) -> DataFrame:
+    return dedup.simhash_near_duplicates(df, **kw)

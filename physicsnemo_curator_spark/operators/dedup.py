@@ -57,8 +57,8 @@ def char_shingles(text: Column, k: int = 5) -> Column:
     return F.array_distinct(F.transform(idx, lambda i: norm.substr(i, F.lit(k))))
 
 
-def word_ngrams(toks: Column, n: int = 3) -> Column:
-    """Distinct word n-grams from a token array (n=1 → token set).
+def word_ngrams(toks: Column, n: int = 3, *, distinct: bool = True) -> Column:
+    """Word n-grams from a token array (n=1 → token set).
 
     Builds each n-gram with n O(1) ``element_at`` lookups rather than
     ``slice`` (which copies a sub-array per shingle — quadratic per doc).
@@ -67,12 +67,12 @@ def word_ngrams(toks: Column, n: int = 3) -> Column:
     ``element_at`` is strict under ANSI mode.
     """
     idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    grams = F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
-        )
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
     )
+    if distinct:
+        grams = F.array_distinct(grams)
     empty = F.array().cast("array<string>")
     return F.when(F.size(toks) >= n, grams).otherwise(empty)
 
@@ -251,11 +251,20 @@ def simhash(
             .withColumn("th", F.xxhash64("tok"))
         )
     else:
-        toks = shingle_table(docs, text_col, id_col, ngram, unit="word").select(
-            "doc_id",
-            F.lit(1).alias("w"),
-            F.xxhash64("shingle").alias("th"),
+        # weighted by occurrence: explode n-grams WITHOUT the distinct
+        # shuffle — duplicates simply accumulate into the bit sums,
+        # which is classic weighted SimHash and saves a full shuffle of
+        # the shingle stream
+        toked = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.split(normalize_text(F.col(text_col)), " ").alias("_toks"),
         )
+        toks = toked.select(
+            "doc_id",
+            F.explode(word_ngrams(F.col("_toks"), ngram, distinct=False)).alias(
+                "_shingle"
+            ),
+        ).select("doc_id", F.lit(1).alias("w"), F.xxhash64("_shingle").alias("th"))
     bit_sums = toks.groupBy("doc_id").agg(
         *[
             F.sum(

@@ -33,9 +33,30 @@ TABLE_NAMES: tuple[str, ...] = (
 # — the same nanos→micros truncation DuckDB applies on read.
 _NANO_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
+# Runtime-settable confs the catalog depends on.  Set defensively on
+# every load so the tables read correctly from ANY SparkSession (e.g. a
+# driver-owned session built without physicsnemo_curator_spark.session),
+# not just ours: nanos parquet timestamps would otherwise fail the scan
+# outright, and a non-UTC session timezone would shift every timestamp
+# relative to the DuckDB oracle.
+_REQUIRED_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def _ensure_confs(spark: SparkSession) -> None:
+    for k, v in _REQUIRED_CONFS.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:
+            pass  # non-settable in this deployment; reads may still work
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table; filters/projections on the result push down to parquet."""
+    _ensure_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _NANO_TS_COLS.get(name, ()):
         if dict(df.dtypes).get(col) == "bigint":

@@ -219,6 +219,31 @@ ORDER BY n_name NULLS FIRST, o_orderpriority NULLS FIRST
 """
 
 
+def q_a9_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (the other half of the grouping-sets family
+    next to q_a6_rollup — both free in Catalyst, absent in the
+    reference)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        )
+        .orderBy(
+            F.asc_nulls_first("l_returnflag"), F.asc_nulls_first("l_linestatus")
+        )
+    )
+
+
+ORACLE_A9 = """
+SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) cnt,
+       ROUND(SUM(l_quantity), 4) sum_qty
+FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+"""
+
+
 def q_a7_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact fallback for approx_count_distinct (the approximate path is
     validated with an rsd bound in tests, not hash-matched)."""
@@ -1154,6 +1179,7 @@ QUERIES: dict[str, QuerySpec] = {
     "q_a6_rollup": QuerySpec(q_a6_rollup, ORACLE_A6),
     "q_a7_distinct_exact": QuerySpec(q_a7_distinct_exact, ORACLE_A7),
     "q_a8_welford_state": QuerySpec(q_a8_welford_state, ORACLE_A8),
+    "q_a9_cube": QuerySpec(q_a9_cube, ORACLE_A9),
     "q_j1_broadcast_join": QuerySpec(q_j1_broadcast_join, ORACLE_J1),
     "q_j2_point_to_cell": QuerySpec(q_j2_point_to_cell, ORACLE_J2),
     "q_j3_scatter_mean": QuerySpec(q_j3_scatter_mean, ORACLE_J3),

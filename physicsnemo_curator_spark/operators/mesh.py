@@ -213,11 +213,51 @@ def wall_node_mask(
     )
 
 
+def dense_renumber(
+    keyed: DataFrame,
+    *,
+    strategy: str = "window",
+) -> DataFrame:
+    """(mesh_id, point_id) → dense 0..n-1 ids per mesh.
+
+    strategy='window' uses ``row_number`` over a per-mesh window —
+    correct everywhere, but Spark puts a whole mesh in one task (fine
+    for millions of points per mesh).  strategy='distributed' does a
+    distributed sort + ``zipWithIndex`` + per-mesh offset subtraction,
+    so a single billion-point mesh spreads over the cluster (the
+    SURVEY §7 'connectivity remap at scale' concern).  Both produce
+    identical ids.
+    """
+    if strategy == "window":
+        w = Window.partitionBy("mesh_id").orderBy("point_id")
+        return keyed.select(
+            "mesh_id", "point_id", (F.row_number().over(w) - 1).alias("new_point_id")
+        )
+    if strategy != "distributed":
+        raise ValueError(f"unknown strategy {strategy!r}")
+    ordered = keyed.select("mesh_id", "point_id").orderBy("mesh_id", "point_id")
+    spark = keyed.sparkSession
+    indexed = spark.createDataFrame(
+        ordered.rdd.zipWithIndex().map(
+            lambda r: (r[0]["mesh_id"], r[0]["point_id"], r[1])
+        ),
+        "mesh_id long, point_id long, _gidx long",
+    )
+    offsets = indexed.groupBy("mesh_id").agg(F.min("_gidx").alias("_off"))
+    return indexed.join(F.broadcast(offsets), "mesh_id").select(
+        "mesh_id",
+        "point_id",
+        (F.col("_gidx") - F.col("_off")).alias("new_point_id"),
+    )
+
+
 def drop_wall_nodes(
     points: DataFrame,
     cells: DataFrame,
     mask: DataFrame,
     vs_col: str = "vs",
+    *,
+    renumber_strategy: str = "window",
 ) -> tuple[DataFrame, DataFrame]:
     """Drop wall nodes, renumber survivors densely, remap connectivity.
 
@@ -230,9 +270,8 @@ def drop_wall_nodes(
         ["mesh_id", "point_id"],
         "left_semi",
     )
-    w = Window.partitionBy("mesh_id").orderBy("point_id")
-    remap = kept.select(
-        "mesh_id", "point_id", (F.row_number().over(w) - 1).alias("new_point_id")
+    remap = dense_renumber(
+        kept.select("mesh_id", "point_id"), strategy=renumber_strategy
     )
     new_points = (
         kept.join(remap, ["mesh_id", "point_id"])

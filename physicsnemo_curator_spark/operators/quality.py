@@ -100,6 +100,86 @@ def triangle_quality(points: DataFrame, cells: DataFrame, vs_col: str = "vs") ->
     )
 
 
+def tet_geometry(points: DataFrame, cells: DataFrame, vs_col: str = "vs") -> DataFrame:
+    """Per-tetrahedron vertex coords via four co-located joins."""
+    c = cells.select(
+        "mesh_id",
+        "cell_id",
+        *[F.element_at(vs_col, i + 1).alias(f"v{i}") for i in range(4)],
+    )
+    for i in range(4):
+        p = points.select(
+            F.col("mesh_id"),
+            F.col("point_id").alias(f"v{i}"),
+            F.col("x").alias(f"x{i}"),
+            F.col("y").alias(f"y{i}"),
+            F.col("z").alias(f"z{i}"),
+        )
+        c = c.join(p, ["mesh_id", f"v{i}"])
+    return c
+
+
+def tet_quality(points: DataFrame, cells: DataFrame, vs_col: str = "vs") -> DataFrame:
+    """Per-tet signed volume, aspect ratio, min/max dihedral angles.
+
+    Reference kernels: tet dihedral angles (6 per cell,
+    ``quality.py:180-257``), aspect ratio (``quality.py:260-297``),
+    scaled-Jacobian-style degeneracy via the triple product
+    (``quality.py:358-426``).  All pure column math in one codegen
+    stage after the vertex joins.
+    """
+    g = tet_geometry(points, cells, vs_col)
+
+    def e(a: int, b: int):
+        return (
+            F.col(f"x{b}") - F.col(f"x{a}"),
+            F.col(f"y{b}") - F.col(f"y{a}"),
+            F.col(f"z{b}") - F.col(f"z{a}"),
+        )
+
+    # signed volume = dot(e01, cross(e02, e03)) / 6
+    a = e(0, 1)
+    b = e(0, 2)
+    c3 = e(0, 3)
+    cx, cy, cz = M.cross3(*b, *c3)
+    volume = (a[0] * cx + a[1] * cy + a[2] * cz) / 6.0
+
+    # edge lengths (all 6)
+    edges = [M.l2_norm(*e(i, j)) for i, j in ((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3))]
+
+    # dihedral along each edge (a,b) with opposite vertices (c,d):
+    # angle between cross(ab, ac) and cross(ab, ad) IS the dihedral
+    # (both normals share the first factor, so orientation is
+    # consistent; verified = acos(1/3) on the regular tet)
+    import itertools
+
+    def norm_len(n):
+        return F.sqrt(n[0] * n[0] + n[1] * n[1] + n[2] * n[2])
+
+    dihedrals = []
+    for (va, vb) in itertools.combinations(range(4), 2):
+        vc, vd = (k for k in range(4) if k not in (va, vb))
+        ab = e(va, vb)
+        ac = e(va, vc)
+        ad = e(va, vd)
+        n1 = M.cross3(*ab, *ac)
+        n2 = M.cross3(*ab, *ad)
+        cos = (n1[0] * n2[0] + n1[1] * n2[1] + n1[2] * n2[2]) / (
+            norm_len(n1) * norm_len(n2)
+        )
+        dihedrals.append(M.interior_angle(cos))
+
+    return g.select(
+        "mesh_id",
+        "cell_id",
+        volume.alias("volume"),
+        (F.greatest(*edges) / F.least(*edges)).alias("aspect_ratio"),
+        F.least(*dihedrals).alias("dihedral_min"),
+        F.greatest(*dihedrals).alias("dihedral_max"),
+        (F.abs(volume) < F.lit(1e-12)).alias("degenerate"),
+    )
+
+
 def mesh_quality_report(
     points: DataFrame,
     cells: DataFrame,

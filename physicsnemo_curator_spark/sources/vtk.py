@@ -88,6 +88,7 @@ def read_vtk(
     glob: str = "*.vtk",
     include_fields: list[str] | None = None,
     exclude_fields: list[str] | None = None,
+    path_rules: dict[str, dict[str, list[str]]] | None = None,
 ) -> dict[str, DataFrame]:
     """Read a directory of legacy VTK files into mesh tables.
 
@@ -95,11 +96,17 @@ def read_vtk(
     reader-level key filters (include whitelist XOR exclude blacklist,
     validation at ``field_select.py:140-142``): unwanted fields are
     dropped inside the parser — before they ever reach a shuffle.
-    mesh_id is the file stem, so every downstream per-mesh operator
-    partitions naturally by source file.
+    ``path_rules`` adds the reference's per-path dispatch
+    (``_key_filter.py:45-166``): glob pattern → {'include': [...]} or
+    {'exclude': [...]}; the longest matching pattern wins, falling back
+    to the global include/exclude.  mesh_id is the file stem, so every
+    downstream per-mesh operator partitions naturally by source file.
     """
     if include_fields and exclude_fields:
         raise ValueError("include_fields and exclude_fields are mutually exclusive")
+    for pat, rule in (path_rules or {}).items():
+        if "include" in rule and "exclude" in rule:
+            raise ValueError(f"path rule {pat!r}: include and exclude are exclusive")
 
     raw = (
         spark.read.format("binaryFile")
@@ -108,12 +115,29 @@ def read_vtk(
         .select("path", "content")
     )
 
-    def keep(name: str) -> bool:
-        if include_fields is not None:
-            return name in include_fields
-        if exclude_fields is not None:
-            return name not in exclude_fields
-        return True
+    def keep_for(file_path: str):
+        """Resolve the effective rule for one file: longest glob wins."""
+        import fnmatch
+
+        best: dict[str, list[str]] | None = None
+        best_len = -1
+        for pat, rule in (path_rules or {}).items():
+            if (
+                fnmatch.fnmatch(file_path, pat)
+                or fnmatch.fnmatch(file_path.rsplit("/", 1)[-1], pat)
+            ) and len(pat) > best_len:
+                best, best_len = rule, len(pat)
+        inc = best.get("include") if best else include_fields
+        exc = best.get("exclude") if best else exclude_fields
+
+        def keep(name: str) -> bool:
+            if inc is not None:
+                return name in inc
+            if exc is not None:
+                return name not in exc
+            return True
+
+        return keep
 
     def parse_or_raise(path: str, content: bytes):
         try:
@@ -147,6 +171,7 @@ def read_vtk(
             for p, content in zip(pdf["path"], pdf["content"]):
                 mesh_id = p.rsplit("/", 1)[-1].rsplit(".", 1)[0]
                 _, _, pdata = parse_or_raise(p, content)
+                keep = keep_for(p)
                 for name, values in pdata.items():
                     if not keep(name):
                         continue

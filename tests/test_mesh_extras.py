@@ -30,6 +30,54 @@ def test_stack_timesteps_ordered(spark):
     assert [v[0] for v in out["trajectory"]] == [0.0, 1.0, 2.0]  # sorted by t
 
 
+def test_dense_renumber_strategies_agree(spark):
+    points, cells, _ = random_mesh(spark, n_meshes=3, n_points=40, n_cells=10)
+    # drop a third of the points to make ids sparse
+    kept = points.filter("point_id % 3 != 0").select("mesh_id", "point_id")
+    a = {
+        (r["mesh_id"], r["point_id"]): r["new_point_id"]
+        for r in mesh.dense_renumber(kept, strategy="window").collect()
+    }
+    b = {
+        (r["mesh_id"], r["point_id"]): r["new_point_id"]
+        for r in mesh.dense_renumber(kept, strategy="distributed").collect()
+    }
+    assert a == b
+    per_mesh = {}
+    for (m, _), nid in a.items():
+        per_mesh.setdefault(m, []).append(nid)
+    for ids in per_mesh.values():
+        assert sorted(ids) == list(range(len(ids)))  # dense 0..n-1
+
+
+def test_tet_quality_regular_tet(spark):
+    import math as _m
+
+    v = [(1.0, 1.0, 1.0), (1.0, -1.0, -1.0), (-1.0, 1.0, -1.0), (-1.0, -1.0, 1.0)]
+    points = spark.createDataFrame(
+        [(0, i, *p) for i, p in enumerate(v)], ["mesh_id", "point_id", "x", "y", "z"]
+    )
+    cells = spark.createDataFrame([(0, 0, [0, 1, 2, 3])], ["mesh_id", "cell_id", "vs"])
+    from physicsnemo_curator_spark.operators import quality
+
+    q = quality.tet_quality(points, cells).collect()[0]
+    # regular tet, edge 2*sqrt(2): volume = edge^3/(6*sqrt(2)) = 8/3
+    assert abs(abs(q["volume"]) - 8.0 / 3.0) < 1e-9
+    assert abs(q["aspect_ratio"] - 1.0) < 1e-9
+    want = _m.acos(1.0 / 3.0)
+    assert abs(q["dihedral_min"] - want) < 1e-9
+    assert abs(q["dihedral_max"] - want) < 1e-9
+    assert not q["degenerate"]
+
+    # degenerate (coplanar) tet flagged
+    flat = spark.createDataFrame(
+        [(0, i, float(i), float(i * i), 0.0) for i in range(4)],
+        ["mesh_id", "point_id", "x", "y", "z"],
+    )
+    qd = quality.tet_quality(flat, cells).collect()[0]
+    assert qd["degenerate"]
+
+
 def test_inject_box_boundary(spark):
     points = spark.createDataFrame(
         [(0, 0, 0.0, 0.0, 0.0), (0, 1, 2.0, 1.0, 1.0), (0, 2, 1.0, 0.5, 0.5)],

@@ -56,6 +56,57 @@ def test_sliding_window_overlap(spark, sf_dir, tmp_path):
     assert slide == 4 * tumble
 
 
+def test_watermark_finalizes_windows_append_mode(spark, tmp_path):
+    """Two micro-batches (maxFilesPerTrigger=1): append mode emits a
+    window exactly once when the watermark passes its end, and very
+    late data never contaminates an already-finalized window.  (Spark's
+    watermark contract: data within the delay is guaranteed aggregated;
+    dropping beyond it is best-effort — a very late row may re-emit its
+    own window, so we assert isolation, not absence.)"""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    src = str(tmp_path / "stream_src")
+    batch1 = [(1, base + dt.timedelta(hours=8, minutes=m), "click", 1.0) for m in (0, 10)]
+    batch1 += [(2, base + dt.timedelta(hours=10), "click", 1.0)]
+    batch2 = [(3, base + dt.timedelta(minutes=30), "click", 99.0)]  # ~10h late
+    batch2 += [(4, base + dt.timedelta(hours=10, minutes=30), "click", 1.0)]
+    cols = ["event_id", "ts", "event_type", "value"]
+    spark.createDataFrame(batch1, cols).coalesce(1).write.parquet(src)
+    spark.createDataFrame(batch2, cols).coalesce(1).write.mode("append").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    from physicsnemo_curator_spark.streaming.windows import tumbling_window_stats
+
+    agg = tumbling_window_stats(stream, watermark="1 hour")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM late_test").collect()
+    by_start = {}
+    for r in rows:
+        by_start.setdefault(r["w"]["start"].hour, []).append(r)
+    # on-time window finalized and emitted exactly once, uncontaminated
+    assert len(by_start[8]) == 1
+    assert by_start[8][0]["cnt"] == 2 and by_start[8][0]["avg_value"] == 1.0
+    # the very late event never merged into any on-time window
+    for hour, rs in by_start.items():
+        if hour != 0:
+            assert all(r["avg_value"] == 1.0 for r in rs)
+
+
 def test_session_windows(spark, sf_dir, tmp_path):
     path = _events_dir(spark, sf_dir, tmp_path)
     batch = spark.read.parquet(path)

@@ -44,6 +44,25 @@ def test_field_pushdown_include_exclude(spark, vtk_dir):
         vtk.read_vtk(spark, vtk_dir, include_fields=["a"], exclude_fields=["b"])
 
 
+def test_per_path_rules_longest_wins(spark, vtk_dir):
+    # global exclude junk; mesh1 gets a more specific include-only rule
+    pd_rows = vtk.read_vtk(
+        spark,
+        vtk_dir,
+        exclude_fields=["junk"],
+        path_rules={"mesh1*": {"include": ["junk"]}, "mesh*": {"exclude": ["junk"]}},
+    )["point_data"]
+    got = {
+        (r["mesh_id"], r["field"])
+        for r in pd_rows.select("mesh_id", "field").distinct().collect()
+    }
+    assert got == {("mesh0", "temp"), ("mesh1", "junk")}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        vtk.read_vtk(spark, vtk_dir, path_rules={"*": {"include": ["a"], "exclude": ["b"]}})
+
+
 def test_vtk_feeds_operator_pack(spark, vtk_dir):
     tables = vtk.read_vtk(spark, vtk_dir)
     # quality over parsed geometry: equilateral-ish triangles

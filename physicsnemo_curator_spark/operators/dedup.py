@@ -208,17 +208,23 @@ def minhash_near_duplicates(
     bands: int = 8,
     threshold: float = 0.8,
     seed: int = 42,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → sign → band →
     candidates → exact-Jaccard verify ≥ threshold.  Returns (a, b,
     jaccard) pairs.  LSH bounds the verify join; the verify step makes
-    the output hash-independent (deterministic given the data)."""
-    sh = shingle_table(docs, text_col, id_col, shingle_k, unit=shingle_unit)
-    # the shingle subtree feeds both signing and verification, and the
-    # candidate set feeds both the doc prefilter and the pair semi-join
-    # — persist both so neither expensive subtree recomputes (at cluster
-    # scale these default to MEMORY_AND_DISK and spill, not recompute)
-    sh = sh.persist()
+    the output hash-independent (deterministic given the data).
+    Pass a prebuilt (ideally persisted) ``shingles`` table to share the
+    shingling across operators (jaccard/minhash/simhash all consume the
+    same stream)."""
+    sh = shingles
+    if sh is None:
+        sh = shingle_table(docs, text_col, id_col, shingle_k, unit=shingle_unit)
+        # the shingle subtree feeds both signing and verification, and
+        # the candidate set feeds both the doc prefilter and the pair
+        # semi-join — persist both so neither expensive subtree
+        # recomputes (at cluster scale these spill, not recompute)
+        sh = sh.persist()
     sigs = minhash_signatures(sh, num_hashes, seed)
     cand = lsh_candidate_pairs(sigs, num_hashes, bands).persist()
     return jaccard_pairs(sh, cand).filter(F.col("jaccard") >= F.lit(threshold))

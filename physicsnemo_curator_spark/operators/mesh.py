@@ -282,6 +282,37 @@ def drop_wall_nodes(
     return new_points, new_cells
 
 
+def tessellate_fan(cells: DataFrame, vs_col: str = "vs") -> DataFrame:
+    """Fan-tessellate polygons into triangles.
+
+    Reference ``_vtk_convert.py:228-309``: an n-gon (v0..v_{n-1})
+    becomes n-2 triangles (v0, v_i, v_{i+1}); triangles pass through.
+    One generator (posexplode of the fan index), no shuffle; new cell
+    ids are (cell_id, fan_index) re-keyed densely per mesh only if the
+    caller needs density (keep the composite key at scale).
+    """
+    n = F.size(vs_col)
+    tris = cells.filter(n > 3).select(
+        "mesh_id",
+        "cell_id",
+        F.col(vs_col).alias("_vs"),
+        F.posexplode(F.sequence(F.lit(1), F.size(vs_col) - 2)).alias("fan_idx", "_i"),
+    ).select(
+        "mesh_id",
+        "cell_id",
+        "fan_idx",
+        F.array(
+            F.element_at("_vs", 1),
+            F.element_at("_vs", F.col("_i") + 1),
+            F.element_at("_vs", F.col("_i") + 2),
+        ).alias(vs_col),
+    )
+    passthrough = cells.filter(n <= 3).select(
+        "mesh_id", "cell_id", F.lit(0).alias("fan_idx"), F.col(vs_col)
+    )
+    return passthrough.unionByName(tris)
+
+
 def mesh_info(
     points: DataFrame,
     cells: DataFrame,

@@ -30,6 +30,25 @@ def test_stack_timesteps_ordered(spark):
     assert [v[0] for v in out["trajectory"]] == [0.0, 1.0, 2.0]  # sorted by t
 
 
+def test_tessellate_fan(spark):
+    cells = spark.createDataFrame(
+        [(0, 0, [0, 1, 2]), (0, 1, [10, 11, 12, 13, 14])],  # tri + pentagon
+        ["mesh_id", "cell_id", "vs"],
+    )
+    out = mesh.tessellate_fan(cells).collect()
+    tri_pass = [r for r in out if r["cell_id"] == 0]
+    fans = sorted(
+        (r["fan_idx"], r["vs"]) for r in out if r["cell_id"] == 1
+    )
+    assert tri_pass[0]["vs"] == [0, 1, 2]
+    assert fans == [
+        (0, [10, 11, 12]),
+        (1, [10, 12, 13]),
+        (2, [10, 13, 14]),
+    ]
+    assert all(len(r["vs"]) == 3 for r in out)
+
+
 def test_dense_renumber_strategies_agree(spark):
     points, cells, _ = random_mesh(spark, n_meshes=3, n_points=40, n_cells=10)
     # drop a third of the points to make ids sparse

@@ -439,6 +439,117 @@ def inject_box_boundary(
     return all_points, all_cells
 
 
+def inject_hemisphere_boundary(
+    points: DataFrame,
+    cells: DataFrame,
+    *,
+    rings: int = 6,
+    segments: int = 16,
+    margin: float = 0.0,
+    vs_col: str = "vs",
+) -> tuple[DataFrame, DataFrame]:
+    """Synthesize a triangulated hemisphere dome over each mesh and
+    merge it in with a ``region`` tag.
+
+    The hemisphere generator of BoundaryInjectionFilter (reference
+    ``boundaries/generators.py:44-188``): dome centered on the bbox
+    footprint, radius covering the bbox diagonal + margin.  Geometry is
+    parametric — ``rings × segments`` lat/lon points + a pole, two
+    triangles per quad strip and a pole fan — generated entirely as
+    column math from one per-mesh bbox aggregate (tiny), then
+    unionByName'd with region='boundary.hemisphere'.
+    """
+    half = F.sqrt(
+        (F.col("x1") - F.col("x0")) ** 2 + (F.col("y1") - F.col("y0")) ** 2
+    ) / 2.0
+    bbox = points.groupBy("mesh_id").agg(
+        F.min("x").alias("x0"),
+        F.max("x").alias("x1"),
+        F.min("y").alias("y0"),
+        F.max("y").alias("y1"),
+        F.min("z").alias("zb"),
+        (F.max("point_id") + 1).alias("_base"),
+    ).select(
+        "mesh_id",
+        ((F.col("x0") + F.col("x1")) / 2).alias("cx"),
+        ((F.col("y0") + F.col("y1")) / 2).alias("cy"),
+        F.col("zb"),
+        (half + F.lit(margin)).alias("r"),
+        "_base",
+    )
+
+    import math as _math
+
+    # points: ring r ∈ [0, rings): polar θ = (π/2)·(1 − r/rings); seg s ∈ [0, segments)
+    rs = bbox.select(
+        "*",
+        F.explode(F.sequence(F.lit(0), F.lit(rings * segments - 1))).alias("k"),
+    )
+    ring = (F.col("k") / segments).cast("long")
+    seg = F.col("k") % segments
+    theta = F.lit(_math.pi / 2) * (1.0 - ring.cast("double") / rings)
+    phi = F.lit(2 * _math.pi) * seg.cast("double") / segments
+    dome_points = rs.select(
+        "mesh_id",
+        (F.col("_base") + F.col("k")).alias("point_id"),
+        (F.col("cx") + F.col("r") * F.sin(theta) * F.cos(phi)).alias("x"),
+        (F.col("cy") + F.col("r") * F.sin(theta) * F.sin(phi)).alias("y"),
+        (F.col("zb") + F.col("r") * F.cos(theta)).alias("z"),
+        F.lit("boundary.hemisphere").alias("region"),
+    )
+    pole = bbox.select(
+        "mesh_id",
+        (F.col("_base") + rings * segments).alias("point_id"),
+        F.col("cx").alias("x"),
+        F.col("cy").alias("y"),
+        (F.col("zb") + F.col("r")).alias("z"),
+        F.lit("boundary.hemisphere").alias("region"),
+    )
+
+    # cells: strip quads split into two triangles + pole fan
+    base_cells = cells.groupBy("mesh_id").agg((F.max("cell_id") + 1).alias("_cbase"))
+    n_strip = (rings - 1) * segments
+    geom = bbox.join(base_cells, "mesh_id").select(
+        "mesh_id",
+        "_base",
+        "_cbase",
+        F.explode(F.sequence(F.lit(0), F.lit(n_strip * 2 + segments - 1))).alias("t"),
+    )
+    t = F.col("t")
+    is_fan = t >= n_strip * 2
+    quad = (t / 2).cast("long")
+    q_ring = (quad / segments).cast("long")
+    q_seg = quad % segments
+    nxt = (q_seg + 1) % segments
+
+    def pid(r, s):
+        return F.col("_base") + r * segments + s
+
+    pole_id = F.col("_base") + rings * segments
+    fan_seg = t - n_strip * 2
+    fan_nxt = (fan_seg + 1) % segments
+    tri_even = F.array(pid(q_ring, q_seg), pid(q_ring, nxt), pid(q_ring + 1, q_seg))
+    tri_odd = F.array(pid(q_ring, nxt), pid(q_ring + 1, nxt), pid(q_ring + 1, q_seg))
+    tri_fan = F.array(pid(F.lit(rings - 1), fan_seg), pid(F.lit(rings - 1), fan_nxt), pole_id)
+    dome_cells = geom.select(
+        "mesh_id",
+        (F.col("_cbase") + t).alias("cell_id"),
+        F.when(is_fan, tri_fan)
+        .when(t % 2 == 0, tri_even)
+        .otherwise(tri_odd)
+        .alias(vs_col),
+        F.lit("boundary.hemisphere").alias("region"),
+    )
+
+    all_points = (
+        points.withColumn("region", F.lit("interior"))
+        .unionByName(dome_points)
+        .unionByName(pole)
+    )
+    all_cells = cells.withColumn("region", F.lit("interior")).unionByName(dome_cells)
+    return all_points, all_cells
+
+
 def random_permutation(
     points: DataFrame,
     cells: DataFrame,

@@ -61,6 +61,34 @@ def running_stats_stream(events, *, key_col: str = "event_type", value_col: str 
     )
 
 
+def streaming_dedup(
+    docs,
+    *,
+    text_col: str = "text",
+    time_col: str | None = None,
+    watermark: str = "1 hour",
+):
+    """Streaming exact dedup by content fingerprint.
+
+    The streaming form of ``dedup.dedup_exact`` (north star): arriving
+    docs keep only the first occurrence of each normalized-content
+    fingerprint.  With a ``time_col``, uses
+    ``dropDuplicatesWithinWatermark`` so the fingerprint state is
+    bounded by the watermark horizon instead of growing forever — the
+    required form for an unbounded 100 TB/day ingest stream.
+    """
+    from pyspark.sql import functions as F
+
+    from physicsnemo_curator_spark.operators.dedup import normalize_text
+
+    keyed = docs.withColumn("fingerprint", F.md5(normalize_text(F.col(text_col))))
+    if time_col is not None and keyed.isStreaming:
+        return keyed.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
+            ["fingerprint"]
+        )
+    return keyed.dropDuplicates(["fingerprint"])
+
+
 def run_running_stats(spark, source_dir: str, schema, *, key_col="event_type", value_col="value"):
     """Drive the stateful operator over a parquet-directory stream into
     a memory sink; returns the final per-key stats DataFrame."""

@@ -97,6 +97,42 @@ def test_tet_quality_regular_tet(spark):
     assert qd["degenerate"]
 
 
+def test_inject_hemisphere_boundary(spark):
+    import math as _m
+
+    points = spark.createDataFrame(
+        [(0, 0, 0.0, 0.0, 0.0), (0, 1, 2.0, 0.0, 0.0), (0, 2, 1.0, 2.0, 0.5)],
+        ["mesh_id", "point_id", "x", "y", "z"],
+    )
+    cells = spark.createDataFrame([(0, 0, [0, 1, 2])], ["mesh_id", "cell_id", "vs"])
+    rings, segs = 4, 8
+    ap, ac = mesh.inject_hemisphere_boundary(
+        points, cells, rings=rings, segments=segs, margin=0.1
+    )
+    dome_p = ap.filter("region = 'boundary.hemisphere'")
+    dome_c = ac.filter("region = 'boundary.hemisphere'")
+    assert dome_p.count() == rings * segs + 1
+    assert dome_c.count() == (rings - 1) * segs * 2 + segs
+    # every dome point lies on the sphere around the bbox-footprint center
+    cx, cy, zb = 1.0, 1.0, 0.0
+    r = _m.sqrt(2.0**2 + 2.0**2) / 2 + 0.1
+    for row in dome_p.collect():
+        d = _m.sqrt((row["x"] - cx) ** 2 + (row["y"] - cy) ** 2 + (row["z"] - zb) ** 2)
+        assert abs(d - r) < 1e-9
+    # triangles only, and every referenced vertex exists
+    assert all(len(row["vs"]) == 3 for row in dome_c.collect())
+    pids = {row["point_id"] for row in ap.collect()}
+    refs = {v for row in dome_c.collect() for v in row["vs"]}
+    assert refs <= pids
+    # quality report runs on the dome (no degenerate triangles)
+    from physicsnemo_curator_spark.operators import quality
+
+    rep = quality.mesh_quality_report(
+        dome_p.drop("region"), dome_c.drop("region")
+    ).collect()[0]
+    assert rep["n_degenerate"] == 0
+
+
 def test_inject_box_boundary(spark):
     points = spark.createDataFrame(
         [(0, 0, 0.0, 0.0, 0.0), (0, 1, 2.0, 1.0, 1.0), (0, 2, 1.0, 0.5, 0.5)],

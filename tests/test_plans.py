@@ -57,6 +57,27 @@ def test_jvm_only_operators_have_no_python(spark, sf_dir):
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
 
 
+def test_partition_pruning_on_partitioned_layout(spark, sf_dir, tmp_path):
+    """A hive-partitioned output read back with a partition-key filter
+    must prune at planning time (PartitionFilters), reading only the
+    matching directories — the engine's resume and year-split layouts
+    depend on this."""
+    from physicsnemo_curator_spark.sinks.partitioned import (
+        split_key_year,
+        write_partitioned,
+    )
+    from physicsnemo_curator_spark.sources.tables import load_table
+
+    out = str(tmp_path / "orders_by_year")
+    orders = load_table(spark, sf_dir, "orders")
+    write_partitioned(split_key_year(orders, "o_orderdate"), out, ["year"])
+
+    back = spark.read.parquet(out).filter("year = 1995").select("o_orderkey")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "year" in plan
+    assert back.count() > 0
+
+
 def test_topk_uses_takeordered(spark, sf_dir):
     # ORDER BY + LIMIT must compile to TakeOrderedAndProject, not a
     # global sort of the whole aggregate output

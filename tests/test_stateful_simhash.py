@@ -32,6 +32,45 @@ def test_stateful_running_stats_matches_batch(spark, sf_dir, tmp_path):
     assert got == expected and len(got) == 5
 
 
+def test_streaming_dedup_bounded_state(spark, tmp_path):
+    """Streamed docs dedup to first-occurrence by fingerprint; batch and
+    stream agree on the surviving set."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (0, "alpha beta gamma", base),
+        (1, "alpha  beta   gamma", base + dt.timedelta(minutes=1)),  # ws-dup of 0
+        (2, "something else", base + dt.timedelta(minutes=2)),
+        (3, "alpha beta gamma", base + dt.timedelta(minutes=3)),  # dup of 0
+    ]
+    src = str(tmp_path / "docs_stream")
+    df = spark.createDataFrame(rows, ["doc_id", "text", "ts"])
+    df.coalesce(1).write.parquet(src)
+
+    from physicsnemo_curator_spark.streaming.stateful import streaming_dedup
+
+    # batch twin
+    batch_kept = {r["doc_id"] for r in streaming_dedup(spark.read.parquet(src)).collect()}
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = streaming_dedup(stream, time_col="ts")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    stream_kept = {r["doc_id"] for r in spark.sql("SELECT * FROM dedup_stream").collect()}
+    assert len(stream_kept) == 2
+    # same fingerprints survive (first-occurrence ids may differ by order)
+    assert stream_kept == batch_kept == {0, 2}
+
+
 def test_simhash_banded_near_duplicates(spark):
     docs = spark.createDataFrame(
         [

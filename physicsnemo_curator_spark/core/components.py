@@ -90,3 +90,10 @@ def _grid_anomaly(df: DataFrame) -> DataFrame:
 @register_transform("simhash_near_dup")
 def _simhash_near_dup(df: DataFrame, **kw: Any) -> DataFrame:
     return dedup.simhash_near_duplicates(df, **kw)
+
+
+@register_transform("tessellate_fan")
+def _tessellate_fan(df: DataFrame, *, vs_col: str = "vs") -> DataFrame:
+    from physicsnemo_curator_spark.operators import mesh
+
+    return mesh.tessellate_fan(df, vs_col)

@@ -153,6 +153,56 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+def q_a10_pivot_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MeanFilter's wide dynamic-column form (reference mean.py:123-135):
+    per-group mean pivoted to one column per field value, NULL-filled."""
+    orders = _t(spark, sf_dir, "orders")
+    wide = stats.spatial_mean(
+        orders.select(
+            F.col("o_orderpriority").alias("id"),
+            F.col("o_orderstatus").alias("field"),
+            F.col("o_totalprice").alias("value"),
+        ),
+        "id",
+        "field",
+        "value",
+    )
+    return wide.select(
+        F.col("id").alias("o_orderpriority"),
+        F.round("F", 4).alias("avg_f"),
+        F.round("O", 4).alias("avg_o"),
+        F.round("P", 4).alias("avg_p"),
+    ).orderBy("o_orderpriority")
+
+
+ORACLE_A10 = """
+SELECT o_orderpriority,
+       ROUND(AVG(o_totalprice) FILTER (o_orderstatus = 'F'), 4) avg_f,
+       ROUND(AVG(o_totalprice) FILTER (o_orderstatus = 'O'), 4) avg_o,
+       ROUND(AVG(o_totalprice) FILTER (o_orderstatus = 'P'), 4) avg_p
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q_str2_like_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-predicate scan: LIKE '%...%' compiles to a pushed
+    StringContains filter at the parquet reader."""
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.filter(F.col("p_type").like("%BRASS%"))
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("p_brand")
+    )
+
+
+ORACLE_STR2 = """
+SELECT p_brand, CAST(COUNT(*) AS BIGINT) cnt
+FROM part WHERE p_type LIKE '%BRASS%'
+GROUP BY p_brand ORDER BY p_brand
+"""
+
+
 def q_a4_conditional_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MeshQualityFilter report semantics (reference domains/mesh/filters/
     quality.py:434-836): per-group count_if + companion aggregates."""
@@ -1195,6 +1245,8 @@ QUERIES: dict[str, QuerySpec] = {
     "q_a7_distinct_exact": QuerySpec(q_a7_distinct_exact, ORACLE_A7),
     "q_a8_welford_state": QuerySpec(q_a8_welford_state, ORACLE_A8),
     "q_a9_cube": QuerySpec(q_a9_cube, ORACLE_A9),
+    "q_a10_pivot_mean": QuerySpec(q_a10_pivot_mean, ORACLE_A10),
+    "q_str2_like_pushdown": QuerySpec(q_str2_like_pushdown, ORACLE_STR2),
     "q_j1_broadcast_join": QuerySpec(q_j1_broadcast_join, ORACLE_J1),
     "q_j2_point_to_cell": QuerySpec(q_j2_point_to_cell, ORACLE_J2),
     "q_j3_scatter_mean": QuerySpec(q_j3_scatter_mean, ORACLE_J3),

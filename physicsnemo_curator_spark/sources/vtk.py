@@ -29,16 +29,20 @@ CELLS_SCHEMA = "mesh_id string, cell_id long, vs array<long>"
 POINT_DATA_SCHEMA = "mesh_id string, point_id long, field string, value double"
 
 
-def _parse_legacy_vtk(text: str) -> tuple[list, list, dict[str, list[float]]]:
-    """Parse one legacy ASCII VTK polydata/unstructured-grid document.
+def _parse_legacy_vtk(text: str):
+    """Parse one legacy ASCII VTK document (POLYDATA / UNSTRUCTURED_GRID
+    / STRUCTURED_POINTS).
 
-    Returns (points [(x,y,z)], cells [[v...]], point_data {name: values}).
+    Returns (points [(x,y,z)], cells [[v...]], point_data {name: values},
+    grid_meta {dimensions/origin/spacing} — empty for unstructured).
     """
     lines = text.splitlines()
     i = 0
     points: list[tuple[float, float, float]] = []
     cells: list[list[int]] = []
     point_data: dict[str, list[float]] = {}
+    n_values = 0  # SCALARS count: len(points) or grid nx*ny*nz
+    grid_meta: dict[str, tuple[float, float, float]] = {}
 
     def tokens_until(count: int, start: int) -> tuple[list[str], int]:
         toks: list[str] = []
@@ -54,11 +58,20 @@ def _parse_legacy_vtk(text: str) -> tuple[list, list, dict[str, list[float]]]:
             i += 1
             continue
         kw = parts[0].upper()
-        if kw == "POINTS":
+        if kw == "DIMENSIONS":
+            grid_meta["dimensions"] = tuple(int(t) for t in parts[1:4])
+            nx, ny, nz = grid_meta["dimensions"]
+            n_values = nx * ny * nz
+            i += 1
+        elif kw in ("ORIGIN", "SPACING"):
+            grid_meta[kw.lower()] = tuple(float(t) for t in parts[1:4])
+            i += 1
+        elif kw == "POINTS":
             n = int(parts[1])
             toks, i = tokens_until(3 * n, i + 1)
             vals = [float(t) for t in toks[: 3 * n]]
             points = [tuple(vals[k : k + 3]) for k in range(0, 3 * n, 3)]
+            n_values = len(points)
         elif kw in ("CELLS", "POLYGONS", "LINES"):
             n = int(parts[1])
             total = int(parts[2])
@@ -74,11 +87,11 @@ def _parse_legacy_vtk(text: str) -> tuple[list, list, dict[str, list[float]]]:
             j = i + 1
             if j < len(lines) and lines[j].split() and lines[j].split()[0].upper() == "LOOKUP_TABLE":
                 j += 1
-            toks, i = tokens_until(len(points), j)
-            point_data[name] = [float(t) for t in toks[: len(points)]]
+            toks, i = tokens_until(n_values, j)
+            point_data[name] = [float(t) for t in toks[:n_values]]
         else:
             i += 1
-    return points, cells, point_data
+    return points, cells, point_data, grid_meta
 
 
 def read_vtk(
@@ -150,7 +163,7 @@ def read_vtk(
             out = []
             for p, content in zip(pdf["path"], pdf["content"]):
                 mesh_id = p.rsplit("/", 1)[-1].rsplit(".", 1)[0]
-                pts, _, _ = parse_or_raise(p, content)
+                pts, _, _, _ = parse_or_raise(p, content)
                 for pid, (x, y, z) in enumerate(pts):
                     out.append((mesh_id, pid, x, y, z))
             yield pd.DataFrame(out, columns=["mesh_id", "point_id", "x", "y", "z"])
@@ -160,7 +173,7 @@ def read_vtk(
             out = []
             for p, content in zip(pdf["path"], pdf["content"]):
                 mesh_id = p.rsplit("/", 1)[-1].rsplit(".", 1)[0]
-                _, cs, _ = parse_or_raise(p, content)
+                _, cs, _, _ = parse_or_raise(p, content)
                 for cid, vs in enumerate(cs):
                     out.append((mesh_id, cid, vs))
             yield pd.DataFrame(out, columns=["mesh_id", "cell_id", "vs"])
@@ -170,7 +183,7 @@ def read_vtk(
             out = []
             for p, content in zip(pdf["path"], pdf["content"]):
                 mesh_id = p.rsplit("/", 1)[-1].rsplit(".", 1)[0]
-                _, _, pdata = parse_or_raise(p, content)
+                _, _, pdata, _ = parse_or_raise(p, content)
                 keep = keep_for(p)
                 for name, values in pdata.items():
                     if not keep(name):
@@ -186,6 +199,95 @@ def read_vtk(
         "cells": raw.mapInPandas(parse_cells, CELLS_SCHEMA),
         "point_data": raw.mapInPandas(parse_point_data, POINT_DATA_SCHEMA),
     }
+
+
+GRID_SCHEMA = "grid_id string, iz int, iy int, ix int, field string, value double"
+GRID_META_SCHEMA = (
+    "grid_id string, nx int, ny int, nz int, "
+    "ox double, oy double, oz double, sx double, sy double, sz double"
+)
+
+
+def read_structured_points(
+    spark: SparkSession, path: str, *, glob: str = "*.vtk"
+) -> dict[str, DataFrame]:
+    """Read legacy STRUCTURED_POINTS files into the structured-grid
+    encoding (SURVEY §1.2d / VTISource parity, reference
+    ``domains/mesh/sources/vti.py:145-244``).
+
+    Returns {'grid': (grid_id, iz, iy, ix, field, value) — x-fastest
+    unflattening, matching the reference's ``_reshape_field`` order —
+    and 'meta': per-grid dimensions/origin/spacing}.  One task per file.
+    """
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select("path", "content")
+    )
+
+    def parse_grid(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                grid_id = p.rsplit("/", 1)[-1].rsplit(".", 1)[0]
+                try:
+                    _, _, pdata, meta = _parse_legacy_vtk(bytes(content).decode())
+                    nx, ny, nz = meta["dimensions"]
+                except Exception as e:
+                    raise ValueError(f"failed to parse structured grid {p}: {e}") from e
+                for name, values in pdata.items():
+                    for flat, v in enumerate(values):
+                        ix = flat % nx
+                        iy = (flat // nx) % ny
+                        iz = flat // (nx * ny)
+                        out.append((grid_id, iz, iy, ix, name, v))
+            yield pd.DataFrame(
+                out, columns=["grid_id", "iz", "iy", "ix", "field", "value"]
+            )
+
+    def parse_meta(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                grid_id = p.rsplit("/", 1)[-1].rsplit(".", 1)[0]
+                _, _, _, meta = _parse_legacy_vtk(bytes(content).decode())
+                nx, ny, nz = meta["dimensions"]
+                ox, oy, oz = meta.get("origin", (0.0, 0.0, 0.0))
+                sx, sy, sz = meta.get("spacing", (1.0, 1.0, 1.0))
+                out.append((grid_id, nx, ny, nz, ox, oy, oz, sx, sy, sz))
+            yield pd.DataFrame(
+                out,
+                columns=["grid_id", "nx", "ny", "nz", "ox", "oy", "oz", "sx", "sy", "sz"],
+            )
+
+    return {
+        "grid": raw.mapInPandas(parse_grid, GRID_SCHEMA),
+        "meta": raw.mapInPandas(parse_meta, GRID_META_SCHEMA),
+    }
+
+
+def write_structured_points(
+    dims: tuple[int, int, int],
+    fields: dict[str, list[float]],
+    path: str,
+    *,
+    origin: tuple[float, float, float] = (0.0, 0.0, 0.0),
+    spacing: tuple[float, float, float] = (1.0, 1.0, 1.0),
+) -> None:
+    """Emit one legacy STRUCTURED_POINTS file (x-fastest flat values)."""
+    nx, ny, nz = dims
+    with open(path, "w") as f:
+        f.write("# vtk DataFile Version 3.0\nphysicsnemo_curator_spark\nASCII\n")
+        f.write("DATASET STRUCTURED_POINTS\n")
+        f.write(f"DIMENSIONS {nx} {ny} {nz}\n")
+        f.write(f"ORIGIN {origin[0]} {origin[1]} {origin[2]}\n")
+        f.write(f"SPACING {spacing[0]} {spacing[1]} {spacing[2]}\n")
+        f.write(f"POINT_DATA {nx * ny * nz}\n")
+        for name, values in fields.items():
+            f.write(f"SCALARS {name} double 1\nLOOKUP_TABLE default\n")
+            for v in values:
+                f.write(f"{v}\n")
 
 
 def write_vtk(

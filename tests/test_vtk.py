@@ -63,6 +63,32 @@ def test_per_path_rules_longest_wins(spark, vtk_dir):
         vtk.read_vtk(spark, vtk_dir, path_rules={"*": {"include": ["a"], "exclude": ["b"]}})
 
 
+def test_structured_points_round_trip(spark, tmp_path):
+    # 2x3x2 grid, values = flat index (x-fastest)
+    nx, ny, nz = 2, 3, 2
+    vals = [float(i) for i in range(nx * ny * nz)]
+    vtk.write_structured_points(
+        (nx, ny, nz), {"temp": vals}, str(tmp_path / "g0.vtk"),
+        origin=(1.0, 2.0, 3.0), spacing=(0.5, 0.5, 0.5),
+    )
+    t = vtk.read_structured_points(spark, str(tmp_path))
+    grid = t["grid"].collect()
+    assert len(grid) == nx * ny * nz
+    # x-fastest unflattening: value == ix + nx*iy + nx*ny*iz
+    for r in grid:
+        assert r["value"] == r["ix"] + nx * r["iy"] + nx * ny * r["iz"]
+    meta = t["meta"].collect()[0]
+    assert (meta["nx"], meta["ny"], meta["nz"]) == (nx, ny, nz)
+    assert (meta["ox"], meta["sy"]) == (1.0, 0.5)
+    # grid operators consume it directly
+    from physicsnemo_curator_spark.operators import stats
+
+    st = stats.elementwise_stats(
+        t["grid"].withColumnRenamed("field", "variable"), ["variable"], "value"
+    ).collect()[0]
+    assert st["n"] == nx * ny * nz and st["min_v"] == 0.0
+
+
 def test_vtk_feeds_operator_pack(spark, vtk_dir):
     tables = vtk.read_vtk(spark, vtk_dir)
     # quality over parsed geometry: equilateral-ish triangles

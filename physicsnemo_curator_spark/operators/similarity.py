@@ -125,12 +125,12 @@ def lsh_buckets(
     seed: int = 42,
 ) -> DataFrame:
     """Attach a single random-hyperplane LSH bucket id (n_bits signs
-    packed) — the partition key for coarse clustering / block writes."""
-    planes = random_hyperplanes(dim, n_bits, seed)
-    bucket = F.lit(0)
-    for b, plane in enumerate(planes):
-        bucket = bucket + signed_projection_bucket(F.col(vec_col), plane) * F.lit(1 << b)
-    return df.withColumn("bucket", bucket)
+    packed) — the partition key for coarse clustering / block writes.
+    Same Arrow-matmul path as :func:`lsh_banded` (one band)."""
+    banded = lsh_banded(
+        df, dim, vec_col=vec_col, n_bands=1, bits_per_band=n_bits, seed=seed
+    )
+    return banded.drop("band")
 
 
 def lsh_banded(

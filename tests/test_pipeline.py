@@ -93,6 +93,45 @@ def test_resume_skips_completed_partitions(spark, sf_dir, tmp_path):
     assert r4.skipped_partitions == []
 
 
+def test_resumable_stats_two_run_workflow(spark, sf_dir, tmp_path):
+    """The reference's core resumable-stats loop (persisted Welford state
+    merged across runs, reference stats.py:96-102 + merge at 729-836):
+    run 1 aggregates part of the data to power-sum state and persists
+    it; run 2 aggregates the remainder, merges with the stored state,
+    finalizes — result must equal a single-pass aggregation."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from physicsnemo_curator_spark.operators import stats
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    first = li.filter("l_orderkey % 2 = 0")
+    second = li.filter("l_orderkey % 2 = 1")
+    state_path = str(tmp_path / "welford_state")
+
+    # run 1: partial state persisted
+    stats.welford_state(first, ["l_returnflag"], "l_quantity").write.parquet(state_path)
+
+    # run 2: new data + stored state -> merged, finalized
+    stored = spark.read.parquet(state_path)
+    fresh = stats.welford_state(second, ["l_returnflag"], "l_quantity")
+    merged = stats.finalize_welford_state(
+        stats.merge_welford_state(stored, fresh, ["l_returnflag"]), ["l_returnflag"]
+    )
+    direct = stats.finalize_welford_state(
+        stats.welford_state(li, ["l_returnflag"], "l_quantity"), ["l_returnflag"]
+    )
+    m = {r["l_returnflag"]: r for r in merged.collect()}
+    d = {r["l_returnflag"]: r for r in direct.collect()}
+    assert set(m) == set(d)
+    for k in d:
+        assert m[k]["n"] == d[k]["n"]
+        assert abs(m[k]["mean"] - d[k]["mean"]) < 1e-9
+        assert abs(m[k]["var_pop_v"] - d[k]["var_pop_v"]) < 1e-7
+        assert abs(m[k]["kurt_v"] - d[k]["kurt_v"]) < 1e-7
+
+
 def test_different_spec_hash_isolated_manifests(spark, sf_dir, tmp_path):
     mdir = str(tmp_path / "m")
     p1 = _lineitem_pipeline(sf_dir, str(tmp_path / "o1"))

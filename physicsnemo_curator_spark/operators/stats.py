@@ -161,6 +161,35 @@ def spatial_mean(
     )
 
 
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    k: int = 10,
+    *,
+    approx_support: float | None = None,
+) -> DataFrame:
+    """Top-k most frequent values of a column.
+
+    Exact path: groupBy + count + per-partition top-k
+    (TakeOrderedAndProject — no global sort).  With ``approx_support``,
+    uses Spark's one-pass ``freqItems`` sketch instead (candidate set
+    with possible false positives, no counts) — the scale path when an
+    exact pass per column is too expensive.  Ties broken by value for
+    determinism.
+    """
+    if approx_support is not None:
+        row = df.stat.freqItems([col], approx_support).collect()[0]
+        items = row[f"{col}_freqItems"]
+        spark = df.sparkSession
+        return spark.createDataFrame([(v,) for v in items], [col])
+    return (
+        df.groupBy(col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc(col))
+        .limit(k)
+    )
+
+
 def conditional_counts(
     df: DataFrame,
     group_cols: Sequence[str],

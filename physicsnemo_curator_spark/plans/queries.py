@@ -203,6 +203,19 @@ GROUP BY p_brand ORDER BY p_brand
 """
 
 
+def q_a11_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k heavy hitters (curation: dominant sources/dup groups);
+    the freqItems sketch variant is validated separately in tests."""
+    docs = _t(spark, sf_dir, "documents")
+    return stats.heavy_hitters(docs, "source", k=5)
+
+
+ORACLE_A11 = """
+SELECT source, CAST(COUNT(*) AS BIGINT) cnt
+FROM documents GROUP BY source ORDER BY cnt DESC, source LIMIT 5
+"""
+
+
 def q_a4_conditional_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MeshQualityFilter report semantics (reference domains/mesh/filters/
     quality.py:434-836): per-group count_if + companion aggregates."""
@@ -1246,6 +1259,7 @@ QUERIES: dict[str, QuerySpec] = {
     "q_a8_welford_state": QuerySpec(q_a8_welford_state, ORACLE_A8),
     "q_a9_cube": QuerySpec(q_a9_cube, ORACLE_A9),
     "q_a10_pivot_mean": QuerySpec(q_a10_pivot_mean, ORACLE_A10),
+    "q_a11_heavy_hitters": QuerySpec(q_a11_heavy_hitters, ORACLE_A11),
     "q_str2_like_pushdown": QuerySpec(q_str2_like_pushdown, ORACLE_STR2),
     "q_j1_broadcast_join": QuerySpec(q_j1_broadcast_join, ORACLE_J1),
     "q_j2_point_to_cell": QuerySpec(q_j2_point_to_cell, ORACLE_J2),

@@ -94,6 +94,55 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalized)
 
 
+def token_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-wide token frequency table: (token, n_docs, n_occurrences).
+
+    One explode + one hash-aggregate; shuffled bytes ~ O(vocab).  The
+    input to vocabulary building and IDF-style weighting.
+    """
+    doc_key = (
+        F.col("doc_id") if "doc_id" in docs.columns else F.monotonically_increasing_id()
+    )
+    toks = docs.select(
+        doc_key.alias("_d"),
+        F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("token"),
+    )
+    return toks.groupBy("token").agg(
+        F.countDistinct("_d").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_occurrences"),
+    )
+
+
+def vocabulary(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    min_count: int = 1,
+    top_n: int | None = None,
+) -> DataFrame:
+    """Frequency-pruned vocabulary with stable ids.
+
+    Tokens below ``min_count`` occurrences drop; optional ``top_n`` cap;
+    ids assigned by (count desc, token) — deterministic under
+    partitioning.  The tokenizer-training precursor (BPE-ish pipelines
+    start exactly here).
+    """
+    from pyspark.sql import Window
+
+    freq = token_frequencies(docs, text_col).filter(
+        F.col("n_occurrences") >= min_count
+    )
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
+    vocab = freq.select(
+        "token",
+        "n_occurrences",
+        (F.row_number().over(w) - 1).alias("token_id"),
+    )
+    if top_n is not None:
+        vocab = vocab.filter(F.col("token_id") < top_n)
+    return vocab
+
+
 def with_text_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full feature set as columns — one projection, no shuffle."""
     t = F.col(text_col)

@@ -1154,6 +1154,29 @@ FROM ratios ORDER BY doc_id LIMIT 200
 """
 
 
+def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-pruned vocabulary with deterministic ids — the
+    tokenizer-training precursor (north-star text analysis)."""
+    docs = _t(spark, sf_dir, "documents")
+    return textops.vocabulary(docs, min_count=2, top_n=30).orderBy("token_id")
+
+
+ORACLE_TEXT_VOCAB = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) token
+  FROM documents),
+freq AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) n_occurrences
+  FROM toks GROUP BY token HAVING COUNT(*) >= 2),
+ranked AS (
+  SELECT token, n_occurrences,
+         CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, token) - 1 AS INT) token_id
+  FROM freq)
+SELECT token, n_occurrences, token_id FROM ranked
+WHERE token_id < 30 ORDER BY token_id
+"""
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact cosine top-k (north-star similarity baseline);
     the LSH-bucketed scale path is validated against this in tests."""
@@ -1294,6 +1317,7 @@ QUERIES: dict[str, QuerySpec] = {
     "q_dedup_ngram_jaccard": QuerySpec(q_dedup_ngram_jaccard, ORACLE_NGRAM_JACCARD),
     "q_text_features": QuerySpec(q_text_features, ORACLE_TEXT_FEATURES),
     "q_text_lang_quality": QuerySpec(q_text_lang_quality, ORACLE_TEXT_LANG),
+    "q_text_vocab": QuerySpec(q_text_vocab, ORACLE_TEXT_VOCAB),
     "q_ann_cosine_topk": QuerySpec(q_ann_cosine_topk, ORACLE_ANN),
     "q_ann_lsh_topk": QuerySpec(q_ann_lsh_topk, None),
     "q_embedding_near_dup": QuerySpec(q_embedding_near_dup, ORACLE_EMB_NEAR_DUP),

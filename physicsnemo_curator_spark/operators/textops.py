@@ -143,6 +143,56 @@ def vocabulary(
     return vocab
 
 
+def tfidf(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """L2-normalized TF-IDF doc-term weights as a sparse long table
+    (doc_id, token, weight).
+
+    Smooth idf = ln((N+1)/(df+1)) + 1.  Three hash-aggregates (tf, df,
+    per-doc norm) + one broadcast join of the (vocab-sized) idf table —
+    no dense vectors ever materialize, which is what makes the
+    downstream similarity join scale.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("token"),
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = docs.count()
+    df_tbl = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    idf = df_tbl.select(
+        "token",
+        (F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1.0).alias("idf"),
+    )
+    w = tf.join(F.broadcast(idf), "token").select(
+        "doc_id", "token", (F.col("tf") * F.col("idf")).alias("w")
+    )
+    norms = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm"))
+    return w.join(norms, "doc_id").select(
+        "doc_id", "token", (F.col("w") / F.col("norm")).alias("weight")
+    )
+
+
+def sparse_cosine_pairs(weights: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """Pairwise document cosine from sparse L2-normalized weights.
+
+    Token-keyed self-join + sum of weight products — the sparse dot
+    product.  Work is Σ_token df(token)², so prune stopword-like tokens
+    (huge df) upstream for web-scale corpora; never forms dense pairs.
+    """
+    a = weights.alias("a")
+    b = weights.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+        .agg(F.sum(F.col("a.weight") * F.col("b.weight")).alias("cosine"))
+        .filter(F.col("cosine") >= F.lit(threshold))
+    )
+
+
 def with_text_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full feature set as columns — one projection, no shuffle."""
     t = F.col(text_col)

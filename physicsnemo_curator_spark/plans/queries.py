@@ -1177,6 +1177,43 @@ WHERE token_id < 30 ORDER BY token_id
 """
 
 
+def q_text_tfidf_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF document cosine ≥ 0.95 (north-star similarity on
+    text): token-keyed sparse dot product, no dense vectors, no pair
+    enumeration — the lexical twin of the embedding near-dup path.
+    Bounded to a 500-doc slice: this synthetic corpus has a ~40-token
+    vocabulary, so every token is stopword-dense (df ≈ N) and the
+    sparse join degenerates to Σ df² — real corpora prune high-df
+    tokens upstream instead (see sparse_cosine_pairs docstring)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    w = textops.tfidf(docs)
+    pairs = textops.sparse_cosine_pairs(w, threshold=0.95)
+    return pairs.select("a", "b", _r6(F.col("cosine"), "cosine")).orderBy("a", "b")
+
+
+ORACLE_TFIDF_SIM = """
+WITH docs500 AS (SELECT * FROM documents WHERE doc_id < 500),
+toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) token
+  FROM docs500),
+tf AS (SELECT doc_id, token, COUNT(*) tf FROM toks GROUP BY 1, 2),
+idf AS (SELECT token,
+               ln(((SELECT COUNT(*) FROM docs500) + 1.0) / (COUNT(DISTINCT doc_id) + 1.0)) + 1.0 idf
+        FROM tf GROUP BY token),
+w AS (SELECT tf.doc_id, tf.token, tf.tf * idf.idf w
+      FROM tf JOIN idf ON tf.token = idf.token),
+norms AS (SELECT doc_id, sqrt(SUM(w * w)) norm FROM w GROUP BY doc_id),
+nw AS (SELECT w.doc_id, w.token, w.w / n.norm weight
+       FROM w JOIN norms n ON w.doc_id = n.doc_id),
+pairs AS (
+  SELECT a.doc_id a, b.doc_id b, SUM(a.weight * b.weight) cosine
+  FROM nw a JOIN nw b ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT a, b, ROUND(cosine, 6) cosine FROM pairs
+WHERE cosine >= 0.95 ORDER BY a, b
+"""
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact cosine top-k (north-star similarity baseline);
     the LSH-bucketed scale path is validated against this in tests."""
@@ -1318,6 +1355,7 @@ QUERIES: dict[str, QuerySpec] = {
     "q_text_features": QuerySpec(q_text_features, ORACLE_TEXT_FEATURES),
     "q_text_lang_quality": QuerySpec(q_text_lang_quality, ORACLE_TEXT_LANG),
     "q_text_vocab": QuerySpec(q_text_vocab, ORACLE_TEXT_VOCAB),
+    "q_text_tfidf_sim": QuerySpec(q_text_tfidf_sim, ORACLE_TFIDF_SIM),
     "q_ann_cosine_topk": QuerySpec(q_ann_cosine_topk, ORACLE_ANN),
     "q_ann_lsh_topk": QuerySpec(q_ann_lsh_topk, None),
     "q_embedding_near_dup": QuerySpec(q_embedding_near_dup, ORACLE_EMB_NEAR_DUP),

@@ -1,0 +1,85 @@
+"""Registry completeness smoke: every registered transform builds and
+executes through the Pipeline path with representative params.
+
+Catches signature drift between operator functions and their registry
+wrappers — each transform must run on an appropriate input table.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from physicsnemo_curator_spark.core import components  # noqa: F401
+from physicsnemo_curator_spark.core.registry import get_transform, registered
+from physicsnemo_curator_spark.sources.synthetic import random_grid
+from physicsnemo_curator_spark.sources.tables import load_table
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def _lineitem(spark, sf_dir):
+    return load_table(spark, sf_dir, "lineitem")
+
+
+def _events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+def _grid(spark, sf_dir):
+    return random_grid(spark, n_times=2, n_lat=3, n_lon=3)
+
+
+def _embeddings(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _cells(spark, sf_dir):
+    return spark.createDataFrame(
+        [(0, 0, [0, 1, 2, 3]), (0, 1, [1, 2, 3])], ["mesh_id", "cell_id", "vs"]
+    )
+
+
+# transform name -> (input builder, params)
+CASES = {
+    "select": (_lineitem, {"columns": ["l_orderkey", "l_quantity"]}),
+    "drop": (_lineitem, {"columns": ["l_comment"] if False else ["l_tax"]}),
+    "filter": (_lineitem, {"condition": "l_quantity > 10"}),
+    "sql_expr": (_lineitem, {"exprs": ["l_orderkey", "l_quantity * 2 AS qty2"]}),
+    "cast_precision": (_lineitem, {"dtype": "float"}),
+    "with_literals": (_lineitem, {"values": {"rho": 1.225}}),
+    "repartition": (_lineitem, {"num": 4, "columns": ["l_returnflag"]}),
+    "moment_stats": (_lineitem, {"group_cols": ["l_returnflag"], "value_col": "l_quantity"}),
+    "elementwise_stats": (_lineitem, {"cell_cols": ["l_returnflag"], "value_col": "l_quantity"}),
+    "welford_state": (_lineitem, {"group_cols": ["l_returnflag"], "value_col": "l_quantity"}),
+    "spatial_mean": (
+        lambda s, d: _lineitem(s, d).selectExpr(
+            "l_returnflag AS id", "l_linestatus AS field", "l_quantity AS value"
+        ),
+        {"id_col": "id", "field_col": "field", "value_col": "value"},
+    ),
+    "dedup_exact": (_docs, {}),
+    "minhash_near_dup": (_docs, {"threshold": 0.8}),
+    "simhash": (_docs, {}),
+    "simhash_near_dup": (_docs, {"max_hamming": 4}),
+    "text_features": (_docs, {}),
+    "lsh_buckets": (_embeddings, {"dim": 64, "n_bits": 4}),
+    "sessionize": (_events, {"gap_seconds": 1800}),
+    "coarsen_grid": (_grid, {"factor": 3}),
+    "grid_anomaly": (_grid, {}),
+    "tessellate_fan": (_cells, {}),
+}
+
+
+def test_every_registered_transform_has_a_case():
+    missing = set(registered()["transforms"]) - set(CASES)
+    assert not missing, f"registered transforms without smoke case: {missing}"
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_transform_executes(spark, sf_correctness_dir, name):
+    builder, params = CASES[name]
+    df = builder(spark, sf_correctness_dir)
+    out = get_transform(name)(df, **params)
+    assert out.count() >= 0

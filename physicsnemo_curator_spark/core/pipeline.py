@@ -131,8 +131,16 @@ class Pipeline:
             if not pending:
                 return RunResult(self.spec_hash, [], 0, skipped, time.perf_counter() - t0)
 
-        rows = df.count()
-        written = registry.get_sink(self.sink.name)(df, **self.sink.params)
+        # count + write must not execute the plan twice: pin the result
+        # once (spills to disk if needed), run both actions against the
+        # materialization, release.  On a 100 TB input the recompute
+        # would double the job.
+        df = df.persist()
+        try:
+            rows = df.count()
+            written = registry.get_sink(self.sink.name)(df, **self.sink.params)
+        finally:
+            df.unpersist()
         if manifest is not None:
             manifest.mark_completed(pending)
         return RunResult(

@@ -619,6 +619,34 @@ FROM events ORDER BY user_id, event_id LIMIT 100
 """
 
 
+def q_w5_group_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise z-score normalization (a curation staple: normalize a
+    field within its group) — window aggregate functions (avg/stddev
+    over partition), the remaining window class after W1-W4."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag")
+    mu = F.avg("l_quantity").over(w)
+    sd = F.stddev_pop("l_quantity").over(w)
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            _r6((F.col("l_quantity") - mu) / sd, "qty_z"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(200)
+    )
+
+
+ORACLE_W5 = """
+SELECT l_orderkey, l_linenumber,
+       ROUND((l_quantity - AVG(l_quantity) OVER w)
+             / STDDEV_POP(l_quantity) OVER w, 6) qty_z
+FROM lineitem WINDOW w AS (PARTITION BY l_returnflag)
+ORDER BY l_orderkey, l_linenumber LIMIT 200
+"""
+
+
 # --------------------------------------------------------------------------
 # Sort / top-k
 # --------------------------------------------------------------------------
@@ -1348,6 +1376,7 @@ QUERIES: dict[str, QuerySpec] = {
     "q_st2_sliding_stats": QuerySpec(q_st2_sliding_stats, ORACLE_ST2),
     "q_ts_asof_join": QuerySpec(q_ts_asof_join, ORACLE_ASOF),
     "q_w4_sessionize": QuerySpec(q_w4_sessionize, ORACLE_SESSIONIZE),
+    "q_w5_group_zscore": QuerySpec(q_w5_group_zscore, ORACLE_W5),
     "q_median_exact": QuerySpec(q_median_exact, ORACLE_MEDIAN),
     "q_sql_pricing_summary": QuerySpec(q_sql_pricing_summary, ORACLE_PRICING),
     "q_dedup_exact": QuerySpec(q_dedup_exact, ORACLE_DEDUP_EXACT),

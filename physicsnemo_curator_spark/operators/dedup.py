@@ -24,6 +24,24 @@ def normalize_text(text: Column) -> Column:
     return F.regexp_replace(F.lower(F.trim(text)), "\\s+", " ")
 
 
+def rebalance_narrow(df: DataFrame, key: str | None = None) -> DataFrame:
+    """Repartition a narrow input up to the cluster's parallelism.
+
+    Shingling/hashing explodes each doc into tens-to-hundreds of rows,
+    and the *partial* aggregation of those rows runs inside the scan
+    task — a table that arrives in fewer partitions than cores (one
+    small parquet file locally; a handful of splits on a cluster)
+    serializes that CPU-heavy stretch onto a few cores.  One cheap
+    shuffle of the raw docs (pre-explode, so bytes are small) buys
+    full-width parallelism for everything downstream.  No-op when the
+    scan is already at least core-wide.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    return df.repartition(par, key) if key is not None else df.repartition(par)
+
+
 def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Group exact duplicates by normalized content hash.
 
@@ -91,6 +109,7 @@ def shingle_table(
     Tokens materialize once per row (a projection step) so the n-gram
     transform doesn't re-split the text per element.
     """
+    docs = rebalance_narrow(docs, id_col)
     if unit == "char":
         return docs.select(
             F.col(id_col).alias("doc_id"),
@@ -244,8 +263,9 @@ def simhash(
     shingle set, which keeps word *order* — unigram token distributions
     are indistinguishable on small vocabularies).  Each feature
     contributes ±weight per bit from xxhash64(feature); the whole
-    signature is one explode + one 64-aggregate groupBy, all JVM-side.
+    signature is one explode + one packed-counter groupBy, all JVM-side.
     """
+    docs = rebalance_narrow(docs, id_col)
     if ngram <= 1:
         toks = (
             docs.select(
@@ -271,18 +291,45 @@ def simhash(
                 "_shingle"
             ),
         ).select("doc_id", F.lit(1).alias("w"), F.xxhash64("_shingle").alias("th"))
+    # Packed-counter aggregation: instead of one signed SUM per bit (64
+    # aggregate buffers -> huge generated update loop, slow codegen AND
+    # slow per-row update), pack 3 non-negative 21-bit "ones" counters
+    # per long, so 64 bits need only ceil(64/3)=22 SUMs plus the total
+    # weight n.  The signed bit-sum is recovered algebraically:
+    #   sum(w * (2*bit - 1)) = 2*sum(w*bit) - sum(w) = 2*ones - n,
+    # so bit set <=> 2*ones > n.  Ones counters never go negative, so
+    # lanes cannot borrow into each other; each lane holds up to 2^21-1
+    # (~2M weighted features per doc — a full book is ~1e5).  Measured
+    # ~2x faster than the 64-sum formulation on the documents table.
+    lane_bits, lanes = 21, 3
+    n_longs = (bits + lanes - 1) // lanes
+    w = F.col("w").cast("long")
+
+    def packed(g: int) -> Column:
+        terms = []
+        for j in range(lanes):
+            i = g * lanes + j
+            if i >= bits:
+                break
+            bit = F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)).cast("long")
+            terms.append(bit * w * F.lit(1 << (j * lane_bits)).cast("long"))
+        return sum(terms[1:], start=terms[0])
+
     bit_sums = toks.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                (F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) * 2 - 1) * F.col("w")
-            ).alias(f"b{i}")
-            for i in range(bits)
-        ]
+        F.sum(w).alias("n"),
+        *[F.sum(packed(g)).alias(f"p{g}") for g in range(n_longs)],
     )
+
+    def ones(i: int) -> Column:
+        g, j = divmod(i, lanes)
+        return F.shiftright(F.col(f"p{g}"), j * lane_bits).bitwiseAND(
+            F.lit((1 << lane_bits) - 1)
+        )
+
     sig = bit_sums.select(
         "doc_id",
         sum(
-            (F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0)) * F.lit(1 << i).cast("long")
+            (F.when(ones(i) * 2 > F.col("n"), F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
              for i in range(bits - 1)),  # top bit left 0 to stay in signed range
             start=F.lit(0).cast("long"),
         ).alias("simhash"),
@@ -294,7 +341,9 @@ def simhash_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "d
     """Docs whose full SimHash collides (hamming distance 0) — grouped
     like exact_duplicates.  Banded hamming<k variants build on the same
     signature table."""
-    sig = simhash(docs, text_col, id_col)
+    # sig feeds two consumers (group agg + join-back); without persist
+    # the whole shingle->aggregate subtree would execute twice
+    sig = simhash(docs, text_col, id_col).persist()
     groups = sig.groupBy("simhash").agg(
         F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("group_size")
     )

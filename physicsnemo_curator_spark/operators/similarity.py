@@ -66,6 +66,21 @@ def cosine_unrolled(a: Column, b: Column, dim: int) -> Column:
     return dot_unrolled(a, b, dim) / (l2_unrolled(a, dim) * l2_unrolled(b, dim))
 
 
+def cosine_prenormed(a: Column, b: Column, norm_a: Column, norm_b: Column, dim: int) -> Column:
+    """Cosine with norms computed upstream of the pair join.
+
+    Numerically identical to :func:`cosine_unrolled` (same dot order,
+    same sqrt), but the scoring projection carries only the dim-term
+    dot product.  Two reasons this matters at scale: (1) norms are
+    O(rows), pair scoring is O(pairs) — recomputing both norms per pair
+    triples the hot-loop FLOPs; (2) the 3×dim-term expression inside a
+    join's generated consume function overflows janino's 64 KB method
+    limit (seen at dim=64 under BroadcastNestedLoopJoin), dropping the
+    whole stage out of whole-stage codegen.
+    """
+    return dot_unrolled(a, b, dim) / (norm_a * norm_b)
+
+
 def _vec_dim(df: DataFrame, vec_col: str) -> int:
     return df.select(F.size(vec_col).alias("d")).first()["d"]
 
@@ -85,14 +100,19 @@ def cosine_topk(
     no corpus shuffle; the only wide op is the per-query top-k, done
     with a window over (query, score).  Deterministic tie-break on id.
     """
+    dim = _vec_dim(corpus, vec_col)
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
-    )
-    dim = _vec_dim(corpus, vec_col)
-    scored = corpus.join(F.broadcast(q)).select(
+    ).withColumn("_qnorm", l2_unrolled(F.col("_qvec"), dim))
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cvec")
+    ).withColumn("_cnorm", l2_unrolled(F.col("_cvec"), dim))
+    scored = c.join(F.broadcast(q)).select(
         "query_id",
-        F.col(id_col).alias("vec_id"),
-        cosine_unrolled(F.col(vec_col), F.col("_qvec"), dim).alias("cosine"),
+        "vec_id",
+        cosine_prenormed(
+            F.col("_cvec"), F.col("_qvec"), F.col("_cnorm"), F.col("_qnorm"), dim
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
@@ -193,10 +213,12 @@ def lsh_topk(
     exact cosine re-rank over the deduped candidate set.  Raise recall
     with more bands; shrink candidate sets with more bits per band."""
     c = lsh_banded(
-        corpus, dim, vec_col=vec_col, n_bands=n_bands, bits_per_band=bits_per_band, seed=seed
+        corpus.withColumn("_cnorm", l2_unrolled(F.col(vec_col), dim)),
+        dim, vec_col=vec_col, n_bands=n_bands, bits_per_band=bits_per_band, seed=seed
     )
     q = lsh_banded(
-        queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qvec")),
+        queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qvec"))
+        .withColumn("_qnorm", l2_unrolled(F.col("_qvec"), dim)),
         dim,
         vec_col="_qvec",
         n_bands=n_bands,
@@ -205,11 +227,18 @@ def lsh_topk(
     )
     cand = (
         c.join(F.broadcast(q), ["band", "bucket"])
-        .select("query_id", F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cvec"), "_qvec")
+        .select(
+            "query_id", F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("_cvec"), "_qvec", "_cnorm", "_qnorm",
+        )
         .dropDuplicates(["query_id", "vec_id"])
     )
     scored = cand.select(
-        "query_id", "vec_id", cosine_unrolled(F.col("_cvec"), F.col("_qvec"), dim).alias("cosine")
+        "query_id",
+        "vec_id",
+        cosine_prenormed(
+            F.col("_cvec"), F.col("_qvec"), F.col("_cnorm"), F.col("_qnorm"), dim
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
@@ -238,6 +267,7 @@ def pairwise_near_duplicates(
     """
     e = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
     dim = _vec_dim(e, "vec")
+    e = e.withColumn("_nrm", l2_unrolled(F.col("vec"), dim))
     if not exact:
         eb = lsh_banded(e, dim, vec_col="vec", seed=seed,
                         n_bands=n_bands, bits_per_band=bits_per_band)
@@ -254,6 +284,8 @@ def pairwise_near_duplicates(
                 F.col("r.vec_id").alias("b"),
                 F.col("l.vec").alias("_va"),
                 F.col("r.vec").alias("_vb"),
+                F.col("l._nrm").alias("_na"),
+                F.col("r._nrm").alias("_nb"),
             )
             .dropDuplicates(["a", "b"])
         )
@@ -266,9 +298,15 @@ def pairwise_near_duplicates(
                 F.col("r.vec_id").alias("b"),
                 F.col("l.vec").alias("_va"),
                 F.col("r.vec").alias("_vb"),
+                F.col("l._nrm").alias("_na"),
+                F.col("r._nrm").alias("_nb"),
             )
         )
     scored = pairs.select(
-        "a", "b", cosine_unrolled(F.col("_va"), F.col("_vb"), dim).alias("cosine")
+        "a",
+        "b",
+        cosine_prenormed(
+            F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb"), dim
+        ).alias("cosine"),
     )
     return scored.filter(F.col("cosine") >= F.lit(threshold))

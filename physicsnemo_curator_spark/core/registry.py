@@ -105,6 +105,16 @@ def _json_source(spark: SparkSession, *, path: str, **options: Any) -> DataFrame
     return spark.read.options(**options).json(path)
 
 
+@register_source("vtk_mesh")
+def _vtk_mesh_source(spark: SparkSession, *, path: str, **options: Any) -> DataFrame:
+    """VTK directory via the Python DataSource (partition-per-file scan with
+    field-filter pushdown — sources/mesh_datasource.py)."""
+    from ..sources import mesh_datasource
+
+    mesh_datasource.register(spark)
+    return spark.read.format("vtk_mesh").options(**options).load(path)
+
+
 @register_transform("select")
 def _select(df: DataFrame, *, columns: list[str]) -> DataFrame:
     """FieldSelectFilter include-mode (reference field_select.py:61-227)."""

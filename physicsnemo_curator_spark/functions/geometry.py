@@ -3,9 +3,13 @@
 Reference ``boundaries/_geometry.py:356-601`` (point-in-polygon,
 silhouette loops, constrained Delaunay).  These are the pandas-UDF tier
 (SURVEY §2.4): vectorized numpy per Arrow batch, no per-row Python.
-Implemented: ray-casting point-in-polygon (the piece the boundary
-generators and spatial filters actually need); Delaunay stays a gap
-(needs scipy/triangle, not in this container).
+Implemented: ray-casting point-in-polygon, and a dependency-free
+constrained Delaunay (Bowyer–Watson insertion + Sloan edge-flip
+constraint recovery + exterior-triangle removal) for triangulating
+silhouette loops — the piece the reference delegates to
+scipy/triangle.  Each loop is small (a boundary patch), so the kernels
+run per-loop inside grouped pandas UDFs; scale comes from many loops in
+parallel, not from one huge triangulation.
 """
 
 from __future__ import annotations
@@ -53,3 +57,170 @@ def filter_points_in_polygon(
     filter used when clipping a mesh/grid to a region of interest."""
     inside = point_in_polygon_udf(polygon)
     return df.filter(inside(F.col(x_col), F.col(y_col)))
+
+
+# ---------------------------------------------------------------------------
+# Constrained Delaunay triangulation (numpy, no scipy/triangle)
+# Reference boundaries/_geometry.py:356-601 triangulates silhouette
+# loops with a constrained Delaunay; this is the same capability built
+# from first principles: Bowyer–Watson incremental insertion, Sloan
+# edge-flip recovery of constraint edges, even-odd removal of exterior
+# triangles.
+# ---------------------------------------------------------------------------
+
+
+def _orient(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> float:
+    """Signed twice-area of triangle abc (>0 counter-clockwise)."""
+    return (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+
+
+def _in_circumcircle(a, b, c, p) -> bool:
+    """p strictly inside the circumcircle of ccw triangle abc."""
+    if _orient(a, b, c) < 0:
+        a, b = b, a
+    m = np.array(
+        [
+            [a[0] - p[0], a[1] - p[1], (a[0] - p[0]) ** 2 + (a[1] - p[1]) ** 2],
+            [b[0] - p[0], b[1] - p[1], (b[0] - p[0]) ** 2 + (b[1] - p[1]) ** 2],
+            [c[0] - p[0], c[1] - p[1], (c[0] - p[0]) ** 2 + (c[1] - p[1]) ** 2],
+        ]
+    )
+    return float(np.linalg.det(m)) > 1e-12
+
+
+def _segments_cross(p1, p2, q1, q2) -> bool:
+    """Proper intersection of open segments p1p2 and q1q2 (shared
+    endpoints do NOT count as crossing)."""
+    d1 = _orient(q1, q2, p1)
+    d2 = _orient(q1, q2, p2)
+    d3 = _orient(p1, p2, q1)
+    d4 = _orient(p1, p2, q2)
+    return ((d1 > 0) != (d2 > 0)) and ((d3 > 0) != (d4 > 0)) and all(
+        abs(d) > 1e-12 for d in (d1, d2, d3, d4)
+    )
+
+
+def delaunay(points: np.ndarray) -> np.ndarray:
+    """Bowyer–Watson Delaunay triangulation of (n, 2) points.
+
+    Returns an (m, 3) int array of vertex indices.  O(n²) incremental —
+    intended for per-patch loops (hundreds of points), parallelism
+    comes from running one patch per group in Spark.
+    """
+    pts = np.asarray(points, dtype=np.float64)
+    n = len(pts)
+    if n < 3:
+        return np.empty((0, 3), dtype=np.int64)
+    cmin, cmax = pts.min(axis=0), pts.max(axis=0)
+    center = (cmin + cmax) / 2.0
+    span = float(np.max(cmax - cmin)) * 10.0 + 1.0
+    allp = np.vstack(
+        [
+            pts,
+            [
+                (center[0] - 3 * span, center[1] - span),
+                (center[0] + 3 * span, center[1] - span),
+                (center[0], center[1] + 3 * span),
+            ],
+        ]
+    )
+    tris: set[tuple[int, int, int]] = {(n, n + 1, n + 2)}
+    for i in range(n):
+        p = allp[i]
+        bad = [
+            t
+            for t in tris
+            if _in_circumcircle(allp[t[0]], allp[t[1]], allp[t[2]], p)
+        ]
+        edge_count: dict[tuple[int, int], int] = {}
+        for t in bad:
+            for e in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
+                k = (min(e), max(e))
+                edge_count[k] = edge_count.get(k, 0) + 1
+        tris.difference_update(bad)
+        for (a, b), cnt in edge_count.items():
+            if cnt == 1 and _orient(allp[a], allp[b], p) != 0.0:
+                tris.add((a, b, i))
+    return np.array(
+        sorted(t for t in tris if max(t) < n), dtype=np.int64
+    ).reshape(-1, 3)
+
+
+def _edge_map(tris: list[tuple[int, int, int]]):
+    edges: dict[tuple[int, int], list[int]] = {}
+    for ti, t in enumerate(tris):
+        for e in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
+            edges.setdefault((min(e), max(e)), []).append(ti)
+    return edges
+
+
+def constrained_delaunay(
+    polygon: np.ndarray, *, max_flips: int = 10_000
+) -> np.ndarray:
+    """Triangulate a simple polygon (no self-intersections, no repeated
+    vertices): Delaunay of its vertices, flip-recover every boundary
+    edge (Sloan's algorithm), drop triangles outside the polygon.
+
+    Returns (m, 3) indices into ``polygon``; triangle areas sum to the
+    polygon area (asserted by tests, not here — keep the kernel pure).
+    """
+    pts = np.asarray(polygon, dtype=np.float64)
+    n = len(pts)
+    tris = [tuple(t) for t in delaunay(pts)]
+    constraints = [(i, (i + 1) % n) for i in range(n)]
+
+    for a, b in constraints:
+        key = (min(a, b), max(a, b))
+        flips = 0
+        while key not in _edge_map(tris):
+            edges = _edge_map(tris)
+            crossing = [
+                e
+                for e, owners in edges.items()
+                if len(owners) == 2
+                and a not in e
+                and b not in e
+                and _segments_cross(pts[e[0]], pts[e[1]], pts[a], pts[b])
+            ]
+            if not crossing:
+                raise ValueError(
+                    f"cannot recover constraint edge ({a},{b}); "
+                    "polygon may be degenerate or self-intersecting"
+                )
+            progressed = False
+            for c, d in crossing:
+                t1, t2 = edges[(c, d)]
+                u = next(v for v in tris[t1] if v not in (c, d))
+                v = next(w for w in tris[t2] if w not in (c, d))
+                # the flip is valid only when the quad c-u-d-v is convex,
+                # i.e. the new diagonal u-v actually crosses c-d
+                if not _segments_cross(pts[u], pts[v], pts[c], pts[d]):
+                    continue
+                for ti, tri in ((t1, (u, v, c)), (t2, (u, v, d))):
+                    tris[ti] = tri
+                progressed = True
+                break
+            flips += 1
+            if not progressed or flips > max_flips:
+                raise ValueError(
+                    f"edge recovery stalled for constraint ({a},{b})"
+                )
+
+    # drop exterior triangles: centroid even-odd test against the loop
+    px, py = pts[:, 0], pts[:, 1]
+    px_next, py_next = np.roll(px, -1), np.roll(py, -1)
+
+    def _inside(x: float, y: float) -> bool:
+        straddle = (py <= y) != (py_next <= y)
+        denom = np.where(py_next != py, py_next - py, 1.0)
+        x_int = px + (y - py) * (px_next - px) / denom
+        return bool(np.sum(straddle & (x < x_int)) % 2 == 1)
+
+    kept = [
+        t
+        for t in tris
+        if _inside(
+            float(pts[list(t), 0].mean()), float(pts[list(t), 1].mean())
+        )
+    ]
+    return np.array(sorted(kept), dtype=np.int64).reshape(-1, 3)

@@ -578,3 +578,47 @@ def random_permutation(
     )
     new_cells = remap_connectivity(cells, remap, vs_col)
     return new_points, new_cells
+
+
+def triangulate_loops(
+    loops: DataFrame,
+    *,
+    loop_col: str = "loop_id",
+    seq_col: str = "seq",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Constrained-Delaunay triangulate each closed 2-D loop into cells.
+
+    The silhouette-loop patch triangulation of BoundaryInjectionFilter
+    (reference ``boundaries/_geometry.py:356-601``, which delegates to a
+    constrained Delaunay): input is a long table of ordered loop
+    vertices ``(loop_id, seq, x, y)``; output is ``(loop_id, cell_id,
+    vs)`` triangles whose vertex ids are the input ``seq`` values, so
+    they remap directly onto the mesh's point ids.
+
+    Execution: grouped ``applyInPandas`` — one numpy CDT per loop, many
+    loops in parallel.  Loops are boundary patches (hundreds of
+    vertices), so the O(n²) per-group kernel is bounded; scale comes
+    from the number of patches, which Spark distributes.
+    """
+    import pandas as pd  # noqa: PLC0415 — worker-side import kept local
+
+    from ..functions.geometry import constrained_delaunay
+
+    schema = f"{loop_col} string, cell_id long, vs array<long>"
+
+    def _tri(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(seq_col)
+        poly = pdf[[x_col, y_col]].to_numpy(dtype=float)
+        seqs = pdf[seq_col].to_numpy()
+        tris = constrained_delaunay(poly)
+        return pd.DataFrame(
+            {
+                loop_col: [str(pdf[loop_col].iloc[0])] * len(tris),
+                "cell_id": range(len(tris)),
+                "vs": [[int(seqs[i]) for i in t] for t in tris],
+            }
+        )
+
+    return loops.groupBy(loop_col).applyInPandas(_tri, schema)

@@ -31,6 +31,7 @@ def train_ivf(
     k: int = 16,
     seed: int = 42,
     sample_fraction: float | None = None,
+    max_iter: int = 20,
 ) -> KMeansModel:
     """Train the coarse quantizer.  At 100 TB, fit on a sample —
     centroid quality needs thousands of points per cell, not billions."""
@@ -38,7 +39,7 @@ def train_ivf(
     if sample_fraction is not None:
         train = corpus.sample(fraction=sample_fraction, seed=seed)
     feats = train.select(array_to_vector(F.col(vec_col)).alias("features"))
-    km = KMeans(k=k, seed=seed, featuresCol="features")
+    km = KMeans(k=k, seed=seed, featuresCol="features", maxIter=max_iter)
     return km.fit(feats)
 
 

@@ -1287,6 +1287,26 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer ANN (MLlib KMeans cells + n_probe probing) —
+    the repeated-query scale path for q_ann_cosine_topk; rows-only
+    (recall < 1 by construction), recall pinned vs exact in
+    tests/test_mllib_ann.py.  Training is bounded: k=8 cells,
+    10 iterations, on the full (small) sf corpus — at 100 TB the same
+    call takes sample_fraction."""
+    from physicsnemo_curator_spark.operators import mllib_ann
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    model = mllib_ann.train_ivf(emb, k=8, seed=42, max_iter=5, sample_fraction=0.5)
+    out = mllib_ann.ivf_topk(emb, qs, model, k=5, n_probe=3)
+    return out.select(
+        "query_id", "vec_id", _r6(F.col("cosine"), "cosine"), "rank"
+    ).orderBy("query_id", "rank")
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (exact variant for the oracle;
     the LSH-bucketed variant covers the 100 TB path)."""
@@ -1387,6 +1407,7 @@ QUERIES: dict[str, QuerySpec] = {
     "q_text_tfidf_sim": QuerySpec(q_text_tfidf_sim, ORACLE_TFIDF_SIM),
     "q_ann_cosine_topk": QuerySpec(q_ann_cosine_topk, ORACLE_ANN),
     "q_ann_lsh_topk": QuerySpec(q_ann_lsh_topk, None),
+    "q_ann_ivf_topk": QuerySpec(q_ann_ivf_topk, None),
     "q_embedding_near_dup": QuerySpec(q_embedding_near_dup, ORACLE_EMB_NEAR_DUP),
     "q_minhash_near_dup": QuerySpec(q_minhash_near_dup, None),
     "q_simhash_groups": QuerySpec(q_simhash_groups, None),

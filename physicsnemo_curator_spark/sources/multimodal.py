@@ -115,3 +115,127 @@ def media_summary(features: DataFrame) -> DataFrame:
         F.sum("n_bytes").alias("total_bytes"),
         F.avg(F.element_at("feature", 1)).alias("avg_f0"),
     )
+
+
+RESIZED_SCHEMA = (
+    "media_id long, kind string, payload binary, width int, height int, n_bytes long"
+)
+
+
+def resize_images(
+    media: DataFrame, *, width: int, height: int, strict: bool = False
+) -> DataFrame:
+    """Resize image payloads to (width, height) via Arrow-batched
+    mapInPandas — nearest-neighbor on raw single-channel byte planes.
+
+    Payloads whose ``n_bytes == width*height`` metadata are treated as
+    raw grayscale planes and resampled with a pure-numpy gather (index
+    map precomputed once per batch) — a real kernel, no codec needed.
+    Encoded formats (JPEG/PNG/...) need PIL: strict=True raises the
+    honest NotImplementedError, strict=False passes them through
+    untouched so a mixed table still flows.  Non-image rows pass
+    through unchanged either way.
+    """
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_payload, out_w, out_h, out_n = [], [], [], []
+            for kind, payload, w, h in zip(
+                pdf["kind"], pdf["payload"], pdf["width"], pdf["height"]
+            ):
+                raw = bytes(payload)
+                is_raw_plane = (
+                    kind == "image"
+                    and w is not None
+                    and h is not None
+                    and len(raw) == int(w) * int(h)
+                )
+                if not is_raw_plane:
+                    if kind == "image" and strict and not HAS_PIL:
+                        raise NotImplementedError(
+                            "encoded image payload needs a codec (PIL) "
+                            "which is not installed; run with strict=False"
+                        )
+                    out_payload.append(raw)
+                    out_w.append(w)
+                    out_h.append(h)
+                    out_n.append(len(raw))
+                    continue
+                plane = np.frombuffer(raw, dtype=np.uint8).reshape(int(h), int(w))
+                ys = (np.arange(height) * (int(h) / height)).astype(np.int64)
+                xs = (np.arange(width) * (int(w) / width)).astype(np.int64)
+                resized = plane[np.ix_(ys, xs)]
+                out_payload.append(resized.tobytes())
+                out_w.append(width)
+                out_h.append(height)
+                out_n.append(width * height)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": out_payload,
+                    "width": pd.array(out_w, dtype="Int32"),
+                    "height": pd.array(out_h, dtype="Int32"),
+                    "n_bytes": pd.array(out_n, dtype="Int64"),
+                }
+            )
+
+    return media.mapInPandas(batches, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = (
+    "media_id long, frame_index int, payload binary, width int, height int"
+)
+
+
+def sample_frames(
+    media: DataFrame, *, every_n: int = 2, strict: bool = False
+) -> DataFrame:
+    """Explode video payloads into sampled frames (1→N rows).
+
+    A raw video payload is a concatenation of ``width*height``-byte
+    frame planes; every ``every_n``-th frame becomes its own row —
+    the table-generating (explode) shape of the reference's
+    per-timestep mesh expansion, on binary media.  Container formats
+    (mp4/...) need ffmpeg: strict=True raises, strict=False skips them.
+    Non-video rows are dropped (this is a frame table, not a media
+    table).
+    """
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            mid, idx, payload, ws, hs = [], [], [], [], []
+            for media_id, kind, raw, w, h in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"], pdf["width"], pdf["height"]
+            ):
+                if kind != "video":
+                    continue
+                raw = bytes(raw)
+                if w is None or h is None:
+                    continue
+                frame_bytes = int(w) * int(h)
+                n_frames = len(raw) // frame_bytes if frame_bytes else 0
+                if n_frames == 0 or len(raw) % frame_bytes:
+                    if strict:
+                        raise NotImplementedError(
+                            "container video payload needs ffmpeg, which is "
+                            "not installed; run with strict=False"
+                        )
+                    continue
+                for f in range(0, n_frames, every_n):
+                    mid.append(media_id)
+                    idx.append(f)
+                    payload.append(raw[f * frame_bytes : (f + 1) * frame_bytes])
+                    ws.append(w)
+                    hs.append(h)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(mid, dtype="Int64"),
+                    "frame_index": pd.array(idx, dtype="Int32"),
+                    "payload": payload,
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                }
+            )
+
+    return media.mapInPandas(batches, FRAME_SCHEMA)

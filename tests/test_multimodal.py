@@ -41,3 +41,62 @@ def test_binary_file_reader(spark, tmp_path):
     df = mm.read_binary_dir(spark, str(tmp_path), glob="*.bin")
     rows = df.select("length").collect()
     assert [r["length"] for r in rows] == [100, 100, 100]
+
+
+def test_resize_raw_grayscale_exact(spark):
+    import numpy as np
+
+    # 4x4 gradient plane, downsample to 2x2 — nearest-neighbor picks
+    # rows/cols 0 and 2
+    plane = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    df = spark.createDataFrame(
+        [(0, "image", bytearray(plane.tobytes()), 4, 4, 16),
+         (1, "audio", bytearray(b"\x01\x02"), None, None, 2)],
+        mm.MEDIA_SCHEMA,
+    )
+    out = {r["media_id"]: r for r in mm.resize_images(df, width=2, height=2).collect()}
+    got = np.frombuffer(bytes(out[0]["payload"]), dtype=np.uint8).reshape(2, 2)
+    assert got.tolist() == [[0, 2], [8, 10]]
+    assert (out[0]["width"], out[0]["height"], out[0]["n_bytes"]) == (2, 2, 4)
+    # non-image passes through untouched
+    assert bytes(out[1]["payload"]) == b"\x01\x02"
+
+
+def test_resize_encoded_needs_codec(spark):
+    # payload length != w*h → treated as encoded; strict raises
+    df = spark.createDataFrame(
+        [(0, "image", bytearray(b"\xff\xd8\xff"), 16, 16, 3)],
+        mm.MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        mm.resize_images(df, width=2, height=2, strict=True).collect()
+    # plumbing mode passes through
+    rows = mm.resize_images(df, width=2, height=2).collect()
+    assert bytes(rows[0]["payload"]) == b"\xff\xd8\xff"
+
+
+def test_sample_frames_explodes_videos(spark):
+    # video: five 2x2 frames, frame f filled with byte value f
+    frames = b"".join(bytes([f] * 4) for f in range(5))
+    df = spark.createDataFrame(
+        [(7, "video", bytearray(frames), 2, 2, len(frames)),
+         (8, "image", bytearray(b"\x00" * 4), 2, 2, 4)],
+        mm.MEDIA_SCHEMA,
+    )
+    rows = mm.sample_frames(df, every_n=2).collect()
+    assert [(r["media_id"], r["frame_index"]) for r in sorted(rows, key=lambda r: r["frame_index"])] == [
+        (7, 0), (7, 2), (7, 4)
+    ]
+    for r in rows:
+        assert bytes(r["payload"]) == bytes([r["frame_index"]] * 4)
+
+
+def test_sample_frames_container_strict(spark):
+    # payload not a multiple of the frame size → container format
+    df = spark.createDataFrame(
+        [(9, "video", bytearray(b"\x00\x00\x00"), 2, 2, 3)],
+        mm.MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="NotImplementedError|ffmpeg"):
+        mm.sample_frames(df, strict=True).collect()
+    assert mm.sample_frames(df).count() == 0

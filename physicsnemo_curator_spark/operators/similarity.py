@@ -44,18 +44,36 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2(a) * l2(b))
 
 
-def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
+def _sql_of(c: Column | str) -> str:
+    """SQL fragment for a column reference.
+
+    Accepts a plain name/SQL string, or a Column whose JVM
+    representation prints as SQL (simple references and casts do —
+    every call site here passes those).
+    """
+    return c if isinstance(c, str) else c._jc.toString()
+
+
+def dot_unrolled(a: Column | str, b: Column | str, dim: int) -> Column:
     """Σ a_i·b_i as a flat, left-to-right codegen expression.
 
     Same sequential summation order as :func:`dot` (bit-identical
     result), but whole-stage-codegen compiles it — ~an order of
     magnitude faster than interpreted higher-order functions on the
     brute-force scoring path.
+
+    Built as ONE parsed SQL string: constructing 64+ terms through
+    Column operators costs ~5 py4j round-trips per term and dominated
+    similarity-query *planning* time (~4 s per query at dim=64);
+    a single F.expr call is ~milliseconds.
     """
-    expr = F.lit(0.0)
-    for i in range(1, dim + 1):
-        expr = expr + F.element_at(a, i).cast("double") * F.element_at(b, i).cast("double")
-    return expr
+    sa, sb = _sql_of(a), _sql_of(b)
+    terms = "".join(
+        f" + CAST(element_at({sa}, {i}) AS DOUBLE)"
+        f" * CAST(element_at({sb}, {i}) AS DOUBLE)"
+        for i in range(1, dim + 1)
+    )
+    return F.expr("0.0D" + terms)
 
 
 def l2_unrolled(a: Column, dim: int) -> Column:

@@ -1300,7 +1300,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    model = mllib_ann.train_ivf(emb, k=8, seed=42, max_iter=5, sample_fraction=0.5)
+    model = mllib_ann.train_ivf_sample(emb, k=8, seed=42, sample_rows=512, iters=8)
     out = mllib_ann.ivf_topk(emb, qs, model, k=5, n_probe=3)
     return out.select(
         "query_id", "vec_id", _r6(F.col("cosine"), "cosine"), "rank"

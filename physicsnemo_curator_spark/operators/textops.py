@@ -75,15 +75,24 @@ def quality_score(text: Column) -> Column:
 
 def lang_id(text: Column) -> Column:
     """Pick the language whose stopword ratio is highest; 'unknown' when
-    every ratio is 0.  Deterministic tie-break by language code order."""
-    best_lang = F.lit("unknown")
-    best_score = F.lit(0.0)
-    for code in sorted(STOPWORDS):
-        score = stopword_ratio(text, code)
-        is_better = score > best_score
-        best_lang = F.when(is_better, F.lit(code)).otherwise(best_lang)
-        best_score = F.when(is_better, score).otherwise(best_score)
-    return best_lang
+    every ratio is 0.  Deterministic tie-break by language code order.
+
+    Built as ``array_max`` over (score, preference, code) structs —
+    struct comparison is lexicographic, so max score wins and ties fall
+    to the LOWEST code in sort order (preference = -index), exactly the
+    strict ``>`` chain semantics.  Each ratio subtree appears ONCE; the
+    equivalent when-chain duplicates every ratio in both condition and
+    branch, doubling the codegen expression per language."""
+    entries = [
+        F.struct(
+            stopword_ratio(text, code).alias("s"),
+            F.lit(-i).alias("p"),
+            F.lit(code).alias("c"),
+        )
+        for i, code in enumerate(sorted(STOPWORDS))
+    ]
+    best = F.array_max(F.array(*entries))
+    return F.when(best["s"] > 0.0, best["c"]).otherwise(F.lit("unknown"))
 
 
 def fingerprint(text: Column) -> Column:

@@ -307,6 +307,33 @@ ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
 """
 
 
+def q_a12_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form behind rollup/cube
+    (q_a6/q_a9); expressed through spark.sql because the DataFrame API
+    exposes only the rollup/cube shorthands."""
+    from physicsnemo_curator_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+               ROUND(SUM(l_quantity), 4) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        """
+    )
+
+
+ORACLE_A12 = """
+SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) cnt,
+       ROUND(SUM(l_quantity), 4) sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+"""
+
+
 def q_a7_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact fallback for approx_count_distinct (the approximate path is
     validated with an rsd bound in tests, not hash-matched)."""
@@ -751,6 +778,63 @@ SELECT c_custkey, UPPER(SUBSTRING(c_name, 1, 8)) name8,
        CAST(LENGTH(c_name) AS INT) name_len,
        CONCAT(c_mktsegment, '_', c_name) seg_name
 FROM customer ORDER BY c_custkey LIMIT 100
+"""
+
+
+def q_str3_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex surface (extract / replace / split-index) — the pattern
+    layer behind the reference's glob key-filters and the text-pipeline
+    tokenizers, as plain codegen expressions."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    j = customer.join(orders, customer.c_custkey == orders.o_custkey)
+    return (
+        j.select(
+            "o_orderkey",
+            F.regexp_extract("c_name", r"([0-9]+)$", 1).alias("name_num"),
+            F.regexp_replace("c_name", "[0-9]", "x").alias("masked"),
+            F.split(F.col("o_orderpriority"), "-").getItem(0).alias("prio_code"),
+        )
+        .orderBy("o_orderkey")
+        .limit(100)
+    )
+
+
+ORACLE_STR3 = """
+SELECT o_orderkey, regexp_extract(c_name, '([0-9]+)$', 1) name_num,
+       regexp_replace(c_name, '[0-9]', 'x', 'g') masked,
+       string_split(o_orderpriority, '-')[1] prio_code
+FROM customer JOIN orders ON c_custkey = o_custkey
+ORDER BY o_orderkey LIMIT 100
+"""
+
+
+def q_d2_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date kernel surface beyond the year split key (q_d1): month
+    truncation (NetCDF split granularity), day deltas, weekday, and
+    month-end — all codegen date arithmetic."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderkey",
+            F.trunc("o_orderdate", "month").alias("month_start"),
+            F.datediff(F.lit("1998-01-01").cast("date"), F.col("o_orderdate")).alias(
+                "days_to_98"
+            ),
+            F.dayofweek("o_orderdate").alias("dow"),
+            F.last_day("o_orderdate").alias("month_end"),
+        )
+        .orderBy("o_orderkey")
+        .limit(100)
+    )
+
+
+ORACLE_D2 = """
+SELECT o_orderkey, date_trunc('month', o_orderdate) month_start,
+       CAST(date_diff('day', o_orderdate, DATE '1998-01-01') AS INT) days_to_98,
+       CAST(dayofweek(o_orderdate) + 1 AS INT) dow,
+       last_day(o_orderdate) month_end
+FROM orders ORDER BY o_orderkey LIMIT 100
 """
 
 
@@ -1366,6 +1450,9 @@ QUERIES: dict[str, QuerySpec] = {
     "q_a7_distinct_exact": QuerySpec(q_a7_distinct_exact, ORACLE_A7),
     "q_a8_welford_state": QuerySpec(q_a8_welford_state, ORACLE_A8),
     "q_a9_cube": QuerySpec(q_a9_cube, ORACLE_A9),
+    "q_a12_grouping_sets": QuerySpec(q_a12_grouping_sets, ORACLE_A12),
+    "q_str3_regexp": QuerySpec(q_str3_regexp, ORACLE_STR3),
+    "q_d2_date_functions": QuerySpec(q_d2_date_functions, ORACLE_D2),
     "q_a10_pivot_mean": QuerySpec(q_a10_pivot_mean, ORACLE_A10),
     "q_a11_heavy_hitters": QuerySpec(q_a11_heavy_hitters, ORACLE_A11),
     "q_str2_like_pushdown": QuerySpec(q_str2_like_pushdown, ORACLE_STR2),

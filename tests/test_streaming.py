@@ -115,3 +115,60 @@ def test_session_windows(spark, sf_dir, tmp_path):
     assert len(rows) > 0
     total = sum(r["cnt"] for r in rows)
     assert total == batch.count()
+
+
+def test_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Stop a streaming query mid-source and restart it from its
+    checkpoint: the file sink must contain every input row exactly once.
+
+    This is the Structured Streaming form of the reference's
+    checkpoint/resume guarantee (pipeline_store.is_completed +
+    test_checkpoint.py semantics): progress is tracked in the
+    checkpoint, completed work is never redone, pending work resumes.
+    """
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+
+    spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "id long, v double"
+    ).coalesce(1).write.parquet(str(src / "batch0"))
+
+    stream = (
+        spark.readStream.schema("id long, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    writer = lambda df: (
+        df.selectExpr("id", "v * 2 AS v2")
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+    )
+    q = writer(stream).start()
+    q.awaitTermination(120)
+
+    first = spark.read.parquet(str(out))
+    assert first.count() == 100
+
+    # new data arrives while the query is down
+    spark.createDataFrame(
+        [(i, float(i)) for i in range(100, 150)], "id long, v double"
+    ).coalesce(1).write.parquet(str(src / "batch1"))
+
+    # restart from the same checkpoint — a NEW query object
+    stream2 = (
+        spark.readStream.schema("id long, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q2 = writer(stream2).start()
+    q2.awaitTermination(120)
+
+    rows = spark.read.parquet(str(out)).collect()
+    # every row exactly once: batch0 NOT reprocessed, batch1 picked up
+    assert len(rows) == 150
+    assert sorted(r["id"] for r in rows) == list(range(150))
+    assert all(r["v2"] == 2.0 * r["id"] for r in rows)

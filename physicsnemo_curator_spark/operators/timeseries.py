@@ -97,3 +97,66 @@ def sessionize(
         .over(w.rowsBetween(Window.unboundedPreceding, 0))
         .alias("session_id"),
     )
+
+
+def rollup_cascade(
+    df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    levels: tuple[str, ...] = ("hour", "day"),
+) -> dict[str, DataFrame]:
+    """Hypertable-style continuous-aggregate cascade: mergeable moment
+    state at the finest time bucket, every coarser level re-aggregated
+    from the finer level's STATE — raw rows are scanned exactly once.
+
+    State per bucket is (n, Σv, Σv², Σv³, Σv⁴, min, max) — the power-sum
+    form of the reference's resumable Welford state (``stats.py:96-102``,
+    see stats.welford_state): states merge by plain addition, so an
+    incremental refresh of a new hour folds into the day/month levels
+    without touching history.  At 100 TB this is the difference between
+    re-aggregating a day (rescan) and summing 24 rows per key.
+    """
+    v = F.col(value_col)
+    state = df.groupBy(
+        F.date_trunc(levels[0], F.col(ts_col)).alias("bucket")
+    ).agg(
+        F.count(v).alias("n"),
+        F.sum(v).alias("s1"),
+        F.sum(v * v).alias("s2"),
+        F.sum(v * v * v).alias("s3"),
+        F.sum(v * v * v * v).alias("s4"),
+        F.min(v).alias("vmin"),
+        F.max(v).alias("vmax"),
+    )
+    out = {levels[0]: state}
+    for lvl in levels[1:]:
+        state = state.groupBy(
+            F.date_trunc(lvl, F.col("bucket")).alias("bucket")
+        ).agg(
+            F.sum("n").alias("n"),
+            F.sum("s1").alias("s1"),
+            F.sum("s2").alias("s2"),
+            F.sum("s3").alias("s3"),
+            F.sum("s4").alias("s4"),
+            F.min("vmin").alias("vmin"),
+            F.max("vmax").alias("vmax"),
+        )
+        out[lvl] = state
+    return out
+
+
+def finalize_rollup(state: DataFrame) -> DataFrame:
+    """(bucket, n, mean, var_pop, vmin, vmax) from cascade state —
+    population variance per the reference's finalize semantics."""
+    n = F.col("n").cast("double")
+    mean = F.col("s1") / n
+    m2 = F.col("s2") / n - mean * mean
+    return state.select(
+        "bucket",
+        "n",
+        mean.alias("mean"),
+        F.greatest(m2, F.lit(0.0)).alias("var_pop_v"),
+        "vmin",
+        "vmax",
+    )

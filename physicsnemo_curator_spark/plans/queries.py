@@ -1022,6 +1022,34 @@ ORDER BY c.event_id LIMIT 200
 """
 
 
+def q_ts_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style rollup cascade: hourly mergeable state folded
+    into daily stats WITHOUT rescanning raw rows (timeseries.
+    rollup_cascade); the oracle aggregates the raw table directly, so a
+    hash match proves state merging is exact."""
+    events = _t(spark, sf_dir, "events")
+    daily = timeseries.rollup_cascade(
+        events, ts_col="ts", value_col="value", levels=("hour", "day")
+    )["day"]
+    out = timeseries.finalize_rollup(daily)
+    return out.select(
+        F.col("bucket").cast("date").alias("day"),
+        "n",
+        _r6(F.col("mean"), "mean"),
+        _r6(F.col("var_pop_v"), "var_pop_v"),
+        _r6(F.col("vmin"), "vmin"),
+        _r6(F.col("vmax"), "vmax"),
+    ).orderBy("day")
+
+
+ORACLE_TS_ROLLUP = """
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day, CAST(COUNT(*) AS BIGINT) n,
+       ROUND(AVG(value), 6) mean, ROUND(VAR_POP(value), 6) var_pop_v,
+       ROUND(MIN(value), 6) vmin, ROUND(MAX(value), 6) vmax
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_w4_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization (lag + cumsum gap>threshold) — the batch
     twin of streaming session_window."""
@@ -1482,6 +1510,7 @@ QUERIES: dict[str, QuerySpec] = {
     "q_st1_tumbling_window": QuerySpec(q_st1_tumbling_window, ORACLE_ST1),
     "q_st2_sliding_stats": QuerySpec(q_st2_sliding_stats, ORACLE_ST2),
     "q_ts_asof_join": QuerySpec(q_ts_asof_join, ORACLE_ASOF),
+    "q_ts_rollup_daily": QuerySpec(q_ts_rollup_daily, ORACLE_TS_ROLLUP),
     "q_w4_sessionize": QuerySpec(q_w4_sessionize, ORACLE_SESSIONIZE),
     "q_w5_group_zscore": QuerySpec(q_w5_group_zscore, ORACLE_W5),
     "q_median_exact": QuerySpec(q_median_exact, ORACLE_MEDIAN),

@@ -120,3 +120,36 @@ def test_atomic_offsets_and_stats(spark):
     got = {r["system_id"]: r["n_atoms"] for r in info.collect()}
     want = {r["system_id"]: r["natoms"] for r in systems.collect()}
     assert got == want
+
+
+def test_rollup_cascade_state_merge_exact(spark, sf_dir):
+    """Daily stats derived from hourly state must equal direct daily
+    aggregation of raw rows — state merging loses nothing."""
+    from physicsnemo_curator_spark.operators.timeseries import (
+        finalize_rollup,
+        rollup_cascade,
+    )
+    from physicsnemo_curator_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    daily_from_state = {
+        r["bucket"]: (r["n"], round(r["mean"], 9), round(r["var_pop_v"], 6),
+                      r["vmin"], r["vmax"])
+        for r in finalize_rollup(
+            rollup_cascade(events, levels=("hour", "day"))["day"]
+        ).collect()
+    }
+    direct = {
+        r["bucket"]: (r["n"], round(r["mean"], 9), round(r["var"], 6),
+                      r["vmin"], r["vmax"])
+        for r in events.groupBy(
+            F.date_trunc("day", F.col("ts")).alias("bucket")
+        ).agg(
+            F.count("value").alias("n"),
+            F.avg("value").alias("mean"),
+            F.var_pop("value").alias("var"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+        ).collect()
+    }
+    assert daily_from_state == direct

@@ -215,3 +215,44 @@ def with_text_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(t).alias("lang_pred"),
         fingerprint(t).alias("fingerprint"),
     )
+
+
+def winnow_fingerprints(
+    text: Column, *, k: int = 8, window: int = 4
+) -> Column:
+    """Winnowing document fingerprints: md5 over every k-gram, then the
+    minimum hash of each sliding window of ``window`` consecutive
+    k-grams, deduplicated.
+
+    The classic rolling-hash fingerprint selection (MOSS-style
+    winnowing): any two documents sharing a sufficiently long substring
+    share a selected fingerprint.  The textbook Rabin rolling hash is
+    an O(1)-per-position trick for sequential scanners; a vectorized
+    engine hashes each k-gram independently (md5 here, so the DuckDB
+    oracle can replay it byte-for-byte) — selection semantics are
+    identical.  Short-doc edges are explicit: fewer than ``window``
+    k-grams → one window over all of them; empty/sub-k text → no
+    fingerprints (Spark's ``sequence`` is inclusive and DESCENDS on
+    empty ranges, so every range is guarded).
+    """
+    n_grams = F.length(text) - k + 1
+    grams = F.when(
+        n_grams >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.md5(text.substr(i, F.lit(k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_h = F.size(grams)
+    mins = (
+        F.when(
+            n_h >= window,
+            F.transform(
+                F.sequence(F.lit(1), n_h - window + 1),
+                lambda i: F.array_min(F.slice(grams, i, window)),
+            ),
+        )
+        .when(n_h >= 1, F.array(F.array_min(grams)))
+        .otherwise(F.array().cast("array<string>"))
+    )
+    return F.array_distinct(mins)

@@ -1235,6 +1235,48 @@ FROM documents ORDER BY doc_id LIMIT 200
 """
 
 
+def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (MOSS-style k-gram rolling-hash selection,
+    textops.winnow_fingerprints): per-doc count of selected fingerprints
+    and the lexicographic minimum, hash-matched against a DuckDB replay
+    of the identical md5 k-gram + window-min selection."""
+    docs = _t(spark, sf_dir, "documents")
+    fps = textops.winnow_fingerprints(F.col("text"), k=8, window=4)
+    return (
+        docs.select(
+            "doc_id",
+            F.size(fps).alias("n_fps"),
+            F.array_min(fps).alias("min_fp"),
+        )
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
+ORACLE_TEXT_WINNOW = """
+WITH g AS (
+  SELECT doc_id,
+         CASE WHEN length(text) >= 8
+              THEN list_transform(range(1, length(text) - 8 + 2),
+                                  i -> md5(text[i:i+7]))
+              ELSE [] END AS hashes
+  FROM documents
+),
+w AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(hashes) >= 4
+                THEN list_transform(range(1, len(hashes) - 4 + 2),
+                                    i -> list_min(hashes[i:i+3]))
+                WHEN len(hashes) >= 1 THEN [list_min(hashes)]
+                ELSE [] END) AS fps
+  FROM g
+)
+SELECT doc_id, CAST(len(fps) AS INT) n_fps, list_min(fps) min_fp
+FROM w ORDER BY doc_id LIMIT 200
+"""
+
+
 def q_text_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic + quality score (north-star text analysis):
     stopword-ratio argmax over 4 languages and the 3-term quality gate,
@@ -1518,6 +1560,7 @@ QUERIES: dict[str, QuerySpec] = {
     "q_dedup_exact": QuerySpec(q_dedup_exact, ORACLE_DEDUP_EXACT),
     "q_dedup_ngram_jaccard": QuerySpec(q_dedup_ngram_jaccard, ORACLE_NGRAM_JACCARD),
     "q_text_features": QuerySpec(q_text_features, ORACLE_TEXT_FEATURES),
+    "q_text_winnow": QuerySpec(q_text_winnow, ORACLE_TEXT_WINNOW),
     "q_text_lang_quality": QuerySpec(q_text_lang_quality, ORACLE_TEXT_LANG),
     "q_text_vocab": QuerySpec(q_text_vocab, ORACLE_TEXT_VOCAB),
     "q_text_tfidf_sim": QuerySpec(q_text_tfidf_sim, ORACLE_TFIDF_SIM),

@@ -80,3 +80,31 @@ def test_simhash_hamming_similarity(spark):
     groups = {r["doc_id"]: r["canonical_id"] for r in dedup.simhash_duplicates(docs).collect()}
     assert groups[0] == groups[1] == 0
     assert groups[2] == 2
+
+
+def test_winnow_fingerprints_shared_substring(spark):
+    """Documents sharing a long substring share a winnowing fingerprint;
+    unrelated documents (different alphabets) share none; short-doc
+    edges behave (one window below `window`, empty below `k`)."""
+    from physicsnemo_curator_spark.operators.textops import winnow_fingerprints
+    from pyspark.sql import functions as F
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (0, f"AAA {shared} BBB"),
+        (1, f"xyz {shared} qqq"),
+        (2, "0123456789" * 5),   # digits only — disjoint k-grams
+        (3, "tiny"),              # shorter than k=8 → no fingerprints
+        (4, "exactly9!"),         # 2 k-grams < window=4 → one window
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {
+        r["doc_id"]: set(r["fps"])
+        for r in df.select(
+            "doc_id", winnow_fingerprints(F.col("text")).alias("fps")
+        ).collect()
+    }
+    assert out[0] & out[1], "shared substring must share fingerprints"
+    assert not (out[0] & out[2])
+    assert out[3] == set()
+    assert len(out[4]) == 1

@@ -83,3 +83,29 @@ def test_topk_uses_takeordered(spark, sf_dir):
     # global sort of the whole aggregate output
     plan = plan_of(spark, "q_t1_topk", sf_dir)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_rollup_cascade_single_raw_scan(spark, sf_dir):
+    """The day level re-aggregates hourly STATE: exactly two hash
+    aggregations (hour, then day) and exactly one parquet scan of the
+    raw events table."""
+    plan = plan_of(spark, "q_ts_rollup_daily", sf_dir)
+    assert plan.count("Scan parquet") == 1
+    # partial+final per level = 4 HashAggregate nodes
+    assert plan.count("HashAggregate") == 4
+
+
+def test_winnow_is_scan_side_jvm_only(spark, sf_dir):
+    """Fingerprint selection runs inside the scan stage: no Python, no
+    shuffle before the (sort for) LIMIT."""
+    plan = plan_of(spark, "q_text_winnow", sf_dir)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_grouping_sets_expand(spark, sf_dir):
+    """GROUPING SETS lowers to Expand + one partial/final aggregate pair
+    — grouping replication happens map-side, not as repeated scans."""
+    plan = plan_of(spark, "q_a12_grouping_sets", sf_dir)
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") == 1

@@ -164,46 +164,67 @@ def constrained_delaunay(
     Returns (m, 3) indices into ``polygon``; triangle areas sum to the
     polygon area (asserted by tests, not here — keep the kernel pure).
     """
+    from collections import deque
+
     pts = np.asarray(polygon, dtype=np.float64)
     n = len(pts)
     tris = [tuple(t) for t in delaunay(pts)]
     constraints = [(i, (i + 1) % n) for i in range(n)]
 
+    def _crosses_constraint(e, a, b):
+        return (
+            a not in e
+            and b not in e
+            and _segments_cross(pts[e[0]], pts[e[1]], pts[a], pts[b])
+        )
+
     for a, b in constraints:
-        key = (min(a, b), max(a, b))
+        # Sloan's recovery: queue every edge crossing the constraint;
+        # flip convex quads (re-queueing new diagonals that still
+        # cross), defer non-convex quads to the back — the deferred edge
+        # becomes flippable after its neighborhood changes.  The greedy
+        # variant (always flip the first flippable edge, recompute from
+        # scratch) can ping-pong between two states forever.
+        edges = _edge_map(tris)
+        if (min(a, b), max(a, b)) in edges:
+            continue
+        queue = deque(e for e in edges if _crosses_constraint(e, a, b))
+        if not queue:
+            raise ValueError(
+                f"cannot recover constraint edge ({a},{b}); "
+                "polygon may be degenerate or self-intersecting"
+            )
         flips = 0
-        while key not in _edge_map(tris):
+        deferred = 0  # consecutive pops without a flip
+        while queue:
+            e = queue.popleft()
             edges = _edge_map(tris)
-            crossing = [
-                e
-                for e, owners in edges.items()
-                if len(owners) == 2
-                and a not in e
-                and b not in e
-                and _segments_cross(pts[e[0]], pts[e[1]], pts[a], pts[b])
-            ]
-            if not crossing:
-                raise ValueError(
-                    f"cannot recover constraint edge ({a},{b}); "
-                    "polygon may be degenerate or self-intersecting"
-                )
-            progressed = False
-            for c, d in crossing:
-                t1, t2 = edges[(c, d)]
-                u = next(v for v in tris[t1] if v not in (c, d))
-                v = next(w for w in tris[t2] if w not in (c, d))
-                # the flip is valid only when the quad c-u-d-v is convex,
-                # i.e. the new diagonal u-v actually crosses c-d
-                if not _segments_cross(pts[u], pts[v], pts[c], pts[d]):
-                    continue
-                for ti, tri in ((t1, (u, v, c)), (t2, (u, v, d))):
-                    tris[ti] = tri
-                progressed = True
-                break
+            if e not in edges or len(edges[e]) != 2:
+                continue  # edge no longer exists / became boundary
+            if not _crosses_constraint(e, a, b):
+                continue  # a previous flip resolved it
+            c, d = e
+            t1, t2 = edges[e]
+            u = next(x for x in tris[t1] if x not in (c, d))
+            v = next(x for x in tris[t2] if x not in (c, d))
+            if not _segments_cross(pts[u], pts[v], pts[c], pts[d]):
+                queue.append(e)  # non-convex quad — retry later
+                deferred += 1
+                if deferred > len(queue) + 1:
+                    raise ValueError(
+                        f"edge recovery stalled for constraint ({a},{b})"
+                    )
+                continue
+            deferred = 0
+            tris[t1] = (u, v, c)
+            tris[t2] = (u, v, d)
+            new = (min(u, v), max(u, v))
+            if _crosses_constraint(new, a, b):
+                queue.append(new)
             flips += 1
-            if not progressed or flips > max_flips:
+            if flips > max_flips:
                 raise ValueError(
-                    f"edge recovery stalled for constraint ({a},{b})"
+                    f"edge recovery exceeded {max_flips} flips for ({a},{b})"
                 )
 
     # drop exterior triangles: centroid even-odd test against the loop

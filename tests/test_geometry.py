@@ -159,3 +159,32 @@ def test_triangulate_loops_operator(spark):
             (xa, ya), (xb, yb), (xc, yc) = coords[a], coords[b], coords[c]
             area += abs((xb - xa) * (yc - ya) - (yb - ya) * (xc - xa)) / 2
         assert area == pytest.approx(want)
+
+
+def test_constrained_delaunay_random_star_polygons():
+    """Randomized robustness: star-shaped polygons (sorted random angles,
+    random radii, every angular gap < 180°) are always simple, so every
+    one must triangulate to an exact area tiling with all boundary edges
+    present.  (A gap ≥ 180° lets the chord pass on the far side of the
+    center and the polygon can self-intersect — those are rejected, as
+    the kernel documents simple input.)"""
+    rng = np.random.default_rng(42)
+    for trial in range(20):
+        n = int(rng.integers(4, 24))
+        angles = np.sort(rng.uniform(0, 2 * np.pi, size=n))
+        gaps = np.diff(angles, append=angles[0] + 2 * np.pi)
+        # reject slivers and >180-degree gaps (self-intersection risk)
+        if np.min(gaps) < 1e-3 or np.max(gaps) >= np.pi - 1e-6:
+            continue
+        radii = rng.uniform(0.2, 1.0, size=n)
+        poly = np.c_[radii * np.cos(angles), radii * np.sin(angles)]
+        tris = constrained_delaunay(poly)
+        assert _area(poly, tris) == pytest.approx(_shoelace(poly), rel=1e-9), trial
+        tri_edges = {
+            (min(a, b), max(a, b))
+            for t in tris
+            for a, b in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0]))
+        }
+        for i in range(n):
+            e = (min(i, (i + 1) % n), max(i, (i + 1) % n))
+            assert e in tri_edges, (trial, e)

@@ -410,3 +410,71 @@ def simhash_near_duplicates(
     return pairs.select(
         "a", "b", hamming64(F.col("_sa"), F.col("_sb")).alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def winnow_candidate_pairs(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+    max_df: int = 50,
+) -> DataFrame:
+    """Candidate pairs from shared winnowing fingerprints.
+
+    The MOSS pairing rule: two documents sharing any selected k-gram
+    fingerprint (textops.winnow_fingerprint_table) share a ≥k-char
+    substring and become a candidate pair.  Long table → self-join on
+    fingerprint → distinct, so shuffle volume is rows ×
+    fingerprints-per-doc — the substring-overlap analog of MinHash
+    banding (set overlap) and SimHash banding (bit-vector proximity).
+
+    ``max_df`` drops fingerprints shared by more than that many
+    documents before pairing (MOSS does the same): boilerplate
+    substrings otherwise contribute df² pairs each — the winnowing
+    analog of stopword pruning, and what keeps the pair count bounded
+    at corpus scale."""
+    from physicsnemo_curator_spark.operators.textops import (
+        winnow_fingerprint_table,
+    )
+
+    fps = winnow_fingerprint_table(
+        docs, text_col=text_col, id_col=id_col, k=k, window=window
+    ).select(F.col(id_col).alias("_id"), "fp")
+    from pyspark.sql import Window as _W
+
+    fps = (
+        fps.withColumn("_df", F.count(F.lit(1)).over(_W.partitionBy("fp")))
+        .filter(F.col("_df") <= max_df)
+        .drop("_df")
+    )
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a._id") < F.col("b._id")))
+        .select(F.col("a._id").alias("a"), F.col("b._id").alias("b"))
+        .distinct()
+    )
+
+
+def winnow_near_duplicates(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Winnowing-candidates + exact-Jaccard verify ≥ threshold.
+
+    Same verify stage as minhash_near_duplicates, different candidate
+    generator: fingerprints catch shared literal substrings (plagiarism/
+    boilerplate style overlap), MinHash catches shingle-set similarity —
+    complementary recall profiles over the same pair-verify machinery."""
+    cand = winnow_candidate_pairs(
+        docs, text_col=text_col, id_col=id_col, k=k, window=window
+    ).persist()
+    sh = shingle_table(docs, text_col, id_col, shingle_k, unit="word").persist()
+    return jaccard_pairs(sh, cand).filter(F.col("jaccard") >= F.lit(threshold))

@@ -256,3 +256,55 @@ def winnow_fingerprints(
         .otherwise(F.array().cast("array<string>"))
     )
     return F.array_distinct(mins)
+
+
+def winnow_fingerprint_table(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Distinct selected fingerprints as a long table ``(id, fp)``.
+
+    Same selection as :func:`winnow_fingerprints`, but linear and
+    corpus-scale: k-gram hashes explode to rows and the window minimum
+    is a JVM window function over positions.  The Column form is
+    quadratic on long texts TWICE over — any non-lambda-variable
+    subexpression inside a higher-order-function lambda re-evaluates
+    per element, and even when staged through a projection,
+    InferFiltersFromGenerate pushes a ``size(...) > 0`` filter down
+    that re-inlines the whole nested expression.  Here every pushed
+    copy of the gram transform is linear, and the only shuffle keys on
+    ``id`` (documents with no k-grams simply have no rows).
+    """
+    text = F.col(text_col)
+    n_grams = F.length(text) - k + 1
+    grams = F.when(
+        n_grams >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.md5(text.substr(i, F.lit(k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = docs.select(F.col(id_col), F.posexplode(grams).alias("pos", "h"))
+    from pyspark.sql import Window
+
+    by_doc = Window.partitionBy(id_col)
+    sliding = (
+        Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
+    )
+    enriched = g.select(
+        F.col(id_col),
+        "pos",
+        F.min("h").over(sliding).alias("fp"),
+        F.count(F.lit(1)).over(by_doc).alias("_n"),
+    )
+    # posexplode positions are 0-based: full windows start at
+    # pos ∈ [0, n-window]; short docs keep only the window at pos 0
+    kept = enriched.filter(
+        ((F.col("_n") >= window) & (F.col("pos") <= F.col("_n") - window))
+        | ((F.col("_n") < window) & (F.col("pos") == 0))
+    )
+    return kept.select(F.col(id_col), "fp").distinct()

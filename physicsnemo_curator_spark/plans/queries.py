@@ -1237,16 +1237,22 @@ FROM documents ORDER BY doc_id LIMIT 200
 
 def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (MOSS-style k-gram rolling-hash selection,
-    textops.winnow_fingerprints): per-doc count of selected fingerprints
-    and the lexicographic minimum, hash-matched against a DuckDB replay
-    of the identical md5 k-gram + window-min selection."""
+    textops.winnow_fingerprint_table — the linear explode+window form):
+    per-doc count of selected fingerprints and the lexicographic
+    minimum, hash-matched against a DuckDB replay of the identical md5
+    k-gram + window-min selection."""
     docs = _t(spark, sf_dir, "documents")
-    fps = textops.winnow_fingerprints(F.col("text"), k=8, window=4)
+    fpt = textops.winnow_fingerprint_table(docs, k=8, window=4)
+    agg = fpt.groupBy("doc_id").agg(
+        F.count("fp").cast("int").alias("n_fps"), F.min("fp").alias("min_fp")
+    )
     return (
-        docs.select(
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
             "doc_id",
-            F.size(fps).alias("n_fps"),
-            F.array_min(fps).alias("min_fp"),
+            F.coalesce(F.col("n_fps"), F.lit(0)).alias("n_fps"),
+            "min_fp",
         )
         .orderBy("doc_id")
         .limit(200)

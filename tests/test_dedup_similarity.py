@@ -108,3 +108,24 @@ def test_winnow_fingerprints_shared_substring(spark):
     assert not (out[0] & out[2])
     assert out[3] == set()
     assert len(out[4]) == 1
+
+
+def test_winnow_near_duplicates_recall_vs_exact(spark, sf_correctness_dir):
+    """Winnow-candidate near-dup must recover most exact-Jaccard pairs
+    at the same threshold (near-dups share long substrings)."""
+    from physicsnemo_curator_spark.operators import dedup
+    from physicsnemo_curator_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_correctness_dir, "documents").limit(300)
+    sh = dedup.shingle_table(docs, "text", "doc_id", 3, unit="word")
+    exact = {
+        (r["a"], r["b"])
+        for r in dedup.jaccard_pairs(sh).filter("jaccard >= 0.8").collect()
+    }
+    got = {
+        (r["a"], r["b"])
+        for r in dedup.winnow_near_duplicates(docs, threshold=0.8).collect()
+    }
+    assert got <= exact or not exact  # verify stage guarantees precision 1
+    if exact:
+        assert len(got & exact) / len(exact) >= 0.8

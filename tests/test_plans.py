@@ -95,12 +95,13 @@ def test_rollup_cascade_single_raw_scan(spark, sf_dir):
     assert plan.count("HashAggregate") == 4
 
 
-def test_winnow_is_scan_side_jvm_only(spark, sf_dir):
-    """Fingerprint selection runs inside the scan stage: no Python, no
-    shuffle before the (sort for) LIMIT."""
+def test_winnow_is_jvm_only(spark, sf_dir):
+    """Fingerprint selection is pure JVM (explode + window min): no
+    Python anywhere; two scans of the narrow documents table (one for
+    the fingerprint stream, one to keep zero-fingerprint docs)."""
     plan = plan_of(spark, "q_text_winnow", sf_dir)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    assert plan.count("Scan parquet") == 1
+    assert plan.count("Scan parquet") == 2
 
 
 def test_grouping_sets_expand(spark, sf_dir):

@@ -67,9 +67,15 @@ def dedup_exact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     return docs.join(keep, docs[id_col] == keep["doc_id"], "left_semi")
 
 
-def char_shingles(text: Column, k: int = 5) -> Column:
-    """Distinct k-character shingles of the normalized text."""
-    norm = normalize_text(text)
+def char_shingles(text: Column, k: int = 5, *, normalized: bool = False) -> Column:
+    """Distinct k-character shingles of the normalized text.
+
+    Pass ``normalized=True`` with a pre-materialized normalized-text
+    ATTRIBUTE (a real column, not an expression): the substr lambda
+    references its base per element, and a non-attribute base (the
+    normalize regex) would re-evaluate per shingle — O(len²) per doc.
+    """
+    norm = text if normalized else normalize_text(text)
     n = F.length(norm)
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
     return F.array_distinct(F.transform(idx, lambda i: norm.substr(i, F.lit(k))))
@@ -111,9 +117,15 @@ def shingle_table(
     """
     docs = rebalance_narrow(docs, id_col)
     if unit == "char":
-        return docs.select(
+        staged = docs.select(
             F.col(id_col).alias("doc_id"),
-            F.explode(char_shingles(F.col(text_col), k)).alias("shingle"),
+            normalize_text(F.col(text_col)).alias("_norm"),
+        )
+        return staged.select(
+            "doc_id",
+            F.explode(
+                char_shingles(F.col("_norm"), k, normalized=True)
+            ).alias("shingle"),
         ).distinct()
     toked = docs.select(
         F.col(id_col).alias("doc_id"),

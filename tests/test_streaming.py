@@ -172,3 +172,51 @@ def test_checkpoint_restart_exactly_once(spark, tmp_path):
     assert len(rows) == 150
     assert sorted(r["id"] for r in rows) == list(range(150))
     assert all(r["v2"] == 2.0 * r["id"] for r in rows)
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
+    """Watermarked stream-stream interval join drains to the same rows
+    as the identical batch join (clicks x purchases within 1 hour
+    before each click, per user)."""
+    from physicsnemo_curator_spark.streaming.joins import interval_join
+
+    path = _events_dir(spark, sf_dir, tmp_path)
+    batch = spark.read.parquet(path)
+    clicks_b = batch.filter("event_type = 'click'")
+    purch_b = batch.filter("event_type = 'purchase'")
+
+    def key_rows(df):
+        return sorted(
+            (r["l_id"], r["r_id"])
+            for r in df.selectExpr(
+                "l.event_id AS l_id", "r.event_id AS r_id"
+            ).collect()
+        )
+
+    expected = key_rows(
+        interval_join(clicks_b, purch_b, upper_seconds=3600)
+    )
+    assert expected, "fixture should produce at least one joined pair"
+
+    schema = batch.schema
+    clicks_s = spark.readStream.schema(schema).parquet(path).filter(
+        "event_type = 'click'"
+    )
+    purch_s = spark.readStream.schema(schema).parquet(path).filter(
+        "event_type = 'purchase'"
+    )
+    joined = interval_join(clicks_s, purch_s, upper_seconds=3600)
+    out = str(tmp_path / "join_out")
+    q = (
+        joined.selectExpr("l.event_id AS l_id", "r.event_id AS r_id")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "join_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r["l_id"], r["r_id"]) for r in spark.read.parquet(out).collect()
+    )
+    assert got == expected

@@ -137,40 +137,63 @@ def shingle_table(
 
 
 def minhash_signatures(
-    shingles: DataFrame, num_hashes: int = 32, seed: int = 42
+    shingles: DataFrame,
+    num_hashes: int = 32,
+    seed: int = 42,
+    *,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """K minhashes per doc: h_i = min over shingles of xxhash64(shingle, seed+i).
+    """K minhashes per doc: h_i = min over shingles of hash_i(shingle).
 
     One groupBy(doc_id) with K min-aggregates — partial aggregation
     makes the shuffle O(docs × K), independent of shingle count.
+
+    hash_fn='xxhash64' (default, fastest) salts with seed+i;
+    hash_fn='md5' takes the lexicographic min of md5(shingle || ':' || i)
+    hex strings — slower, but bit-for-bit reproducible in any engine
+    with an md5() (the DuckDB correctness oracle replays it).
     """
-    aggs = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(seed + i))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
+    if hash_fn == "md5":
+        aggs = [
+            F.min(F.md5(F.concat(F.col("shingle"), F.lit(f":{i}")))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        aggs = [
+            F.min(F.xxhash64(F.col("shingle"), F.lit(seed + i))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
     return shingles.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, num_hashes: int = 32, bands: int = 8
+    signatures: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    *,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Band the signature; docs sharing any full band become candidates.
 
     Bucket key = (band_index, hash of the band's rows) so the
     self-join runs bucket-local.  Returns distinct (a, b) with a < b.
+    hash_fn='md5' keys buckets on md5(concat_ws('|', band rows)) so the
+    DuckDB oracle can derive identical buckets.
     """
     rows_per_band = num_hashes // bands
+
+    def bucket(b: int) -> Column:
+        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        if hash_fn == "md5":
+            return F.md5(F.concat_ws("|", *cols))
+        return F.xxhash64(*cols)
+
     banded = signatures.select(
         "doc_id",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-                        ).alias("bucket"),
-                    )
+                    F.struct(F.lit(b).alias("band"), bucket(b).alias("bucket"))
                     for b in range(bands)
                 ]
             )
@@ -240,6 +263,7 @@ def minhash_near_duplicates(
     threshold: float = 0.8,
     seed: int = 42,
     shingles: DataFrame | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → sign → band →
     candidates → exact-Jaccard verify ≥ threshold.  Returns (a, b,
@@ -247,7 +271,8 @@ def minhash_near_duplicates(
     the output hash-independent (deterministic given the data).
     Pass a prebuilt (ideally persisted) ``shingles`` table to share the
     shingling across operators (jaccard/minhash/simhash all consume the
-    same stream)."""
+    same stream).  hash_fn='md5' makes the candidate set itself
+    engine-reproducible (see minhash_signatures)."""
     sh = shingles
     if sh is None:
         sh = shingle_table(docs, text_col, id_col, shingle_k, unit=shingle_unit)
@@ -256,9 +281,21 @@ def minhash_near_duplicates(
         # semi-join — persist both so neither expensive subtree
         # recomputes (at cluster scale these spill, not recompute)
         sh = sh.persist()
-    sigs = minhash_signatures(sh, num_hashes, seed)
-    cand = lsh_candidate_pairs(sigs, num_hashes, bands).persist()
+    sigs = minhash_signatures(sh, num_hashes, seed, hash_fn=hash_fn)
+    cand = lsh_candidate_pairs(sigs, num_hashes, bands, hash_fn=hash_fn).persist()
     return jaccard_pairs(sh, cand).filter(F.col("jaccard") >= F.lit(threshold))
+
+
+def _feature_hash(col: Column, hash_fn: str) -> Column:
+    """64-bit (xxhash64) or 60-bit (md5) integer feature hash.
+
+    'md5_60' parses the first 15 hex chars of md5 — 60 bits, positive,
+    and reproducible in any engine with md5(): the DuckDB oracle
+    rebuilds the identical value via CAST('0x' || substr(md5(x),1,15)
+    AS BIGINT)."""
+    if hash_fn == "md5_60":
+        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    return F.xxhash64(col)
 
 
 def simhash(
@@ -267,6 +304,8 @@ def simhash(
     id_col: str = "doc_id",
     bits: int = 64,
     ngram: int = 2,
+    *,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """64-bit SimHash per doc: sign of the per-bit sum of feature-hash bits.
 
@@ -274,9 +313,13 @@ def simhash(
     unigrams weighted by occurrence count; ``ngram>=2`` → the distinct
     shingle set, which keeps word *order* — unigram token distributions
     are indistinguishable on small vocabularies).  Each feature
-    contributes ±weight per bit from xxhash64(feature); the whole
+    contributes ±weight per bit from the feature hash; the whole
     signature is one explode + one packed-counter groupBy, all JVM-side.
+    hash_fn='md5_60' (use with bits<=60) makes the signature
+    engine-reproducible for the correctness oracle.
     """
+    if hash_fn == "md5_60" and bits > 60:
+        raise ValueError("md5_60 feature hashes carry 60 bits; pass bits<=60")
     docs = rebalance_narrow(docs, id_col)
     if ngram <= 1:
         toks = (
@@ -286,7 +329,7 @@ def simhash(
             )
             .groupBy("doc_id", "tok")
             .agg(F.count(F.lit(1)).alias("w"))
-            .withColumn("th", F.xxhash64("tok"))
+            .withColumn("th", _feature_hash(F.col("tok"), hash_fn))
         )
     else:
         # weighted by occurrence: explode n-grams WITHOUT the distinct
@@ -302,7 +345,11 @@ def simhash(
             F.explode(word_ngrams(F.col("_toks"), ngram, distinct=False)).alias(
                 "_shingle"
             ),
-        ).select("doc_id", F.lit(1).alias("w"), F.xxhash64("_shingle").alias("th"))
+        ).select(
+            "doc_id",
+            F.lit(1).alias("w"),
+            _feature_hash(F.col("_shingle"), hash_fn).alias("th"),
+        )
     # Packed-counter aggregation: instead of one signed SUM per bit (64
     # aggregate buffers -> huge generated update loop, slow codegen AND
     # slow per-row update), pack 3 non-negative 21-bit "ones" counters
@@ -349,13 +396,20 @@ def simhash(
     return sig
 
 
-def simhash_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def simhash_duplicates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    bits: int = 64,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
     """Docs whose full SimHash collides (hamming distance 0) — grouped
     like exact_duplicates.  Banded hamming<k variants build on the same
     signature table."""
     # sig feeds two consumers (group agg + join-back); without persist
     # the whole shingle->aggregate subtree would execute twice
-    sig = simhash(docs, text_col, id_col).persist()
+    sig = simhash(docs, text_col, id_col, bits=bits, hash_fn=hash_fn).persist()
     groups = sig.groupBy("simhash").agg(
         F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("group_size")
     )
@@ -374,17 +428,19 @@ def simhash_near_duplicates(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     n_bands: int = 4,
+    bits: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dup pairs with hamming distance ≤ max_hamming.
 
-    Pigeonhole banding: split the 64-bit signature into ``n_bands``
-    16-bit blocks; any pair within hamming ≤ n_bands-1 must agree on at
-    least one whole block, so candidates come from block-equality
+    Pigeonhole banding: split the ``bits``-bit signature into
+    ``n_bands`` blocks; any pair within hamming ≤ n_bands-1 must agree
+    on at least one whole block, so candidates come from block-equality
     equi-joins (shuffle keyed on (band, block)), then exact hamming
     verifies.  Never enumerates all pairs.
     """
-    sig = simhash(docs, text_col, id_col).persist()
-    width = 64 // n_bands
+    sig = simhash(docs, text_col, id_col, bits=bits, hash_fn=hash_fn).persist()
+    width = bits // n_bands
     mask = (1 << width) - 1
     banded = sig.select(
         "doc_id",

@@ -167,6 +167,32 @@ def train_ivf_sample(
     return [[float(v) for v in c] for c in centers]
 
 
+def md5_sample_centroids(
+    corpus: DataFrame,
+    *,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic sample-init centroids: the embeddings of the k
+    corpus ids with the smallest md5(CAST(id AS STRING)).
+
+    This is IVF-flat with sampled-point initialization and no Lloyd
+    refinement — a real coarse-quantizer init strategy whose every step
+    (md5 order, raw float32 centroid components, argmin assignment) is
+    reproducible in the DuckDB correctness oracle, unlike RNG-seeded
+    KMeans.  Collect is k rows (driver-side by design, like
+    :func:`train_ivf_sample`).
+    """
+    rows = (
+        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))
+        .limit(k)
+        .collect()
+    )
+    return [[float(x) for x in r["_v"]] for r in rows]
+
+
 def _cell_udf(centers):
     """Nearest-centroid assignment as one numpy matmul per Arrow batch
     (same reasoning as similarity.lsh_banded: k×dim literal terms as

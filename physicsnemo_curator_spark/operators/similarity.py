@@ -111,14 +111,18 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k by cosine for each query vector.
 
     Broadcast-joins the query set (small) against the corpus (huge) —
     no corpus shuffle; the only wide op is the per-query top-k, done
     with a window over (query, score).  Deterministic tie-break on id.
+    Pass ``dim`` to skip the dimension-probe scan job (at 100 TB a
+    ``.first()`` is a full extra job per query).
     """
-    dim = _vec_dim(corpus, vec_col)
+    if dim is None:
+        dim = _vec_dim(corpus, vec_col)
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
     ).withColumn("_qnorm", l2_unrolled(F.col("_qvec"), dim))
@@ -144,6 +148,29 @@ def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[flo
     """Deterministic unit-ish gaussian hyperplanes (driver-side, tiny)."""
     rng = random.Random(seed)
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def md5_hyperplanes(dim: int, n_planes: int, tag: str = "p") -> list[list[float]]:
+    """Hyperplanes whose components are md5-derived dyadic rationals.
+
+    Component (i, j) = int(md5("{tag}:{i}:{j}")[:8 hex], 16) / 2^32 - 0.5
+    — uniform on [-0.5, 0.5), exactly representable in a double, and
+    reproducible in ANY engine with md5() (the DuckDB oracle rebuilds
+    the identical plane table in SQL), so the full LSH bucketing is
+    engine-checkable.  Statistically these behave like the gaussian
+    planes for sign-LSH (only the direction distribution matters).
+    """
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"{tag}:{i}:{j}".encode()).hexdigest()[:8], 16)
+            / 4294967296.0
+            - 0.5
+            for j in range(dim)
+        ]
+        for i in range(n_planes)
+    ]
 
 
 def signed_projection_bucket(vec: Column, plane: list[float]) -> Column:
@@ -179,6 +206,7 @@ def lsh_banded(
     n_bands: int = 8,
     bits_per_band: int = 4,
     seed: int = 42,
+    planes: list[list[float]] | None = None,
 ) -> DataFrame:
     """Multi-band hyperplane LSH: one (band, bucket) row per band.
 
@@ -191,13 +219,22 @@ def lsh_banded(
     pandas UDF as a single numpy matmul per batch — building them as
     Catalyst column expressions (thousands of literal terms) stalls
     plan analysis and falls out of codegen.
+
+    ``planes`` (n_bands*bits_per_band rows × dim) overrides the seeded
+    gaussian planes — pass :func:`md5_hyperplanes` output for an
+    oracle-reproducible bucketing.
     """
     from pyspark.sql.functions import pandas_udf
 
-    planes = []
-    for band in range(n_bands):
-        planes.extend(random_hyperplanes(dim, bits_per_band, seed + 1000 * band))
+    if planes is None:
+        planes = []
+        for band in range(n_bands):
+            planes.extend(random_hyperplanes(dim, bits_per_band, seed + 1000 * band))
     p_matrix = np.asarray(planes, dtype=np.float64)  # (n_bands*bits, dim)
+    if p_matrix.shape != (n_bands * bits_per_band, dim):
+        raise ValueError(
+            f"planes shape {p_matrix.shape} != ({n_bands * bits_per_band}, {dim})"
+        )
     weights = (1 << np.arange(bits_per_band, dtype=np.int64))
 
     @pandas_udf("array<int>")
@@ -226,13 +263,16 @@ def lsh_topk(
     n_bands: int = 8,
     bits_per_band: int = 4,
     seed: int = 42,
+    planes: list[list[float]] | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates from any shared (band, bucket),
     exact cosine re-rank over the deduped candidate set.  Raise recall
-    with more bands; shrink candidate sets with more bits per band."""
+    with more bands; shrink candidate sets with more bits per band.
+    ``planes`` as in :func:`lsh_banded`."""
     c = lsh_banded(
         corpus.withColumn("_cnorm", l2_unrolled(F.col(vec_col), dim)),
-        dim, vec_col=vec_col, n_bands=n_bands, bits_per_band=bits_per_band, seed=seed
+        dim, vec_col=vec_col, n_bands=n_bands, bits_per_band=bits_per_band,
+        seed=seed, planes=planes,
     )
     q = lsh_banded(
         queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qvec"))
@@ -242,6 +282,7 @@ def lsh_topk(
         n_bands=n_bands,
         bits_per_band=bits_per_band,
         seed=seed,
+        planes=planes,
     )
     cand = (
         c.join(F.broadcast(q), ["band", "bucket"])
@@ -276,15 +317,18 @@ def pairwise_near_duplicates(
     bits_per_band: int = 4,
     seed: int = 42,
     exact: bool = False,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (a < b, cosine ≥ threshold).
 
     exact=True does the full self-join (test scale / oracle); the
     default generates candidates from shared (band, bucket) keys so the
     self-join is band-local (multi-band recall amplification).
+    Pass ``dim`` to skip the dimension-probe scan job.
     """
     e = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
-    dim = _vec_dim(e, "vec")
+    if dim is None:
+        dim = _vec_dim(e, "vec")
     e = e.withColumn("_nrm", l2_unrolled(F.col("vec"), dim))
     if not exact:
         eb = lsh_banded(e, dim, vec_col="vec", seed=seed,

@@ -840,18 +840,26 @@ FROM orders ORDER BY o_orderkey LIMIT 100
 
 def q_arr1_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector-field assembly: collect + sort per parent (reference stacks
-    per-timestep fields into arrays, e.g. openradioss.py displacement_t*)."""
+    per-timestep fields into arrays, e.g. openradioss.py displacement_t*).
+    Emitted as a joined string so the result stays hashable for the
+    driver's pandas-side canonicalization (a raw array column crashes its
+    sort_values/hash step)."""
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_list("l_linenumber")).alias("linenumbers"))
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_list("l_linenumber")), ","
+            ).alias("linenumbers")
+        )
         .orderBy("l_orderkey")
         .limit(100)
     )
 
 
 ORACLE_ARR1 = """
-SELECT l_orderkey, list_sort(list(l_linenumber)) linenumbers
+SELECT l_orderkey,
+       array_to_string(list_sort(list(l_linenumber)), ',') linenumbers
 FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey LIMIT 100
 """
 
@@ -1435,36 +1443,125 @@ FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-band LSH ANN — the scale path for q_ann_cosine_topk
-    (candidates from shared (band, bucket), exact re-rank; rows-only:
-    recall < 1 by construction, pinned ≥ 0.5 vs exact in tests)."""
+    (candidates from shared (band, bucket), exact cosine re-rank).
+    Hyperplanes are md5-derived dyadic rationals
+    (similarity.md5_hyperplanes), so the whole bucketing — not just the
+    re-rank — replays exactly in the DuckDB oracle; the gaussian-plane
+    default stays recall-pinned vs exact in tests."""
     emb = _t(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = similarity.lsh_topk(emb, qs, dim=64, k=5)
+    planes = similarity.md5_hyperplanes(64, 32, tag="p")
+    out = similarity.lsh_topk(emb, qs, dim=64, k=5, planes=planes)
     return out.select(
         "query_id", "vec_id", _r6(F.col("cosine"), "cosine"), "rank"
     ).orderBy("query_id", "rank")
 
 
+def _lsh_oracle(n_planes: int = 32, dim: int = 64, bits_per_band: int = 4) -> str:
+    """DuckDB replay of md5-hyperplane LSH top-k: rebuild the plane
+    table from md5 nibbles, sign-project, band, candidate-join, exact
+    cosine re-rank — the same five stages as similarity.lsh_topk."""
+    return f"""
+WITH planes AS (
+  SELECT p.i, d.j,
+         CAST(CAST(concat('0x', substr(md5(concat('p:', p.i, ':', d.j)), 1, 8)) AS BIGINT) AS DOUBLE)
+           / 4294967296.0 - 0.5 AS v
+  FROM (SELECT unnest(range(0, {n_planes})) i) p,
+       (SELECT unnest(range(0, {dim})) j) d),
+ev AS (SELECT vec_id, unnest(range(0, {dim})) j, unnest(embedding) x FROM embeddings),
+dots AS (SELECT e.vec_id, pl.i, SUM(CAST(e.x AS DOUBLE) * pl.v) s
+         FROM ev e JOIN planes pl ON e.j = pl.j GROUP BY 1, 2),
+buckets AS (SELECT vec_id, CAST(i // {bits_per_band} AS INT) band,
+                   SUM(CASE WHEN s >= 0 THEN CAST(1 AS BIGINT) << (i % {bits_per_band}) ELSE 0 END) bucket
+            FROM dots GROUP BY 1, 2),
+cand AS (SELECT DISTINCT q.vec_id query_id, c.vec_id
+         FROM buckets q JOIN buckets c ON q.band = c.band AND q.bucket = c.bucket
+         WHERE q.vec_id < 10),
+scored AS (
+  SELECT cand.query_id, cand.vec_id,
+         (SELECT SUM(CAST(a AS DOUBLE) * CAST(b AS DOUBLE))
+          FROM (SELECT unnest(qe.embedding) a, unnest(ce.embedding) b)) /
+         (SQRT((SELECT SUM(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) FROM (SELECT unnest(qe.embedding) a))) *
+          SQRT((SELECT SUM(CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) FROM (SELECT unnest(ce.embedding) b)))) cosine
+  FROM cand JOIN embeddings qe ON cand.query_id = qe.vec_id
+            JOIN embeddings ce ON cand.vec_id = ce.vec_id),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) rank
+  FROM scored)
+SELECT query_id, vec_id, ROUND(cosine, 6) cosine, rank
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+ORACLE_ANN_LSH = _lsh_oracle()
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF coarse-quantizer ANN (MLlib KMeans cells + n_probe probing) —
-    the repeated-query scale path for q_ann_cosine_topk; rows-only
-    (recall < 1 by construction), recall pinned vs exact in
-    tests/test_mllib_ann.py.  Training is bounded: k=8 cells,
-    10 iterations, on the full (small) sf corpus — at 100 TB the same
-    call takes sample_fraction."""
+    """IVF-flat coarse-quantizer ANN with n_probe probing — the
+    repeated-query scale path for q_ann_cosine_topk.  Centroids are a
+    deterministic md5-ordered sample of corpus points (sample-init, no
+    Lloyd refinement), so assignment, probing, and re-rank all replay
+    in the DuckDB oracle; the KMeans-trained variant
+    (train_ivf/train_ivf_sample) keeps its recall pin in
+    tests/test_mllib_ann.py."""
     from physicsnemo_curator_spark.operators import mllib_ann
 
     emb = _t(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    model = mllib_ann.train_ivf_sample(emb, k=8, seed=42, sample_rows=512, iters=8)
-    out = mllib_ann.ivf_topk(emb, qs, model, k=5, n_probe=3)
+    centers = mllib_ann.md5_sample_centroids(emb, k=8)
+    out = mllib_ann.ivf_topk(emb, qs, centers, k=5, n_probe=3)
     return out.select(
         "query_id", "vec_id", _r6(F.col("cosine"), "cosine"), "rank"
     ).orderBy("query_id", "rank")
+
+
+def _ivf_oracle(k_cells: int = 8, dim: int = 64, n_probe: int = 3) -> str:
+    """DuckDB replay of md5-sample IVF: same centroid pick (md5 order),
+    same assignment metric (c·c − 2 x·c, ties → lowest cell), same
+    probe set, same exact-cosine re-rank as mllib_ann.ivf_topk."""
+    return f"""
+WITH cent AS (
+  SELECT embedding ce,
+         CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) cell
+  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k_cells}),
+cv AS (SELECT cell, unnest(range(0, {dim})) j, unnest(ce) c FROM cent),
+csq AS (SELECT cell, SUM(CAST(c AS DOUBLE) * CAST(c AS DOUBLE)) c2 FROM cv GROUP BY 1),
+ev AS (SELECT vec_id, unnest(range(0, {dim})) j, unnest(embedding) x FROM embeddings),
+dist AS (
+  SELECT xc.vec_id, xc.cell, csq.c2 - 2 * xc.dotxc d
+  FROM (SELECT e.vec_id, c.cell, SUM(CAST(e.x AS DOUBLE) * CAST(c.c AS DOUBLE)) dotxc
+        FROM ev e JOIN cv c ON e.j = c.j GROUP BY 1, 2) xc
+  JOIN csq ON xc.cell = csq.cell),
+assign AS (SELECT vec_id, cell FROM (
+  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) rn
+  FROM dist) WHERE rn = 1),
+probes AS (SELECT vec_id query_id, cell FROM (
+  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) rn
+  FROM dist WHERE vec_id < 10) WHERE rn <= {n_probe}),
+cand AS (SELECT p.query_id, a.vec_id FROM probes p JOIN assign a ON p.cell = a.cell),
+scored AS (
+  SELECT cand.query_id, cand.vec_id,
+         (SELECT SUM(CAST(a AS DOUBLE) * CAST(b AS DOUBLE))
+          FROM (SELECT unnest(qe.embedding) a, unnest(ce.embedding) b)) /
+         (SQRT((SELECT SUM(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) FROM (SELECT unnest(qe.embedding) a))) *
+          SQRT((SELECT SUM(CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) FROM (SELECT unnest(ce.embedding) b)))) cosine
+  FROM cand JOIN embeddings qe ON cand.query_id = qe.vec_id
+            JOIN embeddings ce ON cand.vec_id = ce.vec_id),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) rank
+  FROM scored)
+SELECT query_id, vec_id, ROUND(cosine, 6) cosine, rank
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+ORACLE_ANN_IVF = _ivf_oracle()
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1489,27 +1586,121 @@ SELECT a, b, ROUND(cosine, 6) cosine FROM pairs WHERE cosine >= 0.4 ORDER BY a, 
 
 
 def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup (scale path; hash-seeded candidate recall →
-    rows-only check; exact twin is q_dedup_ngram_jaccard)."""
+    """MinHash+LSH near-dup (scale path; exact twin is
+    q_dedup_ngram_jaccard).  hash_fn='md5' makes signatures, buckets,
+    and therefore the candidate set engine-reproducible, so the DuckDB
+    oracle replays the *whole* pipeline — not just the verify stage."""
     docs = _t(spark, sf_dir, "documents")
     out = dedup.minhash_near_duplicates(
-        docs, threshold=0.8, shingles=_cached_shingles(spark, sf_dir)
+        docs, threshold=0.8, shingles=_cached_shingles(spark, sf_dir), hash_fn="md5"
     )
     return out.select("a", "b", _r6(F.col("jaccard"), "jaccard")).orderBy("a", "b")
 
 
+def _minhash_oracle(num_hashes: int = 32, bands: int = 8) -> str:
+    """DuckDB replay of md5 MinHash-LSH: same word-3-gram shingles as
+    ORACLE_NGRAM_JACCARD, string-min md5 signatures, md5 band buckets,
+    bucket-join candidates, exact-Jaccard verify ≥ 0.8."""
+    r = num_hashes // bands
+    sig_cols = ",\n       ".join(
+        f"min(md5(shingle || ':{i}')) h{i}" for i in range(num_hashes)
+    )
+    whens = []
+    for b in range(bands):
+        cols = " || '|' || ".join(f"h{b * r + x}" for x in range(r))
+        whens.append(f"WHEN {b} THEN md5({cols})")
+    bucket_case = "CASE bb.band " + " ".join(whens) + " END"
+    return f"""
+WITH norm AS (SELECT doc_id,
+                     string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') toks
+              FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') shingle
+       FROM (SELECT doc_id, toks, unnest(range(1, greatest(len(toks) - 2, 0) + 1)) i
+             FROM norm)),
+sig AS (SELECT doc_id,
+       {sig_cols}
+       FROM sh GROUP BY doc_id),
+banded AS (SELECT doc_id, bb.band, {bucket_case} bucket
+           FROM sig, (SELECT unnest(range(0, {bands})) band) bb),
+cand AS (SELECT DISTINCT l.doc_id a, r.doc_id b
+         FROM banded l JOIN banded r
+           ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+sz AS (SELECT doc_id, COUNT(*) sz FROM sh GROUP BY 1),
+inter AS (SELECT s1.doc_id a, s2.doc_id b, COUNT(*) i
+          FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+          GROUP BY 1, 2)
+SELECT inter.a AS a, inter.b AS b,
+       ROUND(inter.i * 1.0 / (x.sz + y.sz - inter.i), 6) jaccard
+FROM inter JOIN sz x ON inter.a = x.doc_id JOIN sz y ON inter.b = y.doc_id
+     JOIN cand ON inter.a = cand.a AND inter.b = cand.b
+WHERE inter.i * 1.0 / (x.sz + y.sz - inter.i) >= 0.8
+ORDER BY inter.a, inter.b
+"""
+
+
+ORACLE_MINHASH = _minhash_oracle()
+
+
+def _simhash_sig_cte(bits: int = 60) -> str:
+    """Shared CTE text: 60-bit md5 SimHash signature per doc (word
+    bigrams, occurrence-weighted) — the exact arithmetic of
+    dedup.simhash(hash_fn='md5_60', bits=60)."""
+    sig_terms = "\n     + ".join(
+        f"CASE WHEN 2 * SUM((th >> {i}) & 1) > COUNT(*) THEN CAST({1 << i} AS BIGINT) ELSE 0 END"
+        for i in range(bits - 1)
+    )
+    return f"""
+norm AS (SELECT doc_id,
+                string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') toks
+         FROM documents),
+g AS (SELECT doc_id,
+             CAST(concat('0x', substr(md5(array_to_string(toks[i:i+1], ' ')), 1, 15)) AS BIGINT) th
+      FROM (SELECT doc_id, toks, unnest(range(1, greatest(len(toks) - 1, 0) + 1)) i
+            FROM norm)),
+sig AS (SELECT doc_id,
+       {sig_terms} AS simhash
+       FROM g GROUP BY doc_id)"""
+
+
 def q_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash signature dedup groups (rows-only: signatures are
-    xxhash64-seeded, not reproducible in ANSI SQL)."""
+    """SimHash signature dedup groups.  The 60-bit md5 feature hash
+    (dedup._feature_hash 'md5_60') keeps the packed-counter JVM
+    aggregation but makes every signature engine-reproducible, so the
+    oracle rebuilds identical signatures in SQL."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup.simhash_duplicates(docs).orderBy("doc_id")
+    return dedup.simhash_duplicates(docs, bits=60, hash_fn="md5_60").orderBy("doc_id")
+
+
+ORACLE_SIMHASH_GROUPS = f"""
+WITH {_simhash_sig_cte()},
+grp AS (SELECT simhash, MIN(doc_id) canonical_id, CAST(COUNT(*) AS BIGINT) group_size
+        FROM sig GROUP BY simhash)
+SELECT s.doc_id, grp.canonical_id, grp.group_size
+FROM sig s JOIN grp ON s.simhash = grp.simhash ORDER BY s.doc_id
+"""
 
 
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded SimHash near-dup pairs, hamming ≤ 8 (rows-only; the
-    precision/recall contract vs exact Jaccard is pinned in tests)."""
+    """Banded SimHash near-dup pairs, hamming ≤ 8 over 60-bit md5
+    signatures (4 × 15-bit pigeonhole bands); the precision/recall
+    contract vs exact Jaccard stays pinned in tests on the xxhash64
+    default."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup.simhash_near_duplicates(docs, max_hamming=8).orderBy("a", "b")
+    return dedup.simhash_near_duplicates(
+        docs, max_hamming=8, bits=60, hash_fn="md5_60"
+    ).orderBy("a", "b")
+
+
+ORACLE_SIMHASH_NEAR_DUP = f"""
+WITH {_simhash_sig_cte()},
+banded AS (SELECT doc_id, simhash, bb.band, (simhash >> (bb.band * 15)) & 32767 block
+           FROM sig, (SELECT unnest(range(0, 4)) band) bb),
+pairs AS (SELECT DISTINCT l.doc_id a, r.doc_id b, l.simhash sa, r.simhash sb
+          FROM banded l JOIN banded r
+            ON l.band = r.band AND l.block = r.block AND l.doc_id < r.doc_id)
+SELECT a, b, CAST(bit_count(xor(sa, sb)) AS INT) hamming
+FROM pairs WHERE bit_count(xor(sa, sb)) <= 8 ORDER BY a, b
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1571,12 +1762,12 @@ QUERIES: dict[str, QuerySpec] = {
     "q_text_vocab": QuerySpec(q_text_vocab, ORACLE_TEXT_VOCAB),
     "q_text_tfidf_sim": QuerySpec(q_text_tfidf_sim, ORACLE_TFIDF_SIM),
     "q_ann_cosine_topk": QuerySpec(q_ann_cosine_topk, ORACLE_ANN),
-    "q_ann_lsh_topk": QuerySpec(q_ann_lsh_topk, None),
-    "q_ann_ivf_topk": QuerySpec(q_ann_ivf_topk, None),
+    "q_ann_lsh_topk": QuerySpec(q_ann_lsh_topk, ORACLE_ANN_LSH),
+    "q_ann_ivf_topk": QuerySpec(q_ann_ivf_topk, ORACLE_ANN_IVF),
     "q_embedding_near_dup": QuerySpec(q_embedding_near_dup, ORACLE_EMB_NEAR_DUP),
-    "q_minhash_near_dup": QuerySpec(q_minhash_near_dup, None),
-    "q_simhash_groups": QuerySpec(q_simhash_groups, None),
-    "q_simhash_near_dup": QuerySpec(q_simhash_near_dup, None),
+    "q_minhash_near_dup": QuerySpec(q_minhash_near_dup, ORACLE_MINHASH),
+    "q_simhash_groups": QuerySpec(q_simhash_groups, ORACLE_SIMHASH_GROUPS),
+    "q_simhash_near_dup": QuerySpec(q_simhash_near_dup, ORACLE_SIMHASH_NEAR_DUP),
 }
 
 

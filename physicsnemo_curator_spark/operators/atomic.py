@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from physicsnemo_curator_spark.operators import stats
@@ -19,13 +19,24 @@ def pack_offsets(systems: DataFrame, count_col: str = "natoms") -> DataFrame:
     """Ragged-array packing offsets: start index of each system in a
     flat atoms array (reference AtomicDataZarrSink pre-allocation,
     ``domains/atm/sinks/zarr_writer.py:209+``) — an exclusive prefix
-    sum over system order."""
-    w = Window.orderBy("system_id").rowsBetween(Window.unboundedPreceding, -1)
-    return systems.select(
-        "system_id",
-        F.col(count_col),
-        F.coalesce(F.sum(count_col).over(w), F.lit(0)).alias("offset"),
+    sum over system order.
+
+    Uses the two-phase distributed prefix sum
+    (ranking.distributed_prefix_sum): a global window would funnel
+    every system through one task; range-partitioned local cumsums +
+    broadcast partition offsets give the identical result with all
+    wide stages partition-parallel."""
+    from physicsnemo_curator_spark.operators.ranking import (
+        distributed_prefix_sum,
     )
+
+    out = distributed_prefix_sum(
+        systems.select("system_id", count_col),
+        count_col,
+        [F.asc("system_id")],
+        name="offset",
+    )
+    return out.select("system_id", count_col, "offset")
 
 
 def atomic_level_stats(

@@ -210,7 +210,12 @@ def lsh_candidate_pairs(
     return pairs.distinct()
 
 
-def jaccard_pairs(shingles: DataFrame, candidates: DataFrame | None = None) -> DataFrame:
+def jaccard_pairs(
+    shingles: DataFrame,
+    candidates: DataFrame | None = None,
+    *,
+    max_df: int | None = None,
+) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs (or all co-shingled
     pairs when candidates is None — only sane at test scale).
 
@@ -219,7 +224,25 @@ def jaccard_pairs(shingles: DataFrame, candidates: DataFrame | None = None) -> D
     the self-join runs only over docs that appear in some candidate
     pair (semi-join pre-filter) — at LSH selectivity that shrinks the
     verify join from corpus-wide to a sliver.
+
+    ``max_df`` drops shingles appearing in more than that many docs
+    BEFORE the self-join (mirroring winnow_candidate_pairs): each
+    boilerplate/stopword shingle otherwise contributes df² join rows —
+    the quadratic hot-key blowup at corpus scale.  Jaccard is then
+    computed over the pruned shingle space (sizes and intersections
+    both exclude pruned shingles — the standard stopword-pruned
+    near-dup semantics); a pair sharing only pruned shingles yields no
+    output row.
     """
+    if max_df is not None:
+        rare = (
+            shingles.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("shingle")
+        )
+        # shuffle keys on shingle — co-partitioned with the self-join
+        shingles = shingles.join(rare, "shingle", "left_semi")
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     verify_shingles = shingles
     if candidates is not None:
@@ -264,6 +287,7 @@ def minhash_near_duplicates(
     seed: int = 42,
     shingles: DataFrame | None = None,
     hash_fn: str = "xxhash64",
+    max_df: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → sign → band →
     candidates → exact-Jaccard verify ≥ threshold.  Returns (a, b,
@@ -272,7 +296,10 @@ def minhash_near_duplicates(
     Pass a prebuilt (ideally persisted) ``shingles`` table to share the
     shingling across operators (jaccard/minhash/simhash all consume the
     same stream).  hash_fn='md5' makes the candidate set itself
-    engine-reproducible (see minhash_signatures)."""
+    engine-reproducible (see minhash_signatures).  ``max_df`` prunes
+    boilerplate shingles in the verify join (see jaccard_pairs) —
+    recommended at corpus scale, where a stopword shingle's df² rows
+    dominate the verify shuffle even after the candidate prefilter."""
     sh = shingles
     if sh is None:
         sh = shingle_table(docs, text_col, id_col, shingle_k, unit=shingle_unit)
@@ -283,7 +310,9 @@ def minhash_near_duplicates(
         sh = sh.persist()
     sigs = minhash_signatures(sh, num_hashes, seed, hash_fn=hash_fn)
     cand = lsh_candidate_pairs(sigs, num_hashes, bands, hash_fn=hash_fn).persist()
-    return jaccard_pairs(sh, cand).filter(F.col("jaccard") >= F.lit(threshold))
+    return jaccard_pairs(sh, cand, max_df=max_df).filter(
+        F.col("jaccard") >= F.lit(threshold)
+    )
 
 
 def _feature_hash(col: Column, hash_fn: str) -> Column:

@@ -135,38 +135,50 @@ def vocabulary(
     ids assigned by (count desc, token) — deterministic under
     partitioning.  The tokenizer-training precursor (BPE-ish pipelines
     start exactly here).
+
+    Ranking is the two-phase distributed form (ranking.distributed_rank):
+    a web-scale vocabulary is 10^8 rows, so a global
+    ``Window.orderBy`` — one task holding the whole vocab — is the
+    operator's scale ceiling; range-partitioned local ranks + broadcast
+    offsets produce identical ids with every stage partition-parallel.
     """
-    from pyspark.sql import Window
+    from physicsnemo_curator_spark.operators.ranking import distributed_rank
 
     freq = token_frequencies(docs, text_col).filter(
         F.col("n_occurrences") >= min_count
     )
-    w = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
-    vocab = freq.select(
-        "token",
-        "n_occurrences",
-        (F.row_number().over(w) - 1).alias("token_id"),
-    )
+    vocab = distributed_rank(
+        freq, [F.desc("n_occurrences"), F.asc("token")], name="token_id"
+    ).select("token", "n_occurrences", F.col("token_id").cast("int").alias("token_id"))
     if top_n is not None:
         vocab = vocab.filter(F.col("token_id") < top_n)
     return vocab
 
 
-def tfidf(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def tfidf(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_docs: int | None = None,
+) -> DataFrame:
     """L2-normalized TF-IDF doc-term weights as a sparse long table
     (doc_id, token, weight).
 
     Smooth idf = ln((N+1)/(df+1)) + 1.  Three hash-aggregates (tf, df,
     per-doc norm) + one broadcast join of the (vocab-sized) idf table —
     no dense vectors ever materialize, which is what makes the
-    downstream similarity join scale.
+    downstream similarity join scale.  Pass ``n_docs`` when known to
+    skip the count job (at 100 TB a ``.count()`` is a full extra scan
+    per call; the catalog usually has the row count already).
     """
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("token"),
     )
     tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    n_docs = docs.count()
+    if n_docs is None:
+        n_docs = docs.count()
     df_tbl = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
     idf = df_tbl.select(
         "token",
@@ -181,13 +193,31 @@ def tfidf(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") ->
     )
 
 
-def sparse_cosine_pairs(weights: DataFrame, threshold: float = 0.8) -> DataFrame:
+def sparse_cosine_pairs(
+    weights: DataFrame,
+    threshold: float = 0.8,
+    *,
+    max_df: int | None = None,
+) -> DataFrame:
     """Pairwise document cosine from sparse L2-normalized weights.
 
     Token-keyed self-join + sum of weight products — the sparse dot
-    product.  Work is Σ_token df(token)², so prune stopword-like tokens
-    (huge df) upstream for web-scale corpora; never forms dense pairs.
+    product.  Work is Σ_token df(token)², so ``max_df`` drops tokens
+    with document frequency above the cap BEFORE the self-join — each
+    hot token otherwise contributes df² join rows, the scale ceiling on
+    web corpora.  Pruned tokens' weight products are simply absent from
+    the dot product (their idf weight is near-zero anyway — this is the
+    standard stopword-pruned sparse cosine); never forms dense pairs.
     """
+    if max_df is not None:
+        rare = (
+            weights.groupBy("token")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("token")
+        )
+        # shuffle keys on token — co-partitioned with the self-join
+        weights = weights.join(rare, "token", "left_semi")
     a = weights.alias("a")
     b = weights.alias("b")
     return (

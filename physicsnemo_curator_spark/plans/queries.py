@@ -602,12 +602,25 @@ FROM orders ORDER BY o_orderkey LIMIT 100
 
 def q_w2_prefix_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix-sum offsets (reference AtomicData Zarr pre-allocation,
-    atm/sinks/zarr_writer.py:209+)."""
+    atm/sinks/zarr_writer.py:209+).  Two-phase distributed cumsum —
+    a global Window.orderBy would put every order in one task; the
+    inclusive sum is the exclusive distributed prefix plus the row's
+    own value."""
+    from physicsnemo_curator_spark.operators.ranking import (
+        distributed_prefix_sum,
+    )
+
     orders = _t(spark, sf_dir, "orders")
-    w = Window.orderBy("o_orderkey").rowsBetween(Window.unboundedPreceding, 0)
+    pre = distributed_prefix_sum(
+        orders.select("o_orderkey", "o_totalprice"),
+        "o_totalprice",
+        [F.asc("o_orderkey")],
+        name="_pre",
+    )
     return (
-        orders.select(
-            "o_orderkey", F.round(F.sum("o_totalprice").over(w), 2).alias("cum_total")
+        pre.select(
+            "o_orderkey",
+            F.round(F.col("_pre") + F.col("o_totalprice"), 2).alias("cum_total"),
         )
         .orderBy("o_orderkey")
         .limit(100)

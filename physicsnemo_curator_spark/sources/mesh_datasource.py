@@ -42,12 +42,13 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructType
 
-from .vtk import _parse_legacy_vtk
+from .vtk import parse_mesh_bytes
 
 _TABLES = {
     "points": "mesh_id string, point_id long, x double, y double, z double",
-    "cells": "mesh_id string, cell_id long, vs array<long>",
+    "cells": "mesh_id string, cell_id long, vs array<long>, ctype int",
     "point_data": "mesh_id string, point_id long, field string, value double",
+    "cell_data": "mesh_id string, cell_id long, field string, value double",
     "grid": "grid_id string, iz int, iy int, ix int, field string, value double",
     "grid_meta": (
         "grid_id string, nx int, ny int, nz int, "
@@ -70,12 +71,21 @@ _ARROW_SCHEMAS = {
             ("mesh_id", pa.string()),
             ("cell_id", pa.int64()),
             ("vs", pa.list_(pa.int64())),
+            ("ctype", pa.int32()),
         ]
     ),
     "point_data": pa.schema(
         [
             ("mesh_id", pa.string()),
             ("point_id", pa.int64()),
+            ("field", pa.string()),
+            ("value", pa.float64()),
+        ]
+    ),
+    "cell_data": pa.schema(
+        [
+            ("mesh_id", pa.string()),
+            ("cell_id", pa.int64()),
             ("field", pa.string()),
             ("value", pa.float64()),
         ]
@@ -149,7 +159,7 @@ class VTKMeshReader(DataSourceReader):
         fully applied inside the parser (read() below), so they are NOT
         yielded back — Spark drops its post-scan Filter node for them.
         """
-        if self.table not in ("point_data", "grid"):
+        if self.table not in ("point_data", "cell_data", "grid"):
             yield from filters
             return
         for f in filters:
@@ -190,8 +200,14 @@ class VTKMeshReader(DataSourceReader):
     def read(self, partition: InputPartition) -> Iterator[pa.RecordBatch]:
         path = partition.value
         stem = os.path.basename(path).rsplit(".", 1)[0]
-        with open(path) as f:
-            points, cells, point_data, grid_meta = _parse_legacy_vtk(f.read())
+        with open(path, "rb") as f:
+            mf = parse_mesh_bytes(path, f.read())
+        points, cells, point_data, grid_meta = (
+            mf.points,
+            mf.cells,
+            mf.point_data,
+            mf.grid_meta,
+        )
 
         cols: dict[str, list]
         if self.table == "points":
@@ -207,10 +223,13 @@ class VTKMeshReader(DataSourceReader):
                 "mesh_id": [stem] * len(cells),
                 "cell_id": list(range(len(cells))),
                 "vs": cells,
+                "ctype": mf.cell_types,
             }
-        elif self.table == "point_data":
+        elif self.table in ("point_data", "cell_data"):
+            data = point_data if self.table == "point_data" else mf.cell_data
+            id_name = "point_id" if self.table == "point_data" else "cell_id"
             ids, fields, values = [], [], []
-            for name, vals in point_data.items():
+            for name, vals in data.items():
                 if not self._keep(name):
                     continue
                 ids.extend(range(len(vals)))
@@ -218,7 +237,7 @@ class VTKMeshReader(DataSourceReader):
                 values.extend(vals)
             cols = {
                 "mesh_id": [stem] * len(ids),
-                "point_id": ids,
+                id_name: ids,
                 "field": fields,
                 "value": values,
             }

@@ -1,46 +1,88 @@
-"""VTK legacy-ASCII mesh source → normalized long tables.
+"""VTK mesh sources (legacy ASCII ``.vtk`` + XML ``.vtu``/``.vtp``) →
+normalized long tables.
 
 Parity with ``VTKSource`` (reference ``domains/mesh/sources/vtk.py:
-74-444`` and the Rust XML parser): glob-discover mesh files, parse each
-into points/cells/point-data, with reader-level field include/exclude
-pushdown (reference key_filters, ``_key_filter.py:45-166``).
+74-444``, extension set ``:59``, and the Rust XML parser
+``src/rust/src/vtk/parser.rs:303``): glob-discover mesh files, parse
+each into points/cells/point-data/cell-data, with reader-level field
+include/exclude pushdown (reference key_filters,
+``_key_filter.py:45-166``).
 
 Spark-first layout: ``binaryFile`` scans the files (one task per file —
 the same per-file parallelism the reference gets from Rayon), an
 Arrow-batched ``mapInPandas`` parses, and the result is the engine's
 normalized mesh schema (SURVEY §1.2a), ready for the mesh operator
-pack.  The parser handles the public legacy VTK ASCII format
-(``# vtk DataFile Version``, POINTS / CELLS|POLYGONS / CELL_TYPES /
-POINT_DATA SCALARS): enough to round-trip the engine's own writer and
-to demonstrate the custom-format scan path end-to-end without any
-native dependency.
+pack.  Two parser kernels, dispatched by extension:
+
+- legacy ASCII (``# vtk DataFile Version``, POINTS / CELLS|POLYGONS /
+  CELL_TYPES / POINT_DATA / CELL_DATA SCALARS) — this module;
+- XML ``.vtu``/``.vtp`` with ascii / inline-base64 / appended
+  (base64 + raw) data and zlib block compression —
+  :mod:`physicsnemo_curator_spark.sources.vtk_xml`.
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterator
+from typing import NamedTuple
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 POINTS_SCHEMA = "mesh_id string, point_id long, x double, y double, z double"
-CELLS_SCHEMA = "mesh_id string, cell_id long, vs array<long>"
+CELLS_SCHEMA = "mesh_id string, cell_id long, vs array<long>, ctype int"
 POINT_DATA_SCHEMA = "mesh_id string, point_id long, field string, value double"
+CELL_DATA_SCHEMA = "mesh_id string, cell_id long, field string, value double"
 
 
-def _parse_legacy_vtk(text: str):
+class MeshFile(NamedTuple):
+    """One parsed mesh file, format-independent."""
+
+    points: list[tuple[float, float, float]]
+    cells: list[list[int]]
+    cell_types: list[int]  # VTK cell-type enum; 0 = unknown
+    point_data: dict[str, list[float]]
+    cell_data: dict[str, list[float]]
+    grid_meta: dict  # dimensions/origin/spacing (structured only)
+
+
+def parse_mesh_bytes(path: str, content: bytes) -> MeshFile:
+    """Parse one mesh file by extension: ``.vtu``/``.vtp`` → XML kernel,
+    ``.stl`` → STL kernel (ASCII or binary), anything else → legacy
+    ASCII kernel."""
+    ext = path.rsplit(".", 1)[-1].lower()
+    if ext in ("vtu", "vtp"):
+        from physicsnemo_curator_spark.sources.vtk_xml import parse_vtk_xml
+
+        points, cells, cell_types, point_data, cell_data = parse_vtk_xml(
+            bytes(content)
+        )
+        return MeshFile(points, cells, cell_types, point_data, cell_data, {})
+    if ext == "stl":
+        from physicsnemo_curator_spark.sources.stl import parse_stl
+
+        points, cells, cell_types, point_data, cell_data = parse_stl(bytes(content))
+        return MeshFile(points, cells, cell_types, point_data, cell_data, {})
+    return _parse_legacy_vtk(bytes(content).decode())
+
+
+def _parse_legacy_vtk(text: str) -> MeshFile:
     """Parse one legacy ASCII VTK document (POLYDATA / UNSTRUCTURED_GRID
     / STRUCTURED_POINTS).
 
-    Returns (points [(x,y,z)], cells [[v...]], point_data {name: values},
-    grid_meta {dimensions/origin/spacing} — empty for unstructured).
+    SCALARS sections attach to point_data or cell_data according to the
+    most recent POINT_DATA / CELL_DATA keyword (POINT_DATA assumed when
+    neither was seen, matching common writers).
     """
     lines = text.splitlines()
     i = 0
     points: list[tuple[float, float, float]] = []
     cells: list[list[int]] = []
+    cell_types: list[int] = []
     point_data: dict[str, list[float]] = {}
+    cell_data: dict[str, list[float]] = {}
+    target = point_data
     n_values = 0  # SCALARS count: len(points) or grid nx*ny*nz
     grid_meta: dict[str, tuple[float, float, float]] = {}
 
@@ -81,6 +123,18 @@ def _parse_legacy_vtk(text: str):
                 arity = int(toks[pos])
                 cells.append([int(t) for t in toks[pos + 1 : pos + 1 + arity]])
                 pos += 1 + arity
+        elif kw == "CELL_TYPES":
+            n = int(parts[1])
+            toks, i = tokens_until(n, i + 1)
+            cell_types = [int(t) for t in toks[:n]]
+        elif kw == "POINT_DATA":
+            target = point_data
+            n_values = int(parts[1])
+            i += 1
+        elif kw == "CELL_DATA":
+            target = cell_data
+            n_values = int(parts[1])
+            i += 1
         elif kw == "SCALARS":
             name = parts[1]
             # optional LOOKUP_TABLE line follows
@@ -88,10 +142,12 @@ def _parse_legacy_vtk(text: str):
             if j < len(lines) and lines[j].split() and lines[j].split()[0].upper() == "LOOKUP_TABLE":
                 j += 1
             toks, i = tokens_until(n_values, j)
-            point_data[name] = [float(t) for t in toks[:n_values]]
+            target[name] = [float(t) for t in toks[:n_values]]
         else:
             i += 1
-    return points, cells, point_data, grid_meta
+    if not cell_types:
+        cell_types = [0] * len(cells)
+    return MeshFile(points, cells, cell_types, point_data, cell_data, grid_meta)
 
 
 def read_vtk(
@@ -103,7 +159,9 @@ def read_vtk(
     exclude_fields: list[str] | None = None,
     path_rules: dict[str, dict[str, list[str]]] | None = None,
 ) -> dict[str, DataFrame]:
-    """Read a directory of legacy VTK files into mesh tables.
+    """Read a directory of VTK files (legacy ``.vtk``, XML ``.vtu`` /
+    ``.vtp`` — pass ``glob='*.vtu'`` etc.) into mesh tables
+    (points/cells/point_data/cell_data).
 
     ``include_fields`` XOR ``exclude_fields`` mirrors the reference's
     reader-level key filters (include whitelist XOR exclude blacklist,
@@ -152,19 +210,19 @@ def read_vtk(
 
         return keep
 
-    def parse_or_raise(path: str, content: bytes):
+    def parse_or_raise(path: str, content: bytes) -> MeshFile:
         try:
-            return _parse_legacy_vtk(bytes(content).decode())
+            return parse_mesh_bytes(path, content)
         except Exception as e:  # surface the offending file, not a raw UDF trace
-            raise ValueError(f"failed to parse legacy VTK file {path}: {e}") from e
+            raise ValueError(f"failed to parse VTK file {path}: {e}") from e
 
     def parse_points(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = []
             for p, content in zip(pdf["path"], pdf["content"]):
                 mesh_id = p.rsplit("/", 1)[-1].rsplit(".", 1)[0]
-                pts, _, _, _ = parse_or_raise(p, content)
-                for pid, (x, y, z) in enumerate(pts):
+                mf = parse_or_raise(p, content)
+                for pid, (x, y, z) in enumerate(mf.points):
                     out.append((mesh_id, pid, x, y, z))
             yield pd.DataFrame(out, columns=["mesh_id", "point_id", "x", "y", "z"])
 
@@ -173,31 +231,39 @@ def read_vtk(
             out = []
             for p, content in zip(pdf["path"], pdf["content"]):
                 mesh_id = p.rsplit("/", 1)[-1].rsplit(".", 1)[0]
-                _, cs, _, _ = parse_or_raise(p, content)
-                for cid, vs in enumerate(cs):
-                    out.append((mesh_id, cid, vs))
-            yield pd.DataFrame(out, columns=["mesh_id", "cell_id", "vs"])
+                mf = parse_or_raise(p, content)
+                for cid, (vs, ct) in enumerate(zip(mf.cells, mf.cell_types)):
+                    out.append((mesh_id, cid, vs, ct))
+            yield pd.DataFrame(out, columns=["mesh_id", "cell_id", "vs", "ctype"])
 
-    def parse_point_data(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            out = []
-            for p, content in zip(pdf["path"], pdf["content"]):
-                mesh_id = p.rsplit("/", 1)[-1].rsplit(".", 1)[0]
-                _, _, pdata, _ = parse_or_raise(p, content)
-                keep = keep_for(p)
-                for name, values in pdata.items():
-                    if not keep(name):
-                        continue
-                    for pid, v in enumerate(values):
-                        out.append((mesh_id, pid, name, v))
-            yield pd.DataFrame(
-                out, columns=["mesh_id", "point_id", "field", "value"]
-            )
+    def _long_data(attr: str, id_name: str):
+        def parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                out = []
+                for p, content in zip(pdf["path"], pdf["content"]):
+                    mesh_id = p.rsplit("/", 1)[-1].rsplit(".", 1)[0]
+                    mf = parse_or_raise(p, content)
+                    keep = keep_for(p)
+                    for name, values in getattr(mf, attr).items():
+                        if not keep(name):
+                            continue
+                        for rid, v in enumerate(values):
+                            out.append((mesh_id, rid, name, v))
+                yield pd.DataFrame(
+                    out, columns=["mesh_id", id_name, "field", "value"]
+                )
+
+        return parse
 
     return {
         "points": raw.mapInPandas(parse_points, POINTS_SCHEMA),
         "cells": raw.mapInPandas(parse_cells, CELLS_SCHEMA),
-        "point_data": raw.mapInPandas(parse_point_data, POINT_DATA_SCHEMA),
+        "point_data": raw.mapInPandas(
+            _long_data("point_data", "point_id"), POINT_DATA_SCHEMA
+        ),
+        "cell_data": raw.mapInPandas(
+            _long_data("cell_data", "cell_id"), CELL_DATA_SCHEMA
+        ),
     }
 
 
@@ -232,11 +298,11 @@ def read_structured_points(
             for p, content in zip(pdf["path"], pdf["content"]):
                 grid_id = p.rsplit("/", 1)[-1].rsplit(".", 1)[0]
                 try:
-                    _, _, pdata, meta = _parse_legacy_vtk(bytes(content).decode())
-                    nx, ny, nz = meta["dimensions"]
+                    mf = _parse_legacy_vtk(bytes(content).decode())
+                    nx, ny, nz = mf.grid_meta["dimensions"]
                 except Exception as e:
                     raise ValueError(f"failed to parse structured grid {p}: {e}") from e
-                for name, values in pdata.items():
+                for name, values in mf.point_data.items():
                     for flat, v in enumerate(values):
                         ix = flat % nx
                         iy = (flat // nx) % ny
@@ -251,7 +317,7 @@ def read_structured_points(
             out = []
             for p, content in zip(pdf["path"], pdf["content"]):
                 grid_id = p.rsplit("/", 1)[-1].rsplit(".", 1)[0]
-                _, _, _, meta = _parse_legacy_vtk(bytes(content).decode())
+                meta = _parse_legacy_vtk(bytes(content).decode()).grid_meta
                 nx, ny, nz = meta["dimensions"]
                 ox, oy, oz = meta.get("origin", (0.0, 0.0, 0.0))
                 sx, sy, sz = meta.get("spacing", (1.0, 1.0, 1.0))

@@ -1,0 +1,110 @@
+"""VTK XML (.vtu/.vtp) ingestion: encoding round-trips, legacy/XML
+parity on an identical mesh, cell data, and DataSource pushdown."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from physicsnemo_curator_spark.sources import mesh_datasource, vtk, vtk_xml
+
+PTS = [(0.0, 0.0, 0.0), (1.0, 0.0, 0.0), (0.0, 1.0, 0.0), (1.25, 1.5, 2.75)]
+CELLS = [[0, 1, 2], [1, 3, 2]]
+PDATA = {"temp": [1.0, 2.5, 3.25, 4.0], "junk": [0.0, 0.0, 0.0, 0.0]}
+CDATA = {"area": [0.5, 0.75]}
+
+
+@pytest.mark.parametrize("fmt", ["ascii", "binary", "appended", "appended-raw"])
+def test_vtu_encoding_roundtrip(fmt, tmp_path):
+    p = tmp_path / "m.vtu"
+    vtk_xml.write_vtu(PTS, CELLS, [5, 5], PDATA, str(p), cell_data=CDATA, fmt=fmt)
+    pts, cells, ctypes, pdata, cdata = vtk_xml.parse_vtk_xml(p.read_bytes())
+    assert pts == PTS and cells == CELLS and ctypes == [5, 5]
+    assert pdata == PDATA and cdata == CDATA
+
+
+def test_multiblock_zlib_roundtrip(tmp_path):
+    # 48 kB of point floats spans multiple 32768-byte zlib blocks
+    rng = np.random.default_rng(11)
+    pts = [tuple(map(float, r)) for r in rng.normal(size=(2000, 3))]
+    cells = [[i, (i + 1) % 2000, (i + 2) % 2000] for i in range(1500)]
+    pdata = {"f": [float(x) for x in rng.normal(size=2000)]}
+    p = tmp_path / "big.vtu"
+    vtk_xml.write_vtu(pts, cells, None, pdata, str(p), fmt="appended")
+    got_pts, got_cells, _, got_pdata, _ = vtk_xml.parse_vtk_xml(p.read_bytes())
+    assert got_pts == pts and got_cells == cells and got_pdata == pdata
+
+
+def test_multicomponent_point_data(tmp_path):
+    p = tmp_path / "v.vtu"
+    vtk_xml.write_vtu(PTS, CELLS, None, None, str(p), fmt="binary")
+    # hand-add a 3-component velocity array to the document
+    doc = p.read_bytes().decode()
+    vel = " ".join(str(float(i)) for i in range(12))
+    doc = doc.replace(
+        "</Cells>",
+        "</Cells>\n<PointData>"
+        f'<DataArray type="Float64" Name="vel" NumberOfComponents="3" format="ascii">{vel}</DataArray>'
+        "</PointData>",
+    )
+    _, _, _, pdata, _ = vtk_xml.parse_vtk_xml(doc.encode())
+    assert pdata["vel_0"] == [0.0, 3.0, 6.0, 9.0]
+    assert pdata["vel_2"] == [2.0, 5.0, 8.0, 11.0]
+
+
+def test_read_vtk_xml_tables_match_legacy(spark, tmp_path):
+    """The same mesh through the legacy writer and the XML writer must
+    produce identical Spark tables (the format-parity contract)."""
+    legacy_dir, xml_dir = tmp_path / "legacy", tmp_path / "xml"
+    legacy_dir.mkdir(), xml_dir.mkdir()
+    vtk.write_vtk(PTS, CELLS, PDATA, str(legacy_dir / "m.vtk"))
+    vtk_xml.write_vtu(PTS, CELLS, None, PDATA, str(xml_dir / "m.vtu"), fmt="appended")
+    vtk_xml.write_vtp(PTS, CELLS, PDATA, str(xml_dir / "m.vtp"), fmt="binary")
+
+    legacy = vtk.read_vtk(spark, str(legacy_dir))
+    for glob in ("*.vtu", "*.vtp"):
+        x = vtk.read_vtk(spark, str(xml_dir), glob=glob)
+        for t in ("points", "point_data"):
+            a = sorted(map(tuple, legacy[t].drop("mesh_id").collect()))
+            b = sorted(map(tuple, x[t].drop("mesh_id").collect()))
+            assert a == b, (glob, t)
+        a = sorted((r["cell_id"], tuple(r["vs"])) for r in legacy["cells"].collect())
+        b = sorted((r["cell_id"], tuple(r["vs"])) for r in x["cells"].collect())
+        assert a == b, glob
+
+
+def test_read_vtk_cell_data_and_types(spark, tmp_path):
+    vtk_xml.write_vtu(
+        PTS, CELLS, [5, 5], PDATA, str(tmp_path / "m.vtu"),
+        cell_data=CDATA, fmt="appended-raw",
+    )
+    tables = vtk.read_vtk(spark, str(tmp_path), glob="*.vtu")
+    cd = {(r["cell_id"], r["field"]): r["value"] for r in tables["cell_data"].collect()}
+    assert cd == {(0, "area"): 0.5, (1, "area"): 0.75}
+    assert [r["ctype"] for r in tables["cells"].orderBy("cell_id").collect()] == [5, 5]
+
+
+def test_datasource_reads_vtu_with_pushdown(spark, tmp_path):
+    mesh_datasource.register(spark)
+    vtk_xml.write_vtu(PTS, CELLS, None, PDATA, str(tmp_path / "m.vtu"), fmt="appended")
+    df = (
+        spark.read.format("vtk_mesh")
+        .option("table", "point_data")
+        .option("glob", "*.vtu")
+        .load(str(tmp_path))
+        .filter(F.col("field") == "temp")
+    )
+    rows = df.collect()
+    assert {r["field"] for r in rows} == {"temp"}
+    assert sorted(r["value"] for r in rows) == sorted(PDATA["temp"])
+    # the field predicate is consumed by the reader, not re-filtered
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Filter" not in plan or "field" not in plan.split("Filter")[1].split("\n")[0]
+
+
+def test_include_exclude_applies_to_xml(spark, tmp_path):
+    vtk_xml.write_vtu(PTS, CELLS, None, PDATA, str(tmp_path / "m.vtu"), fmt="binary")
+    inc = vtk.read_vtk(spark, str(tmp_path), glob="*.vtu", include_fields=["temp"])
+    fields = {r["field"] for r in inc["point_data"].collect()}
+    assert fields == {"temp"}

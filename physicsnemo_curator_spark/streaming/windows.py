@@ -82,15 +82,17 @@ def run_stream_to_memory(
     build,
     *,
     query_name: str = "stream_out",
+    output_mode: str = "complete",
 ):
     """Drive a parquet-directory stream through ``build`` into an
     in-memory sink and block until drained — the local smoke harness
     for the streaming operators (a real deployment swaps the source
-    for Kafka and the sink for foreachBatch)."""
+    for Kafka and the sink for foreachBatch).  ``output_mode='append'``
+    for non-aggregating stateful ops (dedup, joins)."""
     stream = spark.readStream.schema(schema).parquet(source_dir)
     out = build(stream)
     q = (
-        out.writeStream.outputMode("complete")
+        out.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(query_name)
         .start()

@@ -220,3 +220,61 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
         (r["l_id"], r["r_id"]) for r in spark.read.parquet(out).collect()
     )
     assert got == expected
+
+
+def test_streaming_dedup_matches_batch(spark, sf_dir, tmp_path):
+    """dropDuplicatesWithinWatermark on a duplicated stream must yield
+    each event_id exactly once — identical to batch dropDuplicates.
+    The input doubles every row (two parquet files with the same data),
+    so the stream really exercises cross-batch duplicate suppression."""
+    from physicsnemo_curator_spark.streaming.dedup import dedup_stream
+
+    src = str(tmp_path / "events_dup")
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    events.write.parquet(src)
+    events.write.mode("append").parquet(src)
+
+    dup = spark.read.parquet(src)
+    assert dup.count() == 2 * events.count()
+    expected = {r["event_id"] for r in dedup_stream(dup).collect()}
+
+    streamed = run_stream_to_memory(
+        spark,
+        src,
+        dup.schema,
+        dedup_stream,
+        query_name="dedup_stream",
+        output_mode="append",
+    )
+    got = streamed.collect()
+    ids = [r["event_id"] for r in got]
+    assert len(ids) == len(set(ids)), "a key was emitted twice"
+    assert set(ids) == expected and len(ids) == events.count()
+
+
+def test_session_window_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Session windows (gap-merged activity bursts) must agree between
+    the drained stream and the batch twin — the merge of adjacent
+    sessions as rows arrive is the stateful part worth pinning."""
+    path = _events_dir(spark, sf_dir, tmp_path)
+    batch = spark.read.parquet(path)
+    expected = {
+        (r["w"]["start"], r["w"]["end"], r["user_id"]): (
+            r["cnt"],
+            round(r["sum_value"], 9),
+        )
+        for r in session_window_agg(batch).collect()
+    }
+    streamed = run_stream_to_memory(
+        spark, path, batch.schema, session_window_agg, query_name="sess_stream"
+    )
+    got = {
+        (r["w"]["start"], r["w"]["end"], r["user_id"]): (
+            r["cnt"],
+            round(r["sum_value"], 9),
+        )
+        for r in streamed.collect()
+    }
+    assert got == expected and len(got) > 0

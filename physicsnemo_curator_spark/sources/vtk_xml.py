@@ -14,6 +14,13 @@ Supported surface:
   types), PointData, CellData.
 - ``PolyData`` (.vtp): Points, Verts/Lines/Polys/Strips (emitted in
   that order with the standard VTK cell types), PointData, CellData.
+- ``StructuredGrid`` (.vts): explicit (curvilinear) points over a
+  WholeExtent lattice; the implicit cell lattice materializes as
+  hexahedra (VTK type 12) so the mesh operator pack applies unchanged;
+  extent dimensions land in grid_meta.
+- ``vtkMultiBlockDataSet`` (.vtm): an XML index of nested files —
+  :func:`parse_vtm_index` returns the referenced paths for the scan
+  layer to load (one task per referenced file).
 - DataArray ``format="ascii"``, ``format="binary"`` (inline base64),
   and ``format="appended"`` with ``encoding="base64"`` or
   ``encoding="raw"`` (offset-addressed block after the ``_`` marker).
@@ -184,21 +191,70 @@ def _named_arrays(section: ET.Element | None, dec: _Decoder, n: int) -> dict[str
     return out
 
 
-def parse_vtk_xml(data: bytes):
-    """Parse one ``.vtu`` / ``.vtp`` document.
+_HEXAHEDRON, _QUAD = 12, 9
 
-    Returns ``(points, cells, cell_types, point_data, cell_data)``:
-    points ``[(x, y, z)]``, cells ``[[vertex ids]]``, cell_types
-    ``[int]`` (VTK enum), point_data / cell_data ``{field: [float]}``.
-    Multiple ``<Piece>`` elements concatenate with vertex ids offset by
-    the preceding pieces' point counts (the standard piece merge).
+
+def _extent_dims(piece: ET.Element) -> tuple[int, int, int]:
+    e = [int(t) for t in (piece.get("Extent") or "0 0 0 0 0 0").split()]
+    return e[1] - e[0] + 1, e[3] - e[2] + 1, e[5] - e[4] + 1
+
+
+def _lattice_cells(nx: int, ny: int, nz: int):
+    """Implicit structured-grid cells: hexahedra (3D), quads (2D), or
+    lines (1D) over an x-fastest point lattice, standard VTK corner
+    order."""
+    cells: list[list[int]] = []
+    if nz > 1 and ny > 1:
+        nxy = nx * ny
+        for k in range(nz - 1):
+            for j in range(ny - 1):
+                for i in range(nx - 1):
+                    b = k * nxy + j * nx + i
+                    cells.append(
+                        [b, b + 1, b + nx + 1, b + nx,
+                         b + nxy, b + nxy + 1, b + nxy + nx + 1, b + nxy + nx]
+                    )
+        return cells, [_HEXAHEDRON] * len(cells)
+    if ny > 1:
+        for j in range(ny - 1):
+            for i in range(nx - 1):
+                b = j * nx + i
+                cells.append([b, b + 1, b + nx + 1, b + nx])
+        return cells, [_QUAD] * len(cells)
+    cells = [[i, i + 1] for i in range(nx - 1)]
+    return cells, [_LINE] * len(cells)
+
+
+def parse_vtm_index(data: bytes) -> list[str]:
+    """Parse a ``.vtm`` multiblock index: the ordered list of referenced
+    ``DataSet file=`` paths (relative to the .vtm's directory)."""
+    root = ET.fromstring(data)
+    if root.tag != "VTKFile" or root.get("type") != "vtkMultiBlockDataSet":
+        raise ValueError("not a vtkMultiBlockDataSet index")
+    return [
+        ds.get("file")
+        for ds in root.iter("DataSet")
+        if ds.get("file")
+    ]
+
+
+def parse_vtk_xml(data: bytes):
+    """Parse one ``.vtu`` / ``.vtp`` / ``.vts`` document.
+
+    Returns ``(points, cells, cell_types, point_data, cell_data,
+    grid_meta)``: points ``[(x, y, z)]``, cells ``[[vertex ids]]``,
+    cell_types ``[int]`` (VTK enum), point_data / cell_data
+    ``{field: [float]}``, grid_meta ``{'dimensions': (nx, ny, nz)}``
+    for structured grids (empty otherwise).  Multiple ``<Piece>``
+    elements concatenate with vertex ids offset by the preceding
+    pieces' point counts (the standard piece merge).
     """
     xml_bytes, raw_appended = _split_appended_raw(data)
     root = ET.fromstring(xml_bytes)
     if root.tag != "VTKFile":
         raise ValueError(f"not a VTK XML file (root {root.tag!r})")
     kind = root.get("type")
-    if kind not in ("UnstructuredGrid", "PolyData"):
+    if kind not in ("UnstructuredGrid", "PolyData", "StructuredGrid"):
         raise ValueError(f"unsupported VTK XML type {kind!r}")
 
     appended: bytes | None = raw_appended
@@ -215,10 +271,16 @@ def parse_vtk_xml(data: bytes):
     cell_types: list[int] = []
     point_data: dict[str, list[float]] = {}
     cell_data: dict[str, list[float]] = {}
+    grid_meta: dict = {}
 
     for piece in grid.findall("Piece"):
         base = len(points)
-        n_pts = int(piece.get("NumberOfPoints", "0"))
+        if kind == "StructuredGrid":
+            nx, ny, nz = _extent_dims(piece)
+            n_pts = nx * ny * nz
+            grid_meta["dimensions"] = (nx, ny, nz)
+        else:
+            n_pts = int(piece.get("NumberOfPoints", "0"))
         pts = dec.array(piece.find("Points/DataArray")).astype(np.float64)
         pts = pts.reshape(-1, 3)[:n_pts]
         points.extend((float(x), float(y), float(z)) for x, y, z in pts)
@@ -230,6 +292,8 @@ def parse_vtk_xml(data: bytes):
             conn, offs, typs = _connectivity(sec, dec)
             piece_cells = _split_cells(conn, offs)
             piece_types = typs if typs else [0] * len(piece_cells)
+        elif kind == "StructuredGrid":
+            piece_cells, piece_types = _lattice_cells(nx, ny, nz)
         else:  # PolyData: fixed section order, standard cell types
             for sec_name, one_t, many_t in (
                 ("Verts", _VERT, _POLY_VERTEX),
@@ -258,7 +322,7 @@ def parse_vtk_xml(data: bytes):
         ).items():
             cell_data.setdefault(name, []).extend(vals)
 
-    return points, cells, cell_types, point_data, cell_data
+    return points, cells, cell_types, point_data, cell_data, grid_meta
 
 
 def _connectivity(sec: ET.Element | None, dec: _Decoder):
@@ -437,6 +501,53 @@ def write_vtu(
         body,
     )
     with open(path, "wb") as f:
+        f.write(doc)
+
+
+def write_vts(
+    dims: tuple[int, int, int],
+    points: list[tuple[float, float, float]],
+    point_data: dict[str, list[float]] | None,
+    path: str,
+    *,
+    fmt: str = "appended",
+) -> None:
+    """Emit one .vts StructuredGrid file: explicit x-fastest points over
+    the (nx, ny, nz) lattice."""
+    nx, ny, nz = dims
+    if len(points) != nx * ny * nz:
+        raise ValueError(f"{len(points)} points != {nx}*{ny}*{nz}")
+    w = _VtuWriter(fmt)
+    ext = f"0 {nx - 1} 0 {ny - 1} 0 {nz - 1}"
+    body = [
+        "<Points>",
+        w.data_array(None, np.asarray(points, dtype=np.float64), "Float64", comps=3),
+        "</Points>",
+        *_data_section(w, "PointData", point_data),
+    ]
+    doc = w.document("StructuredGrid", f'Extent="{ext}"', body)
+    doc = doc.replace(
+        b"<StructuredGrid>", f'<StructuredGrid WholeExtent="{ext}">'.encode()
+    )
+    with open(path, "wb") as f:
+        f.write(doc)
+
+
+def write_vtm(files: list[str], path: str) -> None:
+    """Emit one .vtm multiblock index referencing ``files`` (paths
+    relative to the .vtm location)."""
+    blocks = "\n".join(
+        f'    <DataSet index="{i}" file="{f}"/>' for i, f in enumerate(files)
+    )
+    doc = (
+        '<VTKFile type="vtkMultiBlockDataSet" version="1.0"'
+        ' byte_order="LittleEndian">\n'
+        "  <vtkMultiBlockDataSet>\n"
+        f"{blocks}\n"
+        "  </vtkMultiBlockDataSet>\n"
+        "</VTKFile>\n"
+    )
+    with open(path, "w") as f:
         f.write(doc)
 
 

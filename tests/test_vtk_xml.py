@@ -19,7 +19,7 @@ CDATA = {"area": [0.5, 0.75]}
 def test_vtu_encoding_roundtrip(fmt, tmp_path):
     p = tmp_path / "m.vtu"
     vtk_xml.write_vtu(PTS, CELLS, [5, 5], PDATA, str(p), cell_data=CDATA, fmt=fmt)
-    pts, cells, ctypes, pdata, cdata = vtk_xml.parse_vtk_xml(p.read_bytes())
+    pts, cells, ctypes, pdata, cdata, _ = vtk_xml.parse_vtk_xml(p.read_bytes())
     assert pts == PTS and cells == CELLS and ctypes == [5, 5]
     assert pdata == PDATA and cdata == CDATA
 
@@ -32,7 +32,7 @@ def test_multiblock_zlib_roundtrip(tmp_path):
     pdata = {"f": [float(x) for x in rng.normal(size=2000)]}
     p = tmp_path / "big.vtu"
     vtk_xml.write_vtu(pts, cells, None, pdata, str(p), fmt="appended")
-    got_pts, got_cells, _, got_pdata, _ = vtk_xml.parse_vtk_xml(p.read_bytes())
+    got_pts, got_cells, _, got_pdata, _, _ = vtk_xml.parse_vtk_xml(p.read_bytes())
     assert got_pts == pts and got_cells == cells and got_pdata == pdata
 
 
@@ -48,7 +48,7 @@ def test_multicomponent_point_data(tmp_path):
         f'<DataArray type="Float64" Name="vel" NumberOfComponents="3" format="ascii">{vel}</DataArray>'
         "</PointData>",
     )
-    _, _, _, pdata, _ = vtk_xml.parse_vtk_xml(doc.encode())
+    _, _, _, pdata, _, _ = vtk_xml.parse_vtk_xml(doc.encode())
     assert pdata["vel_0"] == [0.0, 3.0, 6.0, 9.0]
     assert pdata["vel_2"] == [2.0, 5.0, 8.0, 11.0]
 
@@ -108,3 +108,40 @@ def test_include_exclude_applies_to_xml(spark, tmp_path):
     inc = vtk.read_vtk(spark, str(tmp_path), glob="*.vtu", include_fields=["temp"])
     fields = {r["field"] for r in inc["point_data"].collect()}
     assert fields == {"temp"}
+
+
+def test_vts_structured_grid(spark, tmp_path):
+    """A 3x2x2 curvilinear grid: 12 explicit points, 2 implicit
+    hexahedra, grid dimensions in meta."""
+    nx, ny, nz = 3, 2, 2
+    pts = [
+        (float(i) + 0.1 * k, float(j), float(k))
+        for k in range(nz) for j in range(ny) for i in range(nx)
+    ]
+    pdata = {"temp": [float(n) for n in range(12)]}
+    p = tmp_path / "g.vts"
+    vtk_xml.write_vts((nx, ny, nz), pts, pdata, str(p), fmt="appended")
+    got_pts, cells, ctypes, got_pd, _, meta = vtk_xml.parse_vtk_xml(p.read_bytes())
+    assert got_pts == pts and got_pd == pdata
+    assert meta["dimensions"] == (nx, ny, nz)
+    assert ctypes == [12, 12]  # two hexahedra
+    assert cells[0] == [0, 1, 4, 3, 6, 7, 10, 9]
+    # through the Spark scan path
+    tables = vtk.read_vtk(spark, str(tmp_path), glob="*.vts")
+    assert tables["points"].count() == 12
+    assert [r["ctype"] for r in tables["cells"].collect()] == [12, 12]
+
+
+def test_vtm_multiblock_scan(spark, tmp_path):
+    """A .vtm index referencing a .vtu and a .vtp block: one task per
+    block file, all blocks landing in the same tables."""
+    vtk_xml.write_vtu(PTS, CELLS, None, PDATA, str(tmp_path / "b0.vtu"), fmt="binary")
+    vtk_xml.write_vtp(PTS, CELLS, PDATA, str(tmp_path / "b1.vtp"), fmt="ascii")
+    vtk_xml.write_vtm(["b0.vtu", "b1.vtp"], str(tmp_path / "scene.vtm"))
+    tables = vtk.read_vtm(spark, str(tmp_path / "scene.vtm"))
+    assert tables["points"].count() == 2 * len(PTS)
+    assert sorted({r["mesh_id"] for r in tables["cells"].collect()}) == ["b0", "b1"]
+    inc = vtk.read_vtm(
+        spark, str(tmp_path / "scene.vtm"), include_fields=["temp"]
+    )["point_data"]
+    assert {r["field"] for r in inc.collect()} == {"temp"}

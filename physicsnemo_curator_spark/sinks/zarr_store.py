@@ -1,0 +1,393 @@
+"""Pure-Python Zarr v2 directory store: metadata, chunk codec, readers,
+and distributed chunk writers.
+
+The container has no ``zarr``/``numcodecs``, but the Zarr v2 format is a
+small public spec (directory of ``.zarray``/``.zgroup`` JSON plus
+separately-compressed C-order chunk files), so the encoders here are
+implemented with stdlib ``json``/``zlib`` + numpy only.  Metadata is
+emitted in numcodecs-compatible form (``{"id": "zlib", "level": N}``),
+so stores written here open unchanged with the real ``zarr`` library.
+
+This replaces the import-gates that previously made the Zarr sinks
+"plumbing-only" (reference ``domains/da/sinks/zarr_writer.py:118-772``,
+``domains/atm/sinks/zarr_writer.py:209-735``, ``domains/mesh/sinks/
+mesh_zarr.py:105-381``).
+
+Scale design: chunk files are written inside Spark tasks — the frame is
+repartitioned so each task owns whole chunks (the declarative form of
+the reference's chunk-aligned index partitioning, ``zarr_writer.py:
+471-511``), and Spark's task-isolated commit replaces its pre-allocated
+region-write locking.  Only array *metadata* (shape, dtype, coordinate
+maps) touches the driver, never data.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import zlib
+from collections.abc import Iterator
+from typing import Any
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_COMPRESSOR: dict[str, Any] = {"id": "zlib", "level": 1}
+
+
+# ---------------------------------------------------------------- codec
+
+
+def _compress(raw: bytes, compressor: dict[str, Any] | None) -> bytes:
+    if compressor is None:
+        return raw
+    if compressor["id"] != "zlib":
+        raise ValueError(f"unsupported compressor {compressor['id']!r}")
+    return zlib.compress(raw, compressor.get("level", 1))
+
+
+def _decompress(blob: bytes, compressor: dict[str, Any] | None) -> bytes:
+    if compressor is None:
+        return blob
+    if compressor["id"] != "zlib":
+        raise ValueError(f"unsupported compressor {compressor['id']!r}")
+    return zlib.decompress(blob)
+
+
+def encode_chunk(arr: np.ndarray, compressor: dict[str, Any] | None) -> bytes:
+    """C-order bytes of one (full-size) chunk, compressed."""
+    return _compress(np.ascontiguousarray(arr).tobytes(), compressor)
+
+
+# ------------------------------------------------------------- metadata
+
+
+def init_group(store: str, attrs: dict[str, Any] | None = None) -> None:
+    os.makedirs(store, exist_ok=True)
+    with open(os.path.join(store, ".zgroup"), "w") as f:
+        json.dump({"zarr_format": 2}, f)
+    if attrs:
+        with open(os.path.join(store, ".zattrs"), "w") as f:
+            json.dump(attrs, f)
+
+
+def init_array(
+    store: str,
+    name: str,
+    *,
+    shape: tuple[int, ...],
+    chunks: tuple[int, ...],
+    dtype: str | np.dtype,
+    compressor: dict[str, Any] | None = None,
+    fill_value: float | int | None = 0,
+    attrs: dict[str, Any] | None = None,
+) -> str:
+    """Write ``.zarray`` (+``.zattrs``) for one array; returns its dir.
+
+    ``fill_value`` NaN is serialized as the string ``"NaN"`` per spec.
+    """
+    adir = os.path.join(store, name)
+    os.makedirs(adir, exist_ok=True)
+    fv: Any = fill_value
+    if isinstance(fv, float) and math.isnan(fv):
+        fv = "NaN"
+    meta = {
+        "zarr_format": 2,
+        "shape": list(shape),
+        "chunks": list(chunks),
+        "dtype": np.dtype(dtype).str,
+        "compressor": compressor if compressor is None else dict(compressor),
+        "fill_value": fv,
+        "order": "C",
+        "filters": None,
+    }
+    with open(os.path.join(adir, ".zarray"), "w") as f:
+        json.dump(meta, f)
+    if attrs:
+        with open(os.path.join(adir, ".zattrs"), "w") as f:
+            json.dump(attrs, f)
+    return adir
+
+
+def write_chunk(
+    adir: str,
+    chunk_index: tuple[int, ...],
+    arr: np.ndarray,
+    compressor: dict[str, Any] | None = None,
+) -> str:
+    """Write one chunk file (``i.j.k`` naming). ``arr`` must be the full
+    chunk shape — pad partial edge chunks with the fill value upstream
+    (the v2 spec stores edge chunks at full chunk shape)."""
+    path = os.path.join(adir, ".".join(str(i) for i in chunk_index))
+    with open(path, "wb") as f:
+        f.write(encode_chunk(arr, compressor))
+    return path
+
+
+# -------------------------------------------------------------- reading
+
+
+def read_array_meta(adir: str) -> dict[str, Any]:
+    with open(os.path.join(adir, ".zarray")) as f:
+        return json.load(f)
+
+
+def read_array(adir: str) -> np.ndarray:
+    """Assemble a full array from its chunk files (missing chunk →
+    fill value).  Test/verification path — driver-side by design."""
+    meta = read_array_meta(adir)
+    shape = tuple(meta["shape"])
+    chunks = tuple(meta["chunks"])
+    dtype = np.dtype(meta["dtype"])
+    fv = meta["fill_value"]
+    if fv == "NaN":
+        fv = math.nan
+    out = np.full(shape, fv if fv is not None else 0, dtype=dtype)
+    ncdim = [max(1, -(-s // c)) for s, c in zip(shape, chunks)]
+    compressor = meta["compressor"]
+    for idx in np.ndindex(*ncdim):
+        path = os.path.join(adir, ".".join(str(i) for i in idx))
+        if not os.path.exists(path):
+            continue
+        with open(path, "rb") as f:
+            raw = _decompress(f.read(), compressor)
+        block = np.frombuffer(raw, dtype=dtype).reshape(chunks)
+        sel = tuple(
+            slice(i * c, min((i + 1) * c, s))
+            for i, c, s in zip(idx, chunks, shape)
+        )
+        out[sel] = block[tuple(slice(0, sl.stop - sl.start) for sl in sel)]
+    return out
+
+
+# ------------------------------------------- distributed grid sink (da)
+
+
+def write_grid_zarr(
+    grid: DataFrame,
+    store: str,
+    *,
+    time_col: str = "time_idx",
+    var_col: str = "variable",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    value_col: str = "value",
+    compressor: dict[str, Any] | None = DEFAULT_COMPRESSOR,
+) -> dict[str, tuple[int, int, int]]:
+    """ZarrSink semantics (reference ``zarr_writer.py:118-772``): one
+    group per variable, array ``data`` of shape (T, nlat, nlon) with
+    chunks ``(1, nlat, nlon)`` — the reference's own chunking
+    (``zarr_writer.py:215``).
+
+    Driver work is metadata-only: the sorted coordinate vectors (≈ 721 +
+    1440 values for ERA5) and the variable/time inventory.  The data
+    path is one shuffle keyed on (variable, time) so each task owns
+    exactly the chunks it writes.
+    """
+    coords = (
+        grid.select(
+            F.col(var_col).alias("v"),
+            F.col(time_col).alias("t"),
+            F.col(lat_col).alias("la"),
+            F.col(lon_col).alias("lo"),
+        )
+        .agg(
+            F.sort_array(F.collect_set("t")).alias("ts"),
+            F.sort_array(F.collect_set("la")).alias("lats"),
+            F.sort_array(F.collect_set("lo")).alias("lons"),
+            F.sort_array(F.collect_set("v")).alias("vars"),
+        )
+        .first()
+    )
+    times, lats, lons, variables = (
+        list(coords["ts"]),
+        list(coords["lats"]),
+        list(coords["lons"]),
+        list(coords["vars"]),
+    )
+    t_idx = {t: i for i, t in enumerate(times)}
+    la_idx = {v: i for i, v in enumerate(lats)}
+    lo_idx = {v: i for i, v in enumerate(lons)}
+    nt, nla, nlo = len(times), len(lats), len(lons)
+
+    init_group(store)
+    for v in variables:
+        vdir = os.path.join(store, str(v))
+        init_group(vdir)
+        init_array(
+            vdir,
+            "data",
+            shape=(nt, nla, nlo),
+            chunks=(1, nla, nlo),
+            dtype="<f8",
+            compressor=compressor,
+            fill_value=math.nan,
+            attrs={"_ARRAY_DIMENSIONS": ["time", "lat", "lon"]},
+        )
+
+    comp = dict(compressor) if compressor else None
+    store_abs = os.path.abspath(store)
+
+    def _write_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf[var_col].iloc[0]
+        t = pdf[time_col].iloc[0]
+        block = np.full((1, nla, nlo), math.nan)
+        ila = pdf[lat_col].map(la_idx).to_numpy()
+        ilo = pdf[lon_col].map(lo_idx).to_numpy()
+        block[0, ila, ilo] = pdf[value_col].to_numpy(dtype=float)
+        adir = os.path.join(store_abs, str(v), "data")
+        path = write_chunk(adir, (t_idx[t], 0, 0), block, comp)
+        return pd.DataFrame({"variable": [str(v)], "chunk": [path]})
+
+    # groupBy.applyInPandas shuffles on (variable, time) — exactly the
+    # chunk-ownership partitioning; no extra repartition needed.
+    written = (
+        grid.groupBy(var_col, time_col)
+        .applyInPandas(_write_chunk, "variable string, chunk string")
+        .count()
+    )
+    return {str(v): (nt, nla, nlo) for v in variables} | {
+        "__chunks__": (int(written), 0, 0)
+    }
+
+
+# --------------------------------- distributed ragged flat sink (atoms)
+
+
+def write_flat_zarr(
+    rows: DataFrame,
+    adir_store: str,
+    name: str,
+    *,
+    index_col: str,
+    value_cols: list[str],
+    chunk_rows: int,
+    dtype: str = "<f8",
+    compressor: dict[str, Any] | None = DEFAULT_COMPRESSOR,
+    n_rows: int | None = None,
+) -> str:
+    """Write a (N, len(value_cols)) — or (N,) — array from a long table
+    whose ``index_col`` is the global row position (e.g. atom offsets
+    from :func:`~physicsnemo_curator_spark.operators.atomic.pack_offsets`).
+
+    The AtomicDataZarrSink pattern (reference ``domains/atm/sinks/
+    zarr_writer.py:209-735``): ragged per-system fields become one flat
+    array + an offsets index.  A system whose rows straddle a chunk
+    boundary simply contributes rows to both chunk groups — chunk
+    ownership is by ``index_col // chunk_rows``, so tasks never share a
+    file and no pre-allocation/locking is needed.
+    """
+    if n_rows is None:
+        n_rows = rows.agg(F.max(index_col)).first()[0] + 1
+    width = len(value_cols)
+    shape = (n_rows,) if width == 1 else (n_rows, width)
+    chunks = (chunk_rows,) if width == 1 else (chunk_rows, width)
+    adir = init_array(
+        adir_store,
+        name,
+        shape=shape,
+        chunks=chunks,
+        dtype=dtype,
+        compressor=compressor,
+        fill_value=0,
+    )
+    adir_abs = os.path.abspath(adir)
+    comp = dict(compressor) if compressor else None
+    np_dtype = np.dtype(dtype)
+
+    keyed = rows.withColumn(
+        "_chunk", (F.col(index_col) / chunk_rows).cast("long")
+    )
+
+    def _write(pdf: pd.DataFrame) -> pd.DataFrame:
+        cid = int(pdf["_chunk"].iloc[0])
+        block = np.zeros((chunk_rows, width), dtype=np_dtype)
+        local = pdf[index_col].to_numpy() - cid * chunk_rows
+        block[local] = pdf[value_cols].to_numpy()
+        out = block if width > 1 else block[:, 0]
+        path = write_chunk(adir_abs, (cid, 0)[: len(chunks)], out, comp)
+        return pd.DataFrame({"chunk": [path]})
+
+    keyed.groupBy("_chunk").applyInPandas(_write, "chunk string").count()
+    return adir
+
+
+# ------------------------------------------ distributed mesh_pos sink
+
+
+def write_mesh_zarr(
+    points: DataFrame,
+    displacements: DataFrame,
+    store: str,
+    *,
+    compressor: dict[str, Any] | None = DEFAULT_COMPRESSOR,
+) -> dict[str, tuple[int, int, int]]:
+    """MeshZarrSink semantics (reference ``domains/mesh/sinks/
+    mesh_zarr.py:105-381``): reconstruct ``mesh_pos (T, N, 3)`` =
+    reference points + per-timestep displacement, one Zarr group per
+    mesh, chunked ``(1, N, 3)`` so each (mesh, timestep) chunk is owned
+    by exactly one task.
+
+    Inputs: ``points(mesh_id, point_id, x, y, z)`` and
+    ``displacements(mesh_id, point_id, t, dx, dy, dz)``.
+    """
+    dims = (
+        displacements.groupBy("mesh_id")
+        .agg(
+            (F.max("t") + 1).alias("nt"),
+            (F.max("point_id") + 1).alias("np_"),
+        )
+        .collect()
+    )
+    shapes = {r["mesh_id"]: (int(r["nt"]), int(r["np_"])) for r in dims}
+
+    init_group(store)
+    for mesh_id, (nt, npts) in shapes.items():
+        mdir = os.path.join(store, f"mesh_{mesh_id}")
+        init_group(mdir)
+        init_array(
+            mdir,
+            "mesh_pos",
+            shape=(nt, npts, 3),
+            chunks=(1, npts, 3),
+            dtype="<f8",
+            compressor=compressor,
+            fill_value=0,
+        )
+
+    pos = displacements.join(points, ["mesh_id", "point_id"]).select(
+        "mesh_id",
+        "t",
+        "point_id",
+        (F.col("x") + F.col("dx")).alias("px"),
+        (F.col("y") + F.col("dy")).alias("py"),
+        (F.col("z") + F.col("dz")).alias("pz"),
+    )
+    store_abs = os.path.abspath(store)
+    comp = dict(compressor) if compressor else None
+    shapes_b = dict(shapes)
+
+    def _write(pdf: pd.DataFrame) -> pd.DataFrame:
+        mesh_id = pdf["mesh_id"].iloc[0]
+        t = int(pdf["t"].iloc[0])
+        _, npts = shapes_b[mesh_id]
+        block = np.zeros((1, npts, 3))
+        pid = pdf["point_id"].to_numpy()
+        block[0, pid, 0] = pdf["px"].to_numpy()
+        block[0, pid, 1] = pdf["py"].to_numpy()
+        block[0, pid, 2] = pdf["pz"].to_numpy()
+        adir = os.path.join(store_abs, f"mesh_{mesh_id}", "mesh_pos")
+        path = write_chunk(adir, (t, 0, 0), block, comp)
+        return pd.DataFrame({"chunk": [path]})
+
+    pos.groupBy("mesh_id", "t").applyInPandas(_write, "chunk string").count()
+    return {str(m): (nt, npts, 3) for m, (nt, npts) in shapes.items()}
+
+
+def iter_chunk_files(adir: str) -> Iterator[str]:
+    for fn in sorted(os.listdir(adir)):
+        if not fn.startswith("."):
+            yield os.path.join(adir, fn)

@@ -1,16 +1,21 @@
 """Scientific-format sinks: NetCDF / Zarr / VTU via foreachPartition.
 
-The container lacks netCDF4/zarr/pyvista, so the format encoders are
-import-gated; the Spark-side plumbing (partition routing, per-partition
-writer invocation, path templating) is real and tested with a plain-text
-encoder.  On a cluster with the libs installed the same plumbing writes
-real NetCDF/Zarr:
+Real encoders, no external format libraries needed:
 
-- ``NetCDF4Sink`` (reference ``domains/da/sinks/netcdf_writer.py:75-435``)
-  → ``partitionBy(variable, year)`` routing + per-partition encoder.
-- ``ZarrSink`` (reference ``domains/da/sinks/zarr_writer.py:118-772``)
-  → one task per chunk-aligned partition; Spark's commit protocol
-  replaces pre-allocated region writes.
+- **Zarr**: :mod:`physicsnemo_curator_spark.sinks.zarr_store` is a
+  pure-Python Zarr v2 directory store (stdlib json/zlib + numpy) with
+  distributed chunk writers — ``ZarrSink`` (reference ``domains/da/
+  sinks/zarr_writer.py:118-772``), ``MeshZarrSink`` (``mesh_zarr.py:
+  105-381``) and ``AtomicDataZarrSink`` (``atm/sinks/zarr_writer.py:
+  209-735``) semantics.
+- **NetCDF**: :func:`write_netcdf_per_variable_year` routes one file
+  per (variable, year) (reference ``domains/da/sinks/netcdf_writer.py:
+  75-435``) and encodes NetCDF-3 classic via
+  :mod:`physicsnemo_curator_spark.sinks.netcdf3` inside each task.
+- The generic :func:`write_per_group_files` carries the shared
+  distributed pattern: repartition on the group key so each output
+  unit is owned by exactly one task (co-location constraint,
+  reference ``core/base.py:356-378``).
 """
 
 from __future__ import annotations
@@ -21,20 +26,6 @@ from typing import Any
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-try:  # pragma: no cover - not installed in this container
-    import netCDF4  # type: ignore  # noqa: F401
-
-    HAS_NETCDF = True
-except ImportError:
-    HAS_NETCDF = False
-
-try:  # pragma: no cover
-    import zarr  # type: ignore  # noqa: F401
-
-    HAS_ZARR = True
-except ImportError:
-    HAS_ZARR = False
 
 
 RowEncoder = Callable[[str, list[Any]], None]  # (out_path, rows) -> None
@@ -92,18 +83,62 @@ def write_per_group_files(
 
 
 def write_netcdf_per_variable_year(
-    grid: DataFrame, out_dir: str, *, time_col: str = "time", var_col: str = "variable"
+    grid: DataFrame,
+    out_dir: str,
+    *,
+    time_col: str = "time",
+    var_col: str = "variable",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    value_col: str = "value",
 ) -> int:
-    """NetCDF4Sink semantics: one file per (variable, year).
-
-    Without netCDF4 installed the rows land in the text encoder (the
-    routing/partitioning — the distributed part — is identical).
+    """NetCDF4Sink semantics: one real ``.nc`` file per (variable, year)
+    (reference ``domains/da/sinks/netcdf_writer.py:75-435``), encoded as
+    classic NetCDF-3 by :mod:`~physicsnemo_curator_spark.sinks.netcdf3`
+    inside each task — time is the record dimension, lat/lon are
+    coordinate variables.
     """
-    if HAS_NETCDF:  # pragma: no cover - exercised only on full clusters
-        raise NotImplementedError(
-            "netCDF4 present: plug a real encoder into write_per_group_files"
-        )
+    import numpy as np
+
+    from physicsnemo_curator_spark.sinks.netcdf3 import write_netcdf3
+
     keyed = grid.withColumn("year", F.year(time_col).cast("int"))
+    cols = keyed.columns
+    it, iv, ila, ilo, ival = (
+        cols.index(time_col),
+        cols.index(var_col),
+        cols.index(lat_col),
+        cols.index(lon_col),
+        cols.index(value_col),
+    )
+
+    def _nc_encoder(out_path: str, rows: list[Any]) -> None:
+        os.makedirs(os.path.dirname(out_path), exist_ok=True)
+        times = sorted({r[it] for r in rows})
+        lats = sorted({r[ila] for r in rows})
+        lons = sorted({r[ilo] for r in rows})
+        t_i = {t: i for i, t in enumerate(times)}
+        la_i = {v: i for i, v in enumerate(lats)}
+        lo_i = {v: i for i, v in enumerate(lons)}
+        data = np.full((len(times), len(lats), len(lons)), np.nan)
+        for r in rows:
+            data[t_i[r[it]], la_i[r[ila]], lo_i[r[ilo]]] = r[ival]
+        epoch = np.array(
+            [t.timestamp() if hasattr(t, "timestamp") else float(t) for t in times]
+        )
+        write_netcdf3(
+            out_path,
+            dims={"time": None, "lat": len(lats), "lon": len(lons)},
+            variables={
+                "time": (("time",), epoch),
+                "lat": (("lat",), np.asarray(lats, dtype="float64")),
+                "lon": (("lon",), np.asarray(lons, dtype="float64")),
+                str(rows[0][iv]): (("time", "lat", "lon"), data),
+            },
+            global_attrs={"Conventions": "CF-1.6"},
+            var_attrs={"time": {"units": "seconds since 1970-01-01"}},
+        )
+
     return write_per_group_files(
-        keyed, out_dir, [var_col, "year"], suffix=".nc.txt"
+        keyed, out_dir, [var_col, "year"], encoder=_nc_encoder, suffix=".nc"
     )

@@ -1,0 +1,490 @@
+"""Pure-Python ASE-LMDB (``.aselmdb``) source: a read-only LMDB B-tree
+walker + zlib/JSON row decode, one Spark partition per file.
+
+The container has no ``lmdb`` binding, but the LMDB on-disk layout is a
+public, stable format (documented in the liblmdb sources): two meta
+pages electing the live root by transaction id, branch/leaf B-tree
+pages of 2-byte-indexed nodes, and overflow pages for large values.
+The walker below reads that layout with stdlib ``struct`` only, so a
+real OMol25-style ``.aselmdb`` file is ingestible without native code
+— replacing the import-gate that previously limited this source to
+decode plumbing.
+
+Semantics mirror the reference reader (``domains/atm/sources/
+aselmdb.py:647-1071``): keys are UTF-8 row ids with the reserved set
+``{nextid, deleted_ids, metadata}`` skipped (``:80``), values are
+zlib-compressed JSON with ``{"__ndarray__": [shape, dtype, flat]}``
+markers (``:93-129``), and the scan is partitioned one-file-per-task
+(``partition_indices`` grouping, ``:872-905``).
+
+A minimal single-transaction LMDB *writer* is included for fixtures
+and round-trips (the reference generates its test files via the
+``lmdb``/ASE stack the same way, ``test/domains/atm/test_lmdb_rust
+.py:44``).  Scale note: files are the unit of parallelism — the
+100 TB layout is many shard files, exactly how OMol25 ships.
+"""
+
+from __future__ import annotations
+
+import glob as globmod
+import json
+import os
+import struct
+import zlib
+from collections.abc import Iterator
+from typing import Any
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+RESERVED_KEYS = frozenset({"nextid", "deleted_ids", "metadata"})
+
+# --- LMDB on-disk constants (public format, liblmdb midl.h/mdb.c) ----
+_MAGIC = 0xBEEFC0DE
+_VERSION = 1
+_P_BRANCH, _P_LEAF, _P_OVERFLOW, _P_META = 0x01, 0x02, 0x04, 0x08
+_P_LEAF2 = 0x20
+_F_BIGDATA, _F_SUBDATA, _F_DUPDATA = 0x01, 0x02, 0x04
+_P_INVALID = 0xFFFFFFFFFFFFFFFF
+_PAGEHDRSZ = 16
+_NODESZ = 8
+_DB_FMT = "<IHHQQQQQ"  # pad, flags, depth, branch/leaf/ovf pages, entries, root
+_META_FMT = "<IIQQ"  # magic, version, address, mapsize (then dbs, last_pg, txnid)
+
+
+def _even(n: int) -> int:
+    return n + (n & 1)
+
+
+# ----------------------------------------------------------- reading
+
+
+class LmdbReader:
+    """Read-only walker over one LMDB data file (in-memory buffer)."""
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.psize, meta = self._find_live_meta()
+        self.main_root = meta["main_root"]
+        self.entries = meta["entries"]
+
+    @classmethod
+    def open(cls, path: str) -> "LmdbReader":
+        with open(path, "rb") as f:
+            return cls(f.read())
+
+    def _parse_meta(self, off: int) -> dict[str, int] | None:
+        if off + _PAGEHDRSZ + 136 > len(self.buf):
+            return None
+        magic, version, _addr, _mapsize = struct.unpack_from(
+            _META_FMT, self.buf, off + _PAGEHDRSZ
+        )
+        if magic != _MAGIC or version != _VERSION:
+            return None
+        db_off = off + _PAGEHDRSZ + 24
+        main = struct.unpack_from(_DB_FMT, self.buf, db_off + 48)
+        last_pg, txnid = struct.unpack_from(
+            "<QQ", self.buf, db_off + 96
+        )
+        return {
+            "main_root": main[7],
+            "entries": main[6],
+            "last_pg": last_pg,
+            "txnid": txnid,
+        }
+
+    def _find_live_meta(self) -> tuple[int, dict[str, int]]:
+        """Page size is not stored in the meta block — probe the
+        standard sizes for a valid second meta page (pgno 1)."""
+        m0 = self._parse_meta(0)
+        if m0 is None:
+            raise ValueError("not an LMDB data file (bad meta page 0)")
+        for psize in (4096, 8192, 16384, 512, 1024, 2048, 32768, 65536):
+            m1 = self._parse_meta(psize)
+            if m1 is not None:
+                pgno = struct.unpack_from("<Q", self.buf, psize)[0]
+                if pgno == 1:
+                    live = m1 if m1["txnid"] >= m0["txnid"] else m0
+                    return psize, live
+        raise ValueError("could not locate LMDB meta page 1 (page size)")
+
+    def _page(self, pgno: int) -> tuple[int, int, int]:
+        """→ (offset, flags, nkeys) of a B-tree page."""
+        off = pgno * self.psize
+        flags = struct.unpack_from("<H", self.buf, off + 10)[0]
+        lower = struct.unpack_from("<H", self.buf, off + 12)[0]
+        nkeys = (lower - _PAGEHDRSZ) // 2
+        return off, flags, nkeys
+
+    def items(self) -> Iterator[tuple[bytes, bytes]]:
+        """All (key, value) pairs in key order."""
+        if self.main_root == _P_INVALID:
+            return
+        yield from self._walk(self.main_root)
+
+    def _walk(self, pgno: int) -> Iterator[tuple[bytes, bytes]]:
+        off, flags, nkeys = self._page(pgno)
+        if flags & _P_LEAF2:
+            raise NotImplementedError("MDB_DUPFIXED pages not supported")
+        for i in range(nkeys):
+            nptr = off + struct.unpack_from("<H", self.buf, off + 16 + 2 * i)[0]
+            lo, hi, nflags, ksize = struct.unpack_from("<HHHH", self.buf, nptr)
+            if flags & _P_BRANCH:
+                child = lo | (hi << 16) | (nflags << 32)
+                yield from self._walk(child)
+            elif flags & _P_LEAF:
+                if nflags & (_F_SUBDATA | _F_DUPDATA):
+                    raise NotImplementedError("dupsort databases not supported")
+                key = self.buf[nptr + _NODESZ : nptr + _NODESZ + ksize]
+                dsize = lo | (hi << 16)
+                dstart = nptr + _NODESZ + ksize
+                if nflags & _F_BIGDATA:
+                    ovpg = struct.unpack_from("<Q", self.buf, dstart)[0]
+                    ovoff = ovpg * self.psize
+                    data = self.buf[ovoff + _PAGEHDRSZ : ovoff + _PAGEHDRSZ + dsize]
+                else:
+                    data = self.buf[dstart : dstart + dsize]
+                yield key, data
+            else:
+                raise ValueError(f"unexpected page flags 0x{flags:x}")
+
+
+def lmdb_items(path: str) -> Iterator[tuple[bytes, bytes]]:
+    yield from LmdbReader.open(path).items()
+
+
+# ----------------------------------------------------------- writing
+
+
+def write_lmdb(
+    path: str, items: dict[bytes, bytes] | list[tuple[bytes, bytes]],
+    *, page_size: int = 4096,
+) -> None:
+    """Write a single-transaction LMDB data file (fixture writer).
+
+    Keys are stored in memcmp order (LMDB's default comparator); big
+    values spill to overflow pages at the same node-size threshold real
+    LMDB uses, so the layout matches what ``lmdb``/ASE would produce.
+    """
+    pairs = sorted(dict(items).items())
+    psize = page_size
+    nodemax = (((psize - _PAGEHDRSZ) // 2) & ~1) - 2  # mdb.c nodemax
+
+    pages: dict[int, bytes] = {}
+    next_pg = 2  # 0, 1 are meta
+    n_ovf = 0
+
+    def _alloc() -> int:
+        nonlocal next_pg
+        pg = next_pg
+        next_pg += 1
+        return pg
+
+    def _page_bytes(
+        pgno: int, pflags: int, nodes: list[tuple[bytes, int, bytes]]
+    ) -> bytes:
+        """Assemble one branch/leaf page. nodes: (key, nflags|lo/hi
+        payload descriptor, body) pre-encoded below."""
+        ptrs: list[int] = []
+        upper = psize
+        blobs: list[tuple[int, bytes]] = []
+        for node in nodes:
+            upper -= _even(len(node[2]))
+            ptrs.append(upper)
+            blobs.append((upper, node[2]))
+        lower = _PAGEHDRSZ + 2 * len(nodes)
+        if lower > upper:
+            raise ValueError("page overflow — node batching bug")
+        page = bytearray(psize)
+        struct.pack_into("<QHHHH", page, 0, pgno, 0, pflags, lower, upper)
+        for i, p in enumerate(ptrs):
+            struct.pack_into("<H", page, _PAGEHDRSZ + 2 * i, p)
+        for off, blob in blobs:
+            page[off : off + len(blob)] = blob
+        return bytes(page)
+
+    def _leaf_node(key: bytes, data: bytes) -> bytes:
+        nonlocal n_ovf
+        if _NODESZ + len(key) + len(data) > nodemax:
+            npages = -(-(len(data) + _PAGEHDRSZ) // psize)
+            ovpg = None
+            for _ in range(npages):
+                pg = _alloc()
+                ovpg = pg if ovpg is None else ovpg
+            ov = bytearray(npages * psize)
+            struct.pack_into("<QHHI", ov, 0, ovpg, 0, _P_OVERFLOW, npages)
+            ov[_PAGEHDRSZ : _PAGEHDRSZ + len(data)] = data
+            for k in range(npages):
+                pages[ovpg + k] = bytes(ov[k * psize : (k + 1) * psize])
+            n_ovf += npages
+            body = struct.pack(
+                "<HHHH",
+                len(data) & 0xFFFF,
+                len(data) >> 16,
+                _F_BIGDATA,
+                len(key),
+            ) + key + struct.pack("<Q", ovpg)
+        else:
+            body = struct.pack(
+                "<HHHH", len(data) & 0xFFFF, len(data) >> 16, 0, len(key)
+            ) + key + data
+        return body
+
+    def _branch_node(key: bytes, child: int) -> bytes:
+        return struct.pack(
+            "<HHHH",
+            child & 0xFFFF,
+            (child >> 16) & 0xFFFF,
+            (child >> 32) & 0xFFFF,
+            len(key),
+        ) + key
+
+    # --- pack leaves greedily
+    leaves: list[tuple[bytes, int]] = []  # (first_key, pgno)
+    cur: list[tuple[bytes, int, bytes]] = []
+    cur_size = 0
+
+    def _flush_leaf() -> None:
+        nonlocal cur, cur_size
+        if not cur:
+            return
+        pg = _alloc()
+        pages[pg] = _page_bytes(pg, _P_LEAF, cur)
+        leaves.append((cur[0][0], pg))
+        cur, cur_size = [], 0
+
+    for key, data in pairs:
+        body = _leaf_node(key, data)
+        need = 2 + _even(len(body))
+        if cur and _PAGEHDRSZ + cur_size + need > psize:
+            _flush_leaf()
+        cur.append((key, 0, body))
+        cur_size += need
+    _flush_leaf()
+
+    # --- branch levels until a single root
+    depth = 1
+    level: list[tuple[bytes, int]] = leaves
+    n_branch = 0
+    while len(level) > 1:
+        depth += 1
+        nxt: list[tuple[bytes, int]] = []
+        cur_b: list[tuple[bytes, int, bytes]] = []
+        cur_b_size = 0
+        first_key_of_group: bytes | None = None
+
+        def _flush_branch() -> None:
+            nonlocal cur_b, cur_b_size, first_key_of_group, n_branch
+            if not cur_b:
+                return
+            pg = _alloc()
+            pages[pg] = _page_bytes(pg, _P_BRANCH, cur_b)
+            nxt.append((first_key_of_group or b"", pg))
+            n_branch += 1
+            cur_b, cur_b_size, first_key_of_group = [], 0, None
+
+        for first_key, child in level:
+            key = b"" if not cur_b else first_key
+            body = _branch_node(key, child)
+            need = 2 + _even(len(body))
+            if cur_b and _PAGEHDRSZ + cur_b_size + need > psize:
+                _flush_branch()
+                body = _branch_node(b"", child)
+                need = 2 + _even(len(body))
+            if not cur_b:
+                first_key_of_group = first_key
+            cur_b.append((key, 0, body))
+            cur_b_size += need
+        _flush_branch()
+        level = nxt
+
+    root = level[0][1] if level else _P_INVALID
+    if not pairs:
+        depth = 0
+    last_pg = next_pg - 1
+
+    def _meta(txnid: int) -> bytes:
+        page = bytearray(psize)
+        struct.pack_into("<QHHHH", page, 0, txnid & 1, 0, _P_META, 0, 0)
+        struct.pack_into(
+            _META_FMT, page, _PAGEHDRSZ, _MAGIC, _VERSION, 0,
+            max((last_pg + 1) * psize, 1 << 20),
+        )
+        # free DB (INTEGERKEY, empty), then main DB
+        struct.pack_into(
+            _DB_FMT, page, _PAGEHDRSZ + 24, 0, 0x08, 0, 0, 0, 0, 0, _P_INVALID
+        )
+        struct.pack_into(
+            _DB_FMT, page, _PAGEHDRSZ + 24 + 48,
+            0, 0, depth, n_branch, len(leaves), n_ovf, len(pairs), root,
+        )
+        struct.pack_into("<QQ", page, _PAGEHDRSZ + 24 + 96, last_pg, txnid)
+        return bytes(page)
+
+    with open(path, "wb") as f:
+        f.write(_meta(0))
+        f.write(_meta(1))
+        for pg in range(2, next_pg):
+            f.write(pages[pg])
+
+
+# -------------------------------------------------- ASE row encoding
+
+
+def encode_ndarray_markers(obj: Any) -> Any:
+    """numpy arrays → ``{"__ndarray__": [shape, dtype, flat]}``."""
+    if isinstance(obj, np.ndarray):
+        return {
+            "__ndarray__": [
+                list(obj.shape),
+                str(obj.dtype),
+                obj.ravel().tolist(),
+            ]
+        }
+    if isinstance(obj, dict):
+        return {k: encode_ndarray_markers(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [encode_ndarray_markers(v) for v in obj]
+    if isinstance(obj, (np.integer, np.floating, np.bool_)):
+        return obj.item()
+    return obj
+
+
+def decode_ndarray_markers(obj: Any) -> Any:
+    """Inverse of :func:`encode_ndarray_markers` (reference
+    ``aselmdb.py:93-129`` semantics)."""
+    if isinstance(obj, dict):
+        if "__ndarray__" in obj:
+            marker = obj["__ndarray__"]
+            if not isinstance(marker, list) or len(marker) != 3:
+                return obj
+            shape, dtype_str, flat = marker
+            arr = np.array(flat, dtype=np.dtype(dtype_str))
+            return arr.reshape(shape) if len(shape) > 1 else arr
+        return {k: decode_ndarray_markers(v) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [decode_ndarray_markers(v) for v in obj]
+    return obj
+
+
+def encode_ase_row(row: dict[str, Any]) -> bytes:
+    return zlib.compress(
+        json.dumps(encode_ndarray_markers(row)).encode(), 6
+    )
+
+
+def decode_ase_row(blob: bytes) -> dict[str, Any]:
+    return decode_ndarray_markers(json.loads(zlib.decompress(blob)))
+
+
+def write_aselmdb(path: str, rows: list[dict[str, Any]]) -> None:
+    """Fixture writer: numbered rows (ids from 1) + the ``nextid`` /
+    ``metadata`` reserved keys ASE maintains."""
+    items: dict[bytes, bytes] = {
+        str(i + 1).encode(): encode_ase_row(r) for i, r in enumerate(rows)
+    }
+    items[b"nextid"] = encode_ase_row({"nextid": len(rows) + 1})
+    items[b"metadata"] = encode_ase_row({})
+    write_lmdb(path, items)
+
+
+# ------------------------------------------------------ Spark source
+
+
+STRUCT_SCHEMA = (
+    "path string, row_id long, natoms int, numbers array<int>, "
+    "positions array<array<double>>, energy double, "
+    "forces array<array<double>>, pbc array<boolean>, "
+    "cell array<array<double>>"
+)
+
+
+def read_aselmdb(
+    spark: SparkSession,
+    data_dir: str,
+    *,
+    pattern: str = "**/*.aselmdb",
+) -> DataFrame:
+    """Scan a directory of ``.aselmdb`` shards → one structure row per
+    stored system, one Spark partition per file (the reference's
+    ``partition_indices`` locality grouping, ``aselmdb.py:872-905``)."""
+    files = sorted(
+        globmod.glob(os.path.join(data_dir, pattern), recursive=True)
+    )
+    if not files:
+        raise FileNotFoundError(f"no {pattern} under {data_dir}")
+    fdf = spark.createDataFrame(
+        [(f,) for f in files], "path string"
+    ).repartition(len(files), "path")
+
+    def _scan(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            for path in pdf["path"]:
+                out: dict[str, list] = {
+                    k: []
+                    for k in (
+                        "path", "row_id", "natoms", "numbers", "positions",
+                        "energy", "forces", "pbc", "cell",
+                    )
+                }
+                for key, blob in lmdb_items(path):
+                    key_str = key.decode("utf-8", errors="replace")
+                    if key_str in RESERVED_KEYS:
+                        continue  # reserved-key skip ≙ filter pushdown
+                    row = decode_ase_row(blob)
+                    numbers = np.asarray(row["numbers"], dtype=np.int64)
+                    pos = np.asarray(row["positions"], dtype=np.float64)
+                    forces = row.get("forces")
+                    pbc = row.get("pbc")
+                    cell = row.get("cell")
+                    out["path"].append(path)
+                    out["row_id"].append(int(key_str))
+                    out["natoms"].append(len(numbers))
+                    out["numbers"].append(numbers.tolist())
+                    out["positions"].append(pos.tolist())
+                    energy = row.get("energy")
+                    out["energy"].append(
+                        float(energy) if energy is not None else None
+                    )
+                    out["forces"].append(
+                        np.asarray(forces, dtype=np.float64).tolist()
+                        if forces is not None
+                        else None
+                    )
+                    out["pbc"].append(
+                        np.asarray(pbc, dtype=bool).tolist()
+                        if pbc is not None
+                        else None
+                    )
+                    out["cell"].append(
+                        np.asarray(cell, dtype=np.float64).tolist()
+                        if cell is not None
+                        else None
+                    )
+                yield pd.DataFrame(out)
+
+    return fdf.mapInPandas(_scan, STRUCT_SCHEMA)
+
+
+def to_atomic_tables(structs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Structure rows → (systems, atoms) long tables in the SURVEY
+    §1.2c encoding, joinable with the rest of the atm operators."""
+    systems = structs.select(
+        F.xxhash64("path", "row_id").alias("system_id"),
+        "path", "row_id", "natoms", "energy", "pbc", "cell",
+    )
+    atoms = structs.select(
+        F.xxhash64("path", "row_id").alias("system_id"),
+        F.posexplode(
+            F.arrays_zip("numbers", "positions", "forces")
+        ).alias("atom_id", "za"),
+    ).select(
+        "system_id",
+        "atom_id",
+        F.col("za.numbers").alias("z"),
+        F.col("za.positions").alias("pos"),
+        F.col("za.forces").alias("force"),
+    )
+    return systems, atoms

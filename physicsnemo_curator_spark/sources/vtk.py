@@ -102,6 +102,15 @@ def _parse_legacy_vtk(text: str) -> MeshFile:
     most recent POINT_DATA / CELL_DATA keyword (POINT_DATA assumed when
     neither was seen, matching common writers).
     """
+    head = text[:256].lstrip()
+    if head.startswith("<"):
+        # an XML VTK payload reaching the legacy parser means the file
+        # name lost its real extension upstream — parsing "succeeds"
+        # with an empty mesh otherwise, which is worse than failing
+        raise ValueError(
+            "XML VTK content passed to the legacy parser; "
+            "name the file with its .vtu/.vtp/.vts extension"
+        )
     lines = text.splitlines()
     i = 0
     points: list[tuple[float, float, float]] = []

@@ -153,14 +153,15 @@ def minhash_signatures(
     hex strings — slower, but bit-for-bit reproducible in any engine
     with an md5() (the DuckDB correctness oracle replays it).
     """
+    # single expr() parses instead of ~4 py4j round trips per hash
     if hash_fn == "md5":
         aggs = [
-            F.min(F.md5(F.concat(F.col("shingle"), F.lit(f":{i}")))).alias(f"h{i}")
+            F.expr(f"min(md5(concat(shingle, ':{i}')))").alias(f"h{i}")
             for i in range(num_hashes)
         ]
     else:
         aggs = [
-            F.min(F.xxhash64(F.col("shingle"), F.lit(seed + i))).alias(f"h{i}")
+            F.expr(f"min(xxhash64(shingle, {seed + i}))").alias(f"h{i}")
             for i in range(num_hashes)
         ]
     return shingles.groupBy("doc_id").agg(*aggs)
@@ -182,22 +183,20 @@ def lsh_candidate_pairs(
     """
     rows_per_band = num_hashes // bands
 
-    def bucket(b: int) -> Column:
-        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+    def bucket(b: int) -> str:
+        cols = ", ".join(
+            f"h{b * rows_per_band + r}" for r in range(rows_per_band)
+        )
         if hash_fn == "md5":
-            return F.md5(F.concat_ws("|", *cols))
-        return F.xxhash64(*cols)
+            return f"md5(concat_ws('|', {cols}))"
+        return f"xxhash64({cols})"
 
+    band_structs = ", ".join(
+        f"struct({b} AS band, {bucket(b)} AS bucket)" for b in range(bands)
+    )
     banded = signatures.select(
         "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), bucket(b).alias("bucket"))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
+        F.expr(f"explode(array({band_structs}))").alias("bb"),
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     left = banded.alias("l")
     right = banded.alias("r")
@@ -391,37 +390,42 @@ def simhash(
     # ~2x faster than the 64-sum formulation on the documents table.
     lane_bits, lanes = 21, 3
     n_longs = (bits + lanes - 1) // lanes
-    w = F.col("w").cast("long")
 
-    def packed(g: int) -> Column:
+    # The packed/unpack expressions are built as single SQL strings:
+    # constructing them Column-op-by-Column-op costs one py4j round
+    # trip per node (~hundreds per signature -> seconds of driver-side
+    # build time); one expr() parse is JVM-side and effectively free.
+    def packed(g: int) -> str:
         terms = []
         for j in range(lanes):
             i = g * lanes + j
             if i >= bits:
                 break
-            bit = F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)).cast("long")
-            terms.append(bit * w * F.lit(1 << (j * lane_bits)).cast("long"))
-        return sum(terms[1:], start=terms[0])
+            terms.append(
+                f"((shiftright(th, {i}) & CAST(1 AS BIGINT))"
+                f" * CAST(w AS BIGINT)"
+                f" * CAST({1 << (j * lane_bits)} AS BIGINT))"
+            )
+        return f"sum({' + '.join(terms)})"
 
     bit_sums = toks.groupBy("doc_id").agg(
-        F.sum(w).alias("n"),
-        *[F.sum(packed(g)).alias(f"p{g}") for g in range(n_longs)],
+        F.expr("sum(CAST(w AS BIGINT))").alias("n"),
+        *[F.expr(packed(g)).alias(f"p{g}") for g in range(n_longs)],
     )
 
-    def ones(i: int) -> Column:
+    def ones(i: int) -> str:
         g, j = divmod(i, lanes)
-        return F.shiftright(F.col(f"p{g}"), j * lane_bits).bitwiseAND(
-            F.lit((1 << lane_bits) - 1)
+        return (
+            f"(shiftright(p{g}, {j * lane_bits})"
+            f" & CAST({(1 << lane_bits) - 1} AS BIGINT))"
         )
 
-    sig = bit_sums.select(
-        "doc_id",
-        sum(
-            (F.when(ones(i) * 2 > F.col("n"), F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
-             for i in range(bits - 1)),  # top bit left 0 to stay in signed range
-            start=F.lit(0).cast("long"),
-        ).alias("simhash"),
+    # top bit left 0 to stay in signed range
+    sig_sql = " + ".join(
+        f"IF({ones(i)} * 2 > n, CAST({1 << i} AS BIGINT), CAST(0 AS BIGINT))"
+        for i in range(bits - 1)
     )
+    sig = bit_sums.select("doc_id", F.expr(sig_sql).alias("simhash"))
     return sig
 
 

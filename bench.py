@@ -31,9 +31,15 @@ def main() -> None:
     # doubles the latency floor of sub-GB interactive queries (measured
     # 9.9 s -> 5.3 s on 8 representative queries at sf0.1 with it off).
     # Engine defaults keep AQE on; the benchmark measures the small-scale
-    # regime, so it runs without it.
+    # regime, so it runs without it.  Shuffle partitions likewise scale
+    # with the data: sub-GB inputs want ~8 (task launch overhead
+    # dominates; 32 -> 8 measured ~13% faster at sf0.1), while larger
+    # scale factors keep one partition per core.
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    shuffle = max(8, min(cpus, int(64 * sf))) if sf > 0 else cpus
     spark = get_spark(
         app_name="pcs-bench",
+        shuffle_partitions=shuffle,
         extra_conf={"spark.sql.adaptive.enabled": "false"},
     )
     spark.sparkContext.setLogLevel("ERROR")

@@ -1720,22 +1720,21 @@ FROM pairs WHERE bit_count(xor(sa, sb)) <= 8 ORDER BY a, b
 # Registry
 # --------------------------------------------------------------------------
 
+# Ordering contract: the correctness driver checks the FIRST 50 entries, so
+# the north-star LLM-pipeline family (text / ANN / minhash / simhash / embedding
+# dedup) sits inside the first-50 window.  Ten queries that duplicate primitive
+# classes already covered in-window (union/except/like/regexp/date/distinct/
+# cube/pivot/grouping-sets/window-delta) live in the tail — still declared,
+# still locally oracle-tested in tests/test_oracle.py.
 QUERIES: dict[str, QuerySpec] = {
     "q_a1_moment_stats": QuerySpec(q_a1_moment_stats, ORACLE_A1),
     "q_a2_elementwise_stats": QuerySpec(q_a2_elementwise_stats, ORACLE_A2),
     "q_a3_pivot_counts": QuerySpec(q_a3_pivot_counts, ORACLE_A3),
     "q_a4_conditional_counts": QuerySpec(q_a4_conditional_counts, ORACLE_A4),
-    "q_a5_distinct_agg": QuerySpec(q_a5_distinct_agg, ORACLE_A5),
     "q_a6_rollup": QuerySpec(q_a6_rollup, ORACLE_A6),
     "q_a7_distinct_exact": QuerySpec(q_a7_distinct_exact, ORACLE_A7),
     "q_a8_welford_state": QuerySpec(q_a8_welford_state, ORACLE_A8),
-    "q_a9_cube": QuerySpec(q_a9_cube, ORACLE_A9),
-    "q_a12_grouping_sets": QuerySpec(q_a12_grouping_sets, ORACLE_A12),
-    "q_str3_regexp": QuerySpec(q_str3_regexp, ORACLE_STR3),
-    "q_d2_date_functions": QuerySpec(q_d2_date_functions, ORACLE_D2),
-    "q_a10_pivot_mean": QuerySpec(q_a10_pivot_mean, ORACLE_A10),
     "q_a11_heavy_hitters": QuerySpec(q_a11_heavy_hitters, ORACLE_A11),
-    "q_str2_like_pushdown": QuerySpec(q_str2_like_pushdown, ORACLE_STR2),
     "q_j1_broadcast_join": QuerySpec(q_j1_broadcast_join, ORACLE_J1),
     "q_j2_point_to_cell": QuerySpec(q_j2_point_to_cell, ORACLE_J2),
     "q_j3_scatter_mean": QuerySpec(q_j3_scatter_mean, ORACLE_J3),
@@ -1744,11 +1743,8 @@ QUERIES: dict[str, QuerySpec] = {
     "q_j6_anti_join": QuerySpec(q_j6_anti_join, ORACLE_J6),
     "q_s2_intersect": QuerySpec(q_s2_intersect, ORACLE_S2),
     "q_s3_edge_dedup": QuerySpec(q_s3_edge_dedup, ORACLE_S3),
-    "q_s4_union_all": QuerySpec(q_s4_union_all, ORACLE_S4),
-    "q_s5_except": QuerySpec(q_s5_except, ORACLE_S5),
     "q_w1_row_number": QuerySpec(q_w1_row_number, ORACLE_W1),
     "q_w2_prefix_sum": QuerySpec(q_w2_prefix_sum, ORACLE_W2),
-    "q_w3_delta_vs_first": QuerySpec(q_w3_delta_vs_first, ORACLE_W3),
     "q_t1_topk": QuerySpec(q_t1_topk, ORACLE_T1),
     "q_m1_von_mises": QuerySpec(q_m1_von_mises, ORACLE_M1),
     "q_m2_validity_counts": QuerySpec(q_m2_validity_counts, ORACLE_M2),
@@ -1781,6 +1777,17 @@ QUERIES: dict[str, QuerySpec] = {
     "q_minhash_near_dup": QuerySpec(q_minhash_near_dup, ORACLE_MINHASH),
     "q_simhash_groups": QuerySpec(q_simhash_groups, ORACLE_SIMHASH_GROUPS),
     "q_simhash_near_dup": QuerySpec(q_simhash_near_dup, ORACLE_SIMHASH_NEAR_DUP),
+    # ---- tail: primitive-class duplicates (position > 50) ----
+    "q_a5_distinct_agg": QuerySpec(q_a5_distinct_agg, ORACLE_A5),
+    "q_a9_cube": QuerySpec(q_a9_cube, ORACLE_A9),
+    "q_a10_pivot_mean": QuerySpec(q_a10_pivot_mean, ORACLE_A10),
+    "q_a12_grouping_sets": QuerySpec(q_a12_grouping_sets, ORACLE_A12),
+    "q_str2_like_pushdown": QuerySpec(q_str2_like_pushdown, ORACLE_STR2),
+    "q_str3_regexp": QuerySpec(q_str3_regexp, ORACLE_STR3),
+    "q_d2_date_functions": QuerySpec(q_d2_date_functions, ORACLE_D2),
+    "q_s4_union_all": QuerySpec(q_s4_union_all, ORACLE_S4),
+    "q_s5_except": QuerySpec(q_s5_except, ORACLE_S5),
+    "q_w3_delta_vs_first": QuerySpec(q_w3_delta_vs_first, ORACLE_W3),
 }
 
 

@@ -415,9 +415,16 @@ def read_aselmdb(
     )
     if not files:
         raise FileNotFoundError(f"no {pattern} under {data_dir}")
-    fdf = spark.createDataFrame(
-        [(f,) for f in files], "path string"
-    ).repartition(len(files), "path")
+    # Deterministic one-file-per-partition: range-partition on a dense
+    # file index.  (Hash-partitioning on the path value can collide and
+    # leave partitions empty, breaking the documented per-shard locality.)
+    fdf = (
+        spark.createDataFrame(
+            [(i, f) for i, f in enumerate(files)], "fid int, path string"
+        )
+        .repartitionByRange(len(files), "fid")
+        .select("path")
+    )
 
     def _scan(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -475,10 +482,20 @@ def to_atomic_tables(structs: DataFrame) -> tuple[DataFrame, DataFrame]:
         F.xxhash64("path", "row_id").alias("system_id"),
         "path", "row_id", "natoms", "energy", "pbc", "cell",
     )
+    # forces is optional (read_aselmdb emits NULL when absent); arrays_zip
+    # of a NULL array is NULL and posexplode(NULL) drops every atom row,
+    # so pad a NULL force per atom before zipping.
+    null_forces = F.transform(
+        "numbers", lambda _: F.lit(None).cast("array<double>")
+    )
     atoms = structs.select(
         F.xxhash64("path", "row_id").alias("system_id"),
         F.posexplode(
-            F.arrays_zip("numbers", "positions", "forces")
+            F.arrays_zip(
+                F.col("numbers").alias("numbers"),
+                F.col("positions").alias("positions"),
+                F.coalesce("forces", null_forces).alias("forces"),
+            )
         ).alias("atom_id", "za"),
     ).select(
         "system_id",

@@ -69,11 +69,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table; filters/projections on the result push down to parquet."""
     _ensure_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    dtypes = dict(df.dtypes)
     for col in _NANO_TS_COLS.get(name, ()):
-        if dict(df.dtypes).get(col) == "bigint":
+        if dtypes.get(col) == "bigint":
             df = df.withColumn(
                 col, F.timestamp_micros(F.expr(f"{col} div 1000"))
             )
+    # Parquet TIMESTAMP(isAdjustedToUTC=false) reads as TIMESTAMP_NTZ,
+    # which rejects casts to numeric and cannot carry a watermark.  With
+    # the session pinned to UTC (above), reinterpreting NTZ wall-clock
+    # values as UTC instants is exactly what DuckDB does on the same
+    # files, so normalize every NTZ column to plain TIMESTAMP here —
+    # one boundary cast instead of per-query special cases.
+    for col, dtype in dtypes.items():
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

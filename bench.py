@@ -52,24 +52,35 @@ def main() -> None:
     for t in TABLE_NAMES:
         load_table(spark, sf_dir, t).count()
 
-    timings: dict[str, float] = {}
+    # Per-query error isolation: one broken query must degrade the
+    # artifact (an "err" entry), never abort the run — a bench JSON with
+    # partial timings beats no JSON at all.
+    timings: dict[str, object] = {}
+    errors: dict[str, str] = {}
+    # spec.bench (when set) is the production-path twin of an
+    # oracle-reproducible declared query — see QuerySpec.bench.
     for name, spec in QUERIES.items():
+        fn = spec.bench or spec.spark
         t0 = time.perf_counter()
-        spec.spark(spark, sf_dir).collect()
+        try:
+            fn(spark, sf_dir).collect()
+        except Exception as exc:  # noqa: BLE001 — record and continue
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            timings[name] = {"err": type(exc).__name__}
+            continue
         timings[name] = round(time.perf_counter() - t0, 4)
 
-    total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "declared_query_suite_wall_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    total = round(sum(t for t in timings.values() if isinstance(t, float)), 4)
+    out = {
+        "metric": "declared_query_suite_wall_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     sys.stdout.flush()
     spark.stop()
 

@@ -270,13 +270,12 @@ def lsh_topk(
     with more bands; shrink candidate sets with more bits per band.
     ``planes`` as in :func:`lsh_banded`."""
     c = lsh_banded(
-        corpus.withColumn("_cnorm", l2_unrolled(F.col(vec_col), dim)),
+        corpus.select(F.col(id_col), F.col(vec_col)),
         dim, vec_col=vec_col, n_bands=n_bands, bits_per_band=bits_per_band,
         seed=seed, planes=planes,
     )
     q = lsh_banded(
-        queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qvec"))
-        .withColumn("_qnorm", l2_unrolled(F.col("_qvec"), dim)),
+        queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qvec")),
         dim,
         vec_col="_qvec",
         n_bands=n_bands,
@@ -284,20 +283,35 @@ def lsh_topk(
         seed=seed,
         planes=planes,
     )
+    # Dedup candidates on bare (query_id, vec_id) so the shuffle never
+    # carries corpus vectors; re-attach them by id afterwards (queries
+    # stay broadcast-joined — the query set is small by construction).
     cand = (
-        c.join(F.broadcast(q), ["band", "bucket"])
-        .select(
-            "query_id", F.col(id_col).alias("vec_id"),
-            F.col(vec_col).alias("_cvec"), "_qvec", "_cnorm", "_qnorm",
-        )
+        c.select("band", "bucket", F.col(id_col).alias("vec_id"))
+        .join(F.broadcast(q.select("band", "bucket", "query_id")), ["band", "bucket"])
+        .select("query_id", "vec_id")
         .dropDuplicates(["query_id", "vec_id"])
     )
-    scored = cand.select(
-        "query_id",
-        "vec_id",
-        cosine_prenormed(
-            F.col("_cvec"), F.col("_qvec"), F.col("_cnorm"), F.col("_qnorm"), dim
-        ).alias("cosine"),
+    corpus_vecs = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("_cvec"),
+        l2_unrolled(F.col(vec_col), dim).alias("_cnorm"),
+    )
+    query_vecs = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        l2_unrolled(F.col(vec_col), dim).alias("_qnorm"),
+    )
+    scored = (
+        cand.join(corpus_vecs, "vec_id")
+        .join(F.broadcast(query_vecs), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_prenormed(
+                F.col("_cvec"), F.col("_qvec"), F.col("_cnorm"), F.col("_qnorm"), dim
+            ).alias("cosine"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
@@ -331,9 +345,17 @@ def pairwise_near_duplicates(
         dim = _vec_dim(e, "vec")
     e = e.withColumn("_nrm", l2_unrolled(F.col("vec"), dim))
     if not exact:
-        eb = lsh_banded(e, dim, vec_col="vec", seed=seed,
-                        n_bands=n_bands, bits_per_band=bits_per_band)
-        pairs = (
+        # Candidate generation shuffles BARE ID PAIRS only: banding,
+        # the band-local self-join, and the dedup all run on (vec_id,
+        # band, bucket) rows.  Vectors re-attach afterwards via two
+        # id-keyed joins for the verify stage — at corpus scale the
+        # candidate dedup would otherwise shuffle every duplicated
+        # candidate's full embedding (dim floats × 2 per pair).
+        ids = e.select("vec_id", "vec")
+        eb = lsh_banded(ids, dim, vec_col="vec", seed=seed,
+                        n_bands=n_bands, bits_per_band=bits_per_band
+                        ).select("vec_id", "band", "bucket").persist()
+        cand = (
             eb.alias("l")
             .join(
                 eb.alias("r"),
@@ -341,15 +363,16 @@ def pairwise_near_duplicates(
                 & (F.col("l.bucket") == F.col("r.bucket"))
                 & (F.col("l.vec_id") < F.col("r.vec_id")),
             )
-            .select(
-                F.col("l.vec_id").alias("a"),
-                F.col("r.vec_id").alias("b"),
-                F.col("l.vec").alias("_va"),
-                F.col("r.vec").alias("_vb"),
-                F.col("l._nrm").alias("_na"),
-                F.col("r._nrm").alias("_nb"),
-            )
+            .select(F.col("l.vec_id").alias("a"), F.col("r.vec_id").alias("b"))
             .dropDuplicates(["a", "b"])
+        )
+        pairs = (
+            cand.join(e.select(F.col("vec_id").alias("a"),
+                               F.col("vec").alias("_va"),
+                               F.col("_nrm").alias("_na")), "a")
+            .join(e.select(F.col("vec_id").alias("b"),
+                           F.col("vec").alias("_vb"),
+                           F.col("_nrm").alias("_nb")), "b")
         )
     else:
         pairs = (

@@ -295,6 +295,7 @@ def winnow_fingerprint_table(
     id_col: str = "doc_id",
     k: int = 8,
     window: int = 4,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Distinct selected fingerprints as a long table ``(id, fp)``.
 
@@ -308,16 +309,24 @@ def winnow_fingerprint_table(
     that re-inlines the whole nested expression.  Here every pushed
     copy of the gram transform is linear, and the only shuffle keys on
     ``id`` (documents with no k-grams simply have no rows).
+
+    hash_fn='md5' (default) is engine-reproducible so the DuckDB
+    oracle replays the selection byte-for-byte; hash_fn='xxhash64' is
+    the production path — a 64-bit integer hash that skips the 32-char
+    hex string materialization per k-gram (fingerprints become BIGINT).
     """
     text = F.col(text_col)
     n_grams = F.length(text) - k + 1
+    if hash_fn == "xxhash64":
+        gram_hash = lambda i: F.xxhash64(text.substr(i, F.lit(k)))  # noqa: E731
+        empty = F.array().cast("array<bigint>")
+    else:
+        gram_hash = lambda i: F.md5(text.substr(i, F.lit(k)))  # noqa: E731
+        empty = F.array().cast("array<string>")
     grams = F.when(
         n_grams >= 1,
-        F.transform(
-            F.sequence(F.lit(1), n_grams),
-            lambda i: F.md5(text.substr(i, F.lit(k))),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+        F.transform(F.sequence(F.lit(1), n_grams), gram_hash),
+    ).otherwise(empty)
     g = docs.select(F.col(id_col), F.posexplode(grams).alias("pos", "h"))
     from pyspark.sql import Window
 

@@ -111,8 +111,8 @@ def ivf_topk(
         "query_id",
         F.col(id_col).alias("vec_id"),
         cosine_prenormed(
-            F.col(vec_col),
-            F.col("_qvec"),
+            vec_col,
+            "_qvec",
             F.col("_cnorm"),
             F.col("_qnorm"),
             dim,

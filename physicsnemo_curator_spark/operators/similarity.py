@@ -47,11 +47,21 @@ def cosine(a: Column, b: Column) -> Column:
 def _sql_of(c: Column | str) -> str:
     """SQL fragment for a column reference.
 
-    Accepts a plain name/SQL string, or a Column whose JVM
-    representation prints as SQL (simple references and casts do —
-    every call site here passes those).
+    Prefer passing a plain name/SQL string — that is fully portable
+    (every internal call site does).  A Column is accepted only under
+    the classic py4j runtime, where its JVM representation prints as
+    SQL; under Spark Connect there is no public Column→SQL path, so
+    pass the string form instead.
     """
-    return c if isinstance(c, str) else c._jc.toString()
+    if isinstance(c, str):
+        return c
+    jc = getattr(c, "_jc", None)  # classic runtime only
+    if jc is not None:
+        return jc.toString()
+    raise TypeError(
+        "unrolled vector ops need the column as a SQL string under "
+        "Spark Connect (e.g. dot_unrolled('embedding', 'embedding', dim))"
+    )
 
 
 def dot_unrolled(a: Column | str, b: Column | str, dim: int) -> Column:
@@ -76,15 +86,17 @@ def dot_unrolled(a: Column | str, b: Column | str, dim: int) -> Column:
     return F.expr("0.0D" + terms)
 
 
-def l2_unrolled(a: Column, dim: int) -> Column:
+def l2_unrolled(a: Column | str, dim: int) -> Column:
     return F.sqrt(dot_unrolled(a, a, dim))
 
 
-def cosine_unrolled(a: Column, b: Column, dim: int) -> Column:
+def cosine_unrolled(a: Column | str, b: Column | str, dim: int) -> Column:
     return dot_unrolled(a, b, dim) / (l2_unrolled(a, dim) * l2_unrolled(b, dim))
 
 
-def cosine_prenormed(a: Column, b: Column, norm_a: Column, norm_b: Column, dim: int) -> Column:
+def cosine_prenormed(
+    a: Column | str, b: Column | str, norm_a: Column, norm_b: Column, dim: int
+) -> Column:
     """Cosine with norms computed upstream of the pair join.
 
     Numerically identical to :func:`cosine_unrolled` (same dot order,
@@ -125,15 +137,15 @@ def cosine_topk(
         dim = _vec_dim(corpus, vec_col)
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
-    ).withColumn("_qnorm", l2_unrolled(F.col("_qvec"), dim))
+    ).withColumn("_qnorm", l2_unrolled("_qvec", dim))
     c = corpus.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cvec")
-    ).withColumn("_cnorm", l2_unrolled(F.col("_cvec"), dim))
+    ).withColumn("_cnorm", l2_unrolled("_cvec", dim))
     scored = c.join(F.broadcast(q)).select(
         "query_id",
         "vec_id",
         cosine_prenormed(
-            F.col("_cvec"), F.col("_qvec"), F.col("_cnorm"), F.col("_qnorm"), dim
+            "_cvec", "_qvec", F.col("_cnorm"), F.col("_qnorm"), dim
         ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
@@ -295,12 +307,12 @@ def lsh_topk(
     corpus_vecs = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("_cvec"),
-        l2_unrolled(F.col(vec_col), dim).alias("_cnorm"),
+        l2_unrolled(vec_col, dim).alias("_cnorm"),
     )
     query_vecs = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("_qvec"),
-        l2_unrolled(F.col(vec_col), dim).alias("_qnorm"),
+        l2_unrolled(vec_col, dim).alias("_qnorm"),
     )
     scored = (
         cand.join(corpus_vecs, "vec_id")
@@ -309,7 +321,7 @@ def lsh_topk(
             "query_id",
             "vec_id",
             cosine_prenormed(
-                F.col("_cvec"), F.col("_qvec"), F.col("_cnorm"), F.col("_qnorm"), dim
+                "_cvec", "_qvec", F.col("_cnorm"), F.col("_qnorm"), dim
             ).alias("cosine"),
         )
     )
@@ -343,7 +355,7 @@ def pairwise_near_duplicates(
     e = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
     if dim is None:
         dim = _vec_dim(e, "vec")
-    e = e.withColumn("_nrm", l2_unrolled(F.col("vec"), dim))
+    e = e.withColumn("_nrm", l2_unrolled("vec", dim))
     if not exact:
         # Candidate generation shuffles BARE ID PAIRS only: banding,
         # the band-local self-join, and the dedup all run on (vec_id,
@@ -391,7 +403,7 @@ def pairwise_near_duplicates(
         "a",
         "b",
         cosine_prenormed(
-            F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb"), dim
+            "_va", "_vb", F.col("_na"), F.col("_nb"), dim
         ).alias("cosine"),
     )
     return scored.filter(F.col("cosine") >= F.lit(threshold))

@@ -1019,6 +1019,48 @@ FROM events ORDER BY user_id, event_id LIMIT 100
 """
 
 
+def q_st3_stream_welford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE streaming-path gate: the stateful running-stats operator
+    (``streaming/stateful.py``, applyInPandasWithState — the streaming
+    form of the reference's online Welford update, reference
+    domains/da/filters/stats.py:541-574) driven through a real
+    Structured Streaming micro-batch run (one batch per source file,
+    foreachBatch sink), then checked against the batch power-sum oracle.
+    Unlike q_st1/q_st2, whose declared bodies are batch twins, this
+    executes ``readStream`` → GroupState folding → sink."""
+    import hashlib
+    import tempfile
+
+    from physicsnemo_curator_spark.streaming import stateful
+
+    events = _t(spark, sf_dir, "events")
+    src = os.path.join(
+        tempfile.gettempdir(),
+        "pcs_stream_src_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    # Stream-readable copy (raw events parquet needs catalog
+    # normalization): 4 files → 4 micro-batches under
+    # maxFilesPerTrigger=1, so GroupState folds across batches.
+    events.select("event_type", "value").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src)
+    out = stateful.run_running_stats_foreachbatch(
+        spark, src, "event_type string, value double"
+    )
+    return out.select(
+        "key", "n", _r6(F.col("mean"), "mean"), _r6(F.col("var_pop"), "var_pop")
+    ).orderBy("key")
+
+
+ORACLE_ST3 = """
+SELECT event_type AS key, CAST(COUNT(*) AS BIGINT) n,
+       ROUND(SUM(value) / COUNT(*), 6) mean,
+       ROUND(SUM(value * value) / COUNT(*)
+             - (SUM(value) / COUNT(*)) * (SUM(value) / COUNT(*)), 6) var_pop
+FROM events GROUP BY 1 ORDER BY key
+"""
+
+
 def q_ts_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join — custom operator Spark lacks natively (SURVEY §2.6):
     attach the latest prior purchase to each click, per user, via the
@@ -1790,7 +1832,6 @@ QUERIES: dict[str, QuerySpec] = {
     "q_j4_range_join": QuerySpec(q_j4_range_join, ORACLE_J4),
     "q_j5_semi_join": QuerySpec(q_j5_semi_join, ORACLE_J5),
     "q_j6_anti_join": QuerySpec(q_j6_anti_join, ORACLE_J6),
-    "q_s2_intersect": QuerySpec(q_s2_intersect, ORACLE_S2),
     "q_s3_edge_dedup": QuerySpec(q_s3_edge_dedup, ORACLE_S3),
     "q_w1_row_number": QuerySpec(q_w1_row_number, ORACLE_W1),
     "q_w2_prefix_sum": QuerySpec(q_w2_prefix_sum, ORACLE_W2),
@@ -1806,6 +1847,7 @@ QUERIES: dict[str, QuerySpec] = {
     "q_global_inject": QuerySpec(q_global_inject, ORACLE_GLOBAL),
     "q_st1_tumbling_window": QuerySpec(q_st1_tumbling_window, ORACLE_ST1),
     "q_st2_sliding_stats": QuerySpec(q_st2_sliding_stats, ORACLE_ST2),
+    "q_st3_stream_welford": QuerySpec(q_st3_stream_welford, ORACLE_ST3),
     "q_ts_asof_join": QuerySpec(q_ts_asof_join, ORACLE_ASOF),
     "q_ts_rollup_daily": QuerySpec(q_ts_rollup_daily, ORACLE_TS_ROLLUP),
     "q_w4_sessionize": QuerySpec(q_w4_sessionize, ORACLE_SESSIONIZE),
@@ -1851,6 +1893,7 @@ QUERIES: dict[str, QuerySpec] = {
         bench=lambda s, d: q_simhash_near_dup(s, d, hash_fn="xxhash64", bits=64),
     ),
     # ---- tail: primitive-class duplicates (position > 50) ----
+    "q_s2_intersect": QuerySpec(q_s2_intersect, ORACLE_S2),
     "q_a5_distinct_agg": QuerySpec(q_a5_distinct_agg, ORACLE_A5),
     "q_a9_cube": QuerySpec(q_a9_cube, ORACLE_A9),
     "q_a10_pivot_mean": QuerySpec(q_a10_pivot_mean, ORACLE_A10),

@@ -89,6 +89,45 @@ def streaming_dedup(
     return keyed.dropDuplicates(["fingerprint"])
 
 
+def run_running_stats_foreachbatch(
+    spark,
+    source_dir: str,
+    schema,
+    *,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    max_files_per_trigger: int = 1,
+):
+    """Drive the stateful operator through a real micro-batch stream
+    with a ``foreachBatch`` sink; returns the FINAL per-key stats as a
+    batch DataFrame.
+
+    ``maxFilesPerTrigger=1`` forces one micro-batch per source file, so
+    the GroupState genuinely folds across batches (a single-batch run
+    would never exercise ``state.exists``).  foreachBatch collects each
+    update-mode emission driver-side — one row per (key, batch), i.e.
+    O(keys × batches), never O(rows) — and last-write-wins per key.
+    """
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(source_dir)
+    )
+    out = running_stats_stream(stream, key_col=key_col, value_col=value_col)
+    final: dict[str, Any] = {}
+
+    def _sink(batch_df, epoch_id: int) -> None:
+        for row in batch_df.collect():
+            final[row["key"]] = row
+
+    q = out.writeStream.outputMode("update").foreachBatch(_sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.createDataFrame(list(final.values()), OUTPUT_SCHEMA)
+
+
 def run_running_stats(spark, source_dir: str, schema, *, key_col="event_type", value_col="value"):
     """Drive the stateful operator over a parquet-directory stream into
     a memory sink; returns the final per-key stats DataFrame."""

@@ -278,3 +278,39 @@ def test_session_window_stream_matches_batch(spark, sf_dir, tmp_path):
         for r in streamed.collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_foreachbatch_stateful_welford_matches_batch(spark, sf_dir, tmp_path):
+    """The foreachBatch-driven stateful runner must fold GroupState
+    across multiple micro-batches and land on the exact batch answer."""
+    from physicsnemo_curator_spark.streaming.stateful import (
+        run_running_stats_foreachbatch,
+    )
+
+    events = load_table(spark, sf_dir, "events").select("event_type", "value")
+    src = str(tmp_path / "welford_src")
+    events.repartition(3).write.parquet(src)
+
+    out = run_running_stats_foreachbatch(
+        spark, src, "event_type string, value double"
+    ).collect()
+    got = {r["key"]: r for r in out}
+
+    from pyspark.sql import functions as F
+
+    exp = {
+        r["event_type"]: r
+        for r in events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("value").alias("mean"),
+            F.var_pop("value").alias("var_pop"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exp)
+    for k, e in exp.items():
+        g = got[k]
+        assert g["n"] == e["n"]
+        assert abs(g["mean"] - e["mean"]) < 1e-9
+        assert abs(g["var_pop"] - e["var_pop"]) < 1e-6

@@ -65,13 +65,21 @@ def encode_chunk(arr: np.ndarray, compressor: dict[str, Any] | None) -> bytes:
 # ------------------------------------------------------------- metadata
 
 
+def _atomic_json(path: str, obj: Any) -> None:
+    """Write JSON atomically (tmp + rename) so concurrent first-writer
+    races on shared metadata files are benign: every contender writes
+    identical bytes and os.replace is atomic on POSIX."""
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+    os.replace(tmp, path)
+
+
 def init_group(store: str, attrs: dict[str, Any] | None = None) -> None:
     os.makedirs(store, exist_ok=True)
-    with open(os.path.join(store, ".zgroup"), "w") as f:
-        json.dump({"zarr_format": 2}, f)
+    _atomic_json(os.path.join(store, ".zgroup"), {"zarr_format": 2})
     if attrs:
-        with open(os.path.join(store, ".zattrs"), "w") as f:
-            json.dump(attrs, f)
+        _atomic_json(os.path.join(store, ".zattrs"), attrs)
 
 
 def init_array(
@@ -104,11 +112,9 @@ def init_array(
         "order": "C",
         "filters": None,
     }
-    with open(os.path.join(adir, ".zarray"), "w") as f:
-        json.dump(meta, f)
+    _atomic_json(os.path.join(adir, ".zarray"), meta)
     if attrs:
-        with open(os.path.join(adir, ".zattrs"), "w") as f:
-            json.dump(attrs, f)
+        _atomic_json(os.path.join(adir, ".zattrs"), attrs)
     return adir
 
 
@@ -324,6 +330,7 @@ def write_mesh_zarr(
     store: str,
     *,
     compressor: dict[str, Any] | None = DEFAULT_COMPRESSOR,
+    return_shapes: bool = True,
 ) -> dict[str, tuple[int, int, int]]:
     """MeshZarrSink semantics (reference ``domains/mesh/sinks/
     mesh_zarr.py:105-381``): reconstruct ``mesh_pos (T, N, 3)`` =
@@ -333,58 +340,74 @@ def write_mesh_zarr(
 
     Inputs: ``points(mesh_id, point_id, x, y, z)`` and
     ``displacements(mesh_id, point_id, t, dx, dy, dz)``.
+
+    Driver work is O(1): the root ``.zgroup`` only.  Per-mesh dims ride
+    the data shuffle (a mesh_id-keyed join onto the position stream) and
+    group/array metadata is created TASK-SIDE, first-writer-wins —
+    every writer of a mesh emits identical metadata bytes atomically
+    (tmp+rename), so the race is benign and 10⁵ meshes never serialize
+    through a driver loop.  ``return_shapes=False`` skips the shape
+    inventory collect for fire-and-forget pipelines (the summary is
+    O(meshes) driver memory — fine for tests/CLI, pointless at scale).
     """
-    dims = (
-        displacements.groupBy("mesh_id")
-        .agg(
-            (F.max("t") + 1).alias("nt"),
-            (F.max("point_id") + 1).alias("np_"),
-        )
-        .collect()
+    dims = displacements.groupBy("mesh_id").agg(
+        (F.max("t") + 1).cast("int").alias("_nt"),
+        (F.max("point_id") + 1).cast("int").alias("_npts"),
     )
-    shapes = {r["mesh_id"]: (int(r["nt"]), int(r["np_"])) for r in dims}
 
     init_group(store)
-    for mesh_id, (nt, npts) in shapes.items():
-        mdir = os.path.join(store, f"mesh_{mesh_id}")
-        init_group(mdir)
-        init_array(
-            mdir,
-            "mesh_pos",
-            shape=(nt, npts, 3),
-            chunks=(1, npts, 3),
-            dtype="<f8",
-            compressor=compressor,
-            fill_value=0,
-        )
 
-    pos = displacements.join(points, ["mesh_id", "point_id"]).select(
-        "mesh_id",
-        "t",
-        "point_id",
-        (F.col("x") + F.col("dx")).alias("px"),
-        (F.col("y") + F.col("dy")).alias("py"),
-        (F.col("z") + F.col("dz")).alias("pz"),
+    pos = (
+        displacements.join(points, ["mesh_id", "point_id"])
+        .select(
+            "mesh_id",
+            "t",
+            "point_id",
+            (F.col("x") + F.col("dx")).alias("px"),
+            (F.col("y") + F.col("dy")).alias("py"),
+            (F.col("z") + F.col("dz")).alias("pz"),
+        )
+        .join(dims, "mesh_id")
     )
     store_abs = os.path.abspath(store)
     comp = dict(compressor) if compressor else None
-    shapes_b = dict(shapes)
 
     def _write(pdf: pd.DataFrame) -> pd.DataFrame:
-        mesh_id = pdf["mesh_id"].iloc[0]
+        mesh_id = int(pdf["mesh_id"].iloc[0])
         t = int(pdf["t"].iloc[0])
-        _, npts = shapes_b[mesh_id]
+        nt = int(pdf["_nt"].iloc[0])
+        npts = int(pdf["_npts"].iloc[0])
+        mdir = os.path.join(store_abs, f"mesh_{mesh_id}")
+        adir = os.path.join(mdir, "mesh_pos")
+        if not os.path.exists(os.path.join(adir, ".zarray")):
+            init_group(mdir)
+            init_array(
+                mdir,
+                "mesh_pos",
+                shape=(nt, npts, 3),
+                chunks=(1, npts, 3),
+                dtype="<f8",
+                compressor=comp,
+                fill_value=0,
+            )
         block = np.zeros((1, npts, 3))
         pid = pdf["point_id"].to_numpy()
         block[0, pid, 0] = pdf["px"].to_numpy()
         block[0, pid, 1] = pdf["py"].to_numpy()
         block[0, pid, 2] = pdf["pz"].to_numpy()
-        adir = os.path.join(store_abs, f"mesh_{mesh_id}", "mesh_pos")
-        path = write_chunk(adir, (t, 0, 0), block, comp)
-        return pd.DataFrame({"chunk": [path]})
+        write_chunk(adir, (t, 0, 0), block, comp)
+        return pd.DataFrame({"mesh_id": [mesh_id], "nt": [nt], "npts": [npts]})
 
-    pos.groupBy("mesh_id", "t").applyInPandas(_write, "chunk string").count()
-    return {str(m): (nt, npts, 3) for m, (nt, npts) in shapes.items()}
+    written = pos.groupBy("mesh_id", "t").applyInPandas(
+        _write, "mesh_id long, nt int, npts int"
+    )
+    if not return_shapes:
+        written.count()
+        return {}
+    return {
+        str(r["mesh_id"]): (int(r["nt"]), int(r["npts"]), 3)
+        for r in written.distinct().collect()
+    }
 
 
 def iter_chunk_files(adir: str) -> Iterator[str]:

@@ -174,3 +174,29 @@ def test_write_mesh_zarr_positions(spark, tmp_path):
     dense[joined.t, joined.point_id, 1] = joined.py
     dense[joined.t, joined.point_id, 2] = joined.pz
     np.testing.assert_allclose(arr, dense)
+
+
+def test_write_mesh_zarr_task_side_init_10k_meshes(spark, tmp_path):
+    """Metadata creation is task-side first-writer-wins: 10⁴ mesh
+    groups materialize without any per-mesh driver loop, and a sampled
+    mesh round-trips exactly."""
+    N_MESH, NPTS, NT = 10_000, 4, 2
+    ids = spark.range(N_MESH).withColumnRenamed("id", "mesh_id")
+    pts = ids.crossJoin(spark.range(NPTS).withColumnRenamed("id", "point_id")).select(
+        "mesh_id", "point_id",
+        (F.col("mesh_id") * 0.1).alias("x"),
+        (F.col("point_id") * 1.0).alias("y"),
+        F.lit(0.0).alias("z"),
+    )
+    disp = pts.crossJoin(spark.range(NT).withColumnRenamed("id", "t")).select(
+        "mesh_id", "point_id", "t",
+        (F.col("t") * 0.5).alias("dx"), F.lit(0.0).alias("dy"), F.lit(0.0).alias("dz"),
+    )
+    store = str(tmp_path / "mesh10k.zarr")
+    out = zs.write_mesh_zarr(pts, disp, store, return_shapes=False)
+    assert out == {}
+    assert sum(1 for d in os.listdir(store) if d.startswith("mesh_")) == N_MESH
+    arr = zs.read_array(os.path.join(store, "mesh_1234", "mesh_pos"))
+    assert arr.shape == (NT, NPTS, 3)
+    assert abs(arr[1, 3, 0] - (1234 * 0.1 + 0.5)) < 1e-12
+    assert abs(arr[1, 3, 1] - 3.0) < 1e-12

@@ -282,6 +282,91 @@ def drop_wall_nodes(
     return new_points, new_cells
 
 
+def cells_from_padded(cells: DataFrame, vs_col: str = "vs") -> DataFrame:
+    """−1-padded fixed-arity connectivity → native variable-arity ``vs``.
+
+    The reference stores mixed-type cells as an (E, max_arity) tensor
+    padded with −1 sentinels (reference ``domains/mesh/filters/
+    wall_node.py:127-151``); this engine's native encoding is a
+    variable-length array, so ingesting a padded table just strips the
+    sentinels.  Remap/drop semantics then coincide with the reference's
+    "a cell is valid iff every *real* node survives" rule for free —
+    padding entries never join the node map.
+    """
+    return cells.withColumn(vs_col, F.filter(F.col(vs_col), lambda v: v >= 0))
+
+
+def cells_to_padded(cells: DataFrame, arity: int, vs_col: str = "vs") -> DataFrame:
+    """Native ``vs`` arrays → −1-padded fixed-arity encoding (the exact
+    inverse of :func:`cells_from_padded`, for writing back to consumers
+    of the reference's padded tensor layout)."""
+    pad = F.array_repeat(F.lit(-1).cast("long"), arity - F.size(vs_col))
+    return cells.withColumn(vs_col, F.concat(F.col(vs_col), pad))
+
+
+def cells_from_flat(flat: DataFrame, offsets: DataFrame) -> DataFrame:
+    """Flat mixed connectivity → native ``vs`` arrays.
+
+    The reference's second mixed encoding (``wall_node.py:157-227``)
+    keeps one flat node-id stream plus per-cell [start, end) offsets
+    and a cell-type vector.  Tabular form here:
+    ``flat(mesh_id, pos, point_id)`` and ``offsets(mesh_id, cell_id,
+    start, end, cell_type)``.  Each offset row explodes to its
+    positions (linear, no range join) and re-assembles slot-ordered
+    arrays — one shuffle keyed on (mesh_id, pos).
+    """
+    span = offsets.select(
+        "mesh_id",
+        "cell_id",
+        "cell_type",
+        F.posexplode(F.sequence(F.col("start"), F.col("end") - 1)).alias(
+            "slot", "pos"
+        ),
+    )
+    return (
+        span.join(flat, ["mesh_id", "pos"])
+        .groupBy("mesh_id", "cell_id", "cell_type")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("slot"), F.col("point_id")))
+                ),
+                lambda s: s.getField("point_id"),
+            ).alias("vs")
+        )
+    )
+
+
+def cells_to_flat(cells: DataFrame, vs_col: str = "vs") -> tuple[DataFrame, DataFrame]:
+    """Native ``vs`` arrays → (flat, offsets) mixed encoding.
+
+    Offsets are the running sum of cell arities in cell-id order
+    (reference rebuilds them the same way after a drop,
+    ``wall_node.py:195-210``); positions are start + slot.  The window
+    runs per mesh — fine for millions of cells per mesh; use the
+    distributed prefix-sum (operators.ranking) to flatten a single
+    billion-cell mesh.
+    """
+    w = (
+        Window.partitionBy("mesh_id")
+        .orderBy("cell_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    offs = cells.select(
+        "mesh_id",
+        "cell_id",
+        *(["cell_type"] if "cell_type" in cells.columns else []),
+        (F.sum(F.size(vs_col)).over(w) - F.size(vs_col)).alias("start"),
+        F.sum(F.size(vs_col)).over(w).alias("end"),
+    )
+    flat = (
+        cells.select("mesh_id", "cell_id", F.posexplode(vs_col).alias("slot", "point_id"))
+        .join(offs.select("mesh_id", "cell_id", "start"), ["mesh_id", "cell_id"])
+        .select("mesh_id", (F.col("start") + F.col("slot")).alias("pos"), "point_id")
+    )
+    return flat, offs
+
+
 def tessellate_fan(cells: DataFrame, vs_col: str = "vs") -> DataFrame:
     """Fan-tessellate polygons into triangles.
 

@@ -127,3 +127,92 @@ def test_scatter_mean_exact(spark):
     )
     out = {r["point_id"]: r["value"] for r in mesh.scatter_mean(cells).collect()}
     assert out == {0: 2.0, 1: 3.0, 2: 4.0}
+
+
+def test_mixed_cells_padded_encoding_wall_remap(spark):
+    """Mirror of the reference's −1-padded mixed-cell remap cases
+    (reference wall_node.py:127-151): tri(0,1,2) + quad(1,2,3,4) +
+    line(4,5) padded to arity 4; dropping node 3 must kill only the
+    quad, keep padding semantics, and remap survivors densely."""
+    padded = spark.createDataFrame(
+        [
+            (0, 0, [0, 1, 2, -1], 5),
+            (0, 1, [1, 2, 3, 4], 9),
+            (0, 2, [4, 5, -1, -1], 3),
+        ],
+        ["mesh_id", "cell_id", "vs", "cell_type"],
+    )
+    points = spark.createDataFrame(
+        [(0, i, float(i), 0.0, 0.0) for i in range(6)],
+        ["mesh_id", "point_id", "x", "y", "z"],
+    )
+    mask = spark.createDataFrame(
+        [(0, i, i == 3) for i in range(6)], ["mesh_id", "point_id", "is_wall"]
+    )
+
+    cells = mesh.cells_from_padded(padded)
+    new_points, new_cells = mesh.drop_wall_nodes(points, cells, mask)
+
+    # keep_indices=[0,1,2,4,5] → old_to_new {0:0,1:1,2:2,4:3,5:4}
+    got = {
+        r["cell_id"]: (list(r["vs"]), r["cell_type"])
+        for r in new_cells.join(
+            padded.select("mesh_id", "cell_id", "cell_type"),
+            ["mesh_id", "cell_id"],
+        ).collect()
+    }
+    assert got == {0: ([0, 1, 2], 5), 2: ([3, 4], 3)}
+    assert new_points.count() == 5
+
+    # re-padding reproduces the reference's padded output tensor
+    repadded = {
+        r["cell_id"]: list(r["vs"])
+        for r in mesh.cells_to_padded(new_cells, 4).collect()
+    }
+    assert repadded == {0: [0, 1, 2, -1], 2: [3, 4, -1, -1]}
+
+
+def test_mixed_cells_flat_encoding_roundtrip_and_remap(spark):
+    """Mirror of the reference's flat mixed_connectivity/offsets/
+    cell_types remap (reference wall_node.py:157-227): same mesh as the
+    padded case in its flat encoding; after dropping node 3 the rebuilt
+    flat stream must be [0,1,2, 3,4] with offsets [0,3,5] and the
+    quad's cell_type gone."""
+    flat = spark.createDataFrame(
+        [(0, p, v) for p, v in enumerate([0, 1, 2, 1, 2, 3, 4, 4, 5])],
+        ["mesh_id", "pos", "point_id"],
+    )
+    offsets = spark.createDataFrame(
+        [(0, 0, 0, 3, 5), (0, 1, 3, 7, 9), (0, 2, 7, 9, 3)],
+        ["mesh_id", "cell_id", "start", "end", "cell_type"],
+    )
+    points = spark.createDataFrame(
+        [(0, i, float(i), 0.0, 0.0) for i in range(6)],
+        ["mesh_id", "point_id", "x", "y", "z"],
+    )
+    mask = spark.createDataFrame(
+        [(0, i, i == 3) for i in range(6)], ["mesh_id", "point_id", "is_wall"]
+    )
+
+    cells = mesh.cells_from_flat(flat, offsets)
+    assert {
+        r["cell_id"]: list(r["vs"]) for r in cells.collect()
+    } == {0: [0, 1, 2], 1: [1, 2, 3, 4], 2: [4, 5]}
+
+    _, new_cells = mesh.drop_wall_nodes(points, cells, mask)
+    # cell_type rides the surviving cell ids (the reference applies the
+    # same cell_valid mask to its cell_types vector)
+    new_cells = new_cells.join(
+        cells.select("mesh_id", "cell_id", "cell_type"), ["mesh_id", "cell_id"]
+    )
+    new_flat, new_offs = mesh.cells_to_flat(new_cells)
+
+    stream = [
+        r["point_id"] for r in new_flat.orderBy("pos").collect()
+    ]
+    assert stream == [0, 1, 2, 3, 4]
+    offs = {
+        r["cell_id"]: (r["start"], r["end"], r["cell_type"])
+        for r in new_offs.collect()
+    }
+    assert offs == {0: (0, 3, 5), 2: (3, 5, 3)}

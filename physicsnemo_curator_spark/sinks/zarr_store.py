@@ -219,6 +219,14 @@ def write_grid_zarr(
     lo_idx = {v: i for i, v in enumerate(lons)}
     nt, nla, nlo = len(times), len(lats), len(lons)
 
+    def _as_float(x: Any) -> float:
+        return x.timestamp() if hasattr(x, "timestamp") else float(x)
+
+    coord_vecs = {
+        "time": np.asarray([_as_float(t) for t in times]),
+        "lat": np.asarray([float(v) for v in lats]),
+        "lon": np.asarray([float(v) for v in lons]),
+    }
     init_group(store)
     for v in variables:
         vdir = os.path.join(store, str(v))
@@ -233,6 +241,21 @@ def write_grid_zarr(
             fill_value=math.nan,
             attrs={"_ARRAY_DIMENSIONS": ["time", "lat", "lon"]},
         )
+        # 1-D coordinate arrays (xarray convention) so read-side scans
+        # recover real coordinates, not indices; timestamps stored as
+        # epoch seconds.  O(nt + nlat + nlon) — metadata-scale.
+        for cname, vec in coord_vecs.items():
+            cdir = init_array(
+                vdir,
+                cname,
+                shape=(len(vec),),
+                chunks=(max(len(vec), 1),),
+                dtype="<f8",
+                compressor=None,
+                fill_value=0,
+                attrs={"_ARRAY_DIMENSIONS": [cname]},
+            )
+            write_chunk(cdir, (0,), vec, None)
 
     comp = dict(compressor) if compressor else None
     store_abs = os.path.abspath(store)

@@ -1,0 +1,182 @@
+"""Read-side Spark sources for the engine's scientific grid stores.
+
+Inverts the write-side encoders (``sinks/zarr_store.py``,
+``sinks/netcdf3.py``) as task-parallel scans: the DRIVER touches
+metadata only (array shapes, chunk inventory, file listing — a few KB),
+and all chunk/file decoding runs inside Spark tasks via ``mapInPandas``
+— one task per Zarr chunk / NetCDF file.  This is the same
+decomposition the reference uses to read ERA5 from Zarr (reference
+``domains/da/sources/era5.py:103-404``: one pipeline index per
+timestep, lazily sliced), re-expressed as a Spark scan whose unit of
+parallelism is the store's own chunking.
+
+Scale posture: a year of ERA5 at (1, 721, 1440) chunking is ~9k chunks
+per variable — tens of thousands of independent ~4 MB tasks, exactly
+the shape Spark schedules well.  Nothing here ever assembles a full
+array anywhere.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from physicsnemo_curator_spark.sinks.zarr_store import (
+    _decompress,
+    read_array,
+    read_array_meta,
+)
+
+_GRID_SCHEMA = (
+    "variable string, time double, lat double, lon double, value double"
+)
+
+
+def zarr_grid_inventory(
+    store: str, variables: list[str] | None = None
+) -> tuple[list[tuple], dict[str, tuple[list, list, list]]]:
+    """Driver-side metadata pass over a :func:`write_grid_zarr` store.
+
+    Returns (chunk rows, per-variable coordinate vectors).  Chunk rows
+    are ``(variable, t_idx, path, nlat, nlon, dtype, compressor_json)``
+    — one per EXISTING chunk file; coordinate vectors come from the
+    sibling ``time``/``lat``/``lon`` 1-D arrays when present (stores
+    written before coords existed fall back to index coordinates).
+    """
+    if variables is None:
+        variables = sorted(
+            d
+            for d in os.listdir(store)
+            if not d.startswith(".")
+            and os.path.isdir(os.path.join(store, d, "data"))
+        )
+    rows: list[tuple] = []
+    coords: dict[str, tuple[list, list, list]] = {}
+    for v in variables:
+        adir = os.path.join(store, v, "data")
+        meta = read_array_meta(adir)
+        nt, nla, nlo = meta["shape"]
+        comp = json.dumps(meta["compressor"])
+        dtype = meta["dtype"]
+        vdir = os.path.join(store, v)
+        cvecs = []
+        for cname, n in (("time", nt), ("lat", nla), ("lon", nlo)):
+            cdir = os.path.join(vdir, cname)
+            if os.path.exists(os.path.join(cdir, ".zarray")):
+                cvecs.append([float(x) for x in read_array(cdir)])
+            else:
+                cvecs.append([float(i) for i in range(n)])
+        coords[v] = (cvecs[0], cvecs[1], cvecs[2])
+        for t in range(nt):
+            path = os.path.join(adir, f"{t}.0.0")
+            if os.path.exists(path):
+                rows.append((v, t, path, nla, nlo, dtype, comp))
+    return rows, coords
+
+
+def read_grid_zarr(
+    spark: SparkSession,
+    store: str,
+    *,
+    variables: list[str] | None = None,
+) -> DataFrame:
+    """Task-per-chunk scan of a grid Zarr store → long DataFrame
+    ``(variable, time, lat, lon, value)``.
+
+    Cells at the writer's NaN fill value (never written) are dropped,
+    so the result is the long-table inverse of
+    :func:`~physicsnemo_curator_spark.sinks.zarr_store.write_grid_zarr`.
+    ``variables`` prunes whole groups driver-side — partition pruning
+    at the store layout level, before any task launches.
+    """
+    rows, coords = zarr_grid_inventory(store, variables)
+    inv = spark.createDataFrame(
+        rows,
+        "variable string, t_idx int, path string, nlat int, nlon int,"
+        " dtype string, comp string",
+    )
+    # one chunk per task: the decode is the unit of work
+    inv = inv.repartition(max(1, len(rows)))
+
+    def _decode(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            for r in pdf.itertuples(index=False):
+                with open(r.path, "rb") as f:
+                    raw = _decompress(f.read(), json.loads(r.comp))
+                block = np.frombuffer(raw, np.dtype(r.dtype)).reshape(
+                    r.nlat, r.nlon
+                )
+                ila, ilo = np.nonzero(~np.isnan(block))
+                times, lats, lons = coords[r.variable]
+                yield pd.DataFrame(
+                    {
+                        "variable": r.variable,
+                        "time": times[r.t_idx],
+                        "lat": np.asarray(lats, dtype=float)[ila],
+                        "lon": np.asarray(lons, dtype=float)[ilo],
+                        "value": block[ila, ilo].astype(float),
+                    }
+                )
+
+    return inv.mapInPandas(_decode, _GRID_SCHEMA)
+
+
+def read_netcdf3_grid(
+    spark: SparkSession,
+    nc_dir: str,
+    *,
+    variables: list[str] | None = None,
+) -> DataFrame:
+    """Task-per-file scan over a directory of classic NetCDF-3 files
+    (the layout :func:`~physicsnemo_curator_spark.sinks.scientific.
+    write_netcdf_per_variable_year` produces: one file per
+    (variable, year), dims (time, lat, lon) + coordinate variables).
+
+    Each task parses ONE file with the pure-Python CDF-1 reader and
+    emits present (non-NaN) cells as long rows — the file split is the
+    (variable, year) partition, so a multi-decade multi-variable
+    archive scans wide with zero driver data movement.
+    """
+    paths = sorted(
+        os.path.join(nc_dir, f)
+        for f in os.listdir(nc_dir)
+        if f.endswith(".nc")
+    )
+    inv = spark.createDataFrame([(p,) for p in paths], "path string")
+    inv = inv.repartition(max(1, len(paths)))
+    wanted = set(variables) if variables is not None else None
+
+    def _decode(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from physicsnemo_curator_spark.sinks.netcdf3 import read_netcdf3
+
+        for pdf in pdfs:
+            for r in pdf.itertuples(index=False):
+                nc = read_netcdf3(r.path)
+                coord_names = {"time", "lat", "lon"}
+                data_vars = [
+                    v for v in nc["variables"] if v not in coord_names
+                ]
+                times = np.asarray(nc["variables"]["time"], dtype=float)
+                lats = np.asarray(nc["variables"]["lat"], dtype=float)
+                lons = np.asarray(nc["variables"]["lon"], dtype=float)
+                for v in data_vars:
+                    if wanted is not None and v not in wanted:
+                        continue
+                    arr = np.asarray(nc["variables"][v], dtype=float)
+                    it, ila, ilo = np.nonzero(~np.isnan(arr))
+                    yield pd.DataFrame(
+                        {
+                            "variable": v,
+                            "time": times[it],
+                            "lat": lats[ila],
+                            "lon": lons[ilo],
+                            "value": arr[it, ila, ilo],
+                        }
+                    )
+
+    return inv.mapInPandas(_decode, _GRID_SCHEMA)

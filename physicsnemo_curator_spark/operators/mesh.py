@@ -299,9 +299,25 @@ def cells_from_padded(cells: DataFrame, vs_col: str = "vs") -> DataFrame:
 def cells_to_padded(cells: DataFrame, arity: int, vs_col: str = "vs") -> DataFrame:
     """Native ``vs`` arrays → −1-padded fixed-arity encoding (the exact
     inverse of :func:`cells_from_padded`, for writing back to consumers
-    of the reference's padded tensor layout)."""
-    pad = F.array_repeat(F.lit(-1).cast("long"), arity - F.size(vs_col))
-    return cells.withColumn(vs_col, F.concat(F.col(vs_col), pad))
+    of the reference's padded tensor layout).
+
+    A cell whose arity exceeds the target cannot be represented in the
+    fixed-arity tensor; emitting it over-length would silently break the
+    (E, max_arity) contract downstream, so it raises at evaluation time.
+    """
+    vs_sz = F.size(vs_col)
+    pad = F.array_repeat(F.lit(-1).cast("long"), arity - vs_sz)
+    guard = F.assert_true(
+        vs_sz <= F.lit(arity),
+        F.format_string(
+            "cells_to_padded: cell arity %s exceeds target arity "
+            + str(arity),
+            vs_sz.cast("string"),
+        ),
+    )
+    return cells.withColumn(
+        vs_col, F.when(guard.isNull(), F.concat(F.col(vs_col), pad))
+    )
 
 
 def cells_from_flat(flat: DataFrame, offsets: DataFrame) -> DataFrame:
@@ -315,7 +331,11 @@ def cells_from_flat(flat: DataFrame, offsets: DataFrame) -> DataFrame:
     positions (linear, no range join) and re-assembles slot-ordered
     arrays — one shuffle keyed on (mesh_id, pos).
     """
-    span = offsets.select(
+    # sequence(start, end-1) on a zero-arity cell (start == end) would
+    # auto-step -1 and fabricate a bogus 2-slot span, so degenerate
+    # offsets are excluded from the explode and re-attached as empty
+    # cells afterwards (preserving cells_to_flat round-trips).
+    span = offsets.where(F.col("end") > F.col("start")).select(
         "mesh_id",
         "cell_id",
         "cell_type",
@@ -323,18 +343,24 @@ def cells_from_flat(flat: DataFrame, offsets: DataFrame) -> DataFrame:
             "slot", "pos"
         ),
     )
-    return (
-        span.join(flat, ["mesh_id", "pos"])
-        .groupBy("mesh_id", "cell_id", "cell_type")
-        .agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("slot"), F.col("point_id")))
-                ),
-                lambda s: s.getField("point_id"),
-            ).alias("vs")
-        )
+    pid_type = flat.schema["point_id"].dataType.simpleString()
+    assembled = span.join(flat, ["mesh_id", "pos"]).groupBy(
+        "mesh_id", "cell_id", "cell_type"
+    ).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("slot"), F.col("point_id")))
+            ),
+            lambda s: s.getField("point_id"),
+        ).alias("vs")
     )
+    empties = offsets.where(F.col("end") <= F.col("start")).select(
+        "mesh_id",
+        "cell_id",
+        "cell_type",
+        F.expr(f"cast(array() as array<{pid_type}>)").alias("vs"),
+    )
+    return assembled.unionByName(empties)
 
 
 def cells_to_flat(cells: DataFrame, vs_col: str = "vs") -> tuple[DataFrame, DataFrame]:

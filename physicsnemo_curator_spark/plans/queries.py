@@ -1034,16 +1034,24 @@ def q_st3_stream_welford(spark: SparkSession, sf_dir: str) -> DataFrame:
     from physicsnemo_curator_spark.streaming import stateful
 
     events = _t(spark, sf_dir, "events")
-    src = os.path.join(
-        tempfile.gettempdir(),
-        "pcs_stream_src_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
-    )
     # Stream-readable copy (raw events parquet needs catalog
     # normalization): 4 files → 4 micro-batches under
     # maxFilesPerTrigger=1, so GroupState folds across batches.
-    events.select("event_type", "value").repartition(4).write.mode(
-        "overwrite"
-    ).parquet(src)
+    # Keyed on (sf_dir, source mtime) so repeat invocations in one run
+    # reuse the copy, and on PID so concurrent processes sharing a box
+    # never overwrite a directory mid-readStream.
+    try:
+        mtime = int(os.path.getmtime(os.path.join(sf_dir, "events.parquet")))
+    except OSError:
+        mtime = 0
+    token = hashlib.md5(f"{sf_dir}:{mtime}".encode()).hexdigest()[:12]
+    src = os.path.join(
+        tempfile.gettempdir(), f"pcs_stream_src_{token}_{os.getpid()}"
+    )
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        events.select("event_type", "value").repartition(4).write.mode(
+            "overwrite"
+        ).parquet(src)
     out = stateful.run_running_stats_foreachbatch(
         spark, src, "event_type string, value double"
     )

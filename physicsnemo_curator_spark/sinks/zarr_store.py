@@ -28,6 +28,7 @@ import math
 import os
 import zlib
 from collections.abc import Iterator
+from datetime import timezone
 from typing import Any
 
 import numpy as np
@@ -220,7 +221,15 @@ def write_grid_zarr(
     nt, nla, nlo = len(times), len(lats), len(lons)
 
     def _as_float(x: Any) -> float:
-        return x.timestamp() if hasattr(x, "timestamp") else float(x)
+        # Naive datetimes out of the UTC-pinned session are UTC wall
+        # clock; .timestamp() would re-interpret them in the OS-local
+        # zone, so pin the conversion explicitly (matches tables.py NTZ
+        # normalization and the netcdf3 unix_timestamp epoch).
+        if hasattr(x, "timestamp"):
+            if getattr(x, "tzinfo", None) is None:
+                return x.replace(tzinfo=timezone.utc).timestamp()
+            return x.timestamp()
+        return float(x)
 
     coord_vecs = {
         "time": np.asarray([_as_float(t) for t in times]),

@@ -216,3 +216,34 @@ def test_mixed_cells_flat_encoding_roundtrip_and_remap(spark):
         for r in new_offs.collect()
     }
     assert offs == {0: (0, 3, 5), 2: (3, 5, 3)}
+
+
+def test_cells_from_flat_zero_arity_cell(spark):
+    """A start==end offset row is a zero-arity cell: it must come back
+    as an empty vs array, never a fabricated 2-slot cell (Spark's
+    sequence() auto-steps -1 when start > stop)."""
+    flat = spark.createDataFrame(
+        [(0, 0, 7), (0, 1, 8)], ["mesh_id", "pos", "point_id"]
+    )
+    offsets = spark.createDataFrame(
+        [(0, 0, 0, 2, 5), (0, 1, 2, 2, 1)],
+        ["mesh_id", "cell_id", "start", "end", "cell_type"],
+    )
+    got = {
+        r["cell_id"]: list(r["vs"])
+        for r in mesh.cells_from_flat(flat, offsets).collect()
+    }
+    assert got == {0: [7, 8], 1: []}
+
+
+def test_cells_to_padded_over_arity_raises(spark):
+    """A cell wider than the target arity cannot fit the fixed-arity
+    tensor: the padder must raise, not silently emit over-length rows."""
+    import pytest
+
+    cells = spark.createDataFrame(
+        [(0, 0, [0, 1, 2, 3, 4])], ["mesh_id", "cell_id", "vs"]
+    )
+    with pytest.raises(Exception) as exc_info:
+        mesh.cells_to_padded(cells, 4).collect()
+    assert "exceeds target arity" in str(exc_info.value)

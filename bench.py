@@ -52,6 +52,30 @@ def main() -> None:
     for t in TABLE_NAMES:
         load_table(spark, sf_dir, t).count()
 
+    # Untimed throwaway composite: the scan warm-up alone left the first
+    # timed aggregates absorbing ~3 s of executor/codegen cold start
+    # (BENCH_NOTES: r04 q_a1 4.99 s vs steady-state ~2.1 s).  One pass
+    # through the three dominant physical shapes — partial+final hash
+    # aggregate, sort-window, broadcast hash join — warms codegen and
+    # the shuffle machinery so position in the suite stops predicting
+    # the timing.
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    li.groupBy("l_returnflag").agg(
+        F.sum("l_quantity"), F.avg("l_extendedprice"), F.count("*")
+    ).collect()
+    li.select(
+        F.row_number()
+        .over(Window.partitionBy("l_returnflag").orderBy("l_orderkey"))
+        .alias("rn")
+    ).filter("rn <= 3").collect()
+    li.join(
+        F.broadcast(load_table(spark, sf_dir, "part")),
+        li.l_partkey == F.col("p_partkey"),
+    ).groupBy("p_type").count().collect()
+
     # Per-query error isolation: one broken query must degrade the
     # artifact (an "err" entry), never abort the run — a bench JSON with
     # partial timings beats no JSON at all.

@@ -37,16 +37,18 @@ _GRID_SCHEMA = (
 )
 
 
-def zarr_grid_inventory(
+def zarr_grid_meta(
     store: str, variables: list[str] | None = None
 ) -> tuple[list[tuple], dict[str, tuple[list, list, list]]]:
-    """Driver-side metadata pass over a :func:`write_grid_zarr` store.
+    """Driver-side PER-VARIABLE metadata pass over a
+    :func:`write_grid_zarr` store — O(variables) work, never O(chunks).
 
-    Returns (chunk rows, per-variable coordinate vectors).  Chunk rows
-    are ``(variable, t_idx, path, nlat, nlon, dtype, compressor_json)``
-    — one per EXISTING chunk file; coordinate vectors come from the
-    sibling ``time``/``lat``/``lon`` 1-D arrays when present (stores
-    written before coords existed fall back to index coordinates).
+    Returns (variable rows, per-variable coordinate vectors).  Variable
+    rows are ``(variable, data_dir, nt, nlat, nlon, dtype,
+    compressor_json)`` — one per array, a few hundred bytes each;
+    coordinate vectors come from the sibling ``time``/``lat``/``lon``
+    1-D arrays when present (stores written before coords existed fall
+    back to index coordinates).
     """
     if variables is None:
         variables = sorted(
@@ -72,10 +74,7 @@ def zarr_grid_inventory(
             else:
                 cvecs.append([float(i) for i in range(n)])
         coords[v] = (cvecs[0], cvecs[1], cvecs[2])
-        for t in range(nt):
-            path = os.path.join(adir, f"{t}.0.0")
-            if os.path.exists(path):
-                rows.append((v, t, path, nla, nlo, dtype, comp))
+        rows.append((v, adir, nt, nla, nlo, dtype, comp))
     return rows, coords
 
 
@@ -93,15 +92,57 @@ def read_grid_zarr(
     :func:`~physicsnemo_curator_spark.sinks.zarr_store.write_grid_zarr`.
     ``variables`` prunes whole groups driver-side — partition pruning
     at the store layout level, before any task launches.
+
+    Scale shape: the driver handles O(variables) metadata only.  Chunk
+    DISCOVERY runs inside Spark tasks (one listing task per variable's
+    ``data/`` directory), the resulting chunk inventory is shuffled
+    across the cluster, and each chunk decodes in its own task — so a
+    store with 10⁷ chunks never materializes 10⁷ of anything on the
+    driver (the scale note from round 4's review).
     """
-    rows, coords = zarr_grid_inventory(store, variables)
-    inv = spark.createDataFrame(
-        rows,
+    var_rows, coords = zarr_grid_meta(store, variables)
+    meta_df = spark.createDataFrame(
+        var_rows,
+        "variable string, adir string, nt int, nlat int, nlon int,"
+        " dtype string, comp string",
+    ).repartition(max(1, len(var_rows)))
+
+    def _list_chunks(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # task-side listing: each variable's chunk files are named
+        # "{t}.0.0"; scan the directory once instead of probing nt
+        # candidate paths (O(existing) not O(shape)).
+        for pdf in pdfs:
+            for r in pdf.itertuples(index=False):
+                t_idx, paths = [], []
+                for fname in os.listdir(r.adir):
+                    parts = fname.split(".")
+                    if len(parts) == 3 and parts[0].isdigit() and parts[1:] == ["0", "0"]:
+                        t = int(parts[0])
+                        if t < r.nt:
+                            t_idx.append(t)
+                            paths.append(os.path.join(r.adir, fname))
+                yield pd.DataFrame(
+                    {
+                        "variable": r.variable,
+                        "t_idx": pd.array(t_idx, dtype="int32"),
+                        "path": paths,
+                        "nlat": pd.array([r.nlat] * len(paths), dtype="int32"),
+                        "nlon": pd.array([r.nlon] * len(paths), dtype="int32"),
+                        "dtype": [r.dtype] * len(paths),
+                        "comp": [r.comp] * len(paths),
+                    }
+                )
+
+    inv = meta_df.mapInPandas(
+        _list_chunks,
         "variable string, t_idx int, path string, nlat int, nlon int,"
         " dtype string, comp string",
     )
-    # one chunk per task: the decode is the unit of work
-    inv = inv.repartition(max(1, len(rows)))
+    # round-robin shuffle so chunk decodes spread across the cluster
+    # regardless of how many variables produced them
+    inv = inv.repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    )
 
     def _decode(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in pdfs:

@@ -128,6 +128,75 @@ def run_running_stats_foreachbatch(
     return spark.createDataFrame(list(final.values()), OUTPUT_SCHEMA)
 
 
+def run_running_stats_to_table(
+    spark,
+    source_dir: str,
+    schema,
+    table_dir: str,
+    checkpoint_dir: str,
+    *,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    max_files_per_trigger: int = 1,
+) -> None:
+    """PRODUCTION form of the stateful running-stats pipeline: stream →
+    GroupState fold → per-batch APPEND to a parquet table.  Nothing is
+    ever collected on the driver; each update-mode emission lands as
+    rows ``(key, n, mean, var_pop, _epoch)`` written by the executors.
+
+    Restart-resumable: ``checkpointLocation`` persists both the source
+    offsets and the ``applyInPandasWithState`` state store, so a
+    stopped-and-restarted run processes only files it has not seen and
+    the running totals continue where they left off (exactly-once over
+    the source).  Readers resolve last-write-wins per key in SQL —
+    :func:`read_running_stats_table` — so the append-only table needs
+    no in-place updates (the Delta/Iceberg upgrade path is a MERGE on
+    key, same shape).  A batch retried after a mid-write crash can
+    double-append its rows; both copies carry identical (key, _epoch)
+    values, so the resolver is idempotent to that too.
+    """
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(source_dir)
+    )
+    out = running_stats_stream(stream, key_col=key_col, value_col=value_col)
+
+    def _sink(batch_df, epoch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        batch_df.withColumn("_epoch", F.lit(int(epoch_id))).write.mode(
+            "append"
+        ).parquet(table_dir)
+
+    q = (
+        out.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(_sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def read_running_stats_table(spark, table_dir: str):
+    """Current per-key stats from the append-only table: the row with
+    the highest ``_epoch`` per key (one shuffle on key; at warehouse
+    scale, partition the table by key bucket and this prunes)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    raw = spark.read.parquet(table_dir)
+    w = Window.partitionBy("key").orderBy(F.desc("_epoch"))
+    return (
+        raw.withColumn("_rn", F.row_number().over(w))
+        .filter("_rn = 1")
+        .drop("_rn", "_epoch")
+    )
+
+
 def run_running_stats(spark, source_dir: str, schema, *, key_col="event_type", value_col="value"):
     """Drive the stateful operator over a parquet-directory stream into
     a memory sink; returns the final per-key stats DataFrame."""

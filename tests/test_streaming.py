@@ -314,3 +314,65 @@ def test_foreachbatch_stateful_welford_matches_batch(spark, sf_dir, tmp_path):
         assert g["n"] == e["n"]
         assert abs(g["mean"] - e["mean"]) < 1e-9
         assert abs(g["var_pop"] - e["var_pop"]) < 1e-6
+
+
+def test_stateful_table_sink_restart_exactly_once(spark, sf_dir, tmp_path):
+    """Production table-sink path: the stateful stream appends per-batch
+    update rows to a parquet table, a restart with the same checkpoint
+    processes ONLY unseen files with GroupState carried over, and the
+    SQL last-write-wins resolver lands on the exact batch answer over
+    all data (exactly-once across the restart)."""
+    from pyspark.sql import functions as F
+
+    from physicsnemo_curator_spark.streaming.stateful import (
+        read_running_stats_table,
+        run_running_stats_to_table,
+    )
+
+    events = load_table(spark, sf_dir, "events").select("event_type", "value")
+    half1 = events.filter("value < 0.5")
+    half2 = events.filter("value >= 0.5")
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "stats_table")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "event_type string, value double"
+
+    half1.repartition(2).write.parquet(src)
+    run_running_stats_to_table(spark, src, schema, table, ckpt)
+    mid = {
+        r["key"]: r["n"] for r in read_running_stats_table(spark, table).collect()
+    }
+    assert sum(mid.values()) == half1.count()
+    epochs_after_first = (
+        spark.read.parquet(table).agg(F.max("_epoch")).first()[0]
+    )
+
+    # "restart": new files arrive, a fresh query reuses the checkpoint
+    half2.repartition(2).write.mode("append").parquet(src)
+    run_running_stats_to_table(spark, src, schema, table, ckpt)
+
+    raw = spark.read.parquet(table)
+    # offsets resumed (epochs continue, old data not reprocessed) …
+    assert raw.agg(F.max("_epoch")).first()[0] > epochs_after_first
+    assert raw.filter(F.col("_epoch") > epochs_after_first).count() > 0
+
+    # … and state resumed: final answer is exact over ALL data
+    got = {
+        r["key"]: r for r in read_running_stats_table(spark, table).collect()
+    }
+    exp = {
+        r["event_type"]: r
+        for r in events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("value").alias("mean"),
+            F.var_pop("value").alias("var_pop"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exp)
+    for k, e in exp.items():
+        g = got[k]
+        assert g["n"] == e["n"]
+        assert abs(g["mean"] - e["mean"]) < 1e-9
+        assert abs(g["var_pop"] - e["var_pop"]) < 1e-6

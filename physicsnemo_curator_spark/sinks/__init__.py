@@ -2,6 +2,10 @@
 (Zarr v2, NetCDF-3 classic, per-group routing) with pure-Python
 encoders — no external format libraries required."""
 
+from physicsnemo_curator_spark.sinks.grid_sidecar import (
+    read_grid_sidecar,
+    write_grid_sidecar,
+)
 from physicsnemo_curator_spark.sinks.partitioned import (
     write_chunk_aligned,
     write_partitioned,
@@ -26,4 +30,6 @@ __all__ = [
     "write_flat_zarr",
     "write_mesh_zarr",
     "read_array",
+    "write_grid_sidecar",
+    "read_grid_sidecar",
 ]

@@ -63,3 +63,59 @@ def test_netcdf_routing_without_codec(spark, tmp_path):
     n = write_netcdf_per_variable_year(grid, out)
     assert n == 2  # 2 variables × 1 year
     assert len(os.listdir(out)) == 2
+
+
+def test_grid_sidecar_roundtrip_and_layout(spark, tmp_path):
+    """GridSidecar parity (reference grid_sidecar.py:50-208): one
+    <stem>.grid dir per grid mirroring the source relpath, per-field
+    memmap .npy files + meta.json, and the inverse scan reproduces the
+    long-table encoding exactly."""
+    import json
+    import os
+
+    from physicsnemo_curator_spark.sinks.grid_sidecar import (
+        read_grid_sidecar,
+        write_grid_sidecar,
+    )
+
+    cells = [
+        (g, iz, iy, ix, f, float(hash((g, iz, iy, ix, f)) % 1000) / 10)
+        for g in ("run_a", "run_b")
+        for iz in range(2)
+        for iy in range(3)
+        for ix in range(4)
+        for f in ("temp", "press")
+    ]
+    grid = spark.createDataFrame(
+        cells, ["grid_id", "iz", "iy", "ix", "field", "value"]
+    )
+    meta = spark.createDataFrame(
+        [
+            ("run_a", 4, 3, 2, 0.0, 0.0, 0.0, 1.0, 1.0, 1.0, "case1/vti"),
+            ("run_b", 4, 3, 2, 1.0, 2.0, 3.0, 0.5, 0.5, 0.5, None),
+        ],
+        ["grid_id", "nx", "ny", "nz", "ox", "oy", "oz", "sx", "sy", "sz", "relpath"],
+    )
+
+    out = str(tmp_path / "sidecars")
+    written = {r["grid_id"]: r["path"] for r in write_grid_sidecar(grid, meta, out).collect()}
+
+    # layout: relpath mirrored, suffix enforced, per-field npy + meta
+    assert written["run_a"] == os.path.join(out, "case1/vti", "run_a.grid")
+    assert written["run_b"] == os.path.join(out, "run_b.grid")
+    assert sorted(os.listdir(written["run_a"])) == ["meta.json", "press.npy", "temp.npy"]
+    with open(os.path.join(written["run_b"], "meta.json")) as f:
+        m = json.load(f)
+    assert m["dimensions"] == [4, 3, 2] and m["origin"] == [1.0, 2.0, 3.0]
+
+    back = read_grid_sidecar(spark, out)
+    key = lambda df: sorted(
+        (r["grid_id"], r["iz"], r["iy"], r["ix"], r["field"], round(r["value"], 9))
+        for r in df.collect()
+    )
+    assert key(back["grid"]) == key(grid)
+    got_meta = {
+        r["grid_id"]: (r["nx"], r["ny"], r["nz"], r["sx"])
+        for r in back["meta"].collect()
+    }
+    assert got_meta == {"run_a": (4, 3, 2, 1.0), "run_b": (4, 3, 2, 0.5)}

@@ -25,10 +25,26 @@ RUN_SCHEMA = (
     "written array<string>, skipped long, finished_at_epoch long"
 )
 
+# per-unit-of-work record (reference ``index_results``: one row per
+# pipeline index, core/pipeline_store.py:541-626)
+INDEX_SCHEMA = (
+    "run_id string, idx long, worker_id string, status string, "
+    "wall_time_s double, peak_memory_mb double, error string, "
+    "finished_at_epoch long"
+)
+
+# per-(index, stage) timing record (reference ``StageMetrics``)
+STAGE_SCHEMA = (
+    "run_id string, idx long, stage_name string, stage_order int, "
+    "wall_time_s double"
+)
+
 
 class MetricsStore:
     def __init__(self, metrics_dir: str) -> None:
         self.path = os.path.join(metrics_dir, "pipeline_runs")
+        self.index_path = os.path.join(metrics_dir, "index_results")
+        self.stage_path = os.path.join(metrics_dir, "stage_results")
 
     def record(self, spark: SparkSession, result) -> str:
         """Append one run record (RunResult-shaped)."""
@@ -62,4 +78,127 @@ class MetricsStore:
             F.avg("wall_time_s").alias("avg_wall_time_s"),
             F.sum("wall_time_s").alias("total_wall_time_s"),
             F.max("finished_at_epoch").alias("last_run_epoch"),
+        )
+
+    # -- per-index / per-stage recording -----------------------------------
+
+    def record_index_results(
+        self, spark: SparkSession, run_id: str, records: list[dict]
+    ) -> None:
+        """Append per-unit records: dicts with ``idx`` and optionally
+        ``worker_id``, ``status``, ``wall_time_s``, ``peak_memory_mb``,
+        ``error`` (reference index_results rows)."""
+        now = int(time.time())
+        rows = [
+            (
+                run_id,
+                int(r["idx"]),
+                str(r.get("worker_id", "")),
+                str(r.get("status", "completed")),
+                float(r.get("wall_time_s", 0.0)),
+                float(r.get("peak_memory_mb", 0.0)),
+                str(r.get("error", "")),
+                now,
+            )
+            for r in records
+        ]
+        spark.createDataFrame(rows, INDEX_SCHEMA).write.mode("append").parquet(
+            self.index_path
+        )
+
+    def record_stage_results(
+        self, spark: SparkSession, run_id: str, records: list[dict]
+    ) -> None:
+        """Append per-(index, stage) timings: dicts with ``idx``,
+        ``stage_name``, ``stage_order``, ``wall_time_s``."""
+        rows = [
+            (
+                run_id,
+                int(r["idx"]),
+                str(r["stage_name"]),
+                int(r.get("stage_order", 0)),
+                float(r.get("wall_time_s", 0.0)),
+            )
+            for r in records
+        ]
+        spark.createDataFrame(rows, STAGE_SCHEMA).write.mode("append").parquet(
+            self.stage_path
+        )
+
+    # -- dashboard SQL frames (reference dashboard/data.py:34-332) ---------
+
+    def _frame(self, spark: SparkSession, path: str, view: str) -> bool:
+        if not os.path.exists(path):
+            return False
+        spark.read.parquet(path).createOrReplaceTempView(view)
+        return True
+
+    def index_df(self, spark: SparkSession, run_id: str | None = None) -> DataFrame:
+        """Per-index frame — columns ``idx, status, wall_time_s,
+        peak_memory_mb, error`` ordered by idx (reference
+        ``DashboardStore.index_df``, dashboard/data.py:88-135; a failed
+        index appears with its error, exactly one row per idx via
+        latest-record-wins)."""
+        if not self._frame(spark, self.index_path, "pcs_index_results"):
+            return spark.createDataFrame([], INDEX_SCHEMA).select(
+                "idx", "status", "wall_time_s", "peak_memory_mb", "error"
+            )
+        where = f"WHERE run_id = '{run_id}'" if run_id else ""
+        return spark.sql(
+            f"""
+            SELECT idx, status, wall_time_s, peak_memory_mb, error
+            FROM (
+              SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY idx ORDER BY finished_at_epoch DESC
+              ) AS _rn
+              FROM pcs_index_results {where}
+            ) WHERE _rn = 1
+            ORDER BY idx
+            """
+        )
+
+    def stage_df(self, spark: SparkSession, run_id: str | None = None) -> DataFrame:
+        """Per-stage frame — ``idx, stage_name, stage_order,
+        wall_time_s`` (reference ``DashboardStore.stage_df``,
+        dashboard/data.py:140-167)."""
+        if not self._frame(spark, self.stage_path, "pcs_stage_results"):
+            return spark.createDataFrame([], STAGE_SCHEMA).select(
+                "idx", "stage_name", "stage_order", "wall_time_s"
+            )
+        where = f"WHERE run_id = '{run_id}'" if run_id else ""
+        return spark.sql(
+            f"""
+            SELECT idx, stage_name, stage_order, wall_time_s
+            FROM pcs_stage_results {where}
+            ORDER BY idx, stage_order
+            """
+        )
+
+    def workers_df(self, spark: SparkSession, run_id: str | None = None) -> DataFrame:
+        """Per-worker frame — ``worker_id, completed, failed,
+        last_heartbeat_epoch, current_idx`` (reference
+        ``DashboardStore.workers_df``, dashboard/data.py:196-229, with
+        completed/failed computed from actual index results exactly as
+        the reference does; pid/hostname are process-pool concepts Spark
+        replaces with executor IDs)."""
+        if not self._frame(spark, self.index_path, "pcs_index_results"):
+            return spark.createDataFrame(
+                [],
+                "worker_id string, completed long, failed long, "
+                "last_heartbeat_epoch long, current_idx long",
+            )
+        where = f"WHERE run_id = '{run_id}'" if run_id else ""
+        return spark.sql(
+            f"""
+            SELECT worker_id,
+                   SUM(CASE WHEN status = 'completed' THEN 1 ELSE 0 END)
+                     AS completed,
+                   SUM(CASE WHEN status <> 'completed' THEN 1 ELSE 0 END)
+                     AS failed,
+                   MAX(finished_at_epoch) AS last_heartbeat_epoch,
+                   MAX_BY(idx, finished_at_epoch) AS current_idx
+            FROM pcs_index_results {where}
+            GROUP BY worker_id
+            ORDER BY worker_id
+            """
         )

@@ -101,3 +101,62 @@ def test_metrics_ledger(spark, sf_dir, tmp_path):
     s = store.summary(spark).collect()
     assert len(s) == 1
     assert s[0]["n_runs"] == 2 and s[0]["total_rows"] > 0
+
+
+def test_dashboard_sql_frames(spark, tmp_path):
+    """The three dashboard frames (reference dashboard/data.py:34-332):
+    index_df latest-record-wins per idx with errors surfaced, stage_df
+    ordered per (idx, stage), workers_df completed/failed computed from
+    the actual index results."""
+    store = MetricsStore(str(tmp_path))
+    store.record_index_results(
+        spark,
+        "run1",
+        [
+            {"idx": 0, "worker_id": "exec-1", "wall_time_s": 1.5,
+             "peak_memory_mb": 100.0},
+            {"idx": 1, "worker_id": "exec-2", "status": "error",
+             "error": "boom"},
+            {"idx": 2, "worker_id": "exec-1", "wall_time_s": 2.0},
+        ],
+    )
+    # retry of idx 1 succeeds later → latest-record-wins
+    import time as _time
+
+    _time.sleep(1.1)
+    store.record_index_results(
+        spark, "run1", [{"idx": 1, "worker_id": "exec-2", "wall_time_s": 3.0}]
+    )
+    store.record_stage_results(
+        spark,
+        "run1",
+        [
+            {"idx": 0, "stage_name": "read", "stage_order": 0, "wall_time_s": 0.5},
+            {"idx": 0, "stage_name": "clean", "stage_order": 1, "wall_time_s": 1.0},
+            {"idx": 1, "stage_name": "read", "stage_order": 0, "wall_time_s": 0.7},
+        ],
+    )
+
+    idx = store.index_df(spark, "run1").collect()
+    assert [r["idx"] for r in idx] == [0, 1, 2]
+    by_idx = {r["idx"]: r for r in idx}
+    assert by_idx[1]["status"] == "completed"  # retry won
+    assert by_idx[1]["wall_time_s"] == 3.0
+    assert by_idx[0]["peak_memory_mb"] == 100.0
+
+    st = store.stage_df(spark, "run1").collect()
+    assert [(r["idx"], r["stage_name"]) for r in st] == [
+        (0, "read"), (0, "clean"), (1, "read")
+    ]
+
+    w = {r["worker_id"]: r for r in store.workers_df(spark, "run1").collect()}
+    assert w["exec-1"]["completed"] == 2 and w["exec-1"]["failed"] == 0
+    assert w["exec-2"]["completed"] == 1 and w["exec-2"]["failed"] == 1
+    assert w["exec-2"]["current_idx"] == 1
+
+    # empty-store frames keep the reference column shape
+    empty = MetricsStore(str(tmp_path / "empty"))
+    assert empty.index_df(spark).columns == [
+        "idx", "status", "wall_time_s", "peak_memory_mb", "error"
+    ]
+    assert empty.workers_df(spark).count() == 0

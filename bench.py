@@ -81,9 +81,15 @@ def main() -> None:
     # partial timings beats no JSON at all.
     timings: dict[str, object] = {}
     errors: dict[str, str] = {}
+    # SPARK_GRAFT_QUERIES (comma-separated names) restricts the suite —
+    # used for targeted scale soaks (e.g. the dedup/ANN family at sf10).
+    only = os.environ.get("SPARK_GRAFT_QUERIES")
+    only_set = set(only.split(",")) if only else None
     # spec.bench (when set) is the production-path twin of an
     # oracle-reproducible declared query — see QuerySpec.bench.
     for name, spec in QUERIES.items():
+        if only_set is not None and name not in only_set:
+            continue
         fn = spec.bench or spec.spark
         t0 = time.perf_counter()
         try:

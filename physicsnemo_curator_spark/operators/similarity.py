@@ -339,8 +339,8 @@ def pairwise_near_duplicates(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_bands: int = 8,
-    bits_per_band: int = 4,
+    n_bands: int | None = None,
+    bits_per_band: int | None = None,
     seed: int = 42,
     exact: bool = False,
     dim: int | None = None,
@@ -351,12 +351,29 @@ def pairwise_near_duplicates(
     default generates candidates from shared (band, bucket) keys so the
     self-join is band-local (multi-band recall amplification).
     Pass ``dim`` to skip the dimension-probe scan job.
+
+    ``bits_per_band=None`` (default) SCALES THE BUCKET COUNT WITH THE
+    DATA: a fixed 2^bits bucket space makes within-bucket pair counts
+    grow quadratically as rows grow (measured: 10× rows → ~16× wall at
+    8 fixed bits in the sf1 soak), so the default targets a constant
+    ~32 vectors per bucket — bits = log2(n/32), clamped to [4, 24] —
+    and raises ``n_bands`` alongside (L = max(8, bits)) so multi-band
+    recall amplification compensates for the sharper per-band filter.
+    The extra count() job is one metadata-cheap pass; callers that know
+    their corpus can pin both knobs explicitly.
     """
+    import math as _math
+
     e = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
     if dim is None:
         dim = _vec_dim(e, "vec")
     e = e.withColumn("_nrm", l2_unrolled("vec", dim))
     if not exact:
+        if bits_per_band is None:
+            n = e.count()
+            bits_per_band = max(4, min(24, _math.ceil(_math.log2(max(n, 64) / 32))))
+        if n_bands is None:
+            n_bands = max(8, bits_per_band)
         # Candidate generation shuffles BARE ID PAIRS only: banding,
         # the band-local self-join, and the dedup all run on (vec_id,
         # band, bucket) rows.  Vectors re-attach afterwards via two

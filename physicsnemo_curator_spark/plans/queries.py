@@ -1661,16 +1661,18 @@ def q_embedding_near_dup(
 def b_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benched production twin of q_embedding_near_dup: banded-LSH
     near-dup over the FULL embeddings table at the operator's
-    production defaults (threshold 0.95, 8 bands × 8 bits).  LSH
-    pruning is only effective at high thresholds — the declared
-    query's 0.4 threshold admits ~6% of ALL pairs as candidates by
+    production defaults (threshold 0.95, ADAPTIVE banding — bucket
+    count scales with corpus size; the sf1 soak showed fixed 8×8-bit
+    banding going quadratic in within-bucket pairs).  LSH pruning is
+    only effective at high thresholds — the declared query's 0.4
+    threshold admits ~6% of ALL pairs as candidates by
     hyperplane-collision probability alone, which no banding scheme
     can prune (measured 26× faster than the exact full-table join at
     0.95; the synthetic corpus has no pairs above cosine 0.61, so the
     verify stage prices candidate filtering, not output)."""
     emb = _t(spark, sf_dir, "embeddings")
     pairs = similarity.pairwise_near_duplicates(
-        emb, threshold=0.95, exact=False, dim=64, n_bands=8, bits_per_band=8
+        emb, threshold=0.95, exact=False, dim=64
     )
     return pairs.select("a", "b", _r6(F.col("cosine"), "cosine"))
 

@@ -240,6 +240,119 @@ def read_grid_zarr(
     return inv.mapInPandas(_decode, _GRID_SCHEMA)
 
 
+def store_lexicon(store: str) -> set[str]:
+    """Variables a grid store can serve — its directory listing IS the
+    lexicon (the reference keys routing on static per-backend lexicon
+    modules, ``domains/da/sources/era5.py:286-297``; for a materialized
+    store the authoritative lexicon is what is on disk).  Raises on an
+    unreadable/absent store so callers can treat it as a failed backend.
+    """
+    entries = os.listdir(store)  # OSError propagates = backend failed
+    return {
+        d
+        for d in entries
+        if not d.startswith(".")
+        and os.path.isdir(os.path.join(store, d, "data"))
+    }
+
+
+def resolve_grid_routing(
+    variables: list[str], backends: list[tuple[str, set[str]]]
+) -> dict[str, str]:
+    """Map each variable to its highest-priority backend whose lexicon
+    contains it (reference ``era5.py:261-297`` ``_resolve_routing``).
+    ``backends`` is priority-ordered ``(name, lexicon)``.  Unresolved
+    variables raise ValueError, matching the reference's contract.
+    """
+    routing: dict[str, str] = {}
+    unresolved: list[str] = []
+    for var in variables:
+        for bname, lex in backends:
+            if var in lex:
+                routing[var] = bname
+                break
+        else:
+            unresolved.append(var)
+    if unresolved:
+        names = ", ".join(b for b, _ in backends)
+        raise ValueError(
+            f"Variables not found in any backend ({names}): {unresolved}"
+        )
+    return routing
+
+
+def read_grid_federated(
+    spark: SparkSession,
+    backends: list[tuple[str, str]],
+    variables: list[str],
+) -> DataFrame:
+    """ERA5Source-style federated read across prioritized grid stores
+    (reference ``era5.py:103-404``): route each variable to the first
+    backend that serves it, drop backends whose probe fails and re-route
+    their variables to the remaining ones (``era5.py:244-259``), verify
+    lat/lon grid alignment across backends before merging
+    (``era5.py:352-366``), and union the per-backend scans.
+
+    ``backends`` is priority-ordered ``(name, store_path)``.  All
+    routing/probing is driver-side METADATA work (directory listings +
+    coordinate vectors); the data path is N independent task-parallel
+    :func:`read_grid_zarr` scans merged with ``unionByName`` — no
+    shuffle is introduced by federation itself.
+    """
+    import warnings
+
+    stores = dict(backends)
+    lexicons: list[tuple[str, set[str]]] = []
+    for bname, store in backends:
+        try:
+            lexicons.append((bname, store_lexicon(store)))
+        except OSError as exc:
+            warnings.warn(
+                f"grid backend {bname!r} failed to probe ({exc}); "
+                "re-routing its variables",
+                stacklevel=2,
+            )
+    if not lexicons:
+        raise RuntimeError(
+            f"All backends failed. Cannot serve variables: {variables}"
+        )
+    routing = resolve_grid_routing(variables, lexicons)
+
+    groups: dict[str, list[str]] = {}
+    for var, bname in routing.items():
+        groups.setdefault(bname, []).append(var)
+
+    # grid-alignment gate: every serving backend must expose identical
+    # lat/lon coordinate vectors (reference raises on mismatch before
+    # any concat)
+    ref: tuple[list, list] | None = None
+    ref_name = ""
+    for bname, var_list in groups.items():
+        _, coords = zarr_grid_meta(stores[bname], sorted(var_list))
+        for v, (_, lats, lons) in coords.items():
+            if ref is None:
+                ref, ref_name = (lats, lons), bname
+            elif lats != ref[0]:
+                raise ValueError(
+                    f"Latitude grid mismatch between backend {ref_name!r}"
+                    f" and {bname!r} (variable {v!r})"
+                )
+            elif lons != ref[1]:
+                raise ValueError(
+                    f"Longitude grid mismatch between backend {ref_name!r}"
+                    f" and {bname!r} (variable {v!r})"
+                )
+
+    parts = [
+        read_grid_zarr(spark, stores[bname], variables=sorted(var_list))
+        for bname, var_list in sorted(groups.items())
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def read_netcdf3_grid(
     spark: SparkSession,
     nc_dir: str,

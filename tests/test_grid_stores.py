@@ -108,6 +108,73 @@ def test_v3_shard_codec_unit():
     assert np.array_equal(back[2], blocks[2])
 
 
+def test_federated_grid_routing_and_failover(spark, tmp_path):
+    """ERA5Source routing semantics (reference era5.py:103-404) against
+    local stores: priority-ordered per-variable routing, failed-backend
+    re-routing, unresolved-variable error, and the lat/lon alignment
+    gate before merge."""
+    import pytest
+
+    from physicsnemo_curator_spark.sources.grid_stores import (
+        read_grid_federated,
+        resolve_grid_routing,
+    )
+
+    grid = random_grid(spark, n_times=2, n_lat=3, n_lon=4)
+    variables = sorted(r["variable"] for r in grid.select("variable").distinct().collect())
+    assert len(variables) >= 2
+    v0, v1 = variables[0], variables[1]
+
+    # primary serves only v0; secondary serves everything
+    primary = str(tmp_path / "primary.zarr")
+    secondary = str(tmp_path / "secondary.zarr")
+    zs.write_grid_zarr(grid.filter(F.col("variable") == v0), primary)
+    zs.write_grid_zarr(grid, secondary)
+
+    # v0 routes to the higher-priority primary, the rest fall through
+    routing = resolve_grid_routing(
+        variables, [("primary", {v0}), ("secondary", set(variables))]
+    )
+    assert routing[v0] == "primary"
+    assert all(routing[v] == "secondary" for v in variables[1:])
+
+    out = read_grid_federated(
+        spark, [("primary", primary), ("secondary", secondary)], variables
+    )
+    assert _rows(out) == _rows(
+        grid.select("variable", F.col("time_idx").cast("double").alias("time"),
+                    "lat", "lon", "value")
+    )
+
+    # failed backend (missing store) re-routes its variables
+    with pytest.warns(UserWarning, match="failed to probe"):
+        out2 = read_grid_federated(
+            spark,
+            [("gone", str(tmp_path / "nope")), ("secondary", secondary)],
+            variables,
+        )
+    assert out2.count() == grid.count()
+
+    # unresolved variable raises the reference's contract error
+    with pytest.raises(ValueError, match="not found in any backend"):
+        read_grid_federated(
+            spark, [("secondary", secondary)], [*variables, "zz_missing"]
+        )
+
+    # misaligned grids are rejected before any merge
+    shifted = str(tmp_path / "shifted.zarr")
+    zs.write_grid_zarr(
+        grid.filter(F.col("variable") == v1).withColumn(
+            "lat", F.col("lat") + 0.5
+        ),
+        shifted,
+    )
+    with pytest.raises(ValueError, match="grid mismatch"):
+        read_grid_federated(
+            spark, [("primary", primary), ("shifted", shifted)], [v0, v1]
+        )
+
+
 def test_netcdf3_grid_roundtrip(spark, tmp_path):
     grid = random_grid(spark, n_times=3, n_lat=2, n_lon=2).withColumnRenamed(
         "time_idx", "tidx"

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from physicsnemo_curator_spark.functions import math as M
 from physicsnemo_curator_spark.operators import (
+    components,
     dedup,
     similarity,
     stats,
@@ -1285,6 +1286,65 @@ ORDER BY a, b
 """
 
 
+def q_dedup_components(
+    spark: SparkSession, sf_dir: str, hash_fn: str = "md5"
+) -> DataFrame:
+    """Transitive dedup groups: connected components over the near-dup
+    pair graph (operators/components.py, pointer-jumping label
+    propagation).  The declared path takes its edges from the exact
+    word-trigram Jaccard ≥ 0.8 pairs (same edge set the DuckDB oracle
+    derives, then closes with a recursive CTE); the benched production
+    twin feeds the xxhash64 MinHash-LSH pair stream into the identical
+    graph stage.  Output: one row per doc in some pair, its canonical
+    group representative (min doc_id reachable), the group size, and
+    the keep flag a curation pipeline filters on."""
+    if hash_fn == "md5":
+        sh = _cached_shingles(spark, sf_dir)
+        pairs = dedup.jaccard_pairs(sh).filter(F.col("jaccard") >= 0.8)
+    else:
+        docs = _t(spark, sf_dir, "documents")
+        pairs = dedup.minhash_near_duplicates(
+            docs,
+            threshold=0.8,
+            shingles=_cached_shingles(spark, sf_dir),
+            hash_fn=hash_fn,
+        )
+    g = components.dedup_groups(pairs.select("a", "b"))
+    return g.select(
+        "doc_id",
+        "component",
+        "group_size",
+        F.col("keep").cast("int").alias("keep"),
+    ).orderBy("doc_id")
+
+
+ORACLE_DEDUP_COMPONENTS = """
+WITH RECURSIVE norm AS (SELECT doc_id,
+                     string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') toks
+              FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') shingle
+       FROM (SELECT doc_id, toks, unnest(range(1, greatest(len(toks) - 2, 0) + 1)) i
+             FROM norm)),
+sz AS (SELECT doc_id, COUNT(*) sz FROM sh GROUP BY 1),
+inter AS (SELECT s1.doc_id a, s2.doc_id b, COUNT(*) i
+          FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+          GROUP BY 1, 2),
+pairs AS (SELECT a, b FROM inter JOIN sz x ON inter.a = x.doc_id
+          JOIN sz y ON inter.b = y.doc_id
+          WHERE i * 1.0 / (x.sz + y.sz - i) >= 0.8),
+und AS (SELECT a n, b m FROM pairs UNION SELECT b, a FROM pairs),
+reach(n, r) AS (SELECT n, n FROM und
+                UNION
+                SELECT u.n, reach.r FROM und u JOIN reach ON u.m = reach.n),
+comp AS (SELECT n doc_id, MIN(r) component FROM reach GROUP BY 1),
+gs AS (SELECT component, COUNT(*) group_size FROM comp GROUP BY 1)
+SELECT c.doc_id, c.component, g.group_size,
+       CAST(c.doc_id = c.component AS INT) keep
+FROM comp c JOIN gs g USING (component)
+ORDER BY doc_id
+"""
+
+
 def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting / punct ratio / fingerprint (north-star text ops)."""
     docs = _t(spark, sf_dir, "documents")
@@ -1866,6 +1926,11 @@ QUERIES: dict[str, QuerySpec] = {
     "q_sql_pricing_summary": QuerySpec(q_sql_pricing_summary, ORACLE_PRICING),
     "q_dedup_exact": QuerySpec(q_dedup_exact, ORACLE_DEDUP_EXACT),
     "q_dedup_ngram_jaccard": QuerySpec(q_dedup_ngram_jaccard, ORACLE_NGRAM_JACCARD),
+    "q_dedup_components": QuerySpec(
+        q_dedup_components,
+        ORACLE_DEDUP_COMPONENTS,
+        bench=lambda s, d: q_dedup_components(s, d, hash_fn="xxhash64"),
+    ),
     "q_text_features": QuerySpec(q_text_features, ORACLE_TEXT_FEATURES),
     "q_text_winnow": QuerySpec(
         q_text_winnow,

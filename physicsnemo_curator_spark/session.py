@@ -38,6 +38,29 @@ _DEFAULTS: dict[str, str] = {
 }
 
 
+def _driver_mem() -> str:
+    """Local-mode heap: a quarter of physical RAM, clamped to [8g, 64g].
+
+    In local mode the driver JVM IS the whole cluster — all 32 task
+    slots share its heap.  A fixed 8g was measured GC-thrashing a
+    61-query session at sf1 (~180 MB parquet): suite wall time 274 s vs
+    174 s with a right-sized heap, with individual queries degrading up
+    to 11x (BENCH_NOTES.md, scale soak).  On a real cluster this is
+    irrelevant — spark-submit sizes executors — so the env override
+    stays authoritative.
+    """
+    override = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if override:
+        return override
+    try:
+        total_gb = (
+            os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+        ) // (1 << 30)
+    except (ValueError, OSError):
+        total_gb = 32
+    return f"{max(8, min(64, int(total_gb) // 4))}g"
+
+
 def get_spark(
     app_name: str = "physicsnemo-curator-spark",
     master: str | None = None,
@@ -61,7 +84,7 @@ def get_spark(
     for k, v in _DEFAULTS.items():
         builder = builder.config(k, v)
     builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-    builder = builder.config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    builder = builder.config("spark.driver.memory", _driver_mem())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -1,0 +1,153 @@
+"""Deterministic sampling and dataset-split operators.
+
+A 100 TB curation pipeline needs reproducible subsetting: train/val/test
+splits that are stable across reruns and cluster sizes, per-stratum
+downsampling (e.g. cap each language or source at a byte budget), and
+plain rate sampling for pilot runs.  Spark's ``DataFrame.sample`` is
+seed-stable only for a fixed partitioning — repartition the input and
+membership changes — so none of these use it.  Instead every operator
+here derives membership from a HASH OF THE ROW KEY alone:
+
+    bucket(key) = H(key, seed) mod DENOM        # DENOM = 1_000_000
+
+which is partition-invariant, join-free, shuffle-free (a pure projection
++ filter that Catalyst pushes into the scan), and reproducible on any
+cluster shape — the same property the engine's RandomPermutation
+operator relies on (``operators/mesh.py``: xxhash64 ordering keys).
+
+Two hash backends, same twin pattern as ``operators/dedup.py``:
+
+- ``hash_fn="xxhash64"`` (default): Spark's 64-bit xxHash, JVM codegen,
+  the production path.
+- ``hash_fn="arith"``: a Knuth multiplicative hash in plain int64
+  arithmetic (``(key mod P) * 2654435761 mod 2^31``), expressible in
+  ANSI SQL — the DuckDB-oracle twin.  All intermediates stay below
+  2^63 so Spark (silent wrap) and DuckDB (overflow error) agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "hash_bucket",
+    "hash_sample",
+    "stratified_sample",
+    "assign_splits",
+]
+
+DENOM = 1_000_000
+_P = 1_000_003  # prime > any per-table key cardinality at sf<=100
+_KNUTH = 2_654_435_761  # 2^32 * golden ratio conjugate
+
+
+def hash_bucket(
+    key: Column, *, seed: int = 0, hash_fn: str = "xxhash64"
+) -> Column:
+    """Uniform pseudo-random bucket in ``[0, DENOM)`` from a key column.
+
+    ``arith``: ((key + seed) mod P) * KNUTH mod 2^31 mod DENOM — every
+    step is non-negative int64 arithmetic both Spark and DuckDB compute
+    identically (max intermediate P * KNUTH ~= 2.66e15 << 2^63).
+    """
+    if hash_fn == "xxhash64":
+        # xxhash64 may return negative int64; pmod normalizes
+        return F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(DENOM))
+    if hash_fn == "arith":
+        k = key.cast("bigint") + F.lit(seed).cast("bigint")
+        return (F.pmod(k, F.lit(_P)) * _KNUTH % F.lit(2**31)) % F.lit(DENOM)
+    raise ValueError(f"unknown hash_fn: {hash_fn!r}")
+
+
+def arith_bucket_sql(key_expr: str, *, seed: int = 0) -> str:
+    """The ``hash_fn='arith'`` bucket as an ANSI-SQL string (DuckDB
+    oracle twin of :func:`hash_bucket`)."""
+    return (
+        f"((({key_expr} + {seed}) % {_P}) * {_KNUTH} % {2**31}) % {DENOM}"
+    )
+
+
+def hash_sample(
+    df: DataFrame,
+    key_col: str,
+    rate: float,
+    *,
+    seed: int = 0,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep rows whose key-bucket falls
+    below ``rate``.  Membership depends only on (key, seed) — stable
+    across reruns, partitionings, and cluster sizes, and the filter is
+    a scan-level projection (no shuffle, no join)."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    cut = int(rate * DENOM)
+    return df.filter(
+        hash_bucket(F.col(key_col), seed=seed, hash_fn=hash_fn) < cut
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    *,
+    default_rate: float = 0.0,
+    seed: int = 0,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — e.g. cap over-represented
+    languages/sources in a text corpus.  ``fractions`` maps stratum
+    value -> keep rate; unlisted strata get ``default_rate``.
+
+    Unlike ``DataFrame.sampleBy`` this is exactly reproducible under
+    any partitioning, and the rate lookup compiles to a CASE expression
+    (broadcast-free, shuffle-free)."""
+    cut = F.lit(int(default_rate * DENOM))
+    for value, rate in sorted(fractions.items()):
+        if not 0.0 <= rate <= 1.0:
+            raise ValueError(f"rate for {value!r} must be in [0,1]")
+        cut = F.when(
+            F.col(strata_col) == value, F.lit(int(rate * DENOM))
+        ).otherwise(cut)
+    return df.filter(
+        hash_bucket(F.col(key_col), seed=seed, hash_fn=hash_fn) < cut
+    )
+
+
+def assign_splits(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float],
+    *,
+    seed: int = 0,
+    hash_fn: str = "xxhash64",
+    split_col: str = "split",
+) -> DataFrame:
+    """Reproducible train/val/test assignment: one ``split_col`` label
+    per row by cumulative hash-bucket ranges.  ``weights`` maps label ->
+    weight (normalized internally; insertion order fixes the ranges).
+
+    The assignment is a pure projection — an output writer can
+    ``partitionBy(split_col)`` to materialize the splits in one pass,
+    and a given key keeps its split under appends (new data never moves
+    old rows between splits — the property replays/incremental training
+    pipelines need)."""
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("weights must sum to > 0")
+    b = hash_bucket(F.col(key_col), seed=seed, hash_fn=hash_fn)
+    acc = 0.0
+    expr = None
+    labels = list(weights.items())
+    for label, w in labels[:-1]:
+        acc += w / total
+        cond = b < int(acc * DENOM)
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    last = labels[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)

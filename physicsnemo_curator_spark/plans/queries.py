@@ -28,6 +28,7 @@ from physicsnemo_curator_spark.functions import math as M
 from physicsnemo_curator_spark.operators import (
     components,
     dedup,
+    sampling,
     similarity,
     stats,
     textops,
@@ -1345,6 +1346,131 @@ ORDER BY doc_id
 """
 
 
+def q_sample_split(
+    spark: SparkSession, sf_dir: str, hash_fn: str = "arith"
+) -> DataFrame:
+    """Reproducible train/val/test assignment (operators/sampling.py):
+    membership is a pure function of (doc_id, seed) — stable across
+    reruns, partitionings and appends, and the label is a scan-stage
+    projection (no shuffle).  Declared path uses the arithmetic-hash
+    twin the DuckDB oracle replays exactly; the benched twin is the
+    xxhash64 production path."""
+    docs = _t(spark, sf_dir, "documents")
+    out = sampling.assign_splits(
+        docs,
+        "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        seed=42,
+        hash_fn=hash_fn,
+    )
+    return (
+        out.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+ORACLE_SAMPLE_SPLIT = f"""
+WITH b AS (SELECT *, {sampling.arith_bucket_sql('doc_id', seed=42)} AS bkt
+           FROM documents)
+SELECT CASE WHEN bkt < 800000 THEN 'train'
+            WHEN bkt < 900000 THEN 'val' ELSE 'test' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM b GROUP BY 1 ORDER BY split
+"""
+
+
+def q_sample_stratified(
+    spark: SparkSession, sf_dir: str, hash_fn: str = "arith"
+) -> DataFrame:
+    """Deterministic per-stratum downsampling — cap over-represented
+    languages (en at 50 %, zh at 80 %, rest kept) the way corpus
+    balancing passes do, reproducibly under any cluster shape."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = sampling.stratified_sample(
+        docs,
+        "lang",
+        {"en": 0.5, "zh": 0.8},
+        "doc_id",
+        default_rate=1.0,
+        seed=7,
+        hash_fn=hash_fn,
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_SAMPLE_STRATIFIED = f"""
+WITH b AS (SELECT *, {sampling.arith_bucket_sql('doc_id', seed=7)} AS bkt
+           FROM documents)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM b
+WHERE bkt < CASE WHEN lang = 'en' THEN 500000
+                 WHEN lang = 'zh' THEN 800000 ELSE 1000000 END
+GROUP BY 1 ORDER BY lang
+"""
+
+
+def q_text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (textops.redact_pii): email / SSN / IPv4 / phone →
+    typed placeholders, plus per-category audit counts.  The query
+    first splices deterministic synthetic PII into each document (the
+    corpus itself is clean), so the redaction chain is exercised on
+    every row and the oracle checks the full transformed text."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" Contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1 555 000-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" at 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".1 ssn 123-45-6789"),
+    )
+    sel = [
+        F.col("doc_id"),
+        textops.redact_pii(aug).alias("redacted"),
+    ] + [
+        F.regexp_count(aug, F.lit(pat)).cast("long").alias(f"n_{name}")
+        for name, pat, _ in textops.PII_PATTERNS
+    ]
+    return docs.select(*sel).orderBy("doc_id").limit(200)
+
+
+def _redact_oracle_sql() -> str:
+    aug = (
+        "text || ' Contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@example.com or +1 555 000-'"
+        " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+        " || ' at 10.0.' || CAST(doc_id % 256 AS VARCHAR)"
+        " || '.1 ssn 123-45-6789'"
+    )
+    counts = ", ".join(
+        "CAST(len(regexp_extract_all(t, '" + pat + "')) AS BIGINT) AS n_" + name
+        for name, pat, _ in textops.PII_PATTERNS
+    )
+    return (
+        "WITH aug AS (SELECT doc_id, " + aug + " AS t FROM documents) "
+        "SELECT doc_id, " + textops.redact_pii_sql("t") + " AS redacted, "
+        + counts + " FROM aug ORDER BY doc_id LIMIT 200"
+    )
+
+
+ORACLE_TEXT_REDACT = _redact_oracle_sql()
+
+
 def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting / punct ratio / fingerprint (north-star text ops)."""
     docs = _t(spark, sf_dir, "documents")
@@ -1931,6 +2057,17 @@ QUERIES: dict[str, QuerySpec] = {
         ORACLE_DEDUP_COMPONENTS,
         bench=lambda s, d: q_dedup_components(s, d, hash_fn="xxhash64"),
     ),
+    "q_sample_split": QuerySpec(
+        q_sample_split,
+        ORACLE_SAMPLE_SPLIT,
+        bench=lambda s, d: q_sample_split(s, d, hash_fn="xxhash64"),
+    ),
+    "q_sample_stratified": QuerySpec(
+        q_sample_stratified,
+        ORACLE_SAMPLE_STRATIFIED,
+        bench=lambda s, d: q_sample_stratified(s, d, hash_fn="xxhash64"),
+    ),
+    "q_text_redact_pii": QuerySpec(q_text_redact_pii, ORACLE_TEXT_REDACT),
     "q_text_features": QuerySpec(q_text_features, ORACLE_TEXT_FEATURES),
     "q_text_winnow": QuerySpec(
         q_text_winnow,

@@ -1,0 +1,144 @@
+"""Deterministic sampling / split operators (operators/sampling.py) and
+PII redaction (operators/textops.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from physicsnemo_curator_spark.operators import sampling, textops
+
+
+def _docs(spark, n=2000):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 5).cast("string").alias("lang"),
+    )
+
+
+@pytest.mark.parametrize("hash_fn", ["xxhash64", "arith"])
+def test_hash_sample_partition_invariant(spark, hash_fn):
+    df = _docs(spark)
+    a = sampling.hash_sample(df, "doc_id", 0.3, seed=1, hash_fn=hash_fn)
+    b = sampling.hash_sample(
+        df.repartition(13, "lang"), "doc_id", 0.3, seed=1, hash_fn=hash_fn
+    )
+    ids_a = sorted(r.doc_id for r in a.collect())
+    ids_b = sorted(r.doc_id for r in b.collect())
+    assert ids_a == ids_b
+    # rate lands near 0.3 (hash uniformity, 2000 keys)
+    assert 0.25 <= len(ids_a) / 2000 <= 0.35
+
+
+@pytest.mark.parametrize("hash_fn", ["xxhash64", "arith"])
+def test_hash_sample_monotone_in_rate(spark, hash_fn):
+    """Raising the rate only ADDS rows (nested samples) — the property
+    that lets a pipeline grow a pilot subset without resampling."""
+    df = _docs(spark)
+    small = {
+        r.doc_id
+        for r in sampling.hash_sample(
+            df, "doc_id", 0.1, seed=3, hash_fn=hash_fn
+        ).collect()
+    }
+    big = {
+        r.doc_id
+        for r in sampling.hash_sample(
+            df, "doc_id", 0.4, seed=3, hash_fn=hash_fn
+        ).collect()
+    }
+    assert small <= big
+
+
+def test_hash_sample_rate_bounds(spark):
+    df = _docs(spark, 10)
+    with pytest.raises(ValueError):
+        sampling.hash_sample(df, "doc_id", 1.5)
+    assert sampling.hash_sample(df, "doc_id", 0.0).count() == 0
+    assert sampling.hash_sample(df, "doc_id", 1.0).count() == 10
+
+
+@pytest.mark.parametrize("hash_fn", ["xxhash64", "arith"])
+def test_assign_splits_stable_under_append(spark, hash_fn):
+    """A key's split never changes when new data arrives — replays and
+    incremental training depend on this."""
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    first = sampling.assign_splits(
+        _docs(spark, 500), "doc_id", w, seed=9, hash_fn=hash_fn
+    )
+    later = sampling.assign_splits(
+        _docs(spark, 2000), "doc_id", w, seed=9, hash_fn=hash_fn
+    )
+    m_first = {r.doc_id: r.split for r in first.collect()}
+    m_later = {r.doc_id: r.split for r in later.collect()}
+    assert all(m_later[k] == v for k, v in m_first.items())
+    # every row labeled, all three splits populated, ratios sane
+    from collections import Counter
+
+    c = Counter(m_later.values())
+    assert sum(c.values()) == 2000
+    assert 0.7 <= c["train"] / 2000 <= 0.9
+    assert c["val"] > 0 and c["test"] > 0
+
+
+def test_assign_splits_is_projection(spark):
+    """The split label must not introduce a shuffle — scan-stage only."""
+    df = sampling.assign_splits(
+        _docs(spark), "doc_id", {"train": 0.9, "val": 0.1}
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_stratified_sample_caps_strata(spark):
+    df = _docs(spark, 5000)  # 1000 per lang
+    kept = sampling.stratified_sample(
+        df, "lang", {"0": 0.2, "1": 0.5}, "doc_id", default_rate=1.0, seed=2
+    )
+    counts = {r.lang: r.n for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert 120 <= counts["0"] <= 280
+    assert 400 <= counts["1"] <= 600
+    assert counts["2"] == counts["3"] == counts["4"] == 1000
+
+
+def test_stratified_default_rate_zero_drops_unlisted(spark):
+    df = _docs(spark, 100)
+    kept = sampling.stratified_sample(
+        df, "lang", {"0": 1.0}, "doc_id", default_rate=0.0
+    )
+    assert {r.lang for r in kept.select("lang").distinct().collect()} == {"0"}
+
+
+def test_arith_bucket_sql_matches_column(spark):
+    """The SQL twin and the Column twin compute identical buckets."""
+    df = _docs(spark, 300).withColumn(
+        "b_col", sampling.hash_bucket(F.col("doc_id"), seed=5, hash_fn="arith")
+    ).withColumn(
+        "b_sql", F.expr(sampling.arith_bucket_sql("doc_id", seed=5))
+    )
+    assert df.filter(F.col("b_col") != F.col("b_sql")).count() == 0
+
+
+def test_redact_pii_known_strings(spark):
+    cases = [
+        ("mail me at jane.doe+x@sub.example.co.uk now",
+         "mail me at <EMAIL> now"),
+        ("ssn 123-45-6789 ok", "ssn <SSN> ok"),
+        ("host 192.168.0.1 up", "host <IP> up"),
+        ("call +1 (555) 000-1234 today", "call <PHONE> today"),
+        # untouched: bare words, version numbers with letters
+        ("nothing here v1.2.3a", "nothing here v1.2.3a"),
+    ]
+    df = spark.createDataFrame(cases, "t string, want string").withColumn(
+        "got", textops.redact_pii(F.col("t"))
+    )
+    bad = df.filter(F.col("got") != F.col("want")).collect()
+    assert bad == [], bad
+
+
+def test_pii_hit_counts(spark):
+    df = spark.createDataFrame(
+        [("a@b.io and c@d.net, ssn 111-22-3333, ip 10.0.0.1",)], "t string"
+    ).select(textops.pii_hit_counts(F.col("t")).alias("h"))
+    row = df.select("h.email", "h.ssn", "h.ip", "h.phone").first()
+    assert (row.email, row.ssn, row.ip, row.phone) == (2, 1, 1, 0)

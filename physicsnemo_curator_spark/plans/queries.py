@@ -1471,6 +1471,48 @@ def _redact_oracle_sql() -> str:
 ORACLE_TEXT_REDACT = _redact_oracle_sql()
 
 
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame sampling (sources/multimodal.py): binary video
+    payloads explode 1→N into sampled frame rows through the
+    Arrow-batched ``mapInPandas`` kernel — the real distributed
+    plumbing (schema, batch shape, binary slicing), driver-checkable
+    because the payloads are deterministic: each doc becomes a 4-frame
+    8×4 raw "video" (128 ASCII bytes = repeat(md5(text), 4)), so the
+    oracle can replay the byte slicing with plain substring math."""
+    from physicsnemo_curator_spark.sources import multimodal
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.repeat(F.md5(F.col("text").cast("binary")), 4)
+        .cast("binary")
+        .alias("payload"),
+        F.lit(8).cast("int").alias("width"),
+        F.lit(4).cast("int").alias("height"),
+        F.lit(128).cast("long").alias("n_bytes"),
+    )
+    frames = multimodal.sample_frames(media, every_n=2)
+    return (
+        frames.select(
+            F.col("media_id").alias("doc_id"),
+            "frame_index",
+            F.md5("payload").alias("frame_md5"),
+        )
+        .orderBy("doc_id", "frame_index")
+        .limit(400)
+    )
+
+
+ORACLE_MEDIA_FRAMES = """
+WITH m AS (SELECT doc_id, repeat(md5(text), 4) AS t FROM documents)
+SELECT doc_id, CAST(v.f AS INT) AS frame_index,
+       md5(substring(t, 1 + v.f * 32, 32)) AS frame_md5
+FROM m CROSS JOIN (VALUES (0), (2)) AS v(f)
+ORDER BY doc_id, frame_index LIMIT 400
+"""
+
+
 def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting / punct ratio / fingerprint (north-star text ops)."""
     docs = _t(spark, sf_dir, "documents")
@@ -2068,6 +2110,7 @@ QUERIES: dict[str, QuerySpec] = {
         bench=lambda s, d: q_sample_stratified(s, d, hash_fn="xxhash64"),
     ),
     "q_text_redact_pii": QuerySpec(q_text_redact_pii, ORACLE_TEXT_REDACT),
+    "q_media_frames": QuerySpec(q_media_frames, ORACLE_MEDIA_FRAMES),
     "q_text_features": QuerySpec(q_text_features, ORACLE_TEXT_FEATURES),
     "q_text_winnow": QuerySpec(
         q_text_winnow,

@@ -395,3 +395,83 @@ def redact_pii_sql(text_expr: str) -> str:
     for _, pat, rep in PII_PATTERNS:
         out = f"regexp_replace({out}, '{pat}', '{rep}', 'g')"
     return out
+
+
+# --- Chunking + repetition signals --------------------------------------
+
+
+def chunk_documents(
+    docs: DataFrame,
+    *,
+    max_tokens: int = 64,
+    overlap: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into overlapping token-budgeted chunks — the
+    context-window packing step every pre-training pipeline runs before
+    tokenization.  Output: (id, chunk_index, n_tokens, chunk_text).
+
+    Chunk starts advance by ``max_tokens - overlap``; the last start is
+    clamped to ``n - overlap - 1`` so a trailing chunk always carries at
+    least one new token (no chunk is pure overlap of its predecessor),
+    and every token is covered.  The whole operator is one
+    ``posexplode`` over a JVM-computed start sequence + array slices —
+    no shuffle, no Python; output volume is input volume ×
+    (1 + overlap/stride)."""
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("need 0 <= overlap < max_tokens")
+    stride = max_tokens - overlap
+    toks = ws_tokens(F.col(text_col))
+    n = ws_token_count(F.col(text_col))
+    starts = F.when(n <= 0, F.array().cast("array<int>")).otherwise(
+        F.sequence(
+            F.lit(0),
+            F.greatest(n - overlap - 1, F.lit(0)),
+            F.lit(stride),
+        ).cast("array<int>")
+    )
+    exploded = docs.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        F.posexplode(starts).alias("chunk_index", "_start"),
+    )
+    chunk = F.slice(F.col("_toks"), F.col("_start") + 1, max_tokens)
+    return exploded.select(
+        F.col(id_col),
+        "chunk_index",
+        F.size(chunk).alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+def repetition_ratio(
+    docs: DataFrame,
+    *,
+    n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style repetition signal: the fraction of a document's
+    token n-grams taken by its single most frequent n-gram — high
+    values flag boilerplate/spam for quality filtering.  Output:
+    (id, n_grams, top_frac).
+
+    One explode (linear in corpus tokens) + one hash aggregate keyed on
+    (doc, gram) + one max-aggregate keyed on doc; all shuffle keys
+    include the doc id, so parallelism is per-document at any scale."""
+    toks = ws_tokens(F.col(text_col))
+    grams = F.when(
+        F.size(toks) < n, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+    g = docs.select(F.col(id_col), F.explode(grams).alias("gram"))
+    per_gram = g.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
+    return per_gram.groupBy(id_col).agg(
+        F.sum("c").alias("n_grams"),
+        (F.max("c") / F.sum("c")).alias("top_frac"),
+    )

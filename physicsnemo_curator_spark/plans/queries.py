@@ -1513,6 +1513,69 @@ ORDER BY doc_id, frame_index LIMIT 400
 """
 
 
+def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (textops.chunk_documents): token-budgeted
+    overlapping chunks, the packing step before tokenization.  One
+    posexplode over a JVM start sequence + array slices — no shuffle;
+    the oracle replays the slicing with 1-based inclusive list ranges."""
+    docs = _t(spark, sf_dir, "documents")
+    ch = textops.chunk_documents(docs, max_tokens=32, overlap=4)
+    return (
+        ch.select(
+            "doc_id",
+            "chunk_index",
+            "n_tokens",
+            F.md5(F.col("chunk_text").cast("binary")).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_index")
+        .limit(500)
+    )
+
+
+ORACLE_TEXT_CHUNKS = """
+WITH t AS (SELECT doc_id,
+                  string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') toks
+           FROM documents),
+s AS (SELECT doc_id, toks,
+             unnest(range(0, greatest(len(toks) - 4 - 1, 0) + 1, 28)) st
+      FROM t)
+SELECT doc_id, CAST(st // 28 AS INT) AS chunk_index,
+       CAST(len(toks[st + 1 : st + 32]) AS INT) AS n_tokens,
+       md5(array_to_string(toks[st + 1 : st + 32], ' ')) AS chunk_md5
+FROM s ORDER BY doc_id, chunk_index LIMIT 500
+"""
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signal (textops.repetition_ratio): the
+    single most frequent bigram's share of each doc's bigrams — the
+    boilerplate/spam flag quality filters gate on."""
+    docs = _t(spark, sf_dir, "documents")
+    rep = textops.repetition_ratio(docs, n=2)
+    return (
+        rep.select(
+            "doc_id", "n_grams", _r6(F.col("top_frac"), "top_frac")
+        )
+        .orderBy("doc_id")
+        .limit(300)
+    )
+
+
+ORACLE_TEXT_REPETITION = """
+WITH t AS (SELECT doc_id,
+                  string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') toks
+           FROM documents),
+g AS (SELECT doc_id, array_to_string(toks[i : i + 1], ' ') gram
+      FROM (SELECT doc_id, toks,
+                   unnest(range(1, greatest(len(toks) - 1, 0) + 1)) i
+            FROM t)),
+pg AS (SELECT doc_id, gram, COUNT(*) c FROM g GROUP BY 1, 2)
+SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+       ROUND(MAX(c) * 1.0 / SUM(c), 6) AS top_frac
+FROM pg GROUP BY 1 ORDER BY doc_id LIMIT 300
+"""
+
+
 def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting / punct ratio / fingerprint (north-star text ops)."""
     docs = _t(spark, sf_dir, "documents")
@@ -2111,6 +2174,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q_text_redact_pii": QuerySpec(q_text_redact_pii, ORACLE_TEXT_REDACT),
     "q_media_frames": QuerySpec(q_media_frames, ORACLE_MEDIA_FRAMES),
+    "q_text_chunks": QuerySpec(q_text_chunks, ORACLE_TEXT_CHUNKS),
+    "q_text_repetition": QuerySpec(q_text_repetition, ORACLE_TEXT_REPETITION),
     "q_text_features": QuerySpec(q_text_features, ORACLE_TEXT_FEATURES),
     "q_text_winnow": QuerySpec(
         q_text_winnow,

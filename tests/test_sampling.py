@@ -142,3 +142,50 @@ def test_pii_hit_counts(spark):
     ).select(textops.pii_hit_counts(F.col("t")).alias("h"))
     row = df.select("h.email", "h.ssn", "h.ip", "h.phone").first()
     assert (row.email, row.ssn, row.ip, row.phone) == (2, 1, 1, 0)
+
+
+# --- chunking + repetition (textops) -------------------------------------
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    text = " ".join(f"t{i}" for i in range(100))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    ch = textops.chunk_documents(df, max_tokens=64, overlap=8).collect()
+    ch.sort(key=lambda r: r.chunk_index)
+    assert [r.chunk_index for r in ch] == [0, 1]
+    a, b = (r.chunk_text.split(" ") for r in ch)
+    assert len(a) == 64 and a[0] == "t0"
+    assert b[0] == "t56" and b[-1] == "t99"  # stride 56, covers the tail
+    assert set(a) | set(b) == {f"t{i}" for i in range(100)}  # full coverage
+    assert set(a) & set(b) == {f"t{i}" for i in range(56, 64)}  # 8 overlap
+
+
+def test_chunk_documents_short_and_exact(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, " ".join(f"x{i}" for i in range(64)))],
+        "doc_id long, text string",
+    )
+    ch = textops.chunk_documents(df, max_tokens=64, overlap=8)
+    rows = {(r.doc_id, r.chunk_index): r.n_tokens for r in ch.collect()}
+    # short doc -> one chunk; exactly-max doc -> one chunk, never a
+    # trailing pure-overlap chunk
+    assert rows == {(1, 0): 3, (2, 0): 64}
+
+
+def test_chunk_documents_validates(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        textops.chunk_documents(df, max_tokens=8, overlap=8)
+
+
+def test_repetition_ratio(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "u v w x y z")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.n_grams, r.top_frac) for r in
+           textops.repetition_ratio(df, n=2).collect()}
+    # doc 1: bigrams [ab, ba, ab, ba, ab] -> top 'a b' 3/5
+    assert out[1] == (5, 3 / 5)
+    # doc 2: all distinct -> 1/5
+    assert out[2] == (5, 1 / 5)

@@ -1,10 +1,21 @@
 #!/usr/bin/env python
 """End-to-end curation example: the LLM-training-data pipeline.
 
-Raw documents → text features → quality gate → exact dedup →
-near-dup removal (MinHash-LSH) → curated parquet + run ledger.
-Mirrors the reference's Source → Filter* → Sink examples
-(reference ``examples/``), expressed as this engine's operators.
+Raw documents
+  → PII redaction (typed placeholders, scan-stage regex)
+  → text features + quality gate (incl. Gopher-style repetition cap)
+  → exact dedup (content fingerprint)
+  → transitive near-dup removal (MinHash-LSH pairs → connected
+    components → keep each group's representative)
+  → per-language stratified cap (deterministic hash sampling)
+  → train/val/test split assignment (append-stable hash ranges)
+  → context-window chunking
+  → curated parquet partitioned by split.
+
+Mirrors the reference's Source → Filter* → Sink examples (reference
+``examples/``), expressed as this engine's operators.  Every stage is
+a Catalyst-planned DataFrame transform; the only Python-side loops are
+in this driver script's accounting prints.
 
 Usage: python examples/curate_documents.py [sf_dir] [out_dir]
 """
@@ -18,8 +29,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from physicsnemo_curator_spark.core.metrics import MetricsStore  # noqa: E402
-from physicsnemo_curator_spark.operators import dedup, textops  # noqa: E402
+from physicsnemo_curator_spark.operators import (  # noqa: E402
+    components,
+    dedup,
+    sampling,
+    textops,
+)
 from physicsnemo_curator_spark.session import get_spark  # noqa: E402
 from physicsnemo_curator_spark.sources.tables import load_table  # noqa: E402
 
@@ -34,26 +49,56 @@ def main() -> None:
     docs = load_table(spark, sf_dir, "documents")
     n0 = docs.count()
 
-    # 1. features + quality gate (pure column math, runs in the scan stage)
-    feats = textops.with_text_features(docs)
-    gated = feats.filter(F.col("quality") >= 0.5)
+    # 1. PII scrub — replaces emails/SSNs/IPs/phones with typed tokens
+    scrubbed = docs.withColumn("text", textops.redact_pii(F.col("text")))
+
+    # 2. features + quality gate (pure column math, runs in the scan
+    #    stage) + repetition cap (two doc-keyed aggregates)
+    feats = textops.with_text_features(scrubbed)
+    rep = textops.repetition_ratio(scrubbed, n=2)
+    gated = (
+        feats.join(rep.select("doc_id", "top_frac"), "doc_id", "left")
+        .filter(F.col("quality") >= 0.5)
+        .filter(F.coalesce(F.col("top_frac"), F.lit(0.0)) <= 0.2)
+        .drop("top_frac")
+    )
     n1 = gated.count()
 
-    # 2. exact dedup on the content fingerprint
+    # 3. exact dedup on the content fingerprint
     exact = dedup.dedup_exact(gated)
     n2 = exact.count()
 
-    # 3. near-dup removal: MinHash-LSH pairs, drop the higher doc_id
+    # 4. transitive near-dup removal: LSH pairs → connected components;
+    #    keep exactly one representative per similarity group
     pairs = dedup.minhash_near_duplicates(exact, threshold=0.8)
-    losers = pairs.select(F.col("b").alias("doc_id")).distinct()
+    groups = components.dedup_groups(pairs.select("a", "b"))
+    losers = groups.filter(~F.col("keep")).select("doc_id")
     curated = exact.join(losers, "doc_id", "left_anti")
     n3 = curated.count()
 
-    curated.write.mode("overwrite").parquet(os.path.join(out_dir, "documents"))
+    # 5. per-language cap (deterministic: same rows kept on any cluster)
+    capped = sampling.stratified_sample(
+        curated, "lang", {"en": 0.8}, "doc_id", default_rate=1.0, seed=13
+    )
+    n4 = capped.count()
+
+    # 6. append-stable split assignment + 7. context-window chunking
+    split = sampling.assign_splits(
+        capped, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}, seed=13
+    )
+    chunks = textops.chunk_documents(
+        split, max_tokens=64, overlap=8
+    ).join(split.select("doc_id", "split", "lang"), "doc_id")
+    n5 = chunks.count()
+
+    chunks.write.mode("overwrite").partitionBy("split").parquet(
+        os.path.join(out_dir, "chunks")
+    )
 
     print(
-        f"documents: {n0} raw -> {n1} quality-gated -> {n2} exact-deduped "
-        f"-> {n3} near-dedup curated -> {out_dir}/documents"
+        f"documents: {n0} raw -> {n1} quality+repetition gated -> "
+        f"{n2} exact-deduped -> {n3} group-deduped -> {n4} capped -> "
+        f"{n5} chunks -> {out_dir}/chunks (partitioned by split)"
     )
 
 

@@ -58,3 +58,49 @@ def split_key_year(df: DataFrame, time_col: str, out_col: str = "year") -> DataF
     """NetCDF4Sink's year split key (reference ``netcdf_writer.py:54-71``)
     as a partition column."""
     return df.withColumn(out_col, F.year(time_col).cast("int"))
+
+
+def write_sized(
+    df: DataFrame,
+    path: str,
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    compression_ratio: float = 0.35,
+    bytes_hint: int | None = None,
+    partition_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> int:
+    """Compaction-aware write: pick the output file count so files land
+    near ``target_file_bytes`` — the small-files guard every 100 TB
+    pipeline needs (a 1000-task stage naively writes 1000 files per
+    partition dir; object stores and downstream scans both want
+    ~128 MB+ objects).
+
+    Sizing uses Catalyst's optimized-plan ``sizeInBytes`` statistic
+    (free — no extra scan; parquet sources report file bytes, synthetic
+    sources report row-width × rows) scaled by ``compression_ratio``
+    (in-memory/raw → encoded parquet; 0.35 is a conservative default
+    for mixed columns).  Pass ``bytes_hint`` when the caller knows the
+    real output volume (e.g. from a previous run's manifest) — it
+    overrides the estimate.  Returns the file count used.
+
+    With ``partition_cols`` the repartition hashes on those columns so
+    each output dir is written by as few tasks as possible while
+    keeping ``n_files`` tasks total.
+    """
+    import math
+
+    if bytes_hint is not None:
+        est_out = bytes_hint
+    else:
+        raw = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        est_out = int(raw * compression_ratio)
+    n_files = max(1, math.ceil(est_out / max(1, target_file_bytes)))
+    if partition_cols:
+        out = df.repartition(n_files, *[F.col(c) for c in partition_cols])
+        w = out.write.mode(mode).partitionBy(*partition_cols)
+    else:
+        out = df.repartition(n_files)
+        w = out.write.mode(mode)
+    w.parquet(path)
+    return n_files

@@ -119,3 +119,49 @@ def test_grid_sidecar_roundtrip_and_layout(spark, tmp_path):
         for r in back["meta"].collect()
     }
     assert got_meta == {"run_a": (4, 3, 2, 1.0), "run_b": (4, 3, 2, 0.5)}
+
+
+def test_write_sized_targets_file_count(spark, tmp_path):
+    from physicsnemo_curator_spark.sinks.partitioned import write_sized
+
+    df = spark.range(200_000).selectExpr(
+        "id", "repeat(uuid(), 4) AS payload"
+    )
+    small = str(tmp_path / "small")
+    big = str(tmp_path / "big")
+    n_small = write_sized(df, small, target_file_bytes=512 * 1024)
+    n_big = write_sized(df, big, target_file_bytes=64 * 1024 * 1024)
+
+    def parts(d):
+        return [
+            f for f in os.listdir(d) if f.startswith("part-") and f.endswith(".parquet")
+        ]
+
+    # smaller target -> more, smaller files; file count matches the plan
+    assert n_small > n_big
+    assert len(parts(small)) == n_small
+    assert len(parts(big)) == n_big
+    # same data either way
+    assert (
+        spark.read.parquet(small).count()
+        == spark.read.parquet(big).count()
+        == 200_000
+    )
+
+
+def test_write_sized_bytes_hint_and_partitions(spark, tmp_path):
+    from physicsnemo_curator_spark.sinks.partitioned import write_sized
+
+    df = spark.range(1000).selectExpr("id", "id % 3 AS k")
+    out = str(tmp_path / "byk")
+    n = write_sized(
+        df,
+        out,
+        bytes_hint=10 * 1024 * 1024,
+        target_file_bytes=1024 * 1024,
+        partition_cols=["k"],
+    )
+    assert n == 10
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("k="))
+    assert dirs == ["k=0", "k=1", "k=2"]
+    assert spark.read.parquet(out).count() == 1000

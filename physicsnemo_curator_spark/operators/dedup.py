@@ -16,6 +16,8 @@ a ``documents(doc_id, text)`` table.  Design for 100 TB:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -167,20 +169,20 @@ def minhash_signatures(
     return shingles.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(
+def band_table(
     signatures: DataFrame,
     num_hashes: int = 32,
     bands: int = 8,
     *,
     hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """Band the signature; docs sharing any full band become candidates.
-
-    Bucket key = (band_index, hash of the band's rows) so the
-    self-join runs bucket-local.  Returns distinct (a, b) with a < b.
+    """(doc_id, band, bucket) rows — one per (doc, band), bucket keyed
+    on the hash of the band's signature rows.  The shared banding step
+    of batch LSH (``lsh_candidate_pairs``) and the incremental store
+    (``write_minhash_store`` / ``incremental_near_duplicates``).
     hash_fn='md5' keys buckets on md5(concat_ws('|', band rows)) so the
-    DuckDB oracle can derive identical buckets.
-    """
+    DuckDB oracle can derive identical buckets; the bucket column is a
+    string in that mode and a bigint otherwise."""
     rows_per_band = num_hashes // bands
 
     def bucket(b: int) -> str:
@@ -194,10 +196,29 @@ def lsh_candidate_pairs(
     band_structs = ", ".join(
         f"struct({b} AS band, {bucket(b)} AS bucket)" for b in range(bands)
     )
-    banded = signatures.select(
+    return signatures.select(
         "doc_id",
         F.expr(f"explode(array({band_structs}))").alias("bb"),
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select(
+        "doc_id",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    *,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Band the signature; docs sharing any full band become candidates.
+
+    Bucket key = (band_index, hash of the band's rows) so the
+    self-join runs bucket-local.  Returns distinct (a, b) with a < b.
+    """
+    banded = band_table(signatures, num_hashes, bands, hash_fn=hash_fn)
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = left.join(
@@ -579,3 +600,142 @@ def winnow_near_duplicates(
     ).persist()
     sh = shingle_table(docs, text_col, id_col, shingle_k, unit="word").persist()
     return jaccard_pairs(sh, cand).filter(F.col("jaccard") >= F.lit(threshold))
+
+
+# --- Incremental near-dup: persisted MinHash store ------------------------
+#
+# The production shape for continuously-ingested corpora: signing the
+# full corpus on every batch is O(corpus) per batch; persisting the
+# (signatures, bands) tables makes each batch O(batch + matched
+# buckets).  The store holds two parquet tables:
+#
+#   signatures/  (doc_id, h0..h{K-1})          — K longs per doc
+#   bands/       (doc_id, band, bucket)        — K/bands rows per doc
+#
+# New-vs-corpus verification uses the SIGNATURE-ESTIMATED Jaccard
+# (fraction of agreeing minhashes — the standard unbiased estimator)
+# because the corpus shingle stream is not retained; new-vs-new pairs
+# within the batch use the exact shingle verify like the batch path.
+
+
+def write_minhash_store(
+    docs: DataFrame,
+    store: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+    mode: str = "overwrite",
+) -> None:
+    """Sign ``docs`` and persist the (signatures, bands) store.
+
+    ``mode='append'`` is the per-batch update path: after a batch is
+    ingested, append its signatures/bands so the next batch sees it as
+    corpus.  Band rows are repartitioned on (band, bucket) so the
+    store's file layout co-locates each bucket — the probe join then
+    touches only matching buckets' row groups."""
+    sh = shingle_table(docs, text_col, id_col, shingle_k, unit="word")
+    sigs = minhash_signatures(sh, num_hashes, seed, hash_fn=hash_fn)
+    sigs.write.mode(mode).parquet(os.path.join(store, "signatures"))
+    bt = band_table(sigs, num_hashes, bands, hash_fn=hash_fn)
+    bt.repartition("band", "bucket").write.mode(mode).parquet(
+        os.path.join(store, "bands")
+    )
+
+
+def sig_agreement(left_sigs: DataFrame, pairs: DataFrame, right_sigs: DataFrame, num_hashes: int) -> DataFrame:
+    """Attach the minhash-agreement Jaccard estimate to (a, b) pairs:
+    est = (1/K) Σ [h_i(a) = h_i(b)].  Two id-keyed joins + one codegen
+    sum expression — no shingle data touched."""
+    la = left_sigs.select(
+        F.col("doc_id").alias("a"), *[F.col(f"h{i}").alias(f"la{i}") for i in range(num_hashes)]
+    )
+    rb = right_sigs.select(
+        F.col("doc_id").alias("b"), *[F.col(f"h{i}").alias(f"rb{i}") for i in range(num_hashes)]
+    )
+    matched = pairs.join(la, "a").join(rb, "b")
+    agree = sum(
+        (F.col(f"la{i}") == F.col(f"rb{i}")).cast("int") for i in range(num_hashes)
+    )
+    return matched.select(
+        "a", "b", (agree / F.lit(float(num_hashes))).alias("jaccard_est")
+    )
+
+
+def incremental_near_duplicates(
+    spark,
+    new_docs: DataFrame,
+    store: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+    update_store: bool = False,
+) -> DataFrame:
+    """Near-dup pairs for a NEW batch against a persisted corpus store
+    plus within the batch itself.
+
+    Returns (a, b, jaccard, scope): scope='corpus' rows pair a corpus
+    doc (a) with a new doc (b), jaccard = signature-agreement estimate;
+    scope='batch' rows are new-new pairs with the exact shingle-verified
+    Jaccard.  All parameters must match the store's build parameters
+    (same K, bands, seed, hash_fn — the store does not self-describe;
+    a mismatch silently yields zero corpus matches).
+
+    Plan shape: the batch is signed once (O(batch shingles)); the
+    corpus probe joins the batch's K/bands band rows against the
+    bucket-partitioned store (touching only matching buckets), then one
+    signature join per matched pair.  Nothing scans the corpus text.
+
+    ``update_store=True`` appends the batch's signatures/bands after
+    computing pairs, making the call idempotent-per-batch ingestion.
+    """
+    sh = shingle_table(new_docs, text_col, id_col, shingle_k, unit="word").persist()
+    sigs = minhash_signatures(sh, num_hashes, seed, hash_fn=hash_fn).persist()
+    new_bands = band_table(sigs, num_hashes, bands, hash_fn=hash_fn)
+
+    corpus_sigs = spark.read.parquet(os.path.join(store, "signatures"))
+    corpus_bands = spark.read.parquet(os.path.join(store, "bands"))
+
+    # new vs corpus: bucket-equality probe → distinct id pairs → estimate
+    probe = (
+        corpus_bands.alias("c")
+        .join(
+            new_bands.alias("n"),
+            (F.col("c.band") == F.col("n.band"))
+            & (F.col("c.bucket") == F.col("n.bucket")),
+        )
+        .select(F.col("c.doc_id").alias("a"), F.col("n.doc_id").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    vs_corpus = (
+        sig_agreement(corpus_sigs, probe, sigs, num_hashes)
+        .filter(F.col("jaccard_est") >= F.lit(threshold))
+        .select("a", "b", F.col("jaccard_est").alias("jaccard"), F.lit("corpus").alias("scope"))
+    )
+
+    # new vs new: exact verify, the batch path
+    cand = lsh_candidate_pairs(sigs, num_hashes, bands, hash_fn=hash_fn)
+    vs_batch = (
+        jaccard_pairs(sh, cand)
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("a", "b", "jaccard", F.lit("batch").alias("scope"))
+    )
+    out = vs_corpus.unionByName(vs_batch)
+    if update_store:
+        out = out.localCheckpoint(eager=True)  # compute before mutating
+        sigs.write.mode("append").parquet(os.path.join(store, "signatures"))
+        new_bands.repartition("band", "bucket").write.mode("append").parquet(
+            os.path.join(store, "bands")
+        )
+    return out

@@ -2041,6 +2041,112 @@ ORDER BY inter.a, inter.b
 ORACLE_MINHASH = _minhash_oracle()
 
 
+def q_dedup_incremental(
+    spark: SparkSession, sf_dir: str, hash_fn: str = "md5"
+) -> DataFrame:
+    """Incremental near-dup against a persisted MinHash store
+    (dedup.write_minhash_store / incremental_near_duplicates): the
+    even-doc_id half of ``documents`` is signed into a store, then the
+    odd half arrives as a batch.  scope='corpus' rows carry the
+    signature-agreement Jaccard estimate (no corpus text retained);
+    scope='batch' rows are exact-verified within the batch.
+    hash_fn='md5' makes signatures, buckets and estimates
+    engine-reproducible so DuckDB replays the whole store+probe;
+    the benched twin runs the xxhash64 production store."""
+    import hashlib
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    try:
+        mtime = int(
+            os.path.getmtime(os.path.join(sf_dir, "documents.parquet"))
+        )
+    except OSError:
+        mtime = 0
+    token = hashlib.md5(
+        f"{sf_dir}:{mtime}:{hash_fn}".encode()
+    ).hexdigest()[:12]
+    store = os.path.join(
+        tempfile.gettempdir(), f"pcs_mh_store_{token}_{os.getpid()}"
+    )
+    if not os.path.exists(os.path.join(store, "bands")):
+        dedup.write_minhash_store(corpus, store, hash_fn=hash_fn)
+    out = dedup.incremental_near_duplicates(
+        spark, batch, store, threshold=0.8, hash_fn=hash_fn
+    )
+    return out.select(
+        "a", "b", _r6(F.col("jaccard"), "jaccard"), "scope"
+    ).orderBy("scope", "a", "b")
+
+
+def _incremental_oracle(num_hashes: int = 32, bands: int = 8) -> str:
+    """DuckDB replay of the incremental store: md5 signatures + band
+    buckets over BOTH halves, bucket probe even↔odd with the
+    signature-agreement estimate, plus the batch-internal exact path
+    restricted to odd docs."""
+    r = num_hashes // bands
+    sig_cols = ",\n       ".join(
+        f"min(md5(shingle || ':{i}')) h{i}" for i in range(num_hashes)
+    )
+    whens = []
+    for b in range(bands):
+        cols = " || '|' || ".join(f"h{b * r + x}" for x in range(r))
+        whens.append(f"WHEN {b} THEN md5({cols})")
+    bucket_case = "CASE bb.band " + " ".join(whens) + " END"
+    agree = " + ".join(
+        f"CASE WHEN sc.h{i} = sn.h{i} THEN 1 ELSE 0 END"
+        for i in range(num_hashes)
+    )
+    return f"""
+WITH norm AS (SELECT doc_id,
+                     string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') toks
+              FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') shingle
+       FROM (SELECT doc_id, toks, unnest(range(1, greatest(len(toks) - 2, 0) + 1)) i
+             FROM norm)),
+sig AS (SELECT doc_id,
+       {sig_cols}
+       FROM sh GROUP BY doc_id),
+banded AS (SELECT doc_id, bb.band, {bucket_case} bucket
+           FROM sig, (SELECT unnest(range(0, {bands})) band) bb),
+probe AS (SELECT DISTINCT c.doc_id a, n.doc_id b
+          FROM banded c JOIN banded n
+            ON c.band = n.band AND c.bucket = n.bucket
+          WHERE c.doc_id % 2 = 0 AND n.doc_id % 2 = 1),
+vs_corpus AS (SELECT probe.a, probe.b,
+                     ROUND(({agree}) / {float(num_hashes)}, 6) jaccard,
+                     'corpus' AS scope
+              FROM probe JOIN sig sc ON probe.a = sc.doc_id
+                         JOIN sig sn ON probe.b = sn.doc_id
+              WHERE ({agree}) / {float(num_hashes)} >= 0.8),
+cand AS (SELECT DISTINCT l.doc_id a, r.doc_id b
+         FROM banded l JOIN banded r
+           ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+         WHERE l.doc_id % 2 = 1 AND r.doc_id % 2 = 1),
+sz AS (SELECT doc_id, COUNT(*) sz FROM sh WHERE doc_id % 2 = 1 GROUP BY 1),
+inter AS (SELECT s1.doc_id a, s2.doc_id b, COUNT(*) i
+          FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+          WHERE s1.doc_id % 2 = 1 AND s2.doc_id % 2 = 1
+          GROUP BY 1, 2),
+vs_batch AS (SELECT inter.a, inter.b,
+                    ROUND(inter.i * 1.0 / (x.sz + y.sz - inter.i), 6) jaccard,
+                    'batch' AS scope
+             FROM inter JOIN sz x ON inter.a = x.doc_id
+                        JOIN sz y ON inter.b = y.doc_id
+                        JOIN cand ON inter.a = cand.a AND inter.b = cand.b
+             WHERE inter.i * 1.0 / (x.sz + y.sz - inter.i) >= 0.8)
+SELECT a, b, jaccard, scope FROM vs_corpus
+UNION ALL
+SELECT a, b, jaccard, scope FROM vs_batch
+ORDER BY scope, a, b
+"""
+
+
+ORACLE_DEDUP_INCREMENTAL = _incremental_oracle()
+
+
 def _simhash_sig_cte(bits: int = 60) -> str:
     """Shared CTE text: 60-bit md5 SimHash signature per doc (word
     bigrams, occurrence-weighted) — the exact arithmetic of
@@ -2161,6 +2267,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_dedup_components,
         ORACLE_DEDUP_COMPONENTS,
         bench=lambda s, d: q_dedup_components(s, d, hash_fn="xxhash64"),
+    ),
+    "q_dedup_incremental": QuerySpec(
+        q_dedup_incremental,
+        ORACLE_DEDUP_INCREMENTAL,
+        bench=lambda s, d: q_dedup_incremental(s, d, hash_fn="xxhash64"),
     ),
     "q_sample_split": QuerySpec(
         q_sample_split,

@@ -213,6 +213,43 @@ GROUP BY p_brand ORDER BY p_brand
 """
 
 
+def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL cardinality (operators/sketches.py): per-type
+    distinct users via DataSketches HLL, gated against the exact count
+    — est_ok flips false (and the hash breaks) if the estimate drifts
+    past the 5 % bound, so the driver check is meaningful even though
+    the estimate itself is not SQL-reproducible."""
+    from physicsnemo_curator_spark.operators import sketches
+
+    ev = _t(spark, sf_dir, "events")
+    est = sketches.estimate_distinct(
+        sketches.distinct_sketches(ev, ["event_type"], "user_id")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return (
+        exact.join(est, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            (
+                F.abs(F.col("n_distinct") - F.col("n_exact"))
+                / F.col("n_exact")
+                < 0.05
+            ).alias("est_ok"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_SKETCH_DISTINCT = """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+       TRUE AS est_ok
+FROM events GROUP BY 1 ORDER BY event_type
+"""
+
+
 def q_a11_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k heavy hitters (curation: dominant sources/dup groups);
     the freqItems sketch variant is validated separately in tests."""
@@ -2229,10 +2266,9 @@ QUERIES: dict[str, QuerySpec] = {
     "q_a2_elementwise_stats": QuerySpec(q_a2_elementwise_stats, ORACLE_A2),
     "q_a3_pivot_counts": QuerySpec(q_a3_pivot_counts, ORACLE_A3),
     "q_a4_conditional_counts": QuerySpec(q_a4_conditional_counts, ORACLE_A4),
-    "q_a6_rollup": QuerySpec(q_a6_rollup, ORACLE_A6),
-    "q_a7_distinct_exact": QuerySpec(q_a7_distinct_exact, ORACLE_A7),
     "q_a8_welford_state": QuerySpec(q_a8_welford_state, ORACLE_A8),
     "q_a11_heavy_hitters": QuerySpec(q_a11_heavy_hitters, ORACLE_A11),
+    "q_sketch_distinct": QuerySpec(q_sketch_distinct, ORACLE_SKETCH_DISTINCT),
     "q_j1_broadcast_join": QuerySpec(q_j1_broadcast_join, ORACLE_J1),
     "q_j2_point_to_cell": QuerySpec(q_j2_point_to_cell, ORACLE_J2),
     "q_j3_scatter_mean": QuerySpec(q_j3_scatter_mean, ORACLE_J3),
@@ -2242,13 +2278,8 @@ QUERIES: dict[str, QuerySpec] = {
     "q_s3_edge_dedup": QuerySpec(q_s3_edge_dedup, ORACLE_S3),
     "q_w1_row_number": QuerySpec(q_w1_row_number, ORACLE_W1),
     "q_w2_prefix_sum": QuerySpec(q_w2_prefix_sum, ORACLE_W2),
-    "q_t1_topk": QuerySpec(q_t1_topk, ORACLE_T1),
     "q_m1_von_mises": QuerySpec(q_m1_von_mises, ORACLE_M1),
     "q_m2_validity_counts": QuerySpec(q_m2_validity_counts, ORACLE_M2),
-    "q_d1_year_split": QuerySpec(q_d1_year_split, ORACLE_D1),
-    "q_str1_string_fns": QuerySpec(q_str1_string_fns, ORACLE_STR1),
-    "q_arr1_array_agg": QuerySpec(q_arr1_array_agg, ORACLE_ARR1),
-    "q_json1_extract": QuerySpec(q_json1_extract, ORACLE_JSON1),
     "q_scan_pushdown": QuerySpec(q_scan_pushdown, ORACLE_SCAN),
     "q_precision_downcast": QuerySpec(q_precision_downcast, ORACLE_PRECISION),
     "q_global_inject": QuerySpec(q_global_inject, ORACLE_GLOBAL),
@@ -2258,8 +2289,6 @@ QUERIES: dict[str, QuerySpec] = {
     "q_ts_asof_join": QuerySpec(q_ts_asof_join, ORACLE_ASOF),
     "q_ts_rollup_daily": QuerySpec(q_ts_rollup_daily, ORACLE_TS_ROLLUP),
     "q_w4_sessionize": QuerySpec(q_w4_sessionize, ORACLE_SESSIONIZE),
-    "q_w5_group_zscore": QuerySpec(q_w5_group_zscore, ORACLE_W5),
-    "q_median_exact": QuerySpec(q_median_exact, ORACLE_MEDIAN),
     "q_sql_pricing_summary": QuerySpec(q_sql_pricing_summary, ORACLE_PRICING),
     "q_dedup_exact": QuerySpec(q_dedup_exact, ORACLE_DEDUP_EXACT),
     "q_dedup_ngram_jaccard": QuerySpec(q_dedup_ngram_jaccard, ORACLE_NGRAM_JACCARD),
@@ -2323,7 +2352,18 @@ QUERIES: dict[str, QuerySpec] = {
         ORACLE_SIMHASH_NEAR_DUP,
         bench=lambda s, d: q_simhash_near_dup(s, d, hash_fn="xxhash64", bits=64),
     ),
-    # ---- tail: primitive-class duplicates (position > 50) ----
+    # ---- tail: primitive-class duplicates (position > 50; the
+    # driver hash-checks the first 50, tests/test_oracle.py
+    # hash-checks ALL of them locally every run) ----
+    "q_a6_rollup": QuerySpec(q_a6_rollup, ORACLE_A6),
+    "q_a7_distinct_exact": QuerySpec(q_a7_distinct_exact, ORACLE_A7),
+    "q_t1_topk": QuerySpec(q_t1_topk, ORACLE_T1),
+    "q_d1_year_split": QuerySpec(q_d1_year_split, ORACLE_D1),
+    "q_str1_string_fns": QuerySpec(q_str1_string_fns, ORACLE_STR1),
+    "q_arr1_array_agg": QuerySpec(q_arr1_array_agg, ORACLE_ARR1),
+    "q_json1_extract": QuerySpec(q_json1_extract, ORACLE_JSON1),
+    "q_w5_group_zscore": QuerySpec(q_w5_group_zscore, ORACLE_W5),
+    "q_median_exact": QuerySpec(q_median_exact, ORACLE_MEDIAN),
     "q_s2_intersect": QuerySpec(q_s2_intersect, ORACLE_S2),
     "q_a5_distinct_agg": QuerySpec(q_a5_distinct_agg, ORACLE_A5),
     "q_a9_cube": QuerySpec(q_a9_cube, ORACLE_A9),

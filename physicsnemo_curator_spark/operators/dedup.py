@@ -647,17 +647,27 @@ def write_minhash_store(
     )
 
 
-def sig_agreement(left_sigs: DataFrame, pairs: DataFrame, right_sigs: DataFrame, num_hashes: int) -> DataFrame:
+def sig_agreement(
+    left_sigs: DataFrame,
+    pairs: DataFrame,
+    right_sigs: DataFrame,
+    num_hashes: int,
+    *,
+    broadcast_pairs: bool = False,
+) -> DataFrame:
     """Attach the minhash-agreement Jaccard estimate to (a, b) pairs:
     est = (1/K) Σ [h_i(a) = h_i(b)].  Two id-keyed joins + one codegen
-    sum expression — no shingle data touched."""
+    sum expression — no shingle data touched.  ``broadcast_pairs``
+    turns both joins into broadcast probes of the big signature tables
+    (right when pairs come from one ingest batch)."""
     la = left_sigs.select(
         F.col("doc_id").alias("a"), *[F.col(f"h{i}").alias(f"la{i}") for i in range(num_hashes)]
     )
     rb = right_sigs.select(
         F.col("doc_id").alias("b"), *[F.col(f"h{i}").alias(f"rb{i}") for i in range(num_hashes)]
     )
-    matched = pairs.join(la, "a").join(rb, "b")
+    p = F.broadcast(pairs) if broadcast_pairs else pairs
+    matched = p.join(la, "a").join(rb, "b")
     agree = sum(
         (F.col(f"la{i}") == F.col(f"rb{i}")).cast("int") for i in range(num_hashes)
     )
@@ -706,11 +716,15 @@ def incremental_near_duplicates(
     corpus_sigs = spark.read.parquet(os.path.join(store, "signatures"))
     corpus_bands = spark.read.parquet(os.path.join(store, "bands"))
 
-    # new vs corpus: bucket-equality probe → distinct id pairs → estimate
+    # new vs corpus: bucket-equality probe → distinct id pairs →
+    # estimate.  The batch's band rows are K/bands × batch docs — tiny
+    # next to the corpus store — so both the probe and the pair joins
+    # broadcast the batch side: the corpus tables are only ever
+    # scanned, never shuffled.
     probe = (
         corpus_bands.alias("c")
         .join(
-            new_bands.alias("n"),
+            F.broadcast(new_bands.alias("n")),
             (F.col("c.band") == F.col("n.band"))
             & (F.col("c.bucket") == F.col("n.bucket")),
         )
@@ -719,7 +733,9 @@ def incremental_near_duplicates(
         .distinct()
     )
     vs_corpus = (
-        sig_agreement(corpus_sigs, probe, sigs, num_hashes)
+        sig_agreement(
+            corpus_sigs, probe, sigs, num_hashes, broadcast_pairs=True
+        )
         .filter(F.col("jaccard_est") >= F.lit(threshold))
         .select("a", "b", F.col("jaccard_est").alias("jaccard"), F.lit("corpus").alias("scope"))
     )

@@ -129,23 +129,54 @@ def dedup_groups(
     *,
     id_out: str = "doc_id",
     max_iter: int = 50,
+    scores: DataFrame | None = None,
+    score_col: str = "score",
 ) -> DataFrame:
     """Near-dup pairs -> dedup groups.
 
     Returns (``id_out``, component, group_size, keep) for every doc
     that appears in some pair: ``component`` = min doc id of its group
-    (the canonical representative), ``keep`` = true exactly for that
-    representative.  Docs in no pair are trivially their own group and
-    are left to the caller (an anti-join against this output).
+    (the canonical label), ``keep`` = true for exactly one doc per
+    group.  Docs in no pair are trivially their own group and are left
+    to the caller (an anti-join against this output).
+
+    Default policy keeps the component representative (min id).  Pass
+    ``scores`` — a (``id_out``, ``score_col``) frame, e.g. the quality
+    score from ``textops.quality_score`` — to keep each group's
+    highest-scoring doc instead (ties fall to the lower id), the
+    policy real curation runs want: dedup should discard the *worse*
+    copies.  Cost is one extra id-keyed join and a per-component
+    max-struct aggregate — same shuffle class as the size count.
     """
     comp = connected_components(pairs, src, dst, max_iter=max_iter)
     sizes = comp.groupBy("comp").agg(F.count(F.lit(1)).alias("group_size"))
-    return (
-        comp.join(sizes, "comp")
-        .select(
+    out = comp.join(sizes, "comp")
+    if scores is None:
+        return out.select(
             F.col("node").alias(id_out),
             F.col("comp").alias("component"),
             "group_size",
             (F.col("node") == F.col("comp")).alias("keep"),
+        )
+    scored = out.join(
+        scores.select(
+            F.col(id_out).alias("node"),
+            F.col(score_col).cast("double").alias("_s"),
+        ),
+        "node",
+        "left",
+    ).withColumn("_s", F.coalesce(F.col("_s"), F.lit(float("-inf"))))
+    # argmax via max-struct: struct comparison is lexicographic, so the
+    # winner is (max score, then max -id) = highest score, lowest id
+    best = scored.groupBy("comp").agg(
+        F.max(F.struct(F.col("_s"), (-F.col("node")).alias("_ni"))).alias("_b")
+    )
+    return (
+        scored.join(best, "comp")
+        .select(
+            F.col("node").alias(id_out),
+            F.col("comp").alias("component"),
+            "group_size",
+            (F.col("node") == -F.col("_b._ni")).alias("keep"),
         )
     )

@@ -82,3 +82,27 @@ def test_nonconvergence_guard(spark):
     df = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "a long, b long")
     with pytest.raises(RuntimeError):
         connected_components(df, max_iter=1)
+
+
+def test_dedup_groups_keep_best_score(spark):
+    from physicsnemo_curator_spark.operators.components import dedup_groups
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "a long, b long"
+    )
+    scores = spark.createDataFrame(
+        # group {1,2,3}: doc 2 best; group {10,11}: tie -> lower id 10
+        [(1, 0.2), (2, 0.9), (3, 0.5), (10, 0.7), (11, 0.7)],
+        "doc_id long, score double",
+    )
+    out = {r.doc_id: r.keep for r in dedup_groups(pairs, scores=scores).collect()}
+    assert out == {1: False, 2: True, 3: False, 10: True, 11: False}
+
+
+def test_dedup_groups_missing_score_never_wins(spark):
+    from physicsnemo_curator_spark.operators.components import dedup_groups
+
+    pairs = spark.createDataFrame([(1, 2)], "a long, b long")
+    scores = spark.createDataFrame([(2, 0.1)], "doc_id long, score double")
+    out = {r.doc_id: r.keep for r in dedup_groups(pairs, scores=scores).collect()}
+    assert out == {1: False, 2: True}

@@ -110,3 +110,51 @@ def test_grouping_sets_expand(spark, sf_dir):
     plan = plan_of(spark, "q_a12_grouping_sets", sf_dir)
     assert "Expand" in plan
     assert plan.count("Scan parquet") == 1
+
+
+def test_chunking_is_single_stage_jvm(spark, sf_dir):
+    """chunk_documents: no shuffle (posexplode + slices run in the scan
+    stage) and no Python evaluation."""
+    from physicsnemo_curator_spark.operators.textops import chunk_documents
+    from physicsnemo_curator_spark.sources.tables import load_table
+
+    df = chunk_documents(load_table(spark, sf_dir, "documents"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_sampling_filter_is_scan_stage(spark, sf_dir):
+    """hash_sample compiles to a scan-stage filter — no shuffle, no
+    Python; the stratified CASE variant likewise."""
+    from physicsnemo_curator_spark.operators import sampling
+    from physicsnemo_curator_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    for df in (
+        sampling.hash_sample(docs, "doc_id", 0.25),
+        sampling.stratified_sample(
+            docs, "lang", {"en": 0.5}, "doc_id", default_rate=1.0
+        ),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "Python" not in plan
+
+
+def test_incremental_probe_broadcasts_batch_side(spark, sf_dir, tmp_path):
+    """The corpus store is only scanned, never shuffled: every join in
+    the new-vs-corpus path broadcasts the batch side."""
+    from pyspark.sql import functions as F
+
+    from physicsnemo_curator_spark.operators import dedup
+    from physicsnemo_curator_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    store = str(tmp_path / "mh")
+    dedup.write_minhash_store(docs.filter(F.col("doc_id") % 2 == 0), store)
+    out = dedup.incremental_near_duplicates(
+        spark, docs.filter(F.col("doc_id") % 2 == 1), store
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

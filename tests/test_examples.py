@@ -1,0 +1,39 @@
+"""Smoke tests: the example pipelines run end-to-end on tiny data.
+
+Each example is a user-facing composition of many operators; rot here
+means the README story is broken even if unit tests stay green.  Run
+as subprocesses (their own SparkSession) on sf0.001 to stay fast.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF = "/root/testdata/sf0.001"
+
+
+def _run(script: str, *args: str) -> str:
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "examples", script), SF, *args],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    return out.stdout
+
+
+def test_curate_documents_example(tmp_path):
+    stdout = _run("curate_documents.py", str(tmp_path / "out"))
+    assert "chunks (partitioned by split)" in stdout
+    assert "raw ->" in stdout
+
+
+def test_incremental_ingest_example(tmp_path):
+    stdout = _run("incremental_ingest.py", str(tmp_path / "work"))
+    assert "curated rows written" in stdout
+    assert "batch 2:" in stdout

@@ -97,3 +97,52 @@ def _tessellate_fan(df: DataFrame, *, vs_col: str = "vs") -> DataFrame:
     from physicsnemo_curator_spark.operators import mesh
 
     return mesh.tessellate_fan(df, vs_col)
+
+
+@register_transform("redact_pii")
+def _redact_pii(df: DataFrame, *, text_col: str = "text") -> DataFrame:
+    from pyspark.sql import functions as F
+
+    return df.withColumn(text_col, textops.redact_pii(F.col(text_col)))
+
+
+@register_transform("chunk_documents")
+def _chunk_documents(df: DataFrame, **kw: Any) -> DataFrame:
+    return textops.chunk_documents(df, **kw)
+
+
+@register_transform("repetition_ratio")
+def _repetition_ratio(df: DataFrame, **kw: Any) -> DataFrame:
+    return textops.repetition_ratio(df, **kw)
+
+
+@register_transform("hash_sample")
+def _hash_sample(df: DataFrame, *, key_col: str, rate: float, **kw: Any) -> DataFrame:
+    from physicsnemo_curator_spark.operators import sampling
+
+    return sampling.hash_sample(df, key_col, rate, **kw)
+
+
+@register_transform("stratified_sample")
+def _stratified_sample(
+    df: DataFrame, *, strata_col: str, fractions: dict, key_col: str, **kw: Any
+) -> DataFrame:
+    from physicsnemo_curator_spark.operators import sampling
+
+    return sampling.stratified_sample(df, strata_col, fractions, key_col, **kw)
+
+
+@register_transform("assign_splits")
+def _assign_splits(
+    df: DataFrame, *, key_col: str, weights: dict, **kw: Any
+) -> DataFrame:
+    from physicsnemo_curator_spark.operators import sampling
+
+    return sampling.assign_splits(df, key_col, weights, **kw)
+
+
+@register_transform("dedup_groups")
+def _dedup_groups(df: DataFrame, **kw: Any) -> DataFrame:
+    from physicsnemo_curator_spark.operators import components as cc
+
+    return cc.dedup_groups(df, **kw)

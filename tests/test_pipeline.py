@@ -141,3 +141,27 @@ def test_different_spec_hash_isolated_manifests(spark, sf_dir, tmp_path):
     assert p1.spec_hash != p2.spec_hash
     Manifest(mdir, p1.spec_hash).mark_completed(["A"])
     assert Manifest(mdir, p2.spec_hash).completed() == set()
+
+
+def test_curation_transforms_registered(spark, sf_dir, tmp_path):
+    """The r05 curation operators are available as declarative pipeline
+    transforms and survive the YAML round-trip."""
+    from physicsnemo_curator_spark.core import components  # noqa: F401
+    from physicsnemo_curator_spark.core.pipeline import Pipeline
+
+    p = (
+        Pipeline.read("parquet", path=f"{sf_dir}/documents.parquet")
+        .transform("redact_pii")
+        .transform("hash_sample", key_col="doc_id", rate=0.5)
+        .transform(
+            "assign_splits",
+            key_col="doc_id",
+            weights={"train": 0.9, "val": 0.1},
+        )
+        .transform("chunk_documents", max_tokens=32, overlap=4)
+    )
+    n = p.build(spark).count()
+    assert n > 0
+    y = str(tmp_path / "p.yaml")
+    p.save(y)
+    assert Pipeline.load(y).build(spark).count() == n

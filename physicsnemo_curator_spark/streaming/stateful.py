@@ -223,3 +223,102 @@ def run_running_stats(spark, source_dir: str, schema, *, key_col="event_type", v
         .filter("_rn = 1")
         .drop("_ord", "_rn")
     )
+
+
+# --- transformWithStateInPandas twin --------------------------------------
+#
+# Spark 4 replaces applyInPandasWithState with the StatefulProcessor API
+# (multiple named state variables, timers, TTL, initial-state bootstrap).
+# The running-stats operator on that API, kept semantically identical to
+# running_stats_stream so either engine version serves the pipeline.
+#
+# ENVIRONMENT GATE: the transformWithState Python runtime speaks
+# protobuf to its state server (pyspark/sql/streaming/proto); in a
+# container without google.protobuf the query fails at initialization
+# with STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE.  The
+# applyInPandasWithState operator above has no such dependency and is
+# the default engine path; this twin unlocks wherever protobuf exists
+# (its parity test skips itself when the gate is closed).
+
+
+def _make_running_stats_processor():
+    """Build the StatefulProcessor class lazily: the import only exists
+    on Spark >= 4.0, and the operator should import cleanly on 3.5."""
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class RunningStatsProcessor(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._sums = handle.getValueState("powersums", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timer_values):
+            if self._sums.exists():
+                n, s1, s2 = self._sums.get()
+            else:
+                n, s1, s2 = 0, 0.0, 0.0
+            for pdf in rows:
+                v = pdf["value"].astype("float64")
+                n += int(v.size)
+                s1 += float(v.sum())
+                s2 += float((v * v).sum())
+            self._sums.update((n, s1, s2))
+            mean = s1 / n if n else 0.0
+            var = max(s2 / n - mean * mean, 0.0) if n else 0.0
+            yield pd.DataFrame(
+                {"key": [key[0]], "n": [n], "mean": [mean], "var_pop": [var]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return RunningStatsProcessor()
+
+
+def running_stats_stream_tws(
+    events, *, key_col: str = "event_type", value_col: str = "value"
+):
+    """running_stats_stream on the transformWithStateInPandas API."""
+    from pyspark.sql import functions as F
+
+    keyed = events.select(
+        F.col(key_col).alias("key"), F.col(value_col).alias("value")
+    )
+    return keyed.groupBy("key").transformWithStateInPandas(
+        statefulProcessor=_make_running_stats_processor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def run_running_stats_tws(
+    spark,
+    source_dir: str,
+    schema,
+    *,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    max_files_per_trigger: int = 1,
+):
+    """Micro-batch harness for the transformWithStateInPandas twin —
+    same contract as run_running_stats_foreachbatch."""
+    from typing import Any
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(source_dir)
+    )
+    out = running_stats_stream_tws(stream, key_col=key_col, value_col=value_col)
+    final: dict[str, Any] = {}
+
+    def _sink(batch_df, epoch_id: int) -> None:
+        for row in batch_df.collect():
+            final[row["key"]] = row
+
+    q = out.writeStream.outputMode("update").foreachBatch(_sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.createDataFrame(list(final.values()), OUTPUT_SCHEMA)

@@ -376,3 +376,54 @@ def test_stateful_table_sink_restart_exactly_once(spark, sf_dir, tmp_path):
         assert g["n"] == e["n"]
         assert abs(g["mean"] - e["mean"]) < 1e-9
         assert abs(g["var_pop"] - e["var_pop"]) < 1e-6
+
+
+def test_transform_with_state_twin_matches_batch(spark, sf_dir, tmp_path):
+    """The Spark-4 StatefulProcessor (transformWithStateInPandas) twin
+    folds state across micro-batches to the identical batch answer as
+    the applyInPandasWithState operator."""
+    import pytest
+
+    try:
+        from pyspark.sql.streaming import StatefulProcessor  # noqa: F401
+    except ImportError:
+        pytest.skip("transformWithStateInPandas needs Spark >= 4.0")
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip(
+            "transformWithStateInPandas speaks protobuf to its state "
+            "server; google.protobuf is absent in this container "
+            "(environment gate, see README)"
+        )
+    from physicsnemo_curator_spark.streaming.stateful import (
+        run_running_stats_tws,
+    )
+
+    events = load_table(spark, sf_dir, "events").select("event_type", "value")
+    src = str(tmp_path / "tws_src")
+    events.repartition(3).write.parquet(src)
+
+    out = run_running_stats_tws(
+        spark, src, "event_type string, value double"
+    ).collect()
+    got = {r["key"]: r for r in out}
+
+    from pyspark.sql import functions as F
+
+    exp = {
+        r["event_type"]: r
+        for r in events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("value").alias("mean"),
+            F.var_pop("value").alias("var_pop"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exp)
+    for k, e in exp.items():
+        g = got[k]
+        assert g["n"] == e["n"]
+        assert abs(g["mean"] - e["mean"]) < 1e-9
+        assert abs(g["var_pop"] - e["var_pop"]) < 1e-6

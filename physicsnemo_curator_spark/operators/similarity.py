@@ -424,3 +424,41 @@ def pairwise_near_duplicates(
         ).alias("cosine"),
     )
     return scored.filter(F.col("cosine") >= F.lit(threshold))
+
+
+def embedding_centroids(
+    emb: DataFrame, *, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-label centroid vectors: elementwise mean via posexplode +
+    one (label, dim) aggregate, re-packed in dimension order.  The
+    result is labels-sized — broadcastable by construction."""
+    x = emb.select(F.col(label_col), F.posexplode(vec_col).alias("pos", "val"))
+    per = x.groupBy(label_col, "pos").agg(F.avg("val").alias("cv"))
+    return per.groupBy(label_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+            lambda s: s["cv"],
+        ).alias("centroid")
+    )
+
+
+def embedding_label_cosines(
+    emb: DataFrame,
+    *,
+    dim: int,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Cosine of every vector to its OWN label's centroid — the
+    embedding-based curation filter: low values flag mislabeled or
+    out-of-distribution samples.  One broadcast join (centroids are
+    labels-sized) + a codegen unrolled dot per row; no shuffle of the
+    embedding table itself beyond the centroid aggregate."""
+    cents = embedding_centroids(emb, label_col=label_col, vec_col=vec_col)
+    joined = emb.join(F.broadcast(cents), label_col)
+    return joined.select(
+        F.col(id_col),
+        F.col(label_col),
+        cosine_unrolled(vec_col, "centroid", dim).alias("cos_centroid"),
+    )

@@ -475,3 +475,38 @@ def repetition_ratio(
         F.sum("c").alias("n_grams"),
         (F.max("c") / F.sum("c")).alias("top_frac"),
     )
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    total_tokens: int | None = None,
+) -> DataFrame:
+    """Corpus-self unigram log-probability per document — the
+    perplexity-proxy quality signal (the KenLM-filter shape without the
+    external LM): documents whose tokens are improbable under the
+    corpus's own unigram distribution are outliers/noise; documents of
+    pure boilerplate score suspiciously high.  Output:
+    (id, n_tokens, avg_logprob).
+
+    Plan: one explode + token count aggregate (vocab-sized), one
+    token-keyed join back to the token stream, one doc-keyed average —
+    the same shuffle classes as TF-IDF, all JVM."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("token"),
+    )
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    # like tfidf(n_docs=...): pass the known total to skip the extra
+    # count scan at corpus scale
+    total = toks.count() if total_tokens is None else total_tokens
+    scored = toks.join(freq, "token").select(
+        F.col(id_col),
+        F.log(F.col("c").cast("double") / F.lit(float(total))).alias("lp"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.avg("lp").alias("avg_logprob"),
+    )

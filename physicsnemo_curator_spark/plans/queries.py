@@ -1613,6 +1613,71 @@ FROM pg GROUP BY 1 ORDER BY doc_id LIMIT 300
 """
 
 
+def q_text_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality signal (textops.unigram_logprob):
+    average corpus-self unigram log-probability per document — the
+    KenLM-filter shape without an external LM."""
+    docs = _t(spark, sf_dir, "documents")
+    out = textops.unigram_logprob(docs)
+    return (
+        out.select(
+            "doc_id", "n_tokens", _r6(F.col("avg_logprob"), "avg_logprob")
+        )
+        .orderBy("doc_id")
+        .limit(300)
+    )
+
+
+ORACLE_TEXT_LOGPROB = """
+WITH norm AS (SELECT doc_id,
+                     regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+              FROM documents),
+toks AS (SELECT doc_id, unnest(string_split(t, ' ')) token FROM norm),
+freq AS (SELECT token, COUNT(*) c FROM toks GROUP BY 1),
+tot AS (SELECT COUNT(*) t FROM toks)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(AVG(ln(c * 1.0 / t)), 6) AS avg_logprob
+FROM toks JOIN freq USING (token), tot
+GROUP BY doc_id ORDER BY doc_id LIMIT 300
+"""
+
+
+def q_emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-based curation filter (similarity.embedding_centroids
+    + label cosines): cosine of each vector to its own label's centroid
+    flags mislabeled / out-of-distribution samples.  Centroids are
+    labels-sized and broadcast; the dot is the codegen unrolled form."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.embedding_label_cosines(emb, dim=64)
+    return (
+        out.select(
+            "vec_id",
+            "label",
+            _r6(F.col("cos_centroid"), "cos_centroid"),
+        )
+        .withColumn("is_outlier", F.col("cos_centroid") < 0.2)
+        .orderBy("vec_id")
+    )
+
+
+ORACLE_EMB_OUTLIERS = """
+WITH x AS (SELECT vec_id, label, unnest(embedding) val,
+                  generate_subscripts(embedding, 1) ord
+           FROM embeddings),
+c AS (SELECT label, ord, AVG(val) cv FROM x GROUP BY 1, 2),
+d AS (SELECT x.vec_id, x.label,
+             SUM(x.val * c.cv) dp,
+             SUM(CAST(x.val AS DOUBLE) * x.val) na,
+             SUM(c.cv * c.cv) nc
+      FROM x JOIN c ON x.label = c.label AND x.ord = c.ord
+      GROUP BY 1, 2)
+SELECT vec_id, label,
+       ROUND(dp / (sqrt(na) * sqrt(nc)), 6) AS cos_centroid,
+       ROUND(dp / (sqrt(na) * sqrt(nc)), 6) < 0.2 AS is_outlier
+FROM d ORDER BY vec_id
+"""
+
+
 def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting / punct ratio / fingerprint (north-star text ops)."""
     docs = _t(spark, sf_dir, "documents")
@@ -2276,7 +2341,6 @@ QUERIES: dict[str, QuerySpec] = {
     "q_j5_semi_join": QuerySpec(q_j5_semi_join, ORACLE_J5),
     "q_j6_anti_join": QuerySpec(q_j6_anti_join, ORACLE_J6),
     "q_s3_edge_dedup": QuerySpec(q_s3_edge_dedup, ORACLE_S3),
-    "q_w1_row_number": QuerySpec(q_w1_row_number, ORACLE_W1),
     "q_w2_prefix_sum": QuerySpec(q_w2_prefix_sum, ORACLE_W2),
     "q_m1_von_mises": QuerySpec(q_m1_von_mises, ORACLE_M1),
     "q_m2_validity_counts": QuerySpec(q_m2_validity_counts, ORACLE_M2),
@@ -2289,7 +2353,6 @@ QUERIES: dict[str, QuerySpec] = {
     "q_ts_asof_join": QuerySpec(q_ts_asof_join, ORACLE_ASOF),
     "q_ts_rollup_daily": QuerySpec(q_ts_rollup_daily, ORACLE_TS_ROLLUP),
     "q_w4_sessionize": QuerySpec(q_w4_sessionize, ORACLE_SESSIONIZE),
-    "q_sql_pricing_summary": QuerySpec(q_sql_pricing_summary, ORACLE_PRICING),
     "q_dedup_exact": QuerySpec(q_dedup_exact, ORACLE_DEDUP_EXACT),
     "q_dedup_ngram_jaccard": QuerySpec(q_dedup_ngram_jaccard, ORACLE_NGRAM_JACCARD),
     "q_dedup_components": QuerySpec(
@@ -2316,6 +2379,8 @@ QUERIES: dict[str, QuerySpec] = {
     "q_media_frames": QuerySpec(q_media_frames, ORACLE_MEDIA_FRAMES),
     "q_text_chunks": QuerySpec(q_text_chunks, ORACLE_TEXT_CHUNKS),
     "q_text_repetition": QuerySpec(q_text_repetition, ORACLE_TEXT_REPETITION),
+    "q_text_logprob": QuerySpec(q_text_logprob, ORACLE_TEXT_LOGPROB),
+    "q_emb_outliers": QuerySpec(q_emb_outliers, ORACLE_EMB_OUTLIERS),
     "q_text_features": QuerySpec(q_text_features, ORACLE_TEXT_FEATURES),
     "q_text_winnow": QuerySpec(
         q_text_winnow,
@@ -2355,6 +2420,8 @@ QUERIES: dict[str, QuerySpec] = {
     # ---- tail: primitive-class duplicates (position > 50; the
     # driver hash-checks the first 50, tests/test_oracle.py
     # hash-checks ALL of them locally every run) ----
+    "q_w1_row_number": QuerySpec(q_w1_row_number, ORACLE_W1),
+    "q_sql_pricing_summary": QuerySpec(q_sql_pricing_summary, ORACLE_PRICING),
     "q_a6_rollup": QuerySpec(q_a6_rollup, ORACLE_A6),
     "q_a7_distinct_exact": QuerySpec(q_a7_distinct_exact, ORACLE_A7),
     "q_t1_topk": QuerySpec(q_t1_topk, ORACLE_T1),

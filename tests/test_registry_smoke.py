@@ -69,6 +69,22 @@ CASES = {
     "coarsen_grid": (_grid, {"factor": 3}),
     "grid_anomaly": (_grid, {}),
     "tessellate_fan": (_cells, {}),
+    "redact_pii": (_docs, {}),
+    "chunk_documents": (_docs, {"max_tokens": 32, "overlap": 4}),
+    "repetition_ratio": (_docs, {"n": 2}),
+    "hash_sample": (_docs, {"key_col": "doc_id", "rate": 0.5}),
+    "stratified_sample": (
+        _docs,
+        {"strata_col": "lang", "fractions": {"en": 0.5}, "key_col": "doc_id"},
+    ),
+    "assign_splits": (
+        _docs,
+        {"key_col": "doc_id", "weights": {"train": 0.9, "val": 0.1}},
+    ),
+    "dedup_groups": (
+        lambda s, d: s.createDataFrame([(1, 2), (2, 3)], "a long, b long"),
+        {},
+    ),
 }
 
 

@@ -510,3 +510,41 @@ def unigram_logprob(
         F.count(F.lit(1)).alias("n_tokens"),
         F.avg("lp").alias("avg_logprob"),
     )
+
+
+def tokenize_to_ids(
+    docs: DataFrame,
+    vocab: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    unk_id: int = -1,
+) -> DataFrame:
+    """Documents → token-id arrays: the tensorization step training
+    loaders consume.  Tokens are looked up in ``vocab`` (token,
+    token_id — the :func:`vocabulary` output); unknown tokens map to
+    ``unk_id``.  Output: (id, n_ids, ids array<int>), ids in document
+    order.
+
+    Plan: posexplode (position carried through), one token-keyed join
+    against the broadcast vocab (vocab tables fit executors by
+    construction — they're frequency-pruned), and one doc-keyed
+    sort-struct aggregate to restore order.  Shuffle ~ O(corpus
+    tokens) on the doc key, same class as TF-IDF."""
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(ws_tokens(F.lower(F.col(text_col)))).alias("pos", "token"),
+    )
+    mapped = toks.join(F.broadcast(vocab.select("token", "token_id")), "token", "left")
+    with_ids = mapped.select(
+        F.col(id_col),
+        "pos",
+        F.coalesce(F.col("token_id"), F.lit(unk_id)).cast("int").alias("tid"),
+    )
+    return with_ids.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_ids"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+            lambda s: s["tid"],
+        ).alias("ids"),
+    )

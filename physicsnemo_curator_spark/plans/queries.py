@@ -1840,6 +1840,40 @@ WHERE token_id < 30 ORDER BY token_id
 """
 
 
+def q_text_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tensorization (textops.tokenize_to_ids): documents → ordered
+    token-id arrays under the deterministic vocabulary (q_text_vocab's
+    ids), unknown tokens → -1 — the array training loaders consume.
+    The oracle rebuilds the identical arrays with an ordered list
+    aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    vocab = textops.vocabulary(docs, min_count=2, top_n=30)
+    out = textops.tokenize_to_ids(docs, vocab)
+    return out.select("doc_id", "n_ids", "ids").orderBy("doc_id").limit(300)
+
+
+ORACLE_TEXT_TOKEN_IDS = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) token,
+         generate_subscripts(string_split_regex(lower(trim(text)), '\\s+'), 1) pos
+  FROM documents),
+freq AS (
+  SELECT token, COUNT(*) n FROM toks GROUP BY token HAVING COUNT(*) >= 2),
+ranked AS (
+  SELECT token,
+         CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) - 1 AS INT) token_id
+  FROM freq),
+vocab AS (SELECT token, token_id FROM ranked WHERE token_id < 30),
+mapped AS (
+  SELECT t.doc_id, t.pos,
+         CAST(COALESCE(v.token_id, -1) AS INT) tid
+  FROM toks t LEFT JOIN vocab v USING (token))
+SELECT doc_id, CAST(COUNT(*) AS INT) AS n_ids,
+       list(tid ORDER BY pos) AS ids
+FROM mapped GROUP BY doc_id ORDER BY doc_id LIMIT 300
+"""
+
+
 def q_text_tfidf_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse TF-IDF document cosine ≥ 0.95 (north-star similarity on
     text): token-keyed sparse dot product, no dense vectors, no pair
@@ -2348,7 +2382,6 @@ QUERIES: dict[str, QuerySpec] = {
     "q_precision_downcast": QuerySpec(q_precision_downcast, ORACLE_PRECISION),
     "q_global_inject": QuerySpec(q_global_inject, ORACLE_GLOBAL),
     "q_st1_tumbling_window": QuerySpec(q_st1_tumbling_window, ORACLE_ST1),
-    "q_st2_sliding_stats": QuerySpec(q_st2_sliding_stats, ORACLE_ST2),
     "q_st3_stream_welford": QuerySpec(q_st3_stream_welford, ORACLE_ST3),
     "q_ts_asof_join": QuerySpec(q_ts_asof_join, ORACLE_ASOF),
     "q_ts_rollup_daily": QuerySpec(q_ts_rollup_daily, ORACLE_TS_ROLLUP),
@@ -2389,6 +2422,7 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q_text_lang_quality": QuerySpec(q_text_lang_quality, ORACLE_TEXT_LANG),
     "q_text_vocab": QuerySpec(q_text_vocab, ORACLE_TEXT_VOCAB),
+    "q_text_token_ids": QuerySpec(q_text_token_ids, ORACLE_TEXT_TOKEN_IDS),
     "q_text_tfidf_sim": QuerySpec(q_text_tfidf_sim, ORACLE_TFIDF_SIM),
     "q_ann_cosine_topk": QuerySpec(q_ann_cosine_topk, ORACLE_ANN),
     "q_ann_lsh_topk": QuerySpec(
@@ -2420,6 +2454,7 @@ QUERIES: dict[str, QuerySpec] = {
     # ---- tail: primitive-class duplicates (position > 50; the
     # driver hash-checks the first 50, tests/test_oracle.py
     # hash-checks ALL of them locally every run) ----
+    "q_st2_sliding_stats": QuerySpec(q_st2_sliding_stats, ORACLE_ST2),
     "q_w1_row_number": QuerySpec(q_w1_row_number, ORACLE_W1),
     "q_sql_pricing_summary": QuerySpec(q_sql_pricing_summary, ORACLE_PRICING),
     "q_a6_rollup": QuerySpec(q_a6_rollup, ORACLE_A6),

@@ -451,6 +451,7 @@ def repetition_ratio(
     n: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_fn: str | None = None,
 ) -> DataFrame:
     """Gopher-style repetition signal: the fraction of a document's
     token n-grams taken by its single most frequent n-gram — high
@@ -470,6 +471,12 @@ def repetition_ratio(
         )
     )
     g = docs.select(F.col(id_col), F.explode(grams).alias("gram"))
+    if hash_fn == "xxhash64":
+        # production twin: the aggregate only consumes counts, so
+        # shuffling 8-byte gram hashes instead of gram strings cuts the
+        # (doc, gram) shuffle width; collisions would need 2^32-scale
+        # per-doc gram counts to matter
+        g = g.select(F.col(id_col), F.xxhash64("gram").alias("gram"))
     per_gram = g.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
     return per_gram.groupBy(id_col).agg(
         F.sum("c").alias("n_grams"),

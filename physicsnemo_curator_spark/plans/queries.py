@@ -1583,12 +1583,16 @@ FROM s ORDER BY doc_id, chunk_index LIMIT 500
 """
 
 
-def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_text_repetition(
+    spark: SparkSession, sf_dir: str, hash_fn: str | None = None
+) -> DataFrame:
     """Gopher-style repetition signal (textops.repetition_ratio): the
     single most frequent bigram's share of each doc's bigrams — the
-    boilerplate/spam flag quality filters gate on."""
+    boilerplate/spam flag quality filters gate on.  The benched twin
+    shuffles xxhash64 gram keys instead of gram strings (the aggregate
+    consumes only counts; equivalence pinned in tests)."""
     docs = _t(spark, sf_dir, "documents")
-    rep = textops.repetition_ratio(docs, n=2)
+    rep = textops.repetition_ratio(docs, n=2, hash_fn=hash_fn)
     return (
         rep.select(
             "doc_id", "n_grams", _r6(F.col("top_frac"), "top_frac")
@@ -2411,7 +2415,11 @@ QUERIES: dict[str, QuerySpec] = {
     "q_text_redact_pii": QuerySpec(q_text_redact_pii, ORACLE_TEXT_REDACT),
     "q_media_frames": QuerySpec(q_media_frames, ORACLE_MEDIA_FRAMES),
     "q_text_chunks": QuerySpec(q_text_chunks, ORACLE_TEXT_CHUNKS),
-    "q_text_repetition": QuerySpec(q_text_repetition, ORACLE_TEXT_REPETITION),
+    "q_text_repetition": QuerySpec(
+        q_text_repetition,
+        ORACLE_TEXT_REPETITION,
+        bench=lambda s, d: q_text_repetition(s, d, hash_fn="xxhash64"),
+    ),
     "q_text_logprob": QuerySpec(q_text_logprob, ORACLE_TEXT_LOGPROB),
     "q_emb_outliers": QuerySpec(q_emb_outliers, ORACLE_EMB_OUTLIERS),
     "q_text_features": QuerySpec(q_text_features, ORACLE_TEXT_FEATURES),

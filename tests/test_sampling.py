@@ -189,3 +189,17 @@ def test_repetition_ratio(spark):
     assert out[1] == (5, 3 / 5)
     # doc 2: all distinct -> 1/5
     assert out[2] == (5, 1 / 5)
+
+
+def test_repetition_ratio_hash_twin_equivalent(spark):
+    """The xxhash64-keyed production twin yields identical ratios."""
+    df = spark.createDataFrame(
+        [(i, f"w{i} " * 5 + " ".join(f"t{i}x{j}" for j in range(20)))
+         for j in range(1) for i in range(50)],
+        "doc_id long, text string",
+    )
+    a = {(r.doc_id): (r.n_grams, round(r.top_frac, 9))
+         for r in textops.repetition_ratio(df).collect()}
+    b = {(r.doc_id): (r.n_grams, round(r.top_frac, 9))
+         for r in textops.repetition_ratio(df, hash_fn="xxhash64").collect()}
+    assert a == b

@@ -146,3 +146,10 @@ def _dedup_groups(df: DataFrame, **kw: Any) -> DataFrame:
     from physicsnemo_curator_spark.operators import components as cc
 
     return cc.dedup_groups(df, **kw)
+
+
+@register_transform("pack_sequences")
+def _pack_sequences(df: DataFrame, *, budget: int, **kw: Any) -> DataFrame:
+    from physicsnemo_curator_spark.operators.packing import pack_sequences
+
+    return pack_sequences(df, budget=budget, **kw)

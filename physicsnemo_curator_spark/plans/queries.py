@@ -1878,6 +1878,28 @@ FROM mapped GROUP BY doc_id ORDER BY doc_id LIMIT 300
 """
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/packing.py): fill fixed token-budget
+    training sequences by hash-bucketed best-fit-decreasing.  The
+    assignment is a bin-packing heuristic — not SQL-expressible, so
+    this row is rows-only at the driver; the budget/coverage/
+    determinism invariants are pinned in tests/test_packing.py."""
+    from physicsnemo_curator_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", textops.ws_token_count(F.col("text")).alias("n_tokens")
+    )
+    packed = pack_sequences(docs, budget=256, n_buckets=8)
+    return (
+        packed.groupBy("bucket", "pack_index")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("pack_fill").alias("pack_fill"),
+        )
+        .orderBy("bucket", "pack_index")
+    )
+
+
 def q_text_tfidf_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse TF-IDF document cosine ≥ 0.95 (north-star similarity on
     text): token-keyed sparse dot product, no dense vectors, no pair
@@ -2379,7 +2401,6 @@ QUERIES: dict[str, QuerySpec] = {
     "q_j5_semi_join": QuerySpec(q_j5_semi_join, ORACLE_J5),
     "q_j6_anti_join": QuerySpec(q_j6_anti_join, ORACLE_J6),
     "q_s3_edge_dedup": QuerySpec(q_s3_edge_dedup, ORACLE_S3),
-    "q_w2_prefix_sum": QuerySpec(q_w2_prefix_sum, ORACLE_W2),
     "q_m1_von_mises": QuerySpec(q_m1_von_mises, ORACLE_M1),
     "q_m2_validity_counts": QuerySpec(q_m2_validity_counts, ORACLE_M2),
     "q_scan_pushdown": QuerySpec(q_scan_pushdown, ORACLE_SCAN),
@@ -2431,6 +2452,7 @@ QUERIES: dict[str, QuerySpec] = {
     "q_text_lang_quality": QuerySpec(q_text_lang_quality, ORACLE_TEXT_LANG),
     "q_text_vocab": QuerySpec(q_text_vocab, ORACLE_TEXT_VOCAB),
     "q_text_token_ids": QuerySpec(q_text_token_ids, ORACLE_TEXT_TOKEN_IDS),
+    "q_pack_sequences": QuerySpec(q_pack_sequences, None),
     "q_text_tfidf_sim": QuerySpec(q_text_tfidf_sim, ORACLE_TFIDF_SIM),
     "q_ann_cosine_topk": QuerySpec(q_ann_cosine_topk, ORACLE_ANN),
     "q_ann_lsh_topk": QuerySpec(
@@ -2462,6 +2484,7 @@ QUERIES: dict[str, QuerySpec] = {
     # ---- tail: primitive-class duplicates (position > 50; the
     # driver hash-checks the first 50, tests/test_oracle.py
     # hash-checks ALL of them locally every run) ----
+    "q_w2_prefix_sum": QuerySpec(q_w2_prefix_sum, ORACLE_W2),
     "q_st2_sliding_stats": QuerySpec(q_st2_sliding_stats, ORACLE_ST2),
     "q_w1_row_number": QuerySpec(q_w1_row_number, ORACLE_W1),
     "q_sql_pricing_summary": QuerySpec(q_sql_pricing_summary, ORACLE_PRICING),

@@ -1,0 +1,76 @@
+"""Sequence packing (operators/packing.py): budget respected, every doc
+packed once, efficiency, determinism under partitioning."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from physicsnemo_curator_spark.operators.packing import pack_sequences
+
+
+def _docs(spark, n=3000, seed=7):
+    # lengths 20..420, deterministic
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(400)) + 20).alias(
+            "n_tokens"
+        ),
+    )
+
+
+def test_packs_respect_budget_and_cover_all_docs(spark):
+    df = _docs(spark)
+    out = pack_sequences(df, budget=1024, n_buckets=4).collect()
+    assert len(out) == 3000
+    assert len({r.doc_id for r in out}) == 3000
+    from collections import defaultdict
+
+    packs = defaultdict(int)
+    for r in out:
+        packs[(r.bucket, r.pack_index)] += r.n_tokens
+    assert all(v <= 1024 for v in packs.values())
+    # reported pack_fill agrees with the recomputed totals
+    for r in out:
+        assert packs[(r.bucket, r.pack_index)] == r.pack_fill
+
+
+def test_packing_efficiency(spark):
+    """BFD on uniform lengths should fill packs well past naive
+    one-doc-per-sequence: mean fill >= 85% of budget (excluding the
+    per-bucket tail pack)."""
+    df = _docs(spark)
+    out = pack_sequences(df, budget=1024, n_buckets=4).collect()
+    fills = {}
+    for r in out:
+        fills[(r.bucket, r.pack_index)] = r.pack_fill
+    vals = sorted(fills.values(), reverse=True)
+    head = vals[: len(vals) - 8]  # drop <= 2 tail packs per bucket
+    assert sum(head) / (len(head) * 1024) >= 0.85
+
+
+def test_oversize_docs_become_singletons(spark):
+    df = spark.createDataFrame(
+        [(1, 5000), (2, 100), (3, 100)], "doc_id long, n_tokens long"
+    )
+    out = {r.doc_id: r for r in pack_sequences(df, budget=1024, n_buckets=1).collect()}
+    big = out[1]
+    # the oversize doc sits alone in its pack
+    assert big.pack_fill == 5000
+    others = [r for r in out.values() if r.doc_id != 1]
+    assert all(
+        (r.bucket, r.pack_index) != (big.bucket, big.pack_index) for r in others
+    )
+
+
+def test_deterministic_under_repartition(spark):
+    df = _docs(spark, n=1000)
+    a = pack_sequences(df, budget=512, n_buckets=3).collect()
+    b = pack_sequences(df.repartition(13), budget=512, n_buckets=3).collect()
+    key = lambda rows: sorted((r.doc_id, r.bucket, r.pack_index) for r in rows)
+    assert key(a) == key(b)
+
+
+def test_budget_validation(spark):
+    with pytest.raises(ValueError):
+        pack_sequences(_docs(spark, 10), budget=0)

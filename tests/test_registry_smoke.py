@@ -85,6 +85,12 @@ CASES = {
         lambda s, d: s.createDataFrame([(1, 2), (2, 3)], "a long, b long"),
         {},
     ),
+    "pack_sequences": (
+        lambda s, d: _docs(s, d).selectExpr(
+            "doc_id", "n_chars / 5 AS n_tokens"
+        ),
+        {"budget": 256, "n_buckets": 2},
+    ),
 }
 
 

@@ -95,10 +95,23 @@ def main() -> None:
         os.path.join(out_dir, "chunks")
     )
 
+    # 8. pack chunks into fixed-budget training sequences
+    from physicsnemo_curator_spark.operators.packing import pack_sequences
+
+    chunk_rows = chunks.select(
+        F.xxhash64("doc_id", "chunk_index").alias("chunk_uid"),
+        F.col("n_tokens"),
+    )
+    packed = pack_sequences(
+        chunk_rows, budget=256, id_col="chunk_uid", n_buckets=4
+    )
+    n_packs = packed.select("bucket", "pack_index").distinct().count()
+
     print(
         f"documents: {n0} raw -> {n1} quality+repetition gated -> "
         f"{n2} exact-deduped -> {n3} group-deduped -> {n4} capped -> "
-        f"{n5} chunks -> {out_dir}/chunks (partitioned by split)"
+        f"{n5} chunks -> {n_packs} packed sequences (budget 256) -> "
+        f"{out_dir}/chunks (partitioned by split)"
     )
 
 

@@ -1,0 +1,132 @@
+"""Data-validation rules: the expectations gate of a production pipeline.
+
+Before a 100 TB curation output ships, the pipeline asserts invariants
+— null discipline, key uniqueness, value ranges, categorical domains,
+format shapes.  Each rule compiles to a conditional aggregate and the
+WHOLE rule set evaluates in ONE pass over the data (a single
+partial+final hash aggregate, no per-rule jobs); ``unique`` adds a
+count-distinct in the same aggregate.
+
+Report row per rule: (rule, column, violations, total, passed).
+``expect`` raises on the first failing rule for gate-style use.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["Rule", "not_null", "unique", "in_range", "in_set", "matches",
+           "max_null_frac", "validate", "expect"]
+
+
+@dataclass(frozen=True)
+class Rule:
+    kind: str
+    column: str
+    params: tuple[Any, ...] = ()
+
+    @property
+    def name(self) -> str:
+        extra = f"({', '.join(map(str, self.params))})" if self.params else ""
+        return f"{self.kind}{extra}"
+
+
+def not_null(column: str) -> Rule:
+    return Rule("not_null", column)
+
+
+def unique(column: str) -> Rule:
+    return Rule("unique", column)
+
+
+def in_range(column: str, lo: float, hi: float) -> Rule:
+    return Rule("in_range", column, (lo, hi))
+
+
+def in_set(column: str, values: tuple) -> Rule:
+    return Rule("in_set", column, tuple(values))
+
+
+def matches(column: str, pattern: str) -> Rule:
+    return Rule("matches", column, (pattern,))
+
+
+def max_null_frac(column: str, frac: float) -> Rule:
+    return Rule("max_null_frac", column, (frac,))
+
+
+def _violation_expr(rule: Rule) -> Column:
+    c = F.col(rule.column)
+    if rule.kind in ("not_null", "max_null_frac"):
+        bad = c.isNull()
+    elif rule.kind == "in_range":
+        lo, hi = rule.params
+        bad = c.isNull() | (c < lo) | (c > hi)
+    elif rule.kind == "in_set":
+        bad = c.isNull() | ~c.isin(*rule.params)
+    elif rule.kind == "matches":
+        (pat,) = rule.params
+        bad = c.isNull() | ~c.rlike(pat)
+    elif rule.kind == "unique":
+        return F.lit(None)  # handled via count distinct
+    else:
+        raise ValueError(f"unknown rule kind: {rule.kind}")
+    return F.sum(bad.cast("long"))
+
+
+def validate(df: DataFrame, rules: list[Rule]) -> DataFrame:
+    """Evaluate every rule in one aggregate pass; returns the report
+    frame (rule, column, violations, total, passed) in rule order."""
+    if not rules:
+        raise ValueError("rules must be non-empty")
+    aggs = [F.count(F.lit(1)).alias("_total")]
+    for i, r in enumerate(rules):
+        if r.kind == "unique":
+            aggs.append(F.count(r.column).alias(f"_nn{i}"))
+            aggs.append(F.countDistinct(r.column).alias(f"_nd{i}"))
+        else:
+            aggs.append(_violation_expr(r).alias(f"_v{i}"))
+    row = df.agg(*aggs)
+
+    # one inline(array(structs)) select so the report is ONE job —
+    # a union of per-rule selects would re-run the aggregate per rule
+    entries = []
+    for i, r in enumerate(rules):
+        if r.kind == "unique":
+            viol = F.col(f"_nn{i}") - F.col(f"_nd{i}")
+        else:
+            viol = F.coalesce(F.col(f"_v{i}"), F.lit(0))
+        if r.kind == "max_null_frac":
+            passed = viol <= F.col("_total") * float(r.params[0])
+        else:
+            passed = viol == 0
+        entries.append(
+            F.struct(
+                F.lit(r.name).alias("rule"),
+                F.lit(r.column).alias("column"),
+                viol.cast("long").alias("violations"),
+                F.col("_total").alias("total"),
+                passed.alias("passed"),
+            )
+        )
+    return row.select(F.inline(F.array(*entries)))
+
+
+def expect(df: DataFrame, rules: list[Rule]) -> DataFrame:
+    """Gate form: raise ValueError listing every failing rule; returns
+    ``df`` unchanged when all rules pass (chainable mid-pipeline)."""
+    failed = [
+        (r["rule"], r["column"], r["violations"], r["total"])
+        for r in validate(df, rules).collect()
+        if not r["passed"]
+    ]
+    if failed:
+        lines = ", ".join(
+            f"{rule} on {col}: {v}/{t} rows" for rule, col, v, t in failed
+        )
+        raise ValueError(f"validation failed: {lines}")
+    return df

@@ -1900,6 +1900,52 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_validate_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectations gate (operators/validation.py): a five-rule data
+    contract on ``orders`` (null discipline, key uniqueness, price
+    range, status domain, priority format) evaluated in ONE aggregate
+    pass; the oracle recomputes every count in SQL."""
+    from physicsnemo_curator_spark.operators import validation as V
+
+    orders = _t(spark, sf_dir, "orders")
+    rules = [
+        V.not_null("o_custkey"),
+        V.unique("o_orderkey"),
+        V.in_range("o_totalprice", 0, 600000),
+        V.in_set("o_orderstatus", ("F", "O", "P")),
+        V.matches("o_orderpriority", "^[1-5]-"),
+    ]
+    return V.validate(orders, rules).orderBy("rule")
+
+
+ORACLE_VALIDATE = """
+WITH t AS (SELECT CAST(COUNT(*) AS BIGINT) total,
+  CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) v_nn,
+  CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT) v_u,
+  CAST(SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0
+                  OR o_totalprice > 600000 THEN 1 ELSE 0 END) AS BIGINT) v_r,
+  CAST(SUM(CASE WHEN o_orderstatus IS NULL
+                  OR o_orderstatus NOT IN ('F', 'O', 'P')
+            THEN 1 ELSE 0 END) AS BIGINT) v_s,
+  CAST(SUM(CASE WHEN o_orderpriority IS NULL
+                  OR NOT regexp_matches(o_orderpriority, '^[1-5]-')
+            THEN 1 ELSE 0 END) AS BIGINT) v_m
+  FROM orders)
+SELECT * FROM (
+  SELECT 'not_null' AS rule, 'o_custkey' AS "column", v_nn AS violations,
+         total, v_nn = 0 AS passed FROM t
+  UNION ALL
+  SELECT 'unique', 'o_orderkey', v_u, total, v_u = 0 FROM t
+  UNION ALL
+  SELECT 'in_range(0, 600000)', 'o_totalprice', v_r, total, v_r = 0 FROM t
+  UNION ALL
+  SELECT 'in_set(F, O, P)', 'o_orderstatus', v_s, total, v_s = 0 FROM t
+  UNION ALL
+  SELECT 'matches(^[1-5]-)', 'o_orderpriority', v_m, total, v_m = 0 FROM t
+) ORDER BY rule
+"""
+
+
 def q_text_tfidf_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse TF-IDF document cosine ≥ 0.95 (north-star similarity on
     text): token-keyed sparse dot product, no dense vectors, no pair
@@ -2394,6 +2440,7 @@ QUERIES: dict[str, QuerySpec] = {
     "q_a8_welford_state": QuerySpec(q_a8_welford_state, ORACLE_A8),
     "q_a11_heavy_hitters": QuerySpec(q_a11_heavy_hitters, ORACLE_A11),
     "q_sketch_distinct": QuerySpec(q_sketch_distinct, ORACLE_SKETCH_DISTINCT),
+    "q_validate_expectations": QuerySpec(q_validate_expectations, ORACLE_VALIDATE),
     "q_j1_broadcast_join": QuerySpec(q_j1_broadcast_join, ORACLE_J1),
     "q_j2_point_to_cell": QuerySpec(q_j2_point_to_cell, ORACLE_J2),
     "q_j3_scatter_mean": QuerySpec(q_j3_scatter_mean, ORACLE_J3),
@@ -2402,7 +2449,6 @@ QUERIES: dict[str, QuerySpec] = {
     "q_j6_anti_join": QuerySpec(q_j6_anti_join, ORACLE_J6),
     "q_s3_edge_dedup": QuerySpec(q_s3_edge_dedup, ORACLE_S3),
     "q_m1_von_mises": QuerySpec(q_m1_von_mises, ORACLE_M1),
-    "q_m2_validity_counts": QuerySpec(q_m2_validity_counts, ORACLE_M2),
     "q_scan_pushdown": QuerySpec(q_scan_pushdown, ORACLE_SCAN),
     "q_precision_downcast": QuerySpec(q_precision_downcast, ORACLE_PRECISION),
     "q_global_inject": QuerySpec(q_global_inject, ORACLE_GLOBAL),
@@ -2484,6 +2530,7 @@ QUERIES: dict[str, QuerySpec] = {
     # ---- tail: primitive-class duplicates (position > 50; the
     # driver hash-checks the first 50, tests/test_oracle.py
     # hash-checks ALL of them locally every run) ----
+    "q_m2_validity_counts": QuerySpec(q_m2_validity_counts, ORACLE_M2),
     "q_w2_prefix_sum": QuerySpec(q_w2_prefix_sum, ORACLE_W2),
     "q_st2_sliding_stats": QuerySpec(q_st2_sliding_stats, ORACLE_ST2),
     "q_w1_row_number": QuerySpec(q_w1_row_number, ORACLE_W1),

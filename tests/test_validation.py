@@ -1,0 +1,62 @@
+"""Expectations gate (operators/validation.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from physicsnemo_curator_spark.operators import validation as V
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [
+            (1, 10.0, "a", "x1"),
+            (2, 20.0, "b", "x2"),
+            (3, None, "a", "x3"),
+            (3, 99.0, "c", "bad"),
+        ],
+        "id long, v double, cat string, code string",
+    )
+
+
+def test_validate_report(spark):
+    rules = [
+        V.not_null("v"),
+        V.unique("id"),
+        V.in_range("v", 0.0, 50.0),
+        V.in_set("cat", ("a", "b")),
+        V.matches("code", "^x[0-9]$"),
+        V.max_null_frac("v", 0.5),
+    ]
+    rep = {r["rule"]: r for r in V.validate(_df(spark), rules).collect()}
+    assert rep["not_null"]["violations"] == 1 and not rep["not_null"]["passed"]
+    assert rep["unique"]["violations"] == 1 and not rep["unique"]["passed"]
+    # in_range: null counts as violation + 99.0 out of range
+    assert rep["in_range(0.0, 50.0)"]["violations"] == 2
+    assert rep["in_set(a, b)"]["violations"] == 1
+    assert rep["matches(^x[0-9]$)"]["violations"] == 1
+    # 1 null of 4 rows <= 50% -> passes
+    assert rep["max_null_frac(0.5)"]["passed"]
+    assert all(r["total"] == 4 for r in rep.values())
+
+
+def test_validate_is_one_job(spark):
+    """The whole rule set compiles to one aggregate — a single scan."""
+    df = _df(spark)
+    rep = V.validate(df, [V.not_null("v"), V.unique("id"), V.in_range("v", 0, 50)])
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("LocalTableScan") + plan.count("Scan ExistingRDD") <= 1
+
+
+def test_expect_raises_and_chains(spark):
+    df = _df(spark)
+    with pytest.raises(ValueError, match="not_null on v"):
+        V.expect(df, [V.not_null("v")])
+    # passing rules return the frame unchanged
+    out = V.expect(df, [V.max_null_frac("v", 0.9)])
+    assert out.count() == 4
+
+
+def test_empty_rules_rejected(spark):
+    with pytest.raises(ValueError):
+        V.validate(_df(spark), [])

@@ -20,7 +20,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["Rule", "not_null", "unique", "in_range", "in_set", "matches",
-           "max_null_frac", "validate", "expect"]
+           "max_null_frac", "validate", "expect", "profile"]
 
 
 @dataclass(frozen=True)
@@ -130,3 +130,39 @@ def expect(df: DataFrame, rules: list[Rule]) -> DataFrame:
         )
         raise ValueError(f"validation failed: {lines}")
     return df
+
+
+def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """One-pass column profile — the dataset-card summary curation runs
+    publish: per column (dtype, n_null, n_distinct, min, max), all
+    from a single aggregate job (min/max surfaced as strings so one
+    report schema covers every column type).
+
+    Exact ``countDistinct`` keeps the report oracle-reproducible; at
+    100 TB swap in the HLL sketches (``operators/sketches.py``) when a
+    ±2 % estimate is acceptable — same plan shape, sketch-sized state.
+    """
+    cols = columns if columns is not None else df.columns
+    if not cols:
+        raise ValueError("no columns to profile")
+    dtypes = dict(df.dtypes)
+    aggs = [F.count(F.lit(1)).alias("_total")]
+    for i, c in enumerate(cols):
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"_n{i}"))
+        aggs.append(F.countDistinct(c).alias(f"_d{i}"))
+        aggs.append(F.min(c).cast("string").alias(f"_lo{i}"))
+        aggs.append(F.max(c).cast("string").alias(f"_hi{i}"))
+    row = df.agg(*aggs)
+    entries = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.lit(dtypes[c]).alias("dtype"),
+            F.col("_total").alias("n_rows"),
+            F.col(f"_n{i}").alias("n_null"),
+            F.col(f"_d{i}").alias("n_distinct"),
+            F.col(f"_lo{i}").alias("min_value"),
+            F.col(f"_hi{i}").alias("max_value"),
+        )
+        for i, c in enumerate(cols)
+    ]
+    return row.select(F.inline(F.array(*entries)))

@@ -1946,6 +1946,44 @@ SELECT * FROM (
 """
 
 
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card column profile (validation.profile): per-column
+    dtype / null count / exact distinct / min / max, the whole report
+    one aggregate job; min/max surfaced as strings so one schema covers
+    all column types."""
+    from physicsnemo_curator_spark.operators import validation as V
+
+    li = _t(spark, sf_dir, "lineitem")
+    return V.profile(
+        li, ["l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"]
+    ).orderBy("column")
+
+
+ORACLE_PROFILE = """
+WITH t AS (SELECT CAST(COUNT(*) AS BIGINT) total,
+  CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) n0,
+  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) d0,
+  CAST(MIN(l_orderkey) AS VARCHAR) lo0, CAST(MAX(l_orderkey) AS VARCHAR) hi0,
+  CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) n1,
+  CAST(COUNT(DISTINCT l_quantity) AS BIGINT) d1,
+  CAST(MIN(l_quantity) AS VARCHAR) lo1, CAST(MAX(l_quantity) AS VARCHAR) hi1,
+  CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) n2,
+  CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) d2,
+  CAST(MIN(l_returnflag) AS VARCHAR) lo2, CAST(MAX(l_returnflag) AS VARCHAR) hi2,
+  CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) n3,
+  CAST(COUNT(DISTINCT l_shipdate) AS BIGINT) d3,
+  CAST(MIN(l_shipdate) AS VARCHAR) lo3, CAST(MAX(l_shipdate) AS VARCHAR) hi3
+  FROM lineitem)
+SELECT * FROM (
+  SELECT 'l_orderkey' AS "column", 'bigint' AS dtype, total AS n_rows,
+         n0 AS n_null, d0 AS n_distinct, lo0 AS min_value, hi0 AS max_value FROM t
+  UNION ALL SELECT 'l_quantity', 'double', total, n1, d1, lo1, hi1 FROM t
+  UNION ALL SELECT 'l_returnflag', 'string', total, n2, d2, lo2, hi2 FROM t
+  UNION ALL SELECT 'l_shipdate', 'timestamp', total, n3, d3, lo3, hi3 FROM t
+) ORDER BY "column"
+"""
+
+
 def q_text_tfidf_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse TF-IDF document cosine ≥ 0.95 (north-star similarity on
     text): token-keyed sparse dot product, no dense vectors, no pair
@@ -2436,11 +2474,11 @@ QUERIES: dict[str, QuerySpec] = {
     "q_a1_moment_stats": QuerySpec(q_a1_moment_stats, ORACLE_A1),
     "q_a2_elementwise_stats": QuerySpec(q_a2_elementwise_stats, ORACLE_A2),
     "q_a3_pivot_counts": QuerySpec(q_a3_pivot_counts, ORACLE_A3),
-    "q_a4_conditional_counts": QuerySpec(q_a4_conditional_counts, ORACLE_A4),
     "q_a8_welford_state": QuerySpec(q_a8_welford_state, ORACLE_A8),
     "q_a11_heavy_hitters": QuerySpec(q_a11_heavy_hitters, ORACLE_A11),
     "q_sketch_distinct": QuerySpec(q_sketch_distinct, ORACLE_SKETCH_DISTINCT),
     "q_validate_expectations": QuerySpec(q_validate_expectations, ORACLE_VALIDATE),
+    "q_profile_columns": QuerySpec(q_profile_columns, ORACLE_PROFILE),
     "q_j1_broadcast_join": QuerySpec(q_j1_broadcast_join, ORACLE_J1),
     "q_j2_point_to_cell": QuerySpec(q_j2_point_to_cell, ORACLE_J2),
     "q_j3_scatter_mean": QuerySpec(q_j3_scatter_mean, ORACLE_J3),
@@ -2530,6 +2568,7 @@ QUERIES: dict[str, QuerySpec] = {
     # ---- tail: primitive-class duplicates (position > 50; the
     # driver hash-checks the first 50, tests/test_oracle.py
     # hash-checks ALL of them locally every run) ----
+    "q_a4_conditional_counts": QuerySpec(q_a4_conditional_counts, ORACLE_A4),
     "q_m2_validity_counts": QuerySpec(q_m2_validity_counts, ORACLE_M2),
     "q_w2_prefix_sum": QuerySpec(q_w2_prefix_sum, ORACLE_W2),
     "q_st2_sliding_stats": QuerySpec(q_st2_sliding_stats, ORACLE_ST2),

@@ -60,3 +60,15 @@ def test_expect_raises_and_chains(spark):
 def test_empty_rules_rejected(spark):
     with pytest.raises(ValueError):
         V.validate(_df(spark), [])
+
+
+def test_profile_report(spark):
+    df = _df(spark)
+    rep = {r["column"]: r for r in V.profile(df, ["id", "v", "cat"]).collect()}
+    assert rep["id"]["n_distinct"] == 3 and rep["id"]["n_null"] == 0
+    assert rep["v"]["n_null"] == 1
+    assert rep["v"]["min_value"] == "10.0" and rep["v"]["max_value"] == "99.0"
+    assert rep["cat"]["dtype"] == "string" and rep["cat"]["n_distinct"] == 3
+    assert all(r["n_rows"] == 4 for r in rep.values())
+    plan = V.profile(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("LocalTableScan") + plan.count("Scan ExistingRDD") <= 1

@@ -1946,7 +1946,9 @@ SELECT * FROM (
 """
 
 
-def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_profile_columns(
+    spark: SparkSession, sf_dir: str, distinct: str = "exact"
+) -> DataFrame:
     """Dataset-card column profile (validation.profile): per-column
     dtype / null count / exact distinct / min / max, the whole report
     one aggregate job; min/max surfaced as strings so one schema covers
@@ -1955,7 +1957,9 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem")
     return V.profile(
-        li, ["l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"]
+        li,
+        ["l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"],
+        distinct=distinct,
     ).orderBy("column")
 
 
@@ -2478,7 +2482,11 @@ QUERIES: dict[str, QuerySpec] = {
     "q_a11_heavy_hitters": QuerySpec(q_a11_heavy_hitters, ORACLE_A11),
     "q_sketch_distinct": QuerySpec(q_sketch_distinct, ORACLE_SKETCH_DISTINCT),
     "q_validate_expectations": QuerySpec(q_validate_expectations, ORACLE_VALIDATE),
-    "q_profile_columns": QuerySpec(q_profile_columns, ORACLE_PROFILE),
+    "q_profile_columns": QuerySpec(
+        q_profile_columns,
+        ORACLE_PROFILE,
+        bench=lambda s, d: q_profile_columns(s, d, distinct="approx"),
+    ),
     "q_j1_broadcast_join": QuerySpec(q_j1_broadcast_join, ORACLE_J1),
     "q_j2_point_to_cell": QuerySpec(q_j2_point_to_cell, ORACLE_J2),
     "q_j3_scatter_mean": QuerySpec(q_j3_scatter_mean, ORACLE_J3),

@@ -153,3 +153,24 @@ def _pack_sequences(df: DataFrame, *, budget: int, **kw: Any) -> DataFrame:
     from physicsnemo_curator_spark.operators.packing import pack_sequences
 
     return pack_sequences(df, budget=budget, **kw)
+
+
+@register_transform("validate")
+def _validate(df: DataFrame, *, rules: list) -> DataFrame:
+    """Rules as YAML-friendly dicts: {kind, column, params?}."""
+    from physicsnemo_curator_spark.operators import validation as V
+
+    rs = [
+        V.Rule(r["kind"], r["column"], tuple(r.get("params", ())))
+        for r in rules
+    ]
+    return V.validate(df, rs)
+
+
+@register_transform("profile")
+def _profile(
+    df: DataFrame, *, columns: list | None = None, distinct: str = "approx"
+) -> DataFrame:
+    from physicsnemo_curator_spark.operators import validation as V
+
+    return V.profile(df, columns, distinct=distinct)

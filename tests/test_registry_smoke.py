@@ -85,6 +85,14 @@ CASES = {
         lambda s, d: s.createDataFrame([(1, 2), (2, 3)], "a long, b long"),
         {},
     ),
+    "validate": (
+        _docs,
+        {"rules": [
+            {"kind": "not_null", "column": "doc_id"},
+            {"kind": "in_range", "column": "n_chars", "params": [0, 10**9]},
+        ]},
+    ),
+    "profile": (_docs, {"columns": ["doc_id", "lang"]}),
     "pack_sequences": (
         lambda s, d: _docs(s, d).selectExpr(
             "doc_id", "n_chars / 5 AS n_tokens"

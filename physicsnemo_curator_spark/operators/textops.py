@@ -555,3 +555,44 @@ def tokenize_to_ids(
             lambda s: s["tid"],
         ).alias("ids"),
     )
+
+
+def contamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    word n-gram with an evaluation set — the standard leakage check
+    before pre-training (13-gram overlap is the common convention).
+    Output: (id, n_hits, n_grams, hit_frac) for CONTAMINATED docs only
+    (n_hits ≥ 1); clean docs are absent (an anti-join keeps them).
+
+    Plan: both sides shingle (distinct n-grams), join on the shingle
+    key — the benchmark side is tiny next to the corpus and is
+    broadcast, so the corpus stream is scanned once with no shuffle of
+    corpus shingles; per-doc totals come from one doc-keyed aggregate.
+    """
+    from physicsnemo_curator_spark.operators.dedup import shingle_table
+
+    c_sh = shingle_table(corpus, text_col, id_col, n, unit="word")
+    b_sh = (
+        shingle_table(benchmark, text_col, id_col, n, unit="word")
+        .select("shingle")
+        .distinct()
+    )
+    sizes = c_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        c_sh.join(F.broadcast(b_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return hits.join(sizes, id_col).select(
+        F.col(id_col),
+        "n_hits",
+        "n_grams",
+        (F.col("n_hits") / F.col("n_grams")).alias("hit_frac"),
+    )

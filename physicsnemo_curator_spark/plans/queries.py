@@ -1988,6 +1988,41 @@ SELECT * FROM (
 """
 
 
+def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (textops.contamination_report): the
+    doc_id%10==0 slice of ``documents`` plays the evaluation set, the
+    rest is corpus; any shared word 5-gram flags leakage.  Benchmark
+    shingles broadcast; corpus shingles never shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    out = textops.contamination_report(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+        n=5,
+    )
+    return out.select(
+        "doc_id", "n_hits", "n_grams", _r6(F.col("hit_frac"), "hit_frac")
+    ).orderBy("doc_id")
+
+
+ORACLE_DECONTAMINATE = """
+WITH norm AS (SELECT doc_id,
+                     string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') toks
+              FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+4], ' ') s
+       FROM (SELECT doc_id, toks, unnest(range(1, greatest(len(toks) - 4, 0) + 1)) i
+             FROM norm)),
+csh AS (SELECT * FROM sh WHERE doc_id % 10 != 0),
+bsh AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 0),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) n_grams FROM csh GROUP BY 1),
+hits AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) n_hits
+         FROM csh JOIN bsh USING (s) GROUP BY 1)
+SELECT h.doc_id, n_hits, n_grams,
+       ROUND(n_hits * 1.0 / n_grams, 6) AS hit_frac
+FROM hits h JOIN sizes USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def q_text_tfidf_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse TF-IDF document cosine ≥ 0.95 (north-star similarity on
     text): token-keyed sparse dot product, no dense vectors, no pair
@@ -2492,7 +2527,6 @@ QUERIES: dict[str, QuerySpec] = {
     "q_j3_scatter_mean": QuerySpec(q_j3_scatter_mean, ORACLE_J3),
     "q_j4_range_join": QuerySpec(q_j4_range_join, ORACLE_J4),
     "q_j5_semi_join": QuerySpec(q_j5_semi_join, ORACLE_J5),
-    "q_j6_anti_join": QuerySpec(q_j6_anti_join, ORACLE_J6),
     "q_s3_edge_dedup": QuerySpec(q_s3_edge_dedup, ORACLE_S3),
     "q_m1_von_mises": QuerySpec(q_m1_von_mises, ORACLE_M1),
     "q_scan_pushdown": QuerySpec(q_scan_pushdown, ORACLE_SCAN),
@@ -2534,6 +2568,7 @@ QUERIES: dict[str, QuerySpec] = {
         bench=lambda s, d: q_text_repetition(s, d, hash_fn="xxhash64"),
     ),
     "q_text_logprob": QuerySpec(q_text_logprob, ORACLE_TEXT_LOGPROB),
+    "q_text_decontaminate": QuerySpec(q_text_decontaminate, ORACLE_DECONTAMINATE),
     "q_emb_outliers": QuerySpec(q_emb_outliers, ORACLE_EMB_OUTLIERS),
     "q_text_features": QuerySpec(q_text_features, ORACLE_TEXT_FEATURES),
     "q_text_winnow": QuerySpec(
@@ -2576,6 +2611,7 @@ QUERIES: dict[str, QuerySpec] = {
     # ---- tail: primitive-class duplicates (position > 50; the
     # driver hash-checks the first 50, tests/test_oracle.py
     # hash-checks ALL of them locally every run) ----
+    "q_j6_anti_join": QuerySpec(q_j6_anti_join, ORACLE_J6),
     "q_a4_conditional_counts": QuerySpec(q_a4_conditional_counts, ORACLE_A4),
     "q_m2_validity_counts": QuerySpec(q_m2_validity_counts, ORACLE_M2),
     "q_w2_prefix_sum": QuerySpec(q_w2_prefix_sum, ORACLE_W2),

@@ -51,7 +51,7 @@ def main() -> None:
         n_in = batch.count()
 
         if not os.path.isdir(mh_store):
-            dedup.write_minhash_store(batch, mh_store)
+            dedup.write_minhash_store(batch, mh_store, batch_id=f"b{b}")
             survivors = batch
             n_dropped = 0
         else:
@@ -63,7 +63,9 @@ def main() -> None:
             losers = pairs.select(F.col("b").alias("doc_id")).distinct()
             survivors = batch.join(losers, "doc_id", "left_anti")
             n_dropped = n_in - survivors.count()
-            dedup.write_minhash_store(survivors, mh_store, mode="append")
+            dedup.write_minhash_store(
+                survivors, mh_store, mode="append", batch_id=f"b{b}"
+            )
 
         sketches.append_sketch_store(
             survivors, hll_store, ["lang"], "doc_id", batch_id=f"b{b}"

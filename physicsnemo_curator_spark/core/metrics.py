@@ -127,10 +127,23 @@ class MetricsStore:
 
     # -- dashboard SQL frames (reference dashboard/data.py:34-332) ---------
 
-    def _frame(self, spark: SparkSession, path: str, view: str) -> bool:
+    def _frame(
+        self,
+        spark: SparkSession,
+        path: str,
+        view: str,
+        run_id: str | None = None,
+    ) -> bool:
         if not os.path.exists(path):
             return False
-        spark.read.parquet(path).createOrReplaceTempView(view)
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(path)
+        if run_id is not None:
+            # DataFrame-side equality — run_id is caller-supplied text
+            # and must never be spliced into SQL
+            df = df.filter(F.col("run_id") == run_id)
+        df.createOrReplaceTempView(view)
         return True
 
     def index_df(self, spark: SparkSession, run_id: str | None = None) -> DataFrame:
@@ -139,11 +152,10 @@ class MetricsStore:
         ``DashboardStore.index_df``, dashboard/data.py:88-135; a failed
         index appears with its error, exactly one row per idx via
         latest-record-wins)."""
-        if not self._frame(spark, self.index_path, "pcs_index_results"):
+        if not self._frame(spark, self.index_path, "pcs_index_results", run_id):
             return spark.createDataFrame([], INDEX_SCHEMA).select(
                 "idx", "status", "wall_time_s", "peak_memory_mb", "error"
             )
-        where = f"WHERE run_id = '{run_id}'" if run_id else ""
         return spark.sql(
             f"""
             SELECT idx, status, wall_time_s, peak_memory_mb, error
@@ -151,7 +163,7 @@ class MetricsStore:
               SELECT *, ROW_NUMBER() OVER (
                 PARTITION BY idx ORDER BY finished_at_epoch DESC
               ) AS _rn
-              FROM pcs_index_results {where}
+              FROM pcs_index_results
             ) WHERE _rn = 1
             ORDER BY idx
             """
@@ -161,15 +173,14 @@ class MetricsStore:
         """Per-stage frame — ``idx, stage_name, stage_order,
         wall_time_s`` (reference ``DashboardStore.stage_df``,
         dashboard/data.py:140-167)."""
-        if not self._frame(spark, self.stage_path, "pcs_stage_results"):
+        if not self._frame(spark, self.stage_path, "pcs_stage_results", run_id):
             return spark.createDataFrame([], STAGE_SCHEMA).select(
                 "idx", "stage_name", "stage_order", "wall_time_s"
             )
-        where = f"WHERE run_id = '{run_id}'" if run_id else ""
         return spark.sql(
             f"""
             SELECT idx, stage_name, stage_order, wall_time_s
-            FROM pcs_stage_results {where}
+            FROM pcs_stage_results
             ORDER BY idx, stage_order
             """
         )
@@ -181,13 +192,12 @@ class MetricsStore:
         completed/failed computed from actual index results exactly as
         the reference does; pid/hostname are process-pool concepts Spark
         replaces with executor IDs)."""
-        if not self._frame(spark, self.index_path, "pcs_index_results"):
+        if not self._frame(spark, self.index_path, "pcs_index_results", run_id):
             return spark.createDataFrame(
                 [],
                 "worker_id string, completed long, failed long, "
                 "last_heartbeat_epoch long, current_idx long",
             )
-        where = f"WHERE run_id = '{run_id}'" if run_id else ""
         return spark.sql(
             f"""
             SELECT worker_id,
@@ -197,7 +207,7 @@ class MetricsStore:
                      AS failed,
                    MAX(finished_at_epoch) AS last_heartbeat_epoch,
                    MAX_BY(idx, finished_at_epoch) AS current_idx
-            FROM pcs_index_results {where}
+            FROM pcs_index_results
             GROUP BY worker_id
             ORDER BY worker_id
             """

@@ -630,20 +630,36 @@ def write_minhash_store(
     seed: int = 42,
     hash_fn: str = "xxhash64",
     mode: str = "overwrite",
+    batch_id: str = "seed",
 ) -> None:
     """Sign ``docs`` and persist the (signatures, bands) store.
 
-    ``mode='append'`` is the per-batch update path: after a batch is
-    ingested, append its signatures/bands so the next batch sees it as
-    corpus.  Band rows are repartitioned on (band, bucket) so the
-    store's file layout co-locates each bucket — the probe join then
-    touches only matching buckets' row groups."""
+    The store is uniformly partitioned by ``_batch``: every write —
+    the seed build and each ``mode='append'`` batch update — lands in
+    its own ``_batch=<id>`` partition with dynamic-partition overwrite,
+    so RE-RUNNING a batch replaces its own rows instead of
+    double-appending (idempotent ingestion).  Band rows are
+    repartitioned on (band, bucket) so each bucket's rows co-locate —
+    the probe join touches only matching buckets' row groups."""
     sh = shingle_table(docs, text_col, id_col, shingle_k, unit="word")
     sigs = minhash_signatures(sh, num_hashes, seed, hash_fn=hash_fn)
-    sigs.write.mode(mode).parquet(os.path.join(store, "signatures"))
+    tag = F.lit(batch_id)
+    wmode = "overwrite"
+    (
+        sigs.withColumn("_batch", tag)
+        .write.mode(wmode)
+        .option("partitionOverwriteMode", "dynamic" if mode == "append" else "static")
+        .partitionBy("_batch")
+        .parquet(os.path.join(store, "signatures"))
+    )
     bt = band_table(sigs, num_hashes, bands, hash_fn=hash_fn)
-    bt.repartition("band", "bucket").write.mode(mode).parquet(
-        os.path.join(store, "bands")
+    (
+        bt.withColumn("_batch", tag)
+        .repartition("band", "bucket")
+        .write.mode(wmode)
+        .option("partitionOverwriteMode", "dynamic" if mode == "append" else "static")
+        .partitionBy("_batch")
+        .parquet(os.path.join(store, "bands"))
     )
 
 
@@ -690,6 +706,7 @@ def incremental_near_duplicates(
     seed: int = 42,
     hash_fn: str = "xxhash64",
     update_store: bool = False,
+    batch_id: str | None = None,
 ) -> DataFrame:
     """Near-dup pairs for a NEW batch against a persisted corpus store
     plus within the batch itself.
@@ -706,15 +723,23 @@ def incremental_near_duplicates(
     bucket-partitioned store (touching only matching buckets), then one
     signature join per matched pair.  Nothing scans the corpus text.
 
-    ``update_store=True`` appends the batch's signatures/bands after
-    computing pairs, making the call idempotent-per-batch ingestion.
+    ``update_store=True`` (requires ``batch_id``) writes the batch's
+    signatures/bands after computing pairs, into the batch's own
+    ``_batch=<id>`` partition with dynamic-partition overwrite — a
+    driver retry replaces its own rows instead of double-appending
+    (duplicated signatures would emit duplicated corpus-pair rows on
+    every later probe), so per-batch ingestion is idempotent.
     """
     sh = shingle_table(new_docs, text_col, id_col, shingle_k, unit="word").persist()
     sigs = minhash_signatures(sh, num_hashes, seed, hash_fn=hash_fn).persist()
     new_bands = band_table(sigs, num_hashes, bands, hash_fn=hash_fn)
 
-    corpus_sigs = spark.read.parquet(os.path.join(store, "signatures"))
-    corpus_bands = spark.read.parquet(os.path.join(store, "bands"))
+    corpus_sigs = spark.read.parquet(
+        os.path.join(store, "signatures")
+    ).drop("_batch")
+    corpus_bands = spark.read.parquet(
+        os.path.join(store, "bands")
+    ).drop("_batch")
 
     # new vs corpus: bucket-equality probe → distinct id pairs →
     # estimate.  The batch's band rows are K/bands × batch docs — tiny
@@ -747,11 +772,28 @@ def incremental_near_duplicates(
         .filter(F.col("jaccard") >= F.lit(threshold))
         .select("a", "b", "jaccard", F.lit("batch").alias("scope"))
     )
-    out = vs_corpus.unionByName(vs_batch)
+    # materialize the result, then release the per-batch caches — a
+    # steady-state ingest loop would otherwise pin two cached datasets
+    # per call for the session's lifetime
+    out = vs_corpus.unionByName(vs_batch).localCheckpoint(eager=True)
     if update_store:
-        out = out.localCheckpoint(eager=True)  # compute before mutating
-        sigs.write.mode("append").parquet(os.path.join(store, "signatures"))
-        new_bands.repartition("band", "bucket").write.mode("append").parquet(
-            os.path.join(store, "bands")
-        )
+        if batch_id is None:
+            raise ValueError(
+                "update_store=True requires batch_id — the store is "
+                "partitioned by batch so retries replace their own rows"
+            )
+        tag = F.lit(batch_id)
+        for name, frame in (
+            ("signatures", sigs),
+            ("bands", new_bands.repartition("band", "bucket")),
+        ):
+            (
+                frame.withColumn("_batch", tag)
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch")
+                .parquet(os.path.join(store, name))
+            )
+    sigs.unpersist()
+    sh.unpersist()
     return out

@@ -27,9 +27,13 @@ from pyspark.sql import functions as F
 
 __all__ = ["pack_sequences"]
 
-_OUT_SCHEMA = (
-    "doc_id long, n_tokens long, bucket int, pack_index long, pack_fill long"
-)
+def _out_schema(id_type: str) -> str:
+    # id keeps its source type — casting (e.g. a UUID string) to long
+    # would null every id and break the deterministic tiebreak
+    return (
+        f"doc_id {id_type}, n_tokens long, bucket int, "
+        "pack_index long, pack_fill long"
+    )
 
 
 def pack_sequences(
@@ -62,8 +66,9 @@ def pack_sequences(
         n = total_docs if total_docs is not None else docs.count()
         n_buckets = max(1, n // docs_per_bucket)
 
+    id_type = dict(docs.dtypes)[id_col]
     keyed = docs.select(
-        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(id_col).alias("doc_id"),
         F.col(tokens_col).cast("long").alias("n_tokens"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets))
         .cast("int")
@@ -103,4 +108,4 @@ def pack_sequences(
         )
         return pdf[["doc_id", "n_tokens", "bucket", "pack_index", "pack_fill"]]
 
-    return keyed.groupBy("bucket").applyInPandas(_pack, _OUT_SCHEMA)
+    return keyed.groupBy("bucket").applyInPandas(_pack, _out_schema(id_type))

@@ -578,20 +578,21 @@ def contamination_report(
     """
     from physicsnemo_curator_spark.operators.dedup import shingle_table
 
+    # shingle_table normalizes the id column name to "doc_id"
     c_sh = shingle_table(corpus, text_col, id_col, n, unit="word")
     b_sh = (
         shingle_table(benchmark, text_col, id_col, n, unit="word")
         .select("shingle")
         .distinct()
     )
-    sizes = c_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    sizes = c_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     hits = (
         c_sh.join(F.broadcast(b_sh), "shingle")
-        .groupBy(id_col)
+        .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
-    return hits.join(sizes, id_col).select(
-        F.col(id_col),
+    return hits.join(sizes, "doc_id").select(
+        F.col("doc_id").alias(id_col),
         "n_hits",
         "n_grams",
         (F.col("n_hits") / F.col("n_grams")).alias("hit_frac"),

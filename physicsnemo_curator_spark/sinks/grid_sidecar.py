@@ -114,6 +114,13 @@ def read_grid_sidecar(
     (O(grids) — each sidecar is a whole output unit, the same driver
     budget as the reference's per-index naming); field decode runs one
     task per sidecar via ``mapInPandas``.
+
+    NaN is RESERVED as the missing-point sentinel: the writer pre-fills
+    each field plane with NaN and this scan emits only non-NaN cells,
+    so a source row whose ``value`` is literally NaN does not survive
+    the round-trip.  Encode such data with an explicit validity field
+    (a second ``<field>_mask`` plane) instead of NaN payloads — the
+    same convention the dense tensor formats this mirrors assume.
     """
     paths = []
     for root, dirs, _files in os.walk(output_dir):

@@ -783,6 +783,11 @@ def write_grid_zarr_v3(
     times, lats, lons, variables, coord_vecs = _collect_grid_coords(
         grid, var_col, time_col, lat_col, lon_col
     )
+    if not times:
+        # empty input: match the v2 twin — write an empty group, no
+        # arrays (createDataFrame on the empty time map would throw)
+        init_group_v3(store)
+        return {}
     t_idx = {t: i for i, t in enumerate(times)}
     la_idx = {v: i for i, v in enumerate(lats)}
     lo_idx = {v: i for i, v in enumerate(lons)}

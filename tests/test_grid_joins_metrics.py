@@ -160,3 +160,17 @@ def test_dashboard_sql_frames(spark, tmp_path):
         "idx", "status", "wall_time_s", "peak_memory_mb", "error"
     ]
     assert empty.workers_df(spark).count() == 0
+
+
+def test_metrics_run_id_is_not_spliced_into_sql(spark, tmp_path):
+    """A quote-bearing run_id must filter safely (no ParseException, no
+    cross-run leakage)."""
+    from physicsnemo_curator_spark.core.metrics import MetricsStore
+
+    ms = MetricsStore(str(tmp_path / "m"))
+    ms.record_index_results(spark, "run'a", [{"idx": 0, "worker_id": "w1"}])
+    ms.record_index_results(spark, "other", [{"idx": 1, "worker_id": "w2"}])
+    got = ms.index_df(spark, run_id="run'a").collect()
+    assert [r.idx for r in got] == [0]
+    # an injection-shaped id matches nothing instead of everything
+    assert ms.index_df(spark, run_id="x' OR '1'='1").count() == 0

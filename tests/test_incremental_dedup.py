@@ -69,10 +69,21 @@ def test_incremental_update_store_appends(spark, tmp_path):
     dedup.write_minhash_store(corpus, store)
 
     b1 = _mk_docs(spark, [(200, _sentence(60))])
+    import pytest
+
+    with pytest.raises(ValueError, match="batch_id"):
+        dedup.incremental_near_duplicates(
+            spark, b1, store, threshold=0.7, update_store=True
+        )
     out1 = dedup.incremental_near_duplicates(
-        spark, b1, store, threshold=0.7, update_store=True
+        spark, b1, store, threshold=0.7, update_store=True, batch_id="b1"
     )
     assert out1.count() == 0  # fresh doc, no pairs
+
+    # retrying the same batch must NOT double-append (idempotent)
+    dedup.incremental_near_duplicates(
+        spark, b1, store, threshold=0.7, update_store=True, batch_id="b1"
+    )
 
     # a later batch duplicating doc 200 must now match it as corpus
     b2 = _mk_docs(spark, [(300, _sentence(60))])

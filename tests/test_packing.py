@@ -74,3 +74,12 @@ def test_deterministic_under_repartition(spark):
 def test_budget_validation(spark):
     with pytest.raises(ValueError):
         pack_sequences(_docs(spark, 10), budget=0)
+
+
+def test_string_ids_preserved(spark):
+    df = spark.createDataFrame(
+        [("u-1", 100), ("u-2", 200), ("u-3", 50)],
+        "doc_id string, n_tokens long",
+    )
+    out = {r.doc_id for r in pack_sequences(df, budget=512, n_buckets=1).collect()}
+    assert out == {"u-1", "u-2", "u-3"}

@@ -200,3 +200,19 @@ def test_write_mesh_zarr_task_side_init_10k_meshes(spark, tmp_path):
     assert arr.shape == (NT, NPTS, 3)
     assert abs(arr[1, 3, 0] - (1234 * 0.1 + 0.5)) < 1e-12
     assert abs(arr[1, 3, 1] - 3.0) < 1e-12
+
+
+def test_write_grid_zarr_v3_empty_input(spark, tmp_path):
+    """Empty grid -> empty group, no crash (parity with the v2 twin)."""
+    from physicsnemo_curator_spark.sinks.zarr_store import write_grid_zarr_v3
+
+    empty = spark.createDataFrame(
+        [],
+        "variable string, time_idx long, lat double, lon double, value double",
+    )
+    store = str(tmp_path / "v3_empty")
+    out = write_grid_zarr_v3(empty, store, time_col="time_idx")
+    assert out == {}
+    import os
+
+    assert os.path.exists(os.path.join(store, "zarr.json"))

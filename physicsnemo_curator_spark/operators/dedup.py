@@ -707,6 +707,7 @@ def incremental_near_duplicates(
     hash_fn: str = "xxhash64",
     update_store: bool = False,
     batch_id: str | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-dup pairs for a NEW batch against a persisted corpus store
     plus within the batch itself.
@@ -772,10 +773,20 @@ def incremental_near_duplicates(
         .filter(F.col("jaccard") >= F.lit(threshold))
         .select("a", "b", "jaccard", F.lit("batch").alias("scope"))
     )
+    if update_store and not materialize:
+        raise ValueError(
+            "update_store=True requires materialize=True — pairs must "
+            "compute before the store they read from is mutated"
+        )
+    out = vs_corpus.unionByName(vs_batch)
+    if not materialize:
+        # caller wants the lazy plan (e.g. to inspect or extend it);
+        # the per-batch caches stay theirs to release
+        return out
     # materialize the result, then release the per-batch caches — a
     # steady-state ingest loop would otherwise pin two cached datasets
     # per call for the session's lifetime
-    out = vs_corpus.unionByName(vs_batch).localCheckpoint(eager=True)
+    out = out.localCheckpoint(eager=True)
     if update_store:
         if batch_id is None:
             raise ValueError(

@@ -154,7 +154,7 @@ def test_incremental_probe_broadcasts_batch_side(spark, sf_dir, tmp_path):
     store = str(tmp_path / "mh")
     dedup.write_minhash_store(docs.filter(F.col("doc_id") % 2 == 0), store)
     out = dedup.incremental_near_duplicates(
-        spark, docs.filter(F.col("doc_id") % 2 == 1), store
+        spark, docs.filter(F.col("doc_id") % 2 == 1), store, materialize=False
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan

@@ -85,12 +85,23 @@ def main() -> None:
     # used for targeted scale soaks (e.g. the dedup/ANN family at sf10).
     only = os.environ.get("SPARK_GRAFT_QUERIES")
     only_set = set(only.split(",")) if only else None
+    # SPARK_GRAFT_CLEARCACHE=1 drops all cached data between queries:
+    # at larger scale factors the suite otherwise ACCUMULATES persisted
+    # datasets (shared shingle caches, candidate sets) across 70+
+    # queries, and storage-eviction churn inflates late-position
+    # queries several-fold (sf1: q_emb_outliers 36 s in-suite vs 2.3 s
+    # isolated).  Off by default — at sf0.1 the accumulation is noise
+    # and cache reuse across the dedup family is part of the measured
+    # design.
+    clear_cache = os.environ.get("SPARK_GRAFT_CLEARCACHE") == "1"
     # spec.bench (when set) is the production-path twin of an
     # oracle-reproducible declared query — see QuerySpec.bench.
     for name, spec in QUERIES.items():
         if only_set is not None and name not in only_set:
             continue
         fn = spec.bench or spec.spark
+        if clear_cache:
+            spark.catalog.clearCache()
         t0 = time.perf_counter()
         try:
             fn(spark, sf_dir).collect()

@@ -1550,6 +1550,118 @@ ORDER BY doc_id, frame_index LIMIT 400
 """
 
 
+def q_grib2_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRIB2 source gate (sources/grib2.py, the pure-Python codec for
+    the reference's GFS/HRRR products — reference ``domains/da/sources/
+    gfs.py:83``): encodes a deterministic two-variable, two-timestamp
+    lattice with complex packing + 2nd-order spatial differencing (the
+    layout NCEP ships), scans it back task-per-file through
+    ``read_grib2`` with an in-task lexicon filter (a third, non-lexicon
+    message in the same file must be dropped), and aggregates per
+    (variable, time).  Values are exact binary fractions (k/4) on an
+    integer-degree grid, so the DuckDB oracle replays the whole lattice
+    arithmetic bit-for-bit without ever seeing a GRIB byte."""
+    import hashlib
+    import tempfile
+    from datetime import datetime
+
+    import numpy as np
+
+    from physicsnemo_curator_spark.sources.grib2 import (
+        read_grib2,
+        write_grib2,
+    )
+
+    ni, nj = 36, 19
+    times = [datetime(2024, 1, 1, 0), datetime(2024, 1, 1, 6)]
+    grid = dict(
+        type="latlon",
+        ni=ni,
+        nj=nj,
+        lat1=90.0,
+        lon1=0.0,
+        lat2=-90.0,
+        lon2=350.0,
+        di=10.0,
+        dj=10.0,
+        scan=0,
+    )
+    jj, ii = np.meshgrid(np.arange(nj), np.arange(ni), indexing="ij")
+
+    def _vals(tidx: int, vidx: int) -> np.ndarray:
+        return ((31 * jj + 7 * ii + 13 * tidx + 3 * vidx) % 400) / 4.0
+
+    token = hashlib.md5(f"grib2:{sf_dir}".encode()).hexdigest()[:12]
+    path = os.path.join(
+        tempfile.gettempdir(), f"pcs_grib2_{token}_{os.getpid()}.grib2"
+    )
+    if not os.path.exists(path):
+        msgs = []
+        for tidx, t in enumerate(times):
+            for vidx, (cat, num, lt, lv) in enumerate(
+                [(0, 0, 103, 2), (2, 2, 103, 10)]  # t2m, u10m
+            ):
+                msgs.append(
+                    dict(
+                        time=t,
+                        discipline=0,
+                        category=cat,
+                        number=num,
+                        level_type=lt,
+                        level=lv,
+                        grid=grid,
+                        values=_vals(tidx, vidx),
+                        decimals=2,
+                        packing="complex_diff",
+                        order=2,
+                    )
+                )
+            # non-lexicon message: must be filtered inside the task
+            msgs.append(
+                dict(
+                    time=t,
+                    discipline=2,
+                    category=0,
+                    number=192,
+                    level_type=106,
+                    level=10,
+                    grid=grid,
+                    values=_vals(tidx, 2),
+                )
+            )
+        write_grib2(path, msgs)
+    df = read_grib2(spark, [path], variables=["t2m", "u10m"])
+    return (
+        df.groupBy("variable", "time")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.sum("value").alias("sum_val"),
+            F.sum(F.col("lat") * F.col("value")).alias("lat_wsum"),
+            F.sum(F.col("lon") * F.col("value")).alias("lon_wsum"),
+        )
+        .orderBy("variable", "time")
+    )
+
+
+ORACLE_GRIB2 = """
+WITH lattice AS (
+  SELECT v.variable, v.vidx, t.epoch, t.tidx, j.j, i.i,
+         ((31 * j.j + 7 * i.i + 13 * t.tidx + 3 * v.vidx) % 400) / 4.0 AS val
+  FROM (VALUES ('t2m', 0), ('u10m', 1)) v(variable, vidx)
+  CROSS JOIN (VALUES (1704067200.0, 0), (1704088800.0, 1)) t(epoch, tidx)
+  CROSS JOIN range(19) j(j)
+  CROSS JOIN range(36) i(i)
+)
+SELECT variable, CAST(epoch AS DOUBLE) AS time,
+       COUNT(*) AS n_points, SUM(val) AS sum_val,
+       SUM((90.0 - 10.0 * j) * val) AS lat_wsum,
+       SUM(10.0 * i * val) AS lon_wsum
+FROM lattice
+GROUP BY variable, epoch
+ORDER BY variable, time
+"""
+
+
 def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunking (textops.chunk_documents): token-budgeted
     overlapping chunks, the packing step before tokenization.  One
@@ -2534,6 +2646,7 @@ QUERIES: dict[str, QuerySpec] = {
     "q_global_inject": QuerySpec(q_global_inject, ORACLE_GLOBAL),
     "q_st1_tumbling_window": QuerySpec(q_st1_tumbling_window, ORACLE_ST1),
     "q_st3_stream_welford": QuerySpec(q_st3_stream_welford, ORACLE_ST3),
+    "q_grib2_scan": QuerySpec(q_grib2_scan, ORACLE_GRIB2),
     "q_ts_asof_join": QuerySpec(q_ts_asof_join, ORACLE_ASOF),
     "q_ts_rollup_daily": QuerySpec(q_ts_rollup_daily, ORACLE_TS_ROLLUP),
     "q_w4_sessionize": QuerySpec(q_w4_sessionize, ORACLE_SESSIONIZE),

@@ -505,13 +505,30 @@ def _decode_data(body5: bytes, data: bytes, npoints: int) -> np.ndarray:
     b = -(-(b + len_bits * ng) // 8) * 8
     if ng:
         lengths[-1] = last_len
+    # Vectorized variable-width unpack: a real HRRR field is ~1.9M
+    # values in ~60k groups, so a per-group Python loop is the wrong
+    # shape.  Build per-value (width, bit-start) vectors with
+    # repeat/cumsum, then gather bits through a chunked index matrix
+    # (chunking bounds the N x max_width scratch).
+    per_w = np.repeat(widths, lengths)
+    per_ref = np.repeat(refs, lengths)
+    starts = b + np.concatenate(([0], np.cumsum(per_w)[:-1]))
     z = np.empty(npoints, dtype=np.int64)
-    pos = 0
-    for g in range(ng):
-        ln, w = int(lengths[g]), int(widths[g])
-        z[pos : pos + ln] = refs[g] + _take_bits(bits, b, w, ln)
-        b += w * ln
-        pos += ln
+    wmax = int(widths.max()) if ng else 0
+    if wmax == 0:
+        z[:] = per_ref
+    else:
+        col = np.arange(wmax, dtype=np.int64)
+        pad = np.zeros(wmax, dtype=bits.dtype)  # guard tail gathers
+        bits_p = np.concatenate([bits, pad])
+        for s in range(0, npoints, 1 << 18):
+            e_ = min(npoints, s + (1 << 18))
+            w = per_w[s:e_, None]
+            idx = starts[s:e_, None] + col[None, :]
+            sel = bits_p[idx].astype(np.int64)
+            shift = np.maximum(w - 1 - col[None, :], 0)
+            weight = np.where(col[None, :] < w, 1 << shift, 0)
+            z[s:e_] = per_ref[s:e_] + (sel * weight).sum(axis=1)
     if order:
         # Template 7.3 stores the first `order` ORIGINAL values; convert
         # them to per-level seeds (x0, Δx0, ...) so each cumsum pass

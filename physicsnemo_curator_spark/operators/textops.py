@@ -445,6 +445,87 @@ def chunk_documents(
     )
 
 
+def remove_duplicate_spans(
+    docs: DataFrame,
+    *,
+    span_words: int = 8,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str | None = None,
+) -> DataFrame:
+    """Span-level exact dedup — the C4 "repeated three-sentence span" /
+    RefinedWeb "duplicated line" curation step, generalized to corpora
+    without newline structure: re-chunk each document's token stream
+    into consecutive ``span_words``-word spans and delete EVERY
+    occurrence of any span appearing in >= ``min_df`` distinct
+    documents (boilerplate: headers, footers, license blocks, nav
+    text).  Remaining spans are re-joined in document order.
+
+    Output: ``(id, kept_spans, removed_spans, text)`` with the cleaned
+    text (empty string when every span was boilerplate).
+
+    Scale shape: spans explode linearly (no overlap); document
+    frequency is a partial+final hash aggregate on the span key; the
+    boilerplate set (df >= min_df) is tiny relative to the corpus by
+    construction, so the removal join BROADCASTS it — the corpus-side
+    span table never shuffles.  ``hash_fn='xxhash64'`` aggregates and
+    joins on 64-bit span hashes instead of span strings (the
+    production twin: same join cardinality, fixed-width shuffle keys).
+    """
+    if span_words < 1:
+        raise ValueError("span_words must be >= 1")
+    if min_df < 2:
+        raise ValueError("min_df must be >= 2")
+    toks = ws_tokens(F.col(text_col))
+    n = ws_token_count(F.col(text_col))
+    starts = F.when(n <= 0, F.array().cast("array<int>")).otherwise(
+        F.sequence(F.lit(0), n - 1, F.lit(span_words)).cast("array<int>")
+    )
+    exploded = docs.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        F.posexplode(starts).alias("span_idx", "_start"),
+    )
+    spans = exploded.select(
+        F.col(id_col),
+        "span_idx",
+        F.array_join(
+            F.slice(F.col("_toks"), F.col("_start") + 1, span_words), " "
+        ).alias("span"),
+    )
+    key = (
+        F.xxhash64("span") if hash_fn == "xxhash64" else F.col("span")
+    ).alias("_key")
+    spans = spans.select(id_col, "span_idx", "span", key)
+    boiler = (
+        spans.groupBy("_key")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("_key", F.lit(True).alias("_boiler"))
+    )
+    marked = spans.join(F.broadcast(boiler), "_key", "left").withColumn(
+        "_boiler", F.coalesce("_boiler", F.lit(False))
+    )
+    kept_struct = F.when(
+        ~F.col("_boiler"), F.struct("span_idx", "span")
+    )
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count_if(~F.col("_boiler")).alias("kept_spans"),
+            F.count_if(F.col("_boiler")).alias("removed_spans"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s.span,
+                ),
+                " ",
+            ).alias(text_col),
+        )
+    )
+
+
 def repetition_ratio(
     docs: DataFrame,
     *,

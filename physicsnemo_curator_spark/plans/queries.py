@@ -1695,6 +1695,52 @@ FROM s ORDER BY doc_id, chunk_index LIMIT 500
 """
 
 
+def q_text_span_dedup(
+    spark: SparkSession, sf_dir: str, hash_fn: str | None = None
+) -> DataFrame:
+    """Span-level exact dedup (textops.remove_duplicate_spans): the C4
+    repeated-span / RefinedWeb duplicated-line curation step — every
+    8-word span occurring in >= 2 distinct documents is boilerplate and
+    deleted from ALL of them, survivors re-joined in document order.
+    Plan: linear span explode → partial+final df aggregate → broadcast
+    anti-style removal join (the boilerplate set is small by
+    construction; the corpus side never shuffles for the join).  The
+    benched twin keys the aggregate/join on xxhash64(span)."""
+    docs = _t(spark, sf_dir, "documents")
+    cleaned = textops.remove_duplicate_spans(
+        docs, span_words=8, min_df=2, hash_fn=hash_fn
+    )
+    return (
+        cleaned.select(
+            "doc_id",
+            "kept_spans",
+            "removed_spans",
+            F.md5(F.col("text").cast("binary")).alias("text_md5"),
+        )
+        .orderBy("doc_id")
+        .limit(500)
+    )
+
+
+ORACLE_TEXT_SPAN_DEDUP = """
+WITH t AS (SELECT doc_id,
+                  string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') toks
+           FROM documents),
+s AS (SELECT doc_id, CAST(st // 8 AS INT) AS span_idx,
+             array_to_string(toks[st + 1 : st + 8], ' ') AS span
+      FROM t, LATERAL unnest(range(0, len(toks), 8)) u(st)),
+df AS (SELECT span FROM s GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2),
+m AS (SELECT s.doc_id, s.span_idx, s.span, df.span IS NOT NULL AS boiler
+      FROM s LEFT JOIN df ON s.span = df.span)
+SELECT doc_id,
+       COUNT(*) FILTER (NOT boiler) AS kept_spans,
+       COUNT(*) FILTER (boiler) AS removed_spans,
+       md5(COALESCE(string_agg(span, ' ' ORDER BY span_idx)
+                    FILTER (NOT boiler), '')) AS text_md5
+FROM m GROUP BY doc_id ORDER BY doc_id LIMIT 500
+"""
+
+
 def q_text_repetition(
     spark: SparkSession, sf_dir: str, hash_fn: str | None = None
 ) -> DataFrame:
@@ -2675,6 +2721,11 @@ QUERIES: dict[str, QuerySpec] = {
     "q_text_redact_pii": QuerySpec(q_text_redact_pii, ORACLE_TEXT_REDACT),
     "q_media_frames": QuerySpec(q_media_frames, ORACLE_MEDIA_FRAMES),
     "q_text_chunks": QuerySpec(q_text_chunks, ORACLE_TEXT_CHUNKS),
+    "q_text_span_dedup": QuerySpec(
+        q_text_span_dedup,
+        ORACLE_TEXT_SPAN_DEDUP,
+        bench=lambda s, d: q_text_span_dedup(s, d, hash_fn="xxhash64"),
+    ),
     "q_text_repetition": QuerySpec(
         q_text_repetition,
         ORACLE_TEXT_REPETITION,

@@ -203,3 +203,78 @@ def test_repetition_ratio_hash_twin_equivalent(spark):
     b = {(r.doc_id): (r.n_grams, round(r.top_frac, 9))
          for r in textops.repetition_ratio(df, hash_fn="xxhash64").collect()}
     assert a == b
+
+
+# --- remove_duplicate_spans ------------------------------------------------
+
+
+def _span_docs(spark):
+    boiler = "one two three four"  # shared 4-word span in docs a, b
+    rows = [
+        ("a", f"{boiler} alpha beta gamma delta"),
+        ("b", f"{boiler} epsilon zeta eta theta"),
+        ("c", "iota kappa lambda mu nu xi"),  # unique spans only
+        ("d", boiler),  # every span boilerplate -> empty text
+    ]
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def test_remove_duplicate_spans_semantics(spark):
+    out = textops.remove_duplicate_spans(
+        _span_docs(spark), span_words=4, min_df=2
+    ).orderBy("doc_id")
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # shared leading span removed everywhere, tails survive in order
+    assert rows["a"]["text"] == "alpha beta gamma delta"
+    assert (rows["a"]["kept_spans"], rows["a"]["removed_spans"]) == (1, 1)
+    assert rows["b"]["text"] == "epsilon zeta eta theta"
+    # untouched doc keeps its text (spans re-joined in order)
+    assert rows["c"]["text"] == "iota kappa lambda mu nu xi"
+    assert rows["c"]["removed_spans"] == 0
+    # fully-boilerplate doc survives as an empty string, not a dropped row
+    assert rows["d"]["text"] == ""
+    assert (rows["d"]["kept_spans"], rows["d"]["removed_spans"]) == (0, 1)
+
+
+def test_remove_duplicate_spans_min_df_threshold(spark):
+    out = textops.remove_duplicate_spans(
+        _span_docs(spark), span_words=4, min_df=3
+    )
+    # the shared span has df=3 (a, b, d) -> still removed at min_df=3;
+    # raise to 4 and nothing qualifies
+    assert out.agg(F.sum("removed_spans")).first()[0] == 3
+    out4 = textops.remove_duplicate_spans(
+        _span_docs(spark), span_words=4, min_df=4
+    )
+    assert out4.agg(F.sum("removed_spans")).first()[0] == 0
+
+
+def test_remove_duplicate_spans_hash_twin_and_validation(spark):
+    docs = _span_docs(spark)
+    base = {
+        (r["doc_id"], r["text"], r["kept_spans"])
+        for r in textops.remove_duplicate_spans(
+            docs, span_words=4, min_df=2
+        ).collect()
+    }
+    twin = {
+        (r["doc_id"], r["text"], r["kept_spans"])
+        for r in textops.remove_duplicate_spans(
+            docs, span_words=4, min_df=2, hash_fn="xxhash64"
+        ).collect()
+    }
+    assert base == twin
+    with pytest.raises(ValueError, match="span_words"):
+        textops.remove_duplicate_spans(docs, span_words=0)
+    with pytest.raises(ValueError, match="min_df"):
+        textops.remove_duplicate_spans(docs, min_df=1)
+
+
+def test_remove_duplicate_spans_broadcasts_boilerplate(spark):
+    plan = (
+        textops.remove_duplicate_spans(_span_docs(spark), span_words=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan  # removal join never shuffles corpus

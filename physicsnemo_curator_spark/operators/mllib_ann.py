@@ -234,3 +234,106 @@ def _ivf_meta_udf(centers, n_probe: int):
         return pd.DataFrame({"cells": list(order), "norm": norm})
 
     return meta
+
+
+def semantic_pairs(
+    corpus: DataFrame,
+    model: "KMeansModel | list[list[float]]",
+    *,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Within-cluster near-duplicate pairs — the candidate stage of
+    SemDeDup (Abbas et al., 2023, arXiv:2303.09540): assign every
+    vector to its nearest centroid, then compare pairs ONLY inside a
+    cluster and keep those with cosine >= *threshold*.  Output:
+    ``(cell, a, b, cosine)`` with ``a < b``.
+
+    Scale shape: the cluster id is the self-join key, so comparisons
+    are quadratic only WITHIN a cell and linear across the corpus when
+    k scales with corpus size (pick k ≈ n / target_cell_size — the
+    same sizing lesson the banded-LSH path learned in the sf1 soak).
+    Assignment + L2 norm come from one Arrow-batched numpy projection
+    per side; the pair cosine is a single codegen expression over the
+    pre-computed norms.
+    """
+    centers = (
+        model.clusterCenters() if isinstance(model, KMeansModel) else model
+    )
+    dim = len(centers[0])
+    meta = _ivf_meta_udf(centers, 1)
+    cells = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        meta(F.col(vec_col)).alias("_m"),
+    ).select(
+        "_id",
+        "_vec",
+        F.element_at(F.col("_m.cells"), 1).alias("cell"),
+        F.col("_m.norm").alias("_norm"),
+    )
+    left = cells.select(
+        "cell",
+        F.col("_id").alias("a"),
+        F.col("_vec").alias("_va"),
+        F.col("_norm").alias("_na"),
+    )
+    right = cells.select(
+        "cell",
+        F.col("_id").alias("b"),
+        F.col("_vec").alias("_vb"),
+        F.col("_norm").alias("_nb"),
+    )
+    return (
+        left.join(right, "cell")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn(
+            "cosine",
+            cosine_prenormed(
+                "_va", "_vb", F.col("_na"), F.col("_nb"), dim
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("cell", "a", "b", "cosine")
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    model: "KMeansModel | list[list[float]]",
+    *,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup keep/drop assignment: a vector is a duplicate when a
+    LOWER-id vector in its cluster sits at cosine >= *threshold*
+    (deterministic keep-lowest-id greedy; the paper's
+    keep-farthest-from-centroid policy composes by piping
+    :func:`semantic_pairs` into ``components.dedup_groups(scores=...)``
+    for transitive groups with a best-scoring representative).
+    Output: ``(id, cell, dup_of, keep)`` — ``dup_of`` is the smallest
+    qualifying lower id, NULL for kept rows.
+    """
+    centers = (
+        model.clusterCenters() if isinstance(model, KMeansModel) else model
+    )
+    meta = _ivf_meta_udf(centers, 1)
+    assigned = corpus.select(
+        F.col(id_col).alias(id_col),
+        meta(F.col(vec_col)).alias("_m"),
+    ).select(id_col, F.element_at(F.col("_m.cells"), 1).alias("cell"))
+    pairs = semantic_pairs(
+        corpus, centers, threshold=threshold, id_col=id_col, vec_col=vec_col
+    )
+    dup = pairs.groupBy("b").agg(F.min("a").alias("dup_of"))
+    return (
+        assigned.join(dup, assigned[id_col] == dup["b"], "left")
+        .select(
+            id_col,
+            "cell",
+            "dup_of",
+            F.col("dup_of").isNull().alias("keep"),
+        )
+    )

@@ -2375,6 +2375,61 @@ FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
 ORACLE_ANN_IVF = _ivf_oracle()
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (mllib_ann.semantic_dedup, Abbas et al. 2023): cluster
+    embeddings with the md5-sample coarse quantizer, compare pairs only
+    WITHIN a cluster, and drop any vector with a lower-id cluster-mate
+    at cosine >= threshold.  The oracle replays centroid pick,
+    assignment, within-cell pairing, and the keep-lowest-id policy;
+    the KMeans-trained variant keeps its parity pin in
+    tests/test_mllib_ann.py."""
+    from physicsnemo_curator_spark.operators import mllib_ann
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centers = mllib_ann.md5_sample_centroids(emb, k=8)
+    out = mllib_ann.semantic_dedup(emb, centers, threshold=0.35)
+    return out.select("vec_id", "cell", "dup_of", "keep").orderBy("vec_id")
+
+
+def _semantic_oracle(k_cells: int = 8, dim: int = 64, thr: float = 0.35) -> str:
+    """DuckDB replay of md5-sample SemDeDup: same centroid pick and
+    assignment CTEs as :func:`_ivf_oracle`, then within-cell a<b pairs
+    filtered at the cosine threshold and keep-lowest-id greedy."""
+    return f"""
+WITH cent AS (
+  SELECT embedding ce,
+         CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) cell
+  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k_cells}),
+cv AS (SELECT cell, unnest(range(0, {dim})) j, unnest(ce) c FROM cent),
+csq AS (SELECT cell, SUM(CAST(c AS DOUBLE) * CAST(c AS DOUBLE)) c2 FROM cv GROUP BY 1),
+ev AS (SELECT vec_id, unnest(range(0, {dim})) j, unnest(embedding) x FROM embeddings),
+dist AS (
+  SELECT xc.vec_id, xc.cell, csq.c2 - 2 * xc.dotxc d
+  FROM (SELECT e.vec_id, c.cell, SUM(CAST(e.x AS DOUBLE) * CAST(c.c AS DOUBLE)) dotxc
+        FROM ev e JOIN cv c ON e.j = c.j GROUP BY 1, 2) xc
+  JOIN csq ON xc.cell = csq.cell),
+assign AS (SELECT vec_id, cell FROM (
+  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) rn
+  FROM dist) WHERE rn = 1),
+pairs AS (
+  SELECT la.cell, la.vec_id a, lb.vec_id b,
+         (SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+          FROM (SELECT unnest(ea.embedding) x, unnest(eb.embedding) y)) /
+         (SQRT((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM (SELECT unnest(ea.embedding) x))) *
+          SQRT((SELECT SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest(eb.embedding) y)))) cosine
+  FROM assign la JOIN assign lb ON la.cell = lb.cell AND la.vec_id < lb.vec_id
+  JOIN embeddings ea ON la.vec_id = ea.vec_id
+  JOIN embeddings eb ON lb.vec_id = eb.vec_id),
+dup AS (SELECT b, MIN(a) dup_of FROM pairs WHERE cosine >= {thr} GROUP BY b)
+SELECT assign.vec_id, assign.cell, dup.dup_of, dup.dup_of IS NULL AS keep
+FROM assign LEFT JOIN dup ON assign.vec_id = dup.b
+ORDER BY assign.vec_id
+"""
+
+
+ORACLE_SEMANTIC_DEDUP = _semantic_oracle()
+
+
 def q_embedding_near_dup(
     spark: SparkSession, sf_dir: str, exact: bool = True
 ) -> DataFrame:
@@ -2752,6 +2807,7 @@ QUERIES: dict[str, QuerySpec] = {
         bench=lambda s, d: q_ann_lsh_topk(s, d, md5_planes=False),
     ),
     "q_ann_ivf_topk": QuerySpec(q_ann_ivf_topk, ORACLE_ANN_IVF),
+    "q_semantic_dedup": QuerySpec(q_semantic_dedup, ORACLE_SEMANTIC_DEDUP),
     "q_embedding_near_dup": QuerySpec(
         q_embedding_near_dup,
         ORACLE_EMB_NEAR_DUP,

@@ -65,3 +65,107 @@ def test_ivf_trainer_determinism(spark, sf_correctness_dir):
     a = mllib_ann.train_ivf_sample(emb, k=4, seed=3, sample_rows=128, iters=4)
     b = mllib_ann.train_ivf_sample(emb, k=4, seed=3, sample_rows=128, iters=4)
     assert a == b
+
+
+# --- SemDeDup --------------------------------------------------------------
+
+
+def _clustered_vectors(spark):
+    """Two well-separated clusters; within cluster A, vectors 1/2/3 are
+    near-identical (dups) and 4 points elsewhere; cluster B has one
+    near-dup pair (10, 11) and a loner 12."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base_a = np.array([1.0, 0.0, 0.0, 0.0])
+    base_b = np.array([0.0, 1.0, 0.0, 0.0])
+    rows = []
+    for vid, base, jitter in [
+        (1, base_a, 0.0),
+        (2, base_a, 0.01),
+        (3, base_a, 0.02),
+        (4, base_a + np.array([0.0, 0.0, 1.0, 0.0]), 0.0),
+        (10, base_b, 0.0),
+        (11, base_b, 0.01),
+        (12, base_b + np.array([0.0, 0.0, 0.0, 1.2]), 0.0),
+    ]:
+        v = base + jitter * rng.normal(size=4)
+        rows.append((vid, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_semantic_dedup_keep_lowest_id(spark):
+    emb = _clustered_vectors(spark)
+    centers = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    out = {
+        r["vec_id"]: r
+        for r in mllib_ann.semantic_dedup(
+            emb, centers, threshold=0.95
+        ).collect()
+    }
+    assert out[1]["keep"] and out[1]["dup_of"] is None
+    assert not out[2]["keep"] and out[2]["dup_of"] == 1
+    assert not out[3]["keep"] and out[3]["dup_of"] == 1
+    assert out[4]["keep"]  # same cell, below threshold
+    assert out[10]["keep"]
+    assert not out[11]["keep"] and out[11]["dup_of"] == 10
+    assert out[12]["keep"]
+
+
+def test_semantic_pairs_cluster_scoped(spark):
+    """Vectors 2 and 11 are dissimilar cluster-mates of nothing across
+    clusters: no cross-cell pair may appear even at threshold 0."""
+    emb = _clustered_vectors(spark)
+    centers = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    pairs = mllib_ann.semantic_pairs(emb, centers, threshold=-1.0).collect()
+    a_ids = {1, 2, 3, 4}
+    for r in pairs:
+        same_a = r["a"] in a_ids and r["b"] in a_ids
+        same_b = r["a"] not in a_ids and r["b"] not in a_ids
+        assert same_a or same_b
+        assert r["a"] < r["b"]
+
+
+def test_semantic_dedup_composes_with_groups(spark):
+    """The paper's keep-best-representative policy: pipe semantic_pairs
+    into components.dedup_groups with a score column."""
+    from physicsnemo_curator_spark.operators import components
+
+    emb = _clustered_vectors(spark)
+    centers = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    pairs = mllib_ann.semantic_pairs(emb, centers, threshold=0.95)
+    scores = emb.select(
+        F.col("vec_id").alias("id"),
+        (F.col("vec_id") % 10).cast("double").alias("score"),
+    )
+    groups = components.dedup_groups(
+        pairs.select("a", "b"), id_out="id", scores=scores
+    )
+    kept = {r["id"] for r in groups.filter(F.col("keep")).collect()}
+    seen = {r["id"] for r in groups.collect()}
+    # group {1,2,3}: best score = 3; group {10,11}: best = 11;
+    # singletons (4, 12) are not in any pair -> left to the caller
+    assert kept == {3, 11}
+    assert seen == {1, 2, 3, 10, 11}
+
+
+def test_semantic_dedup_kmeans_model_variant(spark, sf_correctness_dir):
+    """KMeansModel and its extracted centers give identical results."""
+    emb = load_table(spark, sf_correctness_dir, "embeddings").filter(
+        F.col("vec_id") < 200
+    )
+    model = mllib_ann.train_ivf(emb, k=4, seed=11, max_iter=3)
+    via_model = sorted(
+        (r["vec_id"], r["cell"], r["dup_of"])
+        for r in mllib_ann.semantic_dedup(
+            emb, model, threshold=0.4
+        ).collect()
+    )
+    centers = [[float(x) for x in c] for c in model.clusterCenters()]
+    via_list = sorted(
+        (r["vec_id"], r["cell"], r["dup_of"])
+        for r in mllib_ann.semantic_dedup(
+            emb, centers, threshold=0.4
+        ).collect()
+    )
+    assert via_model == via_list

@@ -236,6 +236,55 @@ def _ivf_meta_udf(centers, n_probe: int):
     return meta
 
 
+def _assign_with_norm(
+    corpus: DataFrame,
+    centers: list[list[float]],
+    *,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, vec, cell, norm) — nearest-centroid assignment + L2 norm
+    from ONE Arrow-batched numpy projection over the corpus."""
+    meta = _ivf_meta_udf(centers, 1)
+    return corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        meta(F.col(vec_col)).alias("_m"),
+    ).select(
+        "_id",
+        "_vec",
+        F.element_at(F.col("_m.cells"), 1).alias("cell"),
+        F.col("_m.norm").alias("_norm"),
+    )
+
+
+def _cell_pairs(cells: DataFrame, dim: int, threshold: float) -> DataFrame:
+    """Within-cell a<b cosine pairs over a :func:`_assign_with_norm`
+    frame; the cell id is the only join key."""
+    left = cells.select(
+        "cell",
+        F.col("_id").alias("a"),
+        F.col("_vec").alias("_va"),
+        F.col("_norm").alias("_na"),
+    )
+    right = cells.select(
+        "cell",
+        F.col("_id").alias("b"),
+        F.col("_vec").alias("_vb"),
+        F.col("_norm").alias("_nb"),
+    )
+    return (
+        left.join(right, "cell")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn(
+            "cosine",
+            cosine_prenormed("_va", "_vb", F.col("_na"), F.col("_nb"), dim),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("cell", "a", "b", "cosine")
+    )
+
+
 def semantic_pairs(
     corpus: DataFrame,
     model: "KMeansModel | list[list[float]]",
@@ -261,42 +310,8 @@ def semantic_pairs(
     centers = (
         model.clusterCenters() if isinstance(model, KMeansModel) else model
     )
-    dim = len(centers[0])
-    meta = _ivf_meta_udf(centers, 1)
-    cells = corpus.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_vec"),
-        meta(F.col(vec_col)).alias("_m"),
-    ).select(
-        "_id",
-        "_vec",
-        F.element_at(F.col("_m.cells"), 1).alias("cell"),
-        F.col("_m.norm").alias("_norm"),
-    )
-    left = cells.select(
-        "cell",
-        F.col("_id").alias("a"),
-        F.col("_vec").alias("_va"),
-        F.col("_norm").alias("_na"),
-    )
-    right = cells.select(
-        "cell",
-        F.col("_id").alias("b"),
-        F.col("_vec").alias("_vb"),
-        F.col("_norm").alias("_nb"),
-    )
-    return (
-        left.join(right, "cell")
-        .filter(F.col("a") < F.col("b"))
-        .withColumn(
-            "cosine",
-            cosine_prenormed(
-                "_va", "_vb", F.col("_na"), F.col("_nb"), dim
-            ),
-        )
-        .filter(F.col("cosine") >= threshold)
-        .select("cell", "a", "b", "cosine")
-    )
+    cells = _assign_with_norm(corpus, centers, id_col=id_col, vec_col=vec_col)
+    return _cell_pairs(cells, len(centers[0]), threshold)
 
 
 def semantic_dedup(
@@ -315,21 +330,20 @@ def semantic_dedup(
     for transitive groups with a best-scoring representative).
     Output: ``(id, cell, dup_of, keep)`` — ``dup_of`` is the smallest
     qualifying lower id, NULL for kept rows.
+
+    The corpus is assigned ONCE (shared between the per-id output and
+    the pair stage); at scale that is one Arrow projection + one
+    cell-keyed self-join, no second pass over the vectors.
     """
     centers = (
         model.clusterCenters() if isinstance(model, KMeansModel) else model
     )
-    meta = _ivf_meta_udf(centers, 1)
-    assigned = corpus.select(
-        F.col(id_col).alias(id_col),
-        meta(F.col(vec_col)).alias("_m"),
-    ).select(id_col, F.element_at(F.col("_m.cells"), 1).alias("cell"))
-    pairs = semantic_pairs(
-        corpus, centers, threshold=threshold, id_col=id_col, vec_col=vec_col
-    )
+    cells = _assign_with_norm(corpus, centers, id_col=id_col, vec_col=vec_col)
+    pairs = _cell_pairs(cells, len(centers[0]), threshold)
     dup = pairs.groupBy("b").agg(F.min("a").alias("dup_of"))
     return (
-        assigned.join(dup, assigned[id_col] == dup["b"], "left")
+        cells.select(F.col("_id").alias(id_col), "cell")
+        .join(dup, F.col(id_col) == dup["b"], "left")
         .select(
             id_col,
             "cell",

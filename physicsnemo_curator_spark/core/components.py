@@ -116,6 +116,20 @@ def _repetition_ratio(df: DataFrame, **kw: Any) -> DataFrame:
     return textops.repetition_ratio(df, **kw)
 
 
+@register_transform("remove_duplicate_spans")
+def _remove_duplicate_spans(df: DataFrame, **kw: Any) -> DataFrame:
+    return textops.remove_duplicate_spans(df, **kw)
+
+
+@register_transform("semantic_dedup")
+def _semantic_dedup(df: DataFrame, *, centers: list, **kw: Any) -> DataFrame:
+    """YAML form carries the coarse-quantizer centroids inline (the
+    trained-model path stays programmatic)."""
+    from physicsnemo_curator_spark.operators import mllib_ann
+
+    return mllib_ann.semantic_dedup(df, centers, **kw)
+
+
 @register_transform("hash_sample")
 def _hash_sample(df: DataFrame, *, key_col: str, rate: float, **kw: Any) -> DataFrame:
     from physicsnemo_curator_spark.operators import sampling

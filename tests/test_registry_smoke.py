@@ -72,6 +72,14 @@ CASES = {
     "redact_pii": (_docs, {}),
     "chunk_documents": (_docs, {"max_tokens": 32, "overlap": 4}),
     "repetition_ratio": (_docs, {"n": 2}),
+    "remove_duplicate_spans": (_docs, {"span_words": 8, "min_df": 2}),
+    "semantic_dedup": (
+        _embeddings,
+        {
+            "centers": [[1.0] + [0.0] * 63, [0.0, 1.0] + [0.0] * 62],
+            "threshold": 0.9,
+        },
+    ),
     "hash_sample": (_docs, {"key_col": "doc_id", "rate": 0.5}),
     "stratified_sample": (
         _docs,

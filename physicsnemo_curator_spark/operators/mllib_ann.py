@@ -258,9 +258,38 @@ def _assign_with_norm(
     )
 
 
-def _cell_pairs(cells: DataFrame, dim: int, threshold: float) -> DataFrame:
+def _pair_dot_udf():
+    """Arrow-batched pair dot product (einsum per batch)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def pair_dot(va: pd.Series, vb: pd.Series) -> pd.Series:
+        if len(va) == 0:
+            return pd.Series([], dtype="float64")
+        xa = np.asarray([np.asarray(v, dtype=np.float64) for v in va])
+        xb = np.asarray([np.asarray(v, dtype=np.float64) for v in vb])
+        return pd.Series(np.einsum("ij,ij->i", xa, xb))
+
+    return pair_dot
+
+
+def _cell_pairs(
+    cells: DataFrame, dim: int, threshold: float, dot: str = "unrolled"
+) -> DataFrame:
     """Within-cell a<b cosine pairs over a :func:`_assign_with_norm`
-    frame; the cell id is the only join key."""
+    frame; the cell id is the only join key.
+
+    ``dot`` picks the scoring kernel.  ``'unrolled'`` (default) is the
+    single codegen expression — 12x faster per-row once compiled, the
+    right choice for long cluster jobs where the one-time janino
+    compile (~70 s: the optimizer inlines the 64-term tree into both
+    the projection and the threshold filter) amortizes to zero.
+    ``'arrow'`` computes the dot in an Arrow-batched numpy einsum —
+    no giant codegen stage, ~5 s end-to-end at any plan shape; pick it
+    for interactive/one-shot runs.  Float summation order differs
+    between the two (left-fold vs pairwise), so pairs with a cosine
+    within float error of *threshold* can flip — equivalence is pinned
+    in tests away from the boundary."""
     left = cells.select(
         "cell",
         F.col("_id").alias("a"),
@@ -273,13 +302,13 @@ def _cell_pairs(cells: DataFrame, dim: int, threshold: float) -> DataFrame:
         F.col("_vec").alias("_vb"),
         F.col("_norm").alias("_nb"),
     )
+    joined = left.join(right, "cell").filter(F.col("a") < F.col("b"))
+    if dot == "arrow":
+        cos = _pair_dot_udf()("_va", "_vb") / (F.col("_na") * F.col("_nb"))
+    else:
+        cos = cosine_prenormed("_va", "_vb", F.col("_na"), F.col("_nb"), dim)
     return (
-        left.join(right, "cell")
-        .filter(F.col("a") < F.col("b"))
-        .withColumn(
-            "cosine",
-            cosine_prenormed("_va", "_vb", F.col("_na"), F.col("_nb"), dim),
-        )
+        joined.withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)
         .select("cell", "a", "b", "cosine")
     )
@@ -292,6 +321,7 @@ def semantic_pairs(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dot: str = "unrolled",
 ) -> DataFrame:
     """Within-cluster near-duplicate pairs — the candidate stage of
     SemDeDup (Abbas et al., 2023, arXiv:2303.09540): assign every
@@ -311,7 +341,7 @@ def semantic_pairs(
         model.clusterCenters() if isinstance(model, KMeansModel) else model
     )
     cells = _assign_with_norm(corpus, centers, id_col=id_col, vec_col=vec_col)
-    return _cell_pairs(cells, len(centers[0]), threshold)
+    return _cell_pairs(cells, len(centers[0]), threshold, dot)
 
 
 def semantic_dedup(
@@ -321,6 +351,7 @@ def semantic_dedup(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dot: str = "unrolled",
 ) -> DataFrame:
     """SemDeDup keep/drop assignment: a vector is a duplicate when a
     LOWER-id vector in its cluster sits at cosine >= *threshold*
@@ -339,7 +370,7 @@ def semantic_dedup(
         model.clusterCenters() if isinstance(model, KMeansModel) else model
     )
     cells = _assign_with_norm(corpus, centers, id_col=id_col, vec_col=vec_col)
-    pairs = _cell_pairs(cells, len(centers[0]), threshold)
+    pairs = _cell_pairs(cells, len(centers[0]), threshold, dot)
     dup = pairs.groupBy("b").agg(F.min("a").alias("dup_of"))
     return (
         cells.select(F.col("_id").alias(id_col), "cell")

@@ -2382,11 +2382,18 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     at cosine >= threshold.  The oracle replays centroid pick,
     assignment, within-cell pairing, and the keep-lowest-id policy;
     the KMeans-trained variant keeps its parity pin in
-    tests/test_mllib_ann.py."""
+    tests/test_mllib_ann.py.
+
+    Cell count scales with corpus size (target ~250 vectors/cell, the
+    same sizing lesson as the adaptive LSH banding): fixed k=8 sent the
+    sf1 soak quadratic in within-cell pairs.  k stays 8 for any corpus
+    <= 2000 rows, so the static k=8 oracle remains exact at the
+    driver's sf0.01 window."""
     from physicsnemo_curator_spark.operators import mllib_ann
 
     emb = _t(spark, sf_dir, "embeddings")
-    centers = mllib_ann.md5_sample_centroids(emb, k=8)
+    k = max(8, emb.count() // 250)
+    centers = mllib_ann.md5_sample_centroids(emb, k=k)
     out = mllib_ann.semantic_dedup(emb, centers, threshold=0.35)
     return out.select("vec_id", "cell", "dup_of", "keep").orderBy("vec_id")
 

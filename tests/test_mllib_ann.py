@@ -169,3 +169,24 @@ def test_semantic_dedup_kmeans_model_variant(spark, sf_correctness_dir):
         ).collect()
     )
     assert via_model == via_list
+
+
+def test_semantic_pairs_arrow_dot_agrees(spark, sf_correctness_dir):
+    """The Arrow einsum kernel and the unrolled codegen expression pick
+    the same pair set (float-summation-order differences only matter
+    within float error of the threshold; none sit there)."""
+    emb = load_table(spark, sf_correctness_dir, "embeddings")
+    centers = mllib_ann.md5_sample_centroids(emb, k=8)
+    unrolled = {
+        (r["a"], r["b"])
+        for r in mllib_ann.semantic_pairs(
+            emb, centers, threshold=0.35
+        ).collect()
+    }
+    arrow = {
+        (r["a"], r["b"])
+        for r in mllib_ann.semantic_pairs(
+            emb, centers, threshold=0.35, dot="arrow"
+        ).collect()
+    }
+    assert unrolled == arrow and len(unrolled) > 0

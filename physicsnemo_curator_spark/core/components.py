@@ -130,6 +130,13 @@ def _semantic_dedup(df: DataFrame, *, centers: list, **kw: Any) -> DataFrame:
     return mllib_ann.semantic_dedup(df, centers, **kw)
 
 
+@register_transform("mixing_weights")
+def _mixing_weights(df: DataFrame, *, domain_col: str, targets: dict, **kw: Any) -> DataFrame:
+    from physicsnemo_curator_spark.operators import sampling
+
+    return sampling.mixing_weights(df, domain_col=domain_col, targets=targets, **kw)
+
+
 @register_transform("hash_sample")
 def _hash_sample(df: DataFrame, *, key_col: str, rate: float, **kw: Any) -> DataFrame:
     from physicsnemo_curator_spark.operators import sampling

@@ -27,7 +27,7 @@ Two hash backends, same twin pattern as ``operators/dedup.py``:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -151,3 +151,76 @@ def assign_splits(
     last = labels[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(last)
     return df.withColumn(split_col, expr)
+
+
+def mixing_weights(
+    df: DataFrame,
+    *,
+    domain_col: str,
+    targets: dict[str, float],
+    weight_col: str | None = None,
+    budget: float | None = None,
+) -> DataFrame:
+    """Static data-mixing weights: per-domain sampling rates that
+    reshape the corpus toward a target token/mass distribution — the
+    domain-reweighting step pre-training pipelines run after curation
+    (the fixed-weight counterpart of learned schemes like DoReMi).
+
+    Per-domain mass is ``SUM(weight_col)`` (or row count).  *targets*
+    maps domain -> share; shares are used as given (normalize upstream
+    if they don't sum to 1), domains absent from the map get rate 0.
+    With no explicit *budget*, the largest single-epoch-feasible budget
+    is used: ``min_d mass_d / share_d`` over targeted domains, the
+    point where the scarcest domain is taken in full and nothing needs
+    upsampling.  ``rate_d = min(1, share_d * budget / mass_d)``.
+
+    Output (one row per domain):
+    ``(domain, mass, natural_share, target_share, sample_rate,
+    expected_mass)``.  The whole thing is ONE partial+final aggregate
+    over the corpus plus arithmetic on the tiny per-domain frame (a
+    single-partition window over O(domains) rows — never the corpus);
+    feed the rates into :func:`stratified_sample` for the
+    hash-deterministic downsampling pass.
+    """
+    if not targets:
+        raise ValueError("targets must be non-empty")
+    mass = F.sum(weight_col) if weight_col else F.count("*")
+    per = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        mass.cast("double").alias("mass")
+    )
+    tgt = F.lit(None).cast("double")
+    expr = None
+    for d, s in targets.items():
+        cond = F.col("domain") == d
+        expr = F.when(cond, float(s)) if expr is None else expr.when(cond, float(s))
+    tgt = expr.otherwise(0.0)
+    per = per.withColumn("target_share", tgt)
+    w = Window.partitionBy()
+    per = per.withColumn(
+        "natural_share", F.col("mass") / F.sum("mass").over(w)
+    )
+    if budget is None:
+        feasible = F.when(
+            F.col("target_share") > 0, F.col("mass") / F.col("target_share")
+        )
+        per = per.withColumn("_budget", F.min(feasible).over(w))
+    else:
+        per = per.withColumn("_budget", F.lit(float(budget)))
+    rate = F.least(
+        F.lit(1.0),
+        F.col("target_share") * F.col("_budget") / F.col("mass"),
+    )
+    return per.select(
+        "domain",
+        "mass",
+        "natural_share",
+        "target_share",
+        rate.alias("sample_rate"),
+        (
+            F.least(
+                F.lit(1.0),
+                F.col("target_share") * F.col("_budget") / F.col("mass"),
+            )
+            * F.col("mass")
+        ).alias("expected_mass"),
+    )

@@ -1695,6 +1695,67 @@ FROM s ORDER BY doc_id, chunk_index LIMIT 500
 """
 
 
+def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing weights (sampling.mixing_weights): per-language
+    sampling rates that reshape the corpus toward a target character
+    budget split — one partial+final aggregate over the corpus, then
+    pure arithmetic on the O(domains) frame (the single-partition
+    window touches 5 rows, never the corpus).  Target shares are exact
+    binary fractions so both engines agree bit-for-bit before the
+    6-decimal rounding."""
+    from physicsnemo_curator_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    out = sampling.mixing_weights(
+        docs,
+        domain_col="lang",
+        weight_col="n_chars",
+        targets={
+            "en": 0.5,
+            "zh": 0.25,
+            "es": 0.125,
+            "de": 0.0625,
+            "fr": 0.0625,
+        },
+    )
+    return out.select(
+        "domain",
+        "mass",
+        _r6(F.col("natural_share"), "natural_share"),
+        "target_share",
+        _r6(F.col("sample_rate"), "sample_rate"),
+        _r6(F.col("expected_mass"), "expected_mass"),
+    ).orderBy("domain")
+
+
+ORACLE_MIX_WEIGHTS = """
+WITH per AS (
+  SELECT lang AS domain, CAST(SUM(n_chars) AS DOUBLE) mass
+  FROM documents GROUP BY lang),
+t AS (
+  SELECT domain, mass,
+         CASE domain
+           WHEN 'en' THEN CAST(0.5 AS DOUBLE)
+           WHEN 'zh' THEN CAST(0.25 AS DOUBLE)
+           WHEN 'es' THEN CAST(0.125 AS DOUBLE)
+           WHEN 'de' THEN CAST(0.0625 AS DOUBLE)
+           WHEN 'fr' THEN CAST(0.0625 AS DOUBLE)
+           ELSE CAST(0.0 AS DOUBLE) END AS target_share
+  FROM per),
+w AS (
+  SELECT *, mass / SUM(mass) OVER () AS natural_share,
+         MIN(CASE WHEN target_share > 0 THEN mass / target_share END)
+           OVER () AS budget
+  FROM t)
+SELECT domain, mass, ROUND(natural_share, 6) AS natural_share, target_share,
+       ROUND(LEAST(CAST(1.0 AS DOUBLE), target_share * budget / mass), 6)
+         AS sample_rate,
+       ROUND(LEAST(CAST(1.0 AS DOUBLE), target_share * budget / mass) * mass,
+             6) AS expected_mass
+FROM w ORDER BY domain
+"""
+
+
 def q_text_span_dedup(
     spark: SparkSession, sf_dir: str, hash_fn: str | None = None
 ) -> DataFrame:
@@ -2775,6 +2836,7 @@ QUERIES: dict[str, QuerySpec] = {
         ORACLE_SAMPLE_SPLIT,
         bench=lambda s, d: q_sample_split(s, d, hash_fn="xxhash64"),
     ),
+    "q_mix_weights": QuerySpec(q_mix_weights, ORACLE_MIX_WEIGHTS),
     "q_sample_stratified": QuerySpec(
         q_sample_stratified,
         ORACLE_SAMPLE_STRATIFIED,

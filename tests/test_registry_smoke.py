@@ -80,6 +80,10 @@ CASES = {
             "threshold": 0.9,
         },
     ),
+    "mixing_weights": (
+        _docs,
+        {"domain_col": "lang", "targets": {"en": 0.5, "de": 0.5}},
+    ),
     "hash_sample": (_docs, {"key_col": "doc_id", "rate": 0.5}),
     "stratified_sample": (
         _docs,

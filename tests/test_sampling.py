@@ -278,3 +278,70 @@ def test_remove_duplicate_spans_broadcasts_boilerplate(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan  # removal join never shuffles corpus
+
+
+# --- mixing_weights --------------------------------------------------------
+
+
+def _mix_docs(spark):
+    rows = [(i, "en" if i < 6 else ("de" if i < 9 else "fr"), 100) for i in range(10)]
+    return spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+
+
+def test_mixing_weights_feasible_budget(spark):
+    """Default budget takes the scarcest targeted domain in full."""
+    out = {
+        r["domain"]: r
+        for r in sampling.mixing_weights(
+            _mix_docs(spark),
+            domain_col="lang",
+            weight_col="n_chars",
+            targets={"en": 0.5, "de": 0.5},
+        ).collect()
+    }
+    # masses: en 600, de 300, fr 100.  budget = min(600/.5, 300/.5)=600
+    assert out["de"]["sample_rate"] == pytest.approx(1.0)
+    assert out["en"]["sample_rate"] == pytest.approx(0.5)
+    assert out["en"]["expected_mass"] == pytest.approx(300.0)
+    # untargeted domain dropped entirely
+    assert out["fr"]["target_share"] == 0.0
+    assert out["fr"]["sample_rate"] == 0.0
+    assert out["en"]["natural_share"] == pytest.approx(0.6)
+
+
+def test_mixing_weights_explicit_budget_and_count_mass(spark):
+    out = {
+        r["domain"]: r
+        for r in sampling.mixing_weights(
+            _mix_docs(spark),
+            domain_col="lang",
+            targets={"en": 0.5, "de": 0.25, "fr": 0.25},
+            budget=4.0,
+        ).collect()
+    }
+    # count mass: en 6, de 3, fr 1; budget 4 -> en rate 2/6, fr capped at 1
+    assert out["en"]["mass"] == 6.0
+    assert out["en"]["sample_rate"] == pytest.approx(4.0 * 0.5 / 6.0)
+    assert out["fr"]["sample_rate"] == pytest.approx(1.0)
+    with pytest.raises(ValueError, match="targets"):
+        sampling.mixing_weights(
+            _mix_docs(spark), domain_col="lang", targets={}
+        )
+
+
+def test_mixing_weights_feeds_stratified_sample(spark):
+    """Rates collected from the tiny frame drive the deterministic
+    downsampling pass."""
+    docs = _mix_docs(spark)
+    w = sampling.mixing_weights(
+        docs, domain_col="lang", targets={"en": 0.5, "de": 0.5}
+    )
+    fractions = {r["domain"]: r["sample_rate"] for r in w.collect()}
+    sampled = sampling.stratified_sample(docs, "lang", fractions, "doc_id")
+    by_lang = {
+        r["lang"]: r["count"]
+        for r in sampled.groupBy("lang").count().collect()
+    }
+    assert by_lang.get("de", 0) == 3  # rate 1.0 keeps all
+    assert "fr" not in by_lang  # rate 0 drops the domain
+    assert 0 < by_lang.get("en", 0) <= 6

@@ -3,11 +3,14 @@
 
 Raw documents
   → PII redaction (typed placeholders, scan-stage regex)
+  → span-level boilerplate removal (repeated N-word spans deleted
+    corpus-wide, C4/RefinedWeb style)
   → text features + quality gate (incl. Gopher-style repetition cap)
   → exact dedup (content fingerprint)
   → transitive near-dup removal (MinHash-LSH pairs → connected
     components → keep each group's representative)
-  → per-language stratified cap (deterministic hash sampling)
+  → domain-mixing cap (target language distribution → per-language
+    rates → deterministic hash sampling)
   → train/val/test split assignment (append-stable hash ranges)
   → context-window chunking
   → curated parquet partitioned by split.
@@ -52,6 +55,17 @@ def main() -> None:
     # 1. PII scrub — replaces emails/SSNs/IPs/phones with typed tokens
     scrubbed = docs.withColumn("text", textops.redact_pii(F.col("text")))
 
+    # 1b. span-level boilerplate removal: every 8-word span occurring
+    #     in >= 3 distinct docs is deleted corpus-wide (headers,
+    #     footers, license blocks); metadata rejoined by id
+    despanned = textops.remove_duplicate_spans(
+        scrubbed, span_words=8, min_df=3
+    )
+    scrubbed = despanned.filter(F.col("kept_spans") > 0).join(
+        docs.select("doc_id", "lang", "source"), "doc_id"
+    )
+    n0b = scrubbed.count()
+
     # 2. features + quality gate (pure column math, runs in the scan
     #    stage) + repetition cap (two doc-keyed aggregates)
     feats = textops.with_text_features(scrubbed)
@@ -76,9 +90,20 @@ def main() -> None:
     curated = exact.join(losers, "doc_id", "left_anti")
     n3 = curated.count()
 
-    # 5. per-language cap (deterministic: same rows kept on any cluster)
+    # 5. domain-mixing cap: per-language rates toward a target doc
+    #    distribution (largest single-epoch-feasible budget), then the
+    #    deterministic hash sampler applies them — same rows kept on
+    #    any cluster
+    weights = sampling.mixing_weights(
+        curated,
+        domain_col="lang",
+        targets={"en": 0.4, "zh": 0.15, "es": 0.15, "de": 0.15, "fr": 0.15},
+    )
+    fractions = {
+        r["domain"]: r["sample_rate"] for r in weights.collect()
+    }
     capped = sampling.stratified_sample(
-        curated, "lang", {"en": 0.8}, "doc_id", default_rate=1.0, seed=13
+        curated, "lang", fractions, "doc_id", default_rate=0.0, seed=13
     )
     n4 = capped.count()
 
@@ -108,7 +133,8 @@ def main() -> None:
     n_packs = packed.select("bucket", "pack_index").distinct().count()
 
     print(
-        f"documents: {n0} raw -> {n1} quality+repetition gated -> "
+        f"documents: {n0} raw -> {n0b} despanned -> "
+        f"{n1} quality+repetition gated -> "
         f"{n2} exact-deduped -> {n3} group-deduped -> {n4} capped -> "
         f"{n5} chunks -> {n_packs} packed sequences (budget 256) -> "
         f"{out_dir}/chunks (partitioned by split)"

@@ -622,6 +622,8 @@ _SURFACE_VARS = {
     "v10m": (0, 2, 3, 103, 10),
     "u80m": (0, 2, 2, 103, 80),
     "v80m": (0, 2, 3, 103, 80),
+    "u100m": (0, 2, 2, 103, 100),
+    "v100m": (0, 2, 3, 103, 100),
     "sp": (0, 3, 0, 1, 0),
     "msl": (0, 3, 1, 101, 0),
     "tcwv": (0, 1, 64, 200, 0),

@@ -37,3 +37,22 @@ def test_incremental_ingest_example(tmp_path):
     stdout = _run("incremental_ingest.py", str(tmp_path / "work"))
     assert "curated rows written" in stdout
     assert "batch 2:" in stdout
+
+
+def test_da_gfs_stats_example(tmp_path):
+    # arg convention differs: (mirror_dir, out_dir), no sf_dir
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "examples", "da_gfs_stats.py"),
+            str(tmp_path / "mirror"),
+            str(tmp_path / "out"),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "14 stat arrays" in out.stdout
+    assert "cells re-read" in out.stdout

@@ -236,7 +236,12 @@ def _group_pack(z: np.ndarray, group_size: int):
     return refs, widths, lengths, data
 
 
-def write_grib2(path: str, messages: list[dict[str, Any]]) -> None:
+def write_grib2(
+    path: str,
+    messages: list[dict[str, Any]],
+    *,
+    one_message: bool = False,
+) -> None:
     """Encode *messages* into one multi-message GRIB2 file.
 
     Each message dict: ``time`` (datetime), ``discipline``,
@@ -247,8 +252,16 @@ def write_grib2(path: str, messages: list[dict[str, Any]]) -> None:
     (``"simple"`` | ``"complex"`` | ``"complex_diff"``), ``order``
     (spatial differencing order 1|2), ``nbits`` (simple-packing width,
     default 16).
+
+    ``one_message=True`` emits all fields as repeated section groups
+    (3-7) inside ONE GRIB envelope — the layout many archives use —
+    with bitmap indicator 254 whenever a field's missing-value mask
+    repeats the previous field's (section 6 reuse semantics).
     """
     out = bytearray()
+    groups: list[bytes] = []
+    first_sec1: bytes | None = None
+    last_mask = None
     for m in messages:
         vals = np.asarray(m["values"], dtype=np.float64)
         mask = np.isfinite(vals.ravel())
@@ -366,17 +379,45 @@ def write_grib2(path: str, messages: list[dict[str, Any]]) -> None:
 
         sec5 = _sec(5, struct.pack(">I", len(flat)) + drep)
         if has_bitmap:
-            sec6 = _sec(6, bytes([0]) + np.packbits(mask.astype(np.uint8)).tobytes())
+            if (
+                one_message
+                and last_mask is not None
+                and np.array_equal(mask, last_mask)
+            ):
+                sec6 = _sec(6, bytes([254]))  # reuse previous bitmap
+            else:
+                sec6 = _sec(
+                    6, bytes([0]) + np.packbits(mask.astype(np.uint8)).tobytes()
+                )
+            last_mask = mask
         else:
             sec6 = _sec(6, bytes([255]))
+            last_mask = None
         sec7 = _sec(7, data)
 
-        body = sec1 + sec3 + sec4 + sec5 + sec6 + sec7
+        if one_message:
+            if first_sec1 is None:
+                first_sec1 = sec1
+                first_disc = m["discipline"]
+            groups.append(sec3 + sec4 + sec5 + sec6 + sec7)
+        else:
+            body = sec1 + sec3 + sec4 + sec5 + sec6 + sec7
+            total = 16 + len(body) + 4
+            out += (
+                b"GRIB"
+                + b"\x00\x00"
+                + bytes([m["discipline"], 2])
+                + struct.pack(">Q", total)
+                + body
+                + b"7777"
+            )
+    if one_message and first_sec1 is not None:
+        body = first_sec1 + b"".join(groups)
         total = 16 + len(body) + 4
         out += (
             b"GRIB"
             + b"\x00\x00"
-            + bytes([m["discipline"], 2])
+            + bytes([first_disc, 2])
             + struct.pack(">Q", total)
             + body
             + b"7777"
@@ -545,7 +586,13 @@ def _decode_data(body5: bytes, data: bytes, npoints: int) -> np.ndarray:
 
 
 def read_grib2_messages(data: bytes) -> list[dict[str, Any]]:
-    """Decode every GRIB2 message in *data* (a whole file's bytes)."""
+    """Decode every GRIB2 message in *data* (a whole file's bytes).
+
+    Handles the repeated-section-group shape real archives use: within
+    one message, sections 3-7 (or 4-7) may repeat for additional
+    fields, each repetition inheriting any section it doesn't restate;
+    bitmap indicator 254 re-applies the message's previously defined
+    bitmap (WMO section 6 semantics)."""
     out = []
     pos = 0
     n = len(data)
@@ -560,6 +607,7 @@ def read_grib2_messages(data: bytes) -> list[dict[str, Any]]:
         p = 16
         secs: dict[int, bytes] = {}
         time = None
+        prev_mask = None
         while p < len(msg) - 4:
             slen, snum = struct.unpack(">IB", msg[p : p + 5])
             body = msg[p + 5 : p + slen]
@@ -578,6 +626,7 @@ def read_grib2_messages(data: bytes) -> list[dict[str, Any]]:
                 npoints = struct.unpack(">I", body5[0:4])[0]
                 vals = _decode_data(body5, secs[7][5:], npoints)
                 bmap_ind = secs[6][5]
+                mask = None
                 if bmap_ind == 0:
                     mask = (
                         np.unpackbits(
@@ -585,6 +634,14 @@ def read_grib2_messages(data: bytes) -> list[dict[str, Any]]:
                         )[: grid["ndata"]]
                         == 1
                     )
+                    prev_mask = mask
+                elif bmap_ind == 254:
+                    if prev_mask is None:
+                        raise ValueError(
+                            "bitmap indicator 254 with no prior bitmap"
+                        )
+                    mask = prev_mask
+                if mask is not None:
                     full = np.full(grid["ndata"], np.nan)
                     full[mask] = vals
                     vals = full

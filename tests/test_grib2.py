@@ -360,3 +360,43 @@ def test_unknown_messages_get_synthetic_names(spark, tmp_path):
     df = read_grib2(spark, [path])
     names = [r["variable"] for r in df.select("variable").distinct().collect()]
     assert names == ["d2_c0_n192_lt106_10"]
+
+
+def test_one_message_repeated_groups_and_bitmap_reuse(tmp_path):
+    """Real archives pack many fields as repeated section groups inside
+    one GRIB envelope; a repeated missing-value mask is emitted as
+    bitmap indicator 254 and must resolve to the previous bitmap."""
+    v1, v2, v3 = _field(21), _field(22), _field(23)
+    v1[2, 3] = np.nan
+    v2[2, 3] = np.nan  # same mask as v1 -> encoder emits 254
+    path = str(tmp_path / "one.grib2")
+    write_grib2(
+        path,
+        [
+            dict(
+                time=datetime(2024, 2, 2, 6),
+                discipline=0,
+                category=0,
+                number=i,
+                level_type=103,
+                level=2,
+                grid=LATLON,
+                values=v,
+                packing="complex_diff",
+                order=2,
+            )
+            for i, v in enumerate([v1, v2, v3])
+        ],
+        one_message=True,
+    )
+    raw = open(path, "rb").read()
+    assert raw.count(b"GRIB") == 1  # single envelope
+    msgs = read_grib2_messages(raw)
+    assert [m["number"] for m in msgs] == [0, 1, 2]
+    for m, v in zip(msgs, [v1, v2, v3]):
+        got = m["values"].reshape(NJ, NI)
+        finite = np.isfinite(v)
+        np.testing.assert_allclose(got[finite], v[finite], atol=1e-9)
+        assert np.isnan(got).sum() == np.isnan(v).sum()
+    # indicator 254 really present (one full bitmap + one reuse)
+    assert raw.count(b"\x00\x00\x00\x06\x06\xfe") == 1

@@ -44,6 +44,14 @@ def moment_stats(
     oracle can address them.
     """
     v = F.col(value_col)
+    # Skew/kurt come from power sums + the same guarded finalize as
+    # finalize_welford_state, NOT Spark's builtin skewness/kurtosis:
+    # under ANSI mode the builtins raise DIVIDE_BY_ZERO whenever the
+    # internal Σ(x-mean)² cubes/squares underflow to exactly 0 (found
+    # by hypothesis with a near-constant group at ~1e-56 — a real
+    # crash for constant or unit-converted tiny fields).  Projection-
+    # level double division never throws, and the zero-variance guard
+    # pins those groups to 0 per the reference's finalize semantics.
     aggs: list[Column] = [
         F.count(F.lit(1)).alias("n"),
         F.avg(v).alias("mean"),
@@ -51,15 +59,45 @@ def moment_stats(
         F.max(v).alias("max_v"),
         F.stddev_pop(v).alias("stddev_pop_v"),
         F.var_pop(v).alias("var_pop_v"),
-        F.skewness(v).alias("skew_v"),
-        F.kurtosis(v).alias("kurt_v"),
+        F.avg(v * v).alias("_p2"),
+        F.avg(v * v * v).alias("_p3"),
+        F.avg(v * v * v * v).alias("_p4"),
         F.avg(F.abs(v - F.lit(abs_center))).alias("abs_mean"),
         F.max(F.abs(v - F.lit(abs_center))).alias("abs_max"),
     ]
     if include_median:
         aggs.append(F.percentile_approx(v, 0.5).alias("median_approx"))
     grouped = df.groupBy(*group_cols) if group_cols else df.groupBy()
-    return grouped.agg(*aggs)
+    agg = grouped.agg(*aggs)
+    mean = F.col("mean")
+    m2 = F.col("_p2") - mean * mean
+    m3 = F.col("_p3") - 3 * mean * F.col("_p2") + 2 * mean * mean * mean
+    m4 = (
+        F.col("_p4")
+        - 4 * mean * F.col("_p3")
+        + 6 * mean * mean * F.col("_p2")
+        - 3 * mean * mean * mean * mean
+    )
+    zero_var = m2 <= F.lit(0.0)
+    tail = ["abs_mean", "abs_max"] + (
+        ["median_approx"] if include_median else []
+    )
+    return agg.select(
+        *group_cols,
+        "n",
+        "mean",
+        "min_v",
+        "max_v",
+        "stddev_pop_v",
+        "var_pop_v",
+        F.when(zero_var, F.lit(0.0))
+        .otherwise(m3 / F.pow(m2, 1.5))
+        .alias("skew_v"),
+        F.when(zero_var, F.lit(0.0))
+        .otherwise(m4 / (m2 * m2) - 3.0)
+        .alias("kurt_v"),
+        *tail,
+    )
 
 
 def elementwise_stats(

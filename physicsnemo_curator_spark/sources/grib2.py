@@ -191,9 +191,22 @@ def _grid_section(grid: dict[str, Any], ndata: int) -> bytes:
     return _sec(3, body)
 
 
+def _f32_floor(lo: int) -> int:
+    """Largest float32-representable integer <= lo.
+
+    The GRIB2 reference value R is an IEEE float32; naively packing the
+    scaled minimum silently rounds it when |min| > 2^24 and shifts
+    EVERY decoded value.  Flooring R keeps X = scaled - R non-negative
+    and the reconstruction R + X exact in float64."""
+    r = np.float32(lo)
+    if float(r) > lo:
+        r = np.nextafter(r, np.float32(-np.inf))
+    return int(float(r))
+
+
 def _simple_pack(scaled: np.ndarray, nbits: int):
     """Integer field -> (ref R, binary scale E, X array) for *nbits*."""
-    lo, hi = int(scaled.min()), int(scaled.max())
+    lo, hi = _f32_floor(int(scaled.min())), int(scaled.max())
     span = hi - lo
     e = 0
     while span > (1 << nbits) - 1:
@@ -328,7 +341,7 @@ def write_grib2(
             data = _pack_bits(x, nbits)
         else:
             order = int(m.get("order", 2)) if packing == "complex_diff" else 0
-            ref = int(scaled.min())
+            ref = _f32_floor(int(scaled.min()))
             x = (scaled - ref).astype(np.int64)
             if order:
                 ivals = x[:order].copy()

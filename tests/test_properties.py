@@ -74,3 +74,119 @@ def test_permutation_is_bijection(spark, seed, n):
     new_points, _ = mesh.random_permutation(points, cells, seed=seed)
     ids = sorted(r["point_id"] for r in new_points.collect())
     assert ids == list(range(n))
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    data=st.data(),
+    packing=st.sampled_from(
+        [("simple", 0), ("complex", 0), ("complex_diff", 1), ("complex_diff", 2)]
+    ),
+    decimals=st.integers(min_value=0, max_value=3),
+)
+def test_grib2_round_trip_property(tmp_path_factory, data, packing, decimals):
+    """Any finite field on any small lat/lon lattice survives
+    encode→decode exactly at the declared decimal scale, for every
+    packing template, with NaN positions preserved via the bitmap."""
+    import os
+    from datetime import datetime as _dt
+
+    from physicsnemo_curator_spark.sources.grib2 import (
+        read_grib2_messages,
+        write_grib2,
+    )
+
+    ni = data.draw(st.integers(min_value=2, max_value=12))
+    nj = data.draw(st.integers(min_value=2, max_value=9))
+    vals = np.array(
+        data.draw(
+            st.lists(
+                st.floats(
+                    min_value=-5e4,
+                    max_value=5e4,
+                    allow_nan=False,
+                    allow_infinity=False,
+                ),
+                min_size=ni * nj,
+                max_size=ni * nj,
+            )
+        )
+    ).reshape(nj, ni)
+    vals = np.round(vals, decimals)
+    # sprinkle missing values (never all missing)
+    n_nan = data.draw(st.integers(min_value=0, max_value=ni * nj - 1))
+    flat = vals.ravel()
+    flat[data.draw(st.permutations(list(range(ni * nj))))[:n_nan]] = np.nan
+    vals = flat.reshape(nj, ni)
+
+    pk, order = packing
+    path = str(tmp_path_factory.mktemp("g2") / "p.grib2")
+    write_grib2(
+        path,
+        [
+            dict(
+                time=_dt(2024, 3, 1, 12),
+                discipline=0,
+                category=0,
+                number=0,
+                level_type=103,
+                level=2,
+                grid=dict(
+                    type="latlon",
+                    ni=ni,
+                    nj=nj,
+                    lat1=90.0,
+                    lon1=0.0,
+                    lat2=-90.0,
+                    lon2=360.0 - 360.0 / ni,
+                    di=360.0 / ni,
+                    dj=180.0 / max(nj - 1, 1),
+                    scan=0,
+                ),
+                values=vals,
+                decimals=decimals,
+                packing=pk,
+                order=order,
+                nbits=24,
+            )
+        ],
+    )
+    with open(path, "rb") as fh:
+        (msg,) = read_grib2_messages(fh.read())
+    os.unlink(path)
+    got = msg["values"].reshape(nj, ni)
+    finite = np.isfinite(vals)
+    assert (np.isfinite(got) == finite).all()
+    if pk == "simple" and finite.any():
+        # floor quantization: error < 2^E / 10^D with E chosen so the
+        # scaled span fits in nbits=24
+        span = np.nanmax(vals) - np.nanmin(vals)
+        e = max(0, math.ceil(math.log2(max(span * 10**decimals, 1) / (2**24 - 1) + 1e-12)))
+        atol = (2**e) / 10**decimals + 1e-9
+    else:
+        atol = 1e-9  # complex packing is exact at the decimal scale
+    np.testing.assert_allclose(got[finite], vals[finite], rtol=0, atol=atol)
+
+
+def test_moment_stats_degenerate_groups_no_ansi_crash(spark):
+    """Constant and near-constant (underflow-variance) groups must not
+    raise DIVIDE_BY_ZERO under ANSI mode; zero-variance skew/kurt pin
+    to 0 per the reference's finalize semantics (the builtin
+    skewness/kurtosis aggregates throw when their internal Σ(x-mean)²
+    powers underflow to exactly 0 — hypothesis found this with a
+    two-point group at ~1e-56)."""
+    rows = [
+        ("const", 5.0),
+        ("const", 5.0),
+        ("tiny", 0.0),
+        ("tiny", 2.6025976313385818e-56),
+        ("normal", 1.0),
+        ("normal", 3.0),
+        ("normal", 9.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["g"]: r for r in stats.moment_stats(df, ["g"], "v").collect()}
+    assert out["const"]["skew_v"] == 0.0 and out["const"]["kurt_v"] == 0.0
+    assert math.isfinite(out["tiny"]["skew_v"])
+    assert math.isclose(out["normal"]["var_pop_v"], np.var([1.0, 3.0, 9.0]))
+    assert out["normal"]["skew_v"] > 0  # right-skewed

@@ -190,3 +190,107 @@ def test_moment_stats_degenerate_groups_no_ansi_crash(spark):
     assert math.isfinite(out["tiny"]["skew_v"])
     assert math.isclose(out["normal"]["var_pop_v"], np.var([1.0, 3.0, 9.0]))
     assert out["normal"]["skew_v"] > 0  # right-skewed
+
+
+_words = st.lists(
+    st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]),
+    min_size=1,
+    max_size=24,
+)
+
+
+@given(docs=st.lists(_words, min_size=1, max_size=8), span=st.integers(1, 4))
+@_settings
+def test_remove_duplicate_spans_invariant(spark, docs, span):
+    """Exactly the spans with df >= 2 disappear (from every doc); all
+    other spans survive in document order."""
+    from physicsnemo_curator_spark.operators import textops
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in textops.remove_duplicate_spans(
+            df, span_words=span, min_df=2
+        ).collect()
+    }
+    spans_by_doc = {
+        i: [
+            " ".join(ws[s : s + span])
+            for s in range(0, len(ws), span)
+        ]
+        for i, ws in enumerate(docs)
+    }
+    df_count: dict[str, set] = {}
+    for i, sp in spans_by_doc.items():
+        for s in sp:
+            df_count.setdefault(s, set()).add(i)
+    boiler = {s for s, ids in df_count.items() if len(ids) >= 2}
+    for i, sp in spans_by_doc.items():
+        expect = [s for s in sp if s not in boiler]
+        assert out[i]["text"] == " ".join(expect)
+        assert out[i]["kept_spans"] == len(expect)
+        assert out[i]["removed_spans"] == len(sp) - len(expect)
+
+
+@given(
+    masses=st.lists(st.integers(1, 10**6), min_size=2, max_size=6),
+    shares=st.lists(st.integers(1, 9), min_size=2, max_size=6),
+)
+@_settings
+def test_mixing_weights_invariants(spark, masses, shares):
+    """Rates stay in [0, 1]; the scarcest targeted domain is taken in
+    full under the default budget; expected masses realize the target
+    ratios up to rate-1 capping."""
+    from physicsnemo_curator_spark.operators import sampling
+
+    k = min(len(masses), len(shares))
+    masses, shares = masses[:k], shares[:k]
+    rows = [(f"d{i}", float(m)) for i, m in enumerate(masses)]
+    df = spark.createDataFrame(rows, "domain string, w double")
+    targets = {f"d{i}": float(s) for i, s in enumerate(shares)}
+    out = {
+        r["domain"]: r
+        for r in sampling.mixing_weights(
+            df, domain_col="domain", weight_col="w", targets=targets
+        ).collect()
+    }
+    assert all(0.0 <= r["sample_rate"] <= 1.0 for r in out.values())
+    scarcest = min(range(k), key=lambda i: masses[i] / shares[i])
+    assert out[f"d{scarcest}"]["sample_rate"] == 1.0
+    for i in range(k):
+        assert math.isclose(
+            out[f"d{i}"]["expected_mass"],
+            min(
+                masses[i],
+                shares[i] * (masses[scarcest] / shares[scarcest]),
+            ),
+            rel_tol=1e-9,
+        )
+
+
+@given(
+    latin1=st.floats(5.0, 70.0),
+    latin2=st.floats(5.0, 70.0),
+    lov=st.floats(0.0, 359.0),
+    lat=st.lists(st.floats(1.0, 80.0), min_size=1, max_size=8),
+)
+@_settings
+def test_lambert_projection_inverse_property(latin1, latin2, lov, lat):
+    """forward∘inverse is the identity for any northern-hemisphere
+    Lambert conformal parameterization."""
+    from physicsnemo_curator_spark.sources.grib2 import (
+        lambert_forward,
+        lambert_inverse,
+    )
+
+    la = np.asarray(lat)
+    lo = (np.asarray(lat) * 4.1 + lov) % 360.0  # arbitrary lons
+    kw = dict(latin1=latin1, latin2=latin2, lov=lov)
+    x, y = lambert_forward(la, lo, **kw)
+    la2, lo2 = lambert_inverse(x, y, **kw)
+    np.testing.assert_allclose(la2, la, atol=1e-8)
+    dlon = (lo2 - lo + 180.0) % 360.0 - 180.0
+    np.testing.assert_allclose(dlon, 0.0, atol=1e-8)

@@ -103,3 +103,150 @@ def read_sketch_store(
     if batches is not None:
         sk = sk.filter(F.col("batch_id").isin(batches))
     return estimate_distinct(merge_sketch_tables(sk, group_cols))
+
+
+# --- Mergeable quantile sketches: fixed-bin histograms ---------------------
+
+
+def value_histograms(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    *,
+    lo: float,
+    hi: float,
+    n_bins: int = 256,
+    hist_col: str = "hist",
+) -> DataFrame:
+    """One fixed-bin histogram of ``value_col`` per group — the
+    mergeable quantile counterpart of :func:`distinct_sketches`.
+
+    Unlike ``percentile_approx`` (whose GK state Spark never exposes),
+    a fixed-bin histogram persists as a plain ``array<bigint>`` and
+    merges by elementwise addition — so per-batch histograms union
+    losslessly across days/partitions and quantile error stays bounded
+    by one bin width of the DECLARED range [lo, hi).  Out-of-range
+    values land in ``below``/``above`` overflow counters rather than
+    silently clamping into edge bins.
+
+    Plan: a (group, bin) partial+final count (at most groups x n_bins
+    rows survive the map side), then one array assembly per group —
+    both hash aggregates, no window over the corpus.
+    """
+    if not hi > lo:
+        raise ValueError("need hi > lo")
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    width = (hi - lo) / n_bins
+    v = F.col(value_col).cast("double")
+    bin_ = F.floor((v - F.lit(lo)) / F.lit(width)).cast("int")
+    bin_ = (
+        F.when(v < lo, F.lit(-1))
+        .when(v >= hi, F.lit(n_bins))
+        .otherwise(F.least(bin_, F.lit(n_bins - 1)))
+    )
+    per_bin = (
+        df.select(*group_cols, bin_.alias("_bin"))
+        .groupBy(*group_cols, "_bin")
+        .agg(F.count("*").alias("_c"))
+    )
+    entries = F.map_from_entries(
+        F.collect_list(F.struct(F.col("_bin"), F.col("_c")))
+    )
+    counts = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bins - 1)),
+        lambda i: F.coalesce(entries[i], F.lit(0)).cast("long"),
+    )
+    return per_bin.groupBy(*group_cols).agg(
+        counts.alias(hist_col),
+        F.coalesce(entries[F.lit(-1)], F.lit(0)).cast("long").alias("below"),
+        F.coalesce(entries[F.lit(n_bins)], F.lit(0)).cast("long").alias("above"),
+    )
+
+
+def merge_histogram_tables(
+    hists: DataFrame,
+    group_cols: list[str],
+    *,
+    hist_col: str = "hist",
+) -> DataFrame:
+    """Merge per-batch histograms per group: elementwise array addition
+    (the mergeability exact quantiles lack)."""
+    merged = F.aggregate(
+        F.collect_list(hist_col),
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.first(hist_col))), lambda _: F.lit(0).cast("long")
+        ),
+        lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+    )
+    return hists.groupBy(*group_cols).agg(
+        merged.alias(hist_col),
+        F.sum("below").alias("below"),
+        F.sum("above").alias("above"),
+    )
+
+
+def histogram_quantiles(
+    hists: DataFrame,
+    group_cols: list[str],
+    qs: list[float],
+    *,
+    lo: float,
+    hi: float,
+    hist_col: str = "hist",
+) -> DataFrame:
+    """Per-group quantile estimates from a histogram table.
+
+    For each q: the target rank is ``ceil(q * n)`` (clamped to >= 1)
+    over the in-range mass; the estimate is the left edge of the first
+    bin whose cumulative count reaches it, plus a linear interpolation
+    inside that bin — deterministic arithmetic, replayable in SQL.
+    Output: one row per (group, q) with ``quantile`` and ``estimate``.
+    """
+    n_bins = None  # derived per-row from the array length
+    width_expr = (F.lit(hi) - F.lit(lo)) / F.size(F.col(hist_col))
+    exploded = hists.select(
+        *group_cols,
+        F.col(hist_col),
+        F.posexplode(F.col(hist_col)).alias("_bin", "_c"),
+    )
+    total = F.aggregate(
+        F.col(hist_col), F.lit(0).cast("long"), lambda a, b: a + b
+    )
+    cum = F.aggregate(
+        F.slice(F.col(hist_col), F.lit(1), F.col("_bin") + 1),
+        F.lit(0).cast("long"),
+        lambda a, b: a + b,
+    )
+    ranked = exploded.select(
+        *group_cols,
+        "_bin",
+        "_c",
+        total.alias("_n"),
+        cum.alias("_cum"),
+        width_expr.alias("_w"),
+    ).filter(F.col("_c") > 0)
+    out = None
+    for q in qs:
+        target = F.greatest(
+            F.ceil(F.lit(float(q)) * F.col("_n")), F.lit(1)
+        ).cast("long")
+        hit = ranked.filter(
+            (F.col("_cum") >= target) & (F.col("_cum") - F.col("_c") < target)
+        )
+        est = (
+            F.lit(lo)
+            + F.col("_w") * F.col("_bin")
+            + F.col("_w")
+            * (
+                (target - (F.col("_cum") - F.col("_c"))).cast("double")
+                / F.col("_c").cast("double")
+            )
+        )
+        sel = hit.select(
+            *group_cols,
+            F.lit(float(q)).alias("quantile"),
+            est.alias("estimate"),
+        )
+        out = sel if out is None else out.unionByName(sel)
+    return out

@@ -250,6 +250,57 @@ FROM events GROUP BY 1 ORDER BY event_type
 """
 
 
+def q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketches (operators/sketches.py): per-flag
+    fixed-bin histograms built on TWO disjoint batches, merged by
+    elementwise array addition (the mergeability percentile_approx's
+    hidden GK state lacks), then interpolated quantile estimates —
+    every step is deterministic arithmetic the DuckDB oracle replays
+    by binning the full table directly (counts add, so batch-merge ≡
+    whole-table binning, which is exactly the property being gated)."""
+    from physicsnemo_curator_spark.operators import sketches
+
+    li = _t(spark, sf_dir, "lineitem")
+    b1 = li.filter(F.col("l_orderkey") % 2 == 0)
+    b2 = li.filter(F.col("l_orderkey") % 2 == 1)
+    mk = lambda b: sketches.value_histograms(
+        b, ["l_returnflag"], "l_quantity", lo=0.0, hi=64.0, n_bins=64
+    )
+    merged = sketches.merge_histogram_tables(
+        mk(b1).unionByName(mk(b2)), ["l_returnflag"]
+    )
+    out = sketches.histogram_quantiles(
+        merged, ["l_returnflag"], [0.25, 0.5, 0.9], lo=0.0, hi=64.0
+    )
+    return out.select(
+        "l_returnflag", "quantile", _r6(F.col("estimate"), "estimate")
+    ).orderBy("l_returnflag", "quantile")
+
+
+ORACLE_SKETCH_QUANTILES = """
+WITH b AS (
+  SELECT l_returnflag, CAST(FLOOR(l_quantity) AS INT) AS bin, COUNT(*) c
+  FROM lineitem GROUP BY 1, 2),
+r AS (
+  SELECT l_returnflag, bin, c,
+         SUM(c) OVER (PARTITION BY l_returnflag ORDER BY bin) cum,
+         SUM(c) OVER (PARTITION BY l_returnflag) n
+  FROM b),
+q AS (SELECT CAST(x AS DOUBLE) q FROM (VALUES (0.25), (0.5), (0.9)) v(x)),
+hit AS (
+  SELECT r.l_returnflag, q.q, r.bin, r.c, r.cum, r.n,
+         GREATEST(CAST(CEIL(q.q * r.n) AS BIGINT), 1) target
+  FROM r CROSS JOIN q)
+SELECT l_returnflag, q AS quantile,
+       ROUND(CAST(bin AS DOUBLE)
+             + CAST(target - (cum - c) AS DOUBLE) / CAST(c AS DOUBLE),
+             6) AS estimate
+FROM hit
+WHERE cum >= target AND cum - c < target
+ORDER BY l_returnflag, quantile
+"""
+
+
 def q_a11_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k heavy hitters (curation: dominant sources/dup groups);
     the freqItems sketch variant is validated separately in tests."""
@@ -2797,6 +2848,7 @@ QUERIES: dict[str, QuerySpec] = {
     "q_a8_welford_state": QuerySpec(q_a8_welford_state, ORACLE_A8),
     "q_a11_heavy_hitters": QuerySpec(q_a11_heavy_hitters, ORACLE_A11),
     "q_sketch_distinct": QuerySpec(q_sketch_distinct, ORACLE_SKETCH_DISTINCT),
+    "q_sketch_quantiles": QuerySpec(q_sketch_quantiles, ORACLE_SKETCH_QUANTILES),
     "q_validate_expectations": QuerySpec(q_validate_expectations, ORACLE_VALIDATE),
     "q_profile_columns": QuerySpec(
         q_profile_columns,

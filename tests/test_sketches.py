@@ -67,3 +67,73 @@ def test_estimate_matches_exact_single_batch(spark):
         sketches.distinct_sketches(df, ["kind"], "user_id")
     ).first()
     assert abs(est.n_distinct - 20_000) / 20_000 < 0.05
+
+
+# --- fixed-bin histogram quantile sketches ---------------------------------
+
+
+def test_value_histograms_overflow_bins(spark):
+    from physicsnemo_curator_spark.operators import sketches
+
+    df = spark.createDataFrame(
+        [("g", v) for v in [-5.0, 0.0, 3.5, 9.99, 10.0, 42.0]],
+        "k string, v double",
+    )
+    row = sketches.value_histograms(
+        df, ["k"], "v", lo=0.0, hi=10.0, n_bins=10
+    ).collect()[0]
+    assert row["below"] == 1 and row["above"] == 2
+    assert sum(row["hist"]) == 3
+    assert row["hist"][0] == 1 and row["hist"][3] == 1 and row["hist"][9] == 1
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="hi > lo"):
+        sketches.value_histograms(df, ["k"], "v", lo=1.0, hi=1.0)
+
+
+def test_histogram_merge_equals_whole_table(spark):
+    """Merging per-batch histograms is lossless: identical to binning
+    the union directly (the property exact quantiles lack)."""
+    from pyspark.sql import functions as F
+
+    from physicsnemo_curator_spark.operators import sketches
+    from physicsnemo_curator_spark.sources.tables import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    mk = lambda b: sketches.value_histograms(
+        b, ["l_returnflag"], "l_quantity", lo=0.0, hi=64.0, n_bins=32
+    )
+    parts = [li.filter(F.col("l_orderkey") % 3 == i) for i in range(3)]
+    merged = sketches.merge_histogram_tables(
+        parts[0].transform(mk).unionByName(mk(parts[1])).unionByName(mk(parts[2])),
+        ["l_returnflag"],
+    )
+    whole = mk(li)
+    a = {r["l_returnflag"]: (r["hist"], r["below"], r["above"]) for r in merged.collect()}
+    b = {r["l_returnflag"]: (r["hist"], r["below"], r["above"]) for r in whole.collect()}
+    assert a == b
+
+
+def test_histogram_quantiles_error_bound(spark):
+    """Every estimate sits within one bin width of the exact quantile."""
+    import numpy as np
+
+    from physicsnemo_curator_spark.operators import sketches
+    from physicsnemo_curator_spark.sources.tables import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    h = sketches.value_histograms(
+        li, ["l_returnflag"], "l_quantity", lo=0.0, hi=64.0, n_bins=64
+    )
+    qs = [0.1, 0.5, 0.99]
+    est = sketches.histogram_quantiles(
+        h, ["l_returnflag"], qs, lo=0.0, hi=64.0
+    ).collect()
+    pdf = li.select("l_returnflag", "l_quantity").toPandas()
+    width = 1.0
+    for r in est:
+        exact = np.quantile(
+            pdf[pdf.l_returnflag == r["l_returnflag"]].l_quantity,
+            r["quantile"],
+        )
+        assert abs(r["estimate"] - float(exact)) <= width + 1e-9

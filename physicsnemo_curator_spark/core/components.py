@@ -130,6 +130,15 @@ def _semantic_dedup(df: DataFrame, *, centers: list, **kw: Any) -> DataFrame:
     return mllib_ann.semantic_dedup(df, centers, **kw)
 
 
+@register_transform("value_histograms")
+def _value_histograms(
+    df: DataFrame, *, group_cols: list, value_col: str, lo: float, hi: float, **kw: Any
+) -> DataFrame:
+    from physicsnemo_curator_spark.operators import sketches
+
+    return sketches.value_histograms(df, group_cols, value_col, lo=lo, hi=hi, **kw)
+
+
 @register_transform("mixing_weights")
 def _mixing_weights(df: DataFrame, *, domain_col: str, targets: dict, **kw: Any) -> DataFrame:
     from physicsnemo_curator_spark.operators import sampling

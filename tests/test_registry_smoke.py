@@ -80,6 +80,11 @@ CASES = {
             "threshold": 0.9,
         },
     ),
+    "value_histograms": (
+        _lineitem,
+        {"group_cols": ["l_returnflag"], "value_col": "l_quantity",
+         "lo": 0.0, "hi": 64.0, "n_bins": 16},
+    ),
     "mixing_weights": (
         _docs,
         {"domain_col": "lang", "targets": {"en": 0.5, "de": 0.5}},

@@ -2885,6 +2885,15 @@ QUERIES: dict[str, QuerySpec] = {
         ORACLE_DEDUP_INCREMENTAL,
         bench=lambda s, d: q_dedup_incremental(s, d, hash_fn="xxhash64"),
     ),
+    "q_semantic_dedup": QuerySpec(
+        q_semantic_dedup,
+        ORACLE_SEMANTIC_DEDUP,
+        # benched twin: the arrow einsum kernel — a one-shot run's
+        # honest choice, since the unrolled expression's ~70s is
+        # one-time janino compile that only amortizes on long jobs
+        # (pair-set equivalence pinned in tests/test_mllib_ann.py)
+        bench=lambda s, d: q_semantic_dedup(s, d, dot="arrow"),
+    ),
     "q_sample_split": QuerySpec(
         q_sample_split,
         ORACLE_SAMPLE_SPLIT,
@@ -2930,15 +2939,6 @@ QUERIES: dict[str, QuerySpec] = {
         bench=lambda s, d: q_ann_lsh_topk(s, d, md5_planes=False),
     ),
     "q_ann_ivf_topk": QuerySpec(q_ann_ivf_topk, ORACLE_ANN_IVF),
-    "q_semantic_dedup": QuerySpec(
-        q_semantic_dedup,
-        ORACLE_SEMANTIC_DEDUP,
-        # benched twin: the arrow einsum kernel — a one-shot run's
-        # honest choice, since the unrolled expression's ~70s is
-        # one-time janino compile that only amortizes on long jobs
-        # (pair-set equivalence pinned in tests/test_mllib_ann.py)
-        bench=lambda s, d: q_semantic_dedup(s, d, dot="arrow"),
-    ),
     "q_embedding_near_dup": QuerySpec(
         q_embedding_near_dup,
         ORACLE_EMB_NEAR_DUP,

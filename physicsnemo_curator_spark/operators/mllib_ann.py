@@ -382,3 +382,116 @@ def semantic_dedup(
             F.col("dup_of").isNull().alias("keep"),
         )
     )
+
+
+def write_semantic_store(
+    corpus: DataFrame,
+    centers: list[list[float]],
+    store: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+    batch_id: str = "seed",
+) -> None:
+    """Persist (id, vec, cell, norm) for incremental semantic dedup.
+
+    Mirrors ``dedup.write_minhash_store``: partitioned by
+    ``(_batch, cell)`` with dynamic-partition overwrite, so re-running
+    a batch replaces its own rows (idempotent ingestion) and a probe
+    joining on cell reads ONLY the matching cell partitions —
+    partition pruning makes each batch's corpus scan proportional to
+    the cells the batch actually touches, not the store.  The centroid
+    list must stay fixed across the store's life (persist it next to
+    the store; re-clustering means rebuilding)."""
+    cells = _assign_with_norm(corpus, centers, id_col=id_col, vec_col=vec_col)
+    out = cells.select(
+        F.col("_id").alias(id_col),
+        F.col("_vec").alias(vec_col),
+        "cell",
+        F.col("_norm").alias("norm"),
+        F.lit(batch_id).alias("_batch"),
+    )
+    # Always write in overwrite mode; ``mode='append'`` switches to
+    # DYNAMIC partition overwrite, which replaces only this batch's
+    # own ``_batch=<id>`` partitions — a re-run is idempotent instead
+    # of double-appending (same contract as dedup.write_minhash_store).
+    (
+        out.write.mode("overwrite")
+        .option(
+            "partitionOverwriteMode",
+            "dynamic" if mode == "append" else "static",
+        )
+        .partitionBy("_batch", "cell")
+        .parquet(store)
+    )
+
+
+def incremental_semantic_dedup(
+    spark,
+    new_vectors: DataFrame,
+    centers: list[list[float]],
+    store: str,
+    *,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    update_store: bool = False,
+    batch_id: str | None = None,
+    dot: str = "unrolled",
+) -> DataFrame:
+    """Near-duplicate pairs for a NEW batch of embeddings against a
+    persisted :func:`write_semantic_store` corpus, plus within the
+    batch itself — incremental SemDeDup.
+
+    Returns ``(cell, a, b, cosine, scope)``: scope='corpus' rows pair
+    a corpus id (a) with a batch id (b); scope='batch' rows are
+    batch-internal with a < b.  The batch side is assigned once and
+    BROADCAST into the corpus join (a batch is small; the corpus is
+    not), and the corpus scan prunes to the batch's cell partitions.
+    ``update_store=True`` appends the batch under its own partition
+    afterwards (same idempotency as the MinHash store)."""
+    dim = len(centers[0])
+    batch = _assign_with_norm(
+        new_vectors, centers, id_col=id_col, vec_col=vec_col
+    )
+    bl = batch.select(
+        "cell",
+        F.col("_id").alias("b"),
+        F.col("_vec").alias("_vb"),
+        F.col("_norm").alias("_nb"),
+    )
+    corpus = spark.read.parquet(store).select(
+        "cell",
+        F.col(id_col).alias("a"),
+        F.col(vec_col).alias("_va"),
+        F.col("norm").alias("_na"),
+    )
+    if dot == "arrow":
+        cos = _pair_dot_udf()("_va", "_vb") / (F.col("_na") * F.col("_nb"))
+    else:
+        cos = cosine_prenormed("_va", "_vb", F.col("_na"), F.col("_nb"), dim)
+    corpus_pairs = (
+        corpus.join(F.broadcast(bl), "cell")
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("cell", "a", "b", "cosine", F.lit("corpus").alias("scope"))
+    )
+    batch_pairs = _cell_pairs(batch, dim, threshold, dot).select(
+        "cell", "a", "b", "cosine", F.lit("batch").alias("scope")
+    )
+    out = corpus_pairs.unionByName(batch_pairs)
+    if update_store:
+        if batch_id is None:
+            raise ValueError("update_store=True needs a batch_id")
+        out = out.localCheckpoint()  # cut lineage before store mutation
+        write_semantic_store(
+            new_vectors,
+            centers,
+            store,
+            id_col=id_col,
+            vec_col=vec_col,
+            mode="append",
+            batch_id=batch_id,
+        )
+    return out

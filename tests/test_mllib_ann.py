@@ -190,3 +190,59 @@ def test_semantic_pairs_arrow_dot_agrees(spark, sf_correctness_dir):
         ).collect()
     }
     assert unrolled == arrow and len(unrolled) > 0
+
+
+def test_incremental_semantic_dedup_parity_and_append(spark, tmp_path, sf_correctness_dir):
+    """Incremental probe == full recompute minus corpus-internal pairs;
+    appended batches become part of the corpus for later probes;
+    re-running a batch write is idempotent."""
+    emb = load_table(spark, sf_correctness_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") < 300)
+    batch1 = emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400))
+    batch2 = emb.filter(F.col("vec_id") >= 400)
+    centers = mllib_ann.md5_sample_centroids(emb, k=8)
+    store = str(tmp_path / "sem_store")
+    mllib_ann.write_semantic_store(corpus, centers, store)
+
+    inc = mllib_ann.incremental_semantic_dedup(
+        spark, batch1, centers, store, threshold=0.35,
+        update_store=True, batch_id="b1",
+    ).collect()
+    got = {frozenset((r["a"], r["b"])) for r in inc}
+    full = mllib_ann.semantic_pairs(
+        corpus.unionByName(batch1), centers, threshold=0.35
+    ).collect()
+    b1_ids = {r["vec_id"] for r in batch1.select("vec_id").collect()}
+    want = {
+        frozenset((r["a"], r["b"]))
+        for r in full
+        if r["a"] in b1_ids or r["b"] in b1_ids
+    }
+    assert got == want and len(got) > 0
+    # scopes are labeled correctly
+    for r in inc:
+        if r["scope"] == "corpus":
+            assert r["a"] not in b1_ids and r["b"] in b1_ids
+        else:
+            assert r["a"] in b1_ids and r["b"] in b1_ids and r["a"] < r["b"]
+
+    # idempotent re-write of the same batch, then probe batch2 against
+    # corpus+batch1
+    mllib_ann.write_semantic_store(
+        batch1, centers, store, mode="append", batch_id="b1"
+    )
+    inc2 = mllib_ann.incremental_semantic_dedup(
+        spark, batch2, centers, store, threshold=0.35
+    ).collect()
+    got2 = {frozenset((r["a"], r["b"])) for r in inc2}
+    full2 = mllib_ann.semantic_pairs(emb, centers, threshold=0.35).collect()
+    b2_ids = {r["vec_id"] for r in batch2.select("vec_id").collect()}
+    want2 = {
+        frozenset((r["a"], r["b"]))
+        for r in full2
+        if r["a"] in b2_ids or r["b"] in b2_ids
+    }
+    assert got2 == want2
+    # no duplicated corpus rows from the idempotent re-write
+    n_store = spark.read.parquet(store).count()
+    assert n_store == corpus.count() + batch1.count()

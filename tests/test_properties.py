@@ -259,7 +259,10 @@ def test_mixing_weights_invariants(spark, masses, shares):
     }
     assert all(0.0 <= r["sample_rate"] <= 1.0 for r in out.values())
     scarcest = min(range(k), key=lambda i: masses[i] / shares[i])
-    assert out[f"d{scarcest}"]["sample_rate"] == 1.0
+    # share * (mass/share) / mass can land one ulp under 1.0
+    assert math.isclose(
+        out[f"d{scarcest}"]["sample_rate"], 1.0, rel_tol=1e-12
+    )
     for i in range(k):
         assert math.isclose(
             out[f"d{i}"]["expected_mass"],

@@ -1807,6 +1807,73 @@ FROM w ORDER BY domain
 """
 
 
+def q_warc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC/WET source gate (sources/warc.py, the Common Crawl ingest
+    format): the documents table is round-tripped through real WET
+    shards — encoded as ISO 28500 conversion records (gzip, CRLF
+    framing, Content-Length payloads), re-scanned task-per-file, and
+    fingerprinted per host bucket.  The oracle replays the bucketing
+    and fingerprint arithmetic on the documents table directly, so a
+    framing/decode bug anywhere in the codec breaks the hash."""
+    import hashlib
+    import tempfile
+
+    from physicsnemo_curator_spark.sources.warc import read_wet, write_wet
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+        .collect()
+    )
+    token = hashlib.md5(f"warc:{sf_dir}".encode()).hexdigest()[:12]
+    base = os.path.join(
+        tempfile.gettempdir(), f"pcs_wet_{token}_{os.getpid()}"
+    )
+    os.makedirs(base, exist_ok=True)
+    paths = []
+    for shard in range(4):
+        p = os.path.join(base, f"shard{shard}.warc.wet.gz")
+        recs = [
+            {
+                "uri": f"https://s{r['doc_id'] % 5}.example/{r['doc_id']}",
+                "text": r["text"],
+            }
+            for r in docs
+            if r["doc_id"] % 4 == shard
+        ]
+        if not os.path.exists(p):
+            write_wet(p, recs)
+        paths.append(p)
+    scanned = read_wet(spark, paths, lang_id=False)
+    return (
+        scanned.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.md5(
+                F.concat_ws(
+                    "",
+                    F.sort_array(
+                        F.collect_list(F.md5(F.col("text").cast("binary")))
+                    ),
+                ).cast("binary")
+            ).alias("content_fp"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_WARC_SCAN = """
+SELECT 's' || CAST(doc_id % 5 AS VARCHAR) || '.example' AS source,
+       COUNT(*) AS n_docs,
+       SUM(LENGTH(text)) AS total_chars,
+       md5(string_agg(md5(text), '' ORDER BY md5(text))) AS content_fp
+FROM documents WHERE doc_id < 200
+GROUP BY 1 ORDER BY source
+"""
+
+
 def q_text_span_dedup(
     spark: SparkSession, sf_dir: str, hash_fn: str | None = None
 ) -> DataFrame:
@@ -2906,6 +2973,7 @@ QUERIES: dict[str, QuerySpec] = {
         bench=lambda s, d: q_sample_stratified(s, d, hash_fn="xxhash64"),
     ),
     "q_text_redact_pii": QuerySpec(q_text_redact_pii, ORACLE_TEXT_REDACT),
+    "q_warc_scan": QuerySpec(q_warc_scan, ORACLE_WARC_SCAN),
     "q_media_frames": QuerySpec(q_media_frames, ORACLE_MEDIA_FRAMES),
     "q_text_chunks": QuerySpec(q_text_chunks, ORACLE_TEXT_CHUNKS),
     "q_text_span_dedup": QuerySpec(

@@ -69,6 +69,7 @@ def write_sized(
     bytes_hint: int | None = None,
     partition_cols: list[str] | None = None,
     mode: str = "overwrite",
+    format: str = "parquet",
 ) -> int:
     """Compaction-aware write: pick the output file count so files land
     near ``target_file_bytes`` — the small-files guard every 100 TB
@@ -87,6 +88,12 @@ def write_sized(
     With ``partition_cols`` the repartition hashes on those columns so
     each output dir is written by as few tasks as possible while
     keeping ``n_files`` tasks total.
+
+    ``format='json'`` writes gzip JSONL shards instead of parquet —
+    the training-loader handoff format (one JSON object per line; most
+    loaders stream it directly).  JSONL compresses less than parquet,
+    so pass a higher ``compression_ratio`` (~0.6) or a ``bytes_hint``
+    when shard sizing matters.
     """
     import math
 
@@ -102,5 +109,10 @@ def write_sized(
     else:
         out = df.repartition(n_files)
         w = out.write.mode(mode)
-    w.parquet(path)
+    if format == "json":
+        w.option("compression", "gzip").json(path)
+    elif format == "parquet":
+        w.parquet(path)
+    else:
+        raise ValueError(f"unknown format {format!r}")
     return n_files

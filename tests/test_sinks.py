@@ -165,3 +165,33 @@ def test_write_sized_bytes_hint_and_partitions(spark, tmp_path):
     dirs = sorted(d for d in os.listdir(out) if d.startswith("k="))
     assert dirs == ["k=0", "k=1", "k=2"]
     assert spark.read.parquet(out).count() == 1000
+
+
+def test_write_sized_jsonl_shards(spark, tmp_path):
+    """format='json' writes gzip JSONL readable back row-for-row."""
+    import gzip
+    import json as _json
+    import os
+
+    from physicsnemo_curator_spark.sinks.partitioned import write_sized
+
+    df = spark.range(500).selectExpr(
+        "id AS doc_id", "repeat('t', 50) AS text"
+    )
+    out = str(tmp_path / "jsonl")
+    n = write_sized(
+        df, out, target_file_bytes=8 * 1024, bytes_hint=500 * 60,
+        format="json",
+    )
+    assert n >= 2
+    rows = []
+    for f in os.listdir(out):
+        if f.endswith(".json.gz"):
+            with gzip.open(os.path.join(out, f), "rt") as fh:
+                rows += [_json.loads(line) for line in fh]
+    assert len(rows) == 500
+    assert {r["doc_id"] for r in rows} == set(range(500))
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="unknown format"):
+        write_sized(df, out, format="orc2")

@@ -203,7 +203,6 @@ def histogram_quantiles(
     inside that bin — deterministic arithmetic, replayable in SQL.
     Output: one row per (group, q) with ``quantile`` and ``estimate``.
     """
-    n_bins = None  # derived per-row from the array length
     width_expr = (F.lit(hi) - F.lit(lo)) / F.size(F.col(hist_col))
     exploded = hists.select(
         *group_cols,

@@ -64,12 +64,7 @@ def _sm_decode(raw: bytes) -> int:
 
 def _pack_bits(vals: np.ndarray, nbits: int) -> bytes:
     """Pack non-negative ints MSB-first at *nbits* per value."""
-    if nbits == 0 or len(vals) == 0:
-        return b""
-    v = np.asarray(vals, dtype=np.uint64)
-    shifts = np.arange(nbits - 1, -1, -1, dtype=np.uint64)
-    bits = ((v[:, None] >> shifts[None, :]) & 1).astype(np.uint8)
-    return np.packbits(bits.ravel()).tobytes()
+    return np.packbits(_value_bits(vals, nbits)).tobytes()
 
 
 def _bit_array(buf: bytes) -> np.ndarray:
@@ -206,6 +201,8 @@ def _f32_floor(lo: int) -> int:
 
 def _simple_pack(scaled: np.ndarray, nbits: int):
     """Integer field -> (ref R, binary scale E, X array) for *nbits*."""
+    if len(scaled) == 0:
+        return 0, 0, np.zeros(0, dtype=np.uint64)
     lo, hi = _f32_floor(int(scaled.min())), int(scaled.max())
     span = hi - lo
     e = 0
@@ -231,21 +228,43 @@ def _group_pack(z: np.ndarray, group_size: int):
     Group data values are packed as ONE continuous bit stream across
     group boundaries (byte alignment only between the reference/width/
     length/data blocks) — the layout NCEP's g2lib writes for 7.2/7.3.
+    Fully vectorized (reduceat mins/maxes + a chunked bit scatter, the
+    mirror of _decode_data's gather): a real HRRR-sized field encodes
+    without a ~60k-iteration Python loop.
     """
     n = len(z)
-    ng = max(1, -(-n // group_size))
-    refs = np.empty(ng, dtype=np.int64)
-    widths = np.empty(ng, dtype=np.int64)
-    lengths = np.empty(ng, dtype=np.int64)
-    chunks = []
-    for g in range(ng):
-        seg = z[g * group_size : (g + 1) * group_size]
-        lo = int(seg.min())
-        span = int(seg.max()) - lo
-        w = int(span).bit_length()
-        refs[g], widths[g], lengths[g] = lo, w, len(seg)
-        chunks.append(_value_bits(seg - lo, w))
-    data = np.packbits(np.concatenate(chunks)).tobytes() if chunks else b""
+    if n == 0:
+        return (
+            np.zeros(1, dtype=np.int64),
+            np.zeros(1, dtype=np.int64),
+            np.zeros(1, dtype=np.int64),
+            b"",
+        )
+    ng = -(-n // group_size)
+    starts = np.arange(0, n, group_size)
+    refs = np.minimum.reduceat(z, starts).astype(np.int64)
+    maxs = np.maximum.reduceat(z, starts).astype(np.int64)
+    spans = maxs - refs
+    widths = np.array([int(s).bit_length() for s in spans], dtype=np.int64)
+    lengths = np.full(ng, group_size, dtype=np.int64)
+    lengths[-1] = n - starts[-1]
+    per_w = np.repeat(widths, lengths)
+    rel = (z - np.repeat(refs, lengths)).astype(np.uint64)
+    offs = np.concatenate(([0], np.cumsum(per_w)[:-1]))
+    total_bits = int(per_w.sum())
+    bits = np.zeros(-(-total_bits // 8) * 8, dtype=np.uint8)
+    wmax = int(widths.max())
+    if wmax:
+        col = np.arange(wmax, dtype=np.int64)
+        for s in range(0, n, 1 << 18):
+            e = min(n, s + (1 << 18))
+            w = per_w[s:e, None]
+            shift = np.maximum(w - 1 - col[None, :], 0).astype(np.uint64)
+            vb = ((rel[s:e, None] >> shift) & 1).astype(np.uint8)
+            idx = offs[s:e, None] + col[None, :]
+            keep = col[None, :] < w
+            bits[idx[keep]] = vb[keep]
+    data = np.packbits(bits).tobytes() if total_bits else b""
     return refs, widths, lengths, data
 
 
@@ -275,6 +294,20 @@ def write_grib2(
     groups: list[bytes] = []
     first_sec1: bytes | None = None
     last_mask = None
+    if one_message and messages:
+        # one envelope carries ONE section 1 (reference time) and one
+        # discipline octet — mixing them would silently relabel fields
+        t0, d0 = messages[0]["time"], messages[0]["discipline"]
+        bad = [
+            i
+            for i, m in enumerate(messages)
+            if m["time"] != t0 or m["discipline"] != d0
+        ]
+        if bad:
+            raise ValueError(
+                "one_message=True requires identical time and discipline "
+                f"across fields; differing at indices {bad[:5]}"
+            )
     for m in messages:
         vals = np.asarray(m["values"], dtype=np.float64)
         mask = np.isfinite(vals.ravel())
@@ -283,6 +316,12 @@ def write_grib2(
         ndata = vals.size
         d = int(m.get("decimals", 2))
         scaled = np.round(flat * 10.0**d).astype(np.int64)
+        if len(scaled) == 0:
+            # fully-masked field (legal in GRIB2): empty data section,
+            # an all-zero bitmap carries the missingness
+            scaled = np.zeros(0, dtype=np.int64)
+            packing = "simple"
+            m = {**m, "nbits": 0}
         packing = m.get("packing", "simple")
 
         t: datetime = m["time"]
@@ -341,6 +380,9 @@ def write_grib2(
             data = _pack_bits(x, nbits)
         else:
             order = int(m.get("order", 2)) if packing == "complex_diff" else 0
+            # differencing needs order+1 points to be meaningful; clamp
+            # rather than emit a header claiming ivals that don't exist
+            order = min(order, max(0, len(scaled) - 1))
             ref = _f32_floor(int(scaled.min()))
             x = (scaled - ref).astype(np.int64)
             if order:
@@ -501,7 +543,8 @@ def grid_coordinates(grid: dict[str, Any]) -> tuple[np.ndarray, np.ndarray]:
     """Per-point (lat, lon) vectors in storage order for a decoded grid."""
     if grid["type"] == "latlon":
         ni, nj = grid["ni"], grid["nj"]
-        lons = (grid["lon1"] + grid["di"] * np.arange(ni)) % 360.0
+        idir = -1.0 if grid["scan"] & 0x80 else 1.0
+        lons = (grid["lon1"] + idir * grid["di"] * np.arange(ni)) % 360.0
         jdir = 1.0 if grid["scan"] & 0x40 else -1.0
         lats = grid["lat1"] + jdir * grid["dj"] * np.arange(nj)
         return np.repeat(lats, ni), np.tile(lons, nj)
@@ -615,6 +658,10 @@ def read_grib2_messages(data: bytes) -> list[dict[str, Any]]:
             break
         discipline = data[idx + 6]
         total = struct.unpack(">Q", data[idx + 8 : idx + 16])[0]
+        if total < 16:  # corrupt length would otherwise loop forever
+            raise ValueError(
+                f"corrupt GRIB2 message at byte {idx}: total length {total}"
+            )
         msg = data[idx : idx + total]
         pos = idx + total
         p = 16

@@ -98,16 +98,20 @@ def parse_warc(data: bytes) -> list[dict[str, Any]]:
         hdr_end = data.index(_CRLF + _CRLF, pos)
         lines = data[pos:hdr_end].split(_CRLF)
         headers: dict[str, str] = {}
+        lower: dict[str, str] = {}
         for line in lines[1:]:
             k, _, v = line.decode("utf-8", "replace").partition(":")
             headers[k.strip()] = v.strip()
-        clen = int(headers["Content-Length"])
+            lower[k.strip().lower()] = v.strip()
+        # ISO 28500 header field names are case-insensitive
+        clen = int(lower["content-length"])
         body_start = hdr_end + 4
         payload = data[body_start : body_start + clen]
         records.append(
             {
-                "type": headers.get("WARC-Type", ""),
+                "type": lower.get("warc-type", ""),
                 "headers": headers,
+                "lower": lower,
                 "payload": payload,
             }
         )
@@ -128,8 +132,8 @@ def read_wet_file(path: str) -> list[dict[str, Any]]:
             continue
         docs.append(
             {
-                "uri": r["headers"].get("WARC-Target-URI", ""),
-                "date": r["headers"].get("WARC-Date", ""),
+                "uri": r["lower"].get("warc-target-uri", ""),
+                "date": r["lower"].get("warc-date", ""),
                 "text": r["payload"].decode("utf-8", "replace"),
             }
         )
@@ -162,7 +166,9 @@ def read_wet(spark, paths: list[str], *, lang_id: bool = True):
                     yield pd.DataFrame(docs)
 
     long = inv.mapInPandas(_scan, "uri string, date string, text string")
-    host = F.regexp_extract("uri", r"^[a-z]+://([^/]+)", 1)
+    # scheme and host are case-insensitive (RFC 3986): match any-case
+    # scheme and lowercase the host so one site is one source group
+    host = F.lower(F.regexp_extract("uri", r"(?i)^[a-z][a-z0-9+.-]*://([^/]+)", 1))
     out = long.select(
         F.xxhash64("uri", "date").alias("doc_id"),
         "text",

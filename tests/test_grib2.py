@@ -400,3 +400,96 @@ def test_one_message_repeated_groups_and_bitmap_reuse(tmp_path):
         assert np.isnan(got).sum() == np.isnan(v).sum()
     # indicator 254 really present (one full bitmap + one reuse)
     assert raw.count(b"\x00\x00\x00\x06\x06\xfe") == 1
+
+
+def test_all_nan_field_round_trip(tmp_path):
+    """A fully-masked field (legal in GRIB2) encodes as an all-zero
+    bitmap + empty data section instead of crashing."""
+    vals = np.full((NJ, NI), np.nan)
+    path = str(tmp_path / "nan.grib2")
+    write_grib2(
+        path,
+        [
+            dict(
+                time=datetime(2024, 1, 1, 0),
+                discipline=0,
+                category=0,
+                number=0,
+                level_type=1,
+                level=0,
+                grid=LATLON,
+                values=vals,
+            )
+        ],
+    )
+    with open(path, "rb") as fh:
+        (msg,) = read_grib2_messages(fh.read())
+    assert np.isnan(msg["values"]).all()
+    assert msg["values"].shape == (NI * NJ,)
+
+
+def test_tiny_field_order_clamped(tmp_path):
+    """complex_diff on a field smaller than order+1 points clamps the
+    differencing order instead of writing a corrupt header."""
+    grid = dict(
+        type="latlon", ni=1, nj=1, lat1=0.0, lon1=0.0, lat2=0.0,
+        lon2=0.0, di=1.0, dj=1.0, scan=0,
+    )
+    path = str(tmp_path / "tiny.grib2")
+    write_grib2(
+        path,
+        [
+            dict(
+                time=datetime(2024, 1, 1, 0), discipline=0, category=0,
+                number=0, level_type=1, level=0, grid=grid,
+                values=np.array([[42.25]]), packing="complex_diff",
+                order=2,
+            )
+        ],
+    )
+    with open(path, "rb") as fh:
+        (msg,) = read_grib2_messages(fh.read())
+    assert msg["values"][0] == pytest.approx(42.25)
+
+
+def test_corrupt_length_raises_not_hangs():
+    import struct as _s
+
+    bad = b"GRIB" + b"\x00\x00\x00\x02" + _s.pack(">Q", 0) + b"junk"
+    with pytest.raises(ValueError, match="corrupt"):
+        read_grib2_messages(bad)
+
+
+def test_one_message_rejects_mixed_times(tmp_path):
+    msgs = [
+        dict(
+            time=datetime(2024, 1, 1, h), discipline=0, category=0,
+            number=0, level_type=1, level=0, grid=LATLON,
+            values=_field(h),
+        )
+        for h in (0, 6)
+    ]
+    with pytest.raises(ValueError, match="identical time"):
+        write_grib2(str(tmp_path / "x.grib2"), msgs, one_message=True)
+
+
+def test_latlon_negative_i_scan(tmp_path):
+    """Scanning mode 0x80: i runs east-to-west — longitudes must
+    decrease from lon1."""
+    grid = {**LATLON, "lon1": 345.0, "lon2": 0.0, "scan": 0x80}
+    path = str(tmp_path / "neg.grib2")
+    write_grib2(
+        path,
+        [
+            dict(
+                time=datetime(2024, 1, 1, 0), discipline=0, category=0,
+                number=0, level_type=1, level=0, grid=grid,
+                values=_field(31),
+            )
+        ],
+    )
+    with open(path, "rb") as fh:
+        (msg,) = read_grib2_messages(fh.read())
+    lat, lon = grid_coordinates(msg["grid"])
+    assert lon[0] == pytest.approx(345.0)
+    assert lon[1] == pytest.approx(330.0)

@@ -73,3 +73,35 @@ def test_read_wet_feeds_curation_ops(spark, tmp_path):
     df = read_wet(spark, [p], lang_id=False)
     groups = dedup.exact_duplicates(df).collect()
     assert any(r["group_size"] == 2 for r in groups)
+
+
+def test_parse_warc_case_insensitive_headers():
+    """ISO 28500 header names are case-insensitive; odd-cased but valid
+    records must parse, and their documents must survive the scan."""
+    body = b"hello world"
+    raw = (
+        b"WARC/1.0\r\n"
+        b"warc-type: conversion\r\n"
+        b"WARC-RECORD-ID: <urn:uuid:1>\r\n"
+        b"warc-target-uri: HTTP://Example.COM/x\r\n"
+        b"content-length: " + str(len(body)).encode() + b"\r\n"
+        b"\r\n" + body + b"\r\n\r\n"
+    )
+    (rec,) = parse_warc(raw)
+    assert rec["type"] == "conversion"
+    assert int(rec["lower"]["content-length"]) == len(body)
+
+
+def test_read_wet_host_normalization(spark, tmp_path):
+    """Uppercase scheme/host map to one lowercase source group."""
+    p = str(tmp_path / "h.wet.gz")
+    write_wet(
+        p,
+        [
+            {"uri": "HTTP://Example.COM/a", "text": "x"},
+            {"uri": "http://example.com/b", "text": "y"},
+        ],
+    )
+    df = read_wet(spark, [p], lang_id=False)
+    rows = df.select("source").distinct().collect()
+    assert [r["source"] for r in rows] == ["example.com"]

@@ -193,25 +193,6 @@ def md5_sample_centroids(
     return [[float(x) for x in r["_v"]] for r in rows]
 
 
-def _cell_udf(centers):
-    """Nearest-centroid assignment as one numpy matmul per Arrow batch
-    (same reasoning as similarity.lsh_banded: k×dim literal terms as
-    column expressions would stall plan analysis)."""
-    from pyspark.sql.functions import pandas_udf
-
-    c = np.asarray(centers, dtype=np.float64)  # (k, dim)
-    c_sq = (c * c).sum(axis=1)  # (k,)
-
-    @pandas_udf("int")
-    def nearest_cell(vecs: pd.Series) -> pd.Series:
-        x = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
-        # argmin ||x - c||² = argmin (c·c − 2 x·c); x·x is constant per row
-        d = c_sq[None, :] - 2.0 * (x @ c.T)
-        return pd.Series(d.argmin(axis=1).astype("int32"))
-
-    return nearest_cell
-
-
 def _ivf_meta_udf(centers, n_probe: int):
     """(cells, norm) per vector in one numpy pass: the ``n_probe``
     nearest cells by euclidean distance (stable argsort — ties resolve
@@ -473,6 +454,9 @@ def incremental_semantic_dedup(
         cos = cosine_prenormed("_va", "_vb", F.col("_na"), F.col("_nb"), dim)
     corpus_pairs = (
         corpus.join(F.broadcast(bl), "cell")
+        # a re-run after update_store finds the batch's own stored rows
+        # in the corpus — a vector must not pair with itself
+        .filter(F.col("a") != F.col("b"))
         .withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)
         .select("cell", "a", "b", "cosine", F.lit("corpus").alias("scope"))

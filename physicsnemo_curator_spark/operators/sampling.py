@@ -63,8 +63,11 @@ def hash_bucket(
 def arith_bucket_sql(key_expr: str, *, seed: int = 0) -> str:
     """The ``hash_fn='arith'`` bucket as an ANSI-SQL string (DuckDB
     oracle twin of :func:`hash_bucket`)."""
+    # pmod emulation on the first step — SQL % keeps the sign of the
+    # dividend, so a negative key would diverge from Spark's pmod
     return (
-        f"((({key_expr} + {seed}) % {_P}) * {_KNUTH} % {2**31}) % {DENOM}"
+        f"((((({key_expr} + {seed}) % {_P}) + {_P}) % {_P})"
+        f" * {_KNUTH} % {2**31}) % {DENOM}"
     )
 
 
@@ -137,6 +140,8 @@ def assign_splits(
     pipelines need)."""
     if not weights:
         raise ValueError("weights must be non-empty")
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-negative")
     total = float(sum(weights.values()))
     if total <= 0:
         raise ValueError("weights must sum to > 0")
@@ -188,7 +193,6 @@ def mixing_weights(
     per = df.groupBy(F.col(domain_col).alias("domain")).agg(
         mass.cast("double").alias("mass")
     )
-    tgt = F.lit(None).cast("double")
     expr = None
     for d, s in targets.items():
         cond = F.col("domain") == d
@@ -206,9 +210,15 @@ def mixing_weights(
         per = per.withColumn("_budget", F.min(feasible).over(w))
     else:
         per = per.withColumn("_budget", F.lit(float(budget)))
+    # F.least SKIPS nulls, so a NULL budget (no targeted domain present
+    # in the corpus) would silently become rate 1.0 for every domain —
+    # coalesce the product to 0 so an unmatched target keeps nothing
     rate = F.least(
         F.lit(1.0),
-        F.col("target_share") * F.col("_budget") / F.col("mass"),
+        F.coalesce(
+            F.col("target_share") * F.col("_budget") / F.col("mass"),
+            F.lit(0.0),
+        ),
     )
     return per.select(
         "domain",
@@ -216,11 +226,5 @@ def mixing_weights(
         "natural_share",
         "target_share",
         rate.alias("sample_rate"),
-        (
-            F.least(
-                F.lit(1.0),
-                F.col("target_share") * F.col("_budget") / F.col("mass"),
-            )
-            * F.col("mass")
-        ).alias("expected_mass"),
+        (rate * F.col("mass")).alias("expected_mass"),
     )

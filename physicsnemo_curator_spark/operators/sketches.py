@@ -140,13 +140,19 @@ def value_histograms(
     width = (hi - lo) / n_bins
     v = F.col(value_col).cast("double")
     bin_ = F.floor((v - F.lit(lo)) / F.lit(width)).cast("int")
+    # NULL values must not land in a bin: F.least skips NULLs, so the
+    # otherwise branch would silently route them to bin n_bins-1 —
+    # route them to a NULL bin and drop it instead (NULLs carry no
+    # quantile information)
     bin_ = (
-        F.when(v < lo, F.lit(-1))
+        F.when(v.isNull(), F.lit(None).cast("int"))
+        .when(v < lo, F.lit(-1))
         .when(v >= hi, F.lit(n_bins))
         .otherwise(F.least(bin_, F.lit(n_bins - 1)))
     )
     per_bin = (
         df.select(*group_cols, bin_.alias("_bin"))
+        .filter(F.col("_bin").isNotNull())
         .groupBy(*group_cols, "_bin")
         .agg(F.count("*").alias("_c"))
     )
@@ -203,6 +209,8 @@ def histogram_quantiles(
     inside that bin — deterministic arithmetic, replayable in SQL.
     Output: one row per (group, q) with ``quantile`` and ``estimate``.
     """
+    if not qs:
+        raise ValueError("qs must be non-empty")
     width_expr = (F.lit(hi) - F.lit(lo)) / F.size(F.col(hist_col))
     exploded = hists.select(
         *group_cols,

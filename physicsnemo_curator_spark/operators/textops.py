@@ -54,7 +54,7 @@ def punct_ratio(text: Column) -> Column:
 
 def stopword_ratio(text: Column, lang: str = "en") -> Column:
     """Fraction of whitespace tokens that are stopwords of ``lang``."""
-    toks = F.transform(ws_tokens(F.lower(text)), lambda t: t)
+    toks = ws_tokens(F.lower(text))
     hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS[lang])))
     n = ws_token_count(text)
     return F.when(n == 0, F.lit(0.0)).otherwise(
@@ -115,7 +115,7 @@ def token_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
     toks = docs.select(
         doc_key.alias("_d"),
         F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("token"),
-    )
+    ).filter(F.col("token") != "")
     return toks.groupBy("token").agg(
         F.countDistinct("_d").alias("n_docs"),
         F.count(F.lit(1)).alias("n_occurrences"),
@@ -175,7 +175,7 @@ def tfidf(
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("token"),
-    )
+    ).filter(F.col("token") != "")
     tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     if n_docs is None:
         n_docs = docs.count()
@@ -585,7 +585,7 @@ def unigram_logprob(
     toks = docs.select(
         F.col(id_col),
         F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("token"),
-    )
+    ).filter(F.col("token") != "")
     freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
     # like tfidf(n_docs=...): pass the known total to skip the extra
     # count scan at corpus scale

@@ -1973,7 +1973,8 @@ ORACLE_TEXT_LOGPROB = """
 WITH norm AS (SELECT doc_id,
                      regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
               FROM documents),
-toks AS (SELECT doc_id, unnest(string_split(t, ' ')) token FROM norm),
+toks0 AS (SELECT doc_id, unnest(string_split(t, ' ')) token FROM norm),
+toks AS (SELECT * FROM toks0 WHERE token <> ''),
 freq AS (SELECT token, COUNT(*) c FROM toks GROUP BY 1),
 tot AS (SELECT COUNT(*) t FROM toks)
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
@@ -2167,8 +2168,10 @@ def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_TEXT_VOCAB = """
 WITH toks AS (
-  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) token
-  FROM documents),
+  SELECT doc_id, t.token
+  FROM documents,
+       LATERAL unnest(string_split_regex(lower(trim(text)), '\\s+')) t(token)
+  WHERE t.token <> ''),
 freq AS (
   SELECT token, CAST(COUNT(*) AS BIGINT) n_occurrences
   FROM toks GROUP BY token HAVING COUNT(*) >= 2),
@@ -2199,7 +2202,8 @@ WITH toks AS (
          generate_subscripts(string_split_regex(lower(trim(text)), '\\s+'), 1) pos
   FROM documents),
 freq AS (
-  SELECT token, COUNT(*) n FROM toks GROUP BY token HAVING COUNT(*) >= 2),
+  SELECT token, COUNT(*) n FROM toks WHERE token <> ''
+  GROUP BY token HAVING COUNT(*) >= 2),
 ranked AS (
   SELECT token,
          CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) - 1 AS INT) token_id
@@ -2379,7 +2383,8 @@ WITH docs500 AS (SELECT * FROM documents WHERE doc_id < 500),
 toks AS (
   SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) token
   FROM docs500),
-tf AS (SELECT doc_id, token, COUNT(*) tf FROM toks GROUP BY 1, 2),
+tf AS (SELECT doc_id, token, COUNT(*) tf FROM toks
+       WHERE token <> '' GROUP BY 1, 2),
 idf AS (SELECT token,
                ln(((SELECT COUNT(*) FROM docs500) + 1.0) / (COUNT(DISTINCT doc_id) + 1.0)) + 1.0 idf
         FROM tf GROUP BY token),

@@ -74,3 +74,114 @@ def test_chunk_documents_single_token_doc(spark):
     rows = textops.chunk_documents(df, max_tokens=16, overlap=2).collect()
     assert len(rows) == 1 and rows[0].n_tokens == 1
     assert rows[0].chunk_text == "solo"
+
+
+def test_empty_docs_produce_no_phantom_tokens(spark):
+    """''.split yields [''] in the JVM; the explode-based text
+    operators must not count that phantom token (an empty-doc pair
+    would otherwise score TF-IDF cosine 1.0)."""
+    from pyspark.sql import functions as F
+
+    from physicsnemo_curator_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "real tokens here"), (4, "")],
+        "doc_id long, text string",
+    )
+    freq = {r["token"]: r for r in textops.token_frequencies(docs).collect()}
+    assert "" not in freq
+    vocab = textops.vocabulary(docs, min_count=1)
+    assert vocab.filter(F.col("token") == "").count() == 0
+    w = textops.tfidf(docs, n_docs=4)
+    assert w.filter(F.col("doc_id").isin(1, 2, 4)).count() == 0
+    lp = textops.unigram_logprob(docs, total_tokens=3)
+    assert {r["doc_id"] for r in lp.collect()} == {3}
+
+
+def test_mixing_weights_unmatched_targets_keep_nothing(spark):
+    """A target naming no present domain must yield rate 0 everywhere
+    (F.least skips NULLs, so the NULL budget used to become rate 1.0)."""
+    from physicsnemo_curator_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        [(1, "en"), (2, "de")], "doc_id long, lang string"
+    )
+    out = sampling.mixing_weights(
+        docs, domain_col="lang", targets={"wikipedia": 1.0}
+    ).collect()
+    assert all(r["sample_rate"] == 0.0 for r in out)
+    assert all(r["expected_mass"] == 0.0 for r in out)
+
+
+def test_value_histograms_null_values_excluded(spark):
+    """NULLs must not inflate the top bin (F.least NULL-skip)."""
+    from physicsnemo_curator_spark.operators import sketches
+
+    df = spark.createDataFrame(
+        [("g", 1.0), ("g", None), ("g", None), ("g", 8.0)],
+        "k string, v double",
+    )
+    row = sketches.value_histograms(
+        df, ["k"], "v", lo=0.0, hi=10.0, n_bins=10
+    ).collect()[0]
+    assert sum(row["hist"]) == 2
+    assert row["hist"][9] == 0 and row["below"] == 0 and row["above"] == 0
+
+
+def test_incremental_semantic_rerun_no_self_pairs(spark, tmp_path):
+    """Probing a batch whose rows are already stored must not emit
+    self-pairs (cosine 1.0 with itself)."""
+    from physicsnemo_curator_spark.operators import mllib_ann
+    from physicsnemo_curator_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings").filter(
+        "vec_id < 100"
+    )
+    centers = mllib_ann.md5_sample_centroids(emb, k=4)
+    store = str(tmp_path / "s")
+    mllib_ann.write_semantic_store(emb, centers, store)
+    pairs = mllib_ann.incremental_semantic_dedup(
+        spark, emb, centers, store, threshold=0.3
+    ).collect()
+    assert all(r["a"] != r["b"] for r in pairs)
+
+
+def test_assign_splits_rejects_negative_weights(spark):
+    import pytest as _pt
+
+    from physicsnemo_curator_spark.operators import sampling
+
+    docs = spark.createDataFrame([(1,)], "doc_id long")
+    with _pt.raises(ValueError, match="non-negative"):
+        sampling.assign_splits(
+            docs, "doc_id", {"train": 1.0, "val": -0.4}
+        )
+
+
+def test_arith_bucket_sql_negative_keys_match_spark(spark):
+    """SQL % keeps the dividend's sign; the oracle twin must pmod."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from physicsnemo_curator_spark.operators import sampling
+
+    keys = [-7, -1, 0, 3, 12345]
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = {
+        r["k"]: r["b"]
+        for r in df.select(
+            "k",
+            sampling.hash_bucket(
+                F.col("k"), seed=5, hash_fn="arith"
+            ).alias("b"),
+        ).collect()
+    }
+    sql = sampling.arith_bucket_sql("k", seed=5)
+    con = duckdb.connect()
+    want = dict(
+        con.execute(
+            f"SELECT k, {sql} FROM (SELECT unnest({keys}) k)"
+        ).fetchall()
+    )
+    assert got == want
+    assert all(v >= 0 for v in got.values())

@@ -69,6 +69,18 @@ def write_grid_sidecar(
         )
         name = f"{gid}{suffix}"
         subdir = os.path.join(out_abs, rel, name) if rel else os.path.join(out_abs, name)
+        # data-driven relpath must stay INSIDE output_dir: an absolute
+        # relpath makes os.path.join discard out_abs entirely, and a
+        # '..' component escapes it — either would point the
+        # rmtree+replace commit at an arbitrary filesystem path
+        resolved = os.path.normpath(subdir)
+        if os.path.isabs(rel) or not (
+            resolved == out_abs
+            or resolved.startswith(out_abs + os.sep)
+        ):
+            raise ValueError(
+                f"relpath {rel!r} escapes the output directory"
+            )
         os.makedirs(os.path.dirname(subdir), exist_ok=True)
         tmp = tempfile.mkdtemp(prefix=".tmp_", dir=os.path.dirname(subdir))
         try:
@@ -95,13 +107,24 @@ def write_grid_sidecar(
                 )
             if os.path.exists(subdir):
                 shutil.rmtree(subdir)
-            os.replace(tmp, subdir)
+            try:
+                os.replace(tmp, subdir)
+            except OSError:
+                # a concurrent attempt (speculative/zombie task)
+                # committed between our exists-check and replace;
+                # retry once so last-writer-wins actually holds
+                shutil.rmtree(subdir, ignore_errors=True)
+                os.replace(tmp, subdir)
         except BaseException:
             shutil.rmtree(tmp, ignore_errors=True)
             raise
         return pd.DataFrame({"grid_id": [str(gid)], "path": [subdir]})
 
-    return joined.groupBy("grid_id").applyInPandas(_write, _SIDE_SCHEMA)
+    out = joined.groupBy("grid_id").applyInPandas(_write, _SIDE_SCHEMA)
+    # force the side effects exactly once (the sibling zarr sinks do
+    # the same): an unused lazy plan would write nothing, and a twice-
+    # actioned one would re-run every rmtree+replace cycle
+    return out.localCheckpoint()
 
 
 def read_grid_sidecar(

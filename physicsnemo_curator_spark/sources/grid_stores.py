@@ -57,12 +57,7 @@ def zarr_grid_meta(
     (``zarr.json`` + ``c/<s>/0/0`` files, sharded or not).
     """
     if variables is None:
-        variables = sorted(
-            d
-            for d in os.listdir(store)
-            if not d.startswith(".")
-            and os.path.isdir(os.path.join(store, d, "data"))
-        )
+        variables = sorted(store_lexicon(store))
     rows: list[tuple] = []
     coords: dict[str, tuple[list, list, list]] = {}
     for v in variables:
@@ -111,9 +106,14 @@ def read_grid_zarr(
     store: str,
     *,
     variables: list[str] | None = None,
+    meta: tuple | None = None,
 ) -> DataFrame:
     """Task-per-chunk scan of a grid Zarr store → long DataFrame
     ``(variable, time, lat, lon, value)``.
+
+    ``meta`` takes a precomputed :func:`zarr_grid_meta` result so a
+    caller that already paid the driver-side metadata pass (e.g. the
+    federated alignment gate) doesn't repeat it.
 
     Cells at the writer's NaN fill value (never written) are dropped,
     so the result is the long-table inverse of
@@ -128,7 +128,9 @@ def read_grid_zarr(
     store with 10⁷ chunks never materializes 10⁷ of anything on the
     driver (the scale note from round 4's review).
     """
-    var_rows, coords = zarr_grid_meta(store, variables)
+    var_rows, coords = meta if meta is not None else zarr_grid_meta(
+        store, variables
+    )
     inv_schema = (
         "variable string, t_idx int, path string, fmt int, shard_t int,"
         " nlat int, nlon int, dtype string, comp string"
@@ -153,7 +155,15 @@ def read_grid_zarr(
                     if os.path.isdir(cdir):
                         for d in os.listdir(cdir):
                             p = os.path.join(cdir, d, "0", "0")
-                            if d.isdigit() and os.path.exists(p):
+                            # bound check mirrors the v2 branch: a
+                            # stale shard from a larger previous write
+                            # must not emit phantom rows or index past
+                            # the coordinate vectors
+                            if (
+                                d.isdigit()
+                                and os.path.exists(p)
+                                and int(d) * r.shard_t < r.nt
+                            ):
                                 t_idx.append(int(d) * r.shard_t)
                                 paths.append(p)
                 else:
@@ -327,8 +337,10 @@ def read_grid_federated(
     # any concat)
     ref: tuple[list, list] | None = None
     ref_name = ""
+    metas: dict[str, tuple] = {}
     for bname, var_list in groups.items():
-        _, coords = zarr_grid_meta(stores[bname], sorted(var_list))
+        metas[bname] = zarr_grid_meta(stores[bname], sorted(var_list))
+        coords = metas[bname][1]
         for v, (_, lats, lons) in coords.items():
             if ref is None:
                 ref, ref_name = (lats, lons), bname
@@ -344,7 +356,12 @@ def read_grid_federated(
                 )
 
     parts = [
-        read_grid_zarr(spark, stores[bname], variables=sorted(var_list))
+        read_grid_zarr(
+            spark,
+            stores[bname],
+            variables=sorted(var_list),
+            meta=metas[bname],
+        )
         for bname, var_list in sorted(groups.items())
     ]
     out = parts[0]
@@ -369,14 +386,31 @@ def read_netcdf3_grid(
     (variable, year) partition, so a multi-decade multi-variable
     archive scans wide with zero driver data movement.
     """
+    wanted = set(variables) if variables is not None else None
+
+    def _maybe_wanted(fname: str) -> bool:
+        # the writer names files "{variable}_{year}.nc" — prune whole
+        # files by name BEFORE any task parses bytes (the layout-level
+        # partition pruning the Zarr reader gets from group dirs).
+        # Files not matching the convention fall through to the
+        # in-task variable check, which remains the correctness gate.
+        if wanted is None:
+            return True
+        stem = fname[: -len(".nc")]
+        if "_" not in stem:
+            return True
+        var, _, year = stem.rpartition("_")
+        if not year.isdigit():
+            return True
+        return var in wanted
+
     paths = sorted(
         os.path.join(nc_dir, f)
         for f in os.listdir(nc_dir)
-        if f.endswith(".nc")
+        if f.endswith(".nc") and _maybe_wanted(f)
     )
     inv = spark.createDataFrame([(p,) for p in paths], "path string")
     inv = inv.repartition(max(1, len(paths)))
-    wanted = set(variables) if variables is not None else None
 
     def _decode(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from physicsnemo_curator_spark.sinks.netcdf3 import read_netcdf3

@@ -35,7 +35,9 @@ def _update_running_stats(
         n, s1, s2 = 0, 0.0, 0.0
     for pdf in pdfs:
         v = pdf["value"].astype("float64")
-        n += int(v.size)
+        # count() skips NaN/NULL like the batch twin's F.count/F.sum
+        # (operators/stats.py welford_state) — size would inflate n
+        n += int(v.count())
         s1 += float(v.sum())
         s2 += float((v * v).sum())
     state.update((n, s1, s2))
@@ -51,7 +53,12 @@ def running_stats_stream(events, *, key_col: str = "event_type", value_col: str 
     batch-test) events frame keyed on ``key_col``."""
     from pyspark.sql import functions as F
 
-    keyed = events.select(F.col(key_col).alias("key"), F.col(value_col).alias("value"))
+    # OUTPUT_SCHEMA declares `key string`; cast so non-string key
+    # columns don't hit an Arrow type error inside the state server
+    keyed = events.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(value_col).alias("value"),
+    )
     return keyed.groupBy("key").applyInPandasWithState(
         _update_running_stats,
         outputStructType=OUTPUT_SCHEMA,
@@ -82,11 +89,14 @@ def streaming_dedup(
     from physicsnemo_curator_spark.operators.dedup import normalize_text
 
     keyed = docs.withColumn("fingerprint", F.md5(normalize_text(F.col(text_col))))
+    # keep the batch dedup_exact contract: output schema == input schema
     if time_col is not None and keyed.isStreaming:
-        return keyed.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
-            ["fingerprint"]
+        return (
+            keyed.withWatermark(time_col, watermark)
+            .dropDuplicatesWithinWatermark(["fingerprint"])
+            .drop("fingerprint")
         )
-    return keyed.dropDuplicates(["fingerprint"])
+    return keyed.dropDuplicates(["fingerprint"]).drop("fingerprint")
 
 
 def run_running_stats_foreachbatch(
@@ -258,7 +268,7 @@ def _make_running_stats_processor():
                 n, s1, s2 = 0, 0.0, 0.0
             for pdf in rows:
                 v = pdf["value"].astype("float64")
-                n += int(v.size)
+                n += int(v.count())  # skip NaN/NULL like the batch twin
                 s1 += float(v.sum())
                 s2 += float((v * v).sum())
             self._sums.update((n, s1, s2))
@@ -281,7 +291,8 @@ def running_stats_stream_tws(
     from pyspark.sql import functions as F
 
     keyed = events.select(
-        F.col(key_col).alias("key"), F.col(value_col).alias("value")
+        F.col(key_col).cast("string").alias("key"),
+        F.col(value_col).alias("value"),
     )
     return keyed.groupBy("key").transformWithStateInPandas(
         statefulProcessor=_make_running_stats_processor(),

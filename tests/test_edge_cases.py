@@ -185,3 +185,81 @@ def test_arith_bucket_sql_negative_keys_match_spark(spark):
     )
     assert got == want
     assert all(v >= 0 for v in got.values())
+
+
+def test_streaming_stats_nulls_and_nonstring_keys(spark, tmp_path):
+    """Driven through a real micro-batch stream: NULL values must not
+    count toward n (parity with the batch welford twin's F.count
+    semantics), and a bigint key column must cast into the declared
+    string schema instead of crashing the Arrow serialization."""
+    from physicsnemo_curator_spark.streaming.stateful import (
+        run_running_stats_foreachbatch,
+    )
+
+    src = str(tmp_path / "src")
+    events = spark.createDataFrame(
+        [(7, 2.0), (7, None), (9, 1.0), (9, 3.0)],
+        "sensor_id long, value double",
+    )
+    events.repartition(2).write.parquet(src)
+    final = run_running_stats_foreachbatch(
+        spark, src, "sensor_id long, value double", key_col="sensor_id"
+    )
+    rows = {r["key"]: r for r in final.collect()}
+    assert rows["7"]["n"] == 1 and rows["7"]["mean"] == 2.0
+    assert rows["7"]["var_pop"] == 0.0
+    assert rows["9"]["n"] == 2 and rows["9"]["mean"] == 2.0
+
+
+def test_streaming_dedup_schema_matches_input(spark):
+    """The streaming dedup output must not leak the internal
+    fingerprint column (batch dedup contract)."""
+    from physicsnemo_curator_spark.streaming.stateful import streaming_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")],
+        "doc_id long, text string",
+    )
+    out = streaming_dedup(docs)
+    assert out.columns == docs.columns
+    assert out.count() == 2
+
+
+def test_grid_zarr_v3_stale_shard_ignored(spark, tmp_path):
+    """Re-writing a v3 store with fewer timesteps must not decode the
+    surviving larger-run shard files (phantom rows / index crash)."""
+    import numpy as np
+
+    from physicsnemo_curator_spark.sinks.zarr_store import write_grid_zarr_v3
+    from physicsnemo_curator_spark.sources.grid_stores import read_grid_zarr
+    from physicsnemo_curator_spark.sources.synthetic import random_grid
+
+    store = str(tmp_path / "v3")
+    big = random_grid(spark, n_times=20, n_lat=3, n_lon=3)
+    write_grid_zarr_v3(big, store, shard_time=8)
+    small = random_grid(spark, n_times=4, n_lat=3, n_lon=3)
+    write_grid_zarr_v3(small, store, shard_time=8)
+    back = read_grid_zarr(spark, store)
+    n_t = back.select("time").distinct().count()
+    assert n_t <= 4  # stale c/1, c/2 shards must not surface
+
+
+def test_grid_sidecar_relpath_escape_rejected(spark, tmp_path):
+    from physicsnemo_curator_spark.sinks.grid_sidecar import (
+        write_grid_sidecar,
+    )
+
+    grid = spark.createDataFrame(
+        [("g1", "f", 0, 0, 0, 1.0)],
+        "grid_id string, field string, iz int, iy int, ix int, value double",
+    )
+    meta = spark.createDataFrame(
+        [("g1", 1, 1, 1, 0.0, 0.0, 0.0, 1.0, 1.0, 1.0, "../../escape")],
+        "grid_id string, nx int, ny int, nz int, ox double, oy double,"
+        " oz double, sx double, sy double, sz double, relpath string",
+    )
+    out = str(tmp_path / "out")
+    import pytest as _pt
+
+    with _pt.raises(Exception, match="escapes the output directory"):
+        write_grid_sidecar(grid, meta, out).collect()

@@ -37,7 +37,7 @@ on node id.  No driver-side state beyond the 2-value convergence probe.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["connected_components", "dedup_groups"]
@@ -78,8 +78,17 @@ def connected_components(
     )
 
     def _probe(lab: DataFrame) -> tuple:
+        # hash the label multiset: works for ANY orderable id type
+        # (string UUIDs included) — casting comp to decimal threw
+        # under ANSI for non-numeric ids, and silently returned NULL
+        # (premature "convergence") with ANSI off.  The decimal sum of
+        # per-row hashes cannot overflow or collide across rounds in
+        # practice, and equal sums on consecutive rounds with equal
+        # row counts is the fixed-point signal.
         row = lab.agg(
-            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s"),
+            F.sum(
+                F.xxhash64(F.col("comp")).cast("decimal(38,0)")
+            ).alias("s"),
             F.count(F.lit(1)).alias("c"),
         ).first()
         return (row["s"], row["c"])
@@ -165,18 +174,25 @@ def dedup_groups(
         ),
         "node",
         "left",
-    ).withColumn("_s", F.coalesce(F.col("_s"), F.lit(float("-inf"))))
-    # argmax via max-struct: struct comparison is lexicographic, so the
-    # winner is (max score, then max -id) = highest score, lowest id
-    best = scored.groupBy("comp").agg(
-        F.max(F.struct(F.col("_s"), (-F.col("node")).alias("_ni"))).alias("_b")
+    ).withColumn(
+        "_s",
+        F.when(
+            F.col("_s").isNull() | F.isnan(F.col("_s")),
+            F.lit(float("-inf")),  # NaN sorts above every double in
+            # Spark and would win the argmax — an unscorable doc must
+            # never beat a scored one
+        ).otherwise(F.col("_s")),
     )
+    # argmax via per-component rank (score desc, id asc): unlike the
+    # max-struct trick with an arithmetic id negation, this keeps
+    # string ids working and ties deterministic
+    w = Window.partitionBy("comp").orderBy(F.desc("_s"), F.asc("node"))
     return (
-        scored.join(best, "comp")
+        scored.withColumn("_rk", F.row_number().over(w))
         .select(
             F.col("node").alias(id_out),
             F.col("comp").alias("component"),
             "group_size",
-            (F.col("node") == -F.col("_b._ni")).alias("keep"),
+            (F.col("_rk") == 1).alias("keep"),
         )
     )

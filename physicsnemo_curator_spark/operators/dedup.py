@@ -23,7 +23,10 @@ from pyspark.sql import functions as F
 
 
 def normalize_text(text: Column) -> Column:
-    return F.regexp_replace(F.lower(F.trim(text)), "\\s+", " ")
+    # collapse ALL whitespace runs first, then trim — F.trim strips
+    # spaces only, so trim-then-collapse left edge newlines/tabs as a
+    # residual space and 'x' vs 'x\n' never matched
+    return F.trim(F.regexp_replace(F.lower(text), "\\s+", " "))
 
 
 def rebalance_narrow(df: DataFrame, key: str | None = None) -> DataFrame:
@@ -51,9 +54,15 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     content group.  Keeping rows where doc_id == canonical_id performs
     the dedup; the rest is the duplicate report.
     """
+    # md5(NULL) is NULL and groupBy groups NULL keys together — 1000
+    # NULL-text docs would silently collapse into one "duplicate"
+    # group; a NULL text is unknown content, never a duplicate
     keyed = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.md5(normalize_text(F.col(text_col))).alias("_k"),
+        F.coalesce(
+            F.md5(normalize_text(F.col(text_col))),
+            F.concat(F.lit("__null__"), F.col(id_col).cast("string")),
+        ).alias("_k"),
     )
     groups = keyed.groupBy("_k").agg(
         F.min("doc_id").alias("canonical_id"),
@@ -123,19 +132,22 @@ def shingle_table(
             F.col(id_col).alias("doc_id"),
             normalize_text(F.col(text_col)).alias("_norm"),
         )
+        # no .distinct(): char_shingles is already array_distinct per
+        # doc, so it would shuffle the whole shingle stream to dedup
+        # nothing
         return staged.select(
             "doc_id",
             F.explode(
                 char_shingles(F.col("_norm"), k, normalized=True)
             ).alias("shingle"),
-        ).distinct()
+        )
     toked = docs.select(
         F.col(id_col).alias("doc_id"),
         F.split(normalize_text(F.col(text_col)), " ").alias("_toks"),
     )
     return toked.select(
         "doc_id", F.explode(word_ngrams(F.col("_toks"), k)).alias("shingle")
-    ).distinct()
+    )
 
 
 def minhash_signatures(
@@ -269,7 +281,9 @@ def jaccard_pairs(
         cand_docs = candidates.select(
             F.explode(F.array("a", "b")).alias("doc_id")
         ).distinct()
-        verify_shingles = shingles.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+        # no broadcast hint: the candidate set is data-dependent and
+        # unbounded (AQE broadcasts it when it is actually small)
+        verify_shingles = shingles.join(cand_docs, "doc_id", "left_semi")
     s1 = verify_shingles.alias("s1")
     s2 = verify_shingles.alias("s2")
     inter = (
@@ -731,6 +745,13 @@ def incremental_near_duplicates(
     (duplicated signatures would emit duplicated corpus-pair rows on
     every later probe), so per-batch ingestion is idempotent.
     """
+    if update_store and not materialize:
+        raise ValueError(
+            "update_store=True requires materialize=True — pairs must "
+            "compute before the store they read from is mutated"
+        )
+    if update_store and batch_id is None:
+        raise ValueError("update_store=True needs a batch_id")
     sh = shingle_table(new_docs, text_col, id_col, shingle_k, unit="word").persist()
     sigs = minhash_signatures(sh, num_hashes, seed, hash_fn=hash_fn).persist()
     new_bands = band_table(sigs, num_hashes, bands, hash_fn=hash_fn)
@@ -766,18 +787,18 @@ def incremental_near_duplicates(
         .select("a", "b", F.col("jaccard_est").alias("jaccard"), F.lit("corpus").alias("scope"))
     )
 
-    # new vs new: exact verify, the batch path
-    cand = lsh_candidate_pairs(sigs, num_hashes, bands, hash_fn=hash_fn)
+    # new vs new: exact verify, the batch path.  cand feeds both the
+    # candidate-doc prefilter and the pair semi-join inside
+    # jaccard_pairs — persist so the band self-join runs once (the
+    # batch path does the same)
+    cand = lsh_candidate_pairs(
+        sigs, num_hashes, bands, hash_fn=hash_fn
+    ).persist()
     vs_batch = (
         jaccard_pairs(sh, cand)
         .filter(F.col("jaccard") >= F.lit(threshold))
         .select("a", "b", "jaccard", F.lit("batch").alias("scope"))
     )
-    if update_store and not materialize:
-        raise ValueError(
-            "update_store=True requires materialize=True — pairs must "
-            "compute before the store they read from is mutated"
-        )
     out = vs_corpus.unionByName(vs_batch)
     if not materialize:
         # caller wants the lazy plan (e.g. to inspect or extend it);
@@ -788,11 +809,6 @@ def incremental_near_duplicates(
     # per call for the session's lifetime
     out = out.localCheckpoint(eager=True)
     if update_store:
-        if batch_id is None:
-            raise ValueError(
-                "update_store=True requires batch_id — the store is "
-                "partitioned by batch so retries replace their own rows"
-            )
         tag = F.lit(batch_id)
         for name, frame in (
             ("signatures", sigs),
@@ -805,6 +821,7 @@ def incremental_near_duplicates(
                 .partitionBy("_batch")
                 .parquet(os.path.join(store, name))
             )
+    cand.unpersist()
     sigs.unpersist()
     sh.unpersist()
     return out

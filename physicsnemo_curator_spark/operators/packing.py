@@ -78,6 +78,13 @@ def pack_sequences(
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
         import bisect
 
+        if pdf["n_tokens"].isna().any():
+            raise ValueError(
+                "n_tokens contains NULL — filter or impute before "
+                "packing (a NULL length has no defined pack)"
+            )
+        if (pdf["n_tokens"] < 0).any():
+            raise ValueError("n_tokens contains negative values")
         pdf = pdf.sort_values(
             ["n_tokens", "doc_id"], ascending=[False, True]
         ).reset_index(drop=True)
@@ -99,9 +106,13 @@ def pack_sequences(
                 rem = max(budget - t, 0)
             fills[pack] += t
             assign.append(pack)
-            j = bisect.bisect_left(caps, rem)
-            caps.insert(j, rem)
-            cap_pack.insert(j, pack)
+            if rem > 0:
+                # a full (or over-budget singleton) pack must CLOSE:
+                # re-inserting rem=0 would let zero-token docs join an
+                # over-budget pack, breaking the singleton contract
+                j = bisect.bisect_left(caps, rem)
+                caps.insert(j, rem)
+                cap_pack.insert(j, pack)
         pdf["pack_index"] = pd.array(assign, dtype="int64")
         pdf["pack_fill"] = pd.array(
             [fills[i] for i in assign], dtype="int64"

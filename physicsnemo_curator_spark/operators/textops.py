@@ -27,13 +27,20 @@ STOPWORDS: dict[str, tuple[str, ...]] = {
 TOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
 
+def _norm_ws(text: Column) -> Column:
+    """Collapse every whitespace run to one space, then trim — F.trim
+    strips spaces only, so trim-first left edge newlines/tabs behind."""
+    return F.trim(F.regexp_replace(text, "\\s+", " "))
+
+
 def ws_tokens(text: Column) -> Column:
-    """Whitespace tokenization; trims so ''.split never yields ['']."""
-    return F.split(F.trim(text), "\\s+")
+    """Whitespace tokenization; normalizes so edge newlines/tabs never
+    yield phantom ''/'\\n' tokens."""
+    return F.split(_norm_ws(text), " ")
 
 
 def ws_token_count(text: Column) -> Column:
-    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
+    return F.when(F.length(_norm_ws(text)) == 0, F.lit(0)).otherwise(
         F.size(ws_tokens(text))
     )
 
@@ -99,7 +106,7 @@ def fingerprint(text: Column) -> Column:
     """Deterministic document fingerprint: md5 of the whitespace- and
     case-normalized text.  Stable across engines (the oracle computes
     the identical digest in DuckDB)."""
-    normalized = F.regexp_replace(F.lower(F.trim(text)), "\\s+", " ")
+    normalized = F.trim(F.regexp_replace(F.lower(text), "\\s+", " "))
     return F.md5(normalized)
 
 

@@ -1321,7 +1321,8 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_DEDUP_EXACT = """
-WITH k AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) _k
+WITH k AS (SELECT doc_id, COALESCE(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))),
+                          '__null__' || CAST(doc_id AS VARCHAR)) _k
            FROM documents)
 SELECT doc_id,
        MIN(doc_id) OVER (PARTITION BY _k) canonical_id,
@@ -1359,7 +1360,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_NGRAM_JACCARD = """
 WITH norm AS (SELECT doc_id,
-                     string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') toks
+                     string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') toks
               FROM documents),
 sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') shingle
        FROM (SELECT doc_id, toks, unnest(range(1, greatest(len(toks) - 2, 0) + 1)) i
@@ -1409,7 +1410,7 @@ def q_dedup_components(
 
 ORACLE_DEDUP_COMPONENTS = """
 WITH RECURSIVE norm AS (SELECT doc_id,
-                     string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') toks
+                     string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') toks
               FROM documents),
 sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') shingle
        FROM (SELECT doc_id, toks, unnest(range(1, greatest(len(toks) - 2, 0) + 1)) i
@@ -1734,7 +1735,7 @@ def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_TEXT_CHUNKS = """
 WITH t AS (SELECT doc_id,
-                  string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') toks
+                  string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') toks
            FROM documents),
 s AS (SELECT doc_id, toks,
              unnest(range(0, greatest(len(toks) - 4 - 1, 0) + 1, 28)) st
@@ -1903,7 +1904,7 @@ def q_text_span_dedup(
 
 ORACLE_TEXT_SPAN_DEDUP = """
 WITH t AS (SELECT doc_id,
-                  string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') toks
+                  string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') toks
            FROM documents),
 s AS (SELECT doc_id, CAST(st // 8 AS INT) AS span_idx,
              array_to_string(toks[st + 1 : st + 8], ' ') AS span
@@ -1941,7 +1942,7 @@ def q_text_repetition(
 
 ORACLE_TEXT_REPETITION = """
 WITH t AS (SELECT doc_id,
-                  string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') toks
+                  string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') toks
            FROM documents),
 g AS (SELECT doc_id, array_to_string(toks[i : i + 1], ' ') gram
       FROM (SELECT doc_id, toks,
@@ -1971,7 +1972,7 @@ def q_text_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_TEXT_LOGPROB = """
 WITH norm AS (SELECT doc_id,
-                     regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+                     trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
               FROM documents),
 toks0 AS (SELECT doc_id, unnest(string_split(t, ' ')) token FROM norm),
 toks AS (SELECT * FROM toks0 WHERE token <> ''),
@@ -2044,7 +2045,7 @@ SELECT doc_id,
        CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) n_tokens_bpe,
        ROUND(CASE WHEN length(text) = 0 THEN 0.0
             ELSE len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0 / length(text) END, 6) punct_ratio,
-       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) fingerprint
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) fingerprint
 FROM documents ORDER BY doc_id LIMIT 200
 """
 
@@ -2127,7 +2128,7 @@ def _sw_list(code: str) -> str:
 ORACLE_TEXT_LANG = f"""
 WITH feats AS (
   SELECT doc_id,
-         string_split_regex(lower(trim(text)), '\\s+') toks_l,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') toks_l,
          CASE WHEN length(trim(text)) = 0 THEN 0
               ELSE len(string_split_regex(trim(text), '\\s+')) END n_tok,
          CASE WHEN length(text) = 0 THEN 0.0
@@ -2170,7 +2171,7 @@ ORACLE_TEXT_VOCAB = """
 WITH toks AS (
   SELECT doc_id, t.token
   FROM documents,
-       LATERAL unnest(string_split_regex(lower(trim(text)), '\\s+')) t(token)
+       LATERAL unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) t(token)
   WHERE t.token <> ''),
 freq AS (
   SELECT token, CAST(COUNT(*) AS BIGINT) n_occurrences
@@ -2198,8 +2199,8 @@ def q_text_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_TEXT_TOKEN_IDS = """
 WITH toks AS (
-  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) token,
-         generate_subscripts(string_split_regex(lower(trim(text)), '\\s+'), 1) pos
+  SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) token,
+         generate_subscripts(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), 1) pos
   FROM documents),
 freq AS (
   SELECT token, COUNT(*) n FROM toks WHERE token <> ''
@@ -2347,7 +2348,7 @@ def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_DECONTAMINATE = """
 WITH norm AS (SELECT doc_id,
-                     string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') toks
+                     string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') toks
               FROM documents),
 sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+4], ' ') s
        FROM (SELECT doc_id, toks, unnest(range(1, greatest(len(toks) - 4, 0) + 1)) i
@@ -2381,7 +2382,7 @@ def q_text_tfidf_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_TFIDF_SIM = """
 WITH docs500 AS (SELECT * FROM documents WHERE doc_id < 500),
 toks AS (
-  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) token
+  SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) token
   FROM docs500),
 tf AS (SELECT doc_id, token, COUNT(*) tf FROM toks
        WHERE token <> '' GROUP BY 1, 2),
@@ -2703,7 +2704,7 @@ def _minhash_oracle(num_hashes: int = 32, bands: int = 8) -> str:
     bucket_case = "CASE bb.band " + " ".join(whens) + " END"
     return f"""
 WITH norm AS (SELECT doc_id,
-                     string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') toks
+                     string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') toks
               FROM documents),
 sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') shingle
        FROM (SELECT doc_id, toks, unnest(range(1, greatest(len(toks) - 2, 0) + 1)) i
@@ -2792,7 +2793,7 @@ def _incremental_oracle(num_hashes: int = 32, bands: int = 8) -> str:
     )
     return f"""
 WITH norm AS (SELECT doc_id,
-                     string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') toks
+                     string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') toks
               FROM documents),
 sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') shingle
        FROM (SELECT doc_id, toks, unnest(range(1, greatest(len(toks) - 2, 0) + 1)) i
@@ -2848,7 +2849,7 @@ def _simhash_sig_cte(bits: int = 60) -> str:
     )
     return f"""
 norm AS (SELECT doc_id,
-                string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') toks
+                string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') toks
          FROM documents),
 g AS (SELECT doc_id,
              CAST(concat('0x', substr(md5(array_to_string(toks[i:i+1], ' ')), 1, 15)) AS BIGINT) th

@@ -263,3 +263,106 @@ def test_grid_sidecar_relpath_escape_rejected(spark, tmp_path):
 
     with _pt.raises(Exception, match="escapes the output directory"):
         write_grid_sidecar(grid, meta, out).collect()
+
+
+def test_exact_dedup_edge_whitespace_and_null_text(spark):
+    """'x' and 'x\\n' are the same document (F.trim strips spaces only,
+    so trim-then-collapse used to miss edge newlines); NULL-text docs
+    are unknown content and must never group as duplicates."""
+    from physicsnemo_curator_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hello world"),
+            (2, "hello world\n"),
+            (3, "\thello   world "),
+            (10, None),
+            (11, None),
+            (12, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup.exact_duplicates(docs).collect()}
+    assert out[1]["group_size"] == 3
+    assert out[2]["canonical_id"] == 1 and out[3]["canonical_id"] == 1
+    for i in (10, 11, 12):
+        assert out[i]["group_size"] == 1 and out[i]["canonical_id"] == i
+
+
+def test_connected_components_string_ids(spark):
+    """String (UUID-style) node ids must converge correctly — the old
+    decimal-cast probe threw under ANSI / silently 'converged' early."""
+    from physicsnemo_curator_spark.operators import components
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("x", "y")],
+        "a string, b string",
+    )
+    comp = {
+        r["node"]: r["comp"]
+        for r in components.connected_components(pairs).collect()
+    }
+    assert {comp[n] for n in "abcde"} == {"a"}
+    assert comp["x"] == comp["y"] == "x"
+
+
+def test_dedup_groups_nan_scores_never_win(spark):
+    """NaN sorts above every double in Spark; an unscorable doc must
+    not beat a scored one for group representative."""
+    from physicsnemo_curator_spark.operators import components
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")
+    scores = spark.createDataFrame(
+        [(1, float("nan")), (2, 0.9), (3, 0.5)], "id long, score double"
+    )
+    groups = components.dedup_groups(pairs, id_out="id", scores=scores)
+    kept = {r["id"] for r in groups.collect() if r["keep"]}
+    assert kept == {2}
+
+
+def test_dedup_groups_scored_string_ids(spark):
+    """The scored keep policy must work for string ids too (the old
+    max-struct negation only handled numerics)."""
+    from physicsnemo_curator_spark.operators import components
+
+    pairs = spark.createDataFrame([("u1", "u2")], "a string, b string")
+    scores = spark.createDataFrame(
+        [("u1", 0.1), ("u2", 0.8)], "id string, score double"
+    )
+    groups = components.dedup_groups(pairs, id_out="id", scores=scores)
+    kept = {r["id"] for r in groups.collect() if r["keep"]}
+    assert kept == {"u2"}
+
+
+def test_pack_sequences_rejects_null_and_negative_tokens(spark):
+    import pytest as _pt
+
+    from physicsnemo_curator_spark.operators.packing import pack_sequences
+
+    bad_null = spark.createDataFrame(
+        [(1, 10), (2, None)], "doc_id long, n_tokens long"
+    )
+    with _pt.raises(Exception, match="NULL"):
+        pack_sequences(bad_null, budget=64, n_buckets=1).collect()
+    bad_neg = spark.createDataFrame(
+        [(1, 10), (2, -5)], "doc_id long, n_tokens long"
+    )
+    with _pt.raises(Exception, match="negative"):
+        pack_sequences(bad_neg, budget=64, n_buckets=1).collect()
+
+
+def test_pack_sequences_overbudget_singleton_stays_closed(spark):
+    """A doc longer than the budget is a singleton pack; zero-token
+    docs must not join it through a rem=0 capacity entry."""
+    from pyspark.sql import functions as F
+
+    from physicsnemo_curator_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(1, 100), (2, 0), (3, 0)], "doc_id long, n_tokens long"
+    )
+    out = pack_sequences(docs, budget=64, n_buckets=1).collect()
+    packs = {r["doc_id"]: r["pack_index"] for r in out}
+    assert packs[2] != packs[1] and packs[3] != packs[1]
+    fills = {r["pack_index"]: r["pack_fill"] for r in out}
+    assert fills[packs[1]] == 100  # singleton, nothing joined it

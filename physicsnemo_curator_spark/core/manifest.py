@@ -26,6 +26,21 @@ class Manifest:
         self.path = os.path.join(manifest_dir, f"{spec_hash}.manifest.jsonl")
         self.spec_hash = spec_hash
 
+    @staticmethod
+    def _canon(v: Any) -> Any:
+        """Canonical (string) partition key.
+
+        Dates, timestamps, and decimals are not JSON-serializable —
+        json.dumps would crash AFTER the sink already wrote, leaving a
+        successful write unmarked (duplicated output on the retry).
+        Every non-null value is stored as its string form, and the
+        resume filter compares the partition column CAST TO STRING, so
+        any partition type round-trips (Spark's cast-to-string and
+        Python's str agree for date/timestamp/int/float)."""
+        if v is None or isinstance(v, str):
+            return v
+        return str(v)
+
     def completed(self) -> set[Any]:
         done: set[Any] = set()
         if not os.path.exists(self.path):
@@ -36,14 +51,19 @@ class Manifest:
                 if not line:
                     continue
                 rec = json.loads(line)
-                done.update(rec.get("partitions", []))
+                done.update(self._canon(v) for v in rec.get("partitions", []))
         return done
 
     def mark_completed(self, partitions: list[Any]) -> None:
         if not partitions:
             return
         with open(self.path, "a") as f:
-            f.write(json.dumps({"partitions": list(partitions)}) + "\n")
+            f.write(
+                json.dumps(
+                    {"partitions": [self._canon(v) for v in partitions]}
+                )
+                + "\n"
+            )
 
     def reset(self) -> None:
         if os.path.exists(self.path):

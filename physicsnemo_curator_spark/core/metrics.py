@@ -20,6 +20,10 @@ from dataclasses import asdict
 
 from pyspark.sql import DataFrame, SparkSession
 
+import itertools
+
+_SEQ = itertools.count()
+
 RUN_SCHEMA = (
     "run_id string, spec_hash string, rows long, wall_time_s double, "
     "written array<string>, skipped long, finished_at_epoch long"
@@ -30,7 +34,7 @@ RUN_SCHEMA = (
 INDEX_SCHEMA = (
     "run_id string, idx long, worker_id string, status string, "
     "wall_time_s double, peak_memory_mb double, error string, "
-    "finished_at_epoch long"
+    "finished_at_epoch long, seq long"
 )
 
 # per-(index, stage) timing record (reference ``StageMetrics``)
@@ -65,7 +69,12 @@ class MetricsStore:
         return run_id
 
     def runs(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(self.path)
+        try:
+            return spark.read.parquet(self.path)
+        except Exception:
+            # fresh store (or retention removed the table): empty
+            # history, matching the dashboard frames' behavior
+            return spark.createDataFrame([], RUN_SCHEMA)
 
     def summary(self, spark: SparkSession) -> DataFrame:
         """Totals/means per spec hash (reference ``PipelineMetrics.summary``,
@@ -99,6 +108,7 @@ class MetricsStore:
                 float(r.get("peak_memory_mb", 0.0)),
                 str(r.get("error", "")),
                 now,
+                next(_SEQ),
             )
             for r in records
         ]
@@ -134,11 +144,15 @@ class MetricsStore:
         view: str,
         run_id: str | None = None,
     ) -> bool:
-        if not os.path.exists(path):
-            return False
         from pyspark.sql import functions as F
 
-        df = spark.read.parquet(path)
+        try:
+            # attempt the read rather than os.path.exists: the ledger
+            # may live on s3a/hdfs where a local exists-check is
+            # always False and dashboards would silently render empty
+            df = spark.read.parquet(path)
+        except Exception:
+            return False
         if run_id is not None:
             # DataFrame-side equality — run_id is caller-supplied text
             # and must never be spliced into SQL
@@ -161,7 +175,7 @@ class MetricsStore:
             SELECT idx, status, wall_time_s, peak_memory_mb, error
             FROM (
               SELECT *, ROW_NUMBER() OVER (
-                PARTITION BY idx ORDER BY finished_at_epoch DESC
+                PARTITION BY idx ORDER BY finished_at_epoch DESC, seq DESC
               ) AS _rn
               FROM pcs_index_results
             ) WHERE _rn = 1

@@ -23,6 +23,7 @@ from dataclasses import dataclass, field
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from physicsnemo_curator_spark.core import registry
 from physicsnemo_curator_spark.core.manifest import Manifest
@@ -76,7 +77,24 @@ class Pipeline:
 
     @property
     def spec_hash(self) -> str:
-        canonical = json.dumps(self.to_dict(), sort_keys=True, default=str)
+        def _stable(o: Any) -> str:
+            # only types with a process-independent string form may be
+            # hashed; default=str would silently stringify arbitrary
+            # objects into id()-bearing reprs, changing the pipeline's
+            # identity every process (resume would never find progress)
+            import datetime
+            import decimal
+
+            if isinstance(o, (datetime.date, datetime.datetime)):
+                return o.isoformat()
+            if isinstance(o, decimal.Decimal):
+                return str(o)
+            raise TypeError(
+                f"pipeline param of type {type(o).__name__} is not "
+                "JSON-serializable; pass a stable primitive instead"
+            )
+
+        canonical = json.dumps(self.to_dict(), sort_keys=True, default=_stable)
         return hashlib.sha256(canonical.encode()).hexdigest()
 
     # -- lazy plan ----------------------------------------------------------
@@ -117,26 +135,55 @@ class Pipeline:
         if resume:
             if not (partition_col and manifest_dir):
                 raise ValueError("resume=True requires partition_col and manifest_dir")
+            # a whole-path overwrite sink would DELETE the output of
+            # previously-completed partitions while the manifest still
+            # marks them done — silent, unrecoverable data loss.  The
+            # resume contract needs an append / per-partition sink.
+            mode = self.sink.params.get("mode")
+            if mode == "overwrite" or (
+                mode is None and self.sink.name in ("parquet", "csv", "json")
+            ):
+                raise ValueError(
+                    "resume=True with a whole-path overwrite sink would "
+                    "delete completed partitions' output; use "
+                    "mode='append' (completed partitions are filtered "
+                    "out, so appends never duplicate)"
+                )
             manifest = Manifest(manifest_dir, self.spec_hash)
-            done = manifest.completed()
+            done = manifest.completed()  # canonical strings (+ None)
             if done:
-                skipped = sorted(done)
-                df = df.filter(~df[partition_col].isin(list(done)))
-
-        pending: list[Any] = []
-        if manifest is not None:
-            pending = [
-                r[0] for r in df.select(partition_col).distinct().collect()
-            ]
-            if not pending:
-                return RunResult(self.spec_hash, [], 0, skipped, time.perf_counter() - t0)
+                done_strs = sorted(v for v in done if v is not None)
+                none_done = None in done
+                skipped = list(done_strs) + ([None] if none_done else [])
+                pcol = df[partition_col].cast("string")
+                # three-valued logic guards: a NULL partition value must
+                # not silently vanish from ~isin, and NULL in the done
+                # list must not poison the whole predicate
+                keep = (
+                    F.coalesce(~pcol.isin(done_strs), F.lit(True))
+                    if done_strs
+                    else F.lit(True)
+                )
+                if none_done:
+                    keep = keep & df[partition_col].isNotNull()
+                df = df.filter(keep)
 
         # count + write must not execute the plan twice: pin the result
-        # once (spills to disk if needed), run both actions against the
-        # materialization, release.  On a 100 TB input the recompute
-        # would double the job.
+        # once (spills to disk if needed) BEFORE collecting pending
+        # partitions, so the distinct scan, the count, and the write all
+        # share one materialization.  On a 100 TB input each recompute
+        # would re-run the whole job.
         df = df.persist()
         try:
+            pending: list[Any] = []
+            if manifest is not None:
+                pending = [
+                    r[0] for r in df.select(partition_col).distinct().collect()
+                ]
+                if not pending:
+                    return RunResult(
+                        self.spec_hash, [], 0, skipped, time.perf_counter() - t0
+                    )
             rows = df.count()
             written = registry.get_sink(self.sink.name)(df, **self.sink.params)
         finally:

@@ -43,7 +43,9 @@ def list_artifacts(warehouse_dir: str) -> list[ArtifactInfo]:
         if entry.endswith(".manifest.jsonl"):
             kind = "manifest"
             size = os.path.getsize(p)
-        elif entry == "pipeline_runs":
+        elif entry in ("pipeline_runs", "index_results", "stage_results"):
+            # ALL three MetricsStore tables are run history — the
+            # retention default promises to keep them
             kind = "metrics"
             size = _dir_size(p)
         elif os.path.isdir(p):

@@ -165,3 +165,84 @@ def test_curation_transforms_registered(spark, sf_dir, tmp_path):
     y = str(tmp_path / "p.yaml")
     p.save(y)
     assert Pipeline.load(y).build(spark).count() == n
+
+
+def test_resume_rejects_overwrite_sink(spark, tmp_path):
+    """resume=True with a whole-path overwrite sink would delete
+    completed partitions' output — must refuse loudly."""
+    import pytest as _pt
+
+    from physicsnemo_curator_spark.core.pipeline import Pipeline
+
+    src = str(tmp_path / "src")
+    spark.range(10).selectExpr("id", "id % 2 AS p").write.parquet(src)
+    p = (
+        Pipeline.read("parquet", path=src)
+        .write("parquet", path=str(tmp_path / "out"))
+    )
+    with _pt.raises(ValueError, match="overwrite sink"):
+        p.run(
+            spark,
+            resume=True,
+            partition_col="p",
+            manifest_dir=str(tmp_path / "m"),
+        )
+
+
+def test_resume_null_partitions_and_date_values(spark, tmp_path):
+    """NULL partition values must survive resume filtering (three-
+    valued NOT-IN used to drop them), and date-typed partitions must
+    mark without a JSON crash and be skipped on re-run."""
+    from pyspark.sql import functions as F
+
+    from physicsnemo_curator_spark.core.pipeline import Pipeline
+
+    src = str(tmp_path / "src")
+    spark.sql(
+        "SELECT * FROM VALUES (1, DATE'2024-01-01'), (2, DATE'2024-01-02'),"
+        " (3, CAST(NULL AS DATE)) AS t(id, day)"
+    ).write.parquet(src)
+    out = str(tmp_path / "out")
+    mdir = str(tmp_path / "m")
+    p = (
+        Pipeline.read("parquet", path=src)
+        .write("parquet", path=out, mode="append")
+    )
+    r1 = p.run(spark, resume=True, partition_col="day", manifest_dir=mdir)
+    assert r1.rows == 3  # NULL-day row processed, dates marked w/o crash
+    r2 = p.run(spark, resume=True, partition_col="day", manifest_dir=mdir)
+    assert r2.rows == 0  # everything (incl. the NULL partition) skipped
+    total = spark.read.parquet(out).count()
+    assert total == 3  # nothing duplicated, nothing deleted
+
+
+def test_metrics_fresh_store_and_retention(spark, tmp_path):
+    """runs()/summary() on a fresh store return empty frames, and the
+    warehouse retention keeps all three metrics tables."""
+    from physicsnemo_curator_spark.core.metrics import MetricsStore
+    from physicsnemo_curator_spark.core.warehouse import (
+        list_artifacts,
+        remove_older_than,
+    )
+
+    w = str(tmp_path / "wh")
+    store = MetricsStore(w)
+    assert store.runs(spark).count() == 0
+    assert store.summary(spark).count() == 0
+    from physicsnemo_curator_spark.core.pipeline import RunResult
+
+    rid = store.record(
+        spark, RunResult("abc", [], 5, [], 0.1)
+    )
+    store.record_index_results(
+        spark, rid, [{"idx": 1, "status": "failed", "error": "boom"}]
+    )
+    store.record_index_results(spark, rid, [{"idx": 1, "status": "completed"}])
+    # deterministic latest-wins even within the same epoch second
+    (row,) = store.index_df(spark, rid).collect()
+    assert row["status"] == "completed"
+    kinds = {a.path.split("/")[-1]: a.kind for a in list_artifacts(w)}
+    assert kinds["pipeline_runs"] == "metrics"
+    assert kinds["index_results"] == "metrics"
+    removed = remove_older_than(w, max_age_seconds=0.0)
+    assert not any("results" in r or "pipeline_runs" in r for r in removed)

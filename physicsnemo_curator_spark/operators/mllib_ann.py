@@ -225,8 +225,11 @@ def _assign_with_norm(
     vec_col: str,
 ) -> DataFrame:
     """(id, vec, cell, norm) — nearest-centroid assignment + L2 norm
-    from ONE Arrow-batched numpy projection over the corpus."""
+    from ONE Arrow-batched numpy projection over the corpus.  NULL
+    vectors are dropped (np.asarray(None) would crash the batch; a
+    NULL embedding has no cell)."""
     meta = _ivf_meta_udf(centers, 1)
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
     return corpus.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_vec"),

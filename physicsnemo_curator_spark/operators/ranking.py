@@ -28,8 +28,20 @@ from pyspark.sql import functions as F
 _PID = "__rank_pid"
 
 
+def _parallelism(df: DataFrame) -> int:
+    """Cluster parallelism without touching sparkContext (absent under
+    Spark Connect): the shuffle-partition conf is the planner's own
+    fan-out knob and the right default here."""
+    try:
+        return int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    except Exception:
+        return 32
+
+
 def _range_parted(df: DataFrame, order_cols: list[Column]) -> DataFrame:
-    par = df.sparkSession.sparkContext.defaultParallelism
+    par = _parallelism(df)
     return df.repartitionByRange(par, *order_cols).withColumn(
         _PID, F.spark_partition_id()
     )

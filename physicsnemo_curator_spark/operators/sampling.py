@@ -213,10 +213,15 @@ def mixing_weights(
     # F.least SKIPS nulls, so a NULL budget (no targeted domain present
     # in the corpus) would silently become rate 1.0 for every domain —
     # coalesce the product to 0 so an unmatched target keeps nothing
+    # mass can be 0 when weight_col sums to zero for a domain; under
+    # ANSI that division throws — such a domain contributes nothing
     rate = F.least(
         F.lit(1.0),
         F.coalesce(
-            F.col("target_share") * F.col("_budget") / F.col("mass"),
+            F.when(
+                F.col("mass") > 0,
+                F.col("target_share") * F.col("_budget") / F.col("mass"),
+            ),
             F.lit(0.0),
         ),
     )

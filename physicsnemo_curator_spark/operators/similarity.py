@@ -40,8 +40,19 @@ def l2(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + (v * v).cast("double")))
 
 
+def _safe_ratio(num: Column, denom: Column) -> Column:
+    """num/denom with a NULL result when denom is not positive.
+
+    Spark 4's ANSI mode (the default, and what the correctness gate
+    runs under) raises DIVIDE_BY_ZERO even for DOUBLE division, so a
+    single zero-norm vector (all-zeros padding artifact) would crash
+    every cosine job; NULL instead drops the row from thresholded
+    filters and ranks it last in top-k."""
+    return F.when(denom > 0, num / denom)
+
+
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2(a) * l2(b))
+    return _safe_ratio(dot(a, b), l2(a) * l2(b))
 
 
 def _sql_of(c: Column | str) -> str:
@@ -91,7 +102,9 @@ def l2_unrolled(a: Column | str, dim: int) -> Column:
 
 
 def cosine_unrolled(a: Column | str, b: Column | str, dim: int) -> Column:
-    return dot_unrolled(a, b, dim) / (l2_unrolled(a, dim) * l2_unrolled(b, dim))
+    return _safe_ratio(
+        dot_unrolled(a, b, dim), l2_unrolled(a, dim) * l2_unrolled(b, dim)
+    )
 
 
 def cosine_prenormed(
@@ -108,7 +121,7 @@ def cosine_prenormed(
     limit (seen at dim=64 under BroadcastNestedLoopJoin), dropping the
     whole stage out of whole-stage codegen.
     """
-    return dot_unrolled(a, b, dim) / (norm_a * norm_b)
+    return _safe_ratio(dot_unrolled(a, b, dim), norm_a * norm_b)
 
 
 def _vec_dim(df: DataFrame, vec_col: str) -> int:
@@ -185,14 +198,6 @@ def md5_hyperplanes(dim: int, n_planes: int, tag: str = "p") -> list[list[float]
     ]
 
 
-def signed_projection_bucket(vec: Column, plane: list[float]) -> Column:
-    """Sign bit of <vec, plane> — one LSH bit."""
-    expr = F.lit(0.0)
-    for i, w_i in enumerate(plane):
-        expr = expr + F.element_at(vec, i + 1).cast("double") * F.lit(w_i)
-    return (expr >= 0).cast("int")
-
-
 def lsh_buckets(
     df: DataFrame,
     dim: int,
@@ -251,13 +256,25 @@ def lsh_banded(
 
     @pandas_udf("array<int>")
     def bucket_all_bands(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
         x = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        if x.ndim != 2 or x.shape[1] != dim:
+            raise ValueError(
+                f"embedding batch has shape {x.shape}, expected (*, {dim})"
+                " — ragged or wrong-dimension vectors"
+            )
         signs = (x @ p_matrix.T >= 0).astype(np.int64)  # (rows, bands*bits)
         signs = signs.reshape(len(x), n_bands, bits_per_band)
         buckets = (signs * weights).sum(axis=2).astype("int32")  # (rows, bands)
         return pd.Series(list(buckets))
 
-    banded = df.withColumn("_buckets", bucket_all_bands(F.col(vec_col)))
+    # NULL embeddings would arrive as None and crash np.asarray; a NULL
+    # vector has no bucket — drop it here (same skip convention as the
+    # SQL cosine path, which NULL-propagates)
+    banded = df.filter(F.col(vec_col).isNotNull()).withColumn(
+        "_buckets", bucket_all_bands(F.col(vec_col))
+    )
     return banded.select(
         *df.columns, F.posexplode("_buckets").alias("band", "bucket")
     )
@@ -395,6 +412,12 @@ def pairwise_near_duplicates(
             .select(F.col("l.vec_id").alias("a"), F.col("r.vec_id").alias("b"))
             .dropDuplicates(["a", "b"])
         )
+        # materialize the (bounded, id-pair) candidate set so the
+        # banded cache can release NOW — returning it lazily pinned
+        # eb's cached blocks for the session lifetime (one leak per
+        # call on the bench loop)
+        cand = cand.localCheckpoint(eager=True)
+        eb.unpersist()
         pairs = (
             cand.join(e.select(F.col("vec_id").alias("a"),
                                F.col("vec").alias("_va"),
@@ -455,10 +478,19 @@ def embedding_label_cosines(
     out-of-distribution samples.  One broadcast join (centroids are
     labels-sized) + a codegen unrolled dot per row; no shuffle of the
     embedding table itself beyond the centroid aggregate."""
-    cents = embedding_centroids(emb, label_col=label_col, vec_col=vec_col)
-    joined = emb.join(F.broadcast(cents), label_col)
+    cents = embedding_centroids(
+        emb, label_col=label_col, vec_col=vec_col
+    ).withColumn("_cnorm", l2_unrolled("centroid", dim))
+    # norms computed UPSTREAM of the join (O(rows) + O(labels)):
+    # cosine_unrolled inside the join projection re-derived both norms
+    # per row — 3x the dim-term expression in the joined stage, the
+    # exact codegen/FLOP blowup cosine_prenormed exists to avoid
+    rows = emb.withColumn("_vnorm", l2_unrolled(vec_col, dim))
+    joined = rows.join(F.broadcast(cents), label_col)
     return joined.select(
         F.col(id_col),
         F.col(label_col),
-        cosine_unrolled(vec_col, "centroid", dim).alias("cos_centroid"),
+        cosine_prenormed(
+            vec_col, "centroid", F.col("_vnorm"), F.col("_cnorm"), dim
+        ).alias("cos_centroid"),
     )

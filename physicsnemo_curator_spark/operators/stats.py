@@ -78,7 +78,18 @@ def moment_stats(
         + 6 * mean * mean * F.col("_p2")
         - 3 * mean * mean * mean * mean
     )
-    zero_var = m2 <= F.lit(0.0)
+    # Degenerate-group detection uses Spark's STABLE central-moment
+    # var_pop (exactly 0 for constant groups), not the power-sum m2
+    # (rounding can leave it tiny-positive, letting garbage skew/kurt
+    # escape a m2<=0 guard).  The denominators are additionally
+    # guarded against underflowing to exactly 0 while m2 > 0 — under
+    # ANSI mode that division would otherwise throw.  Caveat (single-
+    # pass design): for mean >> std fields the raw power sums cancel
+    # precision in m3/m4; use welford_state + two-pass tooling when
+    # high-accuracy tail moments of such fields matter.
+    skew_den = F.pow(m2, 1.5)
+    kurt_den = m2 * m2
+    degenerate = F.col("var_pop_v") <= F.lit(0.0)
     tail = ["abs_mean", "abs_max"] + (
         ["median_approx"] if include_median else []
     )
@@ -90,11 +101,11 @@ def moment_stats(
         "max_v",
         "stddev_pop_v",
         "var_pop_v",
-        F.when(zero_var, F.lit(0.0))
-        .otherwise(m3 / F.pow(m2, 1.5))
+        F.when(degenerate | (skew_den <= 0), F.lit(0.0))
+        .otherwise(m3 / skew_den)
         .alias("skew_v"),
-        F.when(zero_var, F.lit(0.0))
-        .otherwise(m4 / (m2 * m2) - 3.0)
+        F.when(degenerate | (kurt_den <= 0), F.lit(0.0))
+        .otherwise(m4 / kurt_den - 3.0)
         .alias("kurt_v"),
         *tail,
     )
@@ -169,14 +180,21 @@ def finalize_welford_state(state: DataFrame, group_cols: Sequence[str]) -> DataF
         + 6 * mean * mean * F.col("s2") / n
         - 3 * mean * mean * mean * mean
     )
-    zero_var = m2 <= F.lit(0.0)
+    # guard the DENOMINATORS, not just m2: pow(m2, 1.5) can underflow
+    # to exactly 0 while m2 > 0, and ANSI double division by 0 throws
+    skew_den = F.pow(m2, 1.5)
+    kurt_den = m2 * m2
     return state.select(
         *group_cols,
         F.col("n"),
         mean.alias("mean"),
         F.greatest(m2, F.lit(0.0)).alias("var_pop_v"),
-        F.when(zero_var, F.lit(0.0)).otherwise(m3 / F.pow(m2, 1.5)).alias("skew_v"),
-        F.when(zero_var, F.lit(0.0)).otherwise(m4 / (m2 * m2) - 3.0).alias("kurt_v"),
+        F.when((m2 <= 0) | (skew_den <= 0), F.lit(0.0))
+        .otherwise(m3 / skew_den)
+        .alias("skew_v"),
+        F.when((m2 <= 0) | (kurt_den <= 0), F.lit(0.0))
+        .otherwise(m4 / kurt_den - 3.0)
+        .alias("kurt_v"),
     )
 
 
@@ -219,7 +237,10 @@ def heavy_hitters(
         row = df.stat.freqItems([col], approx_support).collect()[0]
         items = row[f"{col}_freqItems"]
         spark = df.sparkSession
-        return spark.createDataFrame([(v,) for v in items], [col])
+        # an empty sketch result can't infer a schema from zero rows —
+        # carry the source column's real DataType
+        schema = df.select(col).schema
+        return spark.createDataFrame([(v,) for v in items], schema)
     return (
         df.groupBy(col)
         .agg(F.count(F.lit(1)).alias("cnt"))

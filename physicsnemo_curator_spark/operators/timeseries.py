@@ -33,19 +33,38 @@ def as_of_join(
     avoid bucket skew; this form is skew-bound only by the key.
     """
     lt = F.col(left_time)
+    # NULL join keys never match in SQL ASOF semantics — drop NULL-key
+    # right rows so a NULL-key left row gets asof NULL instead of
+    # silently pairing inside the shared NULL window partition
+    r_src = right
+    for k in on:
+        r_src = r_src.filter(F.col(k).isNotNull())
     l_tag = left.select(
         *on,
         lt.alias("_t"),
         F.lit(1).alias("_is_left"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}") for c in right_cols],
+        F.lit(None)
+        .cast(
+            "struct<"
+            + ", ".join(
+                f"`{c}`: {dict(right.dtypes)[c]}" for c in right_cols
+            )
+            + ">"
+        )
+        .alias("_rrow"),
     )
-    r_tag = right.select(
+    r_tag = r_src.select(
         *on,
         F.col(right_time).alias("_t"),
         F.lit(0).alias("_is_left"),
         F.lit(None).cast(l_tag.schema["_lrow"].dataType).alias("_lrow"),
-        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        # ONE struct per right row: last(ignorenulls) over per-column
+        # placeholders would skip a right row whose value is genuinely
+        # NULL and attach a stale older value (and mix columns from
+        # different rows); the struct is non-null whenever a right row
+        # exists, so its fields carry real NULLs faithfully
+        F.struct(*[F.col(c) for c in right_cols]).alias("_rrow"),
     )
     u = l_tag.unionByName(r_tag)
     # right rows sort before left rows at equal time unless strict —
@@ -58,13 +77,12 @@ def as_of_join(
     )
     filled = u.select(
         "*",
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_asof_{c}")
-            for c in right_cols
-        ],
+        F.last("_rrow", ignorenulls=True).over(w).alias("_asof_row"),
     ).filter(F.col("_is_left") == 1)
     out_cols = [F.col("_lrow").getField(c).alias(c) for c in left.columns]
-    out_cols += [F.col(f"_asof_{c}").alias(f"asof_{c}") for c in right_cols]
+    out_cols += [
+        F.col("_asof_row").getField(c).alias(f"asof_{c}") for c in right_cols
+    ]
     return filled.select(*out_cols)
 
 

@@ -366,3 +366,84 @@ def test_pack_sequences_overbudget_singleton_stays_closed(spark):
     assert packs[2] != packs[1] and packs[3] != packs[1]
     fills = {r["pack_index"]: r["pack_fill"] for r in out}
     assert fills[packs[1]] == 100  # singleton, nothing joined it
+
+
+def test_asof_join_null_values_and_null_keys(spark):
+    """A right row whose carried column is genuinely NULL must win the
+    as-of match (not an older non-NULL row), and NULL join keys never
+    match — SQL ASOF semantics on both counts."""
+    from physicsnemo_curator_spark.operators import timeseries
+
+    left = spark.createDataFrame(
+        [("u", 3), (None, 3)], "user_id string, t long"
+    )
+    right = spark.createDataFrame(
+        [("u", 1, 5.0), ("u", 2, None), (None, 1, 9.0)],
+        "user_id string, t long, value double",
+    )
+    out = {
+        (r["user_id"], r["t"]): r["asof_value"]
+        for r in timeseries.as_of_join(
+            left, right, on=["user_id"], left_time="t", right_time="t",
+            right_cols=["value"],
+        ).collect()
+    }
+    assert out[("u", 3)] is None  # the t=2 NULL row is the as-of match
+    assert out[(None, 3)] is None  # NULL keys never match
+
+
+def test_cosine_zero_norm_vectors_no_ansi_crash(spark):
+    """An all-zeros embedding must not raise DIVIDE_BY_ZERO (Spark 4
+    ANSI throws on double division too); it drops from thresholded
+    pair output instead."""
+    from physicsnemo_curator_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [1.0, 0.0]),
+            (3, [0.0, 0.0]),  # zero norm
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = similarity.pairwise_near_duplicates(
+        emb, threshold=0.9, exact=True, dim=2
+    ).collect()
+    assert {(r["a"], r["b"]) for r in pairs} == {(1, 2)}
+
+
+def test_lsh_banded_null_embeddings_skipped(spark):
+    from physicsnemo_curator_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [0.5, 0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    out = similarity.lsh_banded(emb, 2, n_bands=2, bits_per_band=2)
+    ids = {r["vec_id"] for r in out.collect()}
+    assert ids == {1, 3}
+
+
+def test_heavy_hitters_empty_sketch_result(spark):
+    """freqItems returning no candidates must yield an empty frame
+    with the source column's type, not a schema-inference crash."""
+    from physicsnemo_curator_spark.operators import stats
+
+    df = spark.createDataFrame(
+        [("a",), ("b",), ("c",)], "k string"
+    )
+    out = stats.heavy_hitters(df, "k", k=2, approx_support=0.9)
+    assert out.count() >= 0  # executes; no inference ValueError
+    assert out.schema["k"].dataType.typeName() == "string"
+
+
+def test_moment_stats_tiny_variance_pins_to_zero(spark):
+    """Constant groups whose power-sum m2 rounds tiny-POSITIVE must
+    still pin skew/kurt to 0 (the stable var_pop is the detector)."""
+    from physicsnemo_curator_spark.operators import stats
+
+    df = spark.createDataFrame(
+        [("g", 0.1)] * 5, "k string, v double"
+    )
+    (row,) = stats.moment_stats(df, ["k"], "v").collect()
+    assert row["skew_v"] == 0.0 and row["kurt_v"] == 0.0

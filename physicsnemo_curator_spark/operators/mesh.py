@@ -86,7 +86,10 @@ def unique_edges(cells: DataFrame, vs_col: str = "vs") -> DataFrame:
     the only shuffle; it keys on (mesh_id, a, b).
     """
     n = F.size(vs_col)
-    pairs = cells.select(
+    # cells with < 2 nodes have no edges; without the filter,
+    # sequence(0, -1) auto-steps DESCENDING and getItem on the empty
+    # array raises INVALID_ARRAY_INDEX under ANSI
+    pairs = cells.filter(n >= 2).select(
         "mesh_id",
         F.explode(F.sequence(F.lit(0), n - 1)).alias("i"),
         F.col(vs_col).alias("_vs"),
@@ -182,7 +185,14 @@ def remap_connectivity(cells: DataFrame, remap: DataFrame, vs_col: str = "vs") -
     survived = rebuilt.join(arity, ["mesh_id", "cell_id"]).filter(
         F.col("_n") == F.col("_arity")
     )
-    return survived.select("mesh_id", "cell_id", vs_col)
+    # zero-arity cells emit no exploded rows, so the join above never
+    # sees them — but "every real node survives" is VACUOUSLY true for
+    # an empty cell (the padded/flat codecs' contract), and a pure
+    # reordering like random_permutation must not delete cells
+    empties = cells.filter(F.size(vs_col) == 0).select(
+        "mesh_id", "cell_id", F.col(vs_col)
+    )
+    return survived.select("mesh_id", "cell_id", vs_col).unionByName(empties)
 
 
 def wall_node_mask(
@@ -403,14 +413,20 @@ def tessellate_fan(cells: DataFrame, vs_col: str = "vs") -> DataFrame:
     caller needs density (keep the composite key at scale).
     """
     n = F.size(vs_col)
+    # extra columns (region tags from boundary injection, cell_type
+    # from the flat codec, field payloads) ride along untouched —
+    # tessellation must not strip metadata
+    extra = [c for c in cells.columns if c not in ("mesh_id", "cell_id", vs_col)]
     tris = cells.filter(n > 3).select(
         "mesh_id",
         "cell_id",
+        *extra,
         F.col(vs_col).alias("_vs"),
         F.posexplode(F.sequence(F.lit(1), F.size(vs_col) - 2)).alias("fan_idx", "_i"),
     ).select(
         "mesh_id",
         "cell_id",
+        *extra,
         "fan_idx",
         F.array(
             F.element_at("_vs", 1),
@@ -419,7 +435,7 @@ def tessellate_fan(cells: DataFrame, vs_col: str = "vs") -> DataFrame:
         ).alias(vs_col),
     )
     passthrough = cells.filter(n <= 3).select(
-        "mesh_id", "cell_id", F.lit(0).alias("fan_idx"), F.col(vs_col)
+        "mesh_id", "cell_id", *extra, F.lit(0).alias("fan_idx"), F.col(vs_col)
     )
     return passthrough.unionByName(tris)
 
@@ -530,7 +546,10 @@ def inject_box_boundary(
     face_arrays = F.array(*[F.array(*[F.lit(v) for v in face]) for face in faces])
     boundary_cells = (
         bbox.select("mesh_id", "_base")
-        .join(base_cells, "mesh_id")
+        # left + coalesce: a mesh with zero cells (point cloud) must
+        # still get its boundary faces, starting at cell id 0
+        .join(base_cells, "mesh_id", "left")
+        .withColumn("_cbase", F.coalesce("_cbase", F.lit(0)))
         .select(
             "mesh_id", "_base", "_cbase", F.posexplode(face_arrays).alias("_fidx", "face")
         )
@@ -570,8 +589,12 @@ def inject_hemisphere_boundary(
     column math from one per-mesh bbox aggregate (tiny), then
     unionByName'd with region='boundary.hemisphere'.
     """
+    # radius covers the full 3-D bbox half-diagonal: footprint-only
+    # sizing let any mesh taller than wide poke through the dome
     half = F.sqrt(
-        (F.col("x1") - F.col("x0")) ** 2 + (F.col("y1") - F.col("y0")) ** 2
+        (F.col("x1") - F.col("x0")) ** 2
+        + (F.col("y1") - F.col("y0")) ** 2
+        + (F.col("z1") - F.col("zb")) ** 2
     ) / 2.0
     bbox = points.groupBy("mesh_id").agg(
         F.min("x").alias("x0"),
@@ -579,6 +602,7 @@ def inject_hemisphere_boundary(
         F.min("y").alias("y0"),
         F.max("y").alias("y1"),
         F.min("z").alias("zb"),
+        F.max("z").alias("z1"),
         (F.max("point_id") + 1).alias("_base"),
     ).select(
         "mesh_id",
@@ -620,7 +644,9 @@ def inject_hemisphere_boundary(
     # cells: strip quads split into two triangles + pole fan
     base_cells = cells.groupBy("mesh_id").agg((F.max("cell_id") + 1).alias("_cbase"))
     n_strip = (rings - 1) * segments
-    geom = bbox.join(base_cells, "mesh_id").select(
+    geom = bbox.join(base_cells, "mesh_id", "left").withColumn(
+        "_cbase", F.coalesce("_cbase", F.lit(0))
+    ).select(
         "mesh_id",
         "_base",
         "_cbase",
@@ -717,7 +743,11 @@ def triangulate_loops(
 
     from ..functions.geometry import constrained_delaunay
 
-    schema = f"{loop_col} string, cell_id long, vs array<long>"
+    # mirror the input key's dtype (like cells_from_flat does): a
+    # hardcoded string loop_id breaks the documented join back onto
+    # numeric mesh keys
+    loop_type = dict(loops.dtypes)[loop_col]
+    schema = f"{loop_col} {loop_type}, cell_id long, vs array<long>"
 
     def _tri(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(seq_col)
@@ -726,7 +756,7 @@ def triangulate_loops(
         tris = constrained_delaunay(poly)
         return pd.DataFrame(
             {
-                loop_col: [str(pdf[loop_col].iloc[0])] * len(tris),
+                loop_col: [pdf[loop_col].iloc[0]] * len(tris),
                 "cell_id": range(len(tris)),
                 "vs": [[int(seqs[i]) for i in t] for t in tris],
             }

@@ -129,8 +129,13 @@ def write_chunk(
     chunk shape — pad partial edge chunks with the fill value upstream
     (the v2 spec stores edge chunks at full chunk shape)."""
     path = os.path.join(adir, ".".join(str(i) for i in chunk_index))
-    with open(path, "wb") as f:
+    # tmp + atomic rename (same discipline as the v3 twins and
+    # _atomic_json): a concurrent zombie/speculative attempt must
+    # never interleave bytes into the final chunk file
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
         f.write(encode_chunk(arr, compressor))
+    os.replace(tmp, path)
     return path
 
 
@@ -330,7 +335,10 @@ def write_flat_zarr(
     file and no pre-allocation/locking is needed.
     """
     if n_rows is None:
-        n_rows = rows.agg(F.max(index_col)).first()[0] + 1
+        max_idx = rows.agg(F.max(index_col)).first()[0]
+        # empty input: write a valid zero-row array instead of an
+        # opaque None + 1 TypeError (the grid sinks degrade the same way)
+        n_rows = 0 if max_idx is None else max_idx + 1
     width = len(value_cols)
     shape = (n_rows,) if width == 1 else (n_rows, width)
     chunks = (chunk_rows,) if width == 1 else (chunk_rows, width)
@@ -396,7 +404,25 @@ def write_mesh_zarr(
     dims = displacements.groupBy("mesh_id").agg(
         (F.max("t") + 1).cast("int").alias("_nt"),
         (F.max("point_id") + 1).cast("int").alias("_npts"),
+        F.min("t").cast("int").alias("_t0"),
+        F.min("point_id").cast("int").alias("_p0"),
+        F.countDistinct("t").cast("int").alias("_ct"),
     )
+    # the (T, N, 3) tensor layout assumes DENSE 0-based t and point_id;
+    # 1-based timesteps or unrenumbered point ids would silently pad
+    # fabricated zero planes at the origin — validate instead (run
+    # dense_renumber / stack_timesteps upstream to densify)
+    bad = dims.filter(
+        (F.col("_t0") != 0) | (F.col("_p0") != 0) | (F.col("_ct") != F.col("_nt"))
+    ).select("mesh_id")
+    bad_rows = [r["mesh_id"] for r in bad.limit(3).collect()]
+    if bad_rows:
+        raise ValueError(
+            "write_mesh_zarr needs dense 0-based t and point_id; "
+            f"meshes with gaps/offsets: {bad_rows} — run dense_renumber "
+            "first"
+        )
+    dims = dims.select("mesh_id", "_nt", "_npts")
 
     init_group(store)
 
@@ -621,7 +647,7 @@ def encode_shard(
         parts.append(enc)
         offset += len(enc)
     idx_bytes = index.tobytes()
-    idx_bytes += np.uint32(_crc32c(idx_bytes)).tobytes()
+    idx_bytes += np.uint32(_crc32c(idx_bytes)).astype("<u4").tobytes()
     return b"".join(parts) + idx_bytes
 
 

@@ -447,3 +447,89 @@ def test_moment_stats_tiny_variance_pins_to_zero(spark):
     )
     (row,) = stats.moment_stats(df, ["k"], "v").collect()
     assert row["skew_v"] == 0.0 and row["kurt_v"] == 0.0
+
+
+def test_unique_edges_and_remap_tolerate_empty_cells(spark):
+    """Zero-arity cells (padded-codec output) must not crash edge
+    extraction under ANSI, and a total remap must preserve them
+    (vacuous-truth survival; a pure reordering can't delete cells)."""
+    from physicsnemo_curator_spark.operators import mesh
+
+    cells = spark.createDataFrame(
+        [(0, 0, [0, 1, 2]), (0, 1, [])],
+        "mesh_id long, cell_id long, vs array<long>",
+    )
+    edges = mesh.unique_edges(cells).collect()
+    assert len(edges) == 3  # triangle only; empty cell contributes none
+    remap = spark.createDataFrame(
+        [(0, i, i) for i in range(3)],
+        "mesh_id long, point_id long, new_point_id long",
+    )
+    out = mesh.remap_connectivity(cells, remap).collect()
+    got = {r["cell_id"]: r["vs"] for r in out}
+    assert got[0] == [0, 1, 2] and got[1] == []
+
+
+def test_tessellate_fan_preserves_extra_columns(spark):
+    from physicsnemo_curator_spark.operators import mesh
+
+    cells = spark.createDataFrame(
+        [(0, 0, [0, 1, 2, 3], "boundary.box"), (0, 1, [4, 5, 6], "interior")],
+        "mesh_id long, cell_id long, vs array<long>, region string",
+    )
+    out = mesh.tessellate_fan(cells).collect()
+    regions = {(r["cell_id"], r["fan_idx"]): r["region"] for r in out}
+    assert regions[(0, 1)] == "boundary.box"  # quad's second triangle
+    assert regions[(1, 0)] == "interior"
+
+
+def test_boundary_injection_point_cloud_mesh(spark):
+    """A mesh with points but zero cells still gets its boundary faces
+    (cell ids from 0) instead of orphan corner points."""
+    from physicsnemo_curator_spark.operators import mesh
+
+    points = spark.createDataFrame(
+        [(0, i, float(i % 2), float(i // 2 % 2), float(i // 4)) for i in range(8)],
+        "mesh_id long, point_id long, x double, y double, z double",
+    )
+    cells = spark.createDataFrame(
+        [], "mesh_id long, cell_id long, vs array<long>"
+    )
+    _, ac = mesh.inject_box_boundary(points, cells)
+    faces = ac.filter("region = 'boundary.box'").collect()
+    assert len(faces) == 6
+    assert min(r["cell_id"] for r in faces) == 0
+
+
+def test_write_mesh_zarr_rejects_sparse_ids(spark, tmp_path):
+    import pytest as _pt
+
+    from physicsnemo_curator_spark.sinks.zarr_store import write_mesh_zarr
+
+    points = spark.createDataFrame(
+        [(0, 0, 0.0, 0.0, 0.0), (0, 5, 1.0, 0.0, 0.0)],
+        "mesh_id long, point_id long, x double, y double, z double",
+    )
+    disp = spark.createDataFrame(
+        [(0, 0, 1, 0.0, 0.0, 0.0), (0, 5, 1, 0.0, 0.0, 0.0)],
+        "mesh_id long, point_id long, t long, dx double, dy double, dz double",
+    )
+    with _pt.raises(ValueError, match="dense 0-based"):
+        write_mesh_zarr(points, disp, str(tmp_path / "z"))
+
+
+def test_write_flat_zarr_empty_input(spark, tmp_path):
+    from physicsnemo_curator_spark.sinks.zarr_store import (
+        read_array,
+        write_flat_zarr,
+    )
+
+    rows = spark.createDataFrame(
+        [], "row_idx long, a double, b double"
+    )
+    write_flat_zarr(
+        rows, str(tmp_path / "s"), "arr", index_col="row_idx",
+        value_cols=["a", "b"], chunk_rows=4,
+    )
+    arr = read_array(str(tmp_path / "s" / "arr"))
+    assert arr.shape == (0, 2)

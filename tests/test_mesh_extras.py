@@ -113,9 +113,11 @@ def test_inject_hemisphere_boundary(spark):
     dome_c = ac.filter("region = 'boundary.hemisphere'")
     assert dome_p.count() == rings * segs + 1
     assert dome_c.count() == (rings - 1) * segs * 2 + segs
-    # every dome point lies on the sphere around the bbox-footprint center
+    # every dome point lies on the sphere around the bbox center; the
+    # radius covers the FULL 3-D half-diagonal (a mesh taller than its
+    # footprint must not poke through the dome)
     cx, cy, zb = 1.0, 1.0, 0.0
-    r = _m.sqrt(2.0**2 + 2.0**2) / 2 + 0.1
+    r = _m.sqrt(2.0**2 + 2.0**2 + 0.5**2) / 2 + 0.1
     for row in dome_p.collect():
         d = _m.sqrt((row["x"] - cx) ** 2 + (row["y"] - cy) ** 2 + (row["z"] - zb) ** 2)
         assert abs(d - r) < 1e-9

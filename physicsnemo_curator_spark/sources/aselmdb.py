@@ -409,7 +409,14 @@ def read_aselmdb(
 ) -> DataFrame:
     """Scan a directory of ``.aselmdb`` shards → one structure row per
     stored system, one Spark partition per file (the reference's
-    ``partition_indices`` locality grouping, ``aselmdb.py:872-905``)."""
+    ``partition_indices`` locality grouping, ``aselmdb.py:872-905``).
+
+    Path model: shard discovery uses a driver-side glob and executors
+    open() the same paths — a SHARED POSIX filesystem (NFS/Lustre, the
+    HPC layout OMol25 ships on) is required; object-store paths are
+    not supported (LMDB needs random access, which binaryFile's
+    whole-bytes model does not give).
+    """
     files = sorted(
         globmod.glob(os.path.join(data_dir, pattern), recursive=True)
     )

@@ -35,6 +35,7 @@ from typing import NamedTuple
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _EOF_MARKER = -999999.0
 
@@ -72,7 +73,24 @@ def parse_d3plot(data: bytes) -> D3Plot:
     nel8, nv3d = int(c[13]), int(c[17])
     nel2, nv1d = int(c[18]), int(c[20])
     nel4, nv2d = int(c[21]), int(c[23])
+    maxint = int(c[26])
+    nmsph, nelt = int(c[27]), int(c[30])
     narbs = int(c[29])
+    # features that shift geometry/state offsets: raise instead of
+    # silently mis-parsing (the module contract) — thick shells add
+    # nelt*9 geometry words + nelt*nv3dt state words, SPH adds its own
+    # element block, IT>=2 stores multiple thermal words per node, and
+    # MAXINT<0 appends the MDLOPT deletion table to every state
+    if nelt > 0:
+        raise NotImplementedError(f"thick shells unsupported (NELT={nelt})")
+    if nmsph > 0:
+        raise NotImplementedError(f"SPH unsupported (NMSPH={nmsph})")
+    if it not in (0, 1):
+        raise NotImplementedError(f"IT={it} thermal layout unsupported")
+    if maxint < 0:
+        raise NotImplementedError(
+            f"MAXINT={maxint}: MDLOPT deletion table unsupported"
+        )
     if ndim_raw in (5, 7):
         raise ValueError("MATTYP/connectivity-packed d3plot not supported")
     ndim = 3 if ndim_raw == 4 else ndim_raw
@@ -123,11 +141,21 @@ def parse_d3plot(data: bytes) -> D3Plot:
 def read_d3plot(spark: SparkSession, path: str, *, glob: str = "d3plot*") -> dict[str, DataFrame]:
     """Read a directory of d3plot runs into nodes/shells/states tables
     (binaryFile task-per-file scan, Arrow-batched parse — the same
-    layout as read_vtk).  mesh_id = file stem."""
+    layout as read_vtk).  mesh_id = file stem.
+
+    Family continuation files (``d3plot01``, ``d3plot02``, ...) are
+    headerless state blocks — feeding them to the control-block parser
+    failed every run directory using family output, so digit-suffixed
+    names are excluded from the scan.  Continuation-file state data is
+    an honest gap (states past the root file's capacity are not
+    read)."""
     raw = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", glob)
         .load(path)
+        # exclude family continuations (root name + digits): they are
+        # headerless state data, not parseable roots
+        .filter(~F.col("path").rlike("d3plot[0-9]+$"))
         .select("path", "content")
     )
 
@@ -205,12 +233,15 @@ def parse_k_file(text: str) -> dict[int, float]:
                     part_to_sec[int(float(t[0]))] = int(float(t[1]))
             i += 3
         elif kw.startswith("*SECTION_SHELL"):
-            # card 1 = secid elform ..., card 2 = t1 t2 t3 t4
-            if i + 2 < len(lines):
-                c1, c2 = toks(lines[i + 1]), toks(lines[i + 2])
+            # card 1 = secid elform ..., card 2 = t1 t2 t3 t4; the
+            # _TITLE keyword variant inserts a title card first
+            off = 1 if "_TITLE" in kw else 0
+            if i + 2 + off < len(lines):
+                c1 = toks(lines[i + 1 + off])
+                c2 = toks(lines[i + 2 + off])
                 if c1 and c2:
                     sec_to_t[int(float(c1[0]))] = float(c2[0])
-            i += 3
+            i += 3 + off
         else:
             i += 1
     return {

@@ -38,6 +38,7 @@ MeshVTUSink encoder kernel — reference ``domains/mesh/sinks/vtu.py``).
 from __future__ import annotations
 
 import base64
+import math
 import re
 import zlib
 import xml.etree.ElementTree as ET
@@ -167,7 +168,10 @@ def _split_appended_raw(data: bytes) -> tuple[bytes, bytes | None]:
     if m is None:
         return data, None
     start = data.index(b"_", m.end()) + 1
-    end = data.index(b"</AppendedData>", start)
+    # search from the TAIL: compressed payloads can legally contain the
+    # literal closing-tag bytes, and the first match would truncate the
+    # block and splice binary into the XML
+    end = data.rindex(b"</AppendedData>")
     xml_ok = data[: m.end()] + b"</AppendedData>" + data[end + len(b"</AppendedData>") :]
     return xml_ok, data[start:end]
 
@@ -204,7 +208,9 @@ def _lattice_cells(nx: int, ny: int, nz: int):
     lines (1D) over an x-fastest point lattice, standard VTK corner
     order."""
     cells: list[list[int]] = []
-    if nz > 1 and ny > 1:
+    dims = [nx, ny, nz]
+    n_extended = sum(1 for d in dims if d > 1)
+    if n_extended == 3:
         nxy = nx * ny
         for k in range(nz - 1):
             for j in range(ny - 1):
@@ -215,13 +221,26 @@ def _lattice_cells(nx: int, ny: int, nz: int):
                          b + nxy, b + nxy + 1, b + nxy + nx + 1, b + nxy + nx]
                     )
         return cells, [_HEXAHEDRON] * len(cells)
-    if ny > 1:
-        for j in range(ny - 1):
-            for i in range(nx - 1):
-                b = j * nx + i
-                cells.append([b, b + 1, b + nx + 1, b + nx])
+    if n_extended == 2:
+        # planar grid in ANY orientation: quads over the two extended
+        # dims (an x-z or y-z slice .vts used to degenerate into a line
+        # chain / zero cells because only the x-y case was handled)
+        strides = [1, nx, nx * ny]
+        (da, sa), (db, sb) = [
+            (d, strd) for d, strd in zip(dims, strides) if d > 1
+        ]
+        for jb in range(db - 1):
+            for ia in range(da - 1):
+                b = jb * sb + ia * sa
+                cells.append([b, b + sa, b + sa + sb, b + sb])
         return cells, [_QUAD] * len(cells)
-    cells = [[i, i + 1] for i in range(nx - 1)]
+    # 1-D (or single-point) lattice: a line chain along the one
+    # extended dim, whatever its orientation
+    strides = [1, nx, nx * ny]
+    dl, sl = next(
+        ((d, strd) for d, strd in zip(dims, strides) if d > 1), (1, 1)
+    )
+    cells = [[i * sl, (i + 1) * sl] for i in range(dl - 1)]
     return cells, [_LINE] * len(cells)
 
 
@@ -315,12 +334,28 @@ def parse_vtk_xml(data: bytes):
         cells.extend([v + base for v in c] for c in piece_cells)
         cell_types.extend(piece_types)
 
+        # a field present in SOME pieces only must pad to this piece's
+        # base offset before extending — blind extend() attached later
+        # pieces' values to earlier pieces' point/cell ids
+        cell_base = len(cells) - len(piece_cells)
         for name, vals in _named_arrays(piece.find("PointData"), dec, n_pts).items():
-            point_data.setdefault(name, []).extend(vals)
+            cur = point_data.setdefault(name, [])
+            if len(cur) < base:
+                cur.extend([math.nan] * (base - len(cur)))
+            cur.extend(vals)
         for name, vals in _named_arrays(
             piece.find("CellData"), dec, len(piece_cells)
         ).items():
-            cell_data.setdefault(name, []).extend(vals)
+            cur = cell_data.setdefault(name, [])
+            if len(cur) < cell_base:
+                cur.extend([math.nan] * (cell_base - len(cur)))
+            cur.extend(vals)
+
+    # tail-pad fields absent from the final pieces
+    for d, total in ((point_data, len(points)), (cell_data, len(cells))):
+        for vals in d.values():
+            if len(vals) < total:
+                vals.extend([math.nan] * (total - len(vals)))
 
     return points, cells, cell_types, point_data, cell_data, grid_meta
 

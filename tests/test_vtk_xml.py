@@ -145,3 +145,81 @@ def test_vtm_multiblock_scan(spark, tmp_path):
         spark, str(tmp_path / "scene.vtm"), include_fields=["temp"]
     )["point_data"]
     assert {r["field"] for r in inc.collect()} == {"temp"}
+
+
+def test_lattice_cells_planar_orientations():
+    """x-z and y-z slice grids triangulate as quads over the extended
+    dims (they used to degenerate to a line chain / zero cells)."""
+    from physicsnemo_curator_spark.sources.vtk_xml import _lattice_cells
+
+    cells, types = _lattice_cells(5, 1, 4)  # x-z plane
+    assert len(cells) == 4 * 3 and all(len(c) == 4 for c in cells)
+    assert {v for c in cells for v in c} == set(range(20))
+    cells, types = _lattice_cells(1, 5, 4)  # y-z plane
+    assert len(cells) == 4 * 3 and all(len(c) == 4 for c in cells)
+    cells, types = _lattice_cells(1, 1, 6)  # z line
+    assert cells == [[i, i + 1] for i in range(5)]
+
+
+def test_appended_raw_payload_containing_terminator(tmp_path):
+    """A raw payload that embeds the literal closing-tag bytes must not
+    truncate the appended block."""
+    import numpy as np
+
+    from physicsnemo_curator_spark.sources import vtk_xml
+
+    pts = np.array([[0.0, 0.0, 0.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+    cells = [[0, 1, 2]]
+    # craft a point field whose float64 bytes contain '</AppendedData>'
+    evil = np.frombuffer(b"</AppendedData>\x00" * 3, dtype="<f8")[:3]
+    path = str(tmp_path / "evil.vtu")
+    vtk_xml.write_vtu(
+        [tuple(p_) for p_ in pts.tolist()],
+        cells,
+        None,
+        {"f": evil.tolist()},
+        path,
+        fmt="appended-raw",
+    )
+    with open(path, "rb") as fh:
+        parsed = vtk_xml.parse_vtk_xml(fh.read())
+    got = np.asarray(parsed[3]["f"])
+    np.testing.assert_array_equal(got.view("<u8"), evil.view("<u8"))
+
+
+def test_multi_piece_sparse_fields_aligned(tmp_path):
+    """A field present only in the second piece attaches to the second
+    piece's point ids, with NaN padding elsewhere."""
+    import numpy as np
+
+    from physicsnemo_curator_spark.sources import vtk_xml
+
+    p1 = """<Piece NumberOfPoints="2" NumberOfCells="1">
+      <Points><DataArray type="Float64" NumberOfComponents="3" format="ascii">0 0 0 1 0 0</DataArray></Points>
+      <Cells>
+        <DataArray type="Int64" Name="connectivity" format="ascii">0 1</DataArray>
+        <DataArray type="Int64" Name="offsets" format="ascii">2</DataArray>
+        <DataArray type="UInt8" Name="types" format="ascii">3</DataArray>
+      </Cells>
+      <PointData></PointData>
+    </Piece>"""
+    p2 = """<Piece NumberOfPoints="2" NumberOfCells="1">
+      <Points><DataArray type="Float64" NumberOfComponents="3" format="ascii">0 1 0 1 1 0</DataArray></Points>
+      <Cells>
+        <DataArray type="Int64" Name="connectivity" format="ascii">0 1</DataArray>
+        <DataArray type="Int64" Name="offsets" format="ascii">2</DataArray>
+        <DataArray type="UInt8" Name="types" format="ascii">3</DataArray>
+      </Cells>
+      <PointData><DataArray type="Float64" Name="p" format="ascii">7 8</DataArray></PointData>
+    </Piece>"""
+    doc = (
+        '<VTKFile type="UnstructuredGrid" version="1.0" byte_order="LittleEndian">'
+        f"<UnstructuredGrid>{p1}{p2}</UnstructuredGrid></VTKFile>"
+    )
+    pts, cells, ctypes, pdata, cdata, meta = vtk_xml.parse_vtk_xml(
+        doc.encode()
+    )
+    vals = pdata["p"]
+    assert len(vals) == 4
+    assert np.isnan(vals[0]) and np.isnan(vals[1])
+    assert vals[2:] == [7.0, 8.0]

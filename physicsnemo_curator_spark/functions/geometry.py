@@ -21,6 +21,25 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 
+def _even_odd_inside(
+    xs: np.ndarray,
+    ys: np.ndarray,
+    px: np.ndarray,
+    py: np.ndarray,
+) -> np.ndarray:
+    """Vectorized ray-casting even-odd test: (n,) points against a
+    closed polygon given as parallel vertex arrays.  The ONE kernel
+    behind both point_in_polygon_udf and constrained_delaunay's
+    exterior-triangle filter."""
+    px_next, py_next = np.roll(px, -1), np.roll(py, -1)
+    xs = np.atleast_1d(np.asarray(xs, dtype=np.float64))[:, None]
+    ys = np.atleast_1d(np.asarray(ys, dtype=np.float64))[:, None]
+    straddle = (py <= ys) != (py_next <= ys)
+    denom = np.where(py_next != py, py_next - py, 1.0)
+    x_int = px + (ys - py) * (px_next - px) / denom
+    return (np.sum(straddle & (xs < x_int), axis=1) % 2).astype(bool)
+
+
 def point_in_polygon_udf(polygon: list[tuple[float, float]]):
     """Build a vectorized (x, y) -> bool UDF testing containment in a
     fixed polygon (ray casting, even-odd rule).
@@ -32,20 +51,17 @@ def point_in_polygon_udf(polygon: list[tuple[float, float]]):
     """
     px = np.asarray([p[0] for p in polygon], dtype=np.float64)
     py = np.asarray([p[1] for p in polygon], dtype=np.float64)
-    px_next = np.roll(px, -1)
-    py_next = np.roll(py, -1)
 
     @pandas_udf("boolean")
     def _inside(x: pd.Series, y: pd.Series) -> pd.Series:
-        xs = x.to_numpy(dtype=np.float64)[:, None]  # (rows, 1)
-        ys = y.to_numpy(dtype=np.float64)[:, None]
-        # edge straddles the horizontal ray through y?
-        straddle = (py <= ys) != (py_next <= ys)  # (rows, edges)
-        # x coordinate of the edge/ray intersection
-        denom = np.where(py_next != py, py_next - py, 1.0)
-        x_int = px + (ys - py) * (px_next - px) / denom
-        crossings = np.sum(straddle & (xs < x_int), axis=1)
-        return pd.Series(crossings % 2 == 1)
+        return pd.Series(
+            _even_odd_inside(
+                x.to_numpy(dtype=np.float64),
+                y.to_numpy(dtype=np.float64),
+                px,
+                py,
+            )
+        )
 
     return _inside
 
@@ -100,14 +116,32 @@ def _segments_cross(p1, p2, q1, q2) -> bool:
     )
 
 
+def _unit_scale(pts: np.ndarray) -> np.ndarray:
+    """Rescale to a unit bounding box: the predicate epsilons
+    (circumcircle determinant ~ length^4, crossing areas ~ length^2)
+    are ABSOLUTE, so mm-scale loops in meter units fell below them and
+    silently produced garbage triangulations.  All outputs are index
+    arrays, so no back-transform is needed."""
+    pts = np.asarray(pts, dtype=np.float64)
+    if len(pts) == 0:
+        return pts
+    cmin, cmax = pts.min(axis=0), pts.max(axis=0)
+    scale = float(np.max(cmax - cmin))
+    if scale <= 0:
+        return pts - cmin
+    return (pts - (cmin + cmax) / 2.0) / scale
+
+
 def delaunay(points: np.ndarray) -> np.ndarray:
     """Bowyer–Watson Delaunay triangulation of (n, 2) points.
 
     Returns an (m, 3) int array of vertex indices.  O(n²) incremental —
     intended for per-patch loops (hundreds of points), parallelism
-    comes from running one patch per group in Spark.
+    comes from running one patch per group in Spark.  Coordinates are
+    unit-rescaled internally (see :func:`_unit_scale`), so any input
+    scale triangulates identically.
     """
-    pts = np.asarray(points, dtype=np.float64)
+    pts = _unit_scale(points)
     n = len(pts)
     if n < 3:
         return np.empty((0, 3), dtype=np.int64)
@@ -166,7 +200,7 @@ def constrained_delaunay(
     """
     from collections import deque
 
-    pts = np.asarray(polygon, dtype=np.float64)
+    pts = _unit_scale(polygon)
     n = len(pts)
     tris = [tuple(t) for t in delaunay(pts)]
     constraints = [(i, (i + 1) % n) for i in range(n)]
@@ -229,13 +263,9 @@ def constrained_delaunay(
 
     # drop exterior triangles: centroid even-odd test against the loop
     px, py = pts[:, 0], pts[:, 1]
-    px_next, py_next = np.roll(px, -1), np.roll(py, -1)
 
     def _inside(x: float, y: float) -> bool:
-        straddle = (py <= y) != (py_next <= y)
-        denom = np.where(py_next != py, py_next - py, 1.0)
-        x_int = px + (y - py) * (px_next - px) / denom
-        return bool(np.sum(straddle & (x < x_int)) % 2 == 1)
+        return bool(_even_odd_inside(x, y, px, py)[0])
 
     kept = [
         t

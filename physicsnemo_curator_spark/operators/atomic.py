@@ -60,6 +60,8 @@ def atomic_level_stats(
             systems.select(F.col(f).cast("double").alias("value")), [], "value"
         ).select(F.lit("system").alias("level"), F.lit(f).alias("field"), "*")
         parts.append(part)
+    if not parts:
+        raise ValueError("atomic_level_stats needs at least one field")
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -76,4 +78,10 @@ def atomic_info(systems: DataFrame, atoms: DataFrame) -> DataFrame:
         F.min("z").alias("z_min"),
         F.max("z").alias("z_max"),
     )
-    return systems.join(comp, "system_id", "left")
+    # a system with zero atoms rows must report 0 counts, not NULLs
+    # (NULL n_atoms makes threshold filters three-valued and count
+    # aggregates skip the row) — z_min/z_max stay NULL: there is no
+    # honest number for the extrema of an empty set
+    return systems.join(comp, "system_id", "left").na.fill(
+        {"n_atoms": 0, "n_elements": 0}
+    )

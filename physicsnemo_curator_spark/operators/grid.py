@@ -28,26 +28,31 @@ def coarsen(
     *,
     lat_col: str = "lat",
     lon_col: str = "lon",
+    time_col: str = "time_idx",
 ) -> DataFrame:
     """Block-mean regrid: average ``factor×factor`` cells (the ERA5 →
-    coarse-grid downsample; a pure groupBy, no windowing)."""
+    coarse-grid downsample; a pure groupBy, no windowing).
+
+    Blocks use floor division: a long cast truncates toward zero, which
+    merged a double-width block straddling zero for signed latitudes."""
     return (
-        grid.withColumn("lat_c", (F.col(lat_col) / factor).cast("long"))
-        .withColumn("lon_c", (F.col(lon_col) / factor).cast("long"))
-        .groupBy("time_idx", "variable", "lat_c", "lon_c")
+        grid.withColumn("lat_c", F.floor(F.col(lat_col) / factor).cast("long"))
+        .withColumn("lon_c", F.floor(F.col(lon_col) / factor).cast("long"))
+        .groupBy(time_col, "variable", "lat_c", "lon_c")
         .agg(F.avg("value").alias("value"), F.count(F.lit(1)).alias("n_fine"))
     )
 
 
-def climatology(grid: DataFrame, *, time_col: str = "time_idx") -> DataFrame:
+def climatology(grid: DataFrame) -> DataFrame:
     """Per-cell mean over all times — the reference's accumulated
-    element-wise mean (Zarr stats store)."""
+    element-wise mean (Zarr stats store).  (The reduce is over every
+    non-cell dim, so no time column name is needed.)"""
     return grid.groupBy("variable", "lat", "lon").agg(
         F.avg("value").alias("clim_mean")
     )
 
 
-def anomaly(grid: DataFrame, *, time_col: str = "time_idx") -> DataFrame:
+def anomaly(grid: DataFrame) -> DataFrame:
     """value − per-cell climatology.
 
     Join strategy: the climatology table has one row per grid cell
@@ -55,7 +60,7 @@ def anomaly(grid: DataFrame, *, time_col: str = "time_idx") -> DataFrame:
     the anomaly of a 100 TB time stack is a broadcast join against the
     scan, not a shuffle of the stack.
     """
-    clim = climatology(grid, time_col=time_col)
+    clim = climatology(grid)
     return grid.join(F.broadcast(clim), ["variable", "lat", "lon"]).withColumn(
         "anomaly", F.col("value") - F.col("clim_mean")
     )
@@ -73,6 +78,8 @@ def align_check(a: DataFrame, b: DataFrame) -> bool:
 def merge_variable_groups(parts: list[DataFrame]) -> DataFrame:
     """unionByName merge of per-backend variable groups (reference
     ``era5.py:352-366`` concat over the variable dim)."""
+    if not parts:
+        raise ValueError("merge_variable_groups needs at least one part")
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

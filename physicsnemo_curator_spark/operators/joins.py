@@ -29,7 +29,17 @@ def salted_join(
     other grows ×salt, so use it when other is small-ish but above the
     broadcast threshold, or when AQE skew-split is unavailable
     (aggregation-free plans, non-AQE clusters).
+
+    Only ``inner`` and ``left`` joins are valid: in a right/full outer
+    join every unmatched exploded copy of an ``other`` row would emit
+    its own null-padded output row (up to ``salt`` spurious rows per
+    right row).
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left joins only, got {how!r} "
+            "(outer joins on the exploded side emit spurious rows)"
+        )
     skewed_s = skewed.withColumn(
         "_salt", F.pmod(F.xxhash64(*skewed.columns), F.lit(salt)).cast("int")
     )

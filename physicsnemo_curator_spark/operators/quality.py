@@ -30,7 +30,10 @@ def triangle_geometry(points: DataFrame, cells: DataFrame, vs_col: str = "vs") -
     Expects 3-vertex cells; vertices resolve through three aliased
     joins against the points table.
     """
-    c = cells.select(
+    # arity guard: element_at past the array end raises
+    # INVALID_ARRAY_INDEX under ANSI — non-triangle cells in a mixed
+    # mesh must not abort the whole report
+    c = cells.filter(F.size(vs_col) >= 3).select(
         "mesh_id",
         "cell_id",
         F.element_at(vs_col, 1).alias("v0"),
@@ -102,7 +105,7 @@ def triangle_quality(points: DataFrame, cells: DataFrame, vs_col: str = "vs") ->
 
 def tet_geometry(points: DataFrame, cells: DataFrame, vs_col: str = "vs") -> DataFrame:
     """Per-tetrahedron vertex coords via four co-located joins."""
-    c = cells.select(
+    c = cells.filter(F.size(vs_col) >= 4).select(
         "mesh_id",
         "cell_id",
         *[F.element_at(vs_col, i + 1).alias(f"v{i}") for i in range(4)],
@@ -176,7 +179,14 @@ def tet_quality(points: DataFrame, cells: DataFrame, vs_col: str = "vs") -> Data
         (F.greatest(*edges) / F.least(*edges)).alias("aspect_ratio"),
         F.least(*dihedrals).alias("dihedral_min"),
         F.greatest(*dihedrals).alias("dihedral_max"),
-        (F.abs(volume) < F.lit(1e-12)).alias("degenerate"),
+        # scale-invariant degeneracy: raw |volume| < 1e-12 flagged
+        # EVERY cell of a fine mesh in meter units and passed huge flat
+        # slivers; normalize by the longest edge cubed (scaled-Jacobian
+        # style)
+        (
+            F.abs(volume)
+            < F.lit(1e-9) * F.pow(F.greatest(*edges), F.lit(3.0))
+        ).alias("degenerate"),
     )
 
 
@@ -193,6 +203,9 @@ def mesh_quality_report(
     geometry min/max/mean + degenerate/poor-cell counts, plus NaN/Inf
     field tallies when a point_data table is supplied."""
     q = triangle_quality(points, cells, vs_col)
+    n_input = cells.groupBy("mesh_id").agg(
+        F.count(F.lit(1)).alias("_n_input")
+    )
     report = q.groupBy("mesh_id").agg(
         F.count(F.lit(1)).alias("n_cells"),
         F.min("aspect_ratio").alias("aspect_min"),
@@ -204,6 +217,18 @@ def mesh_quality_report(
         F.count_if(F.col("degenerate")).alias("n_degenerate"),
         F.count_if(F.col("aspect_ratio") > aspect_threshold).alias("n_poor_aspect"),
         F.count_if(F.col("skewness") > skew_threshold).alias("n_poor_skew"),
+    )
+    # cells that failed to resolve (non-triangle arity, or vertices
+    # referencing missing point ids through the inner joins) would
+    # otherwise vanish from the audit — the corrupt cells are exactly
+    # the ones a quality report exists to surface
+    report = (
+        n_input.join(report, "mesh_id", "left")
+        .withColumn(
+            "n_unresolved", F.col("_n_input") - F.coalesce("n_cells", F.lit(0))
+        )
+        .drop("_n_input")
+        .na.fill({"n_cells": 0, "n_degenerate": 0, "n_poor_aspect": 0, "n_poor_skew": 0})
     )
     if point_data is not None:
         nan_inf = point_data.groupBy("mesh_id").agg(

@@ -533,3 +533,99 @@ def test_write_flat_zarr_empty_input(spark, tmp_path):
     )
     arr = read_array(str(tmp_path / "s" / "arr"))
     assert arr.shape == (0, 2)
+
+
+def test_geometry_kernels_scale_invariant():
+    """mm-scale loops in meter units triangulate identically to unit
+    scale (the absolute predicate epsilons used to produce garbage)."""
+    import numpy as np
+
+    from physicsnemo_curator_spark.functions.geometry import (
+        constrained_delaunay,
+        delaunay,
+    )
+
+    rng = np.random.default_rng(0)
+    pts = rng.random((30, 2))
+    base = {tuple(sorted(t)) for t in delaunay(pts)}
+    tiny = {tuple(sorted(t)) for t in delaunay(pts * 1e-3)}
+    huge = {tuple(sorted(t)) for t in delaunay(pts * 1e5)}
+    assert base == tiny == huge
+    star = np.array(
+        [
+            [np.cos(a) * (1 if i % 2 == 0 else 0.4),
+             np.sin(a) * (1 if i % 2 == 0 else 0.4)]
+            for i, a in enumerate(np.linspace(0, 2 * np.pi, 10, endpoint=False))
+        ]
+    )
+    for scale in (1.0, 1e-3):
+        p = star * scale
+        tris = constrained_delaunay(p)
+        tri_area = sum(
+            abs(np.cross(p[t[1]] - p[t[0]], p[t[2]] - p[t[0]])) / 2
+            for t in tris
+        )
+        poly_area = abs(
+            sum(np.cross(p[i], p[(i + 1) % 10]) for i in range(10))
+        ) / 2
+        assert abs(tri_area - poly_area) < 1e-9 * max(scale**2, 1e-12)
+
+
+def test_quality_report_mixed_arity_and_unresolved(spark):
+    """Line cells and cells referencing missing points must not crash
+    the report under ANSI — they surface as n_unresolved."""
+    from physicsnemo_curator_spark.operators import quality
+
+    points = spark.createDataFrame(
+        [(0, i, float(i), float(i * i % 3), 0.0) for i in range(3)],
+        "mesh_id long, point_id long, x double, y double, z double",
+    )
+    cells = spark.createDataFrame(
+        [
+            (0, 0, [0, 1, 2]),     # fine triangle
+            (0, 1, [0, 1]),        # line cell (arity 2)
+            (0, 2, [0, 1, 99]),    # references a missing point
+        ],
+        "mesh_id long, cell_id long, vs array<long>",
+    )
+    (row,) = quality.mesh_quality_report(points, cells).collect()
+    assert row["n_cells"] == 1
+    assert row["n_unresolved"] == 2
+
+
+def test_coarsen_negative_coordinates_floor(spark):
+    from physicsnemo_curator_spark.operators import grid
+
+    g = spark.createDataFrame(
+        [(0, "t2m", float(la), 0.0, 1.0) for la in range(-4, 4)],
+        "time_idx long, variable string, lat double, lon double, value double",
+    )
+    out = grid.coarsen(g, 4).collect()
+    blocks = {r["lat_c"]: r["n_fine"] for r in out}
+    # floor semantics: every block exactly 4 wide (cast truncation
+    # used to merge a 7-wide block straddling zero)
+    assert blocks == {-1: 4, 0: 4}
+
+
+def test_salted_join_rejects_outer(spark):
+    import pytest as _pt
+
+    from physicsnemo_curator_spark.operators import joins
+
+    a = spark.createDataFrame([(1, "x")], "k long, v string")
+    b = spark.createDataFrame([(1, "y")], "k long, w string")
+    with _pt.raises(ValueError, match="inner/left"):
+        joins.salted_join(a, b, "k", how="full")
+
+
+def test_atomic_info_empty_system_counts_zero(spark):
+    from physicsnemo_curator_spark.operators import atomic
+
+    systems = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "system_id long, name string"
+    )
+    atoms = spark.createDataFrame(
+        [(1, 6), (1, 1)], "system_id long, z long"
+    )
+    out = {r["system_id"]: r for r in atomic.atomic_info(systems, atoms).collect()}
+    assert out[2]["n_atoms"] == 0 and out[2]["n_elements"] == 0

@@ -115,6 +115,15 @@ def write_netcdf3(
     meta: dict[str, dict[str, Any]] = {}
     for vname, (vdims, arr) in variables.items():
         is_rec = bool(rec_dim and vdims and vdims[0] == rec_dim)
+        if rec_dim and rec_dim in vdims and not is_rec:
+            # the classic format only supports the record dim as the
+            # FIRST axis; writing it elsewhere would emit a fixed
+            # variable referencing the zero-length dim — a corrupt
+            # file every reader decodes as empty
+            raise ValueError(
+                f"{vname}: record dimension {rec_dim!r} must be the "
+                f"first dim, got {tuple(vdims)}"
+            )
         base = str(arr.dtype)
         if base not in _DTYPE_TO_NC:
             raise ValueError(f"unsupported dtype {base} for {vname}")

@@ -56,6 +56,24 @@ def write_per_group_files(
     """
     enc = encoder or _text_encoder
     n_groups = df.select(*group_cols).distinct().count()
+
+    def _name(key: tuple) -> str:
+        # filenames join key parts with '_': path separators or parent
+        # refs in a key would escape out_dir (a sink must never write
+        # outside its target), and NULL keys have no filename
+        parts = []
+        for k in key:
+            if k is None:
+                raise ValueError(
+                    f"NULL value in group key {key!r} cannot name a file"
+                )
+            ks = str(k)
+            if "/" in ks or "\\" in ks or ".." in ks:
+                raise ValueError(
+                    f"group key part {ks!r} contains path separators"
+                )
+            parts.append(ks)
+        return "_".join(parts) + suffix
     keyed = df.repartition(max(n_groups, 1), *group_cols).sortWithinPartitions(
         *group_cols
     )
@@ -70,13 +88,11 @@ def write_per_group_files(
             key = tuple(row[i] for i in gidx)
             if key != current_key:
                 if buf and current_key is not None:
-                    name = "_".join(str(k) for k in current_key) + suffix
-                    enc(os.path.join(out_dir, name), buf)
+                    enc(os.path.join(out_dir, _name(current_key)), buf)
                 current_key, buf = key, []
             buf.append(row)
         if buf and current_key is not None:
-            name = "_".join(str(k) for k in current_key) + suffix
-            enc(os.path.join(out_dir, name), buf)
+            enc(os.path.join(out_dir, _name(current_key)), buf)
 
     keyed.foreachPartition(_write)
     return n_groups
@@ -102,7 +118,21 @@ def write_netcdf_per_variable_year(
 
     from physicsnemo_curator_spark.sinks.netcdf3 import write_netcdf3
 
-    keyed = grid.withColumn("year", F.year(time_col).cast("int"))
+    # a NULL timestamp has no (variable, year) file to route to — it
+    # would crash float(None) deep inside the encoder; fail loudly at
+    # the boundary with F.raise_error via an assert-style filter
+    keyed = grid.withColumn("year", F.year(time_col).cast("int")).withColumn(
+        "year",
+        F.when(
+            F.col(time_col).isNull(),
+            F.raise_error(
+                F.lit(
+                    "NULL timestamp cannot be routed to a "
+                    "(variable, year) NetCDF file"
+                )
+            ).cast("int"),
+        ).otherwise(F.col("year")),
+    )
     cols = keyed.columns
     it, iv, ila, ilo, ival = (
         cols.index(time_col),

@@ -84,10 +84,15 @@ def extract_features(media: DataFrame, *, dim: int = 8, strict: bool = False) ->
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if strict and not HAS_PIL:
+            if strict:
+                # decode-or-raise: even with a codec present, this
+                # build ships only the digest stub — returning fake
+                # features under strict=True would be silently wrong
+                # exactly when the caller asked for honesty
                 raise NotImplementedError(
-                    "no media codec installed in this environment; "
-                    "install PIL/ffmpeg or run with strict=False"
+                    "real feature extraction is not implemented in "
+                    "this build (codec-gated); run with strict=False "
+                    "for the deterministic digest stub"
                 )
             feats = []
             for payload in pdf["payload"]:
@@ -145,17 +150,20 @@ def resize_images(
                 pdf["kind"], pdf["payload"], pdf["width"], pdf["height"]
             ):
                 raw = bytes(payload)
+                # nullable int columns arrive as float64 NaN in pandas
+                # batches — `is not None` never catches them
+                dims_known = not (pd.isna(w) or pd.isna(h))
                 is_raw_plane = (
                     kind == "image"
-                    and w is not None
-                    and h is not None
+                    and dims_known
                     and len(raw) == int(w) * int(h)
                 )
                 if not is_raw_plane:
-                    if kind == "image" and strict and not HAS_PIL:
+                    if kind == "image" and strict:
                         raise NotImplementedError(
-                            "encoded image payload needs a codec (PIL) "
-                            "which is not installed; run with strict=False"
+                            "encoded image payload needs a decode "
+                            "(codec-gated in this build); run with "
+                            "strict=False to pass it through untouched"
                         )
                     out_payload.append(raw)
                     out_w.append(w)
@@ -211,7 +219,7 @@ def sample_frames(
                 if kind != "video":
                     continue
                 raw = bytes(raw)
-                if w is None or h is None:
+                if pd.isna(w) or pd.isna(h):  # NaN, not None, in pandas
                     continue
                 frame_bytes = int(w) * int(h)
                 n_frames = len(raw) // frame_bytes if frame_bytes else 0

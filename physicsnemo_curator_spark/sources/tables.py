@@ -52,12 +52,16 @@ def _ensure_confs(spark: SparkSession) -> None:
                 spark.conf.set(k, v)
         except Exception:
             pass  # non-settable in this deployment; reads may still work
-    # If the session still has Spark's untouched 200-partition default,
-    # right-size shuffles to the local core count — 200 near-empty
-    # shuffle partitions dominate wall time on small/medium inputs
-    # (AQE coalescing reduces but does not remove the overhead).  A
-    # deliberately tuned session (any non-default value) is respected.
+    # If the session carries the stock 200-partition value, right-size
+    # shuffles to the local core count — 200 near-empty shuffle
+    # partitions dominate wall time on small/medium inputs (AQE
+    # coalescing reduces but does not remove the overhead).  The conf
+    # API cannot distinguish an EXPLICIT 200 from the untouched
+    # default, so a deployment that genuinely wants 200 must either
+    # pick any other value or set SPARK_GRAFT_KEEP_SHUFFLE=1.
     try:
+        if os.environ.get("SPARK_GRAFT_KEEP_SHUFFLE"):
+            return
         if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
             cores = spark.sparkContext.defaultParallelism
             spark.conf.set("spark.sql.shuffle.partitions", str(max(cores, 8)))

@@ -173,12 +173,20 @@ def _parse_legacy_vtk(text: str) -> MeshFile:
             i += 1
         elif kw == "SCALARS":
             name = parts[1]
+            # optional 4th token = numComp (1-4); ignoring it read only
+            # n of n*numComp tokens and interleaved components
+            ncomp = int(parts[3]) if len(parts) > 3 else 1
             # optional LOOKUP_TABLE line follows
             j = i + 1
             if j < len(lines) and lines[j].split() and lines[j].split()[0].upper() == "LOOKUP_TABLE":
                 j += 1
-            toks, i = tokens_until(n_values, j)
-            target[name] = [float(t) for t in toks[:n_values]]
+            toks, i = tokens_until(n_values * ncomp, j)
+            vals = [float(t) for t in toks[: n_values * ncomp]]
+            if ncomp == 1:
+                target[name] = vals
+            else:  # name_<c> per component, matching the XML parser
+                for c in range(ncomp):
+                    target[f"{name}_{c}"] = vals[c::ncomp]
         else:
             i += 1
     if not cell_types:
@@ -194,6 +202,8 @@ def read_vtk(
     include_fields: list[str] | None = None,
     exclude_fields: list[str] | None = None,
     path_rules: dict[str, dict[str, list[str]]] | None = None,
+    mesh_id_from: str = "stem",
+    cache: bool = False,
 ) -> dict[str, DataFrame]:
     """Read a directory of VTK files (legacy ``.vtk``, XML ``.vtu`` /
     ``.vtp`` — pass ``glob='*.vtu'`` etc.) into mesh tables
@@ -206,9 +216,20 @@ def read_vtk(
     ``path_rules`` adds the reference's per-path dispatch
     (``_key_filter.py:45-166``): glob pattern → {'include': [...]} or
     {'exclude': [...]}; the longest matching pattern wins, falling back
-    to the global include/exclude.  mesh_id is the file stem, so every
-    downstream per-mesh operator partitions naturally by source file.
+    to the global include/exclude.  mesh_id defaults to the file STEM,
+    so every downstream per-mesh operator partitions naturally by
+    source file — but two files with the same basename in different
+    directories would silently merge into one mesh; pass
+    ``mesh_id_from='path'`` (extension-stripped full path) when the
+    layout nests same-named files (e.g. per-block ``piece.vtu`` dirs).
+
+    Each returned table re-scans and re-parses the files when
+    materialized; ``cache=True`` persists the raw bytes once for
+    consumers that materialize several tables (memory ~ input bytes;
+    the cache lives until the session releases it).
     """
+    if mesh_id_from not in ("stem", "path"):
+        raise ValueError("mesh_id_from must be 'stem' or 'path'")
     if include_fields and exclude_fields:
         raise ValueError("include_fields and exclude_fields are mutually exclusive")
     for pat, rule in (path_rules or {}).items():
@@ -221,6 +242,8 @@ def read_vtk(
         # (read_vtm) is taken as-is
         reader = reader.option("pathGlobFilter", glob)
     raw = reader.load(path).select("path", "content")
+    if cache:
+        raw = raw.persist()
 
     def keep_for(file_path: str):
         """Resolve the effective rule for one file: longest glob wins."""
@@ -252,11 +275,17 @@ def read_vtk(
         except Exception as e:  # surface the offending file, not a raw UDF trace
             raise ValueError(f"failed to parse VTK file {path}: {e}") from e
 
+    def _mid(p: str) -> str:
+        if mesh_id_from == "path":
+            noscheme = p.split("://", 1)[-1]
+            return noscheme.rsplit(".", 1)[0].lstrip("/")
+        return p.rsplit("/", 1)[-1].rsplit(".", 1)[0]
+
     def parse_points(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = []
             for p, content in zip(pdf["path"], pdf["content"]):
-                mesh_id = p.rsplit("/", 1)[-1].rsplit(".", 1)[0]
+                mesh_id = _mid(p)
                 mf = parse_or_raise(p, content)
                 for pid, (x, y, z) in enumerate(mf.points):
                     out.append((mesh_id, pid, x, y, z))
@@ -266,7 +295,7 @@ def read_vtk(
         for pdf in it:
             out = []
             for p, content in zip(pdf["path"], pdf["content"]):
-                mesh_id = p.rsplit("/", 1)[-1].rsplit(".", 1)[0]
+                mesh_id = _mid(p)
                 mf = parse_or_raise(p, content)
                 for cid, (vs, ct) in enumerate(zip(mf.cells, mf.cell_types)):
                     out.append((mesh_id, cid, vs, ct))
@@ -277,7 +306,7 @@ def read_vtk(
             for pdf in it:
                 out = []
                 for p, content in zip(pdf["path"], pdf["content"]):
-                    mesh_id = p.rsplit("/", 1)[-1].rsplit(".", 1)[0]
+                    mesh_id = _mid(p)
                     mf = parse_or_raise(p, content)
                     keep = keep_for(p)
                     for name, values in getattr(mf, attr).items():

@@ -629,3 +629,93 @@ def test_atomic_info_empty_system_counts_zero(spark):
     )
     out = {r["system_id"]: r for r in atomic.atomic_info(systems, atoms).collect()}
     assert out[2]["n_atoms"] == 0 and out[2]["n_elements"] == 0
+
+
+def test_multimodal_null_dims_pass_through(spark):
+    """Nullable int dims arrive as NaN in pandas batches — rows with
+    unknown dimensions must pass through / skip, not crash int(NaN)."""
+    from physicsnemo_curator_spark.sources import multimodal
+
+    media = spark.createDataFrame(
+        [
+            (1, "image", b"\x01\x02\x03\x04", 2, 2, 4),
+            (2, "image", b"\xff\xd8\xff", None, None, 3),
+            (3, "video", b"\x00" * 8, None, None, 8),
+        ],
+        "media_id long, kind string, payload binary, width int,"
+        " height int, n_bytes long",
+    )
+    resized = multimodal.resize_images(media, width=1, height=1).collect()
+    assert len(resized) == 3  # null-dim rows pass through untouched
+    frames = multimodal.sample_frames(media, every_n=1).collect()
+    assert all(r["media_id"] != 3 for r in frames)  # null dims skip
+
+
+def test_per_group_files_reject_path_keys(spark, tmp_path):
+    import pytest as _pt
+
+    from physicsnemo_curator_spark.sinks.scientific import (
+        write_per_group_files,
+    )
+
+    df = spark.createDataFrame(
+        [("../escape", 1.0)], "g string, v double"
+    )
+    with _pt.raises(Exception, match="path separators|cannot name"):
+        write_per_group_files(df, str(tmp_path), ["g"])
+
+
+def test_legacy_vtk_multicomponent_scalars(tmp_path):
+    from physicsnemo_curator_spark.sources.vtk import _parse_legacy_vtk
+
+    text = """# vtk DataFile Version 3.0
+t
+ASCII
+DATASET UNSTRUCTURED_GRID
+POINTS 2 float
+0 0 0
+1 0 0
+POINT_DATA 2
+SCALARS stress float 3
+LOOKUP_TABLE default
+1 2 3
+4 5 6
+"""
+    mf = _parse_legacy_vtk(text)
+    assert mf.point_data["stress_0"] == [1.0, 4.0]
+    assert mf.point_data["stress_2"] == [3.0, 6.0]
+
+
+def test_netcdf3_rejects_record_dim_not_first(tmp_path):
+    import numpy as np
+    import pytest as _pt
+
+    from physicsnemo_curator_spark.sinks.netcdf3 import write_netcdf3
+
+    with _pt.raises(ValueError, match="must be the first dim"):
+        write_netcdf3(
+            str(tmp_path / "x.nc"),
+            dims={"time": None, "x": 3},
+            variables={"bad": (("x", "time"), np.zeros((3, 5)))},
+        )
+
+
+def test_read_vtk_mesh_id_from_path(spark, tmp_path):
+    """Same-named files in different dirs must not merge into one mesh
+    when mesh_id_from='path'."""
+    import os
+
+    from physicsnemo_curator_spark.sources import vtk as vtk_mod
+    from physicsnemo_curator_spark.sources.vtk_xml import write_vtu
+
+    pts = [(0.0, 0.0, 0.0), (1.0, 0.0, 0.0), (0.0, 1.0, 0.0)]
+    for d in ("b0", "b1"):
+        os.makedirs(tmp_path / d)
+        write_vtu([(0.0, 0.0, 0.0), (1.0, 0.0, 0.0), (0.0, 1.0, 0.0)],
+                  [[0, 1, 2]], None, None, str(tmp_path / d / "piece.vtu"))
+    tables = vtk_mod.read_vtk(
+        spark, [str(tmp_path / "b0"), str(tmp_path / "b1")],
+        glob="*.vtu", mesh_id_from="path",
+    )
+    ids = {r["mesh_id"] for r in tables["points"].select("mesh_id").distinct().collect()}
+    assert len(ids) == 2

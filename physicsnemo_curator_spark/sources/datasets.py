@@ -86,16 +86,26 @@ def _volume_parts(base_dir: str, run_id: int) -> list[str]:
     whole = os.path.join(rdir, f"volume_{run_id}.vtu")
     if os.path.exists(whole):
         return [whole]
+    # numeric sort: lexical ordering reassembles '.10.part' before
+    # '.2.part' (garbage bytes) for unpadded or >=100-part splits
     parts = sorted(
-        os.path.join(rdir, f)
-        for f in os.listdir(rdir)
-        if re.fullmatch(rf"volume_{run_id}\.vtu\.\d+\.part", f)
+        (
+            f
+            for f in os.listdir(rdir)
+            if re.fullmatch(rf"volume_{run_id}\.vtu\.\d+\.part", f)
+        ),
+        key=lambda f: int(f.rsplit(".", 2)[-2]),
     )
-    return parts
+    return [os.path.join(rdir, f) for f in parts]
 
 
 def read_volume_meshes(
-    spark: SparkSession, base_dir: str, runs: list[int] | None = None
+    spark: SparkSession,
+    base_dir: str,
+    runs: list[int] | None = None,
+    *,
+    include_fields: list[str] | None = None,
+    exclude_fields: list[str] | None = None,
 ) -> dict[str, DataFrame]:
     """Split-part volume scan: one task per run opens its part files,
     concatenates bytes, and parses one ``.vtu``.  Paths must be
@@ -109,9 +119,12 @@ def read_volume_meshes(
     ]
     if not rows:
         raise FileNotFoundError(f"no volume files under {base_dir}")
+    # range partitioning guarantees ~one run per task — hash
+    # repartition can collide two ~50 GB volumes into one task while
+    # other executors idle
     fdf = spark.createDataFrame(
         rows, "run_id int, parts array<string>"
-    ).repartition(len(rows), "run_id")
+    ).repartitionByRange(len(rows), "run_id")
 
     def _load(run_id: int, parts: list[str]):
         blob = b"".join(open(p, "rb").read() for p in parts)
@@ -164,7 +177,7 @@ def read_volume_meshes(
 
         return gen
 
-    return {
+    tables = {
         "points": fdf.mapInPandas(
             points, "mesh_id string, point_id long, x double, y double, z double"
         ),
@@ -181,6 +194,22 @@ def read_volume_meshes(
             "mesh_id string, cell_id long, field string, value double",
         ),
     }
+    # field filtering post-parse (the part-reassembly parse can't push
+    # it into the decoder the way read_vtk does, but silently IGNORING
+    # the caller's filter would defeat the whole point of it)
+    if include_fields and exclude_fields:
+        raise ValueError(
+            "include_fields and exclude_fields are mutually exclusive"
+        )
+    if include_fields or exclude_fields:
+        cond = (
+            F.col("field").isin(include_fields)
+            if include_fields
+            else ~F.col("field").isin(exclude_fields)
+        )
+        tables["point_data"] = tables["point_data"].filter(cond)
+        tables["cell_data"] = tables["cell_data"].filter(cond)
+    return tables
 
 
 def read_drivaerml(
@@ -197,7 +226,13 @@ def read_drivaerml(
     ``volume_<i>`` / slice-file stems."""
     runs = runs if runs is not None else discover_runs(base_dir)
     if mesh_type == "volume":
-        return read_volume_meshes(spark, base_dir, runs)
+        return read_volume_meshes(
+            spark,
+            base_dir,
+            runs,
+            include_fields=include_fields,
+            exclude_fields=exclude_fields,
+        )
     if mesh_type == "slices":
         paths = []
         for i in runs:
@@ -214,11 +249,14 @@ def read_drivaerml(
         paths = _run_paths(base_dir, runs, MESH_TEMPLATES["boundary"])
     else:
         raise ValueError(f"unknown mesh_type {mesh_type!r}")
+    # slices: every run names its planes identically (slice_x.vtp per
+    # run dir) — stem-keyed mesh ids would merge all runs into one mesh
     return read_vtk(
         spark,
         paths,
         include_fields=include_fields,
         exclude_fields=exclude_fields,
+        mesh_id_from="path" if mesh_type == "slices" else "stem",
     )
 
 
@@ -228,6 +266,8 @@ def read_ahmedml(
     *,
     mesh_type: str = "boundary",
     runs: list[int] | None = None,
+    include_fields: list[str] | None = None,
+    exclude_fields: list[str] | None = None,
 ) -> dict[str, DataFrame]:
     """AhmedML local scan: boundary/volume like DrivAerML plus the STL
     geometry variant."""
@@ -240,7 +280,12 @@ def read_ahmedml(
         raise ValueError(f"unknown mesh_type {mesh_type!r}")
     if not paths:
         raise FileNotFoundError(f"no {mesh_type} files under {base_dir}")
-    return read_vtk(spark, paths)
+    return read_vtk(
+        spark,
+        paths,
+        include_fields=include_fields,
+        exclude_fields=exclude_fields,
+    )
 
 
 def read_run_metadata(

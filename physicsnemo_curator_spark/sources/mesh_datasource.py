@@ -243,6 +243,13 @@ class VTKMeshReader(DataSourceReader):
             }
         elif self.table == "grid":
             nx, ny, nz = grid_meta.get("dimensions", (0, 0, 0))
+            if (nx == 0 or ny == 0) and point_data:
+                # unstructured file in a table='grid' scan: flat % 0
+                # would die as an opaque ZeroDivisionError in the task
+                raise ValueError(
+                    f"{stem}: not a structured grid (no dimensions "
+                    "metadata) — table='grid' needs .vti/.vts inputs"
+                )
             izs, iys, ixs, fields, values = [], [], [], [], []
             for name, vals in point_data.items():
                 if not self._keep(name):

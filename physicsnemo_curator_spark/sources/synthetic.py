@@ -28,7 +28,7 @@ def random_mesh(
     n_cells: int = 150,
     n_timesteps: int = 0,
     seed: int = 42,
-) -> tuple[DataFrame, DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame | None]:
     """Synthetic tet-ish meshes → (points, cells, displacements).
 
     points(mesh_id, point_id, x, y, z); cells(mesh_id, cell_id, vs);
@@ -69,9 +69,11 @@ def random_mesh(
             "mesh_id",
             "point_id",
             "t",
-            (_u(F.concat(F.col("_gid"), F.col("t")), seed, 21) * F.col("t")).alias("dx"),
-            (_u(F.concat(F.col("_gid"), F.col("t")), seed, 22) * F.col("t")).alias("dy"),
-            (_u(F.concat(F.col("_gid"), F.col("t")), seed, 23) * F.col("t")).alias("dz"),
+            # concat_ws: a bare concat collides ('1'+'12' == '11'+'2'),
+            # correlating displacements across distinct (point, t) pairs
+            (_u(F.concat_ws(":", "_gid", "t"), seed, 21) * F.col("t")).alias("dx"),
+            (_u(F.concat_ws(":", "_gid", "t"), seed, 22) * F.col("t")).alias("dy"),
+            (_u(F.concat_ws(":", "_gid", "t"), seed, 23) * F.col("t")).alias("dz"),
         )
     )
     return points, cells, disp
@@ -113,6 +115,8 @@ def random_atomic(
 ) -> tuple[DataFrame, DataFrame]:
     """Synthetic molecular systems → (systems, atoms) vertex tables
     (SURVEY §1.2c encoding)."""
+    if max_atoms < 2:
+        raise ValueError("max_atoms must be >= 2 (hash % (max_atoms-1))")
     systems = spark.range(n_systems).select(
         F.col("id").alias("system_id"),
         (F.abs(F.xxhash64("id", F.lit(seed), F.lit(1))) % (max_atoms - 1) + 2).alias(

@@ -91,7 +91,13 @@ def test_volume_split_part_reassembly(spark, dataset_dir):
 def test_slices_scan(spark, dataset_dir):
     tables = read_drivaerml(spark, dataset_dir, mesh_type="slices")
     pts = tables["points"].toPandas()
-    assert sorted(pts.mesh_id.unique()) == ["slice_x_1", "slice_x_2"]
+    # slice mesh ids are PATH-derived: per-run dirs routinely name
+    # their planes identically (slice_x.vtp), so stem keys would merge
+    # every run's slice into one mesh
+    ids = sorted(pts.mesh_id.unique())
+    assert len(ids) == 2
+    assert any("run_1" in m for m in ids) and any("run_2" in m for m in ids)
+    assert all(m.endswith(("slice_x_1", "slice_x_2")) for m in ids)
 
 
 def test_ahmedml_stl_and_metadata_join(spark, dataset_dir):

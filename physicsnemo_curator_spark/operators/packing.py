@@ -45,6 +45,7 @@ def pack_sequences(
     n_buckets: int | None = None,
     docs_per_bucket: int = 4096,
     total_docs: int | None = None,
+    bucket_col: str | None = None,
 ) -> DataFrame:
     """Assign each doc to a fixed-budget pack.
 
@@ -59,21 +60,32 @@ def pack_sequences(
     Deterministic: bucket = xxhash64(id) mod B, and FFD within a
     bucket orders by (n_tokens desc, id) — independent of input
     partitioning.
+
+    ``bucket_col`` overrides the hash bucketing with a caller-supplied
+    int column (e.g. domain/source-aware packing, or a bucketing an
+    external auditor can replay); skew in a supplied bucketing is the
+    caller's to manage — the hash default spreads uniformly.
     """
     if budget <= 0:
         raise ValueError("budget must be positive")
-    if n_buckets is None:
-        n = total_docs if total_docs is not None else docs.count()
-        n_buckets = max(1, n // docs_per_bucket)
-
     id_type = dict(docs.dtypes)[id_col]
-    keyed = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(tokens_col).cast("long").alias("n_tokens"),
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets))
-        .cast("int")
-        .alias("bucket"),
-    )
+    if bucket_col is not None:
+        keyed = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(tokens_col).cast("long").alias("n_tokens"),
+            F.col(bucket_col).cast("int").alias("bucket"),
+        )
+    else:
+        if n_buckets is None:
+            n = total_docs if total_docs is not None else docs.count()
+            n_buckets = max(1, n // docs_per_bucket)
+        keyed = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(tokens_col).cast("long").alias("n_tokens"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets))
+            .cast("int")
+            .alias("bucket"),
+        )
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
         import bisect

@@ -1827,10 +1827,14 @@ def q_warc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .collect()
     )
-    token = hashlib.md5(f"warc:{sf_dir}".encode()).hexdigest()[:12]
-    base = os.path.join(
-        tempfile.gettempdir(), f"pcs_wet_{token}_{os.getpid()}"
-    )
+    # Key the temp-shard cache on the source parquet's mtime (the
+    # q_st3_stream_welford discipline): a regenerated documents table
+    # must never be served stale shards from an earlier process — PIDs
+    # recycle inside containers, so pid alone is not a freshness token.
+    src = os.path.join(sf_dir, "documents.parquet")
+    mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
+    token = hashlib.md5(f"warc:{sf_dir}:{mtime}".encode()).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"pcs_wet_{token}")
     os.makedirs(base, exist_ok=True)
     paths = []
     for shard in range(4):
@@ -1844,7 +1848,11 @@ def q_warc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             if r["doc_id"] % 4 == shard
         ]
         if not os.path.exists(p):
-            write_wet(p, recs)
+            # Atomic publish: write to a pid-unique temp name, then
+            # rename — a concurrent writer can never expose a torn file.
+            tmp = f"{p}.{os.getpid()}.tmp"
+            write_wet(tmp, recs)
+            os.replace(tmp, p)
         paths.append(p)
     scanned = read_wet(spark, paths, lang_id=False)
     return (
@@ -1867,8 +1875,8 @@ def q_warc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_WARC_SCAN = """
 SELECT 's' || CAST(doc_id % 5 AS VARCHAR) || '.example' AS source,
-       COUNT(*) AS n_docs,
-       SUM(LENGTH(text)) AS total_chars,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
        md5(string_agg(md5(text), '' ORDER BY md5(text))) AS content_fp
 FROM documents WHERE doc_id < 200
 GROUP BY 1 ORDER BY source
@@ -1919,6 +1927,18 @@ SELECT doc_id,
                     FILTER (NOT boiler), '')) AS text_md5
 FROM m GROUP BY doc_id ORDER BY doc_id LIMIT 500
 """
+
+
+def q_text_span_dedup_xx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-twin span dedup: identical semantics to
+    q_text_span_dedup but the df aggregate and removal join key on
+    ``xxhash64(span)`` — the fixed-width-shuffle-key path bench.py
+    times.  The cleaned output is hash-fn-INVARIANT (the hash only
+    keys the aggregate; boilerplate membership is the same set), so
+    the md5-based DuckDB oracle replays it byte-for-byte — this row
+    puts the production code path itself behind the driver gate
+    rather than only an equivalence unit test."""
+    return q_text_span_dedup(spark, sf_dir, hash_fn="xxhash64")
 
 
 def q_text_repetition(
@@ -2189,12 +2209,24 @@ def q_text_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tensorization (textops.tokenize_to_ids): documents → ordered
     token-id arrays under the deterministic vocabulary (q_text_vocab's
     ids), unknown tokens → -1 — the array training loaders consume.
-    The oracle rebuilds the identical arrays with an ordered list
-    aggregate."""
+    The id array is emitted as a comma-joined string (the q_arr1
+    pattern) so the result stays hashable for the driver's pandas-side
+    canonicalization; the oracle rebuilds it with an ordered
+    string_agg."""
     docs = _t(spark, sf_dir, "documents")
     vocab = textops.vocabulary(docs, min_count=2, top_n=30)
     out = textops.tokenize_to_ids(docs, vocab)
-    return out.select("doc_id", "n_ids", "ids").orderBy("doc_id").limit(300)
+    return (
+        out.select(
+            "doc_id",
+            "n_ids",
+            F.array_join(
+                F.transform("ids", lambda i: i.cast("string")), ","
+            ).alias("ids_csv"),
+        )
+        .orderBy("doc_id")
+        .limit(300)
+    )
 
 
 ORACLE_TEXT_TOKEN_IDS = """
@@ -2215,31 +2247,83 @@ mapped AS (
          CAST(COALESCE(v.token_id, -1) AS INT) tid
   FROM toks t LEFT JOIN vocab v USING (token))
 SELECT doc_id, CAST(COUNT(*) AS INT) AS n_ids,
-       list(tid ORDER BY pos) AS ids
+       string_agg(CAST(tid AS VARCHAR), ',' ORDER BY pos) AS ids_csv
 FROM mapped GROUP BY doc_id ORDER BY doc_id LIMIT 300
 """
 
 
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (operators/packing.py): fill fixed token-budget
-    training sequences by hash-bucketed best-fit-decreasing.  The
-    assignment is a bin-packing heuristic — not SQL-expressible, so
-    this row is rows-only at the driver; the budget/coverage/
-    determinism invariants are pinned in tests/test_packing.py."""
+    training sequences by bucketed best-fit-decreasing.  The pack
+    ASSIGNMENT is a bin-packing heuristic SQL cannot replay, so the
+    declared shape emits per-bucket CONSERVED invariants an oracle can
+    recompute from ``documents`` alone — n_docs and Σ tokens (packing
+    moves docs between packs, never in/out of a bucket) — plus
+    feasibility booleans VERIFIED Spark-side over the real assignment:
+    every pack within budget (or an over-budget singleton), pack_fill
+    consistent with member token sums, every doc packed exactly once,
+    and pack count between the LP lower bound ⌈Σ/budget⌉ and n_docs.
+    The bucketing here is ``doc_id % 8`` (the ``bucket_col`` override)
+    so the oracle can replay it; production uses the xxhash64 default.
+    Exact pack boundaries stay pinned by tests/test_packing.py."""
     from physicsnemo_curator_spark.operators.packing import pack_sequences
 
+    budget = 256
     docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", textops.ws_token_count(F.col("text")).alias("n_tokens")
+        "doc_id",
+        textops.ws_token_count(F.col("text")).alias("n_tokens"),
+        F.pmod(F.col("doc_id"), F.lit(8)).cast("int").alias("bucket"),
     )
-    packed = pack_sequences(docs, budget=256, n_buckets=8)
+    packed = pack_sequences(docs, budget=budget, bucket_col="bucket")
+    per_pack = packed.groupBy("bucket", "pack_index").agg(
+        F.count(F.lit(1)).alias("pack_docs"),
+        F.sum("n_tokens").alias("member_tokens"),
+        F.max("pack_fill").alias("fill_max"),
+        F.min("pack_fill").alias("fill_min"),
+    )
     return (
-        packed.groupBy("bucket", "pack_index")
+        per_pack.groupBy("bucket")
         .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.max("pack_fill").alias("pack_fill"),
+            F.sum("pack_docs").cast("bigint").alias("n_docs"),
+            F.sum("member_tokens").cast("bigint").alias("sum_tokens"),
+            F.count(F.lit(1)).alias("_n_packs"),
+            F.every(
+                (F.col("fill_max") <= budget) | (F.col("pack_docs") == 1)
+            ).alias("budget_ok"),
+            F.every(
+                (F.col("fill_max") == F.col("fill_min"))
+                & (F.col("fill_max") == F.col("member_tokens"))
+            ).alias("fill_ok"),
         )
-        .orderBy("bucket", "pack_index")
+        .select(
+            "bucket",
+            "n_docs",
+            "sum_tokens",
+            "budget_ok",
+            "fill_ok",
+            (
+                (F.col("_n_packs") >= F.ceil(F.col("sum_tokens") / budget))
+                & (F.col("_n_packs") <= F.col("n_docs"))
+            ).alias("pack_count_ok"),
+        )
+        .orderBy("bucket")
     )
+
+
+ORACLE_PACK_SEQUENCES = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) n_tokens
+  FROM documents)
+SELECT CAST(doc_id % 8 AS INT) bucket,
+       CAST(COUNT(*) AS BIGINT) n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) sum_tokens,
+       TRUE budget_ok,
+       TRUE fill_ok,
+       TRUE pack_count_ok
+FROM d GROUP BY 1 ORDER BY bucket
+"""
 
 
 def q_validate_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2917,96 +3001,25 @@ FROM pairs WHERE bit_count(xor(sa, sb)) <= 8 ORDER BY a, b
 # cube/pivot/grouping-sets/window-delta) live in the tail — still declared,
 # still locally oracle-tested in tests/test_oracle.py.
 QUERIES: dict[str, QuerySpec] = {
-    "q_a1_moment_stats": QuerySpec(q_a1_moment_stats, ORACLE_A1),
-    "q_a2_elementwise_stats": QuerySpec(q_a2_elementwise_stats, ORACLE_A2),
-    "q_a3_pivot_counts": QuerySpec(q_a3_pivot_counts, ORACLE_A3),
-    "q_a8_welford_state": QuerySpec(q_a8_welford_state, ORACLE_A8),
-    "q_a11_heavy_hitters": QuerySpec(q_a11_heavy_hitters, ORACLE_A11),
-    "q_sketch_distinct": QuerySpec(q_sketch_distinct, ORACLE_SKETCH_DISTINCT),
-    "q_sketch_quantiles": QuerySpec(q_sketch_quantiles, ORACLE_SKETCH_QUANTILES),
-    "q_validate_expectations": QuerySpec(q_validate_expectations, ORACLE_VALIDATE),
-    "q_profile_columns": QuerySpec(
-        q_profile_columns,
-        ORACLE_PROFILE,
-        bench=lambda s, d: q_profile_columns(s, d, distinct="approx"),
-    ),
-    "q_j1_broadcast_join": QuerySpec(q_j1_broadcast_join, ORACLE_J1),
-    "q_j2_point_to_cell": QuerySpec(q_j2_point_to_cell, ORACLE_J2),
-    "q_j3_scatter_mean": QuerySpec(q_j3_scatter_mean, ORACLE_J3),
-    "q_j4_range_join": QuerySpec(q_j4_range_join, ORACLE_J4),
-    "q_j5_semi_join": QuerySpec(q_j5_semi_join, ORACLE_J5),
-    "q_s3_edge_dedup": QuerySpec(q_s3_edge_dedup, ORACLE_S3),
-    "q_m1_von_mises": QuerySpec(q_m1_von_mises, ORACLE_M1),
-    "q_scan_pushdown": QuerySpec(q_scan_pushdown, ORACLE_SCAN),
-    "q_precision_downcast": QuerySpec(q_precision_downcast, ORACLE_PRECISION),
-    "q_global_inject": QuerySpec(q_global_inject, ORACLE_GLOBAL),
-    "q_st1_tumbling_window": QuerySpec(q_st1_tumbling_window, ORACLE_ST1),
-    "q_st3_stream_welford": QuerySpec(q_st3_stream_welford, ORACLE_ST3),
-    "q_grib2_scan": QuerySpec(q_grib2_scan, ORACLE_GRIB2),
-    "q_ts_asof_join": QuerySpec(q_ts_asof_join, ORACLE_ASOF),
-    "q_ts_rollup_daily": QuerySpec(q_ts_rollup_daily, ORACLE_TS_ROLLUP),
-    "q_w4_sessionize": QuerySpec(q_w4_sessionize, ORACLE_SESSIONIZE),
-    "q_dedup_exact": QuerySpec(q_dedup_exact, ORACLE_DEDUP_EXACT),
-    "q_dedup_ngram_jaccard": QuerySpec(q_dedup_ngram_jaccard, ORACLE_NGRAM_JACCARD),
-    "q_dedup_components": QuerySpec(
-        q_dedup_components,
-        ORACLE_DEDUP_COMPONENTS,
-        bench=lambda s, d: q_dedup_components(s, d, hash_fn="xxhash64"),
-    ),
-    "q_dedup_incremental": QuerySpec(
-        q_dedup_incremental,
-        ORACLE_DEDUP_INCREMENTAL,
-        bench=lambda s, d: q_dedup_incremental(s, d, hash_fn="xxhash64"),
-    ),
-    "q_semantic_dedup": QuerySpec(
-        q_semantic_dedup,
-        ORACLE_SEMANTIC_DEDUP,
-        # benched twin: the arrow einsum kernel — a one-shot run's
-        # honest choice, since the unrolled expression's ~70s is
-        # one-time janino compile that only amortizes on long jobs
-        # (pair-set equivalence pinned in tests/test_mllib_ann.py)
-        bench=lambda s, d: q_semantic_dedup(s, d, dot="arrow"),
-    ),
-    "q_sample_split": QuerySpec(
-        q_sample_split,
-        ORACLE_SAMPLE_SPLIT,
-        bench=lambda s, d: q_sample_split(s, d, hash_fn="xxhash64"),
-    ),
-    "q_mix_weights": QuerySpec(q_mix_weights, ORACLE_MIX_WEIGHTS),
-    "q_sample_stratified": QuerySpec(
-        q_sample_stratified,
-        ORACLE_SAMPLE_STRATIFIED,
-        bench=lambda s, d: q_sample_stratified(s, d, hash_fn="xxhash64"),
-    ),
-    "q_text_redact_pii": QuerySpec(q_text_redact_pii, ORACLE_TEXT_REDACT),
-    "q_warc_scan": QuerySpec(q_warc_scan, ORACLE_WARC_SCAN),
-    "q_media_frames": QuerySpec(q_media_frames, ORACLE_MEDIA_FRAMES),
-    "q_text_chunks": QuerySpec(q_text_chunks, ORACLE_TEXT_CHUNKS),
-    "q_text_span_dedup": QuerySpec(
-        q_text_span_dedup,
-        ORACLE_TEXT_SPAN_DEDUP,
-        bench=lambda s, d: q_text_span_dedup(s, d, hash_fn="xxhash64"),
-    ),
-    "q_text_repetition": QuerySpec(
-        q_text_repetition,
-        ORACLE_TEXT_REPETITION,
-        bench=lambda s, d: q_text_repetition(s, d, hash_fn="xxhash64"),
-    ),
-    "q_text_logprob": QuerySpec(q_text_logprob, ORACLE_TEXT_LOGPROB),
-    "q_text_decontaminate": QuerySpec(q_text_decontaminate, ORACLE_DECONTAMINATE),
-    "q_emb_outliers": QuerySpec(q_emb_outliers, ORACLE_EMB_OUTLIERS),
-    "q_text_features": QuerySpec(q_text_features, ORACLE_TEXT_FEATURES),
-    "q_text_winnow": QuerySpec(
-        q_text_winnow,
-        ORACLE_TEXT_WINNOW,
-        bench=lambda s, d: q_text_winnow(s, d, hash_fn="xxhash64"),
-    ),
-    "q_text_lang_quality": QuerySpec(q_text_lang_quality, ORACLE_TEXT_LANG),
-    "q_text_vocab": QuerySpec(q_text_vocab, ORACLE_TEXT_VOCAB),
+    # ---- driver window (first 50): round-6-touched queries first,
+    # then the cohort last driver-checked in r03, then everything
+    # not driver-checked since r04, then the riskiest r05-green
+    # rows (streaming / codec / dedup-store paths). ----
     "q_text_token_ids": QuerySpec(q_text_token_ids, ORACLE_TEXT_TOKEN_IDS),
-    "q_pack_sequences": QuerySpec(q_pack_sequences, None),
-    "q_text_tfidf_sim": QuerySpec(q_text_tfidf_sim, ORACLE_TFIDF_SIM),
-    "q_ann_cosine_topk": QuerySpec(q_ann_cosine_topk, ORACLE_ANN),
+    "q_pack_sequences": QuerySpec(q_pack_sequences, ORACLE_PACK_SEQUENCES),
+    "q_warc_scan": QuerySpec(q_warc_scan, ORACLE_WARC_SCAN),
+    "q_text_span_dedup_xx": QuerySpec(q_text_span_dedup_xx, ORACLE_TEXT_SPAN_DEDUP),
+    "q_s2_intersect": QuerySpec(q_s2_intersect, ORACLE_S2),
+    "q_s4_union_all": QuerySpec(q_s4_union_all, ORACLE_S4),
+    "q_s5_except": QuerySpec(q_s5_except, ORACLE_S5),
+    "q_a5_distinct_agg": QuerySpec(q_a5_distinct_agg, ORACLE_A5),
+    "q_a9_cube": QuerySpec(q_a9_cube, ORACLE_A9),
+    "q_a10_pivot_mean": QuerySpec(q_a10_pivot_mean, ORACLE_A10),
+    "q_a12_grouping_sets": QuerySpec(q_a12_grouping_sets, ORACLE_A12),
+    "q_str2_like_pushdown": QuerySpec(q_str2_like_pushdown, ORACLE_STR2),
+    "q_str3_regexp": QuerySpec(q_str3_regexp, ORACLE_STR3),
+    "q_d2_date_functions": QuerySpec(q_d2_date_functions, ORACLE_D2),
+    "q_w3_delta_vs_first": QuerySpec(q_w3_delta_vs_first, ORACLE_W3),
     "q_ann_lsh_topk": QuerySpec(
         q_ann_lsh_topk,
         ORACLE_ANN_LSH,
@@ -3033,9 +3046,6 @@ QUERIES: dict[str, QuerySpec] = {
         ORACLE_SIMHASH_NEAR_DUP,
         bench=lambda s, d: q_simhash_near_dup(s, d, hash_fn="xxhash64", bits=64),
     ),
-    # ---- tail: primitive-class duplicates (position > 50; the
-    # driver hash-checks the first 50, tests/test_oracle.py
-    # hash-checks ALL of them locally every run) ----
     "q_j6_anti_join": QuerySpec(q_j6_anti_join, ORACLE_J6),
     "q_a4_conditional_counts": QuerySpec(q_a4_conditional_counts, ORACLE_A4),
     "q_m2_validity_counts": QuerySpec(q_m2_validity_counts, ORACLE_M2),
@@ -3052,17 +3062,91 @@ QUERIES: dict[str, QuerySpec] = {
     "q_json1_extract": QuerySpec(q_json1_extract, ORACLE_JSON1),
     "q_w5_group_zscore": QuerySpec(q_w5_group_zscore, ORACLE_W5),
     "q_median_exact": QuerySpec(q_median_exact, ORACLE_MEDIAN),
-    "q_s2_intersect": QuerySpec(q_s2_intersect, ORACLE_S2),
-    "q_a5_distinct_agg": QuerySpec(q_a5_distinct_agg, ORACLE_A5),
-    "q_a9_cube": QuerySpec(q_a9_cube, ORACLE_A9),
-    "q_a10_pivot_mean": QuerySpec(q_a10_pivot_mean, ORACLE_A10),
-    "q_a12_grouping_sets": QuerySpec(q_a12_grouping_sets, ORACLE_A12),
-    "q_str2_like_pushdown": QuerySpec(q_str2_like_pushdown, ORACLE_STR2),
-    "q_str3_regexp": QuerySpec(q_str3_regexp, ORACLE_STR3),
-    "q_d2_date_functions": QuerySpec(q_d2_date_functions, ORACLE_D2),
-    "q_s4_union_all": QuerySpec(q_s4_union_all, ORACLE_S4),
-    "q_s5_except": QuerySpec(q_s5_except, ORACLE_S5),
-    "q_w3_delta_vs_first": QuerySpec(q_w3_delta_vs_first, ORACLE_W3),
+    "q_st3_stream_welford": QuerySpec(q_st3_stream_welford, ORACLE_ST3),
+    "q_st1_tumbling_window": QuerySpec(q_st1_tumbling_window, ORACLE_ST1),
+    "q_grib2_scan": QuerySpec(q_grib2_scan, ORACLE_GRIB2),
+    "q_semantic_dedup": QuerySpec(
+        q_semantic_dedup,
+        ORACLE_SEMANTIC_DEDUP,
+        bench=lambda s, d: q_semantic_dedup(s, d, dot="arrow"),
+    ),
+    "q_dedup_incremental": QuerySpec(
+        q_dedup_incremental,
+        ORACLE_DEDUP_INCREMENTAL,
+        bench=lambda s, d: q_dedup_incremental(s, d, hash_fn="xxhash64"),
+    ),
+    "q_dedup_components": QuerySpec(
+        q_dedup_components,
+        ORACLE_DEDUP_COMPONENTS,
+        bench=lambda s, d: q_dedup_components(s, d, hash_fn="xxhash64"),
+    ),
+    "q_text_span_dedup": QuerySpec(
+        q_text_span_dedup,
+        ORACLE_TEXT_SPAN_DEDUP,
+        bench=lambda s, d: q_text_span_dedup(s, d, hash_fn="xxhash64"),
+    ),
+    "q_text_repetition": QuerySpec(
+        q_text_repetition,
+        ORACLE_TEXT_REPETITION,
+        bench=lambda s, d: q_text_repetition(s, d, hash_fn="xxhash64"),
+    ),
+    "q_media_frames": QuerySpec(q_media_frames, ORACLE_MEDIA_FRAMES),
+    "q_sketch_quantiles": QuerySpec(q_sketch_quantiles, ORACLE_SKETCH_QUANTILES),
+    "q_text_chunks": QuerySpec(q_text_chunks, ORACLE_TEXT_CHUNKS),
+    "q_mix_weights": QuerySpec(q_mix_weights, ORACLE_MIX_WEIGHTS),
+    "q_sample_stratified": QuerySpec(
+        q_sample_stratified,
+        ORACLE_SAMPLE_STRATIFIED,
+        bench=lambda s, d: q_sample_stratified(s, d, hash_fn="xxhash64"),
+    ),
+    # ---- tail (position > 50): r05-driver-green primitive rows;
+    # tests/test_oracle.py hash-checks ALL of them locally every run ----
+    "q_a1_moment_stats": QuerySpec(q_a1_moment_stats, ORACLE_A1),
+    "q_a2_elementwise_stats": QuerySpec(q_a2_elementwise_stats, ORACLE_A2),
+    "q_a3_pivot_counts": QuerySpec(q_a3_pivot_counts, ORACLE_A3),
+    "q_a8_welford_state": QuerySpec(q_a8_welford_state, ORACLE_A8),
+    "q_a11_heavy_hitters": QuerySpec(q_a11_heavy_hitters, ORACLE_A11),
+    "q_sketch_distinct": QuerySpec(q_sketch_distinct, ORACLE_SKETCH_DISTINCT),
+    "q_validate_expectations": QuerySpec(q_validate_expectations, ORACLE_VALIDATE),
+    "q_profile_columns": QuerySpec(
+        q_profile_columns,
+        ORACLE_PROFILE,
+        bench=lambda s, d: q_profile_columns(s, d, distinct="approx"),
+    ),
+    "q_j1_broadcast_join": QuerySpec(q_j1_broadcast_join, ORACLE_J1),
+    "q_j2_point_to_cell": QuerySpec(q_j2_point_to_cell, ORACLE_J2),
+    "q_j3_scatter_mean": QuerySpec(q_j3_scatter_mean, ORACLE_J3),
+    "q_j4_range_join": QuerySpec(q_j4_range_join, ORACLE_J4),
+    "q_j5_semi_join": QuerySpec(q_j5_semi_join, ORACLE_J5),
+    "q_s3_edge_dedup": QuerySpec(q_s3_edge_dedup, ORACLE_S3),
+    "q_m1_von_mises": QuerySpec(q_m1_von_mises, ORACLE_M1),
+    "q_scan_pushdown": QuerySpec(q_scan_pushdown, ORACLE_SCAN),
+    "q_precision_downcast": QuerySpec(q_precision_downcast, ORACLE_PRECISION),
+    "q_global_inject": QuerySpec(q_global_inject, ORACLE_GLOBAL),
+    "q_ts_asof_join": QuerySpec(q_ts_asof_join, ORACLE_ASOF),
+    "q_ts_rollup_daily": QuerySpec(q_ts_rollup_daily, ORACLE_TS_ROLLUP),
+    "q_w4_sessionize": QuerySpec(q_w4_sessionize, ORACLE_SESSIONIZE),
+    "q_dedup_exact": QuerySpec(q_dedup_exact, ORACLE_DEDUP_EXACT),
+    "q_dedup_ngram_jaccard": QuerySpec(q_dedup_ngram_jaccard, ORACLE_NGRAM_JACCARD),
+    "q_sample_split": QuerySpec(
+        q_sample_split,
+        ORACLE_SAMPLE_SPLIT,
+        bench=lambda s, d: q_sample_split(s, d, hash_fn="xxhash64"),
+    ),
+    "q_text_redact_pii": QuerySpec(q_text_redact_pii, ORACLE_TEXT_REDACT),
+    "q_text_logprob": QuerySpec(q_text_logprob, ORACLE_TEXT_LOGPROB),
+    "q_text_decontaminate": QuerySpec(q_text_decontaminate, ORACLE_DECONTAMINATE),
+    "q_emb_outliers": QuerySpec(q_emb_outliers, ORACLE_EMB_OUTLIERS),
+    "q_text_features": QuerySpec(q_text_features, ORACLE_TEXT_FEATURES),
+    "q_text_winnow": QuerySpec(
+        q_text_winnow,
+        ORACLE_TEXT_WINNOW,
+        bench=lambda s, d: q_text_winnow(s, d, hash_fn="xxhash64"),
+    ),
+    "q_text_lang_quality": QuerySpec(q_text_lang_quality, ORACLE_TEXT_LANG),
+    "q_text_vocab": QuerySpec(q_text_vocab, ORACLE_TEXT_VOCAB),
+    "q_text_tfidf_sim": QuerySpec(q_text_tfidf_sim, ORACLE_TFIDF_SIM),
+    "q_ann_cosine_topk": QuerySpec(q_ann_cosine_topk, ORACLE_ANN),
 }
 
 

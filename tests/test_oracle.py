@@ -13,6 +13,7 @@ import math
 
 import duckdb
 import pytest
+from pyspark.sql.types import ArrayType, MapType, StructType
 
 from physicsnemo_curator_spark.plans.queries import QUERIES
 from physicsnemo_curator_spark.sources.tables import TABLE_NAMES
@@ -52,10 +53,30 @@ def _normalize(rows, colnames):
     return sorted(tuple(canon(r[i]) for i in order) for r in rows)
 
 
+def _assert_driver_hashable(sdf, name):
+    """The driver canonicalizes results via pandas ``sort_values`` +
+    hash, which raises ``TypeError: unhashable type`` on list/dict
+    cells — a query can be locally green yet red at the gate (the
+    r05 q_text_token_ids failure).  Declared queries must therefore
+    emit only scalar columns; join arrays into strings (the q_arr1
+    ``array_join`` pattern)."""
+    bad = [
+        f.name
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad, (
+        f"{name}: columns {bad} are array/map/struct-typed — the "
+        "driver's pandas canonicalization cannot hash them; emit "
+        "array_join(...) strings instead"
+    )
+
+
 @pytest.mark.parametrize("name", ORACLE_NAMES)
 def test_query_matches_oracle(spark, sf_correctness_dir, name):
     spec = QUERIES[name]
     sdf = spec.spark(spark, sf_correctness_dir)
+    _assert_driver_hashable(sdf, name)
     spark_rows = [tuple(r) for r in sdf.collect()]
     spark_cols = sdf.columns
 
@@ -81,6 +102,7 @@ def test_query_matches_oracle(spark, sf_correctness_dir, name):
 @pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
 def test_rows_only_queries_run(spark, sf_correctness_dir, name):
     df = QUERIES[name].spark(spark, sf_correctness_dir)
+    _assert_driver_hashable(df, name)
     assert df.count() >= 0
 
 

@@ -177,7 +177,12 @@ def merge_histogram_tables(
     hist_col: str = "hist",
 ) -> DataFrame:
     """Merge per-batch histograms per group: elementwise array addition
-    (the mergeability exact quantiles lack)."""
+    (the mergeability exact quantiles lack).
+
+    Histograms are only mergeable over the SAME binning — mixed array
+    lengths within a group mean the batches were sketched with
+    different n_bins, and zip_with would silently NULL-pad the shorter
+    side; that mistake fails loudly here instead."""
     merged = F.aggregate(
         F.collect_list(hist_col),
         F.transform(
@@ -185,11 +190,26 @@ def merge_histogram_tables(
         ),
         lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
     )
-    return hists.groupBy(*group_cols).agg(
+    out = hists.groupBy(*group_cols).agg(
         merged.alias(hist_col),
         F.sum("below").alias("below"),
         F.sum("above").alias("above"),
+        (
+            F.min(F.size(F.col(hist_col)))
+            == F.max(F.size(F.col(hist_col)))
+        ).alias("_same_bins"),
     )
+    guarded = F.when(
+        F.col("_same_bins"), F.col(hist_col)
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "merge_histogram_tables: mixed n_bins within a group — "
+                "histograms are only mergeable over identical binning"
+            )
+        )
+    )
+    return out.withColumn(hist_col, guarded).drop("_same_bins")
 
 
 def histogram_quantiles(

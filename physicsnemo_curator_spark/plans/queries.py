@@ -2645,7 +2645,10 @@ ORACLE_ANN_IVF = _ivf_oracle()
 
 
 def q_semantic_dedup(
-    spark: SparkSession, sf_dir: str, dot: str = "unrolled"
+    spark: SparkSession,
+    sf_dir: str,
+    dot: str = "unrolled",
+    pin_oracle_k: bool = True,
 ) -> DataFrame:
     """SemDeDup (mllib_ann.semantic_dedup, Abbas et al. 2023): cluster
     embeddings with the md5-sample coarse quantizer, compare pairs only
@@ -2663,7 +2666,18 @@ def q_semantic_dedup(
     from physicsnemo_curator_spark.operators import mllib_ann
 
     emb = _t(spark, sf_dir, "embeddings")
-    k = max(8, emb.count() // 250)
+    n = emb.count()
+    k = max(8, n // 250)
+    if pin_oracle_k and k != 8:
+        # the static k=8 oracle is only exact while adaptive k stays 8;
+        # fail loudly instead of producing a silent oracle diff if the
+        # oracle-checked variant ever runs beyond the gate corpus
+        # (bench/soak call with pin_oracle_k=False and stay adaptive)
+        raise ValueError(
+            f"q_semantic_dedup oracle pins k=8 but corpus n={n} adapts "
+            f"k to {k}; call with pin_oracle_k=False (no oracle) for "
+            "large corpora"
+        )
     centers = mllib_ann.md5_sample_centroids(emb, k=k)
     out = mllib_ann.semantic_dedup(emb, centers, threshold=0.35, dot=dot)
     return out.select("vec_id", "cell", "dup_of", "keep").orderBy("vec_id")
@@ -3068,7 +3082,9 @@ QUERIES: dict[str, QuerySpec] = {
     "q_semantic_dedup": QuerySpec(
         q_semantic_dedup,
         ORACLE_SEMANTIC_DEDUP,
-        bench=lambda s, d: q_semantic_dedup(s, d, dot="arrow"),
+        bench=lambda s, d: q_semantic_dedup(
+            s, d, dot="arrow", pin_oracle_k=False
+        ),
     ),
     "q_dedup_incremental": QuerySpec(
         q_dedup_incremental,

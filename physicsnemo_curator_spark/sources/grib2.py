@@ -316,13 +316,14 @@ def write_grib2(
         ndata = vals.size
         d = int(m.get("decimals", 2))
         scaled = np.round(flat * 10.0**d).astype(np.int64)
+        packing = m.get("packing", "simple")
         if len(scaled) == 0:
             # fully-masked field (legal in GRIB2): empty data section,
-            # an all-zero bitmap carries the missingness
-            scaled = np.zeros(0, dtype=np.int64)
+            # an all-zero bitmap carries the missingness — force simple
+            # packing AFTER reading m["packing"], or the complex packers
+            # would reduce over a zero-size array
             packing = "simple"
             m = {**m, "nbits": 0}
-        packing = m.get("packing", "simple")
 
         t: datetime = m["time"]
         sec1 = _sec(

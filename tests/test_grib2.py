@@ -428,6 +428,36 @@ def test_all_nan_field_round_trip(tmp_path):
     assert msg["values"].shape == (NI * NJ,)
 
 
+@pytest.mark.parametrize("packing", ["complex", "complex_diff"])
+def test_all_nan_field_complex_packing_round_trip(tmp_path, packing):
+    """A fully-masked field with complex packing requested must fall
+    back to simple packing (the complex packers reduce over the data
+    array, which is zero-size here) — regression: the fallback was
+    dead code, overwritten by a later read of m['packing']."""
+    vals = np.full((NJ, NI), np.nan)
+    path = str(tmp_path / f"nan_{packing}.grib2")
+    write_grib2(
+        path,
+        [
+            dict(
+                time=datetime(2024, 1, 1, 0),
+                discipline=0,
+                category=0,
+                number=0,
+                level_type=1,
+                level=0,
+                grid=LATLON,
+                values=vals,
+                packing=packing,
+            )
+        ],
+    )
+    with open(path, "rb") as fh:
+        (msg,) = read_grib2_messages(fh.read())
+    assert np.isnan(msg["values"]).all()
+    assert msg["values"].shape == (NI * NJ,)
+
+
 def test_tiny_field_order_clamped(tmp_path):
     """complex_diff on a field smaller than order+1 points clamps the
     differencing order instead of writing a corrupt header."""

@@ -114,6 +114,30 @@ def test_histogram_merge_equals_whole_table(spark):
     assert a == b
 
 
+def test_histogram_merge_mixed_n_bins_raises(spark):
+    """Batches sketched with different n_bins are NOT mergeable —
+    zip_with would silently NULL-pad the shorter array; the merge must
+    fail loudly instead."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from physicsnemo_curator_spark.operators import sketches
+    from physicsnemo_curator_spark.sources.tables import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    h16 = sketches.value_histograms(
+        li, ["l_returnflag"], "l_quantity", lo=0.0, hi=64.0, n_bins=16
+    )
+    h32 = sketches.value_histograms(
+        li, ["l_returnflag"], "l_quantity", lo=0.0, hi=64.0, n_bins=32
+    )
+    merged = sketches.merge_histogram_tables(
+        h16.unionByName(h32), ["l_returnflag"]
+    )
+    with pytest.raises(Exception, match="mixed n_bins"):
+        merged.collect()
+
+
 def test_histogram_quantiles_error_bound(spark):
     """Every estimate sits within one bin width of the exact quantile."""
     import numpy as np

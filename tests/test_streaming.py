@@ -378,6 +378,55 @@ def test_stateful_table_sink_restart_exactly_once(spark, sf_dir, tmp_path):
         assert abs(g["var_pop"] - e["var_pop"]) < 1e-6
 
 
+def test_stateful_table_sink_duplicate_epoch_append_idempotent(
+    spark, sf_dir, tmp_path
+):
+    """Crash-retry semantics of the append-only table (mirrors the
+    reference's failed-index retry, test_checkpoint.py:409-431): a
+    foreachBatch retried after a mid-write crash double-appends its
+    rows, both copies carrying identical (key, _epoch) — the SQL
+    last-write-wins resolver must return the same answer as before
+    the duplicate landed."""
+    from pyspark.sql import functions as F
+
+    from physicsnemo_curator_spark.streaming.stateful import (
+        read_running_stats_table,
+        run_running_stats_to_table,
+    )
+
+    events = load_table(spark, sf_dir, "events").select("event_type", "value")
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "stats_table")
+    ckpt = str(tmp_path / "ckpt")
+    events.repartition(3).write.parquet(src)
+    run_running_stats_to_table(
+        spark, src, "event_type string, value double", table, ckpt
+    )
+
+    before = {
+        r["key"]: r for r in read_running_stats_table(spark, table).collect()
+    }
+    raw = spark.read.parquet(table)
+    n_before = raw.count()
+
+    # simulate the retried batch: re-append the final epoch's rows
+    last_epoch = raw.agg(F.max("_epoch")).first()[0]
+    retried = raw.filter(F.col("_epoch") == last_epoch)
+    assert retried.count() > 0
+    retried.write.mode("append").parquet(table)
+
+    raw2 = spark.read.parquet(table)
+    assert raw2.count() == n_before + retried.count()  # duplicates landed
+    after = {
+        r["key"]: r for r in read_running_stats_table(spark, table).collect()
+    }
+    assert set(after) == set(before)
+    for k in before:
+        assert after[k]["n"] == before[k]["n"]
+        assert after[k]["mean"] == before[k]["mean"]
+        assert after[k]["var_pop"] == before[k]["var_pop"]
+
+
 def test_transform_with_state_twin_matches_batch(spark, sf_dir, tmp_path):
     """The Spark-4 StatefulProcessor (transformWithStateInPandas) twin
     folds state across micro-batches to the identical batch answer as

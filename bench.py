@@ -111,17 +111,22 @@ def main() -> None:
         if only_set is not None and name not in only_set:
             continue
         fn = spec.bench or spec.spark
-        if clear_cache:
-            spark.catalog.clearCache()
         best = None
         for rep in range(max(1, repeats)):
+            # clearCache inside the rep loop: with isolation requested,
+            # the warm repeat must rebuild caches too, or min-of-n
+            # reports exactly the cache-hit time the flag excludes
+            if clear_cache:
+                spark.catalog.clearCache()
             t0 = time.perf_counter()
             try:
                 fn(spark, sf_dir).collect()
             except Exception as exc:  # noqa: BLE001 — record, continue
-                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-                timings[name] = {"err": type(exc).__name__}
-                best = None
+                if best is None:
+                    # cold run failed: the query is broken — record it
+                    errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                    timings[name] = {"err": type(exc).__name__}
+                # a warm-repeat failure (transient) keeps the cold time
                 break
             dt = time.perf_counter() - t0
             if rep == 0:
@@ -143,17 +148,23 @@ def main() -> None:
     if errors:
         out["errors"] = errors
     # Full artifact (warm + cold per query) for the repo's bench notes.
+    # Only FULL-suite runs overwrite it — a SPARK_GRAFT_QUERIES-
+    # restricted soak must not clobber the checked-in reference map.
     full = dict(out)
     full["cold"] = cold
     full["cpus"] = cpus
-    try:
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
-            "w",
-        ) as fh:
-            json.dump(full, fh)
-    except OSError:
-        pass
+    if only_set is None:
+        try:
+            with open(
+                os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "BENCH_LOCAL.json",
+                ),
+                "w",
+            ) as fh:
+                json.dump(full, fh)
+        except OSError:
+            pass
     spark.stop()
     # The driver captures only the LAST 2000 chars of output and parses
     # the JSON line inside that window — r05's 83-query line overran it

@@ -90,6 +90,13 @@ def pack_sequences(
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
         import bisect
 
+        if pdf["bucket"].isna().any():
+            raise ValueError(
+                "bucket contains NULL (NULL values in bucket_col, or a "
+                "non-numeric column cast to NULL) — every doc needs a "
+                "real bucket, or they all silently pack together in "
+                "one phantom NULL group"
+            )
         if pdf["n_tokens"].isna().any():
             raise ValueError(
                 "n_tokens contains NULL — filter or impute before "

@@ -199,17 +199,27 @@ def merge_histogram_tables(
             == F.max(F.size(F.col(hist_col)))
         ).alias("_same_bins"),
     )
-    guarded = F.when(
-        F.col("_same_bins"), F.col(hist_col)
-    ).otherwise(
-        F.raise_error(
-            F.lit(
-                "merge_histogram_tables: mixed n_bins within a group — "
-                "histograms are only mergeable over identical binning"
+
+    # attach the guard to EVERY data column, not just hist: Catalyst
+    # prunes unselected columns, so a hist-only guard silently vanishes
+    # for consumers that read only below/above
+    def _guarded(col: str):
+        return F.when(F.col("_same_bins"), F.col(col)).otherwise(
+            F.raise_error(
+                F.lit(
+                    "merge_histogram_tables: mixed n_bins within a group "
+                    "— histograms are only mergeable over identical "
+                    "binning"
+                )
             )
         )
+
+    return (
+        out.withColumn(hist_col, _guarded(hist_col))
+        .withColumn("below", _guarded("below"))
+        .withColumn("above", _guarded("above"))
+        .drop("_same_bins")
     )
-    return out.withColumn(hist_col, guarded).drop("_same_bins")
 
 
 def histogram_quantiles(

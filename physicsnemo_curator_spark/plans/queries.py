@@ -1827,13 +1827,20 @@ def q_warc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .collect()
     )
-    # Key the temp-shard cache on the source parquet's mtime (the
+    # Key the temp-shard cache on the source parquet's identity (the
     # q_st3_stream_welford discipline): a regenerated documents table
     # must never be served stale shards from an earlier process — PIDs
     # recycle inside containers, so pid alone is not a freshness token.
+    # Nanosecond mtime + size, not whole-second mtime: two regens
+    # within one second (or a cp -p with preserved times but different
+    # size) must still produce distinct tokens.
     src = os.path.join(sf_dir, "documents.parquet")
-    mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
-    token = hashlib.md5(f"warc:{sf_dir}:{mtime}".encode()).hexdigest()[:12]
+    try:
+        st = os.stat(src)
+        ident = f"{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        ident = "absent"
+    token = hashlib.md5(f"warc:{sf_dir}:{ident}".encode()).hexdigest()[:12]
     base = os.path.join(tempfile.gettempdir(), f"pcs_wet_{token}")
     os.makedirs(base, exist_ok=True)
     paths = []
@@ -2262,7 +2269,9 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     feasibility booleans VERIFIED Spark-side over the real assignment:
     every pack within budget (or an over-budget singleton), pack_fill
     consistent with member token sums, every doc packed exactly once,
-    and pack count between the LP lower bound ⌈Σ/budget⌉ and n_docs.
+    and pack count between the lower bound n_over + ⌈Σ_small/budget⌉
+    (over-budget docs are forced singletons, so the plain LP bound
+    ⌈Σ/budget⌉ would overshoot when they exist) and n_docs.
     The bucketing here is ``doc_id % 8`` (the ``bucket_col`` override)
     so the oracle can replay it; production uses the xxhash64 default.
     Exact pack boundaries stay pinned by tests/test_packing.py."""
@@ -2281,28 +2290,45 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("pack_fill").alias("fill_max"),
         F.min("pack_fill").alias("fill_min"),
     )
+    pack_stats = per_pack.groupBy("bucket").agg(
+        F.sum("pack_docs").cast("bigint").alias("n_docs"),
+        F.sum("member_tokens").cast("bigint").alias("sum_tokens"),
+        F.count(F.lit(1)).alias("_n_packs"),
+        F.every(
+            (F.col("fill_max") <= budget) | (F.col("pack_docs") == 1)
+        ).alias("budget_ok"),
+        F.every(
+            (F.col("fill_max") == F.col("fill_min"))
+            & (F.col("fill_max") == F.col("member_tokens"))
+        ).alias("fill_ok"),
+    )
+    # doc-level split: over-budget docs are always singleton packs, so
+    # the valid pack-count lower bound is n_over + ceil(sum_small /
+    # budget) — ceil(sum_tokens / budget) alone overshoots whenever an
+    # over-budget doc exists (its singleton holds > budget tokens).
+    # n_over is conserved through packing, so the oracle replays it.
+    doc_stats = packed.groupBy("bucket").agg(
+        F.sum(F.when(F.col("n_tokens") > budget, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_over"),
+        F.sum(
+            F.when(F.col("n_tokens") <= budget, F.col("n_tokens")).otherwise(0)
+        ).alias("_sum_small"),
+    )
     return (
-        per_pack.groupBy("bucket")
-        .agg(
-            F.sum("pack_docs").cast("bigint").alias("n_docs"),
-            F.sum("member_tokens").cast("bigint").alias("sum_tokens"),
-            F.count(F.lit(1)).alias("_n_packs"),
-            F.every(
-                (F.col("fill_max") <= budget) | (F.col("pack_docs") == 1)
-            ).alias("budget_ok"),
-            F.every(
-                (F.col("fill_max") == F.col("fill_min"))
-                & (F.col("fill_max") == F.col("member_tokens"))
-            ).alias("fill_ok"),
-        )
+        pack_stats.join(doc_stats, "bucket")
         .select(
             "bucket",
             "n_docs",
             "sum_tokens",
+            "n_over",
             "budget_ok",
             "fill_ok",
             (
-                (F.col("_n_packs") >= F.ceil(F.col("sum_tokens") / budget))
+                (
+                    F.col("_n_packs")
+                    >= F.col("n_over") + F.ceil(F.col("_sum_small") / budget)
+                )
                 & (F.col("_n_packs") <= F.col("n_docs"))
             ).alias("pack_count_ok"),
         )
@@ -2319,6 +2345,7 @@ WITH d AS (
 SELECT CAST(doc_id % 8 AS INT) bucket,
        CAST(COUNT(*) AS BIGINT) n_docs,
        CAST(SUM(n_tokens) AS BIGINT) sum_tokens,
+       CAST(COUNT(*) FILTER (n_tokens > 256) AS BIGINT) n_over,
        TRUE budget_ok,
        TRUE fill_ok,
        TRUE pack_count_ok

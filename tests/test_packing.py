@@ -83,3 +83,50 @@ def test_string_ids_preserved(spark):
     )
     out = {r.doc_id for r in pack_sequences(df, budget=512, n_buckets=1).collect()}
     assert out == {"u-1", "u-2", "u-3"}
+
+
+def test_bucket_col_override_and_null_bucket_raises(spark):
+    """Caller-supplied bucketing is honored verbatim; a NULL bucket
+    (NULL values or a failed cast) fails loudly instead of packing
+    everything into one phantom NULL group."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, 50 + i, i % 3) for i in range(30)],
+        "doc_id long, n_tokens long, b int",
+    )
+    out = pack_sequences(df, budget=512, bucket_col="b").collect()
+    assert {r.bucket for r in out} == {0, 1, 2}
+    for r in out:
+        assert r.bucket == r.doc_id % 3
+
+    with_null = df.withColumn(
+        "b", F.when(F.col("doc_id") == 7, None).otherwise(F.col("b"))
+    )
+    with pytest.raises(Exception, match="bucket contains NULL"):
+        pack_sequences(with_null, budget=512, bucket_col="b").collect()
+
+
+def test_pack_count_bound_with_over_budget_docs(spark):
+    """The pack-count lower bound that q_pack_sequences verifies:
+    n_packs >= n_over + ceil(sum_small / budget) must hold when docs
+    exceed the budget (the plain ceil(sum_total/budget) bound does
+    NOT: one 1000-token doc at budget 256 packs as ONE singleton,
+    not ceil(1000/256) = 4 packs)."""
+    import math
+
+    budget = 256
+    rows = [(0, 1000), (1, 1200)] + [(i, 100) for i in range(2, 12)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = pack_sequences(df, budget=budget, n_buckets=1).collect()
+    n_packs = len({(r.bucket, r.pack_index) for r in out})
+    n_over = sum(1 for _, t in rows if t > budget)
+    sum_small = sum(t for _, t in rows if t <= budget)
+    lb = n_over + math.ceil(sum_small / budget)
+    assert lb <= n_packs <= len(rows)
+    # and the naive bound ceil(sum_total/budget) is genuinely violated
+    # here (it would demand more packs than the correct packing uses) —
+    # the regression this test pins
+    assert n_packs < math.ceil(sum(t for _, t in rows) / budget)

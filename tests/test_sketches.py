@@ -136,6 +136,10 @@ def test_histogram_merge_mixed_n_bins_raises(spark):
     )
     with pytest.raises(Exception, match="mixed n_bins"):
         merged.collect()
+    # the guard must survive column pruning: a consumer reading only
+    # below/above (hist pruned away) still fails loudly
+    with pytest.raises(Exception, match="mixed n_bins"):
+        merged.select("l_returnflag", "below", "above").collect()
 
 
 def test_histogram_quantiles_error_bound(spark):

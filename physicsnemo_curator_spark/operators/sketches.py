@@ -24,6 +24,12 @@ __all__ = [
     "estimate_distinct",
     "append_sketch_store",
     "read_sketch_store",
+    "value_histograms",
+    "merge_histogram_tables",
+    "histogram_quantiles",
+    "bloom_filters",
+    "merge_bloom_tables",
+    "bloom_might_contain",
 ]
 
 
@@ -287,3 +293,191 @@ def histogram_quantiles(
         )
         out = sel if out is None else out.unionByName(sel)
     return out
+
+
+# --- Mergeable Bloom filters: set membership without the set ---------------
+
+
+def _hash_positions(key, k: int, n_positions: int, hash_fn: str) -> list:
+    """``k`` deterministic positions in ``[0, n_positions)`` for a key.
+
+    ``hash_fn='md5'`` derives each position from the first 15 hex chars
+    of ``md5(f"{i}:{key}")`` — the engine-reproducible form a DuckDB
+    auditor replays bit-for-bit (the same convention as the minhash /
+    simhash oracle twins, ``operators/dedup.py``).  ``'xxhash64'`` is
+    the production twin: one 64-bit JVM hash per (seed, key), no hex
+    materialization — same collision math, fixed-width hot path."""
+    key_s = key.cast("string")
+    out = []
+    for i in range(k):
+        if hash_fn == "xxhash64":
+            h = F.xxhash64(F.lit(i), key_s)
+        elif hash_fn == "md5":
+            h = F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{i}:"), key_s).cast("binary")),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+        else:
+            raise ValueError(f"unknown hash_fn {hash_fn!r}")
+        out.append(F.pmod(h, F.lit(n_positions)).cast("int"))
+    return out
+
+
+def bloom_filters(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    *,
+    n_bits: int = 4096,
+    k: int = 4,
+    hash_fn: str = "md5",
+    bloom_col: str = "bloom",
+) -> DataFrame:
+    """One Bloom filter of ``key_col``'s values per group, as a dense
+    ``array<bigint>`` of ``n_bits/64`` words.
+
+    The crawl-scale membership primitive: "which of today's URLs did
+    ANY earlier batch already ingest" needs per-batch key sets, but at
+    100 TB the sets themselves are the problem — a Bloom filter is a
+    fixed ``n_bits`` bits per (group, batch) regardless of key count,
+    merges across batches by elementwise OR (:func:`merge_bloom_tables`
+    — lossless, unlike the keys), and probes without shuffling the
+    corpus (:func:`bloom_might_contain` broadcasts the filters).
+    False-positive rate ~ ``(1 - e^(-k*n/m))^k``; no false negatives.
+
+    Plan shape: keys explode to ``k`` (group, position) rows, one
+    partial+final aggregate ORs per-word masks, and a dense-array
+    rebuild fills absent words with zero — everything JVM-side.
+    """
+    if n_bits % 64 != 0 or n_bits <= 0:
+        raise ValueError("n_bits must be a positive multiple of 64")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    n_words = n_bits // 64
+    pos = F.explode(
+        F.array(*_hash_positions(F.col(key_col), k, n_bits, hash_fn))
+    ).alias("_pos")
+    words = (
+        df.select(*group_cols, pos)
+        .select(
+            *group_cols,
+            (F.col("_pos") / 64).cast("int").alias("_word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), _pos % 64)").alias("_mask"),
+        )
+        .groupBy(*group_cols, "_word")
+        .agg(F.bit_or("_mask").alias("_mask"))
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(n_words - 1)),
+        lambda w: F.coalesce(
+            F.element_at(
+                F.map_from_entries(
+                    F.collect_list(F.struct("_word", "_mask"))
+                ),
+                w,
+            ),
+            F.lit(0).cast("long"),
+        ),
+    )
+    return words.groupBy(*group_cols).agg(dense.alias(bloom_col))
+
+
+def merge_bloom_tables(
+    blooms: DataFrame,
+    group_cols: list[str],
+    *,
+    bloom_col: str = "bloom",
+) -> DataFrame:
+    """OR per-batch Bloom filters per group — lossless union of the
+    underlying key sets' membership.  Mixed ``n_bits`` within a group
+    (different array lengths) fails loudly, same discipline as
+    :func:`merge_histogram_tables` — ORing different geometries is
+    meaningless."""
+    merged = F.aggregate(
+        F.collect_list(bloom_col),
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.first(bloom_col))),
+            lambda _: F.lit(0).cast("long"),
+        ),
+        lambda acc, x: F.zip_with(acc, x, lambda a, b: a.bitwiseOR(b)),
+    )
+    out = blooms.groupBy(*group_cols).agg(
+        merged.alias(bloom_col),
+        (
+            F.min(F.size(F.col(bloom_col)))
+            == F.max(F.size(F.col(bloom_col)))
+        ).alias("_same_bits"),
+    )
+    guarded = F.when(F.col("_same_bits"), F.col(bloom_col)).otherwise(
+        F.raise_error(
+            F.lit(
+                "merge_bloom_tables: mixed n_bits within a group — "
+                "filters only merge over identical geometry"
+            )
+        )
+    )
+    return out.withColumn(bloom_col, guarded).drop("_same_bits")
+
+
+def bloom_might_contain(
+    filters: DataFrame,
+    probes: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    *,
+    n_bits: int = 4096,
+    k: int = 4,
+    hash_fn: str = "md5",
+    bloom_col: str = "bloom",
+    out_col: str = "might_contain",
+) -> DataFrame:
+    """Probe each (group, key) row of ``probes`` against the group's
+    filter: true iff every one of the key's ``k`` bits is set.
+    ``n_bits``/``k``/``hash_fn`` must match the build (geometry is
+    asserted against the filter arrays at runtime).  The filter table
+    is small by construction (one fixed-size array per group) and
+    BROADCASTS — the probe corpus never shuffles.
+
+    Plan shape: the k (word, mask) pairs are computed on the probe
+    side BEFORE the join (pure column arithmetic), so the joined
+    check is k array lookups + bitwise ANDs per row.
+    """
+    if n_bits % 64 != 0 or n_bits <= 0:
+        raise ValueError("n_bits must be a positive multiple of 64")
+    n_words = n_bits // 64
+    pos_cols = _hash_positions(F.col(key_col), k, n_bits, hash_fn)
+    probed = probes.select(
+        "*",
+        *[
+            (p / 64).cast("int").alias(f"_w{i}")
+            for i, p in enumerate(pos_cols)
+        ],
+        *[(F.pmod(p, F.lit(64))).alias(f"_b{i}") for i, p in enumerate(pos_cols)],
+    )
+    for i in range(k):
+        probed = probed.withColumn(
+            f"_m{i}", F.expr(f"shiftleft(CAST(1 AS BIGINT), _b{i})")
+        )
+    geometry_ok = F.size(F.col(bloom_col)) == n_words
+    hit = F.lit(True)
+    for i in range(k):
+        word = F.element_at(F.col(bloom_col), F.col(f"_w{i}") + 1)
+        hit = hit & (word.bitwiseAND(F.col(f"_m{i}")) != 0)
+    guarded = F.when(geometry_ok, hit).otherwise(
+        F.raise_error(
+            F.lit(
+                "bloom_might_contain: filter geometry does not match "
+                "n_bits — probe with the build-time parameters"
+            )
+        )
+    )
+    joined = probed.join(F.broadcast(filters), group_cols)
+    drop = [f"_w{i}" for i in range(k)] + [f"_b{i}" for i in range(k)] + [
+        f"_m{i}" for i in range(k)
+    ]
+    return joined.withColumn(out_col, guarded).drop(bloom_col, *drop)

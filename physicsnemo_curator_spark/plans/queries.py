@@ -301,6 +301,100 @@ ORDER BY l_returnflag, quantile
 """
 
 
+def q_sketch_bloom(
+    spark: SparkSession, sf_dir: str, hash_fn: str = "md5"
+) -> DataFrame:
+    """Mergeable Bloom-filter membership (operators/sketches.py): the
+    crawl-scale "seen before?" primitive — build one fixed-size filter
+    per order priority over its customer keys, probe a customer slice
+    without shuffling it (filters broadcast), and report per group
+    n_probed / n_maybe / n_true / no_false_neg.  The md5 position
+    derivation is fully deterministic, so the DuckDB oracle replays
+    membership EXACTLY (a probe key is 'maybe' iff each of its k bit
+    positions was set by some build key — set containment in SQL);
+    n_true is the exact semi-join answer, so n_maybe - n_true is the
+    measured false-positive count under the design bound.  The benched
+    twin keys positions on xxhash64 (fixed-width, no hex)."""
+    from physicsnemo_curator_spark.operators import sketches
+
+    n_bits, k = 16384, 4
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    build = orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_custkey").alias("key"),
+    )
+    bf = sketches.bloom_filters(
+        build, ["priority"], "key", n_bits=n_bits, k=k, hash_fn=hash_fn
+    )
+    probes = (
+        customer.filter(F.col("c_custkey") < 1000)
+        .select(F.col("c_custkey").alias("key"))
+        .crossJoin(build.select("priority").distinct())
+    )
+    probed = sketches.bloom_might_contain(
+        bf, probes, ["priority"], "key", n_bits=n_bits, k=k, hash_fn=hash_fn
+    )
+    truth = (
+        build.filter(F.col("key") < 1000)
+        .distinct()
+        .withColumn("has_orders", F.lit(True))
+    )
+    return (
+        probed.join(truth, ["priority", "key"], "left")
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).alias("n_probed"),
+            F.sum(F.col("might_contain").cast("int"))
+            .cast("bigint")
+            .alias("n_maybe"),
+            F.sum(F.coalesce(F.col("has_orders"), F.lit(False)).cast("int"))
+            .cast("bigint")
+            .alias("n_true"),
+            F.every(
+                F.col("might_contain")
+                | ~F.coalesce(F.col("has_orders"), F.lit(False))
+            ).alias("no_false_neg"),
+        )
+        .orderBy("priority")
+    )
+
+
+ORACLE_SKETCH_BLOOM = """
+WITH build AS (
+  SELECT DISTINCT o_orderpriority g, CAST(o_custkey AS VARCHAR) kk
+  FROM orders),
+probe AS (
+  SELECT g, CAST(c_custkey AS VARCHAR) kk, c_custkey ck
+  FROM (SELECT DISTINCT g FROM build),
+       (SELECT c_custkey FROM customer WHERE c_custkey < 1000)),
+seeds AS (SELECT unnest(range(0, 4)) i),
+set_bits AS (
+  SELECT DISTINCT g,
+         CAST(CAST(concat('0x', substr(md5(i || ':' || kk), 1, 15)) AS BIGINT)
+              % 16384 AS INT) pos
+  FROM build, seeds),
+probe_bits AS (
+  SELECT g, kk,
+         CAST(CAST(concat('0x', substr(md5(i || ':' || kk), 1, 15)) AS BIGINT)
+              % 16384 AS INT) pos
+  FROM probe, seeds),
+maybe AS (
+  SELECT p.g, p.kk, BOOL_AND(s.pos IS NOT NULL) ok
+  FROM probe_bits p
+  LEFT JOIN set_bits s ON p.g = s.g AND p.pos = s.pos
+  GROUP BY p.g, p.kk),
+truth AS (SELECT g, kk FROM build WHERE CAST(kk AS BIGINT) < 1000)
+SELECT m.g priority,
+       CAST(COUNT(*) AS BIGINT) n_probed,
+       CAST(SUM(CASE WHEN m.ok THEN 1 ELSE 0 END) AS BIGINT) n_maybe,
+       CAST(SUM(CASE WHEN t.kk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) n_true,
+       BOOL_AND(m.ok OR t.kk IS NULL) no_false_neg
+FROM maybe m LEFT JOIN truth t ON m.g = t.g AND m.kk = t.kk
+GROUP BY m.g ORDER BY priority
+"""
+
+
 def q_a11_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k heavy hitters (curation: dominant sources/dup groups);
     the freqItems sketch variant is validated separately in tests."""
@@ -3050,6 +3144,11 @@ QUERIES: dict[str, QuerySpec] = {
     "q_pack_sequences": QuerySpec(q_pack_sequences, ORACLE_PACK_SEQUENCES),
     "q_warc_scan": QuerySpec(q_warc_scan, ORACLE_WARC_SCAN),
     "q_text_span_dedup_xx": QuerySpec(q_text_span_dedup_xx, ORACLE_TEXT_SPAN_DEDUP),
+    "q_sketch_bloom": QuerySpec(
+        q_sketch_bloom,
+        ORACLE_SKETCH_BLOOM,
+        bench=lambda s, d: q_sketch_bloom(s, d, hash_fn="xxhash64"),
+    ),
     "q_s2_intersect": QuerySpec(q_s2_intersect, ORACLE_S2),
     "q_s4_union_all": QuerySpec(q_s4_union_all, ORACLE_S4),
     "q_s5_except": QuerySpec(q_s5_except, ORACLE_S5),

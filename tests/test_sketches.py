@@ -165,3 +165,89 @@ def test_histogram_quantiles_error_bound(spark):
             r["quantile"],
         )
         assert abs(r["estimate"] - float(exact)) <= width + 1e-9
+
+
+def test_bloom_membership_no_false_negatives_and_bounded_fp(spark):
+    """Every built key probes true (no false negatives — the Bloom
+    contract); unseen keys' false-positive rate stays near the
+    (1 - e^(-kn/m))^k design bound; md5 and xxhash64 twins agree on
+    the no-false-negative contract."""
+    from pyspark.sql import functions as F
+
+    from physicsnemo_curator_spark.operators import sketches
+
+    build = spark.createDataFrame(
+        [(g, f"key-{g}-{i}") for g in ("a", "b") for i in range(200)],
+        "grp string, key string",
+    )
+    fresh = spark.createDataFrame(
+        [(g, f"unseen-{g}-{i}") for g in ("a", "b") for i in range(500)],
+        "grp string, key string",
+    )
+    for hash_fn in ("md5", "xxhash64"):
+        bf = sketches.bloom_filters(
+            build, ["grp"], "key", n_bits=4096, k=4, hash_fn=hash_fn
+        )
+        hits = sketches.bloom_might_contain(
+            bf, build, ["grp"], "key", n_bits=4096, k=4, hash_fn=hash_fn
+        )
+        assert hits.filter(~F.col("might_contain")).count() == 0
+        fp = sketches.bloom_might_contain(
+            bf, fresh, ["grp"], "key", n_bits=4096, k=4, hash_fn=hash_fn
+        )
+        n_fp = fp.filter(F.col("might_contain")).count()
+        # design rate at n=200, m=4096, k=4 is ~0.24%; allow 10x slack
+        assert n_fp <= 0.025 * 1000, f"{hash_fn}: {n_fp} false positives"
+
+
+def test_bloom_merge_equals_whole_and_geometry_guards(spark):
+    """ORing per-batch filters equals building over the union (the
+    mergeability the raw key sets lack at scale); mixed geometries
+    fail loudly at merge and at probe."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from physicsnemo_curator_spark.operators import sketches
+
+    rows = [("g", f"k{i}") for i in range(300)]
+    df = spark.createDataFrame(rows, "grp string, key string")
+    b1 = sketches.bloom_filters(
+        df.filter(F.col("key") < "k2"), ["grp"], "key", n_bits=1024
+    )
+    b2 = sketches.bloom_filters(
+        df.filter(F.col("key") >= "k2"), ["grp"], "key", n_bits=1024
+    )
+    merged = sketches.merge_bloom_tables(b1.unionByName(b2), ["grp"])
+    whole = sketches.bloom_filters(df, ["grp"], "key", n_bits=1024)
+    assert merged.collect()[0]["bloom"] == whole.collect()[0]["bloom"]
+
+    other = sketches.bloom_filters(df, ["grp"], "key", n_bits=2048)
+    with pytest.raises(Exception, match="mixed n_bits"):
+        sketches.merge_bloom_tables(
+            b1.unionByName(other), ["grp"]
+        ).collect()
+    with pytest.raises(Exception, match="geometry"):
+        sketches.bloom_might_contain(
+            other, df, ["grp"], "key", n_bits=1024
+        ).collect()
+
+
+def test_bloom_probe_plan_broadcasts_and_validation(spark):
+    """The probe side never shuffles: the filter table broadcasts.
+    Parameter validation fails fast."""
+    import pytest
+
+    from physicsnemo_curator_spark.operators import sketches
+
+    df = spark.createDataFrame(
+        [("g", f"k{i}") for i in range(50)], "grp string, key string"
+    )
+    bf = sketches.bloom_filters(df, ["grp"], "key", n_bits=512)
+    probed = sketches.bloom_might_contain(bf, df, ["grp"], "key", n_bits=512)
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+    with pytest.raises(ValueError, match="multiple of 64"):
+        sketches.bloom_filters(df, ["grp"], "key", n_bits=100)
+    with pytest.raises(ValueError, match="k must be"):
+        sketches.bloom_filters(df, ["grp"], "key", n_bits=64, k=0)

@@ -30,6 +30,9 @@ __all__ = [
     "bloom_filters",
     "merge_bloom_tables",
     "bloom_might_contain",
+    "cms_sketches",
+    "merge_cms_tables",
+    "cms_estimate",
 ]
 
 
@@ -481,3 +484,143 @@ def bloom_might_contain(
         f"_m{i}" for i in range(k)
     ]
     return joined.withColumn(out_col, guarded).drop(bloom_col, *drop)
+
+
+# --- Mergeable count-min sketches: approximate counts, bounded memory ------
+
+
+def cms_sketches(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    *,
+    depth: int = 4,
+    width: int = 1024,
+    hash_fn: str = "md5",
+    cms_col: str = "cms",
+) -> DataFrame:
+    """One count-min sketch of ``key_col``'s occurrence counts per
+    group, as a dense ``array<bigint>`` of ``depth*width`` counters
+    (row-major).
+
+    The bounded-memory frequency primitive: per-key counts over a
+    100 TB stream need O(distinct keys) state exactly, but only
+    ``depth*width`` counters approximately — estimates never
+    UNDER-count (est >= true), over-count by at most ~2n/width with
+    probability 1 - 2^-depth, and sketches merge by elementwise
+    ADDITION across batches/days (:func:`merge_cms_tables`) — the
+    property exact per-key counts lack once the key space outgrows
+    memory.  Row ``r`` hashes the key with seed ``r`` into one of
+    ``width`` columns; same hash derivations as :func:`bloom_filters`
+    (md5 = oracle-replayable, xxhash64 = production).
+    """
+    if depth < 1 or width < 1:
+        raise ValueError("depth and width must be >= 1")
+    n_counters = depth * width
+    pos_cols = _hash_positions(F.col(key_col), depth, width, hash_fn)
+    idx = F.explode(
+        F.array(
+            *[
+                (F.lit(r * width) + p).cast("int")
+                for r, p in enumerate(pos_cols)
+            ]
+        )
+    ).alias("_idx")
+    per_idx = (
+        df.select(*group_cols, idx)
+        .groupBy(*group_cols, "_idx")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(n_counters - 1)),
+        lambda i: F.coalesce(
+            F.element_at(
+                F.map_from_entries(F.collect_list(F.struct("_idx", "_c"))),
+                i,
+            ),
+            F.lit(0),
+        ).cast("long"),
+    )
+    return per_idx.groupBy(*group_cols).agg(dense.alias(cms_col))
+
+
+def merge_cms_tables(
+    sketches: DataFrame,
+    group_cols: list[str],
+    *,
+    cms_col: str = "cms",
+) -> DataFrame:
+    """Elementwise-ADD count-min sketches per group across batches —
+    exact count additivity carries through the sketch, so merged
+    estimates equal estimates over the union.  Mixed geometries
+    (different array lengths) fail loudly."""
+    merged = F.aggregate(
+        F.collect_list(cms_col),
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.first(cms_col))),
+            lambda _: F.lit(0).cast("long"),
+        ),
+        lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+    )
+    out = sketches.groupBy(*group_cols).agg(
+        merged.alias(cms_col),
+        (
+            F.min(F.size(F.col(cms_col))) == F.max(F.size(F.col(cms_col)))
+        ).alias("_same_geo"),
+    )
+    guarded = F.when(F.col("_same_geo"), F.col(cms_col)).otherwise(
+        F.raise_error(
+            F.lit(
+                "merge_cms_tables: mixed depth*width within a group — "
+                "sketches only merge over identical geometry"
+            )
+        )
+    )
+    return out.withColumn(cms_col, guarded).drop("_same_geo")
+
+
+def cms_estimate(
+    sketches: DataFrame,
+    probes: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    *,
+    depth: int = 4,
+    width: int = 1024,
+    hash_fn: str = "md5",
+    cms_col: str = "cms",
+    out_col: str = "est_count",
+) -> DataFrame:
+    """Estimated occurrence count for each (group, key) probe row:
+    min over the ``depth`` rows of the key's counter — never below the
+    true count.  Geometry must match the build (asserted at runtime);
+    the sketch table broadcasts, the probe side never shuffles."""
+    if depth < 1 or width < 1:
+        raise ValueError("depth and width must be >= 1")
+    n_counters = depth * width
+    pos_cols = _hash_positions(F.col(key_col), depth, width, hash_fn)
+    probed = probes.select(
+        "*",
+        *[
+            (F.lit(r * width) + p).cast("int").alias(f"_i{r}")
+            for r, p in enumerate(pos_cols)
+        ],
+    )
+    joined = probed.join(F.broadcast(sketches), group_cols)
+    counters = [
+        F.element_at(F.col(cms_col), F.col(f"_i{r}") + 1)
+        for r in range(depth)
+    ]
+    est = F.least(*counters) if depth > 1 else counters[0]
+    geometry_ok = F.size(F.col(cms_col)) == n_counters
+    guarded = F.when(geometry_ok, est).otherwise(
+        F.raise_error(
+            F.lit(
+                "cms_estimate: sketch geometry does not match "
+                "depth*width — probe with the build-time parameters"
+            )
+        )
+    )
+    return joined.withColumn(out_col, guarded).drop(
+        cms_col, *[f"_i{r}" for r in range(depth)]
+    )

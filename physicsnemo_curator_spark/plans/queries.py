@@ -395,6 +395,81 @@ GROUP BY m.g ORDER BY priority
 """
 
 
+def q_sketch_cms(
+    spark: SparkSession, sf_dir: str, hash_fn: str = "md5"
+) -> DataFrame:
+    """Mergeable count-min frequency sketches (operators/sketches.py):
+    bounded-memory per-key counts — build one depth×width counter grid
+    per returnflag over supplier keys, probe a key slice against the
+    broadcast sketches, and report estimate vs exact count with the
+    never-undercount contract as a verified column.  The md5 position
+    derivation is deterministic, so the DuckDB oracle replays every
+    counter (sum per (group, row, column)) and every min-over-rows
+    estimate EXACTLY; true_count is the exact aggregate, so the
+    overestimate error is measured.  The benched twin hashes with
+    xxhash64."""
+    from physicsnemo_curator_spark.operators import sketches
+
+    depth, width = 4, 1024
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"), F.col("l_suppkey").alias("key")
+    )
+    cms = sketches.cms_sketches(
+        li, ["flag"], "key", depth=depth, width=width, hash_fn=hash_fn
+    )
+    probes = li.filter(F.col("key") < 40).distinct()
+    est = sketches.cms_estimate(
+        cms, probes, ["flag"], "key", depth=depth, width=width, hash_fn=hash_fn
+    )
+    truth = (
+        li.filter(F.col("key") < 40)
+        .groupBy("flag", "key")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+    )
+    return (
+        est.join(truth, ["flag", "key"])
+        .select(
+            "flag",
+            "key",
+            F.col("est_count").cast("bigint").alias("est_count"),
+            F.col("true_count").cast("bigint").alias("true_count"),
+            (F.col("est_count") >= F.col("true_count")).alias("no_undercount"),
+        )
+        .orderBy("flag", "key")
+    )
+
+
+ORACLE_SKETCH_CMS = """
+WITH li AS (
+  SELECT l_returnflag g, CAST(l_suppkey AS VARCHAR) kk, l_suppkey sk
+  FROM lineitem),
+seeds AS (SELECT unnest(range(0, 4)) r),
+build AS (
+  SELECT g, r,
+         CAST(CAST(concat('0x', substr(md5(r || ':' || kk), 1, 15)) AS BIGINT)
+              % 1024 AS INT) col,
+         COUNT(*) c
+  FROM li, seeds GROUP BY 1, 2, 3),
+probe AS (SELECT DISTINCT g, kk, sk FROM li WHERE sk < 40),
+pb AS (
+  SELECT g, kk, sk, r,
+         CAST(CAST(concat('0x', substr(md5(r || ':' || kk), 1, 15)) AS BIGINT)
+              % 1024 AS INT) col
+  FROM probe, seeds),
+est AS (
+  SELECT p.g, p.sk, MIN(COALESCE(b.c, 0)) e
+  FROM pb p LEFT JOIN build b ON p.g = b.g AND p.r = b.r AND p.col = b.col
+  GROUP BY p.g, p.sk),
+truth AS (SELECT g, sk, COUNT(*) cnt FROM li WHERE sk < 40 GROUP BY 1, 2)
+SELECT e.g flag, e.sk "key",
+       CAST(e.e AS BIGINT) est_count,
+       CAST(t.cnt AS BIGINT) true_count,
+       e.e >= t.cnt no_undercount
+FROM est e JOIN truth t ON e.g = t.g AND e.sk = t.sk
+ORDER BY flag, "key"
+"""
+
+
 def q_a11_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k heavy hitters (curation: dominant sources/dup groups);
     the freqItems sketch variant is validated separately in tests."""
@@ -3148,6 +3223,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_sketch_bloom,
         ORACLE_SKETCH_BLOOM,
         bench=lambda s, d: q_sketch_bloom(s, d, hash_fn="xxhash64"),
+    ),
+    "q_sketch_cms": QuerySpec(
+        q_sketch_cms,
+        ORACLE_SKETCH_CMS,
+        bench=lambda s, d: q_sketch_cms(s, d, hash_fn="xxhash64"),
     ),
     "q_s2_intersect": QuerySpec(q_s2_intersect, ORACLE_S2),
     "q_s4_union_all": QuerySpec(q_s4_union_all, ORACLE_S4),

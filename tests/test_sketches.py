@@ -251,3 +251,78 @@ def test_bloom_probe_plan_broadcasts_and_validation(spark):
         sketches.bloom_filters(df, ["grp"], "key", n_bits=100)
     with pytest.raises(ValueError, match="k must be"):
         sketches.bloom_filters(df, ["grp"], "key", n_bits=64, k=0)
+
+
+def test_cms_never_undercounts_and_is_mostly_exact(spark):
+    """est >= true for every key (the CMS contract), and with width
+    far above distinct-key count the estimates are exact; md5 and
+    xxhash64 twins both honor the bound."""
+    from pyspark.sql import functions as F
+
+    from physicsnemo_curator_spark.operators import sketches
+    from physicsnemo_curator_spark.sources.tables import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem").select(
+        F.col("l_returnflag").alias("grp"), F.col("l_suppkey").alias("key")
+    )
+    exact = {
+        (r.grp, r.key): r.cnt
+        for r in li.groupBy("grp", "key").agg(F.count("*").alias("cnt")).collect()
+    }
+    probes = li.select("grp", "key").distinct()
+    for hash_fn in ("md5", "xxhash64"):
+        cms = sketches.cms_sketches(
+            li, ["grp"], "key", depth=4, width=1024, hash_fn=hash_fn
+        )
+        est = sketches.cms_estimate(
+            cms, probes, ["grp"], "key", depth=4, width=1024, hash_fn=hash_fn
+        )
+        n_exact = 0
+        rows = est.collect()
+        for r in rows:
+            true = exact[(r.grp, r.key)]
+            assert r.est_count >= true, (hash_fn, r.grp, r.key)
+            n_exact += r.est_count == true
+        # ~100 distinct suppkeys in 1024 columns: collisions are rare
+        assert n_exact >= 0.9 * len(rows)
+    # an absent key with no collisions estimates 0 (never negative)
+    ghost = spark.createDataFrame([("A", 999_999)], "grp string, key long")
+    g = sketches.cms_estimate(
+        sketches.cms_sketches(li, ["grp"], "key", depth=4, width=1024),
+        ghost, ["grp"], "key", depth=4, width=1024,
+    ).collect()[0]
+    assert g.est_count >= 0
+
+
+def test_cms_merge_equals_whole_and_geometry_guard(spark):
+    """Per-batch sketch addition equals sketching the union (count
+    additivity survives the sketch); mixed geometries fail loudly at
+    merge and probe."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from physicsnemo_curator_spark.operators import sketches
+    from physicsnemo_curator_spark.sources.tables import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem").select(
+        F.col("l_returnflag").alias("grp"), F.col("l_suppkey").alias("key")
+    )
+    parts = [li.filter(F.col("key") % 2 == i) for i in range(2)]
+    mk = lambda b: sketches.cms_sketches(b, ["grp"], "key", depth=3, width=256)
+    merged = sketches.merge_cms_tables(
+        mk(parts[0]).unionByName(mk(parts[1])), ["grp"]
+    )
+    whole = mk(li)
+    a = {r.grp: r.cms for r in merged.collect()}
+    b = {r.grp: r.cms for r in whole.collect()}
+    assert a == b
+
+    other = sketches.cms_sketches(li, ["grp"], "key", depth=3, width=512)
+    with pytest.raises(Exception, match="mixed depth"):
+        sketches.merge_cms_tables(
+            mk(parts[0]).unionByName(other), ["grp"]
+        ).collect()
+    with pytest.raises(Exception, match="geometry"):
+        sketches.cms_estimate(
+            other, li.limit(5), ["grp"], "key", depth=3, width=256
+        ).collect()

@@ -33,6 +33,8 @@ __all__ = [
     "cms_sketches",
     "merge_cms_tables",
     "cms_estimate",
+    "append_bloom_store",
+    "probe_bloom_store",
 ]
 
 
@@ -623,4 +625,63 @@ def cms_estimate(
     )
     return joined.withColumn(out_col, guarded).drop(
         cms_col, *[f"_i{r}" for r in range(depth)]
+    )
+
+
+def append_bloom_store(
+    df: DataFrame,
+    store: str,
+    group_cols: list[str],
+    key_col: str,
+    *,
+    batch_id: str,
+    n_bits: int = 4096,
+    k: int = 4,
+    hash_fn: str = "xxhash64",
+) -> None:
+    """Filter this batch's keys and append to the store partitioned by
+    ``batch_id`` — idempotent re-runs overwrite only their own batch
+    partition, same discipline as :func:`append_sketch_store`.  The
+    incremental crawl-dedup workflow: each ingest batch persists one
+    fixed-size filter per group; "is this URL new?" later needs only
+    the merged filters, never the historical key sets."""
+    bf = bloom_filters(
+        df, group_cols, key_col, n_bits=n_bits, k=k, hash_fn=hash_fn
+    ).withColumn("batch_id", F.lit(batch_id))
+    bf.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("batch_id").parquet(store)
+
+
+def probe_bloom_store(
+    spark: SparkSession,
+    store: str,
+    probes: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    *,
+    n_bits: int = 4096,
+    k: int = 4,
+    hash_fn: str = "xxhash64",
+    batches: list[str] | None = None,
+    out_col: str = "might_contain",
+) -> DataFrame:
+    """Probe keys against the union of all (or selected) persisted
+    batch filters: ``might_contain`` false means DEFINITELY new —
+    the safe direction for dedup (a false positive only re-checks a
+    key exactly, never drops a new one silently).  Batch pruning keeps
+    a subset read proportional to the subset."""
+    bf = spark.read.parquet(store)
+    if batches is not None:
+        bf = bf.filter(F.col("batch_id").isin(batches))
+    merged = merge_bloom_tables(bf.drop("batch_id"), group_cols)
+    return bloom_might_contain(
+        merged,
+        probes,
+        group_cols,
+        key_col,
+        n_bits=n_bits,
+        k=k,
+        hash_fn=hash_fn,
+        out_col=out_col,
     )

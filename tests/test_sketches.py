@@ -326,3 +326,51 @@ def test_cms_merge_equals_whole_and_geometry_guard(spark):
         sketches.cms_estimate(
             other, li.limit(5), ["grp"], "key", depth=3, width=256
         ).collect()
+
+
+def test_bloom_store_incremental_new_vs_seen(spark, tmp_path):
+    """The incremental crawl-dedup workflow: per-batch persisted
+    filters, merged probe answers 'seen before?' with no false
+    negatives; batch pruning and idempotent batch rewrite both hold
+    (same store discipline as the HLL sketch store)."""
+    from pyspark.sql import functions as F
+
+    from physicsnemo_curator_spark.operators import sketches
+
+    store = str(tmp_path / "bloom_store")
+    mk = lambda lo, hi: spark.createDataFrame(
+        [("h", f"url-{i}") for i in range(lo, hi)], "grp string, url string"
+    )
+    sketches.append_bloom_store(
+        mk(0, 300), store, ["grp"], "url", batch_id="d1", n_bits=8192
+    )
+    sketches.append_bloom_store(
+        mk(300, 600), store, ["grp"], "url", batch_id="d2", n_bits=8192
+    )
+
+    probes = mk(250, 900)  # 350 seen, 300 new
+    out = sketches.probe_bloom_store(
+        spark, store, probes, ["grp"], "url", n_bits=8192
+    )
+    seen = {r.url for r in out.filter(F.col("might_contain")).collect()}
+    # no false negatives: every previously ingested url flags seen
+    assert {f"url-{i}" for i in range(250, 600)} <= seen
+    # new urls mostly pass (bounded false positives)
+    n_new_flagged = len(seen - {f"url-{i}" for i in range(250, 600)})
+    assert n_new_flagged <= 0.03 * 300
+
+    # batch pruning: probing only d1 must not know d2's keys
+    d1_only = sketches.probe_bloom_store(
+        spark, store, mk(300, 320), ["grp"], "url", n_bits=8192,
+        batches=["d1"],
+    )
+    assert d1_only.filter(F.col("might_contain")).count() <= 2
+
+    # idempotent rewrite: re-running d2 with different keys replaces it
+    sketches.append_bloom_store(
+        mk(1000, 1100), store, ["grp"], "url", batch_id="d2", n_bits=8192
+    )
+    out2 = sketches.probe_bloom_store(
+        spark, store, mk(300, 320), ["grp"], "url", n_bits=8192
+    )
+    assert out2.filter(F.col("might_contain")).count() <= 2

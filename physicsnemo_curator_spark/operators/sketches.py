@@ -311,8 +311,23 @@ def _hash_positions(key, k: int, n_positions: int, hash_fn: str) -> list:
     auditor replays bit-for-bit (the same convention as the minhash /
     simhash oracle twins, ``operators/dedup.py``).  ``'xxhash64'`` is
     the production twin: one 64-bit JVM hash per (seed, key), no hex
-    materialization — same collision math, fixed-width hot path."""
-    key_s = key.cast("string")
+    materialization — same collision math, fixed-width hot path.
+
+    NULL keys raise with an actionable message: unguarded, a NULL
+    position would either abort the build deep inside map_from_entries
+    with a cryptic [NULL_MAP_KEY], or probe to a NULL membership that
+    both filter(x) and filter(~x) drop — the key silently neither
+    'seen' nor 'new'."""
+    key_s = F.when(
+        key.isNull(),
+        F.raise_error(
+            F.lit(
+                "sketch key is NULL — filter or impute NULL keys "
+                "before building/probing (a NULL key has no hash "
+                "positions)"
+            )
+        ),
+    ).otherwise(key.cast("string"))
     out = []
     for i in range(k):
         if hash_fn == "xxhash64":
@@ -448,6 +463,12 @@ def bloom_might_contain(
     is small by construction (one fixed-size array per group) and
     BROADCASTS — the probe corpus never shuffles.
 
+    A probe group with NO filter answers ``false`` for every key
+    (LEFT join, not inner): an empty filter contains nothing, and the
+    dedup contract 'false means definitely new' must hold for
+    never-before-seen groups too — an inner join would silently drop
+    those rows from the output entirely.
+
     Plan shape: the k (word, mask) pairs are computed on the probe
     side BEFORE the join (pure column arithmetic), so the joined
     check is k array lookups + bitwise ANDs per row.
@@ -473,15 +494,19 @@ def bloom_might_contain(
     for i in range(k):
         word = F.element_at(F.col(bloom_col), F.col(f"_w{i}") + 1)
         hit = hit & (word.bitwiseAND(F.col(f"_m{i}")) != 0)
-    guarded = F.when(geometry_ok, hit).otherwise(
-        F.raise_error(
-            F.lit(
-                "bloom_might_contain: filter geometry does not match "
-                "n_bits — probe with the build-time parameters"
+    guarded = (
+        F.when(F.col(bloom_col).isNull(), F.lit(False))
+        .when(geometry_ok, hit)
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "bloom_might_contain: filter geometry does not match "
+                    "n_bits — probe with the build-time parameters"
+                )
             )
         )
     )
-    joined = probed.join(F.broadcast(filters), group_cols)
+    joined = probed.join(F.broadcast(filters), group_cols, "left")
     drop = [f"_w{i}" for i in range(k)] + [f"_b{i}" for i in range(k)] + [
         f"_m{i}" for i in range(k)
     ]
@@ -596,7 +621,11 @@ def cms_estimate(
     """Estimated occurrence count for each (group, key) probe row:
     min over the ``depth`` rows of the key's counter — never below the
     true count.  Geometry must match the build (asserted at runtime);
-    the sketch table broadcasts, the probe side never shuffles."""
+    the sketch table broadcasts, the probe side never shuffles.
+
+    A probe group with NO sketch estimates 0 for every key (LEFT
+    join): the count over an empty build set is exactly zero, and an
+    inner join would silently drop the rows instead of answering."""
     if depth < 1 or width < 1:
         raise ValueError("depth and width must be >= 1")
     n_counters = depth * width
@@ -608,18 +637,22 @@ def cms_estimate(
             for r, p in enumerate(pos_cols)
         ],
     )
-    joined = probed.join(F.broadcast(sketches), group_cols)
+    joined = probed.join(F.broadcast(sketches), group_cols, "left")
     counters = [
         F.element_at(F.col(cms_col), F.col(f"_i{r}") + 1)
         for r in range(depth)
     ]
     est = F.least(*counters) if depth > 1 else counters[0]
     geometry_ok = F.size(F.col(cms_col)) == n_counters
-    guarded = F.when(geometry_ok, est).otherwise(
-        F.raise_error(
-            F.lit(
-                "cms_estimate: sketch geometry does not match "
-                "depth*width — probe with the build-time parameters"
+    guarded = (
+        F.when(F.col(cms_col).isNull(), F.lit(0).cast("long"))
+        .when(geometry_ok, est)
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "cms_estimate: sketch geometry does not match "
+                    "depth*width — probe with the build-time parameters"
+                )
             )
         )
     )
@@ -644,10 +677,23 @@ def append_bloom_store(
     partition, same discipline as :func:`append_sketch_store`.  The
     incremental crawl-dedup workflow: each ingest batch persists one
     fixed-size filter per group; "is this URL new?" later needs only
-    the merged filters, never the historical key sets."""
-    bf = bloom_filters(
-        df, group_cols, key_col, n_bits=n_bits, k=k, hash_fn=hash_fn
-    ).withColumn("batch_id", F.lit(batch_id))
+    the merged filters, never the historical key sets.
+
+    The build parameters (n_bits, k, hash_fn) are PERSISTED alongside
+    each batch: a probe with mismatched k or hash_fn would pass a
+    size-only geometry check yet return silent FALSE NEGATIVES — the
+    one failure the Bloom contract promises away — so the store is
+    self-describing and :func:`probe_bloom_store` reads/validates the
+    parameters instead of trusting the caller to re-supply them."""
+    bf = (
+        bloom_filters(
+            df, group_cols, key_col, n_bits=n_bits, k=k, hash_fn=hash_fn
+        )
+        .withColumn("batch_id", F.lit(batch_id))
+        .withColumn("n_bits", F.lit(n_bits))
+        .withColumn("k", F.lit(k))
+        .withColumn("hash_fn", F.lit(hash_fn))
+    )
     bf.write.mode("overwrite").option(
         "partitionOverwriteMode", "dynamic"
     ).partitionBy("batch_id").parquet(store)
@@ -660,9 +706,9 @@ def probe_bloom_store(
     group_cols: list[str],
     key_col: str,
     *,
-    n_bits: int = 4096,
-    k: int = 4,
-    hash_fn: str = "xxhash64",
+    n_bits: int | None = None,
+    k: int | None = None,
+    hash_fn: str | None = None,
     batches: list[str] | None = None,
     out_col: str = "might_contain",
 ) -> DataFrame:
@@ -670,18 +716,48 @@ def probe_bloom_store(
     batch filters: ``might_contain`` false means DEFINITELY new —
     the safe direction for dedup (a false positive only re-checks a
     key exactly, never drops a new one silently).  Batch pruning keeps
-    a subset read proportional to the subset."""
+    a subset read proportional to the subset; a group never seen in
+    any selected batch answers false for every key.
+
+    Build parameters default to the store's own persisted metadata
+    (the safe path); passing them explicitly validates against the
+    store and raises on mismatch — probing with a different k or
+    hash_fn would silently produce false negatives, so there is no
+    trust-the-caller mode.  A store mixing parameter sets across
+    batches also raises (filters with different derivations cannot be
+    merged meaningfully)."""
     bf = spark.read.parquet(store)
     if batches is not None:
         bf = bf.filter(F.col("batch_id").isin(batches))
-    merged = merge_bloom_tables(bf.drop("batch_id"), group_cols)
+    params = bf.select("n_bits", "k", "hash_fn").distinct().collect()
+    if len(params) != 1:
+        raise ValueError(
+            "bloom store mixes build parameters across batches: "
+            f"{sorted((r.n_bits, r.k, r.hash_fn) for r in params)} — "
+            "rebuild with one parameter set before probing"
+        )
+    s_bits, s_k, s_hash = params[0].n_bits, params[0].k, params[0].hash_fn
+    for name, given, stored in (
+        ("n_bits", n_bits, s_bits),
+        ("k", k, s_k),
+        ("hash_fn", hash_fn, s_hash),
+    ):
+        if given is not None and given != stored:
+            raise ValueError(
+                f"probe {name}={given!r} does not match the store's "
+                f"build-time {name}={stored!r} — probing with mismatched "
+                "parameters yields silent false negatives"
+            )
+    merged = merge_bloom_tables(
+        bf.drop("batch_id", "n_bits", "k", "hash_fn"), group_cols
+    )
     return bloom_might_contain(
         merged,
         probes,
         group_cols,
         key_col,
-        n_bits=n_bits,
-        k=k,
-        hash_fn=hash_fn,
+        n_bits=s_bits,
+        k=s_k,
+        hash_fn=s_hash,
         out_col=out_col,
     )

@@ -89,8 +89,6 @@ def test_bucket_col_override_and_null_bucket_raises(spark):
     """Caller-supplied bucketing is honored verbatim; a NULL bucket
     (NULL values or a failed cast) fails loudly instead of packing
     everything into one phantom NULL group."""
-    import math
-
     from pyspark.sql import functions as F
 
     df = spark.createDataFrame(

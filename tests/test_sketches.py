@@ -374,3 +374,101 @@ def test_bloom_store_incremental_new_vs_seen(spark, tmp_path):
         spark, store, mk(300, 320), ["grp"], "url", n_bits=8192
     )
     assert out2.filter(F.col("might_contain")).count() <= 2
+
+
+def test_unknown_group_probes_false_and_zero_not_dropped(spark):
+    """A probe group absent from the build answers might_contain=false
+    (definitely new) / est_count=0 — NOT a silently dropped row; an
+    inner join here would exclude whole never-before-seen groups from
+    a dedup pipeline's output."""
+    from physicsnemo_curator_spark.operators import sketches
+
+    build = spark.createDataFrame(
+        [("g1", f"k{i}") for i in range(50)], "grp string, key string"
+    )
+    probes = spark.createDataFrame(
+        [("g1", "k1"), ("g2", "k1"), ("g2", "brand-new")],
+        "grp string, key string",
+    )
+    bf = sketches.bloom_filters(build, ["grp"], "key", n_bits=1024)
+    out = {
+        (r.grp, r.key): r.might_contain
+        for r in sketches.bloom_might_contain(
+            bf, probes, ["grp"], "key", n_bits=1024
+        ).collect()
+    }
+    assert len(out) == 3
+    assert out[("g1", "k1")] is True
+    assert out[("g2", "k1")] is False
+    assert out[("g2", "brand-new")] is False
+
+    cms = sketches.cms_sketches(build, ["grp"], "key", depth=3, width=256)
+    est = {
+        (r.grp, r.key): r.est_count
+        for r in sketches.cms_estimate(
+            cms, probes, ["grp"], "key", depth=3, width=256
+        ).collect()
+    }
+    assert len(est) == 3
+    assert est[("g1", "k1")] >= 1
+    assert est[("g2", "k1")] == 0 and est[("g2", "brand-new")] == 0
+
+
+def test_null_sketch_keys_raise_loudly(spark):
+    """A NULL key raises an actionable error at build AND probe time
+    — unguarded it aborted deep in map_from_entries with NULL_MAP_KEY
+    (build) or produced a NULL membership that both filter(x) and
+    filter(~x) drop (probe)."""
+    import pytest
+
+    from physicsnemo_curator_spark.operators import sketches
+
+    with_null = spark.createDataFrame(
+        [("g", "a"), ("g", None)], "grp string, key string"
+    )
+    clean = spark.createDataFrame([("g", "a")], "grp string, key string")
+    with pytest.raises(Exception, match="key is NULL"):
+        sketches.bloom_filters(with_null, ["grp"], "key", n_bits=256).collect()
+    with pytest.raises(Exception, match="key is NULL"):
+        sketches.cms_sketches(with_null, ["grp"], "key", width=64).collect()
+    bf = sketches.bloom_filters(clean, ["grp"], "key", n_bits=256)
+    with pytest.raises(Exception, match="key is NULL"):
+        sketches.bloom_might_contain(
+            bf, with_null, ["grp"], "key", n_bits=256
+        ).collect()
+
+
+def test_bloom_store_self_describing_params(spark, tmp_path):
+    """The store persists n_bits/k/hash_fn; probing uses them by
+    default, validates explicit mismatches loudly (a k or hash_fn
+    mismatch would silently produce false negatives), and refuses a
+    store mixing parameter sets."""
+    import pytest
+
+    from physicsnemo_curator_spark.operators import sketches
+
+    df = spark.createDataFrame(
+        [("g", f"k{i}") for i in range(100)], "grp string, url string"
+    )
+    store = str(tmp_path / "store")
+    sketches.append_bloom_store(
+        df, store, ["grp"], "url", batch_id="d1", n_bits=2048, k=5,
+        hash_fn="md5",
+    )
+    # defaults come from the store — no false negatives
+    out = sketches.probe_bloom_store(spark, store, df, ["grp"], "url")
+    assert out.filter("NOT might_contain").count() == 0
+    # explicit mismatches raise
+    with pytest.raises(ValueError, match="does not match the store"):
+        sketches.probe_bloom_store(
+            spark, store, df, ["grp"], "url", hash_fn="xxhash64"
+        )
+    with pytest.raises(ValueError, match="does not match the store"):
+        sketches.probe_bloom_store(spark, store, df, ["grp"], "url", k=4)
+    # mixed parameter sets across batches refuse to merge
+    sketches.append_bloom_store(
+        df, store, ["grp"], "url", batch_id="d2", n_bits=2048, k=3,
+        hash_fn="md5",
+    )
+    with pytest.raises(ValueError, match="mixes build parameters"):
+        sketches.probe_bloom_store(spark, store, df, ["grp"], "url")

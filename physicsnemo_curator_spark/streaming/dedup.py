@@ -39,3 +39,122 @@ def dedup_stream(
             list(keys)
         )
     return events.dropDuplicates(list(keys))
+
+
+def run_streaming_bloom_dedup(
+    spark,
+    source_dir: str,
+    schema,
+    out_dir: str,
+    store: str,
+    checkpoint_dir: str,
+    *,
+    key_col: str,
+    group_col: str | None = None,
+    n_bits: int = 65536,
+    k: int = 4,
+    hash_fn: str = "xxhash64",
+    max_files_per_trigger: int = 1,
+) -> None:
+    """ALL-TIME streaming dedup with BOUNDED state: the Bloom-store
+    composition (:mod:`operators.sketches`) run from foreachBatch.
+
+    :func:`dedup_stream` bounds state by evicting keys past the
+    watermark — correct for time-local duplicates, blind to a URL
+    recrawled a month later.  This pipeline keeps ALL-time membership
+    in ``n_bits`` per group (fixed, forever) instead of the unbounded
+    key set: each micro-batch (1) probes its keys against the union of
+    every EARLIER batch's persisted filter, (2) appends only
+    definitely-new rows (``might_contain`` false) to ``out_dir``, and
+    (3) persists its own filter under ``batch_id=e{epoch}``.
+
+    Approximation contract: no duplicate key is ever re-emitted (Bloom
+    has no false negatives); a bounded fraction of genuinely-new keys
+    (the false-positive rate, ~(1 - e^(-kn/m))^k) is wrongly dropped —
+    size ``n_bits`` to the loss budget.  For exactness, route
+    ``might_contain`` true rows to an exact re-check against the
+    emitted table instead of dropping them.
+
+    Crash/retry safety: a replayed epoch overwrites its OWN filter
+    partition (dynamic partition overwrite) and is probed only against
+    batches with ids OTHER than its own — so a batch never sees the
+    filter its failed previous attempt persisted (which would flag
+    every one of its keys as duplicates and drop the whole batch).
+    Output rows carry ``_epoch``; a retried batch double-appends
+    identical rows, and the reader's ``dropDuplicates`` resolver is
+    idempotent to that (same discipline as the running-stats table).
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from physicsnemo_curator_spark.operators.sketches import (
+        append_bloom_store,
+        probe_bloom_store,
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(source_dir)
+    )
+
+    def _sink(batch_df, epoch_id: int) -> None:
+        sess = batch_df.sparkSession
+        grp = group_col or "_g"
+        batch = (
+            batch_df
+            if group_col is not None
+            else batch_df.withColumn("_g", F.lit("all"))
+        )
+        # within-batch exact dedup first: the filter only covers
+        # EARLIER batches
+        batch = batch.dropDuplicates([grp, key_col])
+        my_id = f"e{epoch_id}"
+        earlier = [
+            d.split("=", 1)[1]
+            for d in (os.listdir(store) if os.path.isdir(store) else [])
+            if d.startswith("batch_id=") and d.split("=", 1)[1] != my_id
+        ]
+        if earlier:
+            probed = probe_bloom_store(
+                sess, store, batch, [grp], key_col, batches=earlier
+            )
+            new_rows = probed.filter(~F.col("might_contain")).drop(
+                "might_contain"
+            )
+        else:
+            new_rows = batch
+        new_rows = new_rows.withColumn("_epoch", F.lit(int(epoch_id)))
+        if group_col is None:
+            new_rows = new_rows.drop("_g")
+        new_rows.write.mode("append").parquet(out_dir)
+        append_bloom_store(
+            batch,
+            store,
+            [grp],
+            key_col,
+            batch_id=my_id,
+            n_bits=n_bits,
+            k=k,
+            hash_fn=hash_fn,
+        )
+
+    q = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(_sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def read_bloom_deduped(spark, out_dir: str, *, key_cols: Sequence[str]):
+    """Resolver for the streaming-bloom output table: identical rows
+    double-appended by a crash-retried epoch collapse here."""
+    return spark.read.parquet(out_dir).drop("_epoch").dropDuplicates(
+        list(key_cols)
+    )

@@ -476,3 +476,58 @@ def test_transform_with_state_twin_matches_batch(spark, sf_dir, tmp_path):
         assert g["n"] == e["n"]
         assert abs(g["mean"] - e["mean"]) < 1e-9
         assert abs(g["var_pop"] - e["var_pop"]) < 1e-6
+
+
+def test_streaming_bloom_dedup_all_time(spark, tmp_path):
+    """All-time streaming dedup with bounded state: a key ingested in
+    an early micro-batch is never re-emitted when it reappears ANY
+    number of batches later (beyond any watermark horizon), while
+    state stays fixed at n_bits per group; restart with the same
+    checkpoint processes only unseen files; the resolver is idempotent
+    to crash-retry double-appends."""
+    from pyspark.sql import functions as F
+
+    from physicsnemo_curator_spark.streaming.dedup import (
+        read_bloom_deduped,
+        run_streaming_bloom_dedup,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    store = str(tmp_path / "bloom")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "url string, payload long"
+
+    def urls(lo, hi):
+        return spark.range(lo, hi).select(
+            F.concat(F.lit("https://ex/"), F.col("id")).alias("url"),
+            F.col("id").alias("payload"),
+        )
+
+    # phase 1: 0..300 with an internal duplicate block (100..150 twice)
+    urls(0, 300).unionAll(urls(100, 150)).repartition(3).write.parquet(src)
+    run_streaming_bloom_dedup(
+        spark, src, schema, out, store, ckpt, key_col="url"
+    )
+    got1 = read_bloom_deduped(spark, out, key_cols=["url"])
+    assert got1.count() == 300  # internal dupes collapsed
+    raw1 = spark.read.parquet(out)
+    assert raw1.count() == 300  # and not emitted twice either
+
+    # phase 2: 200..500 arrives much later — 100 overlap, 200 new
+    urls(200, 500).repartition(2).write.mode("append").parquet(src)
+    run_streaming_bloom_dedup(
+        spark, src, schema, out, store, ckpt, key_col="url"
+    )
+    raw2 = spark.read.parquet(out)
+    # only the 200 genuinely-new keys were appended (no false
+    # positives expected at n=500, m=65536: rate ~1e-6)
+    assert raw2.count() == 500
+    resolved = read_bloom_deduped(spark, out, key_cols=["url"])
+    assert resolved.count() == 500
+    assert resolved.groupBy("url").count().filter("count > 1").count() == 0
+
+    # crash-retry: double-append one epoch's rows; resolver unchanged
+    dup = raw2.filter(F.col("_epoch") == 0)
+    dup.write.mode("append").parquet(out)
+    assert read_bloom_deduped(spark, out, key_cols=["url"]).count() == 500

@@ -685,3 +685,98 @@ def contamination_report(
         "n_grams",
         (F.col("n_hits") / F.col("n_grams")).alias("hit_frac"),
     )
+
+
+def duplicated_substring_stats(
+    docs: DataFrame,
+    *,
+    min_tokens: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str | None = None,
+    broadcast_occurrences: bool = True,
+) -> DataFrame:
+    """Exact-substring duplication measure (the Lee et al. 2022
+    "Deduplicating Training Data" signal): a token position is
+    DUPLICATED if it lies inside any ``min_tokens``-token window whose
+    content occurs >= ``min_count`` times across the corpus — windows
+    slide at STRIDE 1, so unlike :func:`remove_duplicate_spans`'
+    fixed tiling this catches duplicated substrings at ANY alignment,
+    and occurrence count (not distinct-doc count) means a passage
+    repeated within one document is duplication too.
+
+    Output: ``(id, n_tokens, n_dup_tokens, dup_fraction)`` — the
+    per-document fraction of tokens inside duplicated substrings, the
+    ranking signal for drop/trim policies.
+
+    Scale shape: stride-1 windows explode to O(total tokens) rows
+    (one per position — linear, not quadratic; the window CONTENT is
+    re-sliced from the carried token array, and ``hash_fn='xxhash64'``
+    keys the count/join on an 8-byte hash instead of the window
+    string).  The duplicated-window set is a small fraction of the
+    corpus for natural text and broadcasts for the marking join
+    (``broadcast_occurrences=False`` falls back to a shuffle join for
+    pathological highly-duplicated corpora).  Coverage expands each
+    duplicated start to its ``min_tokens`` positions (constant factor)
+    and distinct-counts per document — every stage a hash aggregate
+    or join keyed on doc/window, no window function over the corpus.
+    """
+    if min_tokens < 1:
+        raise ValueError("min_tokens must be >= 1")
+    if min_count < 2:
+        raise ValueError("min_count must be >= 2")
+    toks = ws_tokens(F.col(text_col))
+    n = ws_token_count(F.col(text_col))
+    starts = F.when(
+        n < min_tokens, F.array().cast("array<int>")
+    ).otherwise(F.sequence(F.lit(0), n - min_tokens).cast("array<int>"))
+    windows = docs.select(
+        F.col(id_col),
+        F.explode(starts).alias("_s"),
+        toks.alias("_toks"),
+    ).select(
+        id_col,
+        "_s",
+        F.array_join(
+            F.slice(F.col("_toks"), F.col("_s") + 1, min_tokens), " "
+        ).alias("_win"),
+    )
+    key = (
+        F.xxhash64("_win") if hash_fn == "xxhash64" else F.col("_win")
+    ).alias("_key")
+    keyed = windows.select(id_col, "_s", key)
+    occ = (
+        keyed.groupBy("_key")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .filter(F.col("_cnt") >= min_count)
+        .select("_key")
+    )
+    if broadcast_occurrences:
+        occ = F.broadcast(occ)
+    dup_starts = keyed.join(occ, "_key")
+    covered = dup_starts.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.col("_s"), F.col("_s") + (min_tokens - 1))
+        ).alias("_p"),
+    ).distinct()
+    per_doc = covered.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_dup_tokens")
+    )
+    base = docs.select(F.col(id_col), n.cast("int").alias("n_tokens"))
+    return base.join(per_doc, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce("n_dup_tokens", F.lit(0)).alias("n_dup_tokens"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(
+                F.coalesce("n_dup_tokens", F.lit(0))
+                / F.col("n_tokens").cast("double"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_fraction"),
+    )

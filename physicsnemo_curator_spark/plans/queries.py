@@ -2117,6 +2117,53 @@ def q_text_span_dedup_xx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q_text_span_dedup(spark, sf_dir, hash_fn="xxhash64")
 
 
+def q_text_substring_dup(
+    spark: SparkSession, sf_dir: str, hash_fn: str | None = None
+) -> DataFrame:
+    """Exact-substring duplication measure (textops.
+    duplicated_substring_stats, the Lee et al. 2022 dedup signal):
+    fraction of each document's tokens lying inside any 8-token
+    window occurring >= 2 times corpus-wide — stride-1 windows catch
+    duplicated substrings at ANY alignment, unlike the fixed tiling
+    of q_text_span_dedup.  The oracle replays window slicing,
+    occurrence counting, and position coverage in SQL; the benched
+    twin keys windows on xxhash64."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        textops.duplicated_substring_stats(
+            docs, min_tokens=8, min_count=2, hash_fn=hash_fn
+        )
+        .orderBy("doc_id")
+        .limit(300)
+    )
+
+
+ORACLE_TEXT_SUBSTRING_DUP = """
+WITH t AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') toks,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS INT) n_tokens
+  FROM documents),
+w AS (
+  SELECT doc_id, CAST(s AS INT) s,
+         array_to_string(toks[s + 1 : s + 8], ' ') win
+  FROM t, LATERAL unnest(range(0, GREATEST(len(toks) - 7, 0))) u(s)),
+occ AS (SELECT win FROM w GROUP BY win HAVING COUNT(*) >= 2),
+dup AS (
+  SELECT DISTINCT w.doc_id, CAST(p AS INT) p
+  FROM w JOIN occ USING (win), LATERAL unnest(range(w.s, w.s + 8)) v(p)),
+cov AS (SELECT doc_id, CAST(COUNT(*) AS INT) n_dup FROM dup GROUP BY 1)
+SELECT t.doc_id, t.n_tokens,
+       COALESCE(c.n_dup, 0) n_dup_tokens,
+       CASE WHEN t.n_tokens > 0
+            THEN ROUND(COALESCE(c.n_dup, 0) * 1.0 / t.n_tokens, 6)
+            ELSE 0.0 END dup_fraction
+FROM t LEFT JOIN cov c USING (doc_id)
+ORDER BY doc_id LIMIT 300
+"""
+
+
 def q_text_repetition(
     spark: SparkSession, sf_dir: str, hash_fn: str | None = None
 ) -> DataFrame:
@@ -3228,6 +3275,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_sketch_cms,
         ORACLE_SKETCH_CMS,
         bench=lambda s, d: q_sketch_cms(s, d, hash_fn="xxhash64"),
+    ),
+    "q_text_substring_dup": QuerySpec(
+        q_text_substring_dup,
+        ORACLE_TEXT_SUBSTRING_DUP,
+        bench=lambda s, d: q_text_substring_dup(s, d, hash_fn="xxhash64"),
     ),
     "q_s2_intersect": QuerySpec(q_s2_intersect, ORACLE_S2),
     "q_s4_union_all": QuerySpec(q_s4_union_all, ORACLE_S4),

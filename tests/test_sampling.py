@@ -345,3 +345,56 @@ def test_mixing_weights_feeds_stratified_sample(spark):
     assert by_lang.get("de", 0) == 3  # rate 1.0 keeps all
     assert "fr" not in by_lang  # rate 0 drops the domain
     assert 0 < by_lang.get("en", 0) <= 6
+
+
+def test_duplicated_substring_stats_any_alignment(spark):
+    """Stride-1 windows catch a duplicated passage at ANY offset — the
+    case fixed tiling (remove_duplicate_spans) misses; within-document
+    repetition counts as duplication (occurrences, not distinct docs);
+    unique text scores 0; the xxhash64 twin is equivalent."""
+    from pyspark.sql import functions as F
+
+    from physicsnemo_curator_spark.operators.textops import (
+        duplicated_substring_stats,
+    )
+
+    passage = " ".join(f"p{i}" for i in range(8))  # 8-token passage
+    docs = spark.createDataFrame(
+        [
+            # passage at offset 0 of doc 0, offset 3 of doc 1 (unaligned)
+            (0, passage + " " + " ".join(f"a{i}" for i in range(5))),
+            (1, "x0 x1 x2 " + passage + " y0 y1"),
+            # doc 2: passage repeated WITHIN one doc
+            (2, passage + " z0 " + passage),
+            # doc 3: entirely unique text
+            (3, " ".join(f"u{i}" for i in range(12))),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in duplicated_substring_stats(
+            docs, min_tokens=8, min_count=2
+        ).collect()
+    }
+    # docs 0/1: exactly the 8 passage tokens are duplicated
+    assert out[0].n_dup_tokens == 8 and out[0].n_tokens == 13
+    assert out[1].n_dup_tokens == 8 and out[1].n_tokens == 13
+    # doc 2: both passage copies covered (17 tokens, z0 NOT covered —
+    # no 8-window containing z0 occurs twice)
+    assert out[2].n_tokens == 17 and out[2].n_dup_tokens == 16
+    # doc 3: clean
+    assert out[3].n_dup_tokens == 0 and out[3].dup_fraction == 0.0
+    assert abs(out[0].dup_fraction - round(8 / 13, 6)) < 1e-9
+
+    # xxhash64 production twin computes the identical frame
+    a = sorted(map(tuple, duplicated_substring_stats(
+        docs, min_tokens=8, min_count=2).collect()))
+    b = sorted(map(tuple, duplicated_substring_stats(
+        docs, min_tokens=8, min_count=2, hash_fn="xxhash64").collect()))
+    assert a == b
+
+    # empty text is well-defined (no ANSI division crash)
+    empty = spark.createDataFrame([(9, "")], "doc_id long, text string")
+    r = duplicated_substring_stats(empty, min_tokens=8).collect()[0]
+    assert r.n_tokens == 0 and r.dup_fraction == 0.0

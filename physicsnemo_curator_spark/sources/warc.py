@@ -140,13 +140,16 @@ def read_wet_file(path: str) -> list[dict[str, Any]]:
     return docs
 
 
-def read_wet(spark, paths: list[str], *, lang_id: bool = True):
+def read_wet(spark, paths: list[str], *, lang_id: bool = True, keep_uri: bool = False):
     """Task-per-file Spark scan over WET files into the engine's
     ``documents`` schema ``(doc_id, text, lang, source, n_chars)``.
 
     ``doc_id`` is ``xxhash64(uri, date)`` — stable across re-scans and
     partition layouts, so downstream dedup stores and split assignment
-    key on it safely.  ``lang`` comes from the engine's n-gram
+    key on it safely.  ``keep_uri=True`` retains the raw target URI as
+    a ``uri`` column — URL-level incremental dedup (the Bloom-store
+    workflow) keys on the URI itself, which the hashed doc_id cannot
+    recover.  ``lang`` comes from the engine's n-gram
     heuristic (``textops.lang_id``) applied as a column expression
     AFTER the scan (``lang_id=False`` skips it); ``source`` is the
     target URI's host.  At crawl scale the file list is the only
@@ -174,6 +177,7 @@ def read_wet(spark, paths: list[str], *, lang_id: bool = True):
         "text",
         host.alias("source"),
         F.length("text").alias("n_chars"),
+        "uri",
     )
     if lang_id:
         from physicsnemo_curator_spark.operators import textops
@@ -181,4 +185,7 @@ def read_wet(spark, paths: list[str], *, lang_id: bool = True):
         out = out.withColumn("lang", textops.lang_id(F.col("text")))
     else:
         out = out.withColumn("lang", F.lit(None).cast("string"))
-    return out.select("doc_id", "text", "lang", "source", "n_chars")
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    if keep_uri:
+        cols.append("uri")
+    return out.select(*cols)

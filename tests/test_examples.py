@@ -56,3 +56,15 @@ def test_da_gfs_stats_example(tmp_path):
     assert out.returncode == 0, out.stderr[-2000:]
     assert "14 stat arrays" in out.stdout
     assert "cells re-read" in out.stdout
+
+
+def test_crawl_ingest_example(tmp_path):
+    stdout = _run("crawl_ingest.py", str(tmp_path / "work"))
+    assert "curated rows written" in stdout
+    # the second snapshot must have deduped its overlap with the first
+    import re
+
+    snaps = re.findall(r"snapshot \S+: (\d+) scanned, (\d+) new urls", stdout)
+    assert len(snaps) == 2
+    assert int(snaps[0][0]) == int(snaps[0][1])  # first: everything new
+    assert int(snaps[1][1]) < int(snaps[1][0])  # second: overlap dropped

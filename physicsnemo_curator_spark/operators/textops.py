@@ -548,17 +548,30 @@ def repetition_ratio(
 
     One explode (linear in corpus tokens) + one hash aggregate keyed on
     (doc, gram) + one max-aggregate keyed on doc; all shuffle keys
-    include the doc id, so parallelism is per-document at any scale."""
-    toks = ws_tokens(F.col(text_col))
-    grams = F.when(
-        F.size(toks) < n, F.array().cast("array<string>")
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - n + 1),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
-        )
+    include the doc id, so parallelism is per-document at any scale.
+    Grams are assembled with ``lead()`` over (doc, position) rather
+    than a ``transform``-lambda over the token array: higher-order
+    lambdas evaluate interpreted while the window form stays in
+    whole-stage codegen — measured 4.3 s vs 0.6 s steady at sf0.1
+    (same bake-off as ``duplicated_substring_stats``)."""
+    from pyspark.sql import Window
+
+    tok_rows = docs.select(
+        F.col(id_col),
+        F.posexplode(ws_tokens(F.col(text_col))).alias("_s", "_tok"),
+    ).filter(F.col("_tok") != "")  # empty text yields one '' token
+    w = Window.partitionBy(id_col).orderBy("_s")
+    gram = F.concat_ws(
+        " ", F.col("_tok"), *[F.lead("_tok", i).over(w) for i in range(1, n)]
     )
-    g = docs.select(F.col(id_col), F.explode(grams).alias("gram"))
+    complete = F.lead("_tok", n - 1).over(w).isNotNull()
+    g = (
+        tok_rows.select(
+            F.col(id_col), gram.alias("gram"), complete.alias("_c")
+        )
+        .filter("_c")
+        .select(id_col, "gram")
+    )
     if hash_fn == "xxhash64":
         # production twin: the aggregate only consumes counts, so
         # shuffling 8-byte gram hashes instead of gram strings cuts the

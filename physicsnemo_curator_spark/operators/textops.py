@@ -313,29 +313,38 @@ def winnow_fingerprint_table(
     subexpression inside a higher-order-function lambda re-evaluates
     per element, and even when staged through a projection,
     InferFiltersFromGenerate pushes a ``size(...) > 0`` filter down
-    that re-inlines the whole nested expression.  Here every pushed
-    copy of the gram transform is linear, and the only shuffle keys on
-    ``id`` (documents with no k-grams simply have no rows).
+    that re-inlines the whole nested expression.  Here the k-grams are
+    rebuilt from a character posexplode with ``lead()`` over (doc,
+    position) — one extra doc-keyed sort, but everything stays in
+    whole-stage codegen, where the transform-lambda gram builder
+    evaluates interpreted (measured 2.7 s vs 1.4 s steady at sf0.1);
+    the only shuffles key on ``id`` (documents with no k-grams simply
+    have no rows).
 
     hash_fn='md5' (default) is engine-reproducible so the DuckDB
     oracle replays the selection byte-for-byte; hash_fn='xxhash64' is
     the production path — a 64-bit integer hash that skips the 32-char
     hex string materialization per k-gram (fingerprints become BIGINT).
     """
-    text = F.col(text_col)
-    n_grams = F.length(text) - k + 1
-    if hash_fn == "xxhash64":
-        gram_hash = lambda i: F.xxhash64(text.substr(i, F.lit(k)))  # noqa: E731
-        empty = F.array().cast("array<bigint>")
-    else:
-        gram_hash = lambda i: F.md5(text.substr(i, F.lit(k)))  # noqa: E731
-        empty = F.array().cast("array<string>")
-    grams = F.when(
-        n_grams >= 1,
-        F.transform(F.sequence(F.lit(1), n_grams), gram_hash),
-    ).otherwise(empty)
-    g = docs.select(F.col(id_col), F.posexplode(grams).alias("pos", "h"))
     from pyspark.sql import Window
+
+    chars = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "")).alias("pos", "_ch"),
+    ).filter(F.col("_ch") != "")  # empty text splits to one '' element
+    wlead = Window.partitionBy(id_col).orderBy("pos")
+    gram = F.concat_ws(
+        "", F.col("_ch"), *[F.lead("_ch", i).over(wlead) for i in range(1, k)]
+    )
+    h = F.xxhash64(gram) if hash_fn == "xxhash64" else F.md5(gram)
+    complete = F.lead("_ch", k - 1).over(wlead).isNotNull()
+    g = (
+        chars.select(
+            F.col(id_col), "pos", h.alias("h"), complete.alias("_c")
+        )
+        .filter("_c")
+        .select(id_col, "pos", "h")
+    )
 
     by_doc = Window.partitionBy(id_col)
     sliding = (

@@ -80,16 +80,26 @@ def main() -> None:
     bloom_store = os.path.join(work, "url_bloom")
     out = os.path.join(work, "curated")
 
+    prior_snaps: list[str] = []
     for snap, paths in shard_dirs.items():
         scanned = read_wet(spark, paths, lang_id=False, keep_uri=True).select(
             "uri", "source", "text"
         )
         n_in = scanned.count()
 
-        # ---- URL-level incremental dedup against ALL prior snapshots
-        if os.path.isdir(bloom_store):
+        # ---- URL-level incremental dedup against PRIOR snapshots.
+        # batches= is pinned explicitly: `fresh` is lazy and re-executes
+        # downstream AFTER this snapshot's own filter lands in the
+        # store — an unpinned probe would then match every row against
+        # itself and silently write the snapshot out empty.
+        if prior_snaps:
             probed = sketches.probe_bloom_store(
-                spark, bloom_store, scanned, ["source"], "uri"
+                spark,
+                bloom_store,
+                scanned,
+                ["source"],
+                "uri",
+                batches=list(prior_snaps),
             )
             fresh = probed.filter(~F.col("might_contain")).drop(
                 "might_contain"
@@ -105,6 +115,7 @@ def main() -> None:
             batch_id=snap,
             n_bits=65536,
         )
+        prior_snaps.append(snap)
 
         # ---- substring-duplication gate (within this snapshot)
         keyed = fresh.withColumn(

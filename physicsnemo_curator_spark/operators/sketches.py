@@ -35,6 +35,7 @@ __all__ = [
     "cms_estimate",
     "append_bloom_store",
     "probe_bloom_store",
+    "list_bloom_store_batches",
 ]
 
 
@@ -761,3 +762,18 @@ def probe_bloom_store(
         hash_fn=s_hash,
         out_col=out_col,
     )
+
+
+def list_bloom_store_batches(spark: SparkSession, store: str) -> list[str]:
+    """Batch ids present in a Bloom store, via Spark's reader — NOT a
+    driver-local directory listing, so object-store/HDFS paths and
+    cluster layouts where the store isn't mounted on the driver all
+    work (a local listdir would silently report an empty store there
+    and disable every probe).  A missing/empty store returns []."""
+    try:
+        return [
+            r.batch_id
+            for r in spark.read.parquet(store).select("batch_id").distinct().collect()
+        ]
+    except Exception:  # noqa: BLE001 — PATH_NOT_FOUND etc: store not created yet
+        return []

@@ -27,6 +27,54 @@ STOPWORDS: dict[str, tuple[str, ...]] = {
 TOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
 
+def _ngram_rows(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    *,
+    chars: bool = False,
+) -> DataFrame:
+    """``(id, pos, gram)`` rows: n-unit grams (whitespace tokens, or
+    single characters with ``chars=True``) assembled with ``lead()``
+    over (doc, position) — the shared kernel behind winnowing,
+    repetition, and substring-dup.
+
+    Why lead() and not a transform()-lambda over the unit array: the
+    plan-shape bake-off at sf0.1 (2M windows) measured explode-starts
+    + per-row array slice at 7.5 s (each gram row carries a copy of
+    the doc's unit array), transform-then-posexplode at 15.1 s
+    (higher-order lambdas evaluate INTERPRETED), and this form at
+    ~0.4-1.5 s — one doc-keyed sort shuffle, every expression inside
+    whole-stage codegen.  Only COMPLETE grams are emitted (positions
+    0..len-n); empty text contributes no rows (its split yields one
+    '' unit, filtered)."""
+    from pyspark.sql import Window
+
+    unit = (
+        F.posexplode(F.split(F.col(text_col), ""))
+        if chars
+        else F.posexplode(ws_tokens(F.col(text_col)))
+    )
+    rows = docs.select(F.col(id_col), unit.alias("pos", "_u")).filter(
+        F.col("_u") != ""
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    gram = F.concat_ws(
+        "" if chars else " ",
+        F.col("_u"),
+        *[F.lead("_u", i).over(w) for i in range(1, n)],
+    )
+    complete = F.lead("_u", n - 1).over(w).isNotNull()
+    return (
+        rows.select(
+            F.col(id_col), "pos", gram.alias("gram"), complete.alias("_c")
+        )
+        .filter("_c")
+        .drop("_c")
+    )
+
+
 def _norm_ws(text: Column) -> Column:
     """Collapse every whitespace run to one space, then trim — F.trim
     strips spaces only, so trim-first left edge newlines/tabs behind."""
@@ -328,23 +376,11 @@ def winnow_fingerprint_table(
     """
     from pyspark.sql import Window
 
-    chars = docs.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), "")).alias("pos", "_ch"),
-    ).filter(F.col("_ch") != "")  # empty text splits to one '' element
-    wlead = Window.partitionBy(id_col).orderBy("pos")
-    gram = F.concat_ws(
-        "", F.col("_ch"), *[F.lead("_ch", i).over(wlead) for i in range(1, k)]
+    gram_rows = _ngram_rows(docs, id_col, text_col, k, chars=True)
+    h = (
+        F.xxhash64("gram") if hash_fn == "xxhash64" else F.md5(F.col("gram"))
     )
-    h = F.xxhash64(gram) if hash_fn == "xxhash64" else F.md5(gram)
-    complete = F.lead("_ch", k - 1).over(wlead).isNotNull()
-    g = (
-        chars.select(
-            F.col(id_col), "pos", h.alias("h"), complete.alias("_c")
-        )
-        .filter("_c")
-        .select(id_col, "pos", "h")
-    )
+    g = gram_rows.select(F.col(id_col), "pos", h.alias("h"))
 
     by_doc = Window.partitionBy(id_col)
     sliding = (
@@ -558,29 +594,10 @@ def repetition_ratio(
     One explode (linear in corpus tokens) + one hash aggregate keyed on
     (doc, gram) + one max-aggregate keyed on doc; all shuffle keys
     include the doc id, so parallelism is per-document at any scale.
-    Grams are assembled with ``lead()`` over (doc, position) rather
-    than a ``transform``-lambda over the token array: higher-order
-    lambdas evaluate interpreted while the window form stays in
-    whole-stage codegen — measured 4.3 s vs 0.6 s steady at sf0.1
-    (same bake-off as ``duplicated_substring_stats``)."""
-    from pyspark.sql import Window
-
-    tok_rows = docs.select(
-        F.col(id_col),
-        F.posexplode(ws_tokens(F.col(text_col))).alias("_s", "_tok"),
-    ).filter(F.col("_tok") != "")  # empty text yields one '' token
-    w = Window.partitionBy(id_col).orderBy("_s")
-    gram = F.concat_ws(
-        " ", F.col("_tok"), *[F.lead("_tok", i).over(w) for i in range(1, n)]
-    )
-    complete = F.lead("_tok", n - 1).over(w).isNotNull()
-    g = (
-        tok_rows.select(
-            F.col(id_col), gram.alias("gram"), complete.alias("_c")
-        )
-        .filter("_c")
-        .select(id_col, "gram")
-    )
+    Grams are assembled with the shared ``_ngram_rows`` lead()-window
+    kernel (see its docstring for the interpreted-HOF bake-off —
+    measured 4.3 s vs 0.6 s steady at sf0.1 on this operator)."""
+    g = _ngram_rows(docs, id_col, text_col, n).select(id_col, "gram")
     if hash_fn == "xxhash64":
         # production twin: the aggregate only consumes counts, so
         # shuffling 8-byte gram hashes instead of gram strings cuts the
@@ -748,30 +765,14 @@ def duplicated_substring_stats(
     Coverage expands each duplicated start to its ``min_tokens``
     positions (constant factor) and distinct-counts per document.
     """
-    from pyspark.sql import Window
-
     if min_tokens < 1:
         raise ValueError("min_tokens must be >= 1")
     if min_count < 2:
         raise ValueError("min_count must be >= 2")
     n = ws_token_count(F.col(text_col))
-    tok_rows = docs.select(
-        F.col(id_col),
-        F.posexplode(ws_tokens(F.col(text_col))).alias("_s", "_tok"),
-    ).filter(F.col("_tok") != "")  # empty text yields one '' token
-    w = Window.partitionBy(id_col).orderBy("_s")
-    win = F.concat_ws(
-        " ",
-        F.col("_tok"),
-        *[F.lead("_tok", i).over(w) for i in range(1, min_tokens)],
+    windows = _ngram_rows(docs, id_col, text_col, min_tokens).select(
+        F.col(id_col), F.col("pos").alias("_s"), F.col("gram").alias("_win")
     )
-    complete = F.lead("_tok", min_tokens - 1).over(w).isNotNull()
-    windows = tok_rows.select(
-        F.col(id_col),
-        F.col("_s"),
-        win.alias("_win"),
-        complete.alias("_complete"),
-    ).filter("_complete")
     key = (
         F.xxhash64("_win") if hash_fn == "xxhash64" else F.col("_win")
     ).alias("_key")

@@ -80,24 +80,56 @@ def run_streaming_bloom_dedup(
     batches with ids OTHER than its own — so a batch never sees the
     filter its failed previous attempt persisted (which would flag
     every one of its keys as duplicates and drop the whole batch).
-    Output rows carry ``_epoch``; a retried batch double-appends
-    identical rows, and the reader's ``dropDuplicates`` resolver is
-    idempotent to that (same discipline as the running-stats table).
+    Batch ids embed the streaming query's CHECKPOINT-persisted id, so
+    an epoch numbering restarted by a recreated checkpoint cannot
+    collide with (and silently overwrite) an earlier generation's
+    filters — epoch 0 of a new generation is a new partition, and the
+    old generation's membership keeps deduplicating.  Output rows
+    carry ``_epoch``; a retried batch double-appends identical rows,
+    and the reader's ``dropDuplicates`` resolver is idempotent to that
+    (same discipline as the running-stats table).
     """
+    import json
     import os
 
     from pyspark.sql import functions as F
 
     from physicsnemo_curator_spark.operators.sketches import (
         append_bloom_store,
+        list_bloom_store_batches,
         probe_bloom_store,
     )
+
+    field_names = (
+        schema.fieldNames()
+        if hasattr(schema, "fieldNames")
+        else spark.createDataFrame([], schema).schema.fieldNames()
+    )
+    for reserved in ("_epoch",) + (("_g",) if group_col is None else ()):
+        if reserved in field_names:
+            raise ValueError(
+                f"input schema already has a {reserved!r} column — it is "
+                "reserved by this pipeline (epoch tag / implicit group) "
+                "and would be silently overwritten; rename it upstream"
+            )
 
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .parquet(source_dir)
     )
+
+    def _generation_token() -> str:
+        # Spark persists the query id in <checkpoint>/metadata at first
+        # start and keeps it across restarts of the SAME checkpoint; a
+        # recreated checkpoint gets a new id.  foreachBatch runs after
+        # the file exists.  Non-local checkpoint paths fall back to a
+        # constant token (same-generation semantics, documented).
+        try:
+            with open(os.path.join(checkpoint_dir, "metadata")) as fh:
+                return json.load(fh)["id"][:8]
+        except OSError:
+            return "g0"
 
     def _sink(batch_df, epoch_id: int) -> None:
         sess = batch_df.sparkSession
@@ -110,11 +142,13 @@ def run_streaming_bloom_dedup(
         # within-batch exact dedup first: the filter only covers
         # EARLIER batches
         batch = batch.dropDuplicates([grp, key_col])
-        my_id = f"e{epoch_id}"
+        my_id = f"{_generation_token()}-e{epoch_id}"
+        # Spark-side listing, not a driver listdir: object-store /
+        # HDFS / unmounted-store layouts must still see prior batches
+        # (a local listdir would silently return [] there and disable
+        # every probe)
         earlier = [
-            d.split("=", 1)[1]
-            for d in (os.listdir(store) if os.path.isdir(store) else [])
-            if d.startswith("batch_id=") and d.split("=", 1)[1] != my_id
+            b for b in list_bloom_store_batches(sess, store) if b != my_id
         ]
         if earlier:
             probed = probe_bloom_store(

@@ -765,11 +765,55 @@ def duplicated_substring_stats(
     Coverage expands each duplicated start to its ``min_tokens``
     positions (constant factor) and distinct-counts per document.
     """
+    covered = _duplicated_positions(
+        docs,
+        min_tokens=min_tokens,
+        min_count=min_count,
+        id_col=id_col,
+        text_col=text_col,
+        hash_fn=hash_fn,
+        broadcast_occurrences=broadcast_occurrences,
+    )
+    per_doc = covered.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_dup_tokens")
+    )
+    n = ws_token_count(F.col(text_col))
+    base = docs.select(F.col(id_col), n.cast("int").alias("n_tokens"))
+    return base.join(per_doc, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce("n_dup_tokens", F.lit(0)).alias("n_dup_tokens"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(
+                F.coalesce("n_dup_tokens", F.lit(0))
+                / F.col("n_tokens").cast("double"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_fraction"),
+    )
+
+
+def _duplicated_positions(
+    docs: DataFrame,
+    *,
+    min_tokens: int,
+    min_count: int,
+    id_col: str,
+    text_col: str,
+    hash_fn: str | None,
+    broadcast_occurrences: bool,
+) -> DataFrame:
+    """``(id, _p)`` rows: token positions covered by any duplicated
+    ``min_tokens``-window — the shared core of
+    :func:`duplicated_substring_stats` (metric) and
+    :func:`remove_duplicated_substrings` (removal)."""
     if min_tokens < 1:
         raise ValueError("min_tokens must be >= 1")
     if min_count < 2:
         raise ValueError("min_count must be >= 2")
-    n = ws_token_count(F.col(text_col))
     windows = _ngram_rows(docs, id_col, text_col, min_tokens).select(
         F.col(id_col), F.col("pos").alias("_s"), F.col("gram").alias("_win")
     )
@@ -786,28 +830,74 @@ def duplicated_substring_stats(
     if broadcast_occurrences:
         occ = F.broadcast(occ)
     dup_starts = keyed.join(occ, "_key")
-    covered = dup_starts.select(
+    return dup_starts.select(
         F.col(id_col),
         F.explode(
             F.sequence(F.col("_s"), F.col("_s") + (min_tokens - 1))
         ).alias("_p"),
     ).distinct()
-    per_doc = covered.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("int").alias("n_dup_tokens")
+
+
+def remove_duplicated_substrings(
+    docs: DataFrame,
+    *,
+    min_tokens: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str | None = None,
+    broadcast_occurrences: bool = True,
+) -> DataFrame:
+    """The removal form of the Lee et al. 2022 exact-substring dedup:
+    delete every token lying inside any ``min_tokens``-window that
+    occurs >= ``min_count`` times corpus-wide, and re-join the
+    surviving tokens in document order.  Where
+    :func:`remove_duplicate_spans` deletes fixed-aligned tiles, this
+    removes duplicated passages at ANY alignment — the formulation
+    the paper found most effective for training-data curation.
+
+    Output: ``(id, kept_tokens, removed_tokens, text)`` — cleaned
+    text is ``''`` when every token was duplicated; documents with no
+    duplication pass through with their normalized token stream
+    re-joined (single-space separators, same normalization as
+    tokenization, so downstream token counts agree).
+
+    Scale shape: the covered-position set comes from the shared
+    stride-1 kernel (see :func:`duplicated_substring_stats`); removal
+    is one (id, pos)-keyed LEFT ANTI join from the token rows and one
+    doc-keyed ordered re-aggregation — all hash joins/aggregates, no
+    corpus-wide window."""
+    covered = _duplicated_positions(
+        docs,
+        min_tokens=min_tokens,
+        min_count=min_count,
+        id_col=id_col,
+        text_col=text_col,
+        hash_fn=hash_fn,
+        broadcast_occurrences=broadcast_occurrences,
     )
-    base = docs.select(F.col(id_col), n.cast("int").alias("n_tokens"))
-    return base.join(per_doc, id_col, "left").select(
-        id_col,
-        "n_tokens",
-        F.coalesce("n_dup_tokens", F.lit(0)).alias("n_dup_tokens"),
-        F.when(
-            F.col("n_tokens") > 0,
-            F.round(
-                F.coalesce("n_dup_tokens", F.lit(0))
-                / F.col("n_tokens").cast("double"),
-                6,
+    tok_rows = docs.select(
+        F.col(id_col),
+        F.posexplode(ws_tokens(F.col(text_col))).alias("_p", "_tok"),
+    ).filter(F.col("_tok") != "")
+    kept = tok_rows.join(covered, [id_col, "_p"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("kept_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_p", "_tok"))),
+                lambda s: s["_tok"],
             ),
-        )
-        .otherwise(F.lit(0.0))
-        .alias("dup_fraction"),
+            " ",
+        ).alias("text"),
+    )
+    n = ws_token_count(F.col(text_col))
+    base = docs.select(F.col(id_col), n.cast("int").alias("_n"))
+    return base.join(rebuilt, id_col, "left").select(
+        id_col,
+        F.coalesce("kept_tokens", F.lit(0)).alias("kept_tokens"),
+        (F.col("_n") - F.coalesce("kept_tokens", F.lit(0)))
+        .cast("int")
+        .alias("removed_tokens"),
+        F.coalesce("text", F.lit("")).alias("text"),
     )

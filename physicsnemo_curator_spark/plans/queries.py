@@ -2164,6 +2164,71 @@ ORDER BY doc_id LIMIT 300
 """
 
 
+def q_text_substring_rm(
+    spark: SparkSession, sf_dir: str, hash_fn: str | None = None
+) -> DataFrame:
+    """Removal form of the exact-substring dedup (textops.
+    remove_duplicated_substrings): every token inside any duplicated
+    8-token window deleted, survivors re-joined in document order —
+    the Lee et al. 2022 curation step proper.  The oracle rebuilds
+    the cleaned text with an ordered string_agg over non-covered
+    positions; text is emitted as md5 so the compared cell stays
+    small."""
+    docs = _t(spark, sf_dir, "documents")
+    out = textops.remove_duplicated_substrings(
+        docs, min_tokens=8, min_count=2, hash_fn=hash_fn
+    )
+    return (
+        out.select(
+            "doc_id",
+            "kept_tokens",
+            "removed_tokens",
+            F.md5(F.col("text").cast("binary")).alias("text_md5"),
+        )
+        .orderBy("doc_id")
+        .limit(300)
+    )
+
+
+ORACLE_TEXT_SUBSTRING_RM = """
+WITH t AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') toks
+  FROM documents),
+tok AS (
+  SELECT doc_id, CAST(p AS INT) p, toks[p + 1] tk
+  FROM t, LATERAL unnest(range(0, len(toks))) u(p)
+  WHERE toks[p + 1] <> ''),
+w AS (
+  SELECT doc_id, CAST(s AS INT) s,
+         array_to_string(toks[s + 1 : s + 8], ' ') win
+  FROM t, LATERAL unnest(range(0, GREATEST(len(toks) - 7, 0))) u(s)),
+occ AS (SELECT win FROM w GROUP BY win HAVING COUNT(*) >= 2),
+cov AS (
+  SELECT DISTINCT w.doc_id, CAST(p AS INT) p
+  FROM w JOIN occ USING (win), LATERAL unnest(range(w.s, w.s + 8)) v(p)),
+kept AS (
+  SELECT tok.doc_id, tok.p, tok.tk
+  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.p = cov.p
+  WHERE cov.p IS NULL),
+reb AS (
+  SELECT doc_id, CAST(COUNT(*) AS INT) kept_tokens,
+         string_agg(tk, ' ' ORDER BY p) txt
+  FROM kept GROUP BY doc_id),
+base AS (
+  SELECT doc_id,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS INT) n
+  FROM documents)
+SELECT b.doc_id,
+       COALESCE(r.kept_tokens, 0) kept_tokens,
+       CAST(b.n - COALESCE(r.kept_tokens, 0) AS INT) removed_tokens,
+       md5(COALESCE(r.txt, '')) text_md5
+FROM base b LEFT JOIN reb r USING (doc_id)
+ORDER BY doc_id LIMIT 300
+"""
+
+
 def q_text_repetition(
     spark: SparkSession, sf_dir: str, hash_fn: str | None = None
 ) -> DataFrame:
@@ -3280,6 +3345,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_text_substring_dup,
         ORACLE_TEXT_SUBSTRING_DUP,
         bench=lambda s, d: q_text_substring_dup(s, d, hash_fn="xxhash64"),
+    ),
+    "q_text_substring_rm": QuerySpec(
+        q_text_substring_rm,
+        ORACLE_TEXT_SUBSTRING_RM,
+        bench=lambda s, d: q_text_substring_rm(s, d, hash_fn="xxhash64"),
     ),
     "q_s2_intersect": QuerySpec(q_s2_intersect, ORACLE_S2),
     "q_s4_union_all": QuerySpec(q_s4_union_all, ORACLE_S4),

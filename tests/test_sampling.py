@@ -398,3 +398,34 @@ def test_duplicated_substring_stats_any_alignment(spark):
     empty = spark.createDataFrame([(9, "")], "doc_id long, text string")
     r = duplicated_substring_stats(empty, min_tokens=8).collect()[0]
     assert r.n_tokens == 0 and r.dup_fraction == 0.0
+
+
+def test_remove_duplicated_substrings(spark):
+    """Removal form: the duplicated passage vanishes from every doc at
+    any alignment, survivors re-join in order, fully-duplicated docs
+    become empty, clean docs pass through normalized."""
+    from physicsnemo_curator_spark.operators.textops import (
+        remove_duplicated_substrings,
+    )
+
+    passage = " ".join(f"p{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [
+            (0, passage + " a0 a1"),
+            (1, "x0  x1\n" + passage),  # unaligned + messy whitespace
+            (2, passage),  # fully duplicated -> empty
+            (3, "u0 u1 u2 u3 u4 u5 u6 u7 u8"),  # clean
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in remove_duplicated_substrings(
+            docs, min_tokens=8, min_count=2
+        ).collect()
+    }
+    assert out[0].text == "a0 a1" and out[0].removed_tokens == 8
+    assert out[1].text == "x0 x1" and out[1].kept_tokens == 2
+    assert out[2].text == "" and out[2].kept_tokens == 0
+    assert out[3].text == "u0 u1 u2 u3 u4 u5 u6 u7 u8"
+    assert out[3].removed_tokens == 0

@@ -531,3 +531,52 @@ def test_streaming_bloom_dedup_all_time(spark, tmp_path):
     dup = raw2.filter(F.col("_epoch") == 0)
     dup.write.mode("append").parquet(out)
     assert read_bloom_deduped(spark, out, key_cols=["url"]).count() == 500
+
+
+def test_streaming_bloom_dedup_checkpoint_recreation_safe(spark, tmp_path):
+    """A recreated checkpoint restarts epoch numbering at 0 — the
+    new generation's batch ids must NOT collide with (and overwrite)
+    the old generation's filters, and dedup against the old
+    generation's membership must still hold."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from physicsnemo_curator_spark.operators.sketches import (
+        list_bloom_store_batches,
+    )
+    from physicsnemo_curator_spark.streaming.dedup import (
+        read_bloom_deduped,
+        run_streaming_bloom_dedup,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    store = str(tmp_path / "bloom")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "url string, payload long"
+
+    def urls(lo, hi):
+        return spark.range(lo, hi).select(
+            F.concat(F.lit("u"), F.col("id")).alias("url"),
+            F.col("id").alias("payload"),
+        )
+
+    urls(0, 200).coalesce(1).write.parquet(src)
+    run_streaming_bloom_dedup(spark, src, schema, out, store, ckpt, key_col="url")
+    gen1_batches = set(list_bloom_store_batches(spark, store))
+    assert gen1_batches
+
+    # ops accident: checkpoint lost; new data arrives with overlap
+    shutil.rmtree(ckpt)
+    urls(100, 300).coalesce(1).write.mode("append").parquet(src)
+    run_streaming_bloom_dedup(spark, src, schema, out, store, ckpt, key_col="url")
+
+    # old generation's filters survived (no batch-id collision)
+    gen2_batches = set(list_bloom_store_batches(spark, store))
+    assert gen1_batches <= gen2_batches
+    assert len(gen2_batches) > len(gen1_batches)
+    # and dedup held across the generations: every url exactly once
+    resolved = read_bloom_deduped(spark, out, key_cols=["url"])
+    assert resolved.count() == 300
+    assert resolved.groupBy("url").count().filter("count > 1").count() == 0

@@ -35,6 +35,8 @@ __all__ = [
     "hash_sample",
     "stratified_sample",
     "assign_splits",
+    "mixing_weights",
+    "temperature_mixing_weights",
 ]
 
 DENOM = 1_000_000
@@ -215,6 +217,78 @@ def mixing_weights(
     # coalesce the product to 0 so an unmatched target keeps nothing
     # mass can be 0 when weight_col sums to zero for a domain; under
     # ANSI that division throws — such a domain contributes nothing
+    rate = F.least(
+        F.lit(1.0),
+        F.coalesce(
+            F.when(
+                F.col("mass") > 0,
+                F.col("target_share") * F.col("_budget") / F.col("mass"),
+            ),
+            F.lit(0.0),
+        ),
+    )
+    return per.select(
+        "domain",
+        "mass",
+        "natural_share",
+        "target_share",
+        rate.alias("sample_rate"),
+        (rate * F.col("mass")).alias("expected_mass"),
+    )
+
+
+def temperature_mixing_weights(
+    df: DataFrame,
+    *,
+    domain_col: str,
+    temperature: float,
+    weight_col: str | None = None,
+    budget: float | None = None,
+) -> DataFrame:
+    """Temperature-based domain reweighting: target shares derived
+    FROM the corpus as ``share_d ∝ mass_d^(1/T)`` — the multilingual
+    sampling scheme (mBERT/XLM-R style) that upweights low-resource
+    domains without hand-written targets.  ``T=1`` keeps natural
+    proportions; larger ``T`` flattens toward uniform.
+
+    Where :func:`mixing_weights` takes explicit target shares, this
+    computes them; the rate arithmetic is identical: with no explicit
+    *budget* the largest single-epoch-feasible budget is used
+    (``min_d mass_d / share_d`` — the scarcest domain taken in full,
+    nothing upsampled), then ``rate_d = min(1, share_d·budget/mass_d)``.
+    Output matches :func:`mixing_weights` (one row per domain).
+
+    Plan: one partial+final aggregate over the corpus, then pure
+    arithmetic + a single-partition window over the O(domains) frame
+    (domains are small by construction — never the corpus)."""
+    if temperature <= 0:
+        raise ValueError("temperature must be > 0")
+    mass = F.sum(weight_col) if weight_col else F.count("*")
+    per = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        mass.cast("double").alias("mass")
+    )
+    w = Window.partitionBy()
+    e = 1.0 / float(temperature)
+    # exponent 0.5 routes through sqrt: IEEE requires sqrt correctly
+    # rounded (and every engine honors it), while pow is only
+    # 1-ulp-accurate on the JVM — T=2, the most common setting, stays
+    # bit-reproducible across engines
+    powed = F.when(
+        F.col("mass") > 0,
+        F.sqrt(F.col("mass")) if e == 0.5 else F.pow(F.col("mass"), F.lit(e)),
+    )
+    per = (
+        per.withColumn("_p", F.coalesce(powed, F.lit(0.0)))
+        .withColumn("natural_share", F.col("mass") / F.sum("mass").over(w))
+        .withColumn("target_share", F.col("_p") / F.sum("_p").over(w))
+    )
+    if budget is None:
+        feasible = F.when(
+            F.col("target_share") > 0, F.col("mass") / F.col("target_share")
+        )
+        per = per.withColumn("_budget", F.min(feasible).over(w))
+    else:
+        per = per.withColumn("_budget", F.lit(float(budget)))
     rate = F.least(
         F.lit(1.0),
         F.coalesce(

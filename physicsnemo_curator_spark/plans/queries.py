@@ -1949,6 +1949,61 @@ def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("domain")
 
 
+def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain reweighting
+    (sampling.temperature_mixing_weights): target shares derived from
+    the corpus as mass^(1/T), T=2 — the multilingual upweight-the-
+    low-resource-languages scheme, no hand-written targets.  T=2's
+    exponent routes through sqrt (correctly rounded per IEEE in both
+    engines), so shares agree bit-for-bit before the 6-decimal
+    rounding."""
+    from physicsnemo_curator_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    out = sampling.temperature_mixing_weights(
+        docs, domain_col="lang", weight_col="n_chars", temperature=2.0
+    )
+    return out.select(
+        "domain",
+        "mass",
+        _r6(F.col("natural_share"), "natural_share"),
+        _r6(F.col("target_share"), "target_share"),
+        _r6(F.col("sample_rate"), "sample_rate"),
+        _r6(F.col("expected_mass"), "expected_mass"),
+    ).orderBy("domain")
+
+
+ORACLE_MIX_TEMPERATURE = """
+WITH per AS (
+  SELECT lang AS domain, CAST(SUM(n_chars) AS DOUBLE) mass
+  FROM documents GROUP BY lang),
+t AS (
+  SELECT domain, mass,
+         CASE WHEN mass > 0 THEN SQRT(mass) ELSE CAST(0.0 AS DOUBLE) END p
+  FROM per),
+w AS (
+  SELECT *, mass / SUM(mass) OVER () AS natural_share,
+         p / SUM(p) OVER () AS target_share
+  FROM t),
+b AS (
+  SELECT *, MIN(CASE WHEN target_share > 0 THEN mass / target_share END)
+              OVER () AS budget
+  FROM w)
+SELECT domain, mass,
+       ROUND(natural_share, 6) AS natural_share,
+       ROUND(target_share, 6) AS target_share,
+       ROUND(LEAST(CAST(1.0 AS DOUBLE),
+                   CASE WHEN mass > 0
+                        THEN target_share * budget / mass
+                        ELSE 0.0 END), 6) AS sample_rate,
+       ROUND(LEAST(CAST(1.0 AS DOUBLE),
+                   CASE WHEN mass > 0
+                        THEN target_share * budget / mass
+                        ELSE 0.0 END) * mass, 6) AS expected_mass
+FROM b ORDER BY domain
+"""
+
+
 ORACLE_MIX_WEIGHTS = """
 WITH per AS (
   SELECT lang AS domain, CAST(SUM(n_chars) AS DOUBLE) mass
@@ -3351,6 +3406,7 @@ QUERIES: dict[str, QuerySpec] = {
         ORACLE_TEXT_SUBSTRING_RM,
         bench=lambda s, d: q_text_substring_rm(s, d, hash_fn="xxhash64"),
     ),
+    "q_mix_temperature": QuerySpec(q_mix_temperature, ORACLE_MIX_TEMPERATURE),
     "q_s2_intersect": QuerySpec(q_s2_intersect, ORACLE_S2),
     "q_s4_union_all": QuerySpec(q_s4_union_all, ORACLE_S4),
     "q_s5_except": QuerySpec(q_s5_except, ORACLE_S5),

@@ -429,3 +429,51 @@ def test_remove_duplicated_substrings(spark):
     assert out[2].text == "" and out[2].kept_tokens == 0
     assert out[3].text == "u0 u1 u2 u3 u4 u5 u6 u7 u8"
     assert out[3].removed_tokens == 0
+
+
+def test_temperature_mixing_weights(spark):
+    """T=1 reproduces natural shares; larger T flattens toward
+    uniform (low-resource domains upweighted); rates respect the
+    feasibility budget (scarcest targeted domain taken in full,
+    nothing above rate 1)."""
+    from physicsnemo_curator_spark.operators.sampling import (
+        temperature_mixing_weights,
+    )
+
+    rows = [("en", 900.0)] * 1 + [("fr", 90.0)] + [("sw", 10.0)]
+    df = spark.createDataFrame(rows, "lang string, w double")
+
+    t1 = {
+        r.domain: r
+        for r in temperature_mixing_weights(
+            df, domain_col="lang", weight_col="w", temperature=1.0
+        ).collect()
+    }
+    for d in t1:
+        assert abs(t1[d].target_share - t1[d].natural_share) < 1e-12
+
+    t5 = {
+        r.domain: r
+        for r in temperature_mixing_weights(
+            df, domain_col="lang", weight_col="w", temperature=5.0
+        ).collect()
+    }
+    # flattening: low-resource share rises, high-resource share falls
+    assert t5["sw"].target_share > t1["sw"].target_share
+    assert t5["en"].target_share < t1["en"].target_share
+    # rates: max rate is 1.0 (the scarcest domain taken in full) and
+    # expected masses realize the target ratio
+    assert max(r.sample_rate for r in t5.values()) <= 1.0 + 1e-12
+    assert abs(max(r.sample_rate for r in t5.values()) - 1.0) < 1e-12
+    exp = {d: r.expected_mass for d, r in t5.items()}
+    tgt = {d: r.target_share for d, r in t5.items()}
+    total = sum(exp.values())
+    for d in exp:
+        assert abs(exp[d] / total - tgt[d]) < 1e-9
+
+    import pytest
+
+    with pytest.raises(ValueError, match="temperature"):
+        temperature_mixing_weights(
+            df, domain_col="lang", temperature=0.0
+        )

@@ -43,6 +43,11 @@ FAMILY = [
     "q_ann_ivf_topk",
     "q_text_span_dedup",
     "q_text_winnow",
+    "q_text_substring_dup",
+    "q_text_substring_rm",
+    "q_text_repetition",
+    "q_sketch_bloom",
+    "q_sketch_cms",
 ]
 
 

@@ -160,6 +160,45 @@ def assign_splits(
     return df.withColumn(split_col, expr)
 
 
+def _rates_from_shares(per: DataFrame, budget: float | None) -> DataFrame:
+    """Shared rate arithmetic for the mixing-weight family: given the
+    per-domain frame with ``mass``/``natural_share``/``target_share``,
+    derive the feasibility budget (largest single-epoch budget when not
+    given: ``min_d mass_d / share_d`` — the scarcest targeted domain
+    taken in full) and per-domain sampling rates."""
+    w = Window.partitionBy()
+    if budget is None:
+        feasible = F.when(
+            F.col("target_share") > 0, F.col("mass") / F.col("target_share")
+        )
+        per = per.withColumn("_budget", F.min(feasible).over(w))
+    else:
+        per = per.withColumn("_budget", F.lit(float(budget)))
+    # F.least SKIPS nulls, so a NULL budget (no targeted domain present
+    # in the corpus) would silently become rate 1.0 for every domain —
+    # coalesce the product to 0 so an unmatched target keeps nothing.
+    # mass can be 0 when weight_col sums to zero for a domain; under
+    # ANSI that division throws — such a domain contributes nothing
+    rate = F.least(
+        F.lit(1.0),
+        F.coalesce(
+            F.when(
+                F.col("mass") > 0,
+                F.col("target_share") * F.col("_budget") / F.col("mass"),
+            ),
+            F.lit(0.0),
+        ),
+    )
+    return per.select(
+        "domain",
+        "mass",
+        "natural_share",
+        "target_share",
+        rate.alias("sample_rate"),
+        (rate * F.col("mass")).alias("expected_mass"),
+    )
+
+
 def mixing_weights(
     df: DataFrame,
     *,
@@ -201,40 +240,10 @@ def mixing_weights(
         expr = F.when(cond, float(s)) if expr is None else expr.when(cond, float(s))
     tgt = expr.otherwise(0.0)
     per = per.withColumn("target_share", tgt)
-    w = Window.partitionBy()
     per = per.withColumn(
-        "natural_share", F.col("mass") / F.sum("mass").over(w)
+        "natural_share", F.col("mass") / F.sum("mass").over(Window.partitionBy())
     )
-    if budget is None:
-        feasible = F.when(
-            F.col("target_share") > 0, F.col("mass") / F.col("target_share")
-        )
-        per = per.withColumn("_budget", F.min(feasible).over(w))
-    else:
-        per = per.withColumn("_budget", F.lit(float(budget)))
-    # F.least SKIPS nulls, so a NULL budget (no targeted domain present
-    # in the corpus) would silently become rate 1.0 for every domain —
-    # coalesce the product to 0 so an unmatched target keeps nothing
-    # mass can be 0 when weight_col sums to zero for a domain; under
-    # ANSI that division throws — such a domain contributes nothing
-    rate = F.least(
-        F.lit(1.0),
-        F.coalesce(
-            F.when(
-                F.col("mass") > 0,
-                F.col("target_share") * F.col("_budget") / F.col("mass"),
-            ),
-            F.lit(0.0),
-        ),
-    )
-    return per.select(
-        "domain",
-        "mass",
-        "natural_share",
-        "target_share",
-        rate.alias("sample_rate"),
-        (rate * F.col("mass")).alias("expected_mass"),
-    )
+    return _rates_from_shares(per, budget)
 
 
 def temperature_mixing_weights(
@@ -282,28 +291,4 @@ def temperature_mixing_weights(
         .withColumn("natural_share", F.col("mass") / F.sum("mass").over(w))
         .withColumn("target_share", F.col("_p") / F.sum("_p").over(w))
     )
-    if budget is None:
-        feasible = F.when(
-            F.col("target_share") > 0, F.col("mass") / F.col("target_share")
-        )
-        per = per.withColumn("_budget", F.min(feasible).over(w))
-    else:
-        per = per.withColumn("_budget", F.lit(float(budget)))
-    rate = F.least(
-        F.lit(1.0),
-        F.coalesce(
-            F.when(
-                F.col("mass") > 0,
-                F.col("target_share") * F.col("_budget") / F.col("mass"),
-            ),
-            F.lit(0.0),
-        ),
-    )
-    return per.select(
-        "domain",
-        "mass",
-        "natural_share",
-        "target_share",
-        rate.alias("sample_rate"),
-        (rate * F.col("mass")).alias("expected_mass"),
-    )
+    return _rates_from_shares(per.drop("_p"), budget)

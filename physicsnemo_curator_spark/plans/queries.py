@@ -2197,8 +2197,8 @@ ORACLE_TEXT_SUBSTRING_DUP = """
 WITH t AS (
   SELECT doc_id,
          string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') toks,
-         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE len(string_split_regex(trim(text), '\\s+')) END AS INT) n_tokens
+         CAST(CASE WHEN length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) = 0 THEN 0
+              ELSE len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) END AS INT) n_tokens
   FROM documents),
 w AS (
   SELECT doc_id, CAST(s AS INT) s,
@@ -2272,8 +2272,8 @@ reb AS (
   FROM kept GROUP BY doc_id),
 base AS (
   SELECT doc_id,
-         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE len(string_split_regex(trim(text), '\\s+')) END AS INT) n
+         CAST(CASE WHEN length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) = 0 THEN 0
+              ELSE len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) END AS INT) n
   FROM documents)
 SELECT b.doc_id,
        COALESCE(r.kept_tokens, 0) kept_tokens,
@@ -2403,8 +2403,8 @@ def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_TEXT_FEATURES = """
 SELECT doc_id,
-       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-            ELSE len(string_split_regex(trim(text), '\\s+')) END AS INT) n_tokens_ws,
+       CAST(CASE WHEN length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) = 0 THEN 0
+            ELSE len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) END AS INT) n_tokens_ws,
        CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) n_tokens_bpe,
        ROUND(CASE WHEN length(text) = 0 THEN 0.0
             ELSE len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0 / length(text) END, 6) punct_ratio,
@@ -2492,8 +2492,8 @@ ORACLE_TEXT_LANG = f"""
 WITH feats AS (
   SELECT doc_id,
          string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') toks_l,
-         CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE len(string_split_regex(trim(text), '\\s+')) END n_tok,
+         CASE WHEN length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) = 0 THEN 0
+              ELSE len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) END n_tok,
          CASE WHEN length(text) = 0 THEN 0.0
               ELSE len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0
                    / length(text) END punct
@@ -2675,8 +2675,8 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_PACK_SEQUENCES = """
 WITH d AS (
   SELECT doc_id,
-         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) n_tokens
+         CAST(CASE WHEN length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) = 0 THEN 0
+              ELSE len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) END AS BIGINT) n_tokens
   FROM documents)
 SELECT CAST(doc_id % 8 AS INT) bucket,
        CAST(COUNT(*) AS BIGINT) n_docs,

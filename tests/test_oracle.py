@@ -117,3 +117,32 @@ def test_entry_smoke(spark):
     df = mod.entry(spark)
     assert df.count() > 0
     assert set(mod.oracle_sql()) <= set(mod.queries())
+
+
+def test_token_count_sql_fragment_matches_spark_on_edge_whitespace(spark):
+    """The oracles' token-count SQL must agree with ws_token_count on
+    text with edge tabs/newlines — DuckDB's trim() strips SPACES only,
+    so the naive trim-then-split fragment counted phantom tokens for
+    '\\t\\n'-edged text (latent: the shipped corpora have no such docs,
+    but the WET ingest path produces them)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from physicsnemo_curator_spark.operators.textops import ws_token_count
+
+    cases = ["", "  \t\n  ", "a\n", "\tx y\n", "a  b\tc", "plain text"]
+    sdf = spark.createDataFrame([(i, t) for i, t in enumerate(cases)], "i long, text string")
+    got_spark = {
+        r.i: r.n for r in sdf.select("i", ws_token_count(F.col("text")).alias("n")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, text VARCHAR)")
+    for i, t in enumerate(cases):
+        con.execute("INSERT INTO t VALUES (?, ?)", [i, t])
+    # the exact fragment the oracles embed
+    frag = (
+        "CASE WHEN length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) = 0 THEN 0 "
+        "ELSE len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) END"
+    )
+    got_duck = dict(con.execute(f"SELECT i, {frag} FROM t").fetchall())
+    assert got_spark == got_duck, (got_spark, got_duck)

@@ -148,12 +148,14 @@ def main() -> None:
     if errors:
         out["errors"] = errors
     # Full artifact (warm + cold per query) for the repo's bench notes.
-    # Only FULL-suite runs overwrite it — a SPARK_GRAFT_QUERIES-
-    # restricted soak must not clobber the checked-in reference map.
+    # Only FULL-suite runs at the DEFAULT scale factor overwrite it —
+    # a SPARK_GRAFT_QUERIES-restricted or SF-override soak must not
+    # clobber the checked-in sf0.1 reference map (an sf1 soak did
+    # exactly that once; restored from git).
     full = dict(out)
     full["cold"] = cold
     full["cpus"] = cpus
-    if only_set is None:
+    if only_set is None and "SPARK_GRAFT_SF_DIR" not in os.environ:
         try:
             with open(
                 os.path.join(

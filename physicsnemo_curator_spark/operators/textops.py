@@ -529,22 +529,32 @@ def remove_duplicate_spans(
         raise ValueError("span_words must be >= 1")
     if min_df < 2:
         raise ValueError("min_df must be >= 2")
-    toks = ws_tokens(F.col(text_col))
-    n = ws_token_count(F.col(text_col))
-    starts = F.when(n <= 0, F.array().cast("array<int>")).otherwise(
-        F.sequence(F.lit(0), n - 1, F.lit(span_words)).cast("array<int>")
-    )
-    exploded = docs.select(
+    # tiles assembled with lead() over (doc, position), filtered to
+    # tile starts AFTER the window evaluates (filter-then-window would
+    # make the leads jump whole tiles); concat_ws skips the NULL leads
+    # past end-of-doc, which yields exactly the partial final tile the
+    # slice form produced.  Same interpreted-HOF/array-carry bake-off
+    # as _ngram_rows — measured ~1.8x on the span build.
+    from pyspark.sql import Window
+
+    tok = docs.select(
         F.col(id_col),
-        toks.alias("_toks"),
-        F.posexplode(starts).alias("span_idx", "_start"),
+        F.posexplode(ws_tokens(F.col(text_col))).alias("_pos", "_tok"),
+    ).filter(F.col("_tok") != "")
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    span_expr = F.concat_ws(
+        " ",
+        F.col("_tok"),
+        *[F.lead("_tok", i).over(w) for i in range(1, span_words)],
     )
-    spans = exploded.select(
-        F.col(id_col),
-        "span_idx",
-        F.array_join(
-            F.slice(F.col("_toks"), F.col("_start") + 1, span_words), " "
-        ).alias("span"),
+    spans = (
+        tok.select(F.col(id_col), "_pos", span_expr.alias("span"))
+        .filter(F.col("_pos") % span_words == 0)
+        .select(
+            F.col(id_col),
+            (F.col("_pos") / span_words).cast("int").alias("span_idx"),
+            "span",
+        )
     )
     key = (
         F.xxhash64("span") if hash_fn == "xxhash64" else F.col("span")

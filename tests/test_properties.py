@@ -297,3 +297,74 @@ def test_lambert_projection_inverse_property(latin1, latin2, lov, lat):
     np.testing.assert_allclose(la2, la, atol=1e-8)
     dlon = (lo2 - lo + 180.0) % 360.0 - 180.0
     np.testing.assert_allclose(dlon, 0.0, atol=1e-8)
+
+
+keys = st.lists(
+    st.text(
+        alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+        min_size=1,
+        max_size=12,
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(ks=keys, probe=keys)
+@_settings
+def test_bloom_no_false_negatives_property(spark, ks, probe):
+    """For ANY key multiset and probe set: every built key probes true
+    (the Bloom contract has no data-dependent exceptions), and both
+    hash twins honor it."""
+    from pyspark.sql import functions as F
+
+    from physicsnemo_curator_spark.operators import sketches
+
+    build = spark.createDataFrame([("g", k) for k in ks], "g string, k string")
+    probes = spark.createDataFrame(
+        [("g", k) for k in set(ks) | set(probe)], "g string, k string"
+    )
+    for hash_fn in ("md5", "xxhash64"):
+        bf = sketches.bloom_filters(
+            build, ["g"], "k", n_bits=512, k=3, hash_fn=hash_fn
+        )
+        out = sketches.bloom_might_contain(
+            bf, probes, ["g"], "k", n_bits=512, k=3, hash_fn=hash_fn
+        )
+        missed = (
+            out.join(build.select("k").distinct(), "k")
+            .filter(~F.col("might_contain"))
+            .count()
+        )
+        assert missed == 0
+
+
+@given(ks=keys)
+@_settings
+def test_cms_never_undercounts_property(spark, ks):
+    """For ANY key multiset: every estimate >= the true count, and
+    splitting the input into two batches and merging the sketches
+    yields the identical sketch as building over the union."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from physicsnemo_curator_spark.operators import sketches
+
+    truth = Counter(ks)
+    df = spark.createDataFrame([("g", k) for k in ks], "g string, k string")
+    cms = sketches.cms_sketches(df, ["g"], "k", depth=3, width=64)
+    est = sketches.cms_estimate(
+        cms, df.select("g", "k").distinct(), ["g"], "k", depth=3, width=64
+    )
+    for r in est.collect():
+        assert r.est_count >= truth[r.k], (r.k, r.est_count, truth[r.k])
+
+    halves = [df.filter(F.pmod(F.xxhash64("k"), F.lit(2)) == i) for i in range(2)]
+    mk = lambda b: sketches.cms_sketches(b, ["g"], "k", depth=3, width=64)
+    parts = [mk(h) for h in halves if h.count() > 0]
+    if len(parts) == 2:
+        merged = sketches.merge_cms_tables(
+            parts[0].unionByName(parts[1]), ["g"]
+        )
+        assert merged.collect()[0].cms == cms.collect()[0].cms

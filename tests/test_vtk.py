@@ -100,3 +100,50 @@ def test_vtk_feeds_operator_pack(spark, vtk_dir):
     ).collect()
     means = {r["mesh_id"]: r["mean"] for r in st}
     assert abs(means["mesh0"] - 2.0) < 1e-12 and abs(means["mesh1"] - 7 / 3) < 1e-12
+
+
+def test_read_vtk_domain_pairs_by_parent_dir(spark, tmp_path):
+    """Domain-mesh mode (reference VTKSource volume_pattern/
+    boundary_pattern, vtk.py:295-338): volume+boundary files pair by
+    parent directory; a volume with no boundary falls back to a
+    standalone mesh, as do unmatched files; paired sub-meshes share
+    one domain_id with region tags."""
+    import os
+
+    pts = [(0.0, 0.0, 0.0), (1.0, 0.0, 0.0), (0.0, 1.0, 0.0)]
+    cells = [[0, 1, 2]]
+    for case in ("case1", "case2"):
+        os.makedirs(tmp_path / case)
+        vtk.write_vtk(
+            pts, cells, {"p": [1.0, 2.0, 3.0]},
+            str(tmp_path / case / "volume_x.vtk"),
+        )
+    vtk.write_vtk(pts, cells, None, str(tmp_path / "case1" / "boundary_x.vtk"))
+    vtk.write_vtk(pts, cells, None, str(tmp_path / "lonely.vtk"))
+
+    t = vtk.read_vtk_domain(
+        spark,
+        str(tmp_path),
+        volume_pattern="volume_*",
+        boundary_pattern="boundary_*",
+        glob="*.vtk",
+    )
+    got = {
+        (r.domain_id, r.region)
+        for r in t["points"].select("domain_id", "region").distinct().collect()
+    }
+    assert got == {
+        ("case1", "volume"),
+        ("case1", "vehicle"),
+        ("volume_x", "single"),
+        ("lonely", "single"),
+    }
+    # every scanned file survived the mapping join (the join is how
+    # region tags attach — a path-format drift would silently drop all)
+    assert t["points"].select("mesh_id").distinct().count() == 4
+    # point_data flows through with the tags
+    pd_rows = t["point_data"].select("domain_id", "region").distinct().collect()
+    assert {(r.domain_id, r.region) for r in pd_rows} == {
+        ("case1", "volume"),
+        ("volume_x", "single"),
+    }

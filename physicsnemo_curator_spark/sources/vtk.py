@@ -462,27 +462,36 @@ def read_vtk_domain(
     ``domains/mesh/sources/vtk.py:124-343``): files matching
     *volume_pattern* / *boundary_pattern* are paired by PARENT
     DIRECTORY into one domain; unpaired files fall back to standalone
-    meshes, exactly the reference's ``_discover_pairs`` contract
-    (``vtk.py:295-338`` — pairs first by directory, then singles).
+    meshes — the reference's ``_discover_pairs`` contract
+    (``vtk.py:295-338``), with two robustness deviations: extra
+    pattern matches in one directory degrade to standalone meshes
+    instead of being silently dropped (the reference's dict overwrite
+    loses them), and two files whose path-keyed mesh ids collide
+    (same stem, different extension, one directory) raise instead of
+    merging.
 
     Spark-first shape: discovery is driver-side METADATA (one file
     listing + fnmatch, same as the reference), the scan is ONE
-    read_vtk over all files (task per file, ``mesh_id_from='path'``
-    so nested same-named files can't collide), and each mesh table
-    gains ``domain_id`` (the pair's directory name / the file stem for
-    singles) and ``region`` (``'volume'``, *boundary_name*, or
-    ``'single'``) via a tiny broadcast mapping join — paired
-    sub-meshes co-travel under one key with no extra shuffle, and
-    downstream per-domain operators simply group by ``domain_id``.
+    read_vtk over all files (task per file, ``mesh_id_from='path'``),
+    and each mesh table gains ``domain_id`` (the pair directory
+    RELATIVE to *path* — same-named leaf dirs in different subtrees
+    stay distinct domains) and ``region`` (``'volume'``,
+    *boundary_name*, or ``'single'``) via a tiny broadcast mapping
+    join; unmatched mesh ids RAISE at scan time (a drift between the
+    driver-side id reconstruction and Spark's reported path must be
+    loud, never a silent row drop).  Paired sub-meshes co-travel
+    under one key with no extra shuffle; downstream per-domain
+    operators group by ``domain_id``.
     """
     import fnmatch
     import os as _os
 
-    base = path.rstrip("/")
+    base = _os.path.abspath(path.rstrip("/"))
     files: list[str] = []
     for dirpath, _dirs, names in _os.walk(base):
         for nm in names:
-            if fnmatch.fnmatch(nm, glob) and nm.rsplit(".", 1)[-1] in (
+            ext = nm.rsplit(".", 1)[-1].lower()
+            if fnmatch.fnmatch(nm, glob) and ext in (
                 "vtk", "vtp", "vtu", "vts", "stl"
             ):
                 files.append(_os.path.join(dirpath, nm))
@@ -491,13 +500,19 @@ def read_vtk_domain(
     other: list[str] = []
     for f in sorted(files):
         nm = _os.path.basename(f)
+        parent = _os.path.dirname(f)
         if fnmatch.fnmatch(nm, volume_pattern):
-            volumes[_os.path.dirname(f)] = f
+            if parent in volumes:
+                other.append(f)  # extra match: standalone, not dropped
+            else:
+                volumes[parent] = f
         elif fnmatch.fnmatch(nm, boundary_pattern):
-            boundaries[_os.path.dirname(f)] = f
+            if parent in boundaries:
+                other.append(f)
+            else:
+                boundaries[parent] = f
         else:
             other.append(f)
-    mapping: list[tuple[str, str, str]] = []  # (path-id, domain, region)
 
     def _pid(p: str) -> str:
         # must mirror read_vtk's mesh_id_from='path' id exactly:
@@ -506,29 +521,56 @@ def read_vtk_domain(
         # the id keeps the scheme prefix and the extension drops
         return "file:" + _os.path.abspath(p).rsplit(".", 1)[0]
 
+    def _rel(p: str) -> str:
+        return _os.path.relpath(p, base)
+
+    mapping: list[tuple[str, str, str]] = []  # (path-id, domain, region)
     for parent in sorted(volumes):
         vol = volumes[parent]
         bnd = boundaries.pop(parent, None)
         if bnd is not None:
-            dom = _os.path.basename(parent)
+            dom = _rel(parent) if parent != base else _os.path.basename(base)
             mapping.append((_pid(vol), dom, "volume"))
             mapping.append((_pid(bnd), dom, boundary_name))
         else:
             other.append(vol)
     other.extend(boundaries.values())
     for f in sorted(other):
-        stem = _os.path.basename(f).rsplit(".", 1)[0]
-        mapping.append((_pid(f), stem, "single"))
+        mapping.append((_pid(f), _rel(f).rsplit(".", 1)[0], "single"))
 
     if not mapping:
         raise ValueError(f"no VTK files found under {path!r}")
+    ids = [m[0] for m in mapping]
+    if len(set(ids)) != len(ids):
+        dups = sorted({i for i in ids if ids.count(i) > 1})
+        raise ValueError(
+            "files collide under one path-keyed mesh id (same stem, "
+            f"different extension?): {dups[:5]} — rename or separate "
+            "them; a silent merge would double every mesh row"
+        )
     tables = read_vtk(
         spark, sorted(files), mesh_id_from="path", **read_kwargs
     )
     mdf = spark.createDataFrame(
         mapping, "mesh_id string, domain_id string, region string"
     )
+    # LEFT join + loud guard: an inner join would silently drop every
+    # row whose reconstructed id drifts from Spark's reported path
+    guard = F.when(F.col("region").isNotNull(), F.col("region")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "read_vtk_domain: scanned mesh id has no domain "
+                    "mapping (path-format drift between the driver "
+                    "listing and Spark's binaryFile path): "
+                ),
+                F.col("mesh_id"),
+            )
+        )
+    )
     out = {}
     for name, df in tables.items():
-        out[name] = df.join(F.broadcast(mdf), "mesh_id")
+        out[name] = df.join(F.broadcast(mdf), "mesh_id", "left").withColumn(
+            "region", guard
+        )
     return out

@@ -132,10 +132,12 @@ def test_read_vtk_domain_pairs_by_parent_dir(spark, tmp_path):
         (r.domain_id, r.region)
         for r in t["points"].select("domain_id", "region").distinct().collect()
     }
+    # singles carry their path RELATIVE to the scan root as domain_id
+    # (same-named stems in different subtrees must stay distinct)
     assert got == {
         ("case1", "volume"),
         ("case1", "vehicle"),
-        ("volume_x", "single"),
+        ("case2/volume_x", "single"),
         ("lonely", "single"),
     }
     # every scanned file survived the mapping join (the join is how
@@ -145,5 +147,57 @@ def test_read_vtk_domain_pairs_by_parent_dir(spark, tmp_path):
     pd_rows = t["point_data"].select("domain_id", "region").distinct().collect()
     assert {(r.domain_id, r.region) for r in pd_rows} == {
         ("case1", "volume"),
-        ("volume_x", "single"),
+        ("case2/volume_x", "single"),
     }
+
+
+def test_read_vtk_domain_extra_matches_and_collisions(spark, tmp_path):
+    """An EXTRA volume match in a directory degrades to a standalone
+    mesh instead of being silently dropped (a deliberate deviation
+    from the reference's dict overwrite, which loses the file); two
+    files whose path-keyed mesh ids collide (same stem, different
+    extension) raise loudly instead of doubling every row through the
+    mapping join."""
+    import os
+
+    import pytest
+
+    pts = [(0.0, 0.0, 0.0), (1.0, 0.0, 0.0), (0.0, 1.0, 0.0)]
+    cells = [[0, 1, 2]]
+    os.makedirs(tmp_path / "c")
+    vtk.write_vtk(pts, cells, None, str(tmp_path / "c" / "volume_a.vtk"))
+    vtk.write_vtk(pts, cells, None, str(tmp_path / "c" / "volume_b.vtk"))
+    vtk.write_vtk(pts, cells, None, str(tmp_path / "c" / "boundary_x.vtk"))
+    t = vtk.read_vtk_domain(
+        spark,
+        str(tmp_path),
+        volume_pattern="volume_*",
+        boundary_pattern="boundary_*",
+        glob="*.vtk",
+    )
+    got = {
+        (r.domain_id, r.region)
+        for r in t["points"].select("domain_id", "region").distinct().collect()
+    }
+    # sorted-first volume pairs; the extra becomes a single — 3 meshes out
+    assert got == {
+        ("c", "volume"),
+        ("c", "vehicle"),
+        ("c/volume_b", "single"),
+    }
+
+    os.makedirs(tmp_path / "d")
+    vtk.write_vtk(pts, cells, None, str(tmp_path / "d" / "part.vtk"))
+    with open(tmp_path / "d" / "part.stl", "w") as f:
+        f.write(
+            "solid s\nfacet normal 0 0 1\nouter loop\n"
+            "vertex 0 0 0\nvertex 1 0 0\nvertex 0 1 0\n"
+            "endloop\nendfacet\nendsolid s\n"
+        )
+    with pytest.raises(ValueError, match="collide"):
+        vtk.read_vtk_domain(
+            spark,
+            str(tmp_path / "d"),
+            volume_pattern="volume_*",
+            boundary_pattern="boundary_*",
+        )

@@ -204,3 +204,46 @@ def _profile(
     from physicsnemo_curator_spark.operators import validation as V
 
     return V.profile(df, columns, distinct=distinct)
+
+
+@register_transform("substring_dup_stats")
+def _substring_dup_stats(df: DataFrame, **kw: Any) -> DataFrame:
+    from physicsnemo_curator_spark.operators import textops
+
+    return textops.duplicated_substring_stats(df, **kw)
+
+
+@register_transform("remove_duplicated_substrings")
+def _remove_duplicated_substrings(df: DataFrame, **kw: Any) -> DataFrame:
+    from physicsnemo_curator_spark.operators import textops
+
+    return textops.remove_duplicated_substrings(df, **kw)
+
+
+@register_transform("temperature_mixing_weights")
+def _temperature_mixing_weights(
+    df: DataFrame, *, domain_col: str, temperature: float, **kw: Any
+) -> DataFrame:
+    from physicsnemo_curator_spark.operators import sampling
+
+    return sampling.temperature_mixing_weights(
+        df, domain_col=domain_col, temperature=temperature, **kw
+    )
+
+
+@register_transform("bloom_filters")
+def _bloom_filters(
+    df: DataFrame, *, group_cols: list, key_col: str, **kw: Any
+) -> DataFrame:
+    from physicsnemo_curator_spark.operators import sketches
+
+    return sketches.bloom_filters(df, group_cols, key_col, **kw)
+
+
+@register_transform("cms_sketches")
+def _cms_sketches(
+    df: DataFrame, *, group_cols: list, key_col: str, **kw: Any
+) -> DataFrame:
+    from physicsnemo_curator_spark.operators import sketches
+
+    return sketches.cms_sketches(df, group_cols, key_col, **kw)

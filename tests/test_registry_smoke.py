@@ -116,6 +116,22 @@ CASES = {
         ),
         {"budget": 256, "n_buckets": 2},
     ),
+    "substring_dup_stats": (_docs, {"min_tokens": 8, "min_count": 2}),
+    "remove_duplicated_substrings": (
+        _docs, {"min_tokens": 8, "min_count": 2}
+    ),
+    "temperature_mixing_weights": (
+        _docs, {"domain_col": "lang", "temperature": 2.0}
+    ),
+    "bloom_filters": (
+        _docs,
+        {"group_cols": ["lang"], "key_col": "doc_id", "n_bits": 1024},
+    ),
+    "cms_sketches": (
+        _docs,
+        {"group_cols": ["lang"], "key_col": "doc_id",
+         "depth": 3, "width": 128},
+    ),
 }
 
 

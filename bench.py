@@ -82,6 +82,12 @@ def main() -> None:
     timings: dict[str, object] = {}
     cold: dict[str, float] = {}
     errors: dict[str, str] = {}
+    # Warm-repeat failures are recorded separately: the cold timing is
+    # still reported (the query IS correct once), but the artifact must
+    # distinguish a verified min-of-n warm time from a query whose warm
+    # rep crashed — a nondeterminism/caching bug would otherwise be
+    # invisible, with the slower cold time silently labeled "warm".
+    warm_errors: dict[str, str] = {}
     # SPARK_GRAFT_QUERIES (comma-separated names) restricts the suite —
     # used for targeted scale soaks (e.g. the dedup/ANN family at sf10).
     only = os.environ.get("SPARK_GRAFT_QUERIES")
@@ -126,7 +132,10 @@ def main() -> None:
                     # cold run failed: the query is broken — record it
                     errors[name] = f"{type(exc).__name__}: {exc}"[:500]
                     timings[name] = {"err": type(exc).__name__}
-                # a warm-repeat failure (transient) keeps the cold time
+                else:
+                    # warm-repeat failure: keep the cold timing as the
+                    # reported value but flag it in the artifact
+                    warm_errors[name] = f"{type(exc).__name__}: {exc}"[:500]
                 break
             dt = time.perf_counter() - t0
             if rep == 0:
@@ -147,6 +156,8 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+    if warm_errors:
+        out["warm_errors"] = warm_errors
     # Full artifact (warm + cold per query) for the repo's bench notes.
     # Only FULL-suite runs at the DEFAULT scale factor overwrite it —
     # a SPARK_GRAFT_QUERIES-restricted or SF-override soak must not

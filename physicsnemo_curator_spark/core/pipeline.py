@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import os
 import time
 from dataclasses import dataclass, field
 from typing import Any
@@ -177,9 +178,35 @@ class Pipeline:
         try:
             pending: list[Any] = []
             if manifest is not None:
-                pending = [
-                    r[0] for r in df.select(partition_col).distinct().collect()
-                ]
+                # The resume bookkeeping collects DISTINCT partition
+                # values to the driver — fine for date/variable keys
+                # (hundreds to thousands of values) but an OOM hazard if
+                # someone points checkpointing at a high-cardinality
+                # column (doc id, timestamp).  limit(cap+1) bounds the
+                # collect itself, so the failure is a loud ValueError,
+                # not a dead driver.
+                cap = int(
+                    os.environ.get(
+                        "SPARK_GRAFT_RESUME_PARTITION_CAP", "100000"
+                    )
+                )
+                vals = (
+                    df.select(partition_col)
+                    .distinct()
+                    .limit(cap + 1)
+                    .collect()
+                )
+                if len(vals) > cap:
+                    raise ValueError(
+                        f"checkpoint partition column {partition_col!r} has "
+                        f"more than {cap} distinct values — resume tracking "
+                        "collects them to the driver, which does not scale "
+                        "to high-cardinality keys. Use a coarser partition "
+                        "column (date, variable, shard), or raise "
+                        "SPARK_GRAFT_RESUME_PARTITION_CAP if the driver "
+                        "has memory for it."
+                    )
+                pending = [r[0] for r in vals]
                 if not pending:
                     return RunResult(
                         self.spec_hash, [], 0, skipped, time.perf_counter() - t0

@@ -15,6 +15,7 @@ matching the engine's other incremental state (Welford power sums in
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -731,6 +732,17 @@ def probe_bloom_store(
     if batches is not None:
         bf = bf.filter(F.col("batch_id").isin(batches))
     params = bf.select("n_bits", "k", "hash_fn").distinct().collect()
+    if len(params) == 0:
+        # An empty selection is a caller error (typo'd batch ids or an
+        # empty store), not a mixed-parameter store — say so, listing
+        # what was asked for vs what exists, instead of pointing the
+        # user at a rebuild they don't need.
+        available = list_bloom_store_batches(spark, store)
+        raise ValueError(
+            "no batches matched the requested ids: requested="
+            f"{sorted(batches) if batches is not None else None}, "
+            f"available={sorted(available)}"
+        )
     if len(params) != 1:
         raise ValueError(
             "bloom store mixes build parameters across batches: "
@@ -769,11 +781,20 @@ def list_bloom_store_batches(spark: SparkSession, store: str) -> list[str]:
     driver-local directory listing, so object-store/HDFS paths and
     cluster layouts where the store isn't mounted on the driver all
     work (a local listdir would silently report an empty store there
-    and disable every probe).  A missing/empty store returns []."""
+    and disable every probe).  A missing store (not created yet)
+    returns []; any OTHER read failure — corrupt parquet, permission
+    error, transient FS fault — propagates, because treating it as
+    "empty store" would silently disable dedup for the caller (e.g.
+    run_streaming_bloom_dedup would re-emit every previously-seen key
+    as definitely-new)."""
     try:
         return [
             r.batch_id
             for r in spark.read.parquet(store).select("batch_id").distinct().collect()
         ]
-    except Exception:  # noqa: BLE001 — PATH_NOT_FOUND etc: store not created yet
+    except FileNotFoundError:
         return []
+    except AnalysisException as exc:
+        if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+            return []
+        raise

@@ -555,22 +555,32 @@ def read_vtk_domain(
         mapping, "mesh_id string, domain_id string, region string"
     )
     # LEFT join + loud guard: an inner join would silently drop every
-    # row whose reconstructed id drifts from Spark's reported path
-    guard = F.when(F.col("region").isNotNull(), F.col("region")).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit(
-                    "read_vtk_domain: scanned mesh id has no domain "
-                    "mapping (path-format drift between the driver "
-                    "listing and Spark's binaryFile path): "
-                ),
-                F.col("mesh_id"),
+    # row whose reconstructed id drifts from Spark's reported path.
+    # The guard is attached to EVERY mapped column (not just region):
+    # Catalyst prunes unselected columns, so a consumer selecting only
+    # domain_id would otherwise get silent NULLs on drift instead of
+    # the loud error.  The match condition keys on region (non-null
+    # for every mapping row), which also keeps region in the join even
+    # when only domain_id is consumed.
+    def _guard(col_name: str):
+        return F.when(F.col("region").isNotNull(), F.col(col_name)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "read_vtk_domain: scanned mesh id has no domain "
+                        "mapping (path-format drift between the driver "
+                        "listing and Spark's binaryFile path): "
+                    ),
+                    F.col("mesh_id"),
+                )
             )
         )
-    )
+
     out = {}
     for name, df in tables.items():
-        out[name] = df.join(F.broadcast(mdf), "mesh_id", "left").withColumn(
-            "region", guard
+        out[name] = (
+            df.join(F.broadcast(mdf), "mesh_id", "left")
+            .withColumn("domain_id", _guard("domain_id"))
+            .withColumn("region", _guard("region"))
         )
     return out

@@ -246,3 +246,30 @@ def test_metrics_fresh_store_and_retention(spark, tmp_path):
     assert kinds["index_results"] == "metrics"
     removed = remove_older_than(w, max_age_seconds=0.0)
     assert not any("results" in r or "pipeline_runs" in r for r in removed)
+
+
+def test_resume_partition_cardinality_guard(spark, tmp_path, monkeypatch):
+    """Resume tracking collects distinct partition values to the
+    driver; a high-cardinality partition column must fail LOUDLY
+    (bounded limit(cap+1) probe) instead of OOMing the driver."""
+    import pytest
+
+    from physicsnemo_curator_spark.core.pipeline import Pipeline
+
+    src = str(tmp_path / "src")
+    spark.range(50).selectExpr(
+        "id", "CAST(id AS STRING) AS doc_id"
+    ).write.parquet(src)
+    out = str(tmp_path / "out")
+    mdir = str(tmp_path / "m")
+    p = (
+        Pipeline.read("parquet", path=src)
+        .write("parquet", path=out, mode="append")
+    )
+    monkeypatch.setenv("SPARK_GRAFT_RESUME_PARTITION_CAP", "10")
+    with pytest.raises(ValueError, match="distinct values"):
+        p.run(spark, resume=True, partition_col="doc_id", manifest_dir=mdir)
+    # under the cap it proceeds normally
+    monkeypatch.setenv("SPARK_GRAFT_RESUME_PARTITION_CAP", "100")
+    r = p.run(spark, resume=True, partition_col="doc_id", manifest_dir=mdir)
+    assert r.rows == 50

@@ -472,3 +472,43 @@ def test_bloom_store_self_describing_params(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="mixes build parameters"):
         sketches.probe_bloom_store(spark, store, df, ["grp"], "url")
+
+
+def test_bloom_store_empty_batch_selection_message(spark, tmp_path):
+    """A batches= list matching nothing is a caller error (typo'd ids),
+    not a mixed-parameter store — the error must say so and list the
+    requested vs available ids."""
+    import pytest
+
+    from physicsnemo_curator_spark.operators import sketches
+
+    df = spark.createDataFrame(
+        [("g", f"k{i}") for i in range(20)], "grp string, url string"
+    )
+    store = str(tmp_path / "store")
+    sketches.append_bloom_store(
+        df, store, ["grp"], "url", batch_id="d1", n_bits=1024, k=3,
+        hash_fn="md5",
+    )
+    with pytest.raises(ValueError, match="no batches matched") as ei:
+        sketches.probe_bloom_store(
+            spark, store, df, ["grp"], "url", batches=["typo"]
+        )
+    assert "typo" in str(ei.value) and "d1" in str(ei.value)
+
+
+def test_list_bloom_store_batches_error_propagation(spark, tmp_path):
+    """A missing store is 'not created yet' → []; a CORRUPT store must
+    raise (treating it as empty would silently disable all-time dedup
+    and re-emit every previously-seen key as definitely-new)."""
+    import pytest
+
+    from physicsnemo_curator_spark.operators import sketches
+
+    missing = str(tmp_path / "never_written")
+    assert sketches.list_bloom_store_batches(spark, missing) == []
+    corrupt = tmp_path / "corrupt"
+    corrupt.mkdir()
+    (corrupt / "part-00000.parquet").write_bytes(b"not a parquet file")
+    with pytest.raises(Exception):
+        sketches.list_bloom_store_batches(spark, str(corrupt))

@@ -201,3 +201,34 @@ def test_read_vtk_domain_extra_matches_and_collisions(spark, tmp_path):
             volume_pattern="volume_*",
             boundary_pattern="boundary_*",
         )
+
+
+def test_read_vtk_domain_guard_survives_column_pruning(spark, tmp_path):
+    """The path-drift guard must be attached to EVERY mapped column:
+    a consumer selecting only domain_id (region pruned by Catalyst)
+    must still get real values — and the guard expression must keep
+    the mapping join alive in the pruned plan."""
+    import os
+
+    pts = [(0.0, 0.0, 0.0), (1.0, 0.0, 0.0), (0.0, 1.0, 0.0)]
+    cells = [[0, 1, 2]]
+    os.makedirs(tmp_path / "case1")
+    vtk.write_vtk(
+        pts, cells, {"p": [1.0, 2.0, 3.0]},
+        str(tmp_path / "case1" / "volume_x.vtk"),
+    )
+    vtk.write_vtk(pts, cells, None, str(tmp_path / "case1" / "boundary_x.vtk"))
+    t = vtk.read_vtk_domain(
+        spark,
+        str(tmp_path),
+        volume_pattern="volume_*",
+        boundary_pattern="boundary_*",
+        glob="*.vtk",
+    )
+    only_dom = t["points"].select("domain_id").distinct().collect()
+    assert {r.domain_id for r in only_dom} == {"case1"}
+    assert all(r.domain_id is not None for r in only_dom)
+    # the guard (raise_error on a failed match) is present in the
+    # domain_id-only plan, so drift errors loudly even after pruning
+    plan = t["points"].select("domain_id")._jdf.queryExecution().toString()
+    assert "raise_error" in plan

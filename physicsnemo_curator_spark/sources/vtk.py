@@ -52,7 +52,7 @@ def parse_mesh_bytes(path: str, content: bytes) -> MeshFile:
     XML kernel, ``.stl`` → STL kernel (ASCII or binary), anything else
     → legacy ASCII kernel."""
     ext = path.rsplit(".", 1)[-1].lower()
-    if ext in ("vtu", "vtp", "vts"):
+    if ext in ("vtu", "vtp", "vts", "vti"):
         from physicsnemo_curator_spark.sources.vtk_xml import parse_vtk_xml
 
         return MeshFile(*parse_vtk_xml(bytes(content)))
@@ -395,6 +395,124 @@ def read_structured_points(
     return {
         "grid": raw.mapInPandas(parse_grid, GRID_SCHEMA),
         "meta": raw.mapInPandas(parse_meta, GRID_META_SCHEMA),
+    }
+
+
+IMAGE_META_SCHEMA = (
+    GRID_META_SCHEMA
+    + ", d00 double, d01 double, d02 double, d10 double, d11 double,"
+    " d12 double, d20 double, d21 double, d22 double"
+)
+
+
+def read_image_data(
+    spark: SparkSession, path: str, *, glob: str = "*.vti"
+) -> dict[str, DataFrame]:
+    """Read VTK ImageData files into the structured-grid long encoding
+    (VTISource parity, reference ``domains/mesh/sources/vti.py:60-244``
+    ``imagedata_to_griddict`` / ``_reshape_field``).
+
+    Handles BOTH XML ``.vti`` ImageData (all four DataArray encodings,
+    multi-piece scatter) and legacy ASCII ``STRUCTURED_POINTS``,
+    dispatched per file by content sniff — so a mixed directory scans
+    in one pass.  Returns:
+
+    - ``grid``: point fields ``(grid_id, iz, iy, ix, field, value)``,
+      x-fastest unflattening (``flat = iz*ny*nx + iy*nx + ix``);
+    - ``cell_grid``: cell fields over the ``(max(n-1,1),...)`` cell
+      lattice, same column layout;
+    - ``meta``: per-grid dimensions/origin/spacing + the 3x3 direction
+      matrix (identity when the file doesn't carry one).
+
+    One task per file (binaryFile scan), Arrow-batched parse — the
+    same scan layout as :func:`read_vtk`, so 100k files fan out across
+    the cluster with no driver work beyond listing."""
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select("path", "content")
+    )
+
+    def _parse(p: str, content: bytes) -> dict:
+        blob = bytes(content)
+        try:
+            if blob.lstrip()[:1] == b"<":
+                from physicsnemo_curator_spark.sources.vtk_xml import parse_vti
+
+                return parse_vti(blob)
+            mf = _parse_legacy_vtk(blob.decode())
+            meta = mf.grid_meta
+            return {
+                "dimensions": meta["dimensions"],
+                "origin": meta.get("origin", (0.0, 0.0, 0.0)),
+                "spacing": meta.get("spacing", (1.0, 1.0, 1.0)),
+                "direction": (1.0, 0, 0, 0, 1.0, 0, 0, 0, 1.0),
+                "point_data": mf.point_data,
+                "cell_data": mf.cell_data,
+            }
+        except Exception as e:
+            raise ValueError(f"failed to parse image data {p}: {e}") from e
+
+    def _gid(p: str) -> str:
+        return p.rsplit("/", 1)[-1].rsplit(".", 1)[0]
+
+    def _long(attr: str, cell_lattice: bool):
+        def parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                out = []
+                for p, content in zip(pdf["path"], pdf["content"]):
+                    g = _parse(p, content)
+                    nx, ny, nz = g["dimensions"]
+                    if cell_lattice:
+                        nx, ny, nz = max(nx - 1, 1), max(ny - 1, 1), max(nz - 1, 1)
+                    gid = _gid(p)
+                    for name, values in g[attr].items():
+                        for flat, v in enumerate(values):
+                            out.append(
+                                (
+                                    gid,
+                                    flat // (nx * ny),
+                                    (flat // nx) % ny,
+                                    flat % nx,
+                                    name,
+                                    v,
+                                )
+                            )
+                yield pd.DataFrame(
+                    out, columns=["grid_id", "iz", "iy", "ix", "field", "value"]
+                )
+
+        return parse
+
+    def parse_meta(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                g = _parse(p, content)
+                out.append(
+                    (
+                        _gid(p),
+                        *[int(d) for d in g["dimensions"]],
+                        *[float(v) for v in g["origin"]],
+                        *[float(v) for v in g["spacing"]],
+                        *[float(v) for v in g["direction"]],
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "grid_id", "nx", "ny", "nz", "ox", "oy", "oz",
+                    "sx", "sy", "sz",
+                    "d00", "d01", "d02", "d10", "d11", "d12",
+                    "d20", "d21", "d22",
+                ],
+            )
+
+    return {
+        "grid": raw.mapInPandas(_long("point_data", False), GRID_SCHEMA),
+        "cell_grid": raw.mapInPandas(_long("cell_data", True), GRID_SCHEMA),
+        "meta": raw.mapInPandas(parse_meta, IMAGE_META_SCHEMA),
     }
 
 

@@ -18,6 +18,15 @@ Supported surface:
   WholeExtent lattice; the implicit cell lattice materializes as
   hexahedra (VTK type 12) so the mesh operator pack applies unchanged;
   extent dimensions land in grid_meta.
+- ``ImageData`` (.vti): uniform rectilinear grid fully determined by
+  WholeExtent/Origin/Spacing (+ optional Direction matrix) — no
+  explicit point list (reference ``domains/mesh/sources/vti.py:
+  60-145``, ``imagedata_to_griddict`` / ``_reshape_field`` x-fastest
+  order).  Two views: :func:`parse_vtk_xml` synthesizes the lattice
+  points + implicit cells so the mesh table path applies unchanged,
+  and :func:`parse_vti` returns the dense-grid view (whole-extent
+  x-fastest flat fields + grid metadata) that feeds the
+  ``(grid_id, iz, iy, ix, field, value)`` long schema.
 - ``vtkMultiBlockDataSet`` (.vtm): an XML index of nested files —
   :func:`parse_vtm_index` returns the referenced paths for the scan
   layer to load (one task per referenced file).
@@ -203,6 +212,61 @@ def _extent_dims(piece: ET.Element) -> tuple[int, int, int]:
     return e[1] - e[0] + 1, e[3] - e[2] + 1, e[5] - e[4] + 1
 
 
+def _extent_bounds(
+    el: ET.Element, attr: str = "Extent"
+) -> tuple[tuple[int, int, int], tuple[int, int, int]]:
+    """(starts, dims) of an extent attribute — ImageData pieces are
+    addressed by GLOBAL lattice indices, so the start offsets matter
+    for point positions and multi-piece assembly."""
+    e = [int(t) for t in (el.get(attr) or "0 0 0 0 0 0").split()]
+    return (e[0], e[2], e[4]), (
+        e[1] - e[0] + 1,
+        e[3] - e[2] + 1,
+        e[5] - e[4] + 1,
+    )
+
+
+def _image_geometry(grid: ET.Element):
+    """Origin/Spacing/Direction of an <ImageData> element (VTK
+    defaults: zero origin, unit spacing, identity direction)."""
+    origin = np.array(
+        [float(t) for t in (grid.get("Origin") or "0 0 0").split()]
+    )
+    spacing = np.array(
+        [float(t) for t in (grid.get("Spacing") or "1 1 1").split()]
+    )
+    d = grid.get("Direction")
+    direction = (
+        np.array([float(t) for t in d.split()]).reshape(3, 3)
+        if d
+        else np.eye(3)
+    )
+    return origin, spacing, direction
+
+
+def _image_points(
+    origin: np.ndarray,
+    spacing: np.ndarray,
+    direction: np.ndarray,
+    starts: tuple[int, int, int],
+    dims: tuple[int, int, int],
+) -> np.ndarray:
+    """Synthesize the implicit ImageData lattice points in x-fastest
+    order: p(i,j,k) = origin + direction @ (spacing * [i, j, k]) with
+    GLOBAL indices (piece extent offsets included)."""
+    (x0, y0, z0), (nx, ny, nz) = starts, dims
+    kk, jj, ii = np.meshgrid(
+        np.arange(z0, z0 + nz),
+        np.arange(y0, y0 + ny),
+        np.arange(x0, x0 + nx),
+        indexing="ij",
+    )
+    ijk = np.stack(
+        [ii.ravel(), jj.ravel(), kk.ravel()], axis=1
+    ).astype(np.float64)
+    return origin + (ijk * spacing) @ direction.T
+
+
 def _lattice_cells(nx: int, ny: int, nz: int):
     """Implicit structured-grid cells: hexahedra (3D), quads (2D), or
     lines (1D) over an x-fastest point lattice, standard VTK corner
@@ -258,7 +322,11 @@ def parse_vtm_index(data: bytes) -> list[str]:
 
 
 def parse_vtk_xml(data: bytes):
-    """Parse one ``.vtu`` / ``.vtp`` / ``.vts`` document.
+    """Parse one ``.vtu`` / ``.vtp`` / ``.vts`` / ``.vti`` document.
+    ImageData (.vti) synthesizes its implicit uniform-lattice points
+    (origin + direction @ (spacing * ijk), global piece indices) so
+    the mesh-table view applies unchanged; its grid_meta carries
+    dimensions/origin/spacing/direction for the dense-grid view.
 
     Returns ``(points, cells, cell_types, point_data, cell_data,
     grid_meta)``: points ``[(x, y, z)]``, cells ``[[vertex ids]]``,
@@ -273,7 +341,7 @@ def parse_vtk_xml(data: bytes):
     if root.tag != "VTKFile":
         raise ValueError(f"not a VTK XML file (root {root.tag!r})")
     kind = root.get("type")
-    if kind not in ("UnstructuredGrid", "PolyData", "StructuredGrid"):
+    if kind not in ("UnstructuredGrid", "PolyData", "StructuredGrid", "ImageData"):
         raise ValueError(f"unsupported VTK XML type {kind!r}")
 
     appended: bytes | None = raw_appended
@@ -292,16 +360,35 @@ def parse_vtk_xml(data: bytes):
     cell_data: dict[str, list[float]] = {}
     grid_meta: dict = {}
 
+    if kind == "ImageData":
+        img_origin, img_spacing, img_direction = _image_geometry(grid)
+        _, wdims = _extent_bounds(grid, "WholeExtent")
+        grid_meta["dimensions"] = wdims
+        grid_meta["origin"] = tuple(float(v) for v in img_origin)
+        grid_meta["spacing"] = tuple(float(v) for v in img_spacing)
+        grid_meta["direction"] = tuple(
+            float(v) for v in img_direction.ravel()
+        )
+
     for piece in grid.findall("Piece"):
         base = len(points)
         if kind == "StructuredGrid":
             nx, ny, nz = _extent_dims(piece)
             n_pts = nx * ny * nz
             grid_meta["dimensions"] = (nx, ny, nz)
+            pts = dec.array(piece.find("Points/DataArray")).astype(np.float64)
+            pts = pts.reshape(-1, 3)[:n_pts]
+        elif kind == "ImageData":
+            # no explicit point list: synthesize the uniform lattice
+            starts, (nx, ny, nz) = _extent_bounds(piece)
+            n_pts = nx * ny * nz
+            pts = _image_points(
+                img_origin, img_spacing, img_direction, starts, (nx, ny, nz)
+            )
         else:
             n_pts = int(piece.get("NumberOfPoints", "0"))
-        pts = dec.array(piece.find("Points/DataArray")).astype(np.float64)
-        pts = pts.reshape(-1, 3)[:n_pts]
+            pts = dec.array(piece.find("Points/DataArray")).astype(np.float64)
+            pts = pts.reshape(-1, 3)[:n_pts]
         points.extend((float(x), float(y), float(z)) for x, y, z in pts)
 
         piece_cells: list[list[int]] = []
@@ -311,7 +398,7 @@ def parse_vtk_xml(data: bytes):
             conn, offs, typs = _connectivity(sec, dec)
             piece_cells = _split_cells(conn, offs)
             piece_types = typs if typs else [0] * len(piece_cells)
-        elif kind == "StructuredGrid":
+        elif kind in ("StructuredGrid", "ImageData"):
             piece_cells, piece_types = _lattice_cells(nx, ny, nz)
         else:  # PolyData: fixed section order, standard cell types
             for sec_name, one_t, many_t in (
@@ -563,6 +650,133 @@ def write_vts(
     doc = w.document("StructuredGrid", f'Extent="{ext}"', body)
     doc = doc.replace(
         b"<StructuredGrid>", f'<StructuredGrid WholeExtent="{ext}">'.encode()
+    )
+    with open(path, "wb") as f:
+        f.write(doc)
+
+
+def parse_vti(data: bytes) -> dict:
+    """Dense-grid view of one ``.vti`` ImageData document (reference
+    ``domains/mesh/sources/vti.py:86-145`` ``imagedata_to_griddict``):
+    whole-extent x-fastest FLAT field lists plus grid metadata, the
+    shape that feeds the ``(grid_id, iz, iy, ix, field, value)`` long
+    schema (``sources/vtk.py::read_image_data``).
+
+    Returns ``{'dimensions': (nx, ny, nz), 'origin': (3,),
+    'spacing': (3,), 'direction': (9,), 'point_data': {field: [float]},
+    'cell_data': {field: [float]}}``.  Multi-piece files scatter each
+    piece into the whole-extent array by its global extent offsets;
+    lattice sites no piece covers stay NaN (loud in any downstream
+    NaN-count check, never silently zero).
+    """
+    xml_bytes, raw_appended = _split_appended_raw(data)
+    root = ET.fromstring(xml_bytes)
+    if root.tag != "VTKFile" or root.get("type") != "ImageData":
+        raise ValueError(
+            f"not a VTK ImageData XML file (type {root.get('type')!r})"
+        )
+    appended: bytes | None = raw_appended
+    if appended is None:
+        app = root.find("AppendedData")
+        if app is not None:
+            txt = app.text or ""
+            appended = txt[txt.index("_") + 1 :].encode("ascii")
+    dec = _Decoder(root, appended)
+    grid = root.find("ImageData")
+    origin, spacing, direction = _image_geometry(grid)
+    (wx0, wy0, wz0), (wnx, wny, wnz) = _extent_bounds(grid, "WholeExtent")
+    cdims = (max(wnx - 1, 1), max(wny - 1, 1), max(wnz - 1, 1))
+
+    point_data: dict[str, np.ndarray] = {}
+    cell_data: dict[str, np.ndarray] = {}
+
+    def _scatter(
+        dest: dict[str, np.ndarray],
+        section: ET.Element | None,
+        whole: tuple[int, int, int],
+        starts: tuple[int, int, int],
+        dims: tuple[int, int, int],
+    ) -> None:
+        n = dims[0] * dims[1] * dims[2]
+        for name, vals in _named_arrays(section, dec, n).items():
+            if name not in dest:
+                dest[name] = np.full(whole[0] * whole[1] * whole[2], np.nan)
+            flat = dest[name].reshape(whole[2], whole[1], whole[0])
+            sub = np.asarray(vals).reshape(dims[2], dims[1], dims[0])
+            x0, y0, z0 = starts
+            flat[
+                z0 : z0 + dims[2], y0 : y0 + dims[1], x0 : x0 + dims[0]
+            ] = sub
+
+    for piece in grid.findall("Piece"):
+        (px0, py0, pz0), pdims = _extent_bounds(piece)
+        _scatter(
+            point_data,
+            piece.find("PointData"),
+            (wnx, wny, wnz),
+            (px0 - wx0, py0 - wy0, pz0 - wz0),
+            pdims,
+        )
+        pcdims = tuple(max(d - 1, 1) for d in pdims)
+        _scatter(
+            cell_data,
+            piece.find("CellData"),
+            cdims,
+            (px0 - wx0, py0 - wy0, pz0 - wz0),
+            pcdims,
+        )
+
+    return {
+        "dimensions": (wnx, wny, wnz),
+        "origin": tuple(float(v) for v in origin),
+        "spacing": tuple(float(v) for v in spacing),
+        "direction": tuple(float(v) for v in direction.ravel()),
+        "point_data": {k: v.tolist() for k, v in point_data.items()},
+        "cell_data": {k: v.tolist() for k, v in cell_data.items()},
+    }
+
+
+def write_vti(
+    dims: tuple[int, int, int],
+    point_data: dict[str, list[float]] | None,
+    path: str,
+    *,
+    cell_data: dict[str, list[float]] | None = None,
+    origin: tuple[float, float, float] = (0.0, 0.0, 0.0),
+    spacing: tuple[float, float, float] = (1.0, 1.0, 1.0),
+    fmt: str = "appended",
+) -> None:
+    """Emit one .vti ImageData file: no point list — the grid is
+    implied by WholeExtent/Origin/Spacing; fields are x-fastest flat
+    arrays over the point (or cell) lattice.  Same four encodings as
+    :func:`write_vtu`."""
+    nx, ny, nz = dims
+    n_cells = max(nx - 1, 1) * max(ny - 1, 1) * max(nz - 1, 1)
+    for name, vals in (point_data or {}).items():
+        if len(vals) != nx * ny * nz:
+            raise ValueError(
+                f"point field {name!r}: {len(vals)} values != {nx}*{ny}*{nz}"
+            )
+    for name, vals in (cell_data or {}).items():
+        if len(vals) != n_cells:
+            raise ValueError(
+                f"cell field {name!r}: {len(vals)} values != {n_cells} cells"
+            )
+    w = _VtuWriter(fmt)
+    ext = f"0 {nx - 1} 0 {ny - 1} 0 {nz - 1}"
+    body = [
+        *_data_section(w, "PointData", point_data),
+        *_data_section(w, "CellData", cell_data),
+    ]
+    doc = w.document("ImageData", f'Extent="{ext}"', body)
+    ox, oy, oz = origin
+    sx, sy, sz = spacing
+    doc = doc.replace(
+        b"<ImageData>",
+        (
+            f'<ImageData WholeExtent="{ext}" Origin="{ox} {oy} {oz}"'
+            f' Spacing="{sx} {sy} {sz}">'
+        ).encode(),
     )
     with open(path, "wb") as f:
         f.write(doc)

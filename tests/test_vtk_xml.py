@@ -223,3 +223,135 @@ def test_multi_piece_sparse_fields_aligned(tmp_path):
     assert len(vals) == 4
     assert np.isnan(vals[0]) and np.isnan(vals[1])
     assert vals[2:] == [7.0, 8.0]
+
+
+@pytest.mark.parametrize("fmt", ["ascii", "binary", "appended", "appended-raw"])
+def test_vti_encoding_roundtrip(fmt, tmp_path):
+    """ImageData round-trip across all four encodings: dense fields,
+    dimensions, origin, spacing (reference vti.py:86-145)."""
+    dims = (3, 2, 2)
+    pdat = {"temp": [float(i) for i in range(12)]}
+    cdat = {"rho": [5.0, 6.0]}
+    p = tmp_path / "g.vti"
+    vtk_xml.write_vti(
+        dims, pdat, str(p), cell_data=cdat,
+        origin=(1.0, 2.0, 3.0), spacing=(0.5, 0.25, 2.0), fmt=fmt,
+    )
+    g = vtk_xml.parse_vti(p.read_bytes())
+    assert g["dimensions"] == dims
+    assert g["origin"] == (1.0, 2.0, 3.0)
+    assert g["spacing"] == (0.5, 0.25, 2.0)
+    assert g["direction"] == (1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0)
+    assert g["point_data"] == pdat and g["cell_data"] == cdat
+
+
+def test_vti_x_fastest_reshape_parity(tmp_path):
+    """The flat field order is x-fastest (reference _reshape_field:
+    C-order reshape to (nz, ny, nx) recovers [z, y, x] indexing) —
+    pin it by checking a hand-computed (iz, iy, ix) -> value map."""
+    nx, ny, nz = 4, 3, 2
+    vals = [float(iz * 100 + iy * 10 + ix)
+            for iz in range(nz) for iy in range(ny) for ix in range(nx)]
+    p = tmp_path / "g.vti"
+    vtk_xml.write_vti((nx, ny, nz), {"f": vals}, str(p), fmt="binary")
+    g = vtk_xml.parse_vti(p.read_bytes())
+    got = np.asarray(g["point_data"]["f"]).reshape(nz, ny, nx)
+    assert got[1, 2, 3] == 123.0 and got[0, 1, 2] == 12.0
+
+
+def test_vti_mesh_view_synthesizes_lattice(tmp_path):
+    """parse_vtk_xml on a .vti synthesizes the implicit uniform-lattice
+    points (origin + spacing * ijk) and hexahedral cells, so the mesh
+    operator pack applies unchanged."""
+    p = tmp_path / "g.vti"
+    vtk_xml.write_vti(
+        (2, 2, 2), {"t": [float(i) for i in range(8)]}, str(p),
+        origin=(10.0, 0.0, 0.0), spacing=(1.0, 2.0, 3.0), fmt="ascii",
+    )
+    pts, cells, ctypes, pdata, cdata, meta = vtk_xml.parse_vtk_xml(p.read_bytes())
+    assert len(pts) == 8 and pts[0] == (10.0, 0.0, 0.0)
+    assert pts[1] == (11.0, 0.0, 0.0)      # x fastest
+    assert pts[2] == (10.0, 2.0, 0.0)      # then y (spacing 2)
+    assert pts[4] == (10.0, 0.0, 3.0)      # then z (spacing 3)
+    assert cells == [[0, 1, 3, 2, 4, 5, 7, 6]] and ctypes == [12]
+    assert pdata == {"t": [float(i) for i in range(8)]}
+    assert meta["dimensions"] == (2, 2, 2)
+    assert meta["origin"] == (10.0, 0.0, 0.0)
+
+
+def test_vti_direction_matrix_applied(tmp_path):
+    """A non-identity Direction matrix rotates the synthesized lattice
+    (p = origin + D @ (spacing * ijk)) and lands in grid_meta."""
+    p = tmp_path / "g.vti"
+    vtk_xml.write_vti((2, 1, 1), {"t": [0.0, 1.0]}, str(p), fmt="ascii")
+    doc = p.read_bytes().decode()
+    # swap x into y: D = [[0,-1,0],[1,0,0],[0,0,1]]
+    doc = doc.replace(
+        "<ImageData ",
+        '<ImageData Direction="0 -1 0 1 0 0 0 0 1" ', 1,
+    )
+    pts, _, _, _, _, meta = vtk_xml.parse_vtk_xml(doc.encode())
+    assert pts[1] == (0.0, 1.0, 0.0)
+    g = vtk_xml.parse_vti(doc.encode())
+    assert g["direction"] == (0.0, -1.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 1.0)
+
+
+def test_vti_multi_piece_scatter(tmp_path):
+    """Two pieces tiling the whole extent scatter into one dense
+    whole-extent array by their GLOBAL extent offsets; uncovered
+    lattice sites stay NaN (loud, never silently zero)."""
+    # whole extent 0..3 in x (nx=4), pieces cover x 0..1 and x 2..3
+    doc = """<VTKFile type="ImageData" version="1.0" byte_order="LittleEndian" header_type="UInt32">
+<ImageData WholeExtent="0 3 0 0 0 0" Origin="0 0 0" Spacing="1 1 1">
+<Piece Extent="0 1 0 0 0 0">
+<PointData><DataArray type="Float64" Name="f" format="ascii">10 11</DataArray></PointData>
+</Piece>
+<Piece Extent="2 3 0 0 0 0">
+<PointData><DataArray type="Float64" Name="f" format="ascii">12 13</DataArray></PointData>
+</Piece>
+</ImageData>
+</VTKFile>"""
+    g = vtk_xml.parse_vti(doc.encode())
+    assert g["point_data"]["f"] == [10.0, 11.0, 12.0, 13.0]
+    # a field present in only ONE piece NaN-pads the rest
+    doc2 = doc.replace(
+        '<DataArray type="Float64" Name="f" format="ascii">12 13</DataArray>',
+        "",
+    )
+    g2 = vtk_xml.parse_vti(doc2.encode())
+    f = g2["point_data"]["f"]
+    assert f[:2] == [10.0, 11.0] and all(np.isnan(v) for v in f[2:])
+
+
+def test_read_image_data_mixed_formats(spark, tmp_path):
+    """read_image_data scans XML .vti and legacy STRUCTURED_POINTS in
+    one pass (content sniff per file) into identical long tables."""
+    vals = [float(i) for i in range(12)]
+    vtk_xml.write_vti(
+        (3, 2, 2), {"t": vals}, str(tmp_path / "a.vti"),
+        origin=(0.0, 0.0, 0.0), spacing=(1.0, 1.0, 1.0), fmt="appended",
+    )
+    vtk.write_structured_points((3, 2, 2), {"t": vals}, str(tmp_path / "b.vtk"))
+    t = vtk.read_image_data(spark, str(tmp_path), glob="*.vt[ik]")
+    rows = t["grid"].collect()
+    assert len(rows) == 24
+    byg = {}
+    for r in rows:
+        byg.setdefault(r.grid_id, {})[(r.iz, r.iy, r.ix)] = r.value
+    assert byg["a"] == byg["b"]
+    assert byg["a"][(1, 1, 2)] == 11.0  # x-fastest flat index 11
+    meta = {r.grid_id: r for r in t["meta"].collect()}
+    assert (meta["a"].nx, meta["a"].ny, meta["a"].nz) == (3, 2, 2)
+    assert meta["a"].d00 == 1.0 and meta["a"].d01 == 0.0
+
+
+def test_read_image_data_cell_grid(spark, tmp_path):
+    vtk_xml.write_vti(
+        (3, 2, 2), None, str(tmp_path / "c.vti"),
+        cell_data={"rho": [7.0, 8.0]}, fmt="binary",
+    )
+    t = vtk.read_image_data(spark, str(tmp_path))
+    rows = t["cell_grid"].collect()
+    assert {(r.iz, r.iy, r.ix, r.value) for r in rows} == {
+        (0, 0, 0, 7.0), (0, 0, 1, 8.0)
+    }

@@ -3377,11 +3377,436 @@ FROM pairs WHERE bit_count(xor(sa, sb)) <= 8 ORDER BY a, b
 # classes already covered in-window (union/except/like/regexp/date/distinct/
 # cube/pivot/grouping-sets/window-delta) live in the tail — still declared,
 # still locally oracle-tested in tests/test_oracle.py.
+def _fixture_dir(sf_dir: str, tag: str) -> str:
+    """Temp fixture directory keyed on the source parquet's identity
+    (the q_warc_scan discipline, queries.py ~:2060): a regenerated
+    documents table must never be served stale fixtures — nanosecond
+    mtime + size, not pid (pids recycle inside containers)."""
+    import hashlib
+    import tempfile
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(src)
+        ident = f"{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        ident = "absent"
+    token = hashlib.md5(f"{tag}:{sf_dir}:{ident}".encode()).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"pcs_{tag}_{token}")
+    os.makedirs(base, exist_ok=True)
+    return base
+
+
+def _publish(path: str, write_fn) -> None:
+    """Atomic fixture publish: write to a pid-unique temp name, then
+    rename — a concurrent writer can never expose a torn file."""
+    if os.path.exists(path):
+        return
+    tmp = f"{path}.{os.getpid()}.tmp"
+    write_fn(tmp)
+    os.replace(tmp, path)
+
+
+def q_vtk_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VTK mesh-family source gate (sources/vtk.py + vtk_xml.py, the
+    engine's flagship reference-parity surface — reference
+    ``domains/mesh/sources/vtk.py:74-444``): the documents table is
+    round-tripped through real VTK files — five meshes covering FOUR
+    .vtu DataArray encodings (ascii / inline-base64+zlib /
+    appended-base64 / appended-raw) plus a .vtp PolyData — re-scanned
+    with ``read_vtk`` (one task per file), and aggregated per mesh.
+
+    Mesh ``m`` holds one point per document with ``doc_id % 5 == m``
+    (sorted by doc_id): position ``(doc_id, (doc_id*7) % 13,
+    (doc_id*3) % 5)``, point field ``w = n_chars``, fan-triangle
+    cells ``[0, i, i+1]``, cell field ``area = 2*c + m``.  Every
+    output column replays in DuckDB from the documents table alone, so
+    a decode bug in ANY encoding (points, connectivity, point data,
+    cell data, per-point field pairing) breaks the hash."""
+    from physicsnemo_curator_spark.sources.vtk import read_vtk
+    from physicsnemo_curator_spark.sources.vtk_xml import write_vtp, write_vtu
+
+    docs = sorted(
+        (
+            (r["doc_id"], r["n_chars"])
+            for r in _t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 150)
+            .select("doc_id", "n_chars")
+            .collect()
+        )
+    )
+    base = _fixture_dir(sf_dir, "vtk")
+    fmts = ["ascii", "binary", "appended", "appended-raw"]
+    paths = []
+    for m in range(5):
+        mine = [(d, w) for d, w in docs if d % 5 == m]
+        pts = [
+            (float(d), float((d * 7) % 13), float((d * 3) % 5)) for d, _ in mine
+        ]
+        pdata = {"w": [float(w) for _, w in mine]}
+        cells = [[0, i, i + 1] for i in range(1, len(pts) - 1)]
+        cdata = {"area": [float(2 * c + m) for c in range(len(cells))]}
+        if m < 4:
+            p = os.path.join(base, f"mesh{m}.vtu")
+            _publish(
+                p,
+                lambda t, pts=pts, cells=cells, pdata=pdata, cdata=cdata,
+                fmt=fmts[m]: write_vtu(
+                    pts, cells, None, pdata, t, cell_data=cdata, fmt=fmt
+                ),
+            )
+        else:
+            p = os.path.join(base, f"mesh{m}.vtp")
+            _publish(
+                p,
+                lambda t, pts=pts, cells=cells, pdata=pdata, cdata=cdata:
+                write_vtp(pts, cells, pdata, t, cell_data=cdata, fmt="appended"),
+            )
+        paths.append(p)
+
+    t = read_vtk(spark, paths)
+    pts_agg = t["points"].groupBy("mesh_id").agg(
+        F.count("*").alias("n_points"),
+        F.sum("x").cast("bigint").alias("sum_x"),
+        F.sum("y").cast("bigint").alias("sum_y"),
+    )
+    cell_agg = t["cells"].groupBy("mesh_id").agg(
+        F.count("*").alias("n_cells"),
+        F.sum(F.aggregate("vs", F.lit(0).cast("bigint"), lambda a, v: a + v))
+        .cast("bigint")
+        .alias("sum_conn"),
+    )
+    w = t["point_data"].filter(F.col("field") == "w")
+    # per-point (position, field) pairing fingerprint: md5 over the
+    # sorted "x:w" pair strings — catches an off-by-one in ANY decoder
+    pair = (
+        t["points"]
+        .join(w, ["mesh_id", "point_id"])
+        .select(
+            "mesh_id",
+            F.col("value").cast("bigint").alias("w"),
+            F.concat_ws(
+                ":",
+                F.col("x").cast("bigint"),
+                F.col("value").cast("bigint"),
+            ).alias("s"),
+        )
+        .groupBy("mesh_id")
+        .agg(
+            F.sum("w").alias("sum_w"),
+            F.md5(
+                F.concat_ws("", F.sort_array(F.collect_list("s"))).cast(
+                    "binary"
+                )
+            ).alias("pair_fp"),
+        )
+    )
+    area = (
+        t["cell_data"]
+        .filter(F.col("field") == "area")
+        .groupBy("mesh_id")
+        .agg(F.sum(F.col("value")).cast("bigint").alias("sum_area"))
+    )
+    return (
+        pts_agg.join(cell_agg, "mesh_id")
+        .join(pair, "mesh_id")
+        .join(area, "mesh_id")
+        .select(
+            "mesh_id", "n_points", "n_cells", "sum_x", "sum_y", "sum_w",
+            "sum_conn", "sum_area", "pair_fp",
+        )
+        .orderBy("mesh_id")
+    )
+
+
+ORACLE_VTK_SCAN = """
+WITH d AS (SELECT doc_id, n_chars, doc_id % 5 AS m
+           FROM documents WHERE doc_id < 150),
+g AS (SELECT m, CAST(COUNT(*) AS BIGINT) n_points,
+             CAST(SUM(doc_id) AS BIGINT) sum_x,
+             CAST(SUM((doc_id * 7) % 13) AS BIGINT) sum_y,
+             CAST(SUM(n_chars) AS BIGINT) sum_w,
+             md5(string_agg(doc_id || ':' || n_chars, ''
+                            ORDER BY doc_id || ':' || n_chars)) pair_fp
+      FROM d GROUP BY m)
+SELECT 'mesh' || m AS mesh_id, n_points,
+       n_points - 2 AS n_cells, sum_x, sum_y, sum_w,
+       n_points * (n_points - 2) AS sum_conn,
+       (n_points - 2) * (n_points - 3) + m * (n_points - 2) AS sum_area,
+       pair_fp
+FROM g ORDER BY mesh_id
+"""
+
+
+def q_vti_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ImageData / structured-grid source gate (sources/vtk_xml.py
+    parse_vti + sources/vtk.py read_image_data — reference
+    ``domains/mesh/sources/vti.py:60-244``): five grids of dims
+    (4, 3, 2) — four XML .vti covering all four DataArray encodings
+    plus one legacy ASCII STRUCTURED_POINTS — each filled x-fastest
+    with ``n_chars`` of 24 consecutive documents, scanned in ONE mixed
+    pass, and aggregated per grid.  The lattice-index-weighted sum
+    pins the x-fastest unflattening (``flat = iz*12 + iy*4 + ix``);
+    per-grid cell-field sums and geometry columns pin the cell lattice
+    and the Origin/Spacing metadata path."""
+    from physicsnemo_curator_spark.sources.vtk import (
+        read_image_data,
+        write_structured_points,
+    )
+    from physicsnemo_curator_spark.sources.vtk_xml import write_vti
+
+    chars = {
+        r["doc_id"]: r["n_chars"]
+        for r in _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 120)
+        .select("doc_id", "n_chars")
+        .collect()
+    }
+    base = _fixture_dir(sf_dir, "vti")
+    fmts = ["ascii", "binary", "appended", "appended-raw"]
+    for g in range(5):
+        vals = [float(chars[g * 24 + flat]) for flat in range(24)]
+        origin = (g * 1.5, 0.0, 0.0)
+        if g < 4:
+            cvals = [float(c + 7 * g) for c in range(6)]
+            _publish(
+                os.path.join(base, f"grid{g}.vti"),
+                lambda t, vals=vals, cvals=cvals, origin=origin,
+                fmt=fmts[g]: write_vti(
+                    (4, 3, 2), {"v": vals}, t, cell_data={"cv": cvals},
+                    origin=origin, spacing=(0.5, 1.0, 2.0), fmt=fmt,
+                ),
+            )
+        else:
+            # legacy STRUCTURED_POINTS (point data only) — the content
+            # sniff must route it through the legacy kernel mid-scan
+            _publish(
+                os.path.join(base, f"grid{g}.vtk"),
+                lambda t, vals=vals, origin=origin: write_structured_points(
+                    (4, 3, 2), {"v": vals}, t,
+                    origin=origin, spacing=(0.5, 1.0, 2.0),
+                ),
+            )
+
+    t = read_image_data(spark, base, glob="*.vt[ik]")
+    pt = t["grid"].groupBy("grid_id").agg(
+        F.count("*").alias("n_sites"),
+        F.sum(F.col("value").cast("bigint")).alias("sum_v"),
+        F.sum(
+            F.col("value").cast("bigint")
+            * (1 + F.col("ix") + 10 * F.col("iy") + 100 * F.col("iz"))
+        ).alias("wsum_v"),
+    )
+    ct = t["cell_grid"].groupBy("grid_id").agg(
+        F.sum(F.col("value")).cast("bigint").alias("sum_cv")
+    )
+    meta = t["meta"].select("grid_id", "nx", "ny", "nz", "ox", "sx", "sz")
+    return (
+        pt.join(ct, "grid_id", "left")
+        .join(meta, "grid_id")
+        .select(
+            "grid_id", "n_sites", "sum_v", "wsum_v", "sum_cv",
+            "nx", "ny", "nz", "ox", "sx", "sz",
+        )
+        .orderBy("grid_id")
+    )
+
+
+ORACLE_VTI_SCAN = """
+WITH d AS (SELECT doc_id // 24 AS g, doc_id % 24 AS flat, n_chars
+           FROM documents WHERE doc_id < 120)
+SELECT 'grid' || g AS grid_id,
+       CAST(COUNT(*) AS BIGINT) AS n_sites,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_v,
+       CAST(SUM(n_chars * (1 + flat % 4 + 10 * ((flat // 4) % 3)
+                           + 100 * (flat // 12))) AS BIGINT) AS wsum_v,
+       CASE WHEN g < 4 THEN CAST(15 + 42 * g AS BIGINT) END AS sum_cv,
+       CAST(4 AS INT) AS nx, CAST(3 AS INT) AS ny, CAST(2 AS INT) AS nz,
+       CAST(g AS DOUBLE) * 1.5 AS ox,
+       CAST(0.5 AS DOUBLE) AS sx, CAST(2.0 AS DOUBLE) AS sz
+FROM d GROUP BY g ORDER BY grid_id
+"""
+
+
+def q_stream_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL-TIME streaming Bloom dedup gate (streaming/dedup.py
+    ``run_streaming_bloom_dedup`` — the round-6 runtime composition,
+    previously pytest-only): a REAL readStream → foreachBatch run over
+    a 3-file fixture stream (``maxFilesPerTrigger=1`` → one micro-batch
+    per file, mtimes pinned so batch order is deterministic), each
+    batch probing the union of every EARLIER batch's persisted filter
+    and appending only definitely-new rows.
+
+    Rows are ``(doc_id, url='u'||(doc_id % 400))`` for doc_id < 480 in
+    batches of 160 — so batch 2 re-crawls batch 0's first 80 URLs and
+    must drop them (no false negatives), while genuinely-new URLs
+    survive except for deterministic Bloom false positives.  The md5
+    position derivation lets DuckDB replay the whole multi-epoch
+    membership protocol EXACTLY — emitted set including false
+    positives — from the documents table alone.  Output reads through
+    the ``read_bloom_deduped`` resolver (crash-retry idempotent)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from physicsnemo_curator_spark.streaming.dedup import (
+        read_bloom_deduped,
+        run_streaming_bloom_dedup,
+    )
+
+    ids = sorted(
+        r["doc_id"]
+        for r in _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 480)
+        .select("doc_id")
+        .collect()
+    )
+    base = _fixture_dir(sf_dir, "sbloom")
+    src = os.path.join(base, "src")
+    os.makedirs(src, exist_ok=True)
+    for b in range(3):
+        mine = [d for d in ids if d // 160 == b]
+        p = os.path.join(src, f"b{b}.parquet")
+
+        def _write(t, mine=mine):
+            pq.write_table(
+                pa.table(
+                    {
+                        "doc_id": pa.array(mine, pa.int64()),
+                        "url": pa.array(
+                            [f"u{d % 400}" for d in mine], pa.string()
+                        ),
+                    }
+                ),
+                t,
+            )
+
+        _publish(p, _write)
+        # deterministic trigger order: the file stream source orders
+        # by modification time, so pin ascending mtimes per batch
+        os.utime(p, (1_000_000_000 + 1000 * b, 1_000_000_000 + 1000 * b))
+    out_dir = os.path.join(base, "out")
+    run_streaming_bloom_dedup(
+        spark,
+        src,
+        "doc_id bigint, url string",
+        out_dir,
+        os.path.join(base, "store"),
+        os.path.join(base, "ckpt"),
+        key_col="url",
+        n_bits=4096,
+        k=4,
+        hash_fn="md5",
+    )
+    emitted = read_bloom_deduped(spark, out_dir, key_cols=["url"])
+    return (
+        emitted.groupBy((F.col("doc_id") % 5).cast("int").alias("bucket"))
+        .agg(
+            F.count("*").alias("n_emitted"),
+            F.sum("doc_id").alias("sum_doc_id"),
+            F.md5(
+                F.concat_ws(
+                    "", F.sort_array(F.collect_list("url"))
+                ).cast("binary")
+            ).alias("url_fp"),
+        )
+        .orderBy("bucket")
+    )
+
+
+ORACLE_STREAM_BLOOM = """
+WITH d AS (SELECT doc_id, doc_id // 160 AS b, 'u' || (doc_id % 400) AS url
+           FROM documents WHERE doc_id < 480),
+seeds AS (SELECT unnest(range(0, 4)) i),
+bits AS (SELECT b, url,
+                CAST(CAST(concat('0x', substr(md5(i || ':' || url), 1, 15))
+                          AS BIGINT) % 4096 AS INT) pos
+         FROM d, seeds),
+setb AS (SELECT DISTINCT b, pos FROM bits),
+probe AS (SELECT p.b, p.url, p.pos,
+                 EXISTS(SELECT 1 FROM setb s
+                        WHERE s.pos = p.pos AND s.b < p.b) hit
+          FROM bits p),
+m AS (SELECT b, url, BOOL_AND(hit) maybe FROM probe GROUP BY b, url),
+emitted AS (SELECT d.doc_id, d.url
+            FROM d JOIN m ON d.b = m.b AND d.url = m.url
+            WHERE NOT m.maybe)
+SELECT CAST(doc_id % 5 AS INT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_emitted,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+       md5(string_agg(url, '' ORDER BY url)) AS url_fp
+FROM emitted GROUP BY 1 ORDER BY bucket
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    # ---- driver window (first 50): the 3 round-7-new queries, then
+    # the 39-query cohort last driver-checked in r05 (q_a1 family,
+    # joins, text tail, sampling, timeseries), then r06-green rows
+    # starting with the riskiest streaming/codec paths. ----
+    "q_vtk_scan": QuerySpec(q_vtk_scan, ORACLE_VTK_SCAN),
+    "q_vti_scan": QuerySpec(q_vti_scan, ORACLE_VTI_SCAN),
+    "q_stream_bloom": QuerySpec(q_stream_bloom, ORACLE_STREAM_BLOOM),
     # ---- driver window (first 50): round-6-touched queries first,
     # then the cohort last driver-checked in r03, then everything
     # not driver-checked since r04, then the riskiest r05-green
     # rows (streaming / codec / dedup-store paths). ----
+    "q_media_frames": QuerySpec(q_media_frames, ORACLE_MEDIA_FRAMES),
+    "q_sketch_quantiles": QuerySpec(q_sketch_quantiles, ORACLE_SKETCH_QUANTILES),
+    "q_text_chunks": QuerySpec(q_text_chunks, ORACLE_TEXT_CHUNKS),
+    "q_mix_weights": QuerySpec(q_mix_weights, ORACLE_MIX_WEIGHTS),
+    "q_sample_stratified": QuerySpec(
+        q_sample_stratified,
+        ORACLE_SAMPLE_STRATIFIED,
+        bench=lambda s, d: q_sample_stratified(s, d, hash_fn="xxhash64"),
+    ),
+    # ---- tail (position > 50): r05-driver-green primitive rows;
+    # tests/test_oracle.py hash-checks ALL of them locally every run ----
+    "q_a1_moment_stats": QuerySpec(q_a1_moment_stats, ORACLE_A1),
+    "q_a2_elementwise_stats": QuerySpec(q_a2_elementwise_stats, ORACLE_A2),
+    "q_a3_pivot_counts": QuerySpec(q_a3_pivot_counts, ORACLE_A3),
+    "q_a8_welford_state": QuerySpec(q_a8_welford_state, ORACLE_A8),
+    "q_a11_heavy_hitters": QuerySpec(q_a11_heavy_hitters, ORACLE_A11),
+    "q_sketch_distinct": QuerySpec(q_sketch_distinct, ORACLE_SKETCH_DISTINCT),
+    "q_validate_expectations": QuerySpec(q_validate_expectations, ORACLE_VALIDATE),
+    "q_profile_columns": QuerySpec(
+        q_profile_columns,
+        ORACLE_PROFILE,
+        bench=lambda s, d: q_profile_columns(s, d, distinct="approx"),
+    ),
+    "q_j1_broadcast_join": QuerySpec(q_j1_broadcast_join, ORACLE_J1),
+    "q_j2_point_to_cell": QuerySpec(q_j2_point_to_cell, ORACLE_J2),
+    "q_j3_scatter_mean": QuerySpec(q_j3_scatter_mean, ORACLE_J3),
+    "q_j4_range_join": QuerySpec(q_j4_range_join, ORACLE_J4),
+    "q_j5_semi_join": QuerySpec(q_j5_semi_join, ORACLE_J5),
+    "q_s3_edge_dedup": QuerySpec(q_s3_edge_dedup, ORACLE_S3),
+    "q_m1_von_mises": QuerySpec(q_m1_von_mises, ORACLE_M1),
+    "q_scan_pushdown": QuerySpec(q_scan_pushdown, ORACLE_SCAN),
+    "q_precision_downcast": QuerySpec(q_precision_downcast, ORACLE_PRECISION),
+    "q_global_inject": QuerySpec(q_global_inject, ORACLE_GLOBAL),
+    "q_ts_asof_join": QuerySpec(q_ts_asof_join, ORACLE_ASOF),
+    "q_ts_rollup_daily": QuerySpec(q_ts_rollup_daily, ORACLE_TS_ROLLUP),
+    "q_w4_sessionize": QuerySpec(q_w4_sessionize, ORACLE_SESSIONIZE),
+    "q_dedup_exact": QuerySpec(q_dedup_exact, ORACLE_DEDUP_EXACT),
+    "q_dedup_ngram_jaccard": QuerySpec(q_dedup_ngram_jaccard, ORACLE_NGRAM_JACCARD),
+    "q_sample_split": QuerySpec(
+        q_sample_split,
+        ORACLE_SAMPLE_SPLIT,
+        bench=lambda s, d: q_sample_split(s, d, hash_fn="xxhash64"),
+    ),
+    "q_text_redact_pii": QuerySpec(q_text_redact_pii, ORACLE_TEXT_REDACT),
+    "q_text_logprob": QuerySpec(q_text_logprob, ORACLE_TEXT_LOGPROB),
+    "q_text_decontaminate": QuerySpec(q_text_decontaminate, ORACLE_DECONTAMINATE),
+    "q_emb_outliers": QuerySpec(q_emb_outliers, ORACLE_EMB_OUTLIERS),
+    "q_text_features": QuerySpec(q_text_features, ORACLE_TEXT_FEATURES),
+    "q_text_winnow": QuerySpec(
+        q_text_winnow,
+        ORACLE_TEXT_WINNOW,
+        bench=lambda s, d: q_text_winnow(s, d, hash_fn="xxhash64"),
+    ),
+    "q_text_lang_quality": QuerySpec(q_text_lang_quality, ORACLE_TEXT_LANG),
+    "q_text_vocab": QuerySpec(q_text_vocab, ORACLE_TEXT_VOCAB),
+    "q_text_tfidf_sim": QuerySpec(q_text_tfidf_sim, ORACLE_TFIDF_SIM),
+    "q_ann_cosine_topk": QuerySpec(q_ann_cosine_topk, ORACLE_ANN),
     "q_text_token_ids": QuerySpec(q_text_token_ids, ORACLE_TEXT_TOKEN_IDS),
     "q_pack_sequences": QuerySpec(q_pack_sequences, ORACLE_PACK_SEQUENCES),
     "q_warc_scan": QuerySpec(q_warc_scan, ORACLE_WARC_SCAN),
@@ -3490,63 +3915,7 @@ QUERIES: dict[str, QuerySpec] = {
         ORACLE_TEXT_REPETITION,
         bench=lambda s, d: q_text_repetition(s, d, hash_fn="xxhash64"),
     ),
-    "q_media_frames": QuerySpec(q_media_frames, ORACLE_MEDIA_FRAMES),
-    "q_sketch_quantiles": QuerySpec(q_sketch_quantiles, ORACLE_SKETCH_QUANTILES),
-    "q_text_chunks": QuerySpec(q_text_chunks, ORACLE_TEXT_CHUNKS),
-    "q_mix_weights": QuerySpec(q_mix_weights, ORACLE_MIX_WEIGHTS),
-    "q_sample_stratified": QuerySpec(
-        q_sample_stratified,
-        ORACLE_SAMPLE_STRATIFIED,
-        bench=lambda s, d: q_sample_stratified(s, d, hash_fn="xxhash64"),
-    ),
-    # ---- tail (position > 50): r05-driver-green primitive rows;
-    # tests/test_oracle.py hash-checks ALL of them locally every run ----
-    "q_a1_moment_stats": QuerySpec(q_a1_moment_stats, ORACLE_A1),
-    "q_a2_elementwise_stats": QuerySpec(q_a2_elementwise_stats, ORACLE_A2),
-    "q_a3_pivot_counts": QuerySpec(q_a3_pivot_counts, ORACLE_A3),
-    "q_a8_welford_state": QuerySpec(q_a8_welford_state, ORACLE_A8),
-    "q_a11_heavy_hitters": QuerySpec(q_a11_heavy_hitters, ORACLE_A11),
-    "q_sketch_distinct": QuerySpec(q_sketch_distinct, ORACLE_SKETCH_DISTINCT),
-    "q_validate_expectations": QuerySpec(q_validate_expectations, ORACLE_VALIDATE),
-    "q_profile_columns": QuerySpec(
-        q_profile_columns,
-        ORACLE_PROFILE,
-        bench=lambda s, d: q_profile_columns(s, d, distinct="approx"),
-    ),
-    "q_j1_broadcast_join": QuerySpec(q_j1_broadcast_join, ORACLE_J1),
-    "q_j2_point_to_cell": QuerySpec(q_j2_point_to_cell, ORACLE_J2),
-    "q_j3_scatter_mean": QuerySpec(q_j3_scatter_mean, ORACLE_J3),
-    "q_j4_range_join": QuerySpec(q_j4_range_join, ORACLE_J4),
-    "q_j5_semi_join": QuerySpec(q_j5_semi_join, ORACLE_J5),
-    "q_s3_edge_dedup": QuerySpec(q_s3_edge_dedup, ORACLE_S3),
-    "q_m1_von_mises": QuerySpec(q_m1_von_mises, ORACLE_M1),
-    "q_scan_pushdown": QuerySpec(q_scan_pushdown, ORACLE_SCAN),
-    "q_precision_downcast": QuerySpec(q_precision_downcast, ORACLE_PRECISION),
-    "q_global_inject": QuerySpec(q_global_inject, ORACLE_GLOBAL),
-    "q_ts_asof_join": QuerySpec(q_ts_asof_join, ORACLE_ASOF),
-    "q_ts_rollup_daily": QuerySpec(q_ts_rollup_daily, ORACLE_TS_ROLLUP),
-    "q_w4_sessionize": QuerySpec(q_w4_sessionize, ORACLE_SESSIONIZE),
-    "q_dedup_exact": QuerySpec(q_dedup_exact, ORACLE_DEDUP_EXACT),
-    "q_dedup_ngram_jaccard": QuerySpec(q_dedup_ngram_jaccard, ORACLE_NGRAM_JACCARD),
-    "q_sample_split": QuerySpec(
-        q_sample_split,
-        ORACLE_SAMPLE_SPLIT,
-        bench=lambda s, d: q_sample_split(s, d, hash_fn="xxhash64"),
-    ),
-    "q_text_redact_pii": QuerySpec(q_text_redact_pii, ORACLE_TEXT_REDACT),
-    "q_text_logprob": QuerySpec(q_text_logprob, ORACLE_TEXT_LOGPROB),
-    "q_text_decontaminate": QuerySpec(q_text_decontaminate, ORACLE_DECONTAMINATE),
-    "q_emb_outliers": QuerySpec(q_emb_outliers, ORACLE_EMB_OUTLIERS),
-    "q_text_features": QuerySpec(q_text_features, ORACLE_TEXT_FEATURES),
-    "q_text_winnow": QuerySpec(
-        q_text_winnow,
-        ORACLE_TEXT_WINNOW,
-        bench=lambda s, d: q_text_winnow(s, d, hash_fn="xxhash64"),
-    ),
-    "q_text_lang_quality": QuerySpec(q_text_lang_quality, ORACLE_TEXT_LANG),
-    "q_text_vocab": QuerySpec(q_text_vocab, ORACLE_TEXT_VOCAB),
-    "q_text_tfidf_sim": QuerySpec(q_text_tfidf_sim, ORACLE_TFIDF_SIM),
-    "q_ann_cosine_topk": QuerySpec(q_ann_cosine_topk, ORACLE_ANN),
+
 }
 
 

@@ -3738,7 +3738,105 @@ FROM emitted GROUP BY 1 ORDER BY bucket
 """
 
 
+def q_media_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG codec + image-resize gate (sources/png.py + multimodal.
+    resize_images, the round-7 'weak component' flip): each document
+    becomes a REAL encoded PNG — an 8x4 gray plane of its md5-hex ASCII
+    bytes, encoded in the executors — resized 8x4 → 4x2 through the
+    strict decode→gather→re-encode kernel, decoded back, and
+    fingerprinted.  Nearest-neighbor keeps rows [0, 2] and columns
+    [0, 2, 4, 6], so the surviving pixels are eight known character
+    positions of the md5 hex string — which DuckDB replays with plain
+    substr arithmetic.  A byte anywhere in the PNG chunk framing, zlib
+    stream, filter logic, or gather math breaks the hash."""
+    from physicsnemo_curator_spark.sources import multimodal
+    from physicsnemo_curator_spark.sources import png as _png
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.md5(F.col("text").cast("binary")).alias("hex"),
+        )
+    )
+
+    def encode(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            payloads = [
+                _png.encode_png(
+                    np.frombuffer(h.encode("ascii"), dtype=np.uint8).reshape(
+                        4, 8
+                    )
+                )
+                for h in pdf["hex"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": "image",
+                    "payload": payloads,
+                    "width": pd.array([8] * len(pdf), dtype="Int32"),
+                    "height": pd.array([4] * len(pdf), dtype="Int32"),
+                    "n_bytes": pd.array(
+                        [len(p) for p in payloads], dtype="Int64"
+                    ),
+                }
+            )
+
+    media = docs.mapInPandas(
+        encode,
+        "media_id long, kind string, payload binary, width int, "
+        "height int, n_bytes long",
+    )
+    resized = multimodal.resize_images(media, width=4, height=2, strict=True)
+
+    def decode(it):
+        import pandas as pd
+
+        for pdf in it:
+            texts = [
+                _png.decode_png(bytes(p))[0].tobytes().decode("ascii")
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "resized": texts}
+            )
+
+    out = resized.mapInPandas(decode, "media_id long, resized string")
+    return (
+        out.groupBy((F.col("media_id") % 5).cast("int").alias("bucket"))
+        .agg(
+            F.count("*").alias("n_imgs"),
+            F.md5(
+                F.concat_ws("", F.sort_array(F.collect_list("resized"))).cast(
+                    "binary"
+                )
+            ).alias("px_fp"),
+        )
+        .orderBy("bucket")
+    )
+
+
+ORACLE_MEDIA_PNG = """
+WITH d AS (SELECT doc_id, md5(text) h FROM documents WHERE doc_id < 300),
+r AS (SELECT doc_id,
+             substr(h, 1, 1) || substr(h, 3, 1) || substr(h, 5, 1) ||
+             substr(h, 7, 1) || substr(h, 17, 1) || substr(h, 19, 1) ||
+             substr(h, 21, 1) || substr(h, 23, 1) AS resized
+      FROM d)
+SELECT CAST(doc_id % 5 AS INT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_imgs,
+       md5(string_agg(resized, '' ORDER BY resized)) AS px_fp
+FROM r GROUP BY 1 ORDER BY bucket
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "q_media_png_resize": QuerySpec(q_media_png_resize, ORACLE_MEDIA_PNG),
     # ---- driver window (first 50): the 3 round-7-new queries, then
     # the 39-query cohort last driver-checked in r05 (q_a1 family,
     # joins, text tail, sampling, timeseries), then r06-green rows

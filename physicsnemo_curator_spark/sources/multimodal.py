@@ -2,12 +2,16 @@
 
 North-star surface: binary payloads ride through the pipeline as
 ``BINARY`` columns with a typed metadata struct; decode / feature
-extraction run as Arrow-batched ``mapInPandas`` UDFs.  The actual codec
-libraries (PIL/ffmpeg/torchaudio) are not in this container, so the
-decode kernel is import-gated: with no codec available it either raises
-``NotImplementedError`` (strict) or produces a deterministic fake
-feature vector (plumbing mode) — the Spark-side schema, batching and
-partitioning are real and tested either way.
+extraction run as Arrow-batched ``mapInPandas`` UDFs.  PNG payloads
+decode for REAL via the repo's pure-Python codec
+(:mod:`physicsnemo_curator_spark.sources.png` — public spec, stdlib
+zlib, no native dependency), so resize and featurize work end-to-end on
+encoded PNGs.  Other codec libraries (PIL/ffmpeg/torchaudio) are not in
+this container, so the non-PNG decode path is import-gated: with no
+codec available it either raises ``NotImplementedError`` (strict) or
+produces a deterministic fake feature vector (plumbing mode) — the
+Spark-side schema, batching and partitioning are real and tested
+either way.
 """
 
 from __future__ import annotations
@@ -76,30 +80,60 @@ def synthetic_media(spark: SparkSession, n: int = 32, seed: int = 42) -> DataFra
 def extract_features(media: DataFrame, *, dim: int = 8, strict: bool = False) -> DataFrame:
     """Decode + featurize each payload via Arrow-batched mapInPandas.
 
-    With a codec installed this is where PIL/ffmpeg decode runs; without
-    one, strict=True raises NotImplementedError (the honest stub) and
-    strict=False emits a deterministic digest-derived vector so the
-    distributed plumbing (schema, batch shape, partitioning) is testable.
+    PNG payloads decode for REAL through the pure-Python codec
+    (:mod:`physicsnemo_curator_spark.sources.png`) into pixel-statistic
+    features (width, height, channels, mean/std/min/max of intensity,
+    zero-padded/truncated to ``dim``).  For everything else: with no
+    external codec installed, strict=True raises NotImplementedError
+    (the honest stub) and strict=False emits a deterministic
+    digest-derived vector so the distributed plumbing (schema, batch
+    shape, partitioning) stays testable on mixed tables.
     """
+    import numpy as np
+
+    from physicsnemo_curator_spark.sources import png as _png
+
+    def _pad(vals: list) -> list:
+        vals = [float(v) for v in vals[:dim]]
+        return vals + [0.0] * (dim - len(vals))
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if strict:
-                # decode-or-raise: even with a codec present, this
-                # build ships only the digest stub — returning fake
-                # features under strict=True would be silently wrong
-                # exactly when the caller asked for honesty
-                raise NotImplementedError(
-                    "real feature extraction is not implemented in "
-                    "this build (codec-gated); run with strict=False "
-                    "for the deterministic digest stub"
-                )
             feats = []
-            for payload in pdf["payload"]:
-                digest = hashlib.sha256(bytes(payload)).digest()
-                feats.append(
-                    [b / 255.0 for b in digest[:dim]]
-                )
+            for kind, payload in zip(pdf["kind"], pdf["payload"]):
+                raw = bytes(payload)
+                if kind == "image" and _png.is_png(raw):
+                    pixels, meta = _png.decode_png(raw)
+                    vals = pixels.astype(np.float64) / 255.0
+                    feats.append(
+                        _pad(
+                            [
+                                meta["width"],
+                                meta["height"],
+                                meta["channels"],
+                                float(vals.mean()),
+                                float(vals.std()),
+                                float(vals.min()),
+                                float(vals.max()),
+                                float(np.abs(np.diff(vals, axis=0)).mean())
+                                if meta["height"] > 1
+                                else 0.0,
+                            ]
+                        )
+                    )
+                    continue
+                if strict:
+                    # decode-or-raise for non-PNG payloads: returning
+                    # fake features under strict=True would be silently
+                    # wrong exactly when the caller asked for honesty
+                    raise NotImplementedError(
+                        "real feature extraction for non-PNG payloads "
+                        "is not implemented in this build (codec-"
+                        "gated); run with strict=False for the "
+                        "deterministic digest stub"
+                    )
+                digest = hashlib.sha256(raw).digest()
+                feats.append([b / 255.0 for b in digest[:dim]])
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -131,17 +165,22 @@ def resize_images(
     media: DataFrame, *, width: int, height: int, strict: bool = False
 ) -> DataFrame:
     """Resize image payloads to (width, height) via Arrow-batched
-    mapInPandas — nearest-neighbor on raw single-channel byte planes.
+    mapInPandas — nearest-neighbor, on raw byte planes AND encoded
+    PNGs.
 
     Payloads whose ``n_bytes == width*height`` metadata are treated as
-    raw grayscale planes and resampled with a pure-numpy gather (index
-    map precomputed once per batch) — a real kernel, no codec needed.
-    Encoded formats (JPEG/PNG/...) need PIL: strict=True raises the
-    honest NotImplementedError, strict=False passes them through
-    untouched so a mixed table still flows.  Non-image rows pass
-    through unchanged either way.
+    raw grayscale planes and resampled with a pure-numpy gather — no
+    codec needed.  PNG payloads (public spec) decode through the
+    repo's pure-Python codec (:mod:`physicsnemo_curator_spark.sources.
+    png`), resize every channel, and re-encode as PNG with updated
+    metadata.  Other encoded formats (JPEG/containers) still need an
+    external codec: strict=True raises the honest NotImplementedError,
+    strict=False passes them through untouched so a mixed table still
+    flows.  Non-image rows pass through unchanged either way.
     """
     import numpy as np
+
+    from physicsnemo_curator_spark.sources import png as _png
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -150,6 +189,18 @@ def resize_images(
                 pdf["kind"], pdf["payload"], pdf["width"], pdf["height"]
             ):
                 raw = bytes(payload)
+                if kind == "image" and _png.is_png(raw):
+                    pixels, _meta = _png.decode_png(raw)
+                    sh, sw = pixels.shape[0], pixels.shape[1]
+                    ys = (np.arange(height) * (sh / height)).astype(np.int64)
+                    xs = (np.arange(width) * (sw / width)).astype(np.int64)
+                    resized = pixels[np.ix_(ys, xs)]
+                    enc = _png.encode_png(resized)
+                    out_payload.append(enc)
+                    out_w.append(width)
+                    out_h.append(height)
+                    out_n.append(len(enc))
+                    continue
                 # nullable int columns arrive as float64 NaN in pandas
                 # batches — `is not None` never catches them
                 dims_known = not (pd.isna(w) or pd.isna(h))
@@ -161,9 +212,10 @@ def resize_images(
                 if not is_raw_plane:
                     if kind == "image" and strict:
                         raise NotImplementedError(
-                            "encoded image payload needs a decode "
-                            "(codec-gated in this build); run with "
-                            "strict=False to pass it through untouched"
+                            "encoded non-PNG image payload needs a "
+                            "decode (codec-gated in this build; PNG "
+                            "decodes natively); run with strict=False "
+                            "to pass it through untouched"
                         )
                     out_payload.append(raw)
                     out_w.append(w)

@@ -795,6 +795,17 @@ def list_bloom_store_batches(spark: SparkSession, store: str) -> list[str]:
     except FileNotFoundError:
         return []
     except AnalysisException as exc:
-        if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+        # classify by the STABLE error class (message text is version-
+        # and vendor-dependent); fall back to the known message shapes
+        # for builds predating error classes
+        try:
+            err_class = exc.getErrorClass()
+        except Exception:  # noqa: BLE001 — older pyspark without classes
+            err_class = None
+        if (
+            (err_class and "PATH_NOT_FOUND" in err_class)
+            or "PATH_NOT_FOUND" in str(exc)
+            or "Path does not exist" in str(exc)
+        ):
             return []
         raise

@@ -3440,6 +3440,19 @@ def q_vtk_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     paths = []
     for m in range(5):
         mine = [(d, w) for d, w in docs if d % 5 == m]
+        if len(mine) < 3:
+            # a mesh with <3 points writes zero fan cells, the inner
+            # cell/area joins drop it, and the oracle (which emits
+            # n_points - 2 unconditionally) would report a spurious
+            # mismatch — fail LOUDLY instead on a too-small custom
+            # documents table
+            raise ValueError(
+                f"q_vtk_scan fixture needs >= 3 documents with doc_id "
+                f"% 5 == {m} under doc_id < 150; this sf dir has "
+                f"{len(mine)} — the driver gate requires the standard "
+                "testdata documents table (doc_id 0..N contiguous, "
+                "N >= 15)"
+            )
         pts = [
             (float(d), float((d * 7) % 13), float((d * 3) % 5)) for d, _ in mine
         ]
@@ -3588,7 +3601,7 @@ def q_vti_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
 
-    t = read_image_data(spark, base, glob="*.vt[ik]")
+    t = read_image_data(spark, base, glob="*.vt[ik]", cache=True)
     pt = t["grid"].groupBy("grid_id").agg(
         F.count("*").alias("n_sites"),
         F.sum(F.col("value").cast("bigint")).alias("sum_v"),

@@ -170,7 +170,13 @@ def read_ansys_rst(
 ):
     """Scan a directory of ``.rst`` files into the normalized mesh
     tables (points/cells/point_data/cell_data — the ``read_vtk``
-    schemas), one ``dpf.Model`` open per executor task.
+    schemas).
+
+    Each file's ``dpf.Model`` is opened ONCE per action: a single
+    ``mapInPandas`` kernel extracts everything into one section-tagged
+    long frame (persisted, since a DPF open is a licensed-server
+    round-trip — far heavier than the VTK parsers' re-scan), and the
+    four mesh tables are filter/select views over it.
 
     Requires ``ansys-dpf-core`` (and a licensed Ansys install) on the
     executors; without it this raises immediately with the reason —
@@ -188,13 +194,7 @@ def read_ansys_rst(
             "models in tests/test_ansys_rst.py."
         )
     import pandas as pd
-
-    from physicsnemo_curator_spark.sources.vtk import (
-        CELL_DATA_SCHEMA,
-        CELLS_SCHEMA,
-        POINT_DATA_SCHEMA,
-        POINTS_SCHEMA,
-    )
+    from pyspark.sql import functions as F
 
     files = sorted(_glob.glob(_os.path.join(path, "*.rst")))
     if not files:
@@ -203,60 +203,58 @@ def read_ansys_rst(
         [(p,) for p in files], "path string"
     ).repartition(len(files))
 
-    def _tables(emit):
-        def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            from ansys.dpf import core as dpf
+    def parse_all(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ansys.dpf import core as dpf
 
-            for pdf in it:
-                rows = []
-                for p in pdf["path"]:
-                    mesh_id = p.rsplit("/", 1)[-1].rsplit(".", 1)[0]
-                    mf = model_to_meshfile(dpf.Model(p), result_types)
-                    rows.extend(emit(mesh_id, mf))
-                yield pd.DataFrame(rows, columns=emit.columns)
+        for pdf in it:
+            rows = []
+            for p in pdf["path"]:
+                mid = p.rsplit("/", 1)[-1].rsplit(".", 1)[0]
+                mf = model_to_meshfile(dpf.Model(p), result_types)
+                for i, (x, y, z) in enumerate(mf.points):
+                    rows.append(
+                        ("points", mid, i, x, y, z, None, None, None, None)
+                    )
+                for i, (vs, ct) in enumerate(zip(mf.cells, mf.cell_types)):
+                    rows.append(
+                        ("cells", mid, i, None, None, None, vs, ct, None, None)
+                    )
+                for sec, data in (
+                    ("point_data", mf.point_data),
+                    ("cell_data", mf.cell_data),
+                ):
+                    for name, vals in data.items():
+                        for i, v in enumerate(vals):
+                            rows.append(
+                                (sec, mid, i, None, None, None, None, None,
+                                 name, v)
+                            )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "section", "mesh_id", "idx", "x", "y", "z",
+                    "vs", "ctype", "field", "value",
+                ],
+            )
 
-        return run
+    unified = paths_df.mapInPandas(
+        parse_all,
+        "section string, mesh_id string, idx long, x double, y double, "
+        "z double, vs array<long>, ctype int, field string, value double",
+    ).persist()
 
-    def points_rows(mid, mf):
-        return [
-            (mid, i, x, y, z) for i, (x, y, z) in enumerate(mf.points)
-        ]
-
-    points_rows.columns = ["mesh_id", "point_id", "x", "y", "z"]
-
-    def cells_rows(mid, mf):
-        return [
-            (mid, i, vs, ct)
-            for i, (vs, ct) in enumerate(zip(mf.cells, mf.cell_types))
-        ]
-
-    cells_rows.columns = ["mesh_id", "cell_id", "vs", "ctype"]
-
-    def pdata_rows(mid, mf):
-        return [
-            (mid, i, name, v)
-            for name, vals in mf.point_data.items()
-            for i, v in enumerate(vals)
-        ]
-
-    pdata_rows.columns = ["mesh_id", "point_id", "field", "value"]
-
-    def cdata_rows(mid, mf):
-        return [
-            (mid, i, name, v)
-            for name, vals in mf.cell_data.items()
-            for i, v in enumerate(vals)
-        ]
-
-    cdata_rows.columns = ["mesh_id", "cell_id", "field", "value"]
+    def _data_view(section: str, id_name: str):
+        return unified.filter(F.col("section") == section).select(
+            "mesh_id", F.col("idx").alias(id_name), "field", "value"
+        )
 
     return {
-        "points": paths_df.mapInPandas(_tables(points_rows), POINTS_SCHEMA),
-        "cells": paths_df.mapInPandas(_tables(cells_rows), CELLS_SCHEMA),
-        "point_data": paths_df.mapInPandas(
-            _tables(pdata_rows), POINT_DATA_SCHEMA
+        "points": unified.filter(F.col("section") == "points").select(
+            "mesh_id", F.col("idx").alias("point_id"), "x", "y", "z"
         ),
-        "cell_data": paths_df.mapInPandas(
-            _tables(cdata_rows), CELL_DATA_SCHEMA
+        "cells": unified.filter(F.col("section") == "cells").select(
+            "mesh_id", F.col("idx").alias("cell_id"), "vs", "ctype"
         ),
+        "point_data": _data_view("point_data", "point_id"),
+        "cell_data": _data_view("cell_data", "cell_id"),
     }

@@ -103,7 +103,17 @@ def extract_features(media: DataFrame, *, dim: int = 8, strict: bool = False) ->
             for kind, payload in zip(pdf["kind"], pdf["payload"]):
                 raw = bytes(payload)
                 if kind == "image" and _png.is_png(raw):
-                    pixels, meta = _png.decode_png(raw)
+                    try:
+                        pixels, meta = _png.decode_png(raw)
+                    except Exception:
+                        if strict:
+                            raise
+                        # undecodable PNG under plumbing mode: fall
+                        # back to the digest stub like any other
+                        # encoded payload
+                        digest = hashlib.sha256(raw).digest()
+                        feats.append([b / 255.0 for b in digest[:dim]])
+                        continue
                     vals = pixels.astype(np.float64) / 255.0
                     feats.append(
                         _pad(
@@ -190,7 +200,21 @@ def resize_images(
             ):
                 raw = bytes(payload)
                 if kind == "image" and _png.is_png(raw):
-                    pixels, _meta = _png.decode_png(raw)
+                    # the codec covers the common PNG subset; a payload
+                    # it can't open (bit depth 16, Adam7, truncation)
+                    # must follow the strict contract — raise only when
+                    # asked for honesty, pass through untouched when
+                    # the caller wants the mixed table to keep flowing
+                    try:
+                        pixels, _meta = _png.decode_png(raw)
+                    except Exception:
+                        if strict:
+                            raise
+                        out_payload.append(raw)
+                        out_w.append(w)
+                        out_h.append(h)
+                        out_n.append(len(raw))
+                        continue
                     sh, sw = pixels.shape[0], pixels.shape[1]
                     ys = (np.arange(height) * (sh / height)).astype(np.int64)
                     xs = (np.arange(width) * (sw / width)).astype(np.int64)

@@ -406,7 +406,7 @@ IMAGE_META_SCHEMA = (
 
 
 def read_image_data(
-    spark: SparkSession, path: str, *, glob: str = "*.vti"
+    spark: SparkSession, path: str, *, glob: str = "*.vti", cache: bool = False
 ) -> dict[str, DataFrame]:
     """Read VTK ImageData files into the structured-grid long encoding
     (VTISource parity, reference ``domains/mesh/sources/vti.py:60-244``
@@ -426,7 +426,13 @@ def read_image_data(
 
     One task per file (binaryFile scan), Arrow-batched parse — the
     same scan layout as :func:`read_vtk`, so 100k files fan out across
-    the cluster with no driver work beyond listing."""
+    the cluster with no driver work beyond listing.  ``grid`` and
+    ``cell_grid`` are filters over ONE shared parsed table (a single
+    decode per file serves both); ``meta`` uses a header-only parse
+    that never touches the array payloads.  A consumer materializing
+    both lattice tables independently still re-runs the shared parse
+    once per action — pass ``cache=True`` to persist the parsed long
+    table across them (memory ~ decoded field volume)."""
     raw = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", glob)
@@ -454,24 +460,68 @@ def read_image_data(
         except Exception as e:
             raise ValueError(f"failed to parse image data {p}: {e}") from e
 
+    def _parse_header(p: str, content: bytes) -> dict:
+        """Geometry metadata only — never decodes array payloads."""
+        blob = bytes(content)
+        try:
+            if blob.lstrip()[:1] == b"<":
+                from physicsnemo_curator_spark.sources.vtk_xml import (
+                    parse_vti_header,
+                )
+
+                return parse_vti_header(blob)
+            dims = origin = spacing = None
+            for line in blob.decode(errors="replace").splitlines():
+                u = line.split()
+                if not u:
+                    continue
+                if u[0] == "DIMENSIONS":
+                    dims = tuple(int(v) for v in u[1:4])
+                elif u[0] == "ORIGIN":
+                    origin = tuple(float(v) for v in u[1:4])
+                elif u[0] == "SPACING":
+                    spacing = tuple(float(v) for v in u[1:4])
+                if dims and origin and spacing:
+                    break
+            if dims is None:
+                raise ValueError("no DIMENSIONS header line")
+            return {
+                "dimensions": dims,
+                "origin": origin or (0.0, 0.0, 0.0),
+                "spacing": spacing or (1.0, 1.0, 1.0),
+                "direction": (1.0, 0, 0, 0, 1.0, 0, 0, 0, 1.0),
+            }
+        except Exception as e:
+            raise ValueError(f"failed to parse image header {p}: {e}") from e
+
     def _gid(p: str) -> str:
         return p.rsplit("/", 1)[-1].rsplit(".", 1)[0]
 
-    def _long(attr: str, cell_lattice: bool):
-        def parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in it:
-                out = []
-                for p, content in zip(pdf["path"], pdf["content"]):
-                    g = _parse(p, content)
-                    nx, ny, nz = g["dimensions"]
-                    if cell_lattice:
-                        nx, ny, nz = max(nx - 1, 1), max(ny - 1, 1), max(nz - 1, 1)
-                    gid = _gid(p)
+    # ONE decode serves both lattice tables: emit point and cell fields
+    # into a single long frame tagged by lattice, then filter views —
+    # the per-table variant base64/zlib-decoded every file once per
+    # materialized table
+    def parse_all(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                g = _parse(p, content)
+                gid = _gid(p)
+                wnx, wny, wnz = g["dimensions"]
+                for lattice, attr, (nx, ny, nz) in (
+                    ("point", "point_data", (wnx, wny, wnz)),
+                    (
+                        "cell",
+                        "cell_data",
+                        (max(wnx - 1, 1), max(wny - 1, 1), max(wnz - 1, 1)),
+                    ),
+                ):
                     for name, values in g[attr].items():
                         for flat, v in enumerate(values):
                             out.append(
                                 (
                                     gid,
+                                    lattice,
                                     flat // (nx * ny),
                                     (flat // nx) % ny,
                                     flat % nx,
@@ -479,17 +529,26 @@ def read_image_data(
                                     v,
                                 )
                             )
-                yield pd.DataFrame(
-                    out, columns=["grid_id", "iz", "iy", "ix", "field", "value"]
-                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "grid_id", "lattice", "iz", "iy", "ix", "field", "value",
+                ],
+            )
 
-        return parse
+    unified = raw.mapInPandas(
+        parse_all,
+        "grid_id string, lattice string, iz int, iy int, ix int, "
+        "field string, value double",
+    )
+    if cache:
+        unified = unified.persist()
 
     def parse_meta(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = []
             for p, content in zip(pdf["path"], pdf["content"]):
-                g = _parse(p, content)
+                g = _parse_header(p, content)
                 out.append(
                     (
                         _gid(p),
@@ -510,8 +569,10 @@ def read_image_data(
             )
 
     return {
-        "grid": raw.mapInPandas(_long("point_data", False), GRID_SCHEMA),
-        "cell_grid": raw.mapInPandas(_long("cell_data", True), GRID_SCHEMA),
+        "grid": unified.filter(F.col("lattice") == "point").drop("lattice"),
+        "cell_grid": unified.filter(F.col("lattice") == "cell").drop(
+            "lattice"
+        ),
         "meta": raw.mapInPandas(parse_meta, IMAGE_META_SCHEMA),
     }
 

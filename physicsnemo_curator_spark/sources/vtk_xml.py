@@ -655,6 +655,27 @@ def write_vts(
         f.write(doc)
 
 
+def parse_vti_header(data: bytes) -> dict:
+    """Geometry metadata of a ``.vti`` document WITHOUT decoding any
+    DataArray payloads — the cheap parse for meta-only consumers (the
+    full :func:`parse_vti` base64/zlib-decodes every field)."""
+    xml_bytes, _ = _split_appended_raw(data)
+    root = ET.fromstring(xml_bytes)
+    if root.tag != "VTKFile" or root.get("type") != "ImageData":
+        raise ValueError(
+            f"not a VTK ImageData XML file (type {root.get('type')!r})"
+        )
+    grid = root.find("ImageData")
+    origin, spacing, direction = _image_geometry(grid)
+    _, dims = _extent_bounds(grid, "WholeExtent")
+    return {
+        "dimensions": dims,
+        "origin": tuple(float(v) for v in origin),
+        "spacing": tuple(float(v) for v in spacing),
+        "direction": tuple(float(v) for v in direction.ravel()),
+    }
+
+
 def parse_vti(data: bytes) -> dict:
     """Dense-grid view of one ``.vti`` ImageData document (reference
     ``domains/mesh/sources/vti.py:86-145`` ``imagedata_to_griddict``):

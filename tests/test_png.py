@@ -140,3 +140,40 @@ def test_extract_features_real_png_stats(spark):
     assert feat.feature[2] == 1.0  # channels
     assert abs(feat.feature[3] - 128 / 255) < 1e-12  # mean
     assert feat.feature[4] == 0.0  # std of a constant plane
+
+
+def test_resize_plumbing_mode_passes_through_bad_png(spark):
+    """strict=False contract: a PNG-signature payload the codec can't
+    open (truncated) must pass through untouched — one bad file must
+    not crash the whole stage."""
+    from physicsnemo_curator_spark.sources import multimodal
+
+    good = png.encode_png(np.zeros((4, 4), dtype=np.uint8))
+    bad = good[:20]  # signature intact, chunks truncated
+    rows = [
+        (1, "image", bytearray(good), 4, 4, None),
+        (2, "image", bytearray(bad), None, None, None),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = {r.media_id: r for r in
+           multimodal.resize_images(media, width=2, height=2).collect()}
+    assert out[1].width == 2  # good PNG resized
+    assert bytes(out[2].payload) == bytes(bad)  # bad PNG untouched
+    # strict=True raises on it instead
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        multimodal.resize_images(
+            media, width=2, height=2, strict=True
+        ).collect()
+
+
+def test_extract_features_plumbing_mode_falls_back_on_bad_png(spark):
+    from physicsnemo_curator_spark.sources import multimodal
+    import hashlib
+
+    bad = png.encode_png(np.zeros((4, 4), dtype=np.uint8))[:20]
+    rows = [(3, "image", bytearray(bad), None, None, None)]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    feat = multimodal.extract_features(media, dim=4).collect()[0]
+    digest = hashlib.sha256(bytes(bad)).digest()
+    assert feat.feature == [b / 255.0 for b in digest[:4]]

@@ -11,7 +11,11 @@ from typing import Any
 
 from pyspark.sql import DataFrame
 
-from physicsnemo_curator_spark.core.registry import register_transform
+from physicsnemo_curator_spark.core.registry import (
+    register_sink,
+    register_source,
+    register_transform,
+)
 from physicsnemo_curator_spark.operators import dedup, similarity, stats, textops
 
 _REGISTERED = True  # import side effect is the registration
@@ -247,3 +251,49 @@ def _cms_sketches(
     from physicsnemo_curator_spark.operators import sketches
 
     return sketches.cms_sketches(df, group_cols, key_col, **kw)
+
+
+# --- round-7 additions: ImageData source, multimodal PNG kernels, HDF5 sink
+
+
+@register_source("image_data")
+def _image_data_source(spark, *, path: str, table: str = "grid", **kw: Any):
+    """Structured-grid scan (XML .vti ImageData + legacy
+    STRUCTURED_POINTS, sources/vtk.py::read_image_data); ``table``
+    picks grid / cell_grid / meta."""
+    from physicsnemo_curator_spark.sources.vtk import read_image_data
+
+    tables = read_image_data(spark, path, **kw)
+    if table not in tables:
+        raise ValueError(
+            f"unknown image_data table {table!r}: {sorted(tables)}"
+        )
+    return tables[table]
+
+
+@register_transform("resize_images")
+def _resize_images(df: DataFrame, *, width: int, height: int, **kw: Any) -> DataFrame:
+    """Nearest-neighbor image resize (raw planes + real PNG decode,
+    sources/multimodal.py)."""
+    from physicsnemo_curator_spark.sources import multimodal
+
+    return multimodal.resize_images(df, width=width, height=height, **kw)
+
+
+@register_transform("extract_media_features")
+def _extract_media_features(df: DataFrame, **kw: Any) -> DataFrame:
+    from physicsnemo_curator_spark.sources import multimodal
+
+    return multimodal.extract_features(df, **kw)
+
+
+@register_sink("hdf5_per_variable_year")
+def _hdf5_sink(df: DataFrame, *, path: str, **kw: Any) -> list:
+    """Chunked+deflate HDF5 per (variable, year) — the NetCDF4Sink
+    HDF5 half (sinks/scientific.py::write_hdf5_per_variable_year)."""
+    from physicsnemo_curator_spark.sinks.scientific import (
+        write_hdf5_per_variable_year,
+    )
+
+    write_hdf5_per_variable_year(df, path, **kw)
+    return [path]

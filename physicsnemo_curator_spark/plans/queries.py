@@ -3848,8 +3848,108 @@ FROM r GROUP BY 1 ORDER BY bucket
 """
 
 
+def q_hdf5_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDF5 codec + distributed sink gate (sinks/hdf5.py +
+    write_hdf5_per_variable_year — the zlib-chunked, grouped NetCDF4
+    half, reference ``domains/da/sinks/netcdf_writer.py:338-360``):
+    documents become a 2-variable (12 x 2 x 5) grid (value = n_chars),
+    written through the REAL distributed sink (one deflate-chunked
+    ``.h5`` per variable, repartitioned per file), re-scanned with
+    ``binaryFile`` + the executor-side decode kernel, and aggregated.
+    The lattice-index-weighted sum pins the (time, lat, lon) C-order
+    layout through chunking/unchunking; a byte anywhere in the
+    superblock, group B-tree, heap, chunk index, or deflate stream
+    breaks the hash."""
+    from physicsnemo_curator_spark.sinks.scientific import (
+        write_hdf5_per_variable_year,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 240)
+        .select("doc_id", "n_chars")
+    )
+    grid = docs.select(
+        (F.col("doc_id") % 2).alias("g"),
+        (F.col("doc_id") / 2).cast("int").alias("r"),
+        F.col("n_chars").cast("double").alias("value"),
+    ).select(
+        F.concat(F.lit("v"), F.col("g")).alias("variable"),
+        F.expr(
+            "timestamp'2023-01-01 00:00:00'"
+            " + make_interval(0, 0, 0, 0, CAST(r / 10 AS INT), 0, 0)"
+        ).alias("time"),
+        ((F.col("r") % 10) / 5).cast("int").cast("double").alias("lat"),
+        (F.col("r") % 5).cast("double").alias("lon"),
+        "value",
+    )
+    base = _fixture_dir(sf_dir, "h5")
+    out = os.path.join(base, "grids")
+    write_hdf5_per_variable_year(grid, out, chunk_rows=5, deflate=6)
+
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.h5")
+        .load(out)
+        .select("path", "content")
+    )
+
+    def decode(it):
+        import pandas as pd
+
+        from physicsnemo_curator_spark.sinks.hdf5 import read_hdf5_bytes
+
+        for pdf in it:
+            rows = []
+            for content in pdf["content"]:
+                ds, _attrs = read_hdf5_bytes(bytes(content))
+                var = next(
+                    k.split("/", 1)[1] for k in ds if k.startswith("data/")
+                )
+                data = ds[f"data/{var}"]
+                nt, nla, nlo = data.shape
+                for t in range(nt):
+                    for la in range(nla):
+                        for lo in range(nlo):
+                            rows.append(
+                                (var, t, la, lo, float(data[t, la, lo]))
+                            )
+            yield pd.DataFrame(
+                rows, columns=["variable", "t", "la", "lo", "value"]
+            )
+
+    decoded = raw.mapInPandas(
+        decode, "variable string, t int, la int, lo int, value double"
+    )
+    return (
+        decoded.groupBy("variable")
+        .agg(
+            F.count("*").alias("n_cells"),
+            F.sum(F.col("value").cast("bigint")).alias("sum_v"),
+            F.sum(
+                F.col("value").cast("bigint")
+                * (1 + F.col("lo") + 10 * F.col("la") + 100 * F.col("t"))
+            ).alias("wsum_v"),
+        )
+        .orderBy("variable")
+    )
+
+
+ORACLE_HDF5 = """
+WITH d AS (SELECT doc_id % 2 AS g, doc_id // 2 AS r, n_chars
+           FROM documents WHERE doc_id < 240)
+SELECT 'v' || g AS variable,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_v,
+       CAST(SUM(n_chars * (1 + r % 5 + 10 * ((r % 10) // 5)
+                           + 100 * (r // 10))) AS BIGINT) AS wsum_v
+FROM d GROUP BY g ORDER BY variable
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q_media_png_resize": QuerySpec(q_media_png_resize, ORACLE_MEDIA_PNG),
+    "q_hdf5_roundtrip": QuerySpec(q_hdf5_roundtrip, ORACLE_HDF5),
     # ---- driver window (first 50): the 3 round-7-new queries, then
     # the 39-query cohort last driver-checked in r05 (q_a1 family,
     # joins, text tail, sampling, timeseries), then r06-green rows

@@ -1,0 +1,563 @@
+"""Pure-Python HDF5 writer + reader — the zlib-chunked, grouped half
+of the NetCDF4 sink surface.
+
+Parity target: the reference ``NetCDF4Sink`` (``domains/da/sinks/
+netcdf_writer.py:75-435``) writes NetCDF-4 files — an HDF5 container —
+with per-variable **zlib chunk compression** and hierarchical layout,
+via the ``netCDF4``/HDF5 C stack.  Neither that stack nor ``h5py``
+ships in this environment, and the repo's CDF-1 encoder
+(:mod:`physicsnemo_curator_spark.sinks.netcdf3`) covers the classic
+subset only — chunking and groups were the two documented gaps.
+
+This module implements the HDF5 file format (public specification,
+HDF5 File Format Specification Version 2.0) directly with stdlib
+``struct`` + ``zlib`` + numpy, in the repo's pure-Python-codec
+discipline (GRIB2 / LMDB / PNG / NetCDF-3 / VTK-XML):
+
+- superblock version 0, 8-byte offsets/lengths;
+- old-style groups: version-1 B-tree over symbol-table nodes + local
+  heap, arbitrarily nested (``a/b/c`` dataset names create groups);
+- datasets: contiguous or **chunked (B-tree v1 chunk index) with the
+  deflate filter**, int32/int64/float32/float64, C-order;
+- attributes (scalar/1-D numeric + strings) on datasets and groups.
+
+Bounded honest subset, loud on everything else: up to 256 links per
+group (one B-tree leaf of symbol-table nodes), no compact/indexed
+groups, no Adam-style v2 B-trees, no szip/shuffle filters.  The
+matching :func:`read_hdf5` decodes the same subset, so round-trips are
+self-checked; files also follow the spec byte-for-byte (superblock,
+object header, message, heap and B-tree layouts asserted in tests), and
+``tests/test_hdf5.py`` includes an ``h5py``-gated cross-check that runs
+wherever h5py IS installed.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from typing import Any
+
+import numpy as np
+
+_SIG = b"\x89HDF\r\n\x1a\n"
+_UNDEF = 0xFFFFFFFFFFFFFFFF
+_LEAF_K = 4  # symbols per SNOD = 2k = 8
+_BTREE_K = 16  # children per group B-tree node = 2k = 32
+
+
+def _dtype_message(dt: np.dtype) -> bytes:
+    """Datatype message body for the supported scalar types."""
+    dt = np.dtype(dt)
+    if dt == np.dtype("<i4") or dt == np.dtype("<i8"):
+        size = dt.itemsize
+        return struct.pack(
+            "<B3BI2H", 0x10, 0x08, 0, 0, size, 0, size * 8
+        )  # class 0 v1, signed LE, bit offset 0, precision
+    if dt == np.dtype("<f4"):
+        return struct.pack(
+            "<B3BI2H4BI", 0x11, 0x20, 31, 0, 4, 0, 32, 23, 8, 0, 23, 127
+        )
+    if dt == np.dtype("<f8"):
+        return struct.pack(
+            "<B3BI2H4BI", 0x11, 0x20, 63, 0, 8, 0, 64, 52, 11, 0, 52, 1023
+        )
+    raise ValueError(
+        f"unsupported dtype {dt} (int32/int64/float32/float64 only)"
+    )
+
+
+def _string_dtype_message(n: int) -> bytes:
+    # class 3 (string) v1: null-padded ASCII, fixed size n
+    return struct.pack("<B3BI", 0x13, 0x01, 0, 0, n)
+
+
+def _dataspace_message(shape: tuple[int, ...]) -> bytes:
+    body = struct.pack("<4BI", 1, len(shape), 0, 0, 0)
+    for d in shape:
+        body += struct.pack("<Q", d)
+    return body
+
+
+def _pad8(b: bytes) -> bytes:
+    return b + b"\x00" * (-len(b) % 8)
+
+
+def _message(mtype: int, body: bytes) -> bytes:
+    body = _pad8(body)
+    return struct.pack("<HH B3x", mtype, len(body), 0) + body
+
+
+def _attr_payload(value: Any):
+    """(datatype msg body, dataspace msg body, raw bytes) for one
+    attribute value — numeric scalars/1-D arrays and strings."""
+    if isinstance(value, str):
+        raw = value.encode("utf-8")
+        n = max(len(raw), 1)
+        return _string_dtype_message(n), _dataspace_message(()), raw.ljust(n, b"\x00")
+    arr = np.asarray(value)
+    if arr.dtype.kind == "i":
+        arr = arr.astype("<i8")
+    elif arr.dtype.kind == "f":
+        arr = arr.astype("<f8")
+    else:
+        raise ValueError(f"unsupported attribute type {arr.dtype}")
+    shape = () if arr.ndim == 0 else tuple(arr.shape)
+    return _dtype_message(arr.dtype), _dataspace_message(shape), arr.tobytes()
+
+
+def _attribute_message(name: str, value: Any) -> bytes:
+    dt, ds, data = _attr_payload(value)
+    nm = name.encode("utf-8") + b"\x00"
+    body = struct.pack("<BxHHH", 1, len(nm), len(dt), len(ds))
+    body += _pad8(nm) + _pad8(dt) + _pad8(ds) + data
+    return _message(0x000C, body)
+
+
+def _object_header(messages: list[bytes]) -> bytes:
+    block = b"".join(messages)
+    return struct.pack("<BxHII4x", 1, len(messages), 1, len(block)) + block
+
+
+class _Writer:
+    def __init__(self):
+        self.buf = bytearray(96)  # superblock reserved, backpatched
+
+    def alloc(self, data: bytes) -> int:
+        # 8-byte alignment keeps every object header / node aligned
+        if len(self.buf) % 8:
+            self.buf.extend(b"\x00" * (-len(self.buf) % 8))
+        addr = len(self.buf)
+        self.buf.extend(data)
+        return addr
+
+
+def _write_dataset(
+    w: _Writer,
+    arr: np.ndarray,
+    chunks: tuple[int, ...] | None,
+    deflate: int | None,
+    attrs: dict[str, Any] | None,
+) -> int:
+    """Emit one dataset (data + object header), return header address."""
+    arr = np.ascontiguousarray(arr)
+    if arr.dtype.kind == "i" and arr.dtype.itemsize not in (4, 8):
+        arr = arr.astype("<i8")
+    arr = arr.astype(arr.dtype.newbyteorder("<"))
+    msgs = [
+        _message(0x0001, _dataspace_message(arr.shape)),
+        _message(0x0003, _dtype_message(arr.dtype)),
+        _message(0x0005, struct.pack("<4B", 2, 1, 0, 0)),  # no fill value
+    ]
+    rank = arr.ndim
+    if chunks is not None:
+        if len(chunks) != rank:
+            raise ValueError(f"chunks {chunks} do not match rank {rank}")
+        # chunk the array; HDF5 stores edge chunks at FULL chunk size
+        # (zero-padded), each compressed independently
+        keys = []  # (offsets, stored size, address)
+        grid = [range(0, s, c) for s, c in zip(arr.shape, chunks)]
+        import itertools
+
+        for origin in itertools.product(*grid):
+            sl = tuple(
+                slice(o, min(o + c, s))
+                for o, c, s in zip(origin, chunks, arr.shape)
+            )
+            chunk = np.zeros(chunks, dtype=arr.dtype)
+            chunk[tuple(slice(0, s.stop - s.start) for s in sl)] = arr[sl]
+            payload = chunk.tobytes()
+            if deflate is not None:
+                payload = zlib.compress(payload, deflate)
+            addr = w.alloc(payload)
+            keys.append((origin, len(payload), addr))
+        # chunk-index B-tree (v1, node type 1): one leaf, N children;
+        # key per chunk = (stored bytes, filter mask, offsets..., 0)
+        node = bytearray()
+        node += b"TREE" + struct.pack("<BBH", 1, 0, len(keys))
+        node += struct.pack("<QQ", _UNDEF, _UNDEF)
+        for origin, nbytes, addr in keys:
+            node += struct.pack("<II", nbytes, 0)
+            for o in origin:
+                node += struct.pack("<Q", o)
+            node += struct.pack("<Q", 0)  # datatype-size dimension
+            node += struct.pack("<Q", addr)
+        # final key: one past the last chunk in every dimension
+        node += struct.pack("<II", 0, 0)
+        for s, c in zip(arr.shape, chunks):
+            node += struct.pack("<Q", ((s + c - 1) // c) * c)
+        node += struct.pack("<Q", arr.dtype.itemsize)
+        btree_addr = w.alloc(bytes(node))
+        layout = struct.pack("<BBBQ", 3, 2, rank + 1, btree_addr)
+        for c in chunks:
+            layout += struct.pack("<I", c)
+        layout += struct.pack("<I", arr.dtype.itemsize)
+        msgs.append(_message(0x0008, layout))
+        if deflate is not None:
+            filt = struct.pack("<BB2xI", 1, 1, 0)
+            filt += struct.pack("<HHHH", 1, 0, 0, 1)  # deflate, 1 value
+            filt += struct.pack("<Ixxxx", deflate)
+            msgs.append(_message(0x000B, filt))
+    else:
+        if deflate is not None:
+            raise ValueError("deflate requires a chunked layout")
+        data_addr = w.alloc(arr.tobytes())
+        msgs.append(
+            _message(
+                0x0008, struct.pack("<BBQQ", 3, 1, data_addr, arr.nbytes)
+            )
+        )
+    for name, value in (attrs or {}).items():
+        msgs.append(_attribute_message(name, value))
+    return w.alloc(_object_header(msgs))
+
+
+def _write_group(
+    w: _Writer, entries: dict[str, int], attrs: dict[str, Any] | None
+) -> tuple[int, int, int]:
+    """Emit one group (heap + SNODs + B-tree + header) given child
+    name → object-header address.  Returns (header, btree, heap)."""
+    names = sorted(entries)
+    if len(names) > 2 * _LEAF_K * 2 * _BTREE_K:
+        raise NotImplementedError(
+            f"group with {len(names)} links exceeds this writer's "
+            "single-B-tree-level subset (max "
+            f"{2 * _LEAF_K * 2 * _BTREE_K})"
+        )
+    # local heap: offset 0 is the reserved empty string (8 NULs), then
+    # each name NUL-terminated, 8-aligned
+    heap_data = bytearray(b"\x00" * 8)
+    name_off = {}
+    for n in names:
+        name_off[n] = len(heap_data)
+        heap_data += _pad8(n.encode("utf-8") + b"\x00")
+    heap_data_addr = w.alloc(bytes(heap_data))
+    heap = b"HEAP" + struct.pack(
+        "<B3xQQQ", 0, len(heap_data), 1, heap_data_addr
+    )
+    heap_addr = w.alloc(heap)
+    # symbol-table nodes: sorted names in groups of 2*leaf_k
+    snods = []
+    cap = 2 * _LEAF_K
+    for i in range(0, len(names), cap):
+        part = names[i : i + cap]
+        node = bytearray(b"SNOD" + struct.pack("<BBH", 1, 0, len(part)))
+        for n in part:
+            node += struct.pack("<QQ", name_off[n], entries[n])
+            node += struct.pack("<I4x16x", 0)  # no cache
+        node += b"\x00" * ((cap - len(part)) * 40)
+        snods.append((part[-1], w.alloc(bytes(node))))
+    if not snods:  # empty group still needs a (childless) B-tree
+        snods = []
+    btree = bytearray(
+        b"TREE" + struct.pack("<BBHQQ", 0, 0, len(snods), _UNDEF, _UNDEF)
+    )
+    btree += struct.pack("<Q", 0)  # key 0: the reserved empty string
+    for last_name, snod_addr in snods:
+        btree += struct.pack("<QQ", snod_addr, name_off[last_name])
+    btree_addr = w.alloc(bytes(btree))
+    msgs = [_message(0x0011, struct.pack("<QQ", btree_addr, heap_addr))]
+    for name, value in (attrs or {}).items():
+        msgs.append(_attribute_message(name, value))
+    header_addr = w.alloc(_object_header(msgs))
+    return header_addr, btree_addr, heap_addr
+
+
+def write_hdf5(
+    path: str,
+    datasets: dict[str, np.ndarray],
+    *,
+    chunks: dict[str, tuple[int, ...]] | None = None,
+    deflate: int | None = 4,
+    attrs: dict[str, dict[str, Any]] | None = None,
+) -> None:
+    """Write one HDF5 file.
+
+    ``datasets``: path → array; ``/``-separated paths create nested
+    groups.  ``chunks``: per-dataset chunk shape — chunked datasets are
+    deflate-compressed at ``deflate`` (None = uncompressed chunks);
+    datasets without a chunk entry are contiguous.  ``attrs``: per-path
+    attributes (numeric scalars/1-D arrays and strings); the key ``""``
+    attaches attributes to the root group, a group path to that group.
+    """
+    chunks = chunks or {}
+    attrs = attrs or {}
+    for name in chunks:
+        if name not in datasets:
+            raise ValueError(f"chunks given for unknown dataset {name!r}")
+    # build the group tree
+    tree: dict = {}
+    for name, arr in datasets.items():
+        parts = [p for p in name.split("/") if p]
+        if not parts:
+            raise ValueError("dataset name must be non-empty")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+            if not isinstance(node, dict):
+                raise ValueError(f"{name!r}: {p!r} is both dataset and group")
+        if parts[-1] in node:
+            raise ValueError(f"duplicate dataset {name!r}")
+        node[parts[-1]] = (name, arr)
+
+    w = _Writer()
+
+    def emit(node: dict, prefix: str) -> int:
+        entries = {}
+        for key, val in node.items():
+            if isinstance(val, dict):
+                entries[key], _, _ = (
+                    emit(val, f"{prefix}{key}/"),
+                    None,
+                    None,
+                )
+            else:
+                full, arr = val
+                entries[key] = _write_dataset(
+                    w, np.asarray(arr), chunks.get(full),
+                    deflate if full in chunks else None, attrs.get(full),
+                )
+        hdr, bt, hp = _write_group(
+            w, entries, attrs.get(prefix.rstrip("/"))
+        )
+        emit.last_btree, emit.last_heap = bt, hp
+        return hdr
+
+    root_hdr = emit(tree, "")
+    root_bt, root_hp = emit.last_btree, emit.last_heap
+
+    sb = bytearray()
+    sb += _SIG
+    sb += struct.pack("<4B", 0, 0, 0, 0)  # versions
+    sb += struct.pack("<4B", 0, 8, 8, 0)  # shared-ver, offsets, lengths
+    sb += struct.pack("<HH", _LEAF_K, _BTREE_K)
+    sb += struct.pack("<I", 0)  # consistency flags
+    sb += struct.pack("<QQQQ", 0, _UNDEF, len(w.buf), _UNDEF)
+    # root symbol-table entry: cached btree+heap in scratch (type 1)
+    sb += struct.pack("<QQ", 0, root_hdr)
+    sb += struct.pack("<I4x", 1)
+    sb += struct.pack("<QQ", root_bt, root_hp)
+    assert len(sb) == 96, len(sb)
+    w.buf[:96] = sb
+    with open(path, "wb") as f:
+        f.write(w.buf)
+
+
+# ---------------------------------------------------------------------------
+# Reader (same subset) — the round-trip check and a real consumer for
+# files written by the classic libhdf5 layouts this writer emits.
+# ---------------------------------------------------------------------------
+
+
+def _parse_dtype(body: bytes):
+    cls_ver = body[0]
+    cls, ver = cls_ver & 0x0F, cls_ver >> 4
+    size = struct.unpack_from("<I", body, 4)[0]
+    if cls == 0:
+        signed = bool(body[1] & 0x08)
+        return np.dtype(f"<i{size}" if signed else f"<u{size}"), None
+    if cls == 1:
+        return np.dtype(f"<f{size}"), None
+    if cls == 3:
+        return None, size  # string of fixed size
+    raise NotImplementedError(f"datatype class {cls} not in subset")
+
+
+def _parse_dataspace(body: bytes) -> tuple[int, ...]:
+    version, rank = body[0], body[1]
+    off = 8 if version == 1 else 4
+    return tuple(
+        struct.unpack_from("<Q", body, off + 8 * i)[0] for i in range(rank)
+    )
+
+
+def _read_messages(buf: bytes, addr: int):
+    ver, nmsg, _ref, hsize = struct.unpack_from("<BxHII", buf, addr)
+    if ver != 1:
+        raise NotImplementedError("object header version != 1")
+    out = []
+    off = addr + 16
+    end = off + hsize
+    for _ in range(nmsg):
+        if off >= end:
+            break
+        mtype, msize, _flags = struct.unpack_from("<HHB", buf, off)
+        body = buf[off + 8 : off + 8 + msize]
+        if mtype == 0x0010:  # continuation block
+            caddr, clen = struct.unpack_from("<QQ", body, 0)
+            off, end = caddr, caddr + clen
+            continue
+        out.append((mtype, body))
+        off += 8 + msize
+    return out
+
+
+def _read_attr(body: bytes):
+    name_size, dt_size, ds_size = struct.unpack_from("<HHH", body, 2)
+    off = 8
+    name = body[off : off + name_size].split(b"\x00")[0].decode()
+    off += name_size + (-name_size % 8)
+    dt_body = body[off : off + dt_size]
+    off += dt_size + (-dt_size % 8)
+    ds_body = body[off : off + ds_size]
+    off += ds_size + (-ds_size % 8)
+    dt, strlen = _parse_dtype(dt_body)
+    shape = _parse_dataspace(ds_body)
+    if strlen is not None:
+        return name, body[off : off + strlen].split(b"\x00")[0].decode()
+    n = int(np.prod(shape, dtype=np.int64)) if shape else 1
+    arr = np.frombuffer(body, dt, count=n, offset=off)
+    if not shape:
+        return name, arr[0].item()
+    return name, arr.reshape(shape)
+
+
+def _read_dataset(buf: bytes, msgs) -> tuple[np.ndarray, dict]:
+    dt = shape = None
+    layout = filters = None
+    attrs = {}
+    for mtype, body in msgs:
+        if mtype == 0x0001:
+            shape = _parse_dataspace(body)
+        elif mtype == 0x0003:
+            dt, strlen = _parse_dtype(body)
+            if strlen is not None:
+                raise NotImplementedError("string datasets not in subset")
+        elif mtype == 0x0008:
+            layout = body
+        elif mtype == 0x000B:
+            filters = body
+        elif mtype == 0x000C:
+            k, v = _read_attr(body)
+            attrs[k] = v
+    if dt is None or shape is None or layout is None:
+        raise ValueError("dataset header missing required messages")
+    version, cls = layout[0], layout[1]
+    if version != 3:
+        raise NotImplementedError("layout message version != 3")
+    deflate = False
+    if filters is not None:
+        nf = filters[1]
+        foff = 8
+        for _ in range(nf):
+            fid, nlen, _fl, ncv = struct.unpack_from("<HHHH", filters, foff)
+            if fid == 1:
+                deflate = True
+            elif fid != 1:
+                raise NotImplementedError(f"filter id {fid} not in subset")
+            foff += 8 + nlen + 4 * ncv + (4 if ncv % 2 else 0)
+    if cls == 1:  # contiguous
+        addr, size = struct.unpack_from("<QQ", layout, 2)
+        return (
+            np.frombuffer(buf, dt, count=int(np.prod(shape, dtype=np.int64)),
+                          offset=addr).reshape(shape),
+            attrs,
+        )
+    if cls != 2:
+        raise NotImplementedError(f"layout class {cls} not in subset")
+    ndims = layout[2]
+    btree_addr = struct.unpack_from("<Q", layout, 3)[0]
+    chunk = [
+        struct.unpack_from("<I", layout, 11 + 4 * i)[0]
+        for i in range(ndims - 1)
+    ]
+    out = np.zeros(shape, dtype=dt)
+
+    def walk(addr):
+        sig, ntype, level, used = struct.unpack_from("<4sBBH", buf, addr)
+        if sig != b"TREE":
+            raise ValueError("bad chunk B-tree signature")
+        off = addr + 24
+        keysize = 8 + 8 * ndims
+        for _ in range(used):
+            nbytes, _mask = struct.unpack_from("<II", buf, off)
+            origin = [
+                struct.unpack_from("<Q", buf, off + 8 + 8 * i)[0]
+                for i in range(ndims - 1)
+            ]
+            child = struct.unpack_from("<Q", buf, off + keysize)[0]
+            if level > 0:
+                walk(child)
+            else:
+                raw = bytes(buf[child : child + nbytes])
+                if deflate:
+                    raw = zlib.decompress(raw)
+                carr = np.frombuffer(raw, dt).reshape(chunk)
+                sl = tuple(
+                    slice(o, min(o + c, s))
+                    for o, c, s in zip(origin, chunk, shape)
+                )
+                out[sl] = carr[
+                    tuple(slice(0, s.stop - s.start) for s in sl)
+                ]
+            off += keysize + 8
+
+    walk(btree_addr)
+    return out, attrs
+
+
+def read_hdf5(path: str) -> tuple[dict[str, np.ndarray], dict[str, dict]]:
+    """Read an HDF5 file of the supported subset: ``{path: array}``
+    plus ``{path: attrs}`` (group attrs under the group path, root
+    under ``""``)."""
+    with open(path, "rb") as f:
+        return read_hdf5_bytes(f.read())
+
+
+def read_hdf5_bytes(
+    buf: bytes,
+) -> tuple[dict[str, np.ndarray], dict[str, dict]]:
+    """:func:`read_hdf5` over an in-memory byte string — the executor-
+    side decode kernel for a ``binaryFile`` scan of ``.h5`` files."""
+    if buf[:8] != _SIG:
+        raise ValueError("not an HDF5 file (bad signature)")
+    root_hdr = struct.unpack_from("<Q", buf, 64)[0]
+    datasets: dict[str, np.ndarray] = {}
+    attrs_out: dict[str, dict] = {}
+
+    def read_group(addr: int, prefix: str):
+        msgs = _read_messages(buf, addr)
+        stab = None
+        gattrs = {}
+        for mtype, body in msgs:
+            if mtype == 0x0011:
+                stab = struct.unpack_from("<QQ", body, 0)
+            elif mtype == 0x000C:
+                k, v = _read_attr(body)
+                gattrs[k] = v
+        if gattrs:
+            attrs_out[prefix.rstrip("/")] = gattrs
+        if stab is None:
+            # not a group: a dataset header
+            arr, dattrs = _read_dataset(buf, msgs)
+            datasets[prefix.rstrip("/")] = arr
+            if dattrs:
+                attrs_out[prefix.rstrip("/")] = dattrs
+            return
+        btree_addr, heap_addr = stab
+        heap_data_addr = struct.unpack_from("<Q", buf, heap_addr + 24)[0]
+
+        def name_at(off):
+            end = buf.index(b"\x00", heap_data_addr + off)
+            return buf[heap_data_addr + off : end].decode()
+
+        def walk(addr):
+            sig, ntype, level, used = struct.unpack_from("<4sBBH", buf, addr)
+            if sig != b"TREE":
+                raise ValueError("bad group B-tree signature")
+            off = addr + 24 + 8  # skip key 0
+            for _ in range(used):
+                child = struct.unpack_from("<Q", buf, off)[0]
+                if level > 0:
+                    walk(child)
+                else:
+                    nsym = struct.unpack_from("<H", buf, child + 6)[0]
+                    for i in range(nsym):
+                        e = child + 8 + 40 * i
+                        noff, ohdr = struct.unpack_from("<QQ", buf, e)
+                        read_group(ohdr, prefix + name_at(noff) + "/")
+                off += 16
+
+        walk(btree_addr)
+
+    read_group(root_hdr, "")
+    return datasets, attrs_out

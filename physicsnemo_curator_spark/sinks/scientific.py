@@ -172,3 +172,100 @@ def write_netcdf_per_variable_year(
     return write_per_group_files(
         keyed, out_dir, [var_col, "year"], encoder=_nc_encoder, suffix=".nc"
     )
+
+
+def write_hdf5_per_variable_year(
+    grid: DataFrame,
+    out_dir: str,
+    *,
+    time_col: str = "time",
+    var_col: str = "variable",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    value_col: str = "value",
+    chunk_rows: int = 8,
+    deflate: int = 4,
+) -> int:
+    """NetCDF4Sink's HDF5 half: one ``.h5`` file per (variable, year)
+    with **zlib-chunked** data and hierarchical layout (the two
+    features the classic CDF-1 path cannot express — reference
+    ``domains/da/sinks/netcdf_writer.py:338-360`` builds exactly this
+    per-variable chunked+zlib encoding), written by the pure-Python
+    HDF5 codec (:mod:`physicsnemo_curator_spark.sinks.hdf5`) inside
+    each task.
+
+    Layout per file: ``coords/time``, ``coords/lat``, ``coords/lon``
+    (contiguous) and ``data/<variable>`` chunked ``(chunk_rows, nlat,
+    nlon)`` + deflate — time-windowed reads touch only their chunks.
+    Same distributed shape as the NetCDF-3 variant: repartition on
+    (variable, year) so each file is owned by exactly one task.
+    """
+    import numpy as np
+
+    from physicsnemo_curator_spark.sinks.hdf5 import write_hdf5
+
+    keyed = grid.withColumn("year", F.year(time_col).cast("int")).withColumn(
+        "year",
+        F.when(
+            F.col(time_col).isNull(),
+            F.raise_error(
+                F.lit(
+                    "NULL timestamp cannot be routed to a "
+                    "(variable, year) HDF5 file"
+                )
+            ).cast("int"),
+        ).otherwise(F.col("year")),
+    )
+    cols = keyed.columns
+    it, iv, ila, ilo, ival = (
+        cols.index(time_col),
+        cols.index(var_col),
+        cols.index(lat_col),
+        cols.index(lon_col),
+        cols.index(value_col),
+    )
+
+    def _h5_encoder(out_path: str, rows: list[Any]) -> None:
+        os.makedirs(os.path.dirname(out_path), exist_ok=True)
+        times = sorted({r[it] for r in rows})
+        lats = sorted({r[ila] for r in rows})
+        lons = sorted({r[ilo] for r in rows})
+        t_i = {t: i for i, t in enumerate(times)}
+        la_i = {v: i for i, v in enumerate(lats)}
+        lo_i = {v: i for i, v in enumerate(lons)}
+        data = np.full((len(times), len(lats), len(lons)), np.nan)
+        for r in rows:
+            data[t_i[r[it]], la_i[r[ila]], lo_i[r[ilo]]] = r[ival]
+        epoch = np.array(
+            [
+                t.timestamp() if hasattr(t, "timestamp") else float(t)
+                for t in times
+            ]
+        )
+        var = str(rows[0][iv])
+        write_hdf5(
+            out_path,
+            {
+                "coords/time": epoch,
+                "coords/lat": np.asarray(lats, dtype="float64"),
+                "coords/lon": np.asarray(lons, dtype="float64"),
+                f"data/{var}": data,
+            },
+            chunks={
+                f"data/{var}": (
+                    min(chunk_rows, len(times)),
+                    len(lats),
+                    len(lons),
+                )
+            },
+            deflate=deflate,
+            attrs={
+                "": {"Conventions": "CF-1.6"},
+                "coords/time": {"units": "seconds since 1970-01-01"},
+                f"data/{var}": {"variable": var},
+            },
+        )
+
+    return write_per_group_files(
+        keyed, out_dir, [var_col, "year"], encoder=_h5_encoder, suffix=".h5"
+    )

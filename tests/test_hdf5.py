@@ -1,0 +1,181 @@
+"""Pure-Python HDF5 codec: round-trips over the supported subset
+(contiguous + deflate-chunked layouts, nested groups, attributes),
+spec-level byte assertions (superblock, signatures, chunk B-tree keys),
+honest raises for the unsupported surface, and an h5py cross-check that
+runs wherever h5py IS installed (absent here — the gate documents it)."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from physicsnemo_curator_spark.sinks import hdf5
+
+try:  # pragma: no cover — not installed in this environment
+    import h5py  # type: ignore
+
+    HAS_H5PY = True
+except ImportError:
+    HAS_H5PY = False
+
+
+def _write_default(path):
+    rng = np.random.default_rng(11)
+    data = {
+        "temp": rng.normal(size=(7, 5)),
+        "g1/counts": rng.integers(0, 9, size=(6, 4)).astype("<i8"),
+        "g1/g2/small": rng.normal(size=(4,)).astype("<f4"),
+        "plain": np.arange(10, dtype="<i4"),
+    }
+    hdf5.write_hdf5(
+        str(path),
+        data,
+        chunks={"temp": (3, 2), "g1/counts": (2, 4)},
+        deflate=6,
+        attrs={
+            "temp": {"units": "K", "scale": 2.5, "levels": np.array([1, 2])},
+            "g1": {"kind": "nested"},
+            "": {"title": "root"},
+        },
+    )
+    return data
+
+
+def test_roundtrip_all_layouts(tmp_path):
+    p = tmp_path / "t.h5"
+    data = _write_default(p)
+    ds, at = hdf5.read_hdf5(str(p))
+    assert sorted(ds) == sorted(data)
+    for k in data:
+        np.testing.assert_array_equal(ds[k], data[k])
+        assert ds[k].dtype == data[k].dtype
+    assert at["temp"]["units"] == "K" and at["temp"]["scale"] == 2.5
+    assert list(at["temp"]["levels"]) == [1, 2]
+    assert at["g1"]["kind"] == "nested" and at[""]["title"] == "root"
+
+
+def test_edge_chunks_padded_and_compressed(tmp_path):
+    """7x5 with 3x2 chunks exercises padded edge chunks; the stored
+    chunk payloads must actually be zlib streams (spot-decompress one
+    via the chunk B-tree, independent of read_hdf5)."""
+    p = tmp_path / "c.h5"
+    arr = np.arange(35, dtype="<f8").reshape(7, 5)
+    hdf5.write_hdf5(str(p), {"v": arr}, chunks={"v": (3, 2)}, deflate=9)
+    buf = open(p, "rb").read()
+    # find the chunk B-tree (node type 1)
+    i = buf.index(b"TREE")
+    ntype, level, used = struct.unpack_from("<BBH", buf, i + 4)
+    assert ntype == 1 and used == 9  # ceil(7/3)*ceil(5/2) = 3*3
+    # first key: stored nbytes + offsets (0,0,0), then child address
+    nbytes, mask = struct.unpack_from("<II", buf, i + 24)
+    offs = struct.unpack_from("<QQQ", buf, i + 32)
+    child = struct.unpack_from("<Q", buf, i + 56)[0]
+    assert offs == (0, 0, 0)
+    chunk = np.frombuffer(
+        zlib.decompress(buf[child : child + nbytes]), "<f8"
+    ).reshape(3, 2)
+    np.testing.assert_array_equal(chunk, arr[0:3, 0:2])
+    ds, _ = hdf5.read_hdf5(str(p))
+    np.testing.assert_array_equal(ds["v"], arr)
+
+
+def test_superblock_layout(tmp_path):
+    p = tmp_path / "s.h5"
+    _write_default(p)
+    buf = open(p, "rb").read()
+    assert buf[:8] == b"\x89HDF\r\n\x1a\n"
+    assert buf[8] == 0  # superblock version 0
+    assert buf[13] == 8 and buf[14] == 8  # offset/length sizes
+    leaf_k, internal_k = struct.unpack_from("<HH", buf, 16)
+    assert (leaf_k, internal_k) == (4, 16)
+    eof = struct.unpack_from("<Q", buf, 40)[0]
+    assert eof == len(buf)  # end-of-file address == actual size
+    root_hdr = struct.unpack_from("<Q", buf, 64)[0]
+    assert buf[root_hdr] == 1  # v1 object header
+
+
+def test_many_links_split_into_snods(tmp_path):
+    """>8 links per group spill into multiple symbol-table nodes under
+    one B-tree leaf; order and content must survive."""
+    p = tmp_path / "m.h5"
+    data = {f"v{i:02d}": np.array([i], dtype="<i8") for i in range(20)}
+    hdf5.write_hdf5(str(p), data, deflate=None)
+    ds, _ = hdf5.read_hdf5(str(p))
+    assert sorted(ds) == sorted(data)
+    for k in data:
+        assert ds[k][0] == data[k][0]
+
+
+def test_unsupported_raises_loudly(tmp_path):
+    with pytest.raises(ValueError, match="unsupported dtype"):
+        hdf5.write_hdf5(
+            str(tmp_path / "x.h5"), {"v": np.array(["a"], dtype=object)}
+        )
+    with pytest.raises(ValueError, match="deflate requires"):
+        # contiguous + deflate is contradictory; chunks must be given
+        hdf5._write_dataset(
+            hdf5._Writer(), np.arange(4.0), None, 4, None
+        )
+    with pytest.raises(ValueError, match="unknown dataset"):
+        hdf5.write_hdf5(
+            str(tmp_path / "y.h5"),
+            {"v": np.arange(4.0)},
+            chunks={"w": (2,)},
+        )
+
+
+@pytest.mark.skipif(not HAS_H5PY, reason="h5py not installed here")
+def test_h5py_cross_check(tmp_path):  # pragma: no cover
+    """Where h5py exists, files written by this codec must open with
+    the reference C implementation byte-for-byte."""
+    p = tmp_path / "x.h5"
+    data = _write_default(p)
+    with h5py.File(str(p), "r") as f:
+        for k in data:
+            np.testing.assert_array_equal(f[k][...], data[k])
+        assert f["temp"].attrs["units"] in (b"K", "K")
+
+
+def test_hdf5_per_variable_year_sink(spark, tmp_path):
+    """Distributed HDF5 sink: one chunked+deflate .h5 per (variable,
+    year), values round-tripping exactly through the codec."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from physicsnemo_curator_spark.sinks.scientific import (
+        write_hdf5_per_variable_year,
+    )
+    from physicsnemo_curator_spark.sources.synthetic import random_grid
+
+    grid = random_grid(spark, n_times=3, n_lat=2, n_lon=2).withColumnRenamed(
+        "time_idx", "tidx"
+    )
+    grid = grid.withColumn(
+        "time",
+        F.expr(
+            "timestamp'2023-01-01 00:00:00'"
+            " + make_interval(0, 0, 0, 0, tidx, 0, 0)"
+        ),
+    )
+    out = str(tmp_path / "h5")
+    n = write_hdf5_per_variable_year(grid, out, chunk_rows=2, deflate=6)
+    assert n == 2 and len(os.listdir(out)) == 2
+    name = sorted(os.listdir(out))[0]
+    ds, at = hdf5.read_hdf5(os.path.join(out, name))
+    var = name.rsplit("_", 1)[0]
+    assert ds[f"data/{var}"].shape == (3, 2, 2)
+    assert at[""]["Conventions"] == "CF-1.6"
+    # exact value parity against the source table
+    rows = grid.filter(F.col("variable") == var).collect()
+    times = sorted({r["time"] for r in rows})
+    lats = sorted({r["lat"] for r in rows})
+    lons = sorted({r["lon"] for r in rows})
+    for r in rows:
+        got = ds[f"data/{var}"][
+            times.index(r["time"]), lats.index(r["lat"]), lons.index(r["lon"])
+        ]
+        assert got == r["value"]

@@ -132,6 +132,20 @@ CASES = {
         {"group_cols": ["lang"], "key_col": "doc_id",
          "depth": 3, "width": 128},
     ),
+    "resize_images": (
+        lambda s, d: __import__(
+            "physicsnemo_curator_spark.sources.multimodal",
+            fromlist=["synthetic_media"],
+        ).synthetic_media(s, n=6),
+        {"width": 4, "height": 4},
+    ),
+    "extract_media_features": (
+        lambda s, d: __import__(
+            "physicsnemo_curator_spark.sources.multimodal",
+            fromlist=["synthetic_media"],
+        ).synthetic_media(s, n=6),
+        {"dim": 4},
+    ),
 }
 
 

@@ -3947,13 +3947,119 @@ FROM d GROUP BY g ORDER BY variable
 """
 
 
+def q_media_jpeg_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline-JPEG codec gate (sources/jpeg.py — ITU T.81 Huffman +
+    DCT implemented pure-Python): each document becomes a REAL encoded
+    flat-gray JPEG at level ``50 + n_chars % 150`` (encoded in the
+    executors), resized 16x8 → 4x4 through the strict
+    decode→gather→re-encode kernel (which re-encodes as JPEG), decoded
+    back, and aggregated.  A flat block's only nonzero coefficient is
+    DC, whose quantization error at quality 90 is < 0.5 gray level —
+    so BOTH lossy hops reproduce the level bit-exactly and DuckDB
+    replays the whole pipeline with integer arithmetic.  A bit
+    anywhere in the marker framing, Huffman tables, entropy coding,
+    or DCT breaks the match."""
+    from physicsnemo_curator_spark.sources import jpeg as _jpeg
+    from physicsnemo_curator_spark.sources import multimodal
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            (50 + F.col("n_chars") % 150).cast("int").alias("level"),
+        )
+    )
+
+    def encode(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            payloads = [
+                _jpeg.encode_jpeg(
+                    np.full((8, 16), int(v), dtype=np.uint8), quality=90
+                )
+                for v in pdf["level"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": "image",
+                    "payload": payloads,
+                    "width": pd.array([16] * len(pdf), dtype="Int32"),
+                    "height": pd.array([8] * len(pdf), dtype="Int32"),
+                    "n_bytes": pd.array(
+                        [len(p) for p in payloads], dtype="Int64"
+                    ),
+                }
+            )
+
+    media = docs.mapInPandas(
+        encode,
+        "media_id long, kind string, payload binary, width int, "
+        "height int, n_bytes long",
+    )
+    resized = multimodal.resize_images(media, width=4, height=4, strict=True)
+
+    def decode(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            levels = []
+            for p in pdf["payload"]:
+                px, meta = _jpeg.decode_jpeg(bytes(p))
+                if px.min() != px.max():
+                    raise ValueError(
+                        "flat fixture decoded non-flat: "
+                        f"{px.min()}..{px.max()}"
+                    )
+                levels.append(int(px[0, 0]))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "level": levels}
+            )
+
+    out = resized.mapInPandas(decode, "media_id long, level int")
+    return (
+        out.groupBy((F.col("media_id") % 5).cast("int").alias("bucket"))
+        .agg(
+            F.count("*").alias("n_imgs"),
+            F.sum("level").cast("bigint").alias("sum_level"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.sort_array(F.collect_list(F.col("level").cast("string"))),
+                ).cast("binary")
+            ).alias("level_fp"),
+        )
+        .orderBy("bucket")
+    )
+
+
+ORACLE_MEDIA_JPEG = """
+WITH d AS (SELECT doc_id, CAST(50 + n_chars % 150 AS INT) AS level
+           FROM documents WHERE doc_id < 300)
+SELECT CAST(doc_id % 5 AS INT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_imgs,
+       CAST(SUM(level) AS BIGINT) AS sum_level,
+       md5(string_agg(CAST(level AS VARCHAR), ','
+                      ORDER BY CAST(level AS VARCHAR))) AS level_fp
+FROM d GROUP BY 1 ORDER BY bucket
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q_media_png_resize": QuerySpec(q_media_png_resize, ORACLE_MEDIA_PNG),
+    "q_media_jpeg_resize": QuerySpec(q_media_jpeg_resize, ORACLE_MEDIA_JPEG),
     "q_hdf5_roundtrip": QuerySpec(q_hdf5_roundtrip, ORACLE_HDF5),
-    # ---- driver window (first 50): the 3 round-7-new queries, then
-    # the 39-query cohort last driver-checked in r05 (q_a1 family,
-    # joins, text tail, sampling, timeseries), then r06-green rows
-    # starting with the riskiest streaming/codec paths. ----
+    # ---- driver window (first 50): the 5 round-7-new queries
+    # (q_media_png_resize / q_hdf5_roundtrip here, q_vtk_scan /
+    # q_vti_scan / q_stream_bloom below), then the 39-query cohort
+    # last driver-checked in r05 (q_a1 family, joins, text tail,
+    # sampling, timeseries) — 44 never/stale-checked rows inside the
+    # gate, the remaining 6 slots and the tail hold r06-green rows
+    # (rotate them back next round). ----
     "q_vtk_scan": QuerySpec(q_vtk_scan, ORACLE_VTK_SCAN),
     "q_vti_scan": QuerySpec(q_vti_scan, ORACLE_VTI_SCAN),
     "q_stream_bloom": QuerySpec(q_stream_bloom, ORACLE_STREAM_BLOOM),

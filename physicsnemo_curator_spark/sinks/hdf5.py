@@ -43,6 +43,20 @@ _SIG = b"\x89HDF\r\n\x1a\n"
 _UNDEF = 0xFFFFFFFFFFFFFFFF
 _LEAF_K = 4  # symbols per SNOD = 2k = 8
 _BTREE_K = 16  # children per group B-tree node = 2k = 32
+_ISTORE_K = 32  # chunk B-tree rank (libhdf5 default; v0 superblock
+#                 carries no istore field, so readers assume it)
+
+# A conforming reader does NOT trust per-node entry counts for I/O
+# sizing: it computes the FIXED v1 B-tree node size from the superblock
+# K values and reads that many bytes.  Every node must therefore be
+# written at full capacity (zero-padded past the used entries), or
+# libhdf5 reads past EOF / mis-addresses siblings.
+_GROUP_NODE_SIZE = 24 + (2 * _BTREE_K + 1) * 8 + 2 * _BTREE_K * 8  # 544
+
+
+def _chunk_node_size(ndims: int) -> int:
+    keysize = 8 + 8 * ndims
+    return 24 + (2 * _ISTORE_K + 1) * keysize + 2 * _ISTORE_K * 8
 
 
 def _dtype_message(dt: np.dtype) -> bytes:
@@ -131,6 +145,76 @@ class _Writer:
         return addr
 
 
+def _chunk_key(origin, nbytes: int) -> bytes:
+    key = struct.pack("<II", nbytes, 0)
+    for o in origin:
+        key += struct.pack("<Q", o)
+    return key + struct.pack("<Q", 0)  # datatype-size dimension
+
+
+def _write_chunk_btree(
+    w: _Writer,
+    keys: list,
+    ndims: int,
+    itemsize: int,
+    shape: tuple[int, ...],
+    chunks: tuple[int, ...],
+) -> int:
+    """Emit the v1 chunk-index B-tree (node type 1): full-capacity
+    zero-padded nodes, leaves split at 2K = 64 chunks with sibling
+    links, one internal level above when there is more than one leaf
+    (up to 64 * 64 = 4096 chunks — loud past that)."""
+    cap = 2 * _ISTORE_K
+    node_size = _chunk_node_size(ndims)
+    keysize = 8 + 8 * ndims
+    # the beyond-last key: one past the final chunk in every dimension
+    beyond = struct.pack("<II", 0, 0)
+    for s, c in zip(shape, chunks):
+        beyond += struct.pack("<Q", ((s + c - 1) // c) * c)
+    beyond += struct.pack("<Q", itemsize)
+    parts = [keys[i : i + cap] for i in range(0, len(keys), cap)]
+    if len(parts) > cap:
+        raise NotImplementedError(
+            f"{len(keys)} chunks exceed this writer's one-internal-"
+            f"level B-tree subset (max {cap * cap}); use larger chunks"
+        )
+    # pre-reserve contiguous space so sibling addresses are knowable
+    n_nodes = len(parts) + (1 if len(parts) > 1 else 0)
+    base = w.alloc(b"\x00" * (n_nodes * node_size))
+    leaf_addrs = [base + i * node_size for i in range(len(parts))]
+    first_keys = [
+        _chunk_key(origin, nbytes) for (origin, nbytes, _a) in
+        (p[0] for p in parts)
+    ]
+    for i, part in enumerate(parts):
+        node = bytearray()
+        node += b"TREE" + struct.pack("<BBH", 1, 0, len(part))
+        node += struct.pack(
+            "<QQ",
+            leaf_addrs[i - 1] if i > 0 else _UNDEF,
+            leaf_addrs[i + 1] if i + 1 < len(parts) else _UNDEF,
+        )
+        for origin, nbytes, addr in part:
+            node += _chunk_key(origin, nbytes)
+            node += struct.pack("<Q", addr)
+        node += first_keys[i + 1] if i + 1 < len(parts) else beyond
+        node = node.ljust(node_size, b"\x00")
+        w.buf[leaf_addrs[i] : leaf_addrs[i] + node_size] = node
+    if len(parts) == 1:
+        return leaf_addrs[0]
+    root_addr = base + len(parts) * node_size
+    node = bytearray()
+    node += b"TREE" + struct.pack("<BBH", 1, 1, len(parts))
+    node += struct.pack("<QQ", _UNDEF, _UNDEF)
+    for i, addr in enumerate(leaf_addrs):
+        node += first_keys[i]
+        node += struct.pack("<Q", addr)
+    node += beyond
+    node = node.ljust(node_size, b"\x00")
+    w.buf[root_addr : root_addr + node_size] = node
+    return root_addr
+
+
 def _write_dataset(
     w: _Writer,
     arr: np.ndarray,
@@ -170,23 +254,9 @@ def _write_dataset(
                 payload = zlib.compress(payload, deflate)
             addr = w.alloc(payload)
             keys.append((origin, len(payload), addr))
-        # chunk-index B-tree (v1, node type 1): one leaf, N children;
-        # key per chunk = (stored bytes, filter mask, offsets..., 0)
-        node = bytearray()
-        node += b"TREE" + struct.pack("<BBH", 1, 0, len(keys))
-        node += struct.pack("<QQ", _UNDEF, _UNDEF)
-        for origin, nbytes, addr in keys:
-            node += struct.pack("<II", nbytes, 0)
-            for o in origin:
-                node += struct.pack("<Q", o)
-            node += struct.pack("<Q", 0)  # datatype-size dimension
-            node += struct.pack("<Q", addr)
-        # final key: one past the last chunk in every dimension
-        node += struct.pack("<II", 0, 0)
-        for s, c in zip(arr.shape, chunks):
-            node += struct.pack("<Q", ((s + c - 1) // c) * c)
-        node += struct.pack("<Q", arr.dtype.itemsize)
-        btree_addr = w.alloc(bytes(node))
+        btree_addr = _write_chunk_btree(
+            w, keys, rank + 1, arr.dtype.itemsize, arr.shape, chunks
+        )
         layout = struct.pack("<BBBQ", 3, 2, rank + 1, btree_addr)
         for c in chunks:
             layout += struct.pack("<I", c)
@@ -246,15 +316,15 @@ def _write_group(
             node += struct.pack("<I4x16x", 0)  # no cache
         node += b"\x00" * ((cap - len(part)) * 40)
         snods.append((part[-1], w.alloc(bytes(node))))
-    if not snods:  # empty group still needs a (childless) B-tree
-        snods = []
     btree = bytearray(
         b"TREE" + struct.pack("<BBHQQ", 0, 0, len(snods), _UNDEF, _UNDEF)
     )
     btree += struct.pack("<Q", 0)  # key 0: the reserved empty string
     for last_name, snod_addr in snods:
         btree += struct.pack("<QQ", snod_addr, name_off[last_name])
-    btree_addr = w.alloc(bytes(btree))
+    # full-capacity node: a conforming reader sizes the read from the
+    # superblock K values, not from the entries-used count
+    btree_addr = w.alloc(bytes(btree.ljust(_GROUP_NODE_SIZE, b"\x00")))
     msgs = [_message(0x0011, struct.pack("<QQ", btree_addr, heap_addr))]
     for name, value in (attrs or {}).items():
         msgs.append(_attribute_message(name, value))
@@ -284,6 +354,19 @@ def write_hdf5(
     for name in chunks:
         if name not in datasets:
             raise ValueError(f"chunks given for unknown dataset {name!r}")
+    # attrs keys must name a dataset, a group implied by one, or the
+    # root "" — a typo'd key would otherwise drop the metadata silently
+    group_paths = {""}
+    for name in datasets:
+        parts = [p for p in name.split("/") if p]
+        for i in range(1, len(parts)):
+            group_paths.add("/".join(parts[:i]))
+    for name in attrs:
+        if name not in datasets and name not in group_paths:
+            raise ValueError(
+                f"attrs given for unknown path {name!r} (datasets: "
+                f"{sorted(datasets)}; groups: {sorted(group_paths)})"
+            )
     # build the group tree
     tree: dict = {}
     for name, arr in datasets.items():
@@ -305,11 +388,7 @@ def write_hdf5(
         entries = {}
         for key, val in node.items():
             if isinstance(val, dict):
-                entries[key], _, _ = (
-                    emit(val, f"{prefix}{key}/"),
-                    None,
-                    None,
-                )
+                entries[key] = emit(val, f"{prefix}{key}/")
             else:
                 full, arr = val
                 entries[key] = _write_dataset(
@@ -442,14 +521,16 @@ def _read_dataset(buf: bytes, msgs) -> tuple[np.ndarray, dict]:
             fid, nlen, _fl, ncv = struct.unpack_from("<HHHH", filters, foff)
             if fid == 1:
                 deflate = True
-            elif fid != 1:
+            else:
                 raise NotImplementedError(f"filter id {fid} not in subset")
             foff += 8 + nlen + 4 * ncv + (4 if ncv % 2 else 0)
     if cls == 1:  # contiguous
         addr, size = struct.unpack_from("<QQ", layout, 2)
+        # copy() so contiguous reads are writable like chunked ones —
+        # a frombuffer view over the file bytes is read-only
         return (
             np.frombuffer(buf, dt, count=int(np.prod(shape, dtype=np.int64)),
-                          offset=addr).reshape(shape),
+                          offset=addr).reshape(shape).copy(),
             attrs,
         )
     if cls != 2:

@@ -98,6 +98,69 @@ def write_per_group_files(
     return n_groups
 
 
+def _epoch_utc(t: Any) -> float:
+    """Epoch seconds for a collected timestamp.  Spark hands naive
+    datetimes in SESSION time (UTC in this engine's sessions) —
+    ``datetime.timestamp()`` would reinterpret them in the machine-
+    local zone, so the same frame would encode different values on
+    differently-configured executors.  Treat naive as UTC explicitly;
+    aware datetimes and numerics pass through."""
+    from datetime import timezone
+
+    if hasattr(t, "timestamp"):
+        if t.tzinfo is None:
+            t = t.replace(tzinfo=timezone.utc)
+        return t.timestamp()
+    return float(t)
+
+
+def _year_keyed(grid: DataFrame, time_col: str, file_kind: str) -> DataFrame:
+    """(variable, year) routing key with a loud NULL-timestamp guard —
+    a NULL has no year file and would crash float(None) deep inside an
+    encoder otherwise."""
+    return grid.withColumn("year", F.year(time_col).cast("int")).withColumn(
+        "year",
+        F.when(
+            F.col(time_col).isNull(),
+            F.raise_error(
+                F.lit(
+                    "NULL timestamp cannot be routed to a "
+                    f"(variable, year) {file_kind} file"
+                )
+            ).cast("int"),
+        ).otherwise(F.col("year")),
+    )
+
+
+def _lattice(rows: list[Any], it: int, ila: int, ilo: int, ival: int):
+    """Sorted (time, lat, lon) axes + dense NaN-filled value grid +
+    UTC epoch vector — the shared assembly behind both the NetCDF-3
+    and HDF5 per-(variable, year) encoders."""
+    import numpy as np
+
+    times = sorted({r[it] for r in rows})
+    lats = sorted({r[ila] for r in rows})
+    lons = sorted({r[ilo] for r in rows})
+    t_i = {t: i for i, t in enumerate(times)}
+    la_i = {v: i for i, v in enumerate(lats)}
+    lo_i = {v: i for i, v in enumerate(lons)}
+    data = np.full((len(times), len(lats), len(lons)), np.nan)
+    for r in rows:
+        data[t_i[r[it]], la_i[r[ila]], lo_i[r[ilo]]] = r[ival]
+    epoch = np.array([_epoch_utc(t) for t in times])
+    return times, lats, lons, data, epoch
+
+
+def _grid_col_indices(cols, time_col, var_col, lat_col, lon_col, value_col):
+    return (
+        cols.index(time_col),
+        cols.index(var_col),
+        cols.index(lat_col),
+        cols.index(lon_col),
+        cols.index(value_col),
+    )
+
+
 def write_netcdf_per_variable_year(
     grid: DataFrame,
     out_dir: str,
@@ -118,44 +181,14 @@ def write_netcdf_per_variable_year(
 
     from physicsnemo_curator_spark.sinks.netcdf3 import write_netcdf3
 
-    # a NULL timestamp has no (variable, year) file to route to — it
-    # would crash float(None) deep inside the encoder; fail loudly at
-    # the boundary with F.raise_error via an assert-style filter
-    keyed = grid.withColumn("year", F.year(time_col).cast("int")).withColumn(
-        "year",
-        F.when(
-            F.col(time_col).isNull(),
-            F.raise_error(
-                F.lit(
-                    "NULL timestamp cannot be routed to a "
-                    "(variable, year) NetCDF file"
-                )
-            ).cast("int"),
-        ).otherwise(F.col("year")),
-    )
-    cols = keyed.columns
-    it, iv, ila, ilo, ival = (
-        cols.index(time_col),
-        cols.index(var_col),
-        cols.index(lat_col),
-        cols.index(lon_col),
-        cols.index(value_col),
+    keyed = _year_keyed(grid, time_col, "NetCDF")
+    it, iv, ila, ilo, ival = _grid_col_indices(
+        keyed.columns, time_col, var_col, lat_col, lon_col, value_col
     )
 
     def _nc_encoder(out_path: str, rows: list[Any]) -> None:
         os.makedirs(os.path.dirname(out_path), exist_ok=True)
-        times = sorted({r[it] for r in rows})
-        lats = sorted({r[ila] for r in rows})
-        lons = sorted({r[ilo] for r in rows})
-        t_i = {t: i for i, t in enumerate(times)}
-        la_i = {v: i for i, v in enumerate(lats)}
-        lo_i = {v: i for i, v in enumerate(lons)}
-        data = np.full((len(times), len(lats), len(lons)), np.nan)
-        for r in rows:
-            data[t_i[r[it]], la_i[r[ila]], lo_i[r[ilo]]] = r[ival]
-        epoch = np.array(
-            [t.timestamp() if hasattr(t, "timestamp") else float(t) for t in times]
-        )
+        times, lats, lons, data, epoch = _lattice(rows, it, ila, ilo, ival)
         write_netcdf3(
             out_path,
             dims={"time": None, "lat": len(lats), "lon": len(lons)},
@@ -204,44 +237,14 @@ def write_hdf5_per_variable_year(
 
     from physicsnemo_curator_spark.sinks.hdf5 import write_hdf5
 
-    keyed = grid.withColumn("year", F.year(time_col).cast("int")).withColumn(
-        "year",
-        F.when(
-            F.col(time_col).isNull(),
-            F.raise_error(
-                F.lit(
-                    "NULL timestamp cannot be routed to a "
-                    "(variable, year) HDF5 file"
-                )
-            ).cast("int"),
-        ).otherwise(F.col("year")),
-    )
-    cols = keyed.columns
-    it, iv, ila, ilo, ival = (
-        cols.index(time_col),
-        cols.index(var_col),
-        cols.index(lat_col),
-        cols.index(lon_col),
-        cols.index(value_col),
+    keyed = _year_keyed(grid, time_col, "HDF5")
+    it, iv, ila, ilo, ival = _grid_col_indices(
+        keyed.columns, time_col, var_col, lat_col, lon_col, value_col
     )
 
     def _h5_encoder(out_path: str, rows: list[Any]) -> None:
         os.makedirs(os.path.dirname(out_path), exist_ok=True)
-        times = sorted({r[it] for r in rows})
-        lats = sorted({r[ila] for r in rows})
-        lons = sorted({r[ilo] for r in rows})
-        t_i = {t: i for i, t in enumerate(times)}
-        la_i = {v: i for i, v in enumerate(lats)}
-        lo_i = {v: i for i, v in enumerate(lons)}
-        data = np.full((len(times), len(lats), len(lons)), np.nan)
-        for r in rows:
-            data[t_i[r[it]], la_i[r[ila]], lo_i[r[ilo]]] = r[ival]
-        epoch = np.array(
-            [
-                t.timestamp() if hasattr(t, "timestamp") else float(t)
-                for t in times
-            ]
-        )
+        times, lats, lons, data, epoch = _lattice(rows, it, ila, ilo, ival)
         var = str(rows[0][iv])
         write_hdf5(
             out_path,

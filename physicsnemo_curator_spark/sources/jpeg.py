@@ -1,0 +1,631 @@
+"""Pure-Python baseline JPEG codec (decode + encode) for the
+multimodal column pack.
+
+Like :mod:`physicsnemo_curator_spark.sources.png`, this closes an
+encoded-format gap from public knowledge alone: baseline JPEG is the
+ITU-T T.81 / ISO 10918-1 specification — marker segments, Huffman
+entropy coding, 8x8 DCT blocks, YCbCr color — implementable with
+stdlib ``struct`` + numpy.  The reference pipeline has no JPEG decode
+(multimodal is a north-star addition per SURVEY §6); PIL-based decode
+remains the production path where PIL exists, this codec makes the
+Spark kernels work end-to-end without it.
+
+Supported surface (honest subset, loud on the rest):
+
+- baseline sequential DCT (SOF0), 8-bit samples;
+- grayscale (1 component) and YCbCr (3 components) with any sampling
+  factors up to 2x2 (4:4:4, 4:2:2, 4:2:0 all covered), nearest
+  chroma upsampling;
+- multiple DQT/DHT segments, 16-bit quant entries, restart markers
+  (DRI/RSTn), 0xFF00 byte stuffing;
+- NOT supported (``NotImplementedError``): progressive (SOF2),
+  arithmetic coding, 12-bit precision, CMYK/4-component scans.
+
+The encoder emits baseline 4:4:4 (or grayscale) with the T.81 Annex K
+example tables (quality-scaled quantization) — the round-trip partner
+for tests and the ``encode`` half of the multimodal resize kernel.
+
+Decode is lossy-compression-exact: the decoder reproduces the
+bit-stream's dequantized IDCT exactly (float64 IDCT, rounded once),
+so encoder→decoder round-trips are within quantization error of the
+source; flat-color images round-trip exactly whenever the DC quant
+step resolves the level offset (base tables: quality >= 50), and
+mid-gray at any quality.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --- zigzag order (T.81 Figure A.6) ---------------------------------------
+
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+)
+
+# orthonormal 8-point DCT-II matrix: spatial = C.T @ coefs @ C
+_C = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _C[_k, _n] = np.cos((2 * _n + 1) * _k * np.pi / 16) * (
+            np.sqrt(0.125) if _k == 0 else 0.5
+        )
+
+# --- T.81 Annex K example tables (public spec) -----------------------------
+
+K_LUMA_QUANT = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ]
+)
+K_CHROMA_QUANT = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ]
+)
+# (bits per code length 1..16, symbol values) — Annex K.3
+K_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+K_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+K_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+K_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def is_jpeg(data: bytes) -> bool:
+    return bytes(data[:2]) == b"\xff\xd8"
+
+
+def _build_huffman(bits, values):
+    """(length, code) -> symbol map from the DHT counts-per-length."""
+    table = {}
+    code = 0
+    i = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = values[i]
+            code += 1
+            i += 1
+        code <<= 1
+    return table
+
+
+class _BitReader:
+    """Entropy-coded segment reader: 0xFF00 unstuffing, stops at
+    markers (RSTn handled by the caller)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bitbuf = 0
+        self.nbits = 0
+
+    def _fill(self):
+        while self.nbits <= 24:
+            if self.pos >= len(self.data):
+                self.bitbuf = (self.bitbuf << 8) | 0
+                self.nbits += 8
+                continue
+            b = self.data[self.pos]
+            if b == 0xFF:
+                nxt = (
+                    self.data[self.pos + 1]
+                    if self.pos + 1 < len(self.data)
+                    else 0xD9
+                )
+                if nxt == 0x00:
+                    self.pos += 2
+                elif 0xD0 <= nxt <= 0xD7:
+                    # restart marker: caller resyncs; pad for now
+                    self.bitbuf = (self.bitbuf << 8) | 0
+                    self.nbits += 8
+                    continue
+                else:
+                    # real marker (EOI etc.): pad with zeros
+                    self.bitbuf = (self.bitbuf << 8) | 0
+                    self.nbits += 8
+                    continue
+            else:
+                self.pos += 1
+            self.bitbuf = (self.bitbuf << 8) | b
+            self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.bitbuf >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode_symbol(self, table) -> int:
+        length = 0
+        code = 0
+        while length < 16:
+            code = (code << 1) | self.read_bit()
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in entropy stream")
+
+    def align_to_restart(self):
+        """Skip to just past the next RSTn marker and byte-align."""
+        self.bitbuf = 0
+        self.nbits = 0
+        d = self.data
+        while self.pos + 1 < len(d):
+            if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
+            self.pos += 1
+        raise ValueError("expected restart marker, hit end of stream")
+
+
+def _extend(v: int, size: int) -> int:
+    # T.81 F.12: map the raw SIZE-bit value to its signed amplitude
+    if size == 0:
+        return 0
+    if v < (1 << (size - 1)):
+        return v - (1 << size) + 1
+    return v
+
+
+def decode_jpeg(data: bytes) -> tuple[np.ndarray, dict]:
+    """Decode a baseline JPEG byte string to ``(pixels, meta)``:
+    uint8 ``(h, w)`` grayscale or ``(h, w, 3)`` RGB."""
+    data = bytes(data)
+    if not is_jpeg(data):
+        raise ValueError("not a JPEG byte stream (bad SOI)")
+    pos = 2
+    quant: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) -> table
+    frame = None
+    restart_interval = 0
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"marker expected at offset {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        seglen = struct.unpack_from(">H", data, pos + 2)[0]
+        seg = data[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0x0F
+                i += 1
+                if pq == 0:
+                    tbl = np.frombuffer(seg, np.uint8, 64, i).astype(np.int32)
+                    i += 64
+                else:
+                    tbl = np.frombuffer(seg, ">u2", 64, i).astype(np.int32)
+                    i += 128
+                quant[tq] = tbl
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0x0F
+                bits = list(seg[i + 1 : i + 17])
+                n = sum(bits)
+                values = list(seg[i + 17 : i + 17 + n])
+                huff[(tc, th)] = _build_huffman(bits, values)
+                i += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit precision")
+            comps = []
+            for c in range(nc):
+                cid, sf, tq = struct.unpack_from(">BBB", seg, 6 + 3 * c)
+                comps.append(
+                    {"id": cid, "h": sf >> 4, "v": sf & 0x0F, "tq": tq}
+                )
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"SOF{marker - 0xC0}: only baseline sequential (SOF0) "
+                "is supported"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack_from(">H", seg, 0)[0]
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scan = {}
+            for c in range(ns):
+                cid, tables = seg[1 + 2 * c], seg[2 + 2 * c]
+                scan[cid] = (tables >> 4, tables & 0x0F)
+            pos = pos + 2 + seglen
+            return _decode_scan(
+                data, pos, frame, scan, quant, huff, restart_interval
+            )
+        pos = pos + 2 + seglen
+    raise ValueError("no SOS marker found")
+
+
+def _decode_scan(data, pos, frame, scan, quant, huff, restart_interval):
+    if frame is None:
+        raise ValueError("SOS before SOF0")
+    comps = frame["comps"]
+    if len(comps) not in (1, 3):
+        raise NotImplementedError(f"{len(comps)}-component images")
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax > 2 or vmax > 2:
+        raise NotImplementedError("sampling factors above 2x2")
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    planes = []
+    for c in comps:
+        pw, ph = mcus_x * 8 * c["h"], mcus_y * 8 * c["v"]
+        planes.append(np.zeros((ph, pw)))
+    reader = _BitReader(data, pos)
+    pred = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if (
+                restart_interval
+                and mcu_count
+                and mcu_count % restart_interval == 0
+            ):
+                reader.align_to_restart()
+                pred = [0] * len(comps)
+            for ci, c in enumerate(comps):
+                dc_tab = huff[(0, scan[c["id"]][0])]
+                ac_tab = huff[(1, scan[c["id"]][1])]
+                q = quant[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        coefs = np.zeros(64)
+                        size = reader.decode_symbol(dc_tab)
+                        diff = _extend(reader.read_bits(size), size)
+                        pred[ci] += diff
+                        coefs[0] = pred[ci] * q[0]
+                        k = 1
+                        while k < 64:
+                            rs = reader.decode_symbol(ac_tab)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC index out of range")
+                            coefs[k] = (
+                                _extend(reader.read_bits(s), s) * q[k]
+                            )
+                            k += 1
+                        block = np.zeros((8, 8))
+                        block.flat[ZIGZAG] = coefs
+                        spatial = _C.T @ block @ _C + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = spatial
+            mcu_count += 1
+    # upsample to full MCU-padded resolution, crop, color-convert
+    full = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        p = np.repeat(np.repeat(p, vmax // c["v"], 0), hmax // c["h"], 1)
+        full.append(p[:h, :w])
+    meta = {"width": w, "height": h, "channels": len(comps)}
+    if len(comps) == 1:
+        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8), meta
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8), meta
+
+
+# --- encoder ---------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, n: int):
+        for i in range(n - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self):
+        if self.nbits:
+            self.acc <<= 8 - self.nbits
+            self.acc |= (1 << (8 - self.nbits)) - 1  # pad with 1s
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc = 0
+            self.nbits = 0
+
+
+def _encode_table(bits, values):
+    """symbol -> (code, length) from the DHT layout."""
+    table = {}
+    code = 0
+    i = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[values[i]] = (code, length)
+            code += 1
+            i += 1
+        code <<= 1
+    return table
+
+
+def _csize(v: int) -> int:
+    size = 0
+    v = abs(v)
+    while v:
+        size += 1
+        v >>= 1
+    return size
+
+
+def _scaled_quant(base: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(max(quality, 1), 100)
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = (base * scale + 50) // 100
+    return np.clip(q, 1, 255).astype(np.int32)
+
+
+def _pad_to(plane: np.ndarray, ph: int, pw: int) -> np.ndarray:
+    """Edge-replicate to the MCU-padded size (T.81 recommends edge
+    extension so padding never leaks high-frequency energy)."""
+    h, w = plane.shape
+    return plane[
+        np.ix_(
+            np.minimum(np.arange(ph), h - 1),
+            np.minimum(np.arange(pw), w - 1),
+        )
+    ]
+
+
+def encode_jpeg(
+    pixels: np.ndarray,
+    *,
+    quality: int = 90,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode uint8 ``(h, w)`` grayscale or ``(h, w, 3)`` RGB as a
+    baseline JPEG with Annex-K tables (quality-scaled).
+
+    ``subsampling``: '444' (one block per component per MCU) or '420'
+    (2x2 luma sampling, chroma averaged over 2x2 — the common camera
+    layout).  ``restart_interval`` > 0 emits DRI + RSTn markers every
+    N MCUs (the error-resilience feature large scans carry)."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    gray = arr.ndim == 2
+    if not gray and (arr.ndim != 3 or arr.shape[2] != 3):
+        raise ValueError(f"cannot encode array of shape {pixels.shape}")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"subsampling {subsampling!r}: use '444' or '420'")
+    h, w = arr.shape[:2]
+    if gray:
+        planes = [arr.astype(np.float64)]
+        samplings = [(1, 1)]
+    else:
+        r = arr[:, :, 0].astype(np.float64)
+        g = arr[:, :, 1].astype(np.float64)
+        b = arr[:, :, 2].astype(np.float64)
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsampling == "420":
+            # average full-res chroma over 2x2 (edge-padded to even)
+            cbp = _pad_to(cb, -(-h // 2) * 2, -(-w // 2) * 2)
+            crp = _pad_to(cr, -(-h // 2) * 2, -(-w // 2) * 2)
+            cb = cbp.reshape(cbp.shape[0] // 2, 2, cbp.shape[1] // 2, 2).mean(
+                axis=(1, 3)
+            )
+            cr = crp.reshape(crp.shape[0] // 2, 2, crp.shape[1] // 2, 2).mean(
+                axis=(1, 3)
+            )
+            samplings = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samplings = [(1, 1), (1, 1), (1, 1)]
+        planes = [y, cb, cr]
+    hmax = max(s[0] for s in samplings)
+    vmax = max(s[1] for s in samplings)
+    mcus_x, mcus_y = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    planes = [
+        _pad_to(p, mcus_y * 8 * sv, mcus_x * 8 * sh)
+        for p, (sh, sv) in zip(planes, samplings)
+    ]
+    ql = _scaled_quant(K_LUMA_QUANT, quality)
+    qc = _scaled_quant(K_CHROMA_QUANT, quality)
+    quants = [ql] + ([] if gray else [qc, qc])
+    dc_tabs = [_encode_table(*K_DC_LUMA)] + (
+        [] if gray else [_encode_table(*K_DC_CHROMA)] * 2
+    )
+    ac_tabs = [_encode_table(*K_AC_LUMA)] + (
+        [] if gray else [_encode_table(*K_AC_CHROMA)] * 2
+    )
+
+    out = bytearray(b"\xff\xd8")  # SOI
+
+    def seg(marker: int, payload: bytes):
+        out.extend(
+            struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+        )
+
+    zq = np.empty(64, dtype=np.uint8)
+    zq[...] = ql.flat[ZIGZAG]
+    seg(0xDB, b"\x00" + zq.tobytes())
+    if not gray:
+        zq[...] = qc.flat[ZIGZAG]
+        seg(0xDB, b"\x01" + zq.tobytes())
+    nc = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for c in range(nc):
+        sh, sv = samplings[c]
+        sof += struct.pack(">BBB", c + 1, (sh << 4) | sv, 0 if c == 0 else 1)
+    seg(0xC0, sof)
+    for (tc, th), (bits, values) in (
+        ((0, 0), K_DC_LUMA),
+        ((1, 0), K_AC_LUMA),
+    ) + (() if gray else (((0, 1), K_DC_CHROMA), ((1, 1), K_AC_CHROMA))):
+        seg(
+            0xC4,
+            bytes([(tc << 4) | th])
+            + bytes(bits)
+            + bytes(values),
+        )
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([nc])
+    for c in range(nc):
+        sos += bytes([c + 1, 0x00 if c == 0 else 0x11])
+    sos += b"\x00\x3f\x00"
+    seg(0xDA, sos)
+
+    bw = _BitWriter()
+    pred = [0] * nc
+    rst = 0
+    mcu_count = 0
+
+    def encode_block(ci: int, plane, y0: int, x0: int):
+        block = plane[y0 : y0 + 8, x0 : x0 + 8] - 128.0
+        coefs = _C @ block @ _C.T
+        q = quants[ci]
+        zz = np.round(coefs.flat[ZIGZAG] / q.flat[ZIGZAG]).astype(np.int64)
+        diff = int(zz[0]) - pred[ci]
+        pred[ci] = int(zz[0])
+        size = _csize(diff)
+        code, length = dc_tabs[ci][size]
+        bw.write(code, length)
+        if size:
+            bw.write(diff if diff > 0 else diff - 1 + (1 << size), size)
+        run = 0
+        last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz) else 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                if k > last_nz:
+                    code, length = ac_tabs[ci][0x00]  # EOB
+                    bw.write(code, length)
+                    break
+                run += 1
+                if run == 16:
+                    code, length = ac_tabs[ci][0xF0]  # ZRL
+                    bw.write(code, length)
+                    run = 0
+                continue
+            size = _csize(v)
+            code, length = ac_tabs[ci][(run << 4) | size]
+            bw.write(code, length)
+            bw.write(v if v > 0 else v - 1 + (1 << size), size)
+            run = 0
+
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if (
+                restart_interval
+                and mcu_count
+                and mcu_count % restart_interval == 0
+            ):
+                bw.flush()
+                out.extend(bw.out)
+                bw.out = bytearray()
+                out.extend(bytes([0xFF, 0xD0 + rst]))
+                rst = (rst + 1) % 8
+                pred[:] = [0] * nc
+            for ci in range(nc):
+                sh, sv = samplings[ci]
+                for by in range(sv):
+                    for bx in range(sh):
+                        encode_block(
+                            ci,
+                            planes[ci],
+                            (my * sv + by) * 8,
+                            (mx * sh + bx) * 8,
+                        )
+            mcu_count += 1
+    bw.flush()
+    out.extend(bw.out)
+    out.extend(b"\xff\xd9")  # EOI
+    return bytes(out)

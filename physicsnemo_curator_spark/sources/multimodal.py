@@ -2,16 +2,18 @@
 
 North-star surface: binary payloads ride through the pipeline as
 ``BINARY`` columns with a typed metadata struct; decode / feature
-extraction run as Arrow-batched ``mapInPandas`` UDFs.  PNG payloads
-decode for REAL via the repo's pure-Python codec
-(:mod:`physicsnemo_curator_spark.sources.png` — public spec, stdlib
-zlib, no native dependency), so resize and featurize work end-to-end on
-encoded PNGs.  Other codec libraries (PIL/ffmpeg/torchaudio) are not in
-this container, so the non-PNG decode path is import-gated: with no
-codec available it either raises ``NotImplementedError`` (strict) or
-produces a deterministic fake feature vector (plumbing mode) — the
-Spark-side schema, batching and partitioning are real and tested
-either way.
+extraction run as Arrow-batched ``mapInPandas`` UDFs.  PNG and
+baseline JPEG payloads decode for REAL via the repo's pure-Python
+codecs (:mod:`physicsnemo_curator_spark.sources.png` and
+:mod:`~physicsnemo_curator_spark.sources.jpeg` — public specs, stdlib
+zlib/struct + numpy, no native dependency), so resize and featurize
+work end-to-end on encoded images.  Other codec libraries
+(PIL/ffmpeg/torchaudio) are not in this container, so the remaining
+decode paths (progressive JPEG, video containers, audio) are
+import-gated: with no codec available they either raise
+``NotImplementedError`` (strict) or produce a deterministic fake
+feature vector / pass-through (plumbing mode) — the Spark-side schema,
+batching and partitioning are real and tested either way.
 """
 
 from __future__ import annotations
@@ -77,21 +79,35 @@ def synthetic_media(spark: SparkSession, n: int = 32, seed: int = 42) -> DataFra
     return spark.createDataFrame(gen(range(n)), MEDIA_SCHEMA)
 
 
+def _decode_image_native(raw: bytes):
+    """Decode a PNG or baseline-JPEG payload with the pure-Python
+    codecs.  Returns ``(pixels, fmt)`` or None when the payload is
+    neither format (the caller applies its strict/pass-through
+    policy); decode ERRORS on a recognized format propagate to the
+    caller's guard."""
+    from physicsnemo_curator_spark.sources import jpeg as _jpeg
+    from physicsnemo_curator_spark.sources import png as _png
+
+    if _png.is_png(raw):
+        return _png.decode_png(raw)[0], "png"
+    if _jpeg.is_jpeg(raw):
+        return _jpeg.decode_jpeg(raw)[0], "jpeg"
+    return None
+
+
 def extract_features(media: DataFrame, *, dim: int = 8, strict: bool = False) -> DataFrame:
     """Decode + featurize each payload via Arrow-batched mapInPandas.
 
-    PNG payloads decode for REAL through the pure-Python codec
-    (:mod:`physicsnemo_curator_spark.sources.png`) into pixel-statistic
-    features (width, height, channels, mean/std/min/max of intensity,
-    zero-padded/truncated to ``dim``).  For everything else: with no
-    external codec installed, strict=True raises NotImplementedError
-    (the honest stub) and strict=False emits a deterministic
-    digest-derived vector so the distributed plumbing (schema, batch
-    shape, partitioning) stays testable on mixed tables.
+    PNG and baseline-JPEG payloads decode for REAL through the
+    pure-Python codecs into pixel-statistic features (width, height,
+    channels, mean/std/min/max of intensity, zero-padded/truncated to
+    ``dim``).  For everything else: with no external codec installed,
+    strict=True raises NotImplementedError (the honest stub) and
+    strict=False emits a deterministic digest-derived vector so the
+    distributed plumbing (schema, batch shape, partitioning) stays
+    testable on mixed tables.
     """
     import numpy as np
-
-    from physicsnemo_curator_spark.sources import png as _png
 
     def _pad(vals: list) -> list:
         vals = [float(v) for v in vals[:dim]]
@@ -102,44 +118,47 @@ def extract_features(media: DataFrame, *, dim: int = 8, strict: bool = False) ->
             feats = []
             for kind, payload in zip(pdf["kind"], pdf["payload"]):
                 raw = bytes(payload)
-                if kind == "image" and _png.is_png(raw):
+                decoded = None
+                if kind == "image":
                     try:
-                        pixels, meta = _png.decode_png(raw)
+                        decoded = _decode_image_native(raw)
                     except Exception:
                         if strict:
                             raise
-                        # undecodable PNG under plumbing mode: fall
-                        # back to the digest stub like any other
-                        # encoded payload
-                        digest = hashlib.sha256(raw).digest()
-                        feats.append([b / 255.0 for b in digest[:dim]])
-                        continue
+                        # undecodable recognized format under plumbing
+                        # mode: fall back to the digest stub like any
+                        # other encoded payload
+                        decoded = None
+                if decoded is not None:
+                    pixels, _fmt = decoded
                     vals = pixels.astype(np.float64) / 255.0
+                    channels = 1 if pixels.ndim == 2 else pixels.shape[2]
                     feats.append(
                         _pad(
                             [
-                                meta["width"],
-                                meta["height"],
-                                meta["channels"],
+                                pixels.shape[1],
+                                pixels.shape[0],
+                                channels,
                                 float(vals.mean()),
                                 float(vals.std()),
                                 float(vals.min()),
                                 float(vals.max()),
                                 float(np.abs(np.diff(vals, axis=0)).mean())
-                                if meta["height"] > 1
+                                if pixels.shape[0] > 1
                                 else 0.0,
                             ]
                         )
                     )
                     continue
                 if strict:
-                    # decode-or-raise for non-PNG payloads: returning
-                    # fake features under strict=True would be silently
-                    # wrong exactly when the caller asked for honesty
+                    # decode-or-raise for non-PNG/JPEG payloads:
+                    # returning fake features under strict=True would
+                    # be silently wrong exactly when the caller asked
+                    # for honesty
                     raise NotImplementedError(
-                        "real feature extraction for non-PNG payloads "
-                        "is not implemented in this build (codec-"
-                        "gated); run with strict=False for the "
+                        "real feature extraction for non-PNG/JPEG "
+                        "payloads is not implemented in this build "
+                        "(codec-gated); run with strict=False for the "
                         "deterministic digest stub"
                     )
                 digest = hashlib.sha256(raw).digest()
@@ -180,16 +199,18 @@ def resize_images(
 
     Payloads whose ``n_bytes == width*height`` metadata are treated as
     raw grayscale planes and resampled with a pure-numpy gather — no
-    codec needed.  PNG payloads (public spec) decode through the
-    repo's pure-Python codec (:mod:`physicsnemo_curator_spark.sources.
-    png`), resize every channel, and re-encode as PNG with updated
-    metadata.  Other encoded formats (JPEG/containers) still need an
-    external codec: strict=True raises the honest NotImplementedError,
-    strict=False passes them through untouched so a mixed table still
-    flows.  Non-image rows pass through unchanged either way.
+    codec needed.  PNG and baseline-JPEG payloads (public specs)
+    decode through the repo's pure-Python codecs, resize every
+    channel, and re-encode in their ORIGINAL format with updated
+    metadata.  Other encoded formats (progressive JPEG / containers)
+    still need an external codec: strict=True raises the honest
+    NotImplementedError, strict=False passes them through untouched so
+    a mixed table still flows.  Non-image rows pass through unchanged
+    either way.
     """
     import numpy as np
 
+    from physicsnemo_curator_spark.sources import jpeg as _jpeg
     from physicsnemo_curator_spark.sources import png as _png
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -199,14 +220,16 @@ def resize_images(
                 pdf["kind"], pdf["payload"], pdf["width"], pdf["height"]
             ):
                 raw = bytes(payload)
-                if kind == "image" and _png.is_png(raw):
-                    # the codec covers the common PNG subset; a payload
-                    # it can't open (bit depth 16, Adam7, truncation)
-                    # must follow the strict contract — raise only when
-                    # asked for honesty, pass through untouched when
-                    # the caller wants the mixed table to keep flowing
+                decoded = None
+                if kind == "image":
+                    # the codecs cover the common subsets; a payload
+                    # they can't open (bit depth 16, Adam7,
+                    # progressive, truncation) must follow the strict
+                    # contract — raise only when asked for honesty,
+                    # pass through untouched when the caller wants the
+                    # mixed table to keep flowing
                     try:
-                        pixels, _meta = _png.decode_png(raw)
+                        decoded = _decode_image_native(raw)
                     except Exception:
                         if strict:
                             raise
@@ -215,11 +238,17 @@ def resize_images(
                         out_h.append(h)
                         out_n.append(len(raw))
                         continue
+                if decoded is not None:
+                    pixels, fmt = decoded
                     sh, sw = pixels.shape[0], pixels.shape[1]
                     ys = (np.arange(height) * (sh / height)).astype(np.int64)
                     xs = (np.arange(width) * (sw / width)).astype(np.int64)
                     resized = pixels[np.ix_(ys, xs)]
-                    enc = _png.encode_png(resized)
+                    enc = (
+                        _png.encode_png(resized)
+                        if fmt == "png"
+                        else _jpeg.encode_jpeg(resized, quality=90)
+                    )
                     out_payload.append(enc)
                     out_w.append(width)
                     out_h.append(height)
@@ -236,10 +265,10 @@ def resize_images(
                 if not is_raw_plane:
                     if kind == "image" and strict:
                         raise NotImplementedError(
-                            "encoded non-PNG image payload needs a "
-                            "decode (codec-gated in this build; PNG "
-                            "decodes natively); run with strict=False "
-                            "to pass it through untouched"
+                            "encoded image payload in an unrecognized "
+                            "format needs an external decode (PNG and "
+                            "baseline JPEG decode natively); run with "
+                            "strict=False to pass it through untouched"
                         )
                     out_payload.append(raw)
                     out_w.append(w)

@@ -179,3 +179,85 @@ def test_hdf5_per_variable_year_sink(spark, tmp_path):
             times.index(r["time"]), lats.index(r["lat"]), lons.index(r["lon"])
         ]
         assert got == r["value"]
+
+
+def test_full_size_btree_nodes_for_conforming_readers(tmp_path):
+    """libhdf5 computes the FIXED v1 node size from the superblock K
+    values (group node = 544 bytes at K=16) and reads that many bytes
+    — every node must be written at full capacity or reads run past
+    EOF.  Pin: the root group B-tree has >= 544 bytes before EOF, and
+    a chunk B-tree node has its full computed size available."""
+    p = tmp_path / "k.h5"
+    hdf5.write_hdf5(
+        str(p), {"v": np.arange(6.0)}, chunks={"v": (2,)}, deflate=1
+    )
+    buf = open(p, "rb").read()
+    root_bt = struct.unpack_from("<Q", buf, 80)[0]  # superblock scratch
+    assert root_bt + hdf5._GROUP_NODE_SIZE <= len(buf)
+    # chunk node: rank 1 -> ndims 2 -> size 24 + 65*24 + 64*8 = 2096
+    i = buf.index(b"TREE")
+    assert struct.unpack_from("<B", buf, i + 4)[0] == 1  # chunk node
+    assert i + hdf5._chunk_node_size(2) <= len(buf)
+
+
+def test_chunk_btree_splits_past_64_chunks(tmp_path):
+    """>64 chunks split into sibling-linked leaves under one internal
+    node; every value must still round-trip."""
+    p = tmp_path / "big.h5"
+    arr = np.arange(300, dtype="<f8")
+    hdf5.write_hdf5(str(p), {"v": arr}, chunks={"v": (2,)}, deflate=1)
+    ds, _ = hdf5.read_hdf5(str(p))  # 150 chunks -> 3 leaves + 1 root
+    np.testing.assert_array_equal(ds["v"], arr)
+    buf = open(p, "rb").read()
+    # find the internal node (type 1, level 1)
+    found = False
+    i = -1
+    while True:
+        i = buf.find(b"TREE", i + 1)
+        if i < 0:
+            break
+        ntype, level = struct.unpack_from("<BB", buf, i + 4)
+        if ntype == 1 and level == 1:
+            found = True
+    assert found
+
+
+def test_attrs_for_unknown_path_raise(tmp_path):
+    with pytest.raises(ValueError, match="unknown path"):
+        hdf5.write_hdf5(
+            str(tmp_path / "a.h5"),
+            {"g/v": np.arange(3.0)},
+            attrs={"g/v ": {"oops": 1}},
+        )
+    # dataset, implied group, and root keys are all legal
+    hdf5.write_hdf5(
+        str(tmp_path / "b.h5"),
+        {"g/v": np.arange(3.0)},
+        attrs={"g/v": {"a": 1}, "g": {"b": 2}, "": {"c": 3}},
+    )
+
+
+def test_epoch_is_utc_regardless_of_local_tz():
+    """Naive timestamps from a UTC Spark session must encode as UTC
+    epoch seconds even on a machine with a different local TZ."""
+    import datetime as dtm
+    import os
+    import time as _time
+
+    from physicsnemo_curator_spark.sinks.scientific import _epoch_utc
+
+    old = os.environ.get("TZ")
+    os.environ["TZ"] = "Asia/Tokyo"
+    _time.tzset()
+    try:
+        t = dtm.datetime(2023, 1, 1, 0, 0, 0)  # naive, session-UTC
+        assert _epoch_utc(t) == 1672531200.0
+        aware = dtm.datetime(2023, 1, 1, tzinfo=dtm.timezone.utc)
+        assert _epoch_utc(aware) == 1672531200.0
+        assert _epoch_utc(5.0) == 5.0
+    finally:
+        if old is None:
+            os.environ.pop("TZ")
+        else:
+            os.environ["TZ"] = old
+        _time.tzset()

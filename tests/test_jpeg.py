@@ -1,0 +1,146 @@
+"""Baseline JPEG codec (ITU T.81): round-trips across subsampling and
+restart-marker configurations, exactness on flat images, spec-level
+marker assertions, honest raises for the unsupported surface, and the
+multimodal integration (resize end-to-end on encoded JPEGs)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from physicsnemo_curator_spark.sources import jpeg
+
+
+def _smooth_rgb(h=29, w=37):
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    return np.stack(
+        [(xx * 3) % 256, (yy * 4) % 256, ((xx + yy) * 2) % 256], axis=2
+    ).astype(np.uint8)
+
+
+def test_flat_images_roundtrip_exactly():
+    """DCT of a constant block is a lone DC coefficient — flat images
+    survive bit-exactly whenever the DC quant step resolves the
+    offset (base tables: any quality >= 50), and mid-gray (DC = 0)
+    survives at ANY quality."""
+    for q in (50, 75, 95):
+        flat = np.full((16, 24), 130, dtype=np.uint8)
+        out, meta = jpeg.decode_jpeg(jpeg.encode_jpeg(flat, quality=q))
+        assert meta == {"width": 24, "height": 16, "channels": 1}
+        assert np.abs(out.astype(int) - 130).max() == 0
+    gray128 = np.full((8, 8), 128, dtype=np.uint8)
+    out, _ = jpeg.decode_jpeg(jpeg.encode_jpeg(gray128, quality=5))
+    assert np.abs(out.astype(int) - 128).max() == 0
+    rgb = np.zeros((20, 22, 3), dtype=np.uint8)
+    rgb[..., 0], rgb[..., 1], rgb[..., 2] = 200, 50, 90
+    for sub in ("444", "420"):
+        out, _ = jpeg.decode_jpeg(jpeg.encode_jpeg(rgb, subsampling=sub))
+        assert np.abs(out.astype(int) - rgb.astype(int)).max() <= 1
+
+
+@pytest.mark.parametrize("sub", ["444", "420"])
+@pytest.mark.parametrize("rst", [0, 2])
+def test_smooth_image_roundtrip_quality(sub, rst):
+    img = _smooth_rgb()
+    out, meta = jpeg.decode_jpeg(
+        jpeg.encode_jpeg(
+            img, quality=92, subsampling=sub, restart_interval=rst
+        )
+    )
+    assert (meta["height"], meta["width"]) == img.shape[:2]
+    err = np.abs(out.astype(int) - img.astype(int)).mean()
+    assert err < (1.0 if sub == "444" else 2.5)
+
+
+def test_grayscale_gradient_high_quality():
+    xx, yy = np.meshgrid(np.arange(32), np.arange(24))
+    grad = ((xx * 3 + yy * 2) % 256).astype(np.uint8)
+    out, _ = jpeg.decode_jpeg(jpeg.encode_jpeg(grad, quality=95))
+    assert np.abs(out.astype(int) - grad.astype(int)).mean() < 0.5
+
+
+def test_non_multiple_of_mcu_dimensions():
+    """17x19 (444) and 29x37 (420, 16-pixel MCUs) both need edge
+    padding that must not leak into the cropped output dims."""
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, size=(17, 19, 3), dtype=np.uint8)
+    out, meta = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=95))
+    assert out.shape == (17, 19, 3)
+    out, meta = jpeg.decode_jpeg(
+        jpeg.encode_jpeg(_smooth_rgb(29, 37), subsampling="420")
+    )
+    assert out.shape == (29, 37, 3)
+
+
+def test_marker_structure():
+    data = jpeg.encode_jpeg(np.zeros((8, 8), dtype=np.uint8))
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    # SOF0 present with 8-bit precision and our dims
+    i = data.index(b"\xff\xc0")
+    prec, h, w, nc = struct.unpack_from(">BHHB", data, i + 4)
+    assert (prec, h, w, nc) == (8, 8, 8, 1)
+    # DRI emitted only when requested
+    assert b"\xff\xdd" not in data
+    data2 = jpeg.encode_jpeg(
+        np.zeros((32, 32), dtype=np.uint8), restart_interval=2
+    )
+    i = data2.index(b"\xff\xdd")
+    assert struct.unpack_from(">H", data2, i + 4)[0] == 2
+    assert b"\xff\xd0" in data2  # first restart marker present
+
+
+def test_byte_stuffing_roundtrip():
+    """Entropy bytes equal to 0xFF must be stuffed with 0x00 and
+    unstuffed on decode — exercised by many random images."""
+    rng = np.random.default_rng(3)
+    for seed in range(4):
+        img = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+        out, _ = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=30))
+        assert out.shape == (16, 16)  # decodes despite heavy quant
+
+
+def test_unsupported_raises_loudly():
+    with pytest.raises(ValueError, match="SOI"):
+        jpeg.decode_jpeg(b"\x89PNG not a jpeg")
+    data = bytearray(jpeg.encode_jpeg(np.zeros((8, 8), dtype=np.uint8)))
+    i = data.index(b"\xff\xc0")
+    data[i + 1] = 0xC2  # pretend progressive
+    with pytest.raises(NotImplementedError, match="SOF2"):
+        jpeg.decode_jpeg(bytes(data))
+    with pytest.raises(ValueError, match="shape"):
+        jpeg.encode_jpeg(np.zeros((4, 4, 2), dtype=np.uint8))
+
+
+def test_resize_images_on_encoded_jpeg(spark):
+    """resize_images decodes a baseline JPEG, resizes, and re-encodes
+    as JPEG through the real Spark kernel (strict=True)."""
+    from physicsnemo_curator_spark.sources import multimodal
+
+    img = _smooth_rgb(16, 12)
+    rows = [(1, "image", bytearray(jpeg.encode_jpeg(img, quality=95)),
+             12, 16, None)]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = multimodal.resize_images(
+        media, width=6, height=8, strict=True
+    ).collect()
+    assert out[0].width == 6 and out[0].height == 8
+    pixels, meta = jpeg.decode_jpeg(bytes(out[0].payload))
+    assert meta == {"width": 6, "height": 8, "channels": 3}
+    # content parity within JPEG quantization error
+    ys = (np.arange(8) * 2).astype(np.int64)
+    xs = (np.arange(6) * 2).astype(np.int64)
+    expect = img[np.ix_(ys, xs)]
+    assert np.abs(pixels.astype(int) - expect.astype(int)).mean() < 6
+
+
+def test_extract_features_real_jpeg_stats(spark):
+    from physicsnemo_curator_spark.sources import multimodal
+
+    img = np.full((8, 10, 3), 128, dtype=np.uint8)
+    rows = [(7, "image", bytearray(jpeg.encode_jpeg(img)), 10, 8, None)]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    feat = multimodal.extract_features(media, dim=8, strict=True).collect()[0]
+    assert feat.feature[:3] == [10.0, 8.0, 3.0]
+    assert abs(feat.feature[3] - 128 / 255) < 0.01

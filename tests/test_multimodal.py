@@ -63,15 +63,26 @@ def test_resize_raw_grayscale_exact(spark):
 
 
 def test_resize_encoded_needs_codec(spark):
-    # payload length != w*h → treated as encoded; strict raises
+    # unrecognized encoded format (GIF signature — neither PNG nor
+    # baseline JPEG decodes it natively); strict raises
     df = spark.createDataFrame(
-        [(0, "image", bytearray(b"\xff\xd8\xff"), 16, 16, 3)],
+        [(0, "image", bytearray(b"GIF89a fake"), 16, 16, 11)],
         mm.MEDIA_SCHEMA,
     )
-    with pytest.raises(Exception, match="NotImplementedError|codec"):
+    with pytest.raises(Exception, match="NotImplementedError|codec|format"):
         mm.resize_images(df, width=2, height=2, strict=True).collect()
     # plumbing mode passes through
     rows = mm.resize_images(df, width=2, height=2).collect()
+    assert bytes(rows[0]["payload"]) == b"GIF89a fake"
+    # a TRUNCATED jpeg (signature matches, decode fails) also raises
+    # strict and passes through in plumbing mode
+    df2 = spark.createDataFrame(
+        [(1, "image", bytearray(b"\xff\xd8\xff"), 16, 16, 3)],
+        mm.MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception):
+        mm.resize_images(df2, width=2, height=2, strict=True).collect()
+    rows = mm.resize_images(df2, width=2, height=2).collect()
     assert bytes(rows[0]["payload"]) == b"\xff\xd8\xff"
 
 

@@ -172,6 +172,14 @@ def _write_chunk_btree(
     for s, c in zip(shape, chunks):
         beyond += struct.pack("<Q", ((s + c - 1) // c) * c)
     beyond += struct.pack("<Q", itemsize)
+    if not keys:
+        # zero-length dimension: no chunks exist — emit an empty LEAF
+        # (level 0); marking an empty root as internal would send a
+        # conforming reader chasing children that aren't there
+        node = bytearray(b"TREE" + struct.pack("<BBH", 1, 0, 0))
+        node += struct.pack("<QQ", _UNDEF, _UNDEF)
+        node += beyond
+        return w.alloc(bytes(node.ljust(node_size, b"\x00")))
     parts = [keys[i : i + cap] for i in range(0, len(keys), cap)]
     if len(parts) > cap:
         raise NotImplementedError(

@@ -164,6 +164,10 @@ class _BitReader:
         self.nbits = 0
 
     def _fill(self):
+        # drop already-consumed high bits: without this mask bitbuf
+        # grows into an unbounded Python int and every shift becomes
+        # O(stream length) — measured quadratic decode on large scans
+        self.bitbuf &= (1 << self.nbits) - 1
         while self.nbits <= 24:
             if self.pos >= len(self.data):
                 self.bitbuf = (self.bitbuf << 8) | 0
@@ -252,6 +256,13 @@ def decode_jpeg(data: bytes) -> tuple[np.ndarray, dict]:
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"marker expected at offset {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker code — skip them, or the fill byte parses as the
+        # marker and garbage as the segment length
+        while data[pos + 1] == 0xFF:
+            pos += 1
+            if pos + 4 > len(data):
+                raise ValueError("truncated JPEG after fill bytes")
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI
             break

@@ -220,8 +220,19 @@ def resize_images(
                 pdf["kind"], pdf["payload"], pdf["width"], pdf["height"]
             ):
                 raw = bytes(payload)
+                # raw-plane metadata WINS over codec sniffing: JPEG's
+                # signature is only 2 bytes, so a raw grayscale plane
+                # starting 0xFF 0xD8 (1/65536 of random planes) would
+                # otherwise be misrouted into the JPEG decoder and
+                # crash (strict) or silently skip the resize
+                dims_known = not (pd.isna(w) or pd.isna(h))
+                is_raw_plane = (
+                    kind == "image"
+                    and dims_known
+                    and len(raw) == int(w) * int(h)
+                )
                 decoded = None
-                if kind == "image":
+                if kind == "image" and not is_raw_plane:
                     # the codecs cover the common subsets; a payload
                     # they can't open (bit depth 16, Adam7,
                     # progressive, truncation) must follow the strict
@@ -254,14 +265,9 @@ def resize_images(
                     out_h.append(height)
                     out_n.append(len(enc))
                     continue
-                # nullable int columns arrive as float64 NaN in pandas
-                # batches — `is not None` never catches them
-                dims_known = not (pd.isna(w) or pd.isna(h))
-                is_raw_plane = (
-                    kind == "image"
-                    and dims_known
-                    and len(raw) == int(w) * int(h)
-                )
+                # (dims_known/is_raw_plane computed above — nullable
+                # int columns arrive as float64 NaN in pandas batches,
+                # so pd.isna is the check, never `is not None`)
                 if not is_raw_plane:
                     if kind == "image" and strict:
                         raise NotImplementedError(

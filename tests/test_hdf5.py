@@ -261,3 +261,18 @@ def test_epoch_is_utc_regardless_of_local_tz():
         else:
             os.environ["TZ"] = old
         _time.tzset()
+
+
+def test_empty_chunked_dataset(tmp_path):
+    """A zero-length dimension has no chunks: the chunk B-tree must be
+    an empty LEAF (level 0), not a childless internal node."""
+    p = tmp_path / "e.h5"
+    hdf5.write_hdf5(
+        str(p), {"v": np.empty((0, 4))}, chunks={"v": (2, 4)}, deflate=1
+    )
+    ds, _ = hdf5.read_hdf5(str(p))
+    assert ds["v"].shape == (0, 4)
+    buf = open(p, "rb").read()
+    i = buf.index(b"TREE")
+    ntype, level, used = struct.unpack_from("<BBH", buf, i + 4)
+    assert (ntype, level, used) == (1, 0, 0)

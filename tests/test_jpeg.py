@@ -144,3 +144,47 @@ def test_extract_features_real_jpeg_stats(spark):
     feat = multimodal.extract_features(media, dim=8, strict=True).collect()[0]
     assert feat.feature[:3] == [10.0, 8.0, 3.0]
     assert abs(feat.feature[3] - 128 / 255) < 0.01
+
+
+def test_fill_bytes_before_markers_accepted():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+    marker — real encoders emit them; the parser must skip them."""
+    img = np.full((8, 8), 128, dtype=np.uint8)
+    data = jpeg.encode_jpeg(img)
+    i = data.index(b"\xff\xc0")
+    padded = data[:i] + b"\xff\xff\xff" + data[i:]
+    out, meta = jpeg.decode_jpeg(padded)
+    assert meta["width"] == 8 and np.abs(out.astype(int) - 128).max() == 0
+
+
+def test_large_image_decode_is_linear_time():
+    """The bit reader must mask consumed bits — unmasked, bitbuf grows
+    into a huge int and decode goes quadratic (4.5 s at 256x256 before
+    the fix; ~0.3 s after).  Generous bound to stay CI-safe."""
+    import time
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, size=(256, 256), dtype=np.uint8)
+    data = jpeg.encode_jpeg(img, quality=75)
+    t0 = time.perf_counter()
+    out, _ = jpeg.decode_jpeg(data)
+    assert out.shape == (256, 256)
+    assert time.perf_counter() - t0 < 2.5
+
+
+def test_raw_plane_with_jpeg_signature_bytes(spark):
+    """A raw grayscale plane whose first two bytes happen to be
+    0xFF 0xD8 must still take the raw-plane gather (metadata wins over
+    the 2-byte JPEG signature sniff)."""
+    from physicsnemo_curator_spark.sources import multimodal
+
+    plane = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    plane[0, 0], plane[0, 1] = 0xFF, 0xD8
+    rows = [(1, "image", bytearray(plane.tobytes()), 16, 16, 256)]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = multimodal.resize_images(
+        media, width=4, height=4, strict=True
+    ).collect()[0]
+    got = np.frombuffer(bytes(out.payload), dtype=np.uint8).reshape(4, 4)
+    ys = (np.arange(4) * 4).astype(np.int64)
+    np.testing.assert_array_equal(got, plane[np.ix_(ys, ys)])

@@ -297,3 +297,12 @@ def _hdf5_sink(df: DataFrame, *, path: str, **kw: Any) -> list:
 
     write_hdf5_per_variable_year(df, path, **kw)
     return [path]
+
+
+@register_transform("bigram_logprob")
+def _bigram_logprob(df: DataFrame, **kw: Any) -> DataFrame:
+    """CCNet/KenLM-style bigram-LM perplexity signal
+    (operators/textops.py::bigram_logprob)."""
+    from physicsnemo_curator_spark.operators import textops
+
+    return textops.bigram_logprob(df, **kw)

@@ -656,6 +656,70 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = 0.5,
+    vocab_size: int | None = None,
+) -> DataFrame:
+    """Corpus-self BIGRAM log-probability per document with add-k
+    smoothing — the CCNet/KenLM-style perplexity filter one order up
+    from :func:`unigram_logprob`: a document whose word TRANSITIONS
+    are improbable under the corpus's own bigram statistics (shuffled
+    text, keyword stuffing, OCR noise) scores low even when its
+    individual words are common, which the unigram signal cannot see.
+
+    ``P(w_i | w_{i-1}) = (c(w_{i-1} w_i) + k) / (h(w_{i-1}) + k*V)``
+    where ``h`` counts the token as a bigram history and ``V`` is the
+    corpus unigram vocabulary.  Output per document with >= 1 bigram:
+    ``(id, n_bigrams, avg_logprob, ppl)`` with ``ppl =
+    exp(-avg_logprob)``; single-token and empty documents have no
+    transitions and emit no row.
+
+    Plan: one posexplode + doc-keyed lead() window (the
+    :func:`_ngram_rows` codegen shape — no per-row array copies), two
+    partial+final count aggregates (bigram and history tables, both
+    vocabulary-sized), two hash joins back to the pair stream, one
+    doc-keyed average.  Same shuffle classes as TF-IDF; pass
+    ``vocab_size`` when known to skip the distinct-count scan at
+    corpus scale."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(ws_tokens(F.lower(F.col(text_col)))).alias("pos", "w"),
+    ).filter(F.col("w") != "")
+    win = Window.partitionBy(id_col).orderBy("pos")
+    pairs = toks.select(
+        F.col(id_col),
+        F.col("w").alias("prev"),
+        F.lead("w").over(win).alias("cur"),
+    ).filter(F.col("cur").isNotNull())
+    v = (
+        toks.select("w").distinct().count()
+        if vocab_size is None
+        else vocab_size
+    )
+    bc = pairs.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("bc"))
+    hc = pairs.groupBy("prev").agg(F.count(F.lit(1)).alias("hc"))
+    lp = F.log(
+        (F.col("bc") + F.lit(float(k)))
+        / (F.col("hc") + F.lit(float(k) * float(v)))
+    )
+    scored = (
+        pairs.join(bc, ["prev", "cur"])
+        .join(hc, ["prev"])
+        .select(F.col(id_col), lp.alias("lp"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.avg("lp").alias("avg_logprob"),
+        F.exp(-F.avg("lp")).alias("ppl"),
+    )
+
+
 def tokenize_to_ids(
     docs: DataFrame,
     vocab: DataFrame,

@@ -4049,7 +4049,47 @@ FROM d GROUP BY 1 ORDER BY bucket
 """
 
 
+def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity quality signal (textops.bigram_logprob):
+    the CCNet/KenLM-style filter one order above q_text_logprob —
+    add-k smoothed corpus-self transition probabilities, so shuffled
+    or stuffed text scores low even when its words are common."""
+    docs = _t(spark, sf_dir, "documents")
+    out = textops.bigram_logprob(docs, k=0.5)
+    return (
+        out.select(
+            "doc_id",
+            "n_bigrams",
+            _r6(F.col("avg_logprob"), "avg_logprob"),
+            F.round(F.col("ppl"), 4).alias("ppl"),
+        )
+        .orderBy("doc_id")
+        .limit(300)
+    )
+
+
+ORACLE_TEXT_BIGRAM_LM = """
+WITH norm AS (SELECT doc_id,
+                     trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+              FROM documents),
+tk AS (SELECT doc_id, string_split(t, ' ') toks FROM norm),
+uni AS (SELECT unnest(toks) w FROM tk),
+vv AS (SELECT COUNT(DISTINCT w) v FROM uni WHERE w <> ''),
+b AS (SELECT doc_id, toks[i] prev, toks[i + 1] cur
+      FROM tk, LATERAL unnest(range(1, len(toks))) u(i)),
+bc AS (SELECT prev, cur, COUNT(*) bc FROM b GROUP BY 1, 2),
+hc AS (SELECT prev, COUNT(*) hc FROM b GROUP BY 1),
+lp AS (SELECT doc_id, ln((bc + 0.5) / (hc + 0.5 * v)) lp
+       FROM b JOIN bc USING (prev, cur) JOIN hc USING (prev), vv)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(AVG(lp), 6) AS avg_logprob,
+       ROUND(exp(-AVG(lp)), 4) AS ppl
+FROM lp GROUP BY doc_id ORDER BY doc_id LIMIT 300
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "q_text_bigram_lm": QuerySpec(q_text_bigram_lm, ORACLE_TEXT_BIGRAM_LM),
     "q_media_png_resize": QuerySpec(q_media_png_resize, ORACLE_MEDIA_PNG),
     "q_media_jpeg_resize": QuerySpec(q_media_jpeg_resize, ORACLE_MEDIA_JPEG),
     "q_hdf5_roundtrip": QuerySpec(q_hdf5_roundtrip, ORACLE_HDF5),

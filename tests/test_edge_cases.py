@@ -719,3 +719,30 @@ def test_read_vtk_mesh_id_from_path(spark, tmp_path):
     )
     ids = {r["mesh_id"] for r in tables["points"].select("mesh_id").distinct().collect()}
     assert len(ids) == 2
+
+
+def test_bigram_logprob_hand_computed(spark):
+    """Add-k bigram LM against hand-computed probabilities: corpus
+    'a b a b' + 'b a' has bc(a,b)=2, bc(b,a)=2, h(a)=2, h(b)=2, V=2,
+    so every transition scores ln(2.5/3) at k=0.5; single-token docs
+    have no transitions and emit no row; vocab_size hint is exact."""
+    import math
+
+    from physicsnemo_curator_spark.operators import textops
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "b a"), (3, "x")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in textops.bigram_logprob(df, k=0.5).collect()}
+    # vocab = {a, b, x} -> V=3, denominator h + 0.5*3 = 3.5
+    lp = math.log(2.5 / 3.5)
+    assert set(out) == {1, 2}  # doc 3 has no bigrams
+    assert out[1]["n_bigrams"] == 3 and out[2]["n_bigrams"] == 1
+    assert abs(out[1]["avg_logprob"] - lp) < 1e-12
+    assert abs(out[2]["avg_logprob"] - lp) < 1e-12
+    assert abs(out[1]["ppl"] - 3.5 / 2.5) < 1e-12
+    # explicit vocab_size skips the distinct scan and changes the
+    # smoothing denominator deterministically
+    out2 = {r["doc_id"]: r
+            for r in textops.bigram_logprob(df, k=0.5, vocab_size=2).collect()}
+    assert abs(out2[1]["avg_logprob"] - math.log(2.5 / 3.0)) < 1e-12

@@ -132,6 +132,7 @@ CASES = {
         {"group_cols": ["lang"], "key_col": "doc_id",
          "depth": 3, "width": 128},
     ),
+    "bigram_logprob": (_docs, {"k": 0.5}),
     "resize_images": (
         lambda s, d: __import__(
             "physicsnemo_curator_spark.sources.multimodal",

@@ -368,3 +368,62 @@ def test_cms_never_undercounts_property(spark, ks):
             parts[0].unionByName(parts[1]), ["g"]
         )
         assert merged.collect()[0].cms == cms.collect()[0].cms
+
+
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    channels=st.sampled_from([1, 2, 3, 4]),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_roundtrip_property(seed, h, w, channels):
+    """For ANY uint8 image of any supported channel count and shape
+    (including 1-pixel rows/columns), encode→decode is the identity."""
+    import numpy as np
+
+    from physicsnemo_curator_spark.sources import png
+
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, size=(h, w, channels), dtype=np.uint8)
+    if channels == 1:
+        arr = arr[:, :, 0]
+    out, meta = png.decode_png(png.encode_png(arr))
+    assert (meta["height"], meta["width"]) == (h, w)
+    np.testing.assert_array_equal(out.reshape(arr.shape), arr)
+
+
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    rgb=st.booleans(),
+    quality=st.integers(30, 95),
+    sub=st.sampled_from(["444", "420"]),
+    rst=st.sampled_from([0, 3]),
+)
+@settings(max_examples=40, deadline=None)
+def test_jpeg_decode_total_property(seed, h, w, rgb, quality, sub, rst):
+    """For ANY image/config the encoder emits, the decoder must return
+    the right shape with bounded error — never crash, never produce
+    wrong dimensions (MCU padding must always crop back)."""
+    import numpy as np
+
+    from physicsnemo_curator_spark.sources import jpeg
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w, 3) if rgb else (h, w)
+    # smooth-ish content so the error bound is meaningful at q30
+    base = rng.integers(0, 256)
+    arr = np.clip(
+        base + rng.integers(-20, 21, size=shape), 0, 255
+    ).astype(np.uint8)
+    data = jpeg.encode_jpeg(
+        arr, quality=quality, subsampling=sub if rgb else "444",
+        restart_interval=rst,
+    )
+    out, meta = jpeg.decode_jpeg(data)
+    assert out.shape == arr.shape
+    assert (meta["height"], meta["width"]) == (h, w)
+    err = np.abs(out.astype(int) - arr.astype(int)).mean()
+    assert err < 40  # ±20 noise under heavy quantization stays bounded

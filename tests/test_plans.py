@@ -158,3 +158,38 @@ def test_incremental_probe_broadcasts_batch_side(spark, sf_dir, tmp_path):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_image_data_views_share_one_parse(spark, tmp_path):
+    """read_image_data's grid and cell_grid are filter views over ONE
+    section-tagged parsed table: each view's plan contains exactly one
+    MapInPandas node (the shared parse_all kernel), not a per-table
+    parser — the review finding that tripled decode CPU."""
+    import numpy as np
+
+    from physicsnemo_curator_spark.sources import vtk, vtk_xml
+
+    vtk_xml.write_vti(
+        (3, 2, 2), {"t": [float(i) for i in range(12)]},
+        str(tmp_path / "g.vti"), cell_data={"c": [1.0, 2.0]}, fmt="binary",
+    )
+    t = vtk.read_image_data(spark, str(tmp_path))
+    for view in ("grid", "cell_grid"):
+        plan = t[view]._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("MapInPandas") == 1, view
+    # meta's header-only parse is its own (cheap) kernel
+    assert (
+        t["meta"]._jdf.queryExecution().executedPlan().toString().count(
+            "MapInPandas"
+        )
+        == 1
+    )
+
+
+def test_bigram_lm_partial_aggregation_and_single_sort(spark, sf_dir):
+    """q_text_bigram_lm: the count tables build with map-side partial
+    aggregation before their shuffles, and the pair stream needs only
+    doc-keyed sorts (the lead() window) — no Python in the hot path."""
+    plan = plan_of(spark, "q_text_bigram_lm", sf_dir)
+    assert "partial_count" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

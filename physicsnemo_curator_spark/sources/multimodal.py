@@ -2,15 +2,16 @@
 
 North-star surface: binary payloads ride through the pipeline as
 ``BINARY`` columns with a typed metadata struct; decode / feature
-extraction run as Arrow-batched ``mapInPandas`` UDFs.  PNG and
-baseline JPEG payloads decode for REAL via the repo's pure-Python
-codecs (:mod:`physicsnemo_curator_spark.sources.png` and
-:mod:`~physicsnemo_curator_spark.sources.jpeg` — public specs, stdlib
+extraction run as Arrow-batched ``mapInPandas`` UDFs.  PNG, baseline
+JPEG, and PCM WAV payloads decode for REAL via the repo's pure-Python
+codecs (:mod:`physicsnemo_curator_spark.sources.png`,
+:mod:`~physicsnemo_curator_spark.sources.jpeg`,
+:mod:`~physicsnemo_curator_spark.sources.wav` — public specs, stdlib
 zlib/struct + numpy, no native dependency), so resize and featurize
-work end-to-end on encoded images.  Other codec libraries
-(PIL/ffmpeg/torchaudio) are not in this container, so the remaining
-decode paths (progressive JPEG, video containers, audio) are
-import-gated: with no codec available they either raise
+work end-to-end on encoded images and uncompressed audio.  Other codec
+libraries (PIL/ffmpeg/torchaudio) are not in this container, so the
+remaining decode paths (progressive JPEG, video containers, compressed
+audio) are import-gated: with no codec available they either raise
 ``NotImplementedError`` (strict) or produce a deterministic fake
 feature vector / pass-through (plumbing mode) — the Spark-side schema,
 batching and partitioning are real and tested either way.
@@ -101,13 +102,17 @@ def extract_features(media: DataFrame, *, dim: int = 8, strict: bool = False) ->
     PNG and baseline-JPEG payloads decode for REAL through the
     pure-Python codecs into pixel-statistic features (width, height,
     channels, mean/std/min/max of intensity, zero-padded/truncated to
-    ``dim``).  For everything else: with no external codec installed,
-    strict=True raises NotImplementedError (the honest stub) and
-    strict=False emits a deterministic digest-derived vector so the
-    distributed plumbing (schema, batch shape, partitioning) stays
-    testable on mixed tables.
+    ``dim``); WAV audio payloads decode into signal features
+    (sample_rate, channels, duration, RMS, peak, zero-crossing rate).
+    For everything else: with no external codec installed, strict=True
+    raises NotImplementedError (the honest stub) and strict=False
+    emits a deterministic digest-derived vector so the distributed
+    plumbing (schema, batch shape, partitioning) stays testable on
+    mixed tables.
     """
     import numpy as np
+
+    from physicsnemo_curator_spark.sources import wav as _wav
 
     def _pad(vals: list) -> list:
         vals = [float(v) for v in vals[:dim]]
@@ -129,6 +134,42 @@ def extract_features(media: DataFrame, *, dim: int = 8, strict: bool = False) ->
                         # mode: fall back to the digest stub like any
                         # other encoded payload
                         decoded = None
+                if kind == "audio" and _wav.is_wav(raw):
+                    try:
+                        samples, meta = _wav.decode_wav(raw)
+                    except Exception:
+                        if strict:
+                            raise
+                        digest = hashlib.sha256(raw).digest()
+                        feats.append([b / 255.0 for b in digest[:dim]])
+                        continue
+                    mono = (
+                        samples.mean(axis=1)
+                        if samples.ndim == 2
+                        else samples
+                    )
+                    zcr = (
+                        float(np.mean(np.abs(np.diff(np.signbit(mono)))))
+                        if mono.size > 1
+                        else 0.0
+                    )
+                    feats.append(
+                        _pad(
+                            [
+                                meta["sample_rate"],
+                                meta["channels"],
+                                meta["duration_s"],
+                                float(np.sqrt(np.mean(mono**2)))
+                                if mono.size
+                                else 0.0,
+                                float(np.abs(mono).max()) if mono.size else 0.0,
+                                zcr,
+                                float(mono.mean()) if mono.size else 0.0,
+                                float(mono.std()) if mono.size else 0.0,
+                            ]
+                        )
+                    )
+                    continue
                 if decoded is not None:
                     pixels, _fmt = decoded
                     vals = pixels.astype(np.float64) / 255.0
@@ -151,15 +192,16 @@ def extract_features(media: DataFrame, *, dim: int = 8, strict: bool = False) ->
                     )
                     continue
                 if strict:
-                    # decode-or-raise for non-PNG/JPEG payloads:
-                    # returning fake features under strict=True would
-                    # be silently wrong exactly when the caller asked
-                    # for honesty
+                    # decode-or-raise for other payloads: returning
+                    # fake features under strict=True would be
+                    # silently wrong exactly when the caller asked for
+                    # honesty
                     raise NotImplementedError(
-                        "real feature extraction for non-PNG/JPEG "
-                        "payloads is not implemented in this build "
-                        "(codec-gated); run with strict=False for the "
-                        "deterministic digest stub"
+                        "real feature extraction is only implemented "
+                        "for PNG/baseline-JPEG images and PCM WAV "
+                        "audio in this build (codec-gated); run with "
+                        "strict=False for the deterministic digest "
+                        "stub"
                     )
                 digest = hashlib.sha256(raw).digest()
                 feats.append([b / 255.0 for b in digest[:dim]])

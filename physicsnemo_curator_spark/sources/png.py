@@ -50,6 +50,16 @@ def _chunks(data: bytes):
         payload = data[off + 8 : off + 8 + length]
         if len(payload) != length:
             raise ValueError("truncated PNG chunk")
+        # CRC check: a corrupted chunk must fail loudly here, not
+        # decode to silent garbage pixels downstream
+        crc_bytes = data[off + 8 + length : off + 12 + length]
+        if len(crc_bytes) == 4:
+            (expect,) = struct.unpack(">I", crc_bytes)
+            if zlib.crc32(ctype + payload) & 0xFFFFFFFF != expect:
+                raise ValueError(
+                    f"PNG chunk {ctype.decode(errors='replace')!r} CRC "
+                    "mismatch (corrupted file)"
+                )
         yield ctype, payload
         off += 12 + length  # length + type + payload + CRC
         if ctype == b"IEND":

@@ -134,15 +134,17 @@ def extract_features(media: DataFrame, *, dim: int = 8, strict: bool = False) ->
                         # mode: fall back to the digest stub like any
                         # other encoded payload
                         decoded = None
+                audio = None
                 if kind == "audio" and _wav.is_wav(raw):
                     try:
-                        samples, meta = _wav.decode_wav(raw)
+                        audio = _wav.decode_wav(raw)
                     except Exception:
                         if strict:
                             raise
-                        digest = hashlib.sha256(raw).digest()
-                        feats.append([b / 255.0 for b in digest[:dim]])
-                        continue
+                        # fall through to the shared digest stub below
+                        audio = None
+                if audio is not None:
+                    samples, meta = audio
                     mono = (
                         samples.mean(axis=1)
                         if samples.ndim == 2

@@ -55,7 +55,10 @@ def _chunks(data: bytes):
         crc_bytes = data[off + 8 + length : off + 12 + length]
         if len(crc_bytes) == 4:
             (expect,) = struct.unpack(">I", crc_bytes)
-            if zlib.crc32(ctype + payload) & 0xFFFFFFFF != expect:
+            # seed with the type bytes instead of concatenating —
+            # ctype+payload would copy multi-MB IDAT payloads in the
+            # mapInPandas hot path
+            if zlib.crc32(payload, zlib.crc32(ctype)) & 0xFFFFFFFF != expect:
                 raise ValueError(
                     f"PNG chunk {ctype.decode(errors='replace')!r} CRC "
                     "mismatch (corrupted file)"

@@ -41,6 +41,14 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, dict]:
         cid = data[pos : pos + 4]
         (size,) = struct.unpack_from("<I", data, pos + 4)
         body = data[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            # a declared size past EOF must fail loudly — silently
+            # accepting the short slice would yield confidently wrong
+            # n_frames/duration/RMS downstream
+            raise ValueError(
+                f"truncated WAV chunk {cid.decode(errors='replace')!r}: "
+                f"declares {size} bytes, {len(body)} present"
+            )
         if cid == b"fmt ":
             tag, channels, rate, _brate, _align, bits = struct.unpack_from(
                 "<HHIIHH", body, 0
@@ -52,6 +60,8 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, dict]:
     if fmt is None or payload is None:
         raise ValueError("WAV missing fmt or data chunk")
     tag, channels, rate, bits = fmt
+    if channels < 1:
+        raise ValueError(f"WAV fmt declares {channels} channels")
     if tag == 1:  # integer PCM
         if bits == 8:
             arr = (
@@ -124,5 +134,8 @@ def encode_wav(
         + b"data"
         + struct.pack("<I", len(pcm))
         + pcm
+        # RIFF chunks are word-aligned: odd-sized data (8-bit, odd
+        # sample count) carries a pad byte not counted in the size
+        + (b"\x00" if len(pcm) % 2 else b"")
     )
     return b"RIFF" + struct.pack("<I", len(body)) + body

@@ -102,3 +102,50 @@ def test_strict_still_raises_for_compressed_audio(spark):
     # plumbing mode: digest stub
     feat = multimodal.extract_features(media, dim=4).collect()[0]
     assert len(feat.feature) == 4
+
+
+def test_truncated_data_chunk_raises():
+    """A data chunk declaring more bytes than exist must raise, not
+    silently yield wrong n_frames/duration/RMS."""
+    t = np.arange(100) / 8000.0
+    data = wav.encode_wav(np.sin(t), 8000)
+    with pytest.raises(ValueError, match="truncated WAV chunk"):
+        wav.decode_wav(data[:-50])
+
+
+def test_zero_channels_raises_cleanly():
+    fmt = struct.pack("<HHIIHH", 1, 0, 8000, 0, 0, 16)
+    body = (
+        b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 4) + b"\x00" * 4
+    )
+    with pytest.raises(ValueError, match="channels"):
+        wav.decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+def test_odd_8bit_data_chunk_is_padded():
+    """RIFF requires word-aligned chunks: an odd-sized 8-bit data
+    chunk carries a pad byte (total file length even) and still
+    round-trips."""
+    sig = np.linspace(-1, 1, 5)
+    data = wav.encode_wav(sig, 8000, bits=8)
+    assert len(data) % 2 == 0
+    out, meta = wav.decode_wav(data)
+    assert meta["n_frames"] == 5 and np.abs(out - sig).max() < 1e-2
+
+
+def test_bad_wav_plumbing_mode_digest_stub(spark):
+    """A corrupt WAV under strict=False falls through to the SHARED
+    digest stub (not a diverging inline copy)."""
+    import hashlib
+
+    from physicsnemo_curator_spark.sources import multimodal
+
+    bad = wav.encode_wav(np.zeros(50), 8000)[:-20]
+    rows = [(9, "audio", bytearray(bad), None, None, None)]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    feat = multimodal.extract_features(media, dim=4).collect()[0]
+    digest = hashlib.sha256(bytes(bad)).digest()
+    assert feat.feature == [b / 255.0 for b in digest[:4]]
+    with pytest.raises(Exception):
+        multimodal.extract_features(media, strict=True).collect()

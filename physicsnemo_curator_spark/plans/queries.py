@@ -4088,7 +4088,99 @@ FROM lp GROUP BY doc_id ORDER BY doc_id LIMIT 300
 """
 
 
+def q_vtk_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mesh pairing gate (sources/vtk.py::read_vtk_domain —
+    reference VTKSource volume_pattern/boundary_pattern,
+    ``_discover_pairs`` vtk.py:295-338; previously pytest-only): five
+    case directories each pair a volume mesh (8 documents) with a
+    boundary mesh (4 documents) by PARENT DIRECTORY — except the last
+    case, whose boundary file is deliberately absent, so its volume
+    must fall back to a standalone mesh with a path-relative
+    domain_id.  The scan re-derives per (domain, region) aggregates
+    that DuckDB replays from the documents arithmetic: a pairing bug
+    (wrong region tag, dropped unpaired file, domain collision)
+    changes a row."""
+    from physicsnemo_curator_spark.sources.vtk import read_vtk_domain
+    from physicsnemo_curator_spark.sources.vtk_xml import write_vtu
+
+    docs = sorted(
+        (
+            (r["doc_id"], r["n_chars"])
+            for r in _t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 60)
+            .select("doc_id", "n_chars")
+            .collect()
+        )
+    )
+    base = _fixture_dir(sf_dir, "vtkdom")
+    fmts = ["ascii", "binary", "appended", "appended-raw", "appended"]
+    for c in range(5):
+        case_dir = os.path.join(base, f"case{c}")
+        os.makedirs(case_dir, exist_ok=True)
+        for part, lo, hi in (("volume", 0, 8), ("boundary", 8, 12)):
+            if c == 4 and part == "boundary":
+                continue  # unpaired volume must survive as standalone
+            mine = [
+                (d, w) for d, w in docs if c * 12 + lo <= d < c * 12 + hi
+            ]
+            pts = [
+                (float(d), float((d * 7) % 13), float((d * 3) % 5))
+                for d, _ in mine
+            ]
+            pdata = {"w": [float(w) for _, w in mine]}
+            cells = [[0, i, i + 1] for i in range(1, len(pts) - 1)]
+            _publish(
+                os.path.join(case_dir, f"{part}_m.vtu"),
+                lambda t, pts=pts, cells=cells, pdata=pdata,
+                fmt=fmts[c]: write_vtu(pts, cells, None, pdata, t, fmt=fmt),
+            )
+
+    t = read_vtk_domain(
+        spark,
+        base,
+        volume_pattern="volume_*",
+        boundary_pattern="boundary_*",
+        glob="*.vtu",
+    )
+    pts_agg = t["points"].groupBy("domain_id", "region").agg(
+        F.count("*").alias("n_points"),
+        F.sum("x").cast("bigint").alias("sum_x"),
+    )
+    w_agg = (
+        t["point_data"]
+        .filter(F.col("field") == "w")
+        .groupBy("domain_id", "region")
+        .agg(F.sum(F.col("value").cast("bigint")).alias("sum_w"))
+    )
+    return (
+        pts_agg.join(w_agg, ["domain_id", "region"])
+        .orderBy("domain_id", "region")
+    )
+
+
+ORACLE_VTK_DOMAIN = """
+WITH d AS (
+  SELECT doc_id, n_chars, doc_id // 12 AS c,
+         CASE WHEN doc_id % 12 < 8 THEN 'volume' ELSE 'boundary' END part
+  FROM documents WHERE doc_id < 60),
+k AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN c = 4 THEN 'case4/volume_m' ELSE 'case' || c END
+           AS domain_id,
+         CASE WHEN c = 4 THEN 'single'
+              WHEN part = 'volume' THEN 'volume'
+              ELSE 'vehicle' END AS region
+  FROM d WHERE NOT (c = 4 AND part = 'boundary'))
+SELECT domain_id, region,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_x,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_w
+FROM k GROUP BY 1, 2 ORDER BY domain_id, region
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "q_vtk_domain": QuerySpec(q_vtk_domain, ORACLE_VTK_DOMAIN),
     "q_text_bigram_lm": QuerySpec(q_text_bigram_lm, ORACLE_TEXT_BIGRAM_LM),
     "q_media_png_resize": QuerySpec(q_media_png_resize, ORACLE_MEDIA_PNG),
     "q_media_jpeg_resize": QuerySpec(q_media_jpeg_resize, ORACLE_MEDIA_JPEG),

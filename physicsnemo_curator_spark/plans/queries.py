@@ -4179,7 +4179,90 @@ FROM k GROUP BY 1, 2 ORDER BY domain_id, region
 """
 
 
+def q_media_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAV codec + audio featurization gate (sources/wav.py +
+    multimodal.extract_features): each document becomes a REAL 8-bit
+    PCM WAV of a CONSTANT signal at level ``(n_chars % 100) / 127``
+    with ``64 + doc_id % 32`` frames at 8 kHz (encoded in the
+    executors), decoded through the strict feature kernel.  A constant
+    level k/127 quantizes to exactly k counts, decodes to exactly
+    k/128, and every emitted feature — sample rate, duration, RMS,
+    peak — is then EXACT double arithmetic DuckDB reproduces
+    bit-for-bit (partial sums of identical dyadic rationals stay
+    exact, sqrt of an exact square is exact).  A byte anywhere in the
+    RIFF framing, PCM scaling, or feature math breaks the hash."""
+    from physicsnemo_curator_spark.sources import multimodal
+    from physicsnemo_curator_spark.sources import wav as _wav
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            (F.col("n_chars") % 100).cast("int").alias("k"),
+            (64 + F.col("doc_id") % 32).cast("int").alias("frames"),
+        )
+    )
+
+    def encode(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            payloads = [
+                _wav.encode_wav(
+                    np.full(int(n), int(k) / 127.0), 8000, bits=8
+                )
+                for k, n in zip(pdf["k"], pdf["frames"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": "audio",
+                    "payload": payloads,
+                    "width": pd.array([None] * len(pdf), dtype="Int32"),
+                    "height": pd.array([None] * len(pdf), dtype="Int32"),
+                    "n_bytes": pd.array(
+                        [len(p) for p in payloads], dtype="Int64"
+                    ),
+                }
+            )
+
+    media = docs.mapInPandas(
+        encode,
+        "media_id long, kind string, payload binary, width int, "
+        "height int, n_bytes long",
+    )
+    feats = multimodal.extract_features(media, dim=8, strict=True)
+    return (
+        feats.select(
+            F.col("media_id").alias("doc_id"),
+            F.element_at("feature", 1).cast("int").alias("sample_rate"),
+            F.element_at("feature", 2).cast("int").alias("channels"),
+            F.round(F.element_at("feature", 3), 6).alias("duration_s"),
+            F.round(F.element_at("feature", 4), 6).alias("rms"),
+            F.round(F.element_at("feature", 5), 6).alias("peak"),
+            F.round(F.element_at("feature", 6), 6).alias("zcr"),
+        )
+        .orderBy("doc_id")
+        .limit(300)
+    )
+
+
+ORACLE_MEDIA_WAV = """
+SELECT doc_id,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(1 AS INT) AS channels,
+       ROUND((64 + doc_id % 32) / 8000.0, 6) AS duration_s,
+       ROUND((n_chars % 100) / 128.0, 6) AS rms,
+       ROUND((n_chars % 100) / 128.0, 6) AS peak,
+       CAST(0.0 AS DOUBLE) AS zcr
+FROM documents WHERE doc_id < 300 ORDER BY doc_id LIMIT 300
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "q_media_wav_features": QuerySpec(q_media_wav_features, ORACLE_MEDIA_WAV),
     "q_vtk_domain": QuerySpec(q_vtk_domain, ORACLE_VTK_DOMAIN),
     "q_text_bigram_lm": QuerySpec(q_text_bigram_lm, ORACLE_TEXT_BIGRAM_LM),
     "q_media_png_resize": QuerySpec(q_media_png_resize, ORACLE_MEDIA_PNG),

@@ -4268,14 +4268,13 @@ QUERIES: dict[str, QuerySpec] = {
     "q_media_png_resize": QuerySpec(q_media_png_resize, ORACLE_MEDIA_PNG),
     "q_media_jpeg_resize": QuerySpec(q_media_jpeg_resize, ORACLE_MEDIA_JPEG),
     "q_hdf5_roundtrip": QuerySpec(q_hdf5_roundtrip, ORACLE_HDF5),
-    # ---- driver window (first 50): the round-7-new queries
-    # (q_text_bigram_lm / q_media_png_resize / q_media_jpeg_resize /
-    # q_hdf5_roundtrip here, q_vtk_scan / q_vti_scan / q_stream_bloom
-    # below), then the 39-query cohort last driver-checked in r05
-    # (q_a1 family, joins, text tail, sampling, timeseries) — 46
-    # never/stale-checked rows inside the gate, the remaining slots
-    # and the tail hold r06-green rows (rotate them back next
-    # round). ----
+    # ---- driver window (first 50): the nine round-7-new queries
+    # (codec/runtime gates: vtk scan + domain pairing, vti, stream
+    # bloom, png/jpeg/wav media, hdf5, bigram LM), then the 39-query
+    # cohort last driver-checked in r05 (q_a1 family, joins, text
+    # tail, sampling, timeseries) — 48 never/stale-checked rows
+    # inside the gate; the tail holds r06-green rows (rotate them
+    # back next round). ----
     "q_vtk_scan": QuerySpec(q_vtk_scan, ORACLE_VTK_SCAN),
     "q_vti_scan": QuerySpec(q_vti_scan, ORACLE_VTI_SCAN),
     "q_stream_bloom": QuerySpec(q_stream_bloom, ORACLE_STREAM_BLOOM),

@@ -1300,10 +1300,11 @@ def q_st3_stream_welford(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reuse the copy, and on PID so concurrent processes sharing a box
     # never overwrite a directory mid-readStream.
     try:
-        mtime = int(os.path.getmtime(os.path.join(sf_dir, "events.parquet")))
+        st = os.stat(os.path.join(sf_dir, "events.parquet"))
+        ident = f"{st.st_mtime_ns}:{st.st_size}"
     except OSError:
-        mtime = 0
-    token = hashlib.md5(f"{sf_dir}:{mtime}".encode()).hexdigest()[:12]
+        ident = "absent"
+    token = hashlib.md5(f"{sf_dir}:{ident}".encode()).hexdigest()[:12]
     src = os.path.join(
         tempfile.gettempdir(), f"pcs_stream_src_{token}_{os.getpid()}"
     )
@@ -3587,6 +3588,17 @@ def q_vti_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_chars")
         .collect()
     }
+    missing = [d for d in range(120) if d not in chars]
+    if missing:
+        # the q_vtk_scan discipline: a sparse/custom documents table
+        # must fail loudly, not with a bare KeyError from the lattice
+        # fill below
+        raise ValueError(
+            f"q_vti_scan fixture needs contiguous doc_id 0..119 in the "
+            f"documents table; this sf dir is missing {len(missing)} ids "
+            f"(first: {missing[:5]}) — the driver gate requires the "
+            "standard testdata documents table"
+        )
     base = _fixture_dir(sf_dir, "vti")
     fmts = ["ascii", "binary", "appended", "appended-raw"]
     for g in range(5):

@@ -328,6 +328,15 @@ def _decode_scan(data, pos, frame, scan, quant, huff, restart_interval):
     comps = frame["comps"]
     if len(comps) not in (1, 3):
         raise NotImplementedError(f"{len(comps)}-component images")
+    if len(scan) != len(comps):
+        # baseline T.81 also allows several non-interleaved scans (SOS
+        # Ns < Nf); this decoder only implements the single interleaved
+        # scan — keep the module's loud honest-subset contract instead
+        # of KeyError-ing on the missing component below
+        raise NotImplementedError(
+            f"non-interleaved scans unsupported (scan covers {len(scan)} "
+            f"of {len(comps)} frame components)"
+        )
     h, w = frame["h"], frame["w"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)

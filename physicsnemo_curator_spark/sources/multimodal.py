@@ -99,10 +99,12 @@ def _decode_image_native(raw: bytes):
 def extract_features(media: DataFrame, *, dim: int = 8, strict: bool = False) -> DataFrame:
     """Decode + featurize each payload via Arrow-batched mapInPandas.
 
-    PNG and baseline-JPEG payloads decode for REAL through the
-    pure-Python codecs into pixel-statistic features (width, height,
-    channels, mean/std/min/max of intensity, zero-padded/truncated to
-    ``dim``); WAV audio payloads decode into signal features
+    Raw grayscale planes (``n_bytes == width*height``, the same
+    metadata rule — and precedence over codec sniffing — as
+    :func:`resize_images`) and PNG / baseline-JPEG payloads decode for
+    REAL into pixel-statistic features (width, height, channels,
+    mean/std/min/max of intensity, zero-padded/truncated to ``dim``);
+    WAV audio payloads decode into signal features
     (sample_rate, channels, duration, RMS, peak, zero-crossing rate).
     For everything else: with no external codec installed, strict=True
     raises NotImplementedError (the honest stub) and strict=False
@@ -121,10 +123,27 @@ def extract_features(media: DataFrame, *, dim: int = 8, strict: bool = False) ->
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             feats = []
-            for kind, payload in zip(pdf["kind"], pdf["payload"]):
+            for kind, payload, w, h in zip(
+                pdf["kind"], pdf["payload"], pdf["width"], pdf["height"]
+            ):
                 raw = bytes(payload)
                 decoded = None
-                if kind == "image":
+                # raw-plane metadata WINS over codec sniffing — the
+                # same policy (and the same supported-format set) as
+                # resize_images, so strict=True is consistent between
+                # the two kernels
+                if (
+                    kind == "image"
+                    and not (pd.isna(w) or pd.isna(h))
+                    and len(raw) == int(w) * int(h)
+                ):
+                    decoded = (
+                        np.frombuffer(raw, dtype=np.uint8).reshape(
+                            int(h), int(w)
+                        ),
+                        "raw",
+                    )
+                elif kind == "image":
                     try:
                         decoded = _decode_image_native(raw)
                     except Exception:
@@ -200,10 +219,10 @@ def extract_features(media: DataFrame, *, dim: int = 8, strict: bool = False) ->
                     # honesty
                     raise NotImplementedError(
                         "real feature extraction is only implemented "
-                        "for PNG/baseline-JPEG images and PCM WAV "
-                        "audio in this build (codec-gated); run with "
-                        "strict=False for the deterministic digest "
-                        "stub"
+                        "for raw grayscale planes, PNG/baseline-JPEG "
+                        "images and PCM WAV audio in this build "
+                        "(codec-gated); run with strict=False for the "
+                        "deterministic digest stub"
                     )
                 digest = hashlib.sha256(raw).digest()
                 feats.append([b / 255.0 for b in digest[:dim]])

@@ -111,3 +111,18 @@ def test_sample_frames_container_strict(spark):
     with pytest.raises(Exception, match="NotImplementedError|ffmpeg"):
         mm.sample_frames(df, strict=True).collect()
     assert mm.sample_frames(df).count() == 0
+
+
+def test_extract_features_raw_plane_stats(spark):
+    # raw grayscale plane (n_bytes == w*h): extract_features computes
+    # REAL pixel statistics under strict=True — the same supported set
+    # (and metadata precedence) as resize_images (ADVICE r07)
+    plane = bytes(range(8)) * 2  # 4x4, values 0..7 twice
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(plane), 4, 4, len(plane))],
+        mm.MEDIA_SCHEMA,
+    )
+    feat = mm.extract_features(df, dim=8, strict=True).collect()[0]["feature"]
+    assert feat[0] == 4.0 and feat[1] == 4.0 and feat[2] == 1.0
+    assert feat[3] == pytest.approx(3.5 / 255.0)  # mean of 0..7
+    assert feat[5] == 0.0 and feat[6] == pytest.approx(7.0 / 255.0)

@@ -4280,7 +4280,294 @@ FROM documents WHERE doc_id < 300 ORDER BY doc_id LIMIT 300
 """
 
 
+def q_d3plot_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LS-DYNA d3plot binary-codec gate (sources/d3plot.py — the last
+    big mesh scan surface that was pytest-only; reference
+    ``domains/mesh/sources/d3plot.py:334-604``): the documents table
+    becomes three REAL single-precision d3plot files (control block,
+    geometry, two timestep states) plus a ``.k`` keyword file, re-read
+    with ``read_d3plot`` (binaryFile task-per-file scan) and
+    ``parse_k_file``, and aggregated per mesh.
+
+    Mesh ``m`` holds one node per document with ``doc_id % 3 == m``
+    (sorted): initial coordinates ``(d, (d*7) % 13, (d*3) % 5)``,
+    4-node fan shells ``[0, i, i+1, i+1]`` with part ``1 + (e % 3)``,
+    and two states — state ``s`` moves node x to ``d + s*(n_chars %
+    7)`` at time ``0.5*s``.  The ``.k`` file maps part ``p`` to
+    thickness ``(10+p)/4`` through ``*PART`` → ``*SECTION_SHELL``
+    cards.  Every column replays in DuckDB from documents arithmetic;
+    the state-1 pair fingerprint pins the node⇄displacement pairing
+    across both tables."""
+    from physicsnemo_curator_spark.sources.d3plot import (
+        parse_k_file,
+        read_d3plot,
+        write_d3plot,
+    )
+
+    docs = sorted(
+        (
+            (r["doc_id"], r["n_chars"])
+            for r in _t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 120)
+            .select("doc_id", "n_chars")
+            .collect()
+        )
+    )
+    base = _fixture_dir(sf_dir, "d3p")
+    for m in range(3):
+        mine = [(d, w) for d, w in docs if d % 3 == m]
+        if len(mine) < 3:
+            raise ValueError(
+                f"q_d3plot_scan fixture needs >= 3 documents with doc_id "
+                f"% 3 == {m} under doc_id < 120; this sf dir has "
+                f"{len(mine)} — the driver gate requires the standard "
+                "testdata documents table"
+            )
+        coords = [
+            (float(d), float((d * 7) % 13), float((d * 3) % 5))
+            for d, _ in mine
+        ]
+        n = len(coords)
+        shells = [[0, i, i + 1, i + 1] for i in range(1, n - 1)]
+        parts = [1 + (e % 3) for e in range(len(shells))]
+        states = []
+        for s in range(2):
+            pos = [
+                (float(d + s * (w % 7)), float((d * 7) % 13), float((d * 3) % 5))
+                for d, w in mine
+            ]
+            states.append((0.5 * s, pos))
+        _publish(
+            os.path.join(base, f"d3plot_m{m}"),
+            lambda t, coords=coords, shells=shells, parts=parts,
+            states=states: write_d3plot(coords, shells, parts, states, t),
+        )
+    kpath = os.path.join(base, "model.k")
+    _publish(
+        kpath,
+        lambda t: open(t, "w").write(
+            "$ pcs fixture keyword file\n"
+            + "".join(
+                f"*PART\npart {p}\n{p},{p + 10}\n"
+                f"*SECTION_SHELL\n{p + 10},2\n{(10 + p) / 4.0},0,0,0\n"
+                for p in (1, 2, 3)
+            )
+        ),
+    )
+
+    t = read_d3plot(spark, base)
+    thick_map = parse_k_file(open(kpath).read())
+    tdf = spark.createDataFrame(
+        [(p, th) for p, th in sorted(thick_map.items())],
+        "part_id int, thickness double",
+    )
+    nodes_agg = t["nodes"].groupBy("mesh_id").agg(
+        F.count("*").alias("n_nodes"),
+        F.sum("x").cast("bigint").alias("sum_x"),
+        F.sum("y").cast("bigint").alias("sum_y"),
+    )
+    shell_agg = (
+        t["shells"]
+        .join(F.broadcast(tdf), "part_id")
+        .groupBy("mesh_id")
+        .agg(
+            F.count("*").alias("n_shells"),
+            F.sum(
+                F.aggregate("vs", F.lit(0).cast("bigint"), lambda a, v: a + v)
+            ).cast("bigint").alias("sum_conn"),
+            F.sum("part_id").cast("bigint").alias("sum_part"),
+            F.round(F.sum("thickness"), 6).alias("thick_sum"),
+        )
+    )
+    st = t["states"]
+    st_agg = st.groupBy("mesh_id").agg(
+        F.count("*").alias("n_state_rows"),
+        F.sum("x").cast("bigint").alias("sum_sx"),
+    )
+    # state-1 x vs initial x, per node: pins the node ordering of both
+    # the geometry block and every state frame
+    pair = (
+        t["nodes"]
+        .join(
+            st.filter(F.col("state_id") == 1).select(
+                "mesh_id", "node_id", F.col("x").alias("x1")
+            ),
+            ["mesh_id", "node_id"],
+        )
+        .select(
+            "mesh_id",
+            F.concat_ws(
+                ":", F.col("x").cast("bigint"), F.col("x1").cast("bigint")
+            ).alias("s"),
+        )
+        .groupBy("mesh_id")
+        .agg(
+            F.md5(
+                F.concat_ws("", F.sort_array(F.collect_list("s"))).cast(
+                    "binary"
+                )
+            ).alias("pair_fp")
+        )
+    )
+    return (
+        nodes_agg.join(shell_agg, "mesh_id")
+        .join(st_agg, "mesh_id")
+        .join(pair, "mesh_id")
+        .select(
+            "mesh_id", "n_nodes", "sum_x", "sum_y", "n_shells", "sum_conn",
+            "sum_part", "thick_sum", "n_state_rows", "sum_sx", "pair_fp",
+        )
+        .orderBy("mesh_id")
+    )
+
+
+ORACLE_D3PLOT_SCAN = """
+WITH d AS (SELECT doc_id, n_chars, doc_id % 3 AS m
+           FROM documents WHERE doc_id < 120),
+g AS (SELECT m, CAST(COUNT(*) AS BIGINT) n,
+             CAST(SUM(doc_id) AS BIGINT) sx,
+             CAST(SUM((doc_id * 7) % 13) AS BIGINT) sy,
+             CAST(SUM(n_chars % 7) AS BIGINT) sw7,
+             md5(string_agg(doc_id || ':' || (doc_id + n_chars % 7), ''
+                 ORDER BY doc_id || ':' || (doc_id + n_chars % 7))) pair_fp
+      FROM d GROUP BY m),
+k AS (SELECT *, n - 2 AS ns FROM g)
+SELECT 'd3plot_m' || m AS mesh_id, n AS n_nodes, sx AS sum_x, sy AS sum_y,
+       ns AS n_shells,
+       CAST(3 * ns * (ns + 1) // 2 + 2 * ns AS BIGINT) AS sum_conn,
+       CAST(ns + 3 * (ns // 3)
+            + CASE WHEN ns % 3 = 2 THEN 1 ELSE 0 END AS BIGINT) AS sum_part,
+       ROUND(2.75 * ((ns + 2) // 3) + 3.0 * ((ns + 1) // 3)
+             + 3.25 * (ns // 3), 6) AS thick_sum,
+       2 * n AS n_state_rows,
+       2 * sx + sw7 AS sum_sx,
+       pair_fp
+FROM k ORDER BY mesh_id
+"""
+
+
+def q_aselmdb_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASE-LMDB binary-codec gate (sources/aselmdb.py — pure-Python
+    LMDB B-tree walker + ``__ndarray__`` row decode, previously
+    pytest-only; reference ``domains/atm/sources/aselmdb.py:647-1071``):
+    the documents table becomes three REAL ``.aselmdb`` shards
+    (zlib-compressed JSON rows with ndarray markers, numbered keys,
+    ``nextid``/``metadata`` reserved keys), re-scanned with
+    ``read_aselmdb`` (one task per shard) through
+    ``to_atomic_tables``, and aggregated per shard.
+
+    Shard ``s`` holds one system per document with ``doc_id % 3 == s``
+    (insertion order = doc_id order, so LMDB row ids are 1..n):
+    ``natoms = 2 + d % 4`` atoms with numbers ``1 + (d+j) % 8``,
+    positions ``(d+j, (d*7) % 13, j)``, energy ``-(n_chars % 50)/2``,
+    forces ``(j, 0, n_chars % 3)``.  The row-id sum pins the B-tree
+    key walk; the atom aggregates pin the ndarray decode and the
+    posexplode pairing."""
+    from physicsnemo_curator_spark.sources.aselmdb import (
+        read_aselmdb,
+        to_atomic_tables,
+        write_aselmdb,
+    )
+
+    docs = sorted(
+        (
+            (r["doc_id"], r["n_chars"])
+            for r in _t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 120)
+            .select("doc_id", "n_chars")
+            .collect()
+        )
+    )
+    base = _fixture_dir(sf_dir, "aselmdb")
+    for s in range(3):
+        mine = [(d, w) for d, w in docs if d % 3 == s]
+        if not mine:
+            raise ValueError(
+                f"q_aselmdb_scan fixture needs >= 1 document with doc_id "
+                f"% 3 == {s} under doc_id < 120 — the driver gate "
+                "requires the standard testdata documents table"
+            )
+        rows = []
+        for d, w in mine:
+            na = 2 + d % 4
+            rows.append(
+                {
+                    "numbers": [1 + (d + j) % 8 for j in range(na)],
+                    "positions": [
+                        [float(d + j), float((d * 7) % 13), float(j)]
+                        for j in range(na)
+                    ],
+                    "energy": -(w % 50) / 2.0,
+                    "forces": [
+                        [float(j), 0.0, float(w % 3)] for j in range(na)
+                    ],
+                    "pbc": [d % 2 == 0] * 3,
+                }
+            )
+        _publish(
+            os.path.join(base, f"shard{s}.aselmdb"),
+            lambda t, rows=rows: write_aselmdb(t, rows),
+        )
+
+    structs = read_aselmdb(spark, base, pattern="shard*.aselmdb")
+    systems, atoms = to_atomic_tables(structs)
+    sysk = systems.withColumn(
+        "shard",
+        F.concat(
+            F.lit("shard"),
+            F.regexp_extract("path", r"shard(\d+)\.aselmdb$", 1),
+        ),
+    )
+    sys_agg = sysk.groupBy("shard").agg(
+        F.count("*").alias("n_systems"),
+        F.sum("natoms").cast("bigint").alias("sum_natoms"),
+        F.sum("row_id").cast("bigint").alias("sum_row"),
+        F.round(F.sum("energy"), 6).alias("sum_energy"),
+    )
+    at_agg = (
+        atoms.join(F.broadcast(sysk.select("system_id", "shard")), "system_id")
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_atoms"),
+            F.sum("z").cast("bigint").alias("sum_z"),
+            F.sum(F.element_at("pos", 1)).cast("bigint").alias("sum_px"),
+            F.sum(F.element_at("force", 3)).cast("bigint").alias("sum_fz"),
+        )
+    )
+    return (
+        sys_agg.join(at_agg, "shard")
+        .select(
+            "shard", "n_systems", "sum_natoms", "sum_row", "sum_energy",
+            "n_atoms", "sum_z", "sum_px", "sum_fz",
+        )
+        .orderBy("shard")
+    )
+
+
+ORACLE_ASELMDB_SCAN = """
+WITH d AS (SELECT doc_id AS did, n_chars AS w, doc_id % 3 AS s,
+                  2 + doc_id % 4 AS na
+           FROM documents WHERE doc_id < 120),
+a AS (SELECT d.*, u.j FROM d, LATERAL unnest(range(d.na)) u(j)),
+sys AS (SELECT s, CAST(COUNT(*) AS BIGINT) n_systems,
+               CAST(SUM(na) AS BIGINT) sum_natoms,
+               CAST(COUNT(*) * (COUNT(*) + 1) / 2 AS BIGINT) sum_row,
+               ROUND(SUM(-(w % 50) / 2.0), 6) sum_energy
+        FROM d GROUP BY s),
+at AS (SELECT s, CAST(COUNT(*) AS BIGINT) n_atoms,
+              CAST(SUM(1 + (did + j) % 8) AS BIGINT) sum_z,
+              CAST(SUM(did + j) AS BIGINT) sum_px,
+              CAST(SUM(w % 3) AS BIGINT) sum_fz
+       FROM a GROUP BY s)
+SELECT 'shard' || s AS shard, n_systems, sum_natoms, sum_row, sum_energy,
+       n_atoms, sum_z, sum_px, sum_fz
+FROM sys JOIN at USING (s) ORDER BY shard
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "q_d3plot_scan": QuerySpec(q_d3plot_scan, ORACLE_D3PLOT_SCAN),
+    "q_aselmdb_scan": QuerySpec(q_aselmdb_scan, ORACLE_ASELMDB_SCAN),
     "q_media_wav_features": QuerySpec(q_media_wav_features, ORACLE_MEDIA_WAV),
     "q_vtk_domain": QuerySpec(q_vtk_domain, ORACLE_VTK_DOMAIN),
     "q_text_bigram_lm": QuerySpec(q_text_bigram_lm, ORACLE_TEXT_BIGRAM_LM),

@@ -4280,6 +4280,294 @@ FROM documents WHERE doc_id < 300 ORDER BY doc_id LIMIT 300
 """
 
 
+def q_zarr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zarr-v2 distributed sink gate (sinks/zarr_store.py
+    ``write_grid_zarr`` — task-side chunk writes, previously
+    pytest-only; reference ``domains/da/sinks/zarr_writer.py:118-772``):
+    documents become a 3-variable (8 x 2 x 5) grid (value = n_chars),
+    written through the REAL distributed sink (one zlib chunk file per
+    (variable, time) written inside ``applyInPandas`` tasks, plus
+    coordinate arrays), re-scanned with a recursive ``binaryFile``
+    pass over the chunk files (task-per-chunk decode against each
+    array's own ``.zarray`` metadata), and aggregated.  The
+    lattice-index-weighted sum pins the C-order chunk layout and the
+    ``t.0.0`` index naming; the coordinate sums pin the coordinate
+    arrays."""
+    from physicsnemo_curator_spark.sinks.zarr_store import write_grid_zarr
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 240)
+        .select("doc_id", "n_chars")
+    )
+    if docs.count() != 240:
+        raise ValueError(
+            "q_zarr_roundtrip needs contiguous doc_id 0..239 (a missing "
+            "site would leave a NaN hole in the dense lattice) — the "
+            "driver gate requires the standard testdata documents table"
+        )
+    grid = docs.select(
+        F.concat(F.lit("v"), F.col("doc_id") % 3).alias("variable"),
+        (F.col("doc_id") / 3).cast("int").alias("r"),
+        F.col("n_chars").cast("double").alias("value"),
+    ).select(
+        "variable",
+        (F.col("r") / 10).cast("int").alias("time_idx"),
+        ((F.col("r") % 10) / 5).cast("int").cast("double").alias("lat"),
+        (F.col("r") % 5).cast("double").alias("lon"),
+        "value",
+    )
+    base = _fixture_dir(sf_dir, "zarr")
+    store = os.path.join(base, "store")
+    write_grid_zarr(grid, store)
+
+    raw = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "[0-9]*")
+        .load(store)
+        .select("path", "content")
+    )
+
+    def decode(it):
+        import json as _json
+
+        import numpy as np
+        import pandas as pd
+
+        from physicsnemo_curator_spark.sinks.zarr_store import _decompress
+
+        for pdf in it:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                # binaryFile reports local paths as 'file:/abs/path'
+                p = path[5:] if path.startswith("file:") else path
+                adir = os.path.dirname(p)
+                aname = os.path.basename(adir)
+                variable = os.path.basename(os.path.dirname(adir))
+                with open(os.path.join(adir, ".zarray")) as f:
+                    meta = _json.load(f)
+                arr = np.frombuffer(
+                    _decompress(bytes(content), meta["compressor"]),
+                    dtype=np.dtype(meta["dtype"]),
+                ).reshape(meta["chunks"])
+                idx = tuple(
+                    int(i) for i in os.path.basename(p).split(".")
+                )
+                if aname == "data":
+                    t = idx[0]
+                    for la in range(arr.shape[1]):
+                        for lo in range(arr.shape[2]):
+                            rows.append(
+                                (
+                                    variable, aname, t, la, lo,
+                                    float(arr[0, la, lo]),
+                                )
+                            )
+                else:
+                    for i, v in enumerate(arr):
+                        rows.append((variable, aname, i, -1, -1, float(v)))
+            yield pd.DataFrame(
+                rows,
+                columns=["variable", "aname", "t", "la", "lo", "value"],
+            )
+
+    decoded = raw.mapInPandas(
+        decode,
+        "variable string, aname string, t int, la int, lo int, value double",
+    )
+    data = (
+        decoded.filter(F.col("aname") == "data")
+        .groupBy("variable")
+        .agg(
+            F.count("*").alias("n_cells"),
+            F.sum(F.col("value").cast("bigint")).alias("sum_v"),
+            F.sum(
+                F.col("value").cast("bigint")
+                * (1 + F.col("lo") + 10 * F.col("la") + 100 * F.col("t"))
+            ).alias("wsum_v"),
+        )
+    )
+    coords = (
+        decoded.filter(F.col("aname") != "data")
+        .groupBy("variable")
+        .pivot("aname", ["time", "lat", "lon"])
+        .agg(F.sum("value"))
+        .select(
+            "variable",
+            F.col("time").alias("sum_t_coord"),
+            F.col("lat").alias("sum_lat_coord"),
+            F.col("lon").alias("sum_lon_coord"),
+        )
+    )
+    return (
+        data.join(coords, "variable")
+        .select(
+            "variable", "n_cells", "sum_v", "wsum_v",
+            "sum_t_coord", "sum_lat_coord", "sum_lon_coord",
+        )
+        .orderBy("variable")
+    )
+
+
+ORACLE_ZARR = """
+WITH d AS (SELECT doc_id % 3 AS g, doc_id // 3 AS r, n_chars
+           FROM documents WHERE doc_id < 240)
+SELECT 'v' || g AS variable,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_v,
+       CAST(SUM(n_chars * (1 + r % 5 + 10 * ((r % 10) // 5)
+                           + 100 * (r // 10))) AS BIGINT) AS wsum_v,
+       CAST(28 AS DOUBLE) AS sum_t_coord,
+       CAST(1 AS DOUBLE) AS sum_lat_coord,
+       CAST(10 AS DOUBLE) AS sum_lon_coord
+FROM d GROUP BY g ORDER BY variable
+"""
+
+
+def q_netcdf3_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic NetCDF-3 sink gate (sinks/netcdf3.py +
+    ``write_netcdf_per_variable_year`` — CDF-1 with a time record
+    dimension, previously pytest-only; reference
+    ``domains/da/sinks/netcdf_writer.py:75-435``): documents become a
+    2-variable (10 x 2 x 5) hourly grid for year 2024, written through
+    the REAL distributed sink (one ``.nc`` per (variable, year),
+    record-major time), re-read with ``binaryFile`` + the
+    ``read_netcdf3_bytes`` executor kernel, and aggregated.  The
+    epoch sum pins the record-stride layout and the UTC epoch
+    encoding; the weighted sum pins the (time, lat, lon) order."""
+    from physicsnemo_curator_spark.sinks.scientific import (
+        write_netcdf_per_variable_year,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "n_chars")
+    )
+    if docs.count() != 200:
+        raise ValueError(
+            "q_netcdf3_roundtrip needs contiguous doc_id 0..199 (a "
+            "missing site would leave a NaN hole in the dense lattice) "
+            "— the driver gate requires the standard testdata documents "
+            "table"
+        )
+    grid = docs.select(
+        F.concat(F.lit("v"), F.col("doc_id") % 2).alias("variable"),
+        (F.col("doc_id") / 2).cast("int").alias("r"),
+        F.col("n_chars").cast("double").alias("value"),
+    ).select(
+        "variable",
+        F.expr(
+            "timestamp'2024-01-01 00:00:00'"
+            " + make_interval(0, 0, 0, 0, CAST(r / 10 AS INT), 0, 0)"
+        ).alias("time"),
+        ((F.col("r") % 10) / 5).cast("int").cast("double").alias("lat"),
+        (F.col("r") % 5).cast("double").alias("lon"),
+        "value",
+    )
+    base = _fixture_dir(sf_dir, "nc3")
+    out = os.path.join(base, "grids")
+    write_netcdf_per_variable_year(grid, out)
+
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.nc")
+        .load(out)
+        .select("path", "content")
+    )
+
+    def decode(it):
+        import pandas as pd
+
+        from physicsnemo_curator_spark.sinks.netcdf3 import read_netcdf3_bytes
+
+        for pdf in it:
+            rows = []
+            for content in pdf["content"]:
+                nc = read_netcdf3_bytes(bytes(content))
+                var = next(
+                    k
+                    for k in nc["variables"]
+                    if k not in ("time", "lat", "lon")
+                )
+                data = nc["variables"][var]
+                epochs = nc["variables"]["time"]
+                lats = nc["variables"]["lat"]
+                lons = nc["variables"]["lon"]
+                nt, nla, nlo = data.shape
+                for t in range(nt):
+                    for la in range(nla):
+                        for lo in range(nlo):
+                            rows.append(
+                                (
+                                    var, t, la, lo, float(data[t, la, lo]),
+                                    float(epochs[t]), float(lats[la]),
+                                    float(lons[lo]), int(nc["numrecs"]),
+                                )
+                            )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "variable", "t", "la", "lo", "value", "epoch",
+                    "latc", "lonc", "numrecs",
+                ],
+            )
+
+    decoded = raw.mapInPandas(
+        decode,
+        "variable string, t int, la int, lo int, value double, "
+        "epoch double, latc double, lonc double, numrecs int",
+    )
+    return (
+        decoded.groupBy("variable")
+        .agg(
+            F.count("*").alias("n_cells"),
+            F.max("numrecs").alias("numrecs"),
+            F.sum(F.col("value").cast("bigint")).alias("sum_v"),
+            F.sum(
+                F.col("value").cast("bigint")
+                * (1 + F.col("lo") + 10 * F.col("la") + 100 * F.col("t"))
+            ).alias("wsum_v"),
+            # each epoch appears once per (la, lo) site — de-duplicate by
+            # summing only the lo==0, la==0 rows
+            F.sum(
+                F.when(
+                    (F.col("la") == 0) & (F.col("lo") == 0), F.col("epoch")
+                ).otherwise(0.0)
+            ).cast("bigint").alias("sum_epoch"),
+            F.sum(
+                F.when(
+                    (F.col("t") == 0) & (F.col("lo") == 0), F.col("latc")
+                ).otherwise(0.0)
+            ).alias("sum_lat_coord"),
+            F.sum(
+                F.when(
+                    (F.col("t") == 0) & (F.col("la") == 0), F.col("lonc")
+                ).otherwise(0.0)
+            ).alias("sum_lon_coord"),
+        )
+        .orderBy("variable")
+    )
+
+
+ORACLE_NETCDF3 = """
+WITH d AS (SELECT doc_id % 2 AS g, doc_id // 2 AS r, n_chars
+           FROM documents WHERE doc_id < 200)
+SELECT 'v' || g AS variable,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(10 AS INT) AS numrecs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_v,
+       CAST(SUM(n_chars * (1 + r % 5 + 10 * ((r % 10) // 5)
+                           + 100 * (r // 10))) AS BIGINT) AS wsum_v,
+       CAST(10 * epoch(TIMESTAMP '2024-01-01 00:00:00')
+            + 3600 * 45 AS BIGINT) AS sum_epoch,
+       CAST(1 AS DOUBLE) AS sum_lat_coord,
+       CAST(10 AS DOUBLE) AS sum_lon_coord
+FROM d GROUP BY g ORDER BY variable
+"""
+
+
 def q_d3plot_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LS-DYNA d3plot binary-codec gate (sources/d3plot.py — the last
     big mesh scan surface that was pytest-only; reference
@@ -4568,6 +4856,8 @@ FROM sys JOIN at USING (s) ORDER BY shard
 QUERIES: dict[str, QuerySpec] = {
     "q_d3plot_scan": QuerySpec(q_d3plot_scan, ORACLE_D3PLOT_SCAN),
     "q_aselmdb_scan": QuerySpec(q_aselmdb_scan, ORACLE_ASELMDB_SCAN),
+    "q_zarr_roundtrip": QuerySpec(q_zarr_roundtrip, ORACLE_ZARR),
+    "q_netcdf3_roundtrip": QuerySpec(q_netcdf3_roundtrip, ORACLE_NETCDF3),
     "q_media_wav_features": QuerySpec(q_media_wav_features, ORACLE_MEDIA_WAV),
     "q_vtk_domain": QuerySpec(q_vtk_domain, ORACLE_VTK_DOMAIN),
     "q_text_bigram_lm": QuerySpec(q_text_bigram_lm, ORACLE_TEXT_BIGRAM_LM),

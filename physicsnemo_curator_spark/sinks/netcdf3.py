@@ -208,7 +208,12 @@ def read_netcdf3(path: str) -> dict[str, Any]:
     """Parse one classic NetCDF file → {dims, variables, attrs,
     var_attrs}.  Verification/round-trip path."""
     with open(path, "rb") as f:
-        buf = f.read()
+        return read_netcdf3_bytes(f.read())
+
+
+def read_netcdf3_bytes(buf: bytes) -> dict[str, Any]:
+    """Parse classic NetCDF bytes — the executor-side decode kernel for
+    a ``binaryFile`` scan of sink output (q_netcdf3_roundtrip)."""
     if buf[:4] != b"CDF\x01":
         raise ValueError("not a CDF-1 classic NetCDF file")
     pos = 4

@@ -4280,6 +4280,132 @@ FROM documents WHERE doc_id < 300 ORDER BY doc_id LIMIT 300
 """
 
 
+def q_openradioss_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenRadioss named-source gate (sources/openradioss.py
+    ``read_openradioss`` — per-run timestep-stack assembly, reference
+    ``domains/mesh/sources/openradioss.py:85-700``): documents become
+    two run directories of three timestep ``.vtu`` files each; the
+    source must discover the runs, pair sorted files to timesteps,
+    compute t=0-relative displacements, PRUNE the deliberately
+    unreferenced first point of every mesh (remapping connectivity down
+    by one), and stack trajectories.
+
+    Run ``r`` holds one point per document with ``doc_id % 2 == r``
+    (sorted) at ``(d, (d*7) % 13, (d*3) % 5)`` behind a dangling point
+    0 no cell references; timestep ``t`` moves point x to ``d +
+    t*(n_chars % 5)``.  The last-step trajectory sum pins the
+    array_sort stacking; the pair fingerprint pins the pruned-id ⇄
+    displacement pairing."""
+    from physicsnemo_curator_spark.sources.openradioss import read_openradioss
+    from physicsnemo_curator_spark.sources.vtk_xml import write_vtu
+
+    docs = sorted(
+        (
+            (r["doc_id"], r["n_chars"])
+            for r in _t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 100)
+            .select("doc_id", "n_chars")
+            .collect()
+        )
+    )
+    base = _fixture_dir(sf_dir, "orad")
+    for run in range(2):
+        mine = [(d, w) for d, w in docs if d % 2 == run]
+        if len(mine) < 4:
+            raise ValueError(
+                f"q_openradioss_scan fixture needs >= 4 documents with "
+                f"doc_id % 2 == {run} under doc_id < 100 — the driver "
+                "gate requires the standard testdata documents table"
+            )
+        rdir = os.path.join(base, f"run{run}")
+        os.makedirs(rdir, exist_ok=True)
+        n = len(mine)
+        cells = [[1, i, i + 1] for i in range(2, n)]
+        for t in range(3):
+            pts = [(1000.0 + run + t, 0.0, 0.0)] + [
+                (float(d + t * (w % 5)), float((d * 7) % 13), float((d * 3) % 5))
+                for d, w in mine
+            ]
+            _publish(
+                os.path.join(rdir, f"ts{t}.vtu"),
+                lambda p, pts=pts, cells=cells: write_vtu(
+                    pts, cells, None, {}, p, fmt="appended"
+                ),
+            )
+
+    t = read_openradioss(spark, base, vtk_glob="*.vtu")
+    pts_agg = t["points"].groupBy("mesh_id").agg(
+        F.count("*").alias("n_points"),
+        F.sum("x").cast("bigint").alias("sum_x0"),
+    )
+    cell_agg = t["cells"].groupBy("mesh_id").agg(
+        F.count("*").alias("n_cells"),
+        F.sum(F.aggregate("vs", F.lit(0).cast("bigint"), lambda a, v: a + v))
+        .cast("bigint")
+        .alias("sum_conn"),
+    )
+    disp_agg = t["displacements"].groupBy("mesh_id").agg(
+        F.sum("dx").cast("bigint").alias("sum_dx")
+    )
+    traj_agg = t["trajectory"].groupBy("mesh_id").agg(
+        F.sum("n_timesteps").cast("bigint").alias("sum_nt"),
+        F.sum(F.element_at(F.element_at("trajectory", -1), 1))
+        .cast("bigint")
+        .alias("sum_last_dx"),
+    )
+    pair = (
+        t["points"]
+        .join(
+            t["displacements"].filter(F.col("t") == 1),
+            ["mesh_id", "point_id"],
+        )
+        .select(
+            "mesh_id",
+            F.concat_ws(
+                ":", F.col("x").cast("bigint"), F.col("dx").cast("bigint")
+            ).alias("s"),
+        )
+        .groupBy("mesh_id")
+        .agg(
+            F.md5(
+                F.concat_ws("", F.sort_array(F.collect_list("s"))).cast(
+                    "binary"
+                )
+            ).alias("pair_fp")
+        )
+    )
+    return (
+        pts_agg.join(cell_agg, "mesh_id")
+        .join(disp_agg, "mesh_id")
+        .join(traj_agg, "mesh_id")
+        .join(F.broadcast(t["globals"]), "mesh_id")
+        .join(pair, "mesh_id")
+        .select(
+            "mesh_id", "n_points", "n_cells", "sum_x0", "sum_conn",
+            "num_timesteps", "sum_dx", "sum_nt", "sum_last_dx", "pair_fp",
+        )
+        .orderBy("mesh_id")
+    )
+
+
+ORACLE_OPENRADIOSS = """
+WITH d AS (SELECT doc_id, n_chars, doc_id % 2 AS r
+           FROM documents WHERE doc_id < 100),
+g AS (SELECT r, CAST(COUNT(*) AS BIGINT) n,
+             CAST(SUM(doc_id) AS BIGINT) sx,
+             CAST(SUM(n_chars % 5) AS BIGINT) sw5,
+             md5(string_agg(doc_id || ':' || (n_chars % 5), ''
+                 ORDER BY doc_id || ':' || (n_chars % 5))) pair_fp
+      FROM d GROUP BY r)
+SELECT 'run' || r AS mesh_id, n AS n_points, n - 2 AS n_cells,
+       sx AS sum_x0, (n - 2) * n AS sum_conn,
+       CAST(3 AS BIGINT) AS num_timesteps,
+       3 * sw5 AS sum_dx, 3 * n AS sum_nt, 2 * sw5 AS sum_last_dx,
+       pair_fp
+FROM g ORDER BY mesh_id
+"""
+
+
 def q_zarr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zarr-v2 distributed sink gate (sinks/zarr_store.py
     ``write_grid_zarr`` — task-side chunk writes, previously
@@ -4858,6 +4984,7 @@ QUERIES: dict[str, QuerySpec] = {
     "q_aselmdb_scan": QuerySpec(q_aselmdb_scan, ORACLE_ASELMDB_SCAN),
     "q_zarr_roundtrip": QuerySpec(q_zarr_roundtrip, ORACLE_ZARR),
     "q_netcdf3_roundtrip": QuerySpec(q_netcdf3_roundtrip, ORACLE_NETCDF3),
+    "q_openradioss_scan": QuerySpec(q_openradioss_scan, ORACLE_OPENRADIOSS),
     "q_media_wav_features": QuerySpec(q_media_wav_features, ORACLE_MEDIA_WAV),
     "q_vtk_domain": QuerySpec(q_vtk_domain, ORACLE_VTK_DOMAIN),
     "q_text_bigram_lm": QuerySpec(q_text_bigram_lm, ORACLE_TEXT_BIGRAM_LM),

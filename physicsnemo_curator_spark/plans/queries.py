@@ -4280,6 +4280,122 @@ FROM documents WHERE doc_id < 300 ORDER BY doc_id LIMIT 300
 """
 
 
+def q_dataset_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hub-dataset local-layout gate (sources/datasets.py — DrivAerML
+    ``run_<i>/`` discovery, split-part volume reassembly, and the
+    AhmedML CSV broadcast attach; reference
+    ``domains/mesh/sources/drivaerml.py:79-1366``, ``ahmedml.py:56-70``):
+    documents become three run directories — run_2's volume is split
+    into TWELVE unpadded ``.vtu.<k>.part`` files (k=0..11, so a lexical
+    sort would concatenate ``.10.part`` before ``.2.part`` and produce
+    garbage bytes) — plus per-run ``force_mom_<i>.csv`` scalars, read
+    back through ``read_drivaerml(mesh_type='volume')`` +
+    ``read_run_metadata`` + ``attach_global_data``, and aggregated.
+
+    Run ``i`` holds one point per document with ``doc_id % 3 == i - 1``
+    (sorted) at ``(d, (d*7) % 13, (d*3) % 5)`` with point field ``w =
+    n_chars`` and fan cells; its CSV carries ``cd = sum(n_chars)``.
+    A byte-order bug anywhere in the part reassembly shreds the XML
+    and fails loudly; an attach bug breaks the cd column."""
+    from physicsnemo_curator_spark.sources.datasets import (
+        attach_global_data,
+        read_drivaerml,
+        read_run_metadata,
+    )
+    from physicsnemo_curator_spark.sources.vtk_xml import write_vtu
+
+    docs = sorted(
+        (
+            (r["doc_id"], r["n_chars"])
+            for r in _t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 90)
+            .select("doc_id", "n_chars")
+            .collect()
+        )
+    )
+    base = _fixture_dir(sf_dir, "dsl")
+    for i in (1, 2, 3):
+        mine = [(d, w) for d, w in docs if d % 3 == i - 1]
+        if len(mine) < 3:
+            raise ValueError(
+                f"q_dataset_layout fixture needs >= 3 documents with "
+                f"doc_id % 3 == {i - 1} under doc_id < 90 — the driver "
+                "gate requires the standard testdata documents table"
+            )
+        rdir = os.path.join(base, f"run_{i}")
+        os.makedirs(rdir, exist_ok=True)
+        pts, cells, pdata = _fan_mesh(mine)
+        if i == 2:
+            # split-part volume: write whole bytes once, shard into 12
+            # unpadded parts (numeric-sort trap)
+            scratch = os.path.join(rdir, f".whole.{os.getpid()}")
+            write_vtu(pts, cells, None, pdata, scratch, fmt="appended")
+            blob = open(scratch, "rb").read()
+            os.remove(scratch)
+            sz = -(-len(blob) // 12)
+            for k in range(12):
+                chunk = blob[k * sz : (k + 1) * sz]
+                _publish(
+                    os.path.join(rdir, f"volume_2.vtu.{k}.part"),
+                    lambda t, c=chunk: open(t, "wb").write(c),
+                )
+        else:
+            _publish(
+                os.path.join(rdir, f"volume_{i}.vtu"),
+                lambda t, pts=pts, cells=cells, pdata=pdata: write_vtu(
+                    pts, cells, None, pdata, t, fmt="appended"
+                ),
+            )
+        cd = sum(w for _, w in mine)
+        _publish(
+            os.path.join(rdir, f"force_mom_{i}.csv"),
+            lambda t, cd=cd: open(t, "w").write(f"cd\n{cd}\n"),
+        )
+
+    t = read_drivaerml(spark, base, mesh_type="volume")
+    meta = read_run_metadata(spark, base, kind="force_mom")
+    attached = attach_global_data(t["points"], meta)
+    pts_agg = attached.groupBy("mesh_id").agg(
+        F.count("*").alias("n_points"),
+        F.sum("x").cast("bigint").alias("sum_x"),
+        F.max("cd").cast("bigint").alias("cd"),
+    )
+    cell_agg = t["cells"].groupBy("mesh_id").agg(
+        F.count("*").alias("n_cells"),
+        F.sum(F.aggregate("vs", F.lit(0).cast("bigint"), lambda a, v: a + v))
+        .cast("bigint")
+        .alias("sum_conn"),
+    )
+    w_agg = (
+        t["point_data"]
+        .filter(F.col("field") == "w")
+        .groupBy("mesh_id")
+        .agg(F.sum(F.col("value")).cast("bigint").alias("sum_w"))
+    )
+    return (
+        pts_agg.join(cell_agg, "mesh_id")
+        .join(w_agg, "mesh_id")
+        .select(
+            "mesh_id", "n_points", "n_cells", "sum_x", "sum_w", "sum_conn",
+            "cd",
+        )
+        .orderBy("mesh_id")
+    )
+
+
+ORACLE_DATASET_LAYOUT = """
+WITH d AS (SELECT doc_id, n_chars, 1 + doc_id % 3 AS i
+           FROM documents WHERE doc_id < 90),
+g AS (SELECT i, CAST(COUNT(*) AS BIGINT) n,
+             CAST(SUM(doc_id) AS BIGINT) sx,
+             CAST(SUM(n_chars) AS BIGINT) sw
+      FROM d GROUP BY i)
+SELECT 'volume_' || i AS mesh_id, n AS n_points, n - 2 AS n_cells,
+       sx AS sum_x, sw AS sum_w, n * (n - 2) AS sum_conn, sw AS cd
+FROM g ORDER BY mesh_id
+"""
+
+
 def q_openradioss_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OpenRadioss named-source gate (sources/openradioss.py
     ``read_openradioss`` — per-run timestep-stack assembly, reference
@@ -4985,6 +5101,7 @@ QUERIES: dict[str, QuerySpec] = {
     "q_zarr_roundtrip": QuerySpec(q_zarr_roundtrip, ORACLE_ZARR),
     "q_netcdf3_roundtrip": QuerySpec(q_netcdf3_roundtrip, ORACLE_NETCDF3),
     "q_openradioss_scan": QuerySpec(q_openradioss_scan, ORACLE_OPENRADIOSS),
+    "q_dataset_layout": QuerySpec(q_dataset_layout, ORACLE_DATASET_LAYOUT),
     "q_media_wav_features": QuerySpec(q_media_wav_features, ORACLE_MEDIA_WAV),
     "q_vtk_domain": QuerySpec(q_vtk_domain, ORACLE_VTK_DOMAIN),
     "q_text_bigram_lm": QuerySpec(q_text_bigram_lm, ORACLE_TEXT_BIGRAM_LM),

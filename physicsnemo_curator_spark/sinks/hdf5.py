@@ -127,6 +127,67 @@ def _attribute_message(name: str, value: Any) -> bytes:
     return _message(0x000C, body)
 
 
+# ------------------------------------------------------ dimension scales
+# netCDF-4 openability (reference NetCDF4Sink writes real netCDF-4):
+# coordinate datasets become HDF5 Dimension Scales (CLASS/NAME per the
+# HDF5 Dimension Scale spec + _Netcdf4Dimid per the netCDF-4 format),
+# and each data variable carries a DIMENSION_LIST attribute — a
+# variable-length sequence of object references per rank, stored via a
+# global heap collection.  REFERENCE_LIST (the reverse mapping H5DS
+# maintains) is not written — readers only need DIMENSION_LIST; the
+# omission is part of the documented honest subset.
+
+
+def _ref_dtype_message() -> bytes:
+    # class 7 (reference) v1, type 0 = object reference, size 8
+    return struct.pack("<B3BI", 0x17, 0x00, 0, 0, 8)
+
+
+def _vlen_ref_dtype_message() -> bytes:
+    # class 9 (variable-length) v1, type 0 = sequence, disk size 16
+    # (uint32 length + 8-byte heap address + uint32 heap index),
+    # base type = object reference
+    return struct.pack("<B3BI", 0x19, 0x00, 0, 0, 16) + _ref_dtype_message()
+
+
+def _global_heap(w: "_Writer", objects: list[bytes]) -> tuple[int, list[int]]:
+    """Emit one global heap collection (GCOL) holding ``objects``;
+    returns (collection address, object indexes).  Collections are at
+    least 4096 bytes (the libhdf5 default a conforming reader expects);
+    the remainder is the index-0 free-space object."""
+    used = 16 + sum(16 + len(_pad8(o)) for o in objects)
+    size = max(4096, used + 16)
+    buf = bytearray(b"GCOL" + struct.pack("<B3xQ", 1, size))
+    idxs = []
+    for i, data in enumerate(objects, start=1):
+        buf += struct.pack("<HH4xQ", i, 0, len(data)) + _pad8(data)
+        idxs.append(i)
+    free = size - len(buf)
+    if free > 0:
+        # free-space object: index 0, size includes its own header
+        buf += struct.pack("<HH4xQ", 0, 0, free)
+        buf += b"\x00" * (free - 16)
+    return w.alloc(bytes(buf)), idxs
+
+
+def _dimension_list_message(w: "_Writer", ref_addrs: list[int]) -> bytes:
+    """DIMENSION_LIST attribute: one single-element vlen of object
+    references per dimension, pointing at the scale datasets' object
+    headers."""
+    heap_addr, idxs = _global_heap(
+        w, [struct.pack("<Q", a) for a in ref_addrs]
+    )
+    dt = _vlen_ref_dtype_message()
+    ds = _dataspace_message((len(ref_addrs),))
+    data = b"".join(
+        struct.pack("<IQI", 1, heap_addr, idx) for idx in idxs
+    )
+    nm = b"DIMENSION_LIST\x00"
+    body = struct.pack("<BxHHH", 1, len(nm), len(dt), len(ds))
+    body += _pad8(nm) + _pad8(dt) + _pad8(ds) + data
+    return _message(0x000C, body)
+
+
 def _object_header(messages: list[bytes]) -> bytes:
     block = b"".join(messages)
     return struct.pack("<BxHII4x", 1, len(messages), 1, len(block)) + block
@@ -229,6 +290,7 @@ def _write_dataset(
     chunks: tuple[int, ...] | None,
     deflate: int | None,
     attrs: dict[str, Any] | None,
+    extra_msgs: list[bytes] | None = None,
 ) -> int:
     """Emit one dataset (data + object header), return header address."""
     arr = np.ascontiguousarray(arr)
@@ -286,6 +348,7 @@ def _write_dataset(
         )
     for name, value in (attrs or {}).items():
         msgs.append(_attribute_message(name, value))
+    msgs.extend(extra_msgs or [])
     return w.alloc(_object_header(msgs))
 
 
@@ -347,6 +410,7 @@ def write_hdf5(
     chunks: dict[str, tuple[int, ...]] | None = None,
     deflate: int | None = 4,
     attrs: dict[str, dict[str, Any]] | None = None,
+    dimensions: dict[str, list[str]] | None = None,
 ) -> None:
     """Write one HDF5 file.
 
@@ -356,9 +420,33 @@ def write_hdf5(
     datasets without a chunk entry are contiguous.  ``attrs``: per-path
     attributes (numeric scalars/1-D arrays and strings); the key ``""``
     attaches attributes to the root group, a group path to that group.
+    ``dimensions``: dataset path → one scale-dataset path per rank —
+    the scales become HDF5 Dimension Scales (``CLASS`` /
+    ``NAME`` / ``_Netcdf4Dimid`` attributes) and the dataset gets a
+    ``DIMENSION_LIST`` reference attribute, the netCDF-4 wiring.
     """
     chunks = chunks or {}
     attrs = attrs or {}
+    dimensions = dimensions or {}
+    scale_ids: dict[str, int] = {}
+    for name, dims in dimensions.items():
+        if name not in datasets:
+            raise ValueError(f"dimensions given for unknown dataset {name!r}")
+        rank = np.asarray(datasets[name]).ndim
+        if len(dims) != rank:
+            raise ValueError(
+                f"{name!r}: {len(dims)} dimension scales for rank {rank}"
+            )
+        for d in dims:
+            if d not in datasets:
+                raise ValueError(f"{name!r}: unknown dimension scale {d!r}")
+            if d in dimensions:
+                raise ValueError(
+                    f"{d!r} is both a dimension scale and a scaled dataset"
+                )
+            if np.asarray(datasets[d]).ndim != 1:
+                raise ValueError(f"dimension scale {d!r} must be 1-D")
+            scale_ids.setdefault(d, len(scale_ids))
     for name in chunks:
         if name not in datasets:
             raise ValueError(f"chunks given for unknown dataset {name!r}")
@@ -392,6 +480,21 @@ def write_hdf5(
 
     w = _Writer()
 
+    # dimension scales first: consumers embed their header addresses
+    # in DIMENSION_LIST references
+    scale_addrs: dict[str, int] = {}
+    for s, dim_id in scale_ids.items():
+        s_attrs = {
+            **(attrs.get(s) or {}),
+            "CLASS": "DIMENSION_SCALE",
+            "NAME": s.rsplit("/", 1)[-1],
+            "_Netcdf4Dimid": dim_id,
+        }
+        scale_addrs[s] = _write_dataset(
+            w, np.asarray(datasets[s]), chunks.get(s),
+            deflate if s in chunks else None, s_attrs,
+        )
+
     def emit(node: dict, prefix: str) -> int:
         entries = {}
         for key, val in node.items():
@@ -399,9 +502,20 @@ def write_hdf5(
                 entries[key] = emit(val, f"{prefix}{key}/")
             else:
                 full, arr = val
+                if full in scale_addrs:
+                    entries[key] = scale_addrs[full]
+                    continue
+                extra = None
+                if full in dimensions:
+                    extra = [
+                        _dimension_list_message(
+                            w, [scale_addrs[d] for d in dimensions[full]]
+                        )
+                    ]
                 entries[key] = _write_dataset(
                     w, np.asarray(arr), chunks.get(full),
                     deflate if full in chunks else None, attrs.get(full),
+                    extra_msgs=extra,
                 )
         hdr, bt, hp = _write_group(
             w, entries, attrs.get(prefix.rstrip("/"))
@@ -478,7 +592,29 @@ def _read_messages(buf: bytes, addr: int):
     return out
 
 
-def _read_attr(body: bytes):
+class _RefList(list):
+    """Decoded vlen-of-object-reference attribute value: one list of
+    object-header ADDRESSES per dimension.  :func:`read_hdf5_bytes`
+    rewrites the addresses into dataset paths after the full walk."""
+
+
+def _gheap_object(buf: bytes, addr: int, want: int) -> bytes:
+    """Fetch one object's data from a global heap collection."""
+    if buf[addr : addr + 4] != b"GCOL":
+        raise ValueError("bad global heap signature")
+    size = struct.unpack_from("<Q", buf, addr + 8)[0]
+    off = addr + 16
+    while off < addr + size:
+        idx, _rc, osize = struct.unpack_from("<HH4xQ", buf, off)
+        if idx == want:
+            return bytes(buf[off + 16 : off + 16 + osize])
+        if idx == 0:
+            break
+        off += 16 + (osize + 7) // 8 * 8
+    raise ValueError(f"global heap object {want} not found")
+
+
+def _read_attr(body: bytes, buf: bytes | None = None):
     name_size, dt_size, ds_size = struct.unpack_from("<HHH", body, 2)
     off = 8
     name = body[off : off + name_size].split(b"\x00")[0].decode()
@@ -487,8 +623,25 @@ def _read_attr(body: bytes):
     off += dt_size + (-dt_size % 8)
     ds_body = body[off : off + ds_size]
     off += ds_size + (-ds_size % 8)
-    dt, strlen = _parse_dtype(dt_body)
     shape = _parse_dataspace(ds_body)
+    if dt_body[0] & 0x0F == 9 and (dt_body[8] & 0x0F) == 7:
+        # vlen of object references (DIMENSION_LIST) — resolve each
+        # element through its global heap collection
+        if buf is None:
+            raise ValueError("vlen attribute needs the full file buffer")
+        n = shape[0] if shape else 1
+        out = _RefList()
+        for i in range(n):
+            ln, haddr, hidx = struct.unpack_from("<IQI", body, off + 16 * i)
+            data = _gheap_object(buf, haddr, hidx)
+            out.append(
+                [
+                    struct.unpack_from("<Q", data, 8 * k)[0]
+                    for k in range(ln)
+                ]
+            )
+        return name, out
+    dt, strlen = _parse_dtype(dt_body)
     if strlen is not None:
         return name, body[off : off + strlen].split(b"\x00")[0].decode()
     n = int(np.prod(shape, dtype=np.int64)) if shape else 1
@@ -514,7 +667,7 @@ def _read_dataset(buf: bytes, msgs) -> tuple[np.ndarray, dict]:
         elif mtype == 0x000B:
             filters = body
         elif mtype == 0x000C:
-            k, v = _read_attr(body)
+            k, v = _read_attr(body, buf)
             attrs[k] = v
     if dt is None or shape is None or layout is None:
         raise ValueError("dataset header missing required messages")
@@ -602,6 +755,7 @@ def read_hdf5_bytes(
     root_hdr = struct.unpack_from("<Q", buf, 64)[0]
     datasets: dict[str, np.ndarray] = {}
     attrs_out: dict[str, dict] = {}
+    addr_to_path: dict[int, str] = {}
 
     def read_group(addr: int, prefix: str):
         msgs = _read_messages(buf, addr)
@@ -611,7 +765,7 @@ def read_hdf5_bytes(
             if mtype == 0x0011:
                 stab = struct.unpack_from("<QQ", body, 0)
             elif mtype == 0x000C:
-                k, v = _read_attr(body)
+                k, v = _read_attr(body, buf)
                 gattrs[k] = v
         if gattrs:
             attrs_out[prefix.rstrip("/")] = gattrs
@@ -619,6 +773,7 @@ def read_hdf5_bytes(
             # not a group: a dataset header
             arr, dattrs = _read_dataset(buf, msgs)
             datasets[prefix.rstrip("/")] = arr
+            addr_to_path[addr] = prefix.rstrip("/")
             if dattrs:
                 attrs_out[prefix.rstrip("/")] = dattrs
             return
@@ -649,4 +804,13 @@ def read_hdf5_bytes(
         walk(btree_addr)
 
     read_group(root_hdr, "")
+    # resolve DIMENSION_LIST object references into dataset paths now
+    # that the whole tree is known
+    for d in attrs_out.values():
+        for k, v in d.items():
+            if isinstance(v, _RefList):
+                d[k] = [
+                    [addr_to_path.get(a, f"@{a}") for a in refs]
+                    for refs in v
+                ]
     return datasets, attrs_out

@@ -227,11 +227,16 @@ def write_hdf5_per_variable_year(
     HDF5 codec (:mod:`physicsnemo_curator_spark.sinks.hdf5`) inside
     each task.
 
-    Layout per file: ``coords/time``, ``coords/lat``, ``coords/lon``
-    (contiguous) and ``data/<variable>`` chunked ``(chunk_rows, nlat,
-    nlon)`` + deflate — time-windowed reads touch only their chunks.
-    Same distributed shape as the NetCDF-3 variant: repartition on
-    (variable, year) so each file is owned by exactly one task.
+    Layout per file: root-level ``time``, ``lat``, ``lon`` coordinate
+    datasets — written as HDF5 **Dimension Scales** (``CLASS`` /
+    ``NAME`` / ``_Netcdf4Dimid``) in the root group so they are
+    visible from every descendant per the netCDF-4 ancestor-group
+    rule — and ``data/<variable>`` chunked ``(chunk_rows, nlat,
+    nlon)`` + deflate with a ``DIMENSION_LIST`` reference attribute,
+    so a netCDF-4 reader maps the variable onto (time, lat, lon).
+    Time-windowed reads touch only their chunks.  Same distributed
+    shape as the NetCDF-3 variant: repartition on (variable, year) so
+    each file is owned by exactly one task.
     """
     import numpy as np
 
@@ -249,9 +254,9 @@ def write_hdf5_per_variable_year(
         write_hdf5(
             out_path,
             {
-                "coords/time": epoch,
-                "coords/lat": np.asarray(lats, dtype="float64"),
-                "coords/lon": np.asarray(lons, dtype="float64"),
+                "time": epoch,
+                "lat": np.asarray(lats, dtype="float64"),
+                "lon": np.asarray(lons, dtype="float64"),
                 f"data/{var}": data,
             },
             chunks={
@@ -264,9 +269,10 @@ def write_hdf5_per_variable_year(
             deflate=deflate,
             attrs={
                 "": {"Conventions": "CF-1.6"},
-                "coords/time": {"units": "seconds since 1970-01-01"},
+                "time": {"units": "seconds since 1970-01-01"},
                 f"data/{var}": {"variable": var},
             },
+            dimensions={f"data/{var}": ["time", "lat", "lon"]},
         )
 
     return write_per_group_files(

@@ -276,3 +276,148 @@ def test_empty_chunked_dataset(tmp_path):
     i = buf.index(b"TREE")
     ntype, level, used = struct.unpack_from("<BBH", buf, i + 4)
     assert (ntype, level, used) == (1, 0, 0)
+
+
+def _write_scaled(path):
+    data = {
+        "time": np.arange(4.0),
+        "lat": np.arange(2.0),
+        "lon": np.arange(3.0),
+        "data/v": np.arange(24.0).reshape(4, 2, 3),
+    }
+    hdf5.write_hdf5(
+        str(path),
+        data,
+        chunks={"data/v": (2, 2, 3)},
+        deflate=6,
+        dimensions={"data/v": ["time", "lat", "lon"]},
+    )
+    return data
+
+
+def test_dimension_scales_roundtrip(tmp_path):
+    """netCDF-4 wiring: scales carry CLASS/NAME/_Netcdf4Dimid, the data
+    variable's DIMENSION_LIST resolves back to the scale paths."""
+    p = tmp_path / "d.h5"
+    data = _write_scaled(p)
+    ds, at = hdf5.read_hdf5(str(p))
+    for k in data:
+        np.testing.assert_array_equal(ds[k], data[k])
+    assert at["time"]["CLASS"] == "DIMENSION_SCALE"
+    assert at["time"]["NAME"] == "time"
+    assert (
+        at["time"]["_Netcdf4Dimid"],
+        at["lat"]["_Netcdf4Dimid"],
+        at["lon"]["_Netcdf4Dimid"],
+    ) == (0, 1, 2)
+    assert at["data/v"]["DIMENSION_LIST"] == [["time"], ["lat"], ["lon"]]
+
+
+def test_dimension_list_bytes(tmp_path):
+    """Spec-level pins: the DIMENSION_LIST attribute uses a class-9
+    vlen of class-7 object references (disk size 16/8) and its elements
+    live in a >= 4096-byte GCOL collection with an index-0 free-space
+    tail."""
+    p = tmp_path / "d.h5"
+    _write_scaled(p)
+    buf = open(p, "rb").read()
+    i = buf.index(b"DIMENSION_LIST\x00")
+    # attribute message body starts 8 bytes of header before the name
+    hdr = i - 8
+    _ver, name_size, dt_size, _ds_size = struct.unpack_from(
+        "<BxHHH", buf, hdr
+    )
+    assert name_size == 15
+    dt = buf[hdr + 8 + (name_size + 7) // 8 * 8 :][:dt_size]
+    assert dt[0] == 0x19 and struct.unpack_from("<I", dt, 4)[0] == 16
+    assert dt[8] == 0x17 and struct.unpack_from("<I", dt, 12)[0] == 8
+    g = buf.index(b"GCOL")
+    assert struct.unpack_from("<Q", buf, g + 8)[0] >= 4096
+    # free-space object (index 0) exists after the three 8-byte refs
+    off = g + 16
+    for _ in range(3):
+        idx, _rc, osize = struct.unpack_from("<HH4xQ", buf, off)
+        assert idx > 0 and osize == 8
+        off += 16 + 8
+    idx0, _rc0, free = struct.unpack_from("<HH4xQ", buf, off)
+    assert idx0 == 0 and free == (g + 4096) - off
+
+
+def test_dimensions_validation(tmp_path):
+    p = str(tmp_path / "bad.h5")
+    with pytest.raises(ValueError, match="unknown dataset"):
+        hdf5.write_hdf5(
+            p, {"v": np.zeros(2)}, dimensions={"w": ["v"]}, deflate=None
+        )
+    with pytest.raises(ValueError, match="rank"):
+        hdf5.write_hdf5(
+            p,
+            {"v": np.zeros((2, 2)), "t": np.zeros(2)},
+            dimensions={"v": ["t"]},
+            deflate=None,
+        )
+    with pytest.raises(ValueError, match="unknown dimension scale"):
+        hdf5.write_hdf5(
+            p, {"v": np.zeros(2)}, dimensions={"v": ["t"]}, deflate=None
+        )
+    with pytest.raises(ValueError, match="must be 1-D"):
+        hdf5.write_hdf5(
+            p,
+            {"v": np.zeros(2), "t": np.zeros((2, 1))},
+            dimensions={"v": ["t"]},
+            deflate=None,
+        )
+
+
+@pytest.mark.skipif(not HAS_H5PY, reason="h5py not installed here")
+def test_h5py_dimension_scales(tmp_path):  # pragma: no cover
+    """Where h5py exists: scales register as real dimension scales and
+    the data variable's dims resolve to them."""
+    p = tmp_path / "d.h5"
+    _write_scaled(p)
+    with h5py.File(str(p), "r") as f:
+        assert h5py.h5ds.is_scale(f["time"].id)
+        for k, name in enumerate(("time", "lat", "lon")):
+            assert f["data/v"].dims[k][0] == f[name]
+
+
+try:  # pragma: no cover — not installed in this environment
+    import netCDF4  # type: ignore
+
+    HAS_NETCDF4 = True
+except ImportError:
+    HAS_NETCDF4 = False
+
+
+@pytest.mark.skipif(not HAS_NETCDF4, reason="netCDF4 not installed here")
+def test_netcdf4_cross_check(spark, tmp_path):  # pragma: no cover
+    """Where the netCDF4 C stack exists, the per-(variable, year) sink
+    output must open as a netCDF-4 dataset with (time, lat, lon)
+    dimensions on the data variable."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from physicsnemo_curator_spark.sinks.scientific import (
+        write_hdf5_per_variable_year,
+    )
+    from physicsnemo_curator_spark.sources.synthetic import random_grid
+
+    grid = random_grid(spark, n_times=3, n_lat=2, n_lon=2).withColumnRenamed(
+        "time_idx", "tidx"
+    )
+    grid = grid.withColumn(
+        "time",
+        F.expr(
+            "timestamp'2023-01-01 00:00:00'"
+            " + make_interval(0, 0, 0, 0, tidx, 0, 0)"
+        ),
+    )
+    out = str(tmp_path / "h5")
+    write_hdf5_per_variable_year(grid, out, chunk_rows=2, deflate=6)
+    name = sorted(os.listdir(out))[0]
+    var = name.rsplit("_", 1)[0]
+    with netCDF4.Dataset(os.path.join(out, name)) as nc:
+        v = nc.groups["data"].variables[var]
+        assert v.dimensions == ("time", "lat", "lon")
+        assert v.shape == (3, 2, 2)

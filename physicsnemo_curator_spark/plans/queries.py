@@ -5291,12 +5291,148 @@ QUERIES: dict[str, QuerySpec] = {
 }
 
 
+# r08 driver-window rotation, expressed as an explicit name list
+# instead of dict-source surgery (the r07 text-reordering once glued
+# two entries together and hid one from the driver's name regex).
+# First 50 = the six r08-new gates + 44 of the 48 queries whose last
+# driver check was r06; the four overflow rows (w1 / t1 / a6 /
+# minhash — all re-verified by the local driver-sim this round) lead
+# the tail, followed by the r07-green cohort.  _ordered() asserts the
+# list stays in bijection with QUERIES, so a missing or typo'd name
+# fails every pytest run loudly.
+_DRIVER_ORDER = [
+    # --- r08-new gates ---
+    "q_d3plot_scan",
+    "q_aselmdb_scan",
+    "q_zarr_roundtrip",
+    "q_netcdf3_roundtrip",
+    "q_openradioss_scan",
+    "q_dataset_layout",
+    # --- last driver-checked r06 (44 of 48 in-window) ---
+    "q_warc_scan",
+    "q_text_span_dedup_xx",
+    "q_sketch_bloom",
+    "q_sketch_cms",
+    "q_text_substring_dup",
+    "q_text_substring_rm",
+    "q_mix_temperature",
+    "q_s2_intersect",
+    "q_s4_union_all",
+    "q_s5_except",
+    "q_a5_distinct_agg",
+    "q_a9_cube",
+    "q_a10_pivot_mean",
+    "q_a12_grouping_sets",
+    "q_str2_like_pushdown",
+    "q_str3_regexp",
+    "q_d2_date_functions",
+    "q_w3_delta_vs_first",
+    "q_ann_lsh_topk",
+    "q_ann_ivf_topk",
+    "q_embedding_near_dup",
+    "q_simhash_groups",
+    "q_simhash_near_dup",
+    "q_j6_anti_join",
+    "q_a4_conditional_counts",
+    "q_m2_validity_counts",
+    "q_w2_prefix_sum",
+    "q_st2_sliding_stats",
+    "q_sql_pricing_summary",
+    "q_a7_distinct_exact",
+    "q_d1_year_split",
+    "q_str1_string_fns",
+    "q_arr1_array_agg",
+    "q_json1_extract",
+    "q_w5_group_zscore",
+    "q_median_exact",
+    "q_st3_stream_welford",
+    "q_st1_tumbling_window",
+    "q_grib2_scan",
+    "q_semantic_dedup",
+    "q_dedup_incremental",
+    "q_dedup_components",
+    "q_text_span_dedup",
+    "q_text_repetition",
+    # --- tail: r06 overflow (driver-sim green this round) ---
+    "q_w1_row_number",
+    "q_t1_topk",
+    "q_a6_rollup",
+    "q_minhash_near_dup",
+    # --- tail: r07-driver-green cohort ---
+    "q_media_wav_features",
+    "q_vtk_domain",
+    "q_text_bigram_lm",
+    "q_media_png_resize",
+    "q_media_jpeg_resize",
+    "q_hdf5_roundtrip",
+    "q_vtk_scan",
+    "q_vti_scan",
+    "q_stream_bloom",
+    "q_media_frames",
+    "q_sketch_quantiles",
+    "q_text_chunks",
+    "q_mix_weights",
+    "q_sample_stratified",
+    "q_a1_moment_stats",
+    "q_a2_elementwise_stats",
+    "q_a3_pivot_counts",
+    "q_a8_welford_state",
+    "q_a11_heavy_hitters",
+    "q_sketch_distinct",
+    "q_validate_expectations",
+    "q_profile_columns",
+    "q_j1_broadcast_join",
+    "q_j2_point_to_cell",
+    "q_j3_scatter_mean",
+    "q_j4_range_join",
+    "q_j5_semi_join",
+    "q_s3_edge_dedup",
+    "q_m1_von_mises",
+    "q_scan_pushdown",
+    "q_precision_downcast",
+    "q_global_inject",
+    "q_ts_asof_join",
+    "q_ts_rollup_daily",
+    "q_w4_sessionize",
+    "q_dedup_exact",
+    "q_dedup_ngram_jaccard",
+    "q_sample_split",
+    "q_text_redact_pii",
+    "q_text_logprob",
+    "q_text_decontaminate",
+    "q_emb_outliers",
+    "q_text_features",
+    "q_text_winnow",
+    "q_text_lang_quality",
+    "q_text_vocab",
+    "q_text_tfidf_sim",
+    "q_ann_cosine_topk",
+    "q_text_token_ids",
+    "q_pack_sequences",
+]
+
+
+def _ordered() -> dict[str, QuerySpec]:
+    if set(_DRIVER_ORDER) != set(QUERIES) or len(_DRIVER_ORDER) != len(
+        QUERIES
+    ):
+        missing = set(QUERIES) - set(_DRIVER_ORDER)
+        extra = set(_DRIVER_ORDER) - set(QUERIES)
+        raise RuntimeError(
+            f"_DRIVER_ORDER out of sync with QUERIES: missing={sorted(missing)} "
+            f"extra={sorted(extra)} (len {len(_DRIVER_ORDER)} vs {len(QUERIES)})"
+        )
+    return {name: QUERIES[name] for name in _DRIVER_ORDER}
+
+
 def queries() -> dict[str, SparkQuery]:
-    return {name: spec.spark for name, spec in QUERIES.items()}
+    return {name: spec.spark for name, spec in _ordered().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: spec.oracle for name, spec in QUERIES.items() if spec.oracle}
+    return {
+        name: spec.oracle for name, spec in _ordered().items() if spec.oracle
+    }
 
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

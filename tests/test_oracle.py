@@ -146,3 +146,11 @@ def test_token_count_sql_fragment_matches_spark_on_edge_whitespace(spark):
     )
     got_duck = dict(con.execute(f"SELECT i, {frag} FROM t").fetchall())
     assert got_spark == got_duck, (got_spark, got_duck)
+
+
+def test_driver_order_in_sync():
+    # the rotation list must stay a bijection with QUERIES — a typo'd
+    # or forgotten name would silently drop a query from the driver gate
+    from physicsnemo_curator_spark.plans.queries import _ordered
+
+    assert list(_ordered()) and len(_ordered()) == len(QUERIES)

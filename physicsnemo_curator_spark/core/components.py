@@ -306,3 +306,92 @@ def _bigram_logprob(df: DataFrame, **kw: Any) -> DataFrame:
     from physicsnemo_curator_spark.operators import textops
 
     return textops.bigram_logprob(df, **kw)
+
+
+# --- round-8 additions: binary-codec sources, named dataset sources,
+# and the remaining scientific sinks
+
+
+@register_source("d3plot")
+def _d3plot_source(spark, *, path: str, table: str = "nodes", **kw: Any):
+    """LS-DYNA d3plot scan (sources/d3plot.py::read_d3plot); ``table``
+    picks nodes / shells / states."""
+    from physicsnemo_curator_spark.sources.d3plot import read_d3plot
+
+    tables = read_d3plot(spark, path, **kw)
+    if table not in tables:
+        raise ValueError(f"unknown d3plot table {table!r}: {sorted(tables)}")
+    return tables[table]
+
+
+@register_source("aselmdb")
+def _aselmdb_source(spark, *, path: str, **kw: Any):
+    """ASE-LMDB structure scan (sources/aselmdb.py::read_aselmdb)."""
+    from physicsnemo_curator_spark.sources.aselmdb import read_aselmdb
+
+    return read_aselmdb(spark, path, **kw)
+
+
+@register_source("openradioss")
+def _openradioss_source(
+    spark, *, path: str, table: str = "points", **kw: Any
+):
+    """OpenRadioss per-run timestep-stack assembly
+    (sources/openradioss.py::read_openradioss); ``table`` picks
+    points / cells / displacements / trajectory / point_data /
+    cell_data / globals."""
+    from physicsnemo_curator_spark.sources.openradioss import read_openradioss
+
+    tables = read_openradioss(spark, path, **kw)
+    if table not in tables:
+        raise ValueError(
+            f"unknown openradioss table {table!r}: {sorted(tables)}"
+        )
+    return tables[table]
+
+
+@register_source("drivaerml")
+def _drivaerml_source(spark, *, path: str, table: str = "points", **kw: Any):
+    """DrivAerML local-layout scan incl. split-part volume reassembly
+    (sources/datasets.py::read_drivaerml)."""
+    from physicsnemo_curator_spark.sources.datasets import read_drivaerml
+
+    tables = read_drivaerml(spark, path, **kw)
+    if table not in tables:
+        raise ValueError(
+            f"unknown drivaerml table {table!r}: {sorted(tables)}"
+        )
+    return tables[table]
+
+
+@register_source("ahmedml")
+def _ahmedml_source(spark, *, path: str, table: str = "points", **kw: Any):
+    """AhmedML local-layout scan (sources/datasets.py::read_ahmedml)."""
+    from physicsnemo_curator_spark.sources.datasets import read_ahmedml
+
+    tables = read_ahmedml(spark, path, **kw)
+    if table not in tables:
+        raise ValueError(f"unknown ahmedml table {table!r}: {sorted(tables)}")
+    return tables[table]
+
+
+@register_sink("netcdf_per_variable_year")
+def _netcdf_sink(df: DataFrame, *, path: str, **kw: Any) -> list:
+    """Classic NetCDF-3 per (variable, year)
+    (sinks/scientific.py::write_netcdf_per_variable_year)."""
+    from physicsnemo_curator_spark.sinks.scientific import (
+        write_netcdf_per_variable_year,
+    )
+
+    write_netcdf_per_variable_year(df, path, **kw)
+    return [path]
+
+
+@register_sink("grid_zarr")
+def _grid_zarr_sink(df: DataFrame, *, path: str, **kw: Any) -> list:
+    """Zarr-v2 grid store, task-side chunk writes
+    (sinks/zarr_store.py::write_grid_zarr)."""
+    from physicsnemo_curator_spark.sinks.zarr_store import write_grid_zarr
+
+    write_grid_zarr(df, path, **kw)
+    return [path]

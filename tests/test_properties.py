@@ -427,3 +427,77 @@ def test_jpeg_decode_total_property(seed, h, w, rgb, quality, sub, rst):
     assert (meta["height"], meta["width"]) == (h, w)
     err = np.abs(out.astype(int) - arr.astype(int)).mean()
     assert err < 40  # ±20 noise under heavy quantization stays bounded
+
+
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n=st.integers(1, 400),
+    channels=st.integers(1, 2),
+    bits=st.sampled_from([8, 16]),
+    rate=st.sampled_from([8000, 22050, 44100]),
+)
+@settings(max_examples=40, deadline=None)
+def test_wav_roundtrip_property(seed, n, channels, bits, rate):
+    """For ANY float signal / channel count / PCM depth the encoder
+    supports, encode→decode preserves shape + metadata and stays within
+    one quantization step per sample (incl. odd-length 8-bit payloads,
+    whose RIFF pad byte must not leak into the frames)."""
+    import numpy as np
+
+    from physicsnemo_curator_spark.sources import wav
+
+    rng = np.random.default_rng(seed)
+    sig = rng.uniform(-1.0, 1.0, size=(n, channels))
+    out, meta = wav.decode_wav(wav.encode_wav(sig, rate, bits=bits))
+    assert (meta["sample_rate"], meta["channels"], meta["bits"]) == (
+        rate,
+        channels,
+        bits,
+    )
+    assert meta["n_frames"] == n
+    out = out.reshape(n, channels)  # mono decodes squeezed to (n,)
+    # encode quantizes at 1/(2^(b-1)-1), decode normalizes by 2^(b-1)
+    # (the offset-binary / i2 conventions) — error ≤ |f|·(scale gap) +
+    # half a step of the decode normalization
+    step = (1 / 128 + 1 / 256) if bits == 8 else (1 / 32768 + 1 / 65536)
+    assert np.abs(out - sig).max() <= step + 1e-12
+
+
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    shape=st.sampled_from([(7,), (5, 3), (4, 3, 2), (1, 1), (13, 2)]),
+    dtype=st.sampled_from(["<i4", "<i8", "<f4", "<f8"]),
+    chunked=st.booleans(),
+    deflate=st.sampled_from([None, 1, 6]),
+)
+@settings(max_examples=40, deadline=None)
+def test_hdf5_roundtrip_property(tmp_path_factory, seed, shape, dtype, chunked, deflate):
+    """For ANY supported dtype / rank / layout combination, the HDF5
+    writer's bytes decode back to the identical array through the
+    subset reader — contiguous and chunked (edge chunks included),
+    deflate on or off."""
+    import numpy as np
+
+    from physicsnemo_curator_spark.sinks import hdf5
+
+    rng = np.random.default_rng(seed)
+    if dtype.startswith("<i"):
+        arr = rng.integers(-1000, 1000, size=shape).astype(dtype)
+    else:
+        arr = rng.normal(size=shape).astype(dtype)
+    chunks = None
+    if chunked:
+        # deliberately non-divisor chunk shapes to force edge chunks
+        chunks = {"g/v": tuple(max(1, s - 1) for s in shape)}
+    p = tmp_path_factory.mktemp("h5prop") / "p.h5"
+    hdf5.write_hdf5(
+        str(p),
+        {"g/v": arr},
+        chunks=chunks,
+        deflate=deflate if chunked else None,
+        attrs={"g/v": {"seed": int(seed)}},
+    )
+    ds, at = hdf5.read_hdf5(str(p))
+    np.testing.assert_array_equal(ds["g/v"], arr)
+    assert ds["g/v"].dtype == np.dtype(dtype)
+    assert at["g/v"]["seed"] == seed

@@ -193,3 +193,21 @@ def test_bigram_lm_partial_aggregation_and_single_sort(spark, sf_dir):
     plan = plan_of(spark, "q_text_bigram_lm", sf_dir)
     assert "partial_count" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_openradioss_rekey_broadcasts_keymap(spark, tmp_path):
+    """read_openradioss attaches (run_id, t) to every scanned row via a
+    broadcast of the tiny path→timestep map — a shuffle there would
+    repartition every points table once per rekey."""
+    from physicsnemo_curator_spark.sources.openradioss import read_openradioss
+    from physicsnemo_curator_spark.sources.vtk_xml import write_vtu
+
+    rdir = tmp_path / "runA"
+    rdir.mkdir()
+    pts = [(float(j), 0.0, 0.0) for j in range(4)]
+    cells = [[0, 1, 2], [0, 2, 3]]
+    for t in range(2):
+        write_vtu(pts, cells, None, {}, str(rdir / f"ts{t}.vtu"))
+    t = read_openradioss(spark, str(tmp_path), vtk_glob="*.vtu")
+    plan = t["displacements"]._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

@@ -62,6 +62,18 @@ def _r6(c, name):
     return F.round(c, 6).alias(name)
 
 
+def _src_ident(path: str) -> str:
+    """Freshness token for a fixture-cache key: nanosecond mtime +
+    size (PIDs recycle inside containers; whole-second mtimes collide
+    on same-second regens).  The ONE copy of the identity rule — every
+    fixture/temp-shard cache keys through it."""
+    try:
+        st = os.stat(path)
+        return f"{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        return "absent"
+
+
 # --------------------------------------------------------------------------
 # Aggregations (SURVEY §2.5 — MeshStats/DataArrayStats/Mean/Quality filters)
 # --------------------------------------------------------------------------
@@ -1299,11 +1311,7 @@ def q_st3_stream_welford(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Keyed on (sf_dir, source mtime) so repeat invocations in one run
     # reuse the copy, and on PID so concurrent processes sharing a box
     # never overwrite a directory mid-readStream.
-    try:
-        st = os.stat(os.path.join(sf_dir, "events.parquet"))
-        ident = f"{st.st_mtime_ns}:{st.st_size}"
-    except OSError:
-        ident = "absent"
+    ident = _src_ident(os.path.join(sf_dir, "events.parquet"))
     token = hashlib.md5(f"{sf_dir}:{ident}".encode()).hexdigest()[:12]
     src = os.path.join(
         tempfile.gettempdir(), f"pcs_stream_src_{token}_{os.getpid()}"
@@ -2059,12 +2067,7 @@ def q_warc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Nanosecond mtime + size, not whole-second mtime: two regens
     # within one second (or a cp -p with preserved times but different
     # size) must still produce distinct tokens.
-    src = os.path.join(sf_dir, "documents.parquet")
-    try:
-        st = os.stat(src)
-        ident = f"{st.st_mtime_ns}:{st.st_size}"
-    except OSError:
-        ident = "absent"
+    ident = _src_ident(os.path.join(sf_dir, "documents.parquet"))
     token = hashlib.md5(f"warc:{sf_dir}:{ident}".encode()).hexdigest()[:12]
     base = os.path.join(tempfile.gettempdir(), f"pcs_wet_{token}")
     os.makedirs(base, exist_ok=True)
@@ -3387,12 +3390,7 @@ def _fixture_dir(sf_dir: str, tag: str) -> str:
     import hashlib
     import tempfile
 
-    src = os.path.join(sf_dir, "documents.parquet")
-    try:
-        st = os.stat(src)
-        ident = f"{st.st_mtime_ns}:{st.st_size}"
-    except OSError:
-        ident = "absent"
+    ident = _src_ident(os.path.join(sf_dir, "documents.parquet"))
     token = hashlib.md5(f"{tag}:{sf_dir}:{ident}".encode()).hexdigest()[:12]
     base = os.path.join(tempfile.gettempdir(), f"pcs_{tag}_{token}")
     os.makedirs(base, exist_ok=True)

@@ -539,8 +539,15 @@ def write_hdf5(
     sb += struct.pack("<QQ", root_bt, root_hp)
     assert len(sb) == 96, len(sb)
     w.buf[:96] = sb
-    with open(path, "wb") as f:
+    # tmp + atomic rename: sink tasks rewrite destination files in
+    # place on re-runs, and a concurrent reader must never observe a
+    # torn file
+    import os
+
+    tmp = f"{path}.{os.getpid()}.tmp"
+    with open(tmp, "wb") as f:
         f.write(w.buf)
+    os.replace(tmp, path)
 
 
 # ---------------------------------------------------------------------------

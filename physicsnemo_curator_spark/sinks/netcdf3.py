@@ -21,6 +21,7 @@ Supported types: f8/f4/i4/i2/i1 and char attributes.
 
 from __future__ import annotations
 
+import os
 import struct
 from typing import Any
 
@@ -187,7 +188,12 @@ def write_netcdf3(
         pos += meta[v]["vsize"]
     recsize = pos - rec_start
 
-    with open(path, "wb") as f:
+    # tmp + atomic rename: sink tasks rewrite destination files in
+    # place on re-runs, and a concurrent reader (binaryFile scan, a
+    # parallel process sharing the fixture dir) must never observe a
+    # torn file
+    tmp = f"{path}.{os.getpid()}.tmp"
+    with open(tmp, "wb") as f:
         f.write(_header(offsets))
         for v in fixed:
             m = meta[v]
@@ -200,6 +206,7 @@ def write_netcdf3(
                 # drop the big-endian byte order in astype
                 raw = np.asarray(variables[v][1][r]).astype(m["be"]).tobytes()
                 f.write(raw + b"\x00" * (m["vsize"] - len(raw)))
+    os.replace(tmp, path)
     # recsize computed for spec fidelity of the layout; nothing to store
     del recsize
 

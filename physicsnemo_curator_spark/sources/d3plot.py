@@ -154,8 +154,15 @@ def read_d3plot(spark: SparkSession, path: str, *, glob: str = "d3plot*") -> dic
         .option("pathGlobFilter", glob)
         .load(path)
         # exclude family continuations (root name + digits): they are
-        # headerless state data, not parseable roots
-        .filter(~F.col("path").rlike("d3plot[0-9]+$"))
+        # headerless state data, not parseable roots.  Also exclude
+        # editor/writer temp residue (*.tmp): the extensionless
+        # "d3plot*" glob is the one scan pattern in the repo a torn
+        # atomic-write temp file can match, and a crashed writer's
+        # residue must not poison every later scan of the directory
+        .filter(
+            ~F.col("path").rlike("d3plot[0-9]+$")
+            & ~F.col("path").endswith(".tmp")
+        )
         .select("path", "content")
     )
 

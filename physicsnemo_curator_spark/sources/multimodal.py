@@ -123,8 +123,14 @@ def extract_features(media: DataFrame, *, dim: int = 8, strict: bool = False) ->
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             feats = []
+            # width/height are optional inputs (only the raw-plane path
+            # needs them) — a narrower frame without them must keep
+            # working like it did before the raw-plane support landed
+            na = pd.Series([pd.NA] * len(pdf))
+            widths = pdf["width"] if "width" in pdf.columns else na
+            heights = pdf["height"] if "height" in pdf.columns else na
             for kind, payload, w, h in zip(
-                pdf["kind"], pdf["payload"], pdf["width"], pdf["height"]
+                pdf["kind"], pdf["payload"], widths, heights
             ):
                 raw = bytes(payload)
                 decoded = None

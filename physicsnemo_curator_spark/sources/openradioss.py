@@ -26,7 +26,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from physicsnemo_curator_spark.sources.vtk import read_vtk
+from physicsnemo_curator_spark.sources.vtk import path_mesh_id, read_vtk
 
 
 def discover_runs(
@@ -35,7 +35,10 @@ def discover_runs(
     """Run discovery (reference ``openradioss.py:280-293``): every
     subdirectory (recursive, excluding the input dir itself) holding at
     least one file matching ``vtk_glob`` is a run; its sorted file list
-    is the timestep sequence.  Driver-side — metadata scale."""
+    is the timestep sequence.  Driver-side — metadata scale.
+
+    Two run directories sharing one leaf name raise: a dict overwrite
+    would silently drop an entire simulation run."""
     runs: dict[str, list[str]] = {}
     for root, _dirs, files in os.walk(input_dir):
         if os.path.abspath(root) == os.path.abspath(input_dir):
@@ -46,19 +49,20 @@ def discover_runs(
             if fnmatch.fnmatch(f, vtk_glob)
         )
         if hits:
-            runs[os.path.basename(root)] = hits
+            name = os.path.basename(root)
+            if name in runs:
+                raise ValueError(
+                    f"two run directories share the leaf name {name!r} "
+                    f"under {input_dir} — run ids must be unique (a "
+                    "silent overwrite would drop one run's timesteps)"
+                )
+            runs[name] = hits
     if not runs:
         raise FileNotFoundError(
             f"no run subdirectories with files matching {vtk_glob!r} "
             f"under {input_dir}"
         )
     return runs
-
-
-def _path_key(p: str) -> str:
-    # must mirror read_vtk's mesh_id_from='path' id exactly (vtk.py
-    # _pid): binaryFile reports 'file:/abs/path', extension dropped
-    return "file:" + os.path.abspath(p).rsplit(".", 1)[0]
 
 
 def read_openradioss(
@@ -84,12 +88,15 @@ def read_openradioss(
     """
     runs = discover_runs(input_dir, vtk_glob)
     keymap_rows = [
-        (_path_key(p), run, t)
+        (path_mesh_id(p), run, t)
         for run, files in sorted(runs.items())
         for t, p in enumerate(files)
     ]
     all_paths = [p for files in runs.values() for p in files]
-    t = read_vtk(spark, all_paths, mesh_id_from="path")
+    # cache=True: the consistency count below plus every returned table
+    # re-materializes the scan — without the persist each one would
+    # re-parse every timestep file from scratch
+    t = read_vtk(spark, all_paths, mesh_id_from="path", cache=True)
     keymap = F.broadcast(
         spark.createDataFrame(
             keymap_rows, "mesh_key string, run_id string, t int"
@@ -113,6 +120,18 @@ def read_openradioss(
             F.max("count").alias("n"),
         )
     ).collect()
+    # completeness first: _rekey's inner join drops rows whose
+    # reconstructed path id drifts from Spark's reported path, and an
+    # EMPTY counts result would otherwise pass the per-run check
+    # vacuously — the same loud-on-drift contract as read_vtk_domain
+    seen = {r["mesh_id"] for r in counts}
+    missing = sorted(set(runs) - seen)
+    if missing:
+        raise ValueError(
+            f"runs {missing} produced no scanned rows — path-format "
+            "drift between the driver listing and Spark's binaryFile "
+            "path (or empty timestep files)"
+        )
     bad = [r["mesh_id"] for r in counts if r["k"] != 1]
     if bad:
         raise ValueError(

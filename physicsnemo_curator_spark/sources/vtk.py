@@ -627,6 +627,20 @@ def write_vtk(
                     f.write(f"{v}\n")
 
 
+def path_mesh_id(p: str) -> str:
+    """The local-filesystem path → ``mesh_id_from='path'`` id mapping,
+    shared by every driver-side id reconstruction (read_vtk_domain,
+    read_openradioss): Spark's binaryFile reports local paths as
+    ``file:/abs/path`` (single slash — the ``'://'`` strip in ``_mid``
+    does NOT fire), so the id keeps the scheme prefix and the
+    extension drops.  Must mirror read_vtk's reported id EXACTLY — a
+    drift silently breaks every join keyed on it, which is why there
+    is exactly one copy of this rule."""
+    import os as _os
+
+    return "file:" + _os.path.abspath(p).rsplit(".", 1)[0]
+
+
 def read_vtk_domain(
     spark: SparkSession,
     path: str,
@@ -693,12 +707,7 @@ def read_vtk_domain(
         else:
             other.append(f)
 
-    def _pid(p: str) -> str:
-        # must mirror read_vtk's mesh_id_from='path' id exactly:
-        # Spark's binaryFile reports local paths as 'file:/abs/path'
-        # (single slash — the '://' strip in _mid does NOT fire), so
-        # the id keeps the scheme prefix and the extension drops
-        return "file:" + _os.path.abspath(p).rsplit(".", 1)[0]
+    _pid = path_mesh_id
 
     def _rel(p: str) -> str:
         return _os.path.relpath(p, base)

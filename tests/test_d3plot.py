@@ -110,3 +110,21 @@ def test_k_file_thickness_scatter(spark, tmp_path):
     got = {r["node_id"]: r["t"] for r in node_thick.collect()}
     # nodes 1 and 2 sit on both parts -> mean of 1.5 and 2.25
     assert got[0] == 1.5 and got[4] == 2.25 and got[1] == pytest.approx(1.875)
+
+
+def test_scan_skips_tmp_residue(spark, tmp_path):
+    """A crashed atomic write's *.tmp residue must not poison the
+    extensionless d3plot* scan."""
+    import numpy as np
+
+    from physicsnemo_curator_spark.sources.d3plot import (
+        read_d3plot,
+        write_d3plot,
+    )
+
+    coords = np.array([[0.0, 0, 0], [1, 0, 0], [2, 0, 0], [3, 0, 0]])
+    shells = np.array([[0, 1, 2, 2]])
+    write_d3plot(coords, shells, np.array([1]), [], str(tmp_path / "d3plot"))
+    (tmp_path / "d3plot.999.tmp").write_bytes(b"torn")
+    t = read_d3plot(spark, str(tmp_path))
+    assert t["nodes"].count() == 4

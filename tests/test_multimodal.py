@@ -126,3 +126,14 @@ def test_extract_features_raw_plane_stats(spark):
     assert feat[0] == 4.0 and feat[1] == 4.0 and feat[2] == 1.0
     assert feat[3] == pytest.approx(3.5 / 255.0)  # mean of 0..7
     assert feat[5] == 0.0 and feat[6] == pytest.approx(7.0 / 255.0)
+
+
+def test_extract_features_without_dimension_columns(spark):
+    # a narrower frame (no width/height) keeps the pre-raw-plane
+    # contract: digest stub in plumbing mode, no executor KeyError
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(b"\x01\x02\x03"), 3)],
+        "media_id long, kind string, payload binary, n_bytes long",
+    )
+    feat = mm.extract_features(df, dim=4).collect()[0]["feature"]
+    assert len(feat) == 4

@@ -90,3 +90,10 @@ def test_point_count_mismatch_raises(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="point count"):
         read_openradioss(spark, str(tmp_path), vtk_glob="*.vtu")
+
+
+def test_duplicate_run_leaf_names_raise(tmp_path):
+    _write_run(tmp_path / "caseA" / "run1")
+    _write_run(tmp_path / "caseB" / "run1")
+    with pytest.raises(ValueError, match="share the leaf name"):
+        discover_runs(str(tmp_path), "*.vtu")

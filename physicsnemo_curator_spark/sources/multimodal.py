@@ -199,7 +199,10 @@ def extract_features(media: DataFrame, *, dim: int = 8, strict: bool = False) ->
                     continue
                 if decoded is not None:
                     pixels, _fmt = decoded
-                    vals = pixels.astype(np.float64) / 255.0
+                    # normalize by the sample range of the decoded
+                    # dtype (16-bit PNGs decode to uint16)
+                    den = 65535.0 if pixels.dtype == np.uint16 else 255.0
+                    vals = pixels.astype(np.float64) / den
                     channels = 1 if pixels.ndim == 2 else pixels.shape[2]
                     feats.append(
                         _pad(
@@ -303,9 +306,8 @@ def resize_images(
                 decoded = None
                 if kind == "image" and not is_raw_plane:
                     # the codecs cover the common subsets; a payload
-                    # they can't open (bit depth 16, Adam7,
-                    # progressive, truncation) must follow the strict
-                    # contract — raise only when asked for honesty,
+                    # they can't open (progressive JPEG, truncation)
+                    # must follow the strict contract — raise only when asked for honesty,
                     # pass through untouched when the caller wants the
                     # mixed table to keep flowing
                     try:

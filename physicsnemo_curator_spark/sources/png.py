@@ -13,12 +13,15 @@ is a north-star addition per SURVEY §6).
 
 Supported surface (the honest subset, loud on everything else):
 
-- bit depth 8; color types 0 (gray), 2 (RGB), 3 (palette), 4
-  (gray+alpha), 6 (RGBA); all five filter types (None/Sub/Up/
-  Average/Paeth); multiple IDAT chunks.
-- NOT supported (``NotImplementedError`` with the reason): bit depths
-  1/2/4/16, Adam7 interlacing.  Palette transparency (tRNS) is
-  ignored (opaque palette decode), documented here.
+- bit depths 1/2/4 (gray + palette, per spec), 8, and 16 (decoded to
+  uint16); color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha),
+  6 (RGBA); all five filter types (None/Sub/Up/Average/Paeth);
+  multiple IDAT chunks; **Adam7 interlacing** (all seven passes,
+  including zero-size passes on small images).
+- Sub-8-bit gray samples scale to the full 0..255 range
+  (``v * 255 / (2^d - 1)``, the standard expansion); palette indexes
+  are used raw.  Palette transparency (tRNS) is ignored (opaque
+  palette decode), documented here.
 
 Decode runs inside Arrow-batched ``mapInPandas`` kernels — per-file
 Python, the justified-UDF class (SURVEY §4): the payload is an opaque
@@ -90,8 +93,11 @@ def _paeth_row(recon: np.ndarray, prior: np.ndarray, bpp: int) -> None:
         recon[x] = (int(recon[x]) + pred) & 0xFF
 
 
-def _unfilter(raw: bytes, width: int, height: int, bpp: int) -> np.ndarray:
-    stride = width * bpp
+def _unfilter(raw: bytes, stride: int, height: int, bpp: int) -> np.ndarray:
+    """Reverse the per-row filters over ``height`` scanlines of
+    ``stride`` bytes each (``bpp`` = FILTER bytes-per-pixel, i.e.
+    ``max(1, channels * depth // 8)`` — filtering is byte-wise per
+    spec, so sub-byte depths filter with bpp=1)."""
     if len(raw) != height * (1 + stride):
         raise ValueError(
             f"PNG scanline payload is {len(raw)} bytes, expected "
@@ -123,13 +129,87 @@ def _unfilter(raw: bytes, width: int, height: int, bpp: int) -> np.ndarray:
     return out
 
 
+# Adam7 pass geometry: (x offset, y offset, x step, y step)
+_ADAM7 = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
+
+
+def _scan_stride(width: int, channels: int, depth: int) -> int:
+    return (width * channels * depth + 7) // 8
+
+
+def _unpack_samples(
+    rows: np.ndarray, width: int, channels: int, depth: int
+) -> np.ndarray:
+    """(h, stride) unfiltered scanline bytes → (h, width*channels)
+    samples: uint8 for depths <= 8 (sub-byte samples MSB-first per
+    spec), uint16 for depth 16 (big-endian on the wire)."""
+    h = rows.shape[0]
+    n = width * channels
+    if depth == 8:
+        return rows[:, :n]
+    if depth == 16:
+        return (
+            np.ascontiguousarray(rows[:, : 2 * n])
+            .view(">u2")
+            .astype(np.uint16)
+        )
+    per = 8 // depth
+    shifts = (np.arange(per - 1, -1, -1) * depth).astype(np.uint8)
+    mask = (1 << depth) - 1
+    expanded = (rows[:, :, None] >> shifts) & mask
+    return expanded.reshape(h, -1)[:, :n]
+
+
+def _decode_planes(
+    raw: bytes, width: int, height: int, channels: int, depth: int,
+    interlace: int,
+) -> np.ndarray:
+    """zlib-inflated IDAT payload → (height, width*channels) samples,
+    de-interlacing Adam7 when IHDR says so (seven independently
+    filtered sub-images, zero-size passes skipped)."""
+    bpp = max(1, channels * depth // 8)
+    if interlace == 0:
+        rows = _unfilter(
+            raw, _scan_stride(width, channels, depth), height, bpp
+        )
+        return _unpack_samples(rows, width, channels, depth)
+    dtype = np.uint16 if depth == 16 else np.uint8
+    out = np.zeros((height, width, channels), dtype=dtype)
+    off = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        ps = _scan_stride(pw, channels, depth)
+        block = raw[off : off + ph * (1 + ps)]
+        off += ph * (1 + ps)
+        rows = _unfilter(block, ps, ph, bpp)
+        out[y0::dy, x0::dx] = _unpack_samples(
+            rows, pw, channels, depth
+        ).reshape(ph, pw, channels)
+    if off != len(raw):
+        raise ValueError(
+            f"Adam7 payload is {len(raw)} bytes, passes consumed {off}"
+        )
+    return out.reshape(height, width * channels)
+
+
 def decode_png(data: bytes) -> tuple[np.ndarray, dict]:
     """Decode a PNG byte string to ``(pixels, meta)``.
 
-    ``pixels`` is a uint8 array of shape ``(height, width)`` for
-    single-channel images or ``(height, width, channels)`` otherwise
-    (palette images expand to RGB).  ``meta`` carries width/height/
-    bit_depth/color_type/channels.
+    ``pixels`` has shape ``(height, width)`` for single-channel images
+    or ``(height, width, channels)`` otherwise (palette images expand
+    to RGB); dtype is uint8, or uint16 for 16-bit files.  ``meta``
+    carries width/height/bit_depth/color_type/channels.
     """
     data = bytes(data)
     if not is_png(data):
@@ -149,19 +229,24 @@ def decode_png(data: bytes) -> tuple[np.ndarray, dict]:
             idat.extend(payload)
     if width is None:
         raise ValueError("PNG missing IHDR chunk")
-    if interlace != 0:
-        raise NotImplementedError(
-            "Adam7-interlaced PNG is not supported by this decoder"
-        )
-    if bit_depth != 8:
-        raise NotImplementedError(
-            f"PNG bit depth {bit_depth} is not supported (only 8)"
-        )
+    if interlace not in (0, 1):
+        raise ValueError(f"invalid PNG interlace method {interlace}")
+    if bit_depth not in (1, 2, 4, 8, 16):
+        raise ValueError(f"invalid PNG bit depth {bit_depth}")
     if color_type not in _CHANNELS:
         raise ValueError(f"invalid PNG color type {color_type}")
+    if bit_depth < 8 and color_type not in (0, 3):
+        raise ValueError(
+            f"PNG bit depth {bit_depth} is only valid for gray/palette "
+            f"(color type {color_type})"
+        )
+    if bit_depth == 16 and color_type == 3:
+        raise ValueError("16-bit palette PNG is not a valid combination")
     channels = _CHANNELS[color_type]
     raw = zlib.decompress(bytes(idat))
-    planes = _unfilter(raw, width, height, channels)
+    planes = _decode_planes(
+        raw, width, height, channels, bit_depth, interlace
+    )
     if color_type == 3:
         if palette is None:
             raise ValueError("palette PNG missing PLTE chunk")
@@ -171,6 +256,12 @@ def decode_png(data: bytes) -> tuple[np.ndarray, dict]:
             raise ValueError("PNG palette index out of range")
         pixels = pal[idx]
         channels = 3
+    elif color_type == 0 and bit_depth < 8:
+        # expand to the full 0..255 range (v * 255 / (2^d - 1))
+        mx = (1 << bit_depth) - 1
+        pixels = (
+            planes.reshape(height, width).astype(np.uint16) * 255 // mx
+        ).astype(np.uint8)
     elif channels == 1:
         pixels = planes.reshape(height, width)
     else:
@@ -194,27 +285,52 @@ def _chunk(ctype: bytes, payload: bytes) -> bytes:
     )
 
 
-def encode_png(pixels: np.ndarray) -> bytes:
-    """Encode a uint8 array — ``(h, w)`` gray, ``(h, w, 2)``
-    gray+alpha, ``(h, w, 3)`` RGB, or ``(h, w, 4)`` RGBA — as a PNG
-    (bit depth 8, filter type 0 rows, one IDAT)."""
-    arr = np.ascontiguousarray(np.asarray(pixels, dtype=np.uint8))
+def encode_png(pixels: np.ndarray, *, interlace: bool = False) -> bytes:
+    """Encode an array — ``(h, w)`` gray, ``(h, w, 2)`` gray+alpha,
+    ``(h, w, 3)`` RGB, or ``(h, w, 4)`` RGBA — as a PNG (filter type 0
+    rows, one IDAT).  uint16 input encodes at bit depth 16 (big-endian
+    samples); everything else encodes at depth 8.  ``interlace=True``
+    emits Adam7 pass-split scanlines."""
+    arr = np.asarray(pixels)
+    if arr.dtype == np.uint16:
+        depth = 16
+    else:
+        arr = arr.astype(np.uint8)
+        depth = 8
+    arr = np.ascontiguousarray(arr)
     if arr.ndim == 2:
         arr = arr[:, :, None]
     if arr.ndim != 3 or arr.shape[2] not in (1, 2, 3, 4):
         raise ValueError(f"cannot encode array of shape {pixels.shape}")
     h, w, c = arr.shape
     color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    stride = w * c
-    flat = arr.reshape(h, stride)
-    scan = bytearray()
-    for y in range(h):
-        scan.append(0)
-        scan.extend(flat[y].tobytes())
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, depth, color_type, 0, 0, 1 if interlace else 0
+    )
+
+    def _rows(sub: np.ndarray) -> bytes:
+        sh = sub.shape[0]
+        flat = sub.reshape(sh, -1)
+        if depth == 16:
+            flat = flat.astype(">u2")
+        scan = bytearray()
+        for y in range(sh):
+            scan.append(0)
+            scan.extend(flat[y].tobytes())
+        return bytes(scan)
+
+    if not interlace:
+        payload = _rows(arr)
+    else:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = arr[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                parts.append(_rows(sub))
+        payload = b"".join(parts)
     return (
         PNG_SIGNATURE
         + _chunk(b"IHDR", ihdr)
-        + _chunk(b"IDAT", zlib.compress(bytes(scan)))
+        + _chunk(b"IDAT", zlib.compress(payload))
         + _chunk(b"IEND", b"")
     )

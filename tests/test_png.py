@@ -93,19 +93,29 @@ def test_multi_idat_chunks():
     np.testing.assert_array_equal(out, arr)
 
 
-def test_unsupported_raises_loudly():
-    arr = np.zeros((2, 2), dtype=np.uint8)
-    data = bytearray(png.encode_png(arr))
+def _patch_ihdr(data: bytearray, offset: int, value: int) -> bytes:
+    """Patch one IHDR payload byte and re-seal the chunk CRC."""
     sig = data.index(b"IHDR")
-    # bit depth byte is IHDR payload offset 8
-    data[sig + 4 + 8] = 16
-    # fix the CRC so the chunk parses
+    data[sig + 4 + offset] = value
     ihdr_payload = bytes(data[sig + 4 : sig + 4 + 13])
     data[sig + 4 + 13 : sig + 4 + 17] = struct.pack(
         ">I", zlib.crc32(b"IHDR" + ihdr_payload) & 0xFFFFFFFF
     )
-    with pytest.raises(NotImplementedError, match="bit depth"):
-        png.decode_png(bytes(data))
+    return bytes(data)
+
+
+def test_unsupported_raises_loudly():
+    arr = np.zeros((2, 2), dtype=np.uint8)
+    # invalid bit depth (3 is not in the spec's set)
+    with pytest.raises(ValueError, match="bit depth"):
+        png.decode_png(_patch_ihdr(bytearray(png.encode_png(arr)), 8, 3))
+    # sub-8-bit depth on an RGB image: spec-invalid combination
+    rgb = np.zeros((2, 2, 3), dtype=np.uint8)
+    with pytest.raises(ValueError, match="gray/palette"):
+        png.decode_png(_patch_ihdr(bytearray(png.encode_png(rgb)), 8, 4))
+    # invalid interlace method
+    with pytest.raises(ValueError, match="interlace"):
+        png.decode_png(_patch_ihdr(bytearray(png.encode_png(arr)), 12, 2))
     with pytest.raises(ValueError, match="signature"):
         png.decode_png(b"\xff\xd8\xff\xe0 not a png")
 
@@ -177,3 +187,87 @@ def test_extract_features_plumbing_mode_falls_back_on_bad_png(spark):
     feat = multimodal.extract_features(media, dim=4).collect()[0]
     digest = hashlib.sha256(bytes(bad)).digest()
     assert feat.feature == [b / 255.0 for b in digest[:4]]
+
+
+def _manual_png(width, height, depth, color_type, scan, palette=None):
+    """Hand-build a PNG from pre-packed scanline bytes (for sub-8-bit
+    fixtures the encoder doesn't emit)."""
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, color_type, 0, 0, 0)
+    out = png.PNG_SIGNATURE + _chunk_bytes(b"IHDR", ihdr)
+    if palette is not None:
+        out += _chunk_bytes(b"PLTE", palette)
+    out += _chunk_bytes(b"IDAT", zlib.compress(scan))
+    return out + _chunk_bytes(b"IEND", b"")
+
+
+def _chunk_bytes(ctype, payload):
+    return (
+        struct.pack(">I", len(payload))
+        + ctype
+        + payload
+        + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+    )
+
+
+def test_16bit_roundtrip():
+    rng = np.random.default_rng(5)
+    arr = rng.integers(0, 65536, size=(6, 5), dtype=np.uint16)
+    out, meta = png.decode_png(png.encode_png(arr))
+    assert meta["bit_depth"] == 16 and out.dtype == np.uint16
+    np.testing.assert_array_equal(out, arr)
+    rgb = rng.integers(0, 65536, size=(4, 3, 3), dtype=np.uint16)
+    out, meta = png.decode_png(png.encode_png(rgb))
+    np.testing.assert_array_equal(out, rgb)
+
+
+def test_adam7_roundtrip_gray_and_rgba():
+    rng = np.random.default_rng(9)
+    for shape in [(11, 7), (8, 8, 4), (1, 1), (2, 3, 3), (16, 16)]:
+        arr = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        data = png.encode_png(arr, interlace=True)
+        out, meta = png.decode_png(data)
+        np.testing.assert_array_equal(out.reshape(arr.shape), arr)
+
+
+def test_adam7_16bit_roundtrip():
+    rng = np.random.default_rng(2)
+    arr = rng.integers(0, 65536, size=(9, 6), dtype=np.uint16)
+    out, _ = png.decode_png(png.encode_png(arr, interlace=True))
+    np.testing.assert_array_equal(out, arr)
+
+
+def test_1bit_gray_decodes_scaled():
+    # 1-bit 10x2: row bytes pack MSB-first; pattern 1010101010 -> 0xAA 0x80
+    scan = bytes([0, 0xAA, 0x80, 0, 0x55, 0x40])
+    out, meta = png.decode_png(_manual_png(10, 2, 1, 0, scan))
+    assert meta["bit_depth"] == 1
+    assert out[0].tolist() == [255, 0] * 5
+    assert out[1].tolist() == [0, 255] * 5
+
+
+def test_2bit_and_4bit_gray_scaling():
+    # 2-bit values 0..3 scale to 0,85,170,255
+    scan = bytes([0, 0b00011011])  # one row: 0,1,2,3
+    out, _ = png.decode_png(_manual_png(4, 1, 2, 0, scan))
+    assert out[0].tolist() == [0, 85, 170, 255]
+    # 4-bit values 0..15 scale v*17
+    scan = bytes([0, 0x0F, 0x81])  # 0, 15, 8, 1
+    out, _ = png.decode_png(_manual_png(4, 1, 4, 0, scan))
+    assert out[0].tolist() == [0, 255, 136, 17]
+
+
+def test_4bit_palette_decodes_raw_indexes():
+    pal = bytes([10, 0, 0, 0, 20, 0, 0, 0, 30])  # 3 RGB entries
+    scan = bytes([0, 0x01, 0x20])  # indexes 0,1,2,0
+    out, meta = png.decode_png(_manual_png(4, 1, 4, 3, scan, palette=pal))
+    assert meta["channels"] == 3
+    assert out[0].tolist() == [[10, 0, 0], [0, 20, 0], [0, 0, 30], [10, 0, 0]]
+
+
+def test_sub8_filters_use_byte_bpp():
+    # Sub filter on a 1-bit row: bpp must be 1 byte, not 0
+    row = bytes([1, 0b10100000, 0b01010000])  # filtered
+    out, _ = png.decode_png(_manual_png(12, 1, 1, 0, row))
+    # unfilter: byte0 = 0xA0, byte1 = 0x50 + 0xA0 = 0xF0
+    bits = [1, 0, 1, 0, 0, 0, 0, 0, 1, 1, 1, 1]
+    assert out[0].tolist() == [b * 255 for b in bits]

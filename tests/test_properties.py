@@ -501,3 +501,35 @@ def test_hdf5_roundtrip_property(tmp_path_factory, seed, shape, dtype, chunked, 
     np.testing.assert_array_equal(ds["g/v"], arr)
     assert ds["g/v"].dtype == np.dtype(dtype)
     assert at["g/v"]["seed"] == seed
+
+
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    h=st.integers(1, 20),
+    w=st.integers(1, 20),
+    channels=st.sampled_from([1, 3, 4]),
+    depth16=st.booleans(),
+    interlace=st.booleans(),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_adam7_and_16bit_roundtrip_property(
+    seed, h, w, channels, depth16, interlace
+):
+    """For ANY shape / channel count / depth / interlace combination
+    the encoder supports, encode→decode is the identity — including
+    Adam7 pass geometry on images small enough that several passes are
+    empty."""
+    import numpy as np
+
+    from physicsnemo_curator_spark.sources import png
+
+    rng = np.random.default_rng(seed)
+    if depth16:
+        arr = rng.integers(0, 65536, size=(h, w, channels), dtype=np.uint16)
+    else:
+        arr = rng.integers(0, 256, size=(h, w, channels), dtype=np.uint8)
+    if channels == 1:
+        arr = arr[:, :, 0]
+    out, meta = png.decode_png(png.encode_png(arr, interlace=interlace))
+    assert meta["bit_depth"] == (16 if depth16 else 8)
+    np.testing.assert_array_equal(out.reshape(arr.shape), arr)

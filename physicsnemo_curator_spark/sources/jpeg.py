@@ -18,8 +18,12 @@ Supported surface (honest subset, loud on the rest):
   chroma upsampling;
 - multiple DQT/DHT segments, 16-bit quant entries, restart markers
   (DRI/RSTn), 0xFF00 byte stuffing;
-- NOT supported (``NotImplementedError``): progressive (SOF2),
-  arithmetic coding, 12-bit precision, CMYK/4-component scans.
+- **progressive DCT (SOF2)**: spectral selection, successive
+  approximation (DC and AC first + refinement scans, EOB runs),
+  restart markers — the web's default ``libjpeg`` progression
+  decodes;
+- NOT supported (``NotImplementedError``): arithmetic coding, 12-bit
+  precision, CMYK/4-component scans, lossless/hierarchical modes.
 
 The encoder emits baseline 4:4:4 (or grayscale) with the T.81 Annex K
 example tables (quality-scaled quantization) — the round-trip partner
@@ -252,6 +256,7 @@ def decode_jpeg(data: bytes) -> tuple[np.ndarray, dict]:
     quant: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}  # (class, id) -> table
     frame = None
+    prog = None  # progressive coefficient state, created at first SOS
     restart_interval = 0
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
@@ -289,7 +294,7 @@ def decode_jpeg(data: bytes) -> tuple[np.ndarray, dict]:
                 values = list(seg[i + 17 : i + 17 + n])
                 huff[(tc, th)] = _build_huffman(bits, values)
                 i += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit precision")
@@ -299,12 +304,15 @@ def decode_jpeg(data: bytes) -> tuple[np.ndarray, dict]:
                 comps.append(
                     {"id": cid, "h": sf >> 4, "v": sf & 0x0F, "tq": tq}
                 )
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            frame = {
+                "h": h, "w": w, "comps": comps,
+                "progressive": marker == 0xC2,
+            }
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"SOF{marker - 0xC0}: only baseline sequential (SOF0) "
-                "is supported"
+                "and progressive (SOF2) are supported"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", seg, 0)[0]
@@ -315,11 +323,263 @@ def decode_jpeg(data: bytes) -> tuple[np.ndarray, dict]:
                 cid, tables = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan[cid] = (tables >> 4, tables & 0x0F)
             pos = pos + 2 + seglen
+            if frame is not None and frame["progressive"]:
+                if prog is None:
+                    prog = _init_progressive(frame)
+                ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                a = seg[3 + 2 * ns]
+                pos = _decode_prog_scan(
+                    data, pos, frame, scan, huff, restart_interval,
+                    prog, ss, se, a >> 4, a & 0x0F,
+                )
+                continue
             return _decode_scan(
                 data, pos, frame, scan, quant, huff, restart_interval
             )
         pos = pos + 2 + seglen
+    if prog is not None:
+        return _finish_progressive(frame, quant, prog)
     raise ValueError("no SOS marker found")
+
+
+# --- progressive mode (T.81 Annex G) ---------------------------------------
+
+
+def _init_progressive(frame):
+    """Per-component coefficient planes + block geometry for a SOF2
+    frame.  Coefficients live in ZIGZAG order per block and accumulate
+    across scans; IDCT happens once at EOI."""
+    comps = frame["comps"]
+    if len(comps) not in (1, 3):
+        raise NotImplementedError(f"{len(comps)}-component images")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax > 2 or vmax > 2:
+        raise NotImplementedError("sampling factors above 2x2")
+    mcus_x = -(-frame["w"] // (8 * hmax))
+    mcus_y = -(-frame["h"] // (8 * vmax))
+    prog = {"mcus_x": mcus_x, "mcus_y": mcus_y, "comps": {}}
+    for c in comps:
+        # padded dims (MCU-interleaved scans) vs true dims (the block
+        # count a non-interleaved scan walks, T.81 A.2.3)
+        cw = -(-frame["w"] * c["h"] // hmax)
+        ch = -(-frame["h"] * c["v"] // vmax)
+        prog["comps"][c["id"]] = {
+            "bw_pad": mcus_x * c["h"],
+            "bh_pad": mcus_y * c["v"],
+            "bw": -(-cw // 8),
+            "bh": -(-ch // 8),
+            "coef": np.zeros(
+                (mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int64
+            ),
+        }
+    return prog
+
+
+def _next_marker_pos(data: bytes, pos: int) -> int:
+    """First offset >= pos holding a REAL marker (not 0xFF00 stuffing,
+    not a fill 0xFF, not RSTn) — where the next header segment starts
+    after a progressive scan's entropy data."""
+    while pos + 1 < len(data):
+        if data[pos] == 0xFF:
+            nxt = data[pos + 1]
+            if nxt not in (0x00, 0xFF) and not (0xD0 <= nxt <= 0xD7):
+                return pos
+        pos += 1
+    return len(data)
+
+
+def _refine_nonzero(reader, coef, k, se, p1):
+    """Correction-bit pass over the remaining nonzero coefficients of
+    a band (T.81 G.1.2.3): each already-nonzero coefficient consumes
+    one bit; a 1 moves its magnitude outward by 1 << Al."""
+    while k <= se:
+        c = int(coef[k])
+        if c != 0 and reader.read_bit():
+            if (c if c > 0 else -c) & p1 == 0:
+                coef[k] = c + (p1 if c > 0 else -p1)
+        k += 1
+
+
+def _decode_prog_scan(
+    data, pos, frame, scan, huff, restart_interval, prog, ss, se, ah, al
+):
+    """Decode ONE progressive scan's entropy data into the coefficient
+    planes; returns the offset of the next marker segment."""
+    comps = frame["comps"]
+    reader = _BitReader(data, pos)
+    order = [c for c in comps if c["id"] in scan]
+    if len(order) != len(scan):
+        raise ValueError("SOS names a component missing from SOF2")
+    eobrun = 0
+    pred = {cid: 0 for cid in scan}
+    unit = 0  # MCUs (interleaved) or blocks (non-interleaved)
+
+    def maybe_restart():
+        nonlocal eobrun
+        if restart_interval and unit and unit % restart_interval == 0:
+            reader.align_to_restart()
+            for cid in pred:
+                pred[cid] = 0
+            eobrun = 0
+
+    if ss == 0:  # DC scan (interleaved when ns > 1)
+        if se != 0:
+            raise ValueError("DC progressive scan must have Se = 0")
+        if len(order) > 1:
+            for my in range(prog["mcus_y"]):
+                for mx in range(prog["mcus_x"]):
+                    maybe_restart()
+                    for c in order:
+                        st = prog["comps"][c["id"]]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                coef = st["coef"][
+                                    my * c["v"] + by, mx * c["h"] + bx
+                                ]
+                                _dc_unit(
+                                    reader, coef, scan[c["id"]][0],
+                                    huff, pred, c["id"], ah, al,
+                                )
+                    unit += 1
+        else:
+            c = order[0]
+            st = prog["comps"][c["id"]]
+            for row in range(st["bh"]):
+                for col in range(st["bw"]):
+                    maybe_restart()
+                    _dc_unit(
+                        reader, st["coef"][row, col], scan[c["id"]][0],
+                        huff, pred, c["id"], ah, al,
+                    )
+                    unit += 1
+    else:  # AC scan: exactly one component (T.81 G.1.1.1)
+        if len(order) != 1:
+            raise ValueError("progressive AC scan must be non-interleaved")
+        c = order[0]
+        ac_tab = huff[(1, scan[c["id"]][1])]
+        st = prog["comps"][c["id"]]
+        p1 = 1 << al
+        for row in range(st["bh"]):
+            for col in range(st["bw"]):
+                maybe_restart()
+                unit += 1
+                coef = st["coef"][row, col]
+                if ah == 0:  # first pass for these bit positions
+                    if eobrun > 0:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        rs = reader.decode_symbol(ac_tab)
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r == 15:
+                                k += 16  # ZRL
+                                continue
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += reader.read_bits(r)
+                            break
+                        k += r
+                        if k > se:
+                            raise ValueError("AC index out of band")
+                        coef[k] = _extend(reader.read_bits(s), s) << al
+                        k += 1
+                else:  # refinement pass
+                    if eobrun > 0:
+                        eobrun -= 1
+                        _refine_nonzero(reader, coef, ss, se, p1)
+                        continue
+                    k = ss
+                    while k <= se:
+                        rs = reader.decode_symbol(ac_tab)
+                        r, s = rs >> 4, rs & 0x0F
+                        newval = 0
+                        if s == 0:
+                            if r != 15:
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += reader.read_bits(r)
+                                _refine_nonzero(reader, coef, k, se, p1)
+                                break
+                            # ZRL: pass 16 zero-history coefficients
+                        else:
+                            if s != 1:
+                                raise ValueError(
+                                    "refinement scan symbol with size > 1"
+                                )
+                            newval = p1 if reader.read_bit() else -p1
+                        while k <= se:
+                            cv = int(coef[k])
+                            if cv != 0:
+                                if reader.read_bit():
+                                    if (cv if cv > 0 else -cv) & p1 == 0:
+                                        coef[k] = cv + (p1 if cv > 0 else -p1)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if newval and k <= se:
+                            coef[k] = newval
+                        k += 1
+    return _next_marker_pos(data, reader.pos)
+
+
+def _dc_unit(reader, coef, dc_id, huff, pred, cid, ah, al):
+    if ah == 0:
+        size = reader.decode_symbol(huff[(0, dc_id)])
+        diff = _extend(reader.read_bits(size), size)
+        pred[cid] += diff
+        coef[0] = pred[cid] << al
+    elif reader.read_bit():
+        # two's-complement append: OR-ing the bit in equals +1<<Al for
+        # the stored signed value in both signs
+        coef[0] = int(coef[0]) | (1 << al)
+
+
+def _finish_progressive(frame, quant, prog):
+    """Dequantize + IDCT every accumulated block (vectorized einsum per
+    component), then the shared upsample/crop/convert tail."""
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    planes = []
+    for c in comps:
+        st = prog["comps"][c["id"]]
+        q = quant[c["tq"]].astype(np.float64)
+        bh, bw = st["coef"].shape[:2]
+        blocks = np.zeros((bh, bw, 64))
+        blocks[..., ZIGZAG] = st["coef"] * q
+        blocks = blocks.reshape(bh, bw, 8, 8)
+        spatial = (
+            np.einsum("ka,xykl,lb->xyab", _C, blocks, _C) + 128.0
+        )
+        planes.append(
+            spatial.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        )
+    return _assemble_image(planes, comps, frame["h"], frame["w"], hmax, vmax)
+
+
+def _assemble_image(planes, comps, h, w, hmax, vmax):
+    """Upsample subsampled planes to full resolution, crop the MCU
+    padding, color-convert (shared by the baseline and progressive
+    paths)."""
+    full = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        p = np.repeat(np.repeat(p, vmax // c["v"], 0), hmax // c["h"], 1)
+        full.append(p[:h, :w])
+    meta = {"width": w, "height": h, "channels": len(comps)}
+    if len(comps) == 1:
+        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8), meta
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8), meta
 
 
 def _decode_scan(data, pos, frame, scan, quant, huff, restart_interval):
@@ -394,21 +654,7 @@ def _decode_scan(data, pos, frame, scan, quant, huff, restart_interval):
                         x0 = (mx * c["h"] + bx) * 8
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = spatial
             mcu_count += 1
-    # upsample to full MCU-padded resolution, crop, color-convert
-    full = []
-    for ci, c in enumerate(comps):
-        p = planes[ci]
-        p = np.repeat(np.repeat(p, vmax // c["v"], 0), hmax // c["h"], 1)
-        full.append(p[:h, :w])
-    meta = {"width": w, "height": h, "channels": len(comps)}
-    if len(comps) == 1:
-        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8), meta
-    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
-    r = y + 1.402 * cr
-    g = y - 0.344136 * cb - 0.714136 * cr
-    b = y + 1.772 * cb
-    rgb = np.stack([r, g, b], axis=2)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8), meta
+    return _assemble_image(planes, comps, h, w, hmax, vmax)
 
 
 # --- encoder ---------------------------------------------------------------
@@ -484,20 +730,9 @@ def _pad_to(plane: np.ndarray, ph: int, pw: int) -> np.ndarray:
     ]
 
 
-def encode_jpeg(
-    pixels: np.ndarray,
-    *,
-    quality: int = 90,
-    subsampling: str = "444",
-    restart_interval: int = 0,
-) -> bytes:
-    """Encode uint8 ``(h, w)`` grayscale or ``(h, w, 3)`` RGB as a
-    baseline JPEG with Annex-K tables (quality-scaled).
-
-    ``subsampling``: '444' (one block per component per MCU) or '420'
-    (2x2 luma sampling, chroma averaged over 2x2 — the common camera
-    layout).  ``restart_interval`` > 0 emits DRI + RSTn markers every
-    N MCUs (the error-resilience feature large scans carry)."""
+def _prep_planes(pixels, quality: int, subsampling: str):
+    """Shared encoder front half: color conversion, chroma
+    subsampling, MCU padding, quality-scaled quant tables."""
     arr = np.asarray(pixels, dtype=np.uint8)
     gray = arr.ndim == 2
     if not gray and (arr.ndim != 3 or arr.shape[2] != 3):
@@ -539,6 +774,28 @@ def encode_jpeg(
     ql = _scaled_quant(K_LUMA_QUANT, quality)
     qc = _scaled_quant(K_CHROMA_QUANT, quality)
     quants = [ql] + ([] if gray else [qc, qc])
+    return planes, samplings, gray, h, w, mcus_x, mcus_y, quants
+
+
+def encode_jpeg(
+    pixels: np.ndarray,
+    *,
+    quality: int = 90,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode uint8 ``(h, w)`` grayscale or ``(h, w, 3)`` RGB as a
+    baseline JPEG with Annex-K tables (quality-scaled).
+
+    ``subsampling``: '444' (one block per component per MCU) or '420'
+    (2x2 luma sampling, chroma averaged over 2x2 — the common camera
+    layout).  ``restart_interval`` > 0 emits DRI + RSTn markers every
+    N MCUs (the error-resilience feature large scans carry)."""
+    (
+        planes, samplings, gray, h, w, mcus_x, mcus_y, quants
+    ) = _prep_planes(pixels, quality, subsampling)
+    ql = quants[0]
+    qc = quants[1] if not gray else None
     dc_tabs = [_encode_table(*K_DC_LUMA)] + (
         [] if gray else [_encode_table(*K_DC_CHROMA)] * 2
     )
@@ -648,4 +905,262 @@ def encode_jpeg(
     bw.flush()
     out.extend(bw.out)
     out.extend(b"\xff\xd9")  # EOI
+    return bytes(out)
+
+
+# --- progressive encoder (T.81 Annex G encode side) ------------------------
+
+
+def _pt_ac(v: int, al: int) -> int:
+    """AC point transform: magnitude shift toward zero (G.1.2.2)."""
+    return v >> al if v >= 0 else -((-v) >> al)
+
+
+def encode_jpeg_progressive(
+    pixels: np.ndarray, *, quality: int = 90, subsampling: str = "444"
+) -> bytes:
+    """Encode as progressive JPEG (SOF2) with the standard two-step
+    successive-approximation script: interleaved DC first scan at
+    Al=1 + DC refinement, then per-component AC 1..63 first scans at
+    Al=1 + AC refinement scans — exercising every progressive decode
+    path (spectral selection, EOB runs, DC/AC refinement bits).  Same
+    Annex-K tables and quantized coefficients as :func:`encode_jpeg`,
+    so baseline and progressive encodes of one image decode to
+    IDENTICAL pixels."""
+    (
+        planes, samplings, gray, h, w, mcus_x, mcus_y, quants
+    ) = _prep_planes(pixels, quality, subsampling)
+    nc = len(planes)
+    dc_tabs = [_encode_table(*K_DC_LUMA)] + (
+        [] if gray else [_encode_table(*K_DC_CHROMA)] * 2
+    )
+    ac_tabs = [_encode_table(*K_AC_LUMA)] + (
+        [] if gray else [_encode_table(*K_AC_CHROMA)] * 2
+    )
+
+    # quantized zigzag coefficients per component, (bh_pad, bw_pad, 64)
+    coefs = []
+    for ci, p in enumerate(planes):
+        sh, sv = samplings[ci]
+        bh, bw = mcus_y * sv, mcus_x * sh
+        q = quants[ci].flat[ZIGZAG].astype(np.float64)
+        blocks = (
+            p.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3) - 128.0
+        )
+        f = np.einsum("ak,xykl,bl->xyab", _C, blocks, _C)
+        zz = np.round(f.reshape(bh, bw, 64)[..., ZIGZAG] / q).astype(
+            np.int64
+        )
+        coefs.append(zz)
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, payload: bytes):
+        out.extend(
+            struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+        )
+
+    zq = np.empty(64, dtype=np.uint8)
+    zq[...] = quants[0].flat[ZIGZAG]
+    seg(0xDB, b"\x00" + zq.tobytes())
+    if not gray:
+        zq[...] = quants[1].flat[ZIGZAG]
+        seg(0xDB, b"\x01" + zq.tobytes())
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for c in range(nc):
+        sh, sv = samplings[c]
+        sof += struct.pack(">BBB", c + 1, (sh << 4) | sv, 0 if c == 0 else 1)
+    seg(0xC2, sof)
+    for (tc, th), (bits, values) in (
+        ((0, 0), K_DC_LUMA),
+        ((1, 0), K_AC_LUMA),
+    ) + (() if gray else (((0, 1), K_DC_CHROMA), ((1, 1), K_AC_CHROMA))):
+        seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(values))
+
+    def sos_header(comp_ids, ss, se, ah, al):
+        p = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            tq = 0 if cid == 1 else 1
+            p += bytes([cid, (tq << 4) | tq if not gray else 0x00])
+        return p + bytes([ss, se, (ah << 4) | al])
+
+    # --- scan 1: DC first, interleaved, Al=1 (arithmetic shift) ---
+    seg(0xDA, sos_header(list(range(1, nc + 1)), 0, 0, 0, 1))
+    bw_ = _BitWriter()
+    pred = [0] * nc
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci in range(nc):
+                sh, sv = samplings[ci]
+                for by in range(sv):
+                    for bx in range(sh):
+                        v = int(coefs[ci][my * sv + by, mx * sh + bx, 0]) >> 1
+                        diff = v - pred[ci]
+                        pred[ci] = v
+                        size = _csize(diff)
+                        code, length = dc_tabs[ci][size]
+                        bw_.write(code, length)
+                        if size:
+                            bw_.write(
+                                diff if diff > 0 else diff - 1 + (1 << size),
+                                size,
+                            )
+    bw_.flush()
+    out.extend(bw_.out)
+
+    # --- scan 2: DC refinement, Ah=1 Al=0 (one raw bit per block) ---
+    seg(0xDA, sos_header(list(range(1, nc + 1)), 0, 0, 1, 0))
+    bw_ = _BitWriter()
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci in range(nc):
+                sh, sv = samplings[ci]
+                for by in range(sv):
+                    for bx in range(sh):
+                        bw_.write(
+                            int(coefs[ci][my * sv + by, mx * sh + bx, 0]) & 1,
+                            1,
+                        )
+    bw_.flush()
+    out.extend(bw_.out)
+
+    hmax = max(s[0] for s in samplings)
+    vmax = max(s[1] for s in samplings)
+
+    def true_blocks(ci):
+        sh, sv = samplings[ci]
+        cw = -(-w * sh // hmax)
+        ch = -(-h * sv // vmax)
+        return -(-ch // 8), -(-cw // 8)
+
+    # --- per component: AC first scan (Ss=1..63, Al=1) ---
+    for ci in range(nc):
+        seg(0xDA, sos_header([ci + 1], 1, 63, 0, 1))
+        bw_ = _BitWriter()
+        tab = ac_tabs[ci]
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                code, length = tab[r << 4]
+                bw_.write(code, length)
+                if r:
+                    bw_.write(eobrun - (1 << r), r)
+                eobrun = 0
+
+        bh, bwid = true_blocks(ci)
+        for row in range(bh):
+            for col in range(bwid):
+                band = [
+                    _pt_ac(int(coefs[ci][row, col, k]), 1)
+                    for k in range(64)
+                ]
+                nz = [k for k in range(1, 64) if band[k]]
+                if not nz:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+                    continue
+                flush_eob()
+                run = 0
+                for k in range(1, nz[-1] + 1):
+                    v = band[k]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, length = tab[0xF0]
+                        bw_.write(code, length)
+                        run -= 16
+                    size = _csize(v)
+                    code, length = tab[(run << 4) | size]
+                    bw_.write(code, length)
+                    bw_.write(v if v > 0 else v - 1 + (1 << size), size)
+                    run = 0
+                if nz[-1] < 63:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+        flush_eob()
+        bw_.flush()
+        out.extend(bw_.out)
+
+    # --- per component: AC refinement scan (Ss=1..63, Ah=1 Al=0) ---
+    for ci in range(nc):
+        seg(0xDA, sos_header([ci + 1], 1, 63, 1, 0))
+        bw_ = _BitWriter()
+        tab = ac_tabs[ci]
+        eobrun = 0
+        eob_bits: list[int] = []
+
+        def flush_eob_refine():
+            nonlocal eobrun
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                code, length = tab[r << 4]
+                bw_.write(code, length)
+                if r:
+                    bw_.write(eobrun - (1 << r), r)
+                for b in eob_bits:
+                    bw_.write(b, 1)
+                eob_bits.clear()
+                eobrun = 0
+
+        bh, bwid = true_blocks(ci)
+        for row in range(bh):
+            for col in range(bwid):
+                t = [abs(int(coefs[ci][row, col, k])) for k in range(64)]
+                run = 0
+                corr: list[int] = []
+                emitted = False
+                for k in range(1, 64):
+                    if t[k] == 0:
+                        run += 1
+                        continue
+                    if t[k] > 1:
+                        # already significant at Al=1: correction bit
+                        corr.append(t[k] & 1)
+                        continue
+                    # newly significant
+                    if not emitted:
+                        flush_eob_refine()
+                        emitted = True
+                    while run > 15:
+                        code, length = tab[0xF0]
+                        bw_.write(code, length)
+                        run -= 16
+                        for b in corr:
+                            bw_.write(b, 1)
+                        corr.clear()
+                    code, length = tab[(run << 4) | 1]
+                    bw_.write(code, length)
+                    bw_.write(
+                        1 if int(coefs[ci][row, col, k]) > 0 else 0, 1
+                    )
+                    for b in corr:
+                        bw_.write(b, 1)
+                    corr.clear()
+                    run = 0
+                if run > 0 or corr:
+                    if not emitted:
+                        eobrun += 1
+                        eob_bits.extend(corr)
+                        if eobrun == 0x7FFF:
+                            flush_eob_refine()
+                    else:
+                        # tail of a block that had coded coefficients:
+                        # open a fresh EOB run carrying the tail bits
+                        eobrun += 1
+                        eob_bits.extend(corr)
+                elif not emitted:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob_refine()
+        flush_eob_refine()
+        bw_.flush()
+        out.extend(bw_.out)
+
+    out.extend(b"\xff\xd9")
     return bytes(out)

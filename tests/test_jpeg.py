@@ -106,8 +106,8 @@ def test_unsupported_raises_loudly():
         jpeg.decode_jpeg(b"\x89PNG not a jpeg")
     data = bytearray(jpeg.encode_jpeg(np.zeros((8, 8), dtype=np.uint8)))
     i = data.index(b"\xff\xc0")
-    data[i + 1] = 0xC2  # pretend progressive
-    with pytest.raises(NotImplementedError, match="SOF2"):
+    data[i + 1] = 0xC3  # pretend lossless sequential
+    with pytest.raises(NotImplementedError, match="SOF3"):
         jpeg.decode_jpeg(bytes(data))
     with pytest.raises(ValueError, match="shape"):
         jpeg.encode_jpeg(np.zeros((4, 4, 2), dtype=np.uint8))

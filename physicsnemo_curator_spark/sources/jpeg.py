@@ -553,9 +553,12 @@ def _finish_progressive(frame, quant, prog):
         blocks = np.zeros((bh, bw, 64))
         blocks[..., ZIGZAG] = st["coef"] * q
         blocks = blocks.reshape(bh, bw, 8, 8)
-        spatial = (
-            np.einsum("ka,xykl,lb->xyab", _C, blocks, _C) + 128.0
-        )
+        # stacked matmul, NOT einsum: same FP summation order as the
+        # baseline per-block `_C.T @ block @ _C`, so baseline and
+        # progressive decodes of identical coefficients give identical
+        # pixels (einsum's different reduction order flips the odd
+        # 0.5-boundary rounding)
+        spatial = _C.T @ blocks @ _C + 128.0
         planes.append(
             spatial.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
         )
@@ -947,7 +950,10 @@ def encode_jpeg_progressive(
         blocks = (
             p.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3) - 128.0
         )
-        f = np.einsum("ak,xykl,bl->xyab", _C, blocks, _C)
+        # stacked matmul, NOT einsum: bit-identical FP order to the
+        # baseline encoder's `_C @ block @ _C.T`, so both encoders
+        # quantize every coefficient identically
+        f = _C @ blocks @ _C.T
         zz = np.round(f.reshape(bh, bw, 64)[..., ZIGZAG] / q).astype(
             np.int64
         )
@@ -1040,14 +1046,16 @@ def encode_jpeg_progressive(
         tab = ac_tabs[ci]
         eobrun = 0
 
+        # The Annex-K baseline AC tables define only EOB0 (0x00) and ZRL
+        # (0xF0) among the zero-size symbols — no EOBn (n>=1).  EOB runs
+        # are therefore capped at 1: flush immediately after each EOB so
+        # only symbol 0x00 is ever emitted.  Spec-valid, slightly larger
+        # bitstream than EOBn coding.
         def flush_eob():
             nonlocal eobrun
             if eobrun:
-                r = eobrun.bit_length() - 1
-                code, length = tab[r << 4]
+                code, length = tab[0x00]
                 bw_.write(code, length)
-                if r:
-                    bw_.write(eobrun - (1 << r), r)
                 eobrun = 0
 
         bh, bwid = true_blocks(ci)
@@ -1060,8 +1068,7 @@ def encode_jpeg_progressive(
                 nz = [k for k in range(1, 64) if band[k]]
                 if not nz:
                     eobrun += 1
-                    if eobrun == 0x7FFF:
-                        flush_eob()
+                    flush_eob()
                     continue
                 flush_eob()
                 run = 0
@@ -1081,8 +1088,7 @@ def encode_jpeg_progressive(
                     run = 0
                 if nz[-1] < 63:
                     eobrun += 1
-                    if eobrun == 0x7FFF:
-                        flush_eob()
+                    flush_eob()
         flush_eob()
         bw_.flush()
         out.extend(bw_.out)
@@ -1095,14 +1101,14 @@ def encode_jpeg_progressive(
         eobrun = 0
         eob_bits: list[int] = []
 
+        # Same EOBn-free constraint as the first scan: cap EOB runs at 1
+        # (only symbol 0x00), appending the tail correction bits the
+        # decoder consumes while scanning out the rest of the block.
         def flush_eob_refine():
             nonlocal eobrun
             if eobrun:
-                r = eobrun.bit_length() - 1
-                code, length = tab[r << 4]
+                code, length = tab[0x00]
                 bw_.write(code, length)
-                if r:
-                    bw_.write(eobrun - (1 << r), r)
                 for b in eob_bits:
                     bw_.write(b, 1)
                 eob_bits.clear()
@@ -1112,28 +1118,39 @@ def encode_jpeg_progressive(
         for row in range(bh):
             for col in range(bwid):
                 t = [abs(int(coefs[ci][row, col, k])) for k in range(64)]
+                # eob = index of the last newly-significant coefficient;
+                # zero runs past it fold into the EOB, never into ZRLs.
+                eob = 0
+                for k in range(1, 64):
+                    if t[k] == 1:
+                        eob = k
                 run = 0
                 corr: list[int] = []
-                emitted = False
                 for k in range(1, 64):
                     if t[k] == 0:
                         run += 1
                         continue
-                    if t[k] > 1:
-                        # already significant at Al=1: correction bit
-                        corr.append(t[k] & 1)
-                        continue
-                    # newly significant
-                    if not emitted:
+                    # Drain the zero-run history BEFORE handling any
+                    # nonzero coefficient (libjpeg jcphuff ordering):
+                    # each ZRL carries exactly the correction bits
+                    # buffered so far — the ones for already-significant
+                    # coefficients inside its 16-zero span — never bits
+                    # for coefficients beyond it.
+                    while run > 15 and k <= eob:
                         flush_eob_refine()
-                        emitted = True
-                    while run > 15:
                         code, length = tab[0xF0]
                         bw_.write(code, length)
                         run -= 16
                         for b in corr:
                             bw_.write(b, 1)
                         corr.clear()
+                    if t[k] > 1:
+                        # already significant at Al=1: buffer the
+                        # correction bit; does not reset the zero run
+                        corr.append(t[k] & 1)
+                        continue
+                    # newly significant (t[k] == 1)
+                    flush_eob_refine()
                     code, length = tab[(run << 4) | 1]
                     bw_.write(code, length)
                     bw_.write(
@@ -1144,20 +1161,11 @@ def encode_jpeg_progressive(
                     corr.clear()
                     run = 0
                 if run > 0 or corr:
-                    if not emitted:
-                        eobrun += 1
-                        eob_bits.extend(corr)
-                        if eobrun == 0x7FFF:
-                            flush_eob_refine()
-                    else:
-                        # tail of a block that had coded coefficients:
-                        # open a fresh EOB run carrying the tail bits
-                        eobrun += 1
-                        eob_bits.extend(corr)
-                elif not emitted:
+                    # trailing insignificant zeros / correction bits:
+                    # fold into an EOB carrying the tail bits
                     eobrun += 1
-                    if eobrun == 0x7FFF:
-                        flush_eob_refine()
+                    eob_bits.extend(corr)
+                    flush_eob_refine()
         flush_eob_refine()
         bw_.flush()
         out.extend(bw_.out)

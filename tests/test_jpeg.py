@@ -188,3 +188,129 @@ def test_raw_plane_with_jpeg_signature_bytes(spark):
     got = np.frombuffer(bytes(out.payload), dtype=np.uint8).reshape(4, 4)
     ys = (np.arange(4) * 4).astype(np.int64)
     np.testing.assert_array_equal(got, plane[np.ix_(ys, ys)])
+
+
+# --- progressive (SOF2) codec ----------------------------------------------
+
+
+def _fixture_images():
+    """Gradient / noise / sparse-impulse / flat images — sparse ones
+    exercise long EOB runs (every other block all-zero AC), noise
+    exercises dense refinement scans with interleaved correction
+    bits, gradients exercise ZRL spans."""
+    rng = np.random.default_rng(41)
+    yy, xx = np.mgrid[0:24, 0:40]
+    grad = ((xx * 255 / 39 + yy * 128 / 23) % 256).astype(np.uint8)
+    noise = rng.integers(0, 256, (24, 40), dtype=np.uint8)
+    sparse = np.zeros((24, 40), dtype=np.uint8)
+    for _ in range(6):
+        sparse[rng.integers(0, 24), rng.integers(0, 40)] = 255
+    flat = np.full((24, 40), 77, dtype=np.uint8)
+    return {"grad": grad, "noise": noise, "sparse": sparse, "flat": flat}
+
+
+@pytest.mark.parametrize("quality", [25, 50, 75, 90, 95])
+@pytest.mark.parametrize("kind", ["grad", "noise", "sparse", "flat"])
+def test_progressive_matches_baseline_gray(kind, quality):
+    """Progressive and baseline encodes share quant tables and
+    coefficient math, so their decodes must be PIXEL-IDENTICAL.
+    This is the test that would have caught both r08 encoder bugs:
+    EOBn symbols absent from the Annex-K tables (sparse/flat images
+    with >=2 consecutive all-zero-AC blocks) and the refinement-scan
+    correction-bit/ZRL desync (noise images)."""
+    img = _fixture_images()[kind]
+    b, _ = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=quality))
+    p, _ = jpeg.decode_jpeg(
+        jpeg.encode_jpeg_progressive(img, quality=quality)
+    )
+    np.testing.assert_array_equal(b, p)
+
+
+@pytest.mark.parametrize("sub", ["444", "420"])
+@pytest.mark.parametrize("kind", ["grad", "noise", "sparse"])
+def test_progressive_matches_baseline_rgb(kind, sub):
+    g = _fixture_images()[kind]
+    img = np.stack([g, np.roll(g, 3, axis=1), 255 - g], axis=2)
+    b, _ = jpeg.decode_jpeg(
+        jpeg.encode_jpeg(img, quality=85, subsampling=sub)
+    )
+    p, _ = jpeg.decode_jpeg(
+        jpeg.encode_jpeg_progressive(img, quality=85, subsampling=sub)
+    )
+    np.testing.assert_array_equal(b, p)
+
+
+def test_progressive_odd_dimensions_and_tiny():
+    """Non-MCU-multiple sizes and single-block images."""
+    rng = np.random.default_rng(5)
+    for shape in [(17, 31), (8, 8), (9, 9, 3), (64, 48, 3)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        b, mb = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=60))
+        p, mp = jpeg.decode_jpeg(
+            jpeg.encode_jpeg_progressive(img, quality=60)
+        )
+        assert mb == mp
+        np.testing.assert_array_equal(b, p)
+
+
+def test_progressive_emits_sof2_and_parses_scan_script():
+    """Marker-level pins: SOF2 frame, interleaved DC first scan at
+    Al=1, DC refinement, then per-component AC first + refinement
+    scans (6 SOS segments for a 3-component image)."""
+    img = _smooth_rgb()
+    data = jpeg.encode_jpeg_progressive(img, quality=80)
+    assert data[:2] == b"\xff\xd8"
+    assert b"\xff\xc2" in data and b"\xff\xc0" not in data[:200]
+    # walk marker segments (entropy data can contain stuffed FF DA)
+    sos_params = []
+    pos = 2
+    while pos < len(data) - 4:
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        m = data[pos + 1]
+        if m == 0xD9:
+            break
+        if m in (0x00, 0xFF) or 0xD0 <= m <= 0xD7:
+            pos += 2
+            continue
+        ln = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
+        if m == 0xDA:
+            seg = data[pos + 4 : pos + 2 + ln]
+            ns = seg[0]
+            ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            sos_params.append((ns, ss, se, ahal >> 4, ahal & 0x0F))
+            # skip entropy data to the next marker
+            pos += 2 + ln
+            while pos < len(data) - 1:
+                if data[pos] == 0xFF and data[pos + 1] not in (0x00,) and not (
+                    0xD0 <= data[pos + 1] <= 0xD7
+                ):
+                    break
+                pos += 1
+            continue
+        pos += 2 + ln
+    # 2 DC scans (first interleaved at Al=1, refine) + per-component
+    # AC first + AC refine = 8 scans total
+    assert sos_params[0] == (3, 0, 0, 0, 1)
+    assert sos_params[1] == (3, 0, 0, 1, 0)
+    assert sos_params[2:5] == [(1, 1, 63, 0, 1)] * 3
+    assert sos_params[5:8] == [(1, 1, 63, 1, 0)] * 3
+    assert len(sos_params) == 8
+
+
+def test_external_progressive_jpeg_decodes():
+    """Decode a REAL progressive JPEG produced by an external encoder
+    (libjpeg-family tool; image is the openly-licensed `f3.jpg`
+    board photo from the Rust Embedded Book assets).  This validates
+    the SOF2 decode path — spectral selection, EOB runs, DC/AC
+    refinement — against a bitstream the in-repo encoder did not
+    produce.  Pixel stats are pinned from the first verified decode."""
+    import pathlib
+
+    path = pathlib.Path(__file__).parent / "data" / "progressive_external.jpg"
+    px, meta = jpeg.decode_jpeg(path.read_bytes())
+    assert meta == {"width": 720, "height": 477, "channels": 3}
+    assert px.shape == (477, 720, 3) and px.dtype == np.uint8
+    assert abs(float(px.mean()) - 107.86) < 0.02
+    assert int(px[::100, ::100].sum()) == 16532

@@ -196,6 +196,22 @@ def main() -> None:
         k: (round(v, 2) if isinstance(v, float) else v)
         for k, v in timings.items()
     }
+    # Compact FULL-detail vector: one entry per declared query in
+    # QUERIES declaration order (broken queries → null), immune to the
+    # fastest-query omission below — so every query's timing survives
+    # into the driver artifact even when the named map must shrink to
+    # fit the capture window.  "qk" fingerprints the name order
+    # (md5 of ",".join(QUERIES)) so a reader can verify alignment
+    # against the repo's QUERIES dict; full named detail for default
+    # runs also lands in BENCH_LOCAL.json.
+    if only_set is None:
+        import hashlib
+
+        out["qv"] = [
+            round(timings[k], 2) if isinstance(timings.get(k), float) else None
+            for k in QUERIES
+        ]
+        out["qk"] = hashlib.md5(",".join(QUERIES).encode()).hexdigest()[:8]
     if len(_line(out)) > budget:
         ranked = sorted(
             (k for k, v in out["queries"].items() if isinstance(v, float)),

@@ -5093,7 +5093,530 @@ FROM sys JOIN at USING (s) ORDER BY shard
 """
 
 
+def q_grid_federated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ERA5Source federated-routing gate (sources/grid_stores.py
+    ``read_grid_federated`` — the reference's flagship data-assimilation
+    source behavior, previously pytest-only; reference
+    ``domains/da/sources/era5.py:103-404``): per-variable backend
+    election by priority, failed-probe failover re-route, lat/lon
+    grid-alignment verification, and align-merge union.
+
+    Fixture: TWO real Zarr stores from the documents lattice —
+    ``alpha`` serves v0 + v1 (value = n_chars), ``beta`` serves v2
+    (value = n_chars) AND a DECOY v1 whose values are shifted by
+    +1000.  The backend list leads with a ``ghost`` store whose path
+    does not exist (probe OSError → warn + re-route, reference
+    ``era5.py:244-259``).  Correct routing reads v1 from ``alpha``
+    (priority) — if the decoy ever leaks into the scan, ``sum_v``
+    inflates by 80 000 and the hash breaks; if the ghost backend is
+    not dropped, the read raises."""
+    from physicsnemo_curator_spark.sinks.zarr_store import write_grid_zarr
+    from physicsnemo_curator_spark.sources.grid_stores import (
+        read_grid_federated,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 240)
+        .select("doc_id", "n_chars")
+    )
+    if docs.count() != 240:
+        raise ValueError(
+            "q_grid_federated needs contiguous doc_id 0..239 (a missing "
+            "site would leave a NaN hole in the dense lattice) — the "
+            "driver gate requires the standard testdata documents table"
+        )
+    lattice = docs.select(
+        F.concat(F.lit("v"), F.col("doc_id") % 3).alias("variable"),
+        (F.col("doc_id") / 3).cast("int").alias("r"),
+        F.col("n_chars").cast("double").alias("value"),
+    ).select(
+        "variable",
+        (F.col("r") / 10).cast("int").alias("time_idx"),
+        ((F.col("r") % 10) / 5).cast("int").cast("double").alias("lat"),
+        (F.col("r") % 5).cast("double").alias("lon"),
+        "value",
+    )
+    base = _fixture_dir(sf_dir, "gridfed")
+    alpha = os.path.join(base, "alpha")
+    beta = os.path.join(base, "beta")
+    write_grid_zarr(
+        lattice.filter(F.col("variable").isin("v0", "v1")), alpha
+    )
+    write_grid_zarr(
+        lattice.filter(F.col("variable") == "v2").unionByName(
+            lattice.filter(F.col("variable") == "v1").withColumn(
+                "value", F.col("value") + 1000.0
+            )
+        ),
+        beta,
+    )
+    import warnings
+
+    backends = [
+        ("ghost", os.path.join(base, "missing")),
+        ("alpha", alpha),
+        ("beta", beta),
+    ]
+    with warnings.catch_warnings():
+        # the ghost probe failure warns by design; the gate asserts the
+        # RE-ROUTE, not the log line
+        warnings.simplefilter("ignore")
+        fed = read_grid_federated(spark, backends, ["v0", "v1", "v2"])
+    return (
+        fed.groupBy("variable")
+        .agg(
+            F.count("*").alias("n_cells"),
+            F.sum(F.col("value").cast("bigint")).alias("sum_v"),
+            F.sum(
+                F.col("value").cast("bigint")
+                * (
+                    1
+                    + F.col("lon").cast("bigint")
+                    + 10 * F.col("lat").cast("bigint")
+                    + 100 * F.col("time").cast("bigint")
+                )
+            ).alias("wsum_v"),
+            F.sum(F.col("time").cast("bigint")).alias("sum_t"),
+        )
+        .orderBy("variable")
+    )
+
+
+ORACLE_GRID_FEDERATED = """
+WITH d AS (SELECT doc_id % 3 AS g, doc_id // 3 AS r, n_chars
+           FROM documents WHERE doc_id < 240)
+SELECT 'v' || g AS variable,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_v,
+       CAST(SUM(n_chars * (1 + r % 5 + 10 * ((r % 10) // 5)
+                           + 100 * (r // 10))) AS BIGINT) AS wsum_v,
+       CAST(SUM(r // 10) AS BIGINT) AS sum_t
+FROM d GROUP BY g ORDER BY variable
+"""
+
+
+def q_grid_sidecar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GridSidecarSink gate (sinks/grid_sidecar.py — per-grid sidecar
+    directories of memmap-able per-field planes, previously
+    pytest-only; reference ``domains/mesh/sinks/grid_sidecar.py:
+    50-208``): documents become two 6x5x3 structured grids with two
+    fields each, written through the REAL distributed sink (one
+    ``applyInPandas`` task per grid, tmp-dir + rename commit, source-
+    mirror ``relpath`` layout), re-scanned with ``read_grid_sidecar``
+    (task-per-sidecar ``.npy`` decode), and aggregated.  The lattice-
+    index-weighted sum pins the (z, y, x) plane layout; the meta
+    columns pin ``meta.json``; ``rel_ok`` pins the ``{relpath}/
+    {stem}.grid`` mirror naming."""
+    from physicsnemo_curator_spark.sinks.grid_sidecar import (
+        read_grid_sidecar,
+        write_grid_sidecar,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 180)
+        .select("doc_id", "n_chars")
+    )
+    if docs.count() != 180:
+        raise ValueError(
+            "q_grid_sidecar needs contiguous doc_id 0..179 (a missing "
+            "site would leave a NaN hole in the dense lattice) — the "
+            "driver gate requires the standard testdata documents table"
+        )
+    idx = docs.select(
+        F.concat(F.lit("g"), F.col("doc_id") % 2).alias("grid_id"),
+        (F.col("doc_id") / 2).cast("int").alias("r"),
+        "doc_id",
+        "n_chars",
+    ).select(
+        "grid_id",
+        (F.col("r") / 30).cast("int").alias("iz"),
+        ((F.col("r") % 30) / 6).cast("int").alias("iy"),
+        (F.col("r") % 6).cast("int").alias("ix"),
+        "doc_id",
+        "n_chars",
+    )
+    grid = idx.select(
+        "grid_id",
+        "iz",
+        "iy",
+        "ix",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("a").alias("field"),
+                    F.col("n_chars").cast("double").alias("value"),
+                ),
+                F.struct(
+                    F.lit("b").alias("field"),
+                    (F.col("doc_id") * 2).cast("double").alias("value"),
+                ),
+            )
+        ).alias("fv"),
+    ).select(
+        "grid_id", "iz", "iy", "ix",
+        F.col("fv.field").alias("field"),
+        F.col("fv.value").alias("value"),
+    )
+    meta = spark.createDataFrame(
+        [
+            ("g0", 6, 5, 3, 0.0, 0.0, 0.0, 1.0, 1.0, 1.0, "runs/r0"),
+            ("g1", 6, 5, 3, 0.5, 1.5, 2.5, 2.0, 0.5, 1.0, "runs/r1"),
+        ],
+        "grid_id string, nx int, ny int, nz int, ox double, oy double,"
+        " oz double, sx double, sy double, sz double, relpath string",
+    )
+    base = _fixture_dir(sf_dir, "gridsc")
+    out_dir = os.path.join(base, "out")
+    written = write_grid_sidecar(grid, meta, out_dir)
+    t = read_grid_sidecar(spark, out_dir)
+    g_agg = t["grid"].groupBy("grid_id", "field").agg(
+        F.count("*").alias("n_cells"),
+        F.sum(F.col("value").cast("bigint")).alias("sum_v"),
+        F.sum(
+            F.col("value").cast("bigint")
+            * (1 + F.col("ix") + 10 * F.col("iy") + 100 * F.col("iz"))
+        ).alias("wsum_v"),
+    )
+    rel = written.select(
+        "grid_id",
+        F.col("path")
+        .endswith(
+            F.concat(
+                F.lit("runs/r"),
+                F.substring("grid_id", 2, 9),
+                F.lit("/"),
+                F.col("grid_id"),
+                F.lit(".grid"),
+            )
+        )
+        .cast("int")
+        .alias("rel_ok"),
+    )
+    m = t["meta"].select("grid_id", "nx", "ny", "nz", "ox", "sy")
+    return (
+        g_agg.join(F.broadcast(m), "grid_id")
+        .join(F.broadcast(rel), "grid_id")
+        .select(
+            "grid_id", "field", "n_cells", "sum_v", "wsum_v",
+            "nx", "ny", "nz", "ox", "sy", "rel_ok",
+        )
+        .orderBy("grid_id", "field")
+    )
+
+
+ORACLE_GRID_SIDECAR = """
+WITH d AS (SELECT doc_id % 2 AS g, doc_id // 2 AS r, doc_id, n_chars
+           FROM documents WHERE doc_id < 180),
+fv AS (SELECT g, r, 'a' AS field, n_chars AS v FROM d
+       UNION ALL SELECT g, r, 'b', doc_id * 2 FROM d)
+SELECT 'g' || g AS grid_id, field,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(v) AS BIGINT) AS sum_v,
+       CAST(SUM(v * (1 + r % 6 + 10 * ((r % 30) // 6)
+                     + 100 * (r // 30))) AS BIGINT) AS wsum_v,
+       6 AS nx, 5 AS ny, 3 AS nz,
+       CAST(g * 0.5 AS DOUBLE) AS ox,
+       CAST(1.0 - g * 0.5 AS DOUBLE) AS sy,
+       1 AS rel_ok
+FROM fv GROUP BY g, field ORDER BY grid_id, field
+"""
+
+
+def q_atomic_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atomic-domain end-to-end gate (operators/atomic.py
+    ``atomic_level_stats`` + ``pack_offsets``, previously pytest-only;
+    reference ``domains/atm/filters/stats.py:273-777`` level-keyed
+    Welford stats and the AtomicDataZarrSink offset pre-allocation,
+    ``domains/atm/sinks/zarr_writer.py:209+``): the q_aselmdb_scan
+    LMDB shards (SHARED fixture — same ``_fixture_dir`` key) scan
+    through ``to_atomic_tables``, then one moment-stats row per
+    (level, field) — node/z, system/energy, system/natoms — plus a
+    ``pack/offset`` row over the ragged-packing exclusive prefix sum
+    in deterministic (shard, row_id) order."""
+    from physicsnemo_curator_spark.operators.atomic import (
+        atomic_level_stats,
+        pack_offsets,
+    )
+    from physicsnemo_curator_spark.sources.aselmdb import (
+        read_aselmdb,
+        to_atomic_tables,
+        write_aselmdb,
+    )
+
+    docs = sorted(
+        (
+            (r["doc_id"], r["n_chars"])
+            for r in _t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 120)
+            .select("doc_id", "n_chars")
+            .collect()
+        )
+    )
+    base = _fixture_dir(sf_dir, "aselmdb")
+    for s in range(3):
+        mine = [(d, w) for d, w in docs if d % 3 == s]
+        if not mine:
+            raise ValueError(
+                f"q_atomic_stats fixture needs >= 1 document with doc_id "
+                f"% 3 == {s} under doc_id < 120 — the driver gate "
+                "requires the standard testdata documents table"
+            )
+        rows = []
+        for d, w in mine:
+            na = 2 + d % 4
+            rows.append(
+                {
+                    "numbers": [1 + (d + j) % 8 for j in range(na)],
+                    "positions": [
+                        [float(d + j), float((d * 7) % 13), float(j)]
+                        for j in range(na)
+                    ],
+                    "energy": -(w % 50) / 2.0,
+                    "forces": [
+                        [float(j), 0.0, float(w % 3)] for j in range(na)
+                    ],
+                    "pbc": [d % 2 == 0] * 3,
+                }
+            )
+        _publish(
+            os.path.join(base, f"shard{s}.aselmdb"),
+            lambda t, rows=rows: write_aselmdb(t, rows),
+        )
+
+    structs = read_aselmdb(spark, base, pattern="shard*.aselmdb")
+    systems, atoms = to_atomic_tables(structs)
+    levels = atomic_level_stats(
+        atoms, systems, atom_fields=("z",),
+        system_fields=("energy", "natoms"),
+    )
+    # replayable pack order: (shard, row_id), NOT the hash system_id —
+    # the oracle reproduces it with a per-shard ROW_NUMBER window
+    sys_ord = systems.select(
+        (
+            F.regexp_extract("path", r"shard(\d+)\.aselmdb$", 1).cast(
+                "bigint"
+            )
+            * 1000
+            + F.col("row_id")
+        ).alias("system_id"),
+        "natoms",
+    )
+    offsets = pack_offsets(sys_ord)
+    off_stats = stats.moment_stats(
+        offsets.select(F.col("offset").cast("double").alias("value")),
+        [],
+        "value",
+    ).select(
+        F.lit("pack").alias("level"), F.lit("offset").alias("field"), "*"
+    )
+    out = levels.unionByName(off_stats)
+    return out.select(
+        "level",
+        "field",
+        "n",
+        _r6(F.col("mean"), "mean"),
+        "min_v",
+        "max_v",
+        _r6(F.col("stddev_pop_v"), "stddev_pop_v"),
+        _r6(F.col("var_pop_v"), "var_pop_v"),
+        _r6(F.col("skew_v"), "skew_v"),
+        _r6(F.col("kurt_v"), "kurt_v"),
+        _r6(F.col("abs_mean"), "abs_mean"),
+        "abs_max",
+    ).orderBy("level", "field")
+
+
+ORACLE_ATOMIC_STATS = """
+WITH d AS (SELECT doc_id AS did, n_chars AS w, doc_id % 3 AS s,
+                  2 + doc_id % 4 AS na
+           FROM documents WHERE doc_id < 120),
+a AS (SELECT d.*, 1 + (did + u.j) % 8 AS z
+      FROM d, LATERAL unnest(range(d.na)) u(j)),
+ordd AS (SELECT s, ROW_NUMBER() OVER (PARTITION BY s ORDER BY did) rn, na
+         FROM d),
+offv AS (SELECT CAST(COALESCE(SUM(na) OVER (ORDER BY s, rn
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS DOUBLE) v
+         FROM ordd),
+vals AS (
+  SELECT 'node' AS level, 'z' AS field, CAST(z AS DOUBLE) AS v FROM a
+  UNION ALL SELECT 'system', 'energy', -(w % 50) / 2.0 FROM d
+  UNION ALL SELECT 'system', 'natoms', CAST(na AS DOUBLE) FROM d
+  UNION ALL SELECT 'pack', 'offset', v FROM offv
+),
+m AS (SELECT level, field, AVG(v) mu FROM vals GROUP BY 1, 2),
+ag AS (SELECT level, field, CAST(COUNT(*) AS BIGINT) n, AVG(v) mean,
+              MIN(v) min_v, MAX(v) max_v,
+              AVG((v - mu) * (v - mu)) m2, AVG(POW(v - mu, 3)) m3,
+              AVG(POW(v - mu, 4)) m4,
+              AVG(ABS(v)) abs_mean, MAX(ABS(v)) abs_max
+       FROM vals JOIN m USING (level, field) GROUP BY 1, 2)
+SELECT level, field, n, ROUND(mean, 6) mean, min_v, max_v,
+       ROUND(SQRT(m2), 6) stddev_pop_v, ROUND(m2, 6) var_pop_v,
+       CASE WHEN m2 <= 0 THEN 0.0
+            ELSE ROUND(m3 / POW(m2, 1.5), 6) END skew_v,
+       CASE WHEN m2 <= 0 THEN 0.0
+            ELSE ROUND(m4 / (m2 * m2) - 3, 6) END kurt_v,
+       ROUND(abs_mean, 6) abs_mean, abs_max
+FROM ag ORDER BY level, field
+"""
+
+
+def q_mesh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mesh-quality report composite gate (operators/quality.py
+    ``mesh_quality_report`` — the full per-mesh report row of
+    reference ``domains/mesh/filters/quality.py:434-836``; q_a4
+    covers only the count_if shape, the per-cell kernels are
+    exact-geometry pytest-verified): documents become right triangles
+    with legs ``a = 1 + doc_id % 7`` and ``b = 1 + n_chars % 5``,
+    two meshes by parity.  The report aggregates aspect ratio /
+    equiangle skewness (min/max/mean), poor-cell counts at the given
+    thresholds, the unresolved-cell audit (arity-2 cells and cells
+    referencing a missing point id), and the NaN/Inf field tallies —
+    every column replays in DuckDB from the same law-of-cosines
+    arithmetic."""
+    from physicsnemo_curator_spark.operators.quality import (
+        mesh_quality_report,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 160)
+        .select("doc_id", "n_chars")
+    )
+    d = docs.select(
+        "doc_id",
+        "n_chars",
+        F.concat(F.lit("m"), F.col("doc_id") % 2).alias("mesh_id"),
+        (1 + F.col("doc_id") % 7).cast("double").alias("a"),
+        (1 + F.col("n_chars") % 5).cast("double").alias("b"),
+    )
+    pts = d.select(
+        "mesh_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    (F.col("doc_id") * 3).alias("point_id"),
+                    F.col("doc_id").cast("double").alias("x"),
+                    F.lit(0.0).alias("y"),
+                    F.lit(0.0).alias("z"),
+                ),
+                F.struct(
+                    (F.col("doc_id") * 3 + 1).alias("point_id"),
+                    (F.col("doc_id") + F.col("a")).alias("x"),
+                    F.lit(0.0).alias("y"),
+                    F.lit(0.0).alias("z"),
+                ),
+                F.struct(
+                    (F.col("doc_id") * 3 + 2).alias("point_id"),
+                    F.col("doc_id").cast("double").alias("x"),
+                    F.col("b").alias("y"),
+                    F.lit(0.0).alias("z"),
+                ),
+            )
+        ).alias("p"),
+    ).select(
+        "mesh_id", F.col("p.point_id").alias("point_id"),
+        F.col("p.x").alias("x"), F.col("p.y").alias("y"),
+        F.col("p.z").alias("z"),
+    )
+    v0 = F.col("doc_id") * 3
+    cells = d.select(
+        "mesh_id",
+        F.col("doc_id").alias("cell_id"),
+        F.when(F.col("doc_id") % 13 == 0, F.array(v0, v0 + 1))
+        .when(
+            F.col("doc_id") % 17 == 3,
+            F.array(v0, v0 + 1, F.lit(987654321).cast("bigint")),
+        )
+        .otherwise(F.array(v0, v0 + 1, v0 + 2))
+        .alias("vs"),
+    )
+    point_data = d.select(
+        "mesh_id",
+        v0.alias("point_id"),
+        F.lit("u").alias("field"),
+        F.when(F.col("doc_id") % 19 == 0, F.lit(float("nan")))
+        .when(F.col("doc_id") % 23 == 0, F.lit(float("inf")))
+        .otherwise(F.col("n_chars").cast("double"))
+        .alias("value"),
+    )
+    rep = mesh_quality_report(
+        pts, cells, point_data, aspect_threshold=5.0, skew_threshold=0.5
+    )
+    return rep.select(
+        "mesh_id",
+        "n_cells",
+        _r6(F.col("aspect_min"), "aspect_min"),
+        _r6(F.col("aspect_max"), "aspect_max"),
+        _r6(F.col("aspect_mean"), "aspect_mean"),
+        _r6(F.col("skew_min"), "skew_min"),
+        _r6(F.col("skew_max"), "skew_max"),
+        _r6(F.col("skew_mean"), "skew_mean"),
+        "n_degenerate",
+        "n_poor_aspect",
+        "n_poor_skew",
+        "n_unresolved",
+        "n_nan",
+        "n_inf",
+    ).orderBy("mesh_id")
+
+
+ORACLE_MESH_QUALITY = """
+WITH d AS (SELECT doc_id AS did, n_chars AS w, doc_id % 2 AS g,
+                  CAST(1 + doc_id % 7 AS DOUBLE) AS a,
+                  CAST(1 + n_chars % 5 AS DOUBLE) AS b
+           FROM documents WHERE doc_id < 160),
+tri AS (SELECT *, SQRT(a * a + b * b) AS e1 FROM d
+        WHERE did % 13 <> 0 AND did % 17 <> 3),
+ang AS (SELECT g,
+               ACOS(LEAST(GREATEST((a*a + b*b - e1*e1) / (2*a*b),
+                                   -1.0), 1.0)) AS a0,
+               ACOS(LEAST(GREATEST((a*a + e1*e1 - b*b) / (2*a*e1),
+                                   -1.0), 1.0)) AS a1,
+               ACOS(LEAST(GREATEST((e1*e1 + b*b - a*a) / (2*e1*b),
+                                   -1.0), 1.0)) AS a2,
+               GREATEST(a, e1, b) / LEAST(a, e1, b) AS aspect
+        FROM tri),
+q AS (SELECT g, aspect,
+             LEAST(GREATEST(
+               GREATEST((GREATEST(a0, a1, a2) - PI() / 3)
+                          / (PI() - PI() / 3),
+                        (PI() / 3 - LEAST(a0, a1, a2)) / (PI() / 3)),
+               0.0), 1.0) AS skew
+      FROM ang),
+rep AS (SELECT g, CAST(COUNT(*) AS BIGINT) n_cells,
+               ROUND(MIN(aspect), 6) aspect_min,
+               ROUND(MAX(aspect), 6) aspect_max,
+               ROUND(AVG(aspect), 6) aspect_mean,
+               ROUND(MIN(skew), 6) skew_min,
+               ROUND(MAX(skew), 6) skew_max,
+               ROUND(AVG(skew), 6) skew_mean,
+               CAST(COUNT(*) FILTER (aspect > 5.0) AS BIGINT)
+                 n_poor_aspect,
+               CAST(COUNT(*) FILTER (skew > 0.5) AS BIGINT) n_poor_skew
+        FROM q GROUP BY g),
+audit AS (SELECT g,
+                 CAST(COUNT(*) FILTER (did % 13 = 0 OR did % 17 = 3)
+                      AS BIGINT) n_unresolved,
+                 CAST(COUNT(*) FILTER (did % 19 = 0) AS BIGINT) n_nan,
+                 CAST(COUNT(*) FILTER (did % 19 <> 0 AND did % 23 = 0)
+                      AS BIGINT) n_inf
+          FROM d GROUP BY g)
+SELECT 'm' || g AS mesh_id, n_cells, aspect_min, aspect_max, aspect_mean,
+       skew_min, skew_max, skew_mean, CAST(0 AS BIGINT) AS n_degenerate,
+       n_poor_aspect, n_poor_skew, n_unresolved, n_nan, n_inf
+FROM rep JOIN audit USING (g) ORDER BY mesh_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "q_grid_federated": QuerySpec(q_grid_federated, ORACLE_GRID_FEDERATED),
+    "q_grid_sidecar": QuerySpec(q_grid_sidecar, ORACLE_GRID_SIDECAR),
+    "q_atomic_stats": QuerySpec(q_atomic_stats, ORACLE_ATOMIC_STATS),
+    "q_mesh_quality": QuerySpec(q_mesh_quality, ORACLE_MESH_QUALITY),
     "q_d3plot_scan": QuerySpec(q_d3plot_scan, ORACLE_D3PLOT_SCAN),
     "q_aselmdb_scan": QuerySpec(q_aselmdb_scan, ORACLE_ASELMDB_SCAN),
     "q_zarr_roundtrip": QuerySpec(q_zarr_roundtrip, ORACLE_ZARR),
@@ -5289,24 +5812,83 @@ QUERIES: dict[str, QuerySpec] = {
 }
 
 
-# r08 driver-window rotation, expressed as an explicit name list
-# instead of dict-source surgery (the r07 text-reordering once glued
-# two entries together and hid one from the driver's name regex).
-# First 50 = the six r08-new gates + 44 of the 48 queries whose last
-# driver check was r06; the four overflow rows (w1 / t1 / a6 /
-# minhash — all re-verified by the local driver-sim this round) lead
-# the tail, followed by the r07-green cohort.  _ordered() asserts the
-# list stays in bijection with QUERIES, so a missing or typo'd name
-# fails every pytest run loudly.
+# r09 driver-window rotation (same explicit-list mechanism as r08).
+# First 50 = the four r09-new gates (grid_federated / grid_sidecar /
+# atomic_stats / mesh_quality), the four rows last driver-checked in
+# r06 (w1 / t1 / a6 / minhash — the VERDICT-r08 stale cohort), and 42
+# of the 50 rows last checked r07.  The eight r07 overflow rows lead
+# the tail (re-verify them with tools/verify_oracles.py; they head the
+# r10 window), followed by the r08-green cohort.
 _DRIVER_ORDER = [
-    # --- r08-new gates ---
+    # --- r09-new gates ---
+    "q_grid_federated",
+    "q_grid_sidecar",
+    "q_atomic_stats",
+    "q_mesh_quality",
+    # --- last driver-checked r06 ---
+    "q_w1_row_number",
+    "q_t1_topk",
+    "q_a6_rollup",
+    "q_minhash_near_dup",
+    # --- last driver-checked r07 (42 of 50 in-window) ---
+    "q_media_wav_features",
+    "q_vtk_domain",
+    "q_text_bigram_lm",
+    "q_media_png_resize",
+    "q_media_jpeg_resize",
+    "q_hdf5_roundtrip",
+    "q_vtk_scan",
+    "q_vti_scan",
+    "q_stream_bloom",
+    "q_media_frames",
+    "q_sketch_quantiles",
+    "q_text_chunks",
+    "q_mix_weights",
+    "q_sample_stratified",
+    "q_a1_moment_stats",
+    "q_a2_elementwise_stats",
+    "q_a3_pivot_counts",
+    "q_a8_welford_state",
+    "q_a11_heavy_hitters",
+    "q_sketch_distinct",
+    "q_validate_expectations",
+    "q_profile_columns",
+    "q_j1_broadcast_join",
+    "q_j2_point_to_cell",
+    "q_j3_scatter_mean",
+    "q_j4_range_join",
+    "q_j5_semi_join",
+    "q_s3_edge_dedup",
+    "q_m1_von_mises",
+    "q_scan_pushdown",
+    "q_precision_downcast",
+    "q_global_inject",
+    "q_ts_asof_join",
+    "q_ts_rollup_daily",
+    "q_w4_sessionize",
+    "q_dedup_exact",
+    "q_dedup_ngram_jaccard",
+    "q_sample_split",
+    "q_text_redact_pii",
+    "q_text_logprob",
+    "q_text_decontaminate",
+    "q_emb_outliers",
+    # --- tail: r07 overflow (sim-verify; r10 window head) ---
+    "q_text_features",
+    "q_text_winnow",
+    "q_text_lang_quality",
+    "q_text_vocab",
+    "q_text_tfidf_sim",
+    "q_ann_cosine_topk",
+    "q_text_token_ids",
+    "q_pack_sequences",
+    # --- tail: r08-driver-green cohort ---
     "q_d3plot_scan",
     "q_aselmdb_scan",
     "q_zarr_roundtrip",
     "q_netcdf3_roundtrip",
     "q_openradioss_scan",
     "q_dataset_layout",
-    # --- last driver-checked r06 (44 of 48 in-window) ---
     "q_warc_scan",
     "q_text_span_dedup_xx",
     "q_sketch_bloom",
@@ -5351,62 +5933,6 @@ _DRIVER_ORDER = [
     "q_dedup_components",
     "q_text_span_dedup",
     "q_text_repetition",
-    # --- tail: r06 overflow (driver-sim green this round) ---
-    "q_w1_row_number",
-    "q_t1_topk",
-    "q_a6_rollup",
-    "q_minhash_near_dup",
-    # --- tail: r07-driver-green cohort ---
-    "q_media_wav_features",
-    "q_vtk_domain",
-    "q_text_bigram_lm",
-    "q_media_png_resize",
-    "q_media_jpeg_resize",
-    "q_hdf5_roundtrip",
-    "q_vtk_scan",
-    "q_vti_scan",
-    "q_stream_bloom",
-    "q_media_frames",
-    "q_sketch_quantiles",
-    "q_text_chunks",
-    "q_mix_weights",
-    "q_sample_stratified",
-    "q_a1_moment_stats",
-    "q_a2_elementwise_stats",
-    "q_a3_pivot_counts",
-    "q_a8_welford_state",
-    "q_a11_heavy_hitters",
-    "q_sketch_distinct",
-    "q_validate_expectations",
-    "q_profile_columns",
-    "q_j1_broadcast_join",
-    "q_j2_point_to_cell",
-    "q_j3_scatter_mean",
-    "q_j4_range_join",
-    "q_j5_semi_join",
-    "q_s3_edge_dedup",
-    "q_m1_von_mises",
-    "q_scan_pushdown",
-    "q_precision_downcast",
-    "q_global_inject",
-    "q_ts_asof_join",
-    "q_ts_rollup_daily",
-    "q_w4_sessionize",
-    "q_dedup_exact",
-    "q_dedup_ngram_jaccard",
-    "q_sample_split",
-    "q_text_redact_pii",
-    "q_text_logprob",
-    "q_text_decontaminate",
-    "q_emb_outliers",
-    "q_text_features",
-    "q_text_winnow",
-    "q_text_lang_quality",
-    "q_text_vocab",
-    "q_text_tfidf_sim",
-    "q_ann_cosine_topk",
-    "q_text_token_ids",
-    "q_pack_sequences",
 ]
 
 

@@ -133,9 +133,13 @@ def _attribute_message(name: str, value: Any) -> bytes:
 # HDF5 Dimension Scale spec + _Netcdf4Dimid per the netCDF-4 format),
 # and each data variable carries a DIMENSION_LIST attribute — a
 # variable-length sequence of object references per rank, stored via a
-# global heap collection.  REFERENCE_LIST (the reverse mapping H5DS
-# maintains) is not written — readers only need DIMENSION_LIST; the
-# omission is part of the documented honest subset.
+# global heap collection.  Each scale also carries the REFERENCE_LIST
+# reverse map H5DS maintains: a 1-D array of compound
+# {dataset: object reference, dimension: int32} elements, one per
+# (dataset, dim) that references the scale.  The references point at
+# dataset headers written AFTER the scales, so the writer emits unique
+# 64-bit placeholder tokens and backpatches them once every dataset
+# address is known.
 
 
 def _ref_dtype_message() -> bytes:
@@ -186,6 +190,50 @@ def _dimension_list_message(w: "_Writer", ref_addrs: list[int]) -> bytes:
     body = struct.pack("<BxHHH", 1, len(nm), len(dt), len(ds))
     body += _pad8(nm) + _pad8(dt) + _pad8(ds) + data
     return _message(0x000C, body)
+
+
+def _compound_member_v1(name: bytes, offset: int, dt_msg: bytes) -> bytes:
+    """One v1 compound-datatype member: padded name, byte offset,
+    dimensionality/permutation/reserved (all zero — scalar member),
+    four dimension sizes, then the member's datatype message."""
+    return (
+        _pad8(name + b"\x00")
+        + struct.pack("<IB3xII4I", offset, 0, 0, 0, 0, 0, 0, 0)
+        + dt_msg
+    )
+
+
+def _reference_list_dtype() -> bytes:
+    """The H5DS ``ds_list_t`` compound: ``dataset`` (object reference,
+    offset 0) + ``dimension`` (int32, offset 8), total size 12 — the
+    member names and layout libhdf5's H5DS API writes and expects."""
+    int32 = struct.pack("<B3BIHH", 0x10, 0x08, 0, 0, 4, 0, 32)
+    head = struct.pack("<B3BI", 0x16, 2, 0, 0, 12)
+    return (
+        head
+        + _compound_member_v1(b"dataset", 0, _ref_dtype_message())
+        + _compound_member_v1(b"dimension", 8, int32)
+    )
+
+
+def _reference_list_message(pairs: list[tuple[int, int]]) -> bytes:
+    """REFERENCE_LIST attribute: ``pairs`` of (object-reference value,
+    dimension index).  The reference values here are the writer's
+    placeholder tokens; :func:`write_hdf5` backpatches them."""
+    dt = _reference_list_dtype()
+    ds = _dataspace_message((len(pairs),))
+    data = b"".join(struct.pack("<QI", ref, dim) for ref, dim in pairs)
+    nm = b"REFERENCE_LIST\x00"
+    body = struct.pack("<BxHHH", 1, len(nm), len(dt), len(ds))
+    body += _pad8(nm) + _pad8(dt) + _pad8(ds) + data
+    return _message(0x000C, body)
+
+
+# placeholder-token namespace for REFERENCE_LIST backpatching: the top
+# four bytes are a constant that cannot collide with a real file offset
+# (files this writer emits are far below 2^63) nor with the ASCII
+# attribute payloads that share the header block
+_REF_TOKEN_BASE = 0xA5C396E700000000
 
 
 def _object_header(messages: list[bytes]) -> bytes:
@@ -481,8 +529,17 @@ def write_hdf5(
     w = _Writer()
 
     # dimension scales first: consumers embed their header addresses
-    # in DIMENSION_LIST references
+    # in DIMENSION_LIST references.  Each scale's REFERENCE_LIST points
+    # the other way — at dataset headers not yet written — so those
+    # references are emitted as unique placeholder tokens and
+    # backpatched below once every dataset address is known.
+    rev: dict[str, list[tuple[str, int]]] = {}
+    for name, dims in dimensions.items():
+        for i, d in enumerate(dims):
+            rev.setdefault(d, []).append((name, i))
     scale_addrs: dict[str, int] = {}
+    ref_patches: list[tuple[int, int, list[tuple[int, str]]]] = []
+    tok = 0
     for s, dim_id in scale_ids.items():
         s_attrs = {
             **(attrs.get(s) or {}),
@@ -490,10 +547,25 @@ def write_hdf5(
             "NAME": s.rsplit("/", 1)[-1],
             "_Netcdf4Dimid": dim_id,
         }
+        extra = None
+        toks: list[tuple[int, str]] = []
+        if rev.get(s):
+            pairs = []
+            for dname, dim_idx in rev[s]:
+                token = _REF_TOKEN_BASE + tok
+                tok += 1
+                pairs.append((token, dim_idx))
+                toks.append((token, dname))
+            extra = [_reference_list_message(pairs)]
         scale_addrs[s] = _write_dataset(
             w, np.asarray(datasets[s]), chunks.get(s),
             deflate if s in chunks else None, s_attrs,
+            extra_msgs=extra,
         )
+        if toks:
+            # the object header is the LAST alloc of _write_dataset, so
+            # (addr, len(buf)) bounds the token search to this header
+            ref_patches.append((scale_addrs[s], len(w.buf), toks))
 
     def emit(node: dict, prefix: str) -> int:
         entries = {}
@@ -517,14 +589,29 @@ def write_hdf5(
                     deflate if full in chunks else None, attrs.get(full),
                     extra_msgs=extra,
                 )
+                ds_addrs[full] = entries[key]
         hdr, bt, hp = _write_group(
             w, entries, attrs.get(prefix.rstrip("/"))
         )
         emit.last_btree, emit.last_heap = bt, hp
         return hdr
 
+    ds_addrs: dict[str, int] = {}
     root_hdr = emit(tree, "")
     root_bt, root_hp = emit.last_btree, emit.last_heap
+
+    # backpatch REFERENCE_LIST placeholder tokens with the real dataset
+    # header addresses, confined to each scale's own header block
+    for start, end, toks in ref_patches:
+        for token, dname in toks:
+            needle = struct.pack("<Q", token)
+            idx = w.buf.find(needle, start, end)
+            if idx < 0 or w.buf.find(needle, idx + 1, end) >= 0:
+                raise RuntimeError(
+                    f"REFERENCE_LIST token for {dname!r} not uniquely "
+                    "locatable in the scale header"
+                )
+            w.buf[idx : idx + 8] = struct.pack("<Q", ds_addrs[dname])
 
     sb = bytearray()
     sb += _SIG
@@ -605,6 +692,12 @@ class _RefList(list):
     rewrites the addresses into dataset paths after the full walk."""
 
 
+class _CompoundRefList(list):
+    """Decoded REFERENCE_LIST value: (object-header ADDRESS, dimension
+    index) pairs, path-resolved in the same post-pass as
+    :class:`_RefList`."""
+
+
 def _gheap_object(buf: bytes, addr: int, want: int) -> bytes:
     """Fetch one object's data from a global heap collection."""
     if buf[addr : addr + 4] != b"GCOL":
@@ -647,6 +740,18 @@ def _read_attr(body: bytes, buf: bytes | None = None):
                     for k in range(ln)
                 ]
             )
+        return name, out
+    if dt_body[0] & 0x0F == 6:
+        # compound — the only compound in the subset is the H5DS
+        # REFERENCE_LIST {dataset: object ref @0, dimension: int32 @8},
+        # read by its declared size so a conforming writer's padding
+        # choices don't matter
+        csize = struct.unpack_from("<I", dt_body, 4)[0]
+        n = shape[0] if shape else 1
+        out = _CompoundRefList()
+        for i in range(n):
+            ref, dim = struct.unpack_from("<QI", body, off + csize * i)
+            out.append((ref, dim))
         return name, out
     dt, strlen = _parse_dtype(dt_body)
     if strlen is not None:
@@ -819,5 +924,9 @@ def read_hdf5_bytes(
                 d[k] = [
                     [addr_to_path.get(a, f"@{a}") for a in refs]
                     for refs in v
+                ]
+            elif isinstance(v, _CompoundRefList):
+                d[k] = [
+                    (addr_to_path.get(a, f"@{a}"), dim) for a, dim in v
                 ]
     return datasets, attrs_out

@@ -311,6 +311,75 @@ def test_dimension_scales_roundtrip(tmp_path):
         at["lon"]["_Netcdf4Dimid"],
     ) == (0, 1, 2)
     assert at["data/v"]["DIMENSION_LIST"] == [["time"], ["lat"], ["lon"]]
+    # the H5DS reverse map: each scale names every (dataset, dim) that
+    # references it
+    assert at["time"]["REFERENCE_LIST"] == [("data/v", 0)]
+    assert at["lat"]["REFERENCE_LIST"] == [("data/v", 1)]
+    assert at["lon"]["REFERENCE_LIST"] == [("data/v", 2)]
+
+
+def test_reference_list_multi_dataset(tmp_path):
+    """Two variables sharing scales: the reverse map accumulates one
+    entry per (dataset, dim) in declaration order, and the backpatched
+    references resolve to the right headers even though the data
+    datasets are written after the scales."""
+    p = str(tmp_path / "m.h5")
+    t, y = np.arange(3.0), np.arange(4.0)
+    a = np.arange(12.0).reshape(3, 4)
+    b = a * 3
+    hdf5.write_hdf5(
+        p,
+        {"t": t, "y": y, "a": a, "g/b": b},
+        deflate=None,
+        dimensions={"a": ["t", "y"], "g/b": ["t", "y"]},
+    )
+    ds, at = hdf5.read_hdf5(p)
+    np.testing.assert_array_equal(ds["a"], a)
+    np.testing.assert_array_equal(ds["g/b"], b)
+    assert at["t"]["REFERENCE_LIST"] == [("a", 0), ("g/b", 0)]
+    assert at["y"]["REFERENCE_LIST"] == [("a", 1), ("g/b", 1)]
+
+
+def test_reference_list_bytes(tmp_path):
+    """Spec-level pins: REFERENCE_LIST is a 1-D array of 12-byte
+    compound elements — member ``dataset`` (class-7 object reference,
+    size 8, offset 0) + member ``dimension`` (class-0 int32, offset 8)
+    — the ds_list_t layout libhdf5's H5DS API writes, with no
+    placeholder token left behind after backpatching."""
+    p = tmp_path / "d.h5"
+    _write_scaled(p)
+    buf = open(p, "rb").read()
+    i = buf.index(b"REFERENCE_LIST\x00")
+    hdr = i - 8
+    _ver, name_size, dt_size, ds_size = struct.unpack_from(
+        "<BxHHH", buf, hdr
+    )
+    assert name_size == 15
+    off = hdr + 8 + (name_size + 7) // 8 * 8
+    dt = buf[off : off + dt_size]
+    # compound v1, 2 members, size 12
+    assert dt[0] == 0x16 and dt[1] == 2
+    assert struct.unpack_from("<I", dt, 4)[0] == 12
+    m1 = dt[8:]
+    assert m1.startswith(b"dataset\x00")
+    m1_fixed = m1[8:]  # name padded to 8
+    assert struct.unpack_from("<I", m1_fixed, 0)[0] == 0  # offset 0
+    m1_dt = m1_fixed[32:]
+    assert m1_dt[0] == 0x17  # object reference
+    assert struct.unpack_from("<I", m1_dt, 4)[0] == 8
+    m2 = m1_dt[8:]
+    assert m2.startswith(b"dimension\x00")
+    m2_fixed = m2[16:]  # name padded to 16
+    assert struct.unpack_from("<I", m2_fixed, 0)[0] == 8  # offset 8
+    m2_dt = m2_fixed[32:]
+    assert m2_dt[0] == 0x10  # fixed-point
+    assert struct.unpack_from("<I", m2_dt, 4)[0] == 4
+    # attribute data: one element whose reference points INSIDE the
+    # file (backpatched) — no 0xA5C396E7 token residue anywhere
+    off += (dt_size + 7) // 8 * 8 + (ds_size + 7) // 8 * 8
+    ref, dim = struct.unpack_from("<QI", buf, off)
+    assert 0 < ref < len(buf) and dim == 0
+    assert struct.pack("<I", 0xA5C396E7)[::-1] not in buf
 
 
 def test_dimension_list_bytes(tmp_path):
@@ -379,6 +448,14 @@ def test_h5py_dimension_scales(tmp_path):  # pragma: no cover
         assert h5py.h5ds.is_scale(f["time"].id)
         for k, name in enumerate(("time", "lat", "lon")):
             assert f["data/v"].dims[k][0] == f[name]
+            # REFERENCE_LIST reverse map resolves through h5py: the
+            # scale's recorded (dataset, dim) pairs point back at the
+            # data variable
+            rl = f[name].attrs["REFERENCE_LIST"]
+            assert len(rl) == 1
+            ref, dim = rl[0]
+            assert f[ref] == f["data/v"].id or f[ref].id == f["data/v"].id
+            assert dim == k
 
 
 try:  # pragma: no cover — not installed in this environment

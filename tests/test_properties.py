@@ -533,3 +533,156 @@ def test_png_adam7_and_16bit_roundtrip_property(
     out, meta = png.decode_png(png.encode_png(arr, interlace=interlace))
     assert meta["bit_depth"] == (16 if depth16 else 8)
     np.testing.assert_array_equal(out.reshape(arr.shape), arr)
+
+
+@given(
+    data=st.data(),
+    dtype=st.sampled_from(["<f8", "<f4", "<i8", "<i4"]),
+    compress=st.booleans(),
+    nan_fill=st.booleans(),
+)
+@settings(max_examples=40, deadline=None)
+def test_zarr_v2_roundtrip_property(
+    tmp_path_factory, data, dtype, compress, nan_fill
+):
+    """Any array shape x chunk shape (dividing or not) x dtype x
+    compressor survives init_array + write_chunk → read_array exactly,
+    with unwritten chunks reading back as the fill value — including
+    the NaN fill serialized as the string "NaN" per the v2 spec."""
+    import numpy as np
+
+    from physicsnemo_curator_spark.sinks import zarr_store as Z
+
+    rank = data.draw(st.integers(1, 3))
+    shape = tuple(data.draw(st.integers(1, 9)) for _ in range(rank))
+    chunks = tuple(
+        data.draw(st.integers(1, s + 2)) for s in shape
+    )  # chunk > shape and non-dividing chunks both legal
+    rng = np.random.default_rng(data.draw(st.integers(0, 2**31 - 1)))
+    if dtype.startswith("<f"):
+        arr = rng.standard_normal(shape).astype(np.dtype(dtype))
+    else:
+        arr = rng.integers(-1000, 1000, size=shape).astype(np.dtype(dtype))
+    fill = float("nan") if (nan_fill and dtype.startswith("<f")) else 0
+    comp = {"id": "zlib", "level": 1} if compress else None
+
+    store = str(tmp_path_factory.mktemp("zv2"))
+    adir = Z.init_array(
+        store, "v", shape=shape, chunks=chunks, dtype=dtype,
+        compressor=comp, fill_value=fill,
+    )
+    ncdim = [max(1, -(-s // c)) for s, c in zip(shape, chunks)]
+    skip = data.draw(
+        st.sets(
+            st.integers(0, int(np.prod(ncdim)) - 1),
+            max_size=int(np.prod(ncdim)),
+        )
+    )
+    expect = np.full(shape, fill, dtype=np.dtype(dtype))
+    for flat, idx in enumerate(np.ndindex(*ncdim)):
+        if flat in skip:
+            continue
+        block = np.full(chunks, fill, dtype=np.dtype(dtype))
+        sel = tuple(
+            slice(i * c, min((i + 1) * c, s))
+            for i, c, s in zip(idx, chunks, shape)
+        )
+        sub = arr[sel]
+        block[tuple(slice(0, x.stop - x.start) for x in sel)] = sub
+        expect[sel] = sub
+        Z.write_chunk(adir, idx, block, comp)
+    out = Z.read_array(adir)
+    assert out.dtype == np.dtype(dtype)
+    np.testing.assert_array_equal(out, expect)
+
+
+@given(
+    data=st.data(),
+    sharded=st.booleans(),
+    compress=st.booleans(),
+)
+@settings(max_examples=30, deadline=None)
+def test_zarr_v3_roundtrip_property(tmp_path_factory, data, sharded, compress):
+    """v3 arrays — plain chunks or sharding_indexed shards with the
+    crc32c-checked end index — survive write → read_array_v3 exactly,
+    including partial edge shards, missing inner chunks (2^64-1 index
+    sentinel → fill value) and missing whole shards."""
+    import numpy as np
+
+    from physicsnemo_curator_spark.sinks import zarr_store as Z
+
+    nt = data.draw(st.integers(1, 12))
+    nlat = data.draw(st.integers(1, 5))
+    nlon = data.draw(st.integers(1, 5))
+    shape = (nt, nlat, nlon)
+    chunk = (1, nlat, nlon)
+    shard_t = data.draw(st.integers(1, 6)) if sharded else None
+    codec = {"name": "gzip", "configuration": {"level": 1}} if compress else None
+    rng = np.random.default_rng(data.draw(st.integers(0, 2**31 - 1)))
+    arr = rng.standard_normal(shape)
+
+    store = str(tmp_path_factory.mktemp("zv3"))
+    adir = Z.init_array_v3(
+        store, "v", shape=shape, chunk_shape=chunk,
+        shard_shape=(shard_t, nlat, nlon) if sharded else None,
+        dtype="<f8", codec=codec, fill_value=float("nan"),
+    )
+    expect = np.full(shape, np.nan)
+    written = data.draw(
+        st.sets(st.integers(0, nt - 1), min_size=0, max_size=nt)
+    )
+    if sharded:
+        nshards = -(-nt // shard_t)
+        for s in range(nshards):
+            blocks = {}
+            for i in range(shard_t):
+                t = s * shard_t + i
+                if t < nt and t in written:
+                    blocks[i] = arr[t : t + 1]
+                    expect[t] = arr[t]
+            if blocks:
+                Z.write_shard_v3(adir, (s, 0, 0), blocks, shard_t, codec)
+    else:
+        for t in written:
+            Z.write_chunk_v3(adir, (t, 0, 0), arr[t : t + 1], codec)
+            expect[t] = arr[t]
+    out = Z.read_array_v3(adir)
+    np.testing.assert_array_equal(out, expect)
+
+
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    rgb=st.booleans(),
+    quality=st.sampled_from([25, 50, 75, 90, 95]),
+    sub=st.sampled_from(["444", "420"]),
+)
+@settings(max_examples=40, deadline=None)
+def test_jpeg_progressive_equals_baseline_property(
+    seed, h, w, rgb, quality, sub
+):
+    """Progressive (SOF2) and baseline encodes of the SAME image share
+    quantized coefficients bit-for-bit, so their decodes must be
+    PIXEL-IDENTICAL for any image / quality / subsampling — the
+    property that pins the EOB-run capping, the refinement-scan
+    correction-bit ordering, and the shared DCT summation order."""
+    import numpy as np
+
+    from physicsnemo_curator_spark.sources import jpeg
+
+    if not rgb and sub == "420":
+        sub = "444"  # grayscale has no chroma to subsample
+    rng = np.random.default_rng(seed)
+    shape = (h, w, 3) if rgb else (h, w)
+    arr = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    # bias half the examples toward sparse/flat content (long EOB runs)
+    if seed % 2:
+        mask = rng.random((h, w)) < 0.9
+        arr[mask] = 77
+    b, mb = jpeg.decode_jpeg(jpeg.encode_jpeg(arr, quality=quality, subsampling=sub))
+    p, mp = jpeg.decode_jpeg(
+        jpeg.encode_jpeg_progressive(arr, quality=quality, subsampling=sub)
+    )
+    assert mb == mp
+    np.testing.assert_array_equal(b, p)

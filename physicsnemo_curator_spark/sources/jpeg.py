@@ -257,6 +257,7 @@ def decode_jpeg(data: bytes) -> tuple[np.ndarray, dict]:
     huff: dict[tuple[int, int], dict] = {}  # (class, id) -> table
     frame = None
     prog = None  # progressive coefficient state, created at first SOS
+    seq = None  # sequential multi-scan planes, created at first partial SOS
     restart_interval = 0
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
@@ -333,12 +334,32 @@ def decode_jpeg(data: bytes) -> tuple[np.ndarray, dict]:
                     prog, ss, se, a >> 4, a & 0x0F,
                 )
                 continue
+            if frame is not None and ns < len(frame["comps"]):
+                # sequential multi-scan (T.81 B.2.3, Ns < Nf): decode
+                # each non-interleaved scan into persistent component
+                # planes; assemble at EOI once every scan has landed
+                if seq is None:
+                    seq = _init_sequential(frame)
+                pos = _decode_seq_scan(
+                    data, pos, frame, scan, quant, huff,
+                    restart_interval, seq,
+                )
+                continue
+            if seq is not None:
+                raise NotImplementedError(
+                    "mixed interleaved + non-interleaved scans"
+                )
             return _decode_scan(
                 data, pos, frame, scan, quant, huff, restart_interval
             )
         pos = pos + 2 + seglen
     if prog is not None:
         return _finish_progressive(frame, quant, prog)
+    if seq is not None:
+        comps = frame["comps"]
+        hmax = max(c["h"] for c in comps)
+        vmax = max(c["v"] for c in comps)
+        return _assemble_image(seq, comps, frame["h"], frame["w"], hmax, vmax)
     raise ValueError("no SOS marker found")
 
 
@@ -585,6 +606,84 @@ def _assemble_image(planes, comps, h, w, hmax, vmax):
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8), meta
 
 
+def _init_sequential(frame):
+    """MCU-padded per-component pixel planes for a sequential
+    multi-scan (Ns < Nf) baseline frame."""
+    comps = frame["comps"]
+    if len(comps) not in (1, 3):
+        raise NotImplementedError(f"{len(comps)}-component images")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax > 2 or vmax > 2:
+        raise NotImplementedError("sampling factors above 2x2")
+    mcus_x = -(-frame["w"] // (8 * hmax))
+    mcus_y = -(-frame["h"] // (8 * vmax))
+    return [
+        np.zeros((mcus_y * 8 * c["v"], mcus_x * 8 * c["h"]))
+        for c in comps
+    ]
+
+
+def _decode_seq_scan(
+    data, pos, frame, scan, quant, huff, restart_interval, planes
+):
+    """Decode ONE non-interleaved sequential scan (exactly one
+    component — T.81 A.2.2: the scan covers the component's TRUE block
+    grid in raster order, one block per restart unit) into its plane;
+    returns the offset of the next marker segment."""
+    comps = frame["comps"]
+    order = [c for c in comps if c["id"] in scan]
+    if len(order) != len(scan):
+        raise ValueError("SOS names a component missing from SOF0")
+    if len(order) != 1:
+        raise NotImplementedError(
+            "sequential scans over a strict component subset larger "
+            "than one (Nf > Ns > 1) are not in the subset"
+        )
+    c = order[0]
+    dc_tab = huff[(0, scan[c["id"]][0])]
+    ac_tab = huff[(1, scan[c["id"]][1])]
+    q = quant[c["tq"]]
+    hmax = max(x["h"] for x in comps)
+    vmax = max(x["v"] for x in comps)
+    cw = -(-frame["w"] * c["h"] // hmax)
+    ch = -(-frame["h"] * c["v"] // vmax)
+    plane = planes[comps.index(c)]
+    reader = _BitReader(data, pos)
+    pred = 0
+    unit = 0
+    for row in range(-(-ch // 8)):
+        for col in range(-(-cw // 8)):
+            if restart_interval and unit and unit % restart_interval == 0:
+                reader.align_to_restart()
+                pred = 0
+            size = reader.decode_symbol(dc_tab)
+            pred += _extend(reader.read_bits(size), size)
+            coefs = np.zeros(64)
+            coefs[0] = pred * q[0]
+            k = 1
+            while k <= 63:
+                rs = reader.decode_symbol(ac_tab)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r == 15:
+                        k += 16  # ZRL
+                        continue
+                    break  # EOB
+                k += r
+                if k > 63:
+                    raise ValueError("AC index out of range")
+                coefs[k] = _extend(reader.read_bits(s), s) * q[k]
+                k += 1
+            block = np.zeros((8, 8))
+            block.flat[ZIGZAG] = coefs
+            plane[row * 8 : row * 8 + 8, col * 8 : col * 8 + 8] = (
+                _C.T @ block @ _C + 128.0
+            )
+            unit += 1
+    return _next_marker_pos(data, reader.pos)
+
+
 def _decode_scan(data, pos, frame, scan, quant, huff, restart_interval):
     if frame is None:
         raise ValueError("SOS before SOF0")
@@ -592,13 +691,9 @@ def _decode_scan(data, pos, frame, scan, quant, huff, restart_interval):
     if len(comps) not in (1, 3):
         raise NotImplementedError(f"{len(comps)}-component images")
     if len(scan) != len(comps):
-        # baseline T.81 also allows several non-interleaved scans (SOS
-        # Ns < Nf); this decoder only implements the single interleaved
-        # scan — keep the module's loud honest-subset contract instead
-        # of KeyError-ing on the missing component below
-        raise NotImplementedError(
-            f"non-interleaved scans unsupported (scan covers {len(scan)} "
-            f"of {len(comps)} frame components)"
+        raise ValueError(
+            "_decode_scan handles the single interleaved scan; "
+            "decode_jpeg routes partial scans to _decode_seq_scan"
         )
     h, w = frame["h"], frame["w"]
     hmax = max(c["h"] for c in comps)
@@ -786,6 +881,7 @@ def encode_jpeg(
     quality: int = 90,
     subsampling: str = "444",
     restart_interval: int = 0,
+    scan_script: str = "interleaved",
 ) -> bytes:
     """Encode uint8 ``(h, w)`` grayscale or ``(h, w, 3)`` RGB as a
     baseline JPEG with Annex-K tables (quality-scaled).
@@ -793,7 +889,10 @@ def encode_jpeg(
     ``subsampling``: '444' (one block per component per MCU) or '420'
     (2x2 luma sampling, chroma averaged over 2x2 — the common camera
     layout).  ``restart_interval`` > 0 emits DRI + RSTn markers every
-    N MCUs (the error-resilience feature large scans carry)."""
+    N MCUs (the error-resilience feature large scans carry).
+    ``scan_script``: 'interleaved' (single SOS over all components) or
+    'separate' (one non-interleaved SOS per component — the other
+    layout T.81 sequential mode permits)."""
     (
         planes, samplings, gray, h, w, mcus_x, mcus_y, quants
     ) = _prep_planes(pixels, quality, subsampling)
@@ -837,11 +936,6 @@ def encode_jpeg(
         )
     if restart_interval:
         seg(0xDD, struct.pack(">H", restart_interval))
-    sos = bytes([nc])
-    for c in range(nc):
-        sos += bytes([c + 1, 0x00 if c == 0 else 0x11])
-    sos += b"\x00\x3f\x00"
-    seg(0xDA, sos)
 
     bw = _BitWriter()
     pred = [0] * nc
@@ -880,6 +974,54 @@ def encode_jpeg(
             bw.write(code, length)
             bw.write(v if v > 0 else v - 1 + (1 << size), size)
             run = 0
+
+    if scan_script == "separate":
+        # one non-interleaved SOS per component (T.81 allows 1..4
+        # sequential scans; each covers the component's TRUE block
+        # grid, not the MCU-padded one — A.2.2), restart numbering
+        # restarting at 0 per scan
+        hmax = max(s[0] for s in samplings)
+        vmax = max(s[1] for s in samplings)
+        for ci in range(nc):
+            seg(
+                0xDA,
+                bytes([1, ci + 1, 0x00 if ci == 0 else 0x11])
+                + b"\x00\x3f\x00",
+            )
+            bw = _BitWriter()
+            pred = [0] * nc
+            rst = 0
+            unit = 0
+            sh, sv = samplings[ci]
+            cw = -(-w * sh // hmax)
+            ch = -(-h * sv // vmax)
+            for row in range(-(-ch // 8)):
+                for col in range(-(-cw // 8)):
+                    if (
+                        restart_interval
+                        and unit
+                        and unit % restart_interval == 0
+                    ):
+                        bw.flush()
+                        out.extend(bw.out)
+                        bw.out = bytearray()
+                        out.extend(bytes([0xFF, 0xD0 + rst]))
+                        rst = (rst + 1) % 8
+                        pred[ci] = 0
+                    encode_block(ci, planes[ci], row * 8, col * 8)
+                    unit += 1
+            bw.flush()
+            out.extend(bw.out)
+        out.extend(b"\xff\xd9")  # EOI
+        return bytes(out)
+    if scan_script != "interleaved":
+        raise ValueError(f"unknown scan_script {scan_script!r}")
+
+    sos = bytes([nc])
+    for c in range(nc):
+        sos += bytes([c + 1, 0x00 if c == 0 else 0x11])
+    sos += b"\x00\x3f\x00"
+    seg(0xDA, sos)
 
     for my in range(mcus_y):
         for mx in range(mcus_x):

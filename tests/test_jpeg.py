@@ -314,3 +314,82 @@ def test_external_progressive_jpeg_decodes():
     assert px.shape == (477, 720, 3) and px.dtype == np.uint8
     assert abs(float(px.mean()) - 107.86) < 0.02
     assert int(px[::100, ::100].sum()) == 16532
+
+
+@pytest.mark.parametrize("sub", ["444", "420"])
+@pytest.mark.parametrize("kind", ["grad", "noise", "sparse", "flat"])
+def test_sequential_separate_scans_match_interleaved(kind, sub):
+    """T.81 B.2.3 also allows a baseline frame whose components arrive
+    in SEPARATE non-interleaved scans (Ns = 1 each).  Quant tables and
+    coefficient math are shared with the interleaved script, so the
+    decodes must be PIXEL-IDENTICAL, and each non-interleaved scan
+    must cover the component's TRUE block grid (A.2.2), not the
+    MCU-padded one — the distinction only 420 subsampling exercises."""
+    g = _fixture_images()[kind]
+    img = np.stack([g, np.roll(g, 3, axis=1), 255 - g], axis=2)
+    i, mi = jpeg.decode_jpeg(
+        jpeg.encode_jpeg(img, quality=80, subsampling=sub)
+    )
+    s, ms = jpeg.decode_jpeg(
+        jpeg.encode_jpeg(
+            img, quality=80, subsampling=sub, scan_script="separate"
+        )
+    )
+    assert mi == ms
+    np.testing.assert_array_equal(i, s)
+
+
+def test_sequential_separate_scans_gray_restart_and_markers():
+    """Grayscale separate == interleaved trivially (one component) but
+    must still round-trip; with restart markers the per-scan restart
+    numbering resets at 0.  Marker pin: 3 SOS segments with Ns=1 for
+    an RGB separate encode, SOF0 frame."""
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (21, 19), dtype=np.uint8)
+    for rst in (0, 2):
+        a, _ = jpeg.decode_jpeg(
+            jpeg.encode_jpeg(img, quality=70, restart_interval=rst)
+        )
+        b, _ = jpeg.decode_jpeg(
+            jpeg.encode_jpeg(
+                img, quality=70, restart_interval=rst,
+                scan_script="separate",
+            )
+        )
+        np.testing.assert_array_equal(a, b)
+
+    rgb = _smooth_rgb(18, 26)
+    data = jpeg.encode_jpeg(
+        rgb, quality=85, subsampling="420", restart_interval=3,
+        scan_script="separate",
+    )
+    sos_ns, sof = [], None
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        seglen = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
+        if marker == 0xC0:
+            sof = 0xC0
+        if marker == 0xC2:
+            sof = 0xC2
+        if marker == 0xDA:
+            sos_ns.append(data[pos + 4])
+            # skip entropy data to the next marker
+            pos += 2 + seglen
+            while pos + 1 < len(data) and not (
+                data[pos] == 0xFF
+                and data[pos + 1] not in (0x00,)
+                and not (0xD0 <= data[pos + 1] <= 0xD7)
+            ):
+                pos += 1
+            continue
+        pos += 2 + seglen
+    assert sof == 0xC0 and sos_ns == [1, 1, 1]
+    out, meta = jpeg.decode_jpeg(data)
+    assert meta == {"width": 26, "height": 18, "channels": 3}

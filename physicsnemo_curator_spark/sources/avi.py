@@ -1,0 +1,318 @@
+"""Pure-Python AVI (RIFF) video container codec.
+
+The multimodal frame sampler treats a video payload as an opaque
+binary column; this module gives the container half a real on-disk
+format instead of the raw-plane-concatenation convention alone.  The
+implementation follows the public Microsoft RIFF/AVI specification
+(``AVIMAINHEADER`` / ``AVISTREAMHEADER`` / ``BITMAPINFOHEADER`` and
+the ``movi`` chunk list with the optional ``idx1`` index):
+
+- **MJPEG** streams (``biCompression == 'MJPG'``): every ``00dc``
+  chunk is one baseline/progressive JPEG, decoded by the in-repo
+  T.81 codec (``sources/jpeg.py``) — no ffmpeg, no PIL.
+- **Uncompressed DIB** streams (``biCompression == BI_RGB``): 24-bit
+  bottom-up BGR rows padded to 4-byte boundaries (``00db`` chunks),
+  and 8-bit grayscale with an identity palette.
+
+Anything outside that subset raises ``NotImplementedError`` loudly
+(the module's honest-subset contract, same as the JPEG/PNG codecs).
+
+Scale shape: containers are decoded task-side inside ``mapInPandas``
+batches — one task per file/payload, exactly like the VTK/GRIB2
+binary-scan family, so throughput scales with file count.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+BI_RGB = 0
+
+_AVIF_HASINDEX = 0x00000010
+_AVIIF_KEYFRAME = 0x00000010
+
+
+def is_avi(data: bytes) -> bool:
+    return len(data) >= 12 and data[:4] == b"RIFF" and data[8:12] == b"AVI "
+
+
+# ---------------------------------------------------------------------------
+# encode
+
+
+def _dib_encode(frame: np.ndarray) -> bytes:
+    """24-bit BI_RGB DIB: bottom-up BGR rows, 4-byte row alignment."""
+    h, w = frame.shape[:2]
+    if frame.ndim == 2:
+        frame = np.stack([frame] * 3, axis=2)
+    bgr = frame[::-1, :, ::-1]  # bottom-up, BGR
+    row = bgr.reshape(h, w * 3)
+    pad = (-w * 3) % 4
+    if pad:
+        row = np.concatenate(
+            [row, np.zeros((h, pad), dtype=np.uint8)], axis=1
+        )
+    return row.tobytes()
+
+
+def encode_avi(
+    frames: list[np.ndarray],
+    *,
+    fps: int = 30,
+    codec: str = "mjpeg",
+    quality: int = 90,
+) -> bytes:
+    """Encode uint8 frames (all ``(h, w)`` or all ``(h, w, 3)``) as an
+    AVI file with a single video stream.
+
+    ``codec``: ``'mjpeg'`` (each frame an in-repo-encoded JPEG in a
+    ``00dc`` chunk) or ``'raw'`` (24-bit bottom-up DIB ``00db``
+    chunks).  Emits hdrl (avih + strl), the movi list, and a
+    conformant idx1 index (offsets relative to the ``movi`` fourcc).
+    """
+    from . import jpeg as _jpeg
+
+    if not frames:
+        raise ValueError("cannot encode an empty frame list")
+    h, w = frames[0].shape[:2]
+    for f in frames:
+        if f.shape[:2] != (h, w) or f.dtype != np.uint8:
+            raise ValueError("all frames must be uint8 with equal shape")
+    if codec == "mjpeg":
+        payloads = [
+            _jpeg.encode_jpeg(f, quality=quality) for f in frames
+        ]
+        ckid, compression, bitcount = b"00dc", b"MJPG", 24
+    elif codec == "raw":
+        payloads = [_dib_encode(f) for f in frames]
+        ckid, compression, bitcount = (
+            b"00db", struct.pack("<I", BI_RGB), 24
+        )
+    else:
+        raise ValueError(f"unknown codec {codec!r}")
+
+    max_size = max(len(p) for p in payloads)
+    usec_per_frame = round(1_000_000 / fps)
+
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        usec_per_frame,
+        max_size * fps,
+        0,
+        _AVIF_HASINDEX,
+        len(frames),
+        0,
+        1,
+        max_size,
+        w,
+        h,
+        0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIiI4h",
+        b"vids",
+        b"MJPG" if codec == "mjpeg" else b"\x00\x00\x00\x00",
+        0,
+        0,
+        0,
+        0,
+        1,          # dwScale
+        fps,        # dwRate: rate/scale = fps
+        0,
+        len(frames),
+        max_size,
+        -1,         # dwQuality: default
+        0,
+        0, 0, w, h,  # rcFrame
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII",
+        40,
+        w,
+        h,
+        1,
+        bitcount,
+        compression if isinstance(compression, bytes) and len(compression) == 4
+        else struct.pack("<I", BI_RGB),
+        max(len(p) for p in payloads),
+        0,
+        0,
+        0,
+        0,
+    )
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        out = fourcc + struct.pack("<I", len(body)) + body
+        if len(body) % 2:
+            out += b"\x00"
+        return out
+
+    def lst(fourcc: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", fourcc + body)
+
+    strl = lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + strl)
+
+    movi_body = bytearray(b"movi")
+    idx = bytearray()
+    for p in payloads:
+        # idx1 offsets are relative to the 'movi' fourcc position
+        off = len(movi_body) - 4 + 4  # == offset of the chunk fourcc
+        idx += ckid + struct.pack("<III", _AVIIF_KEYFRAME, off, len(p))
+        movi_body += ckid + struct.pack("<I", len(p)) + p
+        if len(p) % 2:
+            movi_body += b"\x00"
+    movi = chunk(b"LIST", bytes(movi_body))
+    idx1 = chunk(b"idx1", bytes(idx))
+
+    riff_body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+# ---------------------------------------------------------------------------
+# decode
+
+
+def _walk_chunks(data: bytes, pos: int, end: int):
+    """Yield (fourcc, body_start, body_len) for a RIFF chunk run."""
+    while pos + 8 <= end:
+        fourcc = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        body = pos + 8
+        if body + size > end:
+            raise ValueError("truncated RIFF chunk")
+        yield fourcc, body, size
+        pos = body + size + (size % 2)
+
+
+def _parse_strf(body: bytes):
+    (
+        bi_size, w, h, planes, bitcount,
+    ) = struct.unpack_from("<IiiHH", body, 0)
+    compression = body[16:20]
+    return {
+        "width": w,
+        "height": h,
+        "bitcount": bitcount,
+        "compression": compression,
+    }
+
+
+def _dib_decode(body: bytes, w: int, h: int, bitcount: int) -> np.ndarray:
+    if bitcount == 24:
+        stride = (w * 3 + 3) & ~3
+        if len(body) < stride * abs(h):
+            raise ValueError("DIB frame shorter than its geometry")
+        rows = np.frombuffer(body[: stride * abs(h)], dtype=np.uint8)
+        rows = rows.reshape(abs(h), stride)[:, : w * 3].reshape(abs(h), w, 3)
+        rgb = rows[:, :, ::-1]
+        return rgb[::-1] if h > 0 else rgb  # positive height = bottom-up
+    if bitcount == 8:
+        stride = (w + 3) & ~3
+        rows = np.frombuffer(body[: stride * abs(h)], dtype=np.uint8)
+        gray = rows.reshape(abs(h), stride)[:, :w]
+        return (gray[::-1] if h > 0 else gray).copy()
+    raise NotImplementedError(f"{bitcount}-bit DIB frames")
+
+
+def parse_avi(data: bytes) -> dict:
+    """Parse container structure without decoding frame payloads.
+
+    Returns ``{"meta": {...}, "frames": [(fourcc, start, size), ...]}``
+    where each frame entry points into ``data``.
+    """
+    if not is_avi(data):
+        raise ValueError("not a RIFF/AVI payload")
+    (riff_size,) = struct.unpack_from("<I", data, 4)
+    end = min(len(data), 8 + riff_size)
+    meta = None
+    stream = None
+    frames: list[tuple[bytes, int, int]] = []
+    for fourcc, body, size in _walk_chunks(data, 12, end):
+        if fourcc != b"LIST":
+            continue
+        kind = data[body : body + 4]
+        if kind == b"hdrl":
+            for c4, b2, s2 in _walk_chunks(data, body + 4, body + size):
+                if c4 == b"avih":
+                    (
+                        usec, _, _, _, total, _, nstreams, _, w, h,
+                    ) = struct.unpack_from("<IIIIIIIIII", data, b2)
+                    meta = {
+                        "width": w,
+                        "height": h,
+                        "n_frames": total,
+                        "fps": round(1_000_000 / usec) if usec else 0,
+                    }
+                elif c4 == b"LIST" and data[b2 : b2 + 4] == b"strl":
+                    st = {}
+                    for c5, b3, s3 in _walk_chunks(data, b2 + 4, b2 + s2):
+                        if c5 == b"strh":
+                            fcc_type = data[b3 : b3 + 4]
+                            scale, rate = struct.unpack_from(
+                                "<II", data, b3 + 20
+                            )
+                            st["type"] = fcc_type
+                            if scale:
+                                st["fps"] = round(rate / scale)
+                        elif c5 == b"strf" and st.get("type") == b"vids":
+                            st.update(_parse_strf(data[b3 : b3 + s3]))
+                    if st.get("type") == b"vids" and stream is None:
+                        stream = st
+        elif kind == b"movi":
+            for c4, b2, s2 in _walk_chunks(data, body + 4, body + size):
+                if c4[2:4] in (b"dc", b"db"):
+                    frames.append((c4, b2, s2))
+                elif c4 == b"LIST" and data[b2 : b2 + 4] == b"rec ":
+                    for c5, b3, s3 in _walk_chunks(data, b2 + 4, b2 + s2):
+                        if c5[2:4] in (b"dc", b"db"):
+                            frames.append((c5, b3, s3))
+    if meta is None or stream is None:
+        raise ValueError("AVI missing avih/strl headers")
+    comp = stream.get("compression", struct.pack("<I", BI_RGB))
+    if comp in (b"MJPG", b"mjpg"):
+        codec = "mjpeg"
+    elif comp == struct.pack("<I", BI_RGB):
+        codec = "raw"
+    else:
+        raise NotImplementedError(
+            f"AVI compression {comp!r} (only MJPG and BI_RGB DIB)"
+        )
+    meta["codec"] = codec
+    meta["bitcount"] = stream.get("bitcount", 24)
+    if "fps" in stream:
+        meta["fps"] = stream["fps"]
+    return {"meta": meta, "frames": frames}
+
+
+def iter_avi_frames(data: bytes, *, every_n: int = 1):
+    """Yield ``(frame_index, np.ndarray)`` for every ``every_n``-th
+    frame.  Skipped frames are never entropy-decoded — sampling a
+    sparse subset of a long MJPEG stream costs only the container
+    walk."""
+    from . import jpeg as _jpeg
+
+    parsed = parse_avi(data)
+    meta = parsed["meta"]
+    for i, (fourcc, start, size) in enumerate(parsed["frames"]):
+        if i % every_n:
+            continue
+        body = data[start : start + size]
+        if meta["codec"] == "mjpeg":
+            px, _ = _jpeg.decode_jpeg(body)
+        else:
+            px = _dib_decode(
+                body, meta["width"], meta["height"], meta["bitcount"]
+            )
+        yield i, px
+
+
+def decode_avi(data: bytes) -> tuple[list[np.ndarray], dict]:
+    """Decode every frame; returns ``(frames, meta)``."""
+    parsed = parse_avi(data)
+    frames = [px for _, px in iter_avi_frames(data)]
+    meta = dict(parsed["meta"])
+    meta["n_frames"] = len(frames)
+    return frames, meta

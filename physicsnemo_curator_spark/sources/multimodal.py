@@ -387,11 +387,16 @@ def sample_frames(
     A raw video payload is a concatenation of ``width*height``-byte
     frame planes; every ``every_n``-th frame becomes its own row —
     the table-generating (explode) shape of the reference's
-    per-timestep mesh expansion, on binary media.  Container formats
-    (mp4/...) need ffmpeg: strict=True raises, strict=False skips them.
-    Non-video rows are dropped (this is a frame table, not a media
-    table).
+    per-timestep mesh expansion, on binary media.  RIFF/AVI container
+    payloads (MJPEG or uncompressed DIB streams) are decoded natively
+    by ``sources/avi.py`` — frame geometry comes from the container
+    headers and the payload is the decoded pixel plane (``w*h`` gray
+    or ``w*h*3`` RGB bytes).  Other containers (mp4/...) need ffmpeg:
+    strict=True raises, strict=False skips them.  Non-video rows are
+    dropped (this is a frame table, not a media table).
     """
+    from . import avi as _avi
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             mid, idx, payload, ws, hs = [], [], [], [], []
@@ -401,6 +406,15 @@ def sample_frames(
                 if kind != "video":
                     continue
                 raw = bytes(raw)
+                if _avi.is_avi(raw):
+                    meta = _avi.parse_avi(raw)["meta"]
+                    for f, px in _avi.iter_avi_frames(raw, every_n=every_n):
+                        mid.append(media_id)
+                        idx.append(f)
+                        payload.append(px.tobytes())
+                        ws.append(meta["width"])
+                        hs.append(meta["height"])
+                    continue
                 if pd.isna(w) or pd.isna(h):  # NaN, not None, in pandas
                     continue
                 frame_bytes = int(w) * int(h)
@@ -408,8 +422,9 @@ def sample_frames(
                 if n_frames == 0 or len(raw) % frame_bytes:
                     if strict:
                         raise NotImplementedError(
-                            "container video payload needs ffmpeg, which is "
-                            "not installed; run with strict=False"
+                            "non-AVI container video payload needs ffmpeg, "
+                            "which is not installed; run with strict=False "
+                            "(RIFF/AVI MJPEG+DIB decode natively)"
                         )
                     continue
                 for f in range(0, n_frames, every_n):

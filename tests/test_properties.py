@@ -686,3 +686,37 @@ def test_jpeg_progressive_equals_baseline_property(
     )
     assert mb == mp
     np.testing.assert_array_equal(b, p)
+
+
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n=st.integers(1, 1600),
+    channels=st.integers(1, 2),
+    smooth=st.booleans(),
+)
+@settings(max_examples=30, deadline=None)
+def test_wav_adpcm_total_property(seed, n, channels, smooth):
+    """IMA ADPCM decode(encode(x)) is TOTAL for any signal: exact
+    frame count via the fact chunk (block padding never leaks),
+    samples stay in the int16-normalized range, and smooth signals
+    stay within the 4-bit quantizer's worst step (the step table tops
+    out at 32767/32768 per sample, but a band-limited signal must do
+    far better)."""
+    import numpy as np
+
+    from physicsnemo_curator_spark.sources import wav
+
+    rng = np.random.default_rng(seed)
+    if smooth:
+        t = np.arange(n + 8)[:n]
+        base = 0.7 * np.sin(2 * np.pi * t / 64)
+        sig = np.stack([np.roll(base, c) for c in range(channels)], axis=1)
+    else:
+        sig = rng.uniform(-1.0, 1.0, size=(n, channels))
+    out, meta = wav.decode_wav(wav.encode_wav(sig, 8000, bits=4))
+    out = out.reshape(n, channels)
+    assert meta["n_frames"] == n and meta["bits"] == 4
+    assert np.isfinite(out).all() and np.abs(out).max() <= 1.0
+    if smooth and n > 32:
+        # adaptation settles within a few samples; bound the tail
+        assert np.abs(out[8:] - np.clip(sig[8:], -1, 1)).max() < 0.25

@@ -149,3 +149,91 @@ def test_bad_wav_plumbing_mode_digest_stub(spark):
     assert feat.feature == [b / 255.0 for b in digest[:4]]
     with pytest.raises(Exception):
         multimodal.extract_features(media, strict=True).collect()
+
+
+def test_adpcm_roundtrip_snr_and_exact_count():
+    """IMA/DVI ADPCM (format 0x11): lossy 4-bit, but a smooth signal
+    must survive with > 25 dB SNR, the fact chunk must restore the
+    exact frame count (blocks are padded), and meta reports bits=4."""
+    t = np.arange(5000)
+    sig = 0.6 * np.sin(2 * np.pi * t / 50) + 0.2 * np.sin(2 * np.pi * t / 7)
+    out, meta = wav.decode_wav(wav.encode_wav(sig, 8000, bits=4))
+    assert meta == {
+        "sample_rate": 8000, "channels": 1, "bits": 4,
+        "n_frames": 5000, "duration_s": 0.625,
+    }
+    snr = 10 * np.log10(np.mean(sig**2) / np.mean((out - sig) ** 2))
+    assert snr > 25
+
+    stereo = np.stack([sig, np.roll(sig, 13)], axis=1)
+    o2, m2 = wav.decode_wav(wav.encode_wav(stereo, 44100, bits=4))
+    assert o2.shape == (5000, 2) and m2["channels"] == 2
+    snr2 = 10 * np.log10(np.mean(stereo**2) / np.mean((o2 - stereo) ** 2))
+    assert snr2 > 25
+
+    # shorter than one block: single padded block, exact count back
+    o3, m3 = wav.decode_wav(wav.encode_wav(sig[:37], 8000, bits=4))
+    assert len(o3) == 37 and m3["n_frames"] == 37
+
+
+def test_adpcm_reconstruction_matches_stdlib_audioop():
+    """The IMA nibble->sample reconstruction must agree BIT-FOR-BIT
+    with an independent implementation: CPython's audioop (Intel/DVI
+    ADPCM, same step/index tables).  audioop packs the first sample
+    in the HIGH nibble (WAV blocks use low-first), and carries no
+    block headers, so the comparison drives the core kernel
+    directly."""
+    audioop = pytest.importorskip("audioop")
+
+    sig = (0.5 * np.sin(np.arange(300) / 9) * 32767).astype(np.int16)
+    adp, _ = audioop.lin2adpcm(sig.tobytes(), 2, None)
+    ref = np.frombuffer(audioop.adpcm2lin(adp, 2, None)[0], "<i2")
+    b = np.frombuffer(adp, np.uint8)
+    nib = np.empty(len(b) * 2, np.int32)
+    nib[0::2] = b >> 4
+    nib[1::2] = b & 0x0F
+    pred, idx = np.zeros(1, np.int32), np.zeros(1, np.int32)
+    mine = np.empty(len(nib), np.int16)
+    for i, n in enumerate(nib):
+        pred, idx = wav._adpcm_reconstruct(pred, idx, np.array([n]))
+        mine[i] = pred[0]
+    np.testing.assert_array_equal(mine, ref[: len(mine)])
+
+
+def test_adpcm_block_structure_pins():
+    """Spec pins: fmt tag 0x11 with cbSize=2 + wSamplesPerBlock, a
+    fact chunk carrying the true frame count, per-block 4-byte
+    channel headers (predictor = first sample, step index in range),
+    data region a whole number of blocks."""
+    sig = np.linspace(-0.5, 0.5, 700)
+    data = wav.encode_wav(sig, 8000, bits=4)
+    i = data.index(b"fmt ")
+    tag, ch, rate, _br, ba, bits, cb, spb = struct.unpack_from(
+        "<HHIIHHHH", data, i + 8
+    )
+    assert (tag, ch, bits, cb) == (0x11, 1, 4, 2)
+    assert spb == (ba - 4) * 2 + 1
+    i = data.index(b"fact")
+    assert struct.unpack_from("<I", data, i + 8)[0] == 700
+    i = data.index(b"data")
+    (dsize,) = struct.unpack_from("<I", data, i + 4)
+    assert dsize % ba == 0 and dsize // ba == -(-700 // spb)
+    first = struct.unpack_from("<h", data, i + 8)[0]
+    assert first == round(-0.5 * 32767)
+    assert 0 <= data[i + 10] <= 88  # step index
+
+
+def test_adpcm_strict_extract_features(spark):
+    """ADPCM audio flows through the multimodal feature kernel under
+    strict=True — compressed audio is no longer gate-only."""
+    from physicsnemo_curator_spark.sources import multimodal
+
+    t = np.arange(8000) / 8000.0
+    sig = 0.8 * np.sin(2 * np.pi * 100 * t)
+    rows = [(5, "audio", bytearray(wav.encode_wav(sig, 8000, bits=4)),
+             None, None, None)]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    feat = multimodal.extract_features(media, dim=8, strict=True).collect()[0]
+    assert feat.feature[0] == 8000.0 and feat.feature[1] == 1.0
+    assert abs(feat.feature[2] - 1.0) < 1e-12
+    assert abs(feat.feature[3] - 0.8 / np.sqrt(2)) < 1e-2

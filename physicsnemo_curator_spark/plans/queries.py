@@ -4278,6 +4278,184 @@ FROM documents WHERE doc_id < 300 ORDER BY doc_id LIMIT 300
 """
 
 
+def q_media_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVI container gate (sources/avi.py): each document becomes a
+    REAL RIFF/AVI file — four 8x4 grayscale frames in uncompressed
+    bottom-up DIB chunks, frame ``f``'s pixel bytes = the 32 hex chars
+    of ``md5(text || f)`` — encoded executor-side, then exploded back
+    through ``sample_frames(every_n=2)`` which must route the payload
+    through the container parser (avih geometry, movi walk, DIB
+    bottom-up un-flip, gray->RGB promotion).  The decoded frame plane
+    is the original bytes with every byte tripled (RGB interleave of
+    the promoted gray), so DuckDB replays the whole pipeline with
+    string arithmetic: any header, stride, row-order, or idx1 bug
+    changes the md5."""
+    from physicsnemo_curator_spark.sources import avi as _avi
+    from physicsnemo_curator_spark.sources import multimodal
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 250)
+        .select("doc_id", "text")
+    )
+
+    def encode(it):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            payloads = []
+            for text in pdf["text"]:
+                frames = [
+                    np.frombuffer(
+                        hashlib.md5(
+                            (text + str(f)).encode("utf-8")
+                        ).hexdigest().encode("ascii"),
+                        dtype=np.uint8,
+                    ).reshape(4, 8)
+                    for f in range(4)
+                ]
+                payloads.append(_avi.encode_avi(frames, fps=12, codec="raw"))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "video",
+                    "payload": payloads,
+                    "width": pd.array([None] * len(pdf), dtype="Int32"),
+                    "height": pd.array([None] * len(pdf), dtype="Int32"),
+                    "n_bytes": pd.array(
+                        [len(p) for p in payloads], dtype="Int64"
+                    ),
+                }
+            )
+
+    media = docs.mapInPandas(
+        encode,
+        "media_id long, kind string, payload binary, width int, "
+        "height int, n_bytes long",
+    )
+    frames = multimodal.sample_frames(media, every_n=2)
+    return (
+        frames.select(
+            F.col("media_id").alias("doc_id"),
+            "frame_index",
+            F.md5("payload").alias("frame_md5"),
+            "width",
+            "height",
+        )
+        .orderBy("doc_id", "frame_index")
+        .limit(500)
+    )
+
+
+ORACLE_MEDIA_AVI = """
+WITH f AS (
+    SELECT doc_id, u.f AS frame_index,
+           md5(text || CAST(u.f AS VARCHAR)) AS hex
+    FROM documents, (SELECT UNNEST([0, 2]) AS f) u
+    WHERE doc_id < 250
+)
+SELECT doc_id, CAST(frame_index AS INT) AS frame_index,
+       md5(array_to_string(
+           list_transform(range(1, 33), i -> repeat(hex[i], 3)), ''
+       )) AS frame_md5,
+       CAST(8 AS INT) AS width, CAST(4 AS INT) AS height
+FROM f ORDER BY doc_id, frame_index LIMIT 500
+"""
+
+
+def q_media_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMA ADPCM gate (sources/wav.py format 0x11): each document
+    becomes a CONSTANT signal at level ``(n_chars % 100) / 127`` with
+    ``200 + n_chars % 700`` frames (spanning under- and multi-block
+    payloads at 505 samples/block), encoded to real ADPCM and decoded
+    back in the executors.  A constant signal is an ADPCM fixed point
+    (initial step index 0 -> step 7 -> diff 7>>3 = 0), so every
+    decoded sample equals ``round(32767*k/127)/32768`` EXACTLY, the
+    fact chunk must restore the exact frame count through block
+    padding, and the byte sizes pin the block layout: data bytes =
+    ceil(n/505)*256, file bytes = 60 + data bytes.  DuckDB replays
+    all of it in integer arithmetic."""
+    from physicsnemo_curator_spark.sources import wav as _wav
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select(
+            "doc_id",
+            (F.col("n_chars") % 100).cast("int").alias("k"),
+            (200 + F.col("n_chars") % 700).cast("int").alias("n"),
+        )
+    )
+
+    def codec(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            signals = [
+                np.full(int(n), int(k) / 127.0)
+                for k, n in zip(pdf["k"], pdf["n"])
+            ]
+            # batch APIs: one block-stacked kernel call per Arrow
+            # batch instead of ~1000 tiny numpy ops per signal
+            encs = _wav.encode_wav_batch(signals, 8000, bits=4)
+            rows = [
+                (
+                    int(doc_id),
+                    int(meta["n_frames"]),
+                    int(meta["sample_rate"]),
+                    int(meta["bits"]),
+                    len(enc),
+                    float(np.min(out)),
+                    float(np.max(out)),
+                )
+                for doc_id, enc, (out, meta) in zip(
+                    pdf["doc_id"], encs, _wav.decode_wav_batch(encs)
+                )
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames", "sample_rate", "bits",
+                    "enc_bytes", "vmin", "vmax",
+                ],
+            )
+
+    out = docs.mapInPandas(
+        codec,
+        "doc_id long, n_frames int, sample_rate int, bits int, "
+        "enc_bytes int, vmin double, vmax double",
+    )
+    return (
+        out.select(
+            "doc_id", "n_frames", "sample_rate", "bits", "enc_bytes",
+            F.round("vmin", 9).alias("vmin"),
+            F.round("vmax", 9).alias("vmax"),
+        )
+        .orderBy("doc_id")
+        .limit(300)
+    )
+
+
+ORACLE_MEDIA_ADPCM = """
+WITH p AS (
+    SELECT doc_id, n_chars % 100 AS k, 200 + n_chars % 700 AS n
+    FROM documents WHERE doc_id < 300
+)
+SELECT doc_id,
+       CAST(n AS INT) AS n_frames,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(4 AS INT) AS bits,
+       CAST(60 + 256 * ((n + 504) // 505) AS INT) AS enc_bytes,
+       ROUND(CAST(ROUND(32767 * k / 127.0) AS BIGINT) / 32768.0, 9) AS vmin,
+       ROUND(CAST(ROUND(32767 * k / 127.0) AS BIGINT) / 32768.0, 9) AS vmax
+FROM p ORDER BY doc_id LIMIT 300
+"""
+
+
 def q_dataset_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hub-dataset local-layout gate (sources/datasets.py — DrivAerML
     ``run_<i>/`` discovery, split-part volume reassembly, and the
@@ -5624,6 +5802,8 @@ QUERIES: dict[str, QuerySpec] = {
     "q_openradioss_scan": QuerySpec(q_openradioss_scan, ORACLE_OPENRADIOSS),
     "q_dataset_layout": QuerySpec(q_dataset_layout, ORACLE_DATASET_LAYOUT),
     "q_media_wav_features": QuerySpec(q_media_wav_features, ORACLE_MEDIA_WAV),
+    "q_media_avi_frames": QuerySpec(q_media_avi_frames, ORACLE_MEDIA_AVI),
+    "q_media_adpcm": QuerySpec(q_media_adpcm, ORACLE_MEDIA_ADPCM),
     "q_vtk_domain": QuerySpec(q_vtk_domain, ORACLE_VTK_DOMAIN),
     "q_text_bigram_lm": QuerySpec(q_text_bigram_lm, ORACLE_TEXT_BIGRAM_LM),
     "q_media_png_resize": QuerySpec(q_media_png_resize, ORACLE_MEDIA_PNG),
@@ -5825,6 +6005,8 @@ _DRIVER_ORDER = [
     "q_grid_sidecar",
     "q_atomic_stats",
     "q_mesh_quality",
+    "q_media_avi_frames",
+    "q_media_adpcm",
     # --- last driver-checked r06 ---
     "q_w1_row_number",
     "q_t1_topk",
@@ -5871,9 +6053,9 @@ _DRIVER_ORDER = [
     "q_sample_split",
     "q_text_redact_pii",
     "q_text_logprob",
+    # --- tail: r07 overflow (sim-verify; r10 window head) ---
     "q_text_decontaminate",
     "q_emb_outliers",
-    # --- tail: r07 overflow (sim-verify; r10 window head) ---
     "q_text_features",
     "q_text_winnow",
     "q_text_lang_quality",

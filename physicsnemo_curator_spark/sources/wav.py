@@ -10,12 +10,15 @@ policy in :mod:`physicsnemo_curator_spark.sources.multimodal`.
 
 Supported surface (loud on the rest): RIFF little-endian, ``fmt ``
 format 1 (integer PCM, 8-bit unsigned / 16-bit / 24-bit / 32-bit
-signed), format 3 (IEEE float32/float64), and format 0x11 (IMA/DVI
-ADPCM, the public 4-bit compressed-PCM scheme — mono/stereo, any
-block align), any channel count, extra chunks (LIST, ...) skipped
-with ``fact`` honored for the ADPCM frame count; NOT supported:
+signed), format 3 (IEEE float32/float64), format 6 (G.711 a-law),
+format 7 (G.711 mu-law), and format 0x11 (IMA/DVI ADPCM, the public
+4-bit compressed-PCM scheme — mono/stereo, any block align), any
+channel count, extra chunks (LIST, ...) skipped with ``fact``
+honored for the ADPCM frame count; NOT supported:
 WAVE_FORMAT_EXTENSIBLE subformats other than PCM/float, MS-ADPCM,
-a-law/mu-law, MP3/AAC.
+MP3/AAC.  The G.711 companders are ported from the canonical Sun
+segment-table algorithm and pinned bit-for-bit against CPython's
+audioop in the tests.
 
 ADPCM blocks are independent decode units (each block header carries
 its own predictor + step index), so both codec directions vectorize
@@ -47,8 +50,63 @@ _IMA_STEP_TABLE = np.array(
 )
 
 
+_SEG_ULAW = np.array(
+    [0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF, 0x1FFF], dtype=np.int32
+)
+_SEG_ALAW = np.array(
+    [0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF], dtype=np.int32
+)
+
+
 def is_wav(data: bytes) -> bool:
     return bytes(data[:4]) == b"RIFF" and bytes(data[8:12]) == b"WAVE"
+
+
+def _ulaw_encode(x: np.ndarray) -> np.ndarray:
+    """int16 -> G.711 mu-law bytes (Sun/CCITT segment algorithm)."""
+    p = x.astype(np.int32) >> 2  # 14-bit domain
+    mask = np.where(p < 0, 0x7F, 0xFF)
+    p = np.minimum(np.abs(p), 8159) + 33  # CLIP, BIAS>>2
+    seg = np.searchsorted(_SEG_ULAW, p, side="left")
+    seg_c = np.minimum(seg, 7)
+    uval = (seg_c << 4) | ((p >> (seg_c + 1)) & 0x0F)
+    return (np.where(seg >= 8, 0x7F ^ mask, uval ^ mask) & 0xFF).astype(
+        np.uint8
+    )
+
+
+def _ulaw_decode(u: np.ndarray) -> np.ndarray:
+    """G.711 mu-law bytes -> int16."""
+    u = (~u.astype(np.int32)) & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    return np.where(u & 0x80, 0x84 - t, t - 0x84)
+
+
+def _alaw_encode(x: np.ndarray) -> np.ndarray:
+    """int16 -> G.711 a-law bytes (Sun/CCITT segment algorithm)."""
+    p = x.astype(np.int32) >> 3  # 13-bit domain
+    mask = np.where(p >= 0, 0xD5, 0x55)
+    p = np.where(p >= 0, p, -p - 1)
+    seg = np.searchsorted(_SEG_ALAW, p, side="left")
+    seg_c = np.minimum(seg, 7)
+    shift = np.where(seg_c < 2, 1, seg_c)
+    aval = (seg_c << 4) | ((p >> shift) & 0x0F)
+    return (np.where(seg >= 8, 0x7F ^ mask, aval ^ mask) & 0xFF).astype(
+        np.uint8
+    )
+
+
+def _alaw_decode(a: np.ndarray) -> np.ndarray:
+    """G.711 a-law bytes -> int16."""
+    a = a.astype(np.int32) ^ 0x55
+    seg = (a & 0x70) >> 4
+    mant = a & 0x0F
+    t = np.where(
+        seg == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << np.maximum(
+            seg - 1, 0
+        )
+    )
+    return np.where(a & 0x80, t, -t)
 
 
 def _adpcm_reconstruct(pred, idx, nib):
@@ -68,23 +126,11 @@ def _adpcm_reconstruct(pred, idx, nib):
     return pred, idx
 
 
-def _decode_adpcm_ima(
-    payload: bytes, channels: int, block_align: int, n_frames: int | None
-) -> np.ndarray:
-    """IMA ADPCM data chunk -> float64 PCM, block-parallel."""
-    if block_align <= 4 * channels or (block_align - 4 * channels) % (
-        4 * channels
-    ):
-        raise ValueError(
-            f"IMA ADPCM block align {block_align} invalid for "
-            f"{channels} channels"
-        )
-    usable = len(payload) - len(payload) % block_align
-    if usable == 0:
-        raise ValueError("IMA ADPCM data shorter than one block")
-    blocks = np.frombuffer(payload[:usable], np.uint8).reshape(
-        -1, block_align
-    )
+def _adpcm_decode_blocks(blocks: np.ndarray, channels: int) -> np.ndarray:
+    """uint8 block matrix ``(nb, block_align)`` -> int32 frames
+    ``(nb, samples_per_block, channels)``.  The vectorization axis is
+    BLOCKS — stack blocks from many files/signals and the serial loop
+    over nibble positions runs once for all of them."""
     nb = blocks.shape[0]
     heads = blocks[:, : 4 * channels].reshape(nb, channels, 4)
     pred = (
@@ -105,27 +151,38 @@ def _decode_adpcm_ima(
     for t in range(nsamp):
         pred, idx = _adpcm_reconstruct(pred, idx, nib[:, :, t])
         out[:, :, t + 1] = pred
-    frames = out.transpose(0, 2, 1).reshape(-1, channels)
+    return out.transpose(0, 2, 1)
+
+
+def _decode_adpcm_ima(
+    payload: bytes, channels: int, block_align: int, n_frames: int | None
+) -> np.ndarray:
+    """IMA ADPCM data chunk -> float64 PCM, block-parallel."""
+    if block_align <= 4 * channels or (block_align - 4 * channels) % (
+        4 * channels
+    ):
+        raise ValueError(
+            f"IMA ADPCM block align {block_align} invalid for "
+            f"{channels} channels"
+        )
+    usable = len(payload) - len(payload) % block_align
+    if usable == 0:
+        raise ValueError("IMA ADPCM data shorter than one block")
+    blocks = np.frombuffer(payload[:usable], np.uint8).reshape(
+        -1, block_align
+    )
+    frames = _adpcm_decode_blocks(blocks, channels).reshape(-1, channels)
     if n_frames is not None:
         frames = frames[:n_frames]
     return frames.astype(np.float64).reshape(-1) / 32768.0
 
 
-def _encode_adpcm_ima(
-    arr: np.ndarray, sample_rate: int, *, block_align: int | None = None
-) -> bytes:
-    """float (n, c) in [-1, 1] -> complete IMA ADPCM WAV bytes."""
-    n, channels = arr.shape
-    if n == 0:
-        raise ValueError("cannot ADPCM-encode an empty signal")
-    ba = block_align if block_align else 256 * channels
-    spb = (ba - 4 * channels) * 2 // channels + 1
-    pcm = np.round(np.clip(arr, -1.0, 1.0) * 32767.0).astype(np.int32)
-    nblk = -(-n // spb)
-    pad = nblk * spb - n
-    if pad:
-        pcm = np.concatenate([pcm, np.repeat(pcm[-1:], pad, axis=0)])
-    s = pcm.reshape(nblk, spb, channels).transpose(0, 2, 1)
+def _adpcm_encode_blocks(s: np.ndarray) -> np.ndarray:
+    """int32 samples ``(nblk, channels, samples_per_block)`` -> uint8
+    encoded block bodies ``(nblk, block_bytes)``.  Like the decode
+    kernel, blocks are the vectorization axis — callers may stack
+    blocks from MANY signals into one call."""
+    nblk, channels, spb = s.shape
     pred = s[:, :, 0].copy()
     # block-local initial step index: nearest table step to the first
     # in-block delta (blocks stay independent => parallel encode)
@@ -156,10 +213,26 @@ def _encode_adpcm_ima(
     heads[:, :, 1] = first >> 8
     heads[:, :, 2] = idx0
     heads[:, :, 3] = 0
-    body = np.concatenate(
+    return np.concatenate(
         [heads.reshape(nblk, -1), groups.reshape(nblk, -1)], axis=1
-    )
-    payload = body.astype(np.uint8).tobytes()
+    ).astype(np.uint8)
+
+
+def _adpcm_block_shape(arr, block_align):
+    n, channels = arr.shape
+    if n == 0:
+        raise ValueError("cannot ADPCM-encode an empty signal")
+    ba = block_align if block_align else 256 * channels
+    spb = (ba - 4 * channels) * 2 // channels + 1
+    pcm = np.round(np.clip(arr, -1.0, 1.0) * 32767.0).astype(np.int32)
+    nblk = -(-n // spb)
+    pad = nblk * spb - n
+    if pad:
+        pcm = np.concatenate([pcm, np.repeat(pcm[-1:], pad, axis=0)])
+    return pcm.reshape(nblk, spb, channels).transpose(0, 2, 1), ba, spb
+
+
+def _adpcm_wrap_riff(payload, n, channels, sample_rate, ba, spb):
     byte_rate = -(-sample_rate * ba // spb)
     fmt = struct.pack(
         "<HHIIHHHH", 0x11, channels, sample_rate, byte_rate, ba, 4, 2, spb
@@ -175,11 +248,21 @@ def _encode_adpcm_ima(
     return b"RIFF" + struct.pack("<I", len(out)) + out
 
 
-def decode_wav(data: bytes) -> tuple[np.ndarray, dict]:
-    """Decode a RIFF/WAVE byte string to ``(samples, meta)``:
-    ``samples`` is float64 in [-1, 1] of shape ``(n_frames,)`` mono or
-    ``(n_frames, n_channels)``; ``meta`` carries sample_rate /
-    channels / bits / n_frames / duration_s."""
+def _encode_adpcm_ima(
+    arr: np.ndarray, sample_rate: int, *, block_align: int | None = None
+) -> bytes:
+    """float (n, c) in [-1, 1] -> complete IMA ADPCM WAV bytes."""
+    s, ba, spb = _adpcm_block_shape(arr, block_align)
+    payload = _adpcm_encode_blocks(s).tobytes()
+    return _adpcm_wrap_riff(
+        payload, arr.shape[0], arr.shape[1], sample_rate, ba, spb
+    )
+
+
+def _parse_wav_chunks(data: bytes):
+    """Walk the RIFF chunk list; returns ``(fmt, block_align,
+    fact_frames, payload)`` with ``fmt = (tag, channels, rate,
+    bits)``."""
     data = bytes(data)
     if not is_wav(data):
         raise ValueError("not a WAV byte stream (bad RIFF/WAVE header)")
@@ -212,6 +295,15 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, dict]:
         pos += 8 + size + (size % 2)  # chunks are word-aligned
     if fmt is None or payload is None:
         raise ValueError("WAV missing fmt or data chunk")
+    return fmt, block_align, fact_frames, payload
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, dict]:
+    """Decode a RIFF/WAVE byte string to ``(samples, meta)``:
+    ``samples`` is float64 in [-1, 1] of shape ``(n_frames,)`` mono or
+    ``(n_frames, n_channels)``; ``meta`` carries sample_rate /
+    channels / bits / n_frames / duration_s."""
+    fmt, block_align, fact_frames, payload = _parse_wav_chunks(data)
     tag, channels, rate, bits = fmt
     if channels < 1:
         raise ValueError(f"WAV fmt declares {channels} channels")
@@ -219,6 +311,12 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, dict]:
         if bits != 4:
             raise NotImplementedError(f"{bits}-bit IMA ADPCM")
         arr = _decode_adpcm_ima(payload, channels, block_align, fact_frames)
+    elif tag == 7:  # G.711 mu-law
+        u = np.frombuffer(payload, np.uint8)
+        arr = _ulaw_decode(u).astype(np.float64) / 32768.0
+    elif tag == 6:  # G.711 a-law
+        a = np.frombuffer(payload, np.uint8)
+        arr = _alaw_decode(a).astype(np.float64) / 32768.0
     elif tag == 1:  # integer PCM
         if bits == 8:
             arr = (
@@ -264,11 +362,14 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, dict]:
 
 
 def encode_wav(
-    samples: np.ndarray, sample_rate: int, *, bits: int = 16
+    samples: np.ndarray, sample_rate: int, *, bits: int = 16,
+    codec: str = "pcm",
 ) -> bytes:
     """Encode float samples in [-1, 1] (``(n,)`` or ``(n, c)``) as
-    integer-PCM WAV (8 or 16 bit), or as IMA/DVI ADPCM with
-    ``bits=4`` (lossy 4:1 vs 16-bit, block-parallel encode)."""
+    integer-PCM WAV (8 or 16 bit), as IMA/DVI ADPCM with ``bits=4``
+    (lossy 4:1 vs 16-bit, block-parallel encode), or as G.711 with
+    ``codec='ulaw'`` / ``codec='alaw'`` (8-bit logarithmic
+    companding, format tags 7 / 6)."""
     arr = np.asarray(samples, dtype=np.float64)
     if arr.ndim == 1:
         arr = arr[:, None]
@@ -276,15 +377,24 @@ def encode_wav(
     if bits == 4:
         return _encode_adpcm_ima(arr, sample_rate)
     flat = np.clip(arr, -1.0, 1.0).reshape(-1)
-    if bits == 16:
-        pcm = np.round(flat * 32767.0).astype("<i2").tobytes()
+    if codec in ("ulaw", "alaw"):
+        s16 = np.round(flat * 32767.0).astype(np.int16)
+        enc = _ulaw_encode(s16) if codec == "ulaw" else _alaw_encode(s16)
+        pcm, tag, bits = enc.tobytes(), 7 if codec == "ulaw" else 6, 8
+    elif codec != "pcm":
+        raise ValueError(f"unknown codec {codec!r}")
+    elif bits == 16:
+        pcm, tag = np.round(flat * 32767.0).astype("<i2").tobytes(), 1
     elif bits == 8:
-        pcm = (np.round(flat * 127.0) + 128).astype(np.uint8).tobytes()
+        pcm, tag = (
+            (np.round(flat * 127.0) + 128).astype(np.uint8).tobytes(), 1
+        )
     else:
         raise ValueError("encode_wav supports bits in (4, 8, 16)")
     block = channels * bits // 8
     fmt = struct.pack(
-        "<HHIIHH", 1, channels, sample_rate, sample_rate * block, block, bits
+        "<HHIIHH", tag, channels, sample_rate, sample_rate * block, block,
+        bits,
     )
     body = (
         b"WAVE"
@@ -299,3 +409,105 @@ def encode_wav(
         + (b"\x00" if len(pcm) % 2 else b"")
     )
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def encode_wav_batch(
+    signals: list, sample_rate: int, *, bits: int = 16
+) -> list[bytes]:
+    """Encode MANY signals at once.  For ADPCM (``bits=4``) all
+    signals' blocks are stacked into ONE kernel call, so the serial
+    nibble loop runs once for the whole batch instead of once per
+    signal — the shape an Arrow/mapInPandas batch of small audio
+    payloads needs (per-signal calls pay ~1000 tiny-array numpy ops
+    each).  PCM depths are already one-shot vectorized per signal and
+    just loop."""
+    arrs = []
+    for s in signals:
+        a = np.asarray(s, dtype=np.float64)
+        arrs.append(a[:, None] if a.ndim == 1 else a)
+    if bits != 4:
+        return [encode_wav(a, sample_rate, bits=bits) for a in arrs]
+    if not arrs:
+        return []
+    channel_counts = {a.shape[1] for a in arrs}
+    if len(channel_counts) > 1:
+        out: list[bytes | None] = [None] * len(arrs)
+        for c in channel_counts:
+            ix = [i for i, a in enumerate(arrs) if a.shape[1] == c]
+            for i, enc in zip(
+                ix,
+                encode_wav_batch(
+                    [arrs[j] for j in ix], sample_rate, bits=4
+                ),
+            ):
+                out[i] = enc
+        return out
+    shaped = [_adpcm_block_shape(a, None) for a in arrs]
+    ba, spb = shaped[0][1], shaped[0][2]
+    bodies = _adpcm_encode_blocks(
+        np.concatenate([s for s, _, _ in shaped], axis=0)
+    )
+    outs, off = [], 0
+    for a, (s, _, _) in zip(arrs, shaped):
+        nb = s.shape[0]
+        payload = bodies[off : off + nb].tobytes()
+        off += nb
+        outs.append(
+            _adpcm_wrap_riff(
+                payload, a.shape[0], a.shape[1], sample_rate, ba, spb
+            )
+        )
+    return outs
+
+
+def decode_wav_batch(datas: list) -> list[tuple[np.ndarray, dict]]:
+    """Decode MANY WAV byte strings at once.  ADPCM payloads sharing
+    (channels, block_align) are stacked into one block-parallel kernel
+    call; everything else routes through :func:`decode_wav`."""
+    parsed = [_parse_wav_chunks(d) for d in datas]
+    results: list = [None] * len(datas)
+    groups: dict[tuple[int, int], list[int]] = {}
+    for i, (fmt, ba, _fact, payload) in enumerate(parsed):
+        tag, channels, _rate, bits = fmt
+        if tag == 0x11 and bits == 4 and channels >= 1:
+            if ba <= 4 * channels or (ba - 4 * channels) % (4 * channels):
+                raise ValueError(
+                    f"IMA ADPCM block align {ba} invalid for "
+                    f"{channels} channels"
+                )
+            if len(payload) < ba:
+                raise ValueError("IMA ADPCM data shorter than one block")
+            groups.setdefault((channels, ba), []).append(i)
+        else:
+            results[i] = decode_wav(datas[i])
+    for (channels, ba), idxs in groups.items():
+        mats, counts = [], []
+        for i in idxs:
+            payload = parsed[i][3]
+            usable = len(payload) - len(payload) % ba
+            m = np.frombuffer(payload[:usable], np.uint8).reshape(-1, ba)
+            mats.append(m)
+            counts.append(m.shape[0])
+        frames = _adpcm_decode_blocks(np.concatenate(mats), channels)
+        off = 0
+        for i, nb in zip(idxs, counts):
+            f = frames[off : off + nb].reshape(-1, channels)
+            off += nb
+            (_tag, ch, rate, bits), _ba, fact, _p = parsed[i]
+            if fact is not None:
+                f = f[:fact]
+            arr = f.astype(np.float64) / 32768.0
+            n = arr.shape[0]
+            if ch == 1:
+                arr = arr.reshape(-1)
+            results[i] = (
+                arr,
+                {
+                    "sample_rate": int(rate),
+                    "channels": int(ch),
+                    "bits": int(bits),
+                    "n_frames": int(n),
+                    "duration_s": n / rate if rate else 0.0,
+                },
+            )
+    return results

@@ -237,3 +237,87 @@ def test_adpcm_strict_extract_features(spark):
     assert feat.feature[0] == 8000.0 and feat.feature[1] == 1.0
     assert abs(feat.feature[2] - 1.0) < 1e-12
     assert abs(feat.feature[3] - 0.8 / np.sqrt(2)) < 1e-2
+
+
+def test_adpcm_batch_apis_match_per_signal():
+    """encode_wav_batch / decode_wav_batch must be byte- and
+    sample-identical to the per-signal calls — the batch path stacks
+    blocks from many signals into one kernel invocation (this is the
+    mapInPandas batch shape), changing the schedule but not one bit
+    of output.  Mixed channel counts and PCM fallbacks included."""
+    rng = np.random.default_rng(7)
+    sigs = [
+        0.5 * np.sin(np.arange(n) / 9.0) for n in (37, 505, 700, 1300)
+    ] + [
+        np.stack(
+            [0.3 * np.sin(np.arange(600) / 5.0),
+             rng.uniform(-1, 1, 600)], axis=1
+        )
+    ]
+    batch = wav.encode_wav_batch(sigs, 8000, bits=4)
+    single = [wav.encode_wav(s, 8000, bits=4) for s in sigs]
+    assert batch == single
+    dec_b = wav.decode_wav_batch(batch)
+    for (arr_b, meta_b), data in zip(dec_b, single):
+        arr_s, meta_s = wav.decode_wav(data)
+        assert meta_b == meta_s
+        np.testing.assert_array_equal(arr_b, arr_s)
+    # PCM fallback keeps the loop semantics
+    pcm = wav.encode_wav_batch(sigs[:2], 8000, bits=16)
+    assert pcm == [wav.encode_wav(s, 8000, bits=16) for s in sigs[:2]]
+    mixed = wav.decode_wav_batch([pcm[0], batch[0]])
+    np.testing.assert_array_equal(mixed[0][0], wav.decode_wav(pcm[0])[0])
+    np.testing.assert_array_equal(mixed[1][0], wav.decode_wav(batch[0])[0])
+    assert wav.encode_wav_batch([], 8000, bits=4) == []
+
+
+def test_g711_companders_match_stdlib_audioop():
+    """The G.711 mu-law and a-law encode AND decode must agree
+    BIT-FOR-BIT with CPython's audioop over random + edge int16
+    samples (both implement the canonical Sun/CCITT segment
+    algorithm)."""
+    audioop = pytest.importorskip("audioop")
+
+    rng = np.random.default_rng(3)
+    x = np.concatenate(
+        [
+            rng.integers(-32768, 32768, 50000),
+            np.array([-32768, -32635, -132, -1, 0, 1, 131, 32635, 32767]),
+        ]
+    ).astype(np.int16)
+    for law, enc_fn, dec_fn, lin2, law2lin in (
+        ("ulaw", wav._ulaw_encode, wav._ulaw_decode,
+         audioop.lin2ulaw, audioop.ulaw2lin),
+        ("alaw", wav._alaw_encode, wav._alaw_decode,
+         audioop.lin2alaw, audioop.alaw2lin),
+    ):
+        ref = np.frombuffer(lin2(x.tobytes(), 2), np.uint8)
+        np.testing.assert_array_equal(enc_fn(x), ref, err_msg=law)
+        refd = np.frombuffer(law2lin(ref.tobytes(), 2), "<i2")
+        np.testing.assert_array_equal(
+            dec_fn(ref).astype(np.int16), refd, err_msg=law
+        )
+
+
+def test_g711_wav_roundtrip():
+    """WAV format tags 7 (mu-law) / 6 (a-law): logarithmic companding
+    keeps relative error small — absolute error bounded by half the
+    top segment step (1024/32768 = 0.03125) everywhere, and much
+    smaller for quiet samples."""
+    t = np.arange(4000)
+    sig = 0.9 * np.sin(2 * np.pi * t / 80)
+    for codec in ("ulaw", "alaw"):
+        data = wav.encode_wav(sig, 8000, codec=codec)
+        out, meta = wav.decode_wav(data)
+        assert meta["n_frames"] == 4000 and meta["bits"] == 8
+        assert np.abs(out - sig).max() < 0.0313
+        quiet = 0.01 * np.sin(2 * np.pi * t / 80)
+        oq, _ = wav.decode_wav(wav.encode_wav(quiet, 8000, codec=codec))
+        assert np.abs(oq - quiet).max() < 0.0006
+    # stereo keeps the channel interleave
+    st = np.stack([sig, -sig], axis=1)
+    o2, m2 = wav.decode_wav(wav.encode_wav(st, 8000, codec="ulaw"))
+    assert o2.shape == (4000, 2) and m2["channels"] == 2
+    assert np.abs(o2[:, 1] + o2[:, 0]).max() < 0.002  # symmetric law
+    with pytest.raises(ValueError, match="unknown codec"):
+        wav.encode_wav(sig, 8000, codec="mp3")

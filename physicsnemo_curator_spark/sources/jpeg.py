@@ -27,9 +27,13 @@ Supported surface (honest subset, loud on the rest):
   approximation (DC and AC first + refinement scans, EOB runs),
   restart markers — the web's default ``libjpeg`` progression
   decodes;
+- **lossless sequential (SOF3, Annex H)**: all seven Table H.1
+  predictors, 2..16-bit precision, modulo-65536 wraps via category
+  16, bit-exact round-trips; encoder via ``encode_jpeg_lossless``
+  (the DICOM-adjacent mode scientific archives carry);
 - NOT supported (``NotImplementedError``): arithmetic coding,
-  CMYK/4-component scans, lossless/hierarchical modes, 12-bit
-  progressive.
+  CMYK/4-component scans, hierarchical mode, 12-bit progressive,
+  lossless restart markers / nonzero point transform.
 
 The encoder emits baseline 4:4:4 (or grayscale) with the T.81 Annex K
 example tables (quality-scaled quantization) — the round-trip partner
@@ -336,11 +340,25 @@ def decode_jpeg(data: bytes) -> tuple[np.ndarray, dict]:
                 "h": h, "w": w, "comps": comps, "prec": prec,
                 "progressive": marker == 0xC2,
             }
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker == 0xC3:  # SOF3 lossless sequential (Annex H)
+            prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            if not 2 <= prec <= 16:
+                raise ValueError(f"SOF3 precision {prec} out of range")
+            comps = []
+            for c in range(nc):
+                cid, sf, tq = struct.unpack_from(">BBB", seg, 6 + 3 * c)
+                comps.append(
+                    {"id": cid, "h": sf >> 4, "v": sf & 0x0F, "tq": tq}
+                )
+            frame = {
+                "h": h, "w": w, "comps": comps, "prec": prec,
+                "progressive": False, "lossless": True,
+            }
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"SOF{marker - 0xC0}: only sequential (SOF0/SOF1) "
-                "and progressive (SOF2) are supported"
+                f"SOF{marker - 0xC0}: only sequential (SOF0/SOF1), "
+                "progressive (SOF2) and lossless (SOF3) are supported"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", seg, 0)[0]
@@ -351,6 +369,16 @@ def decode_jpeg(data: bytes) -> tuple[np.ndarray, dict]:
                 cid, tables = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan[cid] = (tables >> 4, tables & 0x0F)
             pos = pos + 2 + seglen
+            if frame is not None and frame.get("lossless"):
+                if seq is None:
+                    seq = {}
+                ss = seg[1 + 2 * ns]       # predictor selector
+                al = seg[3 + 2 * ns] & 0x0F  # point transform
+                pos = _decode_lossless_scan(
+                    data, pos, frame, scan, huff, restart_interval,
+                    seq, ss, al,
+                )
+                continue
             if frame is not None and frame["progressive"]:
                 if prog is None:
                     prog = _init_progressive(frame)
@@ -382,6 +410,8 @@ def decode_jpeg(data: bytes) -> tuple[np.ndarray, dict]:
         pos = pos + 2 + seglen
     if prog is not None:
         return _finish_progressive(frame, quant, prog)
+    if seq is not None and frame.get("lossless"):
+        return _finish_lossless(frame, seq)
     if seq is not None:
         comps = frame["comps"]
         hmax = max(c["h"] for c in comps)
@@ -719,6 +749,182 @@ def _decode_seq_scan(
             )
             unit += 1
     return _next_marker_pos(data, reader.pos)
+
+
+# lossless (SOF3) Huffman table: difference categories 0..16
+# (category 16 = the modulo-65536 special, no extra bits)
+L16_DC = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1],
+    list(range(17)),
+)
+
+
+def _lossless_predict(ra, rb, rc, sel):
+    """T.81 Table H.1 predictors (integer arithmetic)."""
+    if sel == 1:
+        return ra
+    if sel == 2:
+        return rb
+    if sel == 3:
+        return rc
+    if sel == 4:
+        return ra + rb - rc
+    if sel == 5:
+        return ra + ((rb - rc) >> 1)
+    if sel == 6:
+        return rb + ((ra - rc) >> 1)
+    if sel == 7:
+        return (ra + rb) >> 1
+    raise ValueError(f"lossless predictor {sel} out of range 1..7")
+
+
+def _decode_lossless_scan(
+    data, pos, frame, scan, huff, restart_interval, planes, sel, pt
+):
+    """Decode ONE lossless scan (Annex H): non-interleaved (Ns=1) or
+    interleaved with all sampling factors 1x1 (MCU = one sample per
+    component, raster order).  Accumulates full-resolution component
+    planes into ``planes`` keyed by component id."""
+    if restart_interval:
+        raise NotImplementedError("restart markers in lossless scans")
+    if pt:
+        raise NotImplementedError("nonzero point transform")
+    comps = frame["comps"]
+    order = [c for c in comps if c["id"] in scan]
+    if len(order) != len(scan):
+        raise ValueError("SOS names a component missing from SOF3")
+    if any(c["h"] != 1 or c["v"] != 1 for c in order) and len(order) > 1:
+        raise NotImplementedError(
+            "interleaved lossless scans with sampling factors above 1x1"
+        )
+    h, w = frame["h"], frame["w"]
+    prec = frame["prec"]
+    default = 1 << (prec - 1)
+    tabs = [huff[(0, scan[c["id"]][0])] for c in order]
+    outs = [np.zeros((h, w), dtype=np.int64) for _ in order]
+    reader = _BitReader(data, pos)
+    for row in range(h):
+        for col in range(w):
+            for ci in range(len(order)):
+                ssss = reader.decode_symbol(tabs[ci])
+                if ssss == 16:
+                    diff = 32768
+                else:
+                    diff = _extend(reader.read_bits(ssss), ssss)
+                o = outs[ci]
+                if row == 0 and col == 0:
+                    pred = default
+                elif row == 0:
+                    pred = int(o[0, col - 1])  # Ra on the first line
+                elif col == 0:
+                    pred = int(o[row - 1, 0])  # Rb on line starts
+                else:
+                    pred = _lossless_predict(
+                        int(o[row, col - 1]),
+                        int(o[row - 1, col]),
+                        int(o[row - 1, col - 1]),
+                        sel,
+                    )
+                o[row, col] = (pred + diff) & 0xFFFF
+    for c, o in zip(order, outs):
+        planes[c["id"]] = o
+    return _next_marker_pos(data, reader.pos)
+
+
+def _finish_lossless(frame, planes):
+    """Stack decoded lossless component planes; samples are stored
+    verbatim (no color transform — SOF3 components are not YCbCr by
+    default)."""
+    comps = frame["comps"]
+    missing = [c["id"] for c in comps if c["id"] not in planes]
+    if missing:
+        raise ValueError(f"lossless scan(s) missing components {missing}")
+    prec = frame["prec"]
+    dtype = np.uint8 if prec <= 8 else np.uint16
+    stacked = [planes[c["id"]].astype(dtype) for c in comps]
+    meta = {
+        "width": frame["w"], "height": frame["h"],
+        "channels": len(comps),
+    }
+    if prec != 8:
+        meta["bits"] = prec
+    if len(comps) == 1:
+        return stacked[0], meta
+    return np.stack(stacked, axis=2), meta
+
+
+def encode_jpeg_lossless(
+    pixels: np.ndarray, *, predictor: int = 4, precision: int | None = None
+) -> bytes:
+    """Encode ``(h, w)`` or ``(h, w, 3)`` integer samples as LOSSLESS
+    JPEG (SOF3, T.81 Annex H): predictor residuals, Huffman-coded
+    difference categories, modulo-65536 arithmetic, one scan per
+    component.  ``precision`` defaults to 8 for uint8 input and 16
+    otherwise; decode returns the samples bit-exactly."""
+    arr = np.asarray(pixels)
+    if arr.dtype.kind not in "ui":
+        raise ValueError("lossless encode expects integer samples")
+    if precision is None:
+        precision = 8 if arr.dtype == np.uint8 else 16
+    if not 2 <= precision <= 16:
+        raise ValueError(f"precision {precision} out of range 2..16")
+    if arr.size and int(arr.max()) >= 1 << precision:
+        raise ValueError(f"samples exceed {precision}-bit range")
+    gray = arr.ndim == 2
+    if not gray and (arr.ndim != 3 or arr.shape[2] != 3):
+        raise ValueError(f"cannot encode array of shape {arr.shape}")
+    h, w = arr.shape[:2]
+    if h < 1 or w < 1:
+        raise ValueError("empty image")
+    nc = 1 if gray else 3
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, payload: bytes):
+        out.extend(
+            struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+        )
+
+    sof = struct.pack(">BHHB", precision, h, w, nc)
+    for c in range(nc):
+        sof += struct.pack(">BBB", c + 1, 0x11, 0)
+    seg(0xC3, sof)
+    seg(
+        0xC4,
+        bytes([0x00]) + bytes(L16_DC[0]) + bytes(L16_DC[1]),
+    )
+    tab = _encode_table(*L16_DC)
+    default = 1 << (precision - 1)
+    for ci in range(nc):
+        plane = (arr if gray else arr[:, :, ci]).astype(np.int64)
+        pred = np.empty((h, w), dtype=np.int64)
+        pred[0, 0] = default
+        if w > 1:
+            pred[0, 1:] = plane[0, :-1]  # Ra on the first line
+        if h > 1:
+            pred[1:, 0] = plane[:-1, 0]  # Rb on line starts
+        if h > 1 and w > 1:
+            ra = plane[1:, :-1]
+            rb = plane[:-1, 1:]
+            rc = plane[:-1, :-1]
+            pred[1:, 1:] = _lossless_predict(ra, rb, rc, predictor)
+        diff = ((plane - pred + 32768) & 0xFFFF) - 32768
+        seg(0xDA, bytes([1, ci + 1, 0x00, predictor, 0, 0]))
+        bw = _BitWriter()
+        for d in diff.reshape(-1):
+            d = int(d)
+            if d == -32768:
+                code, length = tab[16]
+                bw.write(code, length)
+                continue
+            size = _csize(d)
+            code, length = tab[size]
+            bw.write(code, length)
+            if size:
+                bw.write(d if d > 0 else d - 1 + (1 << size), size)
+        bw.flush()
+        out.extend(bw.out)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
 
 
 def _decode_scan(data, pos, frame, scan, quant, huff, restart_interval):

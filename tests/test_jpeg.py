@@ -106,8 +106,8 @@ def test_unsupported_raises_loudly():
         jpeg.decode_jpeg(b"\x89PNG not a jpeg")
     data = bytearray(jpeg.encode_jpeg(np.zeros((8, 8), dtype=np.uint8)))
     i = data.index(b"\xff\xc0")
-    data[i + 1] = 0xC3  # pretend lossless sequential
-    with pytest.raises(NotImplementedError, match="SOF3"):
+    data[i + 1] = 0xC9  # pretend arithmetic-coded sequential
+    with pytest.raises(NotImplementedError, match="SOF9"):
         jpeg.decode_jpeg(bytes(data))
     with pytest.raises(ValueError, match="shape"):
         jpeg.encode_jpeg(np.zeros((4, 4, 2), dtype=np.uint8))
@@ -482,3 +482,55 @@ def test_sof1_with_8bit_samples_decodes():
     out, meta = jpeg.decode_jpeg(bytes(data))
     assert "bits" not in meta
     np.testing.assert_array_equal(ref, out)
+
+
+@pytest.mark.parametrize("predictor", list(range(1, 8)))
+def test_lossless_roundtrip_all_predictors(predictor):
+    """SOF3 lossless: decode(encode(x)) is BIT-EXACT for every T.81
+    Table H.1 predictor, gray and RGB, 8- and 16-bit."""
+    rng = np.random.default_rng(predictor)
+    g8 = rng.integers(0, 256, (13, 17), dtype=np.uint8)
+    out, meta = jpeg.decode_jpeg(
+        jpeg.encode_jpeg_lossless(g8, predictor=predictor)
+    )
+    assert meta == {"width": 17, "height": 13, "channels": 1}
+    np.testing.assert_array_equal(out, g8)
+    rgb16 = rng.integers(0, 65536, (6, 20, 3)).astype(np.uint16)
+    out, meta = jpeg.decode_jpeg(
+        jpeg.encode_jpeg_lossless(rgb16, predictor=predictor)
+    )
+    assert meta["bits"] == 16 and out.dtype == np.uint16
+    np.testing.assert_array_equal(out, rgb16)
+
+
+def test_lossless_markers_and_compression():
+    """Marker pins: SOF3 frame, one DHT with 17 difference
+    categories, one Ns=1 SOS per component carrying the predictor in
+    Ss; a linear gradient (predictor-4 residuals all zero after the
+    first samples) must compress far below raw size.  Worst-case
+    modulo wraps (alternating 0 / 65535) survive via category 16."""
+    yy, xx = np.mgrid[0:64, 0:64]
+    grad = (xx * 3 + yy * 2).astype(np.uint16)
+    data = jpeg.encode_jpeg_lossless(grad, predictor=4)
+    assert b"\xff\xc3" in data
+    i = data.index(b"\xff\xc3")
+    assert data[i + 4] == 16  # precision
+    i = data.index(b"\xff\xda")
+    assert data[i + 4] == 1 and data[i + 7] == 4  # Ns=1, Ss=predictor
+    assert len(data) < grad.nbytes // 4
+    wrap = np.zeros((4, 9), dtype=np.uint16)
+    wrap[:, 1::2] = 65535
+    out, _ = jpeg.decode_jpeg(jpeg.encode_jpeg_lossless(wrap, predictor=1))
+    np.testing.assert_array_equal(out, wrap)
+    edge = np.array([[7]], dtype=np.uint8)  # 1x1: default prediction only
+    out, meta = jpeg.decode_jpeg(jpeg.encode_jpeg_lossless(edge))
+    assert out.shape == (1, 1) and out[0, 0] == 7
+
+
+def test_lossless_rejects_out_of_range():
+    with pytest.raises(ValueError, match="range"):
+        jpeg.encode_jpeg_lossless(
+            np.full((4, 4), 300, dtype=np.uint16), precision=8
+        )
+    with pytest.raises(ValueError, match="integer"):
+        jpeg.encode_jpeg_lossless(np.zeros((4, 4)))

@@ -4456,6 +4456,72 @@ FROM p ORDER BY doc_id LIMIT 300
 """
 
 
+def q_media_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossless JPEG gate (sources/jpeg.py SOF3): each document's
+    md5 hex chars become a 4x8 grayscale image, encoded with
+    ``encode_jpeg_lossless`` (predictor varies with doc_id over all
+    seven Table H.1 predictors) and decoded back in the executors.
+    The mode is BIT-EXACT, so the decoded bytes must equal the source
+    bytes — the oracle replays the identity: frame_md5 =
+    md5(md5(text)).  A single wrong predictor, category, or modulo
+    wrap anywhere breaks the hash."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 250)
+        .select("doc_id", "text")
+    )
+
+    def codec(it):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from physicsnemo_curator_spark.sources import jpeg as _jpeg
+
+        for pdf in it:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                src = hashlib.md5(text.encode("utf-8")).hexdigest()
+                img = np.frombuffer(
+                    src.encode("ascii"), dtype=np.uint8
+                ).reshape(4, 8)
+                pred = 1 + int(doc_id) % 7
+                enc = _jpeg.encode_jpeg_lossless(img, predictor=pred)
+                out, meta = _jpeg.decode_jpeg(enc)
+                rows.append(
+                    (
+                        int(doc_id),
+                        pred,
+                        hashlib.md5(out.tobytes()).hexdigest(),
+                        int(meta["width"]),
+                        int(meta["height"]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "predictor", "frame_md5", "width", "height",
+                ],
+            )
+
+    out = docs.mapInPandas(
+        codec,
+        "doc_id long, predictor int, frame_md5 string, width int, "
+        "height int",
+    )
+    return out.orderBy("doc_id").limit(250)
+
+
+ORACLE_MEDIA_LOSSLESS = """
+SELECT doc_id,
+       CAST(1 + doc_id % 7 AS INT) AS predictor,
+       md5(md5(text)) AS frame_md5,
+       CAST(8 AS INT) AS width, CAST(4 AS INT) AS height
+FROM documents WHERE doc_id < 250 ORDER BY doc_id LIMIT 250
+"""
+
+
 def q_dataset_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hub-dataset local-layout gate (sources/datasets.py — DrivAerML
     ``run_<i>/`` discovery, split-part volume reassembly, and the
@@ -5804,6 +5870,7 @@ QUERIES: dict[str, QuerySpec] = {
     "q_media_wav_features": QuerySpec(q_media_wav_features, ORACLE_MEDIA_WAV),
     "q_media_avi_frames": QuerySpec(q_media_avi_frames, ORACLE_MEDIA_AVI),
     "q_media_adpcm": QuerySpec(q_media_adpcm, ORACLE_MEDIA_ADPCM),
+    "q_media_lossless": QuerySpec(q_media_lossless, ORACLE_MEDIA_LOSSLESS),
     "q_vtk_domain": QuerySpec(q_vtk_domain, ORACLE_VTK_DOMAIN),
     "q_text_bigram_lm": QuerySpec(q_text_bigram_lm, ORACLE_TEXT_BIGRAM_LM),
     "q_media_png_resize": QuerySpec(q_media_png_resize, ORACLE_MEDIA_PNG),
@@ -6007,6 +6074,7 @@ _DRIVER_ORDER = [
     "q_mesh_quality",
     "q_media_avi_frames",
     "q_media_adpcm",
+    "q_media_lossless",
     # --- last driver-checked r06 ---
     "q_w1_row_number",
     "q_t1_topk",
@@ -6052,8 +6120,8 @@ _DRIVER_ORDER = [
     "q_dedup_ngram_jaccard",
     "q_sample_split",
     "q_text_redact_pii",
-    "q_text_logprob",
     # --- tail: r07 overflow (sim-verify; r10 window head) ---
+    "q_text_logprob",
     "q_text_decontaminate",
     "q_emb_outliers",
     "q_text_features",

@@ -285,6 +285,7 @@ def decode_jpeg(data: bytes) -> tuple[np.ndarray, dict]:
     prog = None  # progressive coefficient state, created at first SOS
     seq = None  # sequential multi-scan planes, created at first partial SOS
     restart_interval = 0
+    adobe_transform = None
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"marker expected at offset {pos}")
@@ -300,7 +301,11 @@ def decode_jpeg(data: bytes) -> tuple[np.ndarray, dict]:
             break
         seglen = struct.unpack_from(">H", data, pos + 2)[0]
         seg = data[pos + 4 : pos + 2 + seglen]
-        if marker == 0xDB:  # DQT
+        if marker == 0xEE and seg[:5] == b"Adobe":  # APP14
+            # byte 11 of the Adobe segment: 0 = no transform
+            # (RGB/CMYK stored directly), 1 = YCbCr, 2 = YCCK
+            adobe_transform = seg[11] if len(seg) > 11 else 0
+        elif marker == 0xDB:  # DQT
             i = 0
             while i < len(seg):
                 pq, tq = seg[i] >> 4, seg[i] & 0x0F
@@ -340,6 +345,8 @@ def decode_jpeg(data: bytes) -> tuple[np.ndarray, dict]:
                 "h": h, "w": w, "comps": comps, "prec": prec,
                 "progressive": marker == 0xC2,
             }
+            if nc == 4 and marker == 0xC2:
+                raise NotImplementedError("4-component progressive scans")
         elif marker == 0xC3:  # SOF3 lossless sequential (Annex H)
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if not 2 <= prec <= 16:
@@ -363,6 +370,8 @@ def decode_jpeg(data: bytes) -> tuple[np.ndarray, dict]:
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", seg, 0)[0]
         elif marker == 0xDA:  # SOS
+            if frame is not None:
+                frame["adobe"] = adobe_transform
             ns = seg[0]
             scan = {}
             for c in range(ns):
@@ -418,7 +427,7 @@ def decode_jpeg(data: bytes) -> tuple[np.ndarray, dict]:
         vmax = max(c["v"] for c in comps)
         return _assemble_image(
             seq, comps, frame["h"], frame["w"], hmax, vmax,
-            frame.get("prec", 8),
+            frame.get("prec", 8), frame.get("adobe"),
         )
     raise ValueError("no SOS marker found")
 
@@ -646,12 +655,15 @@ def _finish_progressive(frame, quant, prog):
     return _assemble_image(planes, comps, frame["h"], frame["w"], hmax, vmax)
 
 
-def _assemble_image(planes, comps, h, w, hmax, vmax, prec=8):
+def _assemble_image(planes, comps, h, w, hmax, vmax, prec=8, adobe=None):
     """Upsample subsampled planes to full resolution, crop the MCU
     padding, color-convert (shared by the baseline and progressive
     paths).  ``prec`` sets the sample range: 8-bit -> uint8 in
     [0, 255], 12-bit -> uint16 in [0, 4095] with chroma centered at
-    2048."""
+    2048.  Four-component frames honor the Adobe APP14 ``adobe``
+    transform: 0/None = CMYK stored directly, 2 = YCCK (YCbCr math on
+    the first three channels, then inverted back to CMY; K passes
+    through) — output is always the CMYK channel stack."""
     full = []
     for ci, c in enumerate(comps):
         p = planes[ci]
@@ -665,6 +677,18 @@ def _assemble_image(planes, comps, h, w, hmax, vmax, prec=8):
         meta["bits"] = prec
     if len(comps) == 1:
         return np.clip(np.round(full[0]), 0, maxv).astype(dtype), meta
+    if len(comps) == 4:
+        if adobe in (None, 0):
+            out = np.stack(full, axis=2)
+        elif adobe == 2:  # YCCK
+            y, cb, cr = full[0], full[1] - center, full[2] - center
+            r = y + 1.402 * cr
+            g = y - 0.344136 * cb - 0.714136 * cr
+            b = y + 1.772 * cb
+            out = np.stack([maxv - r, maxv - g, maxv - b, full[3]], axis=2)
+        else:
+            raise NotImplementedError(f"Adobe APP14 transform {adobe}")
+        return np.clip(np.round(out), 0, maxv).astype(dtype), meta
     y, cb, cr = full[0], full[1] - center, full[2] - center
     r = y + 1.402 * cr
     g = y - 0.344136 * cb - 0.714136 * cr
@@ -677,7 +701,7 @@ def _init_sequential(frame):
     """MCU-padded per-component pixel planes for a sequential
     multi-scan (Ns < Nf) baseline frame."""
     comps = frame["comps"]
-    if len(comps) not in (1, 3):
+    if len(comps) not in (1, 3, 4):
         raise NotImplementedError(f"{len(comps)}-component images")
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
@@ -931,7 +955,7 @@ def _decode_scan(data, pos, frame, scan, quant, huff, restart_interval):
     if frame is None:
         raise ValueError("SOS before SOF0")
     comps = frame["comps"]
-    if len(comps) not in (1, 3):
+    if len(comps) not in (1, 3, 4):
         raise NotImplementedError(f"{len(comps)}-component images")
     if len(scan) != len(comps):
         raise ValueError(
@@ -997,7 +1021,8 @@ def _decode_scan(data, pos, frame, scan, quant, huff, restart_interval):
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = spatial
             mcu_count += 1
     return _assemble_image(
-        planes, comps, h, w, hmax, vmax, frame.get("prec", 8)
+        planes, comps, h, w, hmax, vmax, frame.get("prec", 8),
+        frame.get("adobe"),
     )
 
 
@@ -1095,12 +1120,19 @@ def _prep_planes(pixels, quality: int, subsampling: str, precision=8):
     else:
         raise NotImplementedError(f"{precision}-bit encode")
     gray = arr.ndim == 2
-    if not gray and (arr.ndim != 3 or arr.shape[2] != 3):
+    cmyk = arr.ndim == 3 and arr.shape[2] == 4
+    if not gray and not cmyk and (arr.ndim != 3 or arr.shape[2] != 3):
         raise ValueError(f"cannot encode array of shape {pixels.shape}")
     if subsampling not in ("444", "420"):
         raise ValueError(f"subsampling {subsampling!r}: use '444' or '420'")
     h, w = arr.shape[:2]
-    if gray:
+    if cmyk:
+        # CMYK stored directly (Adobe transform 0), no subsampling
+        if subsampling != "444":
+            raise ValueError("CMYK encode supports subsampling='444' only")
+        planes = [arr[:, :, i].astype(np.float64) for i in range(4)]
+        samplings = [(1, 1)] * 4
+    elif gray:
         planes = [arr.astype(np.float64)]
         samplings = [(1, 1)]
     else:
@@ -1137,7 +1169,10 @@ def _prep_planes(pixels, quality: int, subsampling: str, precision=8):
     if precision == 12:
         ql = ql * 16
         qc = qc * 16
-    quants = [ql] + ([] if gray else [qc, qc])
+    if cmyk:
+        quants = [ql] * 4
+    else:
+        quants = [ql] + ([] if gray else [qc, qc])
     return planes, samplings, gray, h, w, mcus_x, mcus_y, quants
 
 
@@ -1166,12 +1201,17 @@ def encode_jpeg(
     (
         planes, samplings, gray, h, w, mcus_x, mcus_y, quants
     ) = _prep_planes(pixels, quality, subsampling, precision)
+    nc = len(planes)
+    cmyk = nc == 4
     center = float(1 << (precision - 1))
     ql = quants[0]
-    qc = quants[1] if not gray else None
+    qc = quants[1] if nc == 3 else None
     if precision == 12:
-        dc_tabs = [_encode_table(*X12_DC)] * (1 if gray else 3)
-        ac_tabs = [_encode_table(*X12_AC)] * (1 if gray else 3)
+        dc_tabs = [_encode_table(*X12_DC)] * nc
+        ac_tabs = [_encode_table(*X12_AC)] * nc
+    elif cmyk:
+        dc_tabs = [_encode_table(*K_DC_LUMA)] * 4
+        ac_tabs = [_encode_table(*K_AC_LUMA)] * 4
     else:
         dc_tabs = [_encode_table(*K_DC_LUMA)] + (
             [] if gray else [_encode_table(*K_DC_CHROMA)] * 2
@@ -1187,31 +1227,37 @@ def encode_jpeg(
             struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
         )
 
+    if cmyk:
+        # Adobe APP14: version 100, flags 0/0, transform 0 (CMYK
+        # stored directly) — the tag 4-component decoders key on
+        seg(0xEE, b"Adobe" + struct.pack(">HHHB", 100, 0, 0, 0))
     if precision == 12:
         # Pq=1: 16-bit big-endian quant entries
         zq16 = np.empty(64, dtype=">u2")
         zq16[...] = ql.flat[ZIGZAG]
         seg(0xDB, b"\x10" + zq16.tobytes())
-        if not gray:
+        if qc is not None:
             zq16[...] = qc.flat[ZIGZAG]
             seg(0xDB, b"\x11" + zq16.tobytes())
     else:
         zq = np.empty(64, dtype=np.uint8)
         zq[...] = ql.flat[ZIGZAG]
         seg(0xDB, b"\x00" + zq.tobytes())
-        if not gray:
+        if qc is not None:
             zq[...] = qc.flat[ZIGZAG]
             seg(0xDB, b"\x01" + zq.tobytes())
-    nc = 1 if gray else 3
     sof = struct.pack(">BHHB", precision, h, w, nc)
     for c in range(nc):
         sh, sv = samplings[c]
-        sof += struct.pack(">BBB", c + 1, (sh << 4) | sv, 0 if c == 0 else 1)
+        tq = 0 if (c == 0 or cmyk) else 1
+        sof += struct.pack(">BBB", c + 1, (sh << 4) | sv, tq)
     seg(0xC1 if precision == 12 else 0xC0, sof)
     if precision == 12:
         dht_list = (((0, 0), X12_DC), ((1, 0), X12_AC)) + (
-            () if gray else (((0, 1), X12_DC), ((1, 1), X12_AC))
+            () if nc == 1 or cmyk else (((0, 1), X12_DC), ((1, 1), X12_AC))
         )
+    elif cmyk:
+        dht_list = (((0, 0), K_DC_LUMA), ((1, 0), K_AC_LUMA))
     else:
         dht_list = (((0, 0), K_DC_LUMA), ((1, 0), K_AC_LUMA)) + (
             () if gray else (((0, 1), K_DC_CHROMA), ((1, 1), K_AC_CHROMA))
@@ -1274,7 +1320,7 @@ def encode_jpeg(
         for ci in range(nc):
             seg(
                 0xDA,
-                bytes([1, ci + 1, 0x00 if ci == 0 else 0x11])
+                bytes([1, ci + 1, 0x00 if (ci == 0 or cmyk) else 0x11])
                 + b"\x00\x3f\x00",
             )
             bw = _BitWriter()
@@ -1308,7 +1354,7 @@ def encode_jpeg(
 
     sos = bytes([nc])
     for c in range(nc):
-        sos += bytes([c + 1, 0x00 if c == 0 else 0x11])
+        sos += bytes([c + 1, 0x00 if (c == 0 or cmyk) else 0x11])
     sos += b"\x00\x3f\x00"
     seg(0xDA, sos)
 

@@ -534,3 +534,70 @@ def test_lossless_rejects_out_of_range():
         )
     with pytest.raises(ValueError, match="integer"):
         jpeg.encode_jpeg_lossless(np.zeros((4, 4)))
+
+
+def test_cmyk_roundtrip_and_markers():
+    """4-component (CMYK) baseline: Adobe APP14 transform-0 emitted,
+    all components on the luma tables, round-trip within quant error,
+    flat images exact, 12-bit and separate-scan variants included."""
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, (13, 17, 4), dtype=np.uint8)
+    data = jpeg.encode_jpeg(img, quality=95)
+    i = data.index(b"Adobe")
+    assert data[i + 11] == 0  # transform 0: stored directly
+    out, meta = jpeg.decode_jpeg(data)
+    assert meta == {"width": 17, "height": 13, "channels": 4}
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 8
+
+    flat = np.full((16, 8, 4), 128, dtype=np.uint8)
+    o2, _ = jpeg.decode_jpeg(jpeg.encode_jpeg(flat, quality=50))
+    np.testing.assert_array_equal(o2, flat)
+
+    c12 = rng.integers(0, 4096, (9, 9, 4), dtype=np.uint16)
+    o3, m3 = jpeg.decode_jpeg(
+        jpeg.encode_jpeg(c12, quality=90, precision=12)
+    )
+    assert m3["channels"] == 4 and m3["bits"] == 12
+
+    a, _ = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=95))
+    b, _ = jpeg.decode_jpeg(
+        jpeg.encode_jpeg(img, quality=95, scan_script="separate")
+    )
+    np.testing.assert_array_equal(a, b)
+
+    with pytest.raises(ValueError, match="444"):
+        jpeg.encode_jpeg(img, subsampling="420")
+
+
+def test_ycck_transform_via_patched_app14():
+    """Adobe transform 2 (YCCK): patching the APP14 byte on a
+    transform-0 stream must run the YCbCr math + inversion on the
+    decoded planes — pinned against applying the same arithmetic to
+    the transform-0 decode.  Unknown transforms raise."""
+    rng = np.random.default_rng(5)
+    # mid-range samples: the transform-0 reference decode must not
+    # clip, or reconstructing the YCCK math from its rounded planes
+    # diverges past one count
+    img = rng.integers(96, 160, (8, 8, 4), dtype=np.uint8)
+    data = bytearray(jpeg.encode_jpeg(img, quality=95))
+    raw, _ = jpeg.decode_jpeg(bytes(data))  # (Y, Cb, Cr, K) as stored
+    i = data.index(b"Adobe")
+    data[i + 11] = 2
+    out, _ = jpeg.decode_jpeg(bytes(data))
+    y = raw[:, :, 0].astype(float)
+    cb = raw[:, :, 1].astype(float) - 128.0
+    cr = raw[:, :, 2].astype(float) - 128.0
+    exp_c = 255.0 - (y + 1.402 * cr)
+    exp_m = 255.0 - (y - 0.344136 * cb - 0.714136 * cr)
+    exp_y = 255.0 - (y + 1.772 * cb)
+    exp = np.clip(
+        np.round(np.stack([exp_c, exp_m, exp_y,
+                           raw[:, :, 3].astype(float)], axis=2)),
+        0, 255,
+    )
+    # the pipeline transforms BEFORE the single rounding; applying the
+    # math to already-rounded planes can differ by one count
+    assert np.abs(out.astype(float) - exp).max() <= 1.0
+    data[i + 11] = 3
+    with pytest.raises(NotImplementedError, match="transform 3"):
+        jpeg.decode_jpeg(bytes(data))

@@ -6060,12 +6060,13 @@ QUERIES: dict[str, QuerySpec] = {
 
 
 # r09 driver-window rotation (same explicit-list mechanism as r08).
-# First 50 = the four r09-new gates (grid_federated / grid_sidecar /
-# atomic_stats / mesh_quality), the four rows last driver-checked in
-# r06 (w1 / t1 / a6 / minhash — the VERDICT-r08 stale cohort), and 42
-# of the 50 rows last checked r07.  The eight r07 overflow rows lead
-# the tail (re-verify them with tools/verify_oracles.py; they head the
-# r10 window), followed by the r08-green cohort.
+# First 50 = the SEVEN r09-new gates (grid_federated / grid_sidecar /
+# atomic_stats / mesh_quality / media_avi_frames / media_adpcm /
+# media_lossless), the four rows last driver-checked in r06 (w1 / t1 /
+# a6 / minhash — the VERDICT-r08 stale cohort), and 39 of the 50 rows
+# last checked r07.  The ELEVEN r07 overflow rows lead the tail
+# (sim-verified green this round by the full driver-sim sweep; they
+# head the r10 window), followed by the r08-green cohort.
 _DRIVER_ORDER = [
     # --- r09-new gates ---
     "q_grid_federated",

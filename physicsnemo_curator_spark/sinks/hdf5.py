@@ -601,17 +601,49 @@ def write_hdf5(
     root_bt, root_hp = emit.last_btree, emit.last_heap
 
     # backpatch REFERENCE_LIST placeholder tokens with the real dataset
-    # header addresses, confined to each scale's own header block
-    for start, end, toks in ref_patches:
-        for token, dname in toks:
-            needle = struct.pack("<Q", token)
-            idx = w.buf.find(needle, start, end)
-            if idx < 0 or w.buf.find(needle, idx + 1, end) >= 0:
-                raise RuntimeError(
-                    f"REFERENCE_LIST token for {dname!r} not uniquely "
-                    "locatable in the scale header"
+    # header addresses.  The patch locations are found STRUCTURALLY —
+    # walk the scale's object-header messages to the 0x000C attribute
+    # named REFERENCE_LIST and index its fixed-layout records — never
+    # by byte search, which a numeric attribute payload that happens to
+    # contain the token bytes could defeat.
+    def _pad8len(n: int) -> int:
+        return (n + 7) // 8 * 8
+
+    for start, _end, toks in ref_patches:
+        nmsgs, _refs, blen = struct.unpack_from("<xxHII", w.buf, start)
+        pos = start + 16
+        data_off = None
+        for _ in range(nmsgs):
+            mtype, msize, _fl = struct.unpack_from("<HHB", w.buf, pos)
+            body = pos + 8
+            if mtype == 0x000C:
+                _v, name_sz, dt_sz, ds_sz = struct.unpack_from(
+                    "<BxHHH", w.buf, body
                 )
-            w.buf[idx : idx + 8] = struct.pack("<Q", ds_addrs[dname])
+                name_off = body + 8
+                name = bytes(
+                    w.buf[name_off : name_off + name_sz]
+                )
+                if name == b"REFERENCE_LIST\x00":
+                    data_off = (
+                        name_off + _pad8len(name_sz)
+                        + _pad8len(dt_sz) + _pad8len(ds_sz)
+                    )
+                    break
+            pos = body + msize
+        if data_off is None:
+            raise RuntimeError(
+                "REFERENCE_LIST attribute missing from the scale header"
+            )
+        for k, (token, dname) in enumerate(toks):
+            off = data_off + 12 * k  # (u64 ref, u32 dim) records
+            (found,) = struct.unpack_from("<Q", w.buf, off)
+            if found != token:
+                raise RuntimeError(
+                    f"REFERENCE_LIST record {k} holds {found:#x}, "
+                    f"expected token for {dname!r}"
+                )
+            w.buf[off : off + 8] = struct.pack("<Q", ds_addrs[dname])
 
     sb = bytearray()
     sb += _SIG

@@ -229,6 +229,8 @@ def parse_avi(data: bytes) -> dict:
     end = min(len(data), 8 + riff_size)
     meta = None
     stream = None
+    stream_no = -1  # strl index of the elected video stream
+    n_strl = 0
     frames: list[tuple[bytes, int, int]] = []
     for fourcc, body, size in _walk_chunks(data, 12, end):
         if fourcc != b"LIST":
@@ -261,13 +263,20 @@ def parse_avi(data: bytes) -> dict:
                             st.update(_parse_strf(data[b3 : b3 + s3]))
                     if st.get("type") == b"vids" and stream is None:
                         stream = st
+                        stream_no = n_strl
+                    n_strl += 1
         elif kind == b"movi":
+            # chunk ids carry the 2-digit stream number ('00dc'); only
+            # the elected video stream's chunks become frames — other
+            # streams (audio '01wb', a second video) must not
+            # interleave into the frame list
+            want = b"%02d" % stream_no if stream_no >= 0 else b"00"
             for c4, b2, s2 in _walk_chunks(data, body + 4, body + size):
-                if c4[2:4] in (b"dc", b"db"):
+                if c4[2:4] in (b"dc", b"db") and c4[:2] == want:
                     frames.append((c4, b2, s2))
                 elif c4 == b"LIST" and data[b2 : b2 + 4] == b"rec ":
                     for c5, b3, s3 in _walk_chunks(data, b2 + 4, b2 + s2):
-                        if c5[2:4] in (b"dc", b"db"):
+                        if c5[2:4] in (b"dc", b"db") and c5[:2] == want:
                             frames.append((c5, b3, s3))
     if meta is None or stream is None:
         raise ValueError("AVI missing avih/strl headers")

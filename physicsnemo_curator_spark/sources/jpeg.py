@@ -689,6 +689,11 @@ def _assemble_image(planes, comps, h, w, hmax, vmax, prec=8, adobe=None):
         else:
             raise NotImplementedError(f"Adobe APP14 transform {adobe}")
         return np.clip(np.round(out), 0, maxv).astype(dtype), meta
+    if adobe == 0:
+        # Adobe transform 0 on a 3-component frame: RGB stored
+        # directly, no YCbCr inverse
+        rgb = np.stack(full, axis=2)
+        return np.clip(np.round(rgb), 0, maxv).astype(dtype), meta
     y, cb, cr = full[0], full[1] - center, full[2] - center
     r = y + 1.402 * cr
     g = y - 0.344136 * cb - 0.714136 * cr
@@ -817,9 +822,13 @@ def _decode_lossless_scan(
     order = [c for c in comps if c["id"] in scan]
     if len(order) != len(scan):
         raise ValueError("SOS names a component missing from SOF3")
-    if any(c["h"] != 1 or c["v"] != 1 for c in order) and len(order) > 1:
+    if any(c["h"] != 1 or c["v"] != 1 for c in comps):
+        # T.81 gives subsampled lossless components per-component scan
+        # dimensions; this decoder only implements the 1x1 geometry —
+        # decoding a subsampled scan at frame geometry would overrun
+        # the bitstream, so refuse loudly even for Ns=1 scans
         raise NotImplementedError(
-            "interleaved lossless scans with sampling factors above 1x1"
+            "lossless scans with sampling factors above 1x1"
         )
     h, w = frame["h"], frame["w"]
     prec = frame["prec"]

@@ -407,8 +407,19 @@ def sample_frames(
                     continue
                 raw = bytes(raw)
                 if _avi.is_avi(raw):
-                    meta = _avi.parse_avi(raw)["meta"]
-                    for f, px in _avi.iter_avi_frames(raw, every_n=every_n):
+                    # undecodable containers (Xvid/H.264 streams,
+                    # truncated files) follow the strict/plumbing
+                    # policy: raise under strict, skip otherwise
+                    try:
+                        meta = _avi.parse_avi(raw)["meta"]
+                        frames = list(
+                            _avi.iter_avi_frames(raw, every_n=every_n)
+                        )
+                    except (NotImplementedError, ValueError):
+                        if strict:
+                            raise
+                        continue
+                    for f, px in frames:
                         mid.append(media_id)
                         idx.append(f)
                         payload.append(px.tobytes())

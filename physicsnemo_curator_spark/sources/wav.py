@@ -167,12 +167,7 @@ def _decode_adpcm_ima(
             f"IMA ADPCM block align {block_align} invalid for "
             f"{channels} channels"
         )
-    usable = len(payload) - len(payload) % block_align
-    if usable == 0:
-        raise ValueError("IMA ADPCM data shorter than one block")
-    blocks = np.frombuffer(payload[:usable], np.uint8).reshape(
-        -1, block_align
-    )
+    blocks = _payload_blocks(payload, block_align, "IMA ADPCM")
     frames = _adpcm_decode_blocks(blocks, channels).reshape(-1, channels)
     if n_frames is not None:
         frames = frames[:n_frames]
@@ -225,6 +220,13 @@ def _adpcm_block_shape(arr, block_align):
     if n == 0:
         raise ValueError("cannot ADPCM-encode an empty signal")
     ba = block_align if block_align else 256 * channels
+    if ba <= 4 * channels or (ba - 4 * channels) % (4 * channels):
+        # same gate as the decode side: the data region must split
+        # into whole 4-byte channel groups, or the written
+        # wSamplesPerBlock disagrees with the actual nibble count
+        raise ValueError(
+            f"IMA ADPCM block align {ba} invalid for {channels} channels"
+        )
     spb = (ba - 4 * channels) * 2 // channels + 1
     pcm = np.round(np.clip(arr, -1.0, 1.0) * 32767.0).astype(np.int32)
     nblk = -(-n // spb)
@@ -234,12 +236,10 @@ def _adpcm_block_shape(arr, block_align):
     return pcm.reshape(nblk, spb, channels).transpose(0, 2, 1), ba, spb
 
 
-def _adpcm_wrap_riff(payload, n, channels, sample_rate, ba, spb):
-    byte_rate = -(-sample_rate * ba // spb)
-    fmt = struct.pack(
-        "<HHIIHHHH", 0x11, channels, sample_rate, byte_rate, ba, 4, 2, spb
-    )
-    fact = struct.pack("<I", n)
+def _wrap_riff_fact(fmt: bytes, n_frames: int, payload: bytes) -> bytes:
+    """RIFF/WAVE shell shared by every fact-carrying codec: fmt +
+    fact + word-aligned data chunk."""
+    fact = struct.pack("<I", n_frames)
     out = (
         b"WAVE"
         + b"fmt " + struct.pack("<I", len(fmt)) + fmt
@@ -248,6 +248,25 @@ def _adpcm_wrap_riff(payload, n, channels, sample_rate, ba, spb):
         + (b"\x00" if len(payload) % 2 else b"")
     )
     return b"RIFF" + struct.pack("<I", len(out)) + out
+
+
+def _adpcm_wrap_riff(payload, n, channels, sample_rate, ba, spb):
+    byte_rate = -(-sample_rate * ba // spb)
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, channels, sample_rate, byte_rate, ba, 4, 2, spb
+    )
+    return _wrap_riff_fact(fmt, n, payload)
+
+
+def _payload_blocks(payload: bytes, block_align: int, what: str) -> np.ndarray:
+    """Whole-block uint8 matrix from a data chunk (shared ADPCM
+    slicing; trailing partial blocks are dropped, empty data raises)."""
+    usable = len(payload) - len(payload) % block_align
+    if usable == 0:
+        raise ValueError(f"{what} data shorter than one block")
+    return np.frombuffer(payload[:usable], np.uint8).reshape(
+        -1, block_align
+    )
 
 
 def _encode_adpcm_ima(
@@ -317,6 +336,23 @@ def _ms_adpcm_decode_blocks(
         idelta = np.maximum(16, (_MS_ADAPT[n_u] * idelta) >> 8)
         out[:, t + 2, :] = s
     return out
+
+
+def _decode_ms_adpcm(
+    payload: bytes, channels: int, block_align: int, n_frames: int | None
+) -> np.ndarray:
+    """MS-ADPCM data chunk -> float64 PCM (mirrors _decode_adpcm_ima)."""
+    hdr = 7 * channels
+    if block_align <= hdr or ((block_align - hdr) * 2) % channels:
+        raise ValueError(
+            f"MS-ADPCM block align {block_align} invalid for "
+            f"{channels} channels"
+        )
+    blocks = _payload_blocks(payload, block_align, "MS-ADPCM")
+    frames = _ms_adpcm_decode_blocks(blocks, channels).reshape(-1, channels)
+    if n_frames is not None:
+        frames = frames[:n_frames]
+    return frames.astype(np.float64).reshape(-1) / 32768.0
 
 
 def _ms_adpcm_encode_blocks(s: np.ndarray) -> np.ndarray:
@@ -404,15 +440,7 @@ def _encode_ms_adpcm(
     fmt = struct.pack(
         "<HHIIHHH", 2, channels, sample_rate, byte_rate, ba, 4, len(ext)
     ) + ext
-    fact = struct.pack("<I", n)
-    out = (
-        b"WAVE"
-        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
-        + b"fact" + struct.pack("<I", len(fact)) + fact
-        + b"data" + struct.pack("<I", len(payload)) + payload
-        + (b"\x00" if len(payload) % 2 else b"")
-    )
-    return b"RIFF" + struct.pack("<I", len(out)) + out
+    return _wrap_riff_fact(fmt, n, payload)
 
 
 def _parse_wav_chunks(data: bytes):
@@ -470,24 +498,7 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, dict]:
     elif tag == 2:  # MS-ADPCM
         if bits != 4:
             raise NotImplementedError(f"{bits}-bit MS-ADPCM")
-        hdr = 7 * channels
-        if block_align <= hdr or ((block_align - hdr) * 2) % channels:
-            raise ValueError(
-                f"MS-ADPCM block align {block_align} invalid for "
-                f"{channels} channels"
-            )
-        usable = len(payload) - len(payload) % block_align
-        if usable == 0:
-            raise ValueError("MS-ADPCM data shorter than one block")
-        blocks = np.frombuffer(payload[:usable], np.uint8).reshape(
-            -1, block_align
-        )
-        frames = _ms_adpcm_decode_blocks(blocks, channels).reshape(
-            -1, channels
-        )
-        if fact_frames is not None:
-            frames = frames[:fact_frames]
-        arr = frames.astype(np.float64).reshape(-1) / 32768.0
+        arr = _decode_ms_adpcm(payload, channels, block_align, fact_frames)
     elif tag == 7:  # G.711 mu-law
         u = np.frombuffer(payload, np.uint8)
         arr = _ulaw_decode(u).astype(np.float64) / 32768.0
@@ -551,9 +562,16 @@ def encode_wav(
     if arr.ndim == 1:
         arr = arr[:, None]
     channels = arr.shape[1]
+    if codec not in ("pcm", "ms_adpcm", "ulaw", "alaw"):
+        raise ValueError(f"unknown codec {codec!r}")
     if codec == "ms_adpcm":
         return _encode_ms_adpcm(arr, sample_rate)
     if bits == 4:
+        if codec != "pcm":
+            # bits=4 selects IMA ADPCM; an explicit 8-bit G.711
+            # request alongside it is contradictory — refuse rather
+            # than silently dropping the codec argument
+            raise ValueError(f"bits=4 (IMA ADPCM) conflicts with codec={codec!r}")
         return _encode_adpcm_ima(arr, sample_rate)
     flat = np.clip(arr, -1.0, 1.0).reshape(-1)
     if codec in ("ulaw", "alaw"):

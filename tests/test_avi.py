@@ -162,3 +162,44 @@ def test_sample_frames_mixed_avi_and_raw_planes(spark):
     rows = mm.sample_frames(df, every_n=3).collect()
     got = sorted((r["media_id"], r["frame_index"]) for r in rows)
     assert got == [(1, 0), (2, 0), (2, 3)]
+
+
+def test_sample_frames_skips_undecodable_avi_unless_strict(spark):
+    """A RIFF/AVI payload with an unsupported compression (e.g.
+    Xvid) must follow the strict/plumbing policy: skipped under
+    strict=False, loud under strict=True — not a task-killing
+    unhandled exception."""
+    g = np.full((8, 8), 50, dtype=np.uint8)
+    data = bytearray(avi.encode_avi([g, g], fps=10, codec="mjpeg"))
+    i = data.index(b"strf")
+    data[i + 8 + 16 : i + 8 + 20] = b"XVID"
+    df = spark.createDataFrame(
+        [(3, "video", bytearray(bytes(data)), None, None, len(data))],
+        mm.MEDIA_SCHEMA,
+    )
+    assert mm.sample_frames(df).count() == 0
+    with pytest.raises(Exception, match="XVID"):
+        mm.sample_frames(df, strict=True).collect()
+
+
+def test_multi_stream_avi_frames_come_from_elected_stream_only():
+    """An AVI carrying an audio stream ('01wb' chunks) besides the
+    video stream: only the video stream's chunks become frames."""
+    g = np.full((6, 4), 200, dtype=np.uint8)
+    data = bytearray(avi.encode_avi([g, g, g], fps=10, codec="raw"))
+    # splice a fake audio chunk into the movi list
+    i = data.index(b"movi")
+    audio = b"01wb" + struct.pack("<I", 4) + b"\x01\x02\x03\x04"
+    spliced = bytes(data[: i + 4]) + audio + bytes(data[i + 4 :])
+    # fix the movi LIST size and the RIFF size
+    spliced = bytearray(spliced)
+    li = spliced.index(b"movi") - 8  # LIST header start
+    (lsz,) = struct.unpack_from("<I", spliced, li + 4)
+    struct.pack_into("<I", spliced, li + 4, lsz + len(audio))
+    struct.pack_into("<I", spliced, 4, len(spliced) - 8)
+    parsed = avi.parse_avi(bytes(spliced))
+    assert len(parsed["frames"]) == 3
+    out, meta = avi.decode_avi(bytes(spliced))
+    assert len(out) == 3
+    for f in out:
+        assert set(f.reshape(-1).tolist()) == {200}

@@ -498,3 +498,29 @@ def test_netcdf4_cross_check(spark, tmp_path):  # pragma: no cover
         v = nc.groups["data"].variables[var]
         assert v.dimensions == ("time", "lat", "lon")
         assert v.shape == (3, 2, 2)
+
+
+def test_reference_list_token_collision_attr(tmp_path):
+    """A numeric attribute on the SCALE whose int64 value equals the
+    backpatch placeholder token must not confuse the patcher: the
+    patch location is found structurally (object-header message walk),
+    not by byte search, so the write succeeds and both the attribute
+    and the reverse map come back intact."""
+    p = str(tmp_path / "c.h5")
+    evil = np.array([0xA5C396E700000000, 0xA5C396E700000001],
+                    dtype=np.uint64).astype(np.int64)
+    t = np.arange(3.0)
+    a = np.arange(6.0).reshape(3, 2)
+    y = np.arange(2.0)
+    hdf5.write_hdf5(
+        p,
+        {"t": t, "y": y, "a": a},
+        deflate=None,
+        dimensions={"a": ["t", "y"]},
+        attrs={"t": {"evil": evil}},
+    )
+    ds, at = hdf5.read_hdf5(p)
+    np.testing.assert_array_equal(ds["a"], a)
+    np.testing.assert_array_equal(np.asarray(at["t"]["evil"]), evil)
+    assert at["t"]["REFERENCE_LIST"] == [("a", 0)]
+    assert at["y"]["REFERENCE_LIST"] == [("a", 1)]

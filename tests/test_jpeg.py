@@ -601,3 +601,46 @@ def test_ycck_transform_via_patched_app14():
     data[i + 11] = 3
     with pytest.raises(NotImplementedError, match="transform 3"):
         jpeg.decode_jpeg(bytes(data))
+
+
+def test_lossless_subsampled_components_raise():
+    """A SOF3 frame declaring subsampled components must raise the
+    module's loud honest-subset error even for Ns=1 scans — decoding
+    at frame geometry would overrun the bitstream."""
+    img = np.zeros((8, 8), dtype=np.uint8)
+    data = bytearray(jpeg.encode_jpeg_lossless(img))
+    i = data.index(b"\xff\xc3")
+    # seg: marker(2) len(2) prec(1) h(2) w(2) nc(1) [id sf tq]
+    data[i + 11] = 0x21  # component 1 sampling: 2x1
+    with pytest.raises(NotImplementedError, match="1x1"):
+        jpeg.decode_jpeg(bytes(data))
+
+
+def test_adobe_transform0_rgb_stored_directly():
+    """A 3-component frame tagged Adobe transform 0 stores RGB
+    channels directly: decode must skip the YCbCr inverse.  Built by
+    splicing an APP14 segment into an in-repo encode and comparing
+    against the YCbCr interpretation of the same stream."""
+    rng = np.random.default_rng(6)
+    img = rng.integers(96, 160, (8, 8, 3), dtype=np.uint8)
+    data = jpeg.encode_jpeg(img, quality=95)
+    ycc, _ = jpeg.decode_jpeg(data)  # normal YCbCr interpretation
+    app14 = (
+        b"\xff\xee" + struct.pack(">H", 2 + 12)
+        + b"Adobe" + struct.pack(">HHHB", 100, 0, 0, 0)
+    )
+    tagged = data[:2] + app14 + data[2:]
+    raw, meta = jpeg.decode_jpeg(tagged)
+    assert meta["channels"] == 3
+    assert not np.array_equal(raw, ycc)  # transform actually skipped
+    # the stored planes ARE our encoder's YCbCr of img: re-apply the
+    # inverse manually and land near the normal decode (mid-range
+    # samples -> no clipping; rounding differs by <= 1)
+    y = raw[:, :, 0].astype(float)
+    cb = raw[:, :, 1].astype(float) - 128.0
+    cr = raw[:, :, 2].astype(float) - 128.0
+    manual = np.clip(np.round(np.stack(
+        [y + 1.402 * cr,
+         y - 0.344136 * cb - 0.714136 * cr,
+         y + 1.772 * cb], axis=2)), 0, 255)
+    assert np.abs(manual - ycc.astype(float)).max() <= 1.0

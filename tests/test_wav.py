@@ -415,3 +415,15 @@ def test_ms_adpcm_roundtrip_and_structure():
     assert snr2 > 25
     o3, m3 = wav.decode_wav(wav.encode_wav(sig[:5], 8000, codec="ms_adpcm"))
     assert len(o3) == 5 and m3["n_frames"] == 5
+
+
+def test_conflicting_codec_and_bits_rejected():
+    """bits=4 selects IMA ADPCM; combining it with an explicit G.711
+    request must refuse rather than silently dropping the codec, and
+    a caller-supplied invalid ADPCM block align must fail the same
+    validation the decoder applies."""
+    sig = np.zeros(100)
+    with pytest.raises(ValueError, match="conflicts"):
+        wav.encode_wav(sig, 8000, bits=4, codec="ulaw")
+    with pytest.raises(ValueError, match="block align 262"):
+        wav._encode_adpcm_ima(sig[:, None], 8000, block_align=262)

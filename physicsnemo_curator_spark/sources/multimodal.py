@@ -114,6 +114,7 @@ def extract_features(media: DataFrame, *, dim: int = 8, strict: bool = False) ->
     """
     import numpy as np
 
+    from physicsnemo_curator_spark.sources import flac as _flac
     from physicsnemo_curator_spark.sources import wav as _wav
 
     def _pad(vals: list) -> list:
@@ -160,9 +161,15 @@ def extract_features(media: DataFrame, *, dim: int = 8, strict: bool = False) ->
                         # other encoded payload
                         decoded = None
                 audio = None
-                if kind == "audio" and _wav.is_wav(raw):
+                if kind == "audio" and (
+                    _wav.is_wav(raw) or _flac.is_flac(raw)
+                ):
                     try:
-                        audio = _wav.decode_wav(raw)
+                        audio = (
+                            _wav.decode_wav(raw)
+                            if _wav.is_wav(raw)
+                            else _flac.decode_flac(raw)
+                        )
                     except Exception:
                         if strict:
                             raise
@@ -229,7 +236,7 @@ def extract_features(media: DataFrame, *, dim: int = 8, strict: bool = False) ->
                     raise NotImplementedError(
                         "real feature extraction is only implemented "
                         "for raw grayscale planes, PNG/baseline-JPEG "
-                        "images and PCM WAV audio in this build "
+                        "images and WAV/FLAC audio in this build "
                         "(codec-gated); run with strict=False for the "
                         "deterministic digest stub"
                     )

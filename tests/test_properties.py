@@ -788,3 +788,32 @@ def test_avi_container_total_property(seed, n, h, w, rgb, codec, every_n):
             np.testing.assert_array_equal(ref, b)
     idxs = [i for i, _ in avi.iter_avi_frames(data, every_n=every_n)]
     assert idxs == list(range(0, n, every_n))
+
+
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n=st.integers(1, 3000),
+    channels=st.integers(1, 2),
+    smooth=st.booleans(),
+    bs=st.sampled_from([256, 1024, 4096]),
+)
+@settings(max_examples=25, deadline=None)
+def test_flac_lossless_property(seed, n, channels, smooth, bs):
+    """FLAC is LOSSLESS: decode(encode(x)) equals the 16-bit-quantized
+    input bit-for-bit for any signal, channel count, and block size —
+    including the n < block and n % block != 0 edges — and the
+    STREAMINFO md5 self-check passes."""
+    import numpy as np
+
+    from physicsnemo_curator_spark.sources import flac
+
+    rng = np.random.default_rng(seed)
+    if smooth:
+        base = 0.7 * np.sin(np.arange(n) / 17.0)
+        sig = np.stack([np.roll(base, c) for c in range(channels)], axis=1)
+    else:
+        sig = rng.uniform(-1.0, 1.0, size=(n, channels))
+    out, meta = flac.decode_flac(flac.encode_flac(sig, 8000, block_size=bs))
+    assert meta["n_frames"] == n
+    q = np.round(np.clip(sig, -1, 1) * 32767.0) / 32768.0
+    np.testing.assert_array_equal(out.reshape(n, channels), q)

@@ -4522,6 +4522,88 @@ FROM documents WHERE doc_id < 250 ORDER BY doc_id LIMIT 250
 """
 
 
+def q_media_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAC codec gate (sources/flac.py): each document becomes a
+    CONSTANT signal at level ``(n_chars % 100) / 127`` with
+    ``300 + n_chars % 900`` frames (spanning one and multiple 512-
+    sample blocks), encoded to a real FLAC stream and decoded back in
+    the executors.  FLAC is LOSSLESS, so every decoded sample equals
+    ``round(32767*k/127)/32768`` EXACTLY and the frame count survives
+    block segmentation; the md5 self-check runs inside decode.
+    DuckDB replays the arithmetic."""
+    from physicsnemo_curator_spark.sources import flac as _flac
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 250)
+        .select(
+            "doc_id",
+            (F.col("n_chars") % 100).cast("int").alias("k"),
+            (300 + F.col("n_chars") % 900).cast("int").alias("n"),
+        )
+    )
+
+    def codec(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for doc_id, k, n in zip(pdf["doc_id"], pdf["k"], pdf["n"]):
+                enc = _flac.encode_flac(
+                    np.full(int(n), int(k) / 127.0), 8000,
+                    block_size=512,
+                )
+                out, meta = _flac.decode_flac(enc)
+                rows.append(
+                    (
+                        int(doc_id),
+                        int(meta["n_frames"]),
+                        int(meta["sample_rate"]),
+                        int(meta["channels"]),
+                        float(np.min(out)),
+                        float(np.max(out)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames", "sample_rate", "channels",
+                    "vmin", "vmax",
+                ],
+            )
+
+    out = docs.mapInPandas(
+        codec,
+        "doc_id long, n_frames int, sample_rate int, channels int, "
+        "vmin double, vmax double",
+    )
+    return (
+        out.select(
+            "doc_id", "n_frames", "sample_rate", "channels",
+            F.round("vmin", 9).alias("vmin"),
+            F.round("vmax", 9).alias("vmax"),
+        )
+        .orderBy("doc_id")
+        .limit(250)
+    )
+
+
+ORACLE_MEDIA_FLAC = """
+WITH p AS (
+    SELECT doc_id, n_chars % 100 AS k, 300 + n_chars % 900 AS n
+    FROM documents WHERE doc_id < 250
+)
+SELECT doc_id,
+       CAST(n AS INT) AS n_frames,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(1 AS INT) AS channels,
+       ROUND(CAST(ROUND(32767 * k / 127.0) AS BIGINT) / 32768.0, 9) AS vmin,
+       ROUND(CAST(ROUND(32767 * k / 127.0) AS BIGINT) / 32768.0, 9) AS vmax
+FROM p ORDER BY doc_id LIMIT 250
+"""
+
+
 def q_dataset_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hub-dataset local-layout gate (sources/datasets.py — DrivAerML
     ``run_<i>/`` discovery, split-part volume reassembly, and the
@@ -5871,6 +5953,7 @@ QUERIES: dict[str, QuerySpec] = {
     "q_media_avi_frames": QuerySpec(q_media_avi_frames, ORACLE_MEDIA_AVI),
     "q_media_adpcm": QuerySpec(q_media_adpcm, ORACLE_MEDIA_ADPCM),
     "q_media_lossless": QuerySpec(q_media_lossless, ORACLE_MEDIA_LOSSLESS),
+    "q_media_flac": QuerySpec(q_media_flac, ORACLE_MEDIA_FLAC),
     "q_vtk_domain": QuerySpec(q_vtk_domain, ORACLE_VTK_DOMAIN),
     "q_text_bigram_lm": QuerySpec(q_text_bigram_lm, ORACLE_TEXT_BIGRAM_LM),
     "q_media_png_resize": QuerySpec(q_media_png_resize, ORACLE_MEDIA_PNG),
@@ -6060,13 +6143,13 @@ QUERIES: dict[str, QuerySpec] = {
 
 
 # r09 driver-window rotation (same explicit-list mechanism as r08).
-# First 50 = the SEVEN r09-new gates (grid_federated / grid_sidecar /
+# First 50 = the EIGHT r09-new gates (grid_federated / grid_sidecar /
 # atomic_stats / mesh_quality / media_avi_frames / media_adpcm /
-# media_lossless), the four rows last driver-checked in r06 (w1 / t1 /
-# a6 / minhash — the VERDICT-r08 stale cohort), and 39 of the 50 rows
-# last checked r07.  The ELEVEN r07 overflow rows lead the tail
-# (sim-verified green this round by the full driver-sim sweep; they
-# head the r10 window), followed by the r08-green cohort.
+# media_lossless / media_flac), the four rows last driver-checked in
+# r06 (w1 / t1 / a6 / minhash — the VERDICT-r08 stale cohort), and 38
+# of the 50 rows last checked r07.  The TWELVE r07 overflow rows lead
+# the tail (sim-verified green this round by the full driver-sim
+# sweep; they head the r10 window), followed by the r08-green cohort.
 _DRIVER_ORDER = [
     # --- r09-new gates ---
     "q_grid_federated",
@@ -6076,6 +6159,7 @@ _DRIVER_ORDER = [
     "q_media_avi_frames",
     "q_media_adpcm",
     "q_media_lossless",
+    "q_media_flac",
     # --- last driver-checked r06 ---
     "q_w1_row_number",
     "q_t1_topk",
@@ -6120,8 +6204,8 @@ _DRIVER_ORDER = [
     "q_dedup_exact",
     "q_dedup_ngram_jaccard",
     "q_sample_split",
-    "q_text_redact_pii",
     # --- tail: r07 overflow (sim-verify; r10 window head) ---
+    "q_text_redact_pii",
     "q_text_logprob",
     "q_text_decontaminate",
     "q_emb_outliers",

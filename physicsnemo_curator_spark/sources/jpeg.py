@@ -1116,7 +1116,18 @@ def _prep_planes(pixels, quality: int, subsampling: str, precision=8):
     sample range grew x16, so quantization error stays proportionate;
     written as 16-bit DQT entries)."""
     if precision == 8:
-        arr = np.asarray(pixels, dtype=np.uint8)
+        arr = np.asarray(pixels)
+        if arr.dtype != np.uint8:
+            # np.asarray(..., dtype=uint8) would WRAP wider samples
+            # mod 256 — silent corruption; demand explicit intent
+            if arr.dtype.kind not in "ui" or (
+                arr.size and int(arr.max()) > 255
+            ):
+                raise ValueError(
+                    "8-bit encode expects uint8 samples; use "
+                    "precision=12 for wider data"
+                )
+            arr = arr.astype(np.uint8)
     elif precision == 12:
         arr = np.asarray(pixels)
         if arr.dtype.kind not in "ui" or (

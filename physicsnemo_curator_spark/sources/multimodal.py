@@ -333,11 +333,17 @@ def resize_images(
                     ys = (np.arange(height) * (sh / height)).astype(np.int64)
                     xs = (np.arange(width) * (sw / width)).astype(np.int64)
                     resized = pixels[np.ix_(ys, xs)]
-                    enc = (
-                        _png.encode_png(resized)
-                        if fmt == "png"
-                        else _jpeg.encode_jpeg(resized, quality=90)
-                    )
+                    if fmt == "png":
+                        enc = _png.encode_png(resized)
+                    elif resized.dtype == np.uint16:
+                        # 12-bit JPEG decode: re-encode at the same
+                        # depth — an 8-bit re-encode would wrap the
+                        # sample values mod 256
+                        enc = _jpeg.encode_jpeg(
+                            resized, quality=90, precision=12
+                        )
+                    else:
+                        enc = _jpeg.encode_jpeg(resized, quality=90)
                     out_payload.append(enc)
                     out_w.append(width)
                     out_h.append(height)

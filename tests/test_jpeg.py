@@ -644,3 +644,30 @@ def test_adobe_transform0_rgb_stored_directly():
          y - 0.344136 * cb - 0.714136 * cr,
          y + 1.772 * cb], axis=2)), 0, 255)
     assert np.abs(manual - ycc.astype(float)).max() <= 1.0
+
+
+def test_8bit_encode_rejects_wide_samples_and_resize_keeps_depth(spark):
+    """encode_jpeg at precision 8 must refuse uint16 samples above 255
+    (np.asarray(dtype=uint8) would wrap them mod 256 — silent
+    corruption), and resize_images must re-encode a 12-bit payload at
+    12-bit depth."""
+    from physicsnemo_curator_spark.sources import multimodal
+
+    with pytest.raises(ValueError, match="uint8"):
+        jpeg.encode_jpeg(np.full((8, 8), 3000, dtype=np.uint16))
+    # in-range wider dtypes still encode (explicit range check passes)
+    out, _ = jpeg.decode_jpeg(
+        jpeg.encode_jpeg(np.full((8, 8), 77, dtype=np.int64), quality=75)
+    )
+    assert np.abs(out.astype(int) - 77).max() == 0
+
+    img12 = np.linspace(0, 4095, 16 * 16).reshape(16, 16).astype(np.uint16)
+    payload = jpeg.encode_jpeg(img12, quality=95, precision=12)
+    rows = [(1, "image", bytearray(payload), 16, 16, None)]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out_row = multimodal.resize_images(
+        media, width=8, height=8, strict=True
+    ).collect()[0]
+    px, meta = jpeg.decode_jpeg(bytes(out_row.payload))
+    assert meta["bits"] == 12 and px.dtype == np.uint16
+    assert int(px.max()) > 255  # depth survived the resize hop

@@ -162,14 +162,17 @@ def extract_features(media: DataFrame, *, dim: int = 8, strict: bool = False) ->
                         decoded = None
                 audio = None
                 if kind == "audio" and (
-                    _wav.is_wav(raw) or _flac.is_flac(raw)
+                    _wav.is_wav(raw)
+                    or _flac.is_flac(raw)
+                    or _flac.is_ogg_flac(raw)
                 ):
                     try:
-                        audio = (
-                            _wav.decode_wav(raw)
-                            if _wav.is_wav(raw)
-                            else _flac.decode_flac(raw)
-                        )
+                        if _wav.is_wav(raw):
+                            audio = _wav.decode_wav(raw)
+                        elif _flac.is_flac(raw):
+                            audio = _flac.decode_flac(raw)
+                        else:
+                            audio = _flac.decode_ogg_flac(raw)
                     except Exception:
                         if strict:
                             raise

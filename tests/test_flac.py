@@ -201,3 +201,31 @@ def test_extract_features_flac_audio(spark):
     assert feat.feature[0] == 8000.0 and feat.feature[1] == 1.0
     assert abs(feat.feature[2] - 1.0) < 1e-12
     assert abs(feat.feature[3] - 0.8 / np.sqrt(2)) < 1e-3
+
+
+def test_ogg_flac_roundtrip_and_page_structure():
+    """Ogg encapsulation: encode wraps the native stream in CRC-32
+    verified pages (BOS flag on the mapping-header page, EOS on the
+    last), decode reassembles packets and must produce the exact
+    native decode.  Page CRC corruption raises."""
+    sig = 0.5 * np.sin(np.arange(9000) / 11.0)
+    ogg = flac.encode_ogg_flac(sig, 8000, block_size=1024)
+    assert flac.is_ogg_flac(ogg) and not flac.is_flac(ogg)
+    assert ogg[:4] == b"OggS" and ogg[5] & 0x02  # BOS
+    out, meta = flac.decode_ogg_flac(ogg)
+    np.testing.assert_array_equal(out, _q16(sig))
+    assert meta["n_frames"] == 9000
+    ref, _ = flac.decode_flac(flac.encode_flac(sig, 8000, block_size=1024))
+    np.testing.assert_array_equal(out, ref)
+    # find the EOS page
+    assert any(
+        ogg[i + 5] & 0x04
+        for i in range(len(ogg) - 6)
+        if ogg[i : i + 4] == b"OggS"
+    )
+    bad = bytearray(ogg)
+    bad[-3] ^= 0x10
+    with pytest.raises(ValueError, match="CRC"):
+        flac.decode_ogg_flac(bytes(bad))
+    with pytest.raises(ValueError, match="capture"):
+        flac.decode_ogg_flac(b"NotOgg" + bytes(30))

@@ -114,6 +114,7 @@ def extract_features(media: DataFrame, *, dim: int = 8, strict: bool = False) ->
     """
     import numpy as np
 
+    from physicsnemo_curator_spark.sources import avi as _avi
     from physicsnemo_curator_spark.sources import flac as _flac
     from physicsnemo_curator_spark.sources import wav as _wav
 
@@ -178,6 +179,40 @@ def extract_features(media: DataFrame, *, dim: int = 8, strict: bool = False) ->
                             raise
                         # fall through to the shared digest stub below
                         audio = None
+                video = None
+                if kind == "video" and _avi.is_avi(raw):
+                    # real video features: container geometry/fps/
+                    # frame count + first decoded frame's pixel stats
+                    # (sampling never touches the other frames)
+                    try:
+                        parsed = _avi.parse_avi(raw)
+                        first = next(
+                            _avi.iter_avi_frames(raw, every_n=1)
+                        )[1]
+                        video = (parsed, first)
+                    except (NotImplementedError, ValueError, StopIteration):
+                        if strict:
+                            raise
+                        video = None
+                if video is not None:
+                    parsed, first = video
+                    vmeta = parsed["meta"]
+                    vals = first.astype(np.float64) / 255.0
+                    feats.append(
+                        _pad(
+                            [
+                                vmeta["width"],
+                                vmeta["height"],
+                                vmeta.get("fps", 0),
+                                len(parsed["frames"]),
+                                float(vals.mean()),
+                                float(vals.std()),
+                                float(vals.min()),
+                                float(vals.max()),
+                            ]
+                        )
+                    )
+                    continue
                 if audio is not None:
                     samples, meta = audio
                     mono = (
@@ -239,7 +274,8 @@ def extract_features(media: DataFrame, *, dim: int = 8, strict: bool = False) ->
                     raise NotImplementedError(
                         "real feature extraction is only implemented "
                         "for raw grayscale planes, PNG/baseline-JPEG "
-                        "images and WAV/FLAC audio in this build "
+                        "images, WAV/FLAC audio and AVI video in this "
+                        "build "
                         "(codec-gated); run with strict=False for the "
                         "deterministic digest stub"
                     )

@@ -203,3 +203,18 @@ def test_multi_stream_avi_frames_come_from_elected_stream_only():
     assert len(out) == 3
     for f in out:
         assert set(f.reshape(-1).tolist()) == {200}
+
+
+def test_extract_features_real_video_stats(spark):
+    """AVI payloads get REAL features under strict=True: container
+    geometry, fps, frame count, and first-frame pixel stats."""
+    frames = [np.full((6, 4), 100, dtype=np.uint8) for _ in range(5)]
+    data = avi.encode_avi(frames, fps=12, codec="raw")
+    df = spark.createDataFrame(
+        [(1, "video", bytearray(data), None, None, len(data))],
+        mm.MEDIA_SCHEMA,
+    )
+    feat = mm.extract_features(df, dim=8, strict=True).collect()[0]
+    assert feat.feature[:4] == [4.0, 6.0, 12.0, 5.0]
+    assert abs(feat.feature[4] - 100 / 255) < 1e-9
+    assert feat.feature[5] == 0.0  # constant frame

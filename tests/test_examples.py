@@ -68,3 +68,10 @@ def test_crawl_ingest_example(tmp_path):
     assert len(snaps) == 2
     assert int(snaps[0][0]) == int(snaps[0][1])  # first: everything new
     assert int(snaps[1][1]) < int(snaps[1][0])  # second: overlap dropped
+
+
+def test_curate_media_example(tmp_path):
+    stdout = _run("curate_media.py", str(tmp_path / "work"))
+    assert "media lake: " in stdout
+    assert "features[video]:" in stdout
+    assert "unique after dedup" in stdout

@@ -2,19 +2,18 @@
 
 North-star surface: binary payloads ride through the pipeline as
 ``BINARY`` columns with a typed metadata struct; decode / feature
-extraction run as Arrow-batched ``mapInPandas`` UDFs.  PNG, baseline
-JPEG, and PCM WAV payloads decode for REAL via the repo's pure-Python
-codecs (:mod:`physicsnemo_curator_spark.sources.png`,
-:mod:`~physicsnemo_curator_spark.sources.jpeg`,
-:mod:`~physicsnemo_curator_spark.sources.wav` — public specs, stdlib
-zlib/struct + numpy, no native dependency), so resize and featurize
-work end-to-end on encoded images and uncompressed audio.  Other codec
-libraries (PIL/ffmpeg/torchaudio) are not in this container, so the
-remaining decode paths (progressive JPEG, video containers, compressed
-audio) are import-gated: with no codec available they either raise
-``NotImplementedError`` (strict) or produce a deterministic fake
-feature vector / pass-through (plumbing mode) — the Spark-side schema,
-batching and partitioning are real and tested either way.
+extraction run as Arrow-batched ``mapInPandas`` UDFs.  The payloads
+decode for REAL via the repo's pure-Python public-spec codecs — PNG
+(incl. 16-bit/Adam7), JPEG (baseline/progressive/12-bit/lossless/
+CMYK), WAV (PCM, IMA/MS-ADPCM, G.711), FLAC (native and Ogg), and
+AVI video containers (MJPEG + DIB) — stdlib zlib/struct + numpy, no
+native dependency, so resize / featurize / frame-sample work
+end-to-end on encoded media of all three kinds.  Formats beyond that
+surface (MP3/AAC audio, mp4/mkv containers, arithmetic-coded JPEG)
+stay honestly codec-gated: they raise ``NotImplementedError``
+(strict) or produce a deterministic digest stub / pass-through
+(plumbing mode) — the Spark-side schema, batching and partitioning
+are real and tested either way.
 """
 
 from __future__ import annotations

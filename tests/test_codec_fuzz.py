@@ -1,0 +1,184 @@
+"""Opt-in codec fuzz soak: the full configuration matrix over every
+pure-Python codec — the fuzzing class that catches encoder/decoder
+desyncs the targeted unit tests miss (r08's progressive-JPEG EOB-run
+and refinement-scan bugs were found exactly this way).
+
+Gated behind ``SPARK_GRAFT_CODEC_FUZZ=1`` (~3400 configs, ~2 min):
+
+    SPARK_GRAFT_CODEC_FUZZ=1 python -m pytest tests/test_codec_fuzz.py -q
+
+Matrix: JPEG {noise, flat, sparse, gradient} x {1x1 .. 32x24} x
+{gray, RGB, CMYK} x quality x subsampling x restart x scan script,
+for 8-bit, 12-bit, progressive (pixel-identity vs baseline), and
+lossless (bit-exact, all 7 predictors x 8/12/16-bit); audio
+{sine, noise, clip, silence, impulse} x block-boundary lengths
+(504/505/506) x mono/stereo for IMA/MS-ADPCM, G.711 u/a-law, FLAC
+and Ogg-FLAC (lossless paths must be bit-exact); AVI raw+MJPEG x
+frame counts x geometries with every_n sampling index checks.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+
+import numpy as np
+import pytest
+
+from physicsnemo_curator_spark.sources import avi, flac, jpeg, wav
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_CODEC_FUZZ") != "1",
+    reason="codec fuzz soak is opt-in (SPARK_GRAFT_CODEC_FUZZ=1)",
+)
+
+_RNG = np.random.default_rng(42)
+
+
+def _image(kind, h, w, c):
+    shape = (h, w) if c == 1 else (h, w, c)
+    if kind == "noise":
+        return _RNG.integers(0, 256, shape, dtype=np.uint8)
+    if kind == "flat":
+        return np.full(shape, 128, dtype=np.uint8)
+    if kind == "sparse":
+        return np.where(_RNG.random(shape) < 0.02, 255, 0).astype(np.uint8)
+    g = (np.indices((h, w)).sum(0) % 256).astype(np.uint8)
+    if c == 1:
+        return g
+    return np.stack([(g.astype(int) * k % 256) for k in range(1, c + 1)],
+                    axis=2).astype(np.uint8)
+
+
+_KINDS = ("noise", "flat", "sparse", "grad")
+_GEOMS = ((1, 1), (8, 8), (7, 9), (16, 16), (17, 31), (32, 24))
+
+
+def test_jpeg_8bit_matrix():
+    for kind, (h, w), c, q, sub, rst, script in itertools.product(
+        _KINDS, _GEOMS, (1, 3, 4), (10, 50, 90), ("444", "420"),
+        (0, 2), ("interleaved", "separate"),
+    ):
+        if c == 4 and sub == "420":
+            continue
+        img = _image(kind, h, w, c)
+        d = jpeg.encode_jpeg(
+            img, quality=q, subsampling=sub, restart_interval=rst,
+            scan_script=script,
+        )
+        out, _ = jpeg.decode_jpeg(d)
+        assert out.shape == img.shape, (kind, h, w, c, q, sub, rst, script)
+
+
+def test_jpeg_12bit_matrix():
+    for kind, (h, w), c in itertools.product(_KINDS, _GEOMS, (1, 3, 4)):
+        img8 = _image(kind, h, w, c)
+        img = (
+            img8.astype(np.uint16) * 16
+            + _RNG.integers(0, 16, img8.shape)
+        ).astype(np.uint16)
+        for script in ("interleaved", "separate"):
+            d = jpeg.encode_jpeg(
+                img, quality=90, precision=12, scan_script=script
+            )
+            out, _ = jpeg.decode_jpeg(d)
+            assert out.shape == img.shape and out.dtype == np.uint16
+
+
+def test_jpeg_progressive_pixel_identity_matrix():
+    for kind, (h, w), c, q, sub in itertools.product(
+        _KINDS, _GEOMS, (1, 3), (25, 75, 95), ("444", "420")
+    ):
+        img = _image(kind, h, w, c)
+        b, _ = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=q,
+                                                 subsampling=sub))
+        p, _ = jpeg.decode_jpeg(
+            jpeg.encode_jpeg_progressive(img, quality=q, subsampling=sub)
+        )
+        np.testing.assert_array_equal(b, p, err_msg=f"{kind} {h}x{w}")
+
+
+def test_jpeg_lossless_bit_exact_matrix():
+    for kind, (h, w), c, pred, prec in itertools.product(
+        _KINDS, _GEOMS, (1, 3), range(1, 8), (8, 12, 16)
+    ):
+        img8 = _image(kind, h, w, c)
+        if prec == 8:
+            img = img8
+        else:
+            img = (
+                (img8.astype(np.uint16) << (prec - 8))
+                + _RNG.integers(0, 1 << (prec - 8), img8.shape)
+            ).astype(np.uint16)
+        d = jpeg.encode_jpeg_lossless(img, predictor=pred, precision=prec)
+        out, _ = jpeg.decode_jpeg(d)
+        np.testing.assert_array_equal(
+            out.astype(np.int64), img.astype(np.int64),
+            err_msg=f"{kind} {h}x{w}x{c} p{pred} {prec}",
+        )
+
+
+def _signal(kind, n):
+    if kind == "sine":
+        return 0.7 * np.sin(np.arange(n) / 7.0)
+    if kind == "noise":
+        return _RNG.uniform(-1, 1, n)
+    if kind == "clip":
+        return np.where(_RNG.random(n) < 0.5, 1.5, -1.5)
+    if kind == "silence":
+        return np.zeros(n)
+    return np.where(_RNG.random(n) < 0.01, 1.0, 0.0)
+
+
+def test_audio_codec_matrix():
+    codecs = [
+        ("ima", lambda s: wav.encode_wav(s, 8000, bits=4), wav.decode_wav,
+         False),
+        ("ms", lambda s: wav.encode_wav(s, 8000, codec="ms_adpcm"),
+         wav.decode_wav, False),
+        ("ulaw", lambda s: wav.encode_wav(s, 8000, codec="ulaw"),
+         wav.decode_wav, False),
+        ("alaw", lambda s: wav.encode_wav(s, 8000, codec="alaw"),
+         wav.decode_wav, False),
+        ("flac", lambda s: flac.encode_flac(s, 8000, block_size=512),
+         flac.decode_flac, True),
+        ("ogg", lambda s: flac.encode_ogg_flac(s, 8000, block_size=512),
+         flac.decode_ogg_flac, True),
+    ]
+    for kind, n, ch in itertools.product(
+        ("sine", "noise", "clip", "silence", "impulse"),
+        (1, 5, 504, 505, 506, 2000),
+        (1, 2),
+    ):
+        base = _signal(kind, n)
+        sig = base if ch == 1 else np.stack([base, -base], axis=1)
+        for tag, enc, dec, lossless in codecs:
+            out, meta = dec(enc(sig))
+            assert meta["n_frames"] == n, (tag, kind, n, ch)
+            got_ch = 1 if out.ndim == 1 else out.shape[1]
+            assert got_ch == ch, (tag, kind, n, ch)
+            if lossless:
+                q = np.round(np.clip(sig, -1, 1) * 32767) / 32768
+                np.testing.assert_array_equal(
+                    out.reshape(n, ch), q.reshape(n, ch),
+                    err_msg=f"{tag} {kind} n{n} ch{ch}",
+                )
+
+
+def test_avi_matrix():
+    for codec, nf, (h, w), c in itertools.product(
+        ("raw", "mjpeg"), (1, 3, 7),
+        ((1, 1), (6, 4), (16, 16), (5, 13)), (1, 3),
+    ):
+        frames = [
+            _RNG.integers(
+                0, 256, (h, w) if c == 1 else (h, w, c), dtype=np.uint8
+            )
+            for _ in range(nf)
+        ]
+        d = avi.encode_avi(frames, fps=10, codec=codec)
+        out, _ = avi.decode_avi(d)
+        assert len(out) == nf
+        for en in (1, 2, 3):
+            idxs = [i for i, _ in avi.iter_avi_frames(d, every_n=en)]
+            assert idxs == list(range(0, nf, en))

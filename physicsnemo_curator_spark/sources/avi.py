@@ -325,3 +325,136 @@ def decode_avi(data: bytes) -> tuple[list[np.ndarray], dict]:
     meta = dict(parsed["meta"])
     meta["n_frames"] = len(frames)
     return frames, meta
+
+
+def extract_avi_audio(data: bytes) -> tuple[np.ndarray, dict]:
+    """Extract the FIRST audio stream from an interleaved AVI: parse
+    its ``auds`` stream header (the ``strf`` is a WAVEFORMATEX), pull
+    the stream's ``##wb`` chunks from the movi list in order, and
+    decode the concatenation through the WAV codec's kernels (PCM,
+    IMA/MS-ADPCM, G.711 — same tag dispatch as ``decode_wav``).
+    Raises ValueError when the container has no audio stream."""
+    from . import wav as _wav
+
+    if not is_avi(data):
+        raise ValueError("not a RIFF/AVI payload")
+    (riff_size,) = struct.unpack_from("<I", data, 4)
+    end = min(len(data), 8 + riff_size)
+    fmt = None
+    stream_no = -1
+    n_strl = 0
+    chunks: list[bytes] = []
+    for fourcc, body, size in _walk_chunks(data, 12, end):
+        if fourcc != b"LIST":
+            continue
+        kind = data[body : body + 4]
+        if kind == b"hdrl":
+            for c4, b2, s2 in _walk_chunks(data, body + 4, body + size):
+                if c4 == b"LIST" and data[b2 : b2 + 4] == b"strl":
+                    st_type = None
+                    for c5, b3, s3 in _walk_chunks(data, b2 + 4, b2 + s2):
+                        if c5 == b"strh":
+                            st_type = data[b3 : b3 + 4]
+                        elif (
+                            c5 == b"strf"
+                            and st_type == b"auds"
+                            and fmt is None
+                        ):
+                            fmt = bytes(data[b3 : b3 + s3])
+                            stream_no = n_strl
+                    n_strl += 1
+        elif kind == b"movi" and stream_no >= 0:
+            want = b"%02dwb" % stream_no
+            for c4, b2, s2 in _walk_chunks(data, body + 4, body + size):
+                if c4 == want:
+                    chunks.append(data[b2 : b2 + s2])
+    if fmt is None:
+        raise ValueError("AVI has no audio (auds) stream")
+    # WAVEFORMATEX prefix: tag, channels, rate, byterate, align, bits
+    tag, channels, rate, _br, block_align, bits = struct.unpack_from(
+        "<HHIIHH", fmt, 0
+    )
+    # rebuild a minimal WAV around the payload and reuse the tag
+    # dispatch (incl. ADPCM block walkers and G.711 companders)
+    payload = b"".join(chunks)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(payload)) + payload
+        + (b"\x00" if len(payload) % 2 else b"")
+    )
+    return _wav.decode_wav(
+        b"RIFF" + struct.pack("<I", len(body)) + body
+    )
+
+
+def encode_avi_with_audio(
+    frames: list[np.ndarray],
+    audio: np.ndarray,
+    sample_rate: int,
+    *,
+    fps: int = 30,
+    codec: str = "mjpeg",
+    quality: int = 90,
+) -> bytes:
+    """Encode video frames plus a 16-bit PCM audio track as a
+    two-stream AVI (stream 0 = vids, stream 1 = auds, audio split
+    into one ``01wb`` chunk per video frame — the usual interleave)."""
+    from . import wav as _wav
+
+    base = encode_avi(frames, fps=fps, codec=codec, quality=quality)
+    arr = np.asarray(audio, dtype=np.float64)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    channels = arr.shape[1]
+    pcm = (
+        np.round(np.clip(arr, -1.0, 1.0) * 32767.0)
+        .astype("<i2")
+        .tobytes()
+    )
+    block = channels * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * block, block, 16
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIiI4h",
+        b"auds", b"\x00" * 4, 0, 0, 0, 0,
+        1, sample_rate, 0, len(arr), len(pcm), -1, block,
+        0, 0, 0, 0,
+    )
+
+    def chunk(fourcc: bytes, bodyb: bytes) -> bytes:
+        out = fourcc + struct.pack("<I", len(bodyb)) + bodyb
+        if len(bodyb) % 2:
+            out += b"\x00"
+        return out
+
+    strl = chunk(
+        b"LIST", b"strl" + chunk(b"strh", strh) + chunk(b"strf", fmt)
+    )
+    out = bytearray(base)
+    # splice the audio strl into hdrl (after the video strl) and bump
+    # the stream count
+    hdrl_at = out.index(b"hdrl") - 8
+    (hdrl_sz,) = struct.unpack_from("<I", out, hdrl_at + 4)
+    insert_at = hdrl_at + 8 + 4 + hdrl_sz - 4  # end of hdrl body
+    avih_at = out.index(b"avih")
+    struct.pack_into("<I", out, avih_at + 8 + 24, 2)  # dwStreams = 2
+    out[insert_at:insert_at] = strl
+    struct.pack_into("<I", out, hdrl_at + 4, hdrl_sz + len(strl))
+    # interleave audio chunks into movi: append per video frame
+    movi_at = out.index(b"movi") - 8
+    (movi_sz,) = struct.unpack_from("<I", out, movi_at + 4)
+    movi_end = movi_at + 8 + movi_sz
+    nf = max(len(frames), 1)
+    per = -(-len(pcm) // nf)
+    audio_chunks = bytearray()
+    for i in range(nf):
+        piece = pcm[i * per : (i + 1) * per]
+        if piece:
+            audio_chunks += chunk(b"01wb", piece)
+    out[movi_end:movi_end] = audio_chunks
+    struct.pack_into("<I", out, movi_at + 4, movi_sz + len(audio_chunks))
+    # fix the RIFF size
+    struct.pack_into("<I", out, 4, len(out) - 8)
+    return bytes(out)

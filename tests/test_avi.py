@@ -218,3 +218,33 @@ def test_extract_features_real_video_stats(spark):
     assert feat.feature[:4] == [4.0, 6.0, 12.0, 5.0]
     assert abs(feat.feature[4] - 100 / 255) < 1e-9
     assert feat.feature[5] == 0.0  # constant frame
+
+
+def test_interleaved_audio_video_avi():
+    """Two-stream AVI (vids + auds): video decode takes only the
+    elected stream's chunks, extract_avi_audio reassembles the 01wb
+    chunks in order and decodes them through the WAV tag dispatch —
+    16-bit PCM round-trips within decode normalization."""
+    rng = np.random.default_rng(2)
+    frames = [
+        rng.integers(0, 256, (6, 4, 3), dtype=np.uint8) for _ in range(4)
+    ]
+    audio = 0.5 * np.sin(np.arange(4000) / 9.0)
+    data = avi.encode_avi_with_audio(
+        frames, audio, 8000, fps=10, codec="raw"
+    )
+    out, meta = avi.decode_avi(data)
+    assert len(out) == 4 and meta["codec"] == "raw"
+    for a, b in zip(frames, out):
+        np.testing.assert_array_equal(a, b)
+    sig, ameta = avi.extract_avi_audio(data)
+    assert ameta["sample_rate"] == 8000 and ameta["n_frames"] == 4000
+    exp = np.round(np.clip(audio, -1, 1) * 32767) / 32768
+    assert np.abs(sig - exp).max() < 1e-12
+    # stereo + mjpeg variant
+    st = np.stack([audio[:2000], -audio[:2000]], axis=1)
+    d2 = avi.encode_avi_with_audio(frames, st, 44100, codec="mjpeg")
+    s2, m2 = avi.extract_avi_audio(d2)
+    assert m2["channels"] == 2 and s2.shape == (2000, 2)
+    with pytest.raises(ValueError, match="no audio"):
+        avi.extract_avi_audio(avi.encode_avi(frames, codec="raw"))

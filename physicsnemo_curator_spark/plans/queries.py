@@ -4604,6 +4604,119 @@ FROM p ORDER BY doc_id LIMIT 250
 """
 
 
+def q_media_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G.711 compander gate (sources/wav.py formats 7/6): each
+    document's level ``round(32767*(n_chars%100)/127)`` runs through
+    REAL mu-law and a-law encode->decode (constant 64-frame WAVs).
+    The Sun segment algorithm is pure integer arithmetic, so DuckDB
+    replays BOTH companders bit-for-bit with CASE-ladder segment
+    election and shift/mask math — any deviation in the table edges,
+    bias, or xor masks breaks the hash."""
+    from physicsnemo_curator_spark.sources import wav as _wav
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id", (F.col("n_chars") % 100).cast("int").alias("k"))
+    )
+
+    def codec(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for doc_id, k in zip(pdf["doc_id"], pdf["k"]):
+                sig = np.full(64, int(k) / 127.0)
+                vu, _ = _wav.decode_wav(
+                    _wav.encode_wav(sig, 8000, codec="ulaw")
+                )
+                va, _ = _wav.decode_wav(
+                    _wav.encode_wav(sig, 8000, codec="alaw")
+                )
+                assert float(vu.min()) == float(vu.max())
+                assert float(va.min()) == float(va.max())
+                rows.append((int(doc_id), float(vu[0]), float(va[0])))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "ulaw_value", "alaw_value"]
+            )
+
+    out = docs.mapInPandas(
+        codec, "doc_id long, ulaw_value double, alaw_value double"
+    )
+    return (
+        out.select(
+            "doc_id",
+            F.round("ulaw_value", 9).alias("ulaw_value"),
+            F.round("alaw_value", 9).alias("alaw_value"),
+        )
+        .orderBy("doc_id")
+        .limit(300)
+    )
+
+
+ORACLE_MEDIA_G711 = """
+WITH p AS (
+    SELECT doc_id,
+           CAST(ROUND(32767 * (n_chars % 100) / 127.0) AS BIGINT) AS s0
+    FROM documents WHERE doc_id < 300
+), u AS (
+    -- mu-law encode (Sun): 14-bit domain, CLIP 8159, BIAS>>2 = 33
+    SELECT doc_id, LEAST(s0 >> 2, 8159) + 33 AS pu, s0 FROM p
+), useg AS (
+    SELECT doc_id, pu, s0,
+           CASE WHEN pu <= 63 THEN 0 WHEN pu <= 127 THEN 1
+                WHEN pu <= 255 THEN 2 WHEN pu <= 511 THEN 3
+                WHEN pu <= 1023 THEN 4 WHEN pu <= 2047 THEN 5
+                WHEN pu <= 4095 THEN 6 WHEN pu <= 8191 THEN 7
+                ELSE 8 END AS seg
+    FROM u
+), ubyte AS (
+    -- uval ^ 0xFF (positive mask); seg 8 overflows to 0x7F ^ 0xFF
+    SELECT doc_id, s0,
+           CASE WHEN seg >= 8 THEN xor(127, 255)
+                ELSE xor((seg << 4) | ((pu >> (seg + 1)) & 15), 255)
+           END AS b
+    FROM useg
+), udec AS (
+    -- decode: u = ~b & 0xFF; t = (((u&15)<<3)+132) << ((u>>4)&7)
+    SELECT doc_id, s0,
+           ((((xor(b, 255) & 15) << 3) + 132)
+            << ((xor(b, 255) >> 4) & 7)) - 132 AS uval
+    FROM ubyte
+), a AS (
+    -- a-law encode: 13-bit domain, mask 0xD5 for positive
+    SELECT doc_id, s0 >> 3 AS pa, s0, uval FROM udec
+), aseg AS (
+    SELECT doc_id, pa, s0, uval,
+           CASE WHEN pa <= 31 THEN 0 WHEN pa <= 63 THEN 1
+                WHEN pa <= 127 THEN 2 WHEN pa <= 255 THEN 3
+                WHEN pa <= 511 THEN 4 WHEN pa <= 1023 THEN 5
+                WHEN pa <= 2047 THEN 6 ELSE 7 END AS seg
+    FROM a
+), abyte AS (
+    SELECT doc_id, s0, uval,
+           xor((seg << 4)
+               | ((pa >> (CASE WHEN seg < 2 THEN 1 ELSE seg END)) & 15),
+               213) AS b
+    FROM aseg
+), adec AS (
+    -- decode: x = b ^ 0x55 (= aval ^ 0x80, sign bit set -> +t)
+    SELECT doc_id, uval,
+           CASE WHEN ((xor(b, 85) & 112) >> 4) = 0
+                THEN ((xor(b, 85) & 15) << 4) + 8
+                ELSE (((xor(b, 85) & 15) << 4) + 264)
+                     << (((xor(b, 85) & 112) >> 4) - 1)
+           END AS aval
+    FROM abyte
+)
+SELECT doc_id,
+       ROUND(uval / 32768.0, 9) AS ulaw_value,
+       ROUND(aval / 32768.0, 9) AS alaw_value
+FROM adec ORDER BY doc_id LIMIT 300
+"""
+
+
 def q_dataset_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hub-dataset local-layout gate (sources/datasets.py — DrivAerML
     ``run_<i>/`` discovery, split-part volume reassembly, and the
@@ -5954,6 +6067,7 @@ QUERIES: dict[str, QuerySpec] = {
     "q_media_adpcm": QuerySpec(q_media_adpcm, ORACLE_MEDIA_ADPCM),
     "q_media_lossless": QuerySpec(q_media_lossless, ORACLE_MEDIA_LOSSLESS),
     "q_media_flac": QuerySpec(q_media_flac, ORACLE_MEDIA_FLAC),
+    "q_media_g711": QuerySpec(q_media_g711, ORACLE_MEDIA_G711),
     "q_vtk_domain": QuerySpec(q_vtk_domain, ORACLE_VTK_DOMAIN),
     "q_text_bigram_lm": QuerySpec(q_text_bigram_lm, ORACLE_TEXT_BIGRAM_LM),
     "q_media_png_resize": QuerySpec(q_media_png_resize, ORACLE_MEDIA_PNG),
@@ -6143,13 +6257,14 @@ QUERIES: dict[str, QuerySpec] = {
 
 
 # r09 driver-window rotation (same explicit-list mechanism as r08).
-# First 50 = the EIGHT r09-new gates (grid_federated / grid_sidecar /
+# First 50 = the NINE r09-new gates (grid_federated / grid_sidecar /
 # atomic_stats / mesh_quality / media_avi_frames / media_adpcm /
-# media_lossless / media_flac), the four rows last driver-checked in
-# r06 (w1 / t1 / a6 / minhash — the VERDICT-r08 stale cohort), and 38
-# of the 50 rows last checked r07.  The TWELVE r07 overflow rows lead
-# the tail (sim-verified green this round by the full driver-sim
-# sweep; they head the r10 window), followed by the r08-green cohort.
+# media_lossless / media_flac / media_g711), the four rows last
+# driver-checked in r06 (w1 / t1 / a6 / minhash — the VERDICT-r08
+# stale cohort), and 37 of the 50 rows last checked r07.  The
+# THIRTEEN r07 overflow rows lead the tail (sim-verified green this
+# round by the full driver-sim sweep; they head the r10 window),
+# followed by the r08-green cohort.
 _DRIVER_ORDER = [
     # --- r09-new gates ---
     "q_grid_federated",
@@ -6160,6 +6275,7 @@ _DRIVER_ORDER = [
     "q_media_adpcm",
     "q_media_lossless",
     "q_media_flac",
+    "q_media_g711",
     # --- last driver-checked r06 ---
     "q_w1_row_number",
     "q_t1_topk",

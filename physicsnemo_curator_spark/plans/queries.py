@@ -4402,6 +4402,14 @@ def q_media_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
             # batch APIs: one block-stacked kernel call per Arrow
             # batch instead of ~1000 tiny numpy ops per signal
             encs = _wav.encode_wav_batch(signals, 8000, bits=4)
+            # MS-ADPCM twin: the constant signal is a fixed point for
+            # predictor 0 too, so decode is exact and the block math
+            # (500 samples/block, 90 + 256*blocks bytes) pins the
+            # format-2 layout alongside the IMA one
+            ms = [
+                _wav.encode_wav(s, 8000, codec="ms_adpcm")
+                for s in signals
+            ]
             rows = [
                 (
                     int(doc_id),
@@ -4411,9 +4419,13 @@ def q_media_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
                     len(enc),
                     float(np.min(out)),
                     float(np.max(out)),
+                    len(menc),
+                    int(mmeta["n_frames"]),
+                    float(np.max(mout)),
                 )
-                for doc_id, enc, (out, meta) in zip(
-                    pdf["doc_id"], encs, _wav.decode_wav_batch(encs)
+                for doc_id, enc, (out, meta), menc, (mout, mmeta) in zip(
+                    pdf["doc_id"], encs, _wav.decode_wav_batch(encs),
+                    ms, [_wav.decode_wav(m) for m in ms],
                 )
             ]
             yield pd.DataFrame(
@@ -4421,19 +4433,23 @@ def q_media_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
                 columns=[
                     "doc_id", "n_frames", "sample_rate", "bits",
                     "enc_bytes", "vmin", "vmax",
+                    "ms_bytes", "ms_n_frames", "ms_value",
                 ],
             )
 
     out = docs.mapInPandas(
         codec,
         "doc_id long, n_frames int, sample_rate int, bits int, "
-        "enc_bytes int, vmin double, vmax double",
+        "enc_bytes int, vmin double, vmax double, ms_bytes int, "
+        "ms_n_frames int, ms_value double",
     )
     return (
         out.select(
             "doc_id", "n_frames", "sample_rate", "bits", "enc_bytes",
             F.round("vmin", 9).alias("vmin"),
             F.round("vmax", 9).alias("vmax"),
+            "ms_bytes", "ms_n_frames",
+            F.round("ms_value", 9).alias("ms_value"),
         )
         .orderBy("doc_id")
         .limit(300)
@@ -4451,7 +4467,11 @@ SELECT doc_id,
        CAST(4 AS INT) AS bits,
        CAST(60 + 256 * ((n + 504) // 505) AS INT) AS enc_bytes,
        ROUND(CAST(ROUND(32767 * k / 127.0) AS BIGINT) / 32768.0, 9) AS vmin,
-       ROUND(CAST(ROUND(32767 * k / 127.0) AS BIGINT) / 32768.0, 9) AS vmax
+       ROUND(CAST(ROUND(32767 * k / 127.0) AS BIGINT) / 32768.0, 9) AS vmax,
+       CAST(90 + 256 * ((GREATEST(n, 2) + 499) // 500) AS INT) AS ms_bytes,
+       CAST(n AS INT) AS ms_n_frames,
+       ROUND(CAST(ROUND(32767 * k / 127.0) AS BIGINT) / 32768.0, 9)
+           AS ms_value
 FROM p ORDER BY doc_id LIMIT 300
 """
 

@@ -4405,11 +4405,8 @@ def q_media_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
             # MS-ADPCM twin: the constant signal is a fixed point for
             # predictor 0 too, so decode is exact and the block math
             # (500 samples/block, 90 + 256*blocks bytes) pins the
-            # format-2 layout alongside the IMA one
-            ms = [
-                _wav.encode_wav(s, 8000, codec="ms_adpcm")
-                for s in signals
-            ]
+            # format-2 layout alongside the IMA one — batched like it
+            ms = _wav.encode_wav_batch(signals, 8000, codec="ms_adpcm")
             rows = [
                 (
                     int(doc_id),
@@ -4425,7 +4422,7 @@ def q_media_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 for doc_id, enc, (out, meta), menc, (mout, mmeta) in zip(
                     pdf["doc_id"], encs, _wav.decode_wav_batch(encs),
-                    ms, [_wav.decode_wav(m) for m in ms],
+                    ms, _wav.decode_wav_batch(ms),
                 )
             ]
             yield pd.DataFrame(

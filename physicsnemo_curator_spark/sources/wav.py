@@ -414,10 +414,9 @@ def _ms_adpcm_encode_blocks(s: np.ndarray) -> np.ndarray:
     return np.concatenate([head, packed.astype(np.uint8)], axis=1)
 
 
-def _encode_ms_adpcm(
-    arr: np.ndarray, sample_rate: int, *, block_align: int | None = None
-) -> bytes:
-    """float (n, c) in [-1, 1] -> complete MS-ADPCM (format 2) WAV."""
+def _ms_block_shape(arr, block_align):
+    """(stacked int64 blocks, ba, spb) for one signal — the MS twin
+    of _adpcm_block_shape."""
     n, channels = arr.shape
     if n == 0:
         raise ValueError("cannot ADPCM-encode an empty signal")
@@ -432,7 +431,10 @@ def _encode_ms_adpcm(
     if pad:
         pcm = np.concatenate([pcm, np.repeat(pcm[-1:], pad, axis=0)])
     s = pcm.reshape(nblk, spb, channels).transpose(0, 2, 1).astype(np.int64)
-    payload = _ms_adpcm_encode_blocks(s).tobytes()
+    return s, ba, spb
+
+
+def _ms_wrap_riff(payload, n, channels, sample_rate, ba, spb):
     byte_rate = -(-sample_rate * ba // spb)
     ext = struct.pack("<HH", spb, 7) + b"".join(
         struct.pack("<hh", int(a), int(b)) for a, b in _MS_COEFS
@@ -441,6 +443,17 @@ def _encode_ms_adpcm(
         "<HHIIHHH", 2, channels, sample_rate, byte_rate, ba, 4, len(ext)
     ) + ext
     return _wrap_riff_fact(fmt, n, payload)
+
+
+def _encode_ms_adpcm(
+    arr: np.ndarray, sample_rate: int, *, block_align: int | None = None
+) -> bytes:
+    """float (n, c) in [-1, 1] -> complete MS-ADPCM (format 2) WAV."""
+    s, ba, spb = _ms_block_shape(arr, block_align)
+    payload = _ms_adpcm_encode_blocks(s).tobytes()
+    return _ms_wrap_riff(
+        payload, arr.shape[0], arr.shape[1], sample_rate, ba, spb
+    )
 
 
 def _parse_wav_chunks(data: bytes):
@@ -609,21 +622,27 @@ def encode_wav(
 
 
 def encode_wav_batch(
-    signals: list, sample_rate: int, *, bits: int = 16
+    signals: list, sample_rate: int, *, bits: int = 16,
+    codec: str = "pcm",
 ) -> list[bytes]:
-    """Encode MANY signals at once.  For ADPCM (``bits=4``) all
-    signals' blocks are stacked into ONE kernel call, so the serial
-    nibble loop runs once for the whole batch instead of once per
-    signal — the shape an Arrow/mapInPandas batch of small audio
-    payloads needs (per-signal calls pay ~1000 tiny-array numpy ops
-    each).  PCM depths are already one-shot vectorized per signal and
-    just loop."""
+    """Encode MANY signals at once.  For the block codecs (IMA ADPCM
+    via ``bits=4``, MS-ADPCM via ``codec='ms_adpcm'``) all signals'
+    blocks are stacked into ONE kernel call, so the serial per-sample
+    loop runs once for the whole batch instead of once per signal —
+    the shape an Arrow/mapInPandas batch of small audio payloads
+    needs (per-signal calls pay ~1000 tiny-array numpy ops each).
+    PCM depths and G.711 are already one-shot vectorized per signal
+    and just loop."""
     arrs = []
     for s in signals:
         a = np.asarray(s, dtype=np.float64)
         arrs.append(a[:, None] if a.ndim == 1 else a)
-    if bits != 4:
-        return [encode_wav(a, sample_rate, bits=bits) for a in arrs]
+    ms = codec == "ms_adpcm"
+    if bits != 4 and not ms:
+        return [
+            encode_wav(a, sample_rate, bits=bits, codec=codec)
+            for a in arrs
+        ]
     if not arrs:
         return []
     channel_counts = {a.shape[1] for a in arrs}
@@ -634,23 +653,25 @@ def encode_wav_batch(
             for i, enc in zip(
                 ix,
                 encode_wav_batch(
-                    [arrs[j] for j in ix], sample_rate, bits=4
+                    [arrs[j] for j in ix], sample_rate, bits=bits,
+                    codec=codec,
                 ),
             ):
                 out[i] = enc
         return out
-    shaped = [_adpcm_block_shape(a, None) for a in arrs]
+    shaper = _ms_block_shape if ms else _adpcm_block_shape
+    kernel = _ms_adpcm_encode_blocks if ms else _adpcm_encode_blocks
+    wrapper = _ms_wrap_riff if ms else _adpcm_wrap_riff
+    shaped = [shaper(a, None) for a in arrs]
     ba, spb = shaped[0][1], shaped[0][2]
-    bodies = _adpcm_encode_blocks(
-        np.concatenate([s for s, _, _ in shaped], axis=0)
-    )
+    bodies = kernel(np.concatenate([s for s, _, _ in shaped], axis=0))
     outs, off = [], 0
     for a, (s, _, _) in zip(arrs, shaped):
         nb = s.shape[0]
         payload = bodies[off : off + nb].tobytes()
         off += nb
         outs.append(
-            _adpcm_wrap_riff(
+            wrapper(
                 payload, a.shape[0], a.shape[1], sample_rate, ba, spb
             )
         )
@@ -663,7 +684,7 @@ def decode_wav_batch(datas: list) -> list[tuple[np.ndarray, dict]]:
     call; everything else routes through :func:`decode_wav`."""
     parsed = [_parse_wav_chunks(d) for d in datas]
     results: list = [None] * len(datas)
-    groups: dict[tuple[int, int], list[int]] = {}
+    groups: dict[tuple[int, int, int], list[int]] = {}
     for i, (fmt, ba, _fact, payload) in enumerate(parsed):
         tag, channels, _rate, bits = fmt
         if tag == 0x11 and bits == 4 and channels >= 1:
@@ -674,10 +695,20 @@ def decode_wav_batch(datas: list) -> list[tuple[np.ndarray, dict]]:
                 )
             if len(payload) < ba:
                 raise ValueError("IMA ADPCM data shorter than one block")
-            groups.setdefault((channels, ba), []).append(i)
+            groups.setdefault((tag, channels, ba), []).append(i)
+        elif tag == 2 and bits == 4 and channels >= 1:
+            hdr = 7 * channels
+            if ba <= hdr or ((ba - hdr) * 2) % channels:
+                raise ValueError(
+                    f"MS-ADPCM block align {ba} invalid for "
+                    f"{channels} channels"
+                )
+            if len(payload) < ba:
+                raise ValueError("MS-ADPCM data shorter than one block")
+            groups.setdefault((tag, channels, ba), []).append(i)
         else:
             results[i] = decode_wav(datas[i])
-    for (channels, ba), idxs in groups.items():
+    for (tag, channels, ba), idxs in groups.items():
         mats, counts = [], []
         for i in idxs:
             payload = parsed[i][3]
@@ -685,7 +716,10 @@ def decode_wav_batch(datas: list) -> list[tuple[np.ndarray, dict]]:
             m = np.frombuffer(payload[:usable], np.uint8).reshape(-1, ba)
             mats.append(m)
             counts.append(m.shape[0])
-        frames = _adpcm_decode_blocks(np.concatenate(mats), channels)
+        decode_blocks = (
+            _ms_adpcm_decode_blocks if tag == 2 else _adpcm_decode_blocks
+        )
+        frames = decode_blocks(np.concatenate(mats), channels)
         off = 0
         for i, nb in zip(idxs, counts):
             f = frames[off : off + nb].reshape(-1, channels)

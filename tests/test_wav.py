@@ -427,3 +427,19 @@ def test_conflicting_codec_and_bits_rejected():
         wav.encode_wav(sig, 8000, bits=4, codec="ulaw")
     with pytest.raises(ValueError, match="block align 262"):
         wav._encode_adpcm_ima(sig[:, None], 8000, block_align=262)
+
+
+def test_ms_adpcm_batch_apis_match_per_signal():
+    """The MS-ADPCM batch paths must be byte- and sample-identical to
+    the per-signal calls, like the IMA ones (blocks stacked across
+    the whole batch)."""
+    rng = np.random.default_rng(8)
+    sigs = [0.5 * np.sin(np.arange(n) / 7.0) for n in (5, 499, 500, 1300)]
+    sigs.append(np.stack([sigs[3], rng.uniform(-1, 1, 1300)], axis=1))
+    batch = wav.encode_wav_batch(sigs, 8000, codec="ms_adpcm")
+    single = [wav.encode_wav(s, 8000, codec="ms_adpcm") for s in sigs]
+    assert batch == single
+    for (arr_b, meta_b), data in zip(wav.decode_wav_batch(batch), single):
+        arr_s, meta_s = wav.decode_wav(data)
+        assert meta_b == meta_s
+        np.testing.assert_array_equal(arr_b, arr_s)

@@ -16,8 +16,9 @@ election over the seven spec coefficient pairs), and format 0x11
 (IMA/DVI ADPCM, the public 4-bit compressed-PCM scheme —
 mono/stereo, any block align), any channel count, extra chunks
 (LIST, ...) skipped with ``fact`` honored for the ADPCM frame count;
-NOT supported: WAVE_FORMAT_EXTENSIBLE subformats other than
-PCM/float, MP3/AAC.  The G.711 companders are ported from the
+WAVE_FORMAT_EXTENSIBLE (0xFFFE) resolves through its SubFormat
+GUID to any of the above; NOT supported: non-media SubFormat GUIDs,
+MP3/AAC.  The G.711 companders are ported from the
 canonical Sun segment-table algorithm and pinned bit-for-bit against
 CPython's audioop in the tests; the MS-ADPCM kernel is pinned
 against a scalar spec-reference decoder.
@@ -484,6 +485,21 @@ def _parse_wav_chunks(data: bytes):
             tag, channels, rate, _brate, block_align, bits = (
                 struct.unpack_from("<HHIIHH", body, 0)
             )
+            if tag == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE
+                # the effective format lives in the SubFormat GUID's
+                # first two bytes; the remainder must be the standard
+                # media-type suffix
+                if len(body) < 40:
+                    raise ValueError("EXTENSIBLE fmt chunk too short")
+                guid = body[24:40]
+                if guid[2:] != (
+                    b"\x00\x00\x00\x00\x10\x00"
+                    b"\x80\x00\x00\xaa\x00\x38\x9b\x71"
+                ):
+                    raise NotImplementedError(
+                        f"EXTENSIBLE SubFormat GUID {guid.hex()}"
+                    )
+                (tag,) = struct.unpack_from("<H", guid, 0)
             fmt = (tag, channels, rate, bits)
         elif cid == b"fact" and size >= 4:
             (fact_frames,) = struct.unpack_from("<I", body, 0)

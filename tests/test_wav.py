@@ -443,3 +443,46 @@ def test_ms_adpcm_batch_apis_match_per_signal():
         arr_s, meta_s = wav.decode_wav(data)
         assert meta_b == meta_s
         np.testing.assert_array_equal(arr_b, arr_s)
+
+
+def test_wave_format_extensible_resolves_subformat():
+    """WAVE_FORMAT_EXTENSIBLE (0xFFFE): the effective format comes
+    from the SubFormat GUID's first two bytes — 24-bit multichannel
+    PCM and float32 payloads decode through the normal dispatch;
+    non-media GUIDs raise."""
+    media_suffix = (
+        b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+    )
+
+    def build(sub_tag, channels, bits, payload, guid=None):
+        guid = guid or (struct.pack("<H", sub_tag) + media_suffix)
+        blk = channels * max(bits // 8, 1)
+        fmt = struct.pack(
+            "<HHIIHHHHI", 0xFFFE, channels, 8000, 8000 * blk, blk,
+            bits, 22, bits, 0,
+        ) + guid
+        body = (
+            b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(payload)) + payload
+            + (b"\x00" if len(payload) % 2 else b"")
+        )
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    rng = np.random.default_rng(0)
+    v = rng.integers(-(1 << 23), 1 << 23, (100, 3)).astype(np.int64)
+    raw = b"".join(
+        int(x & 0xFFFFFF).to_bytes(3, "little") for x in v.reshape(-1)
+    )
+    out, meta = wav.decode_wav(build(1, 3, 24, raw))
+    assert (meta["channels"], meta["bits"], meta["n_frames"]) == (3, 24, 100)
+    np.testing.assert_allclose(out, v / (1 << 23), atol=1e-15)
+
+    f32 = rng.uniform(-1, 1, 50).astype("<f4")
+    o3, m3 = wav.decode_wav(build(3, 1, 32, f32.tobytes()))
+    assert m3["bits"] == 32
+    np.testing.assert_allclose(o3, f32.astype(np.float64))
+
+    with pytest.raises(NotImplementedError, match="SubFormat"):
+        wav.decode_wav(
+            build(1, 1, 8, b"", guid=struct.pack("<H", 1) + b"\xde" * 14)
+        )

@@ -113,6 +113,7 @@ def extract_features(media: DataFrame, *, dim: int = 8, strict: bool = False) ->
     """
     import numpy as np
 
+    from physicsnemo_curator_spark.sources import aiff as _aiff
     from physicsnemo_curator_spark.sources import avi as _avi
     from physicsnemo_curator_spark.sources import flac as _flac
     from physicsnemo_curator_spark.sources import wav as _wav
@@ -165,12 +166,15 @@ def extract_features(media: DataFrame, *, dim: int = 8, strict: bool = False) ->
                     _wav.is_wav(raw)
                     or _flac.is_flac(raw)
                     or _flac.is_ogg_flac(raw)
+                    or _aiff.is_aiff(raw)
                 ):
                     try:
                         if _wav.is_wav(raw):
                             audio = _wav.decode_wav(raw)
                         elif _flac.is_flac(raw):
                             audio = _flac.decode_flac(raw)
+                        elif _aiff.is_aiff(raw):
+                            audio = _aiff.decode_aiff(raw)
                         else:
                             audio = _flac.decode_ogg_flac(raw)
                     except Exception:
@@ -273,7 +277,8 @@ def extract_features(media: DataFrame, *, dim: int = 8, strict: bool = False) ->
                     raise NotImplementedError(
                         "real feature extraction is only implemented "
                         "for raw grayscale planes, PNG/baseline-JPEG "
-                        "images, WAV/FLAC audio and AVI video in this "
+                        "images, WAV/FLAC/AIFF audio and AVI video in "
+                        "this "
                         "build "
                         "(codec-gated); run with strict=False for the "
                         "deterministic digest stub"

@@ -9,7 +9,9 @@ on the rest):
 - AIFF-C compression types: ``NONE`` (big-endian PCM), ``sowt``
   (little-endian PCM, the common Mac variant), ``ulaw``/``ULAW`` and
   ``alaw``/``ALAW`` (G.711 — decoded by the WAV module's companders,
-  so they stay bit-for-bit against audioop);
+  so they stay bit-for-bit against audioop), and ``ima4``
+  (QuickTime IMA: 34-byte packets through the same step tables as
+  the WAV IMA kernel, packet-parallel);
 - encoder: 16-bit big-endian AIFF.
 
 Scale shape: payloads decode task-side inside ``mapInPandas``
@@ -136,6 +138,9 @@ def decode_aiff(data: bytes) -> tuple[np.ndarray, dict]:
             / 32768.0
         )
         bits = 8
+    elif comp == b"ima4":
+        arr = _decode_ima4(ssnd, channels) / 32768.0
+        bits = 16
     else:
         raise NotImplementedError(
             f"AIFF-C compression {comp.decode(errors='replace')!r}"
@@ -154,6 +159,39 @@ def decode_aiff(data: bytes) -> tuple[np.ndarray, dict]:
         "duration_s": n / rate if rate else 0.0,
     }
     return arr, meta
+
+
+def _decode_ima4(ssnd: bytes, channels: int) -> np.ndarray:
+    """QuickTime 'ima4' AIFF-C packets -> float64-able int samples.
+
+    Each 34-byte packet carries a 2-byte big-endian state word (top 9
+    bits = predictor, low 7 = step index) and 32 nibble bytes (64
+    samples, LOW nibble first) through the standard IMA step tables —
+    the same reconstruction the WAV module vectorizes, so packets
+    stack as the parallel axis here too.  Stereo packets interleave
+    per channel in 64-frame groups."""
+    from . import wav as _wav
+
+    usable = len(ssnd) - len(ssnd) % (34 * channels)
+    if usable == 0:
+        raise ValueError("ima4 data shorter than one packet group")
+    pk = np.frombuffer(ssnd[:usable], np.uint8).reshape(-1, 34)
+    npk = pk.shape[0]
+    state = (pk[:, 0].astype(np.int32) << 8) | pk[:, 1].astype(np.int32)
+    pred = np.where(state & 0x8000, state - (1 << 16), state) & ~0x7F
+    pred = np.where(pred >= 1 << 15, pred - (1 << 16), pred)
+    idx = np.clip(state & 0x7F, 0, 88)
+    data = pk[:, 2:]
+    nib = np.empty((npk, 64), dtype=np.int32)
+    nib[:, 0::2] = data & 0x0F
+    nib[:, 1::2] = data >> 4
+    out = np.empty((npk, 64), dtype=np.int32)
+    for t in range(64):
+        pred, idx = _wav._adpcm_reconstruct(pred, idx, nib[:, t])
+        out[:, t] = pred
+    # packets alternate channels: (group, channel, 64) -> frames
+    groups = out.reshape(-1, channels, 64).transpose(0, 2, 1)
+    return groups.reshape(-1, channels).astype(np.float64).reshape(-1)
 
 
 def encode_aiff(samples: np.ndarray, sample_rate: int) -> bytes:

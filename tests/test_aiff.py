@@ -110,10 +110,82 @@ def test_aifc_sowt_and_g711_variants():
         oa * 32768, wav._alaw_decode(np.frombuffer(ab, np.uint8))
     )
 
-    with pytest.raises(NotImplementedError, match="ima4"):
-        aiff.decode_aiff(_aifc_stream(b"ima4", b"\x00" * 34, n=4))
+    with pytest.raises(NotImplementedError, match="MAC3"):
+        aiff.decode_aiff(_aifc_stream(b"MAC3", b"\x00" * 34, n=4))
     with pytest.raises(ValueError, match="FORM"):
         aiff.decode_aiff(b"RIFFnope")
+
+
+def test_aifc_ima4_matches_scalar_reference():
+    """QuickTime 'ima4' packets: the vectorized packet-parallel decode
+    must match a scalar step-by-step reference built from the IMA
+    spec, including carried predictor/index state across packets and
+    mono packet sequencing."""
+    STEP, INDEX = wav._IMA_STEP_TABLE, wav._IMA_INDEX_TABLE
+    sig = (0.6 * np.sin(np.arange(256) / 5.0) * 32767).astype(int)
+    pred, idx = 0, 0
+    packets = b""
+    expect = []
+    for g in range(4):
+        block = sig[g * 64 : (g + 1) * 64]
+        pkt = bytearray(struct.pack(">H", (pred & 0xFF80) | idx))
+        nibs = []
+        for s in block:
+            step = int(STEP[idx])
+            delta = int(s) - pred
+            code = 8 if delta < 0 else 0
+            d = abs(delta)
+            if d >= step:
+                code |= 4
+                d -= step
+            if d >= step >> 1:
+                code |= 2
+                d -= step >> 1
+            if d >= step >> 2:
+                code |= 1
+            diff = (
+                (step >> 3)
+                + ((step >> 2) if code & 1 else 0)
+                + ((step >> 1) if code & 2 else 0)
+                + (step if code & 4 else 0)
+            )
+            pred = max(-32768, min(
+                32767, pred - diff if code & 8 else pred + diff
+            ))
+            idx = max(0, min(88, idx + int(INDEX[code])))
+            nibs.append(code)
+        for i in range(0, 64, 2):
+            pkt.append(nibs[i] | (nibs[i + 1] << 4))
+        # scalar decode from the PACKET header state (predictor is
+        # quantized to 9 bits there) to know the exact expectation
+        p0 = pred_hdr = int.from_bytes(pkt[:2], "big")
+        p0 = (pred_hdr - (1 << 16) if pred_hdr & 0x8000 else pred_hdr) & ~0x7F
+        if p0 >= 1 << 15:
+            p0 -= 1 << 16
+        ii = pred_hdr & 0x7F
+        pp = p0
+        for b in pkt[2:]:
+            for code in (b & 0x0F, b >> 4):
+                step = int(STEP[ii])
+                diff = (
+                    (step >> 3)
+                    + ((step >> 2) if code & 1 else 0)
+                    + ((step >> 1) if code & 2 else 0)
+                    + (step if code & 4 else 0)
+                )
+                pp = max(-32768, min(
+                    32767, pp - diff if code & 8 else pp + diff
+                ))
+                ii = max(0, min(88, ii + int(INDEX[code])))
+                expect.append(pp)
+        packets += bytes(pkt)
+    out, meta = aiff.decode_aiff(
+        _aifc_stream(b"ima4", packets, n=256)
+    )
+    assert meta["n_frames"] == 256 and meta["bits"] == 16
+    np.testing.assert_array_equal(
+        (out * 32768).astype(int), np.array(expect)
+    )
 
 
 def test_extract_features_aiff_audio(spark):

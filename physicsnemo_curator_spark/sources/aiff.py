@@ -11,7 +11,8 @@ on the rest):
   ``alaw``/``ALAW`` (G.711 — decoded by the WAV module's companders,
   so they stay bit-for-bit against audioop), and ``ima4``
   (QuickTime IMA: 34-byte packets through the same step tables as
-  the WAV IMA kernel, packet-parallel);
+  the WAV IMA kernel, packet-parallel), plus ``fl32``/``fl64``
+  (big-endian IEEE float);
 - encoder: 16-bit big-endian AIFF.
 
 Scale shape: payloads decode task-side inside ``mapInPandas``
@@ -141,6 +142,10 @@ def decode_aiff(data: bytes) -> tuple[np.ndarray, dict]:
     elif comp == b"ima4":
         arr = _decode_ima4(ssnd, channels) / 32768.0
         bits = 16
+    elif comp.lower() in (b"fl32", b"fl64"):
+        dt = ">f4" if comp.lower() == b"fl32" else ">f8"
+        arr = np.frombuffer(ssnd, dt).astype(np.float64)
+        bits = 32 if comp.lower() == b"fl32" else 64
     else:
         raise NotImplementedError(
             f"AIFF-C compression {comp.decode(errors='replace')!r}"

@@ -5,7 +5,8 @@ North-star surface: binary payloads ride through the pipeline as
 extraction run as Arrow-batched ``mapInPandas`` UDFs.  The payloads
 decode for REAL via the repo's pure-Python public-spec codecs — PNG
 (incl. 16-bit/Adam7), JPEG (baseline/progressive/12-bit/lossless/
-CMYK), WAV (PCM, IMA/MS-ADPCM, G.711), FLAC (native and Ogg), and
+CMYK), WAV (PCM incl. EXTENSIBLE, IMA/MS-ADPCM, G.711), FLAC
+(native and Ogg), AIFF/AIFF-C (PCM, sowt, G.711, ima4, floats), and
 AVI video containers (MJPEG + DIB) — stdlib zlib/struct + numpy, no
 native dependency, so resize / featurize / frame-sample work
 end-to-end on encoded media of all three kinds.  Formats beyond that

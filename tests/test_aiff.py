@@ -197,3 +197,20 @@ def test_extract_features_aiff_audio(spark):
     feat = mm.extract_features(media, dim=8, strict=True).collect()[0]
     assert feat.feature[0] == 8000.0 and feat.feature[1] == 1.0
     assert abs(feat.feature[3] - 0.8 / np.sqrt(2)) < 1e-3
+
+
+def test_aifc_float_variants():
+    """AIFF-C fl32/fl64: big-endian IEEE float payloads decode
+    exactly."""
+    v32 = np.array([0.25, -0.5, 1.0, -1.0], dtype=">f4")
+    out, meta = aiff.decode_aiff(
+        _aifc_stream(b"fl32", v32.tobytes(), bits=32, n=4)
+    )
+    assert meta["bits"] == 32
+    np.testing.assert_array_equal(out, v32.astype(np.float64))
+    v64 = np.array([0.125, -0.625], dtype=">f8")
+    o2, m2 = aiff.decode_aiff(
+        _aifc_stream(b"FL64", v64.tobytes(), bits=64, n=2)
+    )
+    assert m2["bits"] == 64
+    np.testing.assert_array_equal(o2, v64.astype(np.float64))

@@ -165,6 +165,26 @@ def test_audio_codec_matrix():
                 )
 
 
+def test_aiff_matrix():
+    from physicsnemo_curator_spark.sources import aiff
+
+    for kind, n, ch, rate in itertools.product(
+        ("sine", "noise", "clip", "silence"),
+        (1, 63, 64, 65, 2000),
+        (1, 2),
+        (8000, 44100),
+    ):
+        base = _signal(kind, n)
+        sig = base if ch == 1 else np.stack([base, -base], axis=1)
+        out, meta = aiff.decode_aiff(aiff.encode_aiff(sig, rate))
+        assert meta["n_frames"] == n and meta["sample_rate"] == rate
+        q = np.round(np.clip(sig, -1, 1) * 32767) / 32768
+        np.testing.assert_array_equal(
+            out.reshape(n, ch), q.reshape(n, ch),
+            err_msg=f"{kind} n{n} ch{ch}",
+        )
+
+
 def test_avi_matrix():
     for codec, nf, (h, w), c in itertools.product(
         ("raw", "mjpeg"), (1, 3, 7),

@@ -6336,8 +6336,8 @@ _DRIVER_ORDER = [
     "q_w4_sessionize",
     "q_dedup_exact",
     "q_dedup_ngram_jaccard",
-    "q_sample_split",
     # --- tail: r07 overflow (sim-verify; r10 window head) ---
+    "q_sample_split",
     "q_text_redact_pii",
     "q_text_logprob",
     "q_text_decontaminate",

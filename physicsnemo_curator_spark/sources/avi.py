@@ -296,26 +296,30 @@ def parse_avi(data: bytes) -> dict:
     return {"meta": meta, "frames": frames}
 
 
+def decode_avi_frame(data: bytes, parsed: dict, index: int) -> np.ndarray:
+    """Decode ONE frame of an already-parsed container (avoids
+    re-walking the RIFF structure for per-frame access)."""
+    from . import jpeg as _jpeg
+
+    meta = parsed["meta"]
+    fourcc, start, size = parsed["frames"][index]
+    body = data[start : start + size]
+    if meta["codec"] == "mjpeg":
+        px, _ = _jpeg.decode_jpeg(body)
+        return px
+    return _dib_decode(
+        body, meta["width"], meta["height"], meta["bitcount"]
+    )
+
+
 def iter_avi_frames(data: bytes, *, every_n: int = 1):
     """Yield ``(frame_index, np.ndarray)`` for every ``every_n``-th
     frame.  Skipped frames are never entropy-decoded — sampling a
     sparse subset of a long MJPEG stream costs only the container
     walk."""
-    from . import jpeg as _jpeg
-
     parsed = parse_avi(data)
-    meta = parsed["meta"]
-    for i, (fourcc, start, size) in enumerate(parsed["frames"]):
-        if i % every_n:
-            continue
-        body = data[start : start + size]
-        if meta["codec"] == "mjpeg":
-            px, _ = _jpeg.decode_jpeg(body)
-        else:
-            px = _dib_decode(
-                body, meta["width"], meta["height"], meta["bitcount"]
-            )
-        yield i, px
+    for i in range(0, len(parsed["frames"]), every_n):
+        yield i, decode_avi_frame(data, parsed, i)
 
 
 def decode_avi(data: bytes) -> tuple[list[np.ndarray], dict]:

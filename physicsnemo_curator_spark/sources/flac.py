@@ -455,13 +455,22 @@ def encode_flac(
         bw.write(channels - 1, 4)  # independent
         bw.write(4, 3)  # 16-bit
         bw.write(0, 1)
-        # UTF-8 frame number
+        # UTF-8 coded frame number (the full scheme: 1..7 bytes)
         if fno < 0x80:
             bw.write(fno, 8)
         else:
-            # 2-byte UTF-8 (frames < 2^11 — plenty for our encodes)
-            bw.write(0xC0 | (fno >> 6), 8)
-            bw.write(0x80 | (fno & 0x3F), 8)
+            v = fno
+            nbytes = 2
+            # an n-byte coding carries (7 - n) + 6*(n - 1) = 5n + 1
+            # payload bits; pick the shortest form
+            while v >= (1 << (5 * nbytes + 1)) and nbytes < 7:
+                nbytes += 1
+            payload_bits = 6 * (nbytes - 1)
+            lead = ((0xFF << (8 - nbytes)) & 0xFF) | (v >> payload_bits)
+            bw.write(lead & 0xFF, 8)
+            for k in range(nbytes - 1):
+                shift = payload_bits - 6 * (k + 1)
+                bw.write(0x80 | ((v >> shift) & 0x3F), 8)
         bw.write(bs - 1, 16)
         bw.align()
         hdr = bytes(bw.out)
@@ -489,7 +498,9 @@ def encode_flac(
         fno += 1
 
     si = _BitsOut()
-    si.write(min(block_size, n), 16)  # min block size
+    # fixed-blocksize stream: min == max == block_size (the short
+    # last block is exempt from min/max per spec)
+    si.write(block_size, 16)
     si.write(block_size, 16)
     si.write(min(frame_sizes), 24)
     si.write(max(frame_sizes), 24)
@@ -639,13 +650,16 @@ def encode_ogg_flac(
         remaining = packet
         first = True
         while True:
-            chunk = remaining[: 255 * 255]
+            # <= 255*254 bytes per page keeps the lacing count < 256
+            # even when the final lacing value is 255-terminated
+            chunk = remaining[: 255 * 254]
             remaining = remaining[len(chunk) :]
-            lacing = []
             n = len(chunk)
             lacing = [255] * (n // 255) + [n % 255]
-            htype = (0x02 if bos and first else 0) | (
-                0x04 if eos and not remaining else 0
+            htype = (
+                (0x01 if not first else 0)  # packet continuation
+                | (0x02 if bos and first else 0)
+                | (0x04 if eos and not remaining else 0)
             )
             hdr = b"OggS" + struct.pack(
                 "<BBqIIIB",

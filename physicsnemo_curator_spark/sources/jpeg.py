@@ -1121,7 +1121,8 @@ def _prep_planes(pixels, quality: int, subsampling: str, precision=8):
             # np.asarray(..., dtype=uint8) would WRAP wider samples
             # mod 256 — silent corruption; demand explicit intent
             if arr.dtype.kind not in "ui" or (
-                arr.size and int(arr.max()) > 255
+                arr.size
+                and (int(arr.max()) > 255 or int(arr.min()) < 0)
             ):
                 raise ValueError(
                     "8-bit encode expects uint8 samples; use "

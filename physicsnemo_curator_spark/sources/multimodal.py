@@ -187,14 +187,16 @@ def extract_features(media: DataFrame, *, dim: int = 8, strict: bool = False) ->
                 if kind == "video" and _avi.is_avi(raw):
                     # real video features: container geometry/fps/
                     # frame count + first decoded frame's pixel stats
-                    # (sampling never touches the other frames)
+                    # (ONE container walk; only frame 0 is decoded)
                     try:
                         parsed = _avi.parse_avi(raw)
-                        first = next(
-                            _avi.iter_avi_frames(raw, every_n=1)
-                        )[1]
+                        if not parsed["frames"]:
+                            # never re-raise StopIteration inside a
+                            # generator (PEP 479 would mangle it)
+                            raise ValueError("AVI has no video frames")
+                        first = _avi.decode_avi_frame(raw, parsed, 0)
                         video = (parsed, first)
-                    except (NotImplementedError, ValueError, StopIteration):
+                    except (NotImplementedError, ValueError):
                         if strict:
                             raise
                         video = None
@@ -377,17 +379,33 @@ def resize_images(
                     ys = (np.arange(height) * (sh / height)).astype(np.int64)
                     xs = (np.arange(width) * (sw / width)).astype(np.int64)
                     resized = pixels[np.ix_(ys, xs)]
-                    if fmt == "png":
-                        enc = _png.encode_png(resized)
-                    elif resized.dtype == np.uint16:
-                        # 12-bit JPEG decode: re-encode at the same
-                        # depth — an 8-bit re-encode would wrap the
-                        # sample values mod 256
-                        enc = _jpeg.encode_jpeg(
-                            resized, quality=90, precision=12
-                        )
-                    else:
-                        enc = _jpeg.encode_jpeg(resized, quality=90)
+                    try:
+                        if fmt == "png":
+                            enc = _png.encode_png(resized)
+                        elif resized.dtype == np.uint16:
+                            # wide JPEG decode: re-encode at a depth
+                            # that holds the samples — 12-bit lossy
+                            # when they fit, lossless otherwise
+                            # (13-16-bit SOF3 payloads); an 8-bit
+                            # re-encode would wrap mod 256
+                            if int(resized.max()) <= 4095:
+                                enc = _jpeg.encode_jpeg(
+                                    resized, quality=90, precision=12
+                                )
+                            else:
+                                enc = _jpeg.encode_jpeg_lossless(
+                                    resized, precision=16
+                                )
+                        else:
+                            enc = _jpeg.encode_jpeg(resized, quality=90)
+                    except Exception:
+                        if strict:
+                            raise
+                        out_payload.append(raw)
+                        out_w.append(w)
+                        out_h.append(h)
+                        out_n.append(len(raw))
+                        continue
                     out_payload.append(enc)
                     out_w.append(width)
                     out_h.append(height)

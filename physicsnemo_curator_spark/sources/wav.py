@@ -649,6 +649,12 @@ def encode_wav_batch(
     needs (per-signal calls pay ~1000 tiny-array numpy ops each).
     PCM depths and G.711 are already one-shot vectorized per signal
     and just loop."""
+    if codec not in ("pcm", "ms_adpcm", "ulaw", "alaw"):
+        raise ValueError(f"unknown codec {codec!r}")
+    if bits == 4 and codec not in ("pcm", "ms_adpcm"):
+        raise ValueError(
+            f"bits=4 (IMA ADPCM) conflicts with codec={codec!r}"
+        )
     arrs = []
     for s in signals:
         a = np.asarray(s, dtype=np.float64)

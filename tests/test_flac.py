@@ -229,3 +229,35 @@ def test_ogg_flac_roundtrip_and_page_structure():
         flac.decode_ogg_flac(bytes(bad))
     with pytest.raises(ValueError, match="capture"):
         flac.decode_ogg_flac(b"NotOgg" + bytes(30))
+
+
+def test_long_stream_frame_numbers_and_large_ogg_pages():
+    """Streams with >= 2048 frames exercise 3-byte UTF-8 frame
+    numbers (the 2-byte form overflows at 0x800 — a truncated lead
+    byte desynced the header CRC before the fix), and Ogg pages near
+    the 255-lacing limit must split with the continuation flag
+    instead of overflowing the one-byte segment count."""
+    sig = np.zeros(2100 * 64)
+    out, meta = flac.decode_flac(flac.encode_flac(sig, 8000, block_size=64))
+    assert meta["n_frames"] == len(sig)
+
+    rng = np.random.default_rng(7)
+    big = rng.uniform(-1, 1, (32768, 2))
+    ogg = flac.encode_ogg_flac(big, 8000, block_size=32768)
+    o, _ = flac.decode_ogg_flac(ogg)
+    np.testing.assert_array_equal(o, _q16(big))
+    # a continuation page exists (0x01 header flag)
+    assert any(
+        ogg[i + 5] & 0x01
+        for i in range(len(ogg) - 6)
+        if ogg[i : i + 4] == b"OggS"
+    )
+
+
+def test_short_signal_streaminfo_is_fixed_blocksize():
+    """min == max == block_size even when the signal is shorter than
+    one block (values < 16 are reserved; the short last block is
+    exempt from min/max per spec)."""
+    d = flac.encode_flac(np.zeros(5), 8000)
+    mn, mx = struct.unpack(">HH", d[8:12])
+    assert mn == mx == 4096

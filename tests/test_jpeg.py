@@ -671,3 +671,29 @@ def test_8bit_encode_rejects_wide_samples_and_resize_keeps_depth(spark):
     px, meta = jpeg.decode_jpeg(bytes(out_row.payload))
     assert meta["bits"] == 12 and px.dtype == np.uint16
     assert int(px.max()) > 255  # depth survived the resize hop
+
+
+def test_resize_wide_lossless_payload_keeps_depth(spark):
+    """A 16-bit lossless JPEG payload through resize_images: samples
+    above 4095 cannot take the 12-bit lossy re-encode — the kernel
+    re-encodes LOSSLESSLY at 16-bit instead of crashing the task
+    (and the result round-trips bit-exactly)."""
+    from physicsnemo_curator_spark.sources import multimodal
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 65536, (16, 16)).astype(np.uint16)
+    payload = jpeg.encode_jpeg_lossless(img, precision=16)
+    rows = [(1, "image", bytearray(payload), 16, 16, None)]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = multimodal.resize_images(
+        media, width=8, height=8, strict=True
+    ).collect()[0]
+    px, meta = jpeg.decode_jpeg(bytes(out.payload))
+    assert meta["bits"] == 16 and px.dtype == np.uint16
+    ys = (np.arange(8) * 2).astype(np.int64)
+    xs = (np.arange(8) * 2).astype(np.int64)
+    np.testing.assert_array_equal(px, img[np.ix_(ys, xs)])
+    # negative integer samples rejected on the 8-bit path (would
+    # silently wrap to near-white before the guard)
+    with pytest.raises(ValueError, match="uint8"):
+        jpeg.encode_jpeg(np.full((8, 8), -5, dtype=np.int16))

@@ -486,3 +486,10 @@ def test_wave_format_extensible_resolves_subformat():
         wav.decode_wav(
             build(1, 1, 8, b"", guid=struct.pack("<H", 1) + b"\xde" * 14)
         )
+
+
+def test_batch_rejects_conflicting_codec_like_single():
+    with pytest.raises(ValueError, match="conflicts"):
+        wav.encode_wav_batch([np.zeros(10)], 8000, bits=4, codec="ulaw")
+    with pytest.raises(ValueError, match="unknown codec"):
+        wav.encode_wav_batch([np.zeros(10)], 8000, codec="mp3")

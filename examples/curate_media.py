@@ -3,8 +3,10 @@
 
 Builds a small mixed media lake from the ``documents`` fixture using
 the repo's REAL encoders — JPEG images (baseline + 12-bit), PNG,
-WAV / IMA-ADPCM / FLAC audio, and AVI videos (MJPEG + uncompressed
-DIB) — then curates it the way a training-data pipeline would:
+WAV / IMA-ADPCM / FLAC audio, and videos in all three container
+families (AVI MJPEG + uncompressed DIB, ISO BMFF MP4 'raw ',
+Matroska lossless V_MJPEG) — then curates it the way a
+training-data pipeline would:
 
     binary payloads
       → strict feature extraction (every payload decoded for real:
@@ -36,7 +38,15 @@ import numpy as np  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 from physicsnemo_curator_spark.session import get_spark  # noqa: E402
-from physicsnemo_curator_spark.sources import avi, flac, jpeg, png, wav  # noqa: E402
+from physicsnemo_curator_spark.sources import (  # noqa: E402
+    avi,
+    flac,
+    jpeg,
+    mkv,
+    mp4,
+    png,
+    wav,
+)
 from physicsnemo_curator_spark.sources import multimodal as mm  # noqa: E402
 from physicsnemo_curator_spark.sources.tables import load_table  # noqa: E402
 
@@ -72,7 +82,7 @@ def main() -> None:
                 img = np.frombuffer(
                     h.encode(), dtype=np.uint8
                 ).reshape(4, 8)
-                k = int(doc_id) % 6
+                k = int(doc_id) % 8
                 if k == 0:
                     payload = jpeg.encode_jpeg(img, quality=90)
                     kind, w, hh = "image", 8, 4
@@ -91,10 +101,20 @@ def main() -> None:
                     frames = [img, img, 255 - img, img]  # dup frames!
                     payload = avi.encode_avi(frames, fps=8, codec="raw")
                     kind, w, hh = "video", None, None
-                else:
+                elif k == 5:
                     frames = [img, 255 - img]
                     payload = avi.encode_avi(
                         frames, fps=8, codec="mjpeg", quality=90
+                    )
+                    kind, w, hh = "video", None, None
+                elif k == 6:
+                    frames = [img, 255 - img, img]
+                    payload = mp4.encode_mp4(frames, fps=8, codec="raw")
+                    kind, w, hh = "video", None, None
+                else:
+                    frames = [img, 255 - img]
+                    payload = mkv.encode_mkv(
+                        frames, fps=8, codec="mjpeg_lossless"
                     )
                     kind, w, hh = "video", None, None
                 rows.append(

@@ -6068,7 +6068,123 @@ FROM rep JOIN audit USING (g) ORDER BY mesh_id
 """
 
 
+def q_media_mp4_mkv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4 + MKV container gate (sources/mp4.py, sources/mkv.py):
+    each document becomes TWO real containers — an ISO BMFF file
+    (``'raw '`` sample entries: three 8x4 grayscale frames whose
+    pixel bytes are the 32 hex chars of ``md5(text || f)``, the full
+    ftyp/mdat/moov + stsd/stts/stsc/stsz/stco sample-table machinery)
+    and a Matroska file (EBML varints, Segment/Tracks/Cluster,
+    ``V_MJPEG`` SimpleBlocks carrying LOSSLESS T.81 Annex H JPEGs of
+    ``md5(text || f)`` hex, plus a G.711 audio track that must NOT
+    leak into the frame list).  Both explode through
+    ``sample_frames(every_n=2)``, which dispatches on the container
+    signature.  The mp4 frames decode to gray→RGB promotion (every
+    byte tripled) and the mkv frames are bit-exact, so DuckDB replays
+    the whole pipeline with string arithmetic: any box-size, varint,
+    sample-table, or block-framing bug changes the md5."""
+    from physicsnemo_curator_spark.sources import mkv as _mkv
+    from physicsnemo_curator_spark.sources import mp4 as _mp4
+    from physicsnemo_curator_spark.sources import multimodal
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 250)
+        .select("doc_id", "text")
+    )
+
+    def encode(it):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        def hex_frame(text, f):
+            return np.frombuffer(
+                hashlib.md5(
+                    (text + str(f)).encode("utf-8")
+                ).hexdigest().encode("ascii"),
+                dtype=np.uint8,
+            ).reshape(4, 8)
+
+        for pdf in it:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                p4 = _mp4.encode_mp4(
+                    [hex_frame(text, f) for f in range(3)],
+                    fps=12,
+                    codec="raw",
+                )
+                pk = _mkv.encode_mkv(
+                    [hex_frame(text, f) for f in range(2)],
+                    fps=10,
+                    codec="mjpeg_lossless",
+                    audio=np.full(64, 0.25),
+                    sample_rate=8000,
+                    audio_codec="ulaw",
+                )
+                rows.append(
+                    (int(doc_id) * 2, "video", p4, None, None, len(p4))
+                )
+                rows.append(
+                    (int(doc_id) * 2 + 1, "video", pk, None, None, len(pk))
+                )
+            pdf_out = pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "kind", "payload", "width", "height",
+                    "n_bytes",
+                ],
+            )
+            pdf_out["width"] = pd.array(pdf_out["width"], dtype="Int32")
+            pdf_out["height"] = pd.array(pdf_out["height"], dtype="Int32")
+            yield pdf_out
+
+    media = docs.mapInPandas(
+        encode,
+        "media_id long, kind string, payload binary, width int, "
+        "height int, n_bytes long",
+    )
+    frames = multimodal.sample_frames(media, every_n=2)
+    return (
+        frames.select(
+            "media_id",
+            "frame_index",
+            F.md5("payload").alias("frame_md5"),
+            "width",
+            "height",
+        )
+        .orderBy("media_id", "frame_index")
+        .limit(750)
+    )
+
+
+ORACLE_MEDIA_MP4_MKV = """
+WITH m AS (
+    SELECT doc_id * 2 AS media_id, u.f AS frame_index,
+           md5(text || CAST(u.f AS VARCHAR)) AS hex
+    FROM documents, (SELECT UNNEST([0, 2]) AS f) u
+    WHERE doc_id < 250
+), mp4 AS (
+    SELECT media_id, frame_index,
+           md5(array_to_string(
+               list_transform(range(1, 33), i -> repeat(hex[i], 3)), ''
+           )) AS frame_md5
+    FROM m
+), mkv AS (
+    SELECT doc_id * 2 + 1 AS media_id, 0 AS frame_index,
+           md5(md5(text || '0')) AS frame_md5
+    FROM documents WHERE doc_id < 250
+)
+SELECT media_id, CAST(frame_index AS INT) AS frame_index, frame_md5,
+       CAST(8 AS INT) AS width, CAST(4 AS INT) AS height
+FROM (SELECT * FROM mp4 UNION ALL SELECT * FROM mkv)
+ORDER BY media_id, frame_index LIMIT 750
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "q_media_mp4_mkv": QuerySpec(q_media_mp4_mkv, ORACLE_MEDIA_MP4_MKV),
     "q_grid_federated": QuerySpec(q_grid_federated, ORACLE_GRID_FEDERATED),
     "q_grid_sidecar": QuerySpec(q_grid_sidecar, ORACLE_GRID_SIDECAR),
     "q_atomic_stats": QuerySpec(q_atomic_stats, ORACLE_ATOMIC_STATS),
@@ -6284,6 +6400,7 @@ QUERIES: dict[str, QuerySpec] = {
 # followed by the r08-green cohort.
 _DRIVER_ORDER = [
     # --- r09-new gates ---
+    "q_media_mp4_mkv",
     "q_grid_federated",
     "q_grid_sidecar",
     "q_atomic_stats",

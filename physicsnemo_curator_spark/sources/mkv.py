@@ -1,0 +1,472 @@
+"""Pure-Python Matroska (MKV) container codec.
+
+Third container family next to RIFF/AVI (``sources/avi.py``) and ISO
+BMFF (``sources/mp4.py``), following the public Matroska/EBML
+specification (RFC 8794 EBML varints + the matroska.org element
+registry): EBML header / Segment / Info / Tracks / Cluster with
+SimpleBlock framing.  Supported codec ids map onto the repo's
+existing kernels:
+
+- **video**: ``V_MJPEG`` — every SimpleBlock is one T.81 JPEG,
+  decoded by ``sources/jpeg.py``.
+- **audio**: ``A_PCM/INT/LIT`` / ``A_PCM/INT/BIG`` (16-bit PCM),
+  ``A_MULAW`` / ``A_ALAW`` (G.711 via the ``sources/wav.py``
+  companders).
+
+Anything outside that subset — ``V_MPEG4/ISO/AVC`` video, ``A_AAC``
+audio, EBML lacing — raises ``NotImplementedError`` loudly (the
+module's honest-subset contract, same as the JPEG/PNG/FLAC codecs).
+
+Scale shape: containers are decoded task-side inside ``mapInPandas``
+batches — one task per file/payload, like the VTK/GRIB2 binary-scan
+family, so throughput scales with file count.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_EBML = 0x1A45DFA3
+_SEGMENT = 0x18538067
+_INFO = 0x1549A966
+_TRACKS = 0x1654AE6B
+_TRACK_ENTRY = 0xAE
+_CLUSTER = 0x1F43B675
+_TIMESTAMP = 0xE7
+_SIMPLE_BLOCK = 0xA3
+_BLOCK_GROUP = 0xA0
+_BLOCK = 0xA1
+_TIMESTAMP_SCALE = 0x2AD7B1
+_DURATION = 0x4489
+_TRACK_NUMBER = 0xD7
+_TRACK_TYPE = 0x83
+_CODEC_ID = 0x86
+_VIDEO = 0xE0
+_PIXEL_WIDTH = 0xB0
+_PIXEL_HEIGHT = 0xBA
+_AUDIO = 0xE1
+_SAMPLING_FREQ = 0xB5
+_CHANNELS = 0x9F
+_BIT_DEPTH = 0x6264
+
+# master elements the parser recurses into
+_MASTERS = {_EBML, _SEGMENT, _INFO, _TRACKS, _TRACK_ENTRY, _CLUSTER,
+            _BLOCK_GROUP, _VIDEO, _AUDIO}
+
+
+def is_mkv(data: bytes) -> bool:
+    return len(data) >= 4 and data[:4] == b"\x1a\x45\xdf\xa3"
+
+
+# ---------------------------------------------------------------------------
+# EBML primitives
+
+
+def _id_bytes(eid: int) -> bytes:
+    """Element IDs are stored verbatim (length marker included)."""
+    n = (eid.bit_length() + 7) // 8
+    return eid.to_bytes(n, "big")
+
+
+def _vint(value: int) -> bytes:
+    """Encode a size as the shortest EBML varint (all-ones value is
+    reserved for 'unknown', so bump the width at the boundary)."""
+    for n in range(1, 9):
+        if value < (1 << (7 * n)) - 1:
+            return ((1 << (7 * n)) | value).to_bytes(n, "big")
+    raise ValueError("EBML size too large")
+
+
+def _read_vint(data: bytes, pos: int, *, keep_marker: bool = False):
+    """Returns (value, next_pos).  ``keep_marker`` reads an element ID
+    (marker bit retained); otherwise a size (marker stripped, all-ones
+    payload = unknown → None)."""
+    if pos >= len(data):
+        raise ValueError("truncated EBML varint")
+    first = data[pos]
+    if first == 0:
+        raise ValueError("invalid EBML varint")
+    n = 9 - first.bit_length()  # leading-zeros + 1
+    if pos + n > len(data):
+        raise ValueError("truncated EBML varint")
+    raw = int.from_bytes(data[pos : pos + n], "big")
+    if keep_marker:
+        return raw, pos + n
+    value = raw & ((1 << (7 * n)) - 1)
+    if value == (1 << (7 * n)) - 1:
+        return None, pos + n  # unknown size
+    return value, pos + n
+
+
+def _elem(eid: int, body: bytes) -> bytes:
+    return _id_bytes(eid) + _vint(len(body)) + body
+
+
+def _uint_elem(eid: int, value: int) -> bytes:
+    n = max(1, (value.bit_length() + 7) // 8)
+    return _elem(eid, value.to_bytes(n, "big"))
+
+
+def _float_elem(eid: int, value: float) -> bytes:
+    return _elem(eid, struct.pack(">d", value))
+
+
+def _walk(data: bytes, pos: int, end: int):
+    """Yield (element_id, body_start, body_end) for a sibling run."""
+    while pos < end:
+        eid, pos = _read_vint(data, pos, keep_marker=True)
+        size, pos = _read_vint(data, pos)
+        body_end = end if size is None else pos + size
+        if body_end > end:
+            raise ValueError("truncated EBML element")
+        yield eid, pos, body_end
+        pos = body_end
+
+
+def _uint(data: bytes, b: int, e: int) -> int:
+    return int.from_bytes(data[b:e], "big")
+
+
+def _float(data: bytes, b: int, e: int) -> float:
+    if e - b == 4:
+        return struct.unpack(">f", data[b:e])[0]
+    if e - b == 8:
+        return struct.unpack(">d", data[b:e])[0]
+    raise ValueError("EBML float must be 4 or 8 bytes")
+
+
+# ---------------------------------------------------------------------------
+# encode
+
+
+def _ebml_header() -> bytes:
+    return _elem(
+        _EBML,
+        _uint_elem(0x4286, 1)  # EBMLVersion
+        + _uint_elem(0x42F7, 1)  # EBMLReadVersion
+        + _uint_elem(0x42F2, 4)  # EBMLMaxIDLength
+        + _uint_elem(0x42F3, 8)  # EBMLMaxSizeLength
+        + _elem(0x4282, b"matroska")  # DocType
+        + _uint_elem(0x4287, 4)  # DocTypeVersion
+        + _uint_elem(0x4285, 2),  # DocTypeReadVersion
+    )
+
+
+def _simple_block(track: int, rel_ts: int, payload: bytes) -> bytes:
+    if not 0 < track < 128:
+        raise ValueError("track number out of 1-byte vint range")
+    body = bytes([0x80 | track]) + struct.pack(">h", rel_ts) + b"\x80" + payload
+    return _elem(_SIMPLE_BLOCK, body)
+
+
+def _video_track_entry(w: int, h: int, codec_id: bytes) -> bytes:
+    return _elem(
+        _TRACK_ENTRY,
+        _uint_elem(_TRACK_NUMBER, 1)
+        + _uint_elem(0x73C5, 1)  # TrackUID
+        + _uint_elem(_TRACK_TYPE, 1)
+        + _uint_elem(0x9C, 0)  # FlagLacing
+        + _elem(_CODEC_ID, codec_id)
+        + _elem(
+            _VIDEO,
+            _uint_elem(_PIXEL_WIDTH, w) + _uint_elem(_PIXEL_HEIGHT, h),
+        ),
+    )
+
+
+def _audio_track_entry(
+    rate: int, channels: int, bits: int, codec_id: bytes
+) -> bytes:
+    return _elem(
+        _TRACK_ENTRY,
+        _uint_elem(_TRACK_NUMBER, 2)
+        + _uint_elem(0x73C5, 2)
+        + _uint_elem(_TRACK_TYPE, 2)
+        + _uint_elem(0x9C, 0)
+        + _elem(_CODEC_ID, codec_id)
+        + _elem(
+            _AUDIO,
+            _float_elem(_SAMPLING_FREQ, float(rate))
+            + _uint_elem(_CHANNELS, channels)
+            + _uint_elem(_BIT_DEPTH, bits),
+        ),
+    )
+
+
+_MKV_AUDIO_CODEC = {
+    "pcm": b"A_PCM/INT/LIT",
+    "pcm_be": b"A_PCM/INT/BIG",
+    "ulaw": b"A_MULAW",
+    "alaw": b"A_ALAW",
+}
+
+
+def encode_mkv(
+    frames: list[np.ndarray],
+    *,
+    fps: int = 30,
+    quality: int = 90,
+    codec: str = "mjpeg",
+    audio: np.ndarray | None = None,
+    sample_rate: int = 0,
+    audio_codec: str = "pcm",
+) -> bytes:
+    """Encode uint8 frames as a Matroska file with one ``V_MJPEG``
+    video track (each SimpleBlock one in-repo-encoded JPEG — lossy
+    baseline, or T.81 Annex H lossless with ``codec='mjpeg_lossless'``
+    for archival-exact frames), plus an optional audio track (16-bit
+    PCM or G.711).  Millisecond timestamps (TimestampScale 1e6 ns),
+    clusters split so block-relative timestamps stay inside int16."""
+    from . import jpeg as _jpeg
+    from . import wav as _wav
+
+    if not frames:
+        raise ValueError("cannot encode an empty frame list")
+    h, w = frames[0].shape[:2]
+    for f in frames:
+        if f.shape[:2] != (h, w) or f.dtype != np.uint8:
+            raise ValueError("all frames must be uint8 with equal shape")
+    if codec == "mjpeg":
+        payloads = [_jpeg.encode_jpeg(f, quality=quality) for f in frames]
+    elif codec == "mjpeg_lossless":
+        payloads = [_jpeg.encode_jpeg_lossless(f) for f in frames]
+    else:
+        raise ValueError(f"unknown codec {codec!r}")
+
+    tracks_body = _video_track_entry(w, h, b"V_MJPEG")
+    audio_payload = b""
+    if audio is not None:
+        arr = np.asarray(audio, dtype=np.float64)
+        if arr.ndim == 1:
+            arr = arr[:, None]
+        channels = arr.shape[1]
+        pcm16 = np.round(np.clip(arr, -1.0, 1.0) * 32767.0).astype(np.int64)
+        if audio_codec == "pcm":
+            audio_payload, bits = pcm16.astype("<i2").tobytes(), 16
+        elif audio_codec == "pcm_be":
+            audio_payload, bits = pcm16.astype(">i2").tobytes(), 16
+        elif audio_codec == "ulaw":
+            audio_payload, bits = (
+                _wav._ulaw_encode(pcm16.reshape(-1)).tobytes(), 8
+            )
+        elif audio_codec == "alaw":
+            audio_payload, bits = (
+                _wav._alaw_encode(pcm16.reshape(-1)).tobytes(), 8
+            )
+        else:
+            raise ValueError(f"unknown audio codec {audio_codec!r}")
+        tracks_body += _audio_track_entry(
+            sample_rate, channels, bits, _MKV_AUDIO_CODEC[audio_codec]
+        )
+
+    duration_ms = len(frames) * 1000.0 / fps
+    info = _elem(
+        _INFO,
+        _uint_elem(_TIMESTAMP_SCALE, 1_000_000)
+        + _float_elem(_DURATION, duration_ms)
+        + _elem(0x4D80, b"physicsnemo-curator-spark")  # MuxingApp
+        + _elem(0x5741, b"physicsnemo-curator-spark"),  # WritingApp
+    )
+
+    clusters = b""
+    cluster_body = b""
+    cluster_t0 = 0
+    for i, p in enumerate(payloads):
+        t = i * 1000 // fps
+        if cluster_body and t - cluster_t0 > 30_000:
+            clusters += _elem(_CLUSTER, cluster_body)
+            cluster_body = b""
+        if not cluster_body:
+            cluster_t0 = t
+            cluster_body = _uint_elem(_TIMESTAMP, t)
+            if i == 0 and audio_payload:
+                # all audio in the first cluster as one block — PCM
+                # needs no per-sample framing
+                cluster_body += _simple_block(2, 0, audio_payload)
+        cluster_body += _simple_block(1, t - cluster_t0, p)
+    clusters += _elem(_CLUSTER, cluster_body)
+
+    segment = _elem(_SEGMENT, info + _elem(_TRACKS, tracks_body) + clusters)
+    return _ebml_header() + segment
+
+
+# ---------------------------------------------------------------------------
+# decode
+
+
+def _parse_tracks(data: bytes, b: int, e: int) -> dict[int, dict]:
+    tracks: dict[int, dict] = {}
+    for eid, tb, te in _walk(data, b, e):
+        if eid != _TRACK_ENTRY:
+            continue
+        t: dict = {}
+        for fid, fb, fe in _walk(data, tb, te):
+            if fid == _TRACK_NUMBER:
+                t["number"] = _uint(data, fb, fe)
+            elif fid == _TRACK_TYPE:
+                t["type"] = _uint(data, fb, fe)
+            elif fid == _CODEC_ID:
+                t["codec_id"] = data[fb:fe].decode("ascii", "replace")
+            elif fid == _VIDEO:
+                for vid, vb, ve in _walk(data, fb, fe):
+                    if vid == _PIXEL_WIDTH:
+                        t["width"] = _uint(data, vb, ve)
+                    elif vid == _PIXEL_HEIGHT:
+                        t["height"] = _uint(data, vb, ve)
+            elif fid == _AUDIO:
+                for aid, ab, ae in _walk(data, fb, fe):
+                    if aid == _SAMPLING_FREQ:
+                        t["sample_rate"] = round(_float(data, ab, ae))
+                    elif aid == _CHANNELS:
+                        t["channels"] = _uint(data, ab, ae)
+                    elif aid == _BIT_DEPTH:
+                        t["bits"] = _uint(data, ab, ae)
+        if "number" in t:
+            tracks[t["number"]] = t
+    return tracks
+
+
+def _block_payload(data: bytes, b: int, e: int) -> tuple[int, int, int]:
+    """(track_number, payload_start, payload_end) of a (Simple)Block;
+    laced blocks are outside the honest subset."""
+    track, pos = _read_vint(data, b)
+    if track is None:
+        raise ValueError("block with unknown track number")
+    pos += 2  # int16 relative timestamp
+    flags = data[pos]
+    pos += 1
+    if flags & 0x06:
+        raise NotImplementedError("EBML-laced Matroska blocks")
+    return track, pos, e
+
+
+def _segment_spans(data: bytes) -> tuple[dict[int, dict], list]:
+    """Parse the full tree once: returns (tracks, blocks) where each
+    block is (track_number, payload_start, payload_end) in stream
+    order."""
+    if not is_mkv(data):
+        raise ValueError("not a Matroska payload")
+    tracks: dict[int, dict] = {}
+    blocks: list[tuple[int, int, int]] = []
+    for eid, b, e in _walk(data, 0, len(data)):
+        if eid != _SEGMENT:
+            continue
+        for sid, sb, se in _walk(data, b, e):
+            if sid == _TRACKS:
+                tracks = _parse_tracks(data, sb, se)
+            elif sid == _CLUSTER:
+                for cid, cb, ce in _walk(data, sb, se):
+                    if cid == _SIMPLE_BLOCK:
+                        blocks.append(_block_payload(data, cb, ce))
+                    elif cid == _BLOCK_GROUP:
+                        for gid, gb, ge in _walk(data, cb, ce):
+                            if gid == _BLOCK:
+                                blocks.append(_block_payload(data, gb, ge))
+    if not tracks:
+        raise ValueError("Matroska segment has no Tracks element")
+    return tracks, blocks
+
+
+def parse_mkv(data: bytes) -> dict:
+    """Parse container structure without decoding frame payloads.
+
+    Returns ``{"meta": {...}, "frames": [(start, size), ...]}`` for
+    the FIRST video track (TrackType 1)."""
+    tracks, blocks = _segment_spans(data)
+    video = next(
+        (t for t in tracks.values() if t.get("type") == 1), None
+    )
+    if video is None:
+        raise ValueError("Matroska has no video track")
+    codec_id = video.get("codec_id", "")
+    if codec_id != "V_MJPEG":
+        raise NotImplementedError(
+            f"Matroska video codec {codec_id!r} (only V_MJPEG)"
+        )
+    frames = [
+        (ps, pe - ps) for tn, ps, pe in blocks if tn == video["number"]
+    ]
+    meta = {
+        "width": int(video.get("width", 0)),
+        "height": int(video.get("height", 0)),
+        "n_frames": len(frames),
+        "fps": 0,
+        "codec": "mjpeg",
+    }
+    return {"meta": meta, "frames": frames}
+
+
+def decode_mkv_frame(data: bytes, parsed: dict, index: int) -> np.ndarray:
+    """Decode ONE frame of an already-parsed container."""
+    from . import jpeg as _jpeg
+
+    start, size = parsed["frames"][index]
+    px, _ = _jpeg.decode_jpeg(data[start : start + size])
+    return px
+
+
+def iter_mkv_frames(data: bytes, *, every_n: int = 1):
+    parsed = parse_mkv(data)
+    for i in range(0, len(parsed["frames"]), every_n):
+        yield i, decode_mkv_frame(data, parsed, i)
+
+
+def decode_mkv(data: bytes) -> tuple[list[np.ndarray], dict]:
+    """Decode every video frame; returns ``(frames, meta)``."""
+    parsed = parse_mkv(data)
+    frames = [px for _, px in iter_mkv_frames(data)]
+    meta = dict(parsed["meta"])
+    meta["n_frames"] = len(frames)
+    return frames, meta
+
+
+def extract_mkv_audio(data: bytes) -> tuple[np.ndarray, dict]:
+    """Extract the FIRST audio track (TrackType 2), decoding through
+    the CodecID (PCM int LE/BE, G.711 u/a-law).  Same ``(samples,
+    meta)`` contract as ``wav.decode_wav``."""
+    from . import wav as _wav
+
+    tracks, blocks = _segment_spans(data)
+    track = next((t for t in tracks.values() if t.get("type") == 2), None)
+    if track is None:
+        raise ValueError("Matroska has no audio track")
+    payload = b"".join(
+        data[ps:pe] for tn, ps, pe in blocks if tn == track["number"]
+    )
+    codec_id = track.get("codec_id", "")
+    bits = int(track.get("bits", 16))
+    if codec_id == "A_PCM/INT/LIT":
+        if bits != 16:
+            raise NotImplementedError(f"{bits}-bit Matroska PCM")
+        arr = np.frombuffer(payload, "<i2").astype(np.float64) / 32768.0
+    elif codec_id == "A_PCM/INT/BIG":
+        if bits != 16:
+            raise NotImplementedError(f"{bits}-bit Matroska PCM")
+        arr = np.frombuffer(payload, ">i2").astype(np.float64) / 32768.0
+    elif codec_id == "A_MULAW":
+        u = np.frombuffer(payload, np.uint8)
+        arr = _wav._ulaw_decode(u).astype(np.float64) / 32768.0
+    elif codec_id == "A_ALAW":
+        a = np.frombuffer(payload, np.uint8)
+        arr = _wav._alaw_decode(a).astype(np.float64) / 32768.0
+    else:
+        raise NotImplementedError(
+            f"Matroska audio codec {codec_id!r} "
+            "(only PCM int and G.711; AAC/Vorbis are codec-gated)"
+        )
+    channels = max(int(track.get("channels", 1)), 1)
+    rate = int(track.get("sample_rate", 0))
+    n_frames = len(arr) // channels
+    arr = arr[: n_frames * channels]
+    if channels > 1:
+        arr = arr.reshape(n_frames, channels)
+    meta = {
+        "sample_rate": rate,
+        "channels": channels,
+        "bits": bits,
+        "n_frames": int(n_frames),
+        "duration_s": n_frames / rate if rate else 0.0,
+    }
+    return arr, meta

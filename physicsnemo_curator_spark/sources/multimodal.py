@@ -7,11 +7,14 @@ decode for REAL via the repo's pure-Python public-spec codecs — PNG
 (incl. 16-bit/Adam7), JPEG (baseline/progressive/12-bit/lossless/
 CMYK), WAV (PCM incl. EXTENSIBLE, IMA/MS-ADPCM, G.711), FLAC
 (native and Ogg), AIFF/AIFF-C (PCM, sowt, G.711, ima4, floats), and
-AVI video containers (MJPEG + DIB) — stdlib zlib/struct + numpy, no
-native dependency, so resize / featurize / frame-sample work
-end-to-end on encoded media of all three kinds.  Formats beyond that
-surface (MP3/AAC audio, mp4/mkv containers, arithmetic-coded JPEG)
-stay honestly codec-gated: they raise ``NotImplementedError``
+three video container families — RIFF/AVI (MJPEG + DIB), ISO BMFF
+MP4/MOV ('jpeg' + 'raw ' sample entries, sowt/twos/G.711 audio
+tracks), Matroska (V_MJPEG, PCM/G.711 audio tracks) — stdlib
+zlib/struct + numpy, no native dependency, so resize / featurize /
+frame-sample work end-to-end on encoded media of all three kinds.
+Formats beyond that surface (MP3/AAC audio, H.26x video streams,
+arithmetic-coded JPEG) stay honestly codec-gated: they raise
+``NotImplementedError``
 (strict) or produce a deterministic digest stub / pass-through
 (plumbing mode) — the Spark-side schema, batching and partitioning
 are real and tested either way.
@@ -80,6 +83,24 @@ def synthetic_media(spark: SparkSession, n: int = 32, seed: int = 42) -> DataFra
     return spark.createDataFrame(gen(range(n)), MEDIA_SCHEMA)
 
 
+def _video_container(raw: bytes):
+    """Container-family dispatch for video payloads: returns the
+    ``(parse, decode_frame, iter_frames)`` triple of the module whose
+    signature matches, or None.  All three families share the parsed
+    ``{"meta": {...}, "frames": [...]}`` shape."""
+    from physicsnemo_curator_spark.sources import avi as _avi
+    from physicsnemo_curator_spark.sources import mkv as _mkv
+    from physicsnemo_curator_spark.sources import mp4 as _mp4
+
+    if _avi.is_avi(raw):
+        return _avi.parse_avi, _avi.decode_avi_frame, _avi.iter_avi_frames
+    if _mp4.is_mp4(raw):
+        return _mp4.parse_mp4, _mp4.decode_mp4_frame, _mp4.iter_mp4_frames
+    if _mkv.is_mkv(raw):
+        return _mkv.parse_mkv, _mkv.decode_mkv_frame, _mkv.iter_mkv_frames
+    return None
+
+
 def _decode_image_native(raw: bytes):
     """Decode a PNG or baseline-JPEG payload with the pure-Python
     codecs.  Returns ``(pixels, fmt)`` or None when the payload is
@@ -115,7 +136,6 @@ def extract_features(media: DataFrame, *, dim: int = 8, strict: bool = False) ->
     import numpy as np
 
     from physicsnemo_curator_spark.sources import aiff as _aiff
-    from physicsnemo_curator_spark.sources import avi as _avi
     from physicsnemo_curator_spark.sources import flac as _flac
     from physicsnemo_curator_spark.sources import wav as _wav
 
@@ -184,17 +204,21 @@ def extract_features(media: DataFrame, *, dim: int = 8, strict: bool = False) ->
                         # fall through to the shared digest stub below
                         audio = None
                 video = None
-                if kind == "video" and _avi.is_avi(raw):
+                container = (
+                    _video_container(raw) if kind == "video" else None
+                )
+                if container is not None:
                     # real video features: container geometry/fps/
                     # frame count + first decoded frame's pixel stats
                     # (ONE container walk; only frame 0 is decoded)
+                    parse, decode_frame, _iter = container
                     try:
-                        parsed = _avi.parse_avi(raw)
+                        parsed = parse(raw)
                         if not parsed["frames"]:
                             # never re-raise StopIteration inside a
                             # generator (PEP 479 would mangle it)
-                            raise ValueError("AVI has no video frames")
-                        first = _avi.decode_avi_frame(raw, parsed, 0)
+                            raise ValueError("container has no video frames")
+                        first = decode_frame(raw, parsed, 0)
                         video = (parsed, first)
                     except (NotImplementedError, ValueError):
                         if strict:
@@ -462,15 +486,16 @@ def sample_frames(
     A raw video payload is a concatenation of ``width*height``-byte
     frame planes; every ``every_n``-th frame becomes its own row —
     the table-generating (explode) shape of the reference's
-    per-timestep mesh expansion, on binary media.  RIFF/AVI container
-    payloads (MJPEG or uncompressed DIB streams) are decoded natively
-    by ``sources/avi.py`` — frame geometry comes from the container
-    headers and the payload is the decoded pixel plane (``w*h`` gray
-    or ``w*h*3`` RGB bytes).  Other containers (mp4/...) need ffmpeg:
-    strict=True raises, strict=False skips them.  Non-video rows are
-    dropped (this is a frame table, not a media table).
+    per-timestep mesh expansion, on binary media.  Container payloads
+    from all three families — RIFF/AVI (MJPEG / DIB), ISO BMFF
+    MP4/MOV ('jpeg' / 'raw '), Matroska (V_MJPEG) — are decoded
+    natively by ``sources/{avi,mp4,mkv}.py``: frame geometry comes
+    from the container headers and the payload is the decoded pixel
+    plane (``w*h`` gray or ``w*h*3`` RGB bytes).  Codec ids outside
+    the honest subset (H.26x, Xvid) need ffmpeg: strict=True raises,
+    strict=False skips them.  Non-video rows are dropped (this is a
+    frame table, not a media table).
     """
-    from . import avi as _avi
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -481,15 +506,15 @@ def sample_frames(
                 if kind != "video":
                     continue
                 raw = bytes(raw)
-                if _avi.is_avi(raw):
+                container = _video_container(raw)
+                if container is not None:
+                    parse, _decode_frame, iter_frames = container
                     # undecodable containers (Xvid/H.264 streams,
                     # truncated files) follow the strict/plumbing
                     # policy: raise under strict, skip otherwise
                     try:
-                        meta = _avi.parse_avi(raw)["meta"]
-                        frames = list(
-                            _avi.iter_avi_frames(raw, every_n=every_n)
-                        )
+                        meta = parse(raw)["meta"]
+                        frames = list(iter_frames(raw, every_n=every_n))
                     except (NotImplementedError, ValueError):
                         if strict:
                             raise
@@ -508,9 +533,9 @@ def sample_frames(
                 if n_frames == 0 or len(raw) % frame_bytes:
                     if strict:
                         raise NotImplementedError(
-                            "non-AVI container video payload needs ffmpeg, "
+                            "unrecognized video payload needs ffmpeg, "
                             "which is not installed; run with strict=False "
-                            "(RIFF/AVI MJPEG+DIB decode natively)"
+                            "(AVI / MP4 / MKV containers decode natively)"
                         )
                     continue
                 for f in range(0, n_frames, every_n):

@@ -13,8 +13,12 @@ for 8-bit, 12-bit, progressive (pixel-identity vs baseline), and
 lossless (bit-exact, all 7 predictors x 8/12/16-bit); audio
 {sine, noise, clip, silence, impulse} x block-boundary lengths
 (504/505/506) x mono/stereo for IMA/MS-ADPCM, G.711 u/a-law, FLAC
-and Ogg-FLAC (lossless paths must be bit-exact); AVI raw+MJPEG x
-frame counts x geometries with every_n sampling index checks.
+and Ogg-FLAC (lossless paths must be bit-exact); AVI raw+MJPEG, MP4
+raw+MJPEG (exact raw round-trips through the ISO BMFF sample
+tables + 4 audio-track codecs x lengths x channels x rates), and
+Matroska MJPEG lossy+lossless (bit-exact archival mode + 4
+audio codec ids) x frame counts x geometries with every_n sampling
+index checks.
 """
 
 from __future__ import annotations
@@ -202,3 +206,101 @@ def test_avi_matrix():
         for en in (1, 2, 3):
             idxs = [i for i, _ in avi.iter_avi_frames(d, every_n=en)]
             assert idxs == list(range(0, nf, en))
+
+
+def test_mp4_matrix():
+    from physicsnemo_curator_spark.sources import mp4
+
+    for codec, nf, (h, w), c in itertools.product(
+        ("raw", "mjpeg"), (1, 3, 7),
+        ((1, 1), (6, 4), (16, 16), (5, 13)), (1, 3),
+    ):
+        frames = [
+            _RNG.integers(
+                0, 256, (h, w) if c == 1 else (h, w, c), dtype=np.uint8
+            )
+            for _ in range(nf)
+        ]
+        d = mp4.encode_mp4(frames, fps=10, codec=codec)
+        out, _ = mp4.decode_mp4(d)
+        assert len(out) == nf
+        if codec == "raw":
+            for a, b in zip(frames, out):
+                exp = np.stack([a] * 3, axis=2) if c == 1 else a
+                np.testing.assert_array_equal(exp, b)
+        for en in (1, 2, 3):
+            idxs = [i for i, _ in mp4.iter_mp4_frames(d, every_n=en)]
+            assert idxs == list(range(0, nf, en))
+
+
+def test_mp4_audio_matrix():
+    from physicsnemo_curator_spark.sources import mp4
+
+    frames = [np.zeros((4, 4), dtype=np.uint8)] * 2
+    for ac, n, ch, rate in itertools.product(
+        ("sowt", "twos", "ulaw", "alaw"), (1, 100, 4001), (1, 2),
+        (8000, 44100),
+    ):
+        sig = np.sin(np.arange(n) / 7.0) * 0.6
+        audio = sig if ch == 1 else np.stack([sig, -sig], axis=1)
+        d = mp4.encode_mp4_with_audio(
+            frames, audio, rate, codec="raw", audio_codec=ac
+        )
+        out, meta = mp4.extract_mp4_audio(d)
+        assert meta["n_frames"] == n and meta["channels"] == ch
+        assert meta["sample_rate"] == rate
+        tol = 1e-12 if ac in ("sowt", "twos") else 0.05
+        exp = np.round(np.clip(audio, -1, 1) * 32767) / 32768
+        ref = exp if ac in ("sowt", "twos") else audio
+        assert np.abs(out.reshape(-1) - np.asarray(ref).reshape(-1)).max() <= tol + 1e-9
+
+
+def test_mkv_matrix():
+    from physicsnemo_curator_spark.sources import mkv
+
+    for codec, nf, (h, w), c in itertools.product(
+        ("mjpeg", "mjpeg_lossless"), (1, 3, 7),
+        ((1, 1), (6, 4), (16, 16), (5, 13)), (1, 3),
+    ):
+        if codec == "mjpeg_lossless" and c == 3:
+            frames = [
+                _RNG.integers(0, 256, (h, w), dtype=np.uint8)
+                for _ in range(nf)
+            ]
+        else:
+            frames = [
+                _RNG.integers(
+                    0, 256, (h, w) if c == 1 else (h, w, c),
+                    dtype=np.uint8,
+                )
+                for _ in range(nf)
+            ]
+        d = mkv.encode_mkv(frames, fps=10, codec=codec)
+        out, _ = mkv.decode_mkv(d)
+        assert len(out) == nf
+        if codec == "mjpeg_lossless":
+            for a, b in zip(frames, out):
+                np.testing.assert_array_equal(a, b)
+        for en in (1, 2, 3):
+            idxs = [i for i, _ in mkv.iter_mkv_frames(d, every_n=en)]
+            assert idxs == list(range(0, nf, en))
+
+
+def test_mkv_audio_matrix():
+    from physicsnemo_curator_spark.sources import mkv
+
+    frames = [np.zeros((4, 4), dtype=np.uint8)] * 2
+    for ac, n, ch in itertools.product(
+        ("pcm", "pcm_be", "ulaw", "alaw"), (1, 100, 4001), (1, 2)
+    ):
+        sig = np.sin(np.arange(n) / 7.0) * 0.6
+        audio = sig if ch == 1 else np.stack([sig, -sig], axis=1)
+        d = mkv.encode_mkv(
+            frames, audio=audio, sample_rate=8000, audio_codec=ac
+        )
+        out, meta = mkv.extract_mkv_audio(d)
+        assert meta["n_frames"] == n and meta["channels"] == ch
+        tol = 1e-12 if ac.startswith("pcm") else 0.05
+        exp = np.round(np.clip(audio, -1, 1) * 32767) / 32768
+        ref = exp if ac.startswith("pcm") else audio
+        assert np.abs(out.reshape(-1) - np.asarray(ref).reshape(-1)).max() <= tol + 1e-9

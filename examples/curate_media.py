@@ -40,11 +40,14 @@ from pyspark.sql import functions as F  # noqa: E402
 from physicsnemo_curator_spark.session import get_spark  # noqa: E402
 from physicsnemo_curator_spark.sources import (  # noqa: E402
     avi,
+    bmp,
     flac,
+    gif,
     jpeg,
     mkv,
     mp4,
     png,
+    tiff,
     wav,
 )
 from physicsnemo_curator_spark.sources import multimodal as mm  # noqa: E402
@@ -82,7 +85,7 @@ def main() -> None:
                 img = np.frombuffer(
                     h.encode(), dtype=np.uint8
                 ).reshape(4, 8)
-                k = int(doc_id) % 8
+                k = int(doc_id) % 11
                 if k == 0:
                     payload = jpeg.encode_jpeg(img, quality=90)
                     kind, w, hh = "image", 8, 4
@@ -111,11 +114,21 @@ def main() -> None:
                     frames = [img, 255 - img, img]
                     payload = mp4.encode_mp4(frames, fps=8, codec="raw")
                     kind, w, hh = "video", None, None
-                else:
+                elif k == 7:
                     frames = [img, 255 - img]
                     payload = mkv.encode_mkv(
                         frames, fps=8, codec="mjpeg_lossless"
                     )
+                    kind, w, hh = "video", None, None
+                elif k == 8:
+                    payload = bmp.encode_bmp(img)
+                    kind, w, hh = "image", 8, 4
+                elif k == 9:
+                    payload = tiff.encode_tiff(img, compression="lzw")
+                    kind, w, hh = "image", 8, 4
+                else:
+                    # animated GIF rides the video-container dispatch
+                    payload = gif.encode_gif([img, 255 - img], delay_cs=12)
                     kind, w, hh = "video", None, None
                 rows.append(
                     (int(doc_id), kind, payload, w, hh, len(payload))

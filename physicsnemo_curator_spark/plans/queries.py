@@ -6183,8 +6183,119 @@ ORDER BY media_id, frame_index LIMIT 750
 """
 
 
+def q_media_stillimage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BMP / TIFF / GIF still-image gate (sources/{bmp,tiff,gif}.py):
+    each document's md5 hex chars become a 4x8 grayscale image pushed
+    through all three codecs executor-side — BMP (8-bit palettized
+    DIB), TIFF (compression rotating none/LZW/Deflate/PackBits with
+    the predictor rotating 1/2 by doc_id — the LZW early-change and
+    differencing paths are inside the gate), and a TWO-frame animated
+    GIF (frame f = md5(text || f) hex, GIF-flavor LSB-first LZW,
+    Graphic Control delays).  Every path is LOSSLESS, so each decoded
+    payload must equal its source bytes exactly: the oracle replays
+    the identities md5(md5(text)) / md5(md5(text || f)) plus the
+    byte-exact uncompressed-TIFF and BMP file sizes, all in DuckDB
+    string arithmetic.  A single wrong stride, palette entry, IFD
+    offset, LZW width bump, or sub-block length changes a hash."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 250)
+        .select("doc_id", "text")
+    )
+
+    def codec(it):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from physicsnemo_curator_spark.sources import bmp as _bmp
+        from physicsnemo_curator_spark.sources import gif as _gif
+        from physicsnemo_curator_spark.sources import tiff as _tiff
+
+        comps = ["none", "lzw", "deflate", "packbits"]
+
+        def hex_img(text, suffix=""):
+            return np.frombuffer(
+                hashlib.md5(
+                    (text + suffix).encode("utf-8")
+                ).hexdigest().encode("ascii"),
+                dtype=np.uint8,
+            ).reshape(4, 8)
+
+        for pdf in it:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                img = hex_img(text)
+                b = _bmp.encode_bmp(img)
+                bd, _m = _bmp.decode_bmp(b)
+                comp = comps[int(doc_id) % 4]
+                pred = 1 + int(doc_id) % 2
+                t = _tiff.encode_tiff(
+                    img, compression=comp, predictor=pred
+                )
+                td, tm = _tiff.decode_tiff(t)
+                t_none = _tiff.encode_tiff(img, compression="none")
+                g = _gif.encode_gif(
+                    [hex_img(text, "0"), hex_img(text, "1")], delay_cs=4
+                )
+                gframes, gm = _gif.decode_gif(g)
+                rows.append(
+                    (
+                        int(doc_id),
+                        hashlib.md5(bd.tobytes()).hexdigest(),
+                        len(b),
+                        comp,
+                        hashlib.md5(td.tobytes()).hexdigest(),
+                        int(tm["bits"]),
+                        len(t_none),
+                        hashlib.md5(gframes[0].tobytes()).hexdigest(),
+                        hashlib.md5(gframes[1].tobytes()).hexdigest(),
+                        int(gm["n_frames"]),
+                        int(gm["fps"]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "bmp_md5", "bmp_bytes", "tiff_comp",
+                    "tiff_md5", "tiff_bits", "tiff_none_bytes",
+                    "gif_md5_0", "gif_md5_1", "gif_frames", "gif_fps",
+                ],
+            )
+
+    out = docs.mapInPandas(
+        codec,
+        "doc_id long, bmp_md5 string, bmp_bytes int, tiff_comp string, "
+        "tiff_md5 string, tiff_bits int, tiff_none_bytes int, "
+        "gif_md5_0 string, gif_md5_1 string, gif_frames int, "
+        "gif_fps int",
+    )
+    return out.orderBy("doc_id").limit(250)
+
+
+ORACLE_MEDIA_STILLIMAGE = """
+SELECT doc_id,
+       md5(md5(text)) AS bmp_md5,
+       CAST(1110 AS INT) AS bmp_bytes,
+       ['none', 'lzw', 'deflate', 'packbits'][1 + doc_id % 4]
+           AS tiff_comp,
+       md5(md5(text)) AS tiff_md5,
+       CAST(8 AS INT) AS tiff_bits,
+       CAST(178 AS INT) AS tiff_none_bytes,
+       md5(md5(text || '0')) AS gif_md5_0,
+       md5(md5(text || '1')) AS gif_md5_1,
+       CAST(2 AS INT) AS gif_frames,
+       CAST(25 AS INT) AS gif_fps
+FROM documents WHERE doc_id < 250 ORDER BY doc_id LIMIT 250
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q_media_mp4_mkv": QuerySpec(q_media_mp4_mkv, ORACLE_MEDIA_MP4_MKV),
+    "q_media_stillimage": QuerySpec(
+        q_media_stillimage, ORACLE_MEDIA_STILLIMAGE
+    ),
     "q_grid_federated": QuerySpec(q_grid_federated, ORACLE_GRID_FEDERATED),
     "q_grid_sidecar": QuerySpec(q_grid_sidecar, ORACLE_GRID_SIDECAR),
     "q_atomic_stats": QuerySpec(q_atomic_stats, ORACLE_ATOMIC_STATS),
@@ -6401,6 +6512,7 @@ QUERIES: dict[str, QuerySpec] = {
 _DRIVER_ORDER = [
     # --- r09-new gates ---
     "q_media_mp4_mkv",
+    "q_media_stillimage",
     "q_grid_federated",
     "q_grid_sidecar",
     "q_atomic_stats",

@@ -5,7 +5,9 @@ North-star surface: binary payloads ride through the pipeline as
 extraction run as Arrow-batched ``mapInPandas`` UDFs.  The payloads
 decode for REAL via the repo's pure-Python public-spec codecs — PNG
 (incl. 16-bit/Adam7), JPEG (baseline/progressive/12-bit/lossless/
-CMYK), WAV (PCM incl. EXTENSIBLE, IMA/MS-ADPCM, G.711), FLAC
+CMYK), BMP, TIFF (strips, LZW/Deflate/PackBits, predictor,
+multi-page), GIF (87a/89a incl. animation),
+WAV (PCM incl. EXTENSIBLE, IMA/MS-ADPCM, G.711), FLAC
 (native and Ogg), AIFF/AIFF-C (PCM, sowt, G.711, ima4, floats), and
 three video container families — RIFF/AVI (MJPEG + DIB), ISO BMFF
 MP4/MOV ('jpeg' + 'raw ' sample entries, sowt/twos/G.711 audio
@@ -86,9 +88,11 @@ def synthetic_media(spark: SparkSession, n: int = 32, seed: int = 42) -> DataFra
 def _video_container(raw: bytes):
     """Container-family dispatch for video payloads: returns the
     ``(parse, decode_frame, iter_frames)`` triple of the module whose
-    signature matches, or None.  All three families share the parsed
-    ``{"meta": {...}, "frames": [...]}`` shape."""
+    signature matches, or None.  All families share the parsed
+    ``{"meta": {...}, "frames": [...]}`` shape (animated GIFs count
+    as a frame container too)."""
     from physicsnemo_curator_spark.sources import avi as _avi
+    from physicsnemo_curator_spark.sources import gif as _gif
     from physicsnemo_curator_spark.sources import mkv as _mkv
     from physicsnemo_curator_spark.sources import mp4 as _mp4
 
@@ -98,22 +102,34 @@ def _video_container(raw: bytes):
         return _mp4.parse_mp4, _mp4.decode_mp4_frame, _mp4.iter_mp4_frames
     if _mkv.is_mkv(raw):
         return _mkv.parse_mkv, _mkv.decode_mkv_frame, _mkv.iter_mkv_frames
+    if _gif.is_gif(raw):
+        return _gif.parse_gif, _gif.decode_gif_frame, _gif.iter_gif_frames
     return None
 
 
 def _decode_image_native(raw: bytes):
-    """Decode a PNG or baseline-JPEG payload with the pure-Python
-    codecs.  Returns ``(pixels, fmt)`` or None when the payload is
-    neither format (the caller applies its strict/pass-through
-    policy); decode ERRORS on a recognized format propagate to the
-    caller's guard."""
+    """Decode a PNG / baseline-JPEG / BMP / TIFF / GIF payload with
+    the pure-Python codecs.  Returns ``(pixels, fmt)`` or None when
+    the payload is none of those formats (the caller applies its
+    strict/pass-through policy); decode ERRORS on a recognized format
+    propagate to the caller's guard."""
+    from physicsnemo_curator_spark.sources import bmp as _bmp
+    from physicsnemo_curator_spark.sources import gif as _gif
     from physicsnemo_curator_spark.sources import jpeg as _jpeg
     from physicsnemo_curator_spark.sources import png as _png
+    from physicsnemo_curator_spark.sources import tiff as _tiff
 
     if _png.is_png(raw):
         return _png.decode_png(raw)[0], "png"
     if _jpeg.is_jpeg(raw):
         return _jpeg.decode_jpeg(raw)[0], "jpeg"
+    if _bmp.is_bmp(raw):
+        return _bmp.decode_bmp(raw)[0], "bmp"
+    if _tiff.is_tiff(raw):
+        return _tiff.decode_tiff(raw)[0], "tiff"
+    if _gif.is_gif(raw):
+        # an image-kind GIF contributes its first frame
+        return _gif.decode_gif(raw)[0][0], "gif"
     return None
 
 
@@ -348,19 +364,22 @@ def resize_images(
 
     Payloads whose ``n_bytes == width*height`` metadata are treated as
     raw grayscale planes and resampled with a pure-numpy gather — no
-    codec needed.  PNG and baseline-JPEG payloads (public specs)
-    decode through the repo's pure-Python codecs, resize every
-    channel, and re-encode in their ORIGINAL format with updated
-    metadata.  Other encoded formats (progressive JPEG / containers)
-    still need an external codec: strict=True raises the honest
-    NotImplementedError, strict=False passes them through untouched so
-    a mixed table still flows.  Non-image rows pass through unchanged
-    either way.
+    codec needed.  PNG, baseline-JPEG, BMP, TIFF and GIF payloads
+    (public specs) decode through the repo's pure-Python codecs,
+    resize every channel, and re-encode in their ORIGINAL format with
+    updated metadata.  Other encoded formats (video containers,
+    unrecognized codecs) still need an external codec: strict=True
+    raises the honest NotImplementedError, strict=False passes them
+    through untouched so a mixed table still flows.  Non-image rows
+    pass through unchanged either way.
     """
     import numpy as np
 
+    from physicsnemo_curator_spark.sources import bmp as _bmp
+    from physicsnemo_curator_spark.sources import gif as _gif
     from physicsnemo_curator_spark.sources import jpeg as _jpeg
     from physicsnemo_curator_spark.sources import png as _png
+    from physicsnemo_curator_spark.sources import tiff as _tiff
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -406,6 +425,17 @@ def resize_images(
                     try:
                         if fmt == "png":
                             enc = _png.encode_png(resized)
+                        elif fmt == "bmp":
+                            enc = _bmp.encode_bmp(resized)
+                        elif fmt == "tiff":
+                            # TIFF carries uint16 natively — no
+                            # depth-juggling needed on the wide path
+                            enc = _tiff.encode_tiff(resized)
+                        elif fmt == "gif":
+                            # nearest-neighbor keeps a subset of the
+                            # source colors, so the exact palette
+                            # still fits
+                            enc = _gif.encode_gif(resized)
                         elif resized.dtype == np.uint16:
                             # wide JPEG decode: re-encode at a depth
                             # that holds the samples — 12-bit lossy
@@ -442,9 +472,10 @@ def resize_images(
                     if kind == "image" and strict:
                         raise NotImplementedError(
                             "encoded image payload in an unrecognized "
-                            "format needs an external decode (PNG and "
-                            "baseline JPEG decode natively); run with "
-                            "strict=False to pass it through untouched"
+                            "format needs an external decode "
+                            "(PNG/JPEG/BMP/TIFF/GIF decode natively); "
+                            "run with strict=False to pass it through "
+                            "untouched"
                         )
                     out_payload.append(raw)
                     out_w.append(w)

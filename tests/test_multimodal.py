@@ -63,16 +63,27 @@ def test_resize_raw_grayscale_exact(spark):
 
 
 def test_resize_encoded_needs_codec(spark):
-    # unrecognized encoded format (GIF signature — neither PNG nor
-    # baseline JPEG decodes it natively); strict raises
+    # unrecognized encoded format (no codec signature matches — GIF
+    # decodes natively now, so the fake must not look like one);
+    # strict raises
     df = spark.createDataFrame(
-        [(0, "image", bytearray(b"GIF89a fake"), 16, 16, 11)],
+        [(0, "image", bytearray(b"NOTACODEC01"), 16, 16, 11)],
         mm.MEDIA_SCHEMA,
     )
     with pytest.raises(Exception, match="NotImplementedError|codec|format"):
         mm.resize_images(df, width=2, height=2, strict=True).collect()
     # plumbing mode passes through
     rows = mm.resize_images(df, width=2, height=2).collect()
+    assert bytes(rows[0]["payload"]) == b"NOTACODEC01"
+    # a TRUNCATED gif (signature matches, decode fails) raises strict
+    # and passes through in plumbing mode like any recognized codec
+    dfg = spark.createDataFrame(
+        [(2, "image", bytearray(b"GIF89a fake"), 16, 16, 11)],
+        mm.MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception):
+        mm.resize_images(dfg, width=2, height=2, strict=True).collect()
+    rows = mm.resize_images(dfg, width=2, height=2).collect()
     assert bytes(rows[0]["payload"]) == b"GIF89a fake"
     # a TRUNCATED jpeg (signature matches, decode fails) also raises
     # strict and passes through in plumbing mode

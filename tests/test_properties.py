@@ -817,3 +817,141 @@ def test_flac_lossless_property(seed, n, channels, smooth, bs):
     assert meta["n_frames"] == n
     q = np.round(np.clip(sig, -1, 1) * 32767.0) / 32768.0
     np.testing.assert_array_equal(out.reshape(n, channels), q)
+
+
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    rgb=st.booleans(),
+)
+@settings(max_examples=40, deadline=None)
+def test_bmp_roundtrip_property(seed, h, w, rgb):
+    """For ANY uint8 gray/RGB image, BMP encode→decode is the
+    identity (bottom-up rows + 4-byte stride padding included)."""
+    import numpy as np
+
+    from physicsnemo_curator_spark.sources import bmp
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w, 3) if rgb else (h, w)
+    arr = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    out, meta = bmp.decode_bmp(bmp.encode_bmp(arr))
+    assert (meta["height"], meta["width"]) == (h, w)
+    np.testing.assert_array_equal(out, arr)
+
+
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    h=st.integers(1, 20),
+    w=st.integers(1, 20),
+    channels=st.sampled_from([1, 3, 4]),
+    wide=st.booleans(),
+    compression=st.sampled_from(["none", "lzw", "deflate", "packbits"]),
+    predictor=st.sampled_from([1, 2]),
+)
+@settings(max_examples=60, deadline=None)
+def test_tiff_roundtrip_property(
+    seed, h, w, channels, wide, compression, predictor
+):
+    """For ANY uint8/uint16 image across every compression×predictor
+    combination, TIFF encode→decode is the identity — the LZW
+    early-change boundaries and 16-bit differencing wraps included."""
+    import numpy as np
+
+    from physicsnemo_curator_spark.sources import tiff
+
+    if wide and channels == 4:
+        channels = 3
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if channels == 1 else (h, w, channels)
+    if wide:
+        arr = rng.integers(0, 65536, size=shape).astype(np.uint16)
+    else:
+        arr = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    d = tiff.encode_tiff(arr, compression=compression, predictor=predictor)
+    out, meta = tiff.decode_tiff(d)
+    assert out.dtype == arr.dtype
+    np.testing.assert_array_equal(out, arr)
+
+
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n_frames=st.integers(1, 5),
+    h=st.integers(1, 16),
+    w=st.integers(1, 16),
+    interlace=st.booleans(),
+    every_n=st.integers(1, 3),
+)
+@settings(max_examples=40, deadline=None)
+def test_gif_roundtrip_property(seed, n_frames, h, w, interlace, every_n):
+    """For ANY uint8 grayscale animation, GIF encode→decode is the
+    identity frame by frame, and sampling yields exactly the
+    every-n-th indices."""
+    import numpy as np
+
+    from physicsnemo_curator_spark.sources import gif
+
+    rng = np.random.default_rng(seed)
+    frames = [
+        rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        for _ in range(n_frames)
+    ]
+    d = gif.encode_gif(frames, interlace=interlace, delay_cs=3)
+    out, meta = gif.decode_gif(d)
+    assert meta["n_frames"] == n_frames
+    for a, b in zip(frames, out):
+        np.testing.assert_array_equal(a, b)
+    idxs = [i for i, _ in gif.iter_gif_frames(d, every_n=every_n)]
+    assert idxs == list(range(0, n_frames, every_n))
+
+
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n_frames=st.integers(1, 4),
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    rgb=st.booleans(),
+    container=st.sampled_from(["mp4_raw", "mp4_mjpeg", "mkv_lossless"]),
+)
+@settings(max_examples=40, deadline=None)
+def test_video_container_total_property(
+    seed, n_frames, h, w, rgb, container
+):
+    """For ANY frame stack, the MP4/MKV containers decode to the
+    right frame count and geometry; the exact modes (raw sample
+    entries, lossless MJPEG blocks) are bit-identical."""
+    import numpy as np
+
+    from physicsnemo_curator_spark.sources import mkv, mp4
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w, 3) if rgb else (h, w)
+    frames = [
+        rng.integers(0, 256, size=shape, dtype=np.uint8)
+        for _ in range(n_frames)
+    ]
+    if container == "mp4_raw":
+        out, meta = mp4.decode_mp4(mp4.encode_mp4(frames, codec="raw"))
+        exact = True
+    elif container == "mp4_mjpeg":
+        out, meta = mp4.decode_mp4(
+            mp4.encode_mp4(frames, codec="mjpeg", quality=90)
+        )
+        exact = False
+    else:
+        if rgb:
+            frames = [f[:, :, 0] for f in frames]
+        out, meta = mkv.decode_mkv(
+            mkv.encode_mkv(frames, codec="mjpeg_lossless")
+        )
+        exact = True
+    assert meta["n_frames"] == n_frames
+    assert (meta["height"], meta["width"]) == (h, w)
+    if exact and container == "mp4_raw":
+        for a, b in zip(frames, out):
+            exp = np.stack([a] * 3, axis=2) if a.ndim == 2 else a
+            np.testing.assert_array_equal(exp, b)
+    elif exact:
+        for a, b in zip(frames, out):
+            np.testing.assert_array_equal(a, b)

@@ -202,16 +202,22 @@ def encode_gif(
         raise ValueError("cannot encode an empty frame list")
     h, w = frames[0].shape[:2]
     for f in frames:
-        if f.shape[:2] != (h, w) or f.dtype != np.uint8:
-            raise ValueError("all frames must be uint8 with equal shape")
+        # full-shape check: a stray RGB frame in a gray list would
+        # otherwise be byte-reinterpreted as indices (silent garbage)
+        if f.shape != frames[0].shape or f.dtype != np.uint8:
+            raise ValueError(
+                "all frames must be uint8 with identical shape "
+                "(no gray/RGB mixing)"
+            )
     gray = frames[0].ndim == 2
     if gray:
         palette = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
         index_frames = [f for f in frames]
     else:
-        colors = np.unique(
+        colors, inverse = np.unique(
             np.concatenate([f.reshape(-1, 3) for f in frames], axis=0),
             axis=0,
+            return_inverse=True,
         )
         if len(colors) > 256:
             raise NotImplementedError(
@@ -219,12 +225,11 @@ def encode_gif(
                 "palette quantization (lossy) — out of the honest subset"
             )
         palette = colors
-        lut = {tuple(c): i for i, c in enumerate(colors)}
         index_frames = [
-            np.array(
-                [lut[tuple(p)] for p in f.reshape(-1, 3)], dtype=np.uint8
-            ).reshape(h, w)
-            for f in frames
+            frame_idx.astype(np.uint8).reshape(h, w)
+            for frame_idx in np.split(
+                inverse.reshape(-1), len(frames)
+            )
         ]
     # color table size: power of two ≥ palette length, minimum 2
     ct_bits = max(1, int(np.ceil(np.log2(max(len(palette), 2)))))
@@ -353,26 +358,34 @@ def _frame_indices(fr: dict) -> np.ndarray:
     return idx
 
 
-def decode_gif(data: bytes) -> tuple[list[np.ndarray], dict]:
-    """Decode every frame, compositing sub-rectangle frames onto the
-    logical screen with disposal/transparency semantics.  Returns
-    grayscale ``(h, w)`` frames when every palette used is the
-    identity gray ramp, RGB otherwise."""
-    parsed = parse_gif(data)
-    meta = dict(parsed["meta"])
-    w, h = meta["width"], meta["height"]
-    canvas = np.zeros((h, w, 3), dtype=np.uint8)
-    frames_out = []
-    all_gray = True
-    prev_canvas = None
+def _all_gray(parsed: dict) -> bool:
+    """True when every frame's palette is the identity gray ramp — a
+    palette scan only, no pixel decode."""
+    ramp = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
     for fr in parsed["frames"]:
         pal = fr["palette"]
         if pal is None:
             raise ValueError("GIF frame without a color table")
-        gray_pal = len(pal) == 256 and np.array_equal(
-            pal, np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
-        )
-        all_gray = all_gray and gray_pal
+        if len(pal) != 256 or not np.array_equal(pal, ramp):
+            return False
+    return True
+
+
+def _composite(parsed: dict, upto: int | None = None) -> list[np.ndarray]:
+    """Composite frames 0..upto (inclusive; None = all) onto the
+    logical screen with disposal/transparency semantics."""
+    meta = parsed["meta"]
+    w, h = meta["width"], meta["height"]
+    canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    frames_out: list[np.ndarray] = []
+    prev_canvas = None
+    todo = parsed["frames"]
+    if upto is not None:
+        todo = todo[: upto + 1]
+    for fr in todo:
+        pal = fr["palette"]
+        if pal is None:
+            raise ValueError("GIF frame without a color table")
         idx = _frame_indices(fr)
         gce = fr["gce"] or {}
         disposal = gce.get("disposal", 0)
@@ -393,22 +406,44 @@ def decode_gif(data: bytes) -> tuple[list[np.ndarray], dict]:
             canvas[y0:y1, x0:x1] = 0
         elif disposal == 3 and prev_canvas is not None:
             canvas = prev_canvas.copy()
-    if all_gray:
+    return frames_out
+
+
+def decode_gif(data: bytes) -> tuple[list[np.ndarray], dict]:
+    """Decode every frame, compositing sub-rectangle frames onto the
+    logical screen with disposal/transparency semantics.  Returns
+    grayscale ``(h, w)`` frames when every palette used is the
+    identity gray ramp, RGB otherwise."""
+    parsed = parse_gif(data)
+    meta = dict(parsed["meta"])
+    frames_out = _composite(parsed)
+    if _all_gray(parsed):
         frames_out = [f[:, :, 0].copy() for f in frames_out]
     meta["n_frames"] = len(frames_out)
     return frames_out, meta
 
 
 def decode_gif_frame(data: bytes, parsed: dict, index: int) -> np.ndarray:
-    """Decode ONE frame.  GIF frames can depend on earlier frames
-    (disposal compositing), so this decodes the prefix up to
-    ``index`` — unlike the AVI/MP4/MKV containers, sparse sampling
-    still pays for the prefix."""
-    frames, _meta = decode_gif(data)
-    return frames[index]
+    """Decode ONE frame of an already-parsed container.  GIF frames
+    can depend on earlier frames (disposal compositing), so this
+    decodes the prefix up to ``index`` — later frames are never
+    touched, but unlike the AVI/MP4/MKV containers, sparse sampling
+    still pays for the prefix.  Gray/RGB shape matches
+    :func:`decode_gif` (decided by ALL palettes, a metadata scan)."""
+    frame = _composite(parsed, upto=index)[index]
+    if _all_gray(parsed):
+        return frame[:, :, 0].copy()
+    return frame
 
 
 def iter_gif_frames(data: bytes, *, every_n: int = 1):
-    frames, _meta = decode_gif(data)
+    """Yield ``(frame_index, frame)`` for every ``every_n``-th frame.
+    The composite runs ONCE over all frames (GIF's inter-frame
+    dependence makes skipping decode impossible), but skipped frames
+    are never copied out."""
+    parsed = parse_gif(data)
+    frames = _composite(parsed)
+    if _all_gray(parsed):
+        frames = [f[:, :, 0].copy() for f in frames]
     for i in range(0, len(frames), every_n):
         yield i, frames[i]

@@ -342,6 +342,54 @@ def _block_payload(data: bytes, b: int, e: int) -> tuple[int, int, int]:
     return track, pos, e
 
 
+# segment-level element ids: an unknown-size Cluster (legal EBML,
+# common in live-muxed streams) ends when any of these begins
+_SEGMENT_LEVEL = {
+    _INFO, _TRACKS, _CLUSTER,
+    0x114D9B74,  # SeekHead
+    0x1C53BB6B,  # Cues
+    0x1043A770,  # Chapters
+    0x1254C367,  # Tags
+    0x1941A469,  # Attachments
+}
+
+
+def _segment_children(data: bytes, pos: int, end: int):
+    """Like :func:`_walk` over a Segment body, but resolves
+    unknown-size Clusters by scanning their children until the next
+    segment-level element id."""
+    while pos < end:
+        eid, p2 = _read_vint(data, pos, keep_marker=True)
+        size, p2 = _read_vint(data, p2)
+        if size is not None:
+            body_end = p2 + size
+            if body_end > end:
+                raise ValueError("truncated EBML element")
+            yield eid, p2, body_end
+            pos = body_end
+            continue
+        if eid != _CLUSTER:
+            # unknown-size Segment children other than Cluster are
+            # vanishingly rare; treating them as till-end would
+            # swallow real data, so refuse loudly
+            raise NotImplementedError(
+                f"unknown-size Matroska element 0x{eid:08x}"
+            )
+        cpos = p2
+        while cpos < end:
+            cid, cp2 = _read_vint(data, cpos, keep_marker=True)
+            if cid in _SEGMENT_LEVEL:
+                break
+            csize, cp2 = _read_vint(data, cp2)
+            if csize is None:
+                raise NotImplementedError(
+                    "nested unknown-size Matroska element"
+                )
+            cpos = cp2 + csize
+        yield eid, p2, cpos
+        pos = cpos
+
+
 def _segment_spans(data: bytes) -> tuple[dict[int, dict], list]:
     """Parse the full tree once: returns (tracks, blocks) where each
     block is (track_number, payload_start, payload_end) in stream
@@ -353,7 +401,7 @@ def _segment_spans(data: bytes) -> tuple[dict[int, dict], list]:
     for eid, b, e in _walk(data, 0, len(data)):
         if eid != _SEGMENT:
             continue
-        for sid, sb, se in _walk(data, b, e):
+        for sid, sb, se in _segment_children(data, b, e):
             if sid == _TRACKS:
                 tracks = _parse_tracks(data, sb, se)
             elif sid == _CLUSTER:

@@ -228,6 +228,10 @@ def extract_features(media: DataFrame, *, dim: int = 8, strict: bool = False) ->
                     # frame count + first decoded frame's pixel stats
                     # (ONE container walk; only frame 0 is decoded)
                     parse, decode_frame, _iter = container
+                    # broad guard: corrupt containers raise whatever
+                    # struct/index error the parser hits first — under
+                    # plumbing mode ONE bad payload must not kill the
+                    # task (same policy as the image path above)
                     try:
                         parsed = parse(raw)
                         if not parsed["frames"]:
@@ -236,7 +240,7 @@ def extract_features(media: DataFrame, *, dim: int = 8, strict: bool = False) ->
                             raise ValueError("container has no video frames")
                         first = decode_frame(raw, parsed, 0)
                         video = (parsed, first)
-                    except (NotImplementedError, ValueError):
+                    except Exception:
                         if strict:
                             raise
                         video = None
@@ -319,12 +323,13 @@ def extract_features(media: DataFrame, *, dim: int = 8, strict: bool = False) ->
                     # honesty
                     raise NotImplementedError(
                         "real feature extraction is only implemented "
-                        "for raw grayscale planes, PNG/baseline-JPEG "
-                        "images, WAV/FLAC/AIFF audio and AVI video in "
-                        "this "
-                        "build "
-                        "(codec-gated); run with strict=False for the "
-                        "deterministic digest stub"
+                        "for raw grayscale planes, "
+                        "PNG/JPEG/BMP/TIFF/GIF images, "
+                        "WAV/FLAC/AIFF audio and AVI/MP4/MKV/GIF "
+                        "video containers in this build "
+                        "(MP3/AAC and H.26x streams stay codec-gated); "
+                        "run with strict=False for the deterministic "
+                        "digest stub"
                     )
                 digest = hashlib.sha256(raw).digest()
                 feats.append([b / 255.0 for b in digest[:dim]])
@@ -433,9 +438,15 @@ def resize_images(
                             enc = _tiff.encode_tiff(resized)
                         elif fmt == "gif":
                             # nearest-neighbor keeps a subset of the
-                            # source colors, so the exact palette
-                            # still fits
-                            enc = _gif.encode_gif(resized)
+                            # COMPOSITED colors; a sub-rect first
+                            # frame adds canvas black, which can push
+                            # a full 256-color palette to 257 — fall
+                            # back to lossless PNG rather than fail a
+                            # valid GIF or quantize lossily
+                            try:
+                                enc = _gif.encode_gif(resized)
+                            except NotImplementedError:
+                                enc = _png.encode_png(resized)
                         elif resized.dtype == np.uint16:
                             # wide JPEG decode: re-encode at a depth
                             # that holds the samples — 12-bit lossy
@@ -541,12 +552,15 @@ def sample_frames(
                 if container is not None:
                     parse, _decode_frame, iter_frames = container
                     # undecodable containers (Xvid/H.264 streams,
-                    # truncated files) follow the strict/plumbing
-                    # policy: raise under strict, skip otherwise
+                    # truncated/bit-flipped files) follow the strict/
+                    # plumbing policy: raise under strict, skip
+                    # otherwise — broad except because corrupt
+                    # payloads surface struct/index errors, not just
+                    # the codec's own typed raises
                     try:
                         meta = parse(raw)["meta"]
                         frames = list(iter_frames(raw, every_n=every_n))
-                    except (NotImplementedError, ValueError):
+                    except Exception:
                         if strict:
                             raise
                         continue

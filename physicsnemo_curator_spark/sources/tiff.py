@@ -378,14 +378,16 @@ def _encode_page(
         body = zlib.compress(raw, 6)
     else:
         body = _packbits_encode(raw)
+    # dimensions as LONG so >64K microscopy scans stay encodable
+    # (TIFF 6.0 allows SHORT or LONG for these tags)
     tags = {
-        _TAG_WIDTH: (3, (w,)),
-        _TAG_LENGTH: (3, (h,)),
+        _TAG_WIDTH: (4, (w,)),
+        _TAG_LENGTH: (4, (h,)),
         _TAG_BITS: (3, (depth,) * spp),
         _TAG_COMPRESSION: (3, (comp_id,)),
         _TAG_PHOTOMETRIC: (3, (photo,)),
         _TAG_SAMPLES: (3, (spp,)),
-        _TAG_ROWS_PER_STRIP: (3, (min(h, 0xFFFF),)),
+        _TAG_ROWS_PER_STRIP: (4, (h,)),
         _TAG_PLANAR: (3, (1,)),
         _TAG_PREDICTOR: (3, (predictor,)),
     }

@@ -6291,10 +6291,107 @@ FROM documents WHERE doc_id < 250 ORDER BY doc_id LIMIT 250
 """
 
 
+def q_media_hierarchical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical JPEG gate (sources/jpeg.py, T.81 Annex J): each
+    document's md5 hex chars become a 4x8 grayscale image AND an
+    interleaved 4x8x3 RGB image (channel c = md5(text || c) hex),
+    both encoded as a lossless hierarchical pyramid — DHP full
+    geometry, decimated SOF3 first frame, EXP reference expansion +
+    differential SOF7 refinements, with the level count rotating
+    1..3 by doc_id — and decoded back in the executors.  Every stage
+    corrects exactly, so the decoded bytes equal the source bytes:
+    gray_md5 = md5(md5(text)) and rgb_md5 = md5 of the three hex
+    strings interleaved character-by-character, both replayed in
+    DuckDB string arithmetic.  A wrong expansion tap, mod-2^16 wrap,
+    or frame-geometry bug anywhere in the pyramid breaks the hash."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 250)
+        .select("doc_id", "text")
+    )
+
+    def codec(it):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from physicsnemo_curator_spark.sources import jpeg as _jpeg
+
+        def hex_plane(text, suffix=""):
+            return np.frombuffer(
+                hashlib.md5(
+                    (text + suffix).encode("utf-8")
+                ).hexdigest().encode("ascii"),
+                dtype=np.uint8,
+            ).reshape(4, 8)
+
+        for pdf in it:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                levels = 1 + int(doc_id) % 3
+                gray = hex_plane(text)
+                ge = _jpeg.encode_jpeg_hierarchical(gray, levels=levels)
+                gd, gm = _jpeg.decode_jpeg(ge)
+                rgb = np.stack(
+                    [hex_plane(text, str(c)) for c in range(3)], axis=2
+                )
+                re_ = _jpeg.encode_jpeg_hierarchical(rgb, levels=levels)
+                rd, rm = _jpeg.decode_jpeg(re_)
+                rows.append(
+                    (
+                        int(doc_id),
+                        levels,
+                        hashlib.md5(gd.tobytes()).hexdigest(),
+                        hashlib.md5(rd.tobytes()).hexdigest(),
+                        int(gm["width"]),
+                        int(gm["height"]),
+                        int(rm["channels"]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "levels", "gray_md5", "rgb_md5",
+                    "width", "height", "rgb_channels",
+                ],
+            )
+
+    out = docs.mapInPandas(
+        codec,
+        "doc_id long, levels int, gray_md5 string, rgb_md5 string, "
+        "width int, height int, rgb_channels int",
+    )
+    return out.orderBy("doc_id").limit(250)
+
+
+ORACLE_MEDIA_HIERARCHICAL = """
+WITH h AS (
+    SELECT doc_id,
+           md5(text || '0') AS h0, md5(text || '1') AS h1,
+           md5(text || '2') AS h2
+    FROM documents WHERE doc_id < 250
+)
+SELECT doc_id,
+       CAST(1 + doc_id % 3 AS INT) AS levels,
+       md5(md5(text)) AS gray_md5,
+       md5(array_to_string(
+           list_transform(range(1, 33), i -> h0[i] || h1[i] || h2[i]), ''
+       )) AS rgb_md5,
+       CAST(8 AS INT) AS width, CAST(4 AS INT) AS height,
+       CAST(3 AS INT) AS rgb_channels
+FROM h JOIN documents USING (doc_id)
+ORDER BY doc_id LIMIT 250
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q_media_mp4_mkv": QuerySpec(q_media_mp4_mkv, ORACLE_MEDIA_MP4_MKV),
     "q_media_stillimage": QuerySpec(
         q_media_stillimage, ORACLE_MEDIA_STILLIMAGE
+    ),
+    "q_media_hierarchical": QuerySpec(
+        q_media_hierarchical, ORACLE_MEDIA_HIERARCHICAL
     ),
     "q_grid_federated": QuerySpec(q_grid_federated, ORACLE_GRID_FEDERATED),
     "q_grid_sidecar": QuerySpec(q_grid_sidecar, ORACLE_GRID_SIDECAR),
@@ -6513,6 +6610,7 @@ _DRIVER_ORDER = [
     # --- r09-new gates ---
     "q_media_mp4_mkv",
     "q_media_stillimage",
+    "q_media_hierarchical",
     "q_grid_federated",
     "q_grid_sidecar",
     "q_atomic_stats",

@@ -31,9 +31,17 @@ Supported surface (honest subset, loud on the rest):
   predictors, 2..16-bit precision, modulo-65536 wraps via category
   16, bit-exact round-trips; encoder via ``encode_jpeg_lossless``
   (the DICOM-adjacent mode scientific archives carry);
+- **CMYK/YCCK 4-component sequential scans** (Adobe APP14
+  transforms 0/2, incl. transform-0 RGB);
+- **hierarchical lossless pyramid (Annex J)**: DHP full-geometry
+  declaration, decimated SOF3 first frame, EXP reference expansion
+  (the ``(a+b+1)>>1`` interpolation filter) + differential lossless
+  SOF7 refinement frames, bit-exact at every stage; encoder via
+  ``encode_jpeg_hierarchical`` (progressive transmission with exact
+  final delivery);
 - NOT supported (``NotImplementedError``): arithmetic coding,
-  CMYK/4-component scans, hierarchical mode, 12-bit progressive,
-  lossless restart markers / nonzero point transform.
+  hierarchical differential DCT stages (SOF5/SOF6), 12-bit
+  progressive, lossless restart markers / nonzero point transform.
 
 The encoder emits baseline 4:4:4 (or grayscale) with the T.81 Annex K
 example tables (quality-scaled quantization) — the round-trip partner
@@ -284,6 +292,7 @@ def decode_jpeg(data: bytes) -> tuple[np.ndarray, dict]:
     frame = None
     prog = None  # progressive coefficient state, created at first SOS
     seq = None  # sequential multi-scan planes, created at first partial SOS
+    hier = None  # hierarchical pyramid state, created at DHP
     restart_interval = 0
     adobe_transform = None
     while pos + 4 <= len(data):
@@ -347,10 +356,14 @@ def decode_jpeg(data: bytes) -> tuple[np.ndarray, dict]:
             }
             if nc == 4 and marker == 0xC2:
                 raise NotImplementedError("4-component progressive scans")
-        elif marker == 0xC3:  # SOF3 lossless sequential (Annex H)
+        elif marker in (0xC3, 0xC7):
+            # SOF3 lossless sequential (Annex H) / SOF7 differential
+            # lossless (a hierarchical refinement frame, Annex J)
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if not 2 <= prec <= 16:
-                raise ValueError(f"SOF3 precision {prec} out of range")
+                raise ValueError(
+                    f"SOF{marker - 0xC0} precision {prec} out of range"
+                )
             comps = []
             for c in range(nc):
                 cid, sf, tq = struct.unpack_from(">BBB", seg, 6 + 3 * c)
@@ -360,12 +373,36 @@ def decode_jpeg(data: bytes) -> tuple[np.ndarray, dict]:
             frame = {
                 "h": h, "w": w, "comps": comps, "prec": prec,
                 "progressive": False, "lossless": True,
+                "differential": marker == 0xC7,
             }
-        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            if marker == 0xC7 and hier is None:
+                raise ValueError(
+                    "differential frame (SOF7) outside a hierarchical "
+                    "stream (no DHP)"
+                )
+        elif marker == 0xDE:  # DHP: hierarchical full geometry
+            prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            comps = []
+            for c in range(nc):
+                cid, sf, tq = struct.unpack_from(">BBB", seg, 6 + 3 * c)
+                comps.append(
+                    {"id": cid, "h": sf >> 4, "v": sf & 0x0F, "tq": tq}
+                )
+            hier = {
+                "h": h, "w": w, "prec": prec, "comps": comps,
+                "planes": {}, "exp": None,
+            }
+        elif marker == 0xDF:  # EXP: expand reference before next frame
+            if hier is None:
+                raise ValueError("EXP marker outside a hierarchical stream")
+            hier["exp"] = (seg[0] >> 4, seg[0] & 0x0F)
+        elif marker in (0xC5, 0xC6, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"SOF{marker - 0xC0}: only sequential (SOF0/SOF1), "
-                "progressive (SOF2) and lossless (SOF3) are supported"
+                "progressive (SOF2), lossless (SOF3) and the "
+                "hierarchical lossless pyramid (DHP/EXP/SOF7) are "
+                "supported — differential DCT stages are codec-gated"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", seg, 0)[0]
@@ -379,10 +416,25 @@ def decode_jpeg(data: bytes) -> tuple[np.ndarray, dict]:
                 scan[cid] = (tables >> 4, tables & 0x0F)
             pos = pos + 2 + seglen
             if frame is not None and frame.get("lossless"):
-                if seq is None:
-                    seq = {}
                 ss = seg[1 + 2 * ns]       # predictor selector
                 al = seg[3 + 2 * ns] & 0x0F  # point transform
+                if hier is not None:
+                    planes = frame.setdefault("hplanes", {})
+                    if frame.get("differential"):
+                        pos = _decode_diff_scan(
+                            data, pos, frame, scan, huff,
+                            restart_interval, planes, al,
+                        )
+                    else:
+                        pos = _decode_lossless_scan(
+                            data, pos, frame, scan, huff,
+                            restart_interval, planes, ss, al,
+                        )
+                    if len(planes) == len(frame["comps"]):
+                        _hier_absorb(hier, frame)
+                    continue
+                if seq is None:
+                    seq = {}
                 pos = _decode_lossless_scan(
                     data, pos, frame, scan, huff, restart_interval,
                     seq, ss, al,
@@ -417,6 +469,8 @@ def decode_jpeg(data: bytes) -> tuple[np.ndarray, dict]:
                 data, pos, frame, scan, quant, huff, restart_interval
             )
         pos = pos + 2 + seglen
+    if hier is not None:
+        return _finish_hier(hier)
     if prog is not None:
         return _finish_progressive(frame, quant, prog)
     if seq is not None and frame.get("lossless"):
@@ -943,21 +997,239 @@ def encode_jpeg_lossless(
         diff = ((plane - pred + 32768) & 0xFFFF) - 32768
         seg(0xDA, bytes([1, ci + 1, 0x00, predictor, 0, 0]))
         bw = _BitWriter()
-        for d in diff.reshape(-1):
-            d = int(d)
-            if d == -32768:
-                code, length = tab[16]
-                bw.write(code, length)
-                continue
-            size = _csize(d)
-            code, length = tab[size]
-            bw.write(code, length)
-            if size:
-                bw.write(d if d > 0 else d - 1 + (1 << size), size)
+        _entropy_diffs(bw, diff, tab)
         bw.flush()
         out.extend(bw.out)
     out.extend(b"\xff\xd9")
     return bytes(out)
+
+
+def _entropy_diffs(bw, diff, tab):
+    """Huffman-code a plane of mod-2^16 differences (Annex H category
+    scheme, shared by the lossless and hierarchical encoders)."""
+    for d in diff.reshape(-1):
+        d = int(d)
+        if d == -32768:
+            code, length = tab[16]
+            bw.write(code, length)
+            continue
+        size = _csize(d)
+        code, length = tab[size]
+        bw.write(code, length)
+        if size:
+            bw.write(d if d > 0 else d - 1 + (1 << size), size)
+
+
+def _hier_expand(plane: np.ndarray, eh: int, ev: int, out_h: int, out_w: int) -> np.ndarray:
+    """T.81 Annex J.1.1.2 reference expansion: double a dimension with
+    the ``(a + b + 1) >> 1`` interpolation filter (even outputs copy
+    the reference, odd outputs interpolate, last sample replicated),
+    then crop to the target frame geometry."""
+    p = plane.astype(np.int64)
+    if eh:
+        right = np.concatenate([p[:, 1:], p[:, -1:]], axis=1)
+        wide = np.empty((p.shape[0], 2 * p.shape[1]), dtype=np.int64)
+        wide[:, 0::2] = p
+        wide[:, 1::2] = (p + right + 1) >> 1
+        p = wide
+    if ev:
+        down = np.concatenate([p[1:], p[-1:]], axis=0)
+        tall = np.empty((2 * p.shape[0], p.shape[1]), dtype=np.int64)
+        tall[0::2] = p
+        tall[1::2] = (p + down + 1) >> 1
+        p = tall
+    if out_h > p.shape[0] or out_w > p.shape[1]:
+        raise ValueError("expanded reference smaller than its frame")
+    return p[:out_h, :out_w]
+
+
+def encode_jpeg_hierarchical(
+    pixels: np.ndarray,
+    *,
+    levels: int = 2,
+    predictor: int = 4,
+    precision: int | None = None,
+) -> bytes:
+    """Encode a LOSSLESS hierarchical pyramid (T.81 Annex J): DHP
+    declares the full geometry, the first frame is a ``levels``-times
+    decimated SOF3 lossless image, and each subsequent frame is an
+    EXP reference expansion followed by a differential lossless SOF7
+    frame coding ``source − expand(reference)`` mod 2^16.  Every
+    stage reconstructs exactly, so decode returns the input
+    bit-exactly while a prefix of the stream yields a ready-to-show
+    preview — the progressive-transmission use the mode exists for.
+    Gray ``(h, w)`` or RGB ``(h, w, 3)``, 2..16-bit samples."""
+    arr = np.asarray(pixels)
+    if arr.dtype.kind not in "ui":
+        raise ValueError("hierarchical encode expects integer samples")
+    if precision is None:
+        precision = 8 if arr.dtype == np.uint8 else 16
+    if not 2 <= precision <= 16:
+        raise ValueError(f"precision {precision} out of range 2..16")
+    if arr.size and int(arr.max()) >= 1 << precision:
+        raise ValueError(f"samples exceed {precision}-bit range")
+    gray = arr.ndim == 2
+    if not gray and (arr.ndim != 3 or arr.shape[2] != 3):
+        raise ValueError(f"cannot encode array of shape {arr.shape}")
+    if levels < 1:
+        raise ValueError("levels must be >= 1")
+    h, w = arr.shape[:2]
+    if h < 1 or w < 1:
+        raise ValueError("empty image")
+    nc = 1 if gray else 3
+
+    # pyramid, full resolution last; the downsampling filter is the
+    # encoder's choice per the spec — plain decimation here, since
+    # every differential stage corrects to exact anyway
+    pyr = [arr.astype(np.int64)]
+    for _ in range(levels):
+        pyr.append(pyr[-1][::2, ::2])
+    pyr = pyr[::-1]
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, payload: bytes):
+        out.extend(
+            struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+        )
+
+    def sof_payload(hh, ww):
+        p = struct.pack(">BHHB", precision, hh, ww, nc)
+        for c in range(nc):
+            p += struct.pack(">BBB", c + 1, 0x11, 0)
+        return p
+
+    seg(0xDE, sof_payload(h, w))  # DHP: full geometry
+    seg(0xC4, bytes([0x00]) + bytes(L16_DC[0]) + bytes(L16_DC[1]))
+    tab = _encode_table(*L16_DC)
+    default = 1 << (precision - 1)
+
+    for li, level in enumerate(pyr):
+        lh, lw = level.shape[:2]
+        if li:
+            seg(0xDF, bytes([0x11]))  # EXP: expand 2x both axes
+            seg(0xC7, sof_payload(lh, lw))  # differential lossless
+        else:
+            seg(0xC3, sof_payload(lh, lw))
+        for ci in range(nc):
+            plane = level if gray else level[:, :, ci]
+            if li == 0:
+                pred = np.empty((lh, lw), dtype=np.int64)
+                pred[0, 0] = default
+                if lw > 1:
+                    pred[0, 1:] = plane[0, :-1]
+                if lh > 1:
+                    pred[1:, 0] = plane[:-1, 0]
+                if lh > 1 and lw > 1:
+                    pred[1:, 1:] = _lossless_predict(
+                        plane[1:, :-1], plane[:-1, 1:], plane[:-1, :-1],
+                        predictor,
+                    )
+                ss = predictor
+            else:
+                ref_level = pyr[li - 1]
+                ref = ref_level if gray else ref_level[:, :, ci]
+                pred = _hier_expand(ref, 1, 1, lh, lw)
+                ss = 0  # differential frames carry no spatial predictor
+            diff = ((plane - pred + 32768) & 0xFFFF) - 32768
+            seg(0xDA, bytes([1, ci + 1, 0x00, ss, 0, 0]))
+            bw = _BitWriter()
+            _entropy_diffs(bw, diff, tab)
+            bw.flush()
+            out.extend(bw.out)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+def _decode_diff_scan(
+    data, pos, frame, scan, huff, restart_interval, planes, pt
+):
+    """Decode ONE differential lossless scan (SOF7): the entropy
+    layer is Annex H's category coding, but samples are raw
+    mod-2^16 differences against the expanded reference — no spatial
+    prediction chains through the plane."""
+    if restart_interval:
+        raise NotImplementedError("restart markers in lossless scans")
+    if pt:
+        raise NotImplementedError("nonzero point transform")
+    comps = frame["comps"]
+    order = [c for c in comps if c["id"] in scan]
+    if len(order) != len(scan):
+        raise ValueError("SOS names a component missing from SOF7")
+    if any(c["h"] != 1 or c["v"] != 1 for c in comps):
+        raise NotImplementedError(
+            "lossless scans with sampling factors above 1x1"
+        )
+    h, w = frame["h"], frame["w"]
+    tabs = [huff[(0, scan[c["id"]][0])] for c in order]
+    outs = [np.zeros((h, w), dtype=np.int64) for _ in order]
+    reader = _BitReader(data, pos)
+    for row in range(h):
+        for col in range(w):
+            for ci in range(len(order)):
+                ssss = reader.decode_symbol(tabs[ci])
+                if ssss == 16:
+                    diff = 32768
+                else:
+                    diff = _extend(reader.read_bits(ssss), ssss)
+                outs[ci][row, col] = diff
+    for c, o in zip(order, outs):
+        planes[c["id"]] = o
+    return _next_marker_pos(data, reader.pos)
+
+
+def _hier_absorb(hier, frame):
+    """Fold a completed hierarchical frame into the pyramid state:
+    store a non-differential frame's planes, or expand the reference
+    and add a differential frame's mod-2^16 corrections."""
+    exp = hier["exp"]
+    hier["exp"] = None
+    for c in frame["comps"]:
+        cid = c["id"]
+        plane = frame["hplanes"][cid]
+        if not frame.get("differential"):
+            hier["planes"][cid] = plane
+            continue
+        ref = hier["planes"].get(cid)
+        if ref is None:
+            raise ValueError(
+                "differential hierarchical frame without a reference"
+            )
+        if exp:
+            ref = _hier_expand(
+                ref, exp[0], exp[1], frame["h"], frame["w"]
+            )
+        if ref.shape != plane.shape:
+            raise ValueError(
+                "hierarchical reference/frame geometry mismatch"
+            )
+        hier["planes"][cid] = (ref + plane) & 0xFFFF
+
+
+def _finish_hier(hier):
+    """Assemble the final full-resolution hierarchical image."""
+    comps = hier["comps"]
+    h, w, prec = hier["h"], hier["w"], hier["prec"]
+    missing = [c["id"] for c in comps if c["id"] not in hier["planes"]]
+    if missing:
+        raise ValueError(
+            f"hierarchical stream missing components {missing}"
+        )
+    dtype = np.uint8 if prec <= 8 else np.uint16
+    stacked = []
+    for c in comps:
+        plane = hier["planes"][c["id"]]
+        if plane.shape != (h, w):
+            raise ValueError(
+                "hierarchical stream ended below full resolution"
+            )
+        stacked.append(plane.astype(dtype))
+    meta = {"width": w, "height": h, "channels": len(comps)}
+    if prec != 8:
+        meta["bits"] = prec
+    if len(comps) == 1:
+        return stacked[0], meta
+    return np.stack(stacked, axis=2), meta
 
 
 def _decode_scan(data, pos, frame, scan, quant, huff, restart_interval):

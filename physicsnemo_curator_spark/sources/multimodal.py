@@ -5,7 +5,7 @@ North-star surface: binary payloads ride through the pipeline as
 extraction run as Arrow-batched ``mapInPandas`` UDFs.  The payloads
 decode for REAL via the repo's pure-Python public-spec codecs — PNG
 (incl. 16-bit/Adam7), JPEG (baseline/progressive/12-bit/lossless/
-CMYK), BMP, TIFF (strips, LZW/Deflate/PackBits, predictor,
+hierarchical/CMYK), BMP, TIFF (strips, LZW/Deflate/PackBits, predictor,
 multi-page), GIF (87a/89a incl. animation),
 WAV (PCM incl. EXTENSIBLE, IMA/MS-ADPCM, G.711), FLAC
 (native and Ogg), AIFF/AIFF-C (PCM, sowt, G.711, ima4, floats), and

@@ -9,8 +9,10 @@ Gated behind ``SPARK_GRAFT_CODEC_FUZZ=1`` (~3400 configs, ~2 min):
 
 Matrix: JPEG {noise, flat, sparse, gradient} x {1x1 .. 32x24} x
 {gray, RGB, CMYK} x quality x subsampling x restart x scan script,
-for 8-bit, 12-bit, progressive (pixel-identity vs baseline), and
-lossless (bit-exact, all 7 predictors x 8/12/16-bit); audio
+for 8-bit, 12-bit, progressive (pixel-identity vs baseline),
+lossless (bit-exact, all 7 predictors x 8/12/16-bit), and the
+hierarchical lossless pyramid (bit-exact, 1-3 levels x
+8/12/16-bit); audio
 {sine, noise, clip, silence, impulse} x block-boundary lengths
 (504/505/506) x mono/stereo for IMA/MS-ADPCM, G.711 u/a-law, FLAC
 and Ogg-FLAC (lossless paths must be bit-exact); AVI raw+MJPEG, MP4
@@ -383,3 +385,25 @@ def test_gif_lzw_min_code_sizes():
             raw = _RNG.integers(0, lim, n).astype(np.uint8).tobytes()
             enc = gif._gif_lzw_encode(raw, mcs)
             assert gif._gif_lzw_decode(enc, mcs) == raw, (mcs, n)
+
+
+def test_jpeg_hierarchical_matrix():
+    for kind, (h, w), c, levels, prec in itertools.product(
+        _KINDS, _GEOMS, (1, 3), (1, 2, 3), (8, 12, 16)
+    ):
+        img8 = _image(kind, h, w, c)
+        if prec == 8:
+            img = img8
+        else:
+            img = (
+                (img8.astype(np.uint16) << (prec - 8))
+                + _RNG.integers(0, 1 << (prec - 8), img8.shape)
+            ).astype(np.uint16)
+        d = jpeg.encode_jpeg_hierarchical(
+            img, levels=levels, precision=prec
+        )
+        out, _ = jpeg.decode_jpeg(d)
+        np.testing.assert_array_equal(
+            out.astype(np.int64), img.astype(np.int64),
+            err_msg=f"{kind} {h}x{w}x{c} L{levels} {prec}b",
+        )

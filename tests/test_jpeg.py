@@ -697,3 +697,99 @@ def test_resize_wide_lossless_payload_keeps_depth(spark):
     # silently wrap to near-white before the guard)
     with pytest.raises(ValueError, match="uint8"):
         jpeg.encode_jpeg(np.full((8, 8), -5, dtype=np.int16))
+
+
+def test_hierarchical_lossless_roundtrip_and_structure():
+    """Annex J lossless pyramid: DHP + SOF3 first frame + EXP/SOF7
+    refinements, bit-exact at every precision; marker pins verify the
+    pyramid really is hierarchical (one SOF3, levels SOF7s, levels
+    EXPs, one DHP)."""
+    import struct
+
+    rng = np.random.default_rng(21)
+    for shape, dtype, prec, levels in [
+        ((13, 17), np.uint8, None, 2),
+        ((13, 17, 3), np.uint8, None, 2),
+        ((1, 1), np.uint8, None, 1),
+        ((9, 4), np.uint16, 12, 2),
+        ((6, 5, 3), np.uint16, 16, 3),
+    ]:
+        hi = 256 if dtype == np.uint8 else (1 << (prec or 16))
+        px = rng.integers(0, hi, shape).astype(dtype)
+        d = jpeg.encode_jpeg_hierarchical(px, levels=levels, precision=prec)
+        out, meta = jpeg.decode_jpeg(d)
+        np.testing.assert_array_equal(out, px)
+        assert out.dtype == px.dtype
+
+    px = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    d = jpeg.encode_jpeg_hierarchical(px, levels=2)
+    markers = []
+    pos = 2
+    while pos + 4 <= len(d):
+        assert d[pos] == 0xFF
+        m = d[pos + 1]
+        markers.append(m)
+        if m == 0xD9:
+            break
+        (seglen,) = struct.unpack_from(">H", d, pos + 2)
+        pos += 2 + seglen
+        if m == 0xDA:  # skip entropy data to the next marker
+            while pos + 1 < len(d) and not (
+                d[pos] == 0xFF and d[pos + 1] != 0x00
+            ):
+                pos += 1
+    assert markers.count(0xDE) == 1  # DHP
+    assert markers.count(0xC3) == 1  # non-differential first frame
+    assert markers.count(0xC7) == 2  # one differential frame per level
+    assert markers.count(0xDF) == 2  # one EXP per refinement
+    # DHP declares the FULL geometry, the first SOF3 the decimated one
+    dhp_at = d.index(b"\xff\xde")
+    _p, fh, fw, _n = struct.unpack_from(">BHHB", d, dhp_at + 4)
+    assert (fh, fw) == (16, 16)
+    sof3_at = d.index(b"\xff\xc3")
+    _p, sh, sw, _n = struct.unpack_from(">BHHB", d, sof3_at + 4)
+    assert (sh, sw) == (4, 4)
+
+
+def test_hierarchical_honest_gates():
+    """SOF7 without DHP, EXP without DHP, and differential DCT frames
+    all raise loudly."""
+    import struct
+
+    px = np.zeros((8, 8), dtype=np.uint8)
+    d = bytearray(jpeg.encode_jpeg_hierarchical(px, levels=1))
+    # strip the DHP segment -> the SOF7 must complain
+    at = bytes(d).index(b"\xff\xde")
+    (seglen,) = struct.unpack_from(">H", d, at + 2)
+    del d[at : at + 2 + seglen]
+    with pytest.raises(ValueError, match="hierarchical"):
+        jpeg.decode_jpeg(bytes(d))
+    # differential DCT (SOF5) is codec-gated
+    d2 = bytearray(jpeg.encode_jpeg_hierarchical(px, levels=1))
+    at = bytes(d2).index(b"\xff\xc7")
+    d2[at + 1] = 0xC5
+    with pytest.raises(NotImplementedError, match="SOF5"):
+        jpeg.decode_jpeg(bytes(d2))
+
+
+def test_hierarchical_expand_filter():
+    """The Annex J interpolation: even outputs copy the reference,
+    odd outputs are (a + b + 1) >> 1 with edge replication."""
+    from physicsnemo_curator_spark.sources.jpeg import _hier_expand
+
+    r = np.array([[0, 10], [20, 30]], dtype=np.int64)
+    out = _hier_expand(r, 1, 1, 4, 4)
+    exp = np.array(
+        [
+            [0, 5, 10, 10],
+            [10, 15, 20, 20],
+            [20, 25, 30, 30],
+            [20, 25, 30, 30],
+        ],
+        dtype=np.int64,
+    )
+    np.testing.assert_array_equal(out, exp)
+    # crop to odd target dims
+    np.testing.assert_array_equal(
+        _hier_expand(r, 1, 1, 3, 3), exp[:3, :3]
+    )

@@ -1,18 +1,21 @@
 """Pure-Python baseline TIFF codec.
 
 Follows the public TIFF 6.0 specification: II/MM byte orders, IFD
-entry walk, strip-based layout, and the baseline + common-extension
-compression schemes — none (1), LZW (5, MSB-first with the
-'early-change' code-width convention every shipping writer uses),
-Deflate (8 and the old 32946), PackBits (32773) — with horizontal
-differencing (Predictor 2).  Pixel surfaces: 8/16-bit grayscale,
-8/16-bit RGB, 8-bit RGBA, and palette-color (resolved through the
-ColorMap), chunky planar config; multi-page files decode page by
-page (microscopy stacks), and the encoder writes single- or
-multi-page little-endian files with a choice of compression.
+entry walk, strip-based AND tiled layouts, and the baseline +
+common-extension compression schemes — none (1), LZW (5, MSB-first
+with the 'early-change' code-width convention every shipping writer
+uses), Deflate (8 and the old 32946), PackBits (32773) — with
+horizontal differencing (Predictor 2, applied per compressed unit).
+Pixel surfaces: 8/16-bit grayscale, 8/16-bit RGB, 8-bit RGBA, and
+palette-color (resolved through the ColorMap), chunky planar
+config; multi-page files decode page by page (microscopy stacks),
+and the encoder writes single- or multi-page little-endian files
+with a choice of compression and an optional tile grid (the
+pyramidal/scientific layout — tiles are the unit of parallel access
+at scale).
 
 Anything outside that subset — JPEG-in-TIFF, CCITT fax codings,
-tiles, planar config 2 — raises ``NotImplementedError`` loudly (the
+planar config 2 — raises ``NotImplementedError`` loudly (the
 honest-subset contract shared by every codec in this package).
 
 Scale shape: decoded task-side inside ``mapInPandas`` batches — one
@@ -38,6 +41,10 @@ _TAG_STRIP_COUNTS = 279
 _TAG_PLANAR = 284
 _TAG_PREDICTOR = 317
 _TAG_COLORMAP = 320
+_TAG_TILE_WIDTH = 322
+_TAG_TILE_LENGTH = 323
+_TAG_TILE_OFFSETS = 324
+_TAG_TILE_COUNTS = 325
 _TAG_EXTRA_SAMPLES = 338
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
@@ -196,6 +203,20 @@ def _packbits_encode(data: bytes) -> bytes:
 # decode
 
 
+def _decompress(chunk: bytes, comp: int, expected: int) -> bytes:
+    if comp == 1:
+        return chunk
+    if comp == 5:
+        return _lzw_decode(chunk)
+    if comp in (8, 32946):
+        return zlib.decompress(chunk)
+    if comp == 32773:
+        return _packbits_decode(chunk, expected)
+    raise NotImplementedError(
+        f"TIFF compression {comp} (none/LZW/Deflate/PackBits)"
+    )
+
+
 def _read_ifd(data: bytes, e: str, pos: int):
     (count,) = struct.unpack_from(e + "H", data, pos)
     tags = {}
@@ -243,41 +264,63 @@ def _decode_page(data: bytes, e: str, tags: dict) -> tuple[np.ndarray, dict]:
     depth = bits[0]
     if photo not in (0, 1, 2, 3):
         raise NotImplementedError(f"TIFF photometric {photo}")
-    offsets = tags[_TAG_STRIP_OFFSETS]
-    counts = tags[_TAG_STRIP_COUNTS]
-    rows_per_strip = tags.get(_TAG_ROWS_PER_STRIP, (h,))[0]
-    row_bytes = w * spp * (depth // 8)
-
-    raw = bytearray()
-    for i, (off, cnt) in enumerate(zip(offsets, counts)):
-        strip = bytes(data[off : off + cnt])
-        n_rows = min(rows_per_strip, h - i * rows_per_strip)
-        expected = row_bytes * n_rows
-        if comp == 1:
-            dec = strip
-        elif comp == 5:
-            dec = _lzw_decode(strip)
-        elif comp in (8, 32946):
-            dec = zlib.decompress(strip)
-        elif comp == 32773:
-            dec = _packbits_decode(strip, expected)
-        else:
-            raise NotImplementedError(
-                f"TIFF compression {comp} (none/LZW/Deflate/PackBits)"
-            )
-        if len(dec) < expected:
-            raise ValueError("TIFF strip shorter than its geometry")
-        raw += dec[:expected]
-
     dt = np.uint8 if depth == 8 else np.dtype(e + "u2")
-    arr = np.frombuffer(bytes(raw), dtype=dt).reshape(h, w, spp)
-    if predictor == 2:
-        arr = np.cumsum(arr.astype(np.uint32), axis=1).astype(
-            np.uint8 if depth == 8 else np.uint16
-        ).reshape(h, w, spp)
-    elif predictor != 1:
+    out_dt = np.uint8 if depth == 8 else np.uint16
+    if predictor not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {predictor}")
-    arr = arr.astype(np.uint8 if depth == 8 else np.uint16)
+
+    def undiff(a: np.ndarray) -> np.ndarray:
+        # horizontal differencing accumulates per row, per sample,
+        # within ONE compressed unit (strip row or tile row)
+        if predictor != 2:
+            return a.astype(out_dt)
+        return np.cumsum(a.astype(np.uint32), axis=1).astype(out_dt)
+
+    if _TAG_TILE_WIDTH in tags:
+        tw = tags[_TAG_TILE_WIDTH][0]
+        tl = tags[_TAG_TILE_LENGTH][0]
+        offsets = tags[_TAG_TILE_OFFSETS]
+        counts = tags[_TAG_TILE_COUNTS]
+        across = -(-w // tw)
+        down = -(-h // tl)
+        if len(offsets) < across * down:
+            raise ValueError("TIFF tile table shorter than its grid")
+        expected = tl * tw * spp * (depth // 8)
+        full = np.zeros((down * tl, across * tw, spp), dtype=out_dt)
+        for i in range(across * down):
+            off, cnt = offsets[i], counts[i]
+            dec = _decompress(
+                bytes(data[off : off + cnt]), comp, expected
+            )
+            if len(dec) < expected:
+                raise ValueError("TIFF tile shorter than its geometry")
+            tile = np.frombuffer(dec[:expected], dtype=dt).reshape(
+                tl, tw, spp
+            )
+            ty, tx = divmod(i, across)
+            full[ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw] = (
+                undiff(tile)
+            )
+        arr = full[:h, :w]
+    else:
+        if _TAG_STRIP_OFFSETS not in tags:
+            raise ValueError("TIFF page has neither strips nor tiles")
+        offsets = tags[_TAG_STRIP_OFFSETS]
+        counts = tags[_TAG_STRIP_COUNTS]
+        rows_per_strip = tags.get(_TAG_ROWS_PER_STRIP, (h,))[0]
+        row_bytes = w * spp * (depth // 8)
+        raw = bytearray()
+        for i, (off, cnt) in enumerate(zip(offsets, counts)):
+            n_rows = min(rows_per_strip, h - i * rows_per_strip)
+            expected = row_bytes * n_rows
+            dec = _decompress(bytes(data[off : off + cnt]), comp, expected)
+            if len(dec) < expected:
+                raise ValueError("TIFF strip shorter than its geometry")
+            raw += dec[:expected]
+        arr = undiff(
+            np.frombuffer(bytes(raw), dtype=dt).reshape(h, w, spp)
+        )
+    arr = arr.astype(out_dt)
 
     meta = {"width": int(w), "height": int(h), "bits": int(depth),
             "channels": int(spp), "compression": int(comp)}
@@ -345,9 +388,27 @@ def decode_tiff(data: bytes) -> tuple[np.ndarray, dict]:
 _COMP_IDS = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773}
 
 
+def _compress_unit(raw: bytes, compression: str) -> bytes:
+    if compression == "none":
+        return raw
+    if compression == "lzw":
+        return _lzw_encode(raw)
+    if compression == "deflate":
+        return zlib.compress(raw, 6)
+    if compression == "packbits":
+        return _packbits_encode(raw)
+    raise ValueError(f"unknown compression {compression!r}")
+
+
 def _encode_page(
-    pixels: np.ndarray, compression: str, predictor: int
-) -> tuple[dict, bytes]:
+    pixels: np.ndarray,
+    compression: str,
+    predictor: int,
+    tile: tuple[int, int] | None,
+) -> tuple[dict, list[bytes], bool]:
+    """Returns ``(tags, chunk_bodies, tiled)``.  Strips: one chunk.
+    Tiles: row-major grid of independently predicted + compressed
+    tiles, edge tiles zero-padded to full tile size per TIFF 6.0."""
     if pixels.dtype not in (np.uint8, np.uint16):
         raise ValueError("TIFF encode expects uint8/uint16 pixels")
     if pixels.ndim == 2:
@@ -360,24 +421,20 @@ def _encode_page(
         raise ValueError("TIFF encode expects (h,w), (h,w,3) or (h,w,4)")
     h, w = arr.shape[:2]
     depth = 8 if arr.dtype == np.uint8 else 16
-    if predictor == 2:
-        diff = arr.astype(np.int64)
-        diff[:, 1:] = diff[:, 1:] - diff[:, :-1]
-        arr = (diff % (1 << depth)).astype(arr.dtype)
-    elif predictor != 1:
+    if predictor not in (1, 2):
         raise ValueError("predictor must be 1 or 2")
-    raw = arr.astype("<u2" if depth == 16 else np.uint8).tobytes()
     comp_id = _COMP_IDS.get(compression)
     if comp_id is None:
         raise ValueError(f"unknown compression {compression!r}")
-    if compression == "none":
-        body = raw
-    elif compression == "lzw":
-        body = _lzw_encode(raw)
-    elif compression == "deflate":
-        body = zlib.compress(raw, 6)
-    else:
-        body = _packbits_encode(raw)
+    wire = "<u2" if depth == 16 else np.uint8
+
+    def diffed(a: np.ndarray) -> np.ndarray:
+        if predictor != 2:
+            return a
+        d = a.astype(np.int64)
+        d[:, 1:] = d[:, 1:] - d[:, :-1]
+        return (d % (1 << depth)).astype(a.dtype)
+
     # dimensions as LONG so >64K microscopy scans stay encodable
     # (TIFF 6.0 allows SHORT or LONG for these tags)
     tags = {
@@ -387,22 +444,45 @@ def _encode_page(
         _TAG_COMPRESSION: (3, (comp_id,)),
         _TAG_PHOTOMETRIC: (3, (photo,)),
         _TAG_SAMPLES: (3, (spp,)),
-        _TAG_ROWS_PER_STRIP: (4, (h,)),
         _TAG_PLANAR: (3, (1,)),
         _TAG_PREDICTOR: (3, (predictor,)),
     }
     if spp == 4:
         tags[_TAG_EXTRA_SAMPLES] = (3, (2,))  # unassociated alpha
-    return tags, body
+    if tile is None:
+        tags[_TAG_ROWS_PER_STRIP] = (4, (h,))
+        raw = diffed(arr).astype(wire).tobytes()
+        return tags, [_compress_unit(raw, compression)], False
+    tl, tw = tile
+    if tl % 16 or tw % 16 or tl < 16 or tw < 16:
+        raise ValueError("tile dimensions must be positive multiples of 16")
+    tags[_TAG_TILE_WIDTH] = (4, (tw,))
+    tags[_TAG_TILE_LENGTH] = (4, (tl,))
+    across = -(-w // tw)
+    down = -(-h // tl)
+    padded = np.zeros((down * tl, across * tw, spp), dtype=arr.dtype)
+    padded[:h, :w] = arr
+    bodies = []
+    for ty in range(down):
+        for tx in range(across):
+            t = padded[ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw]
+            bodies.append(
+                _compress_unit(diffed(t).astype(wire).tobytes(), compression)
+            )
+    return tags, bodies, True
 
 
-def _write_ifd(tags: dict, body_at: int, body_len: int, next_ifd: int,
-               extra_at: int) -> tuple[bytes, bytes]:
-    """Serialize one IFD (tags + strip pointers); out-of-line values
-    land in an extra blob at ``extra_at``."""
+def _write_ifd(tags: dict, offs: list[int], lens: list[int], tiled: bool,
+               next_ifd: int, extra_at: int) -> tuple[bytes, bytes]:
+    """Serialize one IFD (tags + strip/tile pointer arrays);
+    out-of-line values land in an extra blob at ``extra_at``."""
     full = dict(tags)
-    full[_TAG_STRIP_OFFSETS] = (4, (body_at,))
-    full[_TAG_STRIP_COUNTS] = (4, (body_len,))
+    if tiled:
+        full[_TAG_TILE_OFFSETS] = (4, tuple(offs))
+        full[_TAG_TILE_COUNTS] = (4, tuple(lens))
+    else:
+        full[_TAG_STRIP_OFFSETS] = (4, tuple(offs))
+        full[_TAG_STRIP_COUNTS] = (4, tuple(lens))
     entries = b""
     extra = bytearray()
     for tag in sorted(full):
@@ -428,36 +508,46 @@ def encode_tiff_multi(
     *,
     compression: str = "deflate",
     predictor: int = 1,
+    tile: tuple[int, int] | None = None,
 ) -> bytes:
-    """Encode a multi-page (stacked) little-endian TIFF.  Every page
-    is one strip; ``compression`` ∈ none/lzw/deflate/packbits."""
+    """Encode a multi-page (stacked) little-endian TIFF.  Pages are
+    one strip each, or a tile grid when ``tile=(length, width)`` is
+    given (pyramidal/scientific layouts; multiples of 16);
+    ``compression`` ∈ none/lzw/deflate/packbits."""
     if not pages:
         raise ValueError("cannot encode an empty page list")
-    encoded = [_encode_page(p, compression, predictor) for p in pages]
-    # layout: header | page bodies | per-page (IFD + extra)
+    encoded = [_encode_page(p, compression, predictor, tile) for p in pages]
+    # layout: header | page chunk bodies | per-page (IFD + extra)
     pos = 8
-    body_at = []
-    for _tags, body in encoded:
-        body_at.append(pos)
-        pos += len(body)
+    body_at: list[list[int]] = []
+    for _tags, bodies, _tiled in encoded:
+        offs = []
+        for b in bodies:
+            offs.append(pos)
+            pos += len(b)
+        body_at.append(offs)
     out = bytearray(b"II*\x00" + struct.pack("<I", 0))
-    for _tags, body in encoded:
-        out += body
+    for _tags, bodies, _tiled in encoded:
+        for b in bodies:
+            out += b
     ifd_at = []
-    for i, (tags, body) in enumerate(encoded):
+    for i, (tags, bodies, tiled) in enumerate(encoded):
         n_tags = len(tags) + 2
         ifd_len = 2 + 12 * n_tags + 4
         ifd_at.append(pos)
         extra_at = pos + ifd_len
         # dry-run to learn the extra blob size, then place the next IFD
         _ifd, extra = _write_ifd(
-            tags, body_at[i], len(body), 0, extra_at
+            tags, body_at[i], [len(b) for b in bodies], tiled, 0, extra_at
         )
         pos = extra_at + len(extra)
-    for i, (tags, body) in enumerate(encoded):
+    for i, (tags, bodies, tiled) in enumerate(encoded):
         nxt = ifd_at[i + 1] if i + 1 < len(encoded) else 0
         extra_at = ifd_at[i] + 2 + 12 * (len(tags) + 2) + 4
-        ifd, extra = _write_ifd(tags, body_at[i], len(body), nxt, extra_at)
+        ifd, extra = _write_ifd(
+            tags, body_at[i], [len(b) for b in bodies], tiled, nxt,
+            extra_at,
+        )
         out += ifd + extra
     struct.pack_into("<I", out, 4, ifd_at[0])
     return bytes(out)
@@ -468,9 +558,11 @@ def encode_tiff(
     *,
     compression: str = "deflate",
     predictor: int = 1,
+    tile: tuple[int, int] | None = None,
 ) -> bytes:
     """Encode one uint8/uint16 gray/RGB/RGBA array as a single-page
-    TIFF (lossless in every mode)."""
+    TIFF (lossless in every mode); ``tile=(length, width)`` selects
+    the tiled layout."""
     return encode_tiff_multi(
-        [pixels], compression=compression, predictor=predictor
+        [pixels], compression=compression, predictor=predictor, tile=tile
     )

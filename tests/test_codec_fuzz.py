@@ -340,6 +340,11 @@ def test_tiff_matrix():
         d = tiff.encode_tiff(px, compression=comp, predictor=pred)
         out, _ = tiff.decode_tiff(d)
         np.testing.assert_array_equal(out, px)
+        dt = tiff.encode_tiff(
+            px, compression=comp, predictor=pred, tile=(16, 16)
+        )
+        out, _ = tiff.decode_tiff(dt)
+        np.testing.assert_array_equal(out, px)
 
 
 def test_tiff_multipage_matrix():

@@ -486,3 +486,39 @@ def test_gif_resize_palette_overflow_falls_back_to_png(spark):
     r = mm.resize_images(df, width=17, height=16, strict=True).collect()[0]
     out, _meta = png.decode_png(bytes(r.payload))
     np.testing.assert_array_equal(out, decoded[0])
+
+
+def test_tiff_tiled_layout_roundtrips():
+    """Tiled TIFF (tags 322-325): edge tiles zero-padded to full tile
+    size, predictor applied per tile, every compression — and the
+    tile grid really is in the wire format."""
+    rng = np.random.default_rng(13)
+    px = rng.integers(0, 256, (40, 50, 3), dtype=np.uint8)
+    for comp in ("none", "lzw", "deflate", "packbits"):
+        for pred in (1, 2):
+            d = tiff.encode_tiff(
+                px, compression=comp, predictor=pred, tile=(16, 16)
+            )
+            out, _ = tiff.decode_tiff(d)
+            np.testing.assert_array_equal(out, px)
+    d = tiff.encode_tiff(px, compression="none", tile=(16, 16))
+    # wire pins: TileWidth/TileLength tags present, ceil(40/16) x
+    # ceil(50/16) = 3x4 tiles
+    e = "<"
+    (pos,) = struct.unpack_from(e + "I", d, 4)
+    tags, _nxt = tiff._read_ifd(d, e, pos)
+    assert tags[322] == (16,) and tags[323] == (16,)
+    assert len(tags[324]) == 12 and len(tags[325]) == 12
+    # uncompressed tiles are all full size
+    assert set(tags[325]) == {16 * 16 * 3}
+    # 16-bit + multi-page tiled stack
+    pages = [
+        rng.integers(0, 65536, (20, 36)).astype(np.uint16)
+        for _ in range(3)
+    ]
+    d = tiff.encode_tiff_multi(pages, compression="lzw", tile=(16, 32))
+    decoded = tiff.decode_tiff_pages(d)
+    for a, (b, _m) in zip(pages, decoded):
+        np.testing.assert_array_equal(a, b)
+    with pytest.raises(ValueError, match="multiples of 16"):
+        tiff.encode_tiff(px, tile=(10, 16))

@@ -1,0 +1,256 @@
+"""Perceptual image hashing and banded image near-duplicate pairs.
+
+The image-side twin of the text SimHash family (``operators/
+dedup.py``): aHash (mean threshold), dHash (horizontal gradient) and
+pHash (low-frequency DCT-II median) condense a decoded image into a
+64-bit signature whose hamming distance tracks visual similarity —
+the standard near-dup detectors for image training-data curation.
+
+Spark shape:
+
+- ``with_image_hashes`` decodes payloads inside Arrow-batched
+  ``mapInPandas`` (raw planes + every codec the multimodal dispatch
+  opens: PNG/JPEG/BMP/TIFF/GIF) and emits the signature as a JVM
+  ``long`` plus its bit string.
+- ``image_near_duplicates`` finds all pairs within a hamming budget
+  via pigeonhole banding — split 64 bits into ``n_bands`` blocks,
+  equi-join on (band, block), verify with ``bit_count(a ^ b)`` —
+  the same never-all-pairs plan as ``simhash_near_duplicates``.
+  Any pair with hamming ≤ n_bands−1 is GUARANTEED to share a block.
+
+Scale: hashing is embarrassingly parallel per payload; the candidate
+join shuffles on (band, block) keys whose fan-in is bounded by hash
+uniformity, and verification stays JVM-side (bit_count), so the plan
+holds at 100 TB the same way the text SimHash path does.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+HASH_SCHEMA = "media_id long, method string, hash long, bits string"
+
+
+def _to_gray(px: np.ndarray) -> np.ndarray:
+    arr = px.astype(np.float64)
+    if arr.ndim == 3:
+        # ITU-R 601 luma on whatever channels are present
+        w = np.array([0.299, 0.587, 0.114, 0.0])[: arr.shape[2]]
+        w = w / w.sum()
+        arr = arr @ w
+    return arr
+
+
+def _nearest(gray: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor gather — the same resample the multimodal
+    resize kernel uses, so hashes are stable across both paths."""
+    h, w = gray.shape
+    if (h, w) == (out_h, out_w):
+        return gray
+    ys = (np.arange(out_h) * (h / out_h)).astype(np.int64)
+    xs = (np.arange(out_w) * (w / out_w)).astype(np.int64)
+    return gray[np.ix_(ys, xs)]
+
+
+def _pack_bits(bits: np.ndarray) -> tuple[int, str]:
+    """MSB-first row-major pack into a signed 64-bit int + bit
+    string."""
+    flat = bits.reshape(-1).astype(np.uint64)
+    if flat.size != 64:
+        raise ValueError("hash must be exactly 64 bits")
+    val = np.uint64(0)
+    for b in flat:
+        val = (val << np.uint64(1)) | b
+    return int(val.astype(np.int64)), "".join("1" if b else "0" for b in flat)
+
+
+def ahash_kernel(px: np.ndarray, size: int = 8) -> tuple[int, str]:
+    """Average hash: bit = sample strictly above the mean of the
+    ``size x size`` resample."""
+    g = _nearest(_to_gray(px), size, size)
+    return _pack_bits(g > g.mean())
+
+
+def dhash_kernel(px: np.ndarray, size: int = 8) -> tuple[int, str]:
+    """Difference hash: resample to ``size x (size+1)`` and take the
+    horizontal gradient sign — robust to global brightness shifts."""
+    g = _nearest(_to_gray(px), size, size + 1)
+    return _pack_bits(g[:, 1:] > g[:, :-1])
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    k = np.arange(n)[:, None]
+    i = np.arange(n)[None, :]
+    m = np.cos(np.pi * (2 * i + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+    m[0] /= np.sqrt(2.0)
+    return m
+
+
+def phash_kernel(
+    px: np.ndarray, size: int = 8, dct_dim: int = 32
+) -> tuple[int, str]:
+    """Perceptual hash: orthonormal 2-D DCT-II of a ``dct_dim``
+    resample, keep the top-left ``size x size`` low-frequency block,
+    threshold against the median of its AC terms."""
+    g = _nearest(_to_gray(px), dct_dim, dct_dim)
+    d = _dct_matrix(dct_dim)
+    low = (d @ g @ d.T)[:size, :size]
+    med = np.median(low.reshape(-1)[1:])
+    return _pack_bits(low > med)
+
+
+_KERNELS = {"ahash": ahash_kernel, "dhash": dhash_kernel, "phash": phash_kernel}
+
+
+def with_image_hashes(
+    media: DataFrame, *, method: str = "dhash", strict: bool = False
+) -> DataFrame:
+    """Hash every image payload: raw grayscale planes (``n_bytes ==
+    width*height``, metadata wins over codec sniffing — the
+    multimodal policy) and any codec-decodable payload.  Non-image
+    rows are dropped; undecodable images raise under ``strict`` and
+    are skipped otherwise."""
+    if method not in _KERNELS:
+        raise ValueError(f"unknown hash method {method!r}")
+    kernel = _KERNELS[method]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from physicsnemo_curator_spark.sources.multimodal import (
+            _decode_image_native,
+        )
+
+        for pdf in it:
+            ids, hashes, bit_strs = [], [], []
+            na = pd.Series([pd.NA] * len(pdf))
+            widths = pdf["width"] if "width" in pdf.columns else na
+            heights = pdf["height"] if "height" in pdf.columns else na
+            for media_id, kind, payload, w, h in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"], widths,
+                heights,
+            ):
+                if kind != "image":
+                    continue
+                raw = bytes(payload)
+                px = None
+                if (
+                    not (pd.isna(w) or pd.isna(h))
+                    and len(raw) == int(w) * int(h)
+                ):
+                    px = np.frombuffer(raw, dtype=np.uint8).reshape(
+                        int(h), int(w)
+                    )
+                else:
+                    try:
+                        decoded = _decode_image_native(raw)
+                        px = decoded[0] if decoded else None
+                    except Exception:
+                        if strict:
+                            raise
+                        px = None
+                    if px is None and strict:
+                        raise NotImplementedError(
+                            "image payload in an unrecognized format "
+                            "cannot be perceptually hashed"
+                        )
+                if px is None:
+                    continue
+                hv, bs = kernel(px)
+                ids.append(media_id)
+                hashes.append(hv)
+                bit_strs.append(bs)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="Int64"),
+                    "method": method,
+                    "hash": pd.array(hashes, dtype="Int64"),
+                    "bits": bit_strs,
+                }
+            )
+
+    return media.mapInPandas(batches, HASH_SCHEMA)
+
+
+def banded_hamming_pairs(
+    sig: DataFrame,
+    *,
+    hash_col: str = "hash",
+    id_col: str = "media_id",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    bits: int = 64,
+) -> DataFrame:
+    """All id pairs within ``max_hamming`` of each other, via
+    pigeonhole band buckets (mirror of the text SimHash plan in
+    ``operators/dedup.py::simhash_near_duplicates``) — block-equality
+    equi-join then JVM-side ``bit_count`` verification, never
+    all-pairs.  Complete whenever ``max_hamming <= n_bands - 1``."""
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            "pigeonhole completeness needs max_hamming <= n_bands - 1"
+        )
+    width = bits // n_bands
+    mask = (1 << width) - 1
+    banded = sig.select(
+        F.col(id_col).alias("_id"),
+        F.col(hash_col).alias("_h"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(hash_col, b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("block"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("_bb"),
+    ).select(
+        "_id", "_h",
+        F.col("_bb.band").alias("band"),
+        F.col("_bb.block").alias("block"),
+    )
+    pairs = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.block") == F.col("r.block"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("a"),
+            F.col("r._id").alias("b"),
+            F.col("l._h").alias("_ha"),
+            F.col("r._h").alias("_hb"),
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    return pairs.select(
+        "a",
+        "b",
+        F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+def image_near_duplicates(
+    media: DataFrame,
+    *,
+    method: str = "dhash",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    strict: bool = False,
+) -> DataFrame:
+    """Near-duplicate image pairs ``(a, b, hamming)``: perceptual
+    hash inside mapInPandas, then the banded hamming join."""
+    return banded_hamming_pairs(
+        with_image_hashes(media, method=method, strict=strict),
+        max_hamming=max_hamming,
+        n_bands=n_bands,
+    )

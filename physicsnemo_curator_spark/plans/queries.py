@@ -6385,7 +6385,134 @@ ORDER BY doc_id LIMIT 250
 """
 
 
+def q_media_imagehash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image-hash gate (operators/imagehash.py): each
+    document yields a RAW 8x9 grayscale plane (bytes = the 72 leading
+    hex chars of md5(text)||md5(text||'a')||md5(text||'b')) plus a
+    one-byte-perturbed twin (byte ``doc_id % 72`` incremented — flips
+    at most two dHash gradient bits), pushed through
+    ``with_image_hashes`` and the banded ``image_near_duplicates``
+    join (pigeonhole guarantee: hamming <= 3 with 4 bands MUST pair
+    them), and an 8x8 plane through aHash.  DuckDB replays the
+    gradient comparisons, the strict-mean threshold, and the pair
+    hamming directly on the md5 strings — a wrong bit order, packing,
+    banding mask, or join drop changes the row."""
+    from physicsnemo_curator_spark.operators import imagehash as ih
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+
+    def build(it):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in it:
+            drows, arows = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                s = (
+                    hashlib.md5(text.encode()).hexdigest()
+                    + hashlib.md5((text + "a").encode()).hexdigest()
+                    + hashlib.md5((text + "b").encode()).hexdigest()
+                )[:72].encode("ascii")
+                p = int(doc_id) % 72
+                s2 = s[:p] + bytes([s[p] + 1]) + s[p + 1 :]
+                drows.append((2 * int(doc_id), "image", s, 9, 8, 72))
+                drows.append((2 * int(doc_id) + 1, "image", s2, 9, 8, 72))
+                t = (
+                    hashlib.md5(text.encode()).hexdigest()
+                    + hashlib.md5((text + "c").encode()).hexdigest()
+                )[:64].encode("ascii")
+                arows.append((int(doc_id), "image", t, 8, 8, 64))
+            cols = ["media_id", "kind", "payload", "width", "height", "n_bytes"]
+            yield pd.DataFrame(drows + arows, columns=cols).assign(
+                _side=["d"] * len(drows) + ["a"] * len(arows)
+            )
+
+    media = docs.mapInPandas(
+        build,
+        "media_id long, kind string, payload binary, width int, "
+        "height int, n_bytes long, _side string",
+    )
+    dmedia = media.filter(F.col("_side") == "d").drop("_side")
+    amedia = media.filter(F.col("_side") == "a").drop("_side")
+    pairs = ih.image_near_duplicates(
+        dmedia, method="dhash", max_hamming=3, n_bands=4
+    )
+    dh = ih.with_image_hashes(dmedia, method="dhash").filter(
+        F.col("media_id") % 2 == 0
+    )
+    ah = ih.with_image_hashes(amedia, method="ahash")
+    return (
+        pairs.withColumn("doc_id", (F.col("a") / 2).cast("long"))
+        .join(
+            dh.select(
+                (F.col("media_id") / 2).cast("long").alias("doc_id"),
+                F.col("bits").alias("dhash_bits"),
+            ),
+            "doc_id",
+        )
+        .join(
+            ah.select(
+                F.col("media_id").alias("doc_id"),
+                F.col("bits").alias("ahash_bits"),
+            ),
+            "doc_id",
+        )
+        .select("doc_id", "a", "b", "hamming", "dhash_bits", "ahash_bits")
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
+ORACLE_MEDIA_IMAGEHASH = """
+WITH p AS (
+    SELECT doc_id,
+           substr(md5(text) || md5(text || 'a') || md5(text || 'b'),
+                  1, 72) AS s,
+           substr(md5(text) || md5(text || 'c'), 1, 64) AS t,
+           doc_id % 72 AS pp
+    FROM documents WHERE doc_id < 200
+), b AS (
+    SELECT doc_id,
+           array_to_string(list_transform(range(0, 64), k ->
+               CASE WHEN ascii(s[CAST((k // 8) * 9 + (k % 8) + 2 AS INT)])
+                       > ascii(s[CAST((k // 8) * 9 + (k % 8) + 1 AS INT)])
+                    THEN '1' ELSE '0' END), '') AS dhash_bits,
+           (SELECT array_to_string(list_transform(range(0, 64), k ->
+               CASE WHEN ascii(s2[CAST((k // 8) * 9 + (k % 8) + 2 AS INT)])
+                       > ascii(s2[CAST((k // 8) * 9 + (k % 8) + 1 AS INT)])
+                    THEN '1' ELSE '0' END), '')
+            FROM (SELECT substr(s, 1, CAST(pp AS INT))
+                         || chr(ascii(s[CAST(pp + 1 AS INT)]) + 1)
+                         || substr(s, CAST(pp + 2 AS INT)) AS s2)
+           ) AS pert_bits,
+           list_sum(list_transform(range(1, 65),
+                    i -> ascii(t[CAST(i AS INT)]))) / 64.0 AS am,
+           t
+    FROM p
+)
+SELECT doc_id,
+       doc_id * 2 AS a,
+       doc_id * 2 + 1 AS b,
+       CAST(len(list_filter(range(1, 65), i ->
+           dhash_bits[CAST(i AS INT)] <> pert_bits[CAST(i AS INT)]
+       )) AS INT) AS hamming,
+       dhash_bits,
+       array_to_string(list_transform(range(1, 65), i ->
+           CASE WHEN ascii(t[CAST(i AS INT)]) > am
+                THEN '1' ELSE '0' END), '') AS ahash_bits
+FROM b ORDER BY doc_id LIMIT 200
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "q_media_imagehash": QuerySpec(
+        q_media_imagehash, ORACLE_MEDIA_IMAGEHASH
+    ),
     "q_media_mp4_mkv": QuerySpec(q_media_mp4_mkv, ORACLE_MEDIA_MP4_MKV),
     "q_media_stillimage": QuerySpec(
         q_media_stillimage, ORACLE_MEDIA_STILLIMAGE
@@ -6608,6 +6735,7 @@ QUERIES: dict[str, QuerySpec] = {
 # followed by the r08-green cohort.
 _DRIVER_ORDER = [
     # --- r09-new gates ---
+    "q_media_imagehash",
     "q_media_mp4_mkv",
     "q_media_stillimage",
     "q_media_hierarchical",

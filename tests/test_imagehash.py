@@ -1,0 +1,138 @@
+"""Perceptual image hashing (aHash/dHash/pHash) and the banded image
+near-dup operator: kernel exactness vs scalar reference, codec-path
+parity (an encoded PNG hashes identically to its raw plane), the
+pigeonhole completeness guarantee, plan shape (no all-pairs), and
+strict/plumbing policy."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from physicsnemo_curator_spark.operators import imagehash as ih
+from physicsnemo_curator_spark.sources import multimodal as mm
+from physicsnemo_curator_spark.sources import png
+
+_RNG = np.random.default_rng(17)
+
+
+def test_dhash_kernel_matches_scalar_reference():
+    px = _RNG.integers(0, 256, (8, 9), dtype=np.uint8)
+    h, bits = ih.dhash_kernel(px)
+    exp = "".join(
+        "1" if px[r, c + 1] > px[r, c] else "0"
+        for r in range(8)
+        for c in range(8)
+    )
+    assert bits == exp
+    assert (h & 0xFFFFFFFFFFFFFFFF) == int(bits, 2)
+
+
+def test_ahash_kernel_matches_scalar_reference():
+    px = _RNG.integers(0, 256, (8, 8), dtype=np.uint8)
+    _h, bits = ih.ahash_kernel(px)
+    m = px.mean()
+    exp = "".join(
+        "1" if px[r, c] > m else "0" for r in range(8) for c in range(8)
+    )
+    assert bits == exp
+
+
+def test_phash_properties():
+    """Deterministic, 64 bits, invariant under lossless re-encode,
+    sensitive to heavy content change."""
+    px = _RNG.integers(0, 256, (64, 48), dtype=np.uint8)
+    h1, bits = ih.phash_kernel(px)
+    assert len(bits) == 64
+    assert ih.phash_kernel(px.copy()) == (h1, bits)
+    # constant-shift robustness: dHash unchanged under +10 brightness
+    shifted = np.clip(px.astype(int) + 10, 0, 255).astype(np.uint8)
+    assert ih.dhash_kernel(shifted) == ih.dhash_kernel(px)
+    # a very different image yields a distant pHash
+    other = _RNG.integers(0, 256, (64, 48), dtype=np.uint8)
+    d = bin(
+        (ih.phash_kernel(px)[0] ^ ih.phash_kernel(other)[0])
+        & 0xFFFFFFFFFFFFFFFF
+    ).count("1")
+    assert d > 10
+
+
+def test_encoded_png_hashes_like_its_raw_plane(spark):
+    """The codec decode path and the raw-plane path must agree —
+    PNG is lossless, so the decoded pixels are the plane."""
+    plane = _RNG.integers(0, 256, (16, 16), dtype=np.uint8)
+    rows = [
+        (1, "image", bytearray(plane.tobytes()), 16, 16, 256),
+        (2, "image", bytearray(png.encode_png(plane)), None, None, 0),
+        (3, "audio", bytearray(b"xx"), None, None, 2),
+    ]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    got = {
+        r.media_id: (r.hash, r.bits)
+        for r in ih.with_image_hashes(df, method="phash").collect()
+    }
+    assert set(got) == {1, 2}  # audio row dropped
+    assert got[1] == got[2]
+
+
+def test_near_duplicates_pigeonhole_completeness(spark):
+    """Every pair within max_hamming <= n_bands-1 MUST be found; a
+    1-bit perturbation of a raw plane flips at most 2 dHash bits."""
+    rows = []
+    planes = {}
+    for i in range(30):
+        plane = _RNG.integers(0, 256, (8, 9), dtype=np.uint8)
+        pert = plane.copy()
+        pert[i % 8, i % 9] = (int(pert[i % 8, i % 9]) + 1) % 256
+        planes[2 * i] = plane
+        planes[2 * i + 1] = pert
+        rows.append((2 * i, "image", bytearray(plane.tobytes()), 9, 8, 72))
+        rows.append(
+            (2 * i + 1, "image", bytearray(pert.tobytes()), 9, 8, 72)
+        )
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    pairs = {
+        (r.a, r.b): r.hamming
+        for r in ih.image_near_duplicates(
+            df, method="dhash", max_hamming=3, n_bands=4
+        ).collect()
+    }
+    for i in range(30):
+        a, b = 2 * i, 2 * i + 1
+        exp = bin(
+            (ih.dhash_kernel(planes[a])[0] ^ ih.dhash_kernel(planes[b])[0])
+            & 0xFFFFFFFFFFFFFFFF
+        ).count("1")
+        if exp <= 3:
+            assert (a, b) in pairs and pairs[(a, b)] == exp
+    with pytest.raises(ValueError, match="pigeonhole"):
+        ih.image_near_duplicates(df, max_hamming=8, n_bands=4)
+
+
+def test_near_duplicates_plan_never_all_pairs(spark):
+    """The candidate join must be an equi-join on (band, block) —
+    no CartesianProduct / BroadcastNestedLoopJoin in the plan."""
+    rows = [
+        (i, "image", bytearray(_RNG.integers(0, 256, 72, dtype=np.uint8).tobytes()), 9, 8, 72)
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    plan = (
+        ih.image_near_duplicates(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_strict_policy(spark):
+    df = spark.createDataFrame(
+        [(0, "image", bytearray(b"NOTANIMAGE!"), 4, 4, 11)],
+        mm.MEDIA_SCHEMA,
+    )
+    assert ih.with_image_hashes(df).count() == 0
+    with pytest.raises(Exception):
+        ih.with_image_hashes(df, strict=True).collect()

@@ -6509,9 +6509,136 @@ FROM b ORDER BY doc_id LIMIT 200
 """
 
 
+def q_media_audiohash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acoustic fingerprint gate (operators/audiohash.py): each
+    document becomes a REAL PCM16 WAV whose loudness profile is 65
+    piecewise-constant frames at levels ``ascii(md5 hex chars)/255``
+    (the 65 leading chars of md5(text)||md5(text||'a')||md5(text||'b')),
+    plus a twin with frame
+    ``doc_id % 65`` one level higher (flips at most two envelope
+    bits).  Both run through ``with_audio_fingerprints`` (decode →
+    frame RMS → rise bits) and the banded ``audio_near_duplicates``
+    join.  PCM16 quantization is strictly monotone in the level, so
+    the RMS comparisons equal the ascii comparisons and DuckDB
+    replays fingerprint bits AND pair hamming from the md5 strings —
+    a framing, quantization, packing, or banding bug changes the
+    row."""
+    from physicsnemo_curator_spark.operators import audiohash as _ah
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+
+    def build(it):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from physicsnemo_curator_spark.sources import wav as _wav
+
+        for pdf in it:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                s = (
+                    hashlib.md5(text.encode()).hexdigest()
+                    + hashlib.md5((text + "a").encode()).hexdigest()
+                    + hashlib.md5((text + "b").encode()).hexdigest()
+                )[:65].encode("ascii")
+                p = int(doc_id) % 65
+                s2 = s[:p] + bytes([s[p] + 1]) + s[p + 1 :]
+                for mid, lv in ((2 * int(doc_id), s), (2 * int(doc_id) + 1, s2)):
+                    sig = np.repeat(
+                        np.frombuffer(lv, np.uint8).astype(np.float64)
+                        / 255.0,
+                        40,
+                    )
+                    enc = _wav.encode_wav(sig, 8000)
+                    rows.append((mid, "audio", enc, None, None, len(enc)))
+            pdf_out = pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "kind", "payload", "width", "height",
+                    "n_bytes",
+                ],
+            )
+            pdf_out["width"] = pd.array(pdf_out["width"], dtype="Int32")
+            pdf_out["height"] = pd.array(pdf_out["height"], dtype="Int32")
+            yield pdf_out
+
+    media = docs.mapInPandas(
+        build,
+        "media_id long, kind string, payload binary, width int, "
+        "height int, n_bytes long",
+    )
+    pairs = _ah.audio_near_duplicates(media, max_hamming=3, n_bands=4)
+    fps = _ah.with_audio_fingerprints(media).filter(
+        F.col("media_id") % 2 == 0
+    )
+    return (
+        pairs.withColumn("doc_id", (F.col("a") / 2).cast("long"))
+        .join(
+            fps.select(
+                (F.col("media_id") / 2).cast("long").alias("doc_id"),
+                F.col("bits").alias("envelope_bits"),
+                "n_frames",
+                "sample_rate",
+            ),
+            "doc_id",
+        )
+        .select(
+            "doc_id", "a", "b", "hamming", "envelope_bits",
+            "n_frames", "sample_rate",
+        )
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
+ORACLE_MEDIA_AUDIOHASH = """
+WITH p AS (
+    SELECT doc_id,
+           substr(md5(text) || md5(text || 'a') || md5(text || 'b'),
+                  1, 65) AS s,
+           doc_id % 65 AS pp
+    FROM documents WHERE doc_id < 200
+), b AS (
+    SELECT doc_id,
+           array_to_string(list_transform(range(1, 65), i ->
+               CASE WHEN ascii(s[CAST(i + 1 AS INT)])
+                       > ascii(s[CAST(i AS INT)])
+                    THEN '1' ELSE '0' END), '') AS envelope_bits,
+           (SELECT array_to_string(list_transform(range(1, 65), i ->
+               CASE WHEN ascii(s2[CAST(i + 1 AS INT)])
+                       > ascii(s2[CAST(i AS INT)])
+                    THEN '1' ELSE '0' END), '')
+            FROM (SELECT substr(s, 1, CAST(pp AS INT))
+                         || chr(ascii(s[CAST(pp + 1 AS INT)]) + 1)
+                         || substr(s, CAST(pp + 2 AS INT)) AS s2)
+           ) AS pert_bits
+    FROM p
+)
+SELECT doc_id,
+       doc_id * 2 AS a,
+       doc_id * 2 + 1 AS b,
+       CAST(len(list_filter(range(1, 65), i ->
+           envelope_bits[CAST(i AS INT)] <> pert_bits[CAST(i AS INT)]
+       )) AS INT) AS hamming,
+       envelope_bits,
+       CAST(65 * 40 AS BIGINT) AS n_frames,
+       CAST(8000 AS INT) AS sample_rate
+FROM b ORDER BY doc_id LIMIT 200
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q_media_imagehash": QuerySpec(
         q_media_imagehash, ORACLE_MEDIA_IMAGEHASH
+    ),
+    "q_media_audiohash": QuerySpec(
+        q_media_audiohash, ORACLE_MEDIA_AUDIOHASH
     ),
     "q_media_mp4_mkv": QuerySpec(q_media_mp4_mkv, ORACLE_MEDIA_MP4_MKV),
     "q_media_stillimage": QuerySpec(
@@ -6736,6 +6863,7 @@ QUERIES: dict[str, QuerySpec] = {
 _DRIVER_ORDER = [
     # --- r09-new gates ---
     "q_media_imagehash",
+    "q_media_audiohash",
     "q_media_mp4_mkv",
     "q_media_stillimage",
     "q_media_hierarchical",

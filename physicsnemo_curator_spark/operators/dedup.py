@@ -507,45 +507,25 @@ def simhash_near_duplicates(
     equi-joins (shuffle keyed on (band, block)), then exact hamming
     verifies.  Never enumerates all pairs.
     """
-    sig = simhash(docs, text_col, id_col, bits=bits, hash_fn=hash_fn).persist()
-    width = bits // n_bands
-    mask = (1 << width) - 1
-    banded = sig.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright("simhash", b * width)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("block"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("_bb"),
-    ).select("doc_id", "simhash", F.col("_bb.band").alias("band"), F.col("_bb.block").alias("block"))
-    pairs = (
-        banded.alias("l")
-        .join(
-            banded.alias("r"),
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.block") == F.col("r.block"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .select(
-            F.col("l.doc_id").alias("a"),
-            F.col("r.doc_id").alias("b"),
-            F.col("l.simhash").alias("_sa"),
-            F.col("r.simhash").alias("_sb"),
-        )
-        .dropDuplicates(["a", "b"])
+    from physicsnemo_curator_spark.operators.imagehash import (
+        banded_hamming_pairs,
     )
-    return pairs.select(
-        "a", "b", hamming64(F.col("_sa"), F.col("_sb")).alias("hamming")
-    ).filter(F.col("hamming") <= max_hamming)
+
+    sig = simhash(docs, text_col, id_col, bits=bits, hash_fn=hash_fn)
+    # shared banding/verify plan (imagehash.banded_hamming_pairs):
+    # block-equality equi-join then bit_count — one implementation
+    # for the text, image and audio hamming families
+    return banded_hamming_pairs(
+        sig,
+        hash_col="simhash",
+        id_col="doc_id",
+        max_hamming=max_hamming,
+        n_bands=n_bands,
+        bits=bits,
+        # SimHash callers historically run max_hamming 8 over 4 bands
+        # as a recall heuristic (precision-pinned in tests)
+        require_complete=False,
+    )
 
 
 def winnow_candidate_pairs(

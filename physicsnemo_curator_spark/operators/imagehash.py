@@ -27,6 +27,7 @@ holds at 100 TB the same way the text SimHash path does.
 from __future__ import annotations
 
 from collections.abc import Iterator
+from functools import lru_cache
 
 import numpy as np
 import pandas as pd
@@ -37,12 +38,20 @@ HASH_SCHEMA = "media_id long, method string, hash long, bits string"
 
 
 def _to_gray(px: np.ndarray) -> np.ndarray:
+    """Luma plane: ITU-R 601 weights for 3+ channels (channel 4, when
+    present, is treated as alpha and ignored — the RGBA convention of
+    the PNG/TIFF decode paths); 2-channel arrays are gray+alpha, so
+    only channel 0 carries image content.  CMYK arrays are hashed on
+    their CMY channels (K-heavy content callers should convert
+    first)."""
     arr = px.astype(np.float64)
     if arr.ndim == 3:
-        # ITU-R 601 luma on whatever channels are present
-        w = np.array([0.299, 0.587, 0.114, 0.0])[: arr.shape[2]]
-        w = w / w.sum()
-        arr = arr @ w
+        if arr.shape[2] == 1:
+            return arr[:, :, 0]
+        if arr.shape[2] == 2:
+            return arr[:, :, 0]
+        w = np.array([0.299, 0.587, 0.114])
+        arr = arr[:, :, :3] @ w
     return arr
 
 
@@ -83,7 +92,10 @@ def dhash_kernel(px: np.ndarray, size: int = 8) -> tuple[int, str]:
     return _pack_bits(g[:, 1:] > g[:, :-1])
 
 
+@lru_cache(maxsize=8)
 def _dct_matrix(n: int) -> np.ndarray:
+    # cached: rebuilt cosines would otherwise dominate the per-image
+    # cost inside the hashing hot loop
     k = np.arange(n)[:, None]
     i = np.arange(n)[None, :]
     m = np.cos(np.pi * (2 * i + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
@@ -183,16 +195,24 @@ def banded_hamming_pairs(
     max_hamming: int = 3,
     n_bands: int = 4,
     bits: int = 64,
+    require_complete: bool = True,
 ) -> DataFrame:
     """All id pairs within ``max_hamming`` of each other, via
-    pigeonhole band buckets (mirror of the text SimHash plan in
-    ``operators/dedup.py::simhash_near_duplicates``) — block-equality
-    equi-join then JVM-side ``bit_count`` verification, never
-    all-pairs.  Complete whenever ``max_hamming <= n_bands - 1``."""
-    if max_hamming > n_bands - 1:
+    pigeonhole band buckets — block-equality equi-join then JVM-side
+    ``bit_count`` verification, never all-pairs.  Complete whenever
+    ``max_hamming <= n_bands - 1``; ``require_complete=False`` allows
+    the recall-heuristic regime beyond that bound (candidates still
+    come only from shared blocks — the text SimHash convention)."""
+    if require_complete and max_hamming > n_bands - 1:
         raise ValueError(
-            "pigeonhole completeness needs max_hamming <= n_bands - 1"
+            "pigeonhole completeness needs max_hamming <= n_bands - 1 "
+            "(pass require_complete=False for the recall-heuristic "
+            "regime)"
         )
+    # persist: the signature side feeds BOTH halves of the self-join;
+    # without it the decode+hash lineage can run once per side (the
+    # same reason dedup.simhash_near_duplicates persists)
+    sig = sig.persist()
     width = bits // n_bands
     mask = (1 << width) - 1
     banded = sig.select(

@@ -415,6 +415,16 @@ def decode_jpeg(data: bytes) -> tuple[np.ndarray, dict]:
                 cid, tables = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan[cid] = (tables >> 4, tables & 0x0F)
             pos = pos + 2 + seglen
+            if hier is not None and frame is not None and not frame.get(
+                "lossless"
+            ):
+                # a DCT first frame under DHP would silently decode
+                # only the decimated stage — refuse loudly instead
+                raise NotImplementedError(
+                    "hierarchical DCT pyramids (DHP + SOF0/1/2) — "
+                    "only the lossless pyramid (SOF3 + SOF7) is "
+                    "supported"
+                )
             if frame is not None and frame.get("lossless"):
                 ss = seg[1 + 2 * ns]       # predictor selector
                 al = seg[3 + 2 * ns] & 0x0F  # point transform
@@ -955,8 +965,10 @@ def encode_jpeg_lossless(
         precision = 8 if arr.dtype == np.uint8 else 16
     if not 2 <= precision <= 16:
         raise ValueError(f"precision {precision} out of range 2..16")
-    if arr.size and int(arr.max()) >= 1 << precision:
-        raise ValueError(f"samples exceed {precision}-bit range")
+    if arr.size and (
+        int(arr.max()) >= 1 << precision or int(arr.min()) < 0
+    ):
+        raise ValueError(f"samples outside the {precision}-bit range")
     gray = arr.ndim == 2
     if not gray and (arr.ndim != 3 or arr.shape[2] != 3):
         raise ValueError(f"cannot encode array of shape {arr.shape}")
@@ -1066,8 +1078,10 @@ def encode_jpeg_hierarchical(
         precision = 8 if arr.dtype == np.uint8 else 16
     if not 2 <= precision <= 16:
         raise ValueError(f"precision {precision} out of range 2..16")
-    if arr.size and int(arr.max()) >= 1 << precision:
-        raise ValueError(f"samples exceed {precision}-bit range")
+    if arr.size and (
+        int(arr.max()) >= 1 << precision or int(arr.min()) < 0
+    ):
+        raise ValueError(f"samples outside the {precision}-bit range")
     gray = arr.ndim == 2
     if not gray and (arr.ndim != 3 or arr.shape[2] != 3):
         raise ValueError(f"cannot encode array of shape {arr.shape}")

@@ -277,13 +277,16 @@ def _decode_page(data: bytes, e: str, tags: dict) -> tuple[np.ndarray, dict]:
         return np.cumsum(a.astype(np.uint32), axis=1).astype(out_dt)
 
     if _TAG_TILE_WIDTH in tags:
+        if _TAG_TILE_LENGTH not in tags or _TAG_TILE_OFFSETS not in tags \
+                or _TAG_TILE_COUNTS not in tags:
+            raise ValueError("tiled TIFF missing tile length/offset tags")
         tw = tags[_TAG_TILE_WIDTH][0]
         tl = tags[_TAG_TILE_LENGTH][0]
         offsets = tags[_TAG_TILE_OFFSETS]
         counts = tags[_TAG_TILE_COUNTS]
         across = -(-w // tw)
         down = -(-h // tl)
-        if len(offsets) < across * down:
+        if len(offsets) < across * down or len(counts) < across * down:
             raise ValueError("TIFF tile table shorter than its grid")
         expected = tl * tw * spp * (depth // 8)
         full = np.zeros((down * tl, across * tw, spp), dtype=out_dt)

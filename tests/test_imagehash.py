@@ -136,3 +136,31 @@ def test_strict_policy(spark):
     assert ih.with_image_hashes(df).count() == 0
     with pytest.raises(Exception):
         ih.with_image_hashes(df, strict=True).collect()
+
+
+def test_gray_alpha_and_rgba_channel_policy():
+    """Code-review regression: 2-channel arrays hash on channel 0
+    only (alpha ignored) and 4-channel arrays on their RGB part —
+    identical luma with different alpha must hash identically."""
+    gray = _RNG.integers(0, 256, (16, 16), dtype=np.uint8)
+    a1 = np.dstack([gray, np.zeros_like(gray)])
+    a2 = np.dstack([gray, _RNG.integers(0, 256, (16, 16), dtype=np.uint8)])
+    assert ih.phash_kernel(a1) == ih.phash_kernel(a2) == ih.phash_kernel(gray)
+    rgb = _RNG.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    r1 = np.dstack([rgb, np.zeros((16, 16), dtype=np.uint8)])
+    r2 = np.dstack([rgb, np.full((16, 16), 255, dtype=np.uint8)])
+    assert ih.dhash_kernel(r1) == ih.dhash_kernel(r2) == ih.dhash_kernel(rgb)
+
+
+def test_recall_heuristic_regime_opt_out(spark):
+    """banded_hamming_pairs guards completeness by default but allows
+    the SimHash-style max_hamming > n_bands-1 heuristic on request."""
+    sig = spark.createDataFrame(
+        [(1, 0), (2, 3)], ["media_id", "hash"]
+    )
+    with pytest.raises(ValueError, match="pigeonhole"):
+        ih.banded_hamming_pairs(sig, max_hamming=8, n_bands=4)
+    rows = ih.banded_hamming_pairs(
+        sig, max_hamming=8, n_bands=4, require_complete=False
+    ).collect()
+    assert [(r.a, r.b, r.hamming) for r in rows] == [(1, 2, 2)]

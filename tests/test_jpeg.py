@@ -793,3 +793,24 @@ def test_hierarchical_expand_filter():
     np.testing.assert_array_equal(
         _hier_expand(r, 1, 1, 3, 3), exp[:3, :3]
     )
+
+
+def test_hierarchical_dct_first_frame_is_gated():
+    """Code-review regression: DHP followed by a DCT frame must raise
+    rather than silently returning only the decimated stage."""
+    import struct
+
+    px = np.zeros((8, 8), dtype=np.uint8)
+    d = bytearray(jpeg.encode_jpeg_hierarchical(px, levels=1))
+    at = bytes(d).index(b"\xff\xc3")
+    d[at + 1] = 0xC0  # rewrite the first frame to baseline SOF0
+    with pytest.raises(NotImplementedError, match="hierarchical DCT"):
+        jpeg.decode_jpeg(bytes(d))
+
+
+def test_lossless_encoders_reject_negative_samples():
+    neg = np.full((4, 4), -5, dtype=np.int16)
+    with pytest.raises(ValueError, match="range"):
+        jpeg.encode_jpeg_lossless(neg, precision=16)
+    with pytest.raises(ValueError, match="range"):
+        jpeg.encode_jpeg_hierarchical(neg, levels=1, precision=16)

@@ -149,12 +149,16 @@ def with_image_hashes(
                     continue
                 raw = bytes(payload)
                 px = None
-                if (
-                    not (pd.isna(w) or pd.isna(h))
-                    and len(raw) == int(w) * int(h)
-                ):
+                dims = not (pd.isna(w) or pd.isna(h))
+                if dims and len(raw) == int(w) * int(h):
                     px = np.frombuffer(raw, dtype=np.uint8).reshape(
                         int(h), int(w)
+                    )
+                elif dims and len(raw) == int(w) * int(h) * 3:
+                    # raw RGB planes — the shape container frame rows
+                    # (sample_frames output) carry
+                    px = np.frombuffer(raw, dtype=np.uint8).reshape(
+                        int(h), int(w), 3
                     )
                 else:
                     try:
@@ -271,6 +275,85 @@ def image_near_duplicates(
     hash inside mapInPandas, then the banded hamming join."""
     return banded_hamming_pairs(
         with_image_hashes(media, method=method, strict=strict),
+        max_hamming=max_hamming,
+        n_bands=n_bands,
+    )
+
+
+VIDEO_FP_SCHEMA = (
+    "media_id long, method string, hash long, bits string, "
+    "n_frames_hashed long"
+)
+
+
+def with_video_fingerprints(
+    media: DataFrame,
+    *,
+    method: str = "dhash",
+    every_n: int = 1,
+    strict: bool = False,
+) -> DataFrame:
+    """64-bit video signature: sample frames through the container
+    dispatch (AVI / MP4 / MKV / animated GIF / raw concatenations),
+    perceptually hash each sampled frame, then majority-vote each bit
+    position across frames — a temporal-consensus fingerprint robust
+    to a few changed frames.  The per-bit vote is a JVM-side
+    aggregation (64 partial sums), so the reduce is one shuffle keyed
+    on media_id."""
+    from physicsnemo_curator_spark.sources import multimodal as _mm
+
+    frames = _mm.sample_frames(media, every_n=every_n, strict=strict)
+    fmedia = frames.select(
+        "media_id",
+        F.lit("image").alias("kind"),
+        "payload",
+        "width",
+        "height",
+    )
+    hashes = with_image_hashes(fmedia, method=method, strict=strict)
+    counts = [
+        F.sum(F.substring("bits", k + 1, 1).cast("int")).alias(f"_b{k}")
+        for k in range(64)
+    ]
+    maj = hashes.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames_hashed"), *counts
+    )
+    bits_col = F.concat(
+        *[
+            F.when(
+                F.col(f"_b{k}") * 2 > F.col("n_frames_hashed"), F.lit("1")
+            ).otherwise(F.lit("0"))
+            for k in range(64)
+        ]
+    )
+    with_bits = maj.select("media_id", "n_frames_hashed", bits_col.alias("bits"))
+    hi = F.conv(F.substring("bits", 1, 32), 2, 10).cast("long")
+    lo = F.conv(F.substring("bits", 33, 32), 2, 10).cast("long")
+    return with_bits.select(
+        "media_id",
+        F.lit(method).alias("method"),
+        F.shiftleft(hi, 32).bitwiseOR(lo).alias("hash"),
+        "bits",
+        "n_frames_hashed",
+    )
+
+
+def video_near_duplicates(
+    media: DataFrame,
+    *,
+    method: str = "dhash",
+    every_n: int = 1,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    strict: bool = False,
+) -> DataFrame:
+    """Near-duplicate video pairs ``(a, b, hamming)`` via the shared
+    pigeonhole-banded hamming join over the majority-vote
+    signature."""
+    return banded_hamming_pairs(
+        with_video_fingerprints(
+            media, method=method, every_n=every_n, strict=strict
+        ),
         max_hamming=max_hamming,
         n_bands=n_bands,
     )

@@ -6633,9 +6633,145 @@ FROM b ORDER BY doc_id LIMIT 200
 """
 
 
+def q_media_videohash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video fingerprint gate (operators/imagehash.py): each document
+    becomes a FOUR-frame raw video (frame f's 8x9 plane = 72 leading
+    hex chars of md5(text||f)||md5(text||f||'a')||md5(text||f||'b'))
+    plus a twin with ONE byte of ONE frame bumped (frame doc%4, byte
+    doc%72).  ``with_video_fingerprints`` explodes frames through the
+    container dispatch, dHashes each, and majority-votes the 64 bit
+    positions; the banded ``video_near_duplicates`` join must pair
+    every twin (a one-frame perturbation moves at most two majority
+    bits).  DuckDB replays per-frame gradient bits, the strict 2/4
+    majority, the perturbation and the pair hamming from the md5
+    strings — a sampling, voting, packing, or banding bug changes the
+    row."""
+    from physicsnemo_curator_spark.operators import imagehash as ih
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 150)
+        .select("doc_id", "text")
+    )
+
+    def build(it):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                frames = []
+                for f in range(4):
+                    frames.append(
+                        (
+                            hashlib.md5((text + str(f)).encode()).hexdigest()
+                            + hashlib.md5(
+                                (text + str(f) + "a").encode()
+                            ).hexdigest()
+                            + hashlib.md5(
+                                (text + str(f) + "b").encode()
+                            ).hexdigest()
+                        )[:72].encode("ascii")
+                    )
+                pf = int(doc_id) % 4
+                pp = int(doc_id) % 72
+                pert = list(frames)
+                pert[pf] = (
+                    pert[pf][:pp]
+                    + bytes([pert[pf][pp] + 1])
+                    + pert[pf][pp + 1 :]
+                )
+                rows.append(
+                    (2 * int(doc_id), "video", b"".join(frames), 9, 8, 288)
+                )
+                rows.append(
+                    (2 * int(doc_id) + 1, "video", b"".join(pert), 9, 8, 288)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "kind", "payload", "width", "height",
+                    "n_bytes",
+                ],
+            )
+
+    media = docs.mapInPandas(
+        build,
+        "media_id long, kind string, payload binary, width int, "
+        "height int, n_bytes long",
+    )
+    pairs = ih.video_near_duplicates(media, max_hamming=3, n_bands=4)
+    fps = ih.with_video_fingerprints(media).filter(
+        F.col("media_id") % 2 == 0
+    )
+    return (
+        pairs.withColumn("doc_id", (F.col("a") / 2).cast("long"))
+        .join(
+            fps.select(
+                (F.col("media_id") / 2).cast("long").alias("doc_id"),
+                "bits",
+                "n_frames_hashed",
+            ),
+            "doc_id",
+        )
+        .select("doc_id", "a", "b", "hamming", "bits", "n_frames_hashed")
+        .orderBy("doc_id")
+        .limit(150)
+    )
+
+
+ORACLE_MEDIA_VIDEOHASH = """
+WITH p AS (
+    SELECT doc_id, text, doc_id % 4 AS pf, doc_id % 72 AS pp
+    FROM documents WHERE doc_id < 150
+), fr AS (
+    SELECT doc_id, pf, pp, u.f AS f,
+           substr(md5(text || CAST(u.f AS VARCHAR))
+                  || md5(text || CAST(u.f AS VARCHAR) || 'a')
+                  || md5(text || CAST(u.f AS VARCHAR) || 'b'),
+                  1, 72) AS s
+    FROM p, (SELECT UNNEST([0, 1, 2, 3]) AS f) u
+), fr2 AS (
+    SELECT doc_id, f, s,
+           CASE WHEN f = pf THEN
+               substr(s, 1, CAST(pp AS INT))
+               || chr(ascii(s[CAST(pp + 1 AS INT)]) + 1)
+               || substr(s, CAST(pp + 2 AS INT))
+           ELSE s END AS s2
+    FROM fr
+), fb AS (
+    SELECT doc_id, f, kk.k AS k,
+           CASE WHEN ascii(s[CAST((kk.k // 8) * 9 + (kk.k % 8) + 2 AS INT)])
+                   > ascii(s[CAST((kk.k // 8) * 9 + (kk.k % 8) + 1 AS INT)])
+                THEN 1 ELSE 0 END AS bit,
+           CASE WHEN ascii(s2[CAST((kk.k // 8) * 9 + (kk.k % 8) + 2 AS INT)])
+                   > ascii(s2[CAST((kk.k // 8) * 9 + (kk.k % 8) + 1 AS INT)])
+                THEN 1 ELSE 0 END AS pbit
+    FROM fr2, (SELECT UNNEST(range(0, 64)) AS k) kk
+), agg AS (
+    SELECT doc_id, k,
+           CASE WHEN SUM(bit) * 2 > 4 THEN '1' ELSE '0' END AS mb,
+           CASE WHEN SUM(pbit) * 2 > 4 THEN '1' ELSE '0' END AS pb
+    FROM fb GROUP BY doc_id, k
+)
+SELECT doc_id,
+       doc_id * 2 AS a,
+       doc_id * 2 + 1 AS b,
+       CAST(SUM(CASE WHEN mb <> pb THEN 1 ELSE 0 END) AS INT) AS hamming,
+       string_agg(mb, '' ORDER BY k) AS bits,
+       CAST(4 AS BIGINT) AS n_frames_hashed
+FROM agg GROUP BY doc_id ORDER BY doc_id LIMIT 150
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q_media_imagehash": QuerySpec(
         q_media_imagehash, ORACLE_MEDIA_IMAGEHASH
+    ),
+    "q_media_videohash": QuerySpec(
+        q_media_videohash, ORACLE_MEDIA_VIDEOHASH
     ),
     "q_media_audiohash": QuerySpec(
         q_media_audiohash, ORACLE_MEDIA_AUDIOHASH
@@ -6864,6 +7000,7 @@ _DRIVER_ORDER = [
     # --- r09-new gates ---
     "q_media_imagehash",
     "q_media_audiohash",
+    "q_media_videohash",
     "q_media_mp4_mkv",
     "q_media_stillimage",
     "q_media_hierarchical",

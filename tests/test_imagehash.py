@@ -164,3 +164,60 @@ def test_recall_heuristic_regime_opt_out(spark):
         sig, max_hamming=8, n_bands=4, require_complete=False
     ).collect()
     assert [(r.a, r.b, r.hamming) for r in rows] == [(1, 2, 2)]
+
+
+def test_video_fingerprint_majority_consensus(spark):
+    """The video signature is the per-bit majority of sampled frame
+    hashes — identical across the raw-concatenation, AVI and animated
+    GIF paths of the same frames."""
+    from physicsnemo_curator_spark.sources import avi, gif
+
+    planes = [
+        _RNG.integers(0, 256, (8, 9), dtype=np.uint8) for _ in range(4)
+    ]
+    payload = b"".join(p.tobytes() for p in planes)
+    davi = avi.encode_avi(planes, fps=10, codec="raw")
+    dgif = gif.encode_gif(planes, delay_cs=5)
+    rows = [
+        (1, "video", bytearray(payload), 9, 8, len(payload)),
+        (2, "video", bytearray(davi), None, None, len(davi)),
+        (3, "video", bytearray(dgif), None, None, len(dgif)),
+    ]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    fp = {
+        r.media_id: (r.bits, r.hash, r.n_frames_hashed)
+        for r in ih.with_video_fingerprints(df).collect()
+    }
+    per = [ih.dhash_kernel(p)[1] for p in planes]
+    maj = "".join(
+        "1" if sum(b[k] == "1" for b in per) * 2 > 4 else "0"
+        for k in range(64)
+    )
+    assert fp[1][0] == fp[2][0] == fp[3][0] == maj
+    assert all(fp[i][2] == 4 for i in (1, 2, 3))
+    # signed-long pack matches the bit string
+    assert (fp[1][1] & 0xFFFFFFFFFFFFFFFF) == int(maj, 2)
+    pairs = {
+        (r.a, r.b): r.hamming
+        for r in ih.video_near_duplicates(df, max_hamming=3).collect()
+    }
+    assert pairs == {(1, 2): 0, (1, 3): 0, (2, 3): 0}
+
+
+def test_video_fingerprint_changed_frame_tolerance(spark):
+    """Majority voting keeps the signature stable when ONE of five
+    frames changes completely."""
+    planes = [
+        _RNG.integers(0, 256, (8, 9), dtype=np.uint8) for _ in range(5)
+    ]
+    # make the consensus strong: all frames identical
+    planes = [planes[0]] * 5
+    altered = list(planes)
+    altered[2] = _RNG.integers(0, 256, (8, 9), dtype=np.uint8)
+    rows = [
+        (1, "video", bytearray(b"".join(p.tobytes() for p in planes)), 9, 8, 5 * 72),
+        (2, "video", bytearray(b"".join(p.tobytes() for p in altered)), 9, 8, 5 * 72),
+    ]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    pairs = ih.video_near_duplicates(df, max_hamming=0).collect()
+    assert [(r.a, r.b, r.hamming) for r in pairs] == [(1, 2, 0)]

@@ -165,6 +165,7 @@ def audio_near_duplicates(
     max_hamming: int = 3,
     n_bands: int = 4,
     strict: bool = False,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate audio pairs ``(a, b, hamming)`` via the shared
     pigeonhole-banded hamming join."""
@@ -172,4 +173,5 @@ def audio_near_duplicates(
         with_audio_fingerprints(media, method=method, strict=strict),
         max_hamming=max_hamming,
         n_bands=n_bands,
+        max_bucket=max_bucket,
     )

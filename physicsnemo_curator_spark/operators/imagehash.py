@@ -200,13 +200,24 @@ def banded_hamming_pairs(
     n_bands: int = 4,
     bits: int = 64,
     require_complete: bool = True,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """All id pairs within ``max_hamming`` of each other, via
     pigeonhole band buckets — block-equality equi-join then JVM-side
     ``bit_count`` verification, never all-pairs.  Complete whenever
     ``max_hamming <= n_bands - 1``; ``require_complete=False`` allows
     the recall-heuristic regime beyond that bound (candidates still
-    come only from shared blocks — the text SimHash convention)."""
+    come only from shared blocks — the text SimHash convention).
+
+    Scale note (measured, SCALE_SOAK.md): random signatures collide
+    within a ``bits/n_bands``-wide block at rate ~n²/2^(bits/n_bands)
+    per band, so candidate volume turns quadratic once the corpus
+    outgrows the block space (2.1M rows × 16-bit blocks ≈ 130M
+    candidates).  Real corpora cluster far below that bound, but for
+    huge uniform tails set ``max_bucket`` to drop pathological
+    buckets (same recall-vs-cost dial as the MinHash ``max_df``
+    pruning — pairs whose EVERY shared block is oversubscribed are
+    missed)."""
     if require_complete and max_hamming > n_bands - 1:
         raise ValueError(
             "pigeonhole completeness needs max_hamming <= n_bands - 1 "
@@ -240,6 +251,17 @@ def banded_hamming_pairs(
         F.col("_bb.band").alias("band"),
         F.col("_bb.block").alias("block"),
     )
+    if max_bucket is not None:
+        sizes = banded.groupBy("band", "block").agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        banded = (
+            banded.join(
+                F.broadcast(sizes.filter(F.col("_n") > max_bucket)),
+                ["band", "block"],
+                "left_anti",
+            )
+        )
     pairs = (
         banded.alias("l")
         .join(
@@ -270,6 +292,7 @@ def image_near_duplicates(
     max_hamming: int = 3,
     n_bands: int = 4,
     strict: bool = False,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate image pairs ``(a, b, hamming)``: perceptual
     hash inside mapInPandas, then the banded hamming join."""
@@ -277,6 +300,7 @@ def image_near_duplicates(
         with_image_hashes(media, method=method, strict=strict),
         max_hamming=max_hamming,
         n_bands=n_bands,
+        max_bucket=max_bucket,
     )
 
 
@@ -346,6 +370,7 @@ def video_near_duplicates(
     max_hamming: int = 3,
     n_bands: int = 4,
     strict: bool = False,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate video pairs ``(a, b, hamming)`` via the shared
     pigeonhole-banded hamming join over the majority-vote
@@ -356,4 +381,5 @@ def video_near_duplicates(
         ),
         max_hamming=max_hamming,
         n_bands=n_bands,
+        max_bucket=max_bucket,
     )

@@ -221,3 +221,19 @@ def test_video_fingerprint_changed_frame_tolerance(spark):
     df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
     pairs = ih.video_near_duplicates(df, max_hamming=0).collect()
     assert [(r.a, r.b, r.hamming) for r in pairs] == [(1, 2, 0)]
+
+
+def test_max_bucket_pruning(spark):
+    """Oversubscribed (band, block) buckets are droppable: identical
+    hashes beyond the cap produce no pairs, distinct near-dups
+    elsewhere are unaffected."""
+    rows = [(i, 0) for i in range(10)]  # 10 identical hashes
+    far = (0x2BCDEF12 << 32) | 0x345678F7  # many bits from 0
+    rows += [(100, far), (101, far ^ 0b011)]  # hamming-2 pair
+    sig = spark.createDataFrame(rows, ["media_id", "hash"])
+    full = ih.banded_hamming_pairs(sig, max_hamming=3, n_bands=4).collect()
+    assert len(full) == 45 + 1  # all identical pairs + the (100,101)
+    pruned = ih.banded_hamming_pairs(
+        sig, max_hamming=3, n_bands=4, max_bucket=5
+    ).collect()
+    assert [(r.a, r.b) for r in pruned] == [(100, 101)]

@@ -38,6 +38,7 @@ import numpy as np  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 from physicsnemo_curator_spark.session import get_spark  # noqa: E402
+from physicsnemo_curator_spark.operators import imagehash  # noqa: E402
 from physicsnemo_curator_spark.sources import (  # noqa: E402
     avi,
     bmp,
@@ -177,6 +178,21 @@ def main() -> None:
         .collect()[0]["u"]
     )
     print(f"video frames: {n_frames} total, {uniq} unique after dedup")
+
+    # ---- perceptual near-dup sweep: image pHash + video majority
+    # fingerprints through the shared banded hamming join (the same
+    # md5-hex content appears across formats, so cross-format
+    # duplicates ARE found)
+    img_pairs = imagehash.image_near_duplicates(
+        images, method="phash", max_hamming=3, n_bands=4
+    )
+    vid_pairs = imagehash.video_near_duplicates(
+        media.filter("kind = 'video'"), max_hamming=3, n_bands=4
+    )
+    print(
+        f"near-dup sweep: {img_pairs.count()} image pairs, "
+        f"{vid_pairs.count()} video pairs (banded hamming join)"
+    )
 
     out = os.path.join(work, "curated")
     feats.write.mode("overwrite").partitionBy("kind").parquet(out)

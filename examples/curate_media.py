@@ -134,6 +134,17 @@ def main() -> None:
                 rows.append(
                     (int(doc_id), kind, payload, w, hh, len(payload))
                 )
+                if k == 1:
+                    # plant a cross-format twin: the SAME pixels as a
+                    # BMP — the perceptual near-dup sweep must pair it
+                    # with the PNG row (both lossless -> hamming 0)
+                    twin = bmp.encode_bmp(img)
+                    rows.append(
+                        (
+                            int(doc_id) + 1_000_000, "image", twin,
+                            8, 4, len(twin),
+                        )
+                    )
             yield pd.DataFrame(
                 rows,
                 columns=[
@@ -179,20 +190,24 @@ def main() -> None:
     )
     print(f"video frames: {n_frames} total, {uniq} unique after dedup")
 
-    # ---- perceptual near-dup sweep: image pHash + video majority
-    # fingerprints through the shared banded hamming join (the same
-    # md5-hex content appears across formats, so cross-format
-    # duplicates ARE found)
+    # ---- perceptual near-dup sweep through the shared banded
+    # hamming join: every planted PNG/BMP twin (same pixels, two
+    # formats) must pair at hamming 0; the doc-unique videos must NOT
+    # pair each other
     img_pairs = imagehash.image_near_duplicates(
         images, method="phash", max_hamming=3, n_bands=4
     )
+    n_twins = images.filter("media_id >= 1000000").count()
+    n_img_pairs = img_pairs.count()
     vid_pairs = imagehash.video_near_duplicates(
         media.filter("kind = 'video'"), max_hamming=3, n_bands=4
     )
     print(
-        f"near-dup sweep: {img_pairs.count()} image pairs, "
-        f"{vid_pairs.count()} video pairs (banded hamming join)"
+        f"near-dup sweep: {n_img_pairs} image pairs "
+        f"(>= {n_twins} planted cross-format twins), "
+        f"{vid_pairs.count()} video pairs among unique videos"
     )
+    assert n_img_pairs >= n_twins
 
     out = os.path.join(work, "curated")
     feats.write.mode("overwrite").partitionBy("kind").parquet(out)

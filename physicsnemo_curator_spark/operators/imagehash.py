@@ -151,16 +151,19 @@ def with_image_hashes(
                 px = None
                 dims = not (pd.isna(w) or pd.isna(h))
                 if dims and len(raw) == int(w) * int(h):
+                    # raw gray planes: metadata wins over codec
+                    # sniffing (the multimodal policy — JPEG's 2-byte
+                    # signature false-positives on random planes)
                     px = np.frombuffer(raw, dtype=np.uint8).reshape(
                         int(h), int(w)
                     )
-                elif dims and len(raw) == int(w) * int(h) * 3:
-                    # raw RGB planes — the shape container frame rows
-                    # (sample_frames output) carry
-                    px = np.frombuffer(raw, dtype=np.uint8).reshape(
-                        int(h), int(w), 3
-                    )
                 else:
+                    # codec signature first; an ENCODED payload whose
+                    # compressed size coincides with w*h*3 must not be
+                    # reinterpreted as raw RGB noise
+                    rgb_plane = (
+                        dims and len(raw) == int(w) * int(h) * 3
+                    )
                     try:
                         decoded = _decode_image_native(raw)
                         px = decoded[0] if decoded else None
@@ -168,6 +171,14 @@ def with_image_hashes(
                         if strict:
                             raise
                         px = None
+                        rgb_plane = False  # corrupt codec payload
+                    if px is None and rgb_plane:
+                        # raw RGB planes — the shape container frame
+                        # rows (sample_frames output) carry; no codec
+                        # signature matched
+                        px = np.frombuffer(raw, dtype=np.uint8).reshape(
+                            int(h), int(w), 3
+                        )
                     if px is None and strict:
                         raise NotImplementedError(
                             "image payload in an unrecognized format "
@@ -205,9 +216,12 @@ def banded_hamming_pairs(
     """All id pairs within ``max_hamming`` of each other, via
     pigeonhole band buckets — block-equality equi-join then JVM-side
     ``bit_count`` verification, never all-pairs.  Complete whenever
-    ``max_hamming <= n_bands - 1``; ``require_complete=False`` allows
-    the recall-heuristic regime beyond that bound (candidates still
-    come only from shared blocks — the text SimHash convention).
+    ``max_hamming <= n_bands - 1`` AND ``max_bucket`` is unset —
+    setting ``max_bucket`` explicitly trades completeness for bounded
+    bucket cost (pairs whose every shared block is oversubscribed are
+    missed).  ``require_complete=False`` allows the recall-heuristic
+    regime beyond the hamming bound (candidates still come only from
+    shared blocks — the text SimHash convention).
 
     Scale note (measured, SCALE_SOAK.md): random signatures collide
     within a ``bits/n_bands``-wide block at rate ~n²/2^(bits/n_bands)
@@ -304,12 +318,6 @@ def image_near_duplicates(
     )
 
 
-VIDEO_FP_SCHEMA = (
-    "media_id long, method string, hash long, bits string, "
-    "n_frames_hashed long"
-)
-
-
 def with_video_fingerprints(
     media: DataFrame,
     *,
@@ -321,32 +329,58 @@ def with_video_fingerprints(
     dispatch (AVI / MP4 / MKV / animated GIF / raw concatenations),
     perceptually hash each sampled frame, then majority-vote each bit
     position across frames — a temporal-consensus fingerprint robust
-    to a few changed frames.  The per-bit vote is a JVM-side
-    aggregation (64 partial sums), so the reduce is one shuffle keyed
-    on media_id."""
+    to a few changed frames.  Vote TIES resolve to frame 0's bit
+    (content-dependent — a constant tie-break would collapse every
+    even-frame-count video with disagreeing halves onto one shared
+    signature).  The per-bit vote is a JVM-side aggregation (64
+    partial sums), so the reduce is one shuffle keyed on media_id.
+    Media ids must be non-negative and below 2^43 (frame indices ride
+    the low 20 bits through the per-frame hash stage)."""
     from physicsnemo_curator_spark.sources import multimodal as _mm
 
     frames = _mm.sample_frames(media, every_n=every_n, strict=strict)
     fmedia = frames.select(
-        "media_id",
+        (
+            F.shiftleft(F.col("media_id"), 20)
+            + F.col("frame_index").cast("long")
+        ).alias("media_id"),
         F.lit("image").alias("kind"),
         "payload",
         "width",
         "height",
     )
-    hashes = with_image_hashes(fmedia, method=method, strict=strict)
+    hashes = with_image_hashes(fmedia, method=method, strict=strict).select(
+        F.shiftright("media_id", 20).alias("media_id"),
+        F.col("media_id").bitwiseAND(F.lit((1 << 20) - 1)).alias(
+            "frame_index"
+        ),
+        "bits",
+    )
     counts = [
         F.sum(F.substring("bits", k + 1, 1).cast("int")).alias(f"_b{k}")
         for k in range(64)
     ]
+    firsts = [
+        F.max(
+            F.when(
+                F.col("frame_index") == 0, F.substring("bits", k + 1, 1)
+            )
+        ).alias(f"_f{k}")
+        for k in range(64)
+    ]
     maj = hashes.groupBy("media_id").agg(
-        F.count(F.lit(1)).alias("n_frames_hashed"), *counts
+        F.count(F.lit(1)).alias("n_frames_hashed"), *counts, *firsts
     )
     bits_col = F.concat(
         *[
             F.when(
                 F.col(f"_b{k}") * 2 > F.col("n_frames_hashed"), F.lit("1")
-            ).otherwise(F.lit("0"))
+            )
+            .when(
+                F.col(f"_b{k}") * 2 == F.col("n_frames_hashed"),
+                F.coalesce(F.col(f"_f{k}"), F.lit("0")),
+            )
+            .otherwise(F.lit("0"))
             for k in range(64)
         ]
     )

@@ -6439,12 +6439,11 @@ def q_media_imagehash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dmedia = media.filter(F.col("_side") == "d").drop("_side")
     amedia = media.filter(F.col("_side") == "a").drop("_side")
-    pairs = ih.image_near_duplicates(
-        dmedia, method="dhash", max_hamming=3, n_bands=4
-    )
-    dh = ih.with_image_hashes(dmedia, method="dhash").filter(
-        F.col("media_id") % 2 == 0
-    )
+    # hash ONCE: both the banded join and the bit-string projection
+    # read the same persisted signature table
+    dh_all = ih.with_image_hashes(dmedia, method="dhash")
+    pairs = ih.banded_hamming_pairs(dh_all, max_hamming=3, n_bands=4)
+    dh = dh_all.filter(F.col("media_id") % 2 == 0)
     ah = ih.with_image_hashes(amedia, method="ahash")
     return (
         pairs.withColumn("doc_id", (F.col("a") / 2).cast("long"))
@@ -6573,10 +6572,14 @@ def q_media_audiohash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id long, kind string, payload binary, width int, "
         "height int, n_bytes long",
     )
-    pairs = _ah.audio_near_duplicates(media, max_hamming=3, n_bands=4)
-    fps = _ah.with_audio_fingerprints(media).filter(
-        F.col("media_id") % 2 == 0
+    from physicsnemo_curator_spark.operators.imagehash import (
+        banded_hamming_pairs as _bhp,
     )
+
+    # fingerprint ONCE for both the join and the projection
+    fps_all = _ah.with_audio_fingerprints(media)
+    pairs = _bhp(fps_all, max_hamming=3, n_bands=4)
+    fps = fps_all.filter(F.col("media_id") % 2 == 0)
     return (
         pairs.withColumn("doc_id", (F.col("a") / 2).cast("long"))
         .join(
@@ -6640,12 +6643,13 @@ def q_media_videohash(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus a twin with ONE byte of ONE frame bumped (frame doc%4, byte
     doc%72).  ``with_video_fingerprints`` explodes frames through the
     container dispatch, dHashes each, and majority-votes the 64 bit
-    positions; the banded ``video_near_duplicates`` join must pair
-    every twin (a one-frame perturbation moves at most two majority
-    bits).  DuckDB replays per-frame gradient bits, the strict 2/4
-    majority, the perturbation and the pair hamming from the md5
-    strings — a sampling, voting, packing, or banding bug changes the
-    row."""
+    positions (ties resolve to frame 0's bit — a constant tie-break
+    would collapse disagreeing even-count videos onto one shared
+    signature); the banded join must pair every twin (a one-frame
+    perturbation moves at most two majority bits).  DuckDB replays
+    per-frame gradient bits, the tie-breaking 2/4 majority, the
+    perturbation and the pair hamming from the md5 strings — a
+    sampling, voting, packing, or banding bug changes the row."""
     from physicsnemo_curator_spark.operators import imagehash as ih
 
     docs = (
@@ -6702,10 +6706,11 @@ def q_media_videohash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id long, kind string, payload binary, width int, "
         "height int, n_bytes long",
     )
-    pairs = ih.video_near_duplicates(media, max_hamming=3, n_bands=4)
-    fps = ih.with_video_fingerprints(media).filter(
-        F.col("media_id") % 2 == 0
-    )
+    # fingerprint ONCE (frame explode + per-frame hashing + 64-way
+    # vote) for both the banded join and the projection
+    fps_all = ih.with_video_fingerprints(media)
+    pairs = ih.banded_hamming_pairs(fps_all, max_hamming=3, n_bands=4)
+    fps = fps_all.filter(F.col("media_id") % 2 == 0)
     return (
         pairs.withColumn("doc_id", (F.col("a") / 2).cast("long"))
         .join(
@@ -6752,8 +6757,16 @@ WITH p AS (
     FROM fr2, (SELECT UNNEST(range(0, 64)) AS k) kk
 ), agg AS (
     SELECT doc_id, k,
-           CASE WHEN SUM(bit) * 2 > 4 THEN '1' ELSE '0' END AS mb,
-           CASE WHEN SUM(pbit) * 2 > 4 THEN '1' ELSE '0' END AS pb
+           CASE WHEN SUM(bit) * 2 > 4 THEN '1'
+                WHEN SUM(bit) * 2 = 4 THEN
+                    CASE WHEN MAX(CASE WHEN f = 0 THEN bit END) = 1
+                         THEN '1' ELSE '0' END
+                ELSE '0' END AS mb,
+           CASE WHEN SUM(pbit) * 2 > 4 THEN '1'
+                WHEN SUM(pbit) * 2 = 4 THEN
+                    CASE WHEN MAX(CASE WHEN f = 0 THEN pbit END) = 1
+                         THEN '1' ELSE '0' END
+                ELSE '0' END AS pb
     FROM fb GROUP BY doc_id, k
 )
 SELECT doc_id,

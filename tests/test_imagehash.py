@@ -189,10 +189,16 @@ def test_video_fingerprint_majority_consensus(spark):
         for r in ih.with_video_fingerprints(df).collect()
     }
     per = [ih.dhash_kernel(p)[1] for p in planes]
-    maj = "".join(
-        "1" if sum(b[k] == "1" for b in per) * 2 > 4 else "0"
-        for k in range(64)
-    )
+
+    def vote(k):
+        s = sum(b[k] == "1" for b in per)
+        if 2 * s > 4:
+            return "1"
+        if 2 * s == 4:
+            return per[0][k]  # ties resolve to frame 0's bit
+        return "0"
+
+    maj = "".join(vote(k) for k in range(64))
     assert fp[1][0] == fp[2][0] == fp[3][0] == maj
     assert all(fp[i][2] == 4 for i in (1, 2, 3))
     # signed-long pack matches the bit string
@@ -237,3 +243,27 @@ def test_max_bucket_pruning(spark):
         sig, max_hamming=3, n_bands=4, max_bucket=5
     ).collect()
     assert [(r.a, r.b) for r in pruned] == [(100, 101)]
+
+
+def test_video_tie_break_uses_frame_zero(spark):
+    """Code-review regression: two-frame videos [img, 255-img] tie on
+    every bit position; the tie resolves to frame 0's bit, so
+    DIFFERENT-content videos must NOT collapse onto one shared
+    signature (the old strict-majority rule voted every tie to 0)."""
+    vids = []
+    for i in range(6):
+        img = _RNG.integers(0, 256, (8, 9), dtype=np.uint8)
+        pair = img.tobytes() + (255 - img).tobytes()
+        vids.append((i, "video", bytearray(pair), 9, 8, 144, img))
+    df = spark.createDataFrame(
+        [v[:6] for v in vids], mm.MEDIA_SCHEMA
+    )
+    fp = {
+        r.media_id: r.bits
+        for r in ih.with_video_fingerprints(df).collect()
+    }
+    # every bit ties 1-1 -> fingerprint == frame 0's dhash
+    for i, *_rest, img in vids:
+        assert fp[i] == ih.dhash_kernel(img)[1]
+    assert len(set(fp.values())) == 6  # no collapse
+    assert ih.video_near_duplicates(df, max_hamming=3).count() == 0

@@ -6779,7 +6779,129 @@ FROM agg GROUP BY doc_id ORDER BY doc_id LIMIT 150
 """
 
 
+def q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-only probe gate (sources/probe.py + sources/exif.py):
+    each document becomes FOUR payloads — a PNG (md5-hex 4x8 gray), a
+    JPEG with an embedded EXIF APP1 (orientation 1 + doc%8), a PCM
+    WAV with ``100 + n_chars%500`` frames, and an animated GIF with
+    ``2 + doc%3`` frames at 4 cs delay — pushed through
+    ``with_media_probe``, which reads ONLY headers (format sniff, SOF
+    scan, EXIF IFD, fmt/fact chunks, GIF sub-block walk).  Every
+    output field is pure arithmetic over the document row, so DuckDB
+    replays the whole table; a marker-walk, IFD, chunk-size, or
+    duration bug changes a row."""
+    from physicsnemo_curator_spark.sources import probe as _probe
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text", "n_chars")
+    )
+
+    def build(it):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from physicsnemo_curator_spark.sources import exif as _exif
+        from physicsnemo_curator_spark.sources import gif as _gif
+        from physicsnemo_curator_spark.sources import jpeg as _jpeg
+        from physicsnemo_curator_spark.sources import png as _png
+        from physicsnemo_curator_spark.sources import wav as _wav
+
+        for pdf in it:
+            rows = []
+            for doc_id, text, n_chars in zip(
+                pdf["doc_id"], pdf["text"], pdf["n_chars"]
+            ):
+                doc_id = int(doc_id)
+                img = np.frombuffer(
+                    hashlib.md5(text.encode()).hexdigest().encode(),
+                    dtype=np.uint8,
+                ).reshape(4, 8)
+                p_png = _png.encode_png(img)
+                p_jpeg = _exif.embed_exif(
+                    _jpeg.encode_jpeg(img, quality=90),
+                    {"orientation": 1 + doc_id % 8},
+                )
+                n = 100 + int(n_chars) % 500
+                p_wav = _wav.encode_wav(np.zeros(n), 8000)
+                nf = 2 + doc_id % 3
+                p_gif = _gif.encode_gif([img] * nf, delay_cs=4)
+                for k, p in enumerate((p_png, p_jpeg, p_wav, p_gif)):
+                    rows.append(
+                        (doc_id * 4 + k, "image", p, None, None, len(p))
+                    )
+            pdf_out = pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "kind", "payload", "width", "height",
+                    "n_bytes",
+                ],
+            )
+            pdf_out["width"] = pd.array(pdf_out["width"], dtype="Int32")
+            pdf_out["height"] = pd.array(pdf_out["height"], dtype="Int32")
+            yield pdf_out
+
+    media = docs.mapInPandas(
+        build,
+        "media_id long, kind string, payload binary, width int, "
+        "height int, n_bytes long",
+    )
+    return (
+        _probe.with_media_probe(media)
+        .select(
+            "media_id", "format", "kind", "width", "height",
+            "n_frames", "sample_rate", "channels", "bits",
+            F.round("duration_s", 9).alias("duration_s"),
+            "orientation",
+        )
+        .orderBy("media_id")
+        .limit(800)
+    )
+
+
+ORACLE_MEDIA_PROBE = """
+WITH p AS (
+    SELECT doc_id, 100 + n_chars % 500 AS n, 2 + doc_id % 3 AS nf,
+           1 + doc_id % 8 AS o
+    FROM documents WHERE doc_id < 200
+)
+SELECT media_id, format, kind, width, height, n_frames, sample_rate,
+       channels, bits, duration_s, orientation
+FROM (
+    SELECT doc_id * 4 AS media_id, 'png' AS format, 'image' AS kind,
+           CAST(8 AS INT) AS width, CAST(4 AS INT) AS height,
+           CAST(NULL AS BIGINT) AS n_frames,
+           CAST(NULL AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
+           CAST(8 AS INT) AS bits, CAST(NULL AS DOUBLE) AS duration_s,
+           CAST(NULL AS INT) AS orientation
+    FROM p
+    UNION ALL
+    SELECT doc_id * 4 + 1, 'jpeg', 'image',
+           CAST(8 AS INT), CAST(4 AS INT), NULL, NULL, CAST(1 AS INT),
+           CAST(8 AS INT), NULL, CAST(o AS INT)
+    FROM p
+    UNION ALL
+    SELECT doc_id * 4 + 2, 'wav', 'audio', NULL, NULL,
+           CAST(n AS BIGINT), CAST(8000 AS INT), CAST(1 AS INT),
+           CAST(16 AS INT), ROUND(n / 8000.0, 9), NULL
+    FROM p
+    UNION ALL
+    SELECT doc_id * 4 + 3, 'gif',
+           CASE WHEN nf > 1 THEN 'video' ELSE 'image' END,
+           CAST(8 AS INT), CAST(4 AS INT), CAST(nf AS BIGINT), NULL,
+           CAST(3 AS INT), CAST(8 AS INT), ROUND(nf * 4 / 100.0, 9),
+           NULL
+    FROM p
+)
+ORDER BY media_id LIMIT 800
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "q_media_probe": QuerySpec(q_media_probe, ORACLE_MEDIA_PROBE),
     "q_media_imagehash": QuerySpec(
         q_media_imagehash, ORACLE_MEDIA_IMAGEHASH
     ),
@@ -7011,6 +7133,7 @@ QUERIES: dict[str, QuerySpec] = {
 # followed by the r08-green cohort.
 _DRIVER_ORDER = [
     # --- r09-new gates ---
+    "q_media_probe",
     "q_media_imagehash",
     "q_media_audiohash",
     "q_media_videohash",

@@ -259,6 +259,10 @@ def parse_avi(data: bytes) -> dict:
                             st["type"] = fcc_type
                             if scale:
                                 st["fps"] = round(rate / scale)
+                                # exact rate/scale for duration math
+                                # (29.97 fps material must not round)
+                                st["rate"] = rate
+                                st["scale"] = scale
                         elif c5 == b"strf" and st.get("type") == b"vids":
                             st.update(_parse_strf(data[b3 : b3 + s3]))
                     if st.get("type") == b"vids" and stream is None:
@@ -293,6 +297,8 @@ def parse_avi(data: bytes) -> dict:
     meta["bitcount"] = stream.get("bitcount", 24)
     if "fps" in stream:
         meta["fps"] = stream["fps"]
+        meta["rate"] = stream["rate"]
+        meta["scale"] = stream["scale"]
     return {"meta": meta, "frames": frames}
 
 

@@ -81,9 +81,8 @@ def build_exif(tags: dict) -> bytes:
         out += struct.pack("<I", 0)  # no next IFD
         return out + bytes(extra)
 
-    # IFD0 starts at offset 8; the sub-IFD (if any) lands after IFD0
-    n0 = len(ifd0) + (1 if sub else 0)
-    # size of IFD0 incl. its extra blob depends on string lengths —
+    # IFD0 starts at offset 8; the sub-IFD (if any) lands after IFD0.
+    # Its size incl. the extra blob depends on string lengths —
     # compute with a dry run at a throwaway base, then place sub
     if sub:
         probe0 = dict(ifd0)
@@ -100,20 +99,31 @@ def build_exif(tags: dict) -> bytes:
 
 
 def embed_exif(jpeg_bytes: bytes, tags: dict) -> bytes:
-    """Insert an APP1 EXIF segment right after SOI (replacing any
-    existing EXIF APP1)."""
+    """Insert an APP1 EXIF segment right after SOI, replacing any
+    existing EXIF APP1 ANYWHERE in the pre-scan segment run (a stale
+    one after a JFIF APP0 would otherwise survive and conflict)."""
     data = bytes(jpeg_bytes)
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG byte stream (bad SOI)")
     payload = build_exif(tags)
     app1 = b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
-    rest = data[2:]
-    # drop an existing EXIF APP1 so embed is idempotent
-    if rest[:2] == b"\xff\xe1":
-        (seglen,) = struct.unpack_from(">H", rest, 2)
-        if rest[4:10] == b"Exif\x00\x00":
-            rest = rest[2 + seglen :]
-    return data[:2] + app1 + rest
+    kept = bytearray()
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            break
+        marker = data[pos + 1]
+        if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7:
+            break
+        (seglen,) = struct.unpack_from(">H", data, pos + 2)
+        if marker == 0xDA:
+            break
+        if not (
+            marker == 0xE1 and data[pos + 4 : pos + 10] == b"Exif\x00\x00"
+        ):
+            kept += data[pos : pos + 2 + seglen]
+        pos += 2 + seglen
+    return data[:2] + app1 + bytes(kept) + data[pos:]
 
 
 def extract_exif(data: bytes) -> dict:

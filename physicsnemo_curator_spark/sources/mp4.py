@@ -512,6 +512,10 @@ def parse_mp4(data: bytes) -> dict:
             "height": int(h),
             "n_frames": len(frames),
             "fps": round(timescale / delta) if delta else 0,
+            # exact pair for duration math (NTSC 30000/1001 material
+            # must not round through an integer fps)
+            "timescale": int(timescale),
+            "frame_delta": int(delta),
             "codec": codec,
         }
         return {"meta": meta, "frames": frames}

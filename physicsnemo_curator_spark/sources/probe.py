@@ -58,14 +58,17 @@ def _probe_jpeg(raw: bytes) -> dict:
 
     pos = 2
     out = {"format": "jpeg", "kind": "image"}
+    exif_blob = None
     while pos + 4 <= len(raw):
         if raw[pos] != 0xFF:
             break
         marker = raw[pos + 1]
-        if marker == 0xD9 or 0xD0 <= marker <= 0xD7:
+        if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
         (seglen,) = struct.unpack_from(">H", raw, pos + 2)
+        if marker == 0xE1 and raw[pos + 4 : pos + 10] == b"Exif\x00\x00":
+            exif_blob = raw[pos + 10 : pos + 2 + seglen]
         if marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                       0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF, 0xDE):
             prec, h, w, nc = struct.unpack_from(">BHHB", raw, pos + 4)
@@ -74,21 +77,25 @@ def _probe_jpeg(raw: bytes) -> dict:
         if marker == 0xDA:
             break
         pos += 2 + seglen
-    try:
-        tags = _exif.extract_exif(raw)
-    except ValueError:
-        tags = {}
-    if "orientation" in tags:
-        out["orientation"] = tags["orientation"]
+    if exif_blob is not None:
+        # a corrupt EXIF blob must not void the geometry already
+        # parsed — degrade to metadata-free, whatever the error class
+        try:
+            tags = _exif.parse_exif_blob(exif_blob)
+        except Exception:
+            tags = {}
+        if "orientation" in tags:
+            out["orientation"] = tags["orientation"]
     return out
 
 
 def _probe_bmp(raw: bytes) -> dict:
     _bi, w, h, _planes, bits = struct.unpack_from("<IiiHH", raw, 14)
+    channels = {1: 1, 4: 1, 8: 1, 16: 3, 24: 3, 32: 4}.get(int(bits))
     return {
         "format": "bmp", "kind": "image", "width": int(w),
         "height": abs(int(h)), "bits": int(bits),
-        "channels": 1 if bits == 8 else 3,
+        "channels": channels,
     }
 
 
@@ -138,8 +145,16 @@ def _probe_wav(raw: bytes) -> dict:
 
     fmt, block_align, fact_frames, payload = _wav._parse_wav_chunks(raw)
     tag, channels, rate, bits = fmt
-    if tag in (0x11, 2):  # ADPCM: frame count from fact/blocks
+    if tag in (0x11, 2):  # ADPCM: frame count from fact, else blocks
         n = fact_frames
+        if not n and block_align and channels:
+            # per-block sample math from the format spec (external
+            # writers sometimes omit the fact chunk)
+            if tag == 0x11:
+                spb = (block_align - 4 * channels) * 2 // channels + 1
+            else:
+                spb = (block_align - 7 * channels) * 2 // channels + 2
+            n = (len(payload) // block_align) * spb
     else:
         bytes_per_frame = max(1, channels * max(bits, 8) // 8)
         n = len(payload) // bytes_per_frame
@@ -201,12 +216,16 @@ def _probe_aiff(raw: bytes) -> dict:
         (size,) = struct.unpack_from(">I", raw, pos + 4)
         if cid == b"COMM":
             body = raw[pos + 8 : pos + 8 + size]
+            if len(body) < 18:
+                raise ValueError("AIFF COMM chunk shorter than 18 bytes")
             channels, frames, bits = struct.unpack_from(">HIH", body, 0)
             rate = round(_aiff._read_extended(body[8:18]))
             out.update(
-                channels=channels, n_frames=frames, bits=bits,
-                sample_rate=rate,
-                duration_s=(frames / rate) if rate else None,
+                channels=channels, bits=bits, sample_rate=rate,
+                # zero frames -> None, matching the WAV probe's
+                # convention so duration filters behave uniformly
+                n_frames=frames or None,
+                duration_s=(frames / rate) if (frames and rate) else None,
             )
             break
         pos += 8 + size + (size % 2)
@@ -218,12 +237,13 @@ def _probe_avi(raw: bytes) -> dict:
 
     parsed = _avi.parse_avi(raw)
     meta = parsed["meta"]
-    fps = meta.get("fps") or 0
     n = len(parsed["frames"])
+    rate, scale = meta.get("rate"), meta.get("scale")
     return {
         "format": "avi", "kind": "video", "width": meta["width"],
         "height": meta["height"], "n_frames": n,
-        "duration_s": (n / fps) if fps else None,
+        # exact n*scale/rate — never through a rounded integer fps
+        "duration_s": (n * scale / rate) if rate else None,
     }
 
 
@@ -232,12 +252,12 @@ def _probe_mp4(raw: bytes) -> dict:
 
     parsed = _mp4.parse_mp4(raw)
     meta = parsed["meta"]
-    fps = meta.get("fps") or 0
     n = meta["n_frames"]
+    ts, delta = meta.get("timescale"), meta.get("frame_delta")
     return {
         "format": "mp4", "kind": "video", "width": meta["width"],
         "height": meta["height"], "n_frames": n,
-        "duration_s": (n / fps) if fps else None,
+        "duration_s": (n * delta / ts) if (ts and delta) else None,
     }
 
 

@@ -167,3 +167,99 @@ def test_with_media_probe_mixed_table(spark):
     assert probe.with_media_probe(df2).collect()[0].format == "error"
     with pytest.raises(Exception):
         probe.with_media_probe(df2, strict=True).collect()
+
+
+# ---------------------------------------------------------------------------
+# code-review regressions
+
+
+def test_probe_jpeg_survives_corrupt_exif():
+    """A corrupt EXIF blob degrades to geometry-only — never an
+    error row for an image whose picture headers are valid."""
+    import struct
+
+    img = _RNG.integers(0, 256, (8, 12), dtype=np.uint8)
+    j = bytearray(
+        exif.embed_exif(jpeg.encode_jpeg(img, quality=90), {"orientation": 6})
+    )
+    at = bytes(j).index(b"Exif\x00\x00") + 6
+    struct.pack_into("<I", j, at + 4, 0xFFFFFF)  # absurd IFD0 offset
+    p = probe.probe_media(bytes(j))
+    assert p["format"] == "jpeg"
+    assert (p["width"], p["height"]) == (12, 8)
+    assert p["orientation"] is None
+
+
+def test_probe_exact_durations_non_integer_fps():
+    """NTSC-style material (30000/1001) must probe the exact
+    n*delta/timescale duration, not n / round(fps)."""
+    import struct
+
+    img = _RNG.integers(0, 256, (4, 4), dtype=np.uint8)
+    d = bytearray(mp4.encode_mp4([img] * 30, fps=30, codec="raw"))
+    # rewrite mdhd timescale 30 -> 30000 and stts delta 1 -> 1001
+    at = bytes(d).index(b"mdhd")
+    struct.pack_into(">I", d, at + 16, 30000)
+    at = bytes(d).index(b"stts")
+    struct.pack_into(">I", d, at + 16, 1001)
+    p = probe.probe_media(bytes(d))
+    assert abs(p["duration_s"] - 30 * 1001 / 30000) < 1e-12
+    # AVI: rate/scale 30000/1001
+    a = bytearray(avi.encode_avi([img] * 30, fps=30, codec="raw"))
+    at = bytes(a).index(b"strh")
+    struct.pack_into("<II", a, at + 28, 1001, 30000)  # scale, rate
+    p = probe.probe_media(bytes(a))
+    assert abs(p["duration_s"] - 30 * 1001 / 30000) < 1e-12
+
+
+def test_probe_adpcm_without_fact_chunk():
+    """External ADPCM writers may omit fact; the block math recovers
+    the frame count from the headers alone."""
+    import struct
+
+    sig = np.sin(np.arange(505 * 3) / 9.0) * 0.5
+    d = bytearray(wav.encode_wav(sig, 8000, bits=4))
+    # excise the fact chunk (12 bytes: 'fact' + size + frames)
+    at = bytes(d).index(b"fact")
+    del d[at : at + 12]
+    struct.pack_into("<I", d, 4, len(d) - 8)  # fix RIFF size
+    p = probe.probe_media(bytes(d))
+    assert p["format"] == "wav"
+    assert p["n_frames"] == 505 * 3
+    assert abs(p["duration_s"] - 505 * 3 / 8000) < 1e-12
+
+
+def test_embed_exif_replaces_stale_segment_after_app0():
+    """A stale EXIF APP1 sitting after a JFIF APP0 is removed."""
+    import struct
+
+    img = _RNG.integers(0, 256, (8, 8), dtype=np.uint8)
+    j = jpeg.encode_jpeg(img, quality=90)
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + b"\x00" * 6
+    stale = exif.build_exif({"orientation": 6})
+    app1 = b"\xff\xe1" + struct.pack(">H", len(stale) + 2) + stale
+    foreign = j[:2] + app0 + app1 + j[2:]
+    out = exif.embed_exif(foreign, {"orientation": 1})
+    assert out.count(b"Exif\x00\x00") == 1
+    assert exif.extract_exif(out) == {"orientation": 1}
+    assert b"JFIF" in out  # the APP0 survives
+    px, _ = jpeg.decode_jpeg(out)
+    np.testing.assert_array_equal(px, jpeg.decode_jpeg(j)[0])
+
+
+def test_probe_aiff_zero_frames_is_null():
+    d = aiff.encode_aiff(np.zeros(0), 8000)
+    p = probe.probe_media(d)
+    assert p["n_frames"] is None and p["duration_s"] is None
+
+
+def test_probe_bmp_channel_map():
+    import struct
+
+    h, w = 2, 2
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 32, 0, h * w * 4, 0, 0, 0, 0
+    )
+    hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + h * w * 4, 0, 0, 54)
+    d = hdr + info + b"\x00" * (h * w * 4)
+    assert probe.probe_media(d)["channels"] == 4

@@ -120,18 +120,26 @@ _KERNELS = {"ahash": ahash_kernel, "dhash": dhash_kernel, "phash": phash_kernel}
 
 
 def with_image_hashes(
-    media: DataFrame, *, method: str = "dhash", strict: bool = False
+    media: DataFrame,
+    *,
+    method: str = "dhash",
+    strict: bool = False,
+    honor_orientation: bool = True,
 ) -> DataFrame:
     """Hash every image payload: raw grayscale planes (``n_bytes ==
     width*height``, metadata wins over codec sniffing — the
-    multimodal policy) and any codec-decodable payload.  Non-image
-    rows are dropped; undecodable images raise under ``strict`` and
-    are skipped otherwise."""
+    multimodal policy) and any codec-decodable payload.  JPEGs with
+    an EXIF orientation are normalized upright before hashing (when
+    ``honor_orientation``), so a camera-rotated copy of a photo
+    hashes like its upright twin.  Non-image rows are dropped;
+    undecodable images raise under ``strict`` and are skipped
+    otherwise."""
     if method not in _KERNELS:
         raise ValueError(f"unknown hash method {method!r}")
     kernel = _KERNELS[method]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from physicsnemo_curator_spark.sources import exif as _exif
         from physicsnemo_curator_spark.sources.multimodal import (
             _decode_image_native,
         )
@@ -167,6 +175,19 @@ def with_image_hashes(
                     try:
                         decoded = _decode_image_native(raw)
                         px = decoded[0] if decoded else None
+                        if (
+                            px is not None
+                            and honor_orientation
+                            and decoded[1] == "jpeg"
+                        ):
+                            try:
+                                o = _exif.extract_exif(raw).get(
+                                    "orientation"
+                                )
+                            except Exception:
+                                o = None
+                            if o:
+                                px = _exif.normalize_orientation(px, o)
                     except Exception:
                         if strict:
                             raise

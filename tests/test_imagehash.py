@@ -267,3 +267,36 @@ def test_video_tie_break_uses_frame_zero(spark):
         assert fp[i] == ih.dhash_kernel(img)[1]
     assert len(set(fp.values())) == 6  # no collapse
     assert ih.video_near_duplicates(df, max_hamming=3).count() == 0
+
+
+def test_exif_orientation_aware_hashing(spark):
+    """A camera-rotated JPEG (rotated pixels + compensating EXIF
+    orientation) hashes like its upright twin when honor_orientation
+    is on, and differently with it off."""
+    from physicsnemo_curator_spark.sources import exif as sexif
+    from physicsnemo_curator_spark.sources import jpeg as sjpeg
+
+    up = np.full((16, 12), 0, dtype=np.uint8)
+    up[:8] = 200  # bright top half: orientation-sensitive content
+    rotated = np.rot90(up, 1)  # stored rotated; needs orientation 6
+    j_up = sjpeg.encode_jpeg(up, quality=95)
+    j_rot = sexif.embed_exif(
+        sjpeg.encode_jpeg(rotated, quality=95), {"orientation": 6}
+    )
+    rows = [
+        (1, "image", bytearray(j_up), None, None, 0),
+        (2, "image", bytearray(j_rot), None, None, 0),
+    ]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    on = {
+        r.media_id: r.bits
+        for r in ih.with_image_hashes(df, method="ahash").collect()
+    }
+    assert on[1] == on[2]
+    off = {
+        r.media_id: r.bits
+        for r in ih.with_image_hashes(
+            df, method="ahash", honor_orientation=False
+        ).collect()
+    }
+    assert off[1] != off[2]

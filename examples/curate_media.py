@@ -39,6 +39,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from physicsnemo_curator_spark.session import get_spark  # noqa: E402
 from physicsnemo_curator_spark.operators import imagehash  # noqa: E402
+from physicsnemo_curator_spark.sources import probe  # noqa: E402
 from physicsnemo_curator_spark.sources import (  # noqa: E402
     avi,
     bmp,
@@ -159,6 +160,21 @@ def main() -> None:
         for r in media.groupBy("kind").agg(F.count("*").alias("n")).collect()
     }
     print(f"media lake: {counts}")
+
+    # ---- header-only probe first: format census without a single
+    # decode (the cheap routing pass a 100 TB lake runs before
+    # scheduling any expensive work)
+    census = (
+        probe.with_media_probe(media)
+        .groupBy("format")
+        .agg(F.count("*").alias("n"))
+        .orderBy("format")
+        .collect()
+    )
+    print(
+        "probe census: "
+        + ", ".join(f"{r['format']}={r['n']}" for r in census)
+    )
 
     # ---- strict feature extraction: every payload REALLY decoded
     feats = mm.extract_features(media, dim=8, strict=True)

@@ -129,6 +129,11 @@ def _gif_lzw_encode(data: bytes, min_code_size: int) -> bytes:
         w = c
     if w:
         emit(table[w], bits)
+        # the decoder ADDS a table entry for this final code (the
+        # encoder does not), so its width bump can fire before the
+        # EOI — mirror it or the EOI is read one bit wide
+        if next_code >= (1 << bits) and bits < 12:
+            bits += 1
     emit(eoi, bits)
     if acc_bits:
         out.append(acc & 0xFF)

@@ -146,6 +146,11 @@ def _lzw_encode(data: bytes) -> bytes:
         w = c
     if w:
         emit(table[w], bits)
+        # the decoder ADDS a table entry for this final code (the
+        # encoder does not), so its width bump can fire before the
+        # EOI — mirror it or the EOI is read one bit wide
+        if next_code >= (1 << bits) - 2 and bits < 12:
+            bits += 1
     emit(257, bits)  # EOI
     if acc_bits:
         out.append((acc << (8 - acc_bits)) & 0xFF)

@@ -522,3 +522,24 @@ def test_tiff_tiled_layout_roundtrips():
         np.testing.assert_array_equal(a, b)
     with pytest.raises(ValueError, match="multiples of 16"):
         tiff.encode_tiff(px, tile=(10, 16))
+
+
+def test_lzw_final_flush_width_boundary():
+    """Fuzz-caught regression: the decoder adds a phantom table entry
+    for the encoder's FINAL flush code, so its width bump could fire
+    just before the EOI and desync the read.  Sweep prefixes that
+    land the final-code table size on every value around the 9→10 and
+    10→11 boundaries, both LZW flavors."""
+    from physicsnemo_curator_spark.sources import gif as gif_mod
+
+    base = bytes(range(256)) * 8
+    for cut in range(240, 280):
+        raw = base[:cut]
+        assert tiff._lzw_decode(tiff._lzw_encode(raw)) == raw, cut
+        enc = gif_mod._gif_lzw_encode(raw, 8)
+        assert gif_mod._gif_lzw_decode(enc, 8) == raw, cut
+    for cut in range(750, 790):
+        raw = base[:cut]
+        assert tiff._lzw_decode(tiff._lzw_encode(raw)) == raw, cut
+        enc = gif_mod._gif_lzw_encode(raw, 8)
+        assert gif_mod._gif_lzw_decode(enc, 8) == raw, cut

@@ -6900,7 +6900,137 @@ ORDER BY media_id LIMIT 800
 """
 
 
+def q_media_audiotags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-metadata gate (sources/audiotags.py): each document
+    becomes FOUR tiny audio payloads — PCM WAV, native FLAC, Ogg-FLAC
+    and AIFF, all ``50 + n_chars % 200`` zero frames at 8 kHz.  WAV /
+    FLAC / AIFF are first stamped with a STALE title then re-embedded
+    with the real tags (pinning the replace path); Ogg-FLAC carries
+    its tags through ``encode_ogg_flac(tags=...)`` page framing.
+    Extraction round-trips the normalized dict and decode confirms
+    the samples survived the splice.  Every tag value is pure string
+    arithmetic over the document row, so DuckDB replays the table —
+    a chunk-alignment, vendor-length, lacing, or last-block-flag bug
+    changes a row."""
+    from physicsnemo_curator_spark.sources import audiotags as _at
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 150)
+        .select("doc_id", "text", "n_chars")
+    )
+
+    def codec(it):
+        import numpy as np
+        import pandas as pd
+
+        from physicsnemo_curator_spark.sources import aiff as _aiff
+        from physicsnemo_curator_spark.sources import flac as _flac
+        from physicsnemo_curator_spark.sources import wav as _wav
+
+        for pdf in it:
+            rows = []
+            for doc_id, text, n_chars in zip(
+                pdf["doc_id"], pdf["text"], pdf["n_chars"]
+            ):
+                doc_id, n_chars = int(doc_id), int(n_chars)
+                tags = {
+                    "title": text[:16],
+                    "artist": f"artist-{doc_id % 7}",
+                    "comment": f"c:{n_chars % 100}",
+                }
+                n = 50 + n_chars % 200
+                sig = np.zeros(n)
+                stale = {"title": "stale"}
+                payloads = [
+                    (
+                        "wav",
+                        _at.embed_audio_tags(
+                            _at.embed_audio_tags(
+                                _wav.encode_wav(sig, 8000), stale
+                            ),
+                            tags,
+                        ),
+                        _wav.decode_wav,
+                    ),
+                    (
+                        "flac",
+                        _at.embed_audio_tags(
+                            _at.embed_audio_tags(
+                                _flac.encode_flac(sig, 8000), stale
+                            ),
+                            tags,
+                        ),
+                        _flac.decode_flac,
+                    ),
+                    (
+                        "ogg_flac",
+                        _flac.encode_ogg_flac(sig, 8000, tags=tags),
+                        _flac.decode_ogg_flac,
+                    ),
+                    (
+                        "aiff",
+                        _at.embed_audio_tags(
+                            _at.embed_audio_tags(
+                                _aiff.encode_aiff(sig, 8000), stale
+                            ),
+                            tags,
+                        ),
+                        _aiff.decode_aiff,
+                    ),
+                ]
+                for k, (name, payload, dec) in enumerate(payloads):
+                    got = _at.extract_audio_tags(payload)
+                    out, _meta = dec(payload)
+                    rows.append(
+                        (
+                            doc_id * 4 + k,
+                            name,
+                            got.get("title"),
+                            got.get("artist"),
+                            got.get("comment"),
+                            int(out.shape[0]),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "container", "title", "artist",
+                    "comment", "n_frames",
+                ],
+            )
+
+    out = docs.mapInPandas(
+        codec,
+        "media_id long, container string, title string, artist string, "
+        "comment string, n_frames int",
+    )
+    return out.orderBy("media_id").limit(600)
+
+
+ORACLE_MEDIA_AUDIOTAGS = """
+WITH p AS (
+    SELECT doc_id, substr(text, 1, 16) AS title,
+           'artist-' || CAST(doc_id % 7 AS VARCHAR) AS artist,
+           'c:' || CAST(n_chars % 100 AS VARCHAR) AS comment,
+           50 + n_chars % 200 AS n
+    FROM documents WHERE doc_id < 150
+),
+c AS (
+    SELECT * FROM (VALUES (0, 'wav'), (1, 'flac'), (2, 'ogg_flac'),
+                          (3, 'aiff')) AS t(k, container)
+)
+SELECT p.doc_id * 4 + c.k AS media_id, c.container, p.title, p.artist,
+       p.comment, CAST(p.n AS INT) AS n_frames
+FROM p CROSS JOIN c
+ORDER BY media_id LIMIT 600
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "q_media_audiotags": QuerySpec(
+        q_media_audiotags, ORACLE_MEDIA_AUDIOTAGS
+    ),
     "q_media_probe": QuerySpec(q_media_probe, ORACLE_MEDIA_PROBE),
     "q_media_imagehash": QuerySpec(
         q_media_imagehash, ORACLE_MEDIA_IMAGEHASH
@@ -7133,6 +7263,7 @@ QUERIES: dict[str, QuerySpec] = {
 # followed by the r08-green cohort.
 _DRIVER_ORDER = [
     # --- r09-new gates ---
+    "q_media_audiotags",
     "q_media_probe",
     "q_media_imagehash",
     "q_media_audiohash",

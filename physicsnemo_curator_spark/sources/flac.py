@@ -532,12 +532,9 @@ def is_ogg_flac(data: bytes) -> bool:
     return bytes(data[:4]) == b"OggS" and b"\x7fFLAC" in bytes(data[:128])
 
 
-def decode_ogg_flac(data: bytes) -> tuple[np.ndarray, dict]:
-    """Decode Ogg-encapsulated FLAC (the \\x7fFLAC mapping): walk the
-    Ogg pages (CRC-32 verified, lacing-value packet reassembly),
-    rebuild the NATIVE FLAC stream — STREAMINFO from the mapping
-    header packet, remaining metadata packets, then frame packets —
-    and hand it to :func:`decode_flac`."""
+def _ogg_packets(data: bytes) -> list[bytes]:
+    """Walk the Ogg pages of the FIRST logical stream (CRC-32
+    verified) and reassemble its packets via lacing values."""
     data = bytes(data)
     pos = 0
     packets: list[bytes] = []
@@ -571,6 +568,16 @@ def decode_ogg_flac(data: bytes) -> tuple[np.ndarray, dict]:
         pos = body_start + body_len
     if partial:
         packets.append(partial)
+    return packets
+
+
+def decode_ogg_flac(data: bytes) -> tuple[np.ndarray, dict]:
+    """Decode Ogg-encapsulated FLAC (the \\x7fFLAC mapping): walk the
+    Ogg pages (CRC-32 verified, lacing-value packet reassembly),
+    rebuild the NATIVE FLAC stream — STREAMINFO from the mapping
+    header packet, remaining metadata packets, then frame packets —
+    and hand it to :func:`decode_flac`."""
+    packets = _ogg_packets(data)
     if not packets or packets[0][:5] != b"\x7fFLAC":
         raise ValueError("first Ogg packet is not the FLAC mapping header")
     head = packets[0]
@@ -628,11 +635,17 @@ def decode_ogg_flac(data: bytes) -> tuple[np.ndarray, dict]:
 
 
 def encode_ogg_flac(
-    samples: np.ndarray, sample_rate: int, *, block_size: int = 4096
+    samples: np.ndarray,
+    sample_rate: int,
+    *,
+    block_size: int = 4096,
+    tags: dict | None = None,
 ) -> bytes:
     """Wrap :func:`encode_flac` output in Ogg pages per the FLAC
     mapping: mapping-header packet on its own beginning-of-stream
-    page, then one frame per packet, one packet per page."""
+    page, an optional VORBIS_COMMENT header packet (``tags``, the
+    normalized names of ``sources/audiotags.py``), then one frame per
+    packet, one packet per page."""
     native = encode_flac(samples, sample_rate, block_size=block_size)
     # split: magic(4) + STREAMINFO block, then frames
     (si_size,) = struct.unpack(">I", b"\x00" + native[5:8])
@@ -643,7 +656,21 @@ def encode_ogg_flac(
     # frame parser (frames are self-delimiting via CRC-16 at known
     # positions — reuse the simple fixed layout: our encoder writes
     # frames back to back, so split by decoding lengths)
-    packets = [b"\x7fFLAC\x01\x00" + struct.pack(">H", 0) + b"fLaC" + streaminfo]
+    n_headers = 1 if tags else 0
+    packets = [
+        b"\x7fFLAC\x01\x00"
+        + struct.pack(">H", n_headers)
+        + b"fLaC"
+        + streaminfo
+    ]
+    header_pkts = []
+    if tags:
+        from . import audiotags as _audiotags
+
+        body = _audiotags._vorbis_block(tags)
+        header_pkts.append(
+            bytes([4]) + struct.pack(">I", len(body))[1:] + body
+        )
 
     def pages(packet: bytes, *, bos=False, eos=False, granule=0, seq=[0]):
         out = bytearray()
@@ -675,6 +702,8 @@ def encode_ogg_flac(
                 return bytes(out)
 
     out = bytearray(pages(packets[0], bos=True))
+    for hp in header_pkts:
+        out += pages(hp)
     # Frame packets: split the blob at byte-aligned sync codes.  FLAC
     # entropy data CAN contain sync-looking bytes, so a split may land
     # mid-frame — harmless here, because the decode side reassembles

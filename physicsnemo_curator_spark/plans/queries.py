@@ -7027,7 +7027,123 @@ ORDER BY media_id LIMIT 600
 """
 
 
+def q_media_imagetags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-metadata gate (sources/imagetags.py + with_media_tags):
+    each document becomes FIVE payloads from its md5 4x8 pixel grid —
+    PNG (tEXt title+comment), JPEG (EXIF Artist + COM comment), TIFF
+    (append-only IFD rewrite: DocumentName + Software), GIF (Comment
+    Extension) and an untaggable BMP — each stamped with doc-derived
+    strings and read back through the ``with_media_tags`` operator.
+    Every surviving tag is pure string arithmetic over the document
+    row and every refused slot is NULL, so DuckDB replays the support
+    matrix exactly — a chunk CRC, marker-walk, IFD-pointer, or
+    sub-block bug changes a row."""
+    from physicsnemo_curator_spark.sources import multimodal as _mm
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 120)
+        .select("doc_id", "text", "n_chars")
+    )
+
+    def build(it):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from physicsnemo_curator_spark.sources import bmp as _bmp
+        from physicsnemo_curator_spark.sources import gif as _gif
+        from physicsnemo_curator_spark.sources import imagetags as _it
+        from physicsnemo_curator_spark.sources import jpeg as _jpeg
+        from physicsnemo_curator_spark.sources import png as _png
+        from physicsnemo_curator_spark.sources import tiff as _tiff
+
+        for pdf in it:
+            rows = []
+            for doc_id, text, n_chars in zip(
+                pdf["doc_id"], pdf["text"], pdf["n_chars"]
+            ):
+                doc_id, n_chars = int(doc_id), int(n_chars)
+                img = np.frombuffer(
+                    hashlib.md5(text.encode()).hexdigest().encode(),
+                    dtype=np.uint8,
+                ).reshape(4, 8)
+                title = f"t:{doc_id % 50}"
+                author = f"a:{n_chars % 10}"
+                comment = f"c:{doc_id % 9}"
+                software = f"s:{n_chars % 7}"
+                payloads = [
+                    _it.embed_image_tags(
+                        _png.encode_png(img),
+                        {"title": title, "comment": comment},
+                    ),
+                    _it.embed_image_tags(
+                        _jpeg.encode_jpeg(img, quality=90),
+                        {"author": author, "comment": comment},
+                    ),
+                    _it.embed_image_tags(
+                        _tiff.encode_tiff(img, compression="lzw"),
+                        {"title": title, "software": software},
+                    ),
+                    _it.embed_image_tags(
+                        _gif.encode_gif([img]), {"comment": comment}
+                    ),
+                    _bmp.encode_bmp(img),
+                ]
+                for k, p in enumerate(payloads):
+                    rows.append((doc_id * 5 + k, "image", p, 8, 4, len(p)))
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "kind", "payload", "width", "height",
+                    "n_bytes",
+                ],
+            )
+            out["width"] = pd.array(out["width"], dtype="Int32")
+            out["height"] = pd.array(out["height"], dtype="Int32")
+            yield out
+
+    media = docs.mapInPandas(
+        build,
+        "media_id long, kind string, payload binary, width int, "
+        "height int, n_bytes long",
+    )
+    return (
+        _mm.with_media_tags(media)
+        .select(
+            "media_id", "tag_title", "tag_author", "tag_comment",
+            "tag_software",
+        )
+        .orderBy("media_id")
+        .limit(600)
+    )
+
+
+ORACLE_MEDIA_IMAGETAGS = """
+WITH p AS (
+    SELECT doc_id,
+           't:' || CAST(doc_id % 50 AS VARCHAR) AS title,
+           'a:' || CAST(n_chars % 10 AS VARCHAR) AS author,
+           'c:' || CAST(doc_id % 9 AS VARCHAR) AS comment,
+           's:' || CAST(n_chars % 7 AS VARCHAR) AS software
+    FROM documents WHERE doc_id < 120
+),
+c AS (SELECT * FROM (VALUES (0), (1), (2), (3), (4)) AS t(k))
+SELECT p.doc_id * 5 + c.k AS media_id,
+       CASE WHEN c.k IN (0, 2) THEN p.title END AS tag_title,
+       CASE WHEN c.k = 1 THEN p.author END AS tag_author,
+       CASE WHEN c.k IN (0, 1, 3) THEN p.comment END AS tag_comment,
+       CASE WHEN c.k = 2 THEN p.software END AS tag_software
+FROM p CROSS JOIN c
+ORDER BY media_id LIMIT 600
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "q_media_imagetags": QuerySpec(
+        q_media_imagetags, ORACLE_MEDIA_IMAGETAGS
+    ),
     "q_media_audiotags": QuerySpec(
         q_media_audiotags, ORACLE_MEDIA_AUDIOTAGS
     ),
@@ -7263,6 +7379,7 @@ QUERIES: dict[str, QuerySpec] = {
 # followed by the r08-green cohort.
 _DRIVER_ORDER = [
     # --- r09-new gates ---
+    "q_media_imagetags",
     "q_media_audiotags",
     "q_media_probe",
     "q_media_imagehash",

@@ -293,3 +293,23 @@ def embed_audio_tags(raw: bytes, tags: dict) -> bytes:
     if _aiff.is_aiff(raw):
         return _embed_aiff(raw, tags)
     raise ValueError("not a supported audio container")
+
+
+def supported_keys(raw: bytes) -> set[str]:
+    """The normalized key subset this payload's container can carry
+    through ``embed_audio_tags`` (empty for Ogg-FLAC, whose tags ride
+    the encode path only)."""
+    from . import aiff as _aiff
+    from . import flac as _flac
+    from . import wav as _wav
+
+    raw = bytes(raw)
+    if _wav.is_wav(raw):
+        return set(_WAV_INFO)
+    if _flac.is_flac(raw):
+        return set(_VORBIS_KEYS)
+    if _flac.is_ogg_flac(raw):
+        return set()
+    if _aiff.is_aiff(raw):
+        return set(_AIFF_CHUNKS)
+    raise ValueError("not a supported audio container")

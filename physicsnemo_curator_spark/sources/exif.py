@@ -27,6 +27,7 @@ _IFD0_TAGS = {
     0x0112: "orientation",
     0x0131: "software",
     0x0132: "datetime",
+    0x013B: "artist",
 }
 _EXIF_IFD_POINTER = 0x8769
 _EXIF_TAGS = {
@@ -37,7 +38,7 @@ _EXIF_TAGS = {
 _NAME_TO_TAG = {v: k for k, v in _IFD0_TAGS.items()}
 _NAME_TO_EXIF = {v: k for k, v in _EXIF_TAGS.items()}
 
-_ASCII_TAGS = {0x010E, 0x010F, 0x0110, 0x0131, 0x0132, 0x9003}
+_ASCII_TAGS = {0x010E, 0x010F, 0x0110, 0x0131, 0x0132, 0x013B, 0x9003}
 
 
 def build_exif(tags: dict) -> bytes:

@@ -600,3 +600,116 @@ def sample_frames(
             )
 
     return media.mapInPandas(batches, FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# normalized metadata tags (sources/audiotags.py + sources/imagetags.py)
+
+_TAG_COLUMNS = (
+    "title", "author", "album", "date", "description", "software",
+    "genre", "comment",
+)
+
+
+def _extract_any_tags(raw: bytes) -> dict:
+    """Container-dispatched tag extraction across BOTH media families
+    (audio ``artist`` normalizes onto ``author``)."""
+    from . import audiotags as _audiotags
+    from . import imagetags as _imagetags
+
+    try:
+        got = _imagetags.extract_image_tags(raw)
+    except ValueError:
+        got = dict(_audiotags.extract_audio_tags(raw))
+        if "artist" in got:
+            got["author"] = got.pop("artist")
+    return got
+
+
+def with_media_tags(media: DataFrame, *, strict: bool = False) -> DataFrame:
+    """Append one nullable ``tag_<name>`` string column per
+    normalized metadata key (``title author album date description
+    software genre comment``), extracted container-side from each
+    binary payload inside Arrow-batched ``mapInPandas`` — WAV / FLAC /
+    Ogg-FLAC / AIFF through ``sources/audiotags.py``, PNG / JPEG /
+    TIFF / GIF through ``sources/imagetags.py``.  Unsupported or
+    corrupt payloads yield all-null tags (raise under ``strict``).
+    One task per Arrow batch; nothing shuffles."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            cols = {name: [] for name in _TAG_COLUMNS}
+            for payload in pdf["payload"]:
+                try:
+                    got = _extract_any_tags(bytes(payload))
+                except Exception:
+                    if strict:
+                        raise
+                    got = {}
+                for name in _TAG_COLUMNS:
+                    cols[name].append(got.get(name))
+            out = pdf.copy()
+            for name in _TAG_COLUMNS:
+                out[f"tag_{name}"] = pd.array(cols[name], dtype="string")
+            yield out
+
+    schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in media.schema]
+        + [f"tag_{name} string" for name in _TAG_COLUMNS]
+    )
+    return media.mapInPandas(batches, schema)
+
+
+def stamp_media_tags(
+    media: DataFrame, tags: dict, *, strict: bool = False
+) -> DataFrame:
+    """Rewrite every payload with the given normalized tags embedded
+    in its own container's metadata structure (provenance stamping
+    for curated exports).  Audio containers receive ``author`` as
+    ``artist``; keys a container cannot carry are dropped for that
+    payload (each container keeps its supported subset); unsupported
+    formats and corrupt payloads pass through untouched (raise under
+    ``strict``).  Pixel / sample data is never re-encoded."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import audiotags as _audiotags
+        from . import imagetags as _imagetags
+
+        for pdf in it:
+            new_payloads = []
+            for payload in pdf["payload"]:
+                raw = bytes(payload)
+                try:
+                    try:
+                        keep = _imagetags.supported_keys(raw) & set(tags)
+                        new_payloads.append(
+                            _imagetags.embed_image_tags(
+                                raw, {k: tags[k] for k in keep}
+                            )
+                            if keep
+                            else raw
+                        )
+                    except ValueError:
+                        audio = dict(tags)
+                        if "author" in audio:
+                            audio["artist"] = audio.pop("author")
+                        keep = _audiotags.supported_keys(raw) & set(audio)
+                        new_payloads.append(
+                            _audiotags.embed_audio_tags(
+                                raw, {k: audio[k] for k in keep}
+                            )
+                            if keep
+                            else raw
+                        )
+                except Exception:
+                    if strict:
+                        raise
+                    new_payloads.append(raw)
+            out = pdf.copy()
+            out["payload"] = new_payloads
+            yield out
+
+    schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in media.schema
+    )
+    return media.mapInPandas(batches, schema)

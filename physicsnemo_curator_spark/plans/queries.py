@@ -7140,7 +7140,138 @@ ORDER BY media_id LIMIT 600
 """
 
 
+def q_media_mpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MPEG audio header gate (sources/mpegaudio.py): each document
+    becomes a CBR MP3 (MPEG-1 Layer III @ 32 kHz — every table
+    bitrate is an exact 4.5·kbps frame length there, so byte totals
+    are pure arithmetic) with an ID3v2.4 leader, and an ADTS AAC
+    stream (LC @ 16 kHz).  The executors walk REAL frame headers
+    (parse_mp3 / parse_adts / extract_id3 — no entropy decode exists)
+    and DuckDB replays every field: sample accounting from the public
+    tables, durations, CBR/average bitrates, tag strings, and the
+    TOTAL BYTE LENGTH down to the ID3 frame overhead — a bitrate
+    table, syncsafe size, or frame-length slot bug changes a row."""
+    from physicsnemo_curator_spark.sources import mpegaudio as _mpeg
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 150)
+        .select("doc_id", "n_chars")
+    )
+    _MP3_RATES = (32, 40, 48, 56, 64, 80, 96, 112)
+
+    def codec(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                doc_id, n_chars = int(doc_id), int(n_chars)
+                title = f"t:{doc_id % 50}"
+                comment = f"c:{n_chars % 100}"
+                nf = 3 + n_chars % 10
+                kbps = _MP3_RATES[doc_id % 8]
+                mp3 = _mpeg.build_mp3(
+                    nf,
+                    bitrate_kbps=kbps,
+                    sample_rate=32000,
+                    channels=1 + doc_id % 2,
+                    tags={"title": title, "comment": comment},
+                )
+                p = _mpeg.parse_mp3(mp3)
+                t = _mpeg.extract_id3(mp3)
+                rows.append(
+                    (
+                        doc_id * 2, p["format"], p["sample_rate"],
+                        p["channels"], p["n_samples"],
+                        round(p["duration_s"], 9),
+                        float(p["bitrate_kbps"]),
+                        t.get("title"), t.get("comment"), len(mp3),
+                    )
+                )
+                na = 2 + doc_id % 5
+                pl = 20 + n_chars % 30
+                aac = _mpeg.build_adts(
+                    na,
+                    sample_rate=16000,
+                    channels=1 + n_chars % 2,
+                    payload_len=pl,
+                )
+                q = _mpeg.parse_adts(aac)
+                rows.append(
+                    (
+                        doc_id * 2 + 1, q["format"], q["sample_rate"],
+                        q["channels"], q["n_samples"],
+                        round(q["duration_s"], 9),
+                        float(q["bitrate_kbps"]), None, None, len(aac),
+                    )
+                )
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "format", "sample_rate", "channels",
+                    "n_samples", "duration_s", "bitrate_kbps", "title",
+                    "comment", "n_bytes",
+                ],
+            )
+            out["title"] = pd.array(out["title"], dtype="string")
+            out["comment"] = pd.array(out["comment"], dtype="string")
+            yield out
+
+    out = docs.mapInPandas(
+        codec,
+        "media_id long, format string, sample_rate int, channels int, "
+        "n_samples long, duration_s double, bitrate_kbps double, "
+        "title string, comment string, n_bytes long",
+    )
+    return out.orderBy("media_id").limit(300)
+
+
+ORACLE_MEDIA_MPEG = """
+WITH p AS (
+    SELECT doc_id, n_chars,
+           't:' || CAST(doc_id % 50 AS VARCHAR) AS title,
+           'c:' || CAST(n_chars % 100 AS VARCHAR) AS comment,
+           3 + n_chars % 10 AS nf,
+           CAST([32, 40, 48, 56, 64, 80, 96, 112][(doc_id % 8) + 1]
+                AS BIGINT) AS kbps,
+           2 + doc_id % 5 AS na,
+           20 + n_chars % 30 AS pl
+    FROM documents WHERE doc_id < 150
+)
+SELECT media_id, format, sample_rate, channels, n_samples, duration_s,
+       bitrate_kbps, title, comment, n_bytes
+FROM (
+    -- MP3: frame length 4.5*kbps bytes at 32 kHz; ID3v2.4 leader is
+    -- 10 (header) + 11+len(title) (TIT2) + 15+len(comment) (COMM)
+    SELECT doc_id * 2 AS media_id, 'mp3' AS format,
+           CAST(32000 AS INT) AS sample_rate,
+           CAST(1 + doc_id % 2 AS INT) AS channels,
+           CAST(nf * 1152 AS BIGINT) AS n_samples,
+           ROUND(nf * 1152 / 32000.0, 9) AS duration_s,
+           CAST(kbps AS DOUBLE) AS bitrate_kbps,
+           title, comment,
+           CAST(36 + length(title) + length(comment)
+                + nf * (9 * kbps / 2) AS BIGINT) AS n_bytes
+    FROM p
+    UNION ALL
+    -- ADTS AAC: one 1024-sample raw data block per frame, 7-byte
+    -- headers; average bitrate over the whole stream
+    SELECT doc_id * 2 + 1, 'aac', CAST(16000 AS INT),
+           CAST(1 + n_chars % 2 AS INT),
+           CAST(na * 1024 AS BIGINT),
+           ROUND(na * 1024 / 16000.0, 9),
+           ROUND(na * (7 + pl) * 8 / (na * 1024.0 / 16000) / 1000, 3),
+           NULL, NULL,
+           CAST(na * (7 + pl) AS BIGINT)
+    FROM p
+)
+ORDER BY media_id LIMIT 300
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "q_media_mpeg": QuerySpec(q_media_mpeg, ORACLE_MEDIA_MPEG),
     "q_media_imagetags": QuerySpec(
         q_media_imagetags, ORACLE_MEDIA_IMAGETAGS
     ),
@@ -7379,6 +7510,7 @@ QUERIES: dict[str, QuerySpec] = {
 # followed by the r08-green cohort.
 _DRIVER_ORDER = [
     # --- r09-new gates ---
+    "q_media_mpeg",
     "q_media_imagetags",
     "q_media_audiotags",
     "q_media_probe",

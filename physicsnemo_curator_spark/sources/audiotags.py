@@ -259,6 +259,7 @@ def extract_audio_tags(raw: bytes) -> dict:
     when none are present, ``ValueError`` for non-audio payloads."""
     from . import aiff as _aiff
     from . import flac as _flac
+    from . import mpegaudio as _mpeg
     from . import wav as _wav
 
     raw = bytes(raw)
@@ -270,6 +271,8 @@ def extract_audio_tags(raw: bytes) -> dict:
         return _extract_ogg_flac(raw)
     if _aiff.is_aiff(raw):
         return _extract_aiff(raw)
+    if _mpeg.is_adts(raw) or _mpeg.is_mp3(raw):
+        return _mpeg.extract_id3(raw)
     raise ValueError("not a supported audio container")
 
 
@@ -278,6 +281,7 @@ def embed_audio_tags(raw: bytes, tags: dict) -> bytes:
     decode output is byte-identical to the input's samples."""
     from . import aiff as _aiff
     from . import flac as _flac
+    from . import mpegaudio as _mpeg
     from . import wav as _wav
 
     raw = bytes(raw)
@@ -292,6 +296,8 @@ def embed_audio_tags(raw: bytes, tags: dict) -> bytes:
         )
     if _aiff.is_aiff(raw):
         return _embed_aiff(raw, tags)
+    if _mpeg.is_adts(raw) or _mpeg.is_mp3(raw):
+        return _mpeg.embed_id3v2(raw, tags)
     raise ValueError("not a supported audio container")
 
 
@@ -301,6 +307,7 @@ def supported_keys(raw: bytes) -> set[str]:
     the encode path only)."""
     from . import aiff as _aiff
     from . import flac as _flac
+    from . import mpegaudio as _mpeg
     from . import wav as _wav
 
     raw = bytes(raw)
@@ -312,4 +319,6 @@ def supported_keys(raw: bytes) -> set[str]:
         return set()
     if _aiff.is_aiff(raw):
         return set(_AIFF_CHUNKS)
+    if _mpeg.is_adts(raw) or _mpeg.is_mp3(raw):
+        return set(_WAV_INFO)  # ID3v2 carries the full key set
     raise ValueError("not a supported audio container")

@@ -1,0 +1,525 @@
+"""MPEG audio (MP3 / ADTS AAC) header-level support: frame-walk
+probing and ID3 metadata — no entropy decode.
+
+Full MP3/AAC sample reconstruction stays honestly gated (the Layer
+III Huffman tables and filterbank windows, and the AAC spectral
+toolchain, are outside the repo's from-memory-reproducible subset —
+``decode_mpeg_audio`` raises).  Everything header-side IS public and
+tabulated, and is what a 100 TB curation pass actually needs first:
+
+- **MP3** (MPEG-1/2/2.5 Layers I-III): sync walk with the public
+  bitrate/sample-rate tables, per-frame length arithmetic (Layer I
+  slot-of-4, Layer II/III 144/72-slot forms), CRC-bit and padding
+  handling, Xing/Info and VBRI VBR headers (frame/byte counts at
+  their side-info offsets), ID3v2 leader and ID3v1 trailer skip.
+- **ADTS AAC**: 0xFFF sync walk, profile / sampling-frequency-index /
+  channel-configuration fields, 13-bit frame lengths,
+  raw-data-blocks-per-frame accounting (1024 samples each).
+- **ID3v2.2/2.3/2.4 + ID3v1**: tag extract (text frames in Latin-1 /
+  UTF-16 / UTF-8, COMM language+description framing, v2.2 3-byte
+  IDs, unsynchronisation reversal) and an ID3v2.4 UTF-8 writer
+  (syncsafe sizes) that replaces any existing v2 leader in place.
+- **builders**: ``build_mp3`` / ``build_adts`` synthesize spec-valid
+  CBR streams (zero'd payload bits — silent garbage to a real
+  decoder, but every header field exact) so the probe/tag paths are
+  testable end-to-end without a licensed encoder.
+
+``sources/probe.py`` and ``sources/audiotags.py`` dispatch here for
+``.mp3`` / ``.aac`` payloads.
+"""
+
+from __future__ import annotations
+
+import struct
+
+# ---------------------------------------------------------------------------
+# tables (ISO/IEC 11172-3 / 13818-3 public tables)
+
+_MPEG_VERSION = {0: "2.5", 2: "2", 3: "1"}  # header bits -> version
+_LAYER = {1: 3, 2: 2, 3: 1}  # header bits -> layer number
+
+_SAMPLE_RATES = {
+    "1": (44100, 48000, 32000),
+    "2": (22050, 24000, 16000),
+    "2.5": (11025, 12000, 8000),
+}
+
+# kbps by (version-group, layer): index 1..14, 0 = free, 15 = bad
+_BITRATES = {
+    ("1", 1): (32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384,
+               416, 448),
+    ("1", 2): (32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256,
+               320, 384),
+    ("1", 3): (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+               256, 320),
+    ("2", 1): (32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192,
+               224, 256),
+    ("2", 2): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144,
+               160),
+    ("2", 3): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144,
+               160),
+}
+
+_ADTS_RATES = (96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
+               16000, 12000, 11025, 8000)
+_ADTS_PROFILES = ("main", "lc", "ssr", "ltp")
+
+
+def _samples_per_frame(version: str, layer: int) -> int:
+    if layer == 1:
+        return 384
+    if layer == 2:
+        return 1152
+    return 1152 if version == "1" else 576
+
+
+def _bitrate_kbps(version: str, layer: int, idx: int) -> int | None:
+    if idx in (0, 15):
+        return None  # free-format / invalid
+    group = "1" if version == "1" else "2"
+    return _BITRATES[(group, layer)][idx - 1]
+
+
+def _frame_header(data: bytes, pos: int) -> dict | None:
+    """Parse 4 header bytes at ``pos``; None when not a valid MPEG
+    audio frame header (reserved fields, bad indices)."""
+    if pos + 4 > len(data):
+        return None
+    b0, b1, b2, b3 = data[pos : pos + 4]
+    if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+        return None
+    vbits = (b1 >> 3) & 3
+    lbits = (b1 >> 1) & 3
+    if vbits == 1 or lbits == 0:
+        return None
+    version = _MPEG_VERSION[vbits]
+    layer = _LAYER[lbits]
+    br_idx = (b2 >> 4) & 0xF
+    sr_idx = (b2 >> 2) & 3
+    if br_idx == 15 or sr_idx == 3:
+        return None
+    sample_rate = _SAMPLE_RATES[version][sr_idx]
+    bitrate = _bitrate_kbps(version, layer, br_idx)
+    if bitrate is None:
+        return None  # free-format: length not derivable header-side
+    padding = (b2 >> 1) & 1
+    mode = (b3 >> 6) & 3
+    if layer == 1:
+        frame_len = (12 * bitrate * 1000 // sample_rate + padding) * 4
+    elif layer == 3 and version != "1":
+        frame_len = 72 * bitrate * 1000 // sample_rate + padding
+    else:
+        frame_len = 144 * bitrate * 1000 // sample_rate + padding
+    return {
+        "version": version,
+        "layer": layer,
+        "crc": not (b1 & 1),
+        "bitrate_kbps": bitrate,
+        "sample_rate": sample_rate,
+        "padding": padding,
+        "channels": 1 if mode == 3 else 2,
+        "mode": ("stereo", "joint", "dual", "mono")[mode],
+        "frame_len": frame_len,
+        "spf": _samples_per_frame(version, layer),
+    }
+
+
+# ---------------------------------------------------------------------------
+# ID3
+
+
+def _syncsafe(n: int) -> bytes:
+    return bytes(
+        [(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F]
+    )
+
+
+def _unsyncsafe(b: bytes) -> int:
+    return (b[0] << 21) | (b[1] << 14) | (b[2] << 7) | b[3]
+
+
+def id3v2_size(data: bytes) -> int:
+    """Total byte length of a leading ID3v2 tag (0 when absent)."""
+    if data[:3] != b"ID3" or len(data) < 10:
+        return 0
+    size = _unsyncsafe(data[6:10])
+    footer = 10 if data[5] & 0x10 else 0
+    return 10 + size + footer
+
+
+_ID3_FRAMES = {
+    "title": "TIT2",
+    "artist": "TPE1",
+    "album": "TALB",
+    "date": "TDRC",
+    "genre": "TCON",
+    "software": "TSSE",
+}
+_ID3_REV = {v: k for k, v in _ID3_FRAMES.items()}
+_ID3_REV["TYER"] = "date"  # v2.3 year
+_ID3_V22 = {
+    "TT2": "title", "TP1": "artist", "TAL": "album", "TYE": "date",
+    "TCO": "genre", "TSS": "software", "COM": "comment",
+}
+
+
+def _decode_text(body: bytes) -> str:
+    if not body:
+        return ""
+    enc, rest = body[0], body[1:]
+    if enc == 0:
+        return rest.decode("latin-1").rstrip("\x00")
+    if enc in (1, 2):
+        codec = "utf-16" if enc == 1 else "utf-16-be"
+        return rest.decode(codec, "replace").rstrip("\x00")
+    return rest.decode("utf-8", "replace").rstrip("\x00")
+
+
+def parse_id3v2(data: bytes) -> dict:
+    """Normalized tag dict from a leading ID3v2.2/2.3/2.4 tag."""
+    total = id3v2_size(data)
+    if not total:
+        return {}
+    major = data[3]
+    flags = data[5]
+    body = bytes(data[10 : 10 + _unsyncsafe(data[6:10])])
+    if flags & 0x80:  # unsynchronisation: FF 00 -> FF
+        body = body.replace(b"\xff\x00", b"\xff")
+    pos = 0
+    if flags & 0x40 and major >= 3:  # extended header
+        if major == 4:
+            pos += _unsyncsafe(body[0:4])
+        else:
+            pos += 4 + struct.unpack_from(">I", body, 0)[0]
+    out: dict = {}
+    idlen, szlen = (3, 3) if major == 2 else (4, 4)
+    step = idlen + szlen + (0 if major == 2 else 2)
+    while pos + step <= len(body):
+        fid = body[pos : pos + idlen]
+        if fid == b"\x00" * idlen:
+            break
+        if major == 2:
+            size = int.from_bytes(body[pos + 3 : pos + 6], "big")
+        elif major == 4:
+            size = _unsyncsafe(body[pos + 4 : pos + 8])
+        else:
+            (size,) = struct.unpack_from(">I", body, pos + 4)
+        fbody = body[pos + step : pos + step + size]
+        pos += step + size
+        sid = fid.decode("latin-1", "replace")
+        if major == 2:
+            name = _ID3_V22.get(sid)
+        elif sid == "COMM":
+            name = "comment"
+        else:
+            name = _ID3_REV.get(sid)
+        if name is None:
+            continue
+        if name == "comment":
+            if major == 2 or sid == "COMM":
+                enc = fbody[0] if fbody else 0
+                rest = fbody[4:]  # language(3) skipped
+                if enc in (1, 2):
+                    codec = "utf-16" if enc == 1 else "utf-16-be"
+                    parts = rest.split(
+                        b"\x00\x00\x00" if enc == 2 else b"\x00\x00", 1
+                    )
+                    text = parts[-1]
+                    out[name] = text.decode(codec, "replace").rstrip("\x00")
+                else:
+                    _desc, _, text = rest.partition(b"\x00")
+                    codec = "latin-1" if enc == 0 else "utf-8"
+                    out[name] = text.decode(codec, "replace").rstrip("\x00")
+        else:
+            out[name] = _decode_text(fbody)
+    return out
+
+
+def parse_id3v1(data: bytes) -> dict:
+    """Tags from a 128-byte ``TAG`` trailer (title/artist/album/
+    date/comment, fixed-width Latin-1)."""
+    if len(data) < 128 or data[-128:-125] != b"TAG":
+        return {}
+    blk = data[-128:]
+
+    def field(a: int, b: int) -> str:
+        return blk[a:b].split(b"\x00")[0].decode("latin-1").strip()
+
+    out = {}
+    for name, a, b in (
+        ("title", 3, 33), ("artist", 33, 63), ("album", 63, 93),
+        ("date", 93, 97), ("comment", 97, 127),
+    ):
+        v = field(a, b)
+        if v:
+            out[name] = v
+    return out
+
+
+def build_id3v2(tags: dict) -> bytes:
+    """Serialize a normalized tag dict as ID3v2.4 (UTF-8 text frames,
+    syncsafe sizes, COMM with empty description)."""
+    frames = bytearray()
+    for name in sorted(tags):
+        value = str(tags[name]).encode("utf-8")
+        if name == "comment":
+            body = b"\x03" + b"eng" + b"\x00" + value
+            fid = b"COMM"
+        else:
+            fid = _ID3_FRAMES.get(name, "").encode("ascii")
+            if not fid:
+                raise ValueError(f"ID3v2 cannot carry tag {name!r}")
+            body = b"\x03" + value
+        frames += fid + _syncsafe(len(body)) + b"\x00\x00" + body
+    return b"ID3\x04\x00\x00" + _syncsafe(len(frames)) + bytes(frames)
+
+
+def embed_id3v2(data: bytes, tags: dict) -> bytes:
+    """Replace/insert the leading ID3v2 tag; audio frames untouched."""
+    data = bytes(data)
+    return build_id3v2(tags) + data[id3v2_size(data) :]
+
+
+def extract_id3(data: bytes) -> dict:
+    """ID3v2 leader if present, else the ID3v1 trailer."""
+    data = bytes(data)
+    out = parse_id3v2(data)
+    return out if out else parse_id3v1(data)
+
+
+# ---------------------------------------------------------------------------
+# MP3 stream walk
+
+
+def is_mp3(data: bytes) -> bool:
+    """An MPEG audio frame (layer I-III, i.e. NOT ADTS whose layer
+    bits are 00) at the stream start, after any ID3v2 leader."""
+    data = bytes(data)
+    return _frame_header(data, id3v2_size(data)) is not None
+
+
+def _xing_offset(version: str, channels: int) -> int:
+    if version == "1":
+        return 4 + (17 if channels == 1 else 32)
+    return 4 + (9 if channels == 1 else 17)
+
+
+def parse_mp3(data: bytes) -> dict:
+    """Header-only MP3 stream accounting: walk every frame, read any
+    Xing/Info/VBRI header in the first frame, skip ID3 structures.
+    Returns version/layer/sample_rate/channels, per-stream frame and
+    sample totals, duration, CBR bitrate (None when frames disagree),
+    and flags for vbr/id3 presence."""
+    data = bytes(data)
+    pos = id3v2_size(data)
+    has_id3v2 = pos > 0
+    end = len(data)
+    if end >= 128 and data[-128:-125] == b"TAG":
+        end -= 128
+    first = _frame_header(data, pos)
+    if first is None:
+        raise ValueError("no MPEG audio frame at stream start")
+    n_frames = 0
+    bitrates = set()
+    vbr_frames = None
+    vbr_kind = None
+    while pos < end:
+        hdr = _frame_header(data, pos)
+        if hdr is None:
+            break  # trailing garbage / truncated final frame
+        if n_frames == 0:
+            # Xing/Info sits after the side info; VBRI at offset +36
+            xo = pos + _xing_offset(hdr["version"], hdr["channels"])
+            if data[xo : xo + 4] in (b"Xing", b"Info"):
+                (flags,) = struct.unpack_from(">I", data, xo + 4)
+                if flags & 1:
+                    (vbr_frames,) = struct.unpack_from(">I", data, xo + 8)
+                vbr_kind = data[xo : xo + 4].decode()
+            elif data[pos + 36 : pos + 40] == b"VBRI":
+                (vbr_frames,) = struct.unpack_from(
+                    ">I", data, pos + 36 + 14
+                )
+                vbr_kind = "VBRI"
+        bitrates.add(hdr["bitrate_kbps"])
+        n_frames += 1
+        pos += hdr["frame_len"]
+    spf = first["spf"]
+    total_frames = n_frames
+    if vbr_frames is not None and vbr_kind != "Info":
+        total_frames = vbr_frames  # trust the VBR header's count
+    n_samples = total_frames * spf
+    return {
+        "format": "mp3",
+        "version": first["version"],
+        "layer": first["layer"],
+        "sample_rate": first["sample_rate"],
+        "channels": first["channels"],
+        "mode": first["mode"],
+        "n_frames": n_frames,
+        "n_samples": n_samples,
+        "samples_per_frame": spf,
+        "duration_s": n_samples / first["sample_rate"],
+        "bitrate_kbps": (
+            next(iter(bitrates)) if len(bitrates) == 1 else None
+        ),
+        "vbr": vbr_kind in ("Xing", "VBRI"),
+        "id3v2": has_id3v2,
+    }
+
+
+def build_mp3(
+    n_frames: int,
+    *,
+    bitrate_kbps: int = 128,
+    sample_rate: int = 44100,
+    channels: int = 2,
+    layer: int = 3,
+    tags: dict | None = None,
+) -> bytes:
+    """Synthesize a spec-valid CBR MPEG audio stream (zero'd payload
+    bits) with exact header arithmetic, including the deterministic
+    padding-bit accumulator real encoders use for non-integer frame
+    sizes.  Optional ``tags`` prepend an ID3v2.4 leader."""
+    for version, rates in _SAMPLE_RATES.items():
+        if sample_rate in rates:
+            sr_idx = rates.index(sample_rate)
+            break
+    else:
+        raise ValueError(f"no MPEG version carries {sample_rate} Hz")
+    group = "1" if version == "1" else "2"
+    table = _BITRATES[(group, layer)]
+    if bitrate_kbps not in table:
+        raise ValueError(
+            f"bitrate {bitrate_kbps} invalid for MPEG-{version} "
+            f"Layer {layer}"
+        )
+    br_idx = table.index(bitrate_kbps) + 1
+    vbits = {"1": 3, "2": 2, "2.5": 0}[version]
+    lbits = {1: 3, 2: 2, 3: 1}[layer]
+    mode = 3 if channels == 1 else 0
+    if layer == 1:
+        slots_num = 12 * bitrate_kbps * 1000
+        slot = 4
+    else:
+        slots_num = (
+            72 if (layer == 3 and version != "1") else 144
+        ) * bitrate_kbps * 1000
+        slot = 1
+    base = slots_num // sample_rate
+    rest = slots_num % sample_rate
+    out = bytearray(build_id3v2(tags) if tags else b"")
+    err = 0
+    for _ in range(n_frames):
+        err += rest
+        padding = 1 if err >= sample_rate else 0
+        if padding:
+            err -= sample_rate
+        b1 = 0xE0 | (vbits << 3) | (lbits << 1) | 1  # no CRC
+        b2 = (br_idx << 4) | (sr_idx << 2) | (padding << 1)
+        b3 = mode << 6
+        frame_len = (base + padding) * slot
+        out += bytes([0xFF, b1, b2, b3]) + b"\x00" * (frame_len - 4)
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# ADTS AAC
+
+
+def is_adts(data: bytes) -> bool:
+    data = bytes(data)
+    off = id3v2_size(data)
+    if off + 7 > len(data):
+        return False
+    b0, b1 = data[off], data[off + 1]
+    # 12-bit sync + layer == 00 distinguishes ADTS from MP3 frames
+    return b0 == 0xFF and (b1 & 0xF6) == 0xF0
+
+
+def parse_adts(data: bytes) -> dict:
+    """Header-only ADTS walk: profile, sampling parameters, frame and
+    raw-data-block accounting (1024 samples per block)."""
+    data = bytes(data)
+    pos = id3v2_size(data)
+    if not is_adts(data):
+        raise ValueError("no ADTS sync at stream start")
+    first = None
+    n_frames = 0
+    n_blocks = 0
+    total_payload = 0
+    while pos + 7 <= len(data):
+        if data[pos] != 0xFF or (data[pos + 1] & 0xF6) != 0xF0:
+            break
+        b = data[pos : pos + 9]
+        protection_absent = b[1] & 1
+        profile = (b[2] >> 6) & 3
+        sfi = (b[2] >> 2) & 0xF
+        if sfi >= len(_ADTS_RATES):
+            break
+        channel_cfg = ((b[2] & 1) << 2) | ((b[3] >> 6) & 3)
+        frame_len = ((b[3] & 3) << 11) | (b[4] << 3) | ((b[5] >> 5) & 7)
+        rdb = b[6] & 3
+        if frame_len < 7 or pos + frame_len > len(data):
+            break
+        if first is None:
+            first = {
+                "profile": _ADTS_PROFILES[profile],
+                "sample_rate": _ADTS_RATES[sfi],
+                "channels": channel_cfg,
+                "crc": not protection_absent,
+            }
+        n_frames += 1
+        n_blocks += rdb + 1
+        total_payload += frame_len
+        pos += frame_len
+    if first is None:
+        raise ValueError("no complete ADTS frame")
+    n_samples = n_blocks * 1024
+    duration = n_samples / first["sample_rate"]
+    return {
+        "format": "aac",
+        **first,
+        "n_frames": n_frames,
+        "n_samples": n_samples,
+        "duration_s": duration,
+        "bitrate_kbps": (
+            round(total_payload * 8 / duration / 1000, 3) if duration
+            else None
+        ),
+    }
+
+
+def build_adts(
+    n_frames: int,
+    *,
+    profile: str = "lc",
+    sample_rate: int = 44100,
+    channels: int = 2,
+    payload_len: int = 64,
+) -> bytes:
+    """Synthesize a spec-valid ADTS stream (zero'd raw data blocks)."""
+    sfi = _ADTS_RATES.index(sample_rate)
+    prof = _ADTS_PROFILES.index(profile)
+    out = bytearray()
+    frame_len = 7 + payload_len
+    for _ in range(n_frames):
+        hdr = bytearray(7)
+        hdr[0] = 0xFF
+        hdr[1] = 0xF1  # MPEG-4, layer 00, no CRC
+        hdr[2] = (prof << 6) | (sfi << 2) | ((channels >> 2) & 1)
+        hdr[3] = ((channels & 3) << 6) | ((frame_len >> 11) & 3)
+        hdr[4] = (frame_len >> 3) & 0xFF
+        hdr[5] = ((frame_len & 7) << 5) | 0x1F
+        hdr[6] = 0xFC  # buffer fullness low bits + 1 rdb (value 0)
+        out += hdr + b"\x00" * payload_len
+    return bytes(out)
+
+
+def decode_mpeg_audio(data: bytes):
+    """Honest gate: sample reconstruction for MP3/AAC needs the Layer
+    III Huffman/filterbank tables (T.1172-3 Annex B) / AAC spectral
+    decode, which are outside the from-memory-reproducible subset."""
+    raise NotImplementedError(
+        "MP3/AAC entropy decode is not implemented (header probing "
+        "and ID3 metadata are — see parse_mp3/parse_adts/extract_id3)"
+    )

@@ -14,9 +14,10 @@ MP4/MOV ('jpeg' + 'raw ' sample entries, sowt/twos/G.711 audio
 tracks), Matroska (V_MJPEG, PCM/G.711 audio tracks) — stdlib
 zlib/struct + numpy, no native dependency, so resize / featurize /
 frame-sample work end-to-end on encoded media of all three kinds.
-Formats beyond that surface (MP3/AAC audio, H.26x video streams,
-arithmetic-coded JPEG) stay honestly codec-gated: they raise
-``NotImplementedError``
+Formats beyond that surface (MP3/AAC SAMPLE decode — their headers,
+durations and ID3 tags DO parse via ``sources/mpegaudio.py`` — H.26x
+video streams, arithmetic-coded JPEG) stay honestly codec-gated:
+they raise ``NotImplementedError``
 (strict) or produce a deterministic digest stub / pass-through
 (plumbing mode) — the Spark-side schema, batching and partitioning
 are real and tested either way.

@@ -13,7 +13,8 @@ Covered formats (each probe reads the minimal structure):
   ``sources/exif.py``), BMP (info header), TIFF (first IFD + page
   count), GIF (screen descriptor + sub-block walk per frame)
 - audio: WAV (fmt/fact/data sizes), FLAC (STREAMINFO), Ogg-FLAC
-  (first packet's STREAMINFO), AIFF (COMM)
+  (first packet's STREAMINFO), AIFF (COMM), MP3 (frame walk +
+  Xing/VBRI), ADTS AAC (frame walk) via ``sources/mpegaudio.py``
 - video: AVI (avih/strh), MP4 (moov sample tables), Matroska
   (Tracks + block walk), animated GIF
 
@@ -272,6 +273,30 @@ def _probe_mkv(raw: bytes) -> dict:
     }
 
 
+def _probe_mp3(raw: bytes) -> dict:
+    from . import mpegaudio as _mpeg
+
+    p = _mpeg.parse_mp3(raw)
+    return {
+        "format": "mp3", "kind": "audio",
+        "n_frames": p["n_samples"],  # sample frames, like WAV/FLAC
+        "sample_rate": p["sample_rate"], "channels": p["channels"],
+        "duration_s": p["duration_s"],
+    }
+
+
+def _probe_adts(raw: bytes) -> dict:
+    from . import mpegaudio as _mpeg
+
+    p = _mpeg.parse_adts(raw)
+    return {
+        "format": "aac", "kind": "audio",
+        "n_frames": p["n_samples"],
+        "sample_rate": p["sample_rate"], "channels": p["channels"],
+        "duration_s": p["duration_s"],
+    }
+
+
 def probe_media(raw: bytes) -> dict:
     """Identify ``raw`` by signature and return header-only metadata
     (see module docstring).  Unknown formats come back as
@@ -285,6 +310,7 @@ def probe_media(raw: bytes) -> dict:
     from . import gif as _gif
     from . import mkv as _mkv
     from . import mp4 as _mp4
+    from . import mpegaudio as _mpeg
     from . import png as _png
     from . import tiff as _tiff
     from . import wav as _wav
@@ -315,6 +341,10 @@ def probe_media(raw: bytes) -> dict:
         out.update(_probe_mp4(raw))
     elif _mkv.is_mkv(raw):
         out.update(_probe_mkv(raw))
+    elif _mpeg.is_adts(raw):
+        out.update(_probe_adts(raw))
+    elif _mpeg.is_mp3(raw):
+        out.update(_probe_mp3(raw))
     return out
 
 

@@ -65,7 +65,9 @@ def build_exif(tags: dict) -> bytes:
         for tag in sorted(entries):
             value = entries[tag]
             if tag in _ASCII_TAGS:
-                payload = str(value).encode("ascii") + b"\x00"
+                # UTF-8 in ASCII-typed entries — what exiftool/libexif
+                # emit in practice; pure-ASCII values are unchanged
+                payload = str(value).encode("utf-8") + b"\x00"
                 typ, count = 2, len(payload)
             elif tag == _EXIF_IFD_POINTER or int(value) > 0xFFFF:
                 payload = struct.pack("<I", int(value))
@@ -99,6 +101,23 @@ def build_exif(tags: dict) -> bytes:
     return b"Exif\x00\x00" + tiff_blob
 
 
+def iter_jpeg_segments(data: bytes):
+    """Yield ``(marker, start, end)`` spans of the pre-scan segment
+    run — everything between SOI and SOS / the first standalone
+    marker.  The ONE marker walk shared by the EXIF embed/extract
+    paths and ``sources/imagetags.py``."""
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            break
+        marker = data[pos + 1]
+        if marker in (0xD8, 0xD9, 0xDA) or 0xD0 <= marker <= 0xD7:
+            break  # entropy data / standalone marker: pre-scan ends
+        (seglen,) = struct.unpack_from(">H", data, pos + 2)
+        yield marker, pos, pos + 2 + seglen
+        pos += 2 + seglen
+
+
 def embed_exif(jpeg_bytes: bytes, tags: dict) -> bytes:
     """Insert an APP1 EXIF segment right after SOI, replacing any
     existing EXIF APP1 ANYWHERE in the pre-scan segment run (a stale
@@ -109,22 +128,15 @@ def embed_exif(jpeg_bytes: bytes, tags: dict) -> bytes:
     payload = build_exif(tags)
     app1 = b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
     kept = bytearray()
-    pos = 2
-    while pos + 4 <= len(data):
-        if data[pos] != 0xFF:
-            break
-        marker = data[pos + 1]
-        if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7:
-            break
-        (seglen,) = struct.unpack_from(">H", data, pos + 2)
-        if marker == 0xDA:
-            break
+    tail_at = 2
+    for marker, start, end in iter_jpeg_segments(data):
         if not (
-            marker == 0xE1 and data[pos + 4 : pos + 10] == b"Exif\x00\x00"
+            marker == 0xE1
+            and data[start + 4 : start + 10] == b"Exif\x00\x00"
         ):
-            kept += data[pos : pos + 2 + seglen]
-        pos += 2 + seglen
-    return data[:2] + app1 + bytes(kept) + data[pos:]
+            kept += data[start:end]
+        tail_at = end
+    return data[:2] + app1 + bytes(kept) + data[tail_at:]
 
 
 def extract_exif(data: bytes) -> dict:
@@ -134,21 +146,9 @@ def extract_exif(data: bytes) -> dict:
     data = bytes(data)
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG byte stream (bad SOI)")
-    pos = 2
-    while pos + 4 <= len(data):
-        if data[pos] != 0xFF:
-            break
-        marker = data[pos + 1]
-        if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7:
-            pos += 2
-            continue
-        (seglen,) = struct.unpack_from(">H", data, pos + 2)
-        if marker == 0xDA:  # entropy data follows — EXIF must precede
-            break
-        if marker == 0xE1 and data[pos + 4 : pos + 10] == b"Exif\x00\x00":
-            blob = data[pos + 10 : pos + 2 + seglen]
-            return parse_exif_blob(blob)
-        pos += 2 + seglen
+    for marker, start, end in iter_jpeg_segments(data):
+        if marker == 0xE1 and data[start + 4 : start + 10] == b"Exif\x00\x00":
+            return parse_exif_blob(data[start + 10 : end])
     return {}
 
 
@@ -168,7 +168,7 @@ def parse_exif_blob(blob: bytes) -> dict:
                 continue
             if tag in _ASCII_TAGS:
                 raw = vals[0] if isinstance(vals[0], bytes) else bytes(vals)
-                out[name] = raw.split(b"\x00")[0].decode("ascii", "replace")
+                out[name] = raw.split(b"\x00")[0].decode("utf-8", "replace")
             else:
                 out[name] = int(vals[0])
 

@@ -657,6 +657,11 @@ def encode_ogg_flac(
     # positions — reuse the simple fixed layout: our encoder writes
     # frames back to back, so split by decoding lengths)
     n_headers = 1 if tags else 0
+    if tags:
+        # more header packets follow: STREAMINFO must drop its
+        # last-metadata-block flag (conformant readers end the
+        # metadata chain at the flagged block)
+        streaminfo = bytes([streaminfo[0] & 0x7F]) + streaminfo[1:]
     packets = [
         b"\x7fFLAC\x01\x00"
         + struct.pack(">H", n_headers)
@@ -668,8 +673,9 @@ def encode_ogg_flac(
         from . import audiotags as _audiotags
 
         body = _audiotags._vorbis_block(tags)
+        # final header packet carries the last-metadata flag (0x80)
         header_pkts.append(
-            bytes([4]) + struct.pack(">I", len(body))[1:] + body
+            bytes([0x80 | 4]) + struct.pack(">I", len(body))[1:] + body
         )
 
     def pages(packet: bytes, *, bos=False, eos=False, granule=0, seq=[0]):

@@ -129,23 +129,6 @@ def _embed_png(data: bytes, tags: dict) -> bytes:
 # JPEG (EXIF ASCII tags + COM marker)
 
 
-def _jpeg_segments(data: bytes):
-    """Yield ``(marker, start, end)`` spans of the pre-scan segment
-    run (everything between SOI and SOS/entropy data)."""
-    pos = 2
-    while pos + 4 <= len(data):
-        if data[pos] != 0xFF:
-            break
-        marker = data[pos + 1]
-        if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7:
-            break
-        (seglen,) = struct.unpack_from(">H", data, pos + 2)
-        if marker == 0xDA:
-            break
-        yield marker, pos, pos + 2 + seglen
-        pos += 2 + seglen
-
-
 def _extract_jpeg(data: bytes) -> dict:
     from . import exif as _exif
 
@@ -154,7 +137,7 @@ def _extract_jpeg(data: bytes) -> dict:
         name = _JPEG_EXIF_REV.get(exif_name)
         if name:
             out[name] = str(value)
-    for marker, start, end in _jpeg_segments(data):
+    for marker, start, end in _exif.iter_jpeg_segments(data):
         if marker == 0xFE:
             out["comment"] = data[start + 4 : end].decode("utf-8", "replace")
             break
@@ -187,7 +170,7 @@ def _embed_jpeg(data: bytes, tags: dict) -> bytes:
     # last pre-scan segment (or right after SOI when there are none)
     out = bytearray(data[:2])
     tail_at = 2
-    for marker, start, end in _jpeg_segments(data):
+    for marker, start, end in _exif.iter_jpeg_segments(data):
         if marker != 0xFE:
             out += data[start:end]
         tail_at = end

@@ -204,8 +204,20 @@ def parse_id3v2(data: bytes) -> dict:
             size = _unsyncsafe(body[pos + 4 : pos + 8])
         else:
             (size,) = struct.unpack_from(">I", body, pos + 4)
+        fflags = body[pos + idlen + szlen : pos + step] if major >= 3 else b""
         fbody = body[pos + step : pos + step + size]
         pos += step + size
+        if major >= 3 and len(fflags) == 2:
+            fmt = fflags[1]
+            if major == 4:
+                if fmt & 0x0C:  # compression / encryption
+                    continue
+                if fmt & 0x02:  # per-frame unsynchronisation
+                    fbody = fbody.replace(b"\xff\x00", b"\xff")
+                if fmt & 0x01:  # data length indicator prefix
+                    fbody = fbody[4:]
+            elif fmt & 0xC0:  # v2.3 compression / encryption
+                continue
         sid = fid.decode("latin-1", "replace")
         if major == 2:
             name = _ID3_V22.get(sid)
@@ -216,20 +228,23 @@ def parse_id3v2(data: bytes) -> dict:
         if name is None:
             continue
         if name == "comment":
-            if major == 2 or sid == "COMM":
-                enc = fbody[0] if fbody else 0
-                rest = fbody[4:]  # language(3) skipped
-                if enc in (1, 2):
-                    codec = "utf-16" if enc == 1 else "utf-16-be"
-                    parts = rest.split(
-                        b"\x00\x00\x00" if enc == 2 else b"\x00\x00", 1
-                    )
-                    text = parts[-1]
-                    out[name] = text.decode(codec, "replace").rstrip("\x00")
-                else:
-                    _desc, _, text = rest.partition(b"\x00")
-                    codec = "latin-1" if enc == 0 else "utf-8"
-                    out[name] = text.decode(codec, "replace").rstrip("\x00")
+            enc = fbody[0] if fbody else 0
+            rest = fbody[4:]  # encoding(1) + language(3) skipped
+            if enc in (1, 2):
+                # descriptor and text are UTF-16 strings split by a
+                # CODE-UNIT-ALIGNED double NUL (a byte-level split
+                # lands mid-code-unit and garbles the text)
+                codec = "utf-16" if enc == 1 else "utf-16-be"
+                text = rest
+                for i in range(0, len(rest) - 1, 2):
+                    if rest[i] == 0 and rest[i + 1] == 0:
+                        text = rest[i + 2 :]
+                        break
+                out[name] = text.decode(codec, "replace").rstrip("\x00")
+            else:
+                _desc, _, text = rest.partition(b"\x00")
+                codec = "latin-1" if enc == 0 else "utf-8"
+                out[name] = text.decode(codec, "replace").rstrip("\x00")
         else:
             out[name] = _decode_text(fbody)
     return out
@@ -328,8 +343,14 @@ def parse_mp3(data: bytes) -> dict:
         if hdr is None:
             break  # trailing garbage / truncated final frame
         if n_frames == 0:
-            # Xing/Info sits after the side info; VBRI at offset +36
-            xo = pos + _xing_offset(hdr["version"], hdr["channels"])
+            # Xing/Info sits after the side info (and after the
+            # 2-byte CRC when the protection bit is set); VBRI at
+            # offset +36
+            xo = (
+                pos
+                + _xing_offset(hdr["version"], hdr["channels"])
+                + (2 if hdr["crc"] else 0)
+            )
             if data[xo : xo + 4] in (b"Xing", b"Info"):
                 (flags,) = struct.unpack_from(">I", data, xo + 4)
                 if flags & 1:
@@ -344,9 +365,14 @@ def parse_mp3(data: bytes) -> dict:
         n_frames += 1
         pos += hdr["frame_len"]
     spf = first["spf"]
-    total_frames = n_frames
     if vbr_frames is not None and vbr_kind != "Info":
         total_frames = vbr_frames  # trust the VBR header's count
+    elif vbr_kind is not None:
+        # the Xing/Info/VBRI frame itself is silent metadata, not
+        # audio — exclude it from the walked count
+        total_frames = max(0, n_frames - 1)
+    else:
+        total_frames = n_frames
     n_samples = total_frames * spf
     return {
         "format": "mp3",

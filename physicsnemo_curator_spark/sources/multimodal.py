@@ -681,27 +681,25 @@ def stamp_media_tags(
             for payload in pdf["payload"]:
                 raw = bytes(payload)
                 try:
+                    # dispatch FIRST (only the format sniff may raise
+                    # here), so a real embed failure surfaces its own
+                    # diagnostic instead of cascading into the other
+                    # family's dispatch error
                     try:
-                        keep = _imagetags.supported_keys(raw) & set(tags)
-                        new_payloads.append(
-                            _imagetags.embed_image_tags(
-                                raw, {k: tags[k] for k in keep}
-                            )
-                            if keep
-                            else raw
-                        )
+                        keys = _imagetags.supported_keys(raw)
+                        embed, use = _imagetags.embed_image_tags, tags
                     except ValueError:
-                        audio = dict(tags)
-                        if "author" in audio:
-                            audio["artist"] = audio.pop("author")
-                        keep = _audiotags.supported_keys(raw) & set(audio)
-                        new_payloads.append(
-                            _audiotags.embed_audio_tags(
-                                raw, {k: audio[k] for k in keep}
-                            )
-                            if keep
-                            else raw
-                        )
+                        use = dict(tags)
+                        if "author" in use:
+                            use["artist"] = use.pop("author")
+                        keys = _audiotags.supported_keys(raw)
+                        embed = _audiotags.embed_audio_tags
+                    keep = keys & set(use)
+                    new_payloads.append(
+                        embed(raw, {k: use[k] for k in keep})
+                        if keep
+                        else raw
+                    )
                 except Exception:
                     if strict:
                         raise

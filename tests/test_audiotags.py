@@ -151,3 +151,27 @@ def test_wav_rejects_unsupported_key():
     raw = encode_wav(_signal(100), 8000)
     with pytest.raises(ValueError, match="WAV INFO"):
         AT.embed_audio_tags(raw, {"bogus": "x"})
+
+
+def test_ogg_flac_tagged_header_flags_conformant():
+    """The mapping's metadata chain must terminate at the LAST header
+    packet: tagged streams clear STREAMINFO's last-block flag and set
+    it on the VORBIS_COMMENT packet (a conformant external reader
+    would otherwise stop at STREAMINFO and drop the tags)."""
+    from physicsnemo_curator_spark.sources.flac import _ogg_packets
+
+    raw = encode_ogg_flac(_signal(200), 8000, tags={"title": "x"})
+    packets = _ogg_packets(raw)
+    head = packets[0]
+    assert head[:5] == b"\x7fFLAC"
+    (nheaders,) = (int.from_bytes(head[7:9], "big"),)
+    assert nheaders == 1
+    streaminfo_hdr = head[13]  # first native block header byte
+    assert streaminfo_hdr & 0x80 == 0  # NOT last
+    comment_pkt = packets[1]
+    assert comment_pkt[0] & 0x7F == 4
+    assert comment_pkt[0] & 0x80  # IS last
+    # untagged: STREAMINFO stays the last (and only) metadata block
+    raw0 = encode_ogg_flac(_signal(200), 8000)
+    head0 = _ogg_packets(raw0)[0]
+    assert head0[13] & 0x80

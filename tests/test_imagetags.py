@@ -285,3 +285,56 @@ def test_stamp_media_tags_preserves_decodes(spark):
 
     assert rows[6] == encode_bmp(_img())
     np.testing.assert_array_equal(decode_bmp(rows[6])[0], _img())
+
+
+# ---------------------------------------------------------------------------
+# review-pass regressions
+
+
+def test_jpeg_non_ascii_tags_round_trip():
+    # exif ASCII-typed entries carry UTF-8 bytes (exiftool behavior);
+    # a non-ASCII author used to crash build_exif mid-stamp
+    raw = encode_jpeg(_img(), quality=90)
+    tagged = IT.embed_image_tags(
+        raw, {"author": "José", "comment": "naïve café"}
+    )
+    got = IT.extract_image_tags(tagged)
+    assert got["author"] == "José"
+    assert got["comment"] == "naïve café"
+
+
+def test_stamp_strict_surfaces_real_image_diagnostic(spark):
+    from physicsnemo_curator_spark.sources.multimodal import (
+        MEDIA_SCHEMA,
+        stamp_media_tags,
+    )
+
+    from physicsnemo_curator_spark.sources.imagetags import _gif_data_start
+
+    raw = bytearray(encode_gif([_img()]))
+    raw[_gif_data_start(raw)] = 0x99  # valid signature, bad block id
+    df = spark.createDataFrame(
+        [(0, "image", bytes(raw), 24, 16, None)], MEDIA_SCHEMA
+    )
+    # the real GIF diagnostic must surface, not a misrouted
+    # "not a supported audio container"
+    with pytest.raises(Exception, match="unknown GIF block"):
+        stamp_media_tags(df, {"comment": "x"}, strict=True).collect()
+
+
+def test_stamp_non_strict_passes_corrupt_through(spark):
+    from physicsnemo_curator_spark.sources.multimodal import (
+        MEDIA_SCHEMA,
+        stamp_media_tags,
+    )
+
+    from physicsnemo_curator_spark.sources.imagetags import _gif_data_start
+
+    raw = bytearray(encode_gif([_img()]))
+    raw[_gif_data_start(raw)] = 0x99
+    corrupt = bytes(raw)
+    df = spark.createDataFrame(
+        [(0, "image", corrupt, 24, 16, None)], MEDIA_SCHEMA
+    )
+    (row,) = stamp_media_tags(df, {"comment": "x"}).collect()
+    assert bytes(row["payload"]) == corrupt

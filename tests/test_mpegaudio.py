@@ -114,7 +114,9 @@ def test_info_header_marks_cbr():
     raw[xo + 8 : xo + 12] = struct.pack(">I", 999)
     p = M.parse_mp3(bytes(raw))
     assert p["vbr"] is False
-    assert p["n_samples"] == 4 * 1152  # walked count, not Info's
+    # walked count minus the silent Info metadata frame, not Info's
+    # own (distrusted) count
+    assert p["n_samples"] == 3 * 1152
 
 
 def test_vbri_header():
@@ -273,3 +275,80 @@ def test_decode_honestly_gated():
     mp3 = M.build_mp3(1, bitrate_kbps=64, sample_rate=32000, channels=1)
     with pytest.raises(NotImplementedError):
         M.decode_mpeg_audio(mp3)
+
+
+# ---------------------------------------------------------------------------
+# review-pass regressions
+
+
+def test_xing_found_behind_crc_field():
+    raw = bytearray(
+        M.build_mp3(4, bitrate_kbps=64, sample_rate=44100, channels=1)
+    )
+    raw[1] &= 0xFE  # protection bit 0: 16-bit CRC follows the header
+    xo = M._xing_offset("1", 1) + 2
+    raw[xo : xo + 4] = b"Xing"
+    raw[xo + 4 : xo + 8] = struct.pack(">I", 1)
+    raw[xo + 8 : xo + 12] = struct.pack(">I", 55)
+    p = M.parse_mp3(bytes(raw))
+    assert p["vbr"] is True
+    assert p["n_samples"] == 55 * 1152
+
+
+def test_xing_excludes_metadata_frame_from_walk_count():
+    raw = bytearray(
+        M.build_mp3(6, bitrate_kbps=64, sample_rate=44100, channels=1)
+    )
+    xo = M._xing_offset("1", 1)
+    raw[xo : xo + 4] = b"Xing"
+    raw[xo + 4 : xo + 8] = struct.pack(">I", 0)  # no frames field
+    p = M.parse_mp3(bytes(raw))
+    assert p["vbr"] is True
+    assert p["n_samples"] == 5 * 1152  # walked 6 minus the Xing frame
+
+
+def _comm_frame(enc: int, desc: bytes, text: bytes) -> bytes:
+    body = bytes([enc]) + b"eng" + desc + text
+    frames = b"COMM" + M._syncsafe(len(body)) + b"\x00\x00" + body
+    return b"ID3\x04\x00\x00" + M._syncsafe(len(frames)) + frames
+
+
+def test_comm_utf16_with_descriptor():
+    desc = "d".encode("utf-16") + b"\x00\x00"
+    text = "Hi there".encode("utf-16")
+    assert M.parse_id3v2(_comm_frame(1, desc, text)) == {
+        "comment": "Hi there"
+    }
+
+
+def test_comm_utf16be_empty_descriptor():
+    desc = b"\x00\x00"
+    text = "Hi".encode("utf-16-be")
+    assert M.parse_id3v2(_comm_frame(2, desc, text)) == {"comment": "Hi"}
+
+
+def test_v24_data_length_indicator_flag():
+    body = b"\x00\x00\x00\x05" + b"\x00title"  # DLI prefix + latin1
+    frames = (
+        b"TIT2" + M._syncsafe(len(body)) + b"\x00\x01" + body
+    )
+    blob = b"ID3\x04\x00\x00" + M._syncsafe(len(frames)) + frames
+    assert M.parse_id3v2(blob) == {"title": "title"}
+
+
+def test_v24_per_frame_unsync_flag():
+    clean = b"\x00\xffab"  # latin-1 'ÿab'
+    stored = clean.replace(b"\xff", b"\xff\x00")
+    frames = b"TIT2" + M._syncsafe(len(stored)) + b"\x00\x02" + stored
+    blob = b"ID3\x04\x00\x00" + M._syncsafe(len(frames)) + frames
+    assert M.parse_id3v2(blob) == {"title": "ÿab"}
+
+
+def test_v23_compressed_frame_skipped():
+    body = b"\x00zipped-garbage"
+    frames = (
+        b"TIT2" + struct.pack(">I", len(body)) + b"\x00\x80" + body
+        + b"TALB" + struct.pack(">I", 6) + b"\x00\x00" + b"\x00album"
+    )
+    blob = b"ID3\x03\x00\x00" + M._syncsafe(len(frames)) + frames
+    assert M.parse_id3v2(blob) == {"album": "album"}

@@ -7270,7 +7270,128 @@ ORDER BY media_id LIMIT 300
 """
 
 
+def q_media_qoi_pnm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QOI + Netpbm codec gate (sources/qoi.py, sources/pnm.py):
+    each document's md5-hex 4x8 grid round-trips through FIVE
+    lossless encodings — QOI (gray→replicated-RGB chunk stream), P5
+    (8-bit), P6 (replicated RGB), P4 (bitmap of hexchar>64, spec
+    polarity), P5 (16-bit via x257) — decoded back in the executors.
+    Identity means frame_md5 = md5(md5(text)) (P4: md5 of the
+    translate()-derived bit string) and the fixed-header Netpbm byte
+    sizes pin the writer layout; probe supplies format/bits.  DuckDB
+    replays every field — a hash-table, LUMA-bias, packing, or
+    maxval bug changes a row."""
+    from physicsnemo_curator_spark.sources import probe as _probe
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 150)
+        .select("doc_id", "text")
+    )
+
+    def codec(it):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from physicsnemo_curator_spark.sources import pnm as _pnm
+        from physicsnemo_curator_spark.sources import qoi as _qoi
+
+        for pdf in it:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                h = hashlib.md5(text.encode()).hexdigest()
+                img = np.frombuffer(h.encode(), dtype=np.uint8).reshape(
+                    4, 8
+                )
+                variants = [
+                    ("qoi", _qoi.encode_qoi(img)),
+                    ("p5", _pnm.encode_pnm(img)),
+                    ("p6", _pnm.encode_pnm(
+                        np.repeat(img[:, :, None], 3, axis=2)
+                    )),
+                    ("p4", _pnm.encode_pnm(img > 64)),
+                    ("p5w", _pnm.encode_pnm(
+                        img.astype(np.uint16) * 257
+                    )),
+                ]
+                for k, (name, payload) in enumerate(variants):
+                    if name == "qoi":
+                        dec, _ = _qoi.decode_qoi(payload)
+                        flat = bytes(dec[:, :, 0].reshape(-1))
+                    elif name == "p4":
+                        dec, _ = _pnm.decode_pnm(payload)
+                        flat = "".join(
+                            "1" if v else "0" for v in dec.reshape(-1)
+                        ).encode()
+                    elif name == "p5w":
+                        dec, _ = _pnm.decode_pnm(payload)
+                        flat = bytes(
+                            (dec // 257).astype(np.uint8).reshape(-1)
+                        )
+                    else:
+                        dec, _ = _pnm.decode_pnm(payload)
+                        if dec.ndim == 3:
+                            dec = dec[:, :, 0]
+                        flat = bytes(dec.reshape(-1))
+                    pr = _probe.probe_media(payload)
+                    rows.append(
+                        (
+                            doc_id * 5 + k, name,
+                            hashlib.md5(flat).hexdigest(),
+                            len(payload) if name != "qoi" else None,
+                            pr["format"], pr["width"], pr["height"],
+                            pr["bits"],
+                        )
+                    )
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "container", "frame_md5", "n_bytes",
+                    "fmt", "width", "height", "bits",
+                ],
+            )
+            out["n_bytes"] = pd.array(out["n_bytes"], dtype="Int64")
+            yield out
+
+    out = docs.mapInPandas(
+        codec,
+        "media_id long, container string, frame_md5 string, "
+        "n_bytes long, fmt string, width int, height int, bits int",
+    )
+    return out.orderBy("media_id").limit(750)
+
+
+ORACLE_MEDIA_QOI_PNM = """
+WITH p AS (
+    SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id < 150
+),
+c AS (
+    SELECT * FROM (VALUES
+        (0, 'qoi', NULL, 'qoi', 8),
+        (1, 'p5', 43, 'pnm', 8),
+        (2, 'p6', 107, 'pnm', 8),
+        (3, 'p4', 11, 'pnm', 1),
+        (4, 'p5w', 77, 'pnm', 16)
+    ) AS t(k, container, n_bytes, fmt, bits)
+)
+SELECT p.doc_id * 5 + c.k AS media_id, c.container,
+       CASE WHEN c.k = 3
+            THEN md5(translate(p.h, '0123456789abcdef',
+                               '0000000000111111'))
+            ELSE md5(p.h) END AS frame_md5,
+       CAST(c.n_bytes AS BIGINT) AS n_bytes, c.fmt,
+       CAST(8 AS INT) AS width, CAST(4 AS INT) AS height,
+       CAST(c.bits AS INT) AS bits
+FROM p CROSS JOIN c
+ORDER BY media_id LIMIT 750
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "q_media_qoi_pnm": QuerySpec(q_media_qoi_pnm, ORACLE_MEDIA_QOI_PNM),
     "q_media_mpeg": QuerySpec(q_media_mpeg, ORACLE_MEDIA_MPEG),
     "q_media_imagetags": QuerySpec(
         q_media_imagetags, ORACLE_MEDIA_IMAGETAGS
@@ -7510,6 +7631,7 @@ QUERIES: dict[str, QuerySpec] = {
 # followed by the r08-green cohort.
 _DRIVER_ORDER = [
     # --- r09-new gates ---
+    "q_media_qoi_pnm",
     "q_media_mpeg",
     "q_media_imagetags",
     "q_media_audiotags",

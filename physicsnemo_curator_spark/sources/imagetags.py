@@ -24,6 +24,8 @@ structure; this module normalizes all of them onto one key set
   byte-preserving for the image data and works for any compression
   the codec itself can't even decode.
 - **GIF**: the Comment Extension (0x21 0xFE) — ``comment`` only.
+- **PNM**: ``#`` comment lines in the header (rebuilt after the
+  magic; the sample body is copied verbatim) — ``comment`` only.
 
 ``extract_image_tags`` / ``embed_image_tags`` dispatch on the
 container signature; unsupported keys for a narrower container are
@@ -257,6 +259,41 @@ def _embed_tiff(data: bytes, tags: dict) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# PNM (header comment lines)
+
+
+def _extract_pnm(data: bytes) -> dict:
+    from . import pnm as _pnm
+
+    kind = int(data[1:2])
+    fields, comments, _at = _pnm._read_header(
+        data, 2 if kind in (1, 4) else 3
+    )
+    return {"comment": "\n".join(comments)} if comments else {}
+
+
+def _embed_pnm(data: bytes, tags: dict) -> bytes:
+    """Rebuild the header with the comment lines after the magic;
+    the sample body is copied verbatim."""
+    from . import pnm as _pnm
+
+    for name in tags:
+        if name != "comment":
+            raise ValueError(
+                f"PNM header comments cannot carry tag {name!r}"
+            )
+    kind = int(data[1:2])
+    bitmap = kind in (1, 4)
+    fields, _old, body_at = _pnm._read_header(data, 2 if bitmap else 3)
+    lines = str(tags["comment"]).split("\n")
+    chead = "".join(f"#{line}\n" for line in lines)
+    head = f"P{kind}\n{chead}{fields[0]} {fields[1]}\n"
+    if not bitmap:
+        head += f"{fields[2]}\n"
+    return head.encode() + data[body_at:]
+
+
+# ---------------------------------------------------------------------------
 # GIF (Comment Extension)
 
 
@@ -336,6 +373,7 @@ def extract_image_tags(raw: bytes) -> dict:
     when none are present, ``ValueError`` for non-image payloads."""
     from . import gif as _gif
     from . import png as _png
+    from . import pnm as _pnm
     from . import tiff as _tiff
 
     raw = bytes(raw)
@@ -347,6 +385,8 @@ def extract_image_tags(raw: bytes) -> dict:
         return _extract_tiff(raw)
     if _gif.is_gif(raw):
         return _extract_gif(raw)
+    if _pnm.is_pnm(raw):
+        return _extract_pnm(raw)
     raise ValueError("not a supported image container")
 
 
@@ -355,6 +395,7 @@ def embed_image_tags(raw: bytes, tags: dict) -> bytes:
     family); decoded pixels are byte-identical to the input's."""
     from . import gif as _gif
     from . import png as _png
+    from . import pnm as _pnm
     from . import tiff as _tiff
 
     raw = bytes(raw)
@@ -366,6 +407,8 @@ def embed_image_tags(raw: bytes, tags: dict) -> bytes:
         return _embed_tiff(raw, tags)
     if _gif.is_gif(raw):
         return _embed_gif(raw, tags)
+    if _pnm.is_pnm(raw):
+        return _embed_pnm(raw, tags)
     raise ValueError("not a supported image container")
 
 
@@ -375,6 +418,7 @@ def supported_keys(raw: bytes) -> set[str]:
     here — unsupported containers raise ``ValueError``)."""
     from . import gif as _gif
     from . import png as _png
+    from . import pnm as _pnm
     from . import tiff as _tiff
 
     raw = bytes(raw)
@@ -385,5 +429,7 @@ def supported_keys(raw: bytes) -> set[str]:
     if _tiff.is_tiff(raw):
         return set(_TIFF_TAGS)
     if _gif.is_gif(raw):
+        return {"comment"}
+    if _pnm.is_pnm(raw):
         return {"comment"}
     raise ValueError("not a supported image container")

@@ -118,6 +118,8 @@ def _decode_image_native(raw: bytes):
     from physicsnemo_curator_spark.sources import gif as _gif
     from physicsnemo_curator_spark.sources import jpeg as _jpeg
     from physicsnemo_curator_spark.sources import png as _png
+    from physicsnemo_curator_spark.sources import pnm as _pnm
+    from physicsnemo_curator_spark.sources import qoi as _qoi
     from physicsnemo_curator_spark.sources import tiff as _tiff
 
     if _png.is_png(raw):
@@ -131,6 +133,10 @@ def _decode_image_native(raw: bytes):
     if _gif.is_gif(raw):
         # an image-kind GIF contributes its first frame
         return _gif.decode_gif(raw)[0][0], "gif"
+    if _qoi.is_qoi(raw):
+        return _qoi.decode_qoi(raw)[0], "qoi"
+    if _pnm.is_pnm(raw):
+        return _pnm.decode_pnm(raw)[0], "pnm"
     return None
 
 
@@ -448,6 +454,18 @@ def resize_images(
                                 enc = _gif.encode_gif(resized)
                             except NotImplementedError:
                                 enc = _png.encode_png(resized)
+                        elif fmt == "qoi":
+                            from physicsnemo_curator_spark.sources import (
+                                qoi as _qoi,
+                            )
+
+                            enc = _qoi.encode_qoi(resized)
+                        elif fmt == "pnm":
+                            from physicsnemo_curator_spark.sources import (
+                                pnm as _pnm,
+                            )
+
+                            enc = _pnm.encode_pnm(resized)
                         elif resized.dtype == np.uint16:
                             # wide JPEG decode: re-encode at a depth
                             # that holds the samples — 12-bit lossy

@@ -273,6 +273,29 @@ def _probe_mkv(raw: bytes) -> dict:
     }
 
 
+def _probe_qoi(raw: bytes) -> dict:
+    w, h, ch, _cs = struct.unpack_from(">IIBB", raw, 4)
+    return {
+        "format": "qoi", "kind": "image", "width": int(w),
+        "height": int(h), "channels": int(ch), "bits": 8,
+    }
+
+
+def _probe_pnm(raw: bytes) -> dict:
+    from . import pnm as _pnm
+
+    kind = int(raw[1:2])
+    bitmap = kind in (1, 4)
+    fields, _comments, _at = _pnm._read_header(raw, 2 if bitmap else 3)
+    maxval = 1 if bitmap else fields[2]
+    return {
+        "format": "pnm", "kind": "image", "width": int(fields[0]),
+        "height": int(fields[1]),
+        "channels": 3 if kind in (3, 6) else 1,
+        "bits": 1 if bitmap else (16 if maxval > 255 else 8),
+    }
+
+
 def _probe_mp3(raw: bytes) -> dict:
     from . import mpegaudio as _mpeg
 
@@ -312,6 +335,8 @@ def probe_media(raw: bytes) -> dict:
     from . import mp4 as _mp4
     from . import mpegaudio as _mpeg
     from . import png as _png
+    from . import pnm as _pnm
+    from . import qoi as _qoi
     from . import tiff as _tiff
     from . import wav as _wav
 
@@ -345,6 +370,10 @@ def probe_media(raw: bytes) -> dict:
         out.update(_probe_adts(raw))
     elif _mpeg.is_mp3(raw):
         out.update(_probe_mp3(raw))
+    elif _qoi.is_qoi(raw):
+        out.update(_probe_qoi(raw))
+    elif _pnm.is_pnm(raw):
+        out.update(_probe_pnm(raw))
     return out
 
 

@@ -7390,7 +7390,111 @@ ORDER BY media_id LIMIT 750
 """
 
 
+def q_quality_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form regression gate (operators/regression.py): fit
+    ``y = 2*x1 - 3*x2 + 5 + (doc_id % 7)`` over the FULL documents
+    table with integer-valued features (x1 = n_chars % 89, x2 =
+    doc_id % 31) — every moment sum is then EXACT in float64, so
+    DuckDB can replay the whole fit by solving the same normal
+    equations with Cramer's rule.  One distributed aggregation pass,
+    driver-side 3x3 solve, Catalyst-expression scoring; outputs the
+    coefficients, fit metrics, and the first 20 scored rows."""
+    from physicsnemo_curator_spark.operators.regression import (
+        fit_linear_model,
+        with_linear_score,
+    )
+
+    feats = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            (F.col("n_chars") % 89).cast("double").alias("x1"),
+            (F.col("doc_id") % 31).cast("double").alias("x2"),
+        )
+        .withColumn(
+            "y",
+            2.0 * F.col("x1") - 3.0 * F.col("x2") + 5.0
+            + (F.col("doc_id") % 7).cast("double"),
+        )
+    )
+    m = fit_linear_model(feats, ["x1", "x2"], "y")
+    head = spark.createDataFrame(
+        [
+            (0, "coef", round(m.coef[0], 5), round(m.coef[1], 5),
+             round(m.intercept, 5)),
+            (1, "fit", round(m.r2, 9), round(m.sse, 3),
+             float(m.n_rows)),
+        ],
+        "row_id long, kind string, a double, b double, c double",
+    )
+    scores = (
+        with_linear_score(feats.filter(F.col("doc_id") < 20), m)
+        .select(
+            (100 + F.col("doc_id")).alias("row_id"),
+            F.lit("score").alias("kind"),
+            F.round("score", 5).alias("a"),
+            F.col("y").alias("b"),
+            F.lit(None).cast("double").alias("c"),
+        )
+    )
+    return head.unionByName(scores).orderBy("row_id").limit(30)
+
+
+ORACLE_QUALITY_REGRESSION = """
+WITH f AS (
+    SELECT doc_id,
+           CAST(n_chars % 89 AS DOUBLE) AS x1,
+           CAST(doc_id % 31 AS DOUBLE) AS x2,
+           2.0 * (n_chars % 89) - 3.0 * (doc_id % 31) + 5.0
+               + (doc_id % 7) AS y
+    FROM documents
+),
+mo AS (
+    SELECT SUM(x1*x1) AS sxx, SUM(x1*x2) AS sxy, SUM(x2*x2) AS syy,
+           SUM(x1) AS sx, SUM(x2) AS sy, SUM(x1*y) AS sxz,
+           SUM(x2*y) AS syz, SUM(y) AS sz, SUM(y*y) AS szz,
+           CAST(COUNT(*) AS DOUBLE) AS n
+    FROM f
+),
+th AS (
+    SELECT *,
+           sxx*(syy*n - sy*sy) - sxy*(sxy*n - sy*sx)
+               + sx*(sxy*sy - syy*sx) AS det,
+           (sxz*(syy*n - sy*sy) - sxy*(syz*n - sy*sz)
+               + sx*(syz*sy - syy*sz)) AS det1,
+           (sxx*(syz*n - sz*sy) - sxz*(sxy*n - sy*sx)
+               + sx*(sxy*sz - syz*sx)) AS det2,
+           (sxx*(syy*sz - sy*syz) - sxy*(sxy*sz - sx*syz)
+               + sxz*(sxy*sy - syy*sx)) AS det3
+    FROM mo
+),
+model AS (
+    SELECT det1/det AS c1, det2/det AS c2, det3/det AS b0,
+           szz - (det1/det*sxz + det2/det*syz + det3/det*sz) AS sse,
+           szz - sz*sz/n AS sst, n
+    FROM th
+)
+SELECT row_id, kind, a, b, c FROM (
+    SELECT 0 AS row_id, 'coef' AS kind, ROUND(c1, 5) AS a,
+           ROUND(c2, 5) AS b, ROUND(b0, 5) AS c
+    FROM model
+    UNION ALL
+    SELECT 1, 'fit', ROUND(1.0 - sse/sst, 9), ROUND(sse, 3), n
+    FROM model
+    UNION ALL
+    SELECT 100 + f.doc_id, 'score',
+           ROUND(m.b0 + m.c1*f.x1 + m.c2*f.x2, 5), f.y,
+           CAST(NULL AS DOUBLE)
+    FROM f CROSS JOIN model m WHERE f.doc_id < 20
+)
+ORDER BY row_id LIMIT 30
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "q_quality_regression": QuerySpec(
+        q_quality_regression, ORACLE_QUALITY_REGRESSION
+    ),
     "q_media_qoi_pnm": QuerySpec(q_media_qoi_pnm, ORACLE_MEDIA_QOI_PNM),
     "q_media_mpeg": QuerySpec(q_media_mpeg, ORACLE_MEDIA_MPEG),
     "q_media_imagetags": QuerySpec(
@@ -7631,6 +7735,7 @@ QUERIES: dict[str, QuerySpec] = {
 # followed by the r08-green cohort.
 _DRIVER_ORDER = [
     # --- r09-new gates ---
+    "q_quality_regression",
     "q_media_qoi_pnm",
     "q_media_mpeg",
     "q_media_imagetags",

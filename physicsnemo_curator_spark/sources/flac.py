@@ -420,14 +420,96 @@ def _rice_param(res: np.ndarray) -> int:
     return p
 
 
+def _rice_cost(res: np.ndarray, param: int) -> int:
+    """Exact bit count of a single-partition Rice coding."""
+    if len(res) == 0:
+        return 0
+    zz = (np.abs(res) * 2 - (res < 0)).astype(np.int64)
+    return int((zz >> param).sum()) + len(res) * (param + 1)
+
+
+def _lpc_analyze(x: np.ndarray, max_order: int = 8):
+    """Welch-windowed autocorrelation + Levinson-Durbin.  Yields the
+    float predictor coefficients at orders 2/4/max (snapshots of the
+    recursion) — the window shapes ANALYSIS only; losslessness never
+    depends on it.  None for blocks too short or degenerate."""
+    n = len(x)
+    if n < max_order + 2:
+        return None
+    xf = x.astype(np.float64)
+    t = (np.arange(n) - (n - 1) / 2.0) / ((n + 1) / 2.0)
+    xw = xf * (1.0 - t * t)
+    r = np.array(
+        [float(np.dot(xw[: n - k], xw[k:])) for k in range(max_order + 1)]
+    )
+    if r[0] <= 0:
+        return None
+    a = np.zeros(0)
+    err = r[0]
+    snaps = []
+    for i in range(max_order):
+        acc = r[i + 1] - (float(a @ r[1 : i + 1][::-1]) if i else 0.0)
+        k = acc / err
+        a = np.concatenate([a - k * a[::-1], [k]])
+        err *= 1.0 - k * k
+        if (i + 1) in (2, 4, max_order):
+            snaps.append(a.copy())
+        if err <= 0:
+            break
+    return snaps or None
+
+
+def _quantize_lpc(a: np.ndarray, precision: int = 12):
+    """FLAC-style coefficient quantization with error feedback;
+    returns (int64 coefs, shift) or None when degenerate."""
+    import math
+
+    cmax = float(np.max(np.abs(a)))
+    if cmax <= 0 or not np.all(np.isfinite(a)):
+        return None
+    shift = precision - 1 - (math.floor(math.log2(cmax)) + 1)
+    shift = max(0, min(15, shift))
+    lim = 1 << (precision - 1)
+    q = np.empty(len(a), dtype=np.int64)
+    err = 0.0
+    for i, c in enumerate(a):
+        v = c * (1 << shift) + err
+        qi = max(-lim, min(lim - 1, round(v)))
+        err = v - qi
+        q[i] = qi
+    if not q.any():
+        return None
+    return q, shift
+
+
+def _lpc_residual(x: np.ndarray, q: np.ndarray, shift: int) -> np.ndarray:
+    """Integer residual matching the decoder's reconstruction
+    EXACTLY: pred[i] = (sum_j q[j] * x[i-1-j]) >> shift (arithmetic
+    shift), res = x[order:] - pred."""
+    order = len(q)
+    acc = np.convolve(x, q)[order - 1 : len(x) - 1]
+    return x[order:] - (acc >> shift)
+
+
 def encode_flac(
-    samples: np.ndarray, sample_rate: int, *, block_size: int = 4096
+    samples: np.ndarray,
+    sample_rate: int,
+    *,
+    block_size: int = 4096,
+    predictor: str = "auto",
 ) -> bytes:
     """Encode float samples in [-1, 1] (``(n,)`` or ``(n, c)``) as a
-    conforming FLAC stream: 16-bit, independent channels, FIXED
-    predictors (best of orders 0..4 per channel per block),
-    single-partition Rice residuals, STREAMINFO md5."""
+    conforming FLAC stream: 16-bit, independent channels,
+    single-partition Rice residuals, STREAMINFO md5.  ``predictor``:
+    ``"fixed"`` restricts to the FIXED orders 0..4, ``"lpc"``/
+    ``"auto"`` also evaluate Levinson-Durbin LPC subframes at orders
+    2/4/8 (12-bit quantized coefficients) and emit whichever costs
+    fewest EXACT Rice bits per channel per block — all candidates
+    are lossless by construction, the choice only moves size."""
     import hashlib
+
+    if predictor not in ("auto", "fixed", "lpc"):
+        raise ValueError(f"unknown predictor mode {predictor!r}")
 
     arr = np.asarray(samples, dtype=np.float64)
     if arr.ndim == 1:
@@ -480,14 +562,45 @@ def encode_flac(
         for c in range(channels):
             x = block[:, c]
             order, res = _best_fixed_order(x)
+            param = min(_rice_param(res), 14)
+            # exact subframe bit costs: warmup + residual (+ LPC's
+            # precision/shift/coefficient fields)
+            best = (
+                16 * order + _rice_cost(res, param),
+                "fixed", order, res, param, None, None,
+            )
+            if predictor != "fixed":
+                for a in _lpc_analyze(x) or []:
+                    qz = _quantize_lpc(a)
+                    if qz is None:
+                        continue
+                    q, shift = qz
+                    lres = _lpc_residual(x, q, shift)
+                    lparam = min(_rice_param(lres), 14)
+                    cost = (
+                        16 * len(q) + 4 + 5 + 12 * len(q)
+                        + _rice_cost(lres, lparam)
+                    )
+                    if cost < best[0]:
+                        best = (
+                            cost, "lpc", len(q), lres, lparam, q, shift,
+                        )
+            _cost, kind, order, res, param, q, shift = best
             bw.write(0, 1)
-            bw.write(8 + order, 6)  # FIXED subframe
+            if kind == "fixed":
+                bw.write(8 + order, 6)  # FIXED subframe
+            else:
+                bw.write(32 + order - 1, 6)  # LPC subframe
             bw.write(0, 1)  # no wasted bits
             for w in x[:order]:
                 bw.write(int(w), 16)
+            if kind == "lpc":
+                bw.write(12 - 1, 4)  # coefficient precision
+                bw.write(shift, 5)
+                for qc in q:
+                    bw.write(int(qc), 12)
             bw.write(0, 2)  # rice method 0
             bw.write(0, 4)  # partition order 0
-            param = min(_rice_param(res), 14)
             bw.write(param, 4)
             _rice_write(bw, res, param)
         bw.align()

@@ -261,3 +261,52 @@ def test_short_signal_streaminfo_is_fixed_blocksize():
     d = flac.encode_flac(np.zeros(5), 8000)
     mn, mx = struct.unpack(">HH", d[8:12])
     assert mn == mx == 4096
+
+
+def test_lpc_beats_fixed_on_tonal_and_stays_lossless():
+    """LPC subframes (orders 2/4/8, 12-bit quantized Levinson-Durbin
+    coefficients) must round-trip EXACTLY and compress a tonal
+    signal tighter than the FIXED orders."""
+    import numpy as np
+
+    from physicsnemo_curator_spark.sources.flac import (
+        decode_flac,
+        encode_flac,
+    )
+
+    rng = np.random.default_rng(5)
+    t = np.arange(6000)
+    sig = np.clip(
+        0.5 * np.sin(2 * np.pi * 440 * t / 8000)
+        + 0.2 * np.sin(2 * np.pi * 1234 * t / 8000)
+        + 0.01 * rng.normal(size=len(t)),
+        -1,
+        1,
+    )
+    fixed = encode_flac(sig, 8000, predictor="fixed")
+    auto = encode_flac(sig, 8000, predictor="auto")
+    assert len(auto) < len(fixed)
+    ref = np.round(sig * 32767) / 32768.0
+    for enc in (fixed, auto):
+        dec, _ = decode_flac(enc)  # md5 self-check runs inside
+        np.testing.assert_allclose(dec.reshape(-1), ref, atol=1e-9)
+
+
+def test_lpc_mode_validation_and_short_blocks():
+    import numpy as np
+    import pytest as _pytest
+
+    from physicsnemo_curator_spark.sources.flac import (
+        decode_flac,
+        encode_flac,
+    )
+
+    with _pytest.raises(ValueError, match="predictor"):
+        encode_flac(np.zeros(10), 8000, predictor="cnn")
+    # blocks shorter than the max LPC order fall back to FIXED paths
+    rng = np.random.default_rng(6)
+    sig = rng.normal(0, 0.3, 7).clip(-1, 1)
+    dec, _ = decode_flac(encode_flac(sig, 8000, predictor="lpc"))
+    np.testing.assert_allclose(
+        dec.reshape(-1), np.round(sig * 32767) / 32768.0, atol=1e-9
+    )

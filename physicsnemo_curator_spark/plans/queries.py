@@ -7491,7 +7491,81 @@ ORDER BY row_id LIMIT 30
 """
 
 
+def q_webdataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset shard gate (sources/webdataset.py): documents
+    become keyed samples (``%06d`` keys; .txt/.cls/.met entries),
+    written through the REAL distributed sink — xxhash64 shard
+    assignment, one byte-reproducible USTAR archive per task — then
+    re-scanned with ``read_webdataset`` (binaryFile + tar walk per
+    shard) and regrouped with the map aggregation.  Every surviving
+    field is document arithmetic (DuckDB md5(text), modulo class,
+    concatenated metadata), so the tar header layout, member naming,
+    grouping key split, and map pivot are all pinned."""
+    from physicsnemo_curator_spark.sources.webdataset import (
+        group_samples,
+        read_webdataset,
+        write_webdataset,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text", "n_chars")
+    )
+    entries = docs.select(
+        F.lpad(F.col("doc_id").cast("string"), 6, "0").alias("key"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("txt").alias("ext"),
+                    F.col("text").cast("binary").alias("payload"),
+                ),
+                F.struct(
+                    F.lit("cls").alias("ext"),
+                    (F.col("doc_id") % 10)
+                    .cast("string")
+                    .cast("binary")
+                    .alias("payload"),
+                ),
+                F.struct(
+                    F.lit("met").alias("ext"),
+                    F.concat(F.lit("n="), F.col("n_chars"))
+                    .cast("binary")
+                    .alias("payload"),
+                ),
+            )
+        ).alias("e"),
+    ).select("key", "e.ext", "e.payload")
+    base = _fixture_dir(sf_dir, "wds")
+    out = os.path.join(base, "shards")
+    write_webdataset(entries, out, n_shards=4).collect()
+    grouped = group_samples(read_webdataset(spark, out))
+    return (
+        grouped.select(
+            "key",
+            "n_entries",
+            F.col("entries")["cls"].cast("string").alias("cls"),
+            F.col("entries")["met"].cast("string").alias("met"),
+            F.md5(F.col("entries")["txt"]).alias("txt_md5"),
+        )
+        .orderBy("key")
+        .limit(200)
+    )
+
+
+ORACLE_WEBDATASET = """
+SELECT lpad(CAST(doc_id AS VARCHAR), 6, '0') AS key,
+       CAST(3 AS BIGINT) AS n_entries,
+       CAST(doc_id % 10 AS VARCHAR) AS cls,
+       'n=' || CAST(n_chars AS VARCHAR) AS met,
+       md5(text) AS txt_md5
+FROM documents WHERE doc_id < 200
+ORDER BY key LIMIT 200
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "q_webdataset": QuerySpec(q_webdataset, ORACLE_WEBDATASET),
     "q_quality_regression": QuerySpec(
         q_quality_regression, ORACLE_QUALITY_REGRESSION
     ),
@@ -7735,6 +7809,7 @@ QUERIES: dict[str, QuerySpec] = {
 # followed by the r08-green cohort.
 _DRIVER_ORDER = [
     # --- r09-new gates ---
+    "q_webdataset",
     "q_quality_regression",
     "q_media_qoi_pnm",
     "q_media_mpeg",

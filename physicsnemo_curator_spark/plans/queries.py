@@ -7297,6 +7297,7 @@ def q_media_qoi_pnm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         from physicsnemo_curator_spark.sources import pnm as _pnm
         from physicsnemo_curator_spark.sources import qoi as _qoi
+        from physicsnemo_curator_spark.sources import tiff as _tiff
 
         for pdf in it:
             rows = []
@@ -7316,11 +7317,17 @@ def q_media_qoi_pnm(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ("p5w", _pnm.encode_pnm(
                         img.astype(np.uint16) * 257
                     )),
+                    ("btif", _tiff.encode_tiff(
+                        img, compression="lzw", bigtiff=True
+                    )),
                 ]
                 for k, (name, payload) in enumerate(variants):
                     if name == "qoi":
                         dec, _ = _qoi.decode_qoi(payload)
                         flat = bytes(dec[:, :, 0].reshape(-1))
+                    elif name == "btif":
+                        dec, _ = _tiff.decode_tiff(payload)
+                        flat = bytes(dec.reshape(-1))
                     elif name == "p4":
                         dec, _ = _pnm.decode_pnm(payload)
                         flat = "".join(
@@ -7339,9 +7346,11 @@ def q_media_qoi_pnm(spark: SparkSession, sf_dir: str) -> DataFrame:
                     pr = _probe.probe_media(payload)
                     rows.append(
                         (
-                            doc_id * 5 + k, name,
+                            doc_id * 6 + k, name,
                             hashlib.md5(flat).hexdigest(),
-                            len(payload) if name != "qoi" else None,
+                            len(payload)
+                            if name not in ("qoi", "btif")
+                            else None,
                             pr["format"], pr["width"], pr["height"],
                             pr["bits"],
                         )
@@ -7361,7 +7370,7 @@ def q_media_qoi_pnm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id long, container string, frame_md5 string, "
         "n_bytes long, fmt string, width int, height int, bits int",
     )
-    return out.orderBy("media_id").limit(750)
+    return out.orderBy("media_id").limit(900)
 
 
 ORACLE_MEDIA_QOI_PNM = """
@@ -7374,10 +7383,11 @@ c AS (
         (1, 'p5', 43, 'pnm', 8),
         (2, 'p6', 107, 'pnm', 8),
         (3, 'p4', 11, 'pnm', 1),
-        (4, 'p5w', 77, 'pnm', 16)
+        (4, 'p5w', 77, 'pnm', 16),
+        (5, 'btif', NULL, 'bigtiff', 8)
     ) AS t(k, container, n_bytes, fmt, bits)
 )
-SELECT p.doc_id * 5 + c.k AS media_id, c.container,
+SELECT p.doc_id * 6 + c.k AS media_id, c.container,
        CASE WHEN c.k = 3
             THEN md5(translate(p.h, '0123456789abcdef',
                                '0000000000111111'))
@@ -7386,7 +7396,7 @@ SELECT p.doc_id * 5 + c.k AS media_id, c.container,
        CAST(8 AS INT) AS width, CAST(4 AS INT) AS height,
        CAST(c.bits AS INT) AS bits
 FROM p CROSS JOIN c
-ORDER BY media_id LIMIT 750
+ORDER BY media_id LIMIT 900
 """
 
 

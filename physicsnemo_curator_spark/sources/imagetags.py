@@ -189,9 +189,8 @@ def _embed_jpeg(data: bytes, tags: dict) -> bytes:
 def _extract_tiff(data: bytes) -> dict:
     from . import tiff as _tiff
 
-    e = "<" if data[:2] == b"II" else ">"
-    (first,) = struct.unpack_from(e + "I", data, 4)
-    ifd_tags, _next = _tiff._read_ifd(data, e, first)
+    e, big, first = _tiff.tiff_layout(data)
+    ifd_tags, _next = _tiff.read_ifd(data, e, first, big)
     out: dict = {}
     for tag, name in _TIFF_REV.items():
         if tag in ifd_tags:
@@ -209,21 +208,29 @@ def _extract_tiff(data: bytes) -> dict:
 def _embed_tiff(data: bytes, tags: dict) -> bytes:
     """Append-only first-IFD rewrite: keep every original byte in
     place (absolute offsets in retained entries stay valid), write a
-    new IFD + string values at EOF, repoint the header."""
+    new IFD + string values at EOF, repoint the header.  Handles the
+    classic 12-byte and BigTIFF 20-byte entry layouts."""
+    from . import tiff as _tiff
+
     for name in tags:
         if name not in _TIFF_TAGS:
             raise ValueError(f"TIFF ASCII tags cannot carry tag {name!r}")
-    e = "<" if data[:2] == b"II" else ">"
-    (first,) = struct.unpack_from(e + "I", data, 4)
-    (count,) = struct.unpack_from(e + "H", data, first)
+    e, big, first = _tiff.tiff_layout(data)
+    # layout widths: (count fmt/size, entry size, ptr fmt/size,
+    # inline value capacity, header IFD-pointer offset)
+    if big:
+        cfmt, csz, esz, pfmt, inline, hdr_at = "Q", 8, 20, "Q", 8, 8
+    else:
+        cfmt, csz, esz, pfmt, inline, hdr_at = "H", 2, 12, "I", 4, 4
+    (count,) = struct.unpack_from(e + cfmt, data, first)
     kept: list[tuple[int, bytes]] = []
     for k in range(count):
-        at = first + 2 + 12 * k
+        at = first + csz + esz * k
         (tag,) = struct.unpack_from(e + "H", data, at)
         if tag not in _TIFF_REV:  # managed family is fully replaced
-            kept.append((tag, data[at : at + 12]))
+            kept.append((tag, data[at : at + esz]))
     (next_ifd,) = struct.unpack_from(
-        e + "I", data, first + 2 + 12 * count
+        e + pfmt, data, first + csz + esz * count
     )
 
     out = bytearray(data)
@@ -232,29 +239,32 @@ def _embed_tiff(data: bytes, tags: dict) -> bytes:
     new_entries: list[tuple[int, bytes]] = list(kept)
     n_total = len(kept) + len(tags)
     ifd_at = len(out)
-    extra_at = ifd_at + 2 + 12 * n_total + 4
+    extra_at = ifd_at + csz + esz * n_total + struct.calcsize(pfmt)
     extra = bytearray()
+    cnt_fmt = "Q" if big else "I"
     for name in tags:
         payload = str(tags[name]).encode("utf-8") + b"\x00"
-        if len(payload) <= 4:
-            val = payload + b"\x00" * (4 - len(payload))
+        if len(payload) <= inline:
+            val = payload + b"\x00" * (inline - len(payload))
         else:
-            val = struct.pack(e + "I", extra_at + len(extra))
+            val = struct.pack(e + pfmt, extra_at + len(extra))
             extra += payload
         new_entries.append(
             (
                 _TIFF_TAGS[name],
-                struct.pack(e + "HHI", _TIFF_TAGS[name], 2, len(payload))
+                struct.pack(
+                    e + "HH" + cnt_fmt, _TIFF_TAGS[name], 2, len(payload)
+                )
                 + val,
             )
         )
     new_entries.sort(key=lambda kv: kv[0])
-    out += struct.pack(e + "H", n_total)
+    out += struct.pack(e + cfmt, n_total)
     for _tag, entry in new_entries:
         out += entry
-    out += struct.pack(e + "I", next_ifd)
+    out += struct.pack(e + pfmt, next_ifd)
     out += extra
-    struct.pack_into(e + "I", out, 4, ifd_at)
+    struct.pack_into(e + pfmt, out, hdr_at, ifd_at)
     return bytes(out)
 
 

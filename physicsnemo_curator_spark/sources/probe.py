@@ -103,18 +103,17 @@ def _probe_bmp(raw: bytes) -> dict:
 def _probe_tiff(raw: bytes) -> dict:
     from . import tiff as _tiff
 
-    e = "<" if raw[:2] == b"II" else ">"
-    (pos,) = struct.unpack_from(e + "I", raw, 4)
-    tags, nxt = _tiff._read_ifd(raw, e, pos)
+    e, big, pos = _tiff.tiff_layout(raw)
+    tags, nxt = _tiff.read_ifd(raw, e, pos, big)
     n_pages = 1
     seen = {pos}
     while nxt and nxt not in seen:
         seen.add(nxt)
-        _t, nxt = _tiff._read_ifd(raw, e, nxt)
+        _t, nxt = _tiff.read_ifd(raw, e, nxt, big)
         n_pages += 1
     bits = tags.get(258, (8,))
     return {
-        "format": "tiff", "kind": "image",
+        "format": "bigtiff" if big else "tiff", "kind": "image",
         "width": int(tags.get(256, (0,))[0]),
         "height": int(tags.get(257, (0,))[0]),
         "bits": int(bits[0]),

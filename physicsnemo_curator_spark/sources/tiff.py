@@ -47,11 +47,47 @@ _TAG_TILE_OFFSETS = 324
 _TAG_TILE_COUNTS = 325
 _TAG_EXTRA_SAMPLES = 338
 
-_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
+_TYPE_SIZE = {
+    1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8,
+    # BigTIFF 8-byte types: LONG8 / SLONG8 / IFD8
+    16: 8, 17: 8, 18: 8,
+}
+
+
+def is_classic_tiff(data: bytes) -> bool:
+    return len(data) >= 8 and data[:4] in (b"II*\x00", b"MM\x00*")
+
+
+def is_bigtiff(data: bytes) -> bool:
+    """BigTIFF: version 43 ('+'), 8-byte offsets (the >4 GB layout
+    scientific stacks use)."""
+    return len(data) >= 16 and data[:4] in (b"II+\x00", b"MM\x00+")
 
 
 def is_tiff(data: bytes) -> bool:
-    return len(data) >= 8 and data[:4] in (b"II*\x00", b"MM\x00*")
+    return is_classic_tiff(data) or is_bigtiff(data)
+
+
+def tiff_layout(data: bytes) -> tuple[str, bool, int]:
+    """Header dispatch shared by every IFD walker: returns
+    (endian, bigtiff, first_ifd_offset)."""
+    if data[:2] == b"II":
+        e = "<"
+    elif data[:2] == b"MM":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF byte order mark")
+    (ver,) = struct.unpack_from(e + "H", data, 2)
+    if ver == 42:
+        (first,) = struct.unpack_from(e + "I", data, 4)
+        return e, False, first
+    if ver == 43:
+        bytesize, zero = struct.unpack_from(e + "HH", data, 4)
+        if bytesize != 8 or zero != 0:
+            raise ValueError("malformed BigTIFF header constants")
+        (first,) = struct.unpack_from(e + "Q", data, 8)
+        return e, True, first
+    raise ValueError(f"unknown TIFF version {ver}")
 
 
 # ---------------------------------------------------------------------------
@@ -251,6 +287,49 @@ def _read_ifd(data: bytes, e: str, pos: int):
     return tags, next_ifd
 
 
+def _read_ifd8(data: bytes, e: str, pos: int):
+    """BigTIFF IFD: 8-byte entry count, 20-byte entries (8-byte
+    counts and value/offset fields), 8-byte next pointer."""
+    (count,) = struct.unpack_from(e + "Q", data, pos)
+    tags = {}
+    for k in range(count):
+        at = pos + 8 + 20 * k
+        tag, typ = struct.unpack_from(e + "HH", data, at)
+        (n,) = struct.unpack_from(e + "Q", data, at + 4)
+        size = _TYPE_SIZE.get(typ, 1) * n
+        voff = at + 12
+        if size > 8:
+            (voff,) = struct.unpack_from(e + "Q", data, voff)
+        raw = data[voff : voff + size]
+        if typ == 3:
+            vals = struct.unpack_from(e + "%dH" % n, raw)
+        elif typ == 4:
+            vals = struct.unpack_from(e + "%dI" % n, raw)
+        elif typ in (16, 18):
+            vals = struct.unpack_from(e + "%dQ" % n, raw)
+        elif typ == 17:
+            vals = struct.unpack_from(e + "%dq" % n, raw)
+        elif typ == 1:
+            vals = tuple(raw[:n])
+        elif typ == 5:
+            parts = struct.unpack_from(e + "%dI" % (2 * n), raw)
+            vals = tuple(
+                parts[2 * i] / parts[2 * i + 1] if parts[2 * i + 1] else 0
+                for i in range(n)
+            )
+        else:
+            vals = (raw,)
+        tags[tag] = vals
+    (next_ifd,) = struct.unpack_from(e + "Q", data, pos + 8 + 20 * count)
+    return tags, next_ifd
+
+
+def read_ifd(data: bytes, e: str, pos: int, big: bool):
+    """Layout-dispatched IFD read (classic 12-byte or BigTIFF
+    20-byte entries)."""
+    return _read_ifd8(data, e, pos) if big else _read_ifd(data, e, pos)
+
+
 def _decode_page(data: bytes, e: str, tags: dict) -> tuple[np.ndarray, dict]:
     w = tags[_TAG_WIDTH][0]
     h = tags[_TAG_LENGTH][0]
@@ -355,16 +434,16 @@ def _decode_page(data: bytes, e: str, tags: dict) -> tuple[np.ndarray, dict]:
 
 
 def decode_tiff_pages(data: bytes) -> list[tuple[np.ndarray, dict]]:
-    """Decode every IFD page (microscopy stacks are multi-page)."""
+    """Decode every IFD page (microscopy stacks are multi-page);
+    classic and BigTIFF layouts both."""
     if not is_tiff(data):
         raise ValueError("not a TIFF payload")
-    e = "<" if data[:2] == b"II" else ">"
-    (pos,) = struct.unpack_from(e + "I", data, 4)
+    e, big, pos = tiff_layout(data)
     pages = []
     seen = set()
     while pos and pos not in seen:
         seen.add(pos)
-        tags, pos = _read_ifd(data, e, pos)
+        tags, pos = read_ifd(data, e, pos, big)
         pages.append(_decode_page(data, e, tags))
     if not pages:
         raise ValueError("TIFF has no IFD pages")
@@ -376,15 +455,15 @@ def decode_tiff(data: bytes) -> tuple[np.ndarray, dict]:
     depth without decoding the rest."""
     if not is_tiff(data):
         raise ValueError("not a TIFF payload")
-    e = "<" if data[:2] == b"II" else ">"
-    (pos,) = struct.unpack_from(e + "I", data, 4)
-    tags, nxt = _read_ifd(data, e, pos)
+    e, big, pos = tiff_layout(data)
+    tags, nxt = read_ifd(data, e, pos, big)
     px, meta = _decode_page(data, e, tags)
+    meta["bigtiff"] = big
     n_pages = 1
     seen = {pos}
     while nxt and nxt not in seen:
         seen.add(nxt)
-        _t, nxt = _read_ifd(data, e, nxt)
+        _t, nxt = read_ifd(data, e, nxt, big)
         n_pages += 1
     meta["n_pages"] = n_pages
     return px, meta
@@ -511,22 +590,59 @@ def _write_ifd(tags: dict, offs: list[int], lens: list[int], tiled: bool,
     return ifd, bytes(extra)
 
 
+def _write_ifd8(tags: dict, offs: list[int], lens: list[int], tiled: bool,
+                next_ifd: int, extra_at: int) -> tuple[bytes, bytes]:
+    """BigTIFF IFD writer: 20-byte entries, LONG8 chunk pointers,
+    8-byte inline value slots."""
+    full = dict(tags)
+    if tiled:
+        full[_TAG_TILE_OFFSETS] = (16, tuple(offs))
+        full[_TAG_TILE_COUNTS] = (16, tuple(lens))
+    else:
+        full[_TAG_STRIP_OFFSETS] = (16, tuple(offs))
+        full[_TAG_STRIP_COUNTS] = (16, tuple(lens))
+    entries = b""
+    extra = bytearray()
+    for tag in sorted(full):
+        typ, vals = full[tag]
+        fmt = {3: "H", 4: "I", 16: "Q"}[typ]
+        packed = struct.pack("<%d%s" % (len(vals), fmt), *vals)
+        if len(packed) <= 8:
+            val = packed + b"\x00" * (8 - len(packed))
+        else:
+            val = struct.pack("<Q", extra_at + len(extra))
+            extra += packed
+        entries += struct.pack("<HHQ", tag, typ, len(vals)) + val
+    ifd = (
+        struct.pack("<Q", len(full))
+        + entries
+        + struct.pack("<Q", next_ifd)
+    )
+    return ifd, bytes(extra)
+
+
 def encode_tiff_multi(
     pages: list[np.ndarray],
     *,
     compression: str = "deflate",
     predictor: int = 1,
     tile: tuple[int, int] | None = None,
+    bigtiff: bool = False,
 ) -> bytes:
     """Encode a multi-page (stacked) little-endian TIFF.  Pages are
     one strip each, or a tile grid when ``tile=(length, width)`` is
     given (pyramidal/scientific layouts; multiples of 16);
-    ``compression`` ∈ none/lzw/deflate/packbits."""
+    ``compression`` ∈ none/lzw/deflate/packbits; ``bigtiff=True``
+    emits the version-43 8-byte-offset layout (the same pixel
+    bodies — only header/IFD widths change, so >4 GB stacks stay
+    addressable)."""
     if not pages:
         raise ValueError("cannot encode an empty page list")
     encoded = [_encode_page(p, compression, predictor, tile) for p in pages]
+    head_len = 16 if bigtiff else 8
+    writer = _write_ifd8 if bigtiff else _write_ifd
     # layout: header | page chunk bodies | per-page (IFD + extra)
-    pos = 8
+    pos = head_len
     body_at: list[list[int]] = []
     for _tags, bodies, _tiled in encoded:
         offs = []
@@ -534,30 +650,43 @@ def encode_tiff_multi(
             offs.append(pos)
             pos += len(b)
         body_at.append(offs)
-    out = bytearray(b"II*\x00" + struct.pack("<I", 0))
+    if bigtiff:
+        out = bytearray(
+            b"II+\x00" + struct.pack("<HHQ", 8, 0, 0)
+        )
+    else:
+        out = bytearray(b"II*\x00" + struct.pack("<I", 0))
     for _tags, bodies, _tiled in encoded:
         for b in bodies:
             out += b
     ifd_at = []
     for i, (tags, bodies, tiled) in enumerate(encoded):
         n_tags = len(tags) + 2
-        ifd_len = 2 + 12 * n_tags + 4
+        ifd_len = (
+            8 + 20 * n_tags + 8 if bigtiff else 2 + 12 * n_tags + 4
+        )
         ifd_at.append(pos)
         extra_at = pos + ifd_len
         # dry-run to learn the extra blob size, then place the next IFD
-        _ifd, extra = _write_ifd(
+        _ifd, extra = writer(
             tags, body_at[i], [len(b) for b in bodies], tiled, 0, extra_at
         )
         pos = extra_at + len(extra)
     for i, (tags, bodies, tiled) in enumerate(encoded):
         nxt = ifd_at[i + 1] if i + 1 < len(encoded) else 0
-        extra_at = ifd_at[i] + 2 + 12 * (len(tags) + 2) + 4
-        ifd, extra = _write_ifd(
+        n_tags = len(tags) + 2
+        extra_at = ifd_at[i] + (
+            8 + 20 * n_tags + 8 if bigtiff else 2 + 12 * n_tags + 4
+        )
+        ifd, extra = writer(
             tags, body_at[i], [len(b) for b in bodies], tiled, nxt,
             extra_at,
         )
         out += ifd + extra
-    struct.pack_into("<I", out, 4, ifd_at[0])
+    if bigtiff:
+        struct.pack_into("<Q", out, 8, ifd_at[0])
+    else:
+        struct.pack_into("<I", out, 4, ifd_at[0])
     return bytes(out)
 
 
@@ -567,10 +696,12 @@ def encode_tiff(
     compression: str = "deflate",
     predictor: int = 1,
     tile: tuple[int, int] | None = None,
+    bigtiff: bool = False,
 ) -> bytes:
     """Encode one uint8/uint16 gray/RGB/RGBA array as a single-page
     TIFF (lossless in every mode); ``tile=(length, width)`` selects
-    the tiled layout."""
+    the tiled layout, ``bigtiff=True`` the 8-byte-offset variant."""
     return encode_tiff_multi(
-        [pixels], compression=compression, predictor=predictor, tile=tile
+        [pixels], compression=compression, predictor=predictor,
+        tile=tile, bigtiff=bigtiff,
     )

@@ -543,3 +543,69 @@ def test_lzw_final_flush_width_boundary():
         assert tiff._lzw_decode(tiff._lzw_encode(raw)) == raw, cut
         enc = gif_mod._gif_lzw_encode(raw, 8)
         assert gif_mod._gif_lzw_decode(enc, 8) == raw, cut
+
+
+# ---------------------------------------------------------------------------
+# BigTIFF (version 43, 8-byte offsets)
+
+
+def test_bigtiff_round_trip_all_compressions():
+    import numpy as np
+
+    from physicsnemo_curator_spark.sources.tiff import (
+        decode_tiff,
+        encode_tiff,
+        is_bigtiff,
+        is_tiff,
+    )
+
+    rng = np.random.default_rng(21)
+    for arr in (
+        rng.integers(0, 256, (16, 24), dtype=np.uint8),
+        rng.integers(0, 65536, (8, 8), dtype=np.uint16),
+        rng.integers(0, 256, (7, 9, 3), dtype=np.uint8),
+    ):
+        for comp in ("none", "lzw", "deflate", "packbits"):
+            enc = encode_tiff(arr, compression=comp, bigtiff=True)
+            assert is_bigtiff(enc) and is_tiff(enc)
+            d, m = decode_tiff(enc)
+            np.testing.assert_array_equal(d, arr)
+            assert m["bigtiff"] is True
+
+
+def test_bigtiff_multipage_tiles_probe_tags():
+    import numpy as np
+
+    from physicsnemo_curator_spark.sources.imagetags import (
+        embed_image_tags,
+        extract_image_tags,
+    )
+    from physicsnemo_curator_spark.sources.probe import probe_media
+    from physicsnemo_curator_spark.sources.tiff import (
+        decode_tiff,
+        decode_tiff_pages,
+        encode_tiff,
+        encode_tiff_multi,
+    )
+
+    rng = np.random.default_rng(22)
+    g = rng.integers(0, 256, (16, 24), dtype=np.uint8)
+    stack = encode_tiff_multi([g, g[::-1]], compression="lzw",
+                              bigtiff=True)
+    pages = decode_tiff_pages(stack)
+    assert len(pages) == 2
+    np.testing.assert_array_equal(pages[1][0], g[::-1])
+    p = probe_media(stack)
+    assert (p["format"], p["n_frames"]) == ("bigtiff", 2)
+    big = np.tile(g, (2, 2))
+    tiled = encode_tiff(big, tile=(16, 16), bigtiff=True)
+    np.testing.assert_array_equal(decode_tiff(tiled)[0], big)
+    # append-only IFD tag rewrite works on the 20-byte entry layout
+    tagged = embed_image_tags(
+        encode_tiff(g, bigtiff=True),
+        {"title": "big", "author": "longer-than-eight-bytes"},
+    )
+    assert extract_image_tags(tagged) == {
+        "title": "big", "author": "longer-than-eight-bytes",
+    }
+    np.testing.assert_array_equal(decode_tiff(tagged)[0], g)

@@ -78,6 +78,14 @@ def fit_linear_model(
     aggs += [F.sum(y), F.sum(y * y), F.count(F.lit(1))]
     row = df.agg(*aggs).collect()[0]
     vals = list(row)
+    n = int(vals[-1])
+    if n == 0:
+        raise ValueError("cannot fit a model on an empty DataFrame")
+    if any(v is None for v in vals[:-1]):
+        raise ValueError(
+            "all-null feature or label moments — check the input "
+            "columns for nulls before fitting"
+        )
     at = 0
     A = np.zeros((d + 1, d + 1))
     for i in range(d):
@@ -88,9 +96,7 @@ def fit_linear_model(
     at += d
     sxy = vals[at : at + d]
     at += d
-    sy, syy, n = vals[at], vals[at + 1], int(vals[at + 2])
-    if n == 0:
-        raise ValueError("cannot fit a model on an empty DataFrame")
+    sy, syy = vals[at], vals[at + 1]
     A[:d, d] = A[d, :d] = sx
     A[d, d] = n
     b = np.array(sxy + [sy])
@@ -104,9 +110,10 @@ def fit_linear_model(
         # failing the whole fit
         theta, *_ = np.linalg.lstsq(A, b, rcond=None)
     coef, intercept = theta[:d], float(theta[d])
-    # SSE from the same moments: y'y - theta'(X'y) (exact for the
-    # solved theta), SST = y'y - n*mean^2
-    sse = float(syy - theta @ b)
+    # SSE from the same moments: y'y - theta'(X'y) for the OLS
+    # solution; under ridge, (X'X + lam*I)theta = b shifts
+    # theta'X'X theta by lam*||coef||^2, so subtract it back
+    sse = float(syy - theta @ b - ridge * float(coef @ coef))
     sst = float(syy - sy * sy / n)
     r2 = 1.0 - sse / sst if sst > 0 else float("nan")
     return LinearModel(

@@ -465,7 +465,20 @@ def resize_images(
                                 pnm as _pnm,
                             )
 
-                            enc = _pnm.encode_pnm(resized)
+                            # preserve the source maxval — a P4/P1
+                            # bitmap or low-depth graymap re-encoded
+                            # at maxval 255 would render near-black
+                            kind_n = int(raw[1:2])
+                            if kind_n in (1, 4):
+                                src_maxval = 1
+                            else:
+                                fields, _c, _at = _pnm._read_header(
+                                    raw, 3
+                                )
+                                src_maxval = fields[2]
+                            enc = _pnm.encode_pnm(
+                                resized, maxval=src_maxval
+                            )
                         elif resized.dtype == np.uint16:
                             # wide JPEG decode: re-encode at a depth
                             # that holds the samples — 12-bit lossy

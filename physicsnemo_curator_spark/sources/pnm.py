@@ -122,27 +122,41 @@ def decode_pnm(data: bytes) -> tuple[np.ndarray, dict]:
 
 
 def encode_pnm(
-    pixels: np.ndarray, *, comments: list[str] | None = None
+    pixels: np.ndarray,
+    *,
+    comments: list[str] | None = None,
+    maxval: int | None = None,
 ) -> bytes:
-    """Encode to the binary form matching the array: bool/(0-1
-    uint8) -> P4, gray -> P5, RGB -> P6; uint16 arrays emit
-    maxval 65535 big-endian bodies."""
+    """Encode to the binary form matching the array: bool or
+    maxval==1 -> P4, gray -> P5, RGB -> P6; uint16 arrays default to
+    maxval 65535 big-endian bodies.  ``maxval`` overrides the
+    dtype-derived default (a decode->edit->encode round trip passes
+    the original back so low-depth graymaps keep their scale);
+    samples above it are refused."""
     px = np.asarray(pixels)
     for c in comments or []:
         if "\n" in c:
             raise ValueError("PNM comments cannot contain newlines")
     chead = "".join(f"#{c}\n" for c in (comments or []))
-    if px.dtype == np.bool_:
+    if px.dtype == np.bool_ or maxval == 1:
+        if px.dtype != np.bool_:
+            if px.max(initial=0) > 1:
+                raise ValueError("PNM sample exceeds maxval")
+            px = px.astype(bool)
         h, w = px.shape
         bits = np.packbits((~px).astype(np.uint8), axis=1)
         head = f"P4\n{chead}{w} {h}\n".encode()
         return head + bits.tobytes()
     if px.dtype == np.uint8:
-        maxval = 255
+        maxval = 255 if maxval is None else maxval
     elif px.dtype == np.uint16:
-        maxval = 65535
+        maxval = 65535 if maxval is None else maxval
     else:
         raise ValueError("PNM encodes bool/uint8/uint16 samples")
+    if not 1 <= maxval <= 65535:
+        raise ValueError(f"PNM maxval {maxval} out of range")
+    if int(px.max(initial=0)) > maxval:
+        raise ValueError("PNM sample exceeds maxval")
     if px.ndim == 2:
         magic = "P5"
     elif px.ndim == 3 and px.shape[2] == 3:

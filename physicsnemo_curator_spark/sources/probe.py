@@ -273,6 +273,8 @@ def _probe_mkv(raw: bytes) -> dict:
 
 
 def _probe_qoi(raw: bytes) -> dict:
+    if len(raw) < 14:
+        raise ValueError("truncated QOI header")
     w, h, ch, _cs = struct.unpack_from(">IIBB", raw, 4)
     return {
         "format": "qoi", "kind": "image", "width": int(w),

@@ -136,6 +136,11 @@ def decode_qoi(data: bytes) -> tuple[np.ndarray, dict]:
             row = (r, g, b, a)[:ch]
             out[i : i + run] = row
             i += run
+            # reference-decoder semantics: the index slot updates
+            # after EVERY chunk, including RUN — matters when the
+            # very first chunk runs the initial (0,0,0,255) pixel
+            # and a later INDEX op references its hash slot
+            index[_hash(r, g, b, a)] = (r, g, b, a)
             continue
         index[_hash(r, g, b, a)] = (r, g, b, a)
         out[i] = (r, g, b, a)[:ch]

@@ -44,11 +44,15 @@ ENTRY_SCHEMA = "shard string, key string, ext string, payload binary"
 
 
 def split_member_name(name: str) -> tuple[str, str]:
-    """WebDataset naming: key = basename up to the FIRST dot, ext =
-    everything after it (``a/b/000123.seg.png`` -> ``a/b/000123``,
-    ``seg.png``)."""
-    head, _, tail = name.partition(".")
-    return head, tail
+    """WebDataset naming: key = path up to the first dot AFTER the
+    last slash, ext = everything after it (``a/b.v1/000123.seg.png``
+    -> ``a/b.v1/000123``, ``seg.png``) — dots in directory names and
+    ``./``-prefixed tar members must not truncate the key."""
+    slash = name.rfind("/")
+    dot = name.find(".", slash + 1)
+    if dot < 0:
+        return name, ""
+    return name[:dot], name[dot + 1 :]
 
 
 def read_webdataset(
@@ -117,10 +121,12 @@ def read_zip_shards(
 
 
 def group_samples(entries: DataFrame) -> DataFrame:
-    """One row per sample: (key, shard, n_entries, entries
-    map<ext, binary>) — a single hash aggregation on the key."""
-    return entries.groupBy("key").agg(
-        F.min("shard").alias("shard"),
+    """One row per sample: (shard, key, n_entries, entries
+    map<ext, binary>) — a single hash aggregation.  Grouping is on
+    (shard, key): WebDataset keys are only guaranteed unique WITHIN
+    a shard (independently-produced shards commonly restart
+    numbering at 000000)."""
+    return entries.groupBy("shard", "key").agg(
         F.count(F.lit(1)).alias("n_entries"),
         F.map_from_entries(
             F.sort_array(F.collect_list(F.struct("ext", "payload")))
@@ -215,12 +221,11 @@ def write_webdataset(
             }
         )
 
-    manifest = (
-        assigned.repartition(n_shards, "_shard")
-        .groupBy("_shard")
-        .applyInPandas(
-            write_shard,
-            "shard string, n_samples long, n_entries long, n_bytes long",
-        )
+    # groupBy alone provides the per-shard co-location shuffle — an
+    # explicit repartition first would shuffle every payload byte a
+    # second time for nothing
+    manifest = assigned.groupBy("_shard").applyInPandas(
+        write_shard,
+        "shard string, n_samples long, n_entries long, n_bytes long",
     )
     return manifest

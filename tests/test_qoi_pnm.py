@@ -231,3 +231,78 @@ def test_resize_keeps_qoi_and_pnm_formats(spark):
     assert Q.decode_qoi(rows[0])[0].shape == (8, 8, 3)
     assert P.is_pnm(rows[1])
     assert P.decode_pnm(rows[1])[0].shape == (8, 8)
+
+
+# ---------------------------------------------------------------------------
+# review-pass regressions
+
+
+def test_qoi_run_updates_index_like_reference_decoder():
+    """qoi.h indexes px after EVERY chunk including RUN — an INDEX op
+    may reference the initial (0,0,0,255) pixel seen only via RUN."""
+    import struct
+
+    stream = (
+        b"qoif" + struct.pack(">IIBB", 3, 1, 4, 0)
+        + bytes([0xC0 | 0])              # RUN 1: (0,0,0,255)
+        + bytes([0xFF, 1, 2, 3, 4])      # RGBA literal
+        + bytes([53])                    # INDEX hash(0,0,0,255)=53
+        + b"\x00" * 7 + b"\x01"
+    )
+    px, _ = Q.decode_qoi(stream)
+    np.testing.assert_array_equal(
+        px[0], [[0, 0, 0, 255], [1, 2, 3, 4], [0, 0, 0, 255]]
+    )
+
+
+def test_pnm_maxval_override_and_p4_for_01_uint8():
+    ones = np.array([[0, 1, 1, 0]], dtype=np.uint8)
+    enc = P.encode_pnm(ones, maxval=1)
+    assert enc[:2] == b"P4"
+    d, m = P.decode_pnm(enc)
+    np.testing.assert_array_equal(d, ones)
+    low = np.array([[0, 7, 15]], dtype=np.uint8)
+    enc15 = P.encode_pnm(low, maxval=15)
+    d, m = P.decode_pnm(enc15)
+    assert m["maxval"] == 15
+    np.testing.assert_array_equal(d, low)
+    with pytest.raises(ValueError, match="maxval"):
+        P.encode_pnm(np.array([[16]], dtype=np.uint8), maxval=15)
+
+
+def test_resize_preserves_pnm_maxval(spark):
+    from physicsnemo_curator_spark.sources.multimodal import (
+        MEDIA_SCHEMA,
+        resize_images,
+    )
+
+    mask = _rng(9).integers(0, 2, (16, 16)).astype(bool)
+    p4 = P.encode_pnm(mask)
+    p2 = b"P2\n4 4\n15\n" + b" ".join(
+        str(v).encode() for v in _rng(10).integers(0, 16, 16)
+    )
+    df = spark.createDataFrame(
+        [
+            (0, "image", bytearray(p4), 16, 16, None),
+            (1, "image", bytearray(p2), 4, 4, None),
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = {
+        r["media_id"]: bytes(r["payload"])
+        for r in resize_images(df, width=8, height=8,
+                               strict=True).collect()
+    }
+    assert rows[0][:2] == b"P4"  # bitmap stays a bitmap
+    d0, m0 = P.decode_pnm(rows[0])
+    assert m0["maxval"] == 1
+    np.testing.assert_array_equal(d0.astype(bool), mask[::2, ::2])
+    d1, m1 = P.decode_pnm(rows[1])
+    assert m1["maxval"] == 15  # low-depth graymap keeps its scale
+
+
+def test_probe_truncated_qoi_raises_valueerror():
+    from physicsnemo_curator_spark.sources.probe import probe_media
+
+    with pytest.raises(ValueError, match="QOI"):
+        probe_media(b"qoif\x00\x00")

@@ -107,3 +107,22 @@ def test_quality_model_composition(spark, sf_dir):
     assert len(model.coef) == 5
     scored = with_linear_score(feats, model, output_col="q")
     assert scored.filter("q IS NULL").count() == 0
+
+
+def test_ridge_sse_matches_direct_residual(spark):
+    import numpy as np
+
+    df, X, y = _frame(spark, n=300, noise=2.0, seed=13)
+    lam = 50.0
+    m = fit_linear_model(df, ["x1", "x2"], "y", ridge=lam)
+    pred = X @ np.array(m.coef) + m.intercept
+    direct = float(((y - pred) ** 2).sum())
+    assert m.sse == pytest.approx(direct, rel=1e-6)
+
+
+def test_all_null_label_raises(spark):
+    df = spark.createDataFrame(
+        [(1.0, None), (2.0, None)], "x1 double, y double"
+    )
+    with pytest.raises(ValueError, match="null"):
+        fit_linear_model(df, ["x1"], "y")

@@ -125,3 +125,52 @@ def test_glob_filters_foreign_files(spark, tmp_path):
         fh.write("not a shard")
     assert read_webdataset(spark, out).count() == 12 + 2
     assert len(glob.glob(os.path.join(out, "*.tar"))) == 1
+
+
+# ---------------------------------------------------------------------------
+# review-pass regressions
+
+
+def test_split_member_name_dotted_paths():
+    assert split_member_name("./000123.txt") == ("./000123", "txt")
+    assert split_member_name("v1.2/000123.txt") == ("v1.2/000123", "txt")
+    assert split_member_name("nodot") == ("nodot", "")
+
+
+def test_group_samples_keeps_per_shard_keys(spark, tmp_path):
+    """Independently-produced shards restart numbering — identical
+    keys in different shards must stay separate samples."""
+    import io
+    import tarfile
+
+    def shard(n):
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as tf:
+            info = tarfile.TarInfo(name="000000.txt")
+            payload = f"from-shard-{n}".encode()
+            info.size = len(payload)
+            tf.addfile(info, io.BytesIO(payload))
+        return buf.getvalue()
+
+    out = tmp_path / "dup"
+    out.mkdir()
+    for n in range(2):
+        (out / f"s{n}.tar").write_bytes(shard(n))
+    grouped = group_samples(read_webdataset(spark, str(out))).collect()
+    assert len(grouped) == 2  # one sample per (shard, key)
+    assert {bytes(r["entries"]["txt"]) for r in grouped} == {
+        b"from-shard-0", b"from-shard-1",
+    }
+
+
+def test_single_shuffle_write_plan(spark, tmp_path):
+    from physicsnemo_curator_spark.sources.webdataset import (
+        write_webdataset as _w,
+    )
+
+    df = _entries_df(spark, 10)
+    # build the manifest plan without collecting: exactly ONE
+    # Exchange (the groupBy co-location) — no redundant repartition
+    manifest = _w(df, str(tmp_path / "p"), n_shards=2)
+    plan = manifest._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1

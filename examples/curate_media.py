@@ -225,6 +225,38 @@ def main() -> None:
     )
     assert n_img_pairs >= n_twins
 
+    # ---- stamp provenance metadata into every container that can
+    # carry it (PNG tEXt, JPEG EXIF+COM, WAV INFO, FLAC
+    # VORBIS_COMMENT, ...) and read it back through the unified
+    # operator — corrupt/untaggable payloads pass through untouched
+    stamped = mm.stamp_media_tags(
+        media, {"software": "pcs-curate", "comment": "curated"}
+    )
+    tagged = mm.with_media_tags(stamped)
+    n_tagged = tagged.filter("tag_software = 'pcs-curate'").count()
+    print(f"provenance stamped into {n_tagged} payloads")
+    assert n_tagged > 0
+
+    # ---- export the curated lake as WebDataset tar shards: one
+    # byte-reproducible archive per task, sample key = media_id
+    from physicsnemo_curator_spark.sources import webdataset as wds
+
+    entries = stamped.select(
+        F.lpad(F.col("media_id").cast("string"), 8, "0").alias("key"),
+        F.col("kind").alias("ext"),
+        "payload",
+    )
+    shard_dir = os.path.join(work, "shards")
+    manifest = wds.write_webdataset(entries, shard_dir, n_shards=4)
+    for r in manifest.orderBy("shard").collect():
+        print(
+            f"shard {r['shard']}: {r['n_samples']} samples, "
+            f"{r['n_bytes']} bytes"
+        )
+    back = wds.read_webdataset(spark, shard_dir)
+    assert back.count() == stamped.count()
+    print(f"webdataset round trip: {back.count()} entries")
+
     out = os.path.join(work, "curated")
     feats.write.mode("overwrite").partitionBy("kind").parquet(out)
     print(f"curated features written to {out}")

@@ -1,0 +1,216 @@
+"""Distributed BPE tokenizer training — byte-pair-encoding merges
+learned over the corpus with Spark doing the counting.
+
+BPE training is inherently iterative (each merge changes the pair
+distribution), so the structure is: keep the corpus TOKENIZED as an
+``array<string>`` column, and per round (1) count adjacent token
+pairs with pure Catalyst expressions (``transform`` + ``explode`` +
+hash aggregation — map-side partial agg, one shuffle of O(distinct
+pairs)), (2) pick the argmax on the driver (a one-row collect with
+deterministic count-desc / pair-asc tie-breaking), (3) apply the
+single new merge with an Arrow-batched kernel (greedy left-to-right
+non-overlapping, the standard BPE scan — sequence rewriting is the
+justified-UDF class).  ``n_merges`` distributed passes total, each
+over cached tokens — the same shape real tokenizer training runs at
+corpus scale (usually over a sample; pass a sampled frame for
+that).
+
+``bpe_tokenize`` applies a learned merge list to new text in ONE
+Arrow pass (ranked-merge loop per doc, the classic encoder), and
+``vocabulary`` derives the id table (256-ish base charset + one id
+per merge, ids by merge rank).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_PAIRS_EXPR = """
+filter(
+    transform(tokens, (x, i) ->
+        IF(i < size(tokens) - 1,
+           struct(x AS a, tokens[i + 1] AS b),
+           NULL)),
+    p -> p IS NOT NULL)
+"""
+
+
+def _chars_df(docs: DataFrame, text_col: str) -> DataFrame:
+    """Seed tokenization: one single-character token per position
+    (split keeps the empty leading/trailing artifacts out)."""
+    return docs.withColumn(
+        "tokens",
+        F.expr(
+            f"filter(split({text_col}, ''), t -> t != '')"
+        ),
+    )
+
+
+def pair_counts(tokenized: DataFrame) -> DataFrame:
+    """Adjacent-pair counts over the ``tokens`` array column —
+    entirely JVM-side (transform/filter/explode + hash agg)."""
+    return (
+        tokenized.select(
+            F.explode(F.expr(_PAIRS_EXPR)).alias("p")
+        )
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _apply_merge(tokenized: DataFrame, a: str, b: str) -> DataFrame:
+    """Merge every non-overlapping left-to-right (a, b) occurrence
+    into one token a+b — Arrow-batched sequence rewrite."""
+    merged = a + b
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for toks in pdf["tokens"]:
+                toks = list(toks)
+                res = []
+                i = 0
+                n = len(toks)
+                while i < n:
+                    if (
+                        i + 1 < n
+                        and toks[i] == a
+                        and toks[i + 1] == b
+                    ):
+                        res.append(merged)
+                        i += 2
+                    else:
+                        res.append(toks[i])
+                        i += 1
+                out.append(res)
+            pdf = pdf.copy()
+            pdf["tokens"] = out
+            yield pdf
+
+    schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in tokenized.schema
+    )
+    return tokenized.mapInPandas(batches, schema)
+
+
+def train_bpe(
+    docs: DataFrame, *, text_col: str = "text", n_merges: int = 10
+) -> list[dict]:
+    """Learn ``n_merges`` BPE merges over the corpus.  Returns the
+    merge table: one dict per round with ``rank / a / b / count /
+    n_tokens`` (corpus token total AFTER applying the merge).
+    Deterministic: ties break on (count desc, a asc, b asc)."""
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    tokenized = _chars_df(docs, text_col).persist()
+    merges: list[dict] = []
+    try:
+        for rank in range(n_merges):
+            top = (
+                pair_counts(tokenized)
+                .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break  # every doc is a single token already
+            a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
+            nxt = _apply_merge(tokenized, a, b).persist()
+            n_tokens = int(
+                nxt.agg(F.sum(F.size("tokens"))).collect()[0][0]
+            )
+            tokenized.unpersist()
+            tokenized = nxt
+            merges.append(
+                {
+                    "rank": rank, "a": a, "b": b, "count": n,
+                    "n_tokens": n_tokens,
+                }
+            )
+    finally:
+        tokenized.unpersist()
+    return merges
+
+
+def bpe_tokenize(
+    docs: DataFrame,
+    merges: list[dict],
+    *,
+    text_col: str = "text",
+    output_col: str = "tokens",
+) -> DataFrame:
+    """Apply a learned merge list to text in ONE Arrow pass — the
+    classic ranked-merge encoder (repeatedly merge the lowest-rank
+    pair present until none applies)."""
+    ranks = {(m["a"], m["b"]): m["rank"] for m in merges}
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for text in pdf[text_col]:
+                toks = list(text or "")
+                while len(toks) > 1:
+                    best_rank = None
+                    for i in range(len(toks) - 1):
+                        r = ranks.get((toks[i], toks[i + 1]))
+                        if r is not None and (
+                            best_rank is None or r < best_rank
+                        ):
+                            best_rank = r
+                    if best_rank is None:
+                        break
+                    a = merges[best_rank]["a"]
+                    b = merges[best_rank]["b"]
+                    res = []
+                    i = 0
+                    while i < len(toks):
+                        if (
+                            i + 1 < len(toks)
+                            and toks[i] == a
+                            and toks[i + 1] == b
+                        ):
+                            res.append(a + b)
+                            i += 2
+                        else:
+                            res.append(toks[i])
+                            i += 1
+                    toks = res
+                out.append(toks)
+            pdf = pdf.copy()
+            pdf[output_col] = out
+            yield pdf
+
+    schema = ", ".join(
+        [
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in docs.schema
+        ]
+        + [f"{output_col} array<string>"]
+    )
+    return docs.mapInPandas(batches, schema)
+
+
+def vocabulary(docs: DataFrame, merges: list[dict],
+               *, text_col: str = "text") -> DataFrame:
+    """The id table: distinct corpus characters (ids by codepoint
+    order) followed by one id per merge in rank order."""
+    chars = (
+        _chars_df(docs, text_col)
+        .select(F.explode("tokens").alias("token"))
+        .distinct()
+        .orderBy("token")
+    )
+    base = [r["token"] for r in chars.collect()]
+    rows = [(i, t, -1) for i, t in enumerate(base)]
+    rows += [
+        (len(base) + m["rank"], m["a"] + m["b"], m["rank"])
+        for m in merges
+    ]
+    return docs.sparkSession.createDataFrame(
+        rows, "token_id long, token string, merge_rank int"
+    )

@@ -7574,7 +7574,108 @@ ORDER BY key LIMIT 200
 """
 
 
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE training gate (operators/bpe.py): learn THREE
+    merges over 250 truncated documents — per round, adjacent-pair
+    counting is a pure Catalyst aggregation and the argmax breaks
+    ties on (count desc, token asc, token asc).  DuckDB replays the
+    whole training loop by simulating the token stream with sentinel
+    characters: each learned pair collapses to chr(rank) via
+    left-to-right replace() (exactly the greedy non-overlapping BPE
+    merge scan), pair counts re-derive from the sentineled text, and
+    sentinels expand back to real token strings for the tie-break
+    and the output — a counting, tie-break, or merge-application bug
+    changes a row."""
+    from physicsnemo_curator_spark.operators.bpe import train_bpe
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(
+            (F.col("doc_id") < 250)
+            & ~F.col("text").rlike("[\\x01\\x02\\x03]")
+        )
+        .select("doc_id", F.substring("text", 1, 400).alias("text"))
+    )
+    merges = train_bpe(docs, n_merges=3)
+    return spark.createDataFrame(
+        [
+            (m["rank"], m["a"], m["b"], m["count"], m["n_tokens"])
+            for m in merges
+        ],
+        "rank long, a string, b string, pair_count long, n_tokens long",
+    ).orderBy("rank")
+
+
+ORACLE_BPE_TRAIN = """
+WITH d AS (
+    SELECT substr(text, 1, 400) AS t0 FROM documents
+    WHERE doc_id < 250
+      AND NOT regexp_matches(text, '[\x01\x02\x03]')
+),
+p1 AS (
+    SELECT substr(t0, i, 1) AS a, substr(t0, i + 1, 1) AS b,
+           COUNT(*) AS n
+    FROM d, LATERAL unnest(range(1, length(t0))) u(i)
+    GROUP BY 1, 2
+),
+m1 AS (SELECT a, b, n FROM p1 ORDER BY n DESC, a, b LIMIT 1),
+d1 AS (
+    SELECT replace(t0, (SELECT a || b FROM m1), chr(1)) AS t1 FROM d
+),
+s1 AS (SELECT CAST(COALESCE(SUM(length(t1)), 0) AS BIGINT) AS n_tokens FROM d1),
+p2 AS (
+    SELECT substr(t1, i, 1) AS sa, substr(t1, i + 1, 1) AS sb,
+           COUNT(*) AS n
+    FROM d1, LATERAL unnest(range(1, length(t1))) u(i)
+    GROUP BY 1, 2
+),
+m2 AS (
+    SELECT sa, sb,
+           replace(sa, chr(1), (SELECT a || b FROM m1)) AS a,
+           replace(sb, chr(1), (SELECT a || b FROM m1)) AS b,
+           n
+    FROM p2 ORDER BY n DESC, a, b LIMIT 1
+),
+d2 AS (
+    SELECT replace(t1, (SELECT sa || sb FROM m2), chr(2)) AS t2
+    FROM d1
+),
+s2 AS (SELECT CAST(COALESCE(SUM(length(t2)), 0) AS BIGINT) AS n_tokens FROM d2),
+p3 AS (
+    SELECT substr(t2, i, 1) AS sa, substr(t2, i + 1, 1) AS sb,
+           COUNT(*) AS n
+    FROM d2, LATERAL unnest(range(1, length(t2))) u(i)
+    GROUP BY 1, 2
+),
+m3 AS (
+    SELECT sa, sb,
+           replace(replace(sa, chr(2), (SELECT a || b FROM m2)),
+                   chr(1), (SELECT a || b FROM m1)) AS a,
+           replace(replace(sb, chr(2), (SELECT a || b FROM m2)),
+                   chr(1), (SELECT a || b FROM m1)) AS b,
+           n
+    FROM p3 ORDER BY n DESC, a, b LIMIT 1
+),
+d3 AS (
+    SELECT replace(t2, (SELECT sa || sb FROM m3), chr(3)) AS t3
+    FROM d2
+),
+s3 AS (SELECT CAST(COALESCE(SUM(length(t3)), 0) AS BIGINT) AS n_tokens FROM d3)
+SELECT * FROM (
+    SELECT CAST(0 AS BIGINT) AS rank, a, b, n AS pair_count,
+           (SELECT n_tokens FROM s1) AS n_tokens
+    FROM m1
+    UNION ALL
+    SELECT 1, a, b, n, (SELECT n_tokens FROM s2) FROM m2
+    UNION ALL
+    SELECT 2, a, b, n, (SELECT n_tokens FROM s3) FROM m3
+)
+ORDER BY rank
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "q_bpe_train": QuerySpec(q_bpe_train, ORACLE_BPE_TRAIN),
     "q_webdataset": QuerySpec(q_webdataset, ORACLE_WEBDATASET),
     "q_quality_regression": QuerySpec(
         q_quality_regression, ORACLE_QUALITY_REGRESSION
@@ -7819,6 +7920,7 @@ QUERIES: dict[str, QuerySpec] = {
 # followed by the r08-green cohort.
 _DRIVER_ORDER = [
     # --- r09-new gates ---
+    "q_bpe_train",
     "q_webdataset",
     "q_quality_regression",
     "q_media_qoi_pnm",

@@ -412,3 +412,69 @@ def test_jpeg_hierarchical_matrix():
             out.astype(np.int64), img.astype(np.int64),
             err_msg=f"{kind} {h}x{w}x{c} L{levels} {prec}b",
         )
+
+
+def test_qoi_matrix():
+    from physicsnemo_curator_spark.sources import qoi
+
+    for kind, (h, w), c in itertools.product(_KINDS, _GEOMS, (1, 3, 4)):
+        px = _image(kind, h, w, c)
+        out, _ = qoi.decode_qoi(qoi.encode_qoi(px))
+        ref = np.repeat(px[:, :, None], 3, 2) if c == 1 else px
+        np.testing.assert_array_equal(out, ref, err_msg=f"{kind} {h}x{w}x{c}")
+
+
+def test_pnm_matrix():
+    from physicsnemo_curator_spark.sources import pnm
+
+    for kind, (h, w), c, wide in itertools.product(
+        _KINDS, _GEOMS, (1, 3), (False, True)
+    ):
+        px = _image(kind, h, w, c)
+        if wide:
+            px = (
+                px.astype(np.uint16) * 256
+                + _RNG.integers(0, 256, px.shape)
+            ).astype(np.uint16)
+        out, _ = pnm.decode_pnm(pnm.encode_pnm(px))
+        np.testing.assert_array_equal(out, px)
+    for kind, (h, w) in itertools.product(_KINDS, _GEOMS):
+        mask = _image(kind, h, w, 1) > 127
+        out, _ = pnm.decode_pnm(pnm.encode_pnm(mask))
+        np.testing.assert_array_equal(out.astype(bool), mask)
+
+
+def test_bigtiff_matrix():
+    from physicsnemo_curator_spark.sources import tiff
+
+    for kind, (h, w), c, comp in itertools.product(
+        _KINDS, _GEOMS, (1, 3), ("none", "lzw", "deflate", "packbits")
+    ):
+        px = _image(kind, h, w, c)
+        d = tiff.encode_tiff(px, compression=comp, bigtiff=True)
+        out, meta = tiff.decode_tiff(d)
+        assert meta["bigtiff"] is True
+        np.testing.assert_array_equal(out, px)
+
+
+def test_flac_lpc_matrix():
+    from physicsnemo_curator_spark.sources import flac
+
+    t = np.arange(3000)
+    signals = {
+        "sine": np.sin(2 * np.pi * 440 * t / 8000) * 0.5,
+        "sweep": np.sin(2 * np.pi * (100 + t * 0.2) * t / 8000) * 0.4,
+        "noise": _RNG.normal(0, 0.2, len(t)).clip(-1, 1),
+        "steps": np.repeat(_RNG.normal(0, 0.4, 30).clip(-1, 1), 100),
+        "silence": np.zeros(len(t)),
+    }
+    for name, sig in signals.items():
+        for mode in ("fixed", "lpc", "auto"):
+            for bs in (256, 1024, 4096):
+                enc = flac.encode_flac(sig, 8000, block_size=bs,
+                                       predictor=mode)
+                out, _ = flac.decode_flac(enc)  # md5 verified inside
+                ref = np.round(np.clip(sig, -1, 1) * 32767) / 32768
+                np.testing.assert_array_equal(
+                    out.reshape(-1), ref, err_msg=f"{name} {mode} {bs}"
+                )

@@ -7674,7 +7674,132 @@ ORDER BY rank
 """
 
 
+def q_web_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-text extraction gate (operators/webtext.py): each document
+    becomes a synthetic page — head/title with a double-escaped
+    entity, a script whose body contains fake tags, a comment, block
+    elements around the document text, an escaped div and a nav
+    anchor — pushed through ``extract_web_text`` (pure Catalyst
+    regexp chain, plan-pinned JVM-only by tests).  DuckDB replays the
+    IDENTICAL pattern chain (Java regex ≡ RE2 on this dialect-
+    portable subset, 'g'-flagged), so a stripping-order, entity, or
+    link-density bug changes a row."""
+    from physicsnemo_curator_spark.operators.webtext import (
+        extract_web_text,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "n_chars", "text")
+    )
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><title>Doc "),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit(
+                ' &amp; Co</title><script>var x="<p>no</p>";'
+                "</script></head><body><!-- "
+            ),
+            F.col("n_chars").cast("string"),
+            F.lit(" --><h1>Heading</h1><p>"),
+            F.substring("text", 1, 150),
+            F.lit('</p><div>tail &lt;x&gt;</div><a href="/a">nav '),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("</a></body></html>"),
+        ).alias("html"),
+    )
+    return (
+        extract_web_text(pages)
+        .select(
+            "doc_id",
+            "title",
+            F.md5(F.col("text").cast("binary")).alias("txt_md5"),
+            F.length("text").alias("n_clean"),
+            "link_density",
+        )
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
+ORACLE_WEB_EXTRACT = """
+WITH d AS (
+    SELECT doc_id, n_chars, substr(text, 1, 150) AS body
+    FROM documents WHERE doc_id < 200
+),
+h AS (
+    SELECT doc_id,
+           '<html><head><title>Doc ' || CAST(doc_id % 50 AS VARCHAR)
+           || ' &amp; Co</title><script>var x="<p>no</p>";'
+           || '</script></head><body><!-- '
+           || CAST(n_chars AS VARCHAR) || ' --><h1>Heading</h1><p>'
+           || body || '</p><div>tail &lt;x&gt;</div><a href="/a">nav '
+           || CAST(doc_id % 7 AS VARCHAR) || '</a></body></html>'
+           AS html
+    FROM d
+),
+stripped AS (
+    SELECT doc_id, html,
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(regexp_replace(regexp_replace(
+            html,
+            '(?s)<!--.*?-->', ' ', 'g'),
+            '(?is)<head\\b[^>]*>.*?</head>', ' ', 'g'),
+            '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
+            '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
+            '(?is)<noscript\\b[^>]*>.*?</noscript>', ' ', 'g'),
+            '(?i)</?(?:p|div|br|h[1-6]|li|ul|ol|tr|td|th|table|section|article|header|footer|blockquote|pre|form)\\b[^>]*>',
+            chr(10), 'g'),
+            '(?s)<[^>]*>', ' ', 'g') AS s
+    FROM h
+),
+decoded AS (
+    SELECT doc_id, html,
+        replace(replace(replace(replace(replace(replace(replace(
+            s,
+            '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+            '&quot;', '"'), '&#39;', ''''), '&apos;', ''''),
+            '&amp;', '&') AS s
+    FROM stripped
+),
+clean AS (
+    SELECT doc_id, html,
+        trim(regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(
+            s,
+            '[ \\t\\x0B\\f\\r]+', ' ', 'g'),
+            ' ?\\n ?', chr(10), 'g'),
+            '\\n{2,}', chr(10), 'g'),
+            '^\\n+|\\n+$', '', 'g'), ' ') AS txt
+    FROM decoded
+),
+anchors AS (
+    SELECT doc_id,
+           CAST(COALESCE(list_sum(list_transform(
+               regexp_extract_all(html, '(?is)<a\\b[^>]*>(.*?)</a>', 1),
+               a -> length(a))), 0) AS DOUBLE) AS anchor_chars
+    FROM h
+)
+SELECT c.doc_id,
+       trim(replace(replace(replace(replace(replace(replace(replace(
+           regexp_extract(c.html, '(?is)<title[^>]*>(.*?)</title>', 1),
+           '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+           '&#39;', ''''), '&apos;', ''''), '&amp;', '&'), ' ')
+           AS title,
+       md5(c.txt) AS txt_md5,
+       CAST(length(c.txt) AS INT) AS n_clean,
+       CASE WHEN length(c.txt) > 0
+            THEN ROUND(a.anchor_chars / length(c.txt), 9)
+            ELSE 0.0 END AS link_density
+FROM clean c JOIN anchors a USING (doc_id)
+ORDER BY doc_id LIMIT 200
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "q_web_extract": QuerySpec(q_web_extract, ORACLE_WEB_EXTRACT),
     "q_bpe_train": QuerySpec(q_bpe_train, ORACLE_BPE_TRAIN),
     "q_webdataset": QuerySpec(q_webdataset, ORACLE_WEBDATASET),
     "q_quality_regression": QuerySpec(
@@ -7920,6 +8045,7 @@ QUERIES: dict[str, QuerySpec] = {
 # followed by the r08-green cohort.
 _DRIVER_ORDER = [
     # --- r09-new gates ---
+    "q_web_extract",
     "q_bpe_train",
     "q_webdataset",
     "q_quality_regression",

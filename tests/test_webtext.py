@@ -1,0 +1,91 @@
+"""HTML text extraction (operators/webtext.py): markup stripping,
+entity decoding, title capture, link density — all JVM-side."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from physicsnemo_curator_spark.operators.webtext import extract_web_text
+
+PAGE = """<html><head><title> My &amp; Title </title>
+<script>var x = "<p>not text</p>";</script>
+<style>p { color: red }</style></head>
+<body><!-- hidden comment --><h1>Header</h1>
+<p>First paragraph with &lt;escaped&gt; stuff &amp;amp; more.</p>
+<div>Nested <b>bold</b> text</div>
+<noscript>enable js</noscript>
+<ul><li><a href="/x">Nav one</a></li><li><a href="/y">Nav two</a></li></ul>
+</body></html>"""
+
+
+def _extract(spark, html):
+    df = spark.createDataFrame([(0, html)], "id long, html string")
+    return extract_web_text(df).collect()[0]
+
+
+def test_full_page_extraction(spark):
+    r = _extract(spark, PAGE)
+    assert r["title"] == "My & Title"
+    text = r["text"]
+    assert "Header" in text and "First paragraph" in text
+    assert "<escaped>" in text  # entities decoded
+    assert "&amp; more" in text  # double-escaped stays escaped once
+    assert "not text" not in text  # script content gone
+    assert "color: red" not in text  # style gone
+    assert "enable js" not in text  # noscript gone
+    assert "hidden comment" not in text
+    assert "My & Title" not in text  # head subtree is chrome
+    assert "\n\n" not in text and not text.startswith("\n")
+    assert 0.0 < r["link_density"] < 0.5
+
+
+def test_link_heavy_page_scores_high(spark):
+    nav = "<body>" + "".join(
+        f'<a href="/{i}">menu item {i}</a>' for i in range(10)
+    ) + "<p>tiny</p></body>"
+    r = _extract(spark, nav)
+    assert r["link_density"] > 0.8
+
+
+def test_plain_and_empty_inputs(spark):
+    r = _extract(spark, "no markup at all")
+    assert r["text"] == "no markup at all"
+    assert r["title"] == ""
+    assert r["link_density"] == 0.0
+    r = _extract(spark, "<p></p>")
+    assert r["text"] == ""
+    assert r["link_density"] == 0.0
+
+
+def test_malformed_degrades_gracefully(spark):
+    # unterminated script: the block regex can't match, the generic
+    # tag stripper still removes the tags themselves
+    r = _extract(spark, "<body><script>bad<p>visible</p></body>")
+    assert "visible" in r["text"]
+
+
+def test_extraction_stays_jvm_side(spark):
+    df = spark.createDataFrame([(0, PAGE)], "id long, html string")
+    plan = (
+        extract_web_text(df)._jdf.queryExecution().executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_composes_with_documents_table(spark, sf_dir):
+    from physicsnemo_curator_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><title>d</title></head><body><p>"),
+            F.col("text"),
+            F.lit('</p><a href="/">x</a></body></html>'),
+        ).alias("html"),
+    )
+    out = extract_web_text(pages)
+    assert out.filter(F.col("text") == "").count() == 0
+    assert out.filter(F.col("link_density") > 0).count() == 50

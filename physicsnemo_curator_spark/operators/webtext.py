@@ -112,3 +112,68 @@ def extract_web_text(
             f"{prefix}link_density", F.round(link_density(col), 9)
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# URL normalization (the crawl-dedup key discipline)
+
+_TRACKING = r"utm_[^=&#]*|gclid|fbclid|msclkid|mc_eid"
+
+
+def normalize_url(col: Column) -> Column:
+    """Canonical URL form for dedup keys and frontier filtering:
+    lowercase scheme+authority, default :80/:443 ports dropped,
+    tracking parameters (utm_*, gclid, fbclid, ...) removed, fragment
+    stripped, empty query remnants cleaned.  Pure Catalyst regex
+    chain; patterns avoid lookaround so they stay RE2-portable for
+    the oracle replay."""
+    # fragment first — everything after # never reaches the server
+    u = F.regexp_replace(col, r"#.*$", "")
+    # lowercase ONLY scheme://authority (the path is case-sensitive)
+    head_pat = r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)"
+    head = F.lower(F.regexp_extract(u, head_pat, 1))
+    tail = F.regexp_replace(u, head_pat, "")
+    u = F.concat(head, tail)
+    # default ports (authority is already lowercase)
+    u = F.regexp_replace(u, r"^(http://[^/:?#]*):80($|[/?#])", r"$1$2")
+    u = F.regexp_replace(u, r"^(https://[^/:?#]*):443($|[/?#])", r"$1$2")
+    # tracking parameters: mid-query '&k=v', then a leading '?k=v&'
+    # (promoting the next parameter), then a bare trailing '?k=v'
+    u = F.regexp_replace(u, rf"&(?:{_TRACKING})=[^&#]*", "")
+    u = F.regexp_replace(u, rf"\?(?:{_TRACKING})=[^&#]*&", "?")
+    u = F.regexp_replace(u, rf"\?(?:{_TRACKING})=[^&#]*$", "")
+    # dangling separators left by the removals
+    u = F.regexp_replace(u, r"[?&]+$", "")
+    return u
+
+
+def url_host(col: Column) -> Column:
+    """The authority's host (port and userinfo dropped)."""
+    return F.regexp_extract(
+        col, r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)", 1
+    )
+
+
+def url_domain(col: Column) -> Column:
+    """Last-two-labels registered-domain APPROXIMATION (a real
+    public-suffix list is a data dependency; two labels is the
+    honest no-list fallback and documents as such)."""
+    host = url_host(col)
+    return F.when(
+        host.rlike(r"\.[^.]+\.[^.]+$"),
+        F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1),
+    ).otherwise(host)
+
+
+def with_normalized_urls(
+    df: DataFrame, *, url_col: str = "url", prefix: str = ""
+) -> DataFrame:
+    """Append ``url_norm`` / ``host`` / ``domain`` columns — the
+    dedup-key triple every crawl pipeline derives first."""
+    col = F.col(url_col)
+    norm = normalize_url(col)
+    return (
+        df.withColumn(f"{prefix}url_norm", norm)
+        .withColumn(f"{prefix}host", url_host(norm))
+        .withColumn(f"{prefix}domain", url_domain(norm))
+    )

@@ -7798,7 +7798,81 @@ ORDER BY doc_id LIMIT 200
 """
 
 
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL normalization gate (operators/webtext.py): each document
+    becomes TWO messy crawl URLs — an uppercase-authority http :80
+    with interleaved utm parameters and a fragment, and an https
+    :443 whose query is tracking-only — normalized to dedup keys.
+    The oracle doesn't replay regexes: it CONSTRUCTS the expected
+    canonical strings from the same arithmetic, so scheme/port/
+    parameter/fragment handling and the host/domain split are pinned
+    end-to-end."""
+    from physicsnemo_curator_spark.operators.webtext import (
+        with_normalized_urls,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id", "n_chars")
+    )
+    a = (F.col("doc_id") % 5).cast("string")
+    b = (F.col("doc_id") % 20).cast("string")
+    c = (F.col("doc_id") % 9).cast("string")
+    n = F.col("n_chars").cast("string")
+    urls = docs.select(
+        (F.col("doc_id") * 2).alias("row_id"),
+        F.concat(
+            F.lit("HTTP://Sub"), a, F.lit(".Example"), b,
+            F.lit(".COM:80/Pa"), n, F.lit("?utm_source=s"), a,
+            F.lit("&id="), c, F.lit("&utm_medium=m#frag"), b,
+        ).alias("url"),
+    ).unionByName(
+        docs.select(
+            (F.col("doc_id") * 2 + 1).alias("row_id"),
+            F.concat(
+                F.lit("https://W"), b, F.lit(".Example"), a,
+                F.lit(".ORG:443/q/"), c, F.lit("?gclid=g"), n,
+            ).alias("url"),
+        )
+    )
+    return (
+        with_normalized_urls(urls)
+        .select("row_id", "url_norm", "host", "domain")
+        .orderBy("row_id")
+        .limit(600)
+    )
+
+
+ORACLE_URL_NORMALIZE = """
+WITH p AS (
+    SELECT doc_id,
+           CAST(doc_id % 5 AS VARCHAR) AS a,
+           CAST(doc_id % 20 AS VARCHAR) AS b,
+           CAST(doc_id % 9 AS VARCHAR) AS c,
+           CAST(n_chars AS VARCHAR) AS n
+    FROM documents WHERE doc_id < 300
+)
+SELECT row_id, url_norm, host, domain FROM (
+    SELECT doc_id * 2 AS row_id,
+           'http://sub' || a || '.example' || b || '.com/Pa' || n
+               || '?id=' || c AS url_norm,
+           'sub' || a || '.example' || b || '.com' AS host,
+           'example' || b || '.com' AS domain
+    FROM p
+    UNION ALL
+    SELECT doc_id * 2 + 1,
+           'https://w' || b || '.example' || a || '.org/q/' || c,
+           'w' || b || '.example' || a || '.org',
+           'example' || a || '.org'
+    FROM p
+)
+ORDER BY row_id LIMIT 600
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "q_url_normalize": QuerySpec(q_url_normalize, ORACLE_URL_NORMALIZE),
     "q_web_extract": QuerySpec(q_web_extract, ORACLE_WEB_EXTRACT),
     "q_bpe_train": QuerySpec(q_bpe_train, ORACLE_BPE_TRAIN),
     "q_webdataset": QuerySpec(q_webdataset, ORACLE_WEBDATASET),
@@ -8045,6 +8119,7 @@ QUERIES: dict[str, QuerySpec] = {
 # followed by the r08-green cohort.
 _DRIVER_ORDER = [
     # --- r09-new gates ---
+    "q_url_normalize",
     "q_web_extract",
     "q_bpe_train",
     "q_webdataset",

@@ -89,3 +89,56 @@ def test_composes_with_documents_table(spark, sf_dir):
     out = extract_web_text(pages)
     assert out.filter(F.col("text") == "").count() == 0
     assert out.filter(F.col("link_density") > 0).count() == 50
+
+
+# ---------------------------------------------------------------------------
+# URL normalization
+
+
+def test_normalize_url_cases(spark):
+    from physicsnemo_curator_spark.operators.webtext import (
+        with_normalized_urls,
+    )
+
+    cases = {
+        "HTTP://Example.COM:80/Path?utm_source=x&id=7&utm_medium=y#f":
+            ("http://example.com/Path?id=7", "example.com",
+             "example.com"),
+        "https://A.B.Example.org:443/p?gclid=abc":
+            ("https://a.b.example.org/p", "a.b.example.org",
+             "example.org"),
+        "https://example.net/p?id=1&fbclid=zz&x=2":
+            ("https://example.net/p?id=1&x=2", "example.net",
+             "example.net"),
+        "http://single/":
+            ("http://single/", "single", "single"),
+        "https://user@Host.Com:8443/Q?a=1":
+            ("https://user@host.com:8443/Q?a=1", "host.com",
+             "host.com"),
+        "https://ex.com/?utm_campaign=only":
+            ("https://ex.com/", "ex.com", "ex.com"),
+        "http://ex.com:8080/keep:80":
+            ("http://ex.com:8080/keep:80", "ex.com", "ex.com"),
+    }
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(cases)], "id long, url string"
+    )
+    got = {
+        r["url"]: (r["url_norm"], r["host"], r["domain"])
+        for r in with_normalized_urls(df).collect()
+    }
+    for url, want in cases.items():
+        assert got[url] == want, url
+
+
+def test_normalize_url_stays_jvm_side(spark):
+    from physicsnemo_curator_spark.operators.webtext import (
+        with_normalized_urls,
+    )
+
+    df = spark.createDataFrame([(0, "http://a.b/c")], "id long, url string")
+    plan = (
+        with_normalized_urls(df)._jdf.queryExecution().executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in plan

@@ -45,7 +45,7 @@ def _chars_df(docs: DataFrame, text_col: str) -> DataFrame:
     return docs.withColumn(
         "tokens",
         F.expr(
-            f"filter(split({text_col}, ''), t -> t != '')"
+            f"filter(split(coalesce({text_col}, ''), ''), t -> t != '')"
         ),
     )
 
@@ -62,31 +62,34 @@ def pair_counts(tokenized: DataFrame) -> DataFrame:
     )
 
 
+def _merge_pair(toks: list, a: str, b: str) -> list:
+    """ONE greedy left-to-right non-overlapping (a, b) merge scan —
+    the single definition the trainer, the encoder, and the oracle's
+    replace() simulation all share semantics with."""
+    merged = a + b
+    res: list = []
+    i = 0
+    n = len(toks)
+    while i < n:
+        if i + 1 < n and toks[i] == a and toks[i + 1] == b:
+            res.append(merged)
+            i += 2
+        else:
+            res.append(toks[i])
+            i += 1
+    return res
+
+
 def _apply_merge(tokenized: DataFrame, a: str, b: str) -> DataFrame:
     """Merge every non-overlapping left-to-right (a, b) occurrence
     into one token a+b — Arrow-batched sequence rewrite."""
-    merged = a + b
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out = []
-            for toks in pdf["tokens"]:
-                toks = list(toks)
-                res = []
-                i = 0
-                n = len(toks)
-                while i < n:
-                    if (
-                        i + 1 < n
-                        and toks[i] == a
-                        and toks[i + 1] == b
-                    ):
-                        res.append(merged)
-                        i += 2
-                    else:
-                        res.append(toks[i])
-                        i += 1
-                out.append(res)
+            out = [
+                _merge_pair([] if toks is None else list(toks), a, b)
+                for toks in pdf["tokens"]
+            ]
             pdf = pdf.copy()
             pdf["tokens"] = out
             yield pdf
@@ -148,6 +151,8 @@ def bpe_tokenize(
     classic ranked-merge encoder (repeatedly merge the lowest-rank
     pair present until none applies)."""
     ranks = {(m["a"], m["b"]): m["rank"] for m in merges}
+    by_rank = {m["rank"]: m for m in merges}  # NOT positional — a
+    # reloaded/filtered merge table need not be dense rank order
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -164,22 +169,8 @@ def bpe_tokenize(
                             best_rank = r
                     if best_rank is None:
                         break
-                    a = merges[best_rank]["a"]
-                    b = merges[best_rank]["b"]
-                    res = []
-                    i = 0
-                    while i < len(toks):
-                        if (
-                            i + 1 < len(toks)
-                            and toks[i] == a
-                            and toks[i + 1] == b
-                        ):
-                            res.append(a + b)
-                            i += 2
-                        else:
-                            res.append(toks[i])
-                            i += 1
-                    toks = res
+                    m = by_rank[best_rank]
+                    toks = _merge_pair(toks, m["a"], m["b"])
                 out.append(toks)
             pdf = pdf.copy()
             pdf[output_col] = out
@@ -207,10 +198,18 @@ def vocabulary(docs: DataFrame, merges: list[dict],
     )
     base = [r["token"] for r in chars.collect()]
     rows = [(i, t, -1) for i, t in enumerate(base)]
-    rows += [
-        (len(base) + m["rank"], m["a"] + m["b"], m["rank"])
-        for m in merges
-    ]
+    # two merges can concatenate to the same string (('ab','c') and
+    # ('a','bc')) — keep the FIRST occurrence so the string->id
+    # lookup stays unambiguous; ids remain dense
+    seen = set(base)
+    next_id = len(base)
+    for m in sorted(merges, key=lambda m: m["rank"]):
+        token = m["a"] + m["b"]
+        if token in seen:
+            continue
+        seen.add(token)
+        rows.append((next_id, token, m["rank"]))
+        next_id += 1
     return docs.sparkSession.createDataFrame(
         rows, "token_id long, token string, merge_rank int"
     )

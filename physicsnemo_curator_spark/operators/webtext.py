@@ -134,17 +134,25 @@ def normalize_url(col: Column) -> Column:
     head = F.lower(F.regexp_extract(u, head_pat, 1))
     tail = F.regexp_replace(u, head_pat, "")
     u = F.concat(head, tail)
-    # default ports (authority is already lowercase)
-    u = F.regexp_replace(u, r"^(http://[^/:?#]*):80($|[/?#])", r"$1$2")
-    u = F.regexp_replace(u, r"^(https://[^/:?#]*):443($|[/?#])", r"$1$2")
-    # tracking parameters: mid-query '&k=v', then a leading '?k=v&'
-    # (promoting the next parameter), then a bare trailing '?k=v'
-    u = F.regexp_replace(u, rf"&(?:{_TRACKING})=[^&#]*", "")
-    u = F.regexp_replace(u, rf"\?(?:{_TRACKING})=[^&#]*&", "?")
-    u = F.regexp_replace(u, rf"\?(?:{_TRACKING})=[^&#]*$", "")
-    # dangling separators left by the removals
-    u = F.regexp_replace(u, r"[?&]+$", "")
-    return u
+    # default ports — the port colon is the one AFTER any userinfo's
+    # colon, so allow an optional user[:pass]@ prefix
+    u = F.regexp_replace(
+        u, r"^(http://(?:[^/@?#]*@)?[^/:?#]*):80($|[/?#])", r"$1$2"
+    )
+    u = F.regexp_replace(
+        u, r"^(https://(?:[^/@?#]*@)?[^/:?#]*):443($|[/?#])", r"$1$2"
+    )
+    # tracking parameters live in the QUERY component only — '&k=v'
+    # sequences are legal in paths, so split at the first '?' and
+    # clean just the query (mid '&k=v', leading 'k=v&' promoting the
+    # next parameter, bare 'k=v')
+    pre = F.regexp_replace(u, r"\?.*$", "")
+    q = F.regexp_extract(u, r"\?(.*)$", 1)
+    q = F.regexp_replace(q, rf"&(?:{_TRACKING})=[^&]*", "")
+    q = F.regexp_replace(q, rf"^(?:{_TRACKING})=[^&]*&", "")
+    q = F.regexp_replace(q, rf"^(?:{_TRACKING})=[^&]*$", "")
+    q = F.regexp_replace(q, r"[&]+$", "")
+    return F.when(q != "", F.concat(pre, F.lit("?"), q)).otherwise(pre)
 
 
 def url_host(col: Column) -> Column:

@@ -7704,7 +7704,9 @@ def q_web_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.col("n_chars").cast("string"),
             F.lit(" --><h1>Heading</h1><p>"),
-            F.substring("text", 1, 150),
+            # sanitized so document text can never open a tag or
+            # entity — the gate pins the CHAIN, not doc content
+            F.regexp_replace(F.substring("text", 1, 150), "[<>&]", ""),
             F.lit('</p><div>tail &lt;x&gt;</div><a href="/a">nav '),
             (F.col("doc_id") % 7).cast("string"),
             F.lit("</a></body></html>"),
@@ -7726,7 +7728,9 @@ def q_web_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_WEB_EXTRACT = """
 WITH d AS (
-    SELECT doc_id, n_chars, substr(text, 1, 150) AS body
+    SELECT doc_id, n_chars,
+           regexp_replace(substr(text, 1, 150), '[<>&]', '', 'g')
+               AS body
     FROM documents WHERE doc_id < 200
 ),
 h AS (

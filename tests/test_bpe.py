@@ -131,3 +131,41 @@ def test_empty_text_tokenizes_empty(spark):
             for r in bpe_tokenize(df, merges).collect()}
     assert rows[0] == []
     assert rows[1] == ["ab"]
+
+
+# ---------------------------------------------------------------------------
+# review-pass regressions
+
+
+def test_null_text_rows_survive_training(spark):
+    df = spark.createDataFrame(
+        [(0, None), (1, "abab")], "doc_id long, text string"
+    )
+    merges = train_bpe(df, n_merges=1)
+    assert merges[0]["a"] == "a" and merges[0]["b"] == "b"
+    rows = {r["doc_id"]: list(r["tokens"])
+            for r in bpe_tokenize(df, merges).collect()}
+    assert rows[0] == []
+    assert rows[1] == ["ab", "ab"]
+
+
+def test_tokenize_accepts_sparse_merge_table(spark):
+    df = spark.createDataFrame([(0, "aaab")], "doc_id long, text string")
+    # a filtered/reordered table: ranks are NOT dense positions
+    merges = [{"rank": 7, "a": "a", "b": "a"}]
+    rows = bpe_tokenize(df, merges).collect()
+    assert list(rows[0]["tokens"]) == ["aa", "a", "b"]
+
+
+def test_vocabulary_deduplicates_colliding_merge_strings(spark):
+    df = spark.createDataFrame([(0, "abc")], "doc_id long, text string")
+    merges = [
+        {"rank": 0, "a": "a", "b": "b"},
+        {"rank": 1, "a": "ab", "b": "c"},
+        {"rank": 2, "a": "a", "b": "bc"},  # same string 'abc'
+    ]
+    vocab = vocabulary(df, merges).collect()
+    tokens = [r["token"] for r in vocab]
+    assert len(tokens) == len(set(tokens))
+    ids = sorted(r["token_id"] for r in vocab)
+    assert ids == list(range(len(ids)))  # dense after the skip

@@ -975,3 +975,63 @@ def remove_duplicated_substrings(
         .alias("removed_tokens"),
         F.coalesce("text", F.lit("")).alias("text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unicode normalization (the pre-dedup canonicalization pass)
+
+
+def normalize_text(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    output_col: str = "text_norm",
+    form: str = "NFC",
+    strip_invisible: bool = True,
+) -> DataFrame:
+    """Canonical Unicode form for dedup keys and tokenizer input:
+    the same visible string must hash identically whether a source
+    emitted it composed or decomposed (crawls mix both, so exact
+    dedup silently misses pairs without this pass).
+
+    ``form`` is any of NFC/NFD/NFKC/NFKD — applied in an
+    Arrow-batched kernel (``unicodedata`` is the justified-UDF
+    class: no Catalyst expression normalizes Unicode).
+    ``strip_invisible`` additionally removes control characters
+    (C0/C1 except tab/newline), zero-width characters (ZWSP/ZWNJ/
+    ZWJ/BOM), and the bidi embedding controls, then collapses
+    Unicode spaces onto ASCII space — those are JVM-side regexes and
+    run before normalization."""
+    import pandas as pd
+    from collections.abc import Iterator as _Iter
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+    col = F.col(text_col)
+    if strip_invisible:
+        col = F.regexp_replace(
+            col,
+            "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F-\\x9F"
+            "\\u200B-\\u200F\\u202A-\\u202E\\u2060\\uFEFF]",
+            "",
+        )
+        col = F.regexp_replace(
+            col, "[\\u00A0\\u2000-\\u200A\\u202F\\u205F\\u3000]", " "
+        )
+    staged = df.withColumn(output_col, col)
+
+    def batches(it: _Iter[pd.DataFrame]) -> _Iter[pd.DataFrame]:
+        import unicodedata
+
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf[output_col] = [
+                None if t is None else unicodedata.normalize(form, t)
+                for t in pdf[output_col]
+            ]
+            yield pdf
+
+    schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in staged.schema
+    )
+    return staged.mapInPandas(batches, schema)

@@ -7875,7 +7875,78 @@ ORDER BY row_id LIMIT 600
 """
 
 
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode normalization gate (textops.normalize_text): each
+    document's text is augmented with a DECOMPOSED accent
+    (e + U+0301), a zero-width space, a BOM, an NBSP and a bidi
+    control — exactly the crawl debris that splits identical dedup
+    keys — then canonicalized (invisible strip + NBSP fold + NFC).
+    DuckDB replays it with the same chr() construction, replace()
+    chain and its native nfc_normalize, so a stripping-set or
+    composition bug changes a row."""
+    from physicsnemo_curator_spark.operators.textops import (
+        normalize_text,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select(
+            "doc_id",
+            F.concat(
+                F.substring("text", 1, 60),
+                F.lit(
+                    " e\u0301col\u200be\ufeff\u00a0fin"
+                    "\u202adu\u202c"
+                ),
+            ).alias("text"),
+        )
+    )
+    return (
+        normalize_text(docs)
+        .select(
+            "doc_id",
+            F.md5(F.col("text_norm").cast("binary")).alias("norm_md5"),
+            F.length("text").alias("n_raw"),
+            F.length("text_norm").alias("n_norm"),
+        )
+        .orderBy("doc_id")
+        .limit(300)
+    )
+
+
+ORACLE_TEXT_NORMALIZE = """
+WITH d AS (
+    SELECT doc_id,
+           substr(text, 1, 60) || ' e' || chr(769) || 'col'
+               || chr(8203) || 'e' || chr(65279) || chr(160) || 'fin'
+               || chr(8234) || 'du' || chr(8236) AS raw
+    FROM documents WHERE doc_id < 300
+),
+n AS (
+    SELECT doc_id, raw,
+           nfc_normalize(
+               replace(
+                   replace(replace(replace(raw, chr(8203), ''),
+                                   chr(65279), ''),
+                           chr(8234), ''),
+                   chr(160), ' ')
+           ) AS norm
+    FROM d
+    -- chr(8236) (PDF, the bidi pop) is also stripped
+)
+SELECT doc_id,
+       md5(replace(norm, chr(8236), '')) AS norm_md5,
+       CAST(length(raw) AS INT) AS n_raw,
+       CAST(length(replace(norm, chr(8236), '')) AS INT) AS n_norm
+FROM n ORDER BY doc_id LIMIT 300
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "q_text_normalize": QuerySpec(
+        q_text_normalize, ORACLE_TEXT_NORMALIZE
+    ),
     "q_url_normalize": QuerySpec(q_url_normalize, ORACLE_URL_NORMALIZE),
     "q_web_extract": QuerySpec(q_web_extract, ORACLE_WEB_EXTRACT),
     "q_bpe_train": QuerySpec(q_bpe_train, ORACLE_BPE_TRAIN),
@@ -8123,6 +8194,7 @@ QUERIES: dict[str, QuerySpec] = {
 # followed by the r08-green cohort.
 _DRIVER_ORDER = [
     # --- r09-new gates ---
+    "q_text_normalize",
     "q_url_normalize",
     "q_web_extract",
     "q_bpe_train",

@@ -477,3 +477,52 @@ def test_temperature_mixing_weights(spark):
         temperature_mixing_weights(
             df, domain_col="lang", temperature=0.0
         )
+
+
+# ---------------------------------------------------------------------------
+# Unicode normalization (textops.normalize_text)
+
+
+def test_normalize_text_composes_decomposed_forms(spark):
+    from physicsnemo_curator_spark.operators.textops import normalize_text
+
+    decomposed = "Café du Monde"  # e + combining acute
+    composed = "Café du Monde"
+    df = spark.createDataFrame(
+        [(0, decomposed), (1, composed)], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r["text_norm"]
+            for r in normalize_text(df).collect()}
+    assert rows[0] == rows[1] == composed  # exact-dedup keys now agree
+
+
+def test_normalize_text_strips_invisible_and_spaces(spark):
+    from physicsnemo_curator_spark.operators.textops import normalize_text
+
+    dirty = "a​b c‪d\x07e"
+    df = spark.createDataFrame([(0, dirty)], "doc_id long, text string")
+    (row,) = normalize_text(df).collect()
+    assert row["text_norm"] == "ab c de".replace(" c de", " cde") or \
+        row["text_norm"] == "ab cde"
+
+
+def test_normalize_text_nfkc_compatibility_folds(spark):
+    from physicsnemo_curator_spark.operators.textops import normalize_text
+
+    df = spark.createDataFrame(
+        [(0, "ﬁle ①")], "doc_id long, text string"
+    )  # fi-ligature + circled one
+    (row,) = normalize_text(df, form="NFKC").collect()
+    assert row["text_norm"] == "file 1"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="form"):
+        normalize_text(df, form="NFX").collect()
+
+
+def test_normalize_text_null_passthrough(spark):
+    from physicsnemo_curator_spark.operators.textops import normalize_text
+
+    df = spark.createDataFrame([(0, None)], "doc_id long, text string")
+    (row,) = normalize_text(df).collect()
+    assert row["text_norm"] is None

@@ -185,3 +185,137 @@ def with_normalized_urls(
         .withColumn(f"{prefix}host", url_host(norm))
         .withColumn(f"{prefix}domain", url_domain(norm))
     )
+
+
+# ---------------------------------------------------------------------------
+# robots.txt (RFC 9309) — crawl-frontier politeness filtering
+
+import re as _re
+
+
+def parse_robots(content: str, user_agent: str = "*") -> list:
+    """Parse a robots.txt body into the rule list applying to
+    ``user_agent``: the most specific matching group wins (an exact
+    product-token group beats ``*``; RFC 9309 §2.2.1), rules are
+    ``(kind, path_pattern)`` with kind allow/disallow.  Comments,
+    blank lines and unknown directives are tolerated."""
+    ua = user_agent.lower()
+    groups: list[tuple[list[str], list[tuple[str, str]]]] = []
+    agents: list[str] = []
+    rules: list[tuple[str, str]] = []
+    in_group_body = False
+    for raw in (content or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if in_group_body:
+                groups.append((agents, rules))
+                agents, rules = [], []
+                in_group_body = False
+            agents.append(value.lower())
+        elif field in ("allow", "disallow"):
+            in_group_body = True
+            if value:
+                rules.append((field, value))
+            elif field == "disallow":
+                pass  # empty Disallow: allow-all marker, no rule
+    if agents or rules:
+        groups.append((agents, rules))
+    exact = [r for a, r in groups if ua in a]
+    if exact:
+        return [rule for r in exact for rule in r]
+    starred = [r for a, r in groups if "*" in a]
+    return [rule for r in starred for rule in r]
+
+
+def _robots_pattern(pattern: str):
+    """Compile one path pattern: '*' wildcards, trailing '$' anchor,
+    everything else literal; match is anchored at the path start."""
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    rx = ".*".join(_re.escape(part) for part in body.split("*"))
+    return _re.compile("^" + rx + ("$" if anchored else ""))
+
+
+def robots_allowed(path: str, rules: list) -> bool:
+    """RFC 9309 evaluation: the longest (most octets) matching
+    pattern wins; an allow/disallow tie at equal length is allow;
+    no match is allow."""
+    best_len = -1
+    best_allow = True
+    for kind, pattern in rules:
+        if _robots_pattern(pattern).match(path):
+            plen = len(pattern)
+            allow = kind == "allow"
+            if plen > best_len or (plen == best_len and allow):
+                best_len = plen
+                best_allow = allow
+    return best_allow
+
+
+def filter_robots(
+    urls: DataFrame,
+    robots: DataFrame,
+    *,
+    user_agent: str = "*",
+    url_col: str = "url",
+    robots_host_col: str = "host",
+    robots_text_col: str = "robots_txt",
+    keep_unmatched: bool = True,
+) -> DataFrame:
+    """Politeness filter: join each URL's host to its robots.txt
+    (robots is the SMALL side — one row per host — broadcast it) and
+    keep URLs the evaluated rules allow.  Hosts without a robots row
+    are allowed when ``keep_unmatched`` (the RFC's unreachable-file
+    default).  Rule evaluation is an Arrow-batched kernel with a
+    per-batch compiled-rule cache keyed on host."""
+    joined = urls.withColumn("_host", url_host(F.col(url_col))).join(
+        F.broadcast(
+            robots.select(
+                F.col(robots_host_col).alias("_host"),
+                F.col(robots_text_col).alias("_robots"),
+            )
+        ),
+        on="_host",
+        how="left",
+    )
+
+    def batches(it):
+        import pandas as pd  # noqa: F401
+
+        cache: dict = {}
+        for pdf in it:
+            keep = []
+            for url, txt in zip(pdf[url_col], pdf["_robots"]):
+                if txt is None:
+                    keep.append(bool(keep_unmatched))
+                    continue
+                rules = cache.get(txt)
+                if rules is None:
+                    rules = parse_robots(txt, user_agent)
+                    cache[txt] = rules
+                m = _re.match(
+                    r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", url
+                )
+                path = m.group(1) or "/" if m else url
+                keep.append(robots_allowed(path, rules))
+            pdf = pdf.copy()
+            pdf["_allowed"] = keep
+            yield pdf
+
+    schema = ", ".join(
+        [
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in joined.schema
+        ]
+        + ["_allowed boolean"]
+    )
+    return (
+        joined.mapInPandas(batches, schema)
+        .filter(F.col("_allowed"))
+        .drop("_host", "_robots", "_allowed")
+    )

@@ -7943,7 +7943,88 @@ FROM n ORDER BY doc_id LIMIT 300
 """
 
 
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt politeness gate (operators/webtext.py): 8 synthetic
+    hosts carry real robots bodies (shared Disallow/Allow pair plus a
+    per-host /blog Disallow on every third host), 2 hosts have no
+    robots row; each document becomes one URL across 10 hosts x 5
+    path classes, filtered through ``filter_robots`` (broadcast
+    robots join + RFC 9309 longest-match evaluation).  The surviving
+    set is pure modulo arithmetic, so DuckDB replays the precedence
+    table — a group-selection, longest-match, or unmatched-host bug
+    changes the row set."""
+    from physicsnemo_curator_spark.operators.webtext import (
+        filter_robots,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 400)
+        .select("doc_id")
+    )
+    path = (
+        F.when(F.col("doc_id") % 5 == 0, "/public/p")
+        .when(F.col("doc_id") % 5 == 1, "/private/x")
+        .when(F.col("doc_id") % 5 == 2, "/private/ok/y")
+        .when(F.col("doc_id") % 5 == 3, "/tmp/z")
+        .otherwise("/blog/b")
+    )
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("http://h"),
+            (F.col("doc_id") % 10).cast("string"),
+            path,
+        ).alias("url"),
+    )
+    base = (
+        "User-agent: *\nDisallow: /private\nAllow: /private/ok\n"
+        "Disallow: /tmp\n"
+    )
+    robots = spark.createDataFrame(
+        [
+            (f"h{i}", base + ("Disallow: /blog\n" if i % 3 == 0 else ""))
+            for i in range(8)
+        ],
+        "host string, robots_txt string",
+    )
+    return (
+        filter_robots(urls, robots)
+        .select("doc_id", "url")
+        .orderBy("doc_id")
+        .limit(400)
+    )
+
+
+ORACLE_ROBOTS_FILTER = """
+WITH p AS (
+    SELECT doc_id, doc_id % 10 AS h, doc_id % 5 AS k
+    FROM documents WHERE doc_id < 400
+),
+verdict AS (
+    SELECT doc_id, h, k,
+           CASE
+               WHEN h >= 8 THEN TRUE            -- no robots row
+               WHEN k = 0 THEN TRUE             -- /public/p
+               WHEN k = 1 THEN FALSE            -- /private/x
+               WHEN k = 2 THEN TRUE             -- Allow /private/ok wins
+               WHEN k = 3 THEN FALSE            -- /tmp/z
+               ELSE h % 3 <> 0                  -- /blog only on h%3=0
+           END AS allowed
+    FROM p
+)
+SELECT doc_id,
+       'http://h' || CAST(h AS VARCHAR) ||
+       CASE k WHEN 0 THEN '/public/p' WHEN 1 THEN '/private/x'
+              WHEN 2 THEN '/private/ok/y' WHEN 3 THEN '/tmp/z'
+              ELSE '/blog/b' END AS url
+FROM verdict WHERE allowed
+ORDER BY doc_id LIMIT 400
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "q_robots_filter": QuerySpec(q_robots_filter, ORACLE_ROBOTS_FILTER),
     "q_text_normalize": QuerySpec(
         q_text_normalize, ORACLE_TEXT_NORMALIZE
     ),
@@ -8194,6 +8275,7 @@ QUERIES: dict[str, QuerySpec] = {
 # followed by the r08-green cohort.
 _DRIVER_ORDER = [
     # --- r09-new gates ---
+    "q_robots_filter",
     "q_text_normalize",
     "q_url_normalize",
     "q_web_extract",

@@ -170,3 +170,83 @@ def test_tracking_params_confined_to_query(spark):
            for r in with_normalized_urls(df).collect()}
     for url, want in cases.items():
         assert got[url] == want, url
+
+
+# ---------------------------------------------------------------------------
+# robots.txt
+
+
+ROBOTS = """# comment line
+User-agent: GoodBot
+Disallow: /good-private
+
+User-agent: *
+Disallow: /private
+Allow: /private/ok
+Disallow: /tmp/*.zip$
+Unknown-directive: ignored
+Disallow:
+"""
+
+
+def test_parse_robots_group_selection():
+    from physicsnemo_curator_spark.operators.webtext import parse_robots
+
+    assert parse_robots(ROBOTS, "goodbot") == [
+        ("disallow", "/good-private")
+    ]
+    star = parse_robots(ROBOTS, "OtherBot")
+    assert ("disallow", "/private") in star
+    assert ("allow", "/private/ok") in star
+    assert parse_robots("", "x") == []
+
+
+def test_robots_allowed_precedence_and_wildcards():
+    from physicsnemo_curator_spark.operators.webtext import (
+        parse_robots,
+        robots_allowed,
+    )
+
+    rules = parse_robots(ROBOTS, "any")
+    assert robots_allowed("/public/x", rules)
+    assert not robots_allowed("/private/y", rules)
+    assert robots_allowed("/private/ok/z", rules)  # longest match wins
+    assert not robots_allowed("/tmp/a.zip", rules)
+    assert robots_allowed("/tmp/a.zipx", rules)  # $ anchor
+    # equal-length tie is allow
+    tie = [("disallow", "/a"), ("allow", "/a")]
+    assert robots_allowed("/a/x", tie)
+
+
+def test_filter_robots_spark(spark):
+    from physicsnemo_curator_spark.operators.webtext import filter_robots
+
+    urls = spark.createDataFrame(
+        [
+            (0, "http://h0/private/x"),
+            (1, "http://h0/private/ok/y"),
+            (2, "http://h0/public"),
+            (3, "http://nohost/private/x"),  # no robots row -> kept
+        ],
+        "id long, url string",
+    )
+    robots = spark.createDataFrame(
+        [("h0", ROBOTS)], "host string, robots_txt string"
+    )
+    kept = sorted(
+        r["id"] for r in filter_robots(urls, robots).collect()
+    )
+    assert kept == [1, 2, 3]
+    strict = sorted(
+        r["id"]
+        for r in filter_robots(
+            urls, robots, keep_unmatched=False
+        ).collect()
+    )
+    assert strict == [1, 2]
+    # the robots side is broadcast
+    plan = (
+        filter_robots(urls, robots)._jdf.queryExecution()
+        .executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan

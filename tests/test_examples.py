@@ -75,3 +75,11 @@ def test_curate_media_example(tmp_path):
     assert "media lake: " in stdout
     assert "features[video]:" in stdout
     assert "unique after dedup" in stdout
+
+
+def test_curate_web_example(tmp_path):
+    stdout = _run("curate_web.py", str(tmp_path / "work"))
+    assert "robots filter: " in stdout
+    assert "boilerplate gate: " in stdout
+    assert "bpe merges:" in stdout
+    assert "round-trip verified" in stdout

@@ -8023,7 +8023,110 @@ ORDER BY doc_id LIMIT 400
 """
 
 
+def q_media_subtitles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtitle codec gate (sources/subtitles.py): each document
+    becomes an SRT file with ``2 + doc_id % 3`` cues (timestamps and
+    md5-slice texts from document arithmetic), serialized with
+    write_srt and re-parsed from the REAL bytes in the executors.
+    Every field — cue indices, millisecond timestamps through the
+    HH:MM:SS,mmm round trip, texts, and the EXACT file byte length
+    (pinning the serializer layout) — is DuckDB arithmetic."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+
+    def codec(it):
+        import hashlib
+
+        import pandas as pd
+
+        from physicsnemo_curator_spark.sources.subtitles import (
+            parse_subtitles,
+            write_srt,
+        )
+
+        for pdf in it:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                h = hashlib.md5(text.encode()).hexdigest()
+                n_cues = 2 + doc_id % 3
+                cues = [
+                    {
+                        "cue_index": k + 1,
+                        "start_ms": doc_id * 1000 + k * 2000,
+                        "end_ms": doc_id * 1000 + k * 2000 + 1500,
+                        "text": f"cue{k}:{h[k * 4 : k * 4 + 8]}",
+                    }
+                    for k in range(n_cues)
+                ]
+                blob = write_srt(cues)
+                for cue in parse_subtitles(blob):
+                    rows.append(
+                        (
+                            doc_id * 10 + cue["cue_index"],
+                            cue["cue_index"], cue["start_ms"],
+                            cue["end_ms"], cue["text"], len(blob),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "row_id", "cue_index", "start_ms", "end_ms",
+                    "text", "n_bytes",
+                ],
+            )
+
+    out = docs.mapInPandas(
+        codec,
+        "row_id long, cue_index int, start_ms long, end_ms long, "
+        "text string, n_bytes long",
+    )
+    return out.orderBy("row_id").limit(800)
+
+
+ORACLE_MEDIA_SUBTITLES = """
+WITH d AS (
+    SELECT doc_id, md5(text) AS h, 2 + doc_id % 3 AS n_cues
+    FROM documents WHERE doc_id < 200
+),
+c AS (
+    SELECT d.doc_id, d.h, d.n_cues, CAST(u.k AS INT) AS k
+    FROM d, LATERAL unnest(range(0, d.n_cues)) u(k)
+),
+cue AS (
+    SELECT doc_id, n_cues, k + 1 AS cue_index,
+           doc_id * 1000 + k * 2000 AS start_ms,
+           doc_id * 1000 + k * 2000 + 1500 AS end_ms,
+           'cue' || CAST(k AS VARCHAR) || ':' || substr(h, k * 4 + 1, 8)
+               AS text
+    FROM c
+),
+-- write_srt layout: per cue 'index\\n' + 29-char timing + '\\n' +
+-- text + '\\n', cues joined by one extra '\\n'
+sizes AS (
+    SELECT doc_id,
+           CAST(SUM(length(CAST(cue_index AS VARCHAR)) + 1 + 29 + 1
+                    + length(text) + 1) + COUNT(*) - 1 AS BIGINT)
+               AS n_bytes
+    FROM cue GROUP BY doc_id
+)
+SELECT cue.doc_id * 10 + cue.cue_index AS row_id,
+       CAST(cue.cue_index AS INT) AS cue_index,
+       CAST(cue.start_ms AS BIGINT) AS start_ms,
+       CAST(cue.end_ms AS BIGINT) AS end_ms,
+       cue.text, sizes.n_bytes
+FROM cue JOIN sizes USING (doc_id)
+ORDER BY row_id LIMIT 800
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "q_media_subtitles": QuerySpec(
+        q_media_subtitles, ORACLE_MEDIA_SUBTITLES
+    ),
     "q_robots_filter": QuerySpec(q_robots_filter, ORACLE_ROBOTS_FILTER),
     "q_text_normalize": QuerySpec(
         q_text_normalize, ORACLE_TEXT_NORMALIZE
@@ -8275,6 +8378,7 @@ QUERIES: dict[str, QuerySpec] = {
 # followed by the r08-green cohort.
 _DRIVER_ORDER = [
     # --- r09-new gates ---
+    "q_media_subtitles",
     "q_robots_filter",
     "q_text_normalize",
     "q_url_normalize",

@@ -232,9 +232,15 @@ def parse_robots(content: str, user_agent: str = "*") -> list:
     return [rule for r in starred for rule in r]
 
 
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=4096)
 def _robots_pattern(pattern: str):
     """Compile one path pattern: '*' wildcards, trailing '$' anchor,
-    everything else literal; match is anchored at the path start."""
+    everything else literal; match is anchored at the path start.
+    LRU-cached — robots_allowed runs per (URL x rule) in the filter
+    kernel and must not recompile in the hot loop."""
     anchored = pattern.endswith("$")
     body = pattern[:-1] if anchored else pattern
     rx = ".*".join(_re.escape(part) for part in body.split("*"))

@@ -7962,11 +7962,14 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") < 400)
         .select("doc_id")
     )
+    # path class from doc_id//10 so it DECORRELATES from the host
+    # (doc_id % 10) — every host sees every path class
+    k = (F.col("doc_id") / 10).cast("long") % 5
     path = (
-        F.when(F.col("doc_id") % 5 == 0, "/public/p")
-        .when(F.col("doc_id") % 5 == 1, "/private/x")
-        .when(F.col("doc_id") % 5 == 2, "/private/ok/y")
-        .when(F.col("doc_id") % 5 == 3, "/tmp/z")
+        F.when(k == 0, "/public/p")
+        .when(k == 1, "/private/x")
+        .when(k == 2, "/private/ok/y")
+        .when(k == 3, "/tmp/z")
         .otherwise("/blog/b")
     )
     urls = docs.select(
@@ -7998,7 +8001,7 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_ROBOTS_FILTER = """
 WITH p AS (
-    SELECT doc_id, doc_id % 10 AS h, doc_id % 5 AS k
+    SELECT doc_id, doc_id % 10 AS h, (doc_id // 10) % 5 AS k
     FROM documents WHERE doc_id < 400
 ),
 verdict AS (

@@ -23,7 +23,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _TS = re.compile(
-    r"(\d{1,2}):(\d{2}):(\d{2})[,.](\d{3})"
+    # hours are optional (WebVTT mm:ss.ttt form) and unbounded
+    # (>= 100-hour archives are legal)
+    r"(?:(\d+):)?(\d{1,2}):(\d{2})[,.](\d{3})"
 )
 
 
@@ -31,7 +33,8 @@ def _parse_ts(token: str) -> int:
     m = _TS.search(token)
     if not m:
         raise ValueError(f"malformed subtitle timestamp {token!r}")
-    h, mnt, s, ms = (int(g) for g in m.groups())
+    h = int(m.group(1)) if m.group(1) is not None else 0
+    mnt, s, ms = int(m.group(2)), int(m.group(3)), int(m.group(4))
     return ((h * 60 + mnt) * 60 + s) * 1000 + ms
 
 
@@ -57,12 +60,19 @@ def parse_subtitles(data: bytes | str) -> list[dict]:
     if isinstance(data, (bytes, bytearray)):
         text = bytes(data).decode("utf-8-sig", "replace")
     else:
-        text = data
+        text = data.lstrip("\ufeff")
     text = text.replace("\r\n", "\n").replace("\r", "\n")
     lines = text.split("\n")
-    vtt = lines and lines[0].startswith("WEBVTT")
+    vtt = bool(lines) and lines[0].startswith("WEBVTT")
     cues: list[dict] = []
-    i = 1 if vtt else 0
+    i = 0
+    if vtt:
+        # the header block (signature + metadata like 'Kind:'/
+        # 'Language:') runs to the first blank line
+        i = 1
+        n = len(lines)
+        while i < n and lines[i].strip():
+            i += 1
     auto_index = 0
     n = len(lines)
     while i < n:
@@ -76,7 +86,9 @@ def parse_subtitles(data: bytes | str) -> list[dict]:
         index = None
         if "-->" not in lines[i]:
             head = lines[i].strip()
-            if head.isdigit():
+            # SRT sequence numbers only — a VTT identifier is free
+            # text even when it happens to be numeric
+            if not vtt and head.isdigit():
                 index = int(head)
             i += 1
             if i >= n:
@@ -171,11 +183,14 @@ def align_frames_to_cues(
     *,
     time_col: str = "t_ms",
     how: str = "inner",
+    broadcast: bool = True,
 ) -> DataFrame:
     """Pair frames with the caption on screen at their timestamp:
-    a range join on ``start_ms <= t < end_ms``.  Small cue tables
-    broadcast; at scale enable AQE or bucket both sides by
-    media/video id first (pass pre-partitioned frames)."""
+    a range join on ``start_ms <= t < end_ms``.  ``broadcast=True``
+    (default) hints the cue side — right for per-video or sampled
+    cue tables; pass False for a lake-scale cue table so AQE and the
+    size thresholds pick the strategy instead of the driver
+    collecting it."""
     if "media_id" in frames.columns and "media_id" in cues.columns:
         cues = cues.withColumnRenamed("media_id", "_cue_media_id")
         cond = (
@@ -183,10 +198,11 @@ def align_frames_to_cues(
             & (F.col(time_col) >= cues["start_ms"])
             & (F.col(time_col) < cues["end_ms"])
         )
-        return frames.join(F.broadcast(cues), cond, how).drop(
-            "_cue_media_id"
-        )
+        right = F.broadcast(cues) if broadcast else cues
+        return frames.join(right, cond, how).drop("_cue_media_id")
     cond = (F.col(time_col) >= cues["start_ms"]) & (
         F.col(time_col) < cues["end_ms"]
     )
-    return frames.join(F.broadcast(cues), cond, how)
+    return frames.join(
+        F.broadcast(cues) if broadcast else cues, cond, how
+    )

@@ -100,3 +100,42 @@ def test_spark_scan_and_alignment(spark, tmp_path):
     assert got == {1: 1, 2: 1, 4: 2}
     plan = aligned._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# review-pass regressions
+
+
+def test_vtt_header_metadata_block_skipped():
+    data = (
+        "WEBVTT\nKind: captions\nLanguage: en\n\n"
+        "00:00:01.000 --> 00:00:02.000\nhi\n"
+    ).encode()
+    cues = parse_subtitles(data)
+    assert len(cues) == 1 and cues[0]["text"] == "hi"
+
+
+def test_vtt_hourless_and_long_timestamps():
+    data = (
+        "WEBVTT\n\n00:01.000 --> 00:04.000\nshort form\n\n"
+        "100:00:00,000 --> 100:00:01,000\narchive\n"
+    ).encode()
+    cues = parse_subtitles(data)
+    assert cues[0]["start_ms"] == 1000
+    assert cues[1]["start_ms"] == 100 * 3600_000
+
+
+def test_vtt_numeric_identifier_stays_sequential():
+    data = (
+        "WEBVTT\n\n7\n00:00:01.000 --> 00:00:02.000\na\n\n"
+        "00:00:03.000 --> 00:00:04.000\nb\n"
+    ).encode()
+    cues = parse_subtitles(data)
+    assert [c["cue_index"] for c in cues] == [1, 2]
+
+
+def test_str_input_with_bom():
+    cues = parse_subtitles(
+        "﻿WEBVTT\n\n00:00:01.000 --> 00:00:02.000\nhi\n"
+    )
+    assert len(cues) == 1

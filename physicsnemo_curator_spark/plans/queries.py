@@ -7295,6 +7295,7 @@ def q_media_qoi_pnm(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
         import pandas as pd
 
+        from physicsnemo_curator_spark.sources import ico as _ico
         from physicsnemo_curator_spark.sources import pnm as _pnm
         from physicsnemo_curator_spark.sources import qoi as _qoi
         from physicsnemo_curator_spark.sources import tiff as _tiff
@@ -7320,6 +7321,7 @@ def q_media_qoi_pnm(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ("btif", _tiff.encode_tiff(
                         img, compression="lzw", bigtiff=True
                     )),
+                    ("ico", _ico.encode_ico([img])),
                 ]
                 for k, (name, payload) in enumerate(variants):
                     if name == "qoi":
@@ -7328,6 +7330,9 @@ def q_media_qoi_pnm(spark: SparkSession, sf_dir: str) -> DataFrame:
                     elif name == "btif":
                         dec, _ = _tiff.decode_tiff(payload)
                         flat = bytes(dec.reshape(-1))
+                    elif name == "ico":
+                        ((dec, _m),) = _ico.decode_ico(payload)
+                        flat = bytes(dec[:, :, 0].reshape(-1))
                     elif name == "p4":
                         dec, _ = _pnm.decode_pnm(payload)
                         flat = "".join(
@@ -7346,7 +7351,7 @@ def q_media_qoi_pnm(spark: SparkSession, sf_dir: str) -> DataFrame:
                     pr = _probe.probe_media(payload)
                     rows.append(
                         (
-                            doc_id * 6 + k, name,
+                            doc_id * 7 + k, name,
                             hashlib.md5(flat).hexdigest(),
                             len(payload)
                             if name not in ("qoi", "btif")
@@ -7370,7 +7375,7 @@ def q_media_qoi_pnm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id long, container string, frame_md5 string, "
         "n_bytes long, fmt string, width int, height int, bits int",
     )
-    return out.orderBy("media_id").limit(900)
+    return out.orderBy("media_id").limit(1050)
 
 
 ORACLE_MEDIA_QOI_PNM = """
@@ -7384,10 +7389,11 @@ c AS (
         (2, 'p6', 107, 'pnm', 8),
         (3, 'p4', 11, 'pnm', 1),
         (4, 'p5w', 77, 'pnm', 16),
-        (5, 'btif', NULL, 'bigtiff', 8)
+        (5, 'btif', NULL, 'bigtiff', 8),
+        (6, 'ico', 174, 'ico', 8)
     ) AS t(k, container, n_bytes, fmt, bits)
 )
-SELECT p.doc_id * 6 + c.k AS media_id, c.container,
+SELECT p.doc_id * 7 + c.k AS media_id, c.container,
        CASE WHEN c.k = 3
             THEN md5(translate(p.h, '0123456789abcdef',
                                '0000000000111111'))
@@ -7396,7 +7402,7 @@ SELECT p.doc_id * 6 + c.k AS media_id, c.container,
        CAST(8 AS INT) AS width, CAST(4 AS INT) AS height,
        CAST(c.bits AS INT) AS bits
 FROM p CROSS JOIN c
-ORDER BY media_id LIMIT 900
+ORDER BY media_id LIMIT 1050
 """
 
 

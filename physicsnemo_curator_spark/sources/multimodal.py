@@ -116,6 +116,7 @@ def _decode_image_native(raw: bytes):
     propagate to the caller's guard."""
     from physicsnemo_curator_spark.sources import bmp as _bmp
     from physicsnemo_curator_spark.sources import gif as _gif
+    from physicsnemo_curator_spark.sources import ico as _ico
     from physicsnemo_curator_spark.sources import jpeg as _jpeg
     from physicsnemo_curator_spark.sources import png as _png
     from physicsnemo_curator_spark.sources import pnm as _pnm
@@ -137,6 +138,11 @@ def _decode_image_native(raw: bytes):
         return _qoi.decode_qoi(raw)[0], "qoi"
     if _pnm.is_pnm(raw):
         return _pnm.decode_pnm(raw)[0], "pnm"
+    if _ico.is_ico(raw):
+        # the LARGEST entry is the canonical pixel content
+        entries = _ico.decode_ico(raw)
+        best = max(entries, key=lambda e: e[0].shape[0] * e[0].shape[1])
+        return best[0], "ico"
     return None
 
 

@@ -332,6 +332,7 @@ def probe_media(raw: bytes) -> dict:
     from . import bmp as _bmp
     from . import flac as _flac
     from . import gif as _gif
+    from . import ico as _ico
     from . import mkv as _mkv
     from . import mp4 as _mp4
     from . import mpegaudio as _mpeg
@@ -375,6 +376,8 @@ def probe_media(raw: bytes) -> dict:
         out.update(_probe_qoi(raw))
     elif _pnm.is_pnm(raw):
         out.update(_probe_pnm(raw))
+    elif _ico.is_ico(raw):
+        out.update(_ico.probe_ico(raw))
     return out
 
 

@@ -478,3 +478,14 @@ def test_flac_lpc_matrix():
                 np.testing.assert_array_equal(
                     out.reshape(-1), ref, err_msg=f"{name} {mode} {bs}"
                 )
+
+
+def test_ico_matrix():
+    from physicsnemo_curator_spark.sources import ico
+
+    for kind, (h, w), c in itertools.product(_KINDS, _GEOMS, (1, 3)):
+        px = _image(kind, h, w, c)
+        for as_png in (False, True):
+            entries = ico.decode_ico(ico.encode_ico([px], as_png=as_png))
+            ref = np.repeat(px[:, :, None], 3, 2) if c == 1 else px
+            np.testing.assert_array_equal(entries[0][0], ref)

@@ -609,3 +609,72 @@ def test_bigtiff_multipage_tiles_probe_tags():
         "title": "big", "author": "longer-than-eight-bytes",
     }
     np.testing.assert_array_equal(decode_tiff(tagged)[0], g)
+
+
+# ---------------------------------------------------------------------------
+# ICO (Windows icon container)
+
+
+def test_ico_round_trip_dib_and_png_entries():
+    import numpy as np
+
+    from physicsnemo_curator_spark.sources.ico import (
+        decode_ico,
+        encode_ico,
+        is_ico,
+    )
+
+    rng = np.random.default_rng(31)
+    g = rng.integers(0, 256, (8, 8), dtype=np.uint8)
+    rgb = rng.integers(0, 256, (16, 12, 3), dtype=np.uint8)
+    enc = encode_ico([g, rgb])
+    assert is_ico(enc)
+    entries = decode_ico(enc)
+    assert len(entries) == 2
+    np.testing.assert_array_equal(
+        entries[0][0], np.repeat(g[:, :, None], 3, 2)
+    )
+    np.testing.assert_array_equal(entries[1][0], rgb)
+    assert entries[0][1]["codec"] == "dib"
+    png_form = encode_ico([rgb], as_png=True)
+    (e,) = decode_ico(png_form)
+    np.testing.assert_array_equal(e[0], rgb)
+    assert e[1]["codec"] == "png"
+
+
+def test_ico_probe_and_dispatch():
+    import numpy as np
+
+    from physicsnemo_curator_spark.sources.ico import encode_ico
+    from physicsnemo_curator_spark.sources.multimodal import (
+        _decode_image_native,
+    )
+    from physicsnemo_curator_spark.sources.probe import probe_media
+
+    rng = np.random.default_rng(32)
+    small = rng.integers(0, 256, (8, 8), dtype=np.uint8)
+    big = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    enc = encode_ico([small, big])
+    p = probe_media(enc)
+    assert (p["format"], p["width"], p["height"], p["n_frames"]) == (
+        "ico", 32, 32, 2)
+    px, fmt = _decode_image_native(enc)
+    assert fmt == "ico"
+    np.testing.assert_array_equal(px, big)  # largest entry wins
+
+
+def test_ico_validation():
+    import numpy as np
+    import pytest as _pytest
+
+    from physicsnemo_curator_spark.sources.ico import (
+        decode_ico,
+        encode_ico,
+    )
+
+    with _pytest.raises(ValueError, match="empty"):
+        encode_ico([])
+    with _pytest.raises(ValueError, match="256"):
+        encode_ico([np.zeros((300, 4), dtype=np.uint8)])
+    with _pytest.raises(ValueError, match="ICO"):
+        decode_ico(b"\x00\x00\x02\x00\x01\x00" + b"\x00" * 20)  # CUR

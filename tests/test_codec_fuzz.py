@@ -487,5 +487,11 @@ def test_ico_matrix():
         px = _image(kind, h, w, c)
         for as_png in (False, True):
             entries = ico.decode_ico(ico.encode_ico([px], as_png=as_png))
-            ref = np.repeat(px[:, :, None], 3, 2) if c == 1 else px
+            # DIB entries are always 24-bit (gray promotes to RGB);
+            # PNG entries keep the source color type
+            ref = (
+                px
+                if (as_png or c == 3)
+                else np.repeat(px[:, :, None], 3, 2)
+            )
             np.testing.assert_array_equal(entries[0][0], ref)

@@ -177,3 +177,51 @@ def profile(
         for i, c in enumerate(cols)
     ]
     return row.select(F.inline(F.array(*entries)))
+
+
+def corpus_card(
+    docs: DataFrame, *, text_col: str = "text", short_chars: int = 100
+) -> DataFrame:
+    """The dataset-card summary a curation run publishes with its
+    output: corpus size, EXACT dedup rate (distinct md5 — one
+    shuffle of digests, never text), character/token totals and
+    means, extremes, and the short-document fraction.  ONE wide
+    aggregation plus the distinct count; every value is plain
+    aggregate arithmetic, so the whole card replays in SQL.
+    Returns (metric, value) rows — compose with
+    ``profile_columns`` for per-column detail and the sketches
+    family for mergeable cross-batch cards."""
+    t = F.col(text_col)
+    n_tokens = F.size(F.split(t, r"\s+"))
+    row = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5(t.cast("binary"))).alias("n_unique"),
+        F.sum(F.length(t)).alias("total_chars"),
+        F.avg(F.length(t)).alias("avg_chars"),
+        F.sum(n_tokens).alias("total_tokens"),
+        F.avg(n_tokens).alias("avg_tokens"),
+        F.min(F.length(t)).alias("min_chars"),
+        F.max(F.length(t)).alias("max_chars"),
+        F.avg((F.length(t) < short_chars).cast("double")).alias(
+            "short_frac"
+        ),
+    ).collect()[0]
+    n = row["n_docs"]
+    metrics = [
+        ("n_docs", float(n)),
+        ("n_unique", float(row["n_unique"])),
+        (
+            "dup_ratio",
+            round(1.0 - row["n_unique"] / n, 9) if n else 0.0,
+        ),
+        ("total_chars", float(row["total_chars"] or 0)),
+        ("avg_chars", round(float(row["avg_chars"] or 0.0), 6)),
+        ("total_tokens", float(row["total_tokens"] or 0)),
+        ("avg_tokens", round(float(row["avg_tokens"] or 0.0), 6)),
+        ("min_chars", float(row["min_chars"] or 0)),
+        ("max_chars", float(row["max_chars"] or 0)),
+        ("short_frac", round(float(row["short_frac"] or 0.0), 9)),
+    ]
+    return docs.sparkSession.createDataFrame(
+        metrics, "metric string, value double"
+    )

@@ -8132,7 +8132,58 @@ ORDER BY row_id LIMIT 800
 """
 
 
+def q_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card gate (validation.corpus_card): the one-pass
+    corpus summary over the FULL documents table — size, exact
+    dedup rate via distinct digests, char/token totals and means,
+    extremes, short-doc fraction.  Every value is plain aggregate
+    arithmetic, replayed verbatim in DuckDB (token counts share the
+    same whitespace-split definition on both engines)."""
+    from physicsnemo_curator_spark.operators.validation import (
+        corpus_card,
+    )
+
+    return corpus_card(
+        _t(spark, sf_dir, "documents").select("text")
+    ).orderBy("metric")
+
+
+ORACLE_CORPUS_CARD = """
+WITH m AS (
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5(text)) AS n_unique,
+           SUM(length(text)) AS total_chars,
+           AVG(length(text)) AS avg_chars,
+           SUM(len(string_split_regex(text, '\\s+'))) AS total_tokens,
+           AVG(len(string_split_regex(text, '\\s+'))) AS avg_tokens,
+           MIN(length(text)) AS min_chars,
+           MAX(length(text)) AS max_chars,
+           AVG(CASE WHEN length(text) < 100 THEN 1.0 ELSE 0.0 END)
+               AS short_frac
+    FROM documents
+)
+SELECT metric, value FROM (
+    SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM m
+    UNION ALL SELECT 'n_unique', CAST(n_unique AS DOUBLE) FROM m
+    UNION ALL SELECT 'dup_ratio',
+        ROUND(1.0 - CAST(n_unique AS DOUBLE) / n_docs, 9) FROM m
+    UNION ALL SELECT 'total_chars', CAST(total_chars AS DOUBLE) FROM m
+    UNION ALL SELECT 'avg_chars', ROUND(CAST(avg_chars AS DOUBLE), 6)
+        FROM m
+    UNION ALL SELECT 'total_tokens', CAST(total_tokens AS DOUBLE) FROM m
+    UNION ALL SELECT 'avg_tokens', ROUND(CAST(avg_tokens AS DOUBLE), 6)
+        FROM m
+    UNION ALL SELECT 'min_chars', CAST(min_chars AS DOUBLE) FROM m
+    UNION ALL SELECT 'max_chars', CAST(max_chars AS DOUBLE) FROM m
+    UNION ALL SELECT 'short_frac', ROUND(CAST(short_frac AS DOUBLE), 9)
+        FROM m
+)
+ORDER BY metric
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "q_corpus_card": QuerySpec(q_corpus_card, ORACLE_CORPUS_CARD),
     "q_media_subtitles": QuerySpec(
         q_media_subtitles, ORACLE_MEDIA_SUBTITLES
     ),
@@ -8387,6 +8438,7 @@ QUERIES: dict[str, QuerySpec] = {
 # followed by the r08-green cohort.
 _DRIVER_ORDER = [
     # --- r09-new gates ---
+    "q_corpus_card",
     "q_media_subtitles",
     "q_robots_filter",
     "q_text_normalize",

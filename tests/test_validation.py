@@ -72,3 +72,19 @@ def test_profile_report(spark):
     assert all(r["n_rows"] == 4 for r in rep.values())
     plan = V.profile(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("LocalTableScan") + plan.count("Scan ExistingRDD") <= 1
+
+
+def test_corpus_card_metrics(spark):
+    from physicsnemo_curator_spark.operators.validation import corpus_card
+
+    df = spark.createDataFrame(
+        [(0, "a b c"), (1, "a b c"), (2, "x" * 120)],
+        "doc_id long, text string",
+    )
+    card = {r["metric"]: r["value"] for r in corpus_card(df).collect()}
+    assert card["n_docs"] == 3.0
+    assert card["n_unique"] == 2.0
+    assert card["dup_ratio"] == round(1 - 2 / 3, 9)
+    assert card["min_chars"] == 5.0 and card["max_chars"] == 120.0
+    assert card["short_frac"] == round(2 / 3, 9)
+    assert card["total_chars"] == 130.0

@@ -8437,7 +8437,10 @@ QUERIES: dict[str, QuerySpec] = {
 # round by the full driver-sim sweep; they head the r10 window),
 # followed by the r08-green cohort.
 _DRIVER_ORDER = [
-    # --- r09-new gates ---
+    # --- r09 driver window (first 50): the 29 gates NEW this round
+    # (they need their first green row), then the 4 rows last checked
+    # r06, then the stalest r07 cohort.  ~32 r07-stale rows overflow
+    # past position 50 — they are the head of the r10 window. ---
     "q_corpus_card",
     "q_media_subtitles",
     "q_robots_filter",

@@ -1035,3 +1035,26 @@ def normalize_text(
         f"`{f.name}` {f.dataType.simpleString()}" for f in staged.schema
     )
     return staged.mapInPandas(batches, schema)
+
+
+def split_sentences(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    output_col: str = "sentences",
+) -> DataFrame:
+    """Sentence segmentation for sentence-level dedup/chunking:
+    terminal punctuation runs followed by whitespace end a sentence.
+    Lookaround-free (an ASCII 0x1F sentinel is injected after each
+    boundary, then split) so the exact chain replays in RE2/DuckDB;
+    degrades gracefully on abbreviation-heavy prose — the honest
+    regex trade at corpus scale."""
+    col = F.col(text_col)
+    marked = F.regexp_replace(col, r"([.!?]+)\s+", "$1\x1f")
+    return df.withColumn(
+        output_col,
+        F.filter(
+            F.split(marked, "\x1f"),
+            lambda s: F.trim(s) != "",
+        ),
+    )

@@ -325,3 +325,37 @@ def filter_robots(
         .filter(F.col("_allowed"))
         .drop("_host", "_robots", "_allowed")
     )
+
+
+def robots_directives(content: str) -> dict:
+    """Non-group robots.txt directives: ``sitemaps`` (all Sitemap:
+    lines, any group) and per-group ``crawl_delay`` seconds keyed by
+    user-agent token — the frontier scheduler's inputs."""
+    sitemaps: list[str] = []
+    delays: dict[str, float] = {}
+    agents: list[str] = []
+    in_body = False  # rules/delays seen since the last agent header
+    for raw in (content or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "sitemap" and value:
+            sitemaps.append(value)
+        elif field == "user-agent":
+            if in_body:
+                agents = []  # a body line closed the previous group
+                in_body = False
+            agents.append(value.lower())
+        elif field == "crawl-delay" and value:
+            in_body = True
+            try:
+                for a in agents or ["*"]:
+                    delays[a] = float(value)
+            except ValueError:
+                pass
+        elif field in ("allow", "disallow"):
+            in_body = True
+    return {"sitemaps": sitemaps, "crawl_delay": delays}

@@ -8182,7 +8182,60 @@ ORDER BY metric
 """
 
 
+def q_text_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation gate (textops.split_sentences): the
+    lookaround-free sentinel chain (terminal-punctuation runs +
+    whitespace -> 0x1F, split, drop blanks) replayed verbatim in
+    DuckDB over the raw document text — counts, an order-preserving
+    md5 over the 0x1E-joined sentences, and the first sentence's
+    length all pin the boundary behavior."""
+    from physicsnemo_curator_spark.operators.textops import (
+        split_sentences,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id", "text")
+    )
+    out = split_sentences(docs)
+    return (
+        out.select(
+            "doc_id",
+            F.size("sentences").alias("n_sentences"),
+            F.md5(
+                F.concat_ws("\x1e", F.col("sentences")).cast("binary")
+            ).alias("sent_md5"),
+            F.length(F.element_at("sentences", 1)).alias("first_len"),
+        )
+        .orderBy("doc_id")
+        .limit(300)
+    )
+
+
+ORACLE_TEXT_SENTENCES = """
+WITH d AS (
+    SELECT doc_id,
+           list_filter(
+               string_split(
+                   regexp_replace(text, '([.!?]+)\\s+',
+                                  '\\1' || chr(31), 'g'),
+                   chr(31)),
+               s -> trim(s) <> '') AS sents
+    FROM documents WHERE doc_id < 300
+)
+SELECT doc_id,
+       CAST(len(sents) AS INT) AS n_sentences,
+       md5(array_to_string(sents, chr(30))) AS sent_md5,
+       CAST(length(sents[1]) AS INT) AS first_len
+FROM d ORDER BY doc_id LIMIT 300
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "q_text_sentences": QuerySpec(
+        q_text_sentences, ORACLE_TEXT_SENTENCES
+    ),
     "q_corpus_card": QuerySpec(q_corpus_card, ORACLE_CORPUS_CARD),
     "q_media_subtitles": QuerySpec(
         q_media_subtitles, ORACLE_MEDIA_SUBTITLES
@@ -8441,6 +8494,7 @@ _DRIVER_ORDER = [
     # (they need their first green row), then the 4 rows last checked
     # r06, then the stalest r07 cohort.  ~32 r07-stale rows overflow
     # past position 50 — they are the head of the r10 window. ---
+    "q_text_sentences",
     "q_corpus_card",
     "q_media_subtitles",
     "q_robots_filter",

@@ -526,3 +526,23 @@ def test_normalize_text_null_passthrough(spark):
     df = spark.createDataFrame([(0, None)], "doc_id long, text string")
     (row,) = normalize_text(df).collect()
     assert row["text_norm"] is None
+
+
+def test_split_sentences(spark):
+    from physicsnemo_curator_spark.operators.textops import split_sentences
+
+    df = spark.createDataFrame(
+        [
+            (0, "One here. Two there! Three?? Four"),
+            (1, "No terminal punctuation at all"),
+            (2, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: list(r["sentences"])
+            for r in split_sentences(df).collect()}
+    assert rows[0] == ["One here.", "Two there!", "Three??", "Four"]
+    assert rows[1] == ["No terminal punctuation at all"]
+    assert rows[2] == []
+    plan = split_sentences(df)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan

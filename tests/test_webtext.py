@@ -250,3 +250,22 @@ def test_filter_robots_spark(spark):
         .executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_robots_directives():
+    from physicsnemo_curator_spark.operators.webtext import (
+        robots_directives,
+    )
+
+    txt = (
+        "Sitemap: https://ex.com/s1.xml\n"
+        "User-agent: *\nCrawl-delay: 2.5\nDisallow: /x\n\n"
+        "User-agent: fastbot\nCrawl-delay: 0.1\n"
+        "Sitemap: https://ex.com/s2.xml\n"
+    )
+    d = robots_directives(txt)
+    assert d["sitemaps"] == [
+        "https://ex.com/s1.xml", "https://ex.com/s2.xml",
+    ]
+    assert d["crawl_delay"] == {"*": 2.5, "fastbot": 0.1}
+    assert robots_directives("") == {"sitemaps": [], "crawl_delay": {}}

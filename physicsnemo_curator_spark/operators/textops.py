@@ -1048,8 +1048,11 @@ def split_sentences(
     Lookaround-free (an ASCII 0x1F sentinel is injected after each
     boundary, then split) so the exact chain replays in RE2/DuckDB;
     degrades gracefully on abbreviation-heavy prose — the honest
-    regex trade at corpus scale."""
-    col = F.col(text_col)
+    regex trade at corpus scale.  NULL text yields an empty array;
+    pre-existing 0x1E/0x1F control bytes are stripped first so crawl
+    debris can never forge a boundary."""
+    col = F.coalesce(F.col(text_col), F.lit(""))
+    col = F.regexp_replace(col, "[\x1e\x1f]", "")
     marked = F.regexp_replace(col, r"([.!?]+)\s+", "$1\x1f")
     return df.withColumn(
         output_col,

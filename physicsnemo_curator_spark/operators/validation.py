@@ -190,8 +190,9 @@ def corpus_card(
     aggregate arithmetic, so the whole card replays in SQL.
     Returns (metric, value) rows — compose with
     ``profile_columns`` for per-column detail and the sketches
-    family for mergeable cross-batch cards."""
-    t = F.col(text_col)
+    family for mergeable cross-batch cards.  NULL text counts as an
+    empty document (so Spark and SQL replays agree)."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
     n_tokens = F.size(F.split(t, r"\s+"))
     row = docs.agg(
         F.count(F.lit(1)).alias("n_docs"),

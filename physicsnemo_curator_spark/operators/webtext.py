@@ -193,6 +193,17 @@ def with_normalized_urls(
 import re as _re
 
 
+def _robots_lines(content: str):
+    """The shared robots.txt line tokenizer: comment-stripped
+    (field, value) pairs, lowercased field names."""
+    for raw in (content or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        yield field.strip().lower(), value.strip()
+
+
 def parse_robots(content: str, user_agent: str = "*") -> list:
     """Parse a robots.txt body into the rule list applying to
     ``user_agent``: the most specific matching group wins (an exact
@@ -204,13 +215,7 @@ def parse_robots(content: str, user_agent: str = "*") -> list:
     agents: list[str] = []
     rules: list[tuple[str, str]] = []
     in_group_body = False
-    for raw in (content or "").splitlines():
-        line = raw.split("#", 1)[0].strip()
-        if not line or ":" not in line:
-            continue
-        field, _, value = line.partition(":")
-        field = field.strip().lower()
-        value = value.strip()
+    for field, value in _robots_lines(content):
         if field == "user-agent":
             if in_group_body:
                 groups.append((agents, rules))
@@ -335,13 +340,7 @@ def robots_directives(content: str) -> dict:
     delays: dict[str, float] = {}
     agents: list[str] = []
     in_body = False  # rules/delays seen since the last agent header
-    for raw in (content or "").splitlines():
-        line = raw.split("#", 1)[0].strip()
-        if not line or ":" not in line:
-            continue
-        field, _, value = line.partition(":")
-        field = field.strip().lower()
-        value = value.strip()
+    for field, value in _robots_lines(content):
         if field == "sitemap" and value:
             sitemaps.append(value)
         elif field == "user-agent":
@@ -351,8 +350,10 @@ def robots_directives(content: str) -> dict:
             agents.append(value.lower())
         elif field == "crawl-delay" and value:
             in_body = True
+            # a delay OUTSIDE any group is ignored, matching
+            # parse_robots' RFC 9309 outside-group rule
             try:
-                for a in agents or ["*"]:
+                for a in agents:
                     delays[a] = float(value)
             except ValueError:
                 pass

@@ -8149,7 +8149,8 @@ def q_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_CORPUS_CARD = """
-WITH m AS (
+WITH src AS (SELECT coalesce(text, '') AS text FROM documents),
+m AS (
     SELECT COUNT(*) AS n_docs,
            COUNT(DISTINCT md5(text)) AS n_unique,
            SUM(length(text)) AS total_chars,
@@ -8160,7 +8161,7 @@ WITH m AS (
            MAX(length(text)) AS max_chars,
            AVG(CASE WHEN length(text) < 100 THEN 1.0 ELSE 0.0 END)
                AS short_frac
-    FROM documents
+    FROM src
 )
 SELECT metric, value FROM (
     SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM m
@@ -8218,8 +8219,10 @@ WITH d AS (
     SELECT doc_id,
            list_filter(
                string_split(
-                   regexp_replace(text, '([.!?]+)\\s+',
-                                  '\\1' || chr(31), 'g'),
+                   regexp_replace(
+                       regexp_replace(coalesce(text, ''),
+                                      '[\\x1e\\x1f]', '', 'g'),
+                       '([.!?]+)\\s+', '\\1' || chr(31), 'g'),
                    chr(31)),
                s -> trim(s) <> '') AS sents
     FROM documents WHERE doc_id < 300
@@ -8490,10 +8493,11 @@ QUERIES: dict[str, QuerySpec] = {
 # round by the full driver-sim sweep; they head the r10 window),
 # followed by the r08-green cohort.
 _DRIVER_ORDER = [
-    # --- r09 driver window (first 50): the 29 gates NEW this round
+    # --- r09 driver window (first 50): the gates NEW this round
     # (they need their first green row), then the 4 rows last checked
     # r06, then the stalest r07 cohort.  ~32 r07-stale rows overflow
-    # past position 50 — they are the head of the r10 window. ---
+    # past position 50 — they are the head of the r10 window.
+    # (31 r09-new gates after the late additions.) ---
     "q_text_sentences",
     "q_corpus_card",
     "q_media_subtitles",

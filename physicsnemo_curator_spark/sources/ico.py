@@ -30,6 +30,11 @@ def _encode_dib(px: np.ndarray) -> bytes:
     """24-bit bottom-up DIB with an all-opaque AND mask."""
     if px.ndim == 2:
         px = np.repeat(px[:, :, None], 3, axis=2)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError(
+            "ICO DIB entries are 24-bit: pass (H,W) gray or (H,W,3) "
+            "RGB (use as_png=True for alpha)"
+        )
     h, w, _ = px.shape
     bgr = px[:, :, ::-1]  # DIBs store BGR
     row_len = (w * 3 + 3) // 4 * 4
@@ -48,7 +53,8 @@ def _encode_dib(px: np.ndarray) -> bytes:
 
 
 def encode_ico(images: list, *, as_png: bool = False) -> bytes:
-    """Encode uint8 gray/RGB arrays as a multi-image ICO."""
+    """Encode uint8 gray/RGB arrays as a multi-image ICO (RGBA needs
+    ``as_png=True`` — the DIB writer is 24-bit)."""
     from . import png as _png
 
     if not images:
@@ -59,6 +65,15 @@ def encode_ico(images: list, *, as_png: bool = False) -> bytes:
         px = np.asarray(px)
         if px.dtype != np.uint8:
             raise ValueError("ICO encodes uint8 samples only")
+        if px.ndim == 3 and px.shape[2] == 1:
+            px = px[:, :, 0]
+        if not as_png and not (
+            px.ndim == 2 or (px.ndim == 3 and px.shape[2] == 3)
+        ):
+            raise ValueError(
+                "ICO DIB entries are 24-bit: pass (H,W) gray or "
+                "(H,W,3) RGB (use as_png=True for alpha)"
+            )
         h, w = px.shape[:2]
         if h > 256 or w > 256:
             raise ValueError("ICO images are at most 256x256")
@@ -135,6 +150,8 @@ def decode_ico(data: bytes) -> list[tuple[np.ndarray, dict]]:
 def probe_ico(data: bytes) -> dict:
     """Header-only: entry count and the LARGEST directory geometry."""
     (count,) = struct.unpack_from("<H", data, 4)
+    if len(data) < 6 + 16 * count:
+        raise ValueError("truncated ICO directory")
     best = (0, 0)
     for k in range(count):
         at = 6 + 16 * k

@@ -546,3 +546,15 @@ def test_split_sentences(spark):
     assert rows[2] == []
     plan = split_sentences(df)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_split_sentences_null_and_control_bytes(spark):
+    from physicsnemo_curator_spark.operators.textops import split_sentences
+
+    df = spark.createDataFrame(
+        [(0, None), (1, "foo\x1fbar baz")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: list(r["sentences"])
+            for r in split_sentences(df).collect()}
+    assert rows[0] == []
+    assert rows[1] == ["foobar baz"]  # debris can't forge a boundary

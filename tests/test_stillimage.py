@@ -678,3 +678,26 @@ def test_ico_validation():
         encode_ico([np.zeros((300, 4), dtype=np.uint8)])
     with _pytest.raises(ValueError, match="ICO"):
         decode_ico(b"\x00\x00\x02\x00\x01\x00" + b"\x00" * 20)  # CUR
+
+
+def test_ico_rejects_rgba_dib_and_truncated_probe():
+    import numpy as np
+    import pytest as _pytest
+
+    from physicsnemo_curator_spark.sources.ico import encode_ico
+    from physicsnemo_curator_spark.sources.probe import probe_media
+
+    rgba = np.zeros((8, 8, 4), dtype=np.uint8)
+    with _pytest.raises(ValueError, match="as_png"):
+        encode_ico([rgba])
+    # RGBA works through the PNG payload form
+    from physicsnemo_curator_spark.sources.ico import decode_ico
+
+    (e,) = decode_ico(encode_ico([rgba], as_png=True))
+    np.testing.assert_array_equal(e[0], rgba)
+    # (h,w,1) squeezes to gray
+    gray1 = np.full((4, 4, 1), 9, dtype=np.uint8)
+    (e,) = decode_ico(encode_ico([gray1]))
+    assert e[0].shape == (4, 4, 3)
+    with _pytest.raises(ValueError, match="ICO"):
+        probe_media(b"\x00\x00\x01\x00\x05\x00" + b"\x00" * 14)

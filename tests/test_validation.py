@@ -88,3 +88,15 @@ def test_corpus_card_metrics(spark):
     assert card["min_chars"] == 5.0 and card["max_chars"] == 120.0
     assert card["short_frac"] == round(2 / 3, 9)
     assert card["total_chars"] == 130.0
+
+
+def test_corpus_card_null_text_counts_as_empty(spark):
+    from physicsnemo_curator_spark.operators.validation import corpus_card
+
+    df = spark.createDataFrame(
+        [(0, None), (1, "x" * 150)], "doc_id long, text string"
+    )
+    card = {r["metric"]: r["value"] for r in corpus_card(df).collect()}
+    assert card["n_docs"] == 2.0
+    assert card["short_frac"] == 0.5  # the NULL row IS a short doc
+    assert card["min_chars"] == 0.0

@@ -269,3 +269,12 @@ def test_robots_directives():
     ]
     assert d["crawl_delay"] == {"*": 2.5, "fastbot": 0.1}
     assert robots_directives("") == {"sitemaps": [], "crawl_delay": {}}
+
+
+def test_robots_directives_outside_group_delay_ignored():
+    from physicsnemo_curator_spark.operators.webtext import (
+        robots_directives,
+    )
+
+    d = robots_directives("Crawl-delay: 30\nUser-agent: g\nDisallow: /x")
+    assert d["crawl_delay"] == {}  # matches parse_robots' RFC rule

@@ -7298,6 +7298,7 @@ def q_media_qoi_pnm(spark: SparkSession, sf_dir: str) -> DataFrame:
         from physicsnemo_curator_spark.sources import ico as _ico
         from physicsnemo_curator_spark.sources import pnm as _pnm
         from physicsnemo_curator_spark.sources import qoi as _qoi
+        from physicsnemo_curator_spark.sources import tga as _tga
         from physicsnemo_curator_spark.sources import tiff as _tiff
 
         for pdf in it:
@@ -7322,6 +7323,7 @@ def q_media_qoi_pnm(spark: SparkSession, sf_dir: str) -> DataFrame:
                         img, compression="lzw", bigtiff=True
                     )),
                     ("ico", _ico.encode_ico([img])),
+                    ("tga", _tga.encode_tga(img)),
                 ]
                 for k, (name, payload) in enumerate(variants):
                     if name == "qoi":
@@ -7333,6 +7335,9 @@ def q_media_qoi_pnm(spark: SparkSession, sf_dir: str) -> DataFrame:
                     elif name == "ico":
                         ((dec, _m),) = _ico.decode_ico(payload)
                         flat = bytes(dec[:, :, 0].reshape(-1))
+                    elif name == "tga":
+                        dec, _ = _tga.decode_tga(payload)
+                        flat = bytes(dec.reshape(-1))
                     elif name == "p4":
                         dec, _ = _pnm.decode_pnm(payload)
                         flat = "".join(
@@ -7348,10 +7353,14 @@ def q_media_qoi_pnm(spark: SparkSession, sf_dir: str) -> DataFrame:
                         if dec.ndim == 3:
                             dec = dec[:, :, 0]
                         flat = bytes(dec.reshape(-1))
-                    pr = _probe.probe_media(payload)
+                    pr = (
+                        _tga.probe_tga(payload)
+                        if name == "tga"
+                        else _probe.probe_media(payload)
+                    )
                     rows.append(
                         (
-                            doc_id * 7 + k, name,
+                            doc_id * 8 + k, name,
                             hashlib.md5(flat).hexdigest(),
                             len(payload)
                             if name not in ("qoi", "btif")
@@ -7375,7 +7384,7 @@ def q_media_qoi_pnm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id long, container string, frame_md5 string, "
         "n_bytes long, fmt string, width int, height int, bits int",
     )
-    return out.orderBy("media_id").limit(1050)
+    return out.orderBy("media_id").limit(1200)
 
 
 ORACLE_MEDIA_QOI_PNM = """
@@ -7390,10 +7399,11 @@ c AS (
         (3, 'p4', 11, 'pnm', 1),
         (4, 'p5w', 77, 'pnm', 16),
         (5, 'btif', NULL, 'bigtiff', 8),
-        (6, 'ico', 174, 'ico', 8)
+        (6, 'ico', 174, 'ico', 8),
+        (7, 'tga', 50, 'tga', 8)
     ) AS t(k, container, n_bytes, fmt, bits)
 )
-SELECT p.doc_id * 7 + c.k AS media_id, c.container,
+SELECT p.doc_id * 8 + c.k AS media_id, c.container,
        CASE WHEN c.k = 3
             THEN md5(translate(p.h, '0123456789abcdef',
                                '0000000000111111'))
@@ -7402,7 +7412,7 @@ SELECT p.doc_id * 7 + c.k AS media_id, c.container,
        CAST(8 AS INT) AS width, CAST(4 AS INT) AS height,
        CAST(c.bits AS INT) AS bits
 FROM p CROSS JOIN c
-ORDER BY media_id LIMIT 1050
+ORDER BY media_id LIMIT 1200
 """
 
 

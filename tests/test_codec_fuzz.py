@@ -495,3 +495,15 @@ def test_ico_matrix():
                 else np.repeat(px[:, :, None], 3, 2)
             )
             np.testing.assert_array_equal(entries[0][0], ref)
+
+
+def test_tga_matrix():
+    from physicsnemo_curator_spark.sources import tga
+
+    for kind, (h, w), c in itertools.product(_KINDS, _GEOMS, (1, 3, 4)):
+        px = _image(kind, h, w, c)
+        for rle in (False, True):
+            out, _ = tga.decode_tga(tga.encode_tga(px, rle=rle))
+            np.testing.assert_array_equal(
+                out, px, err_msg=f"{kind} {h}x{w}x{c} rle={rle}"
+            )

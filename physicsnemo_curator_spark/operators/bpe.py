@@ -140,6 +140,116 @@ def train_bpe(
     return merges
 
 
+def word_frequency_table(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    pattern: str = r"\s+",
+) -> DataFrame:
+    """ONE distributed pass: corpus → distinct ``(word, count)``.
+
+    The scale fix for iterative BPE training (reference trainers do
+    exactly this — SentencePiece/GPT-2 pre-tokenize and train over the
+    word histogram): unique words are ~10³× fewer rows than corpus
+    tokens, so every subsequent merge round scans the histogram, not
+    the corpus.  Split on *pattern* (Java regex), empties dropped —
+    merges therefore never cross a whitespace boundary, the standard
+    word-scope BPE semantics."""
+    return (
+        docs.select(
+            F.explode(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), pattern)
+            ).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def _word_tokens(words: DataFrame) -> DataFrame:
+    return words.withColumn(
+        "tokens", F.expr("filter(split(word, ''), t -> t != '')")
+    )
+
+
+def pair_counts_weighted(tokenized_words: DataFrame) -> DataFrame:
+    """Adjacent-pair counts over the word histogram: each word's
+    within-word pairs weighted by its corpus count — pure Catalyst
+    (explode + hash agg over O(unique words) rows)."""
+    return (
+        tokenized_words.select(
+            F.explode(F.expr(_PAIRS_EXPR)).alias("p"), "count"
+        )
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("count").alias("n"))
+    )
+
+
+def train_bpe_hist(
+    docs: DataFrame | None = None,
+    *,
+    text_col: str = "text",
+    n_merges: int = 10,
+    pattern: str = r"\s+",
+    word_freq: DataFrame | None = None,
+) -> list[dict]:
+    """Word-histogram BPE training: ONE corpus scan builds the
+    distinct-word frequency table, then every merge round runs over
+    that table — per-round cost scales with UNIQUE WORDS, not corpus
+    rows, which is what makes 30-50 k production merges affordable
+    (``train_bpe`` re-scans the corpus per round; fine for a handful
+    of merges or a sample, a scale-killer for a real vocab).
+
+    Semantics: identical greedy argmax / tie-break / merge kernel
+    (:func:`_merge_pair` is shared verbatim), with merges scoped
+    WITHIN words (the SentencePiece/GPT-2 pre-tokenization contract);
+    whitespace is consumed by the splitter, so ``n_tokens`` counts
+    non-whitespace tokens.  On single-word documents the two trainers
+    are exactly equal (pinned in tests/test_bpe.py).
+
+    Pass a precomputed *word_freq* ``(word, count)`` frame to reuse a
+    persisted histogram across experiments."""
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    if word_freq is None:
+        if docs is None:
+            raise ValueError("need docs or word_freq")
+        word_freq = word_frequency_table(
+            docs, text_col=text_col, pattern=pattern
+        )
+    words = _word_tokens(word_freq).select("tokens", "count").persist()
+    merges: list[dict] = []
+    try:
+        for rank in range(n_merges):
+            top = (
+                pair_counts_weighted(words)
+                .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break  # every word is a single token already
+            a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
+            nxt = _apply_merge(words, a, b).persist()
+            n_tokens = int(
+                nxt.agg(
+                    F.sum(F.size("tokens") * F.col("count"))
+                ).collect()[0][0]
+            )
+            words.unpersist()
+            words = nxt
+            merges.append(
+                {
+                    "rank": rank, "a": a, "b": b, "count": n,
+                    "n_tokens": n_tokens,
+                }
+            )
+    finally:
+        words.unpersist()
+    return merges
+
+
 def bpe_tokenize(
     docs: DataFrame,
     merges: list[dict],

@@ -7690,6 +7690,113 @@ ORDER BY rank
 """
 
 
+# one explicit whitespace class shared verbatim by the Spark splitter
+# (Java regex) and the DuckDB oracle (RE2): the engines' `\s` differ
+# on vertical tab, so spell the set out
+_WS_CLASS = "[ \t\n\r\f\x0b]+"
+
+
+def q_bpe_train_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-histogram BPE training gate (operators/bpe.py
+    train_bpe_hist — the production-vocab scale path the r09 verdict
+    asked for): ONE corpus pass builds the distinct-word frequency
+    table, then each of the THREE merge rounds counts pairs over that
+    histogram weighted by word count (per-round cost = unique words,
+    not corpus rows).  DuckDB replays the identical loop over its own
+    word histogram with the same sentinel-collapse trick as
+    ORACLE_BPE_TRAIN — a weighting, tie-break, or merge-application
+    bug changes a row."""
+    from physicsnemo_curator_spark.operators.bpe import train_bpe_hist
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(
+            (F.col("doc_id") < 250)
+            & ~F.col("text").rlike("[\\x01\\x02\\x03]")
+        )
+        .select("doc_id", F.substring("text", 1, 400).alias("text"))
+    )
+    merges = train_bpe_hist(docs, n_merges=3, pattern=_WS_CLASS)
+    return spark.createDataFrame(
+        [
+            (m["rank"], m["a"], m["b"], m["count"], m["n_tokens"])
+            for m in merges
+        ],
+        "rank long, a string, b string, pair_count long, n_tokens long",
+    ).orderBy("rank")
+
+
+ORACLE_BPE_TRAIN_HIST = f"""
+WITH d AS (
+    SELECT substr(text, 1, 400) AS t0 FROM documents
+    WHERE doc_id < 250
+      AND NOT regexp_matches(text, '[\x01\x02\x03]')
+),
+w0 AS (
+    SELECT ww AS w, CAST(COUNT(*) AS BIGINT) AS c
+    FROM d, LATERAL unnest(regexp_split_to_array(t0, '{_WS_CLASS}')) u(ww)
+    WHERE ww <> '' GROUP BY 1
+),
+p1 AS (
+    SELECT substr(w, i, 1) AS a, substr(w, i + 1, 1) AS b,
+           CAST(SUM(c) AS BIGINT) AS n
+    FROM w0, LATERAL unnest(range(1, length(w))) u(i)
+    GROUP BY 1, 2
+),
+m1 AS (SELECT a, b, n FROM p1 ORDER BY n DESC, a, b LIMIT 1),
+w1 AS (
+    SELECT replace(w, (SELECT a || b FROM m1), chr(1)) AS w, c FROM w0
+),
+s1 AS (SELECT CAST(COALESCE(SUM(length(w) * c), 0) AS BIGINT) AS n_tokens FROM w1),
+p2 AS (
+    SELECT substr(w, i, 1) AS sa, substr(w, i + 1, 1) AS sb,
+           CAST(SUM(c) AS BIGINT) AS n
+    FROM w1, LATERAL unnest(range(1, length(w))) u(i)
+    GROUP BY 1, 2
+),
+m2 AS (
+    SELECT sa, sb,
+           replace(sa, chr(1), (SELECT a || b FROM m1)) AS a,
+           replace(sb, chr(1), (SELECT a || b FROM m1)) AS b,
+           n
+    FROM p2 ORDER BY n DESC, a, b LIMIT 1
+),
+w2 AS (
+    SELECT replace(w, (SELECT sa || sb FROM m2), chr(2)) AS w, c FROM w1
+),
+s2 AS (SELECT CAST(COALESCE(SUM(length(w) * c), 0) AS BIGINT) AS n_tokens FROM w2),
+p3 AS (
+    SELECT substr(w, i, 1) AS sa, substr(w, i + 1, 1) AS sb,
+           CAST(SUM(c) AS BIGINT) AS n
+    FROM w2, LATERAL unnest(range(1, length(w))) u(i)
+    GROUP BY 1, 2
+),
+m3 AS (
+    SELECT sa, sb,
+           replace(replace(sa, chr(2), (SELECT a || b FROM m2)),
+                   chr(1), (SELECT a || b FROM m1)) AS a,
+           replace(replace(sb, chr(2), (SELECT a || b FROM m2)),
+                   chr(1), (SELECT a || b FROM m1)) AS b,
+           n
+    FROM p3 ORDER BY n DESC, a, b LIMIT 1
+),
+w3 AS (
+    SELECT replace(w, (SELECT sa || sb FROM m3), chr(3)) AS w, c FROM w2
+),
+s3 AS (SELECT CAST(COALESCE(SUM(length(w) * c), 0) AS BIGINT) AS n_tokens FROM w3)
+SELECT * FROM (
+    SELECT CAST(0 AS BIGINT) AS rank, a, b, n AS pair_count,
+           (SELECT n_tokens FROM s1) AS n_tokens
+    FROM m1
+    UNION ALL
+    SELECT 1, a, b, n, (SELECT n_tokens FROM s2) FROM m2
+    UNION ALL
+    SELECT 2, a, b, n, (SELECT n_tokens FROM s3) FROM m3
+)
+ORDER BY rank
+"""
+
+
 def q_web_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Web-text extraction gate (operators/webtext.py): each document
     becomes a synthetic page — head/title with a double-escaped
@@ -8260,6 +8367,7 @@ QUERIES: dict[str, QuerySpec] = {
     "q_url_normalize": QuerySpec(q_url_normalize, ORACLE_URL_NORMALIZE),
     "q_web_extract": QuerySpec(q_web_extract, ORACLE_WEB_EXTRACT),
     "q_bpe_train": QuerySpec(q_bpe_train, ORACLE_BPE_TRAIN),
+    "q_bpe_train_hist": QuerySpec(q_bpe_train_hist, ORACLE_BPE_TRAIN_HIST),
     "q_webdataset": QuerySpec(q_webdataset, ORACLE_WEBDATASET),
     "q_quality_regression": QuerySpec(
         q_quality_regression, ORACLE_QUALITY_REGRESSION
@@ -8494,72 +8602,15 @@ QUERIES: dict[str, QuerySpec] = {
 
 
 # r09 driver-window rotation (same explicit-list mechanism as r08).
-# First 50 = the NINE r09-new gates (grid_federated / grid_sidecar /
-# atomic_stats / mesh_quality / media_avi_frames / media_adpcm /
-# media_lossless / media_flac / media_g711), the four rows last
-# driver-checked in r06 (w1 / t1 / a6 / minhash — the VERDICT-r08
-# stale cohort), and 37 of the 50 rows last checked r07.  The
-# THIRTEEN r07 overflow rows lead the tail (sim-verified green this
-# round by the full driver-sim sweep; they head the r10 window),
-# followed by the r08-green cohort.
+# r10 rotation (VERDICT-r09 ask #1): first 50 = the gates NEW this
+# round (first green row needed), then ALL 34 rows last driver-checked
+# r07 (none older than r08 remains after r10), then the stalest r08
+# rows up to position 50.  Tail = remaining r08 cohort (they head the
+# r11 window), then the 50 r09-green rows.
 _DRIVER_ORDER = [
-    # --- r09 driver window (first 50): the gates NEW this round
-    # (they need their first green row), then the 4 rows last checked
-    # r06, then the stalest r07 cohort.  ~32 r07-stale rows overflow
-    # past position 50 — they are the head of the r10 window.
-    # (31 r09-new gates after the late additions.) ---
-    "q_text_sentences",
-    "q_corpus_card",
-    "q_media_subtitles",
-    "q_robots_filter",
-    "q_text_normalize",
-    "q_url_normalize",
-    "q_web_extract",
-    "q_bpe_train",
-    "q_webdataset",
-    "q_quality_regression",
-    "q_media_qoi_pnm",
-    "q_media_mpeg",
-    "q_media_imagetags",
-    "q_media_audiotags",
-    "q_media_probe",
-    "q_media_imagehash",
-    "q_media_audiohash",
-    "q_media_videohash",
-    "q_media_mp4_mkv",
-    "q_media_stillimage",
-    "q_media_hierarchical",
-    "q_grid_federated",
-    "q_grid_sidecar",
-    "q_atomic_stats",
-    "q_mesh_quality",
-    "q_media_avi_frames",
-    "q_media_adpcm",
-    "q_media_lossless",
-    "q_media_flac",
-    "q_media_g711",
-    # --- last driver-checked r06 ---
-    "q_w1_row_number",
-    "q_t1_topk",
-    "q_a6_rollup",
-    "q_minhash_near_dup",
-    # --- last driver-checked r07 (42 of 50 in-window) ---
-    "q_media_wav_features",
-    "q_vtk_domain",
-    "q_text_bigram_lm",
-    "q_media_png_resize",
-    "q_media_jpeg_resize",
-    "q_hdf5_roundtrip",
-    "q_vtk_scan",
-    "q_vti_scan",
-    "q_stream_bloom",
-    "q_media_frames",
-    "q_sketch_quantiles",
-    "q_text_chunks",
-    "q_mix_weights",
-    "q_sample_stratified",
-    "q_a1_moment_stats",
-    "q_a2_elementwise_stats",
+    # --- NEW this round (r10) ---
+    "q_bpe_train_hist",
+    # --- last driver-checked r07 (all 34) ---
     "q_a3_pivot_counts",
     "q_a8_welford_state",
     "q_a11_heavy_hitters",
@@ -8581,7 +8632,6 @@ _DRIVER_ORDER = [
     "q_w4_sessionize",
     "q_dedup_exact",
     "q_dedup_ngram_jaccard",
-    # --- tail: r07 overflow (sim-verify; r10 window head) ---
     "q_sample_split",
     "q_text_redact_pii",
     "q_text_logprob",
@@ -8595,7 +8645,7 @@ _DRIVER_ORDER = [
     "q_ann_cosine_topk",
     "q_text_token_ids",
     "q_pack_sequences",
-    # --- tail: r08-driver-green cohort ---
+    # --- stalest r08 rows (15 in-window) ---
     "q_d3plot_scan",
     "q_aselmdb_scan",
     "q_zarr_roundtrip",
@@ -8611,6 +8661,7 @@ _DRIVER_ORDER = [
     "q_mix_temperature",
     "q_s2_intersect",
     "q_s4_union_all",
+    # --- remaining r08 cohort (35 — head of the r11 window) ---
     "q_s5_except",
     "q_a5_distinct_agg",
     "q_a9_cube",
@@ -8646,6 +8697,57 @@ _DRIVER_ORDER = [
     "q_dedup_components",
     "q_text_span_dedup",
     "q_text_repetition",
+    # --- r09-green cohort ---
+    "q_text_sentences",
+    "q_corpus_card",
+    "q_media_subtitles",
+    "q_robots_filter",
+    "q_text_normalize",
+    "q_url_normalize",
+    "q_web_extract",
+    "q_bpe_train",
+    "q_webdataset",
+    "q_quality_regression",
+    "q_media_qoi_pnm",
+    "q_media_mpeg",
+    "q_media_imagetags",
+    "q_media_audiotags",
+    "q_media_probe",
+    "q_media_imagehash",
+    "q_media_audiohash",
+    "q_media_videohash",
+    "q_media_mp4_mkv",
+    "q_media_stillimage",
+    "q_media_hierarchical",
+    "q_grid_federated",
+    "q_grid_sidecar",
+    "q_atomic_stats",
+    "q_mesh_quality",
+    "q_media_avi_frames",
+    "q_media_adpcm",
+    "q_media_lossless",
+    "q_media_flac",
+    "q_media_g711",
+    "q_w1_row_number",
+    "q_t1_topk",
+    "q_a6_rollup",
+    "q_minhash_near_dup",
+    "q_media_wav_features",
+    "q_vtk_domain",
+    "q_text_bigram_lm",
+    "q_media_png_resize",
+    "q_media_jpeg_resize",
+    "q_hdf5_roundtrip",
+    "q_vtk_scan",
+    "q_vti_scan",
+    "q_stream_bloom",
+    "q_media_frames",
+    "q_sketch_quantiles",
+    "q_text_chunks",
+    "q_mix_weights",
+    "q_sample_stratified",
+    "q_a1_moment_stats",
+    "q_a2_elementwise_stats",
 ]
 
 

@@ -169,3 +169,101 @@ def test_vocabulary_deduplicates_colliding_merge_strings(spark):
     assert len(tokens) == len(set(tokens))
     ids = sorted(r["token_id"] for r in vocab)
     assert ids == list(range(len(ids)))  # dense after the skip
+
+
+# --- word-histogram trainer (train_bpe_hist) -------------------------------
+
+
+def _ref_train_words(texts: list[str], n_merges: int):
+    """Scalar word-scope reference: merges within words, counts
+    weighted by word frequency — the histogram-path semantics."""
+    freq: dict[str, int] = {}
+    for t in texts:
+        for w in t.split():
+            freq[w] = freq.get(w, 0) + 1
+    words = [(list(w), c) for w, c in freq.items()]
+    merges = []
+    for rank in range(n_merges):
+        counts: dict = {}
+        for seq, c in words:
+            for i in range(len(seq) - 1):
+                counts[(seq[i], seq[i + 1])] = (
+                    counts.get((seq[i], seq[i + 1]), 0) + c
+                )
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), n = best
+        out = []
+        for seq, c in words:
+            res, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(seq[i])
+                    i += 1
+            out.append((res, c))
+        words = out
+        merges.append(
+            {
+                "rank": rank, "a": a, "b": b, "count": n,
+                "n_tokens": sum(len(s) * c for s, c in words),
+            }
+        )
+    return merges
+
+
+def test_hist_matches_scalar_word_reference(spark):
+    from physicsnemo_curator_spark.operators.bpe import train_bpe_hist
+
+    got = train_bpe_hist(_docs(spark), n_merges=8)
+    assert got == _ref_train_words(CORPUS, 8)
+
+
+def test_hist_exactly_equals_corpus_path_on_single_word_docs(spark):
+    """On one-word documents, doc scope == word scope: the histogram
+    trainer must match train_bpe merge-for-merge (the parity pin the
+    r09 verdict asked for — same argmax, tie-break, merge kernel)."""
+    from physicsnemo_curator_spark.operators.bpe import train_bpe_hist
+
+    words = [w for t in CORPUS for w in t.split()]
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id long, text string"
+    )
+    assert train_bpe_hist(df, n_merges=8) == train_bpe(df, n_merges=8)
+
+
+def test_word_frequency_table(spark):
+    from physicsnemo_curator_spark.operators.bpe import word_frequency_table
+
+    freq = {
+        r["word"]: r["count"]
+        for r in word_frequency_table(_docs(spark)).collect()
+    }
+    assert freq["low"] == 4 and freq["new"] == 3 and freq["lowest"] == 1
+
+
+def test_hist_accepts_precomputed_histogram(spark):
+    from physicsnemo_curator_spark.operators.bpe import (
+        train_bpe_hist,
+        word_frequency_table,
+    )
+
+    wf = word_frequency_table(_docs(spark))
+    assert train_bpe_hist(word_freq=wf, n_merges=4) == train_bpe_hist(
+        _docs(spark), n_merges=4
+    )
+
+
+def test_hist_null_and_empty_text(spark):
+    from physicsnemo_curator_spark.operators.bpe import train_bpe_hist
+
+    df = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "ab ab")], "doc_id long, text string"
+    )
+    merges = train_bpe_hist(df, n_merges=1)
+    assert merges == [
+        {"rank": 0, "a": "a", "b": "b", "count": 2, "n_tokens": 2}
+    ]

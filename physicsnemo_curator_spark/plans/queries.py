@@ -6076,8 +6076,10 @@ def q_media_mp4_mkv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ftyp/mdat/moov + stsd/stts/stsc/stsz/stco sample-table machinery)
     and a Matroska file (EBML varints, Segment/Tracks/Cluster,
     ``V_MJPEG`` SimpleBlocks carrying LOSSLESS T.81 Annex H JPEGs of
-    ``md5(text || f)`` hex, plus a G.711 audio track that must NOT
-    leak into the frame list).  Both explode through
+    ``md5(text || f)`` hex, plus a G.711 audio track — LACED, the
+    mode rotating Xiph/EBML/fixed per document (RFC 8794 §11 size
+    coding), that must NOT leak into the frame list).  Both explode
+    through
     ``sample_frames(every_n=2)``, which dispatches on the container
     signature.  The mp4 frames decode to gray→RGB promotion (every
     byte tripled) and the mkv frames are bit-exact, so DuckDB replays
@@ -6115,6 +6117,7 @@ def q_media_mp4_mkv(spark: SparkSession, sf_dir: str) -> DataFrame:
                     fps=12,
                     codec="raw",
                 )
+                mode = ("xiph", "ebml", "fixed")[int(doc_id) % 3]
                 pk = _mkv.encode_mkv(
                     [hex_frame(text, f) for f in range(2)],
                     fps=10,
@@ -6122,6 +6125,10 @@ def q_media_mp4_mkv(spark: SparkSession, sf_dir: str) -> DataFrame:
                     audio=np.full(64, 0.25),
                     sample_rate=8000,
                     audio_codec="ulaw",
+                    audio_lacing=mode,
+                    # 64 samples: 7 forces the uneven Xiph/EBML
+                    # split; fixed needs the even 8
+                    lace_frames=8 if mode == "fixed" else 7,
                 )
                 rows.append(
                     (int(doc_id) * 2, "video", p4, None, None, len(p4))
@@ -8608,8 +8615,10 @@ QUERIES: dict[str, QuerySpec] = {
 # rows up to position 50.  Tail = remaining r08 cohort (they head the
 # r11 window), then the 50 r09-green rows.
 _DRIVER_ORDER = [
-    # --- NEW this round (r10) ---
+    # --- NEW this round (r10): new gates + gates whose fixture
+    # changed (mp4_mkv now writes laced audio) ---
     "q_bpe_train_hist",
+    "q_media_mp4_mkv",
     # --- last driver-checked r07 (all 34) ---
     "q_a3_pivot_counts",
     "q_a8_welford_state",
@@ -8716,7 +8725,6 @@ _DRIVER_ORDER = [
     "q_media_imagehash",
     "q_media_audiohash",
     "q_media_videohash",
-    "q_media_mp4_mkv",
     "q_media_stillimage",
     "q_media_hierarchical",
     "q_grid_federated",

@@ -13,9 +13,12 @@ existing kernels:
   ``A_MULAW`` / ``A_ALAW`` (G.711 via the ``sources/wav.py``
   companders).
 
-Anything outside that subset — ``V_MPEG4/ISO/AVC`` video, ``A_AAC``
-audio, EBML lacing — raises ``NotImplementedError`` loudly (the
-module's honest-subset contract, same as the JPEG/PNG/FLAC codecs).
+Block lacing — Xiph, fixed-size and EBML (RFC 8794 §11 varints +
+matroska.org block structure) — is handled on both the encode and
+decode paths; real-world Matroska audio tracks lace almost always.
+Anything outside the subset — ``V_MPEG4/ISO/AVC`` video, ``A_AAC``
+audio — raises ``NotImplementedError`` loudly (the module's
+honest-subset contract, same as the JPEG/PNG/FLAC codecs).
 
 Scale shape: containers are decoded task-side inside ``mapInPandas``
 batches — one task per file/payload, like the VTK/GRIB2 binary-scan
@@ -100,6 +103,33 @@ def _read_vint(data: bytes, pos: int, *, keep_marker: bool = False):
     return value, pos + n
 
 
+def _svint(delta: int) -> bytes:
+    """Encode a SIGNED EBML varint (EBML-lacing size deltas): an
+    n-byte signed vint stores ``delta + (2**(7n-1) - 1)`` in the
+    unsigned layout, range ±(2**(7n-1)-1); the all-ones pattern can
+    never occur (max stored value is 2**(7n)-2)."""
+    for n in range(1, 9):
+        off = (1 << (7 * n - 1)) - 1
+        if -off <= delta <= off:
+            return ((1 << (7 * n)) | (delta + off)).to_bytes(n, "big")
+    raise ValueError("EBML signed varint out of range")
+
+
+def _read_svint(data: bytes, pos: int) -> tuple[int, int]:
+    """Decode a SIGNED EBML varint; returns (delta, next_pos)."""
+    if pos >= len(data):
+        raise ValueError("truncated EBML varint")
+    first = data[pos]
+    if first == 0:
+        raise ValueError("invalid EBML varint")
+    n = 9 - first.bit_length()
+    if pos + n > len(data):
+        raise ValueError("truncated EBML varint")
+    raw = int.from_bytes(data[pos : pos + n], "big")
+    value = raw & ((1 << (7 * n)) - 1)
+    return value - ((1 << (7 * n - 1)) - 1), pos + n
+
+
 def _elem(eid: int, body: bytes) -> bytes:
     return _id_bytes(eid) + _vint(len(body)) + body
 
@@ -161,6 +191,46 @@ def _simple_block(track: int, rel_ts: int, payload: bytes) -> bytes:
     return _elem(_SIMPLE_BLOCK, body)
 
 
+_LACE_FLAG = {"xiph": 0x02, "fixed": 0x04, "ebml": 0x06}
+
+
+def _laced_simple_block(
+    track: int, rel_ts: int, payloads: list[bytes], lacing: str
+) -> bytes:
+    """One SimpleBlock carrying ``len(payloads)`` laced frames.
+
+    Size coding per matroska.org block structure: Xiph = 255-run
+    bytes per frame except the last; fixed = none (all frames equal);
+    EBML = unsigned vint for the first size then signed-vint deltas.
+    The LAST frame's size is always implied by the block end."""
+    if len(payloads) == 1:
+        return _simple_block(track, rel_ts, payloads[0])
+    if not 2 <= len(payloads) <= 256:
+        raise ValueError("lace frame count must be in 1..256")
+    if not 0 < track < 128:
+        raise ValueError("track number out of 1-byte vint range")
+    flag = _LACE_FLAG[lacing]
+    head = (
+        bytes([0x80 | track])
+        + struct.pack(">h", rel_ts)
+        + bytes([0x80 | flag, len(payloads) - 1])
+    )
+    sizes = b""
+    if lacing == "xiph":
+        for p in payloads[:-1]:
+            sizes += b"\xff" * (len(p) // 255) + bytes([len(p) % 255])
+    elif lacing == "fixed":
+        if len({len(p) for p in payloads}) != 1:
+            raise ValueError("fixed lacing needs equal-size frames")
+    else:  # ebml
+        sizes = _vint(len(payloads[0]))
+        prev = len(payloads[0])
+        for p in payloads[1:-1]:
+            sizes += _svint(len(p) - prev)
+            prev = len(p)
+    return _elem(_SIMPLE_BLOCK, head + sizes + b"".join(payloads))
+
+
 def _video_track_entry(w: int, h: int, codec_id: bytes) -> bytes:
     return _elem(
         _TRACK_ENTRY,
@@ -212,13 +282,22 @@ def encode_mkv(
     audio: np.ndarray | None = None,
     sample_rate: int = 0,
     audio_codec: str = "pcm",
+    audio_lacing: str = "none",
+    lace_frames: int = 8,
 ) -> bytes:
     """Encode uint8 frames as a Matroska file with one ``V_MJPEG``
     video track (each SimpleBlock one in-repo-encoded JPEG — lossy
     baseline, or T.81 Annex H lossless with ``codec='mjpeg_lossless'``
     for archival-exact frames), plus an optional audio track (16-bit
     PCM or G.711).  Millisecond timestamps (TimestampScale 1e6 ns),
-    clusters split so block-relative timestamps stay inside int16."""
+    clusters split so block-relative timestamps stay inside int16.
+
+    ``audio_lacing`` = ``'none' | 'xiph' | 'fixed' | 'ebml'`` writes
+    the audio as ONE laced SimpleBlock of ``lace_frames`` frames
+    split on sample-frame boundaries (the real-world Matroska audio
+    shape; ``'fixed'`` requires the sample count to split evenly —
+    equal-size frames are what the format mandates — and raises a
+    ``ValueError`` otherwise)."""
     from . import jpeg as _jpeg
     from . import wav as _wav
 
@@ -260,6 +339,36 @@ def encode_mkv(
         tracks_body += _audio_track_entry(
             sample_rate, channels, bits, _MKV_AUDIO_CODEC[audio_codec]
         )
+        # split the payload into lace frames on sample-frame
+        # boundaries (never mid-sample)
+        if audio_lacing == "none":
+            audio_frames = [audio_payload]
+        else:
+            if audio_lacing not in _LACE_FLAG:
+                raise ValueError(f"unknown audio lacing {audio_lacing!r}")
+            frame_bytes = channels * (bits // 8)
+            n_sf = len(audio_payload) // frame_bytes
+            count = max(1, min(lace_frames, n_sf))
+            if audio_lacing == "fixed":
+                if n_sf % count:
+                    raise ValueError(
+                        "fixed lacing needs the sample count "
+                        f"({n_sf}) divisible by lace_frames ({count})"
+                    )
+                per = n_sf // count
+                cuts = [i * per for i in range(count + 1)]
+            else:
+                # uneven on purpose so Xiph/EBML size coding is
+                # actually exercised (first frame one sample longer
+                # when it doesn't divide evenly)
+                base, extra = divmod(n_sf, count)
+                cuts = [0]
+                for i in range(count):
+                    cuts.append(cuts[-1] + base + (1 if i < extra else 0))
+            audio_frames = [
+                audio_payload[cuts[i] * frame_bytes : cuts[i + 1] * frame_bytes]
+                for i in range(count)
+            ]
 
     duration_ms = len(frames) * 1000.0 / fps
     info = _elem(
@@ -283,8 +392,13 @@ def encode_mkv(
             cluster_body = _uint_elem(_TIMESTAMP, t)
             if i == 0 and audio_payload:
                 # all audio in the first cluster as one block — PCM
-                # needs no per-sample framing
-                cluster_body += _simple_block(2, 0, audio_payload)
+                # needs no per-sample framing; laced when asked
+                if len(audio_frames) > 1:
+                    cluster_body += _laced_simple_block(
+                        2, 0, audio_frames, audio_lacing
+                    )
+                else:
+                    cluster_body += _simple_block(2, 0, audio_payload)
         cluster_body += _simple_block(1, t - cluster_t0, p)
     clusters += _elem(_CLUSTER, cluster_body)
 
@@ -328,18 +442,64 @@ def _parse_tracks(data: bytes, b: int, e: int) -> dict[int, dict]:
     return tracks
 
 
-def _block_payload(data: bytes, b: int, e: int) -> tuple[int, int, int]:
-    """(track_number, payload_start, payload_end) of a (Simple)Block;
-    laced blocks are outside the honest subset."""
+def _block_frames(
+    data: bytes, b: int, e: int
+) -> tuple[int, list[tuple[int, int]]]:
+    """(track_number, [(payload_start, payload_end), ...]) of a
+    (Simple)Block, resolving Xiph / fixed-size / EBML lacing
+    (RFC 8794 varints + matroska.org block structure).  The last
+    lace frame's size is always implied by the block end."""
     track, pos = _read_vint(data, b)
     if track is None:
         raise ValueError("block with unknown track number")
     pos += 2  # int16 relative timestamp
     flags = data[pos]
     pos += 1
-    if flags & 0x06:
-        raise NotImplementedError("EBML-laced Matroska blocks")
-    return track, pos, e
+    lacing = flags & 0x06
+    if lacing == 0:
+        return track, [(pos, e)]
+    count = data[pos] + 1
+    pos += 1
+    sizes: list[int] = []
+    if lacing == 0x02:  # Xiph: 255-run coding per frame but the last
+        for _ in range(count - 1):
+            sz = 0
+            while True:
+                v = data[pos]
+                pos += 1
+                sz += v
+                if v < 255:
+                    break
+            sizes.append(sz)
+    elif lacing == 0x06:  # EBML: unsigned first, signed deltas after
+        first, pos = _read_vint(data, pos)
+        if first is None:
+            raise ValueError("EBML lace size with reserved pattern")
+        sizes.append(first)
+        prev = first
+        for _ in range(count - 2):
+            delta, pos = _read_svint(data, pos)
+            prev += delta
+            if prev < 0:
+                raise ValueError("negative EBML lace frame size")
+            sizes.append(prev)
+    else:  # 0x04 fixed: no size table, equal frames
+        total = e - pos
+        if total % count:
+            raise ValueError(
+                f"fixed-laced payload ({total} bytes) not divisible "
+                f"by frame count ({count})"
+            )
+        sizes = [total // count] * (count - 1)
+    spans: list[tuple[int, int]] = []
+    p = pos
+    for sz in sizes:
+        spans.append((p, p + sz))
+        p += sz
+    if p > e:
+        raise ValueError("laced frame sizes exceed block payload")
+    spans.append((p, e))
+    return track, spans
 
 
 # segment-level element ids: an unknown-size Cluster (legal EBML,
@@ -407,11 +567,15 @@ def _segment_spans(data: bytes) -> tuple[dict[int, dict], list]:
             elif sid == _CLUSTER:
                 for cid, cb, ce in _walk(data, sb, se):
                     if cid == _SIMPLE_BLOCK:
-                        blocks.append(_block_payload(data, cb, ce))
+                        tn, spans = _block_frames(data, cb, ce)
+                        blocks.extend((tn, ps, pe) for ps, pe in spans)
                     elif cid == _BLOCK_GROUP:
                         for gid, gb, ge in _walk(data, cb, ce):
                             if gid == _BLOCK:
-                                blocks.append(_block_payload(data, gb, ge))
+                                tn, spans = _block_frames(data, gb, ge)
+                                blocks.extend(
+                                    (tn, ps, pe) for ps, pe in spans
+                                )
     if not tracks:
         raise ValueError("Matroska segment has no Tracks element")
     return tracks, blocks

@@ -1,8 +1,9 @@
 """Matroska/EBML container codec: MJPEG frame parity with the
 in-repo JPEG codec, EBML varint and element-structure pins, cluster
-splitting, honest raises for the unsupported surface (lacing,
-non-MJPEG codec ids), audio-track extraction across the four PCM /
-G.711 codec ids, and the Spark frame-sampler integration."""
+splitting, honest raises for the unsupported surface (non-MJPEG
+codec ids), Xiph/fixed/EBML block lacing round-trips, audio-track
+extraction across the four PCM / G.711 codec ids, and the Spark
+frame-sampler integration."""
 
 from __future__ import annotations
 
@@ -100,14 +101,81 @@ def test_unsupported_raises_loudly():
         mkv.decode_mkv(bytes(data))
 
 
-def test_laced_blocks_are_gated():
-    data = bytearray(mkv.encode_mkv(_frames(2, 8, 8)))
-    parsed = mkv.parse_mkv(bytes(data))
-    start, _size = parsed["frames"][0]
-    # the flags byte sits right before the payload
-    data[start - 1] |= 0x02  # Xiph lacing
-    with pytest.raises(NotImplementedError, match="laced"):
-        mkv.parse_mkv(bytes(data))
+def test_signed_vint_roundtrip():
+    for delta in (0, 1, -1, 63, -63, 64, -64, 8191, -8191, 8192,
+                  -8192, 2**20, -(2**20)):
+        enc = mkv._svint(delta)
+        dec, pos = mkv._read_svint(enc, 0)
+        assert dec == delta and pos == len(enc)
+    # a 1-byte signed vint holds ±63: width must bump at 64
+    assert len(mkv._svint(63)) == 1 and len(mkv._svint(64)) == 2
+
+
+def test_block_frames_all_three_lacings():
+    # payloads chosen so Xiph exercises the 255-run coding (>=510
+    # bytes) and EBML exercises a negative delta
+    payloads = [b"a" * 600, b"b" * 17, b"c" * 300, b"d" * 5]
+    for lacing, flag in (("xiph", 0x02), ("fixed", 0x04), ("ebml", 0x06)):
+        ps = [b"x" * 40] * 4 if lacing == "fixed" else payloads
+        blk = mkv._laced_simple_block(3, -7, ps, lacing)
+        # strip the element header (id + size vint) to the block body
+        _eid, p = mkv._read_vint(blk, 0, keep_marker=True)
+        _sz, body = mkv._read_vint(blk, p)
+        assert blk[body] == 0x80 | 3  # track vint
+        assert blk[body + 3] & 0x06 == flag
+        track, spans = mkv._block_frames(blk, body, len(blk))
+        assert track == 3
+        assert [blk[a:b] for a, b in spans] == ps
+
+
+def test_laced_audio_roundtrips_every_mode():
+    frames = _frames(2, 8, 8)
+    audio = 0.5 * np.sin(np.arange(4001) / 9.0)  # odd on purpose
+    exp16 = np.round(np.clip(audio, -1, 1) * 32767) / 32768
+    for lacing in ("xiph", "ebml"):
+        d = mkv.encode_mkv(
+            frames, fps=10, audio=audio, sample_rate=8000,
+            audio_codec="pcm", audio_lacing=lacing, lace_frames=7,
+        )
+        sig, meta = mkv.extract_mkv_audio(d)
+        assert meta["n_frames"] == 4001
+        assert np.abs(sig - exp16).max() < 1e-12
+        out, _m = mkv.decode_mkv(d)
+        assert len(out) == 2  # laced audio never leaks into video
+    # fixed: needs an even split — 4000 % 8 == 0
+    d = mkv.encode_mkv(
+        frames, fps=10, audio=audio[:4000], sample_rate=8000,
+        audio_codec="ulaw", audio_lacing="fixed", lace_frames=8,
+    )
+    sig, meta = mkv.extract_mkv_audio(d)
+    assert meta["n_frames"] == 4000 and meta["bits"] == 8
+    assert np.abs(sig - audio[:4000]).max() < 0.02
+    with pytest.raises(ValueError, match="divisible"):
+        mkv.encode_mkv(
+            frames, audio=audio, sample_rate=8000,
+            audio_lacing="fixed", lace_frames=8,
+        )
+    with pytest.raises(ValueError, match="unknown audio lacing"):
+        mkv.encode_mkv(
+            frames, audio=audio, sample_rate=8000, audio_lacing="zip"
+        )
+
+
+def test_laced_stereo_sample_alignment():
+    """Lace cuts must land on sample-frame boundaries — stereo 16-bit
+    has 4-byte frames, and an uneven split that ignored alignment
+    would shear the channels."""
+    audio = np.stack(
+        [np.linspace(-0.9, 0.9, 1001), -np.linspace(-0.9, 0.9, 1001)],
+        axis=1,
+    )
+    d = mkv.encode_mkv(
+        _frames(2, 8, 8), audio=audio, sample_rate=8000,
+        audio_codec="pcm", audio_lacing="ebml", lace_frames=7,
+    )
+    sig, meta = mkv.extract_mkv_audio(d)
+    assert meta["channels"] == 2 and sig.shape == (1001, 2)
+    assert np.abs(sig + sig[:, ::-1]).max() < 1e-12  # anti-symmetric
 
 
 def test_audio_track_roundtrip_all_codecs():

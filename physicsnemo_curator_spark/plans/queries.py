@@ -1337,6 +1337,73 @@ FROM events GROUP BY 1 ORDER BY key
 """
 
 
+def q_st4_stream_interval_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TRUE stream-stream join gate (streaming/joins.py interval_join
+    driven by run_interval_join_stream): click and purchase streams —
+    each a 3-file readStream source consumed one file per micro-batch,
+    so matches form ACROSS batches out of retained join state — inner
+    interval join "purchase within 24 h before the click" in append
+    mode to a parquet sink (executor-side, no driver collection).  The
+    watermark covers the fixture's 30-day span, so the emitted set is
+    exactly the batch range join DuckDB replays.  Unlike q_w4/q_ts_*
+    (batch twins), this executes readStream → watermarked
+    stream-stream join → sink."""
+    import hashlib
+    import tempfile
+
+    from physicsnemo_curator_spark.streaming import joins as streaming_joins
+
+    events = _t(spark, sf_dir, "events")
+    ident = _src_ident(os.path.join(sf_dir, "events.parquet"))
+    token = hashlib.md5(f"{sf_dir}:{ident}:st4".encode()).hexdigest()[:12]
+    base = os.path.join(
+        tempfile.gettempdir(), f"pcs_st4_{token}_{os.getpid()}"
+    )
+    cols = ["event_id", "user_id", "ts", "value"]
+    for side, etype in (("clicks", "click"), ("purchases", "purchase")):
+        d = os.path.join(base, side)
+        if not os.path.exists(os.path.join(d, "_SUCCESS")):
+            events.filter(F.col("event_type") == etype).select(
+                *cols
+            ).repartition(3).write.mode("overwrite").parquet(d)
+    out = streaming_joins.run_interval_join_stream(
+        spark,
+        os.path.join(base, "clicks"),
+        os.path.join(base, "purchases"),
+        "event_id long, user_id long, ts timestamp, value double",
+        {
+            "click_id": "l.event_id",
+            "purchase_id": "r.event_id",
+            "user_id": "l.user_id",
+            "purchase_value": "r.value",
+        },
+        work_dir=base,
+        on="user_id",
+        lower_seconds=0,
+        upper_seconds=86400,
+        watermark="60 days",
+    )
+    return out.select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        _r6(F.col("purchase_value"), "purchase_value"),
+    ).orderBy("click_id", "purchase_id")
+
+
+ORACLE_ST4 = """
+SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+       c.user_id, ROUND(p.value, 6) AS purchase_value
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND p.ts BETWEEN c.ts - INTERVAL 86400 SECONDS AND c.ts
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+ORDER BY click_id, purchase_id
+"""
+
+
 def q_ts_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join — custom operator Spark lacks natively (SURVEY §2.6):
     attach the latest prior purchase to each click, per user, via the
@@ -3087,6 +3154,82 @@ ORDER BY assign.vec_id
 
 
 ORACLE_SEMANTIC_DEDUP = _semantic_oracle()
+
+
+def q_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SemDeDup gate (mllib_ann.write_semantic_store /
+    incremental_semantic_dedup): the even-vec_id half of ``embeddings``
+    is persisted as a ``(_batch, cell)``-partitioned parquet store,
+    then the odd half arrives as a batch.  The corpus↔batch probe
+    joins on cell with the batch side BROADCAST — partition pruning
+    means each probe reads only the cell partitions the batch touches,
+    so the store never reshuffles; batch-internal pairs run within-cell
+    (the same 100 TB shape as the MinHash incremental store).
+    Centroids are the deterministic md5-sample pick over the CORPUS
+    half, so DuckDB replays centroid pick, assignment, store probe and
+    both pair scopes exactly."""
+    import hashlib
+    import tempfile
+
+    from physicsnemo_curator_spark.operators import mllib_ann
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    batch = emb.filter(F.col("vec_id") % 2 == 1)
+    centers = mllib_ann.md5_sample_centroids(corpus, k=8)
+    try:
+        mtime = int(
+            os.path.getmtime(os.path.join(sf_dir, "embeddings.parquet"))
+        )
+    except OSError:
+        mtime = 0
+    token = hashlib.md5(f"{sf_dir}:{mtime}:sem".encode()).hexdigest()[:12]
+    store = os.path.join(
+        tempfile.gettempdir(), f"pcs_sem_store_{token}_{os.getpid()}"
+    )
+    if not os.path.exists(os.path.join(store, "_SUCCESS")):
+        mllib_ann.write_semantic_store(corpus, centers, store)
+    out = mllib_ann.incremental_semantic_dedup(
+        spark, batch, centers, store, threshold=0.35
+    )
+    return out.select(
+        "cell", "a", "b", _r6(F.col("cosine"), "cosine"), "scope"
+    ).orderBy("scope", "a", "b")
+
+
+ORACLE_SEMANTIC_INCREMENTAL = """
+WITH cent AS (
+  SELECT embedding ce,
+         CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) cell
+  FROM embeddings WHERE vec_id % 2 = 0
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+cv AS (SELECT cell, unnest(range(0, 64)) j, unnest(ce) c FROM cent),
+csq AS (SELECT cell, SUM(CAST(c AS DOUBLE) * CAST(c AS DOUBLE)) c2 FROM cv GROUP BY 1),
+ev AS (SELECT vec_id, unnest(range(0, 64)) j, unnest(embedding) x FROM embeddings),
+dist AS (
+  SELECT xc.vec_id, xc.cell, csq.c2 - 2 * xc.dotxc d
+  FROM (SELECT e.vec_id, c.cell, SUM(CAST(e.x AS DOUBLE) * CAST(c.c AS DOUBLE)) dotxc
+        FROM ev e JOIN cv c ON e.j = c.j GROUP BY 1, 2) xc
+  JOIN csq ON xc.cell = csq.cell),
+assign AS (SELECT vec_id, cell FROM (
+  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) rn
+  FROM dist) WHERE rn = 1),
+pairs AS (
+  SELECT la.cell, la.vec_id a, lb.vec_id b,
+         (SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+          FROM (SELECT unnest(ea.embedding) x, unnest(eb.embedding) y)) /
+         (SQRT((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM (SELECT unnest(ea.embedding) x))) *
+          SQRT((SELECT SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest(eb.embedding) y)))) cosine,
+         CASE WHEN la.vec_id % 2 = 0 THEN 'corpus' ELSE 'batch' END AS scope
+  FROM assign la JOIN assign lb ON la.cell = lb.cell
+  JOIN embeddings ea ON la.vec_id = ea.vec_id
+  JOIN embeddings eb ON lb.vec_id = eb.vec_id
+  WHERE lb.vec_id % 2 = 1
+    AND (la.vec_id % 2 = 0 OR la.vec_id < lb.vec_id))
+SELECT cell, a, b, ROUND(cosine, 6) cosine, scope
+FROM pairs WHERE cosine >= 0.35
+ORDER BY scope, a, b
+"""
 
 
 def q_embedding_near_dup(
@@ -8575,6 +8718,9 @@ QUERIES: dict[str, QuerySpec] = {
     "q_w5_group_zscore": QuerySpec(q_w5_group_zscore, ORACLE_W5),
     "q_median_exact": QuerySpec(q_median_exact, ORACLE_MEDIAN),
     "q_st3_stream_welford": QuerySpec(q_st3_stream_welford, ORACLE_ST3),
+    "q_st4_stream_interval_join": QuerySpec(
+        q_st4_stream_interval_join, ORACLE_ST4
+    ),
     "q_st1_tumbling_window": QuerySpec(q_st1_tumbling_window, ORACLE_ST1),
     "q_grib2_scan": QuerySpec(q_grib2_scan, ORACLE_GRIB2),
     "q_semantic_dedup": QuerySpec(
@@ -8583,6 +8729,9 @@ QUERIES: dict[str, QuerySpec] = {
         bench=lambda s, d: q_semantic_dedup(
             s, d, dot="arrow", pin_oracle_k=False
         ),
+    ),
+    "q_semantic_incremental": QuerySpec(
+        q_semantic_incremental, ORACLE_SEMANTIC_INCREMENTAL
     ),
     "q_dedup_incremental": QuerySpec(
         q_dedup_incremental,
@@ -8619,6 +8768,8 @@ _DRIVER_ORDER = [
     # changed (mp4_mkv now writes laced audio) ---
     "q_bpe_train_hist",
     "q_media_mp4_mkv",
+    "q_semantic_incremental",
+    "q_st4_stream_interval_join",
     # --- last driver-checked r07 (all 34) ---
     "q_a3_pivot_counts",
     "q_a8_welford_state",

@@ -222,6 +222,63 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
     assert got == expected
 
 
+def test_run_interval_join_stream_cross_batch(spark, sf_dir, tmp_path):
+    """The micro-batch runner (one file per trigger, separate click /
+    purchase sources) must emit exactly the batch join: matches form
+    out of RETAINED state because the two sides of a pair arrive in
+    different micro-batches."""
+    from physicsnemo_curator_spark.streaming.joins import (
+        interval_join,
+        run_interval_join_stream,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value", "event_type"
+    )
+    dirs = {}
+    for side, etype in (("clicks", "click"), ("purchases", "purchase")):
+        d = str(tmp_path / side)
+        events.filter(f"event_type = '{etype}'").drop(
+            "event_type"
+        ).repartition(3).write.parquet(d)
+        dirs[side] = d
+    expected = sorted(
+        (r["a"], r["b"])
+        for r in interval_join(
+            spark.read.parquet(dirs["clicks"]),
+            spark.read.parquet(dirs["purchases"]),
+            upper_seconds=86400,
+        )
+        .selectExpr("l.event_id a", "r.event_id b")
+        .collect()
+    )
+    assert expected
+    out = run_interval_join_stream(
+        spark,
+        dirs["clicks"],
+        dirs["purchases"],
+        "event_id long, user_id long, ts timestamp, value double",
+        {"a": "l.event_id", "b": "r.event_id"},
+        work_dir=str(tmp_path / "run"),
+        upper_seconds=86400,
+        watermark="60 days",
+    )
+    got = sorted((r["a"], r["b"]) for r in out.collect())
+    assert got == expected
+    # idempotent reuse: a second call reads the existing sink
+    again = run_interval_join_stream(
+        spark,
+        dirs["clicks"],
+        dirs["purchases"],
+        "event_id long, user_id long, ts timestamp, value double",
+        {"a": "l.event_id", "b": "r.event_id"},
+        work_dir=str(tmp_path / "run"),
+        upper_seconds=86400,
+        watermark="60 days",
+    )
+    assert again.count() == len(expected)
+
+
 def test_streaming_dedup_matches_batch(spark, sf_dir, tmp_path):
     """dropDuplicatesWithinWatermark on a duplicated stream must yield
     each event_id exactly once — identical to batch dropDuplicates.

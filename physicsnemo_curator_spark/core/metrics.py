@@ -199,6 +199,82 @@ class MetricsStore:
             """
         )
 
+    def run_summary_df(
+        self,
+        spark: SparkSession,
+        total: int | None = None,
+        run_id: str | None = None,
+    ) -> DataFrame:
+        """Run-state summary frame — one row: ``total, completed,
+        failed, remaining, total_elapsed_s, workers`` (reference
+        ``PipelineStore.summary``, core/pipeline_store.py:1248-1294,
+        surfaced by ``DashboardStore.summary``; config_hash/db_path are
+        SQLite identity fields the parquet ledger replaces with
+        run_id).  ``total=None`` falls back to the recorded index
+        count, exactly like the reference's stored-total fallback
+        (dashboard/data.py:180-188).  Latest-record-wins per idx, so a
+        retried index is counted once."""
+        have = self._frame(spark, self.index_path, "pcs_index_results", run_id)
+        if not have:
+            t = int(total or 0)
+            return spark.createDataFrame(
+                [(t, 0, 0, t, 0.0, 0)],
+                "total long, completed long, failed long, remaining long, "
+                "total_elapsed_s double, workers long",
+            )
+        total_sql = (
+            str(int(total))
+            if total is not None
+            else "(SELECT COUNT(*) FROM latest)"
+        )
+        return spark.sql(
+            f"""
+            WITH latest AS (
+              SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY idx ORDER BY finished_at_epoch DESC, seq DESC
+                ) AS _rn
+                FROM pcs_index_results
+              ) WHERE _rn = 1
+            )
+            SELECT CAST({total_sql} AS BIGINT) AS total,
+                   SUM(CASE WHEN status = 'completed' THEN 1 ELSE 0 END)
+                     AS completed,
+                   SUM(CASE WHEN status <> 'completed' THEN 1 ELSE 0 END)
+                     AS failed,
+                   CAST({total_sql} AS BIGINT) - COUNT(*) AS remaining,
+                   COALESCE(SUM(CASE WHEN status = 'completed'
+                                     THEN wall_time_s END), 0.0)
+                     AS total_elapsed_s,
+                   COUNT(DISTINCT worker_id) AS workers
+            FROM latest
+            """
+        )
+
+    def dashboard_views(
+        self,
+        spark: SparkSession,
+        total: int | None = None,
+        run_id: str | None = None,
+    ) -> dict[str, DataFrame]:
+        """The reference dashboard's four reactive frames
+        (``DashboardStore.index_df/stage_df/workers_df/summary``,
+        dashboard/data.py:34-332) as Spark DataFrames, each also
+        registered as a temp view ``pcs_dash_<name>`` so a SQL
+        dashboard can query them directly — the data half of the
+        reference's Panel app, with the reactive-cache layer replaced
+        by Spark's own lazy evaluation (every access re-reads the
+        ledger, which IS the refresh semantics)."""
+        frames = {
+            "index": self.index_df(spark, run_id),
+            "stage": self.stage_df(spark, run_id),
+            "workers": self.workers_df(spark, run_id),
+            "summary": self.run_summary_df(spark, total, run_id),
+        }
+        for name, df in frames.items():
+            df.createOrReplaceTempView(f"pcs_dash_{name}")
+        return frames
+
     def workers_df(self, spark: SparkSession, run_id: str | None = None) -> DataFrame:
         """Per-worker frame — ``worker_id, completed, failed,
         last_heartbeat_epoch, current_idx`` (reference

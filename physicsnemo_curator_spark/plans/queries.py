@@ -1404,6 +1404,82 @@ ORDER BY click_id, purchase_id
 """
 
 
+def q_dashboard_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dashboard data-layer gate (core/metrics.py dashboard_views —
+    the data half of the reference's Panel dashboard,
+    dashboard/data.py:34-135): a deterministic per-index ledger is
+    recorded from ``events`` (idx = event_id % 97, so most indices
+    get RETRIED by several records; status from the literal 'error'
+    event_type) and the index frame must apply latest-record-wins per
+    idx — DuckDB replays the ledger derivation and picks each idx's
+    max-event_id record, so a dedup-ordering or status bug changes a
+    row."""
+    import hashlib
+    import tempfile
+
+    from physicsnemo_curator_spark.core.metrics import MetricsStore
+
+    events = _t(spark, sf_dir, "events")
+    ident = _src_ident(os.path.join(sf_dir, "events.parquet"))
+    token = hashlib.md5(f"{sf_dir}:{ident}:dash".encode()).hexdigest()[:12]
+    mdir = os.path.join(
+        tempfile.gettempdir(), f"pcs_dash_{token}_{os.getpid()}"
+    )
+    store = MetricsStore(mdir)
+    if not os.path.exists(store.index_path):
+        rows = (
+            events.filter(F.col("event_id") < 2000)
+            .select("event_id", "event_type", "value")
+            .orderBy("event_id")
+            .collect()
+        )
+        # one record_index_results call → one shared epoch, so the
+        # frame's (finished_at_epoch DESC, seq DESC) dedup must fall
+        # through to seq: list order IS the retry order
+        store.record_index_results(
+            spark,
+            "run-dash",
+            [
+                {
+                    "idx": int(r["event_id"]) % 97,
+                    "worker_id": f"exec-{int(r['event_id']) % 4}",
+                    "status": (
+                        "error" if r["event_type"] == "error"
+                        else "completed"
+                    ),
+                    "wall_time_s": float(r["value"]),
+                    "error": (
+                        "boom" if r["event_type"] == "error" else ""
+                    ),
+                }
+                for r in rows
+            ],
+        )
+    frames = store.dashboard_views(spark, total=97, run_id="run-dash")
+    return frames["index"].select(
+        "idx",
+        "status",
+        _r6(F.col("wall_time_s"), "wall_time_s"),
+        "peak_memory_mb",
+        "error",
+    ).orderBy("idx")
+
+
+ORACLE_DASHBOARD_INDEX = """
+WITH src AS (
+  SELECT event_id, event_id % 97 AS idx, value,
+         CASE WHEN event_type = 'error' THEN 'error'
+              ELSE 'completed' END AS status
+  FROM events WHERE event_id < 2000),
+last AS (SELECT idx, MAX(event_id) me FROM src GROUP BY idx)
+SELECT s.idx, s.status, ROUND(s.value, 6) AS wall_time_s,
+       0.0 AS peak_memory_mb,
+       CASE WHEN s.status = 'error' THEN 'boom' ELSE '' END AS error
+FROM src s JOIN last l ON s.idx = l.idx AND s.event_id = l.me
+ORDER BY s.idx
+"""
+
+
 def q_ts_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join — custom operator Spark lacks natively (SURVEY §2.6):
     attach the latest prior purchase to each click, per user, via the
@@ -8721,6 +8797,7 @@ QUERIES: dict[str, QuerySpec] = {
     "q_st4_stream_interval_join": QuerySpec(
         q_st4_stream_interval_join, ORACLE_ST4
     ),
+    "q_dashboard_index": QuerySpec(q_dashboard_index, ORACLE_DASHBOARD_INDEX),
     "q_st1_tumbling_window": QuerySpec(q_st1_tumbling_window, ORACLE_ST1),
     "q_grib2_scan": QuerySpec(q_grib2_scan, ORACLE_GRIB2),
     "q_semantic_dedup": QuerySpec(
@@ -8770,6 +8847,7 @@ _DRIVER_ORDER = [
     "q_media_mp4_mkv",
     "q_semantic_incremental",
     "q_st4_stream_interval_join",
+    "q_dashboard_index",
     # --- last driver-checked r07 (all 34) ---
     "q_a3_pivot_counts",
     "q_a8_welford_state",
@@ -8805,7 +8883,7 @@ _DRIVER_ORDER = [
     "q_ann_cosine_topk",
     "q_text_token_ids",
     "q_pack_sequences",
-    # --- stalest r08 rows (15 in-window) ---
+    # --- stalest r08 rows (11 in-window) ---
     "q_d3plot_scan",
     "q_aselmdb_scan",
     "q_zarr_roundtrip",
@@ -8817,11 +8895,11 @@ _DRIVER_ORDER = [
     "q_sketch_bloom",
     "q_sketch_cms",
     "q_text_substring_dup",
+    # --- remaining r08 cohort (head of the r11 window) ---
     "q_text_substring_rm",
     "q_mix_temperature",
     "q_s2_intersect",
     "q_s4_union_all",
-    # --- remaining r08 cohort (35 — head of the r11 window) ---
     "q_s5_except",
     "q_a5_distinct_agg",
     "q_a9_cube",

@@ -162,6 +162,61 @@ def test_dashboard_sql_frames(spark, tmp_path):
     assert empty.workers_df(spark).count() == 0
 
 
+def test_dashboard_summary_and_views(spark, tmp_path):
+    """run_summary_df mirrors reference PipelineStore.summary
+    (total/completed/failed/remaining/total_elapsed_s/workers,
+    latest-record-wins so a retried idx counts once) and
+    dashboard_views bundles the four frames as pcs_dash_* temp views
+    (reference DashboardStore, dashboard/data.py:34-332)."""
+    store = MetricsStore(str(tmp_path))
+    store.record_index_results(
+        spark,
+        "run1",
+        [
+            {"idx": 0, "worker_id": "exec-1", "wall_time_s": 1.5},
+            {"idx": 1, "worker_id": "exec-2", "status": "error",
+             "error": "boom"},
+        ],
+    )
+    import time as _time
+
+    _time.sleep(1.1)
+    store.record_index_results(
+        spark, "run1", [{"idx": 1, "worker_id": "exec-2", "wall_time_s": 3.0}]
+    )
+    store.record_stage_results(
+        spark, "run1",
+        [{"idx": 0, "stage_name": "read", "stage_order": 0,
+          "wall_time_s": 0.5}],
+    )
+    s = store.run_summary_df(spark, total=5, run_id="run1").collect()[0]
+    assert s["total"] == 5
+    assert s["completed"] == 2 and s["failed"] == 0  # retry won
+    assert s["remaining"] == 3
+    assert abs(s["total_elapsed_s"] - 4.5) < 1e-9
+    assert s["workers"] == 2
+    # stored-total fallback: total = recorded distinct idx count
+    s2 = store.run_summary_df(spark, run_id="run1").collect()[0]
+    assert s2["total"] == 2 and s2["remaining"] == 0
+
+    frames = store.dashboard_views(spark, total=5, run_id="run1")
+    assert set(frames) == {"index", "stage", "workers", "summary"}
+    # the temp views are queryable SQL surfaces
+    assert spark.sql("SELECT COUNT(*) c FROM pcs_dash_index").collect()[0][
+        "c"
+    ] == 2
+    assert spark.sql(
+        "SELECT completed FROM pcs_dash_summary"
+    ).collect()[0]["completed"] == 2
+    assert spark.sql(
+        "SELECT stage_name FROM pcs_dash_stage"
+    ).collect()[0]["stage_name"] == "read"
+    # empty store: summary row still has the reference shape
+    empty = MetricsStore(str(tmp_path / "none"))
+    e = empty.run_summary_df(spark, total=7).collect()[0]
+    assert e["total"] == 7 and e["remaining"] == 7 and e["workers"] == 0
+
+
 def test_metrics_run_id_is_not_spliced_into_sql(spark, tmp_path):
     """A quote-bearing run_id must filter safely (no ParseException, no
     cross-run leakage)."""

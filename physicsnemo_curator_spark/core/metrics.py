@@ -238,9 +238,11 @@ class MetricsStore:
               ) WHERE _rn = 1
             )
             SELECT CAST({total_sql} AS BIGINT) AS total,
-                   SUM(CASE WHEN status = 'completed' THEN 1 ELSE 0 END)
+                   COALESCE(SUM(CASE WHEN status = 'completed'
+                                     THEN 1 ELSE 0 END), 0)
                      AS completed,
-                   SUM(CASE WHEN status <> 'completed' THEN 1 ELSE 0 END)
+                   COALESCE(SUM(CASE WHEN status <> 'completed'
+                                     THEN 1 ELSE 0 END), 0)
                      AS failed,
                    CAST({total_sql} AS BIGINT) - COUNT(*) AS remaining,
                    COALESCE(SUM(CASE WHEN status = 'completed'
@@ -262,9 +264,11 @@ class MetricsStore:
         dashboard/data.py:34-332) as Spark DataFrames, each also
         registered as a temp view ``pcs_dash_<name>`` so a SQL
         dashboard can query them directly — the data half of the
-        reference's Panel app, with the reactive-cache layer replaced
-        by Spark's own lazy evaluation (every access re-reads the
-        ledger, which IS the refresh semantics)."""
+        reference's Panel app.  Each frame snapshots the ledger's file
+        listing at creation (Spark caches the parquet file index), so
+        records appended later are NOT visible through the existing
+        views: re-calling ``dashboard_views`` is the refresh event,
+        exactly like the reference's ``refresh`` param trigger."""
         frames = {
             "index": self.index_df(spark, run_id),
             "stage": self.stage_df(spark, run_id),

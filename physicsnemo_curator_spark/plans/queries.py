@@ -1426,7 +1426,9 @@ def q_dashboard_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(), f"pcs_dash_{token}_{os.getpid()}"
     )
     store = MetricsStore(mdir)
-    if not os.path.exists(store.index_path):
+    # the _SUCCESS marker, not the bare directory: a write that died
+    # partway must rebuild, not serve a truncated ledger forever
+    if not os.path.exists(os.path.join(store.index_path, "_SUCCESS")):
         rows = (
             events.filter(F.col("event_id") < 2000)
             .select("event_id", "event_type", "value")
@@ -3232,7 +3234,12 @@ ORDER BY assign.vec_id
 ORACLE_SEMANTIC_DEDUP = _semantic_oracle()
 
 
-def q_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_semantic_incremental(
+    spark: SparkSession,
+    sf_dir: str,
+    dot: str = "unrolled",
+    pin_oracle_k: bool = True,
+) -> DataFrame:
     """Incremental SemDeDup gate (mllib_ann.write_semantic_store /
     incremental_semantic_dedup): the even-vec_id half of ``embeddings``
     is persisted as a ``(_batch, cell)``-partitioned parquet store,
@@ -3243,7 +3250,13 @@ def q_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the same 100 TB shape as the MinHash incremental store).
     Centroids are the deterministic md5-sample pick over the CORPUS
     half, so DuckDB replays centroid pick, assignment, store probe and
-    both pair scopes exactly."""
+    both pair scopes exactly.
+
+    Same cell-count sizing rule as q_semantic_dedup: k adapts to
+    ~250 corpus vectors/cell (the sf1 soak measured the fixed-k=8
+    variant quadratic at 10×, 178 s); the oracle-checked variant pins
+    k=8 and fails LOUDLY beyond the gate corpus instead of silently
+    diverging — the bench twin runs adaptive."""
     import hashlib
     import tempfile
 
@@ -3252,21 +3265,26 @@ def q_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     corpus = emb.filter(F.col("vec_id") % 2 == 0)
     batch = emb.filter(F.col("vec_id") % 2 == 1)
-    centers = mllib_ann.md5_sample_centroids(corpus, k=8)
-    try:
-        mtime = int(
-            os.path.getmtime(os.path.join(sf_dir, "embeddings.parquet"))
+    n = corpus.count()
+    k = max(8, n // 250)
+    if pin_oracle_k and k != 8:
+        raise ValueError(
+            f"q_semantic_incremental oracle pins k=8 but corpus n={n} "
+            f"adapts k to {k}; call with pin_oracle_k=False (no "
+            "oracle) for large corpora"
         )
-    except OSError:
-        mtime = 0
-    token = hashlib.md5(f"{sf_dir}:{mtime}:sem".encode()).hexdigest()[:12]
+    centers = mllib_ann.md5_sample_centroids(corpus, k=k)
+    ident = _src_ident(os.path.join(sf_dir, "embeddings.parquet"))
+    token = hashlib.md5(
+        f"{sf_dir}:{ident}:sem:{k}".encode()
+    ).hexdigest()[:12]
     store = os.path.join(
         tempfile.gettempdir(), f"pcs_sem_store_{token}_{os.getpid()}"
     )
     if not os.path.exists(os.path.join(store, "_SUCCESS")):
         mllib_ann.write_semantic_store(corpus, centers, store)
     out = mllib_ann.incremental_semantic_dedup(
-        spark, batch, centers, store, threshold=0.35
+        spark, batch, centers, store, threshold=0.35, dot=dot
     )
     return out.select(
         "cell", "a", "b", _r6(F.col("cosine"), "cosine"), "scope"
@@ -8808,7 +8826,11 @@ QUERIES: dict[str, QuerySpec] = {
         ),
     ),
     "q_semantic_incremental": QuerySpec(
-        q_semantic_incremental, ORACLE_SEMANTIC_INCREMENTAL
+        q_semantic_incremental,
+        ORACLE_SEMANTIC_INCREMENTAL,
+        bench=lambda s, d: q_semantic_incremental(
+            s, d, dot="arrow", pin_oracle_k=False
+        ),
     ),
     "q_dedup_incremental": QuerySpec(
         q_dedup_incremental,

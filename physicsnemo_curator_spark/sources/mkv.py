@@ -247,14 +247,17 @@ def _video_track_entry(w: int, h: int, codec_id: bytes) -> bytes:
 
 
 def _audio_track_entry(
-    rate: int, channels: int, bits: int, codec_id: bytes
+    rate: int, channels: int, bits: int, codec_id: bytes,
+    *, laced: bool = False,
 ) -> bytes:
+    # FlagLacing must declare what the blocks actually do — a strict
+    # demuxer that trusts 0 would read lace headers as payload
     return _elem(
         _TRACK_ENTRY,
         _uint_elem(_TRACK_NUMBER, 2)
         + _uint_elem(0x73C5, 2)
         + _uint_elem(_TRACK_TYPE, 2)
-        + _uint_elem(0x9C, 0)
+        + _uint_elem(0x9C, 1 if laced else 0)
         + _elem(_CODEC_ID, codec_id)
         + _elem(
             _AUDIO,
@@ -337,7 +340,8 @@ def encode_mkv(
         else:
             raise ValueError(f"unknown audio codec {audio_codec!r}")
         tracks_body += _audio_track_entry(
-            sample_rate, channels, bits, _MKV_AUDIO_CODEC[audio_codec]
+            sample_rate, channels, bits, _MKV_AUDIO_CODEC[audio_codec],
+            laced=audio_lacing != "none",
         )
         # split the payload into lace frames on sample-frame
         # boundaries (never mid-sample)
@@ -472,17 +476,20 @@ def _block_frames(
                     break
             sizes.append(sz)
     elif lacing == 0x06:  # EBML: unsigned first, signed deltas after
-        first, pos = _read_vint(data, pos)
-        if first is None:
-            raise ValueError("EBML lace size with reserved pattern")
-        sizes.append(first)
-        prev = first
-        for _ in range(count - 2):
-            delta, pos = _read_svint(data, pos)
-            prev += delta
-            if prev < 0:
-                raise ValueError("negative EBML lace frame size")
-            sizes.append(prev)
+        # a 1-frame lace has ZERO size entries (the table codes all
+        # frames but the last)
+        if count >= 2:
+            first, pos = _read_vint(data, pos)
+            if first is None:
+                raise ValueError("EBML lace size with reserved pattern")
+            sizes.append(first)
+            prev = first
+            for _ in range(count - 2):
+                delta, pos = _read_svint(data, pos)
+                prev += delta
+                if prev < 0:
+                    raise ValueError("negative EBML lace frame size")
+                sizes.append(prev)
     else:  # 0x04 fixed: no size table, equal frames
         total = e - pos
         if total % count:

@@ -89,35 +89,42 @@ def run_interval_join_stream(
     arrived; the watermark only bounds retained state, so with a
     watermark covering the fixture's full event-time span the output
     is exactly the batch join (tight watermarks trade completeness on
-    late data for bounded state — the tests pin both regimes).  An
-    existing sink (same ``work_dir``) is reused, making repeat calls
-    idempotent."""
+    late data for bounded state — the tests pin both regimes).  A
+    COMPLETED run (same ``work_dir``) is reused; a crashed partial run
+    is detected by the missing ``_DONE`` marker and rebuilt from
+    scratch, so a retry can never silently return a subset."""
+    import shutil
+
     sink = os.path.join(work_dir, "sink")
     ckpt = os.path.join(work_dir, "ckpt")
-    if not os.path.exists(sink):
-        left = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", str(max_files_per_trigger))
-            .parquet(left_dir)
-        )
-        right = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", str(max_files_per_trigger))
-            .parquet(right_dir)
-        )
-        joined = interval_join(
-            left,
-            right,
-            on=on,
-            left_time=left_time,
-            right_time=right_time,
-            lower_seconds=lower_seconds,
-            upper_seconds=upper_seconds,
-            left_watermark=watermark,
-            right_watermark=watermark,
-        ).select(
-            *[F.col(src).alias(name) for name, src in select_cols.items()]
-        )
+    done = os.path.join(work_dir, "_DONE")
+    left = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(left_dir)
+    )
+    right = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(right_dir)
+    )
+    joined = interval_join(
+        left,
+        right,
+        on=on,
+        left_time=left_time,
+        right_time=right_time,
+        lower_seconds=lower_seconds,
+        upper_seconds=upper_seconds,
+        left_watermark=watermark,
+        right_watermark=watermark,
+    ).select(*[F.col(src).alias(name) for name, src in select_cols.items()])
+    if not os.path.exists(done):
+        # debris from an aborted earlier attempt must not mix with
+        # (or masquerade as) a completed run
+        os.makedirs(work_dir, exist_ok=True)
+        shutil.rmtree(sink, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
         q = (
             joined.writeStream.outputMode("append")
             .format("parquet")
@@ -129,4 +136,8 @@ def run_interval_join_stream(
             q.processAllAvailable()
         finally:
             q.stop()
-    return spark.read.parquet(sink)
+        with open(done, "w") as f:
+            f.write("ok")
+    # explicit schema: a legitimately empty join leaves a sink with
+    # metadata only, which schema inference would refuse to read
+    return spark.read.schema(joined.schema).parquet(sink)

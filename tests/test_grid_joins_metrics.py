@@ -215,6 +215,10 @@ def test_dashboard_summary_and_views(spark, tmp_path):
     empty = MetricsStore(str(tmp_path / "none"))
     e = empty.run_summary_df(spark, total=7).collect()[0]
     assert e["total"] == 7 and e["remaining"] == 7 and e["workers"] == 0
+    # ledger exists but the run_id matches nothing: counts must be 0,
+    # not NULL (the SUM-over-zero-rows trap)
+    z = store.run_summary_df(spark, total=4, run_id="no-such").collect()[0]
+    assert z["completed"] == 0 and z["failed"] == 0 and z["remaining"] == 4
 
 
 def test_metrics_run_id_is_not_spliced_into_sql(spark, tmp_path):

@@ -161,6 +161,35 @@ def test_laced_audio_roundtrips_every_mode():
         )
 
 
+def test_single_frame_ebml_lace_has_no_size_table():
+    """A 1-frame EBML-laced block (legal: the size table codes all
+    frames but the last, so one frame means zero entries) must yield
+    the whole payload as one span — not consume payload bytes as a
+    phantom size vint."""
+    payload = b"\x85hello-world"  # starts with a valid-looking vint
+    body = bytes([0x80 | 2]) + b"\x00\x00" + bytes([0x80 | 0x06, 0]) + payload
+    blk = mkv._elem(mkv._SIMPLE_BLOCK, body)
+    _eid, p = mkv._read_vint(blk, 0, keep_marker=True)
+    _sz, start = mkv._read_vint(blk, p)
+    track, spans = mkv._block_frames(blk, start, len(blk))
+    assert track == 2
+    assert [blk[a:b] for a, b in spans] == [payload]
+
+
+def test_flag_lacing_declares_laced_blocks():
+    """FlagLacing (0x9C) in the audio TrackEntry must be 1 when the
+    writer emits laced blocks and 0 otherwise — a strict demuxer
+    trusts the flag."""
+    audio = np.linspace(-0.5, 0.5, 640)
+    plain = mkv.encode_mkv(_frames(2, 8, 8), audio=audio, sample_rate=8000)
+    laced = mkv.encode_mkv(
+        _frames(2, 8, 8), audio=audio, sample_rate=8000,
+        audio_lacing="xiph", lace_frames=4,
+    )
+    assert b"\x9c\x81\x00" in plain and b"\x9c\x81\x01" not in plain
+    assert b"\x9c\x81\x01" in laced
+
+
 def test_laced_stereo_sample_alignment():
     """Lace cuts must land on sample-frame boundaries — stereo 16-bit
     has 4-byte frames, and an uneven split that ignored alignment

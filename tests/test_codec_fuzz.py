@@ -311,6 +311,40 @@ def test_mkv_audio_matrix():
         assert np.abs(out.reshape(-1) - np.asarray(ref).reshape(-1)).max() <= tol + 1e-9
 
 
+def test_mkv_lacing_matrix():
+    from physicsnemo_curator_spark.sources import mkv
+
+    frames = [np.zeros((4, 4), dtype=np.uint8)] * 2
+    for lacing, ac, n, ch, lf in itertools.product(
+        ("xiph", "ebml", "fixed"),
+        ("pcm", "ulaw"),
+        (2, 97, 960, 4001),
+        (1, 2),
+        (2, 7, 64),
+    ):
+        if lacing == "fixed" and n % min(lf, n):
+            continue  # fixed lacing requires an even split
+        sig = np.sin(np.arange(n) / 7.0) * 0.6
+        audio = sig if ch == 1 else np.stack([sig, -sig], axis=1)
+        d = mkv.encode_mkv(
+            frames, audio=audio, sample_rate=8000, audio_codec=ac,
+            audio_lacing=lacing, lace_frames=lf,
+        )
+        out, meta = mkv.extract_mkv_audio(d)
+        assert meta["n_frames"] == n and meta["channels"] == ch, (
+            lacing, ac, n, ch, lf,
+        )
+        exp = np.round(np.clip(audio, -1, 1) * 32767) / 32768
+        ref = exp if ac == "pcm" else audio
+        tol = 1e-12 if ac == "pcm" else 0.05
+        assert (
+            np.abs(out.reshape(-1) - np.asarray(ref).reshape(-1)).max()
+            <= tol + 1e-9
+        ), (lacing, ac, n, ch, lf)
+        frames_out, _ = mkv.decode_mkv(d)
+        assert len(frames_out) == 2  # laced audio never leaks
+
+
 def test_bmp_matrix():
     from physicsnemo_curator_spark.sources import bmp
 

@@ -1387,6 +1387,9 @@ def q_st4_stream_interval_join(
         upper_seconds=86400,
         watermark="60 days",
         max_files_per_trigger=max_files_per_trigger,
+        # sized to the fixture's key cardinality — a stateful query
+        # runs this many state tasks per side per micro-batch
+        state_partitions=4,
     )
     return out.select(
         "click_id",

@@ -74,6 +74,7 @@ def run_interval_join_stream(
     upper_seconds: int = 3600,
     watermark: str = "2 hours",
     max_files_per_trigger: int = 1,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Drive :func:`interval_join` through a REAL Structured Streaming
     run: both sides are ``readStream`` parquet sources consumed one
@@ -92,7 +93,16 @@ def run_interval_join_stream(
     late data for bounded state — the tests pin both regimes).  A
     COMPLETED run (same ``work_dir``) is reused; a crashed partial run
     is detected by the missing ``_DONE`` marker and rebuilt from
-    scratch, so a retry can never silently return a subset."""
+    scratch, so a retry can never silently return a subset.
+
+    ``state_partitions`` right-sizes the join's state stores: a
+    stateful query pins ``spark.sql.shuffle.partitions`` into its
+    checkpoint at first start, and every micro-batch then runs that
+    many state tasks PER SIDE regardless of data volume — measured
+    13.5 s → 3.3 s on a small fixture going 32 → 4.  Size it to key
+    cardinality (up at 100 TB, down for small keyed streams); None
+    keeps the session setting.  The session value is restored after
+    the stream finishes."""
     import shutil
 
     sink = os.path.join(work_dir, "sink")
@@ -125,17 +135,26 @@ def run_interval_join_stream(
         os.makedirs(work_dir, exist_ok=True)
         shutil.rmtree(sink, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
-        q = (
-            joined.writeStream.outputMode("append")
-            .format("parquet")
-            .option("path", sink)
-            .option("checkpointLocation", ckpt)
-            .start()
-        )
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        if state_partitions is not None:
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", str(state_partitions)
+            )
         try:
-            q.processAllAvailable()
+            q = (
+                joined.writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
         finally:
-            q.stop()
+            if state_partitions is not None:
+                spark.conf.set("spark.sql.shuffle.partitions", prev)
         with open(done, "w") as f:
             f.write("ok")
     # explicit schema: a legitimately empty join leaves a sink with

@@ -1321,7 +1321,12 @@ def q_st3_stream_welford(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overwrite"
         ).parquet(src)
     out = stateful.run_running_stats_foreachbatch(
-        spark, src, "event_type string, value double"
+        spark,
+        src,
+        "event_type string, value double",
+        # 5 keys: 4 state tasks per micro-batch instead of the
+        # session's 32 (a deployment sizes this to key cardinality)
+        state_partitions=4,
     )
     return out.select(
         "key", "n", _r6(F.col("mean"), "mean"), _r6(F.col("var_pop"), "var_pop")
@@ -1481,7 +1486,7 @@ WITH src AS (
   FROM events WHERE event_id < 2000),
 last AS (SELECT idx, MAX(event_id) me FROM src GROUP BY idx)
 SELECT s.idx, s.status, ROUND(s.value, 6) AS wall_time_s,
-       0.0 AS peak_memory_mb,
+       CAST(0.0 AS DOUBLE) AS peak_memory_mb,
        CASE WHEN s.status = 'error' THEN 'boom' ELSE '' END AS error
 FROM src s JOIN last l ON s.idx = l.idx AND s.event_id = l.me
 ORDER BY s.idx

@@ -107,6 +107,7 @@ def run_running_stats_foreachbatch(
     key_col: str = "event_type",
     value_col: str = "value",
     max_files_per_trigger: int = 1,
+    state_partitions: int | None = None,
 ):
     """Drive the stateful operator through a real micro-batch stream
     with a ``foreachBatch`` sink; returns the FINAL per-key stats as a
@@ -117,6 +118,11 @@ def run_running_stats_foreachbatch(
     would never exercise ``state.exists``).  foreachBatch collects each
     update-mode emission driver-side — one row per (key, batch), i.e.
     O(keys × batches), never O(rows) — and last-write-wins per key.
+
+    ``state_partitions`` right-sizes the state store: a stateful query
+    pins ``spark.sql.shuffle.partitions`` into its checkpoint and runs
+    that many state tasks per micro-batch regardless of key count —
+    size it to key cardinality (the session value is restored after).
     """
     stream = (
         spark.readStream.schema(schema)
@@ -130,11 +136,18 @@ def run_running_stats_foreachbatch(
         for row in batch_df.collect():
             final[row["key"]] = row
 
-    q = out.writeStream.outputMode("update").foreachBatch(_sink).start()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
-        q.processAllAvailable()
+        q = out.writeStream.outputMode("update").foreachBatch(_sink).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.createDataFrame(list(final.values()), OUTPUT_SCHEMA)
 
 

@@ -83,3 +83,10 @@ def test_curate_web_example(tmp_path):
     assert "boilerplate gate: " in stdout
     assert "bpe merges:" in stdout
     assert "round-trip verified" in stdout
+
+
+def test_stream_events_example(tmp_path):
+    stdout = _run("stream_events.py", str(tmp_path / "work"))
+    assert "running stats per event_type" in stdout
+    assert "purchase" in stdout
+    assert "attributed purchases" in stdout

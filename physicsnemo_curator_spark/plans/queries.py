@@ -1415,22 +1415,17 @@ ORDER BY click_id, purchase_id
 """
 
 
-def q_dashboard_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dashboard data-layer gate (core/metrics.py dashboard_views —
-    the data half of the reference's Panel dashboard,
-    dashboard/data.py:34-135): a deterministic per-index ledger is
-    recorded from ``events`` (idx = event_id % 97, so most indices
-    get RETRIED by several records; status from the literal 'error'
-    event_type) and the index frame must apply latest-record-wins per
-    idx — DuckDB replays the ledger derivation and picks each idx's
-    max-event_id record, so a dedup-ordering or status bug changes a
-    row."""
+def _dash_store(spark: SparkSession, sf_dir: str):
+    """The ONE construction of the dashboard gates' ledger fixture:
+    token path + deterministic retried-index recording (both gates
+    must open the SAME store — a drifted path would silently read an
+    empty ledger, since MetricsStore frames treat missing paths as
+    empty by design)."""
     import hashlib
     import tempfile
 
     from physicsnemo_curator_spark.core.metrics import MetricsStore
 
-    events = _t(spark, sf_dir, "events")
     ident = _src_ident(os.path.join(sf_dir, "events.parquet"))
     token = hashlib.md5(f"{sf_dir}:{ident}:dash".encode()).hexdigest()[:12]
     mdir = os.path.join(
@@ -1440,6 +1435,7 @@ def q_dashboard_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the _SUCCESS marker, not the bare directory: a write that died
     # partway must rebuild, not serve a truncated ledger forever
     if not os.path.exists(os.path.join(store.index_path, "_SUCCESS")):
+        events = _t(spark, sf_dir, "events")
         rows = (
             events.filter(F.col("event_id") < 2000)
             .select("event_id", "event_type", "value")
@@ -1468,6 +1464,20 @@ def q_dashboard_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for r in rows
             ],
         )
+    return store
+
+
+def q_dashboard_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dashboard data-layer gate (core/metrics.py dashboard_views —
+    the data half of the reference's Panel dashboard,
+    dashboard/data.py:34-135): a deterministic per-index ledger is
+    recorded from ``events`` (idx = event_id % 97, so most indices
+    get RETRIED by several records; status from the literal 'error'
+    event_type) and the index frame must apply latest-record-wins per
+    idx — DuckDB replays the ledger derivation and picks each idx's
+    max-event_id record, so a dedup-ordering or status bug changes a
+    row."""
+    store = _dash_store(spark, sf_dir)
     frames = store.dashboard_views(spark, total=97, run_id="run-dash")
     return frames["index"].select(
         "idx",
@@ -1476,6 +1486,35 @@ def q_dashboard_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "peak_memory_mb",
         "error",
     ).orderBy("idx")
+
+
+def q_dashboard_workers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Worker-frame gate (core/metrics.py workers_df, reference
+    DashboardStore.workers_df dashboard/data.py:196-229): per-worker
+    completed/failed counts over the SAME deterministic ledger as
+    q_dashboard_index (shared ``_dash_store``) — the reference counts
+    raw records (a retried index appears under both its error and its
+    success), so the oracle aggregates the raw derivation, not the
+    deduped view.  Heartbeat/current-index columns are
+    wall-clock-dependent and stay out of the hash (pytest covers
+    them)."""
+    store = _dash_store(spark, sf_dir)
+    return (
+        store.workers_df(spark, "run-dash")
+        .select("worker_id", "completed", "failed")
+        .orderBy("worker_id")
+    )
+
+
+ORACLE_DASHBOARD_WORKERS = """
+SELECT concat('exec-', CAST(event_id % 4 AS VARCHAR)) AS worker_id,
+       CAST(SUM(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END)
+            AS BIGINT) AS completed,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+            AS BIGINT) AS failed
+FROM events WHERE event_id < 2000
+GROUP BY 1 ORDER BY 1
+"""
 
 
 ORACLE_DASHBOARD_INDEX = """
@@ -8835,6 +8874,9 @@ QUERIES: dict[str, QuerySpec] = {
         ),
     ),
     "q_dashboard_index": QuerySpec(q_dashboard_index, ORACLE_DASHBOARD_INDEX),
+    "q_dashboard_workers": QuerySpec(
+        q_dashboard_workers, ORACLE_DASHBOARD_WORKERS
+    ),
     "q_st1_tumbling_window": QuerySpec(q_st1_tumbling_window, ORACLE_ST1),
     "q_grib2_scan": QuerySpec(q_grib2_scan, ORACLE_GRIB2),
     "q_semantic_dedup": QuerySpec(
@@ -8889,6 +8931,7 @@ _DRIVER_ORDER = [
     "q_semantic_incremental",
     "q_st4_stream_interval_join",
     "q_dashboard_index",
+    "q_dashboard_workers",
     # --- last driver-checked r07 (all 34) ---
     "q_a3_pivot_counts",
     "q_a8_welford_state",
@@ -8924,7 +8967,7 @@ _DRIVER_ORDER = [
     "q_ann_cosine_topk",
     "q_text_token_ids",
     "q_pack_sequences",
-    # --- stalest r08 rows (11 in-window) ---
+    # --- stalest r08 rows (10 in-window) ---
     "q_d3plot_scan",
     "q_aselmdb_scan",
     "q_zarr_roundtrip",
@@ -8935,8 +8978,8 @@ _DRIVER_ORDER = [
     "q_text_span_dedup_xx",
     "q_sketch_bloom",
     "q_sketch_cms",
-    "q_text_substring_dup",
     # --- remaining r08 cohort (head of the r11 window) ---
+    "q_text_substring_dup",
     "q_text_substring_rm",
     "q_mix_temperature",
     "q_s2_intersect",

@@ -400,8 +400,14 @@ def write_semantic_store(
     # DYNAMIC partition overwrite, which replaces only this batch's
     # own ``_batch=<id>`` partitions — a re-run is idempotent instead
     # of double-appending (same contract as dedup.write_minhash_store).
+    # Align tasks with output partitions before partitionBy (same
+    # move as the MinHash store's band/bucket repartition): without
+    # it every upstream task fans out a file into EVERY cell dir it
+    # touches — at k=1000 cells × 32 tasks that is ~32k small files
+    # per batch; with it, one file per (batch, cell).
     (
-        out.write.mode("overwrite")
+        out.repartition("_batch", "cell")
+        .write.mode("overwrite")
         .option(
             "partitionOverwriteMode",
             "dynamic" if mode == "append" else "static",

@@ -1435,6 +1435,11 @@ def _dash_store(spark: SparkSession, sf_dir: str):
     # the _SUCCESS marker, not the bare directory: a write that died
     # partway must rebuild, not serve a truncated ledger forever
     if not os.path.exists(os.path.join(store.index_path, "_SUCCESS")):
+        import shutil
+
+        # record_index_results APPENDS — orphaned part files from the
+        # crashed attempt would double-count under the fresh records
+        shutil.rmtree(store.index_path, ignore_errors=True)
         events = _t(spark, sf_dir, "events")
         rows = (
             events.filter(F.col("event_id") < 2000)
@@ -1508,7 +1513,7 @@ def q_dashboard_workers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_DASHBOARD_WORKERS = """
 SELECT concat('exec-', CAST(event_id % 4 AS VARCHAR)) AS worker_id,
-       CAST(SUM(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END)
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 0 ELSE 1 END)
             AS BIGINT) AS completed,
        CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
             AS BIGINT) AS failed

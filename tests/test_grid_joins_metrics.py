@@ -233,3 +233,24 @@ def test_metrics_run_id_is_not_spliced_into_sql(spark, tmp_path):
     assert [r.idx for r in got] == [0]
     # an injection-shaped id matches nothing instead of everything
     assert ms.index_df(spark, run_id="x' OR '1'='1").count() == 0
+
+
+def test_dash_store_rebuild_clears_crashed_debris(spark, tmp_path, monkeypatch):
+    """A ledger rebuild after a crashed write (part files present, no
+    _SUCCESS) must clear the directory first: record_index_results
+    APPENDS, so orphaned part files would double-count raw-record
+    consumers like workers_df."""
+    import os
+    import tempfile
+
+    from physicsnemo_curator_spark.plans import queries as Q
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    sf = "/root/testdata/sf0.001"
+    store = Q._dash_store(spark, sf)
+    n_clean = spark.read.parquet(store.index_path).count()
+    # simulate the crash: keep the part files, drop the marker
+    os.remove(os.path.join(store.index_path, "_SUCCESS"))
+    store2 = Q._dash_store(spark, sf)
+    assert store2.index_path == store.index_path
+    assert spark.read.parquet(store2.index_path).count() == n_clean

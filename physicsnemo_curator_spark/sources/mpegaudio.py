@@ -542,9 +542,19 @@ def build_adts(
 
 
 def decode_mpeg_audio(data: bytes):
-    """Honest gate: sample reconstruction for MP3/AAC needs the Layer
-    III Huffman/filterbank tables (T.1172-3 Annex B) / AAC spectral
-    decode, which are outside the from-memory-reproducible subset."""
+    """Honest gate: sample reconstruction for MP3/AAC needs the
+    spec's NUMERIC tables — the Layer I/II bit-allocation matrices
+    (ISO 11172-3 Tables B.2a-d), the 512-tap synthesis prototype
+    window (Table C.3, designed numerically, not derivable from a
+    formula), and the Layer III Huffman/IMDCT tables — plus spectral
+    decode for AAC.  Unlike the scalefactor table (exactly
+    ``2*2**(-i/3)``, derivable) those cannot be reproduced from
+    memory, and this container has no reference decoder to validate
+    against: an implementation could only be checked against itself,
+    which is how 'consistent but wrong' codecs ship.  Gated rather
+    than faked; everything header-side IS implemented (frame walk,
+    CBR/VBR accounting, ID3v1/v2.2-2.4, ADTS — see
+    parse_mp3/parse_adts/extract_id3)."""
     raise NotImplementedError(
         "MP3/AAC entropy decode is not implemented (header probing "
         "and ID3 metadata are — see parse_mp3/parse_adts/extract_id3)"

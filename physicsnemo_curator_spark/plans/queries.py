@@ -4570,6 +4570,127 @@ FROM documents WHERE doc_id < 300 ORDER BY doc_id LIMIT 300
 """
 
 
+def q_media_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio resampling gate (multimodal.resample_audio): each
+    document becomes a 16-bit WAV whose int16 samples are the EVEN
+    integers ``2*(((doc_id*37 + j*13) % 8000) - 4000)`` (fed as
+    ``k/32767`` so the encoder stores exactly k), then even doc_ids
+    DOWNSAMPLE 8 kHz→4 kHz (positions land on input samples) and odd
+    doc_ids UPSAMPLE →16 kHz (odd output positions average two even
+    integers — still on the int16 grid, so requantization is the
+    identity and every emitted sample is exact dyadic arithmetic
+    DuckDB replays bit-for-bit).  A length-accounting, interpolation,
+    channel, or WAV re-encode bug changes a row."""
+    from physicsnemo_curator_spark.sources import multimodal
+    from physicsnemo_curator_spark.sources import wav as _wav
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            (48 + F.col("doc_id") % 16).cast("int").alias("frames"),
+        )
+    )
+
+    def encode(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            payloads = []
+            for mid, n in zip(pdf["media_id"], pdf["frames"]):
+                j = np.arange(int(n))
+                k = 2 * (((int(mid) * 37 + j * 13) % 8000) - 4000)
+                payloads.append(
+                    _wav.encode_wav(k / 32767.0, 8000, bits=16)
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": "audio",
+                    "payload": payloads,
+                    "width": pd.array([None] * len(pdf), dtype="Int32"),
+                    "height": pd.array([None] * len(pdf), dtype="Int32"),
+                    "n_bytes": pd.array(
+                        [len(p) for p in payloads], dtype="Int64"
+                    ),
+                }
+            )
+
+    media = docs.mapInPandas(
+        encode,
+        "media_id long, kind string, payload binary, width int, "
+        "height int, n_bytes long",
+    )
+    down = multimodal.resample_audio(
+        media.filter(F.col("media_id") % 2 == 0), 4000, strict=True
+    )
+    up = multimodal.resample_audio(
+        media.filter(F.col("media_id") % 2 == 1), 16000, strict=True
+    )
+    resampled = down.unionByName(up)
+
+    def dump(it):
+        import pandas as pd
+
+        for pdf in it:
+            mids, js, ns, vals = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                sig, meta = _wav.decode_wav(bytes(payload))
+                sig = sig.reshape(-1)
+                for j in range(min(len(sig), 30)):
+                    mids.append(int(mid))
+                    js.append(j)
+                    ns.append(int(meta["n_frames"]))
+                    vals.append(float(sig[j]))
+            yield pd.DataFrame(
+                {"doc_id": mids, "j": js, "n_out": ns, "sample": vals}
+            )
+
+    return (
+        resampled.mapInPandas(
+            dump, "doc_id long, j int, n_out long, sample double"
+        )
+        .select("doc_id", "j", "n_out", _r6(F.col("sample"), "sample"))
+        .orderBy("doc_id", "j")
+    )
+
+
+ORACLE_MEDIA_RESAMPLE = """
+WITH d AS (
+  SELECT doc_id, 48 + doc_id % 16 AS n FROM documents WHERE doc_id < 200),
+src AS (
+  SELECT doc_id, n, u.j,
+         2 * (((doc_id * 37 + u.j * 13) % 8000) - 4000) AS k
+  FROM d, LATERAL unnest(range(0, n)) u(j)),
+downpos AS (
+  SELECT doc_id, n, u.j FROM d,
+  LATERAL unnest(range(0, least(n // 2, 30))) u(j)
+  WHERE doc_id % 2 = 0),
+down AS (
+  SELECT p.doc_id, CAST(p.j AS INT) AS j, p.n // 2 AS n_out,
+         s.k / 32768.0 AS sample
+  FROM downpos p JOIN src s ON s.doc_id = p.doc_id AND s.j = 2 * p.j),
+uppos AS (
+  SELECT doc_id, n, u.j FROM d,
+  LATERAL unnest(range(0, least(2 * n, 30))) u(j)
+  WHERE doc_id % 2 = 1),
+up AS (
+  SELECT p.doc_id, CAST(p.j AS INT) AS j, 2 * p.n AS n_out,
+         CASE WHEN p.j % 2 = 0 THEN s0.k
+              ELSE (s0.k + s1.k) / 2 END / 32768.0 AS sample
+  FROM uppos p
+  JOIN src s0 ON s0.doc_id = p.doc_id AND s0.j = p.j // 2
+  JOIN src s1 ON s1.doc_id = p.doc_id
+             AND s1.j = least(p.j // 2 + 1, p.n - 1))
+SELECT doc_id, j, n_out, ROUND(sample, 6) AS sample FROM down
+UNION ALL
+SELECT doc_id, j, n_out, ROUND(sample, 6) AS sample FROM up
+ORDER BY doc_id, j
+"""
+
+
 def q_media_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AVI container gate (sources/avi.py): each document becomes a
     REAL RIFF/AVI file — four 8x4 grayscale frames in uncompressed
@@ -8882,6 +9003,7 @@ QUERIES: dict[str, QuerySpec] = {
     "q_dashboard_workers": QuerySpec(
         q_dashboard_workers, ORACLE_DASHBOARD_WORKERS
     ),
+    "q_media_resample": QuerySpec(q_media_resample, ORACLE_MEDIA_RESAMPLE),
     "q_st1_tumbling_window": QuerySpec(q_st1_tumbling_window, ORACLE_ST1),
     "q_grib2_scan": QuerySpec(q_grib2_scan, ORACLE_GRIB2),
     "q_semantic_dedup": QuerySpec(
@@ -8937,6 +9059,7 @@ _DRIVER_ORDER = [
     "q_st4_stream_interval_join",
     "q_dashboard_index",
     "q_dashboard_workers",
+    "q_media_resample",
     # --- last driver-checked r07 (all 34) ---
     "q_a3_pivot_counts",
     "q_a8_welford_state",
@@ -8972,7 +9095,7 @@ _DRIVER_ORDER = [
     "q_ann_cosine_topk",
     "q_text_token_ids",
     "q_pack_sequences",
-    # --- stalest r08 rows (10 in-window) ---
+    # --- stalest r08 rows (9 in-window) ---
     "q_d3plot_scan",
     "q_aselmdb_scan",
     "q_zarr_roundtrip",

@@ -553,6 +553,110 @@ def resize_images(
     return media.mapInPandas(batches, RESIZED_SCHEMA)
 
 
+def resample_audio(
+    media: DataFrame, target_rate: int, *, strict: bool = False
+) -> DataFrame:
+    """Resample audio payloads to ``target_rate`` Hz — the rate
+    normalization every speech/audio training pipeline runs before
+    batching (16 kHz mono-ish conventions), as an Arrow-batched
+    ``mapInPandas`` over the repo's pure-Python codecs.
+
+    WAV / FLAC / Ogg-FLAC / AIFF payloads decode natively, each
+    channel is LINEARLY interpolated onto the target grid
+    (``n_out = n*target//src`` samples at positions ``j*src/target``,
+    the endpoint clamped), and the result re-encodes in the ORIGINAL
+    container at 16-bit depth (the training convention; FLAC stays
+    lossless over the resampled signal).  Payloads already at the
+    target rate pass through byte-identical.  Undecodable/compressed
+    formats follow the resize_images contract: strict=True raises,
+    strict=False passes them through so a mixed table keeps flowing;
+    non-audio rows always pass through.
+
+    Scale shape: one task per Arrow batch of payloads, no shuffle —
+    throughput ∝ payload count, like the rest of the media family."""
+    import numpy as np
+
+    from physicsnemo_curator_spark.sources import aiff as _aiff
+    from physicsnemo_curator_spark.sources import flac as _flac
+    from physicsnemo_curator_spark.sources import wav as _wav
+
+    if target_rate <= 0:
+        raise ValueError("target_rate must be positive")
+
+    def _interp(samples: "np.ndarray", src: int) -> "np.ndarray":
+        x = samples[:, None] if samples.ndim == 1 else samples
+        n = x.shape[0]
+        n_out = (n * target_rate) // src
+        if n_out < 1 or n < 2:
+            return x[:1] if n_out < 1 else np.repeat(x[:1], n_out, 0)
+        pos = np.arange(n_out) * (src / target_rate)
+        i0 = np.floor(pos).astype(np.int64)
+        i1 = np.minimum(i0 + 1, n - 1)
+        frac = (pos - i0)[:, None]
+        out = x[i0] * (1.0 - frac) + x[i1] * frac
+        return out if samples.ndim == 2 else out[:, 0]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_payload, out_n = [], []
+            for kind, payload in zip(pdf["kind"], pdf["payload"]):
+                raw = bytes(payload)
+                decoded = None
+                if kind == "audio":
+                    try:
+                        if _wav.is_wav(raw):
+                            decoded = (*_wav.decode_wav(raw), "wav")
+                        elif _flac.is_flac(raw):
+                            decoded = (*_flac.decode_flac(raw), "flac")
+                        elif _aiff.is_aiff(raw):
+                            decoded = (*_aiff.decode_aiff(raw), "aiff")
+                        elif _flac.is_ogg_flac(raw):
+                            decoded = (*_flac.decode_ogg_flac(raw), "ogg")
+                        elif strict:
+                            raise NotImplementedError(
+                                "resample_audio needs a WAV/FLAC/"
+                                "Ogg-FLAC/AIFF payload (MP3/AAC sample "
+                                "decode is codec-gated)"
+                            )
+                    except Exception:
+                        if strict:
+                            raise
+                        decoded = None
+                if decoded is None:
+                    out_payload.append(raw)
+                    out_n.append(len(raw))
+                    continue
+                samples, meta, fmt = decoded
+                src = int(meta["sample_rate"])
+                if src == target_rate:
+                    out_payload.append(raw)
+                    out_n.append(len(raw))
+                    continue
+                res = _interp(np.asarray(samples, dtype=np.float64), src)
+                if fmt == "wav":
+                    enc = _wav.encode_wav(res, target_rate, bits=16)
+                elif fmt == "flac":
+                    enc = _flac.encode_flac(res, target_rate)
+                elif fmt == "aiff":
+                    enc = _aiff.encode_aiff(res, target_rate)
+                else:
+                    enc = _flac.encode_ogg_flac(res, target_rate)
+                out_payload.append(enc)
+                out_n.append(len(enc))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": out_payload,
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "n_bytes": pd.array(out_n, dtype="Int64"),
+                }
+            )
+
+    return media.mapInPandas(batches, RESIZED_SCHEMA)
+
+
 FRAME_SCHEMA = (
     "media_id long, frame_index int, payload binary, width int, height int"
 )

@@ -148,3 +148,87 @@ def test_extract_features_without_dimension_columns(spark):
     )
     feat = mm.extract_features(df, dim=4).collect()[0]["feature"]
     assert len(feat) == 4
+
+
+def _audio_media(spark, payloads):
+    import pandas as pd
+
+    rows = [
+        (i, "audio", bytearray(p), None, None, len(p))
+        for i, p in enumerate(payloads)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "media_id long, kind string, payload binary, width int, "
+        "height int, n_bytes long",
+    )
+
+
+def test_resample_audio_linear_kernel_and_formats(spark):
+    """Down- and up-sampling match an np.interp reference per format,
+    channels survive, and a payload already at the target rate passes
+    through byte-identical."""
+    import numpy as np
+
+    from physicsnemo_curator_spark.sources import aiff, flac, wav
+    from physicsnemo_curator_spark.sources import multimodal as mm
+
+    t = np.arange(400)
+    sig = 0.4 * np.sin(2 * np.pi * t / 50)
+    stereo = np.stack([sig, -sig], axis=1)
+    payloads = [
+        wav.encode_wav(sig, 8000, bits=16),          # 0: resampled
+        flac.encode_flac(sig, 8000),                 # 1: resampled
+        aiff.encode_aiff(stereo, 8000),              # 2: stereo
+        wav.encode_wav(sig, 4000, bits=16),          # 3: already at target
+    ]
+    out = {
+        r["media_id"]: bytes(r["payload"])
+        for r in mm.resample_audio(
+            _audio_media(spark, payloads), 4000, strict=True
+        ).collect()
+    }
+    assert out[3] == payloads[3]  # passthrough byte-identical
+    # expected kernel: n_out = n*target//src, endpoint-clamped lerp
+    n_out = 400 * 4000 // 8000
+    pos = np.arange(n_out) * 2.0
+    i0 = pos.astype(int)
+    i1 = np.minimum(i0 + 1, 399)
+    exp = sig[i0] * (1 - (pos - i0)) + sig[i1] * (pos - i0)
+    expq = np.round(np.clip(exp, -1, 1) * 32767) / 32768
+    got_wav, meta = wav.decode_wav(out[0])
+    assert meta["sample_rate"] == 4000 and meta["n_frames"] == n_out
+    np.testing.assert_allclose(got_wav, expq, atol=0)
+    got_flac, fmeta = flac.decode_flac(out[1])
+    assert fmeta["sample_rate"] == 4000
+    np.testing.assert_allclose(got_flac.reshape(-1), expq, atol=0)
+    got_st, smeta = aiff.decode_aiff(out[2])
+    assert smeta["channels"] == 2 and got_st.shape == (n_out, 2)
+    np.testing.assert_allclose(got_st[:, 0], expq, atol=1e-9)
+    np.testing.assert_allclose(got_st[:, 1], -expq, atol=1e-9)
+    # upsample: doubles the frame count, keeps the rate metadata
+    up = mm.resample_audio(
+        _audio_media(spark, [payloads[0]]), 16000, strict=True
+    ).collect()[0]
+    usig, umeta = wav.decode_wav(bytes(up["payload"]))
+    assert umeta["sample_rate"] == 16000 and umeta["n_frames"] == 800
+
+
+def test_resample_audio_strict_contract(spark):
+    """Non-decodable audio raises under strict, passes through under
+    plumbing mode; non-audio rows always pass through."""
+    import pytest as _pytest
+
+    from physicsnemo_curator_spark.sources import multimodal as mm
+
+    bogus = b"\xff\xfb\x90\x00" + b"\x00" * 64  # MP3-ish header
+    df = _audio_media(spark, [bogus])
+    kept = mm.resample_audio(df, 4000).collect()[0]
+    assert bytes(kept["payload"]) == bogus
+    with _pytest.raises(Exception):
+        mm.resample_audio(df, 4000, strict=True).collect()
+    # non-audio rows pass through even under strict
+    img = df.replace("audio", "image", subset=["kind"])
+    assert bytes(
+        mm.resample_audio(img, 4000, strict=True).collect()[0]["payload"]
+    ) == bogus

@@ -6603,6 +6603,107 @@ ORDER BY media_id, frame_index LIMIT 750
 """
 
 
+def q_media_fmp4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fragmented-MP4 (fMP4/CMAF) gate (sources/mp4.py, ISO 14496-12
+    §8.8): each document becomes a self-initializing segment stream —
+    ``ftyp | moov(mvex/trex, zero-sample stbl) | (styp moof mdat)*`` —
+    holding three 8x4 grayscale ``'raw '`` frames whose pixel bytes are
+    the 32 hex chars of ``md5(text || f)``, split across fragments with
+    ``samples_per_fragment`` rotating 1/2/3 by doc_id (so fragment
+    boundaries land before/inside/after every sample position), PLUS a
+    G.711 u-law audio track whose trun omits per-sample sizes (decode
+    must resolve them through the trex default) — crawled DASH/HLS
+    video is predominantly this shape, not progressive moov+mdat.
+    Frames explode through ``sample_frames(every_n=2)``; raw gray
+    promotes to RGB (every byte tripled), so DuckDB replays the whole
+    pipeline with string arithmetic: any mvex/trex, mfhd sequence,
+    tfhd flag, trun offset, or traf base-offset bug changes the md5 or
+    leaks audio bytes into the frame list."""
+    from physicsnemo_curator_spark.sources import mp4 as _mp4
+    from physicsnemo_curator_spark.sources import multimodal
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 250)
+        .select("doc_id", "text")
+    )
+
+    def encode(it):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        def hex_frame(text, f):
+            return np.frombuffer(
+                hashlib.md5(
+                    (text + str(f)).encode("utf-8")
+                ).hexdigest().encode("ascii"),
+                dtype=np.uint8,
+            ).reshape(4, 8)
+
+        for pdf in it:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                seg = _mp4.encode_fmp4(
+                    [hex_frame(text, f) for f in range(3)],
+                    fps=12,
+                    codec="raw",
+                    samples_per_fragment=int(doc_id) % 3 + 1,
+                    audio=np.full(48, 0.25),
+                    sample_rate=8000,
+                    audio_codec="ulaw",
+                )
+                rows.append(
+                    (int(doc_id), "video", seg, None, None, len(seg))
+                )
+            pdf_out = pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "kind", "payload", "width", "height",
+                    "n_bytes",
+                ],
+            )
+            pdf_out["width"] = pd.array(pdf_out["width"], dtype="Int32")
+            pdf_out["height"] = pd.array(pdf_out["height"], dtype="Int32")
+            yield pdf_out
+
+    media = docs.mapInPandas(
+        encode,
+        "media_id long, kind string, payload binary, width int, "
+        "height int, n_bytes long",
+    )
+    frames = multimodal.sample_frames(media, every_n=2)
+    return (
+        frames.select(
+            "media_id",
+            "frame_index",
+            F.md5("payload").alias("frame_md5"),
+            "width",
+            "height",
+        )
+        .orderBy("media_id", "frame_index")
+        .limit(500)
+    )
+
+
+ORACLE_MEDIA_FMP4 = """
+WITH m AS (
+    SELECT doc_id AS media_id, u.f AS frame_index,
+           md5(text || CAST(u.f AS VARCHAR)) AS hex
+    FROM documents, (SELECT UNNEST([0, 2]) AS f) u
+    WHERE doc_id < 250
+)
+SELECT media_id, CAST(frame_index AS INT) AS frame_index,
+       md5(array_to_string(
+           list_transform(range(1, 33), i -> repeat(hex[i], 3)), ''
+       )) AS frame_md5,
+       CAST(8 AS INT) AS width, CAST(4 AS INT) AS height
+FROM m
+ORDER BY media_id, frame_index LIMIT 500
+"""
+
+
 def q_media_stillimage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BMP / TIFF / GIF still-image gate (sources/{bmp,tiff,gif}.py):
     each document's md5 hex chars become a 4x8 grayscale image pushed
@@ -8811,6 +8912,7 @@ QUERIES: dict[str, QuerySpec] = {
         q_media_audiohash, ORACLE_MEDIA_AUDIOHASH
     ),
     "q_media_mp4_mkv": QuerySpec(q_media_mp4_mkv, ORACLE_MEDIA_MP4_MKV),
+    "q_media_fmp4": QuerySpec(q_media_fmp4, ORACLE_MEDIA_FMP4),
     "q_media_stillimage": QuerySpec(
         q_media_stillimage, ORACLE_MEDIA_STILLIMAGE
     ),
@@ -9044,69 +9146,17 @@ QUERIES: dict[str, QuerySpec] = {
 }
 
 
-# r09 driver-window rotation (same explicit-list mechanism as r08).
-# r10 rotation (VERDICT-r09 ask #1): first 50 = the gates NEW this
-# round (first green row needed), then ALL 34 rows last driver-checked
-# r07 (none older than r08 remains after r10), then the stalest r08
-# rows up to position 50.  Tail = remaining r08 cohort (they head the
-# r11 window), then the 50 r09-green rows.
+# r11 driver-window rotation (VERDICT-r10 ask #1; same explicit-list
+# mechanism as r08-r10).  First 50 = the full 41-row cohort last
+# driver-checked r08 (staged at positions 50-99 during r10), then the 9
+# stalest r09 rows.  After r11 no registered query is staler than r09.
+# Tail = remaining r09 cohort (positions 50-89: they stage the r12
+# window), then the 50 rows last gated r10 (freshest last).
 _DRIVER_ORDER = [
-    # --- NEW this round (r10): new gates + gates whose fixture
-    # changed (mp4_mkv now writes laced audio) ---
-    "q_bpe_train_hist",
-    "q_media_mp4_mkv",
-    "q_semantic_incremental",
-    "q_st4_stream_interval_join",
-    "q_dashboard_index",
-    "q_dashboard_workers",
-    "q_media_resample",
-    # --- last driver-checked r07 (all 34) ---
-    "q_a3_pivot_counts",
-    "q_a8_welford_state",
-    "q_a11_heavy_hitters",
-    "q_sketch_distinct",
-    "q_validate_expectations",
-    "q_profile_columns",
-    "q_j1_broadcast_join",
-    "q_j2_point_to_cell",
-    "q_j3_scatter_mean",
-    "q_j4_range_join",
-    "q_j5_semi_join",
-    "q_s3_edge_dedup",
-    "q_m1_von_mises",
-    "q_scan_pushdown",
-    "q_precision_downcast",
-    "q_global_inject",
-    "q_ts_asof_join",
-    "q_ts_rollup_daily",
-    "q_w4_sessionize",
-    "q_dedup_exact",
-    "q_dedup_ngram_jaccard",
-    "q_sample_split",
-    "q_text_redact_pii",
-    "q_text_logprob",
-    "q_text_decontaminate",
-    "q_emb_outliers",
-    "q_text_features",
-    "q_text_winnow",
-    "q_text_lang_quality",
-    "q_text_vocab",
-    "q_text_tfidf_sim",
-    "q_ann_cosine_topk",
-    "q_text_token_ids",
-    "q_pack_sequences",
-    # --- stalest r08 rows (9 in-window) ---
-    "q_d3plot_scan",
-    "q_aselmdb_scan",
-    "q_zarr_roundtrip",
-    "q_netcdf3_roundtrip",
-    "q_openradioss_scan",
-    "q_dataset_layout",
-    "q_warc_scan",
-    "q_text_span_dedup_xx",
-    "q_sketch_bloom",
+    # --- NEW this round (r11): fragmented MP4 (first green row needed) ---
+    "q_media_fmp4",
+    # --- last driver-checked r08 (all 41) ---
     "q_sketch_cms",
-    # --- remaining r08 cohort (head of the r11 window) ---
     "q_text_substring_dup",
     "q_text_substring_rm",
     "q_mix_temperature",
@@ -9147,7 +9197,7 @@ _DRIVER_ORDER = [
     "q_dedup_components",
     "q_text_span_dedup",
     "q_text_repetition",
-    # --- r09-green cohort ---
+    # --- stalest r09 rows (fill to position 50) ---
     "q_text_sentences",
     "q_corpus_card",
     "q_media_subtitles",
@@ -9156,6 +9206,7 @@ _DRIVER_ORDER = [
     "q_url_normalize",
     "q_web_extract",
     "q_bpe_train",
+    # --- remaining r09 cohort (head of the r12 window) ---
     "q_webdataset",
     "q_quality_regression",
     "q_media_qoi_pnm",
@@ -9197,6 +9248,57 @@ _DRIVER_ORDER = [
     "q_sample_stratified",
     "q_a1_moment_stats",
     "q_a2_elementwise_stats",
+    # --- r10-green cohort ---
+    "q_bpe_train_hist",
+    "q_media_mp4_mkv",
+    "q_semantic_incremental",
+    "q_st4_stream_interval_join",
+    "q_dashboard_index",
+    "q_dashboard_workers",
+    "q_media_resample",
+    "q_a3_pivot_counts",
+    "q_a8_welford_state",
+    "q_a11_heavy_hitters",
+    "q_sketch_distinct",
+    "q_validate_expectations",
+    "q_profile_columns",
+    "q_j1_broadcast_join",
+    "q_j2_point_to_cell",
+    "q_j3_scatter_mean",
+    "q_j4_range_join",
+    "q_j5_semi_join",
+    "q_s3_edge_dedup",
+    "q_m1_von_mises",
+    "q_scan_pushdown",
+    "q_precision_downcast",
+    "q_global_inject",
+    "q_ts_asof_join",
+    "q_ts_rollup_daily",
+    "q_w4_sessionize",
+    "q_dedup_exact",
+    "q_dedup_ngram_jaccard",
+    "q_sample_split",
+    "q_text_redact_pii",
+    "q_text_logprob",
+    "q_text_decontaminate",
+    "q_emb_outliers",
+    "q_text_features",
+    "q_text_winnow",
+    "q_text_lang_quality",
+    "q_text_vocab",
+    "q_text_tfidf_sim",
+    "q_ann_cosine_topk",
+    "q_text_token_ids",
+    "q_pack_sequences",
+    "q_d3plot_scan",
+    "q_aselmdb_scan",
+    "q_zarr_roundtrip",
+    "q_netcdf3_roundtrip",
+    "q_openradioss_scan",
+    "q_dataset_layout",
+    "q_warc_scan",
+    "q_text_span_dedup_xx",
+    "q_sketch_bloom",
 ]
 
 

@@ -21,6 +21,20 @@ Anything outside that subset — ``avc1``/``hvc1`` H.26x video,
 ``NotImplementedError`` loudly (the module's honest-subset contract,
 same as the JPEG/PNG/FLAC codecs).
 
+**Fragmented MP4 (fMP4 / CMAF)** is supported end to end per ISO/IEC
+14496-12 §8.8: the decoder resolves ``mvex``/``trex`` track defaults
+and per-fragment ``moof``/``mfhd``/``traf`` (``tfhd`` with all five
+optional-field flags plus ``default-base-is-moof``, ``tfdt``, multiple
+``trun`` runs per traf with per-sample or defaulted sizes), including
+the legacy base-data-offset rule (first traf = moof start, later trafs
+= end of the preceding traf's data).  Crawled web video is
+predominantly DASH/HLS fMP4 segments, so a self-initializing segment
+stream (``ftyp|moov(mvex)|`` then ``[styp]moof|mdat``…) yields exactly
+the same frames/samples tables as a progressive file; a progressive
+``moov`` sample table followed by fragments concatenates, matching the
+spec's sample-numbering order.  ``mfhd`` sequence numbers must be
+strictly increasing — a corrupt segment concatenation fails loudly.
+
 Scale shape: containers are decoded task-side inside ``mapInPandas``
 batches — one task per file/payload, exactly like the VTK/GRIB2
 binary-scan family, so throughput scales with file count.
@@ -337,12 +351,191 @@ def encode_mp4_with_audio(
 
 
 # ---------------------------------------------------------------------------
+# fragmented MP4 (ISO 14496-12 §8.8) — encode
+
+
+def _stbl_empty(entry: bytes) -> bytes:
+    """Zero-sample stbl for a fragmented track: the sample description
+    stays in stsd, all sample tables are empty (samples live in moofs)."""
+    stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
+    stts = _full(b"stts", 0, 0, struct.pack(">I", 0))
+    stsc = _full(b"stsc", 0, 0, struct.pack(">I", 0))
+    stsz = _full(b"stsz", 0, 0, struct.pack(">II", 0, 0))
+    stco = _full(b"stco", 0, 0, struct.pack(">I", 0))
+    return _box(b"stbl", stsd + stts + stsc + stsz + stco)
+
+
+def _trex(track_id: int, default_duration: int, default_size: int) -> bytes:
+    return _full(
+        b"trex",
+        0,
+        0,
+        struct.pack(">IIIII", track_id, 1, default_duration, default_size, 0),
+    )
+
+
+def _tfhd(track_id: int) -> bytes:
+    # 0x020000 = default-base-is-moof (offsets relative to moof start)
+    return _full(b"tfhd", 0, 0x020000, struct.pack(">I", track_id))
+
+
+def _tfdt(decode_time: int) -> bytes:
+    return _full(b"tfdt", 1, 0, struct.pack(">Q", decode_time))
+
+
+def _trun(sizes: list[int] | int, count: int, data_offset: int) -> bytes:
+    """Track run: data-offset always present; per-sample sizes when a
+    list is given, else sizes come from the trex default (int = count
+    with defaulted size — exercises the default-size decode path)."""
+    if isinstance(sizes, list):
+        flags = 0x000001 | 0x000200
+        body = struct.pack(">Ii", count, data_offset) + struct.pack(
+            ">%dI" % count, *sizes
+        )
+    else:
+        flags = 0x000001
+        body = struct.pack(">Ii", count, data_offset)
+    return _full(b"trun", 0, flags, body)
+
+
+def encode_fmp4(
+    frames: list[np.ndarray],
+    *,
+    fps: int = 30,
+    codec: str = "mjpeg",
+    quality: int = 90,
+    samples_per_fragment: int = 2,
+    audio: np.ndarray | None = None,
+    sample_rate: int = 8000,
+    audio_codec: str = "sowt",
+) -> bytes:
+    """Encode frames (and optionally audio) as a **fragmented** ISO
+    BMFF stream: ``ftyp | moov(mvex/trex, zero-sample stbl) |
+    (styp moof mdat)*`` — the self-initializing CMAF segment layout
+    that DASH/HLS crawls produce.  Each moof carries one video traf
+    (per-sample trun sizes) and, when ``audio`` is given, one audio
+    traf whose trun omits sizes so decode must fall back to the trex
+    default — both tfhd use default-base-is-moof.  ``mfhd`` sequence
+    numbers start at 1 and increase by 1."""
+    from . import jpeg as _jpeg
+
+    if not frames:
+        raise ValueError("cannot encode an empty frame list")
+    if samples_per_fragment < 1:
+        raise ValueError("samples_per_fragment must be >= 1")
+    h, w = frames[0].shape[:2]
+    for f in frames:
+        if f.shape[:2] != (h, w) or f.dtype != np.uint8:
+            raise ValueError("all frames must be uint8 with equal shape")
+    if codec == "mjpeg":
+        payloads = [_jpeg.encode_jpeg(f, quality=quality) for f in frames]
+        entry = _video_entry(b"jpeg", w, h)
+    elif codec == "raw":
+        payloads = [_raw_encode(f) for f in frames]
+        entry = _video_entry(b"raw ", w, h)
+    else:
+        raise ValueError(f"unknown codec {codec!r}")
+
+    have_audio = audio is not None
+    if have_audio:
+        a_payload, channels, bits, bpf = _audio_payload(audio, audio_codec)
+        n_aframes = len(a_payload) // bpf
+    ftyp = _box(
+        b"ftyp", b"iso5" + struct.pack(">I", 0x200) + b"iso5" + b"isom"
+    )
+    v_trak = _trak(
+        _tkhd(1, 0, w, h),
+        _mdhd(fps, 0),
+        _hdlr(b"vide", b"VideoHandler"),
+        _full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0)),
+        _stbl_empty(entry),
+    )
+    traks = v_trak
+    trexes = _trex(1, 1, 0)
+    next_track = 2
+    if have_audio:
+        traks += _trak(
+            _tkhd(2, 0, 0, 0),
+            _mdhd(sample_rate, 0),
+            _hdlr(b"soun", b"SoundHandler"),
+            _full(b"smhd", 0, 0, struct.pack(">hH", 0, 0)),
+            _stbl_empty(
+                _audio_entry(
+                    _AUDIO_FOURCC[audio_codec], channels, bits, sample_rate
+                )
+            ),
+        )
+        trexes += _trex(2, 1, bpf)
+        next_track = 3
+    mvhd = _full(
+        b"mvhd",
+        0,
+        0,
+        struct.pack(">IIII", 0, 0, _MOVIE_TIMESCALE, 0)
+        + struct.pack(">IHH", 0x00010000, 0x0100, 0)
+        + b"\x00" * 8
+        + _MATRIX_IDENTITY
+        + b"\x00" * 24
+        + struct.pack(">I", next_track),
+    )
+    out = [ftyp, _box(b"moov", mvhd + traks + _box(b"mvex", trexes))]
+
+    n_frag = (len(payloads) + samples_per_fragment - 1) // samples_per_fragment
+    styp = _box(
+        b"styp", b"iso5" + struct.pack(">I", 0x200) + b"iso5" + b"isom"
+    )
+    a_done = 0
+    for i in range(n_frag):
+        chunk = payloads[
+            i * samples_per_fragment : (i + 1) * samples_per_fragment
+        ]
+        sizes = [len(p) for p in chunk]
+        a_chunk = b""
+        a_count = 0
+        if have_audio:
+            a_count = (
+                n_aframes - a_done
+                if i == n_frag - 1
+                else n_aframes // n_frag
+            )
+            a_chunk = a_payload[a_done * bpf : (a_done + a_count) * bpf]
+
+        def build(moof_len: int) -> bytes:
+            data_off_v = moof_len + 8
+            traf_v = _box(
+                b"traf",
+                _tfhd(1)
+                + _tfdt(i * samples_per_fragment)
+                + _trun(sizes, len(chunk), data_off_v),
+            )
+            body = _full(b"mfhd", 0, 0, struct.pack(">I", i + 1)) + traf_v
+            if have_audio:
+                body += _box(
+                    b"traf",
+                    _tfhd(2)
+                    + _tfdt(a_done)
+                    + _trun(bpf, a_count, data_off_v + sum(sizes)),
+                )
+            return _box(b"moof", body)
+
+        # two passes: trun data offsets depend on the (fixed-width)
+        # moof size, so size converges after one rebuild
+        moof = build(len(build(0)))
+        out.append(styp + moof + _box(b"mdat", b"".join(chunk) + a_chunk))
+        a_done += a_count
+    return b"".join(out)
+
+
+# ---------------------------------------------------------------------------
 # decode
 
 
-def _walk_boxes(data: bytes, pos: int, end: int):
-    """Yield (fourcc, body_start, body_end) for a box run; handles
-    64-bit largesize and size-0 (extends to end) per 14496-12 §4.2."""
+def _walk_boxes_spans(data: bytes, pos: int, end: int):
+    """Yield (fourcc, box_start, body_start, body_end) for a box run;
+    handles 64-bit largesize and size-0 (extends to end) per
+    14496-12 §4.2.  box_start is needed by the fragment decoder: the
+    default-base-is-moof rule anchors trun offsets at the moof's first
+    byte."""
     while pos + 8 <= end:
         (size,) = struct.unpack_from(">I", data, pos)
         fourcc = data[pos + 4 : pos + 8]
@@ -359,8 +552,14 @@ def _walk_boxes(data: bytes, pos: int, end: int):
             box_end = pos + size
         if box_end < body or box_end > end:
             raise ValueError("truncated ISO BMFF box")
-        yield fourcc, body, box_end
+        yield fourcc, pos, body, box_end
         pos = box_end
+
+
+def _walk_boxes(data: bytes, pos: int, end: int):
+    """Yield (fourcc, body_start, body_end) for a box run."""
+    for fourcc, _start, body, box_end in _walk_boxes_spans(data, pos, end):
+        yield fourcc, body, box_end
 
 
 def _children(data: bytes, body: int, end: int) -> dict[bytes, tuple[int, int]]:
@@ -460,12 +659,19 @@ def _parse_mdhd(data: bytes, span: tuple[int, int]) -> tuple[int, int]:
 
 
 def _iter_traks(data: bytes, moov: tuple[int, int]):
+    """Yield (track_id, handler, mdhd_span, stbl_span) per trak."""
     for fourcc, b, e in _walk_boxes(data, *moov):
         if fourcc != b"trak":
             continue
         ch = _children(data, b, e)
         if b"mdia" not in ch:
             continue
+        track_id = 0
+        if b"tkhd" in ch:
+            version, p, _e = _full_body(data, ch[b"tkhd"])
+            (track_id,) = struct.unpack_from(
+                ">I", data, p + (16 if version == 1 else 8)
+            )
         mdia = _children(data, *ch[b"mdia"])
         if b"hdlr" not in mdia or b"minf" not in mdia or b"mdhd" not in mdia:
             continue
@@ -474,7 +680,146 @@ def _iter_traks(data: bytes, moov: tuple[int, int]):
         minf = _children(data, *mdia[b"minf"])
         if b"stbl" not in minf:
             continue
-        yield handler, mdia[b"mdhd"], minf[b"stbl"]
+        yield track_id, handler, mdia[b"mdhd"], minf[b"stbl"]
+
+
+def _parse_trex_defaults(
+    data: bytes, moov: tuple[int, int]
+) -> dict[int, tuple[int, int]]:
+    """mvex/trex per-track (default_sample_duration, default_sample_size);
+    empty when the file is not fragmented."""
+    ch = _children(data, *moov)
+    if b"mvex" not in ch:
+        return {}
+    out: dict[int, tuple[int, int]] = {}
+    for fourcc, b, e in _walk_boxes(data, *ch[b"mvex"]):
+        if fourcc != b"trex":
+            continue
+        _, p, _e = _full_body(data, (b, e))
+        track_id, _sdi, d_dur, d_size, _flags = struct.unpack_from(
+            ">IIIII", data, p
+        )
+        out[track_id] = (d_dur, d_size)
+    return out
+
+
+def _traf_samples(
+    data: bytes,
+    traf: tuple[int, int],
+    moof_start: int,
+    prev_traf_end: int | None,
+    trex: dict[int, tuple[int, int]],
+) -> tuple[int, int, list[tuple[int, int]], int | None]:
+    """Resolve one traf (14496-12 §8.8.7/8.8.8) into absolute
+    (offset, size) samples.  Returns (track_id, default_duration,
+    samples, data_end) where data_end feeds the legacy base-offset rule
+    of the NEXT traf."""
+    tfhd = None
+    truns: list[tuple[int, int]] = []
+    for f, b, e in _walk_boxes(data, *traf):
+        if f == b"tfhd":
+            tfhd = (b, e)
+        elif f == b"trun":
+            truns.append((b, e))
+    if tfhd is None:
+        raise ValueError("traf missing tfhd")
+    (vf,) = struct.unpack_from(">I", data, tfhd[0])
+    flags = vf & 0xFFFFFF
+    p = tfhd[0] + 4
+    (track_id,) = struct.unpack_from(">I", data, p)
+    p += 4
+    base = None
+    if flags & 0x000001:  # base-data-offset-present
+        (base,) = struct.unpack_from(">Q", data, p)
+        p += 8
+    if flags & 0x000002:  # sample-description-index-present
+        p += 4
+    d_dur, d_size = trex.get(track_id, (0, 0))
+    if flags & 0x000008:  # default-sample-duration-present
+        (d_dur,) = struct.unpack_from(">I", data, p)
+        p += 4
+    if flags & 0x000010:  # default-sample-size-present
+        (d_size,) = struct.unpack_from(">I", data, p)
+        p += 4
+    if base is None:
+        if flags & 0x020000 or prev_traf_end is None:
+            # default-base-is-moof, or first traf under the legacy rule
+            base = moof_start
+        else:
+            # legacy: end of the preceding traf's data
+            base = prev_traf_end
+    pos: int | None = None
+    samples: list[tuple[int, int]] = []
+    for tb, _te in truns:
+        (vf2,) = struct.unpack_from(">I", data, tb)
+        tflags = vf2 & 0xFFFFFF
+        q = tb + 4
+        (count,) = struct.unpack_from(">I", data, q)
+        q += 4
+        if tflags & 0x000001:  # data-offset-present (signed)
+            (doff,) = struct.unpack_from(">i", data, q)
+            q += 4
+            pos = base + doff
+        elif pos is None:
+            pos = base
+        if tflags & 0x000004:  # first-sample-flags-present
+            q += 4
+        for _ in range(count):
+            if tflags & 0x000100:  # sample-duration-present
+                q += 4
+            if tflags & 0x000200:  # sample-size-present
+                (size,) = struct.unpack_from(">I", data, q)
+                q += 4
+            else:
+                size = d_size
+                if not size:
+                    raise ValueError(
+                        "trun sample without a size and no tfhd/trex default"
+                    )
+            if tflags & 0x000400:  # sample-flags-present
+                q += 4
+            if tflags & 0x000800:  # composition-time-offset-present
+                q += 4
+            if pos + size > len(data):
+                raise ValueError("fragment sample beyond end of data")
+            samples.append((pos, size))
+            pos += size
+    return track_id, d_dur, samples, pos if pos is not None else prev_traf_end
+
+
+def _fragment_samples(
+    data: bytes, want_track_id: int, trex: dict[int, tuple[int, int]]
+) -> tuple[list[tuple[int, int]], int]:
+    """All moof/traf samples for one track, in fragment order.
+    Returns (samples, default_duration).  mfhd sequence numbers must be
+    strictly increasing — a corrupt segment concatenation fails here
+    rather than yielding silently reordered media."""
+    samples: list[tuple[int, int]] = []
+    duration = trex.get(want_track_id, (0, 0))[0]
+    last_seq = 0
+    for fourcc, start, body, end in _walk_boxes_spans(data, 0, len(data)):
+        if fourcc != b"moof":
+            continue
+        prev_end: int | None = None
+        for f, b, e in _walk_boxes(data, body, end):
+            if f == b"mfhd":
+                _, p, _e = _full_body(data, (b, e))
+                (seq,) = struct.unpack_from(">I", data, p)
+                if seq <= last_seq:
+                    raise ValueError(
+                        "moof sequence numbers not strictly increasing "
+                        f"({seq} after {last_seq})"
+                    )
+                last_seq = seq
+            elif f == b"traf":
+                tid, d_dur, s, prev_end = _traf_samples(
+                    data, (b, e), start, prev_end, trex
+                )
+                if tid == want_track_id:
+                    samples.extend(s)
+                    if d_dur:
+                        duration = d_dur
+    return samples, duration
 
 
 def parse_mp4(data: bytes) -> dict:
@@ -489,7 +834,11 @@ def parse_mp4(data: bytes) -> dict:
     boxes = _children(data, 0, len(data))
     if b"moov" not in boxes:
         raise ValueError("ISO BMFF missing moov")
-    for handler, mdhd_span, stbl_span in _iter_traks(data, boxes[b"moov"]):
+    trex = _parse_trex_defaults(data, boxes[b"moov"])
+    fragmented = bool(trex) or b"moof" in boxes
+    for track_id, handler, mdhd_span, stbl_span in _iter_traks(
+        data, boxes[b"moov"]
+    ):
         if handler != b"vide":
             continue
         st = _parse_stbl(data, stbl_span)
@@ -507,6 +856,12 @@ def parse_mp4(data: bytes) -> dict:
         timescale, _duration = _parse_mdhd(data, mdhd_span)
         delta = st.get("stts_delta", 0)
         frames = _resolve_samples(st)
+        if fragmented:
+            # 14496-12 §8.8: fragment samples follow the moov samples
+            frag, frag_delta = _fragment_samples(data, track_id, trex)
+            frames += frag
+            if not delta:
+                delta = frag_delta
         meta = {
             "width": int(w),
             "height": int(h),
@@ -517,6 +872,7 @@ def parse_mp4(data: bytes) -> dict:
             "timescale": int(timescale),
             "frame_delta": int(delta),
             "codec": codec,
+            "fragmented": fragmented,
         }
         return {"meta": meta, "frames": frames}
     raise ValueError("ISO BMFF has no video (vide) track")
@@ -572,7 +928,11 @@ def extract_mp4_audio(data: bytes) -> tuple[np.ndarray, dict]:
     boxes = _children(data, 0, len(data))
     if b"moov" not in boxes:
         raise ValueError("ISO BMFF missing moov")
-    for handler, mdhd_span, stbl_span in _iter_traks(data, boxes[b"moov"]):
+    trex = _parse_trex_defaults(data, boxes[b"moov"])
+    fragmented = bool(trex) or b"moof" in boxes
+    for track_id, handler, mdhd_span, stbl_span in _iter_traks(
+        data, boxes[b"moov"]
+    ):
         if handler != b"soun":
             continue
         st = _parse_stbl(data, stbl_span)
@@ -584,9 +944,10 @@ def extract_mp4_audio(data: bytes) -> tuple[np.ndarray, dict]:
         if not sample_rate:
             timescale, _d = _parse_mdhd(data, mdhd_span)
             sample_rate = timescale
-        payload = b"".join(
-            data[o : o + s] for o, s in _resolve_samples(st)
-        )
+        spans = _resolve_samples(st)
+        if fragmented:
+            spans += _fragment_samples(data, track_id, trex)[0]
+        payload = b"".join(data[o : o + s] for o, s in spans)
         if fourcc == b"sowt":
             arr = np.frombuffer(payload, "<i2").astype(np.float64) / 32768.0
         elif fourcc == b"twos":

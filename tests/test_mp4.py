@@ -216,3 +216,170 @@ def test_extract_features_real_mp4_stats(spark):
     assert feat.feature[:4] == [4.0, 6.0, 12.0, 5.0]
     assert abs(feat.feature[4] - 100 / 255) < 1e-9
     assert feat.feature[5] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# fragmented MP4 (14496-12 §8.8)
+
+
+def test_fmp4_raw_roundtrip_exact():
+    frames = _frames(n=7)
+    data = mp4.encode_fmp4(frames, fps=24, codec="raw", samples_per_fragment=3)
+    out, meta = mp4.decode_mp4(data)
+    assert meta["fragmented"] is True
+    assert meta["fps"] == 24 and meta["n_frames"] == 7
+    for a, b in zip(frames, out):
+        assert np.array_equal(a, b)
+
+
+def test_fmp4_mjpeg_matches_progressive_decode():
+    frames = _frames(n=4, rgb=False)
+    frag = mp4.encode_fmp4(frames, fps=10, codec="mjpeg", quality=85,
+                           samples_per_fragment=2)
+    prog = mp4.encode_mp4(frames, fps=10, codec="mjpeg", quality=85)
+    df, _ = mp4.decode_mp4(frag)
+    dp, _ = mp4.decode_mp4(prog)
+    assert len(df) == len(dp) == 4
+    for a, b in zip(df, dp):
+        assert np.array_equal(a, b)
+
+
+def test_fmp4_structure_pins():
+    """Init segment + per-fragment styp|moof|mdat, zero-sample stbl,
+    trex defaults present."""
+    frames = _frames(n=4)
+    data = mp4.encode_fmp4(frames, fps=12, codec="raw",
+                           samples_per_fragment=2)
+    top = [f for f, _b, _e in mp4._walk_boxes(data, 0, len(data))]
+    assert top[:2] == [b"ftyp", b"moov"]
+    assert top[2:] == [b"styp", b"moof", b"mdat"] * 2
+    boxes = mp4._children(data, 0, len(data))
+    moov_ch = mp4._children(data, *boxes[b"moov"])
+    assert b"mvex" in moov_ch
+    trex = mp4._parse_trex_defaults(data, boxes[b"moov"])
+    assert trex == {1: (1, 0)}
+    # the moov sample table is empty: without fragments, zero frames
+    for _tid, _h, _mdhd, stbl in mp4._iter_traks(data, boxes[b"moov"]):
+        st = mp4._parse_stbl(data, stbl)
+        assert st["sizes"] == [] and st["chunk_offsets"] == []
+
+
+def test_fmp4_audio_track_uses_trex_default_size():
+    """The audio trun omits per-sample sizes, so decode must resolve
+    them through the trex default — and the payload must round-trip."""
+    frames = _frames(n=4)
+    audio = np.sin(np.linspace(0, 30, 960)) * 0.7
+    data = mp4.encode_fmp4(frames, fps=12, codec="raw",
+                           samples_per_fragment=2, audio=audio,
+                           sample_rate=16000, audio_codec="twos")
+    arr, meta = mp4.extract_mp4_audio(data)
+    assert meta["sample_rate"] == 16000 and meta["n_frames"] == 960
+    assert np.abs(arr - audio).max() < 1.5 / 32767
+    # video track unaffected by the audio trafs
+    out, _ = mp4.decode_mp4(data)
+    assert all(np.array_equal(a, b) for a, b in zip(frames, out))
+
+
+def test_fmp4_sequence_number_guard():
+    frames = _frames(n=4)
+    data = mp4.encode_fmp4(frames, fps=12, codec="raw",
+                           samples_per_fragment=2)
+    second = data.find(b"mfhd", data.find(b"mfhd") + 4)
+    bad = bytearray(data)
+    struct.pack_into(">I", bad, second + 8, 1)  # duplicate seq 1
+    with pytest.raises(ValueError, match="sequence numbers"):
+        mp4.parse_mp4(bytes(bad))
+
+
+def test_fmp4_trun_without_size_or_default_raises():
+    frames = _frames(n=2)
+    data = mp4.encode_fmp4(frames, fps=12, codec="raw",
+                           samples_per_fragment=2)
+    # zero the trex default_sample_size AND strip per-sample sizes is
+    # involved; instead corrupt the trun flags to drop size-present so
+    # the video track (trex default 0) has no size source
+    pos = data.find(b"trun")
+    bad = bytearray(data)
+    # flags live in the 3 bytes after the version byte at pos+4
+    flags = int.from_bytes(data[pos + 5 : pos + 8], "big") & ~0x000200
+    bad[pos + 5 : pos + 8] = flags.to_bytes(3, "big")
+    with pytest.raises(ValueError, match="no tfhd/trex default"):
+        mp4.parse_mp4(bytes(bad))
+
+
+def test_fmp4_legacy_base_offset_rule():
+    """Hand-built moof with TWO trafs and NO default-base-is-moof /
+    base_data_offset: the first traf anchors at the moof start, the
+    second at the end of the first traf's data (14496-12 §8.8.7)."""
+    frames = _frames(n=2)
+    h, w = frames[0].shape[:2]
+    payloads = [mp4._raw_encode(f) for f in frames]
+    sizes = [len(p) for p in payloads]
+    entry = mp4._video_entry(b"raw ", w, h)
+    ftyp = mp4._box(b"ftyp", b"iso5" + struct.pack(">I", 0x200) + b"iso5")
+    mvhd = mp4._full(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, 1000, 0)
+        + struct.pack(">IHH", 0x00010000, 0x0100, 0) + b"\x00" * 8
+        + mp4._MATRIX_IDENTITY + b"\x00" * 24 + struct.pack(">I", 2))
+    trak = mp4._trak(
+        mp4._tkhd(1, 0, w, h), mp4._mdhd(12, 0),
+        mp4._hdlr(b"vide", b"VideoHandler"),
+        mp4._full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0)),
+        mp4._stbl_empty(entry))
+    moov = mp4._box(
+        b"moov", mvhd + trak + mp4._box(b"mvex", mp4._trex(1, 1, 0)))
+
+    def tfhd_plain(track_id):  # flags 0: no base, no default-base-is-moof
+        return mp4._full(b"tfhd", 0, 0, struct.pack(">I", track_id))
+
+    def build(moof_len):
+        # traf 1: sample 0 with explicit data offset (moof-start anchor)
+        t1 = mp4._box(b"traf", tfhd_plain(1)
+                      + mp4._trun([sizes[0]], 1, moof_len + 8))
+        # traf 2: NO data offset -> anchors at end of traf 1's data
+        trun2 = mp4._full(b"trun", 0, 0x000200,
+                          struct.pack(">I", 1) + struct.pack(">I", sizes[1]))
+        t2 = mp4._box(b"traf", tfhd_plain(1) + trun2)
+        return mp4._box(
+            b"moof", mp4._full(b"mfhd", 0, 0, struct.pack(">I", 1)) + t1 + t2)
+
+    moof = build(len(build(0)))
+    data = ftyp + moov + moof + mp4._box(b"mdat", b"".join(payloads))
+    out, meta = mp4.decode_mp4(data)
+    assert meta["n_frames"] == 2
+    for a, b in zip(frames, out):
+        assert np.array_equal(a, b)
+
+
+def test_progressive_then_fragments_concatenates_samples():
+    """A progressive moov sample table plus trailing moof fragments:
+    fragment samples follow the moov samples in decode order."""
+    head_frames = _frames(n=2, seed=1)
+    tail_frames = _frames(n=2, seed=2)
+    prog = mp4.encode_mp4(head_frames, fps=12, codec="raw")
+    # graft an mvex into the moov and append a fragment for the same
+    # track; rebuild the moov box with mvex appended
+    boxes = mp4._children(prog, 0, len(prog))
+    mb, me = boxes[b"moov"]
+    mvex = mp4._box(b"mvex", mp4._trex(1, 1, 0))
+    new_moov = mp4._box(b"moov", prog[mb:me] + mvex)
+    pre = prog[: mb - 8] + new_moov
+    payloads = [mp4._raw_encode(f) for f in tail_frames]
+    sizes = [len(p) for p in payloads]
+
+    def build(moof_len):
+        traf = mp4._box(
+            b"traf",
+            mp4._tfhd(1) + mp4._tfdt(2)
+            + mp4._trun(sizes, 2, moof_len + 8))
+        return mp4._box(
+            b"moof",
+            mp4._full(b"mfhd", 0, 0, struct.pack(">I", 1)) + traf)
+
+    moof = build(len(build(0)))
+    data = pre + moof + mp4._box(b"mdat", b"".join(payloads))
+    out, meta = mp4.decode_mp4(data)
+    assert meta["n_frames"] == 4 and meta["fragmented"] is True
+    for a, b in zip(head_frames + tail_frames, out):
+        assert np.array_equal(a, b)

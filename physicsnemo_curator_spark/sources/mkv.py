@@ -206,7 +206,8 @@ def _laced_simple_block(
     if len(payloads) == 1:
         return _simple_block(track, rel_ts, payloads[0])
     if not 2 <= len(payloads) <= 256:
-        raise ValueError("lace frame count must be in 1..256")
+        # single-payload lists take the unlaced early return above
+        raise ValueError("lace frame count must be in 2..256")
     if not 0 < track < 128:
         raise ValueError("track number out of 1-byte vint range")
     flag = _LACE_FLAG[lacing]
@@ -457,18 +458,28 @@ def _block_frames(
     if track is None:
         raise ValueError("block with unknown track number")
     pos += 2  # int16 relative timestamp
+    if pos >= e:
+        raise ValueError("truncated block header")
     flags = data[pos]
     pos += 1
     lacing = flags & 0x06
     if lacing == 0:
         return track, [(pos, e)]
+    if pos >= e:
+        raise ValueError("truncated laced block: missing frame count")
     count = data[pos] + 1
     pos += 1
     sizes: list[int] = []
+    # every size-table read is bounded by the block end e: a truncated
+    # or malformed lace table must fail with the codec's ValueError
+    # contract, never an IndexError or a silent read into the next
+    # element's bytes
     if lacing == 0x02:  # Xiph: 255-run coding per frame but the last
         for _ in range(count - 1):
             sz = 0
             while True:
+                if pos >= e:
+                    raise ValueError("truncated Xiph lace size table")
                 v = data[pos]
                 pos += 1
                 sz += v
@@ -479,13 +490,19 @@ def _block_frames(
         # a 1-frame lace has ZERO size entries (the table codes all
         # frames but the last)
         if count >= 2:
+            if pos >= e:
+                raise ValueError("truncated EBML lace size table")
             first, pos = _read_vint(data, pos)
-            if first is None:
+            if first is None or pos > e:
                 raise ValueError("EBML lace size with reserved pattern")
             sizes.append(first)
             prev = first
             for _ in range(count - 2):
+                if pos >= e:
+                    raise ValueError("truncated EBML lace size table")
                 delta, pos = _read_svint(data, pos)
+                if pos > e:
+                    raise ValueError("truncated EBML lace size table")
                 prev += delta
                 if prev < 0:
                     raise ValueError("negative EBML lace frame size")

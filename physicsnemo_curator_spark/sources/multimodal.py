@@ -588,7 +588,11 @@ def resample_audio(
         n = x.shape[0]
         n_out = (n * target_rate) // src
         if n_out < 1 or n < 2:
-            return x[:1] if n_out < 1 else np.repeat(x[:1], n_out, 0)
+            # degenerate inputs honor both contracts: the output length
+            # is exactly n_out = n*target//src (possibly 0), and the
+            # result mirrors the input rank (1-D in, 1-D out)
+            out = np.repeat(x[:1], n_out, 0)
+            return out if samples.ndim == 2 else out[:, 0]
         pos = np.arange(n_out) * (src / target_rate)
         i0 = np.floor(pos).astype(np.int64)
         i1 = np.minimum(i0 + 1, n - 1)
@@ -633,6 +637,19 @@ def resample_audio(
                     out_n.append(len(raw))
                     continue
                 res = _interp(np.asarray(samples, dtype=np.float64), src)
+                if res.shape[0] == 0:
+                    # n*target//src == 0: the payload is shorter than
+                    # one output sample.  FLAC cannot encode an empty
+                    # signal, so degenerate rows pass through (or fail
+                    # loudly under strict) instead of crashing encode.
+                    if strict:
+                        raise ValueError(
+                            "resample_audio: payload shorter than one "
+                            f"output sample at {target_rate} Hz"
+                        )
+                    out_payload.append(raw)
+                    out_n.append(len(raw))
+                    continue
                 if fmt == "wav":
                     enc = _wav.encode_wav(res, target_rate, bits=16)
                 elif fmt == "flac":

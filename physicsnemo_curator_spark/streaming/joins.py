@@ -101,20 +101,27 @@ def run_interval_join_stream(
     many state tasks PER SIDE regardless of data volume — measured
     13.5 s → 3.3 s on a small fixture going 32 → 4.  Size it to key
     cardinality (up at 100 TB, down for small keyed streams); None
-    keeps the session setting.  The session value is restored after
-    the stream finishes."""
+    keeps the session setting.  The setting is scoped to a CLONED
+    session (``spark.newSession()``: same SparkContext, isolated
+    SQLConf), so concurrent batch queries on the caller's session
+    never see the reduced partition count."""
     import shutil
 
+    sess = spark.newSession() if state_partitions is not None else spark
+    if state_partitions is not None:
+        sess.conf.set(
+            "spark.sql.shuffle.partitions", str(state_partitions)
+        )
     sink = os.path.join(work_dir, "sink")
     ckpt = os.path.join(work_dir, "ckpt")
     done = os.path.join(work_dir, "_DONE")
     left = (
-        spark.readStream.schema(schema)
+        sess.readStream.schema(schema)
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .parquet(left_dir)
     )
     right = (
-        spark.readStream.schema(schema)
+        sess.readStream.schema(schema)
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .parquet(right_dir)
     )
@@ -135,26 +142,17 @@ def run_interval_join_stream(
         os.makedirs(work_dir, exist_ok=True)
         shutil.rmtree(sink, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
-        prev = spark.conf.get("spark.sql.shuffle.partitions")
-        if state_partitions is not None:
-            spark.conf.set(
-                "spark.sql.shuffle.partitions", str(state_partitions)
-            )
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
         try:
-            q = (
-                joined.writeStream.outputMode("append")
-                .format("parquet")
-                .option("path", sink)
-                .option("checkpointLocation", ckpt)
-                .start()
-            )
-            try:
-                q.processAllAvailable()
-            finally:
-                q.stop()
+            q.processAllAvailable()
         finally:
-            if state_partitions is not None:
-                spark.conf.set("spark.sql.shuffle.partitions", prev)
+            q.stop()
         with open(done, "w") as f:
             f.write("ok")
     # explicit schema: a legitimately empty join leaves a sink with

@@ -122,10 +122,16 @@ def run_running_stats_foreachbatch(
     ``state_partitions`` right-sizes the state store: a stateful query
     pins ``spark.sql.shuffle.partitions`` into its checkpoint and runs
     that many state tasks per micro-batch regardless of key count —
-    size it to key cardinality (the session value is restored after).
+    size it to key cardinality.  The setting is scoped to a CLONED
+    session (``spark.newSession()``: same SparkContext, isolated
+    SQLConf), so concurrent batch queries on the caller's session
+    never see the reduced partition count.
     """
+    sess = spark.newSession() if state_partitions is not None else spark
+    if state_partitions is not None:
+        sess.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     stream = (
-        spark.readStream.schema(schema)
+        sess.readStream.schema(schema)
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .parquet(source_dir)
     )
@@ -136,18 +142,11 @@ def run_running_stats_foreachbatch(
         for row in batch_df.collect():
             final[row["key"]] = row
 
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    if state_partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    q = out.writeStream.outputMode("update").foreachBatch(_sink).start()
     try:
-        q = out.writeStream.outputMode("update").foreachBatch(_sink).start()
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        q.processAllAvailable()
     finally:
-        if state_partitions is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        q.stop()
     return spark.createDataFrame(list(final.values()), OUTPUT_SCHEMA)
 
 

@@ -271,3 +271,34 @@ def test_extract_features_real_mkv_stats(spark):
     feat = mm.extract_features(df, dim=8, strict=True).collect()[0]
     # width, height, fps (unknown for mkv -> 0), frame count
     assert feat.feature[:4] == [4.0, 6.0, 0.0, 5.0]
+
+
+def test_truncated_lace_size_tables_raise_valueerror():
+    """Every size-table read in _block_frames is bounded by the block
+    end: truncating a laced block inside its Xiph or EBML size table
+    (or at the frame-count byte) must raise the codec's ValueError,
+    never IndexError, and never read into the next element's bytes
+    (ADVICE r10)."""
+    payloads = [b"a" * 600, b"b" * 17, b"c" * 300, b"d" * 5]
+    for lacing in ("xiph", "ebml"):
+        blk = mkv._laced_simple_block(3, 0, payloads, lacing)
+        _eid, p = mkv._read_vint(blk, 0, keep_marker=True)
+        _sz, body = mkv._read_vint(blk, p)
+        # truncate progressively through the header + size table; the
+        # 255-run Xiph table for a 600-byte frame spans bytes ~5..8
+        for cut in range(body, body + 10):
+            with pytest.raises(ValueError):
+                mkv._block_frames(blk, body, cut)
+    # fixed lacing with a bogus end that is not divisible
+    blk = mkv._laced_simple_block(3, 0, [b"x" * 40] * 4, "fixed")
+    _eid, p = mkv._read_vint(blk, 0, keep_marker=True)
+    _sz, body = mkv._read_vint(blk, p)
+    # header = track vint + ts16 + flags + count = 5 bytes; 41 payload
+    # bytes are not divisible by 4 frames
+    with pytest.raises(ValueError):
+        mkv._block_frames(blk, body, body + 5 + 41)
+
+
+def test_lace_frame_count_error_message_says_2_to_256():
+    with pytest.raises(ValueError, match="2..256"):
+        mkv._laced_simple_block(3, 0, [b"x"] * 257, "xiph")

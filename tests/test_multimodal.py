@@ -232,3 +232,41 @@ def test_resample_audio_strict_contract(spark):
     assert bytes(
         mm.resample_audio(img, 4000, strict=True).collect()[0]["payload"]
     ) == bogus
+
+
+def test_resample_audio_degenerate_inputs(spark):
+    """Sub-sample payloads (n*target//src == 0) honor the documented
+    contracts: the kernel mirrors input rank and the length formula
+    (empty output), and the runner passes the row through rather than
+    crashing FLAC's empty-signal encoder; strict raises loudly
+    (ADVICE r10)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from physicsnemo_curator_spark.sources import flac, wav
+    from physicsnemo_curator_spark.sources import multimodal as mm
+
+    # one 8 kHz sample downsampled to 4 kHz: n_out = 1*4000//8000 = 0
+    tiny_wav = wav.encode_wav(np.array([0.25]), 8000, bits=16)
+    tiny_flac = flac.encode_flac(np.array([0.25]), 8000)
+    out = {
+        r["media_id"]: bytes(r["payload"])
+        for r in mm.resample_audio(
+            _audio_media(spark, [tiny_wav, tiny_flac]), 4000
+        ).collect()
+    }
+    assert out[0] == tiny_wav and out[1] == tiny_flac  # pass-through
+    with _pytest.raises(Exception, match="shorter than one"):
+        mm.resample_audio(
+            _audio_media(spark, [tiny_flac]), 4000, strict=True
+        ).collect()
+    # n < 2 but n_out >= 1: first sample repeated, rank preserved
+    up = {
+        r["media_id"]: bytes(r["payload"])
+        for r in mm.resample_audio(
+            _audio_media(spark, [tiny_wav]), 16000
+        ).collect()
+    }
+    s, meta = wav.decode_wav(up[0])
+    assert meta["sample_rate"] == 16000 and s.ndim == 1 and len(s) == 2
+    assert np.allclose(s, s[0])

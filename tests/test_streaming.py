@@ -684,3 +684,50 @@ def test_streaming_bloom_dedup_checkpoint_recreation_safe(spark, tmp_path):
     resolved = read_bloom_deduped(spark, out, key_cols=["url"])
     assert resolved.count() == 300
     assert resolved.groupBy("url").count().filter("count > 1").count() == 0
+
+
+def test_state_partitions_scoped_to_cloned_session(spark, tmp_path):
+    """state_partitions must not leak into the caller's session: the
+    runner scopes it to a spark.newSession() clone, so a concurrent
+    batch query on the original session keeps its partition count
+    (ADVICE r10: the old implementation mutated the shared conf for
+    the stream's whole lifetime)."""
+    from physicsnemo_curator_spark.streaming.joins import (
+        run_interval_join_stream,
+    )
+    from physicsnemo_curator_spark.streaming.stateful import (
+        run_running_stats_foreachbatch,
+    )
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    rows = [
+        (i, i % 3, f"2024-01-01 00:00:{i:02d}", float(i)) for i in range(6)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, value double"
+    ).selectExpr("event_id", "user_id", "CAST(ts AS TIMESTAMP) ts", "value")
+    df.write.parquet(str(tmp_path / "l"))
+    df.write.parquet(str(tmp_path / "r"))
+    out = run_interval_join_stream(
+        spark,
+        str(tmp_path / "l"),
+        str(tmp_path / "r"),
+        "event_id long, user_id long, ts timestamp, value double",
+        {"a": "l.event_id", "b": "r.event_id"},
+        work_dir=str(tmp_path / "run"),
+        state_partitions=2,
+    )
+    assert out.count() > 0
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+    df.withColumnRenamed("user_id", "k").selectExpr(
+        "event_id", "CAST(k AS STRING) event_type", "ts", "value"
+    ).write.parquet(str(tmp_path / "s"))
+    stats = run_running_stats_foreachbatch(
+        spark,
+        str(tmp_path / "s"),
+        "event_id long, event_type string, ts timestamp, value double",
+        state_partitions=2,
+    )
+    assert stats.count() == 3
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before

@@ -26,6 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
+from physicsnemo_curator_spark.core.metrics import MetricsStore  # noqa: E402
 from physicsnemo_curator_spark.operators import dedup, sampling, sketches  # noqa: E402
 from physicsnemo_curator_spark.session import get_spark  # noqa: E402
 from physicsnemo_curator_spark.sources.tables import load_table  # noqa: E402
@@ -43,10 +44,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     docs = load_table(spark, sf_dir, "documents")
+    metrics = MetricsStore(os.path.join(work, "metrics"))
 
     # batch 0 seeds the store; later batches probe it
     n_batches = 3
     for b in range(n_batches):
+        import time as _time
+
+        t_batch = _time.perf_counter()
         batch = docs.filter(F.col("doc_id") % n_batches == b)
         n_in = batch.count()
 
@@ -74,6 +79,15 @@ def main() -> None:
             survivors, "doc_id", {"train": 0.9, "val": 0.1}, seed=7
         )
         split.write.mode("append").partitionBy("split").parquet(out)
+        metrics.record_index_results(
+            spark,
+            "ingest",
+            [{
+                "idx": b,
+                "worker_id": "driver",
+                "wall_time_s": _time.perf_counter() - t_batch,
+            }],
+        )
         print(f"batch {b}: {n_in} in, {n_dropped} near-dups dropped")
 
     totals = sketches.read_sketch_store(spark, hll_store, ["lang"])
@@ -82,6 +96,9 @@ def main() -> None:
         print(f"  {r.lang}: ~{int(r.n_distinct)}")
     n_out = spark.read.parquet(out).count()
     print(f"curated rows written: {n_out} -> {out}")
+    # one-call run report over the recorded ledger (the reference
+    # dashboard's data frames rendered as text — core/metrics.py)
+    print(metrics.dashboard_report(spark, total=n_batches, run_id="ingest"))
 
 
 if __name__ == "__main__":

@@ -279,6 +279,118 @@ class MetricsStore:
             df.createOrReplaceTempView(f"pcs_dash_{name}")
         return frames
 
+    def dashboard_report(
+        self,
+        spark: SparkSession,
+        total: int | None = None,
+        run_id: str | None = None,
+        top_k: int = 10,
+    ) -> str:
+        """Render the four dashboard frames into one plain-text run
+        report — the engine's stand-in for the reference's Textual
+        render layer (reference ``dashboard/app.py:39+`` widgets over
+        ``dashboard/data.py:34-332`` frames; SURVEY §2.8 keeps the TUI
+        itself out of engine scope, this report closes the row's data
+        +presentation surface without one).
+
+        Driver-side cost is bounded: the summary is one row, workers is
+        O(workers), the stage table is a grouped aggregate O(stages),
+        and only the ``top_k`` slowest indices plus failed indices are
+        collected — never the full index ledger.  Formatting is
+        deterministic (fixed float widths, epoch integers), so the
+        report is golden-testable against a seeded ledger."""
+        from pyspark.sql import functions as F
+
+        frames = self.dashboard_views(spark, total, run_id)
+        s = frames["summary"].collect()[0]
+        lines = [
+            "PIPELINE RUN REPORT",
+            "===================",
+            "",
+            "Summary",
+            (
+                f"  total={s['total']}  completed={s['completed']}  "
+                f"failed={s['failed']}  remaining={s['remaining']}"
+            ),
+            f"  elapsed_completed_s={s['total_elapsed_s']:.3f}  "
+            f"workers={s['workers']}",
+            "",
+        ]
+
+        def table(title: str, rows: list, cols: list[str]) -> None:
+            lines.append(title)
+            if not rows:
+                lines.append("  (none)")
+                lines.append("")
+                return
+            cells = [
+                [
+                    f"{r[c]:.3f}" if isinstance(r[c], float) else str(r[c])
+                    for c in cols
+                ]
+                for r in rows
+            ]
+            widths = [
+                max(len(c), *(len(row[i]) for row in cells))
+                for i, c in enumerate(cols)
+            ]
+            lines.append(
+                ("  " + "  ".join(c.ljust(w) for c, w in zip(cols, widths))).rstrip()
+            )
+            for row in cells:
+                lines.append(
+                    ("  " + "  ".join(v.ljust(w) for v, w in zip(row, widths))).rstrip()
+                )
+            lines.append("")
+
+        table(
+            "Workers",
+            frames["workers"].collect(),
+            [
+                "worker_id",
+                "completed",
+                "failed",
+                "last_heartbeat_epoch",
+                "current_idx",
+            ],
+        )
+        stage_rows = (
+            frames["stage"]
+            .groupBy("stage_name", "stage_order")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.avg("wall_time_s").alias("mean_s"),
+                F.sum("wall_time_s").alias("total_s"),
+            )
+            .orderBy("stage_order", "stage_name")
+            .collect()
+        )
+        table(
+            "Stages",
+            stage_rows,
+            ["stage_name", "stage_order", "n", "mean_s", "total_s"],
+        )
+        slow = (
+            frames["index"]
+            .orderBy(F.desc("wall_time_s"), "idx")
+            .limit(top_k)
+            .collect()
+        )
+        table(
+            f"Slowest indices (top {top_k})",
+            slow,
+            ["idx", "status", "wall_time_s", "peak_memory_mb"],
+        )
+        failures = (
+            frames["index"]
+            .filter(F.col("status") != "completed")
+            .orderBy("idx")
+            .limit(top_k)
+            .collect()
+        )
+        table("Failures", failures, ["idx", "status", "error"])
+        return "\n".join(lines)
+
     def workers_df(self, spark: SparkSession, run_id: str | None = None) -> DataFrame:
         """Per-worker frame — ``worker_id, completed, failed,
         last_heartbeat_epoch, current_idx`` (reference
@@ -300,7 +412,11 @@ class MetricsStore:
                    SUM(CASE WHEN status <> 'completed' THEN 1 ELSE 0 END)
                      AS failed,
                    MAX(finished_at_epoch) AS last_heartbeat_epoch,
-                   MAX_BY(idx, finished_at_epoch) AS current_idx
+                   -- seq tie-break: same-second records (common when a
+                   -- batch of results lands together) must resolve to
+                   -- the LAST inserted, not an arbitrary one
+                   MAX_BY(idx, STRUCT(finished_at_epoch, seq))
+                     AS current_idx
             FROM pcs_index_results
             GROUP BY worker_id
             ORDER BY worker_id

@@ -254,3 +254,72 @@ def test_dash_store_rebuild_clears_crashed_debris(spark, tmp_path, monkeypatch):
     store2 = Q._dash_store(spark, sf)
     assert store2.index_path == store.index_path
     assert spark.read.parquet(store2.index_path).count() == n_clean
+
+
+def test_dashboard_report_golden(spark, tmp_path):
+    """dashboard_report renders the four frames into one deterministic
+    plain-text report (the engine's stand-in for the reference's
+    Textual dashboard render layer, dashboard/app.py) — golden-checked
+    against a seeded ledger with the only wall-clock column (heartbeat
+    epochs) masked."""
+    import re
+
+    store = MetricsStore(str(tmp_path))
+    store.record_index_results(
+        spark,
+        "runG",
+        [
+            {"idx": 0, "worker_id": "exec-1", "wall_time_s": 1.5,
+             "peak_memory_mb": 10.0},
+            {"idx": 1, "worker_id": "exec-2", "wall_time_s": 3.25,
+             "peak_memory_mb": 20.0},
+            {"idx": 2, "worker_id": "exec-1", "status": "error",
+             "error": "boom", "wall_time_s": 0.5},
+        ],
+    )
+    store.record_stage_results(
+        spark,
+        "runG",
+        [
+            {"idx": 0, "stage_name": "read", "stage_order": 0,
+             "wall_time_s": 0.5},
+            {"idx": 1, "stage_name": "read", "stage_order": 0,
+             "wall_time_s": 1.5},
+            {"idx": 1, "stage_name": "agg", "stage_order": 1,
+             "wall_time_s": 1.0},
+        ],
+    )
+    report = store.dashboard_report(spark, total=5, run_id="runG")
+    masked = re.sub(r"\b17\d{8}\b", "<epoch>   ", report)
+    assert masked == """\
+PIPELINE RUN REPORT
+===================
+
+Summary
+  total=5  completed=2  failed=1  remaining=2
+  elapsed_completed_s=4.750  workers=2
+
+Workers
+  worker_id  completed  failed  last_heartbeat_epoch  current_idx
+  exec-1     1          1       <epoch>               2
+  exec-2     1          0       <epoch>               1
+
+Stages
+  stage_name  stage_order  n  mean_s  total_s
+  read        0            2  1.000   2.000
+  agg         1            1  1.000   1.000
+
+Slowest indices (top 10)
+  idx  status     wall_time_s  peak_memory_mb
+  1    completed  3.250        20.000
+  0    completed  1.500        10.000
+  2    error      0.500        0.000
+
+Failures
+  idx  status  error
+  2    error   boom
+"""
+    # empty store: report still renders with (none) sections
+    empty = MetricsStore(str(tmp_path / "none"))
+    r = empty.dashboard_report(spark, total=3)
+    assert "total=3" in r and "(none)" in r

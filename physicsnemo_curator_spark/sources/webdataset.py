@@ -177,15 +177,27 @@ def write_webdataset(
     shard_col: str | None = None,
     archive: str = "tar",
     zip_compress: bool = True,
+    max_shard_bytes: int = 4 << 30,
 ) -> DataFrame:
     """Distributed shard writer: assign each SAMPLE (key) to a shard
     — ``xxhash64(key) mod n_shards`` by default, or a caller-supplied
     column — co-locate each shard's entries with one shuffle, and
     write one byte-reproducible archive per shard from inside the
     task.  Returns the manifest (shard, n_samples, n_entries,
-    n_bytes) — metadata only; payloads never visit the driver."""
+    n_bytes) — metadata only; payloads never visit the driver.
+
+    ``max_shard_bytes`` (default 4 GiB) is a LOUD per-shard budget:
+    each shard's archive is buffered whole in task memory before the
+    atomic publish, so at 100 TB a mis-sized ``n_shards`` silently
+    turns into multi-GiB task buffers and executor OOMs.  The task
+    sums payload sizes BEFORE building the archive and raises naming
+    the knobs — raise ``n_shards`` (or pass a finer ``shard_col``)
+    rather than this limit; stdlib zipfile handles ZIP64 transparently
+    but the in-memory buffering is the real bound."""
     if archive not in ("tar", "zip"):
         raise ValueError(f"unknown archive format {archive!r}")
+    if max_shard_bytes <= 0:
+        raise ValueError("max_shard_bytes must be positive")
     os.makedirs(path, exist_ok=True)
     suffix = "tar" if archive == "tar" else "zip"
     if shard_col is None:
@@ -199,6 +211,16 @@ def write_webdataset(
 
     def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         shard_id = int(pdf["_shard"].iloc[0])
+        payload_bytes = int(pdf["payload"].map(len).sum())
+        if payload_bytes > max_shard_bytes:
+            raise ValueError(
+                f"shard {shard_id} holds {payload_bytes} payload bytes, "
+                f"over the {max_shard_bytes}-byte per-shard budget; the "
+                "archive is buffered whole in task memory — raise "
+                "n_shards (or pass a finer shard_col) so shards shrink, "
+                "or raise max_shard_bytes only if the executors have "
+                "the headroom"
+            )
         rows = [
             (str(k), str(e), bytes(p))
             for k, e, p in zip(pdf["key"], pdf["ext"], pdf["payload"])

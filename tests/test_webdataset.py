@@ -174,3 +174,21 @@ def test_single_shuffle_write_plan(spark, tmp_path):
     manifest = _w(df, str(tmp_path / "p"), n_shards=2)
     plan = manifest._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+def test_shard_byte_budget_guard(spark, tmp_path):
+    """A shard whose payloads exceed max_shard_bytes must fail LOUDLY
+    naming the n_shards knob (the archive is buffered whole in task
+    memory), before any archive bytes are built; a budget that fits
+    passes unchanged."""
+    df = _entries_df(spark, 6)
+    with pytest.raises(Exception, match="n_shards"):
+        write_webdataset(
+            df, str(tmp_path / "small"), n_shards=1, max_shard_bytes=10
+        ).collect()
+    m = write_webdataset(
+        df, str(tmp_path / "ok"), n_shards=1, max_shard_bytes=1 << 20
+    ).collect()
+    assert len(m) == 1 and m[0]["n_entries"] == 14
+    with pytest.raises(ValueError, match="positive"):
+        write_webdataset(df, str(tmp_path / "neg"), max_shard_bytes=0)

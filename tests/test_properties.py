@@ -1085,3 +1085,191 @@ def test_mp3_header_walk_property(
     assert abs(audio_bytes - expect) < info["samples_per_frame"]
     if tagged:
         assert mpegaudio.extract_id3(data)["title"] == "t"
+
+
+# ---------------------------------------------------------------------------
+# r11 property groups (VERDICT-r10 ask #4): resample grid invariants,
+# metrics-ledger latest-record-wins, interval-join completeness
+
+
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n=st.integers(2, 300),
+    channels=st.integers(1, 2),
+    rates=st.sampled_from(
+        [(8000, 16000), (8000, 24000), (11025, 22050), (16000, 48000),
+         (22050, 44100), (8000, 4000), (44100, 22050), (48000, 16000)]
+    ),
+)
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_resample_audio_grid_property(spark, seed, n, channels, rates):
+    """Rate/width/channel matrix for resample_audio: (a) the output
+    length is exactly n*target//src; (b) channel count and container
+    survive; (c) on INTEGER upsampling (target = k*src) every k-th
+    output sample sits ON the input grid — linear interpolation is
+    exact at grid points, so out[i*k] must equal in[i] to within one
+    16-bit quantization step (the even-integer-grid oracle the
+    q_media_resample gate pins at fixture scale)."""
+    from physicsnemo_curator_spark.sources import multimodal as mm
+    from physicsnemo_curator_spark.sources import wav
+
+    src, target = rates
+    rng = np.random.default_rng(seed)
+    sig = rng.uniform(-0.9, 0.9, (n, channels) if channels > 1 else n)
+    # pre-quantize so encode→decode is exact and the only error left is
+    # the interpolation itself
+    sig = np.round(sig * 32767.0) / 32768.0
+    payload = wav.encode_wav(sig, src, bits=16)
+    df = spark.createDataFrame(
+        [(0, "audio", bytearray(payload), None, None, len(payload))],
+        "media_id long, kind string, payload binary, width int, "
+        "height int, n_bytes long",
+    )
+    out_payload = bytes(
+        mm.resample_audio(df, target).collect()[0]["payload"]
+    )
+    n_out = n * target // src
+    if n_out == 0:
+        # documented degenerate contract: payloads shorter than one
+        # output sample pass through byte-identical
+        assert out_payload == payload
+        return
+    out, meta = wav.decode_wav(out_payload)
+    assert meta["sample_rate"] == target
+    assert meta["channels"] == channels
+    x = out[:, None] if out.ndim == 1 else out
+    s = sig[:, None] if sig.ndim == 1 else sig
+    assert x.shape == (n_out, channels)
+    if target % src == 0:
+        k = target // src
+        grid = x[:: k]
+        # tolerance: decode(encode(x)) = round(x*32767)/32768, so each
+        # of the two encode/decode trips moves a value by up to ~2 LSB
+        assert np.abs(grid - s[: grid.shape[0]]).max() <= 2.5 / 32768.0
+    # linear interpolation never leaves the input's convex hull
+    assert x.max() <= s.max() + 2.5 / 32768.0
+    assert x.min() >= s.min() - 2.5 / 32768.0
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 5),        # idx
+            st.sampled_from(["completed", "error"]),
+            st.integers(0, 3),        # worker
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    crash_batch=st.integers(0, 3),
+)
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_metrics_ledger_latest_record_wins_property(
+    spark, tmp_path_factory, events, crash_batch
+):
+    """Random retry sequences against the metrics ledger: whatever the
+    append batching (records land in randomized batch splits, one of
+    which simulates a crashed write that is retried — appended twice),
+    index_df must resolve each idx to the LAST record by insertion
+    order, and run_summary_df must count each idx exactly once.  The
+    duplicated batch models record_index_results' at-least-once
+    delivery: latest-record-wins makes the retry idempotent for
+    status/wall-time consumers."""
+    from physicsnemo_curator_spark.core.metrics import MetricsStore
+
+    tmp = tmp_path_factory.mktemp("ledger")
+    store = MetricsStore(str(tmp))
+    # split events into batches of <=4 and append; re-append one batch
+    # to simulate a retried crashed write
+    batches = [events[i : i + 4] for i in range(0, len(events), 4)]
+    for bi, batch in enumerate(batches):
+        recs = [
+            {"idx": idx, "status": status, "worker_id": f"w{w}",
+             "wall_time_s": float(idx)}
+            for idx, status, w in batch
+        ]
+        store.record_index_results(spark, "p", recs)
+        if bi == crash_batch % len(batches):
+            store.record_index_results(spark, "p", recs)
+    got = {
+        r["idx"]: r["status"] for r in store.index_df(spark).collect()
+    }
+    # python model: last write per idx in event order wins (the
+    # duplicated batch repeats a prefix-consistent suffix, so the
+    # final state per idx is unchanged by the retry)
+    expect: dict[int, str] = {}
+    for bi, batch in enumerate(batches):
+        for idx, status, _w in batch:
+            expect[idx] = status
+        if bi == crash_batch % len(batches):
+            for idx, status, _w in batch:
+                expect[idx] = status
+    assert got == expect
+    s = store.run_summary_df(spark).collect()[0]
+    assert s["completed"] == sum(
+        1 for v in expect.values() if v == "completed"
+    )
+    assert s["failed"] == sum(1 for v in expect.values() if v != "completed")
+    assert s["total"] == len(expect)
+
+
+@given(
+    lefts=st.lists(st.integers(0, 120), min_size=1, max_size=8),
+    rights=st.lists(st.integers(0, 120), min_size=1, max_size=8),
+    upper=st.integers(10, 90),
+)
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_interval_join_stream_completeness_property(
+    spark, tmp_path_factory, lefts, rights, upper
+):
+    """Watermark-bounded completeness over random event offsets: with
+    a watermark covering the fixture's full event-time span, the REAL
+    readStream interval join must emit exactly the closed-form pair
+    set {(l, r) : same key, 0 <= l.ts - r.ts <= upper} (interval_join
+    attaches right-side events that happened up to upper seconds BEFORE
+    the left event) — computed here in plain Python, not via another
+    Spark join."""
+    from physicsnemo_curator_spark.streaming.joins import (
+        run_interval_join_stream,
+    )
+
+    tmp = tmp_path_factory.mktemp("ivj")
+    base = 1_700_000_000
+
+    def write(side, offs):
+        rows = [
+            (i, 1, float(i), base + o) for i, o in enumerate(offs)
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, value double, epoch long"
+        ).selectExpr(
+            "event_id", "user_id",
+            "CAST(TIMESTAMP_SECONDS(epoch) AS TIMESTAMP) ts", "value",
+        ).select("event_id", "user_id", "ts", "value")
+        df.repartition(2).write.parquet(str(tmp / side))
+
+    write("l", lefts)
+    write("r", rights)
+    out = run_interval_join_stream(
+        spark,
+        str(tmp / "l"),
+        str(tmp / "r"),
+        "event_id long, user_id long, ts timestamp, value double",
+        {"a": "l.event_id", "b": "r.event_id"},
+        work_dir=str(tmp / "run"),
+        lower_seconds=0,
+        upper_seconds=upper,
+        watermark="1 hour",
+        state_partitions=2,
+    )
+    got = sorted((r["a"], r["b"]) for r in out.collect())
+    expect = sorted(
+        (i, j)
+        for i, lo in enumerate(lefts)
+        for j, ro in enumerate(rights)
+        if 0 <= lo - ro <= upper
+    )
+    assert got == expect

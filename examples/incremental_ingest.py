@@ -21,6 +21,7 @@ from __future__ import annotations
 import os
 import shutil
 import sys
+import time as _time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -49,8 +50,6 @@ def main() -> None:
     # batch 0 seeds the store; later batches probe it
     n_batches = 3
     for b in range(n_batches):
-        import time as _time
-
         t_batch = _time.perf_counter()
         batch = docs.filter(F.col("doc_id") % n_batches == b)
         n_in = batch.count()

@@ -20,9 +20,15 @@ from dataclasses import asdict
 
 from pyspark.sql import DataFrame, SparkSession
 
-import itertools
-
-_SEQ = itertools.count()
+def _seq() -> int:
+    """Tie-break key for same-epoch-second records: wall-clock
+    nanoseconds.  A per-process counter would restart at 0 in every
+    worker/retried driver, letting a fresh retry record LOSE the
+    latest-record-wins resolution to a stale one; ns wall time orders
+    appends within a process strictly (consecutive calls differ) and
+    across processes to clock precision — the best available without a
+    coordination service, and 10^9× finer than the epoch column."""
+    return time.time_ns()
 
 RUN_SCHEMA = (
     "run_id string, spec_hash string, rows long, wall_time_s double, "
@@ -108,7 +114,7 @@ class MetricsStore:
                 float(r.get("peak_memory_mb", 0.0)),
                 str(r.get("error", "")),
                 now,
-                next(_SEQ),
+                _seq(),
             )
             for r in records
         ]
@@ -388,7 +394,12 @@ class MetricsStore:
             .limit(top_k)
             .collect()
         )
-        table("Failures", failures, ["idx", "status", "error"])
+        # the section must announce truncation: the summary may say
+        # failed=500 while only top_k rows print
+        fail_title = "Failures"
+        if s["failed"] > len(failures):
+            fail_title = f"Failures (first {len(failures)} of {s['failed']})"
+        table(fail_title, failures, ["idx", "status", "error"])
         return "\n".join(lines)
 
     def workers_df(self, spark: SparkSession, run_id: str | None = None) -> DataFrame:

@@ -190,7 +190,8 @@ def write_webdataset(
     each shard's archive is buffered whole in task memory before the
     atomic publish, so at 100 TB a mis-sized ``n_shards`` silently
     turns into multi-GiB task buffers and executor OOMs.  The task
-    sums payload sizes BEFORE building the archive and raises naming
+    estimates the buffered archive size (payload bytes plus ~1 KiB
+    per-entry container framing) BEFORE building it and raises naming
     the knobs — raise ``n_shards`` (or pass a finer ``shard_col``)
     rather than this limit; stdlib zipfile handles ZIP64 transparently
     but the in-memory buffering is the real bound."""
@@ -211,15 +212,22 @@ def write_webdataset(
 
     def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         shard_id = int(pdf["_shard"].iloc[0])
-        payload_bytes = int(pdf["payload"].map(len).sum())
-        if payload_bytes > max_shard_bytes:
+        # estimate the BUFFERED archive size, not just payload bytes:
+        # per-entry container overhead dominates for small-sample
+        # shards (tar: 512-byte header + up-to-511-byte block padding
+        # per entry; zip: local header + central-directory entry) — a
+        # 4M-entry shard of 100-byte payloads is ~0.4 GB payload but
+        # >2 GB of tar framing
+        est_bytes = int(pdf["payload"].map(len).sum()) + 1024 * len(pdf)
+        if est_bytes > max_shard_bytes:
             raise ValueError(
-                f"shard {shard_id} holds {payload_bytes} payload bytes, "
-                f"over the {max_shard_bytes}-byte per-shard budget; the "
-                "archive is buffered whole in task memory — raise "
-                "n_shards (or pass a finer shard_col) so shards shrink, "
-                "or raise max_shard_bytes only if the executors have "
-                "the headroom"
+                f"shard {shard_id} holds ~{est_bytes} archive bytes "
+                f"({len(pdf)} entries incl. per-entry container "
+                f"overhead), over the {max_shard_bytes}-byte per-shard "
+                "budget; the archive is buffered whole in task memory "
+                "— raise n_shards (or pass a finer shard_col) so "
+                "shards shrink, or raise max_shard_bytes only if the "
+                "executors have the headroom"
             )
         rows = [
             (str(k), str(e), bytes(p))

@@ -526,6 +526,61 @@ def encode_fmp4(
     return b"".join(out)
 
 
+def assemble_fmp4_segments(init: bytes, segments: list[bytes]) -> bytes:
+    """Reassemble a DASH/HLS fetch — one init segment plus N media
+    segments downloaded as separate blobs — into a single parseable
+    stream for :func:`parse_mp4` / :func:`decode_mp4`.
+
+    The init segment must carry ``moov`` with ``mvex`` (track defaults);
+    each media segment must carry at least one ``moof``.  ``mfhd``
+    sequence numbers are REWRITTEN to a strictly increasing run in the
+    given segment order: crawled segments routinely restart numbering
+    per representation/period, which the parser's monotonic-sequence
+    guard would (correctly) reject on naive concatenation.  A traf that
+    uses an explicit ``base_data_offset`` (absolute file position)
+    cannot survive reassembly and fails loudly — only moof-relative
+    offsets (default-base-is-moof or the legacy first-traf rule) are
+    concatenation-safe."""
+    top = list(_walk_boxes(init, 0, len(init)))
+    names = {f for f, _b, _e in top}
+    if b"moov" not in names:
+        raise ValueError("init segment missing moov")
+    moov = next((b, e) for f, b, e in top if f == b"moov")
+    if b"mvex" not in _children(init, *moov):
+        raise ValueError("init segment moov missing mvex (not fragmented)")
+    out = [init]
+    seq = 0
+    for si, seg in enumerate(segments):
+        buf = bytearray(seg)
+        n_moof = 0
+        for fourcc, _start, body, end in _walk_boxes_spans(seg, 0, len(seg)):
+            if fourcc != b"moof":
+                continue
+            n_moof += 1
+            for f, b, e in _walk_boxes(seg, body, end):
+                if f == b"mfhd":
+                    seq += 1
+                    _, p, _e = _full_body(seg, (b, e))
+                    struct.pack_into(">I", buf, p, seq)
+                elif f == b"traf":
+                    for f2, b2, _e2 in _walk_boxes(seg, b, e):
+                        if f2 != b"tfhd":
+                            continue
+                        (vf,) = struct.unpack_from(">I", seg, b2)
+                        if vf & 0x000001:
+                            raise ValueError(
+                                f"segment {si} tfhd uses an absolute "
+                                "base_data_offset; offsets cannot "
+                                "survive reassembly — only "
+                                "moof-relative segments are "
+                                "concatenation-safe"
+                            )
+        if not n_moof:
+            raise ValueError(f"segment {si} has no moof (not a media segment)")
+        out.append(bytes(buf))
+    return b"".join(out)
+
+
 # ---------------------------------------------------------------------------
 # decode
 

@@ -383,3 +383,69 @@ def test_progressive_then_fragments_concatenates_samples():
     assert meta["n_frames"] == 4 and meta["fragmented"] is True
     for a, b in zip(head_frames + tail_frames, out):
         assert np.array_equal(a, b)
+
+
+def _split_segments(data: bytes):
+    """Split an encode_fmp4 stream into (init, [media segments])."""
+    spans = list(mp4._walk_boxes_spans(data, 0, len(data)))
+    # init = ftyp + moov; each segment = styp + moof + mdat
+    cut = next(e for f, _s, _b, e in spans if f == b"moov")
+    init = data[:cut]
+    segs = []
+    start = None
+    for f, s, _b, e in spans:
+        if f == b"styp":
+            start = s
+        elif f == b"mdat" and start is not None:
+            segs.append(data[start:e])
+            start = None
+    return init, segs
+
+
+def test_assemble_fmp4_segments_renumbers_sequences():
+    """Two independently-encoded representations both number their
+    fragments from 1; naive concatenation trips the monotonic guard,
+    assemble_fmp4_segments renumbers and decodes all frames in order."""
+    fa = _frames(n=4, seed=3)
+    fb = _frames(n=2, seed=4)
+    da = mp4.encode_fmp4(fa, fps=12, codec="raw", samples_per_fragment=2)
+    db = mp4.encode_fmp4(fb, fps=12, codec="raw", samples_per_fragment=2)
+    init, segs_a = _split_segments(da)
+    _, segs_b = _split_segments(db)
+    assert len(segs_a) == 2 and len(segs_b) == 1
+    # naive concatenation: second representation restarts at seq 1
+    with pytest.raises(ValueError, match="sequence"):
+        mp4.parse_mp4(init + b"".join(segs_a + segs_b))
+    stream = mp4.assemble_fmp4_segments(init, segs_a + segs_b)
+    out, meta = mp4.decode_mp4(stream)
+    assert meta["n_frames"] == 6
+    for a, b in zip(fa + fb, out):
+        assert np.array_equal(a, b)
+
+
+def test_assemble_fmp4_segments_guards():
+    frames = _frames(n=2)
+    data = mp4.encode_fmp4(frames, fps=12, codec="raw")
+    init, segs = _split_segments(data)
+    prog = mp4.encode_mp4(frames, fps=12, codec="raw")
+    with pytest.raises(ValueError, match="mvex"):
+        mp4.assemble_fmp4_segments(prog, segs)  # non-fragmented init
+    with pytest.raises(ValueError, match="no moof"):
+        mp4.assemble_fmp4_segments(init, [init])
+    # absolute base_data_offset is concatenation-unsafe: rewrite the
+    # tfhd to carry flag 0x000001 with a fabricated offset
+    seg = bytearray(segs[0])
+    pos = bytes(seg).find(b"tfhd")
+    flags = int.from_bytes(seg[pos + 5 : pos + 8], "big") | 0x000001
+    # rebuild: inject an 8-byte base_data_offset after track_id; box
+    # sizes change, so build a minimal moof instead
+    tfhd = mp4._full(b"tfhd", 0, flags | 0x020000,
+                     struct.pack(">IQ", 1, 0))
+    trun = mp4._trun([10], 1, 0)
+    moof = mp4._box(
+        b"moof",
+        mp4._full(b"mfhd", 0, 0, struct.pack(">I", 1))
+        + mp4._box(b"traf", tfhd + trun))
+    bad_seg = moof + mp4._box(b"mdat", b"\x00" * 10)
+    with pytest.raises(ValueError, match="base_data_offset"):
+        mp4.assemble_fmp4_segments(init, [bad_seg])

@@ -449,6 +449,138 @@ def pairwise_near_duplicates(
     return scored.filter(F.col("cosine") >= F.lit(threshold))
 
 
+# ---------------------------------------------------------------------------
+# 8-bit scalar quantization (SQ8) — the memory-bandwidth scale path
+
+
+def sq8_train(
+    corpus: DataFrame, *, vec_col: str = "embedding", dim: int | None = None
+) -> tuple[list[float], list[float]]:
+    """Per-dimension (min, max) "codebook" for 8-bit scalar
+    quantization — ONE aggregate job emitting 2·dim scalars to the
+    driver (the only driver-side state; dim is 64-1536 in practice,
+    never rows)."""
+    if dim is None:
+        dim = _vec_dim(corpus, vec_col)
+    aggs = []
+    for i in range(dim):
+        aggs.append(F.min(F.col(vec_col)[i].cast("double")).alias(f"mn{i}"))
+        aggs.append(F.max(F.col(vec_col)[i].cast("double")).alias(f"mx{i}"))
+    row = corpus.agg(*aggs).collect()[0]
+    mins = [float(row[f"mn{i}"]) for i in range(dim)]
+    maxs = [float(row[f"mx{i}"]) for i in range(dim)]
+    return mins, maxs
+
+
+def sq8_code_expr(
+    vec: Column | str, mins: list[float], maxs: list[float]
+) -> Column:
+    """``array<int>`` of 8-bit codes: ``floor((v-mn)/(mx-mn)*255 + .5)``
+    clamped to [0, 255]; a constant dimension (mx == mn) codes to 0.
+    ``floor(x + 0.5)`` — not ``round`` — so Spark and the DuckDB oracle
+    agree on every half-way case.  Codes pack 4× (vs float32; 8× vs
+    float64) — at a 100 TB embedding corpus the brute-force scan is
+    memory-bandwidth-bound, so the code table cuts scan cost
+    proportionally; store it with ``sq8_code_expr`` once and scan codes
+    instead of floats."""
+    vec = F.col(vec) if isinstance(vec, str) else vec
+    mn = F.array(*[F.lit(float(m)) for m in mins])
+    mx = F.array(*[F.lit(float(m)) for m in maxs])
+
+    def code(v, i):
+        lo = F.element_at(mn, i + 1)
+        hi = F.element_at(mx, i + 1)
+        raw = F.floor(
+            (v.cast("double") - lo) / (hi - lo) * F.lit(255.0) + F.lit(0.5)
+        )
+        clamped = F.least(F.lit(255), F.greatest(F.lit(0), raw))
+        return F.when(hi > lo, clamped).otherwise(F.lit(0)).cast("int")
+
+    return F.transform(vec, code)
+
+
+def sq8_reconstruct_expr(
+    codes: Column | str, mins: list[float], maxs: list[float]
+) -> Column:
+    """``array<double>`` de-quantization: ``mn + code/255*(mx-mn)`` —
+    the asymmetric-distance convention (float query × reconstructed
+    corpus), matching the stored-code scan path."""
+    codes = F.col(codes) if isinstance(codes, str) else codes
+    mn = F.array(*[F.lit(float(m)) for m in mins])
+    mx = F.array(*[F.lit(float(m)) for m in maxs])
+    return F.transform(
+        codes,
+        lambda c, i: F.element_at(mn, i + 1)
+        + c.cast("double")
+        / F.lit(255.0)
+        * (F.element_at(mx, i + 1) - F.element_at(mn, i + 1)),
+    )
+
+
+def sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    dim: int | None = None,
+    codebook: tuple[list[float], list[float]] | None = None,
+    rescore: int = 0,
+) -> DataFrame:
+    """Approximate top-k by cosine over 8-bit scalar-quantized corpus
+    vectors (asymmetric: the query stays float, the corpus is
+    quantize→reconstruct) — same broadcast-join/no-corpus-shuffle plan
+    as :func:`cosine_topk`, but the production form scans a 4-8×
+    smaller code table.  ``rescore=m`` re-ranks each query's top m·k
+    SQ8 candidates with EXACT cosine on the original vectors (two
+    narrow passes; recall→1 as m grows).  ``codebook`` skips the
+    training aggregate when (mins, maxs) are precomputed/persisted."""
+    if dim is None:
+        dim = _vec_dim(corpus, vec_col)
+    mins, maxs = codebook if codebook is not None else sq8_train(
+        corpus, vec_col=vec_col, dim=dim
+    )
+    recon = sq8_reconstruct_expr(
+        sq8_code_expr(vec_col, mins, maxs), mins, maxs
+    )
+    approx = cosine_topk(
+        corpus.withColumn(vec_col, recon),
+        queries,
+        k * rescore if rescore else k,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        dim=dim,
+    )
+    if not rescore:
+        return approx
+    # exact re-rank of the candidate union on the ORIGINAL vectors:
+    # O(queries·m·k) pairs, a semi-joined sliver of the corpus
+    cand = approx.select("query_id", "vec_id")
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cvec")
+    ).join(cand, "vec_id")
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+    )
+    scored = c.join(F.broadcast(q), "query_id").select(
+        "query_id",
+        "vec_id",
+        cosine_unrolled("_cvec", "_qvec", dim).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
 def embedding_centroids(
     emb: DataFrame, *, label_col: str = "label", vec_col: str = "embedding"
 ) -> DataFrame:

@@ -3146,6 +3146,66 @@ FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
 ORACLE_ANN_LSH = _lsh_oracle()
 
 
+def q_ann_sq8_topk(
+    spark: SparkSession, sf_dir: str, rescore: int = 0
+) -> DataFrame:
+    """8-bit scalar-quantized ANN (similarity.sq8_topk) — the
+    memory-bandwidth scale path for q_ann_cosine_topk: per-dimension
+    (min, max) codebook from ONE aggregate, corpus codes in [0, 255]
+    (floor(x+0.5), clamp, constant-dim→0), asymmetric cosine of the
+    float query against reconstructed corpus vectors, same
+    broadcast-join/no-corpus-shuffle plan.  The production form scans
+    a 4-8× smaller persisted code table; the benched twin adds the
+    exact re-rank (rescore=2) of each query's top 2k SQ8 candidates.
+    The oracle replays quantize→reconstruct→cosine→top-k in DuckDB
+    arithmetic, so a codebook, clamp, or de-quantization bug changes
+    the hash."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.sq8_topk(emb, qs, k=5, dim=64, rescore=rescore)
+    return out.select(
+        "query_id", "vec_id", _r6(F.col("cosine"), "cosine"), "rank"
+    ).orderBy("query_id", "rank")
+
+
+ORACLE_ANN_SQ8 = """
+WITH stats AS (
+  SELECT j, CAST(MIN(x) AS DOUBLE) mn, CAST(MAX(x) AS DOUBLE) mx
+  FROM (SELECT unnest(range(0, 64)) j, unnest(embedding) x FROM embeddings)
+  GROUP BY j),
+recon AS (
+  SELECT e.vec_id, e.j,
+         s.mn + CAST(CASE WHEN s.mx > s.mn THEN
+             LEAST(255, GREATEST(0, CAST(FLOOR(
+               (CAST(e.x AS DOUBLE) - s.mn) / (s.mx - s.mn) * 255.0 + 0.5
+             ) AS BIGINT)))
+           ELSE 0 END AS DOUBLE) / 255.0 * (s.mx - s.mn) AS r
+  FROM (SELECT vec_id, unnest(range(0, 64)) j, unnest(embedding) x
+        FROM embeddings) e
+  JOIN stats s ON e.j = s.j),
+qv AS (
+  SELECT vec_id query_id, unnest(range(0, 64)) j,
+         CAST(unnest(embedding) AS DOUBLE) x
+  FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, r.vec_id,
+         SUM(q.x * r.r) /
+           (SQRT(SUM(q.x * q.x)) * SQRT(SUM(r.r * r.r))) cosine
+  FROM qv q JOIN recon r ON q.j = r.j
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, vec_id
+         ) AS INT) rank
+  FROM scored)
+SELECT query_id, vec_id, ROUND(cosine, 6) cosine, rank
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat coarse-quantizer ANN with n_probe probing — the
     repeated-query scale path for q_ann_cosine_topk.  Centroids are a
@@ -9053,6 +9113,11 @@ QUERIES: dict[str, QuerySpec] = {
         bench=lambda s, d: q_ann_lsh_topk(s, d, md5_planes=False),
     ),
     "q_ann_ivf_topk": QuerySpec(q_ann_ivf_topk, ORACLE_ANN_IVF),
+    "q_ann_sq8_topk": QuerySpec(
+        q_ann_sq8_topk,
+        ORACLE_ANN_SQ8,
+        bench=lambda s, d: q_ann_sq8_topk(s, d, rescore=2),
+    ),
     "q_embedding_near_dup": QuerySpec(
         q_embedding_near_dup,
         ORACLE_EMB_NEAR_DUP,
@@ -9153,8 +9218,9 @@ QUERIES: dict[str, QuerySpec] = {
 # Tail = remaining r09 cohort (positions 50-89: they stage the r12
 # window), then the 50 rows last gated r10 (freshest last).
 _DRIVER_ORDER = [
-    # --- NEW this round (r11): fragmented MP4 (first green row needed) ---
+    # --- NEW this round (r11): first green row needed ---
     "q_media_fmp4",
+    "q_ann_sq8_topk",
     # --- last driver-checked r08 (all 41) ---
     "q_sketch_cms",
     "q_text_substring_dup",
@@ -9205,8 +9271,8 @@ _DRIVER_ORDER = [
     "q_text_normalize",
     "q_url_normalize",
     "q_web_extract",
-    "q_bpe_train",
     # --- remaining r09 cohort (head of the r12 window) ---
+    "q_bpe_train",
     "q_webdataset",
     "q_quality_regression",
     "q_media_qoi_pnm",

@@ -129,3 +129,56 @@ def test_winnow_near_duplicates_recall_vs_exact(spark, sf_correctness_dir):
     assert got <= exact or not exact  # verify stage guarantees precision 1
     if exact:
         assert len(got & exact) / len(exact) >= 0.8
+
+
+def test_sq8_topk_recall_and_rescore(spark, sf_correctness_dir):
+    """8-bit scalar quantization must (a) keep codes in [0, 255], (b)
+    recover a strong majority of the exact top-10 (8-bit per-dim error
+    is tiny relative to cosine gaps), (c) with rescore the surviving
+    candidates carry EXACT cosine scores — identical to cosine_topk's
+    for the same pairs, and (d) accept a precomputed codebook without
+    re-training."""
+    emb = load_table(spark, sf_correctness_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    mins, maxs = similarity.sq8_train(emb, dim=64)
+    codes = emb.select(
+        similarity.sq8_code_expr("embedding", mins, maxs).alias("c")
+    ).collect()
+    flat = [v for r in codes for v in r["c"]]
+    assert min(flat) >= 0 and max(flat) <= 255
+    exact = similarity.cosine_topk(emb, qs, k=10, dim=64)
+    approx = similarity.sq8_topk(
+        emb, qs, k=10, dim=64, codebook=(mins, maxs)
+    )
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    assert all((q, q) in a for q in range(5))  # self-match survives SQ8
+    assert len(a & e) / len(e) >= 0.8
+    rescored = similarity.sq8_topk(
+        emb, qs, k=10, dim=64, codebook=(mins, maxs), rescore=2
+    )
+    ex = {
+        (r["query_id"], r["vec_id"]): r["cosine"] for r in exact.collect()
+    }
+    for r in rescored.collect():
+        key = (r["query_id"], r["vec_id"])
+        if key in ex:  # shared pairs must score EXACTLY (same kernel)
+            assert abs(r["cosine"] - ex[key]) < 1e-12
+
+
+def test_sq8_constant_dimension_codes_zero(spark):
+    """A constant dimension (mx == mn) must code to 0 and reconstruct
+    to the constant — not divide by zero under ANSI mode."""
+    rows = [(i, [float(i), 7.0]) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    mins, maxs = similarity.sq8_train(df, dim=2)
+    assert mins[1] == maxs[1] == 7.0
+    rec = df.select(
+        similarity.sq8_reconstruct_expr(
+            similarity.sq8_code_expr("embedding", mins, maxs), mins, maxs
+        ).alias("r")
+    ).collect()
+    for r in rec:
+        assert r["r"][1] == 7.0

@@ -484,19 +484,26 @@ def sq8_code_expr(
     proportionally; store it with ``sq8_code_expr`` once and scan codes
     instead of floats."""
     vec = F.col(vec) if isinstance(vec, str) else vec
-    mn = F.array(*[F.lit(float(m)) for m in mins])
-    mx = F.array(*[F.lit(float(m)) for m in maxs])
 
-    def code(v, i):
-        lo = F.element_at(mn, i + 1)
-        hi = F.element_at(mx, i + 1)
+    def code(i: int) -> Column:
+        lo, hi = float(mins[i]), float(maxs[i])
+        if hi <= lo:
+            return F.lit(0)
         raw = F.floor(
-            (v.cast("double") - lo) / (hi - lo) * F.lit(255.0) + F.lit(0.5)
+            (vec[i].cast("double") - F.lit(lo))
+            / F.lit(hi - lo)
+            * F.lit(255.0)
+            + F.lit(0.5)
         )
-        clamped = F.least(F.lit(255), F.greatest(F.lit(0), raw))
-        return F.when(hi > lo, clamped).otherwise(F.lit(0)).cast("int")
+        return F.least(F.lit(255), F.greatest(F.lit(0), raw)).cast("int")
 
-    return F.transform(vec, code)
+    # F.array of per-element expressions, NOT F.transform: Catalyst
+    # rewrites GetArrayItem(CreateArray(e_0..e_d), i) to e_i, so a
+    # downstream unrolled dot product stays O(1) per element — with
+    # transform() every extraction re-evaluates the whole d-element
+    # lambda (measured O(d^2)-per-pair: 16.9 s vs 1.7 s on the sq8
+    # gate at sf0.1)
+    return F.array(*[code(i) for i in range(len(mins))])
 
 
 def sq8_reconstruct_expr(
@@ -506,15 +513,53 @@ def sq8_reconstruct_expr(
     the asymmetric-distance convention (float query × reconstructed
     corpus), matching the stored-code scan path."""
     codes = F.col(codes) if isinstance(codes, str) else codes
+    # same CreateArray-of-element-exprs shape as sq8_code_expr (see the
+    # O(d^2) note there)
+    return F.array(
+        *[
+            F.lit(float(mins[i]))
+            + codes[i].cast("double")
+            / F.lit(255.0)
+            * F.lit(float(maxs[i]) - float(mins[i]))
+            for i in range(len(mins))
+        ]
+    )
+
+
+def sq8_recon_expr(
+    vec: Column | str, mins: list[float], maxs: list[float]
+) -> Column:
+    """Fused quantize→de-quantize in ONE ``transform()`` pass — the
+    expression :func:`sq8_topk` scores with.
+
+    Why a higher-order function here when :func:`sq8_code_expr` uses
+    CreateArray: inside a top-k plan the corpus projection fuses into
+    the window's pre-shuffle Sort/WindowGroupLimit stage, and the
+    inlined per-element recon code (128 copies: norm + dot) blows
+    janino's 64 KB method limit — the WHOLE stage then falls back to
+    interpreted eval (measured 7.4 s vs 0.08 s warm on the sf0.1
+    gate).  ``transform`` keeps the generated method tiny and
+    evaluates the array once per row.  The CreateArray variants remain
+    the right shape for persisted code tables (plain projections,
+    where Catalyst's extract-value rewrite makes element access
+    O(1))."""
+    vec = F.col(vec) if isinstance(vec, str) else vec
     mn = F.array(*[F.lit(float(m)) for m in mins])
     mx = F.array(*[F.lit(float(m)) for m in maxs])
-    return F.transform(
-        codes,
-        lambda c, i: F.element_at(mn, i + 1)
-        + c.cast("double")
-        / F.lit(255.0)
-        * (F.element_at(mx, i + 1) - F.element_at(mn, i + 1)),
-    )
+
+    def recon(v, i):
+        lo = F.element_at(mn, i + 1)
+        hi = F.element_at(mx, i + 1)
+        raw = F.floor(
+            (v.cast("double") - lo) / (hi - lo) * F.lit(255.0) + F.lit(0.5)
+        )
+        code = F.when(
+            hi > lo,
+            F.least(F.lit(255.0), F.greatest(F.lit(0.0), raw)),
+        ).otherwise(F.lit(0.0))
+        return lo + code / F.lit(255.0) * (hi - lo)
+
+    return F.transform(vec, recon)
 
 
 def sq8_topk(
@@ -542,17 +587,35 @@ def sq8_topk(
     mins, maxs = codebook if codebook is not None else sq8_train(
         corpus, vec_col=vec_col, dim=dim
     )
-    recon = sq8_reconstruct_expr(
-        sq8_code_expr(vec_col, mins, maxs), mins, maxs
+    k0 = k * rescore if rescore else k
+    # HOF scoring end to end (recon/norm/dot all evaluate the array
+    # once; see sq8_recon_expr for why unrolled expressions implode
+    # here) — the fold order of aggregate() matches dot_unrolled's
+    # left-association, so scores are bit-identical to the unrolled
+    # kernel's
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+    ).withColumn("_qnorm", l2(F.col("_qvec")))
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        sq8_recon_expr(vec_col, mins, maxs).alias("_cvec"),
+    ).withColumn("_cnorm", l2(F.col("_cvec")))
+    scored = c.join(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        _safe_ratio(
+            dot(F.col("_cvec"), F.col("_qvec")),
+            F.col("_cnorm") * F.col("_qnorm"),
+        ).alias("cosine"),
     )
-    approx = cosine_topk(
-        corpus.withColumn(vec_col, recon),
-        queries,
-        k * rescore if rescore else k,
-        id_col=id_col,
-        vec_col=vec_col,
-        query_id_col=query_id_col,
-        dim=dim,
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    approx = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k0)
+        .select("query_id", "vec_id", "cosine", "rank")
     )
     if not rescore:
         return approx

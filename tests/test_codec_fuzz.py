@@ -541,3 +541,50 @@ def test_tga_matrix():
             np.testing.assert_array_equal(
                 out, px, err_msg=f"{kind} {h}x{w}x{c} rle={rle}"
             )
+
+
+def test_fmp4_matrix():
+    """Fragmented MP4 over codec × frame-count × fragment-size ×
+    audio: every sample must decode identically to the progressive
+    encoding of the same frames, and truncating anywhere inside the
+    stream must raise ValueError (never IndexError)."""
+    from physicsnemo_curator_spark.sources import mp4
+
+    for codec, nf, spf, with_audio in itertools.product(
+        ("raw", "mjpeg"), (1, 3, 7), (1, 2, 5), (False, True)
+    ):
+        frames = [
+            _RNG.integers(0, 256, (6, 4, 3), dtype=np.uint8)
+            for _ in range(nf)
+        ]
+        kw = {}
+        if with_audio:
+            kw = dict(
+                audio=np.sin(np.arange(300) / 5.0) * 0.5,
+                sample_rate=8000,
+                audio_codec="sowt",
+            )
+        d = mp4.encode_fmp4(
+            frames, fps=10, codec=codec, samples_per_fragment=spf, **kw
+        )
+        out, meta = mp4.decode_mp4(d)
+        ref, _ = mp4.decode_mp4(mp4.encode_mp4(frames, fps=10, codec=codec))
+        assert meta["fragmented"] and len(out) == nf
+        for a, b in zip(ref, out):
+            np.testing.assert_array_equal(a, b)
+        if with_audio:
+            sig, am = mp4.extract_mp4_audio(d)
+            assert am["n_frames"] == 300 and am["sample_rate"] == 8000
+
+    # truncation sweep: ValueError or silently-shorter parse, never
+    # IndexError/struct.error (the codec's malformed-input contract)
+    d = mp4.encode_fmp4(
+        [_RNG.integers(0, 256, (6, 4, 3), dtype=np.uint8) for _ in range(4)],
+        fps=10, codec="raw", samples_per_fragment=2,
+        audio=np.ones(64) * 0.1, sample_rate=8000, audio_codec="sowt",
+    )
+    for cut in range(12, len(d), 7):
+        try:
+            mp4.parse_mp4(d[:cut])
+        except (ValueError, NotImplementedError):
+            pass

@@ -87,7 +87,7 @@ def main() -> None:
                 img = np.frombuffer(
                     h.encode(), dtype=np.uint8
                 ).reshape(4, 8)
-                k = int(doc_id) % 11
+                k = int(doc_id) % 12
                 if k == 0:
                     payload = jpeg.encode_jpeg(img, quality=90)
                     kind, w, hh = "image", 8, 4
@@ -128,9 +128,38 @@ def main() -> None:
                 elif k == 9:
                     payload = tiff.encode_tiff(img, compression="lzw")
                     kind, w, hh = "image", 8, 4
-                else:
+                elif k == 10:
                     # animated GIF rides the video-container dispatch
                     payload = gif.encode_gif([img, 255 - img], delay_cs=12)
+                    kind, w, hh = "video", None, None
+                else:
+                    # crawled DASH/HLS video: a fragmented-MP4 init
+                    # segment + separately-"downloaded" media segments,
+                    # reassembled (sequence renumbering included) into
+                    # one parseable stream before it enters the lake
+                    stream = mp4.encode_fmp4(
+                        [img, 255 - img, img],
+                        fps=8,
+                        codec="raw",
+                        samples_per_fragment=2,
+                    )
+                    spans = list(
+                        mp4._walk_boxes_spans(stream, 0, len(stream))
+                    )
+                    init_end = next(
+                        e for f, _s, _b, e in spans if f == b"moov"
+                    )
+                    seg_starts = [s for f, s, _b, _e in spans
+                                  if f == b"styp"]
+                    segs = [
+                        stream[a:b]
+                        for a, b in zip(
+                            seg_starts, seg_starts[1:] + [len(stream)]
+                        )
+                    ]
+                    payload = mp4.assemble_fmp4_segments(
+                        stream[:init_end], segs
+                    )
                     kind, w, hh = "video", None, None
                 rows.append(
                     (int(doc_id), kind, payload, w, hh, len(payload))

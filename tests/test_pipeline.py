@@ -273,3 +273,64 @@ def test_resume_partition_cardinality_guard(spark, tmp_path, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_RESUME_PARTITION_CAP", "100")
     r = p.run(spark, resume=True, partition_col="doc_id", manifest_dir=mdir)
     assert r.rows == 50
+
+
+def test_wizard_scripted_flow(spark, tmp_path):
+    """The wizard reproduces the reference's screen flow (source →
+    params → transforms → sink → YAML) over injected prompts: bad
+    entries re-prompt instead of raising, values coerce through
+    yaml.safe_load exactly like the spec loader, and the emitted
+    pipeline round-trips through save/load with the same spec hash."""
+    import os
+
+    from physicsnemo_curator_spark.core import wizard
+    from physicsnemo_curator_spark.core.serialization import load_pipeline
+
+    src = str(tmp_path / "in")
+    spark.range(10).selectExpr("id", "id * 2 AS v").write.parquet(src)
+    out = str(tmp_path / "out")
+    answers = iter(
+        [
+            "nope",                      # unknown source -> re-prompt
+            "parquet",
+            f"path={src}",
+            "",                          # end source params
+            "filter",
+            "condition=id >= 3",
+            "",
+            "select",
+            "columns=[id, v]",           # yaml list coercion
+            "",
+            "",                          # stop transforms
+            "parquet",
+            f"path={out}",
+            "",
+        ]
+    )
+    shown: list[str] = []
+    pipeline = wizard.run_wizard(
+        input_fn=lambda _p: next(answers), print_fn=shown.append
+    )
+    assert pipeline.transforms[1].params["columns"] == ["id", "v"]
+    assert any("unknown source" in s for s in shown)
+    # signature hints reached the screen (the reference shows Params)
+    assert any("params:" in s for s in shown)
+    result = pipeline.run(spark)
+    assert result.rows == 7
+    assert spark.read.parquet(out).count() == 7
+    # spec round-trip: what the wizard built is what the loader reads
+    spec_path = str(tmp_path / "spec.yaml")
+    from physicsnemo_curator_spark.core.serialization import save_pipeline
+
+    save_pipeline(pipeline, spec_path)
+    assert load_pipeline(spec_path).spec_hash == pipeline.spec_hash
+    assert os.path.exists(out)
+
+
+def test_wizard_component_hint_skips_frame_param():
+    from physicsnemo_curator_spark.core import wizard
+
+    hint = wizard.component_hint("source", "csv")
+    assert "spark" not in hint and "path" in hint
+    hint_t = wizard.component_hint("transform", "select")
+    assert "df" not in hint_t and "columns" in hint_t

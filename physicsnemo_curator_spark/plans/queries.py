@@ -1415,6 +1415,80 @@ ORDER BY click_id, purchase_id
 """
 
 
+def q_st5_stream_leftouter_join(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join gate — the hard half of
+    Spark's stream-stream join semantics: unmatched clicks emit with
+    NULL purchase columns only when the WATERMARK passes their state
+    expiry, which a file stream that runs dry never reaches.  The
+    runner stages the sources and appends watermark-advancing flush
+    batches (non-null keyed: Catalyst pushes isnotnull(key) into the
+    outer join's right scan BELOW the watermark node, so a null-keyed
+    flush row would never advance it — see streaming/joins.py).  The
+    emitted set must equal DuckDB's batch LEFT JOIN exactly: inner
+    pairs AND every unmatched click."""
+    import hashlib
+    import tempfile
+
+    from physicsnemo_curator_spark.streaming import joins as streaming_joins
+
+    events = _t(spark, sf_dir, "events")
+    ident = _src_ident(os.path.join(sf_dir, "events.parquet"))
+    token = hashlib.md5(
+        f"{sf_dir}:{ident}:st5:{max_files_per_trigger}".encode()
+    ).hexdigest()[:12]
+    base = os.path.join(
+        tempfile.gettempdir(), f"pcs_st5_{token}_{os.getpid()}"
+    )
+    cols = ["event_id", "user_id", "ts", "value"]
+    for side, etype in (("clicks", "click"), ("purchases", "purchase")):
+        d = os.path.join(base, side)
+        if not os.path.exists(os.path.join(d, "_SUCCESS")):
+            events.filter(F.col("event_type") == etype).select(
+                *cols
+            ).repartition(3).write.mode("overwrite").parquet(d)
+    out = streaming_joins.run_interval_join_stream(
+        spark,
+        os.path.join(base, "clicks"),
+        os.path.join(base, "purchases"),
+        "event_id long, user_id long, ts timestamp, value double",
+        {
+            "click_id": "l.event_id",
+            "purchase_id": "r.event_id",
+            "user_id": "l.user_id",
+            "purchase_value": "r.value",
+        },
+        work_dir=base,
+        on="user_id",
+        lower_seconds=0,
+        # tighter interval than st4 so a meaningful share of clicks is
+        # UNMATCHED — the gate must exercise the null-emission path
+        upper_seconds=3600,
+        watermark="60 days",
+        max_files_per_trigger=max_files_per_trigger,
+        state_partitions=4,
+        how="left_outer",
+    )
+    return out.select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        _r6(F.col("purchase_value"), "purchase_value"),
+    ).orderBy("click_id", "purchase_id")
+
+
+ORACLE_ST5 = """
+SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+       c.user_id, ROUND(p.value, 6) AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts BETWEEN c.ts - INTERVAL 3600 SECONDS AND c.ts
+ORDER BY click_id, purchase_id
+"""
+
+
 def _dash_store(spark: SparkSession, sf_dir: str):
     """The ONE construction of the dashboard gates' ledger fixture:
     token path + deterministic retried-index recording (both gates
@@ -9155,6 +9229,13 @@ QUERIES: dict[str, QuerySpec] = {
     "q_w5_group_zscore": QuerySpec(q_w5_group_zscore, ORACLE_W5),
     "q_median_exact": QuerySpec(q_median_exact, ORACLE_MEDIAN),
     "q_st3_stream_welford": QuerySpec(q_st3_stream_welford, ORACLE_ST3),
+    "q_st5_stream_leftouter_join": QuerySpec(
+        q_st5_stream_leftouter_join,
+        ORACLE_ST5,
+        bench=lambda s, d: q_st5_stream_leftouter_join(
+            s, d, max_files_per_trigger=3
+        ),
+    ),
     "q_st4_stream_interval_join": QuerySpec(
         q_st4_stream_interval_join,
         ORACLE_ST4,
@@ -9221,6 +9302,7 @@ _DRIVER_ORDER = [
     # --- NEW this round (r11): first green row needed ---
     "q_media_fmp4",
     "q_ann_sq8_topk",
+    "q_st5_stream_leftouter_join",
     # --- last driver-checked r08 (all 41) ---
     "q_sketch_cms",
     "q_text_substring_dup",
@@ -9270,8 +9352,8 @@ _DRIVER_ORDER = [
     "q_robots_filter",
     "q_text_normalize",
     "q_url_normalize",
-    "q_web_extract",
     # --- remaining r09 cohort (head of the r12 window) ---
+    "q_web_extract",
     "q_bpe_train",
     "q_webdataset",
     "q_quality_regression",

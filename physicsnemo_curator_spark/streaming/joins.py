@@ -59,6 +59,106 @@ def interval_join(
     return lw.alias("l").join(rw.alias("r"), cond, how)
 
 
+def _stage_with_flush_rows(
+    spark,
+    left_dir: str,
+    right_dir: str,
+    schema: str,
+    *,
+    work_dir: str,
+    on: str,
+    left_time: str,
+    right_time: str,
+    watermark: str,
+    upper_seconds: int,
+    skip: bool,
+):
+    """Stage both parquet sources under ``work_dir`` (hard links, copy
+    fallback — caller inputs are never touched) and append TWO
+    flush-row files per side, event time ``max_ts + watermark + upper
+    + margin``.  Returns the staged dirs plus the flush timestamp (the
+    sink's exclusive event-time bound).  ``skip=True`` (completed run)
+    only recomputes the bound.
+
+    The flush rows carry a NON-NULL join key: on the outer join's
+    right side Catalyst pushes ``isnotnull(key)`` into the scan —
+    BELOW the watermark node — so a null-keyed flush row would be
+    filtered before it could advance the right watermark and the outer
+    results would never release.  Any concrete key is safe: the flush
+    event time is beyond every real row's interval, so the range
+    predicate rules out matches regardless of key collisions."""
+    import datetime
+    import glob
+    import shutil
+
+    from pyspark.sql.types import StringType, TimestampType
+
+    delay_s = _interval_seconds(watermark)
+    max_ts = None
+    for d, tcol in ((left_dir, left_time), (right_dir, right_time)):
+        row = spark.read.schema(schema).parquet(d).agg(
+            F.max(tcol).alias("m")
+        ).collect()[0]
+        if row["m"] is not None and (max_ts is None or row["m"] > max_ts):
+            max_ts = row["m"]
+    if max_ts is None:
+        max_ts = datetime.datetime(1970, 1, 2)
+    flush_ts = max_ts + datetime.timedelta(
+        seconds=delay_s + upper_seconds + 3600
+    )
+    staged = []
+    for side, d, tcol in (
+        ("staged_l", left_dir, left_time),
+        ("staged_r", right_dir, right_time),
+    ):
+        out = os.path.join(work_dir, side)
+        staged.append(out)
+        if skip:
+            continue
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out)
+        for i, f in enumerate(sorted(glob.glob(os.path.join(d, "*.parquet")))):
+            dst = os.path.join(out, f"src-{i:05d}.parquet")
+            try:
+                os.link(f, dst)
+            except OSError:
+                shutil.copy2(f, dst)
+        fields = spark.read.schema(schema).parquet(d).schema.fields
+
+        def flush_value(f):
+            if f.name == tcol:
+                return F.lit(flush_ts).cast(TimestampType())
+            if f.name == on:
+                if isinstance(f.dataType, StringType):
+                    return F.lit("__pcs_flush__").cast(f.dataType)
+                return F.lit(-1).cast(f.dataType)
+            return F.lit(None).cast(f.dataType)
+
+        flush = spark.range(1).select(
+            *[flush_value(f).alias(f.name) for f in fields]
+        )
+        # two files -> two extra micro-batches: the watermark a batch
+        # uses comes from the PREVIOUS batch, so one flush batch moves
+        # the watermark and the second triggers the outer emission
+        for tag in ("flush-a", "flush-b"):
+            tmp = os.path.join(work_dir, f"_{side}_{tag}")
+            flush.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = glob.glob(os.path.join(tmp, "*.parquet"))[0]
+            shutil.move(part, os.path.join(out, f"zz-{tag}.parquet"))
+            shutil.rmtree(tmp, ignore_errors=True)
+    return staged[0], staged[1], flush_ts
+
+
+def _interval_seconds(text: str) -> int:
+    """Seconds in a watermark interval string ('2 hours', '90 seconds',
+    '1 day') — the units Spark's CalendarInterval accepts for
+    watermarks."""
+    n, unit = text.split()
+    unit = unit.rstrip("s")
+    mult = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}[unit]
+    return int(n) * mult
+
+
 def run_interval_join_stream(
     spark,
     left_dir: str,
@@ -75,6 +175,7 @@ def run_interval_join_stream(
     watermark: str = "2 hours",
     max_files_per_trigger: int = 1,
     state_partitions: int | None = None,
+    how: str = "inner",
 ) -> DataFrame:
     """Drive :func:`interval_join` through a REAL Structured Streaming
     run: both sides are ``readStream`` parquet sources consumed one
@@ -104,7 +205,20 @@ def run_interval_join_stream(
     keeps the session setting.  The setting is scoped to a CLONED
     session (``spark.newSession()``: same SparkContext, isolated
     SQLConf), so concurrent batch queries on the caller's session
-    never see the reduced partition count."""
+    never see the reduced partition count.
+
+    ``how='left_outer'`` adds the unmatched-left rows (right columns
+    NULL).  Outer emission is WATERMARK-DRIVEN: Spark releases an
+    unmatched row only when the watermark passes its state expiry, and
+    a file stream that simply runs dry never advances that far — so
+    the runner stages both sources into ``work_dir`` (hard-linked, the
+    inputs are never mutated) and appends two null-keyed FLUSH rows
+    per side whose event time sits beyond ``max_ts + watermark +
+    upper``; two extra micro-batches carry the watermark past every
+    real row's expiry (the watermark a batch uses is computed from the
+    PREVIOUS batch, hence two).  Null join keys never match, and flush
+    rows are excluded from the sink by an event-time bound, so the
+    result is exactly the batch left join."""
     import shutil
 
     sess = spark.newSession() if state_partitions is not None else spark
@@ -112,9 +226,26 @@ def run_interval_join_stream(
         sess.conf.set(
             "spark.sql.shuffle.partitions", str(state_partitions)
         )
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"unsupported stream-stream join how={how!r}")
     sink = os.path.join(work_dir, "sink")
     ckpt = os.path.join(work_dir, "ckpt")
     done = os.path.join(work_dir, "_DONE")
+    flush_bound = None
+    if how == "left_outer":
+        left_dir, right_dir, flush_bound = _stage_with_flush_rows(
+            sess,
+            left_dir,
+            right_dir,
+            schema,
+            work_dir=work_dir,
+            on=on,
+            left_time=left_time,
+            right_time=right_time,
+            watermark=watermark,
+            upper_seconds=upper_seconds,
+            skip=os.path.exists(done),
+        )
     left = (
         sess.readStream.schema(schema)
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
@@ -135,7 +266,15 @@ def run_interval_join_stream(
         upper_seconds=upper_seconds,
         left_watermark=watermark,
         right_watermark=watermark,
-    ).select(*[F.col(src).alias(name) for name, src in select_cols.items()])
+        how=how,
+    )
+    if flush_bound is not None:
+        # event-time predicate, stream-safe: drops the flush rows
+        # (their unmatched-left emissions) from the sink
+        joined = joined.filter(F.col(f"l.{left_time}") < F.lit(flush_bound))
+    joined = joined.select(
+        *[F.col(src).alias(name) for name, src in select_cols.items()]
+    )
     if not os.path.exists(done):
         # debris from an aborted earlier attempt must not mix with
         # (or masquerade as) a completed run

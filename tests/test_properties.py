@@ -1266,10 +1266,34 @@ def test_interval_join_stream_completeness_property(
         state_partitions=2,
     )
     got = sorted((r["a"], r["b"]) for r in out.collect())
-    expect = sorted(
+    inner = sorted(
         (i, j)
         for i, lo in enumerate(lefts)
         for j, ro in enumerate(rights)
         if 0 <= lo - ro <= upper
     )
-    assert got == expect
+    assert got == inner
+    # LEFT OUTER over the same offsets: inner pairs plus one
+    # null-right row for every unmatched left (the watermark-driven
+    # emission path the flush batches exist for)
+    outer = run_interval_join_stream(
+        spark,
+        str(tmp / "l"),
+        str(tmp / "r"),
+        "event_id long, user_id long, ts timestamp, value double",
+        {"a": "l.event_id", "b": "r.event_id"},
+        work_dir=str(tmp / "run_outer"),
+        lower_seconds=0,
+        upper_seconds=upper,
+        watermark="1 hour",
+        state_partitions=2,
+        how="left_outer",
+    )
+    key = lambda t: (t[0], -1 if t[1] is None else t[1])
+    got_outer = sorted(((r["a"], r["b"]) for r in outer.collect()), key=key)
+    matched = {i for i, _ in inner}
+    expect_outer = sorted(
+        inner + [(i, None) for i in range(len(lefts)) if i not in matched],
+        key=key,
+    )
+    assert got_outer == expect_outer

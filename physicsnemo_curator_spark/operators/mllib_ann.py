@@ -126,6 +126,197 @@ def ivf_topk(
     )
 
 
+def pq_train(
+    corpus: DataFrame,
+    *,
+    m: int = 8,
+    ks: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks, shape ``(m, ks, dim//m)``: the
+    dimension splits into ``m`` subspaces and each subspace gets the
+    corresponding SUBVECTORS of the ``ks`` md5-ordered sample rows —
+    the same deterministic sample-init as :func:`md5_sample_centroids`
+    (no Lloyd refinement), so encoding and ADC scoring replay exactly
+    in the DuckDB oracle.  Driver-side state is ks full vectors."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    base = md5_sample_centroids(corpus, k=ks, id_col=id_col, vec_col=vec_col)
+    if len(base) < ks:
+        raise ValueError(f"corpus has only {len(base)} rows; need ks={ks}")
+    return [
+        [vec[j * dsub : (j + 1) * dsub] for vec in base] for j in range(m)
+    ]
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``(vec_id, codes ARRAY<INT>)`` — ONE Arrow-batched numpy
+    projection (the IVF-assignment precedent): per subspace, the code
+    is the argmin of Σ(x−c)² over the codebook, ties to the lowest
+    code (numpy argmin-first, matching the oracle's ``ORDER BY d,
+    code``).  At ``m=8`` the codes are 8 small ints per vector — a
+    ~32× smaller table than float64 embeddings, the storage the
+    billion-scale ANN literature persists instead of raw vectors."""
+    cb = np.asarray(codebooks, dtype=np.float64)  # (m, ks, dsub)
+    m, _ks, dsub = cb.shape
+
+    @F.pandas_udf("array<int>")
+    def enc(v: pd.Series) -> pd.Series:
+        X = np.asarray(
+            [np.asarray(x, dtype=np.float64) for x in v], dtype=np.float64
+        )
+        out = np.empty((len(X), m), dtype=np.int32)
+        for j in range(m):
+            sub = X[:, j * dsub : (j + 1) * dsub]
+            d = ((sub[:, None, :] - cb[j][None, :, :]) ** 2).sum(axis=2)
+            out[:, j] = d.argmin(axis=1)
+        return pd.Series(list(out))
+
+    return corpus.select(
+        F.col(id_col).alias("vec_id"), enc(F.col(vec_col)).alias("codes")
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    m: int = 8,
+    ks: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    codebooks: list[list[list[float]]] | None = None,
+    rescore: int = 0,
+) -> DataFrame:
+    """Approximate top-k by cosine with asymmetric distance computation
+    (ADC) over PQ codes — the billion-scale ANN shape: the corpus is
+    ``m`` uint8 codes per vector, each query precomputes an
+    ``(m × ks)`` lookup table of subspace dot products, and scoring a
+    pair is m table lookups instead of a dim-term dot product.
+
+    Plan: codes from one Arrow projection → ``posexplode`` to
+    ``(vec_id, j, code)`` → broadcast-join the per-query LUT rows
+    (``queries`` is the SMALL side by contract — it is collected
+    driver-side to build the LUT, nq·m·ks tiny rows) → one hash
+    aggregate per (query, vector) sums the dots and reconstruction
+    norms → window top-k.  ``||recon||² = Σ_j ||c_{j,code_j}||²``
+    exactly (subspaces concatenate).  ``rescore=m'`` re-ranks the top
+    ``m'·k`` with exact cosine on the original vectors."""
+    spark = corpus.sparkSession
+    if codebooks is None:
+        codebooks = pq_train(
+            corpus, m=m, ks=ks, dim=dim, id_col=id_col, vec_col=vec_col
+        )
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m, ks, dsub = cb.shape
+    codes = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
+    qrows = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_q")
+    ).collect()
+    lut_rows = []
+    for r in qrows:
+        q = np.asarray(r["_q"], dtype=np.float64)
+        qnorm = float(np.sqrt((q * q).sum()))
+        for j in range(m):
+            qsub = q[j * dsub : (j + 1) * dsub]
+            for c in range(ks):
+                lut_rows.append(
+                    (
+                        r["query_id"],
+                        j,
+                        c,
+                        float(qsub @ cb[j, c]),
+                        float((cb[j, c] ** 2).sum()),
+                        qnorm,
+                    )
+                )
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    qid_type = queries.select(F.col(query_id_col)).schema[0].dataType
+    lut = spark.createDataFrame(
+        lut_rows,
+        StructType(
+            [
+                StructField("query_id", qid_type),
+                StructField("j", IntegerType()),
+                StructField("code", IntegerType()),
+                StructField("dotv", DoubleType()),
+                StructField("n2", DoubleType()),
+                StructField("qnorm", DoubleType()),
+            ]
+        ),
+    )
+    exploded = codes.select(
+        "vec_id", F.posexplode("codes").alias("j", "code")
+    )
+    k0 = k * rescore if rescore else k
+    scored = (
+        exploded.join(F.broadcast(lut), ["j", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.sum("dotv").alias("_sd"),
+            F.sum("n2").alias("_sn"),
+            F.first("qnorm").alias("_qn"),
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            F.when(
+                (F.col("_sn") > 0) & (F.col("_qn") > 0),
+                F.col("_sd") / (F.sqrt("_sn") * F.col("_qn")),
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    approx = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k0)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+    if not rescore:
+        return approx
+    from physicsnemo_curator_spark.operators.similarity import (
+        cosine_unrolled,
+    )
+
+    cand = approx.select("query_id", "vec_id")
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cvec")
+    ).join(cand, "vec_id")
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    rescored = c.join(F.broadcast(q), "query_id").select(
+        "query_id",
+        "vec_id",
+        cosine_unrolled("_cvec", "_qvec", dim).alias("cosine"),
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
 def train_ivf_sample(
     corpus: DataFrame,
     *,

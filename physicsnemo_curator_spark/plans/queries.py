@@ -3244,6 +3244,87 @@ def q_ann_sq8_topk(
     ).orderBy("query_id", "rank")
 
 
+def q_ann_pq_topk(
+    spark: SparkSession, sf_dir: str, rescore: int = 0
+) -> DataFrame:
+    """Product-quantization ANN (mllib_ann.pq_topk) — the billion-scale
+    shape: dim 64 splits into m=8 subspaces, each with a ks=16
+    codebook of md5-ordered sample subvectors (deterministic
+    sample-init, the IVF gate's convention); corpus vectors become 8
+    small ints (one Arrow projection), each query precomputes an
+    (8×16) dot-product lookup table, and asymmetric-distance scoring
+    is a broadcast LUT join + ONE hash aggregate per (query, vector) —
+    m lookups per pair instead of a 64-term dot product, over a ~32×
+    smaller code table.  The oracle replays codebook pick, per-subspace
+    argmin encode (ties → lowest code), LUT build, reconstruction
+    norms, and the ADC cosine rank in DuckDB arithmetic."""
+    from physicsnemo_curator_spark.operators import mllib_ann
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = mllib_ann.pq_topk(
+        emb, qs, k=5, m=8, ks=16, dim=64, rescore=rescore
+    )
+    return out.select(
+        "query_id", "vec_id", _r6(F.col("cosine"), "cosine"), "rank"
+    ).orderBy("query_id", "rank")
+
+
+ORACLE_ANN_PQ = """
+WITH cent AS (
+  SELECT embedding ce,
+         CAST(ROW_NUMBER() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) code
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+cb AS (
+  SELECT code, CAST(i // 8 AS INT) j, CAST(i % 8 AS INT) t,
+         CAST(x AS DOUBLE) c
+  FROM (SELECT code, unnest(range(0, 64)) i, unnest(ce) x FROM cent)),
+ev AS (
+  SELECT vec_id, CAST(i // 8 AS INT) j, CAST(i % 8 AS INT) t,
+         CAST(x AS DOUBLE) x
+  FROM (SELECT vec_id, unnest(range(0, 64)) i, unnest(embedding) x
+        FROM embeddings)),
+dist AS (
+  SELECT e.vec_id, e.j, cb.code, SUM((e.x - cb.c) * (e.x - cb.c)) d
+  FROM ev e JOIN cb ON e.j = cb.j AND e.t = cb.t GROUP BY 1, 2, 3),
+assign AS (
+  SELECT vec_id, j, code FROM (
+    SELECT vec_id, j, code,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, code) rn
+    FROM dist) WHERE rn = 1),
+qv AS (
+  SELECT vec_id query_id, CAST(i // 8 AS INT) j, CAST(i % 8 AS INT) t,
+         CAST(x AS DOUBLE) x
+  FROM (SELECT vec_id, unnest(range(0, 64)) i, unnest(embedding) x
+        FROM embeddings WHERE vec_id < 10)),
+qn AS (SELECT query_id, SQRT(SUM(x * x)) qnorm FROM qv GROUP BY 1),
+lut AS (
+  SELECT q.query_id, q.j, cb.code, SUM(q.x * cb.c) dotv
+  FROM qv q JOIN cb ON q.j = cb.j AND q.t = cb.t GROUP BY 1, 2, 3),
+n2 AS (SELECT j, code, SUM(c * c) n2 FROM cb GROUP BY 1, 2),
+scored AS (
+  SELECT l.query_id, a.vec_id, SUM(l.dotv) sd, SUM(n2.n2) sn
+  FROM assign a
+  JOIN lut l ON a.j = l.j AND a.code = l.code
+  JOIN n2 ON a.j = n2.j AND a.code = n2.code
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT s.query_id, s.vec_id,
+         s.sd / (SQRT(s.sn) * qn.qnorm) cosine,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY s.query_id
+           ORDER BY s.sd / (SQRT(s.sn) * qn.qnorm) DESC, s.vec_id
+         ) AS INT) rank
+  FROM scored s JOIN qn ON s.query_id = qn.query_id)
+SELECT query_id, vec_id, ROUND(cosine, 6) cosine, rank
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
 ORACLE_ANN_SQ8 = """
 WITH stats AS (
   SELECT j, CAST(MIN(x) AS DOUBLE) mn, CAST(MAX(x) AS DOUBLE) mx
@@ -9192,6 +9273,11 @@ QUERIES: dict[str, QuerySpec] = {
         ORACLE_ANN_SQ8,
         bench=lambda s, d: q_ann_sq8_topk(s, d, rescore=2),
     ),
+    "q_ann_pq_topk": QuerySpec(
+        q_ann_pq_topk,
+        ORACLE_ANN_PQ,
+        bench=lambda s, d: q_ann_pq_topk(s, d, rescore=2),
+    ),
     "q_embedding_near_dup": QuerySpec(
         q_embedding_near_dup,
         ORACLE_EMB_NEAR_DUP,
@@ -9302,6 +9388,7 @@ _DRIVER_ORDER = [
     # --- NEW this round (r11): first green row needed ---
     "q_media_fmp4",
     "q_ann_sq8_topk",
+    "q_ann_pq_topk",
     "q_st5_stream_leftouter_join",
     # --- last driver-checked r08 (all 41) ---
     "q_sketch_cms",
@@ -9351,8 +9438,8 @@ _DRIVER_ORDER = [
     "q_media_subtitles",
     "q_robots_filter",
     "q_text_normalize",
-    "q_url_normalize",
     # --- remaining r09 cohort (head of the r12 window) ---
+    "q_url_normalize",
     "q_web_extract",
     "q_bpe_train",
     "q_webdataset",

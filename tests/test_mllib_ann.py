@@ -246,3 +246,52 @@ def test_incremental_semantic_dedup_parity_and_append(spark, tmp_path, sf_correc
     # no duplicated corpus rows from the idempotent re-write
     n_store = spark.read.parquet(store).count()
     assert n_store == corpus.count() + batch1.count()
+
+
+def test_pq_topk_recall_and_rescore(spark, sf_correctness_dir):
+    """PQ/ADC must (a) emit m codes per vector in [0, ks); (b) recover
+    a solid share of the exact top-10 (coarser than SQ8 — 8 subspace
+    codes vs 64 8-bit dims); (c) with rescore the surviving candidates
+    carry EXACT cosine scores; (d) accept precomputed codebooks."""
+    from pyspark.sql import functions as F
+
+    from physicsnemo_curator_spark.operators import mllib_ann, similarity
+
+    emb = load_table(spark, sf_correctness_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cbs = mllib_ann.pq_train(emb, m=8, ks=16, dim=64)
+    assert len(cbs) == 8 and len(cbs[0]) == 16 and len(cbs[0][0]) == 8
+    codes = mllib_ann.pq_encode(emb, cbs).collect()
+    flat = [c for r in codes for c in r["codes"]]
+    assert len(codes[0]["codes"]) == 8
+    assert min(flat) >= 0 and max(flat) < 16
+    exact = similarity.cosine_topk(emb, qs, k=10, dim=64)
+    approx = mllib_ann.pq_topk(emb, qs, k=10, dim=64, codebooks=cbs)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    assert len(a & e) / len(e) >= 0.3  # 8-code ADC is coarse by design
+    rescored = mllib_ann.pq_topk(
+        emb, qs, k=10, dim=64, codebooks=cbs, rescore=3
+    )
+    ex = {(r["query_id"], r["vec_id"]): r["cosine"] for r in exact.collect()}
+    shared = 0
+    for r in rescored.collect():
+        key = (r["query_id"], r["vec_id"])
+        if key in ex:
+            shared += 1
+            assert abs(r["cosine"] - ex[key]) < 1e-12
+    assert shared > 0
+
+
+def test_pq_train_guards(spark, sf_correctness_dir):
+    import pytest as _pytest
+
+    from physicsnemo_curator_spark.operators import mllib_ann
+
+    emb = load_table(spark, sf_correctness_dir, "embeddings")
+    with _pytest.raises(ValueError, match="not divisible"):
+        mllib_ann.pq_train(emb, m=7, ks=4, dim=64)
+    with _pytest.raises(ValueError, match="need ks"):
+        mllib_ann.pq_train(emb.limit(3), m=8, ks=16, dim=64)

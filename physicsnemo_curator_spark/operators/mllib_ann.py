@@ -23,7 +23,10 @@ from pyspark.ml.functions import array_to_vector
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from physicsnemo_curator_spark.operators.similarity import cosine_prenormed
+from physicsnemo_curator_spark.operators.similarity import (
+    _safe_ratio,
+    cosine_prenormed,
+)
 
 
 def train_ivf(
@@ -278,9 +281,8 @@ def pq_topk(
         .select(
             "query_id",
             "vec_id",
-            F.when(
-                (F.col("_sn") > 0) & (F.col("_qn") > 0),
-                F.col("_sd") / (F.sqrt("_sn") * F.col("_qn")),
+            _safe_ratio(
+                F.col("_sd"), F.sqrt("_sn") * F.col("_qn")
             ).alias("cosine"),
         )
     )
@@ -294,26 +296,17 @@ def pq_topk(
     )
     if not rescore:
         return approx
-    from physicsnemo_curator_spark.operators.similarity import (
-        cosine_unrolled,
-    )
+    from physicsnemo_curator_spark.operators.similarity import exact_rerank
 
-    cand = approx.select("query_id", "vec_id")
-    c = corpus.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cvec")
-    ).join(cand, "vec_id")
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
-    )
-    rescored = c.join(F.broadcast(q), "query_id").select(
-        "query_id",
-        "vec_id",
-        cosine_unrolled("_cvec", "_qvec", dim).alias("cosine"),
-    )
-    return (
-        rescored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "cosine", "rank")
+    return exact_rerank(
+        corpus,
+        queries,
+        approx.select("query_id", "vec_id"),
+        k,
+        dim=dim,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
     )
 
 

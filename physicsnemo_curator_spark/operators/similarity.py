@@ -619,12 +619,38 @@ def sq8_topk(
     )
     if not rescore:
         return approx
-    # exact re-rank of the candidate union on the ORIGINAL vectors:
-    # O(queries·m·k) pairs, a semi-joined sliver of the corpus
-    cand = approx.select("query_id", "vec_id")
+    return exact_rerank(
+        corpus,
+        queries,
+        approx.select("query_id", "vec_id"),
+        k,
+        dim=dim,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+    )
+
+
+def exact_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int,
+    *,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact-cosine re-rank of an ANN candidate set on the ORIGINAL
+    vectors — the shared second pass of every quantized path (SQ8, PQ):
+    ``candidates (query_id, vec_id)`` semi-joins a sliver of the
+    corpus (O(queries·m·k) pairs), the query side broadcasts, and the
+    window keeps the top ``k`` per query with the family's
+    deterministic (score desc, vec_id asc) tie-break."""
     c = corpus.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cvec")
-    ).join(cand, "vec_id")
+    ).join(candidates, "vec_id")
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("_qvec"),

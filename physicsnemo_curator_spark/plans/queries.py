@@ -1342,6 +1342,34 @@ FROM events GROUP BY 1 ORDER BY key
 """
 
 
+def _stage_click_purchase_streams(
+    spark: SparkSession, sf_dir: str, tag: str, max_files_per_trigger: int
+) -> str:
+    """The ONE construction of the stream-join gates' fixture: split
+    ``events`` into 3-file click and purchase parquet sources under a
+    content-keyed tmp dir (st4 and st5 must not drift — same cols,
+    same repartition, same _SUCCESS-guarded idempotent write)."""
+    import hashlib
+    import tempfile
+
+    events = _t(spark, sf_dir, "events")
+    ident = _src_ident(os.path.join(sf_dir, "events.parquet"))
+    token = hashlib.md5(
+        f"{sf_dir}:{ident}:{tag}:{max_files_per_trigger}".encode()
+    ).hexdigest()[:12]
+    base = os.path.join(
+        tempfile.gettempdir(), f"pcs_{tag}_{token}_{os.getpid()}"
+    )
+    cols = ["event_id", "user_id", "ts", "value"]
+    for side, etype in (("clicks", "click"), ("purchases", "purchase")):
+        d = os.path.join(base, side)
+        if not os.path.exists(os.path.join(d, "_SUCCESS")):
+            events.filter(F.col("event_type") == etype).select(
+                *cols
+            ).repartition(3).write.mode("overwrite").parquet(d)
+    return base
+
+
 def q_st4_stream_interval_join(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
 ) -> DataFrame:
@@ -1355,26 +1383,11 @@ def q_st4_stream_interval_join(
     exactly the batch range join DuckDB replays.  Unlike q_w4/q_ts_*
     (batch twins), this executes readStream → watermarked
     stream-stream join → sink."""
-    import hashlib
-    import tempfile
-
     from physicsnemo_curator_spark.streaming import joins as streaming_joins
 
-    events = _t(spark, sf_dir, "events")
-    ident = _src_ident(os.path.join(sf_dir, "events.parquet"))
-    token = hashlib.md5(
-        f"{sf_dir}:{ident}:st4:{max_files_per_trigger}".encode()
-    ).hexdigest()[:12]
-    base = os.path.join(
-        tempfile.gettempdir(), f"pcs_st4_{token}_{os.getpid()}"
+    base = _stage_click_purchase_streams(
+        spark, sf_dir, "st4", max_files_per_trigger
     )
-    cols = ["event_id", "user_id", "ts", "value"]
-    for side, etype in (("clicks", "click"), ("purchases", "purchase")):
-        d = os.path.join(base, side)
-        if not os.path.exists(os.path.join(d, "_SUCCESS")):
-            events.filter(F.col("event_type") == etype).select(
-                *cols
-            ).repartition(3).write.mode("overwrite").parquet(d)
     out = streaming_joins.run_interval_join_stream(
         spark,
         os.path.join(base, "clicks"),
@@ -1428,26 +1441,11 @@ def q_st5_stream_leftouter_join(
     flush row would never advance it — see streaming/joins.py).  The
     emitted set must equal DuckDB's batch LEFT JOIN exactly: inner
     pairs AND every unmatched click."""
-    import hashlib
-    import tempfile
-
     from physicsnemo_curator_spark.streaming import joins as streaming_joins
 
-    events = _t(spark, sf_dir, "events")
-    ident = _src_ident(os.path.join(sf_dir, "events.parquet"))
-    token = hashlib.md5(
-        f"{sf_dir}:{ident}:st5:{max_files_per_trigger}".encode()
-    ).hexdigest()[:12]
-    base = os.path.join(
-        tempfile.gettempdir(), f"pcs_st5_{token}_{os.getpid()}"
+    base = _stage_click_purchase_streams(
+        spark, sf_dir, "st5", max_files_per_trigger
     )
-    cols = ["event_id", "user_id", "ts", "value"]
-    for side, etype in (("clicks", "click"), ("purchases", "purchase")):
-        d = os.path.join(base, side)
-        if not os.path.exists(os.path.join(d, "_SUCCESS")):
-            events.filter(F.col("event_type") == etype).select(
-                *cols
-            ).repartition(3).write.mode("overwrite").parquet(d)
     out = streaming_joins.run_interval_join_stream(
         spark,
         os.path.join(base, "clicks"),

@@ -70,15 +70,19 @@ def _stage_with_flush_rows(
     left_time: str,
     right_time: str,
     watermark: str,
+    lower_seconds: int,
     upper_seconds: int,
     skip: bool,
 ):
     """Stage both parquet sources under ``work_dir`` (hard links, copy
     fallback — caller inputs are never touched) and append TWO
-    flush-row files per side, event time ``max_ts + watermark + upper
-    + margin``.  Returns the staged dirs plus the flush timestamp (the
-    sink's exclusive event-time bound).  ``skip=True`` (completed run)
-    only recomputes the bound.
+    flush-row files per side, event time ``max_ts + watermark +
+    max(upper, -lower) + margin`` (a negative ``lower`` widens the
+    left rows' state expiry beyond ``upper``).  Returns the staged
+    dirs plus the flush timestamp (the sink's exclusive event-time
+    bound).  ``skip=True`` (completed run) returns the staged dirs and
+    ``None``: the sink is read back as-is, so neither the staging nor
+    the two full-source max-aggregate jobs run.
 
     The flush rows carry a NON-NULL join key: on the outer join's
     right side Catalyst pushes ``isnotnull(key)`` into the scan —
@@ -93,6 +97,15 @@ def _stage_with_flush_rows(
 
     from pyspark.sql.types import StringType, TimestampType
 
+    staged_dirs = [
+        os.path.join(work_dir, "staged_l"),
+        os.path.join(work_dir, "staged_r"),
+    ]
+    if skip:
+        # completed run: the sink is read back as-is; the event-time
+        # bound only shapes a query that will not execute, so skip the
+        # two full-source max-aggregate jobs
+        return staged_dirs[0], staged_dirs[1], None
     delay_s = _interval_seconds(watermark)
     max_ts = None
     for d, tcol in ((left_dir, left_time), (right_dir, right_time)):
@@ -103,8 +116,11 @@ def _stage_with_flush_rows(
             max_ts = row["m"]
     if max_ts is None:
         max_ts = datetime.datetime(1970, 1, 2)
+    # a left row is outer-releasable once the watermark passes
+    # l.ts - lower (the latest right event that could still match), so
+    # a NEGATIVE lower widens the required margin beyond `upper`
     flush_ts = max_ts + datetime.timedelta(
-        seconds=delay_s + upper_seconds + 3600
+        seconds=delay_s + max(upper_seconds, -lower_seconds, 0) + 3600
     )
     staged = []
     for side, d, tcol in (
@@ -113,11 +129,20 @@ def _stage_with_flush_rows(
     ):
         out = os.path.join(work_dir, side)
         staged.append(out)
-        if skip:
-            continue
         shutil.rmtree(out, ignore_errors=True)
         os.makedirs(out)
-        for i, f in enumerate(sorted(glob.glob(os.path.join(d, "*.parquet")))):
+        files = sorted(glob.glob(os.path.join(d, "*.parquet")))
+        if not files:
+            # a partitioned layout (day=*/part-*.parquet) would stage
+            # ZERO data files and the run would "succeed" with a
+            # flush-only result — fail loudly instead
+            raise ValueError(
+                f"left_outer staging found no top-level *.parquet in "
+                f"{d!r}; partitioned/nested source layouts are not "
+                "supported by the outer-join runner (flatten the "
+                "source or use how='inner')"
+            )
+        for i, f in enumerate(files):
             dst = os.path.join(out, f"src-{i:05d}.parquet")
             try:
                 os.link(f, dst)
@@ -149,14 +174,29 @@ def _stage_with_flush_rows(
     return staged[0], staged[1], flush_ts
 
 
-def _interval_seconds(text: str) -> int:
-    """Seconds in a watermark interval string ('2 hours', '90 seconds',
-    '1 day') — the units Spark's CalendarInterval accepts for
-    watermarks."""
+_INTERVAL_UNITS = {
+    "millisecond": 0.001,
+    "second": 1,
+    "minute": 60,
+    "hour": 3600,
+    "day": 86400,
+    "week": 604800,
+}
+
+
+def _interval_seconds(text: str) -> float:
+    """Seconds in a watermark interval string ('2 hours', '1 week',
+    '500 milliseconds') — the CalendarInterval units withWatermark
+    accepts; anything else fails with the supported list, not a bare
+    KeyError."""
     n, unit = text.split()
     unit = unit.rstrip("s")
-    mult = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}[unit]
-    return int(n) * mult
+    if unit not in _INTERVAL_UNITS:
+        raise ValueError(
+            f"unsupported watermark unit {unit!r}; expected one of "
+            f"{sorted(_INTERVAL_UNITS)}"
+        )
+    return int(n) * _INTERVAL_UNITS[unit]
 
 
 def run_interval_join_stream(
@@ -212,13 +252,16 @@ def run_interval_join_stream(
     unmatched row only when the watermark passes its state expiry, and
     a file stream that simply runs dry never advances that far — so
     the runner stages both sources into ``work_dir`` (hard-linked, the
-    inputs are never mutated) and appends two null-keyed FLUSH rows
-    per side whose event time sits beyond ``max_ts + watermark +
-    upper``; two extra micro-batches carry the watermark past every
-    real row's expiry (the watermark a batch uses is computed from the
-    PREVIOUS batch, hence two).  Null join keys never match, and flush
-    rows are excluded from the sink by an event-time bound, so the
-    result is exactly the batch left join."""
+    inputs are never mutated) and appends two FLUSH rows per side
+    whose event time sits beyond every real row's state expiry; two
+    extra micro-batches carry the watermark past it (the watermark a
+    batch uses is computed from the PREVIOUS batch, hence two).  Flush
+    rows carry a NON-null sentinel key — a null key would be removed
+    by the isnotnull pushdown below the watermark node (see
+    ``_stage_with_flush_rows``) — but can never match: their event
+    time is outside every real row's interval.  They are excluded from
+    the sink by an event-time bound, so the result is exactly the
+    batch left join."""
     import shutil
 
     sess = spark.newSession() if state_partitions is not None else spark
@@ -243,6 +286,7 @@ def run_interval_join_stream(
             left_time=left_time,
             right_time=right_time,
             watermark=watermark,
+            lower_seconds=lower_seconds,
             upper_seconds=upper_seconds,
             skip=os.path.exists(done),
         )

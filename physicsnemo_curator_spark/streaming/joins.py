@@ -137,7 +137,7 @@ def _stage_with_flush_rows(
             # ZERO data files and the run would "succeed" with a
             # flush-only result — fail loudly instead
             raise ValueError(
-                f"left_outer staging found no top-level *.parquet in "
+                f"outer-join staging found no top-level *.parquet in "
                 f"{d!r}; partitioned/nested source layouts are not "
                 "supported by the outer-join runner (flatten the "
                 "source or use how='inner')"
@@ -248,7 +248,10 @@ def run_interval_join_stream(
     never see the reduced partition count.
 
     ``how='left_outer'`` adds the unmatched-left rows (right columns
-    NULL).  Outer emission is WATERMARK-DRIVEN: Spark releases an
+    NULL); ``how='full_outer'`` adds unmatched rows from BOTH sides
+    (the flush margin covers both expiries: a left row waits for the
+    watermark to pass ``l.ts - lower``, a right row for
+    ``r.ts + upper``).  Outer emission is WATERMARK-DRIVEN: Spark releases an
     unmatched row only when the watermark passes its state expiry, and
     a file stream that simply runs dry never advances that far — so
     the runner stages both sources into ``work_dir`` (hard-linked, the
@@ -269,13 +272,13 @@ def run_interval_join_stream(
         sess.conf.set(
             "spark.sql.shuffle.partitions", str(state_partitions)
         )
-    if how not in ("inner", "left_outer"):
+    if how not in ("inner", "left_outer", "full_outer"):
         raise ValueError(f"unsupported stream-stream join how={how!r}")
     sink = os.path.join(work_dir, "sink")
     ckpt = os.path.join(work_dir, "ckpt")
     done = os.path.join(work_dir, "_DONE")
     flush_bound = None
-    if how == "left_outer":
+    if how != "inner":
         left_dir, right_dir, flush_bound = _stage_with_flush_rows(
             sess,
             left_dir,
@@ -313,9 +316,18 @@ def run_interval_join_stream(
         how=how,
     )
     if flush_bound is not None:
-        # event-time predicate, stream-safe: drops the flush rows
-        # (their unmatched-left emissions) from the sink
-        joined = joined.filter(F.col(f"l.{left_time}") < F.lit(flush_bound))
+        # event-time predicates, stream-safe: drop the flush rows
+        # (their unmatched emissions) from the sink.  full_outer rows
+        # can be null on EITHER side, so each bound admits nulls — a
+        # real unmatched-right row has l.<time> null, not < bound
+        lt = F.col(f"l.{left_time}")
+        cond = lt < F.lit(flush_bound)
+        if how == "full_outer":
+            rt = F.col(f"r.{right_time}")
+            cond = (lt.isNull() | (lt < F.lit(flush_bound))) & (
+                rt.isNull() | (rt < F.lit(flush_bound))
+            )
+        joined = joined.filter(cond)
     joined = joined.select(
         *[F.col(src).alias(name) for name, src in select_cols.items()]
     )

@@ -816,3 +816,48 @@ def test_run_interval_join_stream_left_outer(spark, tmp_path):
         state_partitions=2,
     )
     assert again.count() == len(expect)
+
+
+def test_run_interval_join_stream_full_outer(spark, tmp_path):
+    """FULL OUTER stream-stream interval join: unmatched rows from
+    BOTH sides emit with nulls on the other side, equal to the batch
+    full join.  Right-side expiry (r.ts + upper) and left-side expiry
+    (l.ts - lower) are both covered by the flush margin."""
+    from physicsnemo_curator_spark.streaming.joins import (
+        run_interval_join_stream,
+    )
+
+    # users 0..3; right matches exist for users 0,2 (30s before left);
+    # user 5 exists ONLY on the right
+    lrows = [(i, i, f"2024-01-01 00:{i:02d}:30", 1.0) for i in range(4)]
+    rrows = [
+        (100 + i, i, f"2024-01-01 00:{i:02d}:00", 2.0) for i in (0, 2)
+    ] + [(105, 5, "2024-01-01 00:07:00", 2.0)]
+    for side, rows in (("l", lrows), ("r", rrows)):
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, ts string, value double"
+        ).selectExpr(
+            "event_id", "user_id", "CAST(ts AS TIMESTAMP) ts", "value"
+        ).repartition(2).write.parquet(str(tmp_path / side))
+    out = run_interval_join_stream(
+        spark,
+        str(tmp_path / "l"),
+        str(tmp_path / "r"),
+        "event_id long, user_id long, ts timestamp, value double",
+        {"a": "l.event_id", "b": "r.event_id"},
+        work_dir=str(tmp_path / "run"),
+        lower_seconds=0,
+        upper_seconds=60,
+        watermark="10 minutes",
+        how="full_outer",
+        state_partitions=2,
+    )
+    key = lambda t: (
+        -1 if t[0] is None else t[0],
+        -1 if t[1] is None else t[1],
+    )
+    got = sorted(((r["a"], r["b"]) for r in out.collect()), key=key)
+    expect = sorted(
+        [(0, 100), (2, 102), (1, None), (3, None), (None, 105)], key=key
+    )
+    assert got == expect

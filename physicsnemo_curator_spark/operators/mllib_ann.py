@@ -155,20 +155,10 @@ def pq_train(
     ]
 
 
-def pq_encode(
-    corpus: DataFrame,
-    codebooks: list[list[list[float]]],
-    *,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """``(vec_id, codes ARRAY<INT>)`` — ONE Arrow-batched numpy
-    projection (the IVF-assignment precedent): per subspace, the code
-    is the argmin of Σ(x−c)² over the codebook, ties to the lowest
-    code (numpy argmin-first, matching the oracle's ``ORDER BY d,
-    code``).  At ``m=8`` the codes are 8 small ints per vector — a
-    ~32× smaller table than float64 embeddings, the storage the
-    billion-scale ANN literature persists instead of raw vectors."""
+def _pq_encode_udf(codebooks: list[list[list[float]]]):
+    """Arrow-batched encoder: per subspace, argmin of Σ(x−c)² over the
+    codebook, ties to the lowest code (numpy argmin-first, matching
+    the oracle's ``ORDER BY d, code``)."""
     cb = np.asarray(codebooks, dtype=np.float64)  # (m, ks, dsub)
     m, _ks, dsub = cb.shape
 
@@ -184,8 +174,111 @@ def pq_encode(
             out[:, j] = d.argmin(axis=1)
         return pd.Series(list(out))
 
+    return enc
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``(vec_id, codes ARRAY<INT>)`` — ONE Arrow-batched numpy
+    projection (the IVF-assignment precedent).  At ``m=8`` the codes
+    are 8 small ints per vector — a ~32× smaller table than float64
+    embeddings, the storage the billion-scale ANN literature persists
+    instead of raw vectors."""
+    enc = _pq_encode_udf(codebooks)
     return corpus.select(
         F.col(id_col).alias("vec_id"), enc(F.col(vec_col)).alias("codes")
+    )
+
+
+def _pq_lut(
+    queries: DataFrame,
+    codebooks_arr: np.ndarray,
+    *,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-query ADC lookup table, ``nq·m·ks`` tiny rows:
+    ``(query_id, j, code, dotv, n2, qnorm)``.  ``queries`` is the
+    SMALL broadcast side by contract — it is collected driver-side."""
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    spark = queries.sparkSession
+    m, ks, dsub = codebooks_arr.shape
+    qrows = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_q")
+    ).collect()
+    lut_rows = []
+    for r in qrows:
+        q = np.asarray(r["_q"], dtype=np.float64)
+        qnorm = float(np.sqrt((q * q).sum()))
+        for j in range(m):
+            qsub = q[j * dsub : (j + 1) * dsub]
+            for c in range(ks):
+                lut_rows.append(
+                    (
+                        r["query_id"],
+                        j,
+                        c,
+                        float(qsub @ codebooks_arr[j, c]),
+                        float((codebooks_arr[j, c] ** 2).sum()),
+                        qnorm,
+                    )
+                )
+    qid_type = queries.select(F.col(query_id_col)).schema[0].dataType
+    return spark.createDataFrame(
+        lut_rows,
+        StructType(
+            [
+                StructField("query_id", qid_type),
+                StructField("j", IntegerType()),
+                StructField("code", IntegerType()),
+                StructField("dotv", DoubleType()),
+                StructField("n2", DoubleType()),
+                StructField("qnorm", DoubleType()),
+            ]
+        ),
+    )
+
+
+def _pq_adc_rank(
+    exploded: DataFrame, lut: DataFrame, join_keys: list[str], k0: int
+) -> DataFrame:
+    """The shared ADC scoring tail: broadcast LUT join → one hash
+    aggregate per (query, vector) → window top-k0 with the family's
+    deterministic tie-break."""
+    scored = (
+        exploded.join(F.broadcast(lut), join_keys)
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.sum("dotv").alias("_sd"),
+            F.sum("n2").alias("_sn"),
+            F.first("qnorm").alias("_qn"),
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            _safe_ratio(
+                F.col("_sd"), F.sqrt("_sn") * F.col("_qn")
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k0)
+        .select("query_id", "vec_id", "cosine", "rank")
     )
 
 
@@ -217,82 +310,91 @@ def pq_topk(
     norms → window top-k.  ``||recon||² = Σ_j ||c_{j,code_j}||²``
     exactly (subspaces concatenate).  ``rescore=m'`` re-ranks the top
     ``m'·k`` with exact cosine on the original vectors."""
-    spark = corpus.sparkSession
     if codebooks is None:
         codebooks = pq_train(
             corpus, m=m, ks=ks, dim=dim, id_col=id_col, vec_col=vec_col
         )
     cb = np.asarray(codebooks, dtype=np.float64)
-    m, ks, dsub = cb.shape
     codes = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
-    qrows = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_q")
-    ).collect()
-    lut_rows = []
-    for r in qrows:
-        q = np.asarray(r["_q"], dtype=np.float64)
-        qnorm = float(np.sqrt((q * q).sum()))
-        for j in range(m):
-            qsub = q[j * dsub : (j + 1) * dsub]
-            for c in range(ks):
-                lut_rows.append(
-                    (
-                        r["query_id"],
-                        j,
-                        c,
-                        float(qsub @ cb[j, c]),
-                        float((cb[j, c] ** 2).sum()),
-                        qnorm,
-                    )
-                )
-    from pyspark.sql.types import (
-        DoubleType,
-        IntegerType,
-        StructField,
-        StructType,
-    )
-
-    qid_type = queries.select(F.col(query_id_col)).schema[0].dataType
-    lut = spark.createDataFrame(
-        lut_rows,
-        StructType(
-            [
-                StructField("query_id", qid_type),
-                StructField("j", IntegerType()),
-                StructField("code", IntegerType()),
-                StructField("dotv", DoubleType()),
-                StructField("n2", DoubleType()),
-                StructField("qnorm", DoubleType()),
-            ]
-        ),
-    )
+    lut = _pq_lut(queries, cb, query_id_col=query_id_col, vec_col=vec_col)
     exploded = codes.select(
         "vec_id", F.posexplode("codes").alias("j", "code")
     )
-    k0 = k * rescore if rescore else k
-    scored = (
-        exploded.join(F.broadcast(lut), ["j", "code"])
-        .groupBy("query_id", "vec_id")
-        .agg(
-            F.sum("dotv").alias("_sd"),
-            F.sum("n2").alias("_sn"),
-            F.first("qnorm").alias("_qn"),
-        )
-        .select(
-            "query_id",
-            "vec_id",
-            _safe_ratio(
-                F.col("_sd"), F.sqrt("_sn") * F.col("_qn")
-            ).alias("cosine"),
-        )
+    # joining on (j, code) alone cross-pairs every vector with every
+    # query through the LUT's query_id column — exactly the brute
+    # all-candidates regime PQ is built for
+    approx = _pq_adc_rank(
+        exploded, lut, ["j", "code"], k * rescore if rescore else k
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("vec_id")
+    if not rescore:
+        return approx
+    from physicsnemo_curator_spark.operators.similarity import exact_rerank
+
+    return exact_rerank(
+        corpus,
+        queries,
+        approx.select("query_id", "vec_id"),
+        k,
+        dim=dim,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
     )
-    approx = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k0)
-        .select("query_id", "vec_id", "cosine", "rank")
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centers: list[list[float]],
+    k: int = 10,
+    *,
+    n_probe: int = 3,
+    m: int = 8,
+    ks: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    codebooks: list[list[list[float]]] | None = None,
+    rescore: int = 0,
+) -> DataFrame:
+    """IVF-PQ — the billion-scale composition: the coarse quantizer
+    restricts each query to its ``n_probe`` nearest cells and PQ/ADC
+    scores only those candidates.  This is the architecture large-
+    vector-search deployments actually run: cells bound the scan
+    (n_probe/k_cells of the corpus), codes bound the bytes (~32×
+    smaller at m=8), and the optional exact re-rank restores precision
+    on the short list.
+
+    Plan: ONE projection computes each corpus row's cell AND its PQ
+    codes (two Arrow UDFs, one pass — at scale this is the persisted
+    index table, bucketed by cell); queries explode to their probe
+    cells; candidates come from a broadcast cell join; scoring is the
+    shared ADC tail keyed on (query_id, j, code) so each candidate
+    meets only its own query's LUT rows."""
+    dim = len(centers[0])
+    if codebooks is None:
+        codebooks = pq_train(
+            corpus, m=m, ks=ks, dim=dim, id_col=id_col, vec_col=vec_col
+        )
+    cb = np.asarray(codebooks, dtype=np.float64)
+    cell_meta = _ivf_meta_udf(centers, 1)
+    enc = _pq_encode_udf(codebooks)
+    indexed = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.element_at(cell_meta(F.col(vec_col))["cells"], 1).alias("cell"),
+        enc(F.col(vec_col)).alias("codes"),
+    )
+    probe_meta = _ivf_meta_udf(centers, n_probe)
+    probed = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(probe_meta(F.col(vec_col))["cells"]).alias("cell"),
+    )
+    cand = indexed.join(F.broadcast(probed), "cell").select(
+        "query_id", "vec_id", F.posexplode("codes").alias("j", "code")
+    )
+    lut = _pq_lut(queries, cb, query_id_col=query_id_col, vec_col=vec_col)
+    approx = _pq_adc_rank(
+        cand, lut, ["query_id", "j", "code"], k * rescore if rescore else k
     )
     if not rescore:
         return approx

@@ -3424,6 +3424,115 @@ FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
 ORACLE_ANN_IVF = _ivf_oracle()
 
 
+def q_ann_ivfpq_topk(
+    spark: SparkSession, sf_dir: str, rescore: int = 0
+) -> DataFrame:
+    """IVF-PQ ANN (mllib_ann.ivfpq_topk) — the billion-scale
+    composition the large-vector-search deployments run: the 8-cell
+    md5-sample coarse quantizer restricts each query to its 3 nearest
+    cells, and PQ/ADC (m=8 subspaces × ks=16 codes) scores only those
+    candidates through the broadcast LUT keyed (query_id, j, code).
+    ONE projection computes each corpus row's cell AND codes — the
+    persisted, cell-bucketed index table at scale.  The oracle
+    composes the IVF oracle's assignment/probing with the PQ oracle's
+    encode/LUT/ADC rank, all in DuckDB arithmetic."""
+    from physicsnemo_curator_spark.operators import mllib_ann
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    centers = mllib_ann.md5_sample_centroids(emb, k=8)
+    out = mllib_ann.ivfpq_topk(
+        emb, qs, centers, k=5, n_probe=3, m=8, ks=16, rescore=rescore
+    )
+    return out.select(
+        "query_id", "vec_id", _r6(F.col("cosine"), "cosine"), "rank"
+    ).orderBy("query_id", "rank")
+
+
+ORACLE_ANN_IVFPQ = """
+WITH cent AS (
+  SELECT embedding ce,
+         CAST(ROW_NUMBER() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) cell
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+cv AS (SELECT cell, unnest(range(0, 64)) j, unnest(ce) c FROM cent),
+csq AS (SELECT cell, SUM(CAST(c AS DOUBLE) * CAST(c AS DOUBLE)) c2
+        FROM cv GROUP BY 1),
+ev AS (SELECT vec_id, unnest(range(0, 64)) j, unnest(embedding) x
+       FROM embeddings),
+dist AS (
+  SELECT xc.vec_id, xc.cell, csq.c2 - 2 * xc.dotxc d
+  FROM (SELECT e.vec_id, c.cell,
+               SUM(CAST(e.x AS DOUBLE) * CAST(c.c AS DOUBLE)) dotxc
+        FROM ev e JOIN cv c ON e.j = c.j GROUP BY 1, 2) xc
+  JOIN csq ON xc.cell = csq.cell),
+assign AS (SELECT vec_id, cell FROM (
+  SELECT vec_id, cell,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) rn
+  FROM dist) WHERE rn = 1),
+probes AS (SELECT vec_id query_id, cell FROM (
+  SELECT vec_id, cell,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) rn
+  FROM dist WHERE vec_id < 10) WHERE rn <= 3),
+cand AS (SELECT p.query_id, a.vec_id
+         FROM probes p JOIN assign a ON p.cell = a.cell),
+pqcent AS (
+  SELECT embedding ce,
+         CAST(ROW_NUMBER() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) code
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+pcb AS (
+  SELECT code, CAST(i // 8 AS INT) j, CAST(i % 8 AS INT) t,
+         CAST(x AS DOUBLE) c
+  FROM (SELECT code, unnest(range(0, 64)) i, unnest(ce) x FROM pqcent)),
+pev AS (
+  SELECT vec_id, CAST(i // 8 AS INT) j, CAST(i % 8 AS INT) t,
+         CAST(x AS DOUBLE) x
+  FROM (SELECT vec_id, unnest(range(0, 64)) i, unnest(embedding) x
+        FROM embeddings)),
+pdist AS (
+  SELECT e.vec_id, e.j, pcb.code, SUM((e.x - pcb.c) * (e.x - pcb.c)) d
+  FROM pev e JOIN pcb ON e.j = pcb.j AND e.t = pcb.t GROUP BY 1, 2, 3),
+passign AS (
+  SELECT vec_id, j, code FROM (
+    SELECT vec_id, j, code,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, code) rn
+    FROM pdist) WHERE rn = 1),
+qv AS (
+  SELECT vec_id query_id, CAST(i // 8 AS INT) j, CAST(i % 8 AS INT) t,
+         CAST(x AS DOUBLE) x
+  FROM (SELECT vec_id, unnest(range(0, 64)) i, unnest(embedding) x
+        FROM embeddings WHERE vec_id < 10)),
+qn AS (SELECT query_id, SQRT(SUM(x * x)) qnorm FROM qv GROUP BY 1),
+lut AS (
+  SELECT q.query_id, q.j, pcb.code, SUM(q.x * pcb.c) dotv
+  FROM qv q JOIN pcb ON q.j = pcb.j AND q.t = pcb.t GROUP BY 1, 2, 3),
+n2 AS (SELECT j, code, SUM(c * c) n2 FROM pcb GROUP BY 1, 2),
+scored AS (
+  SELECT cand.query_id, cand.vec_id, SUM(l.dotv) sd, SUM(n2.n2) sn
+  FROM cand
+  JOIN passign pa ON cand.vec_id = pa.vec_id
+  JOIN lut l ON cand.query_id = l.query_id
+            AND pa.j = l.j AND pa.code = l.code
+  JOIN n2 ON pa.j = n2.j AND pa.code = n2.code
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT s.query_id, s.vec_id,
+         s.sd / (SQRT(s.sn) * qn.qnorm) cosine,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY s.query_id
+           ORDER BY s.sd / (SQRT(s.sn) * qn.qnorm) DESC, s.vec_id
+         ) AS INT) rank
+  FROM scored s JOIN qn ON s.query_id = qn.query_id)
+SELECT query_id, vec_id, ROUND(cosine, 6) cosine, rank
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
 def q_semantic_dedup(
     spark: SparkSession,
     sf_dir: str,
@@ -9276,6 +9385,11 @@ QUERIES: dict[str, QuerySpec] = {
         ORACLE_ANN_PQ,
         bench=lambda s, d: q_ann_pq_topk(s, d, rescore=2),
     ),
+    "q_ann_ivfpq_topk": QuerySpec(
+        q_ann_ivfpq_topk,
+        ORACLE_ANN_IVFPQ,
+        bench=lambda s, d: q_ann_ivfpq_topk(s, d, rescore=2),
+    ),
     "q_embedding_near_dup": QuerySpec(
         q_embedding_near_dup,
         ORACLE_EMB_NEAR_DUP,
@@ -9387,6 +9501,7 @@ _DRIVER_ORDER = [
     "q_media_fmp4",
     "q_ann_sq8_topk",
     "q_ann_pq_topk",
+    "q_ann_ivfpq_topk",
     "q_st5_stream_leftouter_join",
     # --- last driver-checked r08 (all 41) ---
     "q_sketch_cms",
@@ -9435,8 +9550,8 @@ _DRIVER_ORDER = [
     "q_corpus_card",
     "q_media_subtitles",
     "q_robots_filter",
-    "q_text_normalize",
     # --- remaining r09 cohort (head of the r12 window) ---
+    "q_text_normalize",
     "q_url_normalize",
     "q_web_extract",
     "q_bpe_train",

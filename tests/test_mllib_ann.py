@@ -295,3 +295,53 @@ def test_pq_train_guards(spark, sf_correctness_dir):
         mllib_ann.pq_train(emb, m=7, ks=4, dim=64)
     with _pytest.raises(ValueError, match="need ks"):
         mllib_ann.pq_train(emb.limit(3), m=8, ks=16, dim=64)
+
+
+def test_ivfpq_topk_candidates_and_rescore(spark, sf_correctness_dir):
+    """IVF-PQ candidates are exactly the probed-cell subset: its
+    results are a subset of PQ-over-the-same-cells, every query
+    retrieves itself (its own cell is always probed, and the identical
+    vector shares all PQ codes), and the rescore path carries exact
+    cosine scores."""
+    from pyspark.sql import functions as F
+
+    from physicsnemo_curator_spark.operators import mllib_ann, similarity
+
+    emb = load_table(spark, sf_correctness_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    centers = mllib_ann.md5_sample_centroids(emb, k=8)
+    cbs = mllib_ann.pq_train(emb, m=8, ks=16, dim=64)
+    out = mllib_ann.ivfpq_topk(
+        emb, qs, centers, k=10, n_probe=3, codebooks=cbs
+    )
+    got = {(r["query_id"], r["vec_id"]) for r in out.collect()}
+    assert all((q, q) in got for q in range(5))  # self-retrieval
+    # subset check vs unrestricted PQ with a huge k (all candidates)
+    pq_all = mllib_ann.pq_topk(
+        emb, qs, k=10_000, dim=64, codebooks=cbs
+    )
+    universe = {(r["query_id"], r["vec_id"]) for r in pq_all.collect()}
+    assert got <= universe
+    # full probing (n_probe = all cells) == plain PQ top-k
+    full = mllib_ann.ivfpq_topk(
+        emb, qs, centers, k=10, n_probe=8, codebooks=cbs
+    )
+    pq10 = mllib_ann.pq_topk(emb, qs, k=10, dim=64, codebooks=cbs)
+    assert {(r["query_id"], r["vec_id"], r["rank"]) for r in full.collect()} == {
+        (r["query_id"], r["vec_id"], r["rank"]) for r in pq10.collect()
+    }
+    # rescore: shared pairs score EXACTLY like brute-force cosine
+    exact = similarity.cosine_topk(emb, qs, k=10, dim=64)
+    ex = {(r["query_id"], r["vec_id"]): r["cosine"] for r in exact.collect()}
+    rescored = mllib_ann.ivfpq_topk(
+        emb, qs, centers, k=10, n_probe=3, codebooks=cbs, rescore=3
+    )
+    shared = 0
+    for r in rescored.collect():
+        key = (r["query_id"], r["vec_id"])
+        if key in ex:
+            shared += 1
+            assert abs(r["cosine"] - ex[key]) < 1e-12
+    assert shared > 0

@@ -326,15 +326,16 @@ def pq_topk(
     approx = _pq_adc_rank(
         exploded, lut, ["j", "code"], k * rescore if rescore else k
     )
-    if not rescore:
-        return approx
-    from physicsnemo_curator_spark.operators.similarity import exact_rerank
+    from physicsnemo_curator_spark.operators.similarity import (
+        rerank_or_return,
+    )
 
-    return exact_rerank(
+    return rerank_or_return(
+        approx,
         corpus,
         queries,
-        approx.select("query_id", "vec_id"),
         k,
+        rescore,
         dim=dim,
         id_col=id_col,
         vec_col=vec_col,
@@ -396,15 +397,16 @@ def ivfpq_topk(
     approx = _pq_adc_rank(
         cand, lut, ["query_id", "j", "code"], k * rescore if rescore else k
     )
-    if not rescore:
-        return approx
-    from physicsnemo_curator_spark.operators.similarity import exact_rerank
+    from physicsnemo_curator_spark.operators.similarity import (
+        rerank_or_return,
+    )
 
-    return exact_rerank(
+    return rerank_or_return(
+        approx,
         corpus,
         queries,
-        approx.select("query_id", "vec_id"),
         k,
+        rescore,
         dim=dim,
         id_col=id_col,
         vec_col=vec_col,

@@ -617,6 +617,34 @@ def sq8_topk(
         .filter(F.col("rank") <= k0)
         .select("query_id", "vec_id", "cosine", "rank")
     )
+    return rerank_or_return(
+        approx,
+        corpus,
+        queries,
+        k,
+        rescore,
+        dim=dim,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+    )
+
+
+def rerank_or_return(
+    approx: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    rescore: int,
+    *,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """The shared tail of every quantized ANN path (SQ8 / PQ / IVF-PQ):
+    pass the approximate top-``k·rescore`` through when ``rescore`` is
+    0, else :func:`exact_rerank` its candidate set down to ``k``."""
     if not rescore:
         return approx
     return exact_rerank(

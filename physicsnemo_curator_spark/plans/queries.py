@@ -3270,47 +3270,49 @@ def q_ann_pq_topk(
     ).orderBy("query_id", "rank")
 
 
-ORACLE_ANN_PQ = """
-WITH cent AS (
+def _pq_ctes(p: str, *, ks: int = 16, dim: int = 64, m: int = 8) -> str:
+    """Shared PQ CTE chain with name prefix ``p``: codebook pick →
+    per-subspace encode (argmin Σ(x−c)², ties → lowest code) → query
+    LUT + reconstruction norms.  ONE construction feeds both the PQ
+    oracle (p='') and the IVF-PQ oracle (p='pq') — an encode or LUT
+    arithmetic fix cannot desynchronize the gates."""
+    d = dim // m
+    return f"""{p}cent AS (
   SELECT embedding ce,
          CAST(ROW_NUMBER() OVER (
            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) code
   FROM embeddings
-  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
-cb AS (
-  SELECT code, CAST(i // 8 AS INT) j, CAST(i % 8 AS INT) t,
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {ks}),
+{p}cb AS (
+  SELECT code, CAST(i // {d} AS INT) j, CAST(i % {d} AS INT) t,
          CAST(x AS DOUBLE) c
-  FROM (SELECT code, unnest(range(0, 64)) i, unnest(ce) x FROM cent)),
-ev AS (
-  SELECT vec_id, CAST(i // 8 AS INT) j, CAST(i % 8 AS INT) t,
+  FROM (SELECT code, unnest(range(0, {dim})) i, unnest(ce) x FROM {p}cent)),
+{p}ev AS (
+  SELECT vec_id, CAST(i // {d} AS INT) j, CAST(i % {d} AS INT) t,
          CAST(x AS DOUBLE) x
-  FROM (SELECT vec_id, unnest(range(0, 64)) i, unnest(embedding) x
+  FROM (SELECT vec_id, unnest(range(0, {dim})) i, unnest(embedding) x
         FROM embeddings)),
-dist AS (
-  SELECT e.vec_id, e.j, cb.code, SUM((e.x - cb.c) * (e.x - cb.c)) d
-  FROM ev e JOIN cb ON e.j = cb.j AND e.t = cb.t GROUP BY 1, 2, 3),
-assign AS (
+{p}dist AS (
+  SELECT e.vec_id, e.j, {p}cb.code, SUM((e.x - {p}cb.c) * (e.x - {p}cb.c)) d
+  FROM {p}ev e JOIN {p}cb ON e.j = {p}cb.j AND e.t = {p}cb.t GROUP BY 1, 2, 3),
+{p}assign AS (
   SELECT vec_id, j, code FROM (
     SELECT vec_id, j, code,
            ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, code) rn
-    FROM dist) WHERE rn = 1),
+    FROM {p}dist) WHERE rn = 1),
 qv AS (
-  SELECT vec_id query_id, CAST(i // 8 AS INT) j, CAST(i % 8 AS INT) t,
+  SELECT vec_id query_id, CAST(i // {d} AS INT) j, CAST(i % {d} AS INT) t,
          CAST(x AS DOUBLE) x
-  FROM (SELECT vec_id, unnest(range(0, 64)) i, unnest(embedding) x
+  FROM (SELECT vec_id, unnest(range(0, {dim})) i, unnest(embedding) x
         FROM embeddings WHERE vec_id < 10)),
 qn AS (SELECT query_id, SQRT(SUM(x * x)) qnorm FROM qv GROUP BY 1),
 lut AS (
-  SELECT q.query_id, q.j, cb.code, SUM(q.x * cb.c) dotv
-  FROM qv q JOIN cb ON q.j = cb.j AND q.t = cb.t GROUP BY 1, 2, 3),
-n2 AS (SELECT j, code, SUM(c * c) n2 FROM cb GROUP BY 1, 2),
-scored AS (
-  SELECT l.query_id, a.vec_id, SUM(l.dotv) sd, SUM(n2.n2) sn
-  FROM assign a
-  JOIN lut l ON a.j = l.j AND a.code = l.code
-  JOIN n2 ON a.j = n2.j AND a.code = n2.code
-  GROUP BY 1, 2),
-ranked AS (
+  SELECT q.query_id, q.j, {p}cb.code, SUM(q.x * {p}cb.c) dotv
+  FROM qv q JOIN {p}cb ON q.j = {p}cb.j AND q.t = {p}cb.t GROUP BY 1, 2, 3),
+n2 AS (SELECT j, code, SUM(c * c) n2 FROM {p}cb GROUP BY 1, 2)"""
+
+
+_PQ_RANK_TAIL = """ranked AS (
   SELECT s.query_id, s.vec_id,
          s.sd / (SQRT(s.sn) * qn.qnorm) cosine,
          CAST(ROW_NUMBER() OVER (
@@ -3319,7 +3321,18 @@ ranked AS (
          ) AS INT) rank
   FROM scored s JOIN qn ON s.query_id = qn.query_id)
 SELECT query_id, vec_id, ROUND(cosine, 6) cosine, rank
-FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+
+
+ORACLE_ANN_PQ = f"""
+WITH {_pq_ctes('')},
+scored AS (
+  SELECT l.query_id, a.vec_id, SUM(l.dotv) sd, SUM(n2.n2) sn
+  FROM assign a
+  JOIN lut l ON a.j = l.j AND a.code = l.code
+  JOIN n2 ON a.j = n2.j AND a.code = n2.code
+  GROUP BY 1, 2),
+{_PQ_RANK_TAIL}
 """
 
 
@@ -3380,12 +3393,12 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
-def _ivf_oracle(k_cells: int = 8, dim: int = 64, n_probe: int = 3) -> str:
-    """DuckDB replay of md5-sample IVF: same centroid pick (md5 order),
-    same assignment metric (c·c − 2 x·c, ties → lowest cell), same
-    probe set, same exact-cosine re-rank as mllib_ann.ivf_topk."""
-    return f"""
-WITH cent AS (
+def _ivf_prefix_ctes(k_cells: int, dim: int, n_probe: int) -> str:
+    """Shared IVF CTE chain (centroid pick → assignment → probe sets →
+    candidate pairs) used by BOTH the IVF oracle and the IVF-PQ oracle
+    — one construction, so an assignment or tie-break fix cannot
+    desynchronize the two gates."""
+    return f"""cent AS (
   SELECT embedding ce,
          CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) cell
   FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k_cells}),
@@ -3403,7 +3416,15 @@ assign AS (SELECT vec_id, cell FROM (
 probes AS (SELECT vec_id query_id, cell FROM (
   SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) rn
   FROM dist WHERE vec_id < 10) WHERE rn <= {n_probe}),
-cand AS (SELECT p.query_id, a.vec_id FROM probes p JOIN assign a ON p.cell = a.cell),
+cand AS (SELECT p.query_id, a.vec_id FROM probes p JOIN assign a ON p.cell = a.cell)"""
+
+
+def _ivf_oracle(k_cells: int = 8, dim: int = 64, n_probe: int = 3) -> str:
+    """DuckDB replay of md5-sample IVF: same centroid pick (md5 order),
+    same assignment metric (c·c − 2 x·c, ties → lowest cell), same
+    probe set, same exact-cosine re-rank as mllib_ann.ivf_topk."""
+    return f"""
+WITH {_ivf_prefix_ctes(k_cells, dim, n_probe)},
 scored AS (
   SELECT cand.query_id, cand.vec_id,
          (SELECT SUM(CAST(a AS DOUBLE) * CAST(b AS DOUBLE))
@@ -3451,85 +3472,18 @@ def q_ann_ivfpq_topk(
     ).orderBy("query_id", "rank")
 
 
-ORACLE_ANN_IVFPQ = """
-WITH cent AS (
-  SELECT embedding ce,
-         CAST(ROW_NUMBER() OVER (
-           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) cell
-  FROM embeddings
-  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
-cv AS (SELECT cell, unnest(range(0, 64)) j, unnest(ce) c FROM cent),
-csq AS (SELECT cell, SUM(CAST(c AS DOUBLE) * CAST(c AS DOUBLE)) c2
-        FROM cv GROUP BY 1),
-ev AS (SELECT vec_id, unnest(range(0, 64)) j, unnest(embedding) x
-       FROM embeddings),
-dist AS (
-  SELECT xc.vec_id, xc.cell, csq.c2 - 2 * xc.dotxc d
-  FROM (SELECT e.vec_id, c.cell,
-               SUM(CAST(e.x AS DOUBLE) * CAST(c.c AS DOUBLE)) dotxc
-        FROM ev e JOIN cv c ON e.j = c.j GROUP BY 1, 2) xc
-  JOIN csq ON xc.cell = csq.cell),
-assign AS (SELECT vec_id, cell FROM (
-  SELECT vec_id, cell,
-         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) rn
-  FROM dist) WHERE rn = 1),
-probes AS (SELECT vec_id query_id, cell FROM (
-  SELECT vec_id, cell,
-         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) rn
-  FROM dist WHERE vec_id < 10) WHERE rn <= 3),
-cand AS (SELECT p.query_id, a.vec_id
-         FROM probes p JOIN assign a ON p.cell = a.cell),
-pqcent AS (
-  SELECT embedding ce,
-         CAST(ROW_NUMBER() OVER (
-           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) code
-  FROM embeddings
-  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
-pcb AS (
-  SELECT code, CAST(i // 8 AS INT) j, CAST(i % 8 AS INT) t,
-         CAST(x AS DOUBLE) c
-  FROM (SELECT code, unnest(range(0, 64)) i, unnest(ce) x FROM pqcent)),
-pev AS (
-  SELECT vec_id, CAST(i // 8 AS INT) j, CAST(i % 8 AS INT) t,
-         CAST(x AS DOUBLE) x
-  FROM (SELECT vec_id, unnest(range(0, 64)) i, unnest(embedding) x
-        FROM embeddings)),
-pdist AS (
-  SELECT e.vec_id, e.j, pcb.code, SUM((e.x - pcb.c) * (e.x - pcb.c)) d
-  FROM pev e JOIN pcb ON e.j = pcb.j AND e.t = pcb.t GROUP BY 1, 2, 3),
-passign AS (
-  SELECT vec_id, j, code FROM (
-    SELECT vec_id, j, code,
-           ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, code) rn
-    FROM pdist) WHERE rn = 1),
-qv AS (
-  SELECT vec_id query_id, CAST(i // 8 AS INT) j, CAST(i % 8 AS INT) t,
-         CAST(x AS DOUBLE) x
-  FROM (SELECT vec_id, unnest(range(0, 64)) i, unnest(embedding) x
-        FROM embeddings WHERE vec_id < 10)),
-qn AS (SELECT query_id, SQRT(SUM(x * x)) qnorm FROM qv GROUP BY 1),
-lut AS (
-  SELECT q.query_id, q.j, pcb.code, SUM(q.x * pcb.c) dotv
-  FROM qv q JOIN pcb ON q.j = pcb.j AND q.t = pcb.t GROUP BY 1, 2, 3),
-n2 AS (SELECT j, code, SUM(c * c) n2 FROM pcb GROUP BY 1, 2),
+ORACLE_ANN_IVFPQ = f"""
+WITH {_ivf_prefix_ctes(8, 64, 3)},
+{_pq_ctes('pq')},
 scored AS (
   SELECT cand.query_id, cand.vec_id, SUM(l.dotv) sd, SUM(n2.n2) sn
   FROM cand
-  JOIN passign pa ON cand.vec_id = pa.vec_id
+  JOIN pqassign pa ON cand.vec_id = pa.vec_id
   JOIN lut l ON cand.query_id = l.query_id
             AND pa.j = l.j AND pa.code = l.code
   JOIN n2 ON pa.j = n2.j AND pa.code = n2.code
   GROUP BY 1, 2),
-ranked AS (
-  SELECT s.query_id, s.vec_id,
-         s.sd / (SQRT(s.sn) * qn.qnorm) cosine,
-         CAST(ROW_NUMBER() OVER (
-           PARTITION BY s.query_id
-           ORDER BY s.sd / (SQRT(s.sn) * qn.qnorm) DESC, s.vec_id
-         ) AS INT) rank
-  FROM scored s JOIN qn ON s.query_id = qn.query_id)
-SELECT query_id, vec_id, ROUND(cosine, 6) cosine, rank
-FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+{_PQ_RANK_TAIL}
 """
 
 

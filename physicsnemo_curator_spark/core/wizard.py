@@ -130,22 +130,33 @@ def run_wizard(
     return pipeline
 
 
-def main(argv: list[str] | None = None) -> None:
+def main(
+    argv: list[str] | None = None,
+    input_fn: Callable[[str], str] = input,
+    print_fn: Callable[[str], None] = print,
+) -> None:
     """``python -m physicsnemo_curator_spark.core.wizard [out.yaml]`` —
-    build interactively, save the spec, offer to run."""
+    build interactively, save the spec, offer to run.  The CLI tail
+    (save-path and run-now prompts) goes through the same
+    ``input_fn``/``print_fn`` injection as :func:`run_wizard`, so the
+    whole command is scriptable without monkeypatching builtins."""
     import sys
 
     args = sys.argv[1:] if argv is None else argv
-    pipeline = run_wizard()
-    out = args[0] if args else input("save spec to (blank to skip): ").strip()
+    pipeline = run_wizard(input_fn, print_fn)
+    out = (
+        args[0]
+        if args
+        else input_fn("save spec to (blank to skip): ").strip()
+    )
     if out:
         save_pipeline(pipeline, out)
-        print(f"wrote {out}")
-    if input("run now? [y/N]: ").strip().lower() == "y":
+        print_fn(f"wrote {out}")
+    if input_fn("run now? [y/N]: ").strip().lower() == "y":
         from physicsnemo_curator_spark.session import get_spark
 
         result = pipeline.run(get_spark())
-        print(
+        print_fn(
             f"rows={result.rows} written={result.written} "
             f"wall_time_s={result.wall_time_s:.2f}"
         )

@@ -93,7 +93,7 @@ def ivf_topk(
     # ranking uses the SAME metric as assignment, so a query's own cell
     # is always probed (argmin ||q-c||² ≙ argmin (c·c − 2 q·c))
     probe_meta = _ivf_meta_udf(centers, n_probe)
-    q = queries.select(
+    q = queries.filter(F.col(vec_col).isNotNull()).select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("_qvec"),
         probe_meta(F.col(vec_col)).alias("_m"),
@@ -105,6 +105,9 @@ def ivf_topk(
         F.explode(F.col("_m.cells")).alias("cell"),
     )
     corpus_meta = _ivf_meta_udf(centers, 1)
+    # NULL vectors are dropped across the whole ANN family (a NULL
+    # embedding crashes the Arrow batch and has no cell/codes/rank)
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
     cells = corpus.withColumn("_m", corpus_meta(F.col(vec_col))).select(
         *corpus.columns,
         F.element_at(F.col("_m.cells"), 1).alias("cell"),
@@ -188,9 +191,11 @@ def pq_encode(
     projection (the IVF-assignment precedent).  At ``m=8`` the codes
     are 8 small ints per vector — a ~32× smaller table than float64
     embeddings, the storage the billion-scale ANN literature persists
-    instead of raw vectors."""
+    instead of raw vectors.  NULL vectors are dropped (the IVF family's
+    :func:`_assign_with_norm` convention — ``np.asarray(None)`` would
+    crash the whole Arrow batch; a NULL embedding has no codes)."""
     enc = _pq_encode_udf(codebooks)
-    return corpus.select(
+    return corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("vec_id"), enc(F.col(vec_col)).alias("codes")
     )
 
@@ -201,10 +206,18 @@ def _pq_lut(
     *,
     query_id_col: str = "query_id",
     vec_col: str = "embedding",
+    max_probe_queries: int = 10_000,
 ) -> DataFrame:
     """Per-query ADC lookup table, ``nq·m·ks`` tiny rows:
     ``(query_id, j, code, dotv, n2, qnorm)``.  ``queries`` is the
-    SMALL broadcast side by contract — it is collected driver-side."""
+    SMALL broadcast side by contract — it is collected driver-side.
+
+    The contract is enforced LOUDLY, not just documented: the collect
+    is bounded at ``max_probe_queries + 1`` rows, so a corpus-sized
+    frame passed as the probe side raises a sized error message (the
+    MinHash store's knob-guard pattern) instead of materializing the
+    whole corpus on the driver — at 100 TB that is the difference
+    between a tuning hint and a driver OOM."""
     from pyspark.sql.types import (
         DoubleType,
         IntegerType,
@@ -214,9 +227,22 @@ def _pq_lut(
 
     spark = queries.sparkSession
     m, ks, dsub = codebooks_arr.shape
-    qrows = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_q")
-    ).collect()
+    qrows = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_q")
+        )
+        .filter(F.col("_q").isNotNull())
+        .limit(max_probe_queries + 1)
+        .collect()
+    )
+    if len(qrows) > max_probe_queries:
+        raise ValueError(
+            f"PQ probe side holds more than {max_probe_queries} query "
+            "vectors; the ADC lookup table is built driver-side from "
+            "the SMALL broadcast side by contract (nq*m*ks rows). "
+            "Batch the probes, or raise max_probe_queries only if the "
+            "driver has the headroom"
+        )
     lut_rows = []
     for r in qrows:
         q = np.asarray(r["_q"], dtype=np.float64)
@@ -295,6 +321,7 @@ def pq_topk(
     query_id_col: str = "query_id",
     codebooks: list[list[list[float]]] | None = None,
     rescore: int = 0,
+    max_probe_queries: int = 10_000,
 ) -> DataFrame:
     """Approximate top-k by cosine with asymmetric distance computation
     (ADC) over PQ codes — the billion-scale ANN shape: the corpus is
@@ -316,7 +343,13 @@ def pq_topk(
         )
     cb = np.asarray(codebooks, dtype=np.float64)
     codes = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
-    lut = _pq_lut(queries, cb, query_id_col=query_id_col, vec_col=vec_col)
+    lut = _pq_lut(
+        queries,
+        cb,
+        query_id_col=query_id_col,
+        vec_col=vec_col,
+        max_probe_queries=max_probe_queries,
+    )
     exploded = codes.select(
         "vec_id", F.posexplode("codes").alias("j", "code")
     )
@@ -357,6 +390,7 @@ def ivfpq_topk(
     query_id_col: str = "query_id",
     codebooks: list[list[list[float]]] | None = None,
     rescore: int = 0,
+    max_probe_queries: int = 10_000,
 ) -> DataFrame:
     """IVF-PQ — the billion-scale composition: the coarse quantizer
     restricts each query to its ``n_probe`` nearest cells and PQ/ADC
@@ -380,20 +414,27 @@ def ivfpq_topk(
     cb = np.asarray(codebooks, dtype=np.float64)
     cell_meta = _ivf_meta_udf(centers, 1)
     enc = _pq_encode_udf(codebooks)
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
     indexed = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.element_at(cell_meta(F.col(vec_col))["cells"], 1).alias("cell"),
         enc(F.col(vec_col)).alias("codes"),
     )
     probe_meta = _ivf_meta_udf(centers, n_probe)
-    probed = queries.select(
+    probed = queries.filter(F.col(vec_col).isNotNull()).select(
         F.col(query_id_col).alias("query_id"),
         F.explode(probe_meta(F.col(vec_col))["cells"]).alias("cell"),
     )
     cand = indexed.join(F.broadcast(probed), "cell").select(
         "query_id", "vec_id", F.posexplode("codes").alias("j", "code")
     )
-    lut = _pq_lut(queries, cb, query_id_col=query_id_col, vec_col=vec_col)
+    lut = _pq_lut(
+        queries,
+        cb,
+        query_id_col=query_id_col,
+        vec_col=vec_col,
+        max_probe_queries=max_probe_queries,
+    )
     approx = _pq_adc_rank(
         cand, lut, ["query_id", "j", "code"], k * rescore if rescore else k
     )
@@ -407,6 +448,127 @@ def ivfpq_topk(
         queries,
         k,
         rescore,
+        dim=dim,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+    )
+
+
+def write_ivfpq_index(
+    corpus: DataFrame,
+    centers: list[list[float]],
+    codebooks: list[list[list[float]]],
+    store: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+    batch_id: str = "seed",
+) -> None:
+    """Persist the IVF-PQ index table — ``(vec_id, codes)`` partitioned
+    by ``(_batch, cell)`` — the production artifact a 100 TB deployment
+    maintains BETWEEN full retrains: the quantizers (centroids +
+    codebooks, O(k·dim) driver-side scalars) stay fixed for the store's
+    life, and new corpus batches append under their own ``_batch``
+    partition.
+
+    The index stores CODES ONLY (m small ints per vector, ~32× smaller
+    than float64 embeddings at m=8) — original vectors stay in the
+    source corpus table, which only the optional exact re-rank touches.
+    Same store discipline as :func:`write_semantic_store` /
+    ``dedup.write_minhash_store``: ``mode='append'`` uses DYNAMIC
+    partition overwrite so re-running a batch replaces its own
+    partitions (idempotent ingestion), and the ``repartition`` aligns
+    tasks with output partitions so each (batch, cell) gets one file,
+    not one per upstream task."""
+    cell_meta = _ivf_meta_udf(centers, 1)
+    enc = _pq_encode_udf(codebooks)
+    out = corpus.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("vec_id"),
+        F.element_at(cell_meta(F.col(vec_col))["cells"], 1).alias("cell"),
+        enc(F.col(vec_col)).alias("codes"),
+        F.lit(batch_id).alias("_batch"),
+    )
+    (
+        out.repartition("_batch", "cell")
+        .write.mode("overwrite")
+        .option(
+            "partitionOverwriteMode",
+            "dynamic" if mode == "append" else "static",
+        )
+        .partitionBy("_batch", "cell")
+        .parquet(store)
+    )
+
+
+def ivfpq_index_topk(
+    spark,
+    queries: DataFrame,
+    centers: list[list[float]],
+    store: str,
+    k: int = 10,
+    *,
+    n_probe: int = 3,
+    m: int = 8,
+    ks: int = 16,
+    codebooks: list[list[list[float]]],
+    rescore: int = 0,
+    corpus: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    max_probe_queries: int = 10_000,
+) -> DataFrame:
+    """Probe a persisted :func:`write_ivfpq_index` store — the serving
+    path of the incremental index: queries explode to their ``n_probe``
+    nearest cells and BROADCAST into the store join, so the scan prunes
+    to the probed cell partitions (dynamic partition pruning on the
+    cell-partitioned parquet — plan-asserted in tests) and reads
+    ~n_probe/k_cells of the codes, which are themselves ~32× smaller
+    than the vectors.  Scoring is the shared ADC tail keyed
+    ``(query_id, j, code)``.
+
+    ``centers``/``codebooks`` must be the quantizers the store was
+    written with (persist them next to the store; re-clustering means
+    rebuilding — the :func:`write_semantic_store` contract).
+    ``rescore=m'`` re-ranks the top ``m'·k`` with exact cosine against
+    ``corpus`` (required then: the index has no vectors)."""
+    dim = len(centers[0])
+    cb = np.asarray(codebooks, dtype=np.float64)
+    probe_meta = _ivf_meta_udf(centers, n_probe)
+    probed = queries.filter(F.col(vec_col).isNotNull()).select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(probe_meta(F.col(vec_col))["cells"]).alias("cell"),
+    )
+    index = spark.read.parquet(store).select("vec_id", "cell", "codes")
+    cand = index.join(F.broadcast(probed), "cell").select(
+        "query_id", "vec_id", F.posexplode("codes").alias("j", "code")
+    )
+    lut = _pq_lut(
+        queries,
+        cb,
+        query_id_col=query_id_col,
+        vec_col=vec_col,
+        max_probe_queries=max_probe_queries,
+    )
+    approx = _pq_adc_rank(
+        cand, lut, ["query_id", "j", "code"], k * rescore if rescore else k
+    )
+    if not rescore:
+        return approx
+    if corpus is None:
+        raise ValueError(
+            "rescore needs the original vectors: pass corpus= (the "
+            "index stores codes only)"
+        )
+    from physicsnemo_curator_spark.operators.similarity import exact_rerank
+
+    return exact_rerank(
+        corpus,
+        queries,
+        approx.select("query_id", "vec_id"),
+        k,
         dim=dim,
         id_col=id_col,
         vec_col=vec_col,

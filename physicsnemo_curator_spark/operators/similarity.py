@@ -593,11 +593,14 @@ def sq8_topk(
     # here) — the fold order of aggregate() matches dot_unrolled's
     # left-association, so scores are bit-identical to the unrolled
     # kernel's
-    q = queries.select(
+    # NULL vectors are dropped (the IVF family's _assign_with_norm
+    # convention): a NULL embedding reconstructs to NULL and its
+    # null-cosine rows would still consume row_number ranks
+    q = queries.filter(F.col(vec_col).isNotNull()).select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("_qvec"),
     ).withColumn("_qnorm", l2(F.col("_qvec")))
-    c = corpus.select(
+    c = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("vec_id"),
         sq8_recon_expr(vec_col, mins, maxs).alias("_cvec"),
     ).withColumn("_cnorm", l2(F.col("_cvec")))

@@ -1487,6 +1487,71 @@ ORDER BY click_id, purchase_id
 """
 
 
+def q_st6_stream_fullouter_join(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """Stream-stream FULL OUTER interval join gate — both null-emission
+    paths at once: an unmatched click waits for the watermark to pass
+    ``l.ts - lower``, an unmatched purchase for ``r.ts + upper``, and
+    the runner's flush margin covers BOTH expiries (streaming/joins.py
+    ``_stage_with_flush_rows``).  The tight 1 h interval leaves a
+    meaningful share of each side unmatched, so the emitted set must
+    equal DuckDB's batch FULL JOIN exactly: inner pairs, every
+    unmatched click (purchase columns NULL), and every unmatched
+    purchase (click columns NULL).  user_id coalesces across sides —
+    on a full outer either side can be the null one."""
+    from physicsnemo_curator_spark.streaming import joins as streaming_joins
+
+    base = _stage_click_purchase_streams(
+        spark, sf_dir, "st6", max_files_per_trigger
+    )
+    out = streaming_joins.run_interval_join_stream(
+        spark,
+        os.path.join(base, "clicks"),
+        os.path.join(base, "purchases"),
+        "event_id long, user_id long, ts timestamp, value double",
+        {
+            "click_id": "l.event_id",
+            "purchase_id": "r.event_id",
+            "click_user": "l.user_id",
+            "purchase_user": "r.user_id",
+            "purchase_value": "r.value",
+        },
+        work_dir=base,
+        on="user_id",
+        lower_seconds=0,
+        upper_seconds=3600,
+        watermark="60 days",
+        max_files_per_trigger=max_files_per_trigger,
+        state_partitions=4,
+        how="full_outer",
+    )
+    return out.select(
+        "click_id",
+        "purchase_id",
+        F.coalesce("click_user", "purchase_user").alias("user_id"),
+        _r6(F.col("purchase_value"), "purchase_value"),
+    ).orderBy(
+        # pin NULLS LAST explicitly: Spark's asc defaults nulls-first,
+        # DuckDB's defaults nulls-last, and a full outer has NULL keys
+        # on BOTH output id columns
+        F.asc_nulls_last("click_id"),
+        F.asc_nulls_last("purchase_id"),
+    )
+
+
+ORACLE_ST6 = """
+SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+       COALESCE(c.user_id, p.user_id) AS user_id,
+       ROUND(p.value, 6) AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts BETWEEN c.ts - INTERVAL 3600 SECONDS AND c.ts
+ORDER BY click_id NULLS LAST, purchase_id NULLS LAST
+"""
+
+
 def _dash_store(spark: SparkSession, sf_dir: str):
     """The ONE construction of the dashboard gates' ledger fixture:
     token path + deterministic retried-index recording (both gates
@@ -3270,18 +3335,22 @@ def q_ann_pq_topk(
     ).orderBy("query_id", "rank")
 
 
-def _pq_ctes(p: str, *, ks: int = 16, dim: int = 64, m: int = 8) -> str:
+def _pq_ctes(
+    p: str, *, ks: int = 16, dim: int = 64, m: int = 8, train_where: str = ""
+) -> str:
     """Shared PQ CTE chain with name prefix ``p``: codebook pick →
     per-subspace encode (argmin Σ(x−c)², ties → lowest code) → query
-    LUT + reconstruction norms.  ONE construction feeds both the PQ
-    oracle (p='') and the IVF-PQ oracle (p='pq') — an encode or LUT
-    arithmetic fix cannot desynchronize the gates."""
+    LUT + reconstruction norms.  ONE construction feeds the PQ oracle
+    (p=''), the IVF-PQ oracle (p='pq'), and the incremental-index
+    oracle (``train_where`` restricts the CODEBOOK sample to the seed
+    corpus while encode/scoring still cover every vector) — an encode
+    or LUT arithmetic fix cannot desynchronize the gates."""
     d = dim // m
     return f"""{p}cent AS (
   SELECT embedding ce,
          CAST(ROW_NUMBER() OVER (
            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) code
-  FROM embeddings
+  FROM embeddings {train_where}
   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {ks}),
 {p}cb AS (
   SELECT code, CAST(i // {d} AS INT) j, CAST(i % {d} AS INT) t,
@@ -3393,15 +3462,19 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
-def _ivf_prefix_ctes(k_cells: int, dim: int, n_probe: int) -> str:
+def _ivf_prefix_ctes(
+    k_cells: int, dim: int, n_probe: int, train_where: str = ""
+) -> str:
     """Shared IVF CTE chain (centroid pick → assignment → probe sets →
-    candidate pairs) used by BOTH the IVF oracle and the IVF-PQ oracle
-    — one construction, so an assignment or tie-break fix cannot
-    desynchronize the two gates."""
+    candidate pairs) used by the IVF, IVF-PQ, and incremental-index
+    oracles (``train_where`` restricts the CENTROID sample to the seed
+    corpus; assignment and probing still cover every vector) — one
+    construction, so an assignment or tie-break fix cannot
+    desynchronize the gates."""
     return f"""cent AS (
   SELECT embedding ce,
          CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) cell
-  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k_cells}),
+  FROM embeddings {train_where} ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k_cells}),
 cv AS (SELECT cell, unnest(range(0, {dim})) j, unnest(ce) c FROM cent),
 csq AS (SELECT cell, SUM(CAST(c AS DOUBLE) * CAST(c AS DOUBLE)) c2 FROM cv GROUP BY 1),
 ev AS (SELECT vec_id, unnest(range(0, {dim})) j, unnest(embedding) x FROM embeddings),
@@ -3475,6 +3548,84 @@ def q_ann_ivfpq_topk(
 ORACLE_ANN_IVFPQ = f"""
 WITH {_ivf_prefix_ctes(8, 64, 3)},
 {_pq_ctes('pq')},
+scored AS (
+  SELECT cand.query_id, cand.vec_id, SUM(l.dotv) sd, SUM(n2.n2) sn
+  FROM cand
+  JOIN pqassign pa ON cand.vec_id = pa.vec_id
+  JOIN lut l ON cand.query_id = l.query_id
+            AND pa.j = l.j AND pa.code = l.code
+  JOIN n2 ON pa.j = n2.j AND pa.code = n2.code
+  GROUP BY 1, 2),
+{_PQ_RANK_TAIL}
+"""
+
+
+def q_ann_ivfpq_incremental(
+    spark: SparkSession, sf_dir: str, rescore: int = 0
+) -> DataFrame:
+    """Persisted + incrementally-appended IVF-PQ index gate
+    (mllib_ann.write_ivfpq_index / ivfpq_index_topk) — the production
+    maintenance story between full retrains: quantizers (8 md5-sample
+    centroids + m=8×ks=16 PQ codebooks) train on the SEED corpus (even
+    vec_ids) and stay fixed; the seed's codes persist partitioned by
+    ``(_batch, cell)``; the odd half then APPENDS under its own batch
+    partition (idempotent dynamic overwrite); queries probe the store
+    with the batch side broadcast, so the scan prunes to the probed
+    cell partitions (plan-asserted in tests/test_mllib_ann.py).  The
+    oracle composes the IVF and PQ CTE builders with the training
+    sample restricted to the seed half while assignment/encode/ADC
+    cover every vector — exactly what the store serves after the
+    append."""
+    import hashlib
+    import tempfile
+
+    from physicsnemo_curator_spark.operators import mllib_ann
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    batch = emb.filter(F.col("vec_id") % 2 == 1)
+    qs = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    centers = mllib_ann.md5_sample_centroids(corpus, k=8)
+    cbs = mllib_ann.pq_train(corpus, m=8, ks=16, dim=64)
+    ident = _src_ident(os.path.join(sf_dir, "embeddings.parquet"))
+    token = hashlib.md5(
+        f"{sf_dir}:{ident}:ivfpq".encode()
+    ).hexdigest()[:12]
+    store = os.path.join(
+        tempfile.gettempdir(), f"pcs_ivfpq_idx_{token}_{os.getpid()}"
+    )
+    # own completion marker: the build is TWO writes (seed + append),
+    # and parquet's _SUCCESS reappears after the first — a crash
+    # between them must rebuild, not serve a seed-only index
+    marker = os.path.join(store, "_PCS_INDEX_DONE")
+    if not os.path.exists(marker):
+        mllib_ann.write_ivfpq_index(corpus, centers, cbs, store)
+        mllib_ann.write_ivfpq_index(
+            batch, centers, cbs, store, mode="append", batch_id="b1"
+        )
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    out = mllib_ann.ivfpq_index_topk(
+        spark,
+        qs,
+        centers,
+        store,
+        k=5,
+        n_probe=3,
+        codebooks=cbs,
+        rescore=rescore,
+        corpus=emb if rescore else None,
+    )
+    return out.select(
+        "query_id", "vec_id", _r6(F.col("cosine"), "cosine"), "rank"
+    ).orderBy("query_id", "rank")
+
+
+ORACLE_ANN_IVFPQ_INC = f"""
+WITH {_ivf_prefix_ctes(8, 64, 3, train_where="WHERE vec_id % 2 = 0")},
+{_pq_ctes('pq', train_where="WHERE vec_id % 2 = 0")},
 scored AS (
   SELECT cand.query_id, cand.vec_id, SUM(l.dotv) sd, SUM(n2.n2) sn
   FROM cand
@@ -9344,6 +9495,11 @@ QUERIES: dict[str, QuerySpec] = {
         ORACLE_ANN_IVFPQ,
         bench=lambda s, d: q_ann_ivfpq_topk(s, d, rescore=2),
     ),
+    "q_ann_ivfpq_incremental": QuerySpec(
+        q_ann_ivfpq_incremental,
+        ORACLE_ANN_IVFPQ_INC,
+        bench=lambda s, d: q_ann_ivfpq_incremental(s, d, rescore=2),
+    ),
     "q_embedding_near_dup": QuerySpec(
         q_embedding_near_dup,
         ORACLE_EMB_NEAR_DUP,
@@ -9385,6 +9541,13 @@ QUERIES: dict[str, QuerySpec] = {
         q_st5_stream_leftouter_join,
         ORACLE_ST5,
         bench=lambda s, d: q_st5_stream_leftouter_join(
+            s, d, max_files_per_trigger=3
+        ),
+    ),
+    "q_st6_stream_fullouter_join": QuerySpec(
+        q_st6_stream_fullouter_join,
+        ORACLE_ST6,
+        bench=lambda s, d: q_st6_stream_fullouter_join(
             s, d, max_files_per_trigger=3
         ),
     ),
@@ -9444,67 +9607,18 @@ QUERIES: dict[str, QuerySpec] = {
 }
 
 
-# r11 driver-window rotation (VERDICT-r10 ask #1; same explicit-list
-# mechanism as r08-r10).  First 50 = the full 41-row cohort last
-# driver-checked r08 (staged at positions 50-99 during r10), then the 9
-# stalest r09 rows.  After r11 no registered query is staler than r09.
-# Tail = remaining r09 cohort (positions 50-89: they stage the r12
-# window), then the 50 rows last gated r10 (freshest last).
+# r12 driver-window rotation (VERDICT-r11 ask #1; same explicit-list
+# mechanism as r08-r11).  First 50 = the 2 new r12 gates, then the
+# FULL 45-row cohort last driver-checked r09 (staged at positions
+# 50-94 during r11, exactly as the r11 verdict demanded), then the 3
+# stalest r10 rows.  After r12 no registered query is staler than r10.
+# Tail = remaining r10 cohort (they stage the r13 window), then the 50
+# rows last gated r11 (freshest last).
 _DRIVER_ORDER = [
-    # --- NEW this round (r11): first green row needed ---
-    "q_media_fmp4",
-    "q_ann_sq8_topk",
-    "q_ann_pq_topk",
-    "q_ann_ivfpq_topk",
-    "q_st5_stream_leftouter_join",
-    # --- last driver-checked r08 (all 41) ---
-    "q_sketch_cms",
-    "q_text_substring_dup",
-    "q_text_substring_rm",
-    "q_mix_temperature",
-    "q_s2_intersect",
-    "q_s4_union_all",
-    "q_s5_except",
-    "q_a5_distinct_agg",
-    "q_a9_cube",
-    "q_a10_pivot_mean",
-    "q_a12_grouping_sets",
-    "q_str2_like_pushdown",
-    "q_str3_regexp",
-    "q_d2_date_functions",
-    "q_w3_delta_vs_first",
-    "q_ann_lsh_topk",
-    "q_ann_ivf_topk",
-    "q_embedding_near_dup",
-    "q_simhash_groups",
-    "q_simhash_near_dup",
-    "q_j6_anti_join",
-    "q_a4_conditional_counts",
-    "q_m2_validity_counts",
-    "q_w2_prefix_sum",
-    "q_st2_sliding_stats",
-    "q_sql_pricing_summary",
-    "q_a7_distinct_exact",
-    "q_d1_year_split",
-    "q_str1_string_fns",
-    "q_arr1_array_agg",
-    "q_json1_extract",
-    "q_w5_group_zscore",
-    "q_median_exact",
-    "q_st3_stream_welford",
-    "q_st1_tumbling_window",
-    "q_grib2_scan",
-    "q_semantic_dedup",
-    "q_dedup_incremental",
-    "q_dedup_components",
-    "q_text_span_dedup",
-    "q_text_repetition",
-    # --- stalest r09 rows (fill to position 50) ---
-    "q_text_sentences",
-    "q_corpus_card",
-    "q_media_subtitles",
-    "q_robots_filter",
-    # --- remaining r09 cohort (head of the r12 window) ---
+    # --- NEW this round (r12): first green row needed ---
+    "q_ann_ivfpq_incremental",
+    "q_st6_stream_fullouter_join",
+    # --- last driver-checked r09 (all 45) ---
     "q_text_normalize",
     "q_url_normalize",
     "q_web_extract",
@@ -9550,10 +9664,11 @@ _DRIVER_ORDER = [
     "q_sample_stratified",
     "q_a1_moment_stats",
     "q_a2_elementwise_stats",
-    # --- r10-green cohort ---
+    # --- stalest r10 rows (fill to position 50) ---
     "q_bpe_train_hist",
     "q_media_mp4_mkv",
     "q_semantic_incremental",
+    # --- remaining r10 cohort (head of the r13 window) ---
     "q_st4_stream_interval_join",
     "q_dashboard_index",
     "q_dashboard_workers",
@@ -9601,6 +9716,57 @@ _DRIVER_ORDER = [
     "q_warc_scan",
     "q_text_span_dedup_xx",
     "q_sketch_bloom",
+    # --- r11-green cohort (freshest last) ---
+    "q_media_fmp4",
+    "q_ann_sq8_topk",
+    "q_ann_pq_topk",
+    "q_ann_ivfpq_topk",
+    "q_st5_stream_leftouter_join",
+    "q_sketch_cms",
+    "q_text_substring_dup",
+    "q_text_substring_rm",
+    "q_mix_temperature",
+    "q_s2_intersect",
+    "q_s4_union_all",
+    "q_s5_except",
+    "q_a5_distinct_agg",
+    "q_a9_cube",
+    "q_a10_pivot_mean",
+    "q_a12_grouping_sets",
+    "q_str2_like_pushdown",
+    "q_str3_regexp",
+    "q_d2_date_functions",
+    "q_w3_delta_vs_first",
+    "q_ann_lsh_topk",
+    "q_ann_ivf_topk",
+    "q_embedding_near_dup",
+    "q_simhash_groups",
+    "q_simhash_near_dup",
+    "q_j6_anti_join",
+    "q_a4_conditional_counts",
+    "q_m2_validity_counts",
+    "q_w2_prefix_sum",
+    "q_st2_sliding_stats",
+    "q_sql_pricing_summary",
+    "q_a7_distinct_exact",
+    "q_d1_year_split",
+    "q_str1_string_fns",
+    "q_arr1_array_agg",
+    "q_json1_extract",
+    "q_w5_group_zscore",
+    "q_median_exact",
+    "q_st3_stream_welford",
+    "q_st1_tumbling_window",
+    "q_grib2_scan",
+    "q_semantic_dedup",
+    "q_dedup_incremental",
+    "q_dedup_components",
+    "q_text_span_dedup",
+    "q_text_repetition",
+    "q_text_sentences",
+    "q_corpus_card",
+    "q_media_subtitles",
+    "q_robots_filter",
 ]
 
 

@@ -217,8 +217,21 @@ def write_webdataset(
         # shards (tar: 512-byte header + up-to-511-byte block padding
         # per entry; zip: local header + central-directory entry) — a
         # 4M-entry shard of 100-byte payloads is ~0.4 GB payload but
-        # >2 GB of tar framing
-        est_bytes = int(pdf["payload"].map(len).sum()) + 1024 * len(pdf)
+        # >2 GB of tar framing; long key/ext names count twice (zip
+        # stores each name in both the local and central headers, tar
+        # spills >100-char names into a pax extension block)
+        est_bytes = (
+            int(pdf["payload"].map(len).sum())
+            + 1024 * len(pdf)
+            + 2
+            * int(
+                (
+                    pdf["key"].astype(str).map(len)
+                    + pdf["ext"].astype(str).map(len)
+                    + 1
+                ).sum()
+            )
+        )
         if est_bytes > max_shard_bytes:
             raise ValueError(
                 f"shard {shard_id} holds ~{est_bytes} archive bytes "

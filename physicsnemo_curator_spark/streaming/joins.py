@@ -185,18 +185,26 @@ _INTERVAL_UNITS = {
 
 
 def _interval_seconds(text: str) -> float:
-    """Seconds in a watermark interval string ('2 hours', '1 week',
+    """Seconds in a watermark interval string ('2 hours', '1.5 hours',
     '500 milliseconds') — the CalendarInterval units withWatermark
-    accepts; anything else fails with the supported list, not a bare
-    KeyError."""
-    n, unit = text.split()
+    accepts; a malformed string ('60days', '2') or unknown unit fails
+    with the supported format/list, not a bare ValueError from
+    split/int."""
+    try:
+        n_text, unit = text.split()
+        n = float(n_text)
+    except ValueError:
+        raise ValueError(
+            f"malformed watermark interval {text!r}; expected "
+            "'<number> <unit>' with a space, e.g. '2 hours'"
+        ) from None
     unit = unit.rstrip("s")
     if unit not in _INTERVAL_UNITS:
         raise ValueError(
             f"unsupported watermark unit {unit!r}; expected one of "
             f"{sorted(_INTERVAL_UNITS)}"
         )
-    return int(n) * _INTERVAL_UNITS[unit]
+    return n * _INTERVAL_UNITS[unit]
 
 
 def run_interval_join_stream(

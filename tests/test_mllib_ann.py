@@ -297,6 +297,155 @@ def test_pq_train_guards(spark, sf_correctness_dir):
         mllib_ann.pq_train(emb.limit(3), m=8, ks=16, dim=64)
 
 
+def test_ivfpq_index_roundtrip_and_append(spark, tmp_path, sf_correctness_dir):
+    """The persisted index must serve the same results as the inline
+    ivfpq_topk over the same corpus and quantizers; appending a batch
+    extends the served corpus; re-appending the same batch is
+    idempotent; rescore needs (and uses) the original vectors."""
+    import pytest as _pytest
+
+    emb = load_table(spark, sf_correctness_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    batch = emb.filter(F.col("vec_id") % 2 == 1)
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    centers = mllib_ann.md5_sample_centroids(corpus, k=8)
+    cbs = mllib_ann.pq_train(corpus, m=8, ks=16, dim=64)
+    store = str(tmp_path / "ivfpq")
+    mllib_ann.write_ivfpq_index(corpus, centers, cbs, store)
+
+    def key_set(df):
+        return {(r["query_id"], r["vec_id"], r["rank"]) for r in df.collect()}
+
+    served = mllib_ann.ivfpq_index_topk(
+        spark, qs, centers, store, k=10, n_probe=3, codebooks=cbs
+    )
+    inline = mllib_ann.ivfpq_topk(
+        corpus, qs, centers, k=10, n_probe=3, codebooks=cbs
+    )
+    assert key_set(served) == key_set(inline) and len(key_set(served)) > 0
+
+    # append the odd half; the store now serves the FULL corpus
+    mllib_ann.write_ivfpq_index(
+        batch, centers, cbs, store, mode="append", batch_id="b1"
+    )
+    served2 = mllib_ann.ivfpq_index_topk(
+        spark, qs, centers, store, k=10, n_probe=3, codebooks=cbs
+    )
+    inline2 = mllib_ann.ivfpq_topk(
+        emb, qs, centers, k=10, n_probe=3, codebooks=cbs
+    )
+    assert key_set(served2) == key_set(inline2)
+    # idempotent re-append: dynamic overwrite replaces b1, no doubling
+    mllib_ann.write_ivfpq_index(
+        batch, centers, cbs, store, mode="append", batch_id="b1"
+    )
+    assert spark.read.parquet(store).count() == emb.count()
+
+    # rescore: exact cosine on the original vectors, which the index
+    # does not hold — corpus= is required
+    with _pytest.raises(ValueError, match="pass corpus="):
+        mllib_ann.ivfpq_index_topk(
+            spark, qs, centers, store, k=10, codebooks=cbs, rescore=2
+        )
+    exact = {
+        (r["query_id"], r["vec_id"]): r["cosine"]
+        for r in similarity.cosine_topk(emb, qs, k=10, dim=64).collect()
+    }
+    shared = 0
+    for r in mllib_ann.ivfpq_index_topk(
+        spark, qs, centers, store, k=10, n_probe=3, codebooks=cbs,
+        rescore=3, corpus=emb,
+    ).collect():
+        key = (r["query_id"], r["vec_id"])
+        if key in exact:
+            shared += 1
+            assert abs(r["cosine"] - exact[key]) < 1e-12
+    assert shared > 0
+
+
+def test_ivfpq_index_probe_prunes_partitions(spark, tmp_path, sf_correctness_dir):
+    """The index probe must BROADCAST the query side and prune the
+    store scan to the probed cell partitions — the two properties that
+    keep a probe proportional to n_probe/k_cells at 100 TB."""
+    import re
+
+    emb = load_table(spark, sf_correctness_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    centers = mllib_ann.md5_sample_centroids(emb, k=8)
+    cbs = mllib_ann.pq_train(emb, m=8, ks=16, dim=64)
+    store = str(tmp_path / "ivfpq_plan")
+    mllib_ann.write_ivfpq_index(emb, centers, cbs, store)
+    out = mllib_ann.ivfpq_index_topk(
+        spark, qs, centers, store, k=5, n_probe=2, codebooks=cbs
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "cell" in pf.group(1), plan[:800]
+
+
+def test_pq_probe_size_guard(spark, sf_correctness_dir):
+    """The driver-side LUT collect is bounded: a probe frame over the
+    documented cap raises a sized message naming the knob instead of
+    materializing the corpus on the driver."""
+    import pytest as _pytest
+
+    emb = load_table(spark, sf_correctness_dir, "embeddings")
+    qs = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    cbs = mllib_ann.pq_train(emb, m=8, ks=16, dim=64)
+    with _pytest.raises(ValueError, match="max_probe_queries"):
+        mllib_ann.pq_topk(
+            emb, qs, k=5, dim=64, codebooks=cbs, max_probe_queries=10
+        ).collect()
+    # and the knob genuinely widens the bound
+    ok = mllib_ann.pq_topk(
+        emb.limit(50),
+        qs.limit(5),
+        k=3,
+        dim=64,
+        codebooks=cbs,
+        max_probe_queries=5,
+    )
+    assert ok.count() > 0
+
+
+def test_ann_null_embeddings_dropped(spark, sf_correctness_dir):
+    """A NULL embedding must not crash the Arrow batch or consume
+    ranks, in ANY family member (the _assign_with_norm convention)."""
+    emb = (
+        load_table(spark, sf_correctness_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .limit(60)
+    )
+    nulls = spark.createDataFrame(
+        [(990_001, None), (990_002, None)],
+        "vec_id long, embedding array<float>",
+    )
+    corpus = emb.unionByName(nulls)
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    centers = mllib_ann.md5_sample_centroids(emb, k=4)
+    cbs = mllib_ann.pq_train(emb, m=8, ks=16, dim=64)
+    outs = [
+        similarity.sq8_topk(corpus, qs, k=5, dim=64),
+        mllib_ann.pq_topk(corpus, qs, k=5, dim=64, codebooks=cbs),
+        mllib_ann.ivf_topk(corpus, qs, centers, k=5, n_probe=4),
+        mllib_ann.ivfpq_topk(
+            corpus, qs, centers, k=5, n_probe=4, codebooks=cbs
+        ),
+    ]
+    for out in outs:
+        rows = out.collect()
+        assert rows and all(r["vec_id"] < 990_000 for r in rows)
+        assert all(r["cosine"] is not None for r in rows)
+    assert mllib_ann.pq_encode(corpus, cbs).count() == 60
+
+
 def test_ivfpq_topk_candidates_and_rescore(spark, sf_correctness_dir):
     """IVF-PQ candidates are exactly the probed-cell subset: its
     results are a subset of PQ-over-the-same-cells, every query

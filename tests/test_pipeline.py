@@ -334,3 +334,32 @@ def test_wizard_component_hint_skips_frame_param():
     assert "spark" not in hint and "path" in hint
     hint_t = wizard.component_hint("transform", "select")
     assert "df" not in hint_t and "columns" in hint_t
+
+
+def test_wizard_main_cli_tail_scriptable(spark, tmp_path):
+    """main()'s save-path and run-now prompts flow through the SAME
+    input_fn/print_fn injection as run_wizard — the whole command is
+    scriptable without monkeypatching builtins (r11 advice)."""
+    from physicsnemo_curator_spark.core import wizard
+    from physicsnemo_curator_spark.core.serialization import load_pipeline
+
+    src = str(tmp_path / "in")
+    spark.range(4).write.parquet(src)
+    spec_path = str(tmp_path / "wiz_spec.yaml")
+    answers = iter(
+        [
+            "parquet",
+            f"path={src}",
+            "",          # end source params
+            "",          # stop transforms
+            "",          # no sink
+            spec_path,   # save spec to
+            "n",         # run now?
+        ]
+    )
+    shown: list[str] = []
+    wizard.main(
+        argv=[], input_fn=lambda _p: next(answers), print_fn=shown.append
+    )
+    assert any(f"wrote {spec_path}" in s for s in shown)
+    assert load_pipeline(spec_path).source.name == "parquet"

@@ -861,3 +861,22 @@ def test_run_interval_join_stream_full_outer(spark, tmp_path):
         [(0, 100), (2, 102), (1, None), (3, None), (None, 105)], key=key
     )
     assert got == expect
+
+
+def test_interval_seconds_parsing():
+    """Fractional counts parse; malformed or unknown-unit strings fail
+    with the descriptive message, never a bare split/int ValueError
+    (r11 advice)."""
+    import pytest
+
+    from physicsnemo_curator_spark.streaming.joins import _interval_seconds
+
+    assert _interval_seconds("2 hours") == 7200
+    assert _interval_seconds("1.5 hours") == 5400
+    assert _interval_seconds("500 milliseconds") == 0.5
+    with pytest.raises(ValueError, match="malformed watermark interval"):
+        _interval_seconds("60days")
+    with pytest.raises(ValueError, match="malformed watermark interval"):
+        _interval_seconds("2")
+    with pytest.raises(ValueError, match="unsupported watermark unit"):
+        _interval_seconds("2 fortnights")

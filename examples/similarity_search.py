@@ -65,7 +65,7 @@ def main() -> None:
 
     baseline: set[tuple[int, int]] = set()
     print(f"corpus: {n} vectors, 10 queries, k=10\n")
-    print(f"{'strategy':<8} {'wall_s':>7} {'recall@10':>10}")
+    print(f"{'strategy':<10} {'wall_s':>7} {'recall@10':>10}")
     for name, fn in strategies.items():
         t0 = time.perf_counter()
         rows = fn().collect()
@@ -76,7 +76,35 @@ def main() -> None:
             recall = 1.0
         else:
             recall = len(got & baseline) / len(baseline)
-        print(f"{name:<8} {dt:>7.2f} {recall:>10.2f}")
+        print(f"{name:<10} {dt:>7.2f} {recall:>10.2f}")
+
+    # the maintenance story: persist the IVF-PQ index once, then serve
+    # probes from the store (codes only, partition-pruned to the
+    # probed cells) and APPEND new corpus batches between retrains —
+    # the quantizers above stay fixed for the store's life
+    import tempfile
+
+    store = os.path.join(
+        tempfile.mkdtemp(prefix="pcs_tour_"), "ivfpq_index"
+    )
+    seed = emb.filter(F.col("vec_id") % 2 == 0)
+    late = emb.filter(F.col("vec_id") % 2 == 1)
+    mllib_ann.write_ivfpq_index(seed, centers, cbs, store)
+    mllib_ann.write_ivfpq_index(
+        late, centers, cbs, store, mode="append", batch_id="batch-1"
+    )
+    t0 = time.perf_counter()
+    served = mllib_ann.ivfpq_index_topk(
+        spark, qs, centers, store, k=10, n_probe=3, codebooks=cbs,
+        rescore=2, corpus=emb,
+    ).collect()
+    dt = time.perf_counter() - t0
+    got = {(r["query_id"], r["vec_id"]) for r in served}
+    print(
+        f"{'ivfpq-idx':<10} {dt:>7.2f} "
+        f"{len(got & baseline) / len(baseline):>10.2f}"
+        "   (persisted store: seed + appended batch)"
+    )
 
 
 if __name__ == "__main__":

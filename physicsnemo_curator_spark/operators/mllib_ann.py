@@ -158,6 +158,57 @@ def pq_train(
     ]
 
 
+def pq_train_sample(
+    corpus: DataFrame,
+    *,
+    m: int = 8,
+    ks: int = 16,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_rows: int = 2048,
+    iters: int = 10,
+) -> list[list[list[float]]]:
+    """Lloyd-refined PQ codebooks — the production trainer: per
+    subspace, k-means over the SUBVECTORS of a driver-side sample
+    (the :func:`train_ivf_sample` pattern — codebook quality needs
+    thousands of representative points, not the corpus, so at 100 TB
+    the sample is the same size as here and the refinement runs on one
+    machine in milliseconds).  Refined codebooks cut quantization
+    error vs the sample-init :func:`pq_train`, which stays the
+    oracle-replayable gate trainer (RECALL.md holds both
+    measurements).  Driver-side state is ``m·ks`` subvectors."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    n = corpus.count()
+    frac = min(1.0, sample_rows / max(n, 1) * 1.2)
+    rows = (
+        corpus.filter(F.col(vec_col).isNotNull())
+        .sample(fraction=frac, seed=seed)
+        .select(vec_col)
+        .limit(sample_rows)
+        .collect()
+    )
+    x = np.asarray([r[0] for r in rows], dtype=np.float64)
+    if len(x) < ks:
+        raise ValueError(f"corpus sample has {len(x)} rows; need ks={ks}")
+    rng = np.random.default_rng(seed)
+    out = []
+    for j in range(m):
+        sub = x[:, j * dsub : (j + 1) * dsub]
+        centers = sub[rng.choice(len(sub), size=ks, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(ks):
+                members = sub[assign == c]
+                if len(members):
+                    centers[c] = members.mean(axis=0)
+        out.append([[float(v) for v in c] for c in centers])
+    return out
+
+
 def _pq_encode_udf(codebooks: list[list[list[float]]]):
     """Arrow-batched encoder: per subspace, argmin of Σ(x−c)² over the
     codebook, ties to the lowest code (numpy argmin-first, matching

@@ -297,6 +297,111 @@ def test_pq_train_guards(spark, sf_correctness_dir):
         mllib_ann.pq_train(emb.limit(3), m=8, ks=16, dim=64)
 
 
+def test_pq_train_sample_refines_quantization(spark, sf_correctness_dir):
+    """The Lloyd trainer is deterministic at a seed, emits (m, ks,
+    dim/m) codebooks, keeps the divisibility/size guards, and its
+    refined codebooks carry LOWER total quantization error than the
+    md5-sample-init pq_train codebooks on the same corpus (the whole
+    point of refinement)."""
+    import numpy as np
+    import pytest as _pytest
+
+    emb = load_table(spark, sf_correctness_dir, "embeddings")
+    a = mllib_ann.pq_train_sample(emb, m=8, ks=16, dim=64, seed=5)
+    b = mllib_ann.pq_train_sample(emb, m=8, ks=16, dim=64, seed=5)
+    assert a == b
+    assert len(a) == 8 and len(a[0]) == 16 and len(a[0][0]) == 8
+    with _pytest.raises(ValueError, match="not divisible"):
+        mllib_ann.pq_train_sample(emb, m=7, ks=4, dim=64)
+    with _pytest.raises(ValueError, match="need ks"):
+        mllib_ann.pq_train_sample(emb.limit(3), m=8, ks=16, dim=64)
+
+    x = np.asarray(
+        [r["embedding"] for r in emb.select("embedding").collect()],
+        dtype=np.float64,
+    )
+
+    def qerr(cbs):
+        total = 0.0
+        for j, cb in enumerate(cbs):
+            sub = x[:, j * 8 : (j + 1) * 8]
+            c = np.asarray(cb)
+            d = ((sub[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            total += d.min(axis=1).sum()
+        return total
+
+    init = mllib_ann.pq_train(emb, m=8, ks=16, dim=64)
+    assert qerr(a) < qerr(init)
+
+
+def test_recall_ladder_floors(spark, sf_correctness_dir):
+    """RECALL.md's sf0.01 floors as assertions: every strategy is
+    deterministic at the gate parameters, so a quantization/banding
+    regression drops recall below its floor and fails HERE instead of
+    silently returning worse neighbors."""
+    emb = load_table(spark, sf_correctness_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    qs = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    centers = mllib_ann.md5_sample_centroids(emb, k=8)
+    cbs = mllib_ann.pq_train(emb, m=8, ks=16, dim=64)
+    cbs_l = mllib_ann.pq_train_sample(emb, m=8, ks=16, dim=64)
+    exact: dict[int, set] = {}
+    for r in similarity.cosine_topk(emb, qs, k=10, dim=64).collect():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    def recall(df) -> float:
+        got: dict[int, set] = {}
+        for r in df.collect():
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return sum(
+            len(got.get(q, set()) & e) / len(e) for q, e in exact.items()
+        ) / len(exact)
+
+    floors = [
+        (similarity.lsh_topk(emb, qs, 64, k=10), 0.50, "lsh"),
+        (mllib_ann.ivf_topk(emb, qs, centers, k=10, n_probe=3), 0.40, "ivf"),
+        (similarity.sq8_topk(emb, qs, k=10, dim=64), 0.90, "sq8"),
+        (
+            similarity.sq8_topk(emb, qs, k=10, dim=64, rescore=2),
+            0.95,
+            "sq8+rescore2",
+        ),
+        (mllib_ann.pq_topk(emb, qs, k=10, dim=64, codebooks=cbs), 0.20, "pq"),
+        (
+            mllib_ann.pq_topk(emb, qs, k=10, dim=64, codebooks=cbs, rescore=5),
+            0.45,
+            "pq+rescore5",
+        ),
+        (
+            mllib_ann.pq_topk(
+                emb, qs, k=10, dim=64, codebooks=cbs_l, rescore=5
+            ),
+            0.60,
+            "pq-lloyd+rescore5",
+        ),
+        (
+            mllib_ann.ivfpq_topk(
+                emb, qs, centers, k=10, n_probe=3, codebooks=cbs
+            ),
+            0.18,
+            "ivfpq",
+        ),
+        (
+            mllib_ann.ivfpq_topk(
+                emb, qs, centers, k=10, n_probe=3, codebooks=cbs, rescore=5
+            ),
+            0.30,
+            "ivfpq+rescore5",
+        ),
+    ]
+    got = {name: recall(df) for df, _floor, name in floors}
+    for _df, floor, name in floors:
+        assert got[name] >= floor, (name, got[name], floor)
+
+
 def test_ivfpq_index_roundtrip_and_append(spark, tmp_path, sf_correctness_dir):
     """The persisted index must serve the same results as the inline
     ivfpq_topk over the same corpus and quantizers; appending a batch

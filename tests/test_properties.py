@@ -1297,3 +1297,182 @@ def test_interval_join_stream_completeness_property(
         key=key,
     )
     assert got_outer == expect_outer
+
+
+# ---------------------------------------------------------------------------
+# r12 property groups (VERDICT-r11 ask #7): SQ8 quantization bounds,
+# PQ ADC exactness on degenerate codebooks, full_outer flush margins
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(-1e4, 1e4, allow_nan=False, width=32),
+            min_size=6,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_sq8_roundtrip_bound_property(spark, vecs):
+    """For ANY vector set: codes stay in [0, 255]; the reconstruction
+    error is within HALF a quantization step per dimension —
+    |recon − v| ≤ (mx − mn)/510 (floor(x+0.5) rounds to nearest) —
+    with constant dimensions reconstructing exactly; and the fused
+    transform() kernel (sq8_recon_expr) equals the two-step
+    code→reconstruct composition bit-for-bit (the janino-fix twin must
+    never drift from the persisted-code-table path)."""
+    from pyspark.sql import functions as F
+
+    from physicsnemo_curator_spark.operators import similarity
+
+    dim = 6
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    mins, maxs = similarity.sq8_train(df, dim=dim)
+    arr = np.asarray(vecs, dtype=np.float64)
+    np.testing.assert_allclose(mins, arr.min(axis=0), rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(maxs, arr.max(axis=0), rtol=1e-6, atol=1e-6)
+    rows = df.select(
+        "vec_id",
+        similarity.sq8_code_expr("embedding", mins, maxs).alias("codes"),
+        similarity.sq8_reconstruct_expr(
+            similarity.sq8_code_expr("embedding", mins, maxs), mins, maxs
+        ).alias("recon2"),
+        similarity.sq8_recon_expr("embedding", mins, maxs).alias("recon1"),
+        "embedding",
+    ).collect()
+    for r in rows:
+        v = np.asarray(r["embedding"])
+        r1 = np.asarray(r["recon1"])
+        r2 = np.asarray(r["recon2"])
+        assert all(0 <= c <= 255 for c in r["codes"])
+        np.testing.assert_array_equal(r1, r2)
+        span = np.asarray(maxs) - np.asarray(mins)
+        bound = span / 510.0 + np.abs(span) * 1e-12 + 1e-12
+        assert (np.abs(r1 - v) <= bound).all(), (v, r1, bound)
+
+
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n=st.integers(2, 8),
+    m=st.sampled_from([2, 4]),
+    nq=st.integers(1, 3),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_pq_adc_exact_on_degenerate_codebooks_property(spark, seed, n, m, nq):
+    """When every corpus subvector IS a codebook entry (codebooks built
+    from the corpus itself, ks = n), PQ encoding must pick a zero-
+    distance code in every subspace, reconstruction is exact, and the
+    ADC cosine equals the exact cosine for every (query, vector) pair
+    — the identity that pins the LUT arithmetic (subspace dots sum to
+    the full dot; reconstruction norms sum to the squared norm)."""
+    from pyspark.sql import functions as F
+
+    from physicsnemo_curator_spark.operators import mllib_ann, similarity
+
+    dim = 8
+    rng = np.random.default_rng(seed)
+    vecs = rng.normal(size=(n, dim))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    qs = df.filter(F.col("vec_id") < nq).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cbs = mllib_ann.pq_train(df, m=m, ks=n, dim=dim)
+    adc = {
+        (r["query_id"], r["vec_id"]): r["cosine"]
+        for r in mllib_ann.pq_topk(
+            df, qs, k=n, dim=dim, codebooks=cbs
+        ).collect()
+    }
+    exact = {
+        (r["query_id"], r["vec_id"]): r["cosine"]
+        for r in similarity.cosine_topk(df, qs, k=n, dim=dim).collect()
+    }
+    assert set(adc) == set(exact)
+    for key, c in exact.items():
+        assert math.isclose(adc[key], c, rel_tol=1e-9, abs_tol=1e-9), (
+            key, adc[key], c,
+        )
+
+
+@given(
+    lefts=st.lists(st.integers(0, 120), min_size=1, max_size=6),
+    rights=st.lists(st.integers(0, 120), min_size=1, max_size=6),
+    lower=st.integers(-40, 0),
+    upper=st.integers(10, 90),
+    watermark_min=st.sampled_from([5, 60]),
+)
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_full_outer_flush_margin_completeness_property(
+    spark, tmp_path_factory, lefts, rights, lower, upper, watermark_min
+):
+    """Random offsets x interval bounds (NEGATIVE lower included — it
+    widens a left row's state expiry beyond upper) x watermark: the
+    full_outer streaming run must emit exactly the closed-form set —
+    inner pairs {lower <= l.ts - r.ts <= upper}, one null-right row
+    per unmatched left, one null-left row per unmatched right.  A
+    flush-margin arithmetic bug (under-margined flush_ts) strands
+    unmatched rows in state and breaks this equality."""
+    from physicsnemo_curator_spark.streaming.joins import (
+        run_interval_join_stream,
+    )
+
+    tmp = tmp_path_factory.mktemp("fom")
+    base = 1_700_000_000
+
+    def write(side, offs):
+        rows = [(i, 1, float(i), base + o) for i, o in enumerate(offs)]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, value double, epoch long"
+        ).selectExpr(
+            "event_id", "user_id",
+            "CAST(TIMESTAMP_SECONDS(epoch) AS TIMESTAMP) ts", "value",
+        ).select("event_id", "user_id", "ts", "value")
+        df.repartition(2).write.parquet(str(tmp / side))
+
+    write("l", lefts)
+    write("r", rights)
+    out = run_interval_join_stream(
+        spark,
+        str(tmp / "l"),
+        str(tmp / "r"),
+        "event_id long, user_id long, ts timestamp, value double",
+        {"a": "l.event_id", "b": "r.event_id"},
+        work_dir=str(tmp / "run"),
+        lower_seconds=lower,
+        upper_seconds=upper,
+        watermark=f"{watermark_min} minutes",
+        state_partitions=2,
+        how="full_outer",
+    )
+    key = lambda t: (
+        -1 if t[0] is None else t[0],
+        -1 if t[1] is None else t[1],
+    )
+    got = sorted(((r["a"], r["b"]) for r in out.collect()), key=key)
+    inner = [
+        (i, j)
+        for i, lo in enumerate(lefts)
+        for j, ro in enumerate(rights)
+        if lower <= lo - ro <= upper
+    ]
+    ml = {i for i, _ in inner}
+    mr = {j for _, j in inner}
+    expect = sorted(
+        inner
+        + [(i, None) for i in range(len(lefts)) if i not in ml]
+        + [(None, j) for j in range(len(rights)) if j not in mr],
+        key=key,
+    )
+    assert got == expect

@@ -177,7 +177,10 @@ def pq_train_sample(
     machine in milliseconds).  Refined codebooks cut quantization
     error vs the sample-init :func:`pq_train`, which stays the
     oracle-replayable gate trainer (RECALL.md holds both
-    measurements).  Driver-side state is ``m·ks`` subvectors."""
+    measurements).  Driver-side state during training is the
+    ``sample_rows`` sampled vectors (fixed-size by design, like
+    :func:`train_ivf_sample` — never the corpus); the returned
+    codebooks are ``m·ks`` subvectors."""
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     dsub = dim // m
@@ -533,6 +536,13 @@ def write_ivfpq_index(
     partitions (idempotent ingestion), and the ``repartition`` aligns
     tasks with output partitions so each (batch, cell) gets one file,
     not one per upstream task."""
+    if mode not in ("overwrite", "append"):
+        # 'Append'/'upsert'/... falling through to a STATIC overwrite
+        # would silently wipe every previously appended batch
+        raise ValueError(
+            f"unknown write_ivfpq_index mode {mode!r}; expected "
+            "'overwrite' or 'append'"
+        )
     cell_meta = _ivf_meta_udf(centers, 1)
     enc = _pq_encode_udf(codebooks)
     out = corpus.filter(F.col(vec_col).isNotNull()).select(
@@ -561,8 +571,6 @@ def ivfpq_index_topk(
     k: int = 10,
     *,
     n_probe: int = 3,
-    m: int = 8,
-    ks: int = 16,
     codebooks: list[list[list[float]]],
     rescore: int = 0,
     corpus: DataFrame | None = None,
@@ -584,7 +592,17 @@ def ivfpq_index_topk(
     written with (persist them next to the store; re-clustering means
     rebuilding — the :func:`write_semantic_store` contract).
     ``rescore=m'`` re-ranks the top ``m'·k`` with exact cosine against
-    ``corpus`` (required then: the index has no vectors)."""
+    ``corpus`` (required then: the index has no vectors).  A vec_id
+    appearing in MULTIPLE batch partitions (re-ingested under a new
+    batch_id rather than idempotently re-written under its own) is
+    deduped per query BEFORE scoring — without that, its (j, code)
+    rows double inside the ADC sums and the duplicate silently
+    outranks genuine neighbors at ~1.41× its true cosine."""
+    if rescore and corpus is None:
+        raise ValueError(
+            "rescore needs the original vectors: pass corpus= (the "
+            "index stores codes only)"
+        )
     dim = len(centers[0])
     cb = np.asarray(codebooks, dtype=np.float64)
     probe_meta = _ivf_meta_udf(centers, n_probe)
@@ -593,8 +611,16 @@ def ivfpq_index_topk(
         F.explode(probe_meta(F.col(vec_col))["cells"]).alias("cell"),
     )
     index = spark.read.parquet(store).select("vec_id", "cell", "codes")
-    cand = index.join(F.broadcast(probed), "cell").select(
-        "query_id", "vec_id", F.posexplode("codes").alias("j", "code")
+    cand = (
+        index.join(F.broadcast(probed), "cell")
+        # dedup on the ATOMIC codes row (not post-explode) so a
+        # conflicting re-ingest can never mix subspace codes from two
+        # versions of the same vector; the shuffle is bounded by the
+        # candidate set, not the store
+        .dropDuplicates(["query_id", "vec_id"])
+        .select(
+            "query_id", "vec_id", F.posexplode("codes").alias("j", "code")
+        )
     )
     lut = _pq_lut(
         queries,
@@ -608,11 +634,6 @@ def ivfpq_index_topk(
     )
     if not rescore:
         return approx
-    if corpus is None:
-        raise ValueError(
-            "rescore needs the original vectors: pass corpus= (the "
-            "index stores codes only)"
-        )
     from physicsnemo_curator_spark.operators.similarity import exact_rerank
 
     return exact_rerank(
@@ -647,10 +668,11 @@ def train_ivf_sample(
     directly; use :func:`train_ivf` when an MLlib model object is
     wanted (persistence, pipeline integration).
     """
-    n = corpus.count()
+    n = corpus.count()  # parquet-metadata count: sizes the fraction
     frac = min(1.0, sample_rows / max(n, 1) * 1.2)
     rows = (
-        corpus.sample(fraction=frac, seed=seed)
+        corpus.filter(F.col(vec_col).isNotNull())
+        .sample(fraction=frac, seed=seed)
         .select(vec_col)
         .limit(sample_rows)
         .collect()
@@ -683,10 +705,13 @@ def md5_sample_centroids(
     (md5 order, raw float32 centroid components, argmin assignment) is
     reproducible in the DuckDB correctness oracle, unlike RNG-seeded
     KMeans.  Collect is k rows (driver-side by design, like
-    :func:`train_ivf_sample`).
+    :func:`train_ivf_sample`).  NULL vectors are excluded from the
+    sample (the family convention — a NULL row winning an md5 slot
+    would crash training, and has nothing to contribute to it).
     """
     rows = (
-        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        corpus.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
         .orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))
         .limit(k)
         .collect()

@@ -109,7 +109,14 @@ def _stage_with_flush_rows(
     delay_s = _interval_seconds(watermark)
     max_ts = None
     for d, tcol in ((left_dir, left_time), (right_dir, right_time)):
-        row = spark.read.schema(schema).parquet(d).agg(
+        # recursiveFileLookup: nested (non-hive) layouts stage
+        # flattened below, so the event-time bound must see their
+        # files too — a plain read stops at the top level and a None
+        # max_ts would put flush_ts BEFORE every real row, filtering
+        # the entire result out of the sink
+        row = spark.read.schema(schema).option(
+            "recursiveFileLookup", "true"
+        ).parquet(d).agg(
             F.max(tcol).alias("m")
         ).collect()[0]
         if row["m"] is not None and (max_ts is None or row["m"] > max_ts):
@@ -131,16 +138,42 @@ def _stage_with_flush_rows(
         staged.append(out)
         shutil.rmtree(out, ignore_errors=True)
         os.makedirs(out)
-        files = sorted(glob.glob(os.path.join(d, "*.parquet")))
-        if not files:
-            # a partitioned layout (day=*/part-*.parquet) would stage
-            # ZERO data files and the run would "succeed" with a
-            # flush-only result — fail loudly instead
+        # ONE recursive listing for flat AND nested (date-bucketed)
+        # layouts — mixed top-level + nested sources must never stage
+        # a subset while the event-time bound (recursiveFileLookup
+        # read above) sees every row.  Files under metadata/hidden
+        # dirs (_temporary from a crashed write, .hive-staging, ...)
+        # are skipped exactly as Spark's own path filter skips them —
+        # hardlinking them under a clean name would resurrect
+        # uncommitted data into the stream.
+        all_files = sorted(
+            glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True)
+        )
+        files, hive_dirs = [], set()
+        for f in all_files:
+            parts = os.path.relpath(f, d).split(os.sep)
+            if any(p.startswith(("_", ".")) for p in parts):
+                continue
+            hive_dirs.update(p for p in parts[:-1] if "=" in p)
+            files.append(f)
+        if hive_dirs:
+            # nested layouts stage flattened losslessly (every column
+            # lives IN the files); HIVE-partitioned layouts do NOT —
+            # the partition column exists only in the directory name
+            # and would silently read back NULL from a flattened copy
             raise ValueError(
-                f"outer-join staging found no top-level *.parquet in "
-                f"{d!r}; partitioned/nested source layouts are not "
-                "supported by the outer-join runner (flatten the "
-                "source or use how='inner')"
+                f"outer-join staging found hive-partitioned files "
+                f"under {d!r} (partition dirs {sorted(hive_dirs)[:3]}); "
+                "the partition column lives in the directory names and "
+                "a flattened stage would read it back NULL — rewrite "
+                "the source with the partition column materialized in "
+                "the files, or use how='inner'"
+            )
+        if not files:
+            # an empty source would stage ZERO data files and the run
+            # would "succeed" with a flush-only result — fail loudly
+            raise ValueError(
+                f"outer-join staging found no *.parquet under {d!r}"
             )
         for i, f in enumerate(files):
             dst = os.path.join(out, f"src-{i:05d}.parquet")

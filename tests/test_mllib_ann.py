@@ -470,6 +470,63 @@ def test_ivfpq_index_roundtrip_and_append(spark, tmp_path, sf_correctness_dir):
     assert shared > 0
 
 
+def test_ivfpq_index_duplicate_batch_and_mode_guard(
+    spark, tmp_path, sf_correctness_dir
+):
+    """Review-finding regressions: (a) a vector re-ingested under a
+    SECOND batch_id (instead of idempotently under its own) must not
+    double inside the ADC sums — the probe dedupes per (query, vec) on
+    the atomic codes row, so scores equal the single-copy index's; (b)
+    an unknown mode raises instead of silently static-overwriting the
+    store; (c) the trainers tolerate NULL embeddings."""
+    import pytest as _pytest
+
+    emb = (
+        load_table(spark, sf_correctness_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .limit(200)
+    )
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    centers = mllib_ann.md5_sample_centroids(emb, k=8)
+    cbs = mllib_ann.pq_train(emb, m=8, ks=16, dim=64)
+    clean = str(tmp_path / "clean")
+    dup = str(tmp_path / "dup")
+    mllib_ann.write_ivfpq_index(emb, centers, cbs, clean)
+    mllib_ann.write_ivfpq_index(emb, centers, cbs, dup)
+    # the SAME rows again under a different batch id — the
+    # non-idempotent re-ingest a backfill job would produce
+    half = emb.filter(F.col("vec_id") % 2 == 0)
+    mllib_ann.write_ivfpq_index(
+        half, centers, cbs, dup, mode="append", batch_id="backfill"
+    )
+    assert spark.read.parquet(dup).count() == 200 + half.count()
+
+    def rows(store):
+        return sorted(
+            (r["query_id"], r["vec_id"], r["rank"], round(r["cosine"], 9))
+            for r in mllib_ann.ivfpq_index_topk(
+                spark, qs, centers, store, k=10, n_probe=3, codebooks=cbs
+            ).collect()
+        )
+
+    assert rows(dup) == rows(clean)
+
+    with _pytest.raises(ValueError, match="unknown write_ivfpq_index mode"):
+        mllib_ann.write_ivfpq_index(
+            emb, centers, cbs, dup, mode="Append", batch_id="x"
+        )
+    # NULL embeddings must not crash training either
+    nulls = spark.createDataFrame(
+        [(990_001, None)], "vec_id long, embedding array<float>"
+    )
+    with_null = emb.unionByName(nulls)
+    assert len(mllib_ann.md5_sample_centroids(with_null, k=8)) == 8
+    assert len(mllib_ann.pq_train(with_null, m=8, ks=16, dim=64)) == 8
+    assert len(mllib_ann.train_ivf_sample(with_null, k=4, sample_rows=64)) == 4
+
+
 def test_ivfpq_index_probe_prunes_partitions(spark, tmp_path, sf_correctness_dir):
     """The index probe must BROADCAST the query side and prune the
     store scan to the probed cell partitions — the two properties that

@@ -880,3 +880,161 @@ def test_interval_seconds_parsing():
         _interval_seconds("2")
     with pytest.raises(ValueError, match="unsupported watermark unit"):
         _interval_seconds("2 fortnights")
+
+
+def test_outer_join_runner_nested_and_hive_layouts(spark, tmp_path):
+    """Nested (date-bucketed, non-hive) source layouts stage flattened
+    and produce the same outer join as a flat layout — every column
+    lives in the files, so relocation is lossless.  HIVE-partitioned
+    layouts keep the loud gate: the partition column exists only in
+    the directory name and would read back NULL from a flattened
+    stage."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from physicsnemo_curator_spark.streaming.joins import (
+        run_interval_join_stream,
+    )
+
+    base = 1_700_000_000
+    schema = "event_id long, user_id long, ts timestamp, value double"
+
+    def frame(offs):
+        rows = [(i, 1, float(i), base + o) for i, o in enumerate(offs)]
+        return spark.createDataFrame(
+            rows, "event_id long, user_id long, value double, epoch long"
+        ).selectExpr(
+            "event_id", "user_id",
+            "CAST(TIMESTAMP_SECONDS(epoch) AS TIMESTAMP) ts", "value",
+        ).select("event_id", "user_id", "ts", "value")
+
+    # nested layout: day-bucketed subdirs WITHOUT hive key=value names
+    lefts, rights = [0, 50, 400], [30, 600]
+    for side, offs in (("l", lefts), ("r", rights)):
+        df = frame(offs)
+        df.filter("event_id < 2").coalesce(1).write.parquet(
+            str(tmp_path / side / "day1")
+        )
+        df.filter("event_id >= 2").coalesce(1).write.parquet(
+            str(tmp_path / side / "day2")
+        )
+    out = run_interval_join_stream(
+        spark,
+        str(tmp_path / "l"),
+        str(tmp_path / "r"),
+        schema,
+        {"a": "l.event_id", "b": "r.event_id"},
+        work_dir=str(tmp_path / "run"),
+        lower_seconds=0,
+        upper_seconds=60,
+        watermark="10 minutes",
+        how="left_outer",
+        state_partitions=2,
+    )
+    got = sorted(
+        ((r["a"], r["b"]) for r in out.collect()),
+        key=lambda t: (t[0], -1 if t[1] is None else t[1]),
+    )
+    # closed form: (l, r) iff 0 <= l.ts - r.ts <= 60, else (l, None)
+    inner = [
+        (i, j)
+        for i, lo in enumerate(lefts)
+        for j, ro in enumerate(rights)
+        if 0 <= lo - ro <= 60
+    ]
+    ml = {i for i, _ in inner}
+    expect = sorted(
+        inner + [(i, None) for i in range(len(lefts)) if i not in ml],
+        key=lambda t: (t[0], -1 if t[1] is None else t[1]),
+    )
+    assert got == expect
+
+    # hive layout: partition col only in dir names -> loud gate
+    hive = tmp_path / "hive_src"
+    frame(lefts).withColumn("day", F.lit(1)).write.partitionBy(
+        "day"
+    ).parquet(str(hive))
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        run_interval_join_stream(
+            spark,
+            str(hive),
+            str(tmp_path / "r"),
+            schema,
+            {"a": "l.event_id", "b": "r.event_id"},
+            work_dir=str(tmp_path / "run_hive"),
+            lower_seconds=0,
+            upper_seconds=60,
+            watermark="10 minutes",
+            how="left_outer",
+        )
+
+
+def test_outer_join_runner_mixed_layout_and_temporary_dirs(spark, tmp_path):
+    """Review-finding regressions: (a) a MIXED source (top-level AND
+    nested parquet) stages every file — the old fallback took only the
+    top level while the event-time bound saw all rows, silently
+    dropping the nested rows from the result; (b) files under
+    _temporary/hidden dirs (a crashed write's debris) are skipped,
+    exactly as Spark's own path filter skips them."""
+    from physicsnemo_curator_spark.streaming.joins import (
+        run_interval_join_stream,
+    )
+
+    base = 1_700_000_000
+    schema = "event_id long, user_id long, ts timestamp, value double"
+    lefts, rights = [0, 50, 400], [30, 600]
+
+    def frame(offs, ids=None):
+        rows = [
+            (i if ids is None else ids[n], 1, float(o), base + o)
+            for n, (i, o) in enumerate(
+                (k, v) for k, v in enumerate(offs)
+            )
+        ]
+        return spark.createDataFrame(
+            rows, "event_id long, user_id long, value double, epoch long"
+        ).selectExpr(
+            "event_id", "user_id",
+            "CAST(TIMESTAMP_SECONDS(epoch) AS TIMESTAMP) ts", "value",
+        ).select("event_id", "user_id", "ts", "value")
+
+    # left: event 0,1 at top level; event 2 nested under day2/
+    ldir = tmp_path / "l"
+    frame(lefts).filter("event_id < 2").coalesce(1).write.parquet(str(ldir))
+    frame(lefts).filter("event_id >= 2").coalesce(1).write.parquet(
+        str(ldir / "day2")
+    )
+    # debris: a duplicate of event 0 under _temporary must NOT stage
+    frame(lefts).filter("event_id = 0").coalesce(1).write.parquet(
+        str(ldir / "_temporary" / "0")
+    )
+    rdir = tmp_path / "r"
+    frame(rights).coalesce(1).write.parquet(str(rdir))
+    out = run_interval_join_stream(
+        spark,
+        str(ldir),
+        str(rdir),
+        schema,
+        {"a": "l.event_id", "b": "r.event_id"},
+        work_dir=str(tmp_path / "run"),
+        lower_seconds=0,
+        upper_seconds=60,
+        watermark="10 minutes",
+        how="left_outer",
+        state_partitions=2,
+    )
+    key = lambda t: (t[0], -1 if t[1] is None else t[1])
+    got = sorted(((r["a"], r["b"]) for r in out.collect()), key=key)
+    inner = [
+        (i, j)
+        for i, lo in enumerate(lefts)
+        for j, ro in enumerate(rights)
+        if 0 <= lo - ro <= 60
+    ]
+    ml = {i for i, _ in inner}
+    expect = sorted(
+        inner + [(i, None) for i in range(len(lefts)) if i not in ml],
+        key=key,
+    )
+    # event 2 (nested) present exactly once; event 0 not duplicated
+    assert got == expect

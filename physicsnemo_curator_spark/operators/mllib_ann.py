@@ -16,6 +16,8 @@ cells.  Complements the hyperplane-LSH path in
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.ml.clustering import KMeans, KMeansModel
@@ -646,6 +648,70 @@ def ivfpq_index_topk(
         vec_col=vec_col,
         query_id_col=query_id_col,
     )
+
+
+def cluster_balanced_sample(
+    corpus: DataFrame,
+    centers: list[list[float]],
+    n_per_cell: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Diversity-aware subselection: assign every vector to its
+    nearest cell and keep the first ``n_per_cell`` per cell by
+    ``md5(id)`` order — cluster-balanced sampling, the curation move
+    that keeps a corpus's coverage while cutting its volume (a
+    uniform sample over-represents dense regions; sampling per
+    CLUSTER caps each region's contribution).  md5 order is a
+    deterministic shuffle, so the pick is reproducible and
+    oracle-replayable (the q_d1/minhash convention).  Output:
+    ``(id, cell, pick_rank)`` for kept rows only.
+
+    Scale shape: one Arrow projection for assignment, one
+    window-per-cell shuffle keyed on cell — no driver state beyond
+    the centroid list; cells bound the window partitions, so skew is
+    bounded by cell balance (pick k ≈ n/target_cell_size, the family
+    sizing rule)."""
+    cells = _assign_with_norm(corpus, centers, id_col=id_col, vec_col=vec_col)
+    w = Window.partitionBy("cell").orderBy(
+        F.md5(F.col("_id").cast("string")), F.col("_id")
+    )
+    return (
+        cells.select("_id", "cell")
+        .withColumn("pick_rank", F.row_number().over(w))
+        .filter(F.col("pick_rank") <= n_per_cell)
+        .select(F.col("_id").alias(id_col), "cell", "pick_rank")
+    )
+
+
+def compact_ivfpq_index(spark, store: str) -> None:
+    """Merge every batch partition of a :func:`write_ivfpq_index`
+    store into one ``_batch=compacted`` generation — the maintenance
+    pass a long-lived index runs when appended batches accumulate
+    (each append adds a ``_batch`` partition; probes stay correct but
+    the listing and per-cell file counts grow).  Codes are
+    quantizer-independent bytes, so compaction is a pure relocation:
+    read, re-partition by the SAME (_batch, cell) discipline, replace
+    the store atomically (write to a sibling temp dir, then swap) —
+    a crash before the swap leaves the original store intact."""
+    import shutil
+
+    df = spark.read.parquet(store).select("vec_id", "cell", "codes")
+    tmp = store.rstrip("/") + "._compacting"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        df.withColumn("_batch", F.lit("compacted"))
+        .repartition("_batch", "cell")
+        .write.mode("overwrite")
+        .partitionBy("_batch", "cell")
+        .parquet(tmp)
+    )
+    old = store.rstrip("/") + "._old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(store, old)
+    os.rename(tmp, store)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def train_ivf_sample(

@@ -701,6 +701,90 @@ def exact_rerank(
     )
 
 
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int,
+    *,
+    lamb: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR 1998)
+    over an ANN candidate set: greedily pick ``k`` results per query,
+    each maximizing ``λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)`` —
+    relevant AND different from what's already picked.  The diversity
+    tail every retrieval-for-training pipeline wants: plain top-k
+    returns near-duplicate neighbors; MMR spends the same k slots on
+    coverage.
+
+    ``candidates`` is ``(query_id, vec_id)`` from ANY rung of the ANN
+    ladder (exact, LSH, IVF, SQ8, PQ, IVF-PQ) — the same contract as
+    :func:`exact_rerank`.  rel and sim are exact cosines on the
+    original vectors.  The empty-selection max is 0, so the first pick
+    scores ``λ·rel`` (argmax = most relevant).  Ties break (score
+    desc, vec_id asc) — the family convention.
+
+    Plan shape: the greedy loop is inherently sequential IN k but
+    independent ACROSS queries, so it runs as ``applyInPandas`` with
+    one group per query over the candidate sliver (O(queries·N) rows,
+    N = candidates per query; the O(N²) pair sims happen vectorized
+    inside the group's numpy batch).  The corpus contributes one
+    semi-join of the candidate ids — never a full scan or shuffle.
+    Output: ``(query_id, vec_id, mmr_rank, mmr_score)``."""
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cvec")
+    ).join(candidates.select("query_id", "vec_id"), "vec_id")
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+    )
+    joined = c.join(F.broadcast(q), "query_id")
+    lam = float(lamb)
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        qv = np.asarray(pdf["_qvec"].iloc[0], dtype=np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        X = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf["_cvec"]]
+        )
+        # deterministic processing order: sort by id so numpy argmax's
+        # first-wins tie-break IS the (score desc, vec_id asc) rule
+        order = np.argsort(ids)
+        ids, X = ids[order], X[order]
+        norms = np.sqrt((X * X).sum(axis=1))
+        norms[norms == 0.0] = 1.0
+        qn = float(np.sqrt(qv @ qv)) or 1.0
+        rel = (X @ qv) / (norms * qn)
+        sim = (X @ X.T) / np.outer(norms, norms)
+        n = len(ids)
+        out = []
+        # -inf sentinel = "nothing selected yet": the max over chosen
+        # sims may be NEGATIVE (anti-correlated vectors), so a zero
+        # floor would overstate diversity; only the EMPTY max is 0
+        max_sim = np.full(n, -np.inf)
+        taken = np.zeros(n, dtype=bool)
+        for step in range(min(k, n)):
+            ms = np.where(np.isneginf(max_sim), 0.0, max_sim)
+            score = lam * rel - (1.0 - lam) * ms
+            score[taken] = -np.inf
+            j = int(score.argmax())
+            taken[j] = True
+            out.append((int(pdf["query_id"].iloc[0]), int(ids[j]),
+                        step + 1, float(score[j])))
+            max_sim = np.maximum(max_sim, sim[:, j])
+        return pd.DataFrame(
+            out, columns=["query_id", "vec_id", "mmr_rank", "mmr_score"]
+        )
+
+    return joined.groupBy("query_id").applyInPandas(
+        pick,
+        "query_id long, vec_id long, mmr_rank int, mmr_score double",
+    )
+
+
 def embedding_centroids(
     emb: DataFrame, *, label_col: str = "label", vec_col: str = "embedding"
 ) -> DataFrame:

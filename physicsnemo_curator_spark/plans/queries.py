@@ -3638,6 +3638,142 @@ scored AS (
 """
 
 
+def q_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced sampling gate (mllib_ann.cluster_balanced_sample)
+    — the coverage-preserving subselection: assign every embedding to
+    its md5-sample cell and keep the first 20 per cell by md5(id)
+    order (a deterministic shuffle, so a uniform-over-clusters sample
+    replays exactly).  A plain uniform sample over-represents dense
+    regions; per-cluster caps keep the corpus's coverage while cutting
+    volume — the SemDeDup-adjacent curation move.  The oracle replays
+    centroid pick, assignment, and the per-cell md5 pick."""
+    from physicsnemo_curator_spark.operators import mllib_ann
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centers = mllib_ann.md5_sample_centroids(emb, k=8)
+    out = mllib_ann.cluster_balanced_sample(emb, centers, n_per_cell=20)
+    return out.select("vec_id", "cell", "pick_rank").orderBy(
+        "cell", "pick_rank"
+    )
+
+
+ORACLE_CLUSTER_SAMPLE = """
+WITH cent AS (
+  SELECT embedding ce,
+         CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) cell
+  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+cv AS (SELECT cell, unnest(range(0, 64)) j, unnest(ce) c FROM cent),
+csq AS (SELECT cell, SUM(CAST(c AS DOUBLE) * CAST(c AS DOUBLE)) c2 FROM cv GROUP BY 1),
+ev AS (SELECT vec_id, unnest(range(0, 64)) j, unnest(embedding) x FROM embeddings),
+dist AS (
+  SELECT xc.vec_id, xc.cell, csq.c2 - 2 * xc.dotxc d
+  FROM (SELECT e.vec_id, c.cell, SUM(CAST(e.x AS DOUBLE) * CAST(c.c AS DOUBLE)) dotxc
+        FROM ev e JOIN cv c ON e.j = c.j GROUP BY 1, 2) xc
+  JOIN csq ON xc.cell = csq.cell),
+assign AS (SELECT vec_id, cell FROM (
+  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) rn
+  FROM dist) WHERE rn = 1),
+picked AS (
+  SELECT vec_id, cell,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY cell
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INT) pick_rank
+  FROM assign)
+SELECT vec_id, cell, pick_rank FROM picked
+WHERE pick_rank <= 20 ORDER BY cell, pick_rank
+"""
+
+
+def q_ann_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified re-rank gate (similarity.mmr_rerank, Carbonell &
+    Goldstein 1998): exact top-20 candidates per query, then the
+    greedy λ=0.5 selection of 8 — each pick maximizes relevance minus
+    its worst similarity to what's already picked.  The greedy loop is
+    sequential in k but independent across queries (applyInPandas, one
+    group per query over the candidate sliver).  The oracle replays
+    the whole selection in a DuckDB RECURSIVE CTE: same candidate
+    top-20, same pairwise cosines, same λ-scored argmax with the
+    family tie-break — a scoring or ordering bug diverges the picked
+    SET, not just a decimal."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # the query vector itself is excluded from its candidates: with it
+    # selected first, every step-2 score is EXACTLY λ·rel − λ·rel = 0
+    # (sim-to-self-query == rel) — a degenerate all-way tie that float
+    # summation order would break differently per engine
+    cand = (
+        similarity.cosine_topk(emb, qs, k=20, dim=64)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    out = similarity.mmr_rerank(emb, qs, cand, k=8, lamb=0.5)
+    return out.select(
+        "query_id", "vec_id", "mmr_rank", _r6(F.col("mmr_score"), "mmr_score")
+    ).orderBy("query_id", "mmr_rank")
+
+
+ORACLE_ANN_MMR = """
+WITH RECURSIVE
+qv AS (SELECT vec_id query_id, unnest(range(0, 64)) j,
+              CAST(unnest(embedding) AS DOUBLE) x
+       FROM embeddings WHERE vec_id < 10),
+qn AS (SELECT query_id, SQRT(SUM(x * x)) n FROM qv GROUP BY 1),
+cv AS (SELECT vec_id, unnest(range(0, 64)) j,
+              CAST(unnest(embedding) AS DOUBLE) x FROM embeddings),
+cn AS (SELECT vec_id, SQRT(SUM(x * x)) n FROM cv GROUP BY 1),
+rel AS (
+  SELECT r.query_id, r.vec_id, r.dot / (qn.n * cn.n) rel
+  FROM (SELECT q.query_id, c.vec_id, SUM(q.x * c.x) dot
+        FROM qv q JOIN cv c ON q.j = c.j GROUP BY 1, 2) r
+  JOIN qn ON r.query_id = qn.query_id
+  JOIN cn ON r.vec_id = cn.vec_id),
+cand AS (
+  SELECT query_id, vec_id, rel FROM (
+    SELECT query_id, vec_id, rel,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY rel DESC, vec_id) rn
+    FROM rel) WHERE rn <= 20 AND vec_id <> query_id),
+psim AS (
+  SELECT p.query_id, p.a, p.b, p.dot / (na.n * nb.n) sim
+  FROM (SELECT a.query_id, a.vec_id a, b.vec_id b, SUM(ca.x * cb.x) dot
+        FROM cand a JOIN cand b
+          ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
+        JOIN cv ca ON ca.vec_id = a.vec_id
+        JOIN cv cb ON cb.vec_id = b.vec_id AND ca.j = cb.j
+        GROUP BY 1, 2, 3) p
+  JOIN cn na ON p.a = na.vec_id
+  JOIN cn nb ON p.b = nb.vec_id),
+sel AS (
+  SELECT query_id, 1 AS step, vec_id, 0.5 * rel AS mmr_score,
+         [vec_id] AS chosen
+  FROM (SELECT query_id, vec_id, rel,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY 0.5 * rel DESC, vec_id) rn
+        FROM cand) WHERE rn = 1
+  UNION ALL
+  SELECT s.query_id, s.step + 1, p.vec_id, p.score,
+         list_append(s.chosen, p.vec_id)
+  FROM sel s, LATERAL (
+    SELECT c.vec_id,
+           0.5 * c.rel - 0.5 * COALESCE((
+             SELECT MAX(ps.sim) FROM psim ps
+             WHERE ps.query_id = s.query_id AND ps.a = c.vec_id
+               AND list_contains(s.chosen, ps.b)), 0) AS score
+    FROM cand c
+    WHERE c.query_id = s.query_id
+      AND NOT list_contains(s.chosen, c.vec_id)
+    ORDER BY score DESC, c.vec_id
+    LIMIT 1) p
+  WHERE s.step < 8
+)
+SELECT query_id, vec_id, CAST(step AS INT) mmr_rank,
+       ROUND(mmr_score, 6) mmr_score
+FROM sel ORDER BY query_id, mmr_rank
+"""
+
+
 def q_semantic_dedup(
     spark: SparkSession,
     sf_dir: str,
@@ -9500,6 +9636,8 @@ QUERIES: dict[str, QuerySpec] = {
         ORACLE_ANN_IVFPQ_INC,
         bench=lambda s, d: q_ann_ivfpq_incremental(s, d, rescore=2),
     ),
+    "q_cluster_sample": QuerySpec(q_cluster_sample, ORACLE_CLUSTER_SAMPLE),
+    "q_ann_mmr": QuerySpec(q_ann_mmr, ORACLE_ANN_MMR),
     "q_embedding_near_dup": QuerySpec(
         q_embedding_near_dup,
         ORACLE_EMB_NEAR_DUP,
@@ -9618,6 +9756,8 @@ _DRIVER_ORDER = [
     # --- NEW this round (r12): first green row needed ---
     "q_ann_ivfpq_incremental",
     "q_st6_stream_fullouter_join",
+    "q_cluster_sample",
+    "q_ann_mmr",
     # --- last driver-checked r09 (all 45) ---
     "q_text_normalize",
     "q_url_normalize",

@@ -656,3 +656,123 @@ def test_ivfpq_topk_candidates_and_rescore(spark, sf_correctness_dir):
             shared += 1
             assert abs(r["cosine"] - ex[key]) < 1e-12
     assert shared > 0
+
+
+def test_cluster_balanced_sample_caps_and_determinism(spark, sf_correctness_dir):
+    """Every cell contributes at most n_per_cell rows, ranks are
+    1..min(n, cell size), the pick is deterministic, and the union of
+    picks across a big-enough cap is the whole corpus."""
+    emb = load_table(spark, sf_correctness_dir, "embeddings")
+    centers = mllib_ann.md5_sample_centroids(emb, k=8)
+    out = mllib_ann.cluster_balanced_sample(emb, centers, n_per_cell=5)
+    rows = out.collect()
+    by_cell: dict[int, list[int]] = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], []).append(r["pick_rank"])
+    assert len(by_cell) == 8
+    for ranks in by_cell.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 5
+    again = mllib_ann.cluster_balanced_sample(emb, centers, n_per_cell=5)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
+    # cap >= corpus: everything is kept exactly once
+    all_kept = mllib_ann.cluster_balanced_sample(
+        emb, centers, n_per_cell=10_000
+    )
+    assert all_kept.count() == emb.count()
+    assert all_kept.select("vec_id").distinct().count() == emb.count()
+
+
+def test_mmr_rerank_diversifies(spark):
+    """Constructed corpus: two near-identical highly-relevant vectors
+    (a, a') and a less-relevant but orthogonal vector b.  Plain top-2
+    keeps the twins; MMR at λ=0.5 keeps one twin then b (the twin's
+    redundancy penalty exceeds b's relevance gap).  λ=1 degenerates to
+    pure relevance order, and an ANTI-correlated candidate's score
+    exceeds λ·rel (negative max-sim is a bonus, not floored at 0)."""
+    from physicsnemo_curator_spark.operators import similarity
+
+    # NOTE: no candidate may EQUAL the query — then every step-2 score
+    # is exactly 0 (sim-to-selected == rel) and ties dominate
+    rows = [
+        (1, [0.9, 0.1, 0.0, 0.0]),    # near-query a
+        (2, [0.9, 0.11, 0.0, 0.0]),   # twin a'
+        (3, [0.6, 0.0, 0.8, 0.0]),    # diverse, less relevant
+        (4, [-0.5, 0.0, 0.0, 0.9]),   # anti-correlated to a
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0])], "query_id long, embedding array<double>"
+    )
+    cand = emb.select(F.lit(100).alias("query_id"), "vec_id")
+    out = {
+        r["mmr_rank"]: r
+        for r in similarity.mmr_rerank(emb, qs, cand, k=4, lamb=0.5).collect()
+    }
+    assert out[1]["vec_id"] == 1          # most relevant first
+    assert out[2]["vec_id"] == 3          # diversity beats the twin
+    assert out[3]["vec_id"] == 2          # then the twin
+    assert out[4]["vec_id"] == 4
+    # anti-correlated candidate scores ABOVE 0.5*rel at step >= 2
+    # (negative max-sim is a bonus, not floored at 0)
+    rel4 = -0.5 / (0.5**2 + 0.9**2) ** 0.5
+    assert out[4]["mmr_score"] > 0.5 * rel4
+    # lambda=1: pure relevance order (exact top-k order)
+    pure = [
+        r["vec_id"]
+        for r in sorted(
+            similarity.mmr_rerank(emb, qs, cand, k=4, lamb=1.0).collect(),
+            key=lambda r: r["mmr_rank"],
+        )
+    ]
+    exact = [
+        r["vec_id"]
+        for r in similarity.cosine_topk(emb, qs, k=4, dim=4)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert pure == exact
+
+
+def test_compact_ivfpq_index(spark, tmp_path, sf_correctness_dir):
+    """Compaction merges every batch partition into one 'compacted'
+    generation: row count and probe results are unchanged, and the
+    store's _batch listing collapses to one value."""
+    import os
+
+    emb = (
+        load_table(spark, sf_correctness_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .limit(120)
+    )
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    centers = mllib_ann.md5_sample_centroids(emb, k=4)
+    cbs = mllib_ann.pq_train(emb, m=8, ks=16, dim=64)
+    store = str(tmp_path / "to_compact")
+    mllib_ann.write_ivfpq_index(
+        emb.filter(F.col("vec_id") % 2 == 0), centers, cbs, store
+    )
+    mllib_ann.write_ivfpq_index(
+        emb.filter(F.col("vec_id") % 2 == 1), centers, cbs, store,
+        mode="append", batch_id="b1",
+    )
+
+    def probe():
+        return sorted(
+            (r["query_id"], r["vec_id"], r["rank"], round(r["cosine"], 9))
+            for r in mllib_ann.ivfpq_index_topk(
+                spark, qs, centers, store, k=5, n_probe=2, codebooks=cbs
+            ).collect()
+        )
+
+    before = probe()
+    n_before = spark.read.parquet(store).count()
+    mllib_ann.compact_ivfpq_index(spark, store)
+    assert spark.read.parquet(store).count() == n_before
+    assert probe() == before
+    batches = [
+        d for d in os.listdir(store) if d.startswith("_batch=")
+    ]
+    assert batches == ["_batch=compacted"]

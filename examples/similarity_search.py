@@ -106,6 +106,22 @@ def main() -> None:
         "   (persisted store: seed + appended batch)"
     )
 
+    # post-retrieval shaping: RRF fuses rankers without score
+    # calibration; MMR trades a little relevance for coverage
+    exact20 = similarity.cosine_topk(emb, qs, k=20, dim=64)
+    sq820 = similarity.sq8_topk(emb, qs, k=20, dim=64, codebook=sq8_cb)
+    fused = similarity.rrf_fuse([exact20, sq820], k=10).collect()
+    mmr = similarity.mmr_rerank(
+        emb,
+        qs,
+        exact20.filter(F.col("vec_id") != F.col("query_id")).select(
+            "query_id", "vec_id"
+        ),
+        k=10,
+        lamb=0.5,
+    ).collect()
+    print(f"\nrrf fused rows: {len(fused)}; mmr diversified rows: {len(mmr)}")
+
 
 if __name__ == "__main__":
     main()

@@ -785,6 +785,112 @@ def mmr_rerank(
     )
 
 
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 10,
+    *,
+    c: int = 60,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Büttcher, SIGIR 2009):
+    combine ANY ranked lists per query — different ANN rungs, a lexical
+    ranker vs an embedding ranker, differently-tuned retrievers — by
+    ``score(d) = Σ_lists 1/(c + rank_list(d))``, keeping the top ``k``
+    fused.  Rank-based fusion needs NO score calibration between the
+    rankers (the reason RRF is the default hybrid-retrieval combiner),
+    and ``c`` (60 in the paper) damps the head so one list's #1 can't
+    dominate alone.
+
+    Plan shape: union of the (query, id, rank) triples → one hash
+    aggregate (map-side combined) → per-query window top-k.  Pure
+    codegen — no UDF, no driver state; each input list is already
+    O(queries·k) rows, so the fusion is negligible next to the
+    retrievers that produced it.  Ties break (score desc, id asc) —
+    the family convention.  Output: ``(query_id, vec_id, rrf_score,
+    rank)``."""
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    parts = [
+        r.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(id_col).alias("vec_id"),
+            F.col(rank_col).alias("_r"),
+        )
+        for r in rankings
+    ]
+    un = parts[0]
+    for p in parts[1:]:
+        un = un.unionByName(p)
+    fused = un.groupBy("query_id", "vec_id").agg(
+        F.sum(F.lit(1.0) / (F.lit(float(c)) + F.col("_r"))).alias(
+            "rrf_score"
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.asc("vec_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rrf_score", "rank")
+    )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k: int = 10,
+    *,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    anchor_id_col: str = "anchor_id",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor,
+    the ``k`` most-similar corpus vectors with a DIFFERENT label —
+    near the anchor in embedding space but semantically wrong, the
+    negatives that actually move a contrastive loss (random negatives
+    are trivially separable).  The standard retrieval-training data
+    op (e.g. DPR, Karpukhin et al. 2020 — BM25/ANN-mined negatives).
+
+    Same broadcast/no-corpus-shuffle plan as :func:`cosine_topk` with
+    one extra label-inequality predicate inside the join — the corpus
+    scan is unchanged, the label filter is codegen.  Anchors carry
+    their own label (``anchors`` must include ``label_col``).  Output:
+    ``(anchor_id, vec_id, label, cosine, rank)``."""
+    a = anchors.select(
+        F.col(anchor_id_col).alias("anchor_id"),
+        F.col(label_col).alias("_albl"),
+        F.col(vec_col).alias("_avec"),
+    ).withColumn("_anorm", l2_unrolled("_avec", dim))
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(label_col).alias("label"),
+        F.col(vec_col).alias("_cvec"),
+    ).withColumn("_cnorm", l2_unrolled("_cvec", dim))
+    scored = c.join(
+        F.broadcast(a), F.col("label") != F.col("_albl")
+    ).select(
+        "anchor_id",
+        "vec_id",
+        "label",
+        cosine_prenormed(
+            "_cvec", "_avec", F.col("_cnorm"), F.col("_anorm"), dim
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("anchor_id", "vec_id", "label", "cosine", "rank")
+    )
+
+
 def embedding_centroids(
     emb: DataFrame, *, label_col: str = "label", vec_col: str = "embedding"
 ) -> DataFrame:

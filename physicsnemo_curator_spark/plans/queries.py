@@ -3774,6 +3774,129 @@ FROM sel ORDER BY query_id, mmr_rank
 """
 
 
+def q_ann_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal Rank Fusion gate (similarity.rrf_fuse, Cormack et al.
+    2009): fuse the exact-cosine top-20 with the SQ8-quantized top-20
+    per query at c=60 and keep the fused top-10 — the hybrid-retrieval
+    combiner, demonstrated here as a quantized/exact ensemble (the same
+    operator fuses lexical+embedding rankers).  RRF scores are sums of
+    exact rationals 1/(60+rank), so Spark and DuckDB agree bit-for-bit
+    and ties resolve identically by id.  The oracle recomputes BOTH
+    rankings (exact cosine; SQ8 quantize→reconstruct→cosine) and the
+    fusion in SQL."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.cosine_topk(emb, qs, k=20, dim=64)
+    sq8 = similarity.sq8_topk(emb, qs, k=20, dim=64)
+    out = similarity.rrf_fuse([exact, sq8], k=10, c=60)
+    return out.select(
+        "query_id", "vec_id", _r6(F.col("rrf_score"), "rrf_score"), "rank"
+    ).orderBy("query_id", "rank")
+
+
+ORACLE_ANN_RRF = """
+WITH stats AS (
+  SELECT j, CAST(MIN(x) AS DOUBLE) mn, CAST(MAX(x) AS DOUBLE) mx
+  FROM (SELECT unnest(range(0, 64)) j, unnest(embedding) x FROM embeddings)
+  GROUP BY j),
+recon AS (
+  SELECT e.vec_id, e.j,
+         s.mn + CAST(CASE WHEN s.mx > s.mn THEN
+             LEAST(255, GREATEST(0, CAST(FLOOR(
+               (CAST(e.x AS DOUBLE) - s.mn) / (s.mx - s.mn) * 255.0 + 0.5
+             ) AS BIGINT)))
+           ELSE 0 END AS DOUBLE) / 255.0 * (s.mx - s.mn) AS r
+  FROM (SELECT vec_id, unnest(range(0, 64)) j, unnest(embedding) x
+        FROM embeddings) e
+  JOIN stats s ON e.j = s.j),
+qv AS (
+  SELECT vec_id query_id, unnest(range(0, 64)) j,
+         CAST(unnest(embedding) AS DOUBLE) x
+  FROM embeddings WHERE vec_id < 10),
+sq8r AS (
+  SELECT query_id, vec_id, rank FROM (
+    SELECT query_id, vec_id,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY cosine DESC, vec_id
+           ) AS INT) rank
+    FROM (SELECT q.query_id, r.vec_id,
+                 SUM(q.x * r.r) /
+                   (SQRT(SUM(q.x * q.x)) * SQRT(SUM(r.r * r.r))) cosine
+          FROM qv q JOIN recon r ON q.j = r.j
+          GROUP BY 1, 2)) WHERE rank <= 20),
+exr AS (
+  SELECT query_id, vec_id, rank FROM (
+    SELECT q.query_id, c.vec_id,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY q.query_id ORDER BY
+               (SELECT SUM(CAST(a AS DOUBLE) * CAST(b AS DOUBLE))
+                FROM (SELECT unnest(q.qe) a, unnest(c.embedding) b)) /
+               (SQRT((SELECT SUM(CAST(a AS DOUBLE) * CAST(a AS DOUBLE))
+                      FROM (SELECT unnest(q.qe) a))) *
+                SQRT((SELECT SUM(CAST(b AS DOUBLE) * CAST(b AS DOUBLE))
+                      FROM (SELECT unnest(c.embedding) b)))) DESC,
+               c.vec_id
+           ) AS INT) rank
+    FROM (SELECT vec_id query_id, embedding qe
+          FROM embeddings WHERE vec_id < 10) q, embeddings c)
+  WHERE rank <= 20),
+fused AS (
+  SELECT query_id, vec_id, SUM(1.0 / (60 + rank)) s
+  FROM (SELECT * FROM sq8r UNION ALL SELECT * FROM exr)
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, vec_id, s,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY s DESC, vec_id
+         ) AS INT) rank
+  FROM fused)
+SELECT query_id, vec_id, ROUND(s, 6) rrf_score, rank
+FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+"""
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining gate (similarity.hard_negatives, the DPR
+    recipe): for each anchor, the 5 most-similar corpus vectors with a
+    DIFFERENT label — the contrastive-training negatives that are near
+    in embedding space but semantically wrong.  Same broadcast plan as
+    exact cosine with a codegen label-inequality predicate; the oracle
+    replays the cross join, label filter, cosine, and rank."""
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("anchor_id"), "label", "embedding"
+    )
+    out = similarity.hard_negatives(emb, anchors, k=5, dim=64)
+    return out.select(
+        "anchor_id", "vec_id", "label", _r6(F.col("cosine"), "cosine"), "rank"
+    ).orderBy("anchor_id", "rank")
+
+
+ORACLE_HARD_NEGATIVES = """
+WITH a AS (SELECT vec_id anchor_id, label albl, embedding ae
+           FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT a.anchor_id, c.vec_id, c.label,
+         (SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+          FROM (SELECT unnest(c.embedding) x, unnest(a.ae) y)) /
+         (SQRT((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                FROM (SELECT unnest(c.embedding) x))) *
+          SQRT((SELECT SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))
+                FROM (SELECT unnest(a.ae) y)))) cosine
+  FROM a JOIN embeddings c ON c.label <> a.albl),
+ranked AS (
+  SELECT anchor_id, vec_id, label, cosine,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY anchor_id ORDER BY cosine DESC, vec_id
+         ) AS INT) rank
+  FROM scored)
+SELECT anchor_id, vec_id, label, ROUND(cosine, 6) cosine, rank
+FROM ranked WHERE rank <= 5 ORDER BY anchor_id, rank
+"""
+
+
 def q_semantic_dedup(
     spark: SparkSession,
     sf_dir: str,
@@ -9638,6 +9761,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q_cluster_sample": QuerySpec(q_cluster_sample, ORACLE_CLUSTER_SAMPLE),
     "q_ann_mmr": QuerySpec(q_ann_mmr, ORACLE_ANN_MMR),
+    "q_ann_rrf": QuerySpec(q_ann_rrf, ORACLE_ANN_RRF),
+    "q_hard_negatives": QuerySpec(q_hard_negatives, ORACLE_HARD_NEGATIVES),
     "q_embedding_near_dup": QuerySpec(
         q_embedding_near_dup,
         ORACLE_EMB_NEAR_DUP,
@@ -9758,6 +9883,8 @@ _DRIVER_ORDER = [
     "q_st6_stream_fullouter_join",
     "q_cluster_sample",
     "q_ann_mmr",
+    "q_ann_rrf",
+    "q_hard_negatives",
     # --- last driver-checked r09 (all 45) ---
     "q_text_normalize",
     "q_url_normalize",

@@ -776,3 +776,65 @@ def test_compact_ivfpq_index(spark, tmp_path, sf_correctness_dir):
         d for d in os.listdir(store) if d.startswith("_batch=")
     ]
     assert batches == ["_batch=compacted"]
+
+
+def test_rrf_fuse_semantics(spark):
+    """Known-arithmetic fusion: a doc in BOTH lists outranks docs in
+    one list at comparable ranks; scores are exact rational sums; the
+    empty-input guard raises; single-ranker fusion preserves order."""
+    import math
+
+    import pytest as _pytest
+
+    from physicsnemo_curator_spark.operators import similarity
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        "query_id long, vec_id long, rank int",
+    )
+    b = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2), (1, 10, 3)],
+        "query_id long, vec_id long, rank int",
+    )
+    out = {
+        r["vec_id"]: r
+        for r in similarity.rrf_fuse([a, b], k=4, c=60).collect()
+    }
+    # 11: 1/62 + 1/61; 10: 1/61 + 1/63; 12: 1/63; 13: 1/62
+    assert math.isclose(out[11]["rrf_score"], 1 / 62 + 1 / 61, rel_tol=1e-12)
+    assert math.isclose(out[10]["rrf_score"], 1 / 61 + 1 / 63, rel_tol=1e-12)
+    assert out[11]["rank"] == 1 and out[10]["rank"] == 2
+    assert {out[12]["rank"], out[13]["rank"]} == {3, 4}
+    assert out[13]["rank"] < out[12]["rank"]  # 1/62 > 1/63
+    with _pytest.raises(ValueError, match="at least one ranking"):
+        similarity.rrf_fuse([], k=3)
+    solo = similarity.rrf_fuse([a], k=3).orderBy("rank").collect()
+    assert [r["vec_id"] for r in solo] == [10, 11, 12]
+
+
+def test_hard_negatives_label_exclusion(spark):
+    """Mined negatives never share the anchor's label (the anchor
+    itself is therefore excluded by construction), and within the
+    allowed labels the ranking is by true cosine."""
+    from physicsnemo_curator_spark.operators import similarity
+
+    rows = [
+        (1, "a", [1.0, 0.0, 0.0, 0.0]),
+        (2, "a", [0.99, 0.1, 0.0, 0.0]),   # same label: never a negative
+        (3, "b", [0.98, 0.0, 0.2, 0.0]),   # hardest negative
+        (4, "b", [0.5, 0.0, 0.8, 0.0]),
+        (5, "c", [0.0, 1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<double>"
+    )
+    anchors = emb.filter(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("anchor_id"), "label", "embedding"
+    )
+    out = sorted(
+        similarity.hard_negatives(emb, anchors, k=10, dim=4).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert [r["vec_id"] for r in out] == [3, 4, 5]
+    assert all(r["label"] != "a" for r in out)
+    assert out[0]["cosine"] > out[1]["cosine"] > out[2]["cosine"]

@@ -599,7 +599,12 @@ def ivfpq_index_topk(
     batch_id rather than idempotently re-written under its own) is
     deduped per query BEFORE scoring — without that, its (j, code)
     rows double inside the ADC sums and the duplicate silently
-    outranks genuine neighbors at ~1.41× its true cosine."""
+    outranks genuine neighbors at ~1.41× its true cosine.  The dedup
+    rule is LATEST BATCH WINS (greatest ``_batch`` string — name
+    batches monotonically, e.g. ISO timestamps, and "latest" is
+    well-defined), so a conflicting re-ingest resolves
+    deterministically to one codes row, never an arbitrary partition-
+    scan order and never mixed subspace codes from two versions."""
     if rescore and corpus is None:
         raise ValueError(
             "rescore needs the original vectors: pass corpus= (the "
@@ -612,14 +617,16 @@ def ivfpq_index_topk(
         F.col(query_id_col).alias("query_id"),
         F.explode(probe_meta(F.col(vec_col))["cells"]).alias("cell"),
     )
-    index = spark.read.parquet(store).select("vec_id", "cell", "codes")
+    index = spark.read.parquet(store).select(
+        "vec_id", "cell", "codes", F.col("_batch").cast("string").alias("_batch")
+    )
+    wdup = Window.partitionBy("query_id", "vec_id").orderBy(
+        F.desc("_batch")
+    )
     cand = (
         index.join(F.broadcast(probed), "cell")
-        # dedup on the ATOMIC codes row (not post-explode) so a
-        # conflicting re-ingest can never mix subspace codes from two
-        # versions of the same vector; the shuffle is bounded by the
-        # candidate set, not the store
-        .dropDuplicates(["query_id", "vec_id"])
+        .withColumn("_rn", F.row_number().over(wdup))
+        .filter(F.col("_rn") == 1)
         .select(
             "query_id", "vec_id", F.posexplode("codes").alias("j", "code")
         )
@@ -634,15 +641,16 @@ def ivfpq_index_topk(
     approx = _pq_adc_rank(
         cand, lut, ["query_id", "j", "code"], k * rescore if rescore else k
     )
-    if not rescore:
-        return approx
-    from physicsnemo_curator_spark.operators.similarity import exact_rerank
+    from physicsnemo_curator_spark.operators.similarity import (
+        rerank_or_return,
+    )
 
-    return exact_rerank(
+    return rerank_or_return(
+        approx,
         corpus,
         queries,
-        approx.select("query_id", "vec_id"),
         k,
+        rescore,
         dim=dim,
         id_col=id_col,
         vec_col=vec_col,
@@ -692,11 +700,30 @@ def compact_ivfpq_index(spark, store: str) -> None:
     (each append adds a ``_batch`` partition; probes stay correct but
     the listing and per-cell file counts grow).  Codes are
     quantizer-independent bytes, so compaction is a pure relocation:
-    read, re-partition by the SAME (_batch, cell) discipline, replace
-    the store atomically (write to a sibling temp dir, then swap) —
-    a crash before the swap leaves the original store intact."""
+    read, re-partition by the SAME (_batch, cell) discipline, write to
+    a sibling temp dir, then swap via two directory renames.
+
+    The swap is NOT a single atomic operation: a crash between the two
+    renames leaves the data in ``<store>._old`` and nothing at
+    ``store`` — which the NEXT call detects and restores before doing
+    anything else, so the recovery path is "re-run compact".  Local
+    filesystem only (directory renames); a scheme'd path
+    (``s3a://``, ``hdfs://``) is rejected up front rather than failing
+    after the Spark write — object stores compact by writing a new
+    generation prefix and flipping a pointer, a different discipline."""
     import shutil
 
+    if "://" in store:
+        raise ValueError(
+            f"compact_ivfpq_index swaps directories with os.rename and "
+            f"supports local paths only, got {store!r}; on an object "
+            "store, write a new generation prefix and flip the "
+            "reader's pointer instead"
+        )
+    old = store.rstrip("/") + "._old"
+    if not os.path.exists(store) and os.path.exists(old):
+        # a previous compact crashed between its two renames — restore
+        os.rename(old, store)
     df = spark.read.parquet(store).select("vec_id", "cell", "codes")
     tmp = store.rstrip("/") + "._compacting"
     shutil.rmtree(tmp, ignore_errors=True)
@@ -707,7 +734,6 @@ def compact_ivfpq_index(spark, store: str) -> None:
         .partitionBy("_batch", "cell")
         .parquet(tmp)
     )
-    old = store.rstrip("/") + "._old"
     shutil.rmtree(old, ignore_errors=True)
     os.rename(store, old)
     os.rename(tmp, store)

@@ -734,15 +734,24 @@ def mmr_rerank(
     inside the group's numpy batch).  The corpus contributes one
     semi-join of the candidate ids — never a full scan or shuffle.
     Output: ``(query_id, vec_id, mmr_rank, mmr_score)``."""
-    c = corpus.select(
+    # NULL vectors are dropped on both sides (the family convention —
+    # np.asarray(None) would crash the pandas batch)
+    c = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cvec")
     ).join(candidates.select("query_id", "vec_id"), "vec_id")
-    q = queries.select(
+    q = queries.filter(F.col(vec_col).isNotNull()).select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("_qvec"),
     )
     joined = c.join(F.broadcast(q), "query_id")
     lam = float(lamb)
+    # id/query-id types pass through unchanged (string doc ids are as
+    # valid as longs — the exact_rerank contract)
+    dt = dict(joined.dtypes)
+    schema = (
+        f"query_id {dt['query_id']}, vec_id {dt['vec_id']}, "
+        "mmr_rank int, mmr_score double"
+    )
 
     def pick(pdf: pd.DataFrame) -> pd.DataFrame:
         qv = np.asarray(pdf["_qvec"].iloc[0], dtype=np.float64)
@@ -772,17 +781,14 @@ def mmr_rerank(
             score[taken] = -np.inf
             j = int(score.argmax())
             taken[j] = True
-            out.append((int(pdf["query_id"].iloc[0]), int(ids[j]),
+            out.append((pdf["query_id"].iloc[0], ids[j],
                         step + 1, float(score[j])))
             max_sim = np.maximum(max_sim, sim[:, j])
         return pd.DataFrame(
             out, columns=["query_id", "vec_id", "mmr_rank", "mmr_score"]
         )
 
-    return joined.groupBy("query_id").applyInPandas(
-        pick,
-        "query_id long, vec_id long, mmr_rank int, mmr_score double",
-    )
+    return joined.groupBy("query_id").applyInPandas(pick, schema)
 
 
 def rrf_fuse(
@@ -861,12 +867,22 @@ def hard_negatives(
     scan is unchanged, the label filter is codegen.  Anchors carry
     their own label (``anchors`` must include ``label_col``).  Output:
     ``(anchor_id, vec_id, label, cosine, rank)``."""
-    a = anchors.select(
+    # NULL embeddings are dropped (family convention — a NULL vector's
+    # null cosine would still consume ranks); NULL labels likewise: a
+    # NULL label fails every <>-comparison, so a NULL-label anchor
+    # would silently mine zero negatives and a NULL-label corpus row
+    # could never be one — drop both LOUD-ly in the plan, not by
+    # three-valued-logic accident
+    a = anchors.filter(
+        F.col(vec_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
         F.col(anchor_id_col).alias("anchor_id"),
         F.col(label_col).alias("_albl"),
         F.col(vec_col).alias("_avec"),
     ).withColumn("_anorm", l2_unrolled("_avec", dim))
-    c = corpus.select(
+    c = corpus.filter(
+        F.col(vec_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
         F.col(id_col).alias("vec_id"),
         F.col(label_col).alias("label"),
         F.col(vec_col).alias("_cvec"),

@@ -3204,14 +3204,41 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
-ORACLE_ANN = """
+_SQ8_RECON_CTES = """stats AS (
+  SELECT j, CAST(MIN(x) AS DOUBLE) mn, CAST(MAX(x) AS DOUBLE) mx
+  FROM (SELECT unnest(range(0, 64)) j, unnest(embedding) x FROM embeddings)
+  GROUP BY j),
+recon AS (
+  SELECT e.vec_id, e.j,
+         s.mn + CAST(CASE WHEN s.mx > s.mn THEN
+             LEAST(255, GREATEST(0, CAST(FLOOR(
+               (CAST(e.x AS DOUBLE) - s.mn) / (s.mx - s.mn) * 255.0 + 0.5
+             ) AS BIGINT)))
+           ELSE 0 END AS DOUBLE) / 255.0 * (s.mx - s.mn) AS r
+  FROM (SELECT vec_id, unnest(range(0, 64)) j, unnest(embedding) x
+        FROM embeddings) e
+  JOIN stats s ON e.j = s.j)"""
+# ONE construction of the SQ8 quantize->reconstruct CTEs feeds the SQ8
+# oracle AND the RRF oracle's SQ8 ranker — a codebook/clamp formula fix
+# cannot desynchronize them (the _pq_ctes/_ivf_prefix_ctes discipline).
+
+
+def _exact_cosine_sql(qe: str, ce: str) -> str:
+    """The exact-cosine correlated-subquery expression over two array
+    columns — shared by the exact-ANN, RRF-exact-ranker, and
+    hard-negatives oracles so the arithmetic (and therefore the
+    tie-break neighborhoods) stays ONE definition."""
+    return f"""(SELECT SUM(CAST(a AS DOUBLE) * CAST(b AS DOUBLE))
+          FROM (SELECT unnest({qe}) a, unnest({ce}) b)) /
+         (SQRT((SELECT SUM(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) FROM (SELECT unnest({qe}) a))) *
+          SQRT((SELECT SUM(CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) FROM (SELECT unnest({ce}) b))))"""
+
+
+ORACLE_ANN = f"""
 WITH q AS (SELECT vec_id query_id, embedding qe FROM embeddings WHERE vec_id < 10),
 scored AS (
   SELECT q.query_id, c.vec_id,
-         (SELECT SUM(CAST(a AS DOUBLE) * CAST(b AS DOUBLE))
-          FROM (SELECT unnest(q.qe) a, unnest(c.embedding) b)) /
-         (SQRT((SELECT SUM(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) FROM (SELECT unnest(q.qe) a))) *
-          SQRT((SELECT SUM(CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) FROM (SELECT unnest(c.embedding) b)))) cosine
+         {_exact_cosine_sql("q.qe", "c.embedding")} cosine
   FROM q, embeddings c),
 ranked AS (
   SELECT query_id, vec_id, cosine,
@@ -3405,21 +3432,8 @@ scored AS (
 """
 
 
-ORACLE_ANN_SQ8 = """
-WITH stats AS (
-  SELECT j, CAST(MIN(x) AS DOUBLE) mn, CAST(MAX(x) AS DOUBLE) mx
-  FROM (SELECT unnest(range(0, 64)) j, unnest(embedding) x FROM embeddings)
-  GROUP BY j),
-recon AS (
-  SELECT e.vec_id, e.j,
-         s.mn + CAST(CASE WHEN s.mx > s.mn THEN
-             LEAST(255, GREATEST(0, CAST(FLOOR(
-               (CAST(e.x AS DOUBLE) - s.mn) / (s.mx - s.mn) * 255.0 + 0.5
-             ) AS BIGINT)))
-           ELSE 0 END AS DOUBLE) / 255.0 * (s.mx - s.mn) AS r
-  FROM (SELECT vec_id, unnest(range(0, 64)) j, unnest(embedding) x
-        FROM embeddings) e
-  JOIN stats s ON e.j = s.j),
+ORACLE_ANN_SQ8 = f"""
+WITH {_SQ8_RECON_CTES},
 qv AS (
   SELECT vec_id query_id, unnest(range(0, 64)) j,
          CAST(unnest(embedding) AS DOUBLE) x
@@ -3796,21 +3810,8 @@ def q_ann_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
-ORACLE_ANN_RRF = """
-WITH stats AS (
-  SELECT j, CAST(MIN(x) AS DOUBLE) mn, CAST(MAX(x) AS DOUBLE) mx
-  FROM (SELECT unnest(range(0, 64)) j, unnest(embedding) x FROM embeddings)
-  GROUP BY j),
-recon AS (
-  SELECT e.vec_id, e.j,
-         s.mn + CAST(CASE WHEN s.mx > s.mn THEN
-             LEAST(255, GREATEST(0, CAST(FLOOR(
-               (CAST(e.x AS DOUBLE) - s.mn) / (s.mx - s.mn) * 255.0 + 0.5
-             ) AS BIGINT)))
-           ELSE 0 END AS DOUBLE) / 255.0 * (s.mx - s.mn) AS r
-  FROM (SELECT vec_id, unnest(range(0, 64)) j, unnest(embedding) x
-        FROM embeddings) e
-  JOIN stats s ON e.j = s.j),
+ORACLE_ANN_RRF = f"""
+WITH {_SQ8_RECON_CTES},
 qv AS (
   SELECT vec_id query_id, unnest(range(0, 64)) j,
          CAST(unnest(embedding) AS DOUBLE) x
@@ -3831,12 +3832,7 @@ exr AS (
     SELECT q.query_id, c.vec_id,
            CAST(ROW_NUMBER() OVER (
              PARTITION BY q.query_id ORDER BY
-               (SELECT SUM(CAST(a AS DOUBLE) * CAST(b AS DOUBLE))
-                FROM (SELECT unnest(q.qe) a, unnest(c.embedding) b)) /
-               (SQRT((SELECT SUM(CAST(a AS DOUBLE) * CAST(a AS DOUBLE))
-                      FROM (SELECT unnest(q.qe) a))) *
-                SQRT((SELECT SUM(CAST(b AS DOUBLE) * CAST(b AS DOUBLE))
-                      FROM (SELECT unnest(c.embedding) b)))) DESC,
+               {_exact_cosine_sql("q.qe", "c.embedding")} DESC,
                c.vec_id
            ) AS INT) rank
     FROM (SELECT vec_id query_id, embedding qe
@@ -3874,17 +3870,12 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("anchor_id", "rank")
 
 
-ORACLE_HARD_NEGATIVES = """
+ORACLE_HARD_NEGATIVES = f"""
 WITH a AS (SELECT vec_id anchor_id, label albl, embedding ae
            FROM embeddings WHERE vec_id < 10),
 scored AS (
   SELECT a.anchor_id, c.vec_id, c.label,
-         (SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
-          FROM (SELECT unnest(c.embedding) x, unnest(a.ae) y)) /
-         (SQRT((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
-                FROM (SELECT unnest(c.embedding) x))) *
-          SQRT((SELECT SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))
-                FROM (SELECT unnest(a.ae) y)))) cosine
+         {_exact_cosine_sql("a.ae", "c.embedding")} cosine
   FROM a JOIN embeddings c ON c.label <> a.albl),
 ranked AS (
   SELECT anchor_id, vec_id, label, cosine,

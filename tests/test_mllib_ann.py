@@ -838,3 +838,125 @@ def test_hard_negatives_label_exclusion(spark):
     assert [r["vec_id"] for r in out] == [3, 4, 5]
     assert all(r["label"] != "a" for r in out)
     assert out[0]["cosine"] > out[1]["cosine"] > out[2]["cosine"]
+
+
+def test_ivfpq_index_conflicting_reingest_latest_batch_wins(
+    spark, tmp_path, sf_correctness_dir
+):
+    """A vec_id re-ingested with DIFFERENT codes under a later batch_id
+    must resolve deterministically to the LATEST batch's codes — the
+    served results equal an index holding only the new version."""
+    emb = (
+        load_table(spark, sf_correctness_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .limit(100)
+    )
+    # v2: same ids, embeddings rolled by one position -> different codes
+    v2 = emb.select(
+        "vec_id",
+        F.concat(
+            F.slice("embedding", 2, 63), F.slice("embedding", 1, 1)
+        ).alias("embedding"),
+    )
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    centers = mllib_ann.md5_sample_centroids(emb, k=4)
+    cbs = mllib_ann.pq_train(emb, m=8, ks=16, dim=64)
+    conflicted = str(tmp_path / "conflicted")
+    clean_v2 = str(tmp_path / "clean_v2")
+    mllib_ann.write_ivfpq_index(emb, centers, cbs, conflicted,
+                                batch_id="2026-01-01")
+    mllib_ann.write_ivfpq_index(v2, centers, cbs, conflicted,
+                                mode="append", batch_id="2026-02-01")
+    mllib_ann.write_ivfpq_index(v2, centers, cbs, clean_v2)
+
+    def rows(store):
+        return sorted(
+            (r["query_id"], r["vec_id"], r["rank"], round(r["cosine"], 9))
+            for r in mllib_ann.ivfpq_index_topk(
+                spark, qs, centers, store, k=8, n_probe=4, codebooks=cbs
+            ).collect()
+        )
+
+    # clean_v2 stores under _batch='seed', conflicted's winner under
+    # '2026-02-01' — the batch NAME differs but the served codes (and
+    # therefore the ADC ranking) must be identical
+    assert rows(conflicted) == rows(clean_v2)
+
+
+def test_compact_ivfpq_index_crash_recovery_and_guards(
+    spark, tmp_path, sf_correctness_dir
+):
+    """A crash between the two swap renames (store at ._old, nothing
+    at store) is healed by the next compact call; scheme'd paths are
+    rejected up front."""
+    import os
+
+    import pytest as _pytest
+
+    emb = (
+        load_table(spark, sf_correctness_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .limit(60)
+    )
+    centers = mllib_ann.md5_sample_centroids(emb, k=4)
+    cbs = mllib_ann.pq_train(emb, m=8, ks=16, dim=64)
+    store = str(tmp_path / "crashy")
+    mllib_ann.write_ivfpq_index(emb, centers, cbs, store)
+    n = spark.read.parquet(store).count()
+    # simulate the crash window: first rename done, second never ran
+    os.rename(store, store + "._old")
+    mllib_ann.compact_ivfpq_index(spark, store)
+    assert spark.read.parquet(store).count() == n
+    assert not os.path.exists(store + "._old")
+    with _pytest.raises(ValueError, match="local paths only"):
+        mllib_ann.compact_ivfpq_index(spark, "s3a://bucket/idx")
+
+
+def test_mmr_rerank_string_ids_and_nulls(spark):
+    """String ids flow through mmr_rerank unchanged (the exact_rerank
+    type-generic contract), and NULL embeddings on either side are
+    dropped instead of crashing the pandas batch."""
+    from physicsnemo_curator_spark.operators import similarity
+
+    rows = [
+        ("d-a", [0.9, 0.1, 0.0, 0.0]),
+        ("d-b", [0.9, 0.11, 0.0, 0.0]),
+        ("d-c", [0.6, 0.0, 0.8, 0.0]),
+        ("d-null", None),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id string, embedding array<double>"
+    )
+    qs = spark.createDataFrame(
+        [("q1", [1.0, 0.0, 0.0, 0.0]), ("q-null", None)],
+        "query_id string, embedding array<double>",
+    )
+    cand = emb.crossJoin(qs.select("query_id")).select("query_id", "vec_id")
+    out = similarity.mmr_rerank(emb, qs, cand, k=3, lamb=0.5).collect()
+    assert {r["query_id"] for r in out} == {"q1"}
+    got = [r["vec_id"] for r in sorted(out, key=lambda r: r["mmr_rank"])]
+    assert got == ["d-a", "d-c", "d-b"]  # diversity beats the twin
+
+
+def test_hard_negatives_null_handling(spark):
+    """NULL embeddings/labels never surface: no null-cosine rows, no
+    silently-empty anchors crashing downstream."""
+    from physicsnemo_curator_spark.operators import similarity
+
+    rows = [
+        (1, "a", [1.0, 0.0, 0.0, 0.0]),
+        (2, "b", [0.9, 0.1, 0.0, 0.0]),
+        (3, "b", None),          # NULL embedding: dropped
+        (4, None, [0.8, 0.0, 0.6, 0.0]),  # NULL label: dropped
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<double>"
+    )
+    anchors = emb.filter(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("anchor_id"), "label", "embedding"
+    )
+    out = similarity.hard_negatives(emb, anchors, k=10, dim=4).collect()
+    assert [r["vec_id"] for r in out] == [2]
+    assert all(r["cosine"] is not None for r in out)

@@ -907,6 +907,55 @@ def hard_negatives(
     )
 
 
+def embedding_drift(
+    reference: DataFrame,
+    current: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    eps: float = 1e-12,
+) -> DataFrame:
+    """Per-dimension distribution drift between two embedding corpora —
+    the monitor a production pipeline runs between snapshots (model
+    updated? preprocessing changed? corpus shifted?): for every
+    dimension, both sides' population mean/std plus two
+    scale-free signals — ``mean_shift`` = |μ_cur − μ_ref| / σ_ref (the
+    standardized mean difference drift monitors threshold, typically
+    at 0.1-0.25) and ``std_ratio`` = σ_cur / σ_ref (variance collapse
+    or explosion, ≈1 when healthy).
+
+    Plan shape: one ``posexplode`` + hash aggregate per side (map-side
+    combined, output = dim rows each), then a dim-sized join — both
+    corpora are scanned exactly once and nothing larger than ``dim``
+    rows ever shuffles.  Constant reference dimensions (σ_ref = 0) get
+    ``eps`` in the denominator so the signal is finite and LARGE
+    rather than a silent NULL.  Output: ``(j, ref_mean, ref_std,
+    cur_mean, cur_std, mean_shift, std_ratio)``."""
+
+    def stats(df: DataFrame, prefix: str) -> DataFrame:
+        x = df.filter(F.col(vec_col).isNotNull()).select(
+            F.posexplode(vec_col).alias("j", "x")
+        )
+        return x.groupBy("j").agg(
+            F.avg(F.col("x").cast("double")).alias(f"{prefix}_mean"),
+            F.stddev_pop(F.col("x").cast("double")).alias(f"{prefix}_std"),
+        )
+    ref = stats(reference, "ref")
+    cur = stats(current, "cur")
+    joined = ref.join(cur, "j")
+    denom = F.greatest(F.col("ref_std"), F.lit(float(eps)))
+    return joined.select(
+        "j",
+        "ref_mean",
+        "ref_std",
+        "cur_mean",
+        "cur_std",
+        (F.abs(F.col("cur_mean") - F.col("ref_mean")) / denom).alias(
+            "mean_shift"
+        ),
+        (F.col("cur_std") / denom).alias("std_ratio"),
+    )
+
+
 def embedding_centroids(
     emb: DataFrame, *, label_col: str = "label", vec_col: str = "embedding"
 ) -> DataFrame:

@@ -3870,6 +3870,46 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("anchor_id", "rank")
 
 
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift gate (similarity.embedding_drift): per-dimension
+    distribution shift between two corpus snapshots (even vs odd
+    vec_ids here) — both sides' population mean/std plus the
+    standardized mean shift and the std ratio, the two scale-free
+    signals a production monitor thresholds.  One posexplode + hash
+    aggregate per side, dim-sized join; the oracle replays the
+    unnest aggregates and the eps-guarded ratios."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ref = emb.filter(F.col("vec_id") % 2 == 0)
+    cur = emb.filter(F.col("vec_id") % 2 == 1)
+    out = similarity.embedding_drift(ref, cur)
+    return out.select(
+        "j",
+        _r6(F.col("ref_mean"), "ref_mean"),
+        _r6(F.col("ref_std"), "ref_std"),
+        _r6(F.col("cur_mean"), "cur_mean"),
+        _r6(F.col("cur_std"), "cur_std"),
+        _r6(F.col("mean_shift"), "mean_shift"),
+        _r6(F.col("std_ratio"), "std_ratio"),
+    ).orderBy("j")
+
+
+ORACLE_EMBEDDING_DRIFT = """
+WITH rs AS (
+  SELECT j, AVG(x) m, STDDEV_POP(x) s FROM
+    (SELECT unnest(range(0, 64)) j, CAST(unnest(embedding) AS DOUBLE) x
+     FROM embeddings WHERE vec_id % 2 = 0) GROUP BY j),
+cs AS (
+  SELECT j, AVG(x) m, STDDEV_POP(x) s FROM
+    (SELECT unnest(range(0, 64)) j, CAST(unnest(embedding) AS DOUBLE) x
+     FROM embeddings WHERE vec_id % 2 = 1) GROUP BY j)
+SELECT rs.j, ROUND(rs.m, 6) ref_mean, ROUND(rs.s, 6) ref_std,
+       ROUND(cs.m, 6) cur_mean, ROUND(cs.s, 6) cur_std,
+       ROUND(ABS(cs.m - rs.m) / GREATEST(rs.s, 1e-12), 6) mean_shift,
+       ROUND(cs.s / GREATEST(rs.s, 1e-12), 6) std_ratio
+FROM rs JOIN cs ON rs.j = cs.j ORDER BY rs.j
+"""
+
+
 ORACLE_HARD_NEGATIVES = f"""
 WITH a AS (SELECT vec_id anchor_id, label albl, embedding ae
            FROM embeddings WHERE vec_id < 10),
@@ -9754,6 +9794,7 @@ QUERIES: dict[str, QuerySpec] = {
     "q_ann_mmr": QuerySpec(q_ann_mmr, ORACLE_ANN_MMR),
     "q_ann_rrf": QuerySpec(q_ann_rrf, ORACLE_ANN_RRF),
     "q_hard_negatives": QuerySpec(q_hard_negatives, ORACLE_HARD_NEGATIVES),
+    "q_embedding_drift": QuerySpec(q_embedding_drift, ORACLE_EMBEDDING_DRIFT),
     "q_embedding_near_dup": QuerySpec(
         q_embedding_near_dup,
         ORACLE_EMB_NEAR_DUP,
@@ -9876,6 +9917,7 @@ _DRIVER_ORDER = [
     "q_ann_mmr",
     "q_ann_rrf",
     "q_hard_negatives",
+    "q_embedding_drift",
     # --- last driver-checked r09 (all 45) ---
     "q_text_normalize",
     "q_url_normalize",

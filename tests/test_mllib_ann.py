@@ -960,3 +960,38 @@ def test_hard_negatives_null_handling(spark):
     out = similarity.hard_negatives(emb, anchors, k=10, dim=4).collect()
     assert [r["vec_id"] for r in out] == [2]
     assert all(r["cosine"] is not None for r in out)
+
+
+def test_embedding_drift_signals(spark, sf_correctness_dir):
+    """Self-drift is identically (0, 1); a shifted+scaled copy shows
+    exactly the injected signal; NULL embeddings are ignored."""
+    from physicsnemo_curator_spark.operators import similarity
+
+    emb = (
+        load_table(spark, sf_correctness_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .limit(200)
+    )
+    self_drift = similarity.embedding_drift(emb, emb).collect()
+    assert len(self_drift) == 64
+    for r in self_drift:
+        assert abs(r["mean_shift"]) < 1e-9
+        assert abs(r["std_ratio"] - 1.0) < 1e-9
+    # current = 2*x + 3: mean_shift = |(2mu+3) - mu|/sigma, std_ratio = 2
+    cur = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda v: v * 2.0 + 3.0).alias("embedding"),
+    )
+    nulls = spark.createDataFrame(
+        [(990_001, None)], "vec_id long, embedding array<double>"
+    )
+    drift = {
+        r["j"]: r
+        for r in similarity.embedding_drift(
+            emb, cur.unionByName(nulls)
+        ).collect()
+    }
+    for j, r in drift.items():
+        assert abs(r["std_ratio"] - 2.0) < 1e-6
+        expect = abs(r["ref_mean"] + 3.0) / r["ref_std"]
+        assert abs(r["mean_shift"] - expect) < 1e-6

@@ -90,3 +90,10 @@ def test_stream_events_example(tmp_path):
     assert "running stats per event_type" in stdout
     assert "purchase" in stdout
     assert "attributed purchases" in stdout
+
+
+def test_contrastive_dataset_example():
+    stdout = _run("contrastive_dataset.py")
+    assert "after SemDeDup:" in stdout
+    assert "hard negatives:" in stdout
+    assert "curated-vs-raw drift:" in stdout

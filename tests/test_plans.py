@@ -242,3 +242,37 @@ def test_openradioss_rekey_broadcasts_keymap(spark, tmp_path):
     t = read_openradioss(spark, str(tmp_path), vtk_glob="*.vtu")
     plan = t["displacements"]._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_r12_retrieval_family_plan_shapes(spark, sf_dir):
+    """The r12 retrieval/curation tails keep their designed shapes:
+    hard_negatives is ONE broadcast-nested-loop join (inherent to the
+    label-inequality predicate; anchors broadcast, corpus never
+    shuffles, no CartesianProduct, no Python); cluster_sample is one
+    scan + one Arrow assignment + a cell-keyed window; embedding_drift
+    is exactly two scans (one per corpus) with pure-JVM aggregates;
+    rrf fusion adds NO scan beyond its two retrievers' own."""
+    from physicsnemo_curator_spark.plans.queries import QUERIES
+
+    def plan_str(name):
+        df = QUERIES[name].spark(spark, sf_dir)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    hn = plan_str("q_hard_negatives")
+    assert hn.count("BroadcastNestedLoopJoin") == 1
+    assert "CartesianProduct" not in hn
+    assert "EvalPython" not in hn and "ArrowEval" not in hn
+
+    cs = plan_str("q_cluster_sample")
+    assert cs.count("Scan parquet") == 1
+    assert "CartesianProduct" not in cs
+
+    dr = plan_str("q_embedding_drift")
+    assert dr.count("Scan parquet") == 2
+    assert "EvalPython" not in dr and "ArrowEval" not in dr
+
+    rrf = plan_str("q_ann_rrf")
+    # two retrievers x (corpus + queries) = 4 scans; the fusion itself
+    # contributes none
+    assert rrf.count("Scan parquet") == 4
+    assert "CartesianProduct" not in rrf

@@ -1476,3 +1476,109 @@ def test_full_outer_flush_margin_completeness_property(
         key=key,
     )
     assert got == expect
+
+
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n=st.integers(2, 9),
+    k=st.integers(1, 9),
+    lamb=st.sampled_from([0.0, 0.3, 0.5, 0.7, 1.0]),
+)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_mmr_greedy_matches_reference_property(spark, seed, n, k, lamb):
+    """For ANY corpus/λ/k: the Spark MMR selection equals an
+    independent driver-side numpy greedy (same empty-max=0 convention,
+    same (score desc, id asc) tie-break), emits min(k, n) distinct
+    picks, and the first pick maximizes relevance when λ > 0."""
+    from physicsnemo_curator_spark.operators import similarity
+
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(n, 4))
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    qv = rng.normal(size=4)
+    qs = spark.createDataFrame(
+        [(0, [float(v) for v in qv])], "query_id long, embedding array<double>"
+    )
+    from pyspark.sql import functions as F
+
+    cand = emb.select(F.lit(0).alias("query_id"), "vec_id")
+    got = [
+        (r["vec_id"], r["mmr_score"])
+        for r in sorted(
+            similarity.mmr_rerank(emb, qs, cand, k=k, lamb=lamb).collect(),
+            key=lambda r: r["mmr_rank"],
+        )
+    ]
+    # independent reference
+    norms = np.sqrt((X * X).sum(axis=1)); norms[norms == 0] = 1.0
+    qn = float(np.sqrt(qv @ qv)) or 1.0
+    rel = (X @ qv) / (norms * qn)
+    sim = (X @ X.T) / np.outer(norms, norms)
+    max_sim = np.full(n, -np.inf)
+    taken = np.zeros(n, bool)
+    expect = []
+    for _ in range(min(k, n)):
+        ms = np.where(np.isneginf(max_sim), 0.0, max_sim)
+        score = lamb * rel - (1 - lamb) * ms
+        score[taken] = -np.inf
+        j = min(range(n), key=lambda i: (-score[i], i))
+        taken[j] = True
+        expect.append((j, score[j]))
+        max_sim = np.maximum(max_sim, sim[:, j])
+    assert [g[0] for g in got] == [e[0] for e in expect]
+    assert len({g[0] for g in got}) == min(k, n)
+    for g, e in zip(got, expect):
+        assert math.isclose(g[1], e[1], rel_tol=1e-9, abs_tol=1e-12)
+
+
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n_lists=st.integers(1, 4),
+    n_docs=st.integers(1, 8),
+    c=st.sampled_from([1, 10, 60]),
+)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_rrf_fusion_properties(spark, seed, n_lists, n_docs, c):
+    """For ANY ranked lists: fused scores equal the closed-form
+    Σ 1/(c+rank) exactly, the output is invariant to the ORDER the
+    lists are passed in, and ranks are a permutation-free 1..k
+    sequence per query."""
+    from pyspark.sql import functions as F
+
+    from physicsnemo_curator_spark.operators import similarity
+
+    rng = np.random.default_rng(seed)
+    lists = []
+    truth: dict[int, float] = {}
+    for _ in range(n_lists):
+        perm = rng.permutation(n_docs)[: rng.integers(1, n_docs + 1)]
+        rows = [(0, int(d), r + 1) for r, d in enumerate(perm)]
+        for _, d, r in rows:
+            truth[d] = truth.get(d, 0.0) + 1.0 / (c + r)
+        lists.append(
+            spark.createDataFrame(
+                rows, "query_id long, vec_id long, rank int"
+            )
+        )
+    k = n_docs
+    out = sorted(
+        similarity.rrf_fuse(lists, k=k, c=c).collect(),
+        key=lambda r: r["rank"],
+    )
+    expect = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    assert [(r["vec_id"], round(r["rrf_score"], 12)) for r in out] == [
+        (d, round(s, 12)) for d, s in expect
+    ]
+    assert [r["rank"] for r in out] == list(range(1, len(out) + 1))
+    rev = sorted(
+        similarity.rrf_fuse(list(reversed(lists)), k=k, c=c).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert [(r["vec_id"], r["rank"]) for r in rev] == [
+        (r["vec_id"], r["rank"]) for r in out
+    ]

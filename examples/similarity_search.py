@@ -90,13 +90,16 @@ def main() -> None:
     seed = emb.filter(F.col("vec_id") % 2 == 0)
     late = emb.filter(F.col("vec_id") % 2 == 1)
     mllib_ann.write_ivfpq_index(seed, centers, cbs, store)
+    mllib_ann.save_quantizers(store, centers, cbs)  # codes are
+    # unreadable without the exact quantizers they were encoded with
     mllib_ann.write_ivfpq_index(
         late, centers, cbs, store, mode="append", batch_id="batch-1"
     )
+    srv_centers, srv_cbs = mllib_ann.load_quantizers(store)
     t0 = time.perf_counter()
     served = mllib_ann.ivfpq_index_topk(
-        spark, qs, centers, store, k=10, n_probe=3, codebooks=cbs,
-        rescore=2, corpus=emb,
+        spark, qs, srv_centers, store, k=10, n_probe=3,
+        codebooks=srv_cbs, rescore=2, corpus=emb,
     ).collect()
     dt = time.perf_counter() - t0
     got = {(r["query_id"], r["vec_id"]) for r in served}

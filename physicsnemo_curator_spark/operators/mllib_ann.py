@@ -693,6 +693,49 @@ def cluster_balanced_sample(
     )
 
 
+def save_quantizers(
+    store: str,
+    centers: list[list[float]],
+    codebooks: list[list[list[float]]],
+) -> None:
+    """Persist the IVF-PQ quantizers (centroids + PQ codebooks) as a
+    JSON sidecar inside the store directory — the artifact the index
+    docstrings tell callers to keep "next to the store", now a
+    function.  Written atomically (temp file + rename) so a crashed
+    write can't leave a truncated sidecar that parses as garbage.
+    The quantizers are O(k·dim + m·ks·dim/m) floats — kilobytes."""
+    import json
+
+    os.makedirs(store, exist_ok=True)
+    path = os.path.join(store, "_quantizers.json")
+    tmp = path + f".tmp-{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump({"centers": centers, "codebooks": codebooks}, fh)
+    os.replace(tmp, path)
+
+
+def load_quantizers(
+    store: str,
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Read back :func:`save_quantizers`' sidecar.  Raises
+    FileNotFoundError with the fix spelled out when the store was
+    written without one."""
+    import json
+
+    path = os.path.join(store, "_quantizers.json")
+    try:
+        with open(path) as fh:
+            d = json.load(fh)
+    except FileNotFoundError:
+        raise FileNotFoundError(
+            f"no _quantizers.json in {store!r}; the index was written "
+            "without save_quantizers(store, centers, codebooks) — the "
+            "codes are unreadable without the exact quantizers they "
+            "were encoded with"
+        ) from None
+    return d["centers"], d["codebooks"]
+
+
 def compact_ivfpq_index(spark, store: str) -> None:
     """Merge every batch partition of a :func:`write_ivfpq_index`
     store into one ``_batch=compacted`` generation — the maintenance
@@ -734,6 +777,11 @@ def compact_ivfpq_index(spark, store: str) -> None:
         .partitionBy("_batch", "cell")
         .parquet(tmp)
     )
+    # the quantizer sidecar travels with the store generation — Spark
+    # ignores _-prefixed files, but the codes are unreadable without it
+    sidecar = os.path.join(store, "_quantizers.json")
+    if os.path.exists(sidecar):
+        shutil.copy2(sidecar, os.path.join(tmp, "_quantizers.json"))
     shutil.rmtree(old, ignore_errors=True)
     os.rename(store, old)
     os.rename(tmp, store)

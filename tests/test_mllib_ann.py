@@ -995,3 +995,42 @@ def test_embedding_drift_signals(spark, sf_correctness_dir):
         assert abs(r["std_ratio"] - 2.0) < 1e-6
         expect = abs(r["ref_mean"] + 3.0) / r["ref_std"]
         assert abs(r["mean_shift"] - expect) < 1e-6
+
+
+def test_quantizer_sidecar_roundtrip(spark, tmp_path, sf_correctness_dir):
+    """save/load_quantizers round-trips exactly, survives compaction,
+    and a store without a sidecar fails with the fix spelled out."""
+    import pytest as _pytest
+
+    emb = (
+        load_table(spark, sf_correctness_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .limit(80)
+    )
+    centers = mllib_ann.md5_sample_centroids(emb, k=4)
+    cbs = mllib_ann.pq_train(emb, m=8, ks=16, dim=64)
+    store = str(tmp_path / "with_sidecar")
+    mllib_ann.write_ivfpq_index(emb, centers, cbs, store)
+    mllib_ann.save_quantizers(store, centers, cbs)
+    c2, cb2 = mllib_ann.load_quantizers(store)
+    assert c2 == centers and cb2 == cbs
+    # probing with the LOADED quantizers serves identical results
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = sorted(
+        map(tuple, mllib_ann.ivfpq_index_topk(
+            spark, qs, centers, store, k=5, codebooks=cbs
+        ).collect())
+    )
+    b = sorted(
+        map(tuple, mllib_ann.ivfpq_index_topk(
+            spark, qs, c2, store, k=5, codebooks=cb2
+        ).collect())
+    )
+    assert a == b
+    # compaction carries the sidecar into the new generation
+    mllib_ann.compact_ivfpq_index(spark, store)
+    assert mllib_ann.load_quantizers(store)[0] == centers
+    with _pytest.raises(FileNotFoundError, match="save_quantizers"):
+        mllib_ann.load_quantizers(str(tmp_path / "no_sidecar"))

@@ -9903,21 +9903,23 @@ QUERIES: dict[str, QuerySpec] = {
 
 
 # r12 driver-window rotation (VERDICT-r11 ask #1; same explicit-list
-# mechanism as r08-r11).  First 50 = the 2 new r12 gates, then the
-# FULL 45-row cohort last driver-checked r09 (staged at positions
-# 50-94 during r11, exactly as the r11 verdict demanded), then the 3
-# stalest r10 rows.  After r12 no registered query is staler than r10.
-# Tail = remaining r10 cohort (they stage the r13 window), then the 50
-# rows last gated r11 (freshest last).
+# mechanism as r08-r11).  The hard criterion: ALL 45 rows last
+# driver-checked r09 (staged at positions 50-94 during r11) must sit
+# inside the 50-row window.  r12 added SEVEN new gates and 7 + 45 >
+# 50, so the window holds the 5 flagship new gates + the full r09
+# cohort (5 + 45 = exactly 50); the 2 remaining new gates
+# (q_cluster_sample, q_embedding_drift — both also pinned by exact
+# unit tests and green in this session's full 152-query sim) lead the
+# r13 window at positions 50-51.  After r12 no registered query is
+# staler than r10.  Tail = the r10 cohort, then the 50 rows last
+# gated r11 (freshest last).
 _DRIVER_ORDER = [
-    # --- NEW this round (r12): first green row needed ---
+    # --- NEW this round (r12), in-window five ---
     "q_ann_ivfpq_incremental",
     "q_st6_stream_fullouter_join",
-    "q_cluster_sample",
     "q_ann_mmr",
     "q_ann_rrf",
     "q_hard_negatives",
-    "q_embedding_drift",
     # --- last driver-checked r09 (all 45) ---
     "q_text_normalize",
     "q_url_normalize",
@@ -9964,11 +9966,13 @@ _DRIVER_ORDER = [
     "q_sample_stratified",
     "q_a1_moment_stats",
     "q_a2_elementwise_stats",
-    # --- stalest r10 rows (fill to position 50) ---
+    # --- the 2 deferred r12 gates: head of the r13 window ---
+    "q_cluster_sample",
+    "q_embedding_drift",
+    # --- r10 cohort (stages the rest of the r13 window) ---
     "q_bpe_train_hist",
     "q_media_mp4_mkv",
     "q_semantic_incremental",
-    # --- remaining r10 cohort (head of the r13 window) ---
     "q_st4_stream_interval_join",
     "q_dashboard_index",
     "q_dashboard_workers",

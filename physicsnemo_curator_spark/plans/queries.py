@@ -3870,6 +3870,51 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("anchor_id", "rank")
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff gate (validation.snapshot_diff): the OLD
+    snapshot drops every 7th doc and truncates every 5th's text to 50
+    chars; the NEW snapshot drops every 11th.  The diff must classify
+    each key added / removed / changed / unchanged — one xxhash64
+    projection per side + ONE full-outer key join, the incremental-
+    reprocessing governance primitive.  The oracle replays the same
+    construction and compares CONTENT directly (DuckDB lacks Spark's
+    xxhash64; content equality and hash equality coincide), so a
+    classification bug diverges the status column either way."""
+    from physicsnemo_curator_spark.operators import validation
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.substring("text", 1, 50)
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    new = docs.filter(F.col("doc_id") % 11 != 0).select("doc_id", "text")
+    out = validation.snapshot_diff(
+        old, new, key_col="doc_id", content_cols=["text"]
+    )
+    return out.select(
+        F.col("key").alias("doc_id"), "status"
+    ).orderBy("doc_id")
+
+
+ORACLE_SNAPSHOT_DIFF = """
+WITH o AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN SUBSTRING(text, 1, 50)
+              ELSE text END t
+  FROM documents WHERE doc_id % 7 <> 0),
+n AS (SELECT doc_id, text t FROM documents WHERE doc_id % 11 <> 0)
+SELECT COALESCE(o.doc_id, n.doc_id) doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.t <> n.t THEN 'changed'
+            ELSE 'unchanged' END status
+FROM o FULL JOIN n ON o.doc_id = n.doc_id
+ORDER BY doc_id
+"""
+
+
 def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding drift gate (similarity.embedding_drift): per-dimension
     distribution shift between two corpus snapshots (even vs odd
@@ -9795,6 +9840,7 @@ QUERIES: dict[str, QuerySpec] = {
     "q_ann_rrf": QuerySpec(q_ann_rrf, ORACLE_ANN_RRF),
     "q_hard_negatives": QuerySpec(q_hard_negatives, ORACLE_HARD_NEGATIVES),
     "q_embedding_drift": QuerySpec(q_embedding_drift, ORACLE_EMBEDDING_DRIFT),
+    "q_snapshot_diff": QuerySpec(q_snapshot_diff, ORACLE_SNAPSHOT_DIFF),
     "q_embedding_near_dup": QuerySpec(
         q_embedding_near_dup,
         ORACLE_EMB_NEAR_DUP,
@@ -9966,9 +10012,10 @@ _DRIVER_ORDER = [
     "q_sample_stratified",
     "q_a1_moment_stats",
     "q_a2_elementwise_stats",
-    # --- the 2 deferred r12 gates: head of the r13 window ---
+    # --- the 3 deferred r12 gates: head of the r13 window ---
     "q_cluster_sample",
     "q_embedding_drift",
+    "q_snapshot_diff",
     # --- r10 cohort (stages the rest of the r13 window) ---
     "q_bpe_train_hist",
     "q_media_mp4_mkv",

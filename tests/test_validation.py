@@ -100,3 +100,34 @@ def test_corpus_card_null_text_counts_as_empty(spark):
     assert card["n_docs"] == 2.0
     assert card["short_frac"] == 0.5  # the NULL row IS a short doc
     assert card["min_chars"] == 0.0
+
+
+def test_snapshot_diff_statuses(spark):
+    """Each status from first principles, default content columns in
+    sorted-name order, and NULL-content stability (NULL == NULL is
+    'unchanged', not a three-valued-logic surprise)."""
+    from physicsnemo_curator_spark.operators.validation import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0), (5, None, 5.0)],
+        "doc_id long, text string, score double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "B", 2.0), (4, "d", 4.0), (5, None, 5.0)],
+        "doc_id long, text string, score double",
+    )
+    out = {r["key"]: r["status"] for r in snapshot_diff(old, new).collect()}
+    assert out == {
+        1: "unchanged",
+        2: "changed",
+        3: "removed",
+        4: "added",
+        5: "unchanged",
+    }
+    # restricting content_cols ignores other columns' drift
+    new2 = new.withColumn("score", new["score"] + 100)
+    out2 = {
+        r["key"]: r["status"]
+        for r in snapshot_diff(old, new2, content_cols=["text"]).collect()
+    }
+    assert out2[1] == "unchanged" and out2[2] == "changed"

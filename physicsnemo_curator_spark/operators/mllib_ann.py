@@ -553,6 +553,17 @@ def write_ivfpq_index(
         enc(F.col(vec_col)).alias("codes"),
         F.lit(batch_id).alias("_batch"),
     )
+    # a static overwrite deletes the WHOLE output path, including the
+    # _quantizers.json sidecar save_quantizers may have written — carry
+    # it across the rewrite like compact_ivfpq_index carries it across
+    # generations (a full rewrite implies the same quantizers: changing
+    # them means the OLD sidecar must not silently survive either, so
+    # callers retraining quantizers re-save explicitly)
+    sidecar = os.path.join(store, "_quantizers.json")
+    sidecar_bytes = None
+    if mode == "overwrite" and os.path.exists(sidecar):
+        with open(sidecar, "rb") as fh:
+            sidecar_bytes = fh.read()
     (
         out.repartition("_batch", "cell")
         .write.mode("overwrite")
@@ -563,6 +574,11 @@ def write_ivfpq_index(
         .partitionBy("_batch", "cell")
         .parquet(store)
     )
+    if sidecar_bytes is not None:
+        tmp = sidecar + f".tmp-{os.getpid()}"
+        with open(tmp, "wb") as fh:
+            fh.write(sidecar_bytes)
+        os.replace(tmp, sidecar)
 
 
 def ivfpq_index_topk(

@@ -242,22 +242,45 @@ def snapshot_diff(
     only what moved"), audit trails, and release notes for a corpus.
 
     Content equality is an ``xxhash64`` over the named columns (all
-    non-key columns by default, in sorted-name order so the hash is
-    column-order-stable); NULLs hash distinctly from empty strings via
-    the hash function's native NULL handling.  Plan: one hash
+    SHARED non-key columns by default, in sorted-name order so the
+    hash is column-order-stable; schema-evolved snapshots — a column
+    on one side only — are REJECTED with the fix spelled out, because
+    silently dropping the column would classify rows whose only change
+    is in it as 'unchanged').  Each column contributes its value AND
+    an is-null flag to the hash: Spark's xxhash64 skips NULL children,
+    so without the flags content migrating between adjacent columns
+    (``(NULL, 'x')`` → ``('x', NULL)``) would collide as 'unchanged'.
+    ``content_cols=[]`` is the pure key-set diff (added/removed only;
+    shared keys are 'unchanged' by definition).  Plan: one hash
     projection per side and ONE full-outer shuffle join on the key —
     no collects, no second pass; at 100 TB co-locate the snapshots by
     bucketing on ``key_col`` and the join degenerates to a zipped
     merge.  Output: ``(key, status)`` plus both hashes for audit."""
     if content_cols is None:
+        only_new = set(new.columns) - set(old.columns)
+        only_old = set(old.columns) - set(new.columns)
+        if only_new or only_old:
+            raise ValueError(
+                f"snapshot schemas differ (only in new: "
+                f"{sorted(only_new)}, only in old: {sorted(only_old)}); "
+                "pass content_cols explicitly to diff schema-evolved "
+                "snapshots"
+            )
         content_cols = sorted(c for c in new.columns if c != key_col)
+
+    def content_hash():
+        if not content_cols:
+            return F.lit(0).cast("long")
+        children = []
+        for c in content_cols:
+            children.append(F.col(c))
+            children.append(F.col(c).isNull())
+        return F.xxhash64(*children)
 
     def hashed(df: DataFrame, tag: str) -> DataFrame:
         return df.select(
             F.col(key_col).alias("key"),
-            F.xxhash64(*[F.col(c) for c in content_cols]).alias(
-                f"{tag}_hash"
-            ),
+            content_hash().alias(f"{tag}_hash"),
         )
 
     o = hashed(old, "old")

@@ -9951,14 +9951,14 @@ QUERIES: dict[str, QuerySpec] = {
 # r12 driver-window rotation (VERDICT-r11 ask #1; same explicit-list
 # mechanism as r08-r11).  The hard criterion: ALL 45 rows last
 # driver-checked r09 (staged at positions 50-94 during r11) must sit
-# inside the 50-row window.  r12 added SEVEN new gates and 7 + 45 >
+# inside the 50-row window.  r12 added EIGHT new gates and 8 + 45 >
 # 50, so the window holds the 5 flagship new gates + the full r09
-# cohort (5 + 45 = exactly 50); the 2 remaining new gates
-# (q_cluster_sample, q_embedding_drift — both also pinned by exact
-# unit tests and green in this session's full 152-query sim) lead the
-# r13 window at positions 50-51.  After r12 no registered query is
-# staler than r10.  Tail = the r10 cohort, then the 50 rows last
-# gated r11 (freshest last).
+# cohort (5 + 45 = exactly 50); the 3 remaining new gates
+# (q_cluster_sample, q_embedding_drift, q_snapshot_diff — each also
+# pinned by exact unit tests and green in this session's full
+# 153-query sim) lead the r13 window at positions 50-52.  After r12
+# no registered query is staler than r10.  Tail = the r10 cohort,
+# then the 50 rows last gated r11 (freshest last).
 _DRIVER_ORDER = [
     # --- NEW this round (r12), in-window five ---
     "q_ann_ivfpq_incremental",

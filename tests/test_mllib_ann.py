@@ -1034,3 +1034,22 @@ def test_quantizer_sidecar_roundtrip(spark, tmp_path, sf_correctness_dir):
     assert mllib_ann.load_quantizers(store)[0] == centers
     with _pytest.raises(FileNotFoundError, match="save_quantizers"):
         mllib_ann.load_quantizers(str(tmp_path / "no_sidecar"))
+
+
+def test_quantizer_sidecar_survives_overwrite(spark, tmp_path, sf_correctness_dir):
+    """A full index rewrite (static overwrite deletes the whole store
+    path) must carry the quantizer sidecar across, like compaction
+    does across generations."""
+    emb = (
+        load_table(spark, sf_correctness_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .limit(60)
+    )
+    centers = mllib_ann.md5_sample_centroids(emb, k=4)
+    cbs = mllib_ann.pq_train(emb, m=8, ks=16, dim=64)
+    store = str(tmp_path / "rewrite")
+    mllib_ann.write_ivfpq_index(emb, centers, cbs, store)
+    mllib_ann.save_quantizers(store, centers, cbs)
+    mllib_ann.write_ivfpq_index(emb, centers, cbs, store)  # rewrite
+    c2, cb2 = mllib_ann.load_quantizers(store)
+    assert c2 == centers and cb2 == cbs

@@ -131,3 +131,44 @@ def test_snapshot_diff_statuses(spark):
         for r in snapshot_diff(old, new2, content_cols=["text"]).collect()
     }
     assert out2[1] == "unchanged" and out2[2] == "changed"
+
+
+def test_snapshot_diff_schema_and_null_edges(spark):
+    """Review-finding regressions: schema-evolved snapshots are
+    rejected with the fix named; content migrating between columns
+    ((NULL,'x') -> ('x',NULL)) is 'changed', not a NULL-skip hash
+    collision; content_cols=[] is the pure key-set diff."""
+    import pytest
+
+    from physicsnemo_curator_spark.operators.validation import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, None, "x"), (2, "a", "b")],
+        "doc_id long, title string, body string",
+    )
+    new = spark.createDataFrame(
+        [(1, "x", None), (2, "a", "b")],
+        "doc_id long, title string, body string",
+    )
+    out = {r["key"]: r["status"] for r in snapshot_diff(old, new).collect()}
+    assert out == {1: "changed", 2: "unchanged"}
+
+    evolved = new.withColumn("lang", new["title"])
+    with pytest.raises(ValueError, match="pass content_cols explicitly"):
+        snapshot_diff(old, evolved)
+    # explicit shared columns still work on evolved schemas
+    ok = {
+        r["key"]: r["status"]
+        for r in snapshot_diff(
+            old, evolved, content_cols=["title", "body"]
+        ).collect()
+    }
+    assert ok == {1: "changed", 2: "unchanged"}
+
+    keys_only = {
+        r["key"]: r["status"]
+        for r in snapshot_diff(
+            old, new.filter("doc_id = 1"), content_cols=[]
+        ).collect()
+    }
+    assert keys_only == {1: "unchanged", 2: "removed"}

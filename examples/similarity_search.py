@@ -95,6 +95,10 @@ def main() -> None:
     mllib_ann.write_ivfpq_index(
         late, centers, cbs, store, mode="append", batch_id="batch-1"
     )
+    # periodic maintenance: merge accumulated batch partitions into one
+    # generation (latest-write-wins conflict resolution applied first;
+    # committed by an atomic _CURRENT pointer flip, object-store style)
+    mllib_ann.compact_ivfpq_index(spark, store)
     srv_centers, srv_cbs = mllib_ann.load_quantizers(store)
     t0 = time.perf_counter()
     served = mllib_ann.ivfpq_index_topk(

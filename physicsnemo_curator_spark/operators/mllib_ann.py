@@ -511,6 +511,154 @@ def ivfpq_topk(
     )
 
 
+_POINTER_FILE = "_CURRENT"
+_GEN_DIR_RE = r"v\d{5}"
+
+
+def _local_store_path(store: str) -> str:
+    """Resolve a store location to a local filesystem path for the
+    pointer/sidecar metadata I/O (the parquet data itself goes through
+    Spark, which accepts either form).  ``file://``-schemed URIs are
+    local; any OTHER scheme needs that store's client for the same
+    three tiny operations (read pointer, atomic-put pointer, list/
+    delete a prefix) — the PROTOCOL is scheme-agnostic, the sandbox
+    has no object-store client, so reject loudly instead of failing
+    inside a Spark job."""
+    if store.startswith("file://"):
+        return store[len("file://"):]
+    if "://" in store:
+        raise NotImplementedError(
+            f"store metadata I/O (generation pointer, quantizer "
+            f"sidecar) is implemented for local paths and file:// "
+            f"URIs, got {store!r}; an object-store deployment plugs "
+            "its client into the same three operations — read "
+            f"{_POINTER_FILE}, atomically put {_POINTER_FILE}, "
+            "list/delete a generation prefix"
+        )
+    return store
+
+
+def _read_generation_pointer(root: str) -> str | None:
+    """The current generation dir name (``vNNNNN``) from the store's
+    ``_CURRENT`` pointer, or None for a flat (never-compacted) store."""
+    import re
+
+    path = os.path.join(root, _POINTER_FILE)
+    if not os.path.exists(path):
+        return None
+    with open(path) as fh:
+        name = fh.read().strip()
+    if not re.fullmatch(_GEN_DIR_RE, name):
+        raise ValueError(
+            f"corrupt generation pointer {path!r}: {name!r} (expected "
+            "vNNNNN); restore it to the newest complete v* directory"
+        )
+    return name
+
+
+def _flip_generation_pointer(root: str, name: str) -> None:
+    """Atomically point the store at generation ``name`` (temp file +
+    rename — the commit point of a compaction; on an object store this
+    is one small-object PUT, atomic by the store's semantics)."""
+    path = os.path.join(root, _POINTER_FILE)
+    tmp = path + f".tmp-{os.getpid()}"
+    with open(tmp, "w") as fh:
+        fh.write(name)
+    os.replace(tmp, path)
+
+
+def _resolve_data_dir(store: str) -> str:
+    """Where the store's live parquet data is: ``<store>/<pointer>``
+    once compacted, the store root before (flat legacy layout)."""
+    root = _local_store_path(store)
+    cur = _read_generation_pointer(root)
+    return os.path.join(root, cur) if cur else root
+
+
+def _next_gen(spark, data_dir: str) -> int:
+    """The next write-sequence number for a store: max(``_gen``) + 1
+    over the live data, 0 for a new store.  ``_gen`` is assigned
+    per WRITE (single-writer maintenance assumption, the same as any
+    index build) and gives conflict resolution a TOTAL numeric order —
+    latest write wins — instead of the lexical batch-name order that
+    inverted after compaction (``'compacted' > '2026-…'``).  Reading
+    max() is a parquet-stats scan over file footers; compaction keeps
+    the file count bounded, so this stays cheap at store scale."""
+    if not os.path.exists(data_dir):
+        return 0
+    try:
+        df = spark.read.parquet(data_dir)
+    except Exception:
+        return 0
+    if "_gen" not in df.columns:
+        raise ValueError(
+            f"store at {data_dir!r} has no _gen column (written by a "
+            "pre-generation version of write_ivfpq_index); rebuild it "
+            "with mode='overwrite' before appending"
+        )
+    row = df.agg(F.max(F.col("_gen").cast("long"))).collect()[0]
+    return (row[0] if row[0] is not None else -1) + 1
+
+
+def _read_tombstones(spark, root: str):
+    """The store's conflict tombstones — ``(vec_id, dead_below)`` rows
+    meaning "every row of vec_id with ``_gen < dead_below`` is
+    superseded" — aggregated to one max per vec_id, or None when the
+    store has none.  Tombstones exist because the probe PRUNES to the
+    probed cell partitions: a re-ingested vector whose cell assignment
+    moved can leave its stale row in a probed cell while the winning
+    row lives in an UNPROBED one, so no amount of among-candidates
+    dedup can see the winner.  The tombstone set is the write-time
+    conflict list (normally tiny — compaction clears it), broadcast
+    into the probe as a filter."""
+    path = os.path.join(root, "_tombstones")
+    if not os.path.exists(path):
+        return None
+    try:
+        t = spark.read.parquet(path)
+    except Exception:
+        return None
+    return t.groupBy("vec_id").agg(F.max("dead_below").alias("dead_below"))
+
+
+def _apply_tombstones(index: DataFrame, tombs: DataFrame | None) -> DataFrame:
+    """Filter superseded rows: keep a row unless a tombstone for its
+    vec_id says its generation is dead.  The row that CREATED a
+    tombstone carries ``_gen == dead_below`` and survives the strict
+    ``<`` by construction, so stale (already-applied) tombstones are
+    harmless — which is what makes writing them after the data write
+    and clearing them after the compaction flip crash-safe."""
+    if tombs is None:
+        return index
+    return (
+        index.join(F.broadcast(tombs), "vec_id", "left")
+        .filter(
+            F.col("dead_below").isNull()
+            | (F.col("_gen") >= F.col("dead_below"))
+        )
+        .drop("dead_below")
+    )
+
+
+def _validate_batch_id(batch_id: str) -> None:
+    """Batch names are labels for partition layout/idempotency, NOT
+    ordering keys (ordering is the numeric ``_gen``) — but they become
+    partition directory names, so enforce a safe charset up front and
+    reserve ``compacted`` for the compactor."""
+    import re
+
+    if batch_id == "compacted":
+        raise ValueError(
+            "batch_id 'compacted' is reserved for compact_ivfpq_index"
+        )
+    if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._:-]*", batch_id):
+        raise ValueError(
+            f"invalid batch_id {batch_id!r}: must start alphanumeric "
+            "and contain only [A-Za-z0-9._:-] (it names a partition "
+            "directory)"
+        )
+
+
 def write_ivfpq_index(
     corpus: DataFrame,
     centers: list[list[float]],
@@ -537,7 +685,25 @@ def write_ivfpq_index(
     partition overwrite so re-running a batch replaces its own
     partitions (idempotent ingestion), and the ``repartition`` aligns
     tasks with output partitions so each (batch, cell) gets one file,
-    not one per upstream task."""
+    not one per upstream task.
+
+    Every write also stamps a ``_gen`` data column — a per-write
+    monotonic sequence (``max existing + 1``; 0 for a fresh store).
+    A vec_id present in several generations (conflicting re-ingest, or
+    a vector whose cell ASSIGNMENT moved under an idempotent re-run so
+    dynamic overwrite couldn't clear its old-cell row) is resolved
+    with LATEST ``_gen`` WINS — a total numeric order, unlike
+    batch-name strings (whose lexical order inverted after
+    compaction: ``'compacted' > '2026-08-16'``).  Because the probe
+    prunes to probed CELLS, an append additionally records the actual
+    conflict set (old rows whose vec_id it supersedes — one thin-
+    column semi-join against the store) as ``_tombstones`` rows the
+    probe broadcast-filters with; without them a superseded row in a
+    probed cell would be served whenever its winner's cell isn't
+    probed.  Tombstones are written AFTER the data commit (a crashed
+    append never kills live rows; re-running the append rewrites
+    them), and compaction applies and clears them.  Single writer
+    assumed, as for any index maintenance."""
     if mode not in ("overwrite", "append"):
         # 'Append'/'upsert'/... falling through to a STATIC overwrite
         # would silently wipe every previously appended batch
@@ -545,40 +711,79 @@ def write_ivfpq_index(
             f"unknown write_ivfpq_index mode {mode!r}; expected "
             "'overwrite' or 'append'"
         )
+    _validate_batch_id(batch_id)
+    root = _local_store_path(store)
+    data_dir = _resolve_data_dir(store)
+    gen = _next_gen(corpus.sparkSession, data_dir) if mode == "append" else 0
     cell_meta = _ivf_meta_udf(centers, 1)
     enc = _pq_encode_udf(codebooks)
     out = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("vec_id"),
         F.element_at(cell_meta(F.col(vec_col))["cells"], 1).alias("cell"),
         enc(F.col(vec_col)).alias("codes"),
+        F.lit(gen).cast("long").alias("_gen"),
         F.lit(batch_id).alias("_batch"),
     )
-    # a static overwrite deletes the WHOLE output path, including the
-    # _quantizers.json sidecar save_quantizers may have written — carry
-    # it across the rewrite like compact_ivfpq_index carries it across
-    # generations (a full rewrite implies the same quantizers: changing
-    # them means the OLD sidecar must not silently survive either, so
-    # callers retraining quantizers re-save explicitly)
-    sidecar = os.path.join(store, "_quantizers.json")
-    sidecar_bytes = None
-    if mode == "overwrite" and os.path.exists(sidecar):
-        with open(sidecar, "rb") as fh:
-            sidecar_bytes = fh.read()
-    (
-        out.repartition("_batch", "cell")
-        .write.mode("overwrite")
-        .option(
-            "partitionOverwriteMode",
-            "dynamic" if mode == "append" else "static",
+    # a static overwrite deletes the WHOLE output path; on a flat
+    # (never-compacted) store that path IS the store root, including
+    # the _quantizers.json sidecar save_quantizers may have written —
+    # stash it to disk FIRST and restore in a finally, so a Spark
+    # write that dies mid-job can't destroy the only copy of the
+    # quantizers the codes are unreadable without.  (Once compacted,
+    # data lives under <store>/vNNNNN and the root sidecar is never
+    # in the overwrite's blast radius.)
+    sidecar = os.path.join(root, "_quantizers.json")
+    stash = None
+    if mode == "overwrite" and data_dir == root and os.path.exists(sidecar):
+        import shutil
+        import tempfile
+
+        fd, stash = tempfile.mkstemp(prefix="pcs_quantizers_")
+        os.close(fd)
+        shutil.copy2(sidecar, stash)
+    try:
+        (
+            out.repartition("_batch", "cell")
+            .write.mode("overwrite")
+            .option(
+                "partitionOverwriteMode",
+                "dynamic" if mode == "append" else "static",
+            )
+            .partitionBy("_batch", "cell")
+            .parquet(data_dir)
         )
-        .partitionBy("_batch", "cell")
-        .parquet(store)
-    )
-    if sidecar_bytes is not None:
-        tmp = sidecar + f".tmp-{os.getpid()}"
-        with open(tmp, "wb") as fh:
-            fh.write(sidecar_bytes)
-        os.replace(tmp, sidecar)
+    finally:
+        if stash is not None:
+            import shutil
+
+            if not os.path.exists(sidecar):
+                shutil.copy2(stash, sidecar)
+            os.unlink(stash)
+    tomb_dir = os.path.join(root, "_tombstones")
+    if mode == "overwrite":
+        # a full rebuild starts the _gen sequence over at 0 — a stale
+        # tombstone (dead_below from the previous life) would kill the
+        # fresh rows, so the tombstone set must not survive it.  (On
+        # the flat layout the static overwrite already deleted it;
+        # once pointered, data lives in a subdir and this root-level
+        # sweep is the part that matters.)
+        import shutil
+
+        shutil.rmtree(tomb_dir, ignore_errors=True)
+    elif gen > 0:
+        spark = corpus.sparkSession
+        incoming = corpus.filter(F.col(vec_col).isNotNull()).select(
+            F.col(id_col).alias("vec_id")
+        ).distinct()
+        conflicts = (
+            spark.read.parquet(data_dir)
+            .filter(F.col("_gen").cast("long") < gen)
+            .select("vec_id")
+            .join(incoming, "vec_id", "left_semi")
+            .distinct()
+            .withColumn("dead_below", F.lit(gen).cast("long"))
+        )
+        conflicts.write.mode("append").parquet(tomb_dir)
 
 
 def ivfpq_index_topk(
@@ -611,16 +816,17 @@ def ivfpq_index_topk(
     rebuilding — the :func:`write_semantic_store` contract).
     ``rescore=m'`` re-ranks the top ``m'·k`` with exact cosine against
     ``corpus`` (required then: the index has no vectors).  A vec_id
-    appearing in MULTIPLE batch partitions (re-ingested under a new
-    batch_id rather than idempotently re-written under its own) is
-    deduped per query BEFORE scoring — without that, its (j, code)
-    rows double inside the ADC sums and the duplicate silently
-    outranks genuine neighbors at ~1.41× its true cosine.  The dedup
-    rule is LATEST BATCH WINS (greatest ``_batch`` string — name
-    batches monotonically, e.g. ISO timestamps, and "latest" is
-    well-defined), so a conflicting re-ingest resolves
-    deterministically to one codes row, never an arbitrary partition-
-    scan order and never mixed subspace codes from two versions."""
+    appearing in MULTIPLE generations (re-ingested under a new
+    batch_id, or left behind in its old cell partition when its
+    assignment moved under an idempotent same-batch re-run) is deduped
+    per query BEFORE scoring — without that, its (j, code) rows double
+    inside the ADC sums and the duplicate silently outranks genuine
+    neighbors at ~1.41× its true cosine.  The dedup rule is LATEST
+    ``_gen`` WINS — the numeric per-write sequence the writer stamps —
+    so conflicts resolve by a TOTAL order that survives compaction
+    (batch-name strings don't: ``'compacted'`` sorts above ISO dates),
+    never an arbitrary partition-scan order and never mixed subspace
+    codes from two versions."""
     if rescore and corpus is None:
         raise ValueError(
             "rescore needs the original vectors: pass corpus= (the "
@@ -633,11 +839,24 @@ def ivfpq_index_topk(
         F.col(query_id_col).alias("query_id"),
         F.explode(probe_meta(F.col(vec_col))["cells"]).alias("cell"),
     )
-    index = spark.read.parquet(store).select(
-        "vec_id", "cell", "codes", F.col("_batch").cast("string").alias("_batch")
+    root = _local_store_path(store)
+    data_dir = _resolve_data_dir(store)
+    raw = spark.read.parquet(data_dir)
+    if "_gen" not in raw.columns:
+        raise ValueError(
+            f"store at {data_dir!r} has no _gen column (written by a "
+            "pre-generation version of write_ivfpq_index); rebuild it "
+            "with mode='overwrite'"
+        )
+    index = _apply_tombstones(
+        raw.select(
+            "vec_id", "cell", "codes",
+            F.col("_gen").cast("long").alias("_gen"),
+        ),
+        _read_tombstones(spark, root),
     )
     wdup = Window.partitionBy("query_id", "vec_id").orderBy(
-        F.desc("_batch")
+        F.desc("_gen")
     )
     cand = (
         index.join(F.broadcast(probed), "cell")
@@ -757,51 +976,93 @@ def compact_ivfpq_index(spark, store: str) -> None:
     store into one ``_batch=compacted`` generation — the maintenance
     pass a long-lived index runs when appended batches accumulate
     (each append adds a ``_batch`` partition; probes stay correct but
-    the listing and per-cell file counts grow).  Codes are
-    quantizer-independent bytes, so compaction is a pure relocation:
-    read, re-partition by the SAME (_batch, cell) discipline, write to
-    a sibling temp dir, then swap via two directory renames.
+    the listing and per-cell file counts grow).
 
-    The swap is NOT a single atomic operation: a crash between the two
-    renames leaves the data in ``<store>._old`` and nothing at
-    ``store`` — which the NEXT call detects and restores before doing
-    anything else, so the recovery path is "re-run compact".  Local
-    filesystem only (directory renames); a scheme'd path
-    (``s3a://``, ``hdfs://``) is rejected up front rather than failing
-    after the Spark write — object stores compact by writing a new
-    generation prefix and flipping a pointer, a different discipline."""
+    Semantics first: conflicts are resolved BEFORE generations
+    collapse.  A vec_id present in several writes keeps only its
+    latest-``_gen`` row (the probe's own serving rule, applied here
+    with the same window), and the surviving rows KEEP their original
+    ``_gen`` — so probing a compacted store equals probing the
+    uncompacted one, and a post-compaction re-ingest (which stamps
+    ``max+1``) still wins.  Without the pre-dedup, two generations of
+    the same vec_id would collapse into indistinguishable same-batch
+    rows and the probe's tie-break would be nondeterministic.
+
+    Physically this is the generation-prefix + pointer-flip protocol
+    (object-store-compatible; no directory renames): write the merged
+    data to a NEW prefix ``<store>/vNNNNN``, then atomically flip the
+    ``_CURRENT`` pointer file — the single commit point — and delete
+    the previous generation's data.  Readers
+    (:func:`ivfpq_index_topk`, appends) resolve ``_CURRENT`` first, so
+    a crash BEFORE the flip leaves them on the old generation (the new
+    prefix is garbage the next compact overwrites) and a crash AFTER
+    the flip only leaves stale data that the next compact sweeps.  The
+    quantizer sidecar lives at the store ROOT, shared across
+    generations — codes are quantizer-independent bytes, compaction
+    never touches it.  Works on plain local paths and ``file://``
+    URIs; other schemes raise with the three client operations an
+    object-store port needs."""
     import shutil
 
-    if "://" in store:
+    root = _local_store_path(store)
+    legacy_old = root.rstrip("/") + "._old"
+    if not os.path.exists(root) and os.path.exists(legacy_old):
+        # pre-pointer-protocol crash artifact (the old two-rename swap
+        # died between renames): restore, then compact normally
+        os.rename(legacy_old, root)
+    cur = _read_generation_pointer(root)
+    data_dir = os.path.join(root, cur) if cur else root
+    next_name = f"v{(int(cur[1:]) + 1) if cur else 1:05d}"
+    target = os.path.join(root, next_name)
+    # garbage from a compact that crashed before its pointer flip
+    shutil.rmtree(target, ignore_errors=True)
+    df = spark.read.parquet(data_dir)
+    if "_gen" not in df.columns:
         raise ValueError(
-            f"compact_ivfpq_index swaps directories with os.rename and "
-            f"supports local paths only, got {store!r}; on an object "
-            "store, write a new generation prefix and flip the "
-            "reader's pointer instead"
+            f"store at {data_dir!r} has no _gen column (written by a "
+            "pre-generation version of write_ivfpq_index); rebuild it "
+            "with mode='overwrite' before compacting"
         )
-    old = store.rstrip("/") + "._old"
-    if not os.path.exists(store) and os.path.exists(old):
-        # a previous compact crashed between its two renames — restore
-        os.rename(old, store)
-    df = spark.read.parquet(store).select("vec_id", "cell", "codes")
-    tmp = store.rstrip("/") + "._compacting"
-    shutil.rmtree(tmp, ignore_errors=True)
+    w = Window.partitionBy("vec_id").orderBy(F.desc("_gen"))
+    winners = (
+        _apply_tombstones(
+            df.select(
+                "vec_id", "cell", "codes",
+                F.col("_gen").cast("long").alias("_gen"),
+            ),
+            _read_tombstones(spark, root),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
     (
-        df.withColumn("_batch", F.lit("compacted"))
+        winners.withColumn("_batch", F.lit("compacted"))
         .repartition("_batch", "cell")
         .write.mode("overwrite")
         .partitionBy("_batch", "cell")
-        .parquet(tmp)
+        .parquet(target)
     )
-    # the quantizer sidecar travels with the store generation — Spark
-    # ignores _-prefixed files, but the codes are unreadable without it
-    sidecar = os.path.join(store, "_quantizers.json")
-    if os.path.exists(sidecar):
-        shutil.copy2(sidecar, os.path.join(tmp, "_quantizers.json"))
-    shutil.rmtree(old, ignore_errors=True)
-    os.rename(store, old)
-    os.rename(tmp, store)
-    shutil.rmtree(old, ignore_errors=True)
+    _flip_generation_pointer(root, next_name)  # the commit point
+    # post-flip sweep of everything superseded: every non-current
+    # generation dir (including husks older crashes left) and, for the
+    # flat legacy layout, the root's _batch=* dirs.  Crash-safe: the
+    # pointer already serves the new generation; a crash mid-sweep
+    # just leaves garbage for the next compact's sweep.
+    import re
+
+    for name in os.listdir(root):
+        p = os.path.join(root, name)
+        if re.fullmatch(_GEN_DIR_RE, name) and name != next_name:
+            shutil.rmtree(p, ignore_errors=True)
+        elif name.startswith("_batch=") or name == "_tombstones":
+            # tombstones were APPLIED into the new generation; a crash
+            # before this sweep leaves them stale, which is harmless
+            # (the surviving row carries _gen == dead_below and passes
+            # the strict < filter)
+            shutil.rmtree(p, ignore_errors=True)
+        elif name == "_SUCCESS":
+            os.unlink(p)
 
 
 def train_ivf_sample(

@@ -735,10 +735,19 @@ def mmr_rerank(
     semi-join of the candidate ids — never a full scan or shuffle.
     Output: ``(query_id, vec_id, mmr_rank, mmr_score)``."""
     # NULL vectors are dropped on both sides (the family convention —
-    # np.asarray(None) would crash the pandas batch)
+    # np.asarray(None) would crash the pandas batch).  Candidates are
+    # deduped per (query, vec): the "from ANY rung" contract means
+    # upstream unions can repeat a pair, and a repeated row would both
+    # let the same vector consume two of the k slots and skew the
+    # pairwise sim matrix inside the pandas group.
     c = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cvec")
-    ).join(candidates.select("query_id", "vec_id"), "vec_id")
+    ).join(
+        candidates.select("query_id", "vec_id").dropDuplicates(
+            ["query_id", "vec_id"]
+        ),
+        "vec_id",
+    )
     q = queries.filter(F.col(vec_col).isNotNull()).select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("_qvec"),
@@ -953,6 +962,102 @@ def embedding_drift(
             "mean_shift"
         ),
         (F.col("cur_std") / denom).alias("std_ratio"),
+    )
+
+
+def embedding_drift_psi(
+    reference: DataFrame,
+    current: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    bins: int = 10,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-dimension Population Stability Index between two embedding
+    corpora — the binned-distribution signal :func:`embedding_drift`'s
+    mean/std moments can't see: a dimension whose distribution turns
+    bimodal (or swaps tails) can keep its mean AND std while the data
+    underneath changed completely.  PSI_j = Σ_bins (p−q)·ln(p/q) over
+    ``bins`` equal-width bins spanning the REFERENCE min/max per
+    dimension (current values clamp into the edge bins, so novel
+    out-of-range mass lands in bin 0 / bins−1 instead of vanishing);
+    p/q are Laplace-smoothed with ``alpha`` pseudo-counts so an empty
+    bin contributes a finite, large term rather than ±inf.  The usual
+    reading: <0.1 stable, 0.1–0.25 drifting, >0.25 shifted.
+
+    Plan shape, same one-pass contract as the moment monitor: one
+    dim-sized min/max aggregate over the reference, broadcast into
+    both sides' posexplode → (j, bin) hash aggregates (map-side
+    combined, output ≤ dim·bins rows each), then a (j, bin)-sized
+    full-outer join and a final dim-sized aggregate — both corpora
+    are scanned exactly once and nothing larger than dim·bins rows
+    ever shuffles.  A constant reference dimension (width 0) puts all
+    mass in bin 0 on both sides → PSI 0 unless the current side
+    actually moved.  Output: ``(j, ref_n, cur_n, psi)``."""
+    nb = int(bins)
+    if nb < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+    a = float(alpha)
+
+    def exploded(df: DataFrame) -> DataFrame:
+        return df.filter(F.col(vec_col).isNotNull()).select(
+            F.posexplode(vec_col).alias("j", "x")
+        ).select("j", F.col("x").cast("double").alias("x"))
+
+    bounds = exploded(reference).groupBy("j").agg(
+        F.min("x").alias("_lo"), F.max("x").alias("_hi")
+    )
+
+    def binned(df: DataFrame, tag: str) -> DataFrame:
+        width = (F.col("_hi") - F.col("_lo")) / F.lit(nb)
+        raw = F.when(width > 0, F.floor((F.col("x") - F.col("_lo")) / width)
+                     ).otherwise(F.lit(0))
+        bin_ = F.least(F.greatest(raw, F.lit(0)), F.lit(nb - 1))
+        return (
+            exploded(df)
+            .join(F.broadcast(bounds), "j")
+            .select("j", bin_.cast("int").alias("bin"))
+            .groupBy("j", "bin")
+            .agg(F.count("*").alias(f"{tag}_cnt"))
+        )
+
+    ref = binned(reference, "ref")
+    cur = binned(current, "cur")
+    joined = ref.join(cur, ["j", "bin"], "full_outer").select(
+        "j",
+        F.coalesce("ref_cnt", F.lit(0)).alias("ref_cnt"),
+        F.coalesce("cur_cnt", F.lit(0)).alias("cur_cnt"),
+    )
+    def p_of(cnt, n):
+        return (cnt + F.lit(a)) / (n + F.lit(a * nb))
+
+    def term(rc, cc):
+        p = p_of(rc, F.col("ref_n"))
+        q = p_of(cc, F.col("cur_n"))
+        return (p - q) * F.log(p / q)
+
+    # only OBSERVED (j, bin) cells are materialized; the nb − observed
+    # all-empty bins are not free to skip (their alpha pseudo-shares
+    # differ when ref_n != cur_n), but they all contribute the SAME
+    # term(0, 0), folded in by count below — exact, no dense grid
+    per_dim = joined.groupBy("j").agg(
+        F.sum("ref_cnt").alias("ref_n"),
+        F.sum("cur_cnt").alias("cur_n"),
+        F.count("*").alias("_observed"),
+        F.collect_list(F.struct("ref_cnt", "cur_cnt")).alias("_cells"),
+    )
+    observed_sum = F.aggregate(
+        F.transform(
+            F.col("_cells"), lambda c: term(c["ref_cnt"], c["cur_cnt"])
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    empty_sum = (F.lit(nb) - F.col("_observed")).cast("double") * term(
+        F.lit(0), F.lit(0)
+    )
+    return per_dim.select(
+        "j", "ref_n", "cur_n", (observed_sum + empty_sum).alias("psi")
     )
 
 

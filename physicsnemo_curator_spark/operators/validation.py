@@ -251,11 +251,23 @@ def snapshot_diff(
     so without the flags content migrating between adjacent columns
     (``(NULL, 'x')`` → ``('x', NULL)``) would collide as 'unchanged'.
     ``content_cols=[]`` is the pure key-set diff (added/removed only;
-    shared keys are 'unchanged' by definition).  Plan: one hash
-    projection per side and ONE full-outer shuffle join on the key —
-    no collects, no second pass; at 100 TB co-locate the snapshots by
-    bucketing on ``key_col`` and the join degenerates to a zipped
-    merge.  Output: ``(key, status)`` plus both hashes for audit."""
+    shared keys are 'unchanged' by definition).
+
+    ``key_col`` must be UNIQUE within each snapshot — a diff keyed on
+    a non-key would silently fan the full-outer join out m×n per key
+    with mixed statuses, misleading for a governance/audit primitive.
+    The precondition is ENFORCED, not advisory: each side aggregates
+    per key (count + hash) and a duplicate key raises at execution
+    time, naming the side and the key.  The aggregate shares the
+    join's own hash partitioning, so enforcement adds no extra
+    shuffle pass over the data.
+
+    Plan: one hash projection + per-key aggregate per side and ONE
+    full-outer shuffle join on the key — no collects, no second pass;
+    at 100 TB co-locate the snapshots by bucketing on ``key_col`` and
+    the whole pipeline (aggregates AND join) runs exchange-free on the
+    bucketed scan (plan-asserted in tests/test_validation.py).
+    Output: ``(key, status)`` plus both hashes for audit."""
     if content_cols is None:
         only_new = set(new.columns) - set(old.columns)
         only_old = set(old.columns) - set(new.columns)
@@ -278,10 +290,29 @@ def snapshot_diff(
         return F.xxhash64(*children)
 
     def hashed(df: DataFrame, tag: str) -> DataFrame:
-        return df.select(
+        per_key = df.select(
             F.col(key_col).alias("key"),
-            content_hash().alias(f"{tag}_hash"),
+            content_hash().alias("_h"),
+        ).groupBy("key").agg(
+            F.count("*").alias("_cnt"), F.min("_h").alias(f"{tag}_hash")
         )
+        guard = F.when(
+            F.col("_cnt") > 1,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"snapshot_diff: duplicate {key_col!r} in the "
+                        f"{tag} snapshot (key="
+                    ),
+                    F.col("key").cast("string"),
+                    F.lit(
+                        "); the diff is keyed on a unique id — dedupe "
+                        "or aggregate the snapshot first"
+                    ),
+                )
+            ),
+        ).otherwise(F.col(f"{tag}_hash"))
+        return per_key.select("key", guard.alias(f"{tag}_hash"))
 
     o = hashed(old, "old")
     n = hashed(new, "new")

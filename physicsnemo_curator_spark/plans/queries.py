@@ -3574,22 +3574,26 @@ scored AS (
 """
 
 
-def q_ann_ivfpq_incremental(
-    spark: SparkSession, sf_dir: str, rescore: int = 0
-) -> DataFrame:
-    """Persisted + incrementally-appended IVF-PQ index gate
-    (mllib_ann.write_ivfpq_index / ivfpq_index_topk) — the production
-    maintenance story between full retrains: quantizers (8 md5-sample
-    centroids + m=8×ks=16 PQ codebooks) train on the SEED corpus (even
-    vec_ids) and stay fixed; the seed's codes persist partitioned by
-    ``(_batch, cell)``; the odd half then APPENDS under its own batch
-    partition (idempotent dynamic overwrite); queries probe the store
-    with the batch side broadcast, so the scan prunes to the probed
-    cell partitions (plan-asserted in tests/test_mllib_ann.py).  The
-    oracle composes the IVF and PQ CTE builders with the training
-    sample restricted to the seed half while assignment/encode/ADC
-    cover every vector — exactly what the store serves after the
-    append."""
+def _ivfpq_gate_store(spark: SparkSession, sf_dir: str):
+    """Build (once per process) the LIVED-IN persisted IVF-PQ store the
+    index gates probe, exercising the full maintenance lifecycle the
+    r12 audit found broken, with quantizers trained on the SEED half
+    (even vec_ids) and held fixed throughout:
+
+      1. seed write: even vec_ids (``_gen=0``)
+      2. append ``2026-01-01``: odd vec_ids with WRONG vectors (rolled
+         by one position -> different cells AND codes; ``_gen=1``)
+      3. ``compact_ivfpq_index``: conflict-free merge into the
+         ``v00001`` generation behind the ``_CURRENT`` pointer
+      4. append ``2026-02-01``: odd vec_ids with their CORRECT vectors
+         (``_gen=2``) — a POST-compaction conflicting re-ingest
+
+    A correct store serves exactly the clean single-write index (the
+    unchanged IVF+PQ oracle): the re-ingest must beat the compacted
+    generation (numeric ``_gen`` order — the lexical ``_batch`` rule
+    inverted here, ``'compacted' > '2026-02-01'``) and the wrong rows
+    stranded in moved-away-from cells must lose everywhere.  Returns
+    ``(store, centers, codebooks)``."""
     import hashlib
     import tempfile
 
@@ -3597,30 +3601,64 @@ def q_ann_ivfpq_incremental(
 
     emb = _t(spark, sf_dir, "embeddings")
     corpus = emb.filter(F.col("vec_id") % 2 == 0)
-    batch = emb.filter(F.col("vec_id") % 2 == 1)
-    qs = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), "embedding"
+    odd = emb.filter(F.col("vec_id") % 2 == 1)
+    odd_wrong = odd.select(
+        "vec_id",
+        F.concat(
+            F.slice("embedding", 2, 63), F.slice("embedding", 1, 1)
+        ).alias("embedding"),
     )
     centers = mllib_ann.md5_sample_centroids(corpus, k=8)
     cbs = mllib_ann.pq_train(corpus, m=8, ks=16, dim=64)
     ident = _src_ident(os.path.join(sf_dir, "embeddings.parquet"))
     token = hashlib.md5(
-        f"{sf_dir}:{ident}:ivfpq".encode()
+        f"{sf_dir}:{ident}:ivfpq2".encode()
     ).hexdigest()[:12]
     store = os.path.join(
         tempfile.gettempdir(), f"pcs_ivfpq_idx_{token}_{os.getpid()}"
     )
-    # own completion marker: the build is TWO writes (seed + append),
-    # and parquet's _SUCCESS reappears after the first — a crash
-    # between them must rebuild, not serve a seed-only index
+    # own completion marker: the build is FOUR steps, and parquet's
+    # _SUCCESS reappears after the first — a crash between them must
+    # rebuild, not serve a half-lived index
     marker = os.path.join(store, "_PCS_INDEX_DONE")
     if not os.path.exists(marker):
         mllib_ann.write_ivfpq_index(corpus, centers, cbs, store)
         mllib_ann.write_ivfpq_index(
-            batch, centers, cbs, store, mode="append", batch_id="b1"
+            odd_wrong, centers, cbs, store,
+            mode="append", batch_id="2026-01-01",
+        )
+        mllib_ann.compact_ivfpq_index(spark, store)
+        mllib_ann.write_ivfpq_index(
+            odd, centers, cbs, store, mode="append", batch_id="2026-02-01"
         )
         with open(marker, "w") as fh:
             fh.write("ok")
+    return store, centers, cbs
+
+
+def q_ann_ivfpq_incremental(
+    spark: SparkSession, sf_dir: str, rescore: int = 0
+) -> DataFrame:
+    """Persisted incrementally-maintained IVF-PQ index gate
+    (mllib_ann.write_ivfpq_index / compact_ivfpq_index /
+    ivfpq_index_topk) — the production maintenance story between full
+    retrains, now through the FULL lifecycle (seed → wrong-vector
+    append → compact → conflicting correct re-ingest, see
+    :func:`_ivfpq_gate_store`): queries probe the store with the batch
+    side broadcast, so the scan prunes to the probed cell partitions
+    (plan-asserted in tests/test_mllib_ann.py), and per-(query, vec)
+    conflict dedup must pick the latest ``_gen``.  The oracle is the
+    CLEAN index: IVF and PQ CTE builders with the training sample
+    restricted to the seed half while assignment/encode/ADC cover
+    every vector's true embedding — any stale-generation pick after
+    compaction diverges the hash."""
+    from physicsnemo_curator_spark.operators import mllib_ann
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    store, centers, cbs = _ivfpq_gate_store(spark, sf_dir)
     out = mllib_ann.ivfpq_index_topk(
         spark,
         qs,
@@ -3776,6 +3814,114 @@ sel AS (
              WHERE ps.query_id = s.query_id AND ps.a = c.vec_id
                AND list_contains(s.chosen, ps.b)), 0) AS score
     FROM cand c
+    WHERE c.query_id = s.query_id
+      AND NOT list_contains(s.chosen, c.vec_id)
+    ORDER BY score DESC, c.vec_id
+    LIMIT 1) p
+  WHERE s.step < 8
+)
+SELECT query_id, vec_id, CAST(step AS INT) mmr_rank,
+       ROUND(mmr_score, 6) mmr_score
+FROM sel ORDER BY query_id, mmr_rank
+"""
+
+
+def q_ann_ivfpq_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSED production retrieval path gate: probe the persisted
+    lifecycle IVF-PQ store (:func:`_ivfpq_gate_store`,
+    mllib_ann.ivfpq_index_topk) for ADC top-20 candidates per query,
+    then MMR-diversify to 8 (similarity.mmr_rerank, λ=0.5, exact
+    cosines on the original vectors).  This is the plan a 100 TB
+    deployment actually runs — an ANN rung feeding the candidate-
+    sliver tail, so the MMR stage's cost is O(queries·k) regardless of
+    corpus size — and it proves the candidate contract end-to-end:
+    q_ann_mmr feeds from an exact scan, this gate from the pruned
+    partitioned index probe.  The query vector itself is excluded from
+    its candidates (the q_ann_mmr degeneracy note).  The oracle
+    composes the seed-trained IVF+PQ CTE builders' ADC ranking with
+    the recursive MMR selection, all in DuckDB arithmetic."""
+    from physicsnemo_curator_spark.operators import mllib_ann
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    store, centers, cbs = _ivfpq_gate_store(spark, sf_dir)
+    cand = (
+        mllib_ann.ivfpq_index_topk(
+            spark, qs, centers, store, k=20, n_probe=3, codebooks=cbs
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    out = similarity.mmr_rerank(emb, qs, cand, k=8, lamb=0.5)
+    return out.select(
+        "query_id", "vec_id", "mmr_rank", _r6(F.col("mmr_score"), "mmr_score")
+    ).orderBy("query_id", "mmr_rank")
+
+
+ORACLE_ANN_IVFPQ_MMR = f"""
+WITH RECURSIVE
+{_ivf_prefix_ctes(8, 64, 3, train_where="WHERE vec_id % 2 = 0")},
+{_pq_ctes('pq', train_where="WHERE vec_id % 2 = 0")},
+scored AS (
+  SELECT cand.query_id, cand.vec_id, SUM(l.dotv) sd, SUM(n2.n2) sn
+  FROM cand
+  JOIN pqassign pa ON cand.vec_id = pa.vec_id
+  JOIN lut l ON cand.query_id = l.query_id
+            AND pa.j = l.j AND pa.code = l.code
+  JOIN n2 ON pa.j = n2.j AND pa.code = n2.code
+  GROUP BY 1, 2),
+adc AS (
+  SELECT s.query_id, s.vec_id,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY s.query_id
+           ORDER BY s.sd / (SQRT(s.sn) * qn.qnorm) DESC, s.vec_id
+         ) AS INT) rn
+  FROM scored s JOIN qn ON s.query_id = qn.query_id),
+xcv AS (SELECT vec_id, unnest(range(0, 64)) j,
+               CAST(unnest(embedding) AS DOUBLE) x FROM embeddings),
+xcn AS (SELECT vec_id, SQRT(SUM(x * x)) n FROM xcv GROUP BY 1),
+xqv AS (SELECT vec_id query_id, unnest(range(0, 64)) j,
+               CAST(unnest(embedding) AS DOUBLE) x
+        FROM embeddings WHERE vec_id < 10),
+xqn AS (SELECT query_id, SQRT(SUM(x * x)) n FROM xqv GROUP BY 1),
+mcand AS (
+  SELECT a.query_id, a.vec_id, r.dot / (xqn.n * xcn.n) rel
+  FROM adc a
+  JOIN (SELECT q.query_id, c.vec_id, SUM(q.x * c.x) dot
+        FROM xqv q JOIN xcv c ON q.j = c.j GROUP BY 1, 2) r
+    ON a.query_id = r.query_id AND a.vec_id = r.vec_id
+  JOIN xqn ON a.query_id = xqn.query_id
+  JOIN xcn ON a.vec_id = xcn.vec_id
+  WHERE a.rn <= 20 AND a.vec_id <> a.query_id),
+psim AS (
+  SELECT p.query_id, p.a, p.b, p.dot / (na.n * nb.n) sim
+  FROM (SELECT a.query_id, a.vec_id a, b.vec_id b, SUM(ca.x * cb.x) dot
+        FROM mcand a JOIN mcand b
+          ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
+        JOIN xcv ca ON ca.vec_id = a.vec_id
+        JOIN xcv cb ON cb.vec_id = b.vec_id AND ca.j = cb.j
+        GROUP BY 1, 2, 3) p
+  JOIN xcn na ON p.a = na.vec_id
+  JOIN xcn nb ON p.b = nb.vec_id),
+sel AS (
+  SELECT query_id, 1 AS step, vec_id, 0.5 * rel AS mmr_score,
+         [vec_id] AS chosen
+  FROM (SELECT query_id, vec_id, rel,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY 0.5 * rel DESC, vec_id) rn
+        FROM mcand) WHERE rn = 1
+  UNION ALL
+  SELECT s.query_id, s.step + 1, p.vec_id, p.score,
+         list_append(s.chosen, p.vec_id)
+  FROM sel s, LATERAL (
+    SELECT c.vec_id,
+           0.5 * c.rel - 0.5 * COALESCE((
+             SELECT MAX(ps.sim) FROM psim ps
+             WHERE ps.query_id = s.query_id AND ps.a = c.vec_id
+               AND list_contains(s.chosen, ps.b)), 0) AS score
+    FROM mcand c
     WHERE c.query_id = s.query_id
       AND NOT list_contains(s.chosen, c.vec_id)
     ORDER BY score DESC, c.vec_id
@@ -3952,6 +4098,85 @@ SELECT rs.j, ROUND(rs.m, 6) ref_mean, ROUND(rs.s, 6) ref_std,
        ROUND(ABS(cs.m - rs.m) / GREATEST(rs.s, 1e-12), 6) mean_shift,
        ROUND(cs.s / GREATEST(rs.s, 1e-12), 6) std_ratio
 FROM rs JOIN cs ON rs.j = cs.j ORDER BY rs.j
+"""
+
+
+def q_embedding_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned-distribution drift gate (similarity.embedding_drift_psi):
+    per-dimension Population Stability Index between the even-id
+    reference and an odd-id current snapshot whose values are SHIFTED
+    by +0.5 on the first 8 dimensions — a move the histogram signal
+    must flag (PSI >> 0.25 there) while the remaining dimensions stay
+    near 0.  Bins span the reference min/max (current clamps into the
+    edge bins), Laplace alpha=0.5 smoothing; the oracle replays the
+    identical binning expression tree, smoothed shares, and the
+    all-empty-bin correction term in DuckDB arithmetic."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ref = emb.filter(F.col("vec_id") % 2 == 0)
+    cur = emb.filter(F.col("vec_id") % 2 == 1).select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(
+                i < 8, x + F.lit(0.5)
+            ).otherwise(x).cast("float"),
+        ).alias("embedding"),
+    )
+    out = similarity.embedding_drift_psi(ref, cur, bins=10, alpha=0.5)
+    return out.select(
+        "j", "ref_n", "cur_n", _r6(F.col("psi"), "psi")
+    ).orderBy("j")
+
+
+ORACLE_EMBEDDING_DRIFT_PSI = """
+WITH rx AS (
+  SELECT j, x FROM (
+    SELECT unnest(range(0, 64)) j, CAST(unnest(embedding) AS DOUBLE) x
+    FROM embeddings WHERE vec_id % 2 = 0)),
+cx AS (
+  SELECT j, CASE WHEN j < 8 THEN CAST(CAST(x + 0.5 AS FLOAT) AS DOUBLE)
+                 ELSE x END x
+  FROM (
+    SELECT unnest(range(0, 64)) j, CAST(unnest(embedding) AS DOUBLE) x
+    FROM embeddings WHERE vec_id % 2 = 1)),
+b AS (SELECT j, MIN(x) lo, MAX(x) hi FROM rx GROUP BY 1),
+rbin AS (
+  SELECT rx.j,
+         CASE WHEN (b.hi - b.lo) / 10 > 0 THEN
+           LEAST(GREATEST(CAST(FLOOR((rx.x - b.lo) / ((b.hi - b.lo) / 10))
+                               AS BIGINT), 0), 9)
+         ELSE 0 END bin
+  FROM rx JOIN b ON rx.j = b.j),
+cbin AS (
+  SELECT cx.j,
+         CASE WHEN (b.hi - b.lo) / 10 > 0 THEN
+           LEAST(GREATEST(CAST(FLOOR((cx.x - b.lo) / ((b.hi - b.lo) / 10))
+                               AS BIGINT), 0), 9)
+         ELSE 0 END bin
+  FROM cx JOIN b ON cx.j = b.j),
+rc AS (SELECT j, bin, COUNT(*) ref_cnt FROM rbin GROUP BY 1, 2),
+cc AS (SELECT j, bin, COUNT(*) cur_cnt FROM cbin GROUP BY 1, 2),
+cells AS (
+  SELECT COALESCE(rc.j, cc.j) j, COALESCE(rc.bin, cc.bin) bin,
+         COALESCE(ref_cnt, 0) ref_cnt, COALESCE(cur_cnt, 0) cur_cnt
+  FROM rc FULL JOIN cc ON rc.j = cc.j AND rc.bin = cc.bin),
+tot AS (
+  SELECT j, SUM(ref_cnt) ref_n, SUM(cur_cnt) cur_n, COUNT(*) observed
+  FROM cells GROUP BY 1),
+terms AS (
+  SELECT c.j,
+         ((c.ref_cnt + 0.5) / (t.ref_n + 5.0)
+          - (c.cur_cnt + 0.5) / (t.cur_n + 5.0))
+         * LN(((c.ref_cnt + 0.5) / (t.ref_n + 5.0))
+              / ((c.cur_cnt + 0.5) / (t.cur_n + 5.0))) term
+  FROM cells c JOIN tot t ON c.j = t.j),
+psum AS (SELECT j, SUM(term) s FROM terms GROUP BY 1)
+SELECT t.j, CAST(t.ref_n AS BIGINT) ref_n, CAST(t.cur_n AS BIGINT) cur_n,
+       ROUND(p.s + (10 - t.observed)
+             * ((0.5 / (t.ref_n + 5.0) - 0.5 / (t.cur_n + 5.0))
+                * LN((0.5 / (t.ref_n + 5.0)) / (0.5 / (t.cur_n + 5.0)))),
+             6) psi
+FROM tot t JOIN psum p ON t.j = p.j ORDER BY t.j
 """
 
 
@@ -9837,9 +10062,13 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q_cluster_sample": QuerySpec(q_cluster_sample, ORACLE_CLUSTER_SAMPLE),
     "q_ann_mmr": QuerySpec(q_ann_mmr, ORACLE_ANN_MMR),
+    "q_ann_ivfpq_mmr": QuerySpec(q_ann_ivfpq_mmr, ORACLE_ANN_IVFPQ_MMR),
     "q_ann_rrf": QuerySpec(q_ann_rrf, ORACLE_ANN_RRF),
     "q_hard_negatives": QuerySpec(q_hard_negatives, ORACLE_HARD_NEGATIVES),
     "q_embedding_drift": QuerySpec(q_embedding_drift, ORACLE_EMBEDDING_DRIFT),
+    "q_embedding_drift_psi": QuerySpec(
+        q_embedding_drift_psi, ORACLE_EMBEDDING_DRIFT_PSI
+    ),
     "q_snapshot_diff": QuerySpec(q_snapshot_diff, ORACLE_SNAPSHOT_DIFF),
     "q_embedding_near_dup": QuerySpec(
         q_embedding_near_dup,
@@ -9960,63 +10189,16 @@ QUERIES: dict[str, QuerySpec] = {
 # no registered query is staler than r10.  Tail = the r10 cohort,
 # then the 50 rows last gated r11 (freshest last).
 _DRIVER_ORDER = [
-    # --- NEW this round (r12), in-window five ---
+    # --- r13 window head: NEW this round (composed ANN->MMR, PSI drift)
+    "q_ann_ivfpq_mmr",
+    "q_embedding_drift_psi",
+    # --- widened to the full compact/re-ingest lifecycle this round ---
     "q_ann_ivfpq_incremental",
-    "q_st6_stream_fullouter_join",
-    "q_ann_mmr",
-    "q_ann_rrf",
-    "q_hard_negatives",
-    # --- last driver-checked r09 (all 45) ---
-    "q_text_normalize",
-    "q_url_normalize",
-    "q_web_extract",
-    "q_bpe_train",
-    "q_webdataset",
-    "q_quality_regression",
-    "q_media_qoi_pnm",
-    "q_media_mpeg",
-    "q_media_imagetags",
-    "q_media_audiotags",
-    "q_media_probe",
-    "q_media_imagehash",
-    "q_media_audiohash",
-    "q_media_videohash",
-    "q_media_stillimage",
-    "q_media_hierarchical",
-    "q_grid_federated",
-    "q_grid_sidecar",
-    "q_atomic_stats",
-    "q_mesh_quality",
-    "q_media_avi_frames",
-    "q_media_adpcm",
-    "q_media_lossless",
-    "q_media_flac",
-    "q_media_g711",
-    "q_w1_row_number",
-    "q_t1_topk",
-    "q_a6_rollup",
-    "q_minhash_near_dup",
-    "q_media_wav_features",
-    "q_vtk_domain",
-    "q_text_bigram_lm",
-    "q_media_png_resize",
-    "q_media_jpeg_resize",
-    "q_hdf5_roundtrip",
-    "q_vtk_scan",
-    "q_vti_scan",
-    "q_stream_bloom",
-    "q_media_frames",
-    "q_sketch_quantiles",
-    "q_text_chunks",
-    "q_mix_weights",
-    "q_sample_stratified",
-    "q_a1_moment_stats",
-    "q_a2_elementwise_stats",
-    # --- the 3 deferred r12 gates: head of the r13 window ---
+    # --- the 3 r12-deferred gates ---
     "q_cluster_sample",
     "q_embedding_drift",
     "q_snapshot_diff",
-    # --- r10 cohort (stages the rest of the r13 window) ---
+    # --- r10 cohort, 44 of 50 (fills the 50-row r13 window) ---
     "q_bpe_train_hist",
     "q_media_mp4_mkv",
     "q_semantic_incremental",
@@ -10061,13 +10243,14 @@ _DRIVER_ORDER = [
     "q_d3plot_scan",
     "q_aselmdb_scan",
     "q_zarr_roundtrip",
+    # --- r14 staging: the 6 r10 leftovers head the next window ---
     "q_netcdf3_roundtrip",
     "q_openradioss_scan",
     "q_dataset_layout",
     "q_warc_scan",
     "q_text_span_dedup_xx",
     "q_sketch_bloom",
-    # --- r11-green cohort (freshest last) ---
+    # --- r11-green cohort ---
     "q_media_fmp4",
     "q_ann_sq8_topk",
     "q_ann_pq_topk",
@@ -10118,6 +10301,56 @@ _DRIVER_ORDER = [
     "q_corpus_card",
     "q_media_subtitles",
     "q_robots_filter",
+    # --- r12-checked cohort (freshest last) ---
+    "q_st6_stream_fullouter_join",
+    "q_ann_mmr",
+    "q_ann_rrf",
+    "q_hard_negatives",
+    "q_text_normalize",
+    "q_url_normalize",
+    "q_web_extract",
+    "q_bpe_train",
+    "q_webdataset",
+    "q_quality_regression",
+    "q_media_qoi_pnm",
+    "q_media_mpeg",
+    "q_media_imagetags",
+    "q_media_audiotags",
+    "q_media_probe",
+    "q_media_imagehash",
+    "q_media_audiohash",
+    "q_media_videohash",
+    "q_media_stillimage",
+    "q_media_hierarchical",
+    "q_grid_federated",
+    "q_grid_sidecar",
+    "q_atomic_stats",
+    "q_mesh_quality",
+    "q_media_avi_frames",
+    "q_media_adpcm",
+    "q_media_lossless",
+    "q_media_flac",
+    "q_media_g711",
+    "q_w1_row_number",
+    "q_t1_topk",
+    "q_a6_rollup",
+    "q_minhash_near_dup",
+    "q_media_wav_features",
+    "q_vtk_domain",
+    "q_text_bigram_lm",
+    "q_media_png_resize",
+    "q_media_jpeg_resize",
+    "q_hdf5_roundtrip",
+    "q_vtk_scan",
+    "q_vti_scan",
+    "q_stream_bloom",
+    "q_media_frames",
+    "q_sketch_quantiles",
+    "q_text_chunks",
+    "q_mix_weights",
+    "q_sample_stratified",
+    "q_a1_moment_stats",
+    "q_a2_elementwise_stats",
 ]
 
 

@@ -770,12 +770,23 @@ def test_compact_ivfpq_index(spark, tmp_path, sf_correctness_dir):
     before = probe()
     n_before = spark.read.parquet(store).count()
     mllib_ann.compact_ivfpq_index(spark, store)
-    assert spark.read.parquet(store).count() == n_before
+    data_dir = mllib_ann._resolve_data_dir(store)
+    assert data_dir == os.path.join(store, "v00001")  # pointer flipped
+    assert spark.read.parquet(data_dir).count() == n_before
     assert probe() == before
     batches = [
-        d for d in os.listdir(store) if d.startswith("_batch=")
+        d for d in os.listdir(data_dir) if d.startswith("_batch=")
     ]
     assert batches == ["_batch=compacted"]
+    # the superseded flat-layout partitions were swept from the root
+    assert not [d for d in os.listdir(store) if d.startswith("_batch=")]
+    # compacting again rolls the generation and stays correct
+    mllib_ann.compact_ivfpq_index(spark, store)
+    assert mllib_ann._resolve_data_dir(store) == os.path.join(
+        store, "v00002"
+    )
+    assert not os.path.exists(os.path.join(store, "v00001"))
+    assert probe() == before
 
 
 def test_rrf_fuse_semantics(spark):
@@ -888,9 +899,14 @@ def test_ivfpq_index_conflicting_reingest_latest_batch_wins(
 def test_compact_ivfpq_index_crash_recovery_and_guards(
     spark, tmp_path, sf_correctness_dir
 ):
-    """A crash between the two swap renames (store at ._old, nothing
-    at store) is healed by the next compact call; scheme'd paths are
-    rejected up front."""
+    """Pointer-protocol crash points: (a) a new generation written but
+    the pointer NOT flipped -> readers stay on the old generation and
+    the next compact overwrites the garbage; (b) pointer flipped but
+    the old generation not swept -> readers serve the new one and the
+    next compact sweeps; (c) a legacy pre-pointer crash (store at
+    ._old, nothing at store) is still healed; (d) non-file schemes
+    raise with the object-store porting note; (e) a corrupt pointer
+    raises instead of probing garbage."""
     import os
 
     import pytest as _pytest
@@ -902,16 +918,179 @@ def test_compact_ivfpq_index_crash_recovery_and_guards(
     )
     centers = mllib_ann.md5_sample_centroids(emb, k=4)
     cbs = mllib_ann.pq_train(emb, m=8, ks=16, dim=64)
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
     store = str(tmp_path / "crashy")
     mllib_ann.write_ivfpq_index(emb, centers, cbs, store)
     n = spark.read.parquet(store).count()
-    # simulate the crash window: first rename done, second never ran
+
+    def probe():
+        return sorted(
+            (r["query_id"], r["vec_id"], r["rank"], round(r["cosine"], 9))
+            for r in mllib_ann.ivfpq_index_topk(
+                spark, qs, centers, store, k=5, n_probe=2, codebooks=cbs
+            ).collect()
+        )
+
+    healthy = probe()
+    # legacy crash window of the old two-rename swap: healed first
     os.rename(store, store + "._old")
     mllib_ann.compact_ivfpq_index(spark, store)
-    assert spark.read.parquet(store).count() == n
     assert not os.path.exists(store + "._old")
-    with _pytest.raises(ValueError, match="local paths only"):
+    data1 = mllib_ann._resolve_data_dir(store)
+    assert spark.read.parquet(data1).count() == n
+    assert probe() == healthy
+
+    # crash BEFORE the flip: a garbage v00002 exists, pointer says
+    # v00001 -> readers untouched, next compact rewrites v00002
+    os.makedirs(os.path.join(store, "v00002", "_batch=junk"))
+    assert mllib_ann._resolve_data_dir(store) == data1
+    assert probe() == healthy
+    mllib_ann.compact_ivfpq_index(spark, store)
+    assert mllib_ann._resolve_data_dir(store).endswith("v00002")
+    assert probe() == healthy
+
+    # crash AFTER the flip: stale old generation left behind -> the
+    # pointer already serves the new one; compact sweeps the stale dir
+    assert not os.path.exists(os.path.join(store, "v00001"))
+    os.makedirs(os.path.join(store, "v00001"))  # re-create stale husk
+    # (resolution ignores it; only the pointer decides)
+    assert mllib_ann._resolve_data_dir(store).endswith("v00002")
+
+    with _pytest.raises(NotImplementedError, match="object-store"):
         mllib_ann.compact_ivfpq_index(spark, "s3a://bucket/idx")
+    # file:// URIs are local and must work end-to-end; the sweep also
+    # clears the stale husk an earlier post-flip crash left behind
+    mllib_ann.compact_ivfpq_index(spark, "file://" + store)
+    assert mllib_ann._resolve_data_dir(store).endswith("v00003")
+    assert not os.path.exists(os.path.join(store, "v00001"))
+    assert probe() == healthy
+
+    with open(os.path.join(store, "_CURRENT"), "w") as fh:
+        fh.write("not-a-generation")
+    with _pytest.raises(ValueError, match="corrupt generation pointer"):
+        mllib_ann._resolve_data_dir(store)
+
+
+def test_ivfpq_lifecycle_compact_then_reingest_equals_rebuild(
+    spark, tmp_path, sf_correctness_dir
+):
+    """The composed lifecycle the r12 audit found broken: seed ->
+    append (WRONG vectors) -> compact -> conflicting re-ingest with
+    the CORRECT vectors.  The probe must serve the post-compaction
+    re-ingest (latest _gen wins; the lexical-'_batch' rule inverted
+    here because 'compacted' > any ISO date), and the whole store must
+    equal a clean single-write rebuild."""
+    emb = (
+        load_table(spark, sf_correctness_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .limit(100)
+    )
+    wrong = emb.select(
+        "vec_id",
+        F.concat(
+            F.slice("embedding", 2, 63), F.slice("embedding", 1, 1)
+        ).alias("embedding"),
+    )
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    centers = mllib_ann.md5_sample_centroids(emb, k=4)
+    cbs = mllib_ann.pq_train(emb, m=8, ks=16, dim=64)
+    evens = emb.filter(F.col("vec_id") % 2 == 0)
+    odds_wrong = wrong.filter(F.col("vec_id") % 2 == 1)
+    odds_right = emb.filter(F.col("vec_id") % 2 == 1)
+
+    lived = str(tmp_path / "lived")
+    clean = str(tmp_path / "clean")
+    mllib_ann.write_ivfpq_index(evens, centers, cbs, lived)
+    mllib_ann.write_ivfpq_index(
+        odds_wrong, centers, cbs, lived, mode="append", batch_id="2026-01-01"
+    )
+    mllib_ann.compact_ivfpq_index(spark, lived)
+    mllib_ann.write_ivfpq_index(
+        odds_right, centers, cbs, lived, mode="append", batch_id="2026-02-01"
+    )
+    mllib_ann.write_ivfpq_index(emb, centers, cbs, clean)
+
+    def rows(store):
+        return sorted(
+            (r["query_id"], r["vec_id"], r["rank"], round(r["cosine"], 9))
+            for r in mllib_ann.ivfpq_index_topk(
+                spark, qs, centers, store, k=8, n_probe=4, codebooks=cbs
+            ).collect()
+        )
+
+    assert rows(lived) == rows(clean)
+    # and compacting the lived store AGAIN (conflicts resolved with
+    # latest-_gen-wins BEFORE generations collapse) changes nothing
+    mllib_ann.compact_ivfpq_index(spark, lived)
+    assert rows(lived) == rows(clean)
+    # post-dedup the compacted generation holds exactly one row per id
+    data = spark.read.parquet(mllib_ann._resolve_data_dir(lived))
+    assert data.count() == emb.count()
+
+
+def test_ivfpq_moved_cell_reingest_same_batch(
+    spark, tmp_path, sf_correctness_dir
+):
+    """Idempotent same-batch re-ingest where a vector's CELL moved:
+    dynamic overwrite can't clear the old-cell row (its partition gets
+    no new data), so the stale row survives physically — but it loses
+    to the re-ingest's higher _gen at probe time, and compaction
+    drops it.  Also: batch-name validation rejects the reserved and
+    unsafe names."""
+    import pytest as _pytest
+
+    emb = (
+        load_table(spark, sf_correctness_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .limit(80)
+    )
+    moved = emb.select(
+        "vec_id",
+        F.concat(
+            F.slice("embedding", 33, 32), F.slice("embedding", 1, 32)
+        ).alias("embedding"),
+    )
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    centers = mllib_ann.md5_sample_centroids(emb, k=4)
+    cbs = mllib_ann.pq_train(emb, m=8, ks=16, dim=64)
+    lived = str(tmp_path / "moved")
+    clean = str(tmp_path / "movedclean")
+    mllib_ann.write_ivfpq_index(emb, centers, cbs, lived,
+                                mode="append", batch_id="b1")
+    # the corrected re-run of the SAME batch: halves swapped -> many
+    # vectors change cell, leaving stale rows in unrewritten partitions
+    mllib_ann.write_ivfpq_index(moved, centers, cbs, lived,
+                                mode="append", batch_id="b1")
+    mllib_ann.write_ivfpq_index(moved, centers, cbs, clean)
+
+    def rows(store):
+        return sorted(
+            (r["query_id"], r["vec_id"], r["rank"], round(r["cosine"], 9))
+            for r in mllib_ann.ivfpq_index_topk(
+                spark, qs, centers, store, k=8, n_probe=4, codebooks=cbs
+            ).collect()
+        )
+
+    assert rows(lived) == rows(clean)
+    mllib_ann.compact_ivfpq_index(spark, lived)
+    assert rows(lived) == rows(clean)
+    data = spark.read.parquet(mllib_ann._resolve_data_dir(lived))
+    assert data.count() == emb.count()
+
+    with _pytest.raises(ValueError, match="reserved"):
+        mllib_ann.write_ivfpq_index(
+            emb, centers, cbs, lived, mode="append", batch_id="compacted"
+        )
+    with _pytest.raises(ValueError, match="invalid batch_id"):
+        mllib_ann.write_ivfpq_index(
+            emb, centers, cbs, lived, mode="append", batch_id="a/b"
+        )
 
 
 def test_mmr_rerank_string_ids_and_nulls(spark):
@@ -997,6 +1176,57 @@ def test_embedding_drift_signals(spark, sf_correctness_dir):
         assert abs(r["mean_shift"] - expect) < 1e-6
 
 
+def test_embedding_drift_psi_sees_what_moments_miss(spark):
+    """The reason the PSI signal exists: a current snapshot whose
+    per-dimension mean AND std equal the reference's but whose
+    DISTRIBUTION is different (uniform on [-1,1] vs the two-point
+    {-1,+1} mass with identical mean 0 and std 1) must light up PSI
+    while the moment monitor reads clean.  Self-drift is ~0, empty
+    bins stay finite (alpha smoothing), and bins<2 raises."""
+    import pytest as _pytest
+
+    from physicsnemo_curator_spark.operators import similarity
+
+    n = 400
+    # reference: the two-point mass {-1, +1} at 50/50 — mean 0, std 1
+    ref = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            F.when(F.col("id") % 2 == 0, -1.0).otherwise(1.0), F.lit(0.0)
+        ).alias("embedding"),
+    )
+    # current: {+sqrt2: 1/4, -sqrt2: 1/4, 0: 1/2} — SAME mean 0 and
+    # std 1, completely different histogram
+    s2 = 2.0 ** 0.5
+    cur = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            F.when(F.col("id") % 4 == 0, s2)
+            .when(F.col("id") % 4 == 1, -s2)
+            .otherwise(0.0),
+            F.lit(0.0),
+        ).alias("embedding"),
+    )
+    moments = {
+        r["j"]: r for r in similarity.embedding_drift(ref, cur).collect()
+    }
+    assert moments[0]["mean_shift"] < 1e-9  # moments read clean...
+    assert abs(moments[0]["std_ratio"] - 1.0) < 1e-9
+    psi = {
+        r["j"]: r
+        for r in similarity.embedding_drift_psi(
+            ref, cur, bins=10, alpha=0.5
+        ).collect()
+    }
+    assert psi[0]["psi"] > 1.0  # ...but the histogram shift is glaring
+    assert psi[0]["ref_n"] == n and psi[0]["cur_n"] == n
+    assert abs(psi[1]["psi"]) < 1e-9  # the constant dim is quiet
+    self_psi = similarity.embedding_drift_psi(ref, ref).collect()
+    assert all(abs(r["psi"]) < 1e-12 for r in self_psi)
+    with _pytest.raises(ValueError, match="bins must be"):
+        similarity.embedding_drift_psi(ref, cur, bins=1)
+
+
 def test_quantizer_sidecar_roundtrip(spark, tmp_path, sf_correctness_dir):
     """save/load_quantizers round-trips exactly, survives compaction,
     and a store without a sidecar fails with the fix spelled out."""
@@ -1053,3 +1283,14 @@ def test_quantizer_sidecar_survives_overwrite(spark, tmp_path, sf_correctness_di
     mllib_ann.write_ivfpq_index(emb, centers, cbs, store)  # rewrite
     c2, cb2 = mllib_ann.load_quantizers(store)
     assert c2 == centers and cb2 == cbs
+    # a rewrite whose Spark job DIES mid-write (here: wrong-dim
+    # vectors crash the encode UDF after the static overwrite already
+    # deleted the store path) must still restore the sidecar — the
+    # codes are unreadable without it
+    import pytest as _pytest
+
+    bad = emb.select("vec_id", F.slice("embedding", 1, 7).alias("embedding"))
+    with _pytest.raises(Exception):
+        mllib_ann.write_ivfpq_index(bad, centers, cbs, store)
+    c3, cb3 = mllib_ann.load_quantizers(store)
+    assert c3 == centers and cb3 == cbs

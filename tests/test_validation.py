@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from physicsnemo_curator_spark.operators import validation as V
 
@@ -172,3 +173,80 @@ def test_snapshot_diff_schema_and_null_edges(spark):
         ).collect()
     }
     assert keys_only == {1: "unchanged", 2: "removed"}
+
+
+def test_snapshot_diff_duplicate_key_raises(spark):
+    """The unique-key precondition is enforced, not advisory: a
+    duplicated key on either side raises at execution time with the
+    side and key named, instead of silently fanning the full-outer
+    join out m x n with mixed statuses."""
+    import pytest
+
+    from physicsnemo_curator_spark.operators.validation import snapshot_diff
+
+    clean = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id long, text string"
+    )
+    duped = spark.createDataFrame(
+        [(1, "a"), (1, "a2"), (2, "b")], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="duplicate 'doc_id' in the old"):
+        snapshot_diff(duped, clean).collect()
+    with pytest.raises(Exception, match="duplicate 'doc_id' in the new"):
+        snapshot_diff(clean, duped).collect()
+    # identical-content duplicates are still duplicates (a key that
+    # repeats is not a key)
+    duped_same = spark.createDataFrame(
+        [(1, "a"), (1, "a")], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="duplicate 'doc_id'"):
+        snapshot_diff(duped_same, clean).collect()
+
+
+def test_snapshot_diff_bucketed_exchange_free(spark, tmp_path):
+    """The 100 TB claim in the docstring, plan-asserted: with both
+    snapshots bucketed on the key, the whole diff (per-side per-key
+    aggregates AND the full-outer join) runs on the bucketed scan's
+    partitioning — a SortMergeJoin with ZERO Exchange operators in the
+    executed plan."""
+    from physicsnemo_curator_spark.operators.validation import snapshot_diff
+
+    old = spark.range(0, 500).selectExpr(
+        "id AS doc_id", "CAST(id % 97 AS STRING) AS text"
+    )
+    new = spark.range(3, 503).selectExpr(
+        "id AS doc_id",
+        "CAST(CASE WHEN id % 5 = 0 THEN id ELSE id % 97 END AS STRING)"
+        " AS text",
+    )
+    spark.sql("DROP TABLE IF EXISTS snap_old_b")
+    spark.sql("DROP TABLE IF EXISTS snap_new_b")
+    loc = str(tmp_path / "wh")
+    (
+        old.write.bucketBy(8, "doc_id").sortBy("doc_id")
+        .option("path", loc + "/old").saveAsTable("snap_old_b")
+    )
+    (
+        new.write.bucketBy(8, "doc_id").sortBy("doc_id")
+        .option("path", loc + "/new").saveAsTable("snap_new_b")
+    )
+    try:
+        out = snapshot_diff(
+            spark.table("snap_old_b"), spark.table("snap_new_b"),
+            key_col="doc_id",
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        counts = {
+            r["status"]: r["n"]
+            for r in out.groupBy("status").agg(
+                F.count("*").alias("n")
+            ).collect()
+        }
+        assert counts["added"] == 3 and counts["removed"] == 3
+        assert counts.get("changed", 0) > 0
+        assert sum(counts.values()) == 503
+    finally:
+        spark.sql("DROP TABLE IF EXISTS snap_old_b")
+        spark.sql("DROP TABLE IF EXISTS snap_new_b")

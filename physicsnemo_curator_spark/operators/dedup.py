@@ -634,7 +634,14 @@ def write_minhash_store(
     so RE-RUNNING a batch replaces its own rows instead of
     double-appending (idempotent ingestion).  Band rows are
     repartitioned on (band, bucket) so each bucket's rows co-locate —
-    the probe join touches only matching buckets' row groups."""
+    the probe join touches only matching buckets' row groups.
+
+    Conflict contract: re-ingest a doc under its OWN batch_id only
+    (idempotent replace).  A changed doc re-ingested under a NEW
+    batch_id leaves both signature versions live; a store that must
+    serve latest-write-wins under conflicting re-ingests needs the
+    ``_gen``/tombstone discipline of
+    ``mllib_ann.write_ivfpq_index``."""
     sh = shingle_table(docs, text_col, id_col, shingle_k, unit="word")
     sigs = minhash_signatures(sh, num_hashes, seed, hash_fn=hash_fn)
     tag = F.lit(batch_id)

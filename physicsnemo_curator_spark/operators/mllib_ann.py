@@ -515,27 +515,37 @@ _POINTER_FILE = "_CURRENT"
 _GEN_DIR_RE = r"v\d{5}"
 
 
-def _local_store_path(store: str) -> str:
-    """Resolve a store location to a local filesystem path for the
-    pointer/sidecar metadata I/O (the parquet data itself goes through
-    Spark, which accepts either form).  ``file://``-schemed URIs are
-    local; any OTHER scheme needs that store's client for the same
-    three tiny operations (read pointer, atomic-put pointer, list/
-    delete a prefix) — the PROTOCOL is scheme-agnostic, the sandbox
-    has no object-store client, so reject loudly instead of failing
-    inside a Spark job."""
+def _try_local_store_path(store: str) -> str | None:
+    """The local filesystem path behind a store location, or None for
+    a non-file scheme (``s3a://``, ``hdfs://``, …).  The parquet data
+    always goes through Spark, which accepts any Hadoop-FS URI; only
+    the METADATA I/O is filesystem-specific — and each caller degrades
+    differently on None (no pointer layout, no local sidecar stash),
+    so the decision belongs to them, not here."""
     if store.startswith("file://"):
         return store[len("file://"):]
     if "://" in store:
+        return None
+    return store
+
+
+def _local_store_path(store: str) -> str:
+    """Like :func:`_try_local_store_path` but for operations that have
+    NO degraded mode (compaction's pointer flip and generation sweep):
+    a non-file scheme raises with the three client operations an
+    object-store port needs — the PROTOCOL is scheme-agnostic, the
+    sandbox has no object-store client."""
+    local = _try_local_store_path(store)
+    if local is None:
         raise NotImplementedError(
-            f"store metadata I/O (generation pointer, quantizer "
-            f"sidecar) is implemented for local paths and file:// "
+            f"store metadata I/O (generation pointer, generation "
+            f"sweep) is implemented for local paths and file:// "
             f"URIs, got {store!r}; an object-store deployment plugs "
             "its client into the same three operations — read "
             f"{_POINTER_FILE}, atomically put {_POINTER_FILE}, "
             "list/delete a generation prefix"
         )
-    return store
+    return local
 
 
 def _read_generation_pointer(root: str) -> str | None:
@@ -569,8 +579,13 @@ def _flip_generation_pointer(root: str, name: str) -> None:
 
 def _resolve_data_dir(store: str) -> str:
     """Where the store's live parquet data is: ``<store>/<pointer>``
-    once compacted, the store root before (flat legacy layout)."""
-    root = _local_store_path(store)
+    once compacted, the store root before (flat layout).  A scheme'd
+    store is always flat — only local compaction creates the pointer
+    layout — so it resolves to itself, keeping append/probe fully
+    functional on object stores."""
+    root = _try_local_store_path(store)
+    if root is None:
+        return store
     cur = _read_generation_pointer(root)
     return os.path.join(root, cur) if cur else root
 
@@ -584,11 +599,19 @@ def _next_gen(spark, data_dir: str) -> int:
     inverted after compaction (``'compacted' > '2026-…'``).  Reading
     max() is a parquet-stats scan over file footers; compaction keeps
     the file count bounded, so this stays cheap at store scale."""
-    if not os.path.exists(data_dir):
+    from pyspark.errors import AnalysisException
+
+    local = _try_local_store_path(data_dir)
+    if local is not None and not os.path.exists(local):
         return 0
     try:
         df = spark.read.parquet(data_dir)
-    except Exception:
+    except AnalysisException:
+        # a new/empty store path (nothing to infer a schema from) —
+        # the first generation.  Anything else (corrupt footer, IO,
+        # permissions) PROPAGATES: silently treating it as gen 0
+        # would tie the seed generation and skip the tombstone write,
+        # serving stale codes with no error anywhere.
         return 0
     if "_gen" not in df.columns:
         raise ValueError(
@@ -600,23 +623,33 @@ def _next_gen(spark, data_dir: str) -> int:
     return (row[0] if row[0] is not None else -1) + 1
 
 
-def _read_tombstones(spark, root: str):
-    """The store's conflict tombstones — ``(vec_id, dead_below)`` rows
-    meaning "every row of vec_id with ``_gen < dead_below`` is
-    superseded" — aggregated to one max per vec_id, or None when the
-    store has none.  Tombstones exist because the probe PRUNES to the
-    probed cell partitions: a re-ingested vector whose cell assignment
-    moved can leave its stale row in a probed cell while the winning
-    row lives in an UNPROBED one, so no amount of among-candidates
-    dedup can see the winner.  The tombstone set is the write-time
-    conflict list (normally tiny — compaction clears it), broadcast
-    into the probe as a filter."""
-    path = os.path.join(root, "_tombstones")
-    if not os.path.exists(path):
+def _read_tombstones(spark, data_dir: str):
+    """A generation's conflict tombstones — ``(vec_id, dead_below)``
+    rows meaning "every row of vec_id with ``_gen < dead_below`` is
+    superseded" — aggregated to one max per vec_id, or None when there
+    are none.  Tombstones exist because the probe PRUNES to the probed
+    cell partitions: a re-ingested vector whose cell assignment moved
+    can leave its stale row in a probed cell while the winning row
+    lives in an UNPROBED one, so no amount of among-candidates dedup
+    can see the winner.  The set is the write-time conflict list
+    (normally tiny — compaction resolves it away), joined into the
+    probe as a filter.  It lives INSIDE the data generation directory
+    (``<data_dir>/_tombstones`` — Spark's parquet listing ignores
+    ``_``-prefixed entries), so its lifetime is exactly its
+    generation's: the compaction grace window protects it for
+    in-flight readers, and a static overwrite resets it for free."""
+    from pyspark.errors import AnalysisException
+
+    path = os.path.join(data_dir, "_tombstones")
+    local = _try_local_store_path(path)
+    if local is not None and not os.path.exists(local):
         return None
     try:
         t = spark.read.parquet(path)
-    except Exception:
+    except AnalysisException:
+        # no tombstones ever written (missing/empty path); real IO or
+        # corruption errors propagate — ignoring them would serve
+        # superseded rows silently
         return None
     return t.groupBy("vec_id").agg(F.max("dead_below").alias("dead_below"))
 
@@ -627,11 +660,15 @@ def _apply_tombstones(index: DataFrame, tombs: DataFrame | None) -> DataFrame:
     tombstone carries ``_gen == dead_below`` and survives the strict
     ``<`` by construction, so stale (already-applied) tombstones are
     harmless — which is what makes writing them after the data write
-    and clearing them after the compaction flip crash-safe."""
+    and clearing them after the compaction flip crash-safe.  The join
+    strategy is left to Spark/AQE on purpose: the conflict set is
+    normally tiny (auto-broadcast), but a full-corpus re-ingest under
+    a new batch_id legitimately makes it corpus-sized until the next
+    compaction, where a FORCED broadcast would OOM the driver."""
     if tombs is None:
         return index
     return (
-        index.join(F.broadcast(tombs), "vec_id", "left")
+        index.join(tombs, "vec_id", "left")
         .filter(
             F.col("dead_below").isNull()
             | (F.col("_gen") >= F.col("dead_below"))
@@ -712,7 +749,11 @@ def write_ivfpq_index(
             "'overwrite' or 'append'"
         )
     _validate_batch_id(batch_id)
-    root = _local_store_path(store)
+    # a scheme'd (object-store) location degrades gracefully: data and
+    # tombstones go through Spark's Hadoop FS as-is, the layout stays
+    # flat (only local compaction creates the pointer layout), and the
+    # local-only sidecar stash is skipped exactly as before
+    root = _try_local_store_path(store)
     data_dir = _resolve_data_dir(store)
     gen = _next_gen(corpus.sparkSession, data_dir) if mode == "append" else 0
     cell_meta = _ivf_meta_udf(centers, 1)
@@ -732,9 +773,14 @@ def write_ivfpq_index(
     # quantizers the codes are unreadable without.  (Once compacted,
     # data lives under <store>/vNNNNN and the root sidecar is never
     # in the overwrite's blast radius.)
-    sidecar = os.path.join(root, "_quantizers.json")
+    sidecar = os.path.join(root, "_quantizers.json") if root else None
     stash = None
-    if mode == "overwrite" and data_dir == root and os.path.exists(sidecar):
+    if (
+        mode == "overwrite"
+        and sidecar is not None
+        and data_dir == root
+        and os.path.exists(sidecar)
+    ):
         import shutil
         import tempfile
 
@@ -759,18 +805,12 @@ def write_ivfpq_index(
             if not os.path.exists(sidecar):
                 shutil.copy2(stash, sidecar)
             os.unlink(stash)
-    tomb_dir = os.path.join(root, "_tombstones")
-    if mode == "overwrite":
-        # a full rebuild starts the _gen sequence over at 0 — a stale
-        # tombstone (dead_below from the previous life) would kill the
-        # fresh rows, so the tombstone set must not survive it.  (On
-        # the flat layout the static overwrite already deleted it;
-        # once pointered, data lives in a subdir and this root-level
-        # sweep is the part that matters.)
-        import shutil
-
-        shutil.rmtree(tomb_dir, ignore_errors=True)
-    elif gen > 0:
+    # tombstones live inside the data generation dir, so an overwrite
+    # (whose static mode just deleted data_dir wholesale) resets them
+    # for free — a stale dead_below from the previous life would kill
+    # the fresh _gen=0 rows otherwise
+    tomb_dir = os.path.join(data_dir, "_tombstones")
+    if mode == "append" and gen > 0:
         spark = corpus.sparkSession
         incoming = corpus.filter(F.col(vec_col).isNotNull()).select(
             F.col(id_col).alias("vec_id")
@@ -839,7 +879,6 @@ def ivfpq_index_topk(
         F.col(query_id_col).alias("query_id"),
         F.explode(probe_meta(F.col(vec_col))["cells"]).alias("cell"),
     )
-    root = _local_store_path(store)
     data_dir = _resolve_data_dir(store)
     raw = spark.read.parquet(data_dir)
     if "_gen" not in raw.columns:
@@ -853,7 +892,7 @@ def ivfpq_index_topk(
             "vec_id", "cell", "codes",
             F.col("_gen").cast("long").alias("_gen"),
         ),
-        _read_tombstones(spark, root),
+        _read_tombstones(spark, data_dir),
     )
     wdup = Window.partitionBy("query_id", "vec_id").orderBy(
         F.desc("_gen")
@@ -938,9 +977,12 @@ def save_quantizers(
     docstrings tell callers to keep "next to the store", now a
     function.  Written atomically (temp file + rename) so a crashed
     write can't leave a truncated sidecar that parses as garbage.
-    The quantizers are O(k·dim + m·ks·dim/m) floats — kilobytes."""
+    The quantizers are O(k·dim + m·ks·dim/m) floats — kilobytes.
+    Accepts plain local paths and ``file://`` URIs like the rest of
+    the store API; other schemes need the store's client (raises)."""
     import json
 
+    store = _local_store_path(store)
     os.makedirs(store, exist_ok=True)
     path = os.path.join(store, "_quantizers.json")
     tmp = path + f".tmp-{os.getpid()}"
@@ -957,7 +999,7 @@ def load_quantizers(
     written without one."""
     import json
 
-    path = os.path.join(store, "_quantizers.json")
+    path = os.path.join(_local_store_path(store), "_quantizers.json")
     try:
         with open(path) as fh:
             d = json.load(fh)
@@ -991,12 +1033,16 @@ def compact_ivfpq_index(spark, store: str) -> None:
     Physically this is the generation-prefix + pointer-flip protocol
     (object-store-compatible; no directory renames): write the merged
     data to a NEW prefix ``<store>/vNNNNN``, then atomically flip the
-    ``_CURRENT`` pointer file — the single commit point — and delete
-    the previous generation's data.  Readers
+    ``_CURRENT`` pointer file — the single commit point.  Readers
     (:func:`ivfpq_index_topk`, appends) resolve ``_CURRENT`` first, so
     a crash BEFORE the flip leaves them on the old generation (the new
     prefix is garbage the next compact overwrites) and a crash AFTER
-    the flip only leaves stale data that the next compact sweeps.  The
+    the flip only leaves stale data that a later compact sweeps.  The
+    immediately-superseded generation is KEPT as a grace copy for
+    in-flight readers that resolved the pointer pre-flip (deleting it
+    at once would yank files out from under a running probe); it is
+    swept by the NEXT compact, bounding the store at ≤2 generations —
+    the snapshot-retention discipline table formats use.  The
     quantizer sidecar lives at the store ROOT, shared across
     generations — codes are quantizer-independent bytes, compaction
     never touches it.  Works on plain local paths and ``file://``
@@ -1006,10 +1052,15 @@ def compact_ivfpq_index(spark, store: str) -> None:
 
     root = _local_store_path(store)
     legacy_old = root.rstrip("/") + "._old"
-    if not os.path.exists(root) and os.path.exists(legacy_old):
-        # pre-pointer-protocol crash artifact (the old two-rename swap
-        # died between renames): restore, then compact normally
-        os.rename(legacy_old, root)
+    if os.path.exists(legacy_old):
+        if not os.path.exists(root):
+            # pre-pointer-protocol crash artifact (the old two-rename
+            # swap died between renames): restore, compact normally
+            os.rename(legacy_old, root)
+        else:
+            # the old protocol's OTHER crash window (swap complete,
+            # final cleanup never ran): a full stale copy — drop it
+            shutil.rmtree(legacy_old, ignore_errors=True)
     cur = _read_generation_pointer(root)
     data_dir = os.path.join(root, cur) if cur else root
     next_name = f"v{(int(cur[1:]) + 1) if cur else 1:05d}"
@@ -1030,7 +1081,7 @@ def compact_ivfpq_index(spark, store: str) -> None:
                 "vec_id", "cell", "codes",
                 F.col("_gen").cast("long").alias("_gen"),
             ),
-            _read_tombstones(spark, root),
+            _read_tombstones(spark, data_dir),
         )
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
@@ -1044,25 +1095,33 @@ def compact_ivfpq_index(spark, store: str) -> None:
         .parquet(target)
     )
     _flip_generation_pointer(root, next_name)  # the commit point
-    # post-flip sweep of everything superseded: every non-current
-    # generation dir (including husks older crashes left) and, for the
-    # flat legacy layout, the root's _batch=* dirs.  Crash-safe: the
-    # pointer already serves the new generation; a crash mid-sweep
-    # just leaves garbage for the next compact's sweep.
+    # post-flip sweep, with a one-generation GRACE WINDOW for in-flight
+    # readers: a probe that resolved _CURRENT just before the flip is
+    # still scanning the superseded generation, so that one (`cur`, or
+    # the flat root partitions) is KEPT until the NEXT compact; only
+    # generations at least two compactions old — which no reader that
+    # outlived one full compaction cycle can still hold — are deleted.
+    # Crash-safe: the pointer already serves the new generation; a
+    # crash mid-sweep just leaves garbage for the next compact's sweep.
     import re
 
+    keep = {next_name, cur} if cur else {next_name}
     for name in os.listdir(root):
         p = os.path.join(root, name)
-        if re.fullmatch(_GEN_DIR_RE, name) and name != next_name:
+        if re.fullmatch(_GEN_DIR_RE, name) and name not in keep:
             shutil.rmtree(p, ignore_errors=True)
-        elif name.startswith("_batch=") or name == "_tombstones":
-            # tombstones were APPLIED into the new generation; a crash
-            # before this sweep leaves them stale, which is harmless
-            # (the surviving row carries _gen == dead_below and passes
-            # the strict < filter)
-            shutil.rmtree(p, ignore_errors=True)
-        elif name == "_SUCCESS":
-            os.unlink(p)
+        elif cur and (
+            name.startswith("_batch=")
+            or name in ("_SUCCESS", "_tombstones")
+        ):
+            # flat-layout leftovers (data AND its tombstones — applied
+            # into v00001 by the first compact, kept as its grace
+            # copy) are two generations old once a pointer exists —
+            # sweep them now
+            if os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
+            else:
+                os.unlink(p)
 
 
 def train_ivf_sample(
@@ -1330,7 +1389,15 @@ def write_semantic_store(
     partition pruning makes each batch's corpus scan proportional to
     the cells the batch actually touches, not the store.  The centroid
     list must stay fixed across the store's life (persist it next to
-    the store; re-clustering means rebuilding)."""
+    the store; re-clustering means rebuilding).
+
+    Conflict contract (narrower than the IVF-PQ index's): re-ingest a
+    vector under its OWN batch_id (idempotent replace) only.  A
+    re-ingest under a NEW batch_id leaves both versions live — fine
+    for an append-only corpus, wrong for mutable ids; a store that
+    needs latest-write-wins serving under conflicting re-ingests is
+    exactly what :func:`write_ivfpq_index`'s ``_gen``/tombstone
+    discipline provides."""
     cells = _assign_with_norm(corpus, centers, id_col=id_col, vec_col=vec_col)
     out = cells.select(
         F.col("_id").alias(id_col),

@@ -985,15 +985,19 @@ def embedding_drift_psi(
     bin contributes a finite, large term rather than ±inf.  The usual
     reading: <0.1 stable, 0.1–0.25 drifting, >0.25 shifted.
 
-    Plan shape, same one-pass contract as the moment monitor: one
-    dim-sized min/max aggregate over the reference, broadcast into
-    both sides' posexplode → (j, bin) hash aggregates (map-side
-    combined, output ≤ dim·bins rows each), then a (j, bin)-sized
-    full-outer join and a final dim-sized aggregate — both corpora
-    are scanned exactly once and nothing larger than dim·bins rows
-    ever shuffles.  A constant reference dimension (width 0) puts all
-    mass in bin 0 on both sides → PSI 0 unless the current side
-    actually moved.  Output: ``(j, ref_n, cur_n, psi)``."""
+    Plan shape: one dim-sized min/max aggregate over the reference
+    (bin bounds), broadcast into both sides' posexplode → (j, bin)
+    hash aggregates (map-side combined, output ≤ dim·bins rows each),
+    then a (j, bin)-sized full-outer join and a final dim-sized
+    aggregate.  Nothing larger than dim·bins rows ever shuffles; the
+    CURRENT corpus is scanned once, the REFERENCE twice (bounds +
+    histogram — cache/persist the reference, or precompute bounds,
+    when that second scan matters at scale).  A constant reference
+    dimension (width 0) keeps its reference mass in bin 0 and routes
+    moved current values to an edge bin (above → bins−1, below → 1),
+    so even a constant→constant shift registers instead of silently
+    collapsing into the reference's own bin.  Output: ``(j, ref_n,
+    cur_n, psi)``."""
     nb = int(bins)
     if nb < 2:
         raise ValueError(f"bins must be >= 2, got {bins}")
@@ -1010,8 +1014,15 @@ def embedding_drift_psi(
 
     def binned(df: DataFrame, tag: str) -> DataFrame:
         width = (F.col("_hi") - F.col("_lo")) / F.lit(nb)
-        raw = F.when(width > 0, F.floor((F.col("x") - F.col("_lo")) / width)
-                     ).otherwise(F.lit(0))
+        raw = (
+            F.when(width > 0, F.floor((F.col("x") - F.col("_lo")) / width))
+            # width 0 (constant reference dim): the reference sits in
+            # bin 0 by definition, so drifted current values must NOT
+            # land there too — route above/below to distinct bins
+            .when(F.col("x") > F.col("_lo"), F.lit(nb - 1))
+            .when(F.col("x") < F.col("_lo"), F.lit(1))
+            .otherwise(F.lit(0))
+        )
         bin_ = F.least(F.greatest(raw, F.lit(0)), F.lit(nb - 1))
         return (
             exploded(df)

@@ -4145,6 +4145,8 @@ rbin AS (
          CASE WHEN (b.hi - b.lo) / 10 > 0 THEN
            LEAST(GREATEST(CAST(FLOOR((rx.x - b.lo) / ((b.hi - b.lo) / 10))
                                AS BIGINT), 0), 9)
+         WHEN rx.x > b.lo THEN 9
+         WHEN rx.x < b.lo THEN 1
          ELSE 0 END bin
   FROM rx JOIN b ON rx.j = b.j),
 cbin AS (
@@ -4152,6 +4154,8 @@ cbin AS (
          CASE WHEN (b.hi - b.lo) / 10 > 0 THEN
            LEAST(GREATEST(CAST(FLOOR((cx.x - b.lo) / ((b.hi - b.lo) / 10))
                                AS BIGINT), 0), 9)
+         WHEN cx.x > b.lo THEN 9
+         WHEN cx.x < b.lo THEN 1
          ELSE 0 END bin
   FROM cx JOIN b ON cx.j = b.j),
 rc AS (SELECT j, bin, COUNT(*) ref_cnt FROM rbin GROUP BY 1, 2),

@@ -778,14 +778,22 @@ def test_compact_ivfpq_index(spark, tmp_path, sf_correctness_dir):
         d for d in os.listdir(data_dir) if d.startswith("_batch=")
     ]
     assert batches == ["_batch=compacted"]
-    # the superseded flat-layout partitions were swept from the root
-    assert not [d for d in os.listdir(store) if d.startswith("_batch=")]
-    # compacting again rolls the generation and stays correct
+    # the flat-layout partitions survive ONE compact as the in-flight
+    # reader grace copy...
+    assert [d for d in os.listdir(store) if d.startswith("_batch=")]
+    # compacting again rolls the generation, sweeps the two-generation-
+    # old flat leftovers, keeps v00001 as the new grace copy
     mllib_ann.compact_ivfpq_index(spark, store)
     assert mllib_ann._resolve_data_dir(store) == os.path.join(
         store, "v00002"
     )
+    assert not [d for d in os.listdir(store) if d.startswith("_batch=")]
+    assert os.path.exists(os.path.join(store, "v00001"))  # grace copy
+    assert probe() == before
+    # ...and a third compact finally drops v00001 (>= 2 compacts old)
+    mllib_ann.compact_ivfpq_index(spark, store)
     assert not os.path.exists(os.path.join(store, "v00001"))
+    assert os.path.exists(os.path.join(store, "v00002"))  # new grace
     assert probe() == before
 
 
@@ -942,29 +950,33 @@ def test_compact_ivfpq_index_crash_recovery_and_guards(
     assert spark.read.parquet(data1).count() == n
     assert probe() == healthy
 
-    # crash BEFORE the flip: a garbage v00002 exists, pointer says
-    # v00001 -> readers untouched, next compact rewrites v00002
-    os.makedirs(os.path.join(store, "v00002", "_batch=junk"))
-    assert mllib_ann._resolve_data_dir(store) == data1
-    assert probe() == healthy
-    mllib_ann.compact_ivfpq_index(spark, store)
+    # the legacy protocol's OTHER crash window (swap complete, cleanup
+    # never ran): ._old alongside a live store is dropped, not restored
+    os.makedirs(store + "._old")
+    mllib_ann.compact_ivfpq_index(spark, store)  # -> v00002
+    assert not os.path.exists(store + "._old")
     assert mllib_ann._resolve_data_dir(store).endswith("v00002")
     assert probe() == healthy
 
-    # crash AFTER the flip: stale old generation left behind -> the
-    # pointer already serves the new one; compact sweeps the stale dir
-    assert not os.path.exists(os.path.join(store, "v00001"))
-    os.makedirs(os.path.join(store, "v00001"))  # re-create stale husk
-    # (resolution ignores it; only the pointer decides)
+    # crash BEFORE the flip: a garbage v00003 exists, pointer says
+    # v00002 -> readers untouched, next compact rewrites v00003
+    os.makedirs(os.path.join(store, "v00003", "_batch=junk"))
     assert mllib_ann._resolve_data_dir(store).endswith("v00002")
+    assert probe() == healthy
+    mllib_ann.compact_ivfpq_index(spark, store)
+    assert mllib_ann._resolve_data_dir(store).endswith("v00003")
+    assert probe() == healthy
+    # reader grace window: the immediately-superseded generation is
+    # KEPT for in-flight probes; v00001 (two compacts old) is swept
+    assert os.path.exists(os.path.join(store, "v00002"))
+    assert not os.path.exists(os.path.join(store, "v00001"))
 
     with _pytest.raises(NotImplementedError, match="object-store"):
         mllib_ann.compact_ivfpq_index(spark, "s3a://bucket/idx")
-    # file:// URIs are local and must work end-to-end; the sweep also
-    # clears the stale husk an earlier post-flip crash left behind
+    # file:// URIs are local and must work end-to-end
     mllib_ann.compact_ivfpq_index(spark, "file://" + store)
-    assert mllib_ann._resolve_data_dir(store).endswith("v00003")
-    assert not os.path.exists(os.path.join(store, "v00001"))
+    assert mllib_ann._resolve_data_dir(store).endswith("v00004")
+    assert not os.path.exists(os.path.join(store, "v00002"))
     assert probe() == healthy
 
     with open(os.path.join(store, "_CURRENT"), "w") as fh:
@@ -1188,15 +1200,21 @@ def test_embedding_drift_psi_sees_what_moments_miss(spark):
     from physicsnemo_curator_spark.operators import similarity
 
     n = 400
-    # reference: the two-point mass {-1, +1} at 50/50 — mean 0, std 1
+    # dim 0: two-point mass {-1, +1} at 50/50 — mean 0, std 1
+    # dim 1: constant 0.0 on both sides (quiet)
+    # dim 2: constant 0.0 in reference, constant 100.0 in current —
+    #        the width-0 edge the r13 review flagged (old binning sent
+    #        every current value to the reference's own bin 0, PSI 0)
     ref = spark.range(n).select(
         F.col("id").alias("vec_id"),
         F.array(
-            F.when(F.col("id") % 2 == 0, -1.0).otherwise(1.0), F.lit(0.0)
+            F.when(F.col("id") % 2 == 0, -1.0).otherwise(1.0),
+            F.lit(0.0),
+            F.lit(0.0),
         ).alias("embedding"),
     )
-    # current: {+sqrt2: 1/4, -sqrt2: 1/4, 0: 1/2} — SAME mean 0 and
-    # std 1, completely different histogram
+    # dim 0 current: {+sqrt2: 1/4, -sqrt2: 1/4, 0: 1/2} — SAME mean 0
+    # and std 1, completely different histogram
     s2 = 2.0 ** 0.5
     cur = spark.range(n).select(
         F.col("id").alias("vec_id"),
@@ -1205,6 +1223,7 @@ def test_embedding_drift_psi_sees_what_moments_miss(spark):
             .when(F.col("id") % 4 == 1, -s2)
             .otherwise(0.0),
             F.lit(0.0),
+            F.lit(100.0),
         ).alias("embedding"),
     )
     moments = {
@@ -1221,6 +1240,7 @@ def test_embedding_drift_psi_sees_what_moments_miss(spark):
     assert psi[0]["psi"] > 1.0  # ...but the histogram shift is glaring
     assert psi[0]["ref_n"] == n and psi[0]["cur_n"] == n
     assert abs(psi[1]["psi"]) < 1e-9  # the constant dim is quiet
+    assert psi[2]["psi"] > 1.0  # constant -> moved constant flags too
     self_psi = similarity.embedding_drift_psi(ref, ref).collect()
     assert all(abs(r["psi"]) < 1e-12 for r in self_psi)
     with _pytest.raises(ValueError, match="bins must be"):
@@ -1262,6 +1282,12 @@ def test_quantizer_sidecar_roundtrip(spark, tmp_path, sf_correctness_dir):
     # compaction carries the sidecar into the new generation
     mllib_ann.compact_ivfpq_index(spark, store)
     assert mllib_ann.load_quantizers(store)[0] == centers
+    # file:// URIs address the same sidecar as the plain path (the
+    # r13 review found save/load silently writing to a literal
+    # './file:...' directory)
+    assert mllib_ann.load_quantizers("file://" + store)[0] == centers
+    mllib_ann.save_quantizers("file://" + store, centers, cbs)
+    assert mllib_ann.load_quantizers(store)[1] == cbs
     with _pytest.raises(FileNotFoundError, match="save_quantizers"):
         mllib_ann.load_quantizers(str(tmp_path / "no_sidecar"))
 

@@ -3270,12 +3270,14 @@ def q_ann_lsh_topk(
     ).orderBy("query_id", "rank")
 
 
-def _lsh_oracle(n_planes: int = 32, dim: int = 64, bits_per_band: int = 4) -> str:
-    """DuckDB replay of md5-hyperplane LSH top-k: rebuild the plane
-    table from md5 nibbles, sign-project, band, candidate-join, exact
-    cosine re-rank — the same five stages as similarity.lsh_topk."""
-    return f"""
-WITH planes AS (
+def _lsh_prefix_ctes(
+    n_planes: int = 32, dim: int = 64, bits_per_band: int = 4
+) -> str:
+    """Shared md5-hyperplane LSH CTE chain (plane rebuild from md5
+    nibbles → sign-projection → banding → candidate pairs) — ONE
+    construction feeds the LSH oracle and the ANN-fed RRF oracle, so
+    a plane/banding fix cannot desynchronize the gates."""
+    return f"""planes AS (
   SELECT p.i, d.j,
          CAST(CAST(concat('0x', substr(md5(concat('p:', p.i, ':', d.j)), 1, 8)) AS BIGINT) AS DOUBLE)
            / 4294967296.0 - 0.5 AS v
@@ -3289,7 +3291,15 @@ buckets AS (SELECT vec_id, CAST(i // {bits_per_band} AS INT) band,
             FROM dots GROUP BY 1, 2),
 cand AS (SELECT DISTINCT q.vec_id query_id, c.vec_id
          FROM buckets q JOIN buckets c ON q.band = c.band AND q.bucket = c.bucket
-         WHERE q.vec_id < 10),
+         WHERE q.vec_id < 10)"""
+
+
+def _lsh_oracle(n_planes: int = 32, dim: int = 64, bits_per_band: int = 4) -> str:
+    """DuckDB replay of md5-hyperplane LSH top-k: rebuild the plane
+    table from md5 nibbles, sign-project, band, candidate-join, exact
+    cosine re-rank — the same five stages as similarity.lsh_topk."""
+    return f"""
+WITH {_lsh_prefix_ctes(n_planes, dim, bits_per_band)},
 scored AS (
   SELECT cand.query_id, cand.vec_id,
          (SELECT SUM(CAST(a AS DOUBLE) * CAST(b AS DOUBLE))
@@ -3987,6 +3997,73 @@ exr AS (
 fused AS (
   SELECT query_id, vec_id, SUM(1.0 / (60 + rank)) s
   FROM (SELECT * FROM sq8r UNION ALL SELECT * FROM exr)
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, vec_id, s,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY s DESC, vec_id
+         ) AS INT) rank
+  FROM fused)
+SELECT query_id, vec_id, ROUND(s, 6) rrf_score, rank
+FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+"""
+
+
+def q_ann_rrf_anns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN-fed Reciprocal Rank Fusion gate — the production shape of
+    q_ann_rrf: BOTH rankers are approximate rungs (multi-band LSH
+    top-20 + SQ8-quantized top-20; no exact full scan anywhere in the
+    plan), fused at c=60 into the top-10.  This is the hybrid
+    retriever a 100 TB deployment runs — each rung scans a pruned or
+    compressed view of the corpus, and the fusion stays one hash agg
+    over O(queries·k) rows.  The oracle recomputes the LSH bucketing
+    (shared md5-plane CTE builder), the SQ8 reconstruction (shared
+    recon CTEs), both rank lists, and the exact-rational fusion."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    planes = similarity.md5_hyperplanes(64, 32, tag="p")
+    lsh = similarity.lsh_topk(emb, qs, dim=64, k=20, planes=planes)
+    sq8 = similarity.sq8_topk(emb, qs, k=20, dim=64)
+    out = similarity.rrf_fuse([lsh, sq8], k=10, c=60)
+    return out.select(
+        "query_id", "vec_id", _r6(F.col("rrf_score"), "rrf_score"), "rank"
+    ).orderBy("query_id", "rank")
+
+
+ORACLE_ANN_RRF_ANNS = f"""
+WITH {_SQ8_RECON_CTES},
+qv AS (
+  SELECT vec_id query_id, unnest(range(0, 64)) j,
+         CAST(unnest(embedding) AS DOUBLE) x
+  FROM embeddings WHERE vec_id < 10),
+sq8r AS (
+  SELECT query_id, vec_id, rank FROM (
+    SELECT query_id, vec_id,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY cosine DESC, vec_id
+           ) AS INT) rank
+    FROM (SELECT q.query_id, r.vec_id,
+                 SUM(q.x * r.r) /
+                   (SQRT(SUM(q.x * q.x)) * SQRT(SUM(r.r * r.r))) cosine
+          FROM qv q JOIN recon r ON q.j = r.j
+          GROUP BY 1, 2)) WHERE rank <= 20),
+{_lsh_prefix_ctes()},
+lshr AS (
+  SELECT query_id, vec_id, rank FROM (
+    SELECT cand.query_id, cand.vec_id,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY cand.query_id ORDER BY
+               {_exact_cosine_sql("qe.embedding", "ce.embedding")} DESC,
+               cand.vec_id
+           ) AS INT) rank
+    FROM cand JOIN embeddings qe ON cand.query_id = qe.vec_id
+              JOIN embeddings ce ON cand.vec_id = ce.vec_id)
+  WHERE rank <= 20),
+fused AS (
+  SELECT query_id, vec_id, SUM(1.0 / (60 + rank)) s
+  FROM (SELECT * FROM sq8r UNION ALL SELECT * FROM lshr)
   GROUP BY 1, 2),
 ranked AS (
   SELECT query_id, vec_id, s,
@@ -10068,6 +10145,7 @@ QUERIES: dict[str, QuerySpec] = {
     "q_ann_mmr": QuerySpec(q_ann_mmr, ORACLE_ANN_MMR),
     "q_ann_ivfpq_mmr": QuerySpec(q_ann_ivfpq_mmr, ORACLE_ANN_IVFPQ_MMR),
     "q_ann_rrf": QuerySpec(q_ann_rrf, ORACLE_ANN_RRF),
+    "q_ann_rrf_anns": QuerySpec(q_ann_rrf_anns, ORACLE_ANN_RRF_ANNS),
     "q_hard_negatives": QuerySpec(q_hard_negatives, ORACLE_HARD_NEGATIVES),
     "q_embedding_drift": QuerySpec(q_embedding_drift, ORACLE_EMBEDDING_DRIFT),
     "q_embedding_drift_psi": QuerySpec(
@@ -10181,28 +10259,28 @@ QUERIES: dict[str, QuerySpec] = {
 }
 
 
-# r12 driver-window rotation (VERDICT-r11 ask #1; same explicit-list
-# mechanism as r08-r11).  The hard criterion: ALL 45 rows last
-# driver-checked r09 (staged at positions 50-94 during r11) must sit
-# inside the 50-row window.  r12 added EIGHT new gates and 8 + 45 >
-# 50, so the window holds the 5 flagship new gates + the full r09
-# cohort (5 + 45 = exactly 50); the 3 remaining new gates
-# (q_cluster_sample, q_embedding_drift, q_snapshot_diff — each also
-# pinned by exact unit tests and green in this session's full
-# 153-query sim) lead the r13 window at positions 50-52.  After r12
-# no registered query is staler than r10.  Tail = the r10 cohort,
-# then the 50 rows last gated r11 (freshest last).
+# r13 driver-window rotation (VERDICT-r12 ask #3; same explicit-list
+# mechanism as r08-r12).  The 50-row window = the 3 gates NEW this
+# round (q_ann_ivfpq_mmr, q_embedding_drift_psi, q_ann_rrf_anns) +
+# q_ann_ivfpq_incremental (WIDENED to the compact/re-ingest lifecycle,
+# so re-gated) + the 3 r12-deferred gates (q_cluster_sample,
+# q_embedding_drift, q_snapshot_diff) + the first 43 of the 50-row
+# r10 cohort.  Tail = the 7 r10 leftovers (head of the r14 window),
+# the r11 cohort, then everything driver-checked r12 (freshest last).
+# After r13 nothing is staler than r10, and the r14 window (7 + r11
+# head) retires the last r10 rows.
 _DRIVER_ORDER = [
     # --- r13 window head: NEW this round (composed ANN->MMR, PSI drift)
     "q_ann_ivfpq_mmr",
     "q_embedding_drift_psi",
+    "q_ann_rrf_anns",
     # --- widened to the full compact/re-ingest lifecycle this round ---
     "q_ann_ivfpq_incremental",
     # --- the 3 r12-deferred gates ---
     "q_cluster_sample",
     "q_embedding_drift",
     "q_snapshot_diff",
-    # --- r10 cohort, 44 of 50 (fills the 50-row r13 window) ---
+    # --- r10 cohort, 43 of 50 (fills the 50-row r13 window) ---
     "q_bpe_train_hist",
     "q_media_mp4_mkv",
     "q_semantic_incremental",
@@ -10246,8 +10324,8 @@ _DRIVER_ORDER = [
     "q_pack_sequences",
     "q_d3plot_scan",
     "q_aselmdb_scan",
+    # --- r14 staging: the 7 r10 leftovers head the next window ---
     "q_zarr_roundtrip",
-    # --- r14 staging: the 6 r10 leftovers head the next window ---
     "q_netcdf3_roundtrip",
     "q_openradioss_scan",
     "q_dataset_layout",

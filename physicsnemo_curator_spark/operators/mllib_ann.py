@@ -717,12 +717,14 @@ def write_ivfpq_index(
     The index stores CODES ONLY (m small ints per vector, ~32× smaller
     than float64 embeddings at m=8) — original vectors stay in the
     source corpus table, which only the optional exact re-rank touches.
-    Same store discipline as :func:`write_semantic_store` /
-    ``dedup.write_minhash_store``: ``mode='append'`` uses DYNAMIC
-    partition overwrite so re-running a batch replaces its own
-    partitions (idempotent ingestion), and the ``repartition`` aligns
-    tasks with output partitions so each (batch, cell) gets one file,
-    not one per upstream task.
+    ``mode='append'`` is a per-vector UPSERT within the batch: dynamic
+    partition overwrite replaces the (batch, cell) partitions the
+    incoming rows touch, re-running a batch replaces its own rows
+    (idempotent ingestion), and same-batch rows the re-run did NOT
+    carry are carried through the rewrite instead of being destroyed
+    with their partition.  The ``repartition`` aligns tasks with
+    output partitions so each (batch, cell) gets one file, not one
+    per upstream task.
 
     Every write also stamps a ``_gen`` data column — a per-write
     monotonic sequence (``max existing + 1``; 0 for a fresh store).
@@ -765,6 +767,35 @@ def write_ivfpq_index(
         F.lit(gen).cast("long").alias("_gen"),
         F.lit(batch_id).alias("_batch"),
     )
+    if mode == "append" and gen > 0:
+        # PARTIAL re-run of an existing batch name: dynamic overwrite
+        # replaces every (_batch, cell) partition the incoming rows
+        # touch, which would DELETE same-batch rows of vectors the
+        # re-run didn't carry (found by the randomized lifecycle
+        # test) — so an append is a true per-vector UPSERT: carry the
+        # batch's surviving rows (original _gen, codes untouched)
+        # through the rewrite.  The read prunes to the one _batch
+        # partition; a fresh batch name or an identical re-run makes
+        # this an empty union.
+        spark = corpus.sparkSession
+        incoming_ids = corpus.filter(F.col(vec_col).isNotNull()).select(
+            F.col(id_col).alias("vec_id")
+        ).distinct()
+        surviving = (
+            spark.read.parquet(data_dir)
+            .filter(F.col("_batch").cast("string") == batch_id)
+            .select(
+                "vec_id", "cell", "codes",
+                F.col("_gen").cast("long").alias("_gen"),
+                F.col("_batch").cast("string").alias("_batch"),
+            )
+            .join(incoming_ids, "vec_id", "left_anti")
+            # materialize BEFORE the write below overwrites the very
+            # partitions this reads (Spark refuses a write whose plan
+            # still scans the destination); one batch partition, small
+            .localCheckpoint()
+        )
+        out = out.unionByName(surviving)
     # a static overwrite deletes the WHOLE output path; on a flat
     # (never-compacted) store that path IS the store root, including
     # the _quantizers.json sidecar save_quantizers may have written —

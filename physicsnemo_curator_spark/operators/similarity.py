@@ -1014,8 +1014,19 @@ def embedding_drift_psi(
 
     def binned(df: DataFrame, tag: str) -> DataFrame:
         width = (F.col("_hi") - F.col("_lo")) / F.lit(nb)
-        raw = (
-            F.when(width > 0, F.floor((F.col("x") - F.col("_lo")) / width))
+        # clamp the RATIO (double) before floor, not the floored long:
+        # a far-out-of-range current value divided by a tiny reference
+        # width can exceed int64, where Spark's floor wraps silently
+        # but DuckDB's CAST raises — clamping first keeps both engines
+        # in [0, nb-1] with identical results for every in-range value
+        ratio = F.least(
+            F.greatest(
+                (F.col("x") - F.col("_lo")) / width, F.lit(0.0)
+            ),
+            F.lit(float(nb - 1)),
+        )
+        bin_ = (
+            F.when(width > 0, F.floor(ratio))
             # width 0 (constant reference dim): the reference sits in
             # bin 0 by definition, so drifted current values must NOT
             # land there too — route above/below to distinct bins
@@ -1023,7 +1034,6 @@ def embedding_drift_psi(
             .when(F.col("x") < F.col("_lo"), F.lit(1))
             .otherwise(F.lit(0))
         )
-        bin_ = F.least(F.greatest(raw, F.lit(0)), F.lit(nb - 1))
         return (
             exploded(df)
             .join(F.broadcast(bounds), "j")

@@ -4220,8 +4220,9 @@ b AS (SELECT j, MIN(x) lo, MAX(x) hi FROM rx GROUP BY 1),
 rbin AS (
   SELECT rx.j,
          CASE WHEN (b.hi - b.lo) / 10 > 0 THEN
-           LEAST(GREATEST(CAST(FLOOR((rx.x - b.lo) / ((b.hi - b.lo) / 10))
-                               AS BIGINT), 0), 9)
+           CAST(FLOOR(LEAST(GREATEST(
+             (rx.x - b.lo) / ((b.hi - b.lo) / 10), 0.0), 9.0))
+             AS BIGINT)
          WHEN rx.x > b.lo THEN 9
          WHEN rx.x < b.lo THEN 1
          ELSE 0 END bin
@@ -4229,8 +4230,9 @@ rbin AS (
 cbin AS (
   SELECT cx.j,
          CASE WHEN (b.hi - b.lo) / 10 > 0 THEN
-           LEAST(GREATEST(CAST(FLOOR((cx.x - b.lo) / ((b.hi - b.lo) / 10))
-                               AS BIGINT), 0), 9)
+           CAST(FLOOR(LEAST(GREATEST(
+             (cx.x - b.lo) / ((b.hi - b.lo) / 10), 0.0), 9.0))
+             AS BIGINT)
          WHEN cx.x > b.lo THEN 9
          WHEN cx.x < b.lo THEN 1
          ELSE 0 END bin

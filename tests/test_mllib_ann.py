@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from physicsnemo_curator_spark.operators import mllib_ann, similarity
@@ -1042,6 +1043,106 @@ def test_ivfpq_lifecycle_compact_then_reingest_equals_rebuild(
     # post-dedup the compacted generation holds exactly one row per id
     data = spark.read.parquet(mllib_ann._resolve_data_dir(lived))
     assert data.count() == emb.count()
+
+
+@pytest.mark.parametrize("seed", [7, 23, 91])
+def test_ivfpq_lifecycle_randomized_equals_rebuild(
+    spark, tmp_path, sf_correctness_dir, seed
+):
+    """Randomized lifecycle equivalence: ANY seeded sequence of
+    appends (random vec subsets, each re-ingested under a random
+    variant of its embedding, under fresh or repeated batch names)
+    interleaved with compactions must probe EXACTLY like a clean
+    single-write rebuild of the final per-vector state.  This is the
+    composed guarantee the r12 audit found broken in two separate
+    ways (generation-order inversion, pruned-probe stale pick) — the
+    deterministic tests pin those two; this pins the space around
+    them."""
+    import random
+
+    rng = random.Random(seed)
+    emb = (
+        load_table(spark, sf_correctness_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .limit(80)
+    )
+    ids = [r["vec_id"] for r in emb.select("vec_id").collect()]
+
+    def variant(df, v):
+        # v=0: original; v=1: rolled by 1; v=2: halves swapped — three
+        # distinct, cell-moving, oracle-free encodings of "the vector
+        # changed"
+        if v == 0:
+            return df
+        if v == 1:
+            return df.select(
+                "vec_id",
+                F.concat(
+                    F.slice("embedding", 2, 63), F.slice("embedding", 1, 1)
+                ).alias("embedding"),
+            )
+        return df.select(
+            "vec_id",
+            F.concat(
+                F.slice("embedding", 33, 32), F.slice("embedding", 1, 32)
+            ).alias("embedding"),
+        )
+
+    centers = mllib_ann.md5_sample_centroids(emb, k=4)
+    cbs = mllib_ann.pq_train(emb, m=8, ks=16, dim=64)
+    store = str(tmp_path / f"rand{seed}")
+    state: dict[int, int] = {}  # vec_id -> live variant
+    batch_names = []
+    first = True
+    for step in range(5):
+        subset = sorted(rng.sample(ids, rng.randint(20, 60)))
+        v = rng.randint(0, 2)
+        if rng.random() < 0.4 and batch_names:
+            name = rng.choice(batch_names)  # idempotent-style re-run
+        else:
+            name = f"2026-0{step + 1}-01"
+            batch_names.append(name)
+        chunk = variant(emb.filter(F.col("vec_id").isin(subset)), v)
+        mllib_ann.write_ivfpq_index(
+            chunk, centers, cbs, store,
+            mode="overwrite" if first else "append",
+            batch_id=name,
+        )
+        first = False
+        for i in subset:
+            state[i] = v
+        if rng.random() < 0.5:
+            mllib_ann.compact_ivfpq_index(spark, store)
+
+    clean = str(tmp_path / f"rand{seed}_clean")
+    parts = [
+        variant(
+            emb.filter(
+                F.col("vec_id").isin([i for i, vv in state.items() if vv == v])
+            ),
+            v,
+        )
+        for v in (0, 1, 2)
+    ]
+    final = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    mllib_ann.write_ivfpq_index(final, centers, cbs, clean)
+
+    qs = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def rows(s):
+        return sorted(
+            (r["query_id"], r["vec_id"], r["rank"], round(r["cosine"], 9))
+            for r in mllib_ann.ivfpq_index_topk(
+                spark, qs, centers, s, k=8, n_probe=3, codebooks=cbs
+            ).collect()
+        )
+
+    assert rows(store) == rows(clean)
+    # one final compact must also be a no-op for serving
+    mllib_ann.compact_ivfpq_index(spark, store)
+    assert rows(store) == rows(clean)
 
 
 def test_ivfpq_moved_cell_reingest_same_batch(

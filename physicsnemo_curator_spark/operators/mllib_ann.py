@@ -677,6 +677,28 @@ def _apply_tombstones(index: DataFrame, tombs: DataFrame | None) -> DataFrame:
     )
 
 
+def _read_batch_partition(spark, data_dir: str, batch_id: str):
+    """The live parquet of ONE ``_batch=<id>`` partition, addressed by
+    its directory, or None when the batch was never written.  Path
+    addressing matters twice: it skips Spark's partition-type
+    inference (which canonicalizes numeric-looking batch names —
+    ``'007'`` reads back as integer 7, so a value filter silently
+    matches nothing), and it makes the fresh-batch-name hot path a
+    single existence check instead of a Spark job.  The only character
+    in the validated batch charset that Spark percent-escapes in
+    partition directory names is ``:``."""
+    from pyspark.errors import AnalysisException
+
+    path = os.path.join(data_dir, "_batch=" + batch_id.replace(":", "%3A"))
+    local = _try_local_store_path(path)
+    if local is not None and not os.path.exists(local):
+        return None
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException:
+        return None
+
+
 def _validate_batch_id(batch_id: str) -> None:
     """Batch names are labels for partition layout/idempotency, NOT
     ordering keys (ordering is the numeric ``_gen``) — but they become
@@ -767,29 +789,34 @@ def write_ivfpq_index(
         F.lit(gen).cast("long").alias("_gen"),
         F.lit(batch_id).alias("_batch"),
     )
-    if mode == "append" and gen > 0:
+    incoming_ids = corpus.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("vec_id")
+    ).distinct()
+    prev_batch = _read_batch_partition(
+        corpus.sparkSession, data_dir, batch_id
+    ) if mode == "append" and gen > 0 else None
+    if prev_batch is not None:
         # PARTIAL re-run of an existing batch name: dynamic overwrite
         # replaces every (_batch, cell) partition the incoming rows
         # touch, which would DELETE same-batch rows of vectors the
         # re-run didn't carry (found by the randomized lifecycle
         # test) — so an append is a true per-vector UPSERT: carry the
         # batch's surviving rows (original _gen, codes untouched)
-        # through the rewrite.  The read prunes to the one _batch
-        # partition; a fresh batch name or an identical re-run makes
-        # this an empty union.
-        spark = corpus.sparkSession
-        incoming_ids = corpus.filter(F.col(vec_col).isNotNull()).select(
-            F.col(id_col).alias("vec_id")
-        ).distinct()
+        # through the rewrite.  The batch partition is read by its
+        # DIRECTORY (no _batch value comparison: Spark's partition
+        # type inference canonicalizes numeric-looking names, '007'
+        # reads back as 7, so a string filter silently matches
+        # nothing), and a fresh batch name skips this entirely via
+        # the directory existence check.
         surviving = (
-            spark.read.parquet(data_dir)
-            .filter(F.col("_batch").cast("string") == batch_id)
-            .select(
-                "vec_id", "cell", "codes",
+            prev_batch.select(
+                "vec_id",
+                F.col("cell").cast("int").alias("cell"),
+                "codes",
                 F.col("_gen").cast("long").alias("_gen"),
-                F.col("_batch").cast("string").alias("_batch"),
             )
             .join(incoming_ids, "vec_id", "left_anti")
+            .withColumn("_batch", F.lit(batch_id))
             # materialize BEFORE the write below overwrites the very
             # partitions this reads (Spark refuses a write whose plan
             # still scans the destination); one batch partition, small
@@ -842,15 +869,11 @@ def write_ivfpq_index(
     # the fresh _gen=0 rows otherwise
     tomb_dir = os.path.join(data_dir, "_tombstones")
     if mode == "append" and gen > 0:
-        spark = corpus.sparkSession
-        incoming = corpus.filter(F.col(vec_col).isNotNull()).select(
-            F.col(id_col).alias("vec_id")
-        ).distinct()
         conflicts = (
-            spark.read.parquet(data_dir)
+            corpus.sparkSession.read.parquet(data_dir)
             .filter(F.col("_gen").cast("long") < gen)
             .select("vec_id")
-            .join(incoming, "vec_id", "left_semi")
+            .join(incoming_ids, "vec_id", "left_semi")
             .distinct()
             .withColumn("dead_below", F.lit(gen).cast("long"))
         )

@@ -1206,6 +1206,59 @@ def test_ivfpq_moved_cell_reingest_same_batch(
         )
 
 
+@pytest.mark.parametrize("batch_id", ["007", "2026-01-01T00:15:00"])
+def test_ivfpq_partial_rerun_awkward_batch_names(
+    spark, tmp_path, sf_correctness_dir, batch_id
+):
+    """The r13 review's partition-inference trap: a numeric-looking
+    batch name ('007' reads back as integer 7 under Spark's partition
+    type inference, so a string-value filter matches NOTHING) and a
+    ':'-bearing ISO timestamp (percent-escaped in the partition
+    directory name).  A PARTIAL re-run under either name must still
+    carry the batch's other vectors through the rewrite — the upsert
+    reads the partition by directory, not by value comparison."""
+    emb = (
+        load_table(spark, sf_correctness_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .limit(60)
+    )
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    centers = mllib_ann.md5_sample_centroids(emb, k=4)
+    cbs = mllib_ann.pq_train(emb, m=8, ks=16, dim=64)
+    store = str(tmp_path / "awkward")
+    mllib_ann.write_ivfpq_index(
+        emb, centers, cbs, store, mode="append", batch_id=batch_id
+    )
+    # partial re-run: only a third of the vectors, MOVED (halves
+    # swapped) so their cells change and the overwrite touches
+    # partitions holding uncarried rows
+    third = [r["vec_id"] for r in emb.select("vec_id").collect()][::3]
+    moved = emb.filter(F.col("vec_id").isin(third)).select(
+        "vec_id",
+        F.concat(
+            F.slice("embedding", 33, 32), F.slice("embedding", 1, 32)
+        ).alias("embedding"),
+    )
+    mllib_ann.write_ivfpq_index(
+        moved, centers, cbs, store, mode="append", batch_id=batch_id
+    )
+    clean = str(tmp_path / "awkward_clean")
+    final = emb.filter(~F.col("vec_id").isin(third)).unionByName(moved)
+    mllib_ann.write_ivfpq_index(final, centers, cbs, clean)
+
+    def rows(s):
+        return sorted(
+            (r["query_id"], r["vec_id"], r["rank"], round(r["cosine"], 9))
+            for r in mllib_ann.ivfpq_index_topk(
+                spark, qs, centers, s, k=8, n_probe=4, codebooks=cbs
+            ).collect()
+        )
+
+    assert rows(store) == rows(clean)
+
+
 def test_mmr_rerank_string_ids_and_nulls(spark):
     """String ids flow through mmr_rerank unchanged (the exact_rerank
     type-generic contract), and NULL embeddings on either side are

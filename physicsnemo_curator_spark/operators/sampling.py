@@ -35,6 +35,7 @@ __all__ = [
     "hash_sample",
     "stratified_sample",
     "assign_splits",
+    "leakage_free_splits",
     "mixing_weights",
     "temperature_mixing_weights",
 ]
@@ -158,6 +159,52 @@ def assign_splits(
     last = labels[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(last)
     return df.withColumn(split_col, expr)
+
+
+def leakage_free_splits(
+    df: DataFrame,
+    groups: DataFrame,
+    weights: dict[str, float],
+    *,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    hash_fn: str = "xxhash64",
+    split_col: str = "split",
+) -> DataFrame:
+    """:func:`assign_splits` with the near-dup-leakage guarantee: every
+    document of a near-duplicate GROUP lands in the SAME split.  Plain
+    per-doc splitting puts two near-copies of the same document in
+    train and test with probability ~2·p_train·p_test — the classic
+    contamination path that inflates eval numbers; splitting by the
+    group's canonical label closes it (Lee et al. 2022's
+    dedup-then-split finding, applied at the split instead).
+
+    ``groups`` is ``(id, component)`` from
+    ``components.dedup_groups``/``connected_components`` — only docs
+    that appear in some near-dup pair need rows; singletons fall back
+    to their own id as the split key (``coalesce``), so the two frames
+    join once on id (broadcastable when the dup set is small — the
+    common case) and the assignment remains a projection after it.
+    A given key keeps its split under appends, and adding a NEW member
+    to an existing group lands it with its group by construction.
+    Output keeps a ``component`` column (NULL for singletons) so a
+    pipeline can count/audit which rows the guarantee actually
+    moved."""
+    g = groups.select(
+        F.col(id_col).alias("_gid"), F.col("component").alias("component")
+    )
+    keyed = df.join(g, df[id_col] == g["_gid"], "left").drop("_gid")
+    out = assign_splits(
+        keyed.withColumn(
+            "_split_key", F.coalesce(F.col("component"), F.col(id_col))
+        ),
+        "_split_key",
+        weights,
+        seed=seed,
+        hash_fn=hash_fn,
+        split_col=split_col,
+    )
+    return out.drop("_split_key")
 
 
 def _rates_from_shares(per: DataFrame, budget: float | None) -> DataFrame:

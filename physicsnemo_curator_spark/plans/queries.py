@@ -1923,8 +1923,11 @@ def q_dedup_components(
     ).orderBy("doc_id")
 
 
-ORACLE_DEDUP_COMPONENTS = """
-WITH RECURSIVE norm AS (SELECT doc_id,
+# Shared transitive-group CTE chain (trigram-Jaccard edges at 0.8 →
+# recursive closure → components + sizes) — ONE construction feeds the
+# components, representative-selection, and leakage-free-split oracles,
+# so an edge-derivation or closure fix cannot desynchronize the gates.
+_COMPONENTS_PREFIX = """norm AS (SELECT doc_id,
                      string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') toks
               FROM documents),
 sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') shingle
@@ -1942,11 +1945,140 @@ reach(n, r) AS (SELECT n, n FROM und
                 UNION
                 SELECT u.n, reach.r FROM und u JOIN reach ON u.m = reach.n),
 comp AS (SELECT n doc_id, MIN(r) component FROM reach GROUP BY 1),
-gs AS (SELECT component, COUNT(*) group_size FROM comp GROUP BY 1)
+gs AS (SELECT component, COUNT(*) group_size FROM comp GROUP BY 1)"""
+
+ORACLE_DEDUP_COMPONENTS = f"""
+WITH RECURSIVE {_COMPONENTS_PREFIX}
 SELECT c.doc_id, c.component, g.group_size,
        CAST(c.doc_id = c.component AS INT) keep
 FROM comp c JOIN gs g USING (component)
 ORDER BY doc_id
+"""
+
+
+def q_dedup_representative(
+    spark: SparkSession, sf_dir: str, hash_fn: str = "md5"
+) -> DataFrame:
+    """Quality-aware representative selection
+    (components.dedup_groups(scores=...)): dedup should discard the
+    WORSE copies, so each near-dup group keeps its highest
+    quality-score member (ties to the lower id) instead of the min-id
+    default — the policy real curation runs want when near-copies
+    differ by truncation or boilerplate.  Same pointer-jumping groups
+    as q_dedup_components plus one id-keyed score join and a
+    per-component rank; the oracle replays the group closure (shared
+    CTE prefix) and the 3-term quality formula (shared with
+    q_text_lang_quality's oracle) and picks the same argmax.  The
+    benched twin feeds the xxhash64 MinHash-LSH pair stream into the
+    identical group + argmax stages (the q_dedup_components
+    convention)."""
+    docs = _t(spark, sf_dir, "documents")
+    if hash_fn == "md5":
+        sh = _cached_shingles(spark, sf_dir)
+        pairs = dedup.jaccard_pairs(sh).filter(F.col("jaccard") >= 0.8)
+    else:
+        pairs = dedup.minhash_near_duplicates(
+            docs,
+            threshold=0.8,
+            shingles=_cached_shingles(spark, sf_dir),
+            hash_fn=hash_fn,
+        )
+    scores = docs.select(
+        "doc_id", textops.quality_score(F.col("text")).alias("score")
+    )
+    g = components.dedup_groups(
+        pairs.select("a", "b"), scores=scores, score_col="score"
+    )
+    return g.select(
+        "doc_id",
+        "component",
+        "group_size",
+        F.col("keep").cast("int").alias("keep"),
+    ).orderBy("doc_id")
+
+
+ORACLE_DEDUP_REPRESENTATIVE = f"""
+WITH RECURSIVE {_COMPONENTS_PREFIX},
+feats AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') toks_l,
+         CASE WHEN length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) = 0 THEN 0
+              ELSE len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) END n_tok,
+         CASE WHEN length(text) = 0 THEN 0.0
+              ELSE len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0
+                   / length(text) END punct
+  FROM documents),
+q AS (
+  SELECT doc_id,
+         (LEAST(n_tok / 50.0, 1.0)
+          + (1.0 - LEAST(punct * 4.0, 1.0))
+          + LEAST((CASE WHEN n_tok = 0 THEN 0.0 ELSE
+              len(list_filter(toks_l, x -> list_contains(
+                [{", ".join(f"'{w}'" for w in textops.STOPWORDS["en"])}], x
+              ))) * 1.0 / n_tok
+            END) * 5.0, 1.0)) / 3.0 quality
+  FROM feats),
+rep AS (
+  SELECT c.doc_id, c.component, g.group_size,
+         ROW_NUMBER() OVER (
+           PARTITION BY c.component ORDER BY q.quality DESC, c.doc_id
+         ) rk
+  FROM comp c JOIN gs g USING (component) JOIN q ON c.doc_id = q.doc_id)
+SELECT doc_id, component, group_size, CAST(rk = 1 AS INT) keep
+FROM rep ORDER BY doc_id
+"""
+
+
+def q_split_leakage_free(
+    spark: SparkSession, sf_dir: str, hash_fn: str = "arith"
+) -> DataFrame:
+    """Leakage-free train/val/test assignment
+    (sampling.leakage_free_splits): near-duplicate GROUPS land in one
+    split — per-doc splitting puts two near-copies on both sides of
+    the train/test fence with probability ~2·p·q, the contamination
+    path that inflates eval numbers.  The split key is the group's
+    canonical component (singletons: the doc's own id), so the label
+    stays a projection after one id join.  Output: per-split doc/char
+    totals plus the count of documents that belong to some near-dup
+    group (the rows the guarantee actually moved); the no-group-spans-
+    two-splits invariant itself is pinned in tests/test_sampling.py.
+    Declared path uses the arithmetic-hash twin the oracle replays;
+    the benched twin is the xxhash64 production path."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = _cached_shingles(spark, sf_dir)
+    pairs = dedup.jaccard_pairs(sh).filter(F.col("jaccard") >= 0.8)
+    groups = components.dedup_groups(pairs.select("a", "b"))
+    out = sampling.leakage_free_splits(
+        docs,
+        groups.select("doc_id", "component"),
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        seed=42,
+        hash_fn=hash_fn,
+    )
+    return (
+        out.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.count("component").alias("n_grouped_docs"),
+        )
+        .orderBy("split")
+    )
+
+
+ORACLE_SPLIT_LEAKAGE_FREE = f"""
+WITH RECURSIVE {_COMPONENTS_PREFIX},
+keyed AS (
+  SELECT d.doc_id, d.n_chars, c.component,
+         COALESCE(c.component, d.doc_id) k
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+b AS (SELECT *, {sampling.arith_bucket_sql('k', seed=42)} AS bkt FROM keyed)
+SELECT CASE WHEN bkt < 800000 THEN 'train'
+            WHEN bkt < 900000 THEN 'val' ELSE 'test' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(COUNT(component) AS BIGINT) AS n_grouped_docs
+FROM b GROUP BY 1 ORDER BY split
 """
 
 
@@ -10247,6 +10379,16 @@ QUERIES: dict[str, QuerySpec] = {
         ORACLE_DEDUP_COMPONENTS,
         bench=lambda s, d: q_dedup_components(s, d, hash_fn="xxhash64"),
     ),
+    "q_dedup_representative": QuerySpec(
+        q_dedup_representative,
+        ORACLE_DEDUP_REPRESENTATIVE,
+        bench=lambda s, d: q_dedup_representative(s, d, hash_fn="xxhash64"),
+    ),
+    "q_split_leakage_free": QuerySpec(
+        q_split_leakage_free,
+        ORACLE_SPLIT_LEAKAGE_FREE,
+        bench=lambda s, d: q_split_leakage_free(s, d, hash_fn="xxhash64"),
+    ),
     "q_text_span_dedup": QuerySpec(
         q_text_span_dedup,
         ORACLE_TEXT_SPAN_DEDUP,
@@ -10276,13 +10418,15 @@ _DRIVER_ORDER = [
     "q_ann_ivfpq_mmr",
     "q_embedding_drift_psi",
     "q_ann_rrf_anns",
+    "q_dedup_representative",
+    "q_split_leakage_free",
     # --- widened to the full compact/re-ingest lifecycle this round ---
     "q_ann_ivfpq_incremental",
     # --- the 3 r12-deferred gates ---
     "q_cluster_sample",
     "q_embedding_drift",
     "q_snapshot_diff",
-    # --- r10 cohort, 43 of 50 (fills the 50-row r13 window) ---
+    # --- r10 cohort, 41 of 50 (fills the 50-row r13 window) ---
     "q_bpe_train_hist",
     "q_media_mp4_mkv",
     "q_semantic_incremental",
@@ -10324,9 +10468,9 @@ _DRIVER_ORDER = [
     "q_ann_cosine_topk",
     "q_text_token_ids",
     "q_pack_sequences",
+    # --- r14 staging: the 9 r10 leftovers head the next window ---
     "q_d3plot_scan",
     "q_aselmdb_scan",
-    # --- r14 staging: the 7 r10 leftovers head the next window ---
     "q_zarr_roundtrip",
     "q_netcdf3_roundtrip",
     "q_openradioss_scan",

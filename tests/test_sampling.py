@@ -90,6 +90,52 @@ def test_assign_splits_is_projection(spark):
     assert "Exchange" not in plan
 
 
+def test_leakage_free_splits_groups_stay_together(spark):
+    """The contamination guarantee: every member of a near-dup group
+    gets the SAME split label; singletons fall back to their own id
+    (identical to plain assign_splits for them); the group column is
+    exposed for auditing; the whole assignment stays shuffle-free
+    after the one id join."""
+    docs = _docs(spark, 1000)
+    # 100 groups of ~4 consecutive ids each
+    groups = (
+        spark.range(400)
+        .selectExpr("id AS doc_id", "CAST(id - id % 4 AS BIGINT) AS component")
+    )
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = sampling.leakage_free_splits(docs, groups, w, seed=3)
+    rows = out.select("doc_id", "component", "split").collect()
+    by_comp: dict = {}
+    for r in rows:
+        if r.component is not None:
+            by_comp.setdefault(r.component, set()).add(r.split)
+    assert by_comp and all(len(s) == 1 for s in by_comp.values())
+    # singleton fallback == plain per-doc assignment
+    plain = {
+        r.doc_id: r.split
+        for r in sampling.assign_splits(
+            docs, "doc_id", w, seed=3
+        ).collect()
+    }
+    for r in rows:
+        if r.component is None:
+            assert r.split == plain[r.doc_id]
+    # stable under appends of new group members: a new doc joining an
+    # existing component lands with its group
+    more = spark.createDataFrame([(5000, "0")], "doc_id long, lang string")
+    g2 = groups.unionByName(
+        spark.createDataFrame([(5000, 0)], "doc_id long, component long")
+    )
+    out2 = sampling.leakage_free_splits(
+        docs.unionByName(more), g2, w, seed=3
+    )
+    split_of = {r.doc_id: r.split for r in out2.collect()}
+    assert split_of[5000] == split_of[0] == split_of[3]
+    # projection after the join: no Exchange beyond the join itself
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
 def test_stratified_sample_caps_strata(spark):
     df = _docs(spark, 5000)  # 1000 per lang
     kept = sampling.stratified_sample(

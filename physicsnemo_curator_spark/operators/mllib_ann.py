@@ -623,6 +623,25 @@ def _next_gen(spark, data_dir: str) -> int:
     return (row[0] if row[0] is not None else -1) + 1
 
 
+def _read_optional_parquet(spark, path: str):
+    """Read a parquet path that legitimately may not exist yet (a
+    store's tombstone set, a batch partition): None when missing —
+    a local-path existence fast path avoids the Spark job entirely,
+    and a scheme'd path falls back to read-and-catch.  ONLY the
+    missing/empty-path AnalysisException is swallowed; IO errors and
+    corruption propagate (treating them as "absent" would silently
+    serve superseded rows or drop an upsert carry)."""
+    from pyspark.errors import AnalysisException
+
+    local = _try_local_store_path(path)
+    if local is not None and not os.path.exists(local):
+        return None
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException:
+        return None
+
+
 def _read_tombstones(spark, data_dir: str):
     """A generation's conflict tombstones — ``(vec_id, dead_below)``
     rows meaning "every row of vec_id with ``_gen < dead_below`` is
@@ -638,18 +657,10 @@ def _read_tombstones(spark, data_dir: str):
     ``_``-prefixed entries), so its lifetime is exactly its
     generation's: the compaction grace window protects it for
     in-flight readers, and a static overwrite resets it for free."""
-    from pyspark.errors import AnalysisException
-
-    path = os.path.join(data_dir, "_tombstones")
-    local = _try_local_store_path(path)
-    if local is not None and not os.path.exists(local):
-        return None
-    try:
-        t = spark.read.parquet(path)
-    except AnalysisException:
-        # no tombstones ever written (missing/empty path); real IO or
-        # corruption errors propagate — ignoring them would serve
-        # superseded rows silently
+    t = _read_optional_parquet(
+        spark, os.path.join(data_dir, "_tombstones")
+    )
+    if t is None:
         return None
     return t.groupBy("vec_id").agg(F.max("dead_below").alias("dead_below"))
 
@@ -687,16 +698,10 @@ def _read_batch_partition(spark, data_dir: str, batch_id: str):
     single existence check instead of a Spark job.  The only character
     in the validated batch charset that Spark percent-escapes in
     partition directory names is ``:``."""
-    from pyspark.errors import AnalysisException
-
-    path = os.path.join(data_dir, "_batch=" + batch_id.replace(":", "%3A"))
-    local = _try_local_store_path(path)
-    if local is not None and not os.path.exists(local):
-        return None
-    try:
-        return spark.read.parquet(path)
-    except AnalysisException:
-        return None
+    return _read_optional_parquet(
+        spark,
+        os.path.join(data_dir, "_batch=" + batch_id.replace(":", "%3A")),
+    )
 
 
 def _validate_batch_id(batch_id: str) -> None:

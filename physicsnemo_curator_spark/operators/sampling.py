@@ -185,11 +185,20 @@ def leakage_free_splits(
     to their own id as the split key (``coalesce``), so the two frames
     join once on id (broadcastable when the dup set is small — the
     common case) and the assignment remains a projection after it.
-    A given key keeps its split under appends, and adding a NEW member
-    to an existing group lands it with its group by construction.
-    Output keeps a ``component`` column (NULL for singletons) so a
-    pipeline can count/audit which rows the guarantee actually
-    moved."""
+
+    Stability contract, precisely: the one-split-per-group guarantee
+    holds at every snapshot, and a split label is stable under appends
+    EXACTLY as far as the group LABELS are — a new member joining an
+    existing group lands with it, but a new member whose id sorts
+    below the group's current min-id component re-labels the group and
+    can migrate it wholesale (and any merge of two groups must move
+    one side's docs by definition).  An incremental pipeline that has
+    already trained on a split therefore PERSISTS this function's
+    output and unions new assignments against it (the store pattern),
+    rather than recomputing groups over the grown corpus and trusting
+    label stability.  Output keeps a ``component`` column (NULL for
+    singletons) so a pipeline can count/audit which rows the guarantee
+    actually moved."""
     g = groups.select(
         F.col(id_col).alias("_gid"), F.col("component").alias("component")
     )

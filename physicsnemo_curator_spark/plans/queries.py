@@ -1923,6 +1923,46 @@ def q_dedup_components(
     ).orderBy("doc_id")
 
 
+def _sw_list(code: str) -> str:
+    words = ", ".join(f"'{w}'" for w in textops.STOPWORDS[code])
+    return f"[{words}]"
+
+
+def _stop_ratio_case(code: str) -> str:
+    """The stopword-ratio CASE over the shared ``feats`` columns —
+    one definition feeds the lang-ID oracle's four ratios and the
+    representative-selection oracle's English term."""
+    return (
+        f"CASE WHEN n_tok = 0 THEN 0.0 ELSE "
+        f"len(list_filter(toks_l, x -> list_contains({_sw_list(code)}, x)))"
+        f" * 1.0 / n_tok END"
+    )
+
+
+# Shared text-feature CTE (normalized token list, token count, punct
+# ratio) — ONE construction feeds the lang-ID/quality oracle and the
+# representative-selection oracle, so a tokenizer or punct-regex fix
+# cannot desynchronize the gates.
+_FEATS_CTE = """feats AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') toks_l,
+         CASE WHEN length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) = 0 THEN 0
+              ELSE len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) END n_tok,
+         CASE WHEN length(text) = 0 THEN 0.0
+              ELSE len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0
+                   / length(text) END punct
+  FROM documents)"""
+
+
+def _quality_expr(r_en: str) -> str:
+    """The 3-term quality score over ``feats`` columns — the single
+    SQL rendering of ``textops.quality_score``."""
+    return (
+        f"(LEAST(n_tok / 50.0, 1.0) + (1.0 - LEAST(punct * 4.0, 1.0))"
+        f" + LEAST({r_en} * 5.0, 1.0)) / 3.0"
+    )
+
+
 # Shared transitive-group CTE chain (trigram-Jaccard edges at 0.8 →
 # recursive closure → components + sizes) — ONE construction feeds the
 # components, representative-selection, and leakage-free-split oracles,
@@ -1999,24 +2039,10 @@ def q_dedup_representative(
 
 ORACLE_DEDUP_REPRESENTATIVE = f"""
 WITH RECURSIVE {_COMPONENTS_PREFIX},
-feats AS (
-  SELECT doc_id,
-         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') toks_l,
-         CASE WHEN length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) = 0 THEN 0
-              ELSE len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) END n_tok,
-         CASE WHEN length(text) = 0 THEN 0.0
-              ELSE len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0
-                   / length(text) END punct
-  FROM documents),
+{_FEATS_CTE},
 q AS (
   SELECT doc_id,
-         (LEAST(n_tok / 50.0, 1.0)
-          + (1.0 - LEAST(punct * 4.0, 1.0))
-          + LEAST((CASE WHEN n_tok = 0 THEN 0.0 ELSE
-              len(list_filter(toks_l, x -> list_contains(
-                [{", ".join(f"'{w}'" for w in textops.STOPWORDS["en"])}], x
-              ))) * 1.0 / n_tok
-            END) * 5.0, 1.0)) / 3.0 quality
+         {_quality_expr(f"({_stop_ratio_case('en')})")} quality
   FROM feats),
 rep AS (
   SELECT c.doc_id, c.component, g.group_size,
@@ -2042,11 +2068,21 @@ def q_split_leakage_free(
     totals plus the count of documents that belong to some near-dup
     group (the rows the guarantee actually moved); the no-group-spans-
     two-splits invariant itself is pinned in tests/test_sampling.py.
-    Declared path uses the arithmetic-hash twin the oracle replays;
-    the benched twin is the xxhash64 production path."""
+    Declared path uses the arithmetic-hash split twin and md5-Jaccard
+    pair stream the oracle replays; the benched twin runs the full
+    xxhash64 production path — MinHash-LSH pairs AND xxhash64 split
+    buckets (the q_dedup_components convention)."""
     docs = _t(spark, sf_dir, "documents")
-    sh = _cached_shingles(spark, sf_dir)
-    pairs = dedup.jaccard_pairs(sh).filter(F.col("jaccard") >= 0.8)
+    if hash_fn == "arith":
+        sh = _cached_shingles(spark, sf_dir)
+        pairs = dedup.jaccard_pairs(sh).filter(F.col("jaccard") >= 0.8)
+    else:
+        pairs = dedup.minhash_near_duplicates(
+            docs,
+            threshold=0.8,
+            shingles=_cached_shingles(spark, sf_dir),
+            hash_fn=hash_fn,
+        )
     groups = components.dedup_groups(pairs.select("a", "b"))
     out = sampling.leakage_free_splits(
         docs,
@@ -2956,31 +2992,14 @@ def q_text_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sw_list(code: str) -> str:
-    words = ", ".join(f"'{w}'" for w in textops.STOPWORDS[code])
-    return f"[{words}]"
-
-
 ORACLE_TEXT_LANG = f"""
-WITH feats AS (
-  SELECT doc_id,
-         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') toks_l,
-         CASE WHEN length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) = 0 THEN 0
-              ELSE len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) END n_tok,
-         CASE WHEN length(text) = 0 THEN 0.0
-              ELSE len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0
-                   / length(text) END punct
-  FROM documents),
+WITH {_FEATS_CTE},
 ratios AS (
   SELECT doc_id, n_tok, punct,
-         CASE WHEN n_tok = 0 THEN 0.0 ELSE
-           len(list_filter(toks_l, x -> list_contains({_sw_list("de")}, x))) * 1.0 / n_tok END r_de,
-         CASE WHEN n_tok = 0 THEN 0.0 ELSE
-           len(list_filter(toks_l, x -> list_contains({_sw_list("en")}, x))) * 1.0 / n_tok END r_en,
-         CASE WHEN n_tok = 0 THEN 0.0 ELSE
-           len(list_filter(toks_l, x -> list_contains({_sw_list("es")}, x))) * 1.0 / n_tok END r_es,
-         CASE WHEN n_tok = 0 THEN 0.0 ELSE
-           len(list_filter(toks_l, x -> list_contains({_sw_list("fr")}, x))) * 1.0 / n_tok END r_fr
+         {_stop_ratio_case("de")} r_de,
+         {_stop_ratio_case("en")} r_en,
+         {_stop_ratio_case("es")} r_es,
+         {_stop_ratio_case("fr")} r_fr
   FROM feats)
 SELECT doc_id,
        CASE WHEN GREATEST(r_de, r_en, r_es, r_fr) <= 0 THEN 'unknown'
@@ -2989,9 +3008,7 @@ SELECT doc_id,
             WHEN r_es = GREATEST(r_de, r_en, r_es, r_fr) THEN 'es'
             ELSE 'fr' END lang_pred,
        ROUND(r_en, 6) stop_en,
-       ROUND((LEAST(n_tok / 50.0, 1.0)
-              + (1.0 - LEAST(punct * 4.0, 1.0))
-              + LEAST(r_en * 5.0, 1.0)) / 3.0, 6) quality
+       ROUND({_quality_expr("r_en")}, 6) quality
 FROM ratios ORDER BY doc_id LIMIT 200
 """
 
@@ -10404,14 +10421,15 @@ QUERIES: dict[str, QuerySpec] = {
 
 
 # r13 driver-window rotation (VERDICT-r12 ask #3; same explicit-list
-# mechanism as r08-r12).  The 50-row window = the 3 gates NEW this
-# round (q_ann_ivfpq_mmr, q_embedding_drift_psi, q_ann_rrf_anns) +
+# mechanism as r08-r12).  The 50-row window = the 5 gates NEW this
+# round (q_ann_ivfpq_mmr, q_embedding_drift_psi, q_ann_rrf_anns,
+# q_dedup_representative, q_split_leakage_free) +
 # q_ann_ivfpq_incremental (WIDENED to the compact/re-ingest lifecycle,
 # so re-gated) + the 3 r12-deferred gates (q_cluster_sample,
-# q_embedding_drift, q_snapshot_diff) + the first 43 of the 50-row
-# r10 cohort.  Tail = the 7 r10 leftovers (head of the r14 window),
+# q_embedding_drift, q_snapshot_diff) + the first 41 of the 50-row
+# r10 cohort.  Tail = the 9 r10 leftovers (head of the r14 window),
 # the r11 cohort, then everything driver-checked r12 (freshest last).
-# After r13 nothing is staler than r10, and the r14 window (7 + r11
+# After r13 nothing is staler than r10, and the r14 window (9 + r11
 # head) retires the last r10 rows.
 _DRIVER_ORDER = [
     # --- r13 window head: NEW this round (composed ANN->MMR, PSI drift)

@@ -131,9 +131,12 @@ def test_leakage_free_splits_groups_stay_together(spark):
     )
     split_of = {r.doc_id: r.split for r in out2.collect()}
     assert split_of[5000] == split_of[0] == split_of[3]
-    # projection after the join: no Exchange beyond the join itself
+    # shuffle-free after the one id join: the small group side goes
+    # over a BroadcastExchange and NO hash-partitioning shuffle exists
+    # anywhere in the plan (the split label is a pure projection)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan, plan
 
 
 def test_stratified_sample_caps_strata(spark):

@@ -99,6 +99,11 @@ def main() -> None:
     # generation (latest-write-wins conflict resolution applied first;
     # committed by an atomic _CURRENT pointer flip, object-store style)
     mllib_ann.compact_ivfpq_index(spark, store)
+    st = mllib_ann.ivfpq_index_stats(spark, store)
+    print(
+        f"index: gen={st['generation']} rows={st['n_rows']} "
+        f"cells={st['n_cells']} pending={st['pending_superseded']}"
+    )
     srv_centers, srv_cbs = mllib_ann.load_quantizers(store)
     t0 = time.perf_counter()
     served = mllib_ann.ivfpq_index_topk(

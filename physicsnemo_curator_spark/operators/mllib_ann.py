@@ -1183,6 +1183,77 @@ def compact_ivfpq_index(spark, store: str) -> None:
                 os.unlink(p)
 
 
+def ivfpq_index_stats(spark, store: str) -> dict:
+    """One-call health/inventory report for a persisted
+    :func:`write_ivfpq_index` store — the inspection surface an
+    operator checks before/after maintenance: which generation is
+    live, which batches exist with how many rows and what ``_gen``
+    range, per-cell skew (max/mean rows — the probe's worst-case cell
+    read), live tombstone count, and whether duplicates are pending
+    resolution (rows whose vec_id has a newer generation — what the
+    next compaction will drop).  Everything comes from two small
+    aggregation jobs over the live generation; nothing is collected
+    beyond per-batch/per-cell summaries (cells and batches are
+    bounded, not corpus-sized).
+
+    Returns a plain dict (JSON-able for dashboards/CLIs):
+    ``generation`` (pointer dir or None for flat), ``batches``
+    (name -> {rows, min_gen, max_gen}), ``n_rows``, ``n_vectors``
+    (distinct vec_ids), ``pending_superseded`` (rows a compact would
+    drop), ``tombstones`` (live tombstone rows), ``n_cells``,
+    ``max_cell_rows``, ``mean_cell_rows``."""
+    root = _try_local_store_path(store)
+    cur = _read_generation_pointer(root) if root is not None else None
+    data_dir = _resolve_data_dir(store)
+    df = spark.read.parquet(data_dir).select(
+        "vec_id", "cell",
+        F.col("_gen").cast("long").alias("_gen"),
+        F.col("_batch").cast("string").alias("_batch"),
+    )
+    per_batch = {
+        r["_batch"]: {
+            "rows": r["rows"],
+            "min_gen": r["min_gen"],
+            "max_gen": r["max_gen"],
+        }
+        for r in df.groupBy("_batch").agg(
+            F.count("*").alias("rows"),
+            F.min("_gen").alias("min_gen"),
+            F.max("_gen").alias("max_gen"),
+        ).collect()
+    }
+    cells = df.groupBy("cell").agg(F.count("*").alias("rows"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("_gen"))
+    summary = (
+        df.withColumn("_rn", F.row_number().over(w))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count_distinct("vec_id").alias("n_vectors"),
+            F.sum((F.col("_rn") > 1).cast("long")).alias("superseded"),
+        )
+        .collect()[0]
+    )
+    cell_row = cells.agg(
+        F.count("*").alias("n_cells"),
+        F.max("rows").alias("max_rows"),
+        F.avg("rows").alias("mean_rows"),
+    ).collect()[0]
+    tombs = _read_optional_parquet(
+        spark, os.path.join(data_dir, "_tombstones")
+    )
+    return {
+        "generation": cur,
+        "batches": per_batch,
+        "n_rows": summary["n_rows"],
+        "n_vectors": summary["n_vectors"],
+        "pending_superseded": summary["superseded"] or 0,
+        "tombstones": tombs.count() if tombs is not None else 0,
+        "n_cells": cell_row["n_cells"],
+        "max_cell_rows": cell_row["max_rows"],
+        "mean_cell_rows": float(cell_row["mean_rows"]),
+    }
+
+
 def train_ivf_sample(
     corpus: DataFrame,
     *,

@@ -1401,6 +1401,51 @@ def test_embedding_drift_psi_sees_what_moments_miss(spark):
         similarity.embedding_drift_psi(ref, cur, bins=1)
 
 
+def test_ivfpq_index_stats_lifecycle(spark, tmp_path, sf_correctness_dir):
+    """The inspection surface tracks the store through its lifecycle:
+    flat seed -> conflicting append (superseded rows + tombstones
+    pending) -> compact (pointer generation, conflicts resolved,
+    tombstones retired)."""
+    emb = (
+        load_table(spark, sf_correctness_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .limit(80)
+    )
+    moved = emb.select(
+        "vec_id",
+        F.concat(
+            F.slice("embedding", 33, 32), F.slice("embedding", 1, 32)
+        ).alias("embedding"),
+    )
+    centers = mllib_ann.md5_sample_centroids(emb, k=4)
+    cbs = mllib_ann.pq_train(emb, m=8, ks=16, dim=64)
+    store = str(tmp_path / "stats")
+    mllib_ann.write_ivfpq_index(emb, centers, cbs, store)
+    s0 = mllib_ann.ivfpq_index_stats(spark, store)
+    assert s0["generation"] is None and s0["n_rows"] == 80
+    assert s0["n_vectors"] == 80 and s0["pending_superseded"] == 0
+    assert s0["tombstones"] == 0 and list(s0["batches"]) == ["seed"]
+    assert s0["batches"]["seed"] == {"rows": 80, "min_gen": 0, "max_gen": 0}
+    assert s0["n_cells"] <= 4 and s0["max_cell_rows"] >= s0["mean_cell_rows"]
+
+    # conflicting re-ingest of half the vectors under a new batch
+    half = moved.filter(F.col("vec_id") % 2 == 0)
+    mllib_ann.write_ivfpq_index(
+        half, centers, cbs, store, mode="append", batch_id="b1"
+    )
+    s1 = mllib_ann.ivfpq_index_stats(spark, store)
+    assert s1["n_vectors"] == 80 and s1["n_rows"] == 120
+    assert s1["pending_superseded"] == 40 and s1["tombstones"] == 40
+    assert s1["batches"]["b1"]["min_gen"] == 1
+
+    mllib_ann.compact_ivfpq_index(spark, store)
+    s2 = mllib_ann.ivfpq_index_stats(spark, store)
+    assert s2["generation"] == "v00001"
+    assert s2["n_rows"] == 80 and s2["n_vectors"] == 80
+    assert s2["pending_superseded"] == 0 and s2["tombstones"] == 0
+    assert list(s2["batches"]) == ["compacted"]
+
+
 def test_quantizer_sidecar_roundtrip(spark, tmp_path, sf_correctness_dir):
     """save/load_quantizers round-trips exactly, survives compaction,
     and a store without a sidecar fails with the fix spelled out."""

@@ -1189,12 +1189,13 @@ def ivfpq_index_stats(spark, store: str) -> dict:
     operator checks before/after maintenance: which generation is
     live, which batches exist with how many rows and what ``_gen``
     range, per-cell skew (max/mean rows — the probe's worst-case cell
-    read), live tombstone count, and whether duplicates are pending
-    resolution (rows whose vec_id has a newer generation — what the
-    next compaction will drop).  Everything comes from two small
-    aggregation jobs over the live generation; nothing is collected
-    beyond per-batch/per-cell summaries (cells and batches are
-    bounded, not corpus-sized).
+    read), live tombstone count (one per conflicted vec_id — duplicate
+    tombstone rows from idempotent re-runs are aggregated away), and
+    how many rows the next compaction will drop (``n_rows −
+    n_vectors``: conflict resolution keeps exactly one row per
+    vec_id).  Four bounded aggregation jobs over the live generation —
+    no window/sort, and nothing collected beyond per-batch/per-cell
+    summaries (cells and batches are bounded, not corpus-sized).
 
     Returns a plain dict (JSON-able for dashboards/CLIs):
     ``generation`` (pointer dir or None for flat), ``batches``
@@ -1202,10 +1203,20 @@ def ivfpq_index_stats(spark, store: str) -> dict:
     (distinct vec_ids), ``pending_superseded`` (rows a compact would
     drop), ``tombstones`` (live tombstone rows), ``n_cells``,
     ``max_cell_rows``, ``mean_cell_rows``."""
+    # ONE pointer read decides both the reported generation and the
+    # scanned directory — a compaction flipping _CURRENT between two
+    # reads would otherwise make the report internally inconsistent
     root = _try_local_store_path(store)
     cur = _read_generation_pointer(root) if root is not None else None
-    data_dir = _resolve_data_dir(store)
-    df = spark.read.parquet(data_dir).select(
+    data_dir = os.path.join(root, cur) if cur else (root or store)
+    raw = spark.read.parquet(data_dir)
+    if "_gen" not in raw.columns or "_batch" not in raw.columns:
+        raise ValueError(
+            f"store at {data_dir!r} has no _gen/_batch columns (written "
+            "by a pre-generation version of write_ivfpq_index); rebuild "
+            "it with mode='overwrite'"
+        )
+    df = raw.select(
         "vec_id", "cell",
         F.col("_gen").cast("long").alias("_gen"),
         F.col("_batch").cast("string").alias("_batch"),
@@ -1222,31 +1233,31 @@ def ivfpq_index_stats(spark, store: str) -> dict:
             F.max("_gen").alias("max_gen"),
         ).collect()
     }
-    cells = df.groupBy("cell").agg(F.count("*").alias("rows"))
-    w = Window.partitionBy("vec_id").orderBy(F.desc("_gen"))
-    summary = (
-        df.withColumn("_rn", F.row_number().over(w))
+    # exactly one row per vec_id survives conflict resolution, so the
+    # compact-drop set is n_rows − n_vectors — no window/sort needed
+    summary = df.agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct("vec_id").alias("n_vectors"),
+    ).collect()[0]
+    cell_row = (
+        df.groupBy("cell")
+        .agg(F.count("*").alias("rows"))
         .agg(
-            F.count("*").alias("n_rows"),
-            F.count_distinct("vec_id").alias("n_vectors"),
-            F.sum((F.col("_rn") > 1).cast("long")).alias("superseded"),
+            F.count("*").alias("n_cells"),
+            F.max("rows").alias("max_rows"),
+            F.avg("rows").alias("mean_rows"),
         )
         .collect()[0]
     )
-    cell_row = cells.agg(
-        F.count("*").alias("n_cells"),
-        F.max("rows").alias("max_rows"),
-        F.avg("rows").alias("mean_rows"),
-    ).collect()[0]
-    tombs = _read_optional_parquet(
-        spark, os.path.join(data_dir, "_tombstones")
-    )
+    # live = one per vec_id (idempotent re-runs append duplicate
+    # tombstone rows; _read_tombstones aggregates them away)
+    tombs = _read_tombstones(spark, data_dir)
     return {
         "generation": cur,
         "batches": per_batch,
         "n_rows": summary["n_rows"],
         "n_vectors": summary["n_vectors"],
-        "pending_superseded": summary["superseded"] or 0,
+        "pending_superseded": summary["n_rows"] - summary["n_vectors"],
         "tombstones": tombs.count() if tombs is not None else 0,
         "n_cells": cell_row["n_cells"],
         "max_cell_rows": cell_row["max_rows"],

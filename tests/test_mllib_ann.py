@@ -1437,6 +1437,13 @@ def test_ivfpq_index_stats_lifecycle(spark, tmp_path, sf_correctness_dir):
     assert s1["n_vectors"] == 80 and s1["n_rows"] == 120
     assert s1["pending_superseded"] == 40 and s1["tombstones"] == 40
     assert s1["batches"]["b1"]["min_gen"] == 1
+    # idempotent re-run appends duplicate tombstone ROWS; the live
+    # count stays one per conflicted vec_id
+    mllib_ann.write_ivfpq_index(
+        half, centers, cbs, store, mode="append", batch_id="b1"
+    )
+    s1b = mllib_ann.ivfpq_index_stats(spark, store)
+    assert s1b["tombstones"] == 40 and s1b["pending_superseded"] == 40
 
     mllib_ann.compact_ivfpq_index(spark, store)
     s2 = mllib_ann.ivfpq_index_stats(spark, store)
@@ -1444,6 +1451,14 @@ def test_ivfpq_index_stats_lifecycle(spark, tmp_path, sf_correctness_dir):
     assert s2["n_rows"] == 80 and s2["n_vectors"] == 80
     assert s2["pending_superseded"] == 0 and s2["tombstones"] == 0
     assert list(s2["batches"]) == ["compacted"]
+    # a pre-generation store fails with the actionable sibling error,
+    # not a raw unresolved-column exception
+    import pytest as _pytest
+
+    legacy = str(tmp_path / "legacy")
+    emb.limit(5).write.parquet(legacy)
+    with _pytest.raises(ValueError, match="no _gen"):
+        mllib_ann.ivfpq_index_stats(spark, legacy)
 
 
 def test_quantizer_sidecar_roundtrip(spark, tmp_path, sf_correctness_dir):

@@ -569,12 +569,25 @@ def _read_generation_pointer(root: str) -> str | None:
 def _flip_generation_pointer(root: str, name: str) -> None:
     """Atomically point the store at generation ``name`` (temp file +
     rename — the commit point of a compaction; on an object store this
-    is one small-object PUT, atomic by the store's semantics)."""
+    is one small-object PUT, atomic by the store's semantics).  The
+    temp file is fsynced before the rename and the store directory
+    after it: os.replace alone is atomic against CRASHED PROCESSES but
+    not against power loss — an unsynced rename can be lost or leave
+    an empty pointer, and once a later compact has swept the old
+    layout a lost ``_CURRENT`` makes the store read as EMPTY rather
+    than stale."""
     path = os.path.join(root, _POINTER_FILE)
     tmp = path + f".tmp-{os.getpid()}"
     with open(tmp, "w") as fh:
         fh.write(name)
+        fh.flush()
+        os.fsync(fh.fileno())
     os.replace(tmp, path)
+    dirfd = os.open(root, os.O_RDONLY)
+    try:
+        os.fsync(dirfd)
+    finally:
+        os.close(dirfd)
 
 
 def _resolve_data_dir(store: str) -> str:
@@ -599,17 +612,11 @@ def _next_gen(spark, data_dir: str) -> int:
     inverted after compaction (``'compacted' > '2026-…'``).  Reading
     max() is a parquet-stats scan over file footers; compaction keeps
     the file count bounded, so this stays cheap at store scale."""
-    from pyspark.errors import AnalysisException
-
-    local = _try_local_store_path(data_dir)
-    if local is not None and not os.path.exists(local):
-        return 0
-    try:
-        df = spark.read.parquet(data_dir)
-    except AnalysisException:
-        # a new/empty store path (nothing to infer a schema from) —
-        # the first generation.  Anything else (corrupt footer, IO,
-        # permissions) PROPAGATES: silently treating it as gen 0
+    df = _read_store_data(spark, data_dir)
+    if df is None:
+        # a new/empty store path — the first generation.  Anything
+        # beyond missing/empty (corrupt footer, IO, permissions)
+        # PROPAGATES out of the read: silently treating it as gen 0
         # would tie the seed generation and skip the tombstone write,
         # serving stale codes with no error anywhere.
         return 0
@@ -628,9 +635,12 @@ def _read_optional_parquet(spark, path: str):
     store's tombstone set, a batch partition): None when missing —
     a local-path existence fast path avoids the Spark job entirely,
     and a scheme'd path falls back to read-and-catch.  ONLY the
-    missing/empty-path AnalysisException is swallowed; IO errors and
-    corruption propagate (treating them as "absent" would silently
-    serve superseded rows or drop an upsert carry)."""
+    missing-path / nothing-to-infer-a-schema-from error classes are
+    swallowed (matched by condition name, not the exception type —
+    AnalysisException also covers schema-level corruption, and
+    treating THAT as "absent" would silently serve superseded rows or
+    drop an upsert carry with no error anywhere); everything else
+    propagates."""
     from pyspark.errors import AnalysisException
 
     local = _try_local_store_path(path)
@@ -638,8 +648,58 @@ def _read_optional_parquet(spark, path: str):
         return None
     try:
         return spark.read.parquet(path)
-    except AnalysisException:
-        return None
+    except AnalysisException as exc:
+        if _analysis_condition(exc) in (
+            "PATH_NOT_FOUND",
+            "UNABLE_TO_INFER_SCHEMA",
+        ):
+            return None
+        raise
+
+
+def _analysis_condition(exc) -> str | None:
+    """The error-class/condition name of a PySpark exception
+    (``PATH_NOT_FOUND``, …), via whichever accessor this PySpark
+    exposes (getCondition is the 4.x name, getErrorClass the
+    deprecated alias), or None when the server attached none."""
+    for attr in ("getCondition", "getErrorClass"):
+        fn = getattr(exc, attr, None)
+        if fn is None:
+            continue
+        try:
+            cond = fn()
+        except Exception:
+            continue
+        if cond:
+            return cond
+    return None
+
+
+def _read_store_data(spark, data_dir: str):
+    """The live rows of one store generation, or None when nothing has
+    been written.  On a local store the read addresses the ``_batch=*``
+    partition directories EXPLICITLY (with ``basePath`` so partition-
+    column parsing matches a whole-directory read): a compaction writes
+    its merged ``vNNNNN`` target INSIDE a flat store root before
+    flipping the pointer, and a wholesale read that overlaps that
+    window dies with CONFLICTING_DIRECTORY_STRUCTURES — so every store
+    reader (gen sequencing, probe, conflict scan, compact merge, stats)
+    routes through here and stays correct while a compaction is
+    mid-flight.  A directory with no batch partitions (a legacy/plain
+    parquet store) and a scheme'd object-store path fall back to the
+    wholesale read — the flat-only layout of scheme'd stores means no
+    nested generation can appear there."""
+    local = _try_local_store_path(data_dir)
+    if local is None or not os.path.exists(local):
+        return _read_optional_parquet(spark, data_dir)
+    dirs = [
+        os.path.join(data_dir, name)
+        for name in sorted(os.listdir(local))
+        if name.startswith("_batch=")
+    ]
+    if not dirs:
+        return _read_optional_parquet(spark, data_dir)
+    return spark.read.option("basePath", data_dir).parquet(*dirs)
 
 
 def _read_tombstones(spark, data_dir: str):
@@ -768,8 +828,20 @@ def write_ivfpq_index(
     probed cell would be served whenever its winner's cell isn't
     probed.  Tombstones are written AFTER the data commit (a crashed
     append never kills live rows; re-running the append rewrites
-    them), and compaction applies and clears them.  Single writer
-    assumed, as for any index maintenance."""
+    them), and compaction applies and clears them.
+
+    Concurrent maintenance is DETECTED, not assumed away: an append
+    that resolved ``_CURRENT`` before a concurrent compaction's flip
+    writes into the generation the flip supersedes — the rows land,
+    then the next sweep silently deletes them with the grace copy.  So
+    after the append's last commit the pointer is re-read and a
+    changed value raises (retry the append: it re-resolves to the new
+    generation, and the upsert semantics make the retry idempotent —
+    the compact that raced either carried the rows or never saw
+    them).  The check is the optimistic-concurrency read-validate
+    pattern: one tiny metadata read converts silent data loss into a
+    loud retry.  Compaction runs the mirror check before its flip
+    (see :func:`compact_ivfpq_index`)."""
     if mode not in ("overwrite", "append"):
         # 'Append'/'upsert'/... falling through to a STATIC overwrite
         # would silently wipe every previously appended batch
@@ -783,7 +855,14 @@ def write_ivfpq_index(
     # flat (only local compaction creates the pointer layout), and the
     # local-only sidecar stash is skipped exactly as before
     root = _try_local_store_path(store)
-    data_dir = _resolve_data_dir(store)
+    pointer_at_resolve = (
+        _read_generation_pointer(root) if root is not None else None
+    )
+    data_dir = (
+        os.path.join(root, pointer_at_resolve)
+        if pointer_at_resolve
+        else (root if root is not None else store)
+    )
     gen = _next_gen(corpus.sparkSession, data_dir) if mode == "append" else 0
     cell_meta = _ivf_meta_udf(centers, 1)
     enc = _pq_encode_udf(codebooks)
@@ -794,9 +873,18 @@ def write_ivfpq_index(
         F.lit(gen).cast("long").alias("_gen"),
         F.lit(batch_id).alias("_batch"),
     )
-    incoming_ids = corpus.filter(F.col(vec_col).isNotNull()).select(
-        F.col(id_col).alias("vec_id")
-    ).distinct()
+    if mode == "append":
+        # ONE materialized snapshot of the batch (batch-sized codes,
+        # never store-sized): the surviving-row carry, the data write,
+        # and the conflict scan below must all see the SAME id set — a
+        # non-deterministic corpus (sample/limit/changing source)
+        # re-evaluated per consumer could tombstone an id the write
+        # never produced, killing its only live row, or skip one it
+        # did, leaving a stale row served from an unprobed cell.
+        out = out.localCheckpoint()
+        incoming_ids = out.select("vec_id").distinct()
+    else:
+        incoming_ids = None
     prev_batch = _read_batch_partition(
         corpus.sparkSession, data_dir, batch_id
     ) if mode == "append" and gen > 0 else None
@@ -875,7 +963,7 @@ def write_ivfpq_index(
     tomb_dir = os.path.join(data_dir, "_tombstones")
     if mode == "append" and gen > 0:
         conflicts = (
-            corpus.sparkSession.read.parquet(data_dir)
+            _read_store_data(corpus.sparkSession, data_dir)
             .filter(F.col("_gen").cast("long") < gen)
             .select("vec_id")
             .join(incoming_ids, "vec_id", "left_semi")
@@ -883,6 +971,32 @@ def write_ivfpq_index(
             .withColumn("dead_below", F.lit(gen).cast("long"))
         )
         conflicts.write.mode("append").parquet(tomb_dir)
+    if mode == "append" and root is not None:
+        _check_pointer_unmoved(root, pointer_at_resolve, data_dir)
+
+
+def _check_pointer_unmoved(
+    root: str, pointer_at_resolve: str | None, data_dir: str
+) -> None:
+    """The append's optimistic-concurrency validation: raise loudly if
+    a compaction flipped ``_CURRENT`` between the append's resolve and
+    its last commit — the rows just written landed in the superseded
+    generation and the NEXT compaction's sweep would silently delete
+    them with the grace copy.  The raise converts that silent loss
+    into a retry: the rows are still probe-visible for one full
+    compaction cycle (the grace window), and re-running the append is
+    idempotent per-vector upsert against the new generation."""
+    now = _read_generation_pointer(root)
+    if now != pointer_at_resolve:
+        raise RuntimeError(
+            f"concurrent compaction detected: the store pointer moved "
+            f"from {pointer_at_resolve!r} to {now!r} while this append "
+            f"was writing into {data_dir!r} (now the superseded "
+            "generation). Retry the append — it will resolve the new "
+            "generation, and per-vector upsert semantics make the "
+            "retry idempotent. Without the retry the next compaction "
+            "sweep deletes these rows with the grace copy."
+        )
 
 
 def ivfpq_index_topk(
@@ -939,25 +1053,35 @@ def ivfpq_index_topk(
         F.explode(probe_meta(F.col(vec_col))["cells"]).alias("cell"),
     )
     data_dir = _resolve_data_dir(store)
-    raw = spark.read.parquet(data_dir)
+    raw = _read_store_data(spark, data_dir)
+    if raw is None:
+        raise ValueError(
+            f"no IVF-PQ index data at {data_dir!r}: write the store "
+            "with write_ivfpq_index first"
+        )
     if "_gen" not in raw.columns:
         raise ValueError(
             f"store at {data_dir!r} has no _gen column (written by a "
             "pre-generation version of write_ivfpq_index); rebuild it "
             "with mode='overwrite'"
         )
-    index = _apply_tombstones(
-        raw.select(
-            "vec_id", "cell", "codes",
-            F.col("_gen").cast("long").alias("_gen"),
-        ),
-        _read_tombstones(spark, data_dir),
+    index = raw.select(
+        "vec_id", "cell", "codes",
+        F.col("_gen").cast("long").alias("_gen"),
     )
     wdup = Window.partitionBy("query_id", "vec_id").orderBy(
         F.desc("_gen")
     )
+    # tombstones filter AFTER the cell join (a per-row predicate on
+    # (vec_id, _gen), it commutes with the join) so the store scan's
+    # partition pruning to the probed cells never depends on how the
+    # optimizer orders a join placed UPSTREAM of it — the plan test
+    # asserts PartitionFilters on a store with live tombstones
     cand = (
-        index.join(F.broadcast(probed), "cell")
+        _apply_tombstones(
+            index.join(F.broadcast(probed), "cell"),
+            _read_tombstones(spark, data_dir),
+        )
         .withColumn("_rn", F.row_number().over(wdup))
         .filter(F.col("_rn") == 1)
         .select(
@@ -1072,6 +1196,42 @@ def load_quantizers(
     return d["centers"], d["codebooks"]
 
 
+def _check_no_concurrent_append(
+    spark, data_dir: str, gen_at_read: int | None, target: str
+) -> None:
+    """Compaction's pre-flip validation: raise (and drop the merged
+    generation, leaving the store exactly as the writer left it) if an
+    append advanced the store's ``_gen`` high-water mark after the
+    merge read its snapshot — flipping anyway would supersede rows the
+    merge never saw and the sweep would eventually delete them.  Every
+    append strictly increases max(``_gen``) (it stamps ``max + 1``),
+    so one parquet-footer-stats agg detects the race; the residual
+    window between this check and the flip is the same
+    read-validate-commit gap every optimistic scheme has — vanishingly
+    small next to the merge itself, and an append that lands inside it
+    is still caught by ITS OWN post-commit pointer check
+    (:func:`_check_pointer_unmoved`), so one side of any interleaving
+    always raises."""
+    snap = _read_store_data(spark, data_dir)
+    now = (
+        None
+        if snap is None
+        else snap.agg(F.max(F.col("_gen").cast("long"))).collect()[0][0]
+    )
+    if now != gen_at_read:
+        import shutil
+
+        shutil.rmtree(target, ignore_errors=True)
+        raise RuntimeError(
+            f"concurrent append detected: the store's max(_gen) moved "
+            f"from {gen_at_read!r} to {now!r} under {data_dir!r} while "
+            "this compaction merged. The merged generation was "
+            "discarded and the pointer NOT flipped — the store is "
+            "unchanged and serves every row including the new append. "
+            "Retry the compaction."
+        )
+
+
 def compact_ivfpq_index(spark, store: str) -> None:
     """Merge every batch partition of a :func:`write_ivfpq_index`
     store into one ``_batch=compacted`` generation — the maintenance
@@ -1092,7 +1252,11 @@ def compact_ivfpq_index(spark, store: str) -> None:
     Physically this is the generation-prefix + pointer-flip protocol
     (object-store-compatible; no directory renames): write the merged
     data to a NEW prefix ``<store>/vNNNNN``, then atomically flip the
-    ``_CURRENT`` pointer file — the single commit point.  Readers
+    ``_CURRENT`` pointer file — the single commit point.  The flip is
+    guarded by a max(``_gen``) re-check (a concurrent append that
+    advanced the store after the merge read makes the compaction
+    abort loudly and discard its merge, leaving the store untouched —
+    see :func:`_check_no_concurrent_append`).  Readers
     (:func:`ivfpq_index_topk`, appends) resolve ``_CURRENT`` first, so
     a crash BEFORE the flip leaves them on the old generation (the new
     prefix is garbage the next compact overwrites) and a crash AFTER
@@ -1126,13 +1290,24 @@ def compact_ivfpq_index(spark, store: str) -> None:
     target = os.path.join(root, next_name)
     # garbage from a compact that crashed before its pointer flip
     shutil.rmtree(target, ignore_errors=True)
-    df = spark.read.parquet(data_dir)
+    df = _read_store_data(spark, data_dir)
+    if df is None:
+        raise ValueError(
+            f"no IVF-PQ index data at {data_dir!r}: nothing to compact"
+        )
     if "_gen" not in df.columns:
         raise ValueError(
             f"store at {data_dir!r} has no _gen column (written by a "
             "pre-generation version of write_ivfpq_index); rebuild it "
             "with mode='overwrite' before compacting"
         )
+    # snapshot the write-sequence high-water mark NOW: the flip below
+    # only commits if no append advanced it while we merged (the
+    # mirror of the append's pointer re-check — see
+    # _check_no_concurrent_append)
+    gen_at_read = df.agg(
+        F.max(F.col("_gen").cast("long"))
+    ).collect()[0][0]
     w = Window.partitionBy("vec_id").orderBy(F.desc("_gen"))
     winners = (
         _apply_tombstones(
@@ -1153,6 +1328,7 @@ def compact_ivfpq_index(spark, store: str) -> None:
         .partitionBy("_batch", "cell")
         .parquet(target)
     )
+    _check_no_concurrent_append(spark, data_dir, gen_at_read, target)
     _flip_generation_pointer(root, next_name)  # the commit point
     # post-flip sweep, with a one-generation GRACE WINDOW for in-flight
     # readers: a probe that resolved _CURRENT just before the flip is
@@ -1209,7 +1385,12 @@ def ivfpq_index_stats(spark, store: str) -> dict:
     root = _try_local_store_path(store)
     cur = _read_generation_pointer(root) if root is not None else None
     data_dir = os.path.join(root, cur) if cur else (root or store)
-    raw = spark.read.parquet(data_dir)
+    raw = _read_store_data(spark, data_dir)
+    if raw is None:
+        raise ValueError(
+            f"no IVF-PQ index data at {data_dir!r}: write the store "
+            "with write_ivfpq_index first"
+        )
     if "_gen" not in raw.columns or "_batch" not in raw.columns:
         raise ValueError(
             f"store at {data_dir!r} has no _gen/_batch columns (written "

@@ -36,6 +36,8 @@ __all__ = [
     "stratified_sample",
     "assign_splits",
     "leakage_free_splits",
+    "write_split_store",
+    "assign_splits_incremental",
     "mixing_weights",
     "temperature_mixing_weights",
 ]
@@ -199,9 +201,13 @@ def leakage_free_splits(
     label stability.  Output keeps a ``component`` column (NULL for
     singletons) so a pipeline can count/audit which rows the guarantee
     actually moved."""
-    g = groups.select(
-        F.col(id_col).alias("_gid"), F.col("component").alias("component")
-    )
+    if "component" in df.columns:
+        raise ValueError(
+            "leakage_free_splits: df already has a 'component' column "
+            "— the output reuses that name for the audit column; "
+            "rename or drop it first"
+        )
+    g = _guarded_groups(groups, id_col, "leakage_free_splits")
     keyed = df.join(g, df[id_col] == g["_gid"], "left").drop("_gid")
     out = assign_splits(
         keyed.withColumn(
@@ -214,6 +220,247 @@ def leakage_free_splits(
         split_col=split_col,
     )
     return out.drop("_split_key")
+
+
+def _guarded_groups(groups: DataFrame, id_col: str, who: str) -> DataFrame:
+    """The (``_gid``, component) frame with audit-grade input
+    validation shared by the split family: exact duplicate (id,
+    component) rows collapse for free in the aggregate (unioned batch
+    re-runs), while an id claimed by TWO components — a genuine
+    upstream bug that would silently fan the doc out into two output
+    rows — raises at execution, the snapshot_diff convention.  The
+    groups frame is pair-ids only, so the extra aggregate is small."""
+    g = groups.groupBy(F.col(id_col).alias("_gid")).agg(
+        F.count_distinct(F.col("component")).alias("_nc"),
+        F.min(F.col("component")).alias("component"),
+    )
+    guard = F.when(
+        F.col("_nc") > 1,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"{who}: id claimed by multiple components in "
+                    "groups (id="
+                ),
+                F.col("_gid").cast("string"),
+                F.lit(
+                    "); components must partition the ids — rebuild "
+                    "groups with connected_components/dedup_groups"
+                ),
+            )
+        ),
+    ).otherwise(F.col("component"))
+    return g.select("_gid", guard.alias("component"))
+
+
+def write_split_store(
+    assignments: DataFrame,
+    store: str,
+    *,
+    mode: str = "overwrite",
+    batch_id: str = "seed",
+) -> None:
+    """Persist split assignments — the store
+    :func:`leakage_free_splits`' stability contract prescribes: an
+    incremental pipeline that has TRAINED on a split must never let a
+    later group relabeling migrate documents across the train/test
+    fence, so assignments are persisted once and later batches join
+    against them (:func:`assign_splits_incremental`) instead of
+    recomputing splits over the grown corpus.
+
+    Schema: ``(doc_id, split, component, reason, _batch)`` — component
+    NULL for singletons, ``reason`` the assignment provenance
+    (``'seed'`` stamped here when absent; the incremental pass writes
+    ``'fresh' | 'inherited' | 'quarantined'``).  The store is
+    partitioned by ``_batch`` with dynamic-partition overwrite on
+    append — re-running a batch replaces its own rows (idempotent
+    ingestion), the write_minhash_store convention.  The incremental
+    pass only ever writes docs NOT already stored, so the store stays
+    unique per doc_id across batches by construction."""
+    if mode not in ("overwrite", "append"):
+        raise ValueError(
+            f"unknown write_split_store mode {mode!r}; expected "
+            "'overwrite' or 'append'"
+        )
+    cols = [
+        F.col("doc_id"),
+        F.col("split"),
+        F.col("component"),
+        (
+            F.col("reason")
+            if "reason" in assignments.columns
+            else F.lit("seed").alias("reason")
+        ),
+    ]
+    (
+        assignments.select(*cols)
+        .withColumn("_batch", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option(
+            "partitionOverwriteMode",
+            "dynamic" if mode == "append" else "static",
+        )
+        .partitionBy("_batch")
+        .parquet(store)
+    )
+
+
+def assign_splits_incremental(
+    spark,
+    new_docs: DataFrame,
+    groups: DataFrame,
+    weights: dict[str, float],
+    store: str,
+    *,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    hash_fn: str = "xxhash64",
+    split_col: str = "split",
+    merge_policy: str = "quarantine",
+    quarantine_split: str | None = None,
+    update_store: bool = False,
+    batch_id: str | None = None,
+) -> DataFrame:
+    """Assign splits to a NEW batch against a persisted
+    :func:`write_split_store` — the incremental counterpart of
+    :func:`leakage_free_splits` whose guarantee is absolute: **a
+    stored document's split NEVER moves**, no matter how group labels
+    shift as the corpus grows.
+
+    Per distinct new id (one output row each):
+
+    - already stored → its stored split, ``reason='stored'`` (an
+      idempotent re-submission; never rewritten).
+    - member of a group with stored co-members all in ONE split →
+      inherits it, ``reason='inherited'`` (a new near-copy of trained
+      data lands on the trained side of the fence).
+    - member of a group whose stored co-members SPAN splits (two
+      previously-separate groups merged by new evidence) → resolved by
+      ``merge_policy``: ``'quarantine'`` (default) assigns
+      ``quarantine_split`` (default: the FIRST label in ``weights`` —
+      train by the train/val/test convention, so merged-group docs can
+      never leak INTO an eval split), ``reason='quarantined'``;
+      ``'error'`` raises at execution.  The stored members themselves
+      stay where they are — the merge is auditable via the reason.
+    - no stored co-member → hash-assigned on
+      ``coalesce(component, id)`` exactly like
+      :func:`leakage_free_splits`, ``reason='fresh'``.
+
+    ``groups`` is the CURRENT (id, component) map over the grown
+    corpus — only ids appearing in some near-dup pair need rows; the
+    lookup is by shared member ids, so component RELABELING between
+    epochs is harmless.
+
+    Scale shape: the store is scanned ONCE, column-pruned to
+    (doc_id, split) and semi-joined against the broadcast probe ids
+    (new ∪ group-member ids, batch-bounded), then materialized — every
+    later join is a broadcast of batch-bounded frames, the per-split
+    decision is a projection, and no corpus-sized shuffle exists
+    anywhere.  ``update_store=True`` (requires ``batch_id``) appends
+    the non-stored rows under ``_batch=<id>`` (idempotent re-runs)."""
+    if merge_policy not in ("quarantine", "error"):
+        raise ValueError(
+            f"unknown merge_policy {merge_policy!r}; expected "
+            "'quarantine' or 'error'"
+        )
+    if update_store and batch_id is None:
+        raise ValueError("update_store=True needs a batch_id")
+    if quarantine_split is None:
+        quarantine_split = next(iter(weights))
+    if quarantine_split not in weights:
+        raise ValueError(
+            f"quarantine_split {quarantine_split!r} is not a label in "
+            f"weights {sorted(weights)}"
+        )
+    stored = spark.read.parquet(store).select("doc_id", "split")
+    g = _guarded_groups(groups, id_col, "assign_splits_incremental")
+    new_ids = new_docs.select(F.col(id_col).alias("doc_id")).distinct()
+    # ONE pass over the corpus-sized store: semi-join down to the rows
+    # any decision below can touch (the new ids and the groups' member
+    # ids — batch-bounded), materialized so the two lookups don't
+    # rescan the store
+    probe_ids = new_ids.unionByName(
+        g.select(F.col("_gid").alias("doc_id"))
+    ).distinct()
+    relevant = stored.join(
+        F.broadcast(probe_ids), "doc_id", "left_semi"
+    ).localCheckpoint()
+    hit = relevant.select("doc_id", F.col("split").alias("_stored_split"))
+    comp_splits = (
+        F.broadcast(g)
+        .join(
+            relevant.select(F.col("doc_id").alias("_gid"), "split"), "_gid"
+        )
+        .groupBy("component")
+        .agg(
+            F.count_distinct("split").alias("_ns"),
+            F.min("split").alias("_inherit"),
+        )
+    )
+    keyed = (
+        new_ids.join(F.broadcast(g), new_ids["doc_id"] == g["_gid"], "left")
+        .drop("_gid")
+        .join(F.broadcast(hit), "doc_id", "left")
+        .join(F.broadcast(comp_splits), "component", "left")
+    )
+    fresh = assign_splits(
+        keyed.withColumn(
+            "_split_key", F.coalesce(F.col("component"), F.col("doc_id"))
+        ),
+        "_split_key",
+        weights,
+        seed=seed,
+        hash_fn=hash_fn,
+        split_col="_fresh",
+    )
+    if merge_policy == "quarantine":
+        merged = F.lit(quarantine_split)
+    else:
+        merged = F.raise_error(
+            F.concat(
+                F.lit(
+                    "assign_splits_incremental: group merge spans "
+                    "stored splits (component="
+                ),
+                F.col("component").cast("string"),
+                F.lit(
+                    "); merge_policy='error' — resolve upstream or "
+                    "use merge_policy='quarantine'"
+                ),
+            )
+        )
+    split = (
+        F.when(F.col("_stored_split").isNotNull(), F.col("_stored_split"))
+        .when(F.col("_ns") > 1, merged)
+        .when(F.col("_ns") == 1, F.col("_inherit"))
+        .otherwise(F.col("_fresh"))
+    )
+    reason = (
+        F.when(F.col("_stored_split").isNotNull(), F.lit("stored"))
+        .when(F.col("_ns") > 1, F.lit("quarantined"))
+        .when(F.col("_ns") == 1, F.lit("inherited"))
+        .otherwise(F.lit("fresh"))
+    )
+    out = fresh.select(
+        "doc_id",
+        "component",
+        split.alias(split_col),
+        reason.alias("reason"),
+    )
+    if update_store:
+        # materialize BEFORE mutating the store the plan reads, and
+        # write only the genuinely-new rows — stored docs are never
+        # rewritten, so the store stays unique per doc_id
+        out = out.localCheckpoint()
+        write_split_store(
+            out.filter(F.col("reason") != "stored").withColumnRenamed(
+                split_col, "split"
+            ),
+            store,
+            mode="append",
+            batch_id=batch_id,
+        )
+    return out
 
 
 def _rates_from_shares(per: DataFrame, budget: float | None) -> DataFrame:

@@ -532,6 +532,7 @@ def test_ivfpq_index_probe_prunes_partitions(spark, tmp_path, sf_correctness_dir
     """The index probe must BROADCAST the query side and prune the
     store scan to the probed cell partitions — the two properties that
     keep a probe proportional to n_probe/k_cells at 100 TB."""
+    import os
     import re
 
     emb = load_table(spark, sf_correctness_dir, "embeddings")
@@ -542,13 +543,28 @@ def test_ivfpq_index_probe_prunes_partitions(spark, tmp_path, sf_correctness_dir
     cbs = mllib_ann.pq_train(emb, m=8, ks=16, dim=64)
     store = str(tmp_path / "ivfpq_plan")
     mllib_ann.write_ivfpq_index(emb, centers, cbs, store)
-    out = mllib_ann.ivfpq_index_topk(
-        spark, qs, centers, store, k=5, n_probe=2, codebooks=cbs
+
+    def assert_pruned():
+        out = mllib_ann.ivfpq_index_topk(
+            spark, qs, centers, store, k=5, n_probe=2, codebooks=cbs
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert pf and "cell" in pf.group(1), plan[:800]
+
+    assert_pruned()
+    # and STILL pruned once the lifecycle has created live tombstones
+    # (conflicting re-ingest under a new batch): the tombstone filter
+    # applies AFTER the cell join, so the store scan's partition
+    # pruning can't depend on how the optimizer orders a join placed
+    # upstream of it
+    mllib_ann.write_ivfpq_index(
+        emb.limit(5), centers, cbs, store, mode="append", batch_id="b2"
     )
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan
-    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
-    assert pf and "cell" in pf.group(1), plan[:800]
+    tomb = os.path.join(store, "_tombstones")
+    assert os.path.exists(tomb) and spark.read.parquet(tomb).count() > 0
+    assert_pruned()
 
 
 def test_pq_probe_size_guard(spark, sf_correctness_dir):
@@ -1534,3 +1550,164 @@ def test_quantizer_sidecar_survives_overwrite(spark, tmp_path, sf_correctness_di
         mllib_ann.write_ivfpq_index(bad, centers, cbs, store)
     c3, cb3 = mllib_ann.load_quantizers(store)
     assert c3 == centers and cb3 == cbs
+
+
+def test_read_optional_parquet_narrow_catch(spark, tmp_path):
+    """Only the genuinely-absent error classes read as None; any other
+    AnalysisException (schema-level corruption, an unreadable store)
+    PROPAGATES — swallowing it would silently serve superseded rows or
+    drop an upsert carry (ADVICE r13)."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.errors import AnalysisException
+
+    # missing path -> None (local fast path)
+    assert mllib_ann._read_optional_parquet(
+        spark, str(tmp_path / "never_written")
+    ) is None
+    # existing dir with nothing to infer a schema from (the crashed-
+    # write artifact: only a _temporary subdir) -> the real Spark
+    # UNABLE_TO_INFER_SCHEMA, swallowed -> None
+    crashed = tmp_path / "crashed"
+    os.makedirs(crashed / "_temporary")
+    assert mllib_ann._read_optional_parquet(spark, str(crashed)) is None
+    # any OTHER AnalysisException propagates (condition None here —
+    # pure-Python AnalysisExceptions carry no error class)
+    class _Reader:
+        def parquet(self, p):
+            raise AnalysisException(message="boom")
+
+    class _Spark:
+        read = _Reader()
+
+    with _pytest.raises(AnalysisException, match="boom"):
+        mllib_ann._read_optional_parquet(_Spark(), str(crashed))
+
+
+def _mini_store(spark, sf_correctness_dir, tmp_path, name):
+    emb = (
+        load_table(spark, sf_correctness_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .limit(60)
+    )
+    centers = mllib_ann.md5_sample_centroids(emb, k=4)
+    cbs = mllib_ann.pq_train(emb, m=8, ks=16, dim=64)
+    store = str(tmp_path / name)
+    mllib_ann.write_ivfpq_index(
+        emb.filter(F.col("vec_id") % 2 == 0), centers, cbs, store
+    )
+    return emb, centers, cbs, store
+
+
+def test_ivfpq_append_detects_concurrent_compact(
+    spark, tmp_path, sf_correctness_dir, monkeypatch
+):
+    """Interleaving #1 (VERDICT r13 task #4): a compaction flips
+    _CURRENT between an append's data commit and its post-commit
+    pointer check.  The append must raise LOUDLY with the retry
+    instruction instead of silently leaving its rows in the superseded
+    generation for the next sweep to delete — and zero rows may be
+    lost at any point."""
+    import pytest as _pytest
+
+    emb, centers, cbs, store = _mini_store(
+        spark, sf_correctness_dir, tmp_path, "race_append"
+    )
+    odds = emb.filter(F.col("vec_id") % 2 == 1)
+    orig = mllib_ann._check_pointer_unmoved
+
+    def hook(root, ptr, data_dir):
+        # the racing compaction commits while the append is between
+        # its last write and its validation read
+        mllib_ann.compact_ivfpq_index(spark, store)
+        orig(root, ptr, data_dir)
+
+    monkeypatch.setattr(mllib_ann, "_check_pointer_unmoved", hook)
+    with _pytest.raises(RuntimeError, match="concurrent compaction"):
+        mllib_ann.write_ivfpq_index(
+            odds, centers, cbs, store, mode="append", batch_id="b2"
+        )
+    monkeypatch.setattr(mllib_ann, "_check_pointer_unmoved", orig)
+
+    # zero rows lost: the racing compact read AFTER the append's data
+    # commit, so it carried the appended rows into the new generation
+    qs = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def rows(s):
+        return sorted(
+            (r["query_id"], r["vec_id"], r["rank"])
+            for r in mllib_ann.ivfpq_index_topk(
+                spark, qs, centers, s, k=8, n_probe=4, codebooks=cbs
+            ).collect()
+        )
+
+    clean = str(tmp_path / "race_append_clean")
+    mllib_ann.write_ivfpq_index(emb, centers, cbs, clean)
+    # the instructed RETRY is idempotent whether or not the racing
+    # compact carried the rows
+    mllib_ann.write_ivfpq_index(
+        odds, centers, cbs, store, mode="append", batch_id="b2"
+    )
+    assert rows(store) == rows(clean)
+
+
+def test_ivfpq_compact_detects_concurrent_append(
+    spark, tmp_path, sf_correctness_dir, monkeypatch
+):
+    """Interleaving #2 (VERDICT r13 task #4): an append commits into
+    the old generation after a compaction's merge read its snapshot.
+    The compaction must FAIL THE FLIP (discarding its merge), leave
+    the store untouched and serving the appended rows, and succeed on
+    retry."""
+    import pytest as _pytest
+
+    emb, centers, cbs, store = _mini_store(
+        spark, sf_correctness_dir, tmp_path, "race_compact"
+    )
+    odds = emb.filter(F.col("vec_id") % 2 == 1)
+    orig = mllib_ann._check_no_concurrent_append
+    fired = []
+
+    def hook(sp, data_dir, gen_at_read, target):
+        if not fired:
+            fired.append(True)
+            # the racing append lands after the merge read; the
+            # pointer hasn't flipped, so the APPEND's own check passes
+            mllib_ann.write_ivfpq_index(
+                odds, centers, cbs, store, mode="append", batch_id="b2"
+            )
+        orig(sp, data_dir, gen_at_read, target)
+
+    monkeypatch.setattr(mllib_ann, "_check_no_concurrent_append", hook)
+    with _pytest.raises(RuntimeError, match="concurrent append"):
+        mllib_ann.compact_ivfpq_index(spark, store)
+    monkeypatch.setattr(mllib_ann, "_check_no_concurrent_append", orig)
+
+    # the store is untouched (no pointer flipped, merge discarded) and
+    # serves every row including the racing append's
+    import os
+
+    assert not os.path.exists(os.path.join(store, "_CURRENT"))
+    assert not os.path.exists(os.path.join(store, "v00001"))
+    qs = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def rows(s):
+        return sorted(
+            (r["query_id"], r["vec_id"], r["rank"])
+            for r in mllib_ann.ivfpq_index_topk(
+                spark, qs, centers, s, k=8, n_probe=4, codebooks=cbs
+            ).collect()
+        )
+
+    clean = str(tmp_path / "race_compact_clean")
+    mllib_ann.write_ivfpq_index(emb, centers, cbs, clean)
+    assert rows(store) == rows(clean)
+    # the instructed retry compacts cleanly and changes nothing
+    mllib_ann.compact_ivfpq_index(spark, store)
+    assert mllib_ann._resolve_data_dir(store).endswith("v00001")
+    assert rows(store) == rows(clean)

@@ -131,12 +131,49 @@ def test_leakage_free_splits_groups_stay_together(spark):
     )
     split_of = {r.doc_id: r.split for r in out2.collect()}
     assert split_of[5000] == split_of[0] == split_of[3]
-    # shuffle-free after the one id join: the small group side goes
-    # over a BroadcastExchange and NO hash-partitioning shuffle exists
-    # anywhere in the plan (the split label is a pure projection)
+    # shuffle-free on the CORPUS side: the group side goes through its
+    # uniqueness-guard aggregate (ONE hash exchange, bounded by the
+    # dup-pair id count — never corpus-sized) and then over a
+    # BroadcastExchange, so the corpus stream itself never
+    # repartitions (a corpus shuffle would surface as SortMergeJoin
+    # and/or additional hashpartitioning exchanges) and the split
+    # label stays a pure projection
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
-    assert "Exchange hashpartitioning" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_leakage_free_splits_input_guards(spark):
+    """Audit-grade input validation: a pre-existing `component` column
+    on df raises up front (the output reuses that name), and an id
+    claimed by TWO components in groups raises at execution instead of
+    silently fanning the doc into two output rows — while exact
+    duplicate (id, component) rows (unioned batch re-runs) collapse
+    harmlessly."""
+    import pytest as _pytest
+
+    docs = _docs(spark, 50)
+    w = {"train": 0.8, "test": 0.2}
+    with _pytest.raises(ValueError, match="component"):
+        sampling.leakage_free_splits(
+            docs.withColumn("component", F.lit(1)),
+            spark.createDataFrame([(1, 1)], "doc_id long, component long"),
+            w,
+        )
+    # exact duplicates: same (id, component) twice -> one row per doc
+    dup = spark.createDataFrame(
+        [(1, 100), (1, 100), (2, 100)], "doc_id long, component long"
+    )
+    out = sampling.leakage_free_splits(docs, dup, w)
+    assert out.count() == 50
+    assert out.filter(F.col("doc_id") == 1).count() == 1
+    # ambiguous: one id in two components -> loud execution error
+    amb = spark.createDataFrame(
+        [(1, 100), (1, 200)], "doc_id long, component long"
+    )
+    with _pytest.raises(Exception, match="multiple components"):
+        sampling.leakage_free_splits(docs, amb, w).collect()
 
 
 def test_stratified_sample_caps_strata(spark):
@@ -607,3 +644,182 @@ def test_split_sentences_null_and_control_bytes(spark):
             for r in split_sentences(df).collect()}
     assert rows[0] == []
     assert rows[1] == ["foobar baz"]  # debris can't forge a boundary
+
+
+def _store_rows(spark, store):
+    return {
+        r.doc_id: (r.split, r.component, r.reason, r._batch)
+        for r in spark.read.parquet(store).collect()
+    }
+
+
+def test_split_store_labels_never_move(spark, tmp_path):
+    """The absolute guarantee of the persisted split store (VERDICT
+    r13 task #2): once a doc's split is stored, NO later append —
+    however the group labels shifted — may move it; new members of a
+    known group inherit its split; fresh groups hash-assign; and
+    re-running a batch is idempotent."""
+    docs = _docs(spark, 300)
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    seed_docs = docs.filter(F.col("doc_id") < 200)
+    # seed groups: pairs (0,1), (10,11), (20,21)
+    g1 = spark.createDataFrame(
+        [(0, 0), (1, 0), (10, 10), (11, 10), (20, 20), (21, 20)],
+        "doc_id long, component long",
+    )
+    store = str(tmp_path / "splits")
+    seed = sampling.leakage_free_splits(seed_docs, g1, w, seed=7)
+    sampling.write_split_store(
+        seed.select("doc_id", "split", "component"), store
+    )
+    before = _store_rows(spark, store)
+    assert len(before) == 200 and all(
+        v[2] == "seed" and v[3] == "seed" for v in before.values()
+    )
+
+    # append: docs 200-299; groups RE-LABELED over the grown corpus —
+    # component 0 now labeled differently and extended by doc 250;
+    # doc 251/252 form a brand-new group; 253 is a singleton
+    g2 = spark.createDataFrame(
+        [(0, 999), (1, 999), (250, 999),
+         (251, 300), (252, 300)],
+        "doc_id long, component long",
+    )
+    out = sampling.assign_splits_incremental(
+        spark,
+        docs.filter(F.col("doc_id") >= 200),
+        g2,
+        w,
+        store,
+        seed=7,
+        update_store=True,
+        batch_id="b1",
+    )
+    got = {r.doc_id: (r.split, r.reason) for r in out.collect()}
+    assert len(got) == 100
+    # inheritance: 250 joins the group of 0/1 and lands on THEIR side
+    assert got[250] == (before[0][0], "inherited")
+    # fresh group: 251 and 252 share one hash-assigned split
+    assert got[251][1] == got[252][1] == "fresh"
+    assert got[251][0] == got[252][0]
+    # singleton fresh == plain assign_splits on its own id
+    plain = {
+        r.doc_id: r.split
+        for r in sampling.assign_splits(
+            docs.filter(F.col("doc_id") == 253), "doc_id", w, seed=7
+        ).collect()
+    }
+    assert got[253] == (plain[253], "fresh")
+    # THE guarantee: not one stored row changed
+    after = _store_rows(spark, store)
+    assert all(after[k] == before[k] for k in before)
+    assert len(after) == 300
+    assert after[250] == (before[0][0], 999, "inherited", "b1")
+
+    # idempotent re-run: every doc now reads 'stored', nothing rewrites
+    out2 = sampling.assign_splits_incremental(
+        spark,
+        docs.filter(F.col("doc_id") >= 200),
+        g2,
+        w,
+        store,
+        seed=7,
+        update_store=True,
+        batch_id="b1",
+    )
+    assert all(r.reason == "stored" for r in out2.collect())
+    assert {
+        r.doc_id: (r.split,) for r in out2.collect()
+    } == {k: (v[0],) for k, v in after.items() if k >= 200}
+    assert _store_rows(spark, store) == after
+
+
+def test_split_store_merge_policy(spark, tmp_path):
+    """A group merge that would span stored splits resolves by the
+    LOUD policy: default quarantine-to-the-first-weight-label (train —
+    merged docs can never leak INTO an eval split), or
+    merge_policy='error' raising at execution."""
+    docs = _docs(spark, 400)
+    w = {"train": 0.5, "val": 0.25, "test": 0.25}
+    store = str(tmp_path / "merge")
+    # hand-build a seed store where groups 100 and 200 sit in
+    # DIFFERENT splits
+    seed = spark.createDataFrame(
+        [(100, "train", 100), (101, "train", 100),
+         (200, "test", 200), (201, "test", 200)],
+        "doc_id long, split string, component long",
+    )
+    sampling.write_split_store(seed, store)
+    # new doc 300 bridges both groups -> one merged component
+    g = spark.createDataFrame(
+        [(100, 100), (101, 100), (200, 100), (201, 100), (300, 100)],
+        "doc_id long, component long",
+    )
+    new = docs.filter(F.col("doc_id") == 300)
+    out = sampling.assign_splits_incremental(
+        spark, new, g, w, store, update_store=True, batch_id="m1"
+    )
+    rows = out.collect()
+    assert len(rows) == 1
+    assert rows[0].split == "train" and rows[0].reason == "quarantined"
+    # stored members did NOT move
+    after = _store_rows(spark, store)
+    assert after[200][0] == "test" and after[100][0] == "train"
+    # policy='error' raises loudly instead
+    store2 = str(tmp_path / "merge2")
+    sampling.write_split_store(seed, store2)
+    with pytest.raises(Exception, match="spans stored splits"):
+        sampling.assign_splits_incremental(
+            spark, new, g, w, store2, merge_policy="error"
+        ).collect()
+    # quarantine_split must be a weights label
+    with pytest.raises(ValueError, match="quarantine_split"):
+        sampling.assign_splits_incremental(
+            spark, new, g, w, store2, quarantine_split="nope"
+        )
+    with pytest.raises(ValueError, match="merge_policy"):
+        sampling.assign_splits_incremental(
+            spark, new, g, w, store2, merge_policy="bogus"
+        )
+
+
+def test_split_store_append_chain_scan_once(spark, tmp_path):
+    """A 3-batch chain keeps every earlier label frozen, and the
+    incremental plan scans the store exactly once (the semi-join
+    probe) with every later join a broadcast — no corpus-sized
+    shuffle."""
+    docs = _docs(spark, 600)
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    store = str(tmp_path / "chain")
+    seed = sampling.leakage_free_splits(
+        docs.filter(F.col("doc_id") < 200),
+        spark.createDataFrame([(0, 0), (1, 0)], "doc_id long, component long"),
+        w,
+        seed=3,
+    )
+    sampling.write_split_store(
+        seed.select("doc_id", "split", "component"), store
+    )
+    snapshots = [_store_rows(spark, store)]
+    for lo, hi, bid in ((200, 400, "b1"), (400, 600, "b2")):
+        g = spark.createDataFrame(
+            [(0, 0), (1, 0), (lo, 0), (lo + 1, lo + 1), (lo + 2, lo + 1)],
+            "doc_id long, component long",
+        )
+        out = sampling.assign_splits_incremental(
+            spark,
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)),
+            g,
+            w,
+            store,
+            seed=3,
+            update_store=True,
+            batch_id=bid,
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in plan, plan
+        prev = snapshots[-1]
+        now = _store_rows(spark, store)
+        assert all(now[k] == prev[k] for k in prev)
+        snapshots.append(now)
+    assert len(snapshots[-1]) == 600

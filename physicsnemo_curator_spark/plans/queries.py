@@ -2118,6 +2118,160 @@ FROM b GROUP BY 1 ORDER BY split
 """
 
 
+def _split_gate_store(spark: SparkSession, sf_dir: str, hash_fn: str) -> str:
+    """Build (once per process) the persisted split-assignment store
+    the q_split_store gate reads — the two-epoch append chain
+    leakage_free_splits' stability contract prescribes
+    (operators/sampling.py: write_split_store /
+    assign_splits_incremental):
+
+      1. seed epoch: docs with ``doc_id % 3 != 2`` are split 80/10/10
+         by leakage_free_splits with groups computed over the SEED
+         corpus only, and persisted (``_batch=seed``).
+      2. append ``b1``: the remaining docs arrive; groups are
+         RECOMPUTED over the grown corpus (components can relabel and
+         absorb new members — exactly the instability the store
+         exists to absorb), and assign_splits_incremental joins the
+         batch against the store: stored labels frozen, known-group
+         members inherit, merges quarantine to train, fresh groups
+         hash-assign.
+
+    The pair stream is computed once and filtered per epoch (exact
+    Jaccard and per-doc MinHash signatures are corpus-subset-invariant,
+    so seed pairs == full pairs with both endpoints in the seed)."""
+    import hashlib
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    ident = _src_ident(os.path.join(sf_dir, "documents.parquet"))
+    token = hashlib.md5(
+        f"{sf_dir}:{ident}:splitstore:{hash_fn}".encode()
+    ).hexdigest()[:12]
+    store = os.path.join(
+        tempfile.gettempdir(), f"pcs_split_store_{token}_{os.getpid()}"
+    )
+    marker = os.path.join(store, "_PCS_STORE_DONE")
+    if os.path.exists(marker):
+        return store
+    if hash_fn == "arith":
+        sh = _cached_shingles(spark, sf_dir)
+        pairs = dedup.jaccard_pairs(sh).filter(F.col("jaccard") >= 0.8)
+    else:
+        pairs = dedup.minhash_near_duplicates(
+            docs,
+            threshold=0.8,
+            shingles=_cached_shingles(spark, sf_dir),
+            hash_fn=hash_fn,
+        )
+    # reused by both epochs — materialize the pair stream once
+    pairs = pairs.select("a", "b").localCheckpoint()
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    seed_docs = docs.filter(F.col("doc_id") % 3 != 2)
+    seed_pairs = pairs.filter(
+        (F.col("a") % 3 != 2) & (F.col("b") % 3 != 2)
+    )
+    seed_groups = components.dedup_groups(seed_pairs).select(
+        "doc_id", "component"
+    )
+    seed_assign = sampling.leakage_free_splits(
+        seed_docs, seed_groups, w, seed=42, hash_fn=hash_fn
+    )
+    sampling.write_split_store(
+        seed_assign.select("doc_id", "split", "component"), store
+    )
+    full_groups = components.dedup_groups(pairs).select(
+        "doc_id", "component"
+    )
+    sampling.assign_splits_incremental(
+        spark,
+        docs.filter(F.col("doc_id") % 3 == 2),
+        full_groups,
+        w,
+        store,
+        seed=42,
+        hash_fn=hash_fn,
+        update_store=True,
+        batch_id="b1",
+    )
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return store
+
+
+def q_split_store(
+    spark: SparkSession, sf_dir: str, hash_fn: str = "arith"
+) -> DataFrame:
+    """Persisted split-assignment store gate (sampling.write_split_store
+    / assign_splits_incremental) — the store pattern that makes
+    leakage_free_splits' guarantee SURVIVE appends: group labels are
+    only stable until the corpus grows, so an incremental pipeline
+    persists assignments and joins new batches against them instead of
+    recomputing splits over the grown corpus.  The gate replays the
+    full two-epoch chain (seed split over the seed corpus -> append
+    with RELABELED full-corpus groups, see :func:`_split_gate_store`)
+    and returns the final store: seed labels must be byte-identical to
+    the seed-epoch assignment (frozen under the append), new
+    group-members must inherit their group's stored split, merged
+    groups must quarantine to train, and fresh docs must hash-assign
+    on coalesce(component, id).  The oracle replays both epochs in
+    DuckDB: the shared closure CTE over all pairs plus a second
+    closure restricted to seed-endpoint pairs.  Declared path: arith
+    buckets + exact-Jaccard pairs; benched twin: the xxhash64 +
+    MinHash-LSH production path (the q_split_leakage_free
+    convention)."""
+    store = _split_gate_store(spark, sf_dir, hash_fn)
+    return (
+        spark.read.parquet(store)
+        .select("doc_id", "split", "component", "reason")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_SPLIT_STORE = f"""
+WITH RECURSIVE {_COMPONENTS_PREFIX},
+pairs_s AS (SELECT a, b FROM pairs WHERE a % 3 != 2 AND b % 3 != 2),
+und_s AS (SELECT a n, b m FROM pairs_s UNION SELECT b, a FROM pairs_s),
+reach_s(n, r) AS (SELECT n, n FROM und_s
+                  UNION
+                  SELECT u.n, reach_s.r
+                  FROM und_s u JOIN reach_s ON u.m = reach_s.n),
+comp_s AS (SELECT n doc_id, MIN(r) component FROM reach_s GROUP BY 1),
+seed_keyed AS (SELECT d.doc_id, c.component,
+                      COALESCE(c.component, d.doc_id) k
+               FROM documents d LEFT JOIN comp_s c USING (doc_id)
+               WHERE d.doc_id % 3 != 2),
+seed_assign AS (SELECT doc_id, component,
+       CASE WHEN bkt < 800000 THEN 'train'
+            WHEN bkt < 900000 THEN 'val' ELSE 'test' END split
+  FROM (SELECT *, {sampling.arith_bucket_sql('k', seed=42)} bkt
+        FROM seed_keyed)),
+batch AS (SELECT d.doc_id, c.component,
+                 {sampling.arith_bucket_sql(
+                     'COALESCE(c.component, d.doc_id)', seed=42)} bkt
+          FROM documents d LEFT JOIN comp c USING (doc_id)
+          WHERE d.doc_id % 3 = 2),
+comp_splits AS (SELECT c.component,
+                       COUNT(DISTINCT s.split) ns, MIN(s.split) inh
+                FROM comp c JOIN seed_assign s USING (doc_id)
+                GROUP BY 1),
+batch_assign AS (
+  SELECT b.doc_id, b.component,
+         CASE WHEN cs.ns > 1 THEN 'train'
+              WHEN cs.ns = 1 THEN cs.inh
+              WHEN b.bkt < 800000 THEN 'train'
+              WHEN b.bkt < 900000 THEN 'val' ELSE 'test' END split,
+         CASE WHEN cs.ns > 1 THEN 'quarantined'
+              WHEN cs.ns = 1 THEN 'inherited'
+              ELSE 'fresh' END reason
+  FROM batch b LEFT JOIN comp_splits cs ON b.component = cs.component)
+SELECT doc_id, split, component, reason FROM (
+  SELECT doc_id, split, component, 'seed' reason FROM seed_assign
+  UNION ALL
+  SELECT doc_id, split, component, reason FROM batch_assign)
+ORDER BY doc_id
+"""
+
+
 def q_sample_split(
     spark: SparkSession, sf_dir: str, hash_fn: str = "arith"
 ) -> DataFrame:
@@ -10406,6 +10560,11 @@ QUERIES: dict[str, QuerySpec] = {
         ORACLE_SPLIT_LEAKAGE_FREE,
         bench=lambda s, d: q_split_leakage_free(s, d, hash_fn="xxhash64"),
     ),
+    "q_split_store": QuerySpec(
+        q_split_store,
+        ORACLE_SPLIT_STORE,
+        bench=lambda s, d: q_split_store(s, d, hash_fn="xxhash64"),
+    ),
     "q_text_span_dedup": QuerySpec(
         q_text_span_dedup,
         ORACLE_TEXT_SPAN_DEDUP,
@@ -10420,73 +10579,16 @@ QUERIES: dict[str, QuerySpec] = {
 }
 
 
-# r13 driver-window rotation (VERDICT-r12 ask #3; same explicit-list
-# mechanism as r08-r12).  The 50-row window = the 5 gates NEW this
-# round (q_ann_ivfpq_mmr, q_embedding_drift_psi, q_ann_rrf_anns,
-# q_dedup_representative, q_split_leakage_free) +
-# q_ann_ivfpq_incremental (WIDENED to the compact/re-ingest lifecycle,
-# so re-gated) + the 3 r12-deferred gates (q_cluster_sample,
-# q_embedding_drift, q_snapshot_diff) + the first 41 of the 50-row
-# r10 cohort.  Tail = the 9 r10 leftovers (head of the r14 window),
-# the r11 cohort, then everything driver-checked r12 (freshest last).
-# After r13 nothing is staler than r10, and the r14 window (9 + r11
-# head) retires the last r10 rows.
+# r14 driver-window rotation (VERDICT-r13 ask #1; same explicit-list
+# mechanism as r08-r13).  The 50-row window = the 9 r10-stale gates
+# (staged at the r13 tail head, retiring the last r10 rows) +
+# q_split_store (NEW this round: the persisted split-assignment store)
+# + the first 40 of the 50-row r11 cohort.  Tail = the 10 r11
+# leftovers (head of the r15 window), the r12-checked cohort, then
+# everything driver-checked r13 (freshest last).  After r14 nothing is
+# staler than r11.
 _DRIVER_ORDER = [
-    # --- r13 window head: NEW this round (composed ANN->MMR, PSI drift)
-    "q_ann_ivfpq_mmr",
-    "q_embedding_drift_psi",
-    "q_ann_rrf_anns",
-    "q_dedup_representative",
-    "q_split_leakage_free",
-    # --- widened to the full compact/re-ingest lifecycle this round ---
-    "q_ann_ivfpq_incremental",
-    # --- the 3 r12-deferred gates ---
-    "q_cluster_sample",
-    "q_embedding_drift",
-    "q_snapshot_diff",
-    # --- r10 cohort, 41 of 50 (fills the 50-row r13 window) ---
-    "q_bpe_train_hist",
-    "q_media_mp4_mkv",
-    "q_semantic_incremental",
-    "q_st4_stream_interval_join",
-    "q_dashboard_index",
-    "q_dashboard_workers",
-    "q_media_resample",
-    "q_a3_pivot_counts",
-    "q_a8_welford_state",
-    "q_a11_heavy_hitters",
-    "q_sketch_distinct",
-    "q_validate_expectations",
-    "q_profile_columns",
-    "q_j1_broadcast_join",
-    "q_j2_point_to_cell",
-    "q_j3_scatter_mean",
-    "q_j4_range_join",
-    "q_j5_semi_join",
-    "q_s3_edge_dedup",
-    "q_m1_von_mises",
-    "q_scan_pushdown",
-    "q_precision_downcast",
-    "q_global_inject",
-    "q_ts_asof_join",
-    "q_ts_rollup_daily",
-    "q_w4_sessionize",
-    "q_dedup_exact",
-    "q_dedup_ngram_jaccard",
-    "q_sample_split",
-    "q_text_redact_pii",
-    "q_text_logprob",
-    "q_text_decontaminate",
-    "q_emb_outliers",
-    "q_text_features",
-    "q_text_winnow",
-    "q_text_lang_quality",
-    "q_text_vocab",
-    "q_text_tfidf_sim",
-    "q_ann_cosine_topk",
-    "q_text_token_ids",
-    "q_pack_sequences",
-    # --- r14 staging: the 9 r10 leftovers head the next window ---
+    # --- the 9 r10-stale gates (VERDICT r13 task #1: retire first) ---
     "q_d3plot_scan",
     "q_aselmdb_scan",
     "q_zarr_roundtrip",
@@ -10496,7 +10598,9 @@ _DRIVER_ORDER = [
     "q_warc_scan",
     "q_text_span_dedup_xx",
     "q_sketch_bloom",
-    # --- r11-green cohort ---
+    # --- NEW this round: persisted split-assignment store ---
+    "q_split_store",
+    # --- r11 cohort, 40 of 50 (fills the 50-row r14 window) ---
     "q_media_fmp4",
     "q_ann_sq8_topk",
     "q_ann_pq_topk",
@@ -10537,6 +10641,7 @@ _DRIVER_ORDER = [
     "q_median_exact",
     "q_st3_stream_welford",
     "q_st1_tumbling_window",
+    # --- r15 staging: the 10 r11 leftovers head the next window ---
     "q_grib2_scan",
     "q_semantic_dedup",
     "q_dedup_incremental",
@@ -10547,7 +10652,7 @@ _DRIVER_ORDER = [
     "q_corpus_card",
     "q_media_subtitles",
     "q_robots_filter",
-    # --- r12-checked cohort (freshest last) ---
+    # --- r12-checked cohort ---
     "q_st6_stream_fullouter_join",
     "q_ann_mmr",
     "q_ann_rrf",
@@ -10597,6 +10702,57 @@ _DRIVER_ORDER = [
     "q_sample_stratified",
     "q_a1_moment_stats",
     "q_a2_elementwise_stats",
+    # --- r13-checked cohort (freshest last) ---
+    "q_ann_ivfpq_mmr",
+    "q_embedding_drift_psi",
+    "q_ann_rrf_anns",
+    "q_dedup_representative",
+    "q_split_leakage_free",
+    "q_ann_ivfpq_incremental",
+    "q_cluster_sample",
+    "q_embedding_drift",
+    "q_snapshot_diff",
+    "q_bpe_train_hist",
+    "q_media_mp4_mkv",
+    "q_semantic_incremental",
+    "q_st4_stream_interval_join",
+    "q_dashboard_index",
+    "q_dashboard_workers",
+    "q_media_resample",
+    "q_a3_pivot_counts",
+    "q_a8_welford_state",
+    "q_a11_heavy_hitters",
+    "q_sketch_distinct",
+    "q_validate_expectations",
+    "q_profile_columns",
+    "q_j1_broadcast_join",
+    "q_j2_point_to_cell",
+    "q_j3_scatter_mean",
+    "q_j4_range_join",
+    "q_j5_semi_join",
+    "q_s3_edge_dedup",
+    "q_m1_von_mises",
+    "q_scan_pushdown",
+    "q_precision_downcast",
+    "q_global_inject",
+    "q_ts_asof_join",
+    "q_ts_rollup_daily",
+    "q_w4_sessionize",
+    "q_dedup_exact",
+    "q_dedup_ngram_jaccard",
+    "q_sample_split",
+    "q_text_redact_pii",
+    "q_text_logprob",
+    "q_text_decontaminate",
+    "q_emb_outliers",
+    "q_text_features",
+    "q_text_winnow",
+    "q_text_lang_quality",
+    "q_text_vocab",
+    "q_text_tfidf_sim",
+    "q_ann_cosine_topk",
+    "q_text_token_ids",
+    "q_pack_sequences",
 ]
 
 

@@ -137,3 +137,55 @@ def random_atomic(
         ).alias("pos"),
     )
     return systems, atoms
+
+
+def clustered_embeddings(
+    spark: SparkSession,
+    n: int,
+    *,
+    dim: int = 64,
+    n_clusters: int = 32,
+    sigma: float = 0.2,
+    seed: int = 7,
+) -> DataFrame:
+    """Mixture-of-Gaussians embeddings fixture — the CLUSTERED corpus
+    geometry real embedding models produce (topical/visual clusters),
+    as opposed to the driver's isotropic ``embeddings`` table whose
+    pairwise cosines concentrate around 0 (the adversarial regime for
+    every coarse quantizer — see RECALL.md).  Vector ``i`` belongs to
+    cluster ``i % n_clusters``; its embedding is the cluster's unit-ish
+    N(0,1) center plus per-dimension N(0, sigma²) noise.
+
+    Every value derives from xxhash64 of (seed, cluster-or-row, dim,
+    salt) via Box–Muller — partition-invariant and fully distributed
+    (one codegen projection, no driver materialization), so the same
+    fixture scales from the 500-row floor test to a soak corpus.
+    Output: ``(vec_id BIGINT, embedding ARRAY<FLOAT>)``, the
+    similarity-family schema."""
+    if n_clusters < 1 or dim < 1:
+        raise ValueError("n_clusters and dim must be >= 1")
+
+    def gauss(key, salt: int):
+        # Box–Muller from two hash uniforms; u1 in (0,1] so ln() is
+        # finite, u2 in [0,1)
+        h1 = F.abs(F.xxhash64(key, F.lit(seed), F.lit(salt)))
+        h2 = F.abs(F.xxhash64(key, F.lit(seed), F.lit(salt + 1)))
+        u1 = (h1 % F.lit(1_000_000_007) + 1).cast("double") / 1_000_000_008.0
+        u2 = (h2 % F.lit(1_000_000_007)).cast("double") / 1_000_000_007.0
+        import math
+
+        return F.sqrt(-2.0 * F.log(u1)) * F.cos(F.lit(2.0 * math.pi) * u2)
+
+    df = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") % n_clusters).alias("_cl"),
+    )
+    # one codegen projection per row — no explode/groupBy shuffle
+    emb = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: (
+            gauss(F.concat_ws(":", F.col("_cl"), j), 1)
+            + F.lit(float(sigma)) * gauss(F.concat_ws(":", F.col("vec_id"), j), 3)
+        ).cast("float"),
+    )
+    return df.select("vec_id", emb.alias("embedding"))

@@ -1711,3 +1711,124 @@ def test_ivfpq_compact_detects_concurrent_append(
     mllib_ann.compact_ivfpq_index(spark, store)
     assert mllib_ann._resolve_data_dir(store).endswith("v00001")
     assert rows(store) == rows(clean)
+
+
+def test_recall_ladder_clustered_floors(spark):
+    """RECALL.md's CLUSTERED-corpus floors as assertions (VERDICT r13
+    task #3): on the mixture-of-Gaussians fixture — the geometry real
+    embedding models produce — the coarse quantizers capture actual
+    structure, so recall floors sit far above the isotropic table's
+    (IVF 0.40 -> 0.90, IVF-PQ+rescore5 0.30 -> 0.70).  Raw ADC order
+    within a tight cluster stays tie-dominated by construction (the
+    codebooks spend their 16 codes separating clusters, not members),
+    which is exactly why the production recommendation is
+    rescore-over-candidates: the floor pins that the CANDIDATE set is
+    right.  Fully deterministic: hash-generated corpus, md5-sampled
+    centroids/codebooks."""
+    from physicsnemo_curator_spark.sources.synthetic import (
+        clustered_embeddings,
+    )
+
+    emb = clustered_embeddings(
+        spark, 2000, dim=64, n_clusters=32, sigma=0.2, seed=7
+    ).localCheckpoint()
+    qs = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    centers = mllib_ann.md5_sample_centroids(emb, k=8)
+    cbs = mllib_ann.pq_train(emb, m=8, ks=16, dim=64)
+    exact: dict[int, set] = {}
+    for r in similarity.cosine_topk(emb, qs, k=10, dim=64).collect():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    def recall(df) -> float:
+        got: dict[int, set] = {}
+        for r in df.collect():
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return sum(
+            len(got.get(q, set()) & e) / len(e) for q, e in exact.items()
+        ) / len(exact)
+
+    floors = [
+        (similarity.lsh_topk(emb, qs, 64, k=10), 0.90, "lsh"),
+        (mllib_ann.ivf_topk(emb, qs, centers, k=10, n_probe=3), 0.90, "ivf"),
+        (
+            mllib_ann.ivfpq_topk(
+                emb, qs, centers, k=10, n_probe=3, codebooks=cbs
+            ),
+            0.20,
+            "ivfpq",
+        ),
+        (
+            mllib_ann.ivfpq_topk(
+                emb, qs, centers, k=10, n_probe=3, codebooks=cbs, rescore=5
+            ),
+            0.70,
+            "ivfpq+rescore5",
+        ),
+        (
+            mllib_ann.pq_topk(
+                emb, qs, k=10, dim=64, codebooks=cbs, rescore=5
+            ),
+            0.70,
+            "pq+rescore5",
+        ),
+    ]
+    got = {name: recall(df) for df, _floor, name in floors}
+    for _df, floor, name in floors:
+        assert got[name] >= floor, (name, got[name], floor)
+    # the comparative claim itself: clustered IVF-PQ+rescore must beat
+    # the isotropic table's best measured value (0.46 at sf0.01) by a
+    # wide margin — the regime where the index composition is
+    # RECOMMENDED is now measured, not prose
+    assert got["ivfpq+rescore5"] >= 0.70 > 0.46
+
+
+def test_composed_mmr_overlap_clustered_floor(spark, tmp_path):
+    """The composed-tail claim, measured where it's recommended
+    (VERDICT r13 task #3): on the clustered fixture, MMR fed from the
+    RESCORED persisted-index probe must agree with its exact-fed twin
+    on >= 75% of picks (measured 0.90; the isotropic raw-rung overlap
+    was 0.14 — rung-recall-bounded, as RECALL.md documents), and even
+    the raw ADC rung must clear 0.30."""
+    from physicsnemo_curator_spark.sources.synthetic import (
+        clustered_embeddings,
+    )
+
+    emb = clustered_embeddings(
+        spark, 2000, dim=64, n_clusters=32, sigma=0.2, seed=7
+    ).localCheckpoint()
+    qs = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    centers = mllib_ann.md5_sample_centroids(emb, k=8)
+    cbs = mllib_ann.pq_train(emb, m=8, ks=16, dim=64)
+    store = str(tmp_path / "composed_idx")
+    mllib_ann.write_ivfpq_index(emb, centers, cbs, store)
+
+    def picks(cand):
+        return {
+            (r["query_id"], r["vec_id"])
+            for r in similarity.mmr_rerank(emb, qs, cand, k=8).collect()
+        }
+
+    exact_fed = picks(
+        similarity.cosine_topk(emb, qs, k=20, dim=64).select(
+            "query_id", "vec_id"
+        )
+    )
+    raw_fed = picks(
+        mllib_ann.ivfpq_index_topk(
+            spark, qs, centers, store, k=20, n_probe=3, codebooks=cbs
+        ).select("query_id", "vec_id")
+    )
+    resc_fed = picks(
+        mllib_ann.ivfpq_index_topk(
+            spark, qs, centers, store, k=20, n_probe=3, codebooks=cbs,
+            rescore=3, corpus=emb,
+        ).select("query_id", "vec_id")
+    )
+    raw_ov = len(raw_fed & exact_fed) / len(exact_fed)
+    resc_ov = len(resc_fed & exact_fed) / len(exact_fed)
+    assert resc_ov >= 0.75, resc_ov
+    assert raw_ov >= 0.30, raw_ov

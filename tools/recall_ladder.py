@@ -109,9 +109,126 @@ def recall_table(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+
+# --- clustered-corpus ladder (VERDICT r13 task #3) --------------------
+#
+#     python tools/recall_ladder.py --clustered [n ...]
+#
+# Same ladder, same gate parameters, but on the mixture-of-Gaussians
+# fixture (sources/synthetic.clustered_embeddings: 32 centers, 64 dims)
+# across a per-cluster sigma sweep — the corpus geometry real embedding
+# models produce, and the regime where the RECALL.md operating claim
+# "IVF-PQ -> MMR is the shape for clustered embeddings" must stop being
+# prose.  Also measures the composed-tail overlap (persisted
+# ivfpq_index_topk(20) -> mmr_rerank(8) vs the exact-fed twin), the
+# r13 methodology.
+
+SIGMAS = (0.1, 0.2, 0.4)
+
+
+def composed_mmr_overlap(
+    spark, emb, centers, cbs, tag: str
+) -> dict[str, float]:
+    """Overlap of (query, vec) picks between MMR fed from the persisted
+    IVF-PQ index probe and MMR fed from exact top-20 — bounded by the
+    rung's recall, never improved by the tail.  Two rungs: the raw ADC
+    probe and the production recommendation (probe + exact rescore of
+    3x the candidates), which converts candidate quality into rank
+    quality before the tail."""
+    import shutil
+    import tempfile
+
+    qs = emb.filter(F.col("vec_id") < NQ).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    store = tempfile.mkdtemp(prefix=f"pcs_recall_idx_{tag}_")
+    shutil.rmtree(store, ignore_errors=True)
+    try:
+        mllib_ann.write_ivfpq_index(emb, centers, cbs, store)
+        exact = similarity.cosine_topk(emb, qs, k=20, dim=64).select(
+            "query_id", "vec_id"
+        )
+        b = {
+            (r["query_id"], r["vec_id"])
+            for r in similarity.mmr_rerank(emb, qs, exact, k=8).collect()
+        }
+        out = {}
+        for name, kw in (
+            ("raw", {}),
+            ("rescored", {"rescore": 3, "corpus": emb}),
+        ):
+            approx = mllib_ann.ivfpq_index_topk(
+                spark, qs, centers, store, k=20, n_probe=3,
+                codebooks=cbs, **kw,
+            ).select("query_id", "vec_id")
+            a = {
+                (r["query_id"], r["vec_id"])
+                for r in similarity.mmr_rerank(
+                    emb, qs, approx, k=8
+                ).collect()
+            }
+            out[name] = len(a & b) / len(b) if b else float("nan")
+        return out
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
+def clustered_tables(spark, n: int) -> None:
+    from physicsnemo_curator_spark.sources.synthetic import (
+        clustered_embeddings,
+    )
+
+    for sigma in SIGMAS:
+        emb = clustered_embeddings(
+            spark, n, dim=64, n_clusters=32, sigma=sigma, seed=7
+        ).localCheckpoint()
+        qs = emb.filter(F.col("vec_id") < NQ).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        centers = mllib_ann.md5_sample_centroids(emb, k=8)
+        cbs = mllib_ann.pq_train(emb, m=8, ks=16, dim=64)
+        cbs_lloyd = mllib_ann.pq_train_sample(emb, m=8, ks=16, dim=64)
+        exact = {}
+        for r in similarity.cosine_topk(emb, qs, k=K, dim=64).collect():
+            exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+        print(
+            f"\n## clustered n={n} sigma={sigma} "
+            f"(32 clusters, {len(exact)} queries, k={K})\n"
+        )
+        print("| strategy | recall@10 | wall s |")
+        print("|---|---|---|")
+        for name, thunk in strategies(emb, centers, cbs, cbs_lloyd).items():
+            t0 = time.perf_counter()
+            got = {}
+            for r in thunk().collect():
+                got.setdefault(r["query_id"], set()).add(r["vec_id"])
+            wall = time.perf_counter() - t0
+            rec = sum(
+                len(got.get(q, set()) & e) / len(e)
+                for q, e in exact.items()
+            ) / len(exact)
+            print(f"| {name} | {rec:.3f} | {wall:.2f} |")
+        ov = composed_mmr_overlap(
+            spark, emb, centers, cbs, f"s{int(sigma * 100)}"
+        )
+        print(
+            f"| ivfpq_index(20) -> mmr(8) overlap vs exact-fed "
+            f"| {ov['raw']:.3f} | |"
+        )
+        print(
+            f"| ivfpq_index(20, rescore=3) -> mmr(8) overlap vs exact-fed "
+            f"| {ov['rescored']:.3f} | |"
+        )
+
+
 if __name__ == "__main__":
     from physicsnemo_curator_spark.session import get_spark
 
     spark = get_spark(app_name="recall-ladder")
-    for sf_dir in sys.argv[1:] or ["/root/testdata/sf0.1"]:
-        recall_table(spark, sf_dir)
+    args = sys.argv[1:]
+    if args and args[0] == "--clustered":
+        for n in [int(a) for a in args[1:]] or [2000]:
+            clustered_tables(spark, n)
+    else:
+        for sf_dir in args or ["/root/testdata/sf0.1"]:
+            recall_table(spark, sf_dir)

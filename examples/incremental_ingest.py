@@ -11,7 +11,9 @@ proportional to each batch, not the corpus:
     → append survivors' signatures/bands to the store
     → append per-language HLL sketches (mergeable distinct-user counts
       across all batches, no re-scan)
-    → assign append-stable train/val/test splits and write the batch
+    → assign leakage-free train/val/test splits through the PERSISTED
+      split store (stored labels never move; new members of a known
+      near-dup group inherit its split) and write the batch
 
 Usage: python examples/incremental_ingest.py [sf_dir] [work_dir]
 """
@@ -28,7 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from physicsnemo_curator_spark.core.metrics import MetricsStore  # noqa: E402
-from physicsnemo_curator_spark.operators import dedup, sampling, sketches  # noqa: E402
+from physicsnemo_curator_spark.operators import components, dedup, sampling, sketches  # noqa: E402
 from physicsnemo_curator_spark.session import get_spark  # noqa: E402
 from physicsnemo_curator_spark.sources.tables import load_table  # noqa: E402
 
@@ -39,6 +41,7 @@ def main() -> None:
     shutil.rmtree(work, ignore_errors=True)
     mh_store = os.path.join(work, "minhash_store")
     hll_store = os.path.join(work, "hll_store")
+    split_store = os.path.join(work, "split_store")
     out = os.path.join(work, "curated")
 
     spark = get_spark(app_name="incremental-ingest")
@@ -54,10 +57,24 @@ def main() -> None:
         batch = docs.filter(F.col("doc_id") % n_batches == b)
         n_in = batch.count()
 
+        weights = {"train": 0.9, "val": 0.1}
         if not os.path.isdir(mh_store):
             dedup.write_minhash_store(batch, mh_store, batch_id=f"b{b}")
             survivors = batch
             n_dropped = 0
+            # seed the split store: leakage-free assignment over the
+            # seed corpus's own near-dup groups
+            pairs0 = dedup.minhash_near_duplicates(batch, threshold=0.8)
+            groups0 = components.dedup_groups(
+                pairs0.select("a", "b")
+            ).select("doc_id", "component")
+            assigned = sampling.leakage_free_splits(
+                survivors, groups0, weights, seed=7
+            ).select("doc_id", "split", "component")
+            sampling.write_split_store(assigned, split_store, batch_id=f"b{b}")
+            split = survivors.join(
+                assigned.select("doc_id", "split"), "doc_id"
+            )
         else:
             pairs = dedup.incremental_near_duplicates(
                 spark, batch, mh_store, threshold=0.8, update_store=False
@@ -70,12 +87,23 @@ def main() -> None:
             dedup.write_minhash_store(
                 survivors, mh_store, mode="append", batch_id=f"b{b}"
             )
+            # split through the PERSISTED store: the pairs connect new
+            # docs to stored corpus docs, so surviving near-copies land
+            # on the SAME side of the train/val fence as their stored
+            # group (stored labels frozen, merges quarantine to train)
+            groups = components.dedup_groups(
+                pairs.select("a", "b")
+            ).select("doc_id", "component")
+            assigned = sampling.assign_splits_incremental(
+                spark, survivors, groups, weights, split_store,
+                seed=7, update_store=True, batch_id=f"b{b}",
+            )
+            split = survivors.join(
+                assigned.select("doc_id", "split"), "doc_id"
+            )
 
         sketches.append_sketch_store(
             survivors, hll_store, ["lang"], "doc_id", batch_id=f"b{b}"
-        )
-        split = sampling.assign_splits(
-            survivors, "doc_id", {"train": 0.9, "val": 0.1}, seed=7
         )
         split.write.mode("append").partitionBy("split").parquet(out)
         metrics.record_index_results(
@@ -95,6 +123,11 @@ def main() -> None:
         print(f"  {r.lang}: ~{int(r.n_distinct)}")
     n_out = spark.read.parquet(out).count()
     print(f"curated rows written: {n_out} -> {out}")
+    ss = sampling.split_store_stats(spark, split_store)
+    print(
+        f"split store: {ss['n_docs']} docs, splits={ss['splits']}, "
+        f"reasons={ss['reasons']}, duplicates={ss['duplicate_docs']}"
+    )
     # one-call run report over the recorded ledger (the reference
     # dashboard's data frames rendered as text — core/metrics.py)
     print(metrics.dashboard_report(spark, total=n_batches, run_id="ingest"))

@@ -25,6 +25,8 @@ from pyspark.ml.functions import array_to_vector
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from physicsnemo_curator_spark.core.errors import analysis_condition
+
 from physicsnemo_curator_spark.operators.similarity import (
     _safe_ratio,
     cosine_prenormed,
@@ -590,17 +592,26 @@ def _flip_generation_pointer(root: str, name: str) -> None:
         os.close(dirfd)
 
 
-def _resolve_data_dir(store: str) -> str:
-    """Where the store's live parquet data is: ``<store>/<pointer>``
-    once compacted, the store root before (flat layout).  A scheme'd
-    store is always flat — only local compaction creates the pointer
-    layout — so it resolves to itself, keeping append/probe fully
-    functional on object stores."""
+def _resolve_store(store: str) -> tuple[str | None, str | None, str]:
+    """``(root, pointer, data_dir)`` from ONE pointer read — root None
+    for a scheme'd store (always flat: only local compaction creates
+    the pointer layout), pointer None for a flat/never-compacted
+    store.  Every reader/writer resolves through here so the pointer
+    protocol lives in one place, and so callers that need both the raw
+    pointer and the data dir get them from a SINGLE read (a compaction
+    flipping ``_CURRENT`` between two reads would hand the caller an
+    internally inconsistent view)."""
     root = _try_local_store_path(store)
     if root is None:
-        return store
+        return None, None, store
     cur = _read_generation_pointer(root)
-    return os.path.join(root, cur) if cur else root
+    return root, cur, (os.path.join(root, cur) if cur else root)
+
+
+def _resolve_data_dir(store: str) -> str:
+    """Where the store's live parquet data is: ``<store>/<pointer>``
+    once compacted, the store root before (flat layout)."""
+    return _resolve_store(store)[2]
 
 
 def _next_gen(spark, data_dir: str) -> int:
@@ -649,30 +660,12 @@ def _read_optional_parquet(spark, path: str):
     try:
         return spark.read.parquet(path)
     except AnalysisException as exc:
-        if _analysis_condition(exc) in (
+        if analysis_condition(exc) in (
             "PATH_NOT_FOUND",
             "UNABLE_TO_INFER_SCHEMA",
         ):
             return None
         raise
-
-
-def _analysis_condition(exc) -> str | None:
-    """The error-class/condition name of a PySpark exception
-    (``PATH_NOT_FOUND``, …), via whichever accessor this PySpark
-    exposes (getCondition is the 4.x name, getErrorClass the
-    deprecated alias), or None when the server attached none."""
-    for attr in ("getCondition", "getErrorClass"):
-        fn = getattr(exc, attr, None)
-        if fn is None:
-            continue
-        try:
-            cond = fn()
-        except Exception:
-            continue
-        if cond:
-            return cond
-    return None
 
 
 def _read_store_data(spark, data_dir: str):
@@ -838,9 +831,15 @@ def write_ivfpq_index(
     changed value raises (retry the append: it re-resolves to the new
     generation, and the upsert semantics make the retry idempotent —
     the compact that raced either carried the rows or never saw
-    them).  The check is the optimistic-concurrency read-validate
-    pattern: one tiny metadata read converts silent data loss into a
-    loud retry.  Compaction runs the mirror check before its flip
+    them).  The same pointer check guards ``mode='overwrite'`` (a
+    rebuild racing a compaction would be superseded by the flip and
+    swept), and an append additionally detects a CONCURRENT APPEND
+    (which would stamp the same ``_gen``, leaving conflict resolution
+    undefined) by counting foreign rows at its own generation.  These
+    are optimistic read-validate checks — one tiny metadata read each,
+    converting silent data loss into a loud retry; they are not a
+    lock (see :func:`_check_no_concurrent_append` for the residual
+    window).  Compaction runs the mirror check before its flip
     (see :func:`compact_ivfpq_index`)."""
     if mode not in ("overwrite", "append"):
         # 'Append'/'upsert'/... falling through to a STATIC overwrite
@@ -854,15 +853,7 @@ def write_ivfpq_index(
     # tombstones go through Spark's Hadoop FS as-is, the layout stays
     # flat (only local compaction creates the pointer layout), and the
     # local-only sidecar stash is skipped exactly as before
-    root = _try_local_store_path(store)
-    pointer_at_resolve = (
-        _read_generation_pointer(root) if root is not None else None
-    )
-    data_dir = (
-        os.path.join(root, pointer_at_resolve)
-        if pointer_at_resolve
-        else (root if root is not None else store)
-    )
+    root, pointer_at_resolve, data_dir = _resolve_store(store)
     gen = _next_gen(corpus.sparkSession, data_dir) if mode == "append" else 0
     cell_meta = _ivf_meta_udf(centers, 1)
     enc = _pq_encode_udf(codebooks)
@@ -971,21 +962,56 @@ def write_ivfpq_index(
             .withColumn("dead_below", F.lit(gen).cast("long"))
         )
         conflicts.write.mode("append").parquet(tomb_dir)
-    if mode == "append" and root is not None:
+    if mode == "append":
+        # append-vs-append detection: two concurrent appends both read
+        # max+1 and stamp the SAME _gen, so neither tombstones the
+        # other and a doubly-written vec_id would serve
+        # nondeterministically (row_number ties on equal _gen).  Our
+        # own new-gen rows live exactly in our batch partition
+        # (path-addressed — no partition-type inference); any OTHER
+        # row at this _gen is a foreign writer.
+        spark = corpus.sparkSession
+        total_new = (
+            _read_store_data(spark, data_dir)
+            .filter(F.col("_gen").cast("long") == gen)
+            .count()
+        )
+        mine = _read_batch_partition(spark, data_dir, batch_id)
+        mine_new = (
+            mine.filter(F.col("_gen").cast("long") == gen).count()
+            if mine is not None
+            else 0
+        )
+        if total_new != mine_new:
+            raise RuntimeError(
+                f"concurrent append detected: {total_new - mine_new} "
+                f"row(s) outside batch {batch_id!r} carry this "
+                f"write's generation {gen} in {data_dir!r} — another "
+                "writer appended concurrently and conflict "
+                "resolution between the two batches is undefined "
+                "(equal _gen). Compact the store, then re-run ONE of "
+                "the two appends."
+            )
+    if root is not None:
+        # both write modes validate the pointer: an overwrite racing a
+        # compaction would otherwise be silently superseded by the
+        # flip (the merge of the PRE-overwrite data) and swept
         _check_pointer_unmoved(root, pointer_at_resolve, data_dir)
 
 
 def _check_pointer_unmoved(
     root: str, pointer_at_resolve: str | None, data_dir: str
 ) -> None:
-    """The append's optimistic-concurrency validation: raise loudly if
-    a compaction flipped ``_CURRENT`` between the append's resolve and
-    its last commit — the rows just written landed in the superseded
-    generation and the NEXT compaction's sweep would silently delete
-    them with the grace copy.  The raise converts that silent loss
-    into a retry: the rows are still probe-visible for one full
-    compaction cycle (the grace window), and re-running the append is
-    idempotent per-vector upsert against the new generation."""
+    """The writer's optimistic-concurrency validation (appends AND
+    full overwrites): raise loudly if a compaction flipped
+    ``_CURRENT`` between the write's resolve and its last commit —
+    the rows just written landed in the superseded generation and the
+    NEXT compaction's sweep would silently delete them with the grace
+    copy.  The raise converts that silent loss into a retry: the rows
+    are still probe-visible for one full compaction cycle (the grace
+    window), and re-running the write is idempotent (appends are
+    per-vector upserts; an overwrite is a rebuild) against the new
+    generation."""
     now = _read_generation_pointer(root)
     if now != pointer_at_resolve:
         raise RuntimeError(
@@ -1205,13 +1231,16 @@ def _check_no_concurrent_append(
     merge read its snapshot — flipping anyway would supersede rows the
     merge never saw and the sweep would eventually delete them.  Every
     append strictly increases max(``_gen``) (it stamps ``max + 1``),
-    so one parquet-footer-stats agg detects the race; the residual
-    window between this check and the flip is the same
-    read-validate-commit gap every optimistic scheme has — vanishingly
-    small next to the merge itself, and an append that lands inside it
-    is still caught by ITS OWN post-commit pointer check
-    (:func:`_check_pointer_unmoved`), so one side of any interleaving
-    always raises."""
+    so one parquet-footer-stats agg detects the race.  The residual
+    window is the read-validate-commit gap every optimistic scheme
+    has: an append whose ENTIRE data+tombstone commit and pointer
+    check fit inside this-check-to-flip is caught by neither side
+    (its pointer read still sees the old value).  That gap is
+    normally vanishing next to the merge, but a driver GC pause can
+    stretch it — deployments that need the absolute take a lease/lock
+    around maintenance; these checks convert the overwhelmingly
+    common interleavings from silent loss into loud retries, they do
+    not implement full mutual exclusion."""
     snap = _read_store_data(spark, data_dir)
     now = (
         None
@@ -1382,9 +1411,7 @@ def ivfpq_index_stats(spark, store: str) -> dict:
     # ONE pointer read decides both the reported generation and the
     # scanned directory — a compaction flipping _CURRENT between two
     # reads would otherwise make the report internally inconsistent
-    root = _try_local_store_path(store)
-    cur = _read_generation_pointer(root) if root is not None else None
-    data_dir = os.path.join(root, cur) if cur else (root or store)
+    _root, cur, data_dir = _resolve_store(store)
     raw = _read_store_data(spark, data_dir)
     if raw is None:
         raise ValueError(

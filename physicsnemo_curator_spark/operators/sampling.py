@@ -27,6 +27,8 @@ Two hash backends, same twin pattern as ``operators/dedup.py``:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -38,6 +40,8 @@ __all__ = [
     "leakage_free_splits",
     "write_split_store",
     "assign_splits_incremental",
+    "split_store_stats",
+    "split_store_conflicts",
     "mixing_weights",
     "temperature_mixing_weights",
 ]
@@ -273,14 +277,29 @@ def write_split_store(
     (``'seed'`` stamped here when absent; the incremental pass writes
     ``'fresh' | 'inherited' | 'quarantined'``).  The store is
     partitioned by ``_batch`` with dynamic-partition overwrite on
-    append — re-running a batch replaces its own rows (idempotent
-    ingestion), the write_minhash_store convention.  The incremental
-    pass only ever writes docs NOT already stored, so the store stays
-    unique per doc_id across batches by construction."""
+    append.  An append is a per-doc UPSERT within its batch, not a
+    partition replace: rows already stored under the SAME batch_id
+    whose docs this write does not carry are carried through the
+    rewrite (the write_ivfpq_index convention) — without the carry, a
+    batch re-run with a changed doc set (a late-arriving doc, the
+    steady-state ingest shape) would silently DELETE the batch's
+    earlier assignments and let a later pass re-assign those docs on
+    their current (possibly merged) components, breaking the
+    labels-never-move guarantee.  The incremental pass only ever
+    writes docs NOT already stored, so the store stays unique per
+    doc_id across batches by construction."""
     if mode not in ("overwrite", "append"):
         raise ValueError(
             f"unknown write_split_store mode {mode!r}; expected "
             "'overwrite' or 'append'"
+        )
+    import re
+
+    if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._:-]*", batch_id):
+        raise ValueError(
+            f"invalid batch_id {batch_id!r}: must start alphanumeric "
+            "and contain only [A-Za-z0-9._:-] (it names a partition "
+            "directory)"
         )
     cols = [
         F.col("doc_id"),
@@ -292,9 +311,27 @@ def write_split_store(
             else F.lit("seed").alias("reason")
         ),
     ]
+    out = assignments.select(*cols)
+    prev = (
+        _read_split_batch(assignments.sparkSession, store, batch_id)
+        if mode == "append"
+        else None
+    )
+    if prev is not None:
+        # materialize the incoming rows so the carry's anti-join and
+        # the write below see the same id set even for a
+        # non-deterministic input plan, then carry the batch's
+        # surviving stored rows through the partition rewrite
+        out = out.localCheckpoint()
+        surviving = (
+            prev.select("doc_id", "split", "component", "reason")
+            .join(out.select("doc_id"), "doc_id", "left_anti")
+            # the write below overwrites the partition this reads
+            .localCheckpoint()
+        )
+        out = out.unionByName(surviving)
     (
-        assignments.select(*cols)
-        .withColumn("_batch", F.lit(batch_id))
+        out.withColumn("_batch", F.lit(batch_id))
         .write.mode("overwrite")
         .option(
             "partitionOverwriteMode",
@@ -303,6 +340,29 @@ def write_split_store(
         .partitionBy("_batch")
         .parquet(store)
     )
+
+
+def _read_split_batch(spark, store: str, batch_id: str):
+    """The stored rows of ONE ``_batch=<id>`` partition, addressed by
+    its DIRECTORY, or None when never written — path addressing skips
+    Spark's partition-type inference (a numeric-looking batch name
+    like '007' reads back as integer 7, so a value filter silently
+    matches nothing) and makes the fresh-batch hot path one existence
+    check.  ``:`` is the only validated-charset character Spark
+    percent-escapes in partition directory names."""
+    path = os.path.join(store, "_batch=" + batch_id.replace(":", "%3A"))
+    if "://" in path and not path.startswith("file://"):
+        # object-store location: no local existence fast path — read
+        # and swallow ONLY the genuinely-absent error classes
+        from physicsnemo_curator_spark.operators.mllib_ann import (
+            _read_optional_parquet,
+        )
+
+        return _read_optional_parquet(spark, path)
+    local = path[len("file://"):] if path.startswith("file://") else path
+    if not os.path.exists(local):
+        return None
+    return spark.read.parquet(path)
 
 
 def assign_splits_incremental(
@@ -351,13 +411,19 @@ def assign_splits_incremental(
     lookup is by shared member ids, so component RELABELING between
     epochs is harmless.
 
-    Scale shape: the store is scanned ONCE, column-pruned to
-    (doc_id, split) and semi-joined against the broadcast probe ids
-    (new ∪ group-member ids, batch-bounded), then materialized — every
-    later join is a broadcast of batch-bounded frames, the per-split
-    decision is a projection, and no corpus-sized shuffle exists
-    anywhere.  ``update_store=True`` (requires ``batch_id``) appends
-    the non-stored rows under ``_batch=<id>`` (idempotent re-runs)."""
+    Scale shape: the group map is semi-join-pruned to the components
+    that contain a new doc (only those can influence any decision)
+    BEFORE anything fans out, the store is scanned ONCE — column-pruned
+    to (doc_id, split), semi-joined against the probe ids (new ∪
+    touched-component member ids), materialized — and every later join
+    runs over those pruned frames with the strategy left to Spark/AQE
+    (batch-bounded in the common case and auto-broadcast; a
+    mega-component is legitimately large, so nothing forces a
+    broadcast).  The per-split decision is a projection; no
+    corpus-sized shuffle exists anywhere.  ``update_store=True``
+    (requires ``batch_id``) upserts the non-stored rows under
+    ``_batch=<id>`` (idempotent re-runs; a partial re-run carries the
+    batch's earlier rows — see :func:`write_split_store`)."""
     if merge_policy not in ("quarantine", "error"):
         raise ValueError(
             f"unknown merge_policy {merge_policy!r}; expected "
@@ -375,20 +441,32 @@ def assign_splits_incremental(
     stored = spark.read.parquet(store).select("doc_id", "split")
     g = _guarded_groups(groups, id_col, "assign_splits_incremental")
     new_ids = new_docs.select(F.col(id_col).alias("doc_id")).distinct()
+    # prune the group map FIRST: `groups` covers every id in any
+    # near-dup pair — corpus-scale on a dup-heavy corpus — but only
+    # components containing a NEW doc can influence any decision
+    # below, so two semi-joins cut it to the touched components and
+    # their members before anything fans out.  Join strategies are
+    # left to Spark/AQE on purpose (the _apply_tombstones reasoning):
+    # the pruned frames are batch-bounded in the common case, but a
+    # mega-component makes them legitimately large and a FORCED
+    # broadcast would OOM the driver.
+    new_comps = (
+        g.join(new_ids.withColumnRenamed("doc_id", "_gid"), "_gid", "left_semi")
+        .select("component")
+        .distinct()
+    )
+    g_rel = g.join(new_comps, "component", "left_semi")
     # ONE pass over the corpus-sized store: semi-join down to the rows
-    # any decision below can touch (the new ids and the groups' member
-    # ids — batch-bounded), materialized so the two lookups don't
+    # any decision below can touch (the new ids and the touched
+    # components' member ids), materialized so the two lookups don't
     # rescan the store
     probe_ids = new_ids.unionByName(
-        g.select(F.col("_gid").alias("doc_id"))
+        g_rel.select(F.col("_gid").alias("doc_id"))
     ).distinct()
-    relevant = stored.join(
-        F.broadcast(probe_ids), "doc_id", "left_semi"
-    ).localCheckpoint()
+    relevant = stored.join(probe_ids, "doc_id", "left_semi").localCheckpoint()
     hit = relevant.select("doc_id", F.col("split").alias("_stored_split"))
     comp_splits = (
-        F.broadcast(g)
-        .join(
+        g_rel.join(
             relevant.select(F.col("doc_id").alias("_gid"), "split"), "_gid"
         )
         .groupBy("component")
@@ -398,10 +476,10 @@ def assign_splits_incremental(
         )
     )
     keyed = (
-        new_ids.join(F.broadcast(g), new_ids["doc_id"] == g["_gid"], "left")
+        new_ids.join(g_rel, new_ids["doc_id"] == g_rel["_gid"], "left")
         .drop("_gid")
-        .join(F.broadcast(hit), "doc_id", "left")
-        .join(F.broadcast(comp_splits), "component", "left")
+        .join(hit, "doc_id", "left")
+        .join(comp_splits, "component", "left")
     )
     fresh = assign_splits(
         keyed.withColumn(
@@ -595,3 +673,81 @@ def temperature_mixing_weights(
         .withColumn("target_share", F.col("_p") / F.sum("_p").over(w))
     )
     return _rates_from_shares(per.drop("_p"), budget)
+
+
+def split_store_stats(spark, store: str) -> dict:
+    """One-call inventory for a persisted :func:`write_split_store` —
+    the inspection surface an operator checks around maintenance
+    (mirroring ``mllib_ann.ivfpq_index_stats``): per-batch row counts,
+    per-split and per-reason document counts, and the store's
+    uniqueness health (``duplicate_docs`` must be 0 — the incremental
+    pass never rewrites stored docs, so a nonzero value means an
+    out-of-band write broke the invariant and joins against the store
+    now fan out).  Three bounded aggregation jobs over the
+    column-pruned store; nothing collected beyond per-batch/per-split
+    summaries."""
+    df = spark.read.parquet(store).select(
+        "doc_id", "split", "reason",
+        F.col("_batch").cast("string").alias("_batch"),
+    )
+    batches = {
+        r["_batch"]: r["rows"]
+        for r in df.groupBy("_batch").agg(F.count("*").alias("rows")).collect()
+    }
+    per = df.groupBy("split", "reason").agg(F.count("*").alias("n")).collect()
+    splits: dict[str, int] = {}
+    reasons: dict[str, int] = {}
+    for r in per:
+        splits[r["split"]] = splits.get(r["split"], 0) + r["n"]
+        reasons[r["reason"]] = reasons.get(r["reason"], 0) + r["n"]
+    tot = df.agg(
+        F.count("*").alias("rows"),
+        F.count_distinct("doc_id").alias("docs"),
+    ).collect()[0]
+    return {
+        "batches": batches,
+        "splits": splits,
+        "reasons": reasons,
+        "n_rows": tot["rows"],
+        "n_docs": tot["docs"],
+        "duplicate_docs": tot["rows"] - tot["docs"],
+    }
+
+
+def split_store_conflicts(
+    spark,
+    store: str,
+    groups: DataFrame,
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Audit the leakage ALREADY present in a stored assignment under
+    the CURRENT group map: components whose stored members span more
+    than one split.  Stored labels never move, so when later evidence
+    merges two groups that were split apart, the merged group straddles
+    the train/test fence — :func:`assign_splits_incremental`
+    quarantines NEW members, and this surface quantifies the existing
+    stragglers so a pipeline can decide to retire them from eval sets.
+
+    Output (one row per conflicted component):
+    ``(component, n_docs_stored, n_splits, splits)`` with ``splits``
+    the sorted comma-joined label list.  Plan: the group map joins the
+    column-pruned store on id (strategy left to AQE), then one
+    component-keyed aggregate — no corpus-sized shuffle beyond the
+    group-member rows themselves."""
+    stored = spark.read.parquet(store).select("doc_id", "split")
+    g = _guarded_groups(groups, id_col, "split_store_conflicts").select(
+        F.col("_gid").alias("doc_id"), "component"
+    )
+    return (
+        g.join(stored, "doc_id")
+        .groupBy("component")
+        .agg(
+            F.count("*").alias("n_docs_stored"),
+            F.count_distinct("split").alias("n_splits"),
+            F.array_join(F.array_sort(F.collect_set("split")), ",").alias(
+                "splits"
+            ),
+        )
+        .filter(F.col("n_splits") > 1)
+    )

@@ -796,12 +796,14 @@ def list_bloom_store_batches(spark: SparkSession, store: str) -> list[str]:
         return []
     except AnalysisException as exc:
         # classify by the STABLE error class (message text is version-
-        # and vendor-dependent); fall back to the known message shapes
+        # and vendor-dependent; core.errors.analysis_condition is the
+        # one accessor shim); fall back to the known message shapes
         # for builds predating error classes
-        try:
-            err_class = exc.getErrorClass()
-        except Exception:  # noqa: BLE001 — older pyspark without classes
-            err_class = None
+        from physicsnemo_curator_spark.core.errors import (
+            analysis_condition,
+        )
+
+        err_class = analysis_condition(exc)
         if (
             (err_class and "PATH_NOT_FOUND" in err_class)
             or "PATH_NOT_FOUND" in str(exc)

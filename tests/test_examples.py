@@ -37,6 +37,7 @@ def test_incremental_ingest_example(tmp_path):
     stdout = _run("incremental_ingest.py", str(tmp_path / "work"))
     assert "curated rows written" in stdout
     assert "batch 2:" in stdout
+    assert "split store:" in stdout and "duplicates=0" in stdout
 
 
 def test_da_gfs_stats_example(tmp_path):

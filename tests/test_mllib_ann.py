@@ -1832,3 +1832,76 @@ def test_composed_mmr_overlap_clustered_floor(spark, tmp_path):
     resc_ov = len(resc_fed & exact_fed) / len(exact_fed)
     assert resc_ov >= 0.75, resc_ov
     assert raw_ov >= 0.30, raw_ov
+
+
+def test_ivfpq_overwrite_detects_concurrent_compact(
+    spark, tmp_path, sf_correctness_dir, monkeypatch
+):
+    """The review-found gap: a FULL REBUILD (mode='overwrite') racing a
+    compaction must also raise — the flip would supersede the rebuild
+    with a merge of the pre-overwrite data and the next sweep would
+    delete it silently."""
+    import pytest as _pytest
+
+    emb, centers, cbs, store = _mini_store(
+        spark, sf_correctness_dir, tmp_path, "race_overwrite"
+    )
+    mllib_ann.compact_ivfpq_index(spark, store)  # pointer layout
+    orig = mllib_ann._check_pointer_unmoved
+
+    def hook(root, ptr, data_dir):
+        mllib_ann.compact_ivfpq_index(spark, store)
+        orig(root, ptr, data_dir)
+
+    monkeypatch.setattr(mllib_ann, "_check_pointer_unmoved", hook)
+    with _pytest.raises(RuntimeError, match="concurrent compaction"):
+        mllib_ann.write_ivfpq_index(emb, centers, cbs, store)
+
+
+def test_ivfpq_append_detects_concurrent_append(
+    spark, tmp_path, sf_correctness_dir, monkeypatch
+):
+    """Two concurrent appends both read max(_gen)+1 and stamp the SAME
+    generation — conflict resolution between them is undefined (equal
+    _gen ties), so the second writer's post-commit scan must raise
+    when it finds foreign rows at its own generation."""
+    import pytest as _pytest
+
+    emb, centers, cbs, store = _mini_store(
+        spark, sf_correctness_dir, tmp_path, "race_appends"
+    )
+    odds = emb.filter(F.col("vec_id") % 2 == 1)
+    a = odds.filter(F.col("vec_id") < 30)
+    b = odds.filter(F.col("vec_id") >= 30)
+    # append 'a' lands normally at gen 1
+    mllib_ann.write_ivfpq_index(
+        a, centers, cbs, store, mode="append", batch_id="a"
+    )
+    # simulate 'b' having read the pre-'a' high-water mark (the race):
+    # force its _next_gen to the same generation 'a' used
+    monkeypatch.setattr(mllib_ann, "_next_gen", lambda *args: 1)
+    with _pytest.raises(RuntimeError, match="concurrent append"):
+        mllib_ann.write_ivfpq_index(
+            b, centers, cbs, store, mode="append", batch_id="b"
+        )
+    monkeypatch.undo()
+    # recovery per the error's instruction: compact, re-run ONE append
+    mllib_ann.compact_ivfpq_index(spark, store)
+    mllib_ann.write_ivfpq_index(
+        b, centers, cbs, store, mode="append", batch_id="b"
+    )
+    qs = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def rows(s):
+        return sorted(
+            (r["query_id"], r["vec_id"], r["rank"])
+            for r in mllib_ann.ivfpq_index_topk(
+                spark, qs, centers, s, k=8, n_probe=4, codebooks=cbs
+            ).collect()
+        )
+
+    clean = str(tmp_path / "race_appends_clean")
+    mllib_ann.write_ivfpq_index(emb, centers, cbs, clean)
+    assert rows(store) == rows(clean)

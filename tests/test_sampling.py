@@ -823,3 +823,204 @@ def test_split_store_append_chain_scan_once(spark, tmp_path):
         assert all(now[k] == prev[k] for k in prev)
         snapshots.append(now)
     assert len(snapshots[-1]) == 600
+
+
+def test_split_store_partial_batch_rerun_carries(spark, tmp_path):
+    """The review-found data-loss hole: re-running a batch_id with a
+    CHANGED doc set (a late-arriving doc — the steady-state ingest
+    shape) must not delete the batch's earlier assignments with its
+    partition.  write_split_store appends are per-doc upserts: rows
+    the re-run doesn't carry survive the partition rewrite."""
+    docs = _docs(spark, 400)
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    store = str(tmp_path / "carry")
+    seed = sampling.leakage_free_splits(
+        docs.filter(F.col("doc_id") < 200),
+        spark.createDataFrame([(0, 0), (1, 0)], "doc_id long, component long"),
+        w,
+        seed=5,
+    )
+    sampling.write_split_store(
+        seed.select("doc_id", "split", "component"), store
+    )
+    g = spark.createDataFrame([(0, 0), (1, 0)], "doc_id long, component long")
+    # first run of b1: docs 200-299
+    sampling.assign_splits_incremental(
+        spark,
+        docs.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 300)),
+        g, w, store, seed=5, update_store=True, batch_id="b1",
+    )
+    before = _store_rows(spark, store)
+    assert len(before) == 300
+    # re-run b1 with ONE late doc added: 200-300
+    out = sampling.assign_splits_incremental(
+        spark,
+        docs.filter((F.col("doc_id") >= 200) & (F.col("doc_id") <= 300)),
+        g, w, store, seed=5, update_store=True, batch_id="b1",
+    )
+    reasons = {r.doc_id: r.reason for r in out.collect()}
+    assert reasons[300] == "fresh"
+    assert all(v == "stored" for k, v in reasons.items() if k < 300)
+    after = _store_rows(spark, store)
+    # every earlier row survived the partition rewrite, verbatim
+    assert len(after) == 301
+    assert all(after[k] == before[k] for k in before)
+    # and a disjoint partial re-run (simulating a retry that carried
+    # only half the docs) still loses nothing
+    sampling.assign_splits_incremental(
+        spark,
+        docs.filter((F.col("doc_id") >= 250) & (F.col("doc_id") <= 300)),
+        g, w, store, seed=5, update_store=True, batch_id="b1",
+    )
+    final = _store_rows(spark, store)
+    assert len(final) == 301
+    assert all(final[k] == after[k] for k in after)
+    # direct writer-level partial re-run: new assignment rows for docs
+    # the batch never held upsert in; existing rows survive
+    sampling.write_split_store(
+        spark.createDataFrame(
+            [(9000, "train", None, "fresh")],
+            "doc_id long, split string, component long, reason string",
+        ),
+        store,
+        mode="append",
+        batch_id="b1",
+    )
+    final2 = _store_rows(spark, store)
+    assert len(final2) == 302 and final2[9000][0] == "train"
+    assert all(final2[k] == final[k] for k in final)
+    with pytest.raises(ValueError, match="batch_id"):
+        sampling.write_split_store(seed, store, mode="append", batch_id="/bad")
+
+
+def test_split_store_stats_and_conflicts(spark, tmp_path):
+    """The inspection surfaces: split_store_stats tracks the store
+    through the append chain (per-batch rows, per-split/reason counts,
+    uniqueness health), and split_store_conflicts quantifies the
+    leakage a group merge already created among STORED docs."""
+    docs = _docs(spark, 400)
+    w = {"train": 0.5, "val": 0.25, "test": 0.25}
+    store = str(tmp_path / "stats")
+    seed = spark.createDataFrame(
+        [(100, "train", 100), (101, "train", 100),
+         (200, "test", 200), (201, "test", 200)],
+        "doc_id long, split string, component long",
+    )
+    sampling.write_split_store(seed, store)
+    s0 = sampling.split_store_stats(spark, store)
+    assert s0["batches"] == {"seed": 4}
+    assert s0["splits"] == {"train": 2, "test": 2}
+    assert s0["reasons"] == {"seed": 4}
+    assert s0["n_docs"] == 4 and s0["duplicate_docs"] == 0
+
+    # merged group map: 100-group and 200-group now one component
+    g = spark.createDataFrame(
+        [(100, 100), (101, 100), (200, 100), (201, 100), (300, 100),
+         (250, 250), (251, 250)],
+        "doc_id long, component long",
+    )
+    sampling.assign_splits_incremental(
+        spark, docs.filter(F.col("doc_id").isin(300, 250, 251)),
+        g, w, store, update_store=True, batch_id="b1",
+    )
+    s1 = sampling.split_store_stats(spark, store)
+    assert s1["batches"] == {"seed": 4, "b1": 3}
+    assert s1["reasons"]["quarantined"] == 1  # doc 300
+    assert s1["reasons"]["fresh"] == 2  # 250, 251 (new group, no store)
+    assert s1["duplicate_docs"] == 0
+
+    conflicts = sampling.split_store_conflicts(spark, store, g).collect()
+    assert len(conflicts) == 1
+    row = conflicts[0]
+    assert row.component == 100 and row.n_splits >= 2
+    assert set(row.splits.split(",")) >= {"test", "train"}
+    # n_docs_stored counts stored members of the merged component:
+    # 100/101/200/201 plus the quarantined 300 now stored under b1
+    assert row.n_docs_stored == 5
+
+
+@pytest.mark.parametrize("rng_seed", [0, 1, 2])
+def test_split_store_randomized_invariants(spark, tmp_path, rng_seed):
+    """Randomized lifecycle invariants for the split store (the
+    discipline that caught the r13 IVF-PQ upsert hole): any seeded
+    sequence of appends — overlapping doc sets, batch-id reuse with
+    changed membership, group maps that grow and MERGE between steps —
+    must (a) never change a stored row, (b) keep the store unique per
+    doc, (c) treat re-submission of stored docs as 'stored', and
+    (d) never assign a non-quarantine split that contradicts a group
+    co-member stored earlier.  The store is order-dependent BY DESIGN
+    (labels depend on arrival), so the invariants are monotonic-
+    history properties, not equals-rebuild."""
+    import random
+
+    rng = random.Random(rng_seed)
+    docs = _docs(spark, 500)
+    w = {"train": 0.6, "val": 0.2, "test": 0.2}
+    store = str(tmp_path / f"rand{rng_seed}")
+    # evolving group map: start with 40 pairs, merge/extend randomly
+    comp_of: dict = {}
+    for i in range(40):
+        a, b = 2 * i, 2 * i + 1
+        comp_of[a] = comp_of[b] = 2 * i
+
+    def groups_df():
+        rows = sorted(comp_of.items())
+        return spark.createDataFrame(
+            [(d, c) for d, c in rows], "doc_id long, component long"
+        )
+
+    seed_docs = docs.filter(F.col("doc_id") < 150)
+    assigned = sampling.leakage_free_splits(seed_docs, groups_df(), w, seed=rng_seed)
+    sampling.write_split_store(
+        assigned.select("doc_id", "split", "component"), store
+    )
+    history = _store_rows(spark, store)
+    ingested_hi = 150
+    for step in range(5):
+        # evolve groups: merge two random components and add members
+        comps = sorted(set(comp_of.values()))
+        if len(comps) >= 2 and rng.random() < 0.7:
+            a, b = rng.sample(comps, 2)
+            for d, c in list(comp_of.items()):
+                if c == b:
+                    comp_of[d] = a
+        for _ in range(rng.randint(1, 4)):
+            target = rng.choice(sorted(set(comp_of.values())))
+            comp_of[rng.randrange(500)] = target
+        # batch: random range, sometimes overlapping already-ingested
+        lo = rng.randrange(0, 450) if rng.random() < 0.4 else ingested_hi
+        hi = min(500, lo + rng.randint(20, 80))
+        ingested_hi = max(ingested_hi, hi)
+        batch = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        bid = f"b{rng.randint(0, 2)}"  # reuse batch ids across steps
+        out = sampling.assign_splits_incremental(
+            spark, batch, groups_df(), w, store,
+            seed=rng_seed, update_store=True, batch_id=bid,
+        ).collect()
+        now = _store_rows(spark, store)
+        # (a) history is frozen
+        for k, v in history.items():
+            assert now[k] == v, (step, k, now[k], v)
+        # (b) unique per doc
+        stats = sampling.split_store_stats(spark, store)
+        assert stats["duplicate_docs"] == 0, step
+        # (c) stored docs read back as stored with their stored split
+        for r in out:
+            if r.doc_id in history:
+                assert r.reason == "stored" and r.split == history[r.doc_id][0]
+        # (d) inherit/quarantine discipline against the CURRENT map
+        stored_splits_by_comp: dict = {}
+        for d, c in comp_of.items():
+            if d in history:
+                stored_splits_by_comp.setdefault(c, set()).add(history[d][0])
+        for r in out:
+            if r.doc_id in history or r.component is None:
+                continue
+            stored = stored_splits_by_comp.get(r.component, set())
+            if len(stored) == 1:
+                assert r.reason == "inherited" and r.split in stored, r
+            elif len(stored) > 1:
+                assert r.reason == "quarantined" and r.split == "train", r
+            else:
+                assert r.reason == "fresh", r
+        history = now

@@ -2272,6 +2272,60 @@ ORDER BY doc_id
 """
 
 
+def q_split_conflicts(
+    spark: SparkSession, sf_dir: str, hash_fn: str = "arith"
+) -> DataFrame:
+    """Split-leakage audit gate (sampling.split_store_conflicts): once
+    labels are frozen in a split store, later group evidence can MERGE
+    groups that were split apart — the merged group then straddles the
+    train/test fence among ALREADY-STORED docs, and a pipeline needs
+    to see exactly which components and how badly before deciding to
+    retire eval members.  The gate reuses q_split_store's two-epoch
+    store (same cached build) and audits it against a deliberately
+    coarse merge map (``component = doc_id % 25`` — guaranteed to
+    straddle), returning per conflicted component the stored-member
+    count, the distinct-split count, and the sorted label list.  The
+    oracle replays the ENTIRE store chain (both epochs, the shared
+    closure CTEs) plus the modular map and the same aggregate —
+    a drift anywhere in store content or audit logic diverges the
+    hash."""
+    store = _split_gate_store(spark, sf_dir, hash_fn)
+    docs = _t(spark, sf_dir, "documents")
+    gmap = docs.select(
+        "doc_id", (F.col("doc_id") % 25).alias("component")
+    )
+    out = sampling.split_store_conflicts(spark, store, gmap)
+    return out.select(
+        "component",
+        F.col("n_docs_stored").cast("long").alias("n_docs_stored"),
+        F.col("n_splits").cast("long").alias("n_splits"),
+        "splits",
+    ).orderBy("component")
+
+
+# everything up to (not including) the store oracle's final SELECT —
+# the full CTE chain producing seed_assign/batch_assign, reused so the
+# two gates can never desynchronize on store content
+_SPLIT_STORE_CONTENT_CTES = ORACLE_SPLIT_STORE.rsplit(
+    "SELECT doc_id, split, component, reason FROM (", 1
+)[0].rstrip()
+
+ORACLE_SPLIT_CONFLICTS = f"""
+{_SPLIT_STORE_CONTENT_CTES},
+stored AS (
+  SELECT doc_id, split FROM seed_assign
+  UNION ALL SELECT doc_id, split FROM batch_assign),
+gmap AS (SELECT doc_id, doc_id % 25 AS component FROM documents)
+SELECT g.component,
+       CAST(COUNT(*) AS BIGINT) AS n_docs_stored,
+       CAST(COUNT(DISTINCT s.split) AS BIGINT) AS n_splits,
+       string_agg(DISTINCT s.split, ',' ORDER BY s.split) AS splits
+FROM gmap g JOIN stored s USING (doc_id)
+GROUP BY 1 HAVING COUNT(DISTINCT s.split) > 1
+ORDER BY component
+"""
+
+
 def q_sample_split(
     spark: SparkSession, sf_dir: str, hash_fn: str = "arith"
 ) -> DataFrame:
@@ -10565,6 +10619,11 @@ QUERIES: dict[str, QuerySpec] = {
         ORACLE_SPLIT_STORE,
         bench=lambda s, d: q_split_store(s, d, hash_fn="xxhash64"),
     ),
+    "q_split_conflicts": QuerySpec(
+        q_split_conflicts,
+        ORACLE_SPLIT_CONFLICTS,
+        bench=lambda s, d: q_split_conflicts(s, d, hash_fn="xxhash64"),
+    ),
     "q_text_span_dedup": QuerySpec(
         q_text_span_dedup,
         ORACLE_TEXT_SPAN_DEDUP,
@@ -10582,8 +10641,9 @@ QUERIES: dict[str, QuerySpec] = {
 # r14 driver-window rotation (VERDICT-r13 ask #1; same explicit-list
 # mechanism as r08-r13).  The 50-row window = the 9 r10-stale gates
 # (staged at the r13 tail head, retiring the last r10 rows) +
-# q_split_store (NEW this round: the persisted split-assignment store)
-# + the first 40 of the 50-row r11 cohort.  Tail = the 10 r11
+# q_split_store + q_split_conflicts (NEW this round: the persisted
+# split-assignment store and its leakage audit) + the first 39 of the
+# 50-row r11 cohort.  Tail = the 11 r11
 # leftovers (head of the r15 window), the r12-checked cohort, then
 # everything driver-checked r13 (freshest last).  After r14 nothing is
 # staler than r11.
@@ -10598,8 +10658,9 @@ _DRIVER_ORDER = [
     "q_warc_scan",
     "q_text_span_dedup_xx",
     "q_sketch_bloom",
-    # --- NEW this round: persisted split-assignment store ---
+    # --- NEW this round: persisted split-assignment store + audit ---
     "q_split_store",
+    "q_split_conflicts",
     # --- r11 cohort, 40 of 50 (fills the 50-row r14 window) ---
     "q_media_fmp4",
     "q_ann_sq8_topk",
@@ -10640,8 +10701,8 @@ _DRIVER_ORDER = [
     "q_w5_group_zscore",
     "q_median_exact",
     "q_st3_stream_welford",
+    # --- r15 staging: the 11 r11 leftovers head the next window ---
     "q_st1_tumbling_window",
-    # --- r15 staging: the 10 r11 leftovers head the next window ---
     "q_grib2_scan",
     "q_semantic_dedup",
     "q_dedup_incremental",

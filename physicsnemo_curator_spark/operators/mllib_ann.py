@@ -144,6 +144,7 @@ def pq_train(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    perm: list[int] | None = None,
 ) -> list[list[list[float]]]:
     """Product-quantization codebooks, shape ``(m, ks, dim//m)``: the
     dimension splits into ``m`` subspaces and each subspace gets the
@@ -154,9 +155,12 @@ def pq_train(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     dsub = dim // m
+    _validate_perm(perm, dim)
     base = md5_sample_centroids(corpus, k=ks, id_col=id_col, vec_col=vec_col)
     if len(base) < ks:
         raise ValueError(f"corpus has only {len(base)} rows; need ks={ks}")
+    if perm is not None:
+        base = [[vec[d] for d in perm] for vec in base]
     return [
         [vec[j * dsub : (j + 1) * dsub] for vec in base] for j in range(m)
     ]
@@ -172,6 +176,7 @@ def pq_train_sample(
     seed: int = 42,
     sample_rows: int = 2048,
     iters: int = 10,
+    perm: list[int] | None = None,
 ) -> list[list[list[float]]]:
     """Lloyd-refined PQ codebooks — the production trainer: per
     subspace, k-means over the SUBVECTORS of a driver-side sample
@@ -197,7 +202,10 @@ def pq_train_sample(
         .limit(sample_rows)
         .collect()
     )
+    _validate_perm(perm, dim)
     x = np.asarray([r[0] for r in rows], dtype=np.float64)
+    if perm is not None:
+        x = x[:, np.asarray(perm)]
     if len(x) < ks:
         raise ValueError(f"corpus sample has {len(x)} rows; need ks={ks}")
     rng = np.random.default_rng(seed)
@@ -216,18 +224,91 @@ def pq_train_sample(
     return out
 
 
-def _pq_encode_udf(codebooks: list[list[list[float]]]):
+def dim_variances(
+    corpus: DataFrame, dim: int, *, vec_col: str = "embedding"
+) -> list[float]:
+    """Per-dimension variance of an embedding column — ONE aggregate
+    over ``(dim index, value)`` rows (the embedding-drift shape:
+    map-side combine, output is ``dim`` rows regardless of corpus).
+    Feeds :func:`subspace_permutation`'s variance-balanced mode."""
+    rows = (
+        corpus.filter(F.col(vec_col).isNotNull())
+        .select(F.posexplode(vec_col).alias("j", "x"))
+        .groupBy("j")
+        .agg(F.var_pop("x").alias("v"))
+        .collect()
+    )
+    out = [0.0] * dim
+    for r in rows:
+        out[r["j"]] = float(r["v"] or 0.0)
+    return out
+
+
+def subspace_permutation(
+    dim: int, m: int, *, variances: list[float] | None = None
+) -> list[int]:
+    """A dimension permutation for PQ subspace assignment — the
+    published fix for ANISOTROPIC (PCA-like) embeddings, where
+    contiguous slicing gives the first subspace all the high-variance
+    dimensions and the last ones near-constant noise, wasting their
+    code budget (the OPQ line of work; this is its cheap,
+    rotation-free ancestor).
+
+    Two modes: ``variances=None`` → the STRIDE INTERLEAVE (subspace
+    ``j`` takes dims ``j, j+m, j+2m, …``), a pure function of (dim, m)
+    that balances any monotone spectrum and replays in ANSI SQL
+    (``j = i % m``); with ``variances`` → snake-order round-robin
+    dealing of dims sorted by variance descending (ties to the lower
+    dim index), the data-driven balance.  Returns ``perm`` such that
+    permuted slot ``p`` holds original dim ``perm[p]``; pass it as
+    ``perm=`` to the PQ family (train, encode, top-k, index write and
+    probe must all use the SAME permutation).  Measured on the decayed
+    clustered fixture: raw PQ recall ~2.3× contiguous slicing
+    (RECALL.md r14)."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    if variances is None:
+        return [j + t * m for j in range(m) for t in range(dim // m)]
+    if len(variances) != dim:
+        raise ValueError(
+            f"variances has {len(variances)} entries, expected {dim}"
+        )
+    order = sorted(range(dim), key=lambda d: (-variances[d], d))
+    slots: list[list[int]] = [[] for _ in range(m)]
+    for i, d in enumerate(order):
+        r, c = divmod(i, m)
+        slots[c if r % 2 == 0 else m - 1 - c].append(d)
+    return [d for s in slots for d in s]
+
+
+def _validate_perm(perm: list[int] | None, dim: int) -> None:
+    if perm is not None and sorted(perm) != list(range(dim)):
+        raise ValueError(
+            f"perm must be a permutation of range({dim}); got "
+            f"{len(perm)} entries"
+        )
+
+
+def _pq_encode_udf(
+    codebooks: list[list[list[float]]], perm: list[int] | None = None
+):
     """Arrow-batched encoder: per subspace, argmin of Σ(x−c)² over the
     codebook, ties to the lowest code (numpy argmin-first, matching
-    the oracle's ``ORDER BY d, code``)."""
+    the oracle's ``ORDER BY d, code``).  ``perm`` reorders dimensions
+    before slicing (see :func:`subspace_permutation`) — codebooks must
+    have been trained with the same perm."""
     cb = np.asarray(codebooks, dtype=np.float64)  # (m, ks, dsub)
     m, _ks, dsub = cb.shape
+    _validate_perm(perm, m * dsub)
+    p = np.asarray(perm, dtype=np.int64) if perm is not None else None
 
     @F.pandas_udf("array<int>")
     def enc(v: pd.Series) -> pd.Series:
         X = np.asarray(
             [np.asarray(x, dtype=np.float64) for x in v], dtype=np.float64
         )
+        if p is not None:
+            X = X[:, p]
         out = np.empty((len(X), m), dtype=np.int32)
         for j in range(m):
             sub = X[:, j * dsub : (j + 1) * dsub]
@@ -244,6 +325,7 @@ def pq_encode(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    perm: list[int] | None = None,
 ) -> DataFrame:
     """``(vec_id, codes ARRAY<INT>)`` — ONE Arrow-batched numpy
     projection (the IVF-assignment precedent).  At ``m=8`` the codes
@@ -252,7 +334,7 @@ def pq_encode(
     instead of raw vectors.  NULL vectors are dropped (the IVF family's
     :func:`_assign_with_norm` convention — ``np.asarray(None)`` would
     crash the whole Arrow batch; a NULL embedding has no codes)."""
-    enc = _pq_encode_udf(codebooks)
+    enc = _pq_encode_udf(codebooks, perm)
     return corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("vec_id"), enc(F.col(vec_col)).alias("codes")
     )
@@ -265,6 +347,7 @@ def _pq_lut(
     query_id_col: str = "query_id",
     vec_col: str = "embedding",
     max_probe_queries: int = 10_000,
+    perm: list[int] | None = None,
 ) -> DataFrame:
     """Per-query ADC lookup table, ``nq·m·ks`` tiny rows:
     ``(query_id, j, code, dotv, n2, qnorm)``.  ``queries`` is the
@@ -285,6 +368,8 @@ def _pq_lut(
 
     spark = queries.sparkSession
     m, ks, dsub = codebooks_arr.shape
+    _validate_perm(perm, m * dsub)
+    parr = np.asarray(perm, dtype=np.int64) if perm is not None else None
     qrows = (
         queries.select(
             F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_q")
@@ -304,7 +389,9 @@ def _pq_lut(
     lut_rows = []
     for r in qrows:
         q = np.asarray(r["_q"], dtype=np.float64)
-        qnorm = float(np.sqrt((q * q).sum()))
+        qnorm = float(np.sqrt((q * q).sum()))  # perm-invariant
+        if parr is not None:
+            q = q[parr]
         for j in range(m):
             qsub = q[j * dsub : (j + 1) * dsub]
             for c in range(ks):
@@ -380,6 +467,7 @@ def pq_topk(
     codebooks: list[list[list[float]]] | None = None,
     rescore: int = 0,
     max_probe_queries: int = 10_000,
+    perm: list[int] | None = None,
 ) -> DataFrame:
     """Approximate top-k by cosine with asymmetric distance computation
     (ADC) over PQ codes — the billion-scale ANN shape: the corpus is
@@ -397,16 +485,20 @@ def pq_topk(
     ``m'·k`` with exact cosine on the original vectors."""
     if codebooks is None:
         codebooks = pq_train(
-            corpus, m=m, ks=ks, dim=dim, id_col=id_col, vec_col=vec_col
+            corpus, m=m, ks=ks, dim=dim, id_col=id_col, vec_col=vec_col,
+            perm=perm,
         )
     cb = np.asarray(codebooks, dtype=np.float64)
-    codes = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
+    codes = pq_encode(
+        corpus, codebooks, id_col=id_col, vec_col=vec_col, perm=perm
+    )
     lut = _pq_lut(
         queries,
         cb,
         query_id_col=query_id_col,
         vec_col=vec_col,
         max_probe_queries=max_probe_queries,
+        perm=perm,
     )
     exploded = codes.select(
         "vec_id", F.posexplode("codes").alias("j", "code")
@@ -449,6 +541,7 @@ def ivfpq_topk(
     codebooks: list[list[list[float]]] | None = None,
     rescore: int = 0,
     max_probe_queries: int = 10_000,
+    perm: list[int] | None = None,
 ) -> DataFrame:
     """IVF-PQ — the billion-scale composition: the coarse quantizer
     restricts each query to its ``n_probe`` nearest cells and PQ/ADC
@@ -471,7 +564,7 @@ def ivfpq_topk(
         )
     cb = np.asarray(codebooks, dtype=np.float64)
     cell_meta = _ivf_meta_udf(centers, 1)
-    enc = _pq_encode_udf(codebooks)
+    enc = _pq_encode_udf(codebooks, perm)
     corpus = corpus.filter(F.col(vec_col).isNotNull())
     indexed = corpus.select(
         F.col(id_col).alias("vec_id"),
@@ -492,6 +585,7 @@ def ivfpq_topk(
         query_id_col=query_id_col,
         vec_col=vec_col,
         max_probe_queries=max_probe_queries,
+        perm=perm,
     )
     approx = _pq_adc_rank(
         cand, lut, ["query_id", "j", "code"], k * rescore if rescore else k
@@ -786,6 +880,7 @@ def write_ivfpq_index(
     vec_col: str = "embedding",
     mode: str = "overwrite",
     batch_id: str = "seed",
+    perm: list[int] | None = None,
 ) -> None:
     """Persist the IVF-PQ index table — ``(vec_id, codes)`` partitioned
     by ``(_batch, cell)`` — the production artifact a 100 TB deployment
@@ -856,7 +951,7 @@ def write_ivfpq_index(
     root, pointer_at_resolve, data_dir = _resolve_store(store)
     gen = _next_gen(corpus.sparkSession, data_dir) if mode == "append" else 0
     cell_meta = _ivf_meta_udf(centers, 1)
-    enc = _pq_encode_udf(codebooks)
+    enc = _pq_encode_udf(codebooks, perm)
     out = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("vec_id"),
         F.element_at(cell_meta(F.col(vec_col))["cells"], 1).alias("cell"),
@@ -1040,6 +1135,7 @@ def ivfpq_index_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     max_probe_queries: int = 10_000,
+    perm: list[int] | None = None,
 ) -> DataFrame:
     """Probe a persisted :func:`write_ivfpq_index` store — the serving
     path of the incremental index: queries explode to their ``n_probe``
@@ -1120,6 +1216,7 @@ def ivfpq_index_topk(
         query_id_col=query_id_col,
         vec_col=vec_col,
         max_probe_queries=max_probe_queries,
+        perm=perm,
     )
     approx = _pq_adc_rank(
         cand, lut, ["query_id", "j", "code"], k * rescore if rescore else k
@@ -1180,6 +1277,7 @@ def save_quantizers(
     store: str,
     centers: list[list[float]],
     codebooks: list[list[list[float]]],
+    perm: list[int] | None = None,
 ) -> None:
     """Persist the IVF-PQ quantizers (centroids + PQ codebooks) as a
     JSON sidecar inside the store directory — the artifact the index
@@ -1195,17 +1293,25 @@ def save_quantizers(
     os.makedirs(store, exist_ok=True)
     path = os.path.join(store, "_quantizers.json")
     tmp = path + f".tmp-{os.getpid()}"
+    payload = {"centers": centers, "codebooks": codebooks}
+    if perm is not None:
+        payload["perm"] = list(perm)
     with open(tmp, "w") as fh:
-        json.dump({"centers": centers, "codebooks": codebooks}, fh)
+        json.dump(payload, fh)
     os.replace(tmp, path)
 
 
 def load_quantizers(
     store: str,
-) -> tuple[list[list[float]], list[list[list[float]]]]:
+    *,
+    with_perm: bool = False,
+) -> tuple:
     """Read back :func:`save_quantizers`' sidecar.  Raises
     FileNotFoundError with the fix spelled out when the store was
-    written without one."""
+    written without one.  ``with_perm=True`` returns a third element:
+    the subspace permutation the codes were encoded with (None when
+    the store used contiguous slicing) — pass it back to
+    :func:`ivfpq_index_topk` and appends."""
     import json
 
     path = os.path.join(_local_store_path(store), "_quantizers.json")
@@ -1219,6 +1325,8 @@ def load_quantizers(
             "codes are unreadable without the exact quantizers they "
             "were encoded with"
         ) from None
+    if with_perm:
+        return d["centers"], d["codebooks"], d.get("perm")
     return d["centers"], d["codebooks"]
 
 

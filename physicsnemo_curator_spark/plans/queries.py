@@ -3730,16 +3730,24 @@ def q_ann_pq_topk(
 
 
 def _pq_ctes(
-    p: str, *, ks: int = 16, dim: int = 64, m: int = 8, train_where: str = ""
+    p: str, *, ks: int = 16, dim: int = 64, m: int = 8, train_where: str = "",
+    interleave: bool = False,
 ) -> str:
     """Shared PQ CTE chain with name prefix ``p``: codebook pick →
     per-subspace encode (argmin Σ(x−c)², ties → lowest code) → query
     LUT + reconstruction norms.  ONE construction feeds the PQ oracle
-    (p=''), the IVF-PQ oracle (p='pq'), and the incremental-index
-    oracle (``train_where`` restricts the CODEBOOK sample to the seed
-    corpus while encode/scoring still cover every vector) — an encode
-    or LUT arithmetic fix cannot desynchronize the gates."""
+    (p=''), the IVF-PQ oracle (p='pq'), the incremental-index oracle
+    (``train_where`` restricts the CODEBOOK sample to the seed corpus
+    while encode/scoring still cover every vector), and the
+    interleaved-subspace oracle (``interleave=True`` maps original dim
+    ``i`` to subspace ``i % m``, slot ``i // m`` — the SQL image of
+    ``subspace_permutation(dim, m)``) — an encode or LUT arithmetic
+    fix cannot desynchronize the gates."""
     d = dim // m
+    if interleave:
+        jmap, tmap = f"i % {m}", f"i // {m}"
+    else:
+        jmap, tmap = f"i // {d}", f"i % {d}"
     return f"""{p}cent AS (
   SELECT embedding ce,
          CAST(ROW_NUMBER() OVER (
@@ -3747,11 +3755,11 @@ def _pq_ctes(
   FROM embeddings {train_where}
   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {ks}),
 {p}cb AS (
-  SELECT code, CAST(i // {d} AS INT) j, CAST(i % {d} AS INT) t,
+  SELECT code, CAST({jmap} AS INT) j, CAST({tmap} AS INT) t,
          CAST(x AS DOUBLE) c
   FROM (SELECT code, unnest(range(0, {dim})) i, unnest(ce) x FROM {p}cent)),
 {p}ev AS (
-  SELECT vec_id, CAST(i // {d} AS INT) j, CAST(i % {d} AS INT) t,
+  SELECT vec_id, CAST({jmap} AS INT) j, CAST({tmap} AS INT) t,
          CAST(x AS DOUBLE) x
   FROM (SELECT vec_id, unnest(range(0, {dim})) i, unnest(embedding) x
         FROM embeddings)),
@@ -3764,7 +3772,7 @@ def _pq_ctes(
            ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, code) rn
     FROM {p}dist) WHERE rn = 1),
 qv AS (
-  SELECT vec_id query_id, CAST(i // {d} AS INT) j, CAST(i % {d} AS INT) t,
+  SELECT vec_id query_id, CAST({jmap} AS INT) j, CAST({tmap} AS INT) t,
          CAST(x AS DOUBLE) x
   FROM (SELECT vec_id, unnest(range(0, {dim})) i, unnest(embedding) x
         FROM embeddings WHERE vec_id < 10)),
@@ -3785,6 +3793,48 @@ _PQ_RANK_TAIL = """ranked AS (
   FROM scored s JOIN qn ON s.query_id = qn.query_id)
 SELECT query_id, vec_id, ROUND(cosine, 6) cosine, rank
 FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+
+
+def q_ann_pq_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved-subspace PQ gate
+    (mllib_ann.subspace_permutation(dim, m) + the perm= family
+    threading): PQ subspace assignment is a free dial, and on
+    ANISOTROPIC (PCA-like) spectra contiguous slicing hands the first
+    subspace all the variance — the stride interleave (subspace j
+    takes dims j, j+m, …) rebalances any monotone spectrum and lifted
+    rescore-5 recall 0.70 → 0.97 on the decayed clustered fixture
+    (RECALL.md r14).  This gate pins the PERMUTATION PLUMBING
+    end-to-end — train slicing, Arrow encode, query LUT — against an
+    oracle whose only change from the plain PQ gate is the dim→
+    (subspace, slot) mapping (``i % m``/``i // m``), so a perm applied
+    in one stage but not another diverges the hash immediately.
+    Recall on the ISOTROPIC driver table is naturally ≈ the contiguous
+    gate's (nothing to rebalance); correctness, not quality, is what
+    this gate checks — quality floors live in
+    tests/test_mllib_ann.py::test_pq_perm_identity_and_anisotropic_gain."""
+    from physicsnemo_curator_spark.operators import mllib_ann
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    perm = mllib_ann.subspace_permutation(64, 8)
+    out = mllib_ann.pq_topk(emb, qs, k=5, m=8, ks=16, dim=64, perm=perm)
+    return out.select(
+        "query_id", "vec_id", _r6(F.col("cosine"), "cosine"), "rank"
+    ).orderBy("query_id", "rank")
+
+
+ORACLE_ANN_PQ_INTERLEAVED = f"""
+WITH {_pq_ctes('', interleave=True)},
+scored AS (
+  SELECT l.query_id, a.vec_id, SUM(l.dotv) sd, SUM(n2.n2) sn
+  FROM assign a
+  JOIN lut l ON a.j = l.j AND a.code = l.code
+  JOIN n2 ON a.j = n2.j AND a.code = n2.code
+  GROUP BY 1, 2),
+{_PQ_RANK_TAIL}
+"""
 
 
 ORACLE_ANN_PQ = f"""
@@ -10624,6 +10674,9 @@ QUERIES: dict[str, QuerySpec] = {
         ORACLE_SPLIT_CONFLICTS,
         bench=lambda s, d: q_split_conflicts(s, d, hash_fn="xxhash64"),
     ),
+    "q_ann_pq_interleaved": QuerySpec(
+        q_ann_pq_interleaved, ORACLE_ANN_PQ_INTERLEAVED
+    ),
     "q_text_span_dedup": QuerySpec(
         q_text_span_dedup,
         ORACLE_TEXT_SPAN_DEDUP,
@@ -10641,9 +10694,10 @@ QUERIES: dict[str, QuerySpec] = {
 # r14 driver-window rotation (VERDICT-r13 ask #1; same explicit-list
 # mechanism as r08-r13).  The 50-row window = the 9 r10-stale gates
 # (staged at the r13 tail head, retiring the last r10 rows) +
-# q_split_store + q_split_conflicts (NEW this round: the persisted
-# split-assignment store and its leakage audit) + the first 39 of the
-# 50-row r11 cohort.  Tail = the 11 r11
+# q_split_store + q_split_conflicts + q_ann_pq_interleaved (NEW this
+# round: the persisted split-assignment store, its leakage audit, and
+# the PQ subspace-permutation plumbing) + the first 38 of the
+# 50-row r11 cohort.  Tail = the 12 r11
 # leftovers (head of the r15 window), the r12-checked cohort, then
 # everything driver-checked r13 (freshest last).  After r14 nothing is
 # staler than r11.
@@ -10658,9 +10712,10 @@ _DRIVER_ORDER = [
     "q_warc_scan",
     "q_text_span_dedup_xx",
     "q_sketch_bloom",
-    # --- NEW this round: persisted split-assignment store + audit ---
+    # --- NEW this round: split store + audit, interleaved-PQ perm ---
     "q_split_store",
     "q_split_conflicts",
+    "q_ann_pq_interleaved",
     # --- r11 cohort, 40 of 50 (fills the 50-row r14 window) ---
     "q_media_fmp4",
     "q_ann_sq8_topk",
@@ -10700,8 +10755,8 @@ _DRIVER_ORDER = [
     "q_json1_extract",
     "q_w5_group_zscore",
     "q_median_exact",
+    # --- r15 staging: the 12 r11 leftovers head the next window ---
     "q_st3_stream_welford",
-    # --- r15 staging: the 11 r11 leftovers head the next window ---
     "q_st1_tumbling_window",
     "q_grib2_scan",
     "q_semantic_dedup",

@@ -147,6 +147,7 @@ def clustered_embeddings(
     n_clusters: int = 32,
     sigma: float = 0.2,
     seed: int = 7,
+    decay: float = 0.0,
 ) -> DataFrame:
     """Mixture-of-Gaussians embeddings fixture — the CLUSTERED corpus
     geometry real embedding models produce (topical/visual clusters),
@@ -160,7 +161,13 @@ def clustered_embeddings(
     salt) via Box–Muller — partition-invariant and fully distributed
     (one codegen projection, no driver materialization), so the same
     fixture scales from the 500-row floor test to a soak corpus.
-    Output: ``(vec_id BIGINT, embedding ARRAY<FLOAT>)``, the
+    ``decay > 0`` scales dimension ``j`` by ``(1+j)^-decay`` — the
+    ANISOTROPIC (PCA-like) spectrum real embedding models produce
+    after whitening-free training, where per-dimension variance falls
+    off steeply.  This is the regime that breaks CONTIGUOUS PQ
+    subspace slicing (the first subspace hoards all the variance) and
+    that :func:`...operators.mllib_ann.subspace_permutation` exists
+    for.  Output: ``(vec_id BIGINT, embedding ARRAY<FLOAT>)``, the
     similarity-family schema."""
     if n_clusters < 1 or dim < 1:
         raise ValueError("n_clusters and dim must be >= 1")
@@ -184,8 +191,12 @@ def clustered_embeddings(
     emb = F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
         lambda j: (
-            gauss(F.concat_ws(":", F.col("_cl"), j), 1)
-            + F.lit(float(sigma)) * gauss(F.concat_ws(":", F.col("vec_id"), j), 3)
+            F.pow(j + F.lit(1.0), F.lit(-float(decay)))
+            * (
+                gauss(F.concat_ws(":", F.col("_cl"), j), 1)
+                + F.lit(float(sigma))
+                * gauss(F.concat_ws(":", F.col("vec_id"), j), 3)
+            )
         ).cast("float"),
     )
     return df.select("vec_id", emb.alias("embedding"))

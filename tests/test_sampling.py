@@ -1024,3 +1024,31 @@ def test_split_store_randomized_invariants(spark, tmp_path, rng_seed):
             else:
                 assert r.reason == "fresh", r
         history = now
+
+
+def test_split_store_file_uri(spark, tmp_path):
+    """file:// URIs address the same store as the plain path for every
+    surface (write/carry/incremental/stats) — the ivfpq-store parity
+    convention."""
+    docs = _docs(spark, 100)
+    w = {"train": 0.8, "test": 0.2}
+    store = str(tmp_path / "uri")
+    seed = sampling.assign_splits(
+        docs.filter(F.col("doc_id") < 50), "doc_id", w, seed=1
+    ).select("doc_id", "split", F.lit(None).cast("long").alias("component"))
+    sampling.write_split_store(seed, "file://" + store)
+    assert sampling.split_store_stats(spark, store)["n_docs"] == 50
+    g = spark.createDataFrame([(0, 0), (60, 0)], "doc_id long, component long")
+    out = sampling.assign_splits_incremental(
+        spark, docs.filter(F.col("doc_id") >= 50), g, w,
+        "file://" + store, seed=1, update_store=True, batch_id="b1",
+    )
+    assert {r.reason for r in out.collect()} == {"fresh", "inherited"}
+    stats = sampling.split_store_stats(spark, "file://" + store)
+    assert stats["n_docs"] == 100 and stats["duplicate_docs"] == 0
+    # partial re-run through the URI exercises the carry's path logic
+    sampling.assign_splits_incremental(
+        spark, docs.filter(F.col("doc_id") >= 90), g, w,
+        "file://" + store, seed=1, update_store=True, batch_id="b1",
+    )
+    assert sampling.split_store_stats(spark, store)["n_docs"] == 100

@@ -173,14 +173,21 @@ def composed_mmr_overlap(
         shutil.rmtree(store, ignore_errors=True)
 
 
-def clustered_tables(spark, n: int) -> None:
+def clustered_tables(spark, spec: str) -> None:
+    """``spec`` is ``n`` or ``n:clusters`` (default 32 clusters) — at
+    10x rows run BOTH ``20000`` (fixed 32 clusters: members-per-cluster
+    grows 10x, the adversarial regime for within-cluster ranking) and
+    ``20000:320`` (constant granularity: the realistic topic-growth
+    regime, where recall holds)."""
     from physicsnemo_curator_spark.sources.synthetic import (
         clustered_embeddings,
     )
 
+    n, _, k = spec.partition(":")
+    n, n_clusters = int(n), int(k or 32)
     for sigma in SIGMAS:
         emb = clustered_embeddings(
-            spark, n, dim=64, n_clusters=32, sigma=sigma, seed=7
+            spark, n, dim=64, n_clusters=n_clusters, sigma=sigma, seed=7
         ).localCheckpoint()
         qs = emb.filter(F.col("vec_id") < NQ).select(
             F.col("vec_id").alias("query_id"), "embedding"
@@ -193,7 +200,7 @@ def clustered_tables(spark, n: int) -> None:
             exact.setdefault(r["query_id"], set()).add(r["vec_id"])
         print(
             f"\n## clustered n={n} sigma={sigma} "
-            f"(32 clusters, {len(exact)} queries, k={K})\n"
+            f"({n_clusters} clusters, {len(exact)} queries, k={K})\n"
         )
         print("| strategy | recall@10 | wall s |")
         print("|---|---|---|")
@@ -221,14 +228,76 @@ def clustered_tables(spark, n: int) -> None:
         )
 
 
+def anisotropic_tables(spark, n: int, decay: float = 0.7) -> None:
+    """Subspace-permutation sweep on the ANISOTROPIC (PCA-like,
+    ``(1+j)^-decay``-scaled) clustered fixture — the regime where PQ
+    subspace assignment matters: contiguous slicing hands the first
+    subspace all the variance; the stride interleave and the
+    variance-balanced deal (mllib_ann.subspace_permutation) rebalance
+    it.  Prints PQ and IVF-PQ, raw and rescore=5, per permutation."""
+    from physicsnemo_curator_spark.sources.synthetic import (
+        clustered_embeddings,
+    )
+
+    emb = clustered_embeddings(
+        spark, n, dim=64, n_clusters=32, sigma=0.3, seed=7, decay=decay
+    ).localCheckpoint()
+    qs = emb.filter(F.col("vec_id") < NQ).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {}
+    for r in similarity.cosine_topk(emb, qs, k=K, dim=64).collect():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    def rec(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return sum(
+            len(got.get(q, set()) & e) / len(e) for q, e in exact.items()
+        ) / len(exact)
+
+    centers = mllib_ann.md5_sample_centroids(emb, k=8)
+    variances = mllib_ann.dim_variances(emb, 64)
+    perms = {
+        "contiguous": None,
+        "interleave": mllib_ann.subspace_permutation(64, 8),
+        "variance-balanced": mllib_ann.subspace_permutation(
+            64, 8, variances=variances
+        ),
+    }
+    print(
+        f"\n## anisotropic n={n} decay={decay} sigma=0.3 "
+        f"(32 clusters, {len(exact)} queries, k={K})\n"
+    )
+    print("| subspace assignment | pq raw | pq +rescore5 | ivfpq +rescore5 |")
+    print("|---|---|---|---|")
+    for name, perm in perms.items():
+        cbs = mllib_ann.pq_train(emb, m=8, ks=16, dim=64, perm=perm)
+        raw = rec(mllib_ann.pq_topk(
+            emb, qs, k=K, dim=64, codebooks=cbs, perm=perm
+        ))
+        r5 = rec(mllib_ann.pq_topk(
+            emb, qs, k=K, dim=64, codebooks=cbs, perm=perm, rescore=5
+        ))
+        i5 = rec(mllib_ann.ivfpq_topk(
+            emb, qs, centers, k=K, n_probe=3, codebooks=cbs,
+            perm=perm, rescore=5,
+        ))
+        print(f"| {name} | {raw:.3f} | {r5:.3f} | {i5:.3f} |")
+
+
 if __name__ == "__main__":
     from physicsnemo_curator_spark.session import get_spark
 
     spark = get_spark(app_name="recall-ladder")
     args = sys.argv[1:]
     if args and args[0] == "--clustered":
+        for spec in args[1:] or ["2000"]:
+            clustered_tables(spark, spec)
+    elif args and args[0] == "--anisotropic":
         for n in [int(a) for a in args[1:]] or [2000]:
-            clustered_tables(spark, n)
+            anisotropic_tables(spark, n)
     else:
         for sf_dir in args or ["/root/testdata/sf0.1"]:
             recall_table(spark, sf_dir)

@@ -204,10 +204,10 @@ def pq_train_sample(
     )
     _validate_perm(perm, dim)
     x = np.asarray([r[0] for r in rows], dtype=np.float64)
-    if perm is not None:
-        x = x[:, np.asarray(perm)]
     if len(x) < ks:
         raise ValueError(f"corpus sample has {len(x)} rows; need ks={ks}")
+    if perm is not None:
+        x = x[:, np.asarray(perm)]
     rng = np.random.default_rng(seed)
     out = []
     for j in range(m):
@@ -238,6 +238,15 @@ def dim_variances(
         .agg(F.var_pop("x").alias("v"))
         .collect()
     )
+    if not rows:
+        raise ValueError("dim_variances: corpus has no non-null vectors")
+    seen = {r["j"] for r in rows}
+    if max(seen) != dim - 1 or min(seen) < 0 or max(seen) >= dim:
+        raise ValueError(
+            f"dim_variances: embeddings span dims 0..{max(seen)} but "
+            f"dim={dim} was requested — a mismatched dim would skew "
+            "the variance-balanced subspace deal"
+        )
     out = [0.0] * dim
     for r in rows:
         out[r["j"]] = float(r["v"] or 0.0)
@@ -560,7 +569,8 @@ def ivfpq_topk(
     dim = len(centers[0])
     if codebooks is None:
         codebooks = pq_train(
-            corpus, m=m, ks=ks, dim=dim, id_col=id_col, vec_col=vec_col
+            corpus, m=m, ks=ks, dim=dim, id_col=id_col, vec_col=vec_col,
+            perm=perm,
         )
     cb = np.asarray(codebooks, dtype=np.float64)
     cell_meta = _ivf_meta_udf(centers, 1)
@@ -916,7 +926,11 @@ def write_ivfpq_index(
     probed cell would be served whenever its winner's cell isn't
     probed.  Tombstones are written AFTER the data commit (a crashed
     append never kills live rows; re-running the append rewrites
-    them), and compaction applies and clears them.
+    them), and compaction applies and clears them.  ``perm`` (a
+    :func:`subspace_permutation`) is part of the QUANTIZER CONFIG:
+    persist it with ``save_quantizers(store, centers, codebooks,
+    perm=perm)`` next to the codes and pass it to every probe and
+    append — it is load-bearing exactly like the codebooks.
 
     Concurrent maintenance is DETECTED, not assumed away: an append
     that resolved ``_CURRENT`` before a concurrent compaction's flip
@@ -1327,6 +1341,17 @@ def load_quantizers(
         ) from None
     if with_perm:
         return d["centers"], d["codebooks"], d.get("perm")
+    if d.get("perm") is not None:
+        # the perm is correctness-load-bearing: probing perm-encoded
+        # codes with unpermuted query LUTs returns silently-garbage
+        # rankings, so a legacy 2-tuple caller must not be able to
+        # drop it by accident
+        raise ValueError(
+            f"the quantizer sidecar at {store!r} carries a subspace "
+            "permutation; call load_quantizers(store, with_perm=True) "
+            "and pass perm= to the probe — probing without it returns "
+            "silently wrong neighbors"
+        )
     return d["centers"], d["codebooks"]
 
 

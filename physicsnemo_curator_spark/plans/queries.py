@@ -10716,7 +10716,7 @@ _DRIVER_ORDER = [
     "q_split_store",
     "q_split_conflicts",
     "q_ann_pq_interleaved",
-    # --- r11 cohort, 40 of 50 (fills the 50-row r14 window) ---
+    # --- r11 cohort, 38 of 50 (fills the 50-row r14 window) ---
     "q_media_fmp4",
     "q_ann_sq8_topk",
     "q_ann_pq_topk",

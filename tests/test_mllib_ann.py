@@ -2011,8 +2011,12 @@ def test_ivfpq_index_perm_roundtrip(spark, tmp_path):
     mllib_ann.save_quantizers(store, centers, cbs, perm=perm)
     c2, cb2, p2 = mllib_ann.load_quantizers(store, with_perm=True)
     assert p2 == perm and c2 == centers and cb2 == cbs
-    # legacy two-tuple call keeps working
-    assert mllib_ann.load_quantizers(store) == (centers, cbs)
+    # the legacy two-tuple call must REFUSE to drop a stored perm
+    # (probing perm-encoded codes without it is silently garbage)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="with_perm"):
+        mllib_ann.load_quantizers(store)
     got = sorted(map(tuple, mllib_ann.ivfpq_index_topk(
         spark, qs, c2, store, k=5, n_probe=4, codebooks=cb2, perm=p2
     ).collect()))
@@ -2037,3 +2041,46 @@ def test_ivfpq_index_perm_roundtrip(spark, tmp_path):
         full, qs, centers, k=5, n_probe=4, codebooks=cbs, perm=perm
     ).collect()))
     assert got2 == inline2
+
+
+def test_ivfpq_topk_default_train_respects_perm(spark):
+    """The review-found perm-threading gap: ivfpq_topk with
+    codebooks=None must train WITH the perm (a codebook trained on
+    contiguous dims scored against permuted encodes is silently
+    garbage).  Pinned by equality with the explicit-codebooks path."""
+    from physicsnemo_curator_spark.sources.synthetic import (
+        clustered_embeddings,
+    )
+
+    emb = clustered_embeddings(
+        spark, 200, dim=64, n_clusters=16, sigma=0.3, seed=7, decay=0.7
+    ).localCheckpoint()
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    perm = mllib_ann.subspace_permutation(64, 8)
+    centers = mllib_ann.md5_sample_centroids(emb, k=4)
+    auto = sorted(map(tuple, mllib_ann.ivfpq_topk(
+        emb, qs, centers, k=5, n_probe=4, m=8, ks=16, perm=perm
+    ).collect()))
+    cbs = mllib_ann.pq_train(emb, m=8, ks=16, dim=64, perm=perm)
+    explicit = sorted(map(tuple, mllib_ann.ivfpq_topk(
+        emb, qs, centers, k=5, n_probe=4, codebooks=cbs, perm=perm
+    ).collect()))
+    assert auto == explicit
+
+
+def test_dim_variances_validation(spark):
+    """dim mismatches fail loudly instead of skewing the deal."""
+    import pytest as _pytest
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0, 4.0])],
+        "vec_id long, embedding array<float>",
+    )
+    assert len(mllib_ann.dim_variances(emb, 2)) == 2
+    with _pytest.raises(ValueError, match="dim=4"):
+        mllib_ann.dim_variances(emb, 4)
+    empty = emb.filter(F.col("vec_id") > 99)
+    with _pytest.raises(ValueError, match="no non-null"):
+        mllib_ann.dim_variances(empty, 2)

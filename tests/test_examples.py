@@ -40,6 +40,12 @@ def test_incremental_ingest_example(tmp_path):
     assert "split store:" in stdout and "duplicates=0" in stdout
 
 
+def test_similarity_search_example(tmp_path):
+    stdout = _run("similarity_search.py")
+    assert "ivfpq-idx" in stdout
+    assert "mmr diversified rows" in stdout
+
+
 def test_da_gfs_stats_example(tmp_path):
     # arg convention differs: (mirror_dir, out_dir), no sf_dir
     out = subprocess.run(

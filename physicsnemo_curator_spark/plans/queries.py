@@ -10702,60 +10702,7 @@ QUERIES: dict[str, QuerySpec] = {
 # everything driver-checked r13 (freshest last).  After r14 nothing is
 # staler than r11.
 _DRIVER_ORDER = [
-    # --- the 9 r10-stale gates (VERDICT r13 task #1: retire first) ---
-    "q_d3plot_scan",
-    "q_aselmdb_scan",
-    "q_zarr_roundtrip",
-    "q_netcdf3_roundtrip",
-    "q_openradioss_scan",
-    "q_dataset_layout",
-    "q_warc_scan",
-    "q_text_span_dedup_xx",
-    "q_sketch_bloom",
-    # --- NEW this round: split store + audit, interleaved-PQ perm ---
-    "q_split_store",
-    "q_split_conflicts",
-    "q_ann_pq_interleaved",
-    # --- r11 cohort, 38 of 50 (fills the 50-row r14 window) ---
-    "q_media_fmp4",
-    "q_ann_sq8_topk",
-    "q_ann_pq_topk",
-    "q_ann_ivfpq_topk",
-    "q_st5_stream_leftouter_join",
-    "q_sketch_cms",
-    "q_text_substring_dup",
-    "q_text_substring_rm",
-    "q_mix_temperature",
-    "q_s2_intersect",
-    "q_s4_union_all",
-    "q_s5_except",
-    "q_a5_distinct_agg",
-    "q_a9_cube",
-    "q_a10_pivot_mean",
-    "q_a12_grouping_sets",
-    "q_str2_like_pushdown",
-    "q_str3_regexp",
-    "q_d2_date_functions",
-    "q_w3_delta_vs_first",
-    "q_ann_lsh_topk",
-    "q_ann_ivf_topk",
-    "q_embedding_near_dup",
-    "q_simhash_groups",
-    "q_simhash_near_dup",
-    "q_j6_anti_join",
-    "q_a4_conditional_counts",
-    "q_m2_validity_counts",
-    "q_w2_prefix_sum",
-    "q_st2_sliding_stats",
-    "q_sql_pricing_summary",
-    "q_a7_distinct_exact",
-    "q_d1_year_split",
-    "q_str1_string_fns",
-    "q_arr1_array_agg",
-    "q_json1_extract",
-    "q_w5_group_zscore",
-    "q_median_exact",
-    # --- r15 staging: the 12 r11 leftovers head the next window ---
+    # --- r15 window: the 12 r11 leftovers (stalest, VERDICT r14 task #1) ---
     "q_st3_stream_welford",
     "q_st1_tumbling_window",
     "q_grib2_scan",
@@ -10768,7 +10715,7 @@ _DRIVER_ORDER = [
     "q_corpus_card",
     "q_media_subtitles",
     "q_robots_filter",
-    # --- r12-checked cohort ---
+    # --- r12 cohort, 38 of 49 (fills the 50-row r15 window) ---
     "q_st6_stream_fullouter_join",
     "q_ann_mmr",
     "q_ann_rrf",
@@ -10807,6 +10754,7 @@ _DRIVER_ORDER = [
     "q_text_bigram_lm",
     "q_media_png_resize",
     "q_media_jpeg_resize",
+    # --- r16 staging: remaining r12 rows head the next window ---
     "q_hdf5_roundtrip",
     "q_vtk_scan",
     "q_vti_scan",
@@ -10818,7 +10766,7 @@ _DRIVER_ORDER = [
     "q_sample_stratified",
     "q_a1_moment_stats",
     "q_a2_elementwise_stats",
-    # --- r13-checked cohort (freshest last) ---
+    # --- r13-checked cohort ---
     "q_ann_ivfpq_mmr",
     "q_embedding_drift_psi",
     "q_ann_rrf_anns",
@@ -10869,6 +10817,57 @@ _DRIVER_ORDER = [
     "q_ann_cosine_topk",
     "q_text_token_ids",
     "q_pack_sequences",
+    # --- r14-checked cohort (freshest last) ---
+    "q_d3plot_scan",
+    "q_aselmdb_scan",
+    "q_zarr_roundtrip",
+    "q_netcdf3_roundtrip",
+    "q_openradioss_scan",
+    "q_dataset_layout",
+    "q_warc_scan",
+    "q_text_span_dedup_xx",
+    "q_sketch_bloom",
+    "q_split_store",
+    "q_split_conflicts",
+    "q_ann_pq_interleaved",
+    "q_media_fmp4",
+    "q_ann_sq8_topk",
+    "q_ann_pq_topk",
+    "q_ann_ivfpq_topk",
+    "q_st5_stream_leftouter_join",
+    "q_sketch_cms",
+    "q_text_substring_dup",
+    "q_text_substring_rm",
+    "q_mix_temperature",
+    "q_s2_intersect",
+    "q_s4_union_all",
+    "q_s5_except",
+    "q_a5_distinct_agg",
+    "q_a9_cube",
+    "q_a10_pivot_mean",
+    "q_a12_grouping_sets",
+    "q_str2_like_pushdown",
+    "q_str3_regexp",
+    "q_d2_date_functions",
+    "q_w3_delta_vs_first",
+    "q_ann_lsh_topk",
+    "q_ann_ivf_topk",
+    "q_embedding_near_dup",
+    "q_simhash_groups",
+    "q_simhash_near_dup",
+    "q_j6_anti_join",
+    "q_a4_conditional_counts",
+    "q_m2_validity_counts",
+    "q_w2_prefix_sum",
+    "q_st2_sliding_stats",
+    "q_sql_pricing_summary",
+    "q_a7_distinct_exact",
+    "q_d1_year_split",
+    "q_str1_string_fns",
+    "q_arr1_array_agg",
+    "q_json1_extract",
+    "q_w5_group_zscore",
+    "q_median_exact",
 ]
 
 

@@ -686,9 +686,24 @@ def split_store_stats(spark, store: str) -> dict:
     now fan out).  Three bounded aggregation jobs over the
     column-pruned store; nothing collected beyond per-batch/per-split
     summaries."""
-    df = spark.read.parquet(store).select(
-        "doc_id", "split", "reason",
-        F.col("_batch").cast("string").alias("_batch"),
+    from pyspark.sql import types as T
+
+    # pin _batch to string via an explicit schema: partition-value
+    # TYPE INFERENCE canonicalizes numeric-looking batch names
+    # ('007' reads back as integer 7), and a post-hoc cast reports
+    # '7' — inconsistent with the literal '_batch=007' directory the
+    # path-addressed carry in _read_split_batch uses.  With a
+    # user-supplied schema Spark parses the raw directory value as
+    # the declared type, preserving the name verbatim.
+    inferred = spark.read.parquet(store).schema
+    pinned = T.StructType(
+        [
+            T.StructField("_batch", T.StringType()) if f.name == "_batch" else f
+            for f in inferred
+        ]
+    )
+    df = spark.read.schema(pinned).parquet(store).select(
+        "doc_id", "split", "reason", "_batch"
     )
     batches = {
         r["_batch"]: r["rows"]

@@ -1052,3 +1052,31 @@ def test_split_store_file_uri(spark, tmp_path):
         "file://" + store, seed=1, update_store=True, batch_id="b1",
     )
     assert sampling.split_store_stats(spark, store)["n_docs"] == 100
+
+
+def test_split_store_stats_numeric_batch_id(spark, tmp_path):
+    """Partition-value type inference canonicalizes numeric-looking
+    batch names ('007' -> 7); split_store_stats pins _batch to string
+    via an explicit schema so the reported key matches the literal
+    '_batch=007' directory the path-addressed carry uses."""
+    store = str(tmp_path / "numeric_batch")
+    seed = spark.createDataFrame(
+        [(1, "train", None), (2, "test", None)],
+        "doc_id long, split string, component long",
+    )
+    sampling.write_split_store(seed, store, batch_id="007")
+    more = spark.createDataFrame(
+        [(3, "train", None)], "doc_id long, split string, component long"
+    )
+    sampling.write_split_store(more, store, mode="append", batch_id="012")
+    s = sampling.split_store_stats(spark, store)
+    assert s["batches"] == {"007": 2, "012": 1}
+    # and the path-addressed carry agrees: a re-run of batch '007'
+    # with a changed doc set carries the earlier rows
+    rerun = spark.createDataFrame(
+        [(4, "val", None)], "doc_id long, split string, component long"
+    )
+    sampling.write_split_store(rerun, store, mode="append", batch_id="007")
+    s2 = sampling.split_store_stats(spark, store)
+    assert s2["batches"] == {"007": 3, "012": 1}
+    assert s2["duplicate_docs"] == 0

@@ -145,6 +145,7 @@ def pq_train(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     perm: list[int] | None = None,
+    rot: list[list[float]] | None = None,
 ) -> list[list[list[float]]]:
     """Product-quantization codebooks, shape ``(m, ks, dim//m)``: the
     dimension splits into ``m`` subspaces and each subspace gets the
@@ -155,12 +156,16 @@ def pq_train(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     dsub = dim // m
+    _check_one_transform(perm, rot)
     _validate_perm(perm, dim)
+    _validate_rot(rot, dim)
     base = md5_sample_centroids(corpus, k=ks, id_col=id_col, vec_col=vec_col)
     if len(base) < ks:
         raise ValueError(f"corpus has only {len(base)} rows; need ks={ks}")
     if perm is not None:
         base = [[vec[d] for d in perm] for vec in base]
+    elif rot is not None:
+        base = (np.asarray(base, dtype=np.float64) @ np.asarray(rot)).tolist()
     return [
         [vec[j * dsub : (j + 1) * dsub] for vec in base] for j in range(m)
     ]
@@ -177,6 +182,7 @@ def pq_train_sample(
     sample_rows: int = 2048,
     iters: int = 10,
     perm: list[int] | None = None,
+    rot: list[list[float]] | None = None,
 ) -> list[list[list[float]]]:
     """Lloyd-refined PQ codebooks — the production trainer: per
     subspace, k-means over the SUBVECTORS of a driver-side sample
@@ -202,12 +208,16 @@ def pq_train_sample(
         .limit(sample_rows)
         .collect()
     )
+    _check_one_transform(perm, rot)
     _validate_perm(perm, dim)
+    _validate_rot(rot, dim)
     x = np.asarray([r[0] for r in rows], dtype=np.float64)
     if len(x) < ks:
         raise ValueError(f"corpus sample has {len(x)} rows; need ks={ks}")
     if perm is not None:
         x = x[:, np.asarray(perm)]
+    elif rot is not None:
+        x = x @ np.asarray(rot, dtype=np.float64)
     rng = np.random.default_rng(seed)
     out = []
     for j in range(m):
@@ -298,18 +308,259 @@ def _validate_perm(perm: list[int] | None, dim: int) -> None:
         )
 
 
+def _validate_rot(rot, dim: int) -> None:
+    """A subspace rotation must be a ``dim×dim`` ORTHOGONAL matrix —
+    orthogonality is what makes ADC cosine exact under the transform
+    (norms and dot products are preserved: ``qᵀx = (qR)ᵀ(xR)``).  A
+    non-orthogonal matrix would silently skew every distance, so it
+    raises here instead."""
+    if rot is None:
+        return
+    r = np.asarray(rot, dtype=np.float64)
+    if r.shape != (dim, dim):
+        raise ValueError(
+            f"rot must be a {dim}x{dim} matrix; got shape {r.shape}"
+        )
+    if not np.allclose(r.T @ r, np.eye(dim), atol=1e-8):
+        raise ValueError(
+            f"rot is not orthogonal (max |RᵀR - I| = "
+            f"{np.abs(r.T @ r - np.eye(dim)).max():.2e}); ADC cosine "
+            "is only exact under orthogonal transforms"
+        )
+
+
+def _norm_rot(rot) -> list[list[float]] | None:
+    """Canonicalize a rotation for storage/comparison: identity (within
+    float tolerance) normalizes to None — it cannot change a code, so
+    it must not trip the store's mismatch guard (the :func:`_norm_perm`
+    rule)."""
+    if rot is None:
+        return None
+    r = np.asarray(rot, dtype=np.float64)
+    if r.ndim == 2 and r.shape[0] == r.shape[1] and np.allclose(
+        r, np.eye(r.shape[0]), atol=1e-12
+    ):
+        return None
+    return [[float(v) for v in row] for row in r]
+
+
+def _rots_equal(a, b) -> bool:
+    """Stamp-vs-caller rotation comparison (both already normalized):
+    float-tolerant, because one side round-tripped through JSON."""
+    if a is None or b is None:
+        return a is None and b is None
+    a_arr, b_arr = np.asarray(a), np.asarray(b)
+    return a_arr.shape == b_arr.shape and np.allclose(
+        a_arr, b_arr, atol=1e-9
+    )
+
+
+def _check_one_transform(perm, rot) -> None:
+    """``perm`` and ``rot`` are alternative subspace-assignment
+    transforms (a permutation IS an orthogonal matrix): accepting both
+    would demand an application-order convention every stage must
+    agree on — one silent disagreement garbles all rankings — so the
+    API takes exactly one.  :func:`opq_train` absorbs the balanced
+    permutation as its rotation init."""
+    if perm is not None and rot is not None:
+        raise ValueError(
+            "pass either perm= or rot=, not both: a permutation is an "
+            "orthogonal rotation — fold it in (perm_matrix(perm), or "
+            "opq_train whose learned rotation starts from the "
+            "balanced perm)"
+        )
+
+
+def perm_matrix(perm: list[int]) -> list[list[float]]:
+    """The orthogonal matrix equivalent of a
+    :func:`subspace_permutation`: ``X @ perm_matrix(perm)`` equals
+    ``X[:, perm]`` EXACTLY (each column has one 1.0; adding the zero
+    terms is float-exact), so perm-based and rot-based pipelines are
+    byte-interchangeable — asserted in tests."""
+    dim = len(perm)
+    _validate_perm(perm, dim)
+    p = np.zeros((dim, dim))
+    for j, d in enumerate(perm):
+        p[d, j] = 1.0
+    return [[float(v) for v in row] for row in p]
+
+
+def givens_rotation(dim: int, *, angle_step: float = 1.0) -> list[list[float]]:
+    """A FIXED block-diagonal Givens rotation — the SQL-replayable
+    member of the rotation family (the gate rotation, as the stride
+    interleave is the gate permutation): dimension pair ``(2t, 2t+1)``
+    rotates by the deterministic angle ``(t+1)·angle_step`` radians,
+    so an oracle can recompute every matrix entry from ``cos``/``sin``
+    of the pair index and replay ``x @ R`` as plain arithmetic.
+    Orthogonal by construction; mixes within pairs only — a plumbing
+    probe, not a quality claim (that's :func:`opq_train`)."""
+    if dim % 2:
+        raise ValueError(f"givens_rotation needs an even dim, got {dim}")
+    r = np.zeros((dim, dim))
+    for t in range(dim // 2):
+        c, s = np.cos((t + 1) * angle_step), np.sin((t + 1) * angle_step)
+        r[2 * t, 2 * t] = c
+        r[2 * t, 2 * t + 1] = -s
+        r[2 * t + 1, 2 * t] = s
+        r[2 * t + 1, 2 * t + 1] = c
+    return [[float(v) for v in row] for row in r]
+
+
+_PYTHAGOREAN_TRIPLES = ((3, 4, 5), (5, 12, 13), (8, 15, 17), (20, 21, 29))
+
+
+def pythagorean_rotation(dim: int) -> list[list[float]]:
+    """Block-diagonal Givens rotation with EXACT-RATIONAL sin/cos
+    from Pythagorean triples — pair ``t`` rotates by
+    ``(c, s) = (a/h, b/h)`` of triple ``t % 4`` from
+    (3,4,5) (5,12,13) (8,15,17) (20,21,29).  This is the
+    SQL-REPLAYABLE gate rotation: each entry is ONE IEEE division
+    (correctly rounded by the standard), so an oracle recomputing
+    ``3.0/5.0`` gets the bit-identical double — unlike
+    :func:`givens_rotation`, whose libm ``cos``/``sin`` may differ
+    between numpy and the oracle engine in the last ulp and flip an
+    encode argmin.  Orthogonal up to the same float tolerance as any
+    rotation here; a plumbing probe, not a quality claim."""
+    if dim % 2:
+        raise ValueError(f"pythagorean_rotation needs an even dim, got {dim}")
+    r = np.zeros((dim, dim))
+    for t in range(dim // 2):
+        a, b, h = _PYTHAGOREAN_TRIPLES[t % 4]
+        c, s = a / h, b / h
+        r[2 * t, 2 * t] = c
+        r[2 * t, 2 * t + 1] = -s
+        r[2 * t + 1, 2 * t] = s
+        r[2 * t + 1, 2 * t + 1] = c
+    return [[float(v) for v in row] for row in r]
+
+
+def opq_train(
+    corpus: DataFrame,
+    *,
+    m: int = 8,
+    ks: int = 16,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_rows: int = 2048,
+    iters_opq: int = 8,
+    iters_kmeans: int = 4,
+    init: str = "balanced",
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """OPQ-style learned rotation (public method: Ge et al.,
+    "Optimized Product Quantization", CVPR 2013 — the non-parametric
+    alternation), the rung above :func:`subspace_permutation`: instead
+    of only REASSIGNING dimensions to subspaces, learn the orthogonal
+    ``R`` that minimizes PQ quantization error ``‖XR − Y‖²`` by
+    alternating (a) per-subspace k-means on the rotated sample with
+    (b) the orthogonal-Procrustes rotation update (``XᵀY = USVᵀ →
+    R = UVᵀ``, one numpy SVD).  Returns ``(rot, codebooks)`` — pass
+    BOTH to the PQ family (``rot=`` walks exactly the perm's path:
+    train → encode → LUT → index write/probe → sidecar).
+
+    Driver-side state is the ``sample_rows`` sample and the ``dim²``
+    rotation — the :func:`pq_train_sample` scale contract (at 100 TB
+    the sample is the same size as here; nothing distributes).
+    ``init='balanced'`` starts from the variance-balanced permutation
+    MATRIX (the r14 result folded in as the starting point — the
+    learned rotation can only refine it); ``init='identity'`` starts
+    from contiguous slicing."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    if init not in ("balanced", "identity"):
+        raise ValueError(
+            f"unknown init {init!r}; expected 'balanced' or 'identity'"
+        )
+    dsub = dim // m
+    n = corpus.count()
+    frac = min(1.0, sample_rows / max(n, 1) * 1.2)
+    rows = (
+        corpus.filter(F.col(vec_col).isNotNull())
+        .sample(fraction=frac, seed=seed)
+        .select(vec_col)
+        .limit(sample_rows)
+        .collect()
+    )
+    x = np.asarray([r[0] for r in rows], dtype=np.float64)
+    if len(x) < ks:
+        raise ValueError(f"corpus sample has {len(x)} rows; need ks={ks}")
+    if init == "balanced":
+        var = [float(v) for v in x.var(axis=0)]
+        rot = np.asarray(
+            perm_matrix(subspace_permutation(dim, m, variances=var))
+        )
+    else:
+        rot = np.eye(dim)
+    rng = np.random.default_rng(seed)
+    kinit = [
+        rng.choice(len(x), size=ks, replace=False) for _ in range(m)
+    ]
+    centers = None
+    for _ in range(iters_opq):
+        xr = x @ rot
+        # (a) per-subspace Lloyd on the rotated sample.  k-means init
+        # indices are FIXED across OPQ iterations (drawn once above):
+        # re-drawing per iteration would re-randomize the codebooks
+        # every time R moves and the alternation would never settle.
+        centers = []
+        for j in range(m):
+            sub = xr[:, j * dsub : (j + 1) * dsub]
+            c = sub[kinit[j]].copy()
+            for _ in range(iters_kmeans):
+                d2 = ((sub[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+                assign = d2.argmin(axis=1)
+                for ci in range(ks):
+                    members = sub[assign == ci]
+                    if len(members):
+                        c[ci] = members.mean(axis=0)
+            centers.append(c)
+        # (b) reconstruct and solve orthogonal Procrustes for R
+        y = np.empty_like(xr)
+        for j in range(m):
+            sub = xr[:, j * dsub : (j + 1) * dsub]
+            d2 = (
+                (sub[:, None, :] - centers[j][None, :, :]) ** 2
+            ).sum(axis=2)
+            y[:, j * dsub : (j + 1) * dsub] = centers[j][d2.argmin(axis=1)]
+        u, _, vt = np.linalg.svd(x.T @ y)
+        rot = u @ vt
+    # final codebooks must match the FINAL rotation (the loop above
+    # updated R after training them)
+    xr = x @ rot
+    codebooks = []
+    for j in range(m):
+        sub = xr[:, j * dsub : (j + 1) * dsub]
+        c = sub[kinit[j]].copy()
+        for _ in range(iters_kmeans):
+            d2 = ((sub[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for ci in range(ks):
+                members = sub[assign == ci]
+                if len(members):
+                    c[ci] = members.mean(axis=0)
+        codebooks.append([[float(v) for v in row] for row in c])
+    return [[float(v) for v in row] for row in rot], codebooks
+
+
 def _pq_encode_udf(
-    codebooks: list[list[list[float]]], perm: list[int] | None = None
+    codebooks: list[list[list[float]]],
+    perm: list[int] | None = None,
+    rot: list[list[float]] | None = None,
 ):
     """Arrow-batched encoder: per subspace, argmin of Σ(x−c)² over the
     codebook, ties to the lowest code (numpy argmin-first, matching
     the oracle's ``ORDER BY d, code``).  ``perm`` reorders dimensions
-    before slicing (see :func:`subspace_permutation`) — codebooks must
-    have been trained with the same perm."""
+    before slicing (see :func:`subspace_permutation`); ``rot`` applies
+    an orthogonal rotation instead (``x @ R`` per batch — one matmul,
+    see :func:`opq_train`); exactly one — codebooks must have been
+    trained with the same transform."""
     cb = np.asarray(codebooks, dtype=np.float64)  # (m, ks, dsub)
     m, _ks, dsub = cb.shape
+    _check_one_transform(perm, rot)
     _validate_perm(perm, m * dsub)
+    _validate_rot(rot, m * dsub)
     p = np.asarray(perm, dtype=np.int64) if perm is not None else None
+    r = np.asarray(rot, dtype=np.float64) if rot is not None else None
 
     @F.pandas_udf("array<int>")
     def enc(v: pd.Series) -> pd.Series:
@@ -318,6 +569,8 @@ def _pq_encode_udf(
         )
         if p is not None:
             X = X[:, p]
+        elif r is not None:
+            X = X @ r
         out = np.empty((len(X), m), dtype=np.int32)
         for j in range(m):
             sub = X[:, j * dsub : (j + 1) * dsub]
@@ -335,6 +588,7 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     perm: list[int] | None = None,
+    rot: list[list[float]] | None = None,
 ) -> DataFrame:
     """``(vec_id, codes ARRAY<INT>)`` — ONE Arrow-batched numpy
     projection (the IVF-assignment precedent).  At ``m=8`` the codes
@@ -343,7 +597,7 @@ def pq_encode(
     instead of raw vectors.  NULL vectors are dropped (the IVF family's
     :func:`_assign_with_norm` convention — ``np.asarray(None)`` would
     crash the whole Arrow batch; a NULL embedding has no codes)."""
-    enc = _pq_encode_udf(codebooks, perm)
+    enc = _pq_encode_udf(codebooks, perm, rot)
     return corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("vec_id"), enc(F.col(vec_col)).alias("codes")
     )
@@ -357,6 +611,7 @@ def _pq_lut(
     vec_col: str = "embedding",
     max_probe_queries: int = 10_000,
     perm: list[int] | None = None,
+    rot: list[list[float]] | None = None,
 ) -> DataFrame:
     """Per-query ADC lookup table, ``nq·m·ks`` tiny rows:
     ``(query_id, j, code, dotv, n2, qnorm)``.  ``queries`` is the
@@ -377,8 +632,11 @@ def _pq_lut(
 
     spark = queries.sparkSession
     m, ks, dsub = codebooks_arr.shape
+    _check_one_transform(perm, rot)
     _validate_perm(perm, m * dsub)
+    _validate_rot(rot, m * dsub)
     parr = np.asarray(perm, dtype=np.int64) if perm is not None else None
+    rarr = np.asarray(rot, dtype=np.float64) if rot is not None else None
     qrows = (
         queries.select(
             F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_q")
@@ -398,9 +656,11 @@ def _pq_lut(
     lut_rows = []
     for r in qrows:
         q = np.asarray(r["_q"], dtype=np.float64)
-        qnorm = float(np.sqrt((q * q).sum()))  # perm-invariant
+        qnorm = float(np.sqrt((q * q).sum()))  # perm/rot-invariant
         if parr is not None:
             q = q[parr]
+        elif rarr is not None:
+            q = q @ rarr
         for j in range(m):
             qsub = q[j * dsub : (j + 1) * dsub]
             for c in range(ks):
@@ -477,6 +737,7 @@ def pq_topk(
     rescore: int = 0,
     max_probe_queries: int = 10_000,
     perm: list[int] | None = None,
+    rot: list[list[float]] | None = None,
 ) -> DataFrame:
     """Approximate top-k by cosine with asymmetric distance computation
     (ADC) over PQ codes — the billion-scale ANN shape: the corpus is
@@ -495,11 +756,11 @@ def pq_topk(
     if codebooks is None:
         codebooks = pq_train(
             corpus, m=m, ks=ks, dim=dim, id_col=id_col, vec_col=vec_col,
-            perm=perm,
+            perm=perm, rot=rot,
         )
     cb = np.asarray(codebooks, dtype=np.float64)
     codes = pq_encode(
-        corpus, codebooks, id_col=id_col, vec_col=vec_col, perm=perm
+        corpus, codebooks, id_col=id_col, vec_col=vec_col, perm=perm, rot=rot
     )
     lut = _pq_lut(
         queries,
@@ -508,6 +769,7 @@ def pq_topk(
         vec_col=vec_col,
         max_probe_queries=max_probe_queries,
         perm=perm,
+        rot=rot,
     )
     exploded = codes.select(
         "vec_id", F.posexplode("codes").alias("j", "code")
@@ -551,6 +813,7 @@ def ivfpq_topk(
     rescore: int = 0,
     max_probe_queries: int = 10_000,
     perm: list[int] | None = None,
+    rot: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-PQ — the billion-scale composition: the coarse quantizer
     restricts each query to its ``n_probe`` nearest cells and PQ/ADC
@@ -570,11 +833,11 @@ def ivfpq_topk(
     if codebooks is None:
         codebooks = pq_train(
             corpus, m=m, ks=ks, dim=dim, id_col=id_col, vec_col=vec_col,
-            perm=perm,
+            perm=perm, rot=rot,
         )
     cb = np.asarray(codebooks, dtype=np.float64)
     cell_meta = _ivf_meta_udf(centers, 1)
-    enc = _pq_encode_udf(codebooks, perm)
+    enc = _pq_encode_udf(codebooks, perm, rot)
     corpus = corpus.filter(F.col(vec_col).isNotNull())
     indexed = corpus.select(
         F.col(id_col).alias("vec_id"),
@@ -596,6 +859,7 @@ def ivfpq_topk(
         vec_col=vec_col,
         max_probe_queries=max_probe_queries,
         perm=perm,
+        rot=rot,
     )
     approx = _pq_adc_rank(
         cand, lut, ["query_id", "j", "code"], k * rescore if rescore else k
@@ -764,10 +1028,20 @@ def _read_optional_parquet(spark, path: str):
     try:
         return spark.read.parquet(path)
     except AnalysisException as exc:
-        if analysis_condition(exc) in (
-            "PATH_NOT_FOUND",
-            "UNABLE_TO_INFER_SCHEMA",
+        cond = analysis_condition(exc)
+        if cond in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+            return None
+        if cond is None and (
+            "PATH_NOT_FOUND" in str(exc)
+            or "Path does not exist" in str(exc)
+            or "Unable to infer schema" in str(exc)
         ):
+            # builds predating error classes (no getCondition /
+            # getErrorClass, or a server that attached none): fall
+            # back to the known message shapes — the sketches.py
+            # convention — so a genuinely-absent scheme'd store path
+            # still reads as "not written yet" instead of raising on
+            # the first-append / fresh-batch path
             return None
         raise
 
@@ -880,6 +1154,75 @@ def _validate_batch_id(batch_id: str) -> None:
         )
 
 
+def _norm_perm(perm: list[int] | None) -> list[int] | None:
+    """Canonicalize a subspace permutation for storage/comparison:
+    identity is byte-equivalent to "no permutation" at encode time
+    (asserted in tests), so it normalizes to None — a store stamped by
+    an identity-perm writer and probed with ``perm=None`` (or vice
+    versa) must not trip the mismatch guard over a distinction that
+    cannot change a single code."""
+    if perm is None:
+        return None
+    perm = [int(p) for p in perm]
+    return None if perm == list(range(len(perm))) else perm
+
+
+def _read_index_meta(root: str) -> dict | None:
+    """The store's ``_index_meta.json`` — writer-stamped encode config
+    (today: the subspace permutation), or None when the store predates
+    the stamp / was never written.  Lives at store ROOT next to
+    ``_quantizers.json`` (outside every generation's blast radius)."""
+    import json
+
+    path = os.path.join(root, "_index_meta.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def _write_index_meta(root: str, meta: dict) -> None:
+    """Atomically stamp ``_index_meta.json`` (temp file + rename, the
+    ``save_quantizers`` convention — a crashed write can't leave a
+    truncated stamp that parses as garbage)."""
+    import json
+
+    os.makedirs(root, exist_ok=True)
+    path = os.path.join(root, "_index_meta.json")
+    tmp = path + f".tmp-{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, path)
+
+
+def _stamped_config(
+    root: str | None,
+) -> tuple[bool, list[int] | None, list[list[float]] | None]:
+    """``(stamped, perm, rot)`` — what the store says its codes were
+    encoded with.  The writer's ``_index_meta.json`` stamp is
+    authoritative (it records what the encode ACTUALLY used); a
+    transform-carrying ``_quantizers.json`` sidecar is the fallback
+    for stores stamped only via :func:`save_quantizers`.  ``stamped``
+    False means the store predates both stamps and the caller's word
+    is all there is."""
+    if root is None:
+        return False, None, None
+    meta = _read_index_meta(root)
+    if meta is not None and ("perm" in meta or "rot" in meta):
+        return True, _norm_perm(meta.get("perm")), _norm_rot(meta.get("rot"))
+    sidecar = os.path.join(root, "_quantizers.json")
+    if os.path.exists(sidecar):
+        import json
+
+        with open(sidecar) as fh:
+            d = json.load(fh)
+        # a sidecar with no perm/rot key declares untransformed codes
+        # (the keys are only written for real transforms), so it
+        # stamps (None, None) — an append that now brings one raises
+        return True, _norm_perm(d.get("perm")), _norm_rot(d.get("rot"))
+    return False, None, None
+
+
 def write_ivfpq_index(
     corpus: DataFrame,
     centers: list[list[float]],
@@ -891,6 +1234,7 @@ def write_ivfpq_index(
     mode: str = "overwrite",
     batch_id: str = "seed",
     perm: list[int] | None = None,
+    rot: list[list[float]] | None = None,
 ) -> None:
     """Persist the IVF-PQ index table — ``(vec_id, codes)`` partitioned
     by ``(_batch, cell)`` — the production artifact a 100 TB deployment
@@ -927,10 +1271,14 @@ def write_ivfpq_index(
     probed.  Tombstones are written AFTER the data commit (a crashed
     append never kills live rows; re-running the append rewrites
     them), and compaction applies and clears them.  ``perm`` (a
-    :func:`subspace_permutation`) is part of the QUANTIZER CONFIG:
-    persist it with ``save_quantizers(store, centers, codebooks,
-    perm=perm)`` next to the codes and pass it to every probe and
-    append — it is load-bearing exactly like the codebooks.
+    :func:`subspace_permutation`) is part of the QUANTIZER CONFIG and
+    load-bearing exactly like the codebooks — so the write STAMPS it
+    into ``_index_meta.json`` at the store root (local stores;
+    scheme'd layouts keep the caller-knows contract): appends with a
+    different perm raise before writing a row, probes adopt the stamp
+    when called without one and raise on an explicit mismatch, and
+    :func:`save_quantizers` refuses a sidecar that disagrees with the
+    stamped codes.
 
     Concurrent maintenance is DETECTED, not assumed away: an append
     that resolved ``_CURRENT`` before a concurrent compaction's flip
@@ -944,7 +1292,13 @@ def write_ivfpq_index(
     rebuild racing a compaction would be superseded by the flip and
     swept), and an append additionally detects a CONCURRENT APPEND
     (which would stamp the same ``_gen``, leaving conflict resolution
-    undefined) by counting foreign rows at its own generation.  These
+    undefined) by counting foreign rows at its own generation — plus,
+    for a writer that reused the SAME batch_id (whose rows land in
+    our partition and look like ours), by reconciling the partition's
+    new-generation rows against the checkpointed incoming snapshot
+    (row count + id set; two same-batch writers committing the exact
+    same id set stay indistinguishable, which only matters if their
+    code values differ — a pipeline bug, not a race).  These
     are optimistic read-validate checks — one tiny metadata read each,
     converting silent data loss into a loud retry; they are not a
     lock (see :func:`_check_no_concurrent_append` for the residual
@@ -964,8 +1318,31 @@ def write_ivfpq_index(
     # local-only sidecar stash is skipped exactly as before
     root, pointer_at_resolve, data_dir = _resolve_store(store)
     gen = _next_gen(corpus.sparkSession, data_dir) if mode == "append" else 0
+    # perm/rot are encode config: appending codes encoded under a
+    # DIFFERENT transform than the store's existing rows garbles every
+    # probe over the mixed set, so validate against the store's stamp
+    # BEFORE writing a single row (identity normalizes to None — it's
+    # byte-equivalent).  Scheme'd stores have no local stamp (root is
+    # None) and keep the caller-knows contract.
+    _check_one_transform(perm, rot)
+    perm = _norm_perm(perm)
+    rot = _norm_rot(rot)
+    stamped, store_perm, store_rot = _stamped_config(root)
+    if mode == "append" and gen > 0 and stamped and (
+        store_perm != perm or not _rots_equal(store_rot, rot)
+    ):
+        raise ValueError(
+            f"subspace-transform mismatch: the store at {store!r} was "
+            f"written with perm={store_perm!r}, "
+            f"rot={'set' if store_rot is not None else None} but this "
+            f"append passed perm={perm!r}, "
+            f"rot={'set' if rot is not None else None} — mixing "
+            "encodings garbles every probe. Pass the store's transform "
+            "(load_quantizers(store, with_perm=True, with_rot=True)) "
+            "or rebuild with mode='overwrite'."
+        )
     cell_meta = _ivf_meta_udf(centers, 1)
-    enc = _pq_encode_udf(codebooks, perm)
+    enc = _pq_encode_udf(codebooks, perm, rot)
     out = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("vec_id"),
         F.element_at(cell_meta(F.col(vec_col))["cells"], 1).alias("cell"),
@@ -983,8 +1360,10 @@ def write_ivfpq_index(
         # did, leaving a stale row served from an unprobed cell.
         out = out.localCheckpoint()
         incoming_ids = out.select("vec_id").distinct()
+        n_incoming = out.count()
     else:
         incoming_ids = None
+        n_incoming = 0
     prev_batch = _read_batch_partition(
         corpus.sparkSession, data_dir, batch_id
     ) if mode == "append" and gen > 0 else None
@@ -1056,6 +1435,13 @@ def write_ivfpq_index(
             if not os.path.exists(sidecar):
                 shutil.copy2(stash, sidecar)
             os.unlink(stash)
+    if root is not None and (mode == "overwrite" or not stamped):
+        # stamp the encode config the codes were ACTUALLY written with
+        # (after the data commit: a crashed overwrite must not leave a
+        # fresh stamp over the old generation's codes).  An overwrite
+        # redefines it; an append to an unstamped legacy store records
+        # the caller's word so every LATER write and probe is guarded.
+        _write_index_meta(root, {"perm": perm, "rot": rot})
     # tombstones live inside the data generation dir, so an overwrite
     # (whose static mode just deleted data_dir wholesale) resets them
     # for free — a stale dead_below from the previous life would kill
@@ -1101,6 +1487,35 @@ def write_ivfpq_index(
                 "(equal _gen). Compact the store, then re-run ONE of "
                 "the two appends."
             )
+        # a concurrent append that reused the SAME batch_id lands its
+        # rows in OUR partition and counts as "mine" above — so also
+        # reconcile the partition's new-gen rows against the
+        # checkpointed incoming snapshot: a row count or id-set
+        # divergence means a foreign writer's files interleaved with
+        # (or replaced) ours under dynamic partition overwrite.  Two
+        # same-batch writers committing the EXACT same id set remain
+        # indistinguishable (and conflict only if their code values
+        # differ — a pipeline bug, not a race this check can see).
+        foreign_same_batch = 0
+        if mine is not None and mine_new == n_incoming:
+            foreign_same_batch = (
+                mine.filter(F.col("_gen").cast("long") == gen)
+                .select("vec_id")
+                .join(incoming_ids, "vec_id", "left_anti")
+                .limit(1)
+                .count()
+            )
+        if mine_new != n_incoming or foreign_same_batch:
+            raise RuntimeError(
+                f"concurrent append detected: batch {batch_id!r} in "
+                f"{data_dir!r} holds rows at this write's generation "
+                f"{gen} that this write did not produce "
+                f"({mine_new} stored vs {n_incoming} written"
+                f"{', foreign ids present' if foreign_same_batch else ''}) "
+                "— another writer appended under the SAME batch_id "
+                "concurrently. Give each writer its own batch_id, "
+                "compact the store, then re-run ONE of the appends."
+            )
     if root is not None:
         # both write modes validate the pointer: an overwrite racing a
         # compaction would otherwise be silently superseded by the
@@ -1143,13 +1558,15 @@ def ivfpq_index_topk(
     *,
     n_probe: int = 3,
     codebooks: list[list[list[float]]],
-    rescore: int = 0,
+    rescore: int | str = 0,
     corpus: DataFrame | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     max_probe_queries: int = 10_000,
     perm: list[int] | None = None,
+    rot: list[list[float]] | None = None,
+    target_recall: float = 0.8,
 ) -> DataFrame:
     """Probe a persisted :func:`write_ivfpq_index` store — the serving
     path of the incremental index: queries explode to their ``n_probe``
@@ -1164,7 +1581,11 @@ def ivfpq_index_topk(
     written with (persist them next to the store; re-clustering means
     rebuilding — the :func:`write_semantic_store` contract).
     ``rescore=m'`` re-ranks the top ``m'·k`` with exact cosine against
-    ``corpus`` (required then: the index has no vectors).  A vec_id
+    ``corpus`` (required then: the index has no vectors);
+    ``rescore='auto'`` sizes the multiplier from the store's measured
+    cell occupancy via :func:`recommended_rescore` (``target_recall``
+    tunes it) and REFUSES the collapsed huge-cluster regime instead of
+    silently serving it.  A vec_id
     appearing in MULTIPLE generations (re-ingested under a new
     batch_id, or left behind in its old cell partition when its
     assignment moved under an idempotent same-batch re-run) is deduped
@@ -1188,7 +1609,31 @@ def ivfpq_index_topk(
         F.col(query_id_col).alias("query_id"),
         F.explode(probe_meta(F.col(vec_col))["cells"]).alias("cell"),
     )
-    data_dir = _resolve_data_dir(store)
+    root, _, data_dir = _resolve_store(store)
+    # the writer stamps the transform its encode actually used
+    # (_index_meta.json / the quantizer sidecar): adopt it when the
+    # caller passed none — the default call is then correct by
+    # construction — and raise on an explicit mismatch, because
+    # probing transformed codes with differently-transformed query
+    # LUTs returns silently wrong neighbors (no error anywhere).
+    _check_one_transform(perm, rot)
+    perm = _norm_perm(perm)
+    rot = _norm_rot(rot)
+    stamped, store_perm, store_rot = _stamped_config(root)
+    if stamped:
+        if perm is None and rot is None:
+            perm, rot = store_perm, store_rot
+        elif perm != store_perm or not _rots_equal(rot, store_rot):
+            raise ValueError(
+                f"subspace-transform mismatch: the store at {store!r} "
+                f"was written with perm={store_perm!r}, "
+                f"rot={'set' if store_rot is not None else None} but "
+                f"this probe passed perm={perm!r}, "
+                f"rot={'set' if rot is not None else None} — the "
+                "rankings would be silently wrong. Pass the store's "
+                "transform or none (the stamp is adopted "
+                "automatically)."
+            )
     raw = _read_store_data(spark, data_dir)
     if raw is None:
         raise ValueError(
@@ -1205,6 +1650,34 @@ def ivfpq_index_topk(
         "vec_id", "cell", "codes",
         F.col("_gen").cast("long").alias("_gen"),
     )
+    if rescore == "auto":
+        # occupancy-aware sizing (RECALL.md's operating rule as code):
+        # one bounded per-cell agg over the column-pruned store, fed to
+        # recommended_rescore.  Measured over ALL live rows incl.
+        # not-yet-compacted superseded ones — slightly conservative
+        # (occupancy can only be overstated, never understated).
+        occ = (
+            index.groupBy("cell")
+            .agg(F.count("*").alias("rows"))
+            .agg(
+                F.max("rows").alias("max_rows"),
+                F.avg("rows").alias("mean_rows"),
+            )
+            .collect()[0]
+        )
+        rescore = recommended_rescore(
+            {
+                "mean_cell_rows": float(occ["mean_rows"]),
+                "max_cell_rows": occ["max_rows"],
+            },
+            k,
+            target_recall,
+        )
+    elif isinstance(rescore, str):
+        raise ValueError(
+            f"unknown rescore {rescore!r}: expected an int multiplier "
+            "or 'auto' (occupancy-sized via recommended_rescore)"
+        )
     wdup = Window.partitionBy("query_id", "vec_id").orderBy(
         F.desc("_gen")
     )
@@ -1231,6 +1704,7 @@ def ivfpq_index_topk(
         vec_col=vec_col,
         max_probe_queries=max_probe_queries,
         perm=perm,
+        rot=rot,
     )
     approx = _pq_adc_rank(
         cand, lut, ["query_id", "j", "code"], k * rescore if rescore else k
@@ -1292,6 +1766,7 @@ def save_quantizers(
     centers: list[list[float]],
     codebooks: list[list[list[float]]],
     perm: list[int] | None = None,
+    rot: list[list[float]] | None = None,
 ) -> None:
     """Persist the IVF-PQ quantizers (centroids + PQ codebooks) as a
     JSON sidecar inside the store directory — the artifact the index
@@ -1300,16 +1775,41 @@ def save_quantizers(
     write can't leave a truncated sidecar that parses as garbage.
     The quantizers are O(k·dim + m·ks·dim/m) floats — kilobytes.
     Accepts plain local paths and ``file://`` URIs like the rest of
-    the store API; other schemes need the store's client (raises)."""
+    the store API; other schemes need the store's client (raises).
+
+    Raises when the store is already stamped (by a
+    :func:`write_ivfpq_index` write or an earlier sidecar) with a
+    DIFFERENT permutation than ``perm`` — a sidecar that disagrees
+    with the codes would hand every later ``load_quantizers`` caller
+    a config that silently garbles rankings.  Changing the perm means
+    re-encoding: rebuild with ``write_ivfpq_index(mode='overwrite',
+    perm=...)`` first, then re-save."""
     import json
 
     store = _local_store_path(store)
+    _check_one_transform(perm, rot)
+    perm = _norm_perm(perm)
+    rot = _norm_rot(rot)
+    stamped, store_perm, store_rot = _stamped_config(store)
+    if stamped and (store_perm != perm or not _rots_equal(store_rot, rot)):
+        raise ValueError(
+            f"subspace-transform mismatch: the store at {store!r} is "
+            f"stamped with perm={store_perm!r}, "
+            f"rot={'set' if store_rot is not None else None} but this "
+            f"sidecar save passed perm={perm!r}, "
+            f"rot={'set' if rot is not None else None}. The sidecar "
+            "must match the codes — rebuild the index with "
+            "write_ivfpq_index(mode='overwrite', ...) before saving a "
+            "different transform."
+        )
     os.makedirs(store, exist_ok=True)
     path = os.path.join(store, "_quantizers.json")
     tmp = path + f".tmp-{os.getpid()}"
     payload = {"centers": centers, "codebooks": codebooks}
     if perm is not None:
         payload["perm"] = list(perm)
+    if rot is not None:
+        payload["rot"] = rot
     with open(tmp, "w") as fh:
         json.dump(payload, fh)
     os.replace(tmp, path)
@@ -1319,13 +1819,17 @@ def load_quantizers(
     store: str,
     *,
     with_perm: bool = False,
+    with_rot: bool = False,
 ) -> tuple:
     """Read back :func:`save_quantizers`' sidecar.  Raises
     FileNotFoundError with the fix spelled out when the store was
-    written without one.  ``with_perm=True`` returns a third element:
-    the subspace permutation the codes were encoded with (None when
-    the store used contiguous slicing) — pass it back to
-    :func:`ivfpq_index_topk` and appends."""
+    written without one.  ``with_perm=True`` appends the subspace
+    permutation as a third element; ``with_rot=True`` appends the
+    learned rotation after it (None for whichever the store didn't
+    use) — pass them back to :func:`ivfpq_index_topk` and appends.
+    A call that would DROP a stored transform raises: probing
+    transformed codes without the transform returns silently-garbage
+    rankings."""
     import json
 
     path = os.path.join(_local_store_path(store), "_quantizers.json")
@@ -1339,20 +1843,26 @@ def load_quantizers(
             "codes are unreadable without the exact quantizers they "
             "were encoded with"
         ) from None
-    if with_perm:
-        return d["centers"], d["codebooks"], d.get("perm")
-    if d.get("perm") is not None:
-        # the perm is correctness-load-bearing: probing perm-encoded
-        # codes with unpermuted query LUTs returns silently-garbage
-        # rankings, so a legacy 2-tuple caller must not be able to
-        # drop it by accident
+    if d.get("rot") is not None and not with_rot:
+        raise ValueError(
+            f"the quantizer sidecar at {store!r} carries a learned "
+            "rotation; call load_quantizers(store, with_perm=True, "
+            "with_rot=True) and pass rot= to the probe — probing "
+            "without it returns silently wrong neighbors"
+        )
+    if d.get("perm") is not None and not with_perm:
         raise ValueError(
             f"the quantizer sidecar at {store!r} carries a subspace "
             "permutation; call load_quantizers(store, with_perm=True) "
             "and pass perm= to the probe — probing without it returns "
             "silently wrong neighbors"
         )
-    return d["centers"], d["codebooks"]
+    out = [d["centers"], d["codebooks"]]
+    if with_perm:
+        out.append(d.get("perm"))
+    if with_rot:
+        out.append(d.get("rot"))
+    return tuple(out)
 
 
 def _check_no_concurrent_append(
@@ -1604,6 +2114,75 @@ def ivfpq_index_stats(spark, store: str) -> dict:
         "max_cell_rows": cell_row["max_rows"],
         "mean_cell_rows": float(cell_row["mean_rows"]),
     }
+
+
+def recommended_rescore(
+    stats: dict,
+    k: int,
+    target_recall: float = 0.8,
+    *,
+    occupancy: str = "mean",
+    max_rescore: int | None = 20,
+) -> int:
+    """Size the exact-rerank multiplier from the store's measured cell
+    occupancy — the clustered-corpus recall ladder's operating rule
+    ("size k·rescore against expected cluster occupancy", RECALL.md
+    r14/r15) turned from prose into a function of the numbers
+    :func:`ivfpq_index_stats` already computes.
+
+    The mechanism (measured, not guessed): inside a tight cluster all
+    members share near-identical PQ codes, so the ADC ranking among
+    them is arbitrary — a query whose true top-``k`` live in an
+    ``occ``-member cell gets expected recall ≈ ``k·rescore / occ``
+    (drawing ``k·rescore`` of ``occ`` near-tied candidates).  Hence
+    ``rescore = ceil(target_recall · occ / k)``, floored at 2 (a
+    multiplier of 1 re-ranks exactly ``k`` rows — it reorders, it
+    cannot recover).  Calibration against the r14 ladder: occ=62
+    (20k rows × 320 clusters), k=10, target 0.8 → rescore 5, which
+    measured 0.855; occ=625 (clusters held at 32) → rescore 50, and
+    the measured 0.195 at rescore=5 is exactly the collapse this
+    function exists to refuse.
+
+    ``stats`` is an :func:`ivfpq_index_stats` dict (or any dict with
+    ``mean_cell_rows`` / ``max_cell_rows``); ``occupancy`` picks the
+    estimate ('mean' for the typical cell, 'max' for worst-case skew).
+    When the required multiplier exceeds ``max_rescore`` the function
+    REFUSES (raises) rather than silently serving the collapsed
+    regime: an exact rescore of ``k·rescore`` rows per query is the
+    serving path's cost knob, and past ~20× the honest answers are
+    either ``max_rescore=None`` (explicit escalation — the rescore
+    cost still grows with k·rescore, never the corpus) or serving
+    from SQ8(+rescore), whose 8-bit codes rank WITHIN a cluster
+    (recall 1.0 in every measured regime)."""
+    if occupancy not in ("mean", "max"):
+        raise ValueError(
+            f"unknown occupancy {occupancy!r}; expected 'mean' or 'max'"
+        )
+    if not 0.0 < target_recall <= 1.0:
+        raise ValueError(
+            f"target_recall must be in (0, 1], got {target_recall!r}"
+        )
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k!r}")
+    occ = float(
+        stats["mean_cell_rows"] if occupancy == "mean" else stats["max_cell_rows"]
+    )
+    import math
+
+    needed = max(2, math.ceil(target_recall * occ / k))
+    if max_rescore is not None and needed > max_rescore:
+        raise ValueError(
+            f"occupancy-sized rescore {needed} exceeds max_rescore "
+            f"{max_rescore}: the store's {occupancy} cell occupancy "
+            f"({occ:.0f} rows) is huge relative to k={k}, the regime "
+            "where PQ recall collapses (measured 0.195 at 625 "
+            "rows/cluster, rescore=5). Either pass max_rescore=None "
+            "to escalate explicitly (cost grows with k*rescore, not "
+            "the corpus), probe more cells with a larger n_probe and "
+            "smaller target, retrain with more cells, or serve this "
+            "store from SQ8(+rescore), which ranks within clusters."
+        )
+    return needed
 
 
 def train_ivf_sample(

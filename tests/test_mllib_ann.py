@@ -2084,3 +2084,400 @@ def test_dim_variances_validation(spark):
     empty = emb.filter(F.col("vec_id") > 99)
     with _pytest.raises(ValueError, match="no non-null"):
         mllib_ann.dim_variances(empty, 2)
+
+
+def test_ivfpq_append_detects_same_batch_concurrent_append(
+    spark, tmp_path, sf_correctness_dir, monkeypatch
+):
+    """The same-batch_id blind spot, closed: a concurrent append that
+    reused OUR batch_id lands its rows in OUR partition (they count as
+    'mine' in the foreign-batch check), so the writer also reconciles
+    the partition's new-generation rows against its checkpointed
+    incoming snapshot and raises on divergence."""
+    import pytest as _pytest
+
+    emb, centers, cbs, store = _mini_store(
+        spark, sf_correctness_dir, tmp_path, "race_same_batch"
+    )
+    odds = emb.filter(F.col("vec_id") % 2 == 1)
+    a = odds.filter(F.col("vec_id") < 30)
+    b = odds.filter(F.col("vec_id") >= 30)
+    # append 'a' lands normally at gen 1 under batch 'x'
+    mllib_ann.write_ivfpq_index(
+        a, centers, cbs, store, mode="append", batch_id="x"
+    )
+    # 'b' raced: it read the pre-'a' high-water mark AND reused the
+    # same batch_id — its carry re-materializes a's rows at gen 1, so
+    # the partition holds more new-gen rows than b wrote
+    monkeypatch.setattr(mllib_ann, "_next_gen", lambda *args: 1)
+    with _pytest.raises(RuntimeError, match="SAME batch_id"):
+        mllib_ann.write_ivfpq_index(
+            b, centers, cbs, store, mode="append", batch_id="x"
+        )
+    monkeypatch.undo()
+    # recovery per the error: distinct batch ids, compact, re-run one
+    mllib_ann.compact_ivfpq_index(spark, store)
+    mllib_ann.write_ivfpq_index(
+        b, centers, cbs, store, mode="append", batch_id="y"
+    )
+    qs = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def rows(s):
+        return sorted(
+            (r["query_id"], r["vec_id"], r["rank"])
+            for r in mllib_ann.ivfpq_index_topk(
+                spark, qs, centers, s, k=8, n_probe=4, codebooks=cbs
+            ).collect()
+        )
+
+    clean = str(tmp_path / "race_same_batch_clean")
+    mllib_ann.write_ivfpq_index(emb, centers, cbs, clean)
+    assert rows(store) == rows(clean)
+
+
+def test_ivfpq_perm_stamp_guards(spark, tmp_path):
+    """The writer stamps the subspace permutation into the store
+    (_index_meta.json): probes called WITHOUT a perm adopt it (the
+    default call is correct by construction), explicit mismatches
+    raise on probe/append/save_quantizers, identity normalizes to
+    None, and an overwrite restamps."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from physicsnemo_curator_spark.sources.synthetic import (
+        clustered_embeddings,
+    )
+
+    emb = clustered_embeddings(
+        spark, 150, dim=16, n_clusters=8, sigma=0.3, seed=7, decay=0.7
+    ).localCheckpoint()
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    perm = mllib_ann.subspace_permutation(16, 4)
+    wrong = list(reversed(range(16)))
+    centers = mllib_ann.md5_sample_centroids(emb, k=4)
+    cbs = mllib_ann.pq_train(emb, m=4, ks=8, dim=16, perm=perm)
+    store = str(tmp_path / "perm_stamp")
+    mllib_ann.write_ivfpq_index(emb, centers, cbs, store, perm=perm)
+    assert _os.path.exists(_os.path.join(store, "_index_meta.json"))
+
+    def rows(**kw):
+        return sorted(map(tuple, mllib_ann.ivfpq_index_topk(
+            spark, qs, centers, store, k=5, n_probe=4, codebooks=cbs, **kw
+        ).collect()))
+
+    # probe without perm adopts the stamp — equal to the explicit call
+    assert rows() == rows(perm=perm)
+    with _pytest.raises(ValueError, match="mismatch"):
+        rows(perm=wrong)
+    # appends must match the stamped encoding (None and wrong both
+    # mean mixed codes)
+    more = emb.filter(F.col("vec_id") >= 140)
+    for bad in (None, wrong):
+        with _pytest.raises(ValueError, match="mismatch"):
+            mllib_ann.write_ivfpq_index(
+                more, centers, cbs, store,
+                mode="append", batch_id="b1", perm=bad,
+            )
+    # the ADVICE scenario: a sidecar saved without the perm would be
+    # loaded as a legacy 2-tuple and defeat the load guard — refuse it
+    with _pytest.raises(ValueError, match="mismatch"):
+        mllib_ann.save_quantizers(store, centers, cbs)
+    with _pytest.raises(ValueError, match="mismatch"):
+        mllib_ann.save_quantizers(store, centers, cbs, perm=wrong)
+    mllib_ann.save_quantizers(store, centers, cbs, perm=perm)
+    assert mllib_ann.load_quantizers(store, with_perm=True)[2] == perm
+
+    # identity normalizes to None everywhere: a store written without
+    # a perm accepts identity-perm appends and probes
+    cbs0 = mllib_ann.pq_train(emb, m=4, ks=8, dim=16)
+    store2 = str(tmp_path / "perm_stamp_id")
+    mllib_ann.write_ivfpq_index(emb, centers, cbs0, store2)
+    ident = list(range(16))
+    mllib_ann.write_ivfpq_index(
+        emb.filter(F.col("vec_id") >= 140), centers, cbs0, store2,
+        mode="append", batch_id="b1", perm=ident,
+    )
+    got = mllib_ann.ivfpq_index_topk(
+        spark, qs, centers, store2, k=5, n_probe=4, codebooks=cbs0,
+        perm=ident,
+    )
+    assert got.count() > 0
+
+    # an overwrite REDEFINES the encode config and restamps: the
+    # stamp is now None, so an unpermuted default probe just works
+    got2 = sorted(map(tuple, mllib_ann.ivfpq_index_topk(
+        spark, qs, centers, store, k=5, n_probe=4, codebooks=cbs0
+    ).collect()))
+    assert got2 == sorted(map(tuple, mllib_ann.ivfpq_index_topk(
+        spark, qs, centers, store, k=5, n_probe=4, codebooks=cbs0,
+        perm=ident,
+    ).collect()))
+
+
+def test_read_optional_parquet_message_fallback(spark, tmp_path, monkeypatch):
+    """Builds whose AnalysisException carries no error class (condition
+    None) still classify a genuinely-missing path as absent via the
+    known message shapes instead of raising on the first-append path."""
+    missing = str(tmp_path / "definitely_missing_store")
+    real_exists = mllib_ann.os.path.exists
+    # defeat the local-existence fast path so the Spark read runs and
+    # raises PATH_NOT_FOUND, then hide the error class
+    monkeypatch.setattr(
+        mllib_ann.os.path,
+        "exists",
+        lambda p: True if p == missing else real_exists(p),
+    )
+    monkeypatch.setattr(mllib_ann, "analysis_condition", lambda exc: None)
+    assert mllib_ann._read_optional_parquet(spark, missing) is None
+
+
+def test_recommended_rescore_calibration():
+    """The occupancy rule as pure arithmetic, pinned on the two
+    measured regimes from RECALL.md r14: 62 rows/cell (20k x 320
+    clusters) -> rescore 5 suffices (measured 0.855); 625 rows/cell
+    (clusters held at 32) -> the required 50 exceeds the cap and the
+    function REFUSES instead of serving the measured 0.195 collapse."""
+    import pytest as _pytest
+
+    ok = {"mean_cell_rows": 62.0, "max_cell_rows": 80}
+    assert mllib_ann.recommended_rescore(ok, 10) == 5
+    collapsed = {"mean_cell_rows": 625.0, "max_cell_rows": 700}
+    with _pytest.raises(ValueError, match="SQ8"):
+        mllib_ann.recommended_rescore(collapsed, 10)
+    # explicit escalation: the caller owns the k*rescore cost
+    assert mllib_ann.recommended_rescore(
+        collapsed, 10, max_rescore=None
+    ) == 50
+    # floor: tiny cells never drop below a real widening multiplier
+    assert mllib_ann.recommended_rescore(
+        {"mean_cell_rows": 4.0, "max_cell_rows": 5}, 10
+    ) == 2
+    # worst-case skew via occupancy='max'
+    assert mllib_ann.recommended_rescore(
+        ok, 10, occupancy="max"
+    ) == 7
+    with _pytest.raises(ValueError, match="occupancy"):
+        mllib_ann.recommended_rescore(ok, 10, occupancy="median")
+    with _pytest.raises(ValueError, match="target_recall"):
+        mllib_ann.recommended_rescore(ok, 10, target_recall=1.5)
+
+
+def test_ivfpq_index_topk_auto_rescore(spark, tmp_path):
+    """rescore='auto' end to end: on a clustered store whose occupancy
+    suits k·rescore the auto-sized probe hits the ladder's measured
+    recall floor; on a coarse store (4 cells over the same corpus —
+    huge occupancy) it refuses with the SQ8 guidance instead of
+    serving collapsed rankings."""
+    import pytest as _pytest
+
+    from physicsnemo_curator_spark.sources.synthetic import (
+        clustered_embeddings,
+    )
+
+    emb = clustered_embeddings(
+        spark, 2000, dim=64, n_clusters=32, sigma=0.3, seed=7
+    ).localCheckpoint()
+    qs = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact: dict[int, set] = {}
+    for r in similarity.cosine_topk(emb, qs, k=10, dim=64).collect():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    # ~32 trained cells over 32 true clusters -> occupancy ~62
+    centers = mllib_ann.md5_sample_centroids(emb, k=32)
+    cbs = mllib_ann.pq_train(emb, m=8, ks=16, dim=64)
+    store = str(tmp_path / "auto_fine")
+    mllib_ann.write_ivfpq_index(emb, centers, cbs, store)
+    got = mllib_ann.ivfpq_index_topk(
+        spark, qs, centers, store, k=10, n_probe=6, codebooks=cbs,
+        rescore="auto", corpus=emb,
+    )
+    per: dict[int, set] = {}
+    for r in got.collect():
+        per.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recall = sum(
+        len(per.get(q, set()) & e) / len(e) for q, e in exact.items()
+    ) / len(exact)
+    assert recall >= 0.70, recall  # ladder measured 0.85; margin
+
+    # 4 cells over the same 2000 rows -> occupancy ~500: refuse
+    coarse_centers = mllib_ann.md5_sample_centroids(emb, k=4)
+    coarse = str(tmp_path / "auto_coarse")
+    mllib_ann.write_ivfpq_index(emb, coarse_centers, cbs, coarse)
+    with _pytest.raises(ValueError, match="SQ8"):
+        mllib_ann.ivfpq_index_topk(
+            spark, qs, coarse_centers, coarse, k=10, n_probe=2,
+            codebooks=cbs, rescore="auto", corpus=emb,
+        )
+    # and a typo'd string mode fails loudly, not as int coercion
+    with _pytest.raises(ValueError, match="unknown rescore"):
+        mllib_ann.ivfpq_index_topk(
+            spark, qs, coarse_centers, coarse, k=10, n_probe=2,
+            codebooks=cbs, rescore="atuo", corpus=emb,
+        )
+
+
+def test_rotation_identity_and_perm_equivalence(spark):
+    """The rotation surface's exactness contracts: an identity rot is
+    byte-identical to rot=None, a permutation MATRIX is
+    byte-identical to the same perm (perm_matrix: one 1.0 per column,
+    float-exact), both-transforms raises, and non-orthogonal matrices
+    are refused."""
+    import numpy as _np
+    import pytest as _pytest
+
+    from physicsnemo_curator_spark.sources.synthetic import (
+        clustered_embeddings,
+    )
+
+    emb = clustered_embeddings(
+        spark, 300, dim=16, n_clusters=8, sigma=0.3, seed=7, decay=0.7
+    ).localCheckpoint()
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cbs = mllib_ann.pq_train(emb, m=4, ks=8, dim=16)
+
+    def rows(**kw):
+        return sorted(map(tuple, mllib_ann.pq_topk(
+            emb, qs, k=5, dim=16, codebooks=cbs, **kw
+        ).collect()))
+
+    ident = [[1.0 if i == j else 0.0 for j in range(16)] for i in range(16)]
+    assert rows() == rows(rot=ident)
+
+    # perm-as-matrix equivalence, including trained codebooks
+    perm = mllib_ann.subspace_permutation(16, 4)
+    pm = mllib_ann.perm_matrix(perm)
+    cbs_p = mllib_ann.pq_train(emb, m=4, ks=8, dim=16, perm=perm)
+    assert mllib_ann.pq_train(emb, m=4, ks=8, dim=16, rot=pm) == cbs_p
+    a = sorted(map(tuple, mllib_ann.pq_topk(
+        emb, qs, k=5, dim=16, codebooks=cbs_p, perm=perm
+    ).collect()))
+    b = sorted(map(tuple, mllib_ann.pq_topk(
+        emb, qs, k=5, dim=16, codebooks=cbs_p, rot=pm
+    ).collect()))
+    assert a == b
+
+    with _pytest.raises(ValueError, match="not both"):
+        mllib_ann.pq_topk(
+            emb, qs, k=5, dim=16, codebooks=cbs_p, perm=perm, rot=pm
+        )
+    skew = _np.eye(16); skew[0, 1] = 0.5
+    with _pytest.raises(ValueError, match="orthogonal"):
+        mllib_ann.pq_topk(
+            emb, qs, k=5, dim=16, codebooks=cbs, rot=skew.tolist()
+        )
+    # givens_rotation is orthogonal and even-dim-only
+    g = _np.asarray(mllib_ann.givens_rotation(16))
+    assert _np.allclose(g.T @ g, _np.eye(16))
+    with _pytest.raises(ValueError, match="even"):
+        mllib_ann.givens_rotation(15)
+
+
+def test_opq_rotation_anisotropic_gain(spark):
+    """The learned rotation beats the variance-balanced permutation on
+    the decayed fixture (measured: OPQ balanced-init rescore-5 recall
+    1.00 / raw 0.53 vs the perm's 0.985 / ~0.375) — the r14 docstring's
+    'cheap rotation-free ancestor' now has its descendant.  Floors
+    with margin."""
+    from physicsnemo_curator_spark.sources.synthetic import (
+        clustered_embeddings,
+    )
+
+    emb = clustered_embeddings(
+        spark, 2000, dim=64, n_clusters=32, sigma=0.3, seed=7, decay=0.7
+    ).localCheckpoint()
+    qs = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact: dict[int, set] = {}
+    for r in similarity.cosine_topk(emb, qs, k=10, dim=64).collect():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    def rec(df) -> float:
+        got: dict[int, set] = {}
+        for r in df.collect():
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return sum(
+            len(got.get(q, set()) & e) / len(e) for q, e in exact.items()
+        ) / len(exact)
+
+    rot, cbs = mllib_ann.opq_train(emb, m=8, ks=16, dim=64)
+    import numpy as _np
+
+    r = _np.asarray(rot)
+    assert _np.allclose(r.T @ r, _np.eye(64), atol=1e-8)
+    raw = rec(mllib_ann.pq_topk(emb, qs, k=10, dim=64, codebooks=cbs, rot=rot))
+    r5 = rec(mllib_ann.pq_topk(
+        emb, qs, k=10, dim=64, codebooks=cbs, rot=rot, rescore=5
+    ))
+    assert r5 >= 0.95, r5
+    assert raw >= 0.45, raw
+
+
+def test_ivfpq_index_rot_roundtrip(spark, tmp_path):
+    """The persisted index with a learned rotation: writer stamps it,
+    probes adopt the stamp, the sidecar stores/loads it, transform
+    mismatches raise on append/probe/save, and the legacy loads
+    refuse to drop it."""
+    import pytest as _pytest
+
+    from physicsnemo_curator_spark.sources.synthetic import (
+        clustered_embeddings,
+    )
+
+    emb = clustered_embeddings(
+        spark, 300, dim=16, n_clusters=8, sigma=0.3, seed=7, decay=0.7
+    ).localCheckpoint()
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    rot, cbs = mllib_ann.opq_train(emb, m=4, ks=8, dim=16)
+    centers = mllib_ann.md5_sample_centroids(emb, k=4)
+    store = str(tmp_path / "rot_idx")
+    mllib_ann.write_ivfpq_index(emb, centers, cbs, store, rot=rot)
+    mllib_ann.save_quantizers(store, centers, cbs, rot=rot)
+    c2, cb2, p2, r2 = mllib_ann.load_quantizers(
+        store, with_perm=True, with_rot=True
+    )
+    assert p2 is None and r2 == rot
+    for kw in ({}, {"with_perm": True}):
+        with _pytest.raises(ValueError, match="with_rot"):
+            mllib_ann.load_quantizers(store, **kw)
+
+    # probe without the transform adopts the stamp == explicit rot
+    def rows(**kw):
+        return sorted(map(tuple, mllib_ann.ivfpq_index_topk(
+            spark, qs, centers, store, k=5, n_probe=4, codebooks=cbs, **kw
+        ).collect()))
+
+    assert rows() == rows(rot=rot)
+    # parity with the inline path
+    inline = sorted(map(tuple, mllib_ann.ivfpq_topk(
+        emb, qs, centers, k=5, n_probe=4, codebooks=cbs, rot=rot
+    ).collect()))
+    assert rows() == inline
+    with _pytest.raises(ValueError, match="mismatch"):
+        rows(perm=mllib_ann.subspace_permutation(16, 4))
+    with _pytest.raises(ValueError, match="mismatch"):
+        rows(rot=mllib_ann.givens_rotation(16))
+    with _pytest.raises(ValueError, match="mismatch"):
+        mllib_ann.write_ivfpq_index(
+            emb.filter(F.col("vec_id") >= 290), centers, cbs, store,
+            mode="append", batch_id="b1",
+        )
+    with _pytest.raises(ValueError, match="mismatch"):
+        mllib_ann.save_quantizers(store, centers, cbs)
+    # appends with the matching rot re-encode consistently
+    mllib_ann.write_ivfpq_index(
+        emb.filter(F.col("vec_id") >= 290), centers, cbs, store,
+        mode="append", batch_id="b1", rot=rot,
+    )
+    assert rows() == inline  # same rows: the append upserted a subset

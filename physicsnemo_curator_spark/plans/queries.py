@@ -3849,6 +3849,116 @@ scored AS (
 """
 
 
+def q_ann_pq_rotated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rotated-subspace PQ gate (mllib_ann.pythagorean_rotation + the
+    rot= family threading — the plumbing probe for the OPQ learned
+    rotation, Ge et al. CVPR 2013, whose opq_train output walks this
+    exact path): corpus vectors, codebook sample, and query LUTs are
+    all rotated by a FIXED block-diagonal Givens matrix before
+    slicing.  The rotation's sin/cos are exact rationals from
+    Pythagorean triples — one IEEE division each, so the oracle
+    recomputes bit-identical doubles with no libm dependence — and
+    the oracle applies the same pair rotation to every element stream
+    before the plain contiguous PQ chain, so a rotation applied in
+    one stage but not another (train vs encode vs LUT) diverges the
+    hash immediately.  Quality floors for the LEARNED rotation live in
+    tests/test_mllib_ann.py::test_opq_rotation_anisotropic_gain
+    (rescore-5 recall 1.00 on the decayed fixture, beating the r14
+    variance-balanced permutation's 0.985)."""
+    from physicsnemo_curator_spark.operators import mllib_ann
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    rot = mllib_ann.pythagorean_rotation(64)
+    out = mllib_ann.pq_topk(emb, qs, k=5, m=8, ks=16, dim=64, rot=rot)
+    return out.select(
+        "query_id", "vec_id", _r6(F.col("cosine"), "cosine"), "rank"
+    ).orderBy("query_id", "rank")
+
+
+def _rot_pair_cte(src: str, keys: str) -> str:
+    """The SQL image of ``x @ pythagorean_rotation(dim)`` over an
+    element stream ``src(keys…, i, x)``: each element joins its pair
+    partner (``i XOR 1``) and the pair's exact-rational (c, s) —
+    even slot → c·x + s·partner, odd slot → c·x − s·partner, the same
+    two-term sums the numpy matmul reduces to (the off-pair terms are
+    exact zeros; float addition is commutative, so the order
+    difference on the odd slot is exact)."""
+    on = " AND ".join(
+        f"p.{k} = e.{k}" for k in keys.split(",")
+    )
+    return f"""
+  SELECT {", ".join("e." + k for k in keys.split(","))}, e.i,
+         CASE WHEN e.i % 2 = 0 THEN tr.c * e.x + tr.s * p.x
+              ELSE tr.c * e.x - tr.s * p.x END x
+  FROM {src} e
+  JOIN {src} p ON {on}
+   AND p.i = CASE WHEN e.i % 2 = 0 THEN e.i + 1 ELSE e.i - 1 END
+  JOIN trip tr ON tr.t = e.i // 2"""
+
+
+ORACLE_ANN_PQ_ROTATED = f"""
+WITH trip AS (
+  SELECT CAST(t AS INT) t,
+         CASE t % 4 WHEN 0 THEN 3.0/5.0 WHEN 1 THEN 5.0/13.0
+                    WHEN 2 THEN 8.0/17.0 ELSE 20.0/29.0 END c,
+         CASE t % 4 WHEN 0 THEN 4.0/5.0 WHEN 1 THEN 12.0/13.0
+                    WHEN 2 THEN 15.0/17.0 ELSE 21.0/29.0 END s
+  FROM (SELECT unnest(range(0, 32)) t)),
+cent AS (
+  SELECT embedding ce,
+         CAST(ROW_NUMBER() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) code
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+centel AS (
+  SELECT code, CAST(i AS INT) i, CAST(x AS DOUBLE) x
+  FROM (SELECT code, unnest(range(0, 64)) i, unnest(ce) x FROM cent)),
+centrot AS ({_rot_pair_cte('centel', 'code')}),
+cb AS (
+  SELECT code, CAST(i // 8 AS INT) j, CAST(i % 8 AS INT) t, x c
+  FROM centrot),
+evel AS (
+  SELECT vec_id, CAST(i AS INT) i, CAST(x AS DOUBLE) x
+  FROM (SELECT vec_id, unnest(range(0, 64)) i, unnest(embedding) x
+        FROM embeddings)),
+evrot AS ({_rot_pair_cte('evel', 'vec_id')}),
+ev AS (
+  SELECT vec_id, CAST(i // 8 AS INT) j, CAST(i % 8 AS INT) t, x
+  FROM evrot),
+dist AS (
+  SELECT e.vec_id, e.j, cb.code, SUM((e.x - cb.c) * (e.x - cb.c)) d
+  FROM ev e JOIN cb ON e.j = cb.j AND e.t = cb.t GROUP BY 1, 2, 3),
+assign AS (
+  SELECT vec_id, j, code FROM (
+    SELECT vec_id, j, code,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, code) rn
+    FROM dist) WHERE rn = 1),
+qel AS (
+  SELECT vec_id query_id, CAST(i AS INT) i, CAST(x AS DOUBLE) x
+  FROM (SELECT vec_id, unnest(range(0, 64)) i, unnest(embedding) x
+        FROM embeddings WHERE vec_id < 10)),
+qn AS (SELECT query_id, SQRT(SUM(x * x)) qnorm FROM qel GROUP BY 1),
+qrot AS ({_rot_pair_cte('qel', 'query_id')}),
+qv AS (
+  SELECT query_id, CAST(i // 8 AS INT) j, CAST(i % 8 AS INT) t, x
+  FROM qrot),
+lut AS (
+  SELECT q.query_id, q.j, cb.code, SUM(q.x * cb.c) dotv
+  FROM qv q JOIN cb ON q.j = cb.j AND q.t = cb.t GROUP BY 1, 2, 3),
+n2 AS (SELECT j, code, SUM(c * c) n2 FROM cb GROUP BY 1, 2),
+scored AS (
+  SELECT l.query_id, a.vec_id, SUM(l.dotv) sd, SUM(n2.n2) sn
+  FROM assign a
+  JOIN lut l ON a.j = l.j AND a.code = l.code
+  JOIN n2 ON a.j = n2.j AND a.code = n2.code
+  GROUP BY 1, 2),
+{_PQ_RANK_TAIL}
+"""
+
+
 ORACLE_ANN_SQ8 = f"""
 WITH {_SQ8_RECON_CTES},
 qv AS (
@@ -10677,6 +10787,9 @@ QUERIES: dict[str, QuerySpec] = {
     "q_ann_pq_interleaved": QuerySpec(
         q_ann_pq_interleaved, ORACLE_ANN_PQ_INTERLEAVED
     ),
+    "q_ann_pq_rotated": QuerySpec(
+        q_ann_pq_rotated, ORACLE_ANN_PQ_ROTATED
+    ),
     "q_text_span_dedup": QuerySpec(
         q_text_span_dedup,
         ORACLE_TEXT_SPAN_DEDUP,
@@ -10694,14 +10807,15 @@ QUERIES: dict[str, QuerySpec] = {
 # r14 driver-window rotation (VERDICT-r13 ask #1; same explicit-list
 # mechanism as r08-r13).  The 50-row window = the 9 r10-stale gates
 # (staged at the r13 tail head, retiring the last r10 rows) +
-# q_split_store + q_split_conflicts + q_ann_pq_interleaved (NEW this
-# round: the persisted split-assignment store, its leakage audit, and
-# the PQ subspace-permutation plumbing) + the first 38 of the
-# 50-row r11 cohort.  Tail = the 12 r11
-# leftovers (head of the r15 window), the r12-checked cohort, then
-# everything driver-checked r13 (freshest last).  After r14 nothing is
-# staler than r11.
+# r15 window (first 50): q_ann_pq_rotated (NEW this round: the OPQ
+# learned-rotation plumbing, gated via the exact-rational Pythagorean
+# Givens rotation) + the 12 r11 leftovers (stalest) + the first 37 of
+# the 49-row r12 cohort.  Tail = the remaining r12 rows (staged first
+# for r16), the r13-checked cohort, then the r14 window (freshest
+# last).  After r15 nothing is staler than r12.
 _DRIVER_ORDER = [
+    # --- NEW this round: OPQ rotation plumbing ---
+    "q_ann_pq_rotated",
     # --- r15 window: the 12 r11 leftovers (stalest, VERDICT r14 task #1) ---
     "q_st3_stream_welford",
     "q_st1_tumbling_window",
@@ -10715,7 +10829,7 @@ _DRIVER_ORDER = [
     "q_corpus_card",
     "q_media_subtitles",
     "q_robots_filter",
-    # --- r12 cohort, 38 of 49 (fills the 50-row r15 window) ---
+    # --- r12 cohort, 37 of 49 (fills the 50-row r15 window) ---
     "q_st6_stream_fullouter_join",
     "q_ann_mmr",
     "q_ann_rrf",
@@ -10753,8 +10867,8 @@ _DRIVER_ORDER = [
     "q_vtk_domain",
     "q_text_bigram_lm",
     "q_media_png_resize",
-    "q_media_jpeg_resize",
     # --- r16 staging: remaining r12 rows head the next window ---
+    "q_media_jpeg_resize",
     "q_hdf5_roundtrip",
     "q_vtk_scan",
     "q_vti_scan",

@@ -21,6 +21,11 @@ import os
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from physicsnemo_curator_spark.core.store import (
+    validate_batch_id,
+    write_batch_partitioned,
+)
+
 
 def normalize_text(text: Column) -> Column:
     # collapse ALL whitespace runs first, then trim — F.trim strips
@@ -642,25 +647,21 @@ def write_minhash_store(
     serve latest-write-wins under conflicting re-ingests needs the
     ``_gen``/tombstone discipline of
     ``mllib_ann.write_ivfpq_index``."""
+    validate_batch_id(batch_id)
     sh = shingle_table(docs, text_col, id_col, shingle_k, unit="word")
     sigs = minhash_signatures(sh, num_hashes, seed, hash_fn=hash_fn)
     tag = F.lit(batch_id)
-    wmode = "overwrite"
-    (
-        sigs.withColumn("_batch", tag)
-        .write.mode(wmode)
-        .option("partitionOverwriteMode", "dynamic" if mode == "append" else "static")
-        .partitionBy("_batch")
-        .parquet(os.path.join(store, "signatures"))
+    write_batch_partitioned(
+        sigs.withColumn("_batch", tag),
+        os.path.join(store, "signatures"),
+        mode=mode,
     )
     bt = band_table(sigs, num_hashes, bands, hash_fn=hash_fn)
-    (
-        bt.withColumn("_batch", tag)
-        .repartition("band", "bucket")
-        .write.mode(wmode)
-        .option("partitionOverwriteMode", "dynamic" if mode == "append" else "static")
-        .partitionBy("_batch")
-        .parquet(os.path.join(store, "bands"))
+    write_batch_partitioned(
+        bt.withColumn("_batch", tag),
+        os.path.join(store, "bands"),
+        mode=mode,
+        repartition_cols=("band", "bucket"),
     )
 
 
@@ -739,6 +740,8 @@ def incremental_near_duplicates(
         )
     if update_store and batch_id is None:
         raise ValueError("update_store=True needs a batch_id")
+    if update_store:
+        validate_batch_id(batch_id)
     sh = shingle_table(new_docs, text_col, id_col, shingle_k, unit="word").persist()
     sigs = minhash_signatures(sh, num_hashes, seed, hash_fn=hash_fn).persist()
     new_bands = band_table(sigs, num_hashes, bands, hash_fn=hash_fn)
@@ -801,12 +804,10 @@ def incremental_near_duplicates(
             ("signatures", sigs),
             ("bands", new_bands.repartition("band", "bucket")),
         ):
-            (
-                frame.withColumn("_batch", tag)
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("_batch")
-                .parquet(os.path.join(store, name))
+            write_batch_partitioned(
+                frame.withColumn("_batch", tag),
+                os.path.join(store, name),
+                mode="append",
             )
     cand.unpersist()
     sigs.unpersist()

@@ -26,6 +26,14 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from physicsnemo_curator_spark.core.errors import analysis_condition
+from physicsnemo_curator_spark.core.store import (
+    carry_surviving as _carry_surviving,
+    read_batch as _read_batch_partition,
+    read_optional_parquet as _read_optional_parquet,
+    try_local_path as _try_local_store_path,
+    validate_batch_id as _core_validate_batch_id,
+    write_batch_partitioned as _write_batch_partitioned,
+)
 
 from physicsnemo_curator_spark.operators.similarity import (
     _safe_ratio,
@@ -885,20 +893,6 @@ _POINTER_FILE = "_CURRENT"
 _GEN_DIR_RE = r"v\d{5}"
 
 
-def _try_local_store_path(store: str) -> str | None:
-    """The local filesystem path behind a store location, or None for
-    a non-file scheme (``s3a://``, ``hdfs://``, …).  The parquet data
-    always goes through Spark, which accepts any Hadoop-FS URI; only
-    the METADATA I/O is filesystem-specific — and each caller degrades
-    differently on None (no pointer layout, no local sidecar stash),
-    so the decision belongs to them, not here."""
-    if store.startswith("file://"):
-        return store[len("file://"):]
-    if "://" in store:
-        return None
-    return store
-
-
 def _local_store_path(store: str) -> str:
     """Like :func:`_try_local_store_path` but for operations that have
     NO degraded mode (compaction's pointer flip and generation sweep):
@@ -960,6 +954,129 @@ def _flip_generation_pointer(root: str, name: str) -> None:
         os.close(dirfd)
 
 
+_LEASE_FILE = "_LEASE"
+
+
+def _acquire_lease(
+    root: str, *, ttl_s: float = 600.0, owner: str | None = None
+) -> dict:
+    """Take the store's maintenance lease — the opt-in mutual-exclusion
+    layer ABOVE the optimistic checks, closing their documented
+    read-validate-commit window (:func:`_check_no_concurrent_append`):
+    a writer/compactor holding a live lease knows no other
+    lease-respecting maintenance can commit concurrently, full stop.
+
+    Protocol: a JSON record ``{token, owner, expires_at}`` in
+    ``<root>/_LEASE``, mutated only under an ``flock`` on
+    ``_LEASE.lock`` — on one host (the sandbox and any single-driver
+    deployment) the flock makes acquire/steal/release genuinely
+    atomic, with none of the TOCTOU residue the optimistic checks
+    carry.  A live foreign lease raises (retry after the holder
+    finishes or the TTL lapses); an EXPIRED one is stolen with a loud
+    :mod:`warnings` warning — the TTL is the crash-recovery path, so
+    pick it above the longest expected maintenance pass.  Fencing: the
+    holder re-verifies its token at the commit point
+    (:func:`_verify_lease`) — a holder that outlived its TTL and got
+    stolen from must NOT commit.  Cross-host object-store deployments
+    replace this file+flock with the store's conditional-put; the
+    record layout is the same."""
+    import fcntl
+    import json
+    import time
+    import warnings
+
+    os.makedirs(root, exist_ok=True)
+    path = os.path.join(root, _LEASE_FILE)
+    rec = {
+        "token": os.urandom(8).hex(),
+        "owner": owner or f"pid-{os.getpid()}",
+        "expires_at": time.time() + ttl_s,
+    }
+    with open(path + ".lock", "w") as lk:
+        fcntl.flock(lk, fcntl.LOCK_EX)
+        cur = None
+        if os.path.exists(path):
+            try:
+                with open(path) as fh:
+                    cur = json.load(fh)
+            except ValueError:
+                cur = None  # torn write: treat as expired, steal below
+        if cur is not None and cur.get("expires_at", 0) > time.time():
+            raise RuntimeError(
+                f"store at {root!r} is leased by "
+                f"{cur.get('owner', '?')!r} until epoch "
+                f"{cur.get('expires_at')} — another maintenance pass "
+                "is running. Retry after it finishes (or after the "
+                "TTL lapses; a crashed holder's lease is stolen then)."
+            )
+        if cur is not None:
+            warnings.warn(
+                f"stealing expired maintenance lease on {root!r} "
+                f"(holder {cur.get('owner', '?')!r} expired at "
+                f"{cur.get('expires_at')})",
+                stacklevel=2,
+            )
+        tmp = path + f".tmp-{os.getpid()}"
+        with open(tmp, "w") as fh:
+            json.dump(rec, fh)
+        os.replace(tmp, path)
+    return rec
+
+
+def _verify_lease(root: str, token: str) -> None:
+    """The fencing check around commit points: raise if the lease is
+    no longer ours (TTL lapsed and a steal happened, or the file is
+    gone/torn).  Called BEFORE each commit (nothing written yet —
+    safe to just retry with a longer ``lease_ttl_s``) and once AFTER
+    the pass's last write, where a raise means the commits already
+    landed but may interleave a thief's pass: treat it as a
+    quarantine signal — compact the store, then re-run; both the
+    append (per-vector upsert) and the rebuild are idempotent."""
+    import json
+    import time
+
+    path = os.path.join(root, _LEASE_FILE)
+    try:
+        with open(path) as fh:
+            cur = json.load(fh)
+    except (FileNotFoundError, ValueError):
+        cur = None
+    if cur is None or cur.get("token") != token:
+        raise RuntimeError(
+            f"maintenance lease on {root!r} was lost (stolen after TTL "
+            "expiry, or removed) — this pass must stop. Anything it "
+            "already committed may interleave the new holder's pass: "
+            "compact the store, then re-run with a longer lease_ttl_s "
+            "(the write is idempotent)."
+        )
+    if cur.get("expires_at", 0) <= time.time():
+        raise RuntimeError(
+            f"maintenance lease on {root!r} expired mid-pass — this "
+            "pass must stop (a concurrent steal may already be "
+            "writing). Compact the store, then re-run with a longer "
+            "lease_ttl_s (the write is idempotent)."
+        )
+
+
+def _release_lease(root: str, token: str) -> None:
+    """Drop the lease if it is still ours; a lease that was stolen
+    after our TTL lapsed belongs to the thief and is left alone (the
+    verify at the commit point already raised for that holder)."""
+    import fcntl
+    import json
+
+    path = os.path.join(root, _LEASE_FILE)
+    with open(path + ".lock", "w") as lk:
+        fcntl.flock(lk, fcntl.LOCK_EX)
+        try:
+            with open(path) as fh:
+                cur = json.load(fh)
+        except (FileNotFoundError, ValueError):
+            return
+        if cur.get("token") == token:
+            os.unlink(path)
+
+
 def _resolve_store(store: str) -> tuple[str | None, str | None, str]:
     """``(root, pointer, data_dir)`` from ONE pointer read — root None
     for a scheme'd store (always flat: only local compaction creates
@@ -1007,43 +1124,6 @@ def _next_gen(spark, data_dir: str) -> int:
         )
     row = df.agg(F.max(F.col("_gen").cast("long"))).collect()[0]
     return (row[0] if row[0] is not None else -1) + 1
-
-
-def _read_optional_parquet(spark, path: str):
-    """Read a parquet path that legitimately may not exist yet (a
-    store's tombstone set, a batch partition): None when missing —
-    a local-path existence fast path avoids the Spark job entirely,
-    and a scheme'd path falls back to read-and-catch.  ONLY the
-    missing-path / nothing-to-infer-a-schema-from error classes are
-    swallowed (matched by condition name, not the exception type —
-    AnalysisException also covers schema-level corruption, and
-    treating THAT as "absent" would silently serve superseded rows or
-    drop an upsert carry with no error anywhere); everything else
-    propagates."""
-    from pyspark.errors import AnalysisException
-
-    local = _try_local_store_path(path)
-    if local is not None and not os.path.exists(local):
-        return None
-    try:
-        return spark.read.parquet(path)
-    except AnalysisException as exc:
-        cond = analysis_condition(exc)
-        if cond in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
-            return None
-        if cond is None and (
-            "PATH_NOT_FOUND" in str(exc)
-            or "Path does not exist" in str(exc)
-            or "Unable to infer schema" in str(exc)
-        ):
-            # builds predating error classes (no getCondition /
-            # getErrorClass, or a server that attached none): fall
-            # back to the known message shapes — the sketches.py
-            # convention — so a genuinely-absent scheme'd store path
-            # still reads as "not written yet" instead of raising on
-            # the first-append / fresh-batch path
-            return None
-        raise
 
 
 def _read_store_data(spark, data_dir: str):
@@ -1119,39 +1199,11 @@ def _apply_tombstones(index: DataFrame, tombs: DataFrame | None) -> DataFrame:
     )
 
 
-def _read_batch_partition(spark, data_dir: str, batch_id: str):
-    """The live parquet of ONE ``_batch=<id>`` partition, addressed by
-    its directory, or None when the batch was never written.  Path
-    addressing matters twice: it skips Spark's partition-type
-    inference (which canonicalizes numeric-looking batch names —
-    ``'007'`` reads back as integer 7, so a value filter silently
-    matches nothing), and it makes the fresh-batch-name hot path a
-    single existence check instead of a Spark job.  The only character
-    in the validated batch charset that Spark percent-escapes in
-    partition directory names is ``:``."""
-    return _read_optional_parquet(
-        spark,
-        os.path.join(data_dir, "_batch=" + batch_id.replace(":", "%3A")),
-    )
-
-
 def _validate_batch_id(batch_id: str) -> None:
-    """Batch names are labels for partition layout/idempotency, NOT
-    ordering keys (ordering is the numeric ``_gen``) — but they become
-    partition directory names, so enforce a safe charset up front and
-    reserve ``compacted`` for the compactor."""
-    import re
-
-    if batch_id == "compacted":
-        raise ValueError(
-            "batch_id 'compacted' is reserved for compact_ivfpq_index"
-        )
-    if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._:-]*", batch_id):
-        raise ValueError(
-            f"invalid batch_id {batch_id!r}: must start alphanumeric "
-            "and contain only [A-Za-z0-9._:-] (it names a partition "
-            "directory)"
-        )
+    """Core charset rule (:func:`core.store.validate_batch_id`) plus
+    the index's own reserve: ``compacted`` names the compactor's
+    output partition."""
+    _core_validate_batch_id(batch_id, reserved=("compacted",))
 
 
 def _norm_perm(perm: list[int] | None) -> list[int] | None:
@@ -1235,6 +1287,9 @@ def write_ivfpq_index(
     batch_id: str = "seed",
     perm: list[int] | None = None,
     rot: list[list[float]] | None = None,
+    lease: bool = False,
+    lease_ttl_s: float = 600.0,
+    _fence: tuple[str, str] | None = None,
 ) -> None:
     """Persist the IVF-PQ index table — ``(vec_id, codes)`` partitioned
     by ``(_batch, cell)`` — the production artifact a 100 TB deployment
@@ -1303,7 +1358,24 @@ def write_ivfpq_index(
     converting silent data loss into a loud retry; they are not a
     lock (see :func:`_check_no_concurrent_append` for the residual
     window).  Compaction runs the mirror check before its flip
-    (see :func:`compact_ivfpq_index`)."""
+    (see :func:`compact_ivfpq_index`).  Deployments that need the
+    absolute pass ``lease=True``: the write then runs under the
+    store's maintenance lease (:func:`_acquire_lease` — flock-backed
+    mutual exclusion with TTL crash recovery and a fencing re-verify
+    at commit), which closes the optimistic checks' residual window
+    against every other lease-respecting maintenance pass."""
+    if lease:
+        root0 = _local_store_path(store)
+        rec = _acquire_lease(root0, ttl_s=lease_ttl_s)
+        try:
+            return write_ivfpq_index(
+                corpus, centers, codebooks, store,
+                id_col=id_col, vec_col=vec_col, mode=mode,
+                batch_id=batch_id, perm=perm, rot=rot, lease=False,
+                _fence=(root0, rec["token"]),
+            )
+        finally:
+            _release_lease(root0, rec["token"])
     if mode not in ("overwrite", "append"):
         # 'Append'/'upsert'/... falling through to a STATIC overwrite
         # would silently wipe every previously appended batch
@@ -1380,61 +1452,59 @@ def write_ivfpq_index(
         # reads back as 7, so a string filter silently matches
         # nothing), and a fresh batch name skips this entirely via
         # the directory existence check.
-        surviving = (
+        surviving = _carry_surviving(
             prev_batch.select(
                 "vec_id",
                 F.col("cell").cast("int").alias("cell"),
                 "codes",
                 F.col("_gen").cast("long").alias("_gen"),
-            )
-            .join(incoming_ids, "vec_id", "left_anti")
-            .withColumn("_batch", F.lit(batch_id))
-            # materialize BEFORE the write below overwrites the very
-            # partitions this reads (Spark refuses a write whose plan
-            # still scans the destination); one batch partition, small
-            .localCheckpoint()
-        )
+            ),
+            incoming_ids,
+            "vec_id",
+        ).withColumn("_batch", F.lit(batch_id))
         out = out.unionByName(surviving)
     # a static overwrite deletes the WHOLE output path; on a flat
     # (never-compacted) store that path IS the store root, including
-    # the _quantizers.json sidecar save_quantizers may have written —
-    # stash it to disk FIRST and restore in a finally, so a Spark
+    # the _quantizers.json sidecar save_quantizers may have written
+    # and any live _LEASE record (a leased flat-store rebuild would
+    # otherwise wipe its own lease mid-pass and fail its fencing
+    # verify after the write had already committed — review-found) —
+    # stash them to disk FIRST and restore in a finally, so a Spark
     # write that dies mid-job can't destroy the only copy of the
     # quantizers the codes are unreadable without.  (Once compacted,
-    # data lives under <store>/vNNNNN and the root sidecar is never
+    # data lives under <store>/vNNNNN and the root files are never
     # in the overwrite's blast radius.)
-    sidecar = os.path.join(root, "_quantizers.json") if root else None
-    stash = None
-    if (
-        mode == "overwrite"
-        and sidecar is not None
-        and data_dir == root
-        and os.path.exists(sidecar)
-    ):
+    stashes: list[tuple[str, str]] = []
+    if mode == "overwrite" and root is not None and data_dir == root:
         import shutil
         import tempfile
 
-        fd, stash = tempfile.mkstemp(prefix="pcs_quantizers_")
-        os.close(fd)
-        shutil.copy2(sidecar, stash)
+        for name in ("_quantizers.json", _LEASE_FILE):
+            p = os.path.join(root, name)
+            if os.path.exists(p):
+                fd, tmp = tempfile.mkstemp(prefix="pcs_stash_")
+                os.close(fd)
+                shutil.copy2(p, tmp)
+                stashes.append((p, tmp))
+    if _fence is not None:
+        # fencing BEFORE the data commit: a holder whose TTL lapsed
+        # (and was stolen from) must not write a row — the thief may
+        # already be mid-pass
+        _verify_lease(*_fence)
     try:
-        (
-            out.repartition("_batch", "cell")
-            .write.mode("overwrite")
-            .option(
-                "partitionOverwriteMode",
-                "dynamic" if mode == "append" else "static",
-            )
-            .partitionBy("_batch", "cell")
-            .parquet(data_dir)
+        _write_batch_partitioned(
+            out, data_dir, mode=mode,
+            partition_cols=("_batch", "cell"),
+            repartition_cols=("_batch", "cell"),
         )
     finally:
-        if stash is not None:
+        if stashes:
             import shutil
 
-            if not os.path.exists(sidecar):
-                shutil.copy2(stash, sidecar)
-            os.unlink(stash)
+            for p, tmp in stashes:
+                if not os.path.exists(p):
+                    shutil.copy2(tmp, p)
+                os.unlink(tmp)
     if root is not None and (mode == "overwrite" or not stamped):
         # stamp the encode config the codes were ACTUALLY written with
         # (after the data commit: a crashed overwrite must not leave a
@@ -1447,6 +1517,11 @@ def write_ivfpq_index(
     # for free — a stale dead_below from the previous life would kill
     # the fresh _gen=0 rows otherwise
     tomb_dir = os.path.join(data_dir, "_tombstones")
+    if _fence is not None and mode == "append" and gen > 0:
+        # fencing again before the tombstone commit (the append's
+        # second write): the data landed, but a tombstone written
+        # after a steal could kill rows of the thief's pass
+        _verify_lease(*_fence)
     if mode == "append" and gen > 0:
         conflicts = (
             _read_store_data(corpus.sparkSession, data_dir)
@@ -1521,6 +1596,12 @@ def write_ivfpq_index(
         # compaction would otherwise be silently superseded by the
         # flip (the merge of the PRE-overwrite data) and swept
         _check_pointer_unmoved(root, pointer_at_resolve, data_dir)
+    if _fence is not None:
+        # final fencing: the TTL lapsed during the LAST write's
+        # duration is the one window the pre-commit verifies can't
+        # see.  By now the commits HAVE happened — the raise is a
+        # quarantine signal, not a rollback (see _verify_lease).
+        _verify_lease(*_fence)
 
 
 def _check_pointer_unmoved(
@@ -1880,10 +1961,12 @@ def _check_no_concurrent_append(
     check fit inside this-check-to-flip is caught by neither side
     (its pointer read still sees the old value).  That gap is
     normally vanishing next to the merge, but a driver GC pause can
-    stretch it — deployments that need the absolute take a lease/lock
-    around maintenance; these checks convert the overwhelmingly
-    common interleavings from silent loss into loud retries, they do
-    not implement full mutual exclusion."""
+    stretch it — deployments that need the absolute pass
+    ``lease=True`` on append/compact (:func:`_acquire_lease`:
+    flock-backed mutual exclusion, TTL steal for crashed holders,
+    fencing re-verify at the commit point); these checks convert the
+    overwhelmingly common interleavings from silent loss into loud
+    retries, they do not implement full mutual exclusion."""
     snap = _read_store_data(spark, data_dir)
     now = (
         None
@@ -1904,7 +1987,14 @@ def _check_no_concurrent_append(
         )
 
 
-def compact_ivfpq_index(spark, store: str) -> None:
+def compact_ivfpq_index(
+    spark,
+    store: str,
+    *,
+    lease: bool = False,
+    lease_ttl_s: float = 600.0,
+    _fence: tuple[str, str] | None = None,
+) -> None:
     """Merge every batch partition of a :func:`write_ivfpq_index`
     store into one ``_batch=compacted`` generation — the maintenance
     pass a long-lived index runs when appended batches accumulate
@@ -1942,7 +2032,21 @@ def compact_ivfpq_index(spark, store: str) -> None:
     generations — codes are quantizer-independent bytes, compaction
     never touches it.  Works on plain local paths and ``file://``
     URIs; other schemes raise with the three client operations an
-    object-store port needs."""
+    object-store port needs.  ``lease=True`` runs the pass under the
+    store's maintenance lease (mutual exclusion vs every other
+    lease-respecting pass, with a fencing re-verify immediately
+    before the pointer flip) — the opt-in absolute above the
+    optimistic max(``_gen``) re-check, which stays on either way."""
+    if lease:
+        root0 = _local_store_path(store)
+        rec = _acquire_lease(root0, ttl_s=lease_ttl_s)
+        try:
+            return compact_ivfpq_index(
+                spark, store, lease=False,
+                _fence=(root0, rec["token"]),
+            )
+        finally:
+            _release_lease(root0, rec["token"])
     import shutil
 
     root = _local_store_path(store)
@@ -1993,14 +2097,25 @@ def compact_ivfpq_index(spark, store: str) -> None:
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
-    (
-        winners.withColumn("_batch", F.lit("compacted"))
-        .repartition("_batch", "cell")
-        .write.mode("overwrite")
-        .partitionBy("_batch", "cell")
-        .parquet(target)
+    _write_batch_partitioned(
+        winners.withColumn("_batch", F.lit("compacted")), target,
+        mode="overwrite",
+        partition_cols=("_batch", "cell"),
+        repartition_cols=("_batch", "cell"),
     )
     _check_no_concurrent_append(spark, data_dir, gen_at_read, target)
+    if _fence is not None:
+        # fencing at the commit point: a compaction whose lease TTL
+        # lapsed mid-merge (and was stolen from) must not flip — the
+        # thief may already be writing.  Discard the merge like the
+        # optimistic check does; the store is untouched.
+        try:
+            _verify_lease(*_fence)
+        except RuntimeError:
+            import shutil as _sh
+
+            _sh.rmtree(target, ignore_errors=True)
+            raise
     _flip_generation_pointer(root, next_name)  # the commit point
     # post-flip sweep, with a one-generation GRACE WINDOW for in-flight
     # readers: a probe that resolved _CURRENT just before the flip is
@@ -2459,6 +2574,7 @@ def write_semantic_store(
     needs latest-write-wins serving under conflicting re-ingests is
     exactly what :func:`write_ivfpq_index`'s ``_gen``/tombstone
     discipline provides."""
+    _core_validate_batch_id(batch_id)
     cells = _assign_with_norm(corpus, centers, id_col=id_col, vec_col=vec_col)
     out = cells.select(
         F.col("_id").alias(id_col),
@@ -2476,15 +2592,10 @@ def write_semantic_store(
     # it every upstream task fans out a file into EVERY cell dir it
     # touches — at k=1000 cells × 32 tasks that is ~32k small files
     # per batch; with it, one file per (batch, cell).
-    (
-        out.repartition("_batch", "cell")
-        .write.mode("overwrite")
-        .option(
-            "partitionOverwriteMode",
-            "dynamic" if mode == "append" else "static",
-        )
-        .partitionBy("_batch", "cell")
-        .parquet(store)
+    _write_batch_partitioned(
+        out, store, mode=mode,
+        partition_cols=("_batch", "cell"),
+        repartition_cols=("_batch", "cell"),
     )
 
 

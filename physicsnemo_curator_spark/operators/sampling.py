@@ -27,10 +27,16 @@ Two hash backends, same twin pattern as ``operators/dedup.py``:
 
 from __future__ import annotations
 
-import os
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from physicsnemo_curator_spark.core.store import (
+    carry_surviving,
+    read_batch,
+    validate_batch_id,
+    write_batch_partitioned,
+)
 
 __all__ = [
     "hash_bucket",
@@ -293,14 +299,7 @@ def write_split_store(
             f"unknown write_split_store mode {mode!r}; expected "
             "'overwrite' or 'append'"
         )
-    import re
-
-    if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._:-]*", batch_id):
-        raise ValueError(
-            f"invalid batch_id {batch_id!r}: must start alphanumeric "
-            "and contain only [A-Za-z0-9._:-] (it names a partition "
-            "directory)"
-        )
+    validate_batch_id(batch_id)
     cols = [
         F.col("doc_id"),
         F.col("split"),
@@ -313,7 +312,7 @@ def write_split_store(
     ]
     out = assignments.select(*cols)
     prev = (
-        _read_split_batch(assignments.sparkSession, store, batch_id)
+        read_batch(assignments.sparkSession, store, batch_id)
         if mode == "append"
         else None
     )
@@ -323,46 +322,15 @@ def write_split_store(
         # non-deterministic input plan, then carry the batch's
         # surviving stored rows through the partition rewrite
         out = out.localCheckpoint()
-        surviving = (
-            prev.select("doc_id", "split", "component", "reason")
-            .join(out.select("doc_id"), "doc_id", "left_anti")
-            # the write below overwrites the partition this reads
-            .localCheckpoint()
+        surviving = carry_surviving(
+            prev.select("doc_id", "split", "component", "reason"),
+            out.select("doc_id"),
+            "doc_id",
         )
         out = out.unionByName(surviving)
-    (
-        out.withColumn("_batch", F.lit(batch_id))
-        .write.mode("overwrite")
-        .option(
-            "partitionOverwriteMode",
-            "dynamic" if mode == "append" else "static",
-        )
-        .partitionBy("_batch")
-        .parquet(store)
+    write_batch_partitioned(
+        out.withColumn("_batch", F.lit(batch_id)), store, mode=mode
     )
-
-
-def _read_split_batch(spark, store: str, batch_id: str):
-    """The stored rows of ONE ``_batch=<id>`` partition, addressed by
-    its DIRECTORY, or None when never written — path addressing skips
-    Spark's partition-type inference (a numeric-looking batch name
-    like '007' reads back as integer 7, so a value filter silently
-    matches nothing) and makes the fresh-batch hot path one existence
-    check.  ``:`` is the only validated-charset character Spark
-    percent-escapes in partition directory names."""
-    path = os.path.join(store, "_batch=" + batch_id.replace(":", "%3A"))
-    if "://" in path and not path.startswith("file://"):
-        # object-store location: no local existence fast path — read
-        # and swallow ONLY the genuinely-absent error classes
-        from physicsnemo_curator_spark.operators.mllib_ann import (
-            _read_optional_parquet,
-        )
-
-        return _read_optional_parquet(spark, path)
-    local = path[len("file://"):] if path.startswith("file://") else path
-    if not os.path.exists(local):
-        return None
-    return spark.read.parquet(path)
 
 
 def assign_splits_incremental(
@@ -692,7 +660,7 @@ def split_store_stats(spark, store: str) -> dict:
     # TYPE INFERENCE canonicalizes numeric-looking batch names
     # ('007' reads back as integer 7), and a post-hoc cast reports
     # '7' — inconsistent with the literal '_batch=007' directory the
-    # path-addressed carry in _read_split_batch uses.  With a
+    # path-addressed carry (core.store.read_batch) uses.  With a
     # user-supplied schema Spark parses the raw directory value as
     # the declared type, preserving the name verbatim.
     inferred = spark.read.parquet(store).schema

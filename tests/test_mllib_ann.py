@@ -2223,16 +2223,18 @@ def test_read_optional_parquet_message_fallback(spark, tmp_path, monkeypatch):
     """Builds whose AnalysisException carries no error class (condition
     None) still classify a genuinely-missing path as absent via the
     known message shapes instead of raising on the first-append path."""
+    from physicsnemo_curator_spark.core import store as core_store
+
     missing = str(tmp_path / "definitely_missing_store")
-    real_exists = mllib_ann.os.path.exists
+    real_exists = core_store.os.path.exists
     # defeat the local-existence fast path so the Spark read runs and
     # raises PATH_NOT_FOUND, then hide the error class
     monkeypatch.setattr(
-        mllib_ann.os.path,
+        core_store.os.path,
         "exists",
         lambda p: True if p == missing else real_exists(p),
     )
-    monkeypatch.setattr(mllib_ann, "analysis_condition", lambda exc: None)
+    monkeypatch.setattr(core_store, "analysis_condition", lambda exc: None)
     assert mllib_ann._read_optional_parquet(spark, missing) is None
 
 
@@ -2481,3 +2483,196 @@ def test_ivfpq_index_rot_roundtrip(spark, tmp_path):
         mode="append", batch_id="b1", rot=rot,
     )
     assert rows() == inline  # same rows: the append upserted a subset
+
+
+def test_lease_acquire_steal_verify(tmp_path):
+    """The lease protocol itself: live leases exclude, released ones
+    re-acquire, expired ones are stolen with a loud warning, and the
+    fencing verify refuses foreign/expired tokens."""
+    import time
+    import warnings as _warnings
+
+    import pytest as _pytest
+
+    root = str(tmp_path / "leased_store")
+    rec = mllib_ann._acquire_lease(root, ttl_s=60)
+    with _pytest.raises(RuntimeError, match="leased by"):
+        mllib_ann._acquire_lease(root, ttl_s=60)
+    mllib_ann._verify_lease(root, rec["token"])
+    with _pytest.raises(RuntimeError, match="lost"):
+        mllib_ann._verify_lease(root, "not-the-token")
+    mllib_ann._release_lease(root, rec["token"])
+    rec2 = mllib_ann._acquire_lease(root, ttl_s=0.05)
+    time.sleep(0.1)
+    with _pytest.warns(UserWarning, match="stealing expired"):
+        rec3 = mllib_ann._acquire_lease(root, ttl_s=60)
+    assert rec3["token"] != rec2["token"]
+    # the expired holder must not pass its commit-point verify
+    with _pytest.raises(RuntimeError, match="lost"):
+        mllib_ann._verify_lease(root, rec2["token"])
+    mllib_ann._release_lease(root, rec3["token"])
+
+
+def test_ivfpq_lease_closes_residual_window(
+    spark, tmp_path, sf_correctness_dir, monkeypatch
+):
+    """The documented optimistic residual window, demonstrated and
+    closed: an append whose ENTIRE commit fits inside compaction's
+    check-to-flip gap is caught by neither optimistic check — without
+    the lease its rows land in the superseded generation and vanish
+    at the flip (silent loss, asserted); with lease=True the same
+    append raises 'leased by' loudly instead."""
+    import pytest as _pytest
+
+    emb, centers, cbs, store = _mini_store(
+        spark, sf_correctness_dir, tmp_path, "lease_gap"
+    )
+    odds = emb.filter(F.col("vec_id") % 2 == 1)
+    a = odds.filter(F.col("vec_id") < 30)
+    b = odds.filter(F.col("vec_id") >= 30)
+    mllib_ann.write_ivfpq_index(
+        a, centers, cbs, store, mode="append", batch_id="a"
+    )
+    qs = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def served(s):
+        return {
+            r["vec_id"]
+            for r in mllib_ann.ivfpq_index_topk(
+                spark, qs, centers, s, k=20, n_probe=4, codebooks=cbs
+            ).collect()
+        }
+
+    b_ids = {r["vec_id"] for r in b.select("vec_id").collect()}
+
+    # --- WITHOUT the lease: the gap swallows the append silently ---
+    real_check = mllib_ann._check_no_concurrent_append
+
+    def gap_append_unleased(spark_, data_dir, gen_at_read, target):
+        # the racing append commits entirely inside check->flip: its
+        # own pointer check still sees the pre-flip value, so it
+        # passes; the no-op'd compact check never sees its rows
+        mllib_ann.write_ivfpq_index(
+            b, centers, cbs, store, mode="append", batch_id="b"
+        )
+
+    monkeypatch.setattr(
+        mllib_ann, "_check_no_concurrent_append", gap_append_unleased
+    )
+    mllib_ann.compact_ivfpq_index(spark, store)
+    monkeypatch.undo()
+    lost = served(store)
+    assert not (lost & b_ids), (
+        "batch b should have been silently superseded by the flip"
+    )
+
+    # --- WITH the lease: the same interleaving raises loudly ---
+    store2 = str(tmp_path / "lease_gap2")
+    mllib_ann.write_ivfpq_index(
+        emb.filter(F.col("vec_id") % 2 == 0), centers, cbs, store2
+    )
+    mllib_ann.write_ivfpq_index(
+        a, centers, cbs, store2, mode="append", batch_id="a"
+    )
+    raised = {}
+
+    def gap_append_leased(spark_, data_dir, gen_at_read, target):
+        with _pytest.raises(RuntimeError, match="leased by") as exc:
+            mllib_ann.write_ivfpq_index(
+                b, centers, cbs, store2,
+                mode="append", batch_id="b", lease=True,
+            )
+        raised["msg"] = str(exc.value)
+
+    monkeypatch.setattr(
+        mllib_ann, "_check_no_concurrent_append", gap_append_leased
+    )
+    mllib_ann.compact_ivfpq_index(spark, store2, lease=True)
+    monkeypatch.undo()
+    assert "leased by" in raised["msg"]
+    # nothing was lost silently: b is absent because its append
+    # ERRORED; the post-compact retry lands it and parity holds
+    mllib_ann.write_ivfpq_index(
+        b, centers, cbs, store2, mode="append", batch_id="b", lease=True
+    )
+    clean = str(tmp_path / "lease_gap_clean")
+    mllib_ann.write_ivfpq_index(emb, centers, cbs, clean)
+    assert served(store2) == served(clean)
+    # the lease is released after every pass: a fresh acquire works
+    rec = mllib_ann._acquire_lease(mllib_ann._local_store_path(store2))
+    mllib_ann._release_lease(
+        mllib_ann._local_store_path(store2), rec["token"]
+    )
+    _ = real_check  # silence unused warning
+
+
+def test_ivfpq_leased_flat_overwrite_survives(
+    spark, tmp_path, sf_correctness_dir
+):
+    """Review-found: a leased rebuild of a FLAT store wipes the store
+    root — including the _LEASE record — so the post-pass fencing
+    verify raised 'lease was lost' after the write had already
+    committed, and every retry failed identically.  The _LEASE file is
+    now stashed/restored through the static overwrite exactly like the
+    quantizer sidecar."""
+    emb, centers, cbs, store = _mini_store(
+        spark, sf_correctness_dir, tmp_path, "leased_flat"
+    )
+    # full leased rebuild of the flat store: must succeed and release
+    mllib_ann.write_ivfpq_index(emb, centers, cbs, store, lease=True)
+    qs = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = mllib_ann.ivfpq_index_topk(
+        spark, qs, centers, store, k=8, n_probe=4, codebooks=cbs
+    )
+    assert got.count() > 0
+    # released: a fresh acquire works immediately
+    rec = mllib_ann._acquire_lease(store)
+    mllib_ann._release_lease(store, rec["token"])
+    # and a leased append right after a leased rebuild also works
+    mllib_ann.write_ivfpq_index(
+        emb.filter(F.col("vec_id") % 2 == 1), centers, cbs, store,
+        mode="append", batch_id="b1", lease=True,
+    )
+
+
+def test_ivfpq_append_fences_before_commit(
+    spark, tmp_path, sf_correctness_dir
+):
+    """Review-found: the leased append's fencing verify ran only AFTER
+    its commits, so a holder whose TTL lapsed mid-write still wrote
+    into the store while a thief was running.  The verify now runs
+    BEFORE the data write: a dead fence token aborts with NOTHING
+    written."""
+    import pytest as _pytest
+
+    emb, centers, cbs, store = _mini_store(
+        spark, sf_correctness_dir, tmp_path, "fence_pre"
+    )
+    b = emb.filter(F.col("vec_id") % 2 == 1)
+    with _pytest.raises(RuntimeError, match="lease.*lost"):
+        mllib_ann.write_ivfpq_index(
+            b, centers, cbs, store, mode="append", batch_id="zz",
+            _fence=(store, "dead-token"),
+        )
+    # nothing was committed: the batch partition does not exist
+    assert mllib_ann._read_batch_partition(spark, store, "zz") is None
+
+
+def test_semantic_store_validates_batch_id(spark, tmp_path):
+    """Review-found: write_semantic_store was the one store without
+    the unified batch-id charset guard."""
+    import pytest as _pytest
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    with _pytest.raises(ValueError, match="invalid batch_id"):
+        mllib_ann.write_semantic_store(
+            emb, [[1.0, 0.0]], str(tmp_path / "sem"),
+            mode="append", batch_id="a b/c",
+        )

@@ -106,15 +106,13 @@ def main() -> None:
     )
     # with_perm=True also returns the subspace permutation when the
     # store was encoded with one (probing without it is silently
-    # garbage, so the legacy 2-tuple call REFUSES perm-carrying
-    # sidecars); this store is contiguous, so perm is None
-    srv_centers, srv_cbs, srv_perm = mllib_ann.load_quantizers(
-        store, with_perm=True
-    )
+    # garbage, so the legacy 2-tuple call REFUSES transform-carrying
+    # sidecars).  The consumer-side serving call loads quantizers AND
+    # the stamped encode transform (perm or OPQ rotation) from the
+    # store's own sidecar — no hand-carried config to get wrong.
     t0 = time.perf_counter()
-    served = mllib_ann.ivfpq_index_topk(
-        spark, qs, srv_centers, store, k=10, n_probe=3,
-        codebooks=srv_cbs, perm=srv_perm, rescore=2, corpus=emb,
+    served = mllib_ann.ivfpq_index_search(
+        spark, qs, store, k=10, n_probe=3, rescore=2, corpus=emb
     ).collect()
     dt = time.perf_counter() - t0
     got = {(r["query_id"], r["vec_id"]) for r in served}

@@ -1807,6 +1807,53 @@ def ivfpq_index_topk(
     )
 
 
+def ivfpq_index_search(
+    spark,
+    queries: DataFrame,
+    store: str,
+    k: int = 10,
+    *,
+    n_probe: int = 3,
+    rescore: int | str = 0,
+    corpus: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    max_probe_queries: int = 10_000,
+    target_recall: float = 0.8,
+) -> DataFrame:
+    """One-call serving for a persisted index: load the quantizers AND
+    the encode transform from the store's own sidecar
+    (:func:`load_quantizers` — the artifact :func:`save_quantizers`
+    wrote next to the codes) and probe.  This is the call a consumer
+    who didn't build the store writes — no hand-carried centers/
+    codebooks/perm/rot, so none of the mismatch failure modes the
+    explicit :func:`ivfpq_index_topk` signature guards against can be
+    reached from here.  Raises the sidecar's own actionable error when
+    the store was written without :func:`save_quantizers`."""
+    centers, codebooks, perm, rot = load_quantizers(
+        store, with_perm=True, with_rot=True
+    )
+    return ivfpq_index_topk(
+        spark,
+        queries,
+        centers,
+        store,
+        k,
+        n_probe=n_probe,
+        codebooks=codebooks,
+        rescore=rescore,
+        corpus=corpus,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        max_probe_queries=max_probe_queries,
+        perm=perm,
+        rot=rot,
+        target_recall=target_recall,
+    )
+
+
 def cluster_balanced_sample(
     corpus: DataFrame,
     centers: list[list[float]],
@@ -2218,8 +2265,16 @@ def ivfpq_index_stats(spark, store: str) -> dict:
     # live = one per vec_id (idempotent re-runs append duplicate
     # tombstone rows; _read_tombstones aggregates them away)
     tombs = _read_tombstones(spark, data_dir)
+    # the stamped encode transform (one tiny JSON read): operators
+    # check it here before appending/probing; the rotation reports as
+    # a bool — dumping a dim x dim matrix into a stats dict helps no
+    # dashboard (load_quantizers returns the matrix itself)
+    stamped, s_perm, s_rot = _stamped_config(_root)
     return {
         "generation": cur,
+        "transform_stamped": stamped,
+        "perm": s_perm,
+        "rot_set": s_rot is not None,
         "batches": per_batch,
         "n_rows": summary["n_rows"],
         "n_vectors": summary["n_vectors"],

@@ -1441,6 +1441,9 @@ def test_ivfpq_index_stats_lifecycle(spark, tmp_path, sf_correctness_dir):
     assert s0["generation"] is None and s0["n_rows"] == 80
     assert s0["n_vectors"] == 80 and s0["pending_superseded"] == 0
     assert s0["tombstones"] == 0 and list(s0["batches"]) == ["seed"]
+    # the writer stamped the (absent) encode transform
+    assert s0["transform_stamped"] is True
+    assert s0["perm"] is None and s0["rot_set"] is False
     assert s0["batches"]["seed"] == {"rows": 80, "min_gen": 0, "max_gen": 0}
     assert s0["n_cells"] <= 4 and s0["max_cell_rows"] >= s0["mean_cell_rows"]
 
@@ -2676,3 +2679,41 @@ def test_semantic_store_validates_batch_id(spark, tmp_path):
             emb, [[1.0, 0.0]], str(tmp_path / "sem"),
             mode="append", batch_id="a b/c",
         )
+
+
+def test_ivfpq_index_search_one_call(spark, tmp_path):
+    """The consumer-side serving call: quantizers AND the encode
+    transform come from the store's own sidecar, so the one-call probe
+    equals the fully-explicit one for a rot-encoded store, and the
+    sidecar's actionable error surfaces when it was never saved."""
+    import pytest as _pytest
+
+    from physicsnemo_curator_spark.sources.synthetic import (
+        clustered_embeddings,
+    )
+
+    emb = clustered_embeddings(
+        spark, 300, dim=16, n_clusters=8, sigma=0.3, seed=7, decay=0.7
+    ).localCheckpoint()
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    rot, cbs = mllib_ann.opq_train(emb, m=4, ks=8, dim=16)
+    centers = mllib_ann.md5_sample_centroids(emb, k=4)
+    store = str(tmp_path / "search_idx")
+    mllib_ann.write_ivfpq_index(emb, centers, cbs, store, rot=rot)
+    with _pytest.raises(FileNotFoundError, match="save_quantizers"):
+        mllib_ann.ivfpq_index_search(spark, qs, store, k=5)
+    mllib_ann.save_quantizers(store, centers, cbs, rot=rot)
+    got = sorted(map(tuple, mllib_ann.ivfpq_index_search(
+        spark, qs, store, k=5, n_probe=4
+    ).collect()))
+    explicit = sorted(map(tuple, mllib_ann.ivfpq_index_topk(
+        spark, qs, centers, store, k=5, n_probe=4, codebooks=cbs, rot=rot
+    ).collect()))
+    assert got == explicit
+    # the rescore path threads corpus/target_recall through
+    got_r = mllib_ann.ivfpq_index_search(
+        spark, qs, store, k=5, n_probe=4, rescore=2, corpus=emb
+    )
+    assert got_r.count() > 0

@@ -285,6 +285,40 @@ def anisotropic_tables(spark, n: int, decay: float = 0.7) -> None:
             perm=perm, rescore=5,
         ))
         print(f"| {name} | {raw:.3f} | {r5:.3f} | {i5:.3f} |")
+    # the Lloyd-trained rungs: the permutation rows above use the
+    # oracle-replayable sample-init trainer, so print Lloyd baselines
+    # next to the OPQ learned rotation (which trains Lloyd codebooks
+    # inside its alternation) to attribute its gain to the ROTATION,
+    # not the refinement
+    for name, kw in (
+        ("lloyd contiguous", {}),
+        ("lloyd variance-balanced", {"perm": perms["variance-balanced"]}),
+    ):
+        cbs = mllib_ann.pq_train_sample(emb, m=8, ks=16, dim=64, **kw)
+        raw = rec(mllib_ann.pq_topk(emb, qs, k=K, dim=64, codebooks=cbs, **kw))
+        r5 = rec(mllib_ann.pq_topk(
+            emb, qs, k=K, dim=64, codebooks=cbs, rescore=5, **kw
+        ))
+        i5 = rec(mllib_ann.ivfpq_topk(
+            emb, qs, centers, k=K, n_probe=3, codebooks=cbs, rescore=5, **kw
+        ))
+        print(f"| {name} | {raw:.3f} | {r5:.3f} | {i5:.3f} |")
+    for name, init in (
+        ("opq rotation (balanced init)", "balanced"),
+        ("opq rotation (identity init)", "identity"),
+    ):
+        rot, cbs = mllib_ann.opq_train(emb, m=8, ks=16, dim=64, init=init)
+        raw = rec(mllib_ann.pq_topk(
+            emb, qs, k=K, dim=64, codebooks=cbs, rot=rot
+        ))
+        r5 = rec(mllib_ann.pq_topk(
+            emb, qs, k=K, dim=64, codebooks=cbs, rot=rot, rescore=5
+        ))
+        i5 = rec(mllib_ann.ivfpq_topk(
+            emb, qs, centers, k=K, n_probe=3, codebooks=cbs,
+            rot=rot, rescore=5,
+        ))
+        print(f"| {name} | {raw:.3f} | {r5:.3f} | {i5:.3f} |")
 
 
 if __name__ == "__main__":

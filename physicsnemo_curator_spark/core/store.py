@@ -37,8 +37,13 @@ those conventions extracted once:
   incoming key set and MATERIALIZES before the write, because Spark
   refuses a write whose plan still scans the destination.
 
-The IVF-PQ index's generation-pointer protocol, ``_gen`` conflict
-order, tombstones, and maintenance lease stay in ``mllib_ann`` — they
+The opt-in MAINTENANCE LEASE (:func:`acquire_lease` /
+:func:`verify_lease` / :func:`release_lease`) also lives here: any
+store whose maintenance passes must not interleave takes it —
+the IVF-PQ index keeps the lease file inside its root (stashed
+through flat overwrites), flat stores use the sibling
+:func:`maintenance_root`.  The index's generation-pointer protocol,
+``_gen`` conflict order, and tombstones stay in ``mllib_ann`` — they
 are index-serving concerns, not batch-store plumbing; the narrower
 stores' docstrings point there when a caller needs latest-write-wins
 serving.
@@ -52,6 +57,12 @@ import re
 from physicsnemo_curator_spark.core.errors import analysis_condition
 
 __all__ = [
+    "LEASE_FILE",
+    "acquire_lease",
+    "verify_lease",
+    "release_lease",
+    "held_lease",
+    "maintenance_root",
     "validate_batch_id",
     "batch_dir",
     "try_local_path",
@@ -189,3 +200,166 @@ def carry_surviving(prev, incoming_keys, key_col: str):
     input plan re-evaluated per consumer could carry a key the write
     also produced (duplicate) or drop one it didn't (deletion)."""
     return prev.join(incoming_keys, key_col, "left_anti").localCheckpoint()
+
+
+LEASE_FILE = "_LEASE"
+
+
+def acquire_lease(
+    root: str, *, ttl_s: float = 600.0, owner: str | None = None
+) -> dict:
+    """Take the store's maintenance lease — the opt-in mutual-exclusion
+    layer ABOVE the optimistic checks, closing their documented
+    read-validate-commit window (``mllib_ann._check_no_concurrent_append``):
+    a writer/compactor holding a live lease knows no other
+    lease-respecting maintenance can commit concurrently, full stop.
+
+    Protocol: a JSON record ``{token, owner, expires_at}`` in
+    ``<root>/_LEASE``, mutated only under an ``flock`` on
+    ``_LEASE.lock`` — on one host (the sandbox and any single-driver
+    deployment) the flock makes acquire/steal/release genuinely
+    atomic, with none of the TOCTOU residue the optimistic checks
+    carry.  A live foreign lease raises (retry after the holder
+    finishes or the TTL lapses); an EXPIRED one is stolen with a loud
+    :mod:`warnings` warning — the TTL is the crash-recovery path, so
+    pick it above the longest expected maintenance pass.  Fencing: the
+    holder re-verifies its token at the commit point
+    (:func:`verify_lease`) — a holder that outlived its TTL and got
+    stolen from must NOT commit.  Cross-host object-store deployments
+    replace this file+flock with the store's conditional-put; the
+    record layout is the same."""
+    import fcntl
+    import json
+    import time
+    import warnings
+
+    os.makedirs(root, exist_ok=True)
+    path = os.path.join(root, LEASE_FILE)
+    rec = {
+        "token": os.urandom(8).hex(),
+        "owner": owner or f"pid-{os.getpid()}",
+        "expires_at": time.time() + ttl_s,
+    }
+    with open(path + ".lock", "w") as lk:
+        fcntl.flock(lk, fcntl.LOCK_EX)
+        cur = None
+        if os.path.exists(path):
+            try:
+                with open(path) as fh:
+                    cur = json.load(fh)
+            except ValueError:
+                cur = None  # torn write: treat as expired, steal below
+        if cur is not None and cur.get("expires_at", 0) > time.time():
+            raise RuntimeError(
+                f"store at {root!r} is leased by "
+                f"{cur.get('owner', '?')!r} until epoch "
+                f"{cur.get('expires_at')} — another maintenance pass "
+                "is running. Retry after it finishes (or after the "
+                "TTL lapses; a crashed holder's lease is stolen then)."
+            )
+        if cur is not None:
+            warnings.warn(
+                f"stealing expired maintenance lease on {root!r} "
+                f"(holder {cur.get('owner', '?')!r} expired at "
+                f"{cur.get('expires_at')})",
+                stacklevel=2,
+            )
+        tmp = path + f".tmp-{os.getpid()}"
+        with open(tmp, "w") as fh:
+            json.dump(rec, fh)
+        os.replace(tmp, path)
+    return rec
+
+
+def verify_lease(root: str, token: str) -> None:
+    """The fencing check around commit points: raise if the lease is
+    no longer ours (TTL lapsed and a steal happened, or the file is
+    gone/torn).  Called BEFORE each commit (nothing written yet —
+    safe to just retry with a longer ``lease_ttl_s``) and once AFTER
+    the pass's last write, where a raise means the commits already
+    landed but may interleave a thief's pass: treat it as a
+    quarantine signal — compact the store, then re-run; both the
+    append (per-vector upsert) and the rebuild are idempotent."""
+    import json
+    import time
+
+    path = os.path.join(root, LEASE_FILE)
+    try:
+        with open(path) as fh:
+            cur = json.load(fh)
+    except (FileNotFoundError, ValueError):
+        cur = None
+    if cur is None or cur.get("token") != token:
+        raise RuntimeError(
+            f"maintenance lease on {root!r} was lost (stolen after TTL "
+            "expiry, or removed) — this pass must stop. Anything it "
+            "already committed may interleave the new holder's pass: "
+            "compact the store, then re-run with a longer lease_ttl_s "
+            "(the write is idempotent)."
+        )
+    if cur.get("expires_at", 0) <= time.time():
+        raise RuntimeError(
+            f"maintenance lease on {root!r} expired mid-pass — this "
+            "pass must stop (a concurrent steal may already be "
+            "writing). Compact the store, then re-run with a longer "
+            "lease_ttl_s (the write is idempotent)."
+        )
+
+
+def release_lease(root: str, token: str) -> None:
+    """Drop the lease if it is still ours; a lease that was stolen
+    after our TTL lapsed belongs to the thief and is left alone (the
+    verify at the commit point already raised for that holder)."""
+    import fcntl
+    import json
+
+    path = os.path.join(root, LEASE_FILE)
+    with open(path + ".lock", "w") as lk:
+        fcntl.flock(lk, fcntl.LOCK_EX)
+        try:
+            with open(path) as fh:
+                cur = json.load(fh)
+        except (FileNotFoundError, ValueError):
+            return
+        if cur.get("token") == token:
+            os.unlink(path)
+
+
+def held_lease(root: str, *, ttl_s: float = 600.0):
+    """Context manager over one held maintenance lease: acquire →
+    yield the ``(root, token)`` fence the pass verifies at its commit
+    points → release.  The ONE implementation of the
+    acquire/try/finally-release shape every leased entry point needs —
+    a protocol change (steal semantics, fencing, TTL handling) lands
+    here once instead of in each store's wrapper."""
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _held():
+        rec = acquire_lease(root, ttl_s=ttl_s)
+        try:
+            yield (root, rec["token"])
+        finally:
+            release_lease(root, rec["token"])
+
+    return _held()
+
+
+def maintenance_root(store: str) -> str:
+    """Where a store's maintenance lease lives when the DATA path
+    itself is the static-overwrite blast radius: a SIBLING directory
+    ``<store>.maint``, which no store write can ever delete.  (The
+    IVF-PQ index instead keeps ``_LEASE`` inside its root and stashes
+    it through flat overwrites — its pointer layout already reserves
+    the root; flat batch-partitioned stores like the split store have
+    no such reservation, so the sibling is the simpler invariant.)
+    Local paths and ``file://`` URIs only — an object-store deployment
+    replaces the file+flock protocol with its conditional-put."""
+    local = try_local_path(store)
+    if local is None:
+        raise NotImplementedError(
+            f"lease= is implemented for local paths and file:// URIs, "
+            f"got {store!r}; an object-store deployment plugs its "
+            "conditional-put into the same lease record"
+        )
+    return local.rstrip("/") + ".maint"

@@ -27,7 +27,12 @@ from pyspark.sql import functions as F
 
 from physicsnemo_curator_spark.core.errors import analysis_condition
 from physicsnemo_curator_spark.core.store import (
+    LEASE_FILE as _LEASE_FILE,
+    acquire_lease as _acquire_lease,
     carry_surviving as _carry_surviving,
+    held_lease as _held_lease,
+    release_lease as _release_lease,
+    verify_lease as _verify_lease,
     read_batch as _read_batch_partition,
     read_optional_parquet as _read_optional_parquet,
     try_local_path as _try_local_store_path,
@@ -954,129 +959,6 @@ def _flip_generation_pointer(root: str, name: str) -> None:
         os.close(dirfd)
 
 
-_LEASE_FILE = "_LEASE"
-
-
-def _acquire_lease(
-    root: str, *, ttl_s: float = 600.0, owner: str | None = None
-) -> dict:
-    """Take the store's maintenance lease — the opt-in mutual-exclusion
-    layer ABOVE the optimistic checks, closing their documented
-    read-validate-commit window (:func:`_check_no_concurrent_append`):
-    a writer/compactor holding a live lease knows no other
-    lease-respecting maintenance can commit concurrently, full stop.
-
-    Protocol: a JSON record ``{token, owner, expires_at}`` in
-    ``<root>/_LEASE``, mutated only under an ``flock`` on
-    ``_LEASE.lock`` — on one host (the sandbox and any single-driver
-    deployment) the flock makes acquire/steal/release genuinely
-    atomic, with none of the TOCTOU residue the optimistic checks
-    carry.  A live foreign lease raises (retry after the holder
-    finishes or the TTL lapses); an EXPIRED one is stolen with a loud
-    :mod:`warnings` warning — the TTL is the crash-recovery path, so
-    pick it above the longest expected maintenance pass.  Fencing: the
-    holder re-verifies its token at the commit point
-    (:func:`_verify_lease`) — a holder that outlived its TTL and got
-    stolen from must NOT commit.  Cross-host object-store deployments
-    replace this file+flock with the store's conditional-put; the
-    record layout is the same."""
-    import fcntl
-    import json
-    import time
-    import warnings
-
-    os.makedirs(root, exist_ok=True)
-    path = os.path.join(root, _LEASE_FILE)
-    rec = {
-        "token": os.urandom(8).hex(),
-        "owner": owner or f"pid-{os.getpid()}",
-        "expires_at": time.time() + ttl_s,
-    }
-    with open(path + ".lock", "w") as lk:
-        fcntl.flock(lk, fcntl.LOCK_EX)
-        cur = None
-        if os.path.exists(path):
-            try:
-                with open(path) as fh:
-                    cur = json.load(fh)
-            except ValueError:
-                cur = None  # torn write: treat as expired, steal below
-        if cur is not None and cur.get("expires_at", 0) > time.time():
-            raise RuntimeError(
-                f"store at {root!r} is leased by "
-                f"{cur.get('owner', '?')!r} until epoch "
-                f"{cur.get('expires_at')} — another maintenance pass "
-                "is running. Retry after it finishes (or after the "
-                "TTL lapses; a crashed holder's lease is stolen then)."
-            )
-        if cur is not None:
-            warnings.warn(
-                f"stealing expired maintenance lease on {root!r} "
-                f"(holder {cur.get('owner', '?')!r} expired at "
-                f"{cur.get('expires_at')})",
-                stacklevel=2,
-            )
-        tmp = path + f".tmp-{os.getpid()}"
-        with open(tmp, "w") as fh:
-            json.dump(rec, fh)
-        os.replace(tmp, path)
-    return rec
-
-
-def _verify_lease(root: str, token: str) -> None:
-    """The fencing check around commit points: raise if the lease is
-    no longer ours (TTL lapsed and a steal happened, or the file is
-    gone/torn).  Called BEFORE each commit (nothing written yet —
-    safe to just retry with a longer ``lease_ttl_s``) and once AFTER
-    the pass's last write, where a raise means the commits already
-    landed but may interleave a thief's pass: treat it as a
-    quarantine signal — compact the store, then re-run; both the
-    append (per-vector upsert) and the rebuild are idempotent."""
-    import json
-    import time
-
-    path = os.path.join(root, _LEASE_FILE)
-    try:
-        with open(path) as fh:
-            cur = json.load(fh)
-    except (FileNotFoundError, ValueError):
-        cur = None
-    if cur is None or cur.get("token") != token:
-        raise RuntimeError(
-            f"maintenance lease on {root!r} was lost (stolen after TTL "
-            "expiry, or removed) — this pass must stop. Anything it "
-            "already committed may interleave the new holder's pass: "
-            "compact the store, then re-run with a longer lease_ttl_s "
-            "(the write is idempotent)."
-        )
-    if cur.get("expires_at", 0) <= time.time():
-        raise RuntimeError(
-            f"maintenance lease on {root!r} expired mid-pass — this "
-            "pass must stop (a concurrent steal may already be "
-            "writing). Compact the store, then re-run with a longer "
-            "lease_ttl_s (the write is idempotent)."
-        )
-
-
-def _release_lease(root: str, token: str) -> None:
-    """Drop the lease if it is still ours; a lease that was stolen
-    after our TTL lapsed belongs to the thief and is left alone (the
-    verify at the commit point already raised for that holder)."""
-    import fcntl
-    import json
-
-    path = os.path.join(root, _LEASE_FILE)
-    with open(path + ".lock", "w") as lk:
-        fcntl.flock(lk, fcntl.LOCK_EX)
-        try:
-            with open(path) as fh:
-                cur = json.load(fh)
-        except (FileNotFoundError, ValueError):
-            return
-        if cur.get("token") == token:
-            os.unlink(path)
-
-
 def _resolve_store(store: str) -> tuple[str | None, str | None, str]:
     """``(root, pointer, data_dir)`` from ONE pointer read — root None
     for a scheme'd store (always flat: only local compaction creates
@@ -1365,17 +1247,15 @@ def write_ivfpq_index(
     at commit), which closes the optimistic checks' residual window
     against every other lease-respecting maintenance pass."""
     if lease:
-        root0 = _local_store_path(store)
-        rec = _acquire_lease(root0, ttl_s=lease_ttl_s)
-        try:
+        with _held_lease(
+            _local_store_path(store), ttl_s=lease_ttl_s
+        ) as fence:
             return write_ivfpq_index(
                 corpus, centers, codebooks, store,
                 id_col=id_col, vec_col=vec_col, mode=mode,
-                batch_id=batch_id, perm=perm, rot=rot, lease=False,
-                _fence=(root0, rec["token"]),
+                batch_id=batch_id, perm=perm, rot=rot,
+                _fence=fence,
             )
-        finally:
-            _release_lease(root0, rec["token"])
     if mode not in ("overwrite", "append"):
         # 'Append'/'upsert'/... falling through to a STATIC overwrite
         # would silently wipe every previously appended batch
@@ -2085,15 +1965,10 @@ def compact_ivfpq_index(
     before the pointer flip) — the opt-in absolute above the
     optimistic max(``_gen``) re-check, which stays on either way."""
     if lease:
-        root0 = _local_store_path(store)
-        rec = _acquire_lease(root0, ttl_s=lease_ttl_s)
-        try:
-            return compact_ivfpq_index(
-                spark, store, lease=False,
-                _fence=(root0, rec["token"]),
-            )
-        finally:
-            _release_lease(root0, rec["token"])
+        with _held_lease(
+            _local_store_path(store), ttl_s=lease_ttl_s
+        ) as fence:
+            return compact_ivfpq_index(spark, store, _fence=fence)
     import shutil
 
     root = _local_store_path(store)

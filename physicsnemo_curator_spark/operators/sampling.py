@@ -33,8 +33,11 @@ from pyspark.sql import functions as F
 
 from physicsnemo_curator_spark.core.store import (
     carry_surviving,
+    held_lease,
+    maintenance_root,
     read_batch,
     validate_batch_id,
+    verify_lease,
     write_batch_partitioned,
 )
 
@@ -269,6 +272,9 @@ def write_split_store(
     *,
     mode: str = "overwrite",
     batch_id: str = "seed",
+    lease: bool = False,
+    lease_ttl_s: float = 600.0,
+    _fence: tuple[str, str] | None = None,
 ) -> None:
     """Persist split assignments — the store
     :func:`leakage_free_splits`' stability contract prescribes: an
@@ -293,7 +299,23 @@ def write_split_store(
     their current (possibly merged) components, breaking the
     labels-never-move guarantee.  The incremental pass only ever
     writes docs NOT already stored, so the store stays unique per
-    doc_id across batches by construction."""
+    doc_id across batches by construction.
+
+    That uniqueness is a SINGLE-MAINTAINER invariant: two concurrent
+    passes can both see a doc as unstored and write it under
+    different batches (``split_store_stats`` reports the damage as
+    ``duplicate_docs`` but nothing prevents it).  ``lease=True`` runs
+    the write under the store's maintenance lease
+    (:func:`core.store.acquire_lease`, kept in the sibling
+    ``<store>.maint`` directory so a static overwrite can't wipe it)
+    with fencing verifies before and after the write — the same
+    opt-in absolute the IVF-PQ index offers."""
+    if lease:
+        with held_lease(maintenance_root(store), ttl_s=lease_ttl_s) as f:
+            return write_split_store(
+                assignments, store, mode=mode, batch_id=batch_id,
+                _fence=f,
+            )
     if mode not in ("overwrite", "append"):
         raise ValueError(
             f"unknown write_split_store mode {mode!r}; expected "
@@ -328,9 +350,15 @@ def write_split_store(
             "doc_id",
         )
         out = out.unionByName(surviving)
+    if _fence is not None:
+        # fencing before the commit: a holder whose TTL lapsed (and
+        # was stolen from) must not write a row
+        verify_lease(*_fence)
     write_batch_partitioned(
         out.withColumn("_batch", F.lit(batch_id)), store, mode=mode
     )
+    if _fence is not None:
+        verify_lease(*_fence)
 
 
 def assign_splits_incremental(
@@ -348,6 +376,9 @@ def assign_splits_incremental(
     quarantine_split: str | None = None,
     update_store: bool = False,
     batch_id: str | None = None,
+    lease: bool = False,
+    lease_ttl_s: float = 600.0,
+    _fence: tuple[str, str] | None = None,
 ) -> DataFrame:
     """Assign splits to a NEW batch against a persisted
     :func:`write_split_store` — the incremental counterpart of
@@ -391,7 +422,26 @@ def assign_splits_incremental(
     corpus-sized shuffle exists anywhere.  ``update_store=True``
     (requires ``batch_id``) upserts the non-stored rows under
     ``_batch=<id>`` (idempotent re-runs; a partial re-run carries the
-    batch's earlier rows — see :func:`write_split_store`)."""
+    batch's earlier rows — see :func:`write_split_store`).
+
+    ``lease=True`` holds the store's maintenance lease for the WHOLE
+    pass — store read, decisions, and the ``update_store`` write —
+    not just the write: two concurrent incremental passes can both
+    read a doc as unstored between each other's read and write and
+    assign it twice (possibly different splits), the duplicate-doc
+    damage ``split_store_stats`` reports but nothing else prevents.
+    Single decision pass = single maintainer, the same opt-in
+    absolute the IVF-PQ index offers."""
+    if lease:
+        with held_lease(maintenance_root(store), ttl_s=lease_ttl_s) as f:
+            return assign_splits_incremental(
+                spark, new_docs, groups, weights, store,
+                id_col=id_col, seed=seed, hash_fn=hash_fn,
+                split_col=split_col, merge_policy=merge_policy,
+                quarantine_split=quarantine_split,
+                update_store=update_store, batch_id=batch_id,
+                _fence=f,
+            )
     if merge_policy not in ("quarantine", "error"):
         raise ValueError(
             f"unknown merge_policy {merge_policy!r}; expected "
@@ -505,6 +555,7 @@ def assign_splits_incremental(
             store,
             mode="append",
             batch_id=batch_id,
+            _fence=_fence,
         )
     return out
 

@@ -1073,7 +1073,10 @@ def test_ivfpq_lifecycle_randomized_equals_rebuild(
     composed guarantee the r12 audit found broken in two separate
     ways (generation-order inversion, pruned-probe stale pick) — the
     deterministic tests pin those two; this pins the space around
-    them."""
+    them.  A random subset of the writes and compactions runs under
+    ``lease=True`` (single-threaded, so never contended): any stuck
+    lease, failed fencing verify, or lease-file interference with the
+    data layout would break the equivalence or raise."""
     import random
 
     rng = random.Random(seed)
@@ -1123,12 +1126,15 @@ def test_ivfpq_lifecycle_randomized_equals_rebuild(
             chunk, centers, cbs, store,
             mode="overwrite" if first else "append",
             batch_id=name,
+            lease=rng.random() < 0.5,
         )
         first = False
         for i in subset:
             state[i] = v
         if rng.random() < 0.5:
-            mllib_ann.compact_ivfpq_index(spark, store)
+            mllib_ann.compact_ivfpq_index(
+                spark, store, lease=rng.random() < 0.5
+            )
 
     clean = str(tmp_path / f"rand{seed}_clean")
     parts = [

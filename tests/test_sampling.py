@@ -1080,3 +1080,63 @@ def test_split_store_stats_numeric_batch_id(spark, tmp_path):
     s2 = sampling.split_store_stats(spark, store)
     assert s2["batches"] == {"007": 3, "012": 1}
     assert s2["duplicate_docs"] == 0
+
+
+def test_split_store_lease(spark, tmp_path):
+    """The split store's opt-in single-maintainer lease: a leased pass
+    excludes a second leased pass (the double-assign window), the
+    lease lives in the sibling .maint directory so a static overwrite
+    cannot wipe it mid-pass, and both writers release on exit."""
+    import pytest as _pytest
+
+    from physicsnemo_curator_spark.core import store as core_store
+
+    store = str(tmp_path / "leased_split")
+    seed = spark.createDataFrame(
+        [(1, "train", None), (2, "test", None)],
+        "doc_id long, split string, component long",
+    )
+    # leased static overwrite: the lease must survive its own write —
+    # it lives in the SIBLING .maint directory, never inside the data
+    # path the static overwrite deletes
+    import os as _os
+
+    sampling.write_split_store(seed, store, lease=True)
+    mr = core_store.maintenance_root(store)
+    assert _os.path.isdir(mr)
+    assert not (mr + _os.sep).startswith(
+        core_store.try_local_path(store) + _os.sep
+    )
+    assert not _os.path.exists(
+        _os.path.join(store, core_store.LEASE_FILE)
+    )
+    s = sampling.split_store_stats(spark, store)
+    assert s["n_docs"] == 2
+
+    # exclusion: while one pass holds the lease, another raises
+    mr = core_store.maintenance_root(store)
+    rec = core_store.acquire_lease(mr)
+    with _pytest.raises(RuntimeError, match="leased by"):
+        sampling.write_split_store(
+            seed, store, mode="append", batch_id="b1", lease=True
+        )
+    g = spark.createDataFrame([(3, 300)], "doc_id long, component long")
+    docs = spark.createDataFrame([(3,)], "doc_id long")
+    with _pytest.raises(RuntimeError, match="leased by"):
+        sampling.assign_splits_incremental(
+            spark, docs, g, {"train": 0.5, "test": 0.5}, store,
+            update_store=True, batch_id="b1", lease=True,
+        )
+    core_store.release_lease(mr, rec["token"])
+
+    # released: the leased incremental pass runs end to end
+    out = sampling.assign_splits_incremental(
+        spark, docs, g, {"train": 0.5, "test": 0.5}, store,
+        update_store=True, batch_id="b1", lease=True,
+    )
+    assert out.count() == 1
+    s2 = sampling.split_store_stats(spark, store)
+    assert s2["n_docs"] == 3 and s2["duplicate_docs"] == 0
+    # lease released again
+    rec2 = core_store.acquire_lease(mr)
+    core_store.release_lease(mr, rec2["token"])

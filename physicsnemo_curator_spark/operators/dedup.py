@@ -22,7 +22,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from physicsnemo_curator_spark.core.store import (
+    held_lease,
+    maintenance_root,
     validate_batch_id,
+    verify_lease,
     write_batch_partitioned,
 )
 
@@ -630,6 +633,9 @@ def write_minhash_store(
     hash_fn: str = "xxhash64",
     mode: str = "overwrite",
     batch_id: str = "seed",
+    lease: bool = False,
+    lease_ttl_s: float = 600.0,
+    _fence: tuple[str, str] | None = None,
 ) -> None:
     """Sign ``docs`` and persist the (signatures, bands) store.
 
@@ -646,11 +652,27 @@ def write_minhash_store(
     batch_id leaves both signature versions live; a store that must
     serve latest-write-wins under conflicting re-ingests needs the
     ``_gen``/tombstone discipline of
-    ``mllib_ann.write_ivfpq_index``."""
+    ``mllib_ann.write_ivfpq_index``.
+
+    ``lease=True`` runs the write under the store's maintenance lease
+    (``core.store.held_lease`` on the sibling ``<store>.maint``
+    directory, with fencing verifies around the two data writes) —
+    the same opt-in single-maintainer absolute the other stores
+    offer."""
+    if lease:
+        with held_lease(maintenance_root(store), ttl_s=lease_ttl_s) as f:
+            return write_minhash_store(
+                docs, store, text_col=text_col, id_col=id_col,
+                shingle_k=shingle_k, num_hashes=num_hashes, bands=bands,
+                seed=seed, hash_fn=hash_fn, mode=mode, batch_id=batch_id,
+                _fence=f,
+            )
     validate_batch_id(batch_id)
     sh = shingle_table(docs, text_col, id_col, shingle_k, unit="word")
     sigs = minhash_signatures(sh, num_hashes, seed, hash_fn=hash_fn)
     tag = F.lit(batch_id)
+    if _fence is not None:
+        verify_lease(*_fence)
     write_batch_partitioned(
         sigs.withColumn("_batch", tag),
         os.path.join(store, "signatures"),
@@ -663,6 +685,8 @@ def write_minhash_store(
         mode=mode,
         repartition_cols=("band", "bucket"),
     )
+    if _fence is not None:
+        verify_lease(*_fence)
 
 
 def sig_agreement(
@@ -710,6 +734,9 @@ def incremental_near_duplicates(
     update_store: bool = False,
     batch_id: str | None = None,
     materialize: bool = True,
+    lease: bool = False,
+    lease_ttl_s: float = 600.0,
+    _fence: tuple[str, str] | None = None,
 ) -> DataFrame:
     """Near-dup pairs for a NEW batch against a persisted corpus store
     plus within the batch itself.
@@ -733,6 +760,18 @@ def incremental_near_duplicates(
     (duplicated signatures would emit duplicated corpus-pair rows on
     every later probe), so per-batch ingestion is idempotent.
     """
+    if lease:
+        # hold the lease for the WHOLE probe+write pass (the split
+        # store's reasoning: the double-ingest window is read-to-write,
+        # not just the write)
+        with held_lease(maintenance_root(store), ttl_s=lease_ttl_s) as f:
+            return incremental_near_duplicates(
+                spark, new_docs, store, text_col=text_col, id_col=id_col,
+                shingle_k=shingle_k, num_hashes=num_hashes, bands=bands,
+                threshold=threshold, seed=seed, hash_fn=hash_fn,
+                update_store=update_store, batch_id=batch_id,
+                materialize=materialize, _fence=f,
+            )
     if update_store and not materialize:
         raise ValueError(
             "update_store=True requires materialize=True — pairs must "
@@ -799,6 +838,8 @@ def incremental_near_duplicates(
     # per call for the session's lifetime
     out = out.localCheckpoint(eager=True)
     if update_store:
+        if _fence is not None:
+            verify_lease(*_fence)
         tag = F.lit(batch_id)
         for name, frame in (
             ("signatures", sigs),
@@ -809,6 +850,8 @@ def incremental_near_duplicates(
                 os.path.join(store, name),
                 mode="append",
             )
+        if _fence is not None:
+            verify_lease(*_fence)
     cand.unpersist()
     sigs.unpersist()
     sh.unpersist()

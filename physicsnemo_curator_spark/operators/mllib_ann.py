@@ -2485,6 +2485,9 @@ def write_semantic_store(
     vec_col: str = "embedding",
     mode: str = "overwrite",
     batch_id: str = "seed",
+    lease: bool = False,
+    lease_ttl_s: float = 600.0,
+    _fence: tuple[str, str] | None = None,
 ) -> None:
     """Persist (id, vec, cell, norm) for incremental semantic dedup.
 
@@ -2503,7 +2506,21 @@ def write_semantic_store(
     for an append-only corpus, wrong for mutable ids; a store that
     needs latest-write-wins serving under conflicting re-ingests is
     exactly what :func:`write_ivfpq_index`'s ``_gen``/tombstone
-    discipline provides."""
+    discipline provides.  ``lease=True`` runs the write under the
+    store's maintenance lease (sibling ``<store>.maint`` directory,
+    fencing verifies around the write) — the shared opt-in
+    single-maintainer absolute."""
+    if lease:
+        from physicsnemo_curator_spark.core.store import (
+            held_lease,
+            maintenance_root,
+        )
+
+        with held_lease(maintenance_root(store), ttl_s=lease_ttl_s) as f:
+            return write_semantic_store(
+                corpus, centers, store, id_col=id_col, vec_col=vec_col,
+                mode=mode, batch_id=batch_id, _fence=f,
+            )
     _core_validate_batch_id(batch_id)
     cells = _assign_with_norm(corpus, centers, id_col=id_col, vec_col=vec_col)
     out = cells.select(
@@ -2522,11 +2539,15 @@ def write_semantic_store(
     # it every upstream task fans out a file into EVERY cell dir it
     # touches — at k=1000 cells × 32 tasks that is ~32k small files
     # per batch; with it, one file per (batch, cell).
+    if _fence is not None:
+        _verify_lease(*_fence)
     _write_batch_partitioned(
         out, store, mode=mode,
         partition_cols=("_batch", "cell"),
         repartition_cols=("_batch", "cell"),
     )
+    if _fence is not None:
+        _verify_lease(*_fence)
 
 
 def incremental_semantic_dedup(
@@ -2541,6 +2562,9 @@ def incremental_semantic_dedup(
     update_store: bool = False,
     batch_id: str | None = None,
     dot: str = "unrolled",
+    lease: bool = False,
+    lease_ttl_s: float = 600.0,
+    _fence: tuple[str, str] | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs for a NEW batch of embeddings against a
     persisted :func:`write_semantic_store` corpus, plus within the
@@ -2552,7 +2576,23 @@ def incremental_semantic_dedup(
     BROADCAST into the corpus join (a batch is small; the corpus is
     not), and the corpus scan prunes to the batch's cell partitions.
     ``update_store=True`` appends the batch under its own partition
-    afterwards (same idempotency as the MinHash store)."""
+    afterwards (same idempotency as the MinHash store).
+    ``lease=True`` holds the store's maintenance lease for the whole
+    probe+write pass (the shared read-to-write double-ingest
+    reasoning)."""
+    if lease:
+        from physicsnemo_curator_spark.core.store import (
+            held_lease,
+            maintenance_root,
+        )
+
+        with held_lease(maintenance_root(store), ttl_s=lease_ttl_s) as f:
+            return incremental_semantic_dedup(
+                spark, new_vectors, centers, store,
+                threshold=threshold, id_col=id_col, vec_col=vec_col,
+                update_store=update_store, batch_id=batch_id, dot=dot,
+                _fence=f,
+            )
     dim = len(centers[0])
     batch = _assign_with_norm(
         new_vectors, centers, id_col=id_col, vec_col=vec_col
@@ -2598,5 +2638,6 @@ def incremental_semantic_dedup(
             vec_col=vec_col,
             mode="append",
             batch_id=batch_id,
+            _fence=_fence,
         )
     return out

@@ -95,3 +95,43 @@ def test_incremental_update_store_appends(spark, tmp_path):
     # store now holds corpus + b1 signatures
     n_sigs = spark.read.parquet(f"{store}/signatures").count()
     assert n_sigs == 6
+
+
+def test_minhash_store_lease(spark, tmp_path):
+    """The MinHash store's opt-in single-maintainer lease: exclusion
+    while held, sibling .maint placement outside the store path, and
+    a leased probe+ingest end to end."""
+    import os
+
+    import pytest
+
+    from physicsnemo_curator_spark.core import store as core_store
+
+    store = str(tmp_path / "mh_leased")
+    corpus = _mk_docs(spark, [(i, _sentence(i)) for i in range(10)])
+    dedup.write_minhash_store(corpus, store, lease=True)
+    mr = core_store.maintenance_root(store)
+    assert os.path.isdir(mr) and not (mr + os.sep).startswith(
+        store + os.sep
+    )
+
+    batch = _mk_docs(spark, [(100, _sentence(3)), (101, _sentence(42))])
+    rec = core_store.acquire_lease(mr)
+    with pytest.raises(RuntimeError, match="leased by"):
+        dedup.write_minhash_store(
+            batch, store, mode="append", batch_id="b1", lease=True
+        )
+    with pytest.raises(RuntimeError, match="leased by"):
+        dedup.incremental_near_duplicates(
+            spark, batch, store,
+            update_store=True, batch_id="b1", lease=True,
+        )
+    core_store.release_lease(mr, rec["token"])
+
+    pairs = dedup.incremental_near_duplicates(
+        spark, batch, store, update_store=True, batch_id="b1", lease=True
+    ).collect()
+    assert any(r["scope"] == "corpus" for r in pairs)  # 100 ~ corpus 3
+    # released: fresh acquire works
+    rec2 = core_store.acquire_lease(mr)
+    core_store.release_lease(mr, rec2["token"])

@@ -2723,3 +2723,45 @@ def test_ivfpq_index_search_one_call(spark, tmp_path):
         spark, qs, store, k=5, n_probe=4, rescore=2, corpus=emb
     )
     assert got_r.count() > 0
+
+
+def test_semantic_store_lease(spark, tmp_path):
+    """The semantic store's opt-in single-maintainer lease: exclusion
+    while held, and a leased probe+ingest pass end to end."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from physicsnemo_curator_spark.core import store as core_store
+    from physicsnemo_curator_spark.sources.synthetic import (
+        clustered_embeddings,
+    )
+
+    emb = clustered_embeddings(
+        spark, 120, dim=16, n_clusters=4, sigma=0.3, seed=7
+    ).localCheckpoint()
+    centers = mllib_ann.md5_sample_centroids(emb, k=4)
+    store = str(tmp_path / "sem_leased")
+    mllib_ann.write_semantic_store(
+        emb.filter(F.col("vec_id") < 100), centers, store, lease=True
+    )
+    mr = core_store.maintenance_root(store)
+    assert _os.path.isdir(mr)
+
+    batch = emb.filter(F.col("vec_id") >= 100)
+    rec = core_store.acquire_lease(mr)
+    with _pytest.raises(RuntimeError, match="leased by"):
+        mllib_ann.incremental_semantic_dedup(
+            spark, batch, centers, store,
+            update_store=True, batch_id="b1", lease=True,
+        )
+    core_store.release_lease(mr, rec["token"])
+    out = mllib_ann.incremental_semantic_dedup(
+        spark, batch, centers, store,
+        threshold=0.5, update_store=True, batch_id="b1", lease=True,
+    )
+    assert out.count() >= 0  # executes end to end; store updated below
+    n = spark.read.parquet(store).count()
+    assert n == 120
+    rec2 = core_store.acquire_lease(mr)
+    core_store.release_lease(mr, rec2["token"])

@@ -88,9 +88,17 @@ def ws_tokens(text: Column) -> Column:
 
 
 def ws_token_count(text: Column) -> Column:
-    return F.when(F.length(_norm_ws(text)) == 0, F.lit(0)).otherwise(
-        F.size(ws_tokens(text))
-    )
+    """Count of whitespace-separated tokens.
+
+    ``regexp_count(text, '\\S+')`` — the number of maximal
+    non-whitespace runs — is exactly ``size(ws_tokens(text))`` for
+    non-empty normalized text and 0 for empty/all-whitespace text
+    (where the split path needs its explicit 0 guard), and NULL for
+    NULL text in both forms.  Unlike the split+size form it is a
+    single whole-stage-codegen regex pass with no array
+    materialization (equivalence pinned in
+    tests/test_textops.py::test_ws_token_count_regexp_equivalence)."""
+    return F.regexp_count(text, F.lit("\\S+"))
 
 
 def bpe_ish_token_count(text: Column) -> Column:
@@ -108,9 +116,23 @@ def punct_ratio(text: Column) -> Column:
 
 
 def stopword_ratio(text: Column, lang: str = "en") -> Column:
-    """Fraction of whitespace tokens that are stopwords of ``lang``."""
-    toks = ws_tokens(F.lower(text))
-    hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS[lang])))
+    """Fraction of whitespace tokens that are stopwords of ``lang``.
+
+    Counted with ONE codegen regex pass instead of
+    ``size(filter(ws_tokens(...), isin))``: higher-order functions are
+    CodegenFallback (interpreted per element, re-evaluating the
+    tokenize subtree per call), which made this the hot loop of every
+    quality/lang query.  Padding the normalized text with one space on
+    each side makes ``(?<= )word(?= )`` match exactly the tokens that
+    EQUAL a stopword — the lookarounds pin the match to a full
+    space-delimited token, so no substring/prefix can match
+    (equivalence vs the filter() form pinned in
+    tests/test_textops.py::test_stopword_ratio_regexp_equivalence)."""
+    pat = "(?<= )(" + "|".join(STOPWORDS[lang]) + ")(?= )"
+    hits = F.regexp_count(
+        F.concat(F.lit(" "), _norm_ws(F.lower(text)), F.lit(" ")),
+        F.lit(pat),
+    )
     n = ws_token_count(text)
     return F.when(n == 0, F.lit(0.0)).otherwise(
         hits.cast("double") / n.cast("double")

@@ -3186,7 +3186,19 @@ def q_text_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     stopword-ratio argmax over 4 languages and the 3-term quality gate,
     all as JVM column expressions; the oracle replays the identical
     arithmetic in DuckDB."""
-    docs = _t(spark, sf_dir, "documents")
+    # limit-before-projection: the output is the 200 SMALLEST doc_ids
+    # (doc_id is the table key, so the row set is identical), and
+    # lang/quality are row-wise — taking the top-200 FIRST means the
+    # heavy scoring expressions run over 200 rows instead of the whole
+    # corpus (guide §1.2: don't compute things you throw away).  At
+    # 100 TB this turns a full-corpus scoring pass into a key top-k +
+    # 200 scorings.
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(200)
+    )
     t = F.col("text")
     return (
         docs.select(
@@ -3196,7 +3208,6 @@ def q_text_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             _r6(textops.quality_score(t), "quality"),
         )
         .orderBy("doc_id")
-        .limit(200)
     )
 
 

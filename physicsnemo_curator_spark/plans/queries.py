@@ -5378,11 +5378,7 @@ def q_vtk_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         paths.append(p)
 
-    # cache=True: four of the five branches below materialize a
-    # different parsed table; without the parsed-table cache each
-    # branch re-ran the Python parse over every file (10 MapInPandas
-    # nodes in the r15 before-plan, now one per distinct table)
-    t = read_vtk(spark, paths, cache=True)
+    t = read_vtk(spark, paths)
     pts_agg = t["points"].groupBy("mesh_id").agg(
         F.count("*").alias("n_points"),
         F.sum("x").cast("bigint").alias("sum_x"),
@@ -5425,13 +5421,10 @@ def q_vtk_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("mesh_id")
         .agg(F.sum(F.col("value")).cast("bigint").alias("sum_area"))
     )
-    # per-mesh aggregates (one row per scanned file) above un-estimable
-    # MapInPandas parses: broadcast so the assembly is hash joins, not
-    # SortMergeJoin+Exchange pairs (q_openradioss_scan's rationale)
     return (
-        pts_agg.join(F.broadcast(cell_agg), "mesh_id")
-        .join(F.broadcast(pair), "mesh_id")
-        .join(F.broadcast(area), "mesh_id")
+        pts_agg.join(cell_agg, "mesh_id")
+        .join(pair, "mesh_id")
+        .join(area, "mesh_id")
         .select(
             "mesh_id", "n_points", "n_cells", "sum_x", "sum_y", "sum_w",
             "sum_conn", "sum_area", "pair_fp",
@@ -6049,15 +6042,12 @@ def q_vtk_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
                 fmt=fmts[c]: write_vtu(pts, cells, None, pdata, t, fmt=fmt),
             )
 
-    # cache=True: points and point_data are separate parsed tables —
-    # the parsed-table cache runs the Python parse once per table
     t = read_vtk_domain(
         spark,
         base,
         volume_pattern="volume_*",
         boundary_pattern="boundary_*",
         glob="*.vtu",
-        cache=True,
     )
     pts_agg = t["points"].groupBy("domain_id", "region").agg(
         F.count("*").alias("n_points"),
@@ -6069,10 +6059,8 @@ def q_vtk_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("domain_id", "region")
         .agg(F.sum(F.col("value").cast("bigint")).alias("sum_w"))
     )
-    # per-domain aggregates above un-estimable MapInPandas parses:
-    # broadcast (q_openradioss_scan's rationale)
     return (
-        pts_agg.join(F.broadcast(w_agg), ["domain_id", "region"])
+        pts_agg.join(w_agg, ["domain_id", "region"])
         .orderBy("domain_id", "region")
     )
 
@@ -6849,11 +6837,9 @@ def q_dataset_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("mesh_id")
         .agg(F.sum(F.col("value")).cast("bigint").alias("sum_w"))
     )
-    # per-run aggregates above un-estimable MapInPandas parses:
-    # broadcast (q_openradioss_scan's rationale)
     return (
-        pts_agg.join(F.broadcast(cell_agg), "mesh_id")
-        .join(F.broadcast(w_agg), "mesh_id")
+        pts_agg.join(cell_agg, "mesh_id")
+        .join(w_agg, "mesh_id")
         .select(
             "mesh_id", "n_points", "n_cells", "sum_x", "sum_w", "sum_conn",
             "cd",
@@ -6969,19 +6955,12 @@ def q_openradioss_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pair_fp")
         )
     )
-    # every branch is a per-run aggregate (one row per simulation run —
-    # metadata scale by the source's contract), but each sits above a
-    # MapInPandas parse whose size Catalyst cannot estimate, so without
-    # hints the planner chose SortMergeJoin for all five joins (28 SMJs
-    # / 76 Exchanges in the r15 before-plan).  Broadcasting the
-    # aggregate branches turns the whole assembly into hash joins with
-    # no Sort/Exchange pairs.
     return (
-        pts_agg.join(F.broadcast(cell_agg), "mesh_id")
-        .join(F.broadcast(disp_agg), "mesh_id")
-        .join(F.broadcast(traj_agg), "mesh_id")
+        pts_agg.join(cell_agg, "mesh_id")
+        .join(disp_agg, "mesh_id")
+        .join(traj_agg, "mesh_id")
         .join(F.broadcast(t["globals"]), "mesh_id")
-        .join(F.broadcast(pair), "mesh_id")
+        .join(pair, "mesh_id")
         .select(
             "mesh_id", "n_points", "n_cells", "sum_x0", "sum_conn",
             "num_timesteps", "sum_dx", "sum_nt", "sum_last_dx", "pair_fp",
@@ -7371,10 +7350,7 @@ def q_d3plot_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
 
-    # cache=True: nodes/states are each consumed by two branches below —
-    # the parsed-table cache runs the binary parse once per table
-    # (read_vtk's r15 rationale)
-    t = read_d3plot(spark, base, cache=True)
+    t = read_d3plot(spark, base)
     thick_map = parse_k_file(open(kpath).read())
     tdf = spark.createDataFrame(
         [(p, th) for p, th in sorted(thick_map.items())],
@@ -7428,12 +7404,10 @@ def q_d3plot_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pair_fp")
         )
     )
-    # per-mesh aggregates above un-estimable MapInPandas parses:
-    # broadcast (q_openradioss_scan's rationale)
     return (
-        nodes_agg.join(F.broadcast(shell_agg), "mesh_id")
-        .join(F.broadcast(st_agg), "mesh_id")
-        .join(F.broadcast(pair), "mesh_id")
+        nodes_agg.join(shell_agg, "mesh_id")
+        .join(st_agg, "mesh_id")
+        .join(pair, "mesh_id")
         .select(
             "mesh_id", "n_nodes", "sum_x", "sum_y", "n_shells", "sum_conn",
             "sum_part", "thick_sum", "n_state_rows", "sum_sx", "pair_fp",
@@ -7555,10 +7529,8 @@ def q_aselmdb_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.element_at("force", 3)).cast("bigint").alias("sum_fz"),
         )
     )
-    # per-shard aggregates above un-estimable MapInPandas parses:
-    # broadcast (q_openradioss_scan's rationale)
     return (
-        sys_agg.join(F.broadcast(at_agg), "shard")
+        sys_agg.join(at_agg, "shard")
         .select(
             "shard", "n_systems", "sum_natoms", "sum_row", "sum_energy",
             "n_atoms", "sum_z", "sum_px", "sum_fz",

@@ -138,19 +138,10 @@ def parse_d3plot(data: bytes) -> D3Plot:
     return D3Plot(coords, shells, shell_parts, np.asarray(times), node_positions)
 
 
-def read_d3plot(
-    spark: SparkSession,
-    path: str,
-    *,
-    glob: str = "d3plot*",
-    cache: bool = False,
-) -> dict[str, DataFrame]:
+def read_d3plot(spark: SparkSession, path: str, *, glob: str = "d3plot*") -> dict[str, DataFrame]:
     """Read a directory of d3plot runs into nodes/shells/states tables
     (binaryFile task-per-file scan, Arrow-batched parse — the same
-    layout as read_vtk).  mesh_id = file stem.  ``cache=True``
-    persists each returned table PARSED (read_vtk's convention): a
-    consumer deriving several branches from one table pays the binary
-    parse once per table instead of once per consuming subtree.
+    layout as read_vtk).  mesh_id = file stem.
 
     Family continuation files (``d3plot01``, ``d3plot02``, ...) are
     headerless state blocks — feeding them to the control-block parser
@@ -211,15 +202,11 @@ def read_d3plot(
                 columns=["mesh_id", "state_id", "time", "node_id", "x", "y", "z"],
             )
 
-    tables = {
+    return {
         "nodes": raw.mapInPandas(parse_nodes, NODES_SCHEMA),
         "shells": raw.mapInPandas(parse_shells, SHELLS_SCHEMA),
         "states": raw.mapInPandas(parse_states, STATES_SCHEMA),
     }
-    if cache:
-        # persist() is lazy: a table nobody materializes is never parsed
-        tables = {k: v.persist() for k, v in tables.items()}
-    return tables
 
 
 def parse_k_file(text: str) -> dict[int, float]:

@@ -224,15 +224,9 @@ def read_vtk(
     layout nests same-named files (e.g. per-block ``piece.vtu`` dirs).
 
     Each returned table re-scans and re-parses the files when
-    materialized; ``cache=True`` persists each returned table PARSED
-    (MEMORY_AND_DISK, spills gracefully), so a consumer that derives
-    several branches from one table — read_openradioss builds six —
-    pays the Python parse once per *table* instead of once per
-    *consuming subtree*.  (Earlier rounds cached the raw bytes
-    instead; the r15 plan audit showed 16 MapInPandas re-parses in
-    the openradioss gate because every branch re-ran the parse over
-    the cached bytes.)  Only tables a consumer materializes are ever
-    parsed; the cache lives until the session releases it.
+    materialized; ``cache=True`` persists the raw bytes once for
+    consumers that materialize several tables (memory ~ input bytes;
+    the cache lives until the session releases it).
     """
     if mesh_id_from not in ("stem", "path"):
         raise ValueError("mesh_id_from must be 'stem' or 'path'")
@@ -248,6 +242,8 @@ def read_vtk(
         # (read_vtm) is taken as-is
         reader = reader.option("pathGlobFilter", glob)
     raw = reader.load(path).select("path", "content")
+    if cache:
+        raw = raw.persist()
 
     def keep_for(file_path: str):
         """Resolve the effective rule for one file: longest glob wins."""
@@ -324,7 +320,7 @@ def read_vtk(
 
         return parse
 
-    tables = {
+    return {
         "points": raw.mapInPandas(parse_points, POINTS_SCHEMA),
         "cells": raw.mapInPandas(parse_cells, CELLS_SCHEMA),
         "point_data": raw.mapInPandas(
@@ -334,10 +330,6 @@ def read_vtk(
             _long_data("cell_data", "cell_id"), CELL_DATA_SCHEMA
         ),
     }
-    if cache:
-        # persist() is lazy: a table nobody materializes is never parsed
-        tables = {k: v.persist() for k, v in tables.items()}
-    return tables
 
 
 GRID_SCHEMA = "grid_id string, iz int, iy int, ix int, field string, value double"

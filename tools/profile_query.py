@@ -20,6 +20,8 @@ import re
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from physicsnemo_curator_spark.plans.queries import QUERIES
 from physicsnemo_curator_spark.session import get_spark
 

@@ -73,8 +73,17 @@ def connected_components(
     if checkpoint:
         und = und.localCheckpoint(eager=False)
 
-    labels = und.select("n").distinct().select(
-        F.col("n").alias("node"), F.col("n").alias("comp")
+    # hop-0 initialization: label(n) = min(n, min neighbor) — the same
+    # shuffle the old identity init paid for its distinct(), but the
+    # result already incorporates the first hop, so typical near-dup
+    # graphs (tiny components) converge one full round earlier
+    labels = (
+        und.groupBy("n")
+        .agg(F.min("m").alias("_mn"))
+        .select(
+            F.col("n").alias("node"),
+            F.least(F.col("n"), F.col("_mn")).alias("comp"),
+        )
     )
 
     def _probe(lab: DataFrame) -> tuple:
@@ -121,7 +130,11 @@ def connected_components(
             .select("node", F.least("comp", "pc").alias("comp"))
         )
         if checkpoint:
-            labels = labels.localCheckpoint(eager=True)
+            # eager=False + the probe right below: the probe's action
+            # materializes the checkpoint AND computes the convergence
+            # pair in ONE job (eager=True spent a separate job per
+            # round just filling the checkpoint)
+            labels = labels.localCheckpoint(eager=False)
         cur = _probe(labels)
         if cur == prev:
             return labels

@@ -101,32 +101,80 @@ def _apply_merge(tokenized: DataFrame, a: str, b: str) -> DataFrame:
     return tokenized.mapInPandas(batches, schema)
 
 
+def _round_rows(
+    tokens_df: DataFrame, counter, nt_expr, *, with_argmax: bool
+) -> tuple[tuple | None, int]:
+    """ONE driver action per training round: the next merge's argmax
+    row and the current frame's token total come from a single marked
+    union collect (``_k`` 0 = argmax, 1 = total) — two separate
+    actions doubled every round's fixed job latency for aggregations
+    over the SAME cached frame.  Returns ``((a, b, count) | None,
+    n_tokens)``."""
+    nt = tokens_df.agg(nt_expr.cast("long").alias("n")).select(
+        F.lit(1).alias("_k"),
+        F.lit(None).cast("string").alias("a"),
+        F.lit(None).cast("string").alias("b"),
+        "n",
+    )
+    if with_argmax:
+        top = (
+            counter(tokens_df)
+            .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .select(
+                F.lit(0).alias("_k"), "a", "b", F.col("n").cast("long")
+            )
+        )
+        rows = top.unionByName(nt).collect()
+    else:
+        rows = nt.collect()
+    best = None
+    n_tokens = 0
+    for r in rows:
+        if r["_k"] == 0:
+            best = (r["a"], r["b"], int(r["n"]))
+        else:
+            n_tokens = int(r["n"])
+    return best, n_tokens
+
+
 def train_bpe(
     docs: DataFrame, *, text_col: str = "text", n_merges: int = 10
 ) -> list[dict]:
     """Learn ``n_merges`` BPE merges over the corpus.  Returns the
     merge table: one dict per round with ``rank / a / b / count /
     n_tokens`` (corpus token total AFTER applying the merge).
-    Deterministic: ties break on (count desc, a asc, b asc)."""
+    Deterministic: ties break on (count desc, a asc, b asc).
+
+    Driver actions are n_merges+1, not 2·n_merges: round r's token
+    total and round r+1's argmax are read in one union collect
+    (:func:`_round_rows`) — both scan the same cached frame, and in
+    local/interactive runs the per-action fixed latency was half the
+    training wall."""
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1")
     tokenized = _chars_df(docs, text_col).persist()
+    nt_expr = F.sum(F.size("tokens"))
     merges: list[dict] = []
     try:
+        top = (
+            pair_counts(tokenized)
+            .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
         for rank in range(n_merges):
-            top = (
-                pair_counts(tokenized)
-                .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
-                .limit(1)
-                .collect()
-            )
             if not top:
                 break  # every doc is a single token already
             a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
             nxt = _apply_merge(tokenized, a, b).persist()
-            n_tokens = int(
-                nxt.agg(F.sum(F.size("tokens"))).collect()[0][0]
+            best, n_tokens = _round_rows(
+                nxt,
+                pair_counts,
+                nt_expr,
+                with_argmax=rank + 1 < n_merges,
             )
+            top = [{"a": best[0], "b": best[1], "n": best[2]}] if best else []
             tokenized.unpersist()
             tokenized = nxt
             merges.append(
@@ -219,24 +267,27 @@ def train_bpe_hist(
             docs, text_col=text_col, pattern=pattern
         )
     words = _word_tokens(word_freq).select("tokens", "count").persist()
+    nt_expr = F.sum(F.size("tokens") * F.col("count"))
     merges: list[dict] = []
     try:
+        top = (
+            pair_counts_weighted(words)
+            .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
         for rank in range(n_merges):
-            top = (
-                pair_counts_weighted(words)
-                .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
-                .limit(1)
-                .collect()
-            )
             if not top:
                 break  # every word is a single token already
             a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
             nxt = _apply_merge(words, a, b).persist()
-            n_tokens = int(
-                nxt.agg(
-                    F.sum(F.size("tokens") * F.col("count"))
-                ).collect()[0][0]
+            best, n_tokens = _round_rows(
+                nxt,
+                pair_counts_weighted,
+                nt_expr,
+                with_argmax=rank + 1 < n_merges,
             )
+            top = [{"a": best[0], "b": best[1], "n": best[2]}] if best else []
             words.unpersist()
             words = nxt
             merges.append(

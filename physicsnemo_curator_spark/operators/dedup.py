@@ -702,19 +702,26 @@ def sig_agreement(
     sum expression — no shingle data touched.  ``broadcast_pairs``
     turns both joins into broadcast probes of the big signature tables
     (right when pairs come from one ingest batch)."""
-    la = left_sigs.select(
-        F.col("doc_id").alias("a"), *[F.col(f"h{i}").alias(f"la{i}") for i in range(num_hashes)]
+    # string-built projections/sum: the Column-operator form costs
+    # ~3 py4j round-trips per hash column (~300 for K=32, both sides) —
+    # the sq8_train/dot_unrolled lesson; selectExpr/expr parse JVM-side
+    la = left_sigs.selectExpr(
+        "doc_id as a", *[f"h{i} as la{i}" for i in range(num_hashes)]
     )
-    rb = right_sigs.select(
-        F.col("doc_id").alias("b"), *[F.col(f"h{i}").alias(f"rb{i}") for i in range(num_hashes)]
+    rb = right_sigs.selectExpr(
+        "doc_id as b", *[f"h{i} as rb{i}" for i in range(num_hashes)]
     )
     p = F.broadcast(pairs) if broadcast_pairs else pairs
     matched = p.join(la, "a").join(rb, "b")
-    agree = sum(
-        (F.col(f"la{i}") == F.col(f"rb{i}")).cast("int") for i in range(num_hashes)
+    agree = " + ".join(
+        f"CAST(la{i} = rb{i} AS INT)" for i in range(num_hashes)
     )
     return matched.select(
-        "a", "b", (agree / F.lit(float(num_hashes))).alias("jaccard_est")
+        "a",
+        "b",
+        (F.expr(f"({agree})") / F.lit(float(num_hashes))).alias(
+            "jaccard_est"
+        ),
     )
 
 

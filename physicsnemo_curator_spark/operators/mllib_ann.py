@@ -159,20 +159,31 @@ def pq_train(
     vec_col: str = "embedding",
     perm: list[int] | None = None,
     rot: list[list[float]] | None = None,
+    sample_vectors: list[list[float]] | None = None,
 ) -> list[list[list[float]]]:
     """Product-quantization codebooks, shape ``(m, ks, dim//m)``: the
     dimension splits into ``m`` subspaces and each subspace gets the
     corresponding SUBVECTORS of the ``ks`` md5-ordered sample rows —
     the same deterministic sample-init as :func:`md5_sample_centroids`
     (no Lloyd refinement), so encoding and ADC scoring replay exactly
-    in the DuckDB oracle.  Driver-side state is ks full vectors."""
+    in the DuckDB oracle.  Driver-side state is ks full vectors.
+
+    ``sample_vectors`` skips the sampling job when the caller already
+    holds the md5-ordered sample (``md5_sample_centroids(corpus,
+    k>=ks)`` — the first ks rows are used): IVF-PQ callers draw the
+    coarse centroids from the same ordering, so one collect serves
+    both trainers."""
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     dsub = dim // m
     _check_one_transform(perm, rot)
     _validate_perm(perm, dim)
     _validate_rot(rot, dim)
-    base = md5_sample_centroids(corpus, k=ks, id_col=id_col, vec_col=vec_col)
+    base = (
+        sample_vectors[:ks]
+        if sample_vectors is not None
+        else md5_sample_centroids(corpus, k=ks, id_col=id_col, vec_col=vec_col)
+    )
     if len(base) < ks:
         raise ValueError(f"corpus has only {len(base)} rows; need ks={ks}")
     if perm is not None:

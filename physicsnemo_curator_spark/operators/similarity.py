@@ -459,14 +459,20 @@ def sq8_train(
     """Per-dimension (min, max) "codebook" for 8-bit scalar
     quantization — ONE aggregate job emitting 2·dim scalars to the
     driver (the only driver-side state; dim is 64-1536 in practice,
-    never rows)."""
+    never rows).
+
+    The 2·dim aggregate expressions are built as SQL strings, not
+    Column operators: each ``F.min(col[i].cast(...))`` chain costs ~5
+    py4j round-trips, and the 128-column construction alone measured
+    ~2 s per call at dim=64 (the dot_unrolled lesson); ``selectExpr``
+    parses the same expressions JVM-side in milliseconds."""
     if dim is None:
         dim = _vec_dim(corpus, vec_col)
-    aggs = []
+    exprs = []
     for i in range(dim):
-        aggs.append(F.min(F.col(vec_col)[i].cast("double")).alias(f"mn{i}"))
-        aggs.append(F.max(F.col(vec_col)[i].cast("double")).alias(f"mx{i}"))
-    row = corpus.agg(*aggs).collect()[0]
+        exprs.append(f"min(cast(`{vec_col}`[{i}] as double)) as mn{i}")
+        exprs.append(f"max(cast(`{vec_col}`[{i}] as double)) as mx{i}")
+    row = corpus.selectExpr(*exprs).collect()[0]
     mins = [float(row[f"mn{i}"]) for i in range(dim)]
     maxs = [float(row[f"mx{i}"]) for i in range(dim)]
     return mins, maxs
@@ -526,6 +532,18 @@ def sq8_reconstruct_expr(
     )
 
 
+def _lit_double_array(vals: list[float]) -> Column:
+    """``array<double>`` literal.  One JVM-side SQL parse (``1.5D``
+    literals; ``repr`` round-trips doubles exactly, verified against
+    the ``F.lit`` path bit-for-bit) instead of dim+1 py4j round-trips —
+    the ``F.array(*[F.lit(v) ...])`` form measured ~110-300 ms per
+    64-element array, ~1 ms as a parsed string.  Non-finite values
+    (no SQL literal form) fall back to the Column path."""
+    if all(math.isfinite(v) for v in vals):
+        return F.expr("array(" + ",".join(f"{float(v)!r}D" for v in vals) + ")")
+    return F.array(*[F.lit(float(v)) for v in vals])
+
+
 def sq8_recon_expr(
     vec: Column | str, mins: list[float], maxs: list[float]
 ) -> Column:
@@ -544,8 +562,8 @@ def sq8_recon_expr(
     where Catalyst's extract-value rewrite makes element access
     O(1))."""
     vec = F.col(vec) if isinstance(vec, str) else vec
-    mn = F.array(*[F.lit(float(m)) for m in mins])
-    mx = F.array(*[F.lit(float(m)) for m in maxs])
+    mn = _lit_double_array(mins)
+    mx = _lit_double_array(maxs)
 
     def recon(v, i):
         lo = F.element_at(mn, i + 1)

@@ -169,14 +169,23 @@ def value_histograms(
         .groupBy(*group_cols, "_bin")
         .agg(F.count("*").alias("_c"))
     )
-    entries = F.map_from_entries(
-        F.collect_list(F.struct(F.col("_bin"), F.col("_c")))
+    # the map is built ONCE per group in the aggregate; the densifying
+    # transform and the edge lookups live in a projection that only
+    # looks up (the cms_sketches lesson: a map construction referenced
+    # inside the transform lambda is rebuilt per element by the
+    # interpreted HOF; bit-identical output)
+    grouped = per_bin.groupBy(*group_cols).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("_bin"), F.col("_c")))
+        ).alias("_m")
     )
+    entries = F.col("_m")
     counts = F.transform(
         F.sequence(F.lit(0), F.lit(n_bins - 1)),
         lambda i: F.coalesce(entries[i], F.lit(0)).cast("long"),
     )
-    return per_bin.groupBy(*group_cols).agg(
+    return grouped.select(
+        *group_cols,
         counts.alias(hist_col),
         F.coalesce(entries[F.lit(-1)], F.lit(0)).cast("long").alias("below"),
         F.coalesce(entries[F.lit(n_bins)], F.lit(0)).cast("long").alias("above"),
@@ -560,17 +569,24 @@ def cms_sketches(
         .groupBy(*group_cols, "_idx")
         .agg(F.count(F.lit(1)).alias("_c"))
     )
+    # two steps: the map is BUILT once per group inside the aggregate,
+    # and the densifying transform lives in a downstream projection
+    # that only LOOKS UP — with the map construction inside the
+    # transform lambda, the interpreted HOF rebuilt the whole map per
+    # element (measured 1.92 s vs 1.51 s warm on the cms gate at
+    # sf0.1; bit-identical output)
+    grouped = per_idx.groupBy(*group_cols).agg(
+        F.map_from_entries(F.collect_list(F.struct("_idx", "_c"))).alias(
+            "_m"
+        )
+    )
     dense = F.transform(
         F.sequence(F.lit(0), F.lit(n_counters - 1)),
-        lambda i: F.coalesce(
-            F.element_at(
-                F.map_from_entries(F.collect_list(F.struct("_idx", "_c"))),
-                i,
-            ),
-            F.lit(0),
-        ).cast("long"),
+        lambda i: F.coalesce(F.element_at(F.col("_m"), i), F.lit(0)).cast(
+            "long"
+        ),
     )
-    return per_idx.groupBy(*group_cols).agg(dense.alias(cms_col))
+    return grouped.select(*group_cols, dense.alias(cms_col))
 
 
 def merge_cms_tables(

@@ -4088,9 +4088,16 @@ def q_ann_ivfpq_topk(
     qs = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    centers = mllib_ann.md5_sample_centroids(emb, k=8)
+    # ONE md5-ordered sample collect serves both trainers: the coarse
+    # centroids are its first 8 rows (identical to k=8 — deterministic
+    # prefix) and the PQ codebooks its first 16
+    s16 = mllib_ann.md5_sample_centroids(emb, k=16)
+    centers = s16[:8]
     out = mllib_ann.ivfpq_topk(
-        emb, qs, centers, k=5, n_probe=3, m=8, ks=16, rescore=rescore
+        emb, qs, centers, k=5, n_probe=3, m=8, ks=16, rescore=rescore,
+        codebooks=mllib_ann.pq_train(
+            emb, m=8, ks=16, dim=64, sample_vectors=s16
+        ),
     )
     return out.select(
         "query_id", "vec_id", _r6(F.col("cosine"), "cosine"), "rank"
@@ -4146,8 +4153,9 @@ def _ivfpq_gate_store(spark: SparkSession, sf_dir: str):
             F.slice("embedding", 2, 63), F.slice("embedding", 1, 1)
         ).alias("embedding"),
     )
-    centers = mllib_ann.md5_sample_centroids(corpus, k=8)
-    cbs = mllib_ann.pq_train(corpus, m=8, ks=16, dim=64)
+    s16 = mllib_ann.md5_sample_centroids(corpus, k=16)
+    centers = s16[:8]
+    cbs = mllib_ann.pq_train(corpus, m=8, ks=16, dim=64, sample_vectors=s16)
     ident = _src_ident(os.path.join(sf_dir, "embeddings.parquet"))
     token = hashlib.md5(
         f"{sf_dir}:{ident}:ivfpq2".encode()

@@ -377,35 +377,37 @@ def with_video_fingerprints(
         ),
         "bits",
     )
+    # string-built wide expressions: the Column-operator form costs
+    # ~5 py4j round-trips per bit position (~190 expressions for the
+    # 64-bit vote), which measured 4-6 s of pure PLAN BUILD per call —
+    # the sq8_train/dot_unrolled lesson; expr() parses JVM-side in
+    # milliseconds.  Expressions are verbatim translations (same
+    # operators, same null semantics), so signatures are bit-identical.
     counts = [
-        F.sum(F.substring("bits", k + 1, 1).cast("int")).alias(f"_b{k}")
+        F.expr(
+            f"sum(cast(substring(bits, {k + 1}, 1) as int)) as _b{k}"
+        )
         for k in range(64)
     ]
     firsts = [
-        F.max(
-            F.when(
-                F.col("frame_index") == 0, F.substring("bits", k + 1, 1)
-            )
-        ).alias(f"_f{k}")
+        F.expr(
+            f"max(case when frame_index = 0 then "
+            f"substring(bits, {k + 1}, 1) end) as _f{k}"
+        )
         for k in range(64)
     ]
     maj = hashes.groupBy("media_id").agg(
-        F.count(F.lit(1)).alias("n_frames_hashed"), *counts, *firsts
+        F.expr("count(1) as n_frames_hashed"), *counts, *firsts
     )
-    bits_col = F.concat(
-        *[
-            F.when(
-                F.col(f"_b{k}") * 2 > F.col("n_frames_hashed"), F.lit("1")
-            )
-            .when(
-                F.col(f"_b{k}") * 2 == F.col("n_frames_hashed"),
-                F.coalesce(F.col(f"_f{k}"), F.lit("0")),
-            )
-            .otherwise(F.lit("0"))
-            for k in range(64)
-        ]
+    vote = ", ".join(
+        f"case when _b{k} * 2 > n_frames_hashed then '1' "
+        f"when _b{k} * 2 = n_frames_hashed then coalesce(_f{k}, '0') "
+        f"else '0' end"
+        for k in range(64)
     )
-    with_bits = maj.select("media_id", "n_frames_hashed", bits_col.alias("bits"))
+    with_bits = maj.selectExpr(
+        "media_id", "n_frames_hashed", f"concat({vote}) as bits"
+    )
     hi = F.conv(F.substring("bits", 1, 32), 2, 10).cast("long")
     lo = F.conv(F.substring("bits", 33, 32), 2, 10).cast("long")
     return with_bits.select(

@@ -2767,12 +2767,6 @@ def q_warc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from physicsnemo_curator_spark.sources.warc import read_wet, write_wet
 
-    docs = (
-        _t(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 200)
-        .select("doc_id", "text")
-        .collect()
-    )
     # Key the temp-shard cache on the source parquet's identity (the
     # q_st3_stream_welford discipline): a regenerated documents table
     # must never be served stale shards from an earlier process — PIDs
@@ -2784,24 +2778,27 @@ def q_warc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     token = hashlib.md5(f"warc:{sf_dir}:{ident}".encode()).hexdigest()[:12]
     base = os.path.join(tempfile.gettempdir(), f"pcs_wet_{token}")
     os.makedirs(base, exist_ok=True)
-    paths = []
-    for shard in range(4):
-        p = os.path.join(base, f"shard{shard}.warc.wet.gz")
-        recs = [
-            {
-                "uri": f"https://s{r['doc_id'] % 5}.example/{r['doc_id']}",
-                "text": r["text"],
-            }
-            for r in docs
-            if r["doc_id"] % 4 == shard
-        ]
-        if not os.path.exists(p):
-            # Atomic publish: write to a pid-unique temp name, then
-            # rename — a concurrent writer can never expose a torn file.
-            tmp = f"{p}.{os.getpid()}.tmp"
-            write_wet(tmp, recs)
-            os.replace(tmp, p)
-        paths.append(p)
+    paths = [
+        os.path.join(base, f"shard{shard}.warc.wet.gz")
+        for shard in range(4)
+    ]
+    if not _fixtures_ready(*paths):
+        docs = (
+            _t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 200)
+            .select("doc_id", "text")
+            .collect()
+        )
+        for shard, p in enumerate(paths):
+            recs = [
+                {
+                    "uri": f"https://s{r['doc_id'] % 5}.example/{r['doc_id']}",
+                    "text": r["text"],
+                }
+                for r in docs
+                if r["doc_id"] % 4 == shard
+            ]
+            _publish(p, lambda t, recs=recs: write_wet(t, recs))
     scanned = read_wet(spark, paths, lang_id=False)
     return (
         scanned.groupBy("source")
@@ -5320,6 +5317,40 @@ def _publish(path: str, write_fn) -> None:
     os.replace(tmp, path)
 
 
+def _publish_tree(path: str, write_fn) -> None:
+    """Directory-fixture twin of :func:`_publish`: build the tree under
+    a pid-unique temp name, rename into place, then drop a sibling
+    ``.published`` marker.  The marker (not bare existence) gates the
+    skip so a pre-discipline in-place store is rebuilt once; a
+    concurrent writer losing the rename race discards its temp tree
+    and uses the winner's."""
+    import shutil
+
+    marker = path + ".published"
+    if os.path.exists(marker):
+        return
+    tmp = f"{path}.{os.getpid()}.tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    write_fn(tmp)
+    shutil.rmtree(path, ignore_errors=True)
+    try:
+        os.replace(tmp, path)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.isdir(path):
+            raise
+    open(marker, "w").close()
+
+
+def _fixtures_ready(*paths: str) -> bool:
+    """True when every fixture target already exists — the scan gates
+    use this to skip the fixture-builder's driver collect + build loop
+    on warm runs (one saved Spark job + driver round-trip per gate;
+    guide §5: the driver does no data work).  The cold path keeps
+    :func:`_publish` as the per-file atomic/racing guard."""
+    return all(os.path.exists(p) for p in paths)
+
+
 def q_vtk_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VTK mesh-family source gate (sources/vtk.py + vtk_xml.py, the
     engine's flagship reference-parity surface — reference
@@ -5339,19 +5370,25 @@ def q_vtk_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from physicsnemo_curator_spark.sources.vtk import read_vtk
     from physicsnemo_curator_spark.sources.vtk_xml import write_vtp, write_vtu
 
-    docs = sorted(
-        (
-            (r["doc_id"], r["n_chars"])
-            for r in _t(spark, sf_dir, "documents")
-            .filter(F.col("doc_id") < 150)
-            .select("doc_id", "n_chars")
-            .collect()
-        )
-    )
     base = _fixture_dir(sf_dir, "vtk")
     fmts = ["ascii", "binary", "appended", "appended-raw"]
-    paths = []
-    for m in range(5):
+    paths = [
+        os.path.join(base, f"mesh{m}.vtu" if m < 4 else f"mesh{m}.vtp")
+        for m in range(5)
+    ]
+    if _fixtures_ready(*paths):
+        docs = []  # warm path: every mesh file is already published
+    else:
+        docs = sorted(
+            (
+                (r["doc_id"], r["n_chars"])
+                for r in _t(spark, sf_dir, "documents")
+                .filter(F.col("doc_id") < 150)
+                .select("doc_id", "n_chars")
+                .collect()
+            )
+        )
+    for m in range(5) if docs else ():
         mine = [(d, w) for d, w in docs if d % 5 == m]
         if len(mine) < 3:
             # a mesh with <3 points writes zero fan cells, the inner
@@ -5369,22 +5406,19 @@ def q_vtk_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         pts, cells, pdata = _fan_mesh(mine)
         cdata = {"area": [float(2 * c + m) for c in range(len(cells))]}
         if m < 4:
-            p = os.path.join(base, f"mesh{m}.vtu")
             _publish(
-                p,
+                paths[m],
                 lambda t, pts=pts, cells=cells, pdata=pdata, cdata=cdata,
                 fmt=fmts[m]: write_vtu(
                     pts, cells, None, pdata, t, cell_data=cdata, fmt=fmt
                 ),
             )
         else:
-            p = os.path.join(base, f"mesh{m}.vtp")
             _publish(
-                p,
+                paths[m],
                 lambda t, pts=pts, cells=cells, pdata=pdata, cdata=cdata:
                 write_vtp(pts, cells, pdata, t, cell_data=cdata, fmt="appended"),
             )
-        paths.append(p)
 
     t = read_vtk(spark, paths)
     pts_agg = t["points"].groupBy("mesh_id").agg(
@@ -5477,27 +5511,35 @@ def q_vti_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from physicsnemo_curator_spark.sources.vtk_xml import write_vti
 
-    chars = {
-        r["doc_id"]: r["n_chars"]
-        for r in _t(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 120)
-        .select("doc_id", "n_chars")
-        .collect()
-    }
-    missing = [d for d in range(120) if d not in chars]
-    if missing:
-        # the q_vtk_scan discipline: a sparse/custom documents table
-        # must fail loudly, not with a bare KeyError from the lattice
-        # fill below
-        raise ValueError(
-            f"q_vti_scan fixture needs contiguous doc_id 0..119 in the "
-            f"documents table; this sf dir is missing {len(missing)} ids "
-            f"(first: {missing[:5]}) — the driver gate requires the "
-            "standard testdata documents table"
-        )
     base = _fixture_dir(sf_dir, "vti")
     fmts = ["ascii", "binary", "appended", "appended-raw"]
-    for g in range(5):
+    grid_paths = [
+        os.path.join(base, f"grid{g}.vti" if g < 4 else f"grid{g}.vtk")
+        for g in range(5)
+    ]
+    if _fixtures_ready(*grid_paths):
+        chars = {}  # warm path: every grid file is already published
+    else:
+        chars = {
+            r["doc_id"]: r["n_chars"]
+            for r in _t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 120)
+            .select("doc_id", "n_chars")
+            .collect()
+        }
+        missing = [d for d in range(120) if d not in chars]
+        if missing:
+            # the q_vtk_scan discipline: a sparse/custom documents
+            # table must fail loudly, not with a bare KeyError from
+            # the lattice fill below
+            raise ValueError(
+                f"q_vti_scan fixture needs contiguous doc_id 0..119 in "
+                f"the documents table; this sf dir is missing "
+                f"{len(missing)} ids (first: {missing[:5]}) — the "
+                "driver gate requires the standard testdata documents "
+                "table"
+            )
+    for g in range(5) if chars else ():
         vals = [float(chars[g * 24 + flat]) for flat in range(24)]
         origin = (g * 1.5, 0.0, 0.0)
         if g < 4:
@@ -6023,18 +6065,27 @@ def q_vtk_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     from physicsnemo_curator_spark.sources.vtk import read_vtk_domain
     from physicsnemo_curator_spark.sources.vtk_xml import write_vtu
 
-    docs = sorted(
-        (
-            (r["doc_id"], r["n_chars"])
-            for r in _t(spark, sf_dir, "documents")
-            .filter(F.col("doc_id") < 60)
-            .select("doc_id", "n_chars")
-            .collect()
-        )
-    )
     base = _fixture_dir(sf_dir, "vtkdom")
     fmts = ["ascii", "binary", "appended", "appended-raw", "appended"]
-    for c in range(5):
+    expected = [
+        os.path.join(base, f"case{c}", f"{part}_m.vtu")
+        for c in range(5)
+        for part in ("volume", "boundary")
+        if not (c == 4 and part == "boundary")
+    ]
+    if _fixtures_ready(*expected):
+        docs = []  # warm path: every case file is already published
+    else:
+        docs = sorted(
+            (
+                (r["doc_id"], r["n_chars"])
+                for r in _t(spark, sf_dir, "documents")
+                .filter(F.col("doc_id") < 60)
+                .select("doc_id", "n_chars")
+                .collect()
+            )
+        )
+    for c in range(5) if docs else ():
         case_dir = os.path.join(base, f"case{c}")
         os.makedirs(case_dir, exist_ok=True)
         for part, lo, hi in (("volume", 0, 8), ("boundary", 8, 12)):
@@ -6777,17 +6828,32 @@ def q_dataset_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from physicsnemo_curator_spark.sources.vtk_xml import write_vtu
 
-    docs = sorted(
-        (
-            (r["doc_id"], r["n_chars"])
-            for r in _t(spark, sf_dir, "documents")
-            .filter(F.col("doc_id") < 90)
-            .select("doc_id", "n_chars")
-            .collect()
-        )
-    )
     base = _fixture_dir(sf_dir, "dsl")
-    for i in (1, 2, 3):
+    expected = (
+        [os.path.join(base, "run_1", "volume_1.vtu")]
+        + [
+            os.path.join(base, "run_2", f"volume_2.vtu.{k}.part")
+            for k in range(12)
+        ]
+        + [os.path.join(base, "run_3", "volume_3.vtu")]
+        + [
+            os.path.join(base, f"run_{i}", f"force_mom_{i}.csv")
+            for i in (1, 2, 3)
+        ]
+    )
+    if _fixtures_ready(*expected):
+        docs = []  # warm path: every run file is already published
+    else:
+        docs = sorted(
+            (
+                (r["doc_id"], r["n_chars"])
+                for r in _t(spark, sf_dir, "documents")
+                .filter(F.col("doc_id") < 90)
+                .select("doc_id", "n_chars")
+                .collect()
+            )
+        )
+    for i in (1, 2, 3) if docs else ():
         mine = [(d, w) for d, w in docs if d % 3 == i - 1]
         if len(mine) < 3:
             raise ValueError(
@@ -6888,17 +6954,25 @@ def q_openradioss_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from physicsnemo_curator_spark.sources.openradioss import read_openradioss
     from physicsnemo_curator_spark.sources.vtk_xml import write_vtu
 
-    docs = sorted(
-        (
-            (r["doc_id"], r["n_chars"])
-            for r in _t(spark, sf_dir, "documents")
-            .filter(F.col("doc_id") < 100)
-            .select("doc_id", "n_chars")
-            .collect()
-        )
-    )
     base = _fixture_dir(sf_dir, "orad")
-    for run in range(2):
+    expected = [
+        os.path.join(base, f"run{run}", f"ts{t}.vtu")
+        for run in range(2)
+        for t in range(3)
+    ]
+    if _fixtures_ready(*expected):
+        docs = []  # warm path: every timestep file is already published
+    else:
+        docs = sorted(
+            (
+                (r["doc_id"], r["n_chars"])
+                for r in _t(spark, sf_dir, "documents")
+                .filter(F.col("doc_id") < 100)
+                .select("doc_id", "n_chars")
+                .collect()
+            )
+        )
+    for run in range(2) if docs else ():
         mine = [(d, w) for d, w in docs if d % 2 == run]
         if len(mine) < 4:
             raise ValueError(
@@ -7307,17 +7381,23 @@ def q_d3plot_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_d3plot,
     )
 
-    docs = sorted(
-        (
-            (r["doc_id"], r["n_chars"])
-            for r in _t(spark, sf_dir, "documents")
-            .filter(F.col("doc_id") < 120)
-            .select("doc_id", "n_chars")
-            .collect()
-        )
-    )
     base = _fixture_dir(sf_dir, "d3p")
-    for m in range(3):
+    expected = [os.path.join(base, f"d3plot_m{m}") for m in range(3)] + [
+        os.path.join(base, "model.k")
+    ]
+    if _fixtures_ready(*expected):
+        docs = []  # warm path: every fixture file is already published
+    else:
+        docs = sorted(
+            (
+                (r["doc_id"], r["n_chars"])
+                for r in _t(spark, sf_dir, "documents")
+                .filter(F.col("doc_id") < 120)
+                .select("doc_id", "n_chars")
+                .collect()
+            )
+        )
+    for m in range(3) if docs else ():
         mine = [(d, w) for d, w in docs if d % 3 == m]
         if len(mine) < 3:
             raise ValueError(
@@ -7472,17 +7552,23 @@ def q_aselmdb_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_aselmdb,
     )
 
-    docs = sorted(
-        (
-            (r["doc_id"], r["n_chars"])
-            for r in _t(spark, sf_dir, "documents")
-            .filter(F.col("doc_id") < 120)
-            .select("doc_id", "n_chars")
-            .collect()
-        )
-    )
     base = _fixture_dir(sf_dir, "aselmdb")
-    for s in range(3):
+    expected = [
+        os.path.join(base, f"shard{s}.aselmdb") for s in range(3)
+    ]
+    if _fixtures_ready(*expected):
+        docs = []  # warm path: every shard is already published
+    else:
+        docs = sorted(
+            (
+                (r["doc_id"], r["n_chars"])
+                for r in _t(spark, sf_dir, "documents")
+                .filter(F.col("doc_id") < 120)
+                .select("doc_id", "n_chars")
+                .collect()
+            )
+        )
+    for s in range(3) if docs else ():
         mine = [(d, w) for d, w in docs if d % 3 == s]
         if not mine:
             raise ValueError(
@@ -7615,16 +7701,26 @@ def q_grid_federated(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _fixture_dir(sf_dir, "gridfed")
     alpha = os.path.join(base, "alpha")
     beta = os.path.join(base, "beta")
-    write_grid_zarr(
-        lattice.filter(F.col("variable").isin("v0", "v1")), alpha
-    )
-    write_grid_zarr(
-        lattice.filter(F.col("variable") == "v2").unionByName(
-            lattice.filter(F.col("variable") == "v1").withColumn(
-                "value", F.col("value") + 1000.0
-            )
+    # fixture stores publish ONCE per source identity (the _publish
+    # discipline of the other scan gates): the gate under test is the
+    # federated ROUTING read — rewriting both zarr stores on every run
+    # re-benched the sink q_zarr_roundtrip already gates
+    _publish_tree(
+        alpha,
+        lambda t: write_grid_zarr(
+            lattice.filter(F.col("variable").isin("v0", "v1")), t
         ),
+    )
+    _publish_tree(
         beta,
+        lambda t: write_grid_zarr(
+            lattice.filter(F.col("variable") == "v2").unionByName(
+                lattice.filter(F.col("variable") == "v1").withColumn(
+                    "value", F.col("value") + 1000.0
+                )
+            ),
+            t,
+        ),
     )
     import warnings
 
@@ -7820,17 +7916,23 @@ def q_atomic_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_aselmdb,
     )
 
-    docs = sorted(
-        (
-            (r["doc_id"], r["n_chars"])
-            for r in _t(spark, sf_dir, "documents")
-            .filter(F.col("doc_id") < 120)
-            .select("doc_id", "n_chars")
-            .collect()
-        )
-    )
     base = _fixture_dir(sf_dir, "aselmdb")
-    for s in range(3):
+    expected = [
+        os.path.join(base, f"shard{s}.aselmdb") for s in range(3)
+    ]
+    if _fixtures_ready(*expected):
+        docs = []  # warm path: the q_aselmdb_scan shards are published
+    else:
+        docs = sorted(
+            (
+                (r["doc_id"], r["n_chars"])
+                for r in _t(spark, sf_dir, "documents")
+                .filter(F.col("doc_id") < 120)
+                .select("doc_id", "n_chars")
+                .collect()
+            )
+        )
+    for s in range(3) if docs else ():
         mine = [(d, w) for d, w in docs if d % 3 == s]
         if not mine:
             raise ValueError(

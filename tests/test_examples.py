@@ -16,11 +16,16 @@ SF = "/root/testdata/sf0.001"
 
 
 def _run(script: str, *args: str) -> str:
+    # 1200 s: the examples finish in ~1-2 min alone, but these
+    # subprocesses share the box with the suite's own SparkSession (and
+    # whatever else the host runs) — 600 s produced pure-contention
+    # timeouts on otherwise-green runs.  The timeout still catches
+    # hangs; correctness is the rc + stdout asserts.
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "examples", script), SF, *args],
         capture_output=True,
         text=True,
-        timeout=600,
+        timeout=1200,
         cwd=REPO,
     )
     assert out.returncode == 0, out.stderr[-2000:]
@@ -57,7 +62,7 @@ def test_da_gfs_stats_example(tmp_path):
         ],
         capture_output=True,
         text=True,
-        timeout=600,
+        timeout=1200,  # same contention headroom as _run
         cwd=REPO,
     )
     assert out.returncode == 0, out.stderr[-2000:]

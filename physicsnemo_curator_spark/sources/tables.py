@@ -69,10 +69,36 @@ def _ensure_confs(spark: SparkSession) -> None:
         pass
 
 
+def _path_ident(path: str) -> str:
+    """Freshness token for the plan memo: nanosecond mtime + size of
+    the parquet path (file or directory — a directory's mtime moves
+    when files are added/replaced)."""
+    try:
+        st = os.stat(path)
+        return f"{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        return "absent"
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one table; filters/projections on the result push down to parquet."""
+    """Read one table; filters/projections on the result push down to parquet.
+
+    The resolved PLAN is memoized per session, keyed on the parquet
+    path's identity (mtime_ns + size): ``spark.read.parquet`` re-runs
+    driver-side file listing + footer schema inference on every call
+    (~100 ms), and a suite that loads the same static table hundreds of
+    times per session re-paid it each time.  Only the lazy DataFrame
+    (an immutable logical plan) is reused — every action still scans
+    the parquet files; no data or results are cached.  A replaced or
+    regenerated table changes the identity token and rebuilds."""
     _ensure_confs(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    cache: dict = spark.__dict__.setdefault("_pcs_table_plan_cache", {})
+    key = (path, _path_ident(path))
+    df = cache.get(key)
+    if df is not None:
+        return df
+    df = spark.read.parquet(path)
     dtypes = dict(df.dtypes)
     for col in _NANO_TS_COLS.get(name, ()):
         if dtypes.get(col) == "bigint":
@@ -88,6 +114,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for col, dtype in dtypes.items():
         if dtype == "timestamp_ntz":
             df = df.withColumn(col, F.col(col).cast("timestamp"))
+    # drop superseded identities of the same path so a regenerating
+    # test directory cannot grow the memo unboundedly
+    for k in [k for k in cache if k[0] == path and k != key]:
+        del cache[k]
+    cache[key] = df
     return df
 
 

@@ -1,0 +1,55 @@
+"""Catalog plan-memo tests (sources/tables.py load_table).
+
+The r15 optimization memoizes the resolved lazy plan per session keyed
+on the parquet path's identity (mtime_ns + size): schema inference +
+file listing ran on EVERY call (~100 ms driver-side) for tables that
+never change within a session.  These tests pin the contract: hits
+return the same plan object, a regenerated file misses, and the memo
+never caches data (a rewritten table's new rows are visible after the
+identity changes).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from physicsnemo_curator_spark.sources.tables import load_table
+
+
+def _write(path: str, ids: list[int]) -> None:
+    pq.write_table(pa.table({"r_regionkey": pa.array(ids, pa.int64())}), path)
+
+
+def test_load_table_memo_hit_and_identity_miss(spark, tmp_path):
+    p = os.path.join(str(tmp_path), "region.parquet")
+    _write(p, [1, 2, 3])
+    df1 = load_table(spark, str(tmp_path), "region")
+    df2 = load_table(spark, str(tmp_path), "region")
+    assert df1 is df2, "same path+identity must serve the memoized plan"
+    assert df1.count() == 3
+
+    # regenerate with different content: identity changes -> fresh plan,
+    # and the NEW rows are what the plan reads (no data caching)
+    _write(p, [1, 2, 3, 4, 5])
+    os.utime(p, (1_000_000_000, 1_000_000_000))
+    df3 = load_table(spark, str(tmp_path), "region")
+    assert df3 is not df1
+    assert df3.count() == 5
+
+    # the superseded identity entry for the same path was evicted
+    cache = spark.__dict__["_pcs_table_plan_cache"]
+    assert sum(1 for k in cache if k[0] == p) == 1
+
+
+def test_load_table_memo_is_per_path(spark, tmp_path):
+    a = tmp_path / "a"
+    b = tmp_path / "b"
+    a.mkdir()
+    b.mkdir()
+    _write(os.path.join(str(a), "region.parquet"), [1])
+    _write(os.path.join(str(b), "region.parquet"), [1, 2])
+    assert load_table(spark, str(a), "region").count() == 1
+    assert load_table(spark, str(b), "region").count() == 2

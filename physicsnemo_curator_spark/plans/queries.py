@@ -1860,14 +1860,43 @@ def _cached_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _SHINGLE_CACHE[key]
 
 
+# Session-scoped materialization of the near-dup PAIR stream — the
+# _SHINGLE_CACHE convention one level up: five queries (components,
+# representative, split_leakage_free, split_store path, minhash gate)
+# consume the IDENTICAL (a, b, jaccard) frame and each re-paid the
+# signatures → bands → verify-join pipeline (~1.7-2.1 s warm at sf0.1
+# vs ~0.2 s from the persisted frame).  Keyed on hash_fn because the
+# oracle (md5/arith) and production (xxhash64) twins produce the same
+# VALUES through different streams; persist() only — every result is
+# still computed from the parquet inputs, and SPARK_GRAFT_CLEARCACHE
+# drops it between queries like every other shared cache.
+_PAIR_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
+def _cached_near_dup_pairs(
+    spark: SparkSession, sf_dir: str, hash_fn: str
+) -> DataFrame:
+    key = (id(spark.sparkContext), sf_dir, hash_fn)
+    if key not in _PAIR_CACHE:
+        sh = _cached_shingles(spark, sf_dir)
+        if hash_fn == "jaccard":
+            pairs = dedup.jaccard_pairs(sh).filter(F.col("jaccard") >= 0.8)
+        else:
+            docs = _t(spark, sf_dir, "documents")
+            pairs = dedup.minhash_near_duplicates(
+                docs, threshold=0.8, shingles=sh, hash_fn=hash_fn
+            )
+        _PAIR_CACHE[key] = pairs.persist()
+    return _PAIR_CACHE[key]
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-trigram Jaccard near-dup pairs ≥ 0.8 (north star).
     This is also the verify stage of the MinHash-LSH pipeline, so the
     LSH path's output is a subset of this oracle-checked set."""
-    sh = _cached_shingles(spark, sf_dir)
-    pairs = dedup.jaccard_pairs(sh)
+    pairs = _cached_near_dup_pairs(spark, sf_dir, "jaccard")
     return (
-        pairs.filter(F.col("jaccard") >= 0.8)
+        pairs
         .select("a", "b", _r6(F.col("jaccard"), "jaccard"))
         .orderBy("a", "b")
     )
@@ -1903,17 +1932,9 @@ def q_dedup_components(
     graph stage.  Output: one row per doc in some pair, its canonical
     group representative (min doc_id reachable), the group size, and
     the keep flag a curation pipeline filters on."""
-    if hash_fn == "md5":
-        sh = _cached_shingles(spark, sf_dir)
-        pairs = dedup.jaccard_pairs(sh).filter(F.col("jaccard") >= 0.8)
-    else:
-        docs = _t(spark, sf_dir, "documents")
-        pairs = dedup.minhash_near_duplicates(
-            docs,
-            threshold=0.8,
-            shingles=_cached_shingles(spark, sf_dir),
-            hash_fn=hash_fn,
-        )
+    pairs = _cached_near_dup_pairs(
+        spark, sf_dir, "jaccard" if hash_fn == "md5" else hash_fn
+    )
     g = components.dedup_groups(pairs.select("a", "b"))
     return g.select(
         "doc_id",
@@ -2013,16 +2034,9 @@ def q_dedup_representative(
     identical group + argmax stages (the q_dedup_components
     convention)."""
     docs = _t(spark, sf_dir, "documents")
-    if hash_fn == "md5":
-        sh = _cached_shingles(spark, sf_dir)
-        pairs = dedup.jaccard_pairs(sh).filter(F.col("jaccard") >= 0.8)
-    else:
-        pairs = dedup.minhash_near_duplicates(
-            docs,
-            threshold=0.8,
-            shingles=_cached_shingles(spark, sf_dir),
-            hash_fn=hash_fn,
-        )
+    pairs = _cached_near_dup_pairs(
+        spark, sf_dir, "jaccard" if hash_fn == "md5" else hash_fn
+    )
     scores = docs.select(
         "doc_id", textops.quality_score(F.col("text")).alias("score")
     )
@@ -2073,16 +2087,9 @@ def q_split_leakage_free(
     xxhash64 production path — MinHash-LSH pairs AND xxhash64 split
     buckets (the q_dedup_components convention)."""
     docs = _t(spark, sf_dir, "documents")
-    if hash_fn == "arith":
-        sh = _cached_shingles(spark, sf_dir)
-        pairs = dedup.jaccard_pairs(sh).filter(F.col("jaccard") >= 0.8)
-    else:
-        pairs = dedup.minhash_near_duplicates(
-            docs,
-            threshold=0.8,
-            shingles=_cached_shingles(spark, sf_dir),
-            hash_fn=hash_fn,
-        )
+    pairs = _cached_near_dup_pairs(
+        spark, sf_dir, "jaccard" if hash_fn == "arith" else hash_fn
+    )
     groups = components.dedup_groups(pairs.select("a", "b"))
     out = sampling.leakage_free_splits(
         docs,
@@ -2153,16 +2160,9 @@ def _split_gate_store(spark: SparkSession, sf_dir: str, hash_fn: str) -> str:
     marker = os.path.join(store, "_PCS_STORE_DONE")
     if os.path.exists(marker):
         return store
-    if hash_fn == "arith":
-        sh = _cached_shingles(spark, sf_dir)
-        pairs = dedup.jaccard_pairs(sh).filter(F.col("jaccard") >= 0.8)
-    else:
-        pairs = dedup.minhash_near_duplicates(
-            docs,
-            threshold=0.8,
-            shingles=_cached_shingles(spark, sf_dir),
-            hash_fn=hash_fn,
-        )
+    pairs = _cached_near_dup_pairs(
+        spark, sf_dir, "jaccard" if hash_fn == "arith" else hash_fn
+    )
     # reused by both epochs — materialize the pair stream once
     pairs = pairs.select("a", "b").localCheckpoint()
     w = {"train": 0.8, "val": 0.1, "test": 0.1}
@@ -5042,10 +5042,7 @@ def q_minhash_near_dup(
     oracle replays the *whole* pipeline — not just the verify stage;
     hash_fn='xxhash64' is the benched production twin (integer min-aggs
     instead of lexicographic hex-string mins)."""
-    docs = _t(spark, sf_dir, "documents")
-    out = dedup.minhash_near_duplicates(
-        docs, threshold=0.8, shingles=_cached_shingles(spark, sf_dir), hash_fn=hash_fn
-    )
+    out = _cached_near_dup_pairs(spark, sf_dir, hash_fn)
     return out.select("a", "b", _r6(F.col("jaccard"), "jaccard")).orderBy("a", "b")
 
 
@@ -5628,19 +5625,22 @@ def q_stream_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_streaming_bloom_dedup,
     )
 
-    ids = sorted(
-        r["doc_id"]
-        for r in _t(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 480)
-        .select("doc_id")
-        .collect()
-    )
     base = _fixture_dir(sf_dir, "sbloom")
     src = os.path.join(base, "src")
     os.makedirs(src, exist_ok=True)
-    for b in range(3):
+    batch_paths = [os.path.join(src, f"b{b}.parquet") for b in range(3)]
+    if _fixtures_ready(*batch_paths):
+        ids = []  # warm path: every batch file is already published
+    else:
+        ids = sorted(
+            r["doc_id"]
+            for r in _t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 480)
+            .select("doc_id")
+            .collect()
+        )
+    for b, p in enumerate(batch_paths) if ids else ():
         mine = [d for d in ids if d // 160 == b]
-        p = os.path.join(src, f"b{b}.parquet")
 
         def _write(t, mine=mine):
             pq.write_table(

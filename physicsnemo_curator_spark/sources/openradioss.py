@@ -209,8 +209,17 @@ def read_openradioss(
         .select("mesh_id", "cell_id", "vs", "ctype")
     )
 
+    # t=0-relative displacement via ONE window pass instead of a
+    # self-join against the t=0 slice (guide §2.4: the join shuffled
+    # BOTH sides — and re-parsed the points table a second time — where
+    # a window over the same key needs one exchange and one parse; the
+    # consistency check above guarantees every (mesh, point) carries
+    # t=0, so first-by-t IS the t=0 coordinate)
+    wp = Window.partitionBy("mesh_id", "point_id").orderBy("t")
     disp = (
-        pts.join(base, ["mesh_id", "point_id"])
+        pts.withColumn("x0", F.first("x").over(wp))
+        .withColumn("y0", F.first("y").over(wp))
+        .withColumn("z0", F.first("z").over(wp))
         .join(remap, ["mesh_id", "point_id"])
         .select(
             "mesh_id",

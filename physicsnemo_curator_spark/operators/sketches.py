@@ -285,30 +285,27 @@ def histogram_quantiles(
         cum.alias("_cum"),
         width_expr.alias("_w"),
     ).filter(F.col("_c") > 0)
-    out = None
-    for q in qs:
-        target = F.greatest(
-            F.ceil(F.lit(float(q)) * F.col("_n")), F.lit(1)
-        ).cast("long")
-        hit = ranked.filter(
-            (F.col("_cum") >= target) & (F.col("_cum") - F.col("_c") < target)
+    # ONE plan for every q: explode a literal quantile array instead of
+    # unioning a per-q branch — the union form re-analyzed and
+    # re-executed the whole `ranked` subtree once per quantile
+    # (identical rows and arithmetic; only the plan shape changes)
+    qarr = F.array(*[F.lit(float(q)) for q in qs])
+    withq = ranked.select(*ranked.columns, F.explode(qarr).alias("quantile"))
+    target = F.greatest(
+        F.ceil(F.col("quantile") * F.col("_n")), F.lit(1)
+    ).cast("long")
+    est = (
+        F.lit(lo)
+        + F.col("_w") * F.col("_bin")
+        + F.col("_w")
+        * (
+            (target - (F.col("_cum") - F.col("_c"))).cast("double")
+            / F.col("_c").cast("double")
         )
-        est = (
-            F.lit(lo)
-            + F.col("_w") * F.col("_bin")
-            + F.col("_w")
-            * (
-                (target - (F.col("_cum") - F.col("_c"))).cast("double")
-                / F.col("_c").cast("double")
-            )
-        )
-        sel = hit.select(
-            *group_cols,
-            F.lit(float(q)).alias("quantile"),
-            est.alias("estimate"),
-        )
-        out = sel if out is None else out.unionByName(sel)
-    return out
+    )
+    return withq.filter(
+        (F.col("_cum") >= target) & (F.col("_cum") - F.col("_c") < target)
+    ).select(*group_cols, "quantile", est.alias("estimate"))
 
 
 # --- Mergeable Bloom filters: set membership without the set ---------------

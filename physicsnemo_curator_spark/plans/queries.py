@@ -2426,7 +2426,12 @@ def q_text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(aug, F.lit(pat)).cast("long").alias(f"n_{name}")
         for name, pat, _ in textops.PII_PATTERNS
     ]
-    return docs.select(*sel).orderBy("doc_id").limit(200)
+    # limit-before-projection (the q_text_lang_quality convention):
+    # redaction + pattern counts are row-wise and the output is the 200
+    # smallest doc_ids — identical row set, 200 regexp passes not |corpus|
+    return (
+        docs.orderBy("doc_id").limit(200).select(*sel).orderBy("doc_id")
+    )
 
 
 def _redact_oracle_sql() -> str:
@@ -2944,8 +2949,18 @@ def q_text_substring_rm(
     positions; text is emitted as md5 so the compared cell stays
     small."""
     docs = _t(spark, sf_dir, "documents")
+    # limit-before-rebuild (the q_text_lang_quality convention): the
+    # output is the 300 SMALLEST doc_ids and the rebuild is row-wise
+    # per doc, so only those docs are exploded and re-aggregated —
+    # duplication MARKING still runs over the full corpus (the covered
+    # set is corpus-global); the outer orderBy/limit keeps the
+    # identical row set.
     out = textops.remove_duplicated_substrings(
-        docs, min_tokens=8, min_count=2, hash_fn=hash_fn
+        docs,
+        min_tokens=8,
+        min_count=2,
+        hash_fn=hash_fn,
+        output_docs=docs.orderBy("doc_id").limit(300),
     )
     return (
         out.select(
@@ -3007,6 +3022,11 @@ def q_text_repetition(
     shuffles xxhash64 gram keys instead of gram strings (the aggregate
     consumes only counts; equivalence pinned in tests)."""
     docs = _t(spark, sf_dir, "documents")
+    # NOT limit-before-operator: repetition_ratio emits rows only for
+    # docs with >= 1 gram, so "300 smallest doc_ids" and "smallest 300
+    # OUTPUT rows" diverge on a corpus with gram-less docs — the
+    # pre-limit form is not universally result-identical (contrast
+    # q_text_redact_pii, whose projection is total per doc)
     rep = textops.repetition_ratio(docs, n=2, hash_fn=hash_fn)
     return (
         rep.select(
@@ -3102,8 +3122,13 @@ def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting / punct ratio / fingerprint (north-star text ops)."""
     docs = _t(spark, sf_dir, "documents")
     t = F.col("text")
+    # limit-before-projection (the q_text_lang_quality convention):
+    # all four features are row-wise and the output is the 200 smallest
+    # doc_ids — identical row set, 200 feature evaluations not |corpus|
     return (
-        docs.select(
+        docs.orderBy("doc_id")
+        .limit(200)
+        .select(
             "doc_id",
             textops.ws_token_count(t).alias("n_tokens_ws"),
             textops.bpe_ish_token_count(t).alias("n_tokens_bpe"),
@@ -3111,7 +3136,6 @@ def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             textops.fingerprint(t).alias("fingerprint"),
         )
         .orderBy("doc_id")
-        .limit(200)
     )
 
 

@@ -517,6 +517,46 @@ def test_remove_duplicated_substrings(spark):
     assert out[3].removed_tokens == 0
 
 
+def test_remove_duplicated_substrings_output_docs(spark):
+    """output_docs restricts which docs are REBUILT, never which docs
+    feed the duplication marking: doc 1's passage copy still marks
+    doc 0's passage as duplicated even when only doc 0 is rebuilt, and
+    each returned row is identical to the unrestricted output."""
+    from pyspark.sql import functions as F
+
+    from physicsnemo_curator_spark.operators.textops import (
+        remove_duplicated_substrings,
+    )
+
+    passage = " ".join(f"p{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [
+            (0, passage + " a0 a1"),
+            (1, "x0 x1 " + passage),  # the only OTHER copy of passage
+            (2, "u0 u1 u2 u3 u4 u5 u6 u7 u8"),  # clean
+        ],
+        "doc_id long, text string",
+    )
+    full = {
+        r.doc_id: r
+        for r in remove_duplicated_substrings(
+            docs, min_tokens=8, min_count=2
+        ).collect()
+    }
+    sub = remove_duplicated_substrings(
+        docs,
+        min_tokens=8,
+        min_count=2,
+        output_docs=docs.filter(F.col("doc_id") < 1),
+    ).collect()
+    # only the restricted doc is returned...
+    assert [r.doc_id for r in sub] == [0]
+    # ...with marking still corpus-global (doc 1 made the passage
+    # duplicated) and the row identical to the unrestricted output
+    assert sub[0].text == "a0 a1" and sub[0].removed_tokens == 8
+    assert tuple(sub[0]) == tuple(full[0])
+
+
 def test_temperature_mixing_weights(spark):
     """T=1 reproduces natural shares; larger T flattens toward
     uniform (low-resource domains upweighted); rates respect the

@@ -1849,12 +1849,22 @@ FROM k ORDER BY doc_id
 # Session-scoped materialization of the word-trigram shingle table:
 # four dedup operators consume the identical stream, so shingling is a
 # shared sub-plan (engine-level materialized view), not a per-query cost.
-_SHINGLE_CACHE: dict[tuple[int, str], DataFrame] = {}
+_SHINGLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
 
 
 def _cached_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark.sparkContext), sf_dir)
+    # keyed on the SOURCE identity too (mtime_ns + size, the
+    # _fixture_dir rule): a documents table regenerated at the same
+    # path within one session must never be served stale shingles;
+    # the superseded entry is unpersisted on replacement
+    ident = _src_ident(os.path.join(sf_dir, "documents.parquet"))
+    key = (id(spark.sparkContext), sf_dir, ident)
     if key not in _SHINGLE_CACHE:
+        for k in [k for k in _SHINGLE_CACHE if k[:2] == key[:2]]:
+            try:
+                _SHINGLE_CACHE.pop(k).unpersist()
+            except Exception:
+                pass
         docs = _t(spark, sf_dir, "documents")
         _SHINGLE_CACHE[key] = dedup.shingle_table(docs, k=3, unit="word").persist()
     return _SHINGLE_CACHE[key]
@@ -1870,14 +1880,22 @@ def _cached_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # VALUES through different streams; persist() only — every result is
 # still computed from the parquet inputs, and SPARK_GRAFT_CLEARCACHE
 # drops it between queries like every other shared cache.
-_PAIR_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+_PAIR_CACHE: dict[tuple[int, str, str, str], DataFrame] = {}
 
 
 def _cached_near_dup_pairs(
     spark: SparkSession, sf_dir: str, hash_fn: str
 ) -> DataFrame:
-    key = (id(spark.sparkContext), sf_dir, hash_fn)
+    # source-identity key + superseded-entry eviction: same rule as
+    # _cached_shingles above
+    ident = _src_ident(os.path.join(sf_dir, "documents.parquet"))
+    key = (id(spark.sparkContext), sf_dir, hash_fn, ident)
     if key not in _PAIR_CACHE:
+        for k in [k for k in _PAIR_CACHE if k[:3] == key[:3]]:
+            try:
+                _PAIR_CACHE.pop(k).unpersist()
+            except Exception:
+                pass
         sh = _cached_shingles(spark, sf_dir)
         if hash_fn == "jaccard":
             pairs = dedup.jaccard_pairs(sh).filter(F.col("jaccard") >= 0.8)
@@ -5654,9 +5672,12 @@ def q_stream_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(base, "src")
     os.makedirs(src, exist_ok=True)
     batch_paths = [os.path.join(src, f"b{b}.parquet") for b in range(3)]
-    if _fixtures_ready(*batch_paths):
-        ids = []  # warm path: every batch file is already published
-    else:
+    # readiness and id-emptiness are SEPARATE signals: a corpus with
+    # zero doc_id < 480 must still publish its three (empty) batch
+    # files on the cold path, or the stream would find no source files
+    ready = _fixtures_ready(*batch_paths)
+    ids: list = []
+    if not ready:
         ids = sorted(
             r["doc_id"]
             for r in _t(spark, sf_dir, "documents")
@@ -5664,7 +5685,7 @@ def q_stream_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id")
             .collect()
         )
-    for b, p in enumerate(batch_paths) if ids else ():
+    for b, p in enumerate(batch_paths) if not ready else ():
         mine = [d for d in ids if d // 160 == b]
 
         def _write(t, mine=mine):

@@ -212,9 +212,12 @@ def read_openradioss(
     # t=0-relative displacement via ONE window pass instead of a
     # self-join against the t=0 slice (guide §2.4: the join shuffled
     # BOTH sides — and re-parsed the points table a second time — where
-    # a window over the same key needs one exchange and one parse; the
-    # consistency check above guarantees every (mesh, point) carries
-    # t=0, so first-by-t IS the t=0 coordinate)
+    # a window over the same key needs one exchange and one parse).
+    # first-by-t IS the t=0 coordinate: point ids are POSITIONAL
+    # (parse_points enumerates 0..n-1 per file), so the equal-count
+    # consistency check above implies identical id SETS across a run's
+    # timesteps — a (mesh, point) missing t=0 cannot occur through
+    # read_vtk's parse
     wp = Window.partitionBy("mesh_id", "point_id").orderBy("t")
     disp = (
         pts.withColumn("x0", F.first("x").over(wp))

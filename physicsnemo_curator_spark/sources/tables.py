@@ -71,13 +71,32 @@ def _ensure_confs(spark: SparkSession) -> None:
 
 def _path_ident(path: str) -> str:
     """Freshness token for the plan memo: nanosecond mtime + size of
-    the parquet path (file or directory — a directory's mtime moves
-    when files are added/replaced)."""
+    the parquet path; for a DIRECTORY-backed table the token also
+    folds in every direct child's (name, mtime_ns, size) — an in-place
+    O_TRUNC rewrite of a part file changes the file's own stat but NOT
+    the directory entry, which the directory-level stat alone would
+    miss (and the memoized plan's FileIndex would then carry stale
+    file lengths)."""
     try:
         st = os.stat(path)
-        return f"{st.st_mtime_ns}:{st.st_size}"
     except OSError:
         return "absent"
+    if not os.path.isdir(path):
+        return f"{st.st_mtime_ns}:{st.st_size}"
+    parts = [f"{st.st_mtime_ns}:{st.st_size}"]
+    try:
+        with os.scandir(path) as it:
+            for e in sorted(it, key=lambda e: e.name):
+                try:
+                    s = e.stat()
+                    parts.append(f"{e.name}:{s.st_mtime_ns}:{s.st_size}")
+                except OSError:
+                    parts.append(f"{e.name}:gone")
+    except OSError:
+        return "unreadable"
+    import hashlib
+
+    return hashlib.md5("|".join(parts).encode()).hexdigest()
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -44,6 +44,23 @@ def test_load_table_memo_hit_and_identity_miss(spark, tmp_path):
     assert sum(1 for k in cache if k[0] == p) == 1
 
 
+def test_load_table_memo_directory_inplace_rewrite(spark, tmp_path):
+    """A directory-backed table whose part file is rewritten IN PLACE
+    (same filename — the directory's own stat does not move) must
+    still miss the memo: the identity token folds in each child's
+    (name, mtime_ns, size)."""
+    d = os.path.join(str(tmp_path), "region.parquet")
+    os.makedirs(d)
+    part = os.path.join(d, "part-0.parquet")
+    _write(part, [1, 2, 3])
+    os.utime(d, (1_000_000_000, 1_000_000_000))
+    assert load_table(spark, str(tmp_path), "region").count() == 3
+
+    _write(part, [1, 2, 3, 4, 5])  # in-place rewrite, same entry name
+    os.utime(d, (1_000_000_000, 1_000_000_000))  # pin dir stat unchanged
+    assert load_table(spark, str(tmp_path), "region").count() == 5
+
+
 def test_load_table_memo_is_per_path(spark, tmp_path):
     a = tmp_path / "a"
     b = tmp_path / "b"

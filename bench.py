@@ -26,6 +26,27 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
+    # Run-unique tempdir (r15 verdict "What's wrong #2"): fixture dirs
+    # and per-process stores are keyed under tempfile.gettempdir() and
+    # previously SURVIVED across bench runs, so every official artifact
+    # after the first measured the fixture warm path only — the cold
+    # build (collect + encode + write) was invisible and run-over-run
+    # comparability silently depended on machine history.  Pointing
+    # Python's tempfile at a fresh directory makes each bench run pay
+    # every gate's cold path exactly once (visible in the "cold" map;
+    # the reported min-of-n warm numbers keep their old meaning), and
+    # never touches other processes' live fixture dirs.  The dir is
+    # removed after the run.  SPARK_GRAFT_SHARED_TMP=1 restores the
+    # shared machine tempdir (useful for quick iteration, not for
+    # official artifacts).
+    import shutil
+    import tempfile
+
+    run_tmp = None
+    if os.environ.get("SPARK_GRAFT_SHARED_TMP") != "1":
+        run_tmp = tempfile.mkdtemp(prefix="pcs_bench_tmp_")
+        tempfile.tempdir = run_tmp
+
     # Size-aware config: AQE's per-stage re-planning pays off from ~tens
     # of GB upward (skew splitting, partition coalescing) but roughly
     # doubles the latency floor of sub-GB interactive queries (measured
@@ -222,6 +243,43 @@ def main() -> None:
         if best is not None:
             timings[name] = round(best, 4)
 
+    # Isolated dedup-family pass (r15 verdict "What's wrong #1"): five
+    # queries share one session-persisted pair/shingle frame, so their
+    # min-of-n in-suite numbers price a CACHE HIT — the ~2 s
+    # signatures→bands→verify build appears in NO reported timing (a
+    # sibling paid it outside every timed window).  This companion map
+    # re-times each family member with spark.catalog.clearCache()
+    # before every rep, so each number is what the query costs STANDING
+    # ALONE on a fresh session.  Additions-only: the main map keeps its
+    # r15 meaning (within-session reuse is part of the measured
+    # design); the suite total does not include these re-runs.
+    _DEDUP_FAMILY = (
+        "q_dedup_ngram_jaccard",
+        "q_dedup_components",
+        "q_dedup_representative",
+        "q_split_leakage_free",
+        "q_minhash_near_dup",
+    )
+    dedup_isolated: dict[str, float] = {}
+    if not clear_cache:  # CLEARCACHE=1 runs are already isolated
+        for name in _DEDUP_FAMILY:
+            spec = QUERIES.get(name)
+            if spec is None or (only_set is not None and name not in only_set):
+                continue
+            fn = spec.bench or spec.spark
+            best = None
+            try:
+                for _rep in range(max(1, repeats)):
+                    spark.catalog.clearCache()
+                    t0 = time.perf_counter()
+                    fn(spark, sf_dir).collect()
+                    dt = time.perf_counter() - t0
+                    best = dt if best is None else min(best, dt)
+            except Exception:  # noqa: BLE001 — companion map is advisory
+                continue
+            dedup_isolated[name] = round(best, 2)
+        spark.catalog.clearCache()
+
     calib_post = _calibrate(2)
     calib_io_post = _calibrate_io(2)
     total = round(sum(t for t in timings.values() if isinstance(t, float)), 4)
@@ -247,6 +305,8 @@ def main() -> None:
         out["errors"] = errors
     if warm_errors:
         out["warm_errors"] = warm_errors
+    if dedup_isolated:
+        out["dedup_isolated"] = dedup_isolated
     # Full artifact (warm + cold per query) for the repo's bench notes.
     # Only FULL-suite runs at the DEFAULT scale factor overwrite it —
     # a SPARK_GRAFT_QUERIES-restricted or SF-override soak must not
@@ -268,6 +328,8 @@ def main() -> None:
         except OSError:
             pass
     spark.stop()
+    if run_tmp is not None:
+        shutil.rmtree(run_tmp, ignore_errors=True)
     # The driver captures only the LAST 2000 chars of output and parses
     # the JSON line inside that window — r05's 83-query line overran it
     # and the round's bench artifact was unparseable.  Emit the line

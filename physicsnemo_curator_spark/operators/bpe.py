@@ -101,6 +101,115 @@ def _apply_merge(tokenized: DataFrame, a: str, b: str) -> DataFrame:
     return tokenized.mapInPandas(batches, schema)
 
 
+def _merge_and_count(
+    tokenized: DataFrame, a: str, b: str, *, weight_col: str | None = None
+) -> DataFrame:
+    """ONE Arrow pass per training round: apply the (a, b) merge AND
+    emit the MERGED frame's per-batch partial pair counts + token
+    total alongside it (guide §1.2 — the tokens are already in Python
+    for the merge scan; counting them there removes the separate
+    explode + hash-aggregate pass that re-read, and raced to
+    recompute, the whole merged frame).
+
+    Output rows are marked by ``_kind``:
+
+    - 0: the merged frame's own columns (the next round's input)
+    - 1: per-batch partial pair counts ``(_pa, _pb, _pn)`` — summing
+      them per pair equals :func:`pair_counts`(merged) exactly
+    - 2: per-batch token totals ``(_pn)`` — summing them equals
+      ``sum(size(tokens) [* weight])`` over the merged frame exactly
+      (integer arithmetic, no float reorder)
+
+    ``weight_col`` weights each row's pairs and tokens by that column
+    (the word-histogram trainer's ``count``)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            weights = (
+                pdf[weight_col] if weight_col is not None else None
+            )
+            merged_col = []
+            pair_n: dict[tuple[str, str], int] = {}
+            total = 0
+            for i, toks in enumerate(pdf["tokens"]):
+                m = _merge_pair([] if toks is None else list(toks), a, b)
+                merged_col.append(m)
+                w = int(weights.iloc[i]) if weights is not None else 1
+                total += len(m) * w
+                for j in range(len(m) - 1):
+                    key = (m[j], m[j + 1])
+                    pair_n[key] = pair_n.get(key, 0) + w
+            out = pdf.copy()
+            out["tokens"] = merged_col
+            out["_kind"] = 0
+            out["_pa"] = None
+            out["_pb"] = None
+            out["_pn"] = None
+            stats = pd.DataFrame(
+                {
+                    c: [None] * (len(pair_n) + 1)
+                    for c in pdf.columns
+                }
+            )
+            stats["_kind"] = [1] * len(pair_n) + [2]
+            stats["_pa"] = [k[0] for k in pair_n] + [None]
+            stats["_pb"] = [k[1] for k in pair_n] + [None]
+            stats["_pn"] = list(pair_n.values()) + [total]
+            yield pd.concat([out, stats], ignore_index=True)
+
+    schema = ", ".join(
+        [
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in tokenized.schema
+        ]
+        + ["_kind int", "_pa string", "_pb string", "_pn long"]
+    )
+    return tokenized.mapInPandas(batches, schema)
+
+
+def _round_rows_fused(
+    fused: DataFrame, *, with_argmax: bool
+) -> tuple[tuple | None, int]:
+    """:func:`_round_rows` over a :func:`_merge_and_count` frame — the
+    same single marked-union collect, but both aggregates read the
+    tiny pre-counted partial rows instead of re-scanning (and
+    re-merging) the token frame."""
+    nt = (
+        fused.filter(F.col("_kind") == 2)
+        .agg(F.sum("_pn").cast("long").alias("n"))
+        .select(
+            F.lit(1).alias("_k"),
+            F.lit(None).cast("string").alias("a"),
+            F.lit(None).cast("string").alias("b"),
+            "n",
+        )
+    )
+    if with_argmax:
+        top = (
+            fused.filter(F.col("_kind") == 1)
+            .groupBy(
+                F.col("_pa").alias("a"), F.col("_pb").alias("b")
+            )
+            .agg(F.sum("_pn").alias("n"))
+            .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .select(
+                F.lit(0).alias("_k"), "a", "b", F.col("n").cast("long")
+            )
+        )
+        rows = top.unionByName(nt).collect()
+    else:
+        rows = nt.collect()
+    best = None
+    n_tokens = 0
+    for r in rows:
+        if r["_k"] == 0:
+            best = (r["a"], r["b"], int(r["n"]))
+        else:
+            n_tokens = int(r["n"])
+    return best, n_tokens
+
+
 def _round_rows(
     tokens_df: DataFrame, counter, nt_expr, *, with_argmax: bool
 ) -> tuple[tuple | None, int]:
@@ -148,13 +257,14 @@ def train_bpe(
 
     Driver actions are n_merges+1, not 2·n_merges: round r's token
     total and round r+1's argmax are read in one union collect
-    (:func:`_round_rows`) — both scan the same cached frame, and in
-    local/interactive runs the per-action fixed latency was half the
-    training wall."""
+    (:func:`_round_rows_fused`) — and the merge pass itself COUNTS the
+    merged frame's pairs and tokens in the same Arrow scan
+    (:func:`_merge_and_count`), so each round is one pass over the
+    tokens instead of a merge pass plus an explode/aggregate re-read."""
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1")
     tokenized = _chars_df(docs, text_col).persist()
-    nt_expr = F.sum(F.size("tokens"))
+    cached = tokenized  # the persisted handle each round releases
     merges: list[dict] = []
     try:
         top = (
@@ -167,16 +277,16 @@ def train_bpe(
             if not top:
                 break  # every doc is a single token already
             a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
-            nxt = _apply_merge(tokenized, a, b).persist()
-            best, n_tokens = _round_rows(
-                nxt,
-                pair_counts,
-                nt_expr,
-                with_argmax=rank + 1 < n_merges,
+            fused = _merge_and_count(tokenized, a, b).persist()
+            best, n_tokens = _round_rows_fused(
+                fused, with_argmax=rank + 1 < n_merges
             )
             top = [{"a": best[0], "b": best[1], "n": best[2]}] if best else []
-            tokenized.unpersist()
-            tokenized = nxt
+            cached.unpersist()
+            cached = fused
+            tokenized = fused.filter(F.col("_kind") == 0).drop(
+                "_kind", "_pa", "_pb", "_pn"
+            )
             merges.append(
                 {
                     "rank": rank, "a": a, "b": b, "count": n,
@@ -184,7 +294,7 @@ def train_bpe(
                 }
             )
     finally:
-        tokenized.unpersist()
+        cached.unpersist()
     return merges
 
 
@@ -267,7 +377,7 @@ def train_bpe_hist(
             docs, text_col=text_col, pattern=pattern
         )
     words = _word_tokens(word_freq).select("tokens", "count").persist()
-    nt_expr = F.sum(F.size("tokens") * F.col("count"))
+    cached = words  # the persisted handle each round releases
     merges: list[dict] = []
     try:
         top = (
@@ -280,16 +390,18 @@ def train_bpe_hist(
             if not top:
                 break  # every word is a single token already
             a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
-            nxt = _apply_merge(words, a, b).persist()
-            best, n_tokens = _round_rows(
-                nxt,
-                pair_counts_weighted,
-                nt_expr,
-                with_argmax=rank + 1 < n_merges,
+            fused = _merge_and_count(
+                words, a, b, weight_col="count"
+            ).persist()
+            best, n_tokens = _round_rows_fused(
+                fused, with_argmax=rank + 1 < n_merges
             )
             top = [{"a": best[0], "b": best[1], "n": best[2]}] if best else []
-            words.unpersist()
-            words = nxt
+            cached.unpersist()
+            cached = fused
+            words = fused.filter(F.col("_kind") == 0).drop(
+                "_kind", "_pa", "_pb", "_pn"
+            )
             merges.append(
                 {
                     "rank": rank, "a": a, "b": b, "count": n,
@@ -297,7 +409,7 @@ def train_bpe_hist(
                 }
             )
     finally:
-        words.unpersist()
+        cached.unpersist()
     return merges
 
 

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from physicsnemo_curator_spark.core.store import (
     held_lease,
     maintenance_root,
+    memoized_parquet,
     validate_batch_id,
     verify_lease,
     write_batch_partitioned,
@@ -792,11 +793,15 @@ def incremental_near_duplicates(
     sigs = minhash_signatures(sh, num_hashes, seed, hash_fn=hash_fn).persist()
     new_bands = band_table(sigs, num_hashes, bands, hash_fn=hash_fn)
 
-    corpus_sigs = spark.read.parquet(
-        os.path.join(store, "signatures")
+    # memoized_parquet: a steady-state ingest loop probes the same
+    # store generation per batch — the plan memo skips the per-call
+    # file listing + footer-inference Spark job (2 jobs/probe here);
+    # any store mutation changes the identity token and re-reads
+    corpus_sigs = memoized_parquet(
+        spark, os.path.join(store, "signatures")
     ).drop("_batch")
-    corpus_bands = spark.read.parquet(
-        os.path.join(store, "bands")
+    corpus_bands = memoized_parquet(
+        spark, os.path.join(store, "bands")
     ).drop("_batch")
 
     # new vs corpus: bucket-equality probe → distinct id pairs →

@@ -33,6 +33,7 @@ from physicsnemo_curator_spark.core.store import (
     held_lease as _held_lease,
     release_lease as _release_lease,
     verify_lease as _verify_lease,
+    memoized_parquet as _memoized_parquet,
     read_batch as _read_batch_partition,
     read_optional_parquet as _read_optional_parquet,
     try_local_path as _try_local_store_path,
@@ -602,7 +603,11 @@ def _pq_encode_udf(
             out[:, j] = d.argmin(axis=1)
         return pd.Series(list(out))
 
-    return enc
+    # enc is pure, but a downstream join's isnotnull(codes) constraint
+    # pushed below the projection re-evaluates the UDF (guide §4.4:
+    # Filter-below + Project-above = two ArrowEvalPython nodes, every
+    # vector encoded twice).  Nondeterministic forbids the duplication.
+    return enc.asNondeterministic()
 
 
 def pq_encode(
@@ -636,6 +641,7 @@ def _pq_lut(
     max_probe_queries: int = 10_000,
     perm: list[int] | None = None,
     rot: list[list[float]] | None = None,
+    query_rows: list | None = None,
 ) -> DataFrame:
     """Per-query ADC lookup table, ``nq·m·ks`` tiny rows:
     ``(query_id, j, code, dotv, n2, qnorm)``.  ``queries`` is the
@@ -646,7 +652,12 @@ def _pq_lut(
     frame passed as the probe side raises a sized error message (the
     MinHash store's knob-guard pattern) instead of materializing the
     whole corpus on the driver — at 100 TB that is the difference
-    between a tuning hint and a driver OOM."""
+    between a tuning hint and a driver OOM.
+
+    ``query_rows`` — pre-collected ``(query_id, vector)`` pairs from
+    :func:`sample_and_query_rows` — skips the collect (the gate's
+    trainer sample and this probe collect ride one action); the bound
+    check still applies."""
     from pyspark.sql.types import (
         DoubleType,
         IntegerType,
@@ -661,14 +672,21 @@ def _pq_lut(
     _validate_rot(rot, m * dsub)
     parr = np.asarray(perm, dtype=np.int64) if perm is not None else None
     rarr = np.asarray(rot, dtype=np.float64) if rot is not None else None
-    qrows = (
-        queries.select(
-            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_q")
-        )
-        .filter(F.col("_q").isNotNull())
-        .limit(max_probe_queries + 1)
-        .collect()
-    )
+    if query_rows is not None:
+        qrows = [(qid, v) for qid, v in query_rows if v is not None]
+    else:
+        qrows = [
+            (r["query_id"], r["_q"])
+            for r in (
+                queries.select(
+                    F.col(query_id_col).alias("query_id"),
+                    F.col(vec_col).alias("_q"),
+                )
+                .filter(F.col("_q").isNotNull())
+                .limit(max_probe_queries + 1)
+                .collect()
+            )
+        ]
     if len(qrows) > max_probe_queries:
         raise ValueError(
             f"PQ probe side holds more than {max_probe_queries} query "
@@ -678,8 +696,8 @@ def _pq_lut(
             "driver has the headroom"
         )
     lut_rows = []
-    for r in qrows:
-        q = np.asarray(r["_q"], dtype=np.float64)
+    for qid, qvec in qrows:
+        q = np.asarray(qvec, dtype=np.float64)
         qnorm = float(np.sqrt((q * q).sum()))  # perm/rot-invariant
         if parr is not None:
             q = q[parr]
@@ -690,7 +708,7 @@ def _pq_lut(
             for c in range(ks):
                 lut_rows.append(
                     (
-                        r["query_id"],
+                        qid,
                         j,
                         c,
                         float(qsub @ codebooks_arr[j, c]),
@@ -762,6 +780,7 @@ def pq_topk(
     max_probe_queries: int = 10_000,
     perm: list[int] | None = None,
     rot: list[list[float]] | None = None,
+    query_rows: list | None = None,
 ) -> DataFrame:
     """Approximate top-k by cosine with asymmetric distance computation
     (ADC) over PQ codes — the billion-scale ANN shape: the corpus is
@@ -776,8 +795,22 @@ def pq_topk(
     aggregate per (query, vector) sums the dots and reconstruction
     norms → window top-k.  ``||recon||² = Σ_j ||c_{j,code_j}||²``
     exactly (subspaces concatenate).  ``rescore=m'`` re-ranks the top
-    ``m'·k`` with exact cosine on the original vectors."""
-    if codebooks is None:
+    ``m'·k`` with exact cosine on the original vectors.
+
+    With ``codebooks=None`` the trainer sample and the LUT's query
+    collect ride ONE action (:func:`sample_and_query_rows`); callers
+    that train codebooks themselves can pass ``query_rows`` from the
+    same helper for the same effect."""
+    if codebooks is None and query_rows is None:
+        sample, query_rows = sample_and_query_rows(
+            corpus, queries, ks, id_col=id_col, vec_col=vec_col,
+            query_id_col=query_id_col, max_probe_queries=max_probe_queries,
+        )
+        codebooks = pq_train(
+            corpus, m=m, ks=ks, dim=dim, id_col=id_col, vec_col=vec_col,
+            perm=perm, rot=rot, sample_vectors=sample,
+        )
+    elif codebooks is None:
         codebooks = pq_train(
             corpus, m=m, ks=ks, dim=dim, id_col=id_col, vec_col=vec_col,
             perm=perm, rot=rot,
@@ -794,6 +827,7 @@ def pq_topk(
         max_probe_queries=max_probe_queries,
         perm=perm,
         rot=rot,
+        query_rows=query_rows,
     )
     exploded = codes.select(
         "vec_id", F.posexplode("codes").alias("j", "code")
@@ -838,6 +872,7 @@ def ivfpq_topk(
     max_probe_queries: int = 10_000,
     perm: list[int] | None = None,
     rot: list[list[float]] | None = None,
+    query_rows: list | None = None,
 ) -> DataFrame:
     """IVF-PQ — the billion-scale composition: the coarse quantizer
     restricts each query to its ``n_probe`` nearest cells and PQ/ADC
@@ -852,9 +887,23 @@ def ivfpq_topk(
     index table, bucketed by cell); queries explode to their probe
     cells; candidates come from a broadcast cell join; scoring is the
     shared ADC tail keyed on (query_id, j, code) so each candidate
-    meets only its own query's LUT rows."""
+    meets only its own query's LUT rows.
+
+    With ``codebooks=None`` the trainer sample and the LUT's query
+    collect ride ONE action (:func:`sample_and_query_rows`); callers
+    that train codebooks themselves can pass ``query_rows`` from the
+    same helper for the same effect."""
     dim = len(centers[0])
-    if codebooks is None:
+    if codebooks is None and query_rows is None:
+        sample, query_rows = sample_and_query_rows(
+            corpus, queries, ks, id_col=id_col, vec_col=vec_col,
+            query_id_col=query_id_col, max_probe_queries=max_probe_queries,
+        )
+        codebooks = pq_train(
+            corpus, m=m, ks=ks, dim=dim, id_col=id_col, vec_col=vec_col,
+            perm=perm, rot=rot, sample_vectors=sample,
+        )
+    elif codebooks is None:
         codebooks = pq_train(
             corpus, m=m, ks=ks, dim=dim, id_col=id_col, vec_col=vec_col,
             perm=perm, rot=rot,
@@ -884,6 +933,7 @@ def ivfpq_topk(
         max_probe_queries=max_probe_queries,
         perm=perm,
         rot=rot,
+        query_rows=query_rows,
     )
     approx = _pq_adc_rank(
         cand, lut, ["query_id", "j", "code"], k * rescore if rescore else k
@@ -1043,7 +1093,18 @@ def _read_store_data(spark, data_dir: str):
     ]
     if not dirs:
         return _read_optional_parquet(spark, data_dir)
-    return spark.read.option("basePath", data_dir).parquet(*dirs)
+    from physicsnemo_curator_spark.core.store import memoized_read
+
+    # plan memo: a probe loop re-reads the same generation per batch;
+    # the recursive identity token re-keys on ANY mutation under the
+    # generation dir (new batch partition, mid-flight compaction
+    # target, tombstone write)
+    return memoized_read(
+        spark,
+        "storedata::" + data_dir,
+        local,
+        lambda: spark.read.option("basePath", data_dir).parquet(*dirs),
+    )
 
 
 def _read_tombstones(spark, data_dir: str):
@@ -2312,6 +2373,125 @@ def md5_sample_centroids(
     return [[float(x) for x in r["_v"]] for r in rows]
 
 
+def md5_sample_centroids_counted(
+    corpus: DataFrame,
+    k_of_n,
+    *,
+    k_floor: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[list[float]], int]:
+    """:func:`md5_sample_centroids` fused with the corpus count that
+    sizes k — ONE driver action instead of two for the common case
+    (the BPE ``_round_rows`` marked-union trick): the count row and the
+    ``k_floor`` smallest-md5 sample rows come back in a single collect.
+    ``k_of_n(n)`` maps the corpus row count to the cell count; only
+    when it exceeds ``k_floor`` (large corpora, where one extra job is
+    noise against the training scan) does a second top-k collect
+    complete the pick.  Returns ``(centers, n)`` — centers identical to
+    ``md5_sample_centroids(corpus, k=k_of_n(n))``, n counted over the
+    UNFILTERED corpus (NULL-vector rows count toward sizing but never
+    win a sample slot, both exactly as the unfused path)."""
+    sample = (
+        corpus.filter(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            F.md5(F.col(id_col).cast("string")).alias("_m"),
+        )
+        .orderBy(F.col("_m"), F.col("_id"))
+        .limit(k_floor)
+        .select(
+            F.lit(0).alias("_k"),
+            F.struct(F.col("_id"), F.col("_v"), F.col("_m")).alias("_row"),
+            F.lit(None).cast("long").alias("_n"),
+        )
+    )
+    cnt = corpus.agg(F.count(F.lit(1)).alias("_n")).select(
+        F.lit(1).alias("_k"),
+        F.lit(None).cast(sample.schema["_row"].dataType).alias("_row"),
+        "_n",
+    )
+    rows = sample.unionByName(cnt).collect()
+    n = 0
+    picked = []
+    for r in rows:
+        if r["_k"] == 1:
+            n = int(r["_n"])
+        else:
+            picked.append(r["_row"])
+    k = k_of_n(n)
+    if k > k_floor:
+        return md5_sample_centroids(
+            corpus, k=k, id_col=id_col, vec_col=vec_col
+        ), n
+    # the union may interleave the sample rows; re-establish the md5
+    # order from the collected sort key (engine-computed, so the
+    # ordering is exactly the distributed one)
+    picked.sort(key=lambda r: (r["_m"], r["_id"]))
+    return [[float(x) for x in r["_v"]] for r in picked[:k]], n
+
+
+def sample_and_query_rows(
+    corpus: DataFrame,
+    queries: DataFrame,
+    ks: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    max_probe_queries: int = 10_000,
+) -> tuple[list[list[float]], list]:
+    """ONE driver action for the two collects every trainer-plus-probe
+    ANN gate pays: the ``ks`` md5-ordered trainer sample vectors of
+    ``corpus`` (identical to ``md5_sample_centroids(corpus, k=ks)``)
+    and the bounded probe-side query rows ``(query_id, vector)`` that
+    :func:`_pq_lut` would otherwise collect itself — a marked union,
+    the BPE ``_round_rows`` trick.  Returns ``(sample_vectors,
+    query_rows)``; pass them via ``pq_train(sample_vectors=)`` and the
+    topk functions' ``query_rows=``."""
+    sample = (
+        corpus.filter(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            F.md5(F.col(id_col).cast("string")).alias("_m"),
+        )
+        .orderBy(F.col("_m"), F.col("_id"))
+        .limit(ks)
+        .select(
+            F.lit(0).alias("_k"),
+            "_id",
+            "_m",
+            F.lit(None)
+            .cast(queries.select(F.col(query_id_col)).schema[0].dataType)
+            .alias("_qid"),
+            "_v",
+        )
+    )
+    probe = (
+        queries.select(
+            F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_v")
+        )
+        .filter(F.col("_v").isNotNull())
+        .limit(max_probe_queries + 1)
+        .select(
+            F.lit(1).alias("_k"),
+            F.lit(None).cast(sample.schema["_id"].dataType).alias("_id"),
+            F.lit(None).cast("string").alias("_m"),
+            "_qid",
+            "_v",
+        )
+    )
+    rows = sample.unionByName(probe).collect()
+    picked = sorted(
+        (r for r in rows if r["_k"] == 0), key=lambda r: (r["_m"], r["_id"])
+    )
+    sample_vectors = [[float(x) for x in r["_v"]] for r in picked]
+    query_rows = [(r["_qid"], r["_v"]) for r in rows if r["_k"] == 1]
+    return sample_vectors, query_rows
+
+
 def _ivf_meta_udf(centers, n_probe: int):
     """(cells, norm) per vector in one numpy pass: the ``n_probe``
     nearest cells by euclidean distance (stable argsort — ties resolve
@@ -2333,7 +2513,11 @@ def _ivf_meta_udf(centers, n_probe: int):
         norm = np.sqrt((x * x).sum(axis=1))
         return pd.DataFrame({"cells": list(order), "norm": norm})
 
-    return meta
+    # meta is pure, but the cell-join's pushed isnotnull constraint
+    # duplicated it into Filter-below + Project-above ArrowEvalPython
+    # pairs (guide §4.4) — every vector assigned twice.  The marker
+    # pins one evaluation.
+    return meta.asNondeterministic()
 
 
 def _assign_with_norm(
@@ -2373,7 +2557,10 @@ def _pair_dot_udf():
         xb = np.asarray([np.asarray(v, dtype=np.float64) for v in vb])
         return pd.Series(np.einsum("ij,ij->i", xa, xb))
 
-    return pair_dot
+    # pure, but the cosine threshold filter referencing the withColumn
+    # alias re-evaluated the dot for every row (guide §4.4); the marker
+    # keeps one ArrowEvalPython with the filter above it.
+    return pair_dot.asNondeterministic()
 
 
 def _cell_pairs(
@@ -2614,7 +2801,9 @@ def incremental_semantic_dedup(
         F.col("_vec").alias("_vb"),
         F.col("_norm").alias("_nb"),
     )
-    corpus = spark.read.parquet(store).select(
+    # plan memo: skips the per-probe footer-inference job; a store
+    # mutation (update_store append) changes the token and re-reads
+    corpus = _memoized_parquet(spark, store).select(
         "cell",
         F.col(id_col).alias("a"),
         F.col(vec_col).alias("_va"),

@@ -269,6 +269,12 @@ def lsh_banded(
         buckets = (signs * weights).sum(axis=2).astype("int32")  # (rows, bands)
         return pd.Series(list(buckets))
 
+    # pure, but a pushed isnotnull(_buckets) constraint duplicated the
+    # projection into two ArrowEvalPython nodes (guide §4.4) — every
+    # vector hashed through all bands twice.  Nondeterministic pins one
+    # evaluation.
+    bucket_all_bands = bucket_all_bands.asNondeterministic()
+
     # NULL embeddings would arrive as None and crash np.asarray; a NULL
     # vector has no bucket — drop it here (same skip convention as the
     # SQL cosine path, which NULL-propagates)

@@ -4128,16 +4128,19 @@ def q_ann_ivfpq_topk(
     qs = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    # ONE md5-ordered sample collect serves both trainers: the coarse
-    # centroids are its first 8 rows (identical to k=8 — deterministic
-    # prefix) and the PQ codebooks its first 16
-    s16 = mllib_ann.md5_sample_centroids(emb, k=16)
+    # ONE md5-ordered sample collect serves both trainers AND the
+    # query-LUT collect (three driver actions folded into one): the
+    # coarse centroids are the sample's first 8 rows (identical to
+    # k=8 — deterministic prefix), the PQ codebooks its first 16, and
+    # the probe rows skip _pq_lut's own collect
+    s16, qrows = mllib_ann.sample_and_query_rows(emb, qs, 16)
     centers = s16[:8]
     out = mllib_ann.ivfpq_topk(
         emb, qs, centers, k=5, n_probe=3, m=8, ks=16, rescore=rescore,
         codebooks=mllib_ann.pq_train(
             emb, m=8, ks=16, dim=64, sample_vectors=s16
         ),
+        query_rows=qrows,
     )
     return out.select(
         "query_id", "vec_id", _r6(F.col("cosine"), "cosine"), "rank"
@@ -4879,7 +4882,11 @@ def q_semantic_dedup(
     from physicsnemo_curator_spark.operators import mllib_ann
 
     emb = _t(spark, sf_dir, "embeddings")
-    n = emb.count()
+    # count + centroid pick fused into ONE driver action (the sizing
+    # count and the md5 sample were two separate full-scan jobs)
+    centers, n = mllib_ann.md5_sample_centroids_counted(
+        emb, lambda n: max(8, n // 250)
+    )
     k = max(8, n // 250)
     if pin_oracle_k and k != 8:
         # the static k=8 oracle is only exact while adaptive k stays 8;
@@ -4891,7 +4898,6 @@ def q_semantic_dedup(
             f"k to {k}; call with pin_oracle_k=False (no oracle) for "
             "large corpora"
         )
-    centers = mllib_ann.md5_sample_centroids(emb, k=k)
     out = mllib_ann.semantic_dedup(emb, centers, threshold=0.35, dot=dot)
     return out.select("vec_id", "cell", "dup_of", "keep").orderBy("vec_id")
 
@@ -4966,7 +4972,10 @@ def q_semantic_incremental(
     emb = _t(spark, sf_dir, "embeddings")
     corpus = emb.filter(F.col("vec_id") % 2 == 0)
     batch = emb.filter(F.col("vec_id") % 2 == 1)
-    n = corpus.count()
+    # count + centroid pick fused into ONE driver action
+    centers, n = mllib_ann.md5_sample_centroids_counted(
+        corpus, lambda n: max(8, n // 250)
+    )
     k = max(8, n // 250)
     if pin_oracle_k and k != 8:
         raise ValueError(
@@ -4974,7 +4983,6 @@ def q_semantic_incremental(
             f"adapts k to {k}; call with pin_oracle_k=False (no "
             "oracle) for large corpora"
         )
-    centers = mllib_ann.md5_sample_centroids(corpus, k=k)
     ident = _src_ident(os.path.join(sf_dir, "embeddings.parquet"))
     token = hashlib.md5(
         f"{sf_dir}:{ident}:sem:{k}".encode()

@@ -71,6 +71,7 @@ def read_openradioss(
     *,
     vtk_glob: str = "*.vtk",
     prune_unreferenced: bool = True,
+    persist_parsed: bool | None = None,
 ) -> dict[str, DataFrame]:
     """Scan OpenRadioss run directories → assembled per-run tables.
 
@@ -85,6 +86,24 @@ def read_openradioss(
     Point-count mismatches across a run's timesteps raise (reference
     ``openradioss.py:371-374``) — a silent inner-join drop would
     corrupt every downstream displacement.
+
+    ``persist_parsed`` is the SIZE-AWARE parse-dedup switch (default
+    ``None`` = auto by total input bytes against
+    ``$SPARK_GRAFT_PARSE_PERSIST_BYTES``, default 1 GiB):
+
+    - **small inputs (False)**: cache the raw bytes once and let every
+      returned table re-parse them in its own MapInPandas branch — the
+      branches run as PARALLEL stages of each consuming job, which
+      measures faster than serialized cache fills at fixture scale
+      (the r15 f441369 A/B: persisting parsed frames cost +2-4 s per
+      scan gate).
+    - **large inputs (True)**: persist the PARSED points/cells tables
+      instead of the raw bytes — at 100 TB the raw-byte cache cannot
+      stay memory-resident, so each of the ~4 points-consuming
+      branches would otherwise become a full INPUT re-read + re-parse;
+      one parse pass each for points and cells is the scale-correct
+      shape.  Raw bytes are then NOT cached (the single-consumer
+      point_data/cell_data branches re-read the source once each).
     """
     runs = discover_runs(input_dir, vtk_glob)
     keymap_rows = [
@@ -93,10 +112,23 @@ def read_openradioss(
         for t, p in enumerate(files)
     ]
     all_paths = [p for files in runs.values() for p in files]
-    # cache=True: the consistency count below plus every returned table
-    # re-materializes the scan — without the persist each one would
-    # re-parse every timestep file from scratch
-    t = read_vtk(spark, all_paths, mesh_id_from="path", cache=True)
+    if persist_parsed is None:
+        try:
+            total_bytes = sum(os.path.getsize(p) for p in all_paths)
+        except OSError:
+            total_bytes = None  # non-local paths: size unknown
+        threshold = int(
+            os.environ.get(
+                "SPARK_GRAFT_PARSE_PERSIST_BYTES", str(1 << 30)
+            )
+        )
+        persist_parsed = total_bytes is None or total_bytes > threshold
+    # cache=True (small regime): the consistency count below plus every
+    # returned table re-materializes the scan — without the persist
+    # each one would re-parse every timestep file from scratch
+    t = read_vtk(
+        spark, all_paths, mesh_id_from="path", cache=not persist_parsed
+    )
     keymap = F.broadcast(
         spark.createDataFrame(
             keymap_rows, "mesh_key string, run_id string, t int"
@@ -111,6 +143,11 @@ def read_openradioss(
         )
 
     pts = _rekey(t["points"])
+    if persist_parsed:
+        # large regime: one points parse total — the consistency-check
+        # collect right below fills this cache, and the t=0 base, the
+        # displacement window, and the trajectory stack all reuse it
+        pts = pts.persist()
 
     # consistency check: every timestep of a run must carry the same
     # point count (one tiny aggregate: |runs| x |timesteps| rows)
@@ -147,6 +184,10 @@ def read_openradioss(
         F.col("z").alias("z0"),
     )
     cells0 = _rekey(t["cells"]).filter(F.col("t") == 0).drop("t")
+    if persist_parsed:
+        # large regime: one cells parse total — the referenced-point
+        # scan (remap) and the connectivity rewrite both reuse it
+        cells0 = cells0.persist()
 
     if prune_unreferenced:
         referenced = (

@@ -8,7 +8,12 @@ as subprocesses (their own SparkSession) on sf0.001 to stay fast.
 from __future__ import annotations
 
 import os
+import pytest
 import subprocess
+
+# every test here is a multi-minute soak (subprocess example runs /
+# hypothesis property sweeps) — opt-in, see conftest
+pytestmark = pytest.mark.soak
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

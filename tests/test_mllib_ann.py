@@ -921,6 +921,7 @@ def test_ivfpq_index_conflicting_reingest_latest_batch_wins(
     assert rows(conflicted) == rows(clean_v2)
 
 
+@pytest.mark.soak
 def test_compact_ivfpq_index_crash_recovery_and_guards(
     spark, tmp_path, sf_correctness_dir
 ):
@@ -1002,6 +1003,7 @@ def test_compact_ivfpq_index_crash_recovery_and_guards(
         mllib_ann._resolve_data_dir(store)
 
 
+@pytest.mark.soak
 def test_ivfpq_lifecycle_compact_then_reingest_equals_rebuild(
     spark, tmp_path, sf_correctness_dir
 ):
@@ -1061,6 +1063,7 @@ def test_ivfpq_lifecycle_compact_then_reingest_equals_rebuild(
     assert data.count() == emb.count()
 
 
+@pytest.mark.soak
 @pytest.mark.parametrize("seed", [7, 23, 91])
 def test_ivfpq_lifecycle_randomized_equals_rebuild(
     spark, tmp_path, sf_correctness_dir, seed
@@ -1228,6 +1231,7 @@ def test_ivfpq_moved_cell_reingest_same_batch(
         )
 
 
+@pytest.mark.soak
 @pytest.mark.parametrize("batch_id", ["007", "2026-01-01T00:15:00"])
 def test_ivfpq_partial_rerun_awkward_batch_names(
     spark, tmp_path, sf_correctness_dir, batch_id
@@ -1663,6 +1667,7 @@ def test_ivfpq_append_detects_concurrent_compact(
     assert rows(store) == rows(clean)
 
 
+@pytest.mark.soak
 def test_ivfpq_compact_detects_concurrent_append(
     spark, tmp_path, sf_correctness_dir, monkeypatch
 ):
@@ -1867,6 +1872,7 @@ def test_ivfpq_overwrite_detects_concurrent_compact(
         mllib_ann.write_ivfpq_index(emb, centers, cbs, store)
 
 
+@pytest.mark.soak
 def test_ivfpq_append_detects_concurrent_append(
     spark, tmp_path, sf_correctness_dir, monkeypatch
 ):
@@ -2095,6 +2101,7 @@ def test_dim_variances_validation(spark):
         mllib_ann.dim_variances(empty, 2)
 
 
+@pytest.mark.soak
 def test_ivfpq_append_detects_same_batch_concurrent_append(
     spark, tmp_path, sf_correctness_dir, monkeypatch
 ):
@@ -2522,6 +2529,7 @@ def test_lease_acquire_steal_verify(tmp_path):
     mllib_ann._release_lease(root, rec3["token"])
 
 
+@pytest.mark.soak
 def test_ivfpq_lease_closes_residual_window(
     spark, tmp_path, sf_correctness_dir, monkeypatch
 ):
@@ -2765,3 +2773,40 @@ def test_semantic_store_lease(spark, tmp_path):
     assert n == 120
     rec2 = core_store.acquire_lease(mr)
     core_store.release_lease(mr, rec2["token"])
+
+
+def test_md5_sample_centroids_counted_matches_unfused(spark, sf_correctness_dir):
+    """The fused count+sample pick must return exactly the unfused
+    centroids and the exact unfiltered row count — including the
+    k > k_floor second-collect path and NULL-vector corpora (NULLs
+    count toward n but never win a sample slot)."""
+    emb = load_table(spark, sf_correctness_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    nulls = spark.createDataFrame(
+        [(990_001, None)], "vec_id long, embedding array<float>"
+    )
+    corpus = emb.unionByName(nulls)
+    n_true = corpus.count()
+
+    # k_floor path (k_of_n returns <= k_floor)
+    centers, n = mllib_ann.md5_sample_centroids_counted(
+        corpus, lambda n: max(8, n // 250), k_floor=8
+    )
+    assert n == n_true
+    k = max(8, n // 250)
+    if k <= 8:
+        assert centers == mllib_ann.md5_sample_centroids(corpus, k=k)
+
+    # forced second-collect path: k_of_n > k_floor
+    centers2, n2 = mllib_ann.md5_sample_centroids_counted(
+        corpus, lambda n: 12, k_floor=8
+    )
+    assert n2 == n_true
+    assert centers2 == mllib_ann.md5_sample_centroids(corpus, k=12)
+
+    # k smaller than k_floor: first-k prefix of the fused sample
+    centers3, _ = mllib_ann.md5_sample_centroids_counted(
+        corpus, lambda n: 3, k_floor=8
+    )
+    assert centers3 == mllib_ann.md5_sample_centroids(corpus, k=3)

@@ -13,7 +13,12 @@ from __future__ import annotations
 import math
 
 import numpy as np
+import pytest
 from hypothesis import HealthCheck, given, settings
+
+# every test here is a multi-minute soak (subprocess example runs /
+# hypothesis property sweeps) — opt-in, see conftest
+pytestmark = pytest.mark.soak
 from hypothesis import strategies as st
 
 from physicsnemo_curator_spark.operators import mesh, stats

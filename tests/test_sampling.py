@@ -979,6 +979,7 @@ def test_split_store_stats_and_conflicts(spark, tmp_path):
     assert row.n_docs_stored == 5
 
 
+@pytest.mark.soak
 @pytest.mark.parametrize("rng_seed", [0, 1, 2])
 def test_split_store_randomized_invariants(spark, tmp_path, rng_seed):
     """Randomized lifecycle invariants for the split store (the

@@ -104,6 +104,7 @@ def test_tiff_roundtrip_matrix():
                 np.testing.assert_array_equal(out, px)
 
 
+@pytest.mark.soak
 def test_tiff_lzw_kernel_width_boundaries():
     """Random data forces the 9→10→11→12-bit transitions and a table
     reset; compressible data grows long strings — both must survive

@@ -11,6 +11,8 @@ from __future__ import annotations
 import os
 import shutil
 
+import pytest
+
 from physicsnemo_curator_spark.sources.tables import load_table
 from physicsnemo_curator_spark.streaming.windows import (
     run_stream_to_memory,
@@ -56,6 +58,7 @@ def test_sliding_window_overlap(spark, sf_dir, tmp_path):
     assert slide == 4 * tumble
 
 
+@pytest.mark.soak
 def test_watermark_finalizes_windows_append_mode(spark, tmp_path):
     """Two micro-batches (maxFilesPerTrigger=1): append mode emits a
     window exactly once when the watermark passes its end, and very
@@ -117,6 +120,7 @@ def test_session_windows(spark, sf_dir, tmp_path):
     assert total == batch.count()
 
 
+@pytest.mark.soak
 def test_checkpoint_restart_exactly_once(spark, tmp_path):
     """Stop a streaming query mid-source and restart it from its
     checkpoint: the file sink must contain every input row exactly once.
@@ -222,6 +226,7 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
     assert got == expected
 
 
+@pytest.mark.soak
 def test_run_interval_join_stream_cross_batch(spark, sf_dir, tmp_path):
     """The micro-batch runner (one file per trigger, separate click /
     purchase sources) must emit exactly the batch join: matches form
@@ -279,6 +284,7 @@ def test_run_interval_join_stream_cross_batch(spark, sf_dir, tmp_path):
     assert again.count() == len(expected)
 
 
+@pytest.mark.soak
 def test_run_interval_join_stream_empty_and_partial(spark, tmp_path):
     """A zero-match join must return an EMPTY frame with the declared
     columns (the sink holds metadata only — schema inference would
@@ -420,6 +426,7 @@ def test_foreachbatch_stateful_welford_matches_batch(spark, sf_dir, tmp_path):
         assert abs(g["var_pop"] - e["var_pop"]) < 1e-6
 
 
+@pytest.mark.soak
 def test_stateful_table_sink_restart_exactly_once(spark, sf_dir, tmp_path):
     """Production table-sink path: the stateful stream appends per-batch
     update rows to a parquet table, a restart with the same checkpoint
@@ -582,6 +589,7 @@ def test_transform_with_state_twin_matches_batch(spark, sf_dir, tmp_path):
         assert abs(g["var_pop"] - e["var_pop"]) < 1e-6
 
 
+@pytest.mark.soak
 def test_streaming_bloom_dedup_all_time(spark, tmp_path):
     """All-time streaming dedup with bounded state: a key ingested in
     an early micro-batch is never re-emitted when it reappears ANY
@@ -686,6 +694,7 @@ def test_streaming_bloom_dedup_checkpoint_recreation_safe(spark, tmp_path):
     assert resolved.groupBy("url").count().filter("count > 1").count() == 0
 
 
+@pytest.mark.soak
 def test_state_partitions_scoped_to_cloned_session(spark, tmp_path):
     """state_partitions must not leak into the caller's session: the
     runner scopes it to a spark.newSession() clone, so a concurrent
@@ -882,6 +891,7 @@ def test_interval_seconds_parsing():
         _interval_seconds("2 fortnights")
 
 
+@pytest.mark.soak
 def test_outer_join_runner_nested_and_hive_layouts(spark, tmp_path):
     """Nested (date-bucketed, non-hive) source layouts stage flattened
     and produce the same outer join as a flat layout — every column
@@ -969,6 +979,7 @@ def test_outer_join_runner_nested_and_hive_layouts(spark, tmp_path):
         )
 
 
+@pytest.mark.soak
 def test_outer_join_runner_mixed_layout_and_temporary_dirs(spark, tmp_path):
     """Review-finding regressions: (a) a MIXED source (top-level AND
     nested parquet) stages every file — the old fallback took only the

@@ -70,3 +70,38 @@ def test_load_table_memo_is_per_path(spark, tmp_path):
     _write(os.path.join(str(b), "region.parquet"), [1, 2])
     assert load_table(spark, str(a), "region").count() == 1
     assert load_table(spark, str(b), "region").count() == 2
+
+
+# --- store plan memo (core/store.py memoized_parquet) ----------------------
+
+
+def test_memoized_parquet_hit_and_deep_mutation_miss(spark, tmp_path):
+    """The store-read memo must hit on an unchanged tree and miss when
+    a file mutates BELOW the top level (dynamic partition overwrite
+    rewrites files inside an existing partition dir without touching
+    the root's entry set) — the failure mode the recursive token
+    exists for."""
+    from physicsnemo_curator_spark.core.store import memoized_parquet
+
+    store = os.path.join(str(tmp_path), "store")
+    sub = os.path.join(store, "_batch=seed")
+    os.makedirs(sub)
+    part = os.path.join(sub, "part-0.parquet")
+    _write(part, [1, 2, 3])
+
+    df1 = memoized_parquet(spark, store)
+    df2 = memoized_parquet(spark, store)
+    assert df1 is df2, "unchanged tree must serve the memoized plan"
+    assert df1.count() == 3
+
+    # in-place rewrite two levels down; pin every DIRECTORY stat so only
+    # the leaf file's own (mtime, size) can carry the change
+    _write(part, [1, 2, 3, 4, 5])
+    for d in (store, sub):
+        os.utime(d, (1_000_000_000, 1_000_000_000))
+    df3 = memoized_parquet(spark, store)
+    assert df3 is not df1
+    assert df3.count() == 5
+
+    cache = spark.__dict__["_pcs_store_plan_cache"]
+    assert sum(1 for k in cache if k[0] == store) == 1

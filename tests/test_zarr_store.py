@@ -13,6 +13,7 @@ import os
 import zlib
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from physicsnemo_curator_spark.operators.atomic import pack_offsets
@@ -176,6 +177,7 @@ def test_write_mesh_zarr_positions(spark, tmp_path):
     np.testing.assert_allclose(arr, dense)
 
 
+@pytest.mark.soak
 def test_write_mesh_zarr_task_side_init_10k_meshes(spark, tmp_path):
     """Metadata creation is task-side first-writer-wins: 10⁴ mesh
     groups materialize without any per-mesh driver loop, and a sampled

@@ -110,7 +110,7 @@ def ivf_topk(
     # per-query probe set + norm in one numpy pass; euclidean cell
     # ranking uses the SAME metric as assignment, so a query's own cell
     # is always probed (argmin ||q-c||² ≙ argmin (c·c − 2 q·c))
-    probe_meta = _ivf_meta_udf(centers, n_probe)
+    probe_meta = _ivf_meta_udf(centers, n_probe, dedup_eval=False)
     q = queries.filter(F.col(vec_col).isNotNull()).select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("_qvec"),
@@ -917,7 +917,7 @@ def ivfpq_topk(
         F.element_at(cell_meta(F.col(vec_col))["cells"], 1).alias("cell"),
         enc(F.col(vec_col)).alias("codes"),
     )
-    probe_meta = _ivf_meta_udf(centers, n_probe)
+    probe_meta = _ivf_meta_udf(centers, n_probe, dedup_eval=False)
     probed = queries.filter(F.col(vec_col).isNotNull()).select(
         F.col(query_id_col).alias("query_id"),
         F.explode(probe_meta(F.col(vec_col))["cells"]).alias("cell"),
@@ -1637,7 +1637,10 @@ def ivfpq_index_topk(
         )
     dim = len(centers[0])
     cb = np.asarray(codebooks, dtype=np.float64)
-    probe_meta = _ivf_meta_udf(centers, n_probe)
+    # dedup_eval=False: the probe cells feed the cell-PARTITIONED store
+    # scan's dynamic partition pruning, which a nondeterministic build
+    # side disables (see _ivf_meta_udf)
+    probe_meta = _ivf_meta_udf(centers, n_probe, dedup_eval=False)
     probed = queries.filter(F.col(vec_col).isNotNull()).select(
         F.col(query_id_col).alias("query_id"),
         F.explode(probe_meta(F.col(vec_col))["cells"]).alias("cell"),
@@ -2492,12 +2495,24 @@ def sample_and_query_rows(
     return sample_vectors, query_rows
 
 
-def _ivf_meta_udf(centers, n_probe: int):
+def _ivf_meta_udf(centers, n_probe: int, *, dedup_eval: bool = True):
     """(cells, norm) per vector in one numpy pass: the ``n_probe``
     nearest cells by euclidean distance (stable argsort — ties resolve
     to the lowest cell id, matching argmin) and the L2 norm.  Fusing
     both into one Arrow projection keeps the big dim-term expressions
-    out of three separate codegen stages."""
+    out of three separate codegen stages.
+
+    ``dedup_eval`` picks the evaluation trade-off per SIDE of the cell
+    join.  True (corpus sides): nondeterministic-marked so a pushed
+    isnotnull constraint cannot duplicate the UDF into two
+    ArrowEvalPython nodes (guide §4.4) — every corpus vector would be
+    assigned twice.  False (probe/batch sides): keep the UDF
+    deterministic, because dynamic partition pruning DUPLICATES the
+    build side into the partitioned scan's filter and refuses to do so
+    for nondeterministic expressions — on a cell-partitioned store the
+    probe-proportional scan is worth re-evaluating a handful of query
+    rows (measured: marking the probe side killed the store scan's
+    ``cell IN dynamicpruning#N`` filter)."""
     from pyspark.sql.functions import pandas_udf
 
     c = np.asarray(centers, dtype=np.float64)  # (k, dim)
@@ -2516,8 +2531,9 @@ def _ivf_meta_udf(centers, n_probe: int):
     # meta is pure, but the cell-join's pushed isnotnull constraint
     # duplicated it into Filter-below + Project-above ArrowEvalPython
     # pairs (guide §4.4) — every vector assigned twice.  The marker
-    # pins one evaluation.
-    return meta.asNondeterministic()
+    # pins one evaluation; see dedup_eval above for when it must NOT
+    # be applied.
+    return meta.asNondeterministic() if dedup_eval else meta
 
 
 def _assign_with_norm(
@@ -2526,12 +2542,15 @@ def _assign_with_norm(
     *,
     id_col: str,
     vec_col: str,
+    dedup_eval: bool = True,
 ) -> DataFrame:
     """(id, vec, cell, norm) — nearest-centroid assignment + L2 norm
     from ONE Arrow-batched numpy projection over the corpus.  NULL
     vectors are dropped (np.asarray(None) would crash the batch; a
-    NULL embedding has no cell)."""
-    meta = _ivf_meta_udf(centers, 1)
+    NULL embedding has no cell).  ``dedup_eval=False`` for probe/batch
+    sides whose cell feeds a partitioned-store join — see
+    :func:`_ivf_meta_udf`."""
+    meta = _ivf_meta_udf(centers, 1, dedup_eval=dedup_eval)
     corpus = corpus.filter(F.col(vec_col).isNotNull())
     return corpus.select(
         F.col(id_col).alias("_id"),
@@ -2792,8 +2811,11 @@ def incremental_semantic_dedup(
                 _fence=f,
             )
     dim = len(centers[0])
+    # dedup_eval=False: the batch cells feed the cell-partitioned
+    # semantic store's partition pruning (see _ivf_meta_udf)
     batch = _assign_with_norm(
-        new_vectors, centers, id_col=id_col, vec_col=vec_col
+        new_vectors, centers, id_col=id_col, vec_col=vec_col,
+        dedup_eval=False,
     )
     bl = batch.select(
         "cell",

@@ -10979,95 +10979,69 @@ QUERIES: dict[str, QuerySpec] = {
 }
 
 
-# r14 driver-window rotation (VERDICT-r13 ask #1; same explicit-list
-# mechanism as r08-r13).  The 50-row window = the 9 r10-stale gates
-# (staged at the r13 tail head, retiring the last r10 rows) +
-# r15 window (first 50): q_ann_pq_rotated (NEW this round: the OPQ
-# learned-rotation plumbing, gated via the exact-rational Pythagorean
-# Givens rotation) + the 12 r11 leftovers (stalest) + the first 37 of
-# the 49-row r12 cohort.  Tail = the remaining r12 rows (staged first
-# for r16), the r13-checked cohort, then the r14 window (freshest
-# last).  After r15 nothing is staler than r12.
+# Driver-window rotation (same mechanism as r08-r15): the 50-row
+# oracle window samples the FIRST 50 names, so everything the previous
+# round's driver did NOT check comes first.  The r16 window (first 50)
+# = the 16 r15-rewritten-but-unverified paths (VERDICT r15 "What's
+# wrong #4": openradioss join->window, text limit pushdowns, quantile
+# explode, sq8 string exprs, shared pair-cache consumers, IVF-PQ
+# shared trainer) + every path THIS round's optimization touched
+# (semantic/dedup/BPE collect fusion, UDF dedup-eval markers, store
+# plan memos, LUT fusion) + the stalest unchecked rows (r12 leftovers,
+# r13 cohort heads).  Tail = remaining r13 cohort, r14-checked, then
+# the r15-checked block (freshest last).
 _DRIVER_ORDER = [
-    # --- NEW this round: OPQ rotation plumbing ---
+    "q_openradioss_scan",
+    "q_text_lang_quality",
+    "q_text_redact_pii",
+    "q_text_features",
+    "q_text_substring_rm",
+    "q_sketch_quantiles",
+    "q_dedup_representative",
+    "q_split_leakage_free",
+    "q_ann_sq8_topk",
+    "q_dedup_ngram_jaccard",
+    "q_text_winnow",
+    "q_ann_cosine_topk",
+    "q_sketch_cms",
+    "q_ann_ivfpq_topk",
+    "q_ann_ivfpq_incremental",
+    "q_ann_ivfpq_mmr",
+    "q_semantic_incremental",
+    "q_bpe_train_hist",
+    "q_ann_rrf_anns",
+    "q_ann_pq_topk",
+    "q_ann_pq_interleaved",
     "q_ann_pq_rotated",
-    # --- r15 window: the 12 r11 leftovers (stalest, VERDICT r14 task #1) ---
-    "q_st3_stream_welford",
-    "q_st1_tumbling_window",
-    "q_grib2_scan",
+    "q_ann_lsh_topk",
+    "q_ann_ivf_topk",
+    "q_embedding_near_dup",
     "q_semantic_dedup",
     "q_dedup_incremental",
+    "q_bpe_train",
     "q_dedup_components",
-    "q_text_span_dedup",
-    "q_text_repetition",
-    "q_text_sentences",
-    "q_corpus_card",
-    "q_media_subtitles",
-    "q_robots_filter",
-    # --- r12 cohort, 37 of 49 (fills the 50-row r15 window) ---
-    "q_st6_stream_fullouter_join",
-    "q_ann_mmr",
+    "q_minhash_near_dup",
     "q_ann_rrf",
     "q_hard_negatives",
-    "q_text_normalize",
-    "q_url_normalize",
-    "q_web_extract",
-    "q_bpe_train",
-    "q_webdataset",
-    "q_quality_regression",
-    "q_media_qoi_pnm",
-    "q_media_mpeg",
-    "q_media_imagetags",
-    "q_media_audiotags",
-    "q_media_probe",
-    "q_media_imagehash",
-    "q_media_audiohash",
-    "q_media_videohash",
-    "q_media_stillimage",
-    "q_media_hierarchical",
-    "q_grid_federated",
-    "q_grid_sidecar",
-    "q_atomic_stats",
-    "q_mesh_quality",
-    "q_media_avi_frames",
-    "q_media_adpcm",
-    "q_media_lossless",
-    "q_media_flac",
-    "q_media_g711",
-    "q_w1_row_number",
-    "q_t1_topk",
-    "q_a6_rollup",
-    "q_minhash_near_dup",
-    "q_media_wav_features",
-    "q_vtk_domain",
-    "q_text_bigram_lm",
-    "q_media_png_resize",
-    # --- r16 staging: remaining r12 rows head the next window ---
+    "q_split_store",
+    "q_split_conflicts",
+    "q_ann_mmr",
     "q_media_jpeg_resize",
     "q_hdf5_roundtrip",
     "q_vtk_scan",
     "q_vti_scan",
     "q_stream_bloom",
     "q_media_frames",
-    "q_sketch_quantiles",
     "q_text_chunks",
     "q_mix_weights",
     "q_sample_stratified",
     "q_a1_moment_stats",
     "q_a2_elementwise_stats",
-    # --- r13-checked cohort ---
-    "q_ann_ivfpq_mmr",
     "q_embedding_drift_psi",
-    "q_ann_rrf_anns",
-    "q_dedup_representative",
-    "q_split_leakage_free",
-    "q_ann_ivfpq_incremental",
     "q_cluster_sample",
     "q_embedding_drift",
     "q_snapshot_diff",
-    "q_bpe_train_hist",
     "q_media_mp4_mkv",
-    "q_semantic_incremental",
     "q_st4_stream_interval_join",
     "q_dashboard_index",
     "q_dashboard_workers",
@@ -11092,41 +11066,25 @@ _DRIVER_ORDER = [
     "q_ts_rollup_daily",
     "q_w4_sessionize",
     "q_dedup_exact",
-    "q_dedup_ngram_jaccard",
     "q_sample_split",
-    "q_text_redact_pii",
     "q_text_logprob",
     "q_text_decontaminate",
     "q_emb_outliers",
-    "q_text_features",
-    "q_text_winnow",
-    "q_text_lang_quality",
     "q_text_vocab",
     "q_text_tfidf_sim",
-    "q_ann_cosine_topk",
     "q_text_token_ids",
     "q_pack_sequences",
-    # --- r14-checked cohort (freshest last) ---
     "q_d3plot_scan",
     "q_aselmdb_scan",
     "q_zarr_roundtrip",
     "q_netcdf3_roundtrip",
-    "q_openradioss_scan",
     "q_dataset_layout",
     "q_warc_scan",
     "q_text_span_dedup_xx",
     "q_sketch_bloom",
-    "q_split_store",
-    "q_split_conflicts",
-    "q_ann_pq_interleaved",
     "q_media_fmp4",
-    "q_ann_sq8_topk",
-    "q_ann_pq_topk",
-    "q_ann_ivfpq_topk",
     "q_st5_stream_leftouter_join",
-    "q_sketch_cms",
     "q_text_substring_dup",
-    "q_text_substring_rm",
     "q_mix_temperature",
     "q_s2_intersect",
     "q_s4_union_all",
@@ -11139,9 +11097,6 @@ _DRIVER_ORDER = [
     "q_str3_regexp",
     "q_d2_date_functions",
     "q_w3_delta_vs_first",
-    "q_ann_lsh_topk",
-    "q_ann_ivf_topk",
-    "q_embedding_near_dup",
     "q_simhash_groups",
     "q_simhash_near_dup",
     "q_j6_anti_join",
@@ -11157,6 +11112,47 @@ _DRIVER_ORDER = [
     "q_json1_extract",
     "q_w5_group_zscore",
     "q_median_exact",
+    "q_st3_stream_welford",
+    "q_st1_tumbling_window",
+    "q_grib2_scan",
+    "q_text_span_dedup",
+    "q_text_repetition",
+    "q_text_sentences",
+    "q_corpus_card",
+    "q_media_subtitles",
+    "q_robots_filter",
+    "q_st6_stream_fullouter_join",
+    "q_text_normalize",
+    "q_url_normalize",
+    "q_web_extract",
+    "q_webdataset",
+    "q_quality_regression",
+    "q_media_qoi_pnm",
+    "q_media_mpeg",
+    "q_media_imagetags",
+    "q_media_audiotags",
+    "q_media_probe",
+    "q_media_imagehash",
+    "q_media_audiohash",
+    "q_media_videohash",
+    "q_media_stillimage",
+    "q_media_hierarchical",
+    "q_grid_federated",
+    "q_grid_sidecar",
+    "q_atomic_stats",
+    "q_mesh_quality",
+    "q_media_avi_frames",
+    "q_media_adpcm",
+    "q_media_lossless",
+    "q_media_flac",
+    "q_media_g711",
+    "q_w1_row_number",
+    "q_t1_topk",
+    "q_a6_rollup",
+    "q_media_wav_features",
+    "q_vtk_domain",
+    "q_text_bigram_lm",
+    "q_media_png_resize",
 ]
 
 

@@ -87,23 +87,26 @@ def read_openradioss(
     ``openradioss.py:371-374``) — a silent inner-join drop would
     corrupt every downstream displacement.
 
-    ``persist_parsed`` is the SIZE-AWARE parse-dedup switch (default
-    ``None`` = auto by total input bytes against
-    ``$SPARK_GRAFT_PARSE_PERSIST_BYTES``, default 1 GiB):
+    ``persist_parsed`` is the parse-dedup switch (default ``None`` =
+    auto: persist when total input bytes exceed
+    ``$SPARK_GRAFT_PARSE_PERSIST_BYTES``, default 0 — i.e. always):
 
-    - **small inputs (False)**: cache the raw bytes once and let every
-      returned table re-parse them in its own MapInPandas branch — the
-      branches run as PARALLEL stages of each consuming job, which
-      measures faster than serialized cache fills at fixture scale
-      (the r15 f441369 A/B: persisting parsed frames cost +2-4 s per
-      scan gate).
-    - **large inputs (True)**: persist the PARSED points/cells tables
-      instead of the raw bytes — at 100 TB the raw-byte cache cannot
-      stay memory-resident, so each of the ~4 points-consuming
-      branches would otherwise become a full INPUT re-read + re-parse;
-      one parse pass each for points and cells is the scale-correct
-      shape.  Raw bytes are then NOT cached (the single-consumer
-      point_data/cell_data branches re-read the source once each).
+    - **True (default)**: persist the PARSED points/cells tables
+      instead of the raw bytes — one parse pass each for points and
+      cells, however many returned tables the caller materializes.  At
+      100 TB the raw-byte cache cannot stay memory-resident, so every
+      points-consuming branch would otherwise become a full input
+      re-read + re-parse.  Measured faster at every size tried
+      (interleaved A/Bs, this host: gate KB fixture 4.6→4.1 s,
+      1.5 MB 6.5→5.0 s, 15 MB 14.9→11.4 s, points+cells+
+      displacements+trajectory consumed through the noop sink).
+    - **False** (set the env threshold above the input size): cache
+      the raw bytes once and let every returned table re-parse them
+      in its own MapInPandas branch — parallel duplicate parse stages,
+      the r15 shape.  Kept as the opt-out because cache-fill
+      serialization CAN beat parallel re-parse on degenerate
+      tiny-file/many-core layouts (the r15 f441369 experiment — a
+      broader persist set — measured that direction).
     """
     runs = discover_runs(input_dir, vtk_glob)
     keymap_rows = [
@@ -118,14 +121,12 @@ def read_openradioss(
         except OSError:
             total_bytes = None  # non-local paths: size unknown
         threshold = int(
-            os.environ.get(
-                "SPARK_GRAFT_PARSE_PERSIST_BYTES", str(1 << 30)
-            )
+            os.environ.get("SPARK_GRAFT_PARSE_PERSIST_BYTES", "0")
         )
         persist_parsed = total_bytes is None or total_bytes > threshold
-    # cache=True (small regime): the consistency count below plus every
-    # returned table re-materializes the scan — without the persist
-    # each one would re-parse every timestep file from scratch
+    # cache=True (raw-byte regime): the consistency count below plus
+    # every returned table re-materializes the scan — without the
+    # persist each one would re-parse every timestep file from scratch
     t = read_vtk(
         spark, all_paths, mesh_id_from="path", cache=not persist_parsed
     )

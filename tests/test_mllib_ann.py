@@ -548,10 +548,18 @@ def test_ivfpq_index_probe_prunes_partitions(spark, tmp_path, sf_correctness_dir
         out = mllib_ann.ivfpq_index_topk(
             spark, qs, centers, store, k=5, n_probe=2, codebooks=cbs
         )
+        out.collect()  # AQE finalizes the plan (and its DPP filters)
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
-        pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
-        assert pf and "cell" in pf.group(1), plan[:800]
+        # a REAL dynamic pruning filter, not just isnotnull(cell) — the
+        # r16 regression: marking the probe-side UDF nondeterministic
+        # silently degraded "cell IN dynamicpruning#N" to a full scan,
+        # and the old `"cell" in filters` assert could not see it
+        pfs = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert any(
+            "dynamicpruningexpression(cell" in pf and "IN dynamicpruning" in pf
+            for pf in pfs
+        ), plan[:1500]
 
     assert_pruned()
     # and STILL pruned once the lifecycle has created live tombstones
@@ -2810,3 +2818,29 @@ def test_md5_sample_centroids_counted_matches_unfused(spark, sf_correctness_dir)
         corpus, lambda n: 3, k_floor=8
     )
     assert centers3 == mllib_ann.md5_sample_centroids(corpus, k=3)
+
+
+def test_semantic_store_probe_prunes_partitions(spark, tmp_path, sf_correctness_dir):
+    """The incremental semantic probe must BROADCAST the batch side and
+    prune the (_batch, cell)-partitioned store scan to the batch's
+    cells via a real dynamic-pruning filter — the property that keeps
+    a probe proportional to the cells the batch touches at 100 TB."""
+    import re
+
+    emb = load_table(spark, sf_correctness_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    batch = emb.filter(F.col("vec_id") % 2 == 1)
+    centers = mllib_ann.md5_sample_centroids(corpus, k=8)
+    store = str(tmp_path / "sem_plan")
+    mllib_ann.write_semantic_store(corpus, centers, store)
+    out = mllib_ann.incremental_semantic_dedup(
+        spark, batch, centers, store, threshold=0.35, dot="arrow"
+    )
+    out.collect()  # AQE finalizes the plan (and its DPP filters)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    pfs = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any(
+        "dynamicpruningexpression(cell" in pf and "IN dynamicpruning" in pf
+        for pf in pfs
+    ), plan[:1500]

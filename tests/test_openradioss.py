@@ -123,8 +123,8 @@ def test_persist_parsed_regime_equals_default(spark, tmp_path):
         b = sorted(map(repr, big[name].collect()))
         assert a == b, f"{name} differs between parse-persist regimes"
 
-    # auto mode on a KB-sized input must resolve to the small regime
-    # (total bytes << the 1 GiB default threshold) and still read green
+    # auto mode (default threshold 0 -> parsed-persist regime) must
+    # read the same rows as both explicit regimes
     assert os.environ.get("SPARK_GRAFT_PARSE_PERSIST_BYTES") is None
     auto = read_openradioss(spark, str(tmp_path), vtk_glob="*.vtu")
     assert sorted(map(repr, auto["points"].collect())) == sorted(

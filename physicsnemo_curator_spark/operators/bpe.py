@@ -80,27 +80,6 @@ def _merge_pair(toks: list, a: str, b: str) -> list:
     return res
 
 
-def _apply_merge(tokenized: DataFrame, a: str, b: str) -> DataFrame:
-    """Merge every non-overlapping left-to-right (a, b) occurrence
-    into one token a+b — Arrow-batched sequence rewrite."""
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            out = [
-                _merge_pair([] if toks is None else list(toks), a, b)
-                for toks in pdf["tokens"]
-            ]
-            pdf = pdf.copy()
-            pdf["tokens"] = out
-            yield pdf
-
-    schema = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}"
-        for f in tokenized.schema
-    )
-    return tokenized.mapInPandas(batches, schema)
-
-
 def _merge_and_count(
     tokenized: DataFrame, a: str, b: str, *, weight_col: str | None = None
 ) -> DataFrame:
@@ -170,10 +149,13 @@ def _merge_and_count(
 def _round_rows_fused(
     fused: DataFrame, *, with_argmax: bool
 ) -> tuple[tuple | None, int]:
-    """:func:`_round_rows` over a :func:`_merge_and_count` frame — the
-    same single marked-union collect, but both aggregates read the
-    tiny pre-counted partial rows instead of re-scanning (and
-    re-merging) the token frame."""
+    """ONE driver action per training round over a
+    :func:`_merge_and_count` frame: the next merge's argmax row and
+    the merged frame's token total come back in a single marked-union
+    collect (``_k`` 0 = argmax, 1 = total), and both aggregates read
+    the tiny pre-counted partial rows instead of re-scanning (and
+    re-merging) the token frame.  Returns ``((a, b, count) | None,
+    n_tokens)``."""
     nt = (
         fused.filter(F.col("_kind") == 2)
         .agg(F.sum("_pn").cast("long").alias("n"))
@@ -191,43 +173,6 @@ def _round_rows_fused(
                 F.col("_pa").alias("a"), F.col("_pb").alias("b")
             )
             .agg(F.sum("_pn").alias("n"))
-            .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
-            .limit(1)
-            .select(
-                F.lit(0).alias("_k"), "a", "b", F.col("n").cast("long")
-            )
-        )
-        rows = top.unionByName(nt).collect()
-    else:
-        rows = nt.collect()
-    best = None
-    n_tokens = 0
-    for r in rows:
-        if r["_k"] == 0:
-            best = (r["a"], r["b"], int(r["n"]))
-        else:
-            n_tokens = int(r["n"])
-    return best, n_tokens
-
-
-def _round_rows(
-    tokens_df: DataFrame, counter, nt_expr, *, with_argmax: bool
-) -> tuple[tuple | None, int]:
-    """ONE driver action per training round: the next merge's argmax
-    row and the current frame's token total come from a single marked
-    union collect (``_k`` 0 = argmax, 1 = total) — two separate
-    actions doubled every round's fixed job latency for aggregations
-    over the SAME cached frame.  Returns ``((a, b, count) | None,
-    n_tokens)``."""
-    nt = tokens_df.agg(nt_expr.cast("long").alias("n")).select(
-        F.lit(1).alias("_k"),
-        F.lit(None).cast("string").alias("a"),
-        F.lit(None).cast("string").alias("b"),
-        "n",
-    )
-    if with_argmax:
-        top = (
-            counter(tokens_df)
             .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
             .limit(1)
             .select(
